@@ -1,13 +1,228 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{CastProjection, Snapshot}
+import graft.schema.SchemaHistory
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry (plus a DuckDB `oracleSql`
+  * equivalent) per implemented operator from SURVEY.md §2.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** As-of cutoff used by the snapshot queries (events span 2024-01). */
+  private val AsOfTs = "2024-01-15 00:00:00"
+
+  /** Flagship: point-in-time reconstruction of the events changelog —
+    * the reference's whole essence (scan → latest-per-key as of T).
+    * Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Snapshot.snapshotAsOf(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      keyCols = Seq("user_id"), tsCol = "ts",
+      asOf = lit(AsOfTs).cast(TimestampType), tieBreakers = Seq("event_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O1/O13 — versioned-table time-travel: state as of T (end-exclusive).
+    "q_snapshot_asof" -> ((s, d) =>
+      Snapshot.snapshotAsOf(Tables.events(s, d), Seq("user_id"), "ts",
+          lit(AsOfTs).cast(TimestampType), Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))),
+
+    // O13 — dedup latest-per-key over the full changelog (T = now).
+    "q_dedup_latest" -> ((s, d) =>
+      Snapshot.latestPerKey(Tables.events(s, d), Seq("user_id"), "ts",
+          Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))),
+
+    // O1/O13 window formulation — same semantics via row_number() = 1.
+    "q_snapshot_asof_window" -> ((s, d) =>
+      Snapshot.latestPerKeyWindow(
+          Tables.events(s, d).filter(col("ts") < lit(AsOfTs).cast(TimestampType)),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))),
+
+    // O5/O6 — as-of arg-max: greatest key strictly below the bound,
+    // planned as TakeOrderedAndProject (top-1, no full sort).
+    "q_schema_topk" -> ((s, d) =>
+      SchemaHistory.latestEntryBefore(
+          Tables.orders(s, d)
+            .select(col("o_orderkey").cast(StringType).as("row_key"),
+              col("o_totalprice")),
+          "row_key", asOf = 42L)),
+
+    // O2 — NULL-sentinel decode + typed cast, fed by JSON extraction (O8).
+    "q_cast_null_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          CastProjection.castField(
+            get_json_object(col("props"), "$.k"), IntegerType).as("k_int"))
+        .orderBy(col("event_id"))),
+
+    // O2/O3 — full cast-projection pipeline: stringified changelog →
+    // metadata-dispatched projection with synthetic key/status columns.
+    "q_cast_projection" -> ((s, d) => {
+      val changelog = Tables.events(s, d).select(
+        col("user_id").cast(StringType).as("row_key"),
+        col("event_type").as("row_status"),
+        col("event_id").cast(StringType).as("event_id"),
+        unix_millis(col("ts")).cast(StringType).as("ts"),
+        col("value").cast(StringType).as("value"))
+      val schema = StructType(Seq(
+        graft.schema.SchemaMapping.RowKeyField,
+        graft.schema.SchemaMapping.RowStatusField,
+        StructField("event_id", IntegerType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      CastProjection.castTo(changelog, schema)
+        .orderBy(col("event_id"))
+    }),
+
+    // Aggregation breadth — TPC-H Q1 shape (group-by + sums/avgs/count).
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Join breadth — orders ⋈ customer (shuffle) ⋈ nation (broadcast dim).
+    "q_join_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Semi join — customers having at least one large order (EXISTS).
+    "q_join_semi" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join — customers with no large order (NOT EXISTS).
+    "q_join_anti" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000).select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Window breadth — per-key running total (deterministic frame order).
+    "q_window_running" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice")).over(w).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Sort/limit breadth — global top-k (TakeOrderedAndProject).
+    "q_topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10))
+  )
+
+  /** DuckDB-runnable ANSI SQL equivalents (same parquet tables registered
+    * by the driver under their bare names). Column names/aliases must match
+    * the Spark output exactly — the driver sorts columns by name before
+    * hashing. Every query ends in a deterministic ORDER BY. */
+  def oracleSql: Map[String, String] = Map(
+    "q_snapshot_asof" ->
+      s"""SELECT user_id, event_id, event_type, value, ts FROM events
+         | WHERE ts < TIMESTAMP '$AsOfTs'
+         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         | ORDER BY user_id""".stripMargin,
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM events
+        | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        | ORDER BY user_id""".stripMargin,
+    "q_snapshot_asof_window" ->
+      s"""SELECT user_id, event_id, event_type, value, ts FROM events
+         | WHERE ts < TIMESTAMP '$AsOfTs'
+         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         | ORDER BY user_id""".stripMargin,
+    "q_schema_topk" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS row_key, o_totalprice
+        | FROM orders WHERE o_orderkey < 42
+        | ORDER BY o_orderkey DESC LIMIT 1""".stripMargin,
+    "q_cast_null_json" ->
+      """SELECT event_id,
+        | CAST(NULLIF(UPPER(json_extract_string(props, '$.k')), 'NULL') AS INTEGER) AS k_int
+        | FROM events ORDER BY event_id""".stripMargin,
+    "q_cast_projection" ->
+      """SELECT CAST(user_id AS VARCHAR) AS k_hbase_row_key,
+        | event_type AS k_replicator_row_status,
+        | CAST(event_id AS INTEGER) AS event_id,
+        | make_timestamp(epoch_ms(ts) * 1000) AS ts,
+        | value
+        | FROM events ORDER BY event_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_base_price,
+        | sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        | avg(l_quantity) AS avg_qty,
+        | avg(l_extendedprice) AS avg_price,
+        | avg(l_discount) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem
+        | WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        | ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        | ORDER BY c_custkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed-cast projection layer.
+  *
+  * Re-expresses the reference's per-row builder
+  * (reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala:58-106)
+  * as pure Catalyst expressions: the reference runs an opaque `RDD.map`
+  * closure with a per-field `match` before Catalyst ever sees the data
+  * (HBaseSnapshotter.scala:131); here every rule is a codegen'd expression
+  * inside one `select`, so the whole cast pipeline stays within a single
+  * WholeStageCodegen span and column pruning / predicate pushdown still
+  * reach the scan.
+  */
+object CastProjection {
+
+  /** The case-insensitive string "NULL" decodes to SQL NULL
+    * (reference: HBaseSnapshotter.scala:75-76). */
+  val NullSentinel = "NULL"
+
+  def nullIfSentinel(c: Column): Column =
+    when(upper(c) === lit(NullSentinel), lit(null)).otherwise(c)
+
+  /** Cast one string-typed column to its target type with the reference's
+    * rules: epoch-millis long → timestamp (HBaseSnapshotter.scala:82),
+    * `"yyyy-MM-dd"` → date (:83-90), numeric `.toInt/.toLong/.toDouble`
+    * (:79-81), identity for strings (:91) — all behind the NULL sentinel.
+    */
+  def castField(c: Column, dt: DataType): Column = {
+    val v = nullIfSentinel(c)
+    dt match {
+      case TimestampType => timestamp_millis(v.cast(LongType))
+      case DateType      => to_date(v, "yyyy-MM-dd")
+      case StringType    => v
+      case other         => v.cast(other)
+    }
+  }
+
+  /** Project a string-columned changelog DataFrame onto `schema`,
+    * dispatching on StructField metadata exactly like the reference row
+    * builder (HBaseSnapshotter.scala:61-73): metadata `key` → the row-key
+    * column, metadata `status` → the replicator row-status column, else the
+    * data column named by metadata `qualifier` (falling back to the field
+    * name), cast per [[castField]].
+    */
+  def castTo(df: DataFrame, schema: StructType,
+             rowKeyCol: String = "row_key",
+             statusCol: String = "row_status"): DataFrame = {
+    val cols = schema.fields.toIndexedSeq.map { f =>
+      val out =
+        if (f.metadata.contains("key")) col(rowKeyCol).cast(StringType)
+        else if (f.metadata.contains("status")) col(statusCol).cast(StringType)
+        else {
+          val source =
+            if (f.metadata.contains("qualifier")) f.metadata.getString("qualifier")
+            else f.name
+          castField(col(source), f.dataType)
+        }
+      out.as(f.name, f.metadata)
+    }
+    df.select(cols: _*)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time reconstruction over a versioned changelog.
+  *
+  * The reference's source is an HBase time-range scan: `Scan.setTimeRange(0,
+  * ts)` makes the server return, per cell, the latest version strictly below
+  * `ts` (reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala:
+  * 123-129). Its documented downstream dedup contract is "group by
+  * k_hbase_row_key and select the latest" (reference: Schema.scala:123-127).
+  * Both are the same operator: latest-row-per-key under an as-of bound.
+  *
+  * Scale notes (100 TB changelog):
+  *  - [[latestPerKey]] uses `groupBy(key).agg(max_by(...))` — a hash
+  *    aggregate with map-side partial aggregation, so at most one
+  *    pre-reduced row per key per input partition crosses the shuffle.
+  *    With many versions per key this moves strictly less data than the
+  *    window formulation, and AQE can coalesce/skew-split the exchange.
+  *  - [[latestPerKeyWindow]] shuffles every surviving version; use it when
+  *    the full ranked history is needed (e.g. top-N versions).
+  *  - The `ts < asOf` bound is a plain comparison on a scan column, so
+  *    Catalyst pushes it into the Parquet reader (row-group pruning) —
+  *    the Spark analogue of HBase evaluating the time range server-side.
+  */
+object Snapshot {
+
+  /** State of the table as of `asOf` (end-exclusive, `[0, asOf)`, matching
+    * HBase `setTimeRange` — HBaseSnapshotter.scala:124). */
+  def snapshotAsOf(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
+                   asOf: Column, tieBreakers: Seq[String] = Nil): DataFrame =
+    latestPerKey(changelog.filter(col(tsCol) < asOf), keyCols, tsCol, tieBreakers)
+
+  /** Latest row per key via `max_by(payload, (ts, tieBreakers...))` —
+    * partial-aggregation-friendly (one shuffle, reduced map-side). Ties on
+    * `tsCol` are resolved by `tieBreakers` so results are deterministic. */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   tieBreakers: Seq[String] = Nil): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).toIndexedSeq
+    val ordKey = struct((tsCol +: tieBreakers).map(col): _*)
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), ordKey).as("__latest"))
+    agg.select(keyCols.map(col) ++
+      payloadCols.map(c => col(s"__latest.`$c`").as(c)): _*)
+  }
+
+  /** Window-rank formulation of latest-per-key: `row_number() = 1` over
+    * `partition by key order by ts desc`. Same result as [[latestPerKey]];
+    * shuffles all rows, keeps per-key history ordering available. */
+  def latestPerKeyWindow(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                         tieBreakers: Seq[String] = Nil): DataFrame = {
+    val order = (tsCol +: tieBreakers).map(col(_).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Keys whose state changed in `[from, until)` — the delta-import
+    * reconciliation implied by the reference's dedup contract
+    * (Schema.scala:123-127). Distinct key list; join it back semi/anti
+    * against a base snapshot to split changed vs unchanged rows. */
+  def changedKeysBetween(changelog: DataFrame, keyCols: Seq[String],
+                         tsCol: String, from: Column, until: Column): DataFrame =
+    changelog
+      .filter(col(tsCol) >= from && col(tsCol) < until)
+      .select(keyCols.map(col): _*)
+      .distinct()
+}

@@ -1,0 +1,170 @@
+package graft.schema
+
+/** Precision part of a MySQL column type, e.g. `DECIMAL(10,2)` → (10, Some(2)).
+  *
+  * Semantics match the reference grammar
+  * (reference: src/main/scala/com/booking/sql/DataTypeParser.scala:7).
+  */
+final case class MySqlPrecision(precision: Int, scale: Option[Int])
+
+/** Parsed MySQL column type declaration.
+  *
+  * Shape matches the reference's `MySQLDataType`
+  * (reference: src/main/scala/com/booking/sql/DataTypeParser.scala:8):
+  * typename is upper-cased; ENUM/SET carry their value list; numeric types
+  * carry optional precision/scale; `UNSIGNED | ZEROFILL | BINARY` qualifiers
+  * are upper-cased; `CHARACTER SET` / `COLLATE` attributes are a map.
+  */
+final case class MySqlType(
+    typename: String,
+    enumeration: Seq[String] = Nil,
+    precision: Option[MySqlPrecision] = None,
+    qualifiers: Seq[String] = Nil,
+    attributes: Map[String, String] = Map.empty)
+
+/** Recursive-descent parser for MySQL DDL column-type strings.
+  *
+  * Covers the same grammar as the reference's parser-combinator version
+  * (reference: src/main/scala/com/booking/sql/DataTypeParser.scala:10-65):
+  * 32 typenames, `ENUM(...)`/`SET(...)` string-literal value lists,
+  * `(precision[, scale])`, zero-or-more qualifiers, zero-or-more
+  * charset/collation attributes. Hand-rolled (no parser-combinator
+  * dependency); escape sequences inside string literals are preserved
+  * verbatim, as the reference's regex-based `stringLiteral` does.
+  */
+object MySqlTypeParser {
+
+  /** All accepted typenames, longest-first so maximal munch resolves
+    * prefixes (INTEGER before INT, TINYTEXT before TINYINT's prefix, ...).
+    * Same inventory as reference DataTypeParser.scala:12. */
+  val Typenames: Seq[String] = Seq(
+    "MEDIUMBLOB", "MEDIUMTEXT", "MEDIUMINT", "TIMESTAMP", "VARBINARY",
+    "DATETIME", "LONGBLOB", "LONGTEXT", "SMALLINT", "TINYBLOB", "TINYTEXT",
+    "DECIMAL", "INTEGER", "NUMERIC", "TINYINT", "VARCHAR", "BIGINT",
+    "BINARY", "DOUBLE", "FLOAT", "TIME", "BLOB", "CHAR", "DATE", "ENUM",
+    "JSON", "REAL", "TEXT", "YEAR", "BIT", "INT", "SET"
+  ).sortBy(-_.length)
+
+  val Qualifiers: Seq[String] = Seq("UNSIGNED", "ZEROFILL", "BINARY")
+
+  /** Parse or throw IllegalArgumentException (the reference `sys.error`s on
+    * unparseable input, DataTypeParser.scala:61-62 — also fail-fast). */
+  def apply(input: String): MySqlType = new P(input).parse()
+
+  def parseOption(input: String): Option[MySqlType] =
+    try Some(apply(input)) catch { case _: IllegalArgumentException => None }
+
+  private final class P(in: String) {
+    private var pos = 0
+
+    def parse(): MySqlType = {
+      val tn = typename()
+      val result =
+        if ((tn == "ENUM" || tn == "SET") && peek('(')) {
+          MySqlType(tn, enumeration = stringList())
+        } else {
+          val prec = if (peek('(')) Some(precision()) else None
+          val quals = collectKeywords(Qualifiers)
+          val attrs = attributes()
+          MySqlType(tn, Nil, prec, quals, attrs)
+        }
+      ws()
+      if (pos != in.length) fail("trailing input")
+      result
+    }
+
+    private def ws(): Unit =
+      while (pos < in.length && in.charAt(pos).isWhitespace) pos += 1
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot parse MySQL type '$in': $msg at offset $pos")
+
+    private def peek(c: Char): Boolean = { ws(); pos < in.length && in.charAt(pos) == c }
+
+    private def expect(c: Char): Unit =
+      if (peek(c)) pos += 1 else fail(s"expected '$c'")
+
+    /** Case-insensitive keyword with a word-boundary check. */
+    private def keyword(kw: String): Boolean = {
+      ws()
+      if (in.regionMatches(true, pos, kw, 0, kw.length)) {
+        val end = pos + kw.length
+        if (end >= in.length || !in.charAt(end).isLetterOrDigit) { pos = end; true }
+        else false
+      } else false
+    }
+
+    private def typename(): String =
+      Typenames.find(keyword).getOrElse(fail("unknown typename")).toUpperCase
+
+    private def collectKeywords(kws: Seq[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var found = true
+      while (found) {
+        kws.find(keyword) match {
+          case Some(k) => out += k.toUpperCase
+          case None    => found = false
+        }
+      }
+      out.result()
+    }
+
+    private def number(): Int = {
+      ws()
+      val start = pos
+      while (pos < in.length && in.charAt(pos).isDigit) pos += 1
+      if (pos == start) fail("expected number")
+      in.substring(start, pos).toInt
+    }
+
+    private def precision(): MySqlPrecision = {
+      expect('(')
+      val p = number()
+      val s = if (peek(',')) { pos += 1; Some(number()) } else None
+      expect(')')
+      MySqlPrecision(p, s)
+    }
+
+    /** `'...'` or `"..."`; backslash escapes kept verbatim (reference
+      * DataTypeParser.scala:40-43 returns the raw matched text). */
+    private def stringLiteral(): String = {
+      ws()
+      if (pos >= in.length || (in.charAt(pos) != '\'' && in.charAt(pos) != '"'))
+        fail("expected string literal")
+      val quote = in.charAt(pos); pos += 1
+      val sb = new StringBuilder
+      while (pos < in.length && in.charAt(pos) != quote) {
+        if (in.charAt(pos) == '\\' && pos + 1 < in.length) {
+          sb.append(in.charAt(pos)).append(in.charAt(pos + 1)); pos += 2
+        } else { sb.append(in.charAt(pos)); pos += 1 }
+      }
+      if (pos >= in.length) fail("unterminated string literal")
+      pos += 1
+      sb.toString
+    }
+
+    private def stringList(): Seq[String] = {
+      expect('(')
+      val out = Seq.newBuilder[String]
+      out += stringLiteral()
+      while (peek(',')) { pos += 1; out += stringLiteral() }
+      expect(')')
+      out.result()
+    }
+
+    private def attributes(): Map[String, String] = {
+      val out = Map.newBuilder[String, String]
+      var found = true
+      while (found) {
+        if (keyword("CHARACTER")) {
+          if (!keyword("SET")) fail("expected SET after CHARACTER")
+          out += ("CHARACTER SET" -> stringLiteral())
+        } else if (keyword("COLLATE")) {
+          out += ("COLLATE" -> stringLiteral())
+        } else found = false
+      }
+      out.result()
+    }
+  }
+}

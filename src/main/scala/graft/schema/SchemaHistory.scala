@@ -1,0 +1,60 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of resolution over a schema-history changelog.
+  *
+  * The reference stores one row per DDL change in an HBase table keyed by a
+  * stringified epoch timestamp, with the special key `"initial-snapshot"`
+  * ordering as 0, and resolves "schema as of T" with two distributed top-1
+  * jobs (reference: src/main/scala/com/booking/spark/Schema.scala:162-218).
+  * Here the history is a (small) DataFrame and the lookup is a single
+  * `ORDER BY ... LIMIT 1`, which Spark plans as TakeOrderedAndProject —
+  * a per-partition bounded top-k plus driver merge, never a full sort, so
+  * it behaves exactly like the reference's `rdd.top(1)` at any scale.
+  */
+object SchemaHistory {
+
+  /** Key that sorts before every timestamp key (reference: Schema.scala:169-175). */
+  val InitialSnapshotKey = "initial-snapshot"
+
+  /** Sentinel meaning "no upper bound" / now (reference: Settings.scala:51,
+    * README.md:38: timestamp -1 snapshots the latest state). */
+  val NowSentinel: Long = -1L
+
+  /** Numeric ordering key: `"initial-snapshot"` → 0, else the key parsed as
+    * a long (reference: Schema.scala:169-175). */
+  def orderingKey(key: Column): Column =
+    when(key === lit(InitialSnapshotKey), lit(0L)).otherwise(key.cast(LongType))
+
+  /** The history row with the greatest key strictly below `asOf`
+    * (end-exclusive, matching HBase `Scan.setTimeRange(0, ts)` —
+    * reference: Schema.scala:180-181); `asOf == -1` means no bound.
+    */
+  def latestEntryBefore(history: DataFrame, keyCol: String, asOf: Long): DataFrame = {
+    val keyed = history.withColumn("__ord", orderingKey(col(keyCol)))
+    val bounded =
+      if (asOf == NowSentinel) keyed
+      else keyed.filter(col("__ord") < lit(asOf))
+    bounded.orderBy(col("__ord").desc).limit(1).drop("__ord")
+  }
+
+  /** Resolve the table schema as of `asOf` from a history DataFrame of
+    * `(keyCol, valueCol)` rows where valueCol holds the schema JSON dump
+    * (reference: Schema.scala:177-218). Driver-side collect of exactly one
+    * row — schema metadata, not data.
+    */
+  def schemaAsOf(history: DataFrame, asOf: Long,
+                 keyCol: String = "row_key",
+                 valueCol: String = "schemaPostChange",
+                 tableName: Option[String] = None,
+                 lossyCompat: Boolean = true): StructType = {
+    val rows = latestEntryBefore(history, keyCol, asOf).select(col(valueCol)).collect()
+    if (rows.isEmpty)
+      throw new NoSuchElementException(
+        s"no schema-history entry before $asOf")
+    SchemaMapping.fromSchemaHistoryJson(rows(0).getString(0), tableName, lossyCompat)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Mapping from external type declarations to Spark SQL types, plus
+  * schema-history JSON → StructType synthesis.
+  *
+  * Re-expresses the reference's two schema strategies
+  * (reference: src/main/scala/com/booking/spark/Schema.scala:34-155):
+  * MySQL-changelog mode (parse DDL type strings out of a schema dump) and
+  * explicit `family:qualifier:type` mode. Column→family binding travels in
+  * `StructField.metadata`, exactly as the reference does (Schema.scala:45,
+  * :50, :152), so the cast/projection layer can dispatch on it.
+  */
+object SchemaMapping {
+
+  /** Synthetic leading column holding the changelog row key
+    * (reference: Schema.scala:128-133). */
+  val RowKeyField: StructField = StructField(
+    "k_hbase_row_key", StringType, nullable = false,
+    new MetadataBuilder().putString("key", "true").build())
+
+  /** Synthetic replicator row-status column (reference: Schema.scala:139-147). */
+  val RowStatusField: StructField = StructField(
+    "k_replicator_row_status", StringType, nullable = false,
+    new MetadataBuilder()
+      .putString("status", "true")
+      .putString("family", "d")
+      .putString("qualifier", "row_status")
+      .build())
+
+  /** MySQL DDL type string → Spark type, reference-faithful by default
+    * (reference: Schema.scala:71-85). The reference lossily maps
+    * BIGINT/NUMERIC/DECIMAL/FLOAT/REAL to Double and leaves DATE as String;
+    * `lossyCompat = false` upgrades those to exact Spark types for new
+    * pipelines while keeping the default byte-compatible with the reference.
+    */
+  def mySqlToSpark(dt: MySqlType, lossyCompat: Boolean = true): DataType =
+    dt.typename match {
+      case "TINYINT" | "SMALLINT" | "MEDIUMINT" | "INT" | "INTEGER" =>
+        if (dt.qualifiers.contains("UNSIGNED")) LongType else IntegerType
+      case "BIGINT" if !lossyCompat => LongType
+      case "DECIMAL" | "NUMERIC" if !lossyCompat =>
+        val p = dt.precision.map(_.precision).getOrElse(10)
+        val s = dt.precision.flatMap(_.scale).getOrElse(0)
+        DecimalType(p, s)
+      case "FLOAT" if !lossyCompat => FloatType
+      case "BIGINT" | "NUMERIC" | "DECIMAL" | "FLOAT" | "DOUBLE" | "REAL" =>
+        DoubleType
+      case "TIMESTAMP" => TimestampType
+      case "DATETIME" if !lossyCompat => TimestampType
+      case "DATE" if !lossyCompat => DateType
+      case _ => StringType
+    }
+
+  def mySqlToSpark(typeString: String): DataType =
+    mySqlToSpark(MySqlTypeParser(typeString))
+
+  /** Spark-SQL simple type name (`"integer"`, `"string"`, ...) → DataType,
+    * as accepted in the explicit-schema config mode
+    * (reference: Schema.scala:37 via DataType.fromJson). */
+  def simpleNameToSpark(name: String): DataType =
+    DataType.fromJson("\"" + name + "\"")
+
+  /** Parse one `"family:qualifier[:type]"` column spec; a missing type
+    * defaults to StringType (reference: Schema.scala:39-55). */
+  def fieldFromSpec(spec: String): StructField = spec.split(':') match {
+    case Array(family, qualifier, dt) =>
+      StructField(qualifier, simpleNameToSpark(dt), nullable = true,
+        familyMetadata(family, qualifier))
+    case Array(family, qualifier) =>
+      StructField(qualifier, StringType, nullable = true,
+        familyMetadata(family, qualifier))
+    case _ =>
+      throw new IllegalArgumentException(
+        s"column spec '$spec' is not family:qualifier[:type]")
+  }
+
+  /** Explicit-schema mode: whole `family:qualifier:type` list → StructType. */
+  def fromColumnSpecs(specs: Seq[String]): StructType =
+    StructType(specs.map(fieldFromSpec))
+
+  private def familyMetadata(family: String, qualifier: String): Metadata =
+    new MetadataBuilder()
+      .putString("family", family)
+      .putString("qualifier", qualifier)
+      .build()
+
+  /** Schema-history JSON dump → StructType.
+    *
+    * Input shape (reference: Schema.scala:88-92):
+    * `{table: {"columnIndexToNameMap": {idx: name, ...},
+    *           "columnsSchema": {name: {"columnType": "...", ...}, ...}}}`.
+    * Columns are ordered by MySQL ordinal index and the two synthetic
+    * `k_` columns are prepended (Schema.scala:112-155). A dump without
+    * `columnIndexToNameMap` is a fatal input error (Schema.scala:101-109);
+    * we throw instead of System.exit so callers can handle it.
+    */
+  def fromSchemaHistoryJson(json: String, tableName: Option[String] = None,
+                            lossyCompat: Boolean = true): StructType = {
+    val root = JsonMethods.parse(json) match {
+      case JObject(fields) => fields
+      case _ => throw new IllegalArgumentException("schema dump is not a JSON object")
+    }
+    val (_, tableJson) = tableName match {
+      case Some(t) => root.find(_._1 == t).getOrElse(
+        throw new IllegalArgumentException(s"schema dump has no table '$t'"))
+      case None => root.headOption.getOrElse(
+        throw new IllegalArgumentException("schema dump is empty"))
+    }
+    val tableObj = tableJson match {
+      case JObject(fields) => fields.toMap
+      case _ => throw new IllegalArgumentException("table schema is not a JSON object")
+    }
+    val indexToName = tableObj.get("columnIndexToNameMap") match {
+      case Some(JObject(entries)) => entries
+      case _ => throw new IllegalArgumentException(
+        "schema dump does not contain columnIndexToNameMap")
+    }
+    val columnsSchema = tableObj.get("columnsSchema") match {
+      case Some(JObject(entries)) => entries.toMap
+      case _ => throw new IllegalArgumentException(
+        "schema dump does not contain columnsSchema")
+    }
+    def columnType(name: String): String = columnsSchema.get(name) match {
+      case Some(JObject(attrs)) => attrs.collectFirst {
+        case ("columnType", JString(t)) => t
+      }.getOrElse(throw new IllegalArgumentException(
+        s"column '$name' has no columnType"))
+      case _ => throw new IllegalArgumentException(s"no columnsSchema entry for '$name'")
+    }
+    val ordered = indexToName.map {
+      case (idx, JString(name)) => (idx.toInt, name)
+      case (idx, other) => throw new IllegalArgumentException(
+        s"columnIndexToNameMap[$idx] is not a string: $other")
+    }.sortBy(_._1)
+
+    // MySQL-mode data columns always live in family "d" (Schema.scala:152).
+    val dataFields = ordered.map { case (_, name) =>
+      StructField(name, mySqlToSpark(MySqlTypeParser(columnType(name)), lossyCompat),
+        nullable = true, familyMetadata("d", name))
+    }
+    StructType(RowKeyField +: RowStatusField +: dataFields)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the test-data star schema.
+  *
+  * All harness queries read through here so the scan shape is uniform:
+  * plain `spark.read.parquet` leaves Catalyst free to push filters and
+  * prune columns into the Parquet reader (the Spark analogue of the
+  * reference's server-side column/time-range pushdown —
+  * reference: src/main/scala/com/booking/spark/Schema.scala:180-183).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * vectorized reader rejects. Read nanos as a long and truncate to
+    * microseconds — exactly what DuckDB does when it narrows TIMESTAMP_NS
+    * to its native µs timestamp, so oracle comparisons stay exact.
+    * (`ts div 1000` is integral division; going through Double would lose
+    * precision above 2^53 ns.) */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsRaw(s, d).withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

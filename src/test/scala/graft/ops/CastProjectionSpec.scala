@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.schema.SchemaMapping
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.{Date, Timestamp}
+
+class CastProjectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "nullIfSentinel" should "decode the case-insensitive NULL sentinel" in {
+    // reference: HBaseSnapshotter.scala:75-76
+    val out = Seq("NULL", "null", "Null", "x", "nully").toDF("v")
+      .select(CastProjection.nullIfSentinel($"v").as("v")).as[Option[String]]
+      .collect().toSeq
+    out shouldBe Seq(None, None, None, Some("x"), Some("nully"))
+  }
+
+  "castField" should "cast with the reference rules" in {
+    val df = Seq(("42", "1700000000000", "2024-03-01", "3.5")).toDF("i", "t", "d", "f")
+    val row = df.select(
+      CastProjection.castField($"i", IntegerType).as("i"),
+      CastProjection.castField($"t", TimestampType).as("t"),
+      CastProjection.castField($"d", DateType).as("d"),
+      CastProjection.castField($"f", DoubleType).as("f"),
+      CastProjection.castField($"i", StringType).as("s")
+    ).head()
+    row.getAs[Int]("i") shouldBe 42
+    // epoch-millis long → timestamp (reference: HBaseSnapshotter.scala:82)
+    row.getAs[Timestamp]("t") shouldBe new Timestamp(1700000000000L)
+    row.getAs[Date]("d").toString shouldBe "2024-03-01"
+    row.getAs[Double]("f") shouldBe 3.5
+    row.getAs[String]("s") shouldBe "42"
+  }
+
+  it should "apply the NULL sentinel before every cast" in {
+    val df = Seq(("NULL", "NULL", "NULL")).toDF("i", "t", "d")
+    val row = df.select(
+      CastProjection.castField($"i", IntegerType).as("i"),
+      CastProjection.castField($"t", TimestampType).as("t"),
+      CastProjection.castField($"d", DateType).as("d")).head()
+    row.isNullAt(0) shouldBe true
+    row.isNullAt(1) shouldBe true
+    row.isNullAt(2) shouldBe true
+  }
+
+  "castTo" should "dispatch on field metadata like the reference row builder" in {
+    // reference: HBaseSnapshotter.scala:61-73
+    val changelog = Seq(("rk1", "U", "7", "x")).toDF("row_key", "row_status", "n", "renamed_src")
+    val schema = StructType(Seq(
+      SchemaMapping.RowKeyField,
+      SchemaMapping.RowStatusField,
+      StructField("n", IntegerType),
+      StructField("out", StringType,
+        nullable = true,
+        new MetadataBuilder().putString("qualifier", "renamed_src").build())))
+    val row = CastProjection.castTo(changelog, schema).head()
+    row.getAs[String]("k_hbase_row_key") shouldBe "rk1"
+    row.getAs[String]("k_replicator_row_status") shouldBe "U"
+    row.getAs[Int]("n") shouldBe 7
+    row.getAs[String]("out") shouldBe "x"
+  }
+
+  it should "stay a single-stage Catalyst projection (no RDD detour)" in {
+    val changelog = Seq(("rk1", "U", "7")).toDF("row_key", "row_status", "n")
+    val schema = StructType(Seq(
+      SchemaMapping.RowKeyField, SchemaMapping.RowStatusField,
+      StructField("n", IntegerType)))
+    // the whole cast layer must be expressions over the scan — a Project
+    // node, never a mapPartitions/DeserializeToObject barrier. Checked on
+    // the analyzed plan: the optimizer folds LocalRelation fixtures away.
+    val plan = CastProjection.castTo(changelog, schema)
+      .queryExecution.analyzed.toString()
+    plan should include("Project")
+    (plan should not).include("DeserializeToObject")
+    (plan should not).include("MapPartitions")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Golden changelog fixture → expected state at several timestamps
+  * (SURVEY.md §5.4), plus the invariants: ≤1 row per key, monotone in T,
+  * T=∞ equals latest state, and both formulations agree.
+  */
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (key, ts-seconds, payload) — key "a" updated 3×, "b" 2×, "c" once
+  private def changelog = Seq(
+    ("a", 1L, "a1"), ("a", 5L, "a5"), ("a", 9L, "a9"),
+    ("b", 2L, "b2"), ("b", 8L, "b8"),
+    ("c", 4L, "c4")
+  ).toDF("k", "epoch", "v").withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+
+  private def stateAt(t: Long): Map[String, String] =
+    Snapshot.snapshotAsOf(changelog, Seq("k"), "ts",
+        timestamp_seconds(lit(t)).cast(TimestampType))
+      .select($"k", $"v").as[(String, String)].collect().toMap
+
+  "snapshotAsOf" should "reconstruct state as of T (end-exclusive)" in {
+    stateAt(0) shouldBe Map.empty
+    stateAt(2) shouldBe Map("a" -> "a1")
+    // end-exclusive, matching HBase setTimeRange(0, ts): ts=5 excluded at T=5
+    stateAt(5) shouldBe Map("a" -> "a1", "b" -> "b2", "c" -> "c4")
+    stateAt(6) shouldBe Map("a" -> "a5", "b" -> "b2", "c" -> "c4")
+    stateAt(100) shouldBe Map("a" -> "a9", "b" -> "b8", "c" -> "c4")
+  }
+
+  it should "be monotone in T and bounded by one row per key" in {
+    val times = Seq(0L, 2L, 5L, 6L, 9L, 10L, 100L)
+    val states = times.map(stateAt)
+    states.sliding(2).foreach { case Seq(prev, next) =>
+      prev.keySet.subsetOf(next.keySet) shouldBe true
+    }
+    states.foreach(s => s.keySet.size should be <= 3)
+  }
+
+  "latestPerKey" should "equal the full-history snapshot" in {
+    val latest = Snapshot.latestPerKey(changelog, Seq("k"), "ts")
+      .select($"k", $"v").as[(String, String)].collect().toMap
+    latest shouldBe stateAt(1000000L)
+  }
+
+  "latestPerKeyWindow" should "agree with the aggregate formulation" in {
+    val viaAgg = Snapshot.latestPerKey(changelog, Seq("k"), "ts")
+      .select($"k", $"v").as[(String, String)].collect().toMap
+    val viaWin = Snapshot.latestPerKeyWindow(changelog, Seq("k"), "ts")
+      .select($"k", $"v").as[(String, String)].collect().toMap
+    viaWin shouldBe viaAgg
+  }
+
+  it should "break ties deterministically with tieBreakers" in {
+    val tied = Seq(("a", 1L, 1, "lo"), ("a", 1L, 2, "hi")).toDF("k", "epoch", "seq", "v")
+      .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+    Snapshot.latestPerKey(tied, Seq("k"), "ts", Seq("seq"))
+      .select($"v").as[String].collect().toSeq shouldBe Seq("hi")
+    Snapshot.latestPerKeyWindow(tied, Seq("k"), "ts", Seq("seq"))
+      .select($"v").as[String].collect().toSeq shouldBe Seq("hi")
+  }
+
+  "changedKeysBetween" should "return distinct keys touched in [from, until)" in {
+    val keys = Snapshot.changedKeysBetween(changelog, Seq("k"), "ts",
+        timestamp_seconds(lit(4)), timestamp_seconds(lit(9)))
+      .as[String].collect().toSet
+    keys shouldBe Set("a", "b", "c") // a@5, b@8, c@4; a@9 excluded (end-exclusive)
+    val none = Snapshot.changedKeysBetween(changelog, Seq("k"), "ts",
+        timestamp_seconds(lit(10)), timestamp_seconds(lit(20)))
+      .as[String].collect()
+    none shouldBe empty
+  }
+}

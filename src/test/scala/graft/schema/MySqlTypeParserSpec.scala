@@ -1,0 +1,65 @@
+package graft.schema
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Compatibility spec for the MySQL DDL type parser.
+  *
+  * Mirrors the behavior asserted by the reference's only test suite
+  * (reference: src/test/scala/com/booking/sql/DataTypeParserSpec.scala:1-58):
+  * typename extraction, ENUM/SET value lists, precision/scale, qualifiers,
+  * charset/collation attributes.
+  */
+class MySqlTypeParserSpec extends AnyFlatSpec with Matchers {
+
+  "MySqlTypeParser" should "parse a bare typename" in {
+    MySqlTypeParser("INT") shouldBe MySqlType("INT")
+    MySqlTypeParser("text") shouldBe MySqlType("TEXT")
+    MySqlTypeParser("TIMESTAMP") shouldBe MySqlType("TIMESTAMP")
+  }
+
+  it should "prefer the longest typename match" in {
+    MySqlTypeParser("INTEGER").typename shouldBe "INTEGER"
+    MySqlTypeParser("TINYTEXT").typename shouldBe "TINYTEXT"
+    MySqlTypeParser("MEDIUMINT").typename shouldBe "MEDIUMINT"
+  }
+
+  it should "parse ENUM value lists" in {
+    val t = MySqlTypeParser("ENUM('a','b','c')")
+    t.typename shouldBe "ENUM"
+    t.enumeration shouldBe Seq("a", "b", "c")
+  }
+
+  it should "parse SET value lists with double quotes" in {
+    val t = MySqlTypeParser("""SET("x", "y")""")
+    t.typename shouldBe "SET"
+    t.enumeration shouldBe Seq("x", "y")
+  }
+
+  it should "parse precision" in {
+    MySqlTypeParser("VARCHAR(255)").precision shouldBe Some(MySqlPrecision(255, None))
+  }
+
+  it should "parse precision and scale" in {
+    MySqlTypeParser("DECIMAL(10,2)").precision shouldBe Some(MySqlPrecision(10, Some(2)))
+  }
+
+  it should "parse qualifiers" in {
+    val t = MySqlTypeParser("INT(11) UNSIGNED ZEROFILL")
+    t.precision shouldBe Some(MySqlPrecision(11, None))
+    t.qualifiers shouldBe Seq("UNSIGNED", "ZEROFILL")
+  }
+
+  it should "parse charset and collation attributes" in {
+    val t = MySqlTypeParser("VARCHAR(32) CHARACTER SET 'utf8' COLLATE 'utf8_general_ci'")
+    t.attributes shouldBe Map(
+      "CHARACTER SET" -> "utf8", "COLLATE" -> "utf8_general_ci")
+  }
+
+  it should "fail fast on unparseable input" in {
+    an[IllegalArgumentException] should be thrownBy MySqlTypeParser("NOTATYPE")
+    an[IllegalArgumentException] should be thrownBy MySqlTypeParser("INT(")
+    an[IllegalArgumentException] should be thrownBy MySqlTypeParser("INT garbage")
+    MySqlTypeParser.parseOption("NOTATYPE") shouldBe None
+  }
+}

@@ -1,0 +1,61 @@
+package graft.schema
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types._
+
+class SchemaHistorySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dump =
+    """{"t": {"columnIndexToNameMap": {"1": "id"},
+      |       "columnsSchema": {"id": {"columnType": "INT"}}}}""".stripMargin
+  private val dump2 =
+    """{"t": {"columnIndexToNameMap": {"1": "id", "2": "extra"},
+      |       "columnsSchema": {"id": {"columnType": "INT"},
+      |                         "extra": {"columnType": "VARCHAR(10)"}}}}""".stripMargin
+
+  private def history = Seq(
+    ("initial-snapshot", dump),
+    ("1000", dump),
+    ("2000", dump2)
+  ).toDF("row_key", "schemaPostChange")
+
+  "orderingKey" should "sort initial-snapshot before every timestamp key" in {
+    // reference: Schema.scala:169-175
+    val keys = history
+      .select($"row_key", SchemaHistory.orderingKey($"row_key").as("ord"))
+      .orderBy($"ord").as[(String, Long)].collect().map(_._1).toSeq
+    keys shouldBe Seq("initial-snapshot", "1000", "2000")
+  }
+
+  "latestEntryBefore" should "pick the greatest key strictly below the bound" in {
+    def keyAt(asOf: Long): String =
+      SchemaHistory.latestEntryBefore(history, "row_key", asOf)
+        .select($"row_key").as[String].head()
+    keyAt(500) shouldBe "initial-snapshot"
+    keyAt(1000) shouldBe "initial-snapshot" // end-exclusive
+    keyAt(1500) shouldBe "1000"
+    keyAt(5000) shouldBe "2000"
+    keyAt(SchemaHistory.NowSentinel) shouldBe "2000" // -1 = no bound
+  }
+
+  it should "plan as a top-1, not a full sort" in {
+    val plan = SchemaHistory.latestEntryBefore(history, "row_key", 5000)
+      .queryExecution.executedPlan.toString()
+    plan should include("TakeOrderedAndProject")
+  }
+
+  "schemaAsOf" should "resolve the full StructType as of T" in {
+    val st1 = SchemaHistory.schemaAsOf(history, 1500)
+    st1.fieldNames.toSeq shouldBe Seq("k_hbase_row_key", "k_replicator_row_status", "id")
+    val st2 = SchemaHistory.schemaAsOf(history, SchemaHistory.NowSentinel)
+    st2.fieldNames.toSeq shouldBe Seq("k_hbase_row_key", "k_replicator_row_status", "id", "extra")
+    st2("extra").dataType shouldBe StringType
+  }
+
+  it should "fail when no entry precedes the bound" in {
+    val empty = Seq.empty[(String, String)].toDF("row_key", "schemaPostChange")
+    a[NoSuchElementException] should be thrownBy
+      SchemaHistory.schemaAsOf(empty, 1000)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class SchemaMappingSpec extends AnyFlatSpec with Matchers {
+
+  "mySqlToSpark (lossy compat)" should "match the reference type table" in {
+    // reference: Schema.scala:71-85
+    SchemaMapping.mySqlToSpark("INT") shouldBe IntegerType
+    SchemaMapping.mySqlToSpark("TINYINT") shouldBe IntegerType
+    SchemaMapping.mySqlToSpark("INT UNSIGNED") shouldBe LongType
+    SchemaMapping.mySqlToSpark("BIGINT") shouldBe DoubleType      // lossy, as reference
+    SchemaMapping.mySqlToSpark("DECIMAL(10,2)") shouldBe DoubleType
+    SchemaMapping.mySqlToSpark("TIMESTAMP") shouldBe TimestampType
+    SchemaMapping.mySqlToSpark("DATE") shouldBe StringType        // commented out in reference
+    SchemaMapping.mySqlToSpark("VARCHAR(20)") shouldBe StringType
+    SchemaMapping.mySqlToSpark("ENUM('a','b')") shouldBe StringType
+    SchemaMapping.mySqlToSpark("JSON") shouldBe StringType
+  }
+
+  "mySqlToSpark (exact mode)" should "upgrade lossy numerics" in {
+    SchemaMapping.mySqlToSpark(MySqlTypeParser("BIGINT"), lossyCompat = false) shouldBe LongType
+    SchemaMapping.mySqlToSpark(MySqlTypeParser("DECIMAL(12,3)"), lossyCompat = false) shouldBe DecimalType(12, 3)
+    SchemaMapping.mySqlToSpark(MySqlTypeParser("FLOAT"), lossyCompat = false) shouldBe FloatType
+    SchemaMapping.mySqlToSpark(MySqlTypeParser("DATE"), lossyCompat = false) shouldBe DateType
+    SchemaMapping.mySqlToSpark(MySqlTypeParser("DATETIME"), lossyCompat = false) shouldBe TimestampType
+  }
+
+  "fieldFromSpec" should "parse family:qualifier:type and default to string" in {
+    val f = SchemaMapping.fieldFromSpec("d:age:integer")
+    f.name shouldBe "age"
+    f.dataType shouldBe IntegerType
+    f.metadata.getString("family") shouldBe "d"
+    // missing type → StringType with a warning (reference: Schema.scala:48-52)
+    SchemaMapping.fieldFromSpec("d:name").dataType shouldBe StringType
+    an[IllegalArgumentException] should be thrownBy SchemaMapping.fieldFromSpec("bad")
+  }
+
+  "fromSchemaHistoryJson" should "order by ordinal and prepend synthetic columns" in {
+    val json =
+      """{"mytable": {
+        |  "columnIndexToNameMap": {"2": "name", "1": "id", "3": "created_at"},
+        |  "columnsSchema": {
+        |    "id": {"columnType": "INT(11)"},
+        |    "name": {"columnType": "VARCHAR(64)"},
+        |    "created_at": {"columnType": "TIMESTAMP"}
+        |  }}}""".stripMargin
+    val st = SchemaMapping.fromSchemaHistoryJson(json)
+    st.fields.map(_.name).toSeq shouldBe Seq(
+      "k_hbase_row_key", "k_replicator_row_status", "id", "name", "created_at")
+    st("id").dataType shouldBe IntegerType
+    st("created_at").dataType shouldBe TimestampType
+    st("k_hbase_row_key").metadata.contains("key") shouldBe true
+    st("k_replicator_row_status").metadata.getString("qualifier") shouldBe "row_status"
+    st("name").metadata.getString("family") shouldBe "d"
+  }
+
+  it should "fail on a dump without columnIndexToNameMap" in {
+    // reference exits(1) on this (Schema.scala:101-109); we throw
+    an[IllegalArgumentException] should be thrownBy
+      SchemaMapping.fromSchemaHistoryJson("""{"t": {"columnsSchema": {}}}""")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{CastProjection, Snapshot}
+import graft.ops.{CastProjection, Dedup, Similarity, Snapshot, TextAnalysis}
 import graft.schema.SchemaHistory
 import graft.sources.Tables
 
@@ -152,7 +152,86 @@ object SparkEntry {
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(10))
+        .limit(10)),
+
+    // ---- extension tier: text analysis over the documents corpus ----
+
+    // Token/char counts, punctuation + stopword ratios, rolling fingerprint.
+    "q_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.charCount(t).as("len_chars"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+        TextAnalysis.fingerprint(t).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Composite quality score + n-gram-heuristic language ID.
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+        TextAnalysis.languageId(col("text")).as("lang_id"))
+        .orderBy(col("doc_id"))),
+
+    // ---- extension tier: deduplication ----
+
+    // Exact dedup: one row per distinct text, min-id canonical.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Exact n-gram Jaccard near-dup join (inverted-index blocking).
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash+LSH near-dup (banded signature blocking, exact verification).
+    // Same oracle as the exact join: at threshold 0.8 with 16×4 bands the
+    // per-pair miss probability is < 1e-15, and the pipeline is
+    // deterministic (fixed seeds), so the result equals the exact join.
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8, bands = 16, rowsPerBand = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup (64-bit sign fingerprint, banded Hamming blocking).
+    // maxDist 11 separates this corpus cleanly: near-dup pairs measure
+    // Hamming ≤ 10, unrelated pairs ≥ 14, so the result coincides with the
+    // exact Jaccard pair set (the shared oracle).
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, maxDist = 11)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Embedding-cosine near-dup, exact all-pairs baseline.
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupsExact(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- extension tier: similarity search ----
+
+    // Brute-force exact cosine top-k (broadcast query batch).
+    "q_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate top-k (hyperplane coarse quantizer) —
+    // recall is probabilistic, so no SQL oracle (rows-only check).
+    "q_sim_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, planes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables registered
@@ -223,6 +302,139 @@ object SparkEntry {
         | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  length(text) AS len_chars,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |                  / length(text), 6) END AS punct_ratio,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |       ELSE round(len(list_filter(toks, x -> list_contains($StopwordsSqlList, x)))::DOUBLE
+         |                  / n_tokens, 6) END AS stopword_ratio,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+         |    (a, c) -> (a * 31 + c) % 2147483647) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |              / length(text) END AS punct_ratio,
+         |    CASE WHEN n_tokens = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / n_tokens
+         |         END AS mean_tok,
+         |    CASE WHEN n_tokens = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSqlList, x)))::DOUBLE
+         |              / n_tokens END AS stop_ratio,
+         |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS h_de,
+         |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for'], x))) AS h_en,
+         |    len(list_filter(toks, x -> list_contains(['el','los','que','es','una','por','como'], x))) AS h_es,
+         |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS h_fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  round((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 0.25 ELSE 0.0 END)
+         |   + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+         |   + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+         |   + (CASE WHEN stop_ratio > 0.05 THEN 0.25 ELSE 0.0 END), 6) AS quality,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+         |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+         |       ELSE 'de' END AS lang_id
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_jaccard" -> NgramJaccardOracle,
+    "q_dedup_minhash" -> NgramJaccardOracle,
+    "q_dedup_simhash" ->
+      s"""WITH j AS ($NgramJaccardOracle)
+         |SELECT id_a, id_b FROM j ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |s AS (
+        |  SELECT l.id AS id_a, r.id AS id_b,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [l.vec[i]::DOUBLE * r.vec[i]::DOUBLE for i in range(1, len(l.vec) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [l.vec[i]::DOUBLE * l.vec[i]::DOUBLE for i in range(1, len(l.vec) + 1)]),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [r.vec[i]::DOUBLE * r.vec[i]::DOUBLE for i in range(1, len(r.vec) + 1)]),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM v l JOIN v r ON l.id < r.id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+        |      (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
+        |      (a, b) -> a + b)) AS nc
+        |  FROM q JOIN c ON query_id <> corpus_id),
+        |r AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END AS cosine
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** DuckDB list literal of [[TextAnalysis.EnglishStopwords]]. */
+  private def StopwordsSqlList: String =
+    TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Shared exact n-gram Jaccard oracle (n=3, threshold 0.8) — also the
+    * oracle for the MinHash (deterministic, recall ≈ 1 at this margin) and
+    * SimHash (pair-set-equivalent at this data's similarity separation)
+    * formulations. */
+  private val NgramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+      |                             for i in range(0, len(t) - 2)]) END AS s
+      |  FROM toks),
+      |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |p AS (
+      |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+      |  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT id_a, id_b,
+      |  round(common::DOUBLE / (sa.n + sb.n - common), 6) AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
 }

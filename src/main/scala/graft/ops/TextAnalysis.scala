@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: token
+  * counting, quality scoring, n-gram language ID, and rolling-hash
+  * fingerprinting.
+  *
+  * All operators are pure Catalyst column expressions (codegen'd, no UDFs),
+  * so they pipeline inside one WholeStageCodegen span over the scan and
+  * scale linearly with no shuffle. This extends the reference's surface
+  * (it has no text ops) per the project's training-data-pipeline charter;
+  * the dedup contract they feed is the reference's latest-per-key
+  * group-by (reference: src/main/scala/com/booking/spark/Schema.scala:123-127).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty string → 0 (split of "" yields one empty token). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** A BPE-ish subword count heuristic: words + digit runs + punctuation
+    * marks each count as a token piece (approximates tokenizer inflation
+    * on punctuation-heavy text without an external vocab). */
+  def subwordCountApprox(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of non-alphanumeric, non-space chars to all chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    when(length(text) === 0, lit(0.0))
+      .otherwise(punct.cast("double") / length(text).cast("double"))
+  }
+
+  /** Ratio of uppercase letters to all letters (0 when no letters). */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    when(letters === 0, lit(0.0))
+      .otherwise(uppers.cast("double") / letters.cast("double"))
+  }
+
+  /** Mean whitespace-token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double")
+        / tokenCount(text).cast("double"))
+
+  /** English stopword-hit ratio over whitespace tokens — the classic
+    * cheap quality / language signal. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "was", "on", "are", "with", "as", "be", "this", "at", "by", "an")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / tokenCount(text).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length-band pass, sane punctuation,
+    * sane mean token length, stopword presence. Deterministic and
+    * threshold-friendly for corpus filtering. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 20000), lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.3, lit(0.25)).otherwise(lit(0.0))
+    val tokOk = when(meanTokenLen(text).between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text) > 0.05, lit(0.25)).otherwise(lit(0.0))
+    lenOk + punctOk + tokOk + stopOk
+  }
+
+  /** Tiny-evidence language ID over function-word hits: scores each
+    * candidate language by distinct marker-word presence in the lowercased
+    * token set, returns the argmax language code or "und" when no marker
+    * hits at all. N-gram-class heuristic — linear scan, no shuffle. */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "que", "es", "una", "por", "como"))
+
+  def languageId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // score = marker hits; break score ties by language code for determinism
+    val scored = LanguageMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      val hits = size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+      struct(hits.as("hits"), lit(code).as("code"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint over characters:
+    * `h = h * 31 + codepoint(c) (mod 2^31-1)`, left-to-right. Stable
+    * across partitionings (pure function of the text). The modulus keeps
+    * every intermediate below 2^63 so the arithmetic is exact (and
+    * portable — engines that trap on int64 overflow compute the same
+    * value); for collision-safe exact dedup use md5 instead
+    * ([[Dedup.exactDupGroups]]). */
+  def fingerprint(text: Column): Column = {
+    val Mod = 2147483647L // 2^31 - 1
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + c, lit(Mod)))
+  }
+
+  /** One-call profile: append the full battery as columns. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCountApprox(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", languageId(t))
+      .withColumn("fp", fingerprint(t))
+  }
+}

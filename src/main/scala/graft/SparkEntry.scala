@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{CastProjection, Dedup, Similarity, Snapshot, TextAnalysis}
+import graft.ops.{CastProjection, Dedup, Sessions, Similarity, Snapshot, TextAnalysis}
 import graft.schema.SchemaHistory
 import graft.sources.Tables
 
@@ -153,6 +153,75 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
+
+    // Set operations — INTERSECT/EXCEPT (distinct semantics).
+    "q_setops" -> ((s, d) => {
+      def keysFor(status: String) = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("custkey"))
+      keysFor("F").intersect(keysFor("O")).except(keysFor("P"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Grouping sets — ROLLUP with subtotal + grand-total rows.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Window battery — rank/dense_rank/lag/lead/ntile on one partitioning.
+    "q_window_battery" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Scalar-function battery — string/date/math built-ins in one pass.
+    "q_scalar_battery" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        round(col("o_totalprice"), 0).as("price_round"),
+        floor(col("o_totalprice")).cast(LongType).as("price_floor"),
+        ceil(col("o_totalprice")).cast(LongType).as("price_ceil"),
+        abs(col("o_totalprice") - 100000.0).as("price_dist"),
+        pmod(col("o_orderkey"), lit(7)).as("key_mod"))
+        .orderBy(col("o_orderkey"))),
+
+    // Distinct aggregates + min/max + deterministic string agg.
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          sum_distinct(col("l_quantity")).as("sum_dist_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    // Gap-based sessionization over the events stream (3600s gap).
+    "q_sessionize" -> ((s, d) =>
+      Sessions.sessionSummary(Tables.events(s, d), "user_id", "ts",
+          gapSeconds = 3600, tieBreakers = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_id"))),
 
     // ---- extension tier: text analysis over the documents corpus ----
 
@@ -303,6 +372,75 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_setops" ->
+      """(SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_scalar_battery" ->
+      """SELECT o_orderkey,
+        | upper(o_orderpriority) AS prio_upper,
+        | substring(o_orderpriority, 1, 1) AS prio_code,
+        | length(o_orderpriority) AS prio_len,
+        | concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        | year(o_orderdate) AS o_year,
+        | month(o_orderdate) AS o_month,
+        | dayofmonth(o_orderdate) AS o_day,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | round(o_totalprice, 0) AS price_round,
+        | CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        | abs(o_totalprice - 100000.0) AS price_dist,
+        | o_orderkey % 7 AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | sum(DISTINCT l_quantity) AS sum_dist_qty,
+        | min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |              OR epoch_ms(ts) // 1000 - epoch_ms(prev) // 1000 > 3600
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000 AS duration_sec,
+        |  count(*) AS n_events
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream (batch formulation).
+  *
+  * Classic two-window construction, fully shuffle-minimal: one shuffle on
+  * the user key, then both windows (lag to mark session starts, running
+  * sum to number them) reuse that single partitioning — Catalyst plans one
+  * Exchange for the whole chain. Extends the reference's events surface
+  * (its changelog has no session semantics); the streaming analogue lives
+  * in [[graft.streaming]].
+  */
+object Sessions {
+
+  /** Assign a session id per `keyCol`: a new session starts when the gap
+    * to the previous event exceeds `gapSeconds`. Adds `session_id`
+    * (1-based per key) to the input rows. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreakers: Seq[String] = Nil): DataFrame = {
+    val order = (tsCol +: tieBreakers).map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isStart = when(prevTs.isNull ||
+      unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Collapse sessionized events to one row per session with start/end,
+    * duration, and event count. */
+  def sessionSummary(df: DataFrame, keyCol: String, tsCol: String,
+                     gapSeconds: Long, tieBreakers: Seq[String] = Nil): DataFrame =
+    sessionize(df, keyCol, tsCol, gapSeconds, tieBreakers)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_sec"),
+        count(lit(1)).as("n_events"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{CastProjection, Dedup, Sessions, Similarity, Snapshot, TextAnalysis}
+import graft.ops.{CastProjection, Dedup, Multimodal, Sessions, Similarity, Snapshot, TextAnalysis}
 import graft.schema.SchemaHistory
 import graft.sources.Tables
 
@@ -300,7 +300,29 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, planes = 4)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // ---- extension tier: multimodal columns ----
+
+    // Batched feature extraction over binary payloads (stub decoder with
+    // deterministic byte-derived features; mapPartitions batch plumbing).
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("text").cast(BinaryType).as("data")),
+          "doc_id", "data", batchSize = 64)
+        .select(col("id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"))
+        .orderBy(col("id"))),
+
+    // Frame sampling over binary payloads (stub demuxer: fixed-stride
+    // chunk hashes) — xxhash64-based, so rows-only check.
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("text").cast(BinaryType).as("data")),
+          "doc_id", "data", frameBytes = 64, stride = 2)
+        .orderBy(col("id"), col("frame_idx")))
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables registered
@@ -543,7 +565,22 @@ object SparkEntry {
         |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS id, length(text) AS n,
+        |    list_transform(string_split_regex(text, ''),
+        |      c -> CAST(ord(c) AS BIGINT)) AS os
+        |  FROM documents),
+        |s AS (
+        |  SELECT id, n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), os), (a, c) -> a + c) AS bsum
+        |  FROM b)
+        |SELECT id, 'application/octet-stream' AS media_type,
+        |  CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(1 + bsum % 64 AS INTEGER) AS width,
+        |  CAST(1 + (bsum // 64) % 64 AS INTEGER) AS height
+        |FROM s ORDER BY id""".stripMargin
   )
 
   /** DuckDB list literal of [[TextAnalysis.EnglishStopwords]]. */

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata, and per-batch feature extraction
+  * runs through a batched `mapPartitions` (the JVM analogue of a batched
+  * pandas-UDF pipeline: rows are grouped into fixed-size batches so a
+  * vectorized decoder/model amortizes per-call overhead).
+  *
+  * The actual media decode is a STUB — this container ships no image/audio
+  * codecs — implemented as a deterministic fake ([[FakeDecoder]]) so the
+  * Spark-side contract (schema, partitioning, batch shape, encoder
+  * signatures) is real and testable. Swap [[FakeDecoder]] for a codec-backed
+  * implementation to productionize; nothing else changes.
+  *
+  * Extends the reference surface (flat scalar rows only — reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  */
+object Multimodal {
+
+  /** Canonical asset struct: payload + sniffed type + size. */
+  def packAsset(bytes: Column): Column = struct(
+    bytes.as("data"),
+    sniffMediaType(bytes).as("media_type"),
+    octet_length(bytes).as("n_bytes"))
+
+  /** Magic-byte media-type sniffing as a pure Catalyst expression
+    * (hex prefixes: PNG / JPEG / GIF / RIFF-WAV / MP4 ftyp). */
+  def sniffMediaType(bytes: Column): Column = {
+    val prefix = hex(substring(bytes, 1, 8))
+    when(prefix.startsWith("89504E47"), "image/png")
+      .when(prefix.startsWith("FFD8FF"), "image/jpeg")
+      .when(prefix.startsWith("47494638"), "image/gif")
+      .when(prefix.startsWith("52494646"), "audio/wav")
+      .when(substring(prefix, 9, 8) === "66747970", "video/mp4")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Output schema of [[extractFeatures]]. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** Deterministic fake decoder: "decodes" a payload to dimensions and a
+    * small embedding derived purely from the bytes, so results are stable
+    * across partitionings and runs. A real implementation would decode
+    * with a codec and run a vision/audio model per *batch*. */
+  object FakeDecoder {
+    def decodeBatch(batch: Seq[(Long, Array[Byte], String)]): Seq[Row] =
+      batch.map { case (id, bytes, mediaType) =>
+        val n = if (bytes == null) 0 else bytes.length
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (bytes(i) & 0xFF); i += 1 }
+        val width = (1 + sum % 64).toInt
+        val height = (1 + (sum / 64) % 64).toInt
+        val emb = Array.tabulate(8)(j =>
+          (((sum + j * 2654435761L) % 1000L) / 1000.0f))
+        Row(id, mediaType, n, width, height, emb.toSeq)
+      }
+  }
+
+  /** Batched feature extraction over a binary column: partitions stream
+    * through [[FakeDecoder.decodeBatch]] in groups of `batchSize` rows.
+    * The operator is fully distributed (per-partition, no shuffle, no
+    * driver collect) and emits [[FeatureSchema]] rows. */
+  def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
+                      batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"), sniffMediaType(col(bytesCol)).as("media_type"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        FakeDecoder.decodeBatch(chunk.map(r =>
+          (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2))))
+      }
+    }(Encoders.row(FeatureSchema))
+  }
+
+  /** Deterministic frame sampling for video payloads: every `stride`-th
+    * chunk of `frameBytes` bytes becomes a "frame" (stub for a container
+    * demuxer), emitted as (id, frame_idx, frame_hash) — the shape a
+    * frame-level dedup or captioning stage consumes. */
+  def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
+                   frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"), col(bytesCol).as("data"))
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0L),
+          greatest(floor(octet_length(col("data")) / (frameBytes * stride))
+            .cast("long") - 1, lit(0L))),
+        i => xxhash64(substring(col("data"),
+          i * frameBytes * stride + 1, lit(frameBytes))))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_hash")
+}

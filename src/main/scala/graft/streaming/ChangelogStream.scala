@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the streaming shadow of the batch
+  * point-in-time reconstruction.
+  *
+  * The reference's batch snapshot (latest cell version per key as of T —
+  * reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-129)
+  * is the replay of a streaming upsert. [[latestPerKey]] maintains that
+  * upsert state live with `mapGroupsWithState`, emitting one updated row
+  * per key per micro-batch; [[windowedCounts]] is the watermarked windowed
+  * aggregation over the same changelog.
+  *
+  * Scale notes: state is one row per key (bounded by key cardinality, not
+  * stream length); the state store partitions by the group key, so
+  * throughput scales with executors exactly like the batch `groupBy`.
+  */
+object ChangelogStream {
+
+  /** Streaming latest-per-key upsert over a streaming DataFrame.
+    *
+    * Key = `keyCols` (concatenated), value ordering = (`tsCol`, then
+    * `tieBreakers`) as in the batch [[graft.ops.Snapshot.latestPerKey]].
+    * Emits the winning row per key each time it changes (Update mode).
+    * State never expires (`NoTimeout`) — the upsert view is permanent;
+    * wire a timeout here for TTL'd keys.
+    */
+  def latestPerKey(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+                   tieBreakers: Seq[String] = Nil): DataFrame = {
+    val schema = stream.schema
+    val tsIdx = schema.fieldIndex(tsCol)
+    val tieIdx = tieBreakers.map(schema.fieldIndex)
+    val keyIdx = keyCols.map(schema.fieldIndex)
+
+    val rowEnc = Encoders.row(schema)
+    val stateEnc = Encoders.kryo[Row]
+    implicit val keyEnc = Encoders.STRING
+
+    def orderKey(r: Row): Seq[Any] = (tsIdx +: tieIdx).map(r.get)
+    def isNewer(cand: Row, cur: Row): Boolean = {
+      val (a, b) = (orderKey(cand), orderKey(cur))
+      a.zip(b).collectFirst {
+        case (x: java.sql.Timestamp, y: java.sql.Timestamp) if !x.equals(y) =>
+          x.after(y)
+        case (x: Comparable[Any] @unchecked, y) if x.compareTo(y) != 0 =>
+          x.compareTo(y) > 0
+      }.getOrElse(false)
+    }
+
+    val update = (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
+      var best = state.getOption.orNull
+      rows.foreach { r =>
+        if (best == null || isNewer(r, best)) best = r
+      }
+      state.update(best)
+      best
+    }
+    stream.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+      .mapGroupsWithState[Row, Row](GroupStateTimeout.NoTimeout)(update)(
+        stateEnc, rowEnc)
+  }
+
+  /** Watermarked sliding-window counts per key — the standard streaming
+    * aggregation battery (event-time window + late-data bound). */
+  def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
+                     windowDuration: String, slideDuration: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Suggested sink wiring for the upsert view (Update output mode). */
+  def upsertOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two exact dups (1,4), one near-dup pair (1,2), one unrelated (3)
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (3L, "completely unrelated text about spark and large scale data systems"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")
+  ).toDF("doc_id", "text")
+
+  "exactDupGroups" should "group identical texts under the min id" in {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    g.length shouldBe 1
+    g(0).getAs[Long]("canonical_id") shouldBe 1L
+    g(0).getAs[Long]("group_size") shouldBe 2L
+  }
+
+  "exactDedup" should "keep one min-id row per distinct text" in {
+    val d = Dedup.exactDedup(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted
+    d.toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
+  "wordShingles" should "produce distinct n-grams and handle short docs" in {
+    val out = Seq(("a b c d", 1), ("a b", 2), ("a b a b a b", 3))
+      .toDF("t", "i")
+      .select($"i", Dedup.wordShingles($"t", 3).as("s"))
+      .as[(Int, Seq[String])].collect().toMap
+    out(1) shouldBe Seq("a b c", "b c d")
+    out(2) shouldBe empty // shorter than n
+    out(3) shouldBe Seq("a b a", "b a b") // distinct
+  }
+
+  "ngramJaccardJoin" should "find exactly the near and exact dup pairs" in {
+    val pairs = Dedup.ngramJaccardJoin(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+    val exact = Dedup.ngramJaccardJoin(docs, "doc_id", "text", 3, 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    exact shouldBe Set((1L, 4L))
+  }
+
+  "minhashNearDups" should "agree with the exact join at high similarity" in {
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, bands = 16, rowsPerBand = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    mh shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+  }
+
+  "minhashCandidates" should "never produce a self-pair or inverted pair" in {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    all(cand.map { case (a, b) => a < b }) shouldBe true
+  }
+
+  "simhash64" should "be identical for identical text and near for near-dups" in {
+    val sims = docs.select($"doc_id",
+        Dedup.simhash64(Dedup.wordShingles($"text", 3)).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    sims(1L) shouldBe sims(4L)
+    java.lang.Long.bitCount(sims(1L) ^ sims(2L)) should be < 16
+    java.lang.Long.bitCount(sims(1L) ^ sims(3L)) should be > 16
+  }
+
+  "simhashNearDups" should "find the exact-dup pair at distance 0" in {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", n = 3, maxDist = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 4L))
+  }
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  "embeddingNearDupsExact" should "find high-cosine pairs only" in {
+    val pairs = Dedup.embeddingNearDupsExact(vecs, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
+  "embeddingNearDups (LSH)" should "find near pairs with exact verification" in {
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9, planes = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // LSH recall is probabilistic in general but (1,2) are near-parallel:
+    // they agree on every hyperplane sign, so the bucket join must pair them
+    pairs shouldBe Set((1L, 2L))
+  }
+}

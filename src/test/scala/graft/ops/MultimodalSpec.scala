@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pngMagic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+  private val jpegMagic = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+
+  private def assets = Seq(
+    (1L, pngMagic ++ "payload-one".getBytes("UTF-8")),
+    (2L, jpegMagic ++ "payload-two-longer".getBytes("UTF-8")),
+    (3L, "just plain text bytes".getBytes("UTF-8"))
+  ).toDF("id", "data")
+
+  "sniffMediaType" should "identify magic bytes" in {
+    val types = assets.select($"id", Multimodal.sniffMediaType($"data").as("t"))
+      .as[(Long, String)].collect().toMap
+    types(1L) shouldBe "image/png"
+    types(2L) shouldBe "image/jpeg"
+    types(3L) shouldBe "application/octet-stream"
+  }
+
+  "packAsset" should "build the canonical asset struct" in {
+    val row = assets.filter($"id" === 1)
+      .select(Multimodal.packAsset($"data").as("asset"))
+      .select($"asset.media_type", $"asset.n_bytes").head()
+    row.getString(0) shouldBe "image/png"
+    row.getInt(1) shouldBe pngMagic.length + "payload-one".length
+  }
+
+  "extractFeatures" should "emit one deterministic feature row per asset" in {
+    val out1 = Multimodal.extractFeatures(assets, "id", "data", batchSize = 2)
+      .orderBy($"id").collect()
+    val out2 = Multimodal.extractFeatures(assets.repartition(3), "id", "data",
+        batchSize = 1)
+      .orderBy($"id").collect()
+    out1.length shouldBe 3
+    // deterministic across partitioning and batch size
+    out1.map(_.toString).toSeq shouldBe out2.map(_.toString).toSeq
+    val r = out1(0)
+    r.getAs[String]("media_type") shouldBe "image/png"
+    r.getAs[Int]("width") should (be >= 1 and be <= 64)
+    r.getAs[Seq[Float]]("embedding").length shouldBe 8
+  }
+
+  "sampleFrames" should "emit stable frame hashes" in {
+    val big = Seq((9L, Array.tabulate(8192)(i => (i % 251).toByte)))
+      .toDF("id", "data")
+    val f1 = Multimodal.sampleFrames(big, "id", "data").collect()
+    val f2 = Multimodal.sampleFrames(big, "id", "data").collect()
+    f1.length should be > 1
+    f1.map(_.toString).toSeq shouldBe f2.map(_.toString).toSeq
+  }
+}

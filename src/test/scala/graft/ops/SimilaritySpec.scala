@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f)),
+    (2L, Array(1.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f)) // zero vector
+  ).toDF("vec_id", "embedding")
+
+  "cosine" should "compute known values and guard zero norms" in {
+    val pairs = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id").isin(0, 1, 2, 3, 4))
+      .select(col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    pairs(0L) shouldBe 1.0 +- 1e-9
+    pairs(1L) shouldBe 0.0 +- 1e-9
+    pairs(2L) shouldBe math.sqrt(0.5) +- 1e-9
+    pairs(3L) shouldBe -1.0 +- 1e-9
+    pairs(4L) shouldBe 0.0 +- 1e-9 // zero-norm guard, not NaN
+  }
+
+  "bruteForceTopK" should "rank neighbors by cosine with id tie-break" in {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().sortBy(_._2)
+    out.map(_._1).toSeq shouldBe Seq(2L, 1L) // cos: 0.707, then 0.0 (id 1 < 4)
+  }
+
+  it should "exclude the query itself" in {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 10)
+      .select($"corpus_id").as[Long].collect()
+    out should not contain 0L
+  }
+
+  "lshTopK" should "return ranked neighbors from the query's bucket" in {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 3,
+        planes = 1)
+      .select($"query_id", $"corpus_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    out.foreach { case (q, c, _) => q shouldBe 0L; c should not be 0L }
+    // ranks are dense from 1
+    out.map(_._3).sorted.toSeq shouldBe (1 to out.length).toSeq
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "tokenCount" should "count whitespace tokens, zero for blank" in {
+    val out = Seq("a b  c", "", "   ", "one").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n")).as[Int].collect().toSeq
+    out shouldBe Seq(3, 0, 0, 1)
+  }
+
+  "punctRatio" should "be punctuation chars over all chars" in {
+    val r = Seq("a,b!").toDF("t")
+      .select(TextAnalysis.punctRatio($"t")).as[Double].head()
+    r shouldBe 0.5 +- 1e-9
+  }
+
+  "stopwordRatio" should "be stopword tokens over all tokens" in {
+    val r = Seq("the cat and dog").toDF("t")
+      .select(TextAnalysis.stopwordRatio($"t")).as[Double].head()
+    r shouldBe 0.5 +- 1e-9
+  }
+
+  "languageId" should "pick the language with most marker hits" in {
+    val out = Seq(
+      "the cat is on the mat with food",
+      "der hund ist nicht das problem",
+      "le chat est dans la maison",
+      "el gato es una maravilla por cierto",
+      "xyzzy qwerty plugh").toDF("t")
+      .select(TextAnalysis.languageId($"t")).as[String].collect().toSeq
+    out shouldBe Seq("en", "de", "fr", "es", "und")
+  }
+
+  "qualityScore" should "score clean English prose above junk" in {
+    val clean = "the quick brown fox jumps over the lazy dog and runs far away"
+    val junk = "@@@@ ???? !!!! %%%% ^^^^ &&&& ****"
+    val out = Seq(clean, junk).toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].collect().toSeq
+    out(0) shouldBe 1.0 +- 1e-9
+    // junk scores only the length + token-shape bands, never punct/stopword
+    out(1) should be <= 0.5
+  }
+
+  "fingerprint" should "match the rolling-hash definition and be stable" in {
+    def ref(t: String): Long =
+      t.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 2147483647L)
+    val texts = Seq("hello world", "", "a", "the quick brown fox")
+    val out = texts.toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).as[Long].collect().toSeq
+    out shouldBe texts.map(ref)
+  }
+
+  "profile" should "append the whole battery" in {
+    val cols = TextAnalysis.profile(Seq((1L, "some text here")).toDF("id", "text"))
+      .columns.toSeq
+    cols should contain allOf ("n_tokens", "n_subwords", "punct_ratio",
+      "stopword_ratio", "quality", "lang_id", "fp")
+  }
+}

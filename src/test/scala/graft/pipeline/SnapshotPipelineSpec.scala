@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SnapshotPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+  import SnapshotPipeline._
+
+  private lazy val tmp = Files.createTempDirectory("graft-pipe").toString
+
+  // changelog: string-typed columns as they'd arrive from a byte store
+  private lazy val changelogPath = {
+    val p = s"$tmp/changelog"
+    Seq(
+      ("u1", 1000L, "I", "10", "alice"),
+      ("u1", 2000L, "U", "11", "alice2"),
+      ("u2", 1500L, "I", "20", "NULL"),
+      ("u2", 3000L, "D", "21", "bob")
+    ).toDF("row_key", "ts", "row_status", "age", "name")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val historyPath = {
+    val p = s"$tmp/history"
+    val dump =
+      """{"t": {"columnIndexToNameMap": {"1": "age", "2": "name"},
+        |       "columnsSchema": {"age": {"columnType": "INT"},
+        |                         "name": {"columnType": "VARCHAR(32)"}}}}""".stripMargin
+    Seq(("initial-snapshot", dump)).toDF("row_key", "schemaPostChange")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  "snapshot (explicit schema)" should "reconstruct typed latest state" in {
+    val cfg = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(s"$tmp/out1"))
+    val out = snapshot(spark, cfg)
+    out.schema.fieldNames.toSeq shouldBe Seq(
+      "k_hbase_row_key", "k_replicator_row_status", "age", "name")
+    out.schema("age").dataType shouldBe IntegerType
+    val rows = out.orderBy($"k_hbase_row_key")
+      .as[(String, String, Int, String)].collect().toSeq
+    rows shouldBe Seq(("u1", "U", 11, "alice2"), ("u2", "D", 21, "bob"))
+  }
+
+  it should "honor the as-of bound (end-exclusive) and NULL sentinel" in {
+    val cfg = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(s"$tmp/out2"), asOfMillis = 2000L)
+    val rows = snapshot(spark, cfg).orderBy($"k_hbase_row_key")
+      .select($"k_hbase_row_key", $"age", $"name")
+      .as[(String, Int, Option[String])].collect().toSeq
+    // u1@2000 excluded (end-exclusive); u2 "NULL" decodes to null
+    rows shouldBe Seq(("u1", 10, Some("alice")), ("u2", 20, None))
+  }
+
+  "snapshot (MySQL history schema)" should "resolve schema from the dump" in {
+    val cfg = SnapshotConfig(changelogPath,
+      MySqlHistorySchema(historyPath), ParquetSink(s"$tmp/out3"))
+    val out = snapshot(spark, cfg)
+    out.schema("age").dataType shouldBe IntegerType
+    out.schema("name").dataType shouldBe StringType
+    out.count() shouldBe 2
+  }
+
+  "run" should "write a partitioned parquet snapshot" in {
+    val sinkPath = s"$tmp/out4"
+    SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(sinkPath, partitionBy = Seq("k_replicator_row_status"))))
+    val back = spark.read.parquet(sinkPath)
+    back.count() shouldBe 2
+    // partition column materialized in directory layout
+    new java.io.File(sinkPath).list().count(
+      _.startsWith("k_replicator_row_status=")) shouldBe 2
+  }
+
+  "fromJson" should "dispatch the schema strategy on config shape" in {
+    val mysqlCfg = fromJson(
+      s"""{"changelog": {"path": "$changelogPath", "timestamp": 2000},
+         | "schema": {"history_path": "$historyPath"},
+         | "sink": {"path": "$tmp/o"}}""".stripMargin)
+    mysqlCfg.schemaSource shouldBe a[MySqlHistorySchema]
+    mysqlCfg.asOfMillis shouldBe 2000L
+
+    val explicitCfg = fromJson(
+      s"""{"changelog": {"path": "$changelogPath"},
+         | "schema": {"columns": ["d:age:integer", "d:name"]},
+         | "sink": {"table": "db.t"}, "partition_by": ["age"]}""".stripMargin)
+    explicitCfg.schemaSource shouldBe ExplicitSchema(Seq("d:age:integer", "d:name"))
+    explicitCfg.sink shouldBe TableSink("db.t", Seq("age"))
+    explicitCfg.asOfMillis shouldBe -1L
+  }
+
+  it should "reject configs matching neither strategy" in {
+    an[IllegalArgumentException] should be thrownBy fromJson(
+      """{"changelog": {"path": "/x"}, "schema": {}, "sink": {"path": "/y"}}""")
+    an[IllegalArgumentException] should be thrownBy fromJson(
+      """{"changelog": {"path": "/x"},
+        | "schema": {"history_path": "/h", "columns": ["a:b"]},
+        | "sink": {"path": "/y"}}""".stripMargin)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class ChangelogStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  private def ev(u: Long, e: Long, sec: Long, v: Double) =
+    Ev(u, e, new java.sql.Timestamp(sec * 1000), v)
+
+  "latestPerKey (streaming)" should "maintain the upsert view across batches" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val upserts = ChangelogStream.latestPerKey(
+      input.toDF(), Seq("user_id"), "ts", Seq("event_id"))
+    val q = upserts.writeStream
+      .format("memory").queryName("upsert_view")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 10, 100, 1.0), ev(2, 20, 100, 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 11, 200, 1.5)) // newer for user 1
+      input.addData(ev(2, 19, 50, 9.9))  // older for user 2 — must lose
+      q.processAllAvailable()
+      // memory sink appends every update emission; the winning state per
+      // user is the latest-ts emission
+      val latest = spark.table("upsert_view")
+        .groupBy($"user_id").agg(max_by(struct($"event_id", $"value"), $"ts").as("s"))
+        .select($"user_id", $"s.event_id", $"s.value")
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, e, v) => u -> ((e, v)) }.toMap
+      latest(1L) shouldBe ((11L, 1.5))
+      latest(2L) shouldBe ((20L, 2.0))
+    } finally q.stop()
+  }
+
+  "windowedCounts" should "aggregate per event-time window with watermark" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = ChangelogStream.windowedCounts(
+      input.toDF(), "ts", "user_id",
+      windowDuration = "10 minutes", slideDuration = "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 60, 2.0), ev(1, 3, 700, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select($"user_id", $"n_events", $"sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      rows shouldBe Set((1L, 2L, 3.0), (1L, 1L, 3.0))
+    } finally q.stop()
+  }
+}

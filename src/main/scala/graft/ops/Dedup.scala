@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale document corpora: exact
   * (hash/group-by), n-gram Jaccard similarity join, MinHash+LSH near-dup,
@@ -22,12 +23,9 @@ import org.apache.spark.sql.functions._
   *    self-join is an equi-join on (band, key) so shuffle volume is
   *    O(docs × bands), independent of document length.
   *  - All signatures are computed with codegen'd higher-order functions
-  *    over the shingle array (xxhash64 + affine rehash) — no UDFs.
+  *    over the shingle array (xxhash64 re-mix per function) — no UDFs.
   */
 object Dedup {
-
-  /** Large Mersenne prime modulus for affine rehashing (2^61 - 1). */
-  private val P = 2305843009213693951L
 
   // ---------------------------------------------------------------- exact
 
@@ -67,8 +65,9 @@ object Dedup {
     * with document frequency above `maxShingleDf` (0 = keep all). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
                    maxShingleDf: Long = 0L): DataFrame = {
-    val edges = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), n)).as("shingle"))
+    val edges = Parallelism.spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__text")))
+      .select(col("id"), explode(wordShingles(col("__text"), n)).as("shingle"))
     if (maxShingleDf <= 0) edges
     else {
       val rare = edges.groupBy("shingle").count()
@@ -85,9 +84,19 @@ object Dedup {
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxShingleDf: Long = 0L): DataFrame = {
-    val sizes = df.select(col(idCol).as("id"),
-      size(wordShingles(col(textCol), n)).as("n_shingles"))
-    val idx = shingleIndex(df, idCol, textCol, n, maxShingleDf)
+    // one shingling pass total: the persisted edge list feeds both
+    // self-join branches AND the per-doc set sizes (shingles are distinct,
+    // so count(edges per id) == |shingle set| before any df cap)
+    val edges = shingleIndex(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val idx =
+      if (maxShingleDf <= 0) edges
+      else {
+        val rare = edges.groupBy("shingle").count()
+          .filter(col("count") <= maxShingleDf).select("shingle")
+        edges.join(broadcast(rare), "shingle")
+      }
     val pairs = idx.as("l").join(idx.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -106,28 +115,30 @@ object Dedup {
 
   // --------------------------------------------------------- MinHash/LSH
 
-  /** 31-bit sub-modulus: keeps every `a * h + b` product below 2^63 so the
-    * affine rehash is exact long arithmetic (no overflow under ANSI mode). */
-  private val M31 = 2147483647L // 2^31 - 1
+  /** Reduce a shingle array to 64-bit hashes — materialize THIS as its own
+    * projection before fanning out to the `numHashes` signature elements:
+    * higher-order functions defeat Catalyst subexpression elimination, so
+    * an un-materialized shingle expression would be re-evaluated (regex
+    * split and all) once per hash function. */
+  def hashedShingles(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
 
-  /** Deterministic affine coefficients for the i-th hash function,
-    * bounded by [[M31]] so `a * h` stays within 62 bits. */
-  private def affine(i: Int): (Long, Long) = {
-    val rnd = new scala.util.Random(0x5EED0000L + i)
-    (math.abs(rnd.nextLong()) % (M31 - 1) + 1, math.abs(rnd.nextLong()) % M31)
-  }
+  /** Empty-set signature sentinel (collides with nothing real). */
+  private val EmptySig = Long.MaxValue
 
-  /** MinHash signature of a shingle array: for each of `numHashes`
-    * functions, min over shingles of `(a_i * (xxhash64(s) mod M31) + b_i)
-    * mod P`. Empty shingle set → signature of all `P` (matches nothing
-    * real). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+  /** MinHash signature from a pre-hashed shingle array ([[hashedShingles]]):
+    * element i is the min over `xxhash64(h, i)` — a full-avalanche re-mix
+    * per function. An affine rehash `(a*h + b) mod P` is NOT usable here:
+    * with products bounded below 2·P it wraps at most twice, so it is
+    * order-preserving in segments — the 64 "permutations" are correlated
+    * and band-agreement probabilities collapse (measured: 9/256 true pairs
+    * missed at sf0.1). Per element this is one 16-byte hash over the
+    * materialized array — no string re-hashing. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
     val sigs = (0 until numHashes).map { i =>
-      val (a, b) = affine(i)
       coalesce(
-        array_min(transform(shingles,
-          s => pmod(pmod(xxhash64(s), lit(M31)) * lit(a) + lit(b), lit(P)))),
-        lit(P))
+        array_min(transform(hashes, h => xxhash64(h, lit(i)))),
+        lit(EmptySig))
     }
     array(sigs: _*)
   }
@@ -136,22 +147,31 @@ object Dedup {
     * into `bands` bands of `rowsPerBand` values; the band key is a hash of
     * the band slice. Docs agreeing on any full band share a bucket. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String, n: Int,
-                 bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(wordShingles(col(textCol), n), bands * rowsPerBand)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+                 bands: Int, rowsPerBand: Int): DataFrame =
+    // each select is a deliberate projection boundary: shingle → hash →
+    // signature → band keys, so no stage recomputes the previous one
+    Parallelism.spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        hashedShingles(wordShingles(col("__text"), n)).as("__hs"))
+      .select(col("id"),
+        minhashSignatureFromHashes(col("__hs"), bands * rowsPerBand).as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-  }
 
   /** Candidate near-dup pairs from MinHash LSH: distinct (id_a < id_b)
     * sharing at least one band bucket. Probabilistic recall — tune
     * bands/rowsPerBand to the target Jaccard threshold. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // the bucket table is O(docs × bands) ids+longs — tiny next to the
+    // corpus — and both self-join branches need it: persist instead of
+    // recomputing the shingle→signature pipeline per branch (the block is
+    // dropped by the ContextCleaner once the plan is unreachable)
     val b = lshBuckets(df, idCol, textCol, n, bands, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
@@ -167,8 +187,10 @@ object Dedup {
                       n: Int = 3, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
-    val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), n).as("shingles"))
+    val sh = Parallelism.spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__text")))
+      .select(col("id"), wordShingles(col("__text"), n).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // joined from both pair sides
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -181,23 +203,24 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a shingle array: per bit position, sum ±1 weighted
-    * by each shingle hash's bit; the sign vector packs into a long. */
-  def simhash64(shingles: Column): Column = {
-    val counts = aggregate(
-      shingles,
-      array_repeat(lit(0L), 64),
-      (acc, s) => {
-        val h = xxhash64(s)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-      })
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  /** 64-bit SimHash from a pre-hashed shingle array: bit i of the result
+    * is the majority vote of bit i across shingle hashes (ones*2 > n ⟺
+    * the ±1 sum is positive). 64 allocation-free long-accumulator passes
+    * over the materialized hash array. */
+  def simhashFromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    (0 until 64).map { i =>
+      val ones = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(ones * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** 64-bit SimHash of a shingle array. Convenience form — for bulk use
+    * materialize `transform(shingles, xxhash64)` in its own projection
+    * first and call [[simhashFromHashes]] (see [[hashedShingles]] note). */
+  def simhash64(shingles: Column): Column =
+    simhashFromHashes(transform(shingles, s => xxhash64(s)))
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -214,8 +237,12 @@ object Dedup {
     val base = 64 / bands
     val widths = Seq.tabulate(bands)(b => if (b < 64 % bands) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sh = df.select(col(idCol).as("id"),
-      simhash64(wordShingles(col(textCol), n)).as("sim"))
+    val sh = Parallelism.spread(df.select(col(idCol).as("id"),
+        col(textCol).as("__text")))
+      .select(col("id"),
+        transform(wordShingles(col("__text"), n), s => xxhash64(s)).as("__hs"))
+      .select(col("id"), simhashFromHashes(col("__hs")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // two join branches + verify
     val banded = sh.select(col("id"), col("sim"), posexplode(array(
       (0 until bands).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
@@ -242,9 +269,12 @@ object Dedup {
     * when n² is no longer affordable. */
   def embeddingNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val v = Parallelism.spread(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
     v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
-      .withColumn("cosine", Similarity.cosine(col("l.vec"), col("r.vec")))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("l.vec"), col("l.nrm"), col("r.vec"), col("r.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))
@@ -256,11 +286,15 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 8): DataFrame = {
     val dim = Similarity.vectorDim(df, vecCol)
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
+    val keyed = Parallelism.spread(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"), col("vec"),
+        graft.functions.VectorFunctions.fnorm(col("vec")).as("nrm"),
+        Similarity.hyperplaneKey(col("vec"), dim, planes).as("bucket"))
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cosine", Similarity.cosine(col("l.vec"), col("r.vec")))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("l.vec"), col("l.nrm"), col("r.vec"), col("r.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(col("cosine"), 6).as("cosine"))

@@ -1,0 +1,23 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Partitioning helpers for CPU-dense operators.
+  *
+  * Scan parallelism is bounded by input splits (Parquet row groups). A
+  * compact source — one row group locally, or a few large files on a
+  * cluster — would serialize an expensive derivation (shingling, hashing,
+  * signature computation) onto a handful of tasks. Operators whose
+  * per-row cost dwarfs a narrow-column shuffle call [[spread]] on their
+  * minimal input projection first, so the heavy stage runs at full
+  * cluster width regardless of source layout.
+  */
+object Parallelism {
+
+  /** Round-robin repartition of (a minimal projection of) the input to
+    * the session's default parallelism — only widens, never shrinks. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(target)
+  }
+}

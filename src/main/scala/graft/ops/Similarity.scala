@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{fdot, fnorm}
+
 /** Vector similarity search over an embedding column (`array<float>`).
   *
   * Two tiers, per the training-data-pipeline charter (the reference has no
@@ -14,27 +16,33 @@ import org.apache.spark.sql.functions._
   *    only (query, candidate, score) tuples move.
   *  - [[lshTopK]] — random-hyperplane LSH (an IVF-style coarse quantizer):
   *    corpus is bucketed by sign-bit key; each query probes only its own
-  *    bucket (plus optional multi-probe neighbors), cutting scored pairs
-  *    by ~2^planes at some recall cost.
+  *    bucket, cutting scored pairs by ~2^planes at some recall cost.
   *
-  * Scoring is `zip_with` + `aggregate` in doubles, left-to-right — a pure
-  * codegen'd expression, no UDF.
+  * Scoring uses the native [[graft.functions.FloatVectorDot]] codegen
+  * expression (no per-row allocation), with L2 norms precomputed once per
+  * side of the join — never per pair.
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right double dot product of two float vectors (native
+    * codegen expression; identical result to `zip_with`+`aggregate`). */
+  def dot(a: Column, b: Column): Column = fdot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = fnorm(a)
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
+  /** Cosine similarity; 0 when either vector has zero norm. Prefer the
+    * precomputed-norm join pattern (see [[bruteForceTopK]]) when scoring
+    * many pairs per vector. */
   def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
+    val d = fdot(a, b)
+    val nn = fnorm(a) * fnorm(b)
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }
+
+  /** Cosine from a precomputed-norm pair (no per-pair norm recompute). */
+  private[ops] def cosineWithNorms(va: Column, na: Column,
+                                   vb: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(fdot(va, vb) / (na * nb))
 
   private[ops] def vectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
@@ -47,10 +55,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = Parallelism.spread(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")))
+      .withColumn("c_nrm", fnorm(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      fnorm(col(vecCol)).as("q_nrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -85,15 +97,19 @@ object Similarity {
               planes: Int = 6,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(corpus, vecCol)
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
-      hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
+    val c = Parallelism.spread(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")))
+      .select(col("corpus_id"), col("c_vec"), fnorm(col("c_vec")).as("c_nrm"),
+        hyperplaneKey(col("c_vec"), dim, planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      fnorm(col(vecCol)).as("q_nrm"),
       hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     c.as("c").join(broadcast(q.as("q")),
         col("c.bucket") === col("q.bucket") && col("q.query_id") =!= col("c.corpus_id"))
-      .withColumn("cosine", cosine(col("q.q_vec"), col("c.c_vec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("q.q_vec"), col("q.q_nrm"), col("c.c_vec"), col("c.c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"),

@@ -143,23 +143,35 @@ object Dedup {
     array(sigs: _*)
   }
 
+  /** Exploded (id, shingle-hash) edge list — the shared input for both
+    * signature families. Lambda bodies in higher-order functions are
+    * interpreted per element, so bulk signature math runs as codegen'd
+    * aggregates over this exploded form instead (group-by id with
+    * map-side partial aggregation: one reduced row per id per partition
+    * crosses the shuffle). */
+  private def hashEdges(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    Parallelism.spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        explode(hashedShingles(wordShingles(col("__text"), n))).as("h"))
+
   /** (id, band, band_key) LSH bucket assignments: the signature is split
     * into `bands` bands of `rowsPerBand` values; the band key is a hash of
     * the band slice. Docs agreeing on any full band share a bucket. */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String, n: Int,
-                 bands: Int, rowsPerBand: Int): DataFrame =
-    // each select is a deliberate projection boundary: shingle → hash →
-    // signature → band keys, so no stage recomputes the previous one
-    Parallelism.spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"),
-        hashedShingles(wordShingles(col("__text"), n)).as("__hs"))
-      .select(col("id"),
-        minhashSignatureFromHashes(col("__hs"), bands * rowsPerBand).as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+                 bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    // codegen'd hash-aggregate: k min() buffers per id
+    val sig = hashEdges(df, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    sig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
 
   /** Candidate near-dup pairs from MinHash LSH: distinct (id_a < id_b)
     * sharing at least one band bucket. Probabilistic recall — tune
@@ -237,11 +249,18 @@ object Dedup {
     val base = 64 / bands
     val widths = Seq.tabulate(bands)(b => if (b < 64 % bands) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sh = Parallelism.spread(df.select(col(idCol).as("id"),
-        col(textCol).as("__text")))
-      .select(col("id"),
-        transform(wordShingles(col("__text"), n), s => xxhash64(s)).as("__hs"))
-      .select(col("id"), simhashFromHashes(col("__hs")).as("sim"))
+    // codegen'd hash-aggregate: 64 bit-count buffers + n per id, then the
+    // majority vote packs into the 64-bit fingerprint (see simhashFromHashes
+    // for the array-side formulation of the same math)
+    val counts = hashEdges(df, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 64).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(1L)).as(s"c$i")): _*)
+    val sh = counts.select(col("id"),
+        (0 until 64).map { i =>
+          when(col(s"c$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK) // two join branches + verify
     val banded = sh.select(col("id"), col("sim"), posexplode(array(
       (0 until bands).map { b =>

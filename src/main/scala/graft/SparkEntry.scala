@@ -217,6 +217,21 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
 
+    // As-of (temporal) join — each event gets the user's latest purchase
+    // at or before it. Single-shuffle union-and-sweep, no range join.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.ops.AsOfJoin.asofJoin(
+          ev.select(col("user_id"), col("event_id"), col("ts")),
+          purchases, Seq("user_id"), "ts", "ts", rightPrefix = "last_")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("last_purchase_id"), col("last_ts").as("last_purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization over the events stream (3600s gap).
     "q_sessionize" -> ((s, d) =>
       Sessions.sessionSummary(Tables.events(s, d), "user_id", "ts",
@@ -441,6 +456,15 @@ object SparkEntry {
         | max(l_extendedprice) AS max_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.user_id, e.event_id, e.ts,
+        |  p.purchase_id AS last_purchase_id, p.ts AS last_purchase_ts
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

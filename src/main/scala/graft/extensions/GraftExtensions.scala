@@ -1,0 +1,41 @@
+package graft.extensions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatVectorDot
+
+/** SparkSessionExtensions entry point: registers graft's native functions
+  * into the SQL function registry, so plain SQL users get them too:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.extensions.GraftExtensions ...
+  * spark.sql("SELECT fdot(embedding, embedding) FROM embeddings")
+  * }}}
+  *
+  * For an already-running session use [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("fdot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "fdot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"fdot expects 2 arguments, got ${exprs.length}")
+        FloatVectorDot(exprs.head, exprs(1))
+      }))
+
+  /** Register the functions on a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftshim.FunctionRegistryBridge
+        .register(spark, ident, info, builder)
+    }
+}

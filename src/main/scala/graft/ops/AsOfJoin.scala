@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (temporal) join: attach to each left row the latest right row
+  * with `rightTs <= leftTs` within the same key — the join-shaped
+  * generalization of the reference's point-in-time cell lookup (latest
+  * version at/before T per cell — reference:
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-129, where
+  * T is a constant; here T is the left row's own timestamp).
+  *
+  * Spark has no native as-of join; the naive range-join formulation
+  * (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` + arg-max) explodes to
+  * O(|matches per key|²). This implementation is the scalable
+  * union-and-sweep: tag both inputs, union, and sweep a single window per
+  * key ordered by (ts, side) carrying the last-seen right row forward.
+  * Exactly ONE shuffle (by key) and one sort — same cost as a group-by,
+  * independent of match multiplicity.
+  */
+object AsOfJoin {
+
+  /** Left as-of join.
+    *
+    * @param keyCols    equality keys present in both inputs
+    * @param leftTs     left event-time column
+    * @param rightTs    right event-time column (`right.ts <= left.ts`,
+    *                   inclusive, matching DuckDB `ASOF ... ON l.ts >= r.ts`)
+    * @param rightPrefix prefix for right payload columns in the output
+    *                   (left columns keep their names)
+    *
+    * Right rows sharing (key, ts) are resolved to the last under
+    * (`rightTs`, remaining right columns) sort order — pre-deduplicate the
+    * right side if a specific tie-break matters.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPrefix: String = "r_"): DataFrame = {
+    val rightPayload = right.columns.filterNot(keyCols.contains).toIndexedSeq
+    val leftCols = left.columns.toIndexedSeq
+
+    val rightStruct = struct(rightPayload.map(col): _*)
+    val rightType = StructType(right.schema.fields.filterNot(f => keyCols.contains(f.name)))
+    val leftStruct = struct(leftCols.map(col): _*)
+    val leftType = left.schema
+
+    val taggedRight = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(leftType).as("__left"),
+        rightStruct.as("__right")): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        leftStruct.as("__left"),
+        lit(null).cast(rightType).as("__right")): _*)
+
+    // rights sort before lefts at equal ts (inclusive bound); the carried
+    // value is the latest right row seen so far in (ts, side, right) order
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__right"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", last(col("__right"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(c => col(s"__left.`$c`").as(c)) ++
+          rightPayload.map(c => col(s"__match.`$c`").as(s"$rightPrefix$c")): _*)
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** Bridge to the `private[sql]` session function registry, for registering
+  * native expressions on an already-built session (the extensions path —
+  * `spark.sql.extensions=graft.extensions.GraftExtensions` — covers
+  * sessions built from config). */
+object FunctionRegistryBridge {
+  def register(spark: SparkSession, ident: FunctionIdentifier,
+               info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+}

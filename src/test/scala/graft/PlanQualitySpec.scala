@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan assertions for the scale posture: pushdown, pruning,
+  * broadcast, partial aggregation, top-k, and shuffle counts. These are
+  * the properties that decide whether the same plan survives a 100 TB
+  * input — asserted against the real parquet test data (sf0.001) so scan
+  * details (PushedFilters / ReadSchema) are visible. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  "q1_agg" should "push the shipdate filter into the parquet scan" in {
+    val plan = planOf("q1_agg")
+    plan should include("PushedFilters")
+    plan should include regex "PushedFilters: \\[.*LessThan\\(l_shipdate"
+  }
+
+  "q_topk_orders" should "prune to two columns and plan a bounded top-k" in {
+    val plan = planOf("q_topk_orders")
+    plan should include("TakeOrderedAndProject")
+    plan should include regex "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"
+  }
+
+  "q_join_agg" should "broadcast the nation dimension" in {
+    planOf("q_join_agg") should include("BroadcastHashJoin")
+  }
+
+  "q_join_semi and q_join_anti" should "plan semi/anti joins, not filters over full joins" in {
+    planOf("q_join_semi") should include("LeftSemi")
+    planOf("q_join_anti") should include("LeftAnti")
+  }
+
+  "latestPerKey" should "partially aggregate map-side (one reduced row per key per partition crosses the shuffle)" in {
+    val plan = graft.ops.Snapshot
+      .latestPerKey(Tables.events(spark, sf), Seq("user_id"), "ts")
+      .queryExecution.executedPlan.toString()
+    plan should include("partial_max_by")
+    plan should include("max_by")
+  }
+
+  "castTo on a parquet scan" should "stay a single stage with zero shuffles" in {
+    import org.apache.spark.sql.types._
+    val changelog = Tables.events(spark, sf).select(
+      col("user_id").cast(StringType).as("row_key"),
+      col("event_type").as("row_status"),
+      col("value").cast(StringType).as("value"))
+    val schema = StructType(Seq(
+      graft.schema.SchemaMapping.RowKeyField,
+      graft.schema.SchemaMapping.RowStatusField,
+      StructField("value", DoubleType)))
+    val plan = graft.ops.CastProjection.castTo(changelog, schema)
+      .queryExecution.executedPlan.toString()
+    (plan should not).include("Exchange")
+    // "*(1)" marks operators fused into whole-stage-codegen stage 1 —
+    // the entire cast layer compiles into the scan's single stage
+    plan should include("*(1) Project")
+  }
+
+  "sessionize" should "reuse one key partitioning for both windows" in {
+    val plan = graft.ops.Sessions
+      .sessionize(Tables.events(spark, sf), "user_id", "ts", 3600)
+      .queryExecution.executedPlan.toString()
+    // exactly one exchange: by user_id; the second window reuses it
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+  }
+
+  "bruteForceTopK" should "broadcast the query batch, never shuffle the corpus" in {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = graft.ops.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+      .queryExecution.executedPlan.toString()
+    plan should include("BroadcastNestedLoopJoin")
+  }
+}

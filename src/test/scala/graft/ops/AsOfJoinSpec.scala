@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private def quotes = Seq(
+    ("A", 10L, 100.0), ("A", 20L, 110.0), ("A", 30L, 120.0),
+    ("B", 15L, 50.0)
+  ).toDF("sym", "epoch", "px").withColumn("qts", timestamp_seconds($"epoch")).drop("epoch")
+
+  private def trades = Seq(
+    ("A", 5L, 1),   // before any quote → null
+    ("A", 10L, 2),  // inclusive bound → quote@10
+    ("A", 25L, 3),  // → quote@20
+    ("A", 99L, 4),  // → quote@30
+    ("B", 16L, 5),  // → quote@15
+    ("C", 50L, 6)   // key never quoted → null
+  ).toDF("sym", "epoch", "trade_id").withColumn("tts", timestamp_seconds($"epoch")).drop("epoch")
+
+  "asofJoin" should "attach the latest right row at or before each left ts" in {
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
+      .select($"trade_id", $"r_px".as[Option[Double]])
+      .as[(Int, Option[Double])].collect().toMap
+    out shouldBe Map(
+      1 -> None, 2 -> Some(100.0), 3 -> Some(110.0),
+      4 -> Some(120.0), 5 -> Some(50.0), 6 -> None)
+  }
+
+  it should "keep all left columns under their own names" in {
+    val cols = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts").columns.toSeq
+    cols shouldBe Seq("sym", "trade_id", "tts", "r_px", "r_qts")
+  }
+
+  it should "plan with a single shuffle (no range-join blowup)" in {
+    val plan = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
+      .queryExecution.executedPlan.toString()
+    // union + one window over the key partitioning; no join node at all
+    (plan should not).include("Join")
+    plan should include("Window")
+  }
+}

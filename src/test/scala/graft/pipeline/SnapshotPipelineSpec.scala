@@ -80,6 +80,15 @@ class SnapshotPipelineSpec extends SparkTestBase {
       _.startsWith("k_replicator_row_status=")) shouldBe 2
   }
 
+  "run (table sink)" should "saveAsTable into the session catalog" in {
+    SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      TableSink("graft_test_snapshot")))
+    try {
+      spark.table("graft_test_snapshot").count() shouldBe 2
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_snapshot")
+  }
+
   "fromJson" should "dispatch the schema strategy on config shape" in {
     val mysqlCfg = fromJson(
       s"""{"changelog": {"path": "$changelogPath", "timestamp": 2000},

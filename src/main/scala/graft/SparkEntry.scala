@@ -94,12 +94,15 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1998-09-02 00:00:00").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // decimal-valued double sums are rounded on BOTH sides: Spark's
+          // partial-merge addition order differs from DuckDB's sequential
+          // sum in the last float bits, and the driver compare hashes values
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          avg(col("l_quantity")).as("avg_qty"),
-          avg(col("l_extendedprice")).as("avg_price"),
-          avg(col("l_discount")).as("avg_disc"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -111,7 +114,8 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("n_name"))
     }),
 
@@ -133,6 +137,20 @@ object SparkEntry {
         .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Skew-mitigated join — salted replicate join; results identical to
+    // the plain join (same oracle shape), hot keys spread over 8 buckets.
+    "q_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+        col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"),
+        col("c_name"))
+      graft.ops.Skew.saltedJoin(o, c, Seq("custkey"), numSalts = 8)
+        .groupBy(col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_name"))
     }),
 
     // Window breadth — per-key running total (deterministic frame order).
@@ -377,18 +395,18 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | sum(l_extendedprice) AS sum_base_price,
-        | sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-        | avg(l_quantity) AS avg_qty,
-        | avg(l_extendedprice) AS avg_price,
-        | avg(l_discount) AS avg_disc,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
         | count(*) AS count_order
         | FROM lineitem
         | WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
         | GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
-      """SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         | FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -401,6 +419,10 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         | ORDER BY c_custkey""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name ORDER BY c_name""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         | sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

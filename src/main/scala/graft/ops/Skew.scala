@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed.
+  *
+  * A shuffle join sends every row of a key to one reducer; a hot key
+  * (one user with 10^8 events in a 100 TB changelog) serializes that
+  * reducer. AQE's skew-join split handles sort-merge joins at runtime;
+  * [[saltedJoin]] is the static alternative that also covers the cases
+  * AQE cannot re-plan (e.g. aggregation feeding the join, or forced
+  * shuffled-hash joins): the skewed side gets a deterministic salt in
+  * [0, numSalts), the small side is replicated `numSalts` times, and the
+  * join key becomes (key, salt) — the hot key now spreads over
+  * `numSalts` reducers. Results are identical to the unsalted join.
+  */
+object Skew {
+
+  /** Inner equi-join of a skewed large side against a small side, salted.
+    *
+    * The salt is a deterministic hash of the large side's full row, so
+    * replays and retries partition identically (no `rand()` — a retried
+    * task must land rows in the same bucket). The small side is exploded
+    * `numSalts`× — keep it broadcast-size × numSalts small.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, joinKeys: Seq[String],
+                 numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val largeCols = large.columns.toIndexedSeq
+    val smallPayload = small.columns.filterNot(joinKeys.contains).toIndexedSeq
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(largeCols.map(col): _*), lit(numSalts.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(replicated, joinKeys :+ "__salt")
+      .select((largeCols ++ smallPayload).map(col): _*)
+  }
+
+  /** Two-phase (salted) aggregation: count/sum-style partial aggregates
+    * per (key, salt), then final merge per key. Spark's hash aggregate
+    * already does map-side partials, so this is only needed when a first
+    * shuffle must happen before aggregation (e.g. after an explode whose
+    * output skews harder than its input). Provided for completeness of
+    * the skew toolkit; measure before preferring it over plain groupBy. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(numSalts.toLong)))
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__partial")).as("count"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // heavy-tailed: key "hot" carries 500 of 520 rows
+  private def large = ((1 to 500).map(i => ("hot", i)) ++
+    (1 to 20).map(i => (s"k$i", i))).toDF("k", "v")
+  private def small = (Seq("hot") ++ (1 to 10).map(i => s"k$i"))
+    .zipWithIndex.map { case (k, i) => (k, s"dim$i") }.toDF("k", "name")
+
+  "saltedJoin" should "equal the unsalted inner join" in {
+    val expected = large.join(small, Seq("k")).select($"k", $"v", $"name")
+      .as[(String, Int, String)].collect().sorted.toSeq
+    val got = Skew.saltedJoin(large, small, Seq("k"), numSalts = 8)
+      .as[(String, Int, String)].collect().sorted.toSeq
+    got shouldBe expected
+    got.count(_._1 == "hot") shouldBe 500
+  }
+
+  it should "spread the hot key over multiple salt buckets" in {
+    val buckets = large.withColumn("__salt",
+        pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(8L)))
+      .filter($"k" === "hot").select($"__salt").distinct().count()
+    buckets should be > 4L
+  }
+
+  "saltedCount" should "equal plain groupBy count" in {
+    val expected = large.groupBy($"k").count()
+      .as[(String, Long)].collect().toMap
+    val got = Skew.saltedCount(large, Seq("k"), numSalts = 8)
+      .as[(String, Long)].collect().toMap
+    got shouldBe expected
+  }
+}

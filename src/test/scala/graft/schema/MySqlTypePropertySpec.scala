@@ -1,0 +1,78 @@
+package graft.schema
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Property-based coverage (SURVEY.md §5.2): rendering a MySqlType and
+  * re-parsing it is the identity, across the whole grammar. Generators
+  * are sampled with fixed seeds so runs are deterministic. */
+class MySqlTypePropertySpec extends AnyFlatSpec with Matchers {
+
+  private def forAll[A](g: Gen[A], n: Int = 300)(assertion: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(assertion)
+    }
+
+  private val plainTypename: Gen[String] = Gen.oneOf(
+    MySqlTypeParser.Typenames.filterNot(t => t == "ENUM" || t == "SET"))
+
+  private val enumValue: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  private val genEnum: Gen[MySqlType] = for {
+    tn <- Gen.oneOf("ENUM", "SET")
+    vals <- Gen.nonEmptyListOf(enumValue).map(_.take(5))
+  } yield MySqlType(tn, enumeration = vals)
+
+  private val genPlain: Gen[MySqlType] = for {
+    tn <- plainTypename
+    prec <- Gen.option(for {
+      p <- Gen.chooseNum(1, 65)
+      s <- Gen.option(Gen.chooseNum(0, 30))
+    } yield MySqlPrecision(p, s))
+    quals <- Gen.someOf(MySqlTypeParser.Qualifiers).map(_.toSeq)
+    charset <- Gen.option(Gen.oneOf("utf8", "latin1", "utf8mb4"))
+    collate <- Gen.option(Gen.oneOf("utf8_general_ci", "latin1_bin"))
+  } yield MySqlType(tn, Nil, prec, quals,
+    charset.map("CHARACTER SET" -> _).toMap ++ collate.map("COLLATE" -> _).toMap)
+
+  private def render(t: MySqlType): String = {
+    val sb = new StringBuilder(t.typename)
+    if (t.enumeration.nonEmpty)
+      sb.append(t.enumeration.map(v => s"'$v'").mkString("(", ",", ")"))
+    t.precision.foreach { p =>
+      sb.append("(").append(p.precision)
+      p.scale.foreach(s => sb.append(",").append(s))
+      sb.append(")")
+    }
+    t.qualifiers.foreach(q => sb.append(" ").append(q))
+    t.attributes.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append(" ").append(k).append(" '").append(v).append("'")
+    }
+    sb.toString
+  }
+
+  "parse ∘ render" should "be the identity on ENUM/SET types" in {
+    forAll(genEnum) { t =>
+      MySqlTypeParser(render(t)) shouldBe t
+    }
+  }
+
+  it should "be the identity on plain types" in {
+    forAll(genPlain) { t =>
+      val parsed = MySqlTypeParser(render(t))
+      parsed.typename shouldBe t.typename
+      parsed.precision shouldBe t.precision
+      parsed.qualifiers shouldBe t.qualifiers
+      parsed.attributes shouldBe t.attributes
+    }
+  }
+
+  "mySqlToSpark" should "be total over the rendered grammar" in {
+    forAll(Gen.oneOf(genEnum, genPlain)) { t =>
+      noException should be thrownBy SchemaMapping.mySqlToSpark(render(t))
+    }
+  }
+}

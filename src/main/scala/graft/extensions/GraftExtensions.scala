@@ -17,8 +17,10 @@ import graft.functions.FloatVectorDot
   * For an already-running session use [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => NanosFilterPushdown)
+  }
 }
 
 object GraftExtensions {
@@ -32,10 +34,15 @@ object GraftExtensions {
         FloatVectorDot(exprs.head, exprs(1))
       }))
 
-  /** Register the functions on a live session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  /** Register the functions and optimizer rules on a live session
+    * (tests, notebooks); idempotent. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       org.apache.spark.sql.graftshim.FunctionRegistryBridge
         .register(spark, ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(NanosFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NanosFilterPushdown
+  }
 }

@@ -1,0 +1,89 @@
+package graft.extensions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: make comparisons on a *derived* microsecond timestamp
+  * prunable at the scan.
+  *
+  * Sources that store event time as a raw epoch-nanos long (e.g. Parquet
+  * TIMESTAMP(NANOS) read with `nanosAsLong`) surface a derived column
+  * `timestamp_micros(ns div 1000)`. A predicate on that derived column is
+  * opaque to Parquet filter pushdown — the scan reads every row group even
+  * though the predicate is a monotone function of the stored column. No
+  * built-in rule inverts monotone expressions, so the as-of bound of a
+  * snapshot query (`ts < T`, the reference's `Scan.setTimeRange` analogue —
+  * reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala:124)
+  * loses its server-side evaluation when the source stores nanos.
+  *
+  * The rule CONJOINS an implied raw-column predicate rather than replacing
+  * the original — semantics are unchanged by construction (the original
+  * predicate implies the added one), and `PushDownPredicates` then moves
+  * the raw conjunct into the scan where row-group stats can prune.
+  * Truncation-toward-zero of `div` on negative nanos is covered by an
+  * `x < 0` escape disjunct where needed; bounds are only rewritten for
+  * non-negative timestamp literals (epoch-positive data).
+  */
+object NanosFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** timestamp_micros(x div 1000) over a long expression x. */
+  private object DerivedMicros {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(x, Literal(1000L, LongType), _))
+          if x.dataType == LongType => Some(x)
+      case _ => None
+    }
+  }
+
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(t: Long, TimestampType) if t >= 0 && t < Long.MaxValue / 1000 - 1 =>
+        Some(t)
+      case _ => None
+    }
+  }
+
+  /** The raw-column predicate implied by one derived-column comparison. */
+  private def implied(cmp: Expression): Option[Expression] = cmp match {
+    // micros(x div 1000) < t  ⟹  x < t*1000  (x ≥ 0)  ∨  x < 0
+    case LessThan(DerivedMicros(x), TsLit(t)) =>
+      Some(Or(LessThan(x, Literal(t * 1000L)), LessThan(x, Literal(0L))))
+    case GreaterThan(TsLit(t), DerivedMicros(x)) =>
+      Some(Or(LessThan(x, Literal(t * 1000L)), LessThan(x, Literal(0L))))
+    // micros(x div 1000) <= t  ⟹  x < (t+1)*1000  ∨  x < 0
+    case LessThanOrEqual(DerivedMicros(x), TsLit(t)) =>
+      Some(Or(LessThan(x, Literal((t + 1) * 1000L)), LessThan(x, Literal(0L))))
+    case GreaterThanOrEqual(TsLit(t), DerivedMicros(x)) =>
+      Some(Or(LessThan(x, Literal((t + 1) * 1000L)), LessThan(x, Literal(0L))))
+    // micros(x div 1000) > t  ⟹  x ≥ (t+1)*1000   (negative x can't exceed t ≥ 0)
+    case GreaterThan(DerivedMicros(x), TsLit(t)) =>
+      Some(GreaterThanOrEqual(x, Literal((t + 1) * 1000L)))
+    case LessThan(TsLit(t), DerivedMicros(x)) =>
+      Some(GreaterThanOrEqual(x, Literal((t + 1) * 1000L)))
+    // micros(x div 1000) >= t  ⟹  x ≥ t*1000
+    case GreaterThanOrEqual(DerivedMicros(x), TsLit(t)) =>
+      Some(GreaterThanOrEqual(x, Literal(t * 1000L)))
+    case LessThanOrEqual(TsLit(t), DerivedMicros(x)) =>
+      Some(GreaterThanOrEqual(x, Literal(t * 1000L)))
+    // micros(x div 1000) = t  ⟹  t*1000 ≤ x ≤ t*1000 + 999
+    case EqualTo(DerivedMicros(x), TsLit(t)) =>
+      Some(And(GreaterThanOrEqual(x, Literal(t * 1000L)),
+        LessThanOrEqual(x, Literal(t * 1000L + 999L))))
+    case EqualTo(TsLit(t), DerivedMicros(x)) =>
+      Some(And(GreaterThanOrEqual(x, Literal(t * 1000L)),
+        LessThanOrEqual(x, Literal(t * 1000L + 999L))))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val extras = conjuncts.flatMap(implied)
+        // idempotence: don't re-add predicates already present
+        .filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+      if (extras.isEmpty) f
+      else Filter((conjuncts ++ extras).reduce(And), child)
+  }
+}

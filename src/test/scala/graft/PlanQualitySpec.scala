@@ -70,6 +70,20 @@ class PlanQualitySpec extends SparkTestBase {
     "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
   }
 
+  "NanosFilterPushdown" should "push the as-of bound to the raw nanos scan column" in {
+    import org.apache.spark.sql.types.TimestampType
+    graft.extensions.GraftExtensions.register(spark)
+    val bound = lit("2024-01-15 00:00:00").cast(TimestampType)
+    val df = Tables.events(spark, sf).filter(col("ts") < bound)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the derived-timestamp predicate is opaque to parquet; the rule adds
+    // the implied raw-column bound, which reaches PushedFilters
+    plan should include regex "PushedFilters: \\[.*LessThan\\(ts,1705276800000000000\\)"
+    // semantics unchanged: same rows as the un-extended formulation
+    df.count() shouldBe Tables.events(spark, sf)
+      .filter(unix_micros(col("ts")) < unix_micros(bound)).count()
+  }
+
   "bruteForceTopK" should "broadcast the query batch, never shuffle the corpus" in {
     val emb = Tables.embeddings(spark, sf)
     val plan = graft.ops.Similarity

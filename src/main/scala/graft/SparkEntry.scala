@@ -43,6 +43,14 @@ object SparkEntry {
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
 
+    // O13 delta-reconciliation — distinct keys whose state changed in
+    // [from, until): the semi/anti-join input for delta imports.
+    "q_changed_keys" -> ((s, d) =>
+      Snapshot.changedKeysBetween(Tables.events(s, d), Seq("user_id"), "ts",
+          lit("2024-01-10 00:00:00").cast(TimestampType),
+          lit(AsOfTs).cast(TimestampType))
+        .orderBy(col("user_id"))),
+
     // O1/O13 window formulation — same semantics via row_number() = 1.
     "q_snapshot_asof_window" -> ((s, d) =>
       Snapshot.latestPerKeyWindow(
@@ -250,6 +258,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Sketch aggregation — HLL++ approximate distinct next to the exact
+    // count (rows-only: sketch estimates are engine-specific).
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))),
+
     // Gap-based sessionization over the events stream (3600s gap).
     "q_sessionize" -> ((s, d) =>
       Sessions.sessionSummary(Tables.events(s, d), "user_id", "ts",
@@ -264,6 +281,7 @@ object SparkEntry {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.subwordCountApprox(t).as("n_subwords"),
         TextAnalysis.charCount(t).as("len_chars"),
         round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
         round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
@@ -372,6 +390,10 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value, ts FROM events
         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         | ORDER BY user_id""".stripMargin,
+    "q_changed_keys" ->
+      s"""SELECT DISTINCT user_id FROM events
+         | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '$AsOfTs'
+         | ORDER BY user_id""".stripMargin,
     "q_snapshot_asof_window" ->
       s"""SELECT user_id, event_id, event_type, value, ts FROM events
          | WHERE ts < TIMESTAMP '$AsOfTs'
@@ -517,6 +539,7 @@ object SparkEntry {
          |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
          |  FROM documents)
          |SELECT doc_id, n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
          |  length(text) AS len_chars,
          |  CASE WHEN length(text) = 0 THEN 0.0
          |       ELSE round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE

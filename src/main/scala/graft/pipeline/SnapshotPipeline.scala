@@ -41,8 +41,13 @@ object SnapshotPipeline {
   sealed trait Sink
   final case class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Sink
   /** `saveAsTable` overwrite, the reference's Hive sink
-    * (reference: HBaseSnapshotter.scala:134-137). */
-  final case class TableSink(table: String, partitionBy: Seq[String] = Nil) extends Sink
+    * (reference: HBaseSnapshotter.scala:134-137). `bucketBy` hash-buckets
+    * the table on the given columns so equi-joins and aggregations on the
+    * bucket key skip their shuffle entirely — the snapshot's natural
+    * bucketing is the row key, which co-locates delta-import
+    * reconciliation joins (Schema.scala:123-127) for free. */
+  final case class TableSink(table: String, partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None) extends Sink
 
   /** `asOfMillis = -1` snapshots the latest state (reference: Settings.scala:51,
     * README.md:38). */
@@ -92,9 +97,13 @@ object SnapshotPipeline {
       case ParquetSink(path, parts) =>
         val w = df.write.mode(SaveMode.Overwrite)
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
-      case TableSink(table, parts) =>
-        val w = df.write.mode(SaveMode.Overwrite)
-        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(table)
+      case TableSink(table, parts, buckets) =>
+        var w = df.write.mode(SaveMode.Overwrite)
+        if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+        buckets.foreach { case (n, cols) =>
+          w = w.bucketBy(n, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*)
+        }
+        w.saveAsTable(table)
     }
   }
 
@@ -143,9 +152,15 @@ object SnapshotPipeline {
       case JArray(cols) => cols.flatMap(str)
       case _ => Nil
     }
+    val bucketBy = (root \ "bucket_by" \ "num_buckets",
+        root \ "bucket_by" \ "columns") match {
+      case (JInt(n), JArray(cols)) => Some((n.toInt, cols.flatMap(str)))
+      case (JNothing, JNothing) => None
+      case _ => fail("bucket_by needs both num_buckets and columns")
+    }
     val sink = (root \ "sink" \ "path", root \ "sink" \ "table") match {
       case (JString(p), JNothing) => ParquetSink(p, partitionBy)
-      case (JNothing, JString(t)) => TableSink(t, partitionBy)
+      case (JNothing, JString(t)) => TableSink(t, partitionBy, bucketBy)
       case _ => fail("need exactly one of sink.path or sink.table")
     }
     SnapshotConfig(changelogPath, schemaSource, sink, keyCol, statusCol, tsCol, asOf)

@@ -89,6 +89,20 @@ class SnapshotPipelineSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_snapshot")
   }
 
+  "run (bucketed table sink)" should "bucket and sort by the key column" in {
+    SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      TableSink("graft_test_bucketed",
+        bucketBy = Some((4, Seq("k_hbase_row_key"))))))
+    try {
+      spark.table("graft_test_bucketed").count() shouldBe 2
+      val cat = spark.sql("DESCRIBE TABLE EXTENDED graft_test_bucketed")
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      cat should include("Num Buckets 4")
+      cat should include("k_hbase_row_key")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_bucketed")
+  }
+
   "fromJson" should "dispatch the schema strategy on config shape" in {
     val mysqlCfg = fromJson(
       s"""{"changelog": {"path": "$changelogPath", "timestamp": 2000},

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized invariants for as-of reconstruction (SURVEY.md §5.2):
+  * at most one row per key, agg and window formulations agree, increasing
+  * T is monotone, and T=∞ equals latest state — over random changelogs
+  * with heavy ts collisions (fixed seeds; deterministic). */
+class SnapshotPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomChangelog(seed: Int) = {
+    val rnd = new Random(seed)
+    val rows = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(20)}", rnd.nextInt(50).toLong, i) // many ts ties
+    }
+    rows.toDF("k", "epoch", "seq")
+      .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+  }
+
+  "snapshot invariants" should "hold on random changelogs" in {
+    for (seed <- 1 to 5) {
+      val cl = randomChangelog(seed)
+      val cuts = Seq(0L, 10L, 25L, 49L, 1000L)
+      var prevKeys = Set.empty[String]
+      for (t <- cuts) {
+        val viaAgg = Snapshot.snapshotAsOf(cl, Seq("k"), "ts",
+            timestamp_seconds(lit(t)), Seq("seq"))
+          .select($"k", $"seq").as[(String, Int)].collect().toMap
+        val viaWin = Snapshot.latestPerKeyWindow(
+            cl.filter($"ts" < timestamp_seconds(lit(t))), Seq("k"), "ts", Seq("seq"))
+          .select($"k", $"seq").as[(String, Int)].collect().toMap
+        withClue(s"seed=$seed t=$t: ") {
+          viaAgg shouldBe viaWin                       // formulations agree
+          viaAgg.keySet.size shouldBe viaAgg.size      // ≤1 row per key
+          prevKeys.subsetOf(viaAgg.keySet) shouldBe true // monotone coverage
+        }
+        prevKeys = viaAgg.keySet
+      }
+      val latest = Snapshot.latestPerKey(cl, Seq("k"), "ts", Seq("seq"))
+        .select($"k", $"seq").as[(String, Int)].collect().toMap
+      val atInfinity = Snapshot.snapshotAsOf(cl, Seq("k"), "ts",
+          timestamp_seconds(lit(100000L)), Seq("seq"))
+        .select($"k", $"seq").as[(String, Int)].collect().toMap
+      latest shouldBe atInfinity                       // T=∞ ≡ latest
+    }
+  }
+}

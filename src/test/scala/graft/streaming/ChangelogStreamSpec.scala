@@ -37,6 +37,33 @@ class ChangelogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "drop state-free late data behind the watermark in append-mode sinks" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val counts = ChangelogStream.windowedCounts(
+      input.toDF(), "ts", "user_id",
+      windowDuration = "1 minute", slideDuration = "1 minute",
+      watermarkDelay = "1 minute")
+    val q = counts.writeStream
+      .format("memory").queryName("late_counts")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1, 600, 1.0)) // watermark advances to 600-60=540
+      q.processAllAvailable()
+      input.addData(ev(1, 2, 0, 9.0))   // 10 minutes late — behind watermark
+      input.addData(ev(1, 3, 700, 2.0)) // advances watermark past window 600-660
+      q.processAllAvailable()
+      input.addData(ev(1, 4, 800, 3.0))
+      q.processAllAvailable()
+      val windows = spark.table("late_counts")
+        .select($"window_start", $"n_events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toMap
+      // the late event at t=0 must NOT have produced a [0,60) window
+      windows.keySet should not contain 0L
+      windows(600L) shouldBe 1L
+    } finally q.stop()
+  }
+
   "windowedCounts" should "aggregate per event-time window with watermark" in {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]

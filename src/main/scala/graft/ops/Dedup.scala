@@ -97,7 +97,11 @@ object Dedup {
           .filter(col("count") <= maxShingleDf).select("shingle")
         edges.join(broadcast(rare), "shingle")
       }
-    val pairs = idx.as("l").join(idx.as("r"),
+    // SHUFFLE_HASH: the inverted index only looks broadcastable at test
+    // scale — at corpus scale collecting it to the driver is fatal, and
+    // even here the broadcast build dominates the join. Partitioned hash
+    // join is the plan that survives the scale-up.
+    val pairs = idx.as("l").hint("shuffle_hash").join(idx.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
@@ -184,7 +188,8 @@ object Dedup {
     // dropped by the ContextCleaner once the plan is unreachable)
     val b = lshBuckets(df, idCol, textCol, n, bands, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    b.as("l").join(b.as("r"),
+    // shuffle-hash, not broadcast: the bucket table scales with the corpus
+    b.as("l").hint("shuffle_hash").join(b.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
@@ -268,7 +273,7 @@ object Dedup {
         shiftright(col("sim"), offsets(b)).bitwiseAND(mask)
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    banded.as("l").join(banded.as("r"),
+    banded.as("l").hint("shuffle_hash").join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))

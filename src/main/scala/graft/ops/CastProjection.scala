@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 object CastProjection {
 
+  /** Error semantics note: a malformed value (non-numeric string under a
+    * numeric target) aborts the job under Spark ANSI mode (the default),
+    * matching the reference's log-and-rethrow fail-fast contract
+    * (reference: HBaseSnapshotter.scala:95-102); the NULL sentinel below is
+    * the only value-level escape. */
+
   /** The case-insensitive string "NULL" decodes to SQL NULL
     * (reference: HBaseSnapshotter.scala:75-76). */
   val NullSentinel = "NULL"

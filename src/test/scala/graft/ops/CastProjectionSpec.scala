@@ -45,6 +45,14 @@ class CastProjectionSpec extends SparkTestBase {
     row.isNullAt(2) shouldBe true
   }
 
+  it should "fail fast on malformed values like the reference row builder" in {
+    // reference logs and RETHROWS on cast failure (HBaseSnapshotter.scala:
+    // 95-102) — Spark 4 ANSI mode gives the same fail-fast contract
+    val bad = Seq("not-a-number").toDF("v")
+      .select(CastProjection.castField($"v", IntegerType).as("v"))
+    a[Throwable] should be thrownBy bad.collect()
+  }
+
   "castTo" should "dispatch on field metadata like the reference row builder" in {
     // reference: HBaseSnapshotter.scala:61-73
     val changelog = Seq(("rk1", "U", "7", "x")).toDF("row_key", "row_status", "n", "renamed_src")

@@ -353,6 +353,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF approximate top-k (spherical k-means coarse quantizer, probes
+    // 4 of 16 cells) — recall probabilistic, rows-only check.
+    "q_sim_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- extension tier: multimodal columns ----
 
     // Batched feature extraction over binary payloads (stub decoder with

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.fdot
+
+/** IVF (inverted-file) approximate nearest-neighbor index: a spherical
+  * k-means coarse quantizer partitions the corpus into `nlist` cells; a
+  * query scores only the `nprobe` cells nearest its own direction.
+  *
+  * Complements [[Similarity.lshTopK]] (data-independent hyperplanes) with
+  * the data-ADAPTIVE coarse partition real vector stores use: cells follow
+  * the corpus distribution, so recall per scored candidate is higher on
+  * clustered data.
+  *
+  * Scale design: training iterations are one broadcast-join pass each
+  * (centroids are model parameters — `nlist × dim` floats — broadcast to
+  * executors; only (cell, dim, partial-sum) rows cross the shuffle).
+  * Search is a cell-pruned scan: the corpus is never shuffled, candidates
+  * stream through the native dot-product expression.
+  */
+object IvfIndex {
+
+  /** Train spherical k-means centroids. Deterministic: seeds are the
+    * first `nlist` corpus vectors by id; assignment by max dot product on
+    * unit vectors; update = renormalized mean. Centroids come back to the
+    * driver (nlist × dim — model size, not data size). */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Float]] = {
+    val unit = unitVectors(corpus, idCol, vecCol).persist()
+    var centroids = unit.orderBy(col("id")).limit(nlist)
+      .select(col("uvec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(unit, centroids)
+      // per-(cell, dimension) mean via posexplode — only k×dim partial
+      // sums cross the shuffle (map-side combine on (cell, pos))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("uvec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val dim = centroids(0).length
+      val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
+      sums.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val v = new Array[Float](dim)
+        rows.foreach(r => v(r.getAs[Int]("pos")) = (
+          r.getAs[Double]("s") / r.getAs[Long]("n")).toFloat)
+        val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (nrm > 0) next(cell) = v.map(x => (x / nrm).toFloat)
+      }
+      centroids = next
+    }
+    unit.unpersist()
+    centroids
+  }
+
+  /** Approximate cosine top-k: score only corpus vectors in the query's
+    * `nprobe` nearest cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol)
+    val c = assignCells(unitVectors(corpus, idCol, vecCol), centroids)
+      .select(col("id").as("corpus_id"), col("uvec").as("c_uvec"), col("cell"))
+    // per query: top-nprobe cells by centroid dot product
+    val q = unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("uvec").as("q_uvec"),
+        explode(topCells(col("uvec"), centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", fdot(col("q_uvec"), col("c_uvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** (id, unit vector); zero vectors stay zero (land in cell of seed 0
+    * with score 0 — harmless). */
+  private def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Parallelism.spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .withColumn("nrm", sqrt(fdot(col("vec"), col("vec"))))
+      .withColumn("uvec", when(col("nrm") === 0.0, col("vec"))
+        .otherwise(transform(col("vec"), x => (x / col("nrm")).cast("float"))))
+      .select(col("id"), col("uvec"))
+
+  private def centroidLit(c: Array[Float]): Column =
+    array(c.map(x => lit(x)): _*)
+
+  /** Nearest-cell assignment by max dot against broadcast centroid literals. */
+  private def assignCells(unit: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(fdot(col("uvec"), centroidLit(cvec)).as("score"), lit(i).as("cell"))
+    }
+    unit.withColumn("cell", greatest(scored: _*).getField("cell"))
+  }
+
+  /** Top-`nprobe` cell ids for a unit vector, as an array column. */
+  private def topCells(uvec: Column, centroids: Array[Array[Float]],
+                       nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(fdot(uvec, centroidLit(cvec)).as("score"), lit(i).as("cell"))
+    }: _*)
+    slice(transform(reverse(array_sort(scored)), s => s.getField("cell")),
+      1, nprobe)
+  }
+}

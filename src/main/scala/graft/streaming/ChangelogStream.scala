@@ -78,6 +78,20 @@ object ChangelogStream {
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Streaming gap-based sessionization — the event-time session_window
+    * analogue of the batch [[graft.ops.Sessions]] operator: a session
+    * closes once the watermark passes its gap, then emits exactly one
+    * summary row (append mode). */
+  def sessionSummaries(stream: DataFrame, tsCol: String, keyCol: String,
+                       gapDuration: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
   /** Suggested sink wiring for the upsert view (Update output mode). */
   def upsertOutputMode: OutputMode = OutputMode.Update()
 }

@@ -64,6 +64,28 @@ class ChangelogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "sessionSummaries" should "close sessions on gap expiry and emit one row each" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = ChangelogStream.sessionSummaries(
+      input.toDF(), "ts", "user_id",
+      gapDuration = "1 minute", watermarkDelay = "10 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // one session of 3 events (gaps < 60s), then silence past the gap
+      input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 30, 2.0), ev(1, 3, 59, 3.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 4, 500, 4.0)) // watermark → 490 > 59+60: closes session 1
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out")
+        .select($"user_id", $"n_events", $"sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      rows shouldBe Set((1L, 3L, 6.0)) // session 2 still open, not emitted
+    } finally q.stop()
+  }
+
   "windowedCounts" should "aggregate per event-time window with watermark" in {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -231,6 +231,21 @@ object SparkEntry {
         pmod(col("o_orderkey"), lit(7)).as("key_mod"))
         .orderBy(col("o_orderkey"))),
 
+    // Array-function battery — split/slice/distinct/sort/join/element_at.
+    "q_array_battery" -> ((s, d) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        array_contains(toks, "spark").as("has_spark"),
+        array_join(sort_array(array_distinct(slice(toks, 1, 5))), ",").as("first5"),
+        element_at(toks, 1).as("first_word"),
+        element_at(toks, -1).as("last_word"),
+        size(array_intersect(toks, array(lit("data"), lit("table"), lit("query"))))
+          .as("n_keywords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Distinct aggregates + min/max + deterministic string agg.
     "q_distinct_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -501,6 +516,18 @@ object SparkEntry {
         | abs(o_totalprice - 100000.0) AS price_dist,
         | o_orderkey % 7 AS key_mod
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_battery" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_words,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  array_to_string(list_sort(list_distinct(toks[1:5])), ',') AS first5,
+        |  toks[1] AS first_word,
+        |  toks[-1] AS last_word,
+        |  len(list_intersect(toks, ['data', 'table', 'query'])) AS n_keywords
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_suppkey) AS n_supp,

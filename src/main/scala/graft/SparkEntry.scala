@@ -377,6 +377,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Deterministic key-stable train/val/test split — split sizes per
+    // language (rows-only: the hash family is engine-specific).
+    "q_sample_split" -> ((s, d) =>
+      graft.ops.Sampling.trainValTestSplit(
+          Tables.documents(s, d), Seq("doc_id"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))),
+
     // ---- extension tier: multimodal columns ----
 
     // Batched feature extraction over binary payloads (stub decoder with

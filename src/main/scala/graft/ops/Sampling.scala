@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-stable sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is neither reproducible across reruns of
+  * a changed plan nor stable per entity — the same document can land in
+  * train today and eval tomorrow. Hash-based assignment fixes both: the
+  * split is a pure function of the key, so membership survives reruns,
+  * repartitioning, and incremental appends (new rows of a known key join
+  * their key's split). This is the standard leakage-safe holdout
+  * construction for corpus pipelines.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) as a pure function of the key column(s). */
+  def hashBucket(buckets: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(buckets.toLong)).cast("int")
+
+  /** Deterministic fraction-of-keys filter: keeps rows whose key hashes
+    * into the first `fraction` of 10_000 buckets. */
+  def hashSample(df: DataFrame, fraction: Double, keyCols: Seq[String]): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(hashBucket(10000, keyCols.map(col): _*) < (fraction * 10000).toInt)
+  }
+
+  /** Add a `split` column ("train" | "val" | "test") with the given
+    * weights, deterministically per key. Weights need not sum to 1 — they
+    * are normalized. */
+  def trainValTestSplit(df: DataFrame, keyCols: Seq[String],
+                        trainWeight: Double = 0.8, valWeight: Double = 0.1,
+                        testWeight: Double = 0.1): DataFrame = {
+    val total = trainWeight + valWeight + testWeight
+    require(total > 0, "weights must be positive")
+    val b = hashBucket(10000, keyCols.map(col): _*)
+    val trainHi = (trainWeight / total * 10000).toInt
+    val valHi = ((trainWeight + valWeight) / total * 10000).toInt
+    df.withColumn("split",
+      when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+
+  "hashSample" should "be deterministic and approximately sized" in {
+    val a = Sampling.hashSample(docs, 0.3, Seq("id")).select($"id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, 0.3, Seq("id")).select($"id").as[Long].collect().toSet
+    a shouldBe b
+    a.size.toDouble shouldBe 300.0 +- 50.0
+  }
+
+  it should "nest: a smaller fraction is a subset of a larger one" in {
+    val small = Sampling.hashSample(docs, 0.1, Seq("id")).select($"id").as[Long].collect().toSet
+    val large = Sampling.hashSample(docs, 0.5, Seq("id")).select($"id").as[Long].collect().toSet
+    small.subsetOf(large) shouldBe true
+  }
+
+  "trainValTestSplit" should "partition every row deterministically by key" in {
+    val out = Sampling.trainValTestSplit(docs, Seq("id"))
+    out.count() shouldBe 1000
+    val counts = out.groupBy($"split").count().as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("train", "val", "test")
+    counts("train").toDouble shouldBe 800.0 +- 80.0
+    // key-stability: same key always lands in the same split, even from a
+    // differently-partitioned frame
+    val again = Sampling.trainValTestSplit(docs.repartition(7), Seq("id"))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    out.select($"id", $"split").as[(Long, String)].collect().toMap shouldBe again
+  }
+}

@@ -64,6 +64,17 @@ class SnapshotSpec extends SparkTestBase {
       .select($"v").as[String].collect().toSeq shouldBe Seq("hi")
   }
 
+  "latestPerKey with composite keys" should "reconstruct per key tuple" in {
+    val cl = Seq(
+      ("a", 1, 10L, "x1"), ("a", 1, 20L, "x2"),
+      ("a", 2, 15L, "y1"), ("b", 1, 5L, "z1")
+    ).toDF("k1", "k2", "epoch", "v")
+      .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+    val out = Snapshot.latestPerKey(cl, Seq("k1", "k2"), "ts")
+      .select($"k1", $"k2", $"v").as[(String, Int, String)].collect().toSet
+    out shouldBe Set(("a", 1, "x2"), ("a", 2, "y1"), ("b", 1, "z1"))
+  }
+
   "changedKeysBetween" should "return distinct keys touched in [from, until)" in {
     val keys = Snapshot.changedKeysBetween(changelog, Seq("k"), "ts",
         timestamp_seconds(lit(4)), timestamp_seconds(lit(9)))

@@ -377,6 +377,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Token-window chunking with overlap — context-window prep.
+    "q_chunking" -> ((s, d) =>
+      graft.ops.Chunking.chunk(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", chunkTokens = 40, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Deterministic key-stable train/val/test split — split sizes per
     // language (rows-only: the hash family is engine-specific).
     "q_sample_split" -> ((s, d) =>
@@ -680,6 +689,38 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
+        |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
+        |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-bounded document chunking with overlap — the context-window
+  * preparation step of a training corpus pipeline: long documents split
+  * into windows of `chunkTokens` whitespace tokens, consecutive chunks
+  * sharing `overlapTokens` so no span is lost at a boundary.
+  *
+  * Pure Catalyst expressions over the token array (one pass, no shuffle,
+  * no UDF): chunk starts stride by `chunkTokens - overlapTokens`; the
+  * final partial chunk is kept (training pipelines pad it downstream).
+  */
+object Chunking {
+
+  /** Explode each document into (original columns..., chunk_idx,
+    * chunk_text, chunk_tokens). Empty/blank docs produce no chunks. */
+  def chunk(df: DataFrame, textCol: String,
+            chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(trim(col(textCol)), "\\s+")
+    // number of chunks: 1 + ceil((n - chunkTokens) / stride) for n > chunk,
+    // else 1; blank text (zero tokens) → none
+    val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val nChunks = when(n === 0, lit(0))
+      .when(n <= chunkTokens, lit(1))
+      .otherwise(lit(1) + ceil((n - chunkTokens).cast("double") / stride).cast("int"))
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => struct(
+        i.as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), n - i * stride).as("chunk_tokens")))
+    df.withColumn("__chunks", when(nChunks === 0, array().cast(
+          "array<struct<chunk_idx:int,chunk_text:string,chunk_tokens:int>>"))
+        .otherwise(chunks))
+      .select((df.columns.toIndexedSeq.map(col) :+
+        explode(col("__chunks")).as("__c")): _*)
+      .select((df.columns.toIndexedSeq.map(col) ++ Seq(
+        col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("__c.chunk_tokens").as("chunk_tokens"))): _*)
+  }
+}

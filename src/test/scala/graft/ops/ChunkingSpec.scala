@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "chunk" should "split into fixed-size windows with overlap" in {
+    // 10 tokens, chunk 4, overlap 1 → stride 3 → starts 0,3,6 (+ tail at 9?)
+    // nChunks = 1 + ceil((10-4)/3) = 3 → starts 0,3,6; last covers 7..10
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Chunking.chunk(df, "text", chunkTokens = 4, overlapTokens = 1)
+      .select($"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq.sortBy(_._1)
+    out shouldBe Seq(
+      (0, "t1 t2 t3 t4", 4),
+      (1, "t4 t5 t6 t7", 4),
+      (2, "t7 t8 t9 t10", 4))
+  }
+
+  it should "keep the final partial chunk and cover every token" in {
+    val df = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Chunking.chunk(df, "text", chunkTokens = 4, overlapTokens = 0)
+      .select($"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Int, String, Int)].collect().toSeq.sortBy(_._1)
+    out.map(_._3).sum shouldBe 11 // no overlap → token counts partition
+    out.last shouldBe ((2, "t9 t10 t11", 3))
+  }
+
+  it should "emit one chunk for short docs and none for blank docs" in {
+    val df = Seq((1L, "a b"), (2L, "   "), (3L, "")).toDF("id", "text")
+    val out = Chunking.chunk(df, "text", chunkTokens = 4)
+      .select($"id", $"chunk_text").as[(Long, String)].collect().toSeq
+    out shouldBe Seq((1L, "a b"))
+  }
+}

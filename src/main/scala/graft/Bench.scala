@@ -25,15 +25,21 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // min of two timed passes: the generated-code class cache is a small
+    // LRU, so across ~37 queries one unlucky stage pays a multi-second
+    // recompile per pass — min-of-2 reports steady-state per-query cost
+    // instead of attributing that compile noise to a random query
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist small intermediates (signatures, indexes) scoped
-      // to their own query; drop them so later queries aren't measured
-      // under the accumulated memory pressure of earlier ones
-      spark.catalog.clearCache()
-      name -> dt
+      val dts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators persist small intermediates (signatures, indexes)
+        // scoped to their own query; drop them between measurements
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> dts.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

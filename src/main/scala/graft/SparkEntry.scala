@@ -373,7 +373,7 @@ object SparkEntry {
     "q_sim_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       graft.ops.IvfIndex.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          nlist = 16, nprobe = 4)
+          nlist = 8, nprobe = 2, iters = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -282,6 +282,35 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // Pivot — status columns per priority (counts), fixed column set.
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy(col("o_orderpriority"))),
+
+    // Exact percentiles — linear-interpolated quantiles per group.
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .orderBy(col("l_returnflag"))),
+
+    // Statistical aggregates — stddev/variance/corr/covar per group.
+    "q_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
+        .orderBy(col("l_returnflag"))),
+
     // Gap-based sessionization over the events stream (3600s gap).
     "q_sessionize" -> ((s, d) =>
       Sessions.sessionSummary(Tables.events(s, d), "user_id", "ts",
@@ -563,6 +592,25 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_discount), 6) AS sd_disc,
+        | round(var_samp(l_discount), 6) AS var_disc,
+        | round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        | round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

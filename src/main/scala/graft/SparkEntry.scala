@@ -51,6 +51,14 @@ object SparkEntry {
           lit(AsOfTs).cast(TimestampType))
         .orderBy(col("user_id"))),
 
+    // O1/O13 composite-key variant — latest state per (user, event_type).
+    "q_snapshot_multikey" -> ((s, d) =>
+      Snapshot.latestPerKey(Tables.events(s, d),
+          Seq("user_id", "event_type"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // O1/O13 window formulation — same semantics via row_number() = 1.
     "q_snapshot_asof_window" -> ((s, d) =>
       Snapshot.latestPerKeyWindow(
@@ -145,6 +153,19 @@ object SparkEntry {
         .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Outer joins — full outer over partially-overlapping key ranges.
+    "q_join_outer" -> ((s, d) => {
+      val lowCust = Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val highSpenders = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("spend") > 700000)
+      lowCust.join(highSpenders, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("c_name"), col("spend"))
+        .orderBy(col("custkey"))
     }),
 
     // Skew-mitigated join — salted replicate join; results identical to
@@ -465,6 +486,11 @@ object SparkEntry {
       s"""SELECT DISTINCT user_id FROM events
          | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '$AsOfTs'
          | ORDER BY user_id""".stripMargin,
+    "q_snapshot_multikey" ->
+      """SELECT user_id, event_type, event_id, value, ts FROM events
+        | QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |   ORDER BY ts DESC, event_id DESC) = 1
+        | ORDER BY user_id, event_type""".stripMargin,
     "q_snapshot_asof_window" ->
       s"""SELECT user_id, event_id, event_type, value, ts FROM events
          | WHERE ts < TIMESTAMP '$AsOfTs'
@@ -512,6 +538,24 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
         | ORDER BY c_custkey""".stripMargin,
+    "q_join_outer" ->
+      """WITH lc AS (
+        |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey <= 1000),
+        |hs AS (
+        |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey HAVING round(sum(o_totalprice), 2) > 700000)
+        |SELECT COALESCE(lc.custkey, hs.custkey) AS custkey, lc.c_name, hs.spend
+        |FROM lc FULL OUTER JOIN hs ON lc.custkey = hs.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_join_outer" ->
+      """WITH lc AS (
+        |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey <= 1000),
+        |hs AS (
+        |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey HAVING round(sum(o_totalprice), 2) > 700000)
+        |SELECT COALESCE(lc.custkey, hs.custkey) AS custkey, lc.c_name, hs.spend
+        |FROM lc FULL OUTER JOIN hs ON lc.custkey = hs.custkey
+        |ORDER BY custkey""".stripMargin,
     "q_salted_join" ->
       """SELECT c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey

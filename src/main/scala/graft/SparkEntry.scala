@@ -436,6 +436,19 @@ object SparkEntry {
           col("chunk_tokens"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Chunk → pack pipeline: token windows packed into capacity-512
+    // context batches per shard (greedy cumulative blocks).
+    "q_packing" -> ((s, d) => {
+      val chunks = graft.ops.Chunking.chunk(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", chunkTokens = 40, overlapTokens = 8)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      graft.ops.Packing.packSummary(chunks, "chunk_tokens", capacity = 512,
+          "shard", Seq("doc_id", "chunk_idx"))
+        .withColumn("n_tokens", col("n_tokens").cast(LongType))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // Deterministic key-stable train/val/test split — split sizes per
     // language (rows-only: the hash family is engine-specific).
     "q_sample_split" -> ((s, d) =>
@@ -813,6 +826,31 @@ object SparkEntry {
         |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
         |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    CAST(least(40, n - i*32) AS INT) AS chunk_tokens
+        |  FROM e),
+        |pk AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, chunk_tokens,
+        |    CAST(floor((sum(chunk_tokens) OVER (PARTITION BY doc_id % 8
+        |        ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
+        |      - chunk_tokens)::DOUBLE / 512) AS INT) AS pack_id
+        |  FROM ch)
+        |SELECT shard, pack_id, count(*) AS n_pieces,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+        |FROM pk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pieces = Seq(
+    // shard a: tokens 30+30+30 | 40 | 90(oversize-ish fits) …capacity 80
+    ("a", 1, 30), ("a", 2, 30), ("a", 3, 30), ("a", 4, 40), ("a", 5, 90),
+    ("b", 1, 80), ("b", 2, 10)
+  ).toDF("shard", "seq", "toks")
+
+  "packGreedy" should "assign cumulative-block packs deterministically" in {
+    val out = Packing.packGreedy(pieces, "toks", capacity = 80,
+        "shard", Seq("seq"))
+      .select($"shard", $"seq", $"pack_id", $"pack_pos")
+      .as[(String, Int, Int, Int)].collect().toSet
+    // shard a cumsum-tok: 0,30,60,90,130 → packs 0,0,0,1,1
+    out should contain allOf (
+      ("a", 1, 0, 0), ("a", 2, 0, 1), ("a", 3, 0, 2),
+      ("a", 4, 1, 0), ("a", 5, 1, 1),
+      ("b", 1, 0, 0), ("b", 2, 1, 0))
+  }
+
+  it should "never split a piece and bound overflow to one piece" in {
+    val out = Packing.packSummary(pieces, "toks", capacity = 80,
+        "shard", Seq("seq"))
+      .select($"shard", $"pack_id", $"n_tokens")
+      .as[(String, Int, Long)].collect()
+    // every pack's fill below capacity + the max single piece
+    all(out.map(_._3)) should be <= (80L + 90L)
+    out.map(_._3).sum shouldBe pieces.agg(sum($"toks")).head().getLong(0)
+  }
+}

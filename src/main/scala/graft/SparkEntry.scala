@@ -267,6 +267,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Date-function battery — add/diff/last_day/quarter/dayofweek.
+    "q_date_battery" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("1998-12-31").cast(DateType), col("o_orderdate")).as("days_to_eoy"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy(col("o_orderkey"))),
+
     // Distinct aggregates + min/max + deterministic string agg.
     "q_distinct_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -632,6 +643,14 @@ object SparkEntry {
         |  toks[-1] AS last_word,
         |  len(list_intersect(toks, ['data', 'table', 'query'])) AS n_keywords
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_date_battery" ->
+      """SELECT o_orderkey,
+        | strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | quarter(o_orderdate) AS o_quarter,
+        | dayofweek(o_orderdate) + 1 AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_suppkey) AS n_supp,

@@ -13,8 +13,8 @@ import org.apache.spark.storage.StorageLevel
   * identical-key dedup to content-similarity dedup.
   *
   * Scale design (100 TB corpus):
-  *  - Exact dedup groups on a 61-bit rolling fingerprint, so only
-  *    (fingerprint, id) pairs cross the shuffle, never document bodies.
+  *  - Exact dedup groups on a 128-bit md5 content hash, so only
+  *    (hash, id) pairs cross the shuffle, never document bodies.
   *  - The Jaccard join is an inverted-index equi-join on shingles — the
   *    candidate space is Σ_shingle df(shingle)², never |docs|². A document
   *    frequency cap (`maxShingleDf`) drops degenerate stop-shingles whose

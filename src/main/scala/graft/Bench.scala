@@ -35,8 +35,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators persist small intermediates (signatures, indexes)
-        // scoped to their own query; drop them between measurements
+        // scoped to their own query; drop them between measurements, and
+        // collect so dead broadcasts/shuffle refs from earlier queries
+        // don't bill their GC pauses to a random later query
         spark.catalog.clearCache()
+        System.gc()
         dt
       }
       name -> dts.min

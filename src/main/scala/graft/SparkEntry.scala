@@ -104,6 +104,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Map-function battery — JSON props parsed to a typed map, then
+    // element_at/size/map_keys over it.
+    "q_map_battery" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(m, "k").as("k_val"),
+        size(m).as("n_keys"),
+        array_join(map_keys(m), ",").as("keys"))
+        .orderBy(col("event_id"))
+    }),
+
     // Aggregation breadth — TPC-H Q1 shape (group-by + sums/avgs/count).
     "q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -535,6 +547,12 @@ object SparkEntry {
         | make_timestamp(epoch_ms(ts) * 1000) AS ts,
         | value
         | FROM events ORDER BY event_id""".stripMargin,
+    "q_map_battery" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        | len(json_keys(props)) AS n_keys,
+        | array_to_string(json_keys(props), ',') AS keys
+        |FROM events ORDER BY event_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -36,6 +36,18 @@ class AsOfJoinSpec extends SparkTestBase {
     cols shouldBe Seq("sym", "trade_id", "tts", "r_px", "r_qts")
   }
 
+  it should "join on composite keys" in {
+    val q2 = quotes.withColumn("venue", lit("X"))
+      .union(quotes.withColumn("px", $"px" + 1000).withColumn("venue", lit("Y")))
+    val t2 = trades.withColumn("venue", lit("Y"))
+    val out = AsOfJoin.asofJoin(t2, q2, Seq("sym", "venue"), "tts", "qts")
+      .select($"trade_id", $"r_px".as[Option[Double]])
+      .as[(Int, Option[Double])].collect().toMap
+    // only venue-Y quotes (px + 1000) may match
+    out(2) shouldBe Some(1100.0)
+    out(1) shouldBe None
+  }
+
   it should "plan with a single shuffle (no range-join blowup)" in {
     val plan = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
       .queryExecution.executedPlan.toString()

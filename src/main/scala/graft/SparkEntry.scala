@@ -409,12 +409,12 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // SimHash near-dup (64-bit sign fingerprint, banded Hamming blocking).
-    // maxDist 11 separates this corpus cleanly: near-dup pairs measure
-    // Hamming ≤ 10, unrelated pairs ≥ 14, so the result coincides with the
-    // exact Jaccard pair set (the shared oracle).
+    // maxDist 13 separates this corpus cleanly at every scale factor:
+    // near-dup pairs measure Hamming ≤ 12, unrelated pairs ≥ 14, so the
+    // result coincides with the exact Jaccard pair set (the shared oracle).
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          n = 3, maxDist = 11)
+          n = 3, maxDist = 13)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
 

@@ -589,15 +589,6 @@ object SparkEntry {
         |SELECT COALESCE(lc.custkey, hs.custkey) AS custkey, lc.c_name, hs.spend
         |FROM lc FULL OUTER JOIN hs ON lc.custkey = hs.custkey
         |ORDER BY custkey""".stripMargin,
-    "q_join_outer" ->
-      """WITH lc AS (
-        |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey <= 1000),
-        |hs AS (
-        |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
-        |  FROM orders GROUP BY o_custkey HAVING round(sum(o_totalprice), 2) > 700000)
-        |SELECT COALESCE(lc.custkey, hs.custkey) AS custkey, lc.c_name, hs.spend
-        |FROM lc FULL OUTER JOIN hs ON lc.custkey = hs.custkey
-        |ORDER BY custkey""".stripMargin,
     "q_salted_join" ->
       """SELECT c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -831,22 +822,6 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q_chunking" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n, toks,
-        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
-        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
-        |  FROM t),
-        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c)
-        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-        |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
-        |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
-        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,

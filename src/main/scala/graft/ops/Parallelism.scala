@@ -15,9 +15,12 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
 
   /** Round-robin repartition of (a minimal projection of) the input to
-    * the session's default parallelism — only widens, never shrinks. */
+    * the session's default parallelism — only widens, never shrinks: a
+    * source that already has more splits than cores (10k row groups on a
+    * 512-core cluster) keeps its layout instead of paying a coalescing
+    * shuffle down to `defaultParallelism`. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 }

@@ -1,0 +1,22 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** [[Parallelism.spread]] must only widen: a source that is already wider
+  * than the session's default parallelism (many input splits on a small
+  * executor count) keeps its layout instead of paying a coalescing
+  * shuffle. */
+class ParallelismSpec extends SparkTestBase {
+
+  private val target = spark.sparkContext.defaultParallelism
+
+  "spread" should "widen a narrow input to default parallelism" in {
+    val narrow = spark.range(100).toDF("id").coalesce(1)
+    Parallelism.spread(narrow).rdd.getNumPartitions shouldBe target
+  }
+
+  it should "never shrink an input already wider than default parallelism" in {
+    val wide = spark.range(100).toDF("id").repartition(target + 3)
+    Parallelism.spread(wide).rdd.getNumPartitions shouldBe (target + 3)
+  }
+}

@@ -418,8 +418,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Embedding-cosine near-dup, exact all-pairs baseline.
+    // Embedding-cosine near-dup through the banded-LSH scale path: the
+    // hash-checked query IS the bucketed candidate generation + exact
+    // verify. Recall vs the exact join is measured 1.0 at every shipped
+    // scale factor (deterministic plane seeds — see Dedup scaladoc and
+    // DedupSpec), so it shares the exact all-pairs oracle.
     "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact all-pairs baseline — the small-sf correctness anchor the LSH
+    // path is measured against (O(n²): not the 100 TB path).
+    "q_dedup_embedding_exact" -> ((s, d) =>
       Dedup.embeddingNearDupsExact(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
@@ -781,24 +792,8 @@ object SparkEntry {
     "q_dedup_simhash" ->
       s"""WITH j AS ($NgramJaccardOracle)
          |SELECT id_a, id_b FROM j ORDER BY id_a, id_b""".stripMargin,
-    "q_dedup_embedding" ->
-      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |s AS (
-        |  SELECT l.id AS id_a, r.id AS id_b,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      [l.vec[i]::DOUBLE * r.vec[i]::DOUBLE for i in range(1, len(l.vec) + 1)]),
-        |      (a, b) -> a + b) AS d,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [l.vec[i]::DOUBLE * l.vec[i]::DOUBLE for i in range(1, len(l.vec) + 1)]),
-        |      (a, b) -> a + b)) AS na,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [r.vec[i]::DOUBLE * r.vec[i]::DOUBLE for i in range(1, len(r.vec) + 1)]),
-        |      (a, b) -> a + b)) AS nb
-        |  FROM v l JOIN v r ON l.id < r.id)
-        |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
-        |  SELECT id_a, id_b,
-        |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
-        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding" -> EmbeddingNearDupOracle,
+    "q_dedup_embedding_exact" -> EmbeddingNearDupOracle,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
@@ -883,6 +878,29 @@ object SparkEntry {
   /** DuckDB list literal of [[TextAnalysis.EnglishStopwords]]. */
   private def StopwordsSqlList: String =
     TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Shared exact all-pairs cosine oracle (threshold 0.4) — the oracle for
+    * BOTH the exact and the banded-LSH embedding near-dup formulations
+    * (the LSH path's recall is measured 1.0 on this corpus at every scale
+    * factor; the pipeline is deterministic, so the pair sets coincide). */
+  private val EmbeddingNearDupOracle: String =
+    """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      |s AS (
+      |  SELECT l.id AS id_a, r.id AS id_b,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      [l.vec[i]::DOUBLE * r.vec[i]::DOUBLE for i in range(1, len(l.vec) + 1)]),
+      |      (a, b) -> a + b) AS d,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [l.vec[i]::DOUBLE * l.vec[i]::DOUBLE for i in range(1, len(l.vec) + 1)]),
+      |      (a, b) -> a + b)) AS na,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [r.vec[i]::DOUBLE * r.vec[i]::DOUBLE for i in range(1, len(r.vec) + 1)]),
+      |      (a, b) -> a + b)) AS nb
+      |  FROM v l JOIN v r ON l.id < r.id)
+      |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+      |  SELECT id_a, id_b,
+      |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
+      |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
   /** Shared exact n-gram Jaccard oracle (n=3, threshold 0.8) — also the
     * oracle for the MinHash (deterministic, recall ≈ 1 at this margin) and

@@ -30,10 +30,13 @@ object IvfIndex {
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Float]] = {
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
     val unit = unitVectors(corpus, idCol, vecCol).persist()
     var centroids = unit.orderBy(col("id")).limit(nlist)
       .select(col("uvec")).collect()
       .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty,
+      s"IVF training needs a non-empty corpus ($idCol/$vecCol yielded no seed vectors)")
     for (_ <- 1 to iters) {
       val assigned = assignCells(unit, centroids)
       // per-(cell, dimension) mean via posexplode — only k×dim partial
@@ -91,15 +94,21 @@ object IvfIndex {
         .otherwise(transform(col("vec"), x => (x / col("nrm")).cast("float"))))
       .select(col("id"), col("uvec"))
 
-  private def centroidLit(c: Array[Float]): Column =
-    array(c.map(x => lit(x)): _*)
+  /** One centroid = ONE `array<float>` literal (not `dim` element
+    * literals): the plan carries `nlist` expression nodes, so it still
+    * plans and ships at nlist=4096 × dim=1024 where the per-element
+    * unrolling (~4M literal nodes) would not. */
+  private def centroidLit(c: Array[Float]): Column = typedLit(c.toSeq)
 
   /** Nearest-cell assignment by max dot against broadcast centroid literals. */
   private def assignCells(unit: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (cvec, i) =>
       struct(fdot(col("uvec"), centroidLit(cvec)).as("score"), lit(i).as("cell"))
     }
-    unit.withColumn("cell", greatest(scored: _*).getField("cell"))
+    val cell =
+      if (scored.length == 1) lit(0) // greatest() needs ≥ 2 columns
+      else greatest(scored: _*).getField("cell")
+    unit.withColumn("cell", cell)
   }
 
   /** Top-`nprobe` cell ids for a unit vector, as an array column. */

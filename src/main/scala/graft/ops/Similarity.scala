@@ -71,24 +71,38 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `p`,
-    * dimension `j` — fixed-seed so plans are stable across runs/executors. */
-  private def planeComponent(p: Int, j: Int): Double = {
-    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ (p.toLong << 32) ^ j.toLong)
-    rnd.nextGaussian()
+  /** Deterministic pseudo-random gaussian hyperplane for global plane
+    * index `p` — fixed-seed so plans are stable across runs/executors. */
+  private[ops] def planeVector(p: Int, dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ (p.toLong << 32))
+    Array.fill(dim)(rnd.nextGaussian().toFloat)
   }
 
   /** Sign-bit bucket key from `planes` random hyperplanes: bit p is
-    * `sign(v · plane_p)`. An IVF-style coarse partition of the sphere. */
-  def hyperplaneKey(vec: Column, dim: Int, planes: Int): Column = {
+    * `sign(v · plane_{offset+p})`. An IVF-style coarse partition of the
+    * sphere.
+    *
+    * Plan-size discipline: each plane is ONE `array<float>` literal scored
+    * by the native [[graft.functions.FloatVectorDot]] — `planes` expression
+    * nodes total, independent of `dim`. The unrolled per-element
+    * formulation (dim × planes nodes) blew past 1 MiB of task binary at
+    * 64 × 6 and would not plan at all at real embedding dims (1024+). */
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map(j =>
-        element_at(vec, j + 1).cast("double") * lit(planeComponent(p, j)))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(fdot(vec, typedLit(planeVector(offset + p, dim).toSeq)) >= 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** `bands` independent sign-bit band keys (each from its own
+    * `rowsPerBand` hyperplanes), as an array column for `posexplode` —
+    * the OR-of-ANDs banding that trades candidate volume against recall
+    * exactly like MinHash banding (see [[Dedup.lshBuckets]]). */
+  def hyperplaneBandKeys(vec: Column, dim: Int, bands: Int,
+                         rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      hyperplaneKey(vec, dim, rowsPerBand, offset = b * rowsPerBand)): _*)
 
   /** Approximate top-k: score only corpus vectors in the query's
     * hyperplane bucket. Falls back to fewer than k results when the

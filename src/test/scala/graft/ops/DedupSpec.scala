@@ -88,10 +88,26 @@ class DedupSpec extends SparkTestBase {
   }
 
   "embeddingNearDups (LSH)" should "find near pairs with exact verification" in {
-    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9, planes = 2)
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9,
+        bands = 4, rowsPerBand = 1)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     // LSH recall is probabilistic in general but (1,2) are near-parallel:
     // they agree on every hyperplane sign, so the bucket join must pair them
     pairs shouldBe Set((1L, 2L))
+  }
+
+  // The harness's hash-checked q_dedup_embedding runs the LSH path against
+  // the exact all-pairs oracle: recall must be (deterministically) 1.0 on
+  // the shipped corpora. Planes are fixed-seed, so this equality is stable
+  // run-to-run — if it passes once at a scale, it always passes there.
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    it should s"match the exact pair set on the $sf corpus (recall 1.0)" in {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.4)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      lsh shouldBe exact
+    }
   }
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Plan-size scaling of the vector bucketing: planes and centroids must
+  * enter the plan as ONE `array<float>` literal each (scored by the
+  * native dot expression), so LSH/IVF still plan and run at real
+  * embedding dimensions. The per-element formulation (dim × planes
+  * literal nodes) ships >1 MiB task binaries at 64×6 and fails outright
+  * at 1024+. */
+class VectorScaleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dim = 1024
+
+  /** 60 deterministic unit-ish vectors at dim 1024 (hash-derived — no
+    * RNG in test data). */
+  private lazy val bigVecs = {
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim) { j =>
+        val h = (i * 1315423911L) ^ (j * 2654435761L)
+        ((h % 1000L) / 1000.0f) - 0.5f
+      }
+    (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  "lshTopK" should s"plan and return k rows per query at planes*dim = 8*$dim" in {
+    val out = Similarity.lshTopK(bigVecs, bigVecs.filter($"vec_id" < 2),
+      k = 3, planes = 8)
+    // every query finds neighbors in its own bucket (itself excluded);
+    // the point is that the 8×1024 plan compiles and executes at all
+    out.groupBy($"query_id").count().collect().foreach(_.getLong(1) should be <= 3L)
+    out.count() should be > 0L
+  }
+
+  "ivfTopK" should s"plan and return results with nlist=8 centroid array literals at dim $dim" in {
+    val out = IvfIndex.ivfTopK(bigVecs, bigVecs.filter($"vec_id" < 2),
+      k = 3, nlist = 8, nprobe = 2, iters = 2)
+    out.count() should be > 0L
+  }
+
+  "hyperplaneBandKeys" should "keep the plan dim-independent (one literal per plane)" in {
+    val keyed = bigVecs.select(
+      Similarity.hyperplaneBandKeys($"embedding", dim, bands = 4, rowsPerBand = 2)
+        .as("keys"))
+    // 4 bands × 2 planes = 8 array-literals: the expression TREE stays a
+    // few dozen nodes (each plane is one Literal), where the per-element
+    // unrolling would be ≥ dim × planes = 8192 nodes
+    val nodeCount = keyed.queryExecution.analyzed.expressions
+      .map(e => e.collect { case x => x }.size).sum
+    nodeCount should be < 200
+    keyed.selectExpr("size(keys)").head().getInt(0) shouldBe 4
+  }
+
+  "ivfTopK" should "fail fast on an empty corpus and handle nlist=1" in {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      IvfIndex.trainCentroids(empty, nlist = 4)
+    // nlist=1: single-cell assignment must not crash (greatest() needs ≥2)
+    val out = IvfIndex.ivfTopK(bigVecs, bigVecs.filter($"vec_id" < 2),
+      k = 3, nlist = 1, nprobe = 1, iters = 1)
+    out.count() should be > 0L
+  }
+}

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: measure banded-LSH embedding-dedup recall against the exact
+  * all-pairs join at a given scale dir. The pipeline is deterministic
+  * (fixed plane seeds), so recall measured 1.0 here is stable run-to-run —
+  * this is the measurement backing `q_dedup_embedding`'s shared oracle.
+  *
+  * Usage: Test/runMain graft.tools.EmbeddingRecallCheck /root/testdata/sf0.1
+  */
+object EmbeddingRecallCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.ops.Dedup.embeddingNearDupsExact(
+      emb, "vec_id", "embedding", 0.4))
+    val lsh = pairs(graft.ops.Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", 0.4))
+    println(s"RECALL_CHECK dir=$dir exact=${exact.size} lsh=${lsh.size} " +
+      s"equal=${lsh == exact} missed=${(exact -- lsh).size} " +
+      s"spurious=${(lsh -- exact).size}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,151 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: keeps the k best (score, id) pairs per group,
+  * ordered by score descending with ascending-id tie-break.
+  *
+  * This is the scale-safe half of a distributed top-k-per-group: because
+  * it is an aggregate function, ObjectHashAggregate evaluates it in
+  * PARTIAL mode map-side, so each input partition reduces its share of a
+  * group to one k-bounded buffer before anything crosses the exchange.
+  * The window formulation (`row_number().over(partitionBy(group))`) by
+  * contrast shuffles every scored row — n×q rows for an all-pairs
+  * similarity scoring instead of q×k×partitions buffers.
+  *
+  * Returns `array<struct<id, score>>` sorted best-first (at most k
+  * elements); `posexplode` turns the position into the dense rank.
+  */
+case class ScoreTopK(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]]
+  with BinaryLike[Expression] {
+
+  require(k > 0, "topK k must be positive")
+
+  override def left: Expression = score
+  override def right: Expression = id
+  override def prettyName: String = "score_top_k"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", id.dataType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  @transient private lazy val idOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+
+  /** Best-first total order: score descending, then id ascending. As a
+    * `PriorityQueue` ordering this puts the WORST element (lowest score;
+    * ties: largest id) at the head — `PriorityQueue.head` is the MAX of
+    * its ordering — which is exactly the eviction candidate; as a `sorted`
+    * comparator it yields the output order directly. */
+  @transient private lazy val bestFirst: Ordering[(Double, Any)] =
+    new Ordering[(Double, Any)] {
+      override def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else idOrd.compare(a._2, b._2)
+      }
+    }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+    mutable.PriorityQueue.empty[(Double, Any)](bestFirst)
+
+  private def insert(buf: mutable.PriorityQueue[(Double, Any)],
+                     s: Double, i: Any): Unit = {
+    if (buf.size < k) {
+      buf.enqueue((s, i))
+    } else {
+      val (ws, wi) = buf.head
+      val better = s > ws || (s == ws && idOrd.compare(i, wi) < 0)
+      if (better) { buf.dequeue(); buf.enqueue((s, i)) }
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Any)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      insert(buf, s.asInstanceOf[Double], InternalRow.copyValue(i))
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Any)],
+                     other: mutable.PriorityQueue[(Double, Any)])
+      : mutable.PriorityQueue[(Double, Any)] = {
+    other.foreach { case (s, i) => insert(buf, s, i) }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
+    val best = buf.toArray.sorted(bestFirst)
+    new GenericArrayData(best.map { case (s, i) => InternalRow(i, s) })
+  }
+
+  @transient private lazy val pairProjection =
+    UnsafeProjection.create(Array[DataType](DoubleType, id.dataType))
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    dos.writeInt(buf.size)
+    buf.foreach { case (s, i) =>
+      val row = pairProjection(InternalRow(s, i))
+      dos.writeInt(row.getSizeInBytes)
+      dos.write(row.getBytes)
+    }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) {
+      val len = bb.getInt
+      val slice = new Array[Byte](len)
+      bb.get(slice)
+      val row = new UnsafeRow(2)
+      row.pointTo(slice, len)
+      buf.enqueue((row.getDouble(0),
+        InternalRow.copyValue(row.get(1, id.dataType))))
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ScoreTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ScoreTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScoreTopK =
+    copy(score = newLeft, id = newRight)
+}
+
+object TopKFunctions {
+  /** Top-k (id, score) pairs per group by descending score (ascending-id
+    * tie-break), as a bounded partial-aggregable aggregate. */
+  def scoreTopK(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(ScoreTopK(ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
+}

@@ -1,9 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKFunctions.scoreTopK
 import graft.functions.VectorFunctions.{fdot, fnorm}
 
 /** Vector similarity search over an embedding column (`array<float>`).
@@ -47,11 +47,31 @@ object Similarity {
   private[ops] def vectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Rank a scored (query_id, corpus_id, cosine) relation down to the
+    * per-query top k with a BOUNDED partial aggregate instead of a
+    * window: [[graft.functions.ScoreTopK]] reduces each input partition's
+    * share of a query to one k-sized buffer map-side (ObjectHashAggregate
+    * partial mode), so the exchange carries q×k×partitions buffers — not
+    * every scored pair. A `row_number().over(partitionBy(query))` window
+    * would shuffle all n×q scored rows first, which is the part that dies
+    * at corpus scale. Ordering (score desc, id asc) matches the window
+    * formulation exactly, so results are deterministic and oracle-stable. */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(scoreTopK(col("cosine"), col("corpus_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        round(col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
-    * `queries` is broadcast (a query batch is small by construction);
-    * ranking uses a per-query window with id tie-break for determinism.
-    * Excludes self-matches when ids collide.
+    * `queries` is broadcast (a query batch is small by construction), so
+    * the corpus is scanned once and never shuffled; the per-query rank is
+    * the two-phase bounded aggregate of [[rankTopK]], so only
+    * q×k×partitions buffer rows cross the one exchange. Excludes
+    * self-matches when ids collide.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -61,14 +81,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       fnorm(col(vecCol)).as("q_nrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine",
-        cosineWithNorms(col("q_vec"), col("q_nrm"), col("c_vec"), col("c_nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+        cosineWithNorms(col("q_vec"), col("q_nrm"),
+          col("c_vec"), col("c_nrm")).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random gaussian hyperplane for global plane
@@ -118,15 +134,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       fnorm(col(vecCol)).as("q_nrm"),
       hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    c.as("c").join(broadcast(q.as("q")),
+    val scored = c.as("c").join(broadcast(q.as("q")),
         col("c.bucket") === col("q.bucket") && col("q.query_id") =!= col("c.corpus_id"))
-      .withColumn("cosine",
-        cosineWithNorms(col("q.q_vec"), col("q.q_nrm"), col("c.c_vec"), col("c.c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+        cosineWithNorms(col("q.q_vec"), col("q.q_nrm"),
+          col("c.c_vec"), col("c.c_nrm")).as("cosine"))
+    rankTopK(scored, k)
   }
 }

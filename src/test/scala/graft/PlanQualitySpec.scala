@@ -91,4 +91,16 @@ class PlanQualitySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString()
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  it should "rank via a bounded partial aggregate, not a window over all scored pairs" in {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = graft.ops.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+      .queryExecution.executedPlan.toString()
+    // map-side k-bounded reduction: only q×k×partitions buffers cross
+    // the exchange (ObjectHashAggregate partial mode), instead of every
+    // scored (query, candidate) pair feeding a rank window
+    plan should include("partial_score_top_k")
+    (plan should not).include("Window")
+  }
 }

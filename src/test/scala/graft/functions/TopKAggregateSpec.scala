@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TopKAggregateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "scoreTopK" should "match a sort-based reference across partitions (merge + serde path)" in {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      (i % 7, rnd.nextInt(50).toDouble, i.toLong)
+    }
+    // 8 input partitions over 7 groups forces partial buffers from every
+    // partition to serialize across the exchange and merge reduce-side
+    val df = rows.toDF("g", "score", "id").repartition(8)
+
+    val got = df.groupBy($"g")
+      .agg(TopKFunctions.scoreTopK($"score", $"id", 5).as("topk"))
+      .select($"g", posexplode($"topk"))
+      .select($"g", $"col.id", $"col.score", ($"pos" + 1).as("rank"))
+      .as[(Int, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+
+    val expected = rows.groupBy(_._1).view.mapValues { grp =>
+      grp.map(t => (t._3, t._2)).sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+    }.toMap
+
+    got shouldBe expected
+  }
+
+  it should "return fewer than k elements for small groups and skip nulls" in {
+    val df = Seq[(Int, Option[Double], Option[Long])](
+      (1, Some(3.0), Some(10L)), (1, None, Some(11L)), (1, Some(5.0), None),
+      (2, Some(1.0), Some(20L))
+    ).toDF("g", "score", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKFunctions.scoreTopK($"score", $"id", 4).as("topk"))
+      .select($"g", org.apache.spark.sql.functions.size($"topk").as("n"))
+      .as[(Int, Int)].collect().toMap
+    got shouldBe Map(1 -> 1, 2 -> 1)
+  }
+
+  it should "break score ties by ascending id deterministically" in {
+    val df = (0 until 20).map(i => (1, 7.0, (19 - i).toLong)).toDF("g", "score", "id")
+      .repartition(4)
+    val got = df.groupBy($"g")
+      .agg(TopKFunctions.scoreTopK($"score", $"id", 3).as("topk"))
+      .select(posexplode($"topk")).select($"col.id").as[Long].collect().toSeq
+    got shouldBe Seq(0L, 1L, 2L)
+  }
+
+  it should "work with string ids" in {
+    val df = Seq((1, 2.0, "b"), (1, 2.0, "a"), (1, 9.0, "z")).toDF("g", "score", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKFunctions.scoreTopK($"score", $"id", 2).as("topk"))
+      .select(posexplode($"topk")).select($"col.id").as[String].collect().toSeq
+    got shouldBe Seq("z", "a")
+  }
+}

@@ -833,8 +833,11 @@ object SparkEntry {
         |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
         |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Exact next-fit packing: the greedy fill-reset recursion is a
+    // recursive CTE on the oracle side (per-shard walk over rows in
+    // (doc_id, chunk_idx) order — same semantics as Packing.packGreedy).
     "q_packing" ->
-      """WITH t AS (
+      """WITH RECURSIVE t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
         |    CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
@@ -846,18 +849,23 @@ object SparkEntry {
         |  FROM t),
         |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c),
         |ch AS (
-        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-        |    CAST(least(40, n - i*32) AS INT) AS chunk_tokens
+        |  SELECT doc_id % 8 AS shard, doc_id, CAST(i AS INT) AS chunk_idx,
+        |    CAST(least(40, n - i*32) AS INT) AS chunk_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id, i) AS rn
         |  FROM e),
-        |pk AS (
-        |  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, chunk_tokens,
-        |    CAST(floor((sum(chunk_tokens) OVER (PARTITION BY doc_id % 8
-        |        ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING)
-        |      - chunk_tokens)::DOUBLE / 512) AS INT) AS pack_id
-        |  FROM ch)
-        |SELECT shard, pack_id, count(*) AS n_pieces,
-        |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
-        |FROM pk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+        |walk(shard, rn, tok, pack_id, fill) AS (
+        |  SELECT shard, rn, chunk_tokens, 0, chunk_tokens FROM ch WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.chunk_tokens,
+        |    CASE WHEN w.fill + c.chunk_tokens > 512
+        |         THEN w.pack_id + 1 ELSE w.pack_id END,
+        |    CASE WHEN w.fill + c.chunk_tokens > 512
+        |         THEN c.chunk_tokens ELSE w.fill + c.chunk_tokens END
+        |  FROM walk w JOIN ch c ON c.shard = w.shard AND c.rn = w.rn + 1)
+        |SELECT shard, CAST(pack_id AS INT) AS pack_id, count(*) AS n_pieces,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

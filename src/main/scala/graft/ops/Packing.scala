@@ -1,19 +1,29 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Sequence packing: assign token-counted pieces (documents or chunks) to
   * fixed-capacity context windows — the batch-construction step after
   * [[Chunking]] in a training pipeline.
   *
-  * Greedy-by-position packing per shard: pieces are laid out in a
-  * deterministic order and a running token total opens a new pack every
-  * time it crosses the capacity. One window over the shard partitioning —
-  * a single shuffle, and shards bound the sequential region (a global
-  * greedy pack would serialize the whole corpus through one task; per
-  * shard it parallelizes, which is how production packers shard anyway).
+  * Exact greedy (next-fit) packing per shard: pieces are laid out in a
+  * deterministic order and a piece opens a new pack whenever it would not
+  * fit in the current one, so **no pack ever exceeds `capacity`** unless
+  * it holds exactly one oversize piece. Capacity is a hard bound for
+  * context-window construction — an overflowing pack is unusable — which
+  * is why this is a real per-shard scan and not the windowable
+  * cumulative-block approximation (that one overflows a pack by up to one
+  * piece).
+  *
+  * The greedy reset is a recursion (`fill` resets at boundaries) that no
+  * window frame can express, so each shard streams through
+  * `flatMapSortedGroups`: one shuffle on the shard key, rows arrive in
+  * (`orderCols`) order, O(1) state per shard, nothing materialized.
+  * Shards bound the sequential region — a global greedy pack would
+  * serialize the whole corpus through one task; per shard it parallelizes,
+  * which is how production packers shard anyway.
   *
   * Pieces longer than `capacity` get a pack of their own (never split
   * here — split upstream with [[Chunking]]).
@@ -21,29 +31,35 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Adds `pack_id` (0-based per shard) and `pack_pos` (0-based within
-    * pack). Deterministic given (`shardCol`, `orderCols`). */
+    * pack). Deterministic given (`shardCol`, `orderCols`); every pack's
+    * token fill is <= `capacity` except single-piece oversize packs. */
   def packGreedy(df: DataFrame, tokensCol: String, capacity: Int,
                  shardCol: String, orderCols: Seq[String]): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.partitionBy(col(shardCol)).orderBy(orderCols.map(col): _*)
-    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // a piece opens a new pack iff the running total before it, taken
-    // modulo nothing simpler than a cumulative fit, would overflow; the
-    // greedy boundary is expressible as: ceil boundaries of the cumulative
-    // sum only when each piece fits — with oversize pieces isolated, the
-    // classic formulation is a running "pack head" via cumulative sums of
-    // boundary markers computed from the cumulative token total within
-    // a reset-free scan: boundary(i) = 1 if fill(i-1) + tok(i) > capacity,
-    // where fill resets at boundaries. That recursion is not windowable
-    // directly; the standard scalable approximation packs by cumulative
-    // blocks: pack = floor((cumsum - tok) / capacity), which overflows a
-    // pack by at most one piece and never splits one.
-    val cum = sum(col(tokensCol)).over(frame)
-    val packId = floor((cum - col(tokensCol)) / capacity).cast("int")
-    val out = df.withColumn("pack_id", packId)
-    val wp = Window.partitionBy(col(shardCol), col("pack_id"))
-      .orderBy(orderCols.map(col): _*)
-    out.withColumn("pack_pos", (row_number().over(wp) - 1).cast("int"))
+    val schema = df.schema
+    val shardIdx = schema.fieldIndex(shardCol)
+    val tokIdx = schema.fieldIndex(tokensCol)
+    val outSchema = StructType(schema.fields)
+      .add("pack_id", IntegerType, nullable = false)
+      .add("pack_pos", IntegerType, nullable = false)
+    val keySchema = StructType(Seq(schema.fields(shardIdx)))
+    df.groupByKey((r: Row) => Row(r.get(shardIdx)))(Encoders.row(keySchema))
+      .flatMapSortedGroups(orderCols.map(col): _*) { (_: Row, rows: Iterator[Row]) =>
+        var pack = 0
+        var fill = 0L
+        var pos = 0
+        rows.map { r =>
+          val tok = r.getAs[Number](tokIdx).longValue()
+          if (fill > 0 && fill + tok > capacity) {
+            pack += 1; fill = 0L; pos = 0
+          }
+          val out = Row.fromSeq(r.toSeq :+ pack :+ pos)
+          fill += tok
+          pos += 1
+          out
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
   }
 
   /** One row per pack with piece count and token fill. */

@@ -7,30 +7,42 @@ class PackingSpec extends SparkTestBase {
   import spark.implicits._
 
   private def pieces = Seq(
-    // shard a: tokens 30+30+30 | 40 | 90(oversize-ish fits) …capacity 80
+    // shard a, capacity 80: [30,30] | [30,40] | [90 oversize alone]
     ("a", 1, 30), ("a", 2, 30), ("a", 3, 30), ("a", 4, 40), ("a", 5, 90),
     ("b", 1, 80), ("b", 2, 10)
   ).toDF("shard", "seq", "toks")
 
-  "packGreedy" should "assign cumulative-block packs deterministically" in {
+  "packGreedy" should "open a new pack exactly when the next piece would overflow" in {
     val out = Packing.packGreedy(pieces, "toks", capacity = 80,
         "shard", Seq("seq"))
       .select($"shard", $"seq", $"pack_id", $"pack_pos")
       .as[(String, Int, Int, Int)].collect().toSet
-    // shard a cumsum-tok: 0,30,60,90,130 → packs 0,0,0,1,1
-    out should contain allOf (
-      ("a", 1, 0, 0), ("a", 2, 0, 1), ("a", 3, 0, 2),
-      ("a", 4, 1, 0), ("a", 5, 1, 1),
-      ("b", 1, 0, 0), ("b", 2, 1, 0))
+    out shouldBe Set(
+      ("a", 1, 0, 0), ("a", 2, 0, 1), // 30+30=60 fits
+      ("a", 3, 1, 0), ("a", 4, 1, 1), // +30 would make 90 > 80 → reset; 30+40=70
+      ("a", 5, 2, 0),                 // oversize piece isolated
+      ("b", 1, 0, 0), ("b", 2, 1, 0)) // 80 exactly fills; 10 opens the next
   }
 
-  it should "never split a piece and bound overflow to one piece" in {
+  it should "never exceed capacity except for single-piece oversize packs" in {
     val out = Packing.packSummary(pieces, "toks", capacity = 80,
         "shard", Seq("seq"))
-      .select($"shard", $"pack_id", $"n_tokens")
-      .as[(String, Int, Long)].collect()
-    // every pack's fill below capacity + the max single piece
-    all(out.map(_._3)) should be <= (80L + 90L)
-    out.map(_._3).sum shouldBe pieces.agg(sum($"toks")).head().getLong(0)
+      .select($"shard", $"pack_id", $"n_pieces", $"n_tokens")
+      .as[(String, Int, Long, Long)].collect()
+    out.foreach { case (_, _, n, toks) =>
+      assert(toks <= 80 || n == 1, s"pack with $n pieces overflows: $toks tokens")
+    }
+    out.map(_._4).sum shouldBe pieces.agg(sum($"toks")).head().getLong(0)
+  }
+
+  it should "keep capacity hard on a randomized corpus with no oversize pieces" in {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(i => (i % 5, i, 1 + rnd.nextInt(50)))
+    val df = rows.toDF("shard", "seq", "toks").repartition(4)
+    val out = Packing.packSummary(df, "toks", capacity = 64,
+        "shard", Seq("seq"))
+      .select($"n_tokens").as[Long].collect()
+    all(out) should be <= 64L
+    out.sum shouldBe rows.map(_._3.toLong).sum
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.SnapshotPipeline
+
+/** CLI job entry point — the re-expression of the reference's launcher
+  * contract (reference: bin/hbase-snapshotter:31-34 →
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:108-138):
+  *
+  * {{{
+  * spark-submit --class graft.SnapshotJob <jar> <config.json>
+  * }}}
+  *
+  * reads the job config, reconstructs the typed snapshot and overwrites
+  * the configured sink.
+  *
+  * Exit-code contract (reference: Settings.scala:30-42 validates the
+  * config against both reference schemas BEFORE any Spark context exists
+  * and exits 1 on no-match; Schema.scala:101-109,188-194 exit 1 on a
+  * missing history table / missing columnIndexToNameMap): any
+  * config-read, validation, or run failure prints a one-line diagnostic
+  * to stderr and exits 1; success exits 0. The SparkSession is passed
+  * by-name so config failures never pay session startup.
+  */
+object SnapshotJob {
+
+  /** Testable core: same semantics as [[main]] but RETURNS the exit code
+    * instead of terminating the JVM, and takes the session as a (lazy)
+    * parameter so specs can inject theirs. */
+  def run(args: Array[String], spark: => SparkSession): Int = {
+    if (args.length != 1) {
+      Console.err.println("usage: graft.SnapshotJob <config.json>")
+      return 1
+    }
+    val text =
+      try new String(Files.readAllBytes(Paths.get(args(0))),
+        StandardCharsets.UTF_8)
+      catch {
+        case e: Exception =>
+          Console.err.println(s"cannot read config '${args(0)}': $e")
+          return 1
+      }
+    val config =
+      try SnapshotPipeline.fromJson(text)
+      catch {
+        case e: IllegalArgumentException =>
+          Console.err.println(e.getMessage)
+          return 1
+      }
+    try {
+      SnapshotPipeline.run(spark, config)
+      0
+    } catch {
+      case e: Exception =>
+        Console.err.println(s"snapshot job failed: $e")
+        1
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    def session: SparkSession = {
+      val builder = SparkSession.builder()
+        .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+      // under spark-submit the master arrives as a system property; keep
+      // a local default so the jar also runs standalone
+      val withMaster =
+        if (sys.props.contains("spark.master")) builder
+        else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      withMaster.getOrCreate()
+    }
+    val code = run(args, session)
+    if (code != 0) sys.exit(code)
+  }
+}

@@ -7,6 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -43,6 +44,16 @@ case class ScoreTopK(
   override def right: Expression = id
   override def prettyName: String = "score_top_k"
   override def nullable: Boolean = false
+
+  /** Analysis-time contract: a non-DOUBLE score would otherwise surface
+    * as an executor-side ClassCastException from the eval cast; an
+    * unorderable id type would break the tie-break ordering. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a DOUBLE score column, got " +
+          score.dataType.catalogString)
+    else TypeUtils.checkForOrderingExpr(id.dataType, prettyName)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", id.dataType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
@@ -72,7 +83,10 @@ case class ScoreTopK(
       buf.enqueue((s, i))
     } else {
       val (ws, wi) = buf.head
-      val better = s > ws || (s == ws && idOrd.compare(i, wi) < 0)
+      // same total order as bestFirst (java.lang.Double.compare), so
+      // eviction and output ordering agree on NaN and -0.0
+      val c = java.lang.Double.compare(s, ws)
+      val better = c > 0 || (c == 0 && idOrd.compare(i, wi) < 0)
       if (better) { buf.dequeue(); buf.enqueue((s, i)) }
     }
   }

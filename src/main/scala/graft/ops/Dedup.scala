@@ -312,23 +312,29 @@ object Dedup {
     *
     * Candidate generation is an equi-join on `bands` independent
     * `rowsPerBand`-bit sign keys; a pair at angle θ collides in a band
-    * with probability (1 − θ/π)^rowsPerBand and is a candidate if ANY
-    * band collides. The default 32 × 2 is tuned for this corpus's weak
-    * threshold (cosine 0.4 ⇒ per-plane agreement ≈ 0.631): per-pair miss
-    * ≤ (1 − 0.631²)^32 ≈ 9e-8, and — the pipeline being fully
-    * deterministic (fixed plane seeds) — recall is MEASURED 1.0 against
-    * [[embeddingNearDupsExact]] at every shipped scale factor
-    * (see `DedupSpec`). At production dedup thresholds (≥ 0.8, per-plane
-    * p ≥ 0.795) the same operator prunes orders of magnitude harder:
-    * e.g. 16 × 8 bands give per-pair miss < 1e-3 while random pairs
-    * collide at ~16/2⁸ ≈ 6%.
+    * with probability p^rowsPerBand where p = 1 − θ/π, and is a candidate
+    * if ANY band collides.
+    *
+    * APPLICABILITY — this blocking only separates at HIGH thresholds.
+    * Qualifying pairs must collide (p_t^r per band) while random pairs
+    * (p ≈ 0.5) must not; the gap p_t vs 0.5 is all the leverage there is.
+    * The 16 × 8 default is derived for threshold ≈ 0.8 (p ≥ 0.795):
+    * per-pair miss ≤ (1 − 0.795⁸)^16 ≈ 5e-2 with random pairs colliding
+    * in ~16/2⁸ ≈ 6% of cases (asserted < all-pairs in `DedupSpec`). At
+    * weak thresholds the scheme is information-theoretically degenerate —
+    * at cosine 0.4, p_t ≈ 0.631, and ANY configuration with near-1
+    * recall admits nearly all random pairs too (a recall-first 32 × 2
+    * setting measured 99.99% of all pairs as candidates: slower than the
+    * plain O(n²) join it was supposed to avoid). Below ~0.7 use
+    * [[embeddingNearDupsBlocked]], whose pruning bound is exact rather
+    * than probabilistic.
     *
     * Scale design: only (id, band, key) rows enter the self-join — never
     * vectors; vectors join back once per verified candidate. Buckets are
     * shuffle-hash-joined (corpus-sized index must not broadcast). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, bands: Int = 32,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        threshold: Double, bands: Int = 16,
+                        rowsPerBand: Int = 8): DataFrame = {
     val dim = Similarity.vectorDim(df, vecCol)
     val vecs = Parallelism.spread(
       df.select(col(idCol).as("id"), col(vecCol).as("vec")))
@@ -352,5 +358,107 @@ object Dedup {
         col("va"), col("na"), col("vb"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact pairs (id_a < id_b) with cosine ≥ threshold through a PROVABLY
+    * complete data-adaptive blocking: a spherical k-means coarse partition
+    * ([[IvfIndex.trainCentroids]]) plus angular triangle-inequality
+    * cell-pair pruning.
+    *
+    * Members x ∈ cell i, y ∈ cell j satisfy (spherical triangle
+    * inequality) θ(x,y) ≥ θ(c_i,c_j) − r_i − r_j, where r is the cell's
+    * measured angular radius (max member angle to its centroid). A cell
+    * PAIR is therefore skipped exactly when even its closest possible
+    * members stay below the threshold:
+    *   prune(i,j) ⟺ θ(c_i,c_j) > θ_t + r_i + r_j.
+    * Recall is 1.0 BY CONSTRUCTION at any threshold — no corpus-specific
+    * tuning, unlike sign-LSH banding which cannot separate weak
+    * thresholds at all (see [[embeddingNearDups]]).
+    *
+    * Scale design:
+    *  - cells PARTITION the corpus, so every unordered pair is scored at
+    *    most once — no candidate `distinct`, no join-backs: vectors ride
+    *    along and are scored with the same precomputed-norm expression as
+    *    the exact join (bit-identical cosines, shared oracle);
+    *  - the surviving cell-pair list is model-sized (≤ nlist²/2 rows) and
+    *    broadcast; members shuffle once, keyed by cell, replicated only
+    *    by their cell's surviving-pair degree — the prune rate adapts to
+    *    how clustered the corpus is, and the isotropic worst case
+    *    degrades to the exact all-pairs join, never worse;
+    *  - a single giant cell concentrates one m_i × m_j scoring task —
+    *    raise `nlist` (finer cells) if cell sizes skew.
+    *
+    * Requires threshold > 0 (zero-norm vectors define cosine 0 and are
+    * excluded up front; a non-positive threshold means all-pairs — use
+    * [[embeddingNearDupsExact]]). */
+  def embeddingNearDupsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nlist: Int = 16,
+                               iters: Int = 1): DataFrame = {
+    require(threshold > 0.0,
+      s"blocked near-dup pruning needs threshold > 0, got $threshold")
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    // Centroids: deterministic random directions refined by `iters` Lloyd
+    // steps. Random seeding skips the seed-collect job (cell QUALITY only
+    // affects the prune rate, never completeness), and one step already
+    // pulls cells onto the corpus distribution; raise `iters` when the
+    // corpus is heavily clustered and the prune rate matters more than
+    // one extra driver round-trip.
+    val dim = Similarity.vectorDim(df, vecCol)
+    val seeds = Array.tabulate(math.max(1, nlist)) { p =>
+      val v = Similarity.planeVector(p, dim)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = IvfIndex.lloyd(unit, seeds, iters)
+    unit.unpersist()
+    val members = Parallelism.spread(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("asg",
+        IvfIndex.assignmentWithScore(col("vec"), col("nrm"), centroids))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("asg").getField("cell").as("cell"),
+        col("asg").getField("score").as("ccos"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // radius pass + both join sides
+    // Cell-pair pruning, fully distributed (no driver round-trip):
+    // centroid-pair angles are driver-side literals (≤ nlist²/2 rows —
+    // model-sized), measured cell radii join in from the data, and the
+    // surviving pairs broadcast into the member join. Empty cells drop
+    // out via the inner radius join.
+    val thetaT = math.acos(clamp(threshold))
+    def centroidAngle(i: Int, j: Int): Double =
+      math.acos(clamp(centroids(i).zip(centroids(j))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum))
+    val anglePairs = for {
+      i <- 0 until centroids.length
+      j <- i until centroids.length
+    } yield (i, j, centroidAngle(i, j))
+    val radii = members.groupBy(col("cell"))
+      .agg(acos(greatest(lit(-1.0), least(lit(1.0), min(col("ccos")))))
+        .as("r"))
+    val cp = df.sparkSession.createDataFrame(anglePairs)
+      .toDF("ci", "cj", "cangle")
+      .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
+      .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
+      .filter(col("cangle") <= lit(thetaT) + col("ri") + col("rj"))
+      .select(col("ci"), col("cj"), (col("ci") === col("cj")).as("same"))
+    val lhs = members.select(col("id").as("id_l"), col("vec").as("vl"),
+      col("nrm").as("nl"), col("cell").as("cell_l"))
+    val rhs = members.select(col("id").as("id_r"), col("vec").as("vr"),
+      col("nrm").as("nr"), col("cell").as("cell_r"))
+    lhs.join(broadcast(cp), col("cell_l") === col("ci"))
+      .hint("shuffle_hash")
+      .join(rhs, col("cell_r") === col("cj") &&
+        (!col("same") || col("id_l") < col("id_r")))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("vl"), col("nl"), col("vr"), col("nr")))
+      .filter(col("cosine") >= threshold)
+      // cross-cell pairs arrive in cell order, not id order
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -32,11 +32,23 @@ object IvfIndex {
                      vecCol: String = "embedding"): Array[Array[Float]] = {
     require(nlist >= 1, s"nlist must be positive, got $nlist")
     val unit = unitVectors(corpus, idCol, vecCol).persist()
-    var centroids = unit.orderBy(col("id")).limit(nlist)
+    val seeds = unit.orderBy(col("id")).limit(nlist)
       .select(col("uvec")).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(centroids.nonEmpty,
+    require(seeds.nonEmpty,
       s"IVF training needs a non-empty corpus ($idCol/$vecCol yielded no seed vectors)")
+    val centroids = lloyd(unit, seeds, iters)
+    unit.unpersist()
+    centroids
+  }
+
+  /** `iters` spherical Lloyd steps over a (id, uvec) frame from the given
+    * initial centroids. One driver round-trip per step, model-sized: only
+    * nlist × dim partial sums come back. Empty cells keep their previous
+    * centroid. */
+  private[ops] def lloyd(unit: DataFrame, init: Array[Array[Float]],
+                         iters: Int): Array[Array[Float]] = {
+    var centroids = init
     for (_ <- 1 to iters) {
       val assigned = assignCells(unit, centroids)
       // per-(cell, dimension) mean via posexplode — only k×dim partial
@@ -57,7 +69,6 @@ object IvfIndex {
       }
       centroids = next
     }
-    unit.unpersist()
     centroids
   }
 
@@ -87,7 +98,7 @@ object IvfIndex {
 
   /** (id, unit vector); zero vectors stay zero (land in cell of seed 0
     * with score 0 — harmless). */
-  private def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[ops] def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     Parallelism.spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("nrm", sqrt(fdot(col("vec"), col("vec"))))
       .withColumn("uvec", when(col("nrm") === 0.0, col("vec"))
@@ -109,6 +120,19 @@ object IvfIndex {
       if (scored.length == 1) lit(0) // greatest() needs ≥ 2 columns
       else greatest(scored: _*).getField("cell")
     unit.withColumn("cell", cell)
+  }
+
+  /** Best-cell assignment as a `struct(score, cell)` column for a vector
+    * with a precomputed positive norm: score = cosine to the (unit)
+    * centroid, cell = argmax. Used by [[Dedup.embeddingNearDupsBlocked]]
+    * to get the assignment AND the angle-to-centroid in one pass. */
+  private[ops] def assignmentWithScore(vec: Column, nrm: Column,
+      centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+      struct((fdot(vec, centroidLit(cvec)) / nrm).as("score"),
+        lit(i).as("cell"))
+    }
+    if (scored.length == 1) scored.head else greatest(scored: _*)
   }
 
   /** Top-`nprobe` cell ids for a unit vector, as an array column. */

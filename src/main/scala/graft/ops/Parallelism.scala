@@ -21,6 +21,16 @@ object Parallelism {
     * shuffle down to `defaultParallelism`. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Partition count is read off the STATIC physical plan: `Dataset.rdd`
+    // under AQE materializes upstream query stages eagerly — which would
+    // then run a second time when the returned frame executes (no shuffle
+    // reuse across separate QueryExecutions). Building the non-adaptive
+    // plan's RDD lineage is lazy — no job is triggered. If the plan can't
+    // be built (exotic logical-only input), leave the frame untouched:
+    // "never shrinks" must hold even when we can't count.
+    val current =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (current >= target) df else df.repartition(target)
   }
 }

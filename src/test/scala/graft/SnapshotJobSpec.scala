@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end CLI contract: config file in, partitioned parquet snapshot
+  * out, reference exit codes (0 success / 1 any config or run failure —
+  * reference: Settings.scala:30-42). */
+class SnapshotJobSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-job").toString
+
+  private lazy val changelogPath = {
+    val p = s"$tmp/changelog"
+    Seq(
+      ("u1", 1000L, "I", "10", "alice"),
+      ("u1", 2000L, "U", "11", "alice2"),
+      ("u2", 1500L, "I", "20", "bob")
+    ).toDF("row_key", "ts", "row_status", "age", "name")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def writeConfig(name: String, json: String): String = {
+    val p = s"$tmp/$name"
+    Files.write(Paths.get(p), json.getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  "SnapshotJob.run" should "write a partitioned snapshot from a config file and exit 0" in {
+    val sink = s"$tmp/snapshot_out"
+    val cfg = writeConfig("good.json",
+      s"""{"changelog": {"path": "$changelogPath"},
+         | "schema": {"columns": ["d:age:integer", "d:name"]},
+         | "sink": {"path": "$sink"},
+         | "partition_by": ["k_replicator_row_status"]}""".stripMargin)
+    SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    val back = spark.read.parquet(sink)
+    back.count() shouldBe 2
+    back.schema("age").dataType shouldBe org.apache.spark.sql.types.IntegerType
+    back.orderBy($"k_hbase_row_key").select($"age").as[Int].collect().toSeq shouldBe
+      Seq(11, 20)
+    // the partition column reached the directory layout
+    new java.io.File(sink).list().count(
+      _.startsWith("k_replicator_row_status=")) shouldBe 2
+  }
+
+  it should "exit 1 on usage errors, unreadable configs and invalid configs" in {
+    // no args
+    SnapshotJob.run(Array.empty, spark) shouldBe 1
+    // missing file
+    SnapshotJob.run(Array(s"$tmp/nope.json"), spark) shouldBe 1
+    // matches neither schema strategy (reference two-schema no-match)
+    val bad = writeConfig("bad.json",
+      s"""{"changelog": {"path": "$changelogPath"},
+         | "schema": {},
+         | "sink": {"path": "$tmp/never"}}""".stripMargin)
+    SnapshotJob.run(Array(bad), spark) shouldBe 1
+  }
+
+  it should "exit 1 when the run itself fails (missing changelog)" in {
+    val cfg = writeConfig("missing_changelog.json",
+      s"""{"changelog": {"path": "$tmp/does-not-exist"},
+         | "schema": {"columns": ["d:age:integer"]},
+         | "sink": {"path": "$tmp/never2"}}""".stripMargin)
+    SnapshotJob.run(Array(cfg), spark) shouldBe 1
+  }
+
+  it should "never start a session on config failures (lazy session)" in {
+    var touched = false
+    def boom: org.apache.spark.sql.SparkSession = { touched = true; spark }
+    SnapshotJob.run(Array.empty, boom) shouldBe 1
+    SnapshotJob.run(Array(s"$tmp/nope2.json"), boom) shouldBe 1
+    touched shouldBe false
+  }
+}

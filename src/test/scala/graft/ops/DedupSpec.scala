@@ -96,18 +96,57 @@ class DedupSpec extends SparkTestBase {
     pairs shouldBe Set((1L, 2L))
   }
 
-  // The harness's hash-checked q_dedup_embedding runs the LSH path against
-  // the exact all-pairs oracle: recall must be (deterministically) 1.0 on
-  // the shipped corpora. Planes are fixed-seed, so this equality is stable
-  // run-to-run — if it passes once at a scale, it always passes there.
-  for (sf <- Seq("sf0.001", "sf0.01")) {
+  "embeddingNearDupsBlocked" should "find exactly the high-cosine pairs" in {
+    val pairs = Dedup.embeddingNearDupsBlocked(vecs, "vec_id", "embedding",
+        0.9, nlist = 2, iters = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
+  private val testdataRoot =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
+
+  // The harness's hash-checked q_dedup_embedding runs the cell-blocked
+  // path against the exact all-pairs oracle. Unlike the LSH banding this
+  // required no corpus measurement: the cell-pair prune bound is the
+  // spherical triangle inequality, so equality with the exact join is a
+  // theorem, and this spec guards the implementation, not the tuning.
+  // Every shipped scale factor that exists locally is exercised.
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")
+       if new java.io.File(s"$testdataRoot/$sf/embeddings.parquet").exists()) {
     it should s"match the exact pair set on the $sf corpus (recall 1.0)" in {
-      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val emb = spark.read.parquet(s"$testdataRoot/$sf/embeddings.parquet")
       val exact = Dedup.embeddingNearDupsExact(emb, "vec_id", "embedding", 0.4)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-      val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      val blocked = Dedup.embeddingNearDupsBlocked(
+          emb, "vec_id", "embedding", 0.4)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-      lsh shouldBe exact
+      blocked shouldBe exact
     }
+  }
+
+  // The LSH banding's job is PRUNING at high thresholds: with the 16×8
+  // threshold-derived default, candidate generation must stay well under
+  // all-pairs (at ~6% expected random-pair collision). This is the
+  // regression guard against recall-first settings that degenerate into
+  // all-pairs-plus-overhead (the shipped 32×2 once did exactly that).
+  "embeddingNearDups (LSH) default banding" should
+      "generate far fewer candidates than all-pairs at threshold 0.8" in {
+    val path = s"$testdataRoot/sf0.01/embeddings.parquet"
+    assume(new java.io.File(path).exists())
+    val emb = spark.read.parquet(path)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val dim = emb.select(
+      org.apache.spark.sql.functions.size($"embedding")).head().getInt(0)
+    val buckets = emb.select($"vec_id".as("id"), posexplode(
+        Similarity.hyperplaneBandKeys($"embedding", dim, bands = 16,
+          rowsPerBand = 8)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val candidates = buckets.as("l").join(buckets.as("r"),
+        $"l.band" === $"r.band" && $"l.band_key" === $"r.band_key" &&
+        $"l.id" < $"r.id")
+      .select($"l.id", $"r.id").distinct().count()
+    candidates should be < (allPairs / 4)
   }
 }

@@ -36,6 +36,34 @@ object Tables {
     eventsRaw(s, d).withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** The events changelog as a bounded file STREAM: the replay input for
+    * verifying the streaming upsert against the batch oracle.
+    *
+    * The file stream source only accepts directories (it pins `basePath`
+    * to the source path itself), and the test tables are single parquet
+    * files — so the table is staged once into a temp directory as FOUR
+    * files. With `maxFilesPerTrigger=1` the replay then runs as four real
+    * micro-batches: per-key state genuinely carries across triggers
+    * through the partitioned state store, instead of collapsing into one
+    * trivial batch. Staging writes the already-normalized (µs timestamp)
+    * rows, so the stream schema equals [[events]]'s. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_stream_$digest")
+    Tables.synchronized {
+      if (!new java.io.File(staged, "_SUCCESS").exists()) {
+        events(s, d).repartition(4).write.mode("overwrite")
+          .parquet(staged.toString)
+      }
+    }
+    s.readStream
+      .schema(events(s, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -21,13 +21,30 @@ import org.apache.spark.sql.types._
   */
 object ChangelogStream {
 
+  /** Injective string encoding of a composite grouping key: each part is
+    * length-prefixed (`NULL` parts get their own marker), so distinct key
+    * tuples can never collide — unlike a plain separator join, where
+    * `("a b", "c")` and `("a", "b c")` would map to the same group.
+    * Proof sketch: the encoding is a prefix code (the length prefix fully
+    * determines where each part ends), so decoding is unambiguous. */
+  private[streaming] def encodeKey(parts: Seq[Any]): String =
+    parts.map {
+      case null => "N"
+      case v => val s = String.valueOf(v); s"V${s.length}:$s"
+    }.mkString
+
   /** Streaming latest-per-key upsert over a streaming DataFrame.
     *
-    * Key = `keyCols` (concatenated), value ordering = (`tsCol`, then
-    * `tieBreakers`) as in the batch [[graft.ops.Snapshot.latestPerKey]].
-    * Emits the winning row per key each time it changes (Update mode).
-    * State never expires (`NoTimeout`) — the upsert view is permanent;
-    * wire a timeout here for TTL'd keys.
+    * Key = `keyCols` (injectively encoded — see [[encodeKey]]), value
+    * ordering = (`tsCol`, then `tieBreakers`) as in the batch
+    * [[graft.ops.Snapshot.latestPerKey]]. Emits the winning row per key
+    * each time it changes (Update mode). State never expires (`NoTimeout`)
+    * — the upsert view is permanent; wire a timeout here for TTL'd keys.
+    *
+    * State is one full `Row` per key, serialized with the DataFrame's own
+    * schema encoder (`Encoders.row`) — an explicit, schema-checked state
+    * format that survives checkpoint restarts, where a Kryo-serialized
+    * `Row` blob would silently break on any schema or Spark upgrade.
     */
   def latestPerKey(stream: DataFrame, keyCols: Seq[String], tsCol: String,
                    tieBreakers: Seq[String] = Nil): DataFrame = {
@@ -37,7 +54,7 @@ object ChangelogStream {
     val keyIdx = keyCols.map(schema.fieldIndex)
 
     val rowEnc = Encoders.row(schema)
-    val stateEnc = Encoders.kryo[Row]
+    val stateEnc = rowEnc
     implicit val keyEnc = Encoders.STRING
 
     def orderKey(r: Row): Seq[Any] = (tsIdx +: tieIdx).map(r.get)
@@ -59,9 +76,45 @@ object ChangelogStream {
       state.update(best)
       best
     }
-    stream.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))
+    stream.groupByKey(r => encodeKey(keyIdx.map(r.get)))
       .mapGroupsWithState[Row, Row](GroupStateTimeout.NoTimeout)(update)(
         stateEnc, rowEnc)
+  }
+
+  /** Batch replay of the streaming upsert: run [[latestPerKey]] over a
+    * bounded stream to completion (`Trigger.AvailableNow`) into an
+    * in-memory sink, then return the final per-key state as a batch
+    * DataFrame.
+    *
+    * This is the bridge that lets the streaming path face the SAME
+    * correctness oracle as the batch reconstruction: replaying the full
+    * changelog through the upsert must equal
+    * [[graft.ops.Snapshot.latestPerKey]] on the batch table. The sink
+    * holds one row per key per micro-batch in which that key improved;
+    * per-key emissions are monotone in the (ts, tieBreakers) order, so the
+    * final state is the per-key maximum over the sink — a tiny batch
+    * aggregate over (keys × batches) rows, not over the stream.
+    *
+    * Scale note: the harness replays a file-backed stream one file per
+    * trigger; state lives in the partitioned state store exactly as a
+    * production run, so this is the real operator under test, not a
+    * simulation. */
+  def replayLatestPerKey(stream: DataFrame, keyCols: Seq[String],
+                         tsCol: String,
+                         tieBreakers: Seq[String] = Nil): DataFrame = {
+    val spark = stream.sparkSession
+    val sinkName = "graft_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = latestPerKey(stream, keyCols, tsCol, tieBreakers)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.Snapshot.latestPerKey(
+      spark.table(sinkName), keyCols, tsCol, tieBreakers)
   }
 
   /** Watermarked sliding-window counts per key — the standard streaming

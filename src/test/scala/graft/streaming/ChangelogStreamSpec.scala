@@ -37,6 +37,57 @@ class ChangelogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  case class CEv(k1: String, k2: String, ts: java.sql.Timestamp, value: Double)
+
+  it should "not collide composite keys whose parts shift a separator" in {
+    implicit val sql = spark.sqlContext
+    val t = (sec: Long) => new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[CEv]
+    val upserts = ChangelogStream.latestPerKey(
+      input.toDF(), Seq("k1", "k2"), "ts")
+    val q = upserts.writeStream
+      .format("memory").queryName("composite_view")
+      .outputMode("update").start()
+    try {
+      // ("a b","c") and ("a","b c") concatenate identically with a space
+      // separator; they MUST remain distinct keys (two state rows)
+      input.addData(CEv("a b", "c", t(100), 1.0), CEv("a", "b c", t(100), 2.0))
+      q.processAllAvailable()
+      input.addData(CEv("a b", "c", t(200), 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("composite_view")
+        .groupBy($"k1", $"k2").agg(max_by($"value", $"ts").as("v"))
+        .as[(String, String, Double)].collect().toSet
+      latest shouldBe Set(("a b", "c", 3.0), ("a", "b c", 2.0))
+    } finally q.stop()
+  }
+
+  "encodeKey" should "be injective on adversarial part splits" in {
+    val pairs = Seq(
+      Seq("a b", "c"), Seq("a", "b c"), Seq("ab", "c"), Seq("a", "bc"),
+      Seq("", "abc"), Seq("abc", ""), Seq(null, "x"), Seq("null", "x"),
+      Seq("V1:a", "b"), Seq("V1:ab", ""))
+    val encoded = pairs.map(ChangelogStream.encodeKey)
+    encoded.distinct.size shouldBe pairs.size
+  }
+
+  "replayLatestPerKey" should "equal the batch latest-per-key on the events table" in {
+    val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val streamed = ChangelogStream.replayLatestPerKey(
+        graft.sources.Tables.eventsStream(spark, dir),
+        Seq("user_id"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+    val batch = graft.ops.Snapshot.latestPerKey(
+        graft.sources.Tables.events(spark, dir),
+        Seq("user_id"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+    streamed shouldBe batch
+    batch should not be empty
+  }
+
   it should "drop state-free late data behind the watermark in append-mode sinks" in {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]

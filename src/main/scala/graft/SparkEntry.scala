@@ -43,6 +43,18 @@ object SparkEntry {
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
 
+    // Streaming shadow of O13: the changelog replayed through the
+    // Structured Streaming upsert (mapGroupsWithState against the real
+    // partitioned state store, run to completion with AvailableNow) must
+    // equal the batch latest-per-key — so the streaming path faces the
+    // SAME DuckDB oracle as q_dedup_latest, not just a unit spec.
+    "q_stream_upsert" -> ((s, d) =>
+      graft.streaming.ChangelogStream.replayLatestPerKey(
+          Tables.eventsStream(s, d), Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))),
+
     // O13 delta-reconciliation — distinct keys whose state changed in
     // [from, until): the semi/anti-join input for delta imports.
     "q_changed_keys" -> ((s, d) =>
@@ -418,13 +430,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Embedding-cosine near-dup through the banded-LSH scale path: the
-    // hash-checked query IS the bucketed candidate generation + exact
-    // verify. Recall vs the exact join is measured 1.0 at every shipped
-    // scale factor (deterministic plane seeds — see Dedup scaladoc and
-    // DedupSpec), so it shares the exact all-pairs oracle.
+    // Embedding-cosine near-dup through the blocked scale path: spherical
+    // k-means cells + angular triangle-inequality cell-pair pruning.
+    // Recall is 1.0 BY CONSTRUCTION at any threshold (the prune bound is
+    // exact, not probabilistic — see Dedup.embeddingNearDupsBlocked),
+    // so it shares the exact all-pairs oracle with no corpus tuning.
+    // Sign-LSH banding is NOT used here: at this corpus's weak threshold
+    // (0.4) any recall-1.0 banding admits ~all pairs as candidates.
     "q_dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id",
+      Dedup.embeddingNearDupsBlocked(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -448,7 +462,11 @@ object SparkEntry {
     // recall is probabilistic, so no SQL oracle (rows-only check).
     "q_sim_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, planes = 4)
+      // multi-probe: each query also scores the 2 nearest sign-flip
+      // buckets, lifting recall at fixed index size (SimilaritySpec
+      // measures the lift against the exact top-k)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          planes = 4, probes = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -471,7 +489,8 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // Chunk → pack pipeline: token windows packed into capacity-512
-    // context batches per shard (greedy cumulative blocks).
+    // context batches per shard (exact next-fit: a chunk that would
+    // overflow the open pack closes it, so no pack exceeds capacity).
     "q_packing" -> ((s, d) => {
       val chunks = graft.ops.Chunking.chunk(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
@@ -526,6 +545,11 @@ object SparkEntry {
          | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          | ORDER BY user_id""".stripMargin,
     "q_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM events
+        | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        | ORDER BY user_id""".stripMargin,
+    // Streaming replay ≡ batch latest-per-key, so it shares the oracle.
+    "q_stream_upsert" ->
       """SELECT user_id, event_id, event_type, value, ts FROM events
         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         | ORDER BY user_id""".stripMargin,

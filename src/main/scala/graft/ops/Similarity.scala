@@ -120,11 +120,52 @@ object Similarity {
     array((0 until bands).map(b =>
       hyperplaneKey(vec, dim, rowsPerBand, offset = b * rowsPerBand)): _*)
 
+  /** Multi-probe key set for a query vector: its own bucket key plus the
+    * `probes` single-bit flips with the smallest |dot| margin — i.e. the
+    * planes the vector sits closest to, which are exactly the bits most
+    * likely to differ for a true near neighbor. This is the standard
+    * multi-probe LSH trick: recall rises with `probes` at FIXED plane
+    * count, so the index stays small instead of multiplying hash tables.
+    *
+    * Returned as an array column (distinct keys by construction — the
+    * base key plus XORs of distinct single bits), ordered base-first then
+    * by ascending margin. Plan size stays one `fdot` per plane. */
+  def multiProbeKeys(vec: Column, dim: Int, planes: Int, probes: Int,
+                     offset: Int = 0): Column = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes=$planes], got $probes")
+    val dots = (0 until planes).map(p =>
+      fdot(vec, typedLit(planeVector(offset + p, dim).toSeq)))
+    val base = dots.zipWithIndex.map { case (d, p) =>
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    if (probes == 0) array(base)
+    else {
+      val margins = array(dots.zipWithIndex.map { case (d, p) =>
+        struct(abs(d).as("m"), lit(p).as("p"))
+      }: _*)
+      // array_sort on struct sorts by (m, p) lexicographically: nearest
+      // planes first, index as the deterministic tie-break
+      val flips = slice(array_sort(margins), 1, probes)
+      concat(array(base),
+        transform(flips, f =>
+          base.bitwiseXOR(call_function("shiftleft", lit(1L),
+            f.getField("p")))))
+    }
+  }
+
   /** Approximate top-k: score only corpus vectors in the query's
-    * hyperplane bucket. Falls back to fewer than k results when the
-    * bucket is small — the standard ANN recall trade. */
+    * hyperplane bucket, plus (multi-probe) the `probes` neighboring
+    * buckets across the lowest-margin planes. Falls back to fewer than k
+    * results when the probed buckets are small — the standard ANN recall
+    * trade, tunable per query batch via `probes` without re-indexing.
+    *
+    * Scale design: the corpus is keyed ONCE (one bucket per vector); only
+    * the broadcast query side fans out ×(probes+1). Each (query, corpus)
+    * pair can match at most one probe key (corpus has a single key), so
+    * no candidate dedup step is needed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 6,
+              planes: Int = 6, probes: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = vectorDim(corpus, vecCol)
     val c = Parallelism.spread(
@@ -132,8 +173,8 @@ object Similarity {
       .select(col("corpus_id"), col("c_vec"), fnorm(col("c_vec")).as("c_nrm"),
         hyperplaneKey(col("c_vec"), dim, planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      fnorm(col(vecCol)).as("q_nrm"),
-      hyperplaneKey(col(vecCol), dim, planes).as("bucket"))
+        fnorm(col(vecCol)).as("q_nrm"),
+        explode(multiProbeKeys(col(vecCol), dim, planes, probes)).as("bucket"))
     val scored = c.as("c").join(broadcast(q.as("q")),
         col("c.bucket") === col("q.bucket") && col("q.query_id") =!= col("c.corpus_id"))
       .select(col("query_id"), col("corpus_id"),

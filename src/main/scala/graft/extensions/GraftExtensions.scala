@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => NanosFilterPushdown)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

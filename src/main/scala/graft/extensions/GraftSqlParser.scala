@@ -1,0 +1,94 @@
+package graft.extensions
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL syntax sugar for the engine's signature operator: a `SNAPSHOT`
+  * statement that reads as the reference's contract ("group by key and
+  * select the latest as of T" — reference:
+  * src/main/scala/com/booking/spark/Schema.scala:123-127,
+  * HBaseSnapshotter.scala:123-129) without the window-function
+  * boilerplate:
+  *
+  * {{{
+  * SNAPSHOT events KEY (user_id) ORDER BY ts, event_id
+  * SNAPSHOT events KEY (user_id, event_type) ORDER BY ts ASOF TIMESTAMP '2024-02-01 00:00:00'
+  * }}}
+  *
+  * ≡ latest row per KEY tuple by the ORDER BY columns (descending, first
+  * column the version timestamp, rest tie-breakers), optionally bounded
+  * end-exclusive by ASOF.
+  *
+  * Implementation: pure source-to-source rewrite into standard SQL
+  * (`row_number()` window + `QUALIFY`-style filter), then delegation to
+  * Spark's own parser — the sugar therefore composes with the full
+  * optimizer (filter pushdown of the ASOF bound into the scan, column
+  * pruning through the window) and never touches analysis internals.
+  * Everything that is not a `SNAPSHOT` statement passes through to the
+  * delegate parser untouched, so the dialect is strictly additive.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(GraftSqlParser.rewrite(sqlText).getOrElse(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(GraftSqlParser.rewrite(sqlText).getOrElse(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** `SNAPSHOT <table> KEY (<cols>) ORDER BY <cols> [ASOF <expr>]`.
+    * Table: dotted/backquoted identifier. KEY/ORDER BY: comma-separated
+    * column identifiers. ASOF: any expression text (spliced into a
+    * `<ts> < (<expr>)` bound and re-parsed by the delegate, so malformed
+    * bounds still fail with Spark's own error). */
+  private val Pattern =
+    ("""(?is)^\s*SNAPSHOT\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+""" +
+      """KEY\s*\(([^)]+)\)\s+ORDER\s+BY\s+((?:`[^`]+`|[\w.])+""" +
+      """(?:\s*,\s*(?:`[^`]+`|[\w.])+)*)(?:\s+ASOF\s+(.+?))?\s*;?\s*$""").r
+
+  /** The standard-SQL expansion of a SNAPSHOT statement, or None if the
+    * text is not one (pass-through). */
+  def rewrite(sqlText: String): Option[String] = {
+    // cheap guard so every normal statement skips the regex machinery
+    val head = sqlText.dropWhile(_.isWhitespace).take(9)
+    if (!head.toUpperCase(Locale.ROOT).startsWith("SNAPSHOT ")) return None
+    Pattern.findFirstMatchIn(sqlText).map { m =>
+      val table = m.group(1)
+      val keys = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+      val order = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
+      val asOf = Option(m.group(4))
+      require(keys.nonEmpty, "SNAPSHOT needs at least one KEY column")
+      require(order.nonEmpty, "SNAPSHOT needs at least one ORDER BY column")
+      val bound = asOf.map(b => s" WHERE ${order.head} < ($b)").getOrElse("")
+      val orderDesc = order.map(c => s"$c DESC").mkString(", ")
+      s"""SELECT * EXCEPT (__graft_rn) FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY ${keys.mkString(", ")}
+         |    ORDER BY $orderDesc) AS __graft_rn
+         |  FROM $table$bound
+         |) WHERE __graft_rn = 1""".stripMargin
+    }
+  }
+}

@@ -13,6 +13,9 @@ object SparkTestBase {
       .master("local[2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 2)
+      // same extension wiring as the Verify/Bench/SnapshotJob sessions,
+      // so parser-injected syntax is live in specs too
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

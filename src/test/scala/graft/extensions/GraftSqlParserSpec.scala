@@ -1,0 +1,83 @@
+package graft.extensions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraftSqlParserSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+  private lazy val log = Seq(
+    (1L, "a", t(100), 10L, 1.0),
+    (1L, "a", t(200), 11L, 2.0), // winner for (1,a)
+    (1L, "b", t(150), 12L, 3.0),
+    (2L, "a", t(100), 13L, 4.0),
+    (2L, "a", t(100), 14L, 5.0)  // ts tie → event_id tie-break wins
+  ).toDF("user_id", "event_type", "ts", "event_id", "value")
+
+  "rewrite" should "pass non-SNAPSHOT statements through untouched" in {
+    GraftSqlParser.rewrite("SELECT 1") shouldBe None
+    GraftSqlParser.rewrite("  select snapshot from t") shouldBe None
+    // a column named snapshot or a malformed statement is not claimed
+    GraftSqlParser.rewrite("SNAPSHOT") shouldBe None
+  }
+
+  it should "expand KEY/ORDER BY/ASOF into a window-rank query" in {
+    val sql = GraftSqlParser.rewrite(
+      "SNAPSHOT db.events KEY (user_id, event_type) ORDER BY ts, event_id " +
+        "ASOF TIMESTAMP '2024-02-01 00:00:00'").get
+    sql should include("PARTITION BY user_id, event_type")
+    sql should include("ORDER BY ts DESC, event_id DESC")
+    sql should include("FROM db.events WHERE ts < (TIMESTAMP '2024-02-01 00:00:00')")
+    sql should include("__graft_rn = 1")
+  }
+
+  "SNAPSHOT statement" should "equal the batch latest-per-key operator" in {
+    log.createOrReplaceTempView("sql_log")
+    val viaSql = spark.sql(
+        "SNAPSHOT sql_log KEY (user_id, event_type) ORDER BY ts, event_id")
+      .select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect().toSet
+    val viaApi = graft.ops.Snapshot.latestPerKey(
+        log, Seq("user_id", "event_type"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect().toSet
+    viaSql shouldBe viaApi
+    viaSql shouldBe Set((1L, "a", 11L), (1L, "b", 12L), (2L, "a", 14L))
+  }
+
+  it should "apply the end-exclusive ASOF bound" in {
+    log.createOrReplaceTempView("sql_log")
+    val rows = spark.sql(
+        "SNAPSHOT sql_log KEY (user_id, event_type) ORDER BY ts, event_id " +
+          "ASOF to_timestamp('1970-01-01 00:02:30')")
+      .select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect().toSet
+    // rows at ts >= 150s are excluded; (1,a) falls back to event 10
+    rows shouldBe Set((1L, "a", 10L), (2L, "a", 14L))
+  }
+
+  it should "keep the ASOF bound pushed down to the scan" in {
+    // parquet-backed view: a LocalRelation would constant-fold the bound
+    // away before it ever reached a scan
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sqlparser_pushdown").toString
+    log.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("sql_log_pq")
+    val physical = spark.sql(
+      "SNAPSHOT sql_log_pq KEY (user_id) ORDER BY ts " +
+        "ASOF to_timestamp('1970-01-01 00:02:30')")
+      .queryExecution.executedPlan.toString
+    // the ASOF comparison must reach the parquet reader as a pushed
+    // filter, not evaluate above the window
+    physical should include regex "PushedFilters: \\[.*LessThan\\(ts.*\\]"
+  }
+
+  it should "still parse ordinary SQL through the delegate" in {
+    spark.sql("SELECT 1 + 1 AS two").as[Int].head() shouldBe 2
+    // and graft's injected function registry is live in the same session
+    log.createOrReplaceTempView("sql_log")
+    spark.sql("SELECT fdot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .as[Double].head() shouldBe 11.0
+  }
+}

@@ -35,6 +35,19 @@ object SparkEntry {
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
 
+    // O1 via the parser-injected SQL dialect: the SNAPSHOT statement must
+    // produce exactly the as-of reconstruction (same oracle as
+    // q_snapshot_asof) — the sugar is a source-to-source rewrite, so the
+    // ASOF bound still reaches the scan as a pushed filter.
+    "q_snapshot_sql" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_sql")
+      s.sql("SNAPSHOT events_sql KEY (user_id) ORDER BY ts, event_id " +
+          s"ASOF TIMESTAMP '$AsOfTs'")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // O13 — dedup latest-per-key over the full changelog (T = now).
     "q_dedup_latest" -> ((s, d) =>
       Snapshot.latestPerKey(Tables.events(s, d), Seq("user_id"), "ts",
@@ -42,6 +55,25 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
+
+    // Incremental snapshot maintenance: advance the materialized T1
+    // state by the [T1, T2) changelog slice — must equal the full
+    // reconstruction at T2 (same oracle as q_snapshot_asof), while the
+    // snapshot side only splits via broadcast anti/semi joins (never
+    // re-shuffled; see Snapshot.advanceSnapshot scale notes).
+    "q_snapshot_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t1 = lit("2024-01-10 00:00:00").cast(TimestampType)
+      val t2 = lit(AsOfTs).cast(TimestampType)
+      val prev = Snapshot.snapshotAsOf(ev, Seq("user_id"), "ts", t1,
+        Seq("event_id"))
+      val delta = ev.filter(col("ts") >= t1 && col("ts") < t2)
+      Snapshot.advanceSnapshot(prev, delta, Seq("user_id"), "ts",
+          Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
 
     // Streaming shadow of O13: the changelog replayed through the
     // Structured Streaming upsert (mapGroupsWithState against the real
@@ -544,10 +576,23 @@ object SparkEntry {
          | WHERE ts < TIMESTAMP '$AsOfTs'
          | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          | ORDER BY user_id""".stripMargin,
+    // SNAPSHOT SQL sugar ≡ as-of reconstruction, so it shares the oracle.
+    "q_snapshot_sql" ->
+      s"""SELECT user_id, event_id, event_type, value, ts FROM events
+         | WHERE ts < TIMESTAMP '$AsOfTs'
+         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         | ORDER BY user_id""".stripMargin,
     "q_dedup_latest" ->
       """SELECT user_id, event_id, event_type, value, ts FROM events
         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         | ORDER BY user_id""".stripMargin,
+    // Incremental advance ≡ full reconstruction at T2 — shares the
+    // q_snapshot_asof oracle.
+    "q_snapshot_incremental" ->
+      s"""SELECT user_id, event_id, event_type, value, ts FROM events
+         | WHERE ts < TIMESTAMP '$AsOfTs'
+         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         | ORDER BY user_id""".stripMargin,
     // Streaming replay ≡ batch latest-per-key, so it shares the oracle.
     "q_stream_upsert" ->
       """SELECT user_id, event_id, event_type, value, ts FROM events

@@ -68,4 +68,44 @@ object Snapshot {
       .filter(col(tsCol) >= from && col(tsCol) < until)
       .select(keyCols.map(col): _*)
       .distinct()
+
+  /** Incremental snapshot maintenance: advance a materialized snapshot
+    * (state as of T1, one row per key) by a changelog slice
+    * `[T1, T2)` to the state as of T2 — WITHOUT recomputing from the
+    * full changelog, and without shuffling the snapshot.
+    *
+    * This is the daily-delta-import pattern the reference's dedup
+    * contract describes (reference: Schema.scala:123-127 — "for
+    * deduplicating rows in delta imports containing row updates"):
+    * `advanceSnapshot(snapshotAsOf(log, T1), log[T1 ≤ ts < T2])` must
+    * equal `snapshotAsOf(log, T2)` exactly (spec + oracle-checked).
+    *
+    * Scale design — the asymmetry is the whole point: `prev` is
+    * snapshot-sized (≈ key cardinality, potentially the full 100 TB
+    * table), `delta` is one import interval, usually orders of magnitude
+    * smaller. So the plan must never shuffle or rewrite `prev` beyond a
+    * single scan:
+    *  1. reduce `delta` to its per-key winner (map-side-combined agg on
+    *     the SMALL side);
+    *  2. broadcast the changed-key set; `prev` splits into untouched
+    *     rows (broadcast LEFT ANTI — scan-only, no exchange of `prev`)
+    *     and superseded candidates (broadcast LEFT SEMI);
+    *  3. only (changed keys × 2) rows enter the final latest-per-key
+    *     merge; the untouched bulk is unioned back untouched.
+    * Set `broadcastDelta = false` when an import interval's key set is
+    * itself beyond broadcast size — the same plan runs with shuffle
+    * joins (AQE picks the strategy), still touching only changed keys in
+    * the merge. */
+  def advanceSnapshot(prev: DataFrame, delta: DataFrame, keyCols: Seq[String],
+                      tsCol: String, tieBreakers: Seq[String] = Nil,
+                      broadcastDelta: Boolean = true): DataFrame = {
+    val deltaLatest = latestPerKey(delta, keyCols, tsCol, tieBreakers)
+    val changed0 = deltaLatest.select(keyCols.map(col): _*)
+    val changed = if (broadcastDelta) broadcast(changed0) else changed0
+    val untouched = prev.join(changed, keyCols, "left_anti")
+    val superseded = prev.join(changed, keyCols, "left_semi")
+    val merged = latestPerKey(
+      superseded.unionByName(deltaLatest), keyCols, tsCol, tieBreakers)
+    untouched.unionByName(merged)
+  }
 }

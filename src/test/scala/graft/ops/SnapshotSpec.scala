@@ -75,6 +75,46 @@ class SnapshotSpec extends SparkTestBase {
     out shouldBe Set(("a", 1, "x2"), ("a", 2, "y1"), ("b", 1, "z1"))
   }
 
+  "advanceSnapshot" should "advance T1 state by a delta slice to exactly the T2 state" in {
+    // every (T1, T2) cut of the changelog must satisfy
+    // advance(asOf(T1), slice[T1,T2)) == asOf(T2)
+    val cuts = for (t1 <- Seq(0L, 2L, 5L, 6L); t2 <- Seq(6L, 9L, 100L)
+                    if t2 > t1) yield (t1, t2)
+    cuts.foreach { case (t1, t2) =>
+      val prev = Snapshot.snapshotAsOf(changelog, Seq("k"), "ts",
+        timestamp_seconds(lit(t1)).cast(TimestampType))
+      val delta = changelog.filter(
+        $"ts" >= timestamp_seconds(lit(t1)) && $"ts" < timestamp_seconds(lit(t2)))
+      val advanced = Snapshot.advanceSnapshot(prev, delta, Seq("k"), "ts")
+        .select($"k", $"v").as[(String, String)].collect().toMap
+      withClue(s"cut ($t1, $t2): ") { advanced shouldBe stateAt(t2) }
+    }
+  }
+
+  it should "keep the snapshot side un-exchanged (broadcast anti/semi split)" in {
+    val prev = Snapshot.snapshotAsOf(changelog, Seq("k"), "ts",
+      timestamp_seconds(lit(6)).cast(TimestampType))
+    val delta = changelog.filter($"ts" >= timestamp_seconds(lit(6)))
+    val plan = Snapshot.advanceSnapshot(prev, delta, Seq("k"), "ts")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include regex "(?i)LeftAnti"
+    plan should include regex "(?i)LeftSemi"
+  }
+
+  it should "handle empty deltas and brand-new keys" in {
+    val prev = Snapshot.snapshotAsOf(changelog, Seq("k"), "ts",
+      timestamp_seconds(lit(3)).cast(TimestampType))
+    val empty = changelog.filter(lit(false))
+    Snapshot.advanceSnapshot(prev, empty, Seq("k"), "ts")
+      .select($"k", $"v").as[(String, String)].collect().toMap shouldBe stateAt(3)
+    // delta containing a key absent from prev ("c" first appears at ts=4)
+    val delta = changelog.filter(
+      $"ts" >= timestamp_seconds(lit(3)) && $"ts" < timestamp_seconds(lit(5)))
+    Snapshot.advanceSnapshot(prev, delta, Seq("k"), "ts")
+      .select($"k", $"v").as[(String, String)].collect().toMap shouldBe stateAt(5)
+  }
+
   "changedKeysBetween" should "return distinct keys touched in [from, until)" in {
     val keys = Snapshot.changedKeysBetween(changelog, Seq("k"), "ts",
         timestamp_seconds(lit(4)), timestamp_seconds(lit(9)))

@@ -103,6 +103,33 @@ class SnapshotPipelineSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_bucketed")
   }
 
+  // The 100 TB payoff of the bucketed sink: two snapshots bucketed the
+  // same way join on the bucket key with NO exchange on either side —
+  // the delta-import reconciliation join (reference: Schema.scala:123-127)
+  // becomes a zero-shuffle merge of co-located buckets.
+  "bucketed snapshots" should "join on the bucket key without a shuffle" in {
+    for (t <- Seq("graft_buck_a", "graft_buck_b"))
+      SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
+        ExplicitSchema(Seq("d:age:integer", "d:name")),
+        TableSink(t, bucketBy = Some((4, Seq("k_hbase_row_key"))))))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny fixtures would auto-broadcast; the claim under test is the
+      // co-located SMJ path that big-x-big joins take at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_buck_a").as("a")
+        .join(spark.table("graft_buck_b").as("b"), "k_hbase_row_key")
+      val physical = joined.queryExecution.executedPlan.toString
+      physical should include("SortMergeJoin")
+      physical should not include "Exchange"
+      joined.count() shouldBe 2
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      for (t <- Seq("graft_buck_a", "graft_buck_b"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   "fromJson" should "dispatch the schema strategy on config shape" in {
     val mysqlCfg = fromJson(
       s"""{"changelog": {"path": "$changelogPath", "timestamp": 2000},

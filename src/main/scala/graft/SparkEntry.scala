@@ -87,6 +87,22 @@ object SparkEntry {
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
 
+    // Continuously-maintained materialized snapshot: foreachBatch drives
+    // advanceSnapshot per micro-batch into idempotent batch-versioned
+    // directories; after a bounded catch-up run the latest version must
+    // equal the batch latest-per-key (same oracle).
+    "q_snapshot_materialized" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_mat_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      graft.streaming.MaterializedSnapshot.maintain(
+        Tables.eventsStream(s, d), out, Seq("user_id"), "ts",
+        Seq("event_id")).awaitTermination()
+      graft.streaming.MaterializedSnapshot.read(s, out)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // O13 delta-reconciliation — distinct keys whose state changed in
     // [from, until): the semi/anti-join input for delta imports.
     "q_changed_keys" -> ((s, d) =>
@@ -593,6 +609,11 @@ object SparkEntry {
          | WHERE ts < TIMESTAMP '$AsOfTs'
          | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          | ORDER BY user_id""".stripMargin,
+    // Materialized maintenance converges to latest-per-key — same oracle.
+    "q_snapshot_materialized" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM events
+        | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        | ORDER BY user_id""".stripMargin,
     // Streaming replay ≡ batch latest-per-key, so it shares the oracle.
     "q_stream_upsert" ->
       """SELECT user_id, event_id, event_type, value, ts FROM events

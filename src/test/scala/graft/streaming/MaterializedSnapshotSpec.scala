@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.streaming.Trigger
+
+class MaterializedSnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val testdataRoot =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata")
+
+  "maintain" should "converge to the batch snapshot over a multi-batch replay" in {
+    val dir = s"$testdataRoot/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_mat_snapshot_" + System.nanoTime()).toString
+    val q = MaterializedSnapshot.maintain(
+      graft.sources.Tables.eventsStream(spark, dir), out,
+      Seq("user_id"), "ts", Seq("event_id"))
+    q.awaitTermination()
+
+    // the staged events stream arrives one file per trigger: the version
+    // chain must show multiple committed materializations (bounded by
+    // retention), each a full snapshot
+    val vs = MaterializedSnapshot.versions(spark, out)
+    vs.size should be >= 2
+    vs.size should be <= 3 // default retainVersions
+
+    val streamed = MaterializedSnapshot.read(spark, out)
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.ops.Snapshot.latestPerKey(
+        graft.sources.Tables.events(spark, dir),
+        Seq("user_id"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    streamed shouldBe batch
+
+    // time travel: an earlier version is a valid snapshot with no more
+    // keys than the final one
+    val earlier = MaterializedSnapshot.readVersion(spark, out, vs.head)
+    val keyCount = earlier.select($"user_id").distinct().count()
+    keyCount should be > 0L
+    keyCount shouldBe earlier.count() // one row per key
+    keyCount should be <= batch.size.toLong
+  }
+
+  it should "refuse to read an empty snapshot directory" in {
+    an[IllegalArgumentException] should be thrownBy
+      MaterializedSnapshot.read(spark, "/tmp/graft_mat_snapshot_nonexistent")
+  }
+}

@@ -386,6 +386,31 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // Mergeable-sketch pattern — the 100 TB shape of distinct counting:
+    // build one Datasketches HLL sketch per (flag, linestatus) shard
+    // map-side, then UNION the shard sketches to per-flag counts. Sketch
+    // union is lossless w.r.t. re-sketching the union, so the merged
+    // estimate must EQUAL the direct whole-partition estimate — asserted
+    // here in-query (diff = 0 for every flag) so the invariant that makes
+    // pre-aggregated daily sketches safe to roll up is itself checked.
+    // Rows-only for the driver (estimates are engine-specific).
+    "q_sketch_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val shards = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("shard_sketch"))
+      val merged = shards.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("shard_sketch")))
+          .as("merged_distinct"))
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          .as("direct_distinct"))
+      merged.join(direct, "l_returnflag")
+        .select(col("l_returnflag"), col("merged_distinct"),
+          col("direct_distinct"),
+          (col("merged_distinct") - col("direct_distinct")).as("diff"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Pivot — status columns per priority (counts), fixed column set.
     "q_pivot" -> ((s, d) =>
       Tables.orders(s, d)
@@ -458,6 +483,18 @@ object SparkEntry {
       Dedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Cluster resolution over the near-dup pair graph: connected
+    // components via min-label propagation; every document (singletons
+    // included) labelled with the min id reachable from it. Oracle is a
+    // DuckDB recursive CTE over the same exact pair graph.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.dupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // MinHash+LSH near-dup (banded signature blocking, exact verification).
     // Same oracle as the exact join: at threshold 0.8 with 16×4 bands the
@@ -878,6 +915,19 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" -> NgramJaccardOracle,
+    // Connected components over the same exact pair graph, by recursive
+    // transitive closure; labels = min reachable id, singletons themselves.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE j AS ($NgramJaccardOracle),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+         |          UNION ALL SELECT id_b, id_a FROM j),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |)
+         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" -> NgramJaccardOracle,
     "q_dedup_simhash" ->
       s"""WITH j AS ($NgramJaccardOracle)

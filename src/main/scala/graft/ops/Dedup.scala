@@ -385,32 +385,42 @@ object Dedup {
     *    by their cell's surviving-pair degree — the prune rate adapts to
     *    how clustered the corpus is, and the isotropic worst case
     *    degrades to the exact all-pairs join, never worse;
-    *  - a single giant cell concentrates one m_i × m_j scoring task —
-    *    raise `nlist` (finer cells) if cell sizes skew.
+    *  - a single giant cell concentrates one m_i × m_j scoring task — by
+    *    default `nlist` auto-sizes to ~1000 members per cell (capped at
+    *    1024 cells for assignment plan size), bounding that task as the
+    *    corpus grows; pass `nlist` explicitly to override.
     *
     * Requires threshold > 0 (zero-norm vectors define cosine 0 and are
     * excluded up front; a non-positive threshold means all-pairs — use
     * [[embeddingNearDupsExact]]). */
   def embeddingNearDupsBlocked(df: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, nlist: Int = 16,
+                               threshold: Double, nlist: Int = 0,
                                iters: Int = 1): DataFrame = {
     require(threshold > 0.0,
       s"blocked near-dup pruning needs threshold > 0, got $threshold")
     def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    val dim = Similarity.vectorDim(df, vecCol)
+    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // nlist <= 0 → size cells to the corpus: ~1000 members per cell keeps
+    // the worst same-cell scoring task at ~500k pairs however large the
+    // corpus grows (a fixed nlist turns into O((n/nlist)²) per cell). The
+    // 1024 cap bounds assignment plan size (one fdot per centroid); past
+    // ~1M vectors raise the cap together with broadcast-join scoring.
+    val effNlist =
+      if (nlist > 0) nlist
+      else math.min(1024L, math.max(16L, unit.count() / 1000L)).toInt
     // Centroids: deterministic random directions refined by `iters` Lloyd
     // steps. Random seeding skips the seed-collect job (cell QUALITY only
     // affects the prune rate, never completeness), and one step already
     // pulls cells onto the corpus distribution; raise `iters` when the
     // corpus is heavily clustered and the prune rate matters more than
     // one extra driver round-trip.
-    val dim = Similarity.vectorDim(df, vecCol)
-    val seeds = Array.tabulate(math.max(1, nlist)) { p =>
+    val seeds = Array.tabulate(math.max(1, effNlist)) { p =>
       val v = Similarity.planeVector(p, dim)
       val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
       v.map(x => (x / nrm).toFloat)
     }
-    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = IvfIndex.lloyd(unit, seeds, iters)
     unit.unpersist()
     val members = Parallelism.spread(
@@ -460,5 +470,61 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Resolve near-dup PAIRS into canonical clusters — the step after any
+    * pair generator ([[ngramJaccardJoin]], [[minhashNearDups]],
+    * [[embeddingNearDupsBlocked]], …) in a real dedup pipeline: connected
+    * components over the undirected similarity graph, labelling every id
+    * (singletons included) with the MIN id reachable from it. Keeping
+    * `cluster_id = id` rows then yields one canonical document per
+    * cluster.
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes the min of its own label and its neighbors' labels (one
+    * equi-join + one map-side-combined min aggregate per round), stopping
+    * at the first round that changes nothing. Rounds needed = component
+    * DIAMETER, and dup clusters are by construction tiny and dense (a
+    * near-dup of a near-dup is near), so this converges in 2–3 rounds on
+    * real corpora — the O(log n) star-contraction algorithms only pay off
+    * on web-graph-diameter components that dedup graphs don't have.
+    * `maxIters` bounds adversarial chains; the result is still a valid
+    * (coarser-labelled) partition refinement if the bound is hit.
+    *
+    * Scale design: state is one (id, label) row per document; each round
+    * shuffles the edge list once (by endpoint) and the labels once (by
+    * id). Edges are persisted across rounds; nothing corpus-quadratic is
+    * ever materialized. */
+  def dupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
+                  maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lab").as("nlab")), "dst")
+        .groupBy(col("src")).agg(min(col("nlab")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"),
+          "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("id"), col("lab").as("old_lab")), "id")
+        .filter(col("lab") =!= col("old_lab"))
+        .isEmpty
+      val prev = labels
+      labels = next
+      prev.unpersist()
+      converged = changed
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
 }

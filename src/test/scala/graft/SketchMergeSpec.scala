@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The invariant that makes sketch pre-aggregation safe at scale: merging
+  * shard sketches must estimate exactly what one whole-stream sketch
+  * estimates (register-wise max is associative), so daily/partition
+  * sketches can roll up without drift. */
+class SketchMergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "q_sketch_merge" should "merge shard sketches losslessly vs direct sketching" in {
+    val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(dir).exists())
+    val rows = SparkEntry.queries("q_sketch_merge")(spark, dir)
+      .select($"l_returnflag", $"diff").as[(String, Double)].collect()
+    rows should not be empty
+    rows.foreach { case (flag, diff) =>
+      withClue(s"flag $flag: ") { diff shouldBe 0.0 }
+    }
+  }
+}

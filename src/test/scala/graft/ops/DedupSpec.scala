@@ -96,6 +96,28 @@ class DedupSpec extends SparkTestBase {
     pairs shouldBe Set((1L, 2L))
   }
 
+  "dupClusters" should "label components with the min reachable id" in {
+    // chain 1-2-3-4-5 (diameter 4, needs several propagation rounds),
+    // a separate pair 10-11, and singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 21L))
+      .toDF("doc_id")
+    val out = Dedup.dupClusters(pairs, ids, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+  }
+
+  it should "stay a valid partition when maxIters truncates propagation" in {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    // after one round every vertex holds the min of its 1-hop ball
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+  }
+
   "embeddingNearDupsBlocked" should "find exactly the high-cosine pairs" in {
     val pairs = Dedup.embeddingNearDupsBlocked(vecs, "vec_id", "embedding",
         0.9, nlist = 2, iters = 2)

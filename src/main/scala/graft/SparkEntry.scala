@@ -386,6 +386,17 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // Heavy hitters — corpus-wide top-k frequent tokens: explode →
+    // map-side-combined count → TakeOrdered. The exchange carries one
+    // row per DISTINCT token per partition (partial counts), never the
+    // exploded token stream; the limit keeps the driver result k-sized.
+    "q_heavy_hitters" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(20)),
+
     // Mergeable-sketch pattern — the 100 TB shape of distinct counting:
     // build one Datasketches HLL sketch per (flag, linestatus) shard
     // map-side, then UNION the shard sketches to per-flag counts. Sketch
@@ -914,6 +925,12 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents)
+        |WHERE len(word) > 0
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "q_dedup_jaccard" -> NgramJaccardOracle,
     // Connected components over the same exact pair graph, by recursive
     // transitive closure; labels = min reachable id, singletons themselves.

@@ -85,15 +85,15 @@ object IvfIndex {
     val q = unitVectors(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("uvec").as("q_uvec"),
         explode(topCells(col("uvec"), centroids, nprobe)).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    c.join(broadcast(q), Seq("cell"))
+    // bounded two-phase top-k (see Similarity.rankTopK): only
+    // q×k×partitions buffers cross the exchange, never all scored
+    // candidates. A query probing several cells can meet the same corpus
+    // vector at most once (each corpus vector lives in ONE cell).
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", fdot(col("q_uvec"), col("c_uvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+        fdot(col("q_uvec"), col("c_uvec")).as("cosine"))
+    Similarity.rankTopK(scored, k)
   }
 
   /** (id, unit vector); zero vectors stay zero (land in cell of seed 0
@@ -111,15 +111,46 @@ object IvfIndex {
     * unrolling (~4M literal nodes) would not. */
   private def centroidLit(c: Array[Float]): Column = typedLit(c.toSeq)
 
-  /** Nearest-cell assignment by max dot against broadcast centroid literals. */
-  private def assignCells(unit: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
-      struct(fdot(col("uvec"), centroidLit(cvec)).as("score"), lit(i).as("cell"))
+  /** Past this many centroids, assignment switches from the in-plan
+    * expression (nlist nodes) to a broadcast join (O(1) plan size). */
+  private[ops] val MaxExprCentroids = 256
+
+  /** Nearest-cell assignment: (id, uvec, cell).
+    *
+    * Two physically different plans with identical semantics (ties break
+    * toward the higher cell index in both — spec-pinned):
+    *  - nlist ≤ `maxExpr`: one `greatest(struct(dot, cell)…)` expression —
+    *    zero shuffle, vectors never move;
+    *  - nlist > `maxExpr`: centroids become a broadcast TABLE and the
+    *    argmax is a map-side-combined `max_by` aggregate. The plan stays
+    *    constant-size at any nlist (4096 × 1024 dims ships as broadcast
+    *    data, not as expression nodes); the aggregate shuffles one row
+    *    per vector — the price of not exploding the plan. */
+  private[ops] def assignCells(unit: DataFrame, centroids: Array[Array[Float]],
+                               maxExpr: Int = MaxExprCentroids): DataFrame = {
+    if (centroids.length <= maxExpr) {
+      val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+        struct(fdot(col("uvec"), centroidLit(cvec)).as("score"), lit(i).as("cell"))
+      }
+      val cell =
+        if (scored.length == 1) lit(0) // greatest() needs ≥ 2 columns
+        else greatest(scored: _*).getField("cell")
+      unit.withColumn("cell", cell)
+    } else {
+      val spark = unit.sparkSession
+      import spark.implicits._
+      val cdf = centroids.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("c_cell", "cvec")
+      unit.join(broadcast(cdf))
+        .groupBy(col("id"))
+        .agg(
+          first(col("uvec")).as("uvec"),
+          max_by(col("c_cell"),
+            struct(fdot(col("uvec"), col("cvec")).as("score"),
+              col("c_cell").as("cell"))).as("cell"))
+        .select(col("id"), col("uvec"), col("cell"))
     }
-    val cell =
-      if (scored.length == 1) lit(0) // greatest() needs ≥ 2 columns
-      else greatest(scored: _*).getField("cell")
-    unit.withColumn("cell", cell)
   }
 
   /** Best-cell assignment as a `struct(score, cell)` column for a vector

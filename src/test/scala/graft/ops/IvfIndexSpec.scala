@@ -28,6 +28,24 @@ class IvfIndexSpec extends SparkTestBase {
     all(cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))) shouldBe 1.0 +- 1e-3
   }
 
+  "assignCells" should "agree between the expression and broadcast-join paths" in {
+    val cents = IvfIndex.trainCentroids(clustered, nlist = 3, iters = 3)
+    val unit = clustered
+      .select($"vec_id".as("id"), $"embedding")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.fdot(
+        $"embedding", $"embedding")))
+      .withColumn("uvec",
+        transform($"embedding", x => (x / $"nrm").cast("float")))
+      .select($"id", $"uvec")
+    def cells(maxExpr: Int): Map[Long, Int] =
+      IvfIndex.assignCells(unit, cents, maxExpr)
+        .select($"id", $"cell").as[(Long, Int)].collect().toMap
+    val viaExpr = cells(maxExpr = 16)  // expression path (3 <= 16)
+    val viaJoin = cells(maxExpr = 1)   // force the broadcast-join path
+    viaJoin shouldBe viaExpr
+    viaExpr.values.toSet.size shouldBe 3 // all clusters found
+  }
+
   "ivfTopK" should "recover the brute-force neighbors on clustered data" in {
     val df = clustered
     val queries = df.filter($"vec_id" < 3)

@@ -40,6 +40,26 @@ class VectorScaleSpec extends SparkTestBase {
     out.count() should be > 0L
   }
 
+  "assignCells (broadcast-join path)" should
+      s"keep the plan constant-size at nlist=300 × dim $dim" in {
+    // 300 centroids × 1024 dims as expression literals would be ~300
+    // array literals in one greatest(); the join path ships them as
+    // broadcast DATA instead — the plan has ONE join node however large
+    // nlist grows
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim) { j =>
+        val h = (i * 40503L) ^ (j * 2654435761L)
+        ((h % 1000L) / 1000.0f) - 0.5f
+      }
+    val cents = Array.tabulate(300)(i => vec(i.toLong + 1000L))
+    val unit = bigVecs.selectExpr("vec_id AS id", "embedding AS uvec")
+    val assigned = IvfIndex.assignCells(unit, cents) // 300 > MaxExprCentroids
+    assigned.queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin").or(include("BroadcastNestedLoopJoin"))
+    assigned.count() shouldBe 60
+    assigned.select("cell").distinct().count() should be > 1L
+  }
+
   "hyperplaneBandKeys" should "keep the plan dim-independent (one literal per plane)" in {
     val keyed = bigVecs.select(
       Similarity.hyperplaneBandKeys($"embedding", dim, bands = 4, rowsPerBand = 2)

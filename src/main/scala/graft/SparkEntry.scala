@@ -457,6 +457,24 @@ object SparkEntry {
           gapSeconds = 3600, tieBreakers = Seq("event_id"))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Bucketed range join — events attributed to the session interval
+    // containing them (equi-key user + time-chunk equi-join + residual
+    // containment, never a nested loop; see RangeJoin scaladoc). Oracle
+    // is DuckDB's plain non-equi BETWEEN join over the same sessions.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sessions = Sessions.sessionSummary(ev, "user_id", "ts",
+          gapSeconds = 3600, tieBreakers = Seq("event_id"))
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      graft.ops.RangeJoin.pointInInterval(
+          ev.select(col("user_id"), col("event_id"), col("ts")), "ts",
+          sessions, "session_start", "session_end",
+          equiKeys = Seq("user_id"), bucketSeconds = 3600)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- extension tier: text analysis over the documents corpus ----
 
     // Token/char counts, punctuation + stopword ratios, rolling fingerprint.
@@ -867,6 +885,32 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same session construction as q_sessionize, then a plain non-equi
+    // containment join — the semantic spec the bucketed plan must match.
+    "q_range_join" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |              OR epoch_ms(ts) // 1000 - epoch_ms(prev) // 1000 > 3600
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y),
+        |s AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM z GROUP BY user_id, session_id)
+        |SELECT e.user_id, e.event_id, s.session_id
+        |FROM events e JOIN s ON e.user_id = s.user_id
+        |  AND e.ts BETWEEN s.session_start AND s.session_end
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed range (interval containment) join: points matched to the
+  * intervals containing them — the join shape behind sessions-to-events
+  * attribution, validity-interval lookups (SCD2), and time-windowed
+  * enrichment.
+  *
+  * Spark's native plan for `p.ts BETWEEN i.start AND i.end` is a
+  * broadcast-nested-loop (or worse, a cartesian) — O(|points| ×
+  * |intervals|) comparisons, dead at scale. The scale formulation chunks
+  * time into fixed-width buckets:
+  *
+  *  - a point lives in exactly ONE bucket (`floor(ts / width)`);
+  *  - an interval EXPLODES to every bucket it overlaps;
+  *  - the join becomes an equi-join on (equiKeys…, bucket) with the
+  *    containment predicate as a residual filter.
+  *
+  * Because the point side contributes each row once and the interval's
+  * exploded buckets are distinct, every qualifying pair meets EXACTLY
+  * once — no dedup pass. Shuffle volume is |points| + Σ interval
+  * spans/width, both linear; the hash join partitions by (keys, bucket),
+  * which also spreads a hot key across its time range for free.
+  *
+  * `bucketSeconds` trades replication against selectivity: ~the median
+  * interval length is a good default — one order too small multiplies
+  * the interval side; one order too large degrades the equi-key's
+  * selectivity toward the nested-loop it replaces. A pathological
+  * interval spanning the whole history replicates into every bucket;
+  * cap or split such intervals upstream.
+  */
+object RangeJoin {
+
+  /** Join `points` to the `intervals` rows whose
+    * `[startCol, endCol]` (inclusive ends) contain `tsCol`, matching
+    * `equiKeys` exactly. Output columns: equiKeys, then the remaining
+    * point columns, then the remaining interval columns. */
+  def pointInInterval(points: DataFrame, tsCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      equiKeys: Seq[String] = Nil,
+                      bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    val width = bucketSeconds * 1000000L // µs, matching timestamp precision
+    val p = points.withColumn("__bucket",
+      floor(unix_micros(col(tsCol)) / width))
+    val i = intervals
+      .withColumn("__bucket", explode(sequence(
+        floor(unix_micros(col(startCol)) / width),
+        floor(unix_micros(col(endCol)) / width))))
+    val joinKeys = equiKeys :+ "__bucket"
+    p.join(i, joinKeys)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

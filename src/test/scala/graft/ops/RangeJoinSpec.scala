@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  "pointInInterval" should "match points to containing intervals exactly once" in {
+    val points = Seq(
+      ("u1", 10L, t(50)), ("u1", 11L, t(150)), ("u1", 12L, t(7300)),
+      ("u2", 20L, t(50)), ("u2", 21L, t(99999))
+    ).toDF("uid", "event_id", "ts")
+    val intervals = Seq(
+      ("u1", 100L, t(0), t(200)),      // contains events 10, 11
+      ("u1", 101L, t(7000), t(8000)),  // contains event 12
+      ("u2", 200L, t(0), t(200)),      // contains event 20
+      ("u2", 201L, t(40), t(60))       // ALSO contains event 20 (overlap)
+    ).toDF("uid", "iv_id", "start_ts", "end_ts")
+    val out = RangeJoin.pointInInterval(points, "ts", intervals,
+        "start_ts", "end_ts", equiKeys = Seq("uid"), bucketSeconds = 100)
+      .select($"event_id", $"iv_id").as[(Long, Long)].collect().toSet
+    out shouldBe Set((10L, 100L), (11L, 100L), (12L, 101L),
+      (20L, 200L), (20L, 201L))
+  }
+
+  it should "agree with the naive non-equi join at any bucket width" in {
+    // deterministic pseudo-random points/intervals; widths spanning
+    // finer-than, comparable-to, and coarser-than interval length must
+    // all produce the identical pair set (bucketing only changes the
+    // PLAN, never the result)
+    val points = (0 until 300).map { k =>
+      (s"u${k % 5}", k.toLong, t((k * 7919L) % 10000))
+    }.toDF("uid", "event_id", "ts")
+    val intervals = (0 until 60).map { k =>
+      val start = (k * 1543L) % 9000
+      (s"u${k % 5}", k.toLong, t(start), t(start + 400))
+    }.toDF("uid", "iv_id", "start_ts", "end_ts")
+    val naive = points.join(intervals, Seq("uid"))
+      .filter($"ts" >= $"start_ts" && $"ts" <= $"end_ts")
+      .select($"event_id", $"iv_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(7L, 400L, 86400L)) {
+      val bucketed = RangeJoin.pointInInterval(points, "ts", intervals,
+          "start_ts", "end_ts", equiKeys = Seq("uid"), bucketSeconds = w)
+        .select($"event_id", $"iv_id").as[(Long, Long)].collect().toSet
+      withClue(s"bucketSeconds=$w: ") { bucketed shouldBe naive }
+    }
+  }
+
+  it should "plan an equi hash join, not a nested loop" in {
+    val points = Seq(("u1", 1L, t(50))).toDF("uid", "event_id", "ts")
+    val intervals = Seq(("u1", 9L, t(0), t(100)))
+      .toDF("uid", "iv_id", "start_ts", "end_ts")
+    val plan = RangeJoin.pointInInterval(points, "ts", intervals,
+        "start_ts", "end_ts", equiKeys = Seq("uid"))
+      .queryExecution.executedPlan.toString
+    plan should not include "NestedLoop"
+    plan should not include "Cartesian"
+  }
+}

@@ -56,6 +56,17 @@ object SparkEntry {
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
 
+    // SCD2 — the changelog materialized as a versioned dimension table:
+    // one row per version with [valid_from, valid_to) and a current
+    // flag. Snapshot-consistency with the as-of queries is structural
+    // (same ordering, same tie-break).
+    "q_scd2" -> ((s, d) =>
+      Snapshot.scd2Intervals(Tables.events(s, d), Seq("user_id"), "ts",
+          Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))),
+
     // Incremental snapshot maintenance: advance the materialized T1
     // state by the [T1, T2) changelog slice — must equal the full
     // reconstruction at T2 (same oracle as q_snapshot_asof), while the
@@ -668,6 +679,11 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value, ts FROM events
         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         | ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, ts, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     // Incremental advance ≡ full reconstruction at T2 — shares the
     // q_snapshot_asof oracle.
     "q_snapshot_incremental" ->

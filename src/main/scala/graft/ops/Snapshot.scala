@@ -69,6 +69,29 @@ object Snapshot {
       .select(keyCols.map(col): _*)
       .distinct()
 
+  /** Changelog → SCD2 validity intervals: every version of every key
+    * becomes a row with `[valid_from, valid_to)` (end-exclusive;
+    * `valid_to` NULL for the current version). The INVERSE of
+    * [[snapshotAsOf]]: where the snapshot collapses history to one
+    * instant, this materializes the whole history as a versioned
+    * dimension table — `WHERE T >= valid_from AND (valid_to IS NULL OR
+    * T < valid_to)` then reproduces any snapshot, and a range join
+    * ([[RangeJoin]]) attributes facts to the version in force at their
+    * timestamp.
+    *
+    * One shuffle on the key (the `lead` window), no joins; ties on
+    * `tsCol` break by `tieBreakers` exactly as in [[latestPerKey]], so
+    * the interval chain is deterministic and gap-free. */
+  def scd2Intervals(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
+                    tieBreakers: Seq[String] = Nil): DataFrame = {
+    val order = (tsCol +: tieBreakers).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    changelog
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Incremental snapshot maintenance: advance a materialized snapshot
     * (state as of T1, one row per key) by a changelog slice
     * `[T1, T2)` to the state as of T2 — WITHOUT recomputing from the

@@ -115,6 +115,34 @@ class SnapshotSpec extends SparkTestBase {
       .select($"k", $"v").as[(String, String)].collect().toMap shouldBe stateAt(5)
   }
 
+  "scd2Intervals" should "chain gap-free validity intervals per key" in {
+    val out = Snapshot.scd2Intervals(changelog, Seq("k"), "ts")
+      .select($"k", $"v", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+    out.length shouldBe 6 // every changelog row becomes a version
+    // per key: exactly one open (current) interval, and each valid_to
+    // equals the next version's valid_from (gap-free chain)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.count(_.getBoolean(4)) shouldBe 1
+      val sorted = rows.sortBy(_.getTimestamp(2).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => a.getTimestamp(3) shouldBe b.getTimestamp(2)
+        case _ =>
+      }
+    }
+  }
+
+  it should "reproduce any snapshot via interval containment" in {
+    for (t <- Seq(2L, 5L, 6L, 100L)) {
+      val bound = timestamp_seconds(lit(t))
+      val viaScd2 = Snapshot.scd2Intervals(changelog, Seq("k"), "ts")
+        .filter($"valid_from" < bound &&
+          ($"valid_to".isNull || $"valid_to" >= bound))
+        .select($"k", $"v").as[(String, String)].collect().toMap
+      withClue(s"T=$t: ") { viaScd2 shouldBe stateAt(t) }
+    }
+  }
+
   "changedKeysBetween" should "return distinct keys touched in [from, until)" in {
     val keys = Snapshot.changedKeysBetween(changelog, Seq("k"), "ts",
         timestamp_seconds(lit(4)), timestamp_seconds(lit(9)))

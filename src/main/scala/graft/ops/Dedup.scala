@@ -514,14 +514,18 @@ object Dedup {
         .select(col("id"),
           least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("lab"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // full count, NOT isEmpty: the limit-1 early exit would leave the
+      // persisted `next` (and, round 1, the edge list with its whole
+      // pair-generation lineage) only partially cached, so every later
+      // round would recompute the similarity join from scratch
       val changed = next
         .join(labels.select(col("id"), col("lab").as("old_lab")), "id")
         .filter(col("lab") =!= col("old_lab"))
-        .isEmpty
+        .count()
       val prev = labels
       labels = next
       prev.unpersist()
-      converged = changed
+      converged = changed == 0L
       it += 1
     }
     edges.unpersist()

@@ -145,6 +145,38 @@ object ChangelogStream {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Stream-stream temporal enrichment: join each left-stream event to
+    * the right-stream rows for the same key whose timestamp falls within
+    * `[left_ts - toleranceSeconds, left_ts]` — the streaming shape of a
+    * bounded as-of lookup (e.g. facts enriched with recent dimension
+    * updates).
+    *
+    * Both sides are watermarked, and the join carries an explicit
+    * event-time bound, so Spark can EXPIRE buffered state: each side
+    * retains only `watermarkDelay + toleranceSeconds` of history per key
+    * partition — without the time bound a stream-stream join buffers
+    * forever, which is the failure mode this wrapper exists to prevent.
+    * Inner join: emits once both sides have arrived (append mode).
+    *
+    * Column layout: left columns keep their names; right columns are
+    * prefixed `r_` (the key joins, so only one copy survives). */
+  def enrichWithinWindow(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         toleranceSeconds: Long,
+                         watermarkDelay: String): DataFrame = {
+    require(toleranceSeconds >= 0, "tolerance must be non-negative")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r0 = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c"))
+    val r = r0.withWatermark(s"r_$rightTs", watermarkDelay)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $toleranceSeconds SECONDS") &&
+        col(s"r_$rightTs") <= col(leftTs),
+      "inner")
+      .drop(s"r_$keyCol")
+  }
+
   /** Suggested sink wiring for the upsert view (Update output mode). */
   def upsertOutputMode: OutputMode = OutputMode.Update()
 }

@@ -137,6 +137,31 @@ class ChangelogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "enrichWithinWindow" should "join facts to in-window dimension updates only" in {
+    implicit val sql = spark.sqlContext
+    val facts = MemoryStream[Ev]
+    val dims = MemoryStream[Ev]
+    val joined = ChangelogStream.enrichWithinWindow(
+      facts.toDF(), dims.toDF(), "user_id", "ts", "ts",
+      toleranceSeconds = 60, watermarkDelay = "10 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      // dim updates at t=100 and t=400 for user 1; facts at t=120 (only
+      // the t=100 dim is within [60,120]) and t=450 (only t=400 within
+      // [390,450]); a fact for user 2 never matches
+      dims.addData(ev(1, 900, 100, 0.5), ev(1, 901, 400, 0.7))
+      facts.addData(ev(1, 10, 120, 1.0), ev(1, 11, 450, 2.0),
+        ev(2, 20, 120, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"event_id", $"r_event_id")
+        .as[(Long, Long)].collect().toSet
+      rows shouldBe Set((10L, 900L), (11L, 901L))
+    } finally q.stop()
+  }
+
   "windowedCounts" should "aggregate per event-time window with watermark" in {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]

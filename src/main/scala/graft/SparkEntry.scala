@@ -301,6 +301,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Full cube — every grouping-set combination in one pass (Spark
+    // expands the sets map-side; one shuffle keyed by (set id, keys)).
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // Window battery — rank/dense_rank/lag/lead/ntile on one partitioning.
     "q_window_battery" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -796,6 +805,12 @@ object SparkEntry {
         | sum(l_quantity) AS sum_qty, count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_window_battery" ->
       """SELECT o_custkey, o_orderkey,

@@ -103,6 +103,38 @@ class SnapshotPipelineSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_bucketed")
   }
 
+  "refreshPartitions" should "rewrite only the touched partitions" in {
+    val path = s"$tmp/part_refresh"
+    val cfg = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(path, partitionBy = Seq("k_hbase_row_key")))
+    SnapshotPipeline.run(spark, cfg)
+    def files(part: String): Set[String] = {
+      val d = new java.io.File(s"$path/k_hbase_row_key=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    }
+    val u2Before = files("u2")
+    // refresh only u1's partition; u2's files must remain byte-for-byte
+    // the same directory entries (dynamic overwrite never lists them)
+    SnapshotPipeline.refreshPartitions(spark, cfg,
+      col("k_hbase_row_key") === "u1")
+    files("u2") shouldBe u2Before
+    // and the full table still reads complete and correct
+    val rows = spark.read.parquet(path)
+      .select($"k_hbase_row_key", $"age").orderBy($"k_hbase_row_key")
+      .as[(String, Int)].collect().toSeq
+    rows shouldBe Seq(("u1", 11), ("u2", 21))
+  }
+
+  it should "reject an unpartitioned or table sink" in {
+    val cfg = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(s"$tmp/unpart"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotPipeline.refreshPartitions(spark, cfg, lit(true))
+  }
+
   // The 100 TB payoff of the bucketed sink: two snapshots bucketed the
   // same way join on the bucket key with NO exchange on either side —
   // the delta-import reconciliation join (reference: Schema.scala:123-127)

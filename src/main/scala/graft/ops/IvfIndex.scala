@@ -82,9 +82,8 @@ object IvfIndex {
     val c = assignCells(unitVectors(corpus, idCol, vecCol), centroids)
       .select(col("id").as("corpus_id"), col("uvec").as("c_uvec"), col("cell"))
     // per query: top-nprobe cells by centroid dot product
-    val q = unitVectors(queries, idCol, vecCol)
-      .select(col("id").as("query_id"), col("uvec").as("q_uvec"),
-        explode(topCells(col("uvec"), centroids, nprobe)).as("cell"))
+    val q = probeCells(unitVectors(queries, idCol, vecCol), centroids, nprobe)
+      .select(col("id").as("query_id"), col("uvec").as("q_uvec"), col("cell"))
     // bounded two-phase top-k (see Similarity.rankTopK): only
     // q×k×partitions buffers cross the exchange, never all scored
     // candidates. A query probing several cells can meet the same corpus
@@ -164,6 +163,35 @@ object IvfIndex {
         lit(i).as("cell"))
     }
     if (scored.length == 1) scored.head else greatest(scored: _*)
+  }
+
+  /** Query-side probe set: (id, uvec, cell) with the top-`nprobe` cells
+    * per vector. Same plan-size dispatch as [[assignCells]]: an in-plan
+    * `array_sort` over nlist structs up to `MaxExprCentroids`, a
+    * broadcast-join + bounded [[graft.functions.ScoreTopK]] aggregate
+    * beyond — so probing also stays constant-plan-size at any nlist. */
+  private[ops] def probeCells(unitQ: DataFrame,
+                              centroids: Array[Array[Float]],
+                              nprobe: Int,
+                              maxExpr: Int = MaxExprCentroids): DataFrame = {
+    if (centroids.length <= maxExpr) {
+      unitQ.select(col("id"), col("uvec"),
+        explode(topCells(col("uvec"), centroids, nprobe)).as("cell"))
+    } else {
+      val spark = unitQ.sparkSession
+      import spark.implicits._
+      val cdf = centroids.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("c_cell", "cvec")
+      unitQ.join(broadcast(cdf))
+        .groupBy(col("id"))
+        .agg(first(col("uvec")).as("uvec"),
+          graft.functions.TopKFunctions.scoreTopK(
+            fdot(col("uvec"), col("cvec")), col("c_cell"), nprobe).as("tc"))
+        .select(col("id"), col("uvec"),
+          explode(col("tc")).as("t"))
+        .select(col("id"), col("uvec"), col("t.id").as("cell"))
+    }
   }
 
   /** Top-`nprobe` cell ids for a unit vector, as an array column. */

@@ -46,6 +46,22 @@ class IvfIndexSpec extends SparkTestBase {
     viaExpr.values.toSet.size shouldBe 3 // all clusters found
   }
 
+  "probeCells" should "agree between the expression and broadcast-join paths" in {
+    val cents = IvfIndex.trainCentroids(clustered, nlist = 3, iters = 3)
+    val unit = clustered
+      .select($"vec_id".as("id"), $"embedding")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.fdot(
+        $"embedding", $"embedding")))
+      .withColumn("uvec",
+        transform($"embedding", x => (x / $"nrm").cast("float")))
+      .select($"id", $"uvec")
+    def probes(maxExpr: Int): Map[Long, Set[Int]] =
+      IvfIndex.probeCells(unit, cents, nprobe = 2, maxExpr)
+        .select($"id", $"cell").as[(Long, Int)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    probes(maxExpr = 1) shouldBe probes(maxExpr = 16)
+  }
+
   "ivfTopK" should "recover the brute-force neighbors on clustered data" in {
     val df = clustered
     val queries = df.filter($"vec_id" < 3)

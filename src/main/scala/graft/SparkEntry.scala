@@ -636,6 +636,26 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    // Flagship end-to-end training-data pipeline in ONE declarative plan:
+    // quality gate (token count) → exact dedup (min-id per text) →
+    // token-window chunking → capacity-bound packing. Catalyst sees the
+    // whole chain, so the text scan happens once and the only shuffles
+    // are the dedup hash-agg and the per-shard pack window. The oracle
+    // replays the identical composition in DuckDB.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val gated = docs.filter(
+        graft.ops.TextAnalysis.tokenCount(col("text")) >= 50)
+      val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+      val chunks = graft.ops.Chunking.chunk(deduped, "text",
+          chunkTokens = 40, overlapTokens = 8)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      graft.ops.Packing.packSummary(chunks, "chunk_tokens", capacity = 512,
+          "shard", Seq("doc_id", "chunk_idx"))
+        .withColumn("n_tokens", col("n_tokens").cast(LongType))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // Deterministic key-stable train/val/test split — split sizes per
     // language (rows-only: the hash family is engine-specific).
     "q_sample_split" -> ((s, d) =>
@@ -1079,6 +1099,43 @@ object SparkEntry {
         |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
         |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
         |  FROM t),
+        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c),
+        |ch AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, CAST(i AS INT) AS chunk_idx,
+        |    CAST(least(40, n - i*32) AS INT) AS chunk_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY doc_id, i) AS rn
+        |  FROM e),
+        |walk(shard, rn, tok, pack_id, fill) AS (
+        |  SELECT shard, rn, chunk_tokens, 0, chunk_tokens FROM ch WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.chunk_tokens,
+        |    CASE WHEN w.fill + c.chunk_tokens > 512
+        |         THEN w.pack_id + 1 ELSE w.pack_id END,
+        |    CASE WHEN w.fill + c.chunk_tokens > 512
+        |         THEN c.chunk_tokens ELSE w.fill + c.chunk_tokens END
+        |  FROM walk w JOIN ch c ON c.shard = w.shard AND c.rn = w.rn + 1)
+        |SELECT shard, CAST(pack_id AS INT) AS pack_id, count(*) AS n_pieces,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // Same walk as q_packing, over the gated + deduped document set.
+    "q_pipeline_e2e" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM d0),
+        |tq AS (SELECT * FROM t WHERE n >= 50),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
+        |  FROM tq),
         |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c),
         |ch AS (
         |  SELECT doc_id % 8 AS shard, doc_id, CAST(i AS INT) AS chunk_idx,

@@ -636,6 +636,22 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    // Z-order layout rewrite — Morton-key clustering so per-file min-max
+    // stats prune on BOTH join/filter dimensions (rows-only: the output
+    // is per-partition layout statistics, engine-specific by nature;
+    // LayoutSpec asserts the span-tightening quantitatively).
+    "q_zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      graft.ops.Layout.zorderBy(li, Seq("l_orderkey", "l_partkey"),
+          numPartitions = 16)
+        .withColumn("p", spark_partition_id())
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("l_orderkey")) - min(col("l_orderkey"))).as("okey_span"),
+          (max(col("l_partkey")) - min(col("l_partkey"))).as("pkey_span"))
+        .orderBy(col("p"))
+    }),
+
     // Flagship end-to-end training-data pipeline in ONE declarative plan:
     // quality gate (token count) → exact dedup (min-id per text) →
     // token-window chunking → capacity-bound packing. Catalyst sees the

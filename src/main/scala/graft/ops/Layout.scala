@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for multi-dimensional data skipping.
+  *
+  * Parquet row-group pruning works off per-file/row-group min-max stats:
+  * a scan filtered on `x` skips a file only if the file's `x` range
+  * misses the predicate. Range-partitioning by ONE column makes that
+  * column skippable and leaves every other column's per-file range as
+  * wide as the table. Z-ORDERING interleaves the bits of several
+  * columns' rank-buckets into one Morton key and range-partitions by it:
+  * every participating column's per-file span shrinks to roughly
+  * global_span / files^(1/ndims), so filters on ANY of the columns prune.
+  *
+  * Scale design: bucket boundaries come from `approxQuantile` (driver
+  * round-trip of ndims × 2^bits doubles — model-sized, single pass);
+  * bucketing and bit-interleaving are pure codegen'd expressions; the
+  * only data movement is the one range exchange every layout rewrite
+  * needs. Buckets are equi-POPULATED (quantiles, not min-max splits), so
+  * skew in a column costs resolution only where the data is dense —
+  * a constant hot value simply occupies adjacent z-runs.
+  */
+object Layout {
+
+  /** Morton (bit-interleaved) key over the given columns' quantile
+    * buckets; `bitsPerDim` ≤ 16. Exposed for testing — [[zorderBy]] is
+    * the operator. */
+  private[ops] def zValue(buckets: Seq[Column], bitsPerDim: Int): Column = {
+    val ndims = buckets.length
+    val bits = for {
+      bit <- 0 until bitsPerDim
+      (b, dim) <- buckets.zipWithIndex
+    } yield shiftleft(
+      shiftright(b, bit).bitwiseAND(lit(1L)), bit * ndims + dim)
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Quantile-bucket index (0 until 2^bitsPerDim) of `c` against
+    * precomputed ascending boundaries: count of boundaries ≤ value.
+    * NULLs land in bucket 0 (sort first, cluster together). */
+  private[ops] def bucketOf(c: Column, bounds: Array[Double]): Column =
+    when(c.isNull, lit(0L)).otherwise(
+      size(filter(typedLit(bounds.toSeq), b => b <= c.cast("double")))
+        .cast("long"))
+
+  /** Rewrite `df`'s layout so files cluster jointly on `cols`: compute
+    * per-column quantile buckets, interleave them into a Morton key,
+    * range-partition into `numPartitions` and sort within partitions by
+    * the key. Write the result with `.write.parquet(...)` to get
+    * multi-dimensional min-max pruning on every participating column. */
+  def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
+               bitsPerDim: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "zorderBy needs at least one column")
+    require(bitsPerDim >= 1 && bitsPerDim <= 16,
+      s"bitsPerDim must be in [1,16], got $bitsPerDim")
+    val nb = (1 << bitsPerDim) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val boundsPerCol = cols.map { c =>
+      // distinct+sorted guards degenerate columns (few distinct values):
+      // duplicate boundaries would waste bucket range, not break order
+      df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
+    }
+    val buckets = cols.zip(boundsPerCol).map { case (c, b) =>
+      bucketOf(col(c), b)
+    }
+    df.withColumn("__graft_z", zValue(buckets, bitsPerDim))
+      .repartitionByRange(numPartitions, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
+}

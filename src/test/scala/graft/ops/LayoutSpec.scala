@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "zValue" should "interleave bucket bits in Morton order" in {
+    val df = Seq((3L, 5L)).toDF("a", "b")
+    // a=0b011, b=0b101 → z bits (LSB first, dims a,b):
+    // bit0: a0=1→pos0, b0=1→pos1; bit1: a1=1→pos2, b1=0; bit2: a2=0, b2=1→pos5
+    // z = 1 + 2 + 4 + 32 = 39
+    val z = df.select(Layout.zValue(Seq(col("a"), col("b")), 3).as("z"))
+      .as[Long].head()
+    z shouldBe 39L
+  }
+
+  "bucketOf" should "rank values against boundaries with nulls first" in {
+    val df = Seq(Some(0.5), Some(2.5), Some(9.0), None).toDF("x")
+    val out = df.select(Layout.bucketOf(col("x"), Array(1.0, 2.0, 3.0)).as("b"))
+      .as[Long].collect().toSeq
+    out shouldBe Seq(0L, 2L, 3L, 0L)
+  }
+
+  "zorderBy" should "tighten per-partition ranges on BOTH dimensions" in {
+    // two independent uniform dims — a single-column sort helps only that
+    // column; z-order must shrink both columns' per-partition spans
+    val n = 4096
+    val rows = (0 until n).map { i =>
+      val x = (i * 2654435761L) % 1000
+      val y = (i * 40503L) % 1000
+      (x, y)
+    }
+    val df = rows.toDF("x", "y")
+    val parts = 16
+    def avgSpan(d: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val spans = d.withColumn("p", spark_partition_id())
+        .groupBy($"p").agg((max(col(c)) - min(col(c))).as("span"))
+        .select($"span").as[Long].collect()
+      spans.sum.toDouble / spans.length
+    }
+    val z = Layout.zorderBy(df, Seq("x", "y"), numPartitions = parts)
+      .persist()
+    z.count()
+    val sx = avgSpan(z, "x")
+    val sy = avgSpan(z, "y")
+    z.unpersist()
+    // global span ~1000; 16 partitions over 2 dims → ideal per-partition
+    // span ~1000/4 = 250 per dim; allow generous slack over the ideal
+    sx should be < 600.0
+    sy should be < 600.0
+    // a plain sort by x would leave y's span at ~global (≈1000); both
+    // dims must improve substantially vs that baseline
+    val sortedByX = df.repartitionByRange(parts, $"x").persist()
+    sortedByX.count()
+    val baselineY = avgSpan(sortedByX, "y")
+    sortedByX.unpersist()
+    sy should be < baselineY * 0.7
+  }
+}

@@ -39,11 +39,25 @@ object Layout {
 
   /** Quantile-bucket index (0 until 2^bitsPerDim) of `c` against
     * precomputed ascending boundaries: count of boundaries ≤ value.
-    * NULLs land in bucket 0 (sort first, cluster together). */
-  private[ops] def bucketOf(c: Column, bounds: Array[Double]): Column =
-    when(c.isNull, lit(0L)).otherwise(
-      size(filter(typedLit(bounds.toSeq), b => b <= c.cast("double")))
-        .cast("long"))
+    * NULLs land in bucket 0 (sort first, cluster together).
+    *
+    * Compiled as a STATIC binary-search `when` tree — O(log n) codegen'd
+    * comparisons per row. The obvious `size(filter(lit(bounds), _ <= c))`
+    * is an interpreted higher-order function: |bounds| lambda evals per
+    * row per column took ~29 s on the sf0.1 bench where this tree takes
+    * well under a second. */
+  private[ops] def bucketOf(c: Column, bounds: Array[Double]): Column = {
+    val v = c.cast("double")
+    // count of bounds(lo until hi) that are <= v
+    def go(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(0L)
+      else {
+        val mid = (lo + hi) / 2
+        when(v >= bounds(mid), lit((mid - lo + 1).toLong) + go(mid + 1, hi))
+          .otherwise(go(lo, mid))
+      }
+    when(c.isNull, lit(0L)).otherwise(go(0, bounds.length))
+  }
 
   /** Rewrite `df`'s layout so files cluster jointly on `cols`: compute
     * per-column quantile buckets, interleave them into a Morton key,
@@ -51,17 +65,23 @@ object Layout {
     * the key. Write the result with `.write.parquet(...)` to get
     * multi-dimensional min-max pruning on every participating column. */
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
-               bitsPerDim: Int = 8): DataFrame = {
+               bitsPerDim: Int = 8,
+               relativeError: Double = 0.01): DataFrame = {
     require(cols.nonEmpty, "zorderBy needs at least one column")
     require(bitsPerDim >= 1 && bitsPerDim <= 16,
       s"bitsPerDim must be in [1,16], got $bitsPerDim")
     val nb = (1 << bitsPerDim) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
-    val boundsPerCol = cols.map { c =>
-      // distinct+sorted guards degenerate columns (few distinct values):
-      // duplicate boundaries would waste bucket range, not break order
-      df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-    }
+    // single pass over the data for every column's boundary set;
+    // distinct+sorted guards degenerate columns (few distinct values):
+    // duplicate boundaries would waste bucket range, not break order
+    // loose relativeError: boundaries only STEER clustering — a boundary
+    // off by a percentile moves rows between adjacent z-runs, it can't
+    // affect correctness — and the sketch cost scales with 1/error
+    val boundsPerCol = df.stat
+      .approxQuantile(cols.toArray, probs, relativeError)
+      .map(_.distinct.sorted)
+      .toSeq
     val buckets = cols.zip(boundsPerCol).map { case (c, b) =>
       bucketOf(col(c), b)
     }

@@ -47,8 +47,12 @@ object SnapshotJob {
     val config =
       try SnapshotPipeline.fromJson(text)
       catch {
-        case e: IllegalArgumentException =>
-          Console.err.println(e.getMessage)
+        // any parse/validation failure keeps the one-line-diagnostic
+        // exit-1 contract — json4s throws its own ParseException on
+        // malformed JSON, not IllegalArgumentException
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(
+            Option(e.getMessage).getOrElse(s"invalid config: $e"))
           return 1
       }
     try {

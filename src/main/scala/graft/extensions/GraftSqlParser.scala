@@ -71,9 +71,13 @@ object GraftSqlParser {
   /** The standard-SQL expansion of a SNAPSHOT statement, or None if the
     * text is not one (pass-through). */
   def rewrite(sqlText: String): Option[String] = {
-    // cheap guard so every normal statement skips the regex machinery
+    // cheap guard so every normal statement skips the regex machinery;
+    // any whitespace may follow the keyword (newline-formatted SQL)
     val head = sqlText.dropWhile(_.isWhitespace).take(9)
-    if (!head.toUpperCase(Locale.ROOT).startsWith("SNAPSHOT ")) return None
+    val isSnapshot = head.length == 9 &&
+      head.substring(0, 8).toUpperCase(Locale.ROOT) == "SNAPSHOT" &&
+      head.charAt(8).isWhitespace
+    if (!isSnapshot) return None
     Pattern.findFirstMatchIn(sqlText).map { m =>
       val table = m.group(1)
       val keys = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)

@@ -335,6 +335,14 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bands: Int = 16,
                         rowsPerBand: Int = 8): DataFrame = {
+    // loud guard for the documented degeneracy: below ~0.6 the default
+    // banding silently loses most true pairs (per-pair miss ~2/3 at 0.4)
+    // while a recall-first banding admits ~all pairs. Both failure modes
+    // are silent at runtime, so refuse rather than mis-dedup.
+    require(threshold >= 0.6,
+      f"sign-LSH banding cannot separate weak thresholds ($threshold%.2f " +
+        "< 0.6): use embeddingNearDupsBlocked, whose pruning is exact at " +
+        "any threshold")
     val dim = Similarity.vectorDim(df, vecCol)
     val vecs = Parallelism.spread(
       df.select(col(idCol).as("id"), col(vecCol).as("vec")))

@@ -183,14 +183,19 @@ object IvfIndex {
       val cdf = centroids.zipWithIndex
         .map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("c_cell", "cvec")
+      // ScoreTopK tie-breaks toward the ASCENDING id; the expression path
+      // (reverse(array_sort)) prefers the HIGHER cell on score ties, as
+      // does assignCells on both its paths. Negating the cell id aligns
+      // the orderings so the probe set is identical across the dispatch
+      // boundary (spec-pinned).
       unitQ.join(broadcast(cdf))
         .groupBy(col("id"))
         .agg(first(col("uvec")).as("uvec"),
           graft.functions.TopKFunctions.scoreTopK(
-            fdot(col("uvec"), col("cvec")), col("c_cell"), nprobe).as("tc"))
+            fdot(col("uvec"), col("cvec")), -col("c_cell"), nprobe).as("tc"))
         .select(col("id"), col("uvec"),
           explode(col("tc")).as("t"))
-        .select(col("id"), col("uvec"), col("t.id").as("cell"))
+        .select(col("id"), col("uvec"), (-col("t.id")).as("cell"))
     }
   }
 

@@ -70,6 +70,13 @@ object Layout {
     require(cols.nonEmpty, "zorderBy needs at least one column")
     require(bitsPerDim >= 1 && bitsPerDim <= 16,
       s"bitsPerDim must be in [1,16], got $bitsPerDim")
+    // Spark's shiftleft wraps the shift amount mod 64 (Java << semantics):
+    // past 63 bits the interleave would silently alias high-order bucket
+    // bits onto low positions and cluster on garbage
+    require(cols.length * bitsPerDim <= 63,
+      s"z-key needs ${cols.length} x $bitsPerDim = " +
+        s"${cols.length * bitsPerDim} bits; at most 63 fit a LONG — " +
+        "lower bitsPerDim or drop columns")
     val nb = (1 << bitsPerDim) - 1
     val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
     // single pass over the data for every column's boundary set;

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, Repartition, RepartitionByExpression}
 
 /** Partitioning helpers for CPU-dense operators.
   *
@@ -18,16 +19,31 @@ object Parallelism {
     * the session's default parallelism — only widens, never shrinks: a
     * source that already has more splits than cores (10k row groups on a
     * 512-core cluster) keeps its layout instead of paying a coalescing
-    * shuffle down to `defaultParallelism`. */
+    * shuffle down to `defaultParallelism`.
+    *
+    * Applies ONLY to scan-shaped inputs (scan + projections + filters) —
+    * that is the narrow-source problem it exists for. Anything with a
+    * join/aggregate/exchange upstream passes through untouched: those
+    * plans already have shuffle-determined width, and merely COUNTING
+    * their partitions off a physical plan is not side-effect-free
+    * (building a broadcast-join's RDD lineage materializes the broadcast
+    * eagerly, billing the job twice). */
   def spread(df: DataFrame): DataFrame = {
+    val scanShaped = df.queryExecution.optimizedPlan.collect { case p => p }
+      .forall {
+        case _: LeafNode | _: Project | _: Filter => true
+        case _: Repartition | _: RepartitionByExpression => true
+        case _ => false
+      }
+    if (!scanShaped) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Partition count is read off the STATIC physical plan: `Dataset.rdd`
     // under AQE materializes upstream query stages eagerly — which would
     // then run a second time when the returned frame executes (no shuffle
-    // reuse across separate QueryExecutions). Building the non-adaptive
-    // plan's RDD lineage is lazy — no job is triggered. If the plan can't
-    // be built (exotic logical-only input), leave the frame untouched:
-    // "never shrinks" must hold even when we can't count.
+    // reuse across separate QueryExecutions). For a scan-shaped plan,
+    // building the non-adaptive RDD lineage is lazy — no job is
+    // triggered. If the plan can't be built at all, leave the frame
+    // untouched: "never shrinks" must hold even when we can't count.
     val current =
       try df.queryExecution.sparkPlan.execute().getNumPartitions
       catch { case scala.util.control.NonFatal(_) => Int.MaxValue }

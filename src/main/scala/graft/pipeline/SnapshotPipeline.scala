@@ -126,11 +126,30 @@ object SnapshotPipeline {
       case other => throw new IllegalArgumentException(
         s"refreshPartitions needs a partitioned ParquetSink, got $other")
     }
+    val filtered = snapshot(spark, config).filter(predicate)
+    // the predicate must be PARTITION-ALIGNED: dynamic overwrite replaces
+    // every directory the filtered result touches, so a predicate on a
+    // non-partition column would rewrite those directories with only the
+    // matching rows — silently dropping the rest. References are read off
+    // the ANALYZED filter (the bare Column is a lazy node tree in Spark 4
+    // and exposes no resolved attributes).
+    // only the ROOT filter is the caller's predicate — inner plan filters
+    // (e.g. the as-of bound) legitimately reference non-partition columns
+    val refs = filtered.queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+      case _ => Set.empty[String]
+    }
+    val parts = sink.partitionBy.toSet
+    require(refs.nonEmpty && refs.subsetOf(parts),
+      s"refresh predicate may reference only partition columns $parts, " +
+        s"got $refs — a non-aligned predicate would drop the non-matching " +
+        "rows of every partition it touches")
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
     try {
-      snapshot(spark, config).filter(predicate)
+      filtered
         .write.mode(SaveMode.Overwrite)
         .partitionBy(sink.partitionBy: _*)
         .parquet(sink.path)

@@ -70,8 +70,18 @@ object MaterializedSnapshot {
                tsCol: String, tieBreakers: Seq[String] = Nil,
                trigger: Trigger = Trigger.AvailableNow(),
                retainVersions: Int = 3): StreamingQuery = {
-    require(retainVersions >= 1, "retainVersions must be >= 1")
+    // >= 2: a re-delivered batch must still find its predecessor version
+    // on disk — with 1 retained version, retention deletes the
+    // predecessor the moment a batch commits, so a crash between the
+    // parquet commit and the offset commit would rebuild the snapshot
+    // from that one micro-batch alone on restart
+    require(retainVersions >= 2, "retainVersions must be >= 2")
     stream.writeStream
+      // the checkpoint lives WITH the snapshot: a restarted maintenance
+      // job resumes the same batch-id sequence and committed offsets —
+      // without this, a fresh temp checkpoint would restart ids at 0,
+      // merge from no predecessor, and the version chain would fork
+      .option("checkpointLocation", s"$dir/_checkpoints")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         // predecessor = newest committed version BELOW this id: a

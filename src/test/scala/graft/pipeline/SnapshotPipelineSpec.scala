@@ -127,6 +127,16 @@ class SnapshotPipelineSpec extends SparkTestBase {
     rows shouldBe Seq(("u1", 11), ("u2", 21))
   }
 
+  it should "reject a predicate on non-partition columns" in {
+    val cfg = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(s"$tmp/part_guard", partitionBy = Seq("k_hbase_row_key")))
+    // age is not a partition column: dynamic overwrite would rewrite the
+    // touched partitions with only the matching rows
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotPipeline.refreshPartitions(spark, cfg, col("age") > 10)
+  }
+
   it should "reject an unpartitioned or table sink" in {
     val cfg = SnapshotConfig(changelogPath,
       ExplicitSchema(Seq("d:age:integer", "d:name")),

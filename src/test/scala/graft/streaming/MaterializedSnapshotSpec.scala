@@ -45,6 +45,32 @@ class MaterializedSnapshotSpec extends SparkTestBase {
     keyCount should be <= batch.size.toLong
   }
 
+  it should "resume idempotently on restart (checkpointed offsets)" in {
+    val dir = s"$testdataRoot/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_mat_restart_" + System.nanoTime()).toString
+    def runOnce(): Unit = {
+      val q = MaterializedSnapshot.maintain(
+        graft.sources.Tables.eventsStream(spark, dir), out,
+        Seq("user_id"), "ts", Seq("event_id"))
+      q.awaitTermination()
+    }
+    runOnce()
+    val vs1 = MaterializedSnapshot.versions(spark, out)
+    val snap1 = MaterializedSnapshot.read(spark, out)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    // a restarted maintenance job resumes from the stored checkpoint: no
+    // input is left, so no new versions appear and no history is lost —
+    // without the co-located checkpoint this would restart batch ids at
+    // 0 and fork the version chain
+    runOnce()
+    MaterializedSnapshot.versions(spark, out) shouldBe vs1
+    MaterializedSnapshot.read(spark, out)
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet shouldBe snap1
+  }
+
   it should "refuse to read an empty snapshot directory" in {
     an[IllegalArgumentException] should be thrownBy
       MaterializedSnapshot.read(spark, "/tmp/graft_mat_snapshot_nonexistent")

@@ -406,6 +406,18 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))),
 
+    // Unicode canonicalization via the native text_fold expression
+    // (NFC → strip diacritics → lowercase; codegen'd, ASCII fast path) —
+    // the normalization pass that precedes hashing/shingling in a dedup
+    // pipeline. Fingerprinted per doc; oracle folds identically.
+    "q_text_fold" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.textFold(col("text")).as("folded"))
+        .select(col("doc_id"), length(col("folded")).as("n_chars"),
+          md5(col("folded")).as("fold_fp"))
+        .orderBy(col("doc_id"))),
+
     // Heavy hitters — corpus-wide top-k frequent tokens: explode →
     // map-side-combined count → TakeOrdered. The exchange carries one
     // row per DISTINCT token per partition (partial counts), never the
@@ -1036,6 +1048,11 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_text_fold" ->
+      """SELECT doc_id,
+        |  length(lower(strip_accents(nfc_normalize(text)))) AS n_chars,
+        |  md5(lower(strip_accents(nfc_normalize(text)))) AS fold_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word

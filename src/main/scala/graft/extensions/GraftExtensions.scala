@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, TextFold}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -33,6 +33,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"fdot expects 2 arguments, got ${exprs.length}")
         FloatVectorDot(exprs.head, exprs(1))
+      }),
+    (new FunctionIdentifier("text_fold"),
+      new ExpressionInfo(classOf[TextFold].getName, "text_fold"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"text_fold expects 1 argument, got ${exprs.length}")
+        TextFold(exprs.head)
       }))
 
   /** Register the functions and optimizer rules on a live session

@@ -1,0 +1,78 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.util.Locale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text folding for dedup/matching keys: NFC-normalize,
+  * strip diacritics (NFD + drop combining marks), lowercase (root
+  * locale). `text_fold("Café  NAÏVE")` = `"cafe  naive"`.
+  *
+  * Canonicalization BEFORE hashing/shingling is what makes exact and
+  * near dedup robust to encoding drift: `"café"` composed (U+00E9) and
+  * decomposed (`e` + U+0301) are different byte strings — different md5,
+  * different shingles — but the same text. Pure function, no locale
+  * dependence (Turkish-i problems avoided via `Locale.ROOT`).
+  *
+  * A native expression rather than a UDF so it stays inside whole-stage
+  * codegen (one static call on the hot path, no Row boxing); ASCII-only
+  * strings short-circuit without any Normalizer pass. */
+case class TextFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_fold"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(s: Any): Any =
+    TextFold.fold(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFold.fold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextFold =
+    copy(child = newChild)
+}
+
+object TextFold {
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def fold(u: UTF8String): UTF8String = {
+    // fast path: ASCII needs no normalization — just byte-wise lowercase
+    // (UTF8String.toLowerCase is ASCII-optimized internally)
+    val s = u.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) return u.toLowerCase
+    val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val ch = nfd.charAt(j)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      j += 1
+    }
+    val stripped = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+    UTF8String.fromString(stripped.toLowerCase(Locale.ROOT))
+  }
+}
+
+object TextFunctions {
+  /** Column wrapper for [[TextFold]]. */
+  def textFold(c: Column): Column =
+    ColumnBridge.column(TextFold(ColumnBridge.expression(c)))
+}

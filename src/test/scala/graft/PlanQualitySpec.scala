@@ -103,4 +103,18 @@ class PlanQualitySpec extends SparkTestBase {
     plan should include("partial_score_top_k")
     (plan should not).include("Window")
   }
+
+  "q_pipeline_e2e" should "run gate+dedup+chunk+pack within a bounded shuffle budget" in {
+    val plan = planOf("q_pipeline_e2e")
+    // quality gate and chunking are shuffle-free; the pipeline may
+    // hash-exchange only at the dedup agg, the per-shard pack ordering,
+    // and the per-(shard,pack) summary — a regression that re-keys
+    // between stages (or plans the gate as its own exchange) shows up as
+    // a fourth hash exchange. The single range exchange is the harness
+    // output ORDER BY, not pipeline work.
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 3
+    "Exchange rangepartitioning".r.findAllIn(plan).size should be <= 1
+    // dedup must partially aggregate map-side before its exchange
+    plan should include regex "(?i)partial.*min_by|min_by.*partial"
+  }
 }

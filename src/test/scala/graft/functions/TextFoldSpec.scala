@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions.textFold
+import org.apache.spark.sql.functions._
+
+class TextFoldSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val composed = "Café" // \u00e9, one code point
+  private val decomposed = "Café" // e + \u0301 combining acute
+
+  private val cases = Seq(
+    (composed, "cafe"),
+    (decomposed, "cafe"),
+    ("NAÏVE Über", "naive uber"),
+    ("Ångström", "angstrom"),
+    ("ASCII Only 42!", "ascii only 42!"),
+    ("", "")
+  )
+
+  "text_fold" should "fold case and strip latin diacritics" in {
+    val df = cases.map(_._1).toDF("s")
+    val out = df.select(textFold($"s")).as[String].collect().toSeq
+    out shouldBe cases.map(_._2)
+  }
+
+  it should "identify composed and decomposed encodings of the same text" in {
+    val df = Seq((composed, decomposed)).toDF("a", "b")
+    val row = df.select(
+      (md5(textFold($"a")) === md5(textFold($"b"))).as("same_after"),
+      (md5($"a") === md5($"b")).as("same_before"))
+      .as[(Boolean, Boolean)].head()
+    row shouldBe ((true, false))
+  }
+
+  it should "agree between interpreted and codegen evaluation" in {
+    val df = cases.map(_._1).toDF("s")
+    val viaCodegen = df.select(textFold($"s")).as[String].collect().toSeq
+    // interpreted path: evaluate the expression directly
+    val viaEval = cases.map { case (in, _) =>
+      TextFold(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(in)))
+        .eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString
+    }
+    viaCodegen shouldBe viaEval
+  }
+
+  it should "be callable from SQL via the extension registry" in {
+    spark.sql("SELECT text_fold('Crème BRÛLÉE') AS f")
+      .as[String].head() shouldBe "creme brulee"
+  }
+}

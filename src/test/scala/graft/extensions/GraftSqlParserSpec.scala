@@ -22,6 +22,15 @@ class GraftSqlParserSpec extends SparkTestBase {
     GraftSqlParser.rewrite("SNAPSHOT") shouldBe None
   }
 
+  it should "accept any whitespace after the SNAPSHOT keyword" in {
+    GraftSqlParser.rewrite(
+      "SNAPSHOT\nevents KEY (user_id) ORDER BY ts") shouldBe defined
+    GraftSqlParser.rewrite(
+      "  snapshot\tevents KEY (k) ORDER BY ts") shouldBe defined
+    // a column or table named snapshot is never claimed
+    GraftSqlParser.rewrite("SNAPSHOTS events KEY (k) ORDER BY ts") shouldBe None
+  }
+
   it should "expand KEY/ORDER BY/ASOF into a window-rank query" in {
     val sql = GraftSqlParser.rewrite(
       "SNAPSHOT db.events KEY (user_id, event_type) ORDER BY ts, event_id " +

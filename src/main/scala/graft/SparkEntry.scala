@@ -409,7 +409,11 @@ object SparkEntry {
     // Unicode canonicalization via the native text_fold expression
     // (NFC → strip diacritics → lowercase; codegen'd, ASCII fast path) —
     // the normalization pass that precedes hashing/shingling in a dedup
-    // pipeline. Fingerprinted per doc; oracle folds identically.
+    // pipeline. Oracle equivalence is exercised on this corpus (verified
+    // pure ASCII, where both engines fold to lower(text)); non-ASCII
+    // behavior — where the engines' lowercasing/recomposition rules
+    // legitimately differ (Greek final sigma, Jamo) — is pinned by
+    // TextFoldSpec instead.
     "q_text_fold" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),

@@ -48,16 +48,18 @@ object TextFold {
 
   /** Static entry point shared by interpreted eval and generated code. */
   def fold(u: UTF8String): UTF8String = {
-    // fast path: ASCII needs no normalization — just byte-wise lowercase
-    // (UTF8String.toLowerCase is ASCII-optimized internally)
-    val s = u.toString
+    // fast path: ASCII needs no normalization — detect it on the raw
+    // UTF-8 bytes (any non-ASCII byte has the high bit set), so the hot
+    // dedup-normalization path allocates nothing
     var ascii = true
     var i = 0
-    while (ascii && i < s.length) {
-      if (s.charAt(i) >= 0x80) ascii = false
+    val n = u.numBytes
+    while (ascii && i < n) {
+      if (u.getByte(i) < 0) ascii = false
       i += 1
     }
     if (ascii) return u.toLowerCase
+    val s = u.toString
     val nfd = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
     var j = 0

@@ -134,17 +134,26 @@ object SnapshotPipeline {
     // the ANALYZED filter (the bare Column is a lazy node tree in Spark 4
     // and exposes no resolved attributes).
     // only the ROOT filter is the caller's predicate — inner plan filters
-    // (e.g. the as-of bound) legitimately reference non-partition columns
-    val refs = filtered.queryExecution.analyzed match {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.references.map(_.name).toSet
-      case _ => Set.empty[String]
-    }
+    // (e.g. the as-of bound) legitimately reference non-partition columns.
+    // A deterministic predicate over partition columns alone is constant
+    // within each partition directory, so a touched directory is always
+    // rewritten COMPLETELY; empty references (a constant predicate) are
+    // trivially aligned, and a constant-folded-away filter means a full
+    // refresh — also safe. Non-determinism (rand()) would vary row-by-row
+    // with no reference trail, so it is rejected outright.
     val parts = sink.partitionBy.toSet
-    require(refs.nonEmpty && refs.subsetOf(parts),
-      s"refresh predicate may reference only partition columns $parts, " +
-        s"got $refs — a non-aligned predicate would drop the non-matching " +
-        "rows of every partition it touches")
+    filtered.queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        val refs = f.condition.references.map(_.name).toSet
+        require(f.condition.deterministic,
+          "refresh predicate must be deterministic — a row-varying " +
+            "predicate would drop rows from every partition it touches")
+        require(refs.subsetOf(parts),
+          s"refresh predicate may reference only partition columns $parts, " +
+            s"got $refs — a non-aligned predicate would drop the " +
+            "non-matching rows of every partition it touches")
+      case _ => // constant predicate folded away: full rewrite, safe
+    }
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")

@@ -58,13 +58,21 @@ object ChangelogStream {
     implicit val keyEnc = Encoders.STRING
 
     def orderKey(r: Row): Seq[Any] = (tsIdx +: tieIdx).map(r.get)
+    // NULLs order lowest (SQL ASC semantics): a null-ts row never beats a
+    // real timestamp, and comparing against stored null state must not
+    // NPE the stream
     def isNewer(cand: Row, cur: Row): Boolean = {
       val (a, b) = (orderKey(cand), orderKey(cur))
       a.zip(b).collectFirst {
-        case (x: java.sql.Timestamp, y: java.sql.Timestamp) if !x.equals(y) =>
-          x.after(y)
-        case (x: Comparable[Any] @unchecked, y) if x.compareTo(y) != 0 =>
-          x.compareTo(y) > 0
+        case (x, y) if !java.util.Objects.equals(x, y) =>
+          (x, y) match {
+            case (null, _) => false
+            case (_, null) => true
+            case (xt: java.sql.Timestamp, yt: java.sql.Timestamp) =>
+              xt.after(yt)
+            case (xc: Comparable[Any] @unchecked, yc) => xc.compareTo(yc) > 0
+            case _ => false
+          }
       }.getOrElse(false)
     }
 

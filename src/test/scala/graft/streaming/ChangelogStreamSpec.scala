@@ -37,6 +37,26 @@ class ChangelogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  it should "order null timestamps lowest without crashing the stream" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val upserts = ChangelogStream.latestPerKey(
+      input.toDF(), Seq("user_id"), "ts", Seq("event_id"))
+    val q = upserts.writeStream
+      .format("memory").queryName("null_ts_view")
+      .outputMode("update").start()
+    try {
+      input.addData(Ev(1, 10, null, 1.0)) // null ts becomes the state
+      q.processAllAvailable()
+      input.addData(ev(1, 11, 100, 2.0))  // real ts must win, not NPE
+      input.addData(Ev(1, 12, null, 3.0)) // and a later null must lose
+      q.processAllAvailable()
+      val last = spark.table("null_ts_view")
+        .orderBy($"event_id".desc).select($"event_id").as[Long].head()
+      last shouldBe 11L
+    } finally q.stop()
+  }
+
   case class CEv(k1: String, k2: String, ts: java.sql.Timestamp, value: Double)
 
   it should "not collide composite keys whose parts shift a separator" in {

@@ -86,6 +86,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // As-of join with a staleness bound — feature-store point-in-time
+    // semantics: the latest prior purchase counts only if it happened
+    // within 3 days of the event; older state nulls out. Same
+    // union-and-sweep plan, zero extra cost for the bound.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.ops.AsOfJoin.asofJoin(
+          ev.select(col("user_id"), col("event_id"), col("ts")),
+          purchases, Seq("user_id"), "ts", "ts", rightPrefix = "last_",
+          toleranceSeconds = Some(259200L))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("last_purchase_id"), col("last_ts").as("last_purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Streaming shadow of O13: the changelog replayed through the
     // Structured Streaming upsert (mapGroupsWithState against the real
     // partitioned state store, run to completion with AvailableNow) must
@@ -924,6 +942,20 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT e.user_id, e.event_id, e.ts,
         |  p.purchase_id AS last_purchase_id, p.ts AS last_purchase_ts
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // ASOF picks the latest prior row; if that one is stale every older
+    // one is staler, so the bound is a post-filter on the match.
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.user_id, e.event_id, e.ts,
+        |  CASE WHEN epoch_ms(e.ts) // 1000 - epoch_ms(p.ts) // 1000 <= 259200
+        |       THEN p.purchase_id END AS last_purchase_id,
+        |  CASE WHEN epoch_ms(e.ts) // 1000 - epoch_ms(p.ts) // 1000 <= 259200
+        |       THEN p.ts END AS last_purchase_ts
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,

@@ -34,10 +34,20 @@ object AsOfJoin {
     * Right rows sharing (key, ts) are resolved to the last under
     * (`rightTs`, remaining right columns) sort order — pre-deduplicate the
     * right side if a specific tie-break matters.
+    *
+    * @param toleranceSeconds staleness bound (feature-store point-in-time
+    *                   semantics): a match older than this many seconds
+    *                   before the left timestamp is treated as NO match
+    *                   (right columns null). The latest right row is
+    *                   either fresh enough or no older one can be, so the
+    *                   bound composes with the sweep at zero extra cost.
+    *                   Seconds compare on truncated epoch seconds,
+    *                   matching the oracle's epoch_ms//1000 arithmetic.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               rightPrefix: String = "r_"): DataFrame = {
+               rightPrefix: String = "r_",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val rightPayload = right.columns.filterNot(keyCols.contains).toIndexedSeq
     val leftCols = left.columns.toIndexedSeq
 
@@ -65,8 +75,15 @@ object AsOfJoin {
       .orderBy(col("__ts"), col("__side"), col("__right"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight.unionByName(taggedLeft)
+    val swept = taggedRight.unionByName(taggedLeft)
       .withColumn("__match", last(col("__right"), ignoreNulls = true).over(w))
+    val bounded = toleranceSeconds match {
+      case Some(t) => swept.withColumn("__match",
+        when(col("__ts").cast("long") -
+          col(s"__match.`$rightTs`").cast("long") <= t, col("__match")))
+      case None => swept
+    }
+    bounded
       .filter(col("__side") === 1)
       .select(
         leftCols.map(c => col(s"__left.`$c`").as(c)) ++

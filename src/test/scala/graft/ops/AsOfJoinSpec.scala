@@ -48,6 +48,20 @@ class AsOfJoinSpec extends SparkTestBase {
     out(1) shouldBe None
   }
 
+  it should "null out matches older than the staleness tolerance" in {
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        toleranceSeconds = Some(10L))
+      .select($"trade_id", $"r_px".as[Option[Double]])
+      .as[(Int, Option[Double])].collect().toMap
+    out shouldBe Map(
+      1 -> None,          // no prior quote at all
+      2 -> Some(100.0),   // exact-ts match, age 0
+      3 -> Some(110.0),   // quote@20 vs trade@25: age 5 <= 10
+      4 -> None,          // quote@30 vs trade@99: age 69 — stale
+      5 -> Some(50.0),    // age 1
+      6 -> None)
+  }
+
   it should "plan with a single shuffle (no range-join blowup)" in {
     val plan = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tts", "qts")
       .queryExecution.executedPlan.toString()

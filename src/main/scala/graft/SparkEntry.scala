@@ -567,6 +567,17 @@ object SparkEntry {
           n = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Jaccard join with the document-frequency cap ACTIVE (prefix
+    // filtering: shingles appearing in > 2 docs are dropped before the
+    // self-join). The score is the exact Jaccard over RETAINED shingles —
+    // a consistent similarity space the oracle reproduces with the same
+    // df filter (at this corpus the cap drops 3 of the 25 planted pairs
+    // below the threshold, so the cap semantics are genuinely exercised).
+    "q_dedup_jaccard_capped" -> ((s, d) =>
+      Dedup.ngramJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8, maxShingleDf = 2L)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Cluster resolution over the near-dup pair graph: connected
     // components via min-label propagation; every document (singletons
     // included) labelled with the min id reachable from it. Oracle is a
@@ -605,9 +616,11 @@ object SparkEntry {
     // so it shares the exact all-pairs oracle with no corpus tuning.
     // Sign-LSH banding is NOT used here: at this corpus's weak threshold
     // (0.4) any recall-1.0 banding admits ~all pairs as candidates.
+    // dim=64 is the generator's embedding width (TESTDATA schema) — passing
+    // it skips the one-row dimension-sampling job.
     "q_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDupsBlocked(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.4)
+          "embedding", threshold = 0.4, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Exact all-pairs baseline — the small-sf correctness anchor the LSH
@@ -634,7 +647,7 @@ object SparkEntry {
       // buckets, lifting recall at fixed index size (SimilaritySpec
       // measures the lift against the exact top-k)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          planes = 4, probes = 2)
+          planes = 4, probes = 2, dim = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1096,6 +1109,33 @@ object SparkEntry {
         |WHERE len(word) > 0
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "q_dedup_jaccard" -> NgramJaccardOracle,
+    // Same pipeline with the df cap applied IDENTICALLY on both sides:
+    // shingles in > 2 docs drop before pairing AND before set sizes, so
+    // the oracle checks the consistent capped-jaccard semantics.
+    "q_dedup_jaccard_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []
+        |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |                             for i in range(0, len(t) - 2)]) END AS s
+        |  FROM toks),
+        |e0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |df AS (SELECT shingle, count(*) AS c FROM e0 GROUP BY shingle),
+        |e AS (SELECT e0.doc_id, e0.shingle FROM e0
+        |      JOIN df USING (shingle) WHERE df.c <= 2),
+        |p AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+        |  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)
+        |SELECT id_a, id_b,
+        |  round(common::DOUBLE / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = p.id_a JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // Connected components over the same exact pair graph, by recursive
     // transitive closure; labels = min reachable id, singletons themselves.
     "q_dedup_clusters" ->

@@ -61,6 +61,17 @@ object Dedup {
     array_distinct(grams)
   }
 
+  /** Drop edge-list rows whose shingle has document frequency above
+    * `maxDf`: the df table is aggregated from the edges themselves
+    * (map-side-combined count per shingle) and the surviving-shingle set
+    * broadcasts back — the standard prefix-filtering trade that keeps
+    * degenerate stop-shingle buckets out of the self-join. */
+  private def capByDf(edges: DataFrame, maxDf: Long): DataFrame = {
+    val rare = edges.groupBy("shingle").count()
+      .filter(col("count") <= maxDf).select("shingle")
+    edges.join(broadcast(rare), "shingle")
+  }
+
   /** (id, shingle) inverted-index edge list, optionally dropping shingles
     * with document frequency above `maxShingleDf` (0 = keep all). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
@@ -68,40 +79,36 @@ object Dedup {
     val edges = Parallelism.spread(df.select(col(idCol).as("id"),
         col(textCol).as("__text")))
       .select(col("id"), explode(wordShingles(col("__text"), n)).as("shingle"))
-    if (maxShingleDf <= 0) edges
-    else {
-      val rare = edges.groupBy("shingle").count()
-        .filter(col("count") <= maxShingleDf).select("shingle")
-      edges.join(broadcast(rare), "shingle")
-    }
+    if (maxShingleDf <= 0) edges else capByDf(edges, maxShingleDf)
   }
 
   // --------------------------------------------------- exact Jaccard join
 
   /** All document pairs (id_a < id_b) with n-gram Jaccard ≥ `threshold`,
     * via inverted-index blocking: only pairs sharing ≥1 shingle are ever
-    * scored. Exact — no probabilistic misses. */
+    * scored. Exact with no df cap; with `maxShingleDf > 0` BOTH the
+    * intersection AND the per-doc set sizes come from the capped index,
+    * so the score is the exact Jaccard over RETAINED shingles — a
+    * consistent similarity space (oracle-checkable with the same df
+    * filter), not a silent underestimate from mixing a capped
+    * intersection with uncapped sizes. */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        maxShingleDf: Long = 0L): DataFrame = {
-    // one shingling pass total: the persisted edge list feeds both
-    // self-join branches AND the per-doc set sizes (shingles are distinct,
-    // so count(edges per id) == |shingle set| before any df cap)
-    val edges = shingleIndex(df, idCol, textCol, n)
+    // one shingling pass total: the persisted raw edge list feeds the df
+    // cap, both self-join branches AND the per-doc set sizes (shingles
+    // are distinct, so count(edges per id) == |shingle set|)
+    val raw = shingleIndex(df, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges =
+      if (maxShingleDf <= 0) raw
+      else capByDf(raw, maxShingleDf).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val idx =
-      if (maxShingleDf <= 0) edges
-      else {
-        val rare = edges.groupBy("shingle").count()
-          .filter(col("count") <= maxShingleDf).select("shingle")
-        edges.join(broadcast(rare), "shingle")
-      }
     // SHUFFLE_HASH: the inverted index only looks broadcastable at test
     // scale — at corpus scale collecting it to the driver is fatal, and
     // even here the broadcast build dominates the join. Partitioned hash
     // join is the plan that survives the scale-up.
-    val pairs = idx.as("l").hint("shuffle_hash").join(idx.as("r"),
+    val pairs = edges.as("l").hint("shuffle_hash").join(edges.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
@@ -334,7 +341,7 @@ object Dedup {
     * shuffle-hash-joined (corpus-sized index must not broadcast). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, bands: Int = 16,
-                        rowsPerBand: Int = 8): DataFrame = {
+                        rowsPerBand: Int = 8, dim: Int = 0): DataFrame = {
     // loud guard for the documented degeneracy: below ~0.6 the default
     // banding silently loses most true pairs (per-pair miss ~2/3 at 0.4)
     // while a recall-first banding admits ~all pairs. Both failure modes
@@ -343,13 +350,13 @@ object Dedup {
       f"sign-LSH banding cannot separate weak thresholds ($threshold%.2f " +
         "< 0.6): use embeddingNearDupsBlocked, whose pruning is exact at " +
         "any threshold")
-    val dim = Similarity.vectorDim(df, vecCol)
+    val d = if (dim > 0) dim else Similarity.vectorDim(df, vecCol)
     val vecs = Parallelism.spread(
       df.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
       .persist(StorageLevel.MEMORY_AND_DISK) // bucket source + both verify sides
     val buckets = vecs.select(col("id"), posexplode(
-        Similarity.hyperplaneBandKeys(col("vec"), dim, bands, rowsPerBand)))
+        Similarity.hyperplaneBandKeys(col("vec"), d, bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val cand = buckets.as("l").hint("shuffle_hash").join(buckets.as("r"),
         col("l.band") === col("r.band") &&
@@ -394,30 +401,34 @@ object Dedup {
     *    how clustered the corpus is, and the isotropic worst case
     *    degrades to the exact all-pairs join, never worse;
     *  - a single giant cell concentrates one m_i × m_j scoring task — by
-    *    default `nlist` auto-sizes to ~1000 members per cell (capped at
-    *    1024 cells for assignment plan size), bounding that task as the
-    *    corpus grows; pass `nlist` explicitly to override.
+    *    default `nlist` auto-sizes to ~1000 members per cell, bounding
+    *    that task as the corpus grows; pass `nlist` explicitly to
+    *    override. nlist is NOT capped: past
+    *    [[IvfIndex.MaxExprCentroids]] centroids both the assignment
+    *    (broadcast-join argmax, see [[IvfIndex.withAssignment]]) and the
+    *    cell-pair enumeration (a broadcast self-join of the non-empty
+    *    centroid table) run with constant plan size, so a billion-vector
+    *    corpus can carry the million cells its density needs.
     *
     * Requires threshold > 0 (zero-norm vectors define cosine 0 and are
     * excluded up front; a non-positive threshold means all-pairs — use
-    * [[embeddingNearDupsExact]]). */
+    * [[embeddingNearDupsExact]]). Pass `dim` when the caller knows the
+    * embedding dimension to skip the one-row sampling job that otherwise
+    * reads it from the corpus. */
   def embeddingNearDupsBlocked(df: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, nlist: Int = 0,
-                               iters: Int = 1): DataFrame = {
+                               iters: Int = 1, dim: Int = 0): DataFrame = {
     require(threshold > 0.0,
       s"blocked near-dup pruning needs threshold > 0, got $threshold")
-    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
-    val dim = Similarity.vectorDim(df, vecCol)
+    val d = if (dim > 0) dim else Similarity.vectorDim(df, vecCol)
     val unit = IvfIndex.unitVectors(df, idCol, vecCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // nlist <= 0 → size cells to the corpus: ~1000 members per cell keeps
     // the worst same-cell scoring task at ~500k pairs however large the
-    // corpus grows (a fixed nlist turns into O((n/nlist)²) per cell). The
-    // 1024 cap bounds assignment plan size (one fdot per centroid); past
-    // ~1M vectors raise the cap together with broadcast-join scoring.
+    // corpus grows (a fixed nlist turns into O((n/nlist)²) per cell).
     val effNlist =
       if (nlist > 0) nlist
-      else math.min(1024L, math.max(16L, unit.count() / 1000L)).toInt
+      else math.max(16L, unit.count() / 1000L).toInt
     // Centroids: deterministic random directions refined by `iters` Lloyd
     // steps. Random seeding skips the seed-collect job (cell QUALITY only
     // affects the prune rate, never completeness), and one step already
@@ -425,43 +436,45 @@ object Dedup {
     // corpus is heavily clustered and the prune rate matters more than
     // one extra driver round-trip.
     val seeds = Array.tabulate(math.max(1, effNlist)) { p =>
-      val v = Similarity.planeVector(p, dim)
+      val v = Similarity.planeVector(p, d)
       val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
       v.map(x => (x / nrm).toFloat)
     }
     val centroids = IvfIndex.lloyd(unit, seeds, iters)
     unit.unpersist()
-    val members = Parallelism.spread(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
-      .filter(col("nrm") > 0.0)
-      .withColumn("asg",
-        IvfIndex.assignmentWithScore(col("vec"), col("nrm"), centroids))
-      .select(col("id"), col("vec"), col("nrm"),
-        col("asg").getField("cell").as("cell"),
-        col("asg").getField("score").as("ccos"))
+    val members = IvfIndex.withAssignment(
+        Parallelism.spread(
+            df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+          .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
+          .filter(col("nrm") > 0.0),
+        centroids)
       .persist(StorageLevel.MEMORY_AND_DISK) // radius pass + both join sides
-    // Cell-pair pruning, fully distributed (no driver round-trip):
-    // centroid-pair angles are driver-side literals (≤ nlist²/2 rows —
-    // model-sized), measured cell radii join in from the data, and the
-    // surviving pairs broadcast into the member join. Empty cells drop
-    // out via the inner radius join.
-    val thetaT = math.acos(clamp(threshold))
-    def centroidAngle(i: Int, j: Int): Double =
-      math.acos(clamp(centroids(i).zip(centroids(j))
-        .map { case (a, b) => a.toDouble * b.toDouble }.sum))
-    val anglePairs = for {
-      i <- 0 until centroids.length
-      j <- i until centroids.length
-    } yield (i, j, centroidAngle(i, j))
+    // Cell-pair pruning, fully distributed: the centroid table (model-
+    // sized: nlist × dim floats) first drops empty cells via the inner
+    // radius join, then self-joins i ≤ j — a broadcast nested-loop over
+    // non-empty cells only, never an O(nlist²) driver loop — and the
+    // angle comes from the same native dot expression as member scoring
+    // (left-to-right double accumulation: bit-identical to the previous
+    // driver-side arithmetic). The surviving pairs broadcast into the
+    // member join.
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val radii = members.groupBy(col("cell"))
       .agg(acos(greatest(lit(-1.0), least(lit(1.0), min(col("ccos")))))
         .as("r"))
-    val cp = df.sparkSession.createDataFrame(anglePairs)
-      .toDF("ci", "cj", "cangle")
-      .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
-      .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
-      .filter(col("cangle") <= lit(thetaT) + col("ri") + col("rj"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "cvec")
+      .join(radii, "cell") // empty cells drop out before pair enumeration
+    val fdot = graft.functions.VectorFunctions.fdot _
+    val cangle = acos(greatest(lit(-1.0),
+      least(lit(1.0), fdot(col("vi"), col("vj")))))
+    val cp = cdf.select(col("cell").as("ci"), col("cvec").as("vi"),
+        col("r").as("ri"))
+      .join(broadcast(cdf.select(col("cell").as("cj"), col("cvec").as("vj"),
+        col("r").as("rj"))), col("ci") <= col("cj"))
+      .filter(cangle <= lit(thetaT) + col("ri") + col("rj"))
       .select(col("ci"), col("cj"), (col("ci") === col("cj")).as("same"))
     val lhs = members.select(col("id").as("id_l"), col("vec").as("vl"),
       col("nrm").as("nl"), col("cell").as("cell_l"))

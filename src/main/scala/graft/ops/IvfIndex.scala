@@ -165,6 +165,44 @@ object IvfIndex {
     if (scored.length == 1) scored.head else greatest(scored: _*)
   }
 
+  /** Assignment + cosine-to-centroid over a whole (id, vec, nrm) frame,
+    * with the same plan-size dispatch as [[assignCells]]: up to `maxExpr`
+    * centroids the argmax is one in-plan expression (zero shuffle); past
+    * it the centroids become a broadcast TABLE and the argmax a
+    * map-side-combined lexicographic `max(struct(score, cell))` — the
+    * plan stays constant-size at any nlist, at the price of shuffling one
+    * reduced row per vector. Both paths break score ties toward the
+    * HIGHER cell (struct max ≡ `greatest` — spec-pinned), so results are
+    * identical across the dispatch boundary.
+    *
+    * Input must carry `id`, `vec`, `nrm` (> 0) columns; extra columns are
+    * dropped. Output: (id, vec, nrm, cell, ccos). */
+  private[ops] def withAssignment(members: DataFrame,
+      centroids: Array[Array[Float]],
+      maxExpr: Int = MaxExprCentroids): DataFrame = {
+    if (centroids.length <= maxExpr) {
+      members
+        .withColumn("asg", assignmentWithScore(col("vec"), col("nrm"), centroids))
+        .select(col("id"), col("vec"), col("nrm"),
+          col("asg").getField("cell").as("cell"),
+          col("asg").getField("score").as("ccos"))
+    } else {
+      val spark = members.sparkSession
+      import spark.implicits._
+      val cdf = centroids.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("c_cell", "cvec")
+      members.join(broadcast(cdf))
+        .groupBy(col("id"))
+        .agg(first(col("vec")).as("vec"), first(col("nrm")).as("nrm"),
+          max(struct((fdot(col("vec"), col("cvec")) / col("nrm")).as("score"),
+            col("c_cell").as("cell"))).as("asg"))
+        .select(col("id"), col("vec"), col("nrm"),
+          col("asg").getField("cell").as("cell"),
+          col("asg").getField("score").as("ccos"))
+    }
+  }
+
   /** Query-side probe set: (id, uvec, cell) with the top-`nprobe` cells
     * per vector. Same plan-size dispatch as [[assignCells]]: an in-plan
     * `array_sort` over nlist structs up to `MaxExprCentroids`, a

@@ -163,18 +163,24 @@ object Similarity {
     * Scale design: the corpus is keyed ONCE (one bucket per vector); only
     * the broadcast query side fans out ×(probes+1). Each (query, corpus)
     * pair can match at most one probe key (corpus has a single key), so
-    * no candidate dedup step is needed. */
+    * no candidate dedup step is needed.
+    *
+    * Pass `dim` (the embedding dimension) when the caller knows it to
+    * skip the one-row sampling job that otherwise reads it from the
+    * corpus; a wrong value silently truncates the hyperplanes (fdot
+    * scores the common prefix), so only pass what the schema guarantees. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 6, probes: Int = 0,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = vectorDim(corpus, vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
     val c = Parallelism.spread(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec")))
       .select(col("corpus_id"), col("c_vec"), fnorm(col("c_vec")).as("c_nrm"),
-        hyperplaneKey(col("c_vec"), dim, planes).as("bucket"))
+        hyperplaneKey(col("c_vec"), d, planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         fnorm(col(vecCol)).as("q_nrm"),
-        explode(multiProbeKeys(col(vecCol), dim, planes, probes)).as("bucket"))
+        explode(multiProbeKeys(col(vecCol), d, planes, probes)).as("bucket"))
     val scored = c.as("c").join(broadcast(q.as("q")),
         col("c.bucket") === col("q.bucket") && col("q.query_id") =!= col("c.corpus_id"))
       .select(col("query_id"), col("corpus_id"),

@@ -46,6 +46,33 @@ class DedupSpec extends SparkTestBase {
     exact shouldBe Set((1L, 4L))
   }
 
+  it should "score the exact jaccard over RETAINED shingles when capped" in {
+    // "a b c" appears in all three docs (df=3); "b c d"/"c d e" in two
+    // (df=2); the rest are unique. With maxShingleDf=2 the stop-shingle
+    // drops from BOTH the intersection and the set sizes:
+    //   doc1 ∩ doc2 over retained = {b c d, c d e}, sizes 3 and 3
+    //   → jaccard = 2 / (3 + 3 - 2) = 0.5
+    // The old mixed semantics (capped intersection / uncapped sizes)
+    // would score 2 / (4 + 4 - 2) = 1/3 and silently fail a 0.5 filter.
+    val capDocs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "a b c x y z")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardJoin(capDocs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 2L)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    capped shouldBe Set((1L, 2L, 0.5))
+    // uncapped for contrast: the shared stop-shingle lifts (1,2) to 0.6
+    // and creates weak (·,3) pairs below the 0.5 bar
+    val uncapped = Dedup.ngramJaccardJoin(capDocs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    uncapped shouldBe Set((1L, 2L, 0.6))
+  }
+
   "minhashNearDups" should "agree with the exact join at high similarity" in {
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
         n = 3, threshold = 0.5, bands = 16, rowsPerBand = 4)

@@ -109,6 +109,38 @@ class SimilaritySpec extends SparkTestBase {
       f"high-sim pairs=${exactHigh.size} p0=${recall(g0, exactHigh)}%.3f")
   }
 
+  it should "skip the dimension-sampling job when dim is passed" in {
+    // distributed inputs so the one-row vectorDim() read is a real job;
+    // a listener counts jobs for the identical query with and without
+    // the explicit dim — the explicit path must launch strictly fewer
+    val corpus = vecs.repartition(2)
+    val queries = vecs.filter($"vec_id" === 0).repartition(2)
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // the listener bus is async: wait until the count stops moving
+        var prev = -1
+        var spins = 0
+        while (jobs.get() != prev && spins < 40) {
+          prev = jobs.get(); Thread.sleep(100); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val inferred = countJobs(
+      Similarity.lshTopK(corpus, queries, k = 2, planes = 2).count())
+    val explicit = countJobs(
+      Similarity.lshTopK(corpus, queries, k = 2, planes = 2, dim = 2).count())
+    explicit should be < inferred
+  }
+
   "lshTopK" should "return ranked neighbors from the query's bucket" in {
     val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 3,
         planes = 1)

@@ -60,6 +60,45 @@ class VectorScaleSpec extends SparkTestBase {
     assigned.select("cell").distinct().count() should be > 1L
   }
 
+  "withAssignment" should "agree across the expression/broadcast dispatch boundary" in {
+    // same centroids through both physical plans: the in-plan greatest()
+    // and the broadcast-join max(struct) must pick identical cells AND
+    // identical cosines for every vector (tie-break toward the higher
+    // cell on both paths)
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim) { j =>
+        val h = (i * 48271L) ^ (j * 2654435761L)
+        ((h % 1000L) / 1000.0f) - 0.5f
+      }
+    val cents = Array.tabulate(12) { i =>
+      val v = vec(i.toLong + 5000L)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val members = bigVecs.selectExpr("vec_id AS id", "embedding AS vec")
+      .withColumn("nrm", graft.functions.VectorFunctions.fnorm($"vec"))
+    def run(maxExpr: Int) =
+      IvfIndex.withAssignment(members, cents, maxExpr)
+        .select($"id", $"cell", $"ccos")
+        .as[(Long, Int, Double)].collect().toSet
+    run(maxExpr = 64) shouldBe run(maxExpr = 4)
+  }
+
+  "embeddingNearDupsBlocked" should
+      "match the exact pair set with nlist past the old 1024 ceiling" in {
+    // nlist=4096 forces BOTH the broadcast-join assignment (4096 > 256
+    // centroids) and the distributed centroid-pair enumeration; recall
+    // must still be 1.0 by construction (triangle-inequality prune)
+    val exact = Dedup.embeddingNearDupsExact(bigVecs, "vec_id", "embedding",
+        threshold = 0.05)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.embeddingNearDupsBlocked(bigVecs, "vec_id",
+        "embedding", threshold = 0.05, nlist = 4096, dim = dim)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    exact should not be empty // the threshold must actually select pairs
+    blocked shouldBe exact
+  }
+
   "hyperplaneBandKeys" should "keep the plan dim-independent (one literal per plane)" in {
     val keyed = bigVecs.select(
       Similarity.hyperplaneBandKeys($"embedding", dim, bands = 4, rowsPerBand = 2)

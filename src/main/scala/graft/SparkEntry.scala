@@ -108,25 +108,53 @@ object SparkEntry {
     // Structured Streaming upsert (mapGroupsWithState against the real
     // partitioned state store, run to completion with AvailableNow) must
     // equal the batch latest-per-key — so the streaming path faces the
-    // SAME DuckDB oracle as q_dedup_latest, not just a unit spec.
-    "q_stream_upsert" -> ((s, d) =>
-      graft.streaming.ChangelogStream.replayLatestPerKey(
-          Tables.eventsStream(s, d), Seq("user_id"), "ts", Seq("event_id"))
+    // SAME DuckDB oracle as q_dedup_latest, not just a unit spec. The
+    // replay runs through the FILE-sink bridge (per-batch winners to
+    // parquet, reduced distributedly), so the verification path itself is
+    // corpus-safe — no driver-resident memory sink.
+    "q_stream_upsert" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ups_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      graft.streaming.ChangelogStream.replayLatestPerKeyToFiles(
+          Tables.eventsStream(s, d), Seq("user_id"), "ts", Seq("event_id"),
+          dir = out)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"))
-        .orderBy(col("user_id"))),
+        .orderBy(col("user_id"))
+    }),
 
-    // Continuously-maintained materialized snapshot: foreachBatch drives
-    // advanceSnapshot per micro-batch into idempotent batch-versioned
-    // directories; after a bounded catch-up run the latest version must
-    // equal the batch latest-per-key (same oracle).
+    // Watermarked tumbling-window aggregation replayed to completion
+    // through the same file-sink bridge: final per-(window, key) counts
+    // must equal the batch window aggregation (DuckDB date_trunc oracle).
+    // The watermark delay covers the replay's disorder (files arrive in
+    // arbitrary ts order), so no late row is dropped and the streaming
+    // result converges to the batch one exactly.
+    "q_stream_windows" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_win_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      val wc = graft.streaming.ChangelogStream.windowedCounts(
+        Tables.eventsStream(s, d), "ts", "user_id",
+        windowDuration = "1 day", slideDuration = "1 day",
+        watermarkDelay = "35 days")
+      graft.streaming.ChangelogStream.replayToFiles(wc,
+          Seq("window_start", "window_end", "user_id"), out)
+        .select(col("window_start"), col("window_end"), col("user_id"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("window_start"), col("user_id"))
+    }),
+
+    // Continuously-maintained materialized snapshot, partition-aligned:
+    // each micro-batch advances the stored state and dynamic-overwrites
+    // ONLY the key-bucket directories it touched (write cost tracks the
+    // delta, not the table); after a bounded catch-up run the stored
+    // snapshot must equal the batch latest-per-key (same oracle).
     "q_snapshot_materialized" -> ((s, d) => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_mat_" + java.util.UUID.randomUUID().toString.take(12)).toString
-      graft.streaming.MaterializedSnapshot.maintain(
+      graft.streaming.MaterializedSnapshot.maintainPartitioned(
         Tables.eventsStream(s, d), out, Seq("user_id"), "ts",
-        Seq("event_id")).awaitTermination()
-      graft.streaming.MaterializedSnapshot.read(s, out)
+        Seq("event_id"), numBuckets = 16).awaitTermination()
+      graft.streaming.MaterializedSnapshot.readPartitioned(s, out)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"))
         .orderBy(col("user_id"))
@@ -793,6 +821,15 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value, ts FROM events
         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         | ORDER BY user_id""".stripMargin,
+    // Streaming windowed counts converge to the batch window aggregation:
+    // Spark's window(ts, '1 day') aligns tumbling windows to the epoch in
+    // the UTC session, which is exactly date_trunc('day').
+    "q_stream_windows" ->
+      """SELECT date_trunc('day', ts) AS window_start,
+        |  date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY window_start, user_id""".stripMargin,
     "q_changed_keys" ->
       s"""SELECT DISTINCT user_id FROM events
          | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '$AsOfTs'

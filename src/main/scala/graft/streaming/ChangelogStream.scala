@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: the streaming shadow of the batch
@@ -124,6 +124,58 @@ object ChangelogStream {
     graft.ops.Snapshot.latestPerKey(
       spark.table(sinkName), keyCols, tsCol, tieBreakers)
   }
+
+  /** Corpus-safe replay bridge: run any UPDATE-mode streaming relation to
+    * completion into a parquet FILE sink, then reduce to the final row
+    * per group with the batch latest-per-key operator.
+    *
+    * Each micro-batch's update rows land under `dir/out/graft_batch=<id>`
+    * (overwrite per batch id — a re-delivered batch rewrites its own
+    * directory, so the sink is idempotent). Update-mode emissions are
+    * per-group refinements, so the final state is the row with the
+    * HIGHEST batch id per group — a distributed aggregate over the file
+    * sink. Nothing ever concentrates on the driver, unlike the
+    * memory-sink bridge of [[replayLatestPerKey]], whose sink table holds
+    * (groups × batches) rows driver-side: this bridge scales with the
+    * corpus it verifies.
+    *
+    * Works for any update-mode relation with one row per group per
+    * trigger: the stateful upsert ([[latestPerKey]] —
+    * see [[replayLatestPerKeyToFiles]]) and watermarked windowed
+    * aggregations ([[windowedCounts]], grouped by window bounds + key).
+    * NOT for `session_window` aggregations: session merges change the
+    * group's own bounds, so superseded intermediate sessions would
+    * survive the per-group reduce. */
+  def replayToFiles(updates: DataFrame, groupCols: Seq[String],
+                    dir: String): DataFrame = {
+    val spark = updates.sparkSession
+    val q = updates.writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // no leading underscore in the directory name: hidden-path
+        // filtering would drop it from the read back
+        b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.Snapshot.latestPerKey(
+        spark.read.parquet(s"$dir/out"), groupCols, "graft_batch")
+      .drop("graft_batch")
+  }
+
+  /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
+    * upsert replayed to completion with per-batch winners written to
+    * parquet and reduced distributedly — the equivalence check itself is
+    * corpus-safe. Final state per key = its last emission (emissions are
+    * monotone in the (ts, tieBreakers) order). */
+  def replayLatestPerKeyToFiles(stream: DataFrame, keyCols: Seq[String],
+                                tsCol: String,
+                                tieBreakers: Seq[String] = Nil,
+                                dir: String): DataFrame =
+    replayToFiles(latestPerKey(stream, keyCols, tsCol, tieBreakers),
+      keyCols, dir)
 
   /** Watermarked sliding-window counts per key — the standard streaming
     * aggregation battery (event-time window + late-data bound). */

@@ -75,4 +75,104 @@ class MaterializedSnapshotSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       MaterializedSnapshot.read(spark, "/tmp/graft_mat_snapshot_nonexistent")
   }
+
+  // ------------------------------------------- partition-aligned variant
+
+  "maintainPartitioned" should "converge to the batch snapshot over a multi-batch replay" in {
+    val dir = s"$testdataRoot/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_matp_snapshot_" + System.nanoTime()).toString
+    MaterializedSnapshot.maintainPartitioned(
+      graft.sources.Tables.eventsStream(spark, dir), out,
+      Seq("user_id"), "ts", Seq("event_id"), numBuckets = 8)
+      .awaitTermination()
+    val streamed = MaterializedSnapshot.readPartitioned(spark, out)
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.ops.Snapshot.latestPerKey(
+        graft.sources.Tables.events(spark, dir),
+        Seq("user_id"), "ts", Seq("event_id"))
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    streamed shouldBe batch
+    batch should not be empty
+  }
+
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                value: Double)
+  private def ev(u: Long, e: Long, sec: Long, v: Double) =
+    Ev(u, e, new java.sql.Timestamp(sec * 1000), v)
+
+  /** (path → (length, mtime)) of every visible data file under `dir`. */
+  private def fileStats(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(f => f.getPath -> ((f.length(), f.lastModified())))
+      .toMap
+  }
+
+  it should "rewrite ONLY the bucket directories a micro-batch touches" in {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Ev]
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_matp_delta_" + System.nanoTime()).toString
+    def runOnce(): Unit =
+      MaterializedSnapshot.maintainPartitioned(
+        input.toDF(), out, Seq("user_id"), "ts", Seq("event_id"),
+        numBuckets = 8).awaitTermination()
+
+    // batch 1: 40 users spread across all 8 buckets
+    input.addData((1L to 40L).map(u => ev(u, u, 100, 1.0)): _*)
+    runOnce()
+    val before = fileStats(s"$out/data")
+    before should not be empty
+
+    // batch 2: a single user — exactly one bucket directory may change
+    input.addData(ev(7, 999, 200, 2.0))
+    runOnce()
+    val after = fileStats(s"$out/data")
+
+    def bucketDir(path: String): String =
+      path.split("/").find(_.startsWith("graft_kb=")).get
+    val changed = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+    changed should not be empty
+    changed.map(bucketDir).size shouldBe 1
+    // every file in every OTHER bucket directory is byte-identical
+    // (same path, same length, same mtime — never rewritten)
+    val untouchedBefore = before.filterNot {
+      case (p, _) => changed.map(bucketDir).contains(bucketDir(p))
+    }
+    untouchedBefore.foreach { case (p, stat) => after(p) shouldBe stat }
+    untouchedBefore should not be empty
+
+    // and the merge is still correct: user 7 advanced, others unchanged
+    val state = MaterializedSnapshot.readPartitioned(spark, out)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+    state(7L) shouldBe 999L
+    state(8L) shouldBe 8L
+    state.size shouldBe 40
+  }
+
+  it should "be idempotent when a batch is re-merged (re-delivery)" in {
+    // re-applying a delta to already-merged state must not change any
+    // winner: the crash-between-write-and-offset-commit path
+    val dir = s"$testdataRoot/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val ev = graft.sources.Tables.events(spark, dir)
+    val merged = graft.ops.Snapshot.latestPerKey(
+      ev, Seq("user_id"), "ts", Seq("event_id"))
+    val again = graft.ops.Snapshot.advanceSnapshot(
+      merged, ev, Seq("user_id"), "ts", Seq("event_id"))
+    val a = merged.select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    val b = again.select($"user_id", $"event_id")
+      .as[(Long, Long)].collect().toSet
+    b shouldBe a
+  }
 }

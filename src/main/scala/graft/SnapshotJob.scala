@@ -30,26 +30,46 @@ object SnapshotJob {
 
   /** Testable core: same semantics as [[main]] but RETURNS the exit code
     * instead of terminating the JVM, and takes the session as a (lazy)
-    * parameter so specs can inject theirs. */
+    * parameter so specs can inject theirs.
+    *
+    * The config arrives as the single CLI argument, or — matching the
+    * reference launcher, which passes `-Dconfig.file=<path>` to
+    * typesafe-config (reference: bin/hbase-snapshotter:31-34,
+    * Settings.scala:12) — via the `config.file` system property when no
+    * argument is given. `.conf`/`.hocon` files parse as HOCON
+    * ([[graft.pipeline.Hocon]]: include, substitutions, comments);
+    * anything else as JSON. */
   def run(args: Array[String], spark: => SparkSession): Int = {
-    if (args.length != 1) {
-      Console.err.println("usage: graft.SnapshotJob <config.json>")
-      return 1
+    val path = args match {
+      case Array(p) => p
+      case Array() if sys.props.contains("config.file") =>
+        sys.props("config.file")
+      case _ =>
+        Console.err.println(
+          "usage: graft.SnapshotJob <config.json|config.conf>  " +
+            "(or -Dconfig.file=<path>)")
+        return 1
     }
     val text =
-      try new String(Files.readAllBytes(Paths.get(args(0))),
+      try new String(Files.readAllBytes(Paths.get(path)),
         StandardCharsets.UTF_8)
       catch {
         case e: Exception =>
-          Console.err.println(s"cannot read config '${args(0)}': $e")
+          Console.err.println(s"cannot read config '$path': $e")
           return 1
       }
     val config =
-      try SnapshotPipeline.fromJson(text)
-      catch {
-        // any parse/validation failure keeps the one-line-diagnostic
-        // exit-1 contract — json4s throws its own ParseException on
-        // malformed JSON, not IllegalArgumentException
+      try {
+        val isHocon = path.endsWith(".conf") || path.endsWith(".hocon")
+        if (isHocon)
+          SnapshotPipeline.fromJValue(graft.pipeline.Hocon.parse(text,
+            baseDir = Option(Paths.get(path).getParent).map(_.toString)))
+        else SnapshotPipeline.fromJson(text)
+      } catch {
+        // any parse/validation failure keeps the diagnostic-then-exit-1
+        // contract (the two-schema no-match report is multi-line, like
+        // the reference's — Settings.scala:28-42); json4s throws its own
+        // ParseException on malformed JSON, not IllegalArgumentException
         case scala.util.control.NonFatal(e) =>
           Console.err.println(
             Option(e.getMessage).getOrElse(s"invalid config: $e"))
@@ -70,6 +90,12 @@ object SnapshotJob {
       val builder = SparkSession.builder()
         .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
         .config("spark.sql.session.timeZone", "UTC")
+        // TableSink must land in a REAL metastore under spark-submit, as
+        // the reference writes through a HiveContext
+        // (reference: HBaseSnapshotter.scala:121,134-137) — without this
+        // the table goes to the session-lifetime in-memory catalog and
+        // vanishes with the job
+        .enableHiveSupport()
       // under spark-submit the master arrives as a system property; keep
       // a local default so the jar also runs standalone
       val withMaster =

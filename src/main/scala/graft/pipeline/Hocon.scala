@@ -1,0 +1,263 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.json4s._
+
+/** Minimal HOCON-subset parser producing a json4s AST — enough to honor
+  * the reference's operator interface, which launches with
+  * `-Dconfig.file=<path>` and typesafe-config
+  * (reference: src/main/scala/com/booking/spark/Settings.scala:12,
+  * src/main/resources/reference.conf:1-17), without adding a config
+  * dependency to the library.
+  *
+  * Supported (the subset real job configs use):
+  *  - objects `{ }` with `key : value`, `key = value`, or `key { }`;
+  *    dotted keys (`mysql.table = "t"`) expand to nested objects and
+  *    deep-merge; last write wins on scalar conflicts
+  *  - arrays `[ v, v ]`; newlines work as separators everywhere commas do
+  *  - quoted strings (with `\"`, `\\`, `\n`, `\t` escapes), unquoted
+  *    strings, integers, doubles, booleans, `null`
+  *  - comments `#` and `//` to end of line
+  *  - `include "path"` at object scope (relative to the including file)
+  *  - substitutions: `${a.b.c}` (this config, then the environment;
+  *    unresolved = error) and optional `${?a.b.c}` (unresolved = the key
+  *    or array element vanishes, typesafe-config semantics)
+  *
+  * NOT full HOCON — no multiline strings, `+=`, value concatenation, or
+  * duration/size units; a config using those fails loudly rather than
+  * parsing wrong.
+  */
+object Hocon {
+
+  /** Parse a HOCON file; `include` paths resolve against its directory. */
+  def parseFile(path: String): JValue = {
+    val text = new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8)
+    parse(text, Option(Paths.get(path).getParent).map(_.toString))
+  }
+
+  /** Parse HOCON text. `baseDir` anchors relative `include` paths. */
+  def parse(text: String, baseDir: Option[String] = None): JValue = {
+    val raw = new Parser(text, baseDir).parseRootObject()
+    resolve(raw, raw)
+  }
+
+  // ------------------------------------------------------- substitution
+
+  /** Internal marker object for an unresolved `${path}` / `${?path}`
+    * (json4s's AST is sealed, so the marker is a tagged JObject). */
+  private val SubstTag = "__graft_hocon_subst__"
+  private val SubstOptTag = "__graft_hocon_opt__"
+  private def subst(path: String, optional: Boolean): JValue =
+    JObject(List(JField(SubstTag, JString(path)),
+      JField(SubstOptTag, JBool(optional))))
+  private def asSubst(v: JValue): Option[(String, Boolean)] = v match {
+    case JObject(List(JField(SubstTag, JString(p)),
+        JField(SubstOptTag, JBool(o)))) => Some((p, o))
+    case _ => None
+  }
+
+  private def lookup(root: JValue, path: String): Option[JValue] =
+    path.split('.').foldLeft(root)((acc, k) => acc \ k) match {
+      case JNothing => None
+      case found => Some(found)
+    }
+
+  private def resolve(v: JValue, root: JValue, depth: Int = 0): JValue = {
+    require(depth < 16, "substitution chain too deep (cycle?)")
+    asSubst(v) match {
+      case Some((path, optional)) =>
+        lookup(root, path)
+          .map(found => resolve(found, root, depth + 1))
+          .orElse(sys.env.get(path).map(JString(_): JValue))
+          .getOrElse {
+            if (optional) JNothing
+            else throw new IllegalArgumentException(
+              s"unresolved substitution $${$path} (not in config or environment)")
+          }
+      case None => v match {
+        case JObject(fields) =>
+          JObject(fields.flatMap { case JField(k, fv) =>
+            resolve(fv, root, depth) match {
+              case JNothing => None // optional substitution vanished
+              case r => Some(JField(k, r))
+            }
+          })
+        case JArray(items) =>
+          JArray(items.map(resolve(_, root, depth)).filterNot(_ == JNothing))
+        case other => other
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- parser
+
+  private final class Parser(s: String, baseDir: Option[String]) {
+    private var i = 0
+
+    private def eof: Boolean = i >= s.length
+    private def peek: Char = s.charAt(i)
+
+    private def fail(msg: String): Nothing = {
+      val line = s.substring(0, math.min(i, s.length)).count(_ == '\n') + 1
+      throw new IllegalArgumentException(s"HOCON parse error (line $line): $msg")
+    }
+
+    /** Skip spaces/tabs/CR, comments, and (when `nl`) newlines+commas. */
+    private def skip(nl: Boolean): Unit = {
+      var moved = true
+      while (moved && !eof) {
+        moved = false
+        while (!eof && (peek == ' ' || peek == '\t' || peek == '\r')) {
+          i += 1; moved = true
+        }
+        if (!eof && (peek == '#' ||
+            (peek == '/' && i + 1 < s.length && s.charAt(i + 1) == '/'))) {
+          while (!eof && peek != '\n') i += 1
+          moved = true
+        }
+        if (nl) while (!eof && (peek == '\n' || peek == ',')) {
+          i += 1; moved = true
+        }
+      }
+    }
+
+    def parseRootObject(): JValue = {
+      skip(nl = true)
+      val v = if (!eof && peek == '{') parseValue() // explicit root braces
+        else parseObjectBody(closing = None)
+      skip(nl = true)
+      if (!eof) fail(s"trailing content '${peek}'")
+      v
+    }
+
+    /** Object body: sequence of `include`s and key-value entries, until
+      * `closing` (or EOF for the brace-less root). */
+    private def parseObjectBody(closing: Option[Char]): JValue = {
+      var obj: JValue = JObject(Nil)
+      skip(nl = true)
+      while (!eof && !closing.contains(peek)) {
+        if (s.startsWith("include", i) &&
+            { val j = i + 7; j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '"') }) {
+          i += 7
+          skip(nl = false)
+          if (eof || peek != '"') fail("include expects a quoted path")
+          val rel = parseQuotedString()
+          val p = Paths.get(rel)
+          val full =
+            if (p.isAbsolute || baseDir.isEmpty) rel
+            else Paths.get(baseDir.get, rel).toString
+          val text = new String(Files.readAllBytes(Paths.get(full)),
+            StandardCharsets.UTF_8)
+          val included = new Parser(text,
+            Option(Paths.get(full).getParent).map(_.toString)).parseRootObject()
+          obj = deepMerge(obj, included)
+        } else {
+          val key = parseKey()
+          skip(nl = false)
+          if (eof) fail(s"key '$key' has no value")
+          val value = peek match {
+            case '{' => parseValue() // `key { ... }` without separator
+            case ':' | '=' => i += 1; skip(nl = false); parseValue()
+            case c => fail(s"expected ':', '=' or '{' after key '$key', got '$c'")
+          }
+          obj = deepMerge(obj, nest(key.split('.').toList, value))
+        }
+        skip(nl = true)
+      }
+      closing.foreach { c =>
+        if (eof) fail(s"expected '$c'") else i += 1
+      }
+      obj
+    }
+
+    private def parseKey(): String =
+      if (peek == '"') parseQuotedString()
+      else {
+        val start = i
+        while (!eof && !" \t\r\n:={,#".contains(peek)) i += 1
+        if (i == start) fail("empty key")
+        s.substring(start, i)
+      }
+
+    private def parseValue(): JValue = peek match {
+      case '{' => i += 1; parseObjectBody(closing = Some('}'))
+      case '[' =>
+        i += 1
+        var items = List.empty[JValue]
+        skip(nl = true)
+        while (!eof && peek != ']') {
+          items ::= parseValue()
+          skip(nl = true)
+        }
+        if (eof) fail("expected ']'") else i += 1
+        JArray(items.reverse)
+      case '"' => JString(parseQuotedString())
+      case '$' if s.startsWith("${", i) =>
+        i += 2
+        val optional = !eof && peek == '?'
+        if (optional) i += 1
+        val start = i
+        while (!eof && peek != '}') i += 1
+        if (eof) fail("unterminated substitution")
+        val path = s.substring(start, i).trim
+        i += 1
+        subst(path, optional)
+      case _ =>
+        val start = i
+        while (!eof && !"\n,]}#".contains(peek) &&
+            !(peek == '/' && i + 1 < s.length && s.charAt(i + 1) == '/')) i += 1
+        val tok = s.substring(start, i).trim
+        if (tok.isEmpty) fail("empty value")
+        tok match {
+          case "true" => JBool(true)
+          case "false" => JBool(false)
+          case "null" => JNull
+          case t =>
+            t.toLongOption.map(JLong(_))
+              .orElse(t.toDoubleOption.map(JDouble(_)))
+              .getOrElse(JString(t))
+        }
+    }
+
+    private def parseQuotedString(): String = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (!eof && peek != '"') {
+        if (peek == '\\' && i + 1 < s.length) {
+          i += 1
+          sb.append(peek match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other // \" \\ and anything else literally
+          })
+        } else sb.append(peek)
+        i += 1
+      }
+      if (eof) fail("unterminated string")
+      i += 1 // closing quote
+      sb.toString
+    }
+  }
+
+  private def nest(path: List[String], value: JValue): JValue = path match {
+    case Nil => value
+    case k :: rest => JObject(List(JField(k, nest(rest, value))))
+  }
+
+  /** Right-biased deep merge: objects merge field-wise, anything else the
+    * later value wins (HOCON duplicate-key semantics). */
+  private def deepMerge(a: JValue, b: JValue): JValue = (a, b) match {
+    case (JObject(fa), JObject(fb)) =>
+      val aKeys = fa.map(_._1)
+      val merged = fa.map { case JField(k, va) =>
+        fb.find(_._1 == k) match {
+          case Some(JField(_, vb)) => JField(k, deepMerge(va, vb))
+          case None => JField(k, va)
+        }
+      } ++ fb.filterNot(f => aKeys.contains(f._1))
+      JObject(merged)
+    case (_, later) => later
+  }
+}

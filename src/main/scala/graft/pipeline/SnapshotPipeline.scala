@@ -168,11 +168,17 @@ object SnapshotPipeline {
     }
   }
 
-  /** Parse a JSON job config, dispatching the schema strategy on shape the
-    * way the reference validates against two reference configs in order
-    * (reference: Settings.scala:16-46): a `schema.history_path` selects
-    * MySQL-history mode, a `schema.columns` list selects explicit mode;
-    * neither is a config error.
+  /** Parse a JSON job config — see [[fromJValue]] for the shape. */
+  def fromJson(json: String): SnapshotConfig =
+    fromJValue(JsonMethods.parse(json))
+
+  /** Parse a job config AST (from JSON or [[Hocon]]), dispatching the
+    * schema strategy the way the reference validates against two
+    * reference configs IN ORDER (reference: Settings.scala:16-46): the
+    * MySQL-history strategy is tried first (`schema.history_path`), then
+    * the explicit-columns strategy (`schema.columns`); matching neither
+    * fails with a report of BOTH formats and BOTH failures, like the
+    * reference's dual `checkValid` error path (Settings.scala:28-42).
     *
     * {{{
     * { "changelog": {"path": "...", "key_column": "row_key",
@@ -182,8 +188,7 @@ object SnapshotPipeline {
     *   "partition_by": ["dt"] }
     * }}}
     */
-  def fromJson(json: String): SnapshotConfig = {
-    val root = JsonMethods.parse(json)
+  def fromJValue(root: JValue): SnapshotConfig = {
     def str(v: JValue): Option[String] = v match {
       case JString(s) => Some(s); case _ => None
     }
@@ -198,16 +203,47 @@ object SnapshotPipeline {
       case JNothing => -1L
       case other => fail(s"changelog.timestamp must be a number, got $other")
     }
-    val schemaSource = (root \ "schema" \ "history_path",
-        root \ "schema" \ "columns") match {
-      case (JString(p), JNothing) =>
-        MySqlHistorySchema(p, str(root \ "schema" \ "table"))
-      case (JNothing, JArray(cols)) =>
-        ExplicitSchema(cols.map(c => str(c).getOrElse(
-          fail("schema.columns entries must be strings"))))
-      case _ => fail(
-        "config matches neither schema strategy: need exactly one of " +
-          "schema.history_path or schema.columns")
+    // strategies tried IN ORDER, each reporting its own failure; a config
+    // matching neither gets the full two-format report (the reference
+    // prints its application config plus both reference-config formats)
+    def tryHistory: Either[String, SchemaSource] =
+      (root \ "schema" \ "history_path", root \ "schema" \ "columns") match {
+        case (JString(p), JNothing) =>
+          Right(MySqlHistorySchema(p, str(root \ "schema" \ "table")))
+        case (JString(_), _) =>
+          Left("schema.columns must be absent in MySQL-history mode")
+        case (JNothing, _) => Left("schema.history_path is missing")
+        case (other, _) =>
+          Left(s"schema.history_path must be a string, got $other")
+      }
+    def tryExplicit: Either[String, SchemaSource] =
+      (root \ "schema" \ "columns", root \ "schema" \ "history_path") match {
+        case (_, hp) if hp != JNothing =>
+          // ambiguous configs stay errors: one strategy per config
+          Left("schema.history_path must be absent in explicit-columns mode")
+        case (JArray(cols), _) if cols.nonEmpty && cols.forall(str(_).isDefined) =>
+          Right(ExplicitSchema(cols.flatMap(str)))
+        case (JArray(Nil), _) => Left("schema.columns is empty")
+        case (JArray(_), _) => Left("schema.columns entries must be strings")
+        case (JNothing, _) => Left("schema.columns is missing")
+        case (other, _) => Left(s"schema.columns must be an array, got $other")
+      }
+    val schemaSource = tryHistory match {
+      case Right(ok) => ok
+      case Left(historyErr) => tryExplicit match {
+        case Right(ok) => ok
+        case Left(explicitErr) => fail(
+          s"""config matches neither schema strategy.
+             |Your schema section: ${JsonMethods.compact(
+                 JsonMethods.render(root \ "schema"))}
+             |MySqlHistorySchema format:
+             |  schema { history_path = "<schema-history parquet path>"
+             |           table = "<optional table name>" }
+             |  failure: $historyErr
+             |ExplicitSchema format:
+             |  schema { columns = ["family:qualifier[:type]", ...] }
+             |  failure: $explicitErr""".stripMargin)
+      }
     }
     val partitionBy = root \ "partition_by" match {
       case JArray(cols) => cols.flatMap(str)
@@ -216,6 +252,7 @@ object SnapshotPipeline {
     val bucketBy = (root \ "bucket_by" \ "num_buckets",
         root \ "bucket_by" \ "columns") match {
       case (JInt(n), JArray(cols)) => Some((n.toInt, cols.flatMap(str)))
+      case (JLong(n), JArray(cols)) => Some((n.toInt, cols.flatMap(str)))
       case (JNothing, JNothing) => None
       case _ => fail("bucket_by needs both num_buckets and columns")
     }

@@ -48,8 +48,61 @@ class SnapshotJobSpec extends SparkTestBase {
       _.startsWith("k_replicator_row_status=")) shouldBe 2
   }
 
+  it should "run from a HOCON config with include and substitution" in {
+    val sink = s"$tmp/snapshot_hocon_out"
+    writeConfig("job_common.conf",
+      """paths.base = """" + tmp + """"
+        |changelog.key_column = "row_key"
+        |""".stripMargin)
+    val cfg2 = writeConfig("job2.conf",
+      s"""include "job_common.conf"
+         |changelog.path = "$changelogPath"
+         |unused = $${paths.base}
+         |schema { columns = ["d:age:integer", "d:name"] }
+         |sink.path = "$sink"
+         |partition_by = ["k_replicator_row_status"]
+         |""".stripMargin)
+    SnapshotJob.run(Array(cfg2), spark) shouldBe 0
+    val back = spark.read.parquet(sink)
+    back.count() shouldBe 2
+    back.schema("age").dataType shouldBe org.apache.spark.sql.types.IntegerType
+  }
+
+  it should "honor -Dconfig.file when no argument is given (reference launcher)" in {
+    val sink = s"$tmp/snapshot_sysprop_out"
+    val cfg = writeConfig("sysprop.conf",
+      s"""changelog.path = "$changelogPath"
+         |schema.columns = ["d:age:integer"]
+         |sink.path = "$sink"
+         |""".stripMargin)
+    val prev = sys.props.get("config.file")
+    sys.props("config.file") = cfg
+    try SnapshotJob.run(Array.empty, spark) shouldBe 0
+    finally prev match {
+      case Some(v) => sys.props("config.file") = v
+      case None => sys.props.remove("config.file")
+    }
+    spark.read.parquet(sink).count() shouldBe 2
+  }
+
+  it should "report BOTH schema-strategy failures on a two-schema no-match" in {
+    // the reference prints its config plus both reference-config formats
+    // when neither schema validates (Settings.scala:28-42)
+    val e = the[IllegalArgumentException] thrownBy
+      graft.pipeline.SnapshotPipeline.fromJson(
+        s"""{"changelog": {"path": "$changelogPath"},
+           | "schema": {"wrong_key": 1},
+           | "sink": {"path": "$tmp/never"}}""".stripMargin)
+    e.getMessage should include("matches neither schema strategy")
+    e.getMessage should include("MySqlHistorySchema format")
+    e.getMessage should include("schema.history_path is missing")
+    e.getMessage should include("ExplicitSchema format")
+    e.getMessage should include("schema.columns is missing")
+  }
+
   it should "exit 1 on usage errors, unreadable configs and invalid configs" in {
-    // no args
+    // no args and no -Dconfig.file
+    sys.props.remove("config.file")
     SnapshotJob.run(Array.empty, spark) shouldBe 1
     // missing file
     SnapshotJob.run(Array(s"$tmp/nope.json"), spark) shouldBe 1
@@ -59,6 +112,12 @@ class SnapshotJobSpec extends SparkTestBase {
          | "schema": {},
          | "sink": {"path": "$tmp/never"}}""".stripMargin)
     SnapshotJob.run(Array(bad), spark) shouldBe 1
+    // a config declaring BOTH strategies stays ambiguous → error
+    val both = writeConfig("both.json",
+      s"""{"changelog": {"path": "$changelogPath"},
+         | "schema": {"history_path": "$tmp/h", "columns": ["d:age"]},
+         | "sink": {"path": "$tmp/never"}}""".stripMargin)
+    SnapshotJob.run(Array(both), spark) shouldBe 1
   }
 
   it should "exit 1 when the run itself fails (missing changelog)" in {

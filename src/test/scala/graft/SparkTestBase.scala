@@ -6,9 +6,17 @@ import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 
 /** Shared local SparkSession for specs (one JVM-wide session; Spark
-  * sessions are expensive and scalatest suites run sequentially here). */
+  * sessions are expensive and scalatest suites run sequentially here).
+  *
+  * Hive-enabled, like the `SnapshotJob.main` session (the reference runs
+  * its whole pipeline on a HiveContext — HBaseSnapshotter.scala:121):
+  * a throwaway derby metastore + warehouse under a temp dir, so every
+  * `TableSink`/`saveAsTable` spec writes through the REAL
+  * HiveExternalCatalog instead of the in-memory one. */
 object SparkTestBase {
   lazy val spark: SparkSession = {
+    val base = java.nio.file.Files.createTempDirectory("graft-test-hive")
+      .toString
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
@@ -18,6 +26,10 @@ object SparkTestBase {
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

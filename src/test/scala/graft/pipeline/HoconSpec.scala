@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.json4s._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The HOCON-subset parser behind `-Dconfig.file` job configs
+  * (no Spark session needed). */
+class HoconSpec extends AnyFlatSpec with Matchers {
+
+  private def obj(v: JValue): Map[String, JValue] = v match {
+    case JObject(fields) => fields.toMap
+    case other => fail(s"expected object, got $other")
+  }
+
+  "Hocon.parse" should "parse nested objects, all separators, and types" in {
+    val v = Hocon.parse(
+      """changelog {
+        |  path = "/data/log"     # comment
+        |  timestamp : -1         // another comment
+        |}
+        |flags { enabled = true, ratio = 0.25, label: fast }
+        |""".stripMargin)
+    (v \ "changelog" \ "path") shouldBe JString("/data/log")
+    (v \ "changelog" \ "timestamp") shouldBe JLong(-1L)
+    (v \ "flags" \ "enabled") shouldBe JBool(true)
+    (v \ "flags" \ "ratio") shouldBe JDouble(0.25)
+    (v \ "flags" \ "label") shouldBe JString("fast")
+  }
+
+  it should "expand dotted keys into nested objects and deep-merge them" in {
+    val v = Hocon.parse(
+      """mysql.table = "t1"
+        |mysql.schema = "ns:t1"
+        |mysql { port = 3306 }
+        |""".stripMargin)
+    (v \ "mysql" \ "table") shouldBe JString("t1")
+    (v \ "mysql" \ "schema") shouldBe JString("ns:t1")
+    (v \ "mysql" \ "port") shouldBe JLong(3306L)
+    obj(v \ "mysql").size shouldBe 3
+  }
+
+  it should "parse arrays with comma or newline separators" in {
+    val v = Hocon.parse(
+      """quorum = ["zk1", "zk2",
+        |  "zk3"]
+        |schema = [
+        |  "d:age:integer"
+        |  "d:name"
+        |]
+        |""".stripMargin)
+    (v \ "quorum") shouldBe JArray(
+      List(JString("zk1"), JString("zk2"), JString("zk3")))
+    (v \ "schema") shouldBe JArray(
+      List(JString("d:age:integer"), JString("d:name")))
+  }
+
+  it should "apply last-wins on duplicate scalar keys (HOCON merge)" in {
+    val v = Hocon.parse("a = 1\na = 2\nb { x = 1 }\nb { y = 2 }\n")
+    (v \ "a") shouldBe JLong(2L)
+    (v \ "b" \ "x") shouldBe JLong(1L) // object fields MERGE
+    (v \ "b" \ "y") shouldBe JLong(2L)
+  }
+
+  it should "resolve internal substitutions and optional env fallbacks" in {
+    val v = Hocon.parse(
+      """paths.base = "/data"
+        |changelog.path = ${paths.base}
+        |maybe = ${?GRAFT_SURELY_UNSET_VAR_12345}
+        |""".stripMargin)
+    (v \ "changelog" \ "path") shouldBe JString("/data")
+    // unresolved OPTIONAL substitution: the key vanishes entirely
+    (v \ "maybe") shouldBe JNothing
+  }
+
+  it should "resolve required substitutions from the environment" in {
+    // PATH exists in any test environment
+    val v = Hocon.parse("p = ${PATH}\n")
+    v \ "p" match {
+      case JString(s) => s should not be empty
+      case other => fail(s"expected string, got $other")
+    }
+  }
+
+  it should "fail loudly on unresolved REQUIRED substitutions" in {
+    the[IllegalArgumentException] thrownBy
+      Hocon.parse("p = ${GRAFT_SURELY_UNSET_VAR_12345}\n") should
+      have message
+      "unresolved substitution ${GRAFT_SURELY_UNSET_VAR_12345} " +
+        "(not in config or environment)"
+  }
+
+  it should "inline include files relative to the including file" in {
+    val dir = Files.createTempDirectory("graft-hocon").toString
+    Files.write(Paths.get(dir, "common.conf"),
+      "defaults { retries = 3 }\nsink.path = \"/will/be/overridden\"\n"
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "job.conf"),
+      """include "common.conf"
+        |sink.path = "/real/out"
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val v = Hocon.parseFile(s"$dir/job.conf")
+    (v \ "defaults" \ "retries") shouldBe JLong(3L)
+    // the including file's later value wins over the included one
+    (v \ "sink" \ "path") shouldBe JString("/real/out")
+  }
+
+  it should "reject malformed input with a line number" in {
+    val e = the[IllegalArgumentException] thrownBy
+      Hocon.parse("a = 1\nb = \"unterminated\n")
+    e.getMessage should include("line")
+  }
+
+  it should "parse the reference-shaped config end to end" in {
+    // the shape of the reference's reference.conf MySQLSchema entry
+    // (reference: src/main/resources/reference.conf:2-8)
+    val v = Hocon.parse(
+      """mysql.table : "tablename"
+        |mysql.schema : "namespace:tablename"
+        |hbase.timestamp : -1
+        |hbase.zookeeper_quorum : ["zk1-host", "zkN-host"]
+        |hbase.table : "namespace:tablename"
+        |hive.table : "database.tablename"
+        |""".stripMargin)
+    (v \ "mysql" \ "table") shouldBe JString("tablename")
+    (v \ "hbase" \ "timestamp") shouldBe JLong(-1L)
+    (v \ "hbase" \ "zookeeper_quorum") shouldBe JArray(
+      List(JString("zk1-host"), JString("zkN-host")))
+    (v \ "hive" \ "table") shouldBe JString("database.tablename")
+  }
+}

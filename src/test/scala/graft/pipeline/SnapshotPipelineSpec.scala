@@ -103,6 +103,32 @@ class SnapshotPipelineSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_bucketed")
   }
 
+  "run (hive metastore)" should
+      "persist a partitioned+bucketed table in the warehouse, readable by name" in {
+    // the shared spec session is Hive-enabled like SnapshotJob.main's
+    // (reference runs on a HiveContext — HBaseSnapshotter.scala:121):
+    // the table must land under the warehouse dir via the REAL
+    // HiveExternalCatalog, not the in-memory session catalog
+    spark.conf.get("spark.sql.catalogImplementation") shouldBe "hive"
+    SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      TableSink("graft_test_warehouse",
+        partitionBy = Seq("k_replicator_row_status"),
+        bucketBy = Some((2, Seq("k_hbase_row_key"))))))
+    try {
+      val back = spark.table("graft_test_warehouse")
+      back.count() shouldBe 2
+      back.schema("age").dataType shouldBe IntegerType
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val tableDir = new java.io.File(warehouse, "graft_test_warehouse")
+      tableDir.exists() shouldBe true
+      // partition directories materialized inside the warehouse
+      tableDir.list().count(
+        _.startsWith("k_replicator_row_status=")) shouldBe 2
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_warehouse")
+  }
+
   "refreshPartitions" should "rewrite only the touched partitions" in {
     val path = s"$tmp/part_refresh"
     val cfg = SnapshotConfig(changelogPath,

@@ -47,9 +47,13 @@ object Bench {
       }
       (name, dts.min, if (dts.min > 0) (dts.max - dts.min) / dts.min else 0.0)
     }
+    // Locale.ROOT: the f-interpolator uses the default locale, which on
+    // comma-decimal locales would emit "0,3224" and break the JSON
     def fmt(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
+      entries.map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      }.mkString("{", ",", "}")
     val qs = fmt(results.map(r => (r._1, r._2)))
     val spreads = fmt(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum

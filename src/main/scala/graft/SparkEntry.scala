@@ -126,16 +126,19 @@ object SparkEntry {
     // Watermarked tumbling-window aggregation replayed to completion
     // through the same file-sink bridge: final per-(window, key) counts
     // must equal the batch window aggregation (DuckDB date_trunc oracle).
-    // The watermark delay covers the replay's disorder (files arrive in
-    // arbitrary ts order), so no late row is dropped and the streaming
-    // result converges to the batch one exactly.
+    // The watermark delay must exceed the replay's disorder — the staged
+    // files are round-robin splits, so each micro-batch spans the WHOLE
+    // corpus time range and the disorder is the full span. 3650 days
+    // dwarfs any plausible test-corpus span (currently ~30 days); on a
+    // bounded replay the oversized delay costs nothing (state is all
+    // windows either way, which the convergence check needs).
     "q_stream_windows" -> ((s, d) => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_win_" + java.util.UUID.randomUUID().toString.take(12)).toString
       val wc = graft.streaming.ChangelogStream.windowedCounts(
         Tables.eventsStream(s, d), "ts", "user_id",
         windowDuration = "1 day", slideDuration = "1 day",
-        watermarkDelay = "35 days")
+        watermarkDelay = "3650 days")
       graft.streaming.ChangelogStream.replayToFiles(wc,
           Seq("window_start", "window_end", "user_id"), out)
         .select(col("window_start"), col("window_end"), col("user_id"),

@@ -461,12 +461,13 @@ object Dedup {
     val radii = members.groupBy(col("cell"))
       .agg(acos(greatest(lit(-1.0), least(lit(1.0), min(col("ccos")))))
         .as("r"))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cdf = centroids.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell", "cvec")
+    // persisted: the model-sized non-empty-centroid table feeds BOTH
+    // sides of the pair self-join — without the persist the radii
+    // aggregate over members would run once per side
+    val cdf = IvfIndex.centroidDF(df.sparkSession, centroids,
+        cellCol = "cell", vecCol = "cvec")
       .join(radii, "cell") // empty cells drop out before pair enumeration
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val fdot = graft.functions.VectorFunctions.fdot _
     val cangle = acos(greatest(lit(-1.0),
       least(lit(1.0), fdot(col("vi"), col("vj")))))

@@ -114,6 +114,18 @@ object IvfIndex {
     * expression (nlist nodes) to a broadcast join (O(1) plan size). */
   private[ops] val MaxExprCentroids = 256
 
+  /** The centroid set as a (cell-id, vector) table for the
+    * broadcast-join paths — model-sized (nlist × dim floats), the one
+    * shape every >MaxExprCentroids code path shares. */
+  private[ops] def centroidDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]],
+      cellCol: String = "c_cell", vecCol: String = "cvec"): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF(cellCol, vecCol)
+  }
+
   /** Nearest-cell assignment: (id, uvec, cell).
     *
     * Two physically different plans with identical semantics (ties break
@@ -136,12 +148,7 @@ object IvfIndex {
         else greatest(scored: _*).getField("cell")
       unit.withColumn("cell", cell)
     } else {
-      val spark = unit.sparkSession
-      import spark.implicits._
-      val cdf = centroids.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toSeq
-        .toDF("c_cell", "cvec")
-      unit.join(broadcast(cdf))
+      unit.join(broadcast(centroidDF(unit.sparkSession, centroids)))
         .groupBy(col("id"))
         .agg(
           first(col("uvec")).as("uvec"),
@@ -176,7 +183,10 @@ object IvfIndex {
     * identical across the dispatch boundary.
     *
     * Input must carry `id`, `vec`, `nrm` (> 0) columns; extra columns are
-    * dropped. Output: (id, vec, nrm, cell, ccos). */
+    * dropped. Output: (id, vec, nrm, cell, ccos). PRECONDITION: ids are
+    * unique — the broadcast path aggregates per id, so a duplicated id
+    * would collapse to one arbitrary row there while the expression path
+    * keeps every row (all callers feed distinct corpus ids). */
   private[ops] def withAssignment(members: DataFrame,
       centroids: Array[Array[Float]],
       maxExpr: Int = MaxExprCentroids): DataFrame = {
@@ -187,12 +197,7 @@ object IvfIndex {
           col("asg").getField("cell").as("cell"),
           col("asg").getField("score").as("ccos"))
     } else {
-      val spark = members.sparkSession
-      import spark.implicits._
-      val cdf = centroids.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toSeq
-        .toDF("c_cell", "cvec")
-      members.join(broadcast(cdf))
+      members.join(broadcast(centroidDF(members.sparkSession, centroids)))
         .groupBy(col("id"))
         .agg(first(col("vec")).as("vec"), first(col("nrm")).as("nrm"),
           max(struct((fdot(col("vec"), col("cvec")) / col("nrm")).as("score"),
@@ -216,11 +221,7 @@ object IvfIndex {
       unitQ.select(col("id"), col("uvec"),
         explode(topCells(col("uvec"), centroids, nprobe)).as("cell"))
     } else {
-      val spark = unitQ.sparkSession
-      import spark.implicits._
-      val cdf = centroids.zipWithIndex
-        .map { case (v, i) => (i, v.toSeq) }.toSeq
-        .toDF("c_cell", "cvec")
+      val cdf = centroidDF(unitQ.sparkSession, centroids)
       // ScoreTopK tie-breaks toward the ASCENDING id; the expression path
       // (reverse(array_sort)) prefers the HIGHER cell on score ties, as
       // does assignCells on both its paths. Negating the cell id aligns

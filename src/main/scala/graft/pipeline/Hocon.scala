@@ -226,6 +226,11 @@ object Hocon {
       i += 1 // opening quote
       val sb = new StringBuilder
       while (!eof && peek != '"') {
+        // a raw newline means a missing closing quote: failing HERE keeps
+        // the error at the defective line instead of silently swallowing
+        // the following config lines into the value (JSON/HOCON both
+        // forbid literal newlines in quoted strings for this reason)
+        if (peek == '\n') fail("unterminated string (newline inside quotes)")
         if (peek == '\\' && i + 1 < s.length) {
           i += 1
           sb.append(peek match {
@@ -247,17 +252,23 @@ object Hocon {
   }
 
   /** Right-biased deep merge: objects merge field-wise, anything else the
-    * later value wins (HOCON duplicate-key semantics). */
-  private def deepMerge(a: JValue, b: JValue): JValue = (a, b) match {
-    case (JObject(fa), JObject(fb)) =>
-      val aKeys = fa.map(_._1)
-      val merged = fa.map { case JField(k, va) =>
-        fb.find(_._1 == k) match {
-          case Some(JField(_, vb)) => JField(k, deepMerge(va, vb))
-          case None => JField(k, va)
-        }
-      } ++ fb.filterNot(f => aKeys.contains(f._1))
-      JObject(merged)
-    case (_, later) => later
-  }
+    * later value wins (HOCON duplicate-key semantics). A substitution
+    * marker on either side is a VALUE, not an object — field-merging it
+    * would leak the internal marker fields into the config — so the
+    * later definition wins outright (`a { x = 1 }` then `a = ${ref}`
+    * overrides; `a = ${ref}` then `a { x = 1 }` replaces the reference). */
+  private def deepMerge(a: JValue, b: JValue): JValue =
+    if (asSubst(a).isDefined || asSubst(b).isDefined) b
+    else (a, b) match {
+      case (JObject(fa), JObject(fb)) =>
+        val aKeys = fa.map(_._1)
+        val merged = fa.map { case JField(k, va) =>
+          fb.find(_._1 == k) match {
+            case Some(JField(_, vb)) => JField(k, deepMerge(va, vb))
+            case None => JField(k, va)
+          }
+        } ++ fb.filterNot(f => aKeys.contains(f._1))
+        JObject(merged)
+      case (_, later) => later
+    }
 }

@@ -142,10 +142,16 @@ object MaterializedSnapshot {
     * Consistency: a re-delivered batch (failure between sink write and
     * offset commit) re-merges the same delta into already-merged state —
     * idempotent, because latest-per-key with tie-breakers is: winners
-    * are unchanged by re-applying rows they already beat. Readers get
-    * per-directory atomicity, not whole-snapshot isolation; keep
-    * [[maintain]]'s versioned layout where strict reader isolation or
-    * time travel across materializations matters more than write cost.
+    * are unchanged by re-applying rows they already beat. The per-bucket
+    * commit never deletes the only copy of a bucket: the live directory
+    * is renamed ASIDE (to a hidden `.old_graft_kb=<b>`, invisible to
+    * partition discovery), the staged directory renamed in, then the
+    * aside dropped — and each batch begins by HEALING any torn commit
+    * left by a crash (aside present without its replacement → restore;
+    * aside plus replacement → drop the aside). Readers get per-directory
+    * atomicity, not whole-snapshot isolation; keep [[maintain]]'s
+    * versioned layout where strict reader isolation or time travel
+    * across materializations matters more than write cost.
     *
     * Write amplification, precisely: a batch touching k distinct keys
     * rewrites min(k, numBuckets) buckets ≈ (min(k, numBuckets) /
@@ -173,14 +179,21 @@ object MaterializedSnapshot {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val kb = bucketExpr(keyCols, numBuckets)
+        val f = fs(spark, dir)
+        healTornCommit(f, dataDir)
         val delta = batch.persist() // touched-bucket scan + merge input
         try {
           val touched = delta.select(kb.as("graft_kb")).distinct()
             .collect().map(_.getInt(0)).sorted
           if (touched.nonEmpty) {
-            val f = fs(spark, dir)
+            // "snapshot exists" = at least one committed bucket dir — a
+            // crash can leave dataDir created but empty, and reading an
+            // empty directory fails schema inference
+            val hasBuckets = f.exists(new Path(dataDir)) &&
+              f.listStatus(new Path(dataDir))
+                .exists(_.getPath.getName.startsWith("graft_kb="))
             val next =
-              if (!f.exists(new Path(dataDir)))
+              if (!hasBuckets)
                 Snapshot.latestPerKey(delta, keyCols, tsCol, tieBreakers)
               else {
                 val existing = spark.read.parquet(dataDir)
@@ -192,16 +205,21 @@ object MaterializedSnapshot {
             next.withColumn("graft_kb", kb)
               .write.mode(SaveMode.Overwrite).partitionBy("graft_kb")
               .parquet(stageDir)
-            // commit: move each staged bucket directory into place. A
-            // crash mid-commit leaves a mix of old and new buckets; the
-            // re-delivered batch re-merges (idempotent) and re-commits.
+            // commit: move each staged bucket into place WITHOUT ever
+            // deleting the only copy — live dir renamed aside (hidden, so
+            // partition discovery never sees it), staged dir renamed in,
+            // aside dropped. Any crash in between is healed at the next
+            // batch start (aside-without-replacement → restore).
             if (!f.exists(new Path(dataDir))) f.mkdirs(new Path(dataDir))
             touched.foreach { b =>
               val src = new Path(s"$stageDir/graft_kb=$b")
               val dst = new Path(s"$dataDir/graft_kb=$b")
+              val aside = new Path(s"$dataDir/.old_graft_kb=$b")
               if (f.exists(src)) {
-                if (f.exists(dst)) f.delete(dst, true)
+                if (f.exists(aside)) f.delete(aside, true) // stale aside
+                if (f.exists(dst)) f.rename(dst, aside)
                 f.rename(src, dst)
+                f.delete(aside, true)
               }
             }
             f.delete(new Path(stageDir), true)
@@ -211,6 +229,25 @@ object MaterializedSnapshot {
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** Restore buckets from a commit torn by a crash: an aside directory
+    * without its replacement means the crash hit between the two renames
+    * — the aside IS the current committed state, move it back; an aside
+    * WITH a replacement is a leftover about to be dropped. Idempotent;
+    * runs at every batch start. */
+  private[streaming] def healTornCommit(f: org.apache.hadoop.fs.FileSystem,
+                                        dataDir: String): Unit = {
+    val base = new Path(dataDir)
+    if (!f.exists(base)) return
+    f.listStatus(base)
+      .filter(_.getPath.getName.startsWith(".old_graft_kb="))
+      .foreach { s =>
+        val dst = new Path(base,
+          s.getPath.getName.stripPrefix(".old_"))
+        if (!f.exists(dst)) f.rename(s.getPath, dst)
+        else f.delete(s.getPath, true)
+      }
   }
 
   /** The current partition-aligned snapshot (see [[maintainPartitioned]]). */

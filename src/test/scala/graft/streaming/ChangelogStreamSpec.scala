@@ -137,11 +137,13 @@ class ChangelogStreamSpec extends SparkTestBase {
     assume(new java.io.File(s"$dir/events.parquet").exists())
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_replay_win_" + System.nanoTime()).toString
-    // watermark delay covers the replay's disorder so nothing drops late
+    // watermark delay must exceed the replay's disorder (= the full
+    // corpus span, since staged files are round-robin splits); oversized
+    // is free on a bounded replay
     val wc = ChangelogStream.windowedCounts(
       graft.sources.Tables.eventsStream(spark, dir), "ts", "user_id",
       windowDuration = "1 day", slideDuration = "1 day",
-      watermarkDelay = "35 days")
+      watermarkDelay = "3650 days")
     val streamed = ChangelogStream.replayToFiles(wc,
         Seq("window_start", "window_end", "user_id"), out)
       .select($"window_start", $"user_id", $"n_events")

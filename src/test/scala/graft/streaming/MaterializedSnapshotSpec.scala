@@ -159,6 +159,31 @@ class MaterializedSnapshotSpec extends SparkTestBase {
     state.size shouldBe 40
   }
 
+  it should "heal a torn commit: aside without replacement is restored" in {
+    // simulate a crash between the two commit renames: the live bucket
+    // was renamed aside and the staged one never moved in — the aside IS
+    // the committed state and must come back; an aside WITH a
+    // replacement is a leftover and must be dropped
+    val root = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    val data = new java.io.File(root, "data")
+    def mk(name: String, file: String): Unit = {
+      val d = new java.io.File(data, name)
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, file).toPath,
+        "x".getBytes)
+    }
+    mk(".old_graft_kb=3", "part-survivor")   // torn: no graft_kb=3
+    mk(".old_graft_kb=5", "part-stale")      // completed: graft_kb=5 exists
+    mk("graft_kb=5", "part-new")
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    MaterializedSnapshot.healTornCommit(f, data.toString)
+    new java.io.File(data, "graft_kb=3/part-survivor").exists() shouldBe true
+    new java.io.File(data, ".old_graft_kb=3").exists() shouldBe false
+    new java.io.File(data, ".old_graft_kb=5").exists() shouldBe false
+    new java.io.File(data, "graft_kb=5/part-new").exists() shouldBe true
+  }
+
   it should "be idempotent when a batch is re-merged (re-delivery)" in {
     // re-applying a delta to already-merged state must not change any
     // winner: the crash-between-write-and-offset-commit path

@@ -759,6 +759,81 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("split"))),
 
+    // ---- extension tier: corpus hygiene ----
+
+    // Benchmark-decontamination report: corpus docs (doc_id % 20 != 0)
+    // sharing >= 3 distinct 3-gram shingles with any benchmark doc
+    // (doc_id % 20 == 0). The benchmark shingle index is broadcast; only
+    // actual shingle hits ever shuffle.
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Decontamination.contaminationReport(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text",
+          n = 3, minOverlap = 3)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // The decontaminated corpus itself: same report anti-joined away.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Decontamination.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0), "doc_id", "text",
+          n = 3, minOverlap = 3)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction battery over a deterministically PII-salted text
+    // column (synthetic corpus has no organic PII): e-mail, IPv4, phone,
+    // digit-run masking plus per-category counts — pure codegen'd
+    // regexp_replace, RE2-compatible patterns run verbatim by the oracle.
+    "q_pii_redaction" -> ((s, d) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example.com via +1555"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(250)),
+        lit(".7 acct 9000"),
+        lpad(col("doc_id").cast("string"), 6, "0"))
+      graft.ops.PiiRedaction.profile(
+          Tables.documents(s, d).select(col("doc_id"), pii.as("pii")), "pii")
+        .select(col("doc_id"), col("redacted"),
+          col("n_emails").cast(LongType).as("n_emails"),
+          col("n_ips").cast(LongType).as("n_ips"),
+          col("n_phones").cast(LongType).as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
+    // character fractions), computed shuffle-free per document by a
+    // sorted run-length aggregate over the n-gram multiset.
+    "q_text_repetition" -> ((s, d) =>
+      graft.ops.Repetition.profile(
+          Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("dup_word_frac"), col("dup_2gram_frac"),
+          col("dup_2gram_char_frac"), col("top_2gram_char_frac"),
+          col("dup_3gram_char_frac"), col("top_3gram_char_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Exact per-source quota sample (eval-set construction): 5 docs per
+    // source, picked by engine-portable md5-of-id order.
+    "q_stratified_sample" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedQuota(
+          Tables.documents(s, d), Seq("source"), "doc_id", quota = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Corpus mixing by per-language fractions (domain reweighting) as a
+    // shuffle-free md5-threshold filter — row-for-row oracle-checkable.
+    "q_corpus_mix" -> ((s, d) =>
+      graft.ops.Sampling.sampleByGroupFraction(
+          Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // ---- extension tier: multimodal columns ----
 
     // Batched feature extraction over binary payloads (stub decoder with
@@ -1304,6 +1379,109 @@ object SparkEntry {
         |SELECT shard, CAST(pack_id AS INT) AS pack_id, count(*) AS n_pieces,
         |  CAST(sum(tok) AS BIGINT) AS n_tokens
         |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // Contamination report and the decontaminated corpus share the CTE:
+    // distinct 3-gram shingles, corpus×bench equi-join on shingle, pairs
+    // with >= 3 shared shingles.
+    "q_contamination" ->
+      s"""$ContaminationCte
+         |SELECT corpus_id, bench_id, overlap FROM r
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""$ContaminationCte
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id % 20 <> 0
+         |  AND doc_id NOT IN (SELECT corpus_id FROM r)
+         |ORDER BY doc_id""".stripMargin,
+    // The oracle runs the exact same RE2-safe patterns (interpolated from
+    // the operator's constants, so they cannot drift) with DuckDB's 'g'
+    // flag matching Spark's replace-all semantics.
+    "q_pii_redaction" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com via +1555' ||
+         |    lpad(doc_id::VARCHAR, 4, '0') || ' from 10.0.' ||
+         |    (doc_id % 250) || '.7 acct 9000' ||
+         |    lpad(doc_id::VARCHAR, 6, '0') AS pii
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '${graft.ops.PiiRedaction.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${graft.ops.PiiRedaction.Ipv4Pattern}', '[IP]', 'g'),
+         |    '${graft.ops.PiiRedaction.PhonePattern}', '[PHONE]', 'g'),
+         |    '${graft.ops.PiiRedaction.DigitRunPattern}', '[NUMBER]', 'g')
+         |    AS redacted,
+         |  len(regexp_extract_all(pii,
+         |    '${graft.ops.PiiRedaction.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(regexp_replace(pii,
+         |    '${graft.ops.PiiRedaction.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${graft.ops.PiiRedaction.Ipv4Pattern}')) AS n_ips,
+         |  len(regexp_extract_all(pii,
+         |    '${graft.ops.PiiRedaction.PhonePattern}')) AS n_phones
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // Repetition stats re-derived relationally: per-(doc, gram) counts by
+    // group-by, then the same three ratios (the Spark side computes them
+    // with a sorted run-length fold — identical arithmetic order:
+    // sum/max of exact int64 tallies, one division, round 6).
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    round(1.0 - list_unique(t)::DOUBLE / len(t), 6) AS dup_word_frac
+        |  FROM toks),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []
+        |    ELSE [array_to_string(t[i+1:i+2], ' ')
+        |          for i in range(0, len(t) - 1)] END) AS gram
+        |  FROM toks),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c, len(gram) AS l
+        |       FROM g2 GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT doc_id,
+        |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+        |      AS dup_2gram_frac,
+        |    round(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)::DOUBLE
+        |      / sum(c * l), 6) AS dup_2gram_char_frac,
+        |    round(max(c * l)::DOUBLE / sum(c * l), 6) AS top_2gram_char_frac
+        |  FROM c2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []
+        |    ELSE [array_to_string(t[i+1:i+3], ' ')
+        |          for i in range(0, len(t) - 2)] END) AS gram
+        |  FROM toks),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c, len(gram) AS l
+        |       FROM g3 GROUP BY 1, 2),
+        |a3 AS (
+        |  SELECT doc_id,
+        |    round(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END)::DOUBLE
+        |      / sum(c * l), 6) AS dup_3gram_char_frac,
+        |    round(max(c * l)::DOUBLE / sum(c * l), 6) AS top_3gram_char_frac
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT t.doc_id, w.dup_word_frac,
+        |  coalesce(a2.dup_2gram_frac, 0.0) AS dup_2gram_frac,
+        |  coalesce(a2.dup_2gram_char_frac, 0.0) AS dup_2gram_char_frac,
+        |  coalesce(a2.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+        |  coalesce(a3.dup_3gram_char_frac, 0.0) AS dup_3gram_char_frac,
+        |  coalesce(a3.top_3gram_char_frac, 0.0) AS top_3gram_char_frac
+        |FROM toks t JOIN w USING (doc_id)
+        |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // md5-of-id rank is engine-portable, so the oracle reproduces the
+    // exact picked rows, not just the quota counts.
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(doc_id::VARCHAR), doc_id) <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_corpus_mix" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substring(md5(doc_id::VARCHAR), 1, 6) <
+         |  CASE lang
+         |    WHEN 'en' THEN '${graft.ops.Sampling.fractionThresholdHex(0.5)}'
+         |    WHEN 'zh' THEN '${graft.ops.Sampling.fractionThresholdHex(0.25)}'
+         |    ELSE '${graft.ops.Sampling.fractionThresholdHex(1.0)}' END
+         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,
@@ -1347,6 +1525,27 @@ object SparkEntry {
       |  SELECT id_a, id_b,
       |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
       |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared decontamination CTE: corpus = doc_id % 20 != 0, benchmark =
+    * the rest; `r` = (corpus_id, bench_id, overlap) pairs sharing >= 3
+    * distinct 3-gram shingles. */
+  private val ContaminationCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+      |                             for i in range(0, len(t) - 2)]) END AS s
+      |  FROM toks),
+      |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |r AS (
+      |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+      |    count(*) AS overlap
+      |  FROM e c JOIN e b ON c.shingle = b.shingle
+      |  WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
 
   /** Shared exact n-gram Jaccard oracle (n=3, threshold 0.8) — also the
     * oracle for the MinHash (deterministic, recall ≈ 1 at this margin) and

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: remove corpus documents that share n-gram
+  * shingles with an evaluation/benchmark set.
+  *
+  * The standard training-data hygiene step (popularized by the GPT-3 and
+  * Gopher papers): a training document is "contaminated" when it contains
+  * enough distinct word n-grams that also occur in a benchmark document,
+  * and must be dropped so eval scores measure generalization, not recall.
+  *
+  * Scale design (100 TB corpus vs a benchmark of at most a few hundred
+  * thousand rows): the corpus side is never shuffled on document identity
+  * and never self-joined — each corpus document explodes to its distinct
+  * shingles map-side and probes a BROADCAST benchmark shingle index, so
+  * the only rows that reach the (corpus_id, bench_id) aggregate are actual
+  * shingle hits. Shuffle volume is O(matches), not O(corpus shingles); the
+  * final anti-join keys on ids only, never bodies. The benchmark index is
+  * the small side by construction — if a benchmark ever outgrew broadcast
+  * range, drop the `broadcast` hint and the same plan degrades to a
+  * shuffled equi-join, still never quadratic.
+  *
+  * Extends the reference's exact-key dedup contract
+  * (reference: src/main/scala/com/booking/spark/Schema.scala:123-127) to
+  * cross-corpus content overlap, per the training-pipeline charter.
+  */
+object Decontamination {
+
+  /** Contamination report: one row per (corpus_id, bench_id) pair sharing
+    * at least `minOverlap` DISTINCT word `n`-gram shingles, with the
+    * overlap count. Shingles are distinct per document
+    * ([[Dedup.wordShingles]]), so a plain count of join hits IS the
+    * distinct-shingle overlap. */
+  def contaminationReport(corpus: DataFrame, corpusId: String, corpusText: String,
+                          bench: DataFrame, benchId: String, benchText: String,
+                          n: Int, minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val corpusEdges = Parallelism.spread(
+        corpus.select(col(corpusId).as("corpus_id"), col(corpusText).as("__t")))
+      .select(col("corpus_id"), explode(Dedup.wordShingles(col("__t"), n)).as("shingle"))
+    val benchEdges = bench
+      .select(col(benchId).as("bench_id"), col(benchText).as("__t"))
+      .select(col("bench_id"), explode(Dedup.wordShingles(col("__t"), n)).as("shingle"))
+    corpusEdges.join(broadcast(benchEdges), "shingle")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** The corpus with every contaminated document removed (left-anti join
+    * on the report's corpus ids — id-only shuffle, bodies stay in place). */
+  def decontaminate(corpus: DataFrame, corpusId: String, corpusText: String,
+                    bench: DataFrame, benchId: String, benchText: String,
+                    n: Int, minOverlap: Int): DataFrame = {
+    val dirty = contaminationReport(corpus, corpusId, corpusText,
+        bench, benchId, benchText, n, minOverlap)
+      .select(col("corpus_id")).distinct()
+    corpus.join(dirty, corpus(corpusId) === dirty("corpus_id"), "left_anti")
+  }
+}

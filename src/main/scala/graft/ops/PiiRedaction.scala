@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction for text corpora: pattern-based masking of e-mail
+  * addresses, IPv4 addresses, international-format phone numbers, and
+  * long digit runs (account-number-shaped strings).
+  *
+  * Pure `regexp_replace` column expressions — codegen'd, no UDFs, no
+  * shuffle; redaction pipelines inside the scan's WholeStageCodegen span
+  * and scales linearly with corpus bytes. The patterns deliberately use
+  * only the regex subset shared by Java regex and RE2 (character classes,
+  * bounded repetition, alternation — no backreferences or lookaround), so
+  * the exact same pattern text is portable across engines and the DuckDB
+  * oracle can run it verbatim.
+  *
+  * Order matters and is fixed: e-mails first (their local parts contain
+  * digits and dots that the later rules would half-eat), then IPv4 (dotted
+  * digits), then phone numbers, then bare digit runs.
+  */
+object PiiRedaction {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  /** International format: '+' then 7-15 digits (ITU E.164 length cap). */
+  val PhonePattern = "\\+[0-9]{7,15}"
+  /** Bare digit runs of 9+ — account/SSN/card-shaped. Applied last. */
+  val DigitRunPattern = "[0-9]{9,}"
+
+  def redactEmails(text: Column): Column =
+    regexp_replace(text, EmailPattern, "[EMAIL]")
+
+  def redactIps(text: Column): Column =
+    regexp_replace(text, Ipv4Pattern, "[IP]")
+
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, PhonePattern, "[PHONE]")
+
+  def redactDigitRuns(text: Column): Column =
+    regexp_replace(text, DigitRunPattern, "[NUMBER]")
+
+  /** Full battery in canonical order. */
+  def redact(text: Column): Column =
+    redactDigitRuns(redactPhones(redactIps(redactEmails(text))))
+
+  /** Per-category match counts (for audit dashboards / gating on
+    * PII density before release). Counted on the raw text, each category
+    * independently — the same value whether or not redaction runs. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(redactEmails(text), lit(Ipv4Pattern), lit(0))).as("n_ips"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"))
+
+  /** Append `redacted` plus the count columns. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("redacted", redact(t))
+      .withColumn("__c", piiCounts(t))
+      .withColumn("n_emails", col("__c.n_emails"))
+      .withColumn("n_ips", col("__c.n_ips"))
+      .withColumn("n_phones", col("__c.n_phones"))
+      .drop("__c")
+  }
+}

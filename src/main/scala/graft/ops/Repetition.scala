@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style repetition quality signals: what fraction of a document
+  * is repeated n-grams? (Rae et al. 2021, "Scaling Language Models",
+  * table A1 — the duplicated-n-gram and top-n-gram character-fraction
+  * filters used to gate web corpora before LLM training.)
+  *
+  * Scale design: all stats are computed PER DOCUMENT with no shuffle —
+  * the n-gram multiset is sorted in place (`array_sort`, O(G log G) per
+  * doc) and a single `aggregate` pass counts run lengths over adjacent
+  * equal grams. An explode + groupBy(doc, gram) formulation would shuffle
+  * every token of a 100 TB corpus; this one never leaves the scan's
+  * partition and stays inside codegen'd higher-order functions (no UDFs).
+  */
+object Repetition {
+
+  /** Non-distinct word n-gram list (the multiset — repetition is the
+    * signal here, so unlike [[Dedup.wordShingles]] duplicates survive). */
+  def wordGramMultiset(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Repetition stats over the word `n`-gram multiset, as a struct:
+    *  - `dup_frac`       — fraction of gram OCCURRENCES whose gram appears
+    *                       more than once,
+    *  - `dup_char_frac`  — fraction of gram CHARACTERS (sum of c·len over
+    *                       grams) falling in repeated grams,
+    *  - `top_char_frac`  — the single heaviest gram's character share
+    *                       (max c·len / total gram chars).
+    * All 0.0 for documents shorter than n tokens.
+    *
+    * One sorted pass: runs of equal adjacent grams are counted with a
+    * struct accumulator (prev gram, open-run length, and the three
+    * tallies); the finish lambda closes the last run. */
+  def ngramRepetitionStats(text: Column, n: Int): Column = {
+    val grams = array_sort(wordGramMultiset(text, n))
+    val init = struct(
+      lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("dup_occ"), lit(0L).as("dup_chars"), lit(0L).as("best"))
+    // close the open run into the tallies (no-op while run == 0)
+    def flush(st: Column): (Column, Column, Column) = {
+      val runChars = st.getField("run") * length(st.getField("prev"))
+      val dupOcc = when(st.getField("run") > 1,
+        st.getField("dup_occ") + st.getField("run"))
+        .otherwise(st.getField("dup_occ"))
+      val dupChars = when(st.getField("run") > 1,
+        st.getField("dup_chars") + runChars).otherwise(st.getField("dup_chars"))
+      val best = when(st.getField("run") > 0,
+        greatest(st.getField("best"), runChars)).otherwise(st.getField("best"))
+      (dupOcc, dupChars, best)
+    }
+    val folded = aggregate(grams, init,
+      (st, g) => {
+        val (dupOcc, dupChars, best) = flush(st)
+        when(g === st.getField("prev") && st.getField("run") > 0,
+          struct(st.getField("prev").as("prev"),
+            (st.getField("run") + 1L).as("run"),
+            st.getField("dup_occ").as("dup_occ"),
+            st.getField("dup_chars").as("dup_chars"),
+            st.getField("best").as("best")))
+        .otherwise(
+          struct(g.as("prev"), lit(1L).as("run"),
+            dupOcc.as("dup_occ"), dupChars.as("dup_chars"), best.as("best")))
+      },
+      st => {
+        val (dupOcc, dupChars, best) = flush(st)
+        struct(dupOcc.as("dup_occ"), dupChars.as("dup_chars"), best.as("best"))
+      })
+    val totOcc = size(grams).cast("long")
+    val totChars = aggregate(grams, lit(0L), (acc, g) => acc + length(g))
+    val z = lit(0.0)
+    struct(
+      when(totOcc === 0, z).otherwise(
+        round(folded.getField("dup_occ").cast("double") / totOcc.cast("double"), 6))
+        .as("dup_frac"),
+      when(totChars === 0, z).otherwise(
+        round(folded.getField("dup_chars").cast("double") / totChars.cast("double"), 6))
+        .as("dup_char_frac"),
+      when(totChars === 0, z).otherwise(
+        round(folded.getField("best").cast("double") / totChars.cast("double"), 6))
+        .as("top_char_frac"))
+  }
+
+  /** Word-level repeat fraction: 1 − distinct/total (0 for empty text). */
+  def dupWordFrac(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val nz = size(toks) > 0 && length(trim(text)) > 0
+    when(!nz, lit(0.0)).otherwise(round(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6))
+  }
+
+  /** Full repetition profile: word repeats plus 2- and 3-gram stats. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val g2 = ngramRepetitionStats(t, 2)
+    val g3 = ngramRepetitionStats(t, 3)
+    df.withColumn("dup_word_frac", dupWordFrac(t))
+      .withColumn("dup_2gram_frac", g2.getField("dup_frac"))
+      .withColumn("dup_2gram_char_frac", g2.getField("dup_char_frac"))
+      .withColumn("top_2gram_char_frac", g2.getField("top_char_frac"))
+      .withColumn("dup_3gram_char_frac", g3.getField("dup_char_frac"))
+      .withColumn("top_3gram_char_frac", g3.getField("top_char_frac"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, key-stable sampling for training-data pipelines.
@@ -39,5 +40,68 @@ object Sampling {
     val valHi = ((trainWeight + valWeight) / total * 10000).toInt
     df.withColumn("split",
       when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
+  }
+
+  /** Engine-portable deterministic rank key: the md5 hex digest of the
+    * id's decimal string. Identical in Spark and DuckDB/Postgres (unlike
+    * xxhash64, whose seed/variant is engine-specific), so stratified
+    * picks are reproducible across engines — and auditable by oracle. */
+  private def md5Rank(idCol: String): Column =
+    md5(col(idCol).cast("string").cast("binary"))
+
+  /** Exact per-group quota sampling: deterministically keep at most
+    * `quota` rows of each group, picked by md5-of-id order (a fixed
+    * pseudo-random but engine-portable shuffle of each group).
+    *
+    * Scale: one shuffle on the group key; the per-group sort is bounded by
+    * group size. This is the EXACT path, meant for building bounded eval /
+    * calibration sets where quotas are small and must be hit exactly. For
+    * corpus-scale proportional sampling where a giant group would make a
+    * single window partition the straggler, use [[sampleByGroupFraction]]
+    * (hash-threshold, shuffle-free) instead. */
+  def stratifiedQuota(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      quota: Int): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5Rank(idCol), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Fraction → 6-hex-digit md5-prefix threshold ("000000".."1000000"-ish
+    * space of 16^6 buckets): a row is kept when the first 6 hex chars of
+    * its md5 rank key sort below the threshold. Hex-string comparison is
+    * order-correct ('0'-'9' < 'a'-'f' in ASCII) and identical across
+    * engines. */
+  private[graft] def fractionThresholdHex(fraction: Double): String =
+    // 'z' sorts after every hex char, so "zzzzzz" means keep-all — a plain
+    // "ffffff" threshold would wrongly drop the 1/16M rows at prefix ffffff
+    if (fraction >= 1.0) "zzzzzz"
+    else "%06x".format(math.round(fraction * 0x1000000).toInt)
+
+  /** Corpus mixing: per-group keep FRACTIONS (e.g. domain reweighting —
+    * upweight books, downsample crawl) applied as a pure hash threshold on
+    * the id. No shuffle, no window: each row decides membership locally
+    * from (its group's fraction, its own md5 rank), so the plan is a
+    * filter inside the scan's codegen span at any corpus size, and
+    * membership is stable under reruns and appends like [[hashSample]] —
+    * and engine-portable (md5, not an engine-specific hash), so the mix is
+    * oracle-checkable row for row.
+    *
+    * Quotas are approximate (binomial around fraction·|group|) — that is
+    * the price of the shuffle-free plan; use [[stratifiedQuota]] when
+    * exactness matters more than scale. */
+  def sampleByGroupFraction(df: DataFrame, groupCol: String, idCol: String,
+                            fractions: Map[String, Double],
+                            defaultFraction: Double = 1.0): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(fractionThresholdHex(defaultFraction))) {
+        case (acc, (k, f)) =>
+          when(col(groupCol) === k, lit(fractionThresholdHex(f))).otherwise(acc)
+      }
+    df.filter(substring(md5Rank(idCol), 1, 6) < threshold)
   }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // bench doc 100 is a verbatim span of corpus doc 1; corpus doc 2 shares
+  // only a single 3-gram with it; corpus doc 3 is disjoint.
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "gamma delta epsilon unrelated words here entirely"),
+    (3L, "completely different content with nothing shared at all"))
+    .toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (100L, "beta gamma delta epsilon zeta"),
+    (101L, "independent benchmark prompt question answer"))
+    .toDF("bench_id", "text")
+
+  "contaminationReport" should "count distinct shared shingles per pair" in {
+    val r = Decontamination.contaminationReport(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        n = 3, minOverlap = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc1 x bench100: bench 3-grams are {beta gamma delta, gamma delta
+    // epsilon, delta epsilon zeta}, all inside doc1 -> overlap 3
+    // doc2 x bench100: only "gamma delta epsilon" -> overlap 1
+    r shouldBe Set((1L, 100L, 3L), (2L, 100L, 1L))
+  }
+
+  it should "respect the minOverlap threshold" in {
+    val r = Decontamination.contaminationReport(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        n = 3, minOverlap = 2)
+      .select($"corpus_id").as[Long].collect().toSet
+    r shouldBe Set(1L)
+  }
+
+  "decontaminate" should "drop exactly the contaminated documents" in {
+    val kept = Decontamination.decontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        n = 3, minOverlap = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    kept shouldBe Set(2L, 3L)
+    // and at minOverlap=1 doc 2 goes too
+    Decontamination.decontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        n = 3, minOverlap = 1)
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(3L)
+  }
+
+  it should "preserve the corpus schema and keep all rows when the benchmark is disjoint" in {
+    val disjoint = Seq((200L, "zz yy xx ww vv uu")).toDF("bench_id", "text")
+    val out = Decontamination.decontaminate(
+      corpus, "doc_id", "text", disjoint, "bench_id", "text",
+      n = 3, minOverlap = 1)
+    out.columns.toSeq shouldBe corpus.columns.toSeq
+    out.count() shouldBe 3
+  }
+
+  it should "use a broadcast join against the benchmark index" in {
+    val plan = Decontamination.contaminationReport(
+      corpus, "doc_id", "text", bench, "bench_id", "text",
+      n = 3, minOverlap = 1).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PiiRedactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def redactOne(s: String): String =
+    Seq(s).toDF("t").select(PiiRedaction.redact($"t").as("r"))
+      .as[String].head()
+
+  "redact" should "mask e-mail addresses" in {
+    redactOne("reach me at jane.doe+spam@sub.example.co.uk thanks") shouldBe
+      "reach me at [EMAIL] thanks"
+  }
+
+  it should "mask IPv4 addresses, phone numbers, and digit runs" in {
+    redactOne("from 192.168.0.1 call +12025550123 acct 123456789012") shouldBe
+      "from [IP] call [PHONE] acct [NUMBER]"
+  }
+
+  it should "not let later rules eat earlier placeholders" in {
+    // the email local part has digits and dots; redacting it first keeps
+    // the ip/phone/digit rules off the address
+    redactOne("a1.2.3.4b@x.io and 1.2.3.4") shouldBe "[EMAIL] and [IP]"
+  }
+
+  it should "leave clean text untouched" in {
+    val clean = "no personal identifiers in this sentence at all"
+    redactOne(clean) shouldBe clean
+    redactOne("short digits 12345 stay") shouldBe "short digits 12345 stay"
+  }
+
+  it should "replace ALL occurrences, not just the first" in {
+    redactOne("a@b.io c@d.io") shouldBe "[EMAIL] [EMAIL]"
+  }
+
+  "piiCounts" should "count per category independently" in {
+    val row = Seq("x@y.io z@w.io from 10.0.0.1 call +1234567890")
+      .toDF("t")
+      .select(PiiRedaction.piiCounts($"t").as("c"))
+      .select($"c.n_emails", $"c.n_ips", $"c.n_phones")
+      .as[(Int, Int, Int)].head()
+    row shouldBe ((2, 1, 1))
+  }
+
+  "profile" should "append redacted text and counts with a shuffle-free plan" in {
+    val df = Seq((1L, "mail a@b.io")).toDF("id", "t")
+    val out = PiiRedaction.profile(df, "t")
+    out.columns.toSeq shouldBe
+      Seq("id", "t", "redacted", "n_emails", "n_ips", "n_phones")
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RepetitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def stats(text: String, n: Int): (Double, Double, Double) =
+    Seq(text).toDF("t")
+      .select(Repetition.ngramRepetitionStats($"t", n).as("s"))
+      .select($"s.dup_frac", $"s.dup_char_frac", $"s.top_char_frac")
+      .as[(Double, Double, Double)].head()
+
+  /** Reference implementation: plain group-count over the gram multiset. */
+  private def bruteForce(text: String, n: Int): (Double, Double, Double) = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val grams =
+      if (text.trim.isEmpty || toks.size < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    if (grams.isEmpty) return (0.0, 0.0, 0.0)
+    val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+    val totOcc = grams.size.toLong
+    val totChars = grams.map(_.length.toLong).sum
+    val dupOcc = counts.collect { case (_, c) if c > 1 => c.toLong }.sum
+    val dupChars = counts.collect {
+      case (g, c) if c > 1 => c.toLong * g.length }.sum
+    val best = counts.map { case (g, c) => c.toLong * g.length }.max
+    def r(x: Double) = math.rint(x * 1e6) / 1e6
+    (r(dupOcc.toDouble / totOcc), r(dupChars.toDouble / totChars),
+      r(best.toDouble / totChars))
+  }
+
+  "ngramRepetitionStats" should "match hand-computed values on a fully repetitive text" in {
+    // 2-grams of "a b a b a": [a b, b a, a b, b a] — every occurrence
+    // duplicated; heaviest gram covers 2·3 of 12 chars
+    stats("a b a b a", 2) shouldBe ((1.0, 1.0, 0.5))
+  }
+
+  it should "report zero duplication for an all-distinct text" in {
+    val (dup, dupChars, top) = stats("one two three four five", 2)
+    dup shouldBe 0.0
+    dupChars shouldBe 0.0
+    top should be > 0.0 // the heaviest gram still owns its own share
+  }
+
+  it should "return zeros for empty and too-short texts" in {
+    stats("", 2) shouldBe ((0.0, 0.0, 0.0))
+    stats("single", 2) shouldBe ((0.0, 0.0, 0.0))
+    stats("two words", 3) shouldBe ((0.0, 0.0, 0.0))
+  }
+
+  it should "agree with the brute-force group-count on varied inputs" in {
+    val texts = Seq(
+      "a b a b a",
+      "x y z x y z x y z",
+      "the cat sat on the mat the cat ran",
+      "aa bb aa bb cc dd cc dd ee",
+      "w",
+      "repeat repeat repeat repeat",
+      "mixed CASE Mixed case mixed case",
+      "  padded   whitespace  padded   whitespace  ")
+    for (t <- texts; n <- Seq(1, 2, 3))
+      withClue(s"text='$t' n=$n: ") { stats(t, n) shouldBe bruteForce(t, n) }
+  }
+
+  "dupWordFrac" should "be 1 - distinct/total" in {
+    Seq("a a a b").toDF("t")
+      .select(Repetition.dupWordFrac($"t")).as[Double].head() shouldBe 0.5
+    Seq("").toDF("t")
+      .select(Repetition.dupWordFrac($"t")).as[Double].head() shouldBe 0.0
+  }
+
+  "profile" should "stay shuffle-free (no Exchange in the plan)" in {
+    val df = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    Repetition.profile(df, "text")
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+}

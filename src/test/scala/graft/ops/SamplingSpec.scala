@@ -33,4 +33,50 @@ class SamplingSpec extends SparkTestBase {
       .select($"id", $"split").as[(Long, String)].collect().toMap
     out.select($"id", $"split").as[(Long, String)].collect().toMap shouldBe again
   }
+
+  private def grouped = (1L to 300L)
+    .map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+
+  "stratifiedQuota" should "keep exactly quota rows per group, deterministically" in {
+    val out = Sampling.stratifiedQuota(grouped, Seq("grp"), "id", quota = 7)
+    out.groupBy($"grp").count().as[(String, Long)].collect().toMap shouldBe
+      Map("g0" -> 7L, "g1" -> 7L, "g2" -> 7L)
+    // same picks from a differently-partitioned input
+    val again = Sampling.stratifiedQuota(
+      grouped.repartition(11), Seq("grp"), "id", quota = 7)
+    out.select($"id").as[Long].collect().toSet shouldBe
+      again.select($"id").as[Long].collect().toSet
+  }
+
+  it should "return whole groups smaller than the quota" in {
+    val out = Sampling.stratifiedQuota(grouped, Seq("grp"), "id", quota = 500)
+    out.count() shouldBe 300
+  }
+
+  "sampleByGroupFraction" should "approximate per-group fractions without any shuffle" in {
+    val df = Sampling.sampleByGroupFraction(
+      grouped, "grp", "id", Map("g0" -> 0.5, "g1" -> 0.1), defaultFraction = 1.0)
+    val counts = df.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    counts("g0").toDouble shouldBe 50.0 +- 25.0
+    counts("g1").toDouble should be < 35.0
+    counts("g2") shouldBe 100L // default 1.0 keeps everything, ffffff-safe
+    df.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  it should "drop everything at fraction 0 and nest across fractions" in {
+    Sampling.sampleByGroupFraction(grouped, "grp", "id",
+      Map.empty, defaultFraction = 0.0).count() shouldBe 0
+    val small = Sampling.sampleByGroupFraction(grouped, "grp", "id",
+      Map.empty, defaultFraction = 0.2).select($"id").as[Long].collect().toSet
+    val large = Sampling.sampleByGroupFraction(grouped, "grp", "id",
+      Map.empty, defaultFraction = 0.6).select($"id").as[Long].collect().toSet
+    small.subsetOf(large) shouldBe true
+  }
+
+  "fractionThresholdHex" should "map the unit interval onto ordered hex thresholds" in {
+    Sampling.fractionThresholdHex(0.0) shouldBe "000000"
+    Sampling.fractionThresholdHex(0.25) shouldBe "400000"
+    Sampling.fractionThresholdHex(0.5) shouldBe "800000"
+    Sampling.fractionThresholdHex(1.0) shouldBe "zzzzzz"
+  }
 }

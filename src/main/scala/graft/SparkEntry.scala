@@ -146,6 +146,22 @@ object SparkEntry {
         .orderBy(col("window_start"), col("user_id"))
     }),
 
+    // Streaming exact dedup replayed to completion: the distinct
+    // (user_id, event_type) key set seen by the stateful stream dedup
+    // must equal the batch DISTINCT. Keys only — the winning ROW is
+    // arrival-order-dependent by design, the key set is not.
+    "q_stream_dedup" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dd_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      val keys = Seq("user_id", "event_type")
+      graft.streaming.ChangelogStream.replayToFiles(
+          graft.streaming.ChangelogStream.firstPerKey(
+            Tables.eventsStream(s, d), keys),
+          keys, out)
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Continuously-maintained materialized snapshot, partition-aligned:
     // each micro-batch advances the stored state and dynamic-overwrites
     // ONLY the key-bucket directories it touched (write cost tracks the
@@ -834,6 +850,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Per-document top-5 TF-IDF keywords: one inverted-index shuffle,
+    // vocab-sized df aggregate joined back, broadcast scalar doc count,
+    // per-doc window (bounded by doc length) — deterministic tie-break.
+    "q_tfidf_topk" -> ((s, d) =>
+      graft.ops.Keywords.tfidfTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5)
+        .orderBy(col("id"), col("rk"))),
+
     // ---- extension tier: multimodal columns ----
 
     // Batched feature extraction over binary payloads (stub decoder with
@@ -1379,6 +1404,9 @@ object SparkEntry {
         |SELECT shard, CAST(pack_id AS INT) AS pack_id, count(*) AS n_pieces,
         |  CAST(sum(tok) AS BIGINT) AS n_tokens
         |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     // Contamination report and the decontaminated corpus share the CTE:
     // distinct 3-gram shingles, corpus×bench equi-join on shingle, pairs
     // with >= 3 shared shingles.
@@ -1482,6 +1510,26 @@ object SparkEntry {
          |    WHEN 'zh' THEN '${graft.ops.Sampling.fractionThresholdHex(0.25)}'
          |    ELSE '${graft.ops.Sampling.fractionThresholdHex(1.0)}' END
          |ORDER BY doc_id""".stripMargin,
+    // Same tf·ln(N/df) arithmetic (long · double product, one division
+    // inside the log) and the same (tfidf DESC, term) rank order.
+    "q_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT id, term, tf, df,
+        |    tf * ln(n_docs::DOUBLE / df) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT id, term, tf, df, round(tfidf, 6) AS tfidf, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |WHERE rk <= 5 ORDER BY id, rk""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

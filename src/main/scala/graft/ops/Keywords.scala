@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document TF-IDF keyword extraction.
+  *
+  * The standard corpus-summarization primitive (salient terms per
+  * document, stopwords self-attenuate through idf) and a building block
+  * for topic labeling and near-dup explanation.
+  *
+  * Scale design (100 TB corpus):
+  *  - The token explode shuffles (id, term) pairs once — the same
+  *    inverted-index build as [[Dedup.shingleIndex]]; per-(doc, term)
+  *    counts are map-side combined before the exchange.
+  *  - Document frequency aggregates off the already-reduced tf relation
+  *    (vocab-sized, not corpus-sized) and joins back on `term` — an
+  *    equi-join the planner may broadcast when the vocabulary is small
+  *    enough; at web-corpus vocab sizes it stays a partitioned join, never
+  *    quadratic.
+  *  - The corpus doc count is a one-row aggregate joined in as a
+  *    broadcast scalar — no driver round trip inside the plan.
+  *  - Top-k per document is a window over the doc's own terms (bounded by
+  *    document length, no global sort).
+  */
+object Keywords {
+
+  /** Top-`k` TF-IDF terms per document: columns
+    * (id, term, tf, df, tfidf, rk), rk = 1-based rank by
+    * (tfidf DESC, term ASC — deterministic ties).
+    *
+    * tfidf = tf · ln(N / df): raw term count times smooth-free idf; terms
+    * present in every document score exactly 0 (ln 1). `minDf` drops
+    * hapax-style noise terms below the document-frequency floor. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int, minDf: Long = 1L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = Parallelism.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(split(lower(trim(col("__t"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rk").cast("long").as("rk"))
+  }
+}

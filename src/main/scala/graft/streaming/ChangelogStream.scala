@@ -177,6 +177,28 @@ object ChangelogStream {
     replayToFiles(latestPerKey(stream, keyCols, tsCol, tieBreakers),
       keyCols, dir)
 
+  /** Streaming exact dedup: keep the first-arrival row per key through
+    * the built-in stateful distinct. State is one marker per key and
+    * never expires — the streaming shadow of [[graft.ops.Dedup.exactDedup]]
+    * for an endless ingest feed. The kept ROW depends on arrival order
+    * (first delivery wins); the kept KEY SET does not, which is what the
+    * oracle checks.
+    *
+    * For unbounded key spaces prefer [[firstPerKeyBounded]]: dedup state
+    * that never expires is itself a 100-TB-scale failure mode. */
+  def firstPerKey(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
+  /** Watermark-bounded streaming dedup: duplicates are only suppressed
+    * while their key is younger than `watermarkDelay` in event time, and
+    * the per-key marker is dropped once the watermark passes — bounded
+    * state, the production shape for dedup-on-ingest (re-deliveries are
+    * near-time; a duplicate older than the delay would re-emit). */
+  def firstPerKeyBounded(stream: DataFrame, keyCols: Seq[String],
+                         tsCol: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked sliding-window counts per key — the standard streaming
     * aggregation battery (event-time window + late-data bound). */
   def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,

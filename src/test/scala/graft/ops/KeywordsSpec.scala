@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class KeywordsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4 docs; "common" is in all of them (idf = ln 1 = 0), "rare" in one
+  private def docs = Seq(
+    (1L, "common rare rare rare alpha"),
+    (2L, "common alpha alpha beta"),
+    (3L, "common beta gamma"),
+    (4L, "common gamma gamma alpha"))
+    .toDF("doc_id", "text")
+
+  "tfidfTopK" should "rank rare repeated terms above ubiquitous ones" in {
+    val top1 = Keywords.tfidfTopK(docs, "doc_id", "text", k = 1)
+      .select($"id", $"term").as[(Long, String)].collect().toMap
+    top1(1L) shouldBe "rare" // tf=3 of a df=1 term dominates
+    // an everywhere-term must score exactly 0
+    val common = Keywords.tfidfTopK(docs, "doc_id", "text", k = 10)
+      .filter($"term" === "common").select($"tfidf").as[Double].collect()
+    common should not be empty
+    all(common) shouldBe 0.0
+  }
+
+  it should "compute tf, df and the tf*ln(N/df) score" in {
+    val row = Keywords.tfidfTopK(docs, "doc_id", "text", k = 10)
+      .filter($"id" === 1L && $"term" === "rare")
+      .select($"tf", $"df", $"tfidf").as[(Long, Long, Double)].head()
+    row._1 shouldBe 3L
+    row._2 shouldBe 1L
+    row._3 shouldBe (math.rint(3.0 * math.log(4.0) * 1e6) / 1e6)
+  }
+
+  it should "respect k with deterministic term-order ties and the minDf floor" in {
+    val out = Keywords.tfidfTopK(docs, "doc_id", "text", k = 2)
+    out.groupBy($"id").count().select(max($"count")).as[Long].head() should be <= 2L
+    // stable across partitionings
+    val again = Keywords.tfidfTopK(docs.repartition(5), "doc_id", "text", k = 2)
+      .select($"id", $"term", $"rk").as[(Long, String, Long)].collect().toSet
+    out.select($"id", $"term", $"rk").as[(Long, String, Long)].collect().toSet shouldBe again
+    // minDf floor removes df=1 terms entirely
+    Keywords.tfidfTopK(docs, "doc_id", "text", k = 10, minDf = 2L)
+      .filter($"term" === "rare").count() shouldBe 0
+  }
+
+  it should "broadcast the scalar doc count, not shuffle it" in {
+    val plan = Keywords.tfidfTopK(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+  }
+}

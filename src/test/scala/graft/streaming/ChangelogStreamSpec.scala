@@ -132,6 +132,57 @@ class ChangelogStreamSpec extends SparkTestBase {
     batchDirs.length should be >= 2
   }
 
+  "firstPerKey" should "emit the distinct key set of the stream exactly once" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ChangelogStream.firstPerKey(input.toDF(), Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_view")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 10, 100, 1.0), ev(1, 11, 200, 2.0), ev(2, 20, 100, 3.0))
+      q.processAllAvailable()
+      input.addData(ev(1, 12, 300, 4.0), ev(3, 30, 100, 5.0)) // 1 is stale state now
+      q.processAllAvailable()
+      val rows = spark.table("dedup_view")
+        .select($"user_id").as[Long].collect().toList
+      rows.sorted shouldBe List(1L, 2L, 3L) // one emission per key, ever
+    } finally q.stop()
+  }
+
+  "firstPerKeyBounded" should "suppress near-time duplicates with expirable state" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ChangelogStream.firstPerKeyBounded(
+        input.toDF(), Seq("user_id"), "ts", watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_bounded_view")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 10, 100, 1.0), ev(1, 11, 101, 2.0), ev(2, 20, 100, 3.0))
+      q.processAllAvailable()
+      spark.table("dedup_bounded_view")
+        .select($"user_id").as[Long].collect().toList.sorted shouldBe List(1L, 2L)
+    } finally q.stop()
+  }
+
+  it should "replay to the batch DISTINCT key set through the file bridge" in {
+    val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dd_spec_" + System.nanoTime()).toString
+    val keys = Seq("user_id", "event_type")
+    val streamed = ChangelogStream.replayToFiles(
+        ChangelogStream.firstPerKey(
+          graft.sources.Tables.eventsStream(spark, dir), keys),
+        keys, out)
+      .select($"user_id", $"event_type")
+      .as[(Long, String)].collect().toSet
+    val batch = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    streamed shouldBe batch
+    batch should not be empty
+  }
+
   "replayToFiles" should "converge windowed counts to the batch aggregation" in {
     val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())

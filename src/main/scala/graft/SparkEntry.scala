@@ -850,6 +850,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Incremental dedup: the increment (doc_id % 4 == 0) with content
+    // already in the corpus (the rest) removed — exact md5 hits plus
+    // cross-corpus MinHash near-dups at jaccard >= 0.8 against a
+    // prebuilt corpus index (the daily-ingest shape: index once, dedup
+    // each increment against it; no self-join of the corpus).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val inc = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val idx = Dedup.buildTextIndex(corpus, "doc_id", "text")
+      Dedup.dedupAgainst(inc, corpus, idx, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-document top-5 TF-IDF keywords: one inverted-index shuffle,
     // vocab-sized df aggregate joined back, broadcast scalar doc count,
     // per-doc window (bounded by doc length) — deterministic tie-break.
@@ -858,6 +873,23 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 5)
         .orderBy(col("id"), col("rk"))),
+
+    // Per-label embedding centroids by the native mean-pooling aggregate
+    // (map-side-combined fixed-size buffer — one (dim doubles + count)
+    // buffer per group per partition crosses the exchange, vs dim rows
+    // per VECTOR for the posexplode formulation). Output exploded to
+    // (label, pos, mean_v) scalars for the oracle.
+    "q_embedding_meanpool" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.functions.VectorAggFunctions.vecMean(col("embedding"))
+            .as("centroid"))
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("centroid")).as(Seq("pos", "mean_v")))
+        .select(col("label"), col("n_vecs"), col("pos").cast(LongType).as("pos"),
+          round(col("mean_v"), 6).as("mean_v"))
+        .orderBy(col("label"), col("pos"))),
 
     // ---- extension tier: multimodal columns ----
 
@@ -1510,6 +1542,40 @@ object SparkEntry {
          |    WHEN 'zh' THEN '${graft.ops.Sampling.fractionThresholdHex(0.25)}'
          |    ELSE '${graft.ops.Sampling.fractionThresholdHex(1.0)}' END
          |ORDER BY doc_id""".stripMargin,
+    // Exact cross-set jaccard over the same shingle space (the MinHash
+    // blocking's measured recall is 1.0 at this threshold margin, as for
+    // q_dedup_minhash) plus verbatim-text hits — survivors only.
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []
+        |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |                             for i in range(0, len(t) - 2)]) END AS s
+        |  FROM toks),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |p AS (
+        |  SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id, count(*) AS common
+        |  FROM e i JOIN e c ON i.shingle = c.shingle
+        |  WHERE i.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT DISTINCT inc_id FROM p
+        |  JOIN sz si ON si.doc_id = p.inc_id
+        |  JOIN sz sc ON sc.doc_id = p.corpus_id
+        |  WHERE common::DOUBLE / (si.n + sc.n - common) >= 0.8),
+        |exact AS (
+        |  SELECT DISTINCT d.doc_id FROM documents d JOIN documents c
+        |  ON d.text = c.text AND c.doc_id % 4 <> 0
+        |  WHERE d.doc_id % 4 = 0)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 4 = 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+        |  AND doc_id NOT IN (SELECT inc_id FROM near)
+        |ORDER BY doc_id""".stripMargin,
     // Same tf·ln(N/df) arithmetic (long · double product, one division
     // inside the log) and the same (tfidf DESC, term) rank order.
     "q_tfidf_topk" ->
@@ -1530,6 +1596,21 @@ object SparkEntry {
         |    ORDER BY tfidf DESC, term) AS rk
         |  FROM scored)
         |WHERE rk <= 5 ORDER BY id, rk""".stripMargin,
+    // Same double accumulation (float elements widened per addition) and
+    // the same sum/count division; zipped unnest+generate_subscripts
+    // reconstructs the per-position grouping.
+    "q_embedding_meanpool" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |m AS (SELECT label, i, sum(v::DOUBLE) / count(*) AS mv
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT m.label, n.n_vecs, (m.i - 1)::BIGINT AS pos,
+        |  round(m.mv, 6) AS mean_v
+        |FROM m JOIN n ON m.label = n.label
+        |ORDER BY m.label, pos""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Mutable (count, element-wise sums) state for [[VectorMean]]; `sums`
+  * is null until the first vector fixes the dimension. */
+final class VecMeanBuffer(var count: Long, var sums: Array[Double])
+
+/** Element-wise mean of a vector column per group — the mean-pooling
+  * aggregate that turns chunk embeddings into a document embedding (or
+  * per-label centroids).
+  *
+  * Scale design: as a TypedImperativeAggregate it runs in PARTIAL mode
+  * map-side, so each input partition reduces its share of a group to ONE
+  * fixed-size (dim doubles + count) buffer before the exchange — the
+  * shuffle carries O(groups × dim × partitions) bytes. The `posexplode` +
+  * `groupBy(id, pos)` formulation by contrast shuffles dim rows PER INPUT
+  * VECTOR (corpus × dim rows for mean-pooling a 100 TB embedding table).
+  *
+  * Accumulation is in double regardless of input element type (float sums
+  * drift measurably at corpus scale). All input vectors of a group must
+  * share one dimension — a mismatch fails loudly rather than silently
+  * truncating. Null rows are skipped; empty groups yield null.
+  */
+case class VectorMean(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecMeanBuffer]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "vec_mean"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elementIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got " +
+        other.catalogString)
+  }
+
+  override def createAggregationBuffer(): VecMeanBuffer =
+    new VecMeanBuffer(0L, null)
+
+  override def update(buf: VecMeanBuffer, input: InternalRow): VecMeanBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (buf.sums == null) buf.sums = new Array[Double](n)
+      else require(buf.sums.length == n,
+        s"$prettyName: vector dimension changed from ${buf.sums.length} to $n")
+      var i = 0
+      if (elementIsFloat) {
+        while (i < n) { buf.sums(i) += arr.getFloat(i); i += 1 }
+      } else {
+        while (i < n) { buf.sums(i) += arr.getDouble(i); i += 1 }
+      }
+      buf.count += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecMeanBuffer, other: VecMeanBuffer): VecMeanBuffer = {
+    if (other.sums != null) {
+      if (buf.sums == null) {
+        buf.sums = other.sums.clone()
+        buf.count = other.count
+      } else {
+        require(buf.sums.length == other.sums.length,
+          s"$prettyName: merging buffers of dims ${buf.sums.length} and " +
+            s"${other.sums.length}")
+        var i = 0
+        while (i < buf.sums.length) { buf.sums(i) += other.sums(i); i += 1 }
+        buf.count += other.count
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VecMeanBuffer): Any =
+    if (buf.count == 0) null
+    else new GenericArrayData(buf.sums.map(_ / buf.count.toDouble))
+
+  override def serialize(buf: VecMeanBuffer): Array[Byte] = {
+    val dim = if (buf.sums == null) -1 else buf.sums.length
+    val bb = ByteBuffer.allocate(8 + 4 + math.max(dim, 0) * 8)
+    bb.putLong(buf.count)
+    bb.putInt(dim)
+    if (dim > 0) buf.sums.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMeanBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val count = bb.getLong
+    val dim = bb.getInt
+    if (dim < 0) new VecMeanBuffer(count, null)
+    else {
+      val sums = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { sums(i) = bb.getDouble; i += 1 }
+      new VecMeanBuffer(count, sums)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMean =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMean =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMean =
+    copy(child = newChild)
+}
+
+object VectorAggFunctions {
+  /** Element-wise mean of a vector column (double result), as a
+    * map-side-combinable aggregate — see [[VectorMean]]. */
+  def vecMean(vec: Column): Column =
+    ColumnBridge.column(
+      VectorMean(ColumnBridge.expression(vec)).toAggregateExpression())
+}

@@ -225,6 +225,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // --------------------------------------- incremental (increment vs corpus)
+
+  /** Precomputed dedup index of a corpus: the LSH bucket table and the
+    * shingle sets, both plain DataFrames — persist them to parquet once
+    * and reuse for every increment, so a daily dedup run never re-shingles
+    * the 100 TB corpus it checks against (the corpus-side cost of
+    * [[crossNearDups]] becomes a scan of model-free index tables that are
+    * O(docs × bands) and O(docs × shingles) — written once). */
+  final case class TextIndex(buckets: DataFrame, shingles: DataFrame)
+
+  /** Build the [[TextIndex]] of a corpus (see [[lshBuckets]] for the
+    * banding scheme; parameters must match between index and query side). */
+  def buildTextIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): TextIndex =
+    TextIndex(
+      lshBuckets(corpus, idCol, textCol, n, bands, rowsPerBand),
+      Parallelism.spread(corpus.select(col(idCol).as("id"),
+          col(textCol).as("__text")))
+        .select(col("id"), wordShingles(col("__text"), n).as("shingles")))
+
+  /** Near-duplicate pairs ACROSS two corpora: increment docs whose n-gram
+    * Jaccard with some indexed-corpus doc is ≥ `threshold` —
+    * (inc_id, corpus_id, jaccard). The two-phase shape of
+    * [[minhashNearDups]] with the self-join replaced by an
+    * increment×corpus equi-join on (band, band_key): candidate volume is
+    * O(bucket collisions), never |increment|×|corpus|, and the corpus side
+    * comes from the prebuilt index. No `inc_id < corpus_id` ordering —
+    * the sides are distinct tables; id spaces may even overlap. */
+  def crossNearDups(increment: DataFrame, index: TextIndex,
+                    idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.8,
+                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bi = lshBuckets(increment, idCol, textCol, n, bands, rowsPerBand)
+    // shuffle-hash: the corpus bucket table scales with the corpus;
+    // never collect it driver-side for a broadcast
+    val cand = bi.as("l").hint("shuffle_hash").join(index.buckets.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key"))
+      .select(col("l.id").as("inc_id"), col("r.id").as("corpus_id"))
+      .distinct()
+    val incSh = Parallelism.spread(increment.select(col(idCol).as("inc_id"),
+        col(textCol).as("__text")))
+      .select(col("inc_id"), wordShingles(col("__text"), n).as("sh_i"))
+    cand
+      .join(incSh, "inc_id")
+      .join(index.shingles.select(col("id").as("corpus_id"),
+        col("shingles").as("sh_c")), "corpus_id")
+      .withColumn("common", size(array_intersect(col("sh_i"), col("sh_c"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_i")) + size(col("sh_c")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental dedup: the increment with every row whose content
+    * already exists in the corpus removed — exactly (md5 equality; only
+    * hashes cross the shuffle) and nearly ([[crossNearDups]] at
+    * `threshold`). The increment is NOT self-deduped here — compose with
+    * [[exactDedup]] for that. */
+  def dedupAgainst(increment: DataFrame, corpus: DataFrame, index: TextIndex,
+                   idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val exactHit = increment.join(
+      corpus.select(md5(col(textCol)).as("__cfp")).distinct(),
+      md5(increment(textCol)) === col("__cfp"), "left_anti")
+    val nearIds = crossNearDups(exactHit, index, idCol, textCol,
+        n, threshold, bands, rowsPerBand)
+      .select(col("inc_id")).distinct()
+    exactHit.join(nearIds, exactHit(idCol) === nearIds("inc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash from a pre-hashed shingle array: bit i of the result

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class VectorAggregatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "vecMean" should "compute the element-wise mean per group" in {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(10.0f, 20.0f)))
+      .toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(VectorAggFunctions.vecMean($"v").as("m"))
+      .select($"g", $"m").as[(String, Seq[Double])].collect().toMap
+    out("a") shouldBe Seq(2.0, 4.0)
+    out("b") shouldBe Seq(10.0, 20.0)
+  }
+
+  it should "accept double arrays, skip null rows, and be partition-stable" in {
+    val df = Seq(
+      ("a", Some(Seq(1.0, 3.0))), ("a", None), ("a", Some(Seq(3.0, 5.0))))
+      .toDF("g", "v")
+    df.groupBy($"g").agg(VectorAggFunctions.vecMean($"v").as("m"))
+      .select($"m").as[Seq[Double]].head() shouldBe Seq(2.0, 4.0)
+    // same result when the group is spread over many partitions (partial
+    // buffers merge through serialize/deserialize)
+    val big = (1 to 100).map(i => ("g", Seq(i.toDouble, 2.0 * i)))
+      .toDF("g", "v").repartition(13)
+    big.groupBy($"g").agg(VectorAggFunctions.vecMean($"v").as("m"))
+      .select($"m").as[Seq[Double]].head() shouldBe Seq(50.5, 101.0)
+  }
+
+  it should "fail loudly on dimension mismatch and reject non-vector input" in {
+    val bad = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy($"g").agg(VectorAggFunctions.vecMean($"v")).collect()
+    }
+    // the require message sits in the task-failure cause chain
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n") should include("dim") // update or merge path message
+    intercept[Exception] {
+      Seq(("a", 1.0)).toDF("g", "v")
+        .groupBy($"g").agg(VectorAggFunctions.vecMean($"v")).collect()
+    }
+  }
+
+  it should "aggregate partially map-side (ObjectHashAggregate partial_vec_mean)" in {
+    val df = Seq(("a", Seq(1.0, 2.0))).toDF("g", "v")
+    val plan = df.groupBy($"g").agg(VectorAggFunctions.vecMean($"v"))
+      .queryExecution.executedPlan.toString
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_vec_mean")
+  }
+}

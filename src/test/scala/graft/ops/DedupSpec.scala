@@ -198,4 +198,44 @@ class DedupSpec extends SparkTestBase {
       .select($"l.id", $"r.id").distinct().count()
     candidates should be < (allPairs / 4)
   }
+
+  // corpus doc 10; increment: 20 = exact copy, 21 = near-dup, 22 = fresh
+  private def corpusDocs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (11L, "completely unrelated corpus text about spark and data systems"))
+    .toDF("doc_id", "text")
+  private def incrementDocs = Seq(
+    (20L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (21L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (22L, "entirely novel increment content that matches nothing at all here"))
+    .toDF("doc_id", "text")
+
+  "crossNearDups" should "find increment-vs-corpus pairs without a self-join ordering" in {
+    val idx = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
+    val pairs = Dedup.crossNearDups(incrementDocs, idx, "doc_id", "text",
+        threshold = 0.5)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((20L, 10L), (21L, 10L)) // exact copy scores 1.0 too
+  }
+
+  "dedupAgainst" should "drop exact and near corpus duplicates, keep novel rows" in {
+    val idx = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
+    val kept = Dedup.dedupAgainst(incrementDocs, corpusDocs, idx,
+        "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    kept shouldBe Set(22L)
+  }
+
+  it should "give identical results through a parquet round-trip of the index" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_index").toString
+    val built = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
+    built.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    built.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    val loaded = Dedup.TextIndex(
+      spark.read.parquet(s"$dir/buckets"), spark.read.parquet(s"$dir/shingles"))
+    val kept = Dedup.dedupAgainst(incrementDocs, corpusDocs, loaded,
+        "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    kept shouldBe Set(22L)
+  }
 }

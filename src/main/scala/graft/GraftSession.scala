@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The recommended session configuration for running graft operators at
+  * corpus scale, in one place — so `SnapshotJob`, notebooks, and tests
+  * configure the same engine posture instead of re-deriving it.
+  *
+  * Why each setting (the 100 TB rationale):
+  *  - AQE on, with skew-join splitting: similarity self-joins and
+  *    latest-per-key aggregations meet organic hot keys (empty documents,
+  *    default timestamps); AQE re-plans partition counts from runtime
+  *    stats and splits straggler partitions without manual salting
+  *    everywhere ([[graft.ops.Skew.saltedJoin]] remains for the
+  *    deterministic worst cases).
+  *  - Partition coalescing keeps the many small post-shuffle partitions
+  *    of selective filters from dominating task-scheduling overhead.
+  *  - `extensions` registers the SQL surface (`fdot`, `text_fold`,
+  *    `SNAPSHOT ... ASOF`) so SQL users get the same operators as the
+  *    DataFrame API.
+  *  - UTC session time zone: timestamp arithmetic (as-of bounds, window
+  *    starts) must not depend on the submitting host's locale.
+  *  - `parquet.nanosAsLong` tolerates TIMESTAMP(NANOS) inputs that the
+  *    vectorized reader would otherwise reject (see
+  *    [[graft.sources.Tables.events]] for the µs-truncation contract).
+  *
+  * Deliberately NOT set here: `shuffle.partitions` (cluster-size
+  * dependent — AQE coalescing makes a generous value safe, so set it to
+  * ~2-3× total cores at submit time), executor memory/cores (deployment
+  * concerns), and `autoBroadcastJoinThreshold` (operators that must
+  * broadcast say so explicitly with `broadcast()`; operators that must
+  * NOT broadcast hint `shuffle_hash`).
+  */
+object GraftSession {
+
+  /** Apply graft's engine posture to a builder; compose with deployment
+    * settings and call `.getOrCreate()`. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** A configured local builder (tests, spark-shell experiments). */
+  def localBuilder(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores))
+}

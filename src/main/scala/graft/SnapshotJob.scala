@@ -87,9 +87,9 @@ object SnapshotJob {
 
   def main(args: Array[String]): Unit = {
     def session: SparkSession = {
-      val builder = SparkSession.builder()
-        .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-        .config("spark.sql.session.timeZone", "UTC")
+      // shared engine posture (AQE, skew-join, SQL extensions, UTC, nanos
+      // tolerance) — see GraftSession for the per-setting rationale
+      val builder = GraftSession.configure(SparkSession.builder())
         // TableSink must land in a REAL metastore under spark-submit, as
         // the reference writes through a HiveContext
         // (reference: HBaseSnapshotter.scala:121,134-137) — without this

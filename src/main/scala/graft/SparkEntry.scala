@@ -860,7 +860,7 @@ object SparkEntry {
       val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       val inc = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
       val idx = Dedup.buildTextIndex(corpus, "doc_id", "text")
-      Dedup.dedupAgainst(inc, corpus, idx, "doc_id", "text", threshold = 0.8)
+      Dedup.dedupAgainst(inc, idx, "doc_id", "text", threshold = 0.8)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),

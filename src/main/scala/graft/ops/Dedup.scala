@@ -227,13 +227,15 @@ object Dedup {
 
   // --------------------------------------- incremental (increment vs corpus)
 
-  /** Precomputed dedup index of a corpus: the LSH bucket table and the
-    * shingle sets, both plain DataFrames — persist them to parquet once
-    * and reuse for every increment, so a daily dedup run never re-shingles
-    * the 100 TB corpus it checks against (the corpus-side cost of
-    * [[crossNearDups]] becomes a scan of model-free index tables that are
-    * O(docs × bands) and O(docs × shingles) — written once). */
-  final case class TextIndex(buckets: DataFrame, shingles: DataFrame)
+  /** Precomputed dedup index of a corpus: the LSH bucket table, the
+    * shingle sets, and the exact content hashes — plain DataFrames;
+    * persist them to parquet once and reuse for every increment, so a
+    * daily dedup run NEVER rescans the 100 TB corpus it checks against
+    * (the corpus-side cost of [[crossNearDups]]/[[dedupAgainst]] becomes a
+    * scan of index tables that are O(docs × bands), O(docs × shingles)
+    * and O(docs) — written once). */
+  final case class TextIndex(buckets: DataFrame, shingles: DataFrame,
+                             hashes: DataFrame)
 
   /** Build the [[TextIndex]] of a corpus (see [[lshBuckets]] for the
     * banding scheme; parameters must match between index and query side). */
@@ -243,7 +245,8 @@ object Dedup {
       lshBuckets(corpus, idCol, textCol, n, bands, rowsPerBand),
       Parallelism.spread(corpus.select(col(idCol).as("id"),
           col(textCol).as("__text")))
-        .select(col("id"), wordShingles(col("__text"), n).as("shingles")))
+        .select(col("id"), wordShingles(col("__text"), n).as("shingles")),
+      corpus.select(md5(col(textCol)).as("content_hash")).distinct())
 
   /** Near-duplicate pairs ACROSS two corpora: increment docs whose n-gram
     * Jaccard with some indexed-corpus doc is ≥ `threshold` —
@@ -280,17 +283,18 @@ object Dedup {
   }
 
   /** Incremental dedup: the increment with every row whose content
-    * already exists in the corpus removed — exactly (md5 equality; only
-    * hashes cross the shuffle) and nearly ([[crossNearDups]] at
-    * `threshold`). The increment is NOT self-deduped here — compose with
-    * [[exactDedup]] for that. */
-  def dedupAgainst(increment: DataFrame, corpus: DataFrame, index: TextIndex,
+    * already exists in the indexed corpus removed — exactly (md5 equality
+    * against the index's hash table; only hashes cross the shuffle) and
+    * nearly ([[crossNearDups]] at `threshold`). The corpus itself is
+    * never touched — everything reads from the [[TextIndex]]. The
+    * increment is NOT self-deduped here — compose with [[exactDedup]]
+    * for that. */
+  def dedupAgainst(increment: DataFrame, index: TextIndex,
                    idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val exactHit = increment.join(
-      corpus.select(md5(col(textCol)).as("__cfp")).distinct(),
-      md5(increment(textCol)) === col("__cfp"), "left_anti")
+    val exactHit = increment.join(index.hashes,
+      md5(increment(textCol)) === index.hashes("content_hash"), "left_anti")
     val nearIds = crossNearDups(exactHit, index, idCol, textCol,
         n, threshold, bands, rowsPerBand)
       .select(col("inc_id")).distinct()

@@ -45,8 +45,10 @@ object PiiRedaction {
     redactDigitRuns(redactPhones(redactIps(redactEmails(text))))
 
   /** Per-category match counts (for audit dashboards / gating on
-    * PII density before release). Counted on the raw text, each category
-    * independently — the same value whether or not redaction runs. */
+    * PII density before release). Emails and phones count on the raw
+    * text; IPs count AFTER e-mail redaction, mirroring the canonical
+    * [[redact]] order (an e-mail whose local part embeds dotted digits
+    * would otherwise double-count as an IP). */
   def piiCounts(text: Column): Column = struct(
     size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
     size(regexp_extract_all(redactEmails(text), lit(Ipv4Pattern), lit(0))).as("n_ips"),

@@ -220,7 +220,7 @@ class DedupSpec extends SparkTestBase {
 
   "dedupAgainst" should "drop exact and near corpus duplicates, keep novel rows" in {
     val idx = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
-    val kept = Dedup.dedupAgainst(incrementDocs, corpusDocs, idx,
+    val kept = Dedup.dedupAgainst(incrementDocs, idx,
         "doc_id", "text", threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     kept shouldBe Set(22L)
@@ -231,9 +231,12 @@ class DedupSpec extends SparkTestBase {
     val built = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
     built.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
     built.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    built.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     val loaded = Dedup.TextIndex(
-      spark.read.parquet(s"$dir/buckets"), spark.read.parquet(s"$dir/shingles"))
-    val kept = Dedup.dedupAgainst(incrementDocs, corpusDocs, loaded,
+      spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/shingles"),
+      spark.read.parquet(s"$dir/hashes"))
+    val kept = Dedup.dedupAgainst(incrementDocs, loaded,
         "doc_id", "text", threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     kept shouldBe Set(22L)

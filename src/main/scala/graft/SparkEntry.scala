@@ -865,6 +865,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring-level dedup (duplicated-span masking): every token
+    // covered by an 8-token window that also appears verbatim in another
+    // document is dropped outside the span's canonical (min-id) doc —
+    // the span-granular operation pair-level near-dup can't express.
+    "q_span_dedup" -> ((s, d) =>
+      graft.ops.SpanDedup.maskDuplicatedSpans(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Per-document top-5 TF-IDF keywords: one inverted-index shuffle,
     // vocab-sized df aggregate joined back, broadcast scalar doc count,
     // per-doc window (bounded by doc length) — deterministic tie-break.
@@ -1542,6 +1553,42 @@ object SparkEntry {
          |    WHEN 'zh' THEN '${graft.ops.Sampling.fractionThresholdHex(0.25)}'
          |    ELSE '${graft.ops.Sampling.fractionThresholdHex(1.0)}' END
          |ORDER BY doc_id""".stripMargin,
+    // Same windows (zipped unnest for gram+position), same canonical-doc
+    // rule, token-index anti-join, order-preserving rebuild.
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 8 THEN []
+        |      ELSE [array_to_string(t[i+1:i+8], ' ')
+        |            for i in range(0, len(t) - 7)] END) AS gram,
+        |    unnest(CASE WHEN len(t) < 8 THEN []
+        |      ELSE [i for i in range(0, len(t) - 7)] END) AS pos
+        |  FROM toks),
+        |dup AS (
+        |  SELECT gram, min(doc_id) AS canonical FROM g
+        |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS idx
+        |    FROM g JOIN dup USING (gram) WHERE g.doc_id <> dup.canonical)),
+        |tok AS (
+        |  SELECT doc_id, unnest(t) AS token,
+        |    generate_subscripts(t, 1) - 1 AS idx
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.idx, tok.token FROM tok
+        |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx),
+        |rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(token ORDER BY idx), ' ')
+        |    AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Exact cross-set jaccard over the same shingle space (the MinHash
     // blocking's measured recall is 1.0 at this threshold margin, as for
     // q_dedup_minhash) plus verbatim-text hits — survivors only.

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-span dedup: token spans that appear verbatim in more
+  * than one document are removed from every document except a canonical
+  * one — substring-level deduplication (the Lee et al. 2021
+  * "Deduplicating Training Data Makes Language Models Better" operation,
+  * which pair-level near-dup cannot express: two long documents sharing
+  * one boilerplate paragraph are NOT near-duplicates, yet the paragraph
+  * should survive only once in the corpus).
+  *
+  * Spark-first formulation: instead of a distributed suffix array, spans
+  * are the length-`n` token windows. A window duplicated across documents
+  * marks its token positions for removal in every non-canonical document
+  * (canonical = the minimum document id containing the span); runs of
+  * overlapping duplicated windows dissolve whole copied passages, since
+  * every window inside a passage of length ≥ n is itself duplicated.
+  *
+  * Scale design: every step is an equi-join or aggregate on bounded keys
+  * — window hash, (doc, token index) — with map-side combine; nothing is
+  * quadratic in corpus size and no token list ever concentrates. The
+  * window table is O(corpus tokens); masking joins carry (id, idx) pairs
+  * only.
+  */
+object SpanDedup {
+
+  private def tokens(textCol: String) = split(lower(trim(col(textCol))), "\\s+")
+
+  /** Non-distinct length-`n` token windows with their 0-based start
+    * positions: (id, pos, gram). */
+  private def windows(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val toks = tokens("__t")
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    Parallelism.spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), posexplode(grams))
+      .withColumnRenamed("col", "gram")
+  }
+
+  /** Report of cross-document duplicated spans: one row per span
+    * occurring in ≥ `minDocs` distinct documents, with its document
+    * count, total occurrence count, and canonical (minimum) doc id. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int = 2): DataFrame =
+    windows(df, idCol, textCol, n)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("id")).as("canonical_id"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** The corpus with duplicated spans masked: any token covered by a
+    * length-`n` window that also occurs in another document is dropped,
+    * except in the span's canonical (min-id) document. Returns
+    * (id, cleaned) — cleaned is the surviving tokens joined by single
+    * spaces (empty string when everything was duplicated); text is
+    * lower/trim-normalized by the tokenizer. */
+  def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val w = windows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = w.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("nd"), min(col("id")).as("canonical"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("canonical"))
+    // positions covered by a duplicated window, outside its canonical doc
+    val covered = w.join(dup, "gram")
+      .filter(col("id") =!= col("canonical"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .distinct()
+    val toks = Parallelism.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), posexplode(tokens("__t")))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "token")
+    val kept = toks.join(covered, Seq("id", "idx"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("idx"), col("token")))),
+        s => s.getField("token"))).as("cleaned"))
+    // docs whose every token was masked still get a row (empty string)
+    df.select(col(idCol).as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // docs 1 and 2 share the 4-token boilerplate "one two three four";
+  // doc 3 repeats a span only WITHIN itself; doc 4 is clean
+  private def docs = Seq(
+    (1L, "one two three four alpha beta"),
+    (2L, "gamma one two three four delta"),
+    (3L, "x y z w x y z w"),
+    (4L, "totally unique text right here"))
+    .toDF("doc_id", "text")
+
+  "duplicatedSpans" should "report cross-document spans with the canonical id" in {
+    val r = SpanDedup.duplicatedSpans(docs, "doc_id", "text", n = 4)
+      .as[(String, Long, Long, Long)].collect()
+    r.length shouldBe 1
+    r.head shouldBe (("one two three four", 2L, 2L, 1L))
+  }
+
+  it should "not flag spans repeated only within one document" in {
+    // doc 3's "x y z w" occurs twice but in a single doc
+    SpanDedup.duplicatedSpans(docs, "doc_id", "text", n = 4)
+      .filter($"gram" === "x y z w").count() shouldBe 0
+  }
+
+  "maskDuplicatedSpans" should "strip the span everywhere except the canonical doc" in {
+    val out = SpanDedup.maskDuplicatedSpans(docs, "doc_id", "text", n = 4)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "one two three four alpha beta" // canonical keeps it
+    out(2L) shouldBe "gamma delta"                   // span dissolved
+    out(3L) shouldBe "x y z w x y z w"               // intra-doc repeat kept
+    out(4L) shouldBe "totally unique text right here"
+  }
+
+  it should "mask whole passages via overlapping windows and emit empty strings" in {
+    val d2 = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h")) // full doc duplicated
+      .toDF("doc_id", "text")
+    val out = SpanDedup.maskDuplicatedSpans(d2, "doc_id", "text", n = 4)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "a b c d e f g h"
+    out(2L) shouldBe "" // every token covered by some duplicated window
+  }
+}

@@ -64,6 +64,25 @@ class RepetitionSpec extends SparkTestBase {
       withClue(s"text='$t' n=$n: ") { stats(t, n) shouldBe bruteForce(t, n) }
   }
 
+  it should "agree with brute force on random token sequences (seeded)" in {
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 60).map { _ =>
+      val len = rnd.nextInt(25) // includes 0 and < n lengths
+      (1 to len).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("i", "t")
+        .select($"i", Repetition.ngramRepetitionStats($"t", n).as("s"))
+        .select($"i", $"s.dup_frac", $"s.dup_char_frac", $"s.top_char_frac")
+        .as[(Int, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        withClue(s"n=$n text='$t': ") { got(i) shouldBe bruteForce(t, n) }
+      }
+    }
+  }
+
   "dupWordFrac" should "be 1 - distinct/total" in {
     Seq("a a a b").toDF("t")
       .select(Repetition.dupWordFrac($"t")).as[Double].head() shouldBe 0.5

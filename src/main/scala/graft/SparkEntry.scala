@@ -865,6 +865,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-self-trained unigram LM score: mean token log-probability
+    // under the corpus's own Laplace-smoothed unigram distribution — the
+    // fluency/outlier gate one tier above surface heuristics; the "model"
+    // is one vocab-sized aggregate over the corpus being scored.
+    "q_unigram_lm" -> ((s, d) =>
+      graft.ops.UnigramLm.meanLogProb(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Substring-level dedup (duplicated-span masking): every token
     // covered by an 8-token window that also appears verbatim in another
     // document is dropped outside the span's canonical (min-id) doc —
@@ -1553,6 +1564,20 @@ object SparkEntry {
          |    WHEN 'zh' THEN '${graft.ops.Sampling.fractionThresholdHex(0.25)}'
          |    ELSE '${graft.ops.Sampling.fractionThresholdHex(1.0)}' END
          |ORDER BY doc_id""".stripMargin,
+    // Same Laplace arithmetic: (c + 1.0) / (T + V) inside ln, averaged
+    // over token occurrences, round 6.
+    "q_unigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        |tv AS (SELECT sum(c) AS t, count(*) AS v FROM c),
+        |lp AS (SELECT term, ln((c + 1.0) / (t + v)) AS logp FROM c, tv)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(logp), 6) AS mean_logp
+        |FROM tok JOIN lp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same windows (zipped unnest for gram+position), same canonical-doc
     // rule, token-index anti-join, order-preserving rebuild.
     "q_span_dedup" ->

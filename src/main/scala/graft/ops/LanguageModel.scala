@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-self-trained unigram language-model scoring: each document's
+  * mean token log-probability under the corpus's own (Laplace-smoothed)
+  * unigram distribution.
+  *
+  * The classic cheap fluency/outlier proxy one tier above
+  * [[TextAnalysis.qualityScore]]'s surface heuristics: documents of
+  * rare-token gibberish score far below the corpus mode and can be gated
+  * by a threshold or percentile, with no external model artifact — the
+  * "model" is one aggregate over the corpus being scored.
+  *
+  * Scale design: one token explode feeding a map-side-combined term-count
+  * aggregate (vocab-sized result), corpus totals as a broadcast one-row
+  * scalar, then a term-keyed join back to the token stream (hot stopword
+  * keys are exactly what AQE skew splitting is for) and a per-document
+  * mean. Nothing quadratic, no driver round trips.
+  */
+object UnigramLm {
+
+  /** (id, n_tokens, mean_logp): mean over the document's token
+    * OCCURRENCES of ln((count(term) + 1) / (corpus_tokens + vocab)) —
+    * Laplace α=1 smoothing, natural log, rounded to 6. */
+  def meanLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Parallelism.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(split(lower(trim(col("__t"))), "\\s+")).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val logp = counts.join(broadcast(totals))
+      .select(col("term"),
+        log((col("c") + lit(1.0)) / (col("t") + col("v"))).as("logp"))
+    tok.join(logp, "term")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 6).as("mean_logp"))
+  }
+}

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object PiiRedaction {
 
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Deliberately admits invalid octets (999.1.1.1): for REDACTION the
+    * safe failure direction is over-matching digit-dotted runs — they are
+    * PII-shaped regardless — and the strict-octet alternation buys
+    * nothing but pattern complexity here. */
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  /** International format: '+' then 7-15 digits (ITU E.164 length cap). */
-  val PhonePattern = "\\+[0-9]{7,15}"
+  /** International format: '+', then 7-15 digits (ITU E.164 length cap)
+    * allowing single space/dash separators between digits
+    * ("+12025550123", "+1 202 555-0123"). */
+  val PhonePattern = "\\+[0-9](?:[ -]?[0-9]){6,14}"
   /** Bare digit runs of 9+ — account/SSN/card-shaped. Applied last. */
   val DigitRunPattern = "[0-9]{9,}"
 

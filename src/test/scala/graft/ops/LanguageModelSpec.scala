@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus: "a" appears 4x, "b" 2x, "z" 1x -> T=7, V=3
+  private def docs = Seq(
+    (1L, "a a b"),
+    (2L, "a a b"),
+    (3L, "z"))
+    .toDF("doc_id", "text")
+
+  private def lp(c: Long): Double = math.log((c + 1.0) / 10.0) // T+V = 10
+
+  "meanLogProb" should "score documents by their tokens' corpus frequencies" in {
+    val out = UnigramLm.meanLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d1 = (2 * lp(4) + lp(2)) / 3.0
+    out(1L) shouldBe ((3L, math.rint(d1 * 1e6) / 1e6))
+    out(1L) shouldBe out(2L)
+    out(3L)._2 shouldBe math.rint(lp(1) * 1e6) / 1e6
+    // the rare-token doc scores strictly lower: the outlier-gate property
+    out(3L)._2 should be < out(1L)._2
+  }
+
+  it should "count every token occurrence, not distinct terms" in {
+    UnigramLm.meanLogProb(docs, "doc_id", "text")
+      .filter($"id" === 1L).select($"n_tokens").as[Long].head() shouldBe 3L
+  }
+
+  it should "broadcast the corpus totals (one-row scalar)" in {
+    val plan = UnigramLm.meanLogProb(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+  }
+}

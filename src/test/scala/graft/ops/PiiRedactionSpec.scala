@@ -20,6 +20,12 @@ class PiiRedactionSpec extends SparkTestBase {
       "from [IP] call [PHONE] acct [NUMBER]"
   }
 
+  it should "mask separator-formatted phone numbers without eating context" in {
+    redactOne("call +1 202 555-0123 today") shouldBe "call [PHONE] today"
+    // too-short international prefix stays
+    redactOne("plus +123 left") shouldBe "plus +123 left"
+  }
+
   it should "not let later rules eat earlier placeholders" in {
     // the email local part has digits and dots; redacting it first keeps
     // the ip/phone/digit rules off the address

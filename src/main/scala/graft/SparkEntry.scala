@@ -865,6 +865,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Schema-driven column profile of the orders table (ingest QA): one
+    // aggregate pass — exact distincts via the Expand rewrite, min/max
+    // rendered as strings so all column types share one output schema.
+    // Double columns are excluded here: engines render them differently
+    // as strings; profile them via the numeric battery instead.
+    "q_profile" -> ((s, d) =>
+      graft.ops.Profiler.profile(
+        Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
+
     // Corpus-self-trained unigram LM score: mean token log-probability
     // under the corpus's own Laplace-smoothed unigram distribution — the
     // fluency/outlier gate one tier above surface heuristics; the "model"
@@ -1564,6 +1575,35 @@ object SparkEntry {
          |    WHEN 'zh' THEN '${graft.ops.Sampling.fractionThresholdHex(0.25)}'
          |    ELSE '${graft.ops.Sampling.fractionThresholdHex(1.0)}' END
          |ORDER BY doc_id""".stripMargin,
+    "q_profile" ->
+      """WITH s AS (SELECT
+        |  count(*) AS n,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nu1,
+        |    count(DISTINCT o_orderkey) AS nd1,
+        |    min(o_orderkey)::VARCHAR AS mn1, max(o_orderkey)::VARCHAR AS mx1,
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nu2,
+        |    count(DISTINCT o_custkey) AS nd2,
+        |    min(o_custkey)::VARCHAR AS mn2, max(o_custkey)::VARCHAR AS mx2,
+        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nu3,
+        |    count(DISTINCT o_orderstatus) AS nd3,
+        |    min(o_orderstatus)::VARCHAR AS mn3,
+        |    max(o_orderstatus)::VARCHAR AS mx3,
+        |  count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS nu4,
+        |    count(DISTINCT o_orderdate) AS nd4,
+        |    min(o_orderdate)::VARCHAR AS mn4, max(o_orderdate)::VARCHAR AS mx4,
+        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS nu5,
+        |    count(DISTINCT o_orderpriority) AS nd5,
+        |    min(o_orderpriority)::VARCHAR AS mn5,
+        |    max(o_orderpriority)::VARCHAR AS mx5
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", n AS n_rows, nu1 AS n_nulls,
+        |    nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM s
+        |  UNION ALL SELECT 'o_custkey', n, nu2, nd2, mn2, mx2 FROM s
+        |  UNION ALL SELECT 'o_orderstatus', n, nu3, nd3, mn3, mx3 FROM s
+        |  UNION ALL SELECT 'o_orderdate', n, nu4, nd4, mn4, mx4 FROM s
+        |  UNION ALL SELECT 'o_orderpriority', n, nu5, nd5, mn5, mx5 FROM s)
+        |ORDER BY "column"""".stripMargin,
     // Same Laplace arithmetic: (c + 1.0) / (T + V) inside ln, averaged
     // over token occurrences, round 6.
     "q_unigram_lm" ->

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Schema-driven column profiling: one row of statistics per column —
+  * row count, null count, exact distinct count, and min/max rendered as
+  * strings so every column type fits one output schema.
+  *
+  * The ingest-side data-quality primitive (is this feed broken today?):
+  * profile the increment, diff against yesterday's profile, alert on
+  * drift — composes with [[graft.ops.Snapshot.changedKeysBetween]] for
+  * delta-sized checks.
+  *
+  * Scale design: a single aggregate pass computes every per-column
+  * statistic at once — count/nulls/min/max are plain partial-aggregable
+  * expressions, and the exact `count(DISTINCT col)`s share the one
+  * aggregate via Catalyst's Expand rewrite (input rows × profiled
+  * columns). Expand's row multiplication is the price of EXACTNESS at one
+  * pass; for wide tables at corpus scale pass `approxDistinct = true` to
+  * swap in HLL sketches (`approx_count_distinct`, one buffer per column,
+  * no Expand) — the profile then matches the monitoring use case, where
+  * cardinality drift matters and the last digit does not. */
+object Profiler {
+
+  /** Profile `cols` (default: every column) of `df`:
+    * (column, n_rows, n_nulls, n_distinct, min_value, max_value) —
+    * min/max as strings, one row per column, ordered by column name. */
+  def profile(df: DataFrame, cols: Seq[String] = Nil,
+              approxDistinct: Boolean = false): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "nothing to profile")
+    val aggs = names.flatMap { c =>
+      val distinct =
+        if (approxDistinct) approx_count_distinct(col(c))
+        else count_distinct(col(c))
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        distinct.as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single stats row into one row per column
+    val rows = names.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__n_$c").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy(col("column"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), Some(1.5)),
+    (2L, None, Some(2.5)),
+    (3L, Some("a"), None),
+    (4L, Some("b"), Some(1.5)))
+    .toDF("id", "s", "x")
+
+  "profile" should "report count, nulls, exact distincts, and string min/max per column" in {
+    val p = Profiler.profile(df)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    p("id") shouldBe (("id", 4L, 0L, 4L, "1", "4"))
+    p("s") shouldBe (("s", 4L, 1L, 2L, "a", "b"))
+    p("x")._3 shouldBe 1L // one null
+    p("x")._4 shouldBe 2L // nulls don't count as distinct values
+  }
+
+  it should "profile only the requested columns, in name order" in {
+    Profiler.profile(df, Seq("s", "id"))
+      .select($"column").as[String].collect().toSeq shouldBe Seq("id", "s")
+  }
+
+  it should "swap exact distincts for HLL sketches when asked (no Expand)" in {
+    val exact = Profiler.profile(df).queryExecution.executedPlan.toString
+    val approx = Profiler.profile(df, approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    exact should include("Expand")
+    approx should not include "Expand"
+    // sketch path still gets small cardinalities right
+    Profiler.profile(df, Seq("s"), approxDistinct = true)
+      .select($"n_distinct").as[Long].head() shouldBe 2L
+  }
+}

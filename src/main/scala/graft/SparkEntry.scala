@@ -1508,7 +1508,8 @@ object SparkEntry {
          |  len(regexp_extract_all(regexp_replace(pii,
          |    '${graft.ops.PiiRedaction.EmailPattern}', '[EMAIL]', 'g'),
          |    '${graft.ops.PiiRedaction.Ipv4Pattern}')) AS n_ips,
-         |  len(regexp_extract_all(pii,
+         |  len(regexp_extract_all(regexp_replace(pii,
+         |    '${graft.ops.PiiRedaction.EmailPattern}', '[EMAIL]', 'g'),
          |    '${graft.ops.PiiRedaction.PhonePattern}')) AS n_phones
          |FROM p ORDER BY doc_id""".stripMargin,
     // Repetition stats re-derived relationally: per-(doc, gram) counts by
@@ -1607,10 +1608,11 @@ object SparkEntry {
     // Same Laplace arithmetic: (c + 1.0) / (T + V) inside ln, averaged
     // over token occurrences, round 6.
     "q_unigram_lm" ->
-      """WITH tok AS (
+      """WITH tok0 AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
         |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM tok0 WHERE len(term) > 0),
         |c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
         |tv AS (SELECT sum(c) AS t, count(*) AS v FROM c),
         |lp AS (SELECT term, ln((c + 1.0) / (t + v)) AS logp FROM c, tv)

@@ -30,7 +30,9 @@ final class VecMeanBuffer(var count: Long, var sums: Array[Double])
   * Accumulation is in double regardless of input element type (float sums
   * drift measurably at corpus scale). All input vectors of a group must
   * share one dimension — a mismatch fails loudly rather than silently
-  * truncating. Null rows are skipped; empty groups yield null.
+  * truncating, and so does a null ELEMENT (reading it as 0.0 would
+  * silently dilute the mean). Null rows are skipped; empty groups yield
+  * null.
   */
 case class VectorMean(
     child: Expression,
@@ -68,10 +70,12 @@ case class VectorMean(
       else require(buf.sums.length == n,
         s"$prettyName: vector dimension changed from ${buf.sums.length} to $n")
       var i = 0
-      if (elementIsFloat) {
-        while (i < n) { buf.sums(i) += arr.getFloat(i); i += 1 }
-      } else {
-        while (i < n) { buf.sums(i) += arr.getDouble(i); i += 1 }
+      while (i < n) {
+        // fail as loudly as the dim-mismatch path: getDouble on a null
+        // slot would silently read 0.0 and corrupt the mean
+        require(!arr.isNullAt(i), s"$prettyName: null element at position $i")
+        buf.sums(i) += (if (elementIsFloat) arr.getFloat(i) else arr.getDouble(i))
+        i += 1
       }
       buf.count += 1
     }

@@ -49,17 +49,22 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word n-gram shingles of `text` as an array column.
-    * Word-level (not char-level) so shingle cardinality tracks token count. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Non-distinct word n-gram multiset of `text` — THE canonical gram
+    * builder ([[Repetition]] and [[SpanDedup]] build on it too, so a
+    * tokenizer fix lands everywhere at once). Word-level (not char-level)
+    * so gram cardinality tracks token count. */
+  def wordGramMultiset(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     // guard: sequence(0, negative) would generate a DESCENDING sequence
-    val grams = when(size(toks) < n, array().cast("array<string>"))
+    when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    array_distinct(grams)
   }
+
+  /** Distinct word n-gram shingles of `text` as an array column. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordGramMultiset(text, n))
 
   /** Drop edge-list rows whose shingle has document frequency above
     * `maxDf`: the df table is aggregated from the edges themselves

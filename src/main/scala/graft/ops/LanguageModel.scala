@@ -29,6 +29,11 @@ object UnigramLm {
         docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"),
         explode(split(lower(trim(col("__t"))), "\\s+")).as("term"))
+      // empty/whitespace-only docs split to [""] — without this filter
+      // the phantom "" term would join the vocabulary (inflating V for
+      // every real document's score) and empty docs would score as
+      // 1-token documents; with it they simply have no rows
+      .filter(length(col("term")) > 0)
     val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     val logp = counts.join(broadcast(totals))

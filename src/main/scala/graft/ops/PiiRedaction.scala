@@ -51,14 +51,18 @@ object PiiRedaction {
     redactDigitRuns(redactPhones(redactIps(redactEmails(text))))
 
   /** Per-category match counts (for audit dashboards / gating on
-    * PII density before release). Emails and phones count on the raw
-    * text; IPs count AFTER e-mail redaction, mirroring the canonical
-    * [[redact]] order (an e-mail whose local part embeds dotted digits
-    * would otherwise double-count as an IP). */
-  def piiCounts(text: Column): Column = struct(
-    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
-    size(regexp_extract_all(redactEmails(text), lit(Ipv4Pattern), lit(0))).as("n_ips"),
-    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"))
+    * PII density before release). Emails count on the raw text; IPs AND
+    * phones count AFTER e-mail redaction, mirroring the canonical
+    * [[redact]] order — an e-mail local part embedding dotted digits or a
+    * '+digits' run ("bob+12345678@mail.com") would otherwise be counted
+    * in a category the redactor never masks it as. */
+  def piiCounts(text: Column): Column = {
+    val noEmail = redactEmails(text)
+    struct(
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(noEmail, lit(PhonePattern), lit(0))).as("n_phones"))
+  }
 
   /** Append `redacted` plus the count columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {

@@ -30,26 +30,41 @@ object Profiler {
               approxDistinct: Boolean = false): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "nothing to profile")
+    // backtick-quote every reference: a profiled column named "user.id"
+    // (or our "__n_user.id" aliases over it) would otherwise resolve as a
+    // nested-field path
+    def q(name: String) = col(s"`$name`")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val aggs = names.flatMap { c =>
+      val dt = byName.getOrElse(c,
+        throw new IllegalArgumentException(s"no such column: $c"))
+      // maps are neither orderable nor hashable in Spark: min/max and
+      // count(DISTINCT) both fail analysis — profile presence only
+      val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(dt)
       val distinct =
-        if (approxDistinct) approx_count_distinct(col(c))
-        else count_distinct(col(c))
+        if (!orderable) lit(null).cast("long")
+        else if (approxDistinct) approx_count_distinct(q(c))
+        else count_distinct(q(c))
+      val (mn, mx) =
+        if (orderable) (min(q(c)).cast("string"), max(q(c)).cast("string"))
+        else (lit(null).cast("string"), lit(null).cast("string"))
       Seq(
         count(lit(1)).as(s"__n_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        count(when(q(c).isNull, 1)).as(s"__nulls_$c"),
         distinct.as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        mn.as(s"__min_$c"),
+        mx.as(s"__max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single stats row into one row per column
     val rows = names.map { c =>
       struct(lit(c).as("column"),
-        col(s"__n_$c").as("n_rows"),
-        col(s"__nulls_$c").as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
+        q(s"__n_$c").as("n_rows"),
+        q(s"__nulls_$c").as("n_nulls"),
+        q(s"__nd_$c").as("n_distinct"),
+        q(s"__min_$c").as("min_value"),
+        q(s"__max_$c").as("max_value"))
     }
     one.select(explode(array(rows: _*)).as("p"))
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),

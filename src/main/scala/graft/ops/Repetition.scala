@@ -18,14 +18,10 @@ import org.apache.spark.sql.functions._
 object Repetition {
 
   /** Non-distinct word n-gram list (the multiset — repetition is the
-    * signal here, so unlike [[Dedup.wordShingles]] duplicates survive). */
-  def wordGramMultiset(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    * signal here, so unlike [[Dedup.wordShingles]] duplicates survive).
+    * Delegates to the canonical builder in [[Dedup.wordGramMultiset]]. */
+  def wordGramMultiset(text: Column, n: Int): Column =
+    Dedup.wordGramMultiset(text, n)
 
   /** Repetition stats over the word `n`-gram multiset, as a struct:
     *  - `dup_frac`       — fraction of gram OCCURRENCES whose gram appears

@@ -24,7 +24,10 @@ object Sampling {
     * into the first `fraction` of 10_000 buckets. */
   def hashSample(df: DataFrame, fraction: Double, keyCols: Seq[String]): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
-    df.filter(hashBucket(10000, keyCols.map(col): _*) < (fraction * 10000).toInt)
+    // round, not floor: 0.57 * 10000 is 5699.999… in binary and flooring
+    // would silently lose a bucket
+    df.filter(hashBucket(10000, keyCols.map(col): _*)
+      < math.round(fraction * 10000).toInt)
   }
 
   /** Add a `split` column ("train" | "val" | "test") with the given
@@ -33,11 +36,14 @@ object Sampling {
   def trainValTestSplit(df: DataFrame, keyCols: Seq[String],
                         trainWeight: Double = 0.8, valWeight: Double = 0.1,
                         testWeight: Double = 0.1): DataFrame = {
+    require(trainWeight >= 0 && valWeight >= 0 && testWeight >= 0,
+      "weights must be non-negative") // a negative weight would silently
+    // invert the bucket boundaries and empty a split
     val total = trainWeight + valWeight + testWeight
-    require(total > 0, "weights must be positive")
+    require(total > 0, "weights must sum to a positive value")
     val b = hashBucket(10000, keyCols.map(col): _*)
-    val trainHi = (trainWeight / total * 10000).toInt
-    val valHi = ((trainWeight + valWeight) / total * 10000).toInt
+    val trainHi = math.round(trainWeight / total * 10000).toInt
+    val valHi = math.round((trainWeight + valWeight) / total * 10000).toInt
     df.withColumn("split",
       when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
   }
@@ -74,11 +80,15 @@ object Sampling {
     * its md5 rank key sort below the threshold. Hex-string comparison is
     * order-correct ('0'-'9' < 'a'-'f' in ASCII) and identical across
     * engines. */
-  private[graft] def fractionThresholdHex(fraction: Double): String =
+  private[graft] def fractionThresholdHex(fraction: Double): String = {
     // 'z' sorts after every hex char, so "zzzzzz" means keep-all — a plain
-    // "ffffff" threshold would wrongly drop the 1/16M rows at prefix ffffff
-    if (fraction >= 1.0) "zzzzzz"
-    else "%06x".format(math.round(fraction * 0x1000000).toInt)
+    // "ffffff" threshold would wrongly drop the 1/16M rows at prefix
+    // ffffff. Clamp on the ROUNDED value: fractions within 2^-25 of 1.0
+    // round to 0x1000000, whose "%06x" would be 7 chars and break the
+    // 6-char lexicographic compare (keeping ~1/16 of rows, silently).
+    val v = math.round(fraction * 0x1000000)
+    if (v >= 0x1000000) "zzzzzz" else "%06x".format(v.toInt)
+  }
 
   /** Corpus mixing: per-group keep FRACTIONS (e.g. domain reweighting —
     * upweight books, downsample crawl) applied as a pure hash threshold on

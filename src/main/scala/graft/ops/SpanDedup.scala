@@ -31,15 +31,11 @@ object SpanDedup {
   /** Non-distinct length-`n` token windows with their 0-based start
     * positions: (id, pos, gram). */
   private def windows(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    val toks = tokens("__t")
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+                      n: Int): DataFrame =
     Parallelism.spread(df.select(col(idCol).as("id"), col(textCol).as("__t")))
-      .select(col("id"), posexplode(grams))
+      .select(col("id"),
+        posexplode(Dedup.wordGramMultiset(col("__t"), n)))
       .withColumnRenamed("col", "gram")
-  }
 
   /** Report of cross-document duplicated spans: one row per span
     * occurring in ≥ `minDocs` distinct documents, with its document

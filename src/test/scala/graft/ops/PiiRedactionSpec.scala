@@ -42,13 +42,19 @@ class PiiRedactionSpec extends SparkTestBase {
     redactOne("a@b.io c@d.io") shouldBe "[EMAIL] [EMAIL]"
   }
 
-  "piiCounts" should "count per category independently" in {
+  "piiCounts" should "count per category, mirroring the redaction order" in {
     val row = Seq("x@y.io z@w.io from 10.0.0.1 call +1234567890")
       .toDF("t")
       .select(PiiRedaction.piiCounts($"t").as("c"))
       .select($"c.n_emails", $"c.n_ips", $"c.n_phones")
       .as[(Int, Int, Int)].head()
     row shouldBe ((2, 1, 1))
+    // a '+digits' run inside an e-mail local part is an EMAIL, not a
+    // phone — the count agrees with what redact() actually masks
+    val inEmail = Seq("bob+12345678@mail.com").toDF("t")
+      .select(PiiRedaction.piiCounts($"t").as("c"))
+      .select($"c.n_emails", $"c.n_phones").as[(Int, Int)].head()
+    inEmail shouldBe ((1, 0))
   }
 
   "profile" should "append redacted text and counts with a shuffle-free plan" in {

@@ -1,11 +1,11 @@
 package graft
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.configure(
+        org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+          .config("spark.ui.enabled", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
     println(s"SMOKE_ROWS=${df.count()}")

@@ -163,10 +163,11 @@ object SparkEntry {
     }),
 
     // Continuously-maintained materialized snapshot, partition-aligned:
-    // each micro-batch advances the stored state and dynamic-overwrites
-    // ONLY the key-bucket directories it touched (write cost tracks the
-    // delta, not the table); after a bounded catch-up run the stored
-    // snapshot must equal the batch latest-per-key (same oracle).
+    // each micro-batch advances the stored state and commits ONLY the
+    // key-bucket directories it touched, by stage-then-rename with
+    // crash healing (write cost tracks the delta, not the table); after
+    // a bounded catch-up run the stored snapshot must equal the batch
+    // latest-per-key (same oracle).
     "q_snapshot_materialized" -> ((s, d) => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_mat_" + java.util.UUID.randomUUID().toString.take(12)).toString

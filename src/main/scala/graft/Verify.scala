@@ -5,17 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, rest @ _*) = args
+    if (args.length < 2) {
+      System.err.println("usage: Verify <sfDir> <outDir> [query ...]")
+      sys.exit(2)
+    }
+    val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names: dump only those queries (local iteration);
     // the driver's two-arg invocation still dumps everything
-    val only = rest.toSet
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // same engine posture as SnapshotJob (AQE, skew-join, extensions) so
+    // verification exercises the configuration the library ships with
+    val spark = GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

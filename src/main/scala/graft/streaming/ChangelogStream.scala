@@ -30,6 +30,13 @@ object ChangelogStream {
   private[streaming] def encodeKey(parts: Seq[Any]): String =
     parts.map {
       case null => "N"
+      // BinaryType keys surface as Array[Byte], whose String.valueOf is
+      // the JVM identity string ("[B@1f2e3d") — different per row object,
+      // which would fragment byte-equal keys into distinct groups. Encode
+      // by VALUE (hex), with its own marker to stay a prefix code.
+      case b: Array[Byte] =>
+        val hex = b.map("%02x".format(_)).mkString
+        s"B${hex.length}:$hex"
       case v => val s = String.valueOf(v); s"V${s.length}:$s"
     }.mkString
 
@@ -160,9 +167,19 @@ object ChangelogStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.ops.Snapshot.latestPerKey(
-        spark.read.parquet(s"$dir/out"), groupCols, "graft_batch")
-      .drop("graft_batch")
+    // an empty bounded stream fires zero micro-batches and never creates
+    // the sink dir — mirror the batch operator's empty result instead of
+    // failing the read with path-does-not-exist
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        updates.schema)
+    else
+      graft.ops.Snapshot.latestPerKey(
+          spark.read.parquet(s"$dir/out"), groupCols, "graft_batch")
+        .drop("graft_batch")
   }
 
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
@@ -200,15 +217,18 @@ object ChangelogStream {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Watermarked sliding-window counts per key — the standard streaming
-    * aggregation battery (event-time window + late-data bound). */
+    * aggregation battery (event-time window + late-data bound).
+    * `valueCol` names the summed measure (the signature is generic; a
+    * hardcoded "value" would fail analysis on any other changelog). */
   def windowedCounts(stream: DataFrame, tsCol: String, keyCol: String,
                      windowDuration: String, slideDuration: String,
-                     watermarkDelay: String): DataFrame =
+                     watermarkDelay: String,
+                     valueCol: String = "value"): DataFrame =
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("n_events"), col("sum_value"))
@@ -218,11 +238,12 @@ object ChangelogStream {
     * closes once the watermark passes its gap, then emits exactly one
     * summary row (append mode). */
   def sessionSummaries(stream: DataFrame, tsCol: String, keyCol: String,
-                       gapDuration: String, watermarkDelay: String): DataFrame =
+                       gapDuration: String, watermarkDelay: String,
+                       valueCol: String = "value"): DataFrame =
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("sum_value"))

@@ -88,7 +88,8 @@ object MaterializedSnapshot {
         // predecessor = newest committed version BELOW this id: a
         // re-delivered batch must merge from the same predecessor, not
         // from its own earlier (possibly partial) output
-        val prev = versions(spark, dir).filter(_ < id).lastOption
+        val committed = versions(spark, dir)
+        val prev = committed.filter(_ < id).lastOption
         val next = prev match {
           case Some(v) =>
             Snapshot.advanceSnapshot(readVersion(spark, dir, v), batch,
@@ -97,7 +98,10 @@ object MaterializedSnapshot {
             Snapshot.latestPerKey(batch, keyCols, tsCol, tieBreakers)
         }
         next.write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$id")
-        val all = versions(spark, dir)
+        // one listing per batch: the post-write version set is the
+        // pre-write one plus the id just committed (object-store listStatus
+        // round trips are the hot-path cost here)
+        val all = (committed.filterNot(_ == id) :+ id).sorted
         val stale = all.dropRight(retainVersions)
         val f = fs(spark, dir)
         stale.foreach(v => f.delete(new Path(s"$dir/v=$v"), true))
@@ -148,10 +152,16 @@ object MaterializedSnapshot {
     * partition discovery), the staged directory renamed in, then the
     * aside dropped — and each batch begins by HEALING any torn commit
     * left by a crash (aside present without its replacement → restore;
-    * aside plus replacement → drop the aside). Readers get per-directory
-    * atomicity, not whole-snapshot isolation; keep [[maintain]]'s
-    * versioned layout where strict reader isolation or time travel
-    * across materializations matters more than write cost.
+    * aside plus replacement → drop the aside). Every rename/delete is
+    * checked: Hadoop filesystems report failure by RETURNING FALSE, and
+    * swallowing that would commit the offset over a silently dropped
+    * bucket merge. Reader contract: old-or-new per directory, EXCEPT the
+    * instant between the two renames, when a bucket is briefly absent
+    * (and stays absent if the job crashes right there, until the job's
+    * restart heals it) — a concurrent read at that instant misses that
+    * bucket's keys. Keep [[maintain]]'s versioned layout where strict
+    * reader isolation or time travel across materializations matters
+    * more than write cost.
     *
     * Write amplification, precisely: a batch touching k distinct keys
     * rewrites min(k, numBuckets) buckets ≈ (min(k, numBuckets) /
@@ -172,6 +182,7 @@ object MaterializedSnapshot {
     require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
     val dataDir = s"$dir/data"
     val stageDir = s"$dir/_stage"
+    val metaPath = s"$dir/_graft_buckets"
     stream.writeStream
       // co-located checkpoint, same rationale as maintain(): a restart
       // must resume the committed offset sequence against this snapshot
@@ -180,6 +191,7 @@ object MaterializedSnapshot {
         val spark = batch.sparkSession
         val kb = bucketExpr(keyCols, numBuckets)
         val f = fs(spark, dir)
+        checkBucketCount(f, metaPath, numBuckets)
         healTornCommit(f, dataDir)
         val delta = batch.persist() // touched-bucket scan + merge input
         try {
@@ -216,19 +228,58 @@ object MaterializedSnapshot {
               val dst = new Path(s"$dataDir/graft_kb=$b")
               val aside = new Path(s"$dataDir/.old_graft_kb=$b")
               if (f.exists(src)) {
-                if (f.exists(aside)) f.delete(aside, true) // stale aside
-                if (f.exists(dst)) f.rename(dst, aside)
-                f.rename(src, dst)
-                f.delete(aside, true)
+                deleteIfExists(f, aside) // stale aside from an old crash
+                if (f.exists(dst)) renameOrFail(f, dst, aside)
+                renameOrFail(f, src, dst)
+                deleteIfExists(f, aside)
               }
             }
-            f.delete(new Path(stageDir), true)
+            deleteIfExists(f, new Path(stageDir))
             ()
           }
         } finally delta.unpersist()
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** Hadoop filesystems report rename failure by returning false (e.g. a
+    * transient NameNode error, or an unexpectedly-present destination);
+    * proceeding past one would commit the streaming offset over a dropped
+    * or mis-nested bucket. Fail the batch instead — the stream retries
+    * it, and the torn-commit heal makes the retry safe. */
+  private def renameOrFail(f: org.apache.hadoop.fs.FileSystem,
+                           src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  private def deleteIfExists(f: org.apache.hadoop.fs.FileSystem,
+                             p: Path): Unit =
+    if (f.exists(p) && !f.delete(p, true))
+      throw new java.io.IOException(s"delete failed: $p")
+
+  /** The bucket count is the on-disk layout: restarting with a different
+    * `numBuckets` would hash keys to different directories and leave
+    * stale rows behind in buckets the new batches never touch — a silent
+    * one-row-per-key violation. Persist it beside the data on first use
+    * and refuse a mismatch. */
+  private[streaming] def checkBucketCount(
+      f: org.apache.hadoop.fs.FileSystem, metaPath: String,
+      numBuckets: Int): Unit = {
+    val p = new Path(metaPath)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(stored == numBuckets,
+        s"snapshot at $metaPath was built with numBuckets=$stored; " +
+          s"restarting with $numBuckets would corrupt the bucket layout")
+    } else {
+      val out = f.create(p, false)
+      try out.write(numBuckets.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Restore buckets from a commit torn by a crash: an aside directory
@@ -245,8 +296,8 @@ object MaterializedSnapshot {
       .foreach { s =>
         val dst = new Path(base,
           s.getPath.getName.stripPrefix(".old_"))
-        if (!f.exists(dst)) f.rename(s.getPath, dst)
-        else f.delete(s.getPath, true)
+        if (!f.exists(dst)) renameOrFail(f, s.getPath, dst)
+        else deleteIfExists(f, s.getPath)
       }
   }
 

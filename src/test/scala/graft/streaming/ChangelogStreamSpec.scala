@@ -91,6 +91,19 @@ class ChangelogStreamSpec extends SparkTestBase {
     encoded.distinct.size shouldBe pairs.size
   }
 
+  it should "encode binary keys by value, not JVM identity" in {
+    // two DIFFERENT array objects with equal bytes must encode equal
+    val a = Array[Byte](1, 2, 0xff.toByte)
+    val b = Array[Byte](1, 2, 0xff.toByte)
+    ChangelogStream.encodeKey(Seq(a)) shouldBe ChangelogStream.encodeKey(Seq(b))
+    // ...and differing bytes must not
+    ChangelogStream.encodeKey(Seq(Array[Byte](1, 2))) should not be
+      ChangelogStream.encodeKey(Seq(Array[Byte](1, 3)))
+    // hex marker stays disjoint from the string encoding
+    ChangelogStream.encodeKey(Seq(Array[Byte](0x61))) should not be
+      ChangelogStream.encodeKey(Seq("a"))
+  }
+
   "replayLatestPerKey" should "equal the batch latest-per-key on the events table" in {
     val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())

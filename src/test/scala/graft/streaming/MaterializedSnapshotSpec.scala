@@ -184,6 +184,19 @@ class MaterializedSnapshotSpec extends SparkTestBase {
     new java.io.File(data, "graft_kb=5/part-new").exists() shouldBe true
   }
 
+  it should "refuse to run against a layout built with a different bucket count" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = s"$root/_graft_buckets"
+    MaterializedSnapshot.checkBucketCount(f, meta, 64) // first use: records
+    MaterializedSnapshot.checkBucketCount(f, meta, 64) // same count: fine
+    val e = intercept[IllegalArgumentException] {
+      MaterializedSnapshot.checkBucketCount(f, meta, 32)
+    }
+    e.getMessage should include("numBuckets=64")
+  }
+
   it should "be idempotent when a batch is re-merged (re-delivery)" in {
     // re-applying a delta to already-merged state must not change any
     // winner: the crash-between-write-and-offset-commit path

@@ -37,12 +37,12 @@ object Decontamination {
                           bench: DataFrame, benchId: String, benchText: String,
                           n: Int, minOverlap: Int): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
-    val corpusEdges = Parallelism.spread(
-        corpus.select(col(corpusId).as("corpus_id"), col(corpusText).as("__t")))
-      .select(col("corpus_id"), explode(Dedup.wordShingles(col("__t"), n)).as("shingle"))
-    val benchEdges = bench
-      .select(col(benchId).as("bench_id"), col(benchText).as("__t"))
-      .select(col("bench_id"), explode(Dedup.wordShingles(col("__t"), n)).as("shingle"))
+    // both edge lists come from the one canonical inverted-index builder
+    // (Dedup.shingleIndex), so tokenizer/spread fixes land here too
+    val corpusEdges = Dedup.shingleIndex(corpus, corpusId, corpusText, n)
+      .withColumnRenamed("id", "corpus_id")
+    val benchEdges = Dedup.shingleIndex(bench, benchId, benchText, n)
+      .withColumnRenamed("id", "bench_id")
     corpusEdges.join(broadcast(benchEdges), "shingle")
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))

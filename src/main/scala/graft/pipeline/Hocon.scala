@@ -71,6 +71,11 @@ object Hocon {
       case Some((path, optional)) =>
         lookup(root, path)
           .map(found => resolve(found, root, depth + 1))
+          // a target that itself resolved to nothing (its own optional
+          // substitution vanished) is NOT a resolution: fall through to
+          // the environment and then the required-substitution error,
+          // instead of silently vanishing a REQUIRED key
+          .filterNot(_ == JNothing)
           .orElse(sys.env.get(path).map(JString(_): JValue))
           .getOrElse {
             if (optional) JNothing
@@ -155,6 +160,7 @@ object Hocon {
             Option(Paths.get(full).getParent).map(_.toString)).parseRootObject()
           obj = deepMerge(obj, included)
         } else {
+          val quoted = peek == '"'
           val key = parseKey()
           skip(nl = false)
           if (eof) fail(s"key '$key' has no value")
@@ -163,7 +169,10 @@ object Hocon {
             case ':' | '=' => i += 1; skip(nl = false); parseValue()
             case c => fail(s"expected ':', '=' or '{' after key '$key', got '$c'")
           }
-          obj = deepMerge(obj, nest(key.split('.').toList, value))
+          // HOCON: only UNQUOTED keys dot-expand; a quoted "db.table" is
+          // one literal key, not a two-level object
+          val path = if (quoted) List(key) else key.split('.').toList
+          obj = deepMerge(obj, nest(path, value))
         }
         skip(nl = true)
       }

@@ -245,19 +245,38 @@ object SnapshotPipeline {
              |  failure: $explicitErr""".stripMargin)
       }
     }
+    // reject non-string column entries instead of flatMap-dropping them:
+    // `partition_by = [2024]` silently writing an UNPARTITIONED snapshot
+    // (or bucket columns vanishing into a later `cols.head` crash) is the
+    // failure mode this parser exists to prevent
+    def strCols(what: String, cols: List[JValue]): List[String] =
+      cols.map(c => str(c).getOrElse(fail(
+        s"$what entries must be strings, got ${JsonMethods.compact(JsonMethods.render(c))}")))
     val partitionBy = root \ "partition_by" match {
-      case JArray(cols) => cols.flatMap(str)
-      case _ => Nil
+      case JArray(cols) => strCols("partition_by", cols)
+      case JNothing => Nil
+      case _ => fail("partition_by must be an array of column names")
     }
     val bucketBy = (root \ "bucket_by" \ "num_buckets",
         root \ "bucket_by" \ "columns") match {
-      case (JInt(n), JArray(cols)) => Some((n.toInt, cols.flatMap(str)))
-      case (JLong(n), JArray(cols)) => Some((n.toInt, cols.flatMap(str)))
+      case (JInt(n), JArray(cols)) =>
+        Some((n.toInt, strCols("bucket_by.columns", cols)))
+      case (JLong(n), JArray(cols)) =>
+        Some((n.toInt, strCols("bucket_by.columns", cols)))
       case (JNothing, JNothing) => None
       case _ => fail("bucket_by needs both num_buckets and columns")
     }
+    bucketBy.foreach { case (_, cols) =>
+      if (cols.isEmpty) fail("bucket_by.columns must not be empty")
+    }
     val sink = (root \ "sink" \ "path", root \ "sink" \ "table") match {
-      case (JString(p), JNothing) => ParquetSink(p, partitionBy)
+      case (JString(p), JNothing) =>
+        // fail rather than silently drop: a path sink cannot honor
+        // bucketing (saveAsTable-only in Spark), and the caller believing
+        // the output is bucketed would plan shuffle-free joins that are not
+        if (bucketBy.isDefined)
+          fail("bucket_by requires sink.table (path sinks cannot bucket)")
+        else ParquetSink(p, partitionBy)
       case (JNothing, JString(t)) => TableSink(t, partitionBy, bucketBy)
       case _ => fail("need exactly one of sink.path or sink.table")
     }

@@ -131,4 +131,34 @@ class HoconSpec extends AnyFlatSpec with Matchers {
       List(JString("zk1-host"), JString("zkN-host")))
     (v \ "hive" \ "table") shouldBe JString("database.tablename")
   }
+
+  it should "error when a REQUIRED substitution targets a vanished optional one" in {
+    // a = ${?UNSET} vanishes; b = ${a} must then be an unresolved-subst
+    // error, not a silent disappearance of the required key b
+    val e = intercept[IllegalArgumentException] {
+      Hocon.parse(
+        """a = ${?GRAFT_HOCON_TEST_UNSET_VAR}
+          |b = ${a}
+          |""".stripMargin)
+    }
+    e.getMessage should include("unresolved substitution")
+    // the optional form still vanishes quietly
+    val v = Hocon.parse(
+      """a = ${?GRAFT_HOCON_TEST_UNSET_VAR}
+        |b = ${?a}
+        |c = 1
+        |""".stripMargin)
+    (v \ "b") shouldBe JNothing
+    (v \ "c") shouldBe JLong(1L)
+  }
+
+  it should "treat quoted keys as literal (no dot expansion)" in {
+    val v = Hocon.parse(
+      """"db.table" = "t"
+        |plain.key = 1
+        |""".stripMargin)
+    (v \ "db.table") shouldBe JString("t")   // one literal key
+    (v \ "db" \ "table") shouldBe JNothing
+    (v \ "plain" \ "key") shouldBe JLong(1L) // unquoted still expands
+  }
 }

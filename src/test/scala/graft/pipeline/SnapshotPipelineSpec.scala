@@ -223,4 +223,26 @@ class SnapshotPipelineSpec extends SparkTestBase {
         | "schema": {"history_path": "/h", "columns": ["a:b"]},
         | "sink": {"path": "/y"}}""".stripMargin)
   }
+
+  it should "reject non-string columns and bucketing on a path sink, loudly" in {
+    val base = """"changelog": {"path": "/x"}, "schema": {"columns": ["d:a"]}"""
+    // a numeric partition column must not silently vanish into an
+    // unpartitioned write
+    val e1 = intercept[IllegalArgumentException] {
+      fromJson(s"""{$base, "sink": {"path": "/y"}, "partition_by": [2024]}""")
+    }
+    e1.getMessage should include("partition_by")
+    // bucket columns dropping to [] must not crash later at cols.head
+    val e2 = intercept[IllegalArgumentException] {
+      fromJson(s"""{$base, "sink": {"table": "db.t"},
+        | "bucket_by": {"num_buckets": 4, "columns": [1]}}""".stripMargin)
+    }
+    e2.getMessage should include("bucket_by")
+    // a path sink cannot honor bucketing — refuse, don't discard
+    val e3 = intercept[IllegalArgumentException] {
+      fromJson(s"""{$base, "sink": {"path": "/y"},
+        | "bucket_by": {"num_buckets": 4, "columns": ["a"]}}""".stripMargin)
+    }
+    e3.getMessage should include("sink.table")
+  }
 }

@@ -32,8 +32,10 @@ object AsOfJoin {
     *                   (left columns keep their names)
     *
     * Right rows sharing (key, ts) are resolved to the last under
-    * (`rightTs`, remaining right columns) sort order — pre-deduplicate the
-    * right side if a specific tie-break matters.
+    * (`rightTs`, remaining ORDERABLE right columns) sort order — map-typed
+    * payload columns are carried but cannot participate in the tie-break
+    * (Spark rejects orderings over maps); pre-deduplicate the right side
+    * if a specific tie-break matters.
     *
     * @param toleranceSeconds staleness bound (feature-store point-in-time
     *                   semantics): a match older than this many seconds
@@ -70,9 +72,16 @@ object AsOfJoin {
         lit(null).cast(rightType).as("__right")): _*)
 
     // rights sort before lefts at equal ts (inclusive bound); the carried
-    // value is the latest right row seen so far in (ts, side, right) order
+    // value is the latest right row seen so far in (ts, side, tie) order.
+    // The tie-break struct holds only the ORDERABLE payload columns — a
+    // map-typed payload would make the whole orderBy an analysis error
+    val orderableTie = right.schema.fields
+      .filterNot(f => keyCols.contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(s"__right.`${f.name}`"))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__right"))
+      .orderBy(col("__ts") +: col("__side") +: orderableTie.toIndexedSeq: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val swept = taggedRight.unionByName(taggedLeft)

@@ -29,13 +29,19 @@ object Multimodal {
     octet_length(bytes).as("n_bytes"))
 
   /** Magic-byte media-type sniffing as a pure Catalyst expression
-    * (hex prefixes: PNG / JPEG / GIF / RIFF-WAV / MP4 ftyp). */
+    * (hex prefixes: PNG / JPEG / GIF / RIFF containers / MP4 ftyp).
+    * RIFF is a CONTAINER magic shared by WAV, AVI, and WebP — the form
+    * type at bytes 9-12 disambiguates; an unknown RIFF form stays
+    * octet-stream rather than mislabeling as audio. */
   def sniffMediaType(bytes: Column): Column = {
-    val prefix = hex(substring(bytes, 1, 8))
+    val prefix = hex(substring(bytes, 1, 12))
+    val riffForm = substring(prefix, 17, 8) // bytes 9-12 of the payload
     when(prefix.startsWith("89504E47"), "image/png")
       .when(prefix.startsWith("FFD8FF"), "image/jpeg")
       .when(prefix.startsWith("47494638"), "image/gif")
-      .when(prefix.startsWith("52494646"), "audio/wav")
+      .when(prefix.startsWith("52494646") && riffForm === "57415645", "audio/wav")
+      .when(prefix.startsWith("52494646") && riffForm === "41564920", "video/avi")
+      .when(prefix.startsWith("52494646") && riffForm === "57454250", "image/webp")
       .when(substring(prefix, 9, 8) === "66747970", "video/mp4")
       .otherwise("application/octet-stream")
   }
@@ -89,14 +95,23 @@ object Multimodal {
     * demuxer), emitted as (id, frame_idx, frame_hash) — the shape a
     * frame-level dedup or captioning stage consumes. */
   def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
-                   frameBytes: Int = 256, stride: Int = 4): DataFrame =
+                   frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    // a short-but-nonempty payload still yields its one partial frame,
+    // but an EMPTY or null payload emits ZERO rows — the old
+    // greatest(n-1, 0) floor forced one frame there too, whose hash (of
+    // an empty slice) was a constant colliding across all empty assets
+    // in a downstream frame-level dedup
+    val len = octet_length(col("data"))
+    val nFrames = when(len.isNull || len <= 0, lit(0L))
+      .otherwise(greatest(floor(len / (frameBytes * stride)).cast("long"),
+        lit(1L)))
+    val idxs = when(nFrames <= 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nFrames - 1))
     df.select(col(idCol).cast(LongType).as("id"), col(bytesCol).as("data"))
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0L),
-          greatest(floor(octet_length(col("data")) / (frameBytes * stride))
-            .cast("long") - 1, lit(0L))),
+      .select(col("id"), posexplode(transform(idxs,
         i => xxhash64(substring(col("data"),
           i * frameBytes * stride + 1, lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_hash")
+  }
 }

@@ -49,7 +49,12 @@ object Packing {
         var fill = 0L
         var pos = 0
         rows.map { r =>
-          val tok = r.getAs[Number](tokIdx).longValue()
+          // a null token count would NPE deep in the executor with a
+          // trace naming neither column nor row — fail with both instead
+          val raw = r.getAs[Number](tokIdx)
+          if (raw == null) throw new IllegalArgumentException(
+            s"packGreedy: null $tokensCol in row $r")
+          val tok = raw.longValue()
           if (fill > 0 && fill + tok > capacity) {
             pack += 1; fill = 0L; pos = 0
           }

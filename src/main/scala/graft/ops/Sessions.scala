@@ -23,8 +23,14 @@ object Sessions {
     val order = (tsCol +: tieBreakers).map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val prevTs = lag(col(tsCol), 1).over(w)
+    // epoch seconds via cast(timestamp).cast(long), NOT unix_timestamp:
+    // unix_timestamp on a NUMERIC epoch column stringifies it and parses
+    // with the date format, yielding null — every gap would be null and
+    // each key would silently collapse to one session. The double cast
+    // handles timestamp, string, and numeric-epoch columns uniformly.
+    def epochSec(c: Column): Column = c.cast("timestamp").cast("long")
     val isStart = when(prevTs.isNull ||
-      unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds, 1L)
+      epochSec(col(tsCol)) - epochSec(prevTs) > gapSeconds, 1L)
       .otherwise(0L)
     df.withColumn("session_id",
       sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -39,7 +45,8 @@ object Sessions {
       .agg(
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+        (max(col(tsCol)).cast("timestamp").cast("long") -
+          min(col(tsCol)).cast("timestamp").cast("long"))
           .as("duration_sec"),
         count(lit(1)).as("n_events"))
 }

@@ -19,9 +19,13 @@ object Skew {
 
   /** Inner equi-join of a skewed large side against a small side, salted.
     *
-    * The salt is a deterministic hash of the large side's full row, so
-    * replays and retries partition identically (no `rand()` — a retried
-    * task must land rows in the same bucket). The small side is exploded
+    * The salt hashes the large side's full row PLUS a per-row ordinal
+    * (`monotonically_increasing_id`): identical duplicate rows of a hot
+    * key — the common pre-dedup changelog shape — would otherwise hash to
+    * ONE salt bucket and re-serialize the reducer the salt exists to
+    * spread. The ordinal is a pure function of partition layout and row
+    * order, so replays and retries of a deterministic input still land
+    * rows identically (no `rand()`). The small side is exploded
     * `numSalts`× — keep it broadcast-size × numSalts small.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, joinKeys: Seq[String],
@@ -30,7 +34,8 @@ object Skew {
     val largeCols = large.columns.toIndexedSeq
     val smallPayload = small.columns.filterNot(joinKeys.contains).toIndexedSeq
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(largeCols.map(col): _*), lit(numSalts.toLong)).cast("int"))
+      pmod(xxhash64(largeCols.map(col) :+ monotonically_increasing_id(): _*),
+        lit(numSalts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, joinKeys :+ "__salt")
@@ -45,8 +50,9 @@ object Skew {
     * the skew toolkit; measure before preferring it over plain groupBy. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], numSalts: Int): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
-    df.withColumn("__salt",
-        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(numSalts.toLong)))
+    df.withColumn("__salt", // ordinal mixed in: see saltedJoin
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col)
+          :+ monotonically_increasing_id(): _*), lit(numSalts.toLong)))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols.map(col): _*)

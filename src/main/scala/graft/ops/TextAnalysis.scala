@@ -104,6 +104,10 @@ object TextAnalysis {
     * ([[Dedup.exactDupGroups]]). */
   def fingerprint(text: Column): Column = {
     val Mod = 2147483647L // 2^31 - 1
+    // NOTE: Spark's split(text, "") yields exactly the characters with no
+    // trailing "" (unlike raw Java split with limit -1) — the DuckDB
+    // oracle's clean per-character formula hash-matches this, which pins
+    // the behavior continuously
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),

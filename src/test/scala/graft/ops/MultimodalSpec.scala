@@ -24,6 +24,31 @@ class MultimodalSpec extends SparkTestBase {
     types(3L) shouldBe "application/octet-stream"
   }
 
+  it should "disambiguate RIFF container forms instead of calling them all wav" in {
+    def riff(form: String) =
+      "RIFF".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 4) ++
+        form.getBytes("UTF-8") ++ "body".getBytes("UTF-8")
+    val t = Seq((1L, riff("WAVE")), (2L, riff("AVI ")), (3L, riff("WEBP")),
+        (4L, riff("XXXX")))
+      .toDF("id", "data")
+      .select($"id", Multimodal.sniffMediaType($"data").as("t"))
+      .as[(Long, String)].collect().toMap
+    t(1L) shouldBe "audio/wav"
+    t(2L) shouldBe "video/avi"
+    t(3L) shouldBe "image/webp"
+    t(4L) shouldBe "application/octet-stream" // unknown RIFF form
+  }
+
+  "sampleFrames" should "emit zero frames for empty or null payloads" in {
+    val d = Seq((1L, Some("x".getBytes("UTF-8"))), (2L, Some(Array.empty[Byte])),
+        (3L, Option.empty[Array[Byte]]))
+      .toDF("id", "data")
+    val frames = Multimodal.sampleFrames(d, "id", "data",
+        frameBytes = 4, stride = 2)
+      .select($"id").as[Long].collect().toSeq
+    frames shouldBe Seq(1L) // the short payload keeps its partial frame
+  }
+
   "packAsset" should "build the canonical asset struct" in {
     val row = assets.filter($"id" === 1)
       .select(Multimodal.packAsset($"data").as("asset"))

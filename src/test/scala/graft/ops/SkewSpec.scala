@@ -23,9 +23,23 @@ class SkewSpec extends SparkTestBase {
 
   it should "spread the hot key over multiple salt buckets" in {
     val buckets = large.withColumn("__salt",
-        pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(8L)))
+        pmod(xxhash64(large.columns.toIndexedSeq.map(col)
+          :+ monotonically_increasing_id(): _*), lit(8L)))
       .filter($"k" === "hot").select($"__salt").distinct().count()
     buckets should be > 4L
+  }
+
+  it should "spread IDENTICAL duplicate rows of a hot key, not bucket them together" in {
+    // byte-identical rows (pre-dedup changelog shape): a salt over the
+    // row content alone would send all of them to one reducer
+    val dupes = (1 to 400).map(_ => ("hot", 7)).toDF("k", "v")
+    val got = Skew.saltedJoin(dupes, small, Seq("k"), numSalts = 8)
+      .count()
+    got shouldBe 400
+    val spread = dupes.withColumn("__salt",
+        pmod(xxhash64($"k", $"v", monotonically_increasing_id()), lit(8L)))
+      .select($"__salt").distinct().count()
+    spread should be > 4L
   }
 
   "saltedCount" should "equal plain groupBy count" in {

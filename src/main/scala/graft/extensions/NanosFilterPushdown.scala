@@ -62,20 +62,27 @@ object NanosFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
       Some(GreaterThanOrEqual(x, Literal((t + 1) * 1000L)))
     case LessThan(TsLit(t), DerivedMicros(x)) =>
       Some(GreaterThanOrEqual(x, Literal((t + 1) * 1000L)))
-    // micros(x div 1000) >= t  ⟹  x ≥ t*1000
+    // micros(x div 1000) >= t  ⟹  x ≥ t*1000 — EXCEPT t = 0, where
+    // truncation-toward-zero maps x ∈ [-999, -1] onto micros 0 too, so
+    // the tight lower bound is -999, not 0 (a bound of 0 would wrongly
+    // prune those rows)
     case GreaterThanOrEqual(DerivedMicros(x), TsLit(t)) =>
-      Some(GreaterThanOrEqual(x, Literal(t * 1000L)))
+      Some(GreaterThanOrEqual(x, Literal(geLowerBound(t))))
     case LessThanOrEqual(TsLit(t), DerivedMicros(x)) =>
-      Some(GreaterThanOrEqual(x, Literal(t * 1000L)))
-    // micros(x div 1000) = t  ⟹  t*1000 ≤ x ≤ t*1000 + 999
+      Some(GreaterThanOrEqual(x, Literal(geLowerBound(t))))
+    // micros(x div 1000) = t  ⟹  lower(t) ≤ x ≤ t*1000 + 999, with the
+    // same t = 0 widening of the lower edge
     case EqualTo(DerivedMicros(x), TsLit(t)) =>
-      Some(And(GreaterThanOrEqual(x, Literal(t * 1000L)),
+      Some(And(GreaterThanOrEqual(x, Literal(geLowerBound(t))),
         LessThanOrEqual(x, Literal(t * 1000L + 999L))))
     case EqualTo(TsLit(t), DerivedMicros(x)) =>
-      Some(And(GreaterThanOrEqual(x, Literal(t * 1000L)),
+      Some(And(GreaterThanOrEqual(x, Literal(geLowerBound(t))),
         LessThanOrEqual(x, Literal(t * 1000L + 999L))))
     case _ => None
   }
+
+  /** Tight nanos lower bound for `x div 1000 (as micros) >= t`. */
+  private def geLowerBound(t: Long): Long = if (t == 0L) -999L else t * 1000L
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>

@@ -30,6 +30,23 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_dot"
 
+  /** Analysis-time contract, like [[ScoreTopK]]'s: an `array<double>`
+    * input would otherwise be scored SILENTLY WRONG — `getFloat`
+    * reinterprets 4 of the 8 bytes of each double slot and produces
+    * plausible-looking garbage rather than an error. */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> columns, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

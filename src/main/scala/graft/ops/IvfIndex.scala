@@ -30,16 +30,25 @@ object IvfIndex {
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Float]] = {
-    require(nlist >= 1, s"nlist must be positive, got $nlist")
     val unit = unitVectors(corpus, idCol, vecCol).persist()
+    val centroids = trainOnUnit(unit, nlist, iters, idCol, vecCol)
+    unit.unpersist()
+    centroids
+  }
+
+  /** Training core over an already-built (id, uvec) frame — callers that
+    * ALSO need the unit frame afterwards ([[ivfTopK]]) build and persist
+    * it once and pass it here, instead of paying the full-corpus
+    * normalization scan twice. */
+  private[ops] def trainOnUnit(unit: DataFrame, nlist: Int, iters: Int,
+                               idCol: String, vecCol: String): Array[Array[Float]] = {
+    require(nlist >= 1, s"nlist must be positive, got $nlist")
     val seeds = unit.orderBy(col("id")).limit(nlist)
       .select(col("uvec")).collect()
       .map(_.getSeq[Float](0).toArray)
     require(seeds.nonEmpty,
       s"IVF training needs a non-empty corpus ($idCol/$vecCol yielded no seed vectors)")
-    val centroids = lloyd(unit, seeds, iters)
-    unit.unpersist()
-    centroids
+    lloyd(unit, seeds, iters)
   }
 
   /** `iters` spherical Lloyd steps over a (id, uvec) frame from the given
@@ -78,8 +87,14 @@ object IvfIndex {
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol)
-    val c = assignCells(unitVectors(corpus, idCol, vecCol), centroids)
+    // ONE normalization pass: the persisted unit frame feeds training AND
+    // assignment (left to the ContextCleaner once the plan is
+    // unreachable, as elsewhere — unpersisting here would force the lazy
+    // result plan to recompute it)
+    val unit = unitVectors(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainOnUnit(unit, nlist, iters, idCol, vecCol)
+    val c = assignCells(unit, centroids)
       .select(col("id").as("corpus_id"), col("uvec").as("c_uvec"), col("cell"))
     // per query: top-nprobe cells by centroid dot product
     val q = probeCells(unitVectors(queries, idCol, vecCol), centroids, nprobe)
@@ -99,7 +114,7 @@ object IvfIndex {
     * with score 0 — harmless). */
   private[ops] def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     Parallelism.spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .withColumn("nrm", sqrt(fdot(col("vec"), col("vec"))))
+      .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
       .withColumn("uvec", when(col("nrm") === 0.0, col("vec"))
         .otherwise(transform(col("vec"), x => (x / col("nrm")).cast("float"))))
       .select(col("id"), col("uvec"))

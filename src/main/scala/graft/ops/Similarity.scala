@@ -44,8 +44,15 @@ object Similarity {
                                    vb: Column, nb: Column): Column =
     when(na * nb === 0.0, lit(0.0)).otherwise(fdot(va, vb) / (na * nb))
 
-  private[ops] def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  private[ops] def vectorDim(df: DataFrame, vecCol: String): Int = {
+    val row = df.select(size(col(vecCol))).limit(1).collect()
+    require(row.nonEmpty,
+      s"cannot infer vector dimension of '$vecCol': input is empty " +
+        "(pass dim explicitly for possibly-empty inputs)")
+    require(!row.head.isNullAt(0),
+      s"cannot infer vector dimension: first '$vecCol' is null")
+    row.head.getInt(0)
+  }
 
   /** Rank a scored (query_id, corpus_id, cosine) relation down to the
     * per-query top k with a BOUNDED partial aggregate instead of a
@@ -104,6 +111,10 @@ object Similarity {
     * formulation (dim × planes nodes) blew past 1 MiB of task binary at
     * 64 × 6 and would not plan at all at real embedding dims (1024+). */
   def hyperplaneKey(vec: Column, dim: Int, planes: Int, offset: Int = 0): Column = {
+    // JVM long shifts are mod 64: plane 64 would silently alias bit 0
+    // and XOR-cancel against plane 0 instead of failing
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64] (64-bit key), got $planes")
     val bits = (0 until planes).map { p =>
       when(fdot(vec, typedLit(planeVector(offset + p, dim).toSeq)) >= 0,
         shiftleft(lit(1L), p)).otherwise(lit(0L))

@@ -1299,10 +1299,13 @@ object SparkEntry {
          |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
          |       ELSE 'de' END AS lang_id
          |FROM m ORDER BY doc_id""".stripMargin,
+    // null-text rows pass through UNDEDUPED (nulls are not content
+    // duplicates of each other) — mirrored by the null-partition bypass
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |  FROM documents) WHERE rn = 1 OR text IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_text_fold" ->
       """SELECT doc_id,
         |  length(lower(strip_accents(nfc_normalize(text)))) AS n_chars,

@@ -30,22 +30,34 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups by content hash: groups of ids sharing
-    * identical `textCol` (via 128-bit md5 — collision-safe at corpus
-    * scale), keeping the minimum id as canonical representative. Only
-    * (hash, id) pairs cross the shuffle, never document bodies. */
+    * identical NON-NULL `textCol` (via 128-bit md5 — collision-safe at
+    * corpus scale), keeping the minimum id as canonical representative.
+    * Null texts are excluded: md5(null) is null and groupBy treats nulls
+    * as equal, which would report every null-text row as one giant bogus
+    * "duplicate group". Only (hash, id) pairs cross the shuffle, never
+    * document bodies. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
 
   /** Exact dedup: one row per distinct `textCol`, keeping the min-id row.
-    * Same shape as the reference's latest-per-key (max_by ↔ min_by). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("__fp"))
+    * Same shape as the reference's latest-per-key (max_by ↔ min_by).
+    * NULL-text rows pass through undeduped — they are not content
+    * duplicates of each other, and collapsing them (what a naive groupBy
+    * on md5 does, since nulls group together) would silently delete every
+    * null-text row but one. Consistent with [[dedupAgainst]], where a
+    * null matches nothing. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val deduped = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__fp"))
       .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"))
       .select(df.columns.toIndexedSeq.map(c => col(s"__row.`$c`").as(c)): _*)
+    deduped.unionByName(df.filter(col(textCol).isNull))
+  }
 
   // ------------------------------------------------------------- shingles
 
@@ -107,7 +119,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges =
       if (maxShingleDf <= 0) raw
-      else capByDf(raw, maxShingleDf).persist(StorageLevel.MEMORY_AND_DISK)
+      else {
+        val capped = capByDf(raw, maxShingleDf)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize the capped copy THROUGH the cached raw, then drop
+        // raw — it is the job's largest intermediate and pinning both
+        // copies would evict exactly the cache the self-join reuses
+        capped.count()
+        raw.unpersist()
+        capped
+      }
     val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     // SHUFFLE_HASH: the inverted index only looks broadcastable at test
     // scale — at corpus scale collecting it to the driver is fatal, and
@@ -298,8 +319,12 @@ object Dedup {
                    idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // persisted: consumed THREE times (bucket keys, verify shingles, the
+    // final anti-join) — without the cache the increment-vs-corpus-hash
+    // anti-join, the exact phase's big shuffle, would run three times
     val exactHit = increment.join(index.hashes,
       md5(increment(textCol)) === index.hashes("content_hash"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nearIds = crossNearDups(exactHit, index, idCol, textCol,
         n, threshold, bands, rowsPerBand)
       .select(col("inc_id")).distinct()

@@ -59,9 +59,16 @@ object MySqlTypeParser {
 
     def parse(): MySqlType = {
       val tn = typename()
+      // enum/set take a value list where other types take a precision —
+      // but BOTH shapes continue with qualifiers and charset/collation
+      // attributes per the grammar ("enum('y','n') CHARACTER SET utf8"
+      // is legal DDL; returning early here used to reject it)
       val result =
         if ((tn == "ENUM" || tn == "SET") && peek('(')) {
-          MySqlType(tn, enumeration = stringList())
+          val values = stringList()
+          val quals = collectKeywords(Qualifiers)
+          val attrs = attributes()
+          MySqlType(tn, values, None, quals, attrs)
         } else {
           val prec = if (peek('(')) Some(precision()) else None
           val quals = collectKeywords(Qualifiers)
@@ -153,15 +160,36 @@ object MySqlTypeParser {
       out.result()
     }
 
+    /** Bare identifier (charset/collation names in real DDL: `utf8mb4`,
+      * `utf8mb4_general_ci`). */
+    private def identifier(): String = {
+      ws()
+      val start = pos
+      while (pos < in.length &&
+          (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '_')) pos += 1
+      if (pos == start) fail("expected identifier")
+      in.substring(start, pos)
+    }
+
+    /** Charset/collation VALUE: MySQL DDL and SHOW CREATE TABLE emit bare
+      * identifiers (`CHARACTER SET utf8mb4`); the quoted form also
+      * appears in dumps — accept both. */
+    private def charsetValue(): String = {
+      ws()
+      if (pos < in.length && (in.charAt(pos) == '\'' || in.charAt(pos) == '"'))
+        stringLiteral()
+      else identifier()
+    }
+
     private def attributes(): Map[String, String] = {
       val out = Map.newBuilder[String, String]
       var found = true
       while (found) {
         if (keyword("CHARACTER")) {
           if (!keyword("SET")) fail("expected SET after CHARACTER")
-          out += ("CHARACTER SET" -> stringLiteral())
+          out += ("CHARACTER SET" -> charsetValue())
         } else if (keyword("COLLATE")) {
-          out += ("COLLATE" -> stringLiteral())
+          out += ("COLLATE" -> charsetValue())
         } else found = false
       }
       out.result()

@@ -41,6 +41,11 @@ object SchemaMapping {
     dt.typename match {
       case "TINYINT" | "SMALLINT" | "MEDIUMINT" | "INT" | "INTEGER" =>
         if (dt.qualifiers.contains("UNSIGNED")) LongType else IntegerType
+      // BIGINT UNSIGNED spans [0, 2^64): LongType loses the upper half
+      // (ANSI cast aborts on 2^63+; non-ANSI nulls it) — exact mode needs
+      // DECIMAL(20,0), the same widening MySQL's own JDBC driver applies
+      case "BIGINT" if !lossyCompat && dt.qualifiers.contains("UNSIGNED") =>
+        DecimalType(20, 0)
       case "BIGINT" if !lossyCompat => LongType
       case "DECIMAL" | "NUMERIC" if !lossyCompat =>
         val p = dt.precision.map(_.precision).getOrElse(10)

@@ -27,6 +27,18 @@ class DedupSpec extends SparkTestBase {
     d.toSeq shouldBe Seq(1L, 2L, 3L)
   }
 
+  it should "pass null-text rows through undeduped, and not report them as a group" in {
+    // md5(null) groups together: a naive groupBy would silently collapse
+    // all null-text rows into one
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    Dedup.exactDedup(withNulls, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 10L, 11L)
+    Dedup.exactDupGroups(withNulls, "doc_id", "text").count() shouldBe 1
+  }
+
   "wordShingles" should "produce distinct n-grams and handle short docs" in {
     val out = Seq(("a b c d", 1), ("a b", 2), ("a b a b a b", 3))
       .toDF("t", "i")

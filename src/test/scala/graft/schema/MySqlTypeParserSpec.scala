@@ -56,6 +56,22 @@ class MySqlTypeParserSpec extends AnyFlatSpec with Matchers {
       "CHARACTER SET" -> "utf8", "COLLATE" -> "utf8_general_ci")
   }
 
+  it should "accept bare charset/collation identifiers as real DDL emits them" in {
+    val t = MySqlTypeParser("VARCHAR(255) CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci")
+    t.attributes shouldBe Map(
+      "CHARACTER SET" -> "utf8mb4", "COLLATE" -> "utf8mb4_general_ci")
+  }
+
+  it should "parse qualifiers and attributes after enum/set value lists" in {
+    val e = MySqlTypeParser("enum('y','n') CHARACTER SET utf8")
+    e.typename shouldBe "ENUM"
+    e.enumeration shouldBe Seq("y", "n")
+    e.attributes shouldBe Map("CHARACTER SET" -> "utf8")
+    val s = MySqlTypeParser("set('a','b') BINARY")
+    s.enumeration shouldBe Seq("a", "b")
+    s.qualifiers shouldBe Seq("BINARY")
+  }
+
   it should "fail fast on unparseable input" in {
     an[IllegalArgumentException] should be thrownBy MySqlTypeParser("NOTATYPE")
     an[IllegalArgumentException] should be thrownBy MySqlTypeParser("INT(")

@@ -22,6 +22,9 @@ class SchemaMappingSpec extends AnyFlatSpec with Matchers {
 
   "mySqlToSpark (exact mode)" should "upgrade lossy numerics" in {
     SchemaMapping.mySqlToSpark(MySqlTypeParser("BIGINT"), lossyCompat = false) shouldBe LongType
+    // BIGINT UNSIGNED spans [0, 2^64) — LongType would lose the upper half
+    SchemaMapping.mySqlToSpark(MySqlTypeParser("BIGINT UNSIGNED"),
+      lossyCompat = false) shouldBe DecimalType(20, 0)
     SchemaMapping.mySqlToSpark(MySqlTypeParser("DECIMAL(12,3)"), lossyCompat = false) shouldBe DecimalType(12, 3)
     SchemaMapping.mySqlToSpark(MySqlTypeParser("FLOAT"), lossyCompat = false) shouldBe FloatType
     SchemaMapping.mySqlToSpark(MySqlTypeParser("DATE"), lossyCompat = false) shouldBe DateType

@@ -16,6 +16,25 @@ object SparkEntry {
   /** As-of cutoff used by the snapshot queries (events span 2024-01). */
   private val AsOfTs = "2024-01-15 00:00:00"
 
+  /** Scratch dir for a streaming-harness sink, recursively deleted at JVM
+    * exit. The deletion matters: each invocation leaves a checkpoint +
+    * staged-parquet tree, and a multi-pass bench (or repeated local
+    * verify runs) accumulates hundreds of them — measured to drift bench
+    * totals up ~20% on identical code before they were cleaned. Deletion
+    * is deferred to exit because the returned plans READ these dirs
+    * lazily. */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(d.toFile)
+    }))
+    d.toString
+  }
+
   /** Flagship: point-in-time reconstruction of the events changelog —
     * the reference's whole essence (scan → latest-per-key as of T).
     * Driver smoke-checks rows>0 on sf0.001. */
@@ -113,8 +132,7 @@ object SparkEntry {
     // parquet, reduced distributedly), so the verification path itself is
     // corpus-safe — no driver-resident memory sink.
     "q_stream_upsert" -> ((s, d) => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ups_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      val out = scratchDir("graft_ups_")
       graft.streaming.ChangelogStream.replayLatestPerKeyToFiles(
           Tables.eventsStream(s, d), Seq("user_id"), "ts", Seq("event_id"),
           dir = out)
@@ -133,8 +151,7 @@ object SparkEntry {
     // bounded replay the oversized delay costs nothing (state is all
     // windows either way, which the convergence check needs).
     "q_stream_windows" -> ((s, d) => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_win_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      val out = scratchDir("graft_win_")
       val wc = graft.streaming.ChangelogStream.windowedCounts(
         Tables.eventsStream(s, d), "ts", "user_id",
         windowDuration = "1 day", slideDuration = "1 day",
@@ -151,8 +168,7 @@ object SparkEntry {
     // must equal the batch DISTINCT. Keys only — the winning ROW is
     // arrival-order-dependent by design, the key set is not.
     "q_stream_dedup" -> ((s, d) => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_dd_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      val out = scratchDir("graft_dd_")
       val keys = Seq("user_id", "event_type")
       graft.streaming.ChangelogStream.replayToFiles(
           graft.streaming.ChangelogStream.firstPerKey(
@@ -169,8 +185,7 @@ object SparkEntry {
     // a bounded catch-up run the stored snapshot must equal the batch
     // latest-per-key (same oracle).
     "q_snapshot_materialized" -> ((s, d) => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_mat_" + java.util.UUID.randomUUID().toString.take(12)).toString
+      val out = scratchDir("graft_mat_")
       graft.streaming.MaterializedSnapshot.maintainPartitioned(
         Tables.eventsStream(s, d), out, Seq("user_id"), "ts",
         Seq("event_id"), numBuckets = 16).awaitTermination()

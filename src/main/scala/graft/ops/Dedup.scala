@@ -261,7 +261,23 @@ object Dedup {
     * scan of index tables that are O(docs × bands), O(docs × shingles)
     * and O(docs) — written once). */
   final case class TextIndex(buckets: DataFrame, shingles: DataFrame,
-                             hashes: DataFrame)
+                             hashes: DataFrame) {
+    /** Persist all three index tables under `dir` (overwrite). */
+    def save(dir: String): Unit = {
+      buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+      hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    }
+  }
+
+  object TextIndex {
+    /** Reopen an index written by [[TextIndex.save]]. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): TextIndex =
+      TextIndex(
+        spark.read.parquet(s"$dir/buckets"),
+        spark.read.parquet(s"$dir/shingles"),
+        spark.read.parquet(s"$dir/hashes"))
+  }
 
   /** Build the [[TextIndex]] of a corpus (see [[lshBuckets]] for the
     * banding scheme; parameters must match between index and query side). */

@@ -238,16 +238,10 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Set(22L)
   }
 
-  it should "give identical results through a parquet round-trip of the index" in {
+  it should "give identical results through a save/load round-trip of the index" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_text_index").toString
-    val built = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
-    built.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
-    built.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-    built.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
-    val loaded = Dedup.TextIndex(
-      spark.read.parquet(s"$dir/buckets"),
-      spark.read.parquet(s"$dir/shingles"),
-      spark.read.parquet(s"$dir/hashes"))
+    Dedup.buildTextIndex(corpusDocs, "doc_id", "text").save(dir)
+    val loaded = Dedup.TextIndex.load(spark, dir)
     val kept = Dedup.dedupAgainst(incrementDocs, loaded,
         "doc_id", "text", threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet

@@ -903,6 +903,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Bigram conditional LM score: common words in implausible ORDER now
+    // score low too — the sequence-aware tier above q_unigram_lm. In-row
+    // token-tail zip (no positional self-join); docs under 2 tokens have
+    // no bigrams and no row.
+    "q_bigram_lm" -> ((s, d) =>
+      graft.ops.UnigramLm.bigramMeanLogProb(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Substring-level dedup (duplicated-span masking): every token
     // covered by an 8-token window that also appears verbatim in another
     // document is dropped outside the span's canonical (min-id) doc —
@@ -1638,6 +1649,28 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(logp), 6) AS mean_logp
         |FROM tok JOIN lp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same Laplace bigram conditional: count(prev,cur)+1 over
+    // context+vocab, averaged per doc, round 6; adjacency by pos-join.
+    "q_bigram_lm" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    generate_subscripts(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term, pos FROM tok0 WHERE len(term) > 0),
+        |p AS (
+        |  SELECT a.doc_id, a.term AS prev, b.term AS cur
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+        |v AS (SELECT count(DISTINCT term) AS v FROM tok),
+        |lp AS (SELECT prev, cur, ln((c2 + 1.0) / (c1 + v)) AS logp
+        |       FROM c2 JOIN c1 USING (prev), v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS mean_logp
+        |FROM p JOIN lp USING (prev, cur)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same windows (zipped unnest for gram+position), same canonical-doc
     // rule, token-index anti-join, order-preserving rebuild.

@@ -44,4 +44,44 @@ object UnigramLm {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("logp")), 6).as("mean_logp"))
   }
+
+  /** (id, n_bigrams, mean_logp): mean over the document's adjacent token
+    * PAIRS of ln((count(prev, cur) + 1) / (count(prev as context) + V)) —
+    * the Laplace-smoothed bigram conditional, the next model class up
+    * from [[meanLogProb]]: a document of common words in IMPLAUSIBLE
+    * ORDER now scores low too, which the bag-of-words unigram cannot see.
+    *
+    * Bigram extraction is an in-row zip of the token array with its own
+    * tail (`arrays_zip(slice, slice)`) — no positional self-join of the
+    * token table, so the only corpus-sized shuffles are the two count
+    * aggregates and the pair-keyed join back. Documents with fewer than
+    * two tokens have no bigrams and no output row. */
+  def bigramMeanLogProb(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = split(lower(trim(col("__t"))), "\\s+")
+    val pairs = Parallelism.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("bg"))
+      .select(col("id"), col("bg.0").as("prev"), col("bg.1").as("cur"))
+      .filter(length(col("prev")) > 0 && length(col("cur")) > 0)
+    val c2 = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    // context count = occurrences of prev WITH a successor (sum of its
+    // bigram counts), so the conditional sums to <= 1 per context
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val vocab = Parallelism.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(explode(split(lower(trim(col("__t"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .agg(countDistinct(col("term")).as("v"))
+    val logp = c2.join(c1, "prev").join(broadcast(vocab))
+      .select(col("prev"), col("cur"),
+        log((col("c2") + lit(1.0)) / (col("c1") + col("v"))).as("logp"))
+    pairs.join(logp, Seq("prev", "cur"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("mean_logp"))
+  }
 }

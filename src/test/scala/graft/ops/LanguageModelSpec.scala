@@ -37,4 +37,27 @@ class LanguageModelSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     plan should include("BroadcastNestedLoopJoin")
   }
+
+  // bigrams: (a b) x2, (b a) x1; contexts: a->2, b->1; vocab V=2
+  private def orderedDocs = Seq(
+    (1L, "a b"), (2L, "a b"), (3L, "b a"))
+    .toDF("doc_id", "text")
+
+  "bigramMeanLogProb" should "score word ORDER, not just word choice" in {
+    val out = UnigramLm.bigramMeanLogProb(orderedDocs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    out(1L) shouldBe ((1L, r6(math.log(3.0 / 4.0)))) // (a,b): (2+1)/(2+2)
+    out(1L) shouldBe out(2L)
+    out(3L) shouldBe ((1L, r6(math.log(2.0 / 3.0)))) // (b,a): (1+1)/(1+2)
+    // same words, rarer order -> strictly lower score
+    out(3L)._2 should be < out(1L)._2
+  }
+
+  it should "emit no row for documents with fewer than two tokens" in {
+    val d = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    UnigramLm.bigramMeanLogProb(d, "doc_id", "text")
+      .select($"id").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
 }

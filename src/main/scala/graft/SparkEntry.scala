@@ -964,6 +964,16 @@ object SparkEntry {
           col("width"), col("height"))
         .orderBy(col("id"))),
 
+    // Stub resize over binary payloads (deterministic byte decimation to
+    // an 8x4 budget through the batched mapPartitions plumbing) — the
+    // oracle reproduces the stride arithmetic and checksum per byte.
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeStub(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("text").cast(BinaryType).as("data")),
+          "doc_id", "data", targetW = 8, targetH = 4)
+        .orderBy(col("id"))),
+
     // Frame sampling over binary payloads (stub demuxer: fixed-stride
     // chunk hashes) — xxhash64-based, so rows-only check.
     "q_multimodal_frames" -> ((s, d) =>
@@ -1777,6 +1787,25 @@ object SparkEntry {
         |  round(m.mv, 6) AS mean_v
         |FROM m JOIN n ON m.label = n.label
         |ORDER BY m.label, pos""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id AS id, length(text) AS n,
+        |    greatest(1, (length(text) + 31) // 32) AS stride, text
+        |  FROM documents)
+        |SELECT id,
+        |  (CASE WHEN n = 0 THEN 0
+        |        ELSE least(8, (n + stride - 1) // stride) END)::INT AS out_w,
+        |  (CASE WHEN n = 0 THEN 0
+        |        ELSE (((n + stride - 1) // stride) + 7) // 8 END)::INT AS out_h,
+        |  n::INT AS n_bytes_in,
+        |  (CASE WHEN n = 0 THEN 0
+        |        ELSE (n + stride - 1) // stride END)::INT AS n_bytes_out,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [CAST(ord(substr(text, i, 1)) AS BIGINT)
+        |          for i in range(1, n + 1, stride)]),
+        |         (a, c) -> a + c) END AS byte_sum
+        |FROM r ORDER BY id""".stripMargin,
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

@@ -90,6 +90,51 @@ object Multimodal {
     }(Encoders.row(FeatureSchema))
   }
 
+  /** Output schema of [[resizeStub]]. */
+  val ResizeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("n_bytes_in", IntegerType, nullable = false),
+    StructField("n_bytes_out", IntegerType, nullable = false),
+    StructField("byte_sum", LongType, nullable = false)))
+
+  /** Stub resize: decimate the payload to at most `targetW × targetH`
+    * sample bytes (stride = ceil(n / (tw·th)), samples at byte offsets
+    * 0, stride, 2·stride, …) and report the resized geometry plus an
+    * order-sensitive checksum of the sampled bytes. A real implementation
+    * decodes and rescales pixels per BATCH; the plumbing here — batched
+    * `mapPartitions`, fixed output schema, no shuffle — is the real
+    * contract, and the decimation is deterministic so the operator is
+    * oracle-checkable end to end. Empty/null payloads resize to 0×0. */
+  def resizeStub(df: DataFrame, idCol: String, bytesCol: String,
+                 targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be positive")
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"))
+    val budget = targetW * targetH
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = if (bytes == null) 0 else bytes.length
+          if (n == 0) Row(id, 0, 0, 0, 0, 0L)
+          else {
+            val stride = math.max(1, (n + budget - 1) / budget)
+            val nOut = (n + stride - 1) / stride
+            var sum = 0L
+            var i = 0
+            while (i < n) { sum += (bytes(i) & 0xFF); i += stride }
+            val outW = math.min(targetW, nOut)
+            val outH = (nOut + targetW - 1) / targetW
+            Row(id, outW, outH, n, nOut, sum)
+          }
+        }
+      }
+    }(Encoders.row(ResizeSchema))
+  }
+
   /** Deterministic frame sampling for video payloads: every `stride`-th
     * chunk of `frameBytes` bytes becomes a "frame" (stub for a container
     * demuxer), emitted as (id, frame_idx, frame_hash) — the shape a

@@ -49,6 +49,31 @@ class MultimodalSpec extends SparkTestBase {
     frames shouldBe Seq(1L) // the short payload keeps its partial frame
   }
 
+  "resizeStub" should "decimate to the target budget with exact geometry" in {
+    // 100 bytes into an 8x4=32 budget: stride=ceil(100/32)=4, n_out=25
+    val d = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "data")
+    val r = Multimodal.resizeStub(d, "id", "data", targetW = 8, targetH = 4)
+      .as[(Long, Int, Int, Int, Int, Long)].head()
+    r._2 shouldBe 8  // out_w
+    r._3 shouldBe 4  // out_h = ceil(25/8)
+    r._4 shouldBe 100
+    r._5 shouldBe 25
+    r._6 shouldBe (0 until 100 by 4).map(_.toLong).sum // bytes = indices here
+  }
+
+  it should "pass small payloads through whole and resize empty/null to 0x0" in {
+    val d = Seq((1L, Some(Array[Byte](10, 20))), (2L, Some(Array.empty[Byte])),
+        (3L, Option.empty[Array[Byte]]))
+      .toDF("id", "data")
+    val out = Multimodal.resizeStub(d, "id", "data", targetW = 8, targetH = 4)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    out(1L)._5 shouldBe 2   // stride 1, both bytes kept
+    out(1L)._6 shouldBe 30L
+    out(2L) shouldBe ((2L, 0, 0, 0, 0, 0L))
+    out(3L) shouldBe ((3L, 0, 0, 0, 0, 0L))
+  }
+
   "packAsset" should "build the canonical asset struct" in {
     val row = assets.filter($"id" === 1)
       .select(Multimodal.packAsset($"data").as("asset"))

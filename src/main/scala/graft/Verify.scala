@@ -13,6 +13,15 @@ object Verify {
     // optional trailing names: dump only those queries (local iteration);
     // the driver's two-arg invocation still dumps everything
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      // a typo'd name silently matching nothing would make a local verify
+      // look clean while dumping zero of the intended queries
+      System.err.println(
+        s"error: unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+          unknown.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same engine posture as SnapshotJob (AQE, skew-join, extensions) so
     // verification exercises the configuration the library ships with

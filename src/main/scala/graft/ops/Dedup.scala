@@ -260,27 +260,56 @@ object Dedup {
     * (the corpus-side cost of [[crossNearDups]]/[[dedupAgainst]] becomes a
     * scan of index tables that are O(docs × bands), O(docs × shingles)
     * and O(docs) — written once). */
+  /** The LSH parameters a [[TextIndex]] was built with. Persisted with
+    * the index and reused on the query side automatically — the shingle
+    * space and banding scheme MUST match between the two sides, so the
+    * index is the single source of truth for them. */
+  final case class TextIndexParams(n: Int, bands: Int, rowsPerBand: Int)
+
   final case class TextIndex(buckets: DataFrame, shingles: DataFrame,
-                             hashes: DataFrame) {
-    /** Persist all three index tables under `dir` (overwrite). */
+                             hashes: DataFrame, params: TextIndexParams) {
+    /** Persist the three index tables plus the build parameters under
+      * `dir` (overwrite). */
     def save(dir: String): Unit = {
       buckets.write.mode("overwrite").parquet(s"$dir/buckets")
       shingles.write.mode("overwrite").parquet(s"$dir/shingles")
       hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+      val spark = buckets.sparkSession
+      spark.createDataFrame(Seq(params))
+        .write.mode("overwrite").json(s"$dir/params")
     }
   }
 
   object TextIndex {
-    /** Reopen an index written by [[TextIndex.save]]. */
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): TextIndex =
+    /** Reopen an index written by [[TextIndex.save]], including its build
+      * parameters — querying with different parameters than the index was
+      * built with silently yields wrong candidates, so indexes without a
+      * params record are refused rather than guessed at. */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): TextIndex = {
+      val params =
+        try {
+          val row = spark.read.json(s"$dir/params")
+            .select("n", "bands", "rowsPerBand").head()
+          TextIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
+            row.getLong(2).toInt)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"TextIndex at $dir has no readable params record " +
+                "(params/); it was not written by TextIndex.save — " +
+                "rebuild it with buildTextIndex", e)
+        }
       TextIndex(
         spark.read.parquet(s"$dir/buckets"),
         spark.read.parquet(s"$dir/shingles"),
-        spark.read.parquet(s"$dir/hashes"))
+        spark.read.parquet(s"$dir/hashes"),
+        params)
+    }
   }
 
   /** Build the [[TextIndex]] of a corpus (see [[lshBuckets]] for the
-    * banding scheme; parameters must match between index and query side). */
+    * banding scheme; the parameters are recorded on the index and reused
+    * automatically on the query side). */
   def buildTextIndex(corpus: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): TextIndex =
     TextIndex(
@@ -288,7 +317,8 @@ object Dedup {
       Parallelism.spread(corpus.select(col(idCol).as("id"),
           col(textCol).as("__text")))
         .select(col("id"), wordShingles(col("__text"), n).as("shingles")),
-      corpus.select(md5(col(textCol)).as("content_hash")).distinct())
+      corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
+      TextIndexParams(n, bands, rowsPerBand))
 
   /** Near-duplicate pairs ACROSS two corpora: increment docs whose n-gram
     * Jaccard with some indexed-corpus doc is ≥ `threshold` —
@@ -300,8 +330,10 @@ object Dedup {
     * the sides are distinct tables; id spaces may even overlap. */
   def crossNearDups(increment: DataFrame, index: TextIndex,
                     idCol: String, textCol: String,
-                    n: Int = 3, threshold: Double = 0.8,
-                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                    threshold: Double = 0.8): DataFrame = {
+    // shingle/banding params come from the index — the one place they
+    // are guaranteed to match what the corpus side was hashed with
+    val TextIndexParams(n, bands, rowsPerBand) = index.params
     val bi = lshBuckets(increment, idCol, textCol, n, bands, rowsPerBand)
     // shuffle-hash: the corpus bucket table scales with the corpus;
     // never collect it driver-side for a broadcast
@@ -333,16 +365,14 @@ object Dedup {
     * for that. */
   def dedupAgainst(increment: DataFrame, index: TextIndex,
                    idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8,
-                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                   threshold: Double = 0.8): DataFrame = {
     // persisted: consumed THREE times (bucket keys, verify shingles, the
     // final anti-join) — without the cache the increment-vs-corpus-hash
     // anti-join, the exact phase's big shuffle, would run three times
     val exactHit = increment.join(index.hashes,
       md5(increment(textCol)) === index.hashes("content_hash"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nearIds = crossNearDups(exactHit, index, idCol, textCol,
-        n, threshold, bands, rowsPerBand)
+    val nearIds = crossNearDups(exactHit, index, idCol, textCol, threshold)
       .select(col("inc_id")).distinct()
     exactHit.join(nearIds, exactHit(idCol) === nearIds("inc_id"), "left_anti")
   }

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * pandas-UDF pipeline: rows are grouped into fixed-size batches so a
   * vectorized decoder/model amortizes per-call overhead).
   *
-  * The actual media decode is a STUB — this container ships no image/audio
-  * codecs — implemented as a deterministic fake ([[FakeDecoder]]) so the
+  * IMAGE payloads (PNG/JPEG/GIF, as sniffed by magic bytes) are decoded
+  * FOR REAL via the JDK's `javax.imageio` ([[ImageDecoder]]): true pixel
+  * dimensions plus a deterministic downsampled-luminance grid embedding.
+  * Audio/video/unknown payloads still go through the deterministic stub
+  * ([[FakeDecoder]]) — this container ships no audio/video codecs — so the
   * Spark-side contract (schema, partitioning, batch shape, encoder
-  * signatures) is real and testable. Swap [[FakeDecoder]] for a codec-backed
-  * implementation to productionize; nothing else changes.
+  * signatures) is real and testable end to end. Swap [[FakeDecoder]] for a
+  * codec-backed implementation to productionize; nothing else changes.
   *
   * Extends the reference surface (flat scalar rows only — reference:
   * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
@@ -55,37 +58,120 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
-  /** Deterministic fake decoder: "decodes" a payload to dimensions and a
-    * small embedding derived purely from the bytes, so results are stable
+  /** Deterministic fake decoder for payload types the JVM cannot decode
+    * (audio/video/unknown): "decodes" a payload to dimensions and a small
+    * embedding derived purely from the bytes, so results are stable
     * across partitionings and runs. A real implementation would decode
     * with a codec and run a vision/audio model per *batch*. */
   object FakeDecoder {
+    def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {
+      val n = if (bytes == null) 0 else bytes.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (bytes(i) & 0xFF); i += 1 }
+      val width = (1 + sum % 64).toInt
+      val height = (1 + (sum / 64) % 64).toInt
+      val emb = Array.tabulate(8)(j =>
+        (((sum + j * 2654435761L) % 1000L) / 1000.0f))
+      Row(id, mediaType, n, width, height, emb.toSeq)
+    }
+
     def decodeBatch(batch: Seq[(Long, Array[Byte], String)]): Seq[Row] =
       batch.map { case (id, bytes, mediaType) =>
-        val n = if (bytes == null) 0 else bytes.length
-        var sum = 0L
-        var i = 0
-        while (i < n) { sum += (bytes(i) & 0xFF); i += 1 }
-        val width = (1 + sum % 64).toInt
-        val height = (1 + (sum / 64) % 64).toInt
-        val emb = Array.tabulate(8)(j =>
-          (((sum + j * 2654435761L) % 1000L) / 1000.0f))
-        Row(id, mediaType, n, width, height, emb.toSeq)
+        decodeOne(id, bytes, mediaType)
       }
   }
 
+  /** Media types [[ImageDecoder]] decodes for real (the JDK's bundled
+    * `javax.imageio` readers). WebP is sniffed but NOT here: the JDK
+    * ships no WebP reader, so those payloads report null dimensions. */
+  val JdkDecodableImageTypes: Set[String] =
+    Set("image/png", "image/jpeg", "image/gif")
+
+  /** REAL image decoding via `javax.imageio` — zero extra dependencies.
+    * Emits the true pixel width/height and a deterministic embedding: the
+    * image downsampled onto a `grid × grid` cell mesh, each cell the mean
+    * Rec.601 luminance of (a bounded sample of) its pixels, scaled to
+    * [0,1]. Undecodable payloads (corrupt data, or a sniffed type the
+    * JDK has no reader for) yield null width/height/embedding rather
+    * than fabricated values — downstream filters on `width IS NULL`. */
+  object ImageDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file disk cache on executors
+
+    private val Grid = 4
+    private val MaxSamplesPerAxis = 16 // bounds cost per cell on huge images
+
+    def gridEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val emb = new Array[Float](Grid * Grid)
+      var gy = 0
+      while (gy < Grid) {
+        var gx = 0
+        while (gx < Grid) {
+          val x0 = gx * w / Grid
+          val x1 = math.max(x0 + 1, (gx + 1) * w / Grid)
+          val y0 = gy * h / Grid
+          val y1 = math.max(y0 + 1, (gy + 1) * h / Grid)
+          val sx = math.max(1, (x1 - x0) / MaxSamplesPerAxis)
+          val sy = math.max(1, (y1 - y0) / MaxSamplesPerAxis)
+          var sum = 0.0
+          var cnt = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              cnt += 1
+              x += sx
+            }
+            y += sy
+          }
+          emb(gy * Grid + gx) = if (cnt == 0) 0f else (sum / cnt / 255.0).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      emb
+    }
+
+    def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {
+      val n = if (bytes == null) 0 else bytes.length
+      val img =
+        if (n == 0) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) Row(id, mediaType, n, null, null, null)
+      else Row(id, mediaType, n, img.getWidth, img.getHeight,
+        gridEmbedding(img).toSeq)
+    }
+  }
+
   /** Batched feature extraction over a binary column: partitions stream
-    * through [[FakeDecoder.decodeBatch]] in groups of `batchSize` rows.
-    * The operator is fully distributed (per-partition, no shuffle, no
-    * driver collect) and emits [[FeatureSchema]] rows. */
+    * through the decoders in groups of `batchSize` rows — PNG/JPEG/GIF
+    * through [[ImageDecoder]] (real pixels), everything else through
+    * [[FakeDecoder]]. The operator is fully distributed (per-partition,
+    * no shuffle, no driver collect) and emits [[FeatureSchema]] rows. */
   def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
                       batchSize: Int = 64): DataFrame = {
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(bytesCol).as("data"), sniffMediaType(col(bytesCol)).as("media_type"))
     in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { chunk =>
-        FakeDecoder.decodeBatch(chunk.map(r =>
-          (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2))))
+        chunk.map { r =>
+          // a null id would NPE deep in the executor — name the column
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"extractFeatures: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          if (JdkDecodableImageTypes(mediaType))
+            ImageDecoder.decodeOne(id, bytes, mediaType)
+          else FakeDecoder.decodeOne(id, bytes, mediaType)
+        }
       }
     }(Encoders.row(FeatureSchema))
   }
@@ -116,6 +202,9 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { chunk =>
         chunk.map { r =>
+          // a null id would NPE deep in the executor — name the column
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"resizeStub: null or non-castable id in $idCol for row $r")
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val n = if (bytes == null) 0 else bytes.length

@@ -19,23 +19,29 @@ object Skew {
 
   /** Inner equi-join of a skewed large side against a small side, salted.
     *
-    * The salt hashes the large side's full row PLUS a per-row ordinal
-    * (`monotonically_increasing_id`): identical duplicate rows of a hot
-    * key — the common pre-dedup changelog shape — would otherwise hash to
-    * ONE salt bucket and re-serialize the reducer the salt exists to
-    * spread. The ordinal is a pure function of partition layout and row
-    * order, so replays and retries of a deterministic input still land
-    * rows identically (no `rand()`). The small side is exploded
-    * `numSalts`× — keep it broadcast-size × numSalts small.
+    * By default the salt is `xxhash64` of the large side's full row — a
+    * pure function of row VALUES, so a retried map task recomputes the
+    * same salt for the same row regardless of fetch order. Mixing in a
+    * per-row ordinal (`monotonically_increasing_id`) would spread
+    * byte-identical duplicate rows of a hot key over more reducers, but
+    * the ordinal depends on partition layout and row order: if `large`
+    * is itself the output of a shuffle, a retry can recompute DIFFERENT
+    * salts and lose or duplicate rows across the salted exchange (the
+    * classic indeterminate-shuffle hazard). Set `mixOrdinal = true` only
+    * for duplicate-heavy pre-dedup inputs whose lineage up to this join
+    * is deterministic (e.g. a direct source scan). The small side is
+    * exploded `numSalts`× — keep it broadcast-size × numSalts small.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, joinKeys: Seq[String],
-                 numSalts: Int): DataFrame = {
+                 numSalts: Int, mixOrdinal: Boolean = false): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
     val largeCols = large.columns.toIndexedSeq
+    val hashInputs =
+      if (mixOrdinal) largeCols.map(col) :+ monotonically_increasing_id()
+      else largeCols.map(col)
     val smallPayload = small.columns.filterNot(joinKeys.contains).toIndexedSeq
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(largeCols.map(col) :+ monotonically_increasing_id(): _*),
-        lit(numSalts.toLong)).cast("int"))
+      pmod(xxhash64(hashInputs: _*), lit(numSalts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, joinKeys :+ "__salt")
@@ -47,12 +53,15 @@ object Skew {
     * already does map-side partials, so this is only needed when a first
     * shuffle must happen before aggregation (e.g. after an explode whose
     * output skews harder than its input). Provided for completeness of
-    * the skew toolkit; measure before preferring it over plain groupBy. */
-  def saltedCount(df: DataFrame, keyCols: Seq[String], numSalts: Int): DataFrame = {
+    * the skew toolkit; measure before preferring it over plain groupBy.
+    * `mixOrdinal` carries the same retry caveat as [[saltedJoin]]. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], numSalts: Int,
+                  mixOrdinal: Boolean = false): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
-    df.withColumn("__salt", // ordinal mixed in: see saltedJoin
-        pmod(xxhash64(df.columns.toIndexedSeq.map(col)
-          :+ monotonically_increasing_id(): _*), lit(numSalts.toLong)))
+    val hashInputs =
+      if (mixOrdinal) df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id()
+      else df.columns.toIndexedSeq.map(col)
+    df.withColumn("__salt", pmod(xxhash64(hashInputs: _*), lit(numSalts.toLong)))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols.map(col): _*)

@@ -240,11 +240,26 @@ class DedupSpec extends SparkTestBase {
 
   it should "give identical results through a save/load round-trip of the index" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_text_index").toString
-    Dedup.buildTextIndex(corpusDocs, "doc_id", "text").save(dir)
+    Dedup.buildTextIndex(corpusDocs, "doc_id", "text", n = 2, bands = 8,
+      rowsPerBand = 2).save(dir)
     val loaded = Dedup.TextIndex.load(spark, dir)
+    // non-default build params survive the round-trip and are reused on
+    // the query side automatically
+    loaded.params shouldBe Dedup.TextIndexParams(2, 8, 2)
     val kept = Dedup.dedupAgainst(incrementDocs, loaded,
         "doc_id", "text", threshold = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     kept shouldBe Set(22L)
+  }
+
+  it should "refuse to load an index directory without a params record" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_noparams").toString
+    val idx = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
+    // simulate a pre-params index: tables only, no params/ record
+    idx.buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+    idx.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    idx.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    val e = intercept[IllegalStateException] { Dedup.TextIndex.load(spark, dir) }
+    e.getMessage should include("params")
   }
 }

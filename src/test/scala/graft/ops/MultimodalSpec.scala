@@ -91,10 +91,74 @@ class MultimodalSpec extends SparkTestBase {
     out1.length shouldBe 3
     // deterministic across partitioning and batch size
     out1.map(_.toString).toSeq shouldBe out2.map(_.toString).toSeq
+    // id 1 sniffs as PNG but is NOT a decodable image (magic + junk):
+    // the real decoder reports null dims instead of fabricating them
     val r = out1(0)
     r.getAs[String]("media_type") shouldBe "image/png"
-    r.getAs[Int]("width") should (be >= 1 and be <= 64)
-    r.getAs[Seq[Float]]("embedding").length shouldBe 8
+    r.isNullAt(r.fieldIndex("width")) shouldBe true
+    r.isNullAt(r.fieldIndex("height")) shouldBe true
+    r.isNullAt(r.fieldIndex("embedding")) shouldBe true
+    // id 3 is octet-stream → deterministic stub features
+    val s = out1(2)
+    s.getAs[Int]("width") should (be >= 1 and be <= 64)
+    s.getAs[Seq[Float]]("embedding").length shouldBe 8
+  }
+
+  /** Render a real w×h image and encode it with the given ImageIO format. */
+  private def encodeImage(w: Int, h: Int, format: String,
+                          rgb: Int = 0xFFFFFF): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  it should "decode real PNG/JPEG/GIF payloads to their true pixel dimensions" in {
+    val fixtures = Seq(
+      (1L, encodeImage(20, 12, "png")),
+      (2L, encodeImage(33, 7, "jpg")),
+      (3L, encodeImage(5, 9, "gif"))).toDF("id", "data")
+    val out = Multimodal.extractFeatures(fixtures, "id", "data")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    out(1L).getAs[String]("media_type") shouldBe "image/png"
+    (out(1L).getAs[Int]("width"), out(1L).getAs[Int]("height")) shouldBe ((20, 12))
+    out(2L).getAs[String]("media_type") shouldBe "image/jpeg"
+    (out(2L).getAs[Int]("width"), out(2L).getAs[Int]("height")) shouldBe ((33, 7))
+    out(3L).getAs[String]("media_type") shouldBe "image/gif"
+    (out(3L).getAs[Int]("width"), out(3L).getAs[Int]("height")) shouldBe ((5, 9))
+  }
+
+  it should "embed real images as the 4x4 mean-luminance grid" in {
+    val fixtures = Seq(
+      (1L, encodeImage(32, 32, "png", rgb = 0xFFFFFF)), // white → luma 1.0
+      (2L, encodeImage(32, 32, "png", rgb = 0x000000))  // black → luma 0.0
+    ).toDF("id", "data")
+    val out = Multimodal.extractFeatures(fixtures, "id", "data")
+      .collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Seq[Float]]("embedding")).toMap
+    out(1L).length shouldBe 16
+    all(out(1L)) shouldBe 1.0f +- 0.01f
+    all(out(2L)) shouldBe 0.0f +- 0.01f
+  }
+
+  it should "fail loudly on a null id instead of a deep NPE" in {
+    val d = Seq((Option.empty[Long], "x".getBytes("UTF-8")))
+      .toDF("id", "data")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(d, "id", "data").collect()
+    }
+    e.getMessage should include("id")
+  }
+
+  "resizeStub" should "fail loudly on a null id instead of a deep NPE" in {
+    val d = Seq((Option.empty[Long], "x".getBytes("UTF-8")))
+      .toDF("id", "data")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeStub(d, "id", "data", targetW = 8, targetH = 4).collect()
+    }
+    e.getMessage should include("id")
   }
 
   "sampleFrames" should "emit stable frame hashes" in {

@@ -21,20 +21,30 @@ class SkewSpec extends SparkTestBase {
     got.count(_._1 == "hot") shouldBe 500
   }
 
-  it should "spread the hot key over multiple salt buckets" in {
+  it should "spread the hot key over multiple salt buckets (value-only default)" in {
+    // distinct (k, v) values per hot row → the value hash alone spreads them
     val buckets = large.withColumn("__salt",
-        pmod(xxhash64(large.columns.toIndexedSeq.map(col)
-          :+ monotonically_increasing_id(): _*), lit(8L)))
+        pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(8L)))
       .filter($"k" === "hot").select($"__salt").distinct().count()
     buckets should be > 4L
   }
 
-  it should "spread IDENTICAL duplicate rows of a hot key, not bucket them together" in {
-    // byte-identical rows (pre-dedup changelog shape): a salt over the
-    // row content alone would send all of them to one reducer
+  it should "use a retry-safe value-only salt by default (identical rows share a bucket)" in {
+    // byte-identical rows hash to ONE salt by value — the deterministic
+    // default; spreading them needs the opt-in ordinal mix below
+    val dupes = (1 to 50).map(_ => ("hot", 7)).toDF("k", "v")
+    val spread = dupes.withColumn("__salt",
+        pmod(xxhash64($"k", $"v"), lit(8L)))
+      .select($"__salt").distinct().count()
+    spread shouldBe 1L
+  }
+
+  it should "spread IDENTICAL duplicate rows when mixOrdinal is opted in" in {
+    // pre-dedup changelog shape, deterministic lineage (local Seq scan):
+    // the ordinal mix is safe here and spreads byte-identical rows
     val dupes = (1 to 400).map(_ => ("hot", 7)).toDF("k", "v")
-    val got = Skew.saltedJoin(dupes, small, Seq("k"), numSalts = 8)
-      .count()
+    val got = Skew.saltedJoin(dupes, small, Seq("k"), numSalts = 8,
+      mixOrdinal = true).count()
     got shouldBe 400
     val spread = dupes.withColumn("__salt",
         pmod(xxhash64($"k", $"v", monotonically_increasing_id()), lit(8L)))

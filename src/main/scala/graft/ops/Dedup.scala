@@ -654,23 +654,35 @@ object Dedup {
     * `cluster_id = id` rows then yields one canonical document per
     * cluster.
     *
-    * Algorithm: iterative min-label propagation — each round every vertex
-    * takes the min of its own label and its neighbors' labels (one
-    * equi-join + one map-side-combined min aggregate per round), stopping
-    * at the first round that changes nothing. Rounds needed = component
-    * DIAMETER, and dup clusters are by construction tiny and dense (a
-    * near-dup of a near-dup is near), so this converges in 2–3 rounds on
-    * real corpora — the O(log n) star-contraction algorithms only pay off
-    * on web-graph-diameter components that dedup graphs don't have.
-    * `maxIters` bounds adversarial chains; the result is still a valid
-    * (coarser-labelled) partition refinement if the bound is hit.
+    * Algorithm: min-label propagation with POINTER DOUBLING — each round
+    * every vertex takes the min of its own label and its neighbors'
+    * labels (one equi-join + one map-side-combined min aggregate), then
+    * follows its label one more hop (`lab ← lab(lab)`, a self-join of
+    * the label table). The shortcut halves the depth of every label
+    * chain per round, so a length-n path component converges in
+    * O(log n) rounds instead of O(n) (≈10 rounds for a 1000-document
+    * template-spam chain) while dense dup clusters still finish in 2–3.
+    * Labels are monotonically non-increasing and always the id of a
+    * node in the same component, so the fixed point labels every vertex
+    * with its component's min id. If `maxIters` is hit before
+    * convergence a loud warning names the operator and the bound; the
+    * result is still a valid (coarser-labelled) partition refinement.
     *
     * Scale design: state is one (id, label) row per document; each round
-    * shuffles the edge list once (by endpoint) and the labels once (by
-    * id). Edges are persisted across rounds; nothing corpus-quadratic is
-    * ever materialized. */
+    * shuffles the edge list once (by endpoint) and the label table twice
+    * (neighbor min by id, shortcut self-join by label). Edges are
+    * persisted across rounds; nothing corpus-quadratic is ever
+    * materialized. The shortcut references the round's label table
+    * TWICE, so without lineage truncation the logical plan would double
+    * every round (exponential analysis/plan-string cost) — each round's
+    * labels are therefore eagerly checkpointed: reliably if the session
+    * has a checkpoint dir (set one on a real cluster — survives executor
+    * loss), else `localCheckpoint` (executor-local blocks). */
   def dupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def truncate(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -682,16 +694,21 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lab").as("nlab")), "dst")
         .groupBy(col("src")).agg(min(col("nlab")).as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"),
           "left")
         .select(col("id"),
           least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("lab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // full count, NOT isEmpty: the limit-1 early exit would leave the
-      // persisted `next` (and, round 1, the edge list with its whole
-      // pair-generation lineage) only partially cached, so every later
-      // round would recompute the similarity join from scratch
+      // pointer doubling: lab ← lab(lab). Every label IS a document id
+      // (initialized from ids, only ever replaced by another vertex's
+      // label), so the lookup side is the label table itself; the left
+      // join + coalesce is belt-and-braces, not a semantic branch.
+      // Eagerly checkpointed: cuts the doubled lineage AND materializes
+      // the round in one job.
+      val next = truncate(propagated
+        .join(propagated.select(col("id").as("p_id"), col("lab").as("p_lab")),
+          col("lab") === col("p_id"), "left")
+        .select(col("id"), coalesce(col("p_lab"), col("lab")).as("lab")))
       val changed = next
         .join(labels.select(col("id"), col("lab").as("old_lab")), "id")
         .filter(col("lab") =!= col("old_lab"))
@@ -702,6 +719,13 @@ object Dedup {
       converged = changed == 0L
       it += 1
     }
+    if (!converged)
+      // an unconverged run silently returning coarse labels is the
+      // worst failure mode of a dedup pipeline — say so, loudly
+      System.err.println(
+        s"[graft] WARNING: dupClusters hit maxIters=$maxIters before " +
+          "convergence; labels form a valid but UNCONVERGED partition " +
+          "refinement (some clusters may be split). Raise maxIters.")
     edges.unpersist()
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }

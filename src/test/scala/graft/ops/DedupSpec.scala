@@ -149,12 +149,29 @@ class DedupSpec extends SparkTestBase {
   }
 
   it should "stay a valid partition when maxIters truncates propagation" in {
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
-    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val out = Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 1)
       .as[(Long, Long)].collect().toMap
-    // after one round every vertex holds the min of its 1-hop ball
-    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    // one round = 1-hop ball min, then the pointer-doubling shortcut
+    // follows that label one more hop: lab(v) = lab_1hop(lab_1hop(v))
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 4L)
+  }
+
+  it should "converge a 1000-node chain within 12 rounds (pointer doubling)" in {
+    // worst-case diameter: a single path 0-1-…-999 (template-spam chain).
+    // plain min-label propagation needs 999 rounds; with the shortcut the
+    // label-chain depth roughly doubles per round, so 12 rounds suffice —
+    // maxIters = 12 makes non-convergence a test FAILURE (labels ≠ 0),
+    // not a silent truncation
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L to 999L).toDF("doc_id")
+    val out = Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 12)
+      .as[(Long, Long)].collect()
+    out.length shouldBe 1000
+    all(out.map(_._2)) shouldBe 0L
   }
 
   "embeddingNearDupsBlocked" should "find exactly the high-cosine pairs" in {

@@ -52,34 +52,46 @@ object IvfIndex {
   }
 
   /** `iters` spherical Lloyd steps over a (id, uvec) frame from the given
-    * initial centroids. One driver round-trip per step, model-sized: only
-    * nlist × dim partial sums come back. Empty cells keep their previous
-    * centroid. */
+    * initial centroids. One driver round-trip per step, and it is ONE ROW
+    * PER CELL: the per-cell mean is computed server-side by the
+    * [[graft.functions.VectorAggregates.VectorMean]] aggregate (map-side
+    * combined, fixed dim-length buffer), so the driver receives nlist
+    * `array<double>` rows — not nlist × dim posexploded scalars (at
+    * nlist=4096 × dim=1024 × 5 iters that was ~21M rows of driver
+    * traffic and GC for the same model-sized information). Empty cells
+    * keep their previous centroid. */
   private[ops] def lloyd(unit: DataFrame, init: Array[Array[Float]],
                          iters: Int): Array[Array[Float]] = {
     var centroids = init
     for (_ <- 1 to iters) {
       val assigned = assignCells(unit, centroids)
-      // per-(cell, dimension) mean via posexplode — only k×dim partial
-      // sums cross the shuffle (map-side combine on (cell, pos))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("uvec")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val dim = centroids(0).length
+      val means = cellMeans(assigned).collect()
+      // the contract this formulation exists for: driver traffic is
+      // bounded by the model size, one row per non-empty cell
+      assert(means.length <= centroids.length,
+        s"lloyd collected ${means.length} rows for ${centroids.length} cells")
       val next = Array.tabulate(centroids.length)(c => centroids(c).clone())
-      sums.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
-        val v = new Array[Float](dim)
-        rows.foreach(r => v(r.getAs[Int]("pos")) = (
-          r.getAs[Double]("s") / r.getAs[Long]("n")).toFloat)
-        val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (nrm > 0) next(cell) = v.map(x => (x / nrm).toFloat)
+      means.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val cell = r.getAs[Int]("cell")
+          // per-dim mean → float BEFORE normalizing: same rounding as a
+          // per-dimension aggregate, keeps trained centroids bit-stable
+          val v = r.getSeq[Double](1).map(_.toFloat).toArray
+          val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (nrm > 0) next(cell) = v.map(x => (x / nrm).toFloat)
+        }
       }
       centroids = next
     }
     centroids
   }
+
+  /** The per-iteration driver round-trip of [[lloyd]], exposed for plan
+    * audits: one (cell, mean-vector) row per NON-EMPTY cell — at most
+    * nlist rows however large dim grows. */
+  private[ops] def cellMeans(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(graft.functions.VectorAggFunctions.vecMean(col("uvec")).as("m"))
 
   /** Approximate cosine top-k: score only corpus vectors in the query's
     * `nprobe` nearest cells. */

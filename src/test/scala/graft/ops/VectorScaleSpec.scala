@@ -112,6 +112,28 @@ class VectorScaleSpec extends SparkTestBase {
     keyed.selectExpr("size(keys)").head().getInt(0) shouldBe 4
   }
 
+  "lloyd" should s"round-trip at most nlist rows per iteration at nlist=4096 × dim $dim" in {
+    // the training driver traffic must be one array row per non-empty
+    // cell — never the nlist × dim posexploded scalars (~4.2M rows at
+    // this shape) the per-dimension formulation shipped
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim) { j =>
+        val h = (i * 69621L) ^ (j * 2654435761L)
+        ((h % 1000L) / 1000.0f) - 0.5f
+      }
+    val cents = Array.tabulate(4096)(i => vec(i.toLong + 9000L))
+    val unit = bigVecs.selectExpr("vec_id AS id", "embedding AS uvec")
+    val assigned = IvfIndex.assignCells(unit, cents)
+    val perIter = IvfIndex.cellMeans(assigned)
+    perIter.count() should be <= 4096L
+    // and each row already carries the whole mean vector
+    perIter.schema("m").dataType.typeName shouldBe "array"
+    // the full training loop holds the same bound (lloyd asserts it
+    // internally per iteration)
+    val trained = IvfIndex.lloyd(assigned.select($"id", $"uvec"), cents, iters = 1)
+    trained.length shouldBe 4096
+  }
+
   "ivfTopK" should "fail fast on an empty corpus and handle nlist=1" in {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     an[IllegalArgumentException] should be thrownBy

@@ -73,7 +73,9 @@ object SnapshotPipeline {
 
   /** The reconstructed, typed snapshot as a DataFrame (no side effects). */
   def snapshot(spark: SparkSession, config: SnapshotConfig): DataFrame = {
-    val changelog = spark.read.parquet(config.changelogPath)
+    // resolved through the source registry: a ChangelogSource registered
+    // under this path serves it instead of the parquet default
+    val changelog = graft.sources.Tables.changelog(spark, config.changelogPath)
     val asOf =
       if (config.asOfMillis == SchemaHistory.NowSentinel)
         Snapshot.latestPerKey(changelog, Seq(config.keyCol), config.tsCol)

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Pluggable adapter for the versioned store the engine snapshots from.
+  *
+  * The reference's identity is *reading a live versioned wide-column
+  * store* (an HBase scan bounded by a version time range — reference:
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-129). In
+  * this repo the store is modeled as a parquet changelog
+  * ([[ParquetChangelogSource]]), but every query resolves its tables
+  * through this trait, so pointing the engine at a real
+  * HBase/Bigtable/Delta changelog is ONE class, not a rewrite:
+  *
+  *  - HBase: implement [[read]] over `TableInputFormat` (or the hbase-spark
+  *    connector), mapping cells to (key, column, value, version-ts) rows;
+  *    override [[readRange]] to push the bounds into `Scan.setTimeRange`
+  *    server-side instead of filtering client-side.
+  *  - Delta/Iceberg: [[read]] = the table's change feed; [[readRange]] =
+  *    version/timestamp predicates the format prunes on.
+  *
+  * Implementations must return DataFrames whose scans prune columns and
+  * accept pushed filters where the backing store can — the engine's
+  * plans assume projection/predicate pushdown reaches the source.
+  */
+trait ChangelogSource {
+
+  /** One logical table of the store, full changelog (all versions). */
+  def read(spark: SparkSession, table: String): DataFrame
+
+  /** The changelog restricted to versions with `tsCol` in
+    * [`from`, `until`) — the reference's `Scan.setTimeRange`. The
+    * default filters [[read]]'s output and relies on Catalyst pushing
+    * the predicate into the scan; stores with SERVER-side version
+    * pruning should override and push the bounds into the scan itself. */
+  def readRange(spark: SparkSession, table: String, tsCol: String,
+                from: Column, until: Column): DataFrame = {
+    val df = read(spark, table)
+    df.filter(df(tsCol) >= from && df(tsCol) < until)
+  }
+}
+
+/** Default source: a directory of parquet files, one per table — the
+  * sandbox stand-in for the wide-column store. Plain `spark.read.parquet`
+  * leaves Catalyst free to push filters and prune columns into the
+  * Parquet reader (the analogue of the reference's server-side
+  * column/time-range pushdown). */
+final case class ParquetChangelogSource(root: String) extends ChangelogSource {
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$root/$table.parquet")
+}

@@ -2,17 +2,45 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Parquet table loaders for the test-data star schema.
+/** Table loaders for the test-data star schema.
   *
-  * All harness queries read through here so the scan shape is uniform:
-  * plain `spark.read.parquet` leaves Catalyst free to push filters and
-  * prune columns into the Parquet reader (the Spark analogue of the
-  * reference's server-side column/time-range pushdown —
+  * All harness queries read through here, and this object resolves every
+  * root directory to a [[ChangelogSource]] — [[ParquetChangelogSource]]
+  * unless a different adapter was [[register]]ed for that root — so the
+  * scan shape is uniform and the backing store is swappable (the Spark
+  * analogue of the reference's server-side column/time-range pushdown —
   * reference: src/main/scala/com/booking/spark/Schema.scala:180-183).
   */
 object Tables {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, ChangelogSource]()
+
+  /** Route all reads of `root` through `source` instead of the parquet
+    * default — how a deployment points the engine at a real versioned
+    * store (see [[ChangelogSource]] for the HBase mapping). */
+  def register(root: String, source: ChangelogSource): Unit =
+    registry.put(root, source)
+
+  /** Remove a [[register]]ed adapter (tests; idempotent). */
+  def unregister(root: String): Unit = registry.remove(root)
+
+  /** The adapter serving `root`: registered one, else parquet. */
+  def sourceFor(root: String): ChangelogSource = {
+    val s = registry.get(root)
+    if (s != null) s else ParquetChangelogSource(root)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    sourceFor(dir).read(spark, name)
+
+  /** A changelog addressed by a single path (the pipeline-config shape)
+    * rather than root + table: a source [[register]]ed under exactly
+    * `path` serves it (receiving `path` as the table name); otherwise it
+    * is read as parquet. */
+  def changelog(spark: SparkSession, path: String): DataFrame = {
+    val s = registry.get(path)
+    if (s != null) s.read(spark, path) else spark.read.parquet(path)
+  }
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
     * vectorized reader rejects. Read nanos as a long and truncate to

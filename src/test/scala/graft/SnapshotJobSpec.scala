@@ -135,4 +135,61 @@ class SnapshotJobSpec extends SparkTestBase {
     SnapshotJob.run(Array(s"$tmp/nope2.json"), boom) shouldBe 1
     touched shouldBe false
   }
+
+  // ---- the SHIPPED deploy surface: conf/ examples + bin/ wrapper ----
+
+  private def shippedConf(name: String): String =
+    new java.io.File(s"conf/$name").getAbsolutePath
+
+  it should "run end-to-end from the shipped explicit-columns example (include + overrides)" in {
+    // a site config is the shipped example plus overrides — HOCON
+    // include with last-write-wins, the reuse path the file documents
+    val sink = s"$tmp/shipped_explicit_out"
+    val cfg = writeConfig("site_explicit.conf",
+      s"""include "${shippedConf("application-explicit-example.conf")}"
+         |changelog.path = "$changelogPath"
+         |schema.columns = ["d:age:integer", "d:name"]
+         |sink.path = "$sink"
+         |""".stripMargin)
+    SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    val back = spark.read.parquet(sink)
+    back.count() shouldBe 2
+    // the example's partition_by survived the include
+    new java.io.File(sink).list().count(
+      _.startsWith("k_replicator_row_status=")) shouldBe 2
+  }
+
+  it should "run end-to-end from the shipped MySQL-history example (include + overrides)" in {
+    val historyPath = s"$tmp/shipped_history"
+    val dump =
+      """{"users": {"columnIndexToNameMap": {"1": "age", "2": "name"},
+        |           "columnsSchema": {"age": {"columnType": "INT"},
+        |                             "name": {"columnType": "VARCHAR(32)"}}}}""".stripMargin
+    Seq(("initial-snapshot", dump)).toDF("row_key", "schemaPostChange")
+      .write.mode("overwrite").parquet(historyPath)
+    val cfg = writeConfig("site_mysql.conf",
+      s"""include "${shippedConf("application-mysql-example.conf")}"
+         |changelog.path = "$changelogPath"
+         |schema.history_path = "$historyPath"
+         |sink.table = "graft_shipped_mysql_example"
+         |bucket_by.num_buckets = 4
+         |""".stripMargin)
+    SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    try {
+      val back = spark.table("graft_shipped_mysql_example")
+      back.count() shouldBe 2
+      back.schema("age").dataType shouldBe org.apache.spark.sql.types.IntegerType
+      // the example's row-key bucketing survived the include
+      spark.catalog.listColumns("graft_shipped_mysql_example")
+        .collect().exists(_.isBucket) shouldBe true
+    } finally spark.sql("DROP TABLE IF EXISTS graft_shipped_mysql_example")
+  }
+
+  "bin/graft-snapshot" should "reject a missing config before touching spark-submit" in {
+    val wrapper = new java.io.File("bin/graft-snapshot")
+    wrapper.canExecute shouldBe true
+    val p = new ProcessBuilder(wrapper.getAbsolutePath, s"$tmp/no-such.conf")
+      .redirectErrorStream(true).start()
+    p.waitFor() shouldBe 1
+  }
 }

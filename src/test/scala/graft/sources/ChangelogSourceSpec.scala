@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+class ChangelogSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Toy adapter: tables served from an in-memory map, the smallest
+    * possible "different backing store". */
+  private class InMemorySource(tables: Map[String, DataFrame])
+      extends ChangelogSource {
+    var reads: List[String] = Nil
+    override def read(s: SparkSession, table: String): DataFrame = {
+      reads ::= table
+      tables.getOrElse(table,
+        throw new IllegalArgumentException(s"no such table: $table"))
+    }
+  }
+
+  "Tables" should "route reads of a registered root through the adapter" in {
+    val src = new InMemorySource(Map(
+      "events" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    Tables.register("mem:test", src)
+    try {
+      val got = Tables.table(spark, "mem:test", "events")
+        .as[(Long, String)].collect().toSet
+      got shouldBe Set((1L, "a"), (2L, "b"))
+      src.reads shouldBe List("events")
+    } finally Tables.unregister("mem:test")
+  }
+
+  it should "fall back to the parquet source for unregistered roots" in {
+    Tables.sourceFor("/some/dir") shouldBe ParquetChangelogSource("/some/dir")
+  }
+
+  it should "keep serving parquet for a root after its adapter is unregistered" in {
+    val src = new InMemorySource(Map.empty)
+    Tables.register("mem:gone", src)
+    Tables.unregister("mem:gone")
+    Tables.sourceFor("mem:gone") shouldBe ParquetChangelogSource("mem:gone")
+  }
+
+  "ChangelogSource.readRange" should "bound the changelog by [from, until)" in {
+    val src = new InMemorySource(Map(
+      "log" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "ts")))
+    val got = src.readRange(spark, "log", "ts", lit(10L), lit(30L))
+      .select($"id").as[Long].collect().toSet
+    got shouldBe Set(1L, 2L) // 10 inclusive, 30 exclusive
+  }
+
+  "Tables.changelog" should "serve a pipeline changelog path from a registered adapter" in {
+    val df = Seq((1L, "insert", 100L)).toDF("row_key", "row_status", "ts")
+    val src = new InMemorySource(Map("mem:changelog/events" -> df))
+    Tables.register("mem:changelog/events", src)
+    try {
+      Tables.changelog(spark, "mem:changelog/events").count() shouldBe 1L
+      src.reads shouldBe List("mem:changelog/events")
+    } finally Tables.unregister("mem:changelog/events")
+  }
+
+  "the default parquet adapter" should "serve the harness tables unchanged" in {
+    val root = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(s"$root/region.parquet").exists())
+    Tables.table(spark, root, "region").count() shouldBe
+      spark.read.parquet(s"$root/region.parquet").count()
+  }
+}

@@ -762,6 +762,19 @@ object SparkEntry {
         .orderBy(col("p"))
     }),
 
+    // EXACT z-key audit mode: per-column NTILE buckets over a
+    // deterministic total order, Morton-interleaved — engine-portable by
+    // construction, so unlike q_zorder_layout's partition stats this one
+    // is hash-checked against an ANSI NTILE oracle.
+    "q_zorder_key" -> ((s, d) =>
+      graft.ops.Layout.zorderKeyExact(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey")),
+          Seq("l_orderkey", "l_partkey"),
+          tieCols = Seq("l_orderkey", "l_linenumber"), bitsPerDim = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z_key"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // Flagship end-to-end training-data pipeline in ONE declarative plan:
     // quality gate (token count) → exact dedup (min-id per text) →
     // token-window chunking → capacity-bound packing. Catalyst sees the
@@ -783,7 +796,8 @@ object SparkEntry {
     }),
 
     // Deterministic key-stable train/val/test split — split sizes per
-    // language (rows-only: the hash family is engine-specific).
+    // language. md5-prefix assignment is engine-portable, so the split
+    // itself (not just its shape) hash-checks against the oracle.
     "q_sample_split" -> ((s, d) =>
       graft.ops.Sampling.trainValTestSplit(
           Tables.documents(s, d), Seq("doc_id"))
@@ -1806,6 +1820,30 @@ object SparkEntry {
         |          for i in range(1, n + 1, stride)]),
         |         (a, c) -> a + c) END AS byte_sum
         |FROM r ORDER BY id""".stripMargin,
+    "q_sample_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 6) < 'cccccd' THEN 'train'
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 6) < 'e66666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_zorder_key" -> {
+      // Morton interleave of the two 8-bit NTILE buckets: dim 0 at even
+      // bit positions, dim 1 at odd — the zValue bit layout
+      val interleave = (0 until 8).map(bit =>
+        s"(((b0 >> $bit) & 1) << ${2 * bit}) | " +
+          s"(((b1 >> $bit) & 1) << ${2 * bit + 1})").mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ntile(256) OVER (ORDER BY l_orderkey, l_orderkey, l_linenumber) - 1 AS b0,
+         |    ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1 AS b1
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST($interleave AS BIGINT) AS z_key
+         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "q_multimodal_features" ->
       """WITH b AS (
         |  SELECT doc_id AS id, length(text) AS n,

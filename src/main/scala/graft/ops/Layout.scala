@@ -97,4 +97,29 @@ object Layout {
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
   }
+
+  /** EXACT-quantile z-key, the audit/test mode of [[zorderBy]]: each
+    * column's bucket is `ntile(2^bitsPerDim)` over a deterministic total
+    * order (the column, then `tieCols` — pass a unique tiebreaker), so
+    * the interleaved key is a pure ANSI-SQL-expressible function of the
+    * data and oracle-checkable in any engine with NTILE. Costs one
+    * global window sort PER COLUMN (single-partition) — use it to audit
+    * clustering quality at test scale; [[zorderBy]]'s one-pass quantile
+    * sketch is the production path. */
+  def zorderKeyExact(df: DataFrame, cols: Seq[String], tieCols: Seq[String],
+                     bitsPerDim: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "zorderKeyExact needs at least one column")
+    require(cols.length * bitsPerDim <= 63,
+      "z-key must fit a LONG — lower bitsPerDim or drop columns")
+    val nb = 1 << bitsPerDim
+    val withBuckets = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy((col(c) +: tieCols.map(col)): _*)
+      acc.withColumn(s"__b$i", (ntile(nb).over(w) - 1).cast("long"))
+    }
+    withBuckets
+      .withColumn("z_key",
+        zValue(cols.indices.map(i => col(s"__b$i")), bitsPerDim))
+      .drop(cols.indices.map(i => s"__b$i"): _*)
+  }
 }

@@ -32,7 +32,14 @@ object Sampling {
 
   /** Add a `split` column ("train" | "val" | "test") with the given
     * weights, deterministically per key. Weights need not sum to 1 — they
-    * are normalized. */
+    * are normalized.
+    *
+    * The assignment key is the 6-hex-digit prefix of md5 over the key
+    * columns' decimal/string forms (space-joined), compared against
+    * weight-proportional hex thresholds — the same engine-portable
+    * family as [[md5Rank]], so the split is reproducible (and
+    * oracle-auditable) in any engine with `md5()`, not just one that
+    * shares Spark's xxhash64 variant. */
   def trainValTestSplit(df: DataFrame, keyCols: Seq[String],
                         trainWeight: Double = 0.8, valWeight: Double = 0.1,
                         testWeight: Double = 0.1): DataFrame = {
@@ -41,11 +48,13 @@ object Sampling {
     // invert the bucket boundaries and empty a split
     val total = trainWeight + valWeight + testWeight
     require(total > 0, "weights must sum to a positive value")
-    val b = hashBucket(10000, keyCols.map(col): _*)
-    val trainHi = math.round(trainWeight / total * 10000).toInt
-    val valHi = math.round((trainWeight + valWeight) / total * 10000).toInt
+    val key = substring(md5(concat_ws(" ",
+      keyCols.map(c => col(c).cast("string")): _*).cast("binary")), 1, 6)
     df.withColumn("split",
-      when(b < trainHi, "train").when(b < valHi, "val").otherwise("test"))
+      when(key < fractionThresholdHex(trainWeight / total), "train")
+        .when(key < fractionThresholdHex((trainWeight + valWeight) / total),
+          "val")
+        .otherwise("test"))
   }
 
   /** Engine-portable deterministic rank key: the md5 hex digest of the

@@ -58,4 +58,21 @@ class LayoutSpec extends SparkTestBase {
     sortedByX.unpersist()
     sy should be < baselineY * 0.7
   }
+
+  "zorderKeyExact" should "interleave NTILE buckets deterministically" in {
+    // 4 rows, bitsPerDim=1: ntile(2) splits each dim in half; z-key =
+    // b_x | b_y<<1 — computable by hand
+    val df = Seq((1L, 10L, 40L), (2L, 20L, 30L), (3L, 30L, 20L),
+      (4L, 40L, 10L)).toDF("id", "x", "y")
+    val out = Layout.zorderKeyExact(df, Seq("x", "y"), tieCols = Seq("id"),
+        bitsPerDim = 1)
+      .select($"id", $"z_key").as[(Long, Long)].collect().toMap
+    // x buckets: ids 1,2 → 0; 3,4 → 1. y buckets: ids 4,3 → 0; 2,1 → 1.
+    out shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L)
+    // stable under repartitioning (pure function of the data)
+    val again = Layout.zorderKeyExact(df.repartition(3), Seq("x", "y"),
+        tieCols = Seq("id"), bitsPerDim = 1)
+      .select($"id", $"z_key").as[(Long, Long)].collect().toMap
+    again shouldBe out
+  }
 }

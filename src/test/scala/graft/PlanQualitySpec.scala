@@ -104,6 +104,26 @@ class PlanQualitySpec extends SparkTestBase {
     (plan should not).include("Window")
   }
 
+  "crossNearDups / dedupAgainst" should
+      "shuffle-hash-join the corpus index side, never broadcast it" in {
+    // the index tables scale with the CORPUS (100 TB side); a stats or
+    // AQE change silently flipping the candidate join to a broadcast
+    // would collect the corpus index to the driver at scale. The hint
+    // pins ShuffledHashJoin; this spec pins the hint.
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val idx = graft.ops.Dedup.buildTextIndex(docs, "doc_id", "text")
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    for (df <- Seq(
+        graft.ops.Dedup.crossNearDups(inc, idx, "doc_id", "text"),
+        graft.ops.Dedup.dedupAgainst(inc, idx, "doc_id", "text"))) {
+      val plan = df.queryExecution.executedPlan.toString()
+      // the candidate join keys on (band, band_key) — it must be
+      // shuffle-hash, and no broadcast join may carry the band keys
+      plan should include regex "ShuffledHashJoin \\[band"
+      "Broadcast[A-Za-z]*Join \\[band".r.findFirstIn(plan) shouldBe None
+    }
+  }
+
   "q_pipeline_e2e" should "run gate+dedup+chunk+pack within a bounded shuffle budget" in {
     val plan = planOf("q_pipeline_e2e")
     // quality gate and chunking are shuffle-free; the pipeline may

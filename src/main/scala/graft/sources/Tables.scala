@@ -70,10 +70,13 @@ object Tables {
     * The file stream source only accepts directories (it pins `basePath`
     * to the source path itself), and the test tables are single parquet
     * files — so the table is staged once into a temp directory as FOUR
-    * files. With `maxFilesPerTrigger=1` the replay then runs as four real
-    * micro-batches: per-key state genuinely carries across triggers
-    * through the partitioned state store, instead of collapsing into one
-    * trivial batch. Staging writes the already-normalized (µs timestamp)
+    * files. With `maxFilesPerTrigger=2` the replay runs as TWO real
+    * micro-batches: per-key state genuinely carries across a trigger
+    * boundary through the partitioned state store (the property the
+    * streaming oracles exist to check), while each stateful query pays
+    * two rounds of state-store commit + checkpoint fsync instead of
+    * four — per-batch overhead dominated the streaming bench queries at
+    * toy scale. Staging writes the already-normalized (µs timestamp)
     * rows, so the stream schema equals [[events]]'s. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -88,7 +91,7 @@ object Tables {
     }
     s.readStream
       .schema(events(s, d).schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(staged.toString)
   }
 

@@ -139,7 +139,7 @@ class ChangelogStreamSpec extends SparkTestBase {
     streamed shouldBe batch
     batch should not be empty
     // the bridge's sink really is per-batch parquet directories, one per
-    // micro-batch of the 4-file replay — not a driver-side table
+    // micro-batch of the staged-file replay — not a driver-side table
     val batchDirs = new java.io.File(s"$out/out").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("graft_batch="))
     batchDirs.length should be >= 2

@@ -989,12 +989,15 @@ object SparkEntry {
         .orderBy(col("id"))),
 
     // Frame sampling over binary payloads (stub demuxer: fixed-stride
-    // chunk hashes) — xxhash64-based, so rows-only check.
+    // chunk hashes) — md5 frame hashes are engine-portable, so the full
+    // (id, frame_idx, frame_hash) output hash-checks against the oracle.
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.sampleFrames(
           Tables.documents(s, d).select(col("doc_id"),
             col("text").cast(BinaryType).as("data")),
           "doc_id", "data", frameBytes = 64, stride = 2)
+        .select(col("id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          col("frame_hash"))
         .orderBy(col("id"), col("frame_idx")))
   )
 
@@ -1820,6 +1823,19 @@ object SparkEntry {
         |          for i in range(1, n + 1, stride)]),
         |         (a, c) -> a + c) END AS byte_sum
         |FROM r ORDER BY id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, text, length(text) AS n FROM documents),
+        |f AS (
+        |  SELECT id, text,
+        |    CASE WHEN n IS NULL OR n <= 0 THEN 0
+        |         ELSE greatest(n // 128, 1) END AS nf
+        |  FROM d),
+        |x AS (
+        |  SELECT id, text, unnest(range(nf)) AS frame_idx FROM f WHERE nf > 0)
+        |SELECT id, frame_idx,
+        |  md5(substr(text, (frame_idx * 128 + 1)::BIGINT, 64)) AS frame_hash
+        |FROM x ORDER BY id, frame_idx""".stripMargin,
     "q_sample_split" ->
       """WITH s AS (
         |  SELECT lang,

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * IMAGE payloads (PNG/JPEG/GIF, as sniffed by magic bytes) are decoded
   * FOR REAL via the JDK's `javax.imageio` ([[ImageDecoder]]): true pixel
   * dimensions plus a deterministic downsampled-luminance grid embedding.
-  * Audio/video/unknown payloads still go through the deterministic stub
+  * WAV payloads are decoded FOR REAL via `javax.sound.sampled`
+  * ([[AudioDecoder]]): PCM samples to an RMS energy envelope embedding.
+  * Video/other-audio/unknown payloads go through the deterministic stub
   * ([[FakeDecoder]]) — this container ships no audio/video codecs — so the
   * Spark-side contract (schema, partitioning, batch shape, encoder
   * signatures) is real and testable end to end. Swap [[FakeDecoder]] for a
@@ -59,7 +61,7 @@ object Multimodal {
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
   /** Deterministic fake decoder for payload types the JVM cannot decode
-    * (audio/video/unknown): "decodes" a payload to dimensions and a small
+    * (video, non-WAV audio, unknown): "decodes" a payload to dimensions and a small
     * embedding derived purely from the bytes, so results are stable
     * across partitionings and runs. A real implementation would decode
     * with a codec and run a vision/audio model per *batch*. */
@@ -150,11 +152,92 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoding for WAV payloads via the JDK's
+    * `javax.sound.sampled` — zero extra dependencies. Emits null
+    * width/height (image-specific) and a deterministic embedding: the
+    * RMS amplitude envelope over 8 equal time buckets of the channel-
+    * averaged PCM signal, scaled to [0,1]. Undecodable payloads
+    * (corrupt, or an encoding the JDK has no codec for) yield null
+    * embedding as well. */
+  object AudioDecoder {
+    private val Buckets = 8
+
+    /** Channel-averaged samples in [-1,1] from 8/16-bit PCM. */
+    private[ops] def pcmSamples(bytes: Array[Byte]): Option[(Array[Float], Float)] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+              _: java.io.IOException => return None
+        }
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if (bits != 8 && bits != 16) return None
+        val raw = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val frameBytes = bytesPerSample * ch
+        val n = raw.length / frameBytes
+        if (n == 0) return None
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameBytes + c * bytesPerSample
+            val s =
+              if (bits == 8) ((raw(off) & 0xFF) - 128) / 128.0
+              else {
+                val lo = raw(off) & 0xFF
+                val hi = raw(off + 1).toInt
+                val v = if (fmt.isBigEndian) (raw(off).toInt << 8) | (raw(off + 1) & 0xFF)
+                        else (hi << 8) | lo
+                v / 32768.0
+              }
+            acc += s
+            c += 1
+          }
+          out(i) = (acc / ch).toFloat
+          i += 1
+        }
+        Some((out, fmt.getSampleRate))
+      } catch {
+        case _: java.io.IOException | _: RuntimeException => None
+      } finally ais.close()
+    }
+
+    def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {
+      val n = if (bytes == null) 0 else bytes.length
+      pcmSamples(if (bytes == null) Array.emptyByteArray else bytes) match {
+        case None => Row(id, mediaType, n, null, null, null)
+        case Some((samples, _)) =>
+          val emb = new Array[Float](Buckets)
+          var b = 0
+          while (b < Buckets) {
+            val lo = b * samples.length / Buckets
+            val hi = math.max(lo + 1, (b + 1) * samples.length / Buckets)
+            var sum = 0.0
+            var i = lo
+            while (i < hi && i < samples.length) {
+              sum += samples(i).toDouble * samples(i); i += 1
+            }
+            emb(b) = math.sqrt(sum / math.max(1, hi - lo)).toFloat
+            b += 1
+          }
+          Row(id, mediaType, n, null, null, emb.toSeq)
+      }
+    }
+  }
+
   /** Batched feature extraction over a binary column: partitions stream
     * through the decoders in groups of `batchSize` rows — PNG/JPEG/GIF
-    * through [[ImageDecoder]] (real pixels), everything else through
-    * [[FakeDecoder]]. The operator is fully distributed (per-partition,
-    * no shuffle, no driver collect) and emits [[FeatureSchema]] rows. */
+    * through [[ImageDecoder]] (real pixels), WAV through [[AudioDecoder]]
+    * (real PCM), everything else through [[FakeDecoder]]. The operator is
+    * fully distributed (per-partition, no shuffle, no driver collect) and
+    * emits [[FeatureSchema]] rows. */
   def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
                       batchSize: Int = 64): DataFrame = {
     val in = df.select(col(idCol).cast(LongType).as("id"),
@@ -170,6 +253,8 @@ object Multimodal {
           val mediaType = r.getString(2)
           if (JdkDecodableImageTypes(mediaType))
             ImageDecoder.decodeOne(id, bytes, mediaType)
+          else if (mediaType == "audio/wav")
+            AudioDecoder.decodeOne(id, bytes, mediaType)
           else FakeDecoder.decodeOne(id, bytes, mediaType)
         }
       }
@@ -227,7 +312,9 @@ object Multimodal {
   /** Deterministic frame sampling for video payloads: every `stride`-th
     * chunk of `frameBytes` bytes becomes a "frame" (stub for a container
     * demuxer), emitted as (id, frame_idx, frame_hash) — the shape a
-    * frame-level dedup or captioning stage consumes. */
+    * frame-level dedup or captioning stage consumes. Frame hashes are
+    * md5 (engine-portable, like the samplers' rank keys) so the whole
+    * operator is oracle-checkable, not just row-counted. */
   def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
                    frameBytes: Int = 256, stride: Int = 4): DataFrame = {
     // a short-but-nonempty payload still yields its one partial frame,
@@ -243,7 +330,7 @@ object Multimodal {
       .otherwise(sequence(lit(0L), nFrames - 1))
     df.select(col(idCol).cast(LongType).as("id"), col(bytesCol).as("data"))
       .select(col("id"), posexplode(transform(idxs,
-        i => xxhash64(substring(col("data"),
+        i => md5(substring(col("data"),
           i * frameBytes * stride + 1, lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_hash")

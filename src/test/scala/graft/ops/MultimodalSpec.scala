@@ -143,6 +143,53 @@ class MultimodalSpec extends SparkTestBase {
     all(out(2L)) shouldBe 0.0f +- 0.01f
   }
 
+  /** Render a mono 16-bit PCM WAV of a sine tone (amplitude in [0,1]). */
+  private def encodeWav(amplitude: Double, seconds: Double = 0.05,
+                        hz: Double = 440.0): Array[Byte] = {
+    val rate = 8000f
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amplitude * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  it should "decode real WAV payloads to an RMS energy envelope" in {
+    val fixtures = Seq(
+      (1L, encodeWav(amplitude = 0.8)), // steady sine: RMS ≈ 0.8/√2
+      (2L, encodeWav(amplitude = 0.0))  // silence: RMS 0
+    ).toDF("id", "data")
+    val out = Multimodal.extractFeatures(fixtures, "id", "data")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    out(1L).getAs[String]("media_type") shouldBe "audio/wav"
+    // width/height are image-specific — null for audio
+    out(1L).isNullAt(out(1L).fieldIndex("width")) shouldBe true
+    val loud = out(1L).getSeq[Float](out(1L).fieldIndex("embedding"))
+    loud.length shouldBe 8
+    all(loud) shouldBe (0.8 / math.sqrt(2)).toFloat +- 0.05f
+    all(out(2L).getSeq[Float](out(2L).fieldIndex("embedding"))) shouldBe
+      0.0f +- 0.001f
+  }
+
+  it should "report null features for a corrupt WAV payload" in {
+    val junk = "RIFF".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 4) ++
+      "WAVE".getBytes("UTF-8") ++ "not really audio".getBytes("UTF-8")
+    val out = Multimodal.extractFeatures(
+        Seq((1L, junk)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "audio/wav"
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
   it should "fail loudly on a null id instead of a deep NPE" in {
     val d = Seq((Option.empty[Long], "x".getBytes("UTF-8")))
       .toDF("id", "data")

@@ -653,6 +653,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental embedding dedup: increment (vec_id % 10 == 0) against a
+    // prebuilt VectorIndex of the rest — exact by the same triangle-
+    // inequality prune as q_dedup_embedding; the corpus side reads only
+    // index tables, so a daily increment never rescans the corpus.
+    "q_dedup_embedding_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Dedup.buildVectorIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+      Dedup.crossEmbeddingNearDups(
+          emb.filter(col("vec_id") % 10 === 0), idx,
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("inc_id"), col("corpus_id"))
+    }),
+
     // MinHash+LSH near-dup (banded signature blocking, exact verification).
     // Same oracle as the exact join: at threshold 0.8 with 16×4 bands the
     // per-pair miss probability is < 1e-15, and the pipeline is
@@ -1417,6 +1431,26 @@ object SparkEntry {
          |SELECT id_a, id_b FROM j ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_embedding" -> EmbeddingNearDupOracle,
     "q_dedup_embedding_exact" -> EmbeddingNearDupOracle,
+    "q_dedup_embedding_incremental" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |i AS (SELECT * FROM v WHERE id % 10 = 0),
+        |c AS (SELECT * FROM v WHERE id % 10 <> 0),
+        |s AS (
+        |  SELECT i.id AS inc_id, c.id AS corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * i.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM i JOIN c ON 1 = 1)
+        |SELECT inc_id, corpus_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT inc_id, corpus_id,
+        |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
+        |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),

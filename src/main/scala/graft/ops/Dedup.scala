@@ -527,6 +527,169 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The build parameters of a [[VectorIndex]] — persisted with the
+    * index; the increment side reuses the same centroids, so there is no
+    * parameter to mismatch. */
+  final case class VectorIndexParams(nlist: Int, dim: Int, iters: Int)
+
+  /** Precomputed embedding-dedup index of a corpus: trained spherical
+    * k-means centroids plus the cell-assigned members (id, vec, nrm,
+    * cell, ccos). The vector-side analogue of [[TextIndex]]: build and
+    * [[VectorIndex.save]] once, then every daily increment dedups
+    * against the stored tables — the corpus is never rescanned, and the
+    * triangle-inequality prune keeps the cross check exact. */
+  final case class VectorIndex(centroids: Array[Array[Float]],
+                               members: DataFrame,
+                               params: VectorIndexParams) {
+    /** Persist centroids, members, and params under `dir` (overwrite). */
+    def save(dir: String): Unit = {
+      val spark = members.sparkSession
+      IvfIndex.centroidDF(spark, centroids, cellCol = "cell",
+          vecCol = "cvec")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      members.write.mode("overwrite").parquet(s"$dir/members")
+      spark.createDataFrame(Seq(params))
+        .write.mode("overwrite").json(s"$dir/params")
+    }
+  }
+
+  object VectorIndex {
+    /** Reopen an index written by [[VectorIndex.save]]; an index without
+      * a params record is refused, as in [[TextIndex.load]]. Centroids
+      * come back to the driver — model size (nlist × dim floats). */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): VectorIndex = {
+      val params =
+        try {
+          val row = spark.read.json(s"$dir/params")
+            .select("nlist", "dim", "iters").head()
+          VectorIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
+            row.getLong(2).toInt)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"VectorIndex at $dir has no readable params record " +
+                "(params/); it was not written by VectorIndex.save — " +
+                "rebuild it with buildVectorIndex", e)
+        }
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Float](1).toArray)
+      require(centroids.length == params.nlist,
+        s"VectorIndex at $dir has ${centroids.length} centroids but " +
+          s"params say nlist=${params.nlist}")
+      VectorIndex(centroids, spark.read.parquet(s"$dir/members"), params)
+    }
+  }
+
+  /** Build the [[VectorIndex]] of an embedding corpus — the training +
+    * assignment half of [[embeddingNearDupsBlocked]], exposed so the
+    * work is done ONCE for incremental pipelines.
+    *
+    * nlist <= 0 → size cells to the corpus: ~1000 members per cell keeps
+    * the worst same-cell scoring task at ~500k pairs however large the
+    * corpus grows (a fixed nlist turns into O((n/nlist)²) per cell).
+    * Centroids are deterministic random directions refined by `iters`
+    * Lloyd steps: random seeding skips the seed-collect job (cell
+    * QUALITY only affects the prune rate, never completeness), and one
+    * step already pulls cells onto the corpus distribution. Zero-norm
+    * vectors (cosine undefined, scored 0) are excluded from members up
+    * front. */
+  def buildVectorIndex(df: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int = 0, iters: Int = 1,
+                       dim: Int = 0): VectorIndex = {
+    val d = if (dim > 0) dim else Similarity.vectorDim(df, vecCol)
+    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val effNlist =
+      if (nlist > 0) nlist
+      else math.max(16L, unit.count() / 1000L).toInt
+    val seeds = Array.tabulate(math.max(1, effNlist)) { p =>
+      val v = Similarity.planeVector(p, d)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val centroids = IvfIndex.lloyd(unit, seeds, iters)
+    unit.unpersist()
+    val members = IvfIndex.withAssignment(
+      Parallelism.spread(
+          df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
+        .filter(col("nrm") > 0.0),
+      centroids)
+    VectorIndex(centroids, members, VectorIndexParams(effNlist, d, iters))
+  }
+
+  /** Near-duplicate pairs ACROSS corpora: (inc_id, corpus_id, cosine ≥
+    * threshold) between an increment and an indexed corpus — EXACT, like
+    * [[embeddingNearDupsBlocked]], by the same spherical triangle
+    * inequality: the increment is assigned to the INDEX's centroids, each
+    * side contributes its own per-cell angular radius, and an (inc-cell,
+    * corpus-cell) pair is skipped exactly when even its closest possible
+    * members stay below the threshold. The corpus side reads entirely
+    * from the prebuilt [[VectorIndex]] — no rescan, no retraining; only
+    * the increment is assigned per run. All ordered cell pairs are
+    * enumerated (the sides are distinct tables, so no i ≤ j halving). */
+  def crossEmbeddingNearDups(increment: DataFrame, index: VectorIndex,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    require(threshold > 0.0,
+      s"blocked near-dup pruning needs threshold > 0, got $threshold")
+    val corpM = index.members.persist(StorageLevel.MEMORY_AND_DISK)
+    val incM = IvfIndex.withAssignment(
+        Parallelism.spread(
+            increment.select(col(idCol).as("id"), col(vecCol).as("vec")))
+          .withColumn("nrm",
+            graft.functions.VectorFunctions.fnorm(col("vec")))
+          .filter(col("nrm") > 0.0),
+        index.centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    def radii(m: DataFrame, out: String) = m.groupBy(col("cell"))
+      .agg(acos(greatest(lit(-1.0), least(lit(1.0), min(col("ccos")))))
+        .as(out))
+    val spark = increment.sparkSession
+    val cdf = IvfIndex.centroidDF(spark, index.centroids,
+      cellCol = "cell", vecCol = "cvec")
+    // non-empty cells only, per side; both tables are model-sized
+    val ci = cdf.join(radii(incM, "ri"), "cell")
+      .select(col("cell").as("ci"), col("cvec").as("vi"), col("ri"))
+    val cj = cdf.join(radii(corpM, "rj"), "cell")
+      .select(col("cell").as("cj"), col("cvec").as("vj"), col("rj"))
+    val fdot = graft.functions.VectorFunctions.fdot _
+    val cangle = acos(greatest(lit(-1.0),
+      least(lit(1.0), fdot(col("vi"), col("vj")))))
+    val cp = ci.join(broadcast(cj),
+        cangle <= lit(thetaT) + col("ri") + col("rj"))
+      .select(col("ci"), col("cj"))
+    val lhs = incM.select(col("id").as("inc_id"), col("vec").as("vl"),
+      col("nrm").as("nl"), col("cell").as("cell_l"))
+    val rhs = corpM.select(col("id").as("corpus_id"), col("vec").as("vr"),
+      col("nrm").as("nr"), col("cell").as("cell_r"))
+    lhs.join(broadcast(cp), col("cell_l") === col("ci"))
+      .hint("shuffle_hash") // corpus members scale with the corpus
+      .join(rhs, col("cell_r") === col("cj"))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("vl"), col("nl"), col("vr"), col("nr")))
+      .filter(col("cosine") >= threshold)
+      .select(col("inc_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Incremental embedding dedup: the increment minus every row whose
+    * embedding is within `threshold` cosine of some indexed-corpus
+    * vector (exact duplicates score cosine 1 and are covered). The
+    * corpus is never touched — everything reads from the
+    * [[VectorIndex]]. The increment is NOT self-deduped here — compose
+    * with [[embeddingNearDupsBlocked]] for that. */
+  def dedupEmbeddingsAgainst(increment: DataFrame, index: VectorIndex,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val hit = crossEmbeddingNearDups(increment, index, idCol, vecCol,
+        threshold)
+      .select(col("inc_id")).distinct()
+    increment.join(hit, increment(idCol) === hit("inc_id"), "left_anti")
+  }
+
   /** Exact pairs (id_a < id_b) with cosine ≥ threshold through a PROVABLY
     * complete data-adaptive blocking: a spherical k-means coarse partition
     * ([[IvfIndex.trainCentroids]]) plus angular triangle-inequality
@@ -572,34 +735,9 @@ object Dedup {
                                iters: Int = 1, dim: Int = 0): DataFrame = {
     require(threshold > 0.0,
       s"blocked near-dup pruning needs threshold > 0, got $threshold")
-    val d = if (dim > 0) dim else Similarity.vectorDim(df, vecCol)
-    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // nlist <= 0 → size cells to the corpus: ~1000 members per cell keeps
-    // the worst same-cell scoring task at ~500k pairs however large the
-    // corpus grows (a fixed nlist turns into O((n/nlist)²) per cell).
-    val effNlist =
-      if (nlist > 0) nlist
-      else math.max(16L, unit.count() / 1000L).toInt
-    // Centroids: deterministic random directions refined by `iters` Lloyd
-    // steps. Random seeding skips the seed-collect job (cell QUALITY only
-    // affects the prune rate, never completeness), and one step already
-    // pulls cells onto the corpus distribution; raise `iters` when the
-    // corpus is heavily clustered and the prune rate matters more than
-    // one extra driver round-trip.
-    val seeds = Array.tabulate(math.max(1, effNlist)) { p =>
-      val v = Similarity.planeVector(p, d)
-      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
-      v.map(x => (x / nrm).toFloat)
-    }
-    val centroids = IvfIndex.lloyd(unit, seeds, iters)
-    unit.unpersist()
-    val members = IvfIndex.withAssignment(
-        Parallelism.spread(
-            df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-          .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
-          .filter(col("nrm") > 0.0),
-        centroids)
+    val index = buildVectorIndex(df, idCol, vecCol, nlist, iters, dim)
+    val centroids = index.centroids
+    val members = index.members
       .persist(StorageLevel.MEMORY_AND_DISK) // radius pass + both join sides
     // Cell-pair pruning, fully distributed: the centroid table (model-
     // sized: nlist × dim floats) first drops empty cells via the inner

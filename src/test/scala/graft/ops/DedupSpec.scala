@@ -279,4 +279,67 @@ class DedupSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] { Dedup.TextIndex.load(spark, dir) }
     e.getMessage should include("params")
   }
+
+  private lazy val sfEmbeddings = {
+    val p = s"$testdataRoot/sf0.001/embeddings.parquet"
+    if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+  }
+
+  "crossEmbeddingNearDups" should "equal the exact increment-vs-corpus cosine join" in {
+    assume(sfEmbeddings.isDefined)
+    val emb = sfEmbeddings.get
+    val inc = emb.filter($"vec_id" % 10 === 0)
+    val corp = emb.filter($"vec_id" % 10 =!= 0)
+    val idx = Dedup.buildVectorIndex(corp, "vec_id", "embedding")
+    val blocked = Dedup.crossEmbeddingNearDups(inc, idx, "vec_id",
+        "embedding", threshold = 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    def side(df: org.apache.spark.sql.DataFrame, id: String, v: String,
+             n: String) =
+      df.select($"vec_id".as(id), $"embedding".as(v))
+        .withColumn(n, graft.functions.VectorFunctions.fnorm(col(v)))
+    val exact = side(inc, "inc_id", "vl", "nl")
+      .crossJoin(side(corp, "corpus_id", "vr", "nr"))
+      .withColumn("cosine", graft.ops.Similarity.cosineWithNorms(
+        $"vl", $"nl", $"vr", $"nr"))
+      .filter($"cosine" >= 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    blocked shouldBe exact
+  }
+
+  "VectorIndex" should "give identical results through a save/load round-trip" in {
+    assume(sfEmbeddings.isDefined)
+    val emb = sfEmbeddings.get
+    val inc = emb.filter($"vec_id" % 10 === 0)
+    val corp = emb.filter($"vec_id" % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_index").toString
+    val built = Dedup.buildVectorIndex(corp, "vec_id", "embedding")
+    built.save(dir)
+    val loaded = Dedup.VectorIndex.load(spark, dir)
+    loaded.params shouldBe built.params
+    val a = Dedup.crossEmbeddingNearDups(inc, built, "vec_id", "embedding", 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val b = Dedup.crossEmbeddingNearDups(inc, loaded, "vec_id", "embedding", 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    b shouldBe a
+    // and the anti-join drops exactly the hit increment rows
+    val kept = Dedup.dedupEmbeddingsAgainst(inc, loaded, "vec_id",
+        "embedding", 0.4)
+      .select($"vec_id").as[Long].collect().toSet
+    kept shouldBe inc.select($"vec_id").as[Long].collect().toSet
+      .diff(a.map(_._1))
+  }
+
+  it should "refuse to load a directory without a params record" in {
+    assume(sfEmbeddings.isDefined)
+    val corp = sfEmbeddings.get.filter($"vec_id" % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_noparams").toString
+    val built = Dedup.buildVectorIndex(corp, "vec_id", "embedding")
+    built.members.write.mode("overwrite").parquet(s"$dir/members")
+    val e = intercept[IllegalStateException] {
+      Dedup.VectorIndex.load(spark, dir)
+    }
+    e.getMessage should include("params")
+  }
 }

@@ -122,6 +122,39 @@ object IvfIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Approximate cosine top-k against a PREBUILT index (the
+    * cell-assigned member table + its centroids — e.g. a loaded
+    * [[graft.ops.Dedup.VectorIndex]]): no training, no corpus
+    * normalization pass — only the query batch is normalized and probed
+    * per run, the daily-search shape for a persisted 100 TB index.
+    * Members carry raw vectors + norms, so scoring divides by the stored
+    * norm instead of re-normalizing the corpus. */
+  def ivfTopKPrebuilt(members: DataFrame, centroids: Array[Array[Float]],
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    // probing runs on unit queries; SCORING uses the raw vectors + norms
+    // on both sides — bit-identical to Similarity.bruteForceTopK, so at
+    // nprobe = nlist the result IS the exact top-k (spec-pinned)
+    val probes = probeCells(unitVectors(queries, idCol, vecCol), centroids,
+        nprobe)
+      .select(col("id").as("query_id"), col("cell"))
+    val qMeta = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      graft.functions.VectorFunctions.fnorm(col(vecCol)).as("q_nrm"))
+    val q = probes.join(qMeta, "query_id")
+    val c = members.select(col("id").as("corpus_id"), col("vec"),
+      col("nrm"), col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosineWithNorms(col("q_vec"), col("q_nrm"),
+          col("vec"), col("nrm")).as("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** (id, unit vector); zero vectors stay zero (land in cell of seed 0
     * with score 0 — harmless). */
   private[ops] def unitVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -124,6 +124,24 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  "crossEmbeddingNearDups" should
+      "shuffle-hash-join the corpus member table, never broadcast it" in {
+    // same invariant as the text index: the member table scales with the
+    // corpus, only the cell-pair list and the increment probes broadcast
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.ops.Dedup.buildVectorIndex(
+      emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding")
+    val plan = graft.ops.Dedup.crossEmbeddingNearDups(
+        emb.filter(col("vec_id") % 10 === 0), idx,
+        "vec_id", "embedding", threshold = 0.4)
+      .queryExecution.executedPlan.toString()
+    // the corpus-member join keys right side on cell_r — it must plan as
+    // shuffle-hash; a broadcast join keyed on cell_r would mean the
+    // corpus members were broadcast
+    plan should include regex "ShuffledHashJoin \\[[^\\]]*\\], \\[cell_r"
+    "Broadcast[A-Za-z]*Join \\[[^\\]]*\\], \\[cell_r".r.findFirstIn(plan) shouldBe None
+  }
+
   "q_pipeline_e2e" should "run gate+dedup+chunk+pack within a bounded shuffle budget" in {
     val plan = planOf("q_pipeline_e2e")
     // quality gate and chunking are shuffle-free; the pipeline may

@@ -134,6 +134,34 @@ class VectorScaleSpec extends SparkTestBase {
     trained.length shouldBe 4096
   }
 
+  "ivfTopKPrebuilt" should "equal brute-force top-k when probing every cell" in {
+    // a prebuilt index searched with nprobe = nlist is exhaustive, and
+    // the scoring arithmetic matches bruteForceTopK bit for bit — so the
+    // result rows (ids, cosines, ranks) must be identical
+    val idx = Dedup.buildVectorIndex(bigVecs, "vec_id", "embedding",
+      nlist = 8, dim = dim)
+    val queries = bigVecs.filter($"vec_id" < 3)
+    val got = IvfIndex.ivfTopKPrebuilt(idx.members, idx.centroids, queries,
+        k = 5, nprobe = 8)
+      .collect().map(_.toString).toSet
+    val exact = Similarity.bruteForceTopK(bigVecs, queries, k = 5)
+      .collect().map(_.toString).toSet
+    got shouldBe exact
+    got.size shouldBe 15 // 3 queries × k
+  }
+
+  it should "prune to fewer scored candidates at nprobe < nlist" in {
+    val idx = Dedup.buildVectorIndex(bigVecs, "vec_id", "embedding",
+      nlist = 8, dim = dim)
+    val queries = bigVecs.filter($"vec_id" < 3)
+    val got = IvfIndex.ivfTopKPrebuilt(idx.members, idx.centroids, queries,
+      k = 5, nprobe = 2)
+    // still k results per query (cells hold plenty of members), found
+    // from only the probed fraction of the corpus
+    got.groupBy($"query_id").count().collect()
+      .foreach(_.getLong(1) shouldBe 5L)
+  }
+
   "ivfTopK" should "fail fast on an empty corpus and handle nlist=1" in {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     an[IllegalArgumentException] should be thrownBy

@@ -178,6 +178,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Stream-stream temporal self-join replayed to completion through the
+    // APPEND-mode file bridge: every (event, earlier-event-within-30min)
+    // pair per user, emitted exactly once across micro-batches — the
+    // converged pair set must equal the batch interval join (DuckDB
+    // oracle). The event-time bound is what lets state expire on a real
+    // unbounded stream; the oversized watermark costs nothing bounded.
+    "q_stream_join" -> ((s, d) => {
+      val out = scratchDir("graft_sj_")
+      val joined = graft.streaming.ChangelogStream.enrichWithinWindow(
+          Tables.eventsStream(s, d), Tables.eventsStream(s, d),
+          "user_id", "ts", "ts", toleranceSeconds = 1800,
+          watermarkDelay = "3650 days")
+        .select(col("user_id"), col("event_id"), col("r_event_id"),
+          col("ts"), col("r_ts"))
+      graft.streaming.ChangelogStream.replayAppendToFiles(joined, out)
+        .orderBy(col("user_id"), col("event_id"), col("r_event_id"))
+    }),
+
     // Continuously-maintained materialized snapshot, partition-aligned:
     // each micro-batch advances the stored state and commits ONLY the
     // key-bucket directories it touched, by stage-then-rename with
@@ -1066,6 +1084,14 @@ object SparkEntry {
         |  user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY window_start, user_id""".stripMargin,
+    "q_stream_join" ->
+      """SELECT l.user_id, l.event_id, r.event_id AS r_event_id,
+        |  l.ts, r.ts AS r_ts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 1800 SECOND
+        |  AND r.ts <= l.ts
+        |ORDER BY l.user_id, l.event_id, r_event_id""".stripMargin,
     "q_changed_keys" ->
       s"""SELECT DISTINCT user_id FROM events
          | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '$AsOfTs'

@@ -182,6 +182,34 @@ object ChangelogStream {
         .drop("graft_batch")
   }
 
+  /** Bounded replay of an APPEND-mode stream (a stream-stream join, an
+    * append aggregation) through the file-sink bridge: each micro-batch's
+    * appended rows land under their own `dir/out/graft_batch=<id>`
+    * directory (overwrite per batch id — idempotent under re-delivery),
+    * and the final relation is the plain union of the batch directories:
+    * append-mode rows are emitted exactly once, so no per-group reduce is
+    * needed. Scales like [[replayToFiles]] — nothing concentrates on the
+    * driver. */
+  def replayAppendToFiles(appended: DataFrame, dir: String): DataFrame = {
+    val spark = appended.sparkSession
+    val q = appended.writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        appended.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
     * upsert replayed to completion with per-batch winners written to
     * parquet and reduced distributedly — the equivalence check itself is

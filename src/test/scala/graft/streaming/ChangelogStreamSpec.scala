@@ -220,6 +220,32 @@ class ChangelogStreamSpec extends SparkTestBase {
     batch should not be empty
   }
 
+  "replayAppendToFiles" should "converge a stream-stream join to the batch interval join" in {
+    val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_replay_join_" + System.nanoTime()).toString
+    val joined = ChangelogStream.enrichWithinWindow(
+      graft.sources.Tables.eventsStream(spark, dir),
+      graft.sources.Tables.eventsStream(spark, dir),
+      "user_id", "ts", "ts", toleranceSeconds = 1800,
+      watermarkDelay = "3650 days")
+    val streamed = ChangelogStream.replayAppendToFiles(
+        joined.select($"user_id", $"event_id", $"r_event_id"), out)
+      .as[(Long, Long, Long)].collect()
+    val e = graft.sources.Tables.events(spark, dir)
+    val batch = e.select($"user_id", $"event_id", $"ts")
+      .join(e.select($"user_id", $"event_id".as("r_event_id"),
+        $"ts".as("r_ts")), Seq("user_id"))
+      .filter($"r_ts" >= $"ts" - expr("INTERVAL 1800 SECONDS") &&
+        $"r_ts" <= $"ts")
+      .select($"user_id", $"event_id", $"r_event_id")
+      .as[(Long, Long, Long)].collect()
+    // append rows are emitted exactly ONCE: multiset equality, not set
+    streamed.length shouldBe batch.length
+    streamed.sorted.toSeq shouldBe batch.sorted.toSeq
+  }
+
   it should "drop state-free late data behind the watermark in append-mode sinks" in {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -131,11 +131,15 @@ object SparkEntry {
     // replay runs through the FILE-sink bridge (per-batch winners to
     // parquet, reduced distributedly), so the verification path itself is
     // corpus-safe — no driver-resident memory sink.
+    // statePartitions = 8 on all replays: state volume here is modest
+    // (per-key markers / windows), and each state partition pays store
+    // maintenance + commit per batch — 32 partitions burned ~7x the
+    // system CPU of 8 for identical results (measured on q_stream_join).
     "q_stream_upsert" -> ((s, d) => {
       val out = scratchDir("graft_ups_")
       graft.streaming.ChangelogStream.replayLatestPerKeyToFiles(
           Tables.eventsStream(s, d), Seq("user_id"), "ts", Seq("event_id"),
-          dir = out)
+          dir = out, statePartitions = 8)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"))
         .orderBy(col("user_id"))
@@ -157,7 +161,8 @@ object SparkEntry {
         windowDuration = "1 day", slideDuration = "1 day",
         watermarkDelay = "3650 days")
       graft.streaming.ChangelogStream.replayToFiles(wc,
-          Seq("window_start", "window_end", "user_id"), out)
+          Seq("window_start", "window_end", "user_id"), out,
+          statePartitions = 8)
         .select(col("window_start"), col("window_end"), col("user_id"),
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy(col("window_start"), col("user_id"))
@@ -173,7 +178,7 @@ object SparkEntry {
       graft.streaming.ChangelogStream.replayToFiles(
           graft.streaming.ChangelogStream.firstPerKey(
             Tables.eventsStream(s, d), keys),
-          keys, out)
+          keys, out, statePartitions = 8)
         .select(col("user_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_type"))
     }),
@@ -192,7 +197,8 @@ object SparkEntry {
           watermarkDelay = "3650 days")
         .select(col("user_id"), col("event_id"), col("r_event_id"),
           col("ts"), col("r_ts"))
-      graft.streaming.ChangelogStream.replayAppendToFiles(joined, out)
+      graft.streaming.ChangelogStream.replayAppendToFiles(joined, out,
+          statePartitions = 8)
         .orderBy(col("user_id"), col("event_id"), col("r_event_id"))
     }),
 

@@ -153,20 +153,41 @@ object ChangelogStream {
     * NOT for `session_window` aggregations: session merges change the
     * group's own bounds, so superseded intermediate sessions would
     * survive the per-group reduce. */
-  def replayToFiles(updates: DataFrame, groupCols: Seq[String],
-                    dir: String): DataFrame = {
-    val spark = updates.sparkSession
-    val q = updates.writeStream
-      .option("checkpointLocation", s"$dir/_checkpoints")
-      .outputMode(OutputMode.Update())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        // no leading underscore in the directory name: hidden-path
-        // filtering would drop it from the read back
-        b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n` (n <= 0: leave the session value). A streaming query pins its
+    * STATE partition count from this conf at first start, and every
+    * state partition pays per-batch store maintenance + commit — on a
+    * replay with modest state, 32+ partitions burn more system CPU in
+    * store churn than the data costs. Size to expected state volume. */
+  private def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                                       n: Int)(body: => T): T =
+    if (n <= 0) body
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, n.toString)
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    }
+
+  def replayToFiles(updates: DataFrame, groupCols: Seq[String],
+                    dir: String, statePartitions: Int = 0): DataFrame = {
+    val spark = updates.sparkSession
+    withShufflePartitions(spark, statePartitions) {
+      val q = updates.writeStream
+        .option("checkpointLocation", s"$dir/_checkpoints")
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          // no leading underscore in the directory name: hidden-path
+          // filtering would drop it from the read back
+          b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // an empty bounded stream fires zero micro-batches and never creates
     // the sink dir — mirror the batch operator's empty result instead of
     // failing the read with path-does-not-exist
@@ -190,17 +211,20 @@ object ChangelogStream {
     * append-mode rows are emitted exactly once, so no per-group reduce is
     * needed. Scales like [[replayToFiles]] — nothing concentrates on the
     * driver. */
-  def replayAppendToFiles(appended: DataFrame, dir: String): DataFrame = {
+  def replayAppendToFiles(appended: DataFrame, dir: String,
+                          statePartitions: Int = 0): DataFrame = {
     val spark = appended.sparkSession
-    val q = appended.writeStream
-      .option("checkpointLocation", s"$dir/_checkpoints")
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, statePartitions) {
+      val q = appended.writeStream
+        .option("checkpointLocation", s"$dir/_checkpoints")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
     val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(outPath))
@@ -218,9 +242,10 @@ object ChangelogStream {
   def replayLatestPerKeyToFiles(stream: DataFrame, keyCols: Seq[String],
                                 tsCol: String,
                                 tieBreakers: Seq[String] = Nil,
-                                dir: String): DataFrame =
+                                dir: String,
+                                statePartitions: Int = 0): DataFrame =
     replayToFiles(latestPerKey(stream, keyCols, tsCol, tieBreakers),
-      keyCols, dir)
+      keyCols, dir, statePartitions)
 
   /** Streaming exact dedup: keep the first-arrival row per key through
     * the built-in stateful distinct. State is one marker per key and

@@ -1905,8 +1905,8 @@ object SparkEntry {
     "q_sample_split" ->
       """WITH s AS (
         |  SELECT lang,
-        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 6) < 'cccccd' THEN 'train'
-        |         WHEN substr(md5(doc_id::VARCHAR), 1, 6) < 'e66666' THEN 'val'
+        |    CASE WHEN substr(md5(md5(doc_id::VARCHAR)), 1, 6) < 'cccccd' THEN 'train'
+        |         WHEN substr(md5(md5(doc_id::VARCHAR)), 1, 6) < 'e66666' THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT lang, split, count(*) AS n_docs

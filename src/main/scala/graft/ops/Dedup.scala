@@ -819,8 +819,33 @@ object Dedup {
   def dupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Reliable checkpoint files are NEVER auto-deleted (the cleaner conf
+    // defaults off), so without cleanup each round would leave a full
+    // label-table copy on distributed storage for the life of the app.
+    // Snapshot the checkpoint dir around each truncate and delete a
+    // round's files once the next round has materialized past them.
+    // (Assumes no CONCURRENT checkpoint writer in this SparkContext
+    // during the loop — else their fresh dirs could be swept up.)
+    def ckSnapshot(): Set[String] =
+      if (!reliable) Set.empty
+      else {
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root).map(_.getPath.toString).toSet
+      }
+    def deleteCk(paths: Set[String]): Unit =
+      if (reliable && paths.nonEmpty) {
+        val conf = sc.hadoopConfiguration
+        paths.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+        }
+      }
+    var prevCkFiles: Set[String] = Set.empty
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -843,10 +868,12 @@ object Dedup {
       // join + coalesce is belt-and-braces, not a semantic branch.
       // Eagerly checkpointed: cuts the doubled lineage AND materializes
       // the round in one job.
+      val before = ckSnapshot()
       val next = truncate(propagated
         .join(propagated.select(col("id").as("p_id"), col("lab").as("p_lab")),
           col("lab") === col("p_id"), "left")
         .select(col("id"), coalesce(col("p_lab"), col("lab")).as("lab")))
+      val thisCkFiles = ckSnapshot().diff(before)
       val changed = next
         .join(labels.select(col("id"), col("lab").as("old_lab")), "id")
         .filter(col("lab") =!= col("old_lab"))
@@ -854,6 +881,10 @@ object Dedup {
       val prev = labels
       labels = next
       prev.unpersist()
+      // prev's checkpoint files are no longer readable through any live
+      // plan (next is materialized, the changed-count already ran)
+      deleteCk(prevCkFiles)
+      prevCkFiles = thisCkFiles
       converged = changed == 0L
       it += 1
     }

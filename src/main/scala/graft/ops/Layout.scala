@@ -109,6 +109,10 @@ object Layout {
   def zorderKeyExact(df: DataFrame, cols: Seq[String], tieCols: Seq[String],
                      bitsPerDim: Int = 8): DataFrame = {
     require(cols.nonEmpty, "zorderKeyExact needs at least one column")
+    // same guard as zorderBy: past 16, 1 << bitsPerDim overflows Int and
+    // ntile(wrapped) would silently zero every key
+    require(bitsPerDim >= 1 && bitsPerDim <= 16,
+      s"bitsPerDim must be in [1,16], got $bitsPerDim")
     require(cols.length * bitsPerDim <= 63,
       "z-key must fit a LONG — lower bitsPerDim or drop columns")
     val nb = 1 << bitsPerDim

@@ -77,16 +77,13 @@ object Multimodal {
         (((sum + j * 2654435761L) % 1000L) / 1000.0f))
       Row(id, mediaType, n, width, height, emb.toSeq)
     }
-
-    def decodeBatch(batch: Seq[(Long, Array[Byte], String)]): Seq[Row] =
-      batch.map { case (id, bytes, mediaType) =>
-        decodeOne(id, bytes, mediaType)
-      }
   }
 
-  /** Media types [[ImageDecoder]] decodes for real (the JDK's bundled
-    * `javax.imageio` readers). WebP is sniffed but NOT here: the JDK
-    * ships no WebP reader, so those payloads report null dimensions. */
+  /** Media types [[ImageDecoder]] can fully decode (the JDK's bundled
+    * `javax.imageio` readers). Other image subtypes (WebP) still route
+    * through [[ImageDecoder]] and come back with null dimensions — the
+    * JDK ships no reader for them, and a null is honest where a
+    * fabricated size is not. */
   val JdkDecodableImageTypes: Set[String] =
     Set("image/png", "image/jpeg", "image/gif")
 
@@ -96,12 +93,19 @@ object Multimodal {
     * Rec.601 luminance of (a bounded sample of) its pixels, scaled to
     * [0,1]. Undecodable payloads (corrupt data, or a sniffed type the
     * JDK has no reader for) yield null width/height/embedding rather
-    * than fabricated values — downstream filters on `width IS NULL`. */
+    * than fabricated values — downstream filters on `width IS NULL`.
+    * Payloads whose HEADER declares more than [[MaxPixels]] pixels (a
+    * decompression bomb: a few KB of PNG can declare a multi-GB raster)
+    * report their true header dimensions but are never raster-decoded —
+    * null embedding, no allocation. */
   object ImageDecoder {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file disk cache on executors
 
     private val Grid = 4
     private val MaxSamplesPerAxis = 16 // bounds cost per cell on huge images
+    /** Raster-decode ceiling: 64 MPix ≈ 256 MB of int ARGB — one row may
+      * cost this much, never an unbounded amount. */
+    val MaxPixels: Long = 64L * 1024 * 1024
 
     def gridEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth
@@ -141,14 +145,33 @@ object Multimodal {
 
     def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {
       val n = if (bytes == null) 0 else bytes.length
-      val img =
-        if (n == 0) null
-        else
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException | _: RuntimeException => null }
-      if (img == null) Row(id, mediaType, n, null, null, null)
-      else Row(id, mediaType, n, img.getWidth, img.getHeight,
-        gridEmbedding(img).toSeq)
+      if (n == 0) return Row(id, mediaType, n, null, null, null)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return Row(id, mediaType, n, null, null, null)
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // header-only dimension read: cheap, and the bomb guard —
+            // raster allocation happens only below the pixel ceiling
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w.toLong * h > MaxPixels || w <= 0 || h <= 0)
+              Row(id, mediaType, n, w, h, null)
+            else {
+              val img = reader.read(0)
+              Row(id, mediaType, n, img.getWidth, img.getHeight,
+                gridEmbedding(img).toSeq)
+            }
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch {
+        case _: java.io.IOException | _: RuntimeException =>
+          Row(id, mediaType, n, null, null, null)
+      }
     }
   }
 
@@ -175,7 +198,17 @@ object Multimodal {
         val fmt = ais.getFormat
         val bits = fmt.getSampleSizeInBits
         val ch = fmt.getChannels
-        if (bits != 8 && bits != 16) return None
+        // LINEAR PCM only, in the shapes WAV actually carries: unsigned
+        // 8-bit or signed 16-bit. A-law/mu-law (and signed-8/unsigned-16
+        // oddities) would pass a bits-only check and be read as garbage
+        // amplitudes — refuse them instead of fabricating an envelope.
+        // With the encoding pinned to PCM, readAllBytes is bounded by
+        // the (already in-memory) payload size — no decompression blowup.
+        val enc = fmt.getEncoding
+        val pcmOk =
+          (bits == 8 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
+            (bits == 16 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        if (!pcmOk) return None
         val raw = ais.readAllBytes()
         val bytesPerSample = bits / 8
         val frameBytes = bytesPerSample * ch
@@ -233,11 +266,13 @@ object Multimodal {
   }
 
   /** Batched feature extraction over a binary column: partitions stream
-    * through the decoders in groups of `batchSize` rows — PNG/JPEG/GIF
-    * through [[ImageDecoder]] (real pixels), WAV through [[AudioDecoder]]
-    * (real PCM), everything else through [[FakeDecoder]]. The operator is
-    * fully distributed (per-partition, no shuffle, no driver collect) and
-    * emits [[FeatureSchema]] rows. */
+    * through the decoders in groups of `batchSize` rows — every image
+    * subtype through [[ImageDecoder]] (real pixels; readerless types like WebP
+    * yield null dims), WAV through [[AudioDecoder]] (real PCM),
+    * everything else through [[FakeDecoder]]. The grouped iteration is
+    * the batch plumbing a vectorized decoder/model drops into. The
+    * operator is fully distributed (per-partition, no shuffle, no driver
+    * collect) and emits [[FeatureSchema]] rows. */
   def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
                       batchSize: Int = 64): DataFrame = {
     val in = df.select(col(idCol).cast(LongType).as("id"),
@@ -251,7 +286,10 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val mediaType = r.getString(2)
-          if (JdkDecodableImageTypes(mediaType))
+          // ALL image types go to the real decoder: ones the JDK has no
+          // reader for (WebP) come back with null dims — honest, where
+          // the stub's fabricated geometry would not be
+          if (mediaType.startsWith("image/"))
             ImageDecoder.decodeOne(id, bytes, mediaType)
           else if (mediaType == "audio/wav")
             AudioDecoder.decodeOne(id, bytes, mediaType)

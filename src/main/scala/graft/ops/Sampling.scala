@@ -34,12 +34,14 @@ object Sampling {
     * weights, deterministically per key. Weights need not sum to 1 — they
     * are normalized.
     *
-    * The assignment key is the 6-hex-digit prefix of md5 over the key
-    * columns' decimal/string forms (space-joined), compared against
-    * weight-proportional hex thresholds — the same engine-portable
-    * family as [[md5Rank]], so the split is reproducible (and
-    * oracle-auditable) in any engine with `md5()`, not just one that
-    * shares Spark's xxhash64 variant. */
+    * The assignment key is the 6-hex-digit prefix of md5 over the
+    * concatenated PER-COLUMN md5 digests (fixed 32-char blocks, nulls as
+    * a distinct marker), compared against weight-proportional hex
+    * thresholds — the same engine-portable family as [[md5Rank]], so the
+    * split is reproducible (and oracle-auditable) in any engine with
+    * `md5()`. Fixed-width blocks make the composite injection-proof:
+    * unlike a separator join, no two distinct key tuples can serialize
+    * to the same string, and a null column cannot silently vanish. */
   def trainValTestSplit(df: DataFrame, keyCols: Seq[String],
                         trainWeight: Double = 0.8, valWeight: Double = 0.1,
                         testWeight: Double = 0.1): DataFrame = {
@@ -48,8 +50,10 @@ object Sampling {
     // invert the bucket boundaries and empty a split
     val total = trainWeight + valWeight + testWeight
     require(total > 0, "weights must sum to a positive value")
-    val key = substring(md5(concat_ws(" ",
-      keyCols.map(c => col(c).cast("string")): _*).cast("binary")), 1, 6)
+    val parts = keyCols.map(c =>
+      coalesce(md5(col(c).cast("string").cast("binary")),
+        lit("................................"))) // 32 non-hex chars ≠ any md5
+    val key = substring(md5(concat(parts: _*).cast("binary")), 1, 6)
     df.withColumn("split",
       when(key < fractionThresholdHex(trainWeight / total), "train")
         .when(key < fractionThresholdHex((trainWeight + valWeight) / total),

@@ -130,6 +130,58 @@ class MultimodalSpec extends SparkTestBase {
     (out(3L).getAs[Int]("width"), out(3L).getAs[Int]("height")) shouldBe ((5, 9))
   }
 
+  it should "report header dims but never raster-decode a decompression bomb" in {
+    // hand-built PNG signature + IHDR declaring 50000x50000 (2.5 GPix —
+    // a real decode would allocate ~10 GB); only the header is read
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val ihdrBody = "IHDR".getBytes("US-ASCII") ++ be(50000) ++ be(50000) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdrBody)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++ be(13) ++ ihdrBody ++ be(crc.getValue.toInt)
+    val out = Multimodal.extractFeatures(
+        Seq((1L, png)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "image/png"
+    out.getAs[Int]("width") shouldBe 50000
+    out.getAs[Int]("height") shouldBe 50000
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
+  it should "report null dims for image types the JDK has no reader for (WebP)" in {
+    val webp = "RIFF".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 4) ++
+      "WEBP".getBytes("UTF-8") ++ "fake-webp-body".getBytes("UTF-8")
+    val out = Multimodal.extractFeatures(
+        Seq((1L, webp)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "image/webp"
+    // no fabricated stub geometry: undecodable image → nulls
+    out.isNullAt(out.fieldIndex("width")) shouldBe true
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
+  it should "refuse non-linear-PCM audio rather than decode garbage" in {
+    // a mu-law WAV: 8-bit samples but NOT linear PCM — decoding the code
+    // bytes as PCM would fabricate an envelope, so features must be null
+    val rate = 8000f
+    val data = Array.tabulate(400)(i => (i % 251).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, rate, 8, 1, 1, rate,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.extractFeatures(
+        Seq((1L, bos.toByteArray)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "audio/wav"
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
   it should "embed real images as the 4x4 mean-luminance grid" in {
     val fixtures = Seq(
       (1L, encodeImage(32, 32, "png", rgb = 0xFFFFFF)), // white → luma 1.0

@@ -34,6 +34,21 @@ class SamplingSpec extends SparkTestBase {
     out.select($"id", $"split").as[(Long, String)].collect().toMap shouldBe again
   }
 
+  it should "assign null key columns deterministically instead of dropping them" in {
+    // fixed-width per-column digests: a null column becomes a distinct
+    // marker block, so (x, null) cannot collide with (x) or vanish
+    val d = Seq((Some("a"), Some("b")), (Some("a"), None),
+        (Option.empty[String], Some("b")))
+      .toDF("k1", "k2")
+    val out = Sampling.trainValTestSplit(d, Seq("k1", "k2"))
+      .select($"split").as[String].collect()
+    out.length shouldBe 3
+    all(out) should (be("train") or be("val") or be("test"))
+    val again = Sampling.trainValTestSplit(d.repartition(2), Seq("k1", "k2"))
+      .select($"split").as[String].collect()
+    again.sorted.toSeq shouldBe out.sorted.toSeq
+  }
+
   private def grouped = (1L to 300L)
     .map(i => (i, s"g${i % 3}")).toDF("id", "grp")
 

@@ -825,27 +825,16 @@ object Dedup {
     // Reliable checkpoint files are NEVER auto-deleted (the cleaner conf
     // defaults off), so without cleanup each round would leave a full
     // label-table copy on distributed storage for the life of the app.
-    // Snapshot the checkpoint dir around each truncate and delete a
-    // round's files once the next round has materialized past them.
-    // (Assumes no CONCURRENT checkpoint writer in this SparkContext
-    // during the loop — else their fresh dirs could be swept up.)
-    def ckSnapshot(): Set[String] =
-      if (!reliable) Set.empty
-      else {
-        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-        val fs = root.getFileSystem(sc.hadoopConfiguration)
-        if (!fs.exists(root)) Set.empty
-        else fs.listStatus(root).map(_.getPath.toString).toSet
+    // Each checkpointed Dataset knows its own backing directory
+    // (CheckpointBridge asks the RDD), so a superseded round's files are
+    // deleted precisely — no shared-root listing, no race with other
+    // checkpoint writers in the context.
+    def deleteCk(path: Option[String]): Unit =
+      path.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
       }
-    def deleteCk(paths: Set[String]): Unit =
-      if (reliable && paths.nonEmpty) {
-        val conf = sc.hadoopConfiguration
-        paths.foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(conf).delete(hp, true)
-        }
-      }
-    var prevCkFiles: Set[String] = Set.empty
+    var prevCkFile: Option[String] = None
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -868,12 +857,14 @@ object Dedup {
       // join + coalesce is belt-and-braces, not a semantic branch.
       // Eagerly checkpointed: cuts the doubled lineage AND materializes
       // the round in one job.
-      val before = ckSnapshot()
       val next = truncate(propagated
         .join(propagated.select(col("id").as("p_id"), col("lab").as("p_lab")),
           col("lab") === col("p_id"), "left")
         .select(col("id"), coalesce(col("p_lab"), col("lab")).as("lab")))
-      val thisCkFiles = ckSnapshot().diff(before)
+      val thisCkFile =
+        if (reliable)
+          org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(next)
+        else None
       val changed = next
         .join(labels.select(col("id"), col("lab").as("old_lab")), "id")
         .filter(col("lab") =!= col("old_lab"))
@@ -883,8 +874,8 @@ object Dedup {
       prev.unpersist()
       // prev's checkpoint files are no longer readable through any live
       // plan (next is materialized, the changed-count already ran)
-      deleteCk(prevCkFiles)
-      prevCkFiles = thisCkFiles
+      deleteCk(prevCkFile)
+      prevCkFile = thisCkFile
       converged = changed == 0L
       it += 1
     }

@@ -128,7 +128,14 @@ object IvfIndex {
     * normalization pass — only the query batch is normalized and probed
     * per run, the daily-search shape for a persisted 100 TB index.
     * Members carry raw vectors + norms, so scoring divides by the stored
-    * norm instead of re-normalizing the corpus. */
+    * norm instead of re-normalizing the corpus.
+    *
+    * Zero-norm corpus vectors are NOT in the index (cosine against them
+    * is undefined; `buildVectorIndex` excludes them), while
+    * [[Similarity.bruteForceTopK]] scores them 0 — so exhaustive-probe
+    * equality with brute force holds on corpora without zero vectors,
+    * and differs only in whether cosine-0 fillers pad the tail of a
+    * top-k when fewer than k real candidates exist. */
   def ivfTopKPrebuilt(members: DataFrame, centroids: Array[Array[Float]],
                       queries: DataFrame, k: Int, nprobe: Int = 4,
                       idCol: String = "vec_id",

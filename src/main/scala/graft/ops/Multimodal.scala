@@ -79,15 +79,10 @@ object Multimodal {
     }
   }
 
-  /** Media types [[ImageDecoder]] can fully decode (the JDK's bundled
-    * `javax.imageio` readers). Other image subtypes (WebP) still route
-    * through [[ImageDecoder]] and come back with null dimensions — the
-    * JDK ships no reader for them, and a null is honest where a
-    * fabricated size is not. */
-  val JdkDecodableImageTypes: Set[String] =
-    Set("image/png", "image/jpeg", "image/gif")
-
   /** REAL image decoding via `javax.imageio` — zero extra dependencies.
+    * The JDK ships readers for PNG/JPEG/GIF; other image subtypes (WebP)
+    * route through here too and come back with null dimensions — a null
+    * is honest where a fabricated size is not.
     * Emits the true pixel width/height and a deterministic embedding: the
     * image downsampled onto a `grid × grid` cell mesh, each cell the mean
     * Rec.601 luminance of (a bounded sample of) its pixels, scaled to

@@ -132,6 +132,33 @@ object ChangelogStream {
       spark.table(sinkName), keyCols, tsCol, tieBreakers)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n` (n <= 0: leave the session value). A streaming query pins its
+    * STATE partition count from this conf at first start, and every
+    * state partition pays per-batch store maintenance + commit — on a
+    * replay with modest state, 32+ partitions burn more system CPU in
+    * store churn than the data costs. Size to expected state volume.
+    *
+    * The conf is SESSION-global, so overriding callers are serialized on
+    * a JVM-wide lock: concurrent replays cannot interleave their
+    * save/restore and leak the override. An unrelated query planned on
+    * the same session DURING a replay still sees the temporary value —
+    * in a session shared with latency-sensitive batch work, leave
+    * `statePartitions = 0`. */
+  private val shufflePartitionsLock = new Object
+  private def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                                       n: Int)(body: => T): T =
+    if (n <= 0) body
+    else shufflePartitionsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, n.toString)
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   /** Corpus-safe replay bridge: run any UPDATE-mode streaming relation to
     * completion into a parquet FILE sink, then reduce to the final row
     * per group with the batch latest-per-key operator.
@@ -153,25 +180,6 @@ object ChangelogStream {
     * NOT for `session_window` aggregations: session merges change the
     * group's own bounds, so superseded intermediate sessions would
     * survive the per-group reduce. */
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
-    * `n` (n <= 0: leave the session value). A streaming query pins its
-    * STATE partition count from this conf at first start, and every
-    * state partition pays per-batch store maintenance + commit — on a
-    * replay with modest state, 32+ partitions burn more system CPU in
-    * store churn than the data costs. Size to expected state volume. */
-  private def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
-                                       n: Int)(body: => T): T =
-    if (n <= 0) body
-    else {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, n.toString)
-      try body finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    }
-
   def replayToFiles(updates: DataFrame, groupCols: Seq[String],
                     dir: String, statePartitions: Int = 0): DataFrame = {
     val spark = updates.sparkSession

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Bridge into `sql.execution`: the reliable-checkpoint file backing a
+  * `Dataset.checkpoint()` result. A checkpointed Dataset's analyzed plan
+  * is a [[LogicalRDD]] over the checkpointed RDD, whose
+  * `getCheckpointFile` is the exact directory its blocks live in —
+  * asking the RDD beats diffing a shared checkpoint-root listing, which
+  * races with any concurrent checkpoint writer in the same context. */
+object CheckpointBridge {
+  /** The reliable-checkpoint directory backing `df`, if `df` is the
+    * result of an eager reliable `checkpoint()`; None otherwise
+    * (localCheckpoint keeps blocks, not files). */
+  def checkpointFile(df: Dataset[_]): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+}

@@ -161,21 +161,29 @@ class DedupSpec extends SparkTestBase {
   }
 
   it should "clean up superseded reliable checkpoints (one round's files remain)" in {
-    // NOTE: sets the shared context's checkpoint dir; later dupClusters
-    // calls in this JVM then use reliable checkpoints — same results
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     spark.sparkContext.setCheckpointDir(ckDir)
-    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val ids = (0L to 99L).toDF("doc_id")
-    val out = Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 12)
-      .as[(Long, Long)].collect()
-    all(out.map(_._2)) shouldBe 0L
-    // every superseded round's checkpoint files were deleted: only the
-    // final round's rdd directory remains under the resolved ck root
-    val root = new org.apache.hadoop.fs.Path(
-      spark.sparkContext.getCheckpointDir.get)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).length shouldBe 1
+    try {
+      val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val ids = (0L to 99L).toDF("doc_id")
+      val out = Dedup.dupClusters(pairs, ids, "doc_id", maxIters = 12)
+        .as[(Long, Long)].collect()
+      all(out.map(_._2)) shouldBe 0L
+      // every superseded round's checkpoint files were deleted: only the
+      // final round's rdd directory remains under the resolved ck root
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).length shouldBe 1
+    } finally {
+      // un-set the shared context's checkpoint dir (no public unset API)
+      // so later tests in this JVM are not silently order-dependent, and
+      // remove the temp droppings
+      val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
   }
 
   it should "converge a 1000-node chain within 12 rounds (pointer doubling)" in {

@@ -155,11 +155,14 @@ class VectorScaleSpec extends SparkTestBase {
       nlist = 8, dim = dim)
     val queries = bigVecs.filter($"vec_id" < 3)
     val got = IvfIndex.ivfTopKPrebuilt(idx.members, idx.centroids, queries,
-      k = 5, nprobe = 2)
-    // still k results per query (cells hold plenty of members), found
-    // from only the probed fraction of the corpus
-    got.groupBy($"query_id").count().collect()
-      .foreach(_.getLong(1) shouldBe 5L)
+        k = 5, nprobe = 2)
+      .collect()
+    // still k results per EVERY query (cells hold plenty of members),
+    // found from only the probed fraction of the corpus — the explicit
+    // row count makes an empty-result regression a failure, not a pass
+    got.length shouldBe 15 // 3 queries × k
+    got.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(_.length shouldBe 5)
   }
 
   "ivfTopK" should "fail fast on an empty corpus and handle nlist=1" in {

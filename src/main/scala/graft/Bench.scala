@@ -17,7 +17,15 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // trailing args filter to the named queries (cheap local iteration on
+    // one hot query); unknown names fail fast instead of silently timing
+    // an empty set — same contract as Verify
+    val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).exists()) {
       ordered.foreach { case (_, fn) =>

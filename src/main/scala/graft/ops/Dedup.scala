@@ -846,11 +846,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lab").as("nlab")), "dst")
         .groupBy(col("src")).agg(min(col("nlab")).as("nbr_min"))
+      // carry a per-row changed flag through the round: both comparisons
+      // happen where old and new labels are already side by side, so the
+      // convergence check below needs no extra join against the previous
+      // label table — just a scan-only max over the checkpointed result
       val propagated = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"),
           "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("new_lab"),
+          (coalesce(col("nbr_min"), col("lab")) < col("lab")).as("chg1"))
       // pointer doubling: lab ← lab(lab). Every label IS a document id
       // (initialized from ids, only ever replaced by another vertex's
       // label), so the lookup side is the label table itself; the left
@@ -858,17 +863,21 @@ object Dedup {
       // Eagerly checkpointed: cuts the doubled lineage AND materializes
       // the round in one job.
       val next = truncate(propagated
-        .join(propagated.select(col("id").as("p_id"), col("lab").as("p_lab")),
-          col("lab") === col("p_id"), "left")
-        .select(col("id"), coalesce(col("p_lab"), col("lab")).as("lab")))
+        .join(propagated.select(col("id").as("p_id"), col("new_lab").as("p_lab")),
+          col("new_lab") === col("p_id"), "left")
+        .select(col("id"),
+          coalesce(col("p_lab"), col("new_lab")).as("lab"),
+          (col("chg1") ||
+            coalesce(col("p_lab"), col("new_lab")) < col("new_lab")).as("chg")))
       val thisCkFile =
         if (reliable)
           org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(next)
         else None
+      // labels only ever decrease, so "anything changed" = "any chg flag
+      // set": one shuffle-free aggregate over the just-materialized round
       val changed = next
-        .join(labels.select(col("id"), col("lab").as("old_lab")), "id")
-        .filter(col("lab") =!= col("old_lab"))
-        .count()
+        .agg(coalesce(max(col("chg")), lit(false)).as("any"))
+        .first().getBoolean(0)
       val prev = labels
       labels = next
       prev.unpersist()
@@ -876,7 +885,7 @@ object Dedup {
       // plan (next is materialized, the changed-count already ran)
       deleteCk(prevCkFile)
       prevCkFile = thisCkFile
-      converged = changed == 0L
+      converged = !changed
       it += 1
     }
     if (!converged)

@@ -1036,6 +1036,20 @@ object SparkEntry {
           "doc_id", "data", frameBytes = 64, stride = 2)
         .select(col("id"), col("frame_idx").cast(LongType).as("frame_idx"),
           col("frame_hash"))
+        .orderBy(col("id"), col("frame_idx"))),
+
+    // REAL GIF round trip: deterministic animated GIFs are genuinely
+    // encoded on the executors (ImageIO sequence writer — LZW, palette),
+    // then demuxed frame by frame with the real multi-frame decoder. The
+    // geometry (frame count, per-frame dims) is arithmetic on doc_id, so
+    // the oracle reproduces it exactly — a hash-check that the encode →
+    // demux → decode loop preserves structure end to end.
+    "q_multimodal_gif" -> ((s, d) =>
+      Multimodal.decodeImageFrames(
+          Multimodal.syntheticGifAssets(Tables.documents(s, d), "doc_id"),
+          "id", "data", maxFrames = 8)
+        .select(col("id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"))
         .orderBy(col("id"), col("frame_idx")))
   )
 
@@ -1940,7 +1954,19 @@ object SparkEntry {
         |  CAST(n AS INTEGER) AS n_bytes,
         |  CAST(1 + bsum % 64 AS INTEGER) AS width,
         |  CAST(1 + (bsum // 64) % 64 AS INTEGER) AS height
-        |FROM s ORDER BY id""".stripMargin
+        |FROM s ORDER BY id""".stripMargin,
+    "q_multimodal_gif" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 1 + doc_id % 3 AS nf,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS height
+        |  FROM documents),
+        |x AS (
+        |  SELECT id, unnest(range(nf)) AS frame_idx, nf, width, height
+        |  FROM d)
+        |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(nf AS INTEGER) AS n_frames, width, height
+        |FROM x ORDER BY id, frame_idx""".stripMargin
   )
 
   /** DuckDB list literal of [[TextAnalysis.EnglishStopwords]]. */

@@ -342,6 +342,161 @@ object Multimodal {
     }(Encoders.row(ResizeSchema))
   }
 
+  /** Output schema of [[decodeImageFrames]]. */
+  val FrameFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** REAL multi-image GIF encoding via the JDK's ImageIO sequence writer —
+    * zero extra dependencies. The write side of the media story: a
+    * thumbnail/animation sink stage needs encode just as extraction needs
+    * decode, and the spec/harness use it to exercise [[decodeImageFrames]]
+    * end to end on genuinely encoded payloads (LZW compression, palette
+    * quantization and all) without any media files in the container. */
+  object GifEncoder {
+    def encode(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "GifEncoder.encode: at least one frame required")
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** A w×h animation of solid-gray frames (one per entry of `grays`,
+      * each clamped to 0..255). Solid frames survive GIF palette
+      * quantization exactly, so decoded luminance is predictable. */
+    def solidGrayAnimation(w: Int, h: Int, grays: Seq[Int]): Array[Byte] =
+      encode(grays.map { g =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g & 0xFF) * 0x010101
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        img
+      })
+  }
+
+  /** REAL multi-frame demux for animated GIFs (the one multi-frame format
+    * the JDK can read) via ImageIO's indexed-image API: `getNumImages`
+    * counts the stored frames, then each selected frame is header-checked
+    * (same decompression-bomb guard as [[ImageDecoder]]) and
+    * raster-decoded to its true dimensions plus the 4×4 mean-luminance
+    * grid embedding. Single-frame formats (PNG/JPEG) come through
+    * naturally as n_frames=1. Frames are the rasters AS STORED — GIF
+    * inter-frame disposal compositing is not applied, which is the right
+    * shape for frame-level dedup/captioning (and honest: a composited
+    * frame would mix decoder policy into the data). When a payload holds
+    * more than `maxFrames` frames, indices are sampled evenly across the
+    * animation. Undecodable payloads yield a single all-null row
+    * (frame_idx 0) rather than fabricated frames. */
+  private def decodeFramesOne(id: Long, bytes: Array[Byte],
+                              maxFrames: Int): Seq[Row] = {
+    val nullRow = Seq(Row(id, 0, null, null, null, null))
+    val n = if (bytes == null) 0 else bytes.length
+    if (n == 0) return nullRow
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return nullRow
+        val reader = readers.next()
+        try {
+          // seekForwardOnly=false: getNumImages(true) must scan the
+          // whole stream (in-memory, so the backward seeks are free)
+          reader.setInput(iis, false, true)
+          val nf = reader.getNumImages(true)
+          if (nf <= 0) return nullRow
+          val idxs =
+            if (nf <= maxFrames) 0 until nf
+            else (0 until maxFrames).map(k => k * nf / maxFrames)
+          idxs.map { i =>
+            val w = reader.getWidth(i)
+            val h = reader.getHeight(i)
+            if (w.toLong * h > ImageDecoder.MaxPixels || w <= 0 || h <= 0)
+              Row(id, i, nf, w, h, null)
+            else {
+              val img = reader.read(i)
+              Row(id, i, nf, img.getWidth, img.getHeight,
+                ImageDecoder.gridEmbedding(img).toSeq)
+            }
+          }
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => nullRow
+    }
+  }
+
+  /** Batched per-frame feature extraction over image payloads: one output
+    * row per decoded frame, [[FrameFeatureSchema]]. Fully distributed
+    * (per-partition, no shuffle, no driver collect) through the same
+    * batched `mapPartitions` plumbing as [[extractFeatures]]. */
+  def decodeImageFrames(df: DataFrame, idCol: String, bytesCol: String,
+                        maxFrames: Int = 16, batchSize: Int = 64): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be positive")
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { r =>
+          // a null id would NPE deep in the executor — name the column
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"decodeImageFrames: null or non-castable id in $idCol for row $r")
+          decodeFramesOne(r.getLong(0), r.getAs[Array[Byte]](1), maxFrames)
+        }
+      }
+    }(Encoders.row(FrameFeatureSchema))
+  }
+
+  /** Deterministic REAL animated-GIF payloads keyed by id: frame count,
+    * geometry, and per-frame gray level are all arithmetic on the id
+    * (nf = 1 + id mod 3, w = 4 + id mod 5, h = 3 + id mod 4, gray_f =
+    * (31·id + 53·f) mod 256), then genuinely GIF-encoded on the
+    * executors via [[GifEncoder]]. This makes the full encode → demux →
+    * decode loop exercisable — and its geometry ORACLE-CHECKABLE — on any
+    * id table, with no media files in the container. Ids must be
+    * non-negative (the modular arithmetic is the cross-engine contract). */
+  def syntheticGifAssets(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"syntheticGifAssets: null or non-castable id in $idCol")
+        val id = r.getLong(0)
+        require(id >= 0, s"syntheticGifAssets: negative id $id")
+        val nf = (1 + id % 3).toInt
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val grays = (0 until nf).map(f => ((31 * id + 53 * f) % 256).toInt)
+        Row(id, GifEncoder.solidGrayAnimation(w, h, grays))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic frame sampling for video payloads: every `stride`-th
     * chunk of `frameBytes` bytes becomes a "frame" (stub for a container
     * demuxer), emitted as (id, frame_idx, frame_hash) — the shape a

@@ -260,6 +260,83 @@ class MultimodalSpec extends SparkTestBase {
     e.getMessage should include("id")
   }
 
+  "decodeImageFrames" should "demux a real animated GIF into per-frame rows" in {
+    // black → white → mid-gray: three genuinely encoded GIF frames
+    val gif = Multimodal.GifEncoder.solidGrayAnimation(10, 6,
+      Seq(0, 255, 128))
+    val out = Multimodal.decodeImageFrames(
+        Seq((7L, gif)).toDF("id", "data"), "id", "data")
+      .orderBy($"frame_idx").collect()
+    out.length shouldBe 3
+    out.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 1, 2)
+    all(out.map(_.getAs[Int]("n_frames"))) shouldBe 3
+    all(out.map(_.getAs[Int]("width"))) shouldBe 10
+    all(out.map(_.getAs[Int]("height"))) shouldBe 6
+    // solid frames survive palette quantization: luminance is exact-ish
+    def meanLuma(r: org.apache.spark.sql.Row): Float = {
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      e.sum / e.length
+    }
+    meanLuma(out(0)) shouldBe 0.0f +- 0.01f
+    meanLuma(out(1)) shouldBe 1.0f +- 0.01f
+    meanLuma(out(2)) shouldBe (128 / 255.0f) +- 0.01f
+  }
+
+  it should "treat single-frame formats as one-frame animations" in {
+    val out = Multimodal.decodeImageFrames(
+        Seq((1L, encodeImage(20, 12, "png"))).toDF("id", "data"),
+        "id", "data")
+      .collect()
+    out.length shouldBe 1
+    out(0).getAs[Int]("n_frames") shouldBe 1
+    (out(0).getAs[Int]("width"), out(0).getAs[Int]("height")) shouldBe ((20, 12))
+  }
+
+  it should "sample frames evenly when over the maxFrames budget" in {
+    val gif = Multimodal.GifEncoder.solidGrayAnimation(4, 4,
+      (0 until 12).map(f => f * 20))
+    val out = Multimodal.decodeImageFrames(
+        Seq((1L, gif)).toDF("id", "data"), "id", "data", maxFrames = 4)
+      .orderBy($"frame_idx").collect()
+    // 12 frames into a 4-frame budget: indices 0, 3, 6, 9
+    out.map(_.getAs[Int]("frame_idx")).toSeq shouldBe Seq(0, 3, 6, 9)
+    all(out.map(_.getAs[Int]("n_frames"))) shouldBe 12
+  }
+
+  it should "emit a single null row for undecodable or empty payloads" in {
+    val d = Seq((1L, Some("not an image".getBytes("UTF-8"))),
+        (2L, Some(Array.empty[Byte])), (3L, Option.empty[Array[Byte]]))
+      .toDF("id", "data")
+    val out = Multimodal.decodeImageFrames(d, "id", "data")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    out.size shouldBe 3
+    for (id <- Seq(1L, 2L, 3L)) {
+      out(id).getAs[Int]("frame_idx") shouldBe 0
+      out(id).isNullAt(out(id).fieldIndex("n_frames")) shouldBe true
+      out(id).isNullAt(out(id).fieldIndex("width")) shouldBe true
+      out(id).isNullAt(out(id).fieldIndex("embedding")) shouldBe true
+    }
+  }
+
+  "syntheticGifAssets" should "produce real GIFs whose demuxed geometry matches the id arithmetic" in {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 11L).toDF("doc_id")
+    val frames = Multimodal.decodeImageFrames(
+        Multimodal.syntheticGifAssets(ids, "doc_id"), "id", "data")
+      .collect()
+    frames.foreach { r =>
+      val id = r.getAs[Long]("id")
+      r.getAs[Int]("n_frames") shouldBe (1 + id % 3).toInt
+      r.getAs[Int]("width") shouldBe (4 + id % 5).toInt
+      r.getAs[Int]("height") shouldBe (3 + id % 4).toInt
+      // each frame really decodes: solid gray (31·id + 53·f) mod 256
+      val f = r.getAs[Int]("frame_idx")
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      (e.sum / e.length) shouldBe
+        (((31 * id + 53 * f) % 256) / 255.0f) +- 0.01f
+    }
+    frames.map(_.getAs[Long]("id")).distinct.length shouldBe 6
+  }
+
   "sampleFrames" should "emit stable frame hashes" in {
     val big = Seq((9L, Array.tabulate(8192)(i => (i % 251).toByte)))
       .toDF("id", "data")

@@ -1050,6 +1050,18 @@ object SparkEntry {
           "id", "data", maxFrames = 8)
         .select(col("id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"))
+        .orderBy(col("id"), col("frame_idx"))),
+
+    // REAL VIDEO round trip: deterministic MJPEG AVIs (hand-rolled RIFF
+    // container, real JPEG frames) are encoded on the executors, demuxed
+    // by the byte-level RIFF walker, and each frame JPEG-decoded for
+    // real. Geometry is arithmetic on doc_id → exact oracle.
+    "q_multimodal_avi" -> ((s, d) =>
+      Multimodal.decodeImageFrames(
+          Multimodal.syntheticAviAssets(Tables.documents(s, d), "doc_id"),
+          "id", "data", maxFrames = 8)
+        .select(col("id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"))
         .orderBy(col("id"), col("frame_idx")))
   )
 
@@ -1960,6 +1972,18 @@ object SparkEntry {
         |  SELECT doc_id AS id, 1 + doc_id % 3 AS nf,
         |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
         |    CAST(3 + doc_id % 4 AS INTEGER) AS height
+        |  FROM documents),
+        |x AS (
+        |  SELECT id, unnest(range(nf)) AS frame_idx, nf, width, height
+        |  FROM d)
+        |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(nf AS INTEGER) AS n_frames, width, height
+        |FROM x ORDER BY id, frame_idx""".stripMargin,
+    "q_multimodal_avi" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 1 + doc_id % 4 AS nf,
+        |    CAST(5 + doc_id % 6 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS height
         |  FROM documents),
         |x AS (
         |  SELECT id, unnest(range(nf)) AS frame_idx, nf, width, height

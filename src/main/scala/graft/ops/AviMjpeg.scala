@@ -1,0 +1,147 @@
+package graft.ops
+
+/** Minimal MJPEG-in-AVI container codec, hand-rolled from the public
+  * RIFF/AVI layout (Microsoft "AVI RIFF File Reference") — zero
+  * dependencies. MJPEG is the one video codec this container can close
+  * honestly: the container is pure little-endian byte structure, and the
+  * frames inside are ordinary JPEGs, which the JDK's ImageIO decodes for
+  * real. Other codecs (H.264 etc.) stay with the documented stub — the
+  * JVM ships no decoder for them.
+  *
+  * The writer emits a well-formed single-stream AVI (avih + strl headers,
+  * one '00dc' chunk per frame, even-byte chunk padding); the demuxer is
+  * deliberately lenient — it walks the RIFF chunk tree and collects every
+  * video-data chunk ('NNdc'/'NNdb') wherever it sits, so files from other
+  * muxers (with idx1 indexes, odd LIST nesting, extra streams) still
+  * yield their frames. Malformed sizes terminate the walk instead of
+  * reading out of bounds.
+  *
+  * Extends the reference surface (flat scalar rows only — reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  */
+object AviMjpeg {
+
+  private def le32(v: Int): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+  private def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+  private def fcc(s: String): Array[Byte] = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    s.getBytes("US-ASCII")
+  }
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** True iff the payload leads with the AVI container magic
+    * (RIFF....AVI ). */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI "
+
+  /** Encode frames as a single-stream MJPEG AVI. Each frame is
+    * JPEG-encoded via ImageIO (real lossy compression), wrapped in a
+    * '00dc' chunk inside the 'movi' list, with full avih/strh/strf
+    * headers so standard demuxers accept the file. All frames share the
+    * first frame's dimensions in the headers (per-frame JPEGs carry
+    * their own true dims regardless). */
+  def encode(frames: Seq[java.awt.image.BufferedImage],
+             fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "AviMjpeg.encode: at least one frame required")
+    require(fps >= 1, "fps must be positive")
+    val jpegs = frames.map { f =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", bos)
+      bos.toByteArray
+    }
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    val n = frames.length
+    val maxJpeg = jpegs.map(_.length).max
+
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write(fcc("movi"))
+    jpegs.foreach { j =>
+      movi.write(fcc("00dc"))
+      movi.write(le32(j.length))
+      movi.write(j)
+      if ((j.length & 1) == 1) movi.write(0) // chunks pad to even offsets
+    }
+    val moviBytes = movi.toByteArray
+
+    // BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+    val strf = fcc("strf") ++ le32(40) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0)
+    // AVISTREAMHEADER (56 bytes): 'vids'/'MJPG', scale 1, rate fps
+    val strh = fcc("strh") ++ le32(56) ++
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(n) ++
+      le32(maxJpeg) ++ le32(10000) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+      fcc("strl") ++ strh ++ strf
+    // MainAVIHeader (56 bytes)
+    val avih = fcc("avih") ++ le32(56) ++
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(n) ++
+      le32(0) ++ le32(1) ++ le32(maxJpeg) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+
+    val moviList = fcc("LIST") ++ le32(moviBytes.length) ++ moviBytes
+    val body = hdrl ++ moviList
+    fcc("RIFF") ++ le32(4 + body.length) ++ fcc("AVI ") ++ body
+  }
+
+  /** A w×h MJPEG animation of solid-gray frames (one per entry of
+    * `grays`, each clamped to 0..255). A solid-color block is the one
+    * image JPEG compresses near-losslessly (DC coefficient only), so
+    * decoded luminance stays predictable. */
+  def solidGrayAnimation(w: Int, h: Int, grays: Seq[Int],
+                         fps: Int = 10): Array[Byte] =
+    encode(grays.map { g =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g & 0xFF) * 0x010101
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img
+    }, fps)
+
+  /** Extract the video-data chunk payloads ('NNdc'/'NNdb'), in file
+    * order, from an AVI container. Returns Nil for a payload that is not
+    * an AVI; a malformed chunk size ends the walk with whatever frames
+    * were collected so far (never an out-of-bounds read). The payloads
+    * are whatever the codec put there — JPEGs for MJPEG files; callers
+    * decode and discover per-frame validity themselves. */
+  def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (!isAvi(bytes)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val id = fourcc(bytes, p)
+        val sz = leInt(bytes, p + 4)
+        if (sz < 0 || p + 8 + sz > end) ok = false // malformed: stop here
+        else {
+          if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+          else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db")))
+            out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+          p += 8 + sz + (sz & 1)
+        }
+      }
+    }
+    walk(12, bytes.length)
+    out.toSeq
+  }
+}

@@ -263,7 +263,9 @@ object Multimodal {
   /** Batched feature extraction over a binary column: partitions stream
     * through the decoders in groups of `batchSize` rows — every image
     * subtype through [[ImageDecoder]] (real pixels; readerless types like WebP
-    * yield null dims), WAV through [[AudioDecoder]] (real PCM),
+    * yield null dims), WAV through [[AudioDecoder]] (real PCM), AVI
+    * through [[AviMjpeg]] (real RIFF demux, first frame decoded as
+    * MJPEG; non-MJPEG codecs yield honest nulls),
     * everything else through [[FakeDecoder]]. The grouped iteration is
     * the batch plumbing a vectorized decoder/model drops into. The
     * operator is fully distributed (per-partition, no shuffle, no driver
@@ -288,6 +290,19 @@ object Multimodal {
             ImageDecoder.decodeOne(id, bytes, mediaType)
           else if (mediaType == "audio/wav")
             AudioDecoder.decodeOne(id, bytes, mediaType)
+          else if (mediaType == "video/avi") {
+            // REAL video route for the one codec the JVM can decode:
+            // demux the RIFF container, decode the first frame as a
+            // JPEG (MJPEG), report its true dims + embedding. Other
+            // codecs inside AVI fail JPEG decode → honest nulls.
+            val frames = AviMjpeg.demuxFrames(bytes)
+            if (frames.isEmpty) Row(id, mediaType, bytes.length,
+              null, null, null)
+            else {
+              val d = ImageDecoder.decodeOne(id, frames.head, mediaType)
+              Row(id, mediaType, bytes.length, d.get(3), d.get(4), d.get(5))
+            }
+          }
           else FakeDecoder.decodeOne(id, bytes, mediaType)
         }
       }
@@ -396,8 +411,11 @@ object Multimodal {
       })
   }
 
-  /** REAL multi-frame demux for animated GIFs (the one multi-frame format
-    * the JDK can read) via ImageIO's indexed-image API: `getNumImages`
+  /** REAL multi-frame demux for animated GIFs and MJPEG AVIs — the two
+    * multi-frame formats the JDK can genuinely read. AVI containers are
+    * demuxed by hand ([[AviMjpeg]]: pure RIFF byte walking) and each
+    * frame decodes as an ordinary JPEG; everything else goes through
+    * ImageIO's indexed-image API: `getNumImages`
     * counts the stored frames, then each selected frame is header-checked
     * (same decompression-bomb guard as [[ImageDecoder]]) and
     * raster-decoded to its true dimensions plus the 4×4 mean-luminance
@@ -415,6 +433,25 @@ object Multimodal {
     val n = if (bytes == null) 0 else bytes.length
     if (n == 0) return nullRow
     try {
+      // MJPEG-in-AVI: the container is demuxed by hand (pure RIFF byte
+      // walking, AviMjpeg), then each selected frame decodes as an
+      // ordinary JPEG through the same bomb-guarded path as still
+      // images. A non-MJPEG AVI demuxes but its frames fail JPEG
+      // decode → per-frame null dims, honest about what was readable.
+      if (AviMjpeg.isAvi(bytes)) {
+        val frames = AviMjpeg.demuxFrames(bytes)
+        val nf = frames.length
+        if (nf == 0) return nullRow
+        val idxs =
+          if (nf <= maxFrames) 0 until nf
+          else (0 until maxFrames).map(k => k * nf / maxFrames)
+        return idxs.map { i =>
+          // ImageDecoder row: (id, media_type, n_bytes, width, height,
+          // embedding) — reuse its guard + error handling, rewrap
+          val d = ImageDecoder.decodeOne(id, frames(i), "image/jpeg")
+          Row(id, i, nf, d.get(3), d.get(4), d.get(5))
+        }
+      }
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -493,6 +530,32 @@ object Multimodal {
         val h = (3 + id % 4).toInt
         val grays = (0 until nf).map(f => ((31 * id + 53 * f) % 256).toInt)
         Row(id, GifEncoder.solidGrayAnimation(w, h, grays))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic REAL MJPEG-AVI payloads keyed by id, the video-side
+    * sibling of [[syntheticGifAssets]]: nf = 1 + id mod 4, w = 5 + id
+    * mod 6, h = 4 + id mod 5, gray_f = (17·id + 29·f) mod 256, encoded
+    * on the executors via [[AviMjpeg]] (real RIFF container, real JPEG
+    * frames). Geometry is arithmetic on the id, so a demux → decode
+    * round trip is oracle-checkable. Ids must be non-negative. */
+  def syntheticAviAssets(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"syntheticAviAssets: null or non-castable id in $idCol")
+        val id = r.getLong(0)
+        require(id >= 0, s"syntheticAviAssets: negative id $id")
+        val nf = (1 + id % 4).toInt
+        val w = (5 + id % 6).toInt
+        val h = (4 + id % 5).toInt
+        val grays = (0 until nf).map(f => ((17 * id + 29 * f) % 256).toInt)
+        Row(id, AviMjpeg.solidGrayAnimation(w, h, grays))
       }
     }(Encoders.row(schema))
   }

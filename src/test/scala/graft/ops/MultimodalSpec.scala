@@ -318,6 +318,101 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  "AviMjpeg" should "round-trip frames through a real AVI container" in {
+    // black → white → mid-gray: real JPEG frames in a hand-rolled RIFF
+    val avi = AviMjpeg.solidGrayAnimation(16, 12, Seq(0, 255, 128))
+    AviMjpeg.isAvi(avi) shouldBe true
+    // the container sniffs as video/avi through the magic-byte expression
+    val sniffed = Seq((1L, avi)).toDF("id", "data")
+      .select(Multimodal.sniffMediaType($"data")).head().getString(0)
+    sniffed shouldBe "video/avi"
+    val frames = AviMjpeg.demuxFrames(avi)
+    frames.length shouldBe 3
+    // each demuxed payload is a real JPEG (SOI marker)
+    frames.foreach { f =>
+      (f(0) & 0xFF) shouldBe 0xFF
+      (f(1) & 0xFF) shouldBe 0xD8
+    }
+  }
+
+  it should "return no frames for junk or truncated containers" in {
+    AviMjpeg.demuxFrames("not an avi".getBytes("UTF-8")) shouldBe empty
+    AviMjpeg.demuxFrames(null) shouldBe empty
+    // truncate a real AVI mid-movi: the walk stops cleanly at the
+    // malformed tail instead of reading out of bounds
+    val avi = AviMjpeg.solidGrayAnimation(8, 8, Seq(10, 20, 30))
+    val cut = java.util.Arrays.copyOf(avi, avi.length - avi.length / 4)
+    noException should be thrownBy AviMjpeg.demuxFrames(cut)
+  }
+
+  "decodeImageFrames" should "demux and really decode an MJPEG AVI per frame" in {
+    val avi = AviMjpeg.solidGrayAnimation(16, 12, Seq(0, 255, 128))
+    val out = Multimodal.decodeImageFrames(
+        Seq((5L, avi)).toDF("id", "data"), "id", "data")
+      .orderBy($"frame_idx").collect()
+    out.length shouldBe 3
+    all(out.map(_.getAs[Int]("n_frames"))) shouldBe 3
+    all(out.map(_.getAs[Int]("width"))) shouldBe 16
+    all(out.map(_.getAs[Int]("height"))) shouldBe 12
+    def meanLuma(r: org.apache.spark.sql.Row): Float = {
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      e.sum / e.length
+    }
+    // JPEG of a solid block is near-lossless (DC only): 2% tolerance
+    meanLuma(out(0)) shouldBe 0.0f +- 0.02f
+    meanLuma(out(1)) shouldBe 1.0f +- 0.02f
+    meanLuma(out(2)) shouldBe (128 / 255.0f) +- 0.02f
+  }
+
+  "extractFeatures" should "report real first-frame dims for MJPEG AVI payloads" in {
+    val avi = AviMjpeg.solidGrayAnimation(24, 10, Seq(200, 40))
+    val out = Multimodal.extractFeatures(
+        Seq((1L, avi)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "video/avi"
+    out.getAs[Int]("width") shouldBe 24
+    out.getAs[Int]("height") shouldBe 10
+    val e = out.getSeq[Float](out.fieldIndex("embedding"))
+    (e.sum / e.length) shouldBe (200 / 255.0f) +- 0.02f
+  }
+
+  it should "report honest nulls for an AVI whose frames are not MJPEG" in {
+    // a RIFF AVI shell holding a non-JPEG video chunk: demux succeeds,
+    // frame decode must fail honestly rather than fabricate features
+    val junkFrame = "h264-ish opaque bytes".getBytes("UTF-8")
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val movi = "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(junkFrame.length) ++ junkFrame ++
+      (if ((junkFrame.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    val moviList = "LIST".getBytes("US-ASCII") ++ le32(movi.length) ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4 + moviList.length) ++
+      "AVI ".getBytes("US-ASCII") ++ moviList
+    val out = Multimodal.extractFeatures(
+        Seq((1L, avi)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "video/avi"
+    out.isNullAt(out.fieldIndex("width")) shouldBe true
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
+  "syntheticAviAssets" should "produce real AVIs whose demuxed geometry matches the id arithmetic" in {
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 13L).toDF("doc_id")
+    val frames = Multimodal.decodeImageFrames(
+        Multimodal.syntheticAviAssets(ids, "doc_id"), "id", "data")
+      .collect()
+    frames.foreach { r =>
+      val id = r.getAs[Long]("id")
+      r.getAs[Int]("n_frames") shouldBe (1 + id % 4).toInt
+      r.getAs[Int]("width") shouldBe (5 + id % 6).toInt
+      r.getAs[Int]("height") shouldBe (4 + id % 5).toInt
+      val f = r.getAs[Int]("frame_idx")
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      (e.sum / e.length) shouldBe
+        (((17 * id + 29 * f) % 256) / 255.0f) +- 0.02f
+    }
+    frames.map(_.getAs[Long]("id")).distinct.length shouldBe 6
+  }
+
   "syntheticGifAssets" should "produce real GIFs whose demuxed geometry matches the id arithmetic" in {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 11L).toDF("doc_id")
     val frames = Multimodal.decodeImageFrames(

@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * IMAGE payloads (PNG/JPEG/GIF, as sniffed by magic bytes) are decoded
   * FOR REAL via the JDK's `javax.imageio` ([[ImageDecoder]]): true pixel
   * dimensions plus a deterministic downsampled-luminance grid embedding.
-  * WAV payloads are decoded FOR REAL via `javax.sound.sampled`
+  * WAV/AIFF/AU payloads are decoded FOR REAL via `javax.sound.sampled`
   * ([[AudioDecoder]]): PCM samples to an RMS energy envelope embedding.
-  * Video/other-audio/unknown payloads go through the deterministic stub
-  * ([[FakeDecoder]]) — this container ships no audio/video codecs — so the
+  * MJPEG-AVI video demuxes and decodes FOR REAL via [[AviMjpeg]].
+  * Remaining payloads (MP4, compressed audio, unknown) go through the
+  * deterministic stub
+  * ([[FakeDecoder]]) — this container ships no such codecs — so the
   * Spark-side contract (schema, partitioning, batch shape, encoder
   * signatures) is real and testable end to end. Swap [[FakeDecoder]] for a
   * codec-backed implementation to productionize; nothing else changes.
@@ -47,6 +49,11 @@ object Multimodal {
       .when(prefix.startsWith("52494646") && riffForm === "57415645", "audio/wav")
       .when(prefix.startsWith("52494646") && riffForm === "41564920", "video/avi")
       .when(prefix.startsWith("52494646") && riffForm === "57454250", "image/webp")
+      // IFF 'FORM' container (AIFF's big-endian RIFF cousin): the form
+      // type at bytes 9-12 says AIFF (PCM) or AIFC (compressed variants)
+      .when(prefix.startsWith("464F524D") && riffForm === "41494646", "audio/aiff")
+      .when(prefix.startsWith("464F524D") && riffForm === "41494643", "audio/aiff")
+      .when(prefix.startsWith("2E736E64"), "audio/basic") // Sun AU '.snd'
       .when(substring(prefix, 9, 8) === "66747970", "video/mp4")
       .otherwise("application/octet-stream")
   }
@@ -170,8 +177,10 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decoding for WAV payloads via the JDK's
-    * `javax.sound.sampled` — zero extra dependencies. Emits null
+  /** REAL audio decoding for WAV, AIFF, and AU payloads via the JDK's
+    * `javax.sound.sampled` (it ships readers for all three containers;
+    * byte order comes from the parsed format, so big-endian AIFF/AU
+    * decode as correctly as little-endian WAV). Emits null
     * width/height (image-specific) and a deterministic embedding: the
     * RMS amplitude envelope over 8 equal time buckets of the channel-
     * averaged PCM signal, scaled to [0,1]. Undecodable payloads
@@ -288,7 +297,12 @@ object Multimodal {
           // the stub's fabricated geometry would not be
           if (mediaType.startsWith("image/"))
             ImageDecoder.decodeOne(id, bytes, mediaType)
-          else if (mediaType == "audio/wav")
+          // all three containers the JDK's javax.sound ships readers
+          // for: WAV (little-endian PCM), AIFF (big-endian PCM), AU.
+          // The PCM-encoding gate inside pcmSamples refuses compressed
+          // payloads (mu-law AU, AIFC) honestly, per container
+          else if (mediaType == "audio/wav" || mediaType == "audio/aiff" ||
+              mediaType == "audio/basic")
             AudioDecoder.decodeOne(id, bytes, mediaType)
           else if (mediaType == "video/avi") {
             // REAL video route for the one codec the JVM can decode:

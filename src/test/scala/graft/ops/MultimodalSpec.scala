@@ -195,25 +195,33 @@ class MultimodalSpec extends SparkTestBase {
     all(out(2L)) shouldBe 0.0f +- 0.01f
   }
 
-  /** Render a mono 16-bit PCM WAV of a sine tone (amplitude in [0,1]). */
-  private def encodeWav(amplitude: Double, seconds: Double = 0.05,
-                        hz: Double = 440.0): Array[Byte] = {
+  /** Render a mono 16-bit PCM sine tone (amplitude in [0,1]) into the
+    * given container type (WAVE little-endian; AIFF/AU big-endian). */
+  private def encodeAudio(amplitude: Double,
+                          container: javax.sound.sampled.AudioFileFormat.Type,
+                          seconds: Double = 0.05,
+                          hz: Double = 440.0): Array[Byte] = {
     val rate = 8000f
+    val bigEndian =
+      container != javax.sound.sampled.AudioFileFormat.Type.WAVE
     val n = (rate * seconds).toInt
     val data = new Array[Byte](n * 2)
     for (i <- 0 until n) {
       val v = (amplitude * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
-      data(2 * i) = (v & 0xFF).toByte
-      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      val (lo, hi) = if (bigEndian) (2 * i + 1, 2 * i) else (2 * i, 2 * i + 1)
+      data(lo) = (v & 0xFF).toByte
+      data(hi) = ((v >> 8) & 0xFF).toByte
     }
-    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, bigEndian)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    javax.sound.sampled.AudioSystem.write(ais, container, bos)
     bos.toByteArray
   }
+
+  private def encodeWav(amplitude: Double): Array[Byte] =
+    encodeAudio(amplitude, javax.sound.sampled.AudioFileFormat.Type.WAVE)
 
   it should "decode real WAV payloads to an RMS energy envelope" in {
     val fixtures = Seq(
@@ -230,6 +238,24 @@ class MultimodalSpec extends SparkTestBase {
     all(loud) shouldBe (0.8 / math.sqrt(2)).toFloat +- 0.05f
     all(out(2L).getSeq[Float](out(2L).fieldIndex("embedding"))) shouldBe
       0.0f +- 0.001f
+  }
+
+  it should "decode big-endian AIFF and AU containers like WAV" in {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val fixtures = Seq(
+      (1L, encodeAudio(amplitude = 0.8, Type.AIFF)),
+      (2L, encodeAudio(amplitude = 0.8, Type.AU))
+    ).toDF("id", "data")
+    val out = Multimodal.extractFeatures(fixtures, "id", "data")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    out(1L).getAs[String]("media_type") shouldBe "audio/aiff"
+    out(2L).getAs[String]("media_type") shouldBe "audio/basic"
+    // identical signal, different container/endianness: same envelope
+    for (id <- Seq(1L, 2L)) {
+      val e = out(id).getSeq[Float](out(id).fieldIndex("embedding"))
+      e.length shouldBe 8
+      all(e) shouldBe (0.8 / math.sqrt(2)).toFloat +- 0.05f
+    }
   }
 
   it should "report null features for a corrupt WAV payload" in {

@@ -1,0 +1,86 @@
+package graft.ops
+
+/** Minimal ISO BMFF (MP4) metadata probe, hand-rolled from the public
+  * ISO/IEC 14496-12 box layout — zero dependencies. The JVM cannot
+  * decode MP4 video codecs (H.264 etc.), but the container's structural
+  * metadata is plain big-endian byte layout: this walker reads the real
+  * presentation dimensions of the first visual track from
+  * `moov/trak/tkhd` (stored as 16.16 fixed point), the ffprobe-style
+  * header pass every media pipeline runs before deciding what to
+  * transcode or filter. Codec payloads are never touched.
+  *
+  * Parsing is defensive: box sizes are validated against the enclosing
+  * range (size 0 = "to end of enclosing box", size 1 = 64-bit largesize,
+  * both per spec), and any malformed size ends the walk with whatever
+  * was found — never an out-of-bounds read.
+  */
+object Mp4Probe {
+
+  private def beInt(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** True iff the payload leads with an ISO BMFF `ftyp` box. */
+  def isMp4(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 && boxType(bytes, 4) == "ftyp"
+
+  /** Presentation (width, height) of the first track whose `tkhd`
+    * declares nonzero dimensions (audio/hint tracks carry 0×0 and are
+    * skipped), rounded down from 16.16 fixed point. None when the
+    * payload is not an MP4, has no visual track, or is malformed. */
+  def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (!isMp4(bytes)) return None
+    var found: Option[(Int, Int)] = None
+
+    def readTkhd(start: Int, end: Int): Unit = {
+      // payload layout (after the 8-byte box header): version(1) +
+      // flags(3), then v0 packs creation/modification/duration as
+      // 32-bit (width at offset 76, height 80) while v1 packs them as
+      // 64-bit (width at 88, height 92); both store 16.16 fixed point
+      val version = bytes(start) & 0xFF
+      val wOff = start + (if (version == 1) 88 else 76)
+      if (wOff + 8 <= end) {
+        val w = (beInt(bytes, wOff) >> 16).toInt
+        val h = (beInt(bytes, wOff + 4) >> 16).toInt
+        if (w > 0 && h > 0 && found.isEmpty) found = Some((w, h))
+      }
+    }
+
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      var ok = true
+      while (ok && found.isEmpty && p + 8 <= end) {
+        val size32 = beInt(bytes, p)
+        val typ = boxType(bytes, p + 4)
+        var header = 8
+        val size: Long =
+          if (size32 == 0) (end - p).toLong // box extends to enclosing end
+          else if (size32 == 1) { // 64-bit largesize follows the type
+            if (p + 16 > end) { ok = false; 0L }
+            else {
+              header = 16
+              (beInt(bytes, p + 8) << 32) | beInt(bytes, p + 12)
+            }
+          } else size32
+        if (ok) {
+          if (size < header || p + size > end) ok = false // malformed: stop
+          else {
+            val bodyStart = p + header
+            val bodyEnd = (p + size).toInt
+            typ match {
+              case "moov" | "trak" => walk(bodyStart, bodyEnd)
+              case "tkhd" => readTkhd(bodyStart, bodyEnd)
+              case _ => () // codec/media boxes: structural skip only
+            }
+            p = bodyEnd
+          }
+        }
+      }
+    }
+
+    walk(0, bytes.length)
+    found
+  }
+}

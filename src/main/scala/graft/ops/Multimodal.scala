@@ -67,8 +67,9 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
-  /** Deterministic fake decoder for payload types the JVM cannot decode
-    * (video, non-WAV audio, unknown): "decodes" a payload to dimensions and a small
+  /** Deterministic fake decoder for payload types with no real parser
+    * left — unknown byte streams and compressed codecs the JVM cannot
+    * decode: "decodes" a payload to dimensions and a small
     * embedding derived purely from the bytes, so results are stable
     * across partitionings and runs. A real implementation would decode
     * with a codec and run a vision/audio model per *batch*. */
@@ -315,6 +316,17 @@ object Multimodal {
             else {
               val d = ImageDecoder.decodeOne(id, frames.head, mediaType)
               Row(id, mediaType, bytes.length, d.get(3), d.get(4), d.get(5))
+            }
+          }
+          else if (mediaType == "video/mp4") {
+            // the JVM has no MP4 codec, but the container's structural
+            // metadata is real: report the tkhd presentation dims
+            // (ffprobe-style header pass), null embedding — honest
+            // about what was actually read vs decoded
+            Mp4Probe.dimensions(bytes) match {
+              case Some((w, h)) =>
+                Row(id, mediaType, bytes.length, w, h, null)
+              case None => Row(id, mediaType, bytes.length, null, null, null)
             }
           }
           else FakeDecoder.decodeOne(id, bytes, mediaType)

@@ -421,6 +421,61 @@ class MultimodalSpec extends SparkTestBase {
     out.isNullAt(out.fieldIndex("embedding")) shouldBe true
   }
 
+  // ---- MP4 structural probe fixtures: hand-built ISO BMFF boxes ----
+  private def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def bmffBox(typ: String, body: Array[Byte]): Array[Byte] =
+    be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  /** tkhd payload with 16.16 fixed-point dims (v0: width@76, v1: @88). */
+  private def tkhd(w: Int, h: Int, version: Int = 0): Array[Byte] = {
+    val body = new Array[Byte](if (version == 1) 96 else 84)
+    body(0) = version.toByte
+    val off = if (version == 1) 88 else 76
+    be32(w << 16).copyToArray(body, off)
+    be32(h << 16).copyToArray(body, off + 4)
+    body
+  }
+  private def mp4With(traks: Array[Byte]*): Array[Byte] =
+    bmffBox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII")) ++
+      bmffBox("moov", traks.map(t => bmffBox("trak", bmffBox("tkhd", t)))
+        .reduce(_ ++ _))
+
+  "Mp4Probe" should "read tkhd presentation dims, skipping 0x0 audio tracks" in {
+    // audio track first (0x0), then the visual track — probe must skip
+    val mp4 = mp4With(tkhd(0, 0), tkhd(640, 360))
+    Mp4Probe.isMp4(mp4) shouldBe true
+    Mp4Probe.dimensions(mp4) shouldBe Some((640, 360))
+    // version-1 tkhd (64-bit times): different width offset
+    Mp4Probe.dimensions(mp4With(tkhd(1920, 1080, version = 1))) shouldBe
+      Some((1920, 1080))
+  }
+
+  it should "return None for junk, truncated, or trackless payloads" in {
+    Mp4Probe.dimensions("not an mp4".getBytes("UTF-8")) shouldBe None
+    Mp4Probe.dimensions(null) shouldBe None
+    val mp4 = mp4With(tkhd(640, 360))
+    // cut mid-moov: the walk stops cleanly, no out-of-bounds read
+    val cut = java.util.Arrays.copyOf(mp4, mp4.length - 20)
+    noException should be thrownBy Mp4Probe.dimensions(cut)
+    // ftyp only, no moov → structurally valid but no dims
+    Mp4Probe.dimensions(bmffBox("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0))) shouldBe None
+  }
+
+  "extractFeatures" should "report real tkhd dims for MP4 payloads, null embedding" in {
+    val out = Multimodal.extractFeatures(
+        Seq((1L, mp4With(tkhd(0, 0), tkhd(640, 360)))).toDF("id", "data"),
+        "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "video/mp4"
+    out.getAs[Int]("width") shouldBe 640
+    out.getAs[Int]("height") shouldBe 360
+    // structural metadata is real; pixels were never decoded — no
+    // fabricated embedding
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
   "syntheticAviAssets" should "produce real AVIs whose demuxed geometry matches the id arithmetic" in {
     val ids = Seq(0L, 1L, 2L, 3L, 7L, 13L).toDF("doc_id")
     val frames = Multimodal.decodeImageFrames(

@@ -296,7 +296,18 @@ object Multimodal {
           // ALL image types go to the real decoder: ones the JDK has no
           // reader for (WebP) come back with null dims — honest, where
           // the stub's fabricated geometry would not be
-          if (mediaType.startsWith("image/"))
+          // no JDK WebP decoder, but the canvas size is plain container
+          // metadata — real header dims, null embedding (pixels were
+          // never decoded); malformed WebP (probe None) falls through
+          // to ImageDecoder's honest all-null row
+          val webpDims =
+            if (mediaType == "image/webp") WebpProbe.dimensions(bytes)
+            else None
+          if (webpDims.isDefined) {
+            val (w, h) = webpDims.get
+            Row(id, mediaType, bytes.length, w, h, null)
+          }
+          else if (mediaType.startsWith("image/"))
             ImageDecoder.decodeOne(id, bytes, mediaType)
           // all three containers the JDK's javax.sound ships readers
           // for: WAV (little-endian PCM), AIFF (big-endian PCM), AU.

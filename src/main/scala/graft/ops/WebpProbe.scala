@@ -1,0 +1,69 @@
+package graft.ops
+
+/** Minimal WebP dimension probe, hand-rolled from the public WebP
+  * container spec — zero dependencies. The JDK ships no WebP decoder,
+  * but the dimensions live in plain container metadata: the VP8X
+  * extended-format chunk carries the canvas size directly, a lossy
+  * 'VP8 ' keyframe carries it after the frame tag + sync code, and a
+  * lossless 'VP8L' stream packs it into the 4 bytes after its
+  * signature. Pixel payloads are never touched. Same defensive walk as
+  * [[AviMjpeg]]/[[Mp4Probe]]: malformed sizes end the scan with None,
+  * never an out-of-bounds read.
+  */
+object WebpProbe {
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** True iff the payload leads with the WebP container magic
+    * (RIFF....WEBP). */
+  def isWebp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WEBP"
+
+  /** Canvas (width, height) from the first dimension-bearing chunk.
+    * None when the payload is not WebP or its headers are malformed. */
+  def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (!isWebp(bytes)) return None
+    var p = 12
+    val end = bytes.length
+    while (p + 8 <= end) {
+      val id = fourcc(bytes, p)
+      val sz = leInt(bytes, p + 4)
+      if (sz < 0 || p + 8 + sz > end) return None // malformed: stop
+      val body = p + 8
+      id match {
+        case "VP8X" =>
+          // flags(1) + reserved(3), then 24-bit canvas width-1, height-1
+          if (sz >= 10)
+            return Some((le24(bytes, body + 4) + 1, le24(bytes, body + 7) + 1))
+        case "VP8 " =>
+          // lossy keyframe: frame tag(3) with keyframe bit 0 clear, sync
+          // code 9D 01 2A, then 14-bit width/height in two LE shorts
+          if (sz >= 10 && (bytes(body) & 1) == 0 &&
+            (bytes(body + 3) & 0xFF) == 0x9D &&
+            (bytes(body + 4) & 0xFF) == 0x01 &&
+            (bytes(body + 5) & 0xFF) == 0x2A)
+            return Some((le16(bytes, body + 6) & 0x3FFF,
+              le16(bytes, body + 8) & 0x3FFF))
+        case "VP8L" =>
+          // lossless: signature 0x2F, then width-1 in bits 0-13 and
+          // height-1 in bits 14-27 of the next 4 LE bytes
+          if (sz >= 5 && (bytes(body) & 0xFF) == 0x2F) {
+            val bits = leInt(bytes, body + 1)
+            return Some(((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1))
+          }
+        case _ => () // ICCP/EXIF/ANIM etc: skip
+      }
+      p = body + sz + (sz & 1) // chunks pad to even offsets
+    }
+    None
+  }
+}

@@ -463,6 +463,50 @@ class MultimodalSpec extends SparkTestBase {
       "isom".getBytes("US-ASCII") ++ be32(0))) shouldBe None
   }
 
+  // ---- WebP probe fixtures: hand-built container chunks ----
+  private def webpLe32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+  private def webpFile(chunk: String, body: Array[Byte]): Array[Byte] = {
+    val padded = if ((body.length & 1) == 1) body :+ 0.toByte else body
+    val payload = "WEBP".getBytes("US-ASCII") ++
+      chunk.getBytes("US-ASCII") ++ webpLe32(body.length) ++ padded
+    "RIFF".getBytes("US-ASCII") ++ webpLe32(payload.length) ++ payload
+  }
+
+  "WebpProbe" should "read canvas dims from VP8X, VP8 and VP8L headers" in {
+    def le24(v: Int) = Array(v, v >> 8, v >> 16).map(_.toByte)
+    // VP8X: flags+reserved(4), 24-bit width-1, 24-bit height-1
+    val vp8x = webpFile("VP8X",
+      Array[Byte](0, 0, 0, 0) ++ le24(799) ++ le24(599))
+    WebpProbe.dimensions(vp8x) shouldBe Some((800, 600))
+    // VP8 lossy keyframe: tag(3, keyframe bit clear) + sync 9D 01 2A +
+    // two LE shorts of 14-bit dims
+    val vp8 = webpFile("VP8 ",
+      Array[Byte](0x00, 0x00, 0x00, 0x9D.toByte, 0x01, 0x2A) ++
+        Array[Byte]((320 & 0xFF).toByte, (320 >> 8).toByte,
+          (240 & 0xFF).toByte, (240 >> 8).toByte))
+    WebpProbe.dimensions(vp8) shouldBe Some((320, 240))
+    // VP8L: signature 0x2F + width-1 bits 0-13, height-1 bits 14-27
+    val bits = (99 | (49 << 14))
+    val vp8l = webpFile("VP8L", Array(0x2F.toByte) ++ webpLe32(bits))
+    WebpProbe.dimensions(vp8l) shouldBe Some((100, 50))
+    // junk body → None, never a crash
+    WebpProbe.dimensions(webpFile("VP8 ", "junk".getBytes)) shouldBe None
+    WebpProbe.dimensions(null) shouldBe None
+  }
+
+  "extractFeatures" should "report real container dims for WebP payloads" in {
+    def le24(v: Int) = Array(v, v >> 8, v >> 16).map(_.toByte)
+    val vp8x = webpFile("VP8X",
+      Array[Byte](0, 0, 0, 0) ++ le24(799) ++ le24(599))
+    val out = Multimodal.extractFeatures(
+        Seq((1L, vp8x)).toDF("id", "data"), "id", "data")
+      .head()
+    out.getAs[String]("media_type") shouldBe "image/webp"
+    out.getAs[Int]("width") shouldBe 800
+    out.getAs[Int]("height") shouldBe 600
+    out.isNullAt(out.fieldIndex("embedding")) shouldBe true
+  }
+
   "extractFeatures" should "report real tkhd dims for MP4 payloads, null embedding" in {
     val out = Multimodal.extractFeatures(
         Seq((1L, mp4With(tkhd(0, 0), tkhd(640, 360)))).toDF("id", "data"),

@@ -70,8 +70,11 @@ object Bench {
         s""""queries_spread":$spreads,"passes":$passes,"sf":"$sfDir"}"""
     // the JSON result must be machine-parseable: sbt/Spark interleave log
     // noise on stdout, so ALSO write it to a file, and print it after
-    // spark.stop() so it is the final stdout line
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // spark.stop() so it is the final stdout line. A name-filtered run
+    // is a partial total — route it to a scratch file so it can never
+    // clobber the committed full-run artifact
+    val outFile = if (only.isEmpty) "bench_out.json" else "bench_partial.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(json)

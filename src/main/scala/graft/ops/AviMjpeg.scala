@@ -103,37 +103,38 @@ object AviMjpeg {
     * decoded luminance stays predictable. */
   def solidGrayAnimation(w: Int, h: Int, grays: Seq[Int],
                          fps: Int = 10): Array[Byte] =
-    encode(grays.map { g =>
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (g & 0xFF) * 0x010101
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      img
-    }, fps)
+    encode(grays.map(Multimodal.solidGrayFrame(w, h, _)), fps)
+
+  /** Deepest LIST nesting the walk will follow. Real AVI files nest 2-3
+    * levels; the cap turns a crafted deep-nesting payload into a
+    * truncated result instead of a StackOverflowError (an Error no
+    * per-row containment can catch). */
+  private val MaxDepth = 16
 
   /** Extract the video-data chunk payloads ('NNdc'/'NNdb'), in file
-    * order, from an AVI container. Returns Nil for a payload that is not
-    * an AVI; a malformed chunk size ends the walk with whatever frames
-    * were collected so far (never an out-of-bounds read). The payloads
+    * order, from an AVI container — at most `maxFrames` of them (the
+    * walk stops as soon as the quota is met, so probing just the first
+    * frame costs O(first frame), not a copy of the whole file). Returns
+    * Nil for a payload that is not an AVI; a malformed chunk size ends
+    * the walk with whatever frames were collected so far (sizes are
+    * range-checked in Long arithmetic — a chunk declaring ~Int.MaxValue
+    * bytes cannot wrap the bound and read out of range). The payloads
     * are whatever the codec put there — JPEGs for MJPEG files; callers
     * decode and discover per-frame validity themselves. */
-  def demuxFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  def demuxFrames(bytes: Array[Byte],
+                  maxFrames: Int = Int.MaxValue): Seq[Array[Byte]] = {
     if (!isAvi(bytes)) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > MaxDepth) return
       var p = start
       var ok = true
-      while (ok && p + 8 <= end) {
+      while (ok && out.length < maxFrames && p + 8 <= end) {
         val id = fourcc(bytes, p)
         val sz = leInt(bytes, p + 4)
-        if (sz < 0 || p + 8 + sz > end) ok = false // malformed: stop here
+        if (sz < 0 || p + 8 + sz.toLong > end) ok = false // malformed: stop
         else {
-          if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz)
+          if (id == "LIST" && sz >= 4) walk(p + 12, p + 8 + sz, depth + 1)
           else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
             (id.endsWith("dc") || id.endsWith("db")))
             out += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
@@ -141,7 +142,7 @@ object AviMjpeg {
         }
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     out.toSeq
   }
 }

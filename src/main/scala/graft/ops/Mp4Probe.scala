@@ -35,6 +35,7 @@ object Mp4Probe {
     var found: Option[(Int, Int)] = None
 
     def readTkhd(start: Int, end: Int): Unit = {
+      if (start >= end) return // header-only box: no version byte to read
       // payload layout (after the 8-byte box header): version(1) +
       // flags(3), then v0 packs creation/modification/duration as
       // 32-bit (width at offset 76, height 80) while v1 packs them as
@@ -48,7 +49,11 @@ object Mp4Probe {
       }
     }
 
-    def walk(start: Int, end: Int): Unit = {
+    // real files nest moov/trak 2 deep; the cap turns a crafted
+    // deep-nesting payload into None instead of a StackOverflowError
+    val maxDepth = 16
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > maxDepth) return
       var p = start
       var ok = true
       while (ok && found.isEmpty && p + 8 <= end) {
@@ -70,7 +75,7 @@ object Mp4Probe {
             val bodyStart = p + header
             val bodyEnd = (p + size).toInt
             typ match {
-              case "moov" | "trak" => walk(bodyStart, bodyEnd)
+              case "moov" | "trak" => walk(bodyStart, bodyEnd, depth + 1)
               case "tkhd" => readTkhd(bodyStart, bodyEnd)
               case _ => () // codec/media boxes: structural skip only
             }
@@ -80,7 +85,7 @@ object Mp4Probe {
       }
     }
 
-    walk(0, bytes.length)
+    walk(0, bytes.length, 0)
     found
   }
 }

@@ -293,6 +293,12 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val mediaType = r.getString(2)
+          // per-row containment, enforced ONCE at this level rather than
+          // re-implemented inside each parser: a single malformed asset
+          // in a 100 TB scan must yield its honest all-null row, never
+          // kill the task — whatever future bug a hand-rolled
+          // parser/probe grows
+          try {
           // ALL image types go to the real decoder: ones the JDK has no
           // reader for (WebP) come back with null dims — honest, where
           // the stub's fabricated geometry would not be
@@ -321,7 +327,9 @@ object Multimodal {
             // demux the RIFF container, decode the first frame as a
             // JPEG (MJPEG), report its true dims + embedding. Other
             // codecs inside AVI fail JPEG decode → honest nulls.
-            val frames = AviMjpeg.demuxFrames(bytes)
+            // maxFrames = 1: only the first video chunk is copied —
+            // probing never duplicates the whole file frame by frame
+            val frames = AviMjpeg.demuxFrames(bytes, maxFrames = 1)
             if (frames.isEmpty) Row(id, mediaType, bytes.length,
               null, null, null)
             else {
@@ -341,6 +349,11 @@ object Multimodal {
             }
           }
           else FakeDecoder.decodeOne(id, bytes, mediaType)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Row(id, mediaType, if (bytes == null) 0 else bytes.length,
+                null, null, null)
+          }
         }
       }
     }(Encoders.row(FeatureSchema))
@@ -434,18 +447,24 @@ object Multimodal {
       * each clamped to 0..255). Solid frames survive GIF palette
       * quantization exactly, so decoded luminance is predictable. */
     def solidGrayAnimation(w: Int, h: Int, grays: Seq[Int]): Array[Byte] =
-      encode(grays.map { g =>
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val rgb = (g & 0xFF) * 0x010101
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        img
-      })
+      encode(grays.map(solidGrayFrame(w, h, _)))
+  }
+
+  /** A w×h frame of solid gray (clamped to 0..255) — the one fixture
+    * builder shared by the GIF and AVI animation encoders, so frame
+    * construction cannot drift between them. */
+  private[ops] def solidGrayFrame(w: Int, h: Int,
+                                  g: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g & 0xFF) * 0x010101
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
   }
 
   /** REAL multi-frame demux for animated GIFs and MJPEG AVIs — the two

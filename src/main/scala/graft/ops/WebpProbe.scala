@@ -37,7 +37,9 @@ object WebpProbe {
     while (p + 8 <= end) {
       val id = fourcc(bytes, p)
       val sz = leInt(bytes, p + 4)
-      if (sz < 0 || p + 8 + sz > end) return None // malformed: stop
+      // Long arithmetic: a chunk declaring ~Int.MaxValue bytes must hit
+      // this guard, not wrap negative and pass it
+      if (sz < 0 || p + 8 + sz.toLong > end) return None // malformed: stop
       val body = p + 8
       id match {
         case "VP8X" =>

@@ -361,6 +361,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  it should "survive adversarial chunk sizes and deep nesting without reading out of bounds" in {
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    // a '00dc' chunk declaring ~Int.MaxValue bytes: the Long-arithmetic
+    // bound must reject it (an Int add would wrap negative and pass)
+    val huge = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0x7FFFFFF0) ++
+      Array.fill[Byte](32)(1)
+    noException should be thrownBy AviMjpeg.demuxFrames(huge)
+    AviMjpeg.demuxFrames(huge) shouldBe empty
+    // deeply nested LISTs: bounded recursion, not StackOverflowError
+    val depth = 100000
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(12 * depth + 4))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    for (i <- depth to 1 by -1) {
+      bos.write("LIST".getBytes("US-ASCII")); bos.write(le32(12 * i - 8))
+      bos.write("rec ".getBytes("US-ASCII"))
+    }
+    noException should be thrownBy AviMjpeg.demuxFrames(bos.toByteArray)
+    // and the one-frame cap copies only the first chunk
+    val avi = AviMjpeg.solidGrayAnimation(8, 8, Seq(10, 20, 30))
+    AviMjpeg.demuxFrames(avi, maxFrames = 1).length shouldBe 1
+  }
+
   it should "return no frames for junk or truncated containers" in {
     AviMjpeg.demuxFrames("not an avi".getBytes("UTF-8")) shouldBe empty
     AviMjpeg.demuxFrames(null) shouldBe empty
@@ -461,6 +486,23 @@ class MultimodalSpec extends SparkTestBase {
     // ftyp only, no moov → structurally valid but no dims
     Mp4Probe.dimensions(bmffBox("ftyp",
       "isom".getBytes("US-ASCII") ++ be32(0))) shouldBe None
+    // header-only tkhd (size 8, empty body) as the very last bytes:
+    // must not read a version byte past the array
+    val headerOnly = bmffBox("ftyp", "isom".getBytes("US-ASCII")) ++
+      bmffBox("moov", bmffBox("trak",
+        be32(8) ++ "tkhd".getBytes("US-ASCII")))
+    noException should be thrownBy Mp4Probe.dimensions(headerOnly)
+    Mp4Probe.dimensions(headerOnly) shouldBe None
+  }
+
+  "WebpProbe" should "reject adversarial chunk sizes without reading out of bounds" in {
+    // VP8X declaring ~Int.MaxValue bytes in a 24-byte file: the
+    // Long-arithmetic bound must reject it instead of wrapping
+    val huge = "RIFF".getBytes("US-ASCII") ++ webpLe32(100) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+      webpLe32(0x7FFFFFF0) ++ Array.fill[Byte](4)(0)
+    noException should be thrownBy WebpProbe.dimensions(huge)
+    WebpProbe.dimensions(huge) shouldBe None
   }
 
   // ---- WebP probe fixtures: hand-built container chunks ----

@@ -44,6 +44,18 @@ class PlanQualitySpec extends SparkTestBase {
     plan should include("max_by")
   }
 
+  "the media frame pipeline" should "stay per-partition with zero shuffles" in {
+    // synthesize → encode → demux → decode is row-local work; a future
+    // change that sneaks an exchange into it would repartition binary
+    // payloads — at 100 TB the single most expensive thing to shuffle
+    val df = graft.ops.Multimodal.decodeImageFrames(
+      graft.ops.Multimodal.syntheticGifAssets(
+        Tables.documents(spark, sf).select(col("doc_id")), "doc_id"),
+      "id", "data")
+    val plan = df.queryExecution.executedPlan.toString()
+    (plan should not).include("Exchange")
+  }
+
   "castTo on a parquet scan" should "stay a single stage with zero shuffles" in {
     import org.apache.spark.sql.types._
     val changelog = Tables.events(spark, sf).select(

@@ -634,6 +634,12 @@ object Dedup {
                              threshold: Double): DataFrame = {
     require(threshold > 0.0,
       s"blocked near-dup pruning needs threshold > 0, got $threshold")
+    // both persists back the RETURNED plan (two join probes each), so
+    // neither can be unpersisted here; like ivfTopK's assignment cache,
+    // release is left to the ContextCleaner once the caller's plan is
+    // unreachable. Long-lived apps running many increments should
+    // materialize the result and `spark.catalog.clearCache()` between
+    // runs if executor storage is tight.
     val corpM = index.members.persist(StorageLevel.MEMORY_AND_DISK)
     val incM = IvfIndex.withAssignment(
         Parallelism.spread(
@@ -815,7 +821,16 @@ object Dedup {
     * every round (exponential analysis/plan-string cost) — each round's
     * labels are therefore eagerly checkpointed: reliably if the session
     * has a checkpoint dir (set one on a real cluster — survives executor
-    * loss), else `localCheckpoint` (executor-local blocks). */
+    * loss), else `localCheckpoint` (executor-local blocks).
+    *
+    * Checkpoint lifecycle: each round deletes the PREVIOUS round's
+    * checkpoint files, but the FINAL round's directory necessarily
+    * outlives this call — the returned DataFrame reads from it. On a
+    * checkpoint-dir-configured cluster, one label-table copy (one
+    * (id, label) row per document) therefore stays on distributed
+    * storage until the application exits; callers that run many dedup
+    * passes in one long-lived app should write the result out and
+    * delete the context's checkpoint subdirectory between passes. */
   def dupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
                   maxIters: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext

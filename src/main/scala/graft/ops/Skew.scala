@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * [0, numSalts), the small side is replicated `numSalts` times, and the
   * join key becomes (key, salt) — the hot key now spreads over
   * `numSalts` reducers. Results are identical to the unsalted join.
+  *
+  * BEHAVIOR NOTE (since the retry-determinism fix): the default salt is
+  * value-only. Byte-identical duplicate rows of a hot key hash to ONE
+  * salt bucket and land on one reducer; inputs that are mostly verbatim
+  * duplicates of a few rows must opt into `mixOrdinal = true` (safe only
+  * when lineage up to this join is deterministic) or exact-dedup first.
   */
 object Skew {
 

@@ -132,31 +132,24 @@ object ChangelogStream {
       spark.table(sinkName), keyCols, tsCol, tieBreakers)
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
-    * `n` (n <= 0: leave the session value). A streaming query pins its
-    * STATE partition count from this conf at first start, and every
-    * state partition pays per-batch store maintenance + commit — on a
-    * replay with modest state, 32+ partitions burn more system CPU in
-    * store churn than the data costs. Size to expected state volume.
+  /** Rebind `df` onto a FRESH session (same SparkContext, same source
+    * streams) whose `spark.sql.shuffle.partitions` — the conf a streaming
+    * query pins its STATE partition count from at first start — is `n`.
+    * Every state partition pays per-batch store maintenance + commit; on
+    * a replay with modest state, 32+ partitions burn more system CPU in
+    * store churn than the data costs, so size to expected state volume.
     *
-    * The conf is SESSION-global, so overriding callers are serialized on
-    * a JVM-wide lock: concurrent replays cannot interleave their
-    * save/restore and leak the override. An unrelated query planned on
-    * the same session DURING a replay still sees the temporary value —
-    * in a session shared with latency-sensitive batch work, leave
-    * `statePartitions = 0`. */
-  private val shufflePartitionsLock = new Object
-  private def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
-                                       n: Int)(body: => T): T =
-    if (n <= 0) body
-    else shufflePartitionsLock.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, n.toString)
-      try body finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    * Isolation instead of time-shared mutation: the override lives only
+    * in the replay's own `newSession()`, so concurrent replays need no
+    * lock and an unrelated query planned on the caller's session during
+    * the replay never sees the temporary value. `n <= 0` keeps the
+    * caller's session (and its conf) untouched. */
+  private def withStatePartitions(df: DataFrame, n: Int): DataFrame =
+    if (n <= 0) df
+    else {
+      val isolated = df.sparkSession.newSession()
+      isolated.conf.set("spark.sql.shuffle.partitions", n.toString)
+      org.apache.spark.sql.graftshim.SessionBridge.onSession(isolated, df)
     }
 
   /** Corpus-safe replay bridge: run any UPDATE-mode streaming relation to
@@ -183,8 +176,8 @@ object ChangelogStream {
   def replayToFiles(updates: DataFrame, groupCols: Seq[String],
                     dir: String, statePartitions: Int = 0): DataFrame = {
     val spark = updates.sparkSession
-    withShufflePartitions(spark, statePartitions) {
-      val q = updates.writeStream
+    locally {
+      val q = withStatePartitions(updates, statePartitions).writeStream
         .option("checkpointLocation", s"$dir/_checkpoints")
         .outputMode(OutputMode.Update())
         .foreachBatch { (b: DataFrame, id: Long) =>
@@ -222,8 +215,8 @@ object ChangelogStream {
   def replayAppendToFiles(appended: DataFrame, dir: String,
                           statePartitions: Int = 0): DataFrame = {
     val spark = appended.sparkSession
-    withShufflePartitions(spark, statePartitions) {
-      val q = appended.writeStream
+    locally {
+      val q = withStatePartitions(appended, statePartitions).writeStream
         .option("checkpointLocation", s"$dir/_checkpoints")
         .outputMode(OutputMode.Append())
         .foreachBatch { (b: DataFrame, id: Long) =>

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.classic
+
+/** Bridge to the `private[sql]` `Dataset.ofRows`: rebind a Dataset's
+  * logical plan onto another session of the SAME SparkContext. Used to
+  * run a streaming replay on an isolated `newSession()` whose conf
+  * overrides (state partition count) cannot leak into queries planned
+  * concurrently on the caller's session. */
+object SessionBridge {
+  def onSession(session: SparkSession, df: Dataset[_]): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
+}

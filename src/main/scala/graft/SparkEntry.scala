@@ -1016,15 +1016,28 @@ object SparkEntry {
           col("width"), col("height"))
         .orderBy(col("id"))),
 
-    // Stub resize over binary payloads (deterministic byte decimation to
-    // an 8x4 budget through the batched mapPartitions plumbing) — the
-    // oracle reproduces the stride arithmetic and checksum per byte.
-    "q_multimodal_resize" -> ((s, d) =>
-      Multimodal.resizeStub(
-          Tables.documents(s, d).select(col("doc_id"),
-            col("text").cast(BinaryType).as("data")),
-          "doc_id", "data", targetW = 8, targetH = 4)
-        .orderBy(col("id"))),
+    // REAL pixel resize + honest fallback, both oracle-checked in one
+    // query: synthetic animated GIFs (geometry arithmetic on doc_id) go
+    // through true decode -> bilinear Graphics2D scale into an 8x4 box
+    // (integer-exact fitDims, real_resize=true), while text payloads
+    // (no image reader) take the deterministic byte-decimation fallback
+    // (real_resize=false, stride arithmetic + checksum). Ids disjoint by
+    // a +1e6 offset on the fallback branch.
+    "q_multimodal_resize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val real = Multimodal.resizeAssets(
+        Multimodal.syntheticGifAssets(docs, "doc_id"),
+        "id", "data", targetW = 8, targetH = 4)
+      val fallback = Multimodal.resizeAssets(
+        docs.select((col("doc_id") + 1000000L).as("id"),
+          col("text").cast(BinaryType).as("data")),
+        "id", "data", targetW = 8, targetH = 4)
+      real.unionByName(fallback)
+        .select(col("id"), col("media_type"), col("real_resize"),
+          col("in_w"), col("in_h"), col("out_w"), col("out_h"),
+          col("byte_sum"))
+        .orderBy(col("id"))
+    }),
 
     // Frame sampling over binary payloads (stub demuxer: fixed-stride
     // chunk hashes) — md5 frame hashes are engine-portable, so the full
@@ -1062,7 +1075,19 @@ object SparkEntry {
           "id", "data", maxFrames = 8)
         .select(col("id"), col("frame_idx"), col("n_frames"),
           col("width"), col("height"))
-        .orderBy(col("id"), col("frame_idx")))
+        .orderBy(col("id"), col("frame_idx"))),
+
+    // REAL MP4 structural round trip: metadata-only ISO BMFF containers
+    // (real big-endian box layout, no media data) are built on the
+    // executors with geometry/duration/track-count arithmetic on doc_id,
+    // then probed back by the defensive box walker — first-visual-track
+    // dims, mvhd duration (ticks -> ms at timescale 600), track count.
+    // The curation pre-filter pass (ffprobe-style), oracle-exact.
+    "q_multimodal_mp4" -> ((s, d) =>
+      Multimodal.probeMp4(
+          Multimodal.syntheticMp4Assets(Tables.documents(s, d), "doc_id"),
+          "id", "data")
+        .orderBy(col("id")))
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables registered
@@ -1896,25 +1921,49 @@ object SparkEntry {
         |  round(m.mv, 6) AS mean_v
         |FROM m JOIN n ON m.label = n.label
         |ORDER BY m.label, pos""".stripMargin,
+    // two branches: synthetic-GIF real resize (in dims arithmetic on
+    // doc_id, out dims = integer aspect-fit into 8x4, byte_sum NULL) and
+    // text decimation fallback (old stride arithmetic + checksum)
     "q_multimodal_resize" ->
-      """WITH r AS (
-        |  SELECT doc_id AS id, length(text) AS n,
+      """WITH g AS (
+        |  SELECT doc_id AS id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS in_w,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS in_h
+        |  FROM documents),
+        |gf AS (
+        |  SELECT id, 'image/gif' AS media_type, TRUE AS real_resize,
+        |    in_w, in_h,
+        |    CAST(CASE WHEN in_w * 4 <= in_h * 8
+        |         THEN greatest(1, (in_w * 4) // in_h)
+        |         ELSE 8 END AS INTEGER) AS out_w,
+        |    CAST(CASE WHEN in_w * 4 <= in_h * 8 THEN 4
+        |         ELSE greatest(1, (in_h * 8) // in_w) END AS INTEGER) AS out_h,
+        |    CAST(NULL AS BIGINT) AS byte_sum
+        |  FROM g),
+        |r AS (
+        |  SELECT doc_id + 1000000 AS id, length(text) AS n,
         |    greatest(1, (length(text) + 31) // 32) AS stride, text
-        |  FROM documents)
-        |SELECT id,
-        |  (CASE WHEN n = 0 THEN 0
-        |        ELSE least(8, (n + stride - 1) // stride) END)::INT AS out_w,
-        |  (CASE WHEN n = 0 THEN 0
-        |        ELSE (((n + stride - 1) // stride) + 7) // 8 END)::INT AS out_h,
-        |  n::INT AS n_bytes_in,
-        |  (CASE WHEN n = 0 THEN 0
-        |        ELSE (n + stride - 1) // stride END)::INT AS n_bytes_out,
-        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-        |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         [CAST(ord(substr(text, i, 1)) AS BIGINT)
-        |          for i in range(1, n + 1, stride)]),
-        |         (a, c) -> a + c) END AS byte_sum
-        |FROM r ORDER BY id""".stripMargin,
+        |  FROM documents),
+        |tf AS (
+        |  SELECT id, 'application/octet-stream' AS media_type,
+        |    FALSE AS real_resize,
+        |    CAST(NULL AS INTEGER) AS in_w, CAST(NULL AS INTEGER) AS in_h,
+        |    (CASE WHEN n = 0 THEN 0
+        |          ELSE least(8, (n + stride - 1) // stride) END)::INT AS out_w,
+        |    (CASE WHEN n = 0 THEN 0
+        |          ELSE (((n + stride - 1) // stride) + 7) // 8 END)::INT AS out_h,
+        |    CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(ord(substr(text, i, 1)) AS BIGINT)
+        |            for i in range(1, n + 1, stride)]),
+        |           (a, c) -> a + c) END AS byte_sum
+        |  FROM r)
+        |SELECT id, media_type, real_resize, in_w, in_h, out_w, out_h,
+        |  byte_sum FROM gf
+        |UNION ALL
+        |SELECT id, media_type, real_resize, in_w, in_h, out_w, out_h,
+        |  byte_sum FROM tf
+        |ORDER BY id""".stripMargin,
     "q_multimodal_frames" ->
       """WITH d AS (
         |  SELECT doc_id AS id, text, length(text) AS n FROM documents),
@@ -1990,7 +2039,18 @@ object SparkEntry {
         |  FROM d)
         |SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST(nf AS INTEGER) AS n_frames, width, height
-        |FROM x ORDER BY id, frame_idx""".stripMargin
+        |FROM x ORDER BY id, frame_idx""".stripMargin,
+    // mirrors syntheticMp4Assets' arithmetic: timescale 600, duration
+    // ticks 600 + 3*(id mod 1000), ms = ticks*1000 // 600 (floor — same
+    // integral division the probe computes)
+    "q_multimodal_mp4" ->
+      """SELECT doc_id AS id,
+        |  CAST(64 + (doc_id % 9) * 16 AS INTEGER) AS width,
+        |  CAST(36 + (doc_id % 7) * 12 AS INTEGER) AS height,
+        |  CAST(((600 + (doc_id % 1000) * 3) * 1000) // 600 AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks
+        |FROM documents ORDER BY id""".stripMargin
   )
 
   /** DuckDB list literal of [[TextAnalysis.EnglishStopwords]]. */

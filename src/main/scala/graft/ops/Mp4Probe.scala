@@ -5,9 +5,12 @@ package graft.ops
   * decode MP4 video codecs (H.264 etc.), but the container's structural
   * metadata is plain big-endian byte layout: this walker reads the real
   * presentation dimensions of the first visual track from
-  * `moov/trak/tkhd` (stored as 16.16 fixed point), the ffprobe-style
-  * header pass every media pipeline runs before deciding what to
-  * transcode or filter. Codec payloads are never touched.
+  * `moov/trak/tkhd` (stored as 16.16 fixed point), the movie duration
+  * from `moov/mvhd` (timescale ticks → milliseconds), and the track
+  * count — the ffprobe-style header pass every media pipeline runs
+  * before deciding what to transcode or filter (duration is usually the
+  * FIRST thing a curation filter cuts on). Codec payloads are never
+  * touched.
   *
   * Parsing is defensive: box sizes are validated against the enclosing
   * range (size 0 = "to end of enclosing box", size 1 = 64-bit largesize,
@@ -15,6 +18,14 @@ package graft.ops
   * was found — never an out-of-bounds read.
   */
 object Mp4Probe {
+
+  /** Structural metadata of an MP4 container: presentation dims of the
+    * first visual track (None when every `tkhd` declares 0×0 —
+    * audio/hint-only movies), movie duration in milliseconds from
+    * `mvhd` (None when `mvhd` is absent or its timescale is 0), and the
+    * number of `trak` boxes. */
+  final case class Mp4Meta(width: Option[Int], height: Option[Int],
+                           durationMs: Option[Long], nTracks: Int)
 
   private def beInt(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
@@ -27,12 +38,18 @@ object Mp4Probe {
     bytes != null && bytes.length >= 12 && boxType(bytes, 4) == "ftyp"
 
   /** Presentation (width, height) of the first track whose `tkhd`
-    * declares nonzero dimensions (audio/hint tracks carry 0×0 and are
-    * skipped), rounded down from 16.16 fixed point. None when the
-    * payload is not an MP4, has no visual track, or is malformed. */
-  def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    * declares nonzero dimensions — kept as the narrow probe for callers
+    * that only need geometry. */
+  def dimensions(bytes: Array[Byte]): Option[(Int, Int)] =
+    probe(bytes).flatMap(m => m.width.zip(m.height))
+
+  /** Full structural probe: first-visual-track dims + `mvhd` duration +
+    * track count. None when the payload is not an MP4 at all. */
+  def probe(bytes: Array[Byte]): Option[Mp4Meta] = {
     if (!isMp4(bytes)) return None
-    var found: Option[(Int, Int)] = None
+    var dims: Option[(Int, Int)] = None
+    var durationMs: Option[Long] = None
+    var nTracks = 0
 
     def readTkhd(start: Int, end: Int): Unit = {
       if (start >= end) return // header-only box: no version byte to read
@@ -45,7 +62,27 @@ object Mp4Probe {
       if (wOff + 8 <= end) {
         val w = (beInt(bytes, wOff) >> 16).toInt
         val h = (beInt(bytes, wOff + 4) >> 16).toInt
-        if (w > 0 && h > 0 && found.isEmpty) found = Some((w, h))
+        if (w > 0 && h > 0 && dims.isEmpty) dims = Some((w, h))
+      }
+    }
+
+    def readMvhd(start: Int, end: Int): Unit = {
+      if (start >= end || durationMs.isDefined) return
+      // v0: version/flags(4) creation(4) modification(4) timescale(4)
+      // duration(4); v1 widens creation/modification/duration to 64-bit
+      val version = bytes(start) & 0xFF
+      if (version == 1) {
+        if (start + 32 > end) return
+        val timescale = beInt(bytes, start + 20)
+        val duration = (beInt(bytes, start + 24) << 32) | beInt(bytes, start + 28)
+        if (timescale > 0 && duration >= 0)
+          durationMs = Some(duration * 1000L / timescale)
+      } else {
+        if (start + 20 > end) return
+        val timescale = beInt(bytes, start + 12)
+        val duration = beInt(bytes, start + 16)
+        if (timescale > 0)
+          durationMs = Some(duration * 1000L / timescale)
       }
     }
 
@@ -56,7 +93,7 @@ object Mp4Probe {
       if (depth > maxDepth) return
       var p = start
       var ok = true
-      while (ok && found.isEmpty && p + 8 <= end) {
+      while (ok && p + 8 <= end) {
         val size32 = beInt(bytes, p)
         val typ = boxType(bytes, p + 4)
         var header = 8
@@ -75,8 +112,12 @@ object Mp4Probe {
             val bodyStart = p + header
             val bodyEnd = (p + size).toInt
             typ match {
-              case "moov" | "trak" => walk(bodyStart, bodyEnd, depth + 1)
+              case "moov" => walk(bodyStart, bodyEnd, depth + 1)
+              case "trak" =>
+                nTracks += 1
+                walk(bodyStart, bodyEnd, depth + 1)
               case "tkhd" => readTkhd(bodyStart, bodyEnd)
+              case "mvhd" => readMvhd(bodyStart, bodyEnd)
               case _ => () // codec/media boxes: structural skip only
             }
             p = bodyEnd
@@ -86,6 +127,60 @@ object Mp4Probe {
     }
 
     walk(0, bytes.length, 0)
-    found
+    Some(Mp4Meta(dims.map(_._1), dims.map(_._2), durationMs, nTracks))
+  }
+
+  // ---- synthetic container encoding (fixtures / sink-side) ----
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 8)
+    out.write(be32(payload.length + 8L))
+    out.write(typ.getBytes("US-ASCII"))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  // identity transform matrix per ISO/IEC 14496-12 (fixed point)
+  private val UnityMatrix: Array[Byte] =
+    (be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L))
+
+  /** A structurally-valid metadata-only MP4 (`ftyp` + `moov` holding
+    * `mvhd` + `nTracks` × `trak/tkhd`, no media data): track 1 carries
+    * the presentation dims, further tracks declare 0×0 (the audio/hint
+    * shape [[probe]] must skip). Real big-endian v0 box layout
+    * throughout — what a probe-only fixture needs, with no codec
+    * payload to fake. */
+  def buildMetadataOnly(width: Int, height: Int, timescale: Long,
+                        duration: Long, nTracks: Int): Array[Byte] = {
+    require(nTracks >= 1 && timescale > 0 && duration >= 0 &&
+      width > 0 && height > 0, "invalid synthetic mp4 geometry")
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0x200L) ++
+        "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) /* v0 + flags */ ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(duration) ++
+        be32(0x00010000L) /* rate */ ++
+        Array[Byte](0x01, 0x00) /* volume */ ++ new Array[Byte](10) ++
+        UnityMatrix ++ new Array[Byte](24) /* pre_defined */ ++
+        be32(nTracks + 1L) /* next_track_ID */)
+    val traks = (1 to nTracks).map { t =>
+      val (w, h) = if (t == 1) (width, height) else (0, 0)
+      box("trak", box("tkhd",
+        be32(7) /* v0 + flags: enabled|in movie|in preview */ ++
+          be32(0) ++ be32(0) ++ be32(t.toLong) ++ be32(0) ++
+          be32(duration) ++ new Array[Byte](8) ++
+          new Array[Byte](8) /* layer, alt group, volume, reserved */ ++
+          UnityMatrix ++
+          be32(w.toLong << 16) ++ be32(h.toLong << 16)))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    ftyp ++ moov
   }
 }

@@ -146,6 +146,34 @@ object Multimodal {
       emb
     }
 
+    /** Header dims + decoded raster in one pass: dims alone when the
+      * header declares more than [[MaxPixels]] (decompression-bomb
+      * guard — never raster-decoded), (None, None) when the payload has
+      * no ImageIO reader or is malformed. */
+    def decodeWithDims(bytes: Array[Byte])
+        : (Option[(Int, Int)], Option[java.awt.image.BufferedImage]) = {
+      if (bytes == null || bytes.length == 0) return (None, None)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return (None, None)
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0) (None, None)
+            else if (w.toLong * h > MaxPixels) (Some((w, h)), None)
+            else (Some((w, h)), Some(reader.read(0)))
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch {
+        case _: java.io.IOException | _: RuntimeException => (None, None)
+      }
+    }
+
     def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {
       val n = if (bytes == null) 0 else bytes.length
       if (n == 0) return Row(id, mediaType, n, null, null, null)
@@ -359,48 +387,124 @@ object Multimodal {
     }(Encoders.row(FeatureSchema))
   }
 
-  /** Output schema of [[resizeStub]]. */
+  /** Output schema of [[resizeAssets]]. */
   val ResizeSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("real_resize", BooleanType, nullable = false),
+    StructField("in_w", IntegerType),
+    StructField("in_h", IntegerType),
     StructField("out_w", IntegerType, nullable = false),
     StructField("out_h", IntegerType, nullable = false),
     StructField("n_bytes_in", IntegerType, nullable = false),
     StructField("n_bytes_out", IntegerType, nullable = false),
-    StructField("byte_sum", LongType, nullable = false)))
+    StructField("byte_sum", LongType),
+    StructField("data_out", BinaryType)))
 
-  /** Stub resize: decimate the payload to at most `targetW × targetH`
-    * sample bytes (stride = ceil(n / (tw·th)), samples at byte offsets
-    * 0, stride, 2·stride, …) and report the resized geometry plus an
-    * order-sensitive checksum of the sampled bytes. A real implementation
-    * decodes and rescales pixels per BATCH; the plumbing here — batched
-    * `mapPartitions`, fixed output schema, no shuffle — is the real
-    * contract, and the decimation is deterministic so the operator is
-    * oracle-checkable end to end. Empty/null payloads resize to 0×0. */
-  def resizeStub(df: DataFrame, idCol: String, bytesCol: String,
-                 targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
+  /** Aspect-preserving fit of (w, h) into a (tw, th) box in pure integer
+    * arithmetic (so an external oracle reproduces it exactly): the
+    * binding axis lands exactly on its target, the other scales by the
+    * same ratio, floored, min 1. */
+  private[ops] def fitDims(w: Int, h: Int, tw: Int, th: Int): (Int, Int) =
+    if (w.toLong * th <= h.toLong * tw)
+      (math.max(1, (w.toLong * th / h).toInt), th)
+    else (tw, math.max(1, (h.toLong * tw / w).toInt))
+
+  /** REAL image resize for every payload the JVM can decode, honest
+    * fallback for the rest — per batch, fully distributed (batched
+    * `mapPartitions`, no shuffle, no driver collect):
+    *
+    *  - decodable images (PNG/JPEG/GIF/BMP via [[ImageDecoder]], bomb
+    *    guard included): true raster decode, aspect-preserving bilinear
+    *    `Graphics2D.drawImage` scale into the `targetW × targetH` box
+    *    ([[fitDims]] — integer arithmetic, oracle-reproducible), PNG
+    *    re-encode. `real_resize = true`, `data_out` = the resized PNG,
+    *    `byte_sum` null (PNG bytes are codec output, not an arithmetic
+    *    function of the input).
+    *  - everything else (non-image payloads, readerless subtypes like
+    *    WebP, over-ceiling bombs, corrupt data): deterministic byte
+    *    DECIMATION to at most `targetW × targetH` sample bytes (stride =
+    *    ceil(n / (tw·th))), `real_resize = false`, with an
+    *    order-sensitive `byte_sum` checksum so the fallback stays
+    *    oracle-checkable end to end. Header dims still populate
+    *    `in_w`/`in_h` when a probe can read them (bomb headers, WebP
+    *    VP8X, MP4 tkhd) — honest metadata without fabricated pixels.
+    *
+    * Empty/null payloads resize to 0×0 with empty output. */
+  def resizeAssets(df: DataFrame, idCol: String, bytesCol: String,
+                   targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
     require(targetW >= 1 && targetH >= 1, "target dims must be positive")
     val in = df.select(col(idCol).cast(LongType).as("id"),
-      col(bytesCol).as("data"))
+      col(bytesCol).as("data"), sniffMediaType(col(bytesCol)).as("media_type"))
     val budget = targetW * targetH
     in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { chunk =>
         chunk.map { r =>
           // a null id would NPE deep in the executor — name the column
           if (r.isNullAt(0)) throw new IllegalArgumentException(
-            s"resizeStub: null or non-castable id in $idCol for row $r")
+            s"resizeAssets: null or non-castable id in $idCol for row $r")
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
           val n = if (bytes == null) 0 else bytes.length
-          if (n == 0) Row(id, 0, 0, 0, 0, 0L)
-          else {
+
+          def decimate(inDims: Option[(Int, Int)]): Row = {
             val stride = math.max(1, (n + budget - 1) / budget)
             val nOut = (n + stride - 1) / stride
+            val out = new Array[Byte](nOut)
             var sum = 0L
             var i = 0
-            while (i < n) { sum += (bytes(i) & 0xFF); i += stride }
-            val outW = math.min(targetW, nOut)
-            val outH = (nOut + targetW - 1) / targetW
-            Row(id, outW, outH, n, nOut, sum)
+            var j = 0
+            while (i < n) {
+              out(j) = bytes(i); sum += (bytes(i) & 0xFF); i += stride; j += 1
+            }
+            Row(id, mediaType, false,
+              inDims.map(d => Int.box(d._1)).orNull,
+              inDims.map(d => Int.box(d._2)).orNull,
+              math.min(targetW, nOut), (nOut + targetW - 1) / targetW,
+              n, nOut, sum, out)
+          }
+
+          if (n == 0)
+            Row(id, mediaType, false, null, null, 0, 0, 0, 0, 0L,
+              Array.emptyByteArray)
+          else try {
+            val (hdrDims, raster) =
+              if (mediaType.startsWith("image/"))
+                ImageDecoder.decodeWithDims(bytes)
+              else (None, None)
+            raster match {
+              case Some(img) =>
+                val (ow, oh) = fitDims(img.getWidth, img.getHeight,
+                  targetW, targetH)
+                val scaled = new java.awt.image.BufferedImage(ow, oh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = scaled.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, ow, oh, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(scaled, "png", bos)
+                val out = bos.toByteArray
+                Row(id, mediaType, true, img.getWidth, img.getHeight,
+                  ow, oh, n, out.length, null, out)
+              case None =>
+                // no raster, but a probe may still read honest header
+                // dims: ImageIO header (bomb ceiling), WebP VP8X, MP4 tkhd
+                val probed = hdrDims
+                  .orElse(if (mediaType == "image/webp")
+                    WebpProbe.dimensions(bytes) else None)
+                  .orElse(if (mediaType == "video/mp4")
+                    Mp4Probe.dimensions(bytes) else None)
+                decimate(probed)
+            }
+          } catch {
+            // per-row containment: a malformed asset degrades to the
+            // deterministic fallback, never a dead task
+            case scala.util.control.NonFatal(_) => decimate(None)
           }
         }
       }
@@ -612,6 +716,78 @@ object Multimodal {
         val h = (4 + id % 5).toInt
         val grays = (0 until nf).map(f => ((17 * id + 29 * f) % 256).toInt)
         Row(id, AviMjpeg.solidGrayAnimation(w, h, grays))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Output schema of [[probeMp4]]. */
+  val Mp4MetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType)))
+
+  /** Structural MP4 metadata per payload — first-visual-track dims,
+    * `mvhd` duration in ms, track count — via the defensive
+    * [[Mp4Probe]] box walker (ffprobe-style header pass; curation
+    * pipelines filter on duration before anything else). Non-MP4 or
+    * malformed payloads yield an all-null row rather than an error or a
+    * fabricated value. Fully distributed: batched `mapPartitions`, no
+    * shuffle, no driver collect. */
+  def probeMp4(df: DataFrame, idCol: String, bytesCol: String,
+               batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"probeMp4: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          try {
+            Mp4Probe.probe(r.getAs[Array[Byte]](1)) match {
+              case Some(m) => Row(id, m.width.map(Int.box).orNull,
+                m.height.map(Int.box).orNull,
+                m.durationMs.map(Long.box).orNull, m.nTracks)
+              case None => Row(id, null, null, null, null)
+            }
+          } catch {
+            // same per-row containment as extractFeatures: one malformed
+            // asset in a 100 TB scan yields its null row, never a dead task
+            case scala.util.control.NonFatal(_) =>
+              Row(id, null, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(Mp4MetaSchema))
+  }
+
+  /** Deterministic metadata-only MP4 payloads keyed by id, the probe-side
+    * sibling of [[syntheticGifAssets]]: real big-endian ISO BMFF boxes
+    * (`ftyp` + `moov/mvhd` + trak/tkhd per track, no media data) built on
+    * the executors by [[Mp4Probe.buildMetadataOnly]]. Geometry is
+    * arithmetic on the id — w = 64 + 16·(id mod 9), h = 36 + 12·(id mod
+    * 7), timescale 600, duration ticks = 600 + 3·(id mod 1000), tracks =
+    * 1 + id mod 3 — so a build → probe round trip is oracle-checkable.
+    * Ids must be non-negative. */
+  def syntheticMp4Assets(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"syntheticMp4Assets: null or non-castable id in $idCol")
+        val id = r.getLong(0)
+        require(id >= 0, s"syntheticMp4Assets: negative id $id")
+        Row(id, Mp4Probe.buildMetadataOnly(
+          width = (64 + (id % 9) * 16).toInt,
+          height = (36 + (id % 7) * 12).toInt,
+          timescale = 600L,
+          duration = 600L + (id % 1000) * 3,
+          nTracks = (1 + id % 3).toInt))
       }
     }(Encoders.row(schema))
   }

@@ -49,29 +49,109 @@ class MultimodalSpec extends SparkTestBase {
     frames shouldBe Seq(1L) // the short payload keeps its partial frame
   }
 
-  "resizeStub" should "decimate to the target budget with exact geometry" in {
+  private def encodeImage(img: java.awt.image.BufferedImage,
+                          fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  "resizeAssets" should "decimate undecodable payloads with exact geometry" in {
     // 100 bytes into an 8x4=32 budget: stride=ceil(100/32)=4, n_out=25
     val d = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "data")
-    val r = Multimodal.resizeStub(d, "id", "data", targetW = 8, targetH = 4)
-      .as[(Long, Int, Int, Int, Int, Long)].head()
-    r._2 shouldBe 8  // out_w
-    r._3 shouldBe 4  // out_h = ceil(25/8)
-    r._4 shouldBe 100
-    r._5 shouldBe 25
-    r._6 shouldBe (0 until 100 by 4).map(_.toLong).sum // bytes = indices here
+    val r = Multimodal.resizeAssets(d, "id", "data", targetW = 8, targetH = 4)
+      .select($"id", $"real_resize", $"out_w", $"out_h", $"n_bytes_in",
+        $"n_bytes_out", $"byte_sum")
+      .as[(Long, Boolean, Int, Int, Int, Int, Long)].head()
+    r._2 shouldBe false
+    r._3 shouldBe 8  // out_w
+    r._4 shouldBe 4  // out_h = ceil(25/8)
+    r._5 shouldBe 100
+    r._6 shouldBe 25
+    r._7 shouldBe (0 until 100 by 4).map(_.toLong).sum // bytes = indices here
   }
 
   it should "pass small payloads through whole and resize empty/null to 0x0" in {
     val d = Seq((1L, Some(Array[Byte](10, 20))), (2L, Some(Array.empty[Byte])),
         (3L, Option.empty[Array[Byte]]))
       .toDF("id", "data")
-    val out = Multimodal.resizeStub(d, "id", "data", targetW = 8, targetH = 4)
+    val out = Multimodal.resizeAssets(d, "id", "data", targetW = 8, targetH = 4)
+      .select($"id", $"out_w", $"out_h", $"n_bytes_in", $"n_bytes_out",
+        $"byte_sum")
       .as[(Long, Int, Int, Int, Int, Long)].collect()
       .map(r => r._1 -> r).toMap
     out(1L)._5 shouldBe 2   // stride 1, both bytes kept
     out(1L)._6 shouldBe 30L
     out(2L) shouldBe ((2L, 0, 0, 0, 0, 0L))
     out(3L) shouldBe ((3L, 0, 0, 0, 0, 0L))
+  }
+
+  it should "really resize decodable images: golden dims for PNG/JPEG/GIF" in {
+    // 20x10 into an 8x4 box: width-ratio ties height-ratio, both land
+    // exactly (8, 4); 6x9 into 8x4: height binds, out = (max(1,6*4/9), 4)
+    val d = Seq(
+      (1L, encodeImage(Multimodal.solidGrayFrame(20, 10, 100), "png")),
+      (2L, encodeImage(Multimodal.solidGrayFrame(20, 10, 100), "jpg")),
+      (3L, Multimodal.GifEncoder.solidGrayAnimation(20, 10, Seq(100, 200))),
+      (4L, encodeImage(Multimodal.solidGrayFrame(6, 9, 100), "png"))
+    ).toDF("id", "data")
+    val out = Multimodal.resizeAssets(d, "id", "data", targetW = 8, targetH = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val r = out(id)
+      withClue(s"id=$id: ") {
+        r.getAs[Boolean]("real_resize") shouldBe true
+        (r.getAs[Int]("in_w"), r.getAs[Int]("in_h")) shouldBe ((20, 10))
+        (r.getAs[Int]("out_w"), r.getAs[Int]("out_h")) shouldBe ((8, 4))
+      }
+    }
+    (out(4L).getAs[Int]("out_w"), out(4L).getAs[Int]("out_h")) shouldBe ((2, 4))
+    out(1L).isNullAt(out(1L).fieldIndex("byte_sum")) shouldBe true
+    out(1L).getAs[String]("media_type") shouldBe "image/png"
+  }
+
+  it should "emit a decodable PNG whose pixels survive the round trip" in {
+    val d = Seq((1L, encodeImage(Multimodal.solidGrayFrame(16, 16, 77), "png")))
+      .toDF("id", "data")
+    val r = Multimodal.resizeAssets(d, "id", "data", targetW = 4, targetH = 4)
+      .head()
+    val png = r.getAs[Array[Byte]]("data_out")
+    r.getAs[Int]("n_bytes_out") shouldBe png.length
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    (img.getWidth, img.getHeight) shouldBe ((4, 4))
+    // bilinear scale of a solid image is the same solid image (PNG both
+    // ways, so the gray is exact)
+    (img.getRGB(2, 2) & 0xFF) shouldBe 77
+  }
+
+  it should "report header dims but fall back to decimation for a bomb header" in {
+    // a real PNG whose header claims > MaxPixels: never raster-decoded,
+    // but the honest header dims still populate in_w/in_h
+    val bomb = {
+      val png = encodeImage(Multimodal.solidGrayFrame(8, 8, 1), "png")
+      // IHDR width/height at offsets 16..23 (big-endian)
+      val b = png.clone()
+      val w = 1 << 16; val h = 1 << 16
+      b(16) = ((w >> 24) & 0xFF).toByte; b(17) = ((w >> 16) & 0xFF).toByte
+      b(18) = ((w >> 8) & 0xFF).toByte; b(19) = (w & 0xFF).toByte
+      b(20) = ((h >> 24) & 0xFF).toByte; b(21) = ((h >> 16) & 0xFF).toByte
+      b(22) = ((h >> 8) & 0xFF).toByte; b(23) = (h & 0xFF).toByte
+      // re-seal the IHDR CRC (type + 13 data bytes) so the reader
+      // accepts the doctored header
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17)
+      val c = crc.getValue
+      b(29) = ((c >> 24) & 0xFF).toByte; b(30) = ((c >> 16) & 0xFF).toByte
+      b(31) = ((c >> 8) & 0xFF).toByte; b(32) = (c & 0xFF).toByte
+      b
+    }
+    val r = Multimodal.resizeAssets(
+        Seq((1L, bomb)).toDF("id", "data"), "id", "data",
+        targetW = 8, targetH = 4)
+      .head()
+    r.getAs[Boolean]("real_resize") shouldBe false
+    r.getAs[Int]("in_w") shouldBe (1 << 16)
+    r.getAs[Int]("in_h") shouldBe (1 << 16)
   }
 
   "packAsset" should "build the canonical asset struct" in {
@@ -277,11 +357,11 @@ class MultimodalSpec extends SparkTestBase {
     e.getMessage should include("id")
   }
 
-  "resizeStub" should "fail loudly on a null id instead of a deep NPE" in {
+  "resizeAssets" should "fail loudly on a null id instead of a deep NPE" in {
     val d = Seq((Option.empty[Long], "x".getBytes("UTF-8")))
       .toDF("id", "data")
     val e = intercept[org.apache.spark.SparkException] {
-      Multimodal.resizeStub(d, "id", "data", targetW = 8, targetH = 4).collect()
+      Multimodal.resizeAssets(d, "id", "data", targetW = 8, targetH = 4).collect()
     }
     e.getMessage should include("id")
   }
@@ -474,6 +554,33 @@ class MultimodalSpec extends SparkTestBase {
     // version-1 tkhd (64-bit times): different width offset
     Mp4Probe.dimensions(mp4With(tkhd(1920, 1080, version = 1))) shouldBe
       Some((1920, 1080))
+  }
+
+  it should "read mvhd duration and count tracks, and round-trip its own builder" in {
+    // hand-built mvhd v0: timescale 600, duration 1500 ticks -> 2500 ms
+    val mvhd = {
+      val body = new Array[Byte](100)
+      be32(600).copyToArray(body, 12)
+      be32(1500).copyToArray(body, 16)
+      bmffBox("mvhd", body)
+    }
+    val mp4 = bmffBox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII")) ++
+      bmffBox("moov", mvhd ++
+        bmffBox("trak", bmffBox("tkhd", tkhd(0, 0))) ++
+        bmffBox("trak", bmffBox("tkhd", tkhd(640, 360))))
+    val m = Mp4Probe.probe(mp4).get
+    m.durationMs shouldBe Some(2500L)
+    m.nTracks shouldBe 2
+    (m.width, m.height) shouldBe ((Some(640), Some(360)))
+
+    // builder -> probe round trip, including floor division of the ms
+    val built = Mp4Probe.buildMetadataOnly(width = 320, height = 180,
+      timescale = 600L, duration = 901L, nTracks = 3)
+    val b = Mp4Probe.probe(built).get
+    (b.width, b.height) shouldBe ((Some(320), Some(180)))
+    b.durationMs shouldBe Some(901L * 1000L / 600L) // 1501, floored
+    b.nTracks shouldBe 3
   }
 
   it should "return None for junk, truncated, or trackless payloads" in {

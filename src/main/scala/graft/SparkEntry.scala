@@ -1039,17 +1039,28 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
-    // Frame sampling over binary payloads (stub demuxer: fixed-stride
-    // chunk hashes) — md5 frame hashes are engine-portable, so the full
-    // (id, frame_idx, frame_hash) output hash-checks against the oracle.
-    "q_multimodal_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(
-          Tables.documents(s, d).select(col("doc_id"),
-            col("text").cast(BinaryType).as("data")),
-          "doc_id", "data", frameBytes = 64, stride = 2)
-        .select(col("id"), col("frame_idx").cast(LongType).as("frame_idx"),
-          col("frame_hash"))
-        .orderBy(col("id"), col("frame_idx"))),
+    // Frame sampling, REAL demux + honest fallback in one oracle-checked
+    // query: synthetic animated GIFs demux through the byte-level
+    // GifFrames walker and each frame's standalone decode is hashed by
+    // the canonical luminance digest (solid-gray fixtures -> the oracle
+    // reproduces md5(repeat(hex(gray), w*h)) exactly); text payloads (no
+    // demuxable container) take the fixed-chunk fallback with raw md5
+    // chunk hashes, including the even-sampling path past maxFrames.
+    // Ids disjoint by a +1e6 offset on the fallback branch.
+    "q_multimodal_frames" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val real = Multimodal.sampleFrames(
+        Multimodal.syntheticGifAssets(docs, "doc_id"),
+        "id", "data", frameBytes = 64, stride = 2, maxFrames = 8)
+      val fallback = Multimodal.sampleFrames(
+        docs.select((col("doc_id") + 1000000L).as("id"),
+          col("text").cast(BinaryType).as("data")),
+        "id", "data", frameBytes = 64, stride = 2, maxFrames = 8)
+      real.unionByName(fallback)
+        .select(col("id"), col("media_type"), col("real_demux"),
+          col("frame_idx"), col("n_frames"), col("frame_hash"))
+        .orderBy(col("id"), col("frame_idx"))
+    }),
 
     // REAL GIF round trip: deterministic animated GIFs are genuinely
     // encoded on the executors (ImageIO sequence writer — LZW, palette),
@@ -1964,19 +1975,49 @@ object SparkEntry {
         |SELECT id, media_type, real_resize, in_w, in_h, out_w, out_h,
         |  byte_sum FROM tf
         |ORDER BY id""".stripMargin,
+    // two branches: synthetic-GIF real demux (gray arithmetic on
+    // (id, frame), luminance digest = md5 of gray hex repeated w*h) and
+    // text fixed-chunk fallback (raw chunk md5, even sampling past 8)
     "q_multimodal_frames" ->
-      """WITH d AS (
-        |  SELECT doc_id AS id, text, length(text) AS n FROM documents),
-        |f AS (
+      """WITH g AS (
+        |  SELECT doc_id AS id, CAST(1 + doc_id % 3 AS INTEGER) AS nf,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 4 AS INTEGER) AS h
+        |  FROM documents),
+        |gx AS (SELECT id, unnest(range(nf)) AS fi, nf, w, h FROM g),
+        |gf AS (
+        |  SELECT id, 'image/gif' AS media_type, TRUE AS real_demux,
+        |    CAST(fi AS INTEGER) AS frame_idx, nf AS n_frames,
+        |    md5(repeat(printf('%02x',
+        |      CAST((31 * id + 53 * fi) % 256 AS INTEGER)), w * h))
+        |      AS frame_hash
+        |  FROM gx),
+        |t AS (
+        |  SELECT doc_id + 1000000 AS id, text, length(text) AS n
+        |  FROM documents),
+        |tn AS (
         |  SELECT id, text,
         |    CASE WHEN n IS NULL OR n <= 0 THEN 0
         |         ELSE greatest(n // 128, 1) END AS nf
-        |  FROM d),
-        |x AS (
-        |  SELECT id, text, unnest(range(nf)) AS frame_idx FROM f WHERE nf > 0)
-        |SELECT id, frame_idx,
-        |  md5(substr(text, (frame_idx * 128 + 1)::BIGINT, 64)) AS frame_hash
-        |FROM x ORDER BY id, frame_idx""".stripMargin,
+        |  FROM t),
+        |tx AS (
+        |  SELECT id, text, nf,
+        |    unnest(CASE WHEN nf <= 8 THEN range(nf)
+        |           ELSE [CAST(k * nf // 8 AS BIGINT) for k in range(8)]
+        |           END) AS fi
+        |  FROM tn WHERE nf > 0),
+        |tf AS (
+        |  SELECT id, 'application/octet-stream' AS media_type,
+        |    FALSE AS real_demux, CAST(fi AS INTEGER) AS frame_idx,
+        |    CAST(nf AS INTEGER) AS n_frames,
+        |    md5(substr(text, (fi * 128 + 1)::BIGINT, 64)) AS frame_hash
+        |  FROM tx)
+        |SELECT id, media_type, real_demux, frame_idx, n_frames, frame_hash
+        |FROM gf
+        |UNION ALL
+        |SELECT id, media_type, real_demux, frame_idx, n_frames, frame_hash
+        |FROM tf
+        |ORDER BY id, frame_idx""".stripMargin,
     "q_sample_split" ->
       """WITH s AS (
         |  SELECT lang,

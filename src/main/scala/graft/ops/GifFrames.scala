@@ -1,0 +1,127 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal GIF container demuxer, hand-rolled from the public GIF89a
+  * block layout — zero dependencies, the GIF sibling of [[AviMjpeg]]'s
+  * RIFF walker. It splits an animated GIF into STANDALONE single-frame
+  * GIFs: each output is the original header + logical screen descriptor
+  * + global color table, the frame's own graphic-control extension (if
+  * any), the frame's image block (descriptor + local color table + LZW
+  * data, byte-for-byte as stored), and a trailer — so every frame
+  * decodes through any ordinary GIF reader with no recompression and no
+  * decoder policy (disposal compositing) baked in.
+  *
+  * Parsing is defensive: every sub-block length is bounds-checked and a
+  * malformed or truncated stream ends the walk with the frames fully
+  * parsed so far — never an out-of-bounds read.
+  */
+object GifFrames {
+
+  /** Byte spans of one stored frame: its graphic-control extension
+    * (`gceStart < 0` when absent) and its image block. */
+  final case class FrameSpan(gceStart: Int, gceEnd: Int,
+                             imgStart: Int, imgEnd: Int)
+
+  /** Shared prefix length (header + LSD + GCT) plus the per-frame spans. */
+  final case class Layout(prefixEnd: Int, frames: IndexedSeq[FrameSpan])
+
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 13 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a'
+
+  /** Walk the container and return the frame layout without copying any
+    * frame bytes — O(frames) spans, O(1) extra memory. None when the
+    * payload is not a GIF at all. */
+  def layout(bytes: Array[Byte]): Option[Layout] = {
+    if (!isGif(bytes)) return None
+    val n = bytes.length
+    var p = 6
+    if (p + 7 > n) return Some(Layout(p, IndexedSeq.empty))
+    val packed = bytes(p + 4) & 0xFF
+    p += 7
+    if ((packed & 0x80) != 0) {
+      val gct = 3 * (1 << ((packed & 7) + 1))
+      if (p + gct > n) return Some(Layout(6 + 7, IndexedSeq.empty))
+      p += gct
+    }
+    val prefixEnd = p
+
+    // data sub-blocks: repeated (length byte, data) until a 0 terminator;
+    // returns the position after the terminator, -1 on truncation
+    def skipSubBlocks(q0: Int): Int = {
+      var q = q0
+      while (q < n && (bytes(q) & 0xFF) != 0) q += 1 + (bytes(q) & 0xFF)
+      if (q >= n) -1 else q + 1
+    }
+
+    val frames = ArrayBuffer.empty[FrameSpan]
+    var gceStart = -1
+    var gceEnd = -1
+    var ok = true
+    while (ok && p < n) {
+      (bytes(p) & 0xFF) match {
+        case 0x3B => ok = false // trailer
+        case 0x21 => // extension: label + sub-blocks
+          if (p + 2 > n) ok = false
+          else {
+            val label = bytes(p + 1) & 0xFF
+            val start = p
+            val after = skipSubBlocks(p + 2)
+            if (after < 0) ok = false
+            else {
+              // only the GRAPHIC-CONTROL extension (0xF9) belongs to the
+              // next frame; comment/application extensions are skipped
+              if (label == 0xF9) { gceStart = start; gceEnd = after }
+              p = after
+            }
+          }
+        case 0x2C => // image descriptor: 9 bytes + LCT? + LZW min + data
+          val start = p
+          if (p + 10 > n) ok = false
+          else {
+            val ipacked = bytes(p + 9) & 0xFF
+            var q = p + 10
+            if ((ipacked & 0x80) != 0) q += 3 * (1 << ((ipacked & 7) + 1))
+            if (q + 1 > n) ok = false
+            else {
+              val after = skipSubBlocks(q + 1)
+              if (after < 0) ok = false
+              else {
+                frames += FrameSpan(gceStart, gceEnd, start, after)
+                gceStart = -1
+                p = after
+              }
+            }
+          }
+        case _ => ok = false // unknown block type: stop with what we have
+      }
+    }
+    Some(Layout(prefixEnd, frames.toIndexedSeq))
+  }
+
+  /** Assemble one frame span into a standalone single-frame GIF. */
+  def assemble(bytes: Array[Byte], lay: Layout, span: FrameSpan): Array[Byte] = {
+    val gceLen = if (span.gceStart >= 0) span.gceEnd - span.gceStart else 0
+    val out = new Array[Byte](lay.prefixEnd + gceLen +
+      (span.imgEnd - span.imgStart) + 1)
+    System.arraycopy(bytes, 0, out, 0, lay.prefixEnd)
+    var o = lay.prefixEnd
+    if (gceLen > 0) {
+      System.arraycopy(bytes, span.gceStart, out, o, gceLen)
+      o += gceLen
+    }
+    System.arraycopy(bytes, span.imgStart, out, o, span.imgEnd - span.imgStart)
+    out(out.length - 1) = 0x3B.toByte
+    out
+  }
+
+  /** Convenience: all stored frames as standalone single-frame GIFs. */
+  def demuxFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] =
+    layout(bytes) match {
+      case Some(lay) => lay.frames.map(assemble(bytes, lay, _))
+      case None => IndexedSeq.empty
+    }
+}

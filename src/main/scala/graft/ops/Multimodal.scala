@@ -792,30 +792,148 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Deterministic frame sampling for video payloads: every `stride`-th
-    * chunk of `frameBytes` bytes becomes a "frame" (stub for a container
-    * demuxer), emitted as (id, frame_idx, frame_hash) — the shape a
-    * frame-level dedup or captioning stage consumes. Frame hashes are
-    * md5 (engine-portable, like the samplers' rank keys) so the whole
-    * operator is oracle-checkable, not just row-counted. */
+  /** Output schema of [[sampleFrames]]. */
+  val FrameSampleSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("real_demux", BooleanType, nullable = false),
+    StructField("frame_hash", StringType)))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Canonical content hash of a decoded raster: md5 over the
+    * 2-hex-char Rec.601 luminance of every pixel in scan order — a
+    * codec-independent fingerprint (two different encodes of the same
+    * pixels hash equal), and arithmetic enough that an external oracle
+    * can reproduce it for synthetic solid-color frames
+    * (`md5(repeat(hex(gray), w·h))`). */
+  private[ops] def lumaDigest(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sb = new java.lang.StringBuilder(w * h * 2)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = math.round(0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)).toInt
+        sb.append(HexChars((l >> 4) & 0xF)).append(HexChars(l & 0xF))
+        x += 1
+      }
+      y += 1
+    }
+    md5Hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  /** Evenly-spaced sample of `maxFrames` original indices out of `nf`. */
+  private def sampleIdxs(nf: Int, maxFrames: Int): Seq[Int] =
+    if (nf <= maxFrames) 0 until nf
+    else (0 until maxFrames).map(k => k * nf / maxFrames)
+
+  /** Frame sampling for multi-frame payloads, REAL where the container
+    * is demuxable — the shape a frame-level dedup or captioning stage
+    * consumes, emitted as (id, media_type, frame_idx, n_frames,
+    * real_demux, frame_hash):
+    *
+    *  - animated GIF: demuxed by [[GifFrames]] (pure byte walking, no
+    *    recompression), each sampled frame decoded standalone and
+    *    hashed by [[lumaDigest]] — a content hash of the real pixels,
+    *    oracle-reproducible for synthetic solid-gray fixtures.
+    *  - MJPEG AVI: demuxed by [[AviMjpeg]], each sampled frame's JPEG
+    *    decoded and hashed the same way.
+    *  - anything else (and corrupt GIF/AVI containers that demux to
+    *    zero frames): the deterministic fixed-chunk fallback — every
+    *    `stride`-th chunk of `frameBytes` bytes is one "frame", hash =
+    *    md5 of the raw chunk (blob-substring semantics, so the fallback
+    *    stays oracle-checkable end to end), `real_demux = false`.
+    *
+    * When a payload holds more than `maxFrames` frames (or chunks),
+    * indices are sampled evenly; `frame_idx` is always the ORIGINAL
+    * frame index. A sampled frame that fails to decode yields a null
+    * hash (honest, never fabricated). Empty/null payloads emit zero
+    * rows. Fully distributed: batched `mapPartitions`, no shuffle. */
   def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
-                   frameBytes: Int = 256, stride: Int = 4): DataFrame = {
-    // a short-but-nonempty payload still yields its one partial frame,
-    // but an EMPTY or null payload emits ZERO rows — the old
-    // greatest(n-1, 0) floor forced one frame there too, whose hash (of
-    // an empty slice) was a constant colliding across all empty assets
-    // in a downstream frame-level dedup
-    val len = octet_length(col("data"))
-    val nFrames = when(len.isNull || len <= 0, lit(0L))
-      .otherwise(greatest(floor(len / (frameBytes * stride)).cast("long"),
-        lit(1L)))
-    val idxs = when(nFrames <= 0, array().cast("array<bigint>"))
-      .otherwise(sequence(lit(0L), nFrames - 1))
-    df.select(col(idCol).cast(LongType).as("id"), col(bytesCol).as("data"))
-      .select(col("id"), posexplode(transform(idxs,
-        i => md5(substring(col("data"),
-          i * frameBytes * stride + 1, lit(frameBytes))))))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame_hash")
+                   frameBytes: Int = 256, stride: Int = 4,
+                   maxFrames: Int = 16, batchSize: Int = 64): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1 && maxFrames >= 1,
+      "frameBytes, stride and maxFrames must be positive")
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"), sniffMediaType(col(bytesCol)).as("media_type"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { r =>
+          // a null id would NPE deep in the executor — name the column
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"sampleFrames: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          val n = if (bytes == null) 0 else bytes.length
+
+          def chunkRows: Seq[Row] = {
+            // an EMPTY payload emits ZERO rows (a constant empty-slice
+            // hash would collide across all empty assets downstream); a
+            // short-but-nonempty payload keeps its one partial frame
+            if (n <= 0) return Seq.empty
+            val span = frameBytes * stride
+            val nf = math.max(n / span, 1)
+            sampleIdxs(nf, maxFrames).map { i =>
+              val off = i * span
+              val len = math.max(0, math.min(frameBytes, n - off))
+              val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
+              Row(id, mediaType, i, nf, false, md5Hex(slice))
+            }
+          }
+
+          def digestOf(frame: Array[Byte]): String =
+            ImageDecoder.decodeWithDims(frame)._2 match {
+              case Some(img) => lumaDigest(img)
+              case None => null
+            }
+
+          try {
+            if (mediaType == "image/gif") {
+              GifFrames.layout(bytes) match {
+                case Some(lay) if lay.frames.nonEmpty =>
+                  val nf = lay.frames.length
+                  sampleIdxs(nf, maxFrames).map { i =>
+                    val standalone = GifFrames.assemble(bytes, lay, lay.frames(i))
+                    Row(id, mediaType, i, nf, true, digestOf(standalone))
+                  }
+                case _ => chunkRows // corrupt container: honest fallback
+              }
+            } else if (mediaType == "video/avi") {
+              val frames = AviMjpeg.demuxFrames(bytes)
+              if (frames.isEmpty) chunkRows
+              else {
+                val nf = frames.length
+                sampleIdxs(nf, maxFrames).map { i =>
+                  Row(id, mediaType, i, nf, true, digestOf(frames(i)))
+                }
+              }
+            } else chunkRows
+          } catch {
+            // per-row containment: a malformed asset degrades to the
+            // deterministic fallback, never a dead task
+            case scala.util.control.NonFatal(_) => chunkRows
+          }
+        }
+      }
+    }(Encoders.row(FrameSampleSchema))
   }
 }

@@ -54,6 +54,21 @@ class PlanQualitySpec extends SparkTestBase {
       "id", "data")
     val plan = df.queryExecution.executedPlan.toString()
     (plan should not).include("Exchange")
+    // same property for the demux-aware frame sampler and the real
+    // resize: container walking, raster decode and re-encode are all
+    // row-local — binary payloads must never cross an exchange
+    val framesPlan = graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.syntheticGifAssets(
+          Tables.documents(spark, sf).select(col("doc_id")), "doc_id"),
+        "id", "data")
+      .queryExecution.executedPlan.toString()
+    (framesPlan should not).include("Exchange")
+    val resizePlan = graft.ops.Multimodal.resizeAssets(
+        graft.ops.Multimodal.syntheticGifAssets(
+          Tables.documents(spark, sf).select(col("doc_id")), "doc_id"),
+        "id", "data", targetW = 8, targetH = 4)
+      .queryExecution.executedPlan.toString()
+    (resizePlan should not).include("Exchange")
   }
 
   "castTo on a parquet scan" should "stay a single stage with zero shuffles" in {

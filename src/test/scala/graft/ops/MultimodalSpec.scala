@@ -714,4 +714,79 @@ class MultimodalSpec extends SparkTestBase {
     f1.length should be > 1
     f1.map(_.toString).toSeq shouldBe f2.map(_.toString).toSeq
   }
+
+  it should "sample chunk indices evenly past the maxFrames budget" in {
+    // 20 chunks (n = 20 * 1024), maxFrames 8: original indices k*20/8
+    val big = Seq((1L, Array.tabulate(20 * 1024)(i => (i % 97).toByte)))
+      .toDF("id", "data")
+    val out = Multimodal.sampleFrames(big, "id", "data", maxFrames = 8)
+      .orderBy($"frame_idx").collect()
+    out.map(_.getAs[Int]("frame_idx")).toSeq shouldBe
+      Seq(0, 2, 5, 7, 10, 12, 15, 17)
+    all(out.map(_.getAs[Int]("n_frames"))) shouldBe 20
+    all(out.map(_.getAs[Boolean]("real_demux"))) shouldBe false
+    // hash = md5 of the raw 256-byte chunk at the ORIGINAL offset
+    val expected = Array.tabulate(20 * 1024)(i => (i % 97).toByte)
+      .slice(2 * 1024, 2 * 1024 + 256)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out(1).getAs[String]("frame_hash") shouldBe
+      md.digest(expected).map("%02x".format(_)).mkString
+  }
+
+  it should "really demux animated GIFs with exact per-frame luminance digests" in {
+    // every gray value must survive the encode -> demux -> standalone
+    // decode loop EXACTLY — the property the harness oracle relies on
+    val grays = 0 until 256
+    val gif = Multimodal.GifEncoder.solidGrayAnimation(3, 2, grays)
+    val out = Multimodal.sampleFrames(
+        Seq((5L, gif)).toDF("id", "data"), "id", "data", maxFrames = 256)
+      .orderBy($"frame_idx").collect()
+    out.length shouldBe 256
+    all(out.map(_.getAs[Boolean]("real_demux"))) shouldBe true
+    all(out.map(_.getAs[Int]("n_frames"))) shouldBe 256
+    out.foreach { r =>
+      val g = grays(r.getAs[Int]("frame_idx"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = md.digest(("%02x".format(g) * 6)
+        .getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      withClue(s"gray=$g: ") { r.getAs[String]("frame_hash") shouldBe want }
+    }
+  }
+
+  it should "really demux MJPEG AVIs and fall back for corrupt containers" in {
+    val avi = Multimodal.syntheticAviAssets(Seq(6L).toDF("doc_id"), "doc_id")
+      .head().getAs[Array[Byte]]("data")
+    val out = Multimodal.sampleFrames(
+        Seq((6L, avi)).toDF("id", "data"), "id", "data")
+      .orderBy($"frame_idx").collect()
+    out.length shouldBe 3 // nf = 1 + 6 % 4
+    all(out.map(_.getAs[Boolean]("real_demux"))) shouldBe true
+    all(out.map(r => r.getAs[String]("frame_hash") != null)) shouldBe true
+
+    // GIF magic with a garbage body: demuxes to zero frames -> honest
+    // fixed-chunk fallback, flagged real_demux = false
+    val corrupt = "GIF89a".getBytes("US-ASCII") ++
+      Array.tabulate(2048)(i => ((i * 31) % 251).toByte)
+    val fb = Multimodal.sampleFrames(
+        Seq((7L, corrupt)).toDF("id", "data"), "id", "data").collect()
+    fb.length should be > 0
+    all(fb.map(_.getAs[Boolean]("real_demux"))) shouldBe false
+  }
+
+  "GifFrames" should "walk spans without copying and survive truncation" in {
+    val gif = Multimodal.GifEncoder.solidGrayAnimation(4, 3, Seq(10, 20, 30))
+    val lay = GifFrames.layout(gif).get
+    lay.frames.length shouldBe 3
+    // standalone frames decode independently with the frame's dims
+    val standalone = GifFrames.assemble(gif, lay, lay.frames(1))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(standalone))
+    (img.getWidth, img.getHeight) shouldBe ((4, 3))
+    (img.getRGB(1, 1) & 0xFF) shouldBe 20
+    // truncated mid-frame: the fully-parsed prefix of frames survives
+    val cut = java.util.Arrays.copyOf(gif, gif.length - 5)
+    GifFrames.layout(cut).get.frames.length should be < 3
+    GifFrames.layout("not a gif".getBytes("UTF-8")) shouldBe None
+    GifFrames.demuxFrames(null) shouldBe empty
+  }
 }

@@ -80,12 +80,21 @@ object SnapshotPipeline {
       if (config.asOfMillis == SchemaHistory.NowSentinel)
         Snapshot.latestPerKey(changelog, Seq(config.keyCol), config.tsCol)
       else {
-        val bound = changelog.schema(config.tsCol).dataType match {
+        // the version bound travels THROUGH the source (readRange — the
+        // reference's Scan.setTimeRange), so a registered store adapter
+        // prunes server-side instead of post-filtering an unbounded
+        // scan; the unbounded `changelog` above is only consulted for
+        // the ts column's type (schema resolution reads no data)
+        val (lo, bound) = changelog.schema(config.tsCol).dataType match {
           case org.apache.spark.sql.types.TimestampType =>
-            timestamp_millis(lit(config.asOfMillis))
-          case _ => lit(config.asOfMillis)
+            (lit("0001-01-01 00:00:00")
+               .cast(org.apache.spark.sql.types.TimestampType),
+             timestamp_millis(lit(config.asOfMillis)))
+          case _ => (lit(Long.MinValue), lit(config.asOfMillis))
         }
-        Snapshot.snapshotAsOf(changelog, Seq(config.keyCol), config.tsCol, bound)
+        val bounded = graft.sources.Tables.changelogRange(spark,
+          config.changelogPath, config.tsCol, lo, bound)
+        Snapshot.snapshotAsOf(bounded, Seq(config.keyCol), config.tsCol, bound)
       }
     val schema = resolveSchema(spark, config)
     CastProjection.castTo(asOf, schema, config.keyCol, config.statusCol)

@@ -42,6 +42,31 @@ object Tables {
     if (s != null) s.read(spark, path) else spark.read.parquet(path)
   }
 
+  /** Parquet [[ChangelogSource]] addressed by full path (the
+    * [[changelog]] shape): table name = the path itself. Gives the
+    * single-path entry points the trait's `readRange` default, whose
+    * filter Catalyst pushes into the parquet scan. */
+  private final case class PathParquetSource() extends ChangelogSource {
+    override def read(spark: SparkSession, table: String): DataFrame =
+      spark.read.parquet(table)
+  }
+
+  /** [[changelog]] bounded to `tsCol` ∈ [`from`, `until`) THROUGH the
+    * source — the reference's server-side `Scan.setTimeRange`
+    * (reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-129).
+    * A registered adapter receives the bounds in its `readRange` and can
+    * push them into the store itself; nothing hands it an unbounded scan
+    * to post-filter. The parquet default inherits the trait's filter,
+    * which Catalyst pushes into the parquet reader (pinned in
+    * ChangelogSourceSpec/PlanQualitySpec). */
+  def changelogRange(spark: SparkSession, path: String, tsCol: String,
+                     from: org.apache.spark.sql.Column,
+                     until: org.apache.spark.sql.Column): DataFrame = {
+    val s = registry.get(path)
+    val src = if (s != null) s else PathParquetSource()
+    src.readRange(spark, path, tsCol, from, until)
+  }
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
     * vectorized reader rejects. Read nanos as a long and truncate to
     * microseconds — exactly what DuckDB does when it narrows TIMESTAMP_NS

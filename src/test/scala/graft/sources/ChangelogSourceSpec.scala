@@ -60,6 +60,80 @@ class ChangelogSourceSpec extends SparkTestBase {
     } finally Tables.unregister("mem:changelog/events")
   }
 
+  // ---- readRange contract: the tested boundary a real HBase/Delta
+  // adapter inherits (reference semantic: Scan.setTimeRange) ----
+
+  "changelogRange on the parquet default" should "push the version bounds into the scan" in {
+    val p = java.nio.file.Files.createTempDirectory("graft_rr_").toString
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "ver")
+      .write.mode("overwrite").parquet(p)
+    val df = Tables.changelogRange(spark, p, "ver", lit(10L), lit(30L))
+    df.select($"id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    // the bounds must reach the parquet reader as pushed data filters,
+    // not a post-scan Filter the store never sees
+    val plan = df.queryExecution.executedPlan.toString()
+    plan should include("PushedFilters")
+    plan should include("GreaterThanOrEqual(ver,10)")
+    plan should include("LessThan(ver,30)")
+  }
+
+  "changelogRange on a registered adapter" should "hand the bounds to readRange, not post-filter" in {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "ts")
+    var received: Option[(String, String, String)] = None
+    val src = new ChangelogSource {
+      override def read(s: SparkSession, table: String): DataFrame = base
+      override def readRange(s: SparkSession, table: String, tsCol: String,
+                             from: org.apache.spark.sql.Column,
+                             until: org.apache.spark.sql.Column): DataFrame = {
+        // a server-side store would push these into its scan; recording
+        // them proves the caller delivered BOUNDS, not a filtered plan
+        received = Some((tsCol, from.toString, until.toString))
+        base.filter(base(tsCol) >= from && base(tsCol) < until)
+      }
+    }
+    Tables.register("mem:range", src)
+    try {
+      val df = Tables.changelogRange(spark, "mem:range", "ts",
+        lit(10L), lit(30L))
+      df.count() shouldBe 2L
+      received shouldBe Some(("ts", "10L", "30L"))
+      // no caller-side Filter stacked above what the adapter returned:
+      // the adapter's plan IS the result plan
+      df.queryExecution.analyzed.toString() shouldBe
+        src.readRange(spark, "mem:range", "ts", lit(10L), lit(30L))
+          .queryExecution.analyzed.toString()
+    } finally Tables.unregister("mem:range")
+  }
+
+  "SnapshotPipeline.snapshot" should "route its as-of bound through readRange" in {
+    val base = Seq(
+      ("u1", 1000L, "I", "7"), ("u1", 2500L, "U", "8"), ("u2", 1500L, "I", "9")
+    ).toDF("row_key", "ts", "row_status", "age")
+    var until: Option[String] = None
+    val src = new ChangelogSource {
+      override def read(s: SparkSession, table: String): DataFrame = base
+      override def readRange(s: SparkSession, table: String, tsCol: String,
+                             from: org.apache.spark.sql.Column,
+                             u: org.apache.spark.sql.Column): DataFrame = {
+        until = Some(u.toString)
+        base.filter(base(tsCol) >= from && base(tsCol) < u)
+      }
+    }
+    Tables.register("mem:pipeline-log", src)
+    try {
+      val out = graft.pipeline.SnapshotPipeline.snapshot(spark,
+        graft.pipeline.SnapshotPipeline.SnapshotConfig("mem:pipeline-log",
+          graft.pipeline.SnapshotPipeline.ExplicitSchema(Seq("d:age:integer")),
+          graft.pipeline.SnapshotPipeline.ParquetSink("/unused"),
+          asOfMillis = 2000L))
+      until shouldBe Some("2000L")
+      // the bound really pruned: u1's 2500 update never reaches the
+      // snapshot, so its age is still the insert's
+      out.filter($"k_hbase_row_key" === "u1").select($"age")
+        .as[Int].head() shouldBe 7
+    } finally Tables.unregister("mem:pipeline-log")
+  }
+
   "the default parquet adapter" should "serve the harness tables unchanged" in {
     val root = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
     assume(new java.io.File(s"$root/region.parquet").exists())

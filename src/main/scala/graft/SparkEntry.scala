@@ -105,6 +105,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // CDC diff between the T1 and T2 reconstructions — the minimal
+    // changelog a consumer ingests instead of re-reading the table.
+    // Delta-sized rows only (unchanged keys vanish before the wide
+    // select); applyDiff round-trip pinned in SnapshotDiffSpec.
+    "q_snapshot_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t1 = lit("2024-01-10 00:00:00").cast(TimestampType)
+      val t2 = lit(AsOfTs).cast(TimestampType)
+      val prev = Snapshot.snapshotAsOf(ev, Seq("user_id"), "ts", t1,
+        Seq("event_id"))
+      val next = Snapshot.snapshotAsOf(ev, Seq("user_id"), "ts", t2,
+        Seq("event_id"))
+      Snapshot.snapshotDiff(prev, next, Seq("user_id"),
+          Seq("event_id", "event_type", "ts", "value"))
+        .orderBy(col("user_id"))
+    }),
+
     // As-of join with a staleness bound — feature-store point-in-time
     // semantics: the latest prior purchase counts only if it happened
     // within 3 days of the event; older state nulls out. Same
@@ -1133,6 +1150,38 @@ object SparkEntry {
          | WHERE ts < TIMESTAMP '$AsOfTs'
          | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          | ORDER BY user_id""".stripMargin,
+    // CDC diff: full outer join of the two reconstructions, null-safe
+    // per-column comparison (IS DISTINCT FROM ≙ Spark's <=> negation),
+    // concat_ws skipping NULLs in both engines.
+    "q_snapshot_diff" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, event_type, value, ts FROM events
+         |   WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+         |   QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         |n AS (
+         |  SELECT user_id, event_id, event_type, value, ts FROM events
+         |   WHERE ts < TIMESTAMP '$AsOfTs'
+         |   QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         |  CASE WHEN o.user_id IS NULL THEN 'insert'
+         |       WHEN n.user_id IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+         |  CASE WHEN o.user_id IS NOT NULL AND n.user_id IS NOT NULL THEN concat_ws(',',
+         |    CASE WHEN o.event_id IS DISTINCT FROM n.event_id THEN 'event_id' END,
+         |    CASE WHEN o.event_type IS DISTINCT FROM n.event_type THEN 'event_type' END,
+         |    CASE WHEN o.ts IS DISTINCT FROM n.ts THEN 'ts' END,
+         |    CASE WHEN o.value IS DISTINCT FROM n.value THEN 'value' END)
+         |  END AS changed_cols,
+         |  o.event_id AS old_event_id, o.event_type AS old_event_type,
+         |  o.ts AS old_ts, o.value AS old_value,
+         |  n.event_id AS new_event_id, n.event_type AS new_event_type,
+         |  n.ts AS new_ts, n.value AS new_value
+         |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+         |WHERE o.user_id IS NULL OR n.user_id IS NULL
+         |   OR o.event_id IS DISTINCT FROM n.event_id
+         |   OR o.event_type IS DISTINCT FROM n.event_type
+         |   OR o.ts IS DISTINCT FROM n.ts
+         |   OR o.value IS DISTINCT FROM n.value
+         |ORDER BY user_id""".stripMargin,
     // Materialized maintenance converges to latest-per-key — same oracle.
     "q_snapshot_materialized" ->
       """SELECT user_id, event_id, event_type, value, ts FROM events

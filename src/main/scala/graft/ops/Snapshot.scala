@@ -131,4 +131,83 @@ object Snapshot {
       superseded.unionByName(deltaLatest), keyCols, tsCol, tieBreakers)
     untouched.unionByName(merged)
   }
+
+  /** CDC diff of two snapshots (one row per key each): which keys were
+    * inserted / deleted / updated going `oldSnap` → `newSnap`, which
+    * columns changed, and both sides' values.
+    *
+    * Output: `keyCols*, change_type ∈ {insert, delete, update},
+    * changed_cols` (comma-joined subset of `compareCols` in the given
+    * order whose values differ under null-safe equality; NULL for
+    * insert/delete), then `old_<c>` and `new_<c>` for every compare
+    * column (NULLs on the absent side). Keys identical in both
+    * snapshots produce NO row, so the result is delta-sized. The diff
+    * is complete: [[applyDiff]] on (`oldSnap`, this) reproduces
+    * `newSnap` exactly (spec + oracle-checked).
+    *
+    * This closes the reference's snapshot loop: the engine rebuilds
+    * point-in-time states ([[snapshotAsOf]]); the diff turns two of
+    * them back into the minimal changelog between their instants —
+    * what a downstream consumer ingests instead of re-reading the full
+    * table.
+    *
+    * Scale: one equi-shuffle per side on the key (co-partitioned full
+    * outer join, AQE-coalesced); snapshots written bucketed on the key
+    * (the [[graft.pipeline.SnapshotPipeline]] bucketed sink) join with
+    * no exchange at all. Nothing is collected; the delta-sized filter
+    * happens before the wide select. When one snapshot is known to
+    * differ only within a bounded key set (e.g. from
+    * [[changedKeysBetween]]), semi-join both sides on those keys first
+    * — the diff then never scans the unchanged bulk. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String] = Nil): DataFrame = {
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldSnap.columns.filterNot(keyCols.contains)
+        .filter(newSnap.columns.contains).toIndexedSeq.sorted
+    require(cmp.nonEmpty, "snapshotDiff needs at least one compare column")
+    def side(df: DataFrame, p: String, marker: String) =
+      df.select(keyCols.map(col) ++
+        cmp.map(c => col(c).as(s"$p$c")) :+ lit(true).as(marker): _*)
+    val j = side(oldSnap, "__o_", "__op")
+      .join(side(newSnap, "__n_", "__np"), keyCols, "full_outer")
+    val op = col("__op").isNotNull
+    val np = col("__np").isNotNull
+    def diff(c: String) = !(col(s"__o_$c") <=> col(s"__n_$c"))
+    val anyDiff = cmp.map(diff).reduce(_ || _)
+    val changeType = when(!op, lit("insert"))
+      .when(!np, lit("delete")).otherwise(lit("update"))
+    val changedCols = when(op && np,
+      concat_ws(",", cmp.map(c => when(diff(c), lit(c))): _*))
+    j.filter(!op || !np || anyDiff)
+      .select(keyCols.map(col) ++
+        Seq(changeType.as("change_type"), changedCols.as("changed_cols")) ++
+        cmp.map(c => col(s"__o_$c").as(s"old_$c")) ++
+        cmp.map(c => col(s"__n_$c").as(s"new_$c")): _*)
+  }
+
+  /** Inverse of [[snapshotDiff]]: advance `oldSnap` by a diff to the
+    * new snapshot. Deleted/updated keys leave via a LEFT ANTI join on
+    * the (delta-sized, broadcast-able) key set; inserted/updated rows
+    * enter from the diff's `new_*` columns. `prev` is never shuffled —
+    * the same asymmetry as [[advanceSnapshot]]. */
+  def applyDiff(oldSnap: DataFrame, diff: DataFrame, keyCols: Seq[String],
+                broadcastDiff: Boolean = true): DataFrame = {
+    val cmp = diff.columns.collect {
+      case c if c.startsWith("new_") => c.stripPrefix("new_")
+    }.toIndexedSeq
+    val missing = oldSnap.columns.filterNot(c =>
+      keyCols.contains(c) || cmp.contains(c))
+    require(missing.isEmpty,
+      s"applyDiff: diff lacks new_* values for snapshot columns " +
+        s"${missing.mkString(", ")} — diff with compareCols covering them")
+    val removedKeys0 = diff.select(keyCols.map(col): _*)
+    val removedKeys =
+      if (broadcastDiff) broadcast(removedKeys0) else removedKeys0
+    val kept = oldSnap.join(removedKeys, keyCols, "left_anti")
+    val added = diff.filter(col("change_type") =!= "delete")
+      .select(keyCols.map(col) ++ cmp.map(c => col(s"new_$c").as(c)): _*)
+    kept.unionByName(added.select(kept.columns.map(col): _*))
+  }
 }

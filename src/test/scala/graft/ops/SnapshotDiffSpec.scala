@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[Snapshot.snapshotDiff]] / [[Snapshot.applyDiff]]: CDC diff between
+  * two snapshots and its round-trip completeness. */
+class SnapshotDiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def oldSnap = Seq(
+    (1L, "a", 10.0), // unchanged
+    (2L, "b", 20.0), // value updated
+    (3L, "c", 30.0), // deleted
+    (4L, null.asInstanceOf[String], 40.0) // null -> value updated
+  ).toDF("id", "name", "score")
+
+  private def newSnap = Seq(
+    (1L, "a", 10.0),
+    (2L, "b", 25.0),
+    (4L, "d", 40.0),
+    (5L, "e", 50.0) // inserted
+  ).toDF("id", "name", "score")
+
+  "snapshotDiff" should "classify insert/delete/update and name changed columns" in {
+    val d = Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"))
+      .orderBy($"id")
+    d.select($"id", $"change_type", $"changed_cols")
+      .as[(Long, String, String)].collect() shouldBe Array(
+      (2L, "update", "score"),
+      (3L, "delete", null),
+      (4L, "update", "name"),
+      (5L, "insert", null))
+    // both sides' values travel with the row
+    val u2 = d.filter($"id" === 2L).head()
+    u2.getAs[Double]("old_score") shouldBe 20.0
+    u2.getAs[Double]("new_score") shouldBe 25.0
+    val del = d.filter($"id" === 3L).head()
+    del.getAs[String]("new_name") shouldBe null
+    del.getAs[String]("old_name") shouldBe "c"
+  }
+
+  it should "emit no row for unchanged keys (delta-sized output)" in {
+    Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"))
+      .filter($"id" === 1L).count() shouldBe 0L
+  }
+
+  it should "treat null-to-null as equal and null-to-value as a change" in {
+    val d = Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"))
+    // id=4: name null -> "d" is a change; a null-to-null column is not
+    d.filter($"id" === 4L).select($"changed_cols")
+      .as[String].head() shouldBe "name"
+  }
+
+  it should "respect an explicit compareCols subset and its order" in {
+    val d = Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"),
+      Seq("score", "name"))
+    // order in changed_cols follows compareCols, not alphabetical
+    val multi = Snapshot.snapshotDiff(
+      Seq((9L, "x", 1.0)).toDF("id", "name", "score"),
+      Seq((9L, "y", 2.0)).toDF("id", "name", "score"),
+      Seq("id"), Seq("score", "name"))
+    multi.select($"changed_cols").as[String].head() shouldBe "score,name"
+    // subset: a name-only change disappears when only score is compared
+    Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"), Seq("score"))
+      .filter($"id" === 4L).count() shouldBe 0L
+    d.columns should contain allOf ("old_score", "new_score")
+  }
+
+  "applyDiff" should "reproduce the new snapshot exactly (round trip)" in {
+    val d = Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"))
+    val rebuilt = Snapshot.applyDiff(oldSnap, d, Seq("id"))
+    rebuilt.unionByName(newSnap).except(
+      rebuilt.intersect(newSnap)).count() shouldBe 0L
+    rebuilt.count() shouldBe newSnap.count()
+  }
+
+  it should "round-trip with shuffle joins too (broadcastDiff = false)" in {
+    val d = Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"))
+    val rebuilt = Snapshot.applyDiff(oldSnap, d, Seq("id"),
+      broadcastDiff = false)
+    rebuilt.except(newSnap).count() shouldBe 0L
+    newSnap.except(rebuilt).count() shouldBe 0L
+  }
+
+  it should "refuse a diff that cannot rebuild every snapshot column" in {
+    val partial = Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"),
+      Seq("score"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.applyDiff(oldSnap, partial, Seq("id"))
+    }
+    e.getMessage should include ("name")
+  }
+
+  "snapshotDiff on identical snapshots" should "be empty" in {
+    Snapshot.snapshotDiff(oldSnap, oldSnap, Seq("id")).count() shouldBe 0L
+  }
+}

@@ -340,6 +340,25 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Runtime-filter join: lineitem Bloom-pruned map-side against the
+    // urgent-early order subset BEFORE its exchange — the 100 TB
+    // semi-join reduction. The sketch has false positives only, and the
+    // exact join still runs, so the result is bit-identical to the
+    // plain join (this oracle). Plan pinned in PlanQualitySpec.
+    "q_bloom_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") < lit("1998-01-01").cast(DateType))
+      graft.ops.BloomPrune.prunedJoin(li, urgent,
+          Seq("l_orderkey"), Seq("o_orderkey"), expectedItems = 100000L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Semi join — customers having at least one large order (EXISTS).
     "q_join_semi" -> ((s, d) => {
       val bigOrders = Tables.orders(s, d)
@@ -1263,6 +1282,14 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // The Bloom prune is invisible to correctness: plain-join oracle.
+    "q_bloom_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderpriority = '1-URGENT'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         | WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, TextFold}
+import graft.functions.{BloomMightContain, FloatVectorDot, TextFold}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -40,6 +40,14 @@ object GraftExtensions {
         require(exprs.length == 1,
           s"text_fold expects 1 argument, got ${exprs.length}")
         TextFold(exprs.head)
+      }),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
+        BloomMightContain(exprs.head, exprs(1))
       }))
 
   /** Register the functions and optimizer rules on a live session

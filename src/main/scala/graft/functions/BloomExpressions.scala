@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `bloom_might_contain(bloomBytes, value)` — membership probe against a
+  * serialized [[org.apache.spark.util.sketch.BloomFilter]], codegen'd.
+  *
+  * The first argument must be a FOLDABLE binary expression (a literal
+  * holding the sketch built by `DataFrameStatFunctions.bloomFilter`);
+  * the sketch is deserialized once per JVM (transient lazy) — never per
+  * row — and the generated code is a single virtual call into the
+  * sketch, inside whole-stage codegen. False positives possible, false
+  * negatives never: `false` proves the value was not in the build side,
+  * which is exactly the contract a pre-join prune needs
+  * ([[graft.ops.BloomPrune]]).
+  *
+  * Values: long/int probe `mightContainLong` (matching `putLong` used by
+  * the stat builder on integral columns); string/binary probe the UTF-8
+  * bytes (matching `putString`/`putBinary`).
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a binary sketch as its first argument, got " +
+          left.dataType.catalogString)
+    else if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a FOLDABLE sketch (a literal): the filter is " +
+          "deserialized once, not per row")
+    else right.dataType match {
+      case LongType | IntegerType | StringType | BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName cannot probe a ${t.catalogString} value " +
+          "(supported: bigint, int, string, binary)")
+    }
+  }
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    require(bytes != null, s"$prettyName: the sketch literal is null")
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  def test(v: Long): Boolean = filter.mightContainLong(v)
+  def testString(s: UTF8String): Boolean =
+    filter.mightContainBinary(s.getBytes)
+  def testBinary(b: Array[Byte]): Boolean = filter.mightContainBinary(b)
+
+  override def nullSafeEval(b: Any, v: Any): Any = v match {
+    case l: Long => test(l)
+    case i: Int => test(i.toLong)
+    case s: UTF8String => testString(s)
+    case bin: Array[Byte] => testBinary(bin)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (_, v) => {
+      // the expression itself is the reference: it is serializable (the
+      // sketch travels as the literal's bytes) and rebuilds its filter
+      // lazily per executor JVM
+      val ref = ctx.addReferenceObj("bloomProbe", this,
+        classOf[BloomMightContain].getName)
+      val call = right.dataType match {
+        case LongType => s"$ref.test($v)"
+        case IntegerType => s"$ref.test((long) $v)"
+        case StringType => s"$ref.testString($v)"
+        case BinaryType => s"$ref.testBinary($v)"
+      }
+      s"${ev.value} = $call;"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}

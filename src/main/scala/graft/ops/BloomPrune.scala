@@ -1,0 +1,91 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.BloomMightContain
+
+/** Runtime-filter join pruning: probe the big side against a Bloom
+  * sketch of the small side's keys BEFORE the join's exchange, so rows
+  * that cannot match never shuffle.
+  *
+  * This is the semi-join reduction every 100 TB join wants: a shuffle
+  * join moves the entire probe side across the network to discover that
+  * most of it matches nothing. Building a model-sized sketch of the
+  * build side's keys (one distributed aggregate — `treeAggregate`
+  * under `DataFrameStatFunctions.bloomFilter`) and filtering the probe
+  * side map-side turns that wasted movement into a codegen'd bit test.
+  * Spark's own `InjectRuntimeFilter` does this only under AQE-visible
+  * shuffle topologies; [[prunedJoin]] is the explicit form that also
+  * covers pre-aggregated/bucketed plans the optimizer rule skips.
+  *
+  * EXACTNESS: the sketch has false positives but no false negatives,
+  * and the exact join still runs after the prune — surviving false
+  * positives are eliminated there, so the result equals the unpruned
+  * join bit-for-bit (oracle-checked by `q_bloom_join`). That also means
+  * only INNER and LEFT SEMI joins are legal: under outer joins the
+  * prune would delete probe rows the join must keep.
+  *
+  * Keys of any type/arity are normalized to `xxhash64(keys*)` on BOTH
+  * sides before put/probe — hash collisions only add false positives,
+  * which the exact join already absorbs.
+  */
+object BloomPrune {
+
+  /** Serialized Bloom sketch of `xxhash64(keys*)` over `df` —
+    * distributed build, model-sized result (~1.2 MB per million
+    * expected items at 1% fpp). Travels to executors inside the probe
+    * expression's literal. */
+  def keyBloom(df: DataFrame, keys: Seq[String], expectedItems: Long,
+               fpp: Double = 0.01): Array[Byte] = {
+    require(keys.nonEmpty, "keyBloom needs at least one key column")
+    // treeAggregate rather than DataFrameStatFunctions.bloomFilter: the
+    // stat helper NPEs on an EMPTY build side, where the correct sketch
+    // is simply one that rejects everything (an empty small side makes
+    // the inner join empty — pruning all probe rows is exact). Partials
+    // merge tree-wise, so the driver receives O(log p) sketches, not p.
+    val bf = df.select(xxhash64(keys.map(col): _*).as("__h"))
+      .rdd.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+        (f, row) => { f.putLong(row.getLong(0)); f },
+        (a, b) => a.mergeInPlace(b))
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `bloom_might_contain(sketch, xxhash64(keys*))` as a Column. */
+  def mightContainKeys(sketch: Array[Byte], keys: Seq[Column]): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(lit(sketch)),
+      ColumnBridge.expression(xxhash64(keys: _*))))
+
+  /** Exact equi-join with the probe side Bloom-pruned map-side.
+    *
+    * `largeKeys`/`smallKeys` pair positionally. `expectedItems` sizes
+    * the sketch — pass (an upper bound of) the small side's distinct
+    * key count; an undersized sketch only raises the false-positive
+    * rate, never breaks exactness. The filter sits directly above the
+    * probe side's scan, below its exchange; the small side is read
+    * twice (sketch build + join) — cache it if that scan is expensive.
+    */
+  def prunedJoin(large: DataFrame, small: DataFrame,
+                 largeKeys: Seq[String], smallKeys: Seq[String],
+                 expectedItems: Long, fpp: Double = 0.01,
+                 joinType: String = "inner"): DataFrame = {
+    require(largeKeys.nonEmpty && largeKeys.length == smallKeys.length,
+      "prunedJoin needs equal-arity non-empty key lists")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi",
+      s"Bloom pruning is exact only for inner/left_semi joins, got $joinType")
+    val sketch = keyBloom(small, smallKeys, expectedItems, fpp)
+    val pruned = large.filter(
+      mightContainKeys(sketch, largeKeys.map(large(_))))
+    val cond = largeKeys.zip(smallKeys)
+      .map { case (l, r) => pruned(l) === small(r) }.reduce(_ && _)
+    pruned.join(small, cond, joinType)
+  }
+}

@@ -182,4 +182,20 @@ class PlanQualitySpec extends SparkTestBase {
     // dedup must partially aggregate map-side before its exchange
     plan should include regex "(?i)partial.*min_by|min_by.*partial"
   }
+
+  "q_bloom_join" should "probe the sketch on the map side, below the join" in {
+    val plan = planOf("q_bloom_join")
+    // the codegen'd probe must appear as a Filter in the plan at all...
+    plan should include ("bloom_might_contain")
+    // ...and sit BELOW the join: in the executedPlan string the join
+    // node prints before its children, so the probe's first occurrence
+    // must be after the join's — i.e. inside a join input, not above it
+    val joinAt = plan.indexOf("Join")
+    joinAt should be >= 0
+    plan.indexOf("bloom_might_contain") should be > joinAt
+    // the probe side still scans parquet directly (prune happens
+    // map-side on the scan output, no extra exchange for it)
+    "Exchange".r.findAllIn(
+      plan.substring(plan.indexOf("bloom_might_contain"))).size should be <= 1
+  }
 }

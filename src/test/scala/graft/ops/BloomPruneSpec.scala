@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[BloomPrune]]: exactness of the pruned join, no-false-negative
+  * contract of the probe, SQL registration, and type surface. */
+class BloomPruneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def large = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "payload")
+  private def small = Seq((10L, "a"), (500L, "b"), (1999L, "c"), (4000L, "d"))
+    .toDF("sk", "tag")
+
+  "prunedJoin" should "equal the plain inner join exactly" in {
+    val pruned = BloomPrune.prunedJoin(large, small, Seq("k"), Seq("sk"),
+        expectedItems = 100L)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val l2 = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val s2 = small
+    val plain = l2.join(s2, l2("k") === s2("sk"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    pruned shouldBe plain
+    pruned.length shouldBe 3
+  }
+
+  it should "support left_semi and refuse outer join types" in {
+    val semi = BloomPrune.prunedJoin(large, small, Seq("k"), Seq("sk"),
+      expectedItems = 100L, joinType = "left_semi")
+    semi.columns.toSeq shouldBe Seq("k", "payload")
+    semi.count() shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy
+      BloomPrune.prunedJoin(large, small, Seq("k"), Seq("sk"), 100L,
+        joinType = "left_outer")
+  }
+
+  it should "stay exact even with an undersized sketch (fp-rate only)" in {
+    val pruned = BloomPrune.prunedJoin(large, small, Seq("k"), Seq("sk"),
+      expectedItems = 2L, fpp = 0.5)
+    pruned.count() shouldBe 3L
+  }
+
+  it should "support multi-column keys" in {
+    val l = Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+      .toDF("a", "b", "v")
+    val r = Seq((1L, "y"), (2L, "x")).toDF("a2", "b2")
+    BloomPrune.prunedJoin(l, r, Seq("a", "b"), Seq("a2", "b2"), 10L)
+      .select($"v").as[Double].collect().sorted shouldBe Array(20.0, 30.0)
+  }
+
+  it should "handle an empty build side (prunes everything, join is empty)" in {
+    val none = small.filter($"sk" < 0L)
+    BloomPrune.prunedJoin(large, none, Seq("k"), Seq("sk"), 10L)
+      .count() shouldBe 0L
+  }
+
+  "the probe" should "never produce a false negative" in {
+    val keys = small.select($"sk").as[Long].collect()
+    val sketch = BloomPrune.keyBloom(small, Seq("sk"), 100L)
+    val probed = large.filter(
+      BloomPrune.mightContainKeys(sketch, Seq(col("k"))))
+      .select($"k").as[Long].collect().toSet
+    keys.filter(_ <= 2000L).foreach(k => probed should contain (k))
+  }
+
+  it should "prune most non-matching rows at 1% fpp" in {
+    val sketch = BloomPrune.keyBloom(small, Seq("sk"), 100L, fpp = 0.01)
+    val kept = large.filter(
+      BloomPrune.mightContainKeys(sketch, Seq(col("k")))).count()
+    // 3 true hits + ~1% of 1997 non-matches
+    kept should be >= 3L
+    kept should be < 100L
+  }
+
+  "bloom_might_contain in SQL" should "be registered and codegen-probe strings" in {
+    val sketch = BloomPrune.keyBloom(
+      Seq("alpha", "beta").toDF("s"), Seq("s"), 10L)
+    // direct string probe (no xxhash) against a string-built sketch:
+    // put/probe both use the UTF-8 bytes
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10L, 0.01)
+    Seq("alpha", "beta").foreach(bf.putString)
+    val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out)
+    spark.createDataset(Seq("alpha", "beta", "gamma")).toDF("s")
+      .createOrReplaceTempView("bloom_probe_t")
+    spark.sql(
+      "SELECT s FROM bloom_probe_t " +
+        s"WHERE bloom_might_contain(${hexLit(out.toByteArray)}, s)")
+      .as[String].collect().toSet should contain allOf ("alpha", "beta")
+  }
+
+  it should "reject a non-foldable sketch and unsupported value types" in {
+    Seq((Array[Byte](1, 2), 1L)).toDF("b", "v")
+      .createOrReplaceTempView("bloom_bad_t")
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(b, v) FROM bloom_bad_t").collect()
+    }
+    e.getMessage.toLowerCase should include ("foldable")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(X'00', array(1))").collect()
+    }
+    e2.getMessage.toLowerCase should include ("probe")
+  }
+
+  private def hexLit(bytes: Array[Byte]): String =
+    "X'" + bytes.map("%02X".format(_)).mkString + "'"
+}

@@ -797,6 +797,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF + product quantization + exact re-rank — the memory-compressed
+    // billion-vector path: cells bound the scan, one-byte codes bound its
+    // width (8 bytes/vector vs 256 raw), ADC scores with m lookups per
+    // pair, and the exact re-rank of the candidate set restores top-k
+    // quality. Rows-only (approximate by nature); recall + exhaustive-
+    // equality pinned in PqIndexSpec.
+    "q_sim_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 3, m = 8, ks = 16, iters = 3, rerank = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Token-window chunking with overlap — context-window prep.
     "q_chunking" -> ((s, d) =>
       graft.ops.Chunking.chunk(

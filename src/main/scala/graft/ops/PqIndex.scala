@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.{Pq, PqAdcExpr, PqEncodeExpr, PqLutExpr}
+
+/** Product-quantization ANN: the memory-compressed similarity path a
+  * 100 TB embedding corpus actually needs.
+  *
+  * A raw float corpus at that scale cannot be rescanned per query batch
+  * (dim × 4 bytes per vector); PQ stores each vector as `m` one-byte
+  * codes (16–64× smaller) and scores them with the asymmetric-distance
+  * trick: per QUERY, precompute the `m × ks` table of partial dot
+  * products once ([[graft.functions.PqLutExpr]]), then each (query,
+  * corpus) pair costs `m` array lookups ([[graft.functions.PqAdcExpr]])
+  * instead of `dim` multiplies — the compressed scan is cheaper to
+  * SCORE, not just smaller to STORE. Optional exact re-ranking of the
+  * ADC top candidates restores near-exact top-k quality while touching
+  * only candidate-sized raw data.
+  *
+  * Training is Lloyd's per subspace, but all `m` subspaces advance in
+  * ONE corpus pass per iteration: the current codebooks ride into a
+  * zero-shuffle [[graft.functions.PqEncodeExpr]] (assignment), then one
+  * map-side-combined `(sub, code) → mean` aggregate returns at most
+  * `m × ks` model-sized rows to the driver (update). No joins, no
+  * corpus shuffle, constant plan size at any `ks`.
+  *
+  * All scoring runs on UNIT vectors, so the ADC score approximates
+  * cosine and exact re-rank/oracle comparisons use the same metric as
+  * [[Similarity.bruteForceTopK]].
+  */
+object PqIndex {
+
+  /** Train PQ codebooks: `m` subspaces × `ks` codewords over the
+    * L2-normalized corpus. Deterministic: codeword `c` of every
+    * subspace seeds from the `c`-th corpus vector by id; ties in
+    * assignment break toward the lower code. Driver traffic per
+    * iteration is ≤ `m × ks` mean rows (model size). */
+  def trainCodebooks(corpus: DataFrame, m: Int, ks: Int, iters: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Pq.Codebooks = {
+    val unit = IvfIndex.unitVectors(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = trainOnUnit(unit, m, ks, iters)
+    unit.unpersist()
+    cbs
+  }
+
+  private[ops] def trainOnUnit(unit: DataFrame, m: Int, ks: Int,
+                               iters: Int): Pq.Codebooks = {
+    require(m >= 1 && ks >= 2 && ks <= 256,
+      s"need m >= 1 and 2 <= ks <= 256 (one byte per code), got m=$m ks=$ks")
+    val dim = unit.select(size(col("uvec"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "PQ training needs a non-empty corpus")
+    }
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val seedRows = unit.orderBy(col("id")).limit(ks)
+      .select(col("uvec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seedRows.nonEmpty, "PQ training needs a non-empty corpus")
+    // seed code c of subspace s = slice s of the c-th vector (cycling if
+    // the corpus is smaller than ks — duplicate seeds separate via Lloyd)
+    var cbs: Pq.Codebooks = Array.tabulate(m, ks) { (s, c) =>
+      seedRows(c % seedRows.length).slice(s * dsub, (s + 1) * dsub)
+    }
+    for (_ <- 1 to iters) {
+      val means = unit
+        .select(posexplode(encodeCol(col("uvec"), cbs)).as(Seq("sub", "code")),
+          col("uvec"))
+        .select(col("sub"), col("code"),
+          slice(col("uvec"), col("sub") * dsub + 1, lit(dsub)).as("subvec"))
+        .groupBy(col("sub"), col("code"))
+        .agg(graft.functions.VectorAggFunctions.vecMean(col("subvec")).as("mean"))
+        .collect()
+      assert(means.length <= m * ks,
+        s"PQ update collected ${means.length} rows for $m x $ks codewords")
+      val next = Array.tabulate(m, ks)((s, c) => cbs(s)(c).clone())
+      means.foreach { r =>
+        if (!r.isNullAt(2)) {
+          val s = r.getInt(0); val c = r.getByte(1).toInt & 0xFF
+          next(s)(c) = r.getSeq[Double](2).map(_.toFloat).toArray
+        }
+      }
+      cbs = next
+    }
+    cbs
+  }
+
+  /** `pq_encode(vec)` over the trained codebooks, as a Column. */
+  def encodeCol(vec: Column, cbs: Pq.Codebooks): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), cbs))
+
+  /** `pq_lut(qvec)` over the trained codebooks, as a Column. */
+  def lutCol(vec: Column, cbs: Pq.Codebooks): Column =
+    ColumnBridge.column(PqLutExpr(ColumnBridge.expression(vec), cbs))
+
+  /** `pq_adc(lut, codes)` — approximate dot product, as a Column. */
+  def adcCol(lut: Column, codes: Column, ks: Int): Column =
+    ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(lut),
+      ColumnBridge.expression(codes), ks))
+
+  /** Approximate cosine top-k over a PQ-compressed full scan, with
+    * optional exact re-ranking.
+    *
+    * The corpus is normalized + encoded once (zero-shuffle expression),
+    * the query batch is broadcast with its precomputed LUTs, and the
+    * compressed scan feeds the bounded two-phase top-k of
+    * [[Similarity.rankTopK]] — the corpus itself never shuffles, same
+    * contract as [[Similarity.bruteForceTopK]]. With `rerank > 0` the
+    * ADC top-`rerank` candidates (q × rerank rows — candidate-sized)
+    * are re-scored exactly against the raw vectors via a broadcast
+    * join, and the final top-k comes from the exact scores. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, iters: Int = 5, rerank: Int = 0,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val unit = IvfIndex.unitVectors(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = trainOnUnit(unit, m, ks, iters)
+    val codes = unit.select(col("id").as("corpus_id"),
+      encodeCol(col("uvec"), cbs).as("codes"))
+    val q = IvfIndex.unitVectors(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), lutCol(col("uvec"), cbs).as("lut"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        adcCol(col("lut"), col("codes"), ks).as("cosine"))
+    finish(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF + PQ: the coarse quantizer prunes to `nprobe` cells, the
+    * compressed ADC scan scores only those cells' codes, and exact
+    * re-ranking (if requested) touches candidate-sized raw data. The
+    * production shape for billion-vector search: cell pruning bounds
+    * the scan, PQ bounds its width, re-rank restores quality. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ks: Int = 16, iters: Int = 5, rerank: Int = 0,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
+    val unit = IvfIndex.unitVectors(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = IvfIndex.trainOnUnit(unit, nlist, iters, idCol, vecCol)
+    val cbs = trainOnUnit(unit, m, ks, iters)
+    val codes = IvfIndex.assignCells(unit, centroids)
+      .select(col("id").as("corpus_id"), col("cell"),
+        encodeCol(col("uvec"), cbs).as("codes"))
+    val q = IvfIndex.probeCells(
+        IvfIndex.unitVectors(queries, idCol, vecCol), centroids, nprobe)
+      .select(col("id").as("query_id"), col("cell"),
+        lutCol(col("uvec"), cbs).as("lut"))
+    // each corpus vector lives in ONE cell, so a query meets it at most
+    // once across its nprobe probes — no dedup needed before top-k
+    val scored = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        adcCol(col("lut"), col("codes"), ks).as("cosine"))
+    finish(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** Rank the ADC scores; optionally re-score the top-`rerank`
+    * candidates exactly and re-rank on the exact cosine. The candidate
+    * list is broadcast, so the raw corpus is probed by a broadcast hash
+    * join — never shuffled. */
+  private def finish(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     k: Int, rerank: Int,
+                     idCol: String, vecCol: String): DataFrame = {
+    if (rerank <= 0) Similarity.rankTopK(scored, k)
+    else {
+      require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+      val cand = Similarity.rankTopK(scored, rerank)
+        .select(col("query_id"), col("corpus_id"))
+      val cMeta = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("c_vec"),
+        graft.functions.VectorFunctions.fnorm(col(vecCol)).as("c_nrm"))
+      val qMeta = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"),
+        graft.functions.VectorFunctions.fnorm(col(vecCol)).as("q_nrm"))
+      val exact = cMeta.join(broadcast(cand), "corpus_id")
+        .join(broadcast(qMeta), "query_id")
+        .select(col("query_id"), col("corpus_id"),
+          Similarity.cosineWithNorms(col("q_vec"), col("q_nrm"),
+            col("c_vec"), col("c_nrm")).as("cosine"))
+      Similarity.rankTopK(exact, k)
+    }
+  }
+}

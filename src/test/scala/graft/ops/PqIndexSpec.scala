@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[PqIndex]]: expression kernels vs a plain-Scala reference,
+  * training determinism, compressed-scan recall, and exactness of the
+  * exhaustive + re-ranked configuration. */
+class PqIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic clustered corpus: 4 well-separated direction clusters
+  // in 16 dims, 30 points each, + 10 query points near cluster centers
+  private val dim = 16
+  private lazy val corpus: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4) { c =>
+      Array.tabulate(dim)(i => if (i % 4 == c) 1.0f else 0.05f)
+    }
+    (0L until 120L).map { id =>
+      val c = centers((id % 4).toInt)
+      (id, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+  }
+  private def corpusDF = corpus.toDF("vec_id", "embedding")
+  private def queriesDF = corpusDF.filter($"vec_id" < 8)
+
+  private def refEncode(vec: Seq[Float], cbs: Array[Array[Array[Float]]]): Seq[Byte] = {
+    val m = cbs.length; val dsub = cbs.head.head.length
+    (0 until m).map { s =>
+      val slice = vec.slice(s * dsub, (s + 1) * dsub)
+      cbs(s).zipWithIndex.map { case (cw, i) =>
+        val dot = slice.zip(cw).map { case (a, b) => a.toDouble * b }.sum
+        val hn = cw.map(x => x.toDouble * x).sum / 2
+        (dot - hn, i)
+      }.maxBy { case (score, i) => (score, -i) }._2.toByte
+    }
+  }
+
+  "pq_encode / pq_lut / pq_adc" should "match the plain-Scala reference" in {
+    val cbs: Array[Array[Array[Float]]] = Array.tabulate(4, 4) { (s, c) =>
+      Array.tabulate(4)(i => (s + 1) * 0.1f * (c - i))
+    }
+    val vecs = corpus.take(10)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        PqIndex.encodeCol($"embedding", cbs).as("codes"),
+        PqIndex.lutCol($"embedding", cbs).as("lut"))
+      .withColumn("adc", PqIndex.adcCol($"lut", $"codes", 4))
+      .orderBy($"vec_id").collect()
+    vecs.zip(got).foreach { case ((_, vec), row) =>
+      val codes = row.getSeq[Byte](1)
+      codes shouldBe refEncode(vec, cbs)
+      val lut = row.getSeq[Float](2)
+      lut.length shouldBe 16
+      // adc == sum of the lut entries the codes select
+      val expected = codes.zipWithIndex
+        .map { case (code, s) => lut(s * 4 + (code & 0xFF)).toDouble }.sum
+      row.getDouble(3) shouldBe expected +- 1e-9
+    }
+  }
+
+  "trainCodebooks" should "be deterministic and model-shaped" in {
+    val a = PqIndex.trainCodebooks(corpusDF, m = 4, ks = 8, iters = 3)
+    val b = PqIndex.trainCodebooks(corpusDF, m = 4, ks = 8, iters = 3)
+    a.length shouldBe 4
+    a.foreach(_.length shouldBe 8)
+    a.flatten.foreach(_.length shouldBe dim / 4)
+    a.flatten.map(_.toSeq).toSeq shouldBe b.flatten.map(_.toSeq).toSeq
+  }
+
+  it should "reject ks > 256 and a dim not divisible by m" in {
+    an[IllegalArgumentException] should be thrownBy
+      PqIndex.trainCodebooks(corpusDF, m = 4, ks = 300)
+    an[IllegalArgumentException] should be thrownBy
+      PqIndex.trainCodebooks(corpusDF, m = 5, ks = 8)
+  }
+
+  private def exactTopK(k: Int) =
+    Similarity.bruteForceTopK(corpusDF, queriesDF, k)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+  "pqTopK without rerank" should "reach high recall on clustered data" in {
+    // k = 20 of a 30-point cluster: the quantized scores must separate
+    // the query's cluster from the other three — the structure ADC can
+    // resolve. (Fine ranking WITHIN a noise-ball is exactly what raw
+    // ADC cannot do; the rerank test below covers that tier.)
+    val exact = exactTopK(20)
+    val approx = PqIndex.pqTopK(corpusDF, queriesDF, k = 20, m = 8, ks = 32,
+        iters = 4)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val recalls = exact.map { case (q, e) =>
+      approx.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    (recalls.sum / recalls.size) should be >= 0.7
+  }
+
+  "pqTopK with full-corpus rerank" should "equal the exact top-k" in {
+    val exact = Similarity.bruteForceTopK(corpusDF, queriesDF, k = 5)
+      .select($"query_id", $"corpus_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank").collect()
+    val reranked = PqIndex.pqTopK(corpusDF, queriesDF, k = 5, m = 4, ks = 16,
+        iters = 3, rerank = corpus.length)
+      .select($"query_id", $"corpus_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank").collect()
+    reranked shouldBe exact
+  }
+
+  "ivfPqTopK" should "recover most exact neighbors with pruned cells + rerank" in {
+    val exact = exactTopK(5)
+    val approx = PqIndex.ivfPqTopK(corpusDF, queriesDF, k = 5,
+        nlist = 8, nprobe = 3, m = 4, ks = 16, iters = 4, rerank = 20)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val recalls = exact.map { case (q, e) =>
+      approx.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    (recalls.sum / recalls.size) should be >= 0.7
+  }
+
+  it should "demand rerank >= k" in {
+    an[IllegalArgumentException] should be thrownBy
+      PqIndex.pqTopK(corpusDF, queriesDF, k = 10, rerank = 5)
+  }
+}

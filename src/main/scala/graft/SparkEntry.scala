@@ -810,6 +810,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed BPE: learn the merge vocabulary where the corpus
+    // lives (merge rounds run on the distinct-WORD table, one corpus
+    // pass total), then tokenize with the learned model riding in a
+    // codegen'd expression. Rows-only (iterative training is not SQL);
+    // BpeTrainerSpec pins merge-list equality with an independent
+    // single-node reference implementation.
+    "q_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.BpeTrainer.train(docs, "text",
+        numMerges = 16, minCount = 5)
+      docs.select(col("doc_id"),
+          graft.ops.BpeTrainer.tokenizeCol(col("text"), merges).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-window chunking with overlap — context-window prep.
     "q_chunking" -> ((s, d) =>
       graft.ops.Chunking.chunk(

@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE kernels as native expressions. The learned merge table is the
+  * model — it rides as a reference object (like the PQ codebooks and
+  * the Bloom sketch), never per row.
+  *
+  * [[BpeApplyMergeExpr]] is the TRAINING kernel: replace every adjacent
+  * `(left, right)` symbol pair with the fused symbol in one linear
+  * left-to-right scan (so `aaa` + merge `(a,a)` → `[aa, a]`, the
+  * standard convention). [[BpeTokenizeExpr]] is the INFERENCE kernel:
+  * split text into whitespace words, explode each into characters plus
+  * the `</w>` end-of-word marker, then repeatedly apply the LOWEST-RANK
+  * applicable merge until none applies — the canonical greedy BPE
+  * segmenter.
+  */
+object Bpe {
+  /** End-of-word marker appended to each word's final character. */
+  val EndOfWord = "</w>"
+
+  /** Greedy BPE segmentation of one word (already split into initial
+    * symbols) under a rank table: always fuse the currently
+    * lowest-rank adjacent pair; ties on rank cannot happen (ranks are
+    * unique). Shared by the inference expression and specs. */
+  def segment(initial: Array[String],
+              ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = initial
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val fused = syms(bestAt) + syms(bestAt + 1)
+        val next = new Array[String](syms.length - 1)
+        System.arraycopy(syms, 0, next, 0, bestAt)
+        next(bestAt) = fused
+        System.arraycopy(syms, bestAt + 2, next, bestAt + 1,
+          syms.length - bestAt - 2)
+        syms = next
+      }
+    }
+    syms
+  }
+
+  /** A word as its initial symbol sequence: characters (by codepoint),
+    * with [[EndOfWord]] fused onto the final character's symbol slot as
+    * its own trailing symbol. */
+  def initialSymbols(word: String): Array[String] = {
+    val cps = word.codePoints().toArray
+    val out = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) {
+      out(i) = new String(Character.toChars(cps(i)))
+      i += 1
+    }
+    out(cps.length) = EndOfWord
+    out
+  }
+}
+
+/** `bpe_init_symbols(word)` → the word's initial symbol sequence
+  * (codepoint-correct characters + the `</w>` marker). The trainer's
+  * word-table seed; shares [[Bpe.initialSymbols]] with the inference
+  * kernel so training and tokenization can never disagree on what a
+  * character is (a `split(word, "")` would break surrogate pairs). */
+case class BpeInitSymbolsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_init_symbols"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def init(word: UTF8String): ArrayData =
+    new GenericArrayData(
+      Bpe.initialSymbols(word.toString).map(UTF8String.fromString))
+
+  override def nullSafeEval(v: Any): Any = init(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeInit", this,
+        classOf[BpeInitSymbolsExpr].getName)
+      s"${ev.value} = $ref.init($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeInitSymbolsExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_apply_merge(syms)` with a fixed `(left, right)` pair: one
+  * left-to-right fusion pass. Used once per training round over the
+  * word table; the pair is part of the expression (model), not data. */
+case class BpeApplyMergeExpr(child: Expression, left: String, right: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  @transient private lazy val fusedSym = UTF8String.fromString(left + right)
+
+  def merge(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(l) && syms.getUTF8String(i + 1).equals(r)) {
+        out.add(fusedSym)
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = merge(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeMerge", this,
+        classOf[BpeApplyMergeExpr].getName)
+      s"${ev.value} = $ref.merge($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMergeExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_tokenize(text)` under a learned merge list: whitespace-split
+  * words, each greedily segmented by merge rank. Output is the
+  * document's full token sequence (with `</w>` markers retained on
+  * word-final tokens — lossless: concatenating tokens and mapping
+  * `</w>` back to spaces reproduces the normalized text). */
+case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  def tokenize(text: UTF8String): ArrayData = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.ArrayList[UTF8String]()
+    var w = 0
+    while (w < words.length) {
+      val syms = Bpe.segment(Bpe.initialSymbols(words(w)), ranks)
+      var i = 0
+      while (i < syms.length) {
+        out.add(UTF8String.fromString(syms(i)))
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeTok", this,
+        classOf[BpeTokenizeExpr].getName)
+      s"${ev.value} = $ref.tokenize($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =
+    copy(child = newChild)
+}

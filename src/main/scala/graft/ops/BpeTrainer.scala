@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.{Bpe, BpeApplyMergeExpr, BpeInitSymbolsExpr, BpeTokenizeExpr}
+
+/** Distributed BPE vocabulary learning (Sennrich-style byte/char-pair
+  * encoding) — the tokenizer-training step of an LLM data pipeline, run
+  * where the corpus lives instead of sampling it down to one machine.
+  *
+  * The classic observation makes this scale: BPE statistics live on the
+  * DISTINCT-WORD frequency table, not the corpus. One corpus pass
+  * builds `(word-symbols, weight)` (the only corpus-sized shuffle);
+  * every merge round after that runs on the word table — orders of
+  * magnitude smaller (a 100 TB corpus has ~10⁸ distinct words, a few
+  * GB). Each round is:
+  *
+  *  1. adjacent-pair counts: an in-row `transform` explodes each word's
+  *     neighboring symbol pairs, a map-side-combined sum aggregates
+  *     them — one bounded shuffle of (pair, partial-weight) rows;
+  *  2. the winning pair comes to the driver as ONE row via a
+  *     TakeOrdered(1) (count desc, pair asc — deterministic ties);
+  *  3. the merge is applied map-side by the codegen'd
+  *     [[graft.functions.BpeApplyMergeExpr]] (the pair is model state
+  *     riding in the expression, not data).
+  *
+  * The word table is eagerly checkpointed every round, the same
+  * discipline as [[Dedup.dupClusters]] — see [[train]] for why this is
+  * a correctness-of-scale requirement, not optional hygiene.
+  */
+object BpeTrainer {
+
+  /** The learned model: merge pairs in rank order. */
+  type Merges = Seq[(String, String)]
+
+  /** Distinct-word table `(syms: array<string>, weight: long)` — the
+    * one corpus-sized pass. Words split on whitespace; symbols are
+    * codepoint-correct characters plus the `</w>` marker. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("weight"))
+      .select(initSymbolsCol(col("word")).as("syms"), col("weight"))
+
+  /** Learn up to `numMerges` merges; stops early when the best pair's
+    * corpus frequency drops below `minCount` (merging noise pairs just
+    * memorizes typos). Deterministic: ties on count break toward the
+    * lexicographically smallest (left, right).
+    *
+    * Lineage is truncated by an EAGER checkpoint after EVERY merge
+    * round (reliable if the session has a checkpoint dir — set one on
+    * a real cluster — else executor-local). This is not optional
+    * hygiene: a persisted-but-unchecked chain of merge rounds nests
+    * each round's cached AQE plan inside the next, and the per-job
+    * plan-description string grows super-linearly until the driver
+    * spends minutes rendering it and dies on heap — the exact failure
+    * [[Dedup.dupClusters]] documents. Checkpointing makes each round's
+    * plan start from a leaf. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L): Merges = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = docs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var words = truncate(wordTable(docs, textCol))
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // adjacent pairs in-row; one map-side-combined sum; ONE driver row
+      val best = words
+        .select(col("weight"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("weight")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      best match {
+        case Array(row) if row.getLong(2) >= minCount =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges += ((l, r))
+          words = truncate(words.withColumn("syms",
+            applyMergeCol(col("syms"), l, r)))
+        case _ => exhausted = true
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** `bpe_tokenize(text)` under a learned model, as a Column. */
+  def tokenizeCol(text: Column, merges: Merges): Column =
+    ColumnBridge.column(BpeTokenizeExpr(ColumnBridge.expression(text), merges))
+
+  /** Initial symbol sequence of a single word, as a Column. */
+  def initSymbolsCol(word: Column): Column =
+    ColumnBridge.column(BpeInitSymbolsExpr(ColumnBridge.expression(word)))
+
+  /** One training merge pass over a symbol array, as a Column. */
+  def applyMergeCol(syms: Column, left: String, right: String): Column =
+    ColumnBridge.column(
+      BpeApplyMergeExpr(ColumnBridge.expression(syms), left, right))
+
+  /** `[struct(l, r)]` of neighboring symbols, computed in-row. */
+  private def adjacentPairs(syms: Column): Column =
+    transform(slice(syms, lit(1), size(syms) - 1),
+      (s, i) => struct(s.as("l"), element_at(syms, i + 2).as("r")))
+
+  /** Reassemble tokenized text: fuse tokens, turn word boundaries back
+    * into single spaces — the lossless-round-trip check (spec-pinned;
+    * whitespace runs normalize to one space). */
+  def detokenize(tokens: Seq[String]): String =
+    tokens.mkString("").replace(Bpe.EndOfWord, " ").trim
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.Bpe
+
+/** [[BpeTrainer]] against an independent single-node BPE reference:
+  * identical merge lists, greedy segmentation, lossless round trip. */
+class BpeTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Plain-Scala reference trainer: same contract (whitespace words,
+    * char+</w> symbols, count-desc/pair-asc tie-break, minCount stop) —
+    * written against the algorithm, not the Spark code. */
+  private def referenceTrain(docs: Seq[String], numMerges: Int,
+                             minCount: Long): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] = docs
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, c) => Bpe.initialSymbols(w).toVector -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        if (cnt < minCount) done = true
+        else {
+          out += pair
+          words = words.toSeq.map { case (syms, c) =>
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == pair._1 &&
+                  syms(i + 1) == pair._2) {
+                buf += (pair._1 + pair._2); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            buf.result() -> c
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      round += 1
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new")
+
+  "train" should "learn the same merges as the single-node reference" in {
+    val expected = referenceTrain(corpus, numMerges = 12, minCount = 2)
+    val got = BpeTrainer.train(corpus.toDF("text"), "text",
+      numMerges = 12, minCount = 2)
+    got shouldBe expected
+    expected.length should be > 5 // the corpus supports real merges
+  }
+
+  it should "be deterministic and stop at minCount" in {
+    val df = corpus.toDF("text")
+    val a = BpeTrainer.train(df, "text", numMerges = 50, minCount = 3)
+    val b = BpeTrainer.train(df, "text", numMerges = 50, minCount = 3)
+    a shouldBe b
+    // every learned merge really occurred >= minCount times: the
+    // reference under the same bound agrees exactly
+    a shouldBe referenceTrain(corpus, 50, 3)
+    a.length should be < 50 // exhausted before the cap
+  }
+
+  it should "agree with the reference over longer merge runs too" in {
+    val df = corpus.toDF("text")
+    BpeTrainer.train(df, "text", 10, 2) shouldBe referenceTrain(corpus, 10, 2)
+  }
+
+  "tokenizeCol" should "segment greedily by merge rank" in {
+    // ranks: (l,o) first, then (lo,w</w>): "low" -> ["low</w>"] needs
+    // (lo, w</w>)? No — w fuses with </w> only if learned; build merges
+    // by training and check tokens reproduce the trained segmentation
+    val merges = BpeTrainer.train(corpus.toDF("text"), "text", 8, 2)
+    val toks = corpus.toDF("text")
+      .select(BpeTrainer.tokenizeCol($"text", merges).as("t"))
+      .as[Seq[String]].collect()
+    // segmentation must equal the greedy reference on every word
+    val ranks = merges.zipWithIndex.toMap
+    corpus.zip(toks).foreach { case (line, ts) =>
+      val expected = line.split("\\s+").filter(_.nonEmpty).flatMap(w =>
+        Bpe.segment(Bpe.initialSymbols(w), ranks))
+      ts shouldBe expected.toSeq
+    }
+  }
+
+  it should "round-trip losslessly through detokenize" in {
+    val merges = BpeTrainer.train(corpus.toDF("text"), "text", 10, 2)
+    val toks = corpus.toDF("text")
+      .select(BpeTrainer.tokenizeCol($"text", merges).as("t"))
+      .as[Seq[String]].collect()
+    corpus.zip(toks).foreach { case (line, ts) =>
+      BpeTrainer.detokenize(ts) shouldBe line.split("\\s+")
+        .filter(_.nonEmpty).mkString(" ")
+    }
+  }
+
+  it should "handle surrogate pairs as single symbols" in {
+    val emoji = "😀" // one codepoint, two UTF-16 units
+    val syms = Bpe.initialSymbols(s"a$emoji")
+    syms shouldBe Array("a", emoji, Bpe.EndOfWord)
+    val toks = Seq(s"a$emoji b").toDF("text")
+      .select(BpeTrainer.tokenizeCol($"text", Nil).as("t"))
+      .as[Seq[String]].head()
+    toks shouldBe Seq("a", emoji, Bpe.EndOfWord, "b", Bpe.EndOfWord)
+  }
+
+  "train with numMerges = 0" should "return no merges" in {
+    BpeTrainer.train(corpus.toDF("text"), "text", 0) shouldBe empty
+  }
+}

@@ -340,6 +340,18 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Table maintenance: compact the (simulated small-file) orders table
+    // into range-clustered, in-file-sorted output under a fresh committed
+    // version, then read it back — content preservation IS the oracle
+    // (plain SELECT *). File-count/clustering properties in CompactionSpec.
+    "q_compaction" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q_compact_").toString
+      val dest = graft.ops.Compaction.compact(s, s"$d/orders.parquet", tmp,
+        sortBy = Seq("o_orderkey"))
+      s.read.parquet(dest).orderBy(col("o_orderkey"))
+    }),
+
     // Runtime-filter join: lineitem Bloom-pruned map-side against the
     // urgent-early order subset BEFORE its exchange — the 100 TB
     // semi-join reduction. The sketch has false positives only, and the
@@ -1312,6 +1324,11 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Compaction must not alter content: identity oracle.
+    "q_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     // The Bloom prune is invisible to correctness: plain-join oracle.
     "q_bloom_join" ->
       """SELECT o_orderkey, count(*) AS n_items,

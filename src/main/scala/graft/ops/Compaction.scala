@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the table-maintenance pass every long-lived
+  * 100 TB dataset needs.
+  *
+  * Incremental writers (streaming micro-batches, partition-selective
+  * refreshes, per-shard jobs) accrete files far below the scan-optimal
+  * size; a table of 10⁶ × 1 MB files pays listing, open, and footer
+  * costs per file and defeats row-group pruning. Compaction rewrites
+  * the data into ~`targetFileBytes` files, optionally sorted within
+  * files on clustering columns so min/max footer stats become selective
+  * again (the [[Layout]] Z-order key composes here for multi-column
+  * pruning).
+  *
+  * Content is preserved EXACTLY (row multiset, schema — spec + oracle
+  * checked); only layout changes. The rewrite is one job:
+  *  - unsorted: `repartition(n)` round-robins rows into n ≈
+  *    `bytes / targetFileBytes` even files — one shuffle, no skew;
+  *  - sorted: `repartitionByRange(n, cols)` + in-partition sort writes
+  *    globally range-clustered files (each file a disjoint slice, the
+  *    layout min/max pruning wants).
+  *
+  * Output goes to a fresh `v=<n+1>` dir under `outDir` committed by the
+  * job's own `_SUCCESS` marker ([[graft.streaming.MaterializedSnapshot]]
+  * convention) — readers of version n never observe a half-written
+  * compaction, and a failed run leaves no committed version behind.
+  */
+object Compaction {
+
+  /** Size-on-disk of `dir`'s data files (driver-side listing; one
+    * round-trip to the namenode, no data read). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+      }
+      total
+    }
+  }
+
+  /** Data files under `dir` (recursive, excluding markers). */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** Compact the parquet table at `inDir` into a new committed version
+    * under `outDir`; returns the version's path. `sortBy` non-empty
+    * writes range-clustered, in-file-sorted output (footer min/max
+    * become selective on those columns). Targets
+    * `ceil(inputBytes / targetFileBytes)` output files — parquet
+    * re-encoding changes the exact ratio, but the file COUNT is the
+    * thing small-file pain scales with.  */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil): String = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val df = spark.read.parquet(inDir)
+    val n = math.max(1L,
+      (dataBytes(spark, inDir) + targetFileBytes - 1) / targetFileBytes).toInt
+    val shaped =
+      if (sortBy.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    val version = graft.streaming.MaterializedSnapshot
+      .versions(spark, outDir).lastOption.getOrElse(0L) + 1L
+    val dest = s"$outDir/v=$version"
+    shaped.write.mode("errorifexists").parquet(dest)
+    dest
+  }
+
+  /** Read the latest committed compaction under `outDir`. */
+  def readLatest(spark: SparkSession, outDir: String): DataFrame =
+    graft.streaming.MaterializedSnapshot.read(spark, outDir)
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[Compaction]]: content preservation, file-count reduction, version
+  * commits, and the clustering property of the sorted variant. */
+class CompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDirs(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_")
+    (s"$base/in", s"$base/out")
+  }
+
+  private def fragmented(inDir: String, rows: Int = 5000): Unit =
+    (1 to rows).map(i => (i.toLong, s"payload_$i", i % 7))
+      .toDF("id", "payload", "grp")
+      .repartition(40) // simulate an accreted small-file table
+      .write.parquet(inDir)
+
+  "compact" should "reduce file count and preserve content exactly" in {
+    val (in, out) = freshDirs()
+    fragmented(in)
+    Compaction.dataFileCount(spark, in) should be >= 40
+    val bytes = Compaction.dataBytes(spark, in)
+    Compaction.compact(spark, in, out, targetFileBytes = bytes) // → 1 file
+    Compaction.dataFileCount(spark,
+      s"$out/v=1") should be < Compaction.dataFileCount(spark, in)
+    val before = spark.read.parquet(in).orderBy($"id").collect()
+    val after = Compaction.readLatest(spark, out).orderBy($"id").collect()
+    after shouldBe before
+  }
+
+  it should "commit successive versions and read back the latest" in {
+    val (in, out) = freshDirs()
+    fragmented(in, rows = 500)
+    val v1 = Compaction.compact(spark, in, out)
+    val v2 = Compaction.compact(spark, in, out)
+    v1 should endWith ("v=1")
+    v2 should endWith ("v=2")
+    graft.streaming.MaterializedSnapshot.versions(spark, out) shouldBe Seq(1L, 2L)
+    Compaction.readLatest(spark, out).count() shouldBe 500L
+  }
+
+  it should "write disjoint sorted ranges when clustering columns are given" in {
+    val (in, out) = freshDirs()
+    fragmented(in)
+    val bytes = Compaction.dataBytes(spark, in)
+    // force ~4 output files, range-clustered on id
+    val dest = Compaction.compact(spark, in, out,
+      targetFileBytes = math.max(1L, bytes / 4), sortBy = Seq("id"))
+    val perFile = spark.read.parquet(dest)
+      .select($"id", input_file_name().as("f"))
+      .groupBy($"f").agg(min($"id").as("lo"), max($"id").as("hi"))
+      .orderBy($"lo")
+      .as[(String, Long, Long)].collect()
+    perFile.length should be > 1
+    // each file holds a disjoint id slice — footer min/max are selective
+    perFile.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => lo2 should be > hi1
+      case _ =>
+    }
+    // and content still survives exactly
+    spark.read.parquet(dest).count() shouldBe 5000L
+  }
+
+  it should "refuse a non-positive target size" in {
+    an[IllegalArgumentException] should be thrownBy
+      Compaction.compact(spark, "/nonexistent", "/tmp/x", targetFileBytes = 0)
+  }
+}

@@ -822,6 +822,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // URL canonicalization dedup — the cheapest dedup key a web corpus
+    // has. Messy variants (case, default port, tracking params, param
+    // order, trailing slash, fragments) are synthesized deterministically
+    // from doc_id/source so the DuckDB oracle can rebuild them
+    // function-for-function; normalization itself is pure codegen'd
+    // expressions, the dedup one partial-agg shuffle on the derived key.
+    "q_dedup_url" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("Docs.Example.COM"))
+          .otherwise(lit("docs.example.com")),
+        when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+        lit("/"), col("source"), lit("/p"),
+        (col("doc_id") % 25).cast(StringType),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+      graft.ops.UrlNormalize.dedupByUrl(
+          docs.select(col("doc_id"), url.as("url")), "url", "doc_id")
+        .orderBy(col("canonical_url"))
+    }),
+
     // Distributed BPE: learn the merge vocabulary where the corpus
     // lives (merge rounds run on the distinct-WORD table, one corpus
     // pass total), then tokenize with the learned model riding in a
@@ -1324,6 +1349,46 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // URL dedup: rebuild the messy URLs, then replicate every
+    // normalization rule function-for-function (lower/regexp splits,
+    // scheme-matched port strip, list filter+sort of params).
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Docs.Example.COM' ELSE 'docs.example.com' END,
+        |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+        |    '/', source, '/p', CAST(doc_id % 25 AS VARCHAR),
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?a=1&b=2' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS nofrag
+        |  FROM raw),
+        |comps AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS authority,
+        |    regexp_replace(nofrag, '^[^/?]*', '') AS pathq
+        |  FROM parts),
+        |norm AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+        |         ELSE authority END AS hostport,
+        |    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+        |         THEN '/'
+        |         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))), '&') AS normquery
+        |  FROM comps)
+        |SELECT concat(scheme, '://', hostport, path,
+        |         CASE WHEN normquery = '' THEN '' ELSE concat('?', normquery) END) AS canonical_url,
+        |       min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin,
     // Compaction must not alter content: identity oracle.
     "q_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the cheapest high-yield dedup key a web
+  * corpus has. Crawls reach the same page as `HTTP://Host.com:80/a/?b=2&a=1`
+  * and `http://host.com/a?a=1&b=2`; canonicalizing before any content
+  * dedup collapses those for free (one groupBy on a derived column),
+  * reserving the expensive near-dup machinery ([[Dedup]]) for pages
+  * whose BYTES differ.
+  *
+  * Everything here is pure built-in `Column` expressions — regexp
+  * splits, array sort/filter, conditional concat — so normalization is
+  * codegen'd, shuffle-free, and engine-portable (the DuckDB oracle
+  * replicates it function-for-function; hash-checked by `q_dedup_url`).
+  *
+  * Normalization rules (each deliberately engine-portable):
+  *  - scheme and authority lowercased;
+  *  - default port stripped, but only when it matches the scheme
+  *    (`:80` on http, `:443` on https — `https://h:80` keeps its port);
+  *  - fragment dropped;
+  *  - trailing path slashes trimmed, empty path becomes `/`;
+  *  - tracking parameters removed (`utm_*`, `gclid`, `fbclid`);
+  *  - surviving query parameters sorted (order never changes content).
+  */
+object UrlNormalize {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Canonical form of `url` (absolute http(s)-style URLs). */
+  def normalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val rest = regexp_replace(url, SchemeRe, "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val authority = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
+    val hostPort = when(scheme === "http", regexp_replace(authority, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443$", ""))
+      .otherwise(authority)
+    val pathQ = regexp_replace(noFrag, "^[^/?]*", "")
+    val rawPath = regexp_extract(pathQ, "^([^?]*)", 1)
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)=")))
+    val normQuery = concat_ws("&", params)
+    concat(scheme, lit("://"), hostPort, path,
+      when(normQuery === "", lit("")).otherwise(concat(lit("?"), normQuery)))
+  }
+
+  /** Collapse `df` to one row per canonical URL: the canonical doc is
+    * the minimum id (deterministic), with the duplicate count. One
+    * hash-partial-aggregated shuffle on the derived key — the same
+    * shape as exact dedup, because after normalization that is exactly
+    * what it is. */
+  def dedupByUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.withColumn("canonical_url", normalize(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+}

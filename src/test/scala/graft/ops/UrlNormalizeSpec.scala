@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[UrlNormalize]]: every canonicalization rule, one at a time, plus
+  * the dedup shape. */
+class UrlNormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlNormalize.normalize($"u").as("n"))
+      .as[String].collect().toSeq
+
+  "normalize" should "lowercase scheme and authority but not the path" in {
+    norm("HTTP://Example.COM/Path/File") shouldBe
+      Seq("http://example.com/Path/File")
+  }
+
+  it should "strip the default port only when it matches the scheme" in {
+    norm(
+      "http://h.com:80/a",
+      "https://h.com:443/a",
+      "https://h.com:80/a", // NOT default for https — kept
+      "http://h.com:8080/a") shouldBe Seq(
+      "http://h.com/a",
+      "https://h.com/a",
+      "https://h.com:80/a",
+      "http://h.com:8080/a")
+  }
+
+  it should "drop fragments and trailing slashes, defaulting the path to /" in {
+    norm(
+      "http://h.com/a/b/#sec",
+      "http://h.com/a/b///",
+      "http://h.com",
+      "http://h.com/#top") shouldBe Seq(
+      "http://h.com/a/b",
+      "http://h.com/a/b",
+      "http://h.com/",
+      "http://h.com/")
+  }
+
+  it should "drop tracking params and sort the survivors" in {
+    norm(
+      "http://h.com/p?utm_source=x&b=2&a=1",
+      "http://h.com/p?a=1&b=2&gclid=Z123",
+      "http://h.com/p?fbclid=F&utm_campaign=c",
+      "http://h.com/p?b=2&a=1") shouldBe Seq(
+      "http://h.com/p?a=1&b=2",
+      "http://h.com/p?a=1&b=2",
+      "http://h.com/p",
+      "http://h.com/p?a=1&b=2")
+  }
+
+  it should "collapse real-world variants of the same page to one key" in {
+    val variants = Seq(
+      "HTTP://News.Site.com:80/world/story?utm_source=tw&id=7#para",
+      "http://news.site.com/world/story/?id=7",
+      "http://news.site.com/world/story?id=7&fbclid=X")
+    norm(variants: _*).distinct should have size 1
+  }
+
+  "dedupByUrl" should "pick the minimum id as canonical and count dups" in {
+    val df = Seq(
+      (3L, "http://h.com/a?b=2&a=1"),
+      (1L, "HTTP://H.com:80/a/?a=1&b=2#x"),
+      (2L, "http://h.com/other"))
+      .toDF("doc_id", "url")
+    val out = UrlNormalize.dedupByUrl(df, "url", "doc_id")
+      .orderBy($"canonical_url")
+      .as[(String, Long, Long)].collect()
+    out shouldBe Array(
+      ("http://h.com/a?a=1&b=2", 1L, 2L),
+      ("http://h.com/other", 2L, 1L))
+  }
+}

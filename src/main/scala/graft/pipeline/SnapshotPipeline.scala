@@ -100,6 +100,31 @@ object SnapshotPipeline {
     CastProjection.castTo(asOf, schema, config.keyCol, config.statusCol)
   }
 
+  /** CDC export between two pipeline states: the typed snapshot as of
+    * `fromMillis` diffed against the one as of `config.asOfMillis`
+    * (insert/delete/update rows with changed columns and both sides'
+    * values — [[graft.ops.Snapshot.snapshotDiff]]).
+    *
+    * Each side goes through the FULL pipeline — source-pushed as-of
+    * bound ([[graft.sources.Tables.changelogRange]]), schema resolved
+    * AS OF ITS OWN instant, typed cast projection — so under the
+    * MySQL-history strategy a column added between the two instants
+    * simply isn't part of the comparison (diff compares the common
+    * non-key columns), exactly what schema evolution should mean for a
+    * changelog consumer. */
+  def diff(spark: SparkSession, config: SnapshotConfig,
+           fromMillis: Long): DataFrame = {
+    require(config.asOfMillis == SchemaHistory.NowSentinel ||
+        fromMillis < config.asOfMillis,
+      s"diff needs fromMillis ($fromMillis) < asOfMillis (${config.asOfMillis})")
+    val oldSnap = snapshot(spark, config.copy(asOfMillis = fromMillis))
+    val newSnap = snapshot(spark, config)
+    // the typed snapshot's key is the synthetic reference column, not
+    // the raw changelog key (castTo renames it)
+    Snapshot.snapshotDiff(oldSnap, newSnap,
+      Seq(SchemaMapping.RowKeyField.name))
+  }
+
   /** Run the pipeline: reconstruct and overwrite the sink, like the
     * reference's SaveMode.Overwrite materialization. */
   def run(spark: SparkSession, config: SnapshotConfig): Unit = {

@@ -198,4 +198,23 @@ class PlanQualitySpec extends SparkTestBase {
     "Exchange".r.findAllIn(
       plan.substring(plan.indexOf("bloom_might_contain"))).size should be <= 1
   }
+
+  "q_snapshot_diff" should "join the reconstructions with one exchange per side" in {
+    val plan = planOf("q_snapshot_diff")
+    plan should include ("FullOuter")
+    // two snapshot aggs + the full outer join keyed identically: the agg
+    // exchanges are REUSED for the join (no re-partitioning), so the
+    // whole diff costs two hash exchanges + the output sort
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 2
+    "Exchange rangepartitioning".r.findAllIn(plan).size should be <= 1
+  }
+
+  "q_dedup_url" should "normalize in-row and dedup with one partial-agg exchange" in {
+    val plan = planOf("q_dedup_url")
+    // normalization is pure expressions — no join, no extra shuffle;
+    // the dedup aggregate partially aggregates map-side
+    (plan should not).include ("Join")
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include regex "(?i)partial"
+  }
 }

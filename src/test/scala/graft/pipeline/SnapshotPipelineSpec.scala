@@ -35,6 +35,29 @@ class SnapshotPipelineSpec extends SparkTestBase {
     p
   }
 
+  "diff" should "export the typed CDC rows between two instants" in {
+    val cfg = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(s"$tmp/out_diff"),
+      asOfMillis = 3500L)
+    // [0,1600) → u1 @1000 (age 10), u2 @1500; [0,3500) → u1 @2000, u2 @3000
+    val d = SnapshotPipeline.diff(spark, cfg, fromMillis = 1600L)
+      .orderBy($"k_hbase_row_key")
+    d.select($"k_hbase_row_key", $"change_type", $"changed_cols")
+      .as[(String, String, String)].collect().toSeq shouldBe Seq(
+      ("u1", "update", "age,k_replicator_row_status,name"),
+      ("u2", "update", "age,k_replicator_row_status,name"))
+    // typed values on both sides: u1 age 10 -> 11
+    val u1 = d.filter($"k_hbase_row_key" === "u1").head()
+    u1.getAs[Int]("old_age") shouldBe 10
+    u1.getAs[Int]("new_age") shouldBe 11
+    // identical instants diff to nothing
+    SnapshotPipeline.diff(spark, cfg.copy(asOfMillis = 1600L), 1599L)
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotPipeline.diff(spark, cfg, fromMillis = 4000L)
+  }
+
   "snapshot (explicit schema)" should "reconstruct typed latest state" in {
     val cfg = SnapshotConfig(changelogPath,
       ExplicitSchema(Seq("d:age:integer", "d:name")),

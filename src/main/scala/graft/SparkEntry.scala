@@ -2278,7 +2278,9 @@ object SparkEntry {
         |  CAST(36 + (doc_id % 7) * 12 AS INTEGER) AS height,
         |  CAST(((600 + (doc_id % 1000) * 3) * 1000) // 600 AS BIGINT)
         |    AS duration_ms,
-        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+        |  CAST(1 AS INTEGER) AS n_video,
+        |  CAST(doc_id % 3 AS INTEGER) AS n_audio
         |FROM documents ORDER BY id""".stripMargin
   )
 

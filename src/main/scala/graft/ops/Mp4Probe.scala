@@ -22,10 +22,13 @@ object Mp4Probe {
   /** Structural metadata of an MP4 container: presentation dims of the
     * first visual track (None when every `tkhd` declares 0×0 —
     * audio/hint-only movies), movie duration in milliseconds from
-    * `mvhd` (None when `mvhd` is absent or its timescale is 0), and the
-    * number of `trak` boxes. */
+    * `mvhd` (None when `mvhd` is absent or its timescale is 0), the
+    * number of `trak` boxes, and how many declare a `vide` / `soun`
+    * handler in `mdia/hdlr` — the video/audio split a curation filter
+    * keys on (silent clip vs video-with-audio vs audio-only). */
   final case class Mp4Meta(width: Option[Int], height: Option[Int],
-                           durationMs: Option[Long], nTracks: Int)
+                           durationMs: Option[Long], nTracks: Int,
+                           nVideoTracks: Int, nAudioTracks: Int)
 
   private def beInt(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
@@ -50,6 +53,17 @@ object Mp4Probe {
     var dims: Option[(Int, Int)] = None
     var durationMs: Option[Long] = None
     var nTracks = 0
+    var nVideo = 0
+    var nAudio = 0
+
+    def readHdlr(start: Int, end: Int): Unit = {
+      // version/flags(4) + pre_defined(4) + handler_type(4)
+      if (start + 12 <= end) boxType(bytes, start + 8) match {
+        case "vide" => nVideo += 1
+        case "soun" => nAudio += 1
+        case _ => ()
+      }
+    }
 
     def readTkhd(start: Int, end: Int): Unit = {
       if (start >= end) return // header-only box: no version byte to read
@@ -116,8 +130,10 @@ object Mp4Probe {
               case "trak" =>
                 nTracks += 1
                 walk(bodyStart, bodyEnd, depth + 1)
+              case "mdia" => walk(bodyStart, bodyEnd, depth + 1)
               case "tkhd" => readTkhd(bodyStart, bodyEnd)
               case "mvhd" => readMvhd(bodyStart, bodyEnd)
+              case "hdlr" => readHdlr(bodyStart, bodyEnd)
               case _ => () // codec/media boxes: structural skip only
             }
             p = bodyEnd
@@ -127,7 +143,8 @@ object Mp4Probe {
     }
 
     walk(0, bytes.length, 0)
-    Some(Mp4Meta(dims.map(_._1), dims.map(_._2), durationMs, nTracks))
+    Some(Mp4Meta(dims.map(_._1), dims.map(_._2), durationMs, nTracks,
+      nVideo, nAudio))
   }
 
   // ---- synthetic container encoding (fixtures / sink-side) ----
@@ -172,13 +189,21 @@ object Mp4Probe {
         be32(nTracks + 1L) /* next_track_ID */)
     val traks = (1 to nTracks).map { t =>
       val (w, h) = if (t == 1) (width, height) else (0, 0)
+      // track 1 declares a vide handler, the rest soun — the shape of a
+      // video with audio tracks, so handler counting has real structure
+      val handler = if (t == 1) "vide" else "soun"
+      val hdlr = box("hdlr",
+        be32(0) /* v0 + flags */ ++ be32(0) /* pre_defined */ ++
+          handler.getBytes("US-ASCII") ++ new Array[Byte](12) /* reserved */ ++
+          Array[Byte](0) /* empty null-terminated name */)
       box("trak", box("tkhd",
         be32(7) /* v0 + flags: enabled|in movie|in preview */ ++
           be32(0) ++ be32(0) ++ be32(t.toLong) ++ be32(0) ++
           be32(duration) ++ new Array[Byte](8) ++
           new Array[Byte](8) /* layer, alt group, volume, reserved */ ++
           UnityMatrix ++
-          be32(w.toLong << 16) ++ be32(h.toLong << 16)))
+          be32(w.toLong << 16) ++ be32(h.toLong << 16)) ++
+        box("mdia", hdlr))
     }
     val moov = box("moov", mvhd ++ traks.flatten)
     ftyp ++ moov

@@ -726,10 +726,13 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("duration_ms", LongType),
-    StructField("n_tracks", IntegerType)))
+    StructField("n_tracks", IntegerType),
+    StructField("n_video", IntegerType),
+    StructField("n_audio", IntegerType)))
 
   /** Structural MP4 metadata per payload — first-visual-track dims,
-    * `mvhd` duration in ms, track count — via the defensive
+    * `mvhd` duration in ms, track count, vide/soun handler counts — via
+    * the defensive
     * [[Mp4Probe]] box walker (ffprobe-style header pass; curation
     * pipelines filter on duration before anything else). Non-MP4 or
     * malformed payloads yield an all-null row rather than an error or a
@@ -749,14 +752,15 @@ object Multimodal {
             Mp4Probe.probe(r.getAs[Array[Byte]](1)) match {
               case Some(m) => Row(id, m.width.map(Int.box).orNull,
                 m.height.map(Int.box).orNull,
-                m.durationMs.map(Long.box).orNull, m.nTracks)
-              case None => Row(id, null, null, null, null)
+                m.durationMs.map(Long.box).orNull, m.nTracks,
+                m.nVideoTracks, m.nAudioTracks)
+              case None => Row(id, null, null, null, null, null, null)
             }
           } catch {
             // same per-row containment as extractFeatures: one malformed
             // asset in a 100 TB scan yields its null row, never a dead task
             case scala.util.control.NonFatal(_) =>
-              Row(id, null, null, null, null)
+              Row(id, null, null, null, null, null, null)
           }
         }
       }

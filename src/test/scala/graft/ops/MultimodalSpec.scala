@@ -574,6 +574,9 @@ class MultimodalSpec extends SparkTestBase {
     m.nTracks shouldBe 2
     (m.width, m.height) shouldBe ((Some(640), Some(360)))
 
+    // hand-built boxes carry no mdia/hdlr → handler counts stay 0
+    (m.nVideoTracks, m.nAudioTracks) shouldBe ((0, 0))
+
     // builder -> probe round trip, including floor division of the ms
     val built = Mp4Probe.buildMetadataOnly(width = 320, height = 180,
       timescale = 600L, duration = 901L, nTracks = 3)
@@ -581,6 +584,8 @@ class MultimodalSpec extends SparkTestBase {
     (b.width, b.height) shouldBe ((Some(320), Some(180)))
     b.durationMs shouldBe Some(901L * 1000L / 600L) // 1501, floored
     b.nTracks shouldBe 3
+    // builder emits one vide handler (track 1) + soun for the rest
+    (b.nVideoTracks, b.nAudioTracks) shouldBe ((1, 2))
   }
 
   it should "return None for junk, truncated, or trackless payloads" in {

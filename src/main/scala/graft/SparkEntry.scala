@@ -822,6 +822,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Classifier-based quality gate: distributed LBFGS training (spark.ml
+    // — labeled sets are sample-sized), but the scan-side scoring is
+    // sigmoid(fdot(vec, w) + b) — three pure codegen'd expressions, the
+    // model riding in the plan like the PQ codebooks. Rows-only
+    // (iterative optimization is not SQL); accuracy + ML-model score
+    // agreement pinned in QualityClassifierSpec.
+    "q_quality_gate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("hi", (col("label") >= 5).cast("int"))
+      val model = graft.ops.QualityClassifier.train(emb, "embedding", "hi")
+      emb.select(col("vec_id"),
+          graft.ops.QualityClassifier.scoreCol(col("embedding"), model)
+            .as("p_keep"))
+        .withColumn("keep", col("p_keep") >= 0.5)
+        .orderBy(col("vec_id"))
+    }),
+
     // URL canonicalization dedup — the cheapest dedup key a web corpus
     // has. Messy variants (case, default port, tracking params, param
     // order, trailing slash, fragments) are synthesized deterministically

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.fdot
+
+/** Classifier-based quality gating — the model-driven filter stage of a
+  * training-data pipeline (the fastText/logreg-over-embeddings gate
+  * used alongside the heuristic [[TextAnalysis]] rules: heuristics cut
+  * the obvious junk, a learned scorer ranks the rest).
+  *
+  * Training uses Spark ML's distributed LBFGS logistic regression as-is
+  * (labeled sets are sample-sized; no reason to hand-roll the solver).
+  * SCORING deliberately does not: the fitted model is collapsed to a
+  * weight vector + bias, and the 100 TB scan scores through the
+  * codegen'd [[graft.functions.FloatVectorDot]] — `sigmoid(w·x + b)` as
+  * three pure Catalyst expressions, no ML pipeline objects, no UDF, no
+  * extra column conversions in the hot path. The model is plan state
+  * (an `array<float>` literal), exactly like the PQ codebooks.
+  */
+object QualityClassifier {
+
+  /** A fitted binary gate: `score = sigmoid(weights · vec + bias)`. */
+  final case class LinearModel(weights: Array[Float], bias: Double) {
+    require(weights.nonEmpty, "empty weight vector")
+  }
+
+  /** Fit a binary logistic model on `(vecCol: array<float>, labelCol ∈
+    * {0, 1})`. Driver traffic is the model (dim + 1 doubles). */
+  def train(df: DataFrame, vecCol: String, labelCol: String,
+            maxIter: Int = 25, regParam: Double = 0.01): LinearModel = {
+    val prepped = df.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("__feat"),
+      col(labelCol).cast("double").as("__lbl"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("__feat").setLabelCol("__lbl")
+    val m = lr.fit(prepped)
+    LinearModel(m.coefficients.toArray.map(_.toFloat), m.intercept)
+  }
+
+  /** `P(keep)` of a vector under the model — pure codegen'd column. */
+  def scoreCol(vec: Column, model: LinearModel): Column = {
+    val w = typedLit(model.weights.toSeq)
+    lit(1.0) / (lit(1.0) + exp(-(fdot(vec, w) + lit(model.bias))))
+  }
+
+  /** Keep rows scoring at least `threshold`. */
+  def gate(df: DataFrame, vecCol: String, model: LinearModel,
+           threshold: Double): DataFrame =
+    df.filter(scoreCol(col(vecCol), model) >= threshold)
+}

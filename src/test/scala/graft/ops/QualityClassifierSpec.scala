@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[QualityClassifier]]: the fdot-scoring path agrees with the fitted
+  * ML model, separable data trains to high accuracy, gating filters. */
+class QualityClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // linearly separable 8-dim data: class decided by the sign of the
+  // first coordinate (plus deterministic noise elsewhere)
+  private lazy val data: Seq[(Long, Seq[Float], Int)] = {
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map { i =>
+      val y = (i % 2).toInt
+      val x0 = (if (y == 1) 1.0f else -1.0f) + (rnd.nextFloat() - 0.5f) * 0.4f
+      val rest = Array.fill(7)((rnd.nextFloat() - 0.5f) * 0.2f)
+      (i, (x0 +: rest).toSeq, y)
+    }
+  }
+  private def df = data.toDF("id", "vec", "label")
+
+  "train + scoreCol" should "separate linearly separable data" in {
+    val model = QualityClassifier.train(df, "vec", "label")
+    val scored = df.withColumn("p", QualityClassifier.scoreCol($"vec", model))
+      .select($"label", $"p").as[(Int, Double)].collect()
+    val acc = scored.count { case (y, p) =>
+      (p >= 0.5) == (y == 1) }.toDouble / scored.length
+    acc should be >= 0.98
+  }
+
+  it should "score identically to the fitted ML model (within float rounding)" in {
+    val model = QualityClassifier.train(df, "vec", "label")
+    // reference probability computed in plain Scala from the same model
+    val got = df.withColumn("p", QualityClassifier.scoreCol($"vec", model))
+      .orderBy($"id").select($"p").as[Double].collect()
+    data.map { case (_, vec, _) =>
+      val dot = vec.zip(model.weights).map { case (a, b) => a.toDouble * b }.sum
+      1.0 / (1.0 + math.exp(-(dot + model.bias)))
+    }.zip(got).foreach { case (want, have) => have shouldBe want +- 1e-6 }
+  }
+
+  "gate" should "keep only rows above the threshold" in {
+    val model = QualityClassifier.train(df, "vec", "label")
+    val kept = QualityClassifier.gate(df, "vec", model, 0.5)
+    kept.count().toDouble should be (100.0 +- 5.0)
+    kept.select(min(QualityClassifier.scoreCol($"vec", model)))
+      .as[Double].head() should be >= 0.5
+  }
+
+  it should "stay a shuffle-free scan (model rides in the plan)" in {
+    // parquet-backed input: a LocalRelation would let the optimizer fold
+    // the whole gate away at plan time, hiding the expression
+    val p = java.nio.file.Files.createTempDirectory("graft_qc_").toString
+    df.write.mode("overwrite").parquet(p)
+    val model = QualityClassifier.train(df, "vec", "label")
+    val plan = QualityClassifier.gate(spark.read.parquet(p), "vec", model, 0.5)
+      .queryExecution.executedPlan.toString()
+    (plan should not).include ("Exchange")
+    plan should include ("float_vector_dot")
+  }
+}

@@ -58,6 +58,34 @@ class SnapshotPipelineSpec extends SparkTestBase {
       SnapshotPipeline.diff(spark, cfg, fromMillis = 4000L)
   }
 
+  it should "compare only columns common to both instants' schemas" in {
+    // schema history: `age` exists from the start; `name` arrives via a
+    // DDL between the two diff instants — the old side's typed snapshot
+    // has no `name`, so the diff must compare `age` (+ status) only
+    val p = s"$tmp/history_evolving"
+    val v0 =
+      """{"t": {"columnIndexToNameMap": {"1": "age"},
+        |       "columnsSchema": {"age": {"columnType": "INT"}}}}""".stripMargin
+    val v1 =
+      """{"t": {"columnIndexToNameMap": {"1": "age", "2": "name"},
+        |       "columnsSchema": {"age": {"columnType": "INT"},
+        |                         "name": {"columnType": "VARCHAR(32)"}}}}""".stripMargin
+    Seq(("initial-snapshot", v0), ("2500", v1))
+      .toDF("row_key", "schemaPostChange")
+      .write.mode("overwrite").parquet(p)
+    val cfg = SnapshotConfig(changelogPath,
+      MySqlHistorySchema(p), ParquetSink(s"$tmp/out_diff_evo"),
+      asOfMillis = 3500L)
+    val d = SnapshotPipeline.diff(spark, cfg, fromMillis = 1600L)
+    // name is absent from the comparison and from the output entirely
+    d.columns.filter(_.contains("name")) shouldBe empty
+    d.orderBy($"k_hbase_row_key")
+      .select($"k_hbase_row_key", $"changed_cols")
+      .as[(String, String)].collect().toSeq shouldBe Seq(
+      ("u1", "age,k_replicator_row_status"),
+      ("u2", "age,k_replicator_row_status"))
+  }
+
   "snapshot (explicit schema)" should "reconstruct typed latest state" in {
     val cfg = SnapshotConfig(changelogPath,
       ExplicitSchema(Seq("d:age:integer", "d:name")),

@@ -191,9 +191,15 @@ case class PqAdcExpr(left: Expression, right: Expression, ks: Int)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lut = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    // a LUT shorter than m×ks would read out of range — UnsafeArrayData
+    // does NOT bounds-check getFloat, so without this guard a mismatched
+    // (lut, codes) pair scores silent garbage instead of failing loudly
+    require(lut.numElements() >= m * ks,
+      s"pq_adc: lut of ${lut.numElements()} floats cannot score $m code " +
+        s"bytes at ks=$ks (needs >= ${m * ks})")
     var s = 0.0
     var sub = 0
-    val m = codes.numElements()
     while (sub < m) {
       s += lut.getFloat(sub * ks + (codes.getByte(sub) & 0xFF)).toDouble
       sub += 1
@@ -208,6 +214,11 @@ case class PqAdcExpr(left: Expression, right: Expression, ks: Int)
       val s = ctx.freshName("sum")
       s"""
          |int $n = $r.numElements();
+         |if ($l.numElements() < $n * $ks) {
+         |  throw new IllegalArgumentException("pq_adc: lut of " +
+         |    $l.numElements() + " floats cannot score " + $n +
+         |    " code bytes at ks=$ks");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $l.getFloat($i * $ks + ($r.getByte($i) & 0xFF));

@@ -49,3 +49,24 @@ final case class ParquetChangelogSource(root: String) extends ChangelogSource {
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$root/$table.parquet")
 }
+
+/** JSON-lines changelog source — the shape a replicator's raw event
+  * stream usually lands in before columnar compaction (one JSON object
+  * per line, one file set per table under `root`).
+  *
+  * A SECOND real implementation of the trait, proving the registry
+  * boundary is format-agnostic: the engine's pipelines run unchanged
+  * over it (spec-pinned). `schema` is REQUIRED — json schema inference
+  * triggers a full extra pass over the data and types drift with
+  * content (an all-null day turns a long column into string); at
+  * 100 TB both are unacceptable, so the contract demands the schema
+  * up front. `readRange` inherits the trait's filter: Spark's json
+  * reader cannot skip rows server-side, but the filter still prunes
+  * partitions/files when the layout allows and keeps the row-level
+  * bound next to the scan. */
+final case class JsonlChangelogSource(
+    root: String, schema: org.apache.spark.sql.types.StructType)
+  extends ChangelogSource {
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schema).json(s"$root/$table.jsonl")
+}

@@ -170,6 +170,120 @@ object PqIndex {
     finish(scored, corpus, queries, k, rerank, idCol, vecCol)
   }
 
+  /** Build parameters, persisted with the index so a loaded index can
+    * never be probed with mismatched geometry. */
+  final case class PqIndexParams(nlist: Int, m: Int, ks: Int, dim: Int,
+                                 iters: Int)
+
+  /** A persisted IVF-PQ index: coarse centroids + PQ codebooks (model,
+    * driver-sized) and the encoded corpus `(corpus_id, cell, codes)` —
+    * 8–16 BYTES per vector, the artifact that makes a 100 TB embedding
+    * corpus searchable from a few TB of storage. Deliberately does NOT
+    * store raw vectors: exact re-ranking reads them from wherever the
+    * corpus already lives (pass it to [[searchPqIndex]]), instead of
+    * doubling the corpus inside the index. */
+  final case class PersistedPqIndex(centroids: Array[Array[Float]],
+                                    codebooks: Pq.Codebooks,
+                                    codes: DataFrame,
+                                    params: PqIndexParams) {
+    /** Write centroids/codebooks/codes/params under `dir` (overwrite). */
+    def save(dir: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      IvfIndex.centroidDF(spark, centroids, cellCol = "cell", vecCol = "cvec")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+      }.toSeq.toDF("sub", "code", "cvec")
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      spark.createDataFrame(Seq(params))
+        .write.mode("overwrite").json(s"$dir/params")
+    }
+  }
+
+  object PersistedPqIndex {
+    /** Reopen an index written by [[PersistedPqIndex.save]]; refuses a
+      * directory without a params record (same contract as
+      * `Dedup.VectorIndex.load`). Models come back driver-side —
+      * nlist×dim + m×ks×dsub floats, never the codes table. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): PersistedPqIndex = {
+      val params =
+        try {
+          val row = spark.read.json(s"$dir/params")
+            .select("nlist", "m", "ks", "dim", "iters").head()
+          PqIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
+            row.getLong(2).toInt, row.getLong(3).toInt, row.getLong(4).toInt)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"PqIndex at $dir has no readable params record (params/); " +
+                "it was not written by PersistedPqIndex.save — rebuild " +
+                "with buildPqIndex", e)
+        }
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .orderBy(col("cell")).collect().map(_.getSeq[Float](1).toArray)
+      require(centroids.length == params.nlist,
+        s"PqIndex at $dir has ${centroids.length} centroids, params say " +
+          s"nlist=${params.nlist}")
+      val cbRows = spark.read.parquet(s"$dir/codebooks")
+        .orderBy(col("sub"), col("code")).collect()
+      require(cbRows.length == params.m * params.ks,
+        s"PqIndex at $dir has ${cbRows.length} codewords, params say " +
+          s"${params.m} x ${params.ks}")
+      val cbs: Pq.Codebooks = Array.tabulate(params.m, params.ks) { (s, c) =>
+        cbRows(s * params.ks + c).getSeq[Float](2).toArray
+      }
+      PersistedPqIndex(centroids, cbs,
+        spark.read.parquet(s"$dir/codes"), params)
+    }
+  }
+
+  /** Train both quantizers and encode the corpus once — the build half
+    * of [[ivfPqTopK]], exposed so daily search jobs reopen the stored
+    * artifact instead of retraining ([[PersistedPqIndex.save]]/`load`). */
+  def buildPqIndex(corpus: DataFrame, nlist: Int = 16, m: Int = 8,
+                   ks: Int = 16, iters: Int = 5,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): PersistedPqIndex = {
+    val unit = IvfIndex.unitVectors(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = Similarity.vectorDim(corpus, vecCol)
+    val centroids = IvfIndex.trainOnUnit(unit, nlist, iters, idCol, vecCol)
+    val cbs = trainOnUnit(unit, m, ks, iters)
+    val codes = IvfIndex.assignCells(unit, centroids)
+      .select(col("id").as("corpus_id"), col("cell"),
+        encodeCol(col("uvec"), cbs).as("codes"))
+    unit.unpersist() // codes re-derive from the corpus scan if recomputed
+    PersistedPqIndex(centroids, cbs, codes,
+      PqIndexParams(nlist, m, ks, dim, iters))
+  }
+
+  /** Search a (possibly loaded) [[PersistedPqIndex]]: no training, no
+    * corpus normalization — only the query batch is probed per run.
+    * `rerank > 0` requires `rerankAgainst`: the raw corpus table the
+    * exact re-scoring reads (the index itself stores only codes). */
+  def searchPqIndex(index: PersistedPqIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 4, rerank: Int = 0,
+                    rerankAgainst: DataFrame = null,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
+    require(rerank <= 0 || rerankAgainst != null,
+      "rerank needs the raw corpus (rerankAgainst): the index stores " +
+        "only codes, by design")
+    val q = IvfIndex.probeCells(
+        IvfIndex.unitVectors(queries, idCol, vecCol), index.centroids, nprobe)
+      .select(col("id").as("query_id"), col("cell"),
+        lutCol(col("uvec"), index.codebooks).as("lut"))
+    val scored = index.codes.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        adcCol(col("lut"), col("codes"), index.params.ks).as("cosine"))
+    finish(scored, rerankAgainst, queries, k, rerank, idCol, vecCol)
+  }
+
   /** Rank the ADC scores; optionally re-score the top-`rerank`
     * candidates exactly and re-rank on the exact cosine. The candidate
     * list is broadcast, so the raw corpus is probed by a broadcast hash

@@ -124,4 +124,42 @@ class PqIndexSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       PqIndex.pqTopK(corpusDF, queriesDF, k = 10, rerank = 5)
   }
+
+  "buildPqIndex -> save -> load -> searchPqIndex" should
+      "reproduce the in-memory IVF-PQ search exactly" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
+    val built = PqIndex.buildPqIndex(corpusDF, nlist = 8, m = 4, ks = 16,
+      iters = 4)
+    built.save(dir)
+    val loaded = PqIndex.PersistedPqIndex.load(spark, dir)
+    loaded.params shouldBe built.params
+    loaded.centroids.map(_.toSeq).toSeq shouldBe
+      built.centroids.map(_.toSeq).toSeq
+    loaded.codebooks.flatten.map(_.toSeq).toSeq shouldBe
+      built.codebooks.flatten.map(_.toSeq).toSeq
+    val live = PqIndex.searchPqIndex(built, queriesDF, k = 5, nprobe = 3,
+        rerank = 20, rerankAgainst = corpusDF)
+      .orderBy($"query_id", $"rank").collect()
+    val reopened = PqIndex.searchPqIndex(loaded, queriesDF, k = 5, nprobe = 3,
+        rerank = 20, rerankAgainst = corpusDF)
+      .orderBy($"query_id", $"rank").collect()
+    reopened shouldBe live
+    reopened.length shouldBe 40 // 8 queries x k
+  }
+
+  "searchPqIndex" should "refuse rerank without the raw corpus" in {
+    val built = PqIndex.buildPqIndex(corpusDF, nlist = 4, m = 4, ks = 8,
+      iters = 2)
+    an[IllegalArgumentException] should be thrownBy
+      PqIndex.searchPqIndex(built, queriesDF, k = 5, rerank = 10)
+    // and without rerank it works on codes alone
+    PqIndex.searchPqIndex(built, queriesDF, k = 5, nprobe = 4)
+      .count() shouldBe 40L
+  }
+
+  "PersistedPqIndex.load" should "refuse a directory without params" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqbad_").toString
+    an[IllegalStateException] should be thrownBy
+      PqIndex.PersistedPqIndex.load(spark, dir)
+  }
 }

@@ -61,6 +61,23 @@ class UrlNormalizeSpec extends SparkTestBase {
     norm(variants: _*).distinct should have size 1
   }
 
+  "normalize" should "be idempotent over generated messy URLs" in {
+    // a canonical form that changes when normalized again is not a
+    // dedup key; sweep the rule combinations deterministically
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("Example.com", "a.B.c", "x.io:80", "x.io:443", "x.io:81")
+    val paths = Seq("", "/", "/A/b", "/a/b/", "/a//b///")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+      "?gclid=1", "?a=1&fbclid=2&z=9")
+    val frags = Seq("", "#x")
+    val urls = for {
+      s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags
+    } yield s"$s://$h$p$q$f"
+    val once = norm(urls: _*)
+    val twice = norm(once: _*)
+    twice shouldBe once
+  }
+
   "dedupByUrl" should "pick the minimum id as canonical and count dups" in {
     val df = Seq(
       (3L, "http://h.com/a?b=2&a=1"),

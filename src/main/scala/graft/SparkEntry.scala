@@ -105,6 +105,35 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental AGGREGATE-view maintenance: advance per-user
+    // count/sum/min/max stats from T1 by the [T1, T2) delta — must
+    // equal the full aggregation at T2 (this oracle). The view side
+    // splits via broadcast anti/semi (never shuffled); only touched
+    // keys enter the merge.
+    "q_agg_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t1 = lit("2024-01-10 00:00:00").cast(TimestampType)
+      val t2 = lit(AsOfTs).cast(TimestampType)
+      // partials stay UNROUNDED — rounding before the merge would make
+      // sum(round(a), round(b)) diverge from round(a + b); only the
+      // final output rounds (matching the oracle)
+      def aggOf(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("sum_value"),
+          max(col("ts")).as("last_ts"),
+          min(col("event_id")).as("first_event"))
+      val prev = aggOf(ev.filter(col("ts") < t1))
+      val delta = aggOf(ev.filter(col("ts") >= t1 && col("ts") < t2))
+      graft.ops.AggMaintenance.advanceAggregate(prev, delta,
+          Seq("user_id"),
+          Seq("n_events" -> "sum", "sum_value" -> "sum",
+            "last_ts" -> "max", "first_event" -> "min"))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"),
+          col("last_ts"), col("first_event"))
+        .orderBy(col("user_id"))
+    }),
+
     // CDC diff between the T1 and T2 reconstructions — the minimal
     // changelog a consumer ingests instead of re-reading the table.
     // Delta-sized rows only (unchanged keys vanish before the wide
@@ -1246,6 +1275,13 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    // Aggregate maintenance ≡ full aggregation at T2.
+    "q_agg_incremental" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  round(sum(value), 4) AS sum_value,
+         |  max(ts) AS last_ts, min(event_id) AS first_event
+         | FROM events WHERE ts < TIMESTAMP '$AsOfTs'
+         | GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Incremental advance ≡ full reconstruction at T2 — shares the
     // q_snapshot_asof oracle.
     "q_snapshot_incremental" ->

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a materialized AGGREGATE view — the
+  * aggregate analogue of [[Snapshot.advanceSnapshot]]: advance
+  * `agg(log < T1)` by `agg(log[T1, T2))` to `agg(log < T2)` without
+  * rescanning history.
+  *
+  * Works for aggregates with an associative, commutative merge over
+  * APPEND-ONLY changelogs: `sum`/`count` (merge = sum), `min`/`max`
+  * (merge = min/max). Retractions (deletes/updates that remove rows)
+  * would need subtractable state — sum supports it, min/max do not;
+  * this operator deliberately targets the append-only case and says so
+  * rather than being subtly wrong under deletes.
+  *
+  * Scale shape — identical asymmetry to `advanceSnapshot`: `prevAgg`
+  * is view-sized (one row per key, potentially billions), `deltaAgg`
+  * is one import interval's keys. The delta's key set is broadcast;
+  * untouched view rows stream through a broadcast LEFT ANTI (scan-only,
+  * never shuffled), and only (touched keys × 2) rows enter the merge
+  * aggregate. `advance(agg(T1), agg(delta)) ≡ agg(T2)` exactly —
+  * oracle-checked by `q_agg_incremental`.
+  */
+object AggMaintenance {
+
+  /** Merge spec: value column name → one of `sum` | `min` | `max`.
+    * (`count` views are `sum`-merged — a count of counts is a sum.) */
+  type MergeSpec = Seq[(String, String)]
+
+  private def mergeExpr(fn: String, c: String): Column = fn match {
+    case "sum" => sum(col(c)).as(c)
+    case "min" => min(col(c)).as(c)
+    case "max" => max(col(c)).as(c)
+    case other => throw new IllegalArgumentException(
+      s"advanceAggregate: unsupported merge '$other' for column '$c' " +
+        "(supported: sum, min, max)")
+  }
+
+  /** Advance `prevAgg` by `deltaAgg` (both keyed by `keyCols`, both
+    * carrying exactly the merge-spec value columns). Set
+    * `broadcastDelta = false` when an interval's key set exceeds
+    * broadcast size — same plan with shuffle joins, still touching
+    * only changed keys in the merge. */
+  def advanceAggregate(prevAgg: DataFrame, deltaAgg: DataFrame,
+                       keyCols: Seq[String], merges: MergeSpec,
+                       broadcastDelta: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty && merges.nonEmpty,
+      "advanceAggregate needs key columns and a merge spec")
+    val cols = keyCols ++ merges.map(_._1)
+    Seq(prevAgg, deltaAgg).foreach { df =>
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"advanceAggregate: input lacks columns ${missing.mkString(", ")}")
+    }
+    val changed0 = deltaAgg.select(keyCols.map(col): _*)
+    val changed = if (broadcastDelta) broadcast(changed0) else changed0
+    val untouched = prevAgg.select(cols.map(col): _*)
+      .join(changed, keyCols, "left_anti")
+    val touched = prevAgg.select(cols.map(col): _*)
+      .join(changed, keyCols, "left_semi")
+    val merged = touched.unionByName(deltaAgg.select(cols.map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(mergeExpr(merges.head._2, merges.head._1),
+        merges.tail.map { case (c, fn) => mergeExpr(fn, c) }: _*)
+    untouched.unionByName(merged)
+  }
+}

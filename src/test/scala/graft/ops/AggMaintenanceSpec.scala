@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** [[AggMaintenance.advanceAggregate]]: equality with full recompute,
+  * new/untouched keys, shuffle-join variant, input validation. */
+class AggMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def log = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 5.0), ("b", 3L, 7.0),
+    // delta interval
+    ("a", 4L, 2.5), ("c", 5L, 1.0), ("c", 6L, 4.0)
+  ).toDF("k", "seq", "v")
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+      max($"seq").as("hi"), min($"seq").as("lo"))
+
+  private val spec = Seq("n" -> "sum", "s" -> "sum", "hi" -> "max",
+    "lo" -> "min")
+
+  "advanceAggregate" should "equal the full recompute" in {
+    val prev = aggOf(log.filter($"seq" <= 3))
+    val delta = aggOf(log.filter($"seq" > 3))
+    val advanced = AggMaintenance
+      .advanceAggregate(prev, delta, Seq("k"), spec)
+      .orderBy($"k").collect()
+    val full = aggOf(log).orderBy($"k").collect()
+    advanced shouldBe full
+  }
+
+  it should "pass untouched keys through and admit brand-new keys" in {
+    val prev = aggOf(log.filter($"seq" <= 3))
+    val delta = aggOf(log.filter($"seq" > 4)) // only c — a, b untouched
+    val out = AggMaintenance.advanceAggregate(prev, delta, Seq("k"), spec)
+    out.filter($"k" === "b").select($"n", $"s")
+      .as[(Long, Double)].head() shouldBe ((1L, 7.0))
+    out.filter($"k" === "c").select($"n", $"s")
+      .as[(Long, Double)].head() shouldBe ((2L, 5.0))
+  }
+
+  it should "produce the same result with shuffle joins" in {
+    val prev = aggOf(log.filter($"seq" <= 3))
+    val delta = aggOf(log.filter($"seq" > 3))
+    val a = AggMaintenance.advanceAggregate(prev, delta, Seq("k"), spec,
+      broadcastDelta = false).orderBy($"k").collect()
+    val b = aggOf(log).orderBy($"k").collect()
+    a shouldBe b
+  }
+
+  it should "reject unknown merge functions and missing columns" in {
+    val prev = aggOf(log)
+    an[IllegalArgumentException] should be thrownBy
+      AggMaintenance.advanceAggregate(prev, prev, Seq("k"),
+        Seq("s" -> "avg"))
+    an[IllegalArgumentException] should be thrownBy
+      AggMaintenance.advanceAggregate(prev, prev.drop("s"), Seq("k"), spec)
+  }
+
+  it should "never shuffle the untouched view rows (broadcast anti)" in {
+    val p = java.nio.file.Files.createTempDirectory("graft_aggm_").toString
+    aggOf(log.filter($"seq" <= 3)).write.mode("overwrite").parquet(p)
+    val prev = spark.read.parquet(p)
+    val delta = aggOf(log.filter($"seq" > 3))
+    val plan = AggMaintenance.advanceAggregate(prev, delta, Seq("k"), spec)
+      .queryExecution.executedPlan.toString()
+    plan should include regex "BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast"
+  }
+}

@@ -105,6 +105,30 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Embedding-column ingest QA: nulls, zero vectors (cosine
+    // undefined), dimension drift, norm envelope — one partial-agg
+    // pass through the codegen'd norm expression.
+    "q_profile_embeddings" -> ((s, d) =>
+      graft.ops.Profiler.profileVectors(
+        Tables.embeddings(s, d), "embedding")),
+
+    // Changelog integrity audit — find the corruption BEFORE the
+    // snapshot bakes it in: duplicate versions, updates with no initial
+    // insert, rows after a delete. One key-partitioned window pass;
+    // anomaly-sized output. Status synthesized deterministically from
+    // event_id so the oracle replicates rule-for-rule.
+    "q_changelog_audit" -> ((s, d) => {
+      val log = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_id") % 17 === 0, lit("D"))
+          .when(col("event_id") % 5 === 0, lit("I"))
+          .otherwise(lit("U")).as("row_status"))
+      graft.ops.ChangelogAudit.audit(log, Seq("user_id"), "ts",
+          "row_status", tieBreakers = Seq("event_id"))
+        .orderBy(col("user_id"), col("ts"), col("row_status"),
+          col("anomaly"))
+    }),
+
     // Incremental AGGREGATE-view maintenance: advance per-user
     // count/sum/min/max stats from T1 by the [T1, T2) delta — must
     // equal the full aggregation at T2 (this oracle). The view side
@@ -1275,6 +1299,47 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    // Norms recomputed element-for-element (left-to-right double
+    // reduction, as in the similarity oracles); ints cast to match
+    // Spark's size() output.
+    "q_profile_embeddings" ->
+      """WITH n AS (
+        |  SELECT embedding,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT count(*) AS n_rows,
+        |  count(CASE WHEN embedding IS NULL THEN 1 END) AS n_nulls,
+        |  count(CASE WHEN embedding IS NOT NULL AND nrm = 0.0 THEN 1 END)
+        |    AS n_zero_norm,
+        |  CAST(min(len(embedding)) AS INTEGER) AS dim_min,
+        |  CAST(max(len(embedding)) AS INTEGER) AS dim_max,
+        |  round(min(nrm), 4) AS norm_min,
+        |  round(max(nrm), 4) AS norm_max,
+        |  round(avg(nrm), 4) AS avg_norm
+        |FROM n""".stripMargin,
+    // Audit rules replicated window-for-window.
+    "q_changelog_audit" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 17 = 0 THEN 'D'
+        |         WHEN event_id % 5 = 0 THEN 'I' ELSE 'U' END AS row_status
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, row_status,
+        |    lag(ts) OVER w AS pts, lag(row_status) OVER w AS pst
+        |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT user_id, ts, row_status,
+        |    CASE WHEN pts IS NOT NULL AND pts = ts THEN 'duplicate_version'
+        |         WHEN pts IS NULL AND row_status <> 'I' THEN 'update_before_insert'
+        |         WHEN pst = 'D' AND row_status <> 'I' THEN 'row_after_delete'
+        |    END AS anomaly
+        |  FROM f)
+        |SELECT user_id, ts, row_status, anomaly FROM a
+        | WHERE anomaly IS NOT NULL
+        | ORDER BY user_id, ts, row_status, anomaly""".stripMargin,
     // Aggregate maintenance ≡ full aggregation at T2.
     "q_agg_incremental" ->
       s"""SELECT user_id, count(*) AS n_events,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog integrity audit — the ingest QA for the reference's data
+  * model (a replicator stream of I/U/D rows per key). A corrupted
+  * changelog reconstructs into a silently wrong snapshot; this audit
+  * finds the corruption BEFORE [[Snapshot.snapshotAsOf]] bakes it in:
+  *
+  *  - `duplicate_version`: two rows of one key share a timestamp — the
+  *    latest-per-key contract becomes tie-breaker-dependent;
+  *  - `update_before_insert`: a key's earliest row is not an insert —
+  *    history is truncated or the import missed the initial snapshot;
+  *  - `row_after_delete`: a row follows a delete without a new insert —
+  *    the key's lifecycle restarted implicitly (replication gap).
+  *
+  * One window over one key-partitioned shuffle — the same exchange
+  * shape as the snapshot itself, so auditing a 100 TB changelog costs
+  * one pass. Output is anomaly-sized (clean logs produce zero rows).
+  */
+object ChangelogAudit {
+
+  /** Anomaly rows `(keyCols*, ts, row_status, anomaly)` for the three
+    * rule violations; `insertStatus`/`deleteStatus` configure the
+    * status vocabulary (reference uses I/U/D). */
+  def audit(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
+            statusCol: String, insertStatus: String = "I",
+            deleteStatus: String = "D",
+            tieBreakers: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "audit needs key columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreakers).map(col): _*)
+    val flagged = changelog
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__prev_status", lag(col(statusCol), 1).over(w))
+      .withColumn("anomaly",
+        when(col("__prev_ts").isNotNull && col("__prev_ts") === col(tsCol),
+          lit("duplicate_version"))
+        .when(col("__prev_ts").isNull && col(statusCol) =!= insertStatus,
+          lit("update_before_insert"))
+        .when(col("__prev_status") === deleteStatus &&
+            col(statusCol) =!= insertStatus,
+          lit("row_after_delete")))
+    flagged.filter(col("anomaly").isNotNull)
+      .select((keyCols.map(col) :+ col(tsCol) :+ col(statusCol) :+
+        col("anomaly")): _*)
+  }
+}

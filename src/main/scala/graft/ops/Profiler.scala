@@ -71,4 +71,32 @@ object Profiler {
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
       .orderBy(col("column"))
   }
+
+  /** Embedding-column profile — the vector-specific ingest QA the
+    * generic [[profile]] cannot express: one aggregate row with
+    * `(n_rows, n_nulls, n_zero_norm, dim_min, dim_max, norm_min,
+    * norm_max, avg_norm)`.
+    *
+    * These are exactly the three ways an embedding feed breaks in
+    * practice: silent nulls from a failed encoder batch, zero vectors
+    * from padding rows (cosine against them is undefined — the ANN
+    * index builders exclude them), and dimension drift after a model
+    * swap (`dim_min != dim_max` means a mixed batch the downstream
+    * `fdot` would silently truncate to the common prefix). One
+    * partial-aggregable pass via the codegen'd norm expression; norms
+    * rounded to 4 so the profile is engine-portable (hash-checked by
+    * `q_profile_embeddings`). */
+  def profileVectors(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val nrm = graft.functions.VectorFunctions.fnorm(v)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(v.isNull, 1)).as("n_nulls"),
+      count(when(v.isNotNull && nrm === 0.0, 1)).as("n_zero_norm"),
+      min(size(v)).as("dim_min"),
+      max(size(v)).as("dim_max"),
+      round(min(nrm), 4).as("norm_min"),
+      round(max(nrm), 4).as("norm_max"),
+      round(avg(nrm), 4).as("avg_norm"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** [[ChangelogAudit]]: each rule in isolation, clean logs are silent,
+  * composite keys, custom status vocabulary. */
+class ChangelogAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def audit(rows: Seq[(String, Long, String)]) =
+    ChangelogAudit.audit(rows.toDF("k", "ts", "st"), Seq("k"), "ts", "st")
+      .orderBy($"k", $"ts")
+      .as[(String, Long, String, String)].collect().toSeq
+
+  "audit" should "stay silent on a clean I->U->D lifecycle" in {
+    audit(Seq(("a", 1L, "I"), ("a", 2L, "U"), ("a", 3L, "D"),
+      ("b", 1L, "I"))) shouldBe empty
+  }
+
+  it should "flag duplicate versions (the second of the tied pair)" in {
+    audit(Seq(("a", 1L, "I"), ("a", 2L, "U"), ("a", 2L, "U"))) shouldBe
+      Seq(("a", 2L, "U", "duplicate_version"))
+  }
+
+  it should "flag a key whose history starts without an insert" in {
+    audit(Seq(("a", 5L, "U"), ("a", 6L, "U"))) shouldBe
+      Seq(("a", 5L, "U", "update_before_insert"))
+  }
+
+  it should "flag rows after a delete unless a new insert reopens the key" in {
+    audit(Seq(("a", 1L, "I"), ("a", 2L, "D"), ("a", 3L, "U"))) shouldBe
+      Seq(("a", 3L, "U", "row_after_delete"))
+    // re-insert after delete is a legal lifecycle restart
+    audit(Seq(("a", 1L, "I"), ("a", 2L, "D"), ("a", 3L, "I"),
+      ("a", 4L, "U"))) shouldBe empty
+  }
+
+  it should "audit composite keys independently" in {
+    val df = Seq(("a", 1, 1L, "U"), ("a", 2, 1L, "I"))
+      .toDF("k1", "k2", "ts", "st")
+    val out = ChangelogAudit.audit(df, Seq("k1", "k2"), "ts", "st")
+      .as[(String, Int, Long, String, String)].collect()
+    out.map(_._2).toSet shouldBe Set(1) // only (a,1) is anomalous
+    out.head._5 shouldBe "update_before_insert"
+  }
+
+  it should "honor a custom status vocabulary" in {
+    val df = Seq(("a", 1L, "insert"), ("a", 2L, "delete"), ("a", 3L, "update"))
+      .toDF("k", "ts", "st")
+    val out = ChangelogAudit.audit(df, Seq("k"), "ts", "st",
+        insertStatus = "insert", deleteStatus = "delete")
+      .as[(String, Long, String, String)].collect()
+    out.map(_._4).toSeq shouldBe Seq("row_after_delete")
+  }
+}

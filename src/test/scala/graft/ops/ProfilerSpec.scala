@@ -38,4 +38,23 @@ class ProfilerSpec extends SparkTestBase {
     Profiler.profile(df, Seq("s"), approxDistinct = true)
       .select($"n_distinct").as[Long].head() shouldBe 2L
   }
+
+  "profileVectors" should "count nulls/zero vectors and catch dimension drift" in {
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),       // norm 5
+      (2L, Some(Seq(0.0f, 0.0f))),       // zero vector
+      (3L, None),                         // null
+      (4L, Some(Seq(1.0f, 0.0f, 0.0f))) // dim drift: 3 vs 2
+    ).toDF("id", "vec")
+    val r = Profiler.profileVectors(df, "vec").head()
+    r.getAs[Long]("n_rows") shouldBe 4L
+    r.getAs[Long]("n_nulls") shouldBe 1L
+    r.getAs[Long]("n_zero_norm") shouldBe 1L
+    r.getAs[Int]("dim_min") shouldBe 2
+    r.getAs[Int]("dim_max") shouldBe 3
+    r.getAs[Double]("norm_min") shouldBe 0.0
+    r.getAs[Double]("norm_max") shouldBe 5.0
+    // avg over the 3 non-null norms: (5 + 0 + 1) / 3
+    r.getAs[Double]("avg_norm") shouldBe 2.0 +- 1e-9
+  }
 }

@@ -664,6 +664,29 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable QUANTILE sketches (KLL) — percentile analogue of the
+    // HLL battery above: sketch each shard once, merge sketches, never
+    // rescan raw values. Rows-only (KLL compaction is randomized; the
+    // estimate is guaranteed only within ~1.65% rank error — bound
+    // pinned in KllAggregatesSpec); exact percentiles alongside for
+    // eyeball comparison.
+    "q_quantile_merge" -> ((s, d) => {
+      import graft.functions.KllFunctions._
+      val li = Tables.lineitem(s, d)
+      val shards = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(kllSketch(col("l_extendedprice")).as("sk"))
+      val merged = shards.groupBy(col("l_returnflag"))
+        .agg(kllQuantiles(kllMerge(col("sk")), Seq(0.5, 0.95)).as("q"))
+        .select(col("l_returnflag"), col("q")(0).as("p50_sketch"),
+          col("q")(1).as("p95_sketch"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(100000)).as("p50_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.95),
+            lit(100000)).as("p95_exact"))
+      merged.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
+    }),
+
     // Pivot — status columns per priority (counts), fixed column set.
     "q_pivot" -> ((s, d) =>
       Tables.orders(s, d)

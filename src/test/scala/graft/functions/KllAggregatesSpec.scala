@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import KllFunctions._
+
+/** KLL quantile sketches: rank-error bounds vs exact percentiles, the
+  * shard-merge identity, map-side partial aggregation. */
+class KllAggregatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 10k values, skewed (squares) so quantiles are non-trivial
+  private def df = (1 to 10000).map(i => (i % 7, (i.toDouble / 100) * (i / 100)))
+    .toDF("g", "v").repartition(4)
+
+  "kllSketch + kllQuantiles" should "hit exact percentiles within KLL rank error" in {
+    val got = df.agg(kllQuantiles(kllSketch($"v"),
+        Seq(0.1, 0.5, 0.9, 0.99)).as("q"))
+      .as[Seq[Double]].head()
+    val exact = df.stat.approxQuantile("v", Array(0.1, 0.5, 0.9, 0.99), 0.0)
+    // KLL k=200 → ~1.65% RANK error; translate by checking the exact
+    // rank of the returned value is within 3% of the probe rank
+    val values = df.select($"v").as[Double].collect().sorted
+    got.zip(Seq(0.1, 0.5, 0.9, 0.99)).foreach { case (q, p) =>
+      val rank = values.count(_ <= q).toDouble / values.length
+      math.abs(rank - p) should be <= 0.03
+    }
+    exact.length shouldBe 4 // sanity: the exact path agrees on shape
+  }
+
+  "kllMerge of shard sketches" should "answer like one global sketch (within bound)" in {
+    val shards = df.groupBy($"g").agg(kllSketch($"v").as("sk"))
+    val merged = shards.agg(
+        kllQuantiles(kllMerge($"sk"), Seq(0.5)).as("q"))
+      .as[Seq[Double]].head().head
+    val values = df.select($"v").as[Double].collect().sorted
+    val rank = values.count(_ <= merged).toDouble / values.length
+    math.abs(rank - 0.5) should be <= 0.03
+  }
+
+  it should "partially aggregate map-side (ObjectHashAggregate)" in {
+    val plan = df.agg(kllSketch($"v"))
+      .queryExecution.executedPlan.toString()
+    plan should include ("ObjectHashAggregate")
+    plan should include regex "(?i)partial"
+  }
+
+  "kllQuantiles" should "yield NaNs for an empty sketch and reject bad ranks" in {
+    val empty = df.filter($"v" < 0).agg(kllSketch($"v").as("sk"))
+      .select(kllQuantiles($"sk", Seq(0.5)).as("q"))
+      .as[Seq[Double]].head()
+    empty.head.isNaN shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      kllQuantiles(lit(Array[Byte]()), Seq(1.5))
+  }
+}

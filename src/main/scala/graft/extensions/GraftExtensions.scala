@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, TextFold}
+import graft.functions.{BloomMightContain, FloatVectorDot, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -48,7 +48,56 @@ object GraftExtensions {
         require(exprs.length == 2,
           s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
         BloomMightContain(exprs.head, exprs(1))
+      }),
+    (new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"kll_sketch_agg expects 1-2 arguments, got ${exprs.length}")
+        val k = exprs.lift(1).map(foldableInt("kll_sketch_agg k", _))
+        KllSketchAgg(exprs.head, k.getOrElse(200)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"kll_merge_agg expects 1 argument, got ${exprs.length}")
+        KllMergeAgg(exprs.head).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantilesExpr].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"kll_quantile expects (sketch, rank), got ${exprs.length} args")
+        // single-rank SQL sugar over the array expression
+        val rank = exprs(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType] =>
+            e.eval(null) match {
+              case d: Double => d
+              case f: Float => f.toDouble
+              // SQL fractional literals parse as DecimalType
+              case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+              case n: Number => n.doubleValue()
+            }
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile rank must be a numeric literal, got $other")
+        }
+        org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+          KllQuantilesExpr(exprs.head, Seq(rank)),
+          org.apache.spark.sql.catalyst.expressions.Literal(0))
       }))
+
+  private def foldableInt(what: String, e: Expression): Int = e match {
+    case l if l.foldable => l.eval(null) match {
+      case i: Int => i
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
 
   /** Register the functions and optimizer rules on a live session
     * (tests, notebooks); idempotent. */

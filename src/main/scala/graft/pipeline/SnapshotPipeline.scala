@@ -50,7 +50,9 @@ object SnapshotPipeline {
       bucketBy: Option[(Int, Seq[String])] = None) extends Sink
 
   /** `asOfMillis = -1` snapshots the latest state (reference: Settings.scala:51,
-    * README.md:38). */
+    * README.md:38). `diffFromMillis` switches [[run]] to CDC-export
+    * mode: the sink receives [[diff]] (the typed changelog between
+    * that instant and `asOfMillis`) instead of the snapshot itself. */
   final case class SnapshotConfig(
       changelogPath: String,
       schemaSource: SchemaSource,
@@ -58,7 +60,8 @@ object SnapshotPipeline {
       keyCol: String = "row_key",
       statusCol: String = "row_status",
       tsCol: String = "ts",
-      asOfMillis: Long = -1L)
+      asOfMillis: Long = -1L,
+      diffFromMillis: Option[Long] = None)
 
   /** Resolve the target schema per strategy. */
   def resolveSchema(spark: SparkSession, config: SnapshotConfig): StructType =
@@ -125,10 +128,14 @@ object SnapshotPipeline {
       Seq(SchemaMapping.RowKeyField.name))
   }
 
-  /** Run the pipeline: reconstruct and overwrite the sink, like the
-    * reference's SaveMode.Overwrite materialization. */
+  /** Run the pipeline: reconstruct (or, with `diffFromMillis`, CDC-diff)
+    * and overwrite the sink, like the reference's SaveMode.Overwrite
+    * materialization. */
   def run(spark: SparkSession, config: SnapshotConfig): Unit = {
-    val df = snapshot(spark, config)
+    val df = config.diffFromMillis match {
+      case Some(from) => diff(spark, config, from)
+      case None => snapshot(spark, config)
+    }
     config.sink match {
       case ParquetSink(path, parts) =>
         val w = df.write.mode(SaveMode.Overwrite)
@@ -218,7 +225,9 @@ object SnapshotPipeline {
     *
     * {{{
     * { "changelog": {"path": "...", "key_column": "row_key",
-    *                 "ts_column": "ts", "timestamp": -1},
+    *                 "ts_column": "ts", "timestamp": -1,
+    *                 "diff_from_timestamp": <optional — CDC-export mode:
+    *                  sink gets the diff from this instant to timestamp>},
     *   "schema": {"history_path": "..."} | {"columns": ["d:age:integer"]},
     *   "sink": {"path": "..."} | {"table": "db.t"},
     *   "partition_by": ["dt"] }
@@ -316,7 +325,20 @@ object SnapshotPipeline {
       case (JNothing, JString(t)) => TableSink(t, partitionBy, bucketBy)
       case _ => fail("need exactly one of sink.path or sink.table")
     }
-    SnapshotConfig(changelogPath, schemaSource, sink, keyCol, statusCol, tsCol, asOf)
+    val diffFrom = root \ "changelog" \ "diff_from_timestamp" match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case JNothing => None
+      case other => fail(
+        s"changelog.diff_from_timestamp must be a number, got $other")
+    }
+    diffFrom.foreach { f =>
+      if (asOf != SchemaHistory.NowSentinel && f >= asOf)
+        fail(s"changelog.diff_from_timestamp ($f) must be earlier than " +
+          s"changelog.timestamp ($asOf)")
+    }
+    SnapshotConfig(changelogPath, schemaSource, sink, keyCol, statusCol,
+      tsCol, asOf, diffFrom)
   }
 
   private def fail(msg: String): Nothing =

@@ -45,6 +45,21 @@ class KllAggregatesSpec extends SparkTestBase {
     plan should include regex "(?i)partial"
   }
 
+  "the SQL surface" should "sketch, merge, and probe via registered functions" in {
+    df.createOrReplaceTempView("kll_sql_t")
+    val p50 = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk), 0.5) AS p50 FROM (
+        |  SELECT g, kll_sketch_agg(v) AS sk FROM kll_sql_t GROUP BY g)""".stripMargin)
+      .as[Double].head()
+    val values = df.select($"v").as[Double].collect().sorted
+    val rank = values.count(_ <= p50).toDouble / values.length
+    math.abs(rank - 0.5) should be <= 0.03
+    // explicit k and the error paths
+    spark.sql("SELECT kll_sketch_agg(v, 400) FROM kll_sql_t").collect()
+    an[Exception] should be thrownBy
+      spark.sql("SELECT kll_quantile(X'00', v) FROM kll_sql_t").collect()
+  }
+
   "kllQuantiles" should "yield NaNs for an empty sketch and reject bad ranks" in {
     val empty = df.filter($"v" < 0).agg(kllSketch($"v").as("sk"))
       .select(kllQuantiles($"sk", Seq(0.5)).as("q"))

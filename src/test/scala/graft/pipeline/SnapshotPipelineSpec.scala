@@ -86,6 +86,31 @@ class SnapshotPipelineSpec extends SparkTestBase {
       ("u2", "age,k_replicator_row_status"))
   }
 
+  "run in diff mode (diff_from_timestamp)" should "write CDC rows to the sink" in {
+    val cfg = SnapshotPipeline.fromJson(
+      s"""{"changelog": {"path": "$changelogPath", "timestamp": 3500,
+         |               "diff_from_timestamp": 1600},
+         | "schema": {"columns": ["d:age:integer", "d:name"]},
+         | "sink": {"path": "$tmp/out_diff_cli"}}""".stripMargin)
+    cfg.diffFromMillis shouldBe Some(1600L)
+    SnapshotPipeline.run(spark, cfg)
+    val out = spark.read.parquet(s"$tmp/out_diff_cli")
+    out.select($"k_hbase_row_key", $"change_type")
+      .as[(String, String)].collect().toSet shouldBe
+      Set(("u1", "update"), ("u2", "update"))
+  }
+
+  it should "reject a diff start at or after the snapshot instant" in {
+    val e = intercept[IllegalArgumentException] {
+      SnapshotPipeline.fromJson(
+        s"""{"changelog": {"path": "/x", "timestamp": 1000,
+           |               "diff_from_timestamp": 1000},
+           | "schema": {"columns": ["d:a"]},
+           | "sink": {"path": "/y"}}""".stripMargin)
+    }
+    e.getMessage should include ("earlier than")
+  }
+
   "snapshot (explicit schema)" should "reconstruct typed latest state" in {
     val cfg = SnapshotConfig(changelogPath,
       ExplicitSchema(Seq("d:age:integer", "d:name")),

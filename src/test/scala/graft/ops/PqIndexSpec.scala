@@ -157,6 +157,25 @@ class PqIndexSpec extends SparkTestBase {
       .count() shouldBe 40L
   }
 
+  "training at production parameters (ks=256, m=8)" should
+      "stay model-bounded and encode full-range codes" in {
+    // 2048 codewords: the plan must stay constant-size (codebooks ride
+    // as a reference object, not expression nodes) and driver traffic
+    // per Lloyd round is capped at m*ks mean rows (asserted inside
+    // trainOnUnit); codes use the full unsigned-byte range
+    val cbs = PqIndex.trainCodebooks(corpusDF, m = 8, ks = 256, iters = 2)
+    cbs.length shouldBe 8
+    cbs.foreach(_.length shouldBe 256)
+    val codes = corpusDF.select(
+        PqIndex.encodeCol($"embedding", cbs).as("codes"))
+      .as[Seq[Byte]].collect()
+    codes.foreach(_.length shouldBe 8)
+    // unsigned interpretation covers codes above 127 without collision
+    val distinct = codes.flatten.map(_ & 0xFF).distinct
+    distinct.min should be >= 0
+    distinct.max should be <= 255
+  }
+
   "PersistedPqIndex.load" should "refuse a directory without params" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqbad_").toString
     an[IllegalStateException] should be thrownBy

@@ -159,6 +159,26 @@ class SnapshotJobSpec extends SparkTestBase {
       _.startsWith("k_replicator_row_status=")) shouldBe 2
   }
 
+  it should "run CDC export end-to-end from the shipped diff example (include + overrides)" in {
+    val sink = s"$tmp/shipped_diff_out"
+    val cfg = writeConfig("site_diff.conf",
+      s"""include "${shippedConf("application-diff-example.conf")}"
+         |changelog.path = "$changelogPath"
+         |changelog.diff_from_timestamp = 1600
+         |changelog.timestamp = 3500
+         |schema.columns = ["d:age:integer", "d:name"]
+         |sink.path = "$sink"
+         |""".stripMargin)
+    SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    val back = spark.read.parquet(sink)
+    back.columns should contain allOf ("change_type", "changed_cols",
+      "old_age", "new_age")
+    // only u1 has activity in [1600, 3500): one delta-sized update row
+    back.select("k_hbase_row_key", "change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("u1", "update"))
+  }
+
   it should "run end-to-end from the shipped MySQL-history example (include + overrides)" in {
     val historyPath = s"$tmp/shipped_history"
     val dump =

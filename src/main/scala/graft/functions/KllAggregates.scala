@@ -85,15 +85,26 @@ case class KllSketchAgg(
     copy(child = newChild)
 }
 
+/** Mutable union buffer for [[KllMergeAgg]]: `sk == null` until the
+  * first sketch arrives, then that sketch — at ITS OWN `k` — is the
+  * accumulator. */
+final class KllMergeBuffer(var sk: KllDoublesSketch)
+
 /** Union of serialized KLL sketches — the reduce side of the
   * shard-sketch pattern. Input: binary sketch column. Output: merged
-  * sketch bytes (still storable / further mergeable). */
+  * sketch bytes (still storable / further mergeable).
+  *
+  * The accumulator ADOPTS the first sketch it sees, so sketches built
+  * at a non-default `k` keep their accuracy through the merge (a fixed
+  * k=200 buffer would silently degrade a k=4000 shard sketch to ~1.65%
+  * rank error). Mixing sketches of different `k` degrades toward the
+  * smallest, which is inherent to KLL — build shards at one `k`. */
 case class KllMergeAgg(
     child: Expression,
     k: Int = 200,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch]
+  extends TypedImperativeAggregate[KllMergeBuffer]
   with UnaryLike[Expression] {
 
   override def prettyName: String = "kll_merge_agg"
@@ -106,27 +117,37 @@ case class KllMergeAgg(
       s"$prettyName requires a binary sketch column, got ${t.catalogString}")
   }
 
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance(k)
+  override def createAggregationBuffer(): KllMergeBuffer =
+    new KllMergeBuffer(null)
 
-  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+  override def update(buf: KllMergeBuffer, input: InternalRow): KllMergeBuffer = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(KllDoublesSketch.heapify(
-        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val incoming = KllDoublesSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (buf.sk == null) buf.sk = incoming else buf.sk.merge(incoming)
+    }
     buf
   }
 
-  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-    buf.merge(other)
+  override def merge(buf: KllMergeBuffer, other: KllMergeBuffer): KllMergeBuffer = {
+    if (buf.sk == null) buf.sk = other.sk
+    else if (other.sk != null) buf.sk.merge(other.sk)
     buf
   }
 
-  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def eval(buf: KllMergeBuffer): Any =
+    // no input sketches at all: an empty sketch at the default k, so
+    // downstream kll_quantiles sees a well-formed (empty → NaN) sketch
+    (if (buf.sk == null) KllDoublesSketch.newHeapInstance(k) else buf.sk)
+      .toByteArray
 
-  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
+  override def serialize(buf: KllMergeBuffer): Array[Byte] =
+    if (buf.sk == null) Array.emptyByteArray else buf.sk.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllMergeBuffer =
+    new KllMergeBuffer(
+      if (bytes.isEmpty) null
+      else KllDoublesSketch.heapify(Memory.wrap(bytes)))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -63,10 +63,24 @@ object BpeTrainer {
             minCount: Long = 2L): Merges = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val spark = docs.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val sc = spark.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // reliable checkpoint files are never auto-deleted; without cleanup a
+    // real vocabulary run (tens of thousands of merges) would leave one
+    // full word-table copy PER ROUND on distributed storage — the same
+    // lifecycle dupClusters manages, so manage it the same way
+    def ckFileOf(df: DataFrame): Option[String] =
+      if (reliable)
+        org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(df)
+      else None
+    def deleteCk(path: Option[String]): Unit = path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+    }
     var words = truncate(wordTable(docs, textCol))
+    var prevCkFile = ckFileOf(words)
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -85,10 +99,19 @@ object BpeTrainer {
           merges += ((l, r))
           words = truncate(words.withColumn("syms",
             applyMergeCol(col("syms"), l, r)))
+          // the new round is materialized (checkpoint is eager): the
+          // superseded round's files are unreachable through any live
+          // plan and can go now
+          deleteCk(prevCkFile)
+          prevCkFile = ckFileOf(words)
         case _ => exhausted = true
       }
       round += 1
     }
+    // the FINAL round's checkpoint backs no returned plan either — the
+    // result of train() is the driver-side merge list — so nothing
+    // survives on distributed storage
+    deleteCk(prevCkFile)
     merges.result()
   }
 

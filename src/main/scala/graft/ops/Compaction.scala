@@ -83,8 +83,21 @@ object Compaction {
       if (sortBy.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
-    val version = graft.streaming.MaterializedSnapshot
-      .versions(spark, outDir).lastOption.getOrElse(0L) + 1L
+    // next version counts EVERY v=* directory, not just committed ones:
+    // a crashed run leaves an uncommitted (no _SUCCESS) v=N behind that
+    // versions() rightly hides from readers — but reusing its number
+    // would make every retry die on errorifexists, bricking the outDir
+    // until someone hand-deletes the wreck. Skipping over it keeps
+    // retries running; readers still only ever see committed versions.
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val anyVersion =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") =>
+          try n.stripPrefix("v=").toLong catch { case _: NumberFormatException => 0L }
+        }.foldLeft(0L)(math.max)
+    val version = anyVersion + 1L
     val dest = s"$outDir/v=$version"
     shaped.write.mode("errorifexists").parquet(dest)
     dest

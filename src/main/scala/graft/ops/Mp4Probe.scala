@@ -84,18 +84,20 @@ object Mp4Probe {
       if (start >= end || durationMs.isDefined) return
       // v0: version/flags(4) creation(4) modification(4) timescale(4)
       // duration(4); v1 widens creation/modification/duration to 64-bit
+      // all-ones duration is ISO 14496-12's "duration unknown" sentinel
+      // (live/fragmented recordings) — report None, not a 7-week movie
       val version = bytes(start) & 0xFF
       if (version == 1) {
         if (start + 32 > end) return
         val timescale = beInt(bytes, start + 20)
         val duration = (beInt(bytes, start + 24) << 32) | beInt(bytes, start + 28)
-        if (timescale > 0 && duration >= 0)
+        if (timescale > 0 && duration >= 0 && duration != -1L)
           durationMs = Some(duration * 1000L / timescale)
       } else {
         if (start + 20 > end) return
         val timescale = beInt(bytes, start + 12)
         val duration = beInt(bytes, start + 16)
-        if (timescale > 0)
+        if (timescale > 0 && duration != 0xFFFFFFFFL)
           durationMs = Some(duration * 1000L / timescale)
       }
     }

@@ -142,12 +142,23 @@ object ChangelogStream {
     * Isolation instead of time-shared mutation: the override lives only
     * in the replay's own `newSession()`, so concurrent replays need no
     * lock and an unrelated query planned on the caller's session during
-    * the replay never sees the temporary value. `n <= 0` keeps the
-    * caller's session (and its conf) untouched. */
+    * the replay never sees the temporary value. The caller's OTHER
+    * runtime conf overrides are carried over first (`newSession()` alone
+    * starts from the context defaults — a caller-set session timezone or
+    * parser flag would otherwise silently vanish from the replay and
+    * shift its results); only modifiable confs copy, static ones cannot
+    * differ between sessions anyway. `n <= 0` keeps the caller's session
+    * (and its conf) untouched. */
   private def withStatePartitions(df: DataFrame, n: Int): DataFrame =
     if (n <= 0) df
     else {
-      val isolated = df.sparkSession.newSession()
+      val parent = df.sparkSession
+      val isolated = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        if (isolated.conf.isModifiable(k) &&
+            isolated.conf.getOption(k) != Some(v))
+          isolated.conf.set(k, v)
+      }
       isolated.conf.set("spark.sql.shuffle.partitions", n.toString)
       org.apache.spark.sql.graftshim.SessionBridge.onSession(isolated, df)
     }
@@ -176,19 +187,17 @@ object ChangelogStream {
   def replayToFiles(updates: DataFrame, groupCols: Seq[String],
                     dir: String, statePartitions: Int = 0): DataFrame = {
     val spark = updates.sparkSession
-    locally {
-      val q = withStatePartitions(updates, statePartitions).writeStream
-        .option("checkpointLocation", s"$dir/_checkpoints")
-        .outputMode(OutputMode.Update())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          // no leading underscore in the directory name: hidden-path
-          // filtering would drop it from the read back
-          b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val q = withStatePartitions(updates, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // no leading underscore in the directory name: hidden-path
+        // filtering would drop it from the read back
+        b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // an empty bounded stream fires zero micro-batches and never creates
     // the sink dir — mirror the batch operator's empty result instead of
     // failing the read with path-does-not-exist
@@ -215,17 +224,15 @@ object ChangelogStream {
   def replayAppendToFiles(appended: DataFrame, dir: String,
                           statePartitions: Int = 0): DataFrame = {
     val spark = appended.sparkSession
-    locally {
-      val q = withStatePartitions(appended, statePartitions).writeStream
-        .option("checkpointLocation", s"$dir/_checkpoints")
-        .outputMode(OutputMode.Append())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val q = withStatePartitions(appended, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode(SaveMode.Overwrite).parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
     val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(outPath))

@@ -38,6 +38,17 @@ class KllAggregatesSpec extends SparkTestBase {
     math.abs(rank - 0.5) should be <= 0.03
   }
 
+  it should "preserve a non-default k through the merge (adopts the first sketch)" in {
+    // k=2048 halves KLL's rank error vs k=200; a fixed-k=200 merge
+    // buffer would throw that accuracy away silently
+    val shards = df.groupBy($"g").agg(kllSketch($"v", k = 2048).as("sk"))
+    val mergedBytes = shards.agg(kllMerge($"sk").as("m"))
+      .select($"m").as[Array[Byte]].head()
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(mergedBytes))
+      .getK shouldBe 2048
+  }
+
   it should "partially aggregate map-side (ObjectHashAggregate)" in {
     val plan = df.agg(kllSketch($"v"))
       .queryExecution.executedPlan.toString()

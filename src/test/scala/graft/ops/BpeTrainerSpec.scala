@@ -84,6 +84,28 @@ class BpeTrainerSpec extends SparkTestBase {
     BpeTrainer.train(df, "text", 10, 2) shouldBe referenceTrain(corpus, 10, 2)
   }
 
+  it should "leave NO reliable checkpoint files behind (every round cleaned)" in {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_bpe_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val merges = BpeTrainer.train(corpus.toDF("text"), "text", 8, 2)
+      merges shouldBe referenceTrain(corpus, 8, 2)
+      // unlike dupClusters (whose returned plan pins its final round),
+      // train() returns driver-side data — every round's files,
+      // including the last, must be gone
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).length shouldBe 0
+    } finally {
+      // same shared-context reset as DedupSpec's checkpoint test
+      val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
+  }
+
   "tokenizeCol" should "segment greedily by merge rank" in {
     // ranks: (l,o) first, then (lo,w</w>): "low" -> ["low</w>"] needs
     // (lo, w</w>)? No — w fuses with </w> only if learned; build merges

@@ -577,6 +577,14 @@ class MultimodalSpec extends SparkTestBase {
     // hand-built boxes carry no mdia/hdlr → handler counts stay 0
     (m.nVideoTracks, m.nAudioTracks) shouldBe ((0, 0))
 
+    // all-ones duration = ISO "unknown" sentinel (live/fragmented
+    // recordings) → None, not a 49710-day movie
+    val unknownDur = bmffBox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII")) ++
+      bmffBox("moov", bmffBox("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(-1)))
+    Mp4Probe.probe(unknownDur).get.durationMs shouldBe None
+
     // builder -> probe round trip, including floor division of the ms
     val built = Mp4Probe.buildMetadataOnly(width = 320, height = 180,
       timescale = 600L, duration = 901L, nTracks = 3)

@@ -272,6 +272,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"), col("r_event_id"))
     }),
 
+    // Stream-static enrichment: each micro-batch joins against a
+    // BROADCAST static dimension (the third streaming join mode beside
+    // stream-stream and stateful upsert); the dim keeps only even
+    // user_ids so the inner join genuinely filters. Bounded replay must
+    // equal the batch join (this oracle).
+    "q_stream_enrich" -> ((s, d) => {
+      val out = scratchDir("graft_se_")
+      val dim = Tables.events(s, d).select(col("user_id")).distinct()
+        .filter(col("user_id") % 2 === 0)
+        .withColumn("cohort", (col("user_id") % 10).cast("int"))
+      val enriched = Tables.eventsStream(s, d)
+        .join(broadcast(dim), Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("cohort"),
+          col("value"))
+      graft.streaming.ChangelogStream.replayAppendToFiles(enriched, out)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Continuously-maintained materialized snapshot, partition-aligned:
     // each micro-batch advances the stored state and commits ONLY the
     // key-bucket directories it touched, by stage-then-rename with
@@ -1436,6 +1454,12 @@ object SparkEntry {
         |  AND r.ts >= l.ts - INTERVAL 1800 SECOND
         |  AND r.ts <= l.ts
         |ORDER BY l.user_id, l.event_id, r_event_id""".stripMargin,
+    // Stream-static enrichment converges to the batch join.
+    "q_stream_enrich" ->
+      """SELECT user_id, event_id, CAST(user_id % 10 AS INTEGER) AS cohort,
+        |  value
+        | FROM events WHERE user_id % 2 = 0
+        | ORDER BY user_id, event_id""".stripMargin,
     "q_changed_keys" ->
       s"""SELECT DISTINCT user_id FROM events
          | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '$AsOfTs'

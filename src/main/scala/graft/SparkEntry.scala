@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -34,6 +34,16 @@ object SparkEntry {
     }))
     d.toString
   }
+
+  /** Order-independent money sum. `round(sum(double), 2)` can land on a
+    * half-cent boundary where two engines' float summation orders round
+    * differently (bit `q_bloom_join` at r6: 2/1361 rows off by $0.01).
+    * Casting each term to DECIMAL(18,4) first makes the sum exact and
+    * associative, so the rounded result is identical under any summation
+    * order and in any engine; the final double cast keeps the output
+    * schema engine-neutral. Mirrored term-for-term in the DuckDB oracles. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast(DoubleType)
 
   /** Flagship: point-in-time reconstruction of the events changelog —
     * the reference's whole essence (scan → latest-per-key as of T).
@@ -386,12 +396,9 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1998-09-02 00:00:00").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          // decimal-valued double sums are rounded on BOTH sides: Spark's
-          // partial-merge addition order differs from DuckDB's sequential
-          // sum in the last float bits, and the driver compare hashes values
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -407,7 +414,7 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          moneySum(col("o_totalprice")).as("total"))
         .orderBy(col("n_name"))
     }),
 
@@ -437,7 +444,7 @@ object SparkEntry {
           Seq("l_orderkey"), Seq("o_orderkey"), expectedItems = 100000L)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
         .orderBy(col("o_orderkey"))
     }),
@@ -468,7 +475,7 @@ object SparkEntry {
         .select(col("c_custkey").as("custkey"), col("c_name"))
       val highSpenders = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("custkey"))
-        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+        .agg(moneySum(col("o_totalprice")).as("spend"))
         .filter(col("spend") > 700000)
       lowCust.join(highSpenders, Seq("custkey"), "full_outer")
         .select(col("custkey"), col("c_name"), col("spend"))
@@ -485,7 +492,7 @@ object SparkEntry {
       graft.ops.Skew.saltedJoin(o, c, Seq("custkey"), numSalts = 8)
         .groupBy(col("c_name"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          moneySum(col("o_totalprice")).as("total"))
         .orderBy(col("c_name"))
     }),
 
@@ -1498,8 +1505,9 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS sum_disc_price,
         | round(avg(l_quantity), 6) AS avg_qty,
         | round(avg(l_extendedprice), 6) AS avg_price,
         | round(avg(l_discount), 6) AS avg_disc,
@@ -1509,7 +1517,8 @@ object SparkEntry {
         | GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
-      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         | FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -1562,7 +1571,8 @@ object SparkEntry {
     // The Bloom prune is invisible to correctness: plain-join oracle.
     "q_bloom_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS revenue
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | WHERE o_orderpriority = '1-URGENT'
         |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1579,13 +1589,16 @@ object SparkEntry {
       """WITH lc AS (
         |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey <= 1000),
         |hs AS (
-        |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
-        |  FROM orders GROUP BY o_custkey HAVING round(sum(o_totalprice), 2) > 700000)
+        |  SELECT o_custkey AS custkey,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) > 700000)
         |SELECT COALESCE(lc.custkey, hs.custkey) AS custkey, lc.c_name, hs.spend
         |FROM lc FULL OUTER JOIN hs ON lc.custkey = hs.custkey
         |ORDER BY custkey""".stripMargin,
     "q_salted_join" ->
-      """SELECT c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      """SELECT c_name, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_name ORDER BY c_name""".stripMargin,
     "q_window_running" ->

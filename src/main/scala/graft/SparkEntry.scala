@@ -168,6 +168,43 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // RETRACTION-aware aggregate maintenance — the view aggregates the
+    // LIVE table state of an I/U/D changelog (reference's replicator
+    // data model), not the raw log: each touched row key's T1 row is
+    // retracted and its final delta row (unless deleted) added, with
+    // min/max recomputed over touched groups only. Sum runs in
+    // DECIMAL(18,6) — retraction demands associative arithmetic. The
+    // oracle is a FULL re-aggregation of the T2 state with deletes
+    // applied; status synthesized from event_id as in the audit.
+    "q_agg_incremental_cdc" -> ((s, d) => {
+      val t1 = lit("2024-01-10 00:00:00").cast(TimestampType)
+      val t2 = lit(AsOfTs).cast(TimestampType)
+      val log = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        col("value").cast(DecimalType(18, 6)).as("value"), col("ts"),
+        when(col("event_id") % 17 === 0, lit("D"))
+          .when(col("event_id") % 5 === 0, lit("I"))
+          .otherwise(lit("U")).as("row_status"))
+      val state1 = Snapshot.snapshotAsOf(log, Seq("user_id"), "ts", t1,
+        Seq("event_id")).filter(col("row_status") =!= "D")
+      val prevAgg = state1.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      val delta = log.filter(col("ts") >= t1 && col("ts") < t2)
+      graft.ops.AggMaintenance.advanceAggregateCdc(prevAgg, state1, delta,
+          rowKeyCols = Seq("user_id"), tsCol = "ts",
+          tieBreakers = Seq("event_id"), statusCol = "row_status",
+          groupKeyCols = Seq("event_type"), countCol = "n_users",
+          sums = Seq("sum_value" -> "value"),
+          minMaxes = Seq(("min_value", "value", "min"),
+            ("max_value", "value", "max")))
+        .select(col("event_type"), col("n_users"),
+          round(col("sum_value"), 4).cast(DoubleType).as("sum_value"),
+          col("min_value").cast(DoubleType).as("min_value"),
+          col("max_value").cast(DoubleType).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // CDC diff between the T1 and T2 reconstructions — the minimal
     // changelog a consumer ingests instead of re-reading the table.
     // Delta-sized rows only (unchanged keys vanish before the wide
@@ -1395,6 +1432,26 @@ object SparkEntry {
          |  max(ts) AS last_ts, min(event_id) AS first_event
          | FROM events WHERE ts < TIMESTAMP '$AsOfTs'
          | GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Retraction-aware maintenance ≡ full re-aggregation of the live
+    // T2 state (latest row per user, deletes dropped) — the oracle IS
+    // that full recompute over a changelog containing deletes.
+    "q_agg_incremental_cdc" ->
+      s"""WITH log AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(value AS DECIMAL(18,6)) AS value, ts,
+         |    CASE WHEN event_id % 17 = 0 THEN 'D'
+         |         WHEN event_id % 5 = 0 THEN 'I' ELSE 'U' END AS row_status
+         |  FROM events),
+         |s2 AS (
+         |  SELECT * FROM log WHERE ts < TIMESTAMP '$AsOfTs'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1)
+         |SELECT event_type, count(*) AS n_users,
+         |  CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+         |  CAST(min(value) AS DOUBLE) AS min_value,
+         |  CAST(max(value) AS DOUBLE) AS max_value
+         |FROM s2 WHERE row_status <> 'D'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Incremental advance ≡ full reconstruction at T2 — shares the
     // q_snapshot_asof oracle.
     "q_snapshot_incremental" ->

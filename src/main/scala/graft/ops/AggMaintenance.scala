@@ -38,6 +38,123 @@ object AggMaintenance {
         "(supported: sum, min, max)")
   }
 
+  /** Retraction-aware advance of a materialized aggregate view over a
+    * CDC changelog — the reference's actual data model: a replicator
+    * stream whose rows carry an I/U/D `row_status` (reference
+    * Schema.scala:139-147), where the view aggregates the LIVE table
+    * state (latest row per row key, deletes removed), not the raw log.
+    *
+    * Inputs: the view at T1 (`prevAgg`, grouped by `groupKeyCols`), the
+    * live row-state at T1 (`state1` — one row per row key, `'D'` rows
+    * already dropped; a maintained materialized snapshot provides this
+    * for free), and the RAW changelog delta for `[T1, T2)` (`delta`,
+    * carrying `statusCol`). Output ≡ re-aggregating the full T2 state.
+    *
+    * Mechanics per touched row key (any key appearing in the delta):
+    * its T1 row is RETRACTED (old group loses one count / its sum
+    * contribution) and its final-in-delta row, unless `'D'`, is ADDED
+    * (possibly to a different group — updates may move a row across
+    * groups). Counts and sums merge arithmetically from those signed
+    * contributions; min/max are not subtractable, so touched GROUPS are
+    * recomputed from the reconstructed T2 state restricted to exactly
+    * those groups. Groups whose live count reaches 0 drop out of the
+    * view.
+    *
+    * Exactness: retraction demands associative arithmetic — `+x` then
+    * `-x` must be a true no-op under any evaluation order. Use a
+    * DecimalType source for sum columns; double sums would drift by
+    * accumulated rounding after enough advances.
+    *
+    * Scale shape: the view and state sides are billion-row; the delta
+    * is interval-sized. Touched row keys and touched group keys are
+    * broadcast, so untouched view rows and untouched state rows stream
+    * through broadcast anti/semi joins (scan-only, never shuffled).
+    * Only (touched-group state rows + signed contributions) are ever
+    * aggregated. Set `broadcastTouched = false` for intervals whose
+    * key set exceeds broadcast size — same plan with shuffle joins.
+    */
+  def advanceAggregateCdc(prevAgg: DataFrame, state1: DataFrame,
+                          delta: DataFrame,
+                          rowKeyCols: Seq[String], tsCol: String,
+                          tieBreakers: Seq[String], statusCol: String,
+                          groupKeyCols: Seq[String], countCol: String,
+                          sums: Seq[(String, String)],
+                          minMaxes: Seq[(String, String, String)] = Nil,
+                          broadcastTouched: Boolean = true): DataFrame = {
+    require(rowKeyCols.nonEmpty && groupKeyCols.nonEmpty,
+      "advanceAggregateCdc needs row-key and group-key columns")
+    val viewCols = (groupKeyCols :+ countCol) ++ sums.map(_._1) ++
+      minMaxes.map(_._1)
+    require(viewCols.forall(prevAgg.columns.contains),
+      s"advanceAggregateCdc: prevAgg lacks ${viewCols.filterNot(prevAgg.columns.contains).mkString(", ")}")
+    def bcast(df: DataFrame): DataFrame =
+      if (broadcastTouched) broadcast(df) else df
+
+    // Row keys touched by the interval, and both ends' contributions.
+    val touchedKeys = bcast(delta.select(rowKeyCols.map(col): _*).distinct())
+    val oldRows = state1.join(touchedKeys, rowKeyCols, "left_semi")
+    val newRows = Snapshot
+      .latestPerKey(delta, rowKeyCols, tsCol, tieBreakers)
+      .filter(col(statusCol) =!= "D")
+
+    // Signed count/sum contributions; group keys come from each side's
+    // own row, so a group-moving update retracts from the old group and
+    // adds to the new one.
+    def contrib(df: DataFrame, sign: Int) =
+      df.select(groupKeyCols.map(col) ++
+        (lit(sign.toLong).as(countCol) +:
+          sums.map { case (aggC, srcC) => (col(srcC) * sign).as(aggC) }): _*)
+    val netDelta = contrib(oldRows, -1).unionByName(contrib(newRows, 1))
+      .groupBy(groupKeyCols.map(col): _*)
+      .agg(sum(col(countCol)).as(countCol),
+        sums.map { case (aggC, _) => sum(col(aggC)).as(aggC) }: _*)
+
+    val touchedGroups = bcast(netDelta.select(groupKeyCols.map(col): _*))
+    val untouched = prevAgg.select(viewCols.map(col): _*)
+      .join(touchedGroups, groupKeyCols, "left_anti")
+
+    // Arithmetic merge for count/sum over touched groups (new groups
+    // surface via the outer side; emptied groups are dropped).
+    val prevTouched = prevAgg
+      .select((groupKeyCols.map(col) :+ col(countCol).as("__p_cnt")) ++
+        sums.map { case (aggC, _) => col(aggC).as(s"__p_$aggC") }: _*)
+      .join(touchedGroups, groupKeyCols, "left_semi")
+    val mergedSums = prevTouched
+      .join(netDelta.withColumnRenamed(countCol, "__d_cnt"), groupKeyCols,
+        "full_outer")
+      .select(groupKeyCols.map(col) ++
+        ((coalesce(col("__p_cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L)))
+          .as(countCol) +:
+          sums.map { case (aggC, _) =>
+            (coalesce(col(s"__p_$aggC"), lit(0)) + coalesce(col(aggC), lit(0)))
+              .as(aggC)
+          }): _*)
+      .filter(col(countCol) > 0)
+
+    if (minMaxes.isEmpty) {
+      untouched.unionByName(mergedSums)
+    } else {
+      // Min/max are not subtractable: rebuild the T2 state for touched
+      // groups only (untouched-key T1 rows still in those groups + the
+      // delta's final rows) and recompute the extrema there.
+      val state2Touched = state1.join(touchedKeys, rowKeyCols, "left_anti")
+        .unionByName(newRows.select(state1.columns.map(col): _*))
+        .join(touchedGroups, groupKeyCols, "left_semi")
+      val firstMM = minMaxes.head
+      def mmExpr(mm: (String, String, String)): Column = mm match {
+        case (aggC, srcC, "min") => min(col(srcC)).as(aggC)
+        case (aggC, srcC, "max") => max(col(srcC)).as(aggC)
+        case (_, _, other) => throw new IllegalArgumentException(
+          s"advanceAggregateCdc: unsupported extremum '$other' (min|max)")
+      }
+      val recomputedMM = state2Touched.groupBy(groupKeyCols.map(col): _*)
+        .agg(mmExpr(firstMM), minMaxes.tail.map(mmExpr): _*)
+      untouched.unionByName(
+        mergedSums.join(recomputedMM, groupKeyCols)
+          .select(viewCols.map(col): _*))
+    }
+  }
+
   /** Advance `prevAgg` by `deltaAgg` (both keyed by `keyCols`, both
     * carrying exactly the merge-spec value columns). Set
     * `broadcastDelta = false` when an interval's key set exceeds

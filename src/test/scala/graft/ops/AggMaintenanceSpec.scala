@@ -68,4 +68,68 @@ class AggMaintenanceSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString()
     plan should include regex "BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast"
   }
+
+  // --- retraction-aware CDC maintenance ---
+
+  /** I/U/D changelog keyed by uid; group attribute `grp` can move on
+    * update. T1 cut at ts 10; delta = [10, 20). */
+  private def cdcLog = Seq(
+    (1L, 1L, "A", 10.0, "I"), (2L, 2L, "A", 5.0, "I"),
+    (3L, 3L, "B", 7.0, "I"), (4L, 4L, "C", 3.0, "I"),
+    (8L, 5L, "F", 4.0, "I"), // untouched by the delta
+    (2L, 11L, "A", 6.0, "U"), // value update in place (old min retracted)
+    (3L, 12L, "D", 8.0, "U"), // group move B -> D (B empties, D is new)
+    (4L, 13L, "C", 3.0, "D"), // delete (C empties)
+    (5L, 14L, "A", 1.0, "I"), // insert into an existing group
+    (6L, 15L, "X", 0.0, "D"), // delete of a never-seen key: net no-op
+    (7L, 16L, "E", 2.0, "I"), (7L, 17L, "E", 9.0, "U") // final row wins
+  ).toDF("uid", "ts", "grp", "v", "status")
+
+  private def liveState(df: org.apache.spark.sql.DataFrame) =
+    Snapshot.latestPerKey(df, Seq("uid"), "ts").filter($"status" =!= "D")
+
+  private def cdcAgg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"grp")
+    .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+      min($"v").as("lo"), max($"v").as("hi"))
+
+  "advanceAggregateCdc" should
+      "equal the full T2 recompute under deletes and group moves" in {
+    val state1 = liveState(cdcLog.filter($"ts" < 10))
+    val out = AggMaintenance.advanceAggregateCdc(cdcAgg(state1), state1,
+      cdcLog.filter($"ts" >= 10 && $"ts" < 20),
+      rowKeyCols = Seq("uid"), tsCol = "ts", tieBreakers = Nil,
+      statusCol = "status", groupKeyCols = Seq("grp"), countCol = "n",
+      sums = Seq("s" -> "v"),
+      minMaxes = Seq(("lo", "v", "min"), ("hi", "v", "max")))
+    out.orderBy($"grp").collect() shouldBe
+      cdcAgg(liveState(cdcLog)).orderBy($"grp").collect()
+    // emptied groups (B, C) vanish; untouched F flows through intact
+    out.select($"grp").as[String].collect().sorted shouldBe
+      Array("A", "D", "E", "F")
+  }
+
+  it should "work without min/max and with shuffle joins" in {
+    val state1 = liveState(cdcLog.filter($"ts" < 10))
+    val out = AggMaintenance.advanceAggregateCdc(
+      cdcAgg(state1).drop("lo", "hi"), state1,
+      cdcLog.filter($"ts" >= 10 && $"ts" < 20),
+      rowKeyCols = Seq("uid"), tsCol = "ts", tieBreakers = Nil,
+      statusCol = "status", groupKeyCols = Seq("grp"), countCol = "n",
+      sums = Seq("s" -> "v"), minMaxes = Nil, broadcastTouched = false)
+    out.orderBy($"grp").collect() shouldBe
+      cdcAgg(liveState(cdcLog)).drop("lo", "hi").orderBy($"grp").collect()
+  }
+
+  it should "reject a view missing spec columns and bad extrema" in {
+    val state1 = liveState(cdcLog.filter($"ts" < 10))
+    an[IllegalArgumentException] should be thrownBy
+      AggMaintenance.advanceAggregateCdc(cdcAgg(state1).drop("s"), state1,
+        cdcLog, Seq("uid"), "ts", Nil, "status", Seq("grp"), "n",
+        Seq("s" -> "v"))
+    an[IllegalArgumentException] should be thrownBy
+      AggMaintenance.advanceAggregateCdc(cdcAgg(state1), state1,
+        cdcLog.filter($"ts" >= 10), Seq("uid"), "ts", Nil, "status",
+        Seq("grp"), "n", Seq("s" -> "v"),
+        minMaxes = Seq(("lo", "v", "median"))).collect()
+  }
 }

@@ -148,7 +148,11 @@ object ChangelogStream {
     * parser flag would otherwise silently vanish from the replay and
     * shift its results); only modifiable confs copy, static ones cannot
     * differ between sessions anyway. `n <= 0` keeps the caller's session
-    * (and its conf) untouched. */
+    * (and its conf) untouched.
+    *
+    * Cost: ONE `newSession()` + conf copy per replay — the session is
+    * created before `writeStream.start()` and every micro-batch of that
+    * replay runs on it; nothing session-scoped is re-built per batch. */
   private def withStatePartitions(df: DataFrame, n: Int): DataFrame =
     if (n <= 0) df
     else {

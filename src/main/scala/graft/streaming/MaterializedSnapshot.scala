@@ -193,51 +193,67 @@ object MaterializedSnapshot {
         val f = fs(spark, dir)
         checkBucketCount(f, metaPath, numBuckets)
         healTornCommit(f, dataDir)
-        val delta = batch.persist() // touched-bucket scan + merge input
-        try {
-          val touched = delta.select(kb.as("graft_kb")).distinct()
-            .collect().map(_.getInt(0)).sorted
-          if (touched.nonEmpty) {
-            // "snapshot exists" = at least one committed bucket dir — a
-            // crash can leave dataDir created but empty, and reading an
-            // empty directory fails schema inference
-            val hasBuckets = f.exists(new Path(dataDir)) &&
-              f.listStatus(new Path(dataDir))
-                .exists(_.getPath.getName.startsWith("graft_kb="))
-            val next =
-              if (!hasBuckets)
-                Snapshot.latestPerKey(delta, keyCols, tsCol, tieBreakers)
-              else {
-                val existing = spark.read.parquet(dataDir)
-                  .filter(col("graft_kb").isin(touched.map(Integer.valueOf): _*))
-                  .drop("graft_kb")
-                Snapshot.advanceSnapshot(existing, delta, keyCols, tsCol,
-                  tieBreakers)
-              }
-            next.withColumn("graft_kb", kb)
-              .write.mode(SaveMode.Overwrite).partitionBy("graft_kb")
-              .parquet(stageDir)
-            // commit: move each staged bucket into place WITHOUT ever
-            // deleting the only copy — live dir renamed aside (hidden, so
-            // partition discovery never sees it), staged dir renamed in,
-            // aside dropped. Any crash in between is healed at the next
-            // batch start (aside-without-replacement → restore).
-            if (!f.exists(new Path(dataDir))) f.mkdirs(new Path(dataDir))
-            touched.foreach { b =>
-              val src = new Path(s"$stageDir/graft_kb=$b")
-              val dst = new Path(s"$dataDir/graft_kb=$b")
-              val aside = new Path(s"$dataDir/.old_graft_kb=$b")
-              if (f.exists(src)) {
-                deleteIfExists(f, aside) // stale aside from an old crash
-                if (f.exists(dst)) renameOrFail(f, dst, aside)
-                renameOrFail(f, src, dst)
-                deleteIfExists(f, aside)
-              }
+        // commit: move each staged bucket into place WITHOUT ever
+        // deleting the only copy — live dir renamed aside (hidden, so
+        // partition discovery never sees it), staged dir renamed in,
+        // aside dropped. Any crash in between is healed at the next
+        // batch start (aside-without-replacement → restore).
+        def commitStaged(touched: Seq[Int]): Unit = {
+          if (!f.exists(new Path(dataDir))) f.mkdirs(new Path(dataDir))
+          touched.foreach { b =>
+            val src = new Path(s"$stageDir/graft_kb=$b")
+            val dst = new Path(s"$dataDir/graft_kb=$b")
+            val aside = new Path(s"$dataDir/.old_graft_kb=$b")
+            if (f.exists(src)) {
+              deleteIfExists(f, aside) // stale aside from an old crash
+              if (f.exists(dst)) renameOrFail(f, dst, aside)
+              renameOrFail(f, src, dst)
+              deleteIfExists(f, aside)
             }
-            deleteIfExists(f, new Path(stageDir))
-            ()
           }
-        } finally delta.unpersist()
+          deleteIfExists(f, new Path(stageDir))
+        }
+        // "snapshot exists" = at least one committed bucket dir — a
+        // crash can leave dataDir created but empty, and reading an
+        // empty directory fails schema inference
+        val hasBuckets = f.exists(new Path(dataDir)) &&
+          f.listStatus(new Path(dataDir))
+            .exists(_.getPath.getName.startsWith("graft_kb="))
+        if (!hasBuckets) {
+          // initial batch: there is no stored state to prune, so the
+          // touched-bucket pre-pass over the delta (one full Spark job
+          // plus a persist) buys nothing — write the winners straight
+          // to staging and read the touched set off the staging dir
+          // listing (numBuckets-bounded driver metadata, no data moves)
+          Snapshot.latestPerKey(batch, keyCols, tsCol, tieBreakers)
+            .withColumn("graft_kb", kb)
+            .write.mode(SaveMode.Overwrite).partitionBy("graft_kb")
+            .parquet(stageDir)
+          val touched = f.listStatus(new Path(stageDir))
+            .map(_.getPath.getName)
+            .filter(_.startsWith("graft_kb="))
+            .map(_.stripPrefix("graft_kb=").toInt).sorted.toSeq
+          if (touched.nonEmpty) commitStaged(touched)
+          else deleteIfExists(f, new Path(stageDir)) // empty batch
+        } else {
+          val delta = batch.persist() // touched-bucket scan + merge input
+          try {
+            val touched = delta.select(kb.as("graft_kb")).distinct()
+              .collect().map(_.getInt(0)).sorted.toSeq
+            if (touched.nonEmpty) {
+              val existing = spark.read.parquet(dataDir)
+                .filter(col("graft_kb").isin(touched.map(Integer.valueOf): _*))
+                .drop("graft_kb")
+              Snapshot.advanceSnapshot(existing, delta, keyCols, tsCol,
+                  tieBreakers)
+                .withColumn("graft_kb", kb)
+                .write.mode(SaveMode.Overwrite).partitionBy("graft_kb")
+                .parquet(stageDir)
+              commitStaged(touched)
+            }
+          } finally delta.unpersist()
+        }
+        ()
       }
       .trigger(trigger)
       .start()

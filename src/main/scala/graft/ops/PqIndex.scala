@@ -171,9 +171,12 @@ object PqIndex {
   }
 
   /** Build parameters, persisted with the index so a loaded index can
-    * never be probed with mismatched geometry. */
+    * never be probed with mismatched geometry. `version` counts append
+    * generations: 0 at build, +1 per [[appendToPqIndex]] — readers can
+    * tell a grown index from the trained original (recall drifts if the
+    * appended data moves far from the training distribution). */
   final case class PqIndexParams(nlist: Int, m: Int, ks: Int, dim: Int,
-                                 iters: Int)
+                                 iters: Int, version: Long = 0L)
 
   /** A persisted IVF-PQ index: coarse centroids + PQ codebooks (model,
     * driver-sized) and the encoded corpus `(corpus_id, cell, codes)` —
@@ -211,10 +214,16 @@ object PqIndex {
              dir: String): PersistedPqIndex = {
       val params =
         try {
-          val row = spark.read.json(s"$dir/params")
-            .select("nlist", "m", "ks", "dim", "iters").head()
+          val df = spark.read.json(s"$dir/params")
+          // pre-append indexes carry no version field: read as gen 0
+          val versioned =
+            if (df.columns.contains("version")) df
+            else df.withColumn("version", lit(0L))
+          val row = versioned
+            .select("nlist", "m", "ks", "dim", "iters", "version").head()
           PqIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
-            row.getLong(2).toInt, row.getLong(3).toInt, row.getLong(4).toInt)
+            row.getLong(2).toInt, row.getLong(3).toInt, row.getLong(4).toInt,
+            row.getLong(5))
         } catch {
           case e: org.apache.spark.sql.AnalysisException =>
             throw new IllegalStateException(
@@ -258,6 +267,35 @@ object PqIndex {
     unit.unpersist() // codes re-derive from the corpus scan if recomputed
     PersistedPqIndex(centroids, cbs, codes,
       PqIndexParams(nlist, m, ks, dim, iters))
+  }
+
+  /** Append `newVectors` to a built index WITHOUT retraining: encode
+    * them with the FROZEN coarse centroids and codebooks — the same
+    * zero-shuffle expressions the build used — and union the code
+    * table. This is the daily-ingest motion: a day's vectors cost one
+    * encode pass over the NEW rows only; the stored corpus codes are
+    * never re-read or re-written. The returned index bumps
+    * `params.version` so readers can tell appended generations from
+    * the trained original.
+    *
+    * Caller contract: ids in `newVectors` are disjoint from the
+    * indexed ids (append, not upsert) and the dimension must match the
+    * build. Quantization error grows if appended data drifts far from
+    * the training distribution — monitor recall and rebuild with
+    * [[buildPqIndex]] when it sags. */
+  def appendToPqIndex(index: PersistedPqIndex, newVectors: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): PersistedPqIndex = {
+    val dim = Similarity.vectorDim(newVectors, vecCol)
+    require(dim == index.params.dim,
+      s"appendToPqIndex: new vectors have dim $dim, index was built at " +
+        s"dim ${index.params.dim}")
+    val newCodes = IvfIndex.assignCells(
+        IvfIndex.unitVectors(newVectors, idCol, vecCol), index.centroids)
+      .select(col("id").as("corpus_id"), col("cell"),
+        encodeCol(col("uvec"), index.codebooks).as("codes"))
+    index.copy(codes = index.codes.unionByName(newCodes),
+      params = index.params.copy(version = index.params.version + 1))
   }
 
   /** Search a (possibly loaded) [[PersistedPqIndex]]: no training, no

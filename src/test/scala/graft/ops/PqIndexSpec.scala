@@ -181,4 +181,61 @@ class PqIndexSpec extends SparkTestBase {
     an[IllegalStateException] should be thrownBy
       PqIndex.PersistedPqIndex.load(spark, dir)
   }
+
+  "appendToPqIndex" should
+      "equal a frozen-model re-encode of the full union" in {
+    val oldPart = corpusDF.filter($"vec_id" < 48)
+    val newPart = corpusDF.filter($"vec_id" >= 48)
+    val built = PqIndex.buildPqIndex(oldPart, nlist = 8, m = 4, ks = 16,
+      iters = 4)
+    val appended = PqIndex.appendToPqIndex(built, newPart)
+    appended.params.version shouldBe built.params.version + 1
+    // re-encode the WHOLE union corpus with the same frozen models —
+    // appending must be indistinguishable from having encoded everything
+    val reEncoded = IvfIndex.assignCells(
+        IvfIndex.unitVectors(corpusDF, "vec_id", "embedding"),
+        built.centroids)
+      .select($"id".as("corpus_id"), $"cell",
+        PqIndex.encodeCol($"uvec", built.codebooks).as("codes"))
+    appended.codes.orderBy($"corpus_id").collect() shouldBe
+      reEncoded.orderBy($"corpus_id").collect()
+  }
+
+  it should "search like a frozen-model rebuild, and round-trip save" in {
+    val oldPart = corpusDF.filter($"vec_id" < 48)
+    val newPart = corpusDF.filter($"vec_id" >= 48)
+    val built = PqIndex.buildPqIndex(oldPart, nlist = 8, m = 4, ks = 16,
+      iters = 4)
+    val appended = PqIndex.appendToPqIndex(built, newPart)
+    val reEncoded = IvfIndex.assignCells(
+        IvfIndex.unitVectors(corpusDF, "vec_id", "embedding"),
+        built.centroids)
+      .select($"id".as("corpus_id"), $"cell",
+        PqIndex.encodeCol($"uvec", built.codebooks).as("codes"))
+    val rebuilt = built.copy(codes = reEncoded)
+    val a = PqIndex.searchPqIndex(appended, queriesDF, k = 5, nprobe = 3,
+        rerank = 20, rerankAgainst = corpusDF)
+      .orderBy($"query_id", $"rank").collect()
+    val b = PqIndex.searchPqIndex(rebuilt, queriesDF, k = 5, nprobe = 3,
+        rerank = 20, rerankAgainst = corpusDF)
+      .orderBy($"query_id", $"rank").collect()
+    a shouldBe b
+    // the appended generation survives save/load (version included)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqapp_").toString
+    appended.save(dir)
+    val loaded = PqIndex.PersistedPqIndex.load(spark, dir)
+    loaded.params shouldBe appended.params
+    PqIndex.searchPqIndex(loaded, queriesDF, k = 5, nprobe = 3,
+        rerank = 20, rerankAgainst = corpusDF)
+      .orderBy($"query_id", $"rank").collect() shouldBe a
+  }
+
+  it should "reject a dimension mismatch" in {
+    val built = PqIndex.buildPqIndex(corpusDF, nlist = 4, m = 4, ks = 8,
+      iters = 2)
+    val wrongDim = Seq((999L, Seq.fill(dim / 2)(0.5f)))
+      .toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      PqIndex.appendToPqIndex(built, wrongDim)
+  }
 }

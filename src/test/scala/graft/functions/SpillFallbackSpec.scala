@@ -1,0 +1,110 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.functions._
+
+import KllFunctions._
+
+/** The TypedImperativeAggregates under memory pressure: with
+  * `objectHashAggregate.sortBased.fallbackThreshold = 1`, every task's
+  * hash map abandons after its first group and the remaining groups run
+  * through the SORT-BASED fallback — which pushes each aggregation
+  * buffer through its serializer mid-task, the same path a
+  * memory-pressured executor takes when the object hash map cannot
+  * grow. Exchange-boundary serialization is covered elsewhere
+  * (TopKAggregateSpec / VectorAggregatesSpec); this spec proves the
+  * in-task fallback serde produces identical (or in-bound) results,
+  * and checks the `numTasksFallBacked` metric so a silently-not-
+  * engaged fallback cannot green-wash the test. */
+class SpillFallbackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** AQE off so the executed plan is traversable for metrics. */
+  private def forceFallback[T](body: => T): T =
+    withConf(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1",
+      "spark.sql.adaptive.enabled" -> "false")(body)
+
+  /** Sum of `numTasksFallBacked` across the plan's object-hash
+    * aggregates — nonzero iff the sort-based fallback actually ran.
+    * Must be read from the EXACT Dataset instance that was collected:
+    * any transformation (orderBy, toDF, head's implicit limit) builds a
+    * fresh queryExecution whose metrics never move. */
+  private def fallbackTasks(df: org.apache.spark.sql.Dataset[_]): Long =
+    df.queryExecution.executedPlan.collect {
+      case o: ObjectHashAggregateExec => o
+    }.flatMap(_.metrics.get("numTasksFallBacked")).map(_.value).sum
+
+  "vecMean" should "survive the sort-based fallback bit-for-bit" in {
+    // integer-valued components: per-element totals are exact, and the
+    // single divide happens at eval, so hash and fallback paths must
+    // agree EXACTLY, not just approximately
+    val df = (0 until 10000)
+      .map(i => (i % 200, Seq((i % 11).toDouble, (i % 7).toDouble)))
+      .toDF("g", "v").repartition(8)
+    def run() = df.groupBy($"g")
+      .agg(VectorAggFunctions.vecMean($"v").as("m"))
+    val plain = run().orderBy($"g").collect()
+    forceFallback {
+      // metrics live on the executed plan instance: order + collect the
+      // SAME Dataset the metric read targets
+      val out = run().orderBy($"g")
+      out.collect() shouldBe plain
+      fallbackTasks(out) should be > 0L
+    }
+  }
+
+  "scoreTopK" should "survive the sort-based fallback exactly" in {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map(i => (i % 100, rnd.nextInt(40).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val expected = rows.groupBy(_._1).view.mapValues { grp =>
+      grp.map(t => (t._3, t._2)).sortBy { case (id, s) => (-s, id) }
+        .take(5).toSeq
+    }.toMap
+    forceFallback {
+      val out = df.groupBy($"g")
+        .agg(TopKFunctions.scoreTopK($"score", $"id", 5).as("topk"))
+        .select($"g", posexplode($"topk"))
+        .select($"g", $"col.id", $"col.score", ($"pos" + 1).as("rank"))
+        .as[(Int, Long, Double, Int)]
+      val got = out.collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+      got shouldBe expected
+      fallbackTasks(out) should be > 0L
+    }
+  }
+
+  "kllSketch and kllMerge" should
+      "stay within the rank-error bound through the fallback" in {
+    // KLL compaction depends on ingest order, which the sort-based
+    // fallback reorders — assert the sketch's accuracy CONTRACT, not
+    // byte equality
+    val df = (1 to 10000).map(i => (i % 100, (i.toDouble / 100) * (i / 100)))
+      .toDF("g", "v").repartition(8)
+    val values = df.select($"v").as[Double].collect().sorted
+    forceFallback {
+      val q = df.groupBy($"g").agg(kllSketch($"v").as("sk"))
+        .agg(kllQuantiles(kllMerge($"sk"), Seq(0.1, 0.5, 0.9)).as("q"))
+        .as[Seq[Double]]
+      val merged = q.collect().head
+      fallbackTasks(q) should be > 0L
+      merged.zip(Seq(0.1, 0.5, 0.9)).foreach { case (qv, p) =>
+        val rank = values.count(_ <= qv).toDouble / values.length
+        math.abs(rank - p) should be <= 0.03
+      }
+    }
+  }
+}

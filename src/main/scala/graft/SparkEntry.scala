@@ -337,6 +337,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Streaming changelog audit: the three integrity rules evaluated as
+    // the replicator stream arrives — each batch refines the per-key
+    // anomaly list (late initial inserts RETRACT earlier
+    // update_before_insert verdicts, so emissions are whole-list
+    // refinements). Replayed to completion, the final refinements must
+    // equal the batch audit (shares q_changelog_audit's oracle shape).
+    "q_stream_audit" -> ((s, d) => {
+      val out = scratchDir("graft_sa_")
+      val log = Tables.eventsStream(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_id") % 17 === 0, lit("D"))
+          .when(col("event_id") % 5 === 0, lit("I"))
+          .otherwise(lit("U")).as("row_status"))
+      graft.streaming.ChangelogStream.replayToFiles(
+          graft.streaming.ChangelogStream.streamAudit(log, Seq("user_id"),
+            "ts", "row_status", tieBreakers = Seq("event_id")),
+          Seq("user_id"), out, statePartitions = 8)
+        .select(col("user_id"), explode(col("anomalies")).as("a"))
+        .select(col("user_id"), col("a.ts").as("ts"),
+          col("a.__audit_status").as("row_status"), col("a.anomaly"))
+        .orderBy(col("user_id"), col("ts"), col("row_status"),
+          col("anomaly"))
+    }),
+
     // Continuously-maintained materialized snapshot, partition-aligned:
     // each micro-batch advances the stored state and commits ONLY the
     // key-bucket directories it touched, by stage-then-rename with
@@ -1406,6 +1430,29 @@ object SparkEntry {
         |FROM n""".stripMargin,
     // Audit rules replicated window-for-window.
     "q_changelog_audit" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 17 = 0 THEN 'D'
+        |         WHEN event_id % 5 = 0 THEN 'I' ELSE 'U' END AS row_status
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, row_status,
+        |    lag(ts) OVER w AS pts, lag(row_status) OVER w AS pst
+        |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT user_id, ts, row_status,
+        |    CASE WHEN pts IS NOT NULL AND pts = ts THEN 'duplicate_version'
+        |         WHEN pts IS NULL AND row_status <> 'I' THEN 'update_before_insert'
+        |         WHEN pst = 'D' AND row_status <> 'I' THEN 'row_after_delete'
+        |    END AS anomaly
+        |  FROM f)
+        |SELECT user_id, ts, row_status, anomaly FROM a
+        | WHERE anomaly IS NOT NULL
+        | ORDER BY user_id, ts, row_status, anomaly""".stripMargin,
+    // Streaming audit converges to the batch audit — same rules, same
+    // oracle (the stream's final per-key refinement IS the full-history
+    // verdict).
+    "q_stream_audit" ->
       """WITH log AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN event_id % 17 = 0 THEN 'D'

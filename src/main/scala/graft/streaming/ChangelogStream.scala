@@ -345,6 +345,116 @@ object ChangelogStream {
       .drop(s"r_$keyCol")
   }
 
+  /** Streaming changelog integrity audit — [[graft.ops.ChangelogAudit]]
+    * evaluated AS THE REPLICATOR STREAM ARRIVES, so corruption surfaces
+    * within a micro-batch of its arrival instead of at the next batch
+    * audit — before a bad snapshot is built, which is the audit's whole
+    * pitch. Same three rules, same I/U/D vocabulary.
+    *
+    * Update-mode refinement per touched key: state holds the key's
+    * version history seen so far (ordered by `(tsCol, tieBreakers)`);
+    * each batch merges its rows, re-evaluates the rules over the merged
+    * history, and emits ONE row per touched key carrying that key's
+    * CURRENT anomaly list. Whole-list refinements, not deltas, because
+    * late data can RETRACT a verdict: an out-of-order initial insert
+    * arriving in a later batch clears `update_before_insert` for its
+    * key. Replaying through [[replayToFiles]] (latest refinement per
+    * key) and exploding the lists therefore equals the batch audit —
+    * the oracle `q_stream_audit` checks.
+    *
+    * State: the key's full version history, as the rules are
+    * neighbor-dependent and arbitrarily-late rows need the history to
+    * re-evaluate against. Bounded by versions per key (changelog
+    * depth), not stream length; endless streams with unbounded per-key
+    * churn should compact history older than a lateness horizon into
+    * its settled verdicts before pointing this at years of replication.
+    */
+  def streamAudit(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
+                  statusCol: String, insertStatus: String = "I",
+                  deleteStatus: String = "D",
+                  tieBreakers: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "streamAudit needs key columns")
+    val schema = changelog.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val ordCols = tsCol +: tieBreakers
+    val ordIdx = ordCols.map(schema.fieldIndex)
+    val stIdx = schema.fieldIndex(statusCol)
+
+    // history entries carry the ordering columns WITH their original
+    // types plus the status; anomaly rows add the verdict
+    val entryType = StructType(ordCols.map(schema(_)) :+
+      StructField("__audit_status", StringType))
+    val anomalyType = StructType(entryType.fields :+
+      StructField("anomaly", StringType))
+    val stateSchema = StructType(Seq(
+      StructField("h", ArrayType(entryType))))
+    val outSchema = StructType(keyIdx.map(schema(_)) :+
+      StructField("anomalies", ArrayType(anomalyType)))
+
+    val stateEnc = Encoders.row(stateSchema)
+    val outEnc = Encoders.row(outSchema)
+    implicit val keyEnc = Encoders.STRING
+
+    // SQL ASC with nulls first — the comparator twin of latestPerKey's
+    // isNewer, as a total order for sorting the history
+    def cmp(a: Seq[Any], b: Seq[Any]): Int =
+      a.zip(b).iterator.map {
+        case (x, y) if java.util.Objects.equals(x, y) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (xc: Comparable[Any] @unchecked, yc) =>
+          Integer.signum(xc.compareTo(yc))
+        case _ => 0
+      }.find(_ != 0).getOrElse(0)
+
+    def ordOf(e: Row): Seq[Any] = (0 until ordIdx.length).map(e.get)
+
+    // the batch audit's exact rule precedence: duplicate_version (never
+    // on a key's first row — no predecessor), else update_before_insert
+    // on a non-insert first row, else row_after_delete
+    def anomaliesOf(h: Seq[Row]): Seq[Row] = {
+      val out = Seq.newBuilder[Row]
+      var prev: Row = null
+      h.foreach { e =>
+        val st = e.getString(ordIdx.length)
+        // null guards mirror the batch audit's SQL three-valued logic:
+        // a NULL ts or status never satisfies =!=/=== there, so it never
+        // flags here either
+        val anomaly =
+          if (prev != null && prev.get(0) != null &&
+              java.util.Objects.equals(prev.get(0), e.get(0)))
+            "duplicate_version"
+          else if (prev == null && st != null && st != insertStatus)
+            "update_before_insert"
+          else if (prev != null &&
+              prev.getString(ordIdx.length) == deleteStatus &&
+              st != null && st != insertStatus)
+            "row_after_delete"
+          else null
+        if (anomaly != null)
+          out += Row.fromSeq(e.toSeq :+ anomaly)
+        prev = e
+      }
+      out.result()
+    }
+
+    val update = (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
+      val batch = rows.toSeq // NoTimeout: only invoked with new data
+      val entries = batch.map { r =>
+        Row.fromSeq(ordIdx.map(r.get) :+
+          Option(r.get(stIdx)).map(_.toString).orNull)
+      }
+      val prior = state.getOption.map(_.getSeq[Row](0)).getOrElse(Seq.empty)
+      val merged = (prior ++ entries)
+        .sortWith((a, b) => cmp(ordOf(a), ordOf(b)) < 0)
+      state.update(Row(merged))
+      Row.fromSeq(keyIdx.map(batch.head.get) :+ anomaliesOf(merged))
+    }
+    changelog.groupByKey(r => encodeKey(keyIdx.map(r.get)))
+      .mapGroupsWithState[Row, Row](GroupStateTimeout.NoTimeout)(update)(
+        stateEnc, outEnc)
+  }
+
   /** Suggested sink wiring for the upsert view (Update output mode). */
   def upsertOutputMode: OutputMode = OutputMode.Update()
 }

@@ -339,4 +339,77 @@ class ChangelogStreamSpec extends SparkTestBase {
       rows shouldBe Set((1L, 2L, 3.0), (1L, 1L, 3.0))
     } finally q.stop()
   }
+
+  case class SEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                 row_status: String)
+  private def sev(u: Long, e: Long, sec: Long, st: String) =
+    SEv(u, e, new java.sql.Timestamp(sec * 1000), st)
+
+  "streamAudit" should "flag on arrival and retract on late history" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[SEv]
+    val audited = ChangelogStream.streamAudit(input.toDF(), Seq("user_id"),
+      "ts", "row_status", tieBreakers = Seq("event_id"))
+    val q = audited.writeStream.format("memory").queryName("audit_view")
+      .outputMode("update").start()
+    // each emission: (user_id, anomaly labels of the key's CURRENT list)
+    def emissions() = spark.table("audit_view")
+      .select($"user_id",
+        org.apache.spark.sql.functions.transform($"anomalies",
+          a => a.getField("anomaly")).as("labels"))
+      .as[(Long, Seq[String])].collect().toSeq
+    try {
+      // batch 1: u1 has no insert yet; u2 carries a same-ts duplicate
+      input.addData(sev(1, 2, 100, "U"), sev(2, 10, 100, "I"),
+        sev(2, 11, 100, "U"))
+      q.processAllAvailable()
+      val b1 = emissions().groupBy(_._1)
+      // corruption is flagged within its ARRIVAL batch
+      b1(1L).map(_._2) shouldBe Seq(Seq("update_before_insert"))
+      b1(2L).map(_._2) shouldBe Seq(Seq("duplicate_version"))
+      // batch 2: u1's initial insert arrives late — the verdict must
+      // RETRACT (whole-list refinement); u2 updates after a delete
+      input.addData(sev(1, 1, 50, "I"), sev(2, 12, 200, "D"),
+        sev(2, 13, 300, "U"))
+      q.processAllAvailable()
+      val b2 = emissions().groupBy(_._1)
+      b2(1L).map(_._2).toSet shouldBe
+        Set(Seq("update_before_insert"), Seq.empty)
+      b2(2L).map(_._2).toSet shouldBe
+        Set(Seq("duplicate_version"),
+          Seq("duplicate_version", "row_after_delete"))
+    } finally q.stop()
+  }
+
+  it should "converge to the batch audit over a multi-batch replay" in {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[SEv]
+    // interleave out-of-order history across three batches
+    val all = Seq(
+      sev(1, 2, 100, "U"), sev(1, 1, 50, "I"), sev(1, 3, 100, "U"),
+      sev(2, 10, 10, "U"), sev(2, 11, 20, "D"), sev(2, 12, 30, "U"),
+      sev(3, 20, 5, "I"), sev(3, 21, 6, "D"), sev(3, 22, 7, "I"),
+      sev(3, 23, 8, "U"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_saud_").toString
+    val fin = {
+      val audited = ChangelogStream.streamAudit(input.toDF(),
+        Seq("user_id"), "ts", "row_status", tieBreakers = Seq("event_id"))
+      all.grouped(4).foreach(batch => input.addData(batch: _*))
+      ChangelogStream.replayToFiles(audited, Seq("user_id"), dir)
+    }
+    val streamed = fin
+      .select($"user_id", explode($"anomalies").as("a"))
+      .select($"user_id", $"a.ts", $"a.__audit_status", $"a.anomaly")
+      .orderBy($"user_id", $"a.ts", $"a.anomaly").collect()
+    val batch = graft.ops.ChangelogAudit.audit(
+        all.map(e => (e.user_id, e.event_id, e.ts, e.row_status))
+          .toDF("user_id", "event_id", "ts", "row_status"),
+        Seq("user_id"), "ts", "row_status",
+        tieBreakers = Seq("event_id"))
+      .orderBy($"user_id", $"ts", $"anomaly").collect()
+    streamed.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+      r.getString(3))).toSeq shouldBe
+      batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getString(3))).toSeq
+  }
 }

@@ -2562,7 +2562,16 @@ object SparkEntry {
         |    AS duration_ms,
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
         |  CAST(1 AS INTEGER) AS n_video,
-        |  CAST(doc_id % 3 AS INTEGER) AS n_audio
+        |  CAST(doc_id % 3 AS INTEGER) AS n_audio,
+        |  list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
+        |    t -> CASE WHEN t = 1 THEN 'vide' ELSE 'soun' END)
+        |    AS track_handlers,
+        |  list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
+        |    t -> ((600 + (doc_id % 1000) * 3 + t) * 1000) // 600)
+        |    AS track_durations_ms,
+        |  list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
+        |    t -> CASE WHEN t = 1 THEN 'avc1' ELSE 'mp4a' END)
+        |    AS track_codecs
         |FROM documents ORDER BY id""".stripMargin
   )
 

@@ -19,16 +19,30 @@ package graft.ops
   */
 object Mp4Probe {
 
+  /** Per-track structural metadata: the `mdia/hdlr` handler type
+    * (`vide`/`soun`/...), the track's own media duration in
+    * milliseconds from `mdia/mdhd` (its timescale, not the movie's —
+    * audio and video tracks of one file legitimately differ), and the
+    * codec fourcc of the first `stbl/stsd` sample entry (`avc1`,
+    * `hvc1`, `mp4a`, ...) — what a curation filter keys on to accept
+    * H.264 but reroute HEVC, or to spot a video track shorter than its
+    * movie (truncated mux). */
+  final case class TrackMeta(handler: Option[String],
+                             durationMs: Option[Long],
+                             codec: Option[String])
+
   /** Structural metadata of an MP4 container: presentation dims of the
     * first visual track (None when every `tkhd` declares 0×0 —
     * audio/hint-only movies), movie duration in milliseconds from
     * `mvhd` (None when `mvhd` is absent or its timescale is 0), the
-    * number of `trak` boxes, and how many declare a `vide` / `soun`
+    * number of `trak` boxes, how many declare a `vide` / `soun`
     * handler in `mdia/hdlr` — the video/audio split a curation filter
-    * keys on (silent clip vs video-with-audio vs audio-only). */
+    * keys on (silent clip vs video-with-audio vs audio-only) — and the
+    * per-track [[TrackMeta]] in file order. */
   final case class Mp4Meta(width: Option[Int], height: Option[Int],
                            durationMs: Option[Long], nTracks: Int,
-                           nVideoTracks: Int, nAudioTracks: Int)
+                           nVideoTracks: Int, nAudioTracks: Int,
+                           tracks: Seq[TrackMeta] = Nil)
 
   private def beInt(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
@@ -55,14 +69,59 @@ object Mp4Probe {
     var nTracks = 0
     var nVideo = 0
     var nAudio = 0
+    var tracks = Vector.empty[TrackMeta]
+    // per-trak accumulation — trak children are walked synchronously, so
+    // one mutable slot suffices (nested trak boxes are not legal BMFF)
+    var curHandler: Option[String] = None
+    var curDurMs: Option[Long] = None
+    var curCodec: Option[String] = None
 
     def readHdlr(start: Int, end: Int): Unit = {
       // version/flags(4) + pre_defined(4) + handler_type(4)
-      if (start + 12 <= end) boxType(bytes, start + 8) match {
-        case "vide" => nVideo += 1
-        case "soun" => nAudio += 1
-        case _ => ()
+      if (start + 12 <= end) {
+        val h = boxType(bytes, start + 8)
+        if (curHandler.isEmpty) curHandler = Some(h)
+        h match {
+          case "vide" => nVideo += 1
+          case "soun" => nAudio += 1
+          case _ => ()
+        }
       }
+    }
+
+    // mdhd = the TRACK's media clock: its own timescale + duration.
+    // Same version split and all-ones "unknown" sentinel as mvhd.
+    def readMdhd(start: Int, end: Int): Option[Long] = {
+      if (start >= end) return None
+      val version = bytes(start) & 0xFF
+      if (version == 1) {
+        if (start + 32 > end) None
+        else {
+          val timescale = beInt(bytes, start + 20)
+          val duration = (beInt(bytes, start + 24) << 32) |
+            beInt(bytes, start + 28)
+          if (timescale > 0 && duration >= 0 && duration != -1L)
+            Some(duration * 1000L / timescale)
+          else None
+        }
+      } else {
+        if (start + 20 > end) None
+        else {
+          val timescale = beInt(bytes, start + 12)
+          val duration = beInt(bytes, start + 16)
+          if (timescale > 0 && duration != 0xFFFFFFFFL)
+            Some(duration * 1000L / timescale)
+          else None
+        }
+      }
+    }
+
+    // stsd payload: version/flags(4) entry_count(4), then the first
+    // sample entry's own box header — its TYPE is the codec fourcc
+    def readStsd(start: Int, end: Int): Option[String] = {
+      if (start + 16 > end) None
+      else if (beInt(bytes, start + 4) < 1) None
+      else Some(boxType(bytes, start + 12))
     }
 
     def readTkhd(start: Int, end: Int): Unit = {
@@ -131,11 +190,17 @@ object Mp4Probe {
               case "moov" => walk(bodyStart, bodyEnd, depth + 1)
               case "trak" =>
                 nTracks += 1
+                curHandler = None; curDurMs = None; curCodec = None
                 walk(bodyStart, bodyEnd, depth + 1)
-              case "mdia" => walk(bodyStart, bodyEnd, depth + 1)
+                tracks :+= TrackMeta(curHandler, curDurMs, curCodec)
+              case "mdia" | "minf" | "stbl" =>
+                walk(bodyStart, bodyEnd, depth + 1)
               case "tkhd" => readTkhd(bodyStart, bodyEnd)
               case "mvhd" => readMvhd(bodyStart, bodyEnd)
+              case "mdhd" => curDurMs = readMdhd(bodyStart, bodyEnd)
               case "hdlr" => readHdlr(bodyStart, bodyEnd)
+              case "stsd" =>
+                if (curCodec.isEmpty) curCodec = readStsd(bodyStart, bodyEnd)
               case _ => () // codec/media boxes: structural skip only
             }
             p = bodyEnd
@@ -146,7 +211,7 @@ object Mp4Probe {
 
     walk(0, bytes.length, 0)
     Some(Mp4Meta(dims.map(_._1), dims.map(_._2), durationMs, nTracks,
-      nVideo, nAudio))
+      nVideo, nAudio, tracks))
   }
 
   // ---- synthetic container encoding (fixtures / sink-side) ----
@@ -170,11 +235,15 @@ object Mp4Probe {
       be32(0) ++ be32(0) ++ be32(0x40000000L))
 
   /** A structurally-valid metadata-only MP4 (`ftyp` + `moov` holding
-    * `mvhd` + `nTracks` × `trak/tkhd`, no media data): track 1 carries
-    * the presentation dims, further tracks declare 0×0 (the audio/hint
-    * shape [[probe]] must skip). Real big-endian v0 box layout
-    * throughout — what a probe-only fixture needs, with no codec
-    * payload to fake. */
+    * `mvhd` + `nTracks` × `trak/{tkhd, mdia/{mdhd, hdlr,
+    * minf/stbl/stsd}}`, no media data): track 1 carries the
+    * presentation dims and an `avc1` sample entry, further tracks
+    * declare 0×0 with `mp4a` (the audio shape [[probe]] must skip for
+    * geometry but report per-track). Track `t`'s `mdhd` duration is
+    * `duration + t` ticks at the movie timescale, so per-track media
+    * durations are distinct and arithmetic-checkable. Real big-endian
+    * v0 box layout throughout — what a probe-only fixture needs, with
+    * no codec payload to fake. */
   def buildMetadataOnly(width: Int, height: Int, timescale: Long,
                         duration: Long, nTracks: Int): Array[Byte] = {
     require(nTracks >= 1 && timescale > 0 && duration >= 0 &&
@@ -194,10 +263,19 @@ object Mp4Probe {
       // track 1 declares a vide handler, the rest soun — the shape of a
       // video with audio tracks, so handler counting has real structure
       val handler = if (t == 1) "vide" else "soun"
+      val codec = if (t == 1) "avc1" else "mp4a"
       val hdlr = box("hdlr",
         be32(0) /* v0 + flags */ ++ be32(0) /* pre_defined */ ++
           handler.getBytes("US-ASCII") ++ new Array[Byte](12) /* reserved */ ++
           Array[Byte](0) /* empty null-terminated name */)
+      val mdhd = box("mdhd",
+        be32(0) /* v0 + flags */ ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32(duration + t) /* per-track duration */ ++
+          new Array[Byte](4) /* language + pre_defined */)
+      // minimal SampleEntry body: 6 reserved bytes + data_reference_index
+      val stsd = box("stsd",
+        be32(0) /* v0 + flags */ ++ be32(1) /* entry_count */ ++
+          box(codec, new Array[Byte](8)))
       box("trak", box("tkhd",
         be32(7) /* v0 + flags: enabled|in movie|in preview */ ++
           be32(0) ++ be32(0) ++ be32(t.toLong) ++ be32(0) ++
@@ -205,7 +283,7 @@ object Mp4Probe {
           new Array[Byte](8) /* layer, alt group, volume, reserved */ ++
           UnityMatrix ++
           be32(w.toLong << 16) ++ be32(h.toLong << 16)) ++
-        box("mdia", hdlr))
+        box("mdia", mdhd ++ hdlr ++ box("minf", box("stbl", stsd))))
     }
     val moov = box("moov", mvhd ++ traks.flatten)
     ftyp ++ moov

@@ -720,7 +720,8 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Output schema of [[probeMp4]]. */
+  /** Output schema of [[probeMp4]]. The `track_*` arrays are aligned by
+    * file-order track index. */
   val Mp4MetaSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("width", IntegerType),
@@ -728,7 +729,10 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("n_tracks", IntegerType),
     StructField("n_video", IntegerType),
-    StructField("n_audio", IntegerType)))
+    StructField("n_audio", IntegerType),
+    StructField("track_handlers", ArrayType(StringType)),
+    StructField("track_durations_ms", ArrayType(LongType)),
+    StructField("track_codecs", ArrayType(StringType))))
 
   /** Structural MP4 metadata per payload — first-visual-track dims,
     * `mvhd` duration in ms, track count, vide/soun handler counts — via
@@ -753,14 +757,18 @@ object Multimodal {
               case Some(m) => Row(id, m.width.map(Int.box).orNull,
                 m.height.map(Int.box).orNull,
                 m.durationMs.map(Long.box).orNull, m.nTracks,
-                m.nVideoTracks, m.nAudioTracks)
-              case None => Row(id, null, null, null, null, null, null)
+                m.nVideoTracks, m.nAudioTracks,
+                m.tracks.map(_.handler.orNull),
+                m.tracks.map(_.durationMs.map(Long.box).orNull),
+                m.tracks.map(_.codec.orNull))
+              case None =>
+                Row(id, null, null, null, null, null, null, null, null, null)
             }
           } catch {
             // same per-row containment as extractFeatures: one malformed
             // asset in a 100 TB scan yields its null row, never a dead task
             case scala.util.control.NonFatal(_) =>
-              Row(id, null, null, null, null, null, null)
+              Row(id, null, null, null, null, null, null, null, null, null)
           }
         }
       }

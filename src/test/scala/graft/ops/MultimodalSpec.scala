@@ -594,6 +594,17 @@ class MultimodalSpec extends SparkTestBase {
     b.nTracks shouldBe 3
     // builder emits one vide handler (track 1) + soun for the rest
     (b.nVideoTracks, b.nAudioTracks) shouldBe ((1, 2))
+    // per-track mdhd durations (duration + t ticks, floored to ms) and
+    // stsd codec fourccs, in file order
+    b.tracks.map(_.handler) shouldBe
+      Seq(Some("vide"), Some("soun"), Some("soun"))
+    b.tracks.map(_.durationMs) shouldBe
+      (1 to 3).map(t => Some((901L + t) * 1000L / 600L))
+    b.tracks.map(_.codec) shouldBe
+      Seq(Some("avc1"), Some("mp4a"), Some("mp4a"))
+    // hand-built traks above had no mdia at all → per-track fields None
+    m.tracks shouldBe Seq(Mp4Probe.TrackMeta(None, None, None),
+      Mp4Probe.TrackMeta(None, None, None))
   }
 
   it should "return None for junk, truncated, or trackless payloads" in {

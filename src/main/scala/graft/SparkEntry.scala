@@ -484,8 +484,9 @@ object SparkEntry {
     // version, then read it back — content preservation IS the oracle
     // (plain SELECT *). File-count/clustering properties in CompactionSpec.
     "q_compaction" -> ((s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_q_compact_").toString
+      // scratchDir, not a bare temp dir: repeated bench/verify runs must
+      // not accumulate full copies of the compacted table on local disk
+      val tmp = scratchDir("graft_q_compact_")
       val dest = graft.ops.Compaction.compact(s, s"$d/orders.parquet", tmp,
         sortBy = Seq("o_orderkey"))
       s.read.parquet(dest).orderBy(col("o_orderkey"))
@@ -1661,7 +1662,7 @@ object SparkEntry {
         |         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') END AS path,
         |    array_to_string(list_sort(list_filter(
         |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))), '&') AS normquery
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid)(=.*)?$'))), '&') AS normquery
         |  FROM comps)
         |SELECT concat(scheme, '://', hostport, path,
         |         CASE WHEN normquery = '' THEN '' ELSE concat('?', normquery) END) AS canonical_url,

@@ -30,6 +30,15 @@ object ChangelogAudit {
             deleteStatus: String = "D",
             tieBreakers: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "audit needs key columns")
+    // the working columns would silently REPLACE same-named input
+    // columns (withColumn semantics) and corrupt the audit — e.g. an
+    // input that already carries an 'anomaly' column. Refuse, like the
+    // other ops do for their reserved names.
+    val reserved = Seq("__prev_ts", "__prev_status", "anomaly")
+      .filter(changelog.columns.contains)
+    require(reserved.isEmpty,
+      s"audit: input already has reserved column(s) ${reserved.mkString(", ")} " +
+        "— rename them before auditing")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((tsCol +: tieBreakers).map(col): _*)
     val flagged = changelog

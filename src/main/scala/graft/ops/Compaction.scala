@@ -86,21 +86,47 @@ object Compaction {
     // next version counts EVERY v=* directory, not just committed ones:
     // a crashed run leaves an uncommitted (no _SUCCESS) v=N behind that
     // versions() rightly hides from readers — but reusing its number
-    // would make every retry die on errorifexists, bricking the outDir
-    // until someone hand-deletes the wreck. Skipping over it keeps
-    // retries running; readers still only ever see committed versions.
+    // would collide every retry, bricking the outDir until someone
+    // hand-deletes the wreck. Skipping over it keeps retries running;
+    // readers still only ever see committed versions. Unparseable v=*
+    // names are SKIPPED, not parsed as version 0 — a stray "v=old"
+    // directory must not silently participate in numbering.
     val p = new Path(outDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val anyVersion =
       if (!fs.exists(p)) 0L
       else fs.listStatus(p).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") =>
-          try n.stripPrefix("v=").toLong catch { case _: NumberFormatException => 0L }
-        }.foldLeft(0L)(math.max)
-    val version = anyVersion + 1L
-    val dest = s"$outDir/v=$version"
-    shaped.write.mode("errorifexists").parquet(dest)
-    dest
+        .filter(_.startsWith("v="))
+        .flatMap(n => n.stripPrefix("v=").toLongOption)
+        .foldLeft(0L)(math.max)
+    // write into a uniquely-named staging dir (underscore prefix: hidden
+    // from partition discovery and from versions()), then CLAIM a
+    // version number by rename — effectively atomic on HDFS-like
+    // filesystems, so two concurrent compactions that computed the same
+    // next version cannot both win it: the loser's rename fails and it
+    // claims the next number instead. The full shuffle+write happens
+    // once, before any contention.
+    val stage = new Path(
+      s"$outDir/_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    shaped.write.mode("errorifexists").parquet(stage.toString)
+    var version = anyVersion
+    var dest: Path = null
+    var attempts = 0
+    while (dest == null) {
+      version += 1L
+      val cand = new Path(s"$outDir/v=$version")
+      if (!fs.exists(cand) && fs.rename(stage, cand)) dest = cand
+      else {
+        attempts += 1
+        if (attempts >= 64) {
+          fs.delete(stage, true)
+          throw new java.io.IOException(
+            s"compact: could not claim a version under $outDir " +
+              s"after $attempts attempts (concurrent writers?)")
+        }
+      }
+    }
+    dest.toString
   }
 
   /** Read the latest committed compaction under `outDir`. */

@@ -158,20 +158,37 @@ object Snapshot {
     * happens before the wide select. When one snapshot is known to
     * differ only within a bounded key set (e.g. from
     * [[changedKeysBetween]]), semi-join both sides on those keys first
-    * — the diff then never scans the unchanged bulk. */
+    * — the diff then never scans the unchanged bulk.
+    *
+    * NULL keys: the default plain equi-join inherits the reference
+    * data model's contract that row keys are non-null (an HBase row
+    * key cannot be null) — a NULL-keyed row would never match itself
+    * and surface as a spurious insert+delete pair. Set
+    * `nullSafeKeys = true` to join on `<=>` so a NULL key diffs as one
+    * logical row; the cost is real at scale: the null-safe key
+    * expressions cannot reuse the upstream aggregation's partitioning
+    * or a bucketed layout, adding one view-sized exchange per side. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String],
-                   compareCols: Seq[String] = Nil): DataFrame = {
+                   compareCols: Seq[String] = Nil,
+                   nullSafeKeys: Boolean = false): DataFrame = {
     val cmp =
       if (compareCols.nonEmpty) compareCols
       else oldSnap.columns.filterNot(keyCols.contains)
         .filter(newSnap.columns.contains).toIndexedSeq.sorted
     require(cmp.nonEmpty, "snapshotDiff needs at least one compare column")
     def side(df: DataFrame, p: String, marker: String) =
-      df.select(keyCols.map(col) ++
+      df.select(keyCols.map(c => col(c).as(s"${p}k_$c")) ++
         cmp.map(c => col(c).as(s"$p$c")) :+ lit(true).as(marker): _*)
+    // <=> stays an equi-join to the planner (hash joinable), but its
+    // derived key expressions forfeit upstream partitioning reuse — see
+    // the scaladoc for when to pay that
+    def eq(c: String) =
+      if (nullSafeKeys) col(s"__o_k_$c") <=> col(s"__n_k_$c")
+      else col(s"__o_k_$c") === col(s"__n_k_$c")
+    val joinCond = keyCols.map(eq).reduce(_ && _)
     val j = side(oldSnap, "__o_", "__op")
-      .join(side(newSnap, "__n_", "__np"), keyCols, "full_outer")
+      .join(side(newSnap, "__n_", "__np"), joinCond, "full_outer")
     val op = col("__op").isNotNull
     val np = col("__np").isNotNull
     def diff(c: String) = !(col(s"__o_$c") <=> col(s"__n_$c"))
@@ -181,7 +198,8 @@ object Snapshot {
     val changedCols = when(op && np,
       concat_ws(",", cmp.map(c => when(diff(c), lit(c))): _*))
     j.filter(!op || !np || anyDiff)
-      .select(keyCols.map(col) ++
+      .select(keyCols.map(c =>
+          coalesce(col(s"__o_k_$c"), col(s"__n_k_$c")).as(c)) ++
         Seq(changeType.as("change_type"), changedCols.as("changed_cols")) ++
         cmp.map(c => col(s"__o_$c").as(s"old_$c")) ++
         cmp.map(c => col(s"__n_$c").as(s"new_$c")): _*)
@@ -191,9 +209,12 @@ object Snapshot {
     * new snapshot. Deleted/updated keys leave via a LEFT ANTI join on
     * the (delta-sized, broadcast-able) key set; inserted/updated rows
     * enter from the diff's `new_*` columns. `prev` is never shuffled —
-    * the same asymmetry as [[advanceSnapshot]]. */
+    * the same asymmetry as [[advanceSnapshot]]. `nullSafeKeys` mirrors
+    * [[snapshotDiff]]: set it on BOTH calls when keys may be null, so a
+    * NULL-keyed row named in the diff actually leaves the snapshot. */
   def applyDiff(oldSnap: DataFrame, diff: DataFrame, keyCols: Seq[String],
-                broadcastDiff: Boolean = true): DataFrame = {
+                broadcastDiff: Boolean = true,
+                nullSafeKeys: Boolean = false): DataFrame = {
     val cmp = diff.columns.collect {
       case c if c.startsWith("new_") => c.stripPrefix("new_")
     }.toIndexedSeq
@@ -202,10 +223,14 @@ object Snapshot {
     require(missing.isEmpty,
       s"applyDiff: diff lacks new_* values for snapshot columns " +
         s"${missing.mkString(", ")} — diff with compareCols covering them")
-    val removedKeys0 = diff.select(keyCols.map(col): _*)
+    val removedKeys0 = diff.select(keyCols.map(c => col(c).as(s"__rk_$c")): _*)
     val removedKeys =
       if (broadcastDiff) broadcast(removedKeys0) else removedKeys0
-    val kept = oldSnap.join(removedKeys, keyCols, "left_anti")
+    def eq(c: String) =
+      if (nullSafeKeys) col(c) <=> col(s"__rk_$c")
+      else col(c) === col(s"__rk_$c")
+    val kept = oldSnap.join(removedKeys, keyCols.map(eq).reduce(_ && _),
+      "left_anti")
     val added = diff.filter(col("change_type") =!= "delete")
       .select(keyCols.map(col) ++ cmp.map(c => col(s"new_$c").as(c)): _*)
     kept.unionByName(added.select(kept.columns.map(col): _*))

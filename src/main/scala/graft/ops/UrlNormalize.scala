@@ -43,7 +43,9 @@ object UrlNormalize {
     val path = when(trimmed === "", lit("/")).otherwise(trimmed)
     val query = regexp_extract(pathQ, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)=")))
+      // value OPTIONAL: a bare '?gclid' / '?utm_source' (no '=') is the
+      // same tracker and must not survive normalization
+      p =!= "" && !p.rlike("^(utm_[^=&]*|gclid|fbclid)(=.*)?$")))
     val normQuery = concat_ws("&", params)
     concat(scheme, lit("://"), hostPort, path,
       when(normQuery === "", lit("")).otherwise(concat(lit("?"), normQuery)))

@@ -95,4 +95,25 @@ class SnapshotDiffSpec extends SparkTestBase {
   "snapshotDiff on identical snapshots" should "be empty" in {
     Snapshot.snapshotDiff(oldSnap, oldSnap, Seq("id")).count() shouldBe 0L
   }
+
+  "a NULL-keyed row" should
+      "diff as ONE update and apply cleanly with nullSafeKeys" in {
+    val o = Seq((Some(1L), "a", 1.0), (None, "n", 5.0))
+      .toDF("id", "name", "score")
+    val n = Seq((Some(1L), "a", 1.0), (None, "n", 6.0))
+      .toDF("id", "name", "score")
+    val d = Snapshot.snapshotDiff(o, n, Seq("id"), nullSafeKeys = true)
+    d.count() shouldBe 1L
+    val r = d.head()
+    r.isNullAt(r.fieldIndex("id")) shouldBe true
+    r.getAs[String]("change_type") shouldBe "update"
+    r.getAs[String]("changed_cols") shouldBe "score"
+    // and applyDiff's anti join must actually remove the old null row
+    val rebuilt = Snapshot.applyDiff(o, d, Seq("id"), nullSafeKeys = true)
+    rebuilt.except(n).count() shouldBe 0L
+    n.except(rebuilt).count() shouldBe 0L
+    // the DEFAULT inherits the reference's non-null row-key contract
+    // and keeps co-partitioned joins: a null key splits, documented
+    Snapshot.snapshotDiff(o, n, Seq("id")).count() shouldBe 2L
+  }
 }

@@ -53,6 +53,18 @@ class UrlNormalizeSpec extends SparkTestBase {
       "http://h.com/p?a=1&b=2")
   }
 
+  it should "drop VALUE-LESS tracking params but keep lookalikes" in {
+    norm(
+      "http://h.com/p?gclid",           // bare tracker, no '='
+      "http://h.com/p?utm_source&a=1",  // bare tracker among keepers
+      "http://h.com/p?gclid2=1",        // NOT a tracker (suffix differs)
+      "http://h.com/p?fbclid") shouldBe Seq(
+      "http://h.com/p",
+      "http://h.com/p?a=1",
+      "http://h.com/p?gclid2=1",
+      "http://h.com/p")
+  }
+
   it should "collapse real-world variants of the same page to one key" in {
     val variants = Seq(
       "HTTP://News.Site.com:80/world/story?utm_source=tw&id=7#para",

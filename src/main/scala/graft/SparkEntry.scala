@@ -96,6 +96,20 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))),
 
+    // Snapshot SERIES — the table's state at EVERY daily boundary in
+    // [Jan 5, Jan 25], one changelog pass (assign each change its first
+    // visible boundary, forward-fill via lead+sequence). The oracle
+    // joins changelog × boundaries — the naive plan whose scan cost
+    // multiplies by the boundary count, which snapshotSeries avoids.
+    "q_snapshot_series" -> ((s, d) =>
+      Snapshot.snapshotSeries(Tables.events(s, d), Seq("user_id"), "ts",
+          start = lit("2024-01-05 00:00:00").cast(TimestampType),
+          end = lit("2024-01-25 00:00:00").cast(TimestampType),
+          stepSeconds = 86400L, tieBreakers = Seq("event_id"))
+        .select(col("series_ts"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"), col("ts"))
+        .orderBy(col("series_ts"), col("user_id"))),
+
     // Incremental snapshot maintenance: advance the materialized T1
     // state by the [T1, T2) changelog slice — must equal the full
     // reconstruction at T2 (same oracle as q_snapshot_asof), while the
@@ -1260,6 +1274,26 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Winnowing fingerprints (MOSS): per-document deque scan inside the
+    // projection (zero shuffles before the narrow explode); hash =
+    // md5-prefix of the k-gram so the oracle below rebuilds the whole
+    // scheme function-for-function with substr/md5/window-min.
+    "q_winnow" -> ((s, d) =>
+      graft.ops.Fingerprint.fingerprints(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5, w = 8)
+        .orderBy(col("doc_id"), col("fp_pos"))),
+
+    // Fuzzy entity matching: collapse part names to distinct values
+    // (exact-dedup first — the verify tier runs on distinct cardinality,
+    // not row count), block on the last-4-char suffix, verify with
+    // bounded Levenshtein. dist ∈ [1, 3]: identical names are exact
+    // dedup's job.
+    "q_fuzzy_match" -> ((s, d) =>
+      graft.ops.FuzzyJoin.matchDistinct(
+          Tables.part(s, d), "p_partkey", "p_name", maxDist = 3)
+        .orderBy(col("left_str"), col("right_str"))),
+
     // Per-document top-5 TF-IDF keywords: one inverted-index shuffle,
     // vocab-sized df aggregate joined back, broadcast scalar doc count,
     // per-doc window (bounded by doc length) — deterministic tie-break.
@@ -1409,6 +1443,21 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    // The naive formulation: every boundary joined against every
+    // visible change, then latest-per-(boundary, key). DuckDB's
+    // ORDER-BY aggregate `last` mirrors the (ts, event_id) tie-break.
+    "q_snapshot_series" ->
+      """WITH bounds AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-25 00:00:00', INTERVAL 1 DAY)) AS series_ts)
+        |SELECT b.series_ts, e.user_id,
+        |  last(e.event_id ORDER BY e.ts, e.event_id) AS event_id,
+        |  last(e.event_type ORDER BY e.ts, e.event_id) AS event_type,
+        |  last(e.value ORDER BY e.ts, e.event_id) AS value,
+        |  last(e.ts ORDER BY e.ts, e.event_id) AS ts
+        |FROM bounds b JOIN events e ON e.ts < b.series_ts
+        |GROUP BY b.series_ts, e.user_id
+        |ORDER BY b.series_ts, e.user_id""".stripMargin,
     // Norms recomputed element-for-element (left-to-right double
     // reduction, as in the similarity oracles); ints cast to match
     // Spark's size() output.
@@ -2368,6 +2417,44 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM exact)
         |  AND doc_id NOT IN (SELECT inc_id FROM near)
         |ORDER BY doc_id""".stripMargin,
+    // Winnowing rebuilt from first principles: every k-gram hashed with
+    // the same md5-prefix, each window's min-by-(hash, pos) selected via
+    // a window-function min over `hash || zero-padded-pos` (fixed-width
+    // concat = lexicographic (hash, pos) order), DISTINCT = the kernel's
+    // consecutive-selection dedupe. Frames past the last complete window
+    // are cut by `p <= g - w`.
+    "q_winnow" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text) - 5)) AS p,
+        |    text
+        |  FROM documents WHERE length(text) >= 5),
+        |hashed AS (
+        |  SELECT doc_id, p, substr(md5(substr(text, p + 1, 5)), 1, 16) AS h
+        |  FROM grams),
+        |winmin AS (
+        |  SELECT doc_id, p,
+        |    min(h || lpad(CAST(p AS VARCHAR), 8, '0')) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS g
+        |  FROM hashed)
+        |SELECT DISTINCT doc_id, CAST(substr(sel, 17) AS INTEGER) AS fp_pos,
+        |  substr(sel, 1, 16) AS fp_hash
+        |FROM winmin WHERE p <= g - 8
+        |ORDER BY doc_id, fp_pos""".stripMargin,
+    // Same collapse-to-distinct, same suffix block, same Levenshtein
+    // (DuckDB's returns BIGINT — cast to match Spark's INT).
+    "q_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT p_name AS str, min(p_partkey) AS id, count(*) AS n
+        |  FROM part GROUP BY 1)
+        |SELECT a.id AS left_id, a.str AS left_str, a.n AS left_count,
+        |  b.id AS right_id, b.str AS right_str, b.n AS right_count,
+        |  CAST(levenshtein(a.str, b.str) AS INTEGER) AS edit_dist
+        |FROM names a JOIN names b
+        |  ON right(a.str, 4) = right(b.str, 4) AND a.str < b.str
+        |WHERE levenshtein(a.str, b.str) BETWEEN 1 AND 3
+        |ORDER BY a.str, b.str""".stripMargin,
     // Same tf·ln(N/df) arithmetic (long · double product, one division
     // inside the log) and the same (tfidf DESC, term) rank order.
     "q_tfidf_topk" ->

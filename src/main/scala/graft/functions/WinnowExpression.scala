@@ -1,0 +1,153 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (the MOSS scheme, Schleimer/Wilkerson/
+  * Aiken, SIGMOD 2003): hash every `k`-gram of the text, slide a window
+  * of `w` consecutive gram hashes, and select the minimum hash of each
+  * window — ties broken toward the EARLIEST position. Guarantee: any
+  * shared substring of length ≥ `k + w - 1` between two documents yields
+  * at least one shared fingerprint, so fingerprint overlap detects
+  * copied SPANS (plagiarism, boilerplate, quotation) that whole-document
+  * sketches (MinHash/SimHash, [[graft.ops.Dedup]]) dilute away.
+  *
+  * `winnow_fingerprints(text, k, w)` → `array<struct<fp_pos int,
+  * fp_hash string>>`: the distinct selected (gram position, hash) pairs,
+  * in position order. The hash is the first 16 hex chars of
+  * `md5(utf8(k-gram))` — deliberately expressible as
+  * `substr(md5(substr(text, p+1, k)), 1, 16)` in any SQL engine, so an
+  * independent oracle can rebuild fingerprints function-for-function.
+  * Gram positions count Unicode codepoints (SQL `substr` semantics),
+  * not UTF-16 units. Texts with fewer than `w` grams (length <
+  * `k + w - 1`) have no complete window and produce an empty array.
+  *
+  * Scale design: fingerprinting is embarrassingly parallel per document
+  * — the WRONG plan is exploding per-gram rows and computing window
+  * minima with a `PARTITION BY doc` window function, which shuffles one
+  * row per CHARACTER of the corpus (a 100 TB corpus becomes a ~100 TB×k
+  * shuffle). This expression runs the whole monotonic-deque scan —
+  * O(grams) amortized, one md5 per gram — inside the row's projection:
+  * zero shuffles, whole-stage codegen intact (the generated code makes
+  * one call into the compiled kernel, same pattern as [[PqEncodeExpr]]).
+  * Downstream `explode` emits only the ~2/(w+1)-density selected
+  * fingerprints, so the exchange that builds the inverted fingerprint
+  * index moves w-fold less data than the gram stream. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  require(k >= 1, s"k-gram length must be >= 1, got $k")
+  require(w >= 1, s"window size must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("fp_pos", IntegerType, nullable = false),
+      StructField("fp_hash", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING column, got ${child.dataType.catalogString}")
+
+  def kernel(s: UTF8String): ArrayData = WinnowFingerprints.winnow(s, k, w)
+
+  override def nullSafeEval(s: Any): Any = kernel(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnow", this,
+        classOf[WinnowFingerprints].getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
+object WinnowFingerprints {
+
+  /** Column wrapper. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+
+  /** One document's fingerprints. Monotonic deque over gram indices:
+    * back is popped while its hash is strictly greater than the
+    * incoming gram's (a tie keeps the back — the earlier position wins,
+    * matching `min` over `hash || zero-padded-pos` strings), so the
+    * front always holds the window's argmin. Each index enters and
+    * leaves the deque once — O(grams) total. Consecutive windows that
+    * re-select the same gram emit nothing new, which is exactly the
+    * DISTINCT the brute-force per-window formulation needs. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = text.toString
+    // codepoint start offsets, so grams match SQL substr(text, p+1, k)
+    val nCp = str.codePointCount(0, str.length)
+    val g = nCp - k + 1
+    if (g < w) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](nCp + 1)
+    var ci = 0
+    var j = 0
+    while (ci < nCp) {
+      off(ci) = j
+      j = str.offsetByCodePoints(j, 1)
+      ci += 1
+    }
+    off(nCp) = str.length
+
+    val md = MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](g)
+    var p = 0
+    while (p < g) {
+      md.reset()
+      val bytes = str.substring(off(p), off(p + k))
+        .getBytes(StandardCharsets.UTF_8)
+      val dig = md.digest(bytes)
+      // first 16 hex chars = first 8 digest bytes
+      val sb = new java.lang.StringBuilder(16)
+      var b = 0
+      while (b < 8) {
+        val v = dig(b) & 0xff
+        sb.append(Character.forDigit(v >> 4, 16))
+        sb.append(Character.forDigit(v & 0xf, 16))
+        b += 1
+      }
+      hashes(p) = sb.toString
+      p += 1
+    }
+
+    val deque = new java.util.ArrayDeque[Integer]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastSel = -1
+    p = 0
+    while (p < g) {
+      while (!deque.isEmpty && hashes(deque.peekLast) > hashes(p))
+        deque.pollLast()
+      deque.addLast(p)
+      val winStart = p - w + 1
+      while (deque.peekFirst < winStart) deque.pollFirst()
+      if (winStart >= 0) {
+        val sel = deque.peekFirst.intValue()
+        if (sel != lastSel) {
+          out += new GenericInternalRow(
+            Array[Any](sel, UTF8String.fromString(hashes(sel))))
+          lastSel = sel
+        }
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

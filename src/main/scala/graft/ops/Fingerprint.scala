@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.WinnowFingerprints.winnowFingerprints
+
+/** Document fingerprinting via winnowing (see
+  * [[graft.functions.WinnowFingerprints]] for the algorithm and the
+  * zero-shuffle kernel design). This is the SPAN-copy detection tier of
+  * the dedup battery: MinHash/SimHash ([[Dedup]]) rank whole-document
+  * similarity; winnowing finds documents sharing any substring of length
+  * ≥ k+w-1 — boilerplate, quotations, licence blocks, copied passages —
+  * with positions, feeding either a candidate generator for
+  * [[SpanDedup]] or a standalone overlap report. */
+object Fingerprint {
+
+  /** One row per selected fingerprint: `idCol, fp_pos, fp_hash`.
+    * The expensive part (per-document deque scan) happens inside the
+    * projection — the explode emits only the ~2/(w+1)-density selected
+    * grams, so this is scan + narrow explode, zero shuffles. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int): DataFrame =
+    df.select(col(idCol),
+        explode(winnowFingerprints(col(textCol), k, w)).as("__fp"))
+      .select(col(idCol), col("__fp.fp_pos").as("fp_pos"),
+        col("__fp.fp_hash").as("fp_hash"))
+
+  /** Candidate document pairs ranked by shared fingerprint count.
+    *
+    * The inverted-index join on `fp_hash` is the only shuffle, and it
+    * moves fingerprints (w-fold sparser than grams). `maxDf` drops
+    * fingerprints occurring in more than that many documents BEFORE the
+    * pair blow-up — a hash shared by n docs contributes n² candidate
+    * pairs, so ubiquitous boilerplate grams (the "stop fingerprints")
+    * must be capped exactly like [[Dedup]] caps shingle document
+    * frequency; the df count itself is a map-side-combined aggregate. */
+  def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, w: Int, maxDf: Int = 50): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__doc"), col("fp_hash")).distinct()
+    val kept = fps.groupBy("fp_hash")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("fp_hash")
+    val indexed = fps.join(kept, Seq("fp_hash"))
+    val a = indexed.select(col("fp_hash"), col("__doc").as("left_id"))
+    val b = indexed.select(col("fp_hash"), col("__doc").as("right_id"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("left_id") < col("right_id"))
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity matching: find record pairs whose string keys are within
+  * a bounded edit distance — the blocking + verification shape every
+  * entity-resolution pipeline uses (names, addresses, product titles,
+  * near-identical URLs that [[UrlNormalize]]'s exact rules miss).
+  *
+  * Blocking: candidate pairs must agree on a cheap deterministic block
+  * key (default: the string's last 4 characters — `right(s, 4)`, chosen
+  * because suffixes carry the head noun in "adjective noun" strings; any
+  * engine-portable `Column → Column` works: phonetic codes, sorted
+  * token prefixes, length bands). Verification: exact Levenshtein
+  * distance, computed with Spark's bounded form `levenshtein(l, r,
+  * max)` which abandons a pair as soon as its running distance exceeds
+  * `max` — O(max·min(len)) instead of O(len²) per pair.
+  *
+  * Scale design: the block key turns all-pairs (quadratic in the corpus,
+  * impossible at 100 TB) into one equi-join shuffle; within-block work is
+  * quadratic in the BLOCK, so the block key choice bounds the damage and
+  * AQE's skew-join splits a hot block across tasks. A cheap length-band
+  * conjunct (`|len(a)-len(b)| ≤ maxDist`, implied by the distance bound
+  * so semantics are unchanged) prunes most survivors before the
+  * verification kernel runs. For unbounded/unblockable string spaces use
+  * the [[Dedup]] family (MinHash bands) to generate candidates instead —
+  * this operator is the exact-verify tier.
+  */
+object FuzzyJoin {
+
+  /** Default block key: last 4 characters (whole string when shorter —
+    * `right` is engine-portable, unlike negative-start `substr`). */
+  def suffixBlock(c: Column): Column = right(c, lit(4))
+
+  /** Pairs `(left, right)` with equal block keys and
+    * `levenshtein(leftStr, rightStr) ≤ maxDist`. Output: `left_id,
+    * left_str, right_id, right_str, edit_dist`, one row per matched
+    * pair with `left_id < right_id` when `dedupePairs` (self-join
+    * mode; both sides must then share the id space). */
+  def blockedPairs(left: DataFrame, right: DataFrame,
+                   idCol: String, strCol: String, maxDist: Int,
+                   blockKey: Column => Column = suffixBlock,
+                   dedupePairs: Boolean = true): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val a = left.select(col(idCol).as("left_id"), col(strCol).as("left_str"),
+      blockKey(col(strCol)).as("__blk"))
+    val b = right.select(col(idCol).as("right_id"), col(strCol).as("right_str"),
+      blockKey(col(strCol)).as("__blk"))
+    val pairOrder =
+      if (dedupePairs) col("left_id") < col("right_id") else lit(true)
+    a.join(b, Seq("__blk"))
+      .filter(pairOrder)
+      .filter(abs(length(col("left_str")) - length(col("right_str")))
+        <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("left_str"), col("right_str"), maxDist))
+      .filter(col("edit_dist") >= 0) // bounded form marks > maxDist as -1
+      .drop("__blk")
+  }
+
+  /** Entity resolution over a corpus with repeated values: collapse to
+    * DISTINCT strings first (exact dedup — a map-side-combined agg that
+    * keeps the min id as representative and the occurrence count), then
+    * block + verify only among distinct values. On corpora where values
+    * repeat heavily, the quadratic verification tier runs on distinct
+    * cardinality, not row count — collapse-before-pairwise is the same
+    * move [[Dedup.exact]] makes before its expensive tiers. `minDist
+    * = 1` drops the identical pairs that exact dedup already handles.
+    *
+    * Output: `left_id, left_str, left_count, right_id, right_str,
+    * right_count, edit_dist` with `left_str < right_str`. */
+  def matchDistinct(df: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int, minDist: Int = 1,
+                    blockKey: Column => Column = suffixBlock): DataFrame = {
+    val distinctVals = df.groupBy(col(strCol).as("__str"))
+      .agg(min(col(idCol)).as("__id"), count(lit(1)).as("__n"))
+    val a = distinctVals.select(col("__str").as("left_str"),
+      col("__id").as("left_id"), col("__n").as("left_count"),
+      blockKey(col("__str")).as("__blk"))
+    val b = distinctVals.select(col("__str").as("right_str"),
+      col("__id").as("right_id"), col("__n").as("right_count"),
+      blockKey(col("__str")).as("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("left_str") < col("right_str"))
+      .filter(abs(length(col("left_str")) - length(col("right_str")))
+        <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("left_str"), col("right_str"), maxDist))
+      .filter(col("edit_dist") >= minDist)
+      .select(col("left_id"), col("left_str"), col("left_count"),
+        col("right_id"), col("right_str"), col("right_count"),
+        col("edit_dist"))
+  }
+}

@@ -67,12 +67,16 @@ object Tables {
     src.readRange(spark, path, tsCol, from, until)
   }
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects. Read nanos as a long and truncate to
-    * microseconds — exactly what DuckDB does when it narrows TIMESTAMP_NS
-    * to its native µs timestamp, so oracle comparisons stay exact.
-    * (`ts div 1000` is integral division; going through Double would lose
-    * precision above 2^53 ns.) */
+  /** The events table's `ts` physical type varies by data generation:
+    * parquet TIMESTAMP(NANOS) (which the vectorized reader rejects —
+    * read as long under `nanosAsLong` and truncate to microseconds,
+    * exactly DuckDB's TIMESTAMP_NS narrowing) or TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ). [[events]] sniffs
+    * the schema and normalizes both to a µs `TimestampType` column with
+    * identical values, so every downstream query and oracle sees one
+    * shape. (`ts div 1000` is integral division; going through Double
+    * would lose precision above 2^53 ns. The NTZ cast is value-exact
+    * because the session timezone is pinned to UTC.) */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
@@ -85,10 +89,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => // µs TIMESTAMP / TIMESTAMP_NTZ file; cast exact under UTC
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   /** The events changelog as a bounded file STREAM: the replay input for
     * verifying the streaming upsert against the batch oracle.
     *

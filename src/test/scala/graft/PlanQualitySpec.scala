@@ -100,8 +100,19 @@ class PlanQualitySpec extends SparkTestBase {
   "NanosFilterPushdown" should "push the as-of bound to the raw nanos scan column" in {
     import org.apache.spark.sql.types.TimestampType
     graft.extensions.GraftExtensions.register(spark)
+    // Stage a raw epoch-NANOS long table (what a TIMESTAMP(NANOS) file
+    // looks like under `nanosAsLong`) — the testdata's own physical
+    // encoding varies by generation, the rule's target shape must not.
+    val nanosDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_nanos_pushdown_fixture")
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(nanosDir.getAbsolutePath)
     val bound = lit("2024-01-15 00:00:00").cast(TimestampType)
-    val df = Tables.events(spark, sf).filter(col("ts") < bound)
+    val raw = spark.read.parquet(nanosDir.getAbsolutePath)
+    val derived = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = derived.filter(col("ts") < bound)
     val plan = df.queryExecution.executedPlan.toString()
     // the derived-timestamp predicate is opaque to parquet; the rule adds
     // the implied raw-column bound, which reaches PushedFilters
@@ -207,6 +218,37 @@ class PlanQualitySpec extends SparkTestBase {
     // whole diff costs two hash exchanges + the output sort
     "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 2
     "Exchange rangepartitioning".r.findAllIn(plan).size should be <= 1
+  }
+
+  "q_snapshot_series" should "cost two hash exchanges regardless of boundary count" in {
+    val plan = planOf("q_snapshot_series")
+    // one changelog pass: the (key, boundary) partial agg and the
+    // forward-fill window — boundaries are GENERATED (explode over
+    // sequence), never joined, so series length can't multiply the scan
+    (plan should not).include ("Join")
+    plan should include ("Generate explode")
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    "Exchange rangepartitioning".r.findAllIn(plan).size should be <= 1
+    plan should include regex "(?i)partial"
+  }
+
+  "q_winnow" should "fingerprint inside the projection with zero pre-explode shuffles" in {
+    val plan = planOf("q_winnow")
+    // per-document deque scan is one expression call; the only exchange
+    // is the harness output ORDER BY
+    (plan should not).include ("Join")
+    plan should include ("winnow_fingerprints")
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 0
+    "Exchange rangepartitioning".r.findAllIn(plan).size should be <= 1
+  }
+
+  "q_fuzzy_match" should "verify through an equi-join on the block key, never all-pairs" in {
+    val plan = planOf("q_fuzzy_match")
+    // blocking must plan as a hash equi-join (broadcast or shuffled);
+    // a cartesian/BNLJ means the block key fell out of the join keys
+    (plan should not).include ("CartesianProduct")
+    (plan should not).include ("BroadcastNestedLoopJoin")
+    plan should include ("Join")
   }
 
   "q_dedup_url" should "normalize in-row and dedup with one partial-agg exchange" in {

@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** WinnowFingerprints vs an independent brute-force reference: hash all
+  * grams, take each window's min-by-(hash, pos) with a plain scan, keep
+  * the distinct selections. Also pins the scheme's guarantee (shared
+  * spans ≥ k+w-1 share a fingerprint), codepoint substring semantics,
+  * and short-input edges. */
+class WinnowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val K = 5
+  private val W = 8
+
+  /** Brute force, no deque: per window [i, i+w-1], argmin by (hash,
+    * pos); distinct over all windows. */
+  private def reference(text: String, k: Int, w: Int): Seq[(Int, String)] = {
+    val cps = text.codePoints().toArray
+    val g = cps.length - k + 1
+    if (g < w) return Seq.empty
+    val md = MessageDigest.getInstance("MD5")
+    val hashes = (0 until g).map { p =>
+      val gram = new String(cps, p, k)
+      md.reset()
+      md.digest(gram.getBytes(StandardCharsets.UTF_8))
+        .take(8).map("%02x".format(_)).mkString
+    }
+    (0 to g - w).map { i =>
+      (i until i + w).minBy(p => (hashes(p), p))
+    }.distinct.map(p => (p, hashes(p)))
+  }
+
+  private def viaSpark(texts: Seq[String], k: Int = K, w: Int = W) =
+    texts.zipWithIndex.toDF("text", "id")
+      .select($"id", WinnowFingerprints.winnowFingerprints($"text", k, w)
+        .as("fps"))
+      .select($"id", explode($"fps").as("fp"))
+      .select($"id", $"fp.fp_pos", $"fp.fp_hash")
+      .as[(Int, Int, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSeq.sortBy(_._1)).toMap
+
+  "winnowFingerprints" should "match the brute-force reference" in {
+    val texts = Seq(
+      "key agg row scan slow fast table value part hash value",
+      "the quick brown fox jumps over the lazy dog again and again",
+      "aaaaaaaaaaaaaaaaaaaa", // degenerate: all grams identical
+      "abcdefghijklmnopqrstuvwxyz")
+    val got = viaSpark(texts)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      got.getOrElse(i, Seq.empty) shouldBe reference(t, K, W)
+    }
+  }
+
+  it should "produce no fingerprints below k+w-1 codepoints" in {
+    val texts = Seq("", "abc", "abcdefghijk") // 11 < 5+8-1 = 12
+    viaSpark(texts) shouldBe Map.empty
+    val exactly = Seq("abcdefghijkl") // 12 chars: exactly one window
+    viaSpark(exactly)(0) should have size 1
+  }
+
+  it should "count positions in codepoints, not UTF-16 units" in {
+    val t = "café au lait 😀 et encore du texte ici"
+    viaSpark(Seq(t))(0) shouldBe reference(t, K, W)
+  }
+
+  it should "share a fingerprint between docs sharing a span >= k+w-1" in {
+    val span = "zqxwvutsrqponmlk" // 16 >= 12, unlikely grams
+    val a = s"left padding text $span and a tail"
+    val b = s"totally different prefix $span other end"
+    val got = viaSpark(Seq(a, b))
+    val hashesA = got(0).map(_._2).toSet
+    val hashesB = got(1).map(_._2).toSet
+    (hashesA intersect hashesB) should not be empty
+  }
+
+  "Fingerprint.sharedFingerprintPairs" should
+      "rank the copied pair above unrelated docs" in {
+    val span = "zqxwvutsrqponmlkjihg"
+    val docs = Seq(
+      (0L, s"alpha beta gamma $span delta"),
+      (1L, s"epsilon zeta $span eta theta"),
+      (2L, "completely unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Fingerprint
+      .sharedFingerprintPairs(docs, "doc_id", "text", K, W, maxDf = 50)
+      .as[(Long, Long, Long)].collect()
+    val copied = pairs.filter(p => p._1 == 0L && p._2 == 1L)
+    copied should not be empty
+    copied.head._3 should be >= 1L
+  }
+}

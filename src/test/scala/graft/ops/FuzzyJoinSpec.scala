@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** FuzzyJoin vs an independent in-memory reference: classic DP edit
+  * distance over all pairs sharing the block key. Also pins the
+  * bounded-Levenshtein value contract (exact distance when ≤ max, pair
+  * dropped when above) and the distinct-collapse counts. */
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Textbook Wagner–Fischer, independent of both engines. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val rows = Seq(
+    (1L, "red bolt"), (2L, "hot bolt"), (3L, "red bolt"), (4L, "blue bolt"),
+    (5L, "small gear"), (6L, "smol gear"), (7L, "small bear"),
+    (8L, "widget"), (9L, "midget"), (10L, "gadget"),
+    (11L, "unrelated thing"), (12L, "ted bolt"))
+
+  private def df = rows.toDF("id", "name")
+
+  "blockedPairs" should "find exactly the in-block pairs within maxDist" in {
+    val got = FuzzyJoin.blockedPairs(df, df, "id", "name", maxDist = 2)
+      .select($"left_id", $"right_id", $"edit_dist")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (for {
+      (i1, s1) <- rows; (i2, s2) <- rows
+      if i1 < i2 && s1.takeRight(4) == s2.takeRight(4)
+      d = lev(s1, s2) if d <= 2
+    } yield (i1, i2, d)).toSet
+    got shouldBe expected
+    // sanity: the fixture exercises real matches, not an empty set
+    got.map(p => (p._1, p._2)) should contain allOf (
+      (1L, 3L), // identical strings, dist 0
+      (5L, 6L), // smol/small gear
+      (8L, 9L)) // widget/midget
+  }
+
+  it should "report the exact distance for every surviving pair" in {
+    val byId = rows.toMap
+    FuzzyJoin.blockedPairs(df, df, "id", "name", maxDist = 3)
+      .select($"left_id", $"right_id", $"edit_dist")
+      .as[(Long, Long, Int)].collect().foreach { case (l, r, d) =>
+        d shouldBe lev(byId(l), byId(r))
+      }
+  }
+
+  "matchDistinct" should "collapse duplicates and skip identical pairs" in {
+    val got = FuzzyJoin.matchDistinct(df, "id", "name", maxDist = 2)
+      .select($"left_str", $"left_id", $"left_count",
+        $"right_str", $"right_count", $"edit_dist")
+      .as[(String, Long, Long, String, Long, Int)].collect()
+    // "red bolt" appears twice → count 2, representative id = min = 1
+    val redTed = got.find(r => r._1 == "red bolt" && r._4 == "ted bolt").get
+    redTed._2 shouldBe 1L // representative = min id of the dup group
+    redTed._3 shouldBe 2L // red bolt count
+    redTed._6 shouldBe 1  // r<->t
+    // no dist-0 rows: identical values were collapsed, not paired
+    got.map(_._6).min should be >= 1
+    // every pair ordered left_str < right_str exactly once
+    val keys = got.map(r => (r._1, r._4))
+    keys.distinct.length shouldBe keys.length
+    keys.foreach { case (l, r) => assert(l < r) }
+  }
+
+  it should "agree with brute force among distinct names on part" in {
+    val sf = "/root/testdata/sf0.001"
+    val part = graft.sources.Tables.part(spark, sf)
+    val got = FuzzyJoin.matchDistinct(part, "p_partkey", "p_name", maxDist = 3)
+      .select($"left_str", $"right_str", $"edit_dist")
+      .as[(String, String, Int)].collect().toSet
+    val names = part.select($"p_name").distinct().as[String].collect()
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.takeRight(4) == b.takeRight(4)
+      d = lev(a, b) if d >= 1 && d <= 3
+    } yield (a, b, d)).toSet
+    got shouldBe expected
+    got should not be empty
+  }
+}

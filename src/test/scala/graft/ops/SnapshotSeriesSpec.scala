@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** snapshotSeries ≡ snapshotAsOf stacked at every boundary — the
+  * defining equation, checked per boundary on a fixture and end-to-end
+  * on the events table, plus boundary-edge semantics (strict
+  * visibility, pre-start changes, keys born mid-series, step ≠ day). */
+class SnapshotSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def changelog = Seq(
+    // key "a": before the series start, then mid-series updates
+    ("a", -50L, "a-pre"), ("a", 150L, "a150"), ("a", 320L, "a320"),
+    // key "b": born mid-series
+    ("b", 210L, "b210"),
+    // key "c": a change exactly ON a boundary (ts=100 = b_1) — strict
+    // visibility means it appears first AT the NEXT boundary
+    ("c", 100L, "c100"),
+    // key "d": after the last boundary — never visible
+    ("d", 999L, "d999")
+  ).toDF("k", "epoch", "v")
+    .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+
+  private val start = timestamp_seconds(lit(0L)).cast(TimestampType)
+  private val end = timestamp_seconds(lit(400L)).cast(TimestampType)
+
+  private def series = Snapshot.snapshotSeries(
+    changelog, Seq("k"), "ts", start, end, stepSeconds = 100L)
+
+  "snapshotSeries" should "equal snapshotAsOf at every boundary" in {
+    val got = series.select(unix_timestamp($"series_ts"), $"k", $"v")
+      .as[(Long, String, String)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val boundaries = Seq(0L, 100L, 200L, 300L, 400L)
+    val expected = boundaries.map { b =>
+      b -> Snapshot.snapshotAsOf(changelog, Seq("k"), "ts",
+          timestamp_seconds(lit(b)).cast(TimestampType))
+        .select($"k", $"v").as[(String, String)].collect().toMap
+    }.filter(_._2.nonEmpty).toMap
+    got shouldBe expected
+  }
+
+  it should "apply strict (end-exclusive) visibility at each boundary" in {
+    val atB1 = series.filter(unix_timestamp($"series_ts") === 100L)
+      .select($"k", $"v").as[(String, String)].collect().toMap
+    // c's change at ts=100 is NOT visible at b_1=100 (ts < b, not <=)
+    atB1 shouldBe Map("a" -> "a-pre")
+    val atB2 = series.filter(unix_timestamp($"series_ts") === 200L)
+      .select($"k", $"v").as[(String, String)].collect().toMap
+    atB2 shouldBe Map("a" -> "a150", "c" -> "c100")
+  }
+
+  it should "forward-fill keys across boundaries without changes" in {
+    // b changes once at 210 and must then appear at 300 AND 400
+    val bRows = series.filter($"k" === "b")
+      .select(unix_timestamp($"series_ts"), $"v")
+      .as[(Long, String)].collect().toMap
+    bRows shouldBe Map(300L -> "b210", 400L -> "b210")
+  }
+
+  it should "never emit keys with no visible change" in {
+    series.filter($"k" === "d").count() shouldBe 0L
+  }
+
+  it should "match a per-boundary snapshot loop on the events table" in {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sf)
+    val s0 = lit("2024-01-08 00:00:00").cast(TimestampType)
+    val got = Snapshot.snapshotSeries(ev, Seq("user_id"), "ts",
+        s0, lit("2024-01-12 00:00:00").cast(TimestampType), 86400L,
+        tieBreakers = Seq("event_id"))
+      .groupBy("series_ts").agg(
+        count(lit(1)).as("n"), sum("event_id").as("s"))
+      .select($"series_ts".cast("string").as[String], $"n".as[Long],
+        $"s".as[Long])
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val days = Seq("2024-01-08", "2024-01-09", "2024-01-10",
+      "2024-01-11", "2024-01-12")
+    val expected = days.map { day =>
+      val snap = Snapshot.snapshotAsOf(ev, Seq("user_id"), "ts",
+        lit(s"$day 00:00:00").cast(TimestampType), Seq("event_id"))
+      val r = snap.agg(count(lit(1)), sum("event_id")).head
+      s"$day 00:00:00" -> ((r.getLong(0), r.getLong(1)))
+    }.toMap
+    got shouldBe expected
+  }
+
+  it should "keep the plan constant-size as the series lengthens" in {
+    // boundaries are generated per-row (explode over sequence), never
+    // enumerated into the plan or joined — 10k boundaries must cost the
+    // same plan as 4 (only the end-timestamp literal differs)
+    def planLen(endSec: Long): Int =
+      Snapshot.snapshotSeries(changelog, Seq("k"), "ts", start,
+          timestamp_seconds(lit(endSec)).cast(TimestampType), 100L)
+        .queryExecution.executedPlan.toString().length
+    math.abs(planLen(1000000L) - planLen(400L)) should be < 100
+  }
+
+  it should "reject reserved column collisions" in {
+    val bad = changelog.withColumn("series_ts", lit(1))
+    an[IllegalArgumentException] should be thrownBy
+      Snapshot.snapshotSeries(bad, Seq("k"), "ts", start, end, 100L)
+  }
+}

@@ -23,6 +23,14 @@ import org.apache.spark.sql.SparkSession
   *  - `parquet.nanosAsLong` tolerates TIMESTAMP(NANOS) inputs that the
   *    vectorized reader would otherwise reject (see
   *    [[graft.sources.Tables.events]] for the µs-truncation contract).
+  *  - Codegen class cache at 5000 entries (static conf; default 100):
+  *    a pipeline session that runs the operator battery compiles well
+  *    over 100 generated classes, and an LRU sized below the working
+  *    set recompiles (javac + Janino, ~100s of ms each) EVERY stage
+  *    re-execution — measured as a 2-3× slowdown on iterative
+  *    multi-stage operators (PQ training) once the suite crossed the
+  *    default. Entries are class references, not data: thousands are
+  *    driver-heap-cheap.
   *
   * Deliberately NOT set here: `shuffle.partitions` (cluster-size
   * dependent — AQE coalescing makes a generous value safe, so set it to
@@ -42,6 +50,7 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   /** A configured local builder (tests, spark-shell experiments). */
   def localBuilder(cores: Int = Runtime.getRuntime.availableProcessors())

@@ -110,6 +110,26 @@ object SparkEntry {
           col("event_type"), col("value"), col("ts"))
         .orderBy(col("series_ts"), col("user_id"))),
 
+    // CDC snapshot series — same boundaries over a changelog carrying
+    // the replicator's I/U/D row status: a key whose latest visible
+    // change is a delete is ABSENT from that boundary (the delete row
+    // flows through the forward-fill and is dropped at the output —
+    // filtering the input would resurrect the pre-delete version).
+    "q_snapshot_series_cdc" -> ((s, d) => {
+      val log = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), col("ts"),
+        when(col("event_id") % 17 === 0, lit("D"))
+          .when(col("event_id") % 5 === 0, lit("I"))
+          .otherwise(lit("U")).as("row_status"))
+      Snapshot.snapshotSeriesCdc(log, Seq("user_id"), "ts", "row_status",
+          start = lit("2024-01-05 00:00:00").cast(TimestampType),
+          end = lit("2024-01-25 00:00:00").cast(TimestampType),
+          stepSeconds = 86400L, tieBreakers = Seq("event_id"))
+        .select(col("series_ts"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"), col("ts"), col("row_status"))
+        .orderBy(col("series_ts"), col("user_id"))
+    }),
+
     // Incremental snapshot maintenance: advance the materialized T1
     // state by the [T1, T2) changelog slice — must equal the full
     // reconstruction at T2 (same oracle as q_snapshot_asof), while the
@@ -1140,6 +1160,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("split"))),
 
+    // Leakage-safe split: the same md5 assignment keyed by DUP CLUSTER
+    // (near-dup members share a split — a doc's near-duplicate can
+    // never train while the doc evaluates). Per-row assignment output,
+    // so the oracle audits every document's placement, not just counts.
+    "q_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val clusters = Dedup.dupClusters(pairs, docs.select(col("doc_id")),
+        "doc_id")
+      graft.ops.Sampling.leakageSafeSplit(docs, "doc_id", clusters)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- extension tier: corpus hygiene ----
 
     // Benchmark-decontamination report: corpus docs (doc_id % 20 != 0)
@@ -1458,6 +1493,28 @@ object SparkEntry {
         |FROM bounds b JOIN events e ON e.ts < b.series_ts
         |GROUP BY b.series_ts, e.user_id
         |ORDER BY b.series_ts, e.user_id""".stripMargin,
+    // Naive formulation again, with the delete filter applied AFTER the
+    // per-boundary latest pick — the order that defines CDC semantics.
+    "q_snapshot_series_cdc" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |    CASE WHEN event_id % 17 = 0 THEN 'D'
+        |         WHEN event_id % 5 = 0 THEN 'I' ELSE 'U' END AS row_status
+        |  FROM events),
+        |bounds AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-25 00:00:00', INTERVAL 1 DAY)) AS series_ts)
+        |SELECT * FROM (
+        |  SELECT b.series_ts, e.user_id,
+        |    last(e.event_id ORDER BY e.ts, e.event_id) AS event_id,
+        |    last(e.event_type ORDER BY e.ts, e.event_id) AS event_type,
+        |    last(e.value ORDER BY e.ts, e.event_id) AS value,
+        |    last(e.ts ORDER BY e.ts, e.event_id) AS ts,
+        |    last(e.row_status ORDER BY e.ts, e.event_id) AS row_status
+        |  FROM bounds b JOIN log e ON e.ts < b.series_ts
+        |  GROUP BY b.series_ts, e.user_id)
+        |WHERE row_status <> 'D'
+        |ORDER BY series_ts, user_id""".stripMargin,
     // Norms recomputed element-for-element (left-to-right double
     // reduction, as in the similarity oracles); ints cast to match
     // Spark's size() output.
@@ -2576,6 +2633,28 @@ object SparkEntry {
         |SELECT id, media_type, real_demux, frame_idx, n_frames, frame_hash
         |FROM tf
         |ORDER BY id, frame_idx""".stripMargin,
+    // Clusters from the recursive-CTE reachability oracle; split
+    // thresholds are the same 0.8/0.1/0.1 hex cut points, applied to
+    // md5(md5(cluster_id)) — the cluster label, not the row id.
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE j AS ($NgramJaccardOracle),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+         |          UNION ALL SELECT id_b, id_a FROM j),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |),
+         |clus AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+         |         GROUP BY id)
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN substr(md5(md5(c.cluster_id::VARCHAR)), 1, 6) < 'cccccd'
+         |         THEN 'train'
+         |       WHEN substr(md5(md5(c.cluster_id::VARCHAR)), 1, 6) < 'e66666'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d JOIN clus c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_sample_split" ->
       """WITH s AS (
         |  SELECT lang,

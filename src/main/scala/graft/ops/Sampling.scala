@@ -61,6 +61,37 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** [[trainValTestSplit]] keyed by DUPLICATE CLUSTER instead of by row:
+    * every member of a near-dup cluster lands in the same split, so a
+    * document's near-duplicate can never sit in the eval set while the
+    * document trains — the leakage mode a per-row split invites and the
+    * reason dedup must run BEFORE splitting in a corpus pipeline.
+    *
+    * `clusters` is a (id → cluster label) map covering the corpus —
+    * [[Dedup.dupClusters]]'s output shape, where the label is the
+    * component's min id (singletons map to themselves, so the left join
+    * always matches; rows missing from `clusters` fall back to their
+    * own id, which keeps the split total and deterministic if a partial
+    * map is passed). One same-size equi-join on the id; at scale the
+    * cluster map is the dedup stage's output already partitioned by id,
+    * so the join co-locates with no extra exchange. The assignment
+    * itself reuses [[trainValTestSplit]]'s engine-portable md5 scheme
+    * on the cluster label. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       clusterCol: String = "cluster_id",
+                       trainWeight: Double = 0.8, valWeight: Double = 0.1,
+                       testWeight: Double = 0.1): DataFrame = {
+    require(!df.columns.contains("__split_key"),
+      "leakageSafeSplit: input must not carry reserved column '__split_key'")
+    val joined = df
+      .join(clusters.select(col(idCol), col(clusterCol)), Seq(idCol), "left")
+      .withColumn("__split_key",
+        coalesce(col(clusterCol), col(idCol)).cast("string"))
+    trainValTestSplit(joined, Seq("__split_key"),
+      trainWeight, valWeight, testWeight)
+      .drop("__split_key", clusterCol)
+  }
+
   /** Engine-portable deterministic rank key: the md5 hex digest of the
     * id's decimal string. Identical in Spark and DuckDB/Postgres (unlike
     * xxhash64, whose seed/variant is engine-specific), so stratified

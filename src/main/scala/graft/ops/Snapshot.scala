@@ -137,6 +137,34 @@ object Snapshot {
             payloadCols.map(c => col(s"__latest.`$c`").as(c))): _*)
   }
 
+  /** [[snapshotSeries]] over a CDC changelog carrying the reference's
+    * replicator row-status vocabulary (`d:row_status` I/U/D —
+    * reference: Schema.scala:139-147): at each boundary, a key whose
+    * LATEST visible change is a delete is absent from that boundary's
+    * snapshot.
+    *
+    * The filter placement is the whole operator: the delete rows must
+    * flow THROUGH the series (each delete wins its (key, boundary)
+    * slot and occupies the forward-filled interval until the key's
+    * next change) and be dropped from the OUTPUT. Filtering the INPUT
+    * (`WHERE status != 'D'` before the series) is the tempting wrong
+    * program — it resurrects the version before the delete for every
+    * boundary the delete should have blanked. Same plan shape and
+    * scale posture as [[snapshotSeries]]; the status filter is a
+    * post-explode row filter, no extra exchange. */
+  def snapshotSeriesCdc(changelog: DataFrame, keyCols: Seq[String],
+                        tsCol: String, statusCol: String,
+                        start: Column, end: Column, stepSeconds: Long,
+                        deleteStatus: String = "D",
+                        tieBreakers: Seq[String] = Nil,
+                        boundaryCol: String = "series_ts"): DataFrame = {
+    require(changelog.columns.contains(statusCol),
+      s"snapshotSeriesCdc: missing status column '$statusCol'")
+    snapshotSeries(changelog, keyCols, tsCol, start, end, stepSeconds,
+      tieBreakers, boundaryCol)
+      .filter(col(statusCol) =!= deleteStatus)
+  }
+
   /** Changelog → SCD2 validity intervals: every version of every key
     * becomes a row with `[valid_from, valid_to)` (end-exclusive;
     * `valid_to` NULL for the current version). The INVERSE of

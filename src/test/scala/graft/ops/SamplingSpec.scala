@@ -49,6 +49,44 @@ class SamplingSpec extends SparkTestBase {
     again.sorted.toSeq shouldBe out.sorted.toSeq
   }
 
+  "leakageSafeSplit" should "keep every cluster inside one split" in {
+    // 200 docs; docs 10i..10i+2 form cluster 10i (near-dups), the rest
+    // are singletons
+    val ids = (0L until 200L).toDF("id")
+    val clusters = (0L until 200L)
+      .map(i => (i, if (i % 10 <= 2) i - (i % 10) else i))
+      .toDF("id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(ids, "id", clusters)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    out.size shouldBe 200
+    // invariant: all members of a cluster share the member-0 split
+    (0L until 200L by 10L).foreach { base =>
+      out(base + 1) shouldBe out(base)
+      out(base + 2) shouldBe out(base)
+    }
+    // and the split key is the CLUSTER, not the row: a per-row split
+    // must separate at least one of these triples (it does for this
+    // fixture — guard that the leakage-safe variant differs from it)
+    val perRow = Sampling.trainValTestSplit(ids, Seq("id"))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    (0L until 200L by 10L).exists { base =>
+      perRow(base + 1) != perRow(base) || perRow(base + 2) != perRow(base)
+    } shouldBe true
+  }
+
+  it should "fall back to the row id for ids missing from the map" in {
+    val ids = (0L until 50L).toDF("id")
+    val partial = Seq((0L, 0L), (1L, 0L)).toDF("id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(ids, "id", partial)
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    out.size shouldBe 50 // total: no row dropped by the left join
+    out(1L) shouldBe out(0L) // the mapped pair still co-locates
+    // unmapped ids use their own id — identical to the per-row split
+    val perRow = Sampling.trainValTestSplit(ids, Seq("id"))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    (2L until 50L).foreach(i => out(i) shouldBe perRow(i))
+  }
+
   private def grouped = (1L to 300L)
     .map(i => (i, s"g${i % 3}")).toDF("id", "grp")
 

@@ -89,6 +89,33 @@ class SnapshotSeriesSpec extends SparkTestBase {
     got shouldBe expected
   }
 
+  "snapshotSeriesCdc" should "blank deleted keys instead of resurrecting them" in {
+    val cdc = Seq(
+      ("a", 50L, "a50", "I"),   // born before b_1
+      ("a", 150L, null, "D"),   // deleted before b_2
+      ("a", 350L, "a350", "I"), // re-inserted before b_4
+      ("b", 50L, "b50", "I")    // never deleted — visible throughout
+    ).toDF("k", "epoch", "v", "row_status")
+      .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+    val got = Snapshot.snapshotSeriesCdc(cdc, Seq("k"), "ts", "row_status",
+        start, end, stepSeconds = 100L)
+      .select(unix_timestamp($"series_ts"), $"k")
+      .as[(Long, String)].collect().toSet
+    got shouldBe Set(
+      100L -> "a", 100L -> "b",            // a alive at b_1
+      200L -> "b", 300L -> "b",            // a blanked by the delete
+      400L -> "a", 400L -> "b")            // a back after re-insert
+    // the WRONG program — filtering deletes from the INPUT — must
+    // differ: it resurrects a50 at boundaries 200/300
+    val wrong = Snapshot.snapshotSeries(
+        cdc.filter($"row_status" =!= "D"), Seq("k"), "ts",
+        start, end, 100L)
+      .select(unix_timestamp($"series_ts"), $"k")
+      .as[(Long, String)].collect().toSet
+    wrong should contain(200L -> "a")
+    got should not contain (200L -> "a")
+  }
+
   it should "keep the plan constant-size as the series lengthens" in {
     // boundaries are generated per-row (explode over sequence), never
     // enumerated into the plan or joined — 10k boundaries must cost the

@@ -1319,6 +1319,21 @@ object SparkEntry {
           "doc_id", "text", k = 5, w = 8)
         .orderBy(col("doc_id"), col("fp_pos"))),
 
+    // Incremental span-copy detection: build the winnowing fingerprint
+    // index on the corpus side (stop-fingerprints dropped at build
+    // against corpus df), then one fingerprint pass + one fp_hash join
+    // for the increment — the corpus text is never rescanned.
+    "q_winnow_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = graft.ops.Fingerprint.buildFingerprintIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        k = 5, w = 8, maxDf = 10)
+      graft.ops.Fingerprint.matchAgainst(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), idx,
+          "doc_id", "text")
+        .orderBy(col("inc_id"), col("corpus_id"))
+    }),
+
     // Fuzzy entity matching: collapse part names to distinct values
     // (exact-dedup first — the verify tier runs on distinct cardinality,
     // not row count), block on the last-4-char suffix, verify with
@@ -2499,6 +2514,38 @@ object SparkEntry {
         |  substr(sel, 1, 16) AS fp_hash
         |FROM winmin WHERE p <= g - 8
         |ORDER BY doc_id, fp_pos""".stripMargin,
+    // Fingerprints for ALL docs via the same window-min scheme, then
+    // the corpus/increment split, the build-side df cap, and the join.
+    "q_winnow_match" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text) - 5)) AS p,
+        |    text
+        |  FROM documents WHERE length(text) >= 5),
+        |hashed AS (
+        |  SELECT doc_id, p, substr(md5(substr(text, p + 1, 5)), 1, 16) AS h
+        |  FROM grams),
+        |winmin AS (
+        |  SELECT doc_id, p,
+        |    min(h || lpad(CAST(p AS VARCHAR), 8, '0')) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS g
+        |  FROM hashed),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, substr(sel, 1, 16) AS fp_hash
+        |  FROM winmin WHERE p <= g - 8),
+        |kept AS (
+        |  SELECT fp_hash FROM fps WHERE doc_id % 10 <> 0
+        |  GROUP BY 1 HAVING count(*) <= 10),
+        |corpus AS (
+        |  SELECT f.doc_id, f.fp_hash FROM fps f JOIN kept USING (fp_hash)
+        |  WHERE f.doc_id % 10 <> 0),
+        |inc AS (SELECT doc_id, fp_hash FROM fps WHERE doc_id % 10 = 0)
+        |SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id,
+        |  count(*) AS shared_fingerprints
+        |FROM inc i JOIN corpus c USING (fp_hash)
+        |GROUP BY 1, 2
+        |ORDER BY inc_id, corpus_id""".stripMargin,
     // Same collapse-to-distinct, same suffix block, same Levenshtein
     // (DuckDB's returns BIGINT — cast to match Spark's INT).
     "q_fuzzy_match" ->

@@ -26,6 +26,94 @@ object Fingerprint {
       .select(col(idCol), col("__fp.fp_pos").as("fp_pos"),
         col("__fp.fp_hash").as("fp_hash"))
 
+  /** Build parameters, persisted with the index: the gram/window
+    * geometry MUST match between index and query sides (fingerprints
+    * from different (k, w) never collide meaningfully), so the index is
+    * the single source of truth for them — same contract as
+    * [[Dedup.TextIndexParams]]. */
+  final case class FingerprintIndexParams(k: Int, w: Int, maxDf: Int)
+
+  /** Persisted winnowing index of a corpus: the distinct (id, fp_hash)
+    * table with stop-fingerprints (document frequency > maxDf at build
+    * time) already removed. Write once; every daily increment then
+    * checks for copied spans with one join against the index tables —
+    * the corpus text is never rescanned, the same never-rescan motion
+    * as [[Dedup.TextIndex]] and [[PqIndex.PersistedPqIndex]]. */
+  final case class FingerprintIndex(fps: DataFrame,
+                                    params: FingerprintIndexParams) {
+    def save(dir: String): Unit = {
+      fps.write.mode("overwrite").parquet(s"$dir/fps")
+      fps.sparkSession.createDataFrame(Seq(params))
+        .write.mode("overwrite").json(s"$dir/params")
+    }
+  }
+
+  object FingerprintIndex {
+    /** Reopen an index written by [[FingerprintIndex.save]]; an index
+      * without a params record is refused, not guessed at. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): FingerprintIndex = {
+      val params =
+        try {
+          val row = spark.read.json(s"$dir/params")
+            .select("k", "w", "maxDf").head()
+          FingerprintIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
+            row.getLong(2).toInt)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"FingerprintIndex at $dir has no readable params record; " +
+                "it was not written by FingerprintIndex.save — rebuild " +
+                "with buildFingerprintIndex", e)
+        }
+      FingerprintIndex(spark.read.parquet(s"$dir/fps"), params)
+    }
+  }
+
+  /** Build the [[FingerprintIndex]] of a corpus. Stop-fingerprints are
+    * dropped HERE, against the corpus's own document frequencies: the
+    * stored index shrinks by exactly the ubiquitous-boilerplate rows
+    * that would dominate join fan-out, and the cap stays stable as
+    * increments arrive (an increment can't promote a hash into or out
+    * of the stop set — retrain to refresh, as with PQ codebooks). */
+  def buildFingerprintIndex(corpus: DataFrame, idCol: String,
+                            textCol: String, k: Int = 5, w: Int = 8,
+                            maxDf: Int = 50): FingerprintIndex = {
+    // df cap as a WINDOW over fp_hash, not an agg + join-back: the
+    // distinct-hash table scales with the corpus, so the join's small
+    // side isn't small — Catalyst would broadcast corpus-scale data.
+    // The window shuffles the fps table once on the hash and filters
+    // in place; no join exists to mis-plan.
+    val fps = fingerprints(corpus, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+      .withColumn("__df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    FingerprintIndex(fps, FingerprintIndexParams(k, w, maxDf))
+  }
+
+  /** Span-copy report of an increment against an indexed corpus:
+    * `(inc_id, corpus_id, shared_fingerprints)` for pairs sharing at
+    * least `minShared` fingerprints. Geometry comes from the index; the
+    * increment pays one fingerprint pass over its OWN text plus one
+    * equi-join on `fp_hash` — shuffle-hash-hinted on the index side,
+    * which scales with the corpus and must never be collected for a
+    * broadcast (the [[Dedup.crossNearDups]] rule). */
+  def matchAgainst(increment: DataFrame, index: FingerprintIndex,
+                   idCol: String, textCol: String,
+                   minShared: Int = 1): DataFrame = {
+    val FingerprintIndexParams(k, w, _) = index.params
+    val incFps = fingerprints(increment, idCol, textCol, k, w)
+      .select(col(idCol).as("inc_id"), col("fp_hash")).distinct()
+    incFps.hint("shuffle_hash")
+      .join(index.fps.select(col("id").as("corpus_id"), col("fp_hash")),
+        Seq("fp_hash"))
+      .groupBy("inc_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Candidate document pairs ranked by shared fingerprint count.
     *
     * The inverted-index join on `fp_hash` is the only shuffle, and it
@@ -37,13 +125,14 @@ object Fingerprint {
     * frequency; the df count itself is a map-side-combined aggregate. */
   def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                              k: Int, w: Int, maxDf: Int = 50): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w)
+    // same window-not-join df cap as buildFingerprintIndex (the
+    // distinct-hash side is corpus-scale; nothing here may broadcast)
+    val indexed = fingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("__doc"), col("fp_hash")).distinct()
-    val kept = fps.groupBy("fp_hash")
-      .agg(count(lit(1)).as("__df"))
+      .withColumn("__df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
       .filter(col("__df") <= maxDf)
-      .select("fp_hash")
-    val indexed = fps.join(kept, Seq("fp_hash"))
+      .drop("__df")
     val a = indexed.select(col("fp_hash"), col("__doc").as("left_id"))
     val b = indexed.select(col("fp_hash"), col("__doc").as("right_id"))
     a.join(b, Seq("fp_hash"))

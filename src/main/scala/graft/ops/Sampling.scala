@@ -83,6 +83,9 @@ object Sampling {
                        testWeight: Double = 0.1): DataFrame = {
     require(!df.columns.contains("__split_key"),
       "leakageSafeSplit: input must not carry reserved column '__split_key'")
+    require(!df.columns.contains(clusterCol),
+      s"leakageSafeSplit: input already carries '$clusterCol' — the join " +
+        "would be ambiguous; rename one side")
     val joined = df
       .join(clusters.select(col(idCol), col(clusterCol)), Seq(idCol), "left")
       .withColumn("__split_key",

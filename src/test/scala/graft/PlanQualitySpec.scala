@@ -162,6 +162,20 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  "Fingerprint.matchAgainst" should
+      "shuffle-hash-join the fingerprint index side, never broadcast it" in {
+    // same rule as the text/vector indexes: the fps table scales with
+    // the corpus; a broadcast would collect it driver-side at 100 TB
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val idx = graft.ops.Fingerprint.buildFingerprintIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", maxDf = 10)
+    val plan = graft.ops.Fingerprint.matchAgainst(
+        docs.filter(col("doc_id") % 10 === 0), idx, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    plan should include regex "ShuffledHashJoin \\[fp_hash"
+    "Broadcast[A-Za-z]*Join \\[fp_hash".r.findFirstIn(plan) shouldBe None
+  }
+
   "crossEmbeddingNearDups" should
       "shuffle-hash-join the corpus member table, never broadcast it" in {
     // same invariant as the text index: the member table scales with the

@@ -79,6 +79,48 @@ class WinnowSpec extends SparkTestBase {
     (hashesA intersect hashesB) should not be empty
   }
 
+  "FingerprintIndex" should
+      "match increments like a from-scratch cross join, through save/load" in {
+    import graft.ops.Fingerprint
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val inc = docs.filter($"doc_id" % 10 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpindex").toString
+    Fingerprint.buildFingerprintIndex(corpus, "doc_id", "text",
+      k = 5, w = 8, maxDf = 10).save(dir)
+    val loaded = Fingerprint.FingerprintIndex.load(spark, dir)
+    loaded.params shouldBe Fingerprint.FingerprintIndexParams(5, 8, 10)
+    val got = Fingerprint.matchAgainst(inc, loaded, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    // independent construction: fingerprints of both sides from the
+    // expression directly, corpus df cap, plain join + count
+    val fpsAll = Fingerprint.fingerprints(docs, "doc_id", "text", 5, 8)
+      .select($"doc_id", $"fp_hash").distinct()
+      .as[(Long, String)].collect()
+    val corpusFps = fpsAll.filter(_._1 % 10 != 0)
+    val dfCount = corpusFps.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptCorpus = corpusFps.filter(f => dfCount(f._2) <= 10)
+    val incFps = fpsAll.filter(_._1 % 10 == 0)
+    val expected = (for {
+      (i, h) <- incFps
+      (c, h2) <- keptCorpus if h2 == h
+    } yield (i, c)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+      .map { case ((i, c), n) => (i, c, n) }.toSet
+    got shouldBe expected
+    got should not be empty
+  }
+
+  it should "refuse a directory without a params record" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpindex-bad").toString
+    an[IllegalStateException] should be thrownBy
+      graft.ops.Fingerprint.FingerprintIndex.load(spark, dir)
+  }
+
   "Fingerprint.sharedFingerprintPairs" should
       "rank the copied pair above unrelated docs" in {
     val span = "zqxwvutsrqponmlkjihg"

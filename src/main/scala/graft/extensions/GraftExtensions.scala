@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold}
+import graft.functions.{BloomMightContain, FloatVectorDot, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -86,6 +86,16 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.GetArrayItem(
           KllQuantilesExpr(exprs.head, Seq(rank)),
           org.apache.spark.sql.catalyst.expressions.Literal(0))
+      }),
+    (new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"winnow_fingerprints expects (text, k, w), got ${exprs.length} args")
+        WinnowFingerprints(exprs.head,
+          foldableInt("winnow_fingerprints k", exprs(1)),
+          foldableInt("winnow_fingerprints w", exprs(2)))
       }))
 
   private def foldableInt(what: String, e: Expression): Int = e match {

@@ -31,18 +31,24 @@ object Fingerprint {
     * from different (k, w) never collide meaningfully), so the index is
     * the single source of truth for them — same contract as
     * [[Dedup.TextIndexParams]]. */
-  final case class FingerprintIndexParams(k: Int, w: Int, maxDf: Int)
+  final case class FingerprintIndexParams(k: Int, w: Int, maxDf: Int,
+                                          version: Long = 0L)
 
   /** Persisted winnowing index of a corpus: the distinct (id, fp_hash)
     * table with stop-fingerprints (document frequency > maxDf at build
-    * time) already removed. Write once; every daily increment then
-    * checks for copied spans with one join against the index tables —
-    * the corpus text is never rescanned, the same never-rescan motion
-    * as [[Dedup.TextIndex]] and [[PqIndex.PersistedPqIndex]]. */
-  final case class FingerprintIndex(fps: DataFrame,
+    * time) already removed, plus the STOP set itself — the dropped
+    * hashes, persisted so [[appendToFingerprintIndex]] can hold the cap
+    * frozen over appended documents. Write once; every daily increment
+    * then checks for copied spans with one join against the index
+    * tables — the corpus text is never rescanned, the same never-rescan
+    * motion as [[Dedup.TextIndex]] and [[PqIndex.PersistedPqIndex]].
+    * `params.version` counts append generations, as with the PQ
+    * index. */
+  final case class FingerprintIndex(fps: DataFrame, stop: DataFrame,
                                     params: FingerprintIndexParams) {
     def save(dir: String): Unit = {
       fps.write.mode("overwrite").parquet(s"$dir/fps")
+      stop.write.mode("overwrite").parquet(s"$dir/stop")
       fps.sparkSession.createDataFrame(Seq(params))
         .write.mode("overwrite").json(s"$dir/params")
     }
@@ -55,10 +61,14 @@ object Fingerprint {
              dir: String): FingerprintIndex = {
       val params =
         try {
-          val row = spark.read.json(s"$dir/params")
-            .select("k", "w", "maxDf").head()
+          val df = spark.read.json(s"$dir/params")
+          // pre-append indexes carry no version field: read as gen 0
+          val versioned =
+            if (df.columns.contains("version")) df
+            else df.withColumn("version", lit(0L))
+          val row = versioned.select("k", "w", "maxDf", "version").head()
           FingerprintIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
-            row.getLong(2).toInt)
+            row.getLong(2).toInt, row.getLong(3))
         } catch {
           case e: org.apache.spark.sql.AnalysisException =>
             throw new IllegalStateException(
@@ -66,7 +76,8 @@ object Fingerprint {
                 "it was not written by FingerprintIndex.save — rebuild " +
                 "with buildFingerprintIndex", e)
         }
-      FingerprintIndex(spark.read.parquet(s"$dir/fps"), params)
+      FingerprintIndex(spark.read.parquet(s"$dir/fps"),
+        spark.read.parquet(s"$dir/stop"), params)
     }
   }
 
@@ -84,13 +95,40 @@ object Fingerprint {
     // side isn't small — Catalyst would broadcast corpus-scale data.
     // The window shuffles the fps table once on the hash and filters
     // in place; no join exists to mis-plan.
-    val fps = fingerprints(corpus, idCol, textCol, k, w)
+    val flagged = fingerprints(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp_hash")).distinct()
       .withColumn("__df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
-    FingerprintIndex(fps, FingerprintIndexParams(k, w, maxDf))
+    val fps = flagged.filter(col("__df") <= maxDf).drop("__df")
+    // the dropped hashes, persisted: heavy-hitter-sized by construction
+    // (each appears in > maxDf documents), and the append path needs
+    // them to hold the cap frozen
+    val stop = flagged.filter(col("__df") > maxDf)
+      .select("fp_hash").distinct()
+    FingerprintIndex(fps, stop, FingerprintIndexParams(k, w, maxDf))
+  }
+
+  /** Append documents to a built index WITHOUT recomputing the stop
+    * set: fingerprint the NEW documents only, remove the hashes the
+    * BUILD stop-listed (anti-join against the persisted heavy-hitter
+    * set — cap frozen, exactly as PQ append encodes with frozen
+    * codebooks), and union the fps table. The indexed corpus is never
+    * re-read. Appends cannot promote a hash into or out of the stop
+    * set, so document frequencies drift as generations accumulate —
+    * `params.version` counts them; rebuild when the corpus has grown
+    * materially past the build.
+    *
+    * Caller contract: ids in `newDocs` are disjoint from the indexed
+    * ids (append, not upsert). */
+  def appendToFingerprintIndex(index: FingerprintIndex, newDocs: DataFrame,
+                               idCol: String,
+                               textCol: String): FingerprintIndex = {
+    val FingerprintIndexParams(k, w, _, _) = index.params
+    val newFps = fingerprints(newDocs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+      .join(index.stop, Seq("fp_hash"), "left_anti")
+    index.copy(fps = index.fps.unionByName(newFps),
+      params = index.params.copy(version = index.params.version + 1))
   }
 
   /** Span-copy report of an increment against an indexed corpus:
@@ -103,7 +141,7 @@ object Fingerprint {
   def matchAgainst(increment: DataFrame, index: FingerprintIndex,
                    idCol: String, textCol: String,
                    minShared: Int = 1): DataFrame = {
-    val FingerprintIndexParams(k, w, _) = index.params
+    val FingerprintIndexParams(k, w, _, _) = index.params
     val incFps = fingerprints(increment, idCol, textCol, k, w)
       .select(col(idCol).as("inc_id"), col("fp_hash")).distinct()
     incFps.hint("shuffle_hash")

@@ -114,7 +114,61 @@ class WinnowSpec extends SparkTestBase {
     got should not be empty
   }
 
-  it should "refuse a directory without a params record" in {
+  it should "append under the frozen stop set, matching a same-stop rebuild" in {
+    import graft.ops.Fingerprint
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5)
+    val day1 = docs.filter($"doc_id" % 10 === 5)
+    val inc = docs.filter($"doc_id" % 10 === 0)
+    val built = Fingerprint.buildFingerprintIndex(base, "doc_id", "text",
+      k = 5, w = 8, maxDf = 10)
+    val appended = Fingerprint.appendToFingerprintIndex(built, day1,
+      "doc_id", "text")
+    appended.params.version shouldBe 1L
+    // reference: base fps + day1 fps minus the BUILD's stop set — the
+    // frozen-cap contract, constructed independently of the append code
+    val stopSet = built.stop.as[String].collect().toSet
+    val day1Fps = Fingerprint.fingerprints(day1, "doc_id", "text", 5, 8)
+      .select($"doc_id", $"fp_hash").distinct()
+      .as[(Long, String)].collect().filterNot(f => stopSet(f._2))
+    val expectedFps = built.fps.as[(Long, String)].collect().toSet ++ day1Fps
+    appended.fps.as[(Long, String)].collect().toSet shouldBe expectedFps
+    // and matches flow through both generations: day1 docs are findable
+    val matches = Fingerprint.matchAgainst(inc, appended, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    matches.map(_._2).toSet.exists(_ % 10 == 5) shouldBe true
+    // save/load round trip preserves the appended generation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fpindex-app").toString
+    appended.save(dir)
+    val re = Fingerprint.FingerprintIndex.load(spark, dir)
+    re.params shouldBe appended.params
+    re.fps.count() shouldBe appended.fps.count()
+  }
+
+  "winnow_fingerprints (SQL)" should "be callable from the SQL surface" in {
+    graft.extensions.GraftExtensions.register(spark)
+    Seq((1L, "key agg row scan slow fast table value part hash"))
+      .toDF("id", "text").createOrReplaceTempView("winnow_sql_docs")
+    val viaSql = spark.sql(
+      """SELECT id, fp.fp_pos, fp.fp_hash
+        |FROM winnow_sql_docs
+        |LATERAL VIEW explode(winnow_fingerprints(text, 5, 8)) AS fp
+        |""".stripMargin)
+      .as[(Long, Int, String)].collect().toSet
+    val viaCol = Seq((1L, "key agg row scan slow fast table value part hash"))
+      .toDF("id", "text")
+      .select($"id", explode(
+        WinnowFingerprints.winnowFingerprints($"text", 5, 8)).as("fp"))
+      .select($"id", $"fp.fp_pos", $"fp.fp_hash")
+      .as[(Long, Int, String)].collect().toSet
+    viaSql shouldBe viaCol
+    viaSql should not be empty
+  }
+
+  "FingerprintIndex.load" should "refuse a directory without a params record" in {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-fpindex-bad").toString
     an[IllegalStateException] should be thrownBy

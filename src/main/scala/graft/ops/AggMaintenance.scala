@@ -72,7 +72,16 @@ object AggMaintenance {
     * Only (touched-group state rows + signed contributions) are ever
     * aggregated. Set `broadcastTouched = false` for intervals whose
     * key set exceeds broadcast size — same plan with shuffle joins.
-    */
+    *
+    * NULL keys: ROW keys inherit the reference data model's non-null
+    * contract (an HBase row key cannot be null — same contract as
+    * [[Snapshot.snapshotDiff]]). GROUP keys, by contrast, are ordinary
+    * aggregation columns where NULL is a legitimate group (SQL `GROUP
+    * BY` semantics), so every group-key join here goes through a single
+    * STRUCT key — struct comparison treats null members as equal, stays
+    * a hash equi-join, and keeps one join column for partitioning
+    * reuse. `deleteStatus` configures the CDC vocabulary's delete
+    * marker (the reference uses `'D'`). */
   def advanceAggregateCdc(prevAgg: DataFrame, state1: DataFrame,
                           delta: DataFrame,
                           rowKeyCols: Seq[String], tsCol: String,
@@ -80,49 +89,58 @@ object AggMaintenance {
                           groupKeyCols: Seq[String], countCol: String,
                           sums: Seq[(String, String)],
                           minMaxes: Seq[(String, String, String)] = Nil,
-                          broadcastTouched: Boolean = true): DataFrame = {
+                          broadcastTouched: Boolean = true,
+                          deleteStatus: String = "D"): DataFrame = {
     require(rowKeyCols.nonEmpty && groupKeyCols.nonEmpty,
       "advanceAggregateCdc needs row-key and group-key columns")
     val viewCols = (groupKeyCols :+ countCol) ++ sums.map(_._1) ++
       minMaxes.map(_._1)
     require(viewCols.forall(prevAgg.columns.contains),
       s"advanceAggregateCdc: prevAgg lacks ${viewCols.filterNot(prevAgg.columns.contains).mkString(", ")}")
+    require(!prevAgg.columns.contains("__grp") &&
+        !state1.columns.contains("__grp"),
+      "advanceAggregateCdc: inputs must not carry reserved column '__grp'")
     def bcast(df: DataFrame): DataFrame =
       if (broadcastTouched) broadcast(df) else df
+    // the null-safe group join key; keys are re-extracted on output
+    val grp = struct(groupKeyCols.map(col): _*).as("__grp")
+    def grpKeys = groupKeyCols.map(c => col(s"__grp.`$c`").as(c))
 
     // Row keys touched by the interval, and both ends' contributions.
     val touchedKeys = bcast(delta.select(rowKeyCols.map(col): _*).distinct())
     val oldRows = state1.join(touchedKeys, rowKeyCols, "left_semi")
     val newRows = Snapshot
       .latestPerKey(delta, rowKeyCols, tsCol, tieBreakers)
-      .filter(col(statusCol) =!= "D")
+      .filter(col(statusCol) =!= deleteStatus)
 
     // Signed count/sum contributions; group keys come from each side's
     // own row, so a group-moving update retracts from the old group and
     // adds to the new one.
     def contrib(df: DataFrame, sign: Int) =
-      df.select(groupKeyCols.map(col) ++
+      df.select(grp +:
         (lit(sign.toLong).as(countCol) +:
           sums.map { case (aggC, srcC) => (col(srcC) * sign).as(aggC) }): _*)
     val netDelta = contrib(oldRows, -1).unionByName(contrib(newRows, 1))
-      .groupBy(groupKeyCols.map(col): _*)
+      .groupBy(col("__grp"))
       .agg(sum(col(countCol)).as(countCol),
         sums.map { case (aggC, _) => sum(col(aggC)).as(aggC) }: _*)
 
-    val touchedGroups = bcast(netDelta.select(groupKeyCols.map(col): _*))
+    val touchedGroups = bcast(netDelta.select(col("__grp")))
     val untouched = prevAgg.select(viewCols.map(col): _*)
-      .join(touchedGroups, groupKeyCols, "left_anti")
+      .withColumn("__grp", struct(groupKeyCols.map(col): _*))
+      .join(touchedGroups, Seq("__grp"), "left_anti")
+      .drop("__grp")
 
     // Arithmetic merge for count/sum over touched groups (new groups
     // surface via the outer side; emptied groups are dropped).
     val prevTouched = prevAgg
-      .select((groupKeyCols.map(col) :+ col(countCol).as("__p_cnt")) ++
+      .select((grp +: col(countCol).as("__p_cnt") +: Nil) ++
         sums.map { case (aggC, _) => col(aggC).as(s"__p_$aggC") }: _*)
-      .join(touchedGroups, groupKeyCols, "left_semi")
+      .join(touchedGroups, Seq("__grp"), "left_semi")
     val mergedSums = prevTouched
-      .join(netDelta.withColumnRenamed(countCol, "__d_cnt"), groupKeyCols,
+      .join(netDelta.withColumnRenamed(countCol, "__d_cnt"), Seq("__grp"),
         "full_outer")
-      .select(groupKeyCols.map(col) ++
+      .select(col("__grp") +:
         ((coalesce(col("__p_cnt"), lit(0L)) + coalesce(col("__d_cnt"), lit(0L)))
           .as(countCol) +:
           sums.map { case (aggC, _) =>
@@ -132,14 +150,17 @@ object AggMaintenance {
       .filter(col(countCol) > 0)
 
     if (minMaxes.isEmpty) {
-      untouched.unionByName(mergedSums)
+      untouched.unionByName(
+        mergedSums.select(grpKeys ++
+          (col(countCol) +: sums.map { case (aggC, _) => col(aggC) }): _*))
     } else {
       // Min/max are not subtractable: rebuild the T2 state for touched
       // groups only (untouched-key T1 rows still in those groups + the
       // delta's final rows) and recompute the extrema there.
       val state2Touched = state1.join(touchedKeys, rowKeyCols, "left_anti")
         .unionByName(newRows.select(state1.columns.map(col): _*))
-        .join(touchedGroups, groupKeyCols, "left_semi")
+        .withColumn("__grp", struct(groupKeyCols.map(col): _*))
+        .join(touchedGroups, Seq("__grp"), "left_semi")
       val firstMM = minMaxes.head
       def mmExpr(mm: (String, String, String)): Column = mm match {
         case (aggC, srcC, "min") => min(col(srcC)).as(aggC)
@@ -147,11 +168,13 @@ object AggMaintenance {
         case (_, _, other) => throw new IllegalArgumentException(
           s"advanceAggregateCdc: unsupported extremum '$other' (min|max)")
       }
-      val recomputedMM = state2Touched.groupBy(groupKeyCols.map(col): _*)
+      val recomputedMM = state2Touched.groupBy(col("__grp"))
         .agg(mmExpr(firstMM), minMaxes.tail.map(mmExpr): _*)
       untouched.unionByName(
-        mergedSums.join(recomputedMM, groupKeyCols)
-          .select(viewCols.map(col): _*))
+        mergedSums.join(recomputedMM, Seq("__grp"))
+          .select(grpKeys ++
+            (col(countCol) +: (sums.map(_._1) ++ minMaxes.map(_._1))
+              .map(col)): _*))
     }
   }
 

@@ -24,7 +24,15 @@ object ChangelogAudit {
 
   /** Anomaly rows `(keyCols*, ts, row_status, anomaly)` for the three
     * rule violations; `insertStatus`/`deleteStatus` configure the
-    * status vocabulary (reference uses I/U/D). */
+    * status vocabulary (reference uses I/U/D).
+    *
+    * Contract: `tsCol` must be non-null (the reference's replicator
+    * stamps every event with its commit time — a versioned changelog
+    * with unstamped rows is already corrupt upstream of any audit).
+    * A NULL ts makes `lag(ts)` indistinguishable from "no previous
+    * row", so both this audit and [[graft.streaming.ChangelogStream
+    * .streamAudit]] leave its neighborhood's verdicts undefined — and
+    * they disagree with each other there; don't rely on either. */
   def audit(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
             statusCol: String, insertStatus: String = "I",
             deleteStatus: String = "D",

@@ -101,31 +101,52 @@ object Compaction {
         .foldLeft(0L)(math.max)
     // write into a uniquely-named staging dir (underscore prefix: hidden
     // from partition discovery and from versions()), then CLAIM a
-    // version number by rename — effectively atomic on HDFS-like
-    // filesystems, so two concurrent compactions that computed the same
-    // next version cannot both win it: the loser's rename fails and it
-    // claims the next number instead. The full shuffle+write happens
-    // once, before any contention.
-    val stage = new Path(
-      s"$outDir/_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    // version number by rename. Rename alone is NOT a sufficient claim
+    // on HDFS-like filesystems: renaming onto a directory that appeared
+    // after the exists() check MOVES the staging dir INSIDE it (POSIX
+    // mv semantics) and still returns true — the loser would believe it
+    // won and return the winner's data as its own. So the staging dir
+    // carries a unique claim marker, and a rename only counts as a win
+    // if the marker surfaces at the claimed directory's TOP level; a
+    // buried marker means the race was lost — the staging dir is pulled
+    // back out of the winner's directory and the next number is tried.
+    // The full shuffle+write happens once, before any contention.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val stage = new Path(s"$outDir/_tmp_$tag")
+    val claim = s"_claim_$tag"
     shaped.write.mode("errorifexists").parquet(stage.toString)
+    fs.create(new Path(stage, claim), false).close()
     var version = anyVersion
     var dest: Path = null
     var attempts = 0
+    def bump(): Unit = {
+      attempts += 1
+      if (attempts >= 64) {
+        fs.delete(stage, true)
+        throw new java.io.IOException(
+          s"compact: could not claim a version under $outDir " +
+            s"after $attempts attempts (concurrent writers?)")
+      }
+    }
     while (dest == null) {
       version += 1L
       val cand = new Path(s"$outDir/v=$version")
-      if (!fs.exists(cand) && fs.rename(stage, cand)) dest = cand
-      else {
-        attempts += 1
-        if (attempts >= 64) {
-          fs.delete(stage, true)
-          throw new java.io.IOException(
-            s"compact: could not claim a version under $outDir " +
-              s"after $attempts attempts (concurrent writers?)")
+      if (!fs.exists(cand) && fs.rename(stage, cand)) {
+        if (fs.exists(new Path(cand, claim))) dest = cand
+        else {
+          // lost: our staging dir was buried inside the winner's v=N —
+          // recover it and keep claiming
+          val buried = new Path(cand, stage.getName)
+          if (!fs.rename(buried, stage)) {
+            throw new java.io.IOException(
+              s"compact: lost the claim race for $cand and could not " +
+                s"recover the staging dir $buried — manual cleanup needed")
+          }
+          bump()
         }
-      }
+      } else bump()
     }
+    fs.delete(new Path(dest, claim), false)
     dest.toString
   }
 

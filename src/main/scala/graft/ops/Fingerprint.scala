@@ -46,6 +46,13 @@ object Fingerprint {
     * index. */
   final case class FingerprintIndex(fps: DataFrame, stop: DataFrame,
                                     params: FingerprintIndexParams) {
+    /** Persist under `dir` (overwrite). An APPENDED index must be
+      * saved to a FRESH directory (version the path, e.g.
+      * `base-v${params.version}`): its fps lineage still READS the
+      * loaded generation's files, and Spark refuses to overwrite a
+      * path that is also being read from ("Cannot overwrite a path
+      * that is also being read from") — and a filesystem that slipped
+      * past that check would delete the input mid-scan. */
     def save(dir: String): Unit = {
       fps.write.mode("overwrite").parquet(s"$dir/fps")
       stop.write.mode("overwrite").parquet(s"$dir/stop")
@@ -95,10 +102,17 @@ object Fingerprint {
     // side isn't small — Catalyst would broadcast corpus-scale data.
     // The window shuffles the fps table once on the hash and filters
     // in place; no join exists to mis-plan.
+    // persisted: BOTH index tables (fps and stop) derive from this
+    // frame, and materializing them separately (save writes each)
+    // would otherwise run the corpus fingerprint scan — one md5 per
+    // gram — plus the fp_hash window twice. Released by the
+    // ContextCleaner when the index's frames are collected, as with
+    // the ivfPqTopK intermediates.
     val flagged = fingerprints(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp_hash")).distinct()
       .withColumn("__df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("fp_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fps = flagged.filter(col("__df") <= maxDf).drop("__df")
     // the dropped hashes, persisted: heavy-hitter-sized by construction
     // (each appears in > maxDf documents), and the append path needs
@@ -119,7 +133,8 @@ object Fingerprint {
     * materially past the build.
     *
     * Caller contract: ids in `newDocs` are disjoint from the indexed
-    * ids (append, not upsert). */
+    * ids (append, not upsert), and the appended index is saved to a
+    * FRESH directory — see [[FingerprintIndex.save]]. */
   def appendToFingerprintIndex(index: FingerprintIndex, newDocs: DataFrame,
                                idCol: String,
                                textCol: String): FingerprintIndex = {

@@ -35,13 +35,17 @@ object FuzzyJoin {
 
   /** Pairs `(left, right)` with equal block keys and
     * `levenshtein(leftStr, rightStr) ≤ maxDist`. Output: `left_id,
-    * left_str, right_id, right_str, edit_dist`, one row per matched
-    * pair with `left_id < right_id` when `dedupePairs` (self-join
-    * mode; both sides must then share the id space). */
+    * left_str, right_id, right_str, edit_dist`.
+    *
+    * `dedupePairs` is deliberately NOT defaulted: pass `true` for a
+    * SELF-join (both sides the same table — keeps each pair once via
+    * `left_id < right_id`), `false` for two distinct tables —
+    * `left_id < right_id` over independent id spaces would silently
+    * drop about half the true matches. */
   def blockedPairs(left: DataFrame, right: DataFrame,
                    idCol: String, strCol: String, maxDist: Int,
-                   blockKey: Column => Column = suffixBlock,
-                   dedupePairs: Boolean = true): DataFrame = {
+                   dedupePairs: Boolean,
+                   blockKey: Column => Column = suffixBlock): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val a = left.select(col(idCol).as("left_id"), col(strCol).as("left_str"),
       blockKey(col(strCol)).as("__blk"))

@@ -189,7 +189,12 @@ object PqIndex {
                                     codebooks: Pq.Codebooks,
                                     codes: DataFrame,
                                     params: PqIndexParams) {
-    /** Write centroids/codebooks/codes/params under `dir` (overwrite). */
+    /** Write centroids/codebooks/codes/params under `dir` (overwrite).
+      * An APPENDED index must be saved to a FRESH directory (version
+      * the path, e.g. `base-v${params.version}`): its codes lineage
+      * still READS the loaded generation's files, and Spark refuses to
+      * overwrite a path that is also being read from — a filesystem
+      * that slipped past that check would delete the input mid-scan. */
     def save(dir: String): Unit = {
       val spark = codes.sparkSession
       import spark.implicits._

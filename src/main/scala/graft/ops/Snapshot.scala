@@ -273,16 +273,25 @@ object Snapshot {
       else oldSnap.columns.filterNot(keyCols.contains)
         .filter(newSnap.columns.contains).toIndexedSeq.sorted
     require(cmp.nonEmpty, "snapshotDiff needs at least one compare column")
+    // keys are aliased by ORDINAL (`#k0`, `#k1`, …), not by name: a
+    // name-derived alias collides when a compare column is literally
+    // named like a mangled key (e.g. key `id` alongside a column
+    // `k_id`). `#` keeps the ordinal scheme out of ordinary column
+    // namespaces; the require makes the one remaining collision loud.
+    require(cmp.forall(c => !c.matches("#k\\d+")),
+      "snapshotDiff: compare columns may not be named like '#k<i>'")
     def side(df: DataFrame, p: String, marker: String) =
-      df.select(keyCols.map(c => col(c).as(s"${p}k_$c")) ++
+      df.select(keyCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"$p#k$i")
+        } ++
         cmp.map(c => col(c).as(s"$p$c")) :+ lit(true).as(marker): _*)
     // <=> stays an equi-join to the planner (hash joinable), but its
     // derived key expressions forfeit upstream partitioning reuse — see
     // the scaladoc for when to pay that
-    def eq(c: String) =
-      if (nullSafeKeys) col(s"__o_k_$c") <=> col(s"__n_k_$c")
-      else col(s"__o_k_$c") === col(s"__n_k_$c")
-    val joinCond = keyCols.map(eq).reduce(_ && _)
+    def eq(i: Int) =
+      if (nullSafeKeys) col(s"__o_#k$i") <=> col(s"__n_#k$i")
+      else col(s"__o_#k$i") === col(s"__n_#k$i")
+    val joinCond = keyCols.indices.map(eq).reduce(_ && _)
     val j = side(oldSnap, "__o_", "__op")
       .join(side(newSnap, "__n_", "__np"), joinCond, "full_outer")
     val op = col("__op").isNotNull
@@ -294,8 +303,9 @@ object Snapshot {
     val changedCols = when(op && np,
       concat_ws(",", cmp.map(c => when(diff(c), lit(c))): _*))
     j.filter(!op || !np || anyDiff)
-      .select(keyCols.map(c =>
-          coalesce(col(s"__o_k_$c"), col(s"__n_k_$c")).as(c)) ++
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+          coalesce(col(s"__o_#k$i"), col(s"__n_#k$i")).as(c)
+        } ++
         Seq(changeType.as("change_type"), changedCols.as("changed_cols")) ++
         cmp.map(c => col(s"__o_$c").as(s"old_$c")) ++
         cmp.map(c => col(s"__n_$c").as(s"new_$c")): _*)

@@ -445,8 +445,27 @@ object ChangelogStream {
           Option(r.get(stIdx)).map(_.toString).orNull)
       }
       val prior = state.getOption.map(_.getSeq[Row](0)).getOrElse(Seq.empty)
-      val merged = (prior ++ entries)
-        .sortWith((a, b) => cmp(ordOf(a), ordOf(b)) < 0)
+        .toIndexedSeq
+      // prior is already sorted (this code's own invariant): sort only
+      // the batch and linear-merge — O(n + b log b), not O(n log n) per
+      // micro-batch on a deep-history key. Ties keep prior first, the
+      // same order a stable sort of (prior ++ entries) produced.
+      val sortedNew = entries.sortWith((a, b) => cmp(ordOf(a), ordOf(b)) < 0)
+        .toIndexedSeq
+      val merged = {
+        val out = scala.collection.mutable.ArrayBuffer[Row]()
+        out.sizeHint(prior.length + sortedNew.length)
+        var i = 0
+        var j = 0
+        while (i < prior.length && j < sortedNew.length) {
+          if (cmp(ordOf(prior(i)), ordOf(sortedNew(j))) <= 0) {
+            out += prior(i); i += 1
+          } else { out += sortedNew(j); j += 1 }
+        }
+        while (i < prior.length) { out += prior(i); i += 1 }
+        while (j < sortedNew.length) { out += sortedNew(j); j += 1 }
+        out.toSeq
+      }
       state.update(Row(merged))
       Row.fromSeq(keyIdx.map(batch.head.get) :+ anomaliesOf(merged))
     }

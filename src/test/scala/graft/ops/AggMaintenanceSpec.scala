@@ -120,6 +120,49 @@ class AggMaintenanceSpec extends SparkTestBase {
       cdcAgg(liveState(cdcLog)).drop("lo", "hi").orderBy($"grp").collect()
   }
 
+  it should "treat a NULL group key as one ordinary group" in {
+    // NULL groups are legitimate under SQL GROUP BY; the struct join
+    // key makes every touched-group join null-safe — a NULL-keyed
+    // group must neither survive stale nor split into a duplicate row
+    val log = Seq(
+      (1L, 1L, Option("A"), 10.0, "I"),
+      (2L, 2L, Option.empty[String], 5.0, "I"), // NULL group at T1
+      (3L, 3L, Option("F"), 4.0, "I"), // untouched
+      (2L, 11L, Option.empty[String], 8.0, "U"), // NULL group updated
+      (4L, 12L, Option.empty[String], 2.0, "I"), // NULL group insert
+      (1L, 13L, Option.empty[String], 10.0, "U") // A -> NULL group move
+    ).toDF("uid", "ts", "grp", "v", "status")
+    val state1 = liveState(log.filter($"ts" < 10))
+    val out = AggMaintenance.advanceAggregateCdc(cdcAgg(state1), state1,
+      log.filter($"ts" >= 10), rowKeyCols = Seq("uid"), tsCol = "ts",
+      tieBreakers = Nil, statusCol = "status", groupKeyCols = Seq("grp"),
+      countCol = "n", sums = Seq("s" -> "v"),
+      minMaxes = Seq(("lo", "v", "min"), ("hi", "v", "max")))
+    out.orderBy($"grp").collect() shouldBe
+      cdcAgg(liveState(log)).orderBy($"grp").collect()
+    // exactly one NULL-group row, carrying all three moved/updated rows
+    val nullRows = out.filter($"grp".isNull).collect()
+    nullRows should have length 1
+    nullRows.head.getLong(1) shouldBe 3L
+  }
+
+  it should "honor a non-default delete status" in {
+    val log = Seq(
+      (1L, 1L, "A", 10.0, "ins"), (2L, 2L, "A", 5.0, "ins"),
+      (2L, 11L, "A", 5.0, "del")
+    ).toDF("uid", "ts", "grp", "v", "status")
+    def live(df: org.apache.spark.sql.DataFrame) =
+      Snapshot.latestPerKey(df, Seq("uid"), "ts").filter($"status" =!= "del")
+    val state1 = live(log.filter($"ts" < 10))
+    val out = AggMaintenance.advanceAggregateCdc(cdcAgg(state1), state1,
+      log.filter($"ts" >= 10), Seq("uid"), "ts", Nil, "status",
+      Seq("grp"), "n", Seq("s" -> "v"),
+      minMaxes = Seq(("lo", "v", "min"), ("hi", "v", "max")),
+      deleteStatus = "del")
+    out.orderBy($"grp").collect() shouldBe
+      cdcAgg(live(log)).orderBy($"grp").collect()
+  }
+
   it should "reject a view missing spec columns and bad extrema" in {
     val state1 = liveState(cdcLog.filter($"ts" < 10))
     an[IllegalArgumentException] should be thrownBy

@@ -30,7 +30,7 @@ class FuzzyJoinSpec extends SparkTestBase {
   private def df = rows.toDF("id", "name")
 
   "blockedPairs" should "find exactly the in-block pairs within maxDist" in {
-    val got = FuzzyJoin.blockedPairs(df, df, "id", "name", maxDist = 2)
+    val got = FuzzyJoin.blockedPairs(df, df, "id", "name", maxDist = 2, dedupePairs = true)
       .select($"left_id", $"right_id", $"edit_dist")
       .as[(Long, Long, Int)].collect().toSet
     val expected = (for {
@@ -48,7 +48,7 @@ class FuzzyJoinSpec extends SparkTestBase {
 
   it should "report the exact distance for every surviving pair" in {
     val byId = rows.toMap
-    FuzzyJoin.blockedPairs(df, df, "id", "name", maxDist = 3)
+    FuzzyJoin.blockedPairs(df, df, "id", "name", maxDist = 3, dedupePairs = true)
       .select($"left_id", $"right_id", $"edit_dist")
       .as[(Long, Long, Int)].collect().foreach { case (l, r, d) =>
         d shouldBe lev(byId(l), byId(r))

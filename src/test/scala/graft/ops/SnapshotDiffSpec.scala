@@ -40,6 +40,17 @@ class SnapshotDiffSpec extends SparkTestBase {
     del.getAs[String]("old_name") shouldBe "c"
   }
 
+  it should "diff snapshots whose columns look like mangled key names" in {
+    // ordinal key aliases: a compare column literally named k_<key>
+    // must not collide with the key's internal alias
+    val o = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "k_id", "score")
+    val n = Seq((1L, "x", 1.5), (2L, "z", 2.0)).toDF("id", "k_id", "score")
+    val d = Snapshot.snapshotDiff(o, n, Seq("id"))
+      .select($"id", $"change_type", $"changed_cols")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    d shouldBe Array((1L, "update", "score"), (2L, "update", "k_id"))
+  }
+
   it should "emit no row for unchanged keys (delta-sized output)" in {
     Snapshot.snapshotDiff(oldSnap, newSnap, Seq("id"))
       .filter($"id" === 1L).count() shouldBe 0L

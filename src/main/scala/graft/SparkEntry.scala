@@ -808,6 +808,25 @@ object SparkEntry {
       merged.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable frequent-items sketches (the heavy-hitter analogue of
+    // the HLL/KLL pattern): per-language shard sketches of document
+    // tokens, merged to one global sketch, reported with error bounds.
+    // Rows-only (estimates are encounter-order-dependent across
+    // partitions); FreqAggregatesSpec pins the bound guarantees.
+    "q_freq_sketch" -> ((s, d) => {
+      import graft.functions.FreqFunctions._
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      toks.groupBy(col("lang")).agg(freqSketch(col("tok")).as("sk"))
+        .agg(freqItems(freqMerge(col("sk"))).as("items"))
+        .select(explode(col("items")).as("i"))
+        .select(col("i.item").as("item"), col("i.estimate").as("estimate"),
+          col("i.lower_bound").as("lower_bound"),
+          col("i.upper_bound").as("upper_bound"))
+        .orderBy(col("estimate").desc, col("item"))
+    }),
+
     // Pivot — status columns per priority (counts), fixed column set.
     "q_pivot" -> ((s, d) =>
       Tables.orders(s, d)

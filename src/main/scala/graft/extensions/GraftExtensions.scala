@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, WinnowFingerprints}
+import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMergeAgg, FreqSketchAgg, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -86,6 +86,28 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.GetArrayItem(
           KllQuantilesExpr(exprs.head, Seq(rank)),
           org.apache.spark.sql.catalyst.expressions.Literal(0))
+      }),
+    (new FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"freq_sketch_agg expects 1-2 arguments, got ${exprs.length}")
+        val m = exprs.lift(1).map(foldableInt("freq_sketch_agg maxMapSize", _))
+        FreqSketchAgg(exprs.head, m.getOrElse(256)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"freq_merge_agg expects 1 argument, got ${exprs.length}")
+        FreqMergeAgg(exprs.head).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItemsExpr].getName, "freq_items"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"freq_items expects 1 argument, got ${exprs.length}")
+        FreqItemsExpr(exprs.head)
       }),
     (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,

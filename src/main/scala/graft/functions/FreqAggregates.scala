@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable frequent-items sketches (DataSketches ItemsSketch —
+  * Misra–Gries with purge, the frequent-items analogue of the HLL
+  * distinct and KLL quantile sketches already in the battery): sketch
+  * each shard/partition/day ONCE, persist the model-sized bytes, and
+  * answer any later "top tokens / hot keys" question by merging
+  * sketches — never by rescanning the raw 100 TB. The exact
+  * [[graft.ops.Skew]] heavy-hitter aggregation answers one question
+  * per scan; these make the intermediate a storable, re-mergeable
+  * column.
+  *
+  * Guarantee (inherited from the sketch): with map size `m`, every
+  * estimate is within `getMaximumError ≤ 3.5·N/m` of the true count,
+  * and `NO_FALSE_NEGATIVES` retrieval returns EVERY item whose true
+  * count exceeds the error bound. Merging preserves the bound over the
+  * combined stream. Estimates depend on encounter order across
+  * partitions, so queries over these are rows-only, like the other
+  * sketches. */
+case class FreqSketchAgg(
+    child: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]]
+  with UnaryLike[Expression] {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+
+  override def prettyName: String = "freq_sketch_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING column, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String],
+                      input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: ItemsSketch[String],
+                     other: ItemsSketch[String]): ItemsSketch[String] =
+    buf.merge(other)
+
+  override def eval(buf: ItemsSketch[String]): Any =
+    buf.toByteArray(new ArrayOfStringsSerDe())
+
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(new ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketchAgg =
+    copy(child = newChild)
+}
+
+/** Mutable union buffer for [[FreqMergeAgg]]: adopts the first sketch
+  * (at ITS map size), as [[KllMergeBuffer]] does for KLL. */
+final class FreqMergeBuffer(var sk: ItemsSketch[String])
+
+/** Union of serialized frequent-items sketches — the reduce side of
+  * the shard-sketch pattern. Input: binary sketch column; output:
+  * merged bytes, still storable and further mergeable. */
+case class FreqMergeAgg(
+    child: Expression,
+    maxMapSize: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqMergeBuffer]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "freq_merge_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): FreqMergeBuffer =
+    new FreqMergeBuffer(null)
+
+  override def update(buf: FreqMergeBuffer, input: InternalRow): FreqMergeBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val incoming = ItemsSketch.getInstance(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe())
+      if (buf.sk == null) buf.sk = incoming else buf.sk.merge(incoming)
+    }
+    buf
+  }
+
+  override def merge(buf: FreqMergeBuffer, other: FreqMergeBuffer): FreqMergeBuffer = {
+    if (buf.sk == null) buf.sk = other.sk
+    else if (other.sk != null) buf.sk.merge(other.sk)
+    buf
+  }
+
+  override def eval(buf: FreqMergeBuffer): Any =
+    (if (buf.sk == null) new ItemsSketch[String](maxMapSize) else buf.sk)
+      .toByteArray(new ArrayOfStringsSerDe())
+
+  override def serialize(buf: FreqMergeBuffer): Array[Byte] =
+    if (buf.sk == null) Array.emptyByteArray
+    else buf.sk.toByteArray(new ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): FreqMergeBuffer =
+    new FreqMergeBuffer(
+      if (bytes.isEmpty) null
+      else ItemsSketch.getInstance(Memory.wrap(bytes),
+        new ArrayOfStringsSerDe()))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqMergeAgg =
+    copy(child = newChild)
+}
+
+/** `freq_items(sketchBytes)` → the sketch's frequent items as
+  * `array<struct<item string, estimate long, lower_bound long,
+  * upper_bound long>>`, in the sketch's estimate-descending order.
+  * `noFalseNegatives = true` (default) returns every item whose true
+  * count COULD exceed the error bound (complete, may include borderline
+  * extras); `false` returns only items whose true count provably does
+  * (precise, may miss borderline ones). Scalar, model-sized work. */
+case class FreqItemsExpr(child: Expression, noFalseNegatives: Boolean = true)
+  extends UnaryExpression {
+
+  override def prettyName: String = "freq_items"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("estimate", LongType, nullable = false),
+      StructField("lower_bound", LongType, nullable = false),
+      StructField("upper_bound", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  def items(bytes: Array[Byte]): ArrayData = {
+    val sk = ItemsSketch.getInstance(Memory.wrap(bytes),
+      new ArrayOfStringsSerDe())
+    val rows = sk.getFrequentItems(
+      if (noFalseNegatives) ErrorType.NO_FALSE_NEGATIVES
+      else ErrorType.NO_FALSE_POSITIVES)
+    new GenericArrayData(rows.map(r => new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r.getItem),
+      r.getEstimate, r.getLowerBound, r.getUpperBound))))
+  }
+
+  override def nullSafeEval(v: Any): Any = items(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("freqItems", this,
+        classOf[FreqItemsExpr].getName)
+      s"${ev.value} = $ref.items($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsExpr =
+    copy(child = newChild)
+}
+
+object FreqFunctions {
+  /** Sketch a string column into mergeable frequent-items bytes. */
+  def freqSketch(c: Column, maxMapSize: Int = 256): Column =
+    ColumnBridge.column(FreqSketchAgg(ColumnBridge.expression(c), maxMapSize)
+      .toAggregateExpression())
+
+  /** Merge serialized sketches into one. */
+  def freqMerge(c: Column, maxMapSize: Int = 256): Column =
+    ColumnBridge.column(FreqMergeAgg(ColumnBridge.expression(c), maxMapSize)
+      .toAggregateExpression())
+
+  /** Frequent items of a sketch → array of (item, estimate, bounds). */
+  def freqItems(c: Column, noFalseNegatives: Boolean = true): Column =
+    ColumnBridge.column(FreqItemsExpr(ColumnBridge.expression(c),
+      noFalseNegatives))
+}

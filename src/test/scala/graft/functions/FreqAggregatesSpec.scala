@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import FreqFunctions._
+
+/** Frequent-items sketches: the Misra–Gries error bound vs exact
+  * counts, no-false-negatives retrieval of true heavy hitters, the
+  * shard-merge identity, map-side partial aggregation, and the SQL
+  * surface. */
+class FreqAggregatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // zipf-ish: item "t<k>" appears ~10000/k times — unambiguous heavy
+  // hitters over a long tail
+  private def rows = (1 to 60).flatMap(k =>
+    Seq.fill(10000 / k)((k % 7, s"t$k")))
+  private def df = rows.toDF("g", "tok").repartition(4)
+  private def exactCounts = rows.groupBy(_._2).view.mapValues(_.size).toMap
+
+  "freqSketch + freqItems" should
+      "estimate within the sketch's own error bound and keep all true heavy hitters" in {
+    val bytes = df.agg(freqSketch($"tok").as("sk"))
+      .select($"sk").as[Array[Byte]].head()
+    val sk = org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(bytes),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe())
+    val maxErr = sk.getMaximumError
+    maxErr should be <= (3.5 * rows.length / 256).toLong
+    val got = df.agg(freqItems(freqSketch($"tok")).as("items"))
+      .select(explode($"items").as("i"))
+      .select($"i.item", $"i.estimate", $"i.lower_bound", $"i.upper_bound")
+      .as[(String, Long, Long, Long)].collect()
+    got.foreach { case (item, est, lb, ub) =>
+      val truth = exactCounts(item).toLong
+      truth should (be >= lb and be <= ub)
+      math.abs(est - truth) should be <= maxErr
+    }
+    // NO_FALSE_NEGATIVES: every item whose true count exceeds the
+    // error bound must be present
+    val mustHave = exactCounts.filter(_._2 > maxErr).keySet
+    mustHave.diff(got.map(_._1).toSet) shouldBe Set.empty
+  }
+
+  "freqMerge of shard sketches" should "answer like one global sketch (within bound)" in {
+    val merged = df.groupBy($"g").agg(freqSketch($"tok").as("sk"))
+      .agg(freqItems(freqMerge($"sk")).as("items"))
+      .select(explode($"items").as("i"))
+      .select($"i.item", $"i.estimate", $"i.lower_bound", $"i.upper_bound")
+      .as[(String, Long, Long, Long)].collect()
+    merged.foreach { case (item, _, lb, ub) =>
+      exactCounts(item).toLong should (be >= lb and be <= ub)
+    }
+    // the uncontested top item survives any merge order
+    merged.map(_._1) should contain ("t1")
+  }
+
+  it should "partially aggregate map-side (ObjectHashAggregate)" in {
+    val plan = df.agg(freqSketch($"tok"))
+      .queryExecution.executedPlan.toString()
+    plan should include ("ObjectHashAggregate")
+    plan should include regex "(?i)partial"
+  }
+
+  "the SQL surface" should "sketch, merge, and report via registered functions" in {
+    df.createOrReplaceTempView("freq_sql_t")
+    val top = spark.sql(
+      """SELECT freq_items(freq_merge_agg(sk)) AS items FROM (
+        |  SELECT g, freq_sketch_agg(tok) AS sk FROM freq_sql_t GROUP BY g)
+        |""".stripMargin)
+      .select(explode($"items.item").as("item")).as[String].collect()
+    top should contain ("t1")
+    // explicit map size and the error paths
+    spark.sql("SELECT freq_sketch_agg(tok, 512) FROM freq_sql_t").collect()
+    an[Exception] should be thrownBy
+      spark.sql("SELECT freq_sketch_agg(tok, 100) FROM freq_sql_t").collect()
+  }
+
+  "FreqSketchAgg" should "reject a non-power-of-two map size" in {
+    an[IllegalArgumentException] should be thrownBy
+      freqSketch(lit("x"), maxMapSize = 100)
+  }
+}

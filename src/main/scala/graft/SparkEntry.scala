@@ -808,6 +808,34 @@ object SparkEntry {
       merged.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
+    // Theta-sketch SET ALGEBRA over per-language token vocabularies:
+    // intersection / difference / union cardinalities composed from
+    // model-sized sketches — never materializing the sets. Vocabularies
+    // here sit below nominal entries, so theta is in EXACT mode and the
+    // whole query hash-checks against real set algebra in DuckDB (the
+    // sketch path must produce the exact numbers, not approximations).
+    "q_theta_overlap" -> ((s, d) => {
+      import graft.functions.ThetaFunctions._
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val sk = toks.groupBy(col("lang")).agg(thetaSketch(col("tok")).as("sk"))
+      val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
+      val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          round(thetaEstimate(thetaIntersect(col("ska"), col("skb"))))
+            .cast(LongType).as("n_common"),
+          round(thetaEstimate(thetaAnotB(col("ska"), col("skb"))))
+            .cast(LongType).as("n_only_a"),
+          round(thetaEstimate(thetaAnotB(col("skb"), col("ska"))))
+            .cast(LongType).as("n_only_b"),
+          round(thetaEstimate(thetaUnionPair(col("ska"), col("skb"))))
+            .cast(LongType).as("n_union"))
+        .filter(col("n_common") > 0)
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // Mergeable frequent-items sketches (the heavy-hitter analogue of
     // the HLL/KLL pattern): per-language shard sketches of document
     // tokens, merged to one global sketch, reported with error bounds.
@@ -2533,6 +2561,27 @@ object SparkEntry {
         |  substr(sel, 1, 16) AS fp_hash
         |FROM winmin WHERE p <= g - 8
         |ORDER BY doc_id, fp_pos""".stripMargin,
+    // Real set algebra over the distinct (lang, token) table — the
+    // exact numbers theta's exact mode must reproduce.
+    "q_theta_overlap" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang,
+        |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents)),
+        |j AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_common
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2),
+        |c AS (SELECT lang, count(*) AS n FROM toks GROUP BY 1)
+        |SELECT j.lang_a, j.lang_b, j.n_common,
+        |  ca.n - j.n_common AS n_only_a,
+        |  cb.n - j.n_common AS n_only_b,
+        |  ca.n + cb.n - j.n_common AS n_union
+        |FROM j JOIN c ca ON ca.lang = j.lang_a
+        |       JOIN c cb ON cb.lang = j.lang_b
+        |WHERE j.n_common > 0
+        |ORDER BY lang_a, lang_b""".stripMargin,
     // Fingerprints for ALL docs via the same window-min scheme, then
     // the corpus/increment split, the build-side df cap, and the join.
     "q_winnow_match" ->

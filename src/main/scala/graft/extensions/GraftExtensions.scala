@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMergeAgg, FreqSketchAgg, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, WinnowFingerprints}
+import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMergeAgg, FreqSketchAgg, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, ThetaEstimateExpr, ThetaSetOpExpr, ThetaSketchAgg, ThetaUnionAgg, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -108,6 +108,42 @@ object GraftExtensions {
         require(exprs.length == 1,
           s"freq_items expects 1 argument, got ${exprs.length}")
         FreqItemsExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"theta_sketch_agg expects 1-2 arguments, got ${exprs.length}")
+        val n = exprs.lift(1).map(foldableInt("theta_sketch_agg nominalEntries", _))
+        ThetaSketchAgg(exprs.head, n.getOrElse(4096)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"theta_union_agg expects 1 argument, got ${exprs.length}")
+        ThetaUnionAgg(exprs.head).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[ThetaSetOpExpr].getName, "theta_intersect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"theta_intersect expects 2 arguments, got ${exprs.length}")
+        ThetaSetOpExpr(exprs.head, exprs(1), "intersect")
+      }),
+    (new FunctionIdentifier("theta_anotb"),
+      new ExpressionInfo(classOf[ThetaSetOpExpr].getName, "theta_anotb"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"theta_anotb expects 2 arguments, got ${exprs.length}")
+        ThetaSetOpExpr(exprs.head, exprs(1), "anotb")
+      }),
+    (new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimateExpr].getName, "theta_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"theta_estimate expects 1 argument, got ${exprs.length}")
+        ThetaEstimateExpr(exprs.head)
       }),
     (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,

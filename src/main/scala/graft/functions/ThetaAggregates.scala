@@ -1,0 +1,243 @@
+package graft.functions
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketches: mergeable distinct-sets with SET OPERATIONS. The
+  * HLL battery (`q_approx_distinct`, `q_sketch_merge`) answers "how
+  * many distinct" and unions shards; theta additionally INTERSECTS and
+  * DIFFERENCES sketches — "how many distinct tokens do corpora A and B
+  * share", "how many keys are in yesterday's snapshot but not
+  * today's" — without ever materializing the sets. Sketch each
+  * shard/day once (model-sized bytes), compose set algebra at read.
+  *
+  * Determinism: theta hashing is fixed-seed, so a sketch is a pure
+  * function of its input SET (union order irrelevant — θ is a min).
+  * Below `nominalEntries` distinct values the sketch is EXACT (the
+  * estimate IS the true count); above, a ~1/√nominalEntries relative
+  * error applies and set-op results carry their own bounds. */
+case class ThetaSketchAgg(
+    child: Expression,
+    nominalEntries: Int = 4096,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
+
+  require(nominalEntries >= 16 && Integer.bitCount(nominalEntries) == 1,
+    s"nominalEntries must be a power of two >= 16, got $nominalEntries")
+
+  override def prettyName: String = "theta_sketch_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType | DoubleType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string/long/int/double/binary, got ${t.catalogString}")
+  }
+
+  @transient private lazy val updater: (Union, Any) => Unit =
+    child.dataType match {
+      case StringType => (u, v) => u.update(v.asInstanceOf[UTF8String].toString)
+      case LongType => (u, v) => u.update(v.asInstanceOf[Long])
+      case IntegerType => (u, v) => u.update(v.asInstanceOf[Int].toLong)
+      case DoubleType => (u, v) => u.update(v.asInstanceOf[Double])
+      case BinaryType => (u, v) => u.update(v.asInstanceOf[Array[Byte]])
+    }
+
+  // a Union doubles as the update buffer: update() hashes raw values,
+  // and exchange-serialized partials re-enter via union(Memory)
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) updater(buf, v)
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] =
+    buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** Union of serialized theta sketches — the reduce side of the
+  * shard-sketch pattern. */
+case class ThetaUnionAgg(
+    child: Expression,
+    nominalEntries: Int = 4096,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "theta_union_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(nominalEntries).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult)
+    buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Memory.wrap(bytes))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+}
+
+/** `theta_set_op(a, b)` for op ∈ {union, intersect, anotb} → the
+  * result sketch's bytes (still composable). Scalar, model-sized. */
+case class ThetaSetOpExpr(left: Expression, right: Expression, op: String)
+  extends BinaryExpression {
+
+  require(Seq("union", "intersect", "anotb").contains(op),
+    s"theta set op must be union|intersect|anotb, got '$op'")
+
+  override def prettyName: String = s"theta_$op"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two binary sketch columns, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  def setOp(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = Sketches.wrapSketch(Memory.wrap(a))
+    val sb = Sketches.wrapSketch(Memory.wrap(b))
+    val res: CompactSketch = op match {
+      case "union" => SetOperation.builder().buildUnion().union(sa, sb)
+      case "intersect" =>
+        SetOperation.builder().buildIntersection().intersect(sa, sb)
+      case "anotb" => SetOperation.builder().buildANotB().aNotB(sa, sb)
+    }
+    res.toByteArray
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    setOp(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("thetaOp", this,
+        classOf[ThetaSetOpExpr].getName)
+      s"${ev.value} = $ref.setOp($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaSetOpExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_estimate(sketchBytes)` → the distinct estimate (double;
+  * exact below the sketch's nominal entries). */
+case class ThetaEstimateExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "theta_estimate"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  def estimate(bytes: Array[Byte]): Double =
+    Sketches.wrapSketch(Memory.wrap(bytes)).getEstimate
+
+  override def nullSafeEval(v: Any): Any =
+    estimate(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("thetaEst", this,
+        classOf[ThetaEstimateExpr].getName)
+      s"${ev.value} = $ref.estimate($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimateExpr =
+    copy(child = newChild)
+}
+
+object ThetaFunctions {
+  def thetaSketch(c: Column, nominalEntries: Int = 4096): Column =
+    ColumnBridge.column(ThetaSketchAgg(ColumnBridge.expression(c),
+      nominalEntries).toAggregateExpression())
+
+  def thetaUnion(c: Column, nominalEntries: Int = 4096): Column =
+    ColumnBridge.column(ThetaUnionAgg(ColumnBridge.expression(c),
+      nominalEntries).toAggregateExpression())
+
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOpExpr(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), "intersect"))
+
+  def thetaAnotB(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOpExpr(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), "anotb"))
+
+  def thetaUnionPair(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOpExpr(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), "union"))
+
+  def thetaEstimate(c: Column): Column =
+    ColumnBridge.column(ThetaEstimateExpr(ColumnBridge.expression(c)))
+}

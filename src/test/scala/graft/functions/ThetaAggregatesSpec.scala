@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import ThetaFunctions._
+
+/** Theta sketches: exact-mode equality with real set algebra, the
+  * above-nominal error bound, shard-merge identity, and map-side
+  * partial aggregation. */
+class ThetaAggregatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two overlapping value sets, each well below nominal entries (4096)
+  // so every sketch is in EXACT mode
+  private val setA = (1 to 300).map(i => s"v$i")
+  private val setB = (200 to 450).map(i => s"v$i")
+  private def df = (setA.map(("A", _)) ++ setB.map(("B", _)))
+    .toDF("side", "v").repartition(4)
+
+  "thetaSketch set ops" should "equal real set algebra in exact mode" in {
+    val sk = df.groupBy($"side").agg(thetaSketch($"v").as("sk"))
+    val a = sk.filter($"side" === "A").select($"sk".as("ska"))
+    val b = sk.filter($"side" === "B").select($"sk".as("skb"))
+    val row = a.crossJoin(b).select(
+        thetaEstimate($"ska").as("na"),
+        thetaEstimate(thetaIntersect($"ska", $"skb")).as("common"),
+        thetaEstimate(thetaAnotB($"ska", $"skb")).as("onlyA"),
+        thetaEstimate(thetaUnionPair($"ska", $"skb")).as("union"))
+      .as[(Double, Double, Double, Double)].head()
+    row._1 shouldBe setA.toSet.size.toDouble
+    row._2 shouldBe setA.toSet.intersect(setB.toSet).size.toDouble
+    row._3 shouldBe setA.toSet.diff(setB.toSet).size.toDouble
+    row._4 shouldBe setA.toSet.union(setB.toSet).size.toDouble
+  }
+
+  it should "estimate within the sketch's own bounds above nominal entries" in {
+    val big = (1 to 100000).toDF("v")
+    val bytes = big.agg(thetaSketch($"v", nominalEntries = 1024).as("sk"))
+      .select($"sk").as[Array[Byte]].head()
+    val sk = org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    sk.getLowerBound(2) should be <= 100000.0
+    sk.getUpperBound(2) should be >= 100000.0
+    math.abs(sk.getEstimate - 100000.0) / 100000.0 should be <= 0.1
+  }
+
+  "thetaUnion of shard sketches" should "equal the one-shot sketch exactly" in {
+    // theta is order-insensitive and exact below nominal entries: the
+    // shard-merged estimate must EQUAL the global one, not approximate it
+    val merged = df.withColumn("shard", expr("length(v) % 3"))
+      .groupBy($"side", $"shard")
+      .agg(thetaSketch($"v").as("sk"))
+      .groupBy($"side").agg(thetaEstimate(thetaUnion($"sk")).as("n"))
+      .as[(String, Double)].collect().toMap
+    merged("A") shouldBe setA.toSet.size.toDouble
+    merged("B") shouldBe setB.toSet.size.toDouble
+  }
+
+  it should "partially aggregate map-side (ObjectHashAggregate)" in {
+    val plan = df.agg(thetaSketch($"v"))
+      .queryExecution.executedPlan.toString()
+    plan should include ("ObjectHashAggregate")
+    plan should include regex "(?i)partial"
+  }
+
+  "the SQL surface" should "sketch, compose, and estimate via registered functions" in {
+    graft.extensions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("theta_sql_t")
+    val common = spark.sql(
+      """SELECT theta_estimate(theta_intersect(
+        |  (SELECT theta_sketch_agg(v) FROM theta_sql_t WHERE side = 'A'),
+        |  (SELECT theta_sketch_agg(v) FROM theta_sql_t WHERE side = 'B')))
+        |""".stripMargin).as[Double].head()
+    common shouldBe setA.toSet.intersect(setB.toSet).size.toDouble
+    val total = spark.sql(
+      """SELECT theta_estimate(theta_union_agg(sk)) FROM (
+        |  SELECT side, theta_sketch_agg(v) AS sk FROM theta_sql_t GROUP BY side)
+        |""".stripMargin).as[Double].head()
+    total shouldBe setA.toSet.union(setB.toSet).size.toDouble
+  }
+
+  "ThetaSketchAgg" should "reject a non-power-of-two nominal size" in {
+    an[IllegalArgumentException] should be thrownBy
+      thetaSketch(lit("x"), nominalEntries = 1000)
+  }
+}

@@ -107,4 +107,44 @@ class SpillFallbackSpec extends SparkTestBase {
       }
     }
   }
+
+  "freqSketch and freqMerge" should
+      "keep the error-bound contract through the fallback" in {
+    // Misra-Gries estimates depend on encounter order, which the
+    // fallback reorders — assert the bound contract, not byte equality
+    val rows = (1 to 40).flatMap(k => Seq.fill(4000 / k)((k % 50, s"t$k")))
+    val df = rows.toDF("g", "tok").repartition(8)
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    forceFallback {
+      val out = df.groupBy($"g").agg(FreqFunctions.freqSketch($"tok").as("sk"))
+        .agg(FreqFunctions.freqItems(FreqFunctions.freqMerge($"sk"))
+          .as("items"))
+        .select(explode($"items").as("i"))
+        .select($"i.item", $"i.lower_bound", $"i.upper_bound")
+        .as[(String, Long, Long)]
+      val got = out.collect()
+      fallbackTasks(out) should be > 0L
+      got.foreach { case (item, lb, ub) =>
+        exact(item) should (be >= lb and be <= ub)
+      }
+      got.map(_._1) should contain ("t1")
+    }
+  }
+
+  "thetaSketch and thetaUnion" should
+      "stay EXACT through the fallback below nominal entries" in {
+    // theta is a pure function of the input SET — the fallback's
+    // reordering must not move the estimate at all in exact mode
+    val rows = (0 until 8000).map(i => (i % 50, s"v${i % 700}"))
+    val df = rows.toDF("g", "v").repartition(8)
+    forceFallback {
+      val out = df.groupBy($"g")
+        .agg(ThetaFunctions.thetaSketch($"v").as("sk"))
+        .agg(ThetaFunctions.thetaEstimate(
+          ThetaFunctions.thetaUnion($"sk")).as("n"))
+        .as[Double]
+      out.collect().head shouldBe 700.0
+      fallbackTasks(out) should be > 0L
+    }
+  }
 }

@@ -814,6 +814,11 @@ object SparkEntry {
     // here sit below nominal entries, so theta is in EXACT mode and the
     // whole query hash-checks against real set algebra in DuckDB (the
     // sketch path must produce the exact numbers, not approximations).
+    // The pair join is over the SKETCH table (one model-sized row per
+    // group): pairwise-overlap output is inherently quadratic in the
+    // group count, but each pair costs a few KB of sketch bytes — the
+    // raw token sets never join. A BNLJ on `lang_a < lang_b` is the
+    // right plan at this cardinality.
     "q_theta_overlap" -> ((s, d) => {
       import graft.functions.ThetaFunctions._
       val toks = Tables.documents(s, d)

@@ -808,6 +808,24 @@ object SparkEntry {
       merged.join(exact, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable VarOpt weighted sample: per-language shard sketches of
+    // documents weighted by length, unioned to one fixed-size corpus
+    // sample whose Horvitz-Thompson weights sum to the true total
+    // character count. Rows-only (retention is randomized);
+    // VarOptAggregatesSpec pins the invariants.
+    "q_varopt_sample" -> ((s, d) => {
+      import graft.functions.VarOptFunctions._
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(varoptSketch(col("doc_id").cast("string"),
+          col("n_chars"), k = 32).as("sk"))
+        .agg(varoptSamples(varoptMerge(col("sk"), k = 32)).as("sample"))
+        .select(explode(col("sample")).as("e"))
+        .select(col("e.item").as("doc_id"),
+          round(col("e.weight"), 4).as("adjusted_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Theta-sketch SET ALGEBRA over per-language token vocabularies:
     // intersection / difference / union cardinalities composed from
     // model-sized sketches — never materializing the sets. Vocabularies

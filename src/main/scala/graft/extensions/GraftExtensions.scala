@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMergeAgg, FreqSketchAgg, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, ThetaEstimateExpr, ThetaSetOpExpr, ThetaSketchAgg, ThetaUnionAgg, WinnowFingerprints}
+import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMergeAgg, FreqSketchAgg, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, ThetaEstimateExpr, ThetaSetOpExpr, ThetaSketchAgg, ThetaUnionAgg, VarOptMergeAgg, VarOptSamplesExpr, VarOptSketchAgg, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -144,6 +144,30 @@ object GraftExtensions {
         require(exprs.length == 1,
           s"theta_estimate expects 1 argument, got ${exprs.length}")
         ThetaEstimateExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("varopt_sketch_agg"),
+      new ExpressionInfo(classOf[VarOptSketchAgg].getName, "varopt_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"varopt_sketch_agg expects (item, weight[, k]), got ${exprs.length} args")
+        val k = exprs.lift(2).map(foldableInt("varopt_sketch_agg k", _))
+        VarOptSketchAgg(exprs.head, exprs(1), k.getOrElse(64))
+          .toAggregateExpression()
+      }),
+    (new FunctionIdentifier("varopt_merge_agg"),
+      new ExpressionInfo(classOf[VarOptMergeAgg].getName, "varopt_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"varopt_merge_agg expects (sketch[, k]), got ${exprs.length} args")
+        val k = exprs.lift(1).map(foldableInt("varopt_merge_agg k", _))
+        VarOptMergeAgg(exprs.head, k.getOrElse(64)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("varopt_samples"),
+      new ExpressionInfo(classOf[VarOptSamplesExpr].getName, "varopt_samples"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"varopt_samples expects 1 argument, got ${exprs.length}")
+        VarOptSamplesExpr(exprs.head)
       }),
     (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,

@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.sampling.{VarOptItemsSketch, VarOptItemsUnion}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable WEIGHTED sampling (DataSketches VarOpt): a fixed-size,
+  * weight-proportional sample with unbiased subset-sum estimates — the
+  * inspection tier of the sampling battery. [[graft.ops.Sampling]]'s
+  * md5 splits are deterministic set PARTITIONS; VarOpt answers the
+  * other question: "hand me k REPRESENTATIVE documents of this 100 TB
+  * corpus, weighted by token count, such that any subset's total
+  * weight can be estimated without bias from the sample alone." Sketch
+  * each shard once, union at read — sampling a corpus never costs a
+  * second scan.
+  *
+  * VarOpt (Cohen et al.) minimizes subset-sum variance among all
+  * fixed-size weighted schemes; each retained item carries its
+  * Horvitz–Thompson adjusted weight, so `Σ adjusted-weight over any
+  * predicate` is an unbiased estimate of that subset's true total
+  * weight. Retention is randomized (seeded per JVM): queries over
+  * these are rows-only, like the other randomized sketches. */
+case class VarOptSketchAgg(
+    left: Expression,   // item (string)
+    right: Expression,  // weight (numeric)
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VarOptItemsSketch[String]]
+  with BinaryLike[Expression] {
+
+  require(k >= 1, s"sample size k must be >= 1, got $k")
+
+  override def prettyName: String = "varopt_sketch_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, _: NumericType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string item, numeric weight), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  @transient private lazy val toDouble: Any => Double = right.dataType match {
+    case DoubleType => v => v.asInstanceOf[Double]
+    case FloatType => v => v.asInstanceOf[Float].toDouble
+    case LongType => v => v.asInstanceOf[Long].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case ShortType => v => v.asInstanceOf[Short].toDouble
+    case ByteType => v => v.asInstanceOf[Byte].toDouble
+    case _: DecimalType => v =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+  }
+
+  override def createAggregationBuffer(): VarOptItemsSketch[String] =
+    VarOptItemsSketch.newInstance[String](k)
+
+  override def update(buf: VarOptItemsSketch[String],
+                      input: InternalRow): VarOptItemsSketch[String] = {
+    val item = left.eval(input)
+    val w = right.eval(input)
+    // VarOpt rejects non-positive weights; skip them like nulls — a
+    // zero-weight row can never be sampled anyway
+    if (item != null && w != null) {
+      val wd = toDouble(w)
+      if (wd > 0) buf.update(item.asInstanceOf[UTF8String].toString, wd)
+    }
+    buf
+  }
+
+  override def merge(buf: VarOptItemsSketch[String],
+                     other: VarOptItemsSketch[String]): VarOptItemsSketch[String] = {
+    val u = VarOptItemsUnion.newInstance[String](k)
+    u.update(buf)
+    u.update(other)
+    u.getResult
+  }
+
+  override def eval(buf: VarOptItemsSketch[String]): Any =
+    buf.toByteArray(new ArrayOfStringsSerDe())
+
+  override def serialize(buf: VarOptItemsSketch[String]): Array[Byte] =
+    buf.toByteArray(new ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): VarOptItemsSketch[String] =
+    VarOptItemsSketch.heapify(Memory.wrap(bytes), new ArrayOfStringsSerDe())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VarOptSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VarOptSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VarOptSketchAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Union of serialized VarOpt sketches — the reduce side of the
+  * shard-sample pattern. */
+case class VarOptMergeAgg(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VarOptItemsUnion[String]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 1, s"sample size k must be >= 1, got $k")
+
+  override def prettyName: String = "varopt_merge_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  override def createAggregationBuffer(): VarOptItemsUnion[String] =
+    VarOptItemsUnion.newInstance[String](k)
+
+  override def update(buf: VarOptItemsUnion[String],
+                      input: InternalRow): VarOptItemsUnion[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(VarOptItemsSketch.heapify(
+      Memory.wrap(v.asInstanceOf[Array[Byte]]), new ArrayOfStringsSerDe()))
+    buf
+  }
+
+  override def merge(buf: VarOptItemsUnion[String],
+                     other: VarOptItemsUnion[String]): VarOptItemsUnion[String] = {
+    buf.update(other.getResult)
+    buf
+  }
+
+  override def eval(buf: VarOptItemsUnion[String]): Any =
+    buf.getResult.toByteArray(new ArrayOfStringsSerDe())
+
+  override def serialize(buf: VarOptItemsUnion[String]): Array[Byte] =
+    buf.getResult.toByteArray(new ArrayOfStringsSerDe())
+  override def deserialize(bytes: Array[Byte]): VarOptItemsUnion[String] = {
+    val u = VarOptItemsUnion.newInstance[String](k)
+    u.update(VarOptItemsSketch.heapify(Memory.wrap(bytes),
+      new ArrayOfStringsSerDe()))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VarOptMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VarOptMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VarOptMergeAgg =
+    copy(child = newChild)
+}
+
+/** `varopt_samples(sketchBytes)` → `array<struct<item string, weight
+  * double>>`: the retained sample with Horvitz–Thompson adjusted
+  * weights (summing any subset's weights estimates that subset's true
+  * total without bias). */
+case class VarOptSamplesExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "varopt_samples"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("weight", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  def samples(bytes: Array[Byte]): ArrayData = {
+    val sk = VarOptItemsSketch.heapify(Memory.wrap(bytes),
+      new ArrayOfStringsSerDe())
+    val out = Seq.newBuilder[Any]
+    val it = sk.getSketchSamples.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      out += new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s.getItem), s.getWeight))
+    }
+    new GenericArrayData(out.result().toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = samples(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("voSamples", this,
+        classOf[VarOptSamplesExpr].getName)
+      s"${ev.value} = $ref.samples($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VarOptSamplesExpr =
+    copy(child = newChild)
+}
+
+object VarOptFunctions {
+  /** Weighted fixed-size sample of (item, weight) pairs. */
+  def varoptSketch(item: Column, weight: Column, k: Int = 64): Column =
+    ColumnBridge.column(VarOptSketchAgg(ColumnBridge.expression(item),
+      ColumnBridge.expression(weight), k).toAggregateExpression())
+
+  /** Merge serialized samples into one. */
+  def varoptMerge(c: Column, k: Int = 64): Column =
+    ColumnBridge.column(VarOptMergeAgg(ColumnBridge.expression(c), k)
+      .toAggregateExpression())
+
+  /** The retained sample with adjusted weights. */
+  def varoptSamples(c: Column): Column =
+    ColumnBridge.column(VarOptSamplesExpr(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import VarOptFunctions._
+
+/** VarOpt weighted sampling: the exact total-weight invariant, bounded
+  * sample size, certain retention of dominant items, shard-merge, and
+  * map-side partial aggregation. */
+class VarOptAggregatesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 1000 items, weights 1..1000, plus one dominant item carrying ~50%
+  // of the total weight
+  private val base = (1 to 1000).map(i => (s"d$i", i.toDouble))
+  private val total = base.map(_._2).sum
+  private val rows = base :+ ("whale", total)
+  private def df = rows.toDF("item", "w").repartition(8)
+
+  "varoptSketch" should
+      "preserve total weight exactly and always retain the dominant item" in {
+    val got = df.agg(varoptSamples(varoptSketch($"item", $"w", k = 32))
+        .as("s"))
+      .select(explode($"s").as("e"))
+      .select($"e.item", $"e.weight")
+      .as[(String, Double)].collect()
+    got.length shouldBe 32
+    // Horvitz-Thompson invariant: adjusted weights sum EXACTLY to the
+    // stream's total weight (within float tolerance), for any sample
+    got.map(_._2).sum shouldBe (total * 2) +- (total * 1e-9)
+    // an item holding half the total weight is in the heavy region —
+    // retained with certainty, at its true weight
+    val whale = got.find(_._1 == "whale")
+    whale.isDefined shouldBe true
+    whale.get._2 shouldBe total +- 1e-6
+  }
+
+  it should "skip non-positive weights and nulls instead of failing" in {
+    val d = Seq(("a", 5.0), ("b", 0.0), ("c", -1.0)).toDF("item", "w")
+    val got = d.agg(varoptSamples(varoptSketch($"item", $"w", k = 8)).as("s"))
+      .select(explode($"s").as("e")).select($"e.item")
+      .as[String].collect()
+    got.toSeq shouldBe Seq("a")
+  }
+
+  "varoptMerge of shard sketches" should "keep the total-weight invariant" in {
+    val merged = df.withColumn("shard", expr("abs(hash(item)) % 5"))
+      .groupBy($"shard").agg(varoptSketch($"item", $"w", k = 32).as("sk"))
+      .agg(varoptSamples(varoptMerge($"sk", k = 32)).as("s"))
+      .select(explode($"s").as("e"))
+      .select($"e.item", $"e.weight")
+      .as[(String, Double)].collect()
+    merged.length shouldBe 32
+    merged.map(_._2).sum shouldBe (total * 2) +- (total * 1e-9)
+    merged.map(_._1) should contain ("whale")
+  }
+
+  it should "partially aggregate map-side (ObjectHashAggregate)" in {
+    val plan = df.agg(varoptSketch($"item", $"w"))
+      .queryExecution.executedPlan.toString()
+    plan should include ("ObjectHashAggregate")
+    plan should include regex "(?i)partial"
+  }
+
+  "the SQL surface" should "sample and read back via registered functions" in {
+    graft.extensions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("varopt_sql_t")
+    val s = spark.sql(
+      """SELECT varopt_samples(varopt_merge_agg(sk, 16)) AS s FROM (
+        |  SELECT varopt_sketch_agg(item, w, 16) AS sk
+        |  FROM varopt_sql_t GROUP BY abs(hash(item)) % 3)
+        |""".stripMargin)
+      .select(explode($"s").as("e")).select($"e.weight")
+      .as[Double].collect()
+    s.length shouldBe 16
+    s.sum shouldBe (total * 2) +- (total * 1e-9)
+  }
+
+  "VarOptSketchAgg" should "reject a non-positive k" in {
+    an[IllegalArgumentException] should be thrownBy
+      varoptSketch(lit("x"), lit(1.0), k = 0)
+  }
+}

@@ -1357,6 +1357,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Language identification: per-doc predicted language from a
+    // corpus-self-trained char-trigram Laplace model — the pipeline stage
+    // that DERIVES the `lang` label q_corpus_mix/q_split_leakage group
+    // on. Scores are rounded to 6 before the argmax and ties break on
+    // the smallest language code, so the prediction is engine-portable.
+    "q_lang_id" -> ((s, d) =>
+      graft.ops.LangId.selfClassify(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Bigram conditional LM score: common words in implausible ORDER now
     // score low too — the sequence-aware tier above q_unigram_lm. In-row
     // token-tail zip (no positional self-join); docs under 2 tokens have
@@ -1531,10 +1544,19 @@ object SparkEntry {
     // then probed back by the defensive box walker — first-visual-track
     // dims, mvhd duration (ticks -> ms at timescale 600), track count.
     // The curation pre-filter pass (ffprobe-style), oracle-exact.
+    // Harness rule: no query emits array/map columns in its final select —
+    // the driver's comparator hashes scalar cells only. The per-track
+    // arrays are serialized to comma-joined strings here (the operator API
+    // keeps the typed arrays).
     "q_multimodal_mp4" -> ((s, d) =>
       Multimodal.probeMp4(
           Multimodal.syntheticMp4Assets(Tables.documents(s, d), "doc_id"),
           "id", "data")
+        .select(col("id"), col("width"), col("height"), col("duration_ms"),
+          col("n_tracks"), col("n_video"), col("n_audio"),
+          array_join(col("track_handlers"), ",").as("track_handlers"),
+          array_join(col("track_durations_ms"), ",").as("track_durations_ms"),
+          array_join(col("track_codecs"), ",").as("track_codecs"))
         .orderBy(col("id")))
   )
 
@@ -2467,6 +2489,35 @@ object SparkEntry {
         |  round(avg(logp), 6) AS mean_logp
         |FROM tok JOIN lp USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same char-trigram Laplace arithmetic as LangId.selfClassify:
+    // profiles and doc-gram counts from one exploded gram set, unseen
+    // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
+    // BEFORE the argmax, ties broken by smallest lang code.
+    "q_lang_id" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS gram
+        |  FROM d, unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |p AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |tt AS (SELECT lang, sum(c) AS t FROM p GROUP BY 1),
+        |v AS (SELECT count(DISTINCT gram) AS v FROM p),
+        |dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dg.doc_id, tt.lang,
+        |    CAST(sum(dg.cnt) AS BIGINT) AS n_grams,
+        |    round(sum(dg.cnt * ln((coalesce(p.c, 0) + 1.0) / (tt.t + v.v)))
+        |          / sum(dg.cnt), 6) AS score
+        |  FROM dg CROSS JOIN tt CROSS JOIN v
+        |  LEFT JOIN p ON p.lang = tt.lang AND p.gram = dg.gram
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang AS lang_pred, n_grams, score FROM sc
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
     // Same Laplace bigram conditional: count(prev,cur)+1 over
     // context+vocab, averaged per doc, round 6; adjacency by pos-join.
     "q_bigram_lm" ->
@@ -2868,14 +2919,14 @@ object SparkEntry {
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
         |  CAST(1 AS INTEGER) AS n_video,
         |  CAST(doc_id % 3 AS INTEGER) AS n_audio,
-        |  list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
-        |    t -> CASE WHEN t = 1 THEN 'vide' ELSE 'soun' END)
+        |  array_to_string(list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
+        |    t -> CASE WHEN t = 1 THEN 'vide' ELSE 'soun' END), ',')
         |    AS track_handlers,
-        |  list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
-        |    t -> ((600 + (doc_id % 1000) * 3 + t) * 1000) // 600)
+        |  array_to_string(list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
+        |    t -> ((600 + (doc_id % 1000) * 3 + t) * 1000) // 600), ',')
         |    AS track_durations_ms,
-        |  list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
-        |    t -> CASE WHEN t = 1 THEN 'avc1' ELSE 'mp4a' END)
+        |  array_to_string(list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
+        |    t -> CASE WHEN t = 1 THEN 'avc1' ELSE 'mp4a' END), ',')
         |    AS track_codecs
         |FROM documents ORDER BY id""".stripMargin
   )

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language identification — the canonical web-corpus
+  * pipeline stage that DERIVES a language label from raw text (every
+  * large-scale pipeline filters by detected language before corpus
+  * mixing; the `documents.lang` column this engine's mix/split operators
+  * group on is exactly what this operator produces upstream).
+  *
+  * Model class: per-language Laplace-smoothed multinomial over character
+  * n-grams (the Cavnar–Trenkle / langid.py family's statistical core),
+  * trained from any labelled sample and applied as a broadcast
+  * lookup — no external model artifact, no UDF, everything codegen'd
+  * DataFrame algebra like [[UnigramLm]].
+  *
+  * Scale design: training aggregates (lang, gram) counts — a model-sized
+  * result (vocab x languages) — with map-side combine; scoring explodes
+  * each document once, pre-aggregates per-document gram counts (one
+  * corpus-sized shuffle), then joins the BROADCAST profile and reduces to
+  * one row per (doc, language). The per-language fan-out multiplies the
+  * model-sized side only. Nothing quadratic in the corpus, no driver
+  * round trips beyond the broadcast model.
+  *
+  * Determinism contract (oracle-portable): scores are mean log
+  * probabilities rounded to 6 decimals BEFORE the argmax, and ties break
+  * on the lexicographically smallest language code — so the predicted
+  * label is reproducible bit-for-bit across engines (same posture as
+  * `q_unigram_lm`'s rounded Laplace arithmetic).
+  */
+object LangId {
+
+  /** Normalized text: lowercased, trimmed, whitespace runs collapsed to a
+    * single space — so gram statistics don't depend on formatting. */
+  private def norm(textCol: Column): Column =
+    regexp_replace(lower(trim(textCol)), "\\s+", " ")
+
+  /** Explode `docs` to one row per character-n-gram occurrence:
+    * (id, gram). Documents shorter than `n` normalized characters yield
+    * no rows. In-row position enumeration (`sequence` + `transform`), no
+    * positional self-join. */
+  def charGrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3): DataFrame = {
+    require(n >= 1, s"charGrams: n must be >= 1, got $n")
+    Parallelism.spread(
+        docs.select(col(idCol).as("id"), norm(col(textCol)).as("__t")))
+      // guard BEFORE sequence(): Spark's sequence(1, k) steps DOWNWARD
+      // for k < 1, which would fabricate grams for short docs
+      .filter(length(col("__t")) >= n)
+      .select(col("id"),
+        explode(transform(
+          sequence(lit(1), length(col("__t")) - lit(n - 1)),
+          i => col("__t").substr(i, lit(n)))).as("gram"))
+      .select(col("id"), col("gram"))
+  }
+
+  /** Train per-language gram profiles from a labelled sample:
+    * (lang, gram, c) counts plus the global vocabulary size and
+    * per-language totals folded in as columns — the broadcastable model.
+    *
+    * Output schema: (lang, gram, c, t, v) where `t` = total gram
+    * occurrences for `lang` and `v` = distinct grams across ALL
+    * languages (the shared Laplace denominator). Model-sized. */
+  def trainProfiles(docs: DataFrame, textCol: String, labelCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = charGrams(
+      docs.select(col(labelCol).as("__lang"), col(textCol).as("__text")),
+      "__lang", "__text", n)
+      .select(col("id").as("lang"), col("gram"))
+    val counts = grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vocab = counts.select(col("gram")).distinct()
+      .agg(count(lit(1)).as("v"))
+    counts.join(totals, "lang").join(broadcast(vocab))
+      .select(col("lang"), col("gram"), col("c"), col("t"), col("v"))
+  }
+
+  /** Score every document against every language in `profiles`:
+    * (id, lang, n_grams, score) where score is the mean over the
+    * document's gram OCCURRENCES of ln((c_lang(gram) + 1) / (t_lang + v))
+    * — Laplace α=1, grams unseen in a language contributing
+    * ln(1 / (t_lang + v)) — rounded to 6 decimals.
+    *
+    * The document side is reduced to per-doc gram COUNTS before the
+    * model join, so the join and the language fan-out run on the
+    * compacted (id, gram) set, not raw occurrences. */
+  def scoreAgainstProfiles(docs: DataFrame, profiles: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3): DataFrame = {
+    val dg = charGrams(docs, idCol, textCol, n)
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    // model-sized dimension tables off the profile — broadcast them all
+    val langs = profiles.select(col("lang"), col("t"), col("v")).distinct()
+    val lp = profiles.select(col("lang"), col("gram"), col("c"))
+    dg.join(broadcast(langs))
+      .join(broadcast(lp), Seq("lang", "gram"), "left")
+      .select(col("id"), col("lang"), col("cnt"),
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("t") + col("v")))
+          .as("logp"))
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        round(sum(col("cnt") * col("logp")) / sum(col("cnt")), 6)
+          .as("score"))
+  }
+
+  /** Predicted language per document: argmax of [[scoreAgainstProfiles]]
+    * over the ROUNDED scores, ties broken by lexicographically smallest
+    * language code. Output: (id, lang_pred, n_grams, score). */
+  def classify(docs: DataFrame, profiles: DataFrame, idCol: String,
+               textCol: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scoreAgainstProfiles(docs, profiles, idCol, textCol, n)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("lang").as("lang_pred"),
+        col("n_grams"), col("score"))
+  }
+
+  /** Train on the corpus's own labels and classify the same corpus — the
+    * corpus-self-trained form every `q_*` battery uses (no external
+    * artifact), and the QA motion for auditing an EXISTING label column:
+    * rows where `lang_pred` disagrees with the label are the ones to
+    * inspect. */
+  def selfClassify(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, n: Int = 3): DataFrame =
+    classify(docs, trainProfiles(docs, textCol, labelCol, n),
+      idCol, textCol, n)
+}

@@ -273,4 +273,15 @@ class PlanQualitySpec extends SparkTestBase {
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
     plan should include regex "(?i)partial"
   }
+
+  "q_lang_id" should "broadcast the model-sized profile onto the doc-gram stream" in {
+    val plan = planOf("q_lang_id")
+    // the corpus-sized side is the per-doc gram counts; every model join
+    // (language totals fan-out + profile lookup) must broadcast — a
+    // shuffled profile join would re-shuffle the corpus once per model
+    // table, and a cartesian on anything corpus-sized is fatal at scale
+    (plan should not).include ("CartesianProduct")
+    (plan should not).include ("SortMergeJoin")
+    plan should include ("BroadcastHashJoin")
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Harness output contract: the driver's oracle comparator sorts and
+  * hashes scalar cells, so NO query may emit array/map/struct columns in
+  * its final select (r7's `q_multimodal_mp4` red row was exactly this —
+  * pandas cannot sort ndarray cells). Operators keep their typed
+  * collection APIs; queries serialize at the edge (`array_join`).
+  *
+  * Every `queries` entry is planned (streaming-bridge entries execute)
+  * at sf0.001 and its analyzed schema asserted scalar-only, recursively.
+  */
+class QueryOutputContractSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def nestedOffenders(schema: StructType, prefix: String = "")
+      : Seq[String] =
+    schema.fields.flatMap { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType => Seq(s"$prefix${f.name}: ${f.dataType.simpleString}")
+        case st: StructType => nestedOffenders(st, s"$prefix${f.name}.")
+        case _ => Nil
+      }
+    }
+
+  "every SparkEntry query" should "emit only scalar columns in its final schema" in {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val offenders = nestedOffenders(fn(spark, sf).schema)
+      if (offenders.isEmpty) Nil else Seq(s"$name -> ${offenders.mkString(", ")}")
+    }
+    withClue(s"queries with non-scalar output columns:\n${bad.mkString("\n")}\n") {
+      bad shouldBe empty
+    }
+  }
+
+  it should "keep queries and oracleSql keys consistent" in {
+    // every oracle refers to a real query; rows-only queries are the only
+    // ones allowed to lack an oracle (tracked in CORRECTNESS as no_oracle)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    withClue(s"oracleSql keys with no matching query: $orphans\n") {
+      orphans shouldBe empty
+    }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Language identification: accuracy on genuinely multilingual text (the
+  * synthetic corpus's `lang` column is statistically independent of its
+  * shared English token vocabulary, so REAL per-language text lives here
+  * in the spec), plus the determinism and edge contracts the oracle
+  * relies on. */
+class LangIdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Hand-written sample sentences per language — orthographically
+  // distinct in exactly the way char-trigram profiles exploit
+  // (the/der/el/le function words, diacritics, CJK codepoints).
+  private val samples: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "she said that the weather would be better in the morning",
+      "this is the kind of thing that happens when you least expect it",
+      "reading books in the evening is one of life's great pleasures",
+      "the children walked to school through the park every day",
+      "we should think about what the right answer might be",
+      "there is nothing better than a warm cup of tea with friends",
+      "the history of the world is written by those who show up",
+      "could you please tell me where the nearest station is",
+      "it was the best of times and it was the worst of times"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund am fluss",
+      "sie sagte dass das wetter am morgen besser werden würde",
+      "das ist die art von dingen die passieren wenn man es nicht erwartet",
+      "abends bücher zu lesen ist eine der großen freuden des lebens",
+      "die kinder gingen jeden tag durch den park zur schule",
+      "wir sollten darüber nachdenken was die richtige antwort sein könnte",
+      "es gibt nichts besseres als eine warme tasse tee mit freunden",
+      "die geschichte der welt wird von denen geschrieben die erscheinen",
+      "könnten sie mir bitte sagen wo der nächste bahnhof ist",
+      "es war die beste aller zeiten und es war die schlimmste aller zeiten"),
+    "es" -> Seq(
+      "el rápido zorro marrón salta sobre el perro perezoso junto al río",
+      "ella dijo que el tiempo estaría mejor por la mañana",
+      "este es el tipo de cosas que pasan cuando menos lo esperas",
+      "leer libros por la noche es uno de los grandes placeres de la vida",
+      "los niños caminaban a la escuela por el parque todos los días",
+      "deberíamos pensar en cuál podría ser la respuesta correcta",
+      "no hay nada mejor que una taza de té caliente con amigos",
+      "la historia del mundo la escriben quienes se presentan",
+      "podría decirme por favor dónde está la estación más cercana",
+      "era el mejor de los tiempos y era el peor de los tiempos"),
+    "fr" -> Seq(
+      "le rapide renard brun saute par dessus le chien paresseux près du fleuve",
+      "elle a dit que le temps serait meilleur le matin",
+      "c'est le genre de choses qui arrivent quand on s'y attend le moins",
+      "lire des livres le soir est un des grands plaisirs de la vie",
+      "les enfants allaient à l'école par le parc tous les jours",
+      "nous devrions réfléchir à ce que pourrait être la bonne réponse",
+      "il n'y a rien de mieux qu'une tasse de thé chaud entre amis",
+      "l'histoire du monde est écrite par ceux qui se présentent",
+      "pourriez vous me dire où se trouve la gare la plus proche",
+      "c'était le meilleur des temps et c'était le pire des temps"),
+    "zh" -> Seq(
+      "敏捷的棕色狐狸跳过河边那只懒狗",
+      "她说早上的天气会更好",
+      "这就是在你最意想不到的时候发生的事情",
+      "晚上读书是人生一大乐事",
+      "孩子们每天穿过公园步行上学",
+      "我们应该想一想正确的答案可能是什么",
+      "没有什么比和朋友喝一杯热茶更好的了",
+      "世界的历史是由那些到场的人书写的",
+      "请问最近的车站在哪里",
+      "这是最好的时代也是最坏的时代"))
+
+  private def df(pick: Seq[String] => Seq[String]) = {
+    val rows = for {
+      (lang, sents) <- samples.toSeq
+      (s, i) <- pick(sents).zipWithIndex
+    } yield (s"$lang-$i", s, lang)
+    rows.toDF("id", "text", "lang")
+  }
+
+  "LangId" should "recover the language of held-out real text" in {
+    val train = df(_.take(8))
+    val test = df(_.drop(8))
+    val profiles = LangId.trainProfiles(train, "text", "lang")
+    val pred = LangId.classify(test, profiles, "id", "text")
+      .withColumn("truth", substring(col("id"), 1, 2))
+    val rows = pred.select(col("truth"), col("lang_pred")).collect()
+    rows should have size 10
+    val correct = rows.count(r => r.getString(0) == r.getString(1))
+    withClue(s"got ${rows.mkString(", ")}: ") {
+      correct should be >= 9
+    }
+  }
+
+  it should "classify deterministically with lexicographic tie-break" in {
+    // two languages with IDENTICAL profiles: every score ties exactly,
+    // so the rounded-argmax contract must pick the smaller lang code
+    val train = Seq(("a", "hello world", "xx"), ("b", "hello world", "yy"))
+      .toDF("id", "text", "lang")
+    val profiles = LangId.trainProfiles(train, "text", "lang")
+    val pred = LangId.classify(
+      Seq(("q", "hello world")).toDF("id", "text"), profiles, "id", "text")
+      .collect()
+    pred.map(_.getString(1)).toSeq shouldBe Seq("xx")
+  }
+
+  it should "emit no row for documents shorter than n characters" in {
+    val train = df(_.take(2))
+    val profiles = LangId.trainProfiles(train, "text", "lang")
+    val pred = LangId.classify(
+      Seq(("tiny", "ab"), ("ok", "the weather is better in the morning"))
+        .toDF("id", "text"),
+      profiles, "id", "text")
+    pred.select("id").as[String].collect().toSeq shouldBe Seq("ok")
+  }
+
+  it should "normalize whitespace and case before gram extraction" in {
+    val a = LangId.charGrams(Seq((1L, "Hello   WORLD")).toDF("id", "text"),
+      "id", "text").as[(Long, String)].collect().toSeq
+    val b = LangId.charGrams(Seq((1L, "hello world")).toDF("id", "text"),
+      "id", "text").as[(Long, String)].collect().toSeq
+    a shouldBe b
+    a.map(_._2).take(3) shouldBe Seq("hel", "ell", "llo")
+  }
+
+  it should "audit an existing label column via selfClassify" in {
+    // self-trained on its own labels, real text → near-perfect agreement
+    val corpus = df(identity)
+    val pred = LangId.selfClassify(corpus, "id", "text", "lang")
+      .withColumn("truth", substring(col("id"), 1, 2))
+    val rows = pred.select(col("truth"), col("lang_pred")).collect()
+    rows should have size 50
+    rows.count(r => r.getString(0) == r.getString(1)) should be >= 48
+  }
+}

@@ -843,6 +843,11 @@ object SparkEntry {
         .select(col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       val sk = toks.groupBy(col("lang")).agg(thetaSketch(col("tok")).as("sk"))
+        // the hash-match against DuckDB's exact set algebra is only valid
+        // while every sketch is in exact mode (θ == 1) — ENFORCE it, so a
+        // scale factor that overflows nominal entries errors loudly here
+        // instead of going quietly red in the correctness battery
+        .filter(assert_true(thetaIsExact(col("sk"))).isNull)
       val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
       val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
       a.join(b, col("lang_a") < col("lang_b"))
@@ -876,6 +881,53 @@ object SparkEntry {
           col("i.lower_bound").as("lower_bound"),
           col("i.upper_bound").as("upper_bound"))
         .orderBy(col("estimate").desc, col("item"))
+    }),
+
+    // EXACT-regime frequent-items: below map capacity Misra–Gries never
+    // purges, so estimate == true count and the bounds collapse onto it
+    // — the whole shard-sketch→merge→report pipeline hash-checks against
+    // real GROUP BY counts in DuckDB. The exactness precondition is
+    // ENFORCED (assert on max error == 0), not assumed: scale growth
+    // past capacity fails loudly instead of silently drifting the hash.
+    "q_freq_exact" -> ((s, d) => {
+      import graft.functions.FreqFunctions._
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks.groupBy(col("lang"))
+        .agg(freqSketch(col("tok"), maxMapSize = 1024).as("sk"))
+        .agg(freqMerge(col("sk"), maxMapSize = 1024).as("sk"))
+        .filter(assert_true(freqMaxError(col("sk")) === 0).isNull)
+        .select(explode(freqItems(col("sk"))).as("i"))
+        .select(col("i.item").as("item"), col("i.estimate").as("estimate"),
+          col("i.lower_bound").as("lower_bound"),
+          col("i.upper_bound").as("upper_bound"))
+        .orderBy(col("item"))
+    }),
+
+    // EXACT-regime KLL: while every update is retained (n <= capacity,
+    // no compaction) sketch quantiles are exact order statistics under
+    // the INCLUSIVE rank convention — value at 1-indexed position
+    // ceil(p*n) — so shard→merge→quantiles hash-checks against explicit
+    // order statistics in DuckDB. Exactness asserted, same contract as
+    // q_freq_exact.
+    "q_kll_exact" -> ((s, d) => {
+      import graft.functions.KllFunctions._
+      Tables.documents(s, d)
+        .groupBy(col("lang"), pmod(col("doc_id"), lit(8)).as("__shard"))
+        .agg(kllSketch(col("n_chars").cast("double"), k = 8192).as("sk"))
+        .groupBy(col("lang"))
+        .agg(kllMerge(col("sk"), k = 8192).as("msk"))
+        .filter(assert_true(kllIsExact(col("msk"))).isNull)
+        .select(col("lang"),
+          kllQuantiles(col("msk"), Seq(0.25, 0.5, 0.75, 0.95)).as("q"))
+        .select(col("lang"),
+          col("q")(0).cast(LongType).as("p25"),
+          col("q")(1).cast(LongType).as("p50"),
+          col("q")(2).cast(LongType).as("p75"),
+          col("q")(3).cast(LongType).as("p95"))
+        .orderBy(col("lang"))
     }),
 
     // Pivot — status columns per priority (counts), fixed column set.
@@ -2518,6 +2570,29 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
         |ORDER BY doc_id""".stripMargin,
+    // Exact regime: Misra–Gries with zero purges IS a GROUP BY count.
+    "q_freq_exact" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS tok FROM documents),
+        |c AS (SELECT tok AS item, count(*) AS n FROM toks
+        |      WHERE len(tok) > 0 GROUP BY 1)
+        |SELECT item, n AS estimate, n AS lower_bound, n AS upper_bound
+        |FROM c ORDER BY item""".stripMargin,
+    // Exact regime: an uncompacted KLL quantile is the order statistic
+    // at 1-indexed position ceil(p*n) (INCLUSIVE rank convention).
+    "q_kll_exact" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN rn >= ceil(0.25 * n) THEN n_chars END) AS BIGINT) AS p25,
+        |  CAST(min(CASE WHEN rn >= ceil(0.50 * n) THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN rn >= ceil(0.75 * n) THEN n_chars END) AS BIGINT) AS p75,
+        |  CAST(min(CASE WHEN rn >= ceil(0.95 * n) THEN n_chars END) AS BIGINT) AS p95
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     // Same Laplace bigram conditional: count(prev,cur)+1 over
     // context+vocab, averaged per doc, round 6; adjacency by pos-join.
     "q_bigram_lm" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMergeAgg, FreqSketchAgg, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, ThetaEstimateExpr, ThetaSetOpExpr, ThetaSketchAgg, ThetaUnionAgg, VarOptMergeAgg, VarOptSamplesExpr, VarOptSketchAgg, WinnowFingerprints}
+import graft.functions.{BloomMightContain, FloatVectorDot, FreqItemsExpr, FreqMaxErrorExpr, FreqMergeAgg, FreqSketchAgg, KllIsExactExpr, KllMergeAgg, KllQuantilesExpr, KllSketchAgg, TextFold, ThetaEstimateExpr, ThetaIsExactExpr, ThetaSetOpExpr, ThetaSketchAgg, ThetaUnionAgg, VarOptMergeAgg, VarOptSamplesExpr, VarOptSketchAgg, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * into the SQL function registry, so plain SQL users get them too:
@@ -60,9 +60,17 @@ object GraftExtensions {
     (new FunctionIdentifier("kll_merge_agg"),
       new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"kll_merge_agg expects (sketch[, k]), got ${exprs.length} args")
+        val k = exprs.lift(1).map(foldableInt("kll_merge_agg k", _))
+        KllMergeAgg(exprs.head, k.getOrElse(200)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("kll_is_exact"),
+      new ExpressionInfo(classOf[KllIsExactExpr].getName, "kll_is_exact"),
+      (exprs: Seq[Expression]) => {
         require(exprs.length == 1,
-          s"kll_merge_agg expects 1 argument, got ${exprs.length}")
-        KllMergeAgg(exprs.head).toAggregateExpression()
+          s"kll_is_exact expects 1 argument, got ${exprs.length}")
+        KllIsExactExpr(exprs.head)
       }),
     (new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantilesExpr].getName, "kll_quantile"),
@@ -98,16 +106,33 @@ object GraftExtensions {
     (new FunctionIdentifier("freq_merge_agg"),
       new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_agg"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"freq_merge_agg expects 1 argument, got ${exprs.length}")
-        FreqMergeAgg(exprs.head).toAggregateExpression()
+        require(exprs.length == 1 || exprs.length == 2,
+          s"freq_merge_agg expects (sketch[, maxMapSize]), got ${exprs.length} args")
+        val m = exprs.lift(1).map(foldableInt("freq_merge_agg maxMapSize", _))
+        FreqMergeAgg(exprs.head, m.getOrElse(256)).toAggregateExpression()
       }),
     (new FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[FreqItemsExpr].getName, "freq_items"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"freq_items expects (sketch[, noFalseNegatives]), got ${exprs.length} args")
+        // optional boolean literal: true (default) = NO_FALSE_NEGATIVES,
+        // false = NO_FALSE_POSITIVES — same switch the Scala API takes
+        val nfn = exprs.lift(1).map {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.BooleanType =>
+            e.eval(null).asInstanceOf[Boolean]
+          case other => throw new IllegalArgumentException(
+            s"freq_items noFalseNegatives must be a boolean literal, got $other")
+        }
+        FreqItemsExpr(exprs.head, nfn.getOrElse(true))
+      }),
+    (new FunctionIdentifier("freq_max_error"),
+      new ExpressionInfo(classOf[FreqMaxErrorExpr].getName, "freq_max_error"),
+      (exprs: Seq[Expression]) => {
         require(exprs.length == 1,
-          s"freq_items expects 1 argument, got ${exprs.length}")
-        FreqItemsExpr(exprs.head)
+          s"freq_max_error expects 1 argument, got ${exprs.length}")
+        FreqMaxErrorExpr(exprs.head)
       }),
     (new FunctionIdentifier("theta_sketch_agg"),
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
@@ -120,9 +145,17 @@ object GraftExtensions {
     (new FunctionIdentifier("theta_union_agg"),
       new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"theta_union_agg expects (sketch[, nominalEntries]), got ${exprs.length} args")
+        val n = exprs.lift(1).map(foldableInt("theta_union_agg nominalEntries", _))
+        ThetaUnionAgg(exprs.head, n.getOrElse(4096)).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("theta_is_exact"),
+      new ExpressionInfo(classOf[ThetaIsExactExpr].getName, "theta_is_exact"),
+      (exprs: Seq[Expression]) => {
         require(exprs.length == 1,
-          s"theta_union_agg expects 1 argument, got ${exprs.length}")
-        ThetaUnionAgg(exprs.head).toAggregateExpression()
+          s"theta_is_exact expects 1 argument, got ${exprs.length}")
+        ThetaIsExactExpr(exprs.head)
       }),
     (new FunctionIdentifier("theta_intersect"),
       new ExpressionInfo(classOf[ThetaSetOpExpr].getName, "theta_intersect"),

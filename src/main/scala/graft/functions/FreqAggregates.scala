@@ -197,6 +197,40 @@ case class FreqItemsExpr(child: Expression, noFalseNegatives: Boolean = true)
     copy(child = newChild)
 }
 
+/** `freq_max_error(sketchBytes)` → the sketch's maximum estimation
+  * error (`getMaximumError`). Zero means NO purge ever happened — every
+  * estimate is the true count and lower == estimate == upper — the
+  * enforceable precondition for exact-regime oracles
+  * (`q_freq_exact`). */
+case class FreqMaxErrorExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "freq_max_error"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  def maxError(bytes: Array[Byte]): Long =
+    ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe())
+      .getMaximumError
+
+  override def nullSafeEval(v: Any): Any =
+    maxError(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("freqErr", this,
+        classOf[FreqMaxErrorExpr].getName)
+      s"${ev.value} = $ref.maxError($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FreqMaxErrorExpr =
+    copy(child = newChild)
+}
+
 object FreqFunctions {
   /** Sketch a string column into mergeable frequent-items bytes. */
   def freqSketch(c: Column, maxMapSize: Int = 256): Column =
@@ -212,4 +246,8 @@ object FreqFunctions {
   def freqItems(c: Column, noFalseNegatives: Boolean = true): Column =
     ColumnBridge.column(FreqItemsExpr(ColumnBridge.expression(c),
       noFalseNegatives))
+
+  /** Maximum estimation error of the sketch; 0 ⇒ exact counts. */
+  def freqMaxError(c: Column): Column =
+    ColumnBridge.column(FreqMaxErrorExpr(ColumnBridge.expression(c)))
 }

@@ -195,6 +195,40 @@ case class KllQuantilesExpr(child: Expression, probs: Seq[Double])
     copy(child = newChild)
 }
 
+/** `kll_is_exact(sketchBytes)` → true iff the sketch has retained
+  * EVERY update (no compaction: `getN == getNumRetained`), in which
+  * case its quantiles are exact order statistics — the enforceable
+  * precondition for exact-regime oracles (`q_kll_exact`). */
+case class KllIsExactExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "kll_is_exact"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  def isExact(bytes: Array[Byte]): Boolean = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    sk.getN == sk.getNumRetained
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    isExact(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("kllExact", this,
+        classOf[KllIsExactExpr].getName)
+      s"${ev.value} = $ref.isExact($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KllIsExactExpr =
+    copy(child = newChild)
+}
+
 object KllFunctions {
   /** Sketch a numeric column into mergeable KLL bytes. */
   def kllSketch(c: Column, k: Int = 200): Column =
@@ -209,4 +243,8 @@ object KllFunctions {
   /** Evaluate a sketch at the given ranks → array<double>. */
   def kllQuantiles(c: Column, probs: Seq[Double]): Column =
     ColumnBridge.column(KllQuantilesExpr(ColumnBridge.expression(c), probs))
+
+  /** True iff the sketch retained every update (quantiles exact). */
+  def kllIsExact(c: Column): Column =
+    ColumnBridge.column(KllIsExactExpr(ColumnBridge.expression(c)))
 }

@@ -217,6 +217,40 @@ case class ThetaEstimateExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `theta_is_exact(sketchBytes)` → true iff the sketch never sampled
+  * (θ == 1, not in estimation mode), in which case every estimate and
+  * every set-op result derived from it is the TRUE cardinality. Queries
+  * whose oracle assumes exact-mode arithmetic (`q_theta_overlap`) gate
+  * on this, so scale growth fails loudly instead of silently drifting
+  * the hash. */
+case class ThetaIsExactExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "theta_is_exact"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got ${t.catalogString}")
+  }
+
+  def isExact(bytes: Array[Byte]): Boolean =
+    !Sketches.wrapSketch(Memory.wrap(bytes)).isEstimationMode
+
+  override def nullSafeEval(v: Any): Any =
+    isExact(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("thetaExact", this,
+        classOf[ThetaIsExactExpr].getName)
+      s"${ev.value} = $ref.isExact($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ThetaIsExactExpr =
+    copy(child = newChild)
+}
+
 object ThetaFunctions {
   def thetaSketch(c: Column, nominalEntries: Int = 4096): Column =
     ColumnBridge.column(ThetaSketchAgg(ColumnBridge.expression(c),
@@ -240,4 +274,9 @@ object ThetaFunctions {
 
   def thetaEstimate(c: Column): Column =
     ColumnBridge.column(ThetaEstimateExpr(ColumnBridge.expression(c)))
+
+  /** True iff the sketch is in exact mode (θ == 1) — the enforceable
+    * precondition for exact-regime oracles. */
+  def thetaIsExact(c: Column): Column =
+    ColumnBridge.column(ThetaIsExactExpr(ColumnBridge.expression(c)))
 }

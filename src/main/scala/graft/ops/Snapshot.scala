@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object Snapshot {
 
+  /** True iff `c`, resolved against `df`, references no input column —
+    * the "constant timestamp" contract [[snapshotSeries]] requires of
+    * its start/end parameters. Resolution failures count as violations
+    * (better this require() than an obscure analysis error later). */
+  private def isInputFree(df: DataFrame, c: Column): Boolean =
+    try df.select(c).queryExecution.analyzed.expressions
+      .forall(_.references.isEmpty)
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** State of the table as of `asOf` (end-exclusive, `[0, asOf)`, matching
     * HBase `setTimeRange` — HBaseSnapshotter.scala:124). */
   def snapshotAsOf(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
@@ -103,6 +112,16 @@ object Snapshot {
     val reserved = Seq(boundaryCol, "__i0", "__i", "__until", "__latest")
     reserved.foreach(c => require(!changelog.columns.contains(c),
       s"snapshotSeries: input must not carry reserved column '$c'"))
+    // start/end are FOLDABLE-ONLY: they parameterize the boundary grid
+    // (startMicro is referenced after the groupBy, nB inside the
+    // forward-fill coalesce), so a per-row column would either fail
+    // analysis obscurely or resolve against the wrong plan node. Check
+    // loudly here, like the stepSeconds and reserved-column guards.
+    Seq("start" -> start, "end" -> end).foreach { case (name, c) =>
+      require(isInputFree(changelog, c),
+        s"snapshotSeries: $name must be a literal/foldable expression " +
+          s"(a constant timestamp), got $c")
+    }
     val stepMicro = stepSeconds * 1000000L
     val startMicro = unix_micros(start.cast(TimestampType))
     // Boundary count: i = 0..nB, all constant-folded (start/end literals).
@@ -162,7 +181,10 @@ object Snapshot {
       s"snapshotSeriesCdc: missing status column '$statusCol'")
     snapshotSeries(changelog, keyCols, tsCol, start, end, stepSeconds,
       tieBreakers, boundaryCol)
-      .filter(col(statusCol) =!= deleteStatus)
+      // null-tolerant: a NULL status is NOT a delete — the bare `=!=`
+      // evaluates to NULL for such rows and would silently drop the key
+      // from every boundary it occupies
+      .filter(coalesce(col(statusCol) =!= deleteStatus, lit(true)))
   }
 
   /** Changelog → SCD2 validity intervals: every version of every key

@@ -80,4 +80,37 @@ class FreqAggregatesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       freqSketch(lit("x"), maxMapSize = 100)
   }
+
+  "freqMaxError" should "be zero below capacity and positive past it (the exact-regime gate)" in {
+    // 60 distinct items: map 1024 never purges -> exact; map 64 purges
+    df.agg(freqMaxError(freqSketch($"tok", 1024))).as[Long].head() shouldBe 0L
+    df.agg(freqMaxError(freqSketch($"tok", 64))).as[Long].head() should be > 0L
+  }
+
+
+  "the SQL surface" should "accept the optional maxMapSize / error-type / probe arguments" in {
+    df.createOrReplaceTempView("freq_sql_t2")
+    // merge at an explicit (larger) capacity than the shard default
+    spark.sql(
+      """SELECT freq_items(freq_merge_agg(sk, 1024), false) FROM (
+        |  SELECT g, freq_sketch_agg(tok, 1024) AS sk FROM freq_sql_t2 GROUP BY g)
+        |""".stripMargin).collect()
+    // exact-regime gate from SQL: big-capacity sketch of 60 items -> 0
+    val err = spark.sql(
+      "SELECT freq_max_error(freq_sketch_agg(tok, 1024)) AS e FROM freq_sql_t2")
+      .as[Long].head()
+    err shouldBe 0L
+    // NO_FALSE_POSITIVES returns a subset of NO_FALSE_NEGATIVES
+    val nfn = spark.sql(
+      "SELECT size(freq_items(freq_sketch_agg(tok, 64))) FROM freq_sql_t2")
+      .as[Int].head()
+    val nfp = spark.sql(
+      "SELECT size(freq_items(freq_sketch_agg(tok, 64), false)) FROM freq_sql_t2")
+      .as[Int].head()
+    nfp should be <= nfn
+    an[Exception] should be thrownBy
+      spark.sql("SELECT freq_items(freq_sketch_agg(tok), tok) FROM freq_sql_t2")
+        .collect()
+  }
+
 }

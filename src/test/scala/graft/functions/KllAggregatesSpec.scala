@@ -79,4 +79,28 @@ class KllAggregatesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       kllQuantiles(lit(Array[Byte]()), Seq(1.5))
   }
+
+  "kllIsExact" should "hold exactly while every update is retained, where quantiles are order statistics" in {
+    import spark.implicits._
+    val small = (1 to 100).map(_.toDouble).toDF("x")
+    small.agg(kllIsExact(kllSketch($"x")).as("e")).as[Boolean].head() shouldBe true
+    // INCLUSIVE convention: value at 1-indexed position ceil(p*n)
+    small.agg(kllQuantiles(kllSketch($"x"), Seq(0.25, 0.5, 0.95)).as("q"))
+      .as[Seq[Double]].head() shouldBe Seq(25.0, 50.0, 95.0)
+    val big = (1 to 5000).map(_.toDouble).toDF("x")
+    big.agg(kllIsExact(kllSketch($"x")).as("e")).as[Boolean].head() shouldBe false
+  }
+
+
+  "kll_merge_agg" should "accept an explicit k and expose the exact-mode probe from SQL" in {
+    import spark.implicits._
+    df.createOrReplaceTempView("kll_sql_t2")
+    spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk, 400), 0.5) FROM (
+        |  SELECT g, kll_sketch_agg(v, 400) AS sk FROM kll_sql_t2 GROUP BY g)
+        |""".stripMargin).collect()
+    spark.sql("SELECT kll_is_exact(kll_sketch_agg(v, 8)) AS e FROM kll_sql_t2")
+      .as[Boolean].head() shouldBe false
+  }
+
 }

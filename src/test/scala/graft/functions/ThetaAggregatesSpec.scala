@@ -83,4 +83,27 @@ class ThetaAggregatesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       thetaSketch(lit("x"), nominalEntries = 1000)
   }
+
+  "thetaIsExact" should "distinguish exact mode from estimation mode" in {
+    import spark.implicits._
+    val small = (1 to 10).map(_.toString).toDF("v")
+    small.agg(thetaIsExact(thetaSketch($"v")).as("e")).as[Boolean].head() shouldBe true
+    val big = (1 to 100000).map(_.toString).toDF("v")
+    big.agg(thetaIsExact(thetaSketch($"v", nominalEntries = 16)).as("e"))
+      .as[Boolean].head() shouldBe false
+  }
+
+
+  "theta_union_agg" should "accept an explicit nominalEntries and expose the exact-mode probe" in {
+    df.createOrReplaceTempView("theta_sql_t2")
+    val est = spark.sql(
+      """SELECT theta_estimate(theta_union_agg(sk, 8192)) FROM (
+        |  SELECT side, theta_sketch_agg(v, 8192) AS sk FROM theta_sql_t2 GROUP BY side)
+        |""".stripMargin).as[Double].head()
+    est shouldBe setA.toSet.union(setB.toSet).size.toDouble
+    spark.sql(
+      "SELECT theta_is_exact(theta_sketch_agg(v)) AS e FROM theta_sql_t2")
+      .as[Boolean].head() shouldBe true
+  }
+
 }

@@ -132,4 +132,28 @@ class SnapshotSeriesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Snapshot.snapshotSeries(bad, Seq("k"), "ts", start, end, 100L)
   }
+
+  it should "reject non-constant start/end expressions loudly" in {
+    // a per-row column can't parameterize the boundary grid — the old
+    // behavior was an obscure analysis failure (or a silently wrong
+    // resolution) because start/end are referenced after the groupBy
+    an[IllegalArgumentException] should be thrownBy
+      Snapshot.snapshotSeries(changelog, Seq("k"), "ts",
+        $"ts", end, 100L)
+    an[IllegalArgumentException] should be thrownBy
+      Snapshot.snapshotSeries(changelog, Seq("k"), "ts",
+        start, $"ts" + expr("INTERVAL 1 DAY"), 100L)
+  }
+
+  "snapshotSeriesCdc with NULL statuses" should "treat them as non-deletes, not drop the key" in {
+    val cdc = Seq(
+      ("a", 50L, "a50", null.asInstanceOf[String]), // NULL status: plain upsert
+      ("b", 50L, "b50", "I")
+    ).toDF("k", "epoch", "v", "row_status")
+      .withColumn("ts", timestamp_seconds($"epoch")).drop("epoch")
+    val got = Snapshot.snapshotSeriesCdc(cdc, Seq("k"), "ts", "row_status",
+        start, end, stepSeconds = 100L)
+      .select($"k").distinct().as[String].collect().toSet
+    got shouldBe Set("a", "b")
+  }
 }

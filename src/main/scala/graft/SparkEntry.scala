@@ -334,6 +334,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Streaming incremental dedup: the documents increment arrives as a
+    // bounded stream and each micro-batch is deduped against the FROZEN
+    // persisted text index of the corpus (exact hash + banded LSH) —
+    // the streaming closure of q_dedup_incremental. Frozen-index mode
+    // here, so the converged accepted set equals the batch dedupAgainst
+    // regardless of batch boundaries (shares its oracle); the
+    // index-append mode is order-dependent by design and spec-covered.
+    "q_stream_dedup_incremental" -> ((s, d) => {
+      val idxDir = scratchDir("graft_sdi_idx_")
+      val out = scratchDir("graft_sdi_")
+      Dedup.buildTextIndex(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          "doc_id", "text")
+        .save(idxDir)
+      graft.streaming.ChangelogStream.streamDedupAgainst(
+          Tables.documentsStream(s, d)
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
+          idxDir, "doc_id", "text", out, threshold = 0.8,
+          statePartitions = 8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stream-stream temporal self-join replayed to completion through the
     // APPEND-mode file bridge: every (event, earlier-event-within-30min)
     // pair per user, emitted exactly once across micro-batches — the
@@ -2654,37 +2677,10 @@ object SparkEntry {
     // Exact cross-set jaccard over the same shingle space (the MinHash
     // blocking's measured recall is 1.0 at this threshold margin, as for
     // q_dedup_minhash) plus verbatim-text hits — survivors only.
-    "q_dedup_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 3 THEN []
-        |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
-        |                             for i in range(0, len(t) - 2)]) END AS s
-        |  FROM toks),
-        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
-        |p AS (
-        |  SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id, count(*) AS common
-        |  FROM e i JOIN e c ON i.shingle = c.shingle
-        |  WHERE i.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
-        |  GROUP BY 1, 2),
-        |near AS (
-        |  SELECT DISTINCT inc_id FROM p
-        |  JOIN sz si ON si.doc_id = p.inc_id
-        |  JOIN sz sc ON sc.doc_id = p.corpus_id
-        |  WHERE common::DOUBLE / (si.n + sc.n - common) >= 0.8),
-        |exact AS (
-        |  SELECT DISTINCT d.doc_id FROM documents d JOIN documents c
-        |  ON d.text = c.text AND c.doc_id % 4 <> 0
-        |  WHERE d.doc_id % 4 = 0)
-        |SELECT doc_id, source FROM documents
-        |WHERE doc_id % 4 = 0
-        |  AND doc_id NOT IN (SELECT doc_id FROM exact)
-        |  AND doc_id NOT IN (SELECT inc_id FROM near)
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" -> DedupIncrementalOracleSql,
+    // frozen-index streaming form converges to the same accepted set —
+    // the equivalence IS the point of the query
+    "q_stream_dedup_incremental" -> DedupIncrementalOracleSql,
     // Winnowing rebuilt from first principles: every k-gram hashed with
     // the same md5-prefix, each window's min-by-(hash, pos) selected via
     // a window-function min over `hash || zero-padded-pos` (fixed-width
@@ -3005,6 +3001,42 @@ object SparkEntry {
         |    AS track_codecs
         |FROM documents ORDER BY id""".stripMargin
   )
+
+  /** Shared oracle for the batch AND (frozen-index) streaming
+    * incremental-dedup queries: increment docs (doc_id % 4 == 0) minus
+    * exact content matches and ≥0.8 trigram-Jaccard near-dups against
+    * the corpus (doc_id % 4 != 0). */
+  private val DedupIncrementalOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+      |                             for i in range(0, len(t) - 2)]) END AS s
+      |  FROM toks),
+      |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |p AS (
+      |  SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id, count(*) AS common
+      |  FROM e i JOIN e c ON i.shingle = c.shingle
+      |  WHERE i.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT DISTINCT inc_id FROM p
+      |  JOIN sz si ON si.doc_id = p.inc_id
+      |  JOIN sz sc ON sc.doc_id = p.corpus_id
+      |  WHERE common::DOUBLE / (si.n + sc.n - common) >= 0.8),
+      |exact AS (
+      |  SELECT DISTINCT d.doc_id FROM documents d JOIN documents c
+      |  ON d.text = c.text AND c.doc_id % 4 <> 0
+      |  WHERE d.doc_id % 4 = 0)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id % 4 = 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM exact)
+      |  AND doc_id NOT IN (SELECT inc_id FROM near)
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB list literal of [[TextAnalysis.EnglishStopwords]]. */
   private def StopwordsSqlList: String =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -375,6 +375,54 @@ object Dedup {
     val nearIds = crossNearDups(exactHit, index, idCol, textCol, threshold)
       .select(col("inc_id")).distinct()
     exactHit.join(nearIds, exactHit(idCol) === nearIds("inc_id"), "left_anti")
+  }
+
+  /** Extend a [[TextIndex]] with accepted documents under the index's
+    * FROZEN build parameters — the daily-append motion the PQ codebook
+    * and fingerprint index already have: new docs are shingled/banded
+    * with the params the corpus was hashed with (the one contract that
+    * keeps bucket keys comparable), and the corpus is never rescanned.
+    * Returns the composed in-memory index; use [[appendToTextIndexDir]]
+    * for the persisted form. */
+  def appendToTextIndex(index: TextIndex, accepted: DataFrame,
+                        idCol: String, textCol: String): TextIndex = {
+    val TextIndexParams(n, bands, rowsPerBand) = index.params
+    TextIndex(
+      index.buckets.unionByName(
+        lshBuckets(accepted, idCol, textCol, n, bands, rowsPerBand)),
+      index.shingles.unionByName(
+        Parallelism.spread(accepted.select(col(idCol).as("id"),
+            col(textCol).as("__text")))
+          .select(col("id"), wordShingles(col("__text"), n).as("shingles"))),
+      index.hashes.unionByName(
+        accepted.select(md5(col(textCol)).as("content_hash")).distinct()),
+      index.params)
+  }
+
+  /** Persisted [[appendToTextIndex]]: append the new docs' bucket,
+    * shingle and hash rows to an index directory written by
+    * [[TextIndex.save]] (params are READ from the directory — never
+    * supplied by the caller). Parquet-append per table; the params
+    * record is untouched.
+    *
+    * Delivery contract: appending the same rows twice (an at-least-once
+    * caller, e.g. a replayed streaming micro-batch) costs duplicate
+    * index rows but cannot change any dedup verdict — candidate pairs
+    * are `distinct`ed and the exact phase joins on content hash — so
+    * re-delivery is safe, just not free. */
+  def appendToTextIndexDir(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, accepted: DataFrame,
+                           idCol: String, textCol: String): Unit = {
+    val params = TextIndex.load(spark, dir).params
+    val TextIndexParams(n, bands, rowsPerBand) = params
+    lshBuckets(accepted, idCol, textCol, n, bands, rowsPerBand)
+      .write.mode(SaveMode.Append).parquet(s"$dir/buckets")
+    Parallelism.spread(accepted.select(col(idCol).as("id"),
+        col(textCol).as("__text")))
+      .select(col("id"), wordShingles(col("__text"), n).as("shingles"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/shingles")
+    accepted.select(md5(col(textCol)).as("content_hash")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
   }
 
   // ------------------------------------------------------------- SimHash

@@ -32,7 +32,9 @@ object Fingerprint {
     * the single source of truth for them — same contract as
     * [[Dedup.TextIndexParams]]. */
   final case class FingerprintIndexParams(k: Int, w: Int, maxDf: Int,
-                                          version: Long = 0L)
+                                          version: Long = 0L,
+                                          baseDocs: Long = 0L,
+                                          appendedDocs: Long = 0L)
 
   /** Persisted winnowing index of a corpus: the distinct (id, fp_hash)
     * table with stop-fingerprints (document frequency > maxDf at build
@@ -68,14 +70,16 @@ object Fingerprint {
              dir: String): FingerprintIndex = {
       val params =
         try {
-          val df = spark.read.json(s"$dir/params")
-          // pre-append indexes carry no version field: read as gen 0
-          val versioned =
-            if (df.columns.contains("version")) df
-            else df.withColumn("version", lit(0L))
-          val row = versioned.select("k", "w", "maxDf", "version").head()
+          var df = spark.read.json(s"$dir/params")
+          // older indexes lack the newer bookkeeping fields: read as 0
+          Seq("version", "baseDocs", "appendedDocs").foreach { c =>
+            if (!df.columns.contains(c)) df = df.withColumn(c, lit(0L))
+          }
+          val row = df.select("k", "w", "maxDf", "version", "baseDocs",
+            "appendedDocs").head()
           FingerprintIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
-            row.getLong(2).toInt, row.getLong(3))
+            row.getLong(2).toInt, row.getLong(3), row.getLong(4),
+            row.getLong(5))
         } catch {
           case e: org.apache.spark.sql.AnalysisException =>
             throw new IllegalStateException(
@@ -119,7 +123,12 @@ object Fingerprint {
     // them to hold the cap frozen
     val stop = flagged.filter(col("__df") > maxDf)
       .select("fp_hash").distinct()
-    FingerprintIndex(fps, stop, FingerprintIndexParams(k, w, maxDf))
+    // build-time corpus size, persisted: the yardstick the append path
+    // measures stop-set staleness against (one count over the already-
+    // persisted distinct table — no extra corpus scan)
+    val baseDocs = flagged.select("id").distinct().count()
+    FingerprintIndex(fps, stop,
+      FingerprintIndexParams(k, w, maxDf, baseDocs = baseDocs))
   }
 
   /** Append documents to a built index WITHOUT recomputing the stop
@@ -134,16 +143,39 @@ object Fingerprint {
     *
     * Caller contract: ids in `newDocs` are disjoint from the indexed
     * ids (append, not upsert), and the appended index is saved to a
-    * FRESH directory — see [[FingerprintIndex.save]]. */
+    * FRESH directory — see [[FingerprintIndex.save]].
+    *
+    * Staleness guard: cumulative appended docs are tracked in the
+    * params, and once they exceed `maxStaleRatio` × the build-time
+    * corpus size the frozen stop set stops being representative of the
+    * corpus it filters — the guard warns loudly (the
+    * [[Dedup.dupClusters]] maxIters posture) or, with
+    * `failOnStale = true`, refuses the append. Rebuild to refresh. */
   def appendToFingerprintIndex(index: FingerprintIndex, newDocs: DataFrame,
-                               idCol: String,
-                               textCol: String): FingerprintIndex = {
-    val FingerprintIndexParams(k, w, _, _) = index.params
-    val newFps = fingerprints(newDocs, idCol, textCol, k, w)
+                               idCol: String, textCol: String,
+                               maxStaleRatio: Double = 2.0,
+                               failOnStale: Boolean = false): FingerprintIndex = {
+    require(maxStaleRatio > 0, s"maxStaleRatio must be > 0, got $maxStaleRatio")
+    val newFps = fingerprints(newDocs, idCol, textCol, k = index.params.k,
+        w = index.params.w)
       .select(col(idCol).as("id"), col("fp_hash")).distinct()
       .join(index.stop, Seq("fp_hash"), "left_anti")
+    val appended = index.params.appendedDocs + newDocs.count()
+    val base = index.params.baseDocs
+    if (base > 0 && appended > maxStaleRatio * base) {
+      val msg = s"appended documents ($appended) exceed $maxStaleRatio x " +
+        s"the indexed base ($base); the stop set frozen at build no " +
+        "longer represents the corpus it filters — rebuild with " +
+        "buildFingerprintIndex"
+      if (failOnStale) throw new IllegalStateException(
+        s"appendToFingerprintIndex: $msg")
+      // a silently-stale stop set re-admits boilerplate fan-out — the
+      // quadratic failure the df cap exists to prevent; say so, loudly
+      System.err.println(s"[graft] WARNING: appendToFingerprintIndex: $msg")
+    }
     index.copy(fps = index.fps.unionByName(newFps),
-      params = index.params.copy(version = index.params.version + 1))
+      params = index.params.copy(version = index.params.version + 1,
+        appendedDocs = appended))
   }
 
   /** Span-copy report of an increment against an indexed corpus:
@@ -156,8 +188,8 @@ object Fingerprint {
   def matchAgainst(increment: DataFrame, index: FingerprintIndex,
                    idCol: String, textCol: String,
                    minShared: Int = 1): DataFrame = {
-    val FingerprintIndexParams(k, w, _, _) = index.params
-    val incFps = fingerprints(increment, idCol, textCol, k, w)
+    val incFps = fingerprints(increment, idCol, textCol,
+      index.params.k, index.params.w)
       .select(col(idCol).as("inc_id"), col("fp_hash")).distinct()
     incFps.hint("shuffle_hash")
       .join(index.fps.select(col("id").as("corpus_id"), col("fp_hash")),

@@ -133,5 +133,26 @@ object Tables {
   }
 
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** The documents table as a bounded file STREAM (same staging scheme
+    * as [[eventsStream]]: four files, two per trigger → two real
+    * micro-batches) — the ingest-feed input for the streaming
+    * incremental-dedup verification. */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_documents_stream_$digest")
+    Tables.synchronized {
+      if (!new java.io.File(staged, "_SUCCESS").exists()) {
+        documents(s, d).repartition(4).write.mode("overwrite")
+          .parquet(staged.toString)
+      }
+    }
+    s.readStream
+      .schema(documents(s, d).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(staged.toString)
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -246,6 +246,62 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming incremental dedup: each arriving micro-batch is deduped
+    * against a PERSISTED [[graft.ops.Dedup.TextIndex]] (exact content
+    * hash + banded-LSH near-dup, params frozen in the index directory),
+    * accepted rows land in the file sink, and — with `appendAccepted` —
+    * are appended to the index under the frozen params, so LATER batches
+    * also dedup against earlier accepted docs. The streaming closure of
+    * the batch incremental tier (`dedupAgainst` + `appendToTextIndexDir`).
+    *
+    * Scale: per batch, one increment-sized shingle pass and equi-joins
+    * against the index tables — the corpus behind the index is never
+    * rescanned, exactly like the batch form. With `appendAccepted` the
+    * index grows by accepted rows only. Re-delivered batches rewrite
+    * their own sink directory (idempotent) and re-append index rows —
+    * safe by [[graft.ops.Dedup.appendToTextIndexDir]]'s delivery
+    * contract (duplicate index rows cannot change verdicts).
+    *
+    * Without `appendAccepted` the converged output equals the batch
+    * `dedupAgainst` of the whole bounded stream regardless of batch
+    * boundaries — the oracle equivalence `q_stream_dedup_incremental`
+    * checks. With it, the output additionally depends on arrival order
+    * (an increment doc near-duplicating an EARLIER accepted one is now
+    * rejected) — covered by spec, like the other order-dependent
+    * streaming tiers. */
+  def streamDedupAgainst(stream: DataFrame, indexDir: String,
+                         idCol: String, textCol: String, dir: String,
+                         threshold: Double = 0.8,
+                         appendAccepted: Boolean = false,
+                         statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val idx = graft.ops.Dedup.TextIndex.load(s, indexDir)
+        graft.ops.Dedup.dedupAgainst(b, idx, idCol, textCol, threshold)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+        if (appendAccepted)
+          // read the accepted rows back from the sink we just wrote:
+          // one source of truth for both the output and the index
+          graft.ops.Dedup.appendToTextIndexDir(s, indexDir,
+            s.read.parquet(s"$dir/out/graft_batch=$id"), idCol, textCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stream.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
     * upsert replayed to completion with per-batch winners written to
     * parquet and reduced distributedly — the equivalence check itself is

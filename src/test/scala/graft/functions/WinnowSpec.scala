@@ -92,7 +92,11 @@ class WinnowSpec extends SparkTestBase {
     Fingerprint.buildFingerprintIndex(corpus, "doc_id", "text",
       k = 5, w = 8, maxDf = 10).save(dir)
     val loaded = Fingerprint.FingerprintIndex.load(spark, dir)
-    loaded.params shouldBe Fingerprint.FingerprintIndexParams(5, 8, 10)
+    loaded.params.copy(baseDocs = 0L) shouldBe
+      Fingerprint.FingerprintIndexParams(5, 8, 10)
+    // build-time corpus size persisted through save/load: every corpus
+    // doc long enough to fingerprint counts toward the staleness base
+    loaded.params.baseDocs should be > 0L
     val got = Fingerprint.matchAgainst(inc, loaded, "doc_id", "text")
       .as[(Long, Long, Long)].collect().toSet
     // independent construction: fingerprints of both sides from the
@@ -146,6 +150,31 @@ class WinnowSpec extends SparkTestBase {
     val re = Fingerprint.FingerprintIndex.load(spark, dir)
     re.params shouldBe appended.params
     re.fps.count() shouldBe appended.fps.count()
+  }
+
+  it should "guard against stop-set staleness once appends outgrow the base" in {
+    import graft.ops.Fingerprint
+    val mk = (ids: Range) => ids.map(i =>
+      (i.toLong, s"document number $i with enough distinct text to fingerprint properly"))
+      .toDF("doc_id", "text")
+    val built = Fingerprint.buildFingerprintIndex(mk(0 until 4),
+      "doc_id", "text", k = 5, w = 8, maxDf = 10)
+    built.params.baseDocs shouldBe 4L
+    // 4 base docs, ratio 2.0: appending 8 docs is AT the cap (allowed),
+    // one more doc crosses it
+    val atCap = Fingerprint.appendToFingerprintIndex(built, mk(100 until 108),
+      "doc_id", "text")
+    atCap.params.appendedDocs shouldBe 8L
+    val e = intercept[IllegalStateException] {
+      Fingerprint.appendToFingerprintIndex(atCap, mk(200 until 201),
+        "doc_id", "text", failOnStale = true)
+    }
+    e.getMessage should include("stop set")
+    // default posture warns but still appends, counting cumulatively
+    val warned = Fingerprint.appendToFingerprintIndex(atCap, mk(200 until 201),
+      "doc_id", "text")
+    warned.params.appendedDocs shouldBe 9L
+    warned.params.version shouldBe 2L
   }
 
   "winnow_fingerprints (SQL)" should "be callable from the SQL surface" in {

@@ -295,6 +295,43 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Set(22L)
   }
 
+  "appendToTextIndex" should "extend the index under frozen params so later increments dedup against accepted docs" in {
+    val idx = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")
+    val accepted = Dedup.dedupAgainst(incrementDocs, idx,
+      "doc_id", "text", threshold = 0.5)
+    val grown = Dedup.appendToTextIndex(idx, accepted, "doc_id", "text")
+    grown.params shouldBe idx.params
+    // a doc near-duplicating ACCEPTED doc 22 (not the corpus) is now
+    // rejected; truly novel text still passes
+    val second = Seq(
+      (30L, "entirely novel increment content that matches nothing at all here!"),
+      (31L, "fresh second wave text with no overlap to anything seen before"))
+      .toDF("doc_id", "text")
+    Dedup.dedupAgainst(second, grown, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(31L)
+    // against the FROZEN index the near-dup of 22 would have survived
+    Dedup.dedupAgainst(second, idx, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(30L, 31L)
+  }
+
+  "appendToTextIndexDir" should "persist the append and stay verdict-stable under re-delivery" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_append").toString
+    Dedup.buildTextIndex(corpusDocs, "doc_id", "text").save(dir)
+    val idx0 = Dedup.TextIndex.load(spark, dir)
+    val accepted = Dedup.dedupAgainst(incrementDocs, idx0,
+      "doc_id", "text", threshold = 0.5)
+    Dedup.appendToTextIndexDir(spark, dir, accepted, "doc_id", "text")
+    // re-delivery: appending the SAME rows again must not change verdicts
+    Dedup.appendToTextIndexDir(spark, dir, accepted, "doc_id", "text")
+    val second = Seq(
+      (30L, "entirely novel increment content that matches nothing at all here!"),
+      (31L, "fresh second wave text with no overlap to anything seen before"))
+      .toDF("doc_id", "text")
+    Dedup.dedupAgainst(second, Dedup.TextIndex.load(spark, dir),
+        "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(31L)
+  }
+
   it should "refuse to load an index directory without a params record" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_text_noparams").toString
     val idx = Dedup.buildTextIndex(corpusDocs, "doc_id", "text")

@@ -412,4 +412,69 @@ class ChangelogStreamSpec extends SparkTestBase {
       batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
         r.getString(3))).toSeq
   }
+
+  private def sdedupCorpus = Seq(
+    SDoc(10L, "the quick brown fox jumps over the lazy dog again and again"),
+    SDoc(11L, "completely unrelated corpus text about spark and data systems"))
+    .toDF("doc_id", "text")
+  // batch 1: a corpus near-dup (rejected) + a novel doc (accepted);
+  // batch 2: a near-dup of batch 1's ACCEPTED doc + another novel doc
+  private val wave1 = Seq(
+    SDoc(20L, "the quick brown fox jumps over the lazy dog again and again today"),
+    SDoc(22L, "entirely novel increment content that matches nothing at all here"))
+  private val wave2 = Seq(
+    SDoc(30L, "entirely novel increment content that matches nothing at all here!"),
+    SDoc(31L, "fresh second wave text with no overlap to anything seen before"))
+
+  private def runStreamDedup(appendAccepted: Boolean): Set[Long] = {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_sdi_idx").toString
+    graft.ops.Dedup.buildTextIndex(sdedupCorpus, "doc_id", "text")
+      .save(idxDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    // one FILE per wave + maxFilesPerTrigger=1 → wave 2 arrives in a
+    // LATER micro-batch than wave 1 (MemoryStream under AvailableNow
+    // collapses everything into one batch, which would never exercise
+    // the between-batch index append)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdi_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(wave1, "wave1.parquet", 120000L)
+    stage(wave2, "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(wave1.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    ChangelogStream.streamDedupAgainst(stream, idxDir,
+        "doc_id", "text", dir, threshold = 0.5,
+        appendAccepted = appendAccepted)
+      .select($"doc_id").as[Long].collect().toSet
+  }
+
+  "streamDedupAgainst" should "converge to the batch dedupAgainst result in frozen-index mode" in {
+    // 20 near-dups the corpus (out); 30 near-dups accepted doc 22, but
+    // the FROZEN index never learns 22 — so 30 survives, exactly like
+    // batch dedupAgainst of the whole increment
+    runStreamDedup(appendAccepted = false) shouldBe Set(22L, 30L, 31L)
+  }
+
+  it should "reject docs near-duplicating earlier ACCEPTED docs in append mode" in {
+    // with the accepted rows appended under frozen params, batch 2's
+    // near-dup of doc 22 is caught — the streaming closure of the
+    // incremental tier
+    runStreamDedup(appendAccepted = true) shouldBe Set(22L, 31L)
+  }
 }
+
+// top-level: the MemoryStream encoder must be resolvable inside the
+// foreachBatch session, where an inner class's outer scope is absent
+case class SDoc(doc_id: Long, text: String)

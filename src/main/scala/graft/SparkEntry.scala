@@ -1632,6 +1632,18 @@ object SparkEntry {
           array_join(col("track_handlers"), ",").as("track_handlers"),
           array_join(col("track_durations_ms"), ",").as("track_durations_ms"),
           array_join(col("track_codecs"), ",").as("track_codecs"))
+        .orderBy(col("id"))),
+
+    // REAL audio-container round trip: metadata-only FLAC (bit-packed
+    // STREAMINFO) and Ogg Vorbis/Opus (CRC'd pages, real ID headers) are
+    // built on the executors with geometry arithmetic on doc_id, then
+    // probed back by the lenient header walker — codec, sample rate,
+    // channels, bit depth, closing-granule duration. The audio tier of
+    // the ffprobe-style curation pre-filter, oracle-exact.
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.probeAudio(
+          Multimodal.syntheticAudioAssets(Tables.documents(s, d), "doc_id"),
+          "id", "data")
         .orderBy(col("id")))
   )
 
@@ -2999,6 +3011,27 @@ object SparkEntry {
         |  array_to_string(list_transform(range(1, CAST(doc_id % 3 AS BIGINT) + 2),
         |    t -> CASE WHEN t = 1 THEN 'avc1' ELSE 'mp4a' END), ',')
         |    AS track_codecs
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // Reproduces syntheticAudioAssets' arithmetic geometry through the
+    // probe's duration math (floor division on the stream's own clock;
+    // Opus presents at 48 kHz minus the 312-sample pre-skip).
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'flac'
+        |       WHEN doc_id % 4 = 1 THEN 'vorbis' ELSE 'opus' END AS codec,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 48000
+        |       ELSE 8000 * (1 + doc_id % 5) END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
+        |       ELSE 1 + doc_id % 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + 8 * ((doc_id % 8) // 4)
+        |       END AS INTEGER) AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 48000 + 480 * (doc_id % 1000)
+        |       ELSE 1000 + 441 * (doc_id % 1000) END AS BIGINT) AS total_samples,
+        |  CAST(CASE WHEN doc_id % 4 = 3
+        |       THEN ((48000 + 480 * (doc_id % 1000) - 312) * 1000) // 48000
+        |       ELSE ((1000 + 441 * (doc_id % 1000)) * 1000)
+        |            // (8000 * (1 + doc_id % 5)) END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY id""".stripMargin
   )
 

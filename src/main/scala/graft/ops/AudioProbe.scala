@@ -1,0 +1,292 @@
+package graft.ops
+
+/** Structural header probe for the two dominant open audio containers in
+  * scraped corpora — FLAC and Ogg (Vorbis / Opus) — plus metadata-only
+  * builders for oracle-checkable fixtures. The ffprobe-style curation
+  * pre-filter pass: sample rate, channel count, bit depth, and duration
+  * straight from container headers, no codec dependency, same posture as
+  * [[Mp4Probe]] (the reference surface is flat scalar rows only —
+  * reference: src/main/scala/com/booking/spark/Schema.scala:71-85; this
+  * extends it per the training-data-pipeline charter).
+  *
+  * The probe is deliberately LENIENT: it validates structure (magic bytes,
+  * version fields, block layout) but does not verify Ogg page checksums —
+  * a curation pass over a 100 TB crawl must still report the metadata of a
+  * bit-rotted file rather than silently drop it; checksum enforcement
+  * belongs to the decode tier. The builders, by contrast, write REAL page
+  * CRCs (Ogg's unreflected CRC-32/04C11DB7) so fixtures are structurally
+  * valid for any external reader.
+  */
+object AudioProbe {
+
+  /** Probe result. `bitsPerSample` is FLAC-only (Ogg headers don't carry
+    * it); `totalSamples` is in the stream's own sample clock (the Opus
+    * granule clock is fixed at 48 kHz regardless of input rate). */
+  final case class AudioMeta(codec: String,
+                             sampleRate: Int,
+                             channels: Int,
+                             bitsPerSample: Option[Int],
+                             totalSamples: Option[Long],
+                             durationMs: Option[Long])
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
+
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  def isFlac(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && ascii(bytes, 0, 4) == "fLaC"
+
+  def isOgg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && ascii(bytes, 0, 4) == "OggS"
+
+  /** Dispatch on container magic; None for anything else. */
+  def probe(bytes: Array[Byte]): Option[AudioMeta] =
+    if (isFlac(bytes)) probeFlac(bytes)
+    else if (isOgg(bytes)) probeOgg(bytes)
+    else None
+
+  // -------------------------------------------------------------------
+  // FLAC: `fLaC` magic + METADATA_BLOCK chain; STREAMINFO (type 0, 34
+  // bytes) is mandatory-first per the spec and carries everything the
+  // probe needs in one 64-bit packed field:
+  //   sample rate (20 bits) | channels-1 (3) | bps-1 (5) | samples (36)
+  // -------------------------------------------------------------------
+
+  def probeFlac(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (!isFlac(bytes) || bytes.length < 8 + 34) return None
+    val header = u8(bytes, 4)
+    val blockType = header & 0x7F
+    val blockLen = (u8(bytes, 5) << 16) | (u8(bytes, 6) << 8) | u8(bytes, 7)
+    if (blockType != 0 || blockLen < 34) return None // STREAMINFO must lead
+    val o = 8
+    val sampleRate = (u8(bytes, o + 10) << 12) | (u8(bytes, o + 11) << 4) |
+      (u8(bytes, o + 12) >>> 4)
+    if (sampleRate == 0) return None // 0 is invalid outside metadata-only edge streams
+    val channels = ((u8(bytes, o + 12) >>> 1) & 0x7) + 1
+    val bps = (((u8(bytes, o + 12) & 0x1) << 4) | (u8(bytes, o + 13) >>> 4)) + 1
+    val totalSamples = ((u8(bytes, o + 13) & 0xF).toLong << 32) |
+      (u8(bytes, o + 14).toLong << 24) | (u8(bytes, o + 15).toLong << 16) |
+      (u8(bytes, o + 16).toLong << 8) | u8(bytes, o + 17).toLong
+    // total_samples = 0 means "unknown" per spec → duration unknowable
+    val samplesOpt = if (totalSamples == 0) None else Some(totalSamples)
+    Some(AudioMeta("flac", sampleRate, channels, Some(bps), samplesOpt,
+      samplesOpt.map(s => s * 1000L / sampleRate)))
+  }
+
+  // -------------------------------------------------------------------
+  // Ogg: a chain of `OggS` pages. The first (BOS) page's payload is the
+  // codec identification header — `\x01vorbis` or `OpusHead` — and the
+  // LAST page's granule position is the total sample count (PCM clock
+  // for Vorbis, fixed 48 kHz clock minus pre-skip for Opus).
+  // -------------------------------------------------------------------
+
+  /** Byte length of the page starting at `off`, or -1 if malformed. */
+  private def pageLength(b: Array[Byte], off: Int): Int = {
+    if (off + 27 > b.length || ascii(b, off, 4) != "OggS" ||
+      u8(b, off + 4) != 0) return -1
+    val nSegs = u8(b, off + 26)
+    if (off + 27 + nSegs > b.length) return -1
+    var body = 0
+    var i = 0
+    while (i < nSegs) { body += u8(b, off + 27 + i); i += 1 }
+    val total = 27 + nSegs + body
+    if (off + total > b.length) -1 else total
+  }
+
+  def probeOgg(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (!isOgg(bytes)) return None
+    val firstLen = pageLength(bytes, 0)
+    if (firstLen < 0) return None
+    val nSegs0 = u8(bytes, 26)
+    val payload0 = 27 + nSegs0
+    val payloadLen0 = firstLen - payload0
+
+    // walk to the final parseable page for the closing granule position
+    var off = 0
+    var lastGranule = le64(bytes, 6)
+    var guard = 0
+    var next = firstLen
+    while (next < bytes.length && guard < (1 << 20)) {
+      val len = pageLength(bytes, next)
+      if (len < 0) { guard = 1 << 20 } // damaged tail: keep what we have
+      else {
+        off = next
+        lastGranule = le64(bytes, off + 6)
+        next = off + len
+        guard += 1
+      }
+    }
+
+    if (payloadLen0 >= 30 && u8(bytes, payload0) == 0x01 &&
+      ascii(bytes, payload0 + 1, 6) == "vorbis") {
+      val channels = u8(bytes, payload0 + 11)
+      val sampleRate = le32(bytes, payload0 + 12)
+      if (sampleRate <= 0 || sampleRate > Int.MaxValue || channels == 0) return None
+      val samples = if (lastGranule > 0) Some(lastGranule) else None
+      Some(AudioMeta("vorbis", sampleRate.toInt, channels, None, samples,
+        samples.map(s => s * 1000L / sampleRate)))
+    } else if (payloadLen0 >= 19 && ascii(bytes, payload0, 8) == "OpusHead") {
+      val channels = u8(bytes, payload0 + 9)
+      val preSkip = le16(bytes, payload0 + 10)
+      val inputRate = le32(bytes, payload0 + 12)
+      if (channels == 0 || inputRate <= 0 || inputRate > Int.MaxValue) return None
+      // granule clock is 48 kHz by definition; pre-skip samples are
+      // decoder warm-up, excluded from presented duration
+      val samples = if (lastGranule > 0) Some(lastGranule) else None
+      Some(AudioMeta("opus", inputRate.toInt, channels, None, samples,
+        samples.map(s => math.max(0L, s - preSkip) * 1000L / 48000L)))
+    } else None
+  }
+
+  // -------------------------------------------------------------------
+  // Builders: metadata-only fixtures with real byte layout.
+  // -------------------------------------------------------------------
+
+  /** A spec-valid FLAC stream prefix: magic + last-flag STREAMINFO with
+    * the probe-relevant fields packed for real (blocksize/frame-size
+    * bounds and the signature MD5 are zeroed — a metadata-only fixture
+    * carries no frames to bound or hash). */
+  def buildFlacMetadata(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                        totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "sample rate is a 20-bit field")
+    require(channels >= 1 && channels <= 8, "FLAC channels are 1..8")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "FLAC bps is 4..32")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "total samples is 36-bit")
+    val out = new Array[Byte](8 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last-metadata-block flag | type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    val o = 8
+    // min/max blocksize: the spec floor (16) keeps the header non-degenerate
+    out(o) = 0; out(o + 1) = 16; out(o + 2) = 0; out(o + 3) = 16
+    // min/max frame size 0 = unknown (bytes o+4 .. o+9 stay zero)
+    out(o + 10) = ((sampleRate >>> 12) & 0xFF).toByte
+    out(o + 11) = ((sampleRate >>> 4) & 0xFF).toByte
+    out(o + 12) = (((sampleRate & 0xF) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >>> 4)).toByte
+    out(o + 13) = ((((bitsPerSample - 1) & 0xF) << 4) |
+      ((totalSamples >>> 32) & 0xF).toInt).toByte
+    out(o + 14) = ((totalSamples >>> 24) & 0xFF).toByte
+    out(o + 15) = ((totalSamples >>> 16) & 0xFF).toByte
+    out(o + 16) = ((totalSamples >>> 8) & 0xFF).toByte
+    out(o + 17) = (totalSamples & 0xFF).toByte
+    out
+  }
+
+  /** Ogg's page CRC: CRC-32 poly 0x04C11DB7, UNreflected, init 0, no
+    * final xor — computed over the page with the CRC field zeroed. */
+  private val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7 else r << 1
+        j += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private def oggCrc(page: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ (page(i) & 0xFF)) & 0xFF)
+      i += 1
+    }
+    crc
+  }
+
+  /** One Ogg page around `payload` (must fit the 255-segment lacing
+    * table; metadata fixtures are far under). */
+  private def oggPage(headerType: Int, granule: Long, serial: Int,
+                      seq: Int, payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 255 * 255, "fixture payload exceeds one page")
+    val nSegs = math.max(1, (payload.length + 254) / 255)
+    val page = new Array[Byte](27 + nSegs + payload.length)
+    page(0) = 'O'; page(1) = 'g'; page(2) = 'g'; page(3) = 'S'
+    page(4) = 0 // stream structure version
+    page(5) = headerType.toByte
+    var i = 0
+    while (i < 8) { page(6 + i) = ((granule >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    i = 0
+    while (i < 4) {
+      page(14 + i) = ((serial >>> (8 * i)) & 0xFF).toByte
+      page(18 + i) = ((seq >>> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    // bytes 22-25 (CRC) stay zero until computed
+    page(26) = nSegs.toByte
+    var rem = payload.length
+    i = 0
+    while (i < nSegs) {
+      page(27 + i) = math.min(rem, 255).toByte
+      rem -= math.min(rem, 255)
+      i += 1
+    }
+    System.arraycopy(payload, 0, page, 27 + nSegs, payload.length)
+    val crc = oggCrc(page) // computed with the CRC field still zeroed
+    i = 0
+    while (i < 4) { page(22 + i) = ((crc >>> (8 * i)) & 0xFF).toByte; i += 1 } // LE like all Ogg fields
+    page
+  }
+
+  /** Metadata-only Ogg Vorbis stream: BOS page carrying the real 30-byte
+    * identification header, then an empty EOS page whose granule position
+    * is the total PCM sample count. */
+  def buildOggVorbis(sampleRate: Int, channels: Int,
+                     totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1 && channels <= 255 && totalSamples >= 0,
+      "invalid synthetic vorbis geometry")
+    val id = new Array[Byte](30)
+    id(0) = 0x01
+    "vorbis".getBytes("US-ASCII").copyToArray(id, 1)
+    // vorbis_version (4 bytes) = 0
+    id(11) = channels.toByte
+    var i = 0
+    while (i < 4) { id(12 + i) = ((sampleRate >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    // bitrate triple (12 bytes) = 0; blocksizes: 2^8 / 2^8 packed nibbles
+    id(28) = 0x88.toByte
+    id(29) = 0x01 // framing bit
+    val serial = (sampleRate * 31 + channels) | 1
+    oggPage(0x02, 0L, serial, 0, id) ++
+      oggPage(0x04, totalSamples, serial, 1, Array.emptyByteArray)
+  }
+
+  /** Metadata-only Ogg Opus stream: BOS page with the real 19-byte
+    * `OpusHead`, then an empty EOS page with the closing 48 kHz granule. */
+  def buildOggOpus(inputSampleRate: Int, channels: Int, preSkip: Int,
+                   granule48k: Long): Array[Byte] = {
+    require(inputSampleRate > 0 && channels >= 1 && channels <= 255 &&
+      preSkip >= 0 && preSkip <= 0xFFFF && granule48k >= 0,
+      "invalid synthetic opus geometry")
+    val id = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(id, 0)
+    id(8) = 0x01 // version
+    id(9) = channels.toByte
+    id(10) = (preSkip & 0xFF).toByte
+    id(11) = ((preSkip >>> 8) & 0xFF).toByte
+    var i = 0
+    while (i < 4) { id(12 + i) = ((inputSampleRate >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    // output gain (2) = 0, mapping family (1) = 0
+    val serial = (inputSampleRate * 37 + channels) | 1
+    oggPage(0x02, 0L, serial, 0, id) ++
+      oggPage(0x04, granule48k, serial, 1, Array.emptyByteArray)
+  }
+}

@@ -54,6 +54,8 @@ object Multimodal {
       .when(prefix.startsWith("464F524D") && riffForm === "41494646", "audio/aiff")
       .when(prefix.startsWith("464F524D") && riffForm === "41494643", "audio/aiff")
       .when(prefix.startsWith("2E736E64"), "audio/basic") // Sun AU '.snd'
+      .when(prefix.startsWith("664C6143"), "audio/flac")  // 'fLaC'
+      .when(prefix.startsWith("4F676753"), "audio/ogg")   // 'OggS'
       .when(substring(prefix, 9, 8) === "66747970", "video/mp4")
       .otherwise("application/octet-stream")
   }
@@ -800,6 +802,93 @@ object Multimodal {
           timescale = 600L,
           duration = 600L + (id % 1000) * 3,
           nTracks = (1 + id % 3).toInt))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Output schema of [[probeAudio]]. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("codec", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("total_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** Structural FLAC / Ogg(Vorbis|Opus) metadata per payload via the
+    * lenient [[AudioProbe]] header walker — codec, sample rate, channels,
+    * bit depth (FLAC), total samples and duration from the closing
+    * granule / STREAMINFO count. The audio sibling of [[probeMp4]]:
+    * batched `mapPartitions`, no shuffle, no driver collect; non-audio or
+    * malformed payloads yield an all-null row rather than a dead task. */
+  def probeAudio(df: DataFrame, idCol: String, bytesCol: String,
+                 batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"probeAudio: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          try {
+            AudioProbe.probe(r.getAs[Array[Byte]](1)) match {
+              case Some(m) => Row(id, m.codec, Int.box(m.sampleRate),
+                Int.box(m.channels), m.bitsPerSample.map(Int.box).orNull,
+                m.totalSamples.map(Long.box).orNull,
+                m.durationMs.map(Long.box).orNull)
+              case None => Row(id, null, null, null, null, null, null)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Row(id, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(AudioMetaSchema))
+  }
+
+  /** Deterministic metadata-only FLAC / Ogg Vorbis / Ogg Opus payloads
+    * keyed by id, the audio sibling of [[syntheticMp4Assets]]: real byte
+    * layout (bit-packed STREAMINFO, CRC'd Ogg pages) from the
+    * [[AudioProbe]] builders. Geometry is arithmetic on the id — even ids
+    * are FLAC (rate 8000·(1 + id mod 5), channels 1 + (id mod 4)/2, bps
+    * 16 + 8·((id mod 8)/4), samples 1000 + 441·(id mod 1000)); id ≡ 1
+    * (mod 4) is Vorbis (same rate/sample grid, channels 1 + id mod 3);
+    * id ≡ 3 (mod 4) is Opus (input rate 48 kHz, pre-skip 312, granule
+    * 48000 + 480·(id mod 1000)) — so a build → probe round trip is
+    * oracle-checkable. Ids must be non-negative. */
+  def syntheticAudioAssets(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"syntheticAudioAssets: null or non-castable id in $idCol")
+        val id = r.getLong(0)
+        require(id >= 0, s"syntheticAudioAssets: negative id $id")
+        val bytes =
+          if (id % 2 == 0)
+            AudioProbe.buildFlacMetadata(
+              sampleRate = (8000 * (1 + id % 5)).toInt,
+              channels = (1 + (id % 4) / 2).toInt,
+              bitsPerSample = (16 + 8 * ((id % 8) / 4)).toInt,
+              totalSamples = 1000L + 441L * (id % 1000))
+          else if (id % 4 == 1)
+            AudioProbe.buildOggVorbis(
+              sampleRate = (8000 * (1 + id % 5)).toInt,
+              channels = (1 + id % 3).toInt,
+              totalSamples = 1000L + 441L * (id % 1000))
+          else
+            AudioProbe.buildOggOpus(
+              inputSampleRate = 48000,
+              channels = (1 + id % 3).toInt,
+              preSkip = 312,
+              granule48k = 48000L + 480L * (id % 1000))
+        Row(id, bytes)
       }
     }(Encoders.row(schema))
   }

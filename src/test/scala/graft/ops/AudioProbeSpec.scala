@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AudioProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- FLAC ----
+
+  "AudioProbe.probeFlac" should "round-trip the STREAMINFO bit packing" in {
+    val cases = Seq(
+      (8000, 1, 16, 1000L),
+      (44100, 2, 16, 441000L),
+      (96000, 8, 24, 12345678L),
+      (192000, 6, 32, (1L << 36) - 1), // 36-bit total-samples ceiling
+      (655349, 3, 4, 1L)) // near the 20-bit sample-rate ceiling
+    for ((rate, ch, bps, n) <- cases) {
+      val m = AudioProbe.probe(
+        AudioProbe.buildFlacMetadata(rate, ch, bps, n)).get
+      m.codec shouldBe "flac"
+      m.sampleRate shouldBe rate
+      m.channels shouldBe ch
+      m.bitsPerSample shouldBe Some(bps)
+      m.totalSamples shouldBe Some(n)
+      m.durationMs shouldBe Some(n * 1000L / rate)
+    }
+  }
+
+  it should "treat total_samples = 0 as unknown duration per spec" in {
+    val m = AudioProbe.probe(
+      AudioProbe.buildFlacMetadata(48000, 2, 16, 0L)).get
+    m.totalSamples shouldBe None
+    m.durationMs shouldBe None
+    m.sampleRate shouldBe 48000
+  }
+
+  it should "reject malformed or truncated FLAC rather than fabricate" in {
+    AudioProbe.probe("fLaC".getBytes("US-ASCII")) shouldBe None // no block
+    AudioProbe.probe(
+      AudioProbe.buildFlacMetadata(44100, 2, 16, 10L).take(20)) shouldBe None
+    // a stream whose first block is not STREAMINFO violates the spec
+    val bad = AudioProbe.buildFlacMetadata(44100, 2, 16, 10L)
+    bad(4) = 0x84.toByte // last-flag | type 4 (VORBIS_COMMENT)
+    AudioProbe.probe(bad) shouldBe None
+    AudioProbe.probe(null) shouldBe None
+    AudioProbe.probe("plain text".getBytes("UTF-8")) shouldBe None
+  }
+
+  // ---- Ogg ----
+
+  "AudioProbe.probeOgg" should "read the Vorbis ID header and closing granule" in {
+    val m = AudioProbe.probe(
+      AudioProbe.buildOggVorbis(44100, 2, 4410000L)).get
+    m.codec shouldBe "vorbis"
+    m.sampleRate shouldBe 44100
+    m.channels shouldBe 2
+    m.bitsPerSample shouldBe None
+    m.totalSamples shouldBe Some(4410000L)
+    m.durationMs shouldBe Some(100000L)
+  }
+
+  it should "present Opus duration on the 48 kHz clock minus pre-skip" in {
+    val m = AudioProbe.probe(
+      AudioProbe.buildOggOpus(16000, 1, 312, 48312L)).get
+    m.codec shouldBe "opus"
+    m.sampleRate shouldBe 16000 // the declared INPUT rate
+    m.channels shouldBe 1
+    m.totalSamples shouldBe Some(48312L)
+    m.durationMs shouldBe Some(1000L) // (48312-312)/48000 s
+  }
+
+  it should "keep the last parseable granule when the tail is damaged" in {
+    val whole = AudioProbe.buildOggVorbis(48000, 2, 96000L)
+    // chop mid-way through the EOS page: its header no longer parses, so
+    // the probe falls back to the BOS granule (0) -> duration unknown
+    val cut = whole.take(whole.length - 3)
+    val m = AudioProbe.probe(cut).get
+    m.codec shouldBe "vorbis"
+    m.sampleRate shouldBe 48000
+    m.totalSamples shouldBe None
+    m.durationMs shouldBe None
+  }
+
+  it should "reject unknown first-page payloads and malformed pages" in {
+    AudioProbe.probe("OggS".getBytes("US-ASCII")) shouldBe None
+    // a well-formed page whose payload is neither vorbis nor OpusHead
+    val stream = AudioProbe.buildOggVorbis(44100, 2, 100L)
+    stream(28 /* first payload byte: 27 header + 1 lacing */) = 0x7F
+    AudioProbe.probe(stream) shouldBe None
+    // stream-structure version must be 0
+    val v1 = AudioProbe.buildOggVorbis(44100, 2, 100L)
+    v1(4) = 1
+    AudioProbe.probe(v1) shouldBe None
+  }
+
+  it should "write real page CRCs (flipping any byte breaks the checksum)" in {
+    // the probe is deliberately lenient about CRCs, so verify the builder
+    // against its own checksum definition: recomputing the CRC of the
+    // emitted page with the CRC field zeroed must reproduce the stored one
+    val stream = AudioProbe.buildOggVorbis(32000, 3, 12345L)
+    val nSegs = stream(26) & 0xFF
+    val pageLen = 27 + nSegs + (0 until nSegs).map(i => stream(27 + i) & 0xFF).sum
+    val page = stream.take(pageLen)
+    val stored = (0 until 4).map(i => (page(22 + i) & 0xFFL) << (8 * i)).sum
+    stored should not be 0L // a zero CRC would mean "never computed"
+    val zeroed = page.clone()
+    (22 until 26).foreach(zeroed(_) = 0)
+    // CRC-32/04C11DB7, unreflected, init 0, no final xor — independent impl
+    var crc = 0L
+    for (b <- zeroed) {
+      crc ^= (b & 0xFFL) << 24
+      for (_ <- 0 until 8)
+        crc = if ((crc & 0x80000000L) != 0) ((crc << 1) ^ 0x04C11DB7L) & 0xFFFFFFFFL
+              else (crc << 1) & 0xFFFFFFFFL
+    }
+    crc shouldBe stored
+  }
+
+  // ---- Spark surface ----
+
+  "Multimodal.probeAudio" should "probe the synthetic battery distributedly" in {
+    val ids = spark.range(0, 64).toDF("doc_id")
+    val out = Multimodal.probeAudio(
+        Multimodal.syntheticAudioAssets(ids, "doc_id"), "id", "data")
+      .orderBy($"id")
+      .as[(Long, String, Int, Int, Option[Int], Long, Long)].collect()
+    out should have length 64
+    for ((id, codec, rate, ch, bps, n, ms) <- out) {
+      if (id % 2 == 0) {
+        codec shouldBe "flac"
+        rate shouldBe (8000 * (1 + id % 5)).toInt
+        ch shouldBe (1 + (id % 4) / 2).toInt
+        bps shouldBe Some((16 + 8 * ((id % 8) / 4)).toInt)
+        n shouldBe 1000L + 441L * (id % 1000)
+        ms shouldBe n * 1000L / rate
+      } else if (id % 4 == 1) {
+        codec shouldBe "vorbis"
+        rate shouldBe (8000 * (1 + id % 5)).toInt
+        ch shouldBe (1 + id % 3).toInt
+        bps shouldBe None
+        ms shouldBe n * 1000L / rate
+      } else {
+        codec shouldBe "opus"
+        rate shouldBe 48000
+        n shouldBe 48000L + 480L * (id % 1000)
+        ms shouldBe (n - 312L) * 1000L / 48000L
+      }
+    }
+  }
+
+  it should "yield all-null rows for non-audio payloads, never a dead task" in {
+    val d = Seq((1L, "not audio at all".getBytes("UTF-8")),
+        (2L, Array.empty[Byte]))
+      .toDF("id", "data")
+    val rows = Multimodal.probeAudio(d, "id", "data").orderBy($"id").collect()
+    rows should have length 2
+    rows.foreach { r => (1 until 7).foreach(i => r.isNullAt(i) shouldBe true) }
+  }
+
+  "sniffMediaType" should "identify FLAC and Ogg magics" in {
+    val t = Seq(
+        (1L, AudioProbe.buildFlacMetadata(44100, 2, 16, 10L)),
+        (2L, AudioProbe.buildOggVorbis(44100, 2, 10L)),
+        (3L, AudioProbe.buildOggOpus(48000, 2, 0, 10L)))
+      .toDF("id", "data")
+      .select($"id", Multimodal.sniffMediaType($"data").as("t"))
+      .as[(Long, String)].collect().toMap
+    t(1L) shouldBe "audio/flac"
+    t(2L) shouldBe "audio/ogg"
+    t(3L) shouldBe "audio/ogg"
+  }
+}

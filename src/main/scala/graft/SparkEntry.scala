@@ -16,6 +16,28 @@ object SparkEntry {
   /** As-of cutoff used by the snapshot queries (events span 2024-01). */
   private val AsOfTs = "2024-01-15 00:00:00"
 
+  // q_html_extract's synthetic markup fragments, shared verbatim between
+  // the Spark concat and the DuckDB oracle's || chain. The script body
+  // hides a decoy "</p>" inside a string literal (the lazy script-strip
+  // must swallow it before the block-boundary pass ever sees it); the
+  // entity paragraph covers the no-double-decode contract (&amp;lt; must
+  // surface as literal "&lt;"). No single quotes anywhere — the fragments
+  // embed directly in SQL literals.
+  private val HtmlFixturePrefix =
+    "<html><head><title>Doc "
+  private val HtmlFixtureMid =
+    "</title><style>body{font:10px} p>a{color:#fff}</style>" +
+      "<script type=\"text/javascript\">if (1<2) { emit(\"</p>\"); }</script>" +
+      "</head><body><!-- build "
+  private val HtmlFixtureHead =
+    " --><h1>Heading</h1><p class=\"main\">"
+  private val HtmlFixtureLinksOpen =
+    "</p><p>&quot;q&quot; &lt;tag&gt; &amp;lt;still&amp;gt;&nbsp;end</p><ul>"
+  private val HtmlFixtureLinkItem =
+    "<li><a href=\"/l?a=1&amp;b=2\">link &amp; ref</a></li>"
+  private val HtmlFixtureTail =
+    "</ul></body></html>"
+
   /** Scratch dir for a streaming-harness sink, recursively deleted at JVM
     * exit. The deletion matters: each invocation leaves a checkpoint +
     * staged-parquet tree, and a multi-pass bench (or repeated local
@@ -1445,6 +1467,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Main-content extraction from raw HTML — the WET-style stage every
+    // web-corpus pipeline runs first. Deterministic markup is wrapped
+    // around documents.text (script with a decoy "</p>" inside a string
+    // literal, comments, id-varying link lists, the core entity set), and
+    // the codegen'd regex chain strips it back out; the oracle builds the
+    // SAME html and replays HtmlExtract.Chain verbatim. Shuffle-free
+    // narrow projection end to end.
+    "q_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val html = concat(
+        lit(HtmlFixturePrefix), col("doc_id").cast("string"),
+        lit(HtmlFixtureMid), col("doc_id").cast("string"),
+        lit(HtmlFixtureHead), col("text"),
+        lit(HtmlFixtureLinksOpen),
+        expr(s"repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT))"),
+        lit(HtmlFixtureTail))
+      graft.ops.HtmlExtract.extract(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram conditional LM score: common words in implausible ORDER now
     // score low too — the sequence-aware tier above q_unigram_lm. In-row
     // token-tail zip (no positional self-join); docs under 2 tokens have
@@ -2580,6 +2623,30 @@ object SparkEntry {
     // profiles and doc-gram counts from one exploded gram set, unseen
     // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
     // BEFORE the argmax, ties broken by smallest lang code.
+    // The fixture fragments and HtmlExtract.Chain are spliced in verbatim
+    // (no single quotes in either by construction), so the oracle replays
+    // the exact regex battery with RE2 'g' semantics.
+    "q_html_extract" -> {
+      val htmlExpr = s"'$HtmlFixturePrefix' || doc_id || '$HtmlFixtureMid' " +
+        s"|| doc_id || '$HtmlFixtureHead' || text || '$HtmlFixtureLinksOpen' " +
+        s"|| repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT)) " +
+        s"|| '$HtmlFixtureTail'"
+      val chain = graft.ops.HtmlExtract.Chain ++
+        Seq(("^[\\s]+", ""), ("[\\s]+$", ""))
+      val extracted = chain.foldLeft("html") { case (acc, (pat, rep)) =>
+        // the entity battery includes a bare apostrophe replacement
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+          s"'${rep.replace("'", "''")}', 'g')"
+      }
+      s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+         |x AS (SELECT doc_id, html, $extracted AS text FROM h)
+         |SELECT doc_id, text,
+         |  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS INTEGER)
+         |    AS n_links,
+         |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
+
     "q_lang_id" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

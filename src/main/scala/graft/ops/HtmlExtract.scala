@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Main-content text extraction from raw HTML — the first stage of every
+  * web-corpus pipeline (WET-style extraction): strip script/style/comment
+  * blocks, preserve block structure as line breaks, drop remaining tags,
+  * decode the core entity set, and normalize whitespace. Emits the link
+  * count and markup ratio alongside, the signals boilerplate classifiers
+  * gate on.
+  *
+  * Extends the reference's flat scalar surface (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  *
+  * Scale posture: the whole transform is a chain of codegen'd
+  * `regexp_replace` Columns — a shuffle-free narrow projection that
+  * whole-stage-codegens into the scan, exactly what a 100 TB pass wants.
+  * Every pattern is RE2-compatible (no backreferences, no lookaround) so
+  * the same battery runs on RE2-based engines, and the DuckDB oracle
+  * replicates the chain verbatim.
+  */
+object HtmlExtract {
+
+  /** The regex chain, exposed for oracle replication: applied in order
+    * with `regexp_replace(_, pattern, replacement)`. Order is load-bearing
+    * (script/style bodies go first so their contents never count as text;
+    * `&amp;` decodes LAST so `&amp;lt;` yields literal `&lt;` — no double
+    * decode, the HTML5 semantics). */
+  val Chain: Seq[(String, String)] = Seq(
+    // executable/style payloads are never content — remove bodies whole
+    // (lazy match so adjacent blocks don't fuse; (?is) = dotall + ci)
+    ("(?is)<script\\b[^>]*>.*?</script>", " "),
+    ("(?is)<style\\b[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    // block-level boundaries become newlines so paragraphs survive the
+    // tag strip (inline tags like <b>/<a> must NOT break lines)
+    ("(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|title)\\b[^>]*/?>", "\n"),
+    // every remaining tag disappears; text either side joins with a space
+    ("(?s)<[^>]*>", " "),
+    // core entity set (amp last — see above)
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+    // whitespace normalization: collapse runs, trim line edges, cap
+    // blank runs at one empty line
+    ("[ \\t\\r]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n{3,}", "\n\n"))
+
+  /** Extracted text as a pure codegen'd Column. */
+  def extractText(html: Column): Column = {
+    val stripped = Chain.foldLeft(html) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    // outer trim of the leftover boundary whitespace
+    regexp_replace(regexp_replace(stripped, "^[\\s]+", ""), "[\\s]+$", "")
+  }
+
+  /** Anchor-tag count — the numerator of the link-density boilerplate
+    * signal. */
+  def linkCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<a[\\s>]"), lit(0)))
+
+  /** One-pass extraction over a corpus: extracted text, link count, and
+    * the text-to-markup ratio (6-dp rounded for engine portability).
+    * Shuffle-free narrow projection. */
+  def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val html = col(htmlCol)
+    val text = extractText(html)
+    df.select(col(idCol),
+      text.as("text"),
+      linkCount(html).as("n_links"),
+      round(length(text).cast("double") / length(html), 6).as("text_ratio"))
+  }
+}

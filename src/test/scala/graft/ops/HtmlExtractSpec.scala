@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class HtmlExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def extract(html: String): (String, Int, Double) =
+    HtmlExtract.extract(Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select($"text", $"n_links", $"text_ratio")
+      .as[(String, Int, Double)].head()
+
+  "extractText" should "strip tags and keep block structure as newlines" in {
+    val (t, _, _) = extract(
+      "<html><body><h1>Title</h1><p>one <b>two</b> three</p><p>four</p></body></html>")
+    // adjacent block boundaries yield a blank line (capped at one)
+    t shouldBe "Title\n\none two three\n\nfour"
+  }
+
+  it should "swallow script bodies whole, including decoy closing tags" in {
+    val (t, _, _) = extract(
+      """<p>before</p><script>if (1<2) { emit("</p>fake"); }</script><p>after</p>""")
+    t shouldBe "before\n\nafter"
+  }
+
+  it should "remove style blocks and comments" in {
+    val (t, _, _) = extract(
+      "<style>p>a{color:red}</style><!-- note --><p>kept</p>")
+    t shouldBe "kept"
+  }
+
+  it should "decode the core entity set without double-decoding" in {
+    val (t, _, _) = extract(
+      "<p>&quot;q&quot; &lt;tag&gt; a &amp; b&nbsp;x &#39;y&apos;</p>")
+    t shouldBe "\"q\" <tag> a & b x 'y'"
+    // &amp;lt; is the TEXT "&lt;", not a tag bracket — amp decodes last
+    val (t2, _, _) = extract("<p>&amp;lt;literal&amp;gt;</p>")
+    t2 shouldBe "&lt;literal&gt;"
+  }
+
+  it should "not break lines at inline tags" in {
+    val (t, _, _) = extract("<p>a <a href=\"/x\">link</a> b <em>c</em> d</p>")
+    t shouldBe "a link b c d"
+  }
+
+  it should "collapse whitespace runs and cap blank lines" in {
+    val (t, _, _) = extract(
+      "<div>a</div>\n\n\n<div></div><div></div><div></div><div>b   c\t d</div>")
+    t shouldBe "a\n\nb c d"
+  }
+
+  it should "count anchor tags and report the text ratio" in {
+    val html = "<p><a href=\"/1\">x</a><a\nhref=\"/2\">y</a><abbr>z</abbr></p>"
+    val (t, links, ratio) = extract(html)
+    t shouldBe "x y z" // stripped inline tags join with a space
+    links shouldBe 2   // <abbr does not match <a[\s>]; <a\n does
+    ratio shouldBe (t.length.toDouble / html.length) +- 5e-7
+  }
+
+  it should "stay a shuffle-free codegen'd projection" in {
+    val df = HtmlExtract.extract(
+      Seq((1L, "<p>x</p>")).toDF("id", "html"), "id", "html")
+    df.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+}

@@ -1488,6 +1488,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Robust per-group outlier detection (ingest QA): modified z-score
+    // on median/MAD, which heavy tails cannot drag the way mean/stddev
+    // scoring is. Exact mode — the DuckDB oracle replicates the
+    // interpolated medians and the 1.4826 scale bit for bit; group stats
+    // broadcast back, event rows never reshuffled.
+    "q_outliers" -> ((s, d) =>
+      graft.ops.Outliers.robustOutliers(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", cutoff = 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("robust_z"))
+        .orderBy(col("event_id"))),
+
     // Bigram conditional LM score: common words in implausible ORDER now
     // score low too — the sequence-aware tier above q_unigram_lm. In-row
     // token-tail zip (no positional self-join); docs under 2 tokens have
@@ -2623,6 +2637,24 @@ object SparkEntry {
     // profiles and doc-gram counts from one exploded gram set, unseen
     // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
     // BEFORE the argmax, ties broken by smallest lang code.
+    // Median/MAD spelled out (not DuckDB's mad()) so the interpolation
+    // and scale arithmetic mirror the operator's exactly.
+    "q_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)),
+        |s AS (
+        |  SELECT event_type, median(abs(value - med)) AS mad
+        |  FROM d2 GROUP BY 1)
+        |SELECT d2.event_id, d2.event_type, d2.value,
+        |  round((d2.value - d2.med) / (1.4826 * s.mad), 6) AS robust_z
+        |FROM d2 JOIN s USING (event_type)
+        |WHERE s.mad > 0
+        |  AND abs((d2.value - d2.med) / (1.4826 * s.mad)) > 3.5
+        |ORDER BY d2.event_id""".stripMargin,
+
     // The fixture fragments and HtmlExtract.Chain are spliced in verbatim
     // (no single quotes in either by construction), so the oracle replays
     // the exact regex battery with RE2 'g' semantics.

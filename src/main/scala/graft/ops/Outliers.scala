@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KllFunctions
+
+/** Robust per-group outlier detection for ingest QA: the modified z-score
+  * `(x − median) / (1.4826 · MAD)` (Iglewicz–Hoaglin), which unlike
+  * mean/stddev scoring is not dragged by the outliers it is meant to
+  * find. The tier above [[Profiler]]'s envelope stats: the profiler says
+  * what a column looks like; this names the rows that don't belong.
+  *
+  * Extends the reference's flat scalar surface (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  *
+  * Scale posture: two aggregation passes (median, then median absolute
+  * deviation), each one partial-agg shuffle at GROUP granularity, with
+  * the group-stat table broadcast back — data-scale rows are never
+  * reshuffled, the plan's only exchanges carry group-count rows plus the
+  * two aggregations. Exact mode uses `percentile` (per-group values
+  * buffer in executor memory — right for QA over keyed metric groups,
+  * and what the DuckDB oracle replicates bit for bit); sketch mode swaps
+  * in mergeable KLL quantiles (bounded memory at any group size, ~1.65%
+  * rank error — the 100 TB path, spec-checked against exact mode). */
+object Outliers {
+
+  private val MadScale = 1.4826 // E[MAD] = σ/1.4826 under normality
+
+  private def median(c: Column, exact: Boolean, kllK: Int): Column =
+    if (exact) percentile(c, lit(0.5))
+    else KllFunctions.kllQuantiles(KllFunctions.kllSketch(c, kllK), Seq(0.5))
+      .getItem(0)
+
+  /** Rows whose |modified z| exceeds `cutoff`, with the (6-dp rounded)
+    * z-score appended. Groups with zero MAD (over half the group shares
+    * one value) have no defined robust scale and contribute no rows —
+    * flag those via [[Profiler]] distinct counts instead. */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     cutoff: Double = 3.5, exact: Boolean = true,
+                     kllK: Int = 200): DataFrame = {
+    require(groupCols.nonEmpty, "robustOutliers: need at least one group column")
+    require(cutoff > 0, "robustOutliers: cutoff must be positive")
+    val v = col(valueCol).cast("double")
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*)
+      .agg(median(v, exact, kllK).as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(gcols: _*)
+      .agg(median(abs(v - col("__med")), exact, kllK).as("__mad"))
+    val z = (v - col("__med")) / (lit(MadScale) * col("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .where(col("__mad") > 0 && abs(z) > cutoff)
+      .withColumn("robust_z", round(z, 6))
+      .drop("__med", "__mad")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OutliersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // group "a": 1..9 with a planted 100 -> median 5.5, MAD 2.5
+  private def planted = ((1 to 9).map(v => ("a", v.toDouble, false)) :+
+    (("a", 100.0, true))).zipWithIndex
+    .map { case ((g, v, o), i) => (i.toLong, g, v, o) }
+    .toDF("id", "g", "v", "expect_outlier")
+
+  "robustOutliers" should "flag the planted point with the Iglewicz-Hoaglin z" in {
+    val out = Outliers.robustOutliers(planted, Seq("g"), "v", cutoff = 3.5)
+      .select($"id", $"robust_z").as[(Long, Double)].collect().toMap
+    // n=10 values 1..9,100: median = (5+6)/2 = 5.5; |dev| sorted =
+    // 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5 -> MAD 2.5
+    out.keySet shouldBe Set(9L)
+    out(9L) shouldBe math.rint((100.0 - 5.5) / (1.4826 * 2.5) * 1e6) / 1e6 +- 1e-9
+  }
+
+  it should "emit nothing for zero-MAD groups" in {
+    val df = (Seq.fill(8)(5.0) :+ 500.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "c", v) }.toDF("id", "g", "v")
+    // 8 of 9 values identical -> MAD 0: robust scale undefined
+    Outliers.robustOutliers(df, Seq("g"), "v").count() shouldBe 0L
+  }
+
+  it should "score groups independently" in {
+    val df = planted.select($"id", $"g", $"v")
+      .unionByName(Seq((100L, "b", 1e9)).toDF("id", "g", "v")) // singleton group, MAD 0
+    val ids = Outliers.robustOutliers(df, Seq("g"), "v")
+      .select($"id").as[Long].collect().toSeq
+    ids shouldBe Seq(9L)
+  }
+
+  it should "match exact mode exactly in sketch mode while KLL is uncompacted" in {
+    val df = (0 until 150).map(i => (i.toLong, "g", (i * 37 % 101).toDouble))
+      .toDF("id", "g", "v")
+      .unionByName(Seq((999L, "g", 1e6)).toDF("id", "g", "v"))
+    val exact = Outliers.robustOutliers(df, Seq("g"), "v")
+      .select($"id", $"robust_z").as[(Long, Double)].collect().toMap
+    val sketch = Outliers.robustOutliers(df, Seq("g"), "v", exact = false,
+        kllK = 400)
+      .select($"id", $"robust_z").as[(Long, Double)].collect().toMap
+    exact should not be empty
+    sketch shouldBe exact // below k the sketch retains every item
+  }
+
+  it should "broadcast the group stats, never reshuffling the data side" in {
+    val plan = Outliers.robustOutliers(planted, Seq("g"), "v")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+}

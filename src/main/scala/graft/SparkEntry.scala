@@ -1028,6 +1028,33 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Interval x interval OVERLAP join (downtime attribution): per-user
+    // view windows [ts, ts + floor(value) minutes] against error windows
+    // [ts - 1h, ts + 1h]. Both sides bucket-explode; the left-edge-bucket
+    // residual makes every overlapping pair meet exactly once — one
+    // equi-join shuffle, no dedup pass, vs the nested-loop a naive
+    // non-equi join plans. Overlap length emitted in whole seconds.
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view").select(
+        col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_start"),
+        expr("timestampadd(SECOND, CAST(floor(value) AS BIGINT) * 60, ts)")
+          .as("v_end"))
+      val errors = ev.filter(col("event_type") === "error").select(
+        col("user_id"), col("event_id").as("err_id"),
+        expr("timestampadd(SECOND, -3600, ts)").as("e_start"),
+        expr("timestampadd(SECOND, 3600, ts)").as("e_end"))
+      graft.ops.RangeJoin.intervalOverlap(
+          views, "v_start", "v_end", errors, "e_start", "e_end",
+          equiKeys = Seq("user_id"), bucketSeconds = 3600)
+        .select(col("user_id"), col("view_id"), col("err_id"),
+          expr("(unix_micros(least(v_end, e_end)) - " +
+            "unix_micros(greatest(v_start, e_start))) div 1000000")
+            .as("overlap_s"))
+        .orderBy(col("user_id"), col("view_id"), col("err_id"))
+    }),
+
     // ---- extension tier: text analysis over the documents corpus ----
 
     // Token/char counts, punctuation + stopword ratios, rolling fingerprint.
@@ -2234,6 +2261,25 @@ object SparkEntry {
         |FROM events e JOIN s ON e.user_id = s.user_id
         |  AND e.ts BETWEEN s.session_start AND s.session_end
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+    // The naive formulation the bucketed join replaces: a plain non-equi
+    // overlap join. floor(value) before the cast matches Spark's
+    // double->long truncation.
+    "q_interval_join" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS v_start,
+        |    ts + to_seconds(CAST(floor(value) AS BIGINT) * 60) AS v_end
+        |  FROM events WHERE event_type = 'view'),
+        |e AS (
+        |  SELECT user_id, event_id AS err_id,
+        |    ts - to_seconds(3600) AS e_start,
+        |    ts + to_seconds(3600) AS e_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT v.user_id, v.view_id, e.err_id,
+        |  (epoch_us(least(v.v_end, e.e_end)) -
+        |   epoch_us(greatest(v.v_start, e.e_start))) // 1000000 AS overlap_s
+        |FROM v JOIN e ON v.user_id = e.user_id
+        |  AND v.v_start <= e.e_end AND e.e_start <= v.v_end
+        |ORDER BY v.user_id, v.view_id, e.err_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

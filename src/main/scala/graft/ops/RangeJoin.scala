@@ -54,4 +54,35 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join (`[lStart,lEnd] ∩ [rStart,rEnd] ≠ ∅`,
+    * inclusive ends) — the join shape behind downtime attribution,
+    * concurrent-session counting, and validity-interval reconciliation.
+    * Non-key column names must be distinct across the two sides.
+    *
+    * Same bucketing scheme as [[pointInInterval]], but BOTH sides explode,
+    * so an overlapping pair would meet once per shared bucket. Instead of
+    * a dedup pass (a second data-scale shuffle), the residual keeps each
+    * pair only in the bucket containing the overlap's LEFT EDGE
+    * (`greatest(lStart, rStart)`) — that bucket is unique per pair and
+    * both exploded sides are guaranteed to carry it, so every qualifying
+    * pair meets EXACTLY once and the plan stays one equi-join shuffle. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      equiKeys: Seq[String] = Nil,
+                      bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    val width = bucketSeconds * 1000000L
+    def exploded(df: DataFrame, s: String, e: String) = df.withColumn(
+      "__bucket", explode(sequence(
+        floor(unix_micros(col(s)) / width),
+        floor(unix_micros(col(e)) / width))))
+    val overlapLeftEdge =
+      greatest(unix_micros(col(lStart)), unix_micros(col(rStart)))
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), equiKeys :+ "__bucket")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        floor(overlapLeftEdge / width) === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -59,4 +59,45 @@ class RangeJoinSpec extends SparkTestBase {
     plan should not include "NestedLoop"
     plan should not include "Cartesian"
   }
+
+  "intervalOverlap" should "emit each overlapping pair exactly once" in {
+    // pairs sharing MANY buckets are the duplication hazard: a 10ks × 10ks
+    // overlap at bucketSeconds=100 shares ~100 buckets
+    val l = Seq(("u1", 1L, t(0), t(10000)), ("u1", 2L, t(20000), t(20010)),
+        ("u2", 3L, t(0), t(100)))
+      .toDF("uid", "l_id", "l_start", "l_end")
+    val r = Seq(("u1", 10L, t(5000), t(15000)), // overlaps 1 across ~50 buckets
+        ("u1", 11L, t(10000), t(10005)),        // touches 1 at its end point
+        ("u1", 12L, t(30000), t(30010)),        // no overlap
+        ("u2", 13L, t(100), t(200)))            // touches 3 at one instant
+      .toDF("uid", "r_id", "r_start", "r_end")
+    val out = RangeJoin.intervalOverlap(l, "l_start", "l_end",
+        r, "r_start", "r_end", equiKeys = Seq("uid"), bucketSeconds = 100)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toList
+    out.sorted shouldBe List((1L, 10L), (1L, 11L), (3L, 13L))
+  }
+
+  it should "agree with the naive non-equi overlap join at any bucket width" in {
+    val l = (0 until 80).map { k =>
+      val start = (k * 1543L) % 9000
+      (s"u${k % 4}", k.toLong, t(start), t(start + (k * 37) % 900))
+    }.toDF("uid", "l_id", "l_start", "l_end")
+    val r = (0 until 70).map { k =>
+      val start = (k * 2711L) % 9000
+      (s"u${k % 4}", k.toLong, t(start), t(start + (k * 53) % 1100))
+    }.toDF("uid", "r_id", "r_start", "r_end")
+    val naive = l.join(r, Seq("uid"))
+      .filter($"l_start" <= $"r_end" && $"r_start" <= $"l_end")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    naive should not be empty
+    for (w <- Seq(13L, 900L, 86400L)) {
+      val got = RangeJoin.intervalOverlap(l, "l_start", "l_end",
+          r, "r_start", "r_end", equiKeys = Seq("uid"), bucketSeconds = w)
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toList
+      withClue(s"bucketSeconds=$w: ") {
+        got.size shouldBe naive.size // exactly-once: no dedup hides doubles
+        got.toSet shouldBe naive
+      }
+    }
+  }
 }

@@ -341,6 +341,27 @@ object SparkEntry {
         .orderBy(col("window_start"), col("user_id"))
     }),
 
+    // Streaming gap-based sessionization (append mode): session_window
+    // state merges across micro-batches and each session emits exactly
+    // once when the watermark passes its gap. Fed by the TIME-ORDERED
+    // staged stream — append-mode event-time aggregation is the one
+    // streaming shape that cannot run on the round-robin staging, since
+    // any watermark tight enough to close a session would mark the
+    // whole-range batches late (a real replicator feed is near-ordered).
+    // Sessions still open at the final watermark (each user's last) stay
+    // in state and do not emit; the oracle applies the same cutoff.
+    "q_stream_sessions" -> ((s, d) => {
+      val out = scratchDir("graft_ss_")
+      val sess = graft.streaming.ChangelogStream.sessionSummaries(
+        Tables.eventsStreamTimeOrdered(s, d), "ts", "user_id",
+        gapDuration = "1 hour", watermarkDelay = "0 seconds")
+      graft.streaming.ChangelogStream.replayAppendToFiles(sess, out,
+          statePartitions = 8)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Streaming exact dedup replayed to completion: the distinct
     // (user_id, event_type) key set seen by the stateful stream dedup
     // must equal the batch DISTINCT. Keys only — the winning ROW is
@@ -1934,6 +1955,37 @@ object SparkEntry {
         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         | ORDER BY user_id""".stripMargin,
     // Streaming windowed counts converge to the batch window aggregation:
+    // session_window semantics: windows [ts, ts+gap) merge when they
+    // OVERLAP, so a gap exactly equal to the difference starts a NEW
+    // session (>=, not >); session_end is last_ts + gap. Emission cutoff:
+    // only sessions the final watermark (= global max ts, delay 0) has
+    // passed emit in append mode.
+    "q_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev) >= 3600000000::BIGINT
+        |         THEN 1 ELSE 0 END AS st
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, value,
+        |    sum(st) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y),
+        |s AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + to_seconds(3600) AS session_end,
+        |    count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM z GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM s, (SELECT max(ts) AS mx FROM events) m
+        |WHERE s.session_end <= m.mx
+        |ORDER BY user_id, session_start""".stripMargin,
+
     // Spark's window(ts, '1 day') aligns tumbling windows to the epoch in
     // the UTC session, which is exactly date_trunc('day').
     "q_stream_windows" ->

@@ -155,4 +155,54 @@ object Tables {
       .parquet(staged.toString)
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The events table as a bounded TIME-ORDERED file stream: four files
+    * covering disjoint quartile time ranges, staged with strictly
+    * increasing modification times and fed one per trigger (the file
+    * source processes oldest-first), so each micro-batch's events all
+    * follow the previous batch's. This is the arrival order append-mode
+    * EVENT-TIME aggregations need: with [[eventsStream]]'s round-robin
+    * splits every batch spans the whole corpus range, so a watermark
+    * tight enough to ever close a session window would also mark half the
+    * corpus late — a real replicator feed is near-ordered, and this
+    * staging reproduces that. */
+  def eventsStreamTimeOrdered(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#ordered").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_stream_ord_$digest")
+    Tables.synchronized {
+      if (!new java.io.File(staged, "_SUCCESS").exists()) {
+        staged.mkdirs()
+        val ev = events(s, d)
+        val us = ev.select(unix_micros(col("ts")).as("us"))
+        // exact quartile boundaries (relativeError 0); µs values are far
+        // below 2^53, so the double round trip is lossless
+        val qs = us.stat.approxQuantile("us", Array(0.25, 0.5, 0.75), 0.0)
+          .map(_.toLong)
+        val bounds = (Long.MinValue +: qs) :+ Long.MaxValue
+        val base = System.currentTimeMillis()
+        for (k <- 0 until 4) {
+          val slice = ev.filter(
+            unix_micros(col("ts")) >= bounds(k) &&
+              unix_micros(col("ts")) < bounds(k + 1))
+          val tmp = new java.io.File(staged, s"_stage_$k")
+          slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(staged, f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // one minute apart: unambiguous oldest-first ordering on any fs
+          dest.setLastModified(base + k * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        }
+        new java.io.File(staged, "_SUCCESS").createNewFile()
+      }
+    }
+    s.readStream
+      .schema(events(s, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+  }
 }

@@ -273,6 +273,33 @@ class ChangelogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  "eventsStreamTimeOrdered" should "stage disjoint quartile files oldest-first" in {
+    val dir = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    graft.sources.Tables.eventsStreamTimeOrdered(spark, dir) // force staging
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "#ordered").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_events_stream_ord_$digest")
+    val files = staged.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files should have length 4
+    // mtimes strictly increase with the time-range order (the file
+    // source's oldest-first processing == event-time order)
+    files.map(_.lastModified()).toSeq shouldBe sorted
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min($"ts"), max($"ts"), count(lit(1))).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime, r.getLong(2))
+    }
+    ranges.map(_._3).sum shouldBe
+      spark.read.parquet(s"$dir/events.parquet").count() // nothing dropped
+    // consecutive ranges never overlap: batch k+1's min follows batch k's max
+    ranges.sliding(2).foreach { case Array((_, hi, _), (lo, _, _)) =>
+      lo should be >= hi
+    }
+  }
+
   "sessionSummaries" should "close sessions on gap expiry and emit one row each" in {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]

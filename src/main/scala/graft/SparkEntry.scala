@@ -1536,6 +1536,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Link-graph ranking (fixed-point PageRank): supplier->customer
+    // edges from lineitem, with return-flagged items linking back — a
+    // cyclic directed graph ranked in integer fixed-point arithmetic, so
+    // the 5-iteration power method is engine-exact and hash-checkable
+    // (floating-point PageRank drifts its low bits with partitioning).
+    // Edges are degree-annotated, partitioned by src, and persisted ONCE;
+    // each iteration shuffles only the node-sized rank table.
+    "q_link_rank" -> ((s, d) => {
+      val j = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val fwd = j.select((col("l_suppkey") + lit(10000000L)).as("src"),
+        col("o_custkey").cast("long").as("dst"))
+      val back = j.filter(col("l_returnflag") === "R")
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      graft.ops.LinkRank.pageRank(fwd.unionByName(back).distinct(),
+          "src", "dst", iterations = 5)
+        .orderBy(col("id"))
+    }),
+
     // Robust per-group outlier detection (ingest QA): modified z-score
     // on median/MAD, which heavy tails cannot drag the way mean/stddev
     // scoring is. Exact mode — the DuckDB oracle replicates the
@@ -2735,6 +2757,39 @@ object SparkEntry {
     // profiles and doc-gram counts from one exploded gram set, unseen
     // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
     // BEFORE the argmax, ties broken by smallest lang code.
+    // The 5-iteration power method unrolled as a CTE chain; every
+    // operation is integer multiply / floor-divide / sum, so the ranks
+    // match Spark's bit for bit. DuckDB's BIGINT sum widens to HUGEINT —
+    // cast back so the schema agrees.
+    "q_link_rank" -> {
+      val iters = 5
+      val sb = new StringBuilder(
+        """WITH j AS (
+          |  SELECT l.l_suppkey + 10000000 AS s_id, o.o_custkey AS c_id,
+          |    l.l_returnflag
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          |edges AS (
+          |  SELECT DISTINCT s_id AS src, c_id AS dst FROM j
+          |  UNION
+          |  SELECT DISTINCT c_id AS src, s_id AS dst FROM j
+          |  WHERE l_returnflag = 'R'),
+          |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges
+          |          UNION SELECT DISTINCT dst FROM edges),
+          |r0 AS (SELECT id, 1000000000::BIGINT AS r FROM nodes)""".stripMargin)
+      for (i <- 1 to iters) sb.append(s""",
+          |r$i AS (
+          |  SELECT n.id,
+          |    CAST(150000000 + (850 * coalesce(c.c, 0)) // 1000 AS BIGINT) AS r
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT e.dst AS id, sum(p.r // g.d) AS c
+          |    FROM edges e JOIN r${i - 1} p ON e.src = p.id
+          |    JOIN deg g ON g.src = e.src
+          |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin)
+      sb.append(s"\nSELECT id, r AS rank FROM r$iters ORDER BY id")
+      sb.toString
+    },
+
     // Median/MAD spelled out (not DuckDB's mad()) so the interpolation
     // and scale arithmetic mirror the operator's exactly.
     "q_outliers" ->

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph ranking: PageRank power iteration in INTEGER fixed-point
+  * arithmetic. Web-corpus curation's link-based quality tier (crawl
+  * frontiers and corpus quality weights both rank the host graph before
+  * any text signal); the fixed-point formulation is what makes the score
+  * auditable — every operation is integer multiply / floor-divide / sum,
+  * so two engines (or two cluster runs with different partitionings)
+  * produce bit-identical ranks, unlike floating-point PageRank where the
+  * contribution sum order drifts the low bits.
+  *
+  * Update rule per iteration, all in Longs (`scale` = one rank unit):
+  * {{{ rank'(v) = (1000 − d)·scale/1000  +  d · Σ_{u→v} (rank(u) div deg(u)) div 1000 }}}
+  * with `d` the damping in permille. Dangling mass (nodes without
+  * out-edges, plus the divisions' floor remainders) decays rather than
+  * redistributing — the standard simplification; ranks stay bounded by
+  * `n·scale`, so Long overflow needs > ~9·10⁹ nodes at the default scale.
+  *
+  * Scale posture: edges (with their precomputed out-degree) are
+  * repartitioned by `src` and PERSISTED once — every iteration's
+  * rank-join reuses that partitioning, so per round only the NODE-sized
+  * rank table shuffles (join by src, then a map-side-combined sum by
+  * dst). The rank table is eagerly checkpointed per round like
+  * [[Dedup.dupClusters]] — without truncation the iterated plan doubles
+  * in depth every round.
+  *
+  * Extends the reference surface (no graph semantics — reference core is
+  * a snapshot pipeline, src/main/scala/com/booking/spark/
+  * HBaseSnapshotter.scala) per the training-data-pipeline charter.
+  */
+object LinkRank {
+
+  /** Fixed-point PageRank over `edges`. Multi-edges contribute
+    * multiplicity (dedup upstream if unwanted). Returns one
+    * `(id, rank)` row per node (either endpoint side), `rank` in
+    * `scale` units. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, dampingPermille: Int = 850,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // out-degree rides with each edge so the per-iteration contribution
+    // is a pure projection after the rank join
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val edgesDeg = e.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // same checkpoint lifecycle as dupClusters: superseded rounds' files
+    // deleted precisely via the RDD's own checkpoint path
+    def deleteCk(path: Option[String]): Unit =
+      path.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+      }
+    var prevCkFile: Option[String] = None
+
+    val base = (1000L - dampingPermille) * scale / 1000L
+    var ranks = truncate(nodes.withColumn("rank", lit(scale)))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div __deg").as("__c"))
+        .groupBy("id").agg(sum(col("__c")).as("__c"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"$base + ($dampingPermille * coalesce(__c, 0L)) div 1000")
+            .as("rank"))
+      ranks = truncate(next)
+      deleteCk(prevCkFile)
+      prevCkFile =
+        org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(ranks)
+    }
+    edgesDeg.unpersist()
+    ranks
+  }
+}

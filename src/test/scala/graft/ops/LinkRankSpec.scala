@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LinkRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent single-node reference of the fixed-point update rule. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  damping: Long = 850L,
+                  scale: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (1000L - damping) * scale / 1000L
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / deg(s)
+      r = nodes.map(n => n -> (base + damping * contrib(n) / 1000L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LinkRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  "pageRank" should "match the reference on a cycle (mass conserved)" in {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = run(cycle, 5)
+    got shouldBe ref(cycle, 5)
+    // every node feeds exactly one node: ranks stay at one unit minus
+    // only the permille floor losses
+    got.values.foreach(_ shouldBe 1000000000L +- 2000)
+  }
+
+  it should "rank the hub of a star above its spokes, exactly as the reference" in {
+    val star = (2L to 11L).map(s => (s, 1L)) ++ Seq((1L, 2L))
+    val got = run(star, 5)
+    got shouldBe ref(star, 5)
+    got(1L) should be > 5L * got(3L) // the hub collects ten spokes' mass
+  }
+
+  it should "decay dangling mass instead of redistributing it" in {
+    val chain = Seq((1L, 2L), (2L, 3L)) // 3 has no out-edges
+    val got = run(chain, 5)
+    got shouldBe ref(chain, 5)
+    // node 1 gets no inbound mass: base value exactly
+    got(1L) shouldBe 150000000L
+  }
+
+  it should "count multi-edge multiplicity and survive repartitioning" in {
+    val multi = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val expected = ref(multi, 4)
+    run(multi, 4) shouldBe expected
+    // bit-identical under a different physical layout — the point of
+    // fixed-point arithmetic
+    val skewed = LinkRank.pageRank(
+      multi.toDF("src", "dst").repartition(7), "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    skewed shouldBe expected
+  }
+
+  it should "reject nonsense parameters loudly" in {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    an[IllegalArgumentException] should be thrownBy
+      LinkRank.pageRank(e, "src", "dst", iterations = 0)
+    an[IllegalArgumentException] should be thrownBy
+      LinkRank.pageRank(e, "src", "dst", dampingPermille = 1500)
+    an[IllegalArgumentException] should be thrownBy
+      LinkRank.pageRank(e, "src", "dst", scale = 0)
+  }
+}

@@ -1536,6 +1536,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Funnel attribution: greedy earliest-match of the view -> click ->
+    // purchase sequence per user, each step within a day of the previous
+    // match. One filtered min-aggregate per step chained through
+    // key-partitioned joins; state between steps is one row per
+    // still-converting user.
+    "q_funnel" -> ((s, d) =>
+      graft.ops.Funnel.matchSteps(
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"), withinSeconds = 86400)
+        .orderBy(col("user_id"))),
+
     // Link-graph ranking (fixed-point PageRank): supplier->customer
     // edges from lineitem, with return-flagged items linking back — a
     // cyclic directed graph ranked in integer fixed-point arithmetic, so
@@ -2757,6 +2770,31 @@ object SparkEntry {
     // profiles and doc-gram counts from one exploded gram set, unseen
     // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
     // BEFORE the argmax, ties broken by smallest lang code.
+    // The greedy chain as three CTE stages: each step the earliest
+    // occurrence strictly after the previous match, within its deadline.
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, min(e.ts) AS t2 FROM s1 JOIN events e
+        |  ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + to_seconds(86400)
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT s2.user_id, min(e.ts) AS t3 FROM s2 JOIN events e
+        |  ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |    AND e.ts > s2.t2 AND e.ts <= s2.t2 + to_seconds(86400)
+        |  GROUP BY 1)
+        |SELECT s1.user_id, s1.t1 AS step_1_ts, s2.t2 AS step_2_ts,
+        |  s3.t3 AS step_3_ts,
+        |  CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+        |    AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
     // The 5-iteration power method unrolled as a CTE chain; every
     // operation is integer multiply / floor-divide / sum, so the ranks
     // match Spark's bit for bit. DuckDB's BIGINT sum widens to HUGEINT —

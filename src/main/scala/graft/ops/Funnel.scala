@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Funnel (ordered-step sequence) matching over an event log: for each
+  * key, the classic greedy earliest-match attribution — step 1 anchors at
+  * the key's EARLIEST occurrence of the first step type, and each later
+  * step matches its earliest occurrence strictly after the previous
+  * step's match and within `withinSeconds` of it. The per-key result
+  * carries every matched step timestamp plus how many steps completed —
+  * conversion funnels, drop-off analysis, and sequence cohorts all read
+  * straight off it.
+  *
+  * Greedy-earliest is the industry semantics (deterministic, one-pass
+  * explainable: "the first view, then the first click after it"); it is
+  * NOT a full subsequence search — with per-step deadlines a later anchor
+  * can occasionally succeed where the earliest fails, and that
+  * alternative is intentionally not explored.
+  *
+  * Scale posture: one filtered min-aggregate per step over the events
+  * relation, chained through equi-joins on the key — every shuffle is
+  * key-partitioned and the intermediate state is one row per key that
+  * reached the step. No window over the whole log, no per-key sort, no
+  * UDFs; each step's filter pushes to the scan. Extends the reference's
+  * events surface (no sequence semantics in the reference core) per the
+  * training-data-pipeline charter.
+  */
+object Funnel {
+
+  /** Match `steps` (event-type values, in order) per `keyCol`. Returns
+    * one row per key that reached step 1: `keyCol`, `step_<i>_ts` for
+    * each step (null once the chain breaks), `steps_completed`. */
+  def matchSteps(df: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String],
+                 withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      "repeated step types are ambiguous under greedy matching: " +
+        steps.mkString(", "))
+    require(withinSeconds > 0, s"withinSeconds must be > 0, got $withinSeconds")
+    val key = col(keyCol)
+    var cur = df.filter(col(typeCol) === steps.head)
+      .groupBy(key).agg(min(col(tsCol)).as("step_1_ts"))
+    for (k <- 2 to steps.size) {
+      val prev = s"step_${k - 1}_ts"
+      val cand = df.filter(col(typeCol) === steps(k - 1))
+        .select(key.as("__k"), col(tsCol).as("__cand"))
+      val priorCols = cur.columns
+      cur = cur.join(cand,
+          key === col("__k") && col("__cand") > col(prev) &&
+            col("__cand") <= expr(
+              s"timestampadd(SECOND, $withinSeconds, $prev)"),
+          "left")
+        .groupBy(priorCols.map(col): _*)
+        .agg(min(col("__cand")).as(s"step_${k}_ts"))
+    }
+    val completed = steps.indices.map { i =>
+      when(col(s"step_${i + 1}_ts").isNotNull, 1).otherwise(0)
+    }.reduce(_ + _)
+    cur.withColumn("steps_completed", completed)
+  }
+
+  /** Collapse a funnel match to per-step reach counts — the funnel
+    * chart itself: one row per step with how many keys got that far. */
+  def reachCounts(matched: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    steps.indices.map { i =>
+      val step = i + 1
+      matched.filter(col(s"step_${step}_ts").isNotNull)
+        .agg(count(lit(1)).as("n_keys"))
+        .select(lit(step).as("step"), lit(steps(i)).as("step_type"),
+          col("n_keys"))
+    }.reduce(_.unionByName(_)).orderBy($"step")
+  }
+}

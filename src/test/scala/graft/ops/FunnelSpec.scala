@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, s, ty) => (u, t(s), ty) }.toDF("uid", "ts", "etype")
+
+  private def run(df: org.apache.spark.sql.DataFrame, within: Long = 100) =
+    Funnel.matchSteps(df, "uid", "ts", "etype",
+      Seq("A", "B", "C"), withinSeconds = within)
+
+  "matchSteps" should "anchor greedily at the earliest step occurrences" in {
+    val df = ev((1L, 10L, "A"), (1L, 5L, "A"), (1L, 20L, "B"),
+      (1L, 15L, "B"), (1L, 30L, "C"))
+    val r = run(df).select($"uid", $"step_1_ts", $"step_2_ts", $"step_3_ts",
+        $"steps_completed").head()
+    r.getTimestamp(1) shouldBe t(5)   // earliest A, not the first in input
+    r.getTimestamp(2) shouldBe t(15)  // earliest B after t=5
+    r.getTimestamp(3) shouldBe t(30)
+    r.getInt(4) shouldBe 3
+  }
+
+  it should "require strict order and per-step deadlines" in {
+    val df = ev(
+      (1L, 50L, "A"), (1L, 50L, "B"),   // B not strictly after A
+      (2L, 0L, "A"), (2L, 101L, "B"),   // B past the 100s deadline
+      (3L, 0L, "A"), (3L, 100L, "B"),   // exactly at the deadline: counts
+      (4L, 0L, "B"), (4L, 10L, "C"))    // never reached step 1
+    val r = run(df).select($"uid", $"steps_completed")
+      .as[(Long, Int)].collect().toMap
+    r shouldBe Map(1L -> 1, 2L -> 1, 3L -> 2)
+  }
+
+  it should "not resurrect a chain after a break" in {
+    // user has a C, but step 2 never matched -> C must stay null
+    val df = ev((1L, 0L, "A"), (1L, 500L, "B"), (1L, 510L, "C"))
+    val r = run(df).head()
+    r.isNullAt(r.fieldIndex("step_2_ts")) shouldBe true
+    r.isNullAt(r.fieldIndex("step_3_ts")) shouldBe true
+    r.getAs[Int]("steps_completed") shouldBe 1
+  }
+
+  it should "document the greedy limitation: a later anchor is not explored" in {
+    // A@0 then B@150 misses the 100s deadline; anchoring at A@120 would
+    // have converted — greedy keeps the earliest anchor and reports 1
+    val df = ev((1L, 0L, "A"), (1L, 120L, "A"), (1L, 150L, "B"))
+    run(df).select($"steps_completed").as[Int].head() shouldBe 1
+  }
+
+  "reachCounts" should "produce a monotonically shrinking funnel" in {
+    val df = ev(
+      (1L, 0L, "A"), (1L, 1L, "B"), (1L, 2L, "C"),
+      (2L, 0L, "A"), (2L, 1L, "B"),
+      (3L, 0L, "A"))
+    val counts = Funnel.reachCounts(run(df), Seq("A", "B", "C"))
+      .select($"step", $"step_type", $"n_keys")
+      .as[(Int, String, Long)].collect().toSeq
+    counts shouldBe Seq((1, "A", 3L), (2, "B", 2L), (3, "C", 1L))
+  }
+
+  it should "reject ambiguous or degenerate funnels loudly" in {
+    val df = ev((1L, 0L, "A"))
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.matchSteps(df, "uid", "ts", "etype", Seq("A"), 100)
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.matchSteps(df, "uid", "ts", "etype", Seq("A", "B", "A"), 100)
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.matchSteps(df, "uid", "ts", "etype", Seq("A", "B"), 0)
+  }
+}

@@ -1536,6 +1536,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Collocation mining: adjacent pairs scored by PMI over exact corpus
+    // counts — the phrase-vocabulary stage of a tokenizer pipeline.
+    // Hapax tail pruned before the vocabulary joins; scalar totals
+    // broadcast.
+    "q_collocations" -> ((s, d) =>
+      graft.ops.Collocations.pmiCollocations(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", minCount = 5)
+        .orderBy(col("w1"), col("w2"))),
+
     // Funnel attribution: greedy earliest-match of the view -> click ->
     // purchase sequence per user, each step within a day of the previous
     // match. One filtered min-aggregate per step chained through
@@ -2770,6 +2780,31 @@ object SparkEntry {
     // profiles and doc-gram counts from one exploded gram set, unseen
     // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
     // BEFORE the argmax, ties broken by smallest lang code.
+    // Same tokenization as the LM oracles; PMI replicated as one ln over
+    // exact counts with identical left-to-right double promotion.
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT term, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS term FROM toks)
+        |  WHERE len(term) > 0 GROUP BY 1),
+        |nu AS (SELECT sum(c1) AS n_uni FROM u),
+        |b AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c_pair
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t[i]) > 0 AND len(t[i+1]) > 0
+        |  GROUP BY 1, 2),
+        |nb AS (SELECT sum(c_pair) AS n_bi FROM b)
+        |SELECT b.w1, b.w2, b.c_pair,
+        |  round(ln((CAST(b.c_pair AS DOUBLE) * nu.n_uni * nu.n_uni) /
+        |           (CAST(nb.n_bi AS DOUBLE) * u1.c1 * u2.c1)), 6) AS pmi
+        |FROM b JOIN u u1 ON u1.term = b.w1
+        |       JOIN u u2 ON u2.term = b.w2, nu, nb
+        |WHERE b.c_pair >= 5
+        |ORDER BY b.w1, b.w2""".stripMargin,
+
     // The greedy chain as three CTE stages: each step the earliest
     // occurrence strictly after the previous match, within its deadline.
     "q_funnel" ->

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus collocation mining: adjacent word pairs scored by pointwise
+  * mutual information — `PMI(a,b) = ln(p(a,b) / (p(a)·p(b)))` with
+  * probabilities from corpus counts. The phrase-vocabulary stage of a
+  * tokenizer/embedding pipeline ("new york", "machine learning" become
+  * units) and the classic association battery for corpus QA.
+  *
+  * PMI is computed in one expression over exact integer counts cast to
+  * double — `ln((c_ab · N_uni · N_uni) / (N_bi · c_a · c_b))` — so an
+  * external engine replicating the same expression reproduces it (the
+  * counts are exact; the doubles follow the same left-to-right
+  * promotion).
+  *
+  * Scale posture: one explode + count shuffle for unigrams, one for the
+  * in-row zipped bigrams (no positional self-join — same shape as
+  * [[LanguageModel.bigramMeanLogProb]]), then vocabulary-sized joins of
+  * the bigram table against the unigram table (AQE handles stopword
+  * skew) with the two scalar totals broadcast. `minCount` prunes the
+  * hapax tail BEFORE the joins, which at corpus scale is most of the
+  * bigram table. Extends the reference surface per the
+  * training-data-pipeline charter.
+  */
+object Collocations {
+
+  /** Score adjacent-pair collocations with `count >= minCount`. Returns
+    * `(w1, w2, c_pair, pmi)` — positive PMI = the pair co-occurs more
+    * than its parts predict; the strong-collocation regime is
+    * `pmi >> 0` at non-trivial counts. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val base = Parallelism.spread(
+      docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+    val toks = split(lower(trim(col("__t"))), "\\s+")
+
+    val uni = base
+      .select(explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val nUni = uni.agg(sum(col("c1")).as("n_uni"))
+
+    val bi = base
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+    val nBi = bi.agg(sum(col("c_pair")).as("n_bi"))
+
+    bi.filter(col("c_pair") >= minCount)
+      .join(uni.withColumnRenamed("term", "w1")
+        .withColumnRenamed("c1", "c_w1"), "w1")
+      .join(uni.withColumnRenamed("term", "w2")
+        .withColumnRenamed("c1", "c_w2"), "w2")
+      .join(broadcast(nUni)).join(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        round(log(
+          (col("c_pair").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("c_w1") * col("c_w2"))), 6)
+          .as("pmi"))
+  }
+}

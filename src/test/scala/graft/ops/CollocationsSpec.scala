@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CollocationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "pmiCollocations" should "reproduce hand-computed PMI exactly" in {
+    // corpus: "a b" x3 and "a c" x1 -> unigrams a:4 b:3 c:1 (N=8),
+    // bigrams (a,b):3 (a,c):1 (N=4)
+    val docs = (Seq.fill(3)("a b") :+ "a c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = Collocations.pmiCollocations(docs, "id", "text", minCount = 1)
+      .select($"w1", $"w2", $"c_pair", $"pmi")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    def pmi(cab: Long, ca: Long, cb: Long): Double =
+      math.rint(math.log((cab.toDouble * 8 * 8) / (4.0 * ca * cb)) * 1e6) / 1e6
+    out.keySet shouldBe Set(("a", "b"), ("a", "c"))
+    out(("a", "b")) shouldBe ((3L, pmi(3, 4, 3)))
+    out(("a", "c")) shouldBe ((1L, pmi(1, 4, 1)))
+  }
+
+  it should "rank a true collocation above a chance pairing" in {
+    // "zx qy" always adjacent; "the" everywhere pairing with everything
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"zx qy the w$i the zx qy")
+    }.toDF("id", "text")
+    val out = Collocations.pmiCollocations(docs, "id", "text", minCount = 2)
+      .select($"w1", $"w2", $"pmi").as[(String, String, Double)]
+      .collect().map(r => ((r._1, r._2), r._3)).toMap
+    out(("zx", "qy")) should be > out(("qy", "the"))
+  }
+
+  it should "prune below minCount and handle degenerate docs" in {
+    val docs = Seq((1L, "a b"), (2L, "  "), (3L, "solo"), (4L, "a b"))
+      .toDF("id", "text")
+    val rows = Collocations.pmiCollocations(docs, "id", "text", minCount = 3)
+    rows.count() shouldBe 0 // (a,b) count 2 < 3
+    Collocations.pmiCollocations(docs, "id", "text", minCount = 2)
+      .count() shouldBe 1
+    an[IllegalArgumentException] should be thrownBy
+      Collocations.pmiCollocations(docs, "id", "text", minCount = 0)
+  }
+}

@@ -1536,6 +1536,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashing-trick vectorization: tokens hash straight to 64 signed
+    // buckets — featurization with no vocabulary pass, no dictionary, no
+    // retrain on corpus growth. Sparse triplets out (the dense form is a
+    // projection on top); md5-nibble bucket+sign is engine-portable, so
+    // the oracle rebuilds the scheme digit for digit.
+    "q_feature_hash" -> ((s, d) =>
+      graft.ops.FeatureHash.hashTf(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // Collocation mining: adjacent pairs scored by PMI over exact corpus
     // counts — the phrase-vocabulary stage of a tokenizer pipeline.
     // Hapax tail pruned before the vocabulary joins; scalar totals
@@ -2780,6 +2791,30 @@ object SparkEntry {
     // profiles and doc-gram counts from one exploded gram set, unseen
     // (lang, gram) pairs contribute ln(1/(t+v)), scores rounded to 6
     // BEFORE the argmax, ties broken by smallest lang code.
+    // DuckDB has no base-16 conv(): the 4 bucket nibbles decode via
+    // strpos positions in the hex alphabet, arithmetically identical to
+    // Spark's conv(substr(md5, 1, 4), 16, 10) % 64.
+    "q_feature_hash" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, md5(term) AS h FROM d WHERE len(term) > 0),
+         |g AS (
+         |  SELECT doc_id,
+         |    (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 +
+         |     ${nib(4)}) % 64 AS bucket,
+         |    CASE WHEN ${nib(5)} < 8 THEN 1 ELSE -1 END AS sgn
+         |  FROM f)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(sum(sgn) AS BIGINT) AS tf
+         |FROM g GROUP BY 1, 2
+         |ORDER BY doc_id, bucket""".stripMargin
+    },
+
     // Same tokenization as the LM oracles; PMI replicated as one ln over
     // exact counts with identical left-to-right double promotion.
     "q_collocations" ->

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashing-trick text vectorization: tokens hash straight to a
+  * fixed-dimension bucket, so featurization needs NO vocabulary pass, no
+  * driver-side dictionary, and no retraining as the corpus grows — the
+  * classic scale answer for classifier features ([[QualityClassifier]]'s
+  * input shape) and cheap doc vectors. Signed hashing (a second hash bit
+  * flips the contribution's sign) keeps collisions unbiased in
+  * expectation, per the feature-hashing literature.
+  *
+  * The hash is the repo's engine-portable scheme — md5 hex prefixes, the
+  * same posture as [[Sampling]]'s split thresholds — so an external
+  * engine reproduces bucket and sign exactly: bucket = first 4 hex
+  * nibbles of `md5(token)` as an integer, mod `dim`; sign flips on the
+  * 5th nibble's high bit.
+  *
+  * Scale posture: one explode + one (id, bucket)-grouped partial-agg
+  * shuffle; output is SPARSE triplets (≤ dim rows per doc). The dense
+  * form is a per-row projection on top (map lookup over a
+  * `sequence(0, dim-1)` transform) — no second shuffle. Extends the
+  * reference surface per the training-data-pipeline charter.
+  */
+object FeatureHash {
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** First 4 md5 hex nibbles as 0..65535 — portable anywhere with md5
+    * and base-16 parsing. */
+  private def hash16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+
+  private def signBit(c: Column): Column =
+    when(conv(substring(md5(c), 5, 1), 16, 10).cast("int") < 8, 1)
+      .otherwise(-1)
+
+  /** Sparse signed-TF triplets `(idCol, bucket, tf)`; buckets a doc never
+    * touches are absent, and a bucket whose signed contributions cancel
+    * keeps its explicit 0 (deterministic output, no post-hoc pruning). */
+  def hashTf(docs: DataFrame, idCol: String, textCol: String,
+             dim: Int = 1024, signed: Boolean = true): DataFrame = {
+    require(dim >= 2 && dim <= 65536,
+      s"dim must be in [2, 65536] (4 md5 nibbles), got $dim")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val term = Parallelism.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(toks).as("__term"))
+      .filter(length(col("__term")) > 0)
+    term
+      .select(col(idCol), (hash16(col("__term")) % dim).as("bucket"),
+        (if (signed) signBit(col("__term")) else lit(1)).as("__sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sgn")).as("tf"))
+  }
+
+  /** Dense `array<float>` vectors from the sparse triplets — the shape
+    * [[Similarity]] / [[QualityClassifier]] consume. One extra
+    * aggregation to gather each doc's triplets; the densification itself
+    * is a per-row projection. */
+  def hashTfDense(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 1024, signed: Boolean = true): DataFrame = {
+    val sparse = hashTf(docs, idCol, textCol, dim, signed)
+    sparse.groupBy(col(idCol))
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("tf"))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(col("__m")(i), lit(0L)).cast("float"))
+          .as("vector"))
+  }
+}

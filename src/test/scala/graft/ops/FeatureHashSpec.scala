@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FeatureHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference hash: same md5-nibble scheme, computed independently. */
+  private def refBucketSign(term: String, dim: Int): (Long, Int) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(h.take(4), 16) % dim,
+      if (Integer.parseInt(h.substring(4, 5), 16) < 8) 1 else -1)
+  }
+
+  "hashTf" should "match the md5-nibble reference bucket and sign" in {
+    val docs = Seq((1L, "alpha beta alpha Gamma")).toDF("id", "text")
+    val out = FeatureHash.hashTf(docs, "id", "text", dim = 64)
+      .select($"bucket", $"tf").as[(Long, Long)].collect().toMap
+    val expected = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for (t <- Seq("alpha", "beta", "alpha", "gamma")) { // lowercased
+      val (b, s) = refBucketSign(t, 64)
+      expected(b) += s
+    }
+    out shouldBe expected.toMap
+  }
+
+  it should "keep cancelled buckets as explicit zeros and stay sparse" in {
+    // find two tokens with the same bucket and opposite signs at dim=4
+    val probe = (0 until 2000).map(i => s"t$i")
+      .map(t => (t, refBucketSign(t, 4)))
+    val byBucket = probe.groupBy(_._2._1)
+    val collide = byBucket.values.flatMap { ts =>
+      for {
+        p <- ts.find(_._2._2 == 1)
+        n <- ts.find(_._2._2 == -1)
+      } yield (p._1, n._1)
+    }.head
+    val docs = Seq((1L, s"${collide._1} ${collide._2}")).toDF("id", "text")
+    val rows = FeatureHash.hashTf(docs, "id", "text", dim = 4)
+      .select($"bucket", $"tf").as[(Long, Long)].collect()
+    rows should have length 1 // one bucket touched, not dim rows
+    rows.head._2 shouldBe 0L  // signs cancelled, zero kept
+  }
+
+  it should "produce unsigned counts when signed = false" in {
+    val docs = Seq((1L, "x x x")).toDF("id", "text")
+    val tf = FeatureHash.hashTf(docs, "id", "text", dim = 8, signed = false)
+      .select($"tf").as[Long].head()
+    tf shouldBe 3L
+  }
+
+  "hashTfDense" should "densify the sparse triplets exactly" in {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("id", "text")
+    val dim = 16
+    val dense = FeatureHash.hashTfDense(docs, "id", "text", dim)
+      .select($"id", $"vector").as[(Long, Array[Float])].collect().toMap
+    val sparse = FeatureHash.hashTf(docs, "id", "text", dim)
+      .select($"id", $"bucket", $"tf").as[(Long, Long, Long)].collect()
+    dense(1L) should have length dim
+    for ((id, b, tf) <- sparse) dense(id)(b.toInt) shouldBe tf.toFloat
+    val touched = sparse.map(_._2.toInt).toSet
+    dense(1L).indices.filterNot(touched).foreach(i => dense(1L)(i) shouldBe 0f)
+    dense.keySet shouldBe Set(1L) // the empty doc has no triplets
+  }
+
+  it should "bound dim to the 4-nibble range" in {
+    val docs = Seq((1L, "x")).toDF("id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      FeatureHash.hashTf(docs, "id", "text", dim = 1)
+    an[IllegalArgumentException] should be thrownBy
+      FeatureHash.hashTf(docs, "id", "text", dim = 70000)
+  }
+}

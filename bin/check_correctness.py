@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: read Verify's parquet
+dumps + oracle_sql.json, run each oracle in DuckDB over the same sf dir,
+and compare rows/schema/hash the way the driver does (sort columns by
+name, sort rows, hash values)."""
+import sys, json, hashlib
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    try:
+        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+    except Exception:
+        pass
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # values-only hash, rounded floats, rows sorted
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(f"{v:.6f}")
+            else:
+                vals.append(str(v))
+        rows.append("\x01".join(vals))
+    rows.sort()
+    return hashlib.md5("\x02".join(rows).encode()).hexdigest(), len(rows)
+
+results = {}
+import glob, os
+names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/q*"))
+for name in names:
+    if only and name not in only:
+        continue
+    r = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
+    try:
+        sp = con.sql(f"select * from '{out_dir}/{name}/*.parquet'").df()
+        if name in oracle:
+            od = con.sql(oracle[name]).df()
+            h1, n1 = canon(sp)
+            h2, n2 = canon(od)
+            r["rows_match"] = n1 == n2
+            r["schema_match"] = sorted(map(str.lower, sp.columns)) == sorted(map(str.lower, od.columns))
+            r["hash_match"] = h1 == h2
+            r["spark_rows"], r["oracle_rows"] = n1, n2
+        else:
+            r["spark_rows"] = len(sp)
+            r["no_oracle"] = True
+    except Exception as e:
+        r["err"] = f"{type(e).__name__}: {e}"[:300]
+    results[name] = r
+
+bad = {k: v for k, v in results.items()
+       if v["err"] or v.get("hash_match") is False or v.get("rows_match") is False
+       or v.get("schema_match") is False}
+print(json.dumps(bad, indent=1, default=str) if bad else "ALL GREEN")
+n_or = sum(1 for v in results.values() if v.get("hash_match"))
+print(f"{len(results)} queries checked, {n_or} hash-green, {len(bad)} problems")

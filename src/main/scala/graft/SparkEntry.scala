@@ -16,6 +16,13 @@ object SparkEntry {
   /** As-of cutoff used by the snapshot queries (events span 2024-01). */
   private val AsOfTs = "2024-01-15 00:00:00"
 
+  /** q_encoding_repair's accent seeding (ASCII letter → accented form).
+    * Every target sits in the 0xE0–0xFF tier, where the sequential
+    * corrupt chain is provably equivalent to the real charset round trip
+    * (see [[graft.ops.EncodingRepair.corrupt]]). */
+  private val EncodingSeeds: Seq[(String, String)] =
+    Seq("e" -> "é", "u" -> "ü", "n" -> "ñ", "c" -> "ç", "o" -> "ö")
+
   // q_html_extract's synthetic markup fragments, shared verbatim between
   // the Spark concat and the DuckDB oracle's || chain. The script body
   // hides a decoy "</p>" inside a string literal (the lazy script-strip
@@ -1536,6 +1543,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mojibake repair: seed accents into the ASCII corpus text
+    // (replacements chosen from the chain-safe 0xE0-0xFF tier), corrupt
+    // through the UTF-8-seen-as-cp1252 image chain, then repair and
+    // verify the round trip. Every step is a literal-replace chain the
+    // oracle replicates literal-for-literal; moji_units counts repaired
+    // characters from the two length-delta tiers (no second regex pass).
+    "q_encoding_repair" -> ((s, d) => {
+      val seeded = EncodingSeeds.foldLeft(col("text")) {
+        case (c, (from, to)) =>
+          call_function("replace", c, lit(from), lit(to))
+      }
+      graft.ops.EncodingRepair.repairReport(
+          Tables.documents(s, d).select(
+            col("doc_id"), seeded.as("expected"),
+            graft.ops.EncodingRepair.corrupt(seeded).as("raw")),
+          "raw")
+        .select(col("doc_id"), col("moji_units"), col("changed"),
+          (col("repaired") === col("expected")).as("roundtrip_ok"),
+          substring(col("repaired"), 1, 60).as("repaired_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hashing-trick vectorization: tokens hash straight to 64 signed
     // buckets — featurization with no vocabulary pass, no dictionary, no
     // retrain on corpus growth. Sparse triplets out (the dense form is a
@@ -2938,6 +2967,31 @@ object SparkEntry {
          |    AS n_links,
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
+    },
+
+    "q_encoding_repair" -> {
+      def esc(s: String) = s.replace("'", "''")
+      def chainSql(base: String, entries: Seq[(String, String)]): String =
+        entries.foldLeft(base) { case (acc, (from, to)) =>
+          s"replace($acc, '${esc(from)}', '${esc(to)}')"
+        }
+      import graft.ops.EncodingRepair
+      val seedSql = chainSql("text", EncodingSeeds)
+      val corruptSql = chainSql("expected", EncodingRepair.CorruptChain)
+      val threeSql =
+        chainSql("raw", EncodingRepair.Chain.filter(_._1.length == 3))
+      val repairSql = chainSql("raw", EncodingRepair.Chain)
+      s"""WITH s AS (SELECT doc_id, $seedSql AS expected FROM documents),
+         |c AS (SELECT doc_id, expected, $corruptSql AS raw FROM s),
+         |r AS (SELECT doc_id, expected, raw, $threeSql AS after3,
+         |        $repairSql AS repaired FROM c)
+         |SELECT doc_id,
+         |  CAST((len(raw) - len(after3)) // 2
+         |       + (len(after3) - len(repaired)) AS INTEGER) AS moji_units,
+         |  len(raw) > len(repaired) AS changed,
+         |  repaired = expected AS roundtrip_ok,
+         |  substr(repaired, 1, 60) AS repaired_prefix
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     "q_lang_id" ->

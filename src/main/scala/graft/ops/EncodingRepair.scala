@@ -1,0 +1,125 @@
+package graft.ops
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mojibake detection and repair — the encoding-QA stage of a web-corpus
+  * pipeline. The dominant corruption in scraped text is UTF-8 bytes
+  * decoded as Windows-1252 ("Ã©" for "é", "â€™" for "'"); this operator
+  * repairs exactly that class by inverting the byte-level mistake as a
+  * finite, ordered literal-replace chain and scores each document by how
+  * many such units it repaired.
+  *
+  * The chain formulation (rather than a real encode/decode round trip)
+  * is deliberate: `encode`/`decode` in Spark SQL cannot name cp1252, a
+  * per-row UDF would fall out of whole-stage codegen, and — decisively —
+  * a replace chain is engine-portable, so the DuckDB oracle replicates
+  * the repair literal-for-literal. The chain is PROVABLY equivalent to
+  * the charset round trip on its covered alphabet (spec checks it
+  * against the JVM's own cp1252 decoder), because every mojibake image
+  * starts with a char (Ã, Â, â, …) that no image contains in a position
+  * that could fuse with a neighbour, and longer images are replaced
+  * first.
+  *
+  * Extends the reference's flat scalar surface (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  *
+  * Scale posture: the whole transform is a chain of codegen'd literal
+  * `replace` Columns — a shuffle-free narrow projection that
+  * whole-stage-codegens into the scan, the same posture as
+  * [[HtmlExtract]]. Detection is free: repaired units =
+  * `length(raw) − length(repaired)` scaled by per-unit shrinkage, no
+  * second regex pass.
+  */
+object EncodingRepair {
+
+  private val Cp1252 = Charset.forName("windows-1252")
+
+  /** What `c` becomes when its UTF-8 bytes are mis-decoded as cp1252 —
+    * computed from the JVM's own decoder, never hand-transcribed. */
+  private[ops] def mojibakeOf(c: Char): String =
+    new String(c.toString.getBytes(StandardCharsets.UTF_8), Cp1252)
+
+  /** The repairable alphabet: the Latin-1 supplement (accented letters,
+    * common symbols) plus the CP1252 punctuation block (curly quotes,
+    * dashes, €, ™, …) — the characters real web text actually loses.
+    * Five UTF-8 continuation bytes (0x81 8D 8F 90 9D) are UNDEFINED in
+    * cp1252 and decode to U+FFFD, so the corruption is lossy there —
+    * the affected characters (Á Í Ï Ð Ý ”) have colliding images, are
+    * genuinely unrepairable, and are excluded. */
+  val Alphabet: String =
+    (('\u00a0' to 'ÿ').mkString + // from NBSP: "Â " is THE classic image
+      "€‚ƒ„…†‡ˆ‰Š" +
+      "‹ŒŽ‘’“”•–—" +
+      "˜™š›œžŸ")
+      .filter(c => !mojibakeOf(c).contains('�'))
+
+  /** Ordered repair chain `(mojibake, fixed)` — longest mojibake first,
+    * so three-char images (€, ™, curly quotes: 3-byte UTF-8) collapse
+    * before any two-char image could consume their lead byte. Exposed
+    * for oracle replication. */
+  val Chain: Seq[(String, String)] =
+    Alphabet.map(c => (mojibakeOf(c), c.toString))
+      .sortBy { case (m, f) => (-m.length, f) }
+
+  /** Repaired text as a pure codegen'd Column. One pass guarantees one
+    * corruption layer stripped; entry-order cascades may collapse some
+    * nested images further, but every step is monotone toward the clean
+    * fixed point — use [[repairN]] to guarantee N layers. The inverse is
+    * GREEDY: an original that itself contains an image-like sequence
+    * (a literal "Ã©" typed about mojibake) is inherently ambiguous and
+    * gets collapsed too, the standard mojibake-repair caveat. */
+  def repair(text: Column): Column =
+    Chain.foldLeft(text) { case (c, (moji, fixed)) =>
+      call_function("replace", c, lit(moji), lit(fixed))
+    }
+
+  /** `passes` repair passes for nested double-encoding (each mis-decode
+    * applied to already-corrupt text adds one layer; one pass strips one
+    * layer). */
+  def repairN(text: Column, passes: Int): Column = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    (1 to passes).foldLeft(text)((c, _) => repair(c))
+  }
+
+  /** The corruption direction (UTF-8 seen as cp1252) in Alphabet order,
+    * exposed for oracle replication. */
+  val CorruptChain: Seq[(String, String)] =
+    Alphabet.map(ch => (ch.toString, mojibakeOf(ch)))
+
+  /** Corruption (UTF-8 seen as cp1252) as a chain — for fixtures and
+    * round-trip specs. Correct as a sequential chain only when the
+    * input's non-ASCII chars sit late enough in Alphabet order that
+    * their image chars are never revisited (the 0xE0–0xFF letter tier
+    * qualifies: every image char precedes 0xE0); the spec verifies the
+    * chain against the real charset round trip on such inputs. */
+  def corrupt(text: Column): Column =
+    CorruptChain.foldLeft(text) { case (c, (fixed, moji)) =>
+      call_function("replace", c, lit(fixed), lit(moji))
+    }
+
+  /** Per-document repair report: adds `moji_units` (how many corrupted
+    * characters were repaired), `changed`, and `repaired` next to the
+    * input columns. `moji_units` falls out of the length delta — every
+    * repaired unit shrinks the string, by 2 chars for three-char images
+    * and 1 for two-char images, so counting the tiers separately
+    * (three-char images collapsed first, matching the chain order) gives
+    * the exact repaired-unit count with NO second regex pass. */
+  def repairReport(df: DataFrame, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    // collapse 3-char images only, to split the delta into tiers
+    val threes = Chain.filter(_._1.length == 3)
+    val after3 = threes.foldLeft(raw) { case (c, (moji, fixed)) =>
+      call_function("replace", c, lit(moji), lit(fixed))
+    }
+    val repaired = repair(raw)
+    val units3 = (length(raw) - length(after3)) / 2
+    val units2 = length(after3) - length(repaired)
+    df.withColumn("moji_units", (units3 + units2).cast("int"))
+      .withColumn("changed", length(raw) > length(repaired))
+      .withColumn("repaired", repaired)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class EncodingRepairSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Cp1252 = Charset.forName("windows-1252")
+
+  /** Ground truth: what the bug actually does to a string. */
+  private def realCorrupt(s: String): String =
+    new String(s.getBytes(StandardCharsets.UTF_8), Cp1252)
+
+  private def repairOne(s: String): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(EncodingRepair.repair($"t")).as[String].head()
+
+  "repair" should "invert the real charset bug for every alphabet char" in {
+    // one string containing every repairable char, corrupted by the
+    // JVM's own decoder — not by our chain
+    val all = EncodingRepair.Alphabet
+    repairOne(realCorrupt(all)) shouldBe all
+  }
+
+  it should "invert the bug with images adjacent and ASCII interleaved" in {
+    val s = "café €9 «voàilà» — naïve, ¿qué?"
+    repairOne(realCorrupt(s)) shouldBe s
+  }
+
+  it should "leave clean ASCII untouched" in {
+    val s = "plain ascii text, nothing to fix: 123 <ok> & fine."
+    repairOne(s) shouldBe s
+  }
+
+  it should "leave correctly-encoded accents untouched" in {
+    // already-correct text must not be \"repaired\": no image sequences
+    // are present, so the chain is a no-op
+    val s = "café résumé"
+    repairOne(s) shouldBe s
+  }
+
+  "repairN" should "recover nested double-encoding within N passes" in {
+    val s = "déjà vu ’"
+    val twice = realCorrupt(realCorrupt(s))
+    val out = Seq(Tuple1(twice)).toDF("t")
+      .select(EncodingRepair.repairN($"t", 2)).as[String].head()
+    out shouldBe s
+    // a single pass is already a fixed-point step: applying it twice
+    // more never moves the result again
+    val once = repairOne(twice)
+    repairOne(repairOne(once)) shouldBe repairOne(once)
+  }
+
+  "corrupt" should "match the real charset bug on the safe 0xE0+ tier" in {
+    val s = "séñor über ça façon öl"
+    val chain = Seq(Tuple1(s)).toDF("t")
+      .select(EncodingRepair.corrupt($"t")).as[String].head()
+    chain shouldBe realCorrupt(s)
+  }
+
+  "repairReport" should "count repaired units by tier and keep columns" in {
+    // é (2-char image) + € (3-char image) + clean row
+    val df = Seq(
+      (1L, realCorrupt("café €5"), "x"),
+      (2L, "clean", "y")).toDF("id", "t", "keep")
+    val out = EncodingRepair.repairReport(df, "t")
+      .select($"id", $"moji_units", $"changed", $"repaired", $"keep")
+      .as[(Long, Int, Boolean, String, String)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 2, true, "café €5", "x"))
+    out(1) shouldBe ((2L, 0, false, "clean", "y"))
+  }
+
+  it should "invert the bug on randomized mixed strings" in {
+    // originals interleave ASCII between non-ASCII chars: repair is a
+    // GREEDY inverse, so an original that itself contains an image-like
+    // sequence (e.g. a literal "Ã©" someone typed about mojibake) is
+    // inherently ambiguous and out of contract
+    val rnd = new scala.util.Random(42)
+    val alpha = EncodingRepair.Alphabet
+    val samples = (1 to 60).map { i =>
+      val sb = new StringBuilder
+      (0 until 30).foreach { _ =>
+        sb.append(('a' + rnd.nextInt(26)).toChar)
+        if (rnd.nextBoolean()) sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      (i.toLong, realCorrupt(sb.toString), sb.toString)
+    }
+    val out = EncodingRepair.repairReport(
+        samples.toDF("id", "t", "orig"), "t")
+      .select($"repaired" === $"orig").as[Boolean].collect()
+    all(out) shouldBe true
+  }
+}

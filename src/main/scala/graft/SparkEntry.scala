@@ -1543,6 +1543,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-frequency boilerplate removal (CCNet/C4): stage multi-line
+    // docs (shared cookie/copyright chrome + 3-word content lines), then
+    // drop every line recurring in > 2 distinct documents. clean_md5
+    // pins the ENTIRE reassembled text per doc, not just the prefix.
+    "q_boilerplate" -> ((s, d) => {
+      val staged = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("Cookie notice: accept all\n"),
+          regexp_replace(col("text"), "(([^ ]+ ){2}[^ ]+) ", "$1\n"),
+          lit("\nCopyright 2024 Example Corp")).as("text"))
+      graft.ops.Boilerplate.removeFrequentLines(
+          staged, "doc_id", "text", maxDocFreq = 2)
+        .select(col("doc_id"), col("n_lines_kept"), col("n_lines_removed"),
+          substring(col("clean_text"), 1, 80).as("clean_prefix"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mojibake repair: seed accents into the ASCII corpus text
     // (replacements chosen from the chain-safe 0xE0-0xFF tier), corrupt
     // through the UTF-8-seen-as-cp1252 image chain, then repair and
@@ -2968,6 +2985,33 @@ object SparkEntry {
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
     },
+
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, 'Cookie notice: accept all' || chr(10) ||
+        |    regexp_replace(text, '(([^ ]+ ){2}[^ ]+) ',
+        |                   '\1' || chr(10), 'g') ||
+        |    chr(10) || 'Copyright 2024 Example Corp' AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM t),
+        |l AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, lines[i] AS line
+        |      FROM s, unnest(range(1, len(lines) + 1)) AS u(i)),
+        |k AS (SELECT doc_id, pos, line,
+        |        md5(lower(trim(line))) AS line_key FROM l),
+        |f AS (SELECT line_key
+        |      FROM (SELECT line_key, doc_id FROM k GROUP BY 1, 2)
+        |      GROUP BY line_key HAVING count(*) > 2),
+        |kept AS (SELECT k.* FROM k LEFT JOIN f ON k.line_key = f.line_key
+        |         WHERE f.line_key IS NULL),
+        |rb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+        |         AS clean_text, count(*) AS n_lines_kept
+        |       FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+        |      FROM t)
+        |SELECT n.doc_id, coalesce(rb.n_lines_kept, 0) AS n_lines_kept,
+        |  n.n_lines - coalesce(rb.n_lines_kept, 0) AS n_lines_removed,
+        |  substr(coalesce(rb.clean_text, ''), 1, 80) AS clean_prefix,
+        |  md5(coalesce(rb.clean_text, '')) AS clean_md5
+        |FROM n LEFT JOIN rb USING (doc_id) ORDER BY n.doc_id""".stripMargin,
 
     "q_encoding_repair" -> {
       def esc(s: String) = s.replace("'", "''")

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency boilerplate removal (the CCNet/C4 move): a LINE that
+  * recurs across more than `maxDocFreq` distinct documents is chrome —
+  * navigation, cookie banners, copyright footers — not content, and is
+  * dropped from EVERY document it appears in. This is the corpus-level
+  * complement to [[SpanDedup]]: span dedup keeps one canonical copy of a
+  * long shared span; boilerplate removal deletes short high-frequency
+  * lines outright, because their frequency itself proves they carry no
+  * document-specific information.
+  *
+  * Extends the reference's flat scalar surface (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  *
+  * Scale posture: the line explode is narrow; the document-frequency
+  * count is two partial-agged shuffles on a fixed-width md5 line key
+  * ((key, doc) distinct first — so a line repeated within one document
+  * collapses map-side and counts once); removal is one equi-join against
+  * the frequent-line table (delta-sized by construction: at most
+  * total_lines / maxDocFreq distinct keys can exceed the threshold, but
+  * it is NOT forced broadcast — AQE decides); reassembly is one
+  * aggregation plus one id-co-partitioned join back to the corpus. No
+  * data-scale collect, no cross join, no UDFs.
+  */
+object Boilerplate {
+
+  /** Normalized fixed-width grouping key for a line: md5 of the
+    * case-folded, trimmed text — byte-stable across engines and a
+    * fixed-size shuffle key regardless of line length. */
+  def lineKey(line: Column): Column = md5(lower(trim(line)))
+
+  private def explodeLines(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_pos", "line")))
+      .withColumn("line_key", lineKey(col("line")))
+
+  /** The boilerplate table itself: `(line_key, line, doc_freq)` for every
+    * line whose distinct-document frequency exceeds `maxDocFreq` —
+    * inspection surface and reusable filter side. `line` is the
+    * lexicographically smallest raw form of the normalized key. */
+  def frequentLines(df: DataFrame, idCol: String, textCol: String,
+                    maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    explodeLines(df, idCol, textCol)
+      .select(col("line_key"), col("line"), col(idCol))
+      .groupBy("line_key", idCol).agg(min("line").as("line"))
+      .groupBy("line_key")
+      .agg(count(lit(1)).as("doc_freq"), min("line").as("line"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select("line_key", "line", "doc_freq")
+  }
+
+  /** Rewrite each document with its over-frequent lines removed. Output:
+    * the input's id column plus `clean_text` (surviving lines joined
+    * with newlines, original order), `n_lines_kept`, `n_lines_removed`.
+    * Documents that were ALL boilerplate survive with an empty
+    * `clean_text` — silently dropping rows would corrupt downstream
+    * joins keyed on the corpus. */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                          maxDocFreq: Long): DataFrame = {
+    val lines = explodeLines(df, idCol, textCol)
+    val frequent = frequentLines(df, idCol, textCol, maxDocFreq)
+      .select("line_key")
+    val kept = lines.join(frequent, Seq("line_key"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BoilerplateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "FOOTER\nunique one\nfooter\nalpha beta"),
+    (2L, "footer\nunique two"),
+    (3L, "Footer \nunique three\nalpha beta"),
+    (4L, "alpha beta\nunique four"),
+    (5L, "footer\nfooter")).toDF("id", "text")
+
+  // "footer" (any case/trim) appears in docs 1,2,3,5 = 4 > 2;
+  // "alpha beta" in 1,3,4 = 3 > 2; every "unique *" line in exactly 1
+
+  "frequentLines" should "rank lines by distinct-document frequency" in {
+    val f = Boilerplate.frequentLines(docs, "id", "text", maxDocFreq = 2)
+      .select($"line", $"doc_freq").as[(String, Long)].collect().toMap
+    f.keySet shouldBe Set("FOOTER", "alpha beta")
+    f("FOOTER") shouldBe 4L // counts docs, not occurrences (doc 5 = 1)
+    f("alpha beta") shouldBe 3L
+  }
+
+  it should "pick the lexicographically smallest raw form per key" in {
+    // raw variants: FOOTER, footer, "Footer " — min is "FOOTER"
+    val f = Boilerplate.frequentLines(docs, "id", "text", 2)
+      .filter($"doc_freq" === 4).select($"line").as[String].head()
+    f shouldBe "FOOTER"
+  }
+
+  "removeFrequentLines" should "drop frequent lines, keep order" in {
+    val out = Boilerplate.removeFrequentLines(docs, "id", "text", 2)
+      .select($"id", $"clean_text", $"n_lines_kept", $"n_lines_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, "unique one", 1L, 3L))
+    out(1) shouldBe ((2L, "unique two", 1L, 1L))
+    out(2) shouldBe ((3L, "unique three", 1L, 2L))
+    out(3) shouldBe ((4L, "unique four", 1L, 1L))
+  }
+
+  it should "keep all-boilerplate docs as empty rows, never drop them" in {
+    val out = Boilerplate.removeFrequentLines(docs, "id", "text", 2)
+      .filter($"id" === 5).select($"clean_text", $"n_lines_kept",
+        $"n_lines_removed").as[(String, Long, Long)].head()
+    out shouldBe (("", 0L, 2L))
+  }
+
+  it should "be the identity when nothing crosses the threshold" in {
+    val out = Boilerplate.removeFrequentLines(docs, "id", "text",
+        maxDocFreq = 10)
+      .select($"id", $"clean_text").as[(Long, String)].collect().toMap
+    docs.select($"id", $"text").as[(Long, String)].collect().foreach {
+      case (id, text) => out(id) shouldBe text
+    }
+  }
+
+  it should "preserve within-document duplicates of non-frequent lines" in {
+    val d = Seq((1L, "keep\nkeep\nmid\nkeep")).toDF("id", "text")
+    Boilerplate.removeFrequentLines(d, "id", "text", 5)
+      .select($"clean_text").as[String].head() shouldBe "keep\nkeep\nmid\nkeep"
+  }
+}

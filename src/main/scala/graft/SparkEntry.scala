@@ -1543,6 +1543,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance resampling: re-weight the raw corpus toward a
+    // "curated" target slice (en docs with doc_id % 5 = 0) via hashed
+    // uni+bigram bag models, then Gumbel-top-k 100 docs ∝ exp(weight).
+    // Deterministic end to end: md5-nibble buckets, md5-derived Gumbel
+    // uniforms, 6-dp order-robust rounding — the oracle rebuilds the
+    // whole arithmetic.
+    "q_dsir" -> ((s, d) => {
+      val raw = Tables.documents(s, d)
+      val target = raw.filter(col("lang") === "en" &&
+        pmod(col("doc_id"), lit(5)) === 0)
+      graft.ops.Dsir.gumbelTopK(
+          graft.ops.Dsir.importanceWeights(raw, target, "doc_id", "text",
+            dim = 8192),
+          "doc_id", "log_weight", k = 100)
+        .orderBy(col("gumbel_score").desc, col("doc_id"))
+    }),
+
     // Corpus-frequency boilerplate removal (CCNet/C4): stage multi-line
     // docs (shared cookie/copyright chrome + 3-word content lines), then
     // drop every line recurring in > 2 distinct documents. clean_md5
@@ -2984,6 +3001,50 @@ object SparkEntry {
          |    AS n_links,
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dsir" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      val bucket4 =
+        s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+      val uni6 = s"(${nib(1)} * 1048576 + ${nib(2)} * 65536 + " +
+        s"${nib(3)} * 4096 + ${nib(4)} * 256 + ${nib(5)} * 16 + ${nib(6)})"
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
+         |bi AS (SELECT doc_id, lang, t[CAST(i AS INTEGER)] || ' ' ||
+         |         t[CAST(i AS INTEGER) + 1] AS gram
+         |       FROM toks, unnest(range(1, len(t))) AS u(i)),
+         |g AS (SELECT doc_id, lang, gram FROM uni WHERE len(gram) > 0
+         |      UNION ALL SELECT doc_id, lang, gram FROM bi),
+         |b AS (SELECT doc_id, lang, $bucket4 % 8192 AS bucket
+         |      FROM (SELECT doc_id, lang, md5(gram) AS h FROM g)),
+         |cr AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY 1),
+         |ct AS (SELECT bucket, count(*) AS c_tgt FROM b
+         |       WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c_raw) FROM cr) AS n_raw,
+         |               (SELECT sum(c_tgt) FROM ct) AS n_tgt),
+         |model AS (
+         |  SELECT coalesce(cr.bucket, ct.bucket) AS bucket,
+         |    ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 8192.0)) -
+         |    ln((coalesce(c_raw, 0) + 1.0) / (n_raw + 8192.0)) AS diff
+         |  FROM cr FULL OUTER JOIN ct ON cr.bucket = ct.bucket, tot),
+         |w AS (
+         |  SELECT b.doc_id, count(*) AS n_grams,
+         |    round(sum(m.diff), 6) AS log_weight
+         |  FROM b JOIN model m ON b.bucket = m.bucket GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, n_grams, log_weight,
+         |    round(log_weight - ln(-ln(($uni6 + 0.5) / 16777216.0)), 6)
+         |      AS gumbel_score
+         |  FROM (SELECT doc_id, n_grams, log_weight,
+         |          md5('dsir:' || doc_id) AS h FROM w))
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_weight,
+         |  gumbel_score
+         |FROM sc ORDER BY gumbel_score DESC, doc_id LIMIT 100""".stripMargin
     },
 
     "q_boilerplate" ->

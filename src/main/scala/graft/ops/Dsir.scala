@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR): re-weight a raw
+  * corpus toward a small TARGET distribution (curated text, a domain,
+  * a language) using hashed-n-gram bag models, then draw a fixed-size
+  * sample proportional to the importance weights. The published recipe
+  * for "make 100 TB of crawl look like Wikipedia": per-document
+  * `log w = Σ_grams (log p̂_target(bucket) − log p̂_raw(bucket))` over
+  * hashed uni+bigram features with Laplace smoothing, then Gumbel
+  * top-k in the log domain, which samples WITHOUT replacement exactly
+  * ∝ exp(log w).
+  *
+  * Engine-portable throughout: gram buckets use the repo's md5-nibble
+  * scheme ([[FeatureHash]]), the Gumbel uniforms derive from md5 of a
+  * salt + doc id (no RNG state, same draw on any engine or cluster
+  * layout), and weights round before ranking.
+  *
+  * Extends the reference's flat scalar surface (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  *
+  * Scale posture: both bucket distributions are ≤ `dim`-row model
+  * tables — they broadcast; scoring is one gram explode + broadcast
+  * join + one (id)-grouped partial-agg shuffle. The target corpus is
+  * small by definition (it is the thing you can afford to curate); the
+  * raw corpus is scanned once. Resampling is a top-k over a
+  * doc-count-sized weight table — `TakeOrderedAndProject`, no global
+  * sort materialized.
+  */
+object Dsir {
+
+  /** Laplace-smoothed log-probability of each observed bucket:
+    * `ln((c_b + 1) / (N + dim))`. Absent buckets take
+    * `ln(1 / (N + dim))` — handled by the caller via coalesce, so the
+    * model table stays observed-size, never dense. */
+  private def logProb(cnt: Column, total: Column, dim: Int): Column =
+    log((cnt + lit(1.0)) / (total + lit(dim.toDouble)))
+
+  /** Hashed uni+bigram occurrences `(idCol, bucket)` — one row per gram
+    * OCCURRENCE (not per distinct gram): the weight formula counts
+    * occurrences. Bigrams zip in-row (no positional self-join). */
+  def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 65536,
+      s"dim must be in [2, 65536] (4 md5 nibbles), got $dim")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = Parallelism.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        explode(concat(
+          filter(col("__toks"), t => length(t) > 0),
+          zip_with(col("__toks"), slice(col("__toks"), 2, 2147483645),
+            (a, b) => concat(a, lit(" "), b)))).as("__gram"))
+      .filter(length(col("__gram")) > 0)
+    grams.select(col(idCol),
+      (conv(substring(md5(col("__gram")), 1, 4), 16, 10).cast("long")
+        % dim).as("bucket"))
+  }
+
+  /** Per-document importance weights of `raw` docs against the `target`
+    * corpus: `(idCol, n_grams, log_weight)` with `log_weight` rounded to
+    * 6 dp (the repo's order-robust double-sum convention). */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, dim: Int = 8192): DataFrame = {
+    val rawG = gramBuckets(raw, idCol, textCol, dim)
+    val tgtG = gramBuckets(target, idCol, textCol, dim)
+    val rawCnt = rawG.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = tgtG.groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    // scalar totals ride as a broadcast single-row literal join
+    val totals = rawCnt.agg(sum("c_raw").as("n_raw"))
+      .crossJoin(tgtCnt.agg(sum("c_tgt").as("n_tgt")))
+    val model = rawCnt.join(tgtCnt, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (logProb(coalesce(col("c_tgt"), lit(0L)), col("n_tgt"), dim) -
+          logProb(coalesce(col("c_raw"), lit(0L)), col("n_raw"), dim))
+          .as("__diff"))
+    rawG.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("__diff")), 6).as("log_weight"))
+  }
+
+  /** Gumbel top-k in the log domain: `score = w + (−ln(−ln u))` with
+    * `u` a deterministic md5 uniform of `salt` + id — a fixed-size
+    * sample WITHOUT replacement, ∝ exp(w), reproducible on any engine.
+    * Returns the top `k` rows with their `gumbel_score`. */
+  def gumbelTopK(weights: DataFrame, idCol: String, weightCol: String,
+                 k: Int, salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), 1, 6), 16, 10).cast("double")
+      + lit(0.5)) / lit(16777216.0)
+    val score = round(col(weightCol) - log(-log(u)), 6)
+    weights.withColumn("gumbel_score", score)
+      .orderBy(col("gumbel_score").desc, col(idCol))
+      .limit(k)
+  }
+}

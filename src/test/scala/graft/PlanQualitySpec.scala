@@ -274,6 +274,28 @@ class PlanQualitySpec extends SparkTestBase {
     plan should include regex "(?i)partial"
   }
 
+  "q_dsir" should "broadcast the bucket model onto the gram stream" in {
+    val plan = planOf("q_dsir")
+    // the ≤dim-row log-ratio model is the ONLY join side the corpus's
+    // gram stream meets — it must broadcast (a sort-merge there would
+    // shuffle the whole gram explosion by bucket), and the per-doc
+    // weight sum must partially aggregate map-side. Joins INSIDE the
+    // model construction (bucket-count full-outer, scalar totals) are
+    // ≤dim/1-row-sized and may plan however Spark likes.
+    plan should include ("BroadcastHashJoin")
+    (plan should not).include ("CartesianProduct")
+    plan should include regex "partial_sum\\(__diff"
+  }
+
+  "q_boilerplate" should "count document frequency via partial aggregation" in {
+    val plan = planOf("q_boilerplate")
+    // (key, doc) dedup and the doc-frequency count must both partially
+    // aggregate map-side; removal is an equi-join, never all-pairs
+    plan should include regex "(?i)partial"
+    (plan should not).include ("CartesianProduct")
+    (plan should not).include ("BroadcastNestedLoopJoin")
+  }
+
   "q_lang_id" should "broadcast the model-sized profile onto the doc-gram stream" in {
     val plan = planOf("q_lang_id")
     // the corpus-sized side is the per-doc gram counts; every model join

@@ -1,0 +1,117 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- independent single-node reference (no Spark) ----
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(g: String, dim: Int): Long =
+    java.lang.Long.parseLong(md5hex(g).take(4), 16) % dim
+
+  private def grams(text: String): Seq[String] = {
+    val t = text.trim.toLowerCase.split("\\s+").toSeq
+    t.filter(_.nonEmpty) ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def refWeights(raw: Seq[(Long, String)], tgt: Seq[(Long, String)],
+                         dim: Int): Map[Long, Double] = {
+    def counts(c: Seq[(Long, String)]) =
+      c.flatMap(d => grams(d._2)).groupBy(bucket(_, dim))
+        .map { case (b, g) => b -> g.size.toLong }
+    val (cr, ct) = (counts(raw), counts(tgt))
+    val (nr, nt) = (cr.values.sum.toDouble, ct.values.sum.toDouble)
+    def lp(c: Long, n: Double) = math.log((c + 1.0) / (n + dim))
+    raw.map { case (id, text) =>
+      id -> round6(grams(text).map { g =>
+        val b = bucket(g, dim)
+        lp(ct.getOrElse(b, 0L), nt) - lp(cr.getOrElse(b, 0L), nr)
+      }.sum)
+    }.toMap
+  }
+
+  // raw pool: two "topics"; target is all about cats (raw cat docs use
+  // target vocabulary — DSIR scores n-gram OVERLAP, not topics)
+  private val raw = Seq(
+    (1L, "cat purrs cute cat"),
+    (2L, "dog barks at the mail"),
+    (3L, "cute cat naps"),
+    (4L, "stock market index falls"),
+    (5L, "cat naps cute cat purrs"))
+  private val tgt = Seq(
+    (100L, "cat purrs cat naps cute cat"),
+    (101L, "cute cat purrs cat naps"))
+
+  "importanceWeights" should "match the independent reference exactly" in {
+    val got = Dsir.importanceWeights(
+        raw.toDF("doc_id", "text"), tgt.toDF("doc_id", "text"),
+        "doc_id", "text", dim = 512)
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    val want = refWeights(raw, tgt, 512)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (id, w) => w shouldBe want(id) +- 1e-9 }
+  }
+
+  it should "rank target-like documents above off-target ones" in {
+    val w = Dsir.importanceWeights(
+        raw.toDF("doc_id", "text"), tgt.toDF("doc_id", "text"),
+        "doc_id", "text", dim = 512)
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    // every cat doc outweighs every non-cat doc
+    Seq(1L, 3L, 5L).map(w).min should be > Seq(2L, 4L).map(w).max
+  }
+
+  it should "count gram occurrences, not distinct grams" in {
+    val d = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // 3 unigrams + 2 bigrams
+    Dsir.importanceWeights(d, d, "doc_id", "text", dim = 64)
+      .select($"n_grams").as[Long].head() shouldBe 5L
+  }
+
+  "gumbelTopK" should "be deterministic and without replacement" in {
+    val w = Dsir.importanceWeights(
+      raw.toDF("doc_id", "text"), tgt.toDF("doc_id", "text"),
+      "doc_id", "text", dim = 512)
+    val a = Dsir.gumbelTopK(w, "doc_id", "log_weight", 3)
+      .select($"doc_id").as[Long].collect().sorted
+    val b = Dsir.gumbelTopK(w, "doc_id", "log_weight", 3)
+      .select($"doc_id").as[Long].collect().sorted
+    a shouldBe b
+    a.distinct.length shouldBe 3
+  }
+
+  it should "match the reference Gumbel arithmetic" in {
+    val w = Seq((7L, 1.25), (8L, -0.5)).toDF("id", "w")
+    val got = Dsir.gumbelTopK(w, "id", "w", 2, salt = "s")
+      .select($"id", $"gumbel_score").as[(Long, Double)].collect().toMap
+    def ref(id: Long, wt: Double): Double = {
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"s:$id").take(6), 16) + 0.5) / 16777216.0
+      round6(wt - math.log(-math.log(u)))
+    }
+    got(7L) shouldBe ref(7L, 1.25) +- 1e-9
+    got(8L) shouldBe ref(8L, -0.5) +- 1e-9
+  }
+
+  it should "favour heavy weights while still sampling" in {
+    // one dominant weight in a field of equals: the log-domain gap (20
+    // nats) exceeds any possible Gumbel noise spread at these uniforms,
+    // so the heavy doc must always be selected
+    val w = ((1L, 20.0) +: (2L to 40L).map(id => (id, 0.0)))
+      .toDF("id", "w")
+    val picked = Dsir.gumbelTopK(w, "id", "w", 5)
+      .select($"id").as[Long].collect()
+    picked should contain(1L)
+  }
+}

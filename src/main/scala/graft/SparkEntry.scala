@@ -1543,6 +1543,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bucketed SMB join: both sides written ONCE bucketed+sorted by the
+    // join key, then joined with ZERO exchanges (pinned) — the 100 TB
+    // fact-to-fact join shape where the shuffle is paid at write time
+    // and amortized over every read. The layout contract fails loud on
+    // drift instead of silently re-shuffling.
+    "q_bucket_join" -> ((s, d) => {
+      val dir = scratchDir("graft_bkt_")
+      graft.ops.Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").as("orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "graft_bkt_lineitem", s"$dir/lineitem", 8, Seq("orderkey"))
+      graft.ops.Bucketing.writeBucketed(
+        Tables.orders(s, d).select(
+          col("o_orderkey").as("orderkey"), col("o_orderstatus")),
+        "graft_bkt_orders", s"$dir/orders", 8, Seq("orderkey"))
+      graft.ops.Bucketing.coBucketedJoin(
+          s, "graft_bkt_lineitem", "graft_bkt_orders", Seq("orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // DSIR importance resampling: re-weight the raw corpus toward a
     // "curated" target slice (en docs with doc_id % 5 = 0) via hashed
     // uni+bigram bag models, then Gumbel-top-k 100 docs ∝ exp(weight).
@@ -3002,6 +3027,13 @@ object SparkEntry {
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
     },
+
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |       AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_dsir" -> {
       val nib = (i: Int) =>

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (sort-merge-bucket) co-located joins: write a table ONCE
+  * bucketed and sorted by its join key, and every subsequent join or
+  * aggregation on that key skips its shuffle — the scan itself is the
+  * partitioning. At 100 TB this is the difference between "every
+  * fact-to-fact join re-shuffles the corpus" and "the big join is a
+  * zero-exchange merge of pre-sorted buckets": the shuffle is paid once
+  * at write time and amortized over every read.
+  *
+  * This is the table-layout tier next to [[Compaction]] (file sizing)
+  * and [[Layout]] (intra-file clustering): bucketing fixes the JOIN
+  * key's physical distribution, Z-order fixes range-predicate locality.
+  *
+  * The reference's sink is a plain overwrite `saveAsTable`
+  * (reference: src/main/scala/com/booking/spark/
+  * HBaseSnapshotter.scala:134-137); the bucketed form extends it per
+  * the training-data-pipeline charter. `SnapshotPipeline`'s bucketed
+  * sink writes the same layout from config; this operator is the
+  * read-side contract that makes the layout pay off.
+  */
+object Bucketing {
+
+  /** Write `df` as a path-backed bucketed table (parquet, overwrite),
+    * bucketed AND sorted by `bucketCols` — sorted buckets let the join
+    * skip its per-partition sort too, leaving a pure merge. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, bucketCols: Seq[String]): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(bucketCols.nonEmpty, "bucketCols must not be empty")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Fail LOUD if two tables cannot co-locate a join on `keys`: both
+    * must be bucketed by exactly `keys` with the SAME bucket count.
+    * A silent mismatch doesn't break correctness — Spark just shuffles
+    * — but at corpus scale that silent shuffle is the regression this
+    * layout exists to prevent, so layout drift should fail the job,
+    * not degrade it. */
+  def requireCoBucketed(spark: SparkSession, left: String, right: String,
+                        keys: Seq[String]): Unit = {
+    def spec(t: String) = {
+      val b = spark.catalog.listColumns(t).collect()
+        .filter(_.isBucket).map(_.name).toSeq
+      val n = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+        .find(_.getString(0) == "Num Buckets")
+        .map(_.getString(1).trim.toInt)
+      (b, n)
+    }
+    val (lb, ln) = spec(left)
+    val (rb, rn) = spec(right)
+    require(lb == keys && rb == keys,
+      s"join keys $keys must equal both bucket specs: $left=$lb, $right=$rb")
+    require(ln.isDefined && ln == rn,
+      s"bucket counts must match: $left=$ln, $right=$rn")
+  }
+
+  /** The co-located join itself: validates the layout, then a plain
+    * equi-join that Catalyst plans WITHOUT exchanges (pinned in
+    * PlanQualitySpec). */
+  def coBucketedJoin(spark: SparkSession, left: String, right: String,
+                     keys: Seq[String]): DataFrame = {
+    requireCoBucketed(spark, left, right, keys)
+    spark.table(left).join(spark.table(right), keys)
+  }
+}

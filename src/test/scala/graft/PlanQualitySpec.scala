@@ -296,6 +296,15 @@ class PlanQualitySpec extends SparkTestBase {
     (plan should not).include ("BroadcastNestedLoopJoin")
   }
 
+  "q_bucket_join" should "join pre-bucketed sides with no join-key exchange" in {
+    val plan = planOf("q_bucket_join")
+    // the whole point of the layout: the orderkey join reads bucketed
+    // scans and never shuffles; the only exchange left is the tiny
+    // order-status aggregation above the join
+    (plan should not).include ("Exchange hashpartitioning(orderkey")
+    plan should include ("SelectedBucketsCount")
+  }
+
   "q_lang_id" should "broadcast the model-sized profile onto the doc-gram stream" in {
     val plan = planOf("q_lang_id")
     // the corpus-sized side is the per-doc gram counts; every model join

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val base =
+    java.nio.file.Files.createTempDirectory("graft-bucketing").toString
+
+  private def mkTables(): Unit = {
+    Bucketing.writeBucketed(
+      (1L to 100L).map(k => (k, s"l$k")).toDF("k", "lv"),
+      "bspec_left", s"$base/left", 4, Seq("k"))
+    Bucketing.writeBucketed(
+      (1L to 100L).filter(_ % 2 == 0).map(k => (k, s"r$k")).toDF("k", "rv"),
+      "bspec_right", s"$base/right", 4, Seq("k"))
+  }
+
+  "coBucketedJoin" should "equal a plain join" in {
+    mkTables()
+    val got = Bucketing.coBucketedJoin(spark, "bspec_left", "bspec_right",
+        Seq("k")).select($"k", $"lv", $"rv")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    got.map(_._1) shouldBe (2L to 100L by 2).toArray
+    got.foreach { case (k, lv, rv) => (lv, rv) shouldBe ((s"l$k", s"r$k")) }
+  }
+
+  it should "plan the join with zero exchanges" in {
+    mkTables()
+    // locally both sides fit the auto-broadcast threshold, which skips
+    // the bucketed scan entirely; disable it to see the plan these
+    // tables get at scale, where neither fact side can broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Bucketing.coBucketedJoin(spark, "bspec_left",
+        "bspec_right", Seq("k")).queryExecution.executedPlan.toString()
+      (plan should not).include("Exchange")
+      plan should include("SortMergeJoin")
+      // the scan itself carries the bucket layout
+      plan should include("SelectedBucketsCount")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  "requireCoBucketed" should "fail loud on bucket-count drift" in {
+    mkTables()
+    Bucketing.writeBucketed(
+      (1L to 10L).map(k => (k, "x")).toDF("k", "rv"),
+      "bspec_eight", s"$base/eight", 8, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.coBucketedJoin(spark, "bspec_left", "bspec_eight", Seq("k"))
+    }
+    e.getMessage should include("bucket counts must match")
+  }
+
+  it should "fail loud when a side is not bucketed by the join keys" in {
+    mkTables()
+    (1L to 10L).map(k => (k, "y")).toDF("k", "rv")
+      .write.mode("overwrite").option("path", s"$base/flat")
+      .saveAsTable("bspec_flat")
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.coBucketedJoin(spark, "bspec_left", "bspec_flat", Seq("k"))
+    }
+    e.getMessage should include("bucket specs")
+  }
+}

@@ -1543,6 +1543,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Pre-join cardinality + row-count estimation from sketches: the
+    // lineitem⋈orders join sized WITHOUT running the join — theta set
+    // algebra for distinct keys, freq-sketch products for output rows.
+    // Exactness enforced (assert_true) so the hash-match against
+    // DuckDB's real join arithmetic is a contract, not luck; at corpus
+    // scale the same report degrades to estimates + a certified lower
+    // bound.
+    "q_join_estimate" -> ((s, d) => {
+      graft.ops.JoinEstimate.report(
+          Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey",
+          nominalEntries = 65536, maxMapSize = 32768)
+        .filter(assert_true(col("exact")).isNull)
+    }),
+
     // Bucketed SMB join: both sides written ONCE bucketed+sorted by the
     // join key, then joined with ZERO exchanges (pinned) — the 100 TB
     // fact-to-fact join shape where the shuffle is paid at write time
@@ -3027,6 +3042,22 @@ object SparkEntry {
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
     },
+
+    "q_join_estimate" ->
+      """WITH lk AS (SELECT l_orderkey AS k, count(*) AS c
+        |            FROM lineitem GROUP BY 1),
+        |ok AS (SELECT o_orderkey AS k, count(*) AS c
+        |       FROM orders GROUP BY 1)
+        |SELECT (SELECT count(*) FROM lk) AS n_left_keys,
+        |  (SELECT count(*) FROM ok) AS n_right_keys,
+        |  (SELECT count(*) FROM lk JOIN ok USING (k)) AS n_shared_keys,
+        |  (SELECT count(*) FROM
+        |     (SELECT k FROM lk UNION SELECT k FROM ok)) AS n_union_keys,
+        |  (SELECT CAST(coalesce(sum(lk.c * ok.c), 0) AS BIGINT)
+        |     FROM lk JOIN ok USING (k)) AS join_lower,
+        |  (SELECT CAST(coalesce(sum(lk.c * ok.c), 0) AS BIGINT)
+        |     FROM lk JOIN ok USING (k)) AS join_estimate,
+        |  true AS exact""".stripMargin,
 
     "q_bucket_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,

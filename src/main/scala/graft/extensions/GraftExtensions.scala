@@ -171,6 +171,14 @@ object GraftExtensions {
           s"theta_anotb expects 2 arguments, got ${exprs.length}")
         ThetaSetOpExpr(exprs.head, exprs(1), "anotb")
       }),
+    (new FunctionIdentifier("theta_union"),
+      new ExpressionInfo(classOf[ThetaSetOpExpr].getName, "theta_union"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"theta_union expects (a, b[, nominalEntries]), got ${exprs.length} args")
+        val n = exprs.lift(2).map(foldableInt("theta_union nominalEntries", _))
+        ThetaSetOpExpr(exprs.head, exprs(1), "union", n.getOrElse(4096))
+      }),
     (new FunctionIdentifier("theta_estimate"),
       new ExpressionInfo(classOf[ThetaEstimateExpr].getName, "theta_estimate"),
       (exprs: Seq[Expression]) => {

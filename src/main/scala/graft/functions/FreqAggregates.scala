@@ -6,7 +6,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -231,6 +231,62 @@ case class FreqMaxErrorExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Join-size estimation from two key sketches, WITHOUT running the
+  * join: `Σ_k count_left(k) · count_right(k)` over the left sketch's
+  * tracked keys, with each factor from the sketches' estimates.
+  * `join_lower` multiplies lower bounds — a CERTIFIED lower bound on
+  * the true join row count at any sketch accuracy. `join_estimate`
+  * multiplies point estimates — EXACT when both sketches are in the
+  * exact regime (zero maximum error: every key tracked, estimates are
+  * true counts), the regime the harness query enforces. In the
+  * approximate regime the untracked-tail product is not boundable from
+  * above by Misra–Gries sketches, so no upper bound is emitted. */
+case class FreqJoinSizeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "freq_join_size"
+  override def dataType: DataType = StructType(Seq(
+    StructField("join_lower", LongType, nullable = false),
+    StructField("join_estimate", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two binary sketch columns, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  def joinSize(l: Array[Byte], r: Array[Byte]): InternalRow = {
+    val serde = new ArrayOfStringsSerDe()
+    val skL = ItemsSketch.getInstance(Memory.wrap(l), serde)
+    val skR = ItemsSketch.getInstance(Memory.wrap(r), serde)
+    var lower = 0L
+    var est = 0L
+    skL.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).foreach { row =>
+      val item = row.getItem
+      est += row.getEstimate * skR.getEstimate(item)
+      lower += math.max(0L, skL.getLowerBound(item)) *
+        math.max(0L, skR.getLowerBound(item))
+    }
+    new GenericInternalRow(Array[Any](lower, est))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    joinSize(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ref = ctx.addReferenceObj("freqJoin", this,
+        classOf[FreqJoinSizeExpr].getName)
+      s"${ev.value} = $ref.joinSize($l, $r);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqJoinSizeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object FreqFunctions {
   /** Sketch a string column into mergeable frequent-items bytes. */
   def freqSketch(c: Column, maxMapSize: Int = 256): Column =
@@ -250,4 +306,10 @@ object FreqFunctions {
   /** Maximum estimation error of the sketch; 0 ⇒ exact counts. */
   def freqMaxError(c: Column): Column =
     ColumnBridge.column(FreqMaxErrorExpr(ColumnBridge.expression(c)))
+
+  /** `(join_lower, join_estimate)` of the join keyed on the sketched
+    * column — see [[FreqJoinSizeExpr]]. */
+  def freqJoinSize(l: Column, r: Column): Column =
+    ColumnBridge.column(FreqJoinSizeExpr(ColumnBridge.expression(l),
+      ColumnBridge.expression(r)))
 }

@@ -144,11 +144,17 @@ case class ThetaUnionAgg(
 
 /** `theta_set_op(a, b)` for op ∈ {union, intersect, anotb} → the
   * result sketch's bytes (still composable). Scalar, model-sized. */
-case class ThetaSetOpExpr(left: Expression, right: Expression, op: String)
+case class ThetaSetOpExpr(left: Expression, right: Expression, op: String,
+    nominalEntries: Int = 4096)
   extends BinaryExpression {
 
   require(Seq("union", "intersect", "anotb").contains(op),
     s"theta set op must be union|intersect|anotb, got '$op'")
+  // only the union RESAMPLES to its own nominal — an undersized union
+  // silently downsamples exact higher-nominal inputs into estimates
+  // (intersection/aNotB never resample, their θ is inherited)
+  require(nominalEntries >= 16 && Integer.bitCount(nominalEntries) == 1,
+    s"nominalEntries must be a power of two >= 16, got $nominalEntries")
 
   override def prettyName: String = s"theta_$op"
   override def dataType: DataType = BinaryType
@@ -164,7 +170,8 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: String)
     val sa = Sketches.wrapSketch(Memory.wrap(a))
     val sb = Sketches.wrapSketch(Memory.wrap(b))
     val res: CompactSketch = op match {
-      case "union" => SetOperation.builder().buildUnion().union(sa, sb)
+      case "union" => SetOperation.builder()
+        .setNominalEntries(nominalEntries).buildUnion().union(sa, sb)
       case "intersect" =>
         SetOperation.builder().buildIntersection().intersect(sa, sb)
       case "anotb" => SetOperation.builder().buildANotB().aNotB(sa, sb)
@@ -268,9 +275,13 @@ object ThetaFunctions {
     ColumnBridge.column(ThetaSetOpExpr(ColumnBridge.expression(a),
       ColumnBridge.expression(b), "anotb"))
 
-  def thetaUnionPair(a: Column, b: Column): Column =
+  /** Pairwise union. Size `nominalEntries` to at least the INPUT
+    * sketches' nominal — the union resamples to its own nominal, so an
+    * undersized union quietly degrades exact inputs into estimates. */
+  def thetaUnionPair(a: Column, b: Column,
+                     nominalEntries: Int = 4096): Column =
     ColumnBridge.column(ThetaSetOpExpr(ColumnBridge.expression(a),
-      ColumnBridge.expression(b), "union"))
+      ColumnBridge.expression(b), "union", nominalEntries))
 
   def thetaEstimate(c: Column): Column =
     ColumnBridge.column(ThetaEstimateExpr(ColumnBridge.expression(c)))

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{FreqFunctions, ThetaFunctions}
+
+/** Pre-join cardinality and skew estimation from mergeable sketches:
+  * BEFORE committing a 100 TB join to a physical strategy, answer — how
+  * many distinct keys does each side carry, how many are shared, how
+  * many output rows will the join produce, and which keys dominate it —
+  * from two single-pass, model-sized sketch rows instead of running the
+  * join to find out. The distinct tier is theta set algebra
+  * ([[graft.functions.ThetaSketchAgg]]); the row-count tier multiplies
+  * per-key frequency estimates ([[graft.functions.FreqJoinSizeExpr]]),
+  * exact in the exact regime and a certified lower bound beyond it;
+  * the skew tier surfaces each side's heavy keys so a hot key is known
+  * before it strands an executor (the planning complement of
+  * [[Skew.saltedJoin]]).
+  *
+  * Because every sketch is mergeable, the per-side sketch rows can be
+  * maintained incrementally (per day/shard, merged at read) — the join
+  * report then never costs even one full scan.
+  *
+  * Extends the reference surface (the reference plans no joins —
+  * reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala)
+  * per the training-data-pipeline charter.
+  *
+  * Scale posture: one partial-agged aggregation pass per side producing
+  * ONE row of sketch bytes; the report is a 1×1 cross join and pure
+  * expressions. Nothing data-scale shuffles, joins, or collects.
+  */
+object JoinEstimate {
+
+  /** One-row join report for `left ⋈ right` on the given key columns:
+    * `n_left_keys / n_right_keys / n_shared_keys / n_union_keys`
+    * (theta), `join_lower / join_estimate` (freq product), and
+    * `exact` — whether EVERY sketch was in its exact regime, i.e. the
+    * estimates are true values rather than bounds. */
+  def report(left: DataFrame, leftKey: String,
+             right: DataFrame, rightKey: String,
+             nominalEntries: Int = 4096,
+             maxMapSize: Int = 256): DataFrame = {
+    def side(df: DataFrame, key: String, prefix: String): DataFrame =
+      df.agg(
+        ThetaFunctions.thetaSketch(col(key).cast("string"), nominalEntries)
+          .as(s"__th_$prefix"),
+        FreqFunctions.freqSketch(col(key).cast("string"), maxMapSize)
+          .as(s"__fr_$prefix"))
+    val l = side(left, leftKey, "l")
+    val r = side(right, rightKey, "r")
+    val sz = FreqFunctions.freqJoinSize(col("__fr_l"), col("__fr_r"))
+    l.crossJoin(r).select(
+      round(ThetaFunctions.thetaEstimate(col("__th_l")))
+        .cast(LongType).as("n_left_keys"),
+      round(ThetaFunctions.thetaEstimate(col("__th_r")))
+        .cast(LongType).as("n_right_keys"),
+      round(ThetaFunctions.thetaEstimate(
+          ThetaFunctions.thetaIntersect(col("__th_l"), col("__th_r"))))
+        .cast(LongType).as("n_shared_keys"),
+      round(ThetaFunctions.thetaEstimate(
+          ThetaFunctions.thetaUnionPair(col("__th_l"), col("__th_r"),
+            nominalEntries)))
+        .cast(LongType).as("n_union_keys"),
+      sz.getField("join_lower").as("join_lower"),
+      sz.getField("join_estimate").as("join_estimate"),
+      (ThetaFunctions.thetaIsExact(col("__th_l")) &&
+        ThetaFunctions.thetaIsExact(col("__th_r")) &&
+        FreqFunctions.freqMaxError(col("__fr_l")) === 0 &&
+        FreqFunctions.freqMaxError(col("__fr_r")) === 0).as("exact"))
+  }
+
+  /** The skew tier: keys heavy on BOTH sides with their estimated JOIN
+    * contribution — `(key, left_estimate, right_estimate,
+    * pair_estimate)`, heaviest pairs first. A key whose pair product
+    * dominates `join_estimate` is the one to salt. Both item lists are
+    * sketch-sized (≤ maxMapSize rows), so the join here is trivial. */
+  def hotKeys(left: DataFrame, leftKey: String,
+              right: DataFrame, rightKey: String,
+              topK: Int = 20, maxMapSize: Int = 256): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def items(df: DataFrame, key: String, estCol: String): DataFrame =
+      df.agg(FreqFunctions.freqSketch(col(key).cast("string"), maxMapSize)
+          .as("__fr"))
+        .select(explode(FreqFunctions.freqItems(col("__fr"))).as("__i"))
+        .select(col("__i.item").as("key"), col("__i.estimate").as(estCol))
+    items(left, leftKey, "left_estimate")
+      .join(items(right, rightKey, "right_estimate"), Seq("key"))
+      .withColumn("pair_estimate",
+        col("left_estimate") * col("right_estimate"))
+      .orderBy(col("pair_estimate").desc, col("key"))
+      .limit(topK)
+  }
+}

@@ -106,4 +106,29 @@ class ThetaAggregatesSpec extends SparkTestBase {
       .as[Boolean].head() shouldBe true
   }
 
+  "pairwise theta_union" should "stay exact when sized to its inputs' nominal" in {
+    // 6000 distinct per side exceeds the union's DEFAULT nominal (4096):
+    // an unsized pairwise union would downsample two EXACT 16384-nominal
+    // sketches into estimates — the regression q_join_estimate caught
+    import graft.functions.ThetaFunctions._
+    val a = (1L to 6000L).toDF("v")
+      .agg(thetaSketch($"v".cast("string"), 16384).as("sk"))
+    val b = (4001L to 10000L).toDF("v")
+      .agg(thetaSketch($"v".cast("string"), 16384).as("sk"))
+    val sized = a.crossJoin(b.select($"sk".as("skb")))
+      .select(thetaEstimate(
+        thetaUnionPair($"sk", $"skb", 16384)).as("est"),
+        thetaIsExact(thetaUnionPair($"sk", $"skb", 16384)).as("ex"))
+      .as[(Double, Boolean)].head()
+    sized._1 shouldBe 10000.0
+    sized._2 shouldBe true
+    // SQL surface carries the same optional argument
+    a.crossJoin(b.select($"sk".as("skb")))
+      .createOrReplaceTempView("theta_pair_t")
+    spark.sql(
+      """SELECT theta_estimate(theta_union(sk, skb, 16384))
+        |FROM theta_pair_t""".stripMargin)
+      .as[Double].head() shouldBe 10000.0
+  }
+
 }

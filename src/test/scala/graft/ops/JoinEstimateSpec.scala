@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class JoinEstimateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // left: key k appears k times for k in 1..8; right: even keys twice,
+  // plus key 99 only on the right
+  private lazy val left =
+    (1 to 8).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+  private lazy val right =
+    ((2 to 8 by 2).flatMap(k => Seq.fill(2)(k.toLong)) :+ 99L).toDF("k")
+
+  "report" should "reproduce exact join arithmetic in the exact regime" in {
+    val r = JoinEstimate.report(left, "k", right, "k",
+        nominalEntries = 4096, maxMapSize = 64)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
+    // truth: 8 left keys, 5 right keys, shared {2,4,6,8}, union 9,
+    // join rows = (2+4+6+8)*2 = 40
+    r shouldBe ((8L, 5L, 4L, 9L, 40L, 40L, true))
+  }
+
+  it should "report exact=false once a sketch leaves the exact regime" in {
+    val big = (1L to 20000L).toDF("k")
+    val r = JoinEstimate.report(big, "k", right, "k",
+        nominalEntries = 4096, maxMapSize = 64)
+      .select($"exact").as[Boolean].head()
+    r shouldBe false
+  }
+
+  it should "keep a certified lower bound under approximation" in {
+    // skewed left: one dominant key + long tail overflows maxMapSize=64
+    val big = ((1L to 5000L) ++ Seq.fill(4000)(7L)).toDF("k")
+    val small = Seq.fill(3)(7L).toDF("k")
+    val r = JoinEstimate.report(big, "k", small, "k",
+        nominalEntries = 65536, maxMapSize = 64)
+      .select($"join_lower", $"join_estimate").as[(Long, Long)].head()
+    val truth = 4001L * 3L
+    r._1 should be <= truth
+    r._2 should be >= r._1
+    // the dominant key survives the purges, so the bound is non-trivial
+    r._1 should be > 0L
+  }
+
+  "hotKeys" should "rank shared keys by pair contribution" in {
+    val hot = JoinEstimate.hotKeys(left, "k", right, "k", topK = 3,
+        maxMapSize = 64)
+      .as[(String, Long, Long, Long)].collect()
+    // pair products: 8*2=16, 6*2=12, 4*2=8, 2*2=4 → top3
+    hot.map(_._1) shouldBe Array("8", "6", "4")
+    hot.map(_._4) shouldBe Array(16L, 12L, 8L)
+    // right-only key 99 and left-only odd keys never appear
+  }
+}

@@ -1543,6 +1543,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-user 6h metric rollup with gap fill: one (key, bucket)
+    // partial-agg shuffle over raw events, then bucket-granularity grid
+    // synthesis + forward fill — the metric-store shape. Exact decimal
+    // sums and (ts, value)-tiebroken last values keep every cell
+    // engine-portable.
+    "q_resample" -> ((s, d) => {
+      val r = graft.ops.Resample.resample(
+        Tables.events(s, d), "user_id", "ts", "value",
+        stepSeconds = 21600L)
+      graft.ops.Resample.gapFill(r, "user_id", stepSeconds = 21600L)
+        .orderBy(col("user_id"), col("bucket_ts"))
+    }),
+
     // Pre-join cardinality + row-count estimation from sketches: the
     // lineitem⋈orders join sized WITHOUT running the join — theta set
     // algebra for distinct keys, freq-sketch products for output rows.
@@ -3042,6 +3055,47 @@ object SparkEntry {
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
     },
+
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    make_timestamp(
+        |      (epoch_ms(ts) // 1000 // 21600) * 21600 * 1000000)
+        |      AS bucket_ts
+        |  FROM events),
+        |lastv AS (
+        |  SELECT user_id, bucket_ts, value AS last_value FROM (
+        |    SELECT user_id, bucket_ts, value, row_number() OVER (
+        |      PARTITION BY user_id, bucket_ts
+        |      ORDER BY ts DESC, value DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT e.user_id, e.bucket_ts,
+        |    count(*) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |      AS sum_value,
+        |    any_value(lastv.last_value) AS last_value
+        |  FROM e JOIN lastv
+        |    ON e.user_id = lastv.user_id AND e.bucket_ts = lastv.bucket_ts
+        |  GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1
+        |      FROM r GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(b0, b1, INTERVAL 21600 SECONDS))
+        |      AS bucket_ts
+        |  FROM s)
+        |SELECT g.user_id, g.bucket_ts,
+        |  coalesce(r.n_events, 0) AS n_events,
+        |  coalesce(r.sum_value, 0.0) AS sum_value,
+        |  last_value(r.last_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_value,
+        |  r.n_events IS NULL AS is_gap
+        |FROM grid g LEFT JOIN r
+        |  ON g.user_id = r.user_id AND g.bucket_ts = r.bucket_ts
+        |ORDER BY g.user_id, g.bucket_ts""".stripMargin,
 
     "q_join_estimate" ->
       """WITH lk AS (SELECT l_orderkey AS k, count(*) AS c

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series resampling with gap fill: downsample an event
+  * stream to fixed buckets (one row per key per interval with count /
+  * sum / last), then materialize the EMPTY buckets inside each key's
+  * active span and forward-fill the last observed value through them —
+  * the standard metric-store shape (a monitoring rollup, a feature
+  * store's "value as of each hour") that joins and windows cleanly
+  * downstream, where the raw event stream does not. [[Snapshot]]'s
+  * series operators answer "full row state at boundary T of a
+  * changelog"; this is the metric form — numeric aggregates of an
+  * append-only event stream on a fixed grid.
+  *
+  * Extends the reference's events surface (no time semantics beyond
+  * the as-of scan — reference: src/main/scala/com/booking/spark/
+  * HBaseSnapshotter.scala:123-129) per the training-data-pipeline
+  * charter.
+  *
+  * Scale posture: the bucket aggregation is ONE partial-agged shuffle
+  * on (key, bucket) — raw events never move again after it; everything
+  * downstream (span bounds, the gap sequence, forward fill) operates on
+  * bucket-granularity rows, orders of magnitude smaller. The gap
+  * explode is bounded by span/step per key; a pathological key's span
+  * is capped by `maxBucketsPerKey` (fail loud, not OOM). Last-value
+  * picks use `max_by` over a (ts, value) struct — deterministic under
+  * timestamp ties, engine-portable.
+  */
+object Resample {
+
+  private def bucketOf(ts: Column, stepSeconds: Long): Column =
+    timestamp_seconds(
+      floor(unix_timestamp(ts) / stepSeconds) * stepSeconds)
+
+  /** One row per (key, bucket) with `n_events`, `sum_value` (exact
+    * decimal summation, engine-portable at 4 dp), `last_value` (latest
+    * by ts, value-tiebroken). Buckets with no events are absent — see
+    * [[gapFill]]. */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    df.groupBy(col(keyCol),
+        bucketOf(col(tsCol), stepSeconds).as("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol).cast("decimal(18,6)")), 4)
+          .cast("double").as("sum_value"),
+        max_by(col(valueCol), struct(col(tsCol), col(valueCol)))
+          .as("last_value"))
+  }
+
+  /** Fill the holes: every bucket between each key's first and last
+    * ACTIVE bucket exists in the output, `n_events = 0` and
+    * `sum_value = 0` for gaps, `last_value` forward-filled from the
+    * most recent active bucket, `is_gap` flagging the synthesized rows.
+    */
+  def gapFill(resampled: DataFrame, keyCol: String,
+              stepSeconds: Long,
+              maxBucketsPerKey: Long = 1000000L): DataFrame = {
+    val step = expr(s"INTERVAL $stepSeconds SECONDS")
+    val spans = resampled.groupBy(col(keyCol))
+      .agg(min(col("bucket_ts")).as("__b0"), max(col("bucket_ts")).as("__b1"))
+      // fail loud before a corrupt timestamp explodes a key into
+      // billions of rows
+      .withColumn("__n", (unix_timestamp(col("__b1")) -
+        unix_timestamp(col("__b0"))) / stepSeconds + 1)
+      .filter(assert_true(col("__n") <= maxBucketsPerKey,
+        lit(s"gapFill: a key spans more than $maxBucketsPerKey buckets " +
+          "— corrupt timestamps or too fine a step")).isNull)
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__b0"), col("__b1"), step)).as("bucket_ts"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(resampled, Seq(keyCol, "bucket_ts"), "left")
+      .select(col(keyCol), col("bucket_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        last(col("last_value"), ignoreNulls = true).over(w)
+          .as("last_value"),
+        col("n_events").isNull.as("is_gap"))
+  }
+}

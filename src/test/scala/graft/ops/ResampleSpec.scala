@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ResampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: events in hours 0, 0, 3 (gap at 1 and 2); user 2: single hour
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 00:10:00"), 2.0),
+    (1L, ts("2024-01-01 00:50:00"), 3.0),
+    (1L, ts("2024-01-01 03:30:00"), 5.0),
+    (2L, ts("2024-01-01 10:15:00"), 7.0)).toDF("k", "ts", "v")
+
+  private lazy val filled = Resample.gapFill(
+    Resample.resample(events, "k", "ts", "v", 3600L), "k", 3600L)
+    .orderBy($"k", $"bucket_ts")
+    .select($"k", $"bucket_ts".cast("string"), $"n_events", $"sum_value",
+      $"last_value", $"is_gap")
+    .as[(Long, String, Long, Double, Double, Boolean)].collect()
+
+  "resample + gapFill" should "aggregate buckets and synthesize gaps" in {
+    filled.map(r => (r._1, r._2, r._3, r._6)) shouldBe Array(
+      (1L, "2024-01-01 00:00:00", 2L, false),
+      (1L, "2024-01-01 01:00:00", 0L, true),
+      (1L, "2024-01-01 02:00:00", 0L, true),
+      (1L, "2024-01-01 03:00:00", 1L, false),
+      (2L, "2024-01-01 10:00:00", 1L, false))
+  }
+
+  it should "forward-fill last_value through gaps and zero the sums" in {
+    filled.map(_._5) shouldBe Array(3.0, 3.0, 3.0, 5.0, 7.0)
+    filled.map(_._4) shouldBe Array(5.0, 0.0, 0.0, 5.0, 7.0)
+  }
+
+  it should "break timestamp ties by value, deterministically" in {
+    val tied = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 9.0),
+      (1L, ts("2024-01-01 00:00:01"), 4.0)).toDF("k", "ts", "v")
+    Resample.resample(tied, "k", "ts", "v", 3600L)
+      .select($"last_value").as[Double].head() shouldBe 9.0
+  }
+
+  it should "fail loud when a key's span explodes the grid" in {
+    val wild = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2034-01-01 00:00:00"), 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      Resample.gapFill(Resample.resample(wild, "k", "ts", "v", 60L),
+        "k", 60L, maxBucketsPerKey = 1000L).collect()
+    }
+    e.getMessage should include("spans more than")
+  }
+}

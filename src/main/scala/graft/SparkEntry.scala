@@ -1543,6 +1543,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Code-fence extraction: stage markdown around the corpus text
+    // (tagged scala fence for every doc, untagged fence for even docs,
+    // an UNCLOSED fence for odd docs that must not match), then pull
+    // (fence_idx, lang_tag, code) rows + per-doc code share. Zero
+    // shuffles before the ORDER BY; md5 pins each fence body.
+    "q_code_fences" -> ((s, d) => {
+      val md = concat(
+        lit("# Doc "), col("doc_id").cast("string"),
+        lit("\n\nIntro prose.\n```scala\nval id = "),
+        col("doc_id").cast("string"),
+        lit("\n// "), substring(col("text"), 1, 30),
+        lit("\n```\nMore prose.\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("```\nplain block "), col("doc_id").cast("string"),
+            lit("\n```\n")))
+          .otherwise(lit("```python\nunclosed = True\n")))
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), md.as("md"))
+      graft.ops.CodeFences.extract(staged, "doc_id", "md")
+        .join(graft.ops.CodeFences.stats(staged, "doc_id", "md"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("fence_idx"), col("lang_tag"),
+          col("n_lines"), col("n_chars"), md5(col("code")).as("code_md5"),
+          col("n_fences"), col("code_chars"), col("code_ratio"))
+        .orderBy(col("doc_id"), col("fence_idx"))
+    }),
+
     // Per-user 6h metric rollup with gap fill: one (key, bucket)
     // partial-agg shuffle over raw events, then bucket-granularity grid
     // synthesis + forward fill — the metric-store shape. Exact decimal
@@ -3054,6 +3081,46 @@ object SparkEntry {
          |    AS n_links,
          |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
          |FROM x ORDER BY doc_id""".stripMargin
+    },
+
+    "q_code_fences" -> {
+      val pat = "(?s)```([a-zA-Z0-9_+#-]*)\\r?\\n(.*?)```"
+      s"""WITH staged AS (
+         |  SELECT doc_id,
+         |    '# Doc ' || doc_id || chr(10) || chr(10) || 'Intro prose.'
+         |    || chr(10) || '```scala' || chr(10) || 'val id = '
+         |    || doc_id || chr(10) || '// ' || substr(text, 1, 30)
+         |    || chr(10) || '```' || chr(10) || 'More prose.' || chr(10)
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN '```' || chr(10) || 'plain block ' || doc_id
+         |           || chr(10) || '```' || chr(10)
+         |         ELSE '```python' || chr(10) || 'unclosed = True'
+         |           || chr(10) END AS md
+         |  FROM documents),
+         |x AS (SELECT doc_id, md,
+         |    regexp_extract_all(md, '$pat', 1) AS langs,
+         |    regexp_extract_all(md, '$pat', 2) AS codes
+         |  FROM staged),
+         |f AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS fence_idx,
+         |    langs[CAST(i AS INTEGER)] AS lang,
+         |    codes[CAST(i AS INTEGER)] AS code
+         |  FROM x, unnest(range(1, len(codes) + 1)) AS u(i)),
+         |st AS (SELECT doc_id,
+         |    CAST(len(codes) AS INTEGER) AS n_fences,
+         |    CAST(coalesce(list_sum(list_transform(codes, c -> len(c))), 0)
+         |      AS INTEGER) AS code_chars,
+         |    round(CAST(coalesce(
+         |        list_sum(list_transform(codes, c -> len(c))), 0)
+         |      AS DOUBLE) / greatest(len(md), 1), 6) AS code_ratio
+         |  FROM x)
+         |SELECT f.doc_id, fence_idx,
+         |  CASE WHEN lang = '' THEN 'plain' ELSE lower(lang) END
+         |    AS lang_tag,
+         |  CAST(len(string_split(code, chr(10))) AS INTEGER) AS n_lines,
+         |  CAST(len(code) AS INTEGER) AS n_chars,
+         |  md5(code) AS code_md5, n_fences, code_chars, code_ratio
+         |FROM f JOIN st USING (doc_id)
+         |ORDER BY f.doc_id, fence_idx""".stripMargin
     },
 
     "q_resample" ->

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fenced-code-block extraction from markdown/README-style documents —
+  * the entry stage of a CODE-corpus pipeline, the way [[HtmlExtract]]
+  * is for web text: pull every ``` fence with its language tag into
+  * (doc, fence_idx, lang_tag, code) rows ready for per-language
+  * routing, dedup, and quality scoring; the stats surface gives each
+  * document's code share for mixed-corpus weighting.
+  *
+  * The fence grammar is one RE2-compatible pattern (non-greedy body,
+  * no backreferences), so the same extraction runs identically on any
+  * regex engine and the oracle replicates it pattern-for-pattern.
+  * Unclosed fences intentionally do NOT match — a truncated document
+  * contributes no half-block.
+  *
+  * Extends the reference's flat scalar surface (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  *
+  * Scale posture: extraction is a narrow projection + explode — zero
+  * shuffles, fully codegen'd, the fence regex runs once per group per
+  * document. Stats are per-row expressions on top.
+  */
+object CodeFences {
+
+  /** ```lang\n body ``` — group 1 = tag (may be empty), group 2 = body.
+    * `(?s)` so bodies span lines; `.*?` non-greedy so adjacent fences
+    * never fuse. */
+  val FencePattern: String = "(?s)```([a-zA-Z0-9_+#-]*)\\r?\\n(.*?)```"
+
+  private def fences(textCol: Column, group: Int): Column =
+    regexp_extract_all(textCol, lit(FencePattern), lit(group))
+
+  /** One row per fence: `(idCol, fence_idx, lang_tag, code, n_lines,
+    * n_chars)`. Untagged fences get `lang_tag = "plain"`; tags fold to
+    * lower case. */
+  def extract(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(arrays_zip(
+          fences(col(textCol), 1).as("lang"),
+          fences(col(textCol), 2).as("code")))
+          .as(Seq("fence_idx", "__f")))
+      .select(col(idCol), col("fence_idx"),
+        when(col("__f.lang") === "", lit("plain"))
+          .otherwise(lower(col("__f.lang"))).as("lang_tag"),
+        col("__f.code").as("code"),
+        size(split(col("__f.code"), "\n")).as("n_lines"),
+        length(col("__f.code")).as("n_chars"))
+
+  /** Per-document code share: `(idCol, n_fences, code_chars,
+    * code_ratio)` — the router's weighting signal. */
+  def stats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(fences(col(textCol), 2)).as("n_fences"),
+      coalesce(aggregate(transform(fences(col(textCol), 2),
+          c => length(c)), lit(0), (acc, x) => acc + x), lit(0))
+        .as("code_chars"),
+      round(coalesce(aggregate(transform(fences(col(textCol), 2),
+            c => length(c)), lit(0), (acc, x) => acc + x), lit(0))
+          .cast("double") / greatest(length(col(textCol)), lit(1)), 6)
+        .as("code_ratio"))
+}

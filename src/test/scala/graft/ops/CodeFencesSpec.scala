@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CodeFencesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fences(md: String) =
+    CodeFences.extract(Seq((1L, md)).toDF("id", "md"), "id", "md")
+      .select($"fence_idx", $"lang_tag", $"code")
+      .as[(Int, String, String)].collect().sortBy(_._1)
+
+  "extract" should "pull tagged and untagged fences in order" in {
+    val md = "intro\n```scala\nval x = 1\n```\nmid\n```\nplain\n```\nend"
+    fences(md) shouldBe Array(
+      (0, "scala", "val x = 1\n"),
+      (1, "plain", "plain\n"))
+  }
+
+  it should "not fuse adjacent fences (non-greedy body)" in {
+    val md = "```a\none\n```\n```b\ntwo\n```"
+    fences(md).map(f => (f._2, f._3)) shouldBe
+      Array(("a", "one\n"), ("b", "two\n"))
+  }
+
+  it should "ignore unclosed fences" in {
+    fences("```python\nunclosed = True\n") shouldBe empty
+    fences("ok\n```rust\nlet x;\n```\ntrail ```c\nnope") should have size 1
+  }
+
+  it should "fold tags to lower case and handle c++/c#-style tags" in {
+    fences("```C++\nint x;\n```")(0)._2 shouldBe "c++"
+  }
+
+  it should "span multi-line bodies" in {
+    val body = "line1\nline2\nline3\n"
+    val got = fences(s"```sql\n$body```")
+    got(0)._3 shouldBe body
+    CodeFences.extract(Seq((1L, s"```sql\n$body```")).toDF("id", "md"),
+        "id", "md")
+      .select($"n_lines").as[Int].head() shouldBe 4 // 3 lines + trailing
+  }
+
+  "stats" should "report the document's code share" in {
+    val md = "01234\n```x\nabcde\n```\n56789"
+    val s = CodeFences.stats(Seq((1L, md)).toDF("id", "md"), "id", "md")
+      .select($"n_fences", $"code_chars", $"code_ratio")
+      .as[(Int, Int, Double)].head()
+    s._1 shouldBe 1
+    s._2 shouldBe 6 // "abcde\n"
+    s._3 shouldBe math.rint(6.0 / md.length * 1e6) / 1e6 +- 1e-9
+  }
+
+  it should "report zeros for fence-free documents" in {
+    CodeFences.stats(Seq((1L, "no code here")).toDF("id", "md"),
+        "id", "md")
+      .select($"n_fences", $"code_chars", $"code_ratio")
+      .as[(Int, Int, Double)].head() shouldBe ((0, 0, 0.0))
+  }
+}

@@ -16,6 +16,37 @@ object SparkEntry {
   /** As-of cutoff used by the snapshot queries (events span 2024-01). */
   private val AsOfTs = "2024-01-15 00:00:00"
 
+  /** The language-identification scoring replicated in DuckDB — shared
+    * by `q_lang_id` (batch self-classification) and
+    * `q_stream_lang_gate` (the same scoring applied per micro-batch
+    * against frozen profiles: per-document scoring + frozen model ⇒
+    * the converged streaming output equals the batch output). */
+  private val LangIdOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS gram
+      |  FROM d, unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |p AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |tt AS (SELECT lang, sum(c) AS t FROM p GROUP BY 1),
+      |v AS (SELECT count(DISTINCT gram) AS v FROM p),
+      |dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT dg.doc_id, tt.lang,
+      |    CAST(sum(dg.cnt) AS BIGINT) AS n_grams,
+      |    round(sum(dg.cnt * ln((coalesce(p.c, 0) + 1.0) / (tt.t + v.v)))
+      |          / sum(dg.cnt), 6) AS score
+      |  FROM dg CROSS JOIN tt CROSS JOIN v
+      |  LEFT JOIN p ON p.lang = tt.lang AND p.gram = dg.gram
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang AS lang_pred, n_grams, score FROM sc
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** q_encoding_repair's accent seeding (ASCII letter → accented form).
     * Every target sits in the 0xE0–0xFF tier, where the sequential
     * corrupt chain is provably equivalent to the real charset round trip
@@ -1521,6 +1552,26 @@ object SparkEntry {
           "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // Streaming language gate: profiles trained once in batch and
+    // FROZEN; each arriving micro-batch of documents is classified on
+    // arrival via foreachBatch. Per-document scoring + frozen model ⇒
+    // converged output equals the batch classification regardless of
+    // batch boundaries, so it hash-checks against the SAME oracle as
+    // q_lang_id.
+    "q_stream_lang_gate" -> ((s, d) => {
+      val profDir = scratchDir("graft_slg_prof_")
+      val out = scratchDir("graft_slg_")
+      graft.ops.LangId.trainProfiles(
+          Tables.documents(s, d).select(col("text"), col("lang")),
+          "text", "lang")
+        .write.mode("overwrite").parquet(profDir)
+      graft.streaming.ChangelogStream.streamClassifyLang(
+          Tables.documentsStream(s, d), profDir, "doc_id", "text", out,
+          statePartitions = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // Main-content extraction from raw HTML — the WET-style stage every
     // web-corpus pipeline runs first. Deterministic markup is wrapped
@@ -3283,31 +3334,10 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin
     },
 
-    "q_lang_id" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS gram
-        |  FROM d, unnest(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |p AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
-        |tt AS (SELECT lang, sum(c) AS t FROM p GROUP BY 1),
-        |v AS (SELECT count(DISTINCT gram) AS v FROM p),
-        |dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT dg.doc_id, tt.lang,
-        |    CAST(sum(dg.cnt) AS BIGINT) AS n_grams,
-        |    round(sum(dg.cnt * ln((coalesce(p.c, 0) + 1.0) / (tt.t + v.v)))
-        |          / sum(dg.cnt), 6) AS score
-        |  FROM dg CROSS JOIN tt CROSS JOIN v
-        |  LEFT JOIN p ON p.lang = tt.lang AND p.gram = dg.gram
-        |  GROUP BY 1, 2)
-        |SELECT doc_id, lang AS lang_pred, n_grams, score FROM sc
-        |QUALIFY row_number() OVER (
-        |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
-        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> LangIdOracleSql,
+    // the streaming gate scores per document against frozen profiles, so
+    // its converged output IS the batch classification — same oracle
+    "q_stream_lang_gate" -> LangIdOracleSql,
     // Exact regime: Misra–Gries with zero purges IS a GROUP BY count.
     "q_freq_exact" ->
       """WITH toks AS (

@@ -302,6 +302,45 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming language identification against FROZEN profiles: each
+    * arriving micro-batch is classified with
+    * [[graft.ops.LangId.classify]] against a persisted profile table
+    * trained in batch — the language gate applied AS DOCUMENTS ARRIVE,
+    * before they reach the corpus, instead of as a later batch sweep.
+    * Scoring is per-document and the profiles never move, so the
+    * converged output equals the batch classification of the whole
+    * bounded stream REGARDLESS of batch boundaries — it shares the
+    * batch oracle. Same file-sink bridge and idempotent per-batch
+    * overwrite as [[streamDedupAgainst]]. */
+  def streamClassifyLang(stream: DataFrame, profilesDir: String,
+                         idCol: String, textCol: String, dir: String,
+                         n: Int = 3,
+                         statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val profiles = s.read.parquet(profilesDir)
+        graft.ops.LangId.classify(b, profiles, idCol, textCol, n)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      graft.ops.LangId.classify(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          stream.schema),
+        spark.read.parquet(profilesDir), idCol, textCol, n)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
     * upsert replayed to completion with per-batch winners written to
     * parquet and reduced distributedly — the equivalence check itself is

@@ -500,6 +500,55 @@ class ChangelogStreamSpec extends SparkTestBase {
     // incremental tier
     runStreamDedup(appendAccepted = true) shouldBe Set(22L, 31L)
   }
+
+  "streamClassifyLang" should "converge to the batch classification across batch splits" in {
+    import graft.ops.LangId
+    val train = Seq(
+      (1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "le chat est sur le tapis dans le salon", "fr"),
+      (3L, "the dog and the cat share the garden", "en"),
+      (4L, "le chien et le chat dans le jardin", "fr"))
+    val incoming = Seq(
+      SDoc(10L, "the cat and the dog sat together"),
+      SDoc(11L, "le chat et le chien sont ensemble"),
+      SDoc(12L, "the mat in the garden with the dog"),
+      SDoc(13L, "le tapis dans le jardin du chat"))
+    val profDir = java.nio.file.Files
+      .createTempDirectory("graft_slg_prof").toString
+    LangId.trainProfiles(train.toDF("doc_id", "text", "lang"),
+      "text", "lang").write.mode("overwrite").parquet(profDir)
+    // two files + maxFilesPerTrigger=1 → two micro-batches
+    val inDir = java.nio.file.Files.createTempDirectory("graft_slg_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_slg_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(2), "wave1.parquet", 120000L)
+    stage(incoming.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_slg").toString
+    val got = ChangelogStream.streamClassifyLang(stream, profDir,
+        "doc_id", "text", dir)
+      .select($"id", $"lang_pred", $"n_grams", $"score")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    val want = LangId.classify(incoming.toDF("doc_id", "text"),
+        spark.read.parquet(profDir), "doc_id", "text")
+      .select($"id", $"lang_pred", $"n_grams", $"score")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    got shouldBe want
+    got.map(r => r._1 -> r._2).toMap shouldBe
+      Map(10L -> "en", 11L -> "fr", 12L -> "en", 13L -> "fr")
+  }
 }
 
 // top-level: the MemoryStream encoder must be resolvable inside the

@@ -47,6 +47,63 @@ object SparkEntry {
       |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** The synthetic image family q_image_dhash / q_image_neardup share:
+    * one pattern asset per document plus a twin — a one-pixel tweak of
+    * the SAME pattern for doc_id % 3 == 0 (a near-dup), an unrelated
+    * pattern otherwise. */
+  private def ImageDhashAssets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id").as("img_id"),
+      col("doc_id").as("seed"), lit(false).as("tweak"))
+    val b = docs.select((col("doc_id") + 1000000L).as("img_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
+        .otherwise(col("doc_id") + 1000000L).as("seed"),
+      (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
+    graft.ops.ImageHash.syntheticPatternAssets(
+      a.unionByName(b), "img_id", "seed", "tweak")
+  }
+
+  /** The oracle's arithmetic rebuild of [[ImageDhashAssets]]' dHashes —
+    * shared by both image-hash oracle entries. */
+  private val ImageHashCte: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""ids AS (
+       |  SELECT doc_id AS img_id, doc_id AS seed, false AS tweak
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    CASE WHEN doc_id % 3 = 0 THEN doc_id
+       |         ELSE doc_id + 1000000 END,
+       |    doc_id % 3 = 0
+       |  FROM documents),
+       |px AS (
+       |  SELECT img_id, CAST(y AS INTEGER) AS y, CAST(x AS INTEGER) AS x,
+       |    tweak, md5('img:' || seed || ':' || y || ':' || x) AS h
+       |  FROM ids, unnest(range(0, 8)) AS uy(y),
+       |       unnest(range(0, 9)) AS ux(x)),
+       |g AS (
+       |  SELECT img_id, y, x,
+       |    (${nib(1)} * 16 + ${nib(2)}
+       |     + CASE WHEN tweak AND x = 4 AND y = 2 THEN 1 ELSE 0 END) % 256
+       |      AS g
+       |  FROM px),
+       |bits AS (
+       |  SELECT img_id, y, x,
+       |    CASE WHEN lead(g) OVER (PARTITION BY img_id, y ORDER BY x) > g
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM g QUALIFY x < 8),
+       |hash AS (
+       |  SELECT img_id,
+       |    CAST(sum(CASE WHEN y >= 4
+       |      THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+       |      ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |    CAST(sum(CASE WHEN y < 4
+       |      THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+       |      ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
   /** q_encoding_repair's accent seeding (ASCII letter → accented form).
     * Every target sits in the 0xE0–0xFF tier, where the sequential
     * corrupt chain is provably equivalent to the real charset round trip
@@ -1621,6 +1678,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("fence_idx"))
     }),
 
+    // Perceptual image hashing: REAL indexed-GIF assets (md5-seeded
+    // per-pixel gray patterns) are decoded and dHashed — the oracle
+    // recomputes every hash from pure SQL arithmetic, so the whole
+    // decode → point-sample → luminance → gradient-bit pipeline is
+    // pinned value for value across 1000 images.
+    "q_image_dhash" -> ((s, d) =>
+      graft.ops.ImageHash.dHash(
+          ImageDhashAssets(s, d), "id", "data")
+        .select(col("id").as("img_id"), col("width"), col("height"),
+          col("dhash_hi"), col("dhash_lo"))
+        .orderBy(col("img_id"))),
+
+    // Near-duplicate image detection over the same asset family: every
+    // doc_id % 3 == 0 gets a one-pixel-tweaked twin (≤ 2 bits apart),
+    // every other twin is an unrelated pattern (~32 bits apart). The
+    // 4-band pigeonhole join + bit_count verify must reproduce the
+    // oracle's brute-force Hamming scan exactly.
+    "q_image_neardup" -> ((s, d) =>
+      graft.ops.ImageHash.nearDupPairs(
+          graft.ops.ImageHash.dHash(ImageDhashAssets(s, d), "id", "data"),
+          "id", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Per-user 6h metric rollup with gap fill: one (key, bucket)
     // partial-agg shuffle over raw events, then bucket-granularity grid
     // synthesis + forward fill — the metric-store shape. Exact decimal
@@ -3173,6 +3253,22 @@ object SparkEntry {
          |FROM f JOIN st USING (doc_id)
          |ORDER BY f.doc_id, fence_idx""".stripMargin
     },
+
+    "q_image_dhash" ->
+      s"""WITH $ImageHashCte
+         |SELECT img_id, CAST(9 AS INTEGER) AS width,
+         |  CAST(8 AS INTEGER) AS height, dhash_hi, dhash_lo
+         |FROM hash ORDER BY img_id""".stripMargin,
+
+    "q_image_neardup" ->
+      s"""WITH $ImageHashCte
+         |SELECT id_a, id_b, dist FROM (
+         |  SELECT a.img_id AS id_a, b.img_id AS id_b,
+         |    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         |         bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM hash a JOIN hash b ON a.img_id < b.img_id)
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (

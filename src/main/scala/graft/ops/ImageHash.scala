@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Perceptual image hashing (dHash) and near-duplicate image detection —
+  * the IMAGE tier of the dedup battery: re-encodes, metadata edits, and
+  * single-pixel touch-ups of the same picture produce hashes within a
+  * few bits, where the byte-level md5 tiers see unrelated blobs. The
+  * pipeline is: REAL decode ([[Multimodal]]'s codecs) → point-sampled
+  * 9×8 Rec.601 luminance grid → 64 horizontal-gradient bits, stored as
+  * two unsigned 32-bit halves (`dhash_hi`, `dhash_lo`) so XOR/bit_count
+  * arithmetic stays sign-free and engine-portable.
+  *
+  * Point sampling (pixel at `(x·w/9, y·h/8)`, integer division) instead
+  * of area interpolation is deliberate: it is exactly reproducible by
+  * integer arithmetic in any engine — the harness oracle recomputes the
+  * hash of every synthetic asset from pure SQL — and dHash's robustness
+  * comes from the 64 gradient comparisons, not the sampler.
+  *
+  * Extends the reference surface per the training-data-pipeline charter
+  * (images do not exist in the reference's flat scalar model —
+  * reference: src/main/scala/com/booking/spark/Schema.scala:71-85).
+  *
+  * Scale posture: hashing is batched `mapPartitions` over the asset
+  * scan — zero shuffles, one row per image out. Pair search never goes
+  * all-pairs: 4 fixed 16-bit bands (pigeonhole: Hamming distance ≤ 3 ⇒
+  * at least one band identical) → one band-key equi-join shuffle over
+  * band-bucket-sized groups, exact `bit_count` verify after.
+  */
+object ImageHash {
+
+  val DHashSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("dhash_hi", LongType, nullable = true),
+    StructField("dhash_lo", LongType, nullable = true)))
+
+  private def luma(rgb: Int): Int =
+    math.round(0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+      0.114 * (rgb & 0xFF)).toInt
+
+  /** The 64 dHash bits of a decoded raster: bit (x, y) = sampled
+    * luminance at column x+1 exceeds column x, position p = y·8 + x,
+    * split into unsigned halves (hi = p ≥ 32). */
+  private[ops] def dHashOf(
+      img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.tabulate(8, 9) { (y, x) =>
+      luma(img.getRGB(x * w / 9, y * h / 8))
+    }
+    var hi = 0L
+    var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x + 1) > g(y)(x)) {
+          val p = y * 8 + x
+          if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
+  /** Hash every decodable image asset: `(id, media_type, width, height,
+    * dhash_hi, dhash_lo)`; undecodable payloads yield honest nulls. */
+  def dHash(df: DataFrame, idCol: String, bytesCol: String,
+            batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"),
+      Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"dHash: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth < 9 || img.getHeight < 8)
+              Row(id, mediaType, null, null, null, null)
+            else {
+              val (hi, lo) = dHashOf(img)
+              Row(id, mediaType, img.getWidth, img.getHeight, hi, lo)
+            }
+          } catch {
+            case _: Exception => Row(id, mediaType, null, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(DHashSchema))
+  }
+
+  /** Near-duplicate image pairs `(id_a, id_b, dist)` with Hamming
+    * distance ≤ `maxDist` (≤ 3: the 4 fixed bands guarantee EXACT
+    * recall by pigeonhole). One band equi-join, bit_count verify. */
+  def nearDupPairs(hashes: DataFrame, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
+    val h = hashes.filter(col("dhash_hi").isNotNull)
+      .select(col(idCol).as("__id"), col("dhash_hi"), col("dhash_lo"))
+    val banded = h.select(col("__id"), col("dhash_hi"), col("dhash_lo"),
+      explode(array(
+        struct(lit(0).as("band"), shiftright(col("dhash_hi"), 16).as("v")),
+        struct(lit(1).as("band"), (col("dhash_hi") % 65536).as("v")),
+        struct(lit(2).as("band"), shiftright(col("dhash_lo"), 16).as("v")),
+        struct(lit(3).as("band"), (col("dhash_lo") % 65536).as("v"))))
+        .as("__b"))
+    val a = banded.select(col("__id").as("id_a"),
+      col("dhash_hi").as("__hiA"), col("dhash_lo").as("__loA"),
+      col("__b.band").as("__band"), col("__b.v").as("__v"))
+    val b = banded.select(col("__id").as("id_b"),
+      col("dhash_hi").as("__hiB"), col("dhash_lo").as("__loB"),
+      col("__b.band").as("__band"), col("__b.v").as("__v"))
+    a.join(b, Seq("__band", "__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__hiA").bitwiseXOR(col("__hiB"))) +
+          bit_count(col("__loA").bitwiseXOR(col("__loB")))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  // ---- synthetic fixture assets (harness + spec) ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The deterministic per-pixel gray of the synthetic pattern: the
+    * first md5 byte of `img:<seed>:<y>:<x>` — iid-uniform pixels, so
+    * distinct seeds give ~32-bit-apart hashes while a one-pixel tweak
+    * moves at most 2 bits. Replicated nibble-for-nibble by the oracle. */
+  private[ops] def patternGray(seed: Long, y: Int, x: Int): Int =
+    Integer.parseInt(md5Hex(s"img:$seed:$y:$x").substring(0, 2), 16)
+
+  private[ops] def patternFrame(seed: Long, tweak: Boolean)
+      : java.awt.image.BufferedImage = {
+    // explicit 256-gray palette: indexed GIF round-trips every gray
+    // value exactly (an RGB frame would meet the writer's quantizer)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val g0 = patternGray(seed, y, x)
+        val g = if (tweak && x == 4 && y == 2) (g0 + 1) % 256 else g0
+        raster.setSample(x, y, 0, g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** One real (GIF-encoded) 9×8 pattern asset per row: `(id, data)`,
+    * content seeded by `seedCol`, optionally one-pixel tweaked — the
+    * fixture family `q_image_dhash` and the specs share. */
+  def syntheticPatternAssets(df: DataFrame, idCol: String, seedCol: String,
+                             tweakCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
+        col(tweakCol).cast(BooleanType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frame = patternFrame(r.getLong(1), r.getBoolean(2))
+          Row(r.getLong(0), Multimodal.GifEncoder.encode(Seq(frame)))
+        }
+      }(Encoders.row(schema))
+  }
+}

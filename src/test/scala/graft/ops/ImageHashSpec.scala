@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ImageHashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent reference: the hash the md5 pattern SHOULD produce. */
+  private def refHash(seed: Long, tweak: Boolean): (Long, Long) = {
+    def gray(y: Int, x: Int): Int = {
+      val g = ImageHash.patternGray(seed, y, x)
+      if (tweak && x == 4 && y == 2) (g + 1) % 256 else g
+    }
+    var hi = 0L
+    var lo = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(y, x + 1) > gray(y, x)) {
+        val p = y * 8 + x
+        if (p >= 32) hi |= 1L << (p - 32) else lo |= 1L << p
+      }
+    (hi, lo)
+  }
+
+  private def hashAssets(rows: Seq[(Long, Long, Boolean)]) =
+    ImageHash.dHash(
+      ImageHash.syntheticPatternAssets(
+        rows.toDF("id", "seed", "tweak"), "id", "seed", "tweak"),
+      "id", "data")
+
+  "dHash" should "recover the pattern arithmetic through a REAL GIF round trip" in {
+    val rows = Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true))
+    val got = hashAssets(rows)
+      .select($"id", $"media_type", $"width", $"height",
+        $"dhash_hi", $"dhash_lo")
+      .as[(Long, String, Int, Int, Long, Long)].collect().sortBy(_._1)
+    got.map(_._2).distinct shouldBe Array("image/gif")
+    got.map(r => (r._3, r._4)).distinct shouldBe Array((9, 8))
+    rows.foreach { case (id, seed, tweak) =>
+      val r = got.find(_._1 == id).get
+      (r._5, r._6) shouldBe refHash(seed, tweak)
+    }
+  }
+
+  it should "be invariant under exact 2x point upscaling" in {
+    // a 18x16 image whose (x, y) pixel = pattern(x/2, y/2) point-samples
+    // back to the 9x8 pattern: same hash by construction
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 16; x <- 0 until 18)
+      img.getRaster.setSample(x, y, 0, ImageHash.patternGray(5L, y / 2, x / 2))
+    ImageHash.dHashOf(img) shouldBe refHash(5L, tweak = false)
+  }
+
+  it should "yield honest nulls for undecodable payloads" in {
+    val df = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("id", "data")
+    val r = ImageHash.dHash(df, "id", "data")
+      .select($"dhash_hi".isNull, $"width".isNull)
+      .as[(Boolean, Boolean)].head()
+    r shouldBe ((true, true))
+  }
+
+  "nearDupPairs" should "equal the brute-force Hamming scan (pigeonhole recall)" in {
+    val rows = (1L to 40L).map(i => (i, i, false)) ++
+      Seq((101L, 1L, true), (102L, 2L, true)) // tweaked twins of 1 and 2
+    val hashes = hashAssets(rows)
+    val got = ImageHash.nearDupPairs(hashes, "id", maxDist = 3)
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the collected hashes
+    val h = hashes.select($"id", $"dhash_hi", $"dhash_lo")
+      .as[(Long, Long, Long)].collect()
+    val want = (for {
+      a <- h; b <- h if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= 3
+    } yield (a._1, b._1, d)).toSet
+    got shouldBe want
+    // the engineered twins are found
+    want.map(p => (p._1, p._2)) should contain allOf ((1L, 101L), (2L, 102L))
+  }
+
+  it should "reject tolerances beyond the band guarantee" in {
+    val hashes = hashAssets(Seq((1L, 1L, false)))
+    intercept[IllegalArgumentException] {
+      ImageHash.nearDupPairs(hashes, "id", maxDist = 4)
+    }
+  }
+}

@@ -104,6 +104,58 @@ object SparkEntry {
        |  FROM bits GROUP BY 1)""".stripMargin
   }
 
+  /** The synthetic WAV family q_audio_fingerprint / q_audio_neardup
+    * share — same twin structure as [[ImageDhashAssets]]. */
+  private def AudioFpAssets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id").as("snd_id"),
+      col("doc_id").as("seed"), lit(false).as("tweak"))
+    val b = docs.select((col("doc_id") + 1000000L).as("snd_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
+        .otherwise(col("doc_id") + 1000000L).as("seed"),
+      (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
+    graft.ops.AudioFingerprint.syntheticWavAssets(
+      a.unionByName(b), "snd_id", "seed", "tweak")
+  }
+
+  /** Oracle arithmetic rebuild of [[AudioFpAssets]]' fingerprints:
+    * constant-amplitude windows make each window mean exact, so the
+    * envelope comparisons reduce to integer amplitude comparisons. */
+  private val AudioFpCte: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""ids AS (
+       |  SELECT doc_id AS snd_id, doc_id AS seed, false AS tweak
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    CASE WHEN doc_id % 3 = 0 THEN doc_id
+       |         ELSE doc_id + 1000000 END,
+       |    doc_id % 3 = 0
+       |  FROM documents),
+       |amp AS (
+       |  SELECT snd_id, CAST(w AS INTEGER) AS w,
+       |    1 + 100 * (${nib(1)} * 16 + ${nib(2)})
+       |      + CASE WHEN tweak AND w = 7 THEN 100 ELSE 0 END AS a
+       |  FROM (SELECT snd_id, tweak, w,
+       |          md5('aud:' || seed || ':' || w) AS h
+       |        FROM ids, unnest(range(0, 65)) AS uw(w))),
+       |bits AS (
+       |  SELECT snd_id, w,
+       |    CASE WHEN lead(a) OVER (PARTITION BY snd_id ORDER BY w) > a
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM amp QUALIFY w < 64),
+       |fp AS (
+       |  SELECT snd_id,
+       |    CAST(sum(CASE WHEN w >= 32
+       |      THEN bit * (CAST(1 AS BIGINT) << (w - 32))
+       |      ELSE 0 END) AS BIGINT) AS afp_hi,
+       |    CAST(sum(CASE WHEN w < 32
+       |      THEN bit * (CAST(1 AS BIGINT) << w)
+       |      ELSE 0 END) AS BIGINT) AS afp_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
   /** q_encoding_repair's accent seeding (ASCII letter → accented form).
     * Every target sits in the 0xE0–0xFF tier, where the sequential
     * corrupt chain is provably equivalent to the real charset round trip
@@ -1701,6 +1753,27 @@ object SparkEntry {
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Acoustic fingerprinting over REAL WAV round trips: constant-
+    // amplitude md5-seeded windows make every envelope mean exact, so
+    // the oracle rebuilds all 64 gradient bits from integer SQL. The
+    // decode → envelope → bits pipeline is pinned for 1000 files.
+    "q_audio_fingerprint" -> ((s, d) =>
+      graft.ops.AudioFingerprint.fingerprint(
+          AudioFpAssets(s, d), "id", "data")
+        .select(col("id").as("snd_id"), col("n_samples"),
+          col("afp_hi"), col("afp_lo"))
+        .orderBy(col("snd_id"))),
+
+    // Audio near-dup detection: one-window-tweaked twins (≤ 2 bits) for
+    // every third doc, unrelated patterns otherwise; the shared 4-band
+    // pigeonhole join must reproduce the oracle's brute-force scan.
+    "q_audio_neardup" -> ((s, d) =>
+      graft.ops.AudioFingerprint.nearDupPairs(
+          graft.ops.AudioFingerprint.fingerprint(
+            AudioFpAssets(s, d), "id", "data"),
+          "id", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Per-user 6h metric rollup with gap fill: one (key, bucket)
     // partial-agg shuffle over raw events, then bucket-granularity grid
     // synthesis + forward fill — the metric-store shape. Exact decimal
@@ -3253,6 +3326,22 @@ object SparkEntry {
          |FROM f JOIN st USING (doc_id)
          |ORDER BY f.doc_id, fence_idx""".stripMargin
     },
+
+    "q_audio_fingerprint" ->
+      s"""WITH $AudioFpCte
+         |SELECT snd_id, CAST(6500 AS INTEGER) AS n_samples,
+         |  afp_hi, afp_lo
+         |FROM fp ORDER BY snd_id""".stripMargin,
+
+    "q_audio_neardup" ->
+      s"""WITH $AudioFpCte
+         |SELECT id_a, id_b, dist FROM (
+         |  SELECT a.snd_id AS id_a, b.snd_id AS id_b,
+         |    CAST(bit_count(xor(a.afp_hi, b.afp_hi)) +
+         |         bit_count(xor(a.afp_lo, b.afp_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM fp a JOIN fp b ON a.snd_id < b.snd_id)
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_image_dhash" ->
       s"""WITH $ImageHashCte

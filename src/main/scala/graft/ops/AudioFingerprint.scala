@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Acoustic fingerprinting (chromaprint-style, envelope tier) and
+  * near-duplicate audio detection — the AUDIO arm of the media-dedup
+  * battery next to [[ImageHash]]: re-encodes and small edits of the
+  * same recording land within a few bits, where byte hashes see
+  * unrelated blobs. Pipeline: REAL PCM decode
+  * ([[Multimodal.AudioDecoder]], WAV/AIFF/AU) → 65 fixed-length
+  * windows of mean absolute amplitude → 64 envelope-gradient bits
+  * (`bit w = env(w+1) > env(w)`), stored as two unsigned 32-bit halves.
+  *
+  * Envelope-GRADIENT bits (like dHash's luminance gradients) make the
+  * fingerprint invariant to volume scaling: any positive gain
+  * multiplies every window mean equally and preserves each comparison.
+  *
+  * Extends the reference surface per the training-data-pipeline charter
+  * (no media in the reference's flat scalar model — reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85).
+  *
+  * Scale posture: fingerprinting is batched `mapPartitions` over the
+  * asset scan — zero shuffles; pair search is the shared [[Hamming]]
+  * 4-band pigeonhole join (exact recall at distance ≤ 3), never
+  * all-pairs.
+  */
+object AudioFingerprint {
+
+  val Windows = 65 // 64 gradient bits
+
+  val FingerprintSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("afp_hi", LongType, nullable = true),
+    StructField("afp_lo", LongType, nullable = true)))
+
+  private[ops] def fingerprintOf(samples: Array[Float],
+                                 windowSamples: Int): Option[(Long, Long)] = {
+    val need = Windows * windowSamples
+    if (samples.length < need) return None
+    val env = Array.tabulate(Windows) { w =>
+      var s = 0.0
+      var i = w * windowSamples
+      val end = i + windowSamples
+      while (i < end) { s += math.abs(samples(i)); i += 1 }
+      s / windowSamples
+    }
+    var hi = 0L
+    var lo = 0L
+    var w = 0
+    while (w < 64) {
+      if (env(w + 1) > env(w)) {
+        if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+      }
+      w += 1
+    }
+    Some((hi, lo))
+  }
+
+  /** Fingerprint every decodable audio asset: `(id, media_type,
+    * n_samples, afp_hi, afp_lo)`; undecodable or too-short payloads
+    * (< 65 windows) yield honest nulls. */
+  def fingerprint(df: DataFrame, idCol: String, bytesCol: String,
+                  windowSamples: Int = 100,
+                  batchSize: Int = 64): DataFrame = {
+    require(windowSamples >= 1,
+      s"windowSamples must be >= 1, got $windowSamples")
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"),
+      Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"fingerprint: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          Multimodal.AudioDecoder.pcmSamples(bytes) match {
+            case Some((samples, _)) =>
+              fingerprintOf(samples, windowSamples) match {
+                case Some((hi, lo)) =>
+                  Row(id, mediaType, samples.length, hi, lo)
+                case None => Row(id, mediaType, samples.length, null, null)
+              }
+            case None => Row(id, mediaType, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(FingerprintSchema))
+  }
+
+  /** Near-duplicate audio pairs — the shared [[Hamming]] band join. */
+  def nearDupPairs(fps: DataFrame, idCol: String,
+                   maxDist: Int = 3): DataFrame =
+    Hamming.nearDupPairs(fps, idCol, "afp_hi", "afp_lo", maxDist)
+
+  // ---- synthetic fixture assets (harness + spec) ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Per-window amplitude of the synthetic signal: 1 + 100 · (first md5
+    * byte of `aud:<seed>:<w>`) — iid-uniform windows whose constant
+    * samples make every window mean EXACT in float arithmetic, so the
+    * oracle reproduces each comparison from integer SQL. */
+  private[ops] def patternAmp(seed: Long, w: Int): Int =
+    1 + 100 * Integer.parseInt(md5Hex(s"aud:$seed:$w").substring(0, 2), 16)
+
+  private[ops] def patternWav(seed: Long, tweak: Boolean,
+                              windowSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](Windows * windowSamples * 2)
+    var w = 0
+    while (w < Windows) {
+      val a0 = patternAmp(seed, w)
+      val a = if (tweak && w == 7) a0 + 100 else a0
+      var i = 0
+      while (i < windowSamples) {
+        val off = (w * windowSamples + i) * 2
+        pcm(off) = (a & 0xFF).toByte // little-endian signed 16-bit
+        pcm(off + 1) = ((a >> 8) & 0xFF).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (Windows * windowSamples).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One real (WAV-encoded) pattern asset per row: `(id, data)`,
+    * content seeded by `seedCol`, optionally one-window tweaked — the
+    * fixture family `q_audio_fingerprint` / `q_audio_neardup` and the
+    * specs share. */
+  def syntheticWavAssets(df: DataFrame, idCol: String, seedCol: String,
+                         tweakCol: String,
+                         windowSamples: Int = 100): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
+        col(tweakCol).cast(BooleanType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            patternWav(r.getLong(1), r.getBoolean(2), windowSamples))
+        }
+      }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded Hamming-distance pair search over 64-bit fingerprints stored
+  * as two unsigned 32-bit halves — the shared engine behind
+  * [[ImageHash]] (dHash) and [[AudioFingerprint]] (envelope bits).
+  *
+  * 4 fixed 16-bit bands: by pigeonhole, two fingerprints within
+  * Hamming distance 3 agree on at least one band, so recall is EXACT
+  * for `maxDist ≤ 3` — the same guarantee structure as
+  * [[Dedup]]'s SimHash text tier, at media-fingerprint width.
+  *
+  * Scale posture: one band-key equi-join shuffle over band-bucket-sized
+  * groups (4 rows per fingerprint), exact `bit_count` verify after,
+  * never all-pairs.
+  */
+object Hamming {
+
+  /** Pairs `(id_a, id_b, dist)` with `dist ≤ maxDist` (≤ 3 for exact
+    * recall), `id_a < id_b`. Null fingerprints are skipped. */
+  def nearDupPairs(hashes: DataFrame, idCol: String, hiCol: String,
+                   loCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
+    val h = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
+        col(loCol).as("__lo"))
+    val banded = h.select(col("__id"), col("__hi"), col("__lo"),
+      explode(array(
+        struct(lit(0).as("band"), shiftright(col("__hi"), 16).as("v")),
+        struct(lit(1).as("band"), (col("__hi") % 65536).as("v")),
+        struct(lit(2).as("band"), shiftright(col("__lo"), 16).as("v")),
+        struct(lit(3).as("band"), (col("__lo") % 65536).as("v"))))
+        .as("__b"))
+    val a = banded.select(col("__id").as("id_a"),
+      col("__hi").as("__hiA"), col("__lo").as("__loA"),
+      col("__b.band").as("__band"), col("__b.v").as("__v"))
+    val b = banded.select(col("__id").as("id_b"),
+      col("__hi").as("__hiB"), col("__lo").as("__loB"),
+      col("__b.band").as("__band"), col("__b.v").as("__v"))
+    a.join(b, Seq("__band", "__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__hiA").bitwiseXOR(col("__hiB"))) +
+          bit_count(col("__loA").bitwiseXOR(col("__loB")))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+}

@@ -102,35 +102,11 @@ object ImageHash {
   }
 
   /** Near-duplicate image pairs `(id_a, id_b, dist)` with Hamming
-    * distance ≤ `maxDist` (≤ 3: the 4 fixed bands guarantee EXACT
-    * recall by pigeonhole). One band equi-join, bit_count verify. */
+    * distance ≤ `maxDist` (≤ 3: exact recall) — the shared
+    * [[Hamming]] band join over the dHash halves. */
   def nearDupPairs(hashes: DataFrame, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
-    val h = hashes.filter(col("dhash_hi").isNotNull)
-      .select(col(idCol).as("__id"), col("dhash_hi"), col("dhash_lo"))
-    val banded = h.select(col("__id"), col("dhash_hi"), col("dhash_lo"),
-      explode(array(
-        struct(lit(0).as("band"), shiftright(col("dhash_hi"), 16).as("v")),
-        struct(lit(1).as("band"), (col("dhash_hi") % 65536).as("v")),
-        struct(lit(2).as("band"), shiftright(col("dhash_lo"), 16).as("v")),
-        struct(lit(3).as("band"), (col("dhash_lo") % 65536).as("v"))))
-        .as("__b"))
-    val a = banded.select(col("__id").as("id_a"),
-      col("dhash_hi").as("__hiA"), col("dhash_lo").as("__loA"),
-      col("__b.band").as("__band"), col("__b.v").as("__v"))
-    val b = banded.select(col("__id").as("id_b"),
-      col("dhash_hi").as("__hiB"), col("dhash_lo").as("__loB"),
-      col("__b.band").as("__band"), col("__b.v").as("__v"))
-    a.join(b, Seq("__band", "__v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (bit_count(col("__hiA").bitwiseXOR(col("__hiB"))) +
-          bit_count(col("__loA").bitwiseXOR(col("__loB")))).as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
-  }
+                   maxDist: Int = 3): DataFrame =
+    Hamming.nearDupPairs(hashes, idCol, "dhash_hi", "dhash_lo", maxDist)
 
   // ---- synthetic fixture assets (harness + spec) ----
 

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AudioFingerprintSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent reference: the bits the amplitude pattern SHOULD give. */
+  private def refFp(seed: Long, tweak: Boolean): (Long, Long) = {
+    def amp(w: Int): Int = {
+      val a = AudioFingerprint.patternAmp(seed, w)
+      if (tweak && w == 7) a + 100 else a
+    }
+    var hi = 0L
+    var lo = 0L
+    for (w <- 0 until 64)
+      if (amp(w + 1) > amp(w)) {
+        if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+      }
+    (hi, lo)
+  }
+
+  private def fps(rows: Seq[(Long, Long, Boolean)]) =
+    AudioFingerprint.fingerprint(
+      AudioFingerprint.syntheticWavAssets(
+        rows.toDF("id", "seed", "tweak"), "id", "seed", "tweak"),
+      "id", "data")
+
+  "fingerprint" should "recover the amplitude arithmetic through a REAL WAV round trip" in {
+    val rows = Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true))
+    val got = fps(rows)
+      .select($"id", $"media_type", $"n_samples", $"afp_hi", $"afp_lo")
+      .as[(Long, String, Int, Long, Long)].collect().sortBy(_._1)
+    got.map(_._2).distinct shouldBe Array("audio/wav")
+    got.map(_._3).distinct shouldBe Array(6500)
+    rows.foreach { case (id, seed, tweak) =>
+      val r = got.find(_._1 == id).get
+      (r._4, r._5) shouldBe refFp(seed, tweak)
+    }
+  }
+
+  it should "be invariant to volume scaling" in {
+    // halving every sample scales all window means equally: same bits
+    val samples = Array.tabulate(65 * 10)(i =>
+      AudioFingerprint.patternAmp(9L, i / 10).toFloat / 32768f)
+    val half = samples.map(_ / 2f)
+    AudioFingerprint.fingerprintOf(samples, 10) shouldBe
+      AudioFingerprint.fingerprintOf(half, 10)
+  }
+
+  it should "yield honest nulls for undecodable or too-short payloads" in {
+    val noise = Seq((1L, "not audio".getBytes("UTF-8"))).toDF("id", "data")
+    AudioFingerprint.fingerprint(noise, "id", "data")
+      .select($"afp_hi".isNull).as[Boolean].head() shouldBe true
+    // a real but too-short WAV: decodes, but can't fill 65 windows
+    val short = AudioFingerprint.patternWav(1L, tweak = false,
+      windowSamples = 100)
+    val fp = AudioFingerprint.fingerprint(
+        Seq((2L, short)).toDF("id", "data"), "id", "data",
+        windowSamples = 200)
+      .select($"n_samples".isNotNull, $"afp_hi".isNull)
+      .as[(Boolean, Boolean)].head()
+    fp shouldBe ((true, true))
+  }
+
+  "nearDupPairs" should "find the tweaked twin within 2 bits, via the shared band join" in {
+    val rows = (1L to 30L).map(i => (i, i, false)) :+ ((201L, 5L, true))
+    val pairs = AudioFingerprint.nearDupPairs(fps(rows), "id", maxDist = 3)
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Int)].collect()
+    val twin = pairs.find(p => p._1 == 5L && p._2 == 201L)
+    twin should not be empty
+    twin.get._3 should be <= 2
+  }
+}

@@ -2152,7 +2152,52 @@ object SparkEntry {
       Multimodal.probeAudio(
           Multimodal.syntheticAudioAssets(Tables.documents(s, d), "doc_id"),
           "id", "data")
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // Declarative data-quality expectation suite (Deequ-style): five
+    // checks over orders computed in ONE partial-agg scan (the Unique
+    // check widens it via the standard multi-distinct Expand), reshaped
+    // row-per-check by a constant-width stack projection. Thresholds
+    // chosen so the report carries both verdicts.
+    "q_data_quality" -> ((s, d) =>
+      graft.ops.Expectations.report(Tables.orders(s, d), Seq(
+          graft.ops.Expectations.Expect.Complete("o_orderdate", 0.99),
+          graft.ops.Expectations.Expect.InRange("o_totalprice", 0, 300000, 0.9),
+          graft.ops.Expectations.Expect.Matches("o_orderpriority", "^[1-3]-", 0.5),
+          graft.ops.Expectations.Expect.InSet("o_orderstatus", Seq("O", "F"), 0.95),
+          graft.ops.Expectations.Expect.Unique(Seq("o_orderkey"), 1.0)))
+        .orderBy(col("check_idx"))),
+
+    // k-anonymity + l-diversity release gate: a customer row is
+    // releasable only when >= 12 rows share its (nation, segment)
+    // quasi-tuple AND the group spans >= 4 distinct balance bands (the
+    // homogeneity-attack bar). One quasi-granularity groupBy joined
+    // back null-safe; AQE sizes the group table join.
+    "q_kanon" -> ((s, d) =>
+      graft.ops.Anonymize.lDiverse(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"),
+            floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 12, l = 4)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("group_n"), col("group_l"))
+        .orderBy(col("c_custkey"))),
+
+    // Deletion-request propagation audit: a deterministic request set
+    // (custkey % 97 == 0) erased across three tables — each table pays
+    // ONE scan with the subject-sized key set broadcast into it; the
+    // audit rides the same scans as conditional aggregates.
+    "q_forget" -> ((s, d) => {
+      val keys = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("subject"))
+      graft.ops.Forget.audit(keys, "subject", Seq(
+          graft.ops.Forget.Target("customer", Tables.customer(s, d),
+            "c_custkey"),
+          graft.ops.Forget.Target("orders", Tables.orders(s, d), "o_custkey"),
+          graft.ops.Forget.Target("events", Tables.events(s, d), "user_id")))
+        .orderBy(col("table"))
+    })
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables registered
@@ -3950,7 +3995,71 @@ object SparkEntry {
         |       THEN ((48000 + 480 * (doc_id % 1000) - 312) * 1000) // 48000
         |       ELSE ((1000 + 441 * (doc_id % 1000)) * 1000)
         |            // (8000 * (1 + doc_id % 5)) END AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // Replays every expectation metric as the same one-pass conditional
+    // aggregates; check labels are the operator's Scala-toString forms
+    // (hence the trailing ".0"s in the range label).
+    "q_data_quality" ->
+      """WITH m AS (SELECT
+        |    round(sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*)::DOUBLE, 6) AS m0,
+        |    round(sum(CASE WHEN o_totalprice BETWEEN 0 AND 300000 THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*)::DOUBLE, 6) AS m1,
+        |    round(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*)::DOUBLE, 6) AS m2,
+        |    round(sum(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*)::DOUBLE, 6) AS m3,
+        |    round(count(DISTINCT o_orderkey)::DOUBLE / count(*)::DOUBLE, 6) AS m4
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 0 AS check_idx, 'complete(o_orderdate)' AS "check",
+        |    m0 AS metric, 0.99::DOUBLE AS threshold, m0 >= 0.99 AS passed FROM m
+        |  UNION ALL SELECT 1, 'in_range(o_totalprice,0.0,300000.0)',
+        |    m1, 0.9::DOUBLE, m1 >= 0.9 FROM m
+        |  UNION ALL SELECT 2, 'matches(o_orderpriority)',
+        |    m2, 0.5::DOUBLE, m2 >= 0.5 FROM m
+        |  UNION ALL SELECT 3, 'in_set(o_orderstatus)',
+        |    m3, 0.95::DOUBLE, m3 >= 0.95 FROM m
+        |  UNION ALL SELECT 4, 'unique(o_orderkey)',
+        |    m4, 1.0::DOUBLE, m4 >= 1.0 FROM m)
+        |ORDER BY check_idx""".stripMargin,
+
+    // Same quasi-group stats + null-safe join-back arithmetic (the
+    // customer quasi columns carry no nulls, so USING matches <=>).
+    "q_kanon" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, count(*) AS group_n,
+        |    count(DISTINCT bal_band) AS group_l FROM c GROUP BY 1, 2)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |  g.group_n, g.group_l
+        |FROM c JOIN g USING (c_nationkey, c_mktsegment)
+        |WHERE g.group_n >= 12 AND g.group_l >= 4
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Same left-join + conditional-agg accounting per table.
+    "q_forget" ->
+      """WITH k AS (SELECT DISTINCT c_custkey AS fk FROM customer
+        |           WHERE c_custkey % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS "table", count(*) AS total_rows,
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dropped_rows,
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS kept_rows
+        |  FROM customer LEFT JOIN k ON c_custkey = k.fk
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN k ON o_custkey = k.fk
+        |  UNION ALL
+        |  SELECT 'events', count(*),
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events LEFT JOIN k ON user_id = k.fk)
+        |ORDER BY "table"""".stripMargin
   )
 
   /** Shared oracle for the batch AND (frozen-index) streaming

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity / l-diversity suppression — the release-gate tier of the
+  * privacy battery ([[PiiRedaction]] scrubs identifiers INSIDE text;
+  * this suppresses rows whose quasi-identifier COMBINATION is itself
+  * identifying). A row is releasable only if at least `k − 1` other rows
+  * share its full quasi-identifier tuple (k-anonymity, Sweeney), and —
+  * optionally — its group spans at least `l` distinct sensitive values
+  * (l-diversity, Machanavajjhala et al.), closing the homogeneity
+  * attack k-anonymity alone leaves open.
+  *
+  * Extends the reference's flat export surface (reference:
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:131-137
+  * publishes rows as-is) per the training-data-pipeline charter.
+  *
+  * Scale posture: ONE partial-agged `groupBy` at quasi-tuple granularity
+  * (count + optional distinct-sensitive count), joined back by a
+  * null-safe equi-join — the group table carries one row per distinct
+  * tuple, typically orders of magnitude under data scale, and AQE picks
+  * broadcast vs shuffle by its real size. Data rows shuffle at most
+  * once; nothing is collected. Null quasi values form their own group
+  * (the join is `<=>`, so they are suppressed or kept by the same rule,
+  * never silently dropped). */
+object Anonymize {
+
+  private def groupStats(df: DataFrame, quasiCols: Seq[String],
+                         sensitiveCol: Option[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      sensitiveCol.map(c => countDistinct(col(c)).as("__l")).toSeq
+    df.groupBy(quasiCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) ++
+        Seq(col("__n")) ++
+        (if (sensitiveCol.isDefined) Seq(col("__l")) else Nil): _*)
+  }
+
+  private def joinBack(df: DataFrame, stats: DataFrame,
+                       quasiCols: Seq[String]): DataFrame = {
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c"))
+      .reduce(_ && _)
+    df.join(stats, cond).drop(quasiCols.map(c => s"__q_$c"): _*)
+  }
+
+  /** Rows whose quasi-identifier group has ≥ `k` members, with the
+    * group size appended as `group_n`. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymize: need at least one quasi column")
+    require(k >= 2, s"kAnonymize: k must be at least 2, got $k")
+    joinBack(df, groupStats(df, quasiCols, None), quasiCols)
+      .filter(col("__n") >= k)
+      .withColumnRenamed("__n", "group_n")
+  }
+
+  /** [[kAnonymize]] plus the l-diversity bar: the group must also span
+    * ≥ `l` distinct values of `sensitiveCol`. Appends `group_n` and
+    * `group_l`. */
+  def lDiverse(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+               k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiverse: need at least one quasi column")
+    require(k >= 2, s"lDiverse: k must be at least 2, got $k")
+    require(l >= 2, s"lDiverse: l must be at least 2, got $l")
+    require(!quasiCols.contains(sensitiveCol),
+      s"lDiverse: sensitive column $sensitiveCol cannot be a quasi column " +
+        "(its group-distinct count would always be 1)")
+    joinBack(df, groupStats(df, quasiCols, Some(sensitiveCol)), quasiCols)
+      .filter(col("__n") >= k && col("__l") >= l)
+      .withColumnRenamed("__n", "group_n")
+      .withColumnRenamed("__l", "group_l")
+  }
+
+  /** Release-risk report, one row: total rows, releasable rows under
+    * `(k, l)`, suppressed rows, and the worst (smallest) group size —
+    * what a data-protection review reads before the release runs. */
+  def riskReport(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 k: Int, l: Int): DataFrame = {
+    val stats = groupStats(df, quasiCols, Some(sensitiveCol))
+    stats.agg(
+      sum(col("__n")).as("total_rows"),
+      sum(when(col("__n") >= k && col("__l") >= l, col("__n"))
+        .otherwise(0L)).as("releasable_rows"),
+      sum(when(col("__n") < k || col("__l") < l, col("__n"))
+        .otherwise(0L)).as("suppressed_rows"),
+      count(lit(1)).as("groups"),
+      sum(when(col("__n") < k || col("__l") < l, 1L).otherwise(0L))
+        .as("suppressed_groups"),
+      min(col("__n")).as("min_group_n"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectation suite — the contract-check tier
+  * a changelog pipeline runs before publishing a snapshot (the QA
+  * complement of [[ChangelogAudit]]: the audit verifies the changelog's
+  * own mechanics, this verifies the DATA against rules a consumer
+  * declares). Modeled on the public Deequ / Great-Expectations check
+  * vocabulary: completeness, compliance ratios, set membership, pattern
+  * match, uniqueness.
+  *
+  * Extends the reference's validation surface (the reference trusts its
+  * store and only validates config/schema — reference:
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:56-66) per
+  * the training-data-pipeline charter.
+  *
+  * Scale posture: every ratio metric is a conditional partial-agg over
+  * ONE scan — the whole report is a single `agg` producing ONE row,
+  * reshaped row-per-check by a constant-width `stack` projection. Only
+  * [[Expect.Unique]] adds cost: exact `count_distinct` terms widen the
+  * same pass via Expand (rows × distinct-groupings), the standard Spark
+  * multi-distinct shape — declare at most a couple per suite at corpus
+  * scale, or profile distinctness with the sketch battery instead
+  * ([[Profiler]] / `theta_sketch_agg`). Nothing data-scale is ever
+  * collected; the report itself is `checks.size` rows. */
+object Expectations {
+
+  /** One declarative check; its metric is the satisfied-row ratio
+    * (`satisfied / total`, nulls never satisfy) except for [[Expect.Unique]],
+    * where it is `distinct tuples / total rows`. */
+  sealed trait Expect {
+    def label: String
+    def minRatio: Double
+  }
+  object Expect {
+    /** Non-null ratio of `column` ≥ `minRatio`. */
+    final case class Complete(column: String, minRatio: Double)
+        extends Expect { val label = s"complete($column)" }
+
+    /** Ratio of rows with `lo ≤ column ≤ hi` ≥ `minRatio`. */
+    final case class InRange(column: String, lo: Double, hi: Double,
+                             minRatio: Double)
+        extends Expect { val label = s"in_range($column,$lo,$hi)" }
+
+    /** Ratio of rows whose `column` matches `regex` ≥ `minRatio`
+      * (keep patterns RE2-compatible so the oracle can replay them). */
+    final case class Matches(column: String, regex: String, minRatio: Double)
+        extends Expect { val label = s"matches($column)" }
+
+    /** Ratio of rows whose `column` is one of `values` ≥ `minRatio`. */
+    final case class InSet(column: String, values: Seq[String],
+                           minRatio: Double)
+        extends Expect { val label = s"in_set($column)" }
+
+    /** `distinct(columns) / count(*)` ≥ `minRatio` (1.0 = key). */
+    final case class Unique(columns: Seq[String], minRatio: Double)
+        extends Expect {
+      require(columns.nonEmpty, "Expect.Unique needs at least one column")
+      val label = s"unique(${columns.mkString(",")})"
+    }
+  }
+
+  private def metricOf(c: Expect): Column = {
+    val total = count(lit(1))
+    def ratio(pred: Column): Column =
+      when(total === 0, lit(null).cast("double"))
+        .otherwise(sum(when(pred, 1L).otherwise(0L)).cast("double") /
+          total.cast("double"))
+    c match {
+      case Expect.Complete(col0, _) => ratio(col(col0).isNotNull)
+      case Expect.InRange(col0, lo, hi, _) =>
+        ratio(col(col0).cast("double").between(lo, hi))
+      case Expect.Matches(col0, re, _) => ratio(regexp_like(col(col0), lit(re)))
+      case Expect.InSet(col0, vs, _) => ratio(col(col0).isInCollection(vs))
+      case Expect.Unique(cols, _) =>
+        when(total === 0, lit(null).cast("double"))
+          .otherwise(countDistinct(cols.head, cols.tail: _*).cast("double") /
+            total.cast("double"))
+    }
+  }
+
+  /** One row per expectation, in declaration order: `(check_idx, check,
+    * metric, threshold, passed)`. Metrics are rounded to 6 dp so the
+    * ratio arithmetic is engine-portable; empty input yields null
+    * metrics and `passed = false` (an empty table proves nothing). */
+  def report(df: DataFrame, checks: Seq[Expect]): DataFrame = {
+    require(checks.nonEmpty, "Expectations.report: need at least one check")
+    val metrics = checks.zipWithIndex.map { case (c, i) =>
+      round(metricOf(c), 6).as(s"__m$i")
+    }
+    val one = checks.zipWithIndex.foldLeft(
+        df.agg(metrics.head, metrics.tail: _*)) { case (d, (c, i)) =>
+      d.withColumn(s"__i$i", lit(i))
+        .withColumn(s"__l$i", lit(c.label))
+        .withColumn(s"__t$i", lit(c.minRatio))
+    }
+    val parts = checks.indices.map(i => s"__i$i, __l$i, __m$i, __t$i")
+      .mkString(", ")
+    one.selectExpr(s"stack(${checks.size}, $parts) " +
+        "as (check_idx, check, metric, threshold)")
+      .withColumn("passed",
+        coalesce(col("metric") >= col("threshold"), lit(false)))
+  }
+
+  /** Gate form: returns `df` untouched if every check passes, else
+    * throws listing the failures — the shape a pipeline stage composes
+    * in front of a sink. The collect is `checks.size` rows. */
+  def enforce(df: DataFrame, checks: Seq[Expect]): DataFrame = {
+    val failed = report(df, checks).filter(!col("passed"))
+      .select(col("check"), col("metric"), col("threshold"))
+      .collect()
+    require(failed.isEmpty,
+      "Expectations.enforce: failed checks: " + failed.map(r =>
+        s"${r.getString(0)} (metric=${r.get(1)}, min=${r.getDouble(2)})")
+        .mkString("; "))
+    df
+  }
+}

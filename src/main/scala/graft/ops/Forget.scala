@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion-request propagation ("right to be forgotten"): given a
+  * table of subject keys to erase, produce the cleaned version of every
+  * downstream table that references them, plus the per-table audit a
+  * compliance run must file. The batch mirror of the changelog's `D`
+  * status ([[Snapshot.asOf]] honors per-row deletes inside ONE
+  * changelog; this erases a subject across a whole star schema).
+  *
+  * Extends the reference's single-table export (reference:
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:131-137)
+  * per the training-data-pipeline charter.
+  *
+  * Scale posture: deletion lists are subject-sized (thousands), dwarfed
+  * by fact tables — the key set is deduplicated once and BROADCAST into
+  * every anti-join, so each table pays one scan and zero shuffles. The
+  * audit's per-table counts ride the same scans as conditional
+  * aggregates (no second pass, no collect of data rows). */
+object Forget {
+
+  /** One target: the table's name (for the audit), its rows, and which
+    * of its columns carries the subject key. */
+  final case class Target(name: String, df: DataFrame, keyCol: String)
+
+  /** Cleaned tables, keyed by target name: every row whose `keyCol`
+    * appears in `keys(keyCol0)` is dropped (null keys never match a
+    * deletion request and are kept). */
+  def propagate(keys: DataFrame, keyCol0: String,
+                targets: Seq[Target]): Map[String, DataFrame] = {
+    require(targets.nonEmpty, "Forget.propagate: need at least one target")
+    val k = broadcast(keys.select(col(keyCol0).as("__forget_key")).distinct())
+    targets.map { t =>
+      t.name -> t.df.join(k, col(t.keyCol) === col("__forget_key"),
+        "left_anti")
+    }.toMap
+  }
+
+  /** Compliance audit, one row per target in declaration order:
+    * `(table, total_rows, dropped_rows, kept_rows)`. Each table is
+    * scanned once; the deletion set is broadcast into a conditional
+    * aggregate (`key IN set` via a broadcast left-semi mark join would
+    * add a join per table — a single agg over the left join is cheaper
+    * and AQE-free). */
+  def audit(keys: DataFrame, keyCol0: String,
+            targets: Seq[Target]): DataFrame = {
+    require(targets.nonEmpty, "Forget.audit: need at least one target")
+    val spark = keys.sparkSession
+    val k = broadcast(keys.select(col(keyCol0).as("__forget_key")).distinct())
+    val perTable = targets.map { t =>
+      t.df.join(k, col(t.keyCol) === col("__forget_key"), "left")
+        .agg(
+          lit(t.name).as("table"),
+          count(lit(1)).as("total_rows"),
+          sum(when(col("__forget_key").isNotNull, 1L).otherwise(0L))
+            .as("dropped_rows"),
+          sum(when(col("__forget_key").isNull, 1L).otherwise(0L))
+            .as("kept_rows"))
+        .select(col("table"), col("total_rows"), col("dropped_rows"),
+          col("kept_rows"))
+    }
+    perTable.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AnonymizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // group ("US", "a"): 3 rows, 3 distinct diagnoses
+  // group ("US", "b"): 2 rows, 1 distinct diagnosis
+  // group ("DE", "a"): 1 row (unique -> identifying)
+  // group (null, "a"): 2 rows (null quasi value still forms a group)
+  private def people = Seq(
+    (1L, Some("US"), "a", "flu"),
+    (2L, Some("US"), "a", "cold"),
+    (3L, Some("US"), "a", "ok"),
+    (4L, Some("US"), "b", "flu"),
+    (5L, Some("US"), "b", "flu"),
+    (6L, Some("DE"), "a", "rare"),
+    (7L, None, "a", "flu"),
+    (8L, None, "a", "cold")
+  ).toDF("id", "country", "band", "diagnosis")
+
+  "kAnonymize" should "keep only groups of size >= k" in {
+    val kept = Anonymize.kAnonymize(people, Seq("country", "band"), k = 2)
+      .select($"id", $"group_n").as[(Long, Long)].collect().toMap
+    kept.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 7L, 8L)
+    kept(1L) shouldBe 3L
+    kept(7L) shouldBe 2L // null-country group survives via the <=> join
+  }
+
+  it should "suppress the unique row" in {
+    Anonymize.kAnonymize(people, Seq("country", "band"), k = 2)
+      .filter($"id" === 6L).count() shouldBe 0L
+  }
+
+  "lDiverse" should "also require l distinct sensitive values" in {
+    val kept = Anonymize.lDiverse(people, Seq("country", "band"),
+        "diagnosis", k = 2, l = 2)
+      .select($"id").as[Long].collect().toSet
+    // ("US","b") is 2-anonymous but homogeneous (all flu) -> suppressed
+    kept shouldBe Set(1L, 2L, 3L, 7L, 8L)
+  }
+
+  it should "refuse a sensitive column that is also quasi" in {
+    an[IllegalArgumentException] should be thrownBy
+      Anonymize.lDiverse(people, Seq("diagnosis"), "diagnosis", 2, 2)
+  }
+
+  "riskReport" should "account for every row exactly once" in {
+    val r = Anonymize.riskReport(people, Seq("country", "band"),
+        "diagnosis", k = 2, l = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    r shouldBe ((8L, 5L, 3L, 4L, 2L, 1L))
+  }
+
+  it should "aggregate group stats, not rescan data rows" in {
+    // the report is an agg over the quasi-granularity stats table: its
+    // plan reads the input relation exactly once
+    val plan = Anonymize.riskReport(people, Seq("country", "band"),
+        "diagnosis", 2, 2).queryExecution.optimizedPlan
+    val rels = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    rels.length shouldBe 1
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.Expectations.Expect
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 10 rows: 1 null name, 2 out-of-range vals, 1 bad code, 1 dup id
+  private def fixture = Seq(
+    (1L, Some("alpha"), 10.0, "A"),
+    (2L, Some("beta"), 20.0, "A"),
+    (3L, Some("gamma"), 30.0, "B"),
+    (4L, None, 40.0, "B"),
+    (5L, Some("delta"), -5.0, "A"),
+    (6L, Some("epsilon"), 60.0, "C"),
+    (7L, Some("zeta"), 70.0, "A"),
+    (8L, Some("eta"), 999.0, "B"),
+    (9L, Some("theta9"), 90.0, "Z"),
+    (9L, Some("iota"), 95.0, "A")
+  ).toDF("id", "name", "val", "code")
+
+  private val checks = Seq(
+    Expect.Complete("name", 0.95),                    // 9/10 = 0.9 -> fail
+    Expect.InRange("val", 0, 100, 0.8),               // 8/10 = 0.8 -> pass
+    Expect.Matches("name", "^[a-z]+$", 0.8),          // 8/10 -> pass (null + theta9 miss)
+    Expect.InSet("code", Seq("A", "B", "C"), 0.85),   // 9/10 -> pass
+    Expect.Unique(Seq("id"), 1.0)                     // 9/10 -> fail
+  )
+
+  "report" should "compute every metric in declaration order" in {
+    val rows = Expectations.report(fixture, checks)
+      .orderBy($"check_idx")
+      .select($"check", $"metric", $"passed")
+      .as[(String, Double, Boolean)].collect()
+    rows.map(_._1) shouldBe Array("complete(name)",
+      "in_range(val,0.0,100.0)", "matches(name)", "in_set(code)",
+      "unique(id)")
+    rows.map(_._2) shouldBe Array(0.9, 0.8, 0.8, 0.9, 0.9)
+    rows.map(_._3) shouldBe Array(false, true, true, true, false)
+  }
+
+  it should "treat nulls as never satisfying a compliance predicate" in {
+    val m = Expectations.report(fixture,
+        Seq(Expect.Matches("name", ".*", 0.5)))
+      .select($"metric").as[Double].head()
+    m shouldBe 0.9 // the null name fails even the universal pattern
+  }
+
+  it should "count multi-column uniqueness over the tuple" in {
+    val m = Expectations.report(fixture,
+        Seq(Expect.Unique(Seq("id", "code"), 1.0)))
+      .select($"metric", $"passed").as[(Double, Boolean)].head()
+    m shouldBe ((1.0, true)) // (9,"Z") vs (9,"A") tuples differ
+  }
+
+  it should "fail everything on empty input with null metrics" in {
+    val rows = Expectations.report(fixture.limit(0), checks)
+      .select($"metric".isNull, $"passed").as[(Boolean, Boolean)].collect()
+    rows.length shouldBe checks.size
+    all(rows.map(_._1)) shouldBe true
+    all(rows.map(_._2)) shouldBe false
+  }
+
+  "enforce" should "pass through a clean table and name the failures otherwise" in {
+    val ok = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Expectations.enforce(ok, Seq(Expect.Unique(Seq("id"), 1.0)))
+      .count() shouldBe 2L
+    val ex = intercept[IllegalArgumentException] {
+      Expectations.enforce(fixture, checks)
+    }
+    ex.getMessage should include("complete(name)")
+    ex.getMessage should include("unique(id)")
+    ex.getMessage shouldNot include("in_set")
+  }
+
+  it should "keep the whole report one aggregation job" in {
+    // the reshape is a projection over the single agg row: no join, no
+    // second scan — assert the plan has exactly one Aggregate source
+    val plan = Expectations.report(fixture,
+        checks.filterNot(_.isInstanceOf[Expect.Unique]))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    scans.length shouldBe 1
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.Forget.Target
+import org.apache.spark.sql.functions._
+
+class ForgetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def users = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    .toDF("uid", "name")
+  private def facts = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 99L),
+      (14L, 3L)).toDF("fid", "uid")
+  // duplicate + unknown keys in the request must not multiply or break
+  private def requests = Seq(2L, 2L, 3L, 777L).toDF("uid")
+
+  "propagate" should "erase requested subjects from every target" in {
+    val cleaned = Forget.propagate(requests, "uid",
+      Seq(Target("users", users, "uid"), Target("facts", facts, "uid")))
+    cleaned("users").select($"uid").as[Long].collect().toSet shouldBe Set(1L)
+    cleaned("facts").select($"fid").as[Long].collect().toSet shouldBe
+      Set(10L, 11L, 13L)
+  }
+
+  it should "keep rows with null keys (no request can match them)" in {
+    val withNull = Seq((20L, Some(2L)), (21L, None)).toDF("fid", "uid")
+    val out = Forget.propagate(requests, "uid",
+      Seq(Target("t", withNull, "uid")))("t")
+    out.select($"fid").as[Long].collect().toSet shouldBe Set(21L)
+  }
+
+  "audit" should "count every row exactly once per table" in {
+    val rows = Forget.audit(requests, "uid",
+        Seq(Target("users", users, "uid"), Target("facts", facts, "uid")))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    rows("users") shouldBe ((3L, 2L, 1L))
+    rows("facts") shouldBe ((5L, 2L, 3L)) // dup request keys don't double-count
+  }
+
+  it should "broadcast the deletion set into the anti-join" in {
+    val plan = Forget.propagate(requests, "uid",
+        Seq(Target("facts", facts, "uid")))("facts")
+      .queryExecution.sparkPlan
+    val bcast = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    bcast should not be empty
+  }
+}

@@ -547,6 +547,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming heavy hitters: a cumulative Misra–Gries sketch merged
+    // across micro-batches (batch-id-versioned state = replay-idempotent),
+    // reported in the EXACT regime with the enforced zero-error gate —
+    // so the streamed pipeline hash-checks against the same GROUP BY
+    // oracle as q_freq_exact no matter how the feed was batched.
+    "q_stream_heavy_hitters" -> ((s, d) => {
+      import graft.functions.FreqFunctions._
+      val out = scratchDir("graft_shh_")
+      val toks = Tables.documentsStream(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.streaming.ChangelogStream.streamHeavyHitters(toks, "tok", out,
+          maxMapSize = 1024, statePartitions = 8)
+        .filter(assert_true(freqMaxError(col("sk")) === 0).isNull)
+        .select(explode(freqItems(col("sk"))).as("i"))
+        .select(col("i.item").as("item"), col("i.estimate").as("estimate"),
+          col("i.lower_bound").as("lower_bound"),
+          col("i.upper_bound").as("upper_bound"))
+        .orderBy(col("item"))
+    }),
+
     // Stream-stream temporal self-join replayed to completion through the
     // APPEND-mode file bridge: every (event, earlier-event-within-30min)
     // pair per user, emitted exactly once across micro-batches — the
@@ -3569,14 +3590,11 @@ object SparkEntry {
     // its converged output IS the batch classification — same oracle
     "q_stream_lang_gate" -> LangIdOracleSql,
     // Exact regime: Misra–Gries with zero purges IS a GROUP BY count.
-    "q_freq_exact" ->
-      """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
-        |    AS tok FROM documents),
-        |c AS (SELECT tok AS item, count(*) AS n FROM toks
-        |      WHERE len(tok) > 0 GROUP BY 1)
-        |SELECT item, n AS estimate, n AS lower_bound, n AS upper_bound
-        |FROM c ORDER BY item""".stripMargin,
+    "q_freq_exact" -> FreqExactOracleSql,
+    // The streamed cumulative sketch shares the batch exact-regime
+    // oracle: Misra–Gries merge never purges below capacity, so batch
+    // boundaries cannot change the counts.
+    "q_stream_heavy_hitters" -> FreqExactOracleSql,
     // Exact regime: an uncompacted KLL quantile is the order statistic
     // at 1-indexed position ceil(p*n) (INCLUSIVE rank convention).
     "q_kll_exact" ->
@@ -4066,6 +4084,19 @@ object SparkEntry {
     * incremental-dedup queries: increment docs (doc_id % 4 == 0) minus
     * exact content matches and ≥0.8 trigram-Jaccard near-dups against
     * the corpus (doc_id % 4 != 0). */
+  /** Shared oracle for the batch (`q_freq_exact`) AND streaming
+    * (`q_stream_heavy_hitters`) exact-regime frequent-items queries:
+    * below map capacity Misra–Gries never purges, so estimates equal
+    * real GROUP BY counts regardless of sharding or batch boundaries. */
+  private val FreqExactOracleSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |    AS tok FROM documents),
+      |c AS (SELECT tok AS item, count(*) AS n FROM toks
+      |      WHERE len(tok) > 0 GROUP BY 1)
+      |SELECT item, n AS estimate, n AS lower_bound, n AS upper_bound
+      |FROM c ORDER BY item""".stripMargin
+
   private val DedupIncrementalOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

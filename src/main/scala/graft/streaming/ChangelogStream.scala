@@ -341,6 +341,69 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming heavy hitters: a running mergeable frequent-items sketch
+    * (Misra–Gries, [[graft.functions.FreqSketchAgg]]) maintained across
+    * micro-batches — "what are the top items so far?" answerable at any
+    * point of an endless feed without re-scanning it. Each batch is
+    * partial-agged into ONE sketch row, merged with the previous
+    * cumulative sketch, and written under its own batch id: a replayed
+    * batch recomputes from the same predecessor and overwrites the same
+    * path, so failure recovery never double-counts (the idempotence
+    * analogue of the other file-bridge sinks here, specialized for
+    * merge-state). State and driver traffic are model-sized (one sketch
+    * of `maxMapSize` entries) regardless of stream length.
+    *
+    * Returns the final cumulative sketch as a one-row DataFrame
+    * (`sk` binary) — callers gate/report with the [[graft.functions
+    * .FreqFunctions]] battery exactly as in batch, and in the exact
+    * regime (distinct items < capacity) the whole streamed pipeline
+    * shares the batch GROUP-BY oracle. */
+  def streamHeavyHitters(stream: DataFrame, itemCol: String, dir: String,
+                         maxMapSize: Int = 256,
+                         statePartitions: Int = 0): DataFrame = {
+    import graft.functions.FreqFunctions._
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val batchSketch = b
+          .agg(freqSketch(col(itemCol), maxMapSize).as("sk"))
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(stateRoot)) None
+          else fs.listStatus(stateRoot).map(_.getPath.getName)
+            .filter(_.startsWith("graft_batch="))
+            .map(_.stripPrefix("graft_batch=").toLong)
+            .filter(_ < id).sorted.lastOption
+        val cumulative = prev match {
+          case Some(p) => batchSketch
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
+            .agg(freqMerge(col("sk"), maxMapSize).as("sk"))
+          case None => batchSketch
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stateRoot))
+      // empty stream: an empty sketch of the same shape (zero items)
+      spark.range(1).select(
+        freqSketch(lit(null).cast("string"), maxMapSize).as("sk"))
+    else {
+      val last = fs.listStatus(stateRoot).map(_.getPath.getName)
+        .filter(_.startsWith("graft_batch="))
+        .map(_.stripPrefix("graft_batch=").toLong).max
+      spark.read.parquet(s"$dir/state/graft_batch=$last")
+    }
+  }
+
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
     * upsert replayed to completion with per-batch winners written to
     * parquet and reduced distributedly — the equivalence check itself is

@@ -549,6 +549,55 @@ class ChangelogStreamSpec extends SparkTestBase {
     got.map(r => r._1 -> r._2).toMap shouldBe
       Map(10L -> "en", 11L -> "fr", 12L -> "en", 13L -> "fr")
   }
+
+  "streamHeavyHitters" should "merge to exact counts across micro-batches" in {
+    import graft.functions.FreqFunctions._
+    val incoming = Seq(
+      SDoc(1L, "a a b c"), SDoc(2L, "a b b d"),
+      SDoc(3L, "a c c c"), SDoc(4L, "d d a b"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_shh_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shh_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(2), "wave1.parquet", 120000L)
+    stage(incoming.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .select(explode(split($"text", " ")).as("tok"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shh").toString
+    val sk = ChangelogStream.streamHeavyHitters(stream, "tok", dir,
+      maxMapSize = 64)
+    sk.select(freqMaxError($"sk")).as[Long].head() shouldBe 0L // exact regime
+    val got = sk.select(explode(freqItems($"sk")).as("i"))
+      .select($"i.item", $"i.estimate").as[(String, Long)].collect().toMap
+    got shouldBe Map("a" -> 5L, "b" -> 4L, "c" -> 4L, "d" -> 3L)
+    // two cumulative state versions: one per micro-batch
+    new java.io.File(dir, "state").list()
+      .count(_.startsWith("graft_batch=")) shouldBe 2
+  }
+
+  it should "yield an empty sketch on an empty stream" in {
+    import graft.functions.FreqFunctions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_shh_e")
+    val stream = spark.readStream
+      .schema(Seq(SDoc(1L, "x")).toDF("doc_id", "text").schema)
+      .parquet(inDir.toString)
+      .select($"text".as("tok"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shh_ed").toString
+    val sk = ChangelogStream.streamHeavyHitters(stream, "tok", dir)
+    sk.select(org.apache.spark.sql.functions.size(freqItems($"sk")))
+      .as[Int].head() shouldBe 0
+  }
 }
 
 // top-level: the MemoryStream encoder must be resolvable inside the

@@ -2218,6 +2218,28 @@ object SparkEntry {
           graft.ops.Forget.Target("orders", Tables.orders(s, d), "o_custkey"),
           graft.ops.Forget.Target("events", Tables.events(s, d), "user_id")))
         .orderBy(col("table"))
+    }),
+
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-5 most-similar DIFFERENT-label vectors — anchors broadcast,
+    // corpus scanned once, bounded two-phase top-k (no all-pairs
+    // shuffle). Same ordering contract as q_sim_topk.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.ContrastiveMining.hardNegatives(emb,
+          emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // FaceNet semi-hard triplets: nearest same-label positive + hardest
+    // different-label negative strictly inside (pos_cos - margin,
+    // pos_cos). Two corpus scans, zero corpus shuffles; the band is
+    // compared on exact doubles, rounded only for output.
+    "q_semihard" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.ContrastiveMining.semiHardTriplets(emb,
+          emb.filter(col("vec_id") < 10), margin = 0.05)
+        .orderBy(col("query_id"))
     })
   )
 
@@ -4077,13 +4099,75 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |  FROM events LEFT JOIN k ON user_id = k.fk)
-        |ORDER BY "table"""".stripMargin
+        |ORDER BY "table"""".stripMargin,
+
+    // q_sim_topk's cosine arithmetic with the different-label join
+    // condition added.
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS cl
+        |      FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, $CosineSqlFragment AS cosine
+        |      FROM q JOIN c ON query_id <> corpus_id AND ql <> cl)
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, corpus_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Positive then in-band negative, both tie-broken (cosine DESC, id):
+    // the band compares UNROUNDED doubles, exactly like the operator.
+    "q_semihard" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label AS cl
+        |      FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, ql, cl,
+        |        $CosineSqlFragment AS cosine
+        |      FROM q JOIN c ON query_id <> corpus_id),
+        |p AS (SELECT query_id, corpus_id AS pos_id, cosine AS pos_cos FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, corpus_id) AS rn
+        |        FROM s WHERE ql = cl) WHERE rn = 1),
+        |n AS (SELECT query_id, pos_id, neg_id, pos_cos, neg_cos FROM (
+        |        SELECT s.query_id, p.pos_id, s.corpus_id AS neg_id,
+        |          p.pos_cos, s.cosine AS neg_cos,
+        |          row_number() OVER (PARTITION BY s.query_id
+        |            ORDER BY s.cosine DESC, s.corpus_id) AS rn
+        |        FROM s JOIN p USING (query_id)
+        |        WHERE s.ql <> s.cl AND s.cosine < p.pos_cos
+        |          AND s.cosine > p.pos_cos - 0.05) WHERE rn = 1)
+        |SELECT query_id, pos_id, neg_id, round(pos_cos, 6) AS pos_cos,
+        |  round(neg_cos, 6) AS neg_cos
+        |FROM n ORDER BY query_id""".stripMargin
   )
 
   /** Shared oracle for the batch AND (frozen-index) streaming
     * incremental-dedup queries: increment docs (doc_id % 4 == 0) minus
     * exact content matches and ≥0.8 trigram-Jaccard near-dups against
     * the corpus (doc_id % 4 != 0). */
+  /** DuckDB cosine of float-list columns `qv`/`cv`: every product and
+    * accumulation in DOUBLE, summed left to right — the same IEEE
+    * operation sequence as [[graft.functions.FloatVectorDot]], so the
+    * result is bit-equal to the engine's (shared by the mining oracles;
+    * `q_sim_topk` spells the identical arithmetic through CTEs). */
+  private val CosineSqlFragment: String =
+    """(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+      |    (a, b) -> a + b)) *
+      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
+      |    (a, b) -> a + b)) = 0 THEN 0.0
+      |ELSE list_reduce(list_prepend(0.0::DOUBLE,
+      |    [qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+      |    (a, b) -> a + b) /
+      |  (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+      |    (a, b) -> a + b)) *
+      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
+      |    (a, b) -> a + b))) END)""".stripMargin
+
   /** Shared oracle for the batch (`q_freq_exact`) AND streaming
     * (`q_stream_heavy_hitters`) exact-regime frequent-items queries:
     * below map capacity Misra–Gries never purges, so estimates equal

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKFunctions.scoreTopK
+import graft.functions.VectorFunctions.fnorm
+
+/** Training-pair mining for contrastive / embedding-model training: the
+  * consumer side of the vector battery ([[Similarity]] answers "what is
+  * near X"; this answers "which pairs should the next embedding model
+  * train on"). Two miners:
+  *
+  *  - [[hardNegatives]] — for each anchor, the top-k most-similar
+  *    vectors with a DIFFERENT label: the negatives that currently fool
+  *    the model, the standard hard-negative set for contrastive loss.
+  *  - [[semiHardTriplets]] — FaceNet-style (anchor, positive, negative)
+  *    triplets: the nearest same-label positive, paired with the
+  *    hardest different-label negative that is still farther than the
+  *    positive (`cos_neg < cos_pos`) — "semi-hard", the regime where
+  *    triplet loss trains stably instead of collapsing.
+  *
+  * Extends the reference's flat scalar surface per the charter (the
+  * reference has no vector tier).
+  *
+  * Scale posture: anchors are a query batch (broadcast); the corpus is
+  * scanned, never shuffled, and per-anchor ranking is the bounded
+  * two-phase [[graft.functions.ScoreTopK]] aggregate — the exchange
+  * carries anchors × k × partitions buffer rows, not scored pairs.
+  * [[semiHardTriplets]] costs two corpus scans (positives, then
+  * negatives conditioned on the positive score); the anchor-sized
+  * positive table is broadcast back, so still zero corpus shuffles. */
+object ContrastiveMining {
+
+  private def scored(corpus: DataFrame, anchors: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     sameLabel: Boolean): DataFrame = {
+    val c = Parallelism.spread(
+        corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+          col(labelCol).as("c_label")))
+      .withColumn("c_nrm", fnorm(col("c_vec")))
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"), fnorm(col(vecCol)).as("q_nrm"))
+    val labelCond =
+      if (sameLabel) col("q_label") === col("c_label")
+      else col("q_label") =!= col("c_label")
+    c.join(broadcast(q),
+        col("query_id") =!= col("corpus_id") && labelCond)
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosineWithNorms(col("q_vec"), col("q_nrm"),
+          col("c_vec"), col("c_nrm")).as("cosine"))
+  }
+
+  private def top1(s: DataFrame, idName: String, cosName: String): DataFrame =
+    s.groupBy(col("query_id"))
+      .agg(scoreTopK(col("cosine"), col("corpus_id"), 1).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as(idName),
+        col("t.score").as(cosName))
+
+  /** Per-anchor top-k most-similar DIFFERENT-label vectors:
+    * `(query_id, corpus_id, cosine, rank)`, cosine rounded to 6 dp,
+    * ties broken by id (same ordering contract as
+    * [[Similarity.bruteForceTopK]]). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    Similarity.rankTopK(
+      scored(corpus, anchors, idCol, vecCol, labelCol, sameLabel = false), k)
+  }
+
+  /** Semi-hard triplets `(query_id, pos_id, neg_id, pos_cos, neg_cos)`:
+    * nearest same-label positive; hardest different-label negative
+    * strictly farther than the positive but within `margin` of it
+    * (`pos_cos − margin < neg_cos < pos_cos`) — the FaceNet semi-hard
+    * band. Anchors with no positive or no in-band negative emit no row
+    * (nothing useful to train on). Cosines rounded to 6 dp AFTER the
+    * band comparison (the band is evaluated on exact doubles). */
+  def semiHardTriplets(corpus: DataFrame, anchors: DataFrame,
+                       margin: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    require(margin > 0, s"semiHardTriplets: margin must be positive, got $margin")
+    val pos = top1(
+      scored(corpus, anchors, idCol, vecCol, labelCol, sameLabel = true),
+      "pos_id", "pos_cos")
+    val negScored = scored(corpus, anchors, idCol, vecCol, labelCol,
+        sameLabel = false)
+      .join(broadcast(pos), "query_id")
+      .filter(col("cosine") < col("pos_cos") &&
+        col("cosine") > col("pos_cos") - margin)
+    val neg = negScored
+      .groupBy(col("query_id"), col("pos_id"), col("pos_cos"))
+      .agg(scoreTopK(col("cosine"), col("corpus_id"), 1).as("topk"))
+      .select(col("query_id"), col("pos_id"), col("pos_cos"),
+        explode(col("topk")).as("t"))
+    neg.select(col("query_id"), col("pos_id"), col("t.id").as("neg_id"),
+      round(col("pos_cos"), 6).as("pos_cos"),
+      round(col("t.score"), 6).as("neg_cos"))
+  }
+}

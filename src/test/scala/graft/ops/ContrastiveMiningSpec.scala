@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ContrastiveMiningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // unit vectors on the circle: cosine(a, b) = cos(angle gap)
+  private def onCircle(deg: Double): Array[Float] = {
+    val r = math.toRadians(deg)
+    Array(math.cos(r).toFloat, math.sin(r).toFloat)
+  }
+  //  id 1: 0 deg, label 0      id 2: 10 deg, label 0
+  //  id 3: 20 deg, label 1     id 4: 90 deg, label 1
+  private def vecs = Seq(
+    (1L, onCircle(0), 0), (2L, onCircle(10), 0),
+    (3L, onCircle(20), 1), (4L, onCircle(90), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  "hardNegatives" should "rank only different-label candidates" in {
+    val got = ContrastiveMining.hardNegatives(vecs,
+        vecs.filter($"vec_id" === 1L), k = 3)
+      .select($"corpus_id", $"rank").as[(Long, Long)].collect().toSeq
+      .sortBy(_._2)
+    // anchor 1 (label 0): negatives are 3 (cos 20deg = .94) then 4 (cos 90 = 0);
+    // same-label 2 must NOT appear even though it is the nearest overall
+    got shouldBe Seq((3L, 1L), (4L, 2L))
+  }
+
+  "semiHardTriplets" should "pick the nearest positive and the in-band negative" in {
+    val got = ContrastiveMining.semiHardTriplets(vecs,
+        vecs.filter($"vec_id" === 1L), margin = 0.1)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // pos = 2 (cos 10deg = .984808); band (0.884808, 0.984808): neg 3 at
+    // cos 20deg = .939693 is inside, neg 4 at 0 is not
+    got.length shouldBe 1
+    val (a, p, n, pc, nc) = got.head
+    (a, p, n) shouldBe ((1L, 2L, 3L))
+    pc shouldBe math.rint(math.cos(math.toRadians(10)) * 1e6) / 1e6 +- 2e-6
+    nc shouldBe math.rint(math.cos(math.toRadians(20)) * 1e6) / 1e6 +- 2e-6
+  }
+
+  it should "emit nothing when every negative is nearer than the positive" in {
+    // anchor 3 (label 1): positive is 4 (cos 70deg = .342), but negatives
+    // 1 (cos 20) and 2 (cos 10) are both NEARER -> not semi-hard
+    ContrastiveMining.semiHardTriplets(vecs,
+      vecs.filter($"vec_id" === 3L), margin = 0.1).count() shouldBe 0L
+  }
+
+  it should "emit nothing for an anchor with no same-label peer" in {
+    val lone = Seq((1L, onCircle(0), 0), (2L, onCircle(10), 1),
+      (3L, onCircle(20), 1)).toDF("vec_id", "embedding", "label")
+    ContrastiveMining.semiHardTriplets(lone,
+      lone.filter($"vec_id" === 1L), margin = 0.5).count() shouldBe 0L
+  }
+
+  "hardNegatives" should "never shuffle the corpus (broadcast anchors)" in {
+    val plan = ContrastiveMining.hardNegatives(vecs,
+      vecs.filter($"vec_id" === 1L), k = 2).queryExecution.sparkPlan
+    plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } should not be empty
+  }
+}

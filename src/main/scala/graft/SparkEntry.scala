@@ -2240,6 +2240,26 @@ object SparkEntry {
       graft.ops.ContrastiveMining.semiHardTriplets(emb,
           emb.filter(col("vec_id") < 10), margin = 0.05)
         .orderBy(col("query_id"))
+    }),
+
+    // Semi-structured ingestion: a nested JSON payload is composed from
+    // event columns (so the oracle knows the ground truth), then shredded
+    // back through REAL distributed schema inference + from_json flatten
+    // — including a second shred of the embedded raw props object.
+    // Inference reads one pruned column; the shred is a zero-shuffle
+    // projection.
+    "q_json_shred" -> ((s, d) => {
+      val payload = Tables.events(s, d).select(col("event_id"),
+        to_json(struct(
+          struct(col("user_id").as("id"), col("event_type").as("kind"))
+            .as("user"),
+          col("value").as("score"),
+          col("props").as("raw"))).as("payload"))
+      val flat = graft.ops.JsonShred.inferAndFlatten(payload, "payload",
+        Seq("event_id"))
+      graft.ops.JsonShred.inferAndFlatten(flat, "raw",
+          Seq("event_id", "user_id", "user_kind", "score"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -4139,7 +4159,16 @@ object SparkEntry {
         |          AND s.cosine > p.pos_cos - 0.05) WHERE rn = 1)
         |SELECT query_id, pos_id, neg_id, round(pos_cos, 6) AS pos_cos,
         |  round(neg_cos, 6) AS neg_cos
-        |FROM n ORDER BY query_id""".stripMargin
+        |FROM n ORDER BY query_id""".stripMargin,
+
+    // The payload was composed FROM event columns, so ground truth is the
+    // columns themselves (JSON round-trips longs/doubles/strings exactly);
+    // the nested props shred is replayed with json_extract.
+    "q_json_shred" ->
+      """SELECT event_id, user_id, event_type AS user_kind,
+        |  value AS score,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   /** Shared oracle for the batch AND (frozen-index) streaming

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semi-structured ingestion: infer the schema OF a JSON string column
+  * distributedly, then shred it into typed, flat top-level columns —
+  * the entry stage for event payloads and scraped-metadata sidecars
+  * (the `events.props` shape: every pipeline has one). The Spark-first
+  * formulation: inference is `DataFrameReader.json`'s own distributed
+  * sampling pass (not a driver loop), parsing is the codegen'd
+  * `from_json`, and the flatten is a pure projection — zero shuffles
+  * end to end.
+  *
+  * Extends the reference's fixed-schema ingestion (reference:
+  * src/main/scala/com/booking/spark/Schema.scala:86-108 maps a KNOWN
+  * MySQL schema; this discovers one) per the charter.
+  *
+  * Scale posture: the inference pass reads only the JSON column
+  * (column-pruned scan) and can sample (`samplingRatio < 1`) when the
+  * corpus is large and the payload shape is stable; the shred itself is
+  * one `from_json` projection. Schema drift between inference and data
+  * surfaces as nulls (Jackson's permissive mode), never as a crash —
+  * gate with [[Expectations]] completeness checks downstream. */
+object JsonShred {
+
+  /** Leaf columns of `prefix`-rooted struct `schema`, nested structs
+    * flattened depth-first with underscore-joined names (`user.id` →
+    * `user_id`). Arrays/maps stay intact as single columns. */
+  private def flatten(schema: StructType, root: Column,
+                      prefix: String): Seq[Column] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case s: StructType =>
+          flatten(s, root.getField(f.name), s"$prefix${f.name}_")
+        case _ => Seq(root.getField(f.name).as(s"$prefix${f.name}"))
+      }
+    }
+
+  /** The schema `DataFrameReader.json` infers for `jsonCol` (null rows
+    * ignored; `samplingRatio` bounds the inference pass on corpora with
+    * a stable payload shape). */
+  def inferSchema(df: DataFrame, jsonCol: String,
+                  samplingRatio: Double = 1.0): StructType = {
+    require(samplingRatio > 0 && samplingRatio <= 1.0,
+      s"inferSchema: samplingRatio must be in (0, 1], got $samplingRatio")
+    val spark = df.sparkSession
+    val inferred = spark.read
+      .option("samplingRatio", samplingRatio)
+      .json(df.select(col(jsonCol)).na.drop()
+        .as[String](Encoders.STRING))
+      .schema
+    // a malformed minority yields Jackson's corrupt-record column; the
+    // shred contract is "parse what parses", so it is not a data column
+    StructType(inferred.fields.filterNot(_.name == "_corrupt_record"))
+  }
+
+  /** One row per inferred leaf path: `(path, dtype)` — the discovery
+    * report a pipeline files before hard-coding a contract. */
+  def schemaReport(df: DataFrame, jsonCol: String,
+                   samplingRatio: Double = 1.0): DataFrame = {
+    def leaves(s: StructType, prefix: String): Seq[(String, String)] =
+      s.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case n: StructType => leaves(n, s"$prefix${f.name}.")
+          case t => Seq((s"$prefix${f.name}", t.simpleString))
+        }
+      }
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val rows: Seq[Row] = leaves(inferSchema(df, jsonCol, samplingRatio), "")
+      .map { case (p, t) => Row(p, t) }
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("path", StringType, nullable = false),
+        StructField("dtype", StringType, nullable = false))))
+  }
+
+  /** Shred `jsonCol` into typed flat columns appended after `keep`:
+    * infer (or accept) the schema, `from_json`, flatten nested structs
+    * depth-first with underscore-joined names. Unparseable rows yield
+    * nulls in every shredded column. */
+  def inferAndFlatten(df: DataFrame, jsonCol: String, keep: Seq[String],
+                      schema: Option[StructType] = None,
+                      samplingRatio: Double = 1.0): DataFrame = {
+    val s = schema.getOrElse(inferSchema(df, jsonCol, samplingRatio))
+    val parsed = df.withColumn("__shred", from_json(col(jsonCol), s))
+    parsed.select(keep.map(col) ++
+      flatten(s, col("__shred"), ""): _*)
+  }
+}

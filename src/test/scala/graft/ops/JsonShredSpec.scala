@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonShredSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def payloads = Seq(
+    (1L, """{"user": {"id": 7, "name": "ann"}, "score": 1.5, "tags": ["x"]}"""),
+    (2L, """{"user": {"id": 8, "name": "bob"}, "score": 2.0, "tags": []}"""),
+    (3L, """{"user": {"id": 9}, "score": null, "extra": true}""")
+  ).toDF("row_id", "payload")
+
+  "inferSchema" should "discover nested structure across all rows" in {
+    val s = JsonShred.inferSchema(payloads, "payload")
+    s.fieldNames.toSet shouldBe Set("user", "score", "tags", "extra")
+    s("user").dataType shouldBe a[StructType]
+    s("score").dataType shouldBe DoubleType
+    s("extra").dataType shouldBe BooleanType
+  }
+
+  "schemaReport" should "list dotted leaf paths with types" in {
+    val rows = JsonShred.schemaReport(payloads, "payload")
+      .as[(String, String)].collect().toMap
+    rows("user.id") shouldBe "bigint"
+    rows("user.name") shouldBe "string"
+    rows("score") shouldBe "double"
+    rows("tags") should startWith("array")
+  }
+
+  "inferAndFlatten" should "shred nested structs into typed flat columns" in {
+    val out = JsonShred.inferAndFlatten(payloads, "payload", Seq("row_id"))
+    out.columns.toSet shouldBe
+      Set("row_id", "user_id", "user_name", "score", "tags", "extra")
+    val byId = out.select($"row_id", $"user_id", $"user_name", $"score")
+      .as[(Long, Option[Long], Option[String], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    byId(1L) shouldBe ((Some(7L), Some("ann"), Some(1.5)))
+    byId(3L) shouldBe ((Some(9L), None, None)) // absent fields -> null
+  }
+
+  it should "yield nulls (not failures) for unparseable rows" in {
+    val mixed = payloads.unionByName(
+      Seq((4L, "not json at all")).toDF("row_id", "payload"))
+    val out = JsonShred.inferAndFlatten(mixed, "payload", Seq("row_id"),
+      schema = Some(JsonShred.inferSchema(payloads, "payload")))
+    out.filter($"row_id" === 4L).select($"user_id").as[Option[Long]]
+      .head() shouldBe None
+  }
+
+  it should "stay a shuffle-free projection" in {
+    val plan = JsonShred.inferAndFlatten(payloads, "payload", Seq("row_id"))
+      .queryExecution.sparkPlan
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    } shouldBe empty
+  }
+}

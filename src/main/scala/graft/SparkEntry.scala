@@ -2260,6 +2260,31 @@ object SparkEntry {
       graft.ops.JsonShred.inferAndFlatten(flat, "raw",
           Seq("event_id", "user_id", "user_kind", "score"))
         .orderBy(col("event_id"))
+    }),
+
+    // Parquet layout audit: write lineitem clustered into key-range
+    // buckets (one file per bucket), read the FOOTERS back (metadata
+    // only, distributed over executors), and report per-bucket row
+    // counts, footer min/max, and whether a [3000, 8000] key predicate
+    // could skip the bucket — footer stats must equal the data's own
+    // per-bucket aggregates, which is what the oracle computes.
+    "q_layout_audit" -> ((s, d) => {
+      val out = scratchDir("graft_la_")
+      Tables.lineitem(s, d)
+        .withColumn("bucket", (col("l_orderkey") / 1000).cast("long"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+      graft.ops.LayoutAudit.rowGroupStats(s, out, "l_orderkey")
+        .withColumn("bucket",
+          regexp_extract(col("file"), "bucket=(\\d+)", 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("num_rows")).as("num_rows"),
+          min(col("min_val")).as("min_key"),
+          max(col("max_val")).as("max_key"))
+        .withColumn("would_skip",
+          col("max_key") < 3000L || col("min_key") > 8000L)
+        .orderBy(col("bucket"))
     })
   )
 
@@ -4168,7 +4193,17 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type AS user_kind,
         |  value AS score,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // Footer statistics of a correctly-written parquet layout MUST equal
+    // the data's own per-bucket aggregates — so the oracle is plain
+    // GROUP BY arithmetic over the source table.
+    "q_layout_audit" ->
+      """SELECT CAST(l_orderkey // 1000 AS BIGINT) AS bucket,
+        |  count(*) AS num_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  (max(l_orderkey) < 3000 OR min(l_orderkey) > 8000) AS would_skip
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared oracle for the batch AND (frozen-index) streaming

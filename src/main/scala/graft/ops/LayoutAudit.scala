@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet layout audit: read row-group footer statistics (min/max/row
+  * counts) of a written table and answer the planning question layout
+  * work exists for — "which fraction of row groups can a given range
+  * predicate skip?". The measurement companion of [[Layout]]: Z-order
+  * clustering is only worth its write cost if the footers it produces
+  * actually prune; this op reads them back and proves it (the same
+  * footer stats Spark's own parquet reader consults for row-group
+  * skipping, and DuckDB surfaces via `parquet_metadata`).
+  *
+  * The reference's analogue is its server-side time-range scan pruning
+  * (reference: src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-129)
+  * — pruning decided by store-side metadata, not by reading data.
+  *
+  * Scale posture: footers are KB-sized metadata at the END of each file
+  * — the audit reads footers ONLY (never data pages), and the file list
+  * is distributed over executors (a 100k-file table audits in one pass
+  * of 100k footer reads spread across the cluster, not a driver loop).
+  * The Hadoop conf rides to executors as a broadcast key-value map. */
+object LayoutAudit {
+
+  /** One row per (file, row group): `(file, row_group, num_rows,
+    * min_val, max_val)` for integral `column` (INT32/INT64). Files with
+    * no row groups contribute nothing; a row group without stats for
+    * the column fails loudly (silent "no stats" would report an audit
+    * over nothing). */
+  def rowGroupStats(spark: SparkSession, dir: String,
+                    column: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val rootConf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(rootConf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        files += f.getPath.toString
+    }
+    require(files.nonEmpty, s"rowGroupStats: no parquet files under $dir")
+    // Configuration is not serializable; ship its entries and rebuild
+    val confMap = rootConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val confB = spark.sparkContext.broadcast(confMap)
+    import spark.implicits._
+    val slices = math.min(files.size, 32)
+    spark.createDataset(files.toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(slices)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        paths.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            blocks.zipWithIndex.map { case (b, i) =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == column)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"rowGroupStats: column '$column' not found in $p"))
+              val st = cc.getStatistics
+              require(st != null && !st.isEmpty,
+                s"rowGroupStats: no statistics for '$column' in $p " +
+                  s"row group $i (stats disabled at write time?)")
+              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  (a.longValue, b.longValue)
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  (a.longValue, b.longValue)
+                case other => throw new IllegalArgumentException(
+                  s"rowGroupStats: unsupported stats type for '$column': " +
+                    s"${other._1.getClass.getSimpleName} (integral only)")
+              }
+              (p, i, b.getRowCount, lo, hi)
+            }.iterator
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "row_group", "num_rows", "min_val", "max_val")
+  }
+
+  /** Pruning effectiveness of range predicate `[lo, hi]` on `column`:
+    * one summary row — row groups total/skippable, rows total/skipped,
+    * and the skip fraction a reader's footer pass would achieve. */
+  def skipReport(spark: SparkSession, dir: String, column: String,
+                 lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"skipReport: empty range [$lo, $hi]")
+    val skip = col("max_val") < lo || col("min_val") > hi
+    rowGroupStats(spark, dir, column).agg(
+      count(lit(1)).as("row_groups"),
+      sum(when(skip, 1L).otherwise(0L)).as("skippable_row_groups"),
+      sum(col("num_rows")).as("total_rows"),
+      sum(when(skip, col("num_rows")).otherwise(0L)).as("skipped_rows"),
+      round(sum(when(skip, col("num_rows")).otherwise(0L)).cast("double") /
+        sum(col("num_rows")).cast("double"), 6).as("skip_fraction"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LayoutAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeSorted(n: Int, files: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_la").toString
+    spark.range(n.toLong).select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartitionByRange(files, $"k")
+      .sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  "rowGroupStats" should "report footer min/max covering the data exactly" in {
+    val dir = writeSorted(1000, 4)
+    val stats = LayoutAudit.rowGroupStats(spark, dir, "k")
+      .select($"num_rows", $"min_val", $"max_val")
+      .as[(Long, Long, Long)].collect()
+    stats.map(_._1).sum shouldBe 1000L
+    stats.map(_._2).min shouldBe 0L
+    stats.map(_._3).max shouldBe 999L
+    // range-partitioned + sorted: row-group ranges must not overlap
+    val sorted = stats.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => a._3 should be < b._2
+      case _ =>
+    }
+  }
+
+  it should "fail loudly for a missing column" in {
+    val dir = writeSorted(100, 1)
+    val ex = intercept[Exception] {
+      LayoutAudit.rowGroupStats(spark, dir, "nope").collect()
+    }
+    ex.getMessage should include("not found")
+  }
+
+  "skipReport" should "measure pruning on a clustered layout" in {
+    val dir = writeSorted(1000, 4) // ranges ~[0,250),[250,500),...
+    val r = LayoutAudit.skipReport(spark, dir, "k", lo = 0, hi = 99)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val (groups, skippable, total, skipped, frac) = r
+    total shouldBe 1000L
+    skippable should be >= (groups - 2) / 2 // only the first range overlaps [0,99]
+    skipped should be >= 500L
+    frac shouldBe (skipped.toDouble / total +- 1e-9)
+    // and a full-range predicate skips nothing
+    LayoutAudit.skipReport(spark, dir, "k", 0, 2000)
+      .select($"skipped_rows").as[Long].head() shouldBe 0L
+  }
+
+  it should "show the Z-order/layout payoff: sorted prunes, shuffled does not" in {
+    val shuffled = java.nio.file.Files.createTempDirectory("graft_las").toString
+    // interleave keys so every file spans nearly the whole key range
+    spark.range(1000).select((($"id" * 613) % 1000).as("k"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(shuffled)
+    val badFrac = LayoutAudit.skipReport(spark, shuffled, "k", 0, 99)
+      .select($"skip_fraction").as[Double].head()
+    val goodFrac = LayoutAudit.skipReport(spark, writeSorted(1000, 4),
+        "k", 0, 99)
+      .select($"skip_fraction").as[Double].head()
+    badFrac shouldBe 0.0 // every file overlaps [0,99] -> nothing skips
+    goodFrac should be > 0.5
+  }
+}

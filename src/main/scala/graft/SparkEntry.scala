@@ -2285,7 +2285,46 @@ object SparkEntry {
         .withColumn("would_skip",
           col("max_key") < 3000L || col("min_key") > 8000L)
         .orderBy(col("bucket"))
-    })
+    }),
+
+    // Distribution-drift monitoring (PSI over reference-decile bins):
+    // even-doc-id documents are "yesterday's corpus", odd are "today's
+    // increment". One percentile agg for boundaries, one bin-granularity
+    // groupBy per side, generated bin spine — data rows never reshuffled.
+    "q_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Drift.psiReport(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "n_chars", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // CUSUM change-point detection per event type: sustained level
+    // shifts above/below the in-control target alarm once the
+    // accumulated (slack-adjusted) deviation crosses the threshold —
+    // the clamped recursion computed CLOSED-FORM as two window passes
+    // sharing one key-partitioned exchange. Explicit target (the
+    // control-chart shape); the per-key-mean default is spec-covered.
+    "q_cusum" -> ((s, d) =>
+      graft.ops.ChangePoint.cusum(
+          Tables.events(s, d).select(col("event_type"), col("event_id"),
+            col("ts"), col("value")),
+          Seq("event_type"), Seq("ts", "event_id"), "value",
+          drift = 5.0, threshold = 100.0, target = Some(50.0))
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("cusum_hi"), col("cusum_lo"), col("alarm"))
+        .orderBy(col("event_type"), col("event_id"))),
+
+    // Per-group OLS fit + Pearson correlation in ONE partial-agged
+    // groupBy; sufficient-statistic sums over DECIMAL-cast inputs so
+    // totals are exact and partition-order-independent (the suite's
+    // money-sum discipline applied to second moments).
+    "q_grouped_ols" -> ((s, d) =>
+      graft.ops.Regression.groupedOls(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice",
+          decimalScale = 2)
+        .orderBy(col("l_returnflag")))
   )
 
   /** DuckDB-runnable ANSI SQL equivalents (same parquet tables registered
@@ -4203,7 +4242,90 @@ object SparkEntry {
         |  count(*) AS num_rows,
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |  (max(l_orderkey) < 3000 OR min(l_orderkey) > 8000) AS would_skip
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_cont shares Spark percentile's interpolation (index
+    // p*(n-1), linear); the bin CASE, add-half smoothing, and ln terms
+    // replay the operator's arithmetic exactly.
+    "q_drift_psi" -> {
+      val ps = (1 to 9).map(i => s"${i / 10.0}").mkString(", ")
+      val binCase = "CASE " +
+        (0 until 9).map(i => s"WHEN v <= bs[${i + 1}] THEN $i")
+          .mkString(" ") + " ELSE 9 END"
+      s"""WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |            WHERE doc_id % 2 = 0),
+        |cand AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |         WHERE doc_id % 2 = 1),
+        |b AS (SELECT quantile_cont(v, [$ps]) AS bs FROM ref),
+        |rc AS (SELECT $binCase AS bin, count(*) AS n FROM ref, b GROUP BY 1),
+        |cc AS (SELECT $binCase AS bin, count(*) AS n FROM cand, b GROUP BY 1),
+        |j AS (SELECT CAST(t.range AS INTEGER) AS bin,
+        |        CAST(coalesce(rc.n, 0) AS BIGINT) AS ref_n,
+        |        CAST(coalesce(cc.n, 0) AS BIGINT) AS cand_n
+        |      FROM range(10) t LEFT JOIN rc ON rc.bin = t.range
+        |      LEFT JOIN cc ON cc.bin = t.range),
+        |p AS (SELECT bin, ref_n, cand_n,
+        |        (ref_n + 0.5) / (sum(ref_n) OVER () + 5.0) AS ref_p,
+        |        (cand_n + 0.5) / (sum(cand_n) OVER () + 5.0) AS cand_p
+        |      FROM j),
+        |t2 AS (SELECT *, (cand_p - ref_p) * ln(cand_p / ref_p) AS term FROM p)
+        |SELECT bin, ref_n, cand_n, round(ref_p, 6) AS ref_p,
+        |  round(cand_p, 6) AS cand_p, round(term, 6) AS psi_term,
+        |  round(sum(term) OVER (), 6) AS psi_total
+        |FROM t2 ORDER BY bin""".stripMargin
+    },
+
+    // The closed form s_i = C_i - min(0, min_prefix(C)) replayed with
+    // the same two cumulative windows; running double sums accumulate
+    // left-to-right in both engines.
+    "q_cusum" ->
+      """WITH c AS (SELECT event_type, event_id, ts, value,
+        |    sum(value - 55.0) OVER w AS c_hi,
+        |    sum(45.0 - value) OVER w AS c_lo
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT *,
+        |    c_hi - least(0.0, min(c_hi) OVER w2) AS s_hi,
+        |    c_lo - least(0.0, min(c_lo) OVER w2) AS s_lo
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, value,
+        |  round(s_hi, 6) AS cusum_hi, round(s_lo, 6) AS cusum_lo,
+        |  (s_hi > 100.0 OR s_lo > 100.0) AS alarm
+        |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // Exact decimal sufficient statistics, then the same closed-form
+    // double arithmetic (multiplications before subtractions, matching
+    // the operator's expression shape).
+    "q_grouped_ols" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(22, 2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(22, 2)) AS y
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38, 4))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38, 4))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38, 4))) AS syy
+        |  FROM a GROUP BY 1),
+        |f AS (SELECT l_returnflag, n,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covn,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vary,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        |  FROM g),
+        |r AS (SELECT l_returnflag, n,
+        |    CASE WHEN varx = 0 THEN NULL ELSE covn / varx END AS slope,
+        |    CASE WHEN varx = 0 OR vary = 0 THEN NULL
+        |         ELSE covn / sqrt(varx * vary) END AS corr,
+        |    sxd, syd
+        |  FROM f)
+        |SELECT l_returnflag, n, round(slope, 6) AS slope,
+        |  round((syd - slope * sxd) / n::DOUBLE, 6) AS intercept,
+        |  round(corr, 6) AS corr, round(corr * corr, 6) AS r2
+        |FROM r ORDER BY l_returnflag""".stripMargin
   )
 
   /** Shared oracle for the batch AND (frozen-index) streaming

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential change-point detection (two-sided CUSUM, Page 1954) per
+  * key over an ordered series — the monitoring tier above [[Outliers]]
+  * (that flags single aberrant points; this flags a sustained LEVEL
+  * SHIFT long before any single point looks anomalous) and the
+  * time-axis complement of [[Drift]] (that compares two snapshots; this
+  * watches one stream). The standard recursion
+  * `s_i = max(0, s_{i-1} + (x_i − target − drift))` is inherently
+  * sequential, but has an exact closed form over running aggregates:
+  * with `C_i = Σ_{j≤i} y_j`, `s_i = C_i − min(0, min_{j≤i} C_j)` — so
+  * the whole detector is two window passes on ONE key-partitioned
+  * exchange, no recursion, no UDAF state.
+  *
+  * Extends the reference's flat export surface per the charter.
+  *
+  * Scale posture: one shuffle (partition by key), two chained Window
+  * nodes over the same partitioning/ordering; the per-key mean (when no
+  * explicit target is given) is a key-granularity partial agg joined
+  * back — the same broadcast-back shape as [[Outliers]]. */
+object ChangePoint {
+
+  /** Per-row CUSUM scores and alarms: input columns plus `cusum_hi`
+    * (upward shift), `cusum_lo` (downward), `alarm` (either side over
+    * `threshold`). `target` defaults to the per-key mean (the "in
+    * control" level); `drift` is the slack per observation (shifts
+    * smaller than `drift` are tolerated forever). Scores rounded to
+    * 6 dp AFTER the alarm comparison. */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+            valueCol: String, drift: Double, threshold: Double,
+            target: Option[Double] = None): DataFrame = {
+    require(keyCols.nonEmpty, "cusum: need at least one key column")
+    require(orderCols.nonEmpty, "cusum: need at least one order column")
+    require(drift >= 0, s"cusum: drift must be non-negative, got $drift")
+    require(threshold > 0, s"cusum: threshold must be positive, got $threshold")
+    val v = col(valueCol).cast("double")
+    val withTarget = target match {
+      case Some(t) => df.withColumn("__tgt", lit(t))
+      case None =>
+        val means = df.groupBy(keyCols.map(col): _*)
+          .agg(avg(v).as("__tgt"))
+        df.join(broadcast(means), keyCols)
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = withTarget
+      .withColumn("__c_hi", sum(v - col("__tgt") - drift).over(w))
+      .withColumn("__c_lo", sum(col("__tgt") - v - drift).over(w))
+      .withColumn("__s_hi",
+        col("__c_hi") - least(lit(0.0), min(col("__c_hi")).over(w)))
+      .withColumn("__s_lo",
+        col("__c_lo") - least(lit(0.0), min(col("__c_lo")).over(w)))
+    scored
+      .withColumn("alarm",
+        col("__s_hi") > threshold || col("__s_lo") > threshold)
+      .withColumn("cusum_hi", round(col("__s_hi"), 6))
+      .withColumn("cusum_lo", round(col("__s_lo"), 6))
+      .drop("__tgt", "__c_hi", "__c_lo", "__s_hi", "__s_lo")
+  }
+
+  /** First alarm per key (the detected change point), one row per key
+    * that ever alarms: key columns + `orderCols` of the first alarming
+    * row + its scores. */
+  def firstAlarm(df: DataFrame, keyCols: Seq[String],
+                 orderCols: Seq[String], valueCol: String, drift: Double,
+                 threshold: Double,
+                 target: Option[Double] = None): DataFrame = {
+    val scored = cusum(df, keyCols, orderCols, valueCol, drift, threshold,
+      target)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    scored.filter(col("alarm"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "alarm")
+  }
+}

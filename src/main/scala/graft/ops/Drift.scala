@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KllFunctions
+
+/** Distribution-drift detection between two corpus snapshots — the
+  * monitoring stage of a continuously-ingesting training pipeline:
+  * yesterday's corpus is the reference, today's increment is the
+  * candidate, and a drifted feature distribution (document lengths,
+  * quality scores, event values) is the early warning that upstream
+  * changed before it poisons a training run. Implements the Population
+  * Stability Index over reference-quantile bins:
+  * `PSI = Σ (p_cand − p_ref) · ln(p_cand / p_ref)` (rule of thumb:
+  * < 0.1 stable, > 0.25 action), with add-half smoothing so empty bins
+  * stay finite.
+  *
+  * Extends the reference's static one-shot export (no monitoring
+  * surface) per the charter.
+  *
+  * Scale posture: bin boundaries come from ONE aggregation over the
+  * reference (exact interpolated `percentile` for the oracle; mergeable
+  * KLL sketch as the 100 TB path — boundary collect is `nBins − 1`
+  * doubles, model-sized like the PQ codebooks). Each side then pays one
+  * partial-agged `groupBy(bin)` at bin granularity; the bin spine is
+  * generated, and the final report is `nBins` rows. Data rows are never
+  * joined or reshuffled. */
+object Drift {
+
+  private def boundaries(ref: DataFrame, valueCol: String, nBins: Int,
+                         exact: Boolean, kllK: Int): Seq[Double] = {
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val v = col(valueCol).cast("double")
+    val row =
+      if (exact)
+        ref.agg(percentile(v, typedLit(ps)).as("qs")).head()
+      else
+        ref.agg(KllFunctions.kllQuantiles(
+          KllFunctions.kllSketch(v, kllK), ps).as("qs")).head()
+    row.getSeq[Double](0)
+  }
+
+  private def binOf(bs: Seq[Double], valueCol: String): Column =
+    // nested whens with the FIRST boundary outermost, so the lowest
+    // boundary >= x wins (duplicate boundaries leave their upper bin
+    // empty rather than misrouting)
+    bs.zipWithIndex.reverse.foldLeft(lit(bs.size): Column) {
+      case (acc, (b, i)) =>
+        when(col(valueCol).cast("double") <= b, lit(i)).otherwise(acc)
+    }
+
+  /** Per-bin drift report: `(bin, ref_n, cand_n, ref_p, cand_p,
+    * psi_term, psi_total)` over `nBins` reference-quantile bins (every
+    * bin present even when empty; proportions add-half smoothed;
+    * doubles rounded to 6 dp; `psi_total` repeated on each row). */
+  def psiReport(ref: DataFrame, cand: DataFrame, valueCol: String,
+                nBins: Int = 10, exact: Boolean = true,
+                kllK: Int = 200): DataFrame = {
+    require(nBins >= 2, s"psiReport: need at least 2 bins, got $nBins")
+    val spark = ref.sparkSession
+    val bs = boundaries(ref, valueCol, nBins, exact, kllK)
+    def sideCounts(df: DataFrame, name: String): DataFrame =
+      df.select(binOf(bs, valueCol).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(name))
+    val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(sideCounts(ref, "ref_n"), Seq("bin"), "left")
+      .join(sideCounts(cand, "cand_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"))
+    val refTot = sum(col("ref_n")).over()
+    val candTot = sum(col("cand_n")).over()
+    val refP = (col("ref_n") + 0.5) / (refTot + 0.5 * nBins)
+    val candP = (col("cand_n") + 0.5) / (candTot + 0.5 * nBins)
+    val term = (candP - refP) * log(candP / refP)
+    joined
+      .withColumn("ref_p", refP)
+      .withColumn("cand_p", candP)
+      .withColumn("__term", term)
+      .withColumn("psi_total", round(sum(col("__term")).over(), 6))
+      .select(col("bin"), col("ref_n"), col("cand_n"),
+        round(col("ref_p"), 6).as("ref_p"),
+        round(col("cand_p"), 6).as("cand_p"),
+        round(col("__term"), 6).as("psi_term"), col("psi_total"))
+  }
+
+  /** One-row verdict: `(psi, drifted)` with the conventional
+    * `threshold` (0.25 = action). */
+  def psi(ref: DataFrame, cand: DataFrame, valueCol: String,
+          nBins: Int = 10, threshold: Double = 0.25,
+          exact: Boolean = true, kllK: Int = 200): DataFrame =
+    psiReport(ref, cand, valueCol, nBins, exact, kllK)
+      .agg(max(col("psi_total")).as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group ordinary-least-squares fit and Pearson correlation — the
+  * relationship tier of the profiling battery ([[Profiler]] describes
+  * single columns; this quantifies how two of them move together, per
+  * segment). Closed-form over five sufficient-statistic sums:
+  * `slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)`, intercept, and
+  * `r = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²))`.
+  *
+  * Extends the reference's flat scalar surface per the charter.
+  *
+  * Scale posture: ONE partial-agged `groupBy` — every statistic is a
+  * map-side-combinable sum, the exchange carries group-granularity
+  * rows. The sums are taken over DECIMAL-cast inputs, so they are EXACT
+  * and order-independent (a plain double sum varies with partition
+  * merge order, which would make results non-reproducible run to run —
+  * the same move as the suite's money sums); only the final closed-form
+  * division happens in double. `decimalScale` must cover the input's
+  * actual scale (amounts with 2 dp need ≥ 2); Spark's sum widens
+  * precision by 10 digits, so overflow needs ~10^10 rows per group at
+  * scale 8 — pick the smallest scale that is exact for the data. */
+object Regression {
+
+  /** Per-group fit: `(groupCols…, n, slope, intercept, corr, r2)`,
+    * doubles rounded to 6 dp. Groups with zero x-variance (or fewer
+    * than 2 rows) report null slope/intercept; zero variance on either
+    * side yields null corr/r2. */
+  def groupedOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String, decimalScale: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "groupedOls: need at least one group column")
+    require(decimalScale >= 0 && decimalScale <= 18,
+      s"groupedOls: decimalScale must be in [0, 18], got $decimalScale")
+    val dt = s"decimal(${20 + decimalScale}, $decimalScale)"
+    val pt = s"decimal(38, ${2 * decimalScale})"
+    val x = col(xCol).cast(dt)
+    val y = col(yCol).cast(dt)
+    val agged = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum((x * y).cast(pt)).as("__sxy"),
+      sum((x * x).cast(pt)).as("__sxx"),
+      sum((y * y).cast(pt)).as("__syy"))
+    val n = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val covN = n * d("__sxy") - d("__sx") * d("__sy")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val slope = when(varX === 0.0, lit(null)).otherwise(covN / varX)
+    val intercept = (d("__sy") - slope * d("__sx")) / n
+    val corr = when(varX === 0.0 || varY === 0.0, lit(null))
+      .otherwise(covN / sqrt(varX * varY))
+    agged.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      round(slope, 6).as("slope"),
+      round(intercept, 6).as("intercept"),
+      round(corr, 6).as("corr"),
+      round(corr * corr, 6).as("r2")): _*)
+  }
+}

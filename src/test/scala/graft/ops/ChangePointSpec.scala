@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ChangePointSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // level shift at i=10: mean 0 then mean 3
+  private def shifted = ((0 until 10).map(i => (i, 0.0)) ++
+    (10 until 20).map(i => (i, 3.0)))
+    .map { case (i, v) => ("k", i.toLong, v) }.toDF("g", "i", "v")
+
+  "cusum" should "match the clamped recursion exactly" in {
+    val got = ChangePoint.cusum(shifted, Seq("g"), Seq("i"), "v",
+        drift = 0.5, threshold = 4.0, target = Some(0.0))
+      .orderBy($"i").select($"cusum_hi").as[Double].collect()
+    // reference recursion s_i = max(0, s_{i-1} + x_i - 0 - 0.5)
+    var s = 0.0
+    val want = ((0 until 10).map(_ => 0.0) ++ (10 until 20).map(_ => 3.0))
+      .map { x => s = math.max(0.0, s + x - 0.5); s }
+    got.zip(want).foreach { case (g, w) => g shouldBe w +- 1e-9 }
+  }
+
+  it should "alarm after the shift, not before" in {
+    val rows = ChangePoint.cusum(shifted, Seq("g"), Seq("i"), "v",
+        drift = 0.5, threshold = 4.0, target = Some(0.0))
+      .orderBy($"i").select($"i", $"alarm").as[(Long, Boolean)].collect()
+    rows.filter(_._1 < 10).map(_._2) should contain only false
+    // s grows by 2.5/step after the shift: crosses 4.0 at the 2nd point
+    rows.filter(_._1 >= 11).map(_._2) should contain only true
+  }
+
+  it should "catch downward shifts with the low-side score" in {
+    val down = shifted.withColumn("v", -$"v")
+    val rows = ChangePoint.cusum(down, Seq("g"), Seq("i"), "v",
+        drift = 0.5, threshold = 4.0, target = Some(0.0))
+      .orderBy($"i").select($"i", $"cusum_lo", $"alarm")
+      .as[(Long, Double, Boolean)].collect()
+    rows.last._2 should be > 4.0
+    rows.last._3 shouldBe true
+    rows.head._3 shouldBe false
+  }
+
+  it should "default the target to the per-key mean independently" in {
+    val two = shifted.unionByName(
+      (0 until 20).map(i => ("stable", i.toLong, 7.0)).toDF("g", "i", "v"))
+    val alarms = ChangePoint.cusum(two, Seq("g"), Seq("i"), "v",
+        drift = 0.5, threshold = 6.0)
+      .groupBy($"g").agg(sum(when($"alarm", 1).otherwise(0)).as("n"))
+      .as[(String, Long)].collect().toMap
+    alarms("stable") shouldBe 0L // constant series never alarms vs own mean
+    alarms("k") should be > 0L   // the shift still alarms vs the pooled mean
+  }
+
+  "firstAlarm" should "name the change point once per key" in {
+    val r = ChangePoint.firstAlarm(shifted, Seq("g"), Seq("i"), "v",
+        drift = 0.5, threshold = 4.0, target = Some(0.0))
+      .select($"g", $"i").as[(String, Long)].collect()
+    r shouldBe Array(("k", 11L))
+  }
+
+  it should "use at most one exchange for both window passes" in {
+    // same partitioning+ordering for every window: the second pass reuses
+    // the first's exchange (a local single-partition input elides it
+    // entirely, hence <=)
+    val plan = ChangePoint.cusum(shifted, Seq("g"), Seq("i"), "v",
+        0.5, 4.0, Some(0.0)).queryExecution.sparkPlan
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length should be <= 1
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // reference: uniform 0..99; identical candidate -> PSI ~ 0
+  private def uniform = (0 until 100).map(_.toDouble).toDF("v")
+
+  "psiReport" should "score an identical distribution as ~zero drift" in {
+    val rows = Drift.psiReport(uniform, uniform, "v", nBins = 4)
+      .orderBy($"bin")
+      .select($"bin", $"ref_n", $"cand_n", $"psi_total")
+      .as[(Int, Long, Long, Double)].collect()
+    rows.length shouldBe 4
+    rows.map(_._2).sum shouldBe 100L
+    rows.map(_._2) shouldBe rows.map(_._3)
+    rows.head._4 shouldBe 0.0 +- 1e-9
+  }
+
+  it should "flag a shifted distribution and keep empty bins finite" in {
+    val shifted = (200 until 300).map(_.toDouble).toDF("v")
+    val rows = Drift.psiReport(uniform, shifted, "v", nBins = 4)
+      .orderBy($"bin").select($"bin", $"cand_n", $"psi_total")
+      .as[(Int, Long, Double)].collect()
+    // every shifted value lands above the top boundary -> last bin
+    rows.map(_._2) shouldBe Array(0L, 0L, 0L, 100L)
+    rows.head._3 should be > 1.0 // massive drift, finite via smoothing
+  }
+
+  it should "put every value in exactly one bin (counts conserved)" in {
+    val cand = (50 until 150).map(_.toDouble).toDF("v")
+    val rows = Drift.psiReport(uniform, cand, "v", nBins = 7)
+      .select($"ref_n", $"cand_n").as[(Long, Long)].collect()
+    rows.map(_._1).sum shouldBe 100L
+    rows.map(_._2).sum shouldBe 100L
+  }
+
+  "psi" should "verdict with the conventional threshold" in {
+    val near = (5 until 105).map(_.toDouble).toDF("v")
+    val r1 = Drift.psi(uniform, near, "v", nBins = 4)
+      .as[(Double, Boolean)].head()
+    r1._2 shouldBe false // small shift
+    val far = (500 until 600).map(_.toDouble).toDF("v")
+    Drift.psi(uniform, far, "v", nBins = 4)
+      .as[(Double, Boolean)].head()._2 shouldBe true
+  }
+
+  it should "match exact mode in sketch mode while KLL is uncompacted" in {
+    val cand = (30 until 130).map(_.toDouble).toDF("v")
+    val exact = Drift.psiReport(uniform, cand, "v", nBins = 5)
+      .orderBy($"bin").select($"psi_term").as[Double].collect()
+    val sketch = Drift.psiReport(uniform, cand, "v", nBins = 5,
+        exact = false, kllK = 200)
+      .orderBy($"bin").select($"psi_term").as[Double].collect()
+    // n=100 < k=200: KLL retains everything; quantile convention may
+    // differ from interpolated percentile by at most one sample, so
+    // bin counts shift by at most 1 -> terms agree loosely
+    exact.zip(sketch).foreach { case (e, s) => s shouldBe e +- 0.05 }
+  }
+}

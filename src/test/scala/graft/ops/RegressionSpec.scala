@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "groupedOls" should "recover an exact linear relationship" in {
+    // y = 3x + 2, no noise -> slope 3, intercept 2, r = 1
+    val df = (1 to 10).map(i => ("g", i.toDouble, 3.0 * i + 2.0))
+      .toDF("g", "x", "y")
+    val r = Regression.groupedOls(df, Seq("g"), "x", "y")
+      .select($"n", $"slope", $"intercept", $"corr", $"r2")
+      .as[(Long, Double, Double, Double, Double)].head()
+    r._1 shouldBe 10L
+    r._2 shouldBe 3.0 +- 1e-9
+    r._3 shouldBe 2.0 +- 1e-9
+    r._4 shouldBe 1.0 +- 1e-9
+    r._5 shouldBe 1.0 +- 1e-9
+  }
+
+  it should "match the textbook formulas on a noisy series" in {
+    val pts = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0),
+      (5.0, 6.0))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val corr = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val r = Regression.groupedOls(df, Seq("g"), "x", "y")
+      .select($"slope", $"intercept", $"corr")
+      .as[(Double, Double, Double)].head()
+    r._1 shouldBe math.rint(slope * 1e6) / 1e6 +- 1e-9
+    r._2 shouldBe math.rint((sy - slope * sx) / n * 1e6) / 1e6 +- 1e-9
+    r._3 shouldBe math.rint(corr * 1e6) / 1e6 +- 1e-9
+  }
+
+  it should "null out degenerate groups instead of dividing by zero" in {
+    val df = Seq(("flat", 5.0, 1.0), ("flat", 5.0, 2.0),
+      ("single", 1.0, 1.0)).toDF("g", "x", "y")
+    val rows = Regression.groupedOls(df, Seq("g"), "x", "y")
+      .select($"g", $"slope", $"corr")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map { case (k, s, c) => k -> ((s, c)) }.toMap
+    rows("flat") shouldBe ((None, None))   // zero x-variance
+    rows("single") shouldBe ((None, None)) // n = 1
+  }
+
+  it should "be invariant to partitioning (exact decimal sums)" in {
+    val df = (1 to 1000)
+      .map(i => ("g", (i % 97).toDouble + 0.25, (i % 89).toDouble + 0.5))
+      .toDF("g", "x", "y")
+    val one = Regression.groupedOls(df.coalesce(1), Seq("g"), "x", "y")
+      .select($"slope", $"corr").as[(Double, Double)].head()
+    val many = Regression.groupedOls(df.repartition(16), Seq("g"), "x", "y")
+      .select($"slope", $"corr").as[(Double, Double)].head()
+    one shouldBe many // bit-equal, not approximately
+  }
+}

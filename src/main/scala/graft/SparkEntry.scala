@@ -2300,6 +2300,24 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // Streaming drift monitor: the same PSI report produced by
+    // accumulating per-bin counts micro-batch by micro-batch against a
+    // FROZEN persisted reference — batch-id-versioned merge state
+    // (replay-idempotent), nBins rows of state, converges to the batch
+    // report however the feed is split. Shares q_drift_psi's oracle.
+    "q_stream_drift" -> ((s, d) => {
+      val refDir = scratchDir("graft_sdr_ref_")
+      val out = scratchDir("graft_sdr_")
+      graft.ops.Drift.saveReference(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        "n_chars", refDir, nBins = 10)
+      graft.streaming.ChangelogStream.streamDrift(
+          Tables.documentsStream(s, d)
+            .filter(pmod(col("doc_id"), lit(2)) === 1),
+          refDir, "n_chars", out, statePartitions = 8)
+        .orderBy(col("bin"))
+    }),
+
     // CUSUM change-point detection per event type: sustained level
     // shifts above/below the in-control target alarm once the
     // accumulated (slack-adjusted) deviation crosses the threshold —
@@ -4247,33 +4265,10 @@ object SparkEntry {
     // quantile_cont shares Spark percentile's interpolation (index
     // p*(n-1), linear); the bin CASE, add-half smoothing, and ln terms
     // replay the operator's arithmetic exactly.
-    "q_drift_psi" -> {
-      val ps = (1 to 9).map(i => s"${i / 10.0}").mkString(", ")
-      val binCase = "CASE " +
-        (0 until 9).map(i => s"WHEN v <= bs[${i + 1}] THEN $i")
-          .mkString(" ") + " ELSE 9 END"
-      s"""WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
-        |            WHERE doc_id % 2 = 0),
-        |cand AS (SELECT n_chars::DOUBLE AS v FROM documents
-        |         WHERE doc_id % 2 = 1),
-        |b AS (SELECT quantile_cont(v, [$ps]) AS bs FROM ref),
-        |rc AS (SELECT $binCase AS bin, count(*) AS n FROM ref, b GROUP BY 1),
-        |cc AS (SELECT $binCase AS bin, count(*) AS n FROM cand, b GROUP BY 1),
-        |j AS (SELECT CAST(t.range AS INTEGER) AS bin,
-        |        CAST(coalesce(rc.n, 0) AS BIGINT) AS ref_n,
-        |        CAST(coalesce(cc.n, 0) AS BIGINT) AS cand_n
-        |      FROM range(10) t LEFT JOIN rc ON rc.bin = t.range
-        |      LEFT JOIN cc ON cc.bin = t.range),
-        |p AS (SELECT bin, ref_n, cand_n,
-        |        (ref_n + 0.5) / (sum(ref_n) OVER () + 5.0) AS ref_p,
-        |        (cand_n + 0.5) / (sum(cand_n) OVER () + 5.0) AS cand_p
-        |      FROM j),
-        |t2 AS (SELECT *, (cand_p - ref_p) * ln(cand_p / ref_p) AS term FROM p)
-        |SELECT bin, ref_n, cand_n, round(ref_p, 6) AS ref_p,
-        |  round(cand_p, 6) AS cand_p, round(term, 6) AS psi_term,
-        |  round(sum(term) OVER (), 6) AS psi_total
-        |FROM t2 ORDER BY bin""".stripMargin
-    },
+    "q_drift_psi" -> DriftPsiOracleSql,
+    // Frozen boundaries + additive per-bin counts: the streamed monitor
+    // converges to the same report however the feed was batched.
+    "q_stream_drift" -> DriftPsiOracleSql,
 
     // The closed form s_i = C_i - min(0, min_prefix(C)) replayed with
     // the same two cumulative windows; running double sums accumulate
@@ -4353,6 +4348,39 @@ object SparkEntry {
       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |    [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
       |    (a, b) -> a + b))) END)""".stripMargin
+
+  /** Shared oracle for the batch (`q_drift_psi`) AND streaming
+    * (`q_stream_drift`) PSI reports: even-doc-id documents are the
+    * reference, odd the candidate; quantile_cont shares Spark
+    * percentile's interpolation, and frozen boundaries + additive bin
+    * counts make the streamed result batch-boundary-invariant. */
+  private val DriftPsiOracleSql: String = {
+    val ps = (1 to 9).map(i => s"${i / 10.0}").mkString(", ")
+    val binCase = "CASE " +
+      (0 until 9).map(i => s"WHEN v <= bs[${i + 1}] THEN $i")
+        .mkString(" ") + " ELSE 9 END"
+    s"""WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
+      |            WHERE doc_id % 2 = 0),
+      |cand AS (SELECT n_chars::DOUBLE AS v FROM documents
+      |         WHERE doc_id % 2 = 1),
+      |b AS (SELECT quantile_cont(v, [$ps]) AS bs FROM ref),
+      |rc AS (SELECT $binCase AS bin, count(*) AS n FROM ref, b GROUP BY 1),
+      |cc AS (SELECT $binCase AS bin, count(*) AS n FROM cand, b GROUP BY 1),
+      |j AS (SELECT CAST(t.range AS INTEGER) AS bin,
+      |        CAST(coalesce(rc.n, 0) AS BIGINT) AS ref_n,
+      |        CAST(coalesce(cc.n, 0) AS BIGINT) AS cand_n
+      |      FROM range(10) t LEFT JOIN rc ON rc.bin = t.range
+      |      LEFT JOIN cc ON cc.bin = t.range),
+      |p AS (SELECT bin, ref_n, cand_n,
+      |        (ref_n + 0.5) / (sum(ref_n) OVER () + 5.0) AS ref_p,
+      |        (cand_n + 0.5) / (sum(cand_n) OVER () + 5.0) AS cand_p
+      |      FROM j),
+      |t2 AS (SELECT *, (cand_p - ref_p) * ln(cand_p / ref_p) AS term FROM p)
+      |SELECT bin, ref_n, cand_n, round(ref_p, 6) AS ref_p,
+      |  round(cand_p, 6) AS cand_p, round(term, 6) AS psi_term,
+      |  round(sum(term) OVER (), 6) AS psi_total
+      |FROM t2 ORDER BY bin""".stripMargin
+  }
 
   /** Shared oracle for the batch (`q_freq_exact`) AND streaming
     * (`q_stream_heavy_hitters`) exact-regime frequent-items queries:

@@ -69,6 +69,12 @@ object Drift {
       .select(col("bin"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cand_n"), lit(0L)).as("cand_n"))
+    score(joined, nBins)
+  }
+
+  /** Smoothed proportions + PSI terms over a `(bin, ref_n, cand_n)`
+    * table (all bins present). */
+  private def score(joined: DataFrame, nBins: Int): DataFrame = {
     val refTot = sum(col("ref_n")).over()
     val candTot = sum(col("cand_n")).over()
     val refP = (col("ref_n") + 0.5) / (refTot + 0.5 * nBins)
@@ -93,4 +99,59 @@ object Drift {
     psiReport(ref, cand, valueCol, nBins, exact, kllK)
       .agg(max(col("psi_total")).as("psi"))
       .withColumn("drifted", col("psi") > threshold)
+
+  /** The reference side frozen for reuse: boundaries + per-bin counts,
+    * persisted so a streaming (or daily-increment) monitor never
+    * rescans the reference corpus. */
+  def saveReference(ref: DataFrame, valueCol: String, dir: String,
+                    nBins: Int = 10, exact: Boolean = true,
+                    kllK: Int = 200): Unit = {
+    require(nBins >= 2, s"saveReference: need at least 2 bins, got $nBins")
+    val spark = ref.sparkSession
+    val bs = boundaries(ref, valueCol, nBins, exact, kllK)
+    val counts = ref.select(binOf(bs, valueCol).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
+    val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        typedLit(bs).as("boundaries"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** The frozen boundaries of a [[saveReference]] dir (one model-sized
+    * row read). */
+  def referenceBoundaries(spark: org.apache.spark.sql.SparkSession,
+                          refDir: String): Seq[Double] =
+    spark.read.parquet(refDir).select(col("boundaries")).head()
+      .getSeq[Double](0)
+
+  /** Bin-granularity candidate counts `(bin, cand_n)` for `df` under
+    * the frozen boundaries — the per-increment unit a monitor
+    * accumulates. */
+  def candidateCounts(df: DataFrame, bs: Seq[Double],
+                      valueCol: String): DataFrame =
+    df.select(binOf(bs, valueCol).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cand_n"))
+
+  /** PSI report from already-binned candidate counts against a
+    * persisted reference (missing bins count zero). */
+  def psiFromCounts(refDir: String, candCounts: DataFrame): DataFrame = {
+    val spark = candCounts.sparkSession
+    val ref = spark.read.parquet(refDir)
+    val nBins = referenceBoundaries(spark, refDir).size + 1
+    val joined = ref.select(col("bin"), col("ref_n"))
+      .join(candCounts, Seq("bin"), "left")
+      .select(col("bin"), col("ref_n"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"))
+    score(joined, nBins)
+  }
+
+  /** [[psiReport]] against a [[saveReference]]-persisted reference:
+    * same output, but the reference corpus itself is never touched —
+    * the shape a daily or streaming monitor runs. */
+  def psiAgainstReference(cand: DataFrame, refDir: String,
+                          valueCol: String): DataFrame = {
+    val bs = referenceBoundaries(cand.sparkSession, refDir)
+    psiFromCounts(refDir, candidateCounts(cand, bs, valueCol))
+  }
 }

@@ -404,6 +404,61 @@ object ChangelogStream {
     }
   }
 
+  /** Streaming distribution-drift monitor: per-bin candidate counts
+    * accumulated across micro-batches against a FROZEN
+    * [[graft.ops.Drift.saveReference]] reference — "has today's feed
+    * drifted from the training corpus?" answerable at any point without
+    * rescanning either side. Same batch-id-versioned merge-state shape
+    * as [[streamHeavyHitters]] (replayed batches recompute from the
+    * same predecessor: recovery never double-counts); state is
+    * `nBins` rows. Frozen boundaries + additive counts ⇒ the converged
+    * report equals the batch [[graft.ops.Drift.psiAgainstReference]]
+    * regardless of batch boundaries, so it shares the batch oracle. */
+  def streamDrift(stream: DataFrame, refDir: String, valueCol: String,
+                  dir: String, statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val bs = graft.ops.Drift.referenceBoundaries(s, refDir)
+        val batchCounts = graft.ops.Drift.candidateCounts(b, bs, valueCol)
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(stateRoot)) None
+          else fs.listStatus(stateRoot).map(_.getPath.getName)
+            .filter(_.startsWith("graft_batch="))
+            .map(_.stripPrefix("graft_batch=").toLong)
+            .filter(_ < id).sorted.lastOption
+        val cumulative = prev match {
+          case Some(p) => batchCounts
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
+            .groupBy(col("bin")).agg(sum(col("cand_n")).as("cand_n"))
+          case None => batchCounts
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts =
+      if (!fs.exists(stateRoot))
+        spark.range(0).select(col("id").cast("int").as("bin"),
+          col("id").as("cand_n"))
+      else {
+        val last = fs.listStatus(stateRoot).map(_.getPath.getName)
+          .filter(_.startsWith("graft_batch="))
+          .map(_.stripPrefix("graft_batch=").toLong).max
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
+      }
+    graft.ops.Drift.psiFromCounts(refDir, counts)
+  }
+
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
     * upsert replayed to completion with per-batch winners written to
     * parquet and reduced distributedly — the equivalence check itself is

@@ -48,6 +48,17 @@ class DriftSpec extends SparkTestBase {
       .as[(Double, Boolean)].head()._2 shouldBe true
   }
 
+  "psiAgainstReference" should "equal the two-corpus report via the persisted reference" in {
+    val cand = (40 until 140).map(_.toDouble).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Drift.saveReference(uniform, "v", dir, nBins = 5)
+    val direct = Drift.psiReport(uniform, cand, "v", nBins = 5)
+      .orderBy($"bin").collect()
+    val viaRef = Drift.psiAgainstReference(cand, dir, "v")
+      .orderBy($"bin").collect()
+    viaRef shouldBe direct
+  }
+
   it should "match exact mode in sketch mode while KLL is uncompacted" in {
     val cand = (30 until 130).map(_.toDouble).toDF("v")
     val exact = Drift.psiReport(uniform, cand, "v", nBins = 5)

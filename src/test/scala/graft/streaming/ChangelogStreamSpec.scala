@@ -598,6 +598,44 @@ class ChangelogStreamSpec extends SparkTestBase {
     sk.select(org.apache.spark.sql.functions.size(freqItems($"sk")))
       .as[Int].head() shouldBe 0
   }
+
+  "streamDrift" should "converge to the batch PSI across micro-batches" in {
+    import graft.ops.Drift
+    val ref = (0 until 100).map(i => SDoc(i.toLong, "x"))
+      .map(d => (d.doc_id, d.doc_id.toDouble)).toDF("doc_id", "v")
+    val incoming = (0 until 100)
+      .map(i => (1000L + i, 40.0 + i)) // shifted candidate
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft_sd_ref").toString
+    Drift.saveReference(ref, "v", refDir, nBins = 5)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sd_in")
+    def stage(rows: Seq[(Long, Double)], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sd_w")
+      rows.toDF("doc_id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(50), "wave1.parquet", 120000L)
+    stage(incoming.drop(50), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "v").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    val got = ChangelogStream.streamDrift(stream, refDir, "v", dir)
+      .orderBy($"bin").collect()
+    val want = Drift.psiAgainstReference(incoming.toDF("doc_id", "v"),
+      refDir, "v").orderBy($"bin").collect()
+    got shouldBe want
+    // two cumulative state versions, nBins rows each
+    new java.io.File(dir, "state").list()
+      .count(_.startsWith("graft_batch=")) shouldBe 2
+  }
 }
 
 // top-level: the MemoryStream encoder must be resolvable inside the

@@ -2334,6 +2334,22 @@ object SparkEntry {
           col("cusum_hi"), col("cusum_lo"), col("alarm"))
         .orderBy(col("event_type"), col("event_id"))),
 
+    // Dedup-method evaluation: the df-capped Jaccard join (the cheap
+    // prefix-filtered tier) scored against the uncapped join as ground
+    // truth — what the df cap costs in recall, quantified instead of
+    // assumed. Both pair sets canonicalized + distinct, ONE full-outer
+    // equi-join at pair-set granularity, metric row from a conditional
+    // agg.
+    "q_dedup_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.DedupEval.pairMetrics(
+        Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3,
+          threshold = 0.8, maxShingleDf = 2L)
+          .select(col("id_a"), col("id_b")),
+        Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3,
+          threshold = 0.8).select(col("id_a"), col("id_b")))
+    }),
+
     // Per-group OLS fit + Pearson correlation in ONE partial-agged
     // groupBy; sufficient-statistic sums over DECIMAL-cast inputs so
     // totals are exact and partition-order-independent (the suite's
@@ -4290,6 +4306,53 @@ object SparkEntry {
         |  round(s_hi, 6) AS cusum_hi, round(s_lo, 6) AS cusum_lo,
         |  (s_hi > 100.0 OR s_lo > 100.0) AS alarm
         |FROM s ORDER BY event_type, event_id""".stripMargin,
+
+    // Capped-join predicted pairs vs the shared uncapped-Jaccard truth,
+    // the same full-outer pair accounting.
+    "q_dedup_eval" ->
+      s"""WITH j AS ($NgramJaccardOracle),
+        |truth AS (SELECT id_a AS a, id_b AS b FROM j),
+        |ctoks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |csh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []
+        |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |                             for i in range(0, len(t) - 2)]) END AS s
+        |  FROM ctoks),
+        |ce0 AS (SELECT doc_id, unnest(s) AS shingle FROM csh),
+        |cdf AS (SELECT shingle, count(*) AS c FROM ce0 GROUP BY shingle),
+        |ce AS (SELECT ce0.doc_id, ce0.shingle FROM ce0
+        |       JOIN cdf USING (shingle) WHERE cdf.c <= 2),
+        |cp AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+        |  FROM ce l JOIN ce r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |csz AS (SELECT doc_id, count(*) AS n FROM ce GROUP BY doc_id),
+        |pred AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM cp JOIN csz sa ON sa.doc_id = cp.id_a
+        |          JOIN csz sb ON sb.doc_id = cp.id_b
+        |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8),
+        |f AS (SELECT p.a AS pa, t.a AS ta FROM pred p
+        |      FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN pa IS NOT NULL AND ta IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN pa IS NOT NULL AND ta IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN pa IS NULL AND ta IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM f)
+        |SELECT tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE round(tp::DOUBLE / (tp + fp), 6) END AS "precision",
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |       ELSE round(tp::DOUBLE / (tp + fn), 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        |FROM c""".stripMargin,
 
     // Exact decimal sufficient statistics, then the same closed-form
     // double arithmetic (multiplications before subtractions, matching

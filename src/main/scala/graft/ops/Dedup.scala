@@ -44,6 +44,20 @@ object Dedup {
         count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
 
+  /** Exact duplicate PAIRS `(id_a, id_b)`, `id_a < id_b`, within each
+    * content-hash group — the pair-level view of [[exactDupGroups]],
+    * comparable against near-dup joins (see [[DedupEval]]). Only
+    * (hash, id) tuples shuffle; the self-join is hash-equi on groups
+    * that proved non-singleton. */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+    hashed.as("l").join(hashed.as("r"),
+        col("l.__h") === col("r.__h") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+  }
+
   /** Exact dedup: one row per distinct `textCol`, keeping the min-id row.
     * Same shape as the reference's latest-per-key (max_by ↔ min_by).
     * NULL-text rows pass through undeduped — they are not content

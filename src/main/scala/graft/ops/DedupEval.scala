@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dedup-method evaluation: score one pair-detector against another
+  * treated as ground truth (precision / recall / F1 over unordered
+  * pairs). The tuning tool the dedup battery itself needs — "how much
+  * recall does the cheap method give up, and what does the expensive
+  * threshold buy?" answered with numbers instead of folklore, e.g.
+  * exact-hash pairs (cheap, precision 1) scored against the
+  * trigram-Jaccard join, or a banded LSH candidate set scored against
+  * the exact verify.
+  *
+  * Scale posture: both pair sets are canonicalized (`least/greatest`)
+  * and deduplicated, then meet in ONE full-outer equi-join on the pair
+  * key; the metric row folds out of a conditional aggregate — pair-set
+  * granularity shuffles only, nothing data-scale, no collect. */
+object DedupEval {
+
+  private def canon(df: DataFrame, idA: String, idB: String): DataFrame =
+    df.select(least(col(idA), col(idB)).as("__a"),
+        greatest(col(idA), col(idB)).as("__b"))
+      .filter(col("__a") =!= col("__b")) // self-pairs carry no information
+      .distinct()
+
+  /** One metric row — `(tp, fp, fn, precision, recall, f1)` — scoring
+    * `predicted` pairs against `truth` pairs (both as two id columns;
+    * order within a pair and duplicates don't matter). Empty sides
+    * yield null ratios rather than division errors. */
+  def pairMetrics(predicted: DataFrame, truth: DataFrame,
+                  idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val p = canon(predicted, idA, idB).withColumn("__p", lit(1))
+    val t = canon(truth, idA, idB).withColumn("__t", lit(1))
+    val joined = p.join(t, Seq("__a", "__b"), "full_outer")
+    val tp = sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+      .otherwise(0L))
+    val fp = sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+      .otherwise(0L))
+    val fn = sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+      .otherwise(0L))
+    joined.agg(tp.as("tp"), fp.as("fp"), fn.as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")), 6)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fn")), 6)))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)))
+  }
+}

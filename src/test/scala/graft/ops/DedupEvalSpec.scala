@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairs(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  "pairMetrics" should "count tp/fp/fn over canonical unordered pairs" in {
+    // predicted: (1,2) (3,4) (5,6); truth: (2,1) (3,4) (7,8)
+    val r = DedupEval.pairMetrics(
+        pairs((1L, 2L), (3L, 4L), (5L, 6L)),
+        pairs((2L, 1L), (3L, 4L), (7L, 8L)))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    r._1 shouldBe 2L // (1,2) matches (2,1) after canonicalization
+    r._2 shouldBe 1L
+    r._3 shouldBe 1L
+    r._4 shouldBe 2.0 / 3 +- 1e-6
+    r._5 shouldBe 2.0 / 3 +- 1e-6
+    r._6 shouldBe 4.0 / 6 +- 1e-6
+  }
+
+  it should "ignore duplicate and self pairs" in {
+    val r = DedupEval.pairMetrics(
+        pairs((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)),
+        pairs((1L, 2L)))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    (r._1, r._2, r._3) shouldBe ((1L, 0L, 0L))
+    r._4 shouldBe 1.0
+  }
+
+  it should "yield null ratios for empty sides" in {
+    val empty = pairs().limit(0)
+    val r = DedupEval.pairMetrics(empty, pairs((1L, 2L)))
+      .select($"precision".isNull, $"recall").as[(Boolean, Double)].head()
+    r._1 shouldBe true // no predictions -> precision undefined
+    r._2 shouldBe 0.0
+  }
+
+  "exactDupPairs" should "pair every id sharing identical content" in {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "same"),
+      (4L, "other"), (5L, None.orNull.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
+  it should "give precision 1 but partial recall against a near-dup truth" in {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),          // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta") // near-dup only
+    ).toDF("doc_id", "text")
+    val predicted = Dedup.exactDupPairs(docs, "doc_id", "text")
+    val truth = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b")
+    val r = DedupEval.pairMetrics(predicted, truth)
+      .select($"precision", $"recall").as[(Double, Double)].head()
+    r._1 shouldBe 1.0
+    r._2 should be < 1.0
+  }
+}

@@ -2350,6 +2350,43 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Multi-touch attribution: purchases credited to the click/view
+    // touches of the preceding day — linear/first/last models in one
+    // pass; one user-keyed equi-join + two conversion-keyed windows,
+    // per-row credits (no order-sensitive double summation).
+    "q_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Attribution.attribute(
+          ev.filter(col("event_type").isin("click", "view")),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", "event_type", "1 DAY")
+        .orderBy(col("conv_event_id"), col("touch_rank"))
+    }),
+
+    // Windowed trending top-k: heaviest users per UTC day via the
+    // bounded two-phase top-k aggregate — the exchange carries
+    // windows × k × partitions buffers, never the full (window, key)
+    // table through a row_number sort.
+    "q_trending" -> ((s, d) =>
+      graft.ops.Trending.topKPerWindow(Tables.events(s, d), "ts",
+          "user_id", "1 day", k = 5)
+        .orderBy(col("window_start"), col("rank"))),
+
+    // Triangle counting on the user co-occurrence graph (same hour +
+    // same event type): degree-oriented wedge enumeration — a hub's
+    // wedges collapse to out-degree² (O(√m)) so the join volume can't
+    // explode on skew; every join equi-keyed, each triangle found once.
+    "q_triangles" -> ((s, d) => {
+      val w = Tables.events(s, d).select(col("user_id"),
+        date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val e = w.as("w1").join(w.as("w2"),
+          col("w1.h") === col("w2.h") &&
+            col("w1.event_type") === col("w2.event_type") &&
+            col("w1.user_id") < col("w2.user_id"))
+        .select(col("w1.user_id").as("a"), col("w2.user_id").as("b"))
+      graft.ops.Triangles.countTriangles(e, "a", "b")
+    }),
+
     // Per-group OLS fit + Pearson correlation in ONE partial-agged
     // groupBy; sufficient-statistic sums over DECIMAL-cast inputs so
     // totals are exact and partition-order-independent (the suite's
@@ -4353,6 +4390,58 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
+
+    // Same user-keyed join, same (ts desc, id desc) touch ranking.
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.c_id, t.event_id AS t_id, t.event_type, t.ts
+        |      FROM c JOIN t USING (user_id)
+        |      WHERE t.ts < c.c_ts AND t.ts >= c.c_ts - INTERVAL 1 DAY),
+        |r AS (SELECT c_id, t_id, event_type,
+        |        row_number() OVER (PARTITION BY c_id
+        |          ORDER BY ts DESC, t_id DESC) AS touch_rank,
+        |        count(*) OVER (PARTITION BY c_id) AS n_touches
+        |      FROM j)
+        |SELECT c_id AS conv_event_id, t_id AS touch_event_id, event_type,
+        |  CAST(touch_rank AS BIGINT) AS touch_rank, n_touches,
+        |  round(1.0::DOUBLE / n_touches, 6) AS linear_credit,
+        |  (touch_rank = n_touches) AS first_touch,
+        |  (touch_rank = 1) AS last_touch
+        |FROM r ORDER BY conv_event_id, touch_rank""".stripMargin,
+
+    // Tumbling UTC-day windows = date_trunc('day'); ties (count desc,
+    // id asc) replayed by row_number.
+    "q_trending" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS ws, user_id,
+        |      count(*) AS n
+        |    FROM events GROUP BY 1, 2),
+        |r AS (SELECT ws, user_id, n,
+        |      row_number() OVER (PARTITION BY ws
+        |        ORDER BY n DESC, user_id) AS rank
+        |    FROM c)
+        |SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
+        |  user_id, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY window_start, rank""".stripMargin,
+
+    // The canonical-orientation 3-way self-join counts each triangle
+    // once, exactly like the operator's oriented wedge close.
+    "q_triangles" ->
+      """WITH w AS (SELECT user_id, date_trunc('hour', ts) AS h, event_type
+        |           FROM events),
+        |e AS (SELECT DISTINCT w1.user_id AS a, w2.user_id AS b
+        |      FROM w w1 JOIN w w2 ON w1.h = w2.h
+        |        AND w1.event_type = w2.event_type
+        |        AND w1.user_id < w2.user_id),
+        |n AS (SELECT count(DISTINCT x) AS nodes FROM
+        |      (SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+        |m AS (SELECT count(*) AS edges FROM e),
+        |t AS (SELECT count(*) AS triangles FROM e e1
+        |      JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT nodes, edges, triangles FROM n, m, t""".stripMargin,
 
     // Exact decimal sufficient statistics, then the same closed-form
     // double arithmetic (multiplications before subtractions, matching

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-touch conversion attribution: credit each conversion to the
+  * touch events (clicks, views) that preceded it within a lookback
+  * window — the event-log analytics stage downstream of
+  * [[Sessions]]/[[Funnel]] (the funnel asks "did the steps happen in
+  * order?"; attribution asks "which touch gets PAID for the
+  * conversion?"). Three standard models in one pass: `linear`
+  * (1/n per in-window touch), `first_touch`, `last_touch`.
+  *
+  * Extends the reference's flat aggregation surface per the charter.
+  *
+  * Scale posture: ONE key-equi-join (conversions × touches on the user
+  * key, the join every attribution system pays) filtered to the
+  * lookback interval, then two window functions on the conversion key
+  * to rank touches — shuffles are keyed by user and conversion, both
+  * real partitionable keys; per-row credits are emitted unaggregated
+  * (exact rationals per row), so no order-sensitive double summation is
+  * baked into the result. */
+object Attribution {
+
+  /** Per (conversion, touch) attribution rows:
+    * `(conv_<idCol>, touch_<idCol>, <channelCol>, touch_rank, n_touches,
+    * linear_credit, first_touch, last_touch)` for every touch within
+    * `(conv_ts − lookback, conv_ts)`. Conversions with no in-window
+    * touch emit nothing (unattributable). `touch_rank` is 1 at the
+    * LATEST in-window touch (ties by id desc); `linear_credit` is
+    * rounded to 6 dp. */
+  def attribute(touches: DataFrame, conversions: DataFrame,
+                userCol: String, tsCol: String, idCol: String,
+                channelCol: String, lookback: String): DataFrame = {
+    val lb = expr(s"INTERVAL $lookback")
+    val t = touches.select(col(userCol).as("__u"),
+      col(tsCol).as("__t_ts"), col(idCol).as("__t_id"),
+      col(channelCol).as("__ch"))
+    val c = conversions.select(col(userCol).as("__u"),
+      col(tsCol).as("__c_ts"), col(idCol).as("__c_id"))
+    val joined = c.join(t, Seq("__u"))
+      .filter(col("__t_ts") < col("__c_ts") &&
+        col("__t_ts") >= col("__c_ts") - lb)
+    val byConv = Window.partitionBy(col("__c_id"))
+    val latestFirst = Window.partitionBy(col("__c_id"))
+      .orderBy(col("__t_ts").desc, col("__t_id").desc)
+    joined
+      .withColumn("touch_rank", row_number().over(latestFirst))
+      .withColumn("n_touches", count(lit(1)).over(byConv))
+      .select(
+        col("__c_id").as(s"conv_$idCol"),
+        col("__t_id").as(s"touch_$idCol"),
+        col("__ch").as(channelCol),
+        col("touch_rank"),
+        col("n_touches"),
+        round(lit(1.0) / col("n_touches"), 6).as("linear_credit"),
+        (col("touch_rank") === col("n_touches")).as("first_touch"),
+        (col("touch_rank") === 1).as("last_touch"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TopKFunctions.scoreTopK
+
+/** Windowed trending top-k: the k heaviest keys per tumbling event-time
+  * window ("who dominated each day?") — the time-sliced view of the
+  * heavy-hitter battery (the freq sketches answer it corpus-wide; this
+  * answers it per window, exactly).
+  *
+  * Extends the reference's flat aggregation surface per the charter.
+  *
+  * Scale posture: one partial-agged `groupBy(window, key)` count, then
+  * the bounded two-phase [[graft.functions.ScoreTopK]] per window — the
+  * second exchange carries windows × k × partitions buffer rows, never
+  * the full (window, key) table through a sort. A
+  * `row_number().over(partitionBy(window))` would shuffle and sort
+  * every (window, key) row; at billions of keys per day that sort is
+  * the thing that dies. Ties break (count desc, id asc), so results
+  * are deterministic and oracle-stable. */
+object Trending {
+
+  /** `(window_start, window_end, <keyCol>, n, rank)` — top `k` keys by
+    * row count per tumbling `windowDuration` window of `tsCol`. */
+  def topKPerWindow(df: DataFrame, tsCol: String, keyCol: String,
+                    windowDuration: String, k: Int): DataFrame = {
+    require(k >= 1, s"topKPerWindow: k must be >= 1, got $k")
+    val counted = df
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    counted
+      .groupBy(col("w"))
+      .agg(scoreTopK(col("n").cast("double"), col(keyCol), k).as("topk"))
+      .select(col("w"), posexplode(col("topk")))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("col.id").as(keyCol),
+        col("col.score").cast("long").as("n"),
+        (col("pos") + 1).as("rank"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected graph — the local
+  * clustering signal of the graph tier ([[LinkRank]] ranks global
+  * importance; triangle density says how CLIQUISH a neighborhood is:
+  * community cores, spam farms, and bot rings all announce themselves
+  * in triangle counts).
+  *
+  * Implements the degree-orientation algorithm: orient every edge from
+  * its lower-(degree, id) endpoint to the higher, enumerate wedges only
+  * at each edge's SOURCE, and close them against the oriented edge set.
+  * Each triangle is found exactly once, and — the scale point — a
+  * hub's wedge count collapses from `deg²` to out-deg² where out-degree
+  * is O(√m) on any graph: the celebrity node that would explode a naive
+  * neighbor self-join generates almost no wedges, because nearly all
+  * its edges point INTO it.
+  *
+  * Extends the reference's flat relational surface per the charter.
+  *
+  * Scale posture: canonicalize + distinct (one shuffle), degree count
+  * (one partial agg), two equi-joins (wedge build on src, wedge close
+  * on the edge key) — every join is an equi-join the planner can hash;
+  * no cartesian anywhere. Per-node counts ride a final explode +
+  * partial-agg count at node granularity. */
+object Triangles {
+
+  private def canonical(edges: DataFrame, aCol: String,
+                        bCol: String): DataFrame =
+    edges.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Edges oriented low→high by (degree, id): `(src, dst)`. */
+  private def oriented(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("id", "a")
+        .withColumnRenamed("deg", "deg_a"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b")
+        .withColumnRenamed("deg", "deg_b"), Seq("b"))
+    withDeg.select(
+      when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("deg_a").as("sdeg"), col("deg_b").as("ddeg")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"),
+            col("deg_b").as("sdeg"), col("deg_a").as("ddeg")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+  }
+
+  /** All triangles as `(x, y, z)` node triples (each exactly once). */
+  private def triangleTriples(und: DataFrame): DataFrame = {
+    val o = oriented(und)
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"),
+      col("ddeg").as("dv"))
+    val e2 = o.select(col("src").as("u"), col("dst").as("w"),
+      col("ddeg").as("dw"))
+    // wedges at u with (v, w) in orientation order, closed by edge v->w
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    wedges.join(o.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
+  }
+
+  /** One row: `(nodes, edges, triangles)` of the undirected graph
+    * behind `(aCol, bCol)` pairs (duplicates, orientation, and self
+    * loops ignored). */
+  def countTriangles(edges: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val und = canonical(edges, aCol, bCol)
+    val nodes = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .agg(countDistinct(col("id")).as("nodes"))
+    val m = und.agg(count(lit(1)).as("edges"))
+    val t = triangleTriples(und).agg(count(lit(1)).as("triangles"))
+    nodes.crossJoin(m).crossJoin(t) // three 1-row sides
+  }
+
+  /** Per-node triangle participation: `(id, triangles)` for every node
+    * in at least one triangle. */
+  def perNodeTriangles(edges: DataFrame, aCol: String,
+                       bCol: String): DataFrame =
+    triangleTriples(canonical(edges, aCol, bCol))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AttributionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private def touches = Seq(
+    (1L, ts(0), 100L, "ad"),
+    (1L, ts(10), 101L, "email"),
+    (1L, ts(20), 102L, "ad"),
+    (2L, ts(5), 200L, "social"),
+    (3L, ts(0), 300L, "ad") // user 3 converts much later -> out of window
+  ).toDF("user_id", "ts", "event_id", "channel")
+
+  private def conversions = Seq(
+    (1L, ts(30), 900L),
+    (2L, ts(6), 901L),
+    (3L, ts(59), 902L)
+  ).toDF("user_id", "ts", "event_id")
+
+  "attribute" should "split linear credit across in-window touches" in {
+    val got = Attribution.attribute(touches, conversions,
+        "user_id", "ts", "event_id", "channel", "30 MINUTE")
+      .orderBy($"conv_event_id", $"touch_rank")
+      .select($"conv_event_id", $"touch_event_id", $"channel",
+        $"linear_credit", $"first_touch", $"last_touch")
+      .as[(Long, Long, String, Double, Boolean, Boolean)].collect()
+    val conv900 = got.filter(_._1 == 900L)
+    // touches 101, 102 in (10:00, 10:30); 100 at 10:00 is exactly
+    // conv_ts - lookback -> included (>= lower bound)
+    conv900.map(_._2).toSet shouldBe Set(100L, 101L, 102L)
+    conv900.foreach(_._4 shouldBe 0.333333 +- 1e-6)
+    conv900.find(_._2 == 102L).get._6 shouldBe true  // last touch
+    conv900.find(_._2 == 100L).get._5 shouldBe true  // first touch
+  }
+
+  it should "drop conversions with no in-window touch" in {
+    val got = Attribution.attribute(touches, conversions,
+        "user_id", "ts", "event_id", "channel", "30 MINUTE")
+    got.filter($"conv_event_id" === 902L).count() shouldBe 0L
+  }
+
+  it should "never credit a touch at or after the conversion" in {
+    val lateTouch = Seq((2L, ts(6), 201L, "ad"), (2L, ts(7), 202L, "ad"))
+      .toDF("user_id", "ts", "event_id", "channel")
+    val got = Attribution.attribute(touches.unionByName(lateTouch),
+        conversions, "user_id", "ts", "event_id", "channel", "30 MINUTE")
+      .filter($"conv_event_id" === 901L)
+      .select($"touch_event_id").as[Long].collect().toSet
+    got shouldBe Set(200L) // 201 is simultaneous, 202 after
+  }
+
+  it should "give single-touch conversions full credit in every model" in {
+    val r = Attribution.attribute(touches, conversions,
+        "user_id", "ts", "event_id", "channel", "30 MINUTE")
+      .filter($"conv_event_id" === 901L)
+      .select($"linear_credit", $"first_touch", $"last_touch")
+      .as[(Double, Boolean, Boolean)].head()
+    r shouldBe ((1.0, true, true))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TrendingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  // day 1: u1 x3, u2 x2, u3 x1; day 2: u2 x2, u3 x2 (tie), u1 x1
+  private def evs = Seq(
+    (1L, ts(1, 1)), (1L, ts(1, 2)), (1L, ts(1, 3)),
+    (2L, ts(1, 4)), (2L, ts(1, 5)), (3L, ts(1, 6)),
+    (2L, ts(2, 1)), (2L, ts(2, 2)), (3L, ts(2, 3)), (3L, ts(2, 4)),
+    (1L, ts(2, 5))
+  ).toDF("user_id", "ts")
+
+  "topKPerWindow" should "rank the heaviest keys per day with id tie-break" in {
+    val got = Trending.topKPerWindow(evs, "ts", "user_id", "1 day", k = 2)
+      .select($"window_start".cast("string"), $"user_id", $"n", $"rank")
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._4))
+    got.map(r => (r._2, r._3, r._4)).toSeq shouldBe Seq(
+      (1L, 3L, 1L), (2L, 2L, 2L), // day 1
+      (2L, 2L, 1L), (3L, 2L, 2L)) // day 2: tie broken by id
+  }
+
+  it should "emit fewer than k rows for thin windows, never pad" in {
+    val thin = Seq((7L, ts(3, 1))).toDF("user_id", "ts")
+    Trending.topKPerWindow(thin, "ts", "user_id", "1 day", k = 5)
+      .count() shouldBe 1L
+  }
+
+  it should "use the bounded top-k aggregate, not a window sort" in {
+    val plan = Trending.topKPerWindow(evs, "ts", "user_id", "1 day", 2)
+      .queryExecution.sparkPlan
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
+  }
+}

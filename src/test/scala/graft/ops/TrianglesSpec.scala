@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TrianglesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("a", "b")
+
+  "countTriangles" should "count a known small graph" in {
+    // K4 (4 triangles) plus a pendant vertex
+    val k4 = for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (i, j)
+    val g = edges(k4 :+ ((3L, 9L)): _*)
+    val r = Triangles.countTriangles(g, "a", "b")
+      .as[(Long, Long, Long)].head()
+    r shouldBe ((5L, 7L, 4L))
+  }
+
+  it should "be invariant to duplicates, orientation, and self loops" in {
+    val messy = edges((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 1L), (2L, 2L))
+    val r = Triangles.countTriangles(messy, "a", "b")
+      .as[(Long, Long, Long)].head()
+    r shouldBe ((3L, 3L, 1L))
+  }
+
+  it should "count zero on a triangle-free (bipartite) graph" in {
+    val bip = edges((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+    Triangles.countTriangles(bip, "a", "b")
+      .select($"triangles").as[Long].head() shouldBe 0L
+  }
+
+  "perNodeTriangles" should "credit each triangle to its three corners" in {
+    // two triangles sharing edge (1,2)
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 1L))
+    val got = Triangles.perNodeTriangles(g, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L)
+  }
+
+  it should "match a brute-force count on a pseudorandom graph" in {
+    // deterministic ~30-node graph
+    val es = (0 until 300).map { i =>
+      val a = (i * 7919L) % 30
+      val b = (i * 104729L) % 30
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val g = es.toDF("a", "b")
+    val want = {
+      val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct
+      (for {
+        x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+        if und(( x, y)) && und((y, z)) && und((x, z))
+      } yield 1).size.toLong
+    }
+    Triangles.countTriangles(g, "a", "b")
+      .select($"triangles").as[Long].head() shouldBe want
+  }
+}

@@ -2350,6 +2350,24 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Weekly cohort retention: users bucketed by first-active week,
+    // fraction still active N weeks on. Event-scale rows collapse at
+    // the (user, period) distinct BEFORE any join; the final join is
+    // cohort-matrix-sized.
+    "q_cohorts" -> ((s, d) =>
+      graft.ops.Cohorts.retention(Tables.events(s, d), "user_id", "ts",
+          "week")
+        .orderBy(col("cohort"), col("offset"))),
+
+    // Rolling 7-day active users, sliding daily — the exact sliding
+    // formulation (each event fans into 7 windows, collapsed by the
+    // distinct agg); the sketch battery is the approximate path at
+    // corpus scale.
+    "q_rolling_active" -> ((s, d) =>
+      graft.ops.Trending.rollingDistinct(Tables.events(s, d), "ts",
+          "user_id", "7 days", "1 day")
+        .orderBy(col("window_start"))),
+
     // Multi-touch attribution: purchases credited to the click/view
     // touches of the preceding day — linear/first/last models in one
     // pass; one user-keyed equi-join + two conversion-keyed windows,
@@ -4390,6 +4408,36 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
+
+    // Both engines truncate weeks to ISO Monday; offsets in whole weeks.
+    "q_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+        |           FROM events),
+        |f AS (SELECT u, min(p) AS cohort FROM a GROUP BY 1),
+        |m AS (SELECT cohort,
+        |        CAST(date_diff('day', cohort, p) // 7 AS BIGINT) AS "offset",
+        |        count(DISTINCT u) AS n_users
+        |      FROM a JOIN f USING (u) GROUP BY 1, 2),
+        |s AS (SELECT cohort, n_users AS cohort_size FROM m WHERE "offset" = 0)
+        |SELECT m.cohort, m."offset", m.n_users, s.cohort_size,
+        |  round(m.n_users::DOUBLE / s.cohort_size, 6) AS retention
+        |FROM m JOIN s USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
+
+    // Epoch-aligned daily window starts; inner join drops event-free
+    // windows exactly like Spark's window() aggregation.
+    "q_rolling_active" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY AS lo,
+        |                  date_trunc('day', max(ts)) AS hi FROM events),
+        |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS w
+        |      FROM b),
+        |c AS (SELECT g.w, count(DISTINCT e.user_id) AS n_distinct
+        |      FROM g JOIN events e ON e.ts >= g.w
+        |        AND e.ts < g.w + INTERVAL 7 DAY
+        |      GROUP BY 1)
+        |SELECT w AS window_start, w + INTERVAL 7 DAY AS window_end,
+        |  n_distinct
+        |FROM c ORDER BY window_start""".stripMargin,
 
     // Same user-keyed join, same (ts desc, id desc) touch ranking.
     "q_attribution" ->

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cohort retention analysis: group users by their first-activity
+  * period, then measure what fraction of each cohort is still active
+  * N periods later — the standard product/engagement matrix, and for a
+  * data pipeline the contributor-churn view of an event log. The
+  * companion of [[Trending]] (that says who dominates a window; this
+  * says whether a cohort keeps showing up at all).
+  *
+  * Extends the reference's flat aggregation surface per the charter.
+  *
+  * Scale posture: one user-granularity partial agg (first activity),
+  * one distinct on (user, period) — both key-partitioned shuffles of
+  * user-scale rows, NOT event-scale (the distinct collapses first) —
+  * then a user-keyed equi-join and a cohort-granularity count. The
+  * final retention join is cohort-matrix-sized (periods²). Nothing
+  * event-scale crosses more than one exchange. */
+object Cohorts {
+
+  private def periodTrunc(period: String, c: Column): Column =
+    date_trunc(period, c)
+
+  private def periodDays(period: String): Int = period.toLowerCase match {
+    case "day" => 1
+    case "week" => 7
+    case other => throw new IllegalArgumentException(
+      s"Cohorts.retention: unsupported period '$other' (day|week)")
+  }
+
+  /** Retention matrix: `(cohort, offset, n_users, cohort_size,
+    * retention)` — users whose FIRST activity fell in `cohort`, counted
+    * distinct in the period `offset` periods later; `retention` =
+    * `n_users / cohort_size` rounded to 6 dp. Offset 0 rows always
+    * carry `retention = 1.0` (every user is active in their own first
+    * period by construction). */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+                period: String = "week"): DataFrame = {
+    val days = periodDays(period)
+    val active = df.select(col(userCol).as("__u"),
+        periodTrunc(period, col(tsCol)).as("__p"))
+      .distinct()
+    val first = active.groupBy(col("__u"))
+      .agg(min(col("__p")).as("cohort"))
+    val matrix = active.join(first, Seq("__u"))
+      .withColumn("offset",
+        (datediff(col("__p"), col("cohort")) / days).cast("long"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+    val sizes = matrix.filter(col("offset") === 0)
+      .select(col("cohort"), col("n_users").as("cohort_size"))
+    matrix.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+}

@@ -21,6 +21,24 @@ import graft.functions.TopKFunctions.scoreTopK
   * are deterministic and oracle-stable. */
 object Trending {
 
+  /** Rolling distinct actives (e.g. 7-day active users, daily):
+    * `(window_start, window_end, n_distinct)` per SLIDING window.
+    * Windows with no events emit nothing.
+    *
+    * Scale: each event lands in `window/slide` windows before the
+    * distinct agg collapses to (window, key) granularity — the exact
+    * formulation. When the replication factor × key cardinality is the
+    * bottleneck at corpus scale, swap the exact count for the mergeable
+    * sketch battery (`theta_sketch_agg` per tumbling slice, windowed by
+    * merging 7 slice sketches) — exact here because the oracle is. */
+  def rollingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                      windowDuration: String,
+                      slideDuration: String): DataFrame =
+    df.groupBy(window(col(tsCol), windowDuration, slideDuration).as("w"))
+      .agg(countDistinct(col(keyCol)).as("n_distinct"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_distinct"))
+
   /** `(window_start, window_end, <keyCol>, n, rank)` — top `k` keys by
     * row count per tumbling `windowDuration` window of `tsCol`. */
   def topKPerWindow(df: DataFrame, tsCol: String, keyCol: String,

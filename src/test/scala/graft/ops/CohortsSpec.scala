@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CohortsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"$s 12:00:00")
+
+  // cohort W1 (Mon 2024-01-01): users a, b; cohort W2 (2024-01-08): c
+  // W1->W2: only a returns; W1->W3: a and b
+  private def evs = Seq(
+    ("a", ts("2024-01-02")), ("b", ts("2024-01-03")),
+    ("a", ts("2024-01-09")),
+    ("a", ts("2024-01-16")), ("b", ts("2024-01-17")),
+    ("c", ts("2024-01-10"))
+  ).toDF("user", "ts")
+
+  "retention" should "build the weekly matrix with correct fractions" in {
+    val got = Cohorts.retention(evs, "user", "ts", "week")
+      .select(date_format($"cohort", "yyyy-MM-dd").as("c"),
+        $"offset", $"n_users", $"cohort_size", $"retention")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    got(("2024-01-01", 0L)) shouldBe ((2L, 2L, 1.0))
+    got(("2024-01-01", 1L)) shouldBe ((1L, 2L, 0.5))
+    got(("2024-01-01", 2L)) shouldBe ((2L, 2L, 1.0))
+    got(("2024-01-08", 0L)) shouldBe ((1L, 1L, 1.0))
+    got.size shouldBe 4 // no empty-offset rows fabricated
+  }
+
+  it should "count a user once per period no matter how active" in {
+    val noisy = evs.unionByName(
+      Seq(("a", ts("2024-01-02")), ("a", ts("2024-01-04")))
+        .toDF("user", "ts"))
+    val r0 = Cohorts.retention(noisy, "user", "ts", "week")
+      .filter($"offset" === 0 && date_format($"cohort", "yyyy-MM-dd")
+        === "2024-01-01")
+      .select($"n_users").as[Long].head()
+    r0 shouldBe 2L
+  }
+
+  it should "support daily cohorts" in {
+    val daily = Cohorts.retention(evs, "user", "ts", "day")
+    daily.filter($"offset" === 0).count() should be >= 3L
+    // a's first day 01-02; a active on 01-09 -> offset 7
+    daily.filter($"offset" === 7L).select($"n_users").as[Long]
+      .collect() should contain(1L)
+  }
+
+  it should "refuse unknown periods loudly" in {
+    an[IllegalArgumentException] should be thrownBy
+      Cohorts.retention(evs, "user", "ts", "fortnight")
+  }
+}

@@ -33,6 +33,19 @@ class TrendingSpec extends SparkTestBase {
       .count() shouldBe 1L
   }
 
+  "rollingDistinct" should "count each key once per sliding window" in {
+    // u1 active day1+day2, u2 day1 only; 2-day window sliding daily
+    val evs2 = Seq((1L, ts(1, 1)), (1L, ts(1, 2)), (2L, ts(1, 3)),
+      (1L, ts(2, 1))).toDF("user_id", "ts")
+    val got = Trending.rollingDistinct(evs2, "ts", "user_id",
+        "2 days", "1 day")
+      .select($"window_start".cast("string"), $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    got("2023-12-31 00:00:00") shouldBe 2L // covers day1
+    got("2024-01-01 00:00:00") shouldBe 2L // covers day1+day2
+    got("2024-01-02 00:00:00") shouldBe 1L // covers day2 only
+  }
+
   it should "use the bounded top-k aggregate, not a window sort" in {
     val plan = Trending.topKPerWindow(evs, "ts", "user_id", "1 day", 2)
       .queryExecution.sparkPlan

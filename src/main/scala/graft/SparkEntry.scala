@@ -2350,6 +2350,36 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Welch's unequal-variance t-test between two event cohorts in ONE
+    // conditional-aggregate scan; sufficient statistics over DECIMAL
+    // casts (exact, partition-order-independent), closed form in a
+    // one-row projection.
+    "q_ab_test" -> ((s, d) =>
+      graft.ops.ABTest.welch(Tables.events(s, d), "event_type", "value",
+        "click", "view", decimalScale = 2)),
+
+    // Mutual information between market segment and nation, decomposed
+    // per cell (which cell drives the dependence) with windowed totals
+    // and marginal entropies — exact joint/marginal counts, cell-
+    // granularity shuffles only.
+    "q_mutual_info" -> ((s, d) =>
+      graft.ops.InfoTheory.mutualInformation(Tables.customer(s, d),
+          "c_mktsegment", "c_nationkey")
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    // Order-independent content attestation: per-segment (n_rows,
+    // checksum) over integer/string columns — replica equality proven
+    // by exchanging segment-count rows; one partial-agged scan, no
+    // data-row shuffle. (Engine-portable because the canonical strings
+    // of ints/strings agree; float columns are engine-specific and
+    // excluded from the oracle contract.)
+    "q_checksum" -> ((s, d) =>
+      graft.ops.Checksum.groupedChecksum(
+          Tables.customer(s, d).select(col("c_mktsegment"),
+            col("c_custkey"), col("c_name"), col("c_nationkey")),
+          Seq("c_mktsegment"))
+        .orderBy(col("c_mktsegment"))),
+
     // Weekly cohort retention: users bucketed by first-active week,
     // fraction still active N weeks on. Event-scale rows collapse at
     // the (user, period) distinct BEFORE any join; the final join is
@@ -4408,6 +4438,90 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
+
+    // Exact decimal sufficient statistics, identical closed-form
+    // operation order (means, then variances, then standard errors).
+    "q_ab_test" ->
+      """WITH g AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(22, 2)) END) AS s_a,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(CAST(value AS DECIMAL(22, 2)) *
+        |          CAST(value AS DECIMAL(22, 2)) AS DECIMAL(38, 4)) END)
+        |      AS ss_a,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    sum(CASE WHEN event_type = 'view'
+        |        THEN CAST(value AS DECIMAL(22, 2)) END) AS s_b,
+        |    sum(CASE WHEN event_type = 'view'
+        |        THEN CAST(CAST(value AS DECIMAL(22, 2)) *
+        |          CAST(value AS DECIMAL(22, 2)) AS DECIMAL(38, 4)) END)
+        |      AS ss_b
+        |  FROM events),
+        |f AS (SELECT n_a, n_b,
+        |    s_a::DOUBLE / n_a::DOUBLE AS ma, s_b::DOUBLE / n_b::DOUBLE AS mb,
+        |    (ss_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE)
+        |      / (n_a::DOUBLE - 1.0) AS va,
+        |    (ss_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE)
+        |      / (n_b::DOUBLE - 1.0) AS vb
+        |  FROM g),
+        |e AS (SELECT *, va / n_a::DOUBLE AS sea, vb / n_b::DOUBLE AS seb
+        |  FROM f)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(va, 6) AS var_a, round(vb, 6) AS var_b,
+        |  round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |  round((sea + seb) * (sea + seb) /
+        |    (sea * sea / (n_a::DOUBLE - 1.0) +
+        |     seb * seb / (n_b::DOUBLE - 1.0)), 6) AS df,
+        |  (abs((ma - mb) / sqrt(sea + seb)) > 1.959964) AS significant
+        |FROM e""".stripMargin,
+
+    // Same cell decomposition, windowed totals, marginal entropies.
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT c_mktsegment AS x, c_nationkey AS y,
+        |      count(*) AS n_xy FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(n_xy) AS n_x FROM cells GROUP BY 1),
+        |my AS (SELECT y, sum(n_xy) AS n_y FROM cells GROUP BY 1),
+        |j AS (SELECT cells.x, cells.y, n_xy,
+        |        CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        |        CAST(sum(n_xy) OVER () AS BIGINT) AS n
+        |      FROM cells JOIN mx USING (x) JOIN my USING (y)),
+        |t AS (SELECT *,
+        |        n_xy::DOUBLE / n::DOUBLE AS pxy,
+        |        (n_xy::DOUBLE / n::DOUBLE) * log2(n::DOUBLE * n_xy::DOUBLE
+        |          / (n_x::DOUBLE * n_y::DOUBLE)) AS term
+        |      FROM j),
+        |hx AS (SELECT sum(0.0 - p * log2(p)) AS h_x FROM
+        |       (SELECT n_x::DOUBLE / CAST(sum(n_x) OVER () AS DOUBLE) AS p
+        |        FROM mx)),
+        |hy AS (SELECT sum(0.0 - p * log2(p)) AS h_y FROM
+        |       (SELECT n_y::DOUBLE / CAST(sum(n_y) OVER () AS DOUBLE) AS p
+        |        FROM my))
+        |SELECT x AS c_mktsegment, y AS c_nationkey, n_xy, n_x, n_y,
+        |  round(pxy, 6) AS p_xy, round(term, 6) AS mi_term,
+        |  round(sum(term) OVER (), 6) AS mi_total,
+        |  round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+        |  CASE WHEN h_x = 0 OR h_y = 0 THEN NULL
+        |       ELSE round(sum(term) OVER () / sqrt(h_x * h_y), 6)
+        |  END AS nmi
+        |FROM t, hx, hy ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // Same length-prefixed canonical row serialization, same md5-prefix
+    // uint sum (exact in HUGEINT, cast to the operator's DECIMAL(38,0)).
+    "q_checksum" ->
+      """WITH r AS (SELECT c_mktsegment,
+        |    ('0x' || substring(md5(
+        |       'V' || length(CAST(c_custkey AS VARCHAR)) || ':'
+        |           || CAST(c_custkey AS VARCHAR)
+        |    || 'V' || length(c_name) || ':' || c_name
+        |    || 'V' || length(CAST(c_nationkey AS VARCHAR)) || ':'
+        |           || CAST(c_nationkey AS VARCHAR)), 1, 15))::BIGINT AS dg
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(dg) AS DECIMAL(38, 0)) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Both engines truncate weeks to ISO Monday; offsets in whole weeks.
     "q_cohorts" ->

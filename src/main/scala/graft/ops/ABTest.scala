@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-sample comparison (Welch's unequal-variance t-test) between two
+  * groups of a metric column — the experiment-readout tier above
+  * [[Regression]] (same sufficient-statistic discipline, pointed at
+  * "did the treatment move the metric?"). Reports the t statistic and
+  * Welch–Satterthwaite degrees of freedom in closed form; significance
+  * is a threshold on |t| supplied by the caller (the normal-approx
+  * critical value — at corpus-scale sample sizes the t and normal
+  * quantiles agree to three decimals, and shipping a CDF table would
+  * add nothing checkable).
+  *
+  * Extends the reference's flat aggregation surface per the charter.
+  *
+  * Scale posture: ONE partial-agged scan computes both groups' count /
+  * sum / sum-of-squares as conditional aggregates over DECIMAL-cast
+  * values (exact, partition-order-independent — the [[Regression]]
+  * move); the closed form is a one-row projection. */
+object ABTest {
+
+  /** One row: `(n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df,
+    * significant)` for `valueCol` between `groupA` and `groupB` rows of
+    * `groupCol` (other groups ignored). Sample variances (n−1). Means/
+    * vars/t/df rounded to 6 dp AFTER the significance comparison. */
+  def welch(df: DataFrame, groupCol: String, valueCol: String,
+            groupA: String, groupB: String, critical: Double = 1.959964,
+            decimalScale: Int = 4): DataFrame = {
+    require(groupA != groupB, "welch: the two groups must differ")
+    require(critical > 0, s"welch: critical must be positive, got $critical")
+    val dt = s"decimal(${20 + decimalScale}, $decimalScale)"
+    val pt = s"decimal(38, ${2 * decimalScale})"
+    val v = col(valueCol).cast(dt)
+    def side(g: String, tag: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col(groupCol) === g, v)).as(s"s_$tag"),
+      sum(when(col(groupCol) === g, (v * v).cast(pt))).as(s"ss_$tag"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def mean(t: String) = d(s"s_$t") / d(s"n_$t")
+    def variance(t: String) =
+      (d(s"ss_$t") - d(s"s_$t") * d(s"s_$t") / d(s"n_$t")) /
+        (d(s"n_$t") - 1.0)
+    val (ma, mb) = (mean("a"), mean("b"))
+    val (va, vb) = (variance("a"), variance("b"))
+    val sea = va / d("n_a")
+    val seb = vb / d("n_b")
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dfw = (sea + seb) * (sea + seb) /
+      (sea * sea / (d("n_a") - 1.0) + seb * seb / (d("n_b") - 1.0))
+    one.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(va, 6).as("var_a"), round(vb, 6).as("var_b"),
+      round(t, 6).as("t_stat"), round(dfw, 6).as("df"),
+      (abs(t) > critical).as("significant"))
+  }
+}

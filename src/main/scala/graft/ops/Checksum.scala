@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed table attestation: a deterministic,
+  * ORDER-INDEPENDENT checksum of a relation's content — equality of
+  * two corpus replicas (or a snapshot before and after a migration)
+  * proven by exchanging one row instead of moving data. The
+  * verification complement of [[Snapshot]]'s diff tier: `snapshotDiff`
+  * says WHAT changed row by row; this says WHETHER anything changed,
+  * at wire cost O(1).
+  *
+  * Checksum = Σ over rows of uint64(md5-prefix of the row's canonical
+  * serialization), accumulated in DECIMAL(38) (exact, associative,
+  * commutative — partitioning and row order cannot change it), plus
+  * the row count (so "sum collisions" from swapped rows cannot hide a
+  * count change). Any single-row difference flips the sum with
+  * probability 1 − 2⁻⁶⁴ per colliding pair.
+  *
+  * The reference's analogue is trust-by-convention (it re-exports and
+  * overwrites — reference: src/main/scala/com/booking/spark/
+  * HBaseSnapshotter.scala:131-137); this makes replica equality a
+  * checkable fact per the charter.
+  *
+  * Scale posture: ONE partial-agged scan, no shuffle of data rows (the
+  * exchange carries per-partition partial sums); output is one row. */
+object Checksum {
+
+  /** Canonical per-row digest: md5 of the length-prefixed concatenation
+    * of the named columns cast to string (length prefixes make the
+    * encoding injective — `("ab","c")` ≠ `("a","bc")`; nulls get their
+    * own marker, distinct from any string). First 15 hex chars (60
+    * bits) as a long — `conv` stays exact below 2⁶³. */
+  private[ops] def rowDigest(cols: Seq[String]): Column = {
+    val parts = cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("N")).otherwise(
+        concat(lit("V"), length(s).cast("string"), lit(":"), s))
+    }
+    conv(substring(md5(concat(parts: _*)), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+  }
+
+  /** One row: `(n_rows, checksum)` over `cols` (default: every column,
+    * in schema order). Two relations are content-equal as multisets of
+    * the selected columns iff both fields match. */
+  def tableChecksum(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val use = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(use.nonEmpty, "tableChecksum: relation has no columns")
+    df.agg(count(lit(1)).as("n_rows"),
+      coalesce(sum(rowDigest(use)), lit(0).cast("decimal(38,0)"))
+        .as("checksum"))
+  }
+
+  /** Per-group checksums — the bucketed form that localizes WHERE two
+    * replicas diverge before paying for a row-level diff (the rsync
+    * move: compare group sums first, diff only the unequal groups). */
+  def groupedChecksum(df: DataFrame, groupCols: Seq[String],
+                      cols: Seq[String] = Nil): DataFrame = {
+    require(groupCols.nonEmpty, "groupedChecksum: need group columns")
+    val use = if (cols.nonEmpty) cols
+      else df.columns.toSeq.filterNot(groupCols.contains)
+    require(use.nonEmpty, "groupedChecksum: no content columns left")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowDigest(use)).as("checksum"))
+  }
+}

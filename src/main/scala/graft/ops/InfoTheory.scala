@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic dependence between two categorical columns:
+  * the cell-level mutual-information decomposition
+  * `MI = Σ_{x,y} p(x,y) · log₂(n·c_xy / (c_x·c_y))` over EXACT joint
+  * and marginal counts — the feature-selection / leakage-screening
+  * question ("does this metadata column give away the label?") made a
+  * checkable number. Emitted per CELL with the totals windowed on, so
+  * every term is auditable (which cell drives the dependence) and
+  * nothing hides in a scalar.
+  *
+  * Extends the reference's flat aggregation surface per the charter.
+  *
+  * Scale posture: one partial-agged joint-count groupBy (cell
+  * granularity); marginals derive from the cell table by two more
+  * cell-granularity aggs joined back — data rows are scanned once and
+  * never rejoined. Output is |X|·|Y| rows. */
+object InfoTheory {
+
+  /** Per-cell MI decomposition: `(xCol, yCol, n_xy, n_x, n_y, p_xy,
+    * mi_term, mi_total, h_x, h_y, nmi)` — `mi_term` in bits; `nmi` =
+    * `MI / √(H(X)·H(Y))` (0 = independent, 1 = determined, null if
+    * either entropy is 0). Null category values participate as their
+    * own category. Doubles rounded to 6 dp. */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy(col(xCol)).agg(sum(col("n_xy")).as("n_x"))
+      .withColumnRenamed(xCol, "__mxk")
+    val my = cells.groupBy(col(yCol)).agg(sum(col("n_xy")).as("n_y"))
+      .withColumnRenamed(yCol, "__myk")
+    // null-safe marginal joins: a null category is a real category
+    val joined = cells
+      .join(mx, col(xCol) <=> col("__mxk")).drop("__mxk")
+      .join(my, col(yCol) <=> col("__myk")).drop("__myk")
+    val n = sum(col("n_xy")).over()
+    val pxy = col("n_xy").cast("double") / n.cast("double")
+    val term = pxy * log2(n.cast("double") * col("n_xy").cast("double") /
+      (col("n_x").cast("double") * col("n_y").cast("double")))
+    // marginal entropies from the (tiny) marginal tables: window the
+    // share first, aggregate -p*log2(p) second (an aggregate may not
+    // contain a window function directly)
+    def entropyOf(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.withColumn("__p", col(cnt).cast("double") /
+          sum(col(cnt)).over().cast("double"))
+        .agg(sum(lit(0.0) - col("__p") * log2(col("__p"))).as(out))
+    val hx = entropyOf(mx, "n_x", "h_x")
+    val hy = entropyOf(my, "n_y", "h_y")
+    joined
+      .withColumn("__pxy", pxy)
+      .withColumn("__term", term)
+      .withColumn("__mi", sum(term).over())
+      .crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
+      .select(col(xCol), col(yCol), col("n_xy"), col("n_x"), col("n_y"),
+        round(col("__pxy"), 6).as("p_xy"),
+        round(col("__term"), 6).as("mi_term"),
+        round(col("__mi"), 6).as("mi_total"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        when(col("h_x") === 0.0 || col("h_y") === 0.0, lit(null))
+          .otherwise(round(col("__mi") /
+            sqrt(col("h_x") * col("h_y")), 6)).as("nmi"))
+  }
+}

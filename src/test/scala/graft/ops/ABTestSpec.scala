@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ABTestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "welch" should "match a hand-computed t statistic" in {
+    // A: 1,2,3,4,5 (mean 3, var 2.5); B: 2,4,6 (mean 4, var 4)
+    val df = (Seq(1, 2, 3, 4, 5).map(v => ("A", v.toDouble)) ++
+      Seq(2, 4, 6).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val r = ABTest.welch(df, "g", "v", "A", "B")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double,
+        Boolean)].head()
+    r._1 shouldBe 5L
+    r._2 shouldBe 3L
+    r._3 shouldBe 3.0
+    r._4 shouldBe 4.0
+    r._5 shouldBe 2.5
+    r._6 shouldBe 4.0
+    val se = 2.5 / 5 + 4.0 / 3
+    val t = (3.0 - 4.0) / math.sqrt(se)
+    r._7 shouldBe math.rint(t * 1e6) / 1e6 +- 1e-9
+    val dfw = se * se / (0.25 / 4 + (4.0 / 3) * (4.0 / 3) / 2)
+    r._8 shouldBe math.rint(dfw * 1e6) / 1e6 +- 1e-9
+    r._9 shouldBe false // |t| ~ 0.74 < 1.96
+  }
+
+  it should "flag an obvious separation as significant" in {
+    val df = ((1 to 50).map(i => ("A", i % 3 + 10.0)) ++
+      (1 to 50).map(i => ("B", i % 3 + 20.0))).toDF("g", "v")
+    ABTest.welch(df, "g", "v", "A", "B")
+      .select($"significant").as[Boolean].head() shouldBe true
+  }
+
+  it should "ignore rows from other groups" in {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0),
+      ("C", 999.0)).toDF("g", "v")
+    val r = ABTest.welch(df, "g", "v", "A", "B")
+      .select($"n_a", $"n_b").as[(Long, Long)].head()
+    r shouldBe ((2L, 2L))
+  }
+}

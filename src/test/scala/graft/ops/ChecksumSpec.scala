@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ChecksumSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+    .toDF("id", "s")
+
+  "tableChecksum" should "be invariant to row order and partitioning" in {
+    val a = Checksum.tableChecksum(t1.coalesce(1)).collect().head
+    val b = Checksum.tableChecksum(
+      t1.orderBy($"id".desc).repartition(7)).collect().head
+    a shouldBe b
+  }
+
+  it should "flip on any single-row change" in {
+    val base = Checksum.tableChecksum(t1).select($"checksum")
+      .as[java.math.BigDecimal].head()
+    val mutated = Seq((1L, Some("a")), (2L, Some("B")), (3L, None))
+      .toDF("id", "s")
+    Checksum.tableChecksum(mutated).select($"checksum")
+      .as[java.math.BigDecimal].head() should not be base
+  }
+
+  it should "distinguish null from the literal null marker" in {
+    val withNull = Seq((1L, None: Option[String])).toDF("id", "s")
+    val withN = Seq((1L, Some("N"))).toDF("id", "s")
+    Checksum.tableChecksum(withNull).select($"checksum").head() should
+      not be Checksum.tableChecksum(withN).select($"checksum").head()
+  }
+
+  it should "distinguish shifted column boundaries (injective encoding)" in {
+    val ab_c = Seq(("ab", "c")).toDF("x", "y")
+    val a_bc = Seq(("a", "bc")).toDF("x", "y")
+    Checksum.tableChecksum(ab_c).select($"checksum").head() should
+      not be Checksum.tableChecksum(a_bc).select($"checksum").head()
+  }
+
+  it should "checksum an empty relation as (0, 0)" in {
+    val r = Checksum.tableChecksum(t1.limit(0))
+      .as[(Long, java.math.BigDecimal)].head()
+    r._1 shouldBe 0L
+    r._2.longValueExact() shouldBe 0L
+  }
+
+  "groupedChecksum" should "localize which group diverged" in {
+    val left = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "v")
+    val right = Seq(("g1", 1L), ("g1", 2L), ("g2", 99L)).toDF("g", "v")
+    val l = Checksum.groupedChecksum(left, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val r = Checksum.groupedChecksum(right, Seq("g")).collect()
+      .map(x => x.getString(0) -> x.getDecimal(2)).toMap
+    l("g1") shouldBe r("g1")
+    l("g2") should not be r("g2")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class InfoTheorySpec extends SparkTestBase {
+  import spark.implicits._
+
+  "mutualInformation" should "score a determined pair as NMI 1" in {
+    // y = f(x), both uniform over 2 values -> MI = H = 1 bit, NMI = 1
+    val df = Seq(("a", "u"), ("a", "u"), ("b", "v"), ("b", "v"))
+      .toDF("x", "y")
+    val r = InfoTheory.mutualInformation(df, "x", "y")
+      .select($"mi_total", $"h_x", $"h_y", $"nmi")
+      .as[(Double, Double, Double, Double)].head()
+    r._1 shouldBe 1.0 +- 1e-9
+    r._2 shouldBe 1.0 +- 1e-9
+    r._3 shouldBe 1.0 +- 1e-9
+    r._4 shouldBe 1.0 +- 1e-9
+  }
+
+  it should "score independence as ~zero MI" in {
+    // all four combinations equally likely
+    val df = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v"))
+      .toDF("x", "y")
+    val r = InfoTheory.mutualInformation(df, "x", "y")
+      .select($"mi_total").as[Double].head()
+    r shouldBe 0.0 +- 1e-9
+  }
+
+  it should "decompose cell terms that sum to the total" in {
+    val df = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"),
+      ("b", "v"), ("b", "u"), ("a", "u"), ("b", "v")).toDF("x", "y")
+    val rows = InfoTheory.mutualInformation(df, "x", "y")
+      .select($"mi_term", $"mi_total").as[(Double, Double)].collect()
+    rows.map(_._1).sum shouldBe rows.head._2 +- 1e-5
+    rows.map(_._2).distinct.length shouldBe 1
+  }
+
+  it should "treat null as its own category" in {
+    val df = Seq((Some("a"), "u"), (None, "v"), (None, "v"))
+      .toDF("x", "y")
+    val rows = InfoTheory.mutualInformation(df, "x", "y")
+    rows.count() shouldBe 2L // (a,u) and (null,v) cells
+    rows.filter($"x".isNull).select($"n_xy").as[Long].head() shouldBe 2L
+  }
+}

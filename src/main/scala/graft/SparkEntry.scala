@@ -2350,6 +2350,34 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // First-order Markov transitions between consecutive event types
+    // per user: one keyed window pass (lead), then a state-pair-
+    // granularity count with row-normalized probabilities.
+    "q_transitions" -> ((s, d) =>
+      graft.ops.Paths.transitionMatrix(Tables.events(s, d), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .orderBy(col("from_state"), col("to_state"))),
+
+    // Most frequent 3-step user journeys, arrow-joined (scalar output),
+    // ties by path string.
+    "q_top_paths" -> ((s, d) =>
+      graft.ops.Paths.topPaths(Tables.events(s, d), "user_id",
+          Seq("ts", "event_id"), "event_type", steps = 3, k = 10)
+        .orderBy(col("rank"))),
+
+    // Streaming content attestation: the per-language corpus checksum
+    // maintained micro-batch by micro-batch — exact decimal sums ADD,
+    // so the converged state equals the batch checksum however the
+    // feed was split (batch-id-versioned replay-idempotent state).
+    "q_stream_checksum" -> ((s, d) => {
+      val out = scratchDir("graft_sck_")
+      graft.streaming.ChangelogStream.streamChecksum(
+          Tables.documentsStream(s, d), Seq("lang"),
+          Seq("doc_id", "text", "source", "n_chars"), out,
+          statePartitions = 8)
+        .orderBy(col("lang"))
+    }),
+
     // Welch's unequal-variance t-test between two event cohorts in ONE
     // conditional-aggregate scan; sufficient statistics over DECIMAL
     // casts (exact, partition-order-independent), closed form in a
@@ -4438,6 +4466,51 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
+
+    // Same lead-window pair build and row-normalized division.
+    "q_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM p
+        |      WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(n::DOUBLE / CAST(sum(n) OVER (PARTITION BY from_state)
+        |    AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+
+    // Same two-lead path build, (count desc, path) ranking.
+    "q_top_paths" ->
+      """WITH l AS (SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT s0 || ' -> ' || s1 || ' -> ' || s2 AS path,
+        |      count(*) AS n
+        |      FROM l WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |      GROUP BY 1),
+        |r AS (SELECT path, n, CAST(row_number() OVER
+        |        (ORDER BY n DESC, path) AS BIGINT) AS rank FROM c)
+        |SELECT path, n, rank FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
+    // The digest arithmetic is additive, so the streamed cumulative
+    // state equals this batch computation over the whole table.
+    "q_stream_checksum" ->
+      """WITH r AS (SELECT lang,
+        |    ('0x' || substring(md5(
+        |       'V' || length(CAST(doc_id AS VARCHAR)) || ':'
+        |           || CAST(doc_id AS VARCHAR)
+        |    || 'V' || length(text) || ':' || text
+        |    || 'V' || length(source) || ':' || source
+        |    || 'V' || length(CAST(n_chars AS VARCHAR)) || ':'
+        |           || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT AS dg
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(dg) AS DECIMAL(38, 0)) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact decimal sufficient statistics, identical closed-form
     // operation order (means, then variances, then standard errors).

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-path analysis: the first-order Markov view of a keyed event
+  * log — transition counts/probabilities between consecutive states,
+  * and the most common k-step paths. The exploratory complement of
+  * [[Funnel]] (the funnel checks ONE prescribed sequence; this
+  * discovers which sequences actually happen) and [[Attribution]]
+  * (which touch gets credit vs how journeys flow).
+  *
+  * Extends the reference's flat aggregation surface per the charter.
+  *
+  * Scale posture: one key-partitioned window pass (lead) builds
+  * consecutive pairs — the same single-exchange shape as
+  * [[Sessions]]/[[ChangePoint]] — then a state-pair-granularity
+  * partial-agg count; probabilities divide by a windowed from-state
+  * total over the (tiny) pair table. Nothing event-scale crosses more
+  * than the one keyed exchange. */
+object Paths {
+
+  /** `(from_state, to_state, n, p)`: consecutive-state transition
+    * counts per key (ordered by `orderCols` within `keyCol`) and the
+    * row-normalized probability `p = n / Σ n over from_state`, rounded
+    * to 6 dp. Each key's last event has no successor and contributes
+    * no pair. */
+  def transitionMatrix(df: DataFrame, keyCol: String,
+                       orderCols: Seq[String],
+                       stateCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix: need order columns")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"),
+        col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotal = sum(col("n"))
+      .over(Window.partitionBy(col("from_state")))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / fromTotal.cast("double"), 6))
+  }
+
+  /** Top `k` most frequent `steps`-state paths: `(path, n, rank)`,
+    * path as an arrow-joined string (scalar, harness-safe), ties by
+    * path string. Uses the bounded [[graft.functions.ScoreTopK]]
+    * shape via count ordering in a plain sort — path cardinality is
+    * states^steps, model-sized for real state alphabets, so the final
+    * rank is a top-k over an already-tiny table. */
+  def topPaths(df: DataFrame, keyCol: String, orderCols: Seq[String],
+               stateCol: String, steps: Int, k: Int): DataFrame = {
+    require(steps >= 2, s"topPaths: steps must be >= 2, got $steps")
+    require(k >= 1, s"topPaths: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val leads = (1 until steps).map(i =>
+      lead(col(stateCol), i).over(w).as(s"__s$i"))
+    val withLeads = df.select(col(stateCol).as("__s0") +: leads: _*)
+      .filter((1 until steps).map(i => col(s"__s$i").isNotNull)
+        .reduce(_ && _))
+    val path = concat_ws(" -> ",
+      (0 until steps).map(i => col(s"__s$i")): _*)
+    val counted = withLeads.select(path.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val rank = Window.orderBy(col("n").desc, col("path"))
+    counted.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+}

@@ -459,6 +459,65 @@ object ChangelogStream {
     graft.ops.Drift.psiFromCounts(refDir, counts)
   }
 
+  /** Streaming content attestation: a running
+    * [[graft.ops.Checksum.groupedChecksum]] maintained across
+    * micro-batches — the ingest side of replica verification (the
+    * batch checksum proves two CORPORA equal; this keeps the ingest
+    * feed's checksum current so the comparison costs nothing when
+    * audit time comes). The checksum is an exact DECIMAL sum, so
+    * per-batch sums ADD: same batch-id-versioned replay-idempotent
+    * state as [[streamHeavyHitters]], and the converged result equals
+    * the batch checksum of the whole feed regardless of batch
+    * boundaries — it shares the batch oracle arithmetic. State is
+    * group-cardinality rows. */
+  def streamChecksum(stream: DataFrame, groupCols: Seq[String],
+                     cols: Seq[String], dir: String,
+                     statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val batchSums = graft.ops.Checksum.groupedChecksum(b, groupCols,
+          cols)
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(stateRoot)) None
+          else fs.listStatus(stateRoot).map(_.getPath.getName)
+            .filter(_.startsWith("graft_batch="))
+            .map(_.stripPrefix("graft_batch=").toLong)
+            .filter(_ < id).sorted.lastOption
+        val cumulative = prev match {
+          case Some(p) => batchSums
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
+            .groupBy(groupCols.map(col): _*)
+            .agg(sum(col("n_rows")).as("n_rows"),
+              sum(col("checksum")).cast("decimal(38,0)").as("checksum"))
+          case None => batchSums
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stateRoot))
+      graft.ops.Checksum.groupedChecksum(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          stream.schema), groupCols, cols)
+    else {
+      val last = fs.listStatus(stateRoot).map(_.getPath.getName)
+        .filter(_.startsWith("graft_batch="))
+        .map(_.stripPrefix("graft_batch=").toLong).max
+      spark.read.parquet(s"$dir/state/graft_batch=$last")
+    }
+  }
+
   /** [[replayLatestPerKey]] through the file-sink bridge: the streaming
     * upsert replayed to completion with per-batch winners written to
     * parquet and reduced distributedly — the equivalence check itself is

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PathsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // user 1: a->b->c ; user 2: a->b->b
+  private def evs = Seq(
+    (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+    (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "b")
+  ).toDF("uid", "seq", "state")
+
+  "transitionMatrix" should "count consecutive pairs with row-normalized p" in {
+    val got = Paths.transitionMatrix(evs, "uid", Seq("seq"), "state")
+      .select($"from_state", $"to_state", $"n", $"p")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    got(("a", "b")) shouldBe ((2L, 1.0))
+    got(("b", "c")) shouldBe ((1L, 0.5))
+    got(("b", "b")) shouldBe ((1L, 0.5))
+    got.size shouldBe 3 // last events emit no pair
+  }
+
+  it should "never pair across keys" in {
+    // user 1 ends with c, user 2 starts with a: no (c, a) transition
+    Paths.transitionMatrix(evs, "uid", Seq("seq"), "state")
+      .filter($"from_state" === "c").count() shouldBe 0L
+  }
+
+  "topPaths" should "rank the common 2-step and 3-step paths" in {
+    val two = Paths.topPaths(evs, "uid", Seq("seq"), "state",
+        steps = 2, k = 2)
+      .select($"path", $"n", $"rank").as[(String, Long, Long)].collect()
+    two.head shouldBe (("a -> b", 2L, 1L))
+    val three = Paths.topPaths(evs, "uid", Seq("seq"), "state",
+        steps = 3, k = 5)
+      .select($"path", $"n").as[(String, Long)].collect().toMap
+    three shouldBe Map("a -> b -> c" -> 1L, "a -> b -> b" -> 1L)
+  }
+}

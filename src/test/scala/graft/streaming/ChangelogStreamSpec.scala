@@ -636,6 +636,40 @@ class ChangelogStreamSpec extends SparkTestBase {
     new java.io.File(dir, "state").list()
       .count(_.startsWith("graft_batch=")) shouldBe 2
   }
+
+  "streamChecksum" should "converge to the batch checksum across batches" in {
+    import graft.ops.Checksum
+    val incoming = (0 until 40).map(i => SDoc(i.toLong, s"text-$i"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sc_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sc_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(25), "wave1.parquet", 120000L)
+    stage(incoming.drop(25), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+      .withColumn("bucket", pmod($"doc_id", lit(3)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc").toString
+    val got = ChangelogStream.streamChecksum(stream, Seq("bucket"),
+        Seq("doc_id", "text"), dir)
+      .orderBy($"bucket").collect()
+    val want = Checksum.groupedChecksum(
+        incoming.toDF("doc_id", "text")
+          .withColumn("bucket", pmod($"doc_id", lit(3))),
+        Seq("bucket"), Seq("doc_id", "text"))
+      .orderBy($"bucket").collect()
+    got shouldBe want
+  }
 }
 
 // top-level: the MemoryStream encoder must be resolvable inside the

@@ -2350,6 +2350,36 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Referential-integrity audit across the star schema: orphaned
+    // foreign keys made a number before an inner join makes them a
+    // mystery. Parents collapse to DISTINCT keys, one left equi-join +
+    // conditional agg per FK; the user->supplier check is deliberately
+    // over-narrow so the orphan path is exercised.
+    "q_ref_integrity" -> ((s, d) =>
+      graft.ops.Referential.integrityReport(Seq(
+          graft.ops.Referential.Fk("lineitem.l_orderkey -> orders",
+            Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d),
+            "o_orderkey"),
+          graft.ops.Referential.Fk("orders.o_custkey -> customer",
+            Tables.orders(s, d), "o_custkey", Tables.customer(s, d),
+            "c_custkey"),
+          graft.ops.Referential.Fk("events.user_id -> supplier",
+            Tables.events(s, d), "user_id", Tables.supplier(s, d),
+            "s_suppkey")))
+        .orderBy(col("fk_idx"))),
+
+    // Corpus filter-policy attrition: every document charged to the
+    // FIRST rule it fails, so per-rule removals sum exactly to
+    // total − survivors — the accounting artifact published next to
+    // every released corpus. ONE conditional-aggregate scan.
+    "q_attrition" -> ((s, d) =>
+      graft.ops.Policy.attritionReport(Tables.documents(s, d), Seq(
+          "min_length" -> (col("n_chars") >= 100),
+          "latin_lang" -> col("lang").isin("en", "fr", "de", "es"),
+          "min_tokens" ->
+            (size(split(trim(col("text")), "\\s+")) >= 30)))
+        .orderBy(col("rule_idx"))),
+
     // First-order Markov transitions between consecutive event types
     // per user: one keyed window pass (lead), then a state-pair-
     // granularity count with row-normalized probabilities.
@@ -4466,6 +4496,79 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
+
+    // Same distinct-parents left join accounting per FK.
+    "q_ref_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 0 AS fk_idx, 'lineitem.l_orderkey -> orders' AS fk,
+        |    count(*) AS child_rows,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_fk,
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND p.pk IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+        |    (sum(CASE WHEN l_orderkey IS NOT NULL AND p.pk IS NULL
+        |      THEN 1 ELSE 0 END) = 0) AS ok
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+        |    ON l_orderkey = p.pk
+        |  UNION ALL
+        |  SELECT 1, 'orders.o_custkey -> customer', count(*),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL AND p.pk IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    (sum(CASE WHEN o_custkey IS NOT NULL AND p.pk IS NULL
+        |      THEN 1 ELSE 0 END) = 0)
+        |  FROM orders LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |    ON o_custkey = p.pk
+        |  UNION ALL
+        |  SELECT 2, 'events.user_id -> supplier', count(*),
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN user_id IS NOT NULL AND p.pk IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    (sum(CASE WHEN user_id IS NOT NULL AND p.pk IS NULL
+        |      THEN 1 ELSE 0 END) = 0)
+        |  FROM events LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+        |    ON user_id = p.pk)
+        |ORDER BY fk_idx""".stripMargin,
+
+    // First-failed-rule attribution replayed as a CASE cascade.
+    "q_attrition" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 0
+        |         WHEN NOT coalesce(lang IN ('en','fr','de','es'), FALSE)
+        |           THEN 1
+        |         WHEN NOT coalesce(
+        |           len(regexp_split_to_array(trim(text), '\s+')) >= 30,
+        |           FALSE) THEN 2
+        |         ELSE 3 END AS ff
+        |  FROM documents),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |    CAST(sum(CASE WHEN ff >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN ff >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN ff >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS surv
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 0 AS rule_idx, 'min_length' AS rule, f0 AS n_failed_here,
+        |    r0 AS n_reaching, CASE WHEN r0 = 0 THEN NULL
+        |      ELSE round(1.0 - f0::DOUBLE / r0::DOUBLE, 6) END AS pass_rate
+        |  FROM m
+        |  UNION ALL SELECT 1, 'latin_lang', f1, r1,
+        |    CASE WHEN r1 = 0 THEN NULL
+        |      ELSE round(1.0 - f1::DOUBLE / r1::DOUBLE, 6) END FROM m
+        |  UNION ALL SELECT 2, 'min_tokens', f2, r2,
+        |    CASE WHEN r2 = 0 THEN NULL
+        |      ELSE round(1.0 - f2::DOUBLE / r2::DOUBLE, 6) END FROM m
+        |  UNION ALL SELECT 3, '__survivors', 0, surv,
+        |    CASE WHEN surv = 0 THEN NULL ELSE 1.0 END FROM m)
+        |ORDER BY rule_idx""".stripMargin,
 
     // Same lead-window pair build and row-normalized division.
     "q_transitions" ->

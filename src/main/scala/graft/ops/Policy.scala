@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Filter-policy attrition report: apply an ordered battery of keep
+  * rules and account for every document — how many each rule removed,
+  * how many survive the whole gauntlet. This is the artifact every
+  * corpus pipeline publishes next to its dataset ("started with 10 B
+  * docs; language filter −38%, quality gate −21%, …") and the
+  * glue over the text battery: the rules are ordinary boolean Columns,
+  * so any gate in the suite ([[TextAnalysis]] scores, [[LangId]]
+  * predictions, [[PiiRedaction]] counts, [[Repetition]] fractions)
+  * plugs in unchanged.
+  *
+  * Attrition semantics are SEQUENTIAL (a doc is charged to the FIRST
+  * rule it fails), so the per-rule numbers sum exactly to
+  * `total − survivors` — no double counting, unlike independent-rule
+  * tallies.
+  *
+  * Extends the reference's unconditional full export per the charter.
+  *
+  * Scale posture: the whole report is ONE conditional-aggregate scan
+  * (each rule a codegen'd when-chain term); `survivors` returns the
+  * filtered rows with zero extra passes — the report rides the same
+  * predicate the filter uses. */
+object Policy {
+
+  /** One row per rule, in order, plus a final `__survivors` row:
+    * `(rule_idx, rule, n_failed_here, n_reaching, pass_rate)` —
+    * `n_reaching` is how many docs reached this rule (survived all
+    * earlier ones), `n_failed_here` how many it removed,
+    * `pass_rate = 1 − failed/reaching` rounded to 6 dp (null when
+    * nothing reaches). */
+  def attritionReport(df: DataFrame,
+                      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "attritionReport: need at least one rule")
+    // first failed rule index per row, else rules.size (survivor)
+    val firstFail = rules.zipWithIndex.reverse
+      .foldLeft(lit(rules.size): Column) { case (acc, (r, i)) =>
+        when(!coalesce(r._2, lit(false)), lit(i)).otherwise(acc)
+      }
+    val metrics = (0 until rules.size).flatMap { i =>
+      Seq(sum(when(col("__ff") === i, 1L).otherwise(0L)).as(s"__f$i"),
+        sum(when(col("__ff") >= i, 1L).otherwise(0L)).as(s"__r$i"))
+    } :+ sum(when(col("__ff") === rules.size, 1L).otherwise(0L))
+      .as("__surv")
+    val one = df.withColumn("__ff", firstFail)
+      .agg(metrics.head, metrics.tail: _*)
+    val wide = rules.zipWithIndex.foldLeft(one) { case (d, (r, i)) =>
+      d.withColumn(s"__i$i", lit(i)).withColumn(s"__n$i", lit(r._1))
+    }.withColumn(s"__i${rules.size}", lit(rules.size))
+      .withColumn(s"__n${rules.size}", lit("__survivors"))
+      .withColumn(s"__f${rules.size}", lit(0L))
+      .withColumn(s"__r${rules.size}", col("__surv"))
+    val parts = (0 to rules.size)
+      .map(i => s"__i$i, __n$i, __f$i, __r$i").mkString(", ")
+    wide.selectExpr(s"stack(${rules.size + 1}, $parts) " +
+        "as (rule_idx, rule, n_failed_here, n_reaching)")
+      .withColumn("pass_rate",
+        when(col("n_reaching") === 0, lit(null)).otherwise(
+          round(lit(1.0) - col("n_failed_here").cast("double") /
+            col("n_reaching").cast("double"), 6)))
+  }
+
+  /** The rows surviving every rule — the dataset the report describes
+    * (null rule values fail, consistent with [[attritionReport]]). */
+  def survivors(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "survivors: need at least one rule")
+    df.filter(rules.map(r => coalesce(r._2, lit(false))).reduce(_ && _))
+  }
+}

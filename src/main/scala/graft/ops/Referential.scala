@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit across a star schema: for each declared
+  * foreign key, how many child rows point at a parent that exists —
+  * the cross-TABLE tier of the data-quality battery ([[Expectations]]
+  * checks one relation against its own contract; this checks the
+  * relationships a downstream join will silently drop rows over).
+  * An orphaned foreign key is the classic silent-inner-join data loss:
+  * this makes it a number before the join makes it a mystery.
+  *
+  * Extends the reference's single-table surface (the reference exports
+  * one table per run and never cross-checks — reference:
+  * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-137)
+  * per the charter.
+  *
+  * Scale posture: per FK, parents collapse to DISTINCT keys first
+  * (key-granularity, not row-granularity), then ONE left equi-join and
+  * a conditional aggregate — AQE broadcasts the key set when it is
+  * small and shuffles both sides by the key when it is not. Report is
+  * one row per declared FK. */
+object Referential {
+
+  /** One foreign-key declaration: `child.fkCol` must reference
+    * `parent.pkCol`. */
+  final case class Fk(name: String, child: DataFrame, fkCol: String,
+                      parent: DataFrame, pkCol: String)
+
+  /** One row per declared FK, in declaration order: `(fk_idx, fk,
+    * child_rows, null_fk, orphans, ok)` — `null_fk` rows reference
+    * nothing (not orphans; nullable FKs are legal), `orphans` are
+    * non-null references with no parent, `ok` iff orphans = 0. */
+  def integrityReport(fks: Seq[Fk]): DataFrame = {
+    require(fks.nonEmpty, "integrityReport: need at least one FK")
+    val perFk = fks.zipWithIndex.map { case (fk, i) =>
+      val parents = fk.parent.select(col(fk.pkCol).as("__pk")).distinct()
+      fk.child.select(col(fk.fkCol).as("__fk"))
+        .join(parents, col("__fk") === col("__pk"), "left")
+        .agg(
+          lit(i).as("fk_idx"),
+          lit(fk.name).as("fk"),
+          count(lit(1)).as("child_rows"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("null_fk"),
+          sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+            .otherwise(0L)).as("orphans"))
+        .select(col("fk_idx"), col("fk"), col("child_rows"),
+          col("null_fk"), col("orphans"),
+          (col("orphans") === 0L).as("ok"))
+    }
+    perFk.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PolicySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, 100, Some("en")), // passes all
+    (2L, 5, Some("en")),   // fails length
+    (3L, 100, Some("xx")), // fails lang
+    (4L, 5, Some("xx")),   // fails length (charged there, not to lang)
+    (5L, 100, None)        // null lang -> fails lang rule
+  ).toDF("id", "len", "lang")
+
+  private val rules = Seq(
+    "min_length" -> (col("len") >= 10),
+    "known_lang" -> col("lang").isin("en", "fr"))
+
+  "attritionReport" should "charge each doc to the FIRST failed rule" in {
+    val rows = Policy.attritionReport(docs, rules)
+      .orderBy($"rule_idx")
+      .select($"rule", $"n_failed_here", $"n_reaching", $"pass_rate")
+      .as[(String, Long, Long, Option[Double])].collect()
+    rows(0) shouldBe (("min_length", 2L, 5L, Some(0.6)))
+    rows(1) shouldBe (("known_lang", 2L, 3L, Some(0.333333)))
+    rows(2) shouldBe (("__survivors", 0L, 1L, Some(1.0)))
+    // sequential accounting: failures sum to total - survivors
+    rows.map(_._2).sum shouldBe 4L
+  }
+
+  it should "report null pass_rate when nothing reaches a rule" in {
+    val all = Policy.attritionReport(docs,
+        Seq("nothing" -> lit(false), "unreached" -> lit(true)))
+      .orderBy($"rule_idx")
+      .select($"n_reaching", $"pass_rate")
+      .as[(Long, Option[Double])].collect()
+    all(1) shouldBe ((0L, None))
+  }
+
+  "survivors" should "return exactly the docs the report counts" in {
+    val s = Policy.survivors(docs, rules)
+    s.select($"id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  it should "stay one aggregation over one scan" in {
+    val plan = Policy.attritionReport(docs, rules)
+      .queryExecution.optimizedPlan
+    plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.length shouldBe 1
+  }
+}

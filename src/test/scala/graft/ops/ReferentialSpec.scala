@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.Referential.Fk
+import org.apache.spark.sql.functions._
+
+class ReferentialSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parents = Seq(1L, 2L, 3L).toDF("pk")
+  private def children = Seq(
+    (10L, Some(1L)), (11L, Some(1L)), (12L, Some(2L)),
+    (13L, Some(99L)), // orphan
+    (14L, None)       // null FK: legal, not an orphan
+  ).toDF("id", "fk")
+
+  "integrityReport" should "separate orphans from null FKs" in {
+    val r = Referential.integrityReport(Seq(
+        Fk("children.fk -> parents.pk", children, "fk", parents, "pk")))
+      .as[(Int, String, Long, Long, Long, Boolean)].head()
+    r shouldBe ((0, "children.fk -> parents.pk", 5L, 1L, 1L, false))
+  }
+
+  it should "pass a clean FK and keep declaration order" in {
+    val clean = children.filter($"id" =!= 13L)
+    val rows = Referential.integrityReport(Seq(
+        Fk("dirty", children, "fk", parents, "pk"),
+        Fk("clean", clean, "fk", parents, "pk")))
+      .orderBy($"fk_idx")
+      .select($"fk", $"orphans", $"ok")
+      .as[(String, Long, Boolean)].collect()
+    rows(0) shouldBe (("dirty", 1L, false))
+    rows(1) shouldBe (("clean", 0L, true))
+  }
+
+  it should "not multiply counts on duplicate parent keys" in {
+    val dupParents = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    Referential.integrityReport(Seq(
+        Fk("f", children, "fk", dupParents, "pk")))
+      .select($"child_rows").as[Long].head() shouldBe 5L
+  }
+}

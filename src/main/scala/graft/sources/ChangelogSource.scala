@@ -70,3 +70,34 @@ final case class JsonlChangelogSource(
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.schema(schema).json(s"$root/$table.jsonl")
 }
+
+/** CSV changelog source — the interchange shape a legacy export lands
+  * in. Same REQUIRED-schema contract as [[JsonlChangelogSource]] and
+  * for the same scale reasons (inference is an extra pass; drifting
+  * types are silent corruption); header handling is explicit so a
+  * headerless dump and an exported-with-header dump are both one
+  * constructor call. CSV scans cannot prune columns server-side — this
+  * adapter exists for INGEST compatibility, and the engine's own sinks
+  * write columnar. */
+final case class CsvChangelogSource(
+    root: String, schema: org.apache.spark.sql.types.StructType,
+    header: Boolean = true, delimiter: String = ",")
+  extends ChangelogSource {
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      // permissive silently nulls malformed rows — a changelog with
+      // corrupt lines must fail loudly, like the rest of the suite
+      .option("mode", "FAILFAST")
+      .csv(s"$root/$table.csv")
+}
+
+/** ORC changelog source — the other columnar lake format. Schema
+  * optional (ORC carries its own, losslessly, like parquet); filters
+  * and column pruning push into the ORC reader exactly as the parquet
+  * default, so `readRange` stays server-side-effective. */
+final case class OrcChangelogSource(root: String) extends ChangelogSource {
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$root/$table.orc")
+}

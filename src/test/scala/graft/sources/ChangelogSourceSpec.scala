@@ -159,6 +159,57 @@ class ChangelogSourceSpec extends SparkTestBase {
     } finally Tables.unregister("log")
   }
 
+  "CsvChangelogSource" should "run the snapshot pipeline unchanged over csv data" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/csvlog.csv"),
+      """row_key,ts,row_status,age
+        |u1,1000,I,7
+        |u1,2500,U,8
+        |u2,1500,I,9
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "row_key STRING, ts BIGINT, row_status STRING, age STRING")
+    Tables.register("csvlog", CsvChangelogSource(root, schema))
+    try {
+      val out = graft.pipeline.SnapshotPipeline.snapshot(spark,
+        graft.pipeline.SnapshotPipeline.SnapshotConfig("csvlog",
+          graft.pipeline.SnapshotPipeline.ExplicitSchema(Seq("d:age:integer")),
+          graft.pipeline.SnapshotPipeline.ParquetSink("/unused"),
+          asOfMillis = 2000L))
+      out.orderBy($"k_hbase_row_key")
+        .select($"k_hbase_row_key", $"age").as[(String, Int)]
+        .collect().toSeq shouldBe Seq(("u1", 7), ("u2", 9))
+    } finally Tables.unregister("csvlog")
+  }
+
+  it should "fail loudly on malformed rows (FAILFAST contract)" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_csvbad_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/log.csv"),
+      "row_key,ts\nu1,notanumber\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "row_key STRING, ts BIGINT")
+    val src = CsvChangelogSource(root, schema)
+    an[Exception] should be thrownBy
+      src.read(spark, "log").collect()
+  }
+
+  "OrcChangelogSource" should "round-trip the changelog with pushdown-capable scans" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val df = Seq(("u1", 1000L, "I", "7"), ("u1", 2500L, "U", "8"),
+      ("u2", 1500L, "I", "9")).toDF("row_key", "ts", "row_status", "age")
+    df.write.mode("overwrite").orc(s"$root/log.orc")
+    val src = OrcChangelogSource(root)
+    src.read(spark, "log").count() shouldBe 3L
+    // readRange prunes through the ORC reader's pushed filters
+    val ranged = src.readRange(spark, "log", "ts", lit(1000L), lit(2000L))
+    ranged.select($"row_key").as[String].collect().toSet shouldBe
+      Set("u1", "u2")
+    val pushed = ranged.queryExecution.executedPlan.toString
+    pushed should include("PushedFilters")
+  }
+
   "the default parquet adapter" should "serve the harness tables unchanged" in {
     val root = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
     assume(new java.io.File(s"$root/region.parquet").exists())

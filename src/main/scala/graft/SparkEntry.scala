@@ -4619,16 +4619,16 @@ object SparkEntry {
     // operation order (means, then variances, then standard errors).
     "q_ab_test" ->
       """WITH g AS (SELECT
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    sum(CASE WHEN event_type = 'click'
         |        THEN CAST(value AS DECIMAL(22, 2)) END) AS s_a,
         |    sum(CASE WHEN event_type = 'click'
         |        THEN CAST(CAST(value AS DECIMAL(22, 2)) *
         |          CAST(value AS DECIMAL(22, 2)) AS DECIMAL(38, 4)) END)
         |      AS ss_a,
-        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND value IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |    sum(CASE WHEN event_type = 'view'
         |        THEN CAST(value AS DECIMAL(22, 2)) END) AS s_b,
         |    sum(CASE WHEN event_type = 'view'
@@ -4788,7 +4788,8 @@ object SparkEntry {
       """WITH a AS (SELECT l_returnflag,
         |    CAST(l_quantity AS DECIMAL(22, 2)) AS x,
         |    CAST(l_extendedprice AS DECIMAL(22, 2)) AS y
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         |g AS (SELECT l_returnflag, count(*) AS n,
         |    sum(x) AS sx, sum(y) AS sy,
         |    sum(CAST(x * y AS DECIMAL(38, 4))) AS sxy,

@@ -33,8 +33,12 @@ object ABTest {
     val dt = s"decimal(${20 + decimalScale}, $decimalScale)"
     val pt = s"decimal(38, ${2 * decimalScale})"
     val v = col(valueCol).cast(dt)
+    // n must count exactly the rows the sums see: a NULL metric value
+    // contributes to neither (count(*)-style n would silently deflate
+    // the mean and can push the variance negative -> NaN t)
     def side(g: String, tag: String) = Seq(
-      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col(groupCol) === g && v.isNotNull, 1L).otherwise(0L))
+        .as(s"n_$tag"),
       sum(when(col(groupCol) === g, v)).as(s"s_$tag"),
       sum(when(col(groupCol) === g, (v * v).cast(pt))).as(s"ss_$tag"))
     val aggs = side(groupA, "a") ++ side(groupB, "b")

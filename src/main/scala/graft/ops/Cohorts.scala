@@ -48,7 +48,10 @@ object Cohorts {
       .withColumn("offset",
         (datediff(col("__p"), col("cohort")) / days).cast("long"))
       .groupBy(col("cohort"), col("offset"))
-      .agg(countDistinct(col("__u")).as("n_users"))
+      // plain count IS the distinct-user count here: active is distinct
+      // per (user, period) and first is one row per user, so a user can
+      // appear at most once per (cohort, offset) — no Expand needed
+      .agg(count(lit(1)).as("n_users"))
     val sizes = matrix.filter(col("offset") === 0)
       .select(col("cohort"), col("n_users").as("cohort_size"))
     matrix.join(sizes, Seq("cohort"))

@@ -31,11 +31,15 @@ object Drift {
                          exact: Boolean, kllK: Int): Seq[Double] = {
     val ps = (1 until nBins).map(_.toDouble / nBins)
     val v = col(valueCol).cast("double")
+    // same binnable screen as the counts: percentile skips NULLs but
+    // sorts NaN above everything, which would silently shift every
+    // boundary on a feed with a few NaNs
+    val clean = binnable(ref, valueCol)
     val row =
       if (exact)
-        ref.agg(percentile(v, typedLit(ps)).as("qs")).head()
+        clean.agg(percentile(v, typedLit(ps)).as("qs")).head()
       else
-        ref.agg(KllFunctions.kllQuantiles(
+        clean.agg(KllFunctions.kllQuantiles(
           KllFunctions.kllSketch(v, kllK), ps).as("qs")).head()
     row.getSeq[Double](0)
   }
@@ -49,6 +53,16 @@ object Drift {
         when(col(valueCol).cast("double") <= b, lit(i)).otherwise(acc)
     }
 
+  /** Rows a bin can be assigned to: the boundary quantiles ignore
+    * NULL/NaN, so counting them in bins (they'd fall through every
+    * `<=` into the TOP bin) would fabricate a high-value level shift
+    * out of a data-missing failure — screen missingness with
+    * [[Expectations]] completeness checks instead. */
+  private def binnable(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull && !isnan(v))
+  }
+
   /** Per-bin drift report: `(bin, ref_n, cand_n, ref_p, cand_p,
     * psi_term, psi_total)` over `nBins` reference-quantile bins (every
     * bin present even when empty; proportions add-half smoothed;
@@ -60,7 +74,7 @@ object Drift {
     val spark = ref.sparkSession
     val bs = boundaries(ref, valueCol, nBins, exact, kllK)
     def sideCounts(df: DataFrame, name: String): DataFrame =
-      df.select(binOf(bs, valueCol).as("bin"))
+      binnable(df, valueCol).select(binOf(bs, valueCol).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(name))
     val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
     val joined = spine
@@ -109,7 +123,8 @@ object Drift {
     require(nBins >= 2, s"saveReference: need at least 2 bins, got $nBins")
     val spark = ref.sparkSession
     val bs = boundaries(ref, valueCol, nBins, exact, kllK)
-    val counts = ref.select(binOf(bs, valueCol).as("bin"))
+    val counts = binnable(ref, valueCol)
+      .select(binOf(bs, valueCol).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("ref_n"))
     val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
     spine.join(counts, Seq("bin"), "left")
@@ -130,7 +145,7 @@ object Drift {
     * accumulates. */
   def candidateCounts(df: DataFrame, bs: Seq[Double],
                       valueCol: String): DataFrame =
-    df.select(binOf(bs, valueCol).as("bin"))
+    binnable(df, valueCol).select(binOf(bs, valueCol).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cand_n"))
 
   /** PSI report from already-binned candidate counts against a
@@ -138,7 +153,9 @@ object Drift {
   def psiFromCounts(refDir: String, candCounts: DataFrame): DataFrame = {
     val spark = candCounts.sparkSession
     val ref = spark.read.parquet(refDir)
-    val nBins = referenceBoundaries(spark, refDir).size + 1
+    // the reference table is one row per bin; counting it avoids a
+    // second read of the boundaries column
+    val nBins = ref.count().toInt
     val joined = ref.select(col("bin"), col("ref_n"))
       .join(candCounts, Seq("bin"), "left")
       .select(col("bin"), col("ref_n"),

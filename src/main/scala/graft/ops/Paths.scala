@@ -59,7 +59,9 @@ object Paths {
     val leads = (1 until steps).map(i =>
       lead(col(stateCol), i).over(w).as(s"__s$i"))
     val withLeads = df.select(col(stateCol).as("__s0") +: leads: _*)
-      .filter((1 until steps).map(i => col(s"__s$i").isNotNull)
+      // __s0 included: a NULL state would otherwise yield a truncated
+      // path string counted among full k-step paths
+      .filter((0 until steps).map(i => col(s"__s$i").isNotNull)
         .reduce(_ && _))
     val path = concat_ws(" -> ",
       (0 until steps).map(i => col(s"__s$i")): _*)

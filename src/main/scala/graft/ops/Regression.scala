@@ -37,7 +37,12 @@ object Regression {
     val pt = s"decimal(38, ${2 * decimalScale})"
     val x = col(xCol).cast(dt)
     val y = col(yCol).cast(dt)
-    val agged = df.groupBy(groupCols.map(col): _*).agg(
+    // complete-case analysis: a row missing either side would be
+    // counted by n but skipped by some sums, mixing mismatched row
+    // sets (corr could leave [-1, 1]); groups with no complete row
+    // disappear rather than reporting garbage
+    val complete = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val agged = complete.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(x).as("__sx"), sum(y).as("__sy"),
       sum((x * y).cast(pt)).as("__sxy"),

@@ -341,6 +341,34 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Batch-id-versioned merge-state protocol shared by the streaming
+    * monitors (heavy hitters, drift, checksum): each micro-batch writes
+    * its CUMULATIVE state under `graft_batch=<id>`, recomputed from the
+    * highest id below it — a replayed batch finds the same predecessor
+    * and overwrites the same path, so failure recovery never
+    * double-counts. After a successful write, states below the
+    * predecessor are pruned (the predecessor itself must survive until
+    * a LATER batch lands, in case the current one replays), keeping
+    * disk at ≤ 2 state versions instead of one per batch of an endless
+    * feed. */
+  private object MergeState {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    def ids(fs: FileSystem, root: Path): Seq[Long] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("graft_batch="))
+        .map(_.stripPrefix("graft_batch=").toLong)
+    def prevBefore(fs: FileSystem, root: Path, id: Long): Option[Long] =
+      ids(fs, root).filter(_ < id).sorted.lastOption
+    def latest(fs: FileSystem, root: Path): Option[Long] =
+      ids(fs, root).sorted.lastOption
+    def pruneBelow(fs: FileSystem, root: Path, keep: Long): Unit =
+      ids(fs, root).filter(_ < keep).foreach { i =>
+        fs.delete(new Path(root, s"graft_batch=$i"), true)
+        ()
+      }
+  }
+
   /** Streaming heavy hitters: a running mergeable frequent-items sketch
     * (Misra–Gries, [[graft.functions.FreqSketchAgg]]) maintained across
     * micro-batches — "what are the top items so far?" answerable at any
@@ -372,12 +400,7 @@ object ChangelogStream {
           .agg(freqSketch(col(itemCol), maxMapSize).as("sk"))
         val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
         val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(stateRoot)) None
-          else fs.listStatus(stateRoot).map(_.getPath.getName)
-            .filter(_.startsWith("graft_batch="))
-            .map(_.stripPrefix("graft_batch=").toLong)
-            .filter(_ < id).sorted.lastOption
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
         val cumulative = prev match {
           case Some(p) => batchSketch
             .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
@@ -386,21 +409,20 @@ object ChangelogStream {
         }
         cumulative.write.mode(SaveMode.Overwrite)
           .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
     val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stateRoot))
-      // empty stream: an empty sketch of the same shape (zero items)
-      spark.range(1).select(
-        freqSketch(lit(null).cast("string"), maxMapSize).as("sk"))
-    else {
-      val last = fs.listStatus(stateRoot).map(_.getPath.getName)
-        .filter(_.startsWith("graft_batch="))
-        .map(_.stripPrefix("graft_batch=").toLong).max
-      spark.read.parquet(s"$dir/state/graft_batch=$last")
+    MergeState.latest(fs, stateRoot) match {
+      case None =>
+        // empty stream: an empty sketch of the same shape (zero items)
+        spark.range(1).select(
+          freqSketch(lit(null).cast("string"), maxMapSize).as("sk"))
+      case Some(last) =>
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
     }
   }
 
@@ -417,21 +439,18 @@ object ChangelogStream {
   def streamDrift(stream: DataFrame, refDir: String, valueCol: String,
                   dir: String, statePartitions: Int = 0): DataFrame = {
     val spark = stream.sparkSession
+    // boundaries are frozen by contract: read them ONCE here, not per
+    // micro-batch (the closure ships the nBins-1 doubles, not a reread)
+    val bs = graft.ops.Drift.referenceBoundaries(spark, refDir)
     val q = withStatePartitions(stream, statePartitions).writeStream
       .option("checkpointLocation", s"$dir/_checkpoints")
       .outputMode(OutputMode.Append())
       .foreachBatch { (b: DataFrame, id: Long) =>
         val s = b.sparkSession
-        val bs = graft.ops.Drift.referenceBoundaries(s, refDir)
         val batchCounts = graft.ops.Drift.candidateCounts(b, bs, valueCol)
         val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
         val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(stateRoot)) None
-          else fs.listStatus(stateRoot).map(_.getPath.getName)
-            .filter(_.startsWith("graft_batch="))
-            .map(_.stripPrefix("graft_batch=").toLong)
-            .filter(_ < id).sorted.lastOption
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
         val cumulative = prev match {
           case Some(p) => batchCounts
             .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
@@ -440,22 +459,20 @@ object ChangelogStream {
         }
         cumulative.write.mode(SaveMode.Overwrite)
           .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
     val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val counts =
-      if (!fs.exists(stateRoot))
+    val counts = MergeState.latest(fs, stateRoot) match {
+      case None =>
         spark.range(0).select(col("id").cast("int").as("bin"),
           col("id").as("cand_n"))
-      else {
-        val last = fs.listStatus(stateRoot).map(_.getPath.getName)
-          .filter(_.startsWith("graft_batch="))
-          .map(_.stripPrefix("graft_batch=").toLong).max
+      case Some(last) =>
         spark.read.parquet(s"$dir/state/graft_batch=$last")
-      }
+    }
     graft.ops.Drift.psiFromCounts(refDir, counts)
   }
 
@@ -483,12 +500,7 @@ object ChangelogStream {
           cols)
         val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
         val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(stateRoot)) None
-          else fs.listStatus(stateRoot).map(_.getPath.getName)
-            .filter(_.startsWith("graft_batch="))
-            .map(_.stripPrefix("graft_batch=").toLong)
-            .filter(_ < id).sorted.lastOption
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
         val cumulative = prev match {
           case Some(p) => batchSums
             .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
@@ -499,22 +511,21 @@ object ChangelogStream {
         }
         cumulative.write.mode(SaveMode.Overwrite)
           .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
     val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stateRoot))
-      graft.ops.Checksum.groupedChecksum(
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          stream.schema), groupCols, cols)
-    else {
-      val last = fs.listStatus(stateRoot).map(_.getPath.getName)
-        .filter(_.startsWith("graft_batch="))
-        .map(_.stripPrefix("graft_batch=").toLong).max
-      spark.read.parquet(s"$dir/state/graft_batch=$last")
+    MergeState.latest(fs, stateRoot) match {
+      case None =>
+        graft.ops.Checksum.groupedChecksum(
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            stream.schema), groupCols, cols)
+      case Some(last) =>
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
     }
   }
 

@@ -34,6 +34,19 @@ class ABTestSpec extends SparkTestBase {
       .select($"significant").as[Boolean].head() shouldBe true
   }
 
+  it should "count only rows the sums see (null metric values excluded)" in {
+    val df = Seq(("A", Some(1.0)), ("A", Some(3.0)), ("A", None),
+      ("A", None), ("B", Some(1.0)), ("B", Some(3.0)))
+      .toDF("g", "v")
+    val r = ABTest.welch(df, "g", "v", "A", "B")
+      .select($"n_a", $"mean_a", $"var_a", $"t_stat")
+      .as[(Long, Double, Double, Double)].head()
+    r._1 shouldBe 2L // not 4: nulls contribute to neither n nor sums
+    r._2 shouldBe 2.0
+    r._3 shouldBe 2.0
+    r._4.isNaN shouldBe false
+  }
+
   it should "ignore rows from other groups" in {
     val df = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0),
       ("C", 999.0)).toDF("g", "v")

@@ -38,6 +38,14 @@ class DriftSpec extends SparkTestBase {
     rows.map(_._2).sum shouldBe 100L
   }
 
+  it should "exclude null/NaN values instead of routing them to the top bin" in {
+    val dirty = uniform.unionByName(
+      Seq(Option.empty[Double], Some(Double.NaN)).toDF("v"))
+    val clean = Drift.psiReport(uniform, uniform, "v", nBins = 4).collect()
+    Drift.psiReport(dirty, dirty, "v", nBins = 4)
+      .collect() shouldBe clean // a data-missing failure is not drift
+  }
+
   "psi" should "verdict with the conventional threshold" in {
     val near = (5 until 105).map(_.toDouble).toDF("v")
     val r1 = Drift.psi(uniform, near, "v", nBins = 4)

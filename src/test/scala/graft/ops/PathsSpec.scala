@@ -29,7 +29,17 @@ class PathsSpec extends SparkTestBase {
       .filter($"from_state" === "c").count() shouldBe 0L
   }
 
-  "topPaths" should "rank the common 2-step and 3-step paths" in {
+  "topPaths" should "drop windows containing a null state entirely" in {
+    val withNull = Seq((9L, 1L, null.asInstanceOf[String]),
+      (9L, 2L, "a"), (9L, 3L, "b")).toDF("uid", "seq", "state")
+    val got = Paths.topPaths(evs.unionByName(withNull), "uid", Seq("seq"),
+        "state", steps = 3, k = 10)
+      .select($"path").as[String].collect().toSet
+    // the (null, a, b) window must not surface as a truncated "a -> b"
+    got shouldBe Set("a -> b -> c", "a -> b -> b")
+  }
+
+  it should "rank the common 2-step and 3-step paths" in {
     val two = Paths.topPaths(evs, "uid", Seq("seq"), "state",
         steps = 2, k = 2)
       .select($"path", $"n", $"rank").as[(String, Long, Long)].collect()

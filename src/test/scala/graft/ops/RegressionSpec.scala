@@ -51,6 +51,17 @@ class RegressionSpec extends SparkTestBase {
     rows("single") shouldBe ((None, None)) // n = 1
   }
 
+  it should "use complete cases only (rows missing either side dropped)" in {
+    val clean = Seq(("g", Some(1.0), Some(2.0)), ("g", Some(2.0), Some(4.0)),
+      ("g", Some(3.0), Some(6.0))).toDF("g", "x", "y")
+    val noisy = clean.unionByName(
+      Seq(("g", None: Option[Double], Some(100.0)),
+        ("g", Some(100.0), None: Option[Double])).toDF("g", "x", "y"))
+    val a = Regression.groupedOls(clean, Seq("g"), "x", "y").collect()
+    val b = Regression.groupedOls(noisy, Seq("g"), "x", "y").collect()
+    b shouldBe a // incomplete rows influence nothing, incl. n
+  }
+
   it should "be invariant to partitioning (exact decimal sums)" in {
     val df = (1 to 1000)
       .map(i => ("g", (i % 97).toDouble + 0.25, (i % 89).toDouble + 0.5))

@@ -104,6 +104,47 @@ object Expectations {
         coalesce(col("metric") >= col("threshold"), lit(false)))
   }
 
+  /** Parse the compact config-file form of a check (the
+    * [[graft.pipeline.SnapshotPipeline]] `expectations` block):
+    * {{{
+    * complete:<col>:<minRatio>
+    * in_range:<col>:<lo>:<hi>:<minRatio>
+    * matches:<col>:<minRatio>:<regex>      (regex last: may contain ':')
+    * in_set:<col>:<minRatio>:<v1,v2,...>
+    * unique:<minRatio>:<col1,col2,...>
+    * }}} */
+  def fromSpec(spec: String): Expect = {
+    def ratio(s: String, what: String): Double = {
+      val r = try s.toDouble catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"expectation '$spec': $what must be a number, got '$s'")
+      }
+      require(r >= 0 && r <= 1,
+        s"expectation '$spec': $what must be in [0, 1], got $r")
+      r
+    }
+    def num(s: String, what: String): Double = try s.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"expectation '$spec': $what must be a number, got '$s'")
+    }
+    spec.split(":", -1).toList match {
+      case "complete" :: c :: r :: Nil =>
+        Expect.Complete(c, ratio(r, "minRatio"))
+      case "in_range" :: c :: lo :: hi :: r :: Nil =>
+        Expect.InRange(c, num(lo, "lo"), num(hi, "hi"), ratio(r, "minRatio"))
+      case "matches" :: c :: r :: rest if rest.nonEmpty =>
+        Expect.Matches(c, rest.mkString(":"), ratio(r, "minRatio"))
+      case "in_set" :: c :: r :: vs :: Nil =>
+        Expect.InSet(c, vs.split(",").toSeq, ratio(r, "minRatio"))
+      case "unique" :: r :: cs :: Nil =>
+        Expect.Unique(cs.split(",").toSeq, ratio(r, "minRatio"))
+      case _ => throw new IllegalArgumentException(
+        s"unparseable expectation '$spec' (kinds: complete, in_range, " +
+          "matches, in_set, unique)")
+    }
+  }
+
   /** Gate form: returns `df` untouched if every check passes, else
     * throws listing the failures — the shape a pipeline stage composes
     * in front of a sink. The collect is `checks.size` rows. */

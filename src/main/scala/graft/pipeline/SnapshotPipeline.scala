@@ -61,7 +61,8 @@ object SnapshotPipeline {
       statusCol: String = "row_status",
       tsCol: String = "ts",
       asOfMillis: Long = -1L,
-      diffFromMillis: Option[Long] = None)
+      diffFromMillis: Option[Long] = None,
+      expectations: Seq[graft.ops.Expectations.Expect] = Nil)
 
   /** Resolve the target schema per strategy. */
   def resolveSchema(spark: SparkSession, config: SnapshotConfig): StructType =
@@ -132,10 +133,17 @@ object SnapshotPipeline {
     * and overwrite the sink, like the reference's SaveMode.Overwrite
     * materialization. */
   def run(spark: SparkSession, config: SnapshotConfig): Unit = {
-    val df = config.diffFromMillis match {
+    val computed = config.diffFromMillis match {
       case Some(from) => diff(spark, config, from)
       case None => snapshot(spark, config)
     }
+    // publish gate: declared data-quality expectations must hold or the
+    // sink is never touched (the failed run leaves the PREVIOUS
+    // materialization in place — a bad day of changelog cannot
+    // overwrite a good snapshot)
+    val df =
+      if (config.expectations.isEmpty) computed
+      else graft.ops.Expectations.enforce(computed, config.expectations)
     config.sink match {
       case ParquetSink(path, parts) =>
         val w = df.write.mode(SaveMode.Overwrite)
@@ -337,8 +345,15 @@ object SnapshotPipeline {
         fail(s"changelog.diff_from_timestamp ($f) must be earlier than " +
           s"changelog.timestamp ($asOf)")
     }
+    // publish-gate checks, compact spec strings (see Expectations.fromSpec)
+    val expectations = root \ "expectations" match {
+      case JArray(specs) =>
+        strCols("expectations", specs).map(graft.ops.Expectations.fromSpec)
+      case JNothing => Nil
+      case _ => fail("expectations must be an array of check specs")
+    }
     SnapshotConfig(changelogPath, schemaSource, sink, keyCol, statusCol,
-      tsCol, asOf, diffFrom)
+      tsCol, asOf, diffFrom, expectations)
   }
 
   private def fail(msg: String): Nothing =

@@ -159,6 +159,30 @@ class SnapshotJobSpec extends SparkTestBase {
       _.startsWith("k_replicator_row_status=")) shouldBe 2
   }
 
+  it should "gate the publish from the shipped expectations example (include + overrides)" in {
+    val sink = s"$tmp/shipped_gated_out"
+    // the shipped example's email/country checks can't hold on this toy
+    // changelog — override to checks that exercise both verdicts here
+    val failCfg = writeConfig("site_gated_fail.conf",
+      s"""include "${shippedConf("application-gated-example.conf")}"
+         |changelog.path = "$changelogPath"
+         |schema.columns = ["d:age:integer", "d:name"]
+         |sink.path = "$sink"
+         |expectations = ["in_range:age:0:15:0.9"]
+         |""".stripMargin)
+    SnapshotJob.run(Array(failCfg), spark) shouldBe 1 // gate tripped
+    new java.io.File(sink).exists() shouldBe false    // sink untouched
+    val okCfg = writeConfig("site_gated_ok.conf",
+      s"""include "${shippedConf("application-gated-example.conf")}"
+         |changelog.path = "$changelogPath"
+         |schema.columns = ["d:age:integer", "d:name"]
+         |sink.path = "$sink"
+         |expectations = ["in_range:age:0:150:0.9", "unique:1.0:k_hbase_row_key"]
+         |""".stripMargin)
+    SnapshotJob.run(Array(okCfg), spark) shouldBe 0
+    spark.read.parquet(sink).count() shouldBe 2
+  }
+
   it should "run CDC export end-to-end from the shipped diff example (include + overrides)" in {
     val sink = s"$tmp/shipped_diff_out"
     val cfg = writeConfig("site_diff.conf",

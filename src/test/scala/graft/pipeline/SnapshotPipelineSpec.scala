@@ -156,6 +156,55 @@ class SnapshotPipelineSpec extends SparkTestBase {
       _.startsWith("k_replicator_row_status=")) shouldBe 2
   }
 
+  "run (expectations gate)" should "refuse to touch the sink on a failed check" in {
+    val sinkPath = s"$tmp/out_gate"
+    // establish a good materialization first
+    SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(sinkPath)))
+    val before = spark.read.parquet(sinkPath).count()
+    // snapshot ages are 11 and 21: only half sit in [0, 15] -> gate trips
+    val gated = SnapshotConfig(changelogPath,
+      ExplicitSchema(Seq("d:age:integer", "d:name")),
+      ParquetSink(sinkPath),
+      expectations = Seq(
+        graft.ops.Expectations.Expect.InRange("age", 0, 15, 0.9)))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotPipeline.run(spark, gated)
+    }
+    ex.getMessage should include("in_range(age")
+    // the previous materialization survived the failed run
+    spark.read.parquet(sinkPath).count() shouldBe before
+    // and a satisfiable gate still publishes
+    SnapshotPipeline.run(spark, gated.copy(expectations =
+      Seq(graft.ops.Expectations.Expect.InRange("age", 0, 150, 0.9))))
+  }
+
+  "fromJson (expectations)" should "parse every compact check kind" in {
+    val cfg = fromJson(
+      """{"changelog": {"path": "/x"},
+        |"schema": {"columns": ["d:age:integer"]},
+        |"sink": {"path": "/y"},
+        |"expectations": ["complete:age:0.99",
+        |  "in_range:age:0:150:0.95",
+        |  "matches:name:0.8:^[a-z:]+$",
+        |  "in_set:status:0.9:I,U,D",
+        |  "unique:1.0:row_key,ts"]}""".stripMargin)
+    import graft.ops.Expectations.Expect._
+    cfg.expectations shouldBe Seq(
+      Complete("age", 0.99),
+      InRange("age", 0, 150, 0.95),
+      Matches("name", "^[a-z:]+$", 0.8), // regex with ':' survives
+      InSet("status", Seq("I", "U", "D"), 0.9),
+      Unique(Seq("row_key", "ts"), 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      fromJson(
+        """{"changelog": {"path": "/x"},
+          |"schema": {"columns": ["d:age:integer"]},
+          |"sink": {"path": "/y"},
+          |"expectations": ["gibberish"]}""".stripMargin)
+  }
+
   "run (table sink)" should "saveAsTable into the session catalog" in {
     SnapshotPipeline.run(spark, SnapshotConfig(changelogPath,
       ExplicitSchema(Seq("d:age:integer", "d:name")),

@@ -1814,12 +1814,16 @@ object SparkEntry {
     // Exactness enforced (assert_true) so the hash-match against
     // DuckDB's real join arithmetic is a contract, not luck; at corpus
     // scale the same report degrades to estimates + a certified lower
-    // bound.
+    // bound. Capacities must exceed the distinct-key count wherever the
+    // EXACT contract is asserted — 2^19 covers the bench's sf0.1
+    // (~150k distinct orderkeys) with headroom (sf0.01 caught this the
+    // hard way: 65536/32768 held at the correctness gate but the
+    // assert fired at bench scale).
     "q_join_estimate" -> ((s, d) => {
       graft.ops.JoinEstimate.report(
           Tables.lineitem(s, d), "l_orderkey",
           Tables.orders(s, d), "o_orderkey",
-          nominalEntries = 65536, maxMapSize = 32768)
+          nominalEntries = 524288, maxMapSize = 524288)
         .filter(assert_true(col("exact")).isNull)
     }),
 
@@ -2350,6 +2354,27 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Directional containment join: the quote/subset detector Jaccard
+    // misses (a paragraph inside a long article scores containment 1,
+    // Jaccard ~0). Same inverted-index machinery as the Jaccard join;
+    // both directions scored from one common count.
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy(col("id"), col("container_id"))),
+
+    // Token-distribution drift (Jensen-Shannon, bits) between the en
+    // and zh slices, decomposed per token — the TEXT complement of the
+    // numeric PSI: names exactly which vocabulary moved. Exact counts,
+    // vocabulary-granularity joins only.
+    "q_token_jsd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Drift.tokenJsd(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "zh"), "text")
+        .orderBy(col("token"))
+    }),
+
     // Referential-integrity audit across the star schema: orphaned
     // foreign keys made a number before an inner join makes them a
     // mystery. Parents collapse to DISTINCT keys, one left equi-join +
@@ -2478,13 +2503,16 @@ object SparkEntry {
           "user_id", "1 day", k = 5)
         .orderBy(col("window_start"), col("rank"))),
 
-    // Triangle counting on the user co-occurrence graph (same hour +
-    // same event type): degree-oriented wedge enumeration — a hub's
-    // wedges collapse to out-degree² (O(√m)) so the join volume can't
-    // explode on skew; every join equi-keyed, each triangle found once.
+    // Triangle counting on the user co-occurrence graph (same MINUTE +
+    // same event type — hour-granularity buckets make the graph ~70%
+    // dense at sf0.1 with 197M triangles, a pathological demo; minute
+    // co-occurrence stays sparse as the corpus grows): degree-oriented
+    // wedge enumeration — a hub's wedges collapse to out-degree²
+    // (O(√m)) so the join volume can't explode on skew; every join
+    // equi-keyed, each triangle found once.
     "q_triangles" -> ((s, d) => {
       val w = Tables.events(s, d).select(col("user_id"),
-        date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        date_trunc("minute", col("ts")).as("h"), col("event_type"))
       val e = w.as("w1").join(w.as("w2"),
           col("w1.h") === col("w2.h") &&
             col("w1.event_type") === col("w2.event_type") &&
@@ -4497,6 +4525,65 @@ object SparkEntry {
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
 
+    // Directional emit from the same shingle machinery as the Jaccard
+    // oracle (common / |contained side|).
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN []
+        |         ELSE list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |                             for i in range(0, len(t) - 2)]) END AS s
+        |  FROM toks),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |p AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+        |  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |d AS (
+        |  SELECT id_a AS id, id_b AS container_id,
+        |    common::DOUBLE / sa.n AS c
+        |  FROM p JOIN sz sa ON sa.doc_id = p.id_a
+        |  UNION ALL
+        |  SELECT id_b, id_a, common::DOUBLE / sb.n
+        |  FROM p JOIN sz sb ON sb.doc_id = p.id_b)
+        |SELECT id, container_id, round(c, 6) AS containment
+        |FROM d WHERE c >= 0.8 ORDER BY id, container_id""".stripMargin,
+
+    // Exact token counts, same one-sided-finite JSD arithmetic, both
+    // normalized to bits by ln 2.
+    "q_token_jsd" ->
+      """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token FROM documents WHERE lang = 'en'),
+        |ct AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token FROM documents WHERE lang = 'zh'),
+        |rc AS (SELECT token, count(*) AS ref_n FROM rt
+        |       WHERE len(token) > 0 GROUP BY 1),
+        |cc AS (SELECT token, count(*) AS cand_n FROM ct
+        |       WHERE len(token) > 0 GROUP BY 1),
+        |v AS (SELECT coalesce(rc.token, cc.token) AS token,
+        |        CAST(coalesce(rc.ref_n, 0) AS BIGINT) AS ref_n,
+        |        CAST(coalesce(cc.cand_n, 0) AS BIGINT) AS cand_n
+        |      FROM rc FULL OUTER JOIN cc ON rc.token = cc.token),
+        |w AS (SELECT token, ref_n, cand_n,
+        |        ref_n::DOUBLE / CAST(sum(ref_n) OVER () AS DOUBLE) AS p,
+        |        cand_n::DOUBLE / CAST(sum(cand_n) OVER () AS DOUBLE) AS q
+        |      FROM v),
+        |t AS (SELECT *,
+        |        (CASE WHEN ref_n > 0
+        |           THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+        |      + (CASE WHEN cand_n > 0
+        |           THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+        |        AS term
+        |      FROM w)
+        |SELECT token, ref_n, cand_n, round(p, 6) AS p, round(q, 6) AS q,
+        |  round(term / ln(2), 6) AS jsd_term,
+        |  round(sum(term) OVER () / ln(2), 6) AS jsd_total
+        |FROM t ORDER BY token""".stripMargin,
+
     // Same distinct-parents left join accounting per FK.
     "q_ref_integrity" ->
       """SELECT * FROM (
@@ -4767,7 +4854,7 @@ object SparkEntry {
     // The canonical-orientation 3-way self-join counts each triangle
     // once, exactly like the operator's oriented wedge close.
     "q_triangles" ->
-      """WITH w AS (SELECT user_id, date_trunc('hour', ts) AS h, event_type
+      """WITH w AS (SELECT user_id, date_trunc('minute', ts) AS h, event_type
         |           FROM events),
         |e AS (SELECT DISTINCT w1.user_id AS a, w2.user_id AS b
         |      FROM w w1 JOIN w w2 ON w1.h = w2.h

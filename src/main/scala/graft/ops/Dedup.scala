@@ -164,6 +164,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directional shingle CONTAINMENT join: `(id, container_id,
+    * containment)` where containment = |A ∩ B| / |A| ≥ `threshold` —
+    * the asymmetric near-dup Jaccard misses: a paragraph quoted inside
+    * a long article scores containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0.
+    * The quote/subset detector of the dedup battery (symmetric near-dup
+    * → [[ngramJaccardJoin]]; sub-document spans → [[SpanDedup]]).
+    *
+    * Same single-shingling-pass inverted-index shape and df cap as the
+    * Jaccard join (shared machinery); both directions of each candidate
+    * pair are scored from ONE common count. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double,
+                      maxShingleDf: Long = 0L): DataFrame = {
+    val raw = shingleIndex(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges =
+      if (maxShingleDf <= 0) raw
+      else {
+        val capped = capByDf(raw, maxShingleDf)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        capped.count()
+        raw.unpersist()
+        capped
+      }
+    val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = edges.as("l").hint("shuffle_hash").join(edges.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val withSizes = pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+    val aInB = withSizes.select(col("id_a").as("id"),
+      col("id_b").as("container_id"),
+      (col("common").cast("double") / col("size_a").cast("double"))
+        .as("__c"))
+    val bInA = withSizes.select(col("id_b").as("id"),
+      col("id_a").as("container_id"),
+      (col("common").cast("double") / col("size_b").cast("double"))
+        .as("__c"))
+    aInB.unionByName(bInA)
+      .filter(col("__c") >= threshold)
+      .select(col("id"), col("container_id"),
+        round(col("__c"), 6).as("containment"))
+  }
+
   // --------------------------------------------------------- MinHash/LSH
 
   /** Reduce a shingle array to 64-bit hashes — materialize THIS as its own

@@ -163,6 +163,51 @@ object Drift {
     score(joined, nBins)
   }
 
+  /** Token-distribution drift between two text corpora: the per-token
+    * Jensen–Shannon decomposition over EXACT token counts —
+    * `JSD = Σ_t ½·p_t·ln(p_t/m_t) + ½·q_t·ln(q_t/m_t)`, `m = (p+q)/2`,
+    * reported in bits (normalized by ln 2, so 0 = identical, 1 =
+    * disjoint vocabularies). The TEXT complement of the numeric
+    * [[psiReport]]: PSI watches a feature's histogram, this watches
+    * WHAT WORDS today's crawl is made of, with the per-token terms
+    * naming exactly which vocabulary moved. One-sided tokens are
+    * finite by construction (`m > 0` whenever a token exists at all —
+    * no smoothing needed, unlike PSI's fixed bins).
+    *
+    * Scale posture: one explode+count per side (the inverted-index
+    * shuffle every token stat pays), a vocabulary-granularity
+    * null-safe full-outer join, and windowed totals over vocab-sized
+    * rows. Data rows are never joined. */
+  def tokenJsd(ref: DataFrame, cand: DataFrame,
+               textCol: String): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+          .as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as(name))
+    val rc = counts(ref, "ref_n")
+    val cc = counts(cand, "cand_n").withColumnRenamed("token", "__ct")
+    val v = rc.join(cc, col("token") <=> col("__ct"), "full_outer")
+      .select(coalesce(col("token"), col("__ct")).as("token"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"))
+    val p = col("ref_n").cast("double") /
+      sum(col("ref_n")).over().cast("double")
+    val q = col("cand_n").cast("double") /
+      sum(col("cand_n")).over().cast("double")
+    val m = (p + q) / 2.0
+    val term =
+      when(col("ref_n") > 0, lit(0.5) * p * log(p / m)).otherwise(0.0) +
+      when(col("cand_n") > 0, lit(0.5) * q * log(q / m)).otherwise(0.0)
+    v.withColumn("__p", p).withColumn("__q", q).withColumn("__term", term)
+      .withColumn("jsd_total",
+        round(sum(col("__term")).over() / math.log(2.0), 6))
+      .select(col("token"), col("ref_n"), col("cand_n"),
+        round(col("__p"), 6).as("p"), round(col("__q"), 6).as("q"),
+        round(col("__term") / math.log(2.0), 6).as("jsd_term"),
+        col("jsd_total"))
+  }
+
   /** [[psiReport]] against a [[saveReference]]-persisted reference:
     * same output, but the reference corpus itself is never touched —
     * the shape a daily or streaming monitor runs. */

@@ -75,23 +75,38 @@ object Triangles {
 
   /** One row: `(nodes, edges, triangles)` of the undirected graph
     * behind `(aCol, bCol)` pairs (duplicates, orientation, and self
-    * loops ignored). */
+    * loops ignored).
+    *
+    * The canonical edge set is PERSISTED for the call's duration: it
+    * feeds the node count, the edge count, the degree table, and both
+    * wedge branches — without the pin, Spark recomputes the (often
+    * expensive) edge-derivation lineage once per consumer, which the
+    * sf0.1 bench caught as a ~7× blowup on the co-occurrence graph. */
   def countTriangles(edges: DataFrame, aCol: String,
                      bCol: String): DataFrame = {
     val und = canonical(edges, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .agg(countDistinct(col("id")).as("nodes"))
     val m = und.agg(count(lit(1)).as("edges"))
     val t = triangleTriples(und).agg(count(lit(1)).as("triangles"))
-    nodes.crossJoin(m).crossJoin(t) // three 1-row sides
+    val out = nodes.crossJoin(m).crossJoin(t) // three 1-row sides
+    val materialized = out.collect() // edge-scale work ends here
+    und.unpersist()
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(materialized: _*), out.schema)
   }
 
   /** Per-node triangle participation: `(id, triangles)` for every node
-    * in at least one triangle. */
+    * in at least one triangle. Same persistence rationale as
+    * [[countTriangles]] (the oriented edge set feeds three joins). */
   def perNodeTriangles(edges: DataFrame, aCol: String,
-                       bCol: String): DataFrame =
-    triangleTriples(canonical(edges, aCol, bCol))
+                       bCol: String): DataFrame = {
+    val und = canonical(edges, aCol, bCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    triangleTriples(und)
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -58,6 +58,29 @@ class DedupSpec extends SparkTestBase {
     exact shouldBe Set((1L, 4L))
   }
 
+  "containmentJoin" should "catch a quote inside a long article that Jaccard misses" in {
+    val quote = "alpha beta gamma delta epsilon"
+    val article = s"intro words here $quote and then much more trailing " +
+      "content goes on and on with extra unrelated sentences all around"
+    val docs2 = Seq((1L, quote), (2L, article), (3L, "totally different text"))
+      .toDF("doc_id", "text")
+    // Jaccard: tiny (|A|=3 shingles vs |B|=many) -> no pair at 0.8
+    Dedup.ngramJaccardJoin(docs2, "doc_id", "text", 3, 0.8)
+      .count() shouldBe 0L
+    // containment: every shingle of the quote is inside the article
+    val got = Dedup.containmentJoin(docs2, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    got.length shouldBe 1
+    got.head shouldBe ((1L, 2L, 1.0)) // 1 contained in 2, not vice versa
+  }
+
+  it should "emit both directions for an exact pair" in {
+    val docs2 = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs2, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    got shouldBe Set((1L, 2L, 1.0), (2L, 1L, 1.0))
+  }
+
   it should "score the exact jaccard over RETAINED shingles when capped" in {
     // "a b c" appears in all three docs (df=3); "b c d"/"c d e" in two
     // (df=2); the rest are unique. With maxShingleDf=2 the stop-shingle

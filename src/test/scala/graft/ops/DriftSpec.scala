@@ -67,6 +67,38 @@ class DriftSpec extends SparkTestBase {
     viaRef shouldBe direct
   }
 
+  "tokenJsd" should "score identical corpora 0 and disjoint vocabularies 1" in {
+    val a = Seq("x y z", "x x y").toDF("text")
+    val b = Seq("p q r", "p p q").toDF("text")
+    Drift.tokenJsd(a, a, "text").select($"jsd_total").as[Double]
+      .head() shouldBe 0.0 +- 1e-9
+    Drift.tokenJsd(a, b, "text").select($"jsd_total").as[Double]
+      .head() shouldBe 1.0 +- 1e-9
+  }
+
+  it should "decompose per token, terms summing to the total" in {
+    val a = Seq("x x x y").toDF("text")
+    val b = Seq("x y y y").toDF("text")
+    val rows = Drift.tokenJsd(a, b, "text")
+      .select($"token", $"jsd_term", $"jsd_total")
+      .as[(String, Double, Double)].collect()
+    rows.length shouldBe 2
+    rows.map(_._2).sum shouldBe rows.head._3 +- 1e-5
+    // symmetric inputs: both tokens contribute equally
+    rows.map(_._2).distinct.length shouldBe 1
+  }
+
+  it should "keep one-sided tokens finite without smoothing" in {
+    val a = Seq("x y").toDF("text")
+    val b = Seq("x z").toDF("text")
+    val rows = Drift.tokenJsd(a, b, "text")
+      .select($"token", $"jsd_term").as[(String, Double)].collect().toMap
+    // y only in ref, z only in cand: term = 0.5*p*ln(2) / ln2 = 0.5*p
+    rows("y") shouldBe 0.25 +- 1e-6
+    rows("z") shouldBe 0.25 +- 1e-6
+    all(rows.values.map(math.abs)) should be < 1.0
+  }
+
   it should "match exact mode in sketch mode while KLL is uncompacted" in {
     val cand = (30 until 130).map(_.toDouble).toDF("v")
     val exact = Drift.psiReport(uniform, cand, "v", nBins = 5)

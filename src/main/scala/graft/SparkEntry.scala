@@ -2354,6 +2354,16 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Dense stable row ids in (lang, doc_id) order — the corpus-build
+    // primitive Spark lacks: range partition + local rank + broadcast
+    // offsets equals the global row_number WITHOUT the single-partition
+    // global window (plan-pinned in spec).
+    "q_row_ids" -> ((s, d) =>
+      graft.ops.Sequencing.stableRowIds(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("lang", "doc_id"), partitions = 8)
+        .orderBy(col("row_id"))),
+
     // Directional containment join: the quote/subset detector Jaccard
     // misses (a paragraph inside a long article scores containment 1,
     // Jaccard ~0). Same inverted-index machinery as the Jaccard join;
@@ -2398,12 +2408,20 @@ object SparkEntry {
     // total − survivors — the accounting artifact published next to
     // every released corpus. ONE conditional-aggregate scan.
     "q_attrition" -> ((s, d) =>
-      graft.ops.Policy.attritionReport(Tables.documents(s, d), Seq(
-          "min_length" -> (col("n_chars") >= 100),
-          "latin_lang" -> col("lang").isin("en", "fr", "de", "es"),
-          "min_tokens" ->
-            (size(split(trim(col("text")), "\\s+")) >= 30)))
+      graft.ops.Policy.attritionReport(Tables.documents(s, d),
+          AttritionRules)
         .orderBy(col("rule_idx"))),
+
+    // The same report kept CURRENT as the feed ingests: stateless
+    // per-row attribution + additive bucket counts converge to the
+    // batch report however the stream is split (shares its oracle).
+    "q_stream_attrition" -> ((s, d) => {
+      val out = scratchDir("graft_sat_")
+      graft.streaming.ChangelogStream.streamAttrition(
+          Tables.documentsStream(s, d), AttritionRules, out,
+          statePartitions = 8)
+        .orderBy(col("rule_idx"))
+    }),
 
     // First-order Markov transitions between consecutive event types
     // per user: one keyed window pass (lead), then a state-pair-
@@ -4525,6 +4543,13 @@ object SparkEntry {
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
 
+    // Range-partitioned local ranks + offsets = the global row_number.
+    "q_row_ids" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+        |    AS row_id
+        |FROM documents ORDER BY row_id""".stripMargin,
+
     // Directional emit from the same shingle machinery as the Jaccard
     // oracle (common / |contained side|).
     "q_containment" ->
@@ -4623,39 +4648,10 @@ object SparkEntry {
         |ORDER BY fk_idx""".stripMargin,
 
     // First-failed-rule attribution replayed as a CASE cascade.
-    "q_attrition" ->
-      """WITH f AS (SELECT
-        |    CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 0
-        |         WHEN NOT coalesce(lang IN ('en','fr','de','es'), FALSE)
-        |           THEN 1
-        |         WHEN NOT coalesce(
-        |           len(regexp_split_to_array(trim(text), '\s+')) >= 30,
-        |           FALSE) THEN 2
-        |         ELSE 3 END AS ff
-        |  FROM documents),
-        |m AS (SELECT
-        |    CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
-        |    CAST(sum(CASE WHEN ff >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
-        |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-        |    CAST(sum(CASE WHEN ff >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
-        |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
-        |    CAST(sum(CASE WHEN ff >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
-        |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS surv
-        |  FROM f)
-        |SELECT * FROM (
-        |  SELECT 0 AS rule_idx, 'min_length' AS rule, f0 AS n_failed_here,
-        |    r0 AS n_reaching, CASE WHEN r0 = 0 THEN NULL
-        |      ELSE round(1.0 - f0::DOUBLE / r0::DOUBLE, 6) END AS pass_rate
-        |  FROM m
-        |  UNION ALL SELECT 1, 'latin_lang', f1, r1,
-        |    CASE WHEN r1 = 0 THEN NULL
-        |      ELSE round(1.0 - f1::DOUBLE / r1::DOUBLE, 6) END FROM m
-        |  UNION ALL SELECT 2, 'min_tokens', f2, r2,
-        |    CASE WHEN r2 = 0 THEN NULL
-        |      ELSE round(1.0 - f2::DOUBLE / r2::DOUBLE, 6) END FROM m
-        |  UNION ALL SELECT 3, '__survivors', 0, surv,
-        |    CASE WHEN surv = 0 THEN NULL ELSE 1.0 END FROM m)
-        |ORDER BY rule_idx""".stripMargin,
+    "q_attrition" -> AttritionOracleSql,
+    // Additive bucket counts: the streamed cumulative report equals the
+    // batch computation over the whole table.
+    "q_stream_attrition" -> AttritionOracleSql,
 
     // Same lead-window pair build and row-normalized division.
     "q_transitions" ->
@@ -4926,6 +4922,49 @@ object SparkEntry {
       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |    [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
       |    (a, b) -> a + b))) END)""".stripMargin
+
+  /** Shared attrition rule battery (batch `q_attrition` AND streaming
+    * `q_stream_attrition` — stateless per-row attribution + additive
+    * counts make the streamed report batch-boundary-invariant). */
+  private val AttritionRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "min_length" -> (col("n_chars") >= 100),
+    "latin_lang" -> col("lang").isin("en", "fr", "de", "es"),
+    "min_tokens" -> (size(split(trim(col("text")), "\\s+")) >= 30))
+
+  /** Shared oracle for the attrition pair. */
+  private val AttritionOracleSql: String =
+    """WITH f AS (SELECT
+        |    CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 0
+        |         WHEN NOT coalesce(lang IN ('en','fr','de','es'), FALSE)
+        |           THEN 1
+        |         WHEN NOT coalesce(
+        |           len(regexp_split_to_array(trim(text), '\s+')) >= 30,
+        |           FALSE) THEN 2
+        |         ELSE 3 END AS ff
+        |  FROM documents),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |    CAST(sum(CASE WHEN ff >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN ff >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN ff >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS surv
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 0 AS rule_idx, 'min_length' AS rule, f0 AS n_failed_here,
+        |    r0 AS n_reaching, CASE WHEN r0 = 0 THEN NULL
+        |      ELSE round(1.0 - f0::DOUBLE / r0::DOUBLE, 6) END AS pass_rate
+        |  FROM m
+        |  UNION ALL SELECT 1, 'latin_lang', f1, r1,
+        |    CASE WHEN r1 = 0 THEN NULL
+        |      ELSE round(1.0 - f1::DOUBLE / r1::DOUBLE, 6) END FROM m
+        |  UNION ALL SELECT 2, 'min_tokens', f2, r2,
+        |    CASE WHEN r2 = 0 THEN NULL
+        |      ELSE round(1.0 - f2::DOUBLE / r2::DOUBLE, 6) END FROM m
+        |  UNION ALL SELECT 3, '__survivors', 0, surv,
+        |    CASE WHEN surv = 0 THEN NULL ELSE 1.0 END FROM m)
+        |ORDER BY rule_idx""".stripMargin
 
   /** Shared oracle for the batch (`q_drift_psi`) AND streaming
     * (`q_stream_drift`) PSI reports: even-doc-id documents are the

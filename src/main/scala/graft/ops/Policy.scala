@@ -32,14 +32,52 @@ object Policy {
     * earlier ones), `n_failed_here` how many it removed,
     * `pass_rate = 1 − failed/reaching` rounded to 6 dp (null when
     * nothing reaches). */
-  def attritionReport(df: DataFrame,
-                      rules: Seq[(String, Column)]): DataFrame = {
-    require(rules.nonEmpty, "attritionReport: need at least one rule")
-    // first failed rule index per row, else rules.size (survivor)
-    val firstFail = rules.zipWithIndex.reverse
+  /** First failed rule index per row, else `rules.size` (survivor) —
+    * the per-row attribution both the batch report and the streaming
+    * accumulator ([[graft.streaming.ChangelogStream.streamAttrition]])
+    * bucket on. */
+  private[graft] def firstFailColumn(rules: Seq[(String, Column)]): Column =
+    rules.zipWithIndex.reverse
       .foldLeft(lit(rules.size): Column) { case (acc, (r, i)) =>
         when(!coalesce(r._2, lit(false)), lit(i)).otherwise(acc)
       }
+
+  /** The report rows from per-bucket first-fail counts (bucket i =
+    * failed at rule i, bucket `rules.size` = survivor) — model-sized
+    * input, same columns/rounding as [[attritionReport]]. */
+  private[graft] def reportFromCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[(String, Column)],
+      counts: Map[Int, Long]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val n = (i: Int) => counts.getOrElse(i, 0L)
+    val rows = (0 to rules.size).map { i =>
+      val reaching = (i to rules.size).map(n).sum
+      val failed = if (i == rules.size) 0L else n(i)
+      val name = if (i == rules.size) "__survivors" else rules(i)._1
+      val rate: java.lang.Double =
+        if (reaching == 0) null
+        else math.rint((1.0 - failed.toDouble / reaching) * 1e6) / 1e6
+      org.apache.spark.sql.Row(i, name, failed, reaching, rate)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rule_idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("rule",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_failed_here",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_reaching",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pass_rate",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
+  def attritionReport(df: DataFrame,
+                      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "attritionReport: need at least one rule")
+    val firstFail = firstFailColumn(rules)
     val metrics = (0 until rules.size).flatMap { i =>
       Seq(sum(when(col("__ff") === i, 1L).otherwise(0L)).as(s"__f$i"),
         sum(when(col("__ff") >= i, 1L).otherwise(0L)).as(s"__r$i"))

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contiguous, stable row-id assignment at scale — the primitive every
+  * corpus build needs ("give each document a dense id in a defined
+  * order") that Spark doesn't ship: `monotonically_increasing_id` is
+  * non-contiguous and partitioning-dependent, and the naive
+  * `row_number().over(Window.orderBy(...))` collapses the whole corpus
+  * into ONE partition (the planner even warns) — the thing that dies
+  * first at 100 TB.
+  *
+  * Scale shape: range-repartition on the order key, local sort, then
+  * global id = per-partition rank + the partition's global offset. The
+  * offsets come from ONE count-per-partition pass (a partitions-sized
+  * collect, model-sized like the PQ codebooks) broadcast back — no
+  * global single-partition anything. The result equals the global
+  * `row_number` by construction: range partitions are order-disjoint,
+  * so partition-local ranks + cumulative offsets ARE the global rank.
+  *
+  * Determinism contract: `orderCols` must be a UNIQUE key (ties would
+  * make ids depend on physical row order; the require below cannot see
+  * that, so it is documented, and the oracle enforces it by equality). */
+object Sequencing {
+
+  /** Input plus a dense 0-based `idName` column assigned in
+    * `orderCols` order. `partitions` defaults to the session's shuffle
+    * parallelism. */
+  def stableRowIds(df: DataFrame, orderCols: Seq[String],
+                   idName: String = "row_id",
+                   partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "stableRowIds: need at least one order column")
+    require(!df.columns.contains(idName),
+      s"stableRowIds: column '$idName' already exists")
+    val spark = df.sparkSession
+    val parts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one partitions-sized pass: how many rows precede each partition
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pidOrder = counts.keys.toSeq.sorted
+    val cum = pidOrder.scanLeft(0L)((acc, pid) => acc + counts(pid))
+    val offsetMap = pidOrder.zip(cum).toMap
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsetMap.toSeq.map { case (p, o) => org.apache.spark.sql.Row(p, o) },
+        1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+    val out = ranged
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(idName,
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__pid", "__off")
+    out
+  }
+}

@@ -476,6 +476,56 @@ object ChangelogStream {
     graft.ops.Drift.psiFromCounts(refDir, counts)
   }
 
+  /** Streaming filter-policy attrition: the sequential first-failed-rule
+    * accounting of [[graft.ops.Policy.attritionReport]] accumulated
+    * micro-batch by micro-batch — the corpus release report kept
+    * CURRENT as the feed ingests, instead of recomputed by a sweep.
+    * Per-row attribution is stateless and bucket counts ADD, so the
+    * converged report equals the batch report however the feed was
+    * split (shares the batch oracle); same batch-id-versioned
+    * replay-idempotent [[MergeState]] as the other monitors, state =
+    * rules+1 rows. */
+  def streamAttrition(stream: DataFrame,
+                      rules: Seq[(String, org.apache.spark.sql.Column)],
+                      dir: String,
+                      statePartitions: Int = 0): DataFrame = {
+    require(rules.nonEmpty, "streamAttrition: need at least one rule")
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val batchCounts = b
+          .withColumn("__ff", graft.ops.Policy.firstFailColumn(rules))
+          .groupBy(col("__ff")).agg(count(lit(1)).as("n"))
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
+        val cumulative = prev match {
+          case Some(p) => batchCounts
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
+            .groupBy(col("__ff")).agg(sum(col("n")).as("n"))
+          case None => batchCounts
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts = MergeState.latest(fs, stateRoot) match {
+      case None => Map.empty[Int, Long]
+      case Some(last) =>
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    graft.ops.Policy.reportFromCounts(spark, rules, counts)
+  }
+
   /** Streaming content attestation: a running
     * [[graft.ops.Checksum.groupedChecksum]] maintained across
     * micro-batches — the ingest side of replica verification (the

@@ -44,6 +44,17 @@ class PolicySpec extends SparkTestBase {
     s.select($"id").as[Long].collect() shouldBe Array(1L)
   }
 
+  "reportFromCounts" should "reproduce attritionReport from bucket counts" in {
+    val direct = Policy.attritionReport(docs, rules).orderBy($"rule_idx")
+      .collect()
+    val counts = docs
+      .withColumn("__ff", Policy.firstFailColumn(rules))
+      .groupBy($"__ff").count()
+      .as[(Int, Long)].collect().toMap
+    Policy.reportFromCounts(spark, rules, counts).orderBy($"rule_idx")
+      .collect() shouldBe direct
+  }
+
   it should "stay one aggregation over one scan" in {
     val plan = Policy.attritionReport(docs, rules)
       .queryExecution.optimizedPlan

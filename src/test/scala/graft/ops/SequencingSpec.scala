@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SequencingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "stableRowIds" should "assign the dense global rank in order" in {
+    val df = Seq(30L, 10L, 50L, 20L, 40L).toDF("k").repartition(3)
+    val got = Sequencing.stableRowIds(df, Seq("k"), partitions = 2)
+      .select($"k", $"row_id").as[(Long, Long)].collect().sortBy(_._2)
+    got shouldBe Array((10L, 0L), (20L, 1L), (30L, 2L), (40L, 3L),
+      (50L, 4L))
+  }
+
+  it should "be contiguous and unique across many partitions" in {
+    val n = 5000
+    val df = spark.range(n.toLong)
+      .select((($"id" * 7919) % n).as("k")) // a permutation
+      .repartition(16)
+    val ids = Sequencing.stableRowIds(df, Seq("k"), partitions = 8)
+      .select($"row_id").as[Long].collect().sorted
+    ids shouldBe (0L until n.toLong).toArray
+  }
+
+  it should "be independent of input partitioning" in {
+    val base = Seq(5L, 3L, 9L, 1L, 7L).toDF("k")
+    val a = Sequencing.stableRowIds(base.coalesce(1), Seq("k"))
+      .as[(Long, Long)].collect().toSet
+    val b = Sequencing.stableRowIds(base.repartition(5), Seq("k"))
+      .as[(Long, Long)].collect().toSet
+    a shouldBe b
+  }
+
+  it should "refuse an id column that already exists" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sequencing.stableRowIds(Seq(1L).toDF("row_id"), Seq("row_id"))
+  }
+
+  it should "never plan an unpartitioned global window" in {
+    val plan = Sequencing.stableRowIds(
+        spark.range(100).select($"id".as("k")), Seq("k"))
+      .queryExecution.sparkPlan
+    val badWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    badWindows shouldBe empty
+  }
+}

@@ -637,6 +637,41 @@ class ChangelogStreamSpec extends SparkTestBase {
       .count(_.startsWith("graft_batch=")) shouldBe 2
   }
 
+  "streamAttrition" should "converge to the batch report across batches" in {
+    import graft.ops.Policy
+    val rules = Seq(
+      "long_enough" ->
+        (org.apache.spark.sql.functions.length($"text") >= 7),
+      "has_vowel" -> $"text".rlike("[aeiou]"))
+    val incoming = (0 until 30).map { i =>
+      SDoc(i.toLong, if (i % 5 == 0) "xs" else s"document-$i")
+    }
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sa_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sa_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(15), "wave1.parquet", 120000L)
+    stage(incoming.drop(15), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sa").toString
+    val got = ChangelogStream.streamAttrition(stream, rules, dir)
+      .orderBy($"rule_idx").collect()
+    val want = Policy.attritionReport(incoming.toDF("doc_id", "text"),
+      rules).orderBy($"rule_idx").collect()
+    got shouldBe want
+  }
+
   "streamChecksum" should "converge to the batch checksum across batches" in {
     import graft.ops.Checksum
     val incoming = (0 until 40).map(i => SDoc(i.toLong, s"text-$i"))

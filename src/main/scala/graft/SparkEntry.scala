@@ -2354,6 +2354,33 @@ object SparkEntry {
           threshold = 0.8).select(col("id_a"), col("id_b")))
     }),
 
+    // Canonical selection by QUALITY: the longest document represents
+    // each near-dup cluster (ties to min id), not the min-id default —
+    // one partial-agged max_by at cluster granularity.
+    "q_cluster_reps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val clusters = Dedup.dupClusters(pairs, docs.select(col("doc_id")),
+        "doc_id")
+      Dedup.clusterRepresentatives(clusters,
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // Token-budget corpus mixing: "this many TOKENS per domain", taken
+    // in engine-portable md5 order; the overflowing document is
+    // excluded, so the take never exceeds the provision.
+    "q_token_budget" -> ((s, d) =>
+      graft.ops.Sampling.tokenBudgetMix(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+          "lang", "doc_id", "n_tokens",
+          Map("en" -> 4000L, "de" -> 1500L), defaultBudget = 800L)
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))),
+
     // Dense stable row ids in (lang, doc_id) order — the corpus-build
     // primitive Spark lacks: range partition + local rank + broadcast
     // offsets equals the global row_number WITHOUT the single-partition
@@ -4542,6 +4569,46 @@ object SparkEntry {
         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
         |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM c""".stripMargin,
+
+    // Recursive-CTE clusters + per-cluster argmax by (quality, -id).
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE j AS ($NgramJaccardOracle),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+         |          UNION ALL SELECT id_b, id_a FROM j),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |),
+         |c AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+         |      GROUP BY id),
+         |q AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY c.cluster_id
+         |          ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         |        max(d.n_chars) OVER (PARTITION BY c.cluster_id)
+         |          AS rep_preference
+         |      FROM c JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_id, rep_preference, cluster_size
+         |FROM q WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // Same md5 take order, same cumulative-inclusive budget cut.
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, tokens,
+        |    sum(tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM w
+        |WHERE cum_tokens <= (CASE lang WHEN 'en' THEN 4000
+        |                     WHEN 'de' THEN 1500 ELSE 800 END)
+        |ORDER BY doc_id""".stripMargin,
 
     // Range-partitioned local ranks + offsets = the global row_number.
     "q_row_ids" ->

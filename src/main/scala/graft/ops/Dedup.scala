@@ -164,6 +164,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Canonical-document selection by QUALITY: given [[dupClusters]]'
+    * `(id, cluster_id)` labels and the documents, keep the best row of
+    * each cluster by `preferenceCol` (ties → min id) instead of the
+    * min-id default — the real release policy: when five copies of a
+    * page survive crawling, ship the longest/cleanest one, not the one
+    * with the smallest id. One partial-agged `max_by` at cluster
+    * granularity (no window, no per-cluster sort); cluster sizes ride
+    * the same aggregate. */
+  def clusterRepresentatives(clusters: DataFrame, docs: DataFrame,
+                             idCol: String,
+                             preferenceCol: String): DataFrame = {
+    val joined = clusters.join(docs, idCol)
+    joined.groupBy(col("cluster_id"))
+      .agg(
+        max_by(col(idCol),
+          struct(col(preferenceCol), lit(-1L) * col(idCol))).as("rep_id"),
+        max(col(preferenceCol)).as("rep_preference"),
+        count(lit(1)).as("cluster_size"))
+  }
+
   /** Directional shingle CONTAINMENT join: `(id, container_id,
     * containment)` where containment = |A ∩ B| / |A| ≥ `threshold` —
     * the asymmetric near-dup Jaccard misses: a paragraph quoted inside

@@ -161,4 +161,42 @@ object Sampling {
       }
     df.filter(substring(md5Rank(idCol), 1, 6) < threshold)
   }
+
+  /** Token-BUDGET corpus mixing: per domain, keep documents in the
+    * md5-of-id pseudo-random order until the cumulative token count
+    * reaches the domain's budget ("2B tokens of code, 1B of web" — the
+    * unit a training run is actually provisioned in, where
+    * [[sampleByGroupFraction]]'s fractions are the unit a corpus
+    * happens to have). The first document that would overflow its
+    * budget is excluded (cumulative-inclusive ≤ budget), so the take
+    * never exceeds the provision. Domains without a declared budget
+    * use `defaultBudget` (0 = dropped entirely).
+    *
+    * Deterministic and engine-portable by the same md5 ordering as the
+    * stratified battery; appends `tokens` and `cum_tokens` so the take
+    * is auditable. Scale: one shuffle on the domain key; the per-domain
+    * running sum is bounded by domain size (the same envelope as
+    * [[stratifiedQuota]] — budgets are for CURATED mixes, not for
+    * re-sorting the whole raw web slice; cap with a fraction sample
+    * first when a domain is corpus-scale). */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, idCol: String,
+                     tokensCol: String, budgets: Map[String, Long],
+                     defaultBudget: Long = 0L): DataFrame = {
+    require(budgets.nonEmpty || defaultBudget > 0,
+      "tokenBudgetMix: no budgets declared")
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "tokenBudgetMix: budgets must be non-negative")
+    val budget = budgets.foldLeft(lit(defaultBudget): Column) {
+      case (acc, (k, b)) =>
+        when(col(domainCol) === k, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5Rank(idCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("tokens", col(tokensCol).cast("long"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -58,6 +58,28 @@ class DedupSpec extends SparkTestBase {
     exact shouldBe Set((1L, 4L))
   }
 
+  "clusterRepresentatives" should "keep the best doc per cluster, not the min id" in {
+    val docs2 = Seq((1L, "short", 5L), (2L, "much longer text", 16L),
+      (3L, "mid", 3L), (9L, "lone", 4L)).toDF("doc_id", "text", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterRepresentatives(clusters, docs2, "doc_id",
+        "quality")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(1L) shouldBe ((2L, 16L, 3L)) // highest quality wins, not id 1
+    got(9L) shouldBe ((9L, 4L, 1L))  // singleton represents itself
+  }
+
+  it should "break preference ties toward the smaller id" in {
+    val docs2 = Seq((5L, 10L), (2L, 10L), (8L, 10L))
+      .toDF("doc_id", "quality")
+    val clusters = Seq((5L, 2L), (2L, 2L), (8L, 2L))
+      .toDF("doc_id", "cluster_id")
+    Dedup.clusterRepresentatives(clusters, docs2, "doc_id", "quality")
+      .select($"rep_id").as[Long].head() shouldBe 2L
+  }
+
   "containmentJoin" should "catch a quote inside a long article that Jaccard misses" in {
     val quote = "alpha beta gamma delta epsilon"
     val article = s"intro words here $quote and then much more trailing " +

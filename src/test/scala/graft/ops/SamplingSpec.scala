@@ -132,4 +132,34 @@ class SamplingSpec extends SparkTestBase {
     Sampling.fractionThresholdHex(0.5) shouldBe "800000"
     Sampling.fractionThresholdHex(1.0) shouldBe "zzzzzz"
   }
+
+  "tokenBudgetMix" should "take documents in md5 order until the budget" in {
+    val mixed = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "code" else "web", 10L))
+      .toDF("id", "domain", "tokens")
+    val out = Sampling.tokenBudgetMix(mixed, "domain", "id", "tokens",
+      Map("code" -> 200L, "web" -> 55L))
+    val byDomain = out.groupBy($"domain")
+      .agg(org.apache.spark.sql.functions.sum($"tokens").as("t"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    byDomain("code") shouldBe ((200L, 20L)) // exactly the budget
+    // 55 is not a multiple of 10: the overflowing 6th doc is excluded
+    byDomain("web") shouldBe ((50L, 5L))
+  }
+
+  it should "be deterministic and drop undeclared domains by default" in {
+    val mixed = (1L to 50L).map(i => (i, if (i <= 25) "a" else "b", 7L))
+      .toDF("id", "domain", "tokens")
+    val once = Sampling.tokenBudgetMix(mixed, "domain", "id", "tokens",
+      Map("a" -> 70L)).select($"id").as[Long].collect().toSet
+    val again = Sampling.tokenBudgetMix(mixed.repartition(7), "domain",
+      "id", "tokens", Map("a" -> 70L)).select($"id").as[Long]
+      .collect().toSet
+    once shouldBe again
+    once.size shouldBe 10 // 70 / 7 from "a"; "b" dropped (no budget)
+    all(once) should be <= 25L
+  }
 }

@@ -123,12 +123,24 @@ object Dedup {
     * consistent similarity space (oracle-checkable with the same df
     * filter), not a silent underestimate from mixing a capped
     * intersection with uncapped sizes. */
-  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshold: Double,
-                       maxShingleDf: Long = 0L): DataFrame = {
-    // one shingling pass total: the persisted raw edge list feeds the df
-    // cap, both self-join branches AND the per-doc set sizes (shingles
-    // are distinct, so count(edges per id) == |shingle set|)
+  /** Shared front half of the shingle-overlap joins ([[ngramJaccardJoin]],
+    * [[containmentJoin]]): one shingling pass — the persisted raw edge
+    * list feeds the df cap, both self-join branches AND the per-doc set
+    * sizes (shingles are distinct, so count(edges per id) == |shingle
+    * set|) — then the SHUFFLE_HASH pair count with both sides' sizes
+    * attached: `(id_a, id_b, common, size_a, size_b)`.
+    *
+    * SHUFFLE_HASH because the inverted index only looks broadcastable
+    * at test scale — at corpus scale collecting it to the driver is
+    * fatal, and even here the broadcast build dominates the join.
+    * Partitioned hash join is the plan that survives the scale-up.
+    * Under a df cap, the capped copy is materialized THROUGH the cached
+    * raw before raw is dropped — it is the job's largest intermediate,
+    * and pinning both copies would evict exactly the cache the
+    * self-join reuses. */
+  private def shinglePairStats(df: DataFrame, idCol: String,
+                               textCol: String, n: Int,
+                               maxShingleDf: Long): DataFrame = {
     val raw = shingleIndex(df, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges =
@@ -136,18 +148,11 @@ object Dedup {
       else {
         val capped = capByDf(raw, maxShingleDf)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // materialize the capped copy THROUGH the cached raw, then drop
-        // raw — it is the job's largest intermediate and pinning both
-        // copies would evict exactly the cache the self-join reuses
         capped.count()
         raw.unpersist()
         capped
       }
     val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    // SHUFFLE_HASH: the inverted index only looks broadcastable at test
-    // scale — at corpus scale collecting it to the driver is fatal, and
-    // even here the broadcast build dominates the join. Partitioned hash
-    // join is the plan that survives the scale-up.
     val pairs = edges.as("l").hint("shuffle_hash").join(edges.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -157,12 +162,17 @@ object Dedup {
         .withColumnRenamed("n_shingles", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n_shingles", "size_b"), "id_b")
+  }
+
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxShingleDf: Long = 0L): DataFrame =
+    shinglePairStats(df, idCol, textCol, n, maxShingleDf)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Canonical-document selection by QUALITY: given [[dupClusters]]'
     * `(id, cluster_id)` labels and the documents, keep the best row of
@@ -176,12 +186,24 @@ object Dedup {
                              idCol: String,
                              preferenceCol: String): DataFrame = {
     val joined = clusters.join(docs, idCol)
-    joined.groupBy(col("cluster_id"))
-      .agg(
-        max_by(col(idCol),
-          struct(col(preferenceCol), lit(-1L) * col(idCol))).as("rep_id"),
-        max(col(preferenceCol)).as("rep_preference"),
+    // two cluster-granularity partial aggs instead of a single max_by
+    // with a negated-id tie-break: negation only orders NUMERIC ids (a
+    // string id would cast to null and make ties nondeterministic) —
+    // best preference first, then min id among the best rows, works
+    // for any orderable id type
+    val best = joined.groupBy(col("cluster_id"))
+      .agg(max(col(preferenceCol)).as("rep_preference"),
         count(lit(1)).as("cluster_size"))
+      .withColumnRenamed("cluster_id", "__bc")
+    joined
+      .join(best, col("cluster_id") === col("__bc") &&
+        col(preferenceCol) === col("rep_preference"))
+      .groupBy(col("__bc"))
+      .agg(min(col(idCol)).as("rep_id"),
+        first(col("rep_preference")).as("rep_preference"),
+        first(col("cluster_size")).as("cluster_size"))
+      .select(col("__bc").as("cluster_id"), col("rep_id"),
+        col("rep_preference"), col("cluster_size"))
   }
 
   /** Directional shingle CONTAINMENT join: `(id, container_id,
@@ -197,27 +219,7 @@ object Dedup {
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double,
                       maxShingleDf: Long = 0L): DataFrame = {
-    val raw = shingleIndex(df, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges =
-      if (maxShingleDf <= 0) raw
-      else {
-        val capped = capByDf(raw, maxShingleDf)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        capped.count()
-        raw.unpersist()
-        capped
-      }
-    val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
-    val pairs = edges.as("l").hint("shuffle_hash").join(edges.as("r"),
-        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    val withSizes = pairs
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), "id_b")
+    val withSizes = shinglePairStats(df, idCol, textCol, n, maxShingleDf)
     val aInB = withSizes.select(col("id_a").as("id"),
       col("id_b").as("container_id"),
       (col("common").cast("double") / col("size_a").cast("double"))

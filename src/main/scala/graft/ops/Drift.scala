@@ -187,6 +187,11 @@ object Drift {
         .groupBy(col("token")).agg(count(lit(1)).as(name))
     val rc = counts(ref, "ref_n")
     val cc = counts(cand, "cand_n").withColumnRenamed("token", "__ct")
+    // an empty side makes its total 0 and every proportion 0/0 = NaN,
+    // which would propagate into jsd_total and silently read as "no
+    // drift" through any threshold (NaN > t is false) — fail loudly
+    require(!rc.isEmpty, "tokenJsd: reference corpus has no tokens")
+    require(!cc.isEmpty, "tokenJsd: candidate corpus has no tokens")
     val v = rc.join(cc, col("token") <=> col("__ct"), "full_outer")
       .select(coalesce(col("token"), col("__ct")).as("token"),
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),

@@ -55,9 +55,13 @@ object Policy {
       val reaching = (i to rules.size).map(n).sum
       val failed = if (i == rules.size) 0L else n(i)
       val name = if (i == rules.size) "__survivors" else rules(i)._1
+      // HALF_UP like Spark's round() (math.rint is half-EVEN: 0.9765625
+      // would round to ...562 here vs ...563 in the batch report,
+      // breaking the converges-to-batch contract on half-ulp counts)
       val rate: java.lang.Double =
         if (reaching == 0) null
-        else math.rint((1.0 - failed.toDouble / reaching) * 1e6) / 1e6
+        else BigDecimal(1.0 - failed.toDouble / reaching)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       org.apache.spark.sql.Row(i, name, failed, reaching, rate)
     }
     spark.createDataFrame(rows.asJava,

@@ -195,7 +195,12 @@ object Sampling {
       .orderBy(md5Rank(idCol), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("tokens", col(tokensCol).cast("long"))
+    df
+      // a null token count cannot be budgeted: window sums skip nulls,
+      // so such a row would ship free or be dropped depending on its
+      // md5 POSITION — exclude it deterministically up front instead
+      .filter(col(tokensCol).isNotNull)
+      .withColumn("tokens", col(tokensCol).cast("long"))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }

@@ -38,9 +38,11 @@ object Sequencing {
     val parts =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // no sortWithinPartitions: the id window re-sorts by orderCols
+    // inside each __pid partition anyway, so a pre-sort here would be
+    // a full corpus sort whose ordering nothing consumes
     val ranged = df
       .repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one partitions-sized pass: how many rows precede each partition
@@ -61,11 +63,16 @@ object Sequencing {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
+    // truncate lineage so the corpus-sized cache pin can be RELEASED
+    // before returning (otherwise every call leaks a cached copy of
+    // the input for the session's lifetime)
     val out = ranged
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(idName,
         col("__off") + row_number().over(w).cast("long") - 1L)
       .drop("__pid", "__off")
+      .localCheckpoint()
+    ranged.unpersist()
     out
   }
 }

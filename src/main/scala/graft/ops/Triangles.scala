@@ -100,13 +100,19 @@ object Triangles {
 
   /** Per-node triangle participation: `(id, triangles)` for every node
     * in at least one triangle. Same persistence rationale as
-    * [[countTriangles]] (the oriented edge set feeds three joins). */
+    * [[countTriangles]] (the edge set feeds three joins); the result is
+    * truncated with a localCheckpoint so the pin can be RELEASED before
+    * returning — without it every call would leak an edge-set-sized
+    * cache entry for the session's lifetime. */
   def perNodeTriangles(edges: DataFrame, aCol: String,
                        bCol: String): DataFrame = {
     val und = canonical(edges, aCol, bCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    triangleTriples(und)
+    val out = triangleTriples(und)
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+      .localCheckpoint()
+    und.unpersist()
+    out
   }
 }

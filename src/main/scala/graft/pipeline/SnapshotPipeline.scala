@@ -140,11 +140,20 @@ object SnapshotPipeline {
     // publish gate: declared data-quality expectations must hold or the
     // sink is never touched (the failed run leaves the PREVIOUS
     // materialization in place — a bad day of changelog cannot
-    // overwrite a good snapshot)
-    val df =
-      if (config.expectations.isEmpty) computed
-      else graft.ops.Expectations.enforce(computed, config.expectations)
-    config.sink match {
+    // overwrite a good snapshot). The snapshot is PINNED across the
+    // gate: without it the changelog replay would run twice (once for
+    // enforce's aggregation, once for the write), and a changelog that
+    // gained files in between would publish a snapshot that was never
+    // the one validated.
+    val pinned =
+      if (config.expectations.isEmpty) None
+      else Some(computed.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val df = pinned.getOrElse(computed)
+    try {
+      pinned.foreach(_ =>
+        graft.ops.Expectations.enforce(df, config.expectations))
+      config.sink match {
       case ParquetSink(path, parts) =>
         val w = df.write.mode(SaveMode.Overwrite)
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
@@ -155,7 +164,8 @@ object SnapshotPipeline {
           w = w.bucketBy(n, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*)
         }
         w.saveAsTable(table)
-    }
+      }
+    } finally pinned.foreach(_.unpersist())
   }
 
   /** Incremental PARTITION refresh: recompute the snapshot only for rows

@@ -2526,6 +2526,21 @@ object SparkEntry {
           "user_id", "7 days", "1 day")
         .orderBy(col("window_start"))),
 
+    // The SAME metric through the sketch path: one theta sketch per day
+    // (single pass, no event replication), 7 slice sketches unioned per
+    // window — the 30/90-day-actives shape at corpus scale. Exactness
+    // asserted (below nominal entries theta IS the distinct count), so
+    // it shares the exact formulation's oracle.
+    "q_rolling_active_sketch" -> ((s, d) => {
+      import graft.functions.ThetaFunctions._
+      graft.ops.Trending.rollingDistinctSketch(Tables.events(s, d), "ts",
+          "user_id", windowSlices = 7)
+        .filter(assert_true(thetaIsExact(col("sk"))).isNull)
+        .select(col("window_start"), col("window_end"),
+          thetaEstimate(col("sk")).cast("long").as("n_distinct"))
+        .orderBy(col("window_start"))
+    }),
+
     // Multi-touch attribution: purchases credited to the click/view
     // touches of the preceding day — linear/first/last models in one
     // pass; one user-keyed equi-join + two conversion-keyed windows,
@@ -4866,18 +4881,10 @@ object SparkEntry {
 
     // Epoch-aligned daily window starts; inner join drops event-free
     // windows exactly like Spark's window() aggregation.
-    "q_rolling_active" ->
-      """WITH b AS (SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY AS lo,
-        |                  date_trunc('day', max(ts)) AS hi FROM events),
-        |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS w
-        |      FROM b),
-        |c AS (SELECT g.w, count(DISTINCT e.user_id) AS n_distinct
-        |      FROM g JOIN events e ON e.ts >= g.w
-        |        AND e.ts < g.w + INTERVAL 7 DAY
-        |      GROUP BY 1)
-        |SELECT w AS window_start, w + INTERVAL 7 DAY AS window_end,
-        |  n_distinct
-        |FROM c ORDER BY window_start""".stripMargin,
+    "q_rolling_active" -> RollingActiveOracleSql,
+    // Exact-regime theta unions equal the distinct counts, so the
+    // sketch path shares the exact oracle.
+    "q_rolling_active_sketch" -> RollingActiveOracleSql,
 
     // Same user-keyed join, same (ts desc, id desc) touch ranking.
     "q_attribution" ->
@@ -4989,6 +4996,22 @@ object SparkEntry {
       |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |    [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
       |    (a, b) -> a + b))) END)""".stripMargin
+
+  /** Shared oracle for the exact (`q_rolling_active`) AND theta-sketch
+    * (`q_rolling_active_sketch`) rolling-actives queries: below nominal
+    * entries the union sketch IS the distinct count. */
+  private val RollingActiveOracleSql: String =
+    """WITH b AS (SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY AS lo,
+      |                  date_trunc('day', max(ts)) AS hi FROM events),
+      |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS w
+      |      FROM b),
+      |c AS (SELECT g.w, count(DISTINCT e.user_id) AS n_distinct
+      |      FROM g JOIN events e ON e.ts >= g.w
+      |        AND e.ts < g.w + INTERVAL 7 DAY
+      |      GROUP BY 1)
+      |SELECT w AS window_start, w + INTERVAL 7 DAY AS window_end,
+      |  n_distinct
+      |FROM c ORDER BY window_start""".stripMargin
 
   /** Shared attrition rule battery (batch `q_attrition` AND streaming
     * `q_stream_attrition` — stateless per-row attribution + additive

@@ -39,6 +39,46 @@ object Trending {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("n_distinct"))
 
+  /** The SKETCH path of [[rollingDistinct]]: one theta sketch per
+    * tumbling `slideDuration` slice (a single pass over events — no
+    * fan-into-windows replication), then each sliding window unions its
+    * `windowSlices` slice sketches — the exchange carries slice-count ×
+    * window-count SKETCH rows (model-sized) instead of events ×
+    * replication. This is how 30/60/90-day actives stay one pass at
+    * corpus scale; below nominal entries theta is EXACT, so the query
+    * asserts exactness and shares the exact formulation's oracle.
+    * Output matches [[rollingDistinct]]: `(window_start, window_end,
+    * n_distinct)` for every window whose RANGE contains at least one
+    * event slice (window_start = slice_start − (windowSlices−1)·slide,
+    * i.e. windows are indexed by their closing slice). */
+  def rollingDistinctSketch(df: DataFrame, tsCol: String, keyCol: String,
+                            windowSlices: Int, slideDays: Int = 1,
+                            nominalEntries: Int = 4096): DataFrame = {
+    require(windowSlices >= 1,
+      s"rollingDistinctSketch: windowSlices must be >= 1, got $windowSlices")
+    require(slideDays >= 1,
+      s"rollingDistinctSketch: slideDays must be >= 1, got $slideDays")
+    import graft.functions.ThetaFunctions._
+    val slices = df
+      .groupBy(window(col(tsCol), s"$slideDays days").as("w"))
+      .agg(thetaSketch(col(keyCol).cast("string"), nominalEntries).as("sk"))
+      .select(col("w.start").as("slice_start"), col("sk"))
+    // a slice at S belongs to the windowSlices windows starting at
+    // S, S − slide, …, S − (n−1)·slide: explode the membership, then
+    // union the member sketches per window start
+    val spanDays = windowSlices * slideDays
+    slices
+      .select(col("sk"), col("slice_start"),
+        explode(sequence(lit(0), lit(windowSlices - 1))).as("__k"))
+      .withColumn("window_start",
+        expr(s"timestampadd(DAY, -__k * $slideDays, slice_start)"))
+      .groupBy(col("window_start"))
+      .agg(thetaUnion(col("sk"), nominalEntries).as("sk"))
+      .withColumn("window_end",
+        expr(s"timestampadd(DAY, $spanDays, window_start)"))
+      .select(col("window_start"), col("window_end"), col("sk"))
+  }
+
   /** `(window_start, window_end, <keyCol>, n, rank)` — top `k` keys by
     * row count per tumbling `windowDuration` window of `tsCol`. */
   def topKPerWindow(df: DataFrame, tsCol: String, keyCol: String,

@@ -46,6 +46,39 @@ class TrendingSpec extends SparkTestBase {
     got("2024-01-02 00:00:00") shouldBe 1L // covers day2 only
   }
 
+  "rollingDistinctSketch" should "equal the exact rolling distinct in the exact regime" in {
+    import graft.functions.ThetaFunctions._
+    val evs2 = Seq((1L, ts(1, 1)), (1L, ts(1, 2)), (2L, ts(1, 3)),
+      (1L, ts(2, 1)), (3L, ts(3, 4))).toDF("user_id", "ts")
+    val exact = Trending.rollingDistinct(evs2, "ts", "user_id",
+        "3 days", "1 day")
+      .select($"window_start".cast("string"), $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    val sketch = Trending.rollingDistinctSketch(evs2, "ts", "user_id",
+        windowSlices = 3)
+      .select($"window_start".cast("string"),
+        thetaEstimate($"sk").cast("long"))
+      .as[(String, Long)].collect().toMap
+    sketch shouldBe exact
+  }
+
+  it should "never replicate event rows (slices sketch once, windows union)" in {
+    // the plan's generate (explode) runs over SLICE rows, after the
+    // per-slice aggregate — assert the explode consumes an aggregated
+    // child, not the raw event relation
+    val evs2 = Seq((1L, ts(1, 1)), (2L, ts(2, 2))).toDF("user_id", "ts")
+    val plan = Trending.rollingDistinctSketch(evs2, "ts", "user_id", 3)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    gens should have size 1
+    val hasAggBelow = gens.head.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    hasAggBelow should not be empty
+  }
+
   it should "use the bounded top-k aggregate, not a window sort" in {
     val plan = Trending.topKPerWindow(evs, "ts", "user_id", "1 day", 2)
       .queryExecution.sparkPlan

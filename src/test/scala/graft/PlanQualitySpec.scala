@@ -315,4 +315,55 @@ class PlanQualitySpec extends SparkTestBase {
     (plan should not).include ("SortMergeJoin")
     plan should include ("BroadcastHashJoin")
   }
+
+  "q_forget" should "broadcast the subject-sized deletion set into every table scan" in {
+    val plan = planOf("q_forget")
+    // three fact tables, each ONE scan with the key set broadcast in; a
+    // shuffled join would re-shuffle every audited table by the key
+    (plan should not).include ("SortMergeJoin")
+    plan should include ("BroadcastHashJoin")
+  }
+
+  "q_attribution" should "join touches to conversions on the user key only" in {
+    val plan = planOf("q_attribution")
+    // the lookback bound must ride the user-keyed equi-join as a
+    // post-join filter, never degrade the join to a cartesian/BNLJ
+    (plan should not).include ("CartesianProduct")
+    (plan should not).include ("BroadcastNestedLoopJoin")
+  }
+
+  "q_drift_psi" should "never join or reshuffle data-scale rows" in {
+    val plan = planOf("q_drift_psi")
+    // both sides collapse to bin-granularity counts before the spine
+    // joins; a data-scale join here would mean binning happened after
+    // a join instead of before
+    (plan should not).include ("SortMergeJoin")
+    (plan should not).include ("CartesianProduct")
+  }
+
+  "q_row_ids" should "assign ids without a single-partition global sort window" in {
+    val plan = planOf("q_row_ids")
+    // the window must be partitioned by the range-partition id; an
+    // empty partitionSpec would pull the corpus into one task
+    val q = SparkEntry.queries("q_row_ids")(spark, sf)
+    val bad = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    bad shouldBe empty
+  }
+
+  "q_rolling_active_sketch" should "sketch slices before any window fan-out" in {
+    // the generate (slice -> window membership explode) must consume the
+    // per-slice AGGREGATE, not raw event rows — the whole point of the
+    // sketch path is that events are never replicated
+    val q = SparkEntry.queries("q_rolling_active_sketch")(spark, sf)
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    gens should have size 1
+    gens.head.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } should not be empty
+  }
 }

@@ -2526,6 +2526,22 @@ object SparkEntry {
           "user_id", "7 days", "1 day")
         .orderBy(col("window_start"))),
 
+    // The sketch path STREAMED: per-day slice sketches maintained
+    // micro-batch by micro-batch (set union is merge-associative and
+    // slice membership is event-time, so batching cannot change the
+    // windows); exactness asserted, shares the same oracle.
+    "q_stream_rolling_active" -> ((s, d) => {
+      import graft.functions.ThetaFunctions._
+      val out = scratchDir("graft_sra_")
+      graft.streaming.ChangelogStream.streamRollingActives(
+          Tables.eventsStream(s, d).select(col("ts"), col("user_id")),
+          "ts", "user_id", windowSlices = 7, out, statePartitions = 8)
+        .filter(assert_true(thetaIsExact(col("sk"))).isNull)
+        .select(col("window_start"), col("window_end"),
+          thetaEstimate(col("sk")).cast("long").as("n_distinct"))
+        .orderBy(col("window_start"))
+    }),
+
     // The SAME metric through the sketch path: one theta sketch per day
     // (single pass, no event replication), 7 slice sketches unioned per
     // window — the 30/90-day-actives shape at corpus scale. Exactness
@@ -4885,6 +4901,9 @@ object SparkEntry {
     // Exact-regime theta unions equal the distinct counts, so the
     // sketch path shares the exact oracle.
     "q_rolling_active_sketch" -> RollingActiveOracleSql,
+    // Event-time slices + merge-associative unions: the streamed
+    // windows equal the batch ones however the feed was batched.
+    "q_stream_rolling_active" -> RollingActiveOracleSql,
 
     // Same user-keyed join, same (ts desc, id desc) touch ranking.
     "q_attribution" ->

@@ -51,21 +51,25 @@ object Trending {
     * n_distinct)` for every window whose RANGE contains at least one
     * event slice (window_start = slice_start − (windowSlices−1)·slide,
     * i.e. windows are indexed by their closing slice). */
-  def rollingDistinctSketch(df: DataFrame, tsCol: String, keyCol: String,
-                            windowSlices: Int, slideDays: Int = 1,
-                            nominalEntries: Int = 4096): DataFrame = {
-    require(windowSlices >= 1,
-      s"rollingDistinctSketch: windowSlices must be >= 1, got $windowSlices")
-    require(slideDays >= 1,
-      s"rollingDistinctSketch: slideDays must be >= 1, got $slideDays")
+  /** One theta sketch per tumbling `slideDays` slice — the unit the
+    * batch AND streaming sketch paths accumulate. */
+  private[graft] def sliceSketches(df: DataFrame, tsCol: String,
+                                   keyCol: String, slideDays: Int,
+                                   nominalEntries: Int): DataFrame = {
     import graft.functions.ThetaFunctions._
-    val slices = df
-      .groupBy(window(col(tsCol), s"$slideDays days").as("w"))
+    df.groupBy(window(col(tsCol), s"$slideDays days").as("w"))
       .agg(thetaSketch(col(keyCol).cast("string"), nominalEntries).as("sk"))
       .select(col("w.start").as("slice_start"), col("sk"))
-    // a slice at S belongs to the windowSlices windows starting at
-    // S, S − slide, …, S − (n−1)·slide: explode the membership, then
-    // union the member sketches per window start
+  }
+
+  /** Window the slice sketches: a slice at S belongs to the
+    * `windowSlices` windows starting at S, S − slide, …,
+    * S − (n−1)·slide; explode the membership, union per window. */
+  private[graft] def windowsFromSliceSketches(slices: DataFrame,
+                                              windowSlices: Int,
+                                              slideDays: Int,
+                                              nominalEntries: Int): DataFrame = {
+    import graft.functions.ThetaFunctions._
     val spanDays = windowSlices * slideDays
     slices
       .select(col("sk"), col("slice_start"),
@@ -77,6 +81,18 @@ object Trending {
       .withColumn("window_end",
         expr(s"timestampadd(DAY, $spanDays, window_start)"))
       .select(col("window_start"), col("window_end"), col("sk"))
+  }
+
+  def rollingDistinctSketch(df: DataFrame, tsCol: String, keyCol: String,
+                            windowSlices: Int, slideDays: Int = 1,
+                            nominalEntries: Int = 4096): DataFrame = {
+    require(windowSlices >= 1,
+      s"rollingDistinctSketch: windowSlices must be >= 1, got $windowSlices")
+    require(slideDays >= 1,
+      s"rollingDistinctSketch: slideDays must be >= 1, got $slideDays")
+    windowsFromSliceSketches(
+      sliceSketches(df, tsCol, keyCol, slideDays, nominalEntries),
+      windowSlices, slideDays, nominalEntries)
   }
 
   /** `(window_start, window_end, <keyCol>, n, rank)` — top `k` keys by

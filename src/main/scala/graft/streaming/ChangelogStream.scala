@@ -476,6 +476,60 @@ object ChangelogStream {
     graft.ops.Drift.psiFromCounts(refDir, counts)
   }
 
+  /** Streaming rolling-actives: per-day-slice theta sketches maintained
+    * across micro-batches ("how many distinct users in every sliding
+    * 7-day window, so far?") — set-union state is merge-associative
+    * and slice membership is EVENT-time, so the converged windows equal
+    * the batch [[graft.ops.Trending.rollingDistinctSketch]] however the
+    * feed was batched (shares the batch oracle in the exact regime).
+    * Same [[MergeState]] replay-idempotent protocol; state is one
+    * model-sized sketch row per day slice. */
+  def streamRollingActives(stream: DataFrame, tsCol: String,
+                           keyCol: String, windowSlices: Int, dir: String,
+                           slideDays: Int = 1, nominalEntries: Int = 4096,
+                           statePartitions: Int = 0): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    require(windowSlices >= 1,
+      s"streamRollingActives: windowSlices must be >= 1, got $windowSlices")
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val batchSlices = graft.ops.Trending.sliceSketches(b, tsCol,
+          keyCol, slideDays, nominalEntries)
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
+        val cumulative = prev match {
+          case Some(p) => batchSlices
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
+            .groupBy(col("slice_start"))
+            .agg(thetaUnion(col("sk"), nominalEntries).as("sk"))
+          case None => batchSlices
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices = MergeState.latest(fs, stateRoot) match {
+      case None => graft.ops.Trending.sliceSketches(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          stream.schema), tsCol, keyCol, slideDays, nominalEntries)
+      case Some(last) =>
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
+    }
+    graft.ops.Trending.windowsFromSliceSketches(slices, windowSlices,
+      slideDays, nominalEntries)
+  }
+
   /** Streaming filter-policy attrition: the sequential first-failed-rule
     * accounting of [[graft.ops.Policy.attritionReport]] accumulated
     * micro-batch by micro-batch — the corpus release report kept

@@ -672,6 +672,49 @@ class ChangelogStreamSpec extends SparkTestBase {
     got shouldBe want
   }
 
+  "streamRollingActives" should "converge to the batch sketch windows" in {
+    import graft.ops.Trending
+    import graft.functions.ThetaFunctions._
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d $h%02d:00:00")
+    val incoming = Seq((1L, ts(1, 1)), (2L, ts(1, 2)), (1L, ts(2, 3)),
+      (3L, ts(3, 4)), (2L, ts(3, 5)))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sra_in")
+    def stage(rows: Seq[(Long, java.sql.Timestamp)], name: String,
+              age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sra_w")
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    // split MID-day so slice sketches must merge across batches
+    stage(incoming.take(2), "wave1.parquet", 120000L)
+    stage(incoming.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("user_id", "ts").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sra").toString
+    val got = ChangelogStream.streamRollingActives(stream, "ts",
+        "user_id", windowSlices = 3, dir)
+      .select($"window_start".cast("string"),
+        thetaEstimate($"sk").cast("long"))
+      .as[(String, Long)].collect().toMap
+    val want = Trending.rollingDistinctSketch(
+        incoming.toDF("user_id", "ts"), "ts", "user_id", windowSlices = 3)
+      .select($"window_start".cast("string"),
+        thetaEstimate($"sk").cast("long"))
+      .as[(String, Long)].collect().toMap
+    got shouldBe want
+    // and the batch sketch path equals the exact formulation
+    want(("2024-01-01 00:00:00")) shouldBe 3L // users 1,2,3 over days 1-3
+  }
+
   "streamChecksum" should "converge to the batch checksum across batches" in {
     import graft.ops.Checksum
     val incoming = (0 until 40).map(i => SDoc(i.toLong, s"text-$i"))

@@ -2469,12 +2469,15 @@ object SparkEntry {
     // maintained micro-batch by micro-batch — exact decimal sums ADD,
     // so the converged state equals the batch checksum however the
     // feed was split (batch-id-versioned replay-idempotent state).
+    // The DECIMAL(38,0) checksum (~1.7e20) exceeds the comparator's
+    // float64-exact range, so it's serialized as a STRING at the edge.
     "q_stream_checksum" -> ((s, d) => {
       val out = scratchDir("graft_sck_")
       graft.streaming.ChangelogStream.streamChecksum(
           Tables.documentsStream(s, d), Seq("lang"),
           Seq("doc_id", "text", "source", "n_chars"), out,
           statePartitions = 8)
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy(col("lang"))
     }),
 
@@ -2500,12 +2503,14 @@ object SparkEntry {
     // by exchanging segment-count rows; one partial-agged scan, no
     // data-row shuffle. (Engine-portable because the canonical strings
     // of ints/strings agree; float columns are engine-specific and
-    // excluded from the oracle contract.)
+    // excluded from the oracle contract.) The DECIMAL(38,0) checksum
+    // exceeds float64-exact range → serialized as STRING at the edge.
     "q_checksum" -> ((s, d) =>
       graft.ops.Checksum.groupedChecksum(
           Tables.customer(s, d).select(col("c_mktsegment"),
             col("c_custkey"), col("c_name"), col("c_nationkey")),
           Seq("c_mktsegment"))
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy(col("c_mktsegment"))),
 
     // Weekly cohort retention: users bucketed by first-active week,
@@ -4793,7 +4798,7 @@ object SparkEntry {
         |           || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT AS dg
         |  FROM documents)
         |SELECT lang, count(*) AS n_rows,
-        |  CAST(sum(dg) AS DECIMAL(38, 0)) AS checksum
+        |  CAST(CAST(sum(dg) AS DECIMAL(38, 0)) AS VARCHAR) AS checksum
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact decimal sufficient statistics, identical closed-form
@@ -4877,7 +4882,7 @@ object SparkEntry {
         |           || CAST(c_nationkey AS VARCHAR)), 1, 15))::BIGINT AS dg
         |  FROM customer)
         |SELECT c_mktsegment, count(*) AS n_rows,
-        |  CAST(sum(dg) AS DECIMAL(38, 0)) AS checksum
+        |  CAST(CAST(sum(dg) AS DECIMAL(38, 0)) AS VARCHAR) AS checksum
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Both engines truncate weeks to ISO Monday; offsets in whole weeks.

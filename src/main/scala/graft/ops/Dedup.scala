@@ -196,8 +196,12 @@ object Dedup {
         count(lit(1)).as("cluster_size"))
       .withColumnRenamed("cluster_id", "__bc")
     joined
+      // null-safe preference equality: a cluster whose members ALL have
+      // a null preference has rep_preference = null, and a plain `===`
+      // would never match — the cluster would silently vanish; `<=>`
+      // keeps it and elects its min-id row
       .join(best, col("cluster_id") === col("__bc") &&
-        col(preferenceCol) === col("rep_preference"))
+        col(preferenceCol) <=> col("rep_preference"))
       .groupBy(col("__bc"))
       .agg(min(col(idCol)).as("rep_id"),
         first(col("rep_preference")).as("rep_preference"),
@@ -537,7 +541,13 @@ object Dedup {
     * fingerprint splits into `maxDist + 1` bands (widths as even as
     * possible), so any pair within Hamming distance `maxDist` agrees
     * exactly on ≥1 band (pigeonhole) — the blocking is lossless for the
-    * verified predicate. */
+    * verified predicate.
+    *
+    * Hot-bucket discipline (same as [[graft.ops.Hamming]]): the band
+    * join runs over DISTINCT fingerprints, so template/boilerplate docs
+    * that all simhash to the same value cannot make one (band, key)
+    * bucket quadratic — identical-fingerprint ids rejoin through
+    * output-sized full-fingerprint joins. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, maxDist: Int = 11): DataFrame = {
     val bands = maxDist + 1
@@ -557,23 +567,38 @@ object Dedup {
         (0 until 64).map { i =>
           when(col(s"c$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // two join branches + verify
-    val banded = sh.select(col("id"), col("sim"), posexplode(array(
-      (0 until bands).map { b =>
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
-        shiftright(col("sim"), offsets(b)).bitwiseAND(mask)
-      }: _*)))
+      .persist(StorageLevel.MEMORY_AND_DISK) // band + 3 membership branches
+    val banded = sh.select(col("sim")).distinct()
+      .select(col("sim"), posexplode(array(
+        (0 until bands).map { b =>
+          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+          shiftright(col("sim"), offsets(b)).bitwiseAND(mask)
+        }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    banded.as("l").hint("shuffle_hash").join(banded.as("r"),
+    // quadratic tier on distinct fingerprints (sim_a < sim_b ⇒ hamming ≥ 1)
+    val fpPairs = banded.as("l").hint("shuffle_hash").join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
+        col("l.sim") < col("r.sim"))
+      .select(col("l.sim").as("sim_a"), col("r.sim").as("sim_b"))
       .distinct()
       .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    // membership expansion: one fingerprint per id ⇒ each id pair arrives
+    // via exactly one fingerprint pair; dist-0 pairs via the full 64-bit
+    // key self-join — output-sized by construction
+    val cross = fpPairs
+      .join(sh.select(col("id").as("__ida"), col("sim").as("sim_a")), Seq("sim_a"))
+      .join(sh.select(col("id").as("__idb"), col("sim").as("sim_b")), Seq("sim_b"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+    val same = sh.as("l").join(sh.as("r"),
+        col("l.sim") === col("r.sim") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .unionByName(same)
   }
 
   // ------------------------------------------------- embedding near-dups

@@ -12,11 +12,32 @@ import org.apache.spark.sql.functions._
   * for `maxDist ≤ 3` — the same guarantee structure as
   * [[Dedup]]'s SimHash text tier, at media-fingerprint width.
   *
-  * Scale posture: one band-key equi-join shuffle over band-bucket-sized
-  * groups (4 rows per fingerprint), exact `bit_count` verify after,
-  * never all-pairs.
+  * Scale posture — hot-bucket discipline: the 16-bit band-key equi-join
+  * runs over DISTINCT fingerprints only. Real scraped corpora contain
+  * millions of byte-identical assets (blank images, silence clips,
+  * template screenshots) whose fingerprints — often exactly 0x0 —
+  * would otherwise collide into ONE (band, value) bucket and make that
+  * bucket quadratic. After the collapse, the quadratic tier is bounded
+  * by distinct-fingerprint cardinality; exact-duplicate ids rejoin
+  * through (a) a full-128-bit-key membership expansion for cross-
+  * fingerprint pairs and (b) a full-fingerprint self-join for dist-0
+  * pairs — both output-sized (those pairs exist in the result), never
+  * band-bucket-sized. Same discipline as the Jaccard tier's df cap and
+  * [[FuzzyJoin]]'s matchDistinct.
   */
 object Hamming {
+
+  /** Distinct `(hi, lo)` fingerprints of `h`, banded into the 4 16-bit
+    * band keys — the join input of the quadratic tier. */
+  private[ops] def bandedDistinct(h: DataFrame): DataFrame =
+    h.select(col("__hi"), col("__lo")).distinct()
+      .select(col("__hi"), col("__lo"),
+        explode(array(
+          struct(lit(0).as("band"), shiftright(col("__hi"), 16).as("v")),
+          struct(lit(1).as("band"), (col("__hi") % 65536).as("v")),
+          struct(lit(2).as("band"), shiftright(col("__lo"), 16).as("v")),
+          struct(lit(3).as("band"), (col("__lo") % 65536).as("v"))))
+          .as("__b"))
 
   /** Pairs `(id_a, id_b, dist)` with `dist ≤ maxDist` (≤ 3 for exact
     * recall), `id_a < id_b`. Null fingerprints are skipped. */
@@ -27,25 +48,41 @@ object Hamming {
     val h = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
-    val banded = h.select(col("__id"), col("__hi"), col("__lo"),
-      explode(array(
-        struct(lit(0).as("band"), shiftright(col("__hi"), 16).as("v")),
-        struct(lit(1).as("band"), (col("__hi") % 65536).as("v")),
-        struct(lit(2).as("band"), shiftright(col("__lo"), 16).as("v")),
-        struct(lit(3).as("band"), (col("__lo") % 65536).as("v"))))
-        .as("__b"))
-    val a = banded.select(col("__id").as("id_a"),
-      col("__hi").as("__hiA"), col("__lo").as("__loA"),
+    val banded = bandedDistinct(h)
+    val a = banded.select(col("__hi").as("__hiA"), col("__lo").as("__loA"),
       col("__b.band").as("__band"), col("__b.v").as("__v"))
-    val b = banded.select(col("__id").as("id_b"),
-      col("__hi").as("__hiB"), col("__lo").as("__loB"),
+    val b = banded.select(col("__hi").as("__hiB"), col("__lo").as("__loB"),
       col("__b.band").as("__band"), col("__b.v").as("__v"))
-    a.join(b, Seq("__band", "__v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // quadratic tier: DISTINCT-fingerprint pairs only, total-ordered so
+    // each unordered pair is scored once (dist ≥ 1 by distinctness)
+    val fpPairs = a.join(b, Seq("__band", "__v"))
+      .filter(struct(col("__hiA"), col("__loA")) <
+        struct(col("__hiB"), col("__loB")))
+      .select(col("__hiA"), col("__loA"), col("__hiB"), col("__loB"),
         (bit_count(col("__hiA").bitwiseXOR(col("__hiB"))) +
           bit_count(col("__loA").bitwiseXOR(col("__loB")))).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+    // membership expansion: full-fingerprint equi-joins, output-sized.
+    // An id has exactly one fingerprint, so each id pair arrives via
+    // exactly one fingerprint pair — no re-distinct needed.
+    val cross = fpPairs
+      .join(h.select(col("__id").as("__idA"), col("__hi").as("__hiA"),
+        col("__lo").as("__loA")), Seq("__hiA", "__loA"))
+      .join(h.select(col("__id").as("__idB"), col("__hi").as("__hiB"),
+        col("__lo").as("__loB")), Seq("__hiB", "__loB"))
+      .select(least(col("__idA"), col("__idB")).as("id_a"),
+        greatest(col("__idA"), col("__idB")).as("id_b"), col("dist"))
+    // exact-duplicate tier: identical fingerprints pair at dist 0 through
+    // the full 128-bit key — these pairs ARE the output, so the work is
+    // output-sized by construction, and the 16-bit band buckets never see
+    // the duplicate mass.
+    val same = h.as("l").join(h.as("r"),
+        col("l.__hi") === col("r.__hi") && col("l.__lo") === col("r.__lo") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        lit(0).cast("int").as("dist"))
+    cross.select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .unionByName(same)
   }
 }

@@ -48,7 +48,11 @@ object LayoutAudit {
       .map(e => e.getKey -> e.getValue).toMap
     val confB = spark.sparkContext.broadcast(confMap)
     import spark.implicits._
-    val slices = math.min(files.size, 32)
+    // size to the cluster, not a constant: footer reads are tiny, so a
+    // few files per task is the right grain — a hard cap would serialize
+    // a 100k-file table onto a handful of tasks
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4))
     spark.createDataset(files.toSeq)(org.apache.spark.sql.Encoders.STRING)
       .repartition(slices)
       .mapPartitions { paths =>

@@ -257,10 +257,22 @@ object ChangelogStream {
     * Scale: per batch, one increment-sized shingle pass and equi-joins
     * against the index tables — the corpus behind the index is never
     * rescanned, exactly like the batch form. With `appendAccepted` the
-    * index grows by accepted rows only. Re-delivered batches rewrite
-    * their own sink directory (idempotent) and re-append index rows —
-    * safe by [[graft.ops.Dedup.appendToTextIndexDir]]'s delivery
-    * contract (duplicate index rows cannot change verdicts).
+    * index grows by accepted rows only.
+    *
+    * Replay idempotence (`appendAccepted`): during the stream the index
+    * directory is NEVER written. Batch `id` dedups against the base
+    * index composed in memory with the accepted rows of batches `< id`,
+    * read back from the batch-id-keyed sink (which replays overwrite
+    * deterministically — the [[MergeState]] move). A re-delivered batch
+    * therefore never sees its OWN accepted rows in the index — the
+    * failure mode where a crash between index append and checkpoint
+    * commit made replayed docs dedup against themselves and silently
+    * vanish. The persisted index is extended ONCE after the stream
+    * drains, with a high-water marker (`_index_appended`) so re-runs
+    * append only batches past it; a crash between that append and the
+    * marker costs duplicate index rows, which
+    * [[graft.ops.Dedup.appendToTextIndexDir]]'s delivery contract makes
+    * verdict-neutral.
     *
     * Without `appendAccepted` the converged output equals the batch
     * `dedupAgainst` of the whole bounded stream regardless of batch
@@ -280,21 +292,50 @@ object ChangelogStream {
       .outputMode(OutputMode.Append())
       .foreachBatch { (b: DataFrame, id: Long) =>
         val s = b.sparkSession
-        val idx = graft.ops.Dedup.TextIndex.load(s, indexDir)
+        val base = graft.ops.Dedup.TextIndex.load(s, indexDir)
+        val outRoot = new org.apache.hadoop.fs.Path(s"$dir/out")
+        val fs = outRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val idx =
+          if (!appendAccepted || !fs.exists(outRoot)) base
+          else graft.ops.Dedup.appendToTextIndex(base,
+            s.read.parquet(s"$dir/out")
+              .filter(col("graft_batch") < id).drop("graft_batch"),
+            idCol, textCol)
         graft.ops.Dedup.dedupAgainst(b, idx, idCol, textCol, threshold)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$dir/out/graft_batch=$id")
-        if (appendAccepted)
-          // read the accepted rows back from the sink we just wrote:
-          // one source of truth for both the output and the index
-          graft.ops.Dedup.appendToTextIndexDir(s, indexDir,
-            s.read.parquet(s"$dir/out/graft_batch=$id"), idCol, textCol)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
     val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (appendAccepted && f.exists(outPath)) {
+      // extend the persisted index once, past the recorded high-water
+      // batch id — re-invocations with the same dir append only NEW
+      // accepted batches
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_index_appended")
+      val upTo =
+        if (!f.exists(marker)) -1L
+        else {
+          val in = f.open(marker)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      val batchIds = MergeState.ids(f, outPath)
+      val newIds = batchIds.filter(_ > upTo)
+      if (newIds.nonEmpty) {
+        graft.ops.Dedup.appendToTextIndexDir(spark, indexDir,
+          spark.read.parquet(s"$dir/out")
+            .filter(col("graft_batch") > upTo).drop("graft_batch"),
+          idCol, textCol)
+        val outStream = f.create(marker, true)
+        try outStream.write(newIds.max.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally outStream.close()
+      }
+    }
     if (!f.exists(outPath))
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),

@@ -1,12 +1,18 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
 
 /** Harness output contract: the driver's oracle comparator sorts and
   * hashes scalar cells, so NO query may emit array/map/struct columns in
   * its final select (r7's `q_multimodal_mp4` red row was exactly this —
   * pandas cannot sort ndarray cells). Operators keep their typed
   * collection APIs; queries serialize at the edge (`array_join`).
+  *
+  * Second hazard, same comparator (r8's `q_checksum` red rows): decimals
+  * with precision > 18 can exceed the int64/float64-exact range, and the
+  * per-engine numeric normalization renders identical values differently.
+  * Final schemas must not carry DecimalType(p > 18); wide exact values
+  * serialize as STRING at the query edge (`.cast("string")` / VARCHAR).
   *
   * Every `queries` entry is planned (streaming-bridge entries execute)
   * at sf0.001 and its analyzed schema asserted scalar-only, recursively.
@@ -20,6 +26,8 @@ class QueryOutputContractSpec extends SparkTestBase {
     schema.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType | _: MapType => Seq(s"$prefix${f.name}: ${f.dataType.simpleString}")
+        case d: DecimalType if d.precision > 18 =>
+          Seq(s"$prefix${f.name}: ${d.simpleString} (beyond float64-exact; cast to string)")
         case st: StructType => nestedOffenders(st, s"$prefix${f.name}.")
         case _ => Nil
       }
@@ -33,6 +41,19 @@ class QueryOutputContractSpec extends SparkTestBase {
     withClue(s"queries with non-scalar output columns:\n${bad.mkString("\n")}\n") {
       bad shouldBe empty
     }
+  }
+
+  it should "flag a deliberately wide decimal (the q_checksum failure class)" in {
+    import org.apache.spark.sql.functions.{col, lit}
+    // DECIMAL(38,0) around 1.7e20 — exactly the shape that went red in r8
+    val wide = spark.range(1)
+      .select(lit("1").cast(DecimalType(38, 0)).as("checksum"))
+    nestedOffenders(wide.schema) should have size 1
+    // and the sanctioned edge serialization passes
+    nestedOffenders(wide.select(col("checksum").cast("string")).schema) shouldBe empty
+    // narrow decimals stay allowed (exact in float64)
+    val narrow = spark.range(1).select(lit(1).cast(DecimalType(18, 2)).as("v"))
+    nestedOffenders(narrow.schema) shouldBe empty
   }
 
   it should "keep queries and oracleSql keys consistent" in {

@@ -80,6 +80,20 @@ class DedupSpec extends SparkTestBase {
       .select($"rep_id").as[Long].head() shouldBe 2L
   }
 
+  it should "elect the min-id row when every member's preference is null (cluster must not vanish)" in {
+    // r8 advice: max() over all-null yields null and a plain === join
+    // dropped the whole cluster; the null-safe <=> keeps it
+    val docs2 = Seq((5L, None), (2L, None), (8L, Some(7L)), (9L, Some(1L)))
+      .toDF("doc_id", "quality")
+    val clusters = Seq((5L, 2L), (2L, 2L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterRepresentatives(clusters, docs2, "doc_id",
+        "quality")
+      .select($"cluster_id", $"rep_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe Set((2L, 2L, 2L), (8L, 8L, 2L))
+  }
+
   "containmentJoin" should "catch a quote inside a long article that Jaccard misses" in {
     val quote = "alpha beta gamma delta epsilon"
     val article = s"intro words here $quote and then much more trailing " +

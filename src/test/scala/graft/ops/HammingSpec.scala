@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+
+/** The shared banded Hamming engine — hot-bucket discipline and exact
+  * recall. The r8 audit flagged the band join's unbounded buckets as the
+  * round's one scale-killer: a duplicate-heavy corpus (blank images,
+  * silence clips — fingerprint often exactly 0x0) collides into ONE
+  * (band, value) bucket and goes quadratic. The fix collapses the band
+  * join to DISTINCT fingerprints; these specs pin both the semantics
+  * (brute-force equality, duplicates included) and the collapse itself
+  * (plan-structural + a 10k-identical-fingerprints stress case).
+  */
+class HammingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  "nearDupPairs" should "equal the brute-force scan on a mix with duplicate fingerprints" in {
+    // 40 fingerprints over a small value space → plenty of exact dups
+    // (the hot-bucket case) AND near-dups within 3 bits
+    val rows = (0L until 40L).map { i =>
+      val base = Seq(0L, 1L, 2L, 0xFFFFL, 0xF0F0L)(i.toInt % 5)
+      val hi = base ^ (if (i % 7 == 0) 1L << (i % 32) else 0L)
+      val lo = base ^ (if (i % 11 == 0) 1L << (i % 32) else 0L)
+      (i, hi, lo)
+    }
+    val df = rows.toDF("id", "hi", "lo")
+    val got = Hamming.nearDupPairs(df, "id", "hi", "lo", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, ha, la) <- rows; (b, hb, lb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    got shouldBe brute
+    brute.count(_._3 == 0) should be > 10 // the duplicate tier is exercised
+  }
+
+  it should "run the band join over DISTINCT fingerprints (hot-bucket collapse)" in {
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 7).as("hi"), (col("id") % 5).as("lo"))
+    val plan = Hamming.nearDupPairs(df, "id", "hi", "lo")
+      .queryExecution.optimizedPlan
+    val bandJoins = plan.collect {
+      case j: Join if j.condition.exists(_.toString.contains("__band")) => j
+    }
+    bandJoins should not be empty
+    // both sides of the 16-bit-band join must sit on the distinct collapse
+    // — an Aggregate below each input — so bucket size is bounded by
+    // distinct-fingerprint cardinality, never raw corpus duplication
+    bandJoins.foreach { j =>
+      withClue(s"band-join side missing the distinct collapse:\n$j\n") {
+        j.left.collect { case a: Aggregate => a } should not be empty
+        j.right.collect { case a: Aggregate => a } should not be empty
+      }
+    }
+  }
+
+  it should "survive 10k identical fingerprints (one fingerprint, output-sized pairing)" in {
+    // Pre-fix this put 10k rows in each of 4 band buckets → 4 × 10k²
+    // joined rows through a 16-bit key. Post-fix the band tier sees ONE
+    // fingerprint; the 49 995 000 dist-0 pairs arrive via the full-key
+    // self-join, which is output-sized by construction.
+    val n = 10000L
+    val df = spark.range(n).select(col("id"),
+      lit(0L).as("hi"), lit(0L).as("lo"))
+    val pairs = Hamming.nearDupPairs(df, "id", "hi", "lo")
+    pairs.count() shouldBe n * (n - 1) / 2
+    // and nothing but dist 0
+    pairs.filter(col("dist") =!= 0).count() shouldBe 0L
+  }
+
+  it should "pair across fingerprint groups through membership expansion" in {
+    // two exact-dup groups one bit apart: every cross pair at dist 1,
+    // every intra pair at dist 0
+    val df = Seq((1L, 8L, 0L), (2L, 8L, 0L), (3L, 9L, 0L), (4L, 9L, 0L))
+      .toDF("id", "hi", "lo")
+    val got = Hamming.nearDupPairs(df, "id", "hi", "lo")
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe Set((1L, 2L, 0), (3L, 4L, 0),
+      (1L, 3L, 1), (1L, 4L, 1), (2L, 3L, 1), (2L, 4L, 1))
+  }
+}

@@ -501,6 +501,50 @@ class ChangelogStreamSpec extends SparkTestBase {
     runStreamDedup(appendAccepted = true) shouldBe Set(22L, 31L)
   }
 
+  it should "extend the persisted index exactly once (high-water marker) and stay verdict-stable on re-invocation" in {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_sdi_idx2").toString
+    graft.ops.Dedup.buildTextIndex(sdedupCorpus, "doc_id", "text")
+      .save(idxDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdi2").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdi2_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi2_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(wave1, "wave1.parquet", 120000L)
+    stage(wave2, "wave2.parquet", 60000L)
+    def run(): Set[Long] = {
+      val stream = spark.readStream
+        .schema(wave1.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+      ChangelogStream.streamDedupAgainst(stream, idxDir,
+          "doc_id", "text", dir, threshold = 0.5, appendAccepted = true)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    run() shouldBe Set(22L, 31L)
+    // the index was extended by the two accepted docs, once, and the
+    // marker records the high-water batch id
+    val hashes1 = spark.read.parquet(s"$idxDir/hashes").count()
+    val buckets1 = spark.read.parquet(s"$idxDir/buckets").count()
+    hashes1 shouldBe (2L + 2L) // corpus + accepted
+    new java.io.File(s"$dir/_index_appended").exists() shouldBe true
+    // re-invoking over the SAME dir (AvailableNow drains nothing new)
+    // must neither re-append index rows nor change the output — the
+    // replay-idempotence the r8 audit found missing
+    run() shouldBe Set(22L, 31L)
+    spark.read.parquet(s"$idxDir/hashes").count() shouldBe hashes1
+    spark.read.parquet(s"$idxDir/buckets").count() shouldBe buckets1
+  }
+
   "streamClassifyLang" should "converge to the batch classification across batch splits" in {
     import graft.ops.LangId
     val train = Seq(

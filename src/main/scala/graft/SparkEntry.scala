@@ -1774,6 +1774,25 @@ object SparkEntry {
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental media dedup: the corpus side (img_id % 4 != 0) is
+    // hashed ONCE into a persisted HammingIndex (save/load round trip —
+    // the daily-ingest shape: the asset store is never re-decoded), then
+    // the increment (img_id % 4 == 0) is hashed and banded-matched
+    // against the index. The oracle rebuilds every dHash from SQL
+    // arithmetic and brute-forces the cross scan.
+    "q_image_neardup_incremental" -> ((s, d) => {
+      val hashes = graft.ops.ImageHash.dHash(ImageDhashAssets(s, d),
+        "id", "data")
+      val idxDir = scratchDir("graft_hidx_")
+      graft.ops.ImageHash.buildIndex(
+          hashes.filter(pmod(col("id"), lit(4)) =!= 0), "id")
+        .save(idxDir)
+      val idx = graft.ops.Hamming.HammingIndex.load(s, idxDir)
+      graft.ops.ImageHash.matchAgainstIndex(idx,
+          hashes.filter(pmod(col("id"), lit(4)) === 0), "id", maxDist = 3)
+        .orderBy(col("inc_id"), col("corpus_id"))
+    }),
+
     // Acoustic fingerprinting over REAL WAV round trips: constant-
     // amplitude md5-seeded windows make every envelope mean exact, so
     // the oracle rebuilds all 64 gradient bits from integer SQL. The
@@ -3816,6 +3835,19 @@ object SparkEntry {
          |      AS dist
          |  FROM hash a JOIN hash b ON a.img_id < b.img_id)
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Cross (increment × indexed corpus) brute-force scan over the same
+    // SQL-rebuilt hashes — no id ordering, sides are distinct tables.
+    "q_image_neardup_incremental" ->
+      s"""WITH $ImageHashCte
+         |SELECT inc_id, corpus_id, dist FROM (
+         |  SELECT a.img_id AS inc_id, b.img_id AS corpus_id,
+         |    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         |         bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM hash a JOIN hash b
+         |    ON a.img_id % 4 = 0 AND b.img_id % 4 <> 0)
+         |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (

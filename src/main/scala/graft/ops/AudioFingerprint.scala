@@ -98,6 +98,28 @@ object AudioFingerprint {
                    maxDist: Int = 3): DataFrame =
     Hamming.nearDupPairs(fps, idCol, "afp_hi", "afp_lo", maxDist)
 
+  /** The fingerprint-family tag audio indexes carry (kind-checked on
+    * append/match — see [[ImageHash.IndexKind]]). */
+  val IndexKind = "audio_envelope"
+
+  /** Build a persisted envelope-fingerprint index of a hashed audio
+    * corpus ([[Hamming.HammingIndex]]). */
+  def buildIndex(fps: DataFrame, idCol: String): Hamming.HammingIndex =
+    Hamming.buildIndex(fps, idCol, "afp_hi", "afp_lo", IndexKind)
+
+  /** Near-dup pairs `(inc_id, corpus_id, dist ≤ maxDist)` between an
+    * increment's fingerprints and an indexed audio corpus. */
+  def matchAgainstIndex(index: Hamming.HammingIndex, fps: DataFrame,
+                        idCol: String, maxDist: Int = 3): DataFrame =
+    Hamming.matchAgainst(index, fps, idCol, "afp_hi", "afp_lo",
+      maxDist, IndexKind)
+
+  /** Append newly accepted fingerprints to a persisted index directory. */
+  def appendToIndexDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       accepted: DataFrame, idCol: String): Unit =
+    Hamming.appendToIndexDir(spark, dir, accepted, idCol, "afp_hi",
+      "afp_lo", IndexKind)
+
   // ---- synthetic fixture assets (harness + spec) ----
 
   private def md5Hex(s: String): String =

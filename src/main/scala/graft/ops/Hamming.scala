@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Banded Hamming-distance pair search over 64-bit fingerprints stored
@@ -84,5 +84,120 @@ object Hamming {
         lit(0).cast("int").as("dist"))
     cross.select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
       .unionByName(same)
+  }
+
+  // ------------------------------------------- persisted fingerprint index
+
+  /** Persisted media-fingerprint index — the media analogue of
+    * [[Dedup.TextIndex]] (text shingles), [[Dedup.VectorIndex]]
+    * (embeddings) and [[Fingerprint.FingerprintIndex]] (spans),
+    * completing the index-append matrix: daily media ingest pays ONE
+    * decode+hash pass over new assets only, never a corpus re-decode.
+    *
+    * `kind` freezes the fingerprint family the index was hashed with
+    * ("dhash", "audio_envelope", …) — matching an image index against
+    * audio fingerprints would silently yield garbage candidates, so
+    * mismatches are refused the way [[Dedup.TextIndex]] refuses missing
+    * params. */
+  final case class HammingIndex(fingerprints: DataFrame, kind: String) {
+    /** Persist the fingerprint table (`id`, `hi`, `lo`) plus the kind
+      * record under `dir` (overwrite). */
+    def save(dir: String): Unit = {
+      fingerprints.write.mode("overwrite").parquet(s"$dir/fingerprints")
+      val spark = fingerprints.sparkSession
+      import spark.implicits._
+      Seq(kind).toDF("kind").write.mode("overwrite").json(s"$dir/params")
+    }
+  }
+
+  object HammingIndex {
+    /** Reopen an index written by [[HammingIndex.save]]; a directory
+      * without a params record is refused rather than guessed at. */
+    def load(spark: SparkSession, dir: String): HammingIndex = {
+      val kind =
+        try spark.read.json(s"$dir/params").select("kind").head().getString(0)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"HammingIndex at $dir has no readable params record " +
+                "(params/); it was not written by HammingIndex.save — " +
+                "rebuild it with Hamming.buildIndex", e)
+        }
+      HammingIndex(spark.read.parquet(s"$dir/fingerprints"), kind)
+    }
+  }
+
+  /** Build a [[HammingIndex]] from a hashed corpus (null fingerprints —
+    * undecodable assets — are excluded up front). */
+  def buildIndex(hashes: DataFrame, idCol: String, hiCol: String,
+                 loCol: String, kind: String): HammingIndex =
+    HammingIndex(
+      hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+        .select(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo")),
+      kind)
+
+  /** Extend a persisted index with newly accepted fingerprints — the
+    * frozen-family append motion. Parquet-append per the same delivery
+    * contract as [[Dedup.appendToTextIndexDir]]: re-appending the same
+    * rows (an at-least-once caller) duplicates index rows but cannot
+    * change any match verdict ([[matchAgainst]] distincts its pairs). */
+  def appendToIndexDir(spark: SparkSession, dir: String, accepted: DataFrame,
+                       idCol: String, hiCol: String, loCol: String,
+                       kind: String): Unit = {
+    val idx = HammingIndex.load(spark, dir)
+    require(idx.kind == kind,
+      s"HammingIndex at $dir was built for kind '${idx.kind}'; refusing " +
+        s"to append '$kind' fingerprints")
+    accepted.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).as("id"), col(hiCol).as("hi"), col(loCol).as("lo"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/fingerprints")
+  }
+
+  /** Cross-corpus pairs `(inc_id, corpus_id, dist)` with `dist ≤
+    * maxDist` between an increment's fingerprints and an indexed corpus
+    * — the increment×corpus shape of [[nearDupPairs]]: same 4-band
+    * pigeonhole (exact recall ≤ 3), same distinct-fingerprint collapse
+    * on BOTH sides, and the corpus side reads from the prebuilt index —
+    * the 100 TB asset store behind it is never re-decoded. No id
+    * ordering: the sides are distinct tables whose id spaces may
+    * overlap; identical fingerprints across the sides pair at dist 0
+    * through the full-key equi-join. */
+  def matchAgainst(index: HammingIndex, increment: DataFrame, idCol: String,
+                   hiCol: String, loCol: String, maxDist: Int = 3,
+                   kind: String = ""): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
+    require(kind.isEmpty || kind == index.kind,
+      s"index was built for kind '${index.kind}'; refusing to match " +
+        s"'$kind' fingerprints")
+    val inc = increment.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
+        col(loCol).as("__lo"))
+    val cor = index.fingerprints
+      .select(col("id").as("__id"), col("hi").as("__hi"),
+        col("lo").as("__lo"))
+    val bi = bandedDistinct(inc).select(col("__hi").as("__hiA"),
+      col("__lo").as("__loA"), col("__b.band").as("__band"),
+      col("__b.v").as("__v"))
+    val bc = bandedDistinct(cor).select(col("__hi").as("__hiB"),
+      col("__lo").as("__loB"), col("__b.band").as("__band"),
+      col("__b.v").as("__v"))
+    // distinct fingerprint pairs, including equal ones (dist 0): the
+    // sides are different corpora, so a shared fingerprint IS a match
+    val fpPairs = bi.join(bc, Seq("__band", "__v"))
+      .select(col("__hiA"), col("__loA"), col("__hiB"), col("__loB"),
+        (bit_count(col("__hiA").bitwiseXOR(col("__hiB"))) +
+          bit_count(col("__loA").bitwiseXOR(col("__loB")))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+    // membership expansion (output-sized); distinct again because an
+    // at-least-once append may have duplicated corpus index rows
+    fpPairs
+      .join(inc.select(col("__id").as("inc_id"), col("__hi").as("__hiA"),
+        col("__lo").as("__loA")), Seq("__hiA", "__loA"))
+      .join(cor.select(col("__id").as("corpus_id"), col("__hi").as("__hiB"),
+        col("__lo").as("__loB")), Seq("__hiB", "__loB"))
+      .select(col("inc_id"), col("corpus_id"), col("dist").cast("int").as("dist"))
+      .distinct()
   }
 }

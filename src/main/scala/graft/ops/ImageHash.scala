@@ -108,6 +108,30 @@ object ImageHash {
                    maxDist: Int = 3): DataFrame =
     Hamming.nearDupPairs(hashes, idCol, "dhash_hi", "dhash_lo", maxDist)
 
+  /** The fingerprint-family tag dHash indexes carry — kind-checked on
+    * append/match so an image index can never be queried with audio
+    * fingerprints. */
+  val IndexKind = "dhash"
+
+  /** Build a persisted dHash index of a hashed image corpus — daily
+    * image ingest then pays one decode+hash pass over NEW assets only
+    * ([[Hamming.HammingIndex]]). */
+  def buildIndex(hashes: DataFrame, idCol: String): Hamming.HammingIndex =
+    Hamming.buildIndex(hashes, idCol, "dhash_hi", "dhash_lo", IndexKind)
+
+  /** Near-dup pairs `(inc_id, corpus_id, dist ≤ maxDist)` between an
+    * increment's dHashes and an indexed image corpus. */
+  def matchAgainstIndex(index: Hamming.HammingIndex, hashes: DataFrame,
+                        idCol: String, maxDist: Int = 3): DataFrame =
+    Hamming.matchAgainst(index, hashes, idCol, "dhash_hi", "dhash_lo",
+      maxDist, IndexKind)
+
+  /** Append newly accepted dHashes to a persisted index directory. */
+  def appendToIndexDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       accepted: DataFrame, idCol: String): Unit =
+    Hamming.appendToIndexDir(spark, dir, accepted, idCol, "dhash_hi",
+      "dhash_lo", IndexKind)
+
   // ---- synthetic fixture assets (harness + spec) ----
 
   private def md5Hex(s: String): String =

@@ -72,6 +72,68 @@ class HammingSpec extends SparkTestBase {
     pairs.filter(col("dist") =!= 0).count() shouldBe 0L
   }
 
+  "HammingIndex" should "match an increment against a saved corpus index, equal to brute force" in {
+    val corpus = Seq((10L, 8L, 0L), (11L, 0xF0F0L, 3L), (12L, 8L, 0L))
+    val inc = Seq((20L, 9L, 0L), (21L, 0xF0F0L, 3L), (22L, 0xABCDEF12L, 99L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx").toString
+    Hamming.buildIndex(corpus.toDF("id", "hi", "lo"), "id", "hi", "lo",
+      "dhash").save(dir)
+    val idx = Hamming.HammingIndex.load(spark, dir)
+    idx.kind shouldBe "dhash"
+    val got = Hamming.matchAgainst(idx, inc.toDF("id", "hi", "lo"),
+        "id", "hi", "lo", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (i, hi, li) <- inc; (c, hc, lc) <- corpus
+      d = java.lang.Long.bitCount(hi ^ hc) + java.lang.Long.bitCount(li ^ lc)
+      if d <= 3
+    } yield (i, c, d)).toSet
+    got shouldBe brute
+    // the dist-0 identical-fingerprint match across corpora is present
+    got should contain((21L, 11L, 0))
+  }
+
+  it should "append new fingerprints under the frozen kind and refuse a kind mismatch" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx2").toString
+    Hamming.buildIndex(Seq((10L, 8L, 0L)).toDF("id", "hi", "lo"),
+      "id", "hi", "lo", "dhash").save(dir)
+    Hamming.appendToIndexDir(spark, dir,
+      Seq((11L, 0xFF00L, 0L)).toDF("id", "hi", "lo"), "id", "hi", "lo",
+      "dhash")
+    val idx = Hamming.HammingIndex.load(spark, dir)
+    // the appended fingerprint is now matchable
+    Hamming.matchAgainst(idx, Seq((20L, 0xFF01L, 0L)).toDF("id", "hi", "lo"),
+        "id", "hi", "lo")
+      .as[(Long, Long, Int)].collect().toSet shouldBe Set((20L, 11L, 1))
+    an[IllegalArgumentException] should be thrownBy
+      Hamming.appendToIndexDir(spark, dir,
+        Seq((12L, 1L, 1L)).toDF("id", "hi", "lo"), "id", "hi", "lo",
+        "audio_envelope")
+    an[IllegalArgumentException] should be thrownBy
+      Hamming.matchAgainst(idx, Seq((20L, 12L, 1L)).toDF("id", "hi", "lo"),
+        "id", "hi", "lo", maxDist = 3, kind = "audio_envelope")
+  }
+
+  it should "refuse to load a directory without a params record" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx3").toString
+    Seq((1L, 2L, 3L)).toDF("id", "hi", "lo")
+      .write.parquet(s"$dir/fingerprints")
+    an[IllegalStateException] should be thrownBy
+      Hamming.HammingIndex.load(spark, dir)
+  }
+
+  it should "stay verdict-stable under re-delivered appends (duplicate index rows)" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx4").toString
+    Hamming.buildIndex(Seq((10L, 8L, 0L)).toDF("id", "hi", "lo"),
+      "id", "hi", "lo", "dhash").save(dir)
+    val acc = Seq((11L, 0xFF00L, 0L)).toDF("id", "hi", "lo")
+    Hamming.appendToIndexDir(spark, dir, acc, "id", "hi", "lo", "dhash")
+    Hamming.appendToIndexDir(spark, dir, acc, "id", "hi", "lo", "dhash")
+    Hamming.matchAgainst(Hamming.HammingIndex.load(spark, dir),
+        Seq((20L, 0xFF00L, 0L)).toDF("id", "hi", "lo"), "id", "hi", "lo")
+      .as[(Long, Long, Int)].collect().toSeq shouldBe Seq((20L, 11L, 0))
+  }
+
   it should "pair across fingerprint groups through membership expansion" in {
     // two exact-dup groups one bit apart: every cross pair at dist 1,
     // every intra pair at dist 0

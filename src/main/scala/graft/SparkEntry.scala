@@ -156,6 +156,100 @@ object SparkEntry {
        |  FROM bits GROUP BY 1)""".stripMargin
   }
 
+  /** The brute-force cosine top-k oracle (queries = vec_id < 10, k = 5)
+    * — shared by `q_sim_topk` and the exact-regime ANN queries
+    * (`q_sim_ivf_exact`: exhaustive probe; `q_sim_ivfpq_exact`: full
+    * re-rank), whose results are bit-identical to brute force. */
+  private val SimTopkOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, corpus_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      [qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+      |      (a, b) -> a + b) AS d,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+      |      (a, b) -> a + b)) AS nq,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
+      |      (a, b) -> a + b)) AS nc
+      |  FROM q JOIN c ON query_id <> corpus_id),
+      |r AS (
+      |  SELECT query_id, corpus_id,
+      |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END AS cosine
+      |  FROM s)
+      |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The synthetic video-clip family `q_video_fingerprint` /
+    * `q_video_neardup`: one 3-frame GIF clip per document plus a twin —
+    * every frame one-pixel tweaked (a consistent edit, the near-dup
+    * case) for doc_id % 3 == 0, unrelated content otherwise. Same twin
+    * structure as [[ImageDhashAssets]]; frame `f` of seed `s` draws the
+    * [[graft.ops.ImageHash]] pattern of seed `s * 1000 + f`, so the
+    * oracle rebuilds every frame — and the majority fold — from SQL. */
+  private def VideoClipAssets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id").as("vid_id"),
+      col("doc_id").as("seed"), lit(false).as("tweak"))
+    val b = docs.select((col("doc_id") + 1000000L).as("vid_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
+        .otherwise(col("doc_id") + 1000000L).as("seed"),
+      (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
+    graft.ops.VideoFingerprint.syntheticClipAssets(
+      a.unionByName(b), "vid_id", "seed", "tweak", nFrames = 3)
+  }
+
+  /** Oracle arithmetic rebuild of [[VideoClipAssets]]' sequence
+    * signatures: per-frame dHash bits exactly as [[ImageHashCte]], then
+    * the strict-majority vote over the 3 frames per bit position. */
+  private val VideoSigCte: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""vids AS (
+       |  SELECT doc_id AS vid_id, doc_id AS seed, false AS tweak
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    CASE WHEN doc_id % 3 = 0 THEN doc_id
+       |         ELSE doc_id + 1000000 END,
+       |    doc_id % 3 = 0
+       |  FROM documents),
+       |vpx AS (
+       |  SELECT vid_id, CAST(f AS INTEGER) AS f, CAST(y AS INTEGER) AS y,
+       |    CAST(x AS INTEGER) AS x, tweak,
+       |    md5('img:' || (seed * 1000 + f) || ':' || y || ':' || x) AS h
+       |  FROM vids, unnest(range(0, 3)) AS uf(f),
+       |       unnest(range(0, 8)) AS uy(y), unnest(range(0, 9)) AS ux(x)),
+       |vg AS (
+       |  SELECT vid_id, f, y, x,
+       |    (${nib(1)} * 16 + ${nib(2)}
+       |     + CASE WHEN tweak AND x = 4 AND y = 2 THEN 1 ELSE 0 END) % 256
+       |      AS g
+       |  FROM vpx),
+       |vbits AS (
+       |  SELECT vid_id, f, y, x,
+       |    CASE WHEN lead(g) OVER (PARTITION BY vid_id, f, y ORDER BY x) > g
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM vg QUALIFY x < 8),
+       |vmaj AS (
+       |  SELECT vid_id, y, x,
+       |    CASE WHEN 2 * sum(bit) > 3 THEN 1 ELSE 0 END AS bit
+       |  FROM vbits GROUP BY 1, 2, 3),
+       |vsig AS (
+       |  SELECT vid_id,
+       |    CAST(sum(CASE WHEN y >= 4
+       |      THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+       |      ELSE 0 END) AS BIGINT) AS vfp_hi,
+       |    CAST(sum(CASE WHEN y < 4
+       |      THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+       |      ELSE 0 END) AS BIGINT) AS vfp_lo
+       |  FROM vmaj GROUP BY 1)""".stripMargin
+  }
+
   /** q_encoding_repair's accent seeding (ASCII letter → accented form).
     * Every target sits in the 0xE0–0xFF tier, where the sequential
     * corrupt chain is provably equivalent to the real charset round trip
@@ -1060,6 +1154,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT-regime VarOpt: below capacity the sketch never evicts, so
+    // the merged sample IS the input set and every Horvitz–Thompson
+    // weight is the unadjusted input weight — shard-sketch → merge →
+    // samples hash-checks against the raw table. Exactness is ENFORCED
+    // (merged sample size == true row count via assert_true), not
+    // assumed, same contract as q_freq_exact: scale growth past k fails
+    // loudly instead of silently drifting the hash.
+    "q_varopt_exact" -> ((s, d) => {
+      import graft.functions.VarOptFunctions._
+      Tables.documents(s, d)
+        .groupBy(pmod(col("doc_id"), lit(8)).as("__shard"))
+        .agg(varoptSketch(col("doc_id").cast("string"),
+          col("n_chars"), k = 262144).as("sk"), count(lit(1)).as("n"))
+        .agg(varoptSamples(varoptMerge(col("sk"), k = 262144)).as("sample"),
+          sum(col("n")).as("n_rows"))
+        .filter(assert_true(size(col("sample")) === col("n_rows")).isNull)
+        .select(explode(col("sample")).as("e"))
+        .select(col("e.item").cast(LongType).as("doc_id"),
+          round(col("e.weight"), 4).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Theta-sketch SET ALGEBRA over per-language token vocabularies:
     // intersection / difference / union cardinalities composed from
     // model-sized sketches — never materializing the sets. Vocabularies
@@ -1399,6 +1515,40 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       graft.ops.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
           nlist = 8, nprobe = 3, m = 8, ks = 16, iters = 3, rerank = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // EXACT-regime IVF: a prebuilt index probed with nprobe = nlist is
+    // exhaustive, and ivfTopKPrebuilt scores raw vectors + stored norms
+    // with the SAME arithmetic as bruteForceTopK (bit-identical,
+    // spec-pinned in VectorScaleSpec) — so the whole approximate-path
+    // machinery (train, assign, probe, cell join, bounded top-k)
+    // hash-checks against the brute-force SQL oracle. Same move as
+    // q_freq_exact / q_kll_exact: prove the pipeline exact in the regime
+    // where exactness is provable, leave the pruned configuration
+    // (q_sim_ivf) to the recall specs.
+    "q_sim_ivf_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Dedup.buildVectorIndex(emb, "vec_id", "embedding",
+        nlist = 8, iters = 3, dim = 64)
+      graft.ops.IvfIndex.ivfTopKPrebuilt(idx.members, idx.centroids,
+          emb.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // EXACT-regime IVF-PQ: nprobe = nlist makes the compressed scan
+    // exhaustive (each corpus vector is met exactly once via its one
+    // cell) and rerank = corpus size re-scores EVERY candidate with the
+    // exact raw-vector cosine — so ADC only orders candidates that all
+    // get exact re-ranking anyway, and the result equals brute force
+    // bit for bit (PqIndexSpec pins the full-rerank equality). The
+    // codebook training, encoding, LUT build, and ADC join all execute
+    // for real; only the pruning is disabled.
+    "q_sim_ivfpq_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count().toInt
+      graft.ops.PqIndex.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 8, m = 8, ks = 16, iters = 3, rerank = n)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1774,22 +1924,51 @@ object SparkEntry {
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Incremental media dedup: the corpus side (img_id % 4 != 0) is
-    // hashed ONCE into a persisted HammingIndex (save/load round trip —
-    // the daily-ingest shape: the asset store is never re-decoded), then
-    // the increment (img_id % 4 == 0) is hashed and banded-matched
-    // against the index. The oracle rebuilds every dHash from SQL
-    // arithmetic and brute-forces the cross scan.
+    // Incremental media dedup: the corpus side (the originals, img_id <
+    // 1000000) is hashed ONCE into a persisted HammingIndex (save/load
+    // round trip — the daily-ingest shape: the asset store is never
+    // re-decoded), then the increment (the b-side, img_id >= 1000000) is
+    // hashed in its own single decode pass and banded-matched against
+    // the index. Splitting at the twin offset means every near-dup twin
+    // pair CROSSES the split (a % 4 split left both members on one side
+    // and the harness row count at 0 — the r9 advice), so the index
+    // match path is exercised with real matches: one dist ≤ 2 hit per
+    // doc_id % 3 == 0. Each side's assets are decoded exactly once: the
+    // corpus pass ends in the index parquet, the increment pass is
+    // persisted inside matchAgainst. The oracle rebuilds every dHash
+    // from SQL arithmetic and brute-forces the cross scan.
     "q_image_neardup_incremental" -> ((s, d) => {
-      val hashes = graft.ops.ImageHash.dHash(ImageDhashAssets(s, d),
-        "id", "data")
+      val assets = ImageDhashAssets(s, d)
       val idxDir = scratchDir("graft_hidx_")
       graft.ops.ImageHash.buildIndex(
-          hashes.filter(pmod(col("id"), lit(4)) =!= 0), "id")
+          graft.ops.ImageHash.dHash(
+            assets.filter(col("id") < 1000000L), "id", "data"), "id")
         .save(idxDir)
       val idx = graft.ops.Hamming.HammingIndex.load(s, idxDir)
       graft.ops.ImageHash.matchAgainstIndex(idx,
-          hashes.filter(pmod(col("id"), lit(4)) === 0), "id", maxDist = 3)
+          graft.ops.ImageHash.dHash(
+            assets.filter(col("id") >= 1000000L), "id", "data"),
+          "id", maxDist = 3)
+        .orderBy(col("inc_id"), col("corpus_id"))
+    }),
+
+    // Audio twin of the incremental query — proves the kind guard and
+    // the save/load/match path on the SECOND fingerprint family
+    // ("audio_envelope"): corpus originals indexed once, the b-side
+    // increment envelope-hashed once and matched. Same cross-split
+    // twin structure, same SQL-rebuilt brute-force cross oracle.
+    "q_audio_neardup_incremental" -> ((s, d) => {
+      val assets = AudioFpAssets(s, d)
+      val idxDir = scratchDir("graft_aidx_")
+      graft.ops.AudioFingerprint.buildIndex(
+          graft.ops.AudioFingerprint.fingerprint(
+            assets.filter(col("id") < 1000000L), "id", "data"), "id")
+        .save(idxDir)
+      val idx = graft.ops.Hamming.HammingIndex.load(s, idxDir)
+      graft.ops.AudioFingerprint.matchAgainstIndex(idx,
+          graft.ops.AudioFingerprint.fingerprint(
+            assets.filter(col("id") >= 1000000L), "id", "data"),
+          "id", maxDist = 3)
         .orderBy(col("inc_id"), col("corpus_id"))
     }),
 
@@ -1811,6 +1990,31 @@ object SparkEntry {
       graft.ops.AudioFingerprint.nearDupPairs(
           graft.ops.AudioFingerprint.fingerprint(
             AudioFpAssets(s, d), "id", "data"),
+          "id", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Sequence-level video fingerprints over REAL multi-frame GIF round
+    // trips (encode → demux → per-frame decode → dHash → majority fold):
+    // the oracle rebuilds every frame's grays, every dHash bit, and the
+    // 3-frame majority vote from pure SQL arithmetic — the whole
+    // temporal-signature pipeline pinned value for value.
+    "q_video_fingerprint" -> ((s, d) =>
+      graft.ops.VideoFingerprint.fingerprint(
+          VideoClipAssets(s, d), "id", "data")
+        .select(col("id").as("vid_id"), col("n_frames"),
+          col("vfp_hi"), col("vfp_lo"))
+        .orderBy(col("vid_id"))),
+
+    // Near-duplicate video detection: every doc_id % 3 == 0 gets a
+    // consistently-edited twin (one pixel tweaked in EVERY frame — the
+    // logo-overlay shape; ≤ 2 signature bits apart), every other twin
+    // is unrelated content. The shared banded Hamming join must
+    // reproduce the oracle's brute-force scan over the SQL-rebuilt
+    // sequence signatures exactly.
+    "q_video_neardup" -> ((s, d) =>
+      graft.ops.VideoFingerprint.nearDupPairs(
+          graft.ops.VideoFingerprint.fingerprint(
+            VideoClipAssets(s, d), "id", "data"),
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -3351,29 +3555,15 @@ object SparkEntry {
         |  SELECT inc_id, corpus_id,
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
-    "q_sim_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
-        |s AS (
-        |  SELECT query_id, corpus_id,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      [qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
-        |      (a, b) -> a + b) AS d,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
-        |      (a, b) -> a + b)) AS nq,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
-        |      (a, b) -> a + b)) AS nc
-        |  FROM q JOIN c ON query_id <> corpus_id),
-        |r AS (
-        |  SELECT query_id, corpus_id,
-        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END AS cosine
-        |  FROM s)
-        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_topk" -> SimTopkOracleSql,
+    // Exact-regime ANN paths (exhaustive probe / full re-rank) are
+    // bit-identical to brute force, so they SHARE its oracle.
+    "q_sim_ivf_exact" -> SimTopkOracleSql,
+    "q_sim_ivfpq_exact" -> SimTopkOracleSql,
+
+    "q_varopt_exact" ->
+      """SELECT doc_id, round(CAST(n_chars AS DOUBLE), 4) AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
@@ -3838,6 +4028,8 @@ object SparkEntry {
 
     // Cross (increment × indexed corpus) brute-force scan over the same
     // SQL-rebuilt hashes — no id ordering, sides are distinct tables.
+    // Split at the twin offset (b-side = increment) so every twin pair
+    // crosses the split and the match path returns real rows.
     "q_image_neardup_incremental" ->
       s"""WITH $ImageHashCte
          |SELECT inc_id, corpus_id, dist FROM (
@@ -3846,8 +4038,34 @@ object SparkEntry {
          |         bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
          |      AS dist
          |  FROM hash a JOIN hash b
-         |    ON a.img_id % 4 = 0 AND b.img_id % 4 <> 0)
+         |    ON a.img_id >= 1000000 AND b.img_id < 1000000)
          |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "q_audio_neardup_incremental" ->
+      s"""WITH $AudioFpCte
+         |SELECT inc_id, corpus_id, dist FROM (
+         |  SELECT a.snd_id AS inc_id, b.snd_id AS corpus_id,
+         |    CAST(bit_count(xor(a.afp_hi, b.afp_hi)) +
+         |         bit_count(xor(a.afp_lo, b.afp_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM fp a JOIN fp b
+         |    ON a.snd_id >= 1000000 AND b.snd_id < 1000000)
+         |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "q_video_fingerprint" ->
+      s"""WITH $VideoSigCte
+         |SELECT vid_id, CAST(3 AS INTEGER) AS n_frames, vfp_hi, vfp_lo
+         |FROM vsig ORDER BY vid_id""".stripMargin,
+
+    "q_video_neardup" ->
+      s"""WITH $VideoSigCte
+         |SELECT id_a, id_b, dist FROM (
+         |  SELECT a.vid_id AS id_a, b.vid_id AS id_b,
+         |    CAST(bit_count(xor(a.vfp_hi, b.vfp_hi)) +
+         |         bit_count(xor(a.vfp_lo, b.vfp_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM vsig a JOIN vsig b ON a.vid_id < b.vid_id)
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (

@@ -45,9 +45,20 @@ object Hamming {
                    loCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
+    // PERSIST the projected (id, hi, lo) frame: it feeds the banded-
+    // distinct input, both membership-expansion joins, and both sides of
+    // the dist-0 self-join (~5 consumers). The upstream lineage is
+    // typically a full media decode (ImageHash.dHash / AudioFingerprint
+    // .fingerprint) — at 100 TB the decode IS the job, and without the
+    // pin Spark re-executes it once per consumer (the sf0.1 bench
+    // measured +48% on q_audio_neardup the round the extra branches
+    // landed). Same discipline as Dedup.simhashNearDups' sh pin; the pin
+    // backs the RETURNED lazy plan, so it is released by the
+    // ContextCleaner once the plan is unreachable, as in ivfTopK.
     val h = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandedDistinct(h)
     val a = banded.select(col("__hi").as("__hiA"), col("__lo").as("__loA"),
       col("__b.band").as("__band"), col("__b.v").as("__v"))
@@ -170,9 +181,14 @@ object Hamming {
     require(kind.isEmpty || kind == index.kind,
       s"index was built for kind '${index.kind}'; refusing to match " +
         s"'$kind' fingerprints")
+    // persist the INCREMENT side only (banded input + membership join =
+    // 2 consumers of what is usually a fresh decode+hash lineage — see
+    // nearDupPairs); the corpus side reads the already-persisted index
+    // parquet, so its two scans are cheap columnar reads, not re-decodes
     val inc = increment.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cor = index.fingerprints
       .select(col("id").as("__id"), col("hi").as("__hi"),
         col("lo").as("__lo"))

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence-level video fingerprinting — the VIDEO tier of the dedup
+  * battery, completing the media matrix (image dHash, audio envelope,
+  * video sequence): a re-encoded, re-contained, or lightly retouched
+  * copy of the same clip lands within a few bits, where frame-level
+  * hashes see per-frame noise and byte-level md5 sees unrelated blobs.
+  *
+  * The signature is the MAJORITY FOLD of per-frame dHashes: every
+  * decodable frame contributes its 64 dHash gradient bits
+  * ([[ImageHash.dHashOf]]), and signature bit `b` is set iff strictly
+  * more than half the frames set it (ties → 0 — the same vote rule as
+  * [[Dedup.simhashNearDups]]' bit-majority, at frame granularity).
+  * Because the fold is order-free and count-normalized, it is stable
+  * under the edits that defeat frame hashing: re-encoding perturbs each
+  * frame's bits independently (the majority absorbs minority flips),
+  * and trimming removes frames (the vote over the remaining —
+  * self-similar — frames barely moves). A consistent edit applied to
+  * every frame (logo overlay, brightness shift) moves exactly the bits
+  * it moves per-frame — the near-dup case.
+  *
+  * Containers: animated GIF ([[GifFrames]] demux, lossless) and MJPEG
+  * AVI ([[AviMjpeg]] demux); any other decodable payload is treated as
+  * a 1-frame sequence, so a still image and its 1-frame video encode
+  * fingerprint identically. Extends the reference surface per the
+  * training-data-pipeline charter (the reference's flat scalar model
+  * has no media — reference: src/main/scala/com/booking/spark/
+  * Schema.scala:71-85).
+  *
+  * Scale posture: fingerprinting is batched `mapPartitions` over the
+  * asset scan — zero shuffles, one row per video out. Pair search and
+  * the persisted-index increment path ride the shared banded
+  * [[Hamming]] engine (distinct-collapsed 4×16-bit bands, exact recall
+  * ≤ 3 bits, decode-once persist pin), kind-tagged `"video_seq"` so a
+  * video index can never be probed with image or audio fingerprints.
+  */
+object VideoFingerprint {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("vfp_hi", LongType, nullable = true),
+    StructField("vfp_lo", LongType, nullable = true)))
+
+  /** Majority fold of per-frame 64-bit hashes (hi, lo halves): bit b of
+    * the signature is set iff strictly more than half the frames set
+    * it. Deterministic and order-free. */
+  private[ops] def majoritySignature(
+      frames: Seq[(Long, Long)]): (Long, Long) = {
+    val n = frames.size
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 32) {
+      var chi = 0
+      var clo = 0
+      frames.foreach { case (fhi, flo) =>
+        if (((fhi >>> b) & 1L) != 0L) chi += 1
+        if (((flo >>> b) & 1L) != 0L) clo += 1
+      }
+      if (2 * chi > n) hi |= 1L << b
+      if (2 * clo > n) lo |= 1L << b
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Demux a payload into frame byte streams: GIF and AVI containers
+    * split into standalone per-frame encodes; anything else is a
+    * 1-frame sequence of itself. */
+  private def demux(bytes: Array[Byte]): Seq[Array[Byte]] =
+    if (GifFrames.isGif(bytes)) GifFrames.demuxFrames(bytes)
+    else if (AviMjpeg.isAvi(bytes)) AviMjpeg.demuxFrames(bytes)
+    else Seq(bytes)
+
+  /** Fingerprint every video asset: `(id, media_type, n_frames, vfp_hi,
+    * vfp_lo)`. `n_frames` counts the frames that actually decoded and
+    * met dHash's 9×8 minimum; payloads with zero usable frames yield
+    * honest nulls. */
+  def fingerprint(df: DataFrame, idCol: String, bytesCol: String,
+                  batchSize: Int = 16): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"),
+      Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"fingerprint: null or non-castable id in $idCol for row $r")
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val mediaType = r.getString(2)
+          try {
+            val hashes = demux(bytes).flatMap { fb =>
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(fb))
+                if (img == null || img.getWidth < 9 || img.getHeight < 8)
+                  None
+                else Some(ImageHash.dHashOf(img))
+              } catch { case _: Exception => None }
+            }
+            if (hashes.isEmpty) Row(id, mediaType, null, null, null)
+            else {
+              val (hi, lo) = majoritySignature(hashes)
+              Row(id, mediaType, hashes.size, hi, lo)
+            }
+          } catch {
+            case _: Exception => Row(id, mediaType, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(Schema))
+  }
+
+  /** Near-duplicate video pairs `(id_a, id_b, dist)` with Hamming
+    * distance ≤ `maxDist` (≤ 3: exact recall) over the sequence
+    * signatures — the shared [[Hamming]] band join. */
+  def nearDupPairs(fps: DataFrame, idCol: String,
+                   maxDist: Int = 3): DataFrame =
+    Hamming.nearDupPairs(fps, idCol, "vfp_hi", "vfp_lo", maxDist)
+
+  /** The fingerprint-family tag video indexes carry — kind-checked on
+    * append/match, like [[ImageHash.IndexKind]] / [[AudioFingerprint
+    * .IndexKind]]. */
+  val IndexKind = "video_seq"
+
+  /** Build a persisted sequence-signature index of a fingerprinted
+    * video corpus ([[Hamming.HammingIndex]]): daily video ingest pays
+    * one demux+decode pass over NEW clips only. */
+  def buildIndex(fps: DataFrame, idCol: String): Hamming.HammingIndex =
+    Hamming.buildIndex(fps, idCol, "vfp_hi", "vfp_lo", IndexKind)
+
+  /** Near-dup pairs `(inc_id, corpus_id, dist ≤ maxDist)` between an
+    * increment's signatures and an indexed video corpus. */
+  def matchAgainstIndex(index: Hamming.HammingIndex, fps: DataFrame,
+                        idCol: String, maxDist: Int = 3): DataFrame =
+    Hamming.matchAgainst(index, fps, idCol, "vfp_hi", "vfp_lo",
+      maxDist, IndexKind)
+
+  /** Append newly accepted signatures to a persisted index directory. */
+  def appendToIndexDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       accepted: DataFrame, idCol: String): Unit =
+    Hamming.appendToIndexDir(spark, dir, accepted, idCol, "vfp_hi",
+      "vfp_lo", IndexKind)
+
+  // ---- synthetic fixture assets (harness + spec) ----
+
+  /** One real multi-frame GIF clip per row: `nFrames` 9×8 pattern
+    * frames ([[ImageHash.patternFrame]]), frame `f` seeded by
+    * `seed * 1000 + f` so the harness oracle can rebuild every frame's
+    * grays — and therefore the majority signature — from pure SQL
+    * arithmetic. `tweakCol` applies the one-pixel tweak to EVERY frame
+    * (the consistent-edit near-dup case: the majority signature moves
+    * by exactly the per-frame bit flips, ≤ 2 bits). */
+  def syntheticClipAssets(df: DataFrame, idCol: String, seedCol: String,
+                          tweakCol: String, nFrames: Int = 5): DataFrame = {
+    require(nFrames >= 1, "nFrames must be >= 1")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
+        col(tweakCol).cast(BooleanType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val seed = r.getLong(1)
+          val tweak = r.getBoolean(2)
+          val frames = (0 until nFrames).map(f =>
+            ImageHash.patternFrame(seed * 1000L + f, tweak))
+          Row(r.getLong(0), Multimodal.GifEncoder.encode(frames))
+        }
+      }(Encoders.row(schema))
+  }
+}

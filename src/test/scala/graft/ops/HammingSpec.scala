@@ -72,6 +72,25 @@ class HammingSpec extends SparkTestBase {
     pairs.filter(col("dist") =!= 0).count() shouldBe 0L
   }
 
+  it should "read its hash input through ONE cached relation (decode-once pin)" in {
+    // The hash frame's lineage is a full media decode in production
+    // (ImageHash.dHash) — the r9 bench measured +48% on q_audio_neardup
+    // from re-executing it once per plan branch. The persist pin means
+    // every consumer (banded distinct, 2 membership joins, dist-0 self
+    // join) must read the cached relation; the raw source leaf (here a
+    // Range) must not appear anywhere OUTSIDE it.
+    val df = spark.range(50).select(col("id"),
+      (col("id") % 7).as("hi"), (col("id") % 5).as("lo"))
+    val pairs = Hamming.nearDupPairs(df, "id", "hi", "lo")
+    val leaves = pairs.queryExecution.withCachedData.collectLeaves()
+    val (cached, raw) = leaves.partition(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    withClue(s"non-cached leaves:\n${raw.map(_.nodeName).mkString("\n")}\n") {
+      cached should not be empty
+      raw shouldBe empty // the decode lineage lives only inside the cache
+    }
+  }
+
   "HammingIndex" should "match an increment against a saved corpus index, equal to brute force" in {
     val corpus = Seq((10L, 8L, 0L), (11L, 0xF0F0L, 3L), (12L, 8L, 0L))
     val inc = Seq((20L, 9L, 0L), (21L, 0xF0F0L, 3L), (22L, 0xABCDEF12L, 99L))

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Sequence-level video fingerprints: encode→demux→decode round trips,
+  * the majority-fold semantics, robustness to the edits frame hashing
+  * misses (re-containering, trimming), and the persisted video index. */
+class VideoFingerprintSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def clips(rows: Seq[(Long, Long, Boolean)], nFrames: Int = 5) =
+    VideoFingerprint.syntheticClipAssets(
+      rows.toDF("id", "seed", "tweak"), "id", "seed", "tweak", nFrames)
+
+  "fingerprint" should "round-trip multi-frame GIF clips deterministically" in {
+    val fp = VideoFingerprint.fingerprint(
+        clips(Seq((1L, 7L, false), (2L, 7L, false), (3L, 8L, false))),
+        "id", "data")
+      .select($"id", $"n_frames", $"vfp_hi", $"vfp_lo")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    fp.map(_._2).toSet shouldBe Set(5) // every frame decoded
+    fp(0)._3 shouldBe fp(1)._3 // same seed → same signature
+    fp(0)._4 shouldBe fp(1)._4
+    (fp(0)._3, fp(0)._4) should not be ((fp(2)._3, fp(2)._4))
+  }
+
+  it should "equal the majority of the per-frame dHashes" in {
+    // demux the clip by hand, dHash each standalone frame, majority-fold
+    val asset = clips(Seq((1L, 42L, false))).collect().head
+    val frames = GifFrames.demuxFrames(asset.getAs[Array[Byte]]("data"))
+    frames should have size 5
+    val perFrame = frames.map { fb =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb))
+      ImageHash.dHashOf(img)
+    }
+    val expected = VideoFingerprint.majoritySignature(perFrame)
+    val got = VideoFingerprint.fingerprint(clips(Seq((1L, 42L, false))),
+        "id", "data")
+      .select($"vfp_hi", $"vfp_lo").as[(Long, Long)].head()
+    got shouldBe expected
+  }
+
+  it should "place a consistent per-frame edit within 2 bits and unrelated clips far" in {
+    val fp = VideoFingerprint.fingerprint(
+        clips(Seq((1L, 7L, false), (2L, 7L, true), (3L, 99L, false))),
+        "id", "data")
+      .select($"id", $"vfp_hi", $"vfp_lo").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    def dist(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    dist(fp(0), fp(1)) should be <= 2 // tweaked twin
+    dist(fp(0), fp(2)) should be > 10 // unrelated content
+  }
+
+  it should "be stable under trimming when frames are self-similar" in {
+    // a real clip's frames resemble each other; here: identical frames
+    // (same per-frame seed). Dropping frames cannot move a unanimous
+    // majority, so the trimmed clip fingerprints IDENTICALLY — the
+    // re-encoded/trimmed dup that per-frame-count or byte hashes miss.
+    def sameFrameClip(id: Long, n: Int) = {
+      val frames = (0 until n).map(_ => ImageHash.patternFrame(5L, tweak = false))
+      (id, Multimodal.GifEncoder.encode(frames))
+    }
+    val df = Seq(sameFrameClip(1L, 5), sameFrameClip(2L, 3)).toDF("id", "data")
+    val fp = VideoFingerprint.fingerprint(df, "id", "data")
+      .select($"id", $"n_frames", $"vfp_hi", $"vfp_lo")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    fp(0)._2 shouldBe 5
+    fp(1)._2 shouldBe 3
+    (fp(0)._3, fp(0)._4) shouldBe ((fp(1)._3, fp(1)._4))
+  }
+
+  it should "treat a still image as a 1-frame sequence with its dHash as signature" in {
+    val still = ImageHash.syntheticPatternAssets(
+      Seq((1L, 5L, false)).toDF("id", "seed", "tweak"), "id", "seed", "tweak")
+    val d = ImageHash.dHash(still, "id", "data")
+      .select($"dhash_hi", $"dhash_lo").as[(Long, Long)].head()
+    val v = VideoFingerprint.fingerprint(still, "id", "data")
+      .select($"n_frames", $"vfp_hi", $"vfp_lo").as[(Int, Long, Long)].head()
+    v shouldBe ((1, d._1, d._2))
+  }
+
+  it should "fingerprint MJPEG-AVI clips (lossy frames, majority absorbs noise)" in {
+    // AVI re-encode of the same content: MJPEG is lossy, so assert the
+    // cross-container signatures are NEAR (majority absorbs per-frame
+    // noise), not byte-equal — the honest claim for a real transcode.
+    val frames = (0 until 5).map(_ => Multimodal.solidGrayFrame(18, 16, 128))
+    val avi = AviMjpeg.encode(frames)
+    val df = Seq((1L, avi)).toDF("id", "data")
+    val fp = VideoFingerprint.fingerprint(df, "id", "data")
+      .select($"n_frames", $"vfp_hi", $"vfp_lo").as[(Int, Long, Long)].head()
+    fp._1 shouldBe 5
+    // solid frames have no gradients anywhere: signature must be 0 even
+    // through JPEG decode noise (uniform blocks stay uniform)
+    fp._2 shouldBe 0L
+    fp._3 shouldBe 0L
+  }
+
+  it should "yield honest nulls for undecodable payloads" in {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "data")
+    val fp = VideoFingerprint.fingerprint(df, "id", "data").collect().head
+    fp.isNullAt(fp.fieldIndex("n_frames")) shouldBe true
+    fp.isNullAt(fp.fieldIndex("vfp_hi")) shouldBe true
+  }
+
+  "the persisted video index" should "save/load/match with the video_seq kind enforced" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    val corpus = VideoFingerprint.fingerprint(
+      clips(Seq((10L, 7L, false), (11L, 99L, false))), "id", "data")
+    VideoFingerprint.buildIndex(corpus, "id").save(dir)
+    val idx = Hamming.HammingIndex.load(spark, dir)
+    idx.kind shouldBe "video_seq"
+    // the tweaked twin of seed 7 arrives as an increment and matches
+    val inc = VideoFingerprint.fingerprint(
+      clips(Seq((20L, 7L, true))), "id", "data")
+    val got = VideoFingerprint.matchAgainstIndex(idx, inc, "id")
+      .as[(Long, Long, Int)].collect().toSet
+    got.map(t => (t._1, t._2)) shouldBe Set((20L, 10L))
+    got.head._3 should be <= 2
+    // an image-kind increment is refused — the cross-family guard
+    an[IllegalArgumentException] should be thrownBy
+      ImageHash.matchAgainstIndex(idx,
+        ImageHash.dHash(ImageHash.syntheticPatternAssets(
+          Seq((30L, 7L, false)).toDF("id", "seed", "tweak"),
+          "id", "seed", "tweak"), "id", "data"), "id")
+  }
+}

@@ -280,7 +280,18 @@ object ChangelogStream {
     * checks. With it, the output additionally depends on arrival order
     * (an increment doc near-duplicating an EARLIER accepted one is now
     * rejected) — covered by spec, like the other order-dependent
-    * streaming tiers. */
+    * streaming tiers.
+    *
+    * Cost shape of `appendAccepted`: every micro-batch re-reads ALL
+    * prior accepted batches from the sink and re-shingles them into the
+    * composed index — O(batches²) sink reads over the stream's life.
+    * Deliberate for the bounded AvailableNow replays this API serves
+    * (correct after ANY crash, no cross-batch driver state to lose); a
+    * long-lived high-batch-count deployment should instead accumulate
+    * the accepted-rows index incrementally in memory across
+    * `foreachBatch` calls and rebuild from the sink only on restart —
+    * an optimization that changes no verdicts, only when shingling
+    * happens. */
   def streamDedupAgainst(stream: DataFrame, indexDir: String,
                          idCol: String, textCol: String, dir: String,
                          threshold: Double = 0.8,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
+import org.apache.spark.sql.types._
 
 /** Harness output contract: the driver's oracle comparator sorts and
   * hashes scalar cells, so NO query may emit array/map/struct columns in
@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType}
   * collection APIs; queries serialize at the edge (`array_join`).
   *
   * Second hazard, same comparator (r8's `q_checksum` red rows): decimals
-  * with precision > 18 can exceed the int64/float64-exact range, and the
-  * per-engine numeric normalization renders identical values differently.
-  * Final schemas must not carry DecimalType(p > 18); wide exact values
-  * serialize as STRING at the query edge (`.cast("string")` / VARCHAR).
+  * whose values can exceed the float64-exact integer range — 2^53 ≈
+  * 9.007e15, so ANY precision > 15 (decimal(16..18) already reaches
+  * 9.99e15) — risk the per-engine numeric normalization rendering
+  * identical values differently. Final schemas must not carry
+  * DecimalType(p > 15); wide exact values serialize as STRING at the
+  * query edge (`.cast("string")` / VARCHAR).
   *
   * Every `queries` entry is planned (streaming-bridge entries execute)
   * at sf0.001 and its analyzed schema asserted scalar-only, recursively.
@@ -26,7 +28,7 @@ class QueryOutputContractSpec extends SparkTestBase {
     schema.fields.flatMap { f =>
       f.dataType match {
         case _: ArrayType | _: MapType => Seq(s"$prefix${f.name}: ${f.dataType.simpleString}")
-        case d: DecimalType if d.precision > 18 =>
+        case d: DecimalType if d.precision > 15 =>
           Seq(s"$prefix${f.name}: ${d.simpleString} (beyond float64-exact; cast to string)")
         case st: StructType => nestedOffenders(st, s"$prefix${f.name}.")
         case _ => Nil
@@ -51,9 +53,55 @@ class QueryOutputContractSpec extends SparkTestBase {
     nestedOffenders(wide.schema) should have size 1
     // and the sanctioned edge serialization passes
     nestedOffenders(wide.select(col("checksum").cast("string")).schema) shouldBe empty
-    // narrow decimals stay allowed (exact in float64)
-    val narrow = spark.range(1).select(lit(1).cast(DecimalType(18, 2)).as("v"))
+    // decimal(16..18) can already exceed 2^53 (9.0e15 < 9.99e15) — the
+    // r9 advice: the former p > 18 gate was wrong at the margin
+    val margin = spark.range(1).select(lit(1).cast(DecimalType(16, 0)).as("v"))
+    nestedOffenders(margin.schema) should have size 1
+    // narrow decimals stay allowed (every representable value is exact
+    // in float64's 2^53 integer range)
+    val narrow = spark.range(1).select(lit(1).cast(DecimalType(15, 2)).as("v"))
     nestedOffenders(narrow.schema) shouldBe empty
+  }
+
+  it should "emit only comparator-safe scalar types (documented allowlist)" in {
+    // One proactive pass over the comparator's type-normalization
+    // surface (the two hazards found so far — array/map cells, wide
+    // decimals — were both discovered as red rows first). Rationale per
+    // allowed type:
+    //  - String/Boolean/Byte/Short/Int/Long: exact, engine-portable
+    //    text renderings on both sides.
+    //  - Double: both engines land in pandas float64 and the driver
+    //    formats every Python float to 6 decimals before hashing;
+    //    queries already round() at the edge.
+    //  - Decimal(p <= 15): int64-backed in Spark, exact in float64
+    //    after pandas conversion (gated above).
+    //  - Date: rendered as the ISO date string by both engines.
+    //  - Timestamp / TimestampNTZ: parquet µs on the Spark side, DuckDB
+    //    TIMESTAMP µs — identical pandas datetime64 renderings under the
+    //    UTC session TZ (proven hash-green by the q_resample family for
+    //    TIMESTAMP and q_compaction for NTZ); ns-precision inputs are
+    //    normalized to µs at the SOURCE (Tables.events), never at a
+    //    query edge.
+    // Deliberately NOT allowed (serialize at the edge instead):
+    //  - Float: numpy float32 is NOT a Python float, so it would bypass
+    //    the driver's 6-decimal float formatting and hash raw repr
+    //    against the oracle's float64 — cast to double or round+cast.
+    //  - Binary: bytes cells render engine-specifically — hex/md5 them.
+    val allowed: Set[DataType] = Set(StringType, BooleanType, ByteType,
+      ShortType, IntegerType, LongType, DoubleType, DateType, TimestampType,
+      TimestampNTZType)
+    def ok(dt: DataType): Boolean = dt match {
+      case d: DecimalType => d.precision <= 15
+      case t => allowed(t)
+    }
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if !ok(f.dataType) => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    withClue(s"columns outside the comparator-safe allowlist:\n${bad.mkString("\n")}\n") {
+      bad shouldBe empty
+    }
   }
 
   it should "keep queries and oracleSql keys consistent" in {

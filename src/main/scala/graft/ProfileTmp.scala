@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+// Scratch profiling main (not part of the driver contract; removed
+// after use).
+object ProfileTmp {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.configure(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROFILE $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val docs = _root_.graft.sources.Tables.documents(spark, d)
+    docs.count()
+    val a = docs.select(col("doc_id").as("snd_id"),
+      col("doc_id").as("seed"), lit(false).as("tweak"))
+    val b = docs.select((col("doc_id") + 1000000L).as("snd_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
+        .otherwise(col("doc_id") + 1000000L).as("seed"),
+      (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
+    val ids = a.unionByName(b)
+    for (pass <- 1 to 2) {
+      println(s"=== pass $pass ===")
+      val assets = AudioFingerprint.syntheticWavAssets(
+        ids, "snd_id", "seed", "tweak")
+      time("wav render only (count bytes)") {
+        assets.select(sum(length(col("data")))).collect()
+      }
+      time("render + decode fingerprint") {
+        AudioFingerprint.fingerprint(assets, "id", "data").count()
+      }
+      // single-thread microbench of render and decode, driver-side
+      time("driver: render 500 wavs") {
+        var i = 0L
+        while (i < 500) {
+          AudioFingerprint.patternWav(i, tweak = false, 100)
+          i += 1
+        }
+      }
+      val one = AudioFingerprint.patternWav(1L, tweak = false, 100)
+      time("driver: decode 500 wavs") {
+        var i = 0
+        while (i < 500) {
+          Multimodal.AudioDecoder.pcmSamples(one)
+          i += 1
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -47,11 +47,14 @@ object SparkEntry {
       |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
       |ORDER BY doc_id""".stripMargin
 
-  /** The synthetic image family q_image_dhash / q_image_neardup share:
-    * one pattern asset per document plus a twin — a one-pixel tweak of
-    * the SAME pattern for doc_id % 3 == 0 (a near-dup), an unrelated
-    * pattern otherwise. */
-  private def ImageDhashAssets(s: SparkSession, d: String): DataFrame = {
+  /** The `(img_id, seed, tweak)` id table of the synthetic image
+    * family: one original per document plus a twin — a one-pixel tweak
+    * of the SAME pattern for doc_id % 3 == 0 (a near-dup), an unrelated
+    * pattern otherwise. Exposed separately from the asset build so
+    * side-filtered consumers (the incremental query) can prune BEFORE
+    * the encode/decode `mapPartitions` — a filter above it cannot push
+    * down, and would generate both sides' assets per pass. */
+  private def ImageTwinIds(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val a = docs.select(col("doc_id").as("img_id"),
       col("doc_id").as("seed"), lit(false).as("tweak"))
@@ -59,9 +62,14 @@ object SparkEntry {
       when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
         .otherwise(col("doc_id") + 1000000L).as("seed"),
       (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
-    graft.ops.ImageHash.syntheticPatternAssets(
-      a.unionByName(b), "img_id", "seed", "tweak")
+    a.unionByName(b)
   }
+
+  /** The synthetic image family q_image_dhash / q_image_neardup share
+    * ([[ImageTwinIds]] rendered to real GIF payloads). */
+  private def ImageDhashAssets(s: SparkSession, d: String): DataFrame =
+    graft.ops.ImageHash.syntheticPatternAssets(
+      ImageTwinIds(s, d), "img_id", "seed", "tweak")
 
   /** The oracle's arithmetic rebuild of [[ImageDhashAssets]]' dHashes —
     * shared by both image-hash oracle entries. */
@@ -104,9 +112,10 @@ object SparkEntry {
        |  FROM bits GROUP BY 1)""".stripMargin
   }
 
-  /** The synthetic WAV family q_audio_fingerprint / q_audio_neardup
-    * share — same twin structure as [[ImageDhashAssets]]. */
-  private def AudioFpAssets(s: SparkSession, d: String): DataFrame = {
+  /** The `(snd_id, seed, tweak)` id table of the synthetic WAV family
+    * — same twin structure (and same pre-encode-filter rationale) as
+    * [[ImageTwinIds]]. */
+  private def AudioTwinIds(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val a = docs.select(col("doc_id").as("snd_id"),
       col("doc_id").as("seed"), lit(false).as("tweak"))
@@ -114,9 +123,14 @@ object SparkEntry {
       when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
         .otherwise(col("doc_id") + 1000000L).as("seed"),
       (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
-    graft.ops.AudioFingerprint.syntheticWavAssets(
-      a.unionByName(b), "snd_id", "seed", "tweak")
+    a.unionByName(b)
   }
+
+  /** The synthetic WAV family q_audio_fingerprint / q_audio_neardup
+    * share ([[AudioTwinIds]] rendered to real WAV payloads). */
+  private def AudioFpAssets(s: SparkSession, d: String): DataFrame =
+    graft.ops.AudioFingerprint.syntheticWavAssets(
+      AudioTwinIds(s, d), "snd_id", "seed", "tweak")
 
   /** Oracle arithmetic rebuild of [[AudioFpAssets]]' fingerprints:
     * constant-amplitude windows make each window mean exact, so the
@@ -192,7 +206,12 @@ object SparkEntry {
     * [[graft.ops.ImageHash]] pattern of seed `s * 1000 + f`, so the
     * oracle rebuilds every frame — and the majority fold — from SQL. */
   private def VideoClipAssets(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // every 5th document: a 3-frame clip costs ~3 image assets to
+    // render+decode, so the full doc set would make the video pair the
+    // bench's most expensive tier for no extra coverage — the subset
+    // still yields hundreds of clips (and ~1/3 of them twins) at the
+    // correctness SF
+    val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
     val a = docs.select(col("doc_id").as("vid_id"),
       col("doc_id").as("seed"), lit(false).as("tweak"))
     val b = docs.select((col("doc_id") + 1000000L).as("vid_id"),
@@ -209,15 +228,16 @@ object SparkEntry {
   private val VideoSigCte: String = {
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""vids AS (
+    s"""vdocs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+       |vids AS (
        |  SELECT doc_id AS vid_id, doc_id AS seed, false AS tweak
-       |  FROM documents
+       |  FROM vdocs
        |  UNION ALL
        |  SELECT doc_id + 1000000,
        |    CASE WHEN doc_id % 3 = 0 THEN doc_id
        |         ELSE doc_id + 1000000 END,
        |    doc_id % 3 = 0
-       |  FROM documents),
+       |  FROM vdocs),
        |vpx AS (
        |  SELECT vid_id, CAST(f AS INTEGER) AS f, CAST(y AS INTEGER) AS y,
        |    CAST(x AS INTEGER) AS x, tweak,
@@ -1933,22 +1953,24 @@ object SparkEntry {
     // pair CROSSES the split (a % 4 split left both members on one side
     // and the harness row count at 0 — the r9 advice), so the index
     // match path is exercised with real matches: one dist ≤ 2 hit per
-    // doc_id % 3 == 0. Each side's assets are decoded exactly once: the
+    // doc_id % 3 == 0. Each side's assets are BUILT and decoded exactly
+    // once — the side filter is applied to the id table BEFORE the
+    // encode/decode mapPartitions (above it, the filter cannot push
+    // down, and each pass would render the full asset family): the
     // corpus pass ends in the index parquet, the increment pass is
     // persisted inside matchAgainst. The oracle rebuilds every dHash
     // from SQL arithmetic and brute-forces the cross scan.
     "q_image_neardup_incremental" -> ((s, d) => {
-      val assets = ImageDhashAssets(s, d)
+      val ids = ImageTwinIds(s, d)
+      def side(pred: Column) = graft.ops.ImageHash.dHash(
+        graft.ops.ImageHash.syntheticPatternAssets(
+          ids.filter(pred), "img_id", "seed", "tweak"), "id", "data")
       val idxDir = scratchDir("graft_hidx_")
-      graft.ops.ImageHash.buildIndex(
-          graft.ops.ImageHash.dHash(
-            assets.filter(col("id") < 1000000L), "id", "data"), "id")
+      graft.ops.ImageHash.buildIndex(side(col("img_id") < 1000000L), "id")
         .save(idxDir)
       val idx = graft.ops.Hamming.HammingIndex.load(s, idxDir)
       graft.ops.ImageHash.matchAgainstIndex(idx,
-          graft.ops.ImageHash.dHash(
-            assets.filter(col("id") >= 1000000L), "id", "data"),
-          "id", maxDist = 3)
+          side(col("img_id") >= 1000000L), "id", maxDist = 3)
         .orderBy(col("inc_id"), col("corpus_id"))
     }),
 
@@ -1956,19 +1978,20 @@ object SparkEntry {
     // the save/load/match path on the SECOND fingerprint family
     // ("audio_envelope"): corpus originals indexed once, the b-side
     // increment envelope-hashed once and matched. Same cross-split
-    // twin structure, same SQL-rebuilt brute-force cross oracle.
+    // twin structure, same pre-encode side filter, same SQL-rebuilt
+    // brute-force cross oracle.
     "q_audio_neardup_incremental" -> ((s, d) => {
-      val assets = AudioFpAssets(s, d)
+      val ids = AudioTwinIds(s, d)
+      def side(pred: Column) = graft.ops.AudioFingerprint.fingerprint(
+        graft.ops.AudioFingerprint.syntheticWavAssets(
+          ids.filter(pred), "snd_id", "seed", "tweak"), "id", "data")
       val idxDir = scratchDir("graft_aidx_")
-      graft.ops.AudioFingerprint.buildIndex(
-          graft.ops.AudioFingerprint.fingerprint(
-            assets.filter(col("id") < 1000000L), "id", "data"), "id")
+      graft.ops.AudioFingerprint.buildIndex(side(col("snd_id") < 1000000L),
+          "id")
         .save(idxDir)
       val idx = graft.ops.Hamming.HammingIndex.load(s, idxDir)
       graft.ops.AudioFingerprint.matchAgainstIndex(idx,
-          graft.ops.AudioFingerprint.fingerprint(
-            assets.filter(col("id") >= 1000000L), "id", "data"),
-          "id", maxDist = 3)
+          side(col("snd_id") >= 1000000L), "id", maxDist = 3)
         .orderBy(col("inc_id"), col("corpus_id"))
     }),
 

@@ -149,14 +149,10 @@ object AudioFingerprint {
       }
       w += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt,
-      (Windows * windowSamples).toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // lock-free canonical WAV render — AudioSystem.write serializes on
+    // the JVM-global provider lock (see Multimodal.AudioDecoder); the
+    // byte layout is spec-pinned identical to the JDK writer's output
+    PcmContainer.buildWav(pcm, sampleRate = 8000, bits = 16, channels = 1)
   }
 
   /** One real (WAV-encoded) pattern asset per row: `(id, data)`,
@@ -169,8 +165,11 @@ object AudioFingerprint {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
-    df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
-        col(tweakCol).cast(BooleanType))
+    // width recovery before the PCM render — same rationale as
+    // ImageHash.syntheticPatternAssets
+    Parallelism.spread(
+        df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
+          col(tweakCol).cast(BooleanType)))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0),

@@ -176,8 +176,13 @@ object ImageHash {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
-    df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
-        col(tweakCol).cast(BooleanType))
+    // spread BEFORE the render: the id table is a narrow projection of
+    // one small parquet split (2 partitions after the twin union), so
+    // without width recovery the md5-per-pixel render + GIF encode — and
+    // every decode stage fused above it — would run on 2 of 32 cores
+    Parallelism.spread(
+        df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
+          col(tweakCol).cast(BooleanType)))
       .mapPartitions { rows =>
         rows.map { r =>
           val frame = patternFrame(r.getLong(1), r.getBoolean(2))

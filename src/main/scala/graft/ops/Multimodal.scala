@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * IMAGE payloads (PNG/JPEG/GIF, as sniffed by magic bytes) are decoded
   * FOR REAL via the JDK's `javax.imageio` ([[ImageDecoder]]): true pixel
   * dimensions plus a deterministic downsampled-luminance grid embedding.
-  * WAV/AIFF/AU payloads are decoded FOR REAL via `javax.sound.sampled`
-  * ([[AudioDecoder]]): PCM samples to an RMS energy envelope embedding.
+  * WAV/AIFF/AU payloads are decoded FOR REAL — lock-free hand-rolled
+  * container walks ([[PcmContainer]]; `AudioSystem`'s provider registry
+  * serializes executor cores) feeding real PCM conversion
+  * ([[AudioDecoder]]): samples to an RMS energy envelope embedding.
   * MJPEG-AVI video demuxes and decodes FOR REAL via [[AviMjpeg]].
   * Remaining payloads (MP4, compressed audio, unknown) go through the
   * deterministic stub
@@ -220,61 +222,55 @@ object Multimodal {
   object AudioDecoder {
     private val Buckets = 8
 
-    /** Channel-averaged samples in [-1,1] from 8/16-bit PCM. */
+    /** Channel-averaged samples in [-1,1] from 8/16-bit linear PCM.
+      *
+      * Container headers are parsed by the lock-free [[PcmContainer]]
+      * walkers instead of `AudioSystem.getAudioInputStream`: the JDK
+      * call takes a JVM-global synchronized provider lock that
+      * SERIALIZES decode across executor cores (measured slower at 16
+      * threads than at 1 in this container) — on a 100 TB audio scan
+      * the lock, not the PCM math, would be the bottleneck. The PCM
+      * gate is unchanged: WAV unsigned-8 / signed-16-LE, AIFF(/AIFC
+      * "NONE") signed-16-BE, AU encoding-3 signed-16-BE; a-law, µ-law,
+      * float, signed-8 and unsigned-16 oddities are refused rather than
+      * read as garbage amplitudes — exactly the shapes the previous
+      * JDK-reader gate accepted (spec-pinned round trips against
+      * `AudioSystem.write`-encoded fixtures). */
     private[ops] def pcmSamples(bytes: Array[Byte]): Option[(Array[Float], Float)] = {
-      val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-              _: java.io.IOException => return None
-        }
-      try {
-        val fmt = ais.getFormat
-        val bits = fmt.getSampleSizeInBits
-        val ch = fmt.getChannels
-        // LINEAR PCM only, in the shapes WAV actually carries: unsigned
-        // 8-bit or signed 16-bit. A-law/mu-law (and signed-8/unsigned-16
-        // oddities) would pass a bits-only check and be read as garbage
-        // amplitudes — refuse them instead of fabricating an envelope.
-        // With the encoding pinned to PCM, readAllBytes is bounded by
-        // the (already in-memory) payload size — no decompression blowup.
-        val enc = fmt.getEncoding
-        val pcmOk =
-          (bits == 8 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
-            (bits == 16 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        if (!pcmOk) return None
-        val raw = ais.readAllBytes()
-        val bytesPerSample = bits / 8
-        val frameBytes = bytesPerSample * ch
-        val n = raw.length / frameBytes
-        if (n == 0) return None
-        val out = new Array[Float](n)
-        var i = 0
-        while (i < n) {
-          var acc = 0.0
-          var c = 0
-          while (c < ch) {
-            val off = i * frameBytes + c * bytesPerSample
-            val s =
-              if (bits == 8) ((raw(off) & 0xFF) - 128) / 128.0
-              else {
-                val lo = raw(off) & 0xFF
-                val hi = raw(off + 1).toInt
-                val v = if (fmt.isBigEndian) (raw(off).toInt << 8) | (raw(off + 1) & 0xFF)
-                        else (hi << 8) | lo
-                v / 32768.0
-              }
-            acc += s
-            c += 1
+      PcmContainer.parse(bytes) match {
+        case None => None
+        case Some(info) =>
+          val bits = info.bits
+          val ch = info.channels
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val n = info.dataLen / frameBytes
+          if (n == 0) return None
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = info.dataOff + i * frameBytes + c * bytesPerSample
+              val s =
+                if (bits == 8) ((bytes(off) & 0xFF) - 128) / 128.0
+                else {
+                  val v =
+                    if (info.bigEndian)
+                      (bytes(off).toInt << 8) | (bytes(off + 1) & 0xFF)
+                    else
+                      (bytes(off + 1).toInt << 8) | (bytes(off) & 0xFF)
+                  v / 32768.0
+                }
+              acc += s
+              c += 1
+            }
+            out(i) = (acc / ch).toFloat
+            i += 1
           }
-          out(i) = (acc / ch).toFloat
-          i += 1
-        }
-        Some((out, fmt.getSampleRate))
-      } catch {
-        case _: java.io.IOException | _: RuntimeException => None
-      } finally ais.close()
+          Some((out, info.sampleRate))
+      }
     }
 
     def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {
@@ -677,7 +673,11 @@ object Multimodal {
     * id table, with no media files in the container. Ids must be
     * non-negative (the modular arithmetic is the cross-engine contract). */
   def syntheticGifAssets(df: DataFrame, idCol: String): DataFrame = {
-    val in = df.select(col(idCol).cast(LongType).as("id"))
+    // width recovery before the render: synthetic id tables are narrow
+    // single-split scans, and the encode below is the expensive part
+    // (see ImageHash.syntheticPatternAssets)
+    val in = Parallelism.spread(
+      df.select(col(idCol).cast(LongType).as("id")))
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
@@ -703,7 +703,11 @@ object Multimodal {
     * frames). Geometry is arithmetic on the id, so a demux → decode
     * round trip is oracle-checkable. Ids must be non-negative. */
   def syntheticAviAssets(df: DataFrame, idCol: String): DataFrame = {
-    val in = df.select(col(idCol).cast(LongType).as("id"))
+    // width recovery before the render: synthetic id tables are narrow
+    // single-split scans, and the encode below is the expensive part
+    // (see ImageHash.syntheticPatternAssets)
+    val in = Parallelism.spread(
+      df.select(col(idCol).cast(LongType).as("id")))
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
@@ -786,7 +790,11 @@ object Multimodal {
     * 1 + id mod 3 — so a build → probe round trip is oracle-checkable.
     * Ids must be non-negative. */
   def syntheticMp4Assets(df: DataFrame, idCol: String): DataFrame = {
-    val in = df.select(col(idCol).cast(LongType).as("id"))
+    // width recovery before the render: synthetic id tables are narrow
+    // single-split scans, and the encode below is the expensive part
+    // (see ImageHash.syntheticPatternAssets)
+    val in = Parallelism.spread(
+      df.select(col(idCol).cast(LongType).as("id")))
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
@@ -860,7 +868,11 @@ object Multimodal {
     * 48000 + 480·(id mod 1000)) — so a build → probe round trip is
     * oracle-checkable. Ids must be non-negative. */
   def syntheticAudioAssets(df: DataFrame, idCol: String): DataFrame = {
-    val in = df.select(col(idCol).cast(LongType).as("id"))
+    // width recovery before the render: synthetic id tables are narrow
+    // single-split scans, and the encode below is the expensive part
+    // (see ImageHash.syntheticPatternAssets)
+    val in = Parallelism.spread(
+      df.select(col(idCol).cast(LongType).as("id")))
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, Repartition, RepartitionByExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, Repartition, RepartitionByExpression, Union}
 
 /** Partitioning helpers for CPU-dense operators.
   *
@@ -33,6 +33,10 @@ object Parallelism {
       .forall {
         case _: LeafNode | _: Project | _: Filter => true
         case _: Repartition | _: RepartitionByExpression => true
+        // a UNION of scan-shaped branches is scan-shaped: no exchange,
+        // partition count = sum of branch splits (the two-sided fixture
+        // id tables — originals ∪ twins — hit exactly this shape)
+        case _: Union => true
         case _ => false
       }
     if (!scanShaped) return df

@@ -1,0 +1,191 @@
+package graft.ops
+
+/** Hand-rolled header parsers for the three linear-PCM audio containers
+  * the engine decodes (WAV/RIFF, AIFF/FORM, AU/.snd) — the audio
+  * sibling of [[AviMjpeg]]'s RIFF walker and [[AudioProbe]]'s FLAC/Ogg
+  * probes, written from the public container layouts.
+  *
+  * Exists for THROUGHPUT, not features: `javax.sound.sampled
+  * .AudioSystem.getAudioInputStream` takes a JVM-global synchronized
+  * provider-registry lock on every call, which measurably SERIALIZES
+  * audio decode across executor cores (a 16-thread decode sweep ran
+  * slower than 1 thread in this container). A 100 TB audio scan on
+  * high-core executors spends its time in that lock, not in PCM math.
+  * These parsers are plain byte walks — no shared state, no locks —
+  * and accept exactly the shapes the engine's PCM gate accepted through
+  * the JDK reader:
+  *
+  *  - WAV: format tag 1 (linear PCM), 8-bit (unsigned) or 16-bit
+  *    (signed, little-endian). A-law/µ-law/float/extensible → None.
+  *  - AIFF (and AIFC with compression "NONE"): 16-bit signed
+  *    big-endian. 8-bit AIFF is SIGNED, which the gate refuses — as it
+  *    did via the JDK path.
+  *  - AU: encoding 3 (16-bit linear signed, big-endian). µ-law (1) and
+  *    8-bit linear (2, signed) → None, as before.
+  *
+  * Parsing is defensive: every chunk length is bounds-checked and any
+  * malformed/truncated stream yields None, never an out-of-bounds read.
+  */
+object PcmContainer {
+
+  /** Geometry of a linear-PCM payload: sample layout plus the byte span
+    * of the sample data inside the container. */
+  final case class PcmInfo(bits: Int, channels: Int, bigEndian: Boolean,
+                           unsigned8: Boolean, sampleRate: Float,
+                           dataOff: Int, dataLen: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    le16(b, i).toLong | (le16(b, i + 2).toLong << 16)
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (be16(b, i).toLong << 16) | be16(b, i + 2).toLong
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+  def isAiff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tag(b, 0) == "FORM" &&
+      (tag(b, 8) == "AIFF" || tag(b, 8) == "AIFC")
+  def isAu(b: Array[Byte]): Boolean =
+    b != null && b.length >= 24 && tag(b, 0) == ".snd"
+
+  /** Parse any of the three containers; None for other payloads or any
+    * non-gate-accepted PCM shape. */
+  def parse(bytes: Array[Byte]): Option[PcmInfo] =
+    if (isWav(bytes)) parseWav(bytes)
+    else if (isAiff(bytes)) parseAiff(bytes)
+    else if (isAu(bytes)) parseAu(bytes)
+    else None
+
+  private def parseWav(b: Array[Byte]): Option[PcmInfo] = {
+    val n = b.length
+    var p = 12
+    var fmt: Option[(Int, Int, Float)] = None // (bits, channels, rate)
+    var data: Option[(Int, Int)] = None
+    while (p + 8 <= n && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(b, p)
+      val size = le32(b, p + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = p + 8
+      id match {
+        case "fmt " if size >= 16 && body + 16 <= n =>
+          val audioTag = le16(b, body)
+          val ch = le16(b, body + 2)
+          val rate = le32(b, body + 4)
+          val bits = le16(b, body + 14)
+          if (audioTag != 1 || ch < 1) return None // PCM only
+          if (bits != 8 && bits != 16) return None
+          fmt = Some((bits, ch, rate.toFloat))
+        case "data" =>
+          data = Some((body, math.min(size, (n - body).toLong).toInt))
+        case _ => () // LIST/fact/cue — skipped
+      }
+      p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((bits, ch, rate) <- fmt; (off, len) <- data)
+      yield PcmInfo(bits, ch, bigEndian = false, unsigned8 = bits == 8,
+        rate, off, len)
+  }
+
+  /** The 80-bit IEEE extended float AIFF stores its sample rate in:
+    * 15-bit exponent (bias 16383), 64-bit mantissa with explicit
+    * integer bit. Exact for every real-world rate. */
+  private def extended80(b: Array[Byte], i: Int): Float = {
+    val expon = be16(b, i) & 0x7FFF
+    val mant = (be32(b, i + 2) << 32) | be32(b, i + 6)
+    if (expon == 0 && mant == 0L) 0f
+    else {
+      // mant is an unsigned 64-bit integer scaled by 2^(expon-16383-63)
+      val m = if (mant >= 0) mant.toDouble
+      else mant.toDouble + 1.8446744073709552e19 // 2^64 two's-complement lift
+      (m * math.pow(2.0, expon - 16383 - 63)).toFloat
+    }
+  }
+
+  private def parseAiff(b: Array[Byte]): Option[PcmInfo] = {
+    val n = b.length
+    val aifc = tag(b, 8) == "AIFC"
+    var p = 12
+    var comm: Option[(Int, Int, Float)] = None
+    var ssnd: Option[(Int, Int)] = None
+    while (p + 8 <= n && (comm.isEmpty || ssnd.isEmpty)) {
+      val id = tag(b, p)
+      val size = be32(b, p + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = p + 8
+      id match {
+        case "COMM" if size >= 18 && body + 18 <= n =>
+          val ch = be16(b, body)
+          val bits = be16(b, body + 6)
+          val rate = extended80(b, body + 8)
+          if (aifc) {
+            // AIFC: compression type follows the rate; only uncompressed
+            // big-endian PCM ("NONE") is linear PCM in this layout
+            if (size < 22 || body + 22 > n || tag(b, body + 18) != "NONE")
+              return None
+          }
+          if (ch < 1 || bits != 16) return None // gate: 16-bit signed BE only
+          comm = Some((bits, ch, rate))
+        case "SSND" if size >= 8 && body + 8 <= n =>
+          val offset = be32(b, body)
+          if (offset < 0 || offset > size - 8) return None
+          val start = body + 8 + offset.toInt
+          ssnd = Some((start,
+            math.min(size - 8 - offset, (n - start).toLong).toInt))
+        case _ => ()
+      }
+      p = body + size.toInt + (size.toInt & 1)
+    }
+    for ((bits, ch, rate) <- comm; (off, len) <- ssnd)
+      yield PcmInfo(bits, ch, bigEndian = true, unsigned8 = false,
+        rate, off, len)
+  }
+
+  private def parseAu(b: Array[Byte]): Option[PcmInfo] = {
+    val n = b.length
+    val dataOff = be32(b, 4)
+    val dataSize = be32(b, 8) // 0xFFFFFFFF = "until EOF"
+    val enc = be32(b, 12)
+    val rate = be32(b, 16)
+    val ch = be32(b, 20)
+    if (enc != 3 || ch < 1 || dataOff < 24 || dataOff > n) return None
+    val len =
+      if (dataSize == 0xFFFFFFFFL) n - dataOff.toInt
+      else math.min(dataSize, (n - dataOff).toLong).toInt
+    Some(PcmInfo(16, ch.toInt, bigEndian = true, unsigned8 = false,
+      rate.toFloat, dataOff.toInt, len.toInt))
+  }
+
+  /** Render a canonical 44-byte-header WAV (linear PCM) around raw
+    * sample bytes — the lock-free replacement for `AudioSystem.write`,
+    * emitting the same canonical layout the JDK writer produces for
+    * this format (spec-pinned byte-identical). */
+  def buildWav(pcm: Array[Byte], sampleRate: Int, bits: Int,
+               channels: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    val blockAlign = channels * (bits / 8)
+    val byteRate = sampleRate * blockAlign
+    val out = new Array[Byte](44 + pcm.length)
+    def putTag(i: Int, s: String): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def put16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(i: Int, v: Long): Unit = {
+      put16(i, (v & 0xFFFF).toInt); put16(i + 2, ((v >> 16) & 0xFFFF).toInt)
+    }
+    putTag(0, "RIFF"); put32(4, 36L + pcm.length); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16L)
+    put16(20, 1); put16(22, channels); put32(24, sampleRate.toLong)
+    put32(28, byteRate.toLong); put16(32, blockAlign); put16(34, bits)
+    putTag(36, "data"); put32(40, pcm.length.toLong)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
+  }
+}

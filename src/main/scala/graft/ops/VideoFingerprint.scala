@@ -164,8 +164,11 @@ object VideoFingerprint {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("data", BinaryType, nullable = false)))
-    df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
-        col(tweakCol).cast(BooleanType))
+    // width recovery before the per-frame render — same rationale as
+    // ImageHash.syntheticPatternAssets, ×nFrames the per-row cost
+    Parallelism.spread(
+        df.select(col(idCol).cast(LongType), col(seedCol).cast(LongType),
+          col(tweakCol).cast(BooleanType)))
       .mapPartitions { rows =>
         rows.map { r =>
           val seed = r.getLong(1)

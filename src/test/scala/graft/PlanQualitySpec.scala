@@ -44,31 +44,45 @@ class PlanQualitySpec extends SparkTestBase {
     plan should include("max_by")
   }
 
-  "the media frame pipeline" should "stay per-partition with zero shuffles" in {
-    // synthesize → encode → demux → decode is row-local work; a future
-    // change that sneaks an exchange into it would repartition binary
-    // payloads — at 100 TB the single most expensive thing to shuffle
+  "the media frame pipeline" should "never move binary payloads across an exchange" in {
+    // synthesize → encode → demux → decode is row-local work; at 100 TB
+    // a binary payload is the single most expensive thing to shuffle.
+    // The fixture builders DO repartition their input — but that is the
+    // narrow id projection (Parallelism.spread width recovery, longs
+    // only), and it must stay BELOW every encode/decode stage: the one
+    // allowed exchange is the id-spread round robin, and nothing that
+    // produces or consumes payload bytes (MapPartitions) may sit below
+    // it in the plan.
+    def assertPayloadLocal(plan: String): Unit = {
+      val i = plan.indexOf("Exchange")
+      if (i >= 0) {
+        withClue(s"more than one exchange in the media pipeline:\n$plan\n") {
+          plan.indexOf("Exchange", i + 1) shouldBe -1
+        }
+        plan should include("RoundRobinPartitioning") // the id spread, not a key shuffle
+        withClue(s"binary-producing stage below the exchange:\n$plan\n") {
+          plan.substring(i) should not include "MapPartitions"
+        }
+      }
+    }
     val df = graft.ops.Multimodal.decodeImageFrames(
       graft.ops.Multimodal.syntheticGifAssets(
         Tables.documents(spark, sf).select(col("doc_id")), "doc_id"),
       "id", "data")
-    val plan = df.queryExecution.executedPlan.toString()
-    (plan should not).include("Exchange")
+    assertPayloadLocal(df.queryExecution.executedPlan.toString())
     // same property for the demux-aware frame sampler and the real
     // resize: container walking, raster decode and re-encode are all
-    // row-local — binary payloads must never cross an exchange
-    val framesPlan = graft.ops.Multimodal.sampleFrames(
+    // row-local
+    assertPayloadLocal(graft.ops.Multimodal.sampleFrames(
         graft.ops.Multimodal.syntheticGifAssets(
           Tables.documents(spark, sf).select(col("doc_id")), "doc_id"),
         "id", "data")
-      .queryExecution.executedPlan.toString()
-    (framesPlan should not).include("Exchange")
-    val resizePlan = graft.ops.Multimodal.resizeAssets(
+      .queryExecution.executedPlan.toString())
+    assertPayloadLocal(graft.ops.Multimodal.resizeAssets(
         graft.ops.Multimodal.syntheticGifAssets(
           Tables.documents(spark, sf).select(col("doc_id")), "doc_id"),
         "id", "data", targetW = 8, targetH = 4)
-      .queryExecution.executedPlan.toString()
-    (resizePlan should not).include("Exchange")
+      .queryExecution.executedPlan.toString())
   }
 
   "castTo on a parquet scan" should "stay a single stage with zero shuffles" in {

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+/** The lock-free PCM container walkers must accept exactly what the
+  * previous `AudioSystem`-based gate accepted, produce identical
+  * samples from JDK-encoded payloads, and render byte-identical WAVs.
+  * (No SparkSession needed: these are plain byte-level parsers.) */
+class PcmContainerSpec extends AnyFlatSpec with Matchers {
+
+  private def jdkEncode(pcm: Array[Byte], fmt: AudioFormat,
+                        container: AudioFileFormat.Type): Array[Byte] = {
+    val frames = pcm.length / fmt.getFrameSize
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, container, bos)
+    bos.toByteArray
+  }
+
+  private def sine16(n: Int, channels: Int, bigEndian: Boolean): Array[Byte] = {
+    val out = new Array[Byte](n * channels * 2)
+    for (i <- 0 until n; c <- 0 until channels) {
+      val v = (math.sin(i * 0.1 + c) * 20000).toInt
+      val off = (i * channels + c) * 2
+      if (bigEndian) { out(off) = (v >> 8).toByte; out(off + 1) = v.toByte }
+      else { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    }
+    out
+  }
+
+  "buildWav" should "render byte-identically to AudioSystem.write for 16-bit mono PCM" in {
+    val pcm = sine16(500, 1, bigEndian = false)
+    val jdk = jdkEncode(pcm, new AudioFormat(8000f, 16, 1, true, false),
+      AudioFileFormat.Type.WAVE)
+    PcmContainer.buildWav(pcm, 8000, 16, 1) shouldBe jdk
+  }
+
+  it should "render byte-identically for 8-bit stereo too" in {
+    val pcm = Array.tabulate(600)(i => (i * 7 % 256).toByte)
+    val jdk = jdkEncode(pcm,
+      new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 11025f, 8, 2, 2,
+        11025f, false),
+      AudioFileFormat.Type.WAVE)
+    PcmContainer.buildWav(pcm, 11025, 8, 2) shouldBe jdk
+  }
+
+  "parse" should "recover the exact geometry of a JDK-written 16-bit stereo WAV" in {
+    val pcm = sine16(400, 2, bigEndian = false)
+    val wav = jdkEncode(pcm, new AudioFormat(44100f, 16, 2, true, false),
+      AudioFileFormat.Type.WAVE)
+    val info = PcmContainer.parse(wav).get
+    info.bits shouldBe 16
+    info.channels shouldBe 2
+    info.bigEndian shouldBe false
+    info.unsigned8 shouldBe false
+    info.sampleRate shouldBe 44100f
+    info.dataLen shouldBe pcm.length
+    wav.slice(info.dataOff, info.dataOff + info.dataLen) shouldBe pcm
+  }
+
+  it should "recover a JDK-written AIFF (16-bit signed big-endian) including the 80-bit rate" in {
+    val pcm = sine16(300, 1, bigEndian = true)
+    val aiff = jdkEncode(pcm, new AudioFormat(44100f, 16, 1, true, true),
+      AudioFileFormat.Type.AIFF)
+    val info = PcmContainer.parse(aiff).get
+    info.bits shouldBe 16
+    info.bigEndian shouldBe true
+    info.sampleRate shouldBe 44100f
+    aiff.slice(info.dataOff, info.dataOff + info.dataLen) shouldBe pcm
+  }
+
+  it should "recover a JDK-written AU (encoding 3, big-endian)" in {
+    val pcm = sine16(300, 1, bigEndian = true)
+    val au = jdkEncode(pcm, new AudioFormat(8000f, 16, 1, true, true),
+      AudioFileFormat.Type.AU)
+    val info = PcmContainer.parse(au).get
+    info.bits shouldBe 16
+    info.bigEndian shouldBe true
+    info.sampleRate shouldBe 8000f
+    au.slice(info.dataOff, info.dataOff + info.dataLen) shouldBe pcm
+  }
+
+  it should "decode samples identically to the JDK reader on every accepted container" in {
+    def jdkSamples(bytes: Array[Byte]): Array[Float] = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val raw = ais.readAllBytes()
+      val bps = fmt.getSampleSizeInBits / 8
+      val fb = bps * fmt.getChannels
+      Array.tabulate(raw.length / fb) { i =>
+        var acc = 0.0
+        for (c <- 0 until fmt.getChannels) {
+          val off = i * fb + c * bps
+          val s =
+            if (fmt.getSampleSizeInBits == 8) ((raw(off) & 0xFF) - 128) / 128.0
+            else {
+              val v = if (fmt.isBigEndian)
+                (raw(off).toInt << 8) | (raw(off + 1) & 0xFF)
+              else (raw(off + 1).toInt << 8) | (raw(off) & 0xFF)
+              v / 32768.0
+            }
+          acc += s
+        }
+        (acc / fmt.getChannels).toFloat
+      }
+    }
+    val cases = Seq(
+      jdkEncode(sine16(200, 2, bigEndian = false),
+        new AudioFormat(22050f, 16, 2, true, false), AudioFileFormat.Type.WAVE),
+      jdkEncode(Array.tabulate(200)(i => (i % 256).toByte),
+        new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1,
+          8000f, false), AudioFileFormat.Type.WAVE),
+      jdkEncode(sine16(200, 1, bigEndian = true),
+        new AudioFormat(44100f, 16, 1, true, true), AudioFileFormat.Type.AIFF),
+      jdkEncode(sine16(200, 1, bigEndian = true),
+        new AudioFormat(8000f, 16, 1, true, true), AudioFileFormat.Type.AU))
+    cases.foreach { bytes =>
+      val got = Multimodal.AudioDecoder.pcmSamples(bytes).get._1
+      got shouldBe jdkSamples(bytes)
+    }
+  }
+
+  it should "refuse the shapes the gate always refused" in {
+    // µ-law AU (encoding 1)
+    val mulaw = {
+      val pcm = Array.fill(100)(0x55.toByte)
+      val out = new Array[Byte](24 + pcm.length)
+      out(0) = '.'; out(1) = 's'; out(2) = 'n'; out(3) = 'd'
+      out(7) = 24 // data offset
+      out(11) = 100.toByte // size
+      out(15) = 1 // encoding: µ-law
+      out(17) = 0x1F.toByte; out(18) = 0x40.toByte // 8000 Hz
+      out(23) = 1 // channels
+      System.arraycopy(pcm, 0, out, 24, pcm.length)
+      out
+    }
+    PcmContainer.parse(mulaw) shouldBe None
+    // 8-bit AIFF is SIGNED — refused (as via the JDK path)
+    val aiff8 = jdkEncode(Array.tabulate(100)(_.toByte),
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 8, 1, 1,
+        8000f, true), AudioFileFormat.Type.AIFF)
+    PcmContainer.parse(aiff8) shouldBe None
+    // a-law WAV (format tag 6): hand-patch the tag of a valid PCM WAV
+    val alaw = PcmContainer.buildWav(new Array[Byte](64), 8000, 8, 1).clone()
+    alaw(20) = 6
+    PcmContainer.parse(alaw) shouldBe None
+    // garbage and truncation never throw
+    PcmContainer.parse(Array[Byte](1, 2, 3)) shouldBe None
+    val trunc = PcmContainer.buildWav(sine16(100, 1, false), 8000, 16, 1)
+      .take(30)
+    PcmContainer.parse(trunc) shouldBe None
+  }
+}

@@ -205,7 +205,7 @@ object SparkEntry {
     * structure as [[ImageDhashAssets]]; frame `f` of seed `s` draws the
     * [[graft.ops.ImageHash]] pattern of seed `s * 1000 + f`, so the
     * oracle rebuilds every frame — and the majority fold — from SQL. */
-  private def VideoClipAssets(s: SparkSession, d: String): DataFrame = {
+  private def VideoTwinIds(s: SparkSession, d: String): DataFrame = {
     // every 5th document: a 3-frame clip costs ~3 image assets to
     // render+decode, so the full doc set would make the video pair the
     // bench's most expensive tier for no extra coverage — the subset
@@ -218,9 +218,12 @@ object SparkEntry {
       when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
         .otherwise(col("doc_id") + 1000000L).as("seed"),
       (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
-    graft.ops.VideoFingerprint.syntheticClipAssets(
-      a.unionByName(b), "vid_id", "seed", "tweak", nFrames = 3)
+    a.unionByName(b)
   }
+
+  private def VideoClipAssets(s: SparkSession, d: String): DataFrame =
+    graft.ops.VideoFingerprint.syntheticClipAssets(
+      VideoTwinIds(s, d), "vid_id", "seed", "tweak", nFrames = 3)
 
   /** Oracle arithmetic rebuild of [[VideoClipAssets]]' sequence
     * signatures: per-frame dHash bits exactly as [[ImageHashCte]], then
@@ -1538,6 +1541,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // EXACT-regime LSH: with one hyperplane and one probe the query
+    // scores BOTH half-spaces — exhaustive — and lshTopK's scoring
+    // arithmetic (cosineWithNorms on raw vectors) is bruteForceTopK's
+    // exactly, so hyperplane keying, multi-probe expansion, the bucket
+    // join, and the bounded top-k all hash-check against the brute-force
+    // oracle. Completes the exact-regime ANN matrix (LSH/IVF/IVF-PQ).
+    "q_sim_lsh_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          planes = 1, probes = 1, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // EXACT-regime IVF: a prebuilt index probed with nprobe = nlist is
     // exhaustive, and ivfTopKPrebuilt scores raw vectors + stored norms
     // with the SAME arithmetic as bruteForceTopK (bit-identical,
@@ -2040,6 +2056,29 @@ object SparkEntry {
             VideoClipAssets(s, d), "id", "data"),
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Video twin of the incremental media queries — the THIRD
+    // fingerprint family ("video_seq") through the persisted-index
+    // save/load/match path: corpus originals sequence-fingerprinted and
+    // indexed once, the b-side increment fingerprinted once and
+    // matched. Completes the media-index e2e matrix (dhash /
+    // audio_envelope / video_seq), same cross-split twin structure and
+    // SQL-rebuilt brute-force cross oracle.
+    "q_video_neardup_incremental" -> ((s, d) => {
+      val ids = VideoTwinIds(s, d)
+      def side(pred: Column) = graft.ops.VideoFingerprint.fingerprint(
+        graft.ops.VideoFingerprint.syntheticClipAssets(
+          ids.filter(pred), "vid_id", "seed", "tweak", nFrames = 3),
+        "id", "data")
+      val idxDir = scratchDir("graft_vidx_")
+      graft.ops.VideoFingerprint.buildIndex(side(col("vid_id") < 1000000L),
+          "id")
+        .save(idxDir)
+      val idx = graft.ops.Hamming.HammingIndex.load(s, idxDir)
+      graft.ops.VideoFingerprint.matchAgainstIndex(idx,
+          side(col("vid_id") >= 1000000L), "id", maxDist = 3)
+        .orderBy(col("inc_id"), col("corpus_id"))
+    }),
 
     // Per-user 6h metric rollup with gap fill: one (key, bucket)
     // partial-agg shuffle over raw events, then bucket-granularity grid
@@ -3581,6 +3620,7 @@ object SparkEntry {
     "q_sim_topk" -> SimTopkOracleSql,
     // Exact-regime ANN paths (exhaustive probe / full re-rank) are
     // bit-identical to brute force, so they SHARE its oracle.
+    "q_sim_lsh_exact" -> SimTopkOracleSql,
     "q_sim_ivf_exact" -> SimTopkOracleSql,
     "q_sim_ivfpq_exact" -> SimTopkOracleSql,
 
@@ -4089,6 +4129,17 @@ object SparkEntry {
          |      AS dist
          |  FROM vsig a JOIN vsig b ON a.vid_id < b.vid_id)
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_video_neardup_incremental" ->
+      s"""WITH $VideoSigCte
+         |SELECT inc_id, corpus_id, dist FROM (
+         |  SELECT a.vid_id AS inc_id, b.vid_id AS corpus_id,
+         |    CAST(bit_count(xor(a.vfp_hi, b.vfp_hi)) +
+         |         bit_count(xor(a.vfp_lo, b.vfp_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM vsig a JOIN vsig b
+         |    ON a.vid_id >= 1000000 AND b.vid_id < 1000000)
+         |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (

@@ -73,6 +73,19 @@ class SimilaritySpec extends SparkTestBase {
   // low-margin neighbor buckets must strictly widen the candidate set,
   // so recall vs the exact top-k is monotone in `probes`. Fixed-seed
   // planes make the measured recalls deterministic.
+  "lshTopK with planes=1, probes=1" should "equal brute force (both half-spaces probed)" in {
+    // the LSH exact regime behind q_sim_lsh_exact: one hyperplane splits
+    // the sphere in two, one probe adds the flipped bucket — every
+    // corpus vector is scored, with bruteForceTopK's exact arithmetic,
+    // so the result rows (ids, cosines, ranks) must be identical
+    val queries = vecs.filter($"vec_id" < 3)
+    val got = Similarity.lshTopK(vecs, queries, k = 3, planes = 1, probes = 1)
+      .collect().map(_.toString).toSet
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .collect().map(_.toString).toSet
+    got shouldBe exact
+  }
+
   "lshTopK multi-probe" should "lift recall vs exact top-k on the sf0.01 corpus" in {
     val path = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") +
       "/sf0.01/embeddings.parquet"

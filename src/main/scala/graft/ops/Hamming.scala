@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Banded Hamming-distance pair search over 64-bit fingerprints stored
   * as two unsigned 32-bit halves — the shared engine behind
-  * [[ImageHash]] (dHash) and [[AudioFingerprint]] (envelope bits).
+  * [[ImageHash]] (dHash), [[AudioFingerprint]] (envelope bits) and
+  * [[VideoFingerprint]] (sequence signatures).
   *
-  * 4 fixed 16-bit bands: by pigeonhole, two fingerprints within
-  * Hamming distance 3 agree on at least one band, so recall is EXACT
-  * for `maxDist ≤ 3` — the same guarantee structure as
-  * [[Dedup]]'s SimHash text tier, at media-fingerprint width.
+  * `maxDist + 1` variable-width bands over the recombined 64-bit word:
+  * by pigeonhole, two fingerprints within Hamming distance `maxDist`
+  * agree on at least one band, so recall is EXACT for any
+  * `maxDist ≤ 63` — the same guarantee structure (and the same band
+  * math) as [[Dedup]]'s SimHash text tier, at media-fingerprint width.
+  * Wider thresholds cost narrower bands (more candidate pairs per
+  * band), never recall.
   *
   * Scale posture — hot-bucket discipline: the 16-bit band-key equi-join
   * runs over DISTINCT fingerprints only. Real scraped corpora contain
@@ -27,24 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object Hamming {
 
-  /** Distinct `(hi, lo)` fingerprints of `h`, banded into the 4 16-bit
-    * band keys — the join input of the quadratic tier. */
-  private[ops] def bandedDistinct(h: DataFrame): DataFrame =
+  /** Distinct `(hi, lo)` fingerprints of `h`, banded into `maxDist + 1`
+    * band keys over the recombined 64-bit word (widths as even as
+    * possible, like [[Dedup.simhashNearDups]]) — the join input of the
+    * quadratic tier. */
+  private[ops] def bandedDistinct(h: DataFrame, maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    val base = 64 / bands
+    val widths = Seq.tabulate(bands)(b => if (b < 64 % bands) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val full = shiftleft(col("__hi"), 32).bitwiseOR(col("__lo"))
     h.select(col("__hi"), col("__lo")).distinct()
       .select(col("__hi"), col("__lo"),
         explode(array(
-          struct(lit(0).as("band"), shiftright(col("__hi"), 16).as("v")),
-          struct(lit(1).as("band"), (col("__hi") % 65536).as("v")),
-          struct(lit(2).as("band"), shiftright(col("__lo"), 16).as("v")),
-          struct(lit(3).as("band"), (col("__lo") % 65536).as("v"))))
-          .as("__b"))
+          (0 until bands).map { b =>
+            val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+            struct(lit(b).as("band"),
+              shiftright(full, offsets(b)).bitwiseAND(mask).as("v"))
+          }: _*)).as("__b"))
+  }
 
-  /** Pairs `(id_a, id_b, dist)` with `dist ≤ maxDist` (≤ 3 for exact
-    * recall), `id_a < id_b`. Null fingerprints are skipped. */
+  /** Pairs `(id_a, id_b, dist)` with `dist ≤ maxDist` (exact recall for
+    * any `maxDist ≤ 63` by the `maxDist + 1`-band pigeonhole),
+    * `id_a < id_b`. Null fingerprints are skipped. */
   def nearDupPairs(hashes: DataFrame, idCol: String, hiCol: String,
                    loCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63] for banded exact recall, got $maxDist")
     // PERSIST the projected (id, hi, lo) frame: it feeds the banded-
     // distinct input, both membership-expansion joins, and both sides of
     // the dist-0 self-join (~5 consumers). The upstream lineage is
@@ -59,7 +72,7 @@ object Hamming {
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedDistinct(h)
+    val banded = bandedDistinct(h, maxDist)
     val a = banded.select(col("__hi").as("__hiA"), col("__lo").as("__loA"),
       col("__b.band").as("__band"), col("__b.v").as("__v"))
     val b = banded.select(col("__hi").as("__hiB"), col("__lo").as("__loB"),
@@ -176,8 +189,8 @@ object Hamming {
   def matchAgainst(index: HammingIndex, increment: DataFrame, idCol: String,
                    hiCol: String, loCol: String, maxDist: Int = 3,
                    kind: String = ""): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      s"maxDist must be in [0, 3] for 4-band exact recall, got $maxDist")
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63] for banded exact recall, got $maxDist")
     require(kind.isEmpty || kind == index.kind,
       s"index was built for kind '${index.kind}'; refusing to match " +
         s"'$kind' fingerprints")
@@ -192,10 +205,10 @@ object Hamming {
     val cor = index.fingerprints
       .select(col("id").as("__id"), col("hi").as("__hi"),
         col("lo").as("__lo"))
-    val bi = bandedDistinct(inc).select(col("__hi").as("__hiA"),
+    val bi = bandedDistinct(inc, maxDist).select(col("__hi").as("__hiA"),
       col("__lo").as("__loA"), col("__b.band").as("__band"),
       col("__b.v").as("__v"))
-    val bc = bandedDistinct(cor).select(col("__hi").as("__hiB"),
+    val bc = bandedDistinct(cor, maxDist).select(col("__hi").as("__hiB"),
       col("__lo").as("__loB"), col("__b.band").as("__band"),
       col("__b.v").as("__v"))
     // distinct fingerprint pairs, including equal ones (dist 0): the

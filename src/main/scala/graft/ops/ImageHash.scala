@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: hashing is batched `mapPartitions` over the asset
   * scan — zero shuffles, one row per image out. Pair search never goes
-  * all-pairs: 4 fixed 16-bit bands (pigeonhole: Hamming distance ≤ 3 ⇒
-  * at least one band identical) → one band-key equi-join shuffle over
+  * all-pairs: `maxDist + 1` pigeonhole bands (Hamming distance ≤
+  * maxDist ⇒ at least one band identical — exact recall at any
+  * threshold ≤ 63) → one band-key equi-join shuffle over
   * band-bucket-sized groups, exact `bit_count` verify after.
   */
 object ImageHash {
@@ -102,8 +103,8 @@ object ImageHash {
   }
 
   /** Near-duplicate image pairs `(id_a, id_b, dist)` with Hamming
-    * distance ≤ `maxDist` (≤ 3: exact recall) — the shared
-    * [[Hamming]] band join over the dHash halves. */
+    * distance ≤ `maxDist` (exact recall at any threshold ≤ 63) — the
+    * shared [[Hamming]] band join over the dHash halves. */
   def nearDupPairs(hashes: DataFrame, idCol: String,
                    maxDist: Int = 3): DataFrame =
     Hamming.nearDupPairs(hashes, idCol, "dhash_hi", "dhash_lo", maxDist)

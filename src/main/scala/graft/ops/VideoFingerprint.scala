@@ -34,8 +34,8 @@ import org.apache.spark.sql.types._
   * Scale posture: fingerprinting is batched `mapPartitions` over the
   * asset scan — zero shuffles, one row per video out. Pair search and
   * the persisted-index increment path ride the shared banded
-  * [[Hamming]] engine (distinct-collapsed 4×16-bit bands, exact recall
-  * ≤ 3 bits, decode-once persist pin), kind-tagged `"video_seq"` so a
+  * [[Hamming]] engine (distinct-collapsed pigeonhole bands, exact recall
+  * at any maxDist ≤ 63, decode-once persist pin), kind-tagged `"video_seq"` so a
   * video index can never be probed with image or audio fingerprints.
   */
 object VideoFingerprint {
@@ -119,8 +119,8 @@ object VideoFingerprint {
   }
 
   /** Near-duplicate video pairs `(id_a, id_b, dist)` with Hamming
-    * distance ≤ `maxDist` (≤ 3: exact recall) over the sequence
-    * signatures — the shared [[Hamming]] band join. */
+    * distance ≤ `maxDist` (exact recall at any threshold ≤ 63) over
+    * the sequence signatures — the shared [[Hamming]] band join. */
   def nearDupPairs(fps: DataFrame, idCol: String,
                    maxDist: Int = 3): DataFrame =
     Hamming.nearDupPairs(fps, idCol, "vfp_hi", "vfp_lo", maxDist)

@@ -72,6 +72,52 @@ class HammingSpec extends SparkTestBase {
     pairs.filter(col("dist") =!= 0).count() shouldBe 0L
   }
 
+  it should "hold exact recall at WIDE thresholds (variable band widths)" in {
+    // real media near-dups (crops, re-encodes) often sit at 4-10 bits —
+    // the generalized maxDist+1-band pigeonhole must equal brute force
+    // there too, including thresholds where 64 % bands != 0 (uneven
+    // widths) and the sign bit of hi<<32 is exercised
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) rnd.nextLong() else 0x8000000000000000L
+      val noise = (0 until (i % 9).toInt)
+        .foldLeft(0L)((acc, _) => acc | (1L << rnd.nextInt(64)))
+      val v = base ^ noise
+      (i, v >>> 32, v & 0xFFFFFFFFL)
+    }
+    val df = rows.toDF("id", "hi", "lo")
+    for (maxDist <- Seq(7, 10, 23, 63)) {
+      val got = Hamming.nearDupPairs(df, "id", "hi", "lo", maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (a, ha, la) <- rows; (b, hb, lb) <- rows if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+        if d <= maxDist
+      } yield (a, b, d)).toSet
+      withClue(s"maxDist=$maxDist:") { got shouldBe brute }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Hamming.nearDupPairs(df, "id", "hi", "lo", 64)
+  }
+
+  it should "match against an index at wide thresholds too" in {
+    val corpus = Seq((10L, 0xFFFFFFFFL, 0L), (11L, 0L, 0xF0F0F0F0L))
+    val inc = Seq((20L, 0xFFFF0FFFL, 3L), (21L, 0xFFL, 0xF0F0F0F0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidx_w").toString
+    Hamming.buildIndex(corpus.toDF("id", "hi", "lo"), "id", "hi", "lo",
+      "dhash").save(dir)
+    val got = Hamming.matchAgainst(Hamming.HammingIndex.load(spark, dir),
+        inc.toDF("id", "hi", "lo"), "id", "hi", "lo", maxDist = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (i, hi, li) <- inc; (c, hc, lc) <- corpus
+      d = java.lang.Long.bitCount(hi ^ hc) + java.lang.Long.bitCount(li ^ lc)
+      if d <= 10
+    } yield (i, c, d)).toSet
+    got shouldBe brute
+    brute should not be empty
+  }
+
   it should "read its hash input through ONE cached relation (decode-once pin)" in {
     // The hash frame's lineage is a full media decode in production
     // (ImageHash.dHash) — the r9 bench measured +48% on q_audio_neardup

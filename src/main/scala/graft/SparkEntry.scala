@@ -1960,6 +1960,18 @@ object SparkEntry {
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // WIDE-threshold image near-dup (maxDist = 10): exercises the
+    // generalized variable-width banding (11 bands of 5-6 bits — a
+    // completely different candidate geometry than the 4×16 default)
+    // end-to-end against the same brute-force oracle. Real crops and
+    // re-encodes sit at 4-10 bits, where the old 4-band engine could
+    // not go.
+    "q_image_neardup_wide" -> ((s, d) =>
+      graft.ops.ImageHash.nearDupPairs(
+          graft.ops.ImageHash.dHash(ImageDhashAssets(s, d), "id", "data"),
+          "id", maxDist = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Incremental media dedup: the corpus side (the originals, img_id <
     // 1000000) is hashed ONCE into a persisted HammingIndex (save/load
     // round trip — the daily-ingest shape: the asset store is never
@@ -4088,6 +4100,16 @@ object SparkEntry {
          |      AS dist
          |  FROM hash a JOIN hash b ON a.img_id < b.img_id)
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_image_neardup_wide" ->
+      s"""WITH $ImageHashCte
+         |SELECT id_a, id_b, dist FROM (
+         |  SELECT a.img_id AS id_a, b.img_id AS id_b,
+         |    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         |         bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+         |      AS dist
+         |  FROM hash a JOIN hash b ON a.img_id < b.img_id)
+         |WHERE dist <= 10 ORDER BY id_a, id_b""".stripMargin,
 
     // Cross (increment × indexed corpus) brute-force scan over the same
     // SQL-rebuilt hashes — no id ordering, sides are distinct tables.

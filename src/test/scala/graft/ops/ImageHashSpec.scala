@@ -84,9 +84,14 @@ class ImageHashSpec extends SparkTestBase {
   }
 
   it should "reject tolerances beyond the band guarantee" in {
+    // the generalized engine holds exact recall for any maxDist <= 63
+    // (64 bands of 1 bit at the limit); 64 would need 65 bands of a
+    // 64-bit word — no pigeonhole guarantee exists there
     val hashes = hashAssets(Seq((1L, 1L, false)))
     intercept[IllegalArgumentException] {
-      ImageHash.nearDupPairs(hashes, "id", maxDist = 4)
+      ImageHash.nearDupPairs(hashes, "id", maxDist = 64)
     }
+    // 4-63 are now in-contract (the r10 wide-threshold generalization)
+    ImageHash.nearDupPairs(hashes, "id", maxDist = 10).count() shouldBe 0L
   }
 }

@@ -1960,6 +1960,25 @@ object SparkEntry {
           "id", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Media dup-pair CLUSTERING: the image near-dup pairs resolved into
+    // connected components by the same pointer-doubling engine the text
+    // tier uses (Dedup.dupClusters) — asset_id → canonical cluster_id,
+    // the dedup-decision shape a curation pipeline actually consumes.
+    // Composability proof: the banded Hamming pair table drops straight
+    // into the component resolver; the oracle replays min-label
+    // propagation to convergence in recursive SQL.
+    "q_image_clusters" -> ((s, d) => {
+      val pairs = graft.ops.ImageHash.nearDupPairs(
+        graft.ops.ImageHash.dHash(ImageDhashAssets(s, d), "id", "data"),
+        "id", maxDist = 3)
+      // the id UNIVERSE comes from the id table, not the hash frame —
+      // labels init must not cost a second decode pass (undecodable
+      // assets still cluster as singletons, exactly as the oracle's
+      // all-ids seed does)
+      Dedup.dupClusters(pairs, ImageTwinIds(s, d), "img_id")
+        .orderBy(col("img_id"))
+    }),
+
     // WIDE-threshold image near-dup (maxDist = 10): exercises the
     // generalized variable-width banding (11 bands of 5-6 bits — a
     // completely different candidate geometry than the 4×16 default)
@@ -4100,6 +4119,25 @@ object SparkEntry {
          |      AS dist
          |  FROM hash a JOIN hash b ON a.img_id < b.img_id)
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_image_clusters" ->
+      s"""WITH RECURSIVE $ImageHashCte,
+         |j AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.img_id AS id_a, b.img_id AS id_b,
+         |      bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         |      bit_count(xor(a.dhash_lo, b.dhash_lo)) AS dist
+         |    FROM hash a JOIN hash b ON a.img_id < b.img_id)
+         |  WHERE dist <= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+         |          UNION ALL SELECT id_b, id_a FROM j),
+         |reach(id, lab) AS (
+         |  SELECT img_id, img_id FROM hash
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |)
+         |SELECT id AS img_id, min(lab) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY img_id""".stripMargin,
 
     "q_image_neardup_wide" ->
       s"""WITH $ImageHashCte

@@ -124,6 +124,43 @@ class PcmContainerSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "match the JDK reader across a fixed-seed randomized sweep of geometries" in {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val n = 50 + rnd.nextInt(400)
+      val rate = Seq(8000f, 11025f, 22050f, 44100f)(rnd.nextInt(4))
+      val (bytes, fmtLabel) = rnd.nextInt(4) match {
+        case 0 =>
+          val ch = 1 + rnd.nextInt(3)
+          (jdkEncode(sine16(n, ch, bigEndian = false),
+            new AudioFormat(rate, 16, ch, true, false),
+            AudioFileFormat.Type.WAVE), s"wav16x$ch")
+        case 1 =>
+          (jdkEncode(Array.fill(n)(rnd.nextInt(256).toByte),
+            new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, rate, 8, 1, 1,
+              rate, false), AudioFileFormat.Type.WAVE), "wav8")
+        case 2 =>
+          val ch = 1 + rnd.nextInt(2)
+          (jdkEncode(sine16(n, ch, bigEndian = true),
+            new AudioFormat(rate, 16, ch, true, true),
+            AudioFileFormat.Type.AIFF), s"aiff16x$ch")
+        case _ =>
+          (jdkEncode(sine16(n, 1, bigEndian = true),
+            new AudioFormat(rate, 16, 1, true, true),
+            AudioFileFormat.Type.AU), "au16")
+      }
+      val info = PcmContainer.parse(bytes)
+      withClue(s"$fmtLabel rate=$rate n=$n:") {
+        info should not be None
+        info.get.sampleRate shouldBe rate
+        // decode parity with the JDK reader, sample for sample
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val jdkRaw = ais.readAllBytes()
+        bytes.slice(info.get.dataOff, info.get.dataOff + info.get.dataLen) shouldBe jdkRaw
+      }
+    }
+  }
+
   it should "refuse the shapes the gate always refused" in {
     // µ-law AU (encoding 1)
     val mulaw = {

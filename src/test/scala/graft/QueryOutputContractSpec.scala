@@ -35,9 +35,16 @@ class QueryOutputContractSpec extends SparkTestBase {
       }
     }
 
+  // planning all ~176 queries dominates this suite's runtime — do it
+  // ONCE and let both schema tests read the cached result
+  private lazy val querySchemas: Seq[(String, StructType)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn(spark, sf).schema)
+    }
+
   "every SparkEntry query" should "emit only scalar columns in its final schema" in {
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val offenders = nestedOffenders(fn(spark, sf).schema)
+    val bad = querySchemas.flatMap { case (name, schema) =>
+      val offenders = nestedOffenders(schema)
       if (offenders.isEmpty) Nil else Seq(s"$name -> ${offenders.mkString(", ")}")
     }
     withClue(s"queries with non-scalar output columns:\n${bad.mkString("\n")}\n") {
@@ -94,8 +101,8 @@ class QueryOutputContractSpec extends SparkTestBase {
       case d: DecimalType => d.precision <= 15
       case t => allowed(t)
     }
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      fn(spark, sf).schema.fields.collect {
+    val bad = querySchemas.flatMap { case (name, schema) =>
+      schema.fields.collect {
         case f if !ok(f.dataType) => s"$name.${f.name}: ${f.dataType.simpleString}"
       }
     }

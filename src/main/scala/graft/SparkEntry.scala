@@ -664,6 +664,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming MEDIA dedup gate: the b-side asset feed arrives as a
+    // bounded micro-batch stream, each batch is rendered → dHashed →
+    // banded-matched against a FROZEN persisted image index of the
+    // corpus originals, and near-dups (≤ 3 bits) are dropped at the
+    // door. Per-asset decisions vs a frozen index are batch-boundary-
+    // independent, so the converged accepted set hash-checks against
+    // the batch brute-force oracle — the streaming × media composition
+    // of the daily-ingest story.
+    "q_stream_image_dedup" -> ((s, d) => {
+      val idxDir = scratchDir("graft_smi_idx_")
+      val out = scratchDir("graft_smi_")
+      val corpusIds = Tables.documents(s, d).select(
+        col("doc_id").as("img_id"), col("doc_id").as("seed"),
+        lit(false).as("tweak"))
+      graft.ops.ImageHash.buildIndex(
+          graft.ops.ImageHash.dHash(
+            graft.ops.ImageHash.syntheticPatternAssets(
+              corpusIds, "img_id", "seed", "tweak"), "id", "data"), "id")
+        .save(idxDir)
+      val feedIds = Tables.documentsStream(s, d).select(
+        (col("doc_id") + 1000000L).as("img_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
+          .otherwise(col("doc_id") + 1000000L).as("seed"),
+        (pmod(col("doc_id"), lit(3)) === 0).as("tweak"))
+      graft.streaming.ChangelogStream.streamMediaDedup(feedIds, idxDir,
+          "img_id", out,
+          hasher = b => graft.ops.ImageHash.dHash(
+            graft.ops.ImageHash.syntheticPatternAssets(
+              b, "img_id", "seed", "tweak"), "id", "data")
+            .select(col("id").as("img_id"), col("dhash_hi"),
+              col("dhash_lo")),
+          "dhash_hi", "dhash_lo", kind = graft.ops.ImageHash.IndexKind,
+          maxDist = 3, statePartitions = 8)
+        .select(col("img_id"))
+        .orderBy(col("img_id"))
+    }),
+
     // Streaming heavy hitters: a cumulative Misra–Gries sketch merged
     // across micro-batches (batch-id-versioned state = replay-idempotent),
     // reported in the EXACT regime with the enforced zero-error gate —
@@ -4119,6 +4156,17 @@ object SparkEntry {
          |      AS dist
          |  FROM hash a JOIN hash b ON a.img_id < b.img_id)
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // accepted = b-side assets with NO corpus hash within 3 bits — the
+    // batch equivalent of the frozen-index streaming gate
+    "q_stream_image_dedup" ->
+      s"""WITH $ImageHashCte
+         |SELECT a.img_id FROM hash a
+         |WHERE a.img_id >= 1000000 AND NOT EXISTS (
+         |  SELECT 1 FROM hash b WHERE b.img_id < 1000000
+         |    AND bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+         |        bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3)
+         |ORDER BY a.img_id""".stripMargin,
 
     "q_image_clusters" ->
       s"""WITH RECURSIVE $ImageHashCte,

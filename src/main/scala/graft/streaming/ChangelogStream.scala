@@ -393,6 +393,69 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming MEDIA near-dup gate against a FROZEN persisted
+    * fingerprint index ([[graft.ops.Hamming.HammingIndex]]) — the
+    * media composition of [[streamDedupAgainst]]'s shape: each arriving
+    * micro-batch of assets is fingerprinted by `hasher` (the
+    * decode+hash pipeline of the asset family — e.g.
+    * `ImageHash.dHash`, `AudioFingerprint.fingerprint`,
+    * `VideoFingerprint.fingerprint` — returning `(idCol, hiCol,
+    * loCol)` rows), banded-matched against the index, and rows whose
+    * fingerprint sits within `maxDist` of an indexed asset are
+    * DROPPED; everything else is accepted into the sink. The near-dup
+    * gate applied AS ASSETS ARRIVE — before a duplicate ever lands in
+    * the corpus — instead of as a later batch sweep.
+    *
+    * Assets the hasher cannot decode (null fingerprints) are ACCEPTED:
+    * they cannot be near-dup verified, and quarantining undecodable
+    * payloads is the multimodal audit tier's job, not the dedup
+    * gate's. `kind` is checked against the index on every batch, so a
+    * mis-wired feed (audio assets against an image index) fails the
+    * first micro-batch instead of silently accepting everything.
+    *
+    * The index is FROZEN: each decision depends only on the asset
+    * itself and the index, so the converged output equals the batch
+    * [[graft.ops.Hamming.matchAgainst]] filter of the whole bounded
+    * stream REGARDLESS of batch boundaries — it shares the batch
+    * brute-force oracle (`q_stream_image_dedup`). Daily ingest extends
+    * the index OUT OF BAND once the day's stream drains
+    * ([[graft.ops.Hamming.appendToIndexDir]] over the accepted sink) —
+    * the same post-drain high-water motion as the text tier's
+    * `appendAccepted`. Same idempotent per-batch-overwrite file bridge
+    * as [[streamDedupAgainst]]: a replayed batch recomputes the same
+    * decisions against the same frozen index and overwrites the same
+    * path. */
+  def streamMediaDedup(stream: DataFrame, indexDir: String, idCol: String,
+                       dir: String, hasher: DataFrame => DataFrame,
+                       hiCol: String, loCol: String, kind: String,
+                       maxDist: Int = 3,
+                       statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val idx = graft.ops.Hamming.HammingIndex.load(s, indexDir)
+        val dupIds = graft.ops.Hamming.matchAgainst(idx, hasher(b), idCol,
+            hiCol, loCol, maxDist, kind)
+          .select(col("inc_id").as(idCol)).distinct()
+        b.join(dupIds, Seq(idCol), "left_anti")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stream.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** Batch-id-versioned merge-state protocol shared by the streaming
     * monitors (heavy hitters, drift, checksum): each micro-batch writes
     * its CUMULATIVE state under `graft_batch=<id>`, recomputed from the

@@ -594,6 +594,71 @@ class ChangelogStreamSpec extends SparkTestBase {
       Map(10L -> "en", 11L -> "fr", 12L -> "en", 13L -> "fr")
   }
 
+  "streamMediaDedup" should "converge to the batch matchAgainst filter and enforce the kind guard" in {
+    import graft.ops.{Hamming, ImageHash}
+    // corpus: two indexed originals (seeds 7 and 8)
+    val corpusIds = Seq((1L, 7L, false), (2L, 8L, false))
+      .toDF("img_id", "seed", "tweak")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_smd_idx").toString
+    ImageHash.buildIndex(
+      ImageHash.dHash(ImageHash.syntheticPatternAssets(
+        corpusIds, "img_id", "seed", "tweak"), "id", "data"), "id")
+      .save(idxDir)
+    // feed across two micro-batches: a tweaked twin of seed 7 (dropped),
+    // an unrelated asset (accepted), a twin of seed 8 (dropped), and a
+    // fresh asset (accepted)
+    val feed = Seq((10L, 7L, true), (11L, 99L, false),
+      (12L, 8L, true), (13L, 55L, false))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_smd_in")
+    def stage(rows: Seq[(Long, Long, Boolean)], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_smd_w")
+      rows.toDF("img_id", "seed", "tweak").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(feed.take(2), "wave1.parquet", 120000L)
+    stage(feed.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(feed.take(1).toDF("img_id", "seed", "tweak").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_smd").toString
+    def hasher(b: org.apache.spark.sql.DataFrame) =
+      ImageHash.dHash(ImageHash.syntheticPatternAssets(
+          b, "img_id", "seed", "tweak"), "id", "data")
+        .select($"id".as("img_id"), $"dhash_hi", $"dhash_lo")
+    val got = ChangelogStream.streamMediaDedup(stream, idxDir, "img_id",
+        dir, hasher, "dhash_hi", "dhash_lo", kind = ImageHash.IndexKind)
+      .select($"img_id").as[Long].collect().toSet
+    got shouldBe Set(11L, 13L) // twins gated, novel assets accepted
+    // batch equivalence: the converged accepted set equals the
+    // batch-side filter of the whole feed against the same index
+    val idx = Hamming.HammingIndex.load(spark, idxDir)
+    val all = feed.toDF("img_id", "seed", "tweak")
+    val dup = ImageHash.matchAgainstIndex(idx, hasher(all), "img_id")
+      .select($"inc_id".as("img_id")).distinct()
+    val want = all.join(dup, Seq("img_id"), "left_anti")
+      .select($"img_id").as[Long].collect().toSet
+    got shouldBe want
+    // a mis-wired feed (wrong fingerprint family) fails the first batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_smd2").toString
+    val again = spark.readStream
+      .schema(feed.take(1).toDF("img_id", "seed", "tweak").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangelogStream.streamMediaDedup(again, idxDir, "img_id", dir2,
+        hasher, "dhash_hi", "dhash_lo", kind = "audio_envelope")
+    }
+    e.getMessage should include("refusing")
+  }
+
   "streamHeavyHitters" should "merge to exact counts across micro-batches" in {
     import graft.functions.FreqFunctions._
     val incoming = Seq(

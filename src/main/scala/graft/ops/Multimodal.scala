@@ -245,7 +245,7 @@ object Multimodal {
           val bytesPerSample = bits / 8
           val frameBytes = bytesPerSample * ch
           val n = info.dataLen / frameBytes
-          if (n == 0) return None
+          if (n <= 0) return None // <= not ==: never size an array negatively
           val out = new Array[Float](n)
           var i = 0
           while (i < n) {

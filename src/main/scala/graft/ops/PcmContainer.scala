@@ -80,7 +80,11 @@ object PcmContainer {
           if (bits != 8 && bits != 16) return None
           fmt = Some((bits, ch, rate.toFloat))
         case "data" =>
-          data = Some((body, math.min(size, (n - body).toLong).toInt))
+          // clamp to the bytes actually present — a size field pointing
+          // past EOF (truncated upload) must yield a short read, and
+          // NEVER a negative length (body can exceed n on a header-only
+          // truncation; a negative dataLen downstream would size arrays)
+          data = Some((body, math.max(0L, math.min(size, (n - body).toLong)).toInt))
         case _ => () // LIST/fact/cue — skipped
       }
       p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
@@ -133,8 +137,10 @@ object PcmContainer {
           val offset = be32(b, body)
           if (offset < 0 || offset > size - 8) return None
           val start = body + 8 + offset.toInt
+          // same clamp as WAV's data chunk: truncated SSND reads short,
+          // never negative
           ssnd = Some((start,
-            math.min(size - 8 - offset, (n - start).toLong).toInt))
+            math.max(0L, math.min(size - 8 - offset, (n - start).toLong)).toInt))
         case _ => ()
       }
       p = body + size.toInt + (size.toInt & 1)
@@ -154,7 +160,7 @@ object PcmContainer {
     if (enc != 3 || ch < 1 || dataOff < 24 || dataOff > n) return None
     val len =
       if (dataSize == 0xFFFFFFFFL) n - dataOff.toInt
-      else math.min(dataSize, (n - dataOff).toLong).toInt
+      else math.max(0L, math.min(dataSize, (n - dataOff).toLong)).toInt
     Some(PcmInfo(16, ch.toInt, bigEndian = true, unsigned8 = false,
       rate.toFloat, dataOff.toInt, len.toInt))
   }

@@ -161,6 +161,60 @@ class PcmContainerSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "never throw on truncation at ANY byte boundary (one corrupt asset must not kill a task)" in {
+    val files = Seq(
+      jdkEncode(sine16(120, 1, bigEndian = false),
+        new AudioFormat(8000f, 16, 1, true, false), AudioFileFormat.Type.WAVE),
+      jdkEncode(sine16(120, 1, bigEndian = true),
+        new AudioFormat(8000f, 16, 1, true, true), AudioFileFormat.Type.AIFF),
+      jdkEncode(sine16(120, 1, bigEndian = true),
+        new AudioFormat(8000f, 16, 1, true, true), AudioFileFormat.Type.AU))
+    files.foreach { full =>
+      for (len <- 0 to full.length) {
+        val cut = full.take(len)
+        val info = PcmContainer.parse(cut) // must not throw
+        info.foreach { i =>
+          i.dataLen should be >= 0
+          (i.dataOff + i.dataLen) should be <= len
+        }
+        Multimodal.AudioDecoder.pcmSamples(cut) // must not throw either
+      }
+    }
+  }
+
+  it should "clamp header sizes that point past EOF (short read, never negative)" in {
+    // hand-corrupt a valid WAV's data-chunk size to a huge value
+    val wav = PcmContainer.buildWav(sine16(100, 1, false), 8000, 16, 1).clone()
+    wav(40) = 0xFF.toByte; wav(41) = 0xFF.toByte
+    wav(42) = 0xFF.toByte; wav(43) = 0x0F.toByte
+    val info = PcmContainer.parse(wav).get
+    info.dataLen shouldBe 200 // the bytes actually present
+    Multimodal.AudioDecoder.pcmSamples(wav).get._1.length shouldBe 100
+    // and an AIFF whose SSND offset points past EOF parses to None or a
+    // zero-length read — never a negative array size
+    val aiff = jdkEncode(sine16(50, 1, bigEndian = true),
+      new AudioFormat(8000f, 16, 1, true, true), AudioFileFormat.Type.AIFF)
+      .clone()
+    val ssndAt = {
+      var p = 12
+      var at = -1
+      while (at < 0 && p + 8 <= aiff.length) {
+        if (new String(aiff, p, 4, "US-ASCII") == "SSND") at = p
+        else {
+          val size = ((aiff(p + 4) & 0xFF) << 24) | ((aiff(p + 5) & 0xFF) << 16) |
+            ((aiff(p + 6) & 0xFF) << 8) | (aiff(p + 7) & 0xFF)
+          p += 8 + size + (size & 1)
+        }
+      }
+      at
+    }
+    ssndAt should be > 0
+    aiff(ssndAt + 8) = 0x00; aiff(ssndAt + 9) = 0x0F.toByte // offset ~1M
+    aiff(ssndAt + 10) = 0x42.toByte; aiff(ssndAt + 11) = 0x40.toByte
+    noException should be thrownBy PcmContainer.parse(aiff)
+    Multimodal.AudioDecoder.pcmSamples(aiff) shouldBe None
+  }
+
   it should "refuse the shapes the gate always refused" in {
     // µ-law AU (encoding 1)
     val mulaw = {

@@ -70,20 +70,39 @@ object VideoFingerprint {
     (hi, lo)
   }
 
+  /** Per-asset decode budget: the signature folds AT MOST this many
+    * frames (the first `MaxFrames` in container order). Caps both
+    * memory (standalone frame copies) and CPU per asset, so one
+    * pathological million-frame container cannot stall its task — and
+    * for real clips the first few hundred frames already pin the
+    * majority vote. Part of the signature CONTRACT: two encodes of the
+    * same content longer than the cap still agree, because both fold
+    * the same leading frames. */
+  val MaxFrames = 256
+
   /** Demux a payload into frame byte streams: GIF and AVI containers
-    * split into standalone per-frame encodes; anything else is a
-    * 1-frame sequence of itself. */
-  private def demux(bytes: Array[Byte]): Seq[Array[Byte]] =
-    if (GifFrames.isGif(bytes)) GifFrames.demuxFrames(bytes)
-    else if (AviMjpeg.isAvi(bytes)) AviMjpeg.demuxFrames(bytes)
+    * split into standalone per-frame encodes (at most `maxFrames`,
+    * assembled lazily from the span layout — a huge container costs
+    * one O(frames) span walk, never an all-frames copy); anything else
+    * is a 1-frame sequence of itself. */
+  private def demux(bytes: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+    if (GifFrames.isGif(bytes))
+      GifFrames.layout(bytes) match {
+        case Some(lay) =>
+          lay.frames.take(maxFrames).map(GifFrames.assemble(bytes, lay, _))
+        case None => Seq.empty
+      }
+    else if (AviMjpeg.isAvi(bytes)) AviMjpeg.demuxFrames(bytes, maxFrames)
     else Seq(bytes)
 
   /** Fingerprint every video asset: `(id, media_type, n_frames, vfp_hi,
     * vfp_lo)`. `n_frames` counts the frames that actually decoded and
-    * met dHash's 9×8 minimum; payloads with zero usable frames yield
-    * honest nulls. */
+    * met dHash's 9×8 minimum (of the first `maxFrames` stored);
+    * payloads with zero usable frames yield honest nulls. */
   def fingerprint(df: DataFrame, idCol: String, bytesCol: String,
-                  batchSize: Int = 16): DataFrame = {
+                  batchSize: Int = 16,
+                  maxFrames: Int = MaxFrames): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(bytesCol).as("data"),
       Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))
@@ -96,7 +115,7 @@ object VideoFingerprint {
           val bytes = r.getAs[Array[Byte]](1)
           val mediaType = r.getString(2)
           try {
-            val hashes = demux(bytes).flatMap { fb =>
+            val hashes = demux(bytes, maxFrames).flatMap { fb =>
               try {
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(fb))

@@ -99,6 +99,21 @@ class VideoFingerprintSpec extends SparkTestBase {
     fp._3 shouldBe 0L
   }
 
+  it should "bound the per-asset decode budget at maxFrames" in {
+    // a long clip folds only its first maxFrames frames — bounded cost,
+    // and a contract: two long encodes of the same content still agree
+    val longClip = clips(Seq((1L, 3L, false)), nFrames = 8)
+    val capped = VideoFingerprint.fingerprint(longClip, "id", "data",
+        maxFrames = 4)
+      .select($"n_frames", $"vfp_hi", $"vfp_lo").as[(Int, Long, Long)].head()
+    capped._1 shouldBe 4
+    // equals the explicit 4-frame clip of the same seeds
+    val short = VideoFingerprint.fingerprint(
+        clips(Seq((1L, 3L, false)), nFrames = 4), "id", "data")
+      .select($"n_frames", $"vfp_hi", $"vfp_lo").as[(Int, Long, Long)].head()
+    capped shouldBe short
+  }
+
   it should "yield honest nulls for undecodable payloads" in {
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "data")
     val fp = VideoFingerprint.fingerprint(df, "id", "data").collect().head

@@ -19,4 +19,24 @@ class ParallelismSpec extends SparkTestBase {
     val wide = spark.range(100).toDF("id").repartition(target + 3)
     Parallelism.spread(wide).rdd.getNumPartitions shouldBe (target + 3)
   }
+
+  it should "see through a UNION of scans (the two-sided fixture id shape)" in {
+    import org.apache.spark.sql.functions.col
+    val a = spark.range(50).toDF("id").coalesce(1)
+    val b = spark.range(50).toDF("id").coalesce(1)
+      .select((col("id") + 1000000L).as("id"))
+    // 2 partitions total — the exact shape that serialized the media
+    // render onto 2 of 32 cores before unions were scan-shaped
+    Parallelism.spread(a.unionByName(b)).rdd.getNumPartitions shouldBe target
+  }
+
+  it should "pass through plans with exchanges untouched (union of aggregates)" in {
+    import org.apache.spark.sql.functions.{col, count}
+    val agg = spark.range(100).toDF("id")
+      .groupBy((col("id") % 3).as("k")).agg(count(col("id")).as("n"))
+    val u = agg.unionByName(agg)
+    // an aggregate already has shuffle-determined width; spread must not
+    // add a repartition on top (same object back = untouched)
+    Parallelism.spread(u) shouldBe theSameInstanceAs(u)
+  }
 }

@@ -1220,13 +1220,17 @@ object SparkEntry {
     // samples hash-checks against the raw table. Exactness is ENFORCED
     // (merged sample size == true row count via assert_true), not
     // assumed, same contract as q_freq_exact: scale growth past k fails
-    // loudly instead of silently drifting the hash.
+    // loudly instead of silently drifting the hash. Weight is
+    // n_chars + 1 (not n_chars): the sketch SKIPS non-positive weights,
+    // so an empty document would silently fall out of the sample while
+    // the oracle keeps it — the +1 keeps every document sampleable and
+    // the "sample ≡ input set" identity total.
     "q_varopt_exact" -> ((s, d) => {
       import graft.functions.VarOptFunctions._
       Tables.documents(s, d)
         .groupBy(pmod(col("doc_id"), lit(8)).as("__shard"))
         .agg(varoptSketch(col("doc_id").cast("string"),
-          col("n_chars"), k = 262144).as("sk"), count(lit(1)).as("n"))
+          col("n_chars") + lit(1), k = 262144).as("sk"), count(lit(1)).as("n"))
         .agg(varoptSamples(varoptMerge(col("sk"), k = 262144)).as("sample"),
           sum(col("n")).as("n_rows"))
         .filter(assert_true(size(col("sample")) === col("n_rows")).isNull)
@@ -3693,7 +3697,7 @@ object SparkEntry {
     "q_sim_ivfpq_exact" -> SimTopkOracleSql,
 
     "q_varopt_exact" ->
-      """SELECT doc_id, round(CAST(n_chars AS DOUBLE), 4) AS weight
+      """SELECT doc_id, round(CAST(n_chars + 1 AS DOUBLE), 4) AS weight
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_chunking" ->
       """WITH t AS (

@@ -65,9 +65,12 @@ object Hamming {
     // .fingerprint) — at 100 TB the decode IS the job, and without the
     // pin Spark re-executes it once per consumer (the sf0.1 bench
     // measured +48% on q_audio_neardup the round the extra branches
-    // landed). Same discipline as Dedup.simhashNearDups' sh pin; the pin
-    // backs the RETURNED lazy plan, so it is released by the
-    // ContextCleaner once the plan is unreachable, as in ivfTopK.
+    // landed). Same discipline as Dedup.simhashNearDups' sh pin. The pin
+    // backs the RETURNED lazy plan, so it cannot be released here; NOTE
+    // it lives in the session CacheManager until unpersist or
+    // clearCache — long-lived apps running many pair searches should
+    // materialize results and clearCache between runs (the
+    // crossEmbeddingNearDups contract).
     val h = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
@@ -188,7 +191,8 @@ object Hamming {
     * through the full-key equi-join. */
   def matchAgainst(index: HammingIndex, increment: DataFrame, idCol: String,
                    hiCol: String, loCol: String, maxDist: Int = 3,
-                   kind: String = ""): DataFrame = {
+                   kind: String = "",
+                   persistIncrement: Boolean = true): DataFrame = {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63] for banded exact recall, got $maxDist")
     require(kind.isEmpty || kind == index.kind,
@@ -197,11 +201,20 @@ object Hamming {
     // persist the INCREMENT side only (banded input + membership join =
     // 2 consumers of what is usually a fresh decode+hash lineage — see
     // nearDupPairs); the corpus side reads the already-persisted index
-    // parquet, so its two scans are cheap columnar reads, not re-decodes
-    val inc = increment.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+    // parquet, so its two scans are cheap columnar reads, not re-decodes.
+    // The pin lives in the CacheManager until unpersist/clearCache (see
+    // nearDupPairs); a REPEATED caller (per-micro-batch streaming) must
+    // pass persistIncrement = false and manage the cache lifecycle of
+    // its own hashed frame, or the entries accumulate per call —
+    // streamMediaDedup does exactly that.
+    val incBase = increment
+      .filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc =
+      if (persistIncrement)
+        incBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else incBase
     val cor = index.fingerprints
       .select(col("id").as("__id"), col("hi").as("__hi"),
         col("lo").as("__lo"))

@@ -236,7 +236,7 @@ object Multimodal {
       * read as garbage amplitudes — exactly the shapes the previous
       * JDK-reader gate accepted (spec-pinned round trips against
       * `AudioSystem.write`-encoded fixtures). */
-    private[ops] def pcmSamples(bytes: Array[Byte]): Option[(Array[Float], Float)] = {
+    private[ops] def pcmSamples(bytes: Array[Byte]): Option[(Array[Float], Float)] = try {
       PcmContainer.parse(bytes) match {
         case None => None
         case Some(info) =>
@@ -271,6 +271,12 @@ object Multimodal {
           }
           Some((out, info.sampleRate))
       }
+    } catch {
+      // belt-and-braces per-row containment (the pre-PcmContainer
+      // contract): a malformed asset that slips past the parser's
+      // bounds clamps yields an honest None, never a task failure —
+      // one corrupt payload in a 100 TB scan must not abort the job
+      case _: java.io.IOException | _: RuntimeException => None
     }
 
     def decodeOne(id: Long, bytes: Array[Byte], mediaType: String): Row = {

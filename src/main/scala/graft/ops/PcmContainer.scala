@@ -62,14 +62,17 @@ object PcmContainer {
 
   private def parseWav(b: Array[Byte]): Option[PcmInfo] = {
     val n = b.length
-    var p = 12
+    // the walk cursor is a LONG: a crafted size field near Int.MaxValue
+    // must advance the cursor past EOF (loop ends) — Int arithmetic
+    // would wrap it NEGATIVE and index out of bounds
+    var p = 12L
     var fmt: Option[(Int, Int, Float)] = None // (bits, channels, rate)
     var data: Option[(Int, Int)] = None
     while (p + 8 <= n && (fmt.isEmpty || data.isEmpty)) {
-      val id = tag(b, p)
-      val size = le32(b, p + 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
-      val body = p + 8
+      val pi = p.toInt // p + 8 <= n ⇒ fits
+      val id = tag(b, pi)
+      val size = le32(b, pi + 4) // unsigned 32-bit, always >= 0
+      val body = pi + 8
       id match {
         case "fmt " if size >= 16 && body + 16 <= n =>
           val audioTag = le16(b, body)
@@ -82,12 +85,12 @@ object PcmContainer {
         case "data" =>
           // clamp to the bytes actually present — a size field pointing
           // past EOF (truncated upload) must yield a short read, and
-          // NEVER a negative length (body can exceed n on a header-only
-          // truncation; a negative dataLen downstream would size arrays)
+          // NEVER a negative length (a negative dataLen downstream
+          // would size arrays)
           data = Some((body, math.max(0L, math.min(size, (n - body).toLong)).toInt))
         case _ => () // LIST/fact/cue — skipped
       }
-      p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      p = body.toLong + size + (size & 1L) // word-aligned; Long: no wrap
     }
     for ((bits, ch, rate) <- fmt; (off, len) <- data)
       yield PcmInfo(bits, ch, bigEndian = false, unsigned8 = bits == 8,
@@ -112,14 +115,14 @@ object PcmContainer {
   private def parseAiff(b: Array[Byte]): Option[PcmInfo] = {
     val n = b.length
     val aifc = tag(b, 8) == "AIFC"
-    var p = 12
+    var p = 12L // Long cursor — same overflow rationale as parseWav
     var comm: Option[(Int, Int, Float)] = None
     var ssnd: Option[(Int, Int)] = None
     while (p + 8 <= n && (comm.isEmpty || ssnd.isEmpty)) {
-      val id = tag(b, p)
-      val size = be32(b, p + 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
-      val body = p + 8
+      val pi = p.toInt
+      val id = tag(b, pi)
+      val size = be32(b, pi + 4)
+      val body = pi + 8
       id match {
         case "COMM" if size >= 18 && body + 18 <= n =>
           val ch = be16(b, body)
@@ -136,14 +139,15 @@ object PcmContainer {
         case "SSND" if size >= 8 && body + 8 <= n =>
           val offset = be32(b, body)
           if (offset < 0 || offset > size - 8) return None
-          val start = body + 8 + offset.toInt
-          // same clamp as WAV's data chunk: truncated SSND reads short,
-          // never negative
-          ssnd = Some((start,
-            math.max(0L, math.min(size - 8 - offset, (n - start).toLong)).toInt))
+          // Long start: a crafted offset near 2^31 must clamp to a
+          // zero-length read past EOF, never wrap to a negative index
+          val start = body.toLong + 8L + offset
+          if (start > n) ssnd = Some((n, 0))
+          else ssnd = Some((start.toInt,
+            math.max(0L, math.min(size - 8 - offset, n - start)).toInt))
         case _ => ()
       }
-      p = body + size.toInt + (size.toInt & 1)
+      p = body.toLong + size + (size & 1L)
     }
     for ((bits, ch, rate) <- comm; (off, len) <- ssnd)
       yield PcmInfo(bits, ch, bigEndian = true, unsigned8 = false,
@@ -157,7 +161,12 @@ object PcmContainer {
     val enc = be32(b, 12)
     val rate = be32(b, 16)
     val ch = be32(b, 20)
-    if (enc != 3 || ch < 1 || dataOff < 24 || dataOff > n) return None
+    // channel cap: a physically absurd channel field (up to 2^32-1 in
+    // the unsigned header) would Int-truncate negative or overflow
+    // frameBytes downstream, fabricating an all-zero envelope instead
+    // of refusing — the gate's contract is refuse, never read garbage
+    if (enc != 3 || ch < 1 || ch > 65536 || dataOff < 24 || dataOff > n)
+      return None
     val len =
       if (dataSize == 0xFFFFFFFFL) n - dataOff.toInt
       else math.max(0L, math.min(dataSize, (n - dataOff).toLong)).toInt

@@ -437,12 +437,22 @@ object ChangelogStream {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val s = b.sparkSession
         val idx = graft.ops.Hamming.HammingIndex.load(s, indexDir)
-        val dupIds = graft.ops.Hamming.matchAgainst(idx, hasher(b), idCol,
-            hiCol, loCol, maxDist, kind)
-          .select(col("inc_id").as(idCol)).distinct()
-        b.join(dupIds, Seq(idCol), "left_anti")
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$dir/out/graft_batch=$id")
+        // per-batch cache lifecycle: WE persist the decode+hash frame
+        // (matchAgainst's banded + membership consumers would otherwise
+        // re-decode the batch) and unpersist after the write — with
+        // matchAgainst's own pin (persistIncrement = false disabled), a
+        // long stream would otherwise grow one CacheManager entry per
+        // micro-batch for the driver's lifetime
+        val hashed = hasher(b).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dupIds = graft.ops.Hamming.matchAgainst(idx, hashed, idCol,
+              hiCol, loCol, maxDist, kind, persistIncrement = false)
+            .select(col("inc_id").as(idCol)).distinct()
+          b.join(dupIds, Seq(idCol), "left_anti")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/out/graft_batch=$id")
+        } finally hashed.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -215,6 +215,57 @@ class PcmContainerSpec extends AnyFlatSpec with Matchers {
     Multimodal.AudioDecoder.pcmSamples(aiff) shouldBe None
   }
 
+  it should "survive crafted headers with near-Int.MaxValue sizes and absurd channel counts" in {
+    // WAV with a skipped chunk whose size field is ~Int.MaxValue: the
+    // Long cursor must walk past EOF and return None, never wrap
+    // negative and index out of bounds
+    val junkWav = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(Array[Byte](36, 0, 0, 0))
+      out.write("WAVE".getBytes)
+      out.write("JUNK".getBytes)
+      out.write(Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)) // 0x7FFFFFF0
+      out.write(new Array[Byte](64))
+      out.toByteArray
+    }
+    noException should be thrownBy PcmContainer.parse(junkWav)
+    PcmContainer.parse(junkWav) shouldBe None
+    // AIFF whose SSND size/offset pair passes the offset <= size-8 check
+    // but overflows Int on body + 8 + offset: must clamp, never read a
+    // negative index
+    val evilAiff = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("FORM".getBytes); out.write(Array[Byte](0, 0, 2, 0))
+      out.write("AIFF".getBytes)
+      out.write("COMM".getBytes); out.write(Array[Byte](0, 0, 0, 18))
+      out.write(Array[Byte](0, 1)) // channels 1
+      out.write(Array[Byte](0, 0, 0, 50)) // frames
+      out.write(Array[Byte](0, 16)) // bits
+      out.write(Array[Byte](0x40, 0x0B, 0xFA.toByte, 0, 0, 0, 0, 0, 0, 0)) // 8000 Hz
+      out.write("SSND".getBytes)
+      out.write(Array[Byte](0x7F, 0xFF.toByte, 0xFF.toByte, 0xF0.toByte)) // size
+      out.write(Array[Byte](0x7F, 0xFF.toByte, 0xFF.toByte, 0x60.toByte)) // offset ~2^31
+      out.write(Array[Byte](0, 0, 0, 0))
+      out.write(new Array[Byte](32))
+      out.toByteArray
+    }
+    noException should be thrownBy PcmContainer.parse(evilAiff)
+    noException should be thrownBy Multimodal.AudioDecoder.pcmSamples(evilAiff)
+    // AU with an absurd unsigned channel count (would Int-truncate
+    // negative): refused, never a fabricated all-zero fingerprint
+    val evilAu = {
+      val out = new Array[Byte](24 + 40)
+      out(0) = '.'; out(1) = 's'; out(2) = 'n'; out(3) = 'd'
+      out(7) = 24
+      out(11) = 40
+      out(15) = 3 // 16-bit linear
+      out(17) = 0x1F; out(18) = 0x40 // 8000 Hz
+      out(20) = 0x80.toByte; out(23) = 1 // channels 0x80000001
+      out
+    }
+    PcmContainer.parse(evilAu) shouldBe None
+  }
+
   it should "refuse the shapes the gate always refused" in {
     // µ-law AU (encoding 1)
     val mulaw = {

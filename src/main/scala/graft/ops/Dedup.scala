@@ -305,8 +305,10 @@ object Dedup {
                         n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // the bucket table is O(docs × bands) ids+longs — tiny next to the
     // corpus — and both self-join branches need it: persist instead of
-    // recomputing the shingle→signature pipeline per branch (the block is
-    // dropped by the ContextCleaner once the plan is unreachable)
+    // recomputing the shingle→signature pipeline per branch (the pin
+    // lives in the session CacheManager until unpersist/clearCache — the
+    // one-query lifetime this API serves; long-lived apps clearCache
+    // between runs, the crossEmbeddingNearDups contract)
     val b = lshBuckets(df, idCol, textCol, n, bands, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // shuffle-hash, not broadcast: the bucket table scales with the corpus
@@ -793,10 +795,10 @@ object Dedup {
       s"blocked near-dup pruning needs threshold > 0, got $threshold")
     // both persists back the RETURNED plan (two join probes each), so
     // neither can be unpersisted here; like ivfTopK's assignment cache,
-    // release is left to the ContextCleaner once the caller's plan is
-    // unreachable. Long-lived apps running many increments should
+    // the pins live in the session CacheManager until explicitly
+    // released. Long-lived apps running many increments should
     // materialize the result and `spark.catalog.clearCache()` between
-    // runs if executor storage is tight.
+    // runs — the CacheManager holds them until then.
     val corpM = index.members.persist(StorageLevel.MEMORY_AND_DISK)
     val incM = IvfIndex.withAssignment(
         Parallelism.spread(

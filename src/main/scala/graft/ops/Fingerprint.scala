@@ -109,9 +109,10 @@ object Fingerprint {
     // persisted: BOTH index tables (fps and stop) derive from this
     // frame, and materializing them separately (save writes each)
     // would otherwise run the corpus fingerprint scan — one md5 per
-    // gram — plus the fp_hash window twice. Released by the
-    // ContextCleaner when the index's frames are collected, as with
-    // the ivfPqTopK intermediates.
+    // gram — plus the fp_hash window twice. The pin lives in the
+    // session CacheManager until unpersist/clearCache, as with the
+    // ivfPqTopK intermediates (clearCache between runs in long-lived
+    // apps).
     val flagged = fingerprints(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp_hash")).distinct()
       .withColumn("__df", count(lit(1))

@@ -100,9 +100,10 @@ object IvfIndex {
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     // ONE normalization pass: the persisted unit frame feeds training AND
-    // assignment (left to the ContextCleaner once the plan is
-    // unreachable, as elsewhere — unpersisting here would force the lazy
-    // result plan to recompute it)
+    // assignment; unpersisting here would force the lazy result plan to
+    // recompute it, so the pin lives in the session CacheManager until
+    // unpersist/clearCache (clearCache between runs in long-lived apps —
+    // the crossEmbeddingNearDups contract)
     val unit = unitVectors(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = trainOnUnit(unit, nlist, iters, idCol, vecCol)

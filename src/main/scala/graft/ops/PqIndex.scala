@@ -121,9 +121,9 @@ object PqIndex {
              vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // the persisted unit frame feeds training AND the encoded scan that
-    // backs the RETURNED plan, so it cannot be unpersisted here; release
-    // is left to the ContextCleaner once the caller's plan is
-    // unreachable (same contract as ivfTopK / crossEmbeddingNearDups)
+    // backs the RETURNED plan, so it cannot be unpersisted here; the pin
+    // lives in the session CacheManager until unpersist/clearCache
+    // (same contract as ivfTopK / crossEmbeddingNearDups)
     val unit = IvfIndex.unitVectors(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbs = trainOnUnit(unit, m, ks, iters)
@@ -148,8 +148,9 @@ object PqIndex {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
-    // persisted across BOTH trainings and the returned scan — released
-    // by the ContextCleaner, as in pqTopK (see the comment there)
+    // persisted across BOTH trainings and the returned scan — held by
+    // the session CacheManager until release, as in pqTopK (see the
+    // comment there)
     val unit = IvfIndex.unitVectors(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = IvfIndex.trainOnUnit(unit, nlist, iters, idCol, vecCol)

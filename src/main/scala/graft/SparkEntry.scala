@@ -47,6 +47,18 @@ object SparkEntry {
       |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** The synthetic twin families place each twin at `doc_id +
+    * 1,000,000`. A scale factor whose doc_ids reach that offset would
+    * collide twin ids with originals — two rows with the same id but
+    * different content, violating the Hamming membership invariant
+    * ("an id has exactly one fingerprint") and silently diverging from
+    * the oracles' GROUP BY. Enforced per-row, loudly, at every fixture
+    * site instead of discovered as an inexplicable red row. */
+  private def twinSafe(docs: DataFrame): DataFrame =
+    docs.filter(assert_true(col("doc_id") < 1000000L,
+      lit("twin fixture ids collide at doc_id >= 1000000 — " +
+        "raise the twin offset before raising the scale factor")).isNull)
+
   /** The `(img_id, seed, tweak)` id table of the synthetic image
     * family: one original per document plus a twin — a one-pixel tweak
     * of the SAME pattern for doc_id % 3 == 0 (a near-dup), an unrelated
@@ -55,7 +67,7 @@ object SparkEntry {
     * the encode/decode `mapPartitions` — a filter above it cannot push
     * down, and would generate both sides' assets per pass. */
   private def ImageTwinIds(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = twinSafe(Tables.documents(s, d))
     val a = docs.select(col("doc_id").as("img_id"),
       col("doc_id").as("seed"), lit(false).as("tweak"))
     val b = docs.select((col("doc_id") + 1000000L).as("img_id"),
@@ -116,7 +128,7 @@ object SparkEntry {
     * — same twin structure (and same pre-encode-filter rationale) as
     * [[ImageTwinIds]]. */
   private def AudioTwinIds(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = twinSafe(Tables.documents(s, d))
     val a = docs.select(col("doc_id").as("snd_id"),
       col("doc_id").as("seed"), lit(false).as("tweak"))
     val b = docs.select((col("doc_id") + 1000000L).as("snd_id"),
@@ -211,7 +223,8 @@ object SparkEntry {
     // bench's most expensive tier for no extra coverage — the subset
     // still yields hundreds of clips (and ~1/3 of them twins) at the
     // correctness SF
-    val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0)
+    val docs = twinSafe(Tables.documents(s, d))
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
     val a = docs.select(col("doc_id").as("vid_id"),
       col("doc_id").as("seed"), lit(false).as("tweak"))
     val b = docs.select((col("doc_id") + 1000000L).as("vid_id"),
@@ -675,7 +688,7 @@ object SparkEntry {
     "q_stream_image_dedup" -> ((s, d) => {
       val idxDir = scratchDir("graft_smi_idx_")
       val out = scratchDir("graft_smi_")
-      val corpusIds = Tables.documents(s, d).select(
+      val corpusIds = twinSafe(Tables.documents(s, d)).select(
         col("doc_id").as("img_id"), col("doc_id").as("seed"),
         lit(false).as("tweak"))
       graft.ops.ImageHash.buildIndex(
@@ -683,7 +696,7 @@ object SparkEntry {
             graft.ops.ImageHash.syntheticPatternAssets(
               corpusIds, "img_id", "seed", "tweak"), "id", "data"), "id")
         .save(idxDir)
-      val feedIds = Tables.documentsStream(s, d).select(
+      val feedIds = twinSafe(Tables.documentsStream(s, d)).select(
         (col("doc_id") + 1000000L).as("img_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id"))
           .otherwise(col("doc_id") + 1000000L).as("seed"),

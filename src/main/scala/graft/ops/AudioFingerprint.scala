@@ -23,8 +23,8 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: fingerprinting is batched `mapPartitions` over the
   * asset scan — zero shuffles; pair search is the shared [[Hamming]]
-  * 4-band pigeonhole join (exact recall at distance ≤ 3), never
-  * all-pairs.
+  * maxDist+1-band pigeonhole join (exact recall at any threshold
+  * ≤ 63), never all-pairs.
   */
 object AudioFingerprint {
 
@@ -68,6 +68,7 @@ object AudioFingerprint {
                   batchSize: Int = 64): DataFrame = {
     require(windowSamples >= 1,
       s"windowSamples must be >= 1, got $windowSamples")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(bytesCol).as("data"),
       Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))

@@ -53,9 +53,14 @@ object Hamming {
 
   /** Pairs `(id_a, id_b, dist)` with `dist ≤ maxDist` (exact recall for
     * any `maxDist ≤ 63` by the `maxDist + 1`-band pigeonhole),
-    * `id_a < id_b`. Null fingerprints are skipped. */
+    * `id_a < id_b`. Null fingerprints are skipped.
+    *
+    * `persistHashes = false` for REPEATED callers that manage their own
+    * cache lifecycle (persist the hash frame, run, unpersist) — same
+    * contract as [[matchAgainst]]'s `persistIncrement`. */
   def nearDupPairs(hashes: DataFrame, idCol: String, hiCol: String,
-                   loCol: String, maxDist: Int = 3): DataFrame = {
+                   loCol: String, maxDist: Int = 3,
+                   persistHashes: Boolean = true): DataFrame = {
     require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63] for banded exact recall, got $maxDist")
     // PERSIST the projected (id, hi, lo) frame: it feeds the banded-
@@ -71,10 +76,13 @@ object Hamming {
     // clearCache — long-lived apps running many pair searches should
     // materialize results and clearCache between runs (the
     // crossEmbeddingNearDups contract).
-    val h = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+    val hBase = hashes.filter(col(hiCol).isNotNull && col(loCol).isNotNull)
       .select(col(idCol).as("__id"), col(hiCol).as("__hi"),
         col(loCol).as("__lo"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h =
+      if (persistHashes)
+        hBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hBase
     val banded = bandedDistinct(h, maxDist)
     val a = banded.select(col("__hi").as("__hiA"), col("__lo").as("__loA"),
       col("__b.band").as("__band"), col("__b.v").as("__v"))
@@ -182,8 +190,9 @@ object Hamming {
 
   /** Cross-corpus pairs `(inc_id, corpus_id, dist)` with `dist ≤
     * maxDist` between an increment's fingerprints and an indexed corpus
-    * — the increment×corpus shape of [[nearDupPairs]]: same 4-band
-    * pigeonhole (exact recall ≤ 3), same distinct-fingerprint collapse
+    * — the increment×corpus shape of [[nearDupPairs]]: same
+    * `maxDist + 1`-band pigeonhole (exact recall at any `maxDist ≤
+    * 63`), same distinct-fingerprint collapse
     * on BOTH sides, and the corpus side reads from the prebuilt index —
     * the 100 TB asset store behind it is never re-decoded. No id
     * ordering: the sides are distinct tables whose id spaces may

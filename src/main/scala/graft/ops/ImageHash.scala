@@ -74,6 +74,7 @@ object ImageHash {
     * dhash_hi, dhash_lo)`; undecodable payloads yield honest nulls. */
   def dHash(df: DataFrame, idCol: String, bytesCol: String,
             batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(bytesCol).as("data"),
       Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))

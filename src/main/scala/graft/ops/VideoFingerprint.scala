@@ -103,6 +103,7 @@ object VideoFingerprint {
                   batchSize: Int = 16,
                   maxFrames: Int = MaxFrames): DataFrame = {
     require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(bytesCol).as("data"),
       Multimodal.sniffMediaType(col(bytesCol)).as("media_type"))

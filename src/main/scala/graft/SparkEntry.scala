@@ -2431,6 +2431,33 @@ object SparkEntry {
           round(col("mean_v"), 6).as("mean_v"))
         .orderBy(col("label"), col("pos"))),
 
+    // Johnson–Lindenstrauss sign projection: 64-float embeddings down
+    // to 8 doubles through an md5-seeded plan-literal ±1 matrix — the
+    // shuffle-free, fit-free byte-width cheapener in front of
+    // blocking/LSH/ANN. Exploded to (vec_id, out_dim, val) scalars;
+    // the oracle re-derives every sign from DuckDB's own md5 and
+    // replays the left-to-right double accumulation bit for bit.
+    "q_jl_project" -> ((s, d) =>
+      graft.ops.RandomProjection.project(Tables.embeddings(s, d),
+          "embedding", inDim = 64, outDim = 8, seed = "jl")
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("out_dim", "val")))
+        .select(col("vec_id"), col("out_dim").cast(LongType).as("out_dim"),
+          round(col("val"), 6).as("val"))
+        .orderBy(col("vec_id"), col("out_dim"))),
+
+    // One-pass covariance matrix of the embedding column through the
+    // map-side-combined fixed-point VectorOuterSum aggregate — the
+    // exchange carries one (count, 64, 2080)-long buffer per
+    // partition, never d² exploded rows per vector. Integer fixed
+    // point makes the sums bit-identical across engines and
+    // partitionings (the LinkRank discipline applied to second
+    // moments), so the oracle replays floor/sum/closed-form exactly.
+    "q_embedding_covariance" -> ((s, d) =>
+      graft.ops.Pca.covariance(Tables.embeddings(s, d), "embedding",
+          dim = 64)
+        .orderBy(col("i"), col("j"))),
+
     // ---- extension tier: multimodal columns ----
 
     // Batched feature extraction over binary payloads (stub decoder with
@@ -4641,6 +4668,47 @@ object SparkEntry {
         |  round(m.mv, 6) AS mean_v
         |FROM m JOIN n ON m.label = n.label
         |ORDER BY m.label, pos""".stripMargin,
+    // Every ±1 sign re-derived from DuckDB's own md5 (first hex char
+    // < '8' <=> +1 — the engine tests the first nibble of the digest
+    // byte, the same bit), products and the left-to-right reduction in
+    // DOUBLE, then the same /sqrt(8) division — bit-equal by IEEE.
+    "q_jl_project" ->
+      """SELECT e.vec_id, t.j::BIGINT AS out_dim,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    [embedding[i]::DOUBLE *
+        |       (CASE WHEN substr(md5('jl:' || t.j::VARCHAR || ':'
+        |                 || (i - 1)::VARCHAR), 1, 1) < '8'
+        |        THEN 1.0 ELSE -1.0 END)
+        |     for i in range(1, len(embedding) + 1)]),
+        |    (a, b) -> a + b) / sqrt(8.0), 6) AS val
+        |FROM embeddings e CROSS JOIN range(8) t(j)
+        |ORDER BY vec_id, out_dim""".stripMargin,
+    // The fixed-point discipline replayed: per-row floor(x*1e9) terms
+    // summed as integers (order-free, so GROUP BY order is
+    // irrelevant), then the identical double closed form; the quantized
+    // moments make covariance engine-exact where a double sum would
+    // differ in the last ulps.
+    "q_embedding_covariance" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |s AS (SELECT t.i AS i,
+        |        sum(CAST(floor(v[t.i + 1]::DOUBLE * 1000000000.0)
+        |            AS BIGINT)) AS sv
+        |      FROM e CROSS JOIN range(64) t(i) GROUP BY t.i),
+        |o AS (SELECT ti.i AS i, tj.i AS j,
+        |        sum(CAST(floor(v[ti.i + 1]::DOUBLE * v[tj.i + 1]::DOUBLE
+        |            * 1000000000.0) AS BIGINT)) AS ov
+        |      FROM e CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(i)
+        |      WHERE ti.i <= tj.i GROUP BY 1, 2)
+        |SELECT o.i::BIGINT AS i, o.j::BIGINT AS j, nn.n AS n,
+        |  round(o.ov::DOUBLE / 1000000000.0 / nn.n
+        |    - (si.sv::DOUBLE / 1000000000.0 / nn.n)
+        |      * (sj.sv::DOUBLE / 1000000000.0 / nn.n), 6) + 0.0 AS cov
+        |FROM o CROSS JOIN nn
+        |JOIN s si ON si.i = o.i
+        |JOIN s sj ON sj.i = o.j
+        |ORDER BY i, j""".stripMargin,
     // two branches: synthetic-GIF real resize (in dims arithmetic on
     // doc_id, out dims = integer aspect-fit into 8x4, byte_sum NULL) and
     // text decimation fallback (old stride arithmetic + checksum)

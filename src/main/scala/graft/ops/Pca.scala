@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{VectorAggFunctions, VectorFunctions}
+
+/** Principal-component analysis over an embedding column — the
+  * dimensionality tier of the vector battery: [[RandomProjection]]
+  * cheapens vectors obliviously; this finds the directions the corpus
+  * actually varies in (whitening before clustering/ANN, retired-axis
+  * detection after a model change, feature-correlation audits).
+  *
+  * Extends the reference's flat scalar surface per the charter
+  * (`SURVEY.md` §2.4): the reference engine has no vector types at all.
+  *
+  * Scale posture: everything data-sized happens in ONE
+  * [[graft.functions.VectorOuterSum]] pass — a map-side-combined
+  * `(count, d, d(d+1)/2)` long buffer per partition crosses the
+  * exchange, never `d²` exploded rows per vector. The eigensolve runs
+  * on the DRIVER over the d×d matrix (d ≤ a few hundred for any real
+  * embedding column — the matrix is model-sized, like the k-means
+  * centroid collects in [[Dedup]]); projection back over the corpus is
+  * a shuffle-free codegen'd [[graft.functions.FloatVectorDot]]
+  * projection, linear so mean-centering folds into a per-component
+  * scalar offset (`(v − m)·b = v·b − m·b`).
+  *
+  * Determinism: the sufficient statistics are integer fixed point
+  * (bit-identical across engines and partitionings — see
+  * [[graft.functions.VectorOuterSum]]); the Jacobi sweep order, the
+  * (eigenvalue desc, index asc) sort, and the largest-|component|-
+  * positive sign convention are all fixed, so `fit` is reproducible
+  * run to run on the same data.
+  */
+object Pca {
+
+  /** Population covariance matrix of a vector column as
+    * `(i, j, n, cov)` rows over the upper triangle (`i ≤ j`,
+    * `d(d+1)/2` rows) — `cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]` over the
+    * fixed-point-quantized moments (quantization ≤ 10^-scaleDigits,
+    * far below float input precision; `cov` rounded to 6 dp).
+    *
+    * `dim` must equal the column's (uniform, aggregate-enforced)
+    * dimension — a mismatch fails loudly rather than emitting nulls.
+    */
+  def covariance(df: DataFrame, vecCol: String, dim: Int,
+                 scaleDigits: Int = 9): DataFrame = {
+    require(dim > 0, s"covariance: dim must be positive, got $dim")
+    val sc = lit(math.pow(10.0, scaleDigits))
+    val agged = df.agg(
+        VectorAggFunctions.vecOuterSum(col(vecCol), scaleDigits).as("st"))
+      .select(col("st.count").as("__n"), col("st.sums").as("__s"),
+        col("st.outer").as("__o"))
+      .filter(assert_true(size(col("__s")) === dim,
+        lit(s"covariance: declared dim $dim does not match the data")).isNull)
+    val nd = col("__n").cast("double")
+    // upper-triangle row-major index of (i, j): i rows of shrinking
+    // width before row i, then the offset inside it
+    val t = (col("i") * dim - shiftright(col("i") * (col("i") - 1), 1)
+      + col("j") - col("i")).cast(IntegerType)
+    def mean(ix: Column): Column =
+      element_at(col("__s"), (ix + 1).cast(IntegerType)).cast("double") / sc / nd
+    agged
+      .select(col("*"), explode(sequence(lit(0L), lit(dim - 1L))).as("i"))
+      .select(col("*"), explode(sequence(col("i"), lit(dim - 1L))).as("j"))
+      .select(col("i"), col("j"), col("__n").as("n"),
+        // + 0.0 normalizes IEEE negative zero: a tiny negative moment
+        // rounds to -0.0 on engines whose round keeps the sign (DuckDB)
+        // and to 0.0 on those that don't (Spark's BigDecimal path) —
+        // equal values that STRINGIFY differently
+        (round(element_at(col("__o"), t + 1).cast("double") / sc / nd
+          - mean(col("i")) * mean(col("j")), 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Fitted model: `basis` rows are unit eigenvectors of the covariance
+    * matrix, sorted by `eigenvalues` descending. */
+  final case class PcaModel(nRows: Long, mean: Array[Double],
+      eigenvalues: Array[Double], basis: Array[Array[Double]]) {
+    def dim: Int = mean.length
+    def k: Int = basis.length
+
+    /** Appends `prefix0..prefix{k-1}` double columns — the
+      * mean-centered projection `(v − mean)·bⱼ`, computed as
+      * `fdot(v, bⱼ) − mean·bⱼ` (shuffle-free, codegen'd; the basis is
+      * quantized to float for the kernel, the offset uses the same
+      * quantized basis so centering stays exact). */
+    def project(df: DataFrame, vecCol: String,
+                prefix: String = "pc"): DataFrame = {
+      val cols = basis.zipWithIndex.map { case (b, j) =>
+        val bf = b.map(_.toFloat)
+        var offset = 0.0
+        var i = 0
+        while (i < mean.length) { offset += mean(i) * bf(i).toDouble; i += 1 }
+        (VectorFunctions.fdot(col(vecCol), typedlit(bf)) - lit(offset))
+          .as(s"$prefix$j")
+      }
+      df.select(col("*") +: cols: _*)
+    }
+  }
+
+  /** Fit the top-`k` principal components: one corpus pass for the
+    * sufficient statistics (model-sized driver collect), then a cyclic
+    * Jacobi eigensolve on the d×d covariance. */
+  def fit(df: DataFrame, vecCol: String, k: Int,
+          scaleDigits: Int = 9): PcaModel = {
+    require(k > 0, s"fit: k must be positive, got $k")
+    val row = df.agg(
+        VectorAggFunctions.vecOuterSum(col(vecCol), scaleDigits).as("st"))
+      .select(col("st.count"), col("st.sums"), col("st.outer")).head()
+    require(!row.isNullAt(0) && row.getLong(0) > 0,
+      "fit: no non-null vectors to fit on")
+    val n = row.getLong(0)
+    val sums = row.getSeq[Long](1).toArray
+    val outer = row.getSeq[Long](2).toArray
+    val d = sums.length
+    require(k <= d, s"fit: k = $k exceeds the vector dimension $d")
+    val sc = math.pow(10.0, scaleDigits)
+    val nd = n.toDouble
+    val mean = sums.map(_.toDouble / sc / nd)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = outer(t).toDouble / sc / nd - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    // (eigenvalue desc, index asc), then largest-|component|-positive:
+    // both deterministic, so refits on the same data agree bit for bit
+    val order = evals.indices.sortBy(ix => (-evals(ix), ix)).take(k)
+    val basis = order.map { ix =>
+      val v = Array.tabulate(d)(r => evecs(r)(ix))
+      var am = 0
+      var r = 1
+      while (r < d) { if (math.abs(v(r)) > math.abs(v(am))) am = r; r += 1 }
+      if (v(am) < 0) v.map(x => -x) else v
+    }.toArray
+    PcaModel(n, mean, order.map(evals).toArray, basis)
+  }
+
+  /** Cyclic Jacobi eigensolve for a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Deterministic sweep order;
+    * converges quadratically — a handful of sweeps at d = 64. */
+  private[ops] def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var norm = 0.0
+    for (i <- 0 until d; j <- 0 until d) norm += a(i)(j) * a(i)(j)
+    val tol = 1e-24 * math.max(norm, Double.MinPositiveValue)
+    var sweep = 0
+    while (off() > tol && sweep < maxSweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tt = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Johnson–Lindenstrauss random projection of an embedding column —
+  * the oblivious dimensionality cheapener in front of the vector
+  * battery: `k`-dim sign projections preserve pairwise distances to
+  * `1 ± ε` with `k = O(ε⁻² log n)` (Achlioptas 2003 showed dense ±1
+  * entries suffice — no Gaussians needed), so a 64-float embedding
+  * becomes a 16-double sketch that [[Dedup.embeddingNearDupsBlocked]]
+  * blocking, LSH bucketing, or a first-pass ANN filter can run on at a
+  * quarter of the byte width. Unlike [[Pca]] it needs NO fit pass —
+  * the matrix is derived from a seed, so yesterday's projection and
+  * today's agree without storing anything.
+  *
+  * Extends the reference's flat scalar surface per the charter
+  * (`SURVEY.md` §2.4).
+  *
+  * Scale posture: shuffle-free narrow projection. The `k×d` sign
+  * matrix is plan-literal (±1 floats — 4 KB at 16×64) and each output
+  * component is one codegen'd [[graft.functions.FloatVectorDot]] over
+  * it, so the whole transform whole-stage-compiles with the scan.
+  *
+  * Engine portability: signs derive from `md5("$seed:$j:$i")` (first
+  * hex nibble < 8 → +1), multiplication by ±1.0 is IEEE-exact, and the
+  * dot accumulates left to right in doubles — any engine with md5
+  * reproduces the projection bit for bit (the [[Sampling]] md5
+  * discipline applied to a projection matrix).
+  */
+object RandomProjection {
+
+  /** ±1 sign for output component `j`, input dimension `i`. */
+  def sign(seed: String, j: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) < 8) 1.0f else -1.0f
+  }
+
+  /** The `outDim × inDim` sign matrix, row per output component. */
+  def signMatrix(outDim: Int, inDim: Int, seed: String): Array[Array[Float]] =
+    Array.tabulate(outDim, inDim)((j, i) => sign(seed, j, i))
+
+  /** Appends `outCol: array<double>` — the `outDim`-component sign
+    * projection scaled by `1/√outDim` (so squared distances are
+    * preserved in expectation). Vectors shorter than `inDim` would
+    * silently project a prefix, so the declared dimension is enforced
+    * loudly per row; null vectors project to null. */
+  def project(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+              seed: String, outCol: String = "projected"): DataFrame = {
+    require(inDim > 0 && outDim > 0,
+      s"project: dims must be positive, got inDim=$inDim outDim=$outDim")
+    val signs = signMatrix(outDim, inDim, seed)
+    // divide (not multiply-by-reciprocal): an oracle replaying
+    // `x / sqrt(k)` must see the same IEEE operation
+    val root = lit(math.sqrt(outDim.toDouble))
+    val comps: Seq[Column] = signs.toSeq.map { row =>
+      VectorFunctions.fdot(col(vecCol), typedlit(row)) / root
+    }
+    df.withColumn("__dim_ok",
+        assert_true(col(vecCol).isNull || size(col(vecCol)) === inDim,
+          lit(s"project: vector dimension != declared inDim $inDim")))
+      .withColumn(outCol,
+        when(col(vecCol).isNotNull && col("__dim_ok").isNull,
+          array(comps: _*)))
+      .drop("__dim_ok")
+  }
+}

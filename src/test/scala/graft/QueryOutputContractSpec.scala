@@ -79,7 +79,17 @@ class QueryOutputContractSpec extends SparkTestBase {
     //    text renderings on both sides.
     //  - Double: both engines land in pandas float64 and the driver
     //    formats every Python float to 6 decimals before hashing;
-    //    queries already round() at the edge.
+    //    queries already round() at the edge. ONE residual hazard in
+    //    this type (third comparator hazard, caught PROACTIVELY while
+    //    wiring q_embedding_covariance rather than as a red row): IEEE
+    //    NEGATIVE ZERO. A tiny negative value rounds to -0.0 on engines
+    //    whose round() keeps the sign (DuckDB) and to 0.0 on Spark's
+    //    BigDecimal path — equal values that stringify differently
+    //    ("-0" vs "0"). Any double that can round to zero from below
+    //    (covariances, correlations, log-ratios, signed drift terms)
+    //    must normalize with `+ 0.0` on BOTH sides (-0.0 + 0.0 == +0.0
+    //    in IEEE; every other value is unchanged) — see Pca.covariance
+    //    and the q_embedding_covariance oracle.
     //  - Decimal(p <= 15): int64-backed in Spark, exact in float64
     //    after pandas conversion (gated above).
     //  - Date: rendered as the ISO date string by both engines.

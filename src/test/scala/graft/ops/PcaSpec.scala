@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.VectorAggFunctions
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 3
+  // seeded, reproducible vectors; values in a unit-ish range
+  private def rnd(n: Int, seed: Long = 7L): Seq[Array[Float]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat))
+  }
+  private def frame(vs: Seq[Array[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+
+  private def naiveStats(vs: Seq[Array[Float]], scale: Double = 1e9)
+      : (Long, Array[Long], Array[Long]) = {
+    val sums = new Array[Long](dim)
+    val outer = new Array[Long](dim * (dim + 1) / 2)
+    vs.foreach { v =>
+      var t = 0
+      for (i <- 0 until dim) {
+        sums(i) += math.floor(v(i).toDouble * scale).toLong
+        for (j <- i until dim) {
+          outer(t) += math.floor(v(i).toDouble * v(j).toDouble * scale).toLong
+          t += 1
+        }
+      }
+    }
+    (vs.size.toLong, sums, outer)
+  }
+
+  "vecOuterSum" should "match the naive fixed-point statistics" in {
+    val vs = rnd(40)
+    val row = frame(vs).agg(VectorAggFunctions.vecOuterSum($"vec").as("st"))
+      .select($"st.count", $"st.sums", $"st.outer").head()
+    val (n, s, o) = naiveStats(vs)
+    row.getLong(0) shouldBe n
+    row.getSeq[Long](1).toArray shouldBe s
+    row.getSeq[Long](2).toArray shouldBe o
+  }
+
+  it should "be bit-identical across partitionings" in {
+    val vs = rnd(60, seed = 11L)
+    def stats(parts: Int) =
+      frame(vs).repartition(parts)
+        .agg(VectorAggFunctions.vecOuterSum($"vec").as("st"))
+        .select($"st.count", $"st.sums", $"st.outer").head()
+    val a = stats(1); val b = stats(7)
+    a.getLong(0) shouldBe b.getLong(0)
+    a.getSeq[Long](1) shouldBe b.getSeq[Long](1)
+    a.getSeq[Long](2) shouldBe b.getSeq[Long](2)
+  }
+
+  it should "skip null rows and fail loudly on dimension drift and NaN" in {
+    val withNull = Seq((1L, Array(1f, 2f, 3f)), (2L, null))
+      .toDF("id", "vec")
+    withNull.agg(VectorAggFunctions.vecOuterSum($"vec").as("st"))
+      .select($"st.count").as[Long].head() shouldBe 1L
+
+    val drift = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f)))
+      .toDF("id", "vec")
+    val e1 = intercept[Exception] {
+      drift.agg(VectorAggFunctions.vecOuterSum($"vec")).collect()
+    }
+    e1.getMessage should include("dim")
+
+    val nan = Seq((1L, Array(1f, Float.NaN, 3f))).toDF("id", "vec")
+    val e2 = intercept[Exception] {
+      nan.agg(VectorAggFunctions.vecOuterSum($"vec")).collect()
+    }
+    e2.getMessage should include("NaN")
+  }
+
+  it should "fail loudly on fixed-point overflow instead of wrapping" in {
+    // 1e6 * 1e6 * 1e9 = 1e21 > Long.MaxValue on the very first row
+    val big = Seq((1L, Array(1e6f, 0f, 0f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      big.agg(VectorAggFunctions.vecOuterSum($"vec")).collect()
+    }
+    e.getMessage.toLowerCase should include("overflow")
+  }
+
+  "covariance" should "match the naive covariance matrix" in {
+    val vs = rnd(50, seed = 3L)
+    val got = Pca.covariance(frame(vs), "vec", dim)
+      .orderBy($"i", $"j")
+      .select($"i", $"j", $"n", $"cov")
+      .as[(Long, Long, Long, Double)].collect()
+    got.length shouldBe dim * (dim + 1) / 2
+    val (n, s, o) = naiveStats(vs)
+    val nd = n.toDouble
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val expect = BigDecimal(o(t).toDouble / 1e9 / nd
+        - (s(i).toDouble / 1e9 / nd) * (s(j).toDouble / 1e9 / nd))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val row = got(t)
+      (row._1, row._2, row._3) shouldBe ((i.toLong, j.toLong, n))
+      row._4 shouldBe expect +- 1e-9
+      t += 1
+    }
+  }
+
+  it should "reject a wrong declared dimension loudly" in {
+    val e = intercept[Exception] {
+      Pca.covariance(frame(rnd(5)), "vec", dim + 2).collect()
+    }
+    e.getMessage should include("does not match")
+  }
+
+  "fit" should "recover the dominant axis with an orthonormal basis" in {
+    // anisotropic cloud: variance 9 along (1,1,0)/sqrt(2), 1 along
+    // (1,-1,0)/sqrt(2), 0.01 along z
+    val r = new scala.util.Random(5L)
+    val vs = Seq.fill(400) {
+      val a = r.nextGaussian() * 3.0
+      val b = r.nextGaussian() * 1.0
+      val c = r.nextGaussian() * 0.1
+      val s2 = math.sqrt(2.0)
+      Array(((a + b) / s2 + c * 0).toFloat, ((a - b) / s2).toFloat, c.toFloat)
+    }
+    val m = Pca.fit(frame(vs), "vec", 3)
+    m.nRows shouldBe 400L
+    // eigenvalues descending
+    m.eigenvalues.sliding(2).foreach { w => w(0) should be >= w(1) }
+    // dominant axis ~ (1,1,0)/sqrt(2)
+    val b0 = m.basis(0)
+    math.abs(b0(0) / math.sqrt(2) + b0(1) / math.sqrt(2)) should be > 0.99
+    // orthonormal
+    for (i <- m.basis.indices; j <- i until m.basis.length) {
+      val dot = m.basis(i).zip(m.basis(j)).map { case (a, b) => a * b }.sum
+      dot shouldBe (if (i == j) 1.0 else 0.0) +- 1e-9
+    }
+    // trace identity: sum of ALL eigenvalues == trace of covariance
+    val (n, s, o) = naiveStats(vs)
+    val nd = n.toDouble
+    var trace = 0.0
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      if (i == j) trace += o(t).toDouble / 1e9 / nd -
+        (s(i).toDouble / 1e9 / nd) * (s(j).toDouble / 1e9 / nd)
+      t += 1
+    }
+    m.eigenvalues.sum shouldBe trace +- 1e-6
+  }
+
+  it should "be deterministic across refits" in {
+    val vs = rnd(80, seed = 23L)
+    val m1 = Pca.fit(frame(vs), "vec", 2)
+    val m2 = Pca.fit(frame(vs).repartition(5), "vec", 2)
+    m1.eigenvalues shouldBe m2.eigenvalues
+    m1.basis.map(_.toSeq) shouldBe m2.basis.map(_.toSeq)
+  }
+
+  "project" should "decorrelate the corpus and center on the mean" in {
+    val vs = rnd(200, seed = 41L)
+    val m = Pca.fit(frame(vs), "vec", 3)
+    val proj = m.project(frame(vs), "vec")
+    // projected components: mean ~ 0 (centering folded into the scalar
+    // offset), pairwise covariance ~ 0, variance ~ eigenvalue (float
+    // basis quantization bounds the tolerance)
+    val stats = proj.agg(
+      avg($"pc0"), avg($"pc1"), avg($"pc2"),
+      covar_pop($"pc0", $"pc1"), covar_pop($"pc0", $"pc2"),
+      covar_pop($"pc1", $"pc2"),
+      var_pop($"pc0")).head()
+    for (i <- 0 to 2) stats.getDouble(i) shouldBe 0.0 +- 1e-4
+    for (i <- 3 to 5) stats.getDouble(i) shouldBe 0.0 +- 1e-4
+    stats.getDouble(6) shouldBe m.eigenvalues(0) +- 1e-4
+  }
+
+  "jacobiEigen" should "reproduce a hand-diagonalizable matrix" in {
+    // [[2,1],[1,2]] has eigenpairs 3 @ (1,1)/sqrt2 and 1 @ (1,-1)/sqrt2
+    val (evals, evecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sortedEvals = evals.sorted
+    sortedEvals(0) shouldBe 1.0 +- 1e-12
+    sortedEvals(1) shouldBe 3.0 +- 1e-12
+    val big = if (evals(0) > evals(1)) 0 else 1
+    math.abs(evecs(0)(big)) shouldBe math.sqrt(0.5) +- 1e-12
+    math.abs(evecs(1)(big)) shouldBe math.sqrt(0.5) +- 1e-12
+  }
+}

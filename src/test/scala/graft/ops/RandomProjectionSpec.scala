@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RandomProjectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 64
+  private def rnd(n: Int, seed: Long): Seq[Array[Float]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat))
+  }
+  private def frame(vs: Seq[Array[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+
+  "sign" should "agree with an independent hex-string derivation" in {
+    // the oracle's formulation: first hex CHARACTER of the md5 string
+    // is one of '0'..'7'  <=>  +1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (j <- 0 until 5; i <- 0 until 70) {
+      val hex = md.digest(s"s:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = if (hex.charAt(0) < '8') 1.0f else -1.0f
+      RandomProjection.sign("s", j, i) shouldBe expect
+    }
+    // both signs actually occur (a degenerate all-ones matrix would
+    // pass every arithmetic test while projecting onto one direction)
+    val m = RandomProjection.signMatrix(8, dim, "jl").flatten
+    m.count(_ > 0) should be > 100
+    m.count(_ < 0) should be > 100
+  }
+
+  "project" should "preserve pairwise squared distances within JL bounds" in {
+    val vs = rnd(40, seed = 19L)
+    val proj = RandomProjection.project(frame(vs), "vec", dim,
+        outDim = 16, seed = "jl")
+      .select($"id", $"projected").as[(Long, Seq[Double])]
+      .collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- vs.indices; j <- (i + 1) until vs.size
+    } yield {
+      val orig = vs(i).zip(vs(j)).map { case (x, y) =>
+        (x - y).toDouble * (x - y).toDouble }.sum
+      d2(proj(i.toLong), proj(j.toLong)) / orig
+    }
+    // k = 16 sign projection: E[ratio] = 1, sd ~ sqrt(2/k) ~ 0.35;
+    // seeded data, so these are regression bounds not statistics
+    ratios.sum / ratios.size shouldBe 1.0 +- 0.15
+    all(ratios) should (be > 0.15 and be < 3.0)
+  }
+
+  it should "be linear" in {
+    val Seq(a, b) = rnd(2, seed = 29L)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val p = RandomProjection.project(
+        Seq((0L, a), (1L, b), (2L, sum)).toDF("id", "vec"),
+        "vec", dim, outDim = 8, seed = "lin")
+      .select($"id", $"projected").as[(Long, Seq[Double])].collect().toMap
+    p(0L).zip(p(1L)).map { case (x, y) => x + y }
+      .zip(p(2L)).foreach { case (got, want) =>
+        got shouldBe want +- 1e-5
+      }
+  }
+
+  it should "stay shuffle-free" in {
+    val plan = RandomProjection.project(frame(rnd(4, 1L)), "vec", dim, 8, "p")
+      .queryExecution.sparkPlan
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    } shouldBe empty
+  }
+
+  it should "reject dimension drift loudly and pass nulls through" in {
+    val bad = Seq((1L, Array(1f, 2f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      RandomProjection.project(bad, "vec", dim, 4, "s").collect()
+    }
+    e.getMessage should include("dimension")
+
+    val withNull = Seq((1L, Array.fill(dim)(1f)), (2L, null))
+      .toDF("id", "vec")
+    val got = RandomProjection.project(withNull, "vec", dim, 4, "s")
+      .select($"id", $"projected".isNull).as[(Long, Boolean)]
+      .collect().toMap
+    got(1L) shouldBe false
+    got(2L) shouldBe true
+  }
+}

@@ -1552,6 +1552,27 @@ object SparkEntry {
           "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup cluster-scoped curation verdicts: every row gets
+    // keep/drop + the in-cell culprit. iters = 0 is the exact
+    // correctness regime (cells = Voronoi of the first 8 ids — no Lloyd
+    // refinement), so the oracle re-derives normalization, assignment
+    // (ties to the higher cell), the farthest-from-centroid rank, and
+    // the monotone drop rule entirely in SQL; the iters > 0 production
+    // path shares every line downstream of the centroids (spec-covered).
+    "q_semdedup" -> ((s, d) =>
+      graft.ops.SemanticDedup.semDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 8, tau = 0.4, iters = 0)
+        .orderBy(col("vec_id"))),
+
+    // Cluster-then-sample diversity cap: at most 10 rows per semantic
+    // cell, md5-of-id order — dominant topics can no longer swamp a
+    // uniform sample. Same iters = 0 exact regime as q_semdedup.
+    "q_cluster_sample" -> ((s, d) =>
+      graft.ops.SemanticDedup.clusterBalancedSample(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 8, quota = 10, iters = 0)
+        .select(col("vec_id"), col("label"), col("cell"))
+        .orderBy(col("vec_id"))),
+
     // ---- extension tier: similarity search ----
 
     // Brute-force exact cosine top-k (broadcast query batch).
@@ -3709,6 +3730,45 @@ object SparkEntry {
          |SELECT id_a, id_b FROM j ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_embedding" -> EmbeddingNearDupOracle,
     "q_dedup_embedding_exact" -> EmbeddingNearDupOracle,
+    // Full SemDeDup replay at iters = 0: unit vectors with the same
+    // float cast, seeds = first 8 ids, assignment ties to the HIGHER
+    // cell (Spark's greatest(struct) ≡ ORDER BY score DESC, cell DESC),
+    // in-cell rank = (cosine-to-centroid ASC, id ASC), monotone drop
+    // rule with arg_min culprit; `+ 0.0` normalizes -0.0 at the
+    // rounding edge on both sides.
+    "q_semdedup" ->
+      s"""$SemCellAssignmentCte,
+        |rk AS (
+        |  SELECT a.id, a.cell, a.score, u.uv,
+        |    row_number() OVER (PARTITION BY a.cell
+        |      ORDER BY a.score ASC, a.id ASC) AS rnk
+        |  FROM asg a JOIN u ON u.id = a.id),
+        |dups AS (
+        |  SELECT r.id AS rid, arg_min(l.id, l.rnk) AS dup_of
+        |  FROM rk l JOIN rk r ON l.cell = r.cell AND l.rnk < r.rnk
+        |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+        |      [l.uv[i]::DOUBLE * r.uv[i]::DOUBLE
+        |       for i in range(1, len(l.uv) + 1)]),
+        |      (a, b) -> a + b) >= 0.4
+        |  GROUP BY r.id)
+        |SELECT rk.id AS vec_id, rk.cell::BIGINT AS cell,
+        |  round(rk.score, 6) + 0.0 AS cent_cos,
+        |  d.dup_of IS NULL AS keep, d.dup_of
+        |FROM rk LEFT JOIN dups d ON rk.id = d.rid
+        |ORDER BY vec_id""".stripMargin,
+    // Same assignment regime; the per-cell cap replays
+    // Sampling.stratifiedQuota's md5-of-id shuffle order exactly.
+    "q_cluster_sample" ->
+      s"""$SemCellAssignmentCte,
+        |q AS (
+        |  SELECT id, cell FROM
+        |    (SELECT id, cell, row_number() OVER (PARTITION BY cell
+        |       ORDER BY md5(id::VARCHAR), id) AS rk
+        |     FROM asg)
+        |  WHERE rk <= 10)
+        |SELECT e.vec_id, e.label, q.cell::BIGINT AS cell
+        |FROM q JOIN embeddings e ON e.vec_id = q.id
+        |ORDER BY e.vec_id""".stripMargin,
     "q_dedup_embedding_incremental" ->
       """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         |i AS (SELECT * FROM v WHERE id % 10 = 0),
@@ -5521,6 +5581,42 @@ object SparkEntry {
     * operation sequence as [[graft.functions.FloatVectorDot]], so the
     * result is bit-equal to the engine's (shared by the mining oracles;
     * `q_sim_topk` spells the identical arithmetic through CTEs). */
+  /** Shared SemDeDup-regime cell assignment (`iters = 0`): unit vectors
+    * with Spark's exact float cast, seeds = the first 8 ids' unit
+    * vectors, assignment = max dot with ties to the HIGHER cell
+    * (replaying `greatest(struct(score, cell))`). Yields `u(id, uv)`
+    * and `asg(id, cell, score)`. */
+  private val SemCellAssignmentCte: String =
+    """WITH v AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec) + 1)]),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT id,
+      |    CASE WHEN nrm = 0 THEN vec
+      |         ELSE [CAST(vec[i]::DOUBLE / nrm AS FLOAT)
+      |               for i in range(1, len(vec) + 1)] END AS uv
+      |  FROM v),
+      |seeds AS (
+      |  SELECT rn - 1 AS cell, uv AS cv FROM
+      |    (SELECT row_number() OVER (ORDER BY id) AS rn, uv FROM u)
+      |  WHERE rn <= 8),
+      |sc AS (
+      |  SELECT u.id, s.cell,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      [u.uv[i]::DOUBLE * s.cv[i]::DOUBLE
+      |       for i in range(1, len(u.uv) + 1)]),
+      |      (a, b) -> a + b) AS score
+      |  FROM u CROSS JOIN seeds s),
+      |asg AS (
+      |  SELECT id, cell, score FROM
+      |    (SELECT id, cell, score, row_number() OVER
+      |       (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+      |     FROM sc)
+      |  WHERE rn = 1)""".stripMargin
+
   private val CosineSqlFragment: String =
     """(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |    [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),

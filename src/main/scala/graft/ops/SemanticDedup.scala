@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorFunctions.fdot
+
+/** Cluster-scoped semantic deduplication of an embedding corpus — the
+  * SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): spherical
+  * k-means partitions the corpus into `k` cells, then near-duplicates
+  * are detected ONLY within a cell, accepting the cross-cell recall
+  * loss by design so the pairing cost is `Σ cellSize²` instead of `n²`.
+  * Where [[Dedup.embeddingNearDupsBlocked]] answers "which pairs are
+  * near-dups" (blocking is a recall-preserving accelerator there, with
+  * a triangle-inequality prune), this op answers the curation question
+  * "which rows do I KEEP": every row gets a verdict, and the keep
+  * priority follows the paper — within a cell the member FARTHEST from
+  * the centroid (least prototypical) ranks first, so prototypical
+  * redundancy is what gets dropped.
+  *
+  * Extends the reference's flat scalar surface per the charter
+  * (`SURVEY.md` §2.4): the reference engine has no vector types at all.
+  *
+  * Drop rule (monotone, join-shaped): a row is dropped iff SOME
+  * earlier-ranked member of its cell is within `tau` cosine — whether
+  * or not that member itself survives. Kept rows of a cell are
+  * therefore pairwise below `tau` (if two kept rows were within `tau`,
+  * the later-ranked one would have been dropped by the earlier), and
+  * every verdict is a pure function of the (cell, rank) order — no
+  * sequential sweep, so the whole decision is one self-join plus one
+  * aggregation, deterministic under any partitioning.
+  *
+  * Scale posture: one normalization pass (the unit frame is persisted —
+  * it feeds training, assignment, and both join sides; the
+  * [[Triangles]] multi-consumer discipline); training is model-sized
+  * driver traffic ([[IvfIndex.lloyd]]); assignment is constant plan
+  * size at any `k` ([[IvfIndex.withAssignment]]); the per-cell window
+  * and the in-cell pair join are bounded by the cell size, which the
+  * caller bounds by scaling `k` with the corpus (the paper's regime).
+  * Nothing data-sized reaches the driver.
+  */
+object SemanticDedup {
+
+  /** Verdict per input row: `(idCol, cell, cent_cos, keep, dup_of)` —
+    * the assigned cell, cosine to its centroid (rounded 6 dp; `+ 0.0`
+    * normalizes IEEE negative zero at the rounding edge), whether the
+    * row survives, and for dropped rows the id of the EARLIEST-ranked
+    * in-cell member within `tau` (null for kept rows).
+    *
+    * `iters = 0` skips Lloyd refinement: cells are the Voronoi regions
+    * of the first `k` rows by id — fully engine-replayable, the exact
+    * correctness regime (the harness oracle re-derives every verdict in
+    * SQL). Production runs use `iters > 0`; the verdict contract is
+    * identical, only the centroids move.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               tau: Double, iters: Int = 5): DataFrame = {
+    require(k >= 1, s"semDedup: k must be positive, got $k")
+    require(tau > 0.0 && tau <= 1.0,
+      s"semDedup: tau must be in (0, 1], got $tau (tau <= 0 would pair " +
+        "every in-cell row with every other)")
+    require(iters >= 0, s"semDedup: iters must be >= 0, got $iters")
+    // one normalization scan backs training, assignment, and both pair
+    // sides; the pin is held by the session CacheManager for the
+    // returned lazy plan's lifetime
+    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = IvfIndex.trainOnUnit(unit, k, iters, idCol, vecCol)
+    // nrm = 1.0: the frame is already unit vectors, so the assignment
+    // score is fdot(uvec, cvec) / 1.0 — the IEEE-exact cosine
+    val assigned = IvfIndex.withAssignment(
+        unit.select(col("id"), col("uvec").as("vec"), lit(1.0).as("nrm")),
+        centroids)
+      .select(col("id"), col("vec").as("uvec"), col("cell"), col("ccos"))
+    val ranked = assigned.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(col("ccos").asc, col("id").asc)))
+    val lhs = ranked.select(col("cell").as("l_cell"), col("id").as("l_id"),
+      col("uvec").as("l_uvec"), col("rnk").as("l_rnk"))
+    val rhs = ranked.select(col("cell").as("r_cell"), col("id").as("r_id"),
+      col("uvec").as("r_uvec"), col("rnk").as("r_rnk"))
+    val dups = lhs.join(rhs,
+        col("l_cell") === col("r_cell") && col("l_rnk") < col("r_rnk"))
+      .filter(fdot(col("l_uvec"), col("r_uvec")) >= tau)
+      .groupBy(col("r_id"))
+      // rnk is unique within a cell, so the min struct is the single
+      // earliest-ranked qualifying neighbor
+      .agg(min(struct(col("l_rnk"), col("l_id")))
+        .getField("l_id").as("dup_of"))
+    ranked.join(dups, ranked("id") === dups("r_id"), "left")
+      .select(ranked("id").as(idCol), col("cell").cast("long").as("cell"),
+        (round(col("ccos"), 6) + lit(0.0)).as("cent_cos"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
+  /** Cluster-balanced (diversity) sampling: at most `quota` rows from
+    * each of `k` spherical k-means cells, picked by the engine-portable
+    * md5-of-id order — the cluster-then-sample curation move (cap each
+    * semantic neighborhood instead of letting the corpus's dominant
+    * topics swamp a uniform sample). The semantic strata come from the
+    * same trainer/assignment as [[semDedup]] (`iters = 0` = the
+    * engine-replayable Voronoi-of-first-k regime); the per-cell cap is
+    * [[Sampling.stratifiedQuota]] — one shuffle on the cell key, window
+    * bounded by cell size. Output: the input row plus its `cell`.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, quota: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1, s"clusterBalancedSample: k must be positive, got $k")
+    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = IvfIndex.trainOnUnit(unit, k, iters, idCol, vecCol)
+    val cells = IvfIndex.assignCells(unit, centroids)
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"))
+    Sampling.stratifiedQuota(
+      df.join(cells, idCol), Seq("cell"), idCol, quota)
+  }
+}

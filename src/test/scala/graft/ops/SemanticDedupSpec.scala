@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SemanticDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def frame(vs: Seq[(Long, Array[Float])]) =
+    vs.toDF("id", "vec")
+
+  // two well-separated directions plus jittered near-copies: ids 0/1
+  // seed the two cells, 10/11 are near-copies of 0's direction, 20 is a
+  // near-copy of 1's direction, 30 is an in-cell but distant member
+  private def fixture: Seq[(Long, Array[Float])] = Seq(
+    0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+    1L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+    10L -> Array(0.999f, 0.01f, 0.0f, 0.0f),
+    11L -> Array(0.998f, 0.0f, 0.02f, 0.0f),
+    20L -> Array(0.01f, 0.995f, 0.0f, 0.0f),
+    30L -> Array(0.6f, 0.0f, 0.8f, 0.0f))
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na * nb == 0) 0.0 else d / (na * nb)
+  }
+
+  "semDedup" should "keep one member per tight in-cell group and explain drops" in {
+    val out = SemanticDedup.semDedup(frame(fixture), "id", "vec",
+        k = 2, tau = 0.95, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    out.size shouldBe fixture.size
+    // the x-direction group {0, 10, 11} collapses to one survivor; 30
+    // (cos ~0.6 to the x axis) stays; the y-direction group {1, 20}
+    // collapses to one survivor
+    val xGroup = Seq(0L, 10L, 11L).map(out(_))
+    xGroup.map(_._1).distinct.size shouldBe 1 // same cell
+    xGroup.count(_._2) shouldBe 1
+    out(30L)._2 shouldBe true
+    Seq(1L, 20L).map(out(_)).count(_._2) shouldBe 1
+    // every dropped row names an in-cell culprit actually within tau
+    val byId = fixture.toMap
+    out.foreach { case (id, (cell, keep, dupOf)) =>
+      if (!keep) {
+        val culprit = dupOf.get
+        out(culprit)._1 shouldBe cell
+        cosine(byId(id), byId(culprit)) should be >= 0.95
+      } else dupOf shouldBe None
+    }
+  }
+
+  it should "leave kept rows pairwise below tau within every cell" in {
+    val r = new scala.util.Random(7L)
+    val base = Seq.fill(6)(Array.fill(8)((r.nextDouble() * 2 - 1).toFloat))
+    // 60 rows = jittered copies of 6 base directions
+    val vs = (0 until 60).map { i =>
+      val b = base(i % 6)
+      i.toLong -> b.map(x => x + (r.nextDouble() * 0.02 - 0.01).toFloat)
+    }
+    val out = SemanticDedup.semDedup(frame(vs), "id", "vec",
+        k = 4, tau = 0.9, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val byId = vs.toMap
+    val keptByCell = out.filter(_._3).groupBy(_._2)
+    keptByCell.values.foreach { kept =>
+      for (i <- kept.indices; j <- (i + 1) until kept.size)
+        cosine(byId(kept(i)._1), byId(kept(j)._1)) should be < 0.9
+    }
+    // the jittered-copy corpus must actually exercise dropping
+    out.count(!_._3) should be > 20
+  }
+
+  it should "be bit-identical across input partitionings" in {
+    val vs = {
+      val r = new scala.util.Random(21L)
+      (0 until 50).map(i =>
+        i.toLong -> Array.fill(8)((r.nextDouble() * 2 - 1).toFloat))
+    }
+    def run(parts: Int) =
+      SemanticDedup.semDedup(frame(vs).repartition(parts), "id", "vec",
+          k = 3, tau = 0.8, iters = 2)
+        .orderBy(col("id")).collect().map(_.toString).toSeq
+    run(1) shouldBe run(7)
+  }
+
+  it should "tolerate zero vectors without pairing them" in {
+    val vs = Seq(
+      0L -> Array(1.0f, 0.0f),
+      1L -> Array(0.0f, 0.0f),
+      2L -> Array(0.0f, 0.0f))
+    val out = SemanticDedup.semDedup(frame(vs), "id", "vec",
+        k = 1, tau = 0.5, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // zero vectors dot to 0 with everything — below any positive tau,
+    // so both survive
+    out(1L) shouldBe true
+    out(2L) shouldBe true
+  }
+
+  "clusterBalancedSample" should "cap every cell at the quota and keep input columns" in {
+    val r = new scala.util.Random(11L)
+    val base = Seq.fill(3)(Array.fill(8)((r.nextDouble() * 2 - 1).toFloat))
+    // skewed corpus: 40 rows near base(0), 8 near base(1), 2 near base(2)
+    val vs = ((0 until 40).map(i => (i.toLong, 0)) ++
+        (40 until 48).map(i => (i.toLong, 1)) ++
+        (48 until 50).map(i => (i.toLong, 2)))
+      .map { case (id, b) =>
+        id -> base(b).map(x => x + (r.nextDouble() * 0.02 - 0.01).toFloat) }
+    val out = SemanticDedup.clusterBalancedSample(frame(vs), "id", "vec",
+      k = 3, quota = 5, iters = 2)
+    out.columns.toSeq shouldBe Seq("id", "vec", "cell")
+    val cells = out.select("id", "cell").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)))
+    // no cell exceeds the quota, and the dominant topic is actually
+    // capped (40 near-identical rows -> at most 5 survive per cell)
+    cells.groupBy(_._2).values.foreach(_.length should be <= 5)
+    cells.length should be < vs.size
+    // the tiny topic survives intact: capping is per-cell, not global
+    cells.length should be >= 7
+  }
+
+  it should "be deterministic across partitionings" in {
+    val vs = {
+      val r = new scala.util.Random(31L)
+      (0 until 60).map(i =>
+        i.toLong -> Array.fill(8)((r.nextDouble() * 2 - 1).toFloat))
+    }
+    def run(parts: Int) =
+      SemanticDedup.clusterBalancedSample(frame(vs).repartition(parts),
+          "id", "vec", k = 4, quota = 3, iters = 1)
+        .select("id", "cell").orderBy(col("id"))
+        .collect().map(_.toString).toSeq
+    run(1) shouldBe run(5)
+  }
+
+  it should "refuse invalid parameters loudly" in {
+    an[IllegalArgumentException] should be thrownBy
+      SemanticDedup.semDedup(frame(fixture), "id", "vec", k = 0, tau = 0.9)
+    an[IllegalArgumentException] should be thrownBy
+      SemanticDedup.semDedup(frame(fixture), "id", "vec", k = 2, tau = 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      SemanticDedup.semDedup(frame(fixture), "id", "vec", k = 2, tau = 1.5)
+    an[IllegalArgumentException] should be thrownBy
+      SemanticDedup.semDedup(frame(fixture), "id", "vec", k = 2, tau = 0.9,
+        iters = -1)
+  }
+}

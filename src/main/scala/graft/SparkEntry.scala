@@ -1573,6 +1573,22 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("cell"))
         .orderBy(col("vec_id"))),
 
+    // Int8 scalar quantization round trip: ranges fitted in one
+    // map-side-combined min/max pass (bit-exact, no accumulation
+    // rounding), then per-row reconstruction distortion from the
+    // shuffle-free grid expression. The oracle refits the ranges and
+    // replays floor/clamp/dequantize arithmetic in the same operation
+    // order.
+    "q_embedding_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val rng = graft.ops.ScalarQuantization.fitRanges(emb, "embedding")
+      graft.ops.ScalarQuantization
+        .reconstructionReport(emb, "vec_id", "embedding", rng)
+        .select(col("vec_id"), round(col("err_max"), 6).as("err_max"),
+          round(col("err_mean"), 6).as("err_mean"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- extension tier: similarity search ----
 
     // Brute-force exact cosine top-k (broadcast query batch).
@@ -3756,6 +3772,33 @@ object SparkEntry {
         |  d.dup_of IS NULL AS keep, d.dup_of
         |FROM rk LEFT JOIN dups d ON rk.id = d.rid
         |ORDER BY vec_id""".stripMargin,
+    // Exact min/max refit (no accumulation rounding -> engine-equal),
+    // then the same fixed-order double arithmetic: floor((x-mn)/range
+    // *255+0.5), clamp, mn + code/255*range, left-to-right error folds.
+    "q_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |r AS (SELECT t.i AS i, min(v[t.i + 1]) AS mn, max(v[t.i + 1]) AS mx
+        |      FROM e CROSS JOIN range(64) t(i) GROUP BY 1),
+        |m AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |      FROM r),
+        |er AS (
+        |  SELECT e.vec_id,
+        |    [CASE WHEN mxs[i]::DOUBLE - mns[i]::DOUBLE > 0 THEN
+        |       abs(v[i]::DOUBLE - (mns[i]::DOUBLE +
+        |         least(255.0, greatest(0.0,
+        |           floor((v[i]::DOUBLE - mns[i]::DOUBLE)
+        |             / (mxs[i]::DOUBLE - mns[i]::DOUBLE) * 255.0 + 0.5)))
+        |         / 255.0 * (mxs[i]::DOUBLE - mns[i]::DOUBLE)))
+        |     ELSE 0.0 END
+        |     for i in range(1, len(v) + 1)] AS errs
+        |  FROM e CROSS JOIN m)
+        |SELECT vec_id,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, errs),
+        |    (a, b) -> greatest(a, b)), 6) AS err_max,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, errs),
+        |    (a, b) -> a + b) / 64.0, 6) AS err_mean
+        |FROM er ORDER BY vec_id""".stripMargin,
     // Same assignment regime; the per-cell cap replays
     // Sampling.stratifiedQuota's md5-of-id shuffle order exactly.
     "q_cluster_sample" ->

@@ -133,6 +133,136 @@ case class VectorMean(
     copy(child = newChild)
 }
 
+/** Mutable (count, element-wise mins, element-wise maxs) state for
+  * [[VectorMinMax]]; arrays are null until the first vector fixes the
+  * dimension. */
+final class VecMinMaxBuffer(var count: Long, var mins: Array[Float],
+                            var maxs: Array[Float])
+
+/** Element-wise min/max of a vector column per group — the range-fit
+  * pass of scalar (int8) quantization and the bounding box of an
+  * embedding profiler, in ONE map-side-combined scan.
+  *
+  * Same scale posture as [[VectorMean]]: each partition reduces to one
+  * fixed `(count, 2 × dim floats)` buffer before the exchange, never
+  * `dim` exploded rows per vector. min/max of floats involves NO
+  * accumulation rounding, so the result is bit-exact and engine-portable
+  * by construction (the property the quantization oracle relies on).
+  *
+  * Returns `struct(count, mins array<float>, maxs array<float>)`; float
+  * inputs only (the int8-quantization consumer is float-typed — a
+  * double corpus would silently lose precision through a float range).
+  * Dimension mismatches, null and NaN elements fail loudly; null rows
+  * are skipped; an empty group yields null.
+  */
+case class VectorMinMax(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecMinMaxBuffer]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "vec_min_max"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("count", LongType, nullable = false),
+    StructField("mins", ArrayType(FloatType, containsNull = false)),
+    StructField("maxs", ArrayType(FloatType, containsNull = false))))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got " + other.catalogString)
+  }
+
+  override def createAggregationBuffer(): VecMinMaxBuffer =
+    new VecMinMaxBuffer(0L, null, null)
+
+  override def update(buf: VecMinMaxBuffer, input: InternalRow): VecMinMaxBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (buf.mins == null) {
+        buf.mins = Array.fill(n)(Float.PositiveInfinity)
+        buf.maxs = Array.fill(n)(Float.NegativeInfinity)
+      } else require(buf.mins.length == n,
+        s"$prettyName: vector dimension changed from ${buf.mins.length} to $n")
+      var i = 0
+      while (i < n) {
+        require(!arr.isNullAt(i), s"$prettyName: null element at position $i")
+        val x = arr.getFloat(i)
+        require(!x.isNaN, s"$prettyName: NaN element at position $i")
+        if (x < buf.mins(i)) buf.mins(i) = x
+        if (x > buf.maxs(i)) buf.maxs(i) = x
+        i += 1
+      }
+      buf.count += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecMinMaxBuffer, other: VecMinMaxBuffer): VecMinMaxBuffer = {
+    if (other.mins != null) {
+      if (buf.mins == null) {
+        buf.mins = other.mins.clone()
+        buf.maxs = other.maxs.clone()
+        buf.count = other.count
+      } else {
+        require(buf.mins.length == other.mins.length,
+          s"$prettyName: merging buffers of dims ${buf.mins.length} and " +
+            s"${other.mins.length}")
+        var i = 0
+        while (i < buf.mins.length) {
+          if (other.mins(i) < buf.mins(i)) buf.mins(i) = other.mins(i)
+          if (other.maxs(i) > buf.maxs(i)) buf.maxs(i) = other.maxs(i)
+          i += 1
+        }
+        buf.count += other.count
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VecMinMaxBuffer): Any =
+    if (buf.count == 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](buf.count, new GenericArrayData(buf.mins),
+        new GenericArrayData(buf.maxs)))
+
+  override def serialize(buf: VecMinMaxBuffer): Array[Byte] = {
+    val dim = if (buf.mins == null) -1 else buf.mins.length
+    val bb = ByteBuffer.allocate(8 + 4 + math.max(dim, 0) * 8)
+    bb.putLong(buf.count)
+    bb.putInt(dim)
+    if (dim > 0) { buf.mins.foreach(bb.putFloat); buf.maxs.foreach(bb.putFloat) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMinMaxBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val count = bb.getLong
+    val dim = bb.getInt
+    if (dim < 0) new VecMinMaxBuffer(count, null, null)
+    else {
+      val mins = new Array[Float](dim)
+      val maxs = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { mins(i) = bb.getFloat; i += 1 }
+      i = 0
+      while (i < dim) { maxs(i) = bb.getFloat; i += 1 }
+      new VecMinMaxBuffer(count, mins, maxs)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMinMax =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMinMax =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMinMax =
+    copy(child = newChild)
+}
+
 /** Mutable state for [[VectorOuterSum]]: row count, per-dimension
   * fixed-point sums (`d` longs) and the upper triangle of the
   * fixed-point outer-product sums (`d(d+1)/2` longs, row-major);
@@ -325,4 +455,10 @@ object VectorAggFunctions {
     ColumnBridge.column(
       VectorOuterSum(ColumnBridge.expression(vec), scaleDigits)
         .toAggregateExpression())
+
+  /** Element-wise `(count, mins, maxs)` of a float-vector column in one
+    * map-side-combined pass — see [[VectorMinMax]]. */
+  def vecMinMax(vec: Column): Column =
+    ColumnBridge.column(
+      VectorMinMax(ColumnBridge.expression(vec)).toAggregateExpression())
 }

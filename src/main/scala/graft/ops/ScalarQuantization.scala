@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorAggFunctions
+
+/** Int8 scalar quantization of an embedding column — the storage tier
+  * of the vector battery: per-dimension min/max ranges fitted in one
+  * corpus pass, then each float becomes one signed byte (`4×` smaller
+  * than float32 — at 100 TB of embeddings that is the difference
+  * between one cluster and four). Complements [[PqIndex]]: PQ is the
+  * SEARCH-side compressor (subspace codebooks, asymmetric distance);
+  * scalar quantization is the STORAGE/interchange format — codes
+  * dequantize to usable vectors without a codebook lookup, and the
+  * reconstruction error is per-dimension-bounded by `range/255/2`, not
+  * distributional.
+  *
+  * Extends the reference's flat scalar surface per the charter
+  * (`SURVEY.md` §2.4).
+  *
+  * Scale posture: the fit is ONE [[graft.functions.VectorMinMax]]
+  * aggregate (map-side combined, a `2 × dim` float buffer per partition
+  * crosses the exchange — never `dim` exploded rows per vector); ranges
+  * are model-sized driver state, re-entering plans as array literals;
+  * quantize / dequantize / the error report are shuffle-free per-row
+  * projections.
+  *
+  * Determinism: float min/max involves no accumulation rounding, and
+  * every quantization step is a fixed-order double expression
+  * (`floor((x − mn) / (mx − mn) · 255 + 0.5)`, clamp, then
+  * `mn + code/255 · (mx − mn)`) — bit-replayable by any engine, the
+  * property the harness oracle relies on.
+  */
+object ScalarQuantization {
+
+  /** Fitted per-dimension ranges (model-sized). A dimension with
+    * `mx == mn` is degenerate: every value quantizes to code 0 and
+    * dequantizes to `mn` exactly. */
+  final case class QuantRanges(count: Long, mins: Array[Float],
+                               maxs: Array[Float]) {
+    def dim: Int = mins.length
+  }
+
+  /** One-pass range fit over the non-null vectors of `vecCol`. Fails
+    * loudly on an empty corpus, ragged dimensions, or NaN elements (the
+    * aggregate's contract). */
+  def fitRanges(df: DataFrame, vecCol: String): QuantRanges = {
+    val row = df.agg(VectorAggFunctions.vecMinMax(col(vecCol)).as("mm"))
+      .select(col("mm.count"), col("mm.mins"), col("mm.maxs")).head()
+    require(!row.isNullAt(0) && row.getLong(0) > 0,
+      "fitRanges: no non-null vectors to fit on")
+    QuantRanges(row.getLong(0), row.getSeq[Float](1).toArray,
+      row.getSeq[Float](2).toArray)
+  }
+
+  /** The quantization grid index for element `x` of dimension `i`, as a
+    * double in `[0, 255]` (shared by [[quantize]] and the error
+    * report so the two can never disagree). */
+  private def gridCode(x: Column, mn: Column, mx: Column): Column = {
+    val xd = x.cast("double")
+    val mnd = mn.cast("double")
+    val range = mx.cast("double") - mnd
+    when(range > 0.0,
+      least(lit(255.0), greatest(lit(0.0),
+        floor((xd - mnd) / range * 255.0 + 0.5))))
+      .otherwise(lit(0.0))
+  }
+
+  /** Appends `codesCol: array<tinyint>` — the int8 codes
+    * (`grid − 128`, so the full signed-byte range is used; null vectors
+    * stay null). Input dimension must match the fitted ranges; a
+    * shorter or longer vector fails loudly per row. */
+  def quantize(df: DataFrame, vecCol: String, ranges: QuantRanges,
+               codesCol: String = "codes"): DataFrame = {
+    val mns = typedlit(ranges.mins.toSeq)
+    val mxs = typedlit(ranges.maxs.toSeq)
+    df.withColumn("__qdim_ok",
+        assert_true(col(vecCol).isNull || size(col(vecCol)) === ranges.dim,
+          lit(s"quantize: vector dimension != fitted dim ${ranges.dim}")))
+      .withColumn(codesCol,
+        when(col(vecCol).isNotNull && col("__qdim_ok").isNull,
+          transform(col(vecCol), (x, i) =>
+            (gridCode(x, element_at(mns, i + 1), element_at(mxs, i + 1))
+              - lit(128.0)).cast("tinyint"))))
+      .drop("__qdim_ok")
+  }
+
+  /** Appends `outCol: array<double>` — the reconstruction
+    * `mn + (code + 128)/255 · (mx − mn)` (degenerate dimensions
+    * reconstruct to `mn`). */
+  def dequantize(df: DataFrame, codesCol: String, ranges: QuantRanges,
+                 outCol: String = "deq"): DataFrame = {
+    val mns = typedlit(ranges.mins.toSeq)
+    val mxs = typedlit(ranges.maxs.toSeq)
+    df.withColumn(outCol,
+      when(col(codesCol).isNotNull,
+        transform(col(codesCol), (c, i) => {
+          val mnd = element_at(mns, i + 1).cast("double")
+          val range = element_at(mxs, i + 1).cast("double") - mnd
+          mnd + (c.cast("double") + lit(128.0)) / 255.0 * range
+        })))
+  }
+
+  /** Per-row round-trip distortion: `(idCol, err_max, err_mean)` over
+    * the quantize→dequantize cycle, computed in one shuffle-free
+    * projection (the codes are never materialized — the grid index is
+    * algebraically identical to [[quantize]]'s). `err_max` is bounded
+    * by `max_i (mx_i − mn_i)/255/2` up to float rounding — the
+    * quantization contract the spec pins. */
+  def reconstructionReport(df: DataFrame, idCol: String, vecCol: String,
+                           ranges: QuantRanges): DataFrame = {
+    val mns = typedlit(ranges.mins.toSeq)
+    val mxs = typedlit(ranges.maxs.toSeq)
+    val errs = transform(col(vecCol), (x, i) => {
+      val mnd = element_at(mns, i + 1).cast("double")
+      val range = element_at(mxs, i + 1).cast("double") - mnd
+      val deq = mnd + gridCode(x, element_at(mns, i + 1),
+        element_at(mxs, i + 1)) / 255.0 * range
+      abs(x.cast("double") - deq)
+    })
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__errs", errs)
+      .filter(assert_true(size(col("__errs")) === ranges.dim,
+        lit(s"reconstructionReport: vector dimension != fitted dim " +
+          s"${ranges.dim}")).isNull)
+      .select(col(idCol),
+        aggregate(col("__errs"), lit(0.0), (a, x) => greatest(a, x))
+          .as("err_max"),
+        (aggregate(col("__errs"), lit(0.0), (a, x) => a + x)
+          / lit(ranges.dim.toDouble)).as("err_mean"))
+  }
+}

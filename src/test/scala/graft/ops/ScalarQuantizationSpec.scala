@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ByteType
+
+class ScalarQuantizationSpec extends SparkTestBase {
+  import spark.implicits._
+  import ScalarQuantization._
+
+  private val dim = 6
+  private def rnd(n: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      i.toLong -> Array.fill(dim)((r.nextDouble() * 4 - 2).toFloat))
+  }
+  private def frame(vs: Seq[(Long, Array[Float])]) = vs.toDF("id", "vec")
+
+  "fitRanges" should "find the exact per-dimension min/max" in {
+    val vs = rnd(80, 3L)
+    val rng = fitRanges(frame(vs), "vec")
+    rng.count shouldBe 80L
+    rng.dim shouldBe dim
+    for (i <- 0 until dim) {
+      rng.mins(i) shouldBe vs.map(_._2(i)).min
+      rng.maxs(i) shouldBe vs.map(_._2(i)).max
+    }
+  }
+
+  it should "be bit-identical across partitionings and skip null rows" in {
+    val vs = rnd(50, 9L)
+    val withNull = frame(vs).union(
+      Seq((999L, null.asInstanceOf[Array[Float]])).toDF("id", "vec"))
+    val a = fitRanges(withNull.repartition(1), "vec")
+    val b = fitRanges(withNull.repartition(7), "vec")
+    a.count shouldBe 50L
+    a.mins.toSeq shouldBe b.mins.toSeq
+    a.maxs.toSeq shouldBe b.maxs.toSeq
+  }
+
+  "quantize" should "emit int8 codes that dequantize within half a grid step" in {
+    val vs = rnd(60, 17L)
+    val rng = fitRanges(frame(vs), "vec")
+    val out = dequantize(quantize(frame(vs), "vec", rng), "codes", rng)
+      .select($"id", $"vec", $"codes", $"deq")
+      .collect()
+    out.length shouldBe 60
+    out.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val deq = r.getSeq[Double](3)
+      for (i <- 0 until dim) {
+        val step = (rng.maxs(i) - rng.mins(i)).toDouble / 255.0
+        math.abs(vec(i) - deq(i)) should be <= step / 2 + 1e-9
+      }
+    }
+    // schema really is int8 — the 4x storage claim
+    quantize(frame(vs), "vec", rng).schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType shouldBe ByteType
+  }
+
+  it should "reconstruct range endpoints and constant dimensions exactly" in {
+    // dim 0 spans [0, 1]; dim 1 is constant (degenerate)
+    val vs = Seq(
+      0L -> Array(0.0f, 3.5f),
+      1L -> Array(1.0f, 3.5f),
+      2L -> Array(0.5f, 3.5f))
+    val rng = fitRanges(frame(vs), "vec")
+    val deq = dequantize(quantize(frame(vs), "vec", rng), "codes", rng)
+      .select($"id", $"deq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    deq(0L)(0) shouldBe 0.0
+    deq(1L)(0) shouldBe 1.0
+    // degenerate dimension: every row reconstructs to mn exactly
+    deq.values.foreach(_(1) shouldBe 3.5f.toDouble)
+  }
+
+  it should "refuse dimension drift loudly" in {
+    val rng = fitRanges(frame(rnd(10, 5L)), "vec")
+    val bad = Seq((0L, Array(1.0f, 2.0f))).toDF("id", "vec")
+    a[Exception] should be thrownBy
+      quantize(bad, "vec", rng).collect()
+    a[Exception] should be thrownBy
+      reconstructionReport(bad, "id", "vec", rng).collect()
+  }
+
+  "reconstructionReport" should "agree with the materialized quantize→dequantize cycle" in {
+    val vs = rnd(40, 23L)
+    val rng = fitRanges(frame(vs), "vec")
+    val cycle = dequantize(quantize(frame(vs), "vec", rng), "codes", rng)
+      .select($"id", $"vec", $"deq").collect()
+      .map { r =>
+        val errs = r.getSeq[Float](1).zip(r.getSeq[Double](2))
+          .map { case (x, d) => math.abs(x.toDouble - d) }
+        r.getLong(0) -> ((errs.max, errs.sum / dim))
+      }.toMap
+    val report = reconstructionReport(frame(vs), "id", "vec", rng)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    report.keySet shouldBe cycle.keySet
+    report.foreach { case (id, (mx, mean)) =>
+      mx shouldBe cycle(id)._1 +- 1e-12
+      mean shouldBe cycle(id)._2 +- 1e-12
+    }
+  }
+
+  it should "fail loudly on an empty corpus" in {
+    an[IllegalArgumentException] should be thrownBy
+      fitRanges(frame(Nil), "vec")
+  }
+}

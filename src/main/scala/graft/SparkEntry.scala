@@ -1589,6 +1589,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Compressed-domain search: the same top-k scan, but the corpus is
+    // the int8 codes, scored by the fused dequantize-and-dot kernel (no
+    // float array ever materialized). The oracle requantizes from SQL
+    // and replays dequantized cosines in the same operation order.
+    "q_quantized_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val rng = graft.ops.ScalarQuantization.fitRanges(emb, "embedding")
+      val codes = graft.ops.ScalarQuantization
+        .quantize(emb, "embedding", rng).select(col("vec_id"), col("codes"))
+      graft.ops.ScalarQuantization.quantizedTopK(codes, rng,
+          emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- extension tier: similarity search ----
 
     // Brute-force exact cosine top-k (broadcast query batch).
@@ -3799,6 +3813,49 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(0.0::DOUBLE, errs),
         |    (a, b) -> a + b) / 64.0, 6) AS err_mean
         |FROM er ORDER BY vec_id""".stripMargin,
+    // Requantize in SQL (exact min/max refit + the same grid), then the
+    // SimTopk replay shape over DEQUANTIZED corpus vectors: dot and
+    // norms folded left to right, same zero guard and tie-break.
+    "q_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |r AS (SELECT t.i AS i, min(v[t.i + 1]) AS mn, max(v[t.i + 1]) AS mx
+        |      FROM e CROSS JOIN range(64) t(i) GROUP BY 1),
+        |m AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |      FROM r),
+        |dq AS (
+        |  SELECT e.vec_id AS corpus_id,
+        |    [CASE WHEN mxs[i]::DOUBLE - mns[i]::DOUBLE > 0 THEN
+        |       mns[i]::DOUBLE +
+        |         least(255.0, greatest(0.0,
+        |           floor((v[i]::DOUBLE - mns[i]::DOUBLE)
+        |             / (mxs[i]::DOUBLE - mns[i]::DOUBLE) * 255.0 + 0.5)))
+        |         / 255.0 * (mxs[i]::DOUBLE - mns[i]::DOUBLE)
+        |     ELSE mns[i]::DOUBLE END
+        |     for i in range(1, len(v) + 1)] AS dv
+        |  FROM e CROSS JOIN m),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |      WHERE vec_id < 10),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [dv[i] * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+        |      (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [dv[i] * dv[i] for i in range(1, len(dv) + 1)]),
+        |      (a, b) -> a + b)) AS nc
+        |  FROM q JOIN dq ON query_id <> corpus_id),
+        |rr AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END AS cosine
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, corpus_id) AS rank FROM rr)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Same assignment regime; the per-cell cap replays
     // Sampling.stratifiedQuota's md5-of-id shuffle order exactly.
     "q_cluster_sample" ->

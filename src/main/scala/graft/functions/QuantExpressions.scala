@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Compressed-domain scoring kernels for
+  * [[graft.ops.ScalarQuantization]]'s int8 codes: the corpus is scored
+  * WITHOUT ever materializing a dequantized float array per row — the
+  * dequantization `mn_i + (code_i + 128)/255 · range_i` is fused into
+  * the dot-product loop, allocation-free inside whole-stage codegen
+  * (the [[FloatVectorDot]] treatment applied to the storage tier; at
+  * 100 TB the transient 4× blow-back of decode-then-dot is the
+  * difference between scanning codes and scanning floats).
+  *
+  * Arithmetic is the EXACT dequantize expression (same operation order
+  * as [[graft.ops.ScalarQuantization.dequantize]]) followed by the
+  * left-to-right double accumulation every other kernel uses — so
+  * scores are bit-identical to decode-then-[[FloatVectorDot]]... minus
+  * the float re-cast: the fused path keeps `deq` in double, which IS
+  * the dequantized value exactly (the grid is double-defined), and the
+  * engine-replay oracle computes the same doubles.
+  */
+private[graft] object QuantKernel {
+  /** Per-dimension (mins, ranges) as doubles, precomputed once per
+    * plan — `range_i = (double) mx_i − (double) mn_i`, matching the
+    * column expression in [[graft.ops.ScalarQuantization]]. */
+  def params(mins: Array[Float], maxs: Array[Float]): (Array[Double], Array[Double]) = {
+    val mnd = new Array[Double](mins.length)
+    val rng = new Array[Double](mins.length)
+    var i = 0
+    while (i < mins.length) {
+      mnd(i) = mins(i).toDouble
+      rng(i) = maxs(i).toDouble - mnd(i)
+      i += 1
+    }
+    (mnd, rng)
+  }
+}
+
+/** `Σ_i deq(codes_i) · query_i` — int8 codes scored against a float
+  * query vector, dequantization fused into the loop. Lengths beyond
+  * the fitted dimension are ignored (callers validate dimensions at
+  * quantization time). */
+case class ByteDequantDot(left: Expression, right: Expression,
+                          mins: Array[Float], maxs: Array[Float])
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "byte_dequant_dot"
+
+  @transient private lazy val (mnd, rng) = QuantKernel.params(mins, maxs)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<tinyint>, array<float>), got " +
+        s"${l.catalogString} and ${r.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val c = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[ArrayData]
+    val n = math.min(math.min(c.numElements(), q.numElements()), mnd.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val deq = mnd(i) + (c.getByte(i).toDouble + 128.0) / 255.0 * rng(i)
+      s += deq * q.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mndRef = ctx.addReferenceObj("mnd", mnd, "double[]")
+    val rngRef = ctx.addReferenceObj("rng", rng, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val d = ctx.freshName("deq")
+      s"""
+         |int $n = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.numElements()),
+         |  $mndRef.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $mndRef[$i]
+         |    + (((double) $a.getByte($i)) + 128.0) / 255.0 * $rngRef[$i];
+         |  $s += $d * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteDequantDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `Σ_i deq(codes_i)²` — the squared L2 norm of the dequantized
+  * vector, query-independent so callers compute it ONCE per corpus row
+  * (the precomputed-norm discipline of
+  * [[graft.ops.Similarity]]`.cosineWithNorms`). */
+case class ByteDequantSelfDot(child: Expression,
+                              mins: Array[Float], maxs: Array[Float])
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "byte_dequant_self_dot"
+
+  @transient private lazy val (mnd, rng) = QuantKernel.params(mins, maxs)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint>, got " + other.catalogString)
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val c = a.asInstanceOf[ArrayData]
+    val n = math.min(c.numElements(), mnd.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val deq = mnd(i) + (c.getByte(i).toDouble + 128.0) / 255.0 * rng(i)
+      s += deq * deq
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mndRef = ctx.addReferenceObj("mnd", mnd, "double[]")
+    val rngRef = ctx.addReferenceObj("rng", rng, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val d = ctx.freshName("deq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $mndRef.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $mndRef[$i]
+         |    + (((double) $a.getByte($i)) + 128.0) / 255.0 * $rngRef[$i];
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteDequantSelfDot =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the compressed-domain kernels. */
+object QuantFunctions {
+  def byteDequantDot(codes: Column, query: Column,
+                     mins: Array[Float], maxs: Array[Float]): Column =
+    ColumnBridge.column(ByteDequantDot(ColumnBridge.expression(codes),
+      ColumnBridge.expression(query), mins, maxs))
+
+  def byteDequantSelfDot(codes: Column,
+                         mins: Array[Float], maxs: Array[Float]): Column =
+    ColumnBridge.column(ByteDequantSelfDot(
+      ColumnBridge.expression(codes), mins, maxs))
+}

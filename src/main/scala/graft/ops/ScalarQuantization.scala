@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorAggFunctions
+import graft.functions.{QuantFunctions, VectorAggFunctions, VectorFunctions}
 
 /** Int8 scalar quantization of an embedding column — the storage tier
   * of the vector battery: per-dimension min/max ranges fitted in one
@@ -129,5 +129,36 @@ object ScalarQuantization {
           .as("err_max"),
         (aggregate(col("__errs"), lit(0.0), (a, x) => a + x)
           / lit(ranges.dim.toDouble)).as("err_mean"))
+  }
+
+  /** Exact cosine top-k of float queries against the COMPRESSED corpus
+    * — the int8 codes are scored directly by the fused
+    * dequantize-and-dot kernels ([[graft.functions.ByteDequantDot]]):
+    * no float array is ever materialized per row, so the scan reads and
+    * keeps 1 byte per dimension (the point of storing codes). Same
+    * search shape as [[Similarity.bruteForceTopK]]: queries broadcast,
+    * corpus scanned once and never shuffled, dequantized norms computed
+    * ONCE per corpus row, per-query rank via the bounded two-phase
+    * top-k aggregate. Scores are cosines of the DEQUANTIZED vectors —
+    * within the quantization error of the float-corpus scores, and
+    * bit-replayable by any engine from codes + ranges. */
+  def quantizedTopK(codesDf: DataFrame, ranges: QuantRanges,
+                    queries: DataFrame, k: Int, idCol: String = "vec_id",
+                    codesCol: String = "codes",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = Parallelism.spread(
+        codesDf.select(col(idCol).as("corpus_id"), col(codesCol).as("c_codes"))
+          .filter(col("c_codes").isNotNull))
+      .withColumn("c_nrm", sqrt(QuantFunctions.byteDequantSelfDot(
+        col("c_codes"), ranges.mins, ranges.maxs)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.fnorm(col(vecCol)).as("q_nrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        when(col("q_nrm") * col("c_nrm") === 0.0, lit(0.0))
+          .otherwise(QuantFunctions.byteDequantDot(col("c_codes"),
+            col("q_vec"), ranges.mins, ranges.maxs)
+            / (col("q_nrm") * col("c_nrm"))).as("cosine"))
+    Similarity.rankTopK(scored, k)
   }
 }

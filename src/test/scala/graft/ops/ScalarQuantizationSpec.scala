@@ -108,4 +108,66 @@ class ScalarQuantizationSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       fitRanges(frame(Nil), "vec")
   }
+
+  "the fused dequant kernels" should "agree bit-for-bit with materialized dequantize" in {
+    import graft.functions.QuantFunctions._
+    val vs = rnd(30, 41L)
+    val rng = fitRanges(frame(vs), "vec")
+    val q = vs.head._2
+    val withCodes = quantize(frame(vs), "vec", rng)
+    val fused = withCodes
+      .select($"id",
+        byteDequantDot($"codes", typedlit(q.toSeq), rng.mins, rng.maxs)
+          .as("dot"),
+        byteDequantSelfDot($"codes", rng.mins, rng.maxs).as("self"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // expected: same double grid arithmetic folded left to right
+    val deqed = dequantize(withCodes, "codes", rng)
+      .select($"id", $"deq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    deqed.foreach { case (id, deq) =>
+      var dot = 0.0
+      var self = 0.0
+      for (i <- 0 until dim) {
+        dot += deq(i) * q(i).toDouble
+        self += deq(i) * deq(i)
+      }
+      fused(id)._1 shouldBe dot
+      fused(id)._2 shouldBe self
+    }
+  }
+
+  "quantizedTopK" should "rank compressed codes like the float corpus (within quantization error)" in {
+    val vs = rnd(120, 47L)
+    val rng = fitRanges(frame(vs), "vec")
+    val codes = quantize(frame(vs), "vec", rng).select($"id", $"codes")
+    val queries = frame(vs.take(5))
+    val quant = quantizedTopK(codes, rng, queries, k = 5,
+        idCol = "id", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val exact = Similarity.bruteForceTopK(frame(vs), queries, k = 5,
+        idCol = "id", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    quant.keySet shouldBe exact.keySet
+    // 255-level codes perturb cosines by ~1e-3 — neighbor sets overlap
+    // heavily but ties near the k-th rank may flip
+    val overlap = quant.keys.toSeq.map { qid =>
+      quant(qid).map(_._2).toSet.intersect(exact(qid).map(_._2).toSet).size
+    }
+    overlap.sum.toDouble / (5.0 * overlap.size) should be >= 0.8
+  }
+
+  it should "run with the corpus never shuffled and queries broadcast" in {
+    val vs = rnd(60, 53L)
+    val rng = fitRanges(frame(vs), "vec")
+    val codes = quantize(frame(vs), "vec", rng).select($"id", $"codes")
+    val plan = quantizedTopK(codes, rng, frame(vs.take(3)), k = 3,
+        idCol = "id", vecCol = "vec")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastExchange")
+    // the only shuffle is the bounded per-query top-k aggregation, never
+    // a corpus repartition before scoring
+    plan.split("Exchange hashpartitioning").length - 1 should be <= 1
+  }
 }

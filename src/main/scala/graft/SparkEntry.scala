@@ -2509,6 +2509,34 @@ object SparkEntry {
           dim = 64)
         .orderBy(col("i"), col("j"))),
 
+    // Second-moment maintenance: per-batch moments rows merged by
+    // element-wise integer sums, then the shared closed form — the
+    // oracle is LITERALLY q_embedding_covariance's, because fixed-point
+    // statistics make incremental ≡ recompute bit for bit.
+    "q_covariance_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = graft.ops.Pca.moments(
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), "embedding")
+      val b = graft.ops.Pca.moments(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), "embedding")
+      graft.ops.Pca.covarianceFromMoments(
+          graft.ops.Pca.mergeMoments(a.union(b)), dim = 64)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // Moment-based embedding distribution drift between the even- and
+    // odd-id halves: ||mu_a - mu_b||^2 and ||Sigma_a - Sigma_b||_F from
+    // two fixed-point moments rows — the closed-form (replayable) core
+    // of a Frechet corpus distance. The Frobenius sum is quantized to
+    // longs before summing, so it is order-free like the moments.
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Pca.embeddingDrift(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "embedding", dim = 64)
+    }),
+
     // ---- extension tier: multimodal columns ----
 
     // Batched feature extraction over binary payloads (stub decoder with
@@ -2768,6 +2796,21 @@ object SparkEntry {
             .filter(pmod(col("doc_id"), lit(2)) === 1),
           refDir, "n_chars", out, statePartitions = 8)
         .orderBy(col("bin"))
+    }),
+
+    // Streaming embedding-corpus drift: the even-id half arrives as a
+    // bounded feed, fixed-point moments accumulate across micro-batches
+    // (MergeState replay-idempotent), baseline = the frozen odd half.
+    // Integer sums commute, so the converged report IS the batch
+    // q_embedding_drift row — shared oracle.
+    "q_stream_embedding_drift" -> ((s, d) => {
+      val out = scratchDir("graft_sed_")
+      graft.streaming.ChangelogStream.streamEmbeddingDrift(
+        Tables.embeddingsStream(s, d)
+          .filter(pmod(col("vec_id"), lit(2)) === 0),
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(2)) === 1),
+        "embedding", dim = 64, out, statePartitions = 8)
     }),
 
     // CUSUM change-point detection per event type: sustained level
@@ -4848,27 +4891,19 @@ object SparkEntry {
     // irrelevant), then the identical double closed form; the quantized
     // moments make covariance engine-exact where a double sum would
     // differ in the last ulps.
-    "q_embedding_covariance" ->
-      """WITH e AS (SELECT embedding AS v FROM embeddings
-        |           WHERE embedding IS NOT NULL),
-        |nn AS (SELECT count(*) AS n FROM e),
-        |s AS (SELECT t.i AS i,
-        |        sum(CAST(floor(v[t.i + 1]::DOUBLE * 1000000000.0)
-        |            AS BIGINT)) AS sv
-        |      FROM e CROSS JOIN range(64) t(i) GROUP BY t.i),
-        |o AS (SELECT ti.i AS i, tj.i AS j,
-        |        sum(CAST(floor(v[ti.i + 1]::DOUBLE * v[tj.i + 1]::DOUBLE
-        |            * 1000000000.0) AS BIGINT)) AS ov
-        |      FROM e CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(i)
-        |      WHERE ti.i <= tj.i GROUP BY 1, 2)
-        |SELECT o.i::BIGINT AS i, o.j::BIGINT AS j, nn.n AS n,
-        |  round(o.ov::DOUBLE / 1000000000.0 / nn.n
-        |    - (si.sv::DOUBLE / 1000000000.0 / nn.n)
-        |      * (sj.sv::DOUBLE / 1000000000.0 / nn.n), 6) + 0.0 AS cov
-        |FROM o CROSS JOIN nn
-        |JOIN s si ON si.i = o.i
-        |JOIN s sj ON sj.i = o.j
-        |ORDER BY i, j""".stripMargin,
+    "q_embedding_covariance" -> CovarianceOracleSql,
+    // Two half-corpus fixed-point moment sets, means as ordered lists
+    // folded left to right, covariance pair terms quantized floor(dc^2
+    // *1e12) and summed as BIGINTs (order-free), multiplicity applied
+    // to the exact integers.
+    "q_embedding_drift" -> EmbeddingDriftOracleSql,
+    // Converged streaming moments == batch moments (integer sums
+    // commute), so the streaming monitor shares the batch oracle.
+    "q_stream_embedding_drift" -> EmbeddingDriftOracleSql,
+    // Identical oracle: integer fixed-point sums commute, so two batch
+    // moments rows merged element-wise ARE the single-pass statistics —
+    // the incremental path is bit-indistinguishable from recompute.
+    "q_covariance_incremental" -> CovarianceOracleSql,
     // two branches: synthetic-GIF real resize (in dims arithmetic on
     // doc_id, out dims = integer aspect-fit into 8x4, byte_sum NULL) and
     // text decimation fallback (old stride arithmetic + checksum)
@@ -5716,6 +5751,92 @@ object SparkEntry {
       |       (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
       |     FROM sc)
       |  WHERE rn = 1)""".stripMargin
+
+  /** Fixed-point covariance closed form — shared by
+    * `q_embedding_covariance` (one-pass) and `q_covariance_incremental`
+    * (batch-merged moments), whose results are bit-identical because
+    * integer fixed-point sums commute. Per-row floor(x*1e9) terms summed
+    * as integers (order-free, so GROUP BY order is irrelevant), then the
+    * identical double closed form. */
+  private val CovarianceOracleSql: String =
+    """WITH e AS (SELECT embedding AS v FROM embeddings
+      |           WHERE embedding IS NOT NULL),
+      |nn AS (SELECT count(*) AS n FROM e),
+      |s AS (SELECT t.i AS i,
+      |        sum(CAST(floor(v[t.i + 1]::DOUBLE * 1000000000.0)
+      |            AS BIGINT)) AS sv
+      |      FROM e CROSS JOIN range(64) t(i) GROUP BY t.i),
+      |o AS (SELECT ti.i AS i, tj.i AS j,
+      |        sum(CAST(floor(v[ti.i + 1]::DOUBLE * v[tj.i + 1]::DOUBLE
+      |            * 1000000000.0) AS BIGINT)) AS ov
+      |      FROM e CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(i)
+      |      WHERE ti.i <= tj.i GROUP BY 1, 2)
+      |SELECT o.i::BIGINT AS i, o.j::BIGINT AS j, nn.n AS n,
+      |  round(o.ov::DOUBLE / 1000000000.0 / nn.n
+      |    - (si.sv::DOUBLE / 1000000000.0 / nn.n)
+      |      * (sj.sv::DOUBLE / 1000000000.0 / nn.n), 6) + 0.0 AS cov
+      |FROM o CROSS JOIN nn
+      |JOIN s si ON si.i = o.i
+      |JOIN s sj ON sj.i = o.j
+      |ORDER BY i, j""".stripMargin
+
+  /** Moment-based drift between the even- and odd-id embedding halves:
+    * two half-corpus fixed-point moment sets, means as ordered lists
+    * folded left to right, covariance pair terms quantized
+    * floor(dc²·1e12) and summed as BIGINTs (order-free), multiplicity
+    * applied to the exact integers. Shared by `q_embedding_drift`
+    * (batch) and `q_stream_embedding_drift` (cumulative streaming
+    * moments vs the frozen odd-half baseline), which converge to the
+    * identical row. */
+  private val EmbeddingDriftOracleSql: String =
+    """WITH e1 AS (SELECT embedding AS v FROM embeddings
+      |            WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+      |e2 AS (SELECT embedding AS v FROM embeddings
+      |       WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+      |n1 AS (SELECT count(*) AS n FROM e1),
+      |n2 AS (SELECT count(*) AS n FROM e2),
+      |s1 AS (SELECT t.i AS i, sum(CAST(floor(v[t.i + 1]::DOUBLE
+      |         * 1000000000.0) AS BIGINT)) AS sv
+      |       FROM e1 CROSS JOIN range(64) t(i) GROUP BY 1),
+      |s2 AS (SELECT t.i AS i, sum(CAST(floor(v[t.i + 1]::DOUBLE
+      |         * 1000000000.0) AS BIGINT)) AS sv
+      |       FROM e2 CROSS JOIN range(64) t(i) GROUP BY 1),
+      |o1 AS (SELECT ti.i AS i, tj.i AS j,
+      |         sum(CAST(floor(v[ti.i + 1]::DOUBLE * v[tj.i + 1]::DOUBLE
+      |             * 1000000000.0) AS BIGINT)) AS ov
+      |       FROM e1 CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(i)
+      |       WHERE ti.i <= tj.i GROUP BY 1, 2),
+      |o2 AS (SELECT ti.i AS i, tj.i AS j,
+      |         sum(CAST(floor(v[ti.i + 1]::DOUBLE * v[tj.i + 1]::DOUBLE
+      |             * 1000000000.0) AS BIGINT)) AS ov
+      |       FROM e2 CROSS JOIN range(64) ti(i) CROSS JOIN range(64) tj(i)
+      |       WHERE ti.i <= tj.i GROUP BY 1, 2),
+      |p AS (SELECT o1.i AS i, o1.j AS j,
+      |        (o1.ov::DOUBLE / 1000000000.0 / n1.n
+      |          - (a1.sv::DOUBLE / 1000000000.0 / n1.n)
+      |            * (b1.sv::DOUBLE / 1000000000.0 / n1.n))
+      |        - (o2.ov::DOUBLE / 1000000000.0 / n2.n
+      |          - (a2.sv::DOUBLE / 1000000000.0 / n2.n)
+      |            * (b2.sv::DOUBLE / 1000000000.0 / n2.n)) AS dc
+      |      FROM o1 JOIN o2 ON o1.i = o2.i AND o1.j = o2.j
+      |      CROSS JOIN n1 CROSS JOIN n2
+      |      JOIN s1 a1 ON a1.i = o1.i JOIN s1 b1 ON b1.i = o1.j
+      |      JOIN s2 a2 ON a2.i = o1.i JOIN s2 b2 ON b2.i = o1.j),
+      |fb AS (SELECT sum((CASE WHEN i = j THEN 1 ELSE 2 END)
+      |         * CAST(floor(dc * dc * 1000000000000.0) AS BIGINT)) AS fp
+      |       FROM p),
+      |m1 AS (SELECT list(sv ORDER BY i) AS s FROM s1),
+      |m2 AS (SELECT list(sv ORDER BY i) AS s FROM s2)
+      |SELECT n1.n AS n_a, n2.n AS n_b,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    [(m1.s[i]::DOUBLE / 1000000000.0 / n1.n
+      |       - m2.s[i]::DOUBLE / 1000000000.0 / n2.n)
+      |     * (m1.s[i]::DOUBLE / 1000000000.0 / n1.n
+      |       - m2.s[i]::DOUBLE / 1000000000.0 / n2.n)
+      |     for i in range(1, 65)]),
+      |    (a, b) -> a + b), 6) AS mean_dist2,
+      |  round(sqrt(fb.fp::DOUBLE / 1000000000000.0), 6) AS cov_frob
+      |FROM n1 CROSS JOIN n2 CROSS JOIN fb CROSS JOIN m1 CROSS JOIN m2""".stripMargin
 
   private val CosineSqlFragment: String =
     """(CASE WHEN sqrt(list_reduce(list_prepend(0.0::DOUBLE,

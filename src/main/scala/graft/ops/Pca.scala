@@ -45,15 +45,60 @@ object Pca {
     * dimension — a mismatch fails loudly rather than emitting nulls.
     */
   def covariance(df: DataFrame, vecCol: String, dim: Int,
-                 scaleDigits: Int = 9): DataFrame = {
+                 scaleDigits: Int = 9): DataFrame =
+    covarianceFromMoments(moments(df, vecCol, scaleDigits), dim, scaleDigits)
+
+  /** The covariance sufficient statistics as DATA: one row
+    * `(count, sums array<long>, outer array<long>)` — the
+    * [[graft.functions.VectorOuterSum]] buffer surfaced as a persistable
+    * frame. Because the statistics are integer fixed point, rows from
+    * different batches MERGE EXACTLY ([[mergeMoments]]): write a moments
+    * row per ingest batch and the maintained covariance is bit-identical
+    * to a full recompute — second-moment maintenance joins the
+    * [[AggMaintenance]] incremental family without replaying the corpus.
+    * An all-null/empty input yields a `(0, null, null)` row, the
+    * identity element of the merge. */
+  def moments(df: DataFrame, vecCol: String, scaleDigits: Int = 9): DataFrame =
+    df.agg(VectorAggFunctions.vecOuterSum(col(vecCol), scaleDigits).as("st"))
+      .select(coalesce(col("st.count"), lit(0L)).as("count"),
+        col("st.sums").as("sums"), col("st.outer").as("outer"))
+
+  /** Fold any number of moments rows into one by element-wise long
+    * sums (empty-batch rows are identity and skipped). Model-sized
+    * work: the explode touches `batches × d(d+1)/2` elements, never
+    * corpus rows. Long addition commutes, so the merged row is
+    * bit-identical to single-pass statistics over the union — spec-
+    * pinned. Sums here go through Spark's `sum` (no `addExact` guard):
+    * capacity analysis is [[graft.functions.VectorOuterSum]]'s, with
+    * batch COUNT as the extra factor — far inside the ~10⁹-row budget
+    * at the default scale. */
+  def mergeMoments(m: DataFrame): DataFrame = {
+    val live = m.filter(col("count") > 0)
+    def side(c: String) = live
+      .select(posexplode(col(c)).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(sum(col("v")).as("v"))
+      .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("a"))
+      .select(transform(col("a"), x => x.getField("v")).as(c))
+    live.agg(sum(col("count")).as("count"))
+      .select(coalesce(col("count"), lit(0L)).as("count"))
+      .crossJoin(side("sums")).crossJoin(side("outer"))
+  }
+
+  /** The covariance closed form over a (merged) moments row — shares
+    * every arithmetic step with [[covariance]], so maintained and
+    * recomputed matrices agree bit for bit. */
+  def covarianceFromMoments(m: DataFrame, dim: Int,
+                            scaleDigits: Int = 9): DataFrame = {
     require(dim > 0, s"covariance: dim must be positive, got $dim")
     val sc = lit(math.pow(10.0, scaleDigits))
-    val agged = df.agg(
-        VectorAggFunctions.vecOuterSum(col(vecCol), scaleDigits).as("st"))
-      .select(col("st.count").as("__n"), col("st.sums").as("__s"),
-        col("st.outer").as("__o"))
-      .filter(assert_true(size(col("__s")) === dim,
-        lit(s"covariance: declared dim $dim does not match the data")).isNull)
+    val agged = m
+      .select(col("count").as("__n"), col("sums").as("__s"),
+        col("outer").as("__o"))
+      // isNotNull first: an EMPTY corpus has null arrays, where a bare
+      // size(...) === dim yields NULL and assert_true silently passes
+      .filter(assert_true(col("__s").isNotNull && size(col("__s")) === dim,
+        lit(s"covariance: declared dim $dim does not match the data " +
+          "(null statistics mean an empty corpus)")).isNull)
     val nd = col("__n").cast("double")
     // upper-triangle row-major index of (i, j): i rows of shrinking
     // width before row i, then the offset inside it
@@ -71,6 +116,79 @@ object Pca {
         // equal values that STRINGIFY differently
         (round(element_at(col("__o"), t + 1).cast("double") / sc / nd
           - mean(col("i")) * mean(col("j")), 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Moment-based embedding distribution drift between two corpora —
+    * the monitoring consumer of the moments tier (embedding-model
+    * upgrades, ingest-source changes, silent normalization bugs): one
+    * row `(n_a, n_b, mean_dist2, cov_frob)` where `mean_dist2` is the
+    * squared mean-vector distance `‖μ_a − μ_b‖²` and `cov_frob` the
+    * Frobenius distance `‖Σ_a − Σ_b‖_F` between the covariance matrices
+    * — the two terms a Fréchet-style corpus distance is built from,
+    * kept in closed form so the whole statistic stays engine-replayable
+    * (a matrix square root would need an eigensolve no SQL oracle can
+    * replay).
+    *
+    * Scale posture: each corpus contributes ONE moments row (the
+    * map-side-combined fixed-point pass); everything after is
+    * model-sized (`d(d+1)/2` pair rows). Determinism: the pair terms
+    * are squared in double, quantized to integer fixed point
+    * (`floor(dc²·10¹²)`), and SUMMED AS LONGS — order-free, so the
+    * Frobenius sum is bit-identical under any plan, the same discipline
+    * as the moments themselves; the mean distance folds left to right
+    * over the dimension order. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String, dim: Int,
+                     scaleDigits: Int = 9): DataFrame =
+    driftFromMoments(moments(a, vecCol, scaleDigits),
+      moments(b, vecCol, scaleDigits), dim, scaleDigits)
+
+  /** [[embeddingDrift]] over two PRECOMPUTED moments rows — the form the
+    * streaming monitor uses (cumulative stream moments vs a frozen
+    * baseline row): since moments merge exactly, drift of the converged
+    * stream is bit-identical to the batch statistic, whatever the batch
+    * boundaries were. */
+  def driftFromMoments(ma: DataFrame, mb: DataFrame, dim: Int,
+                       scaleDigits: Int = 9): DataFrame = {
+    require(dim > 0, s"embeddingDrift: dim must be positive, got $dim")
+    val sc = lit(math.pow(10.0, scaleDigits))
+    def one(m: DataFrame, sfx: String) =
+      m.filter(assert_true(
+          col("sums").isNotNull && size(col("sums")) === dim,
+          lit(s"embeddingDrift: declared dim $dim does not match corpus" +
+            s"$sfx (null statistics mean an empty corpus)")).isNull)
+        .select(col("count").as(s"n$sfx"), col("sums").as(s"s$sfx"),
+          col("outer").as(s"o$sfx"))
+    val nda = col("n_a").cast("double")
+    val ndb = col("n_b").cast("double")
+    val t = (col("i") * dim - shiftright(col("i") * (col("i") - 1), 1)
+      + col("j") - col("i")).cast(IntegerType)
+    def meanOf(sCol: String, nd: Column, ix: Column): Column =
+      element_at(col(sCol), (ix + 1).cast(IntegerType)).cast("double") / sc / nd
+    def covOf(oCol: String, sCol: String, nd: Column): Column =
+      element_at(col(oCol), t + 1).cast("double") / sc / nd -
+        meanOf(sCol, nd, col("i")) * meanOf(sCol, nd, col("j"))
+    val dc = covOf("o_a", "s_a", nda) - covOf("o_b", "s_b", ndb)
+    val agged = one(ma, "_a").crossJoin(one(mb, "_b")) // 1 x 1 rows
+      .select(col("*"), explode(sequence(lit(0L), lit(dim - 1L))).as("i"))
+      .select(col("*"), explode(sequence(col("i"), lit(dim - 1L))).as("j"))
+      .select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        // off-diagonal entries appear twice in the full matrix; floor
+        // BEFORE the multiplicity so both engines scale exact integers
+        (when(col("i") === col("j"), lit(1L)).otherwise(lit(2L))
+          * floor(dc * dc * lit(1.0e12))).as("fp"))
+      .groupBy()
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("s_a")).as("s_a"), first(col("s_b")).as("s_b"),
+        sum(col("fp")).as("fpsum"))
+    def meanArr(sCol: String, nd: Column): Column =
+      transform(col(sCol), x => x.cast("double") / sc / nd)
+    agged.select(col("n_a"), col("n_b"),
+      round(aggregate(
+        zip_with(meanArr("s_a", nda), meanArr("s_b", ndb),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6).as("mean_dist2"),
+      round(sqrt(col("fpsum").cast("double") / lit(1.0e12)), 6)
+        .as("cov_frob"))
   }
 
   /** Fitted model: `basis` rows are unit eigenvectors of the covariance

@@ -156,6 +156,27 @@ object Tables {
   }
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** The embeddings table as a bounded file STREAM (same staging scheme
+    * as [[documentsStream]]: four files, two per trigger → two real
+    * micro-batches) — the ingest-feed input for streaming corpus-drift
+    * monitoring. */
+  def embeddingsStream(s: SparkSession, d: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_embeddings_stream_$digest")
+    Tables.synchronized {
+      if (!new java.io.File(staged, "_SUCCESS").exists()) {
+        embeddings(s, d).repartition(4).write.mode("overwrite")
+          .parquet(staged.toString)
+      }
+    }
+    s.readStream
+      .schema(embeddings(s, d).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(staged.toString)
+  }
+
   /** The events table as a bounded TIME-ORDERED file stream: four files
     * covering disjoint quartile time ranges, staged with strictly
     * increasing modification times and fed one per trigger (the file

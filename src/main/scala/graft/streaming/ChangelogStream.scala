@@ -601,6 +601,59 @@ object ChangelogStream {
     graft.ops.Drift.psiFromCounts(refDir, counts)
   }
 
+  /** Streaming embedding-corpus drift monitor: fixed-point covariance
+    * moments ([[graft.ops.Pca.moments]]) accumulated across
+    * micro-batches against a FROZEN baseline moments row — "has the
+    * embedding feed drifted from the reference corpus?" answerable at
+    * any point without rescanning either side. Same batch-id-versioned
+    * [[MergeState]] shape as [[streamDrift]] (replayed batches recompute
+    * from the same predecessor: recovery never double-counts); state is
+    * ONE moments row. Integer moment sums commute ⇒ the converged
+    * cumulative row is bit-identical to batch statistics over the whole
+    * feed however it was batched, so the final
+    * [[graft.ops.Pca.driftFromMoments]] report shares the batch
+    * `q_embedding_drift` oracle. */
+  def streamEmbeddingDrift(stream: DataFrame, baseline: DataFrame,
+                           vecCol: String, dim: Int, dir: String,
+                           statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val batchMoments = graft.ops.Pca.moments(b, vecCol)
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
+        val cumulative = prev match {
+          case Some(p) => graft.ops.Pca.mergeMoments(batchMoments
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p")))
+          case None => batchMoments
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val streamed = MergeState.latest(fs, stateRoot) match {
+      case None =>
+        // empty stream: the merge identity row — driftFromMoments then
+        // refuses it loudly, the same contract as an empty batch corpus
+        spark.range(1).select(lit(0L).as("count"),
+          lit(null).cast("array<bigint>").as("sums"),
+          lit(null).cast("array<bigint>").as("outer"))
+      case Some(last) =>
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
+    }
+    graft.ops.Pca.driftFromMoments(streamed,
+      graft.ops.Pca.moments(baseline, vecCol), dim)
+  }
+
   /** Streaming rolling-actives: per-day-slice theta sketches maintained
     * across micro-batches ("how many distinct users in every sliding
     * 7-day window, so far?") — set-union state is merge-associative

@@ -112,6 +112,68 @@ class PcaSpec extends SparkTestBase {
     e.getMessage should include("does not match")
   }
 
+  "mergeMoments" should "make batch-incremental covariance bit-identical to recompute" in {
+    val vs = rnd(60, seed = 13L)
+    val direct = Pca.covariance(frame(vs), "vec", dim)
+      .orderBy($"i", $"j").collect().map(_.toString).toSeq
+    // any batching must merge to the same statistics — three uneven
+    // splits, including one with an EMPTY batch (the merge identity)
+    val splits = Seq(
+      Seq(vs.take(20), vs.slice(20, 45), vs.drop(45)),
+      Seq(vs.take(1), vs.drop(1), Seq.empty),
+      Seq(vs, Seq.empty, Seq.empty))
+    splits.foreach { batches =>
+      val merged = Pca.mergeMoments(
+        batches.map(b => Pca.moments(frame(b), "vec")).reduce(_ union _))
+      Pca.covarianceFromMoments(merged, dim)
+        .orderBy($"i", $"j").collect().map(_.toString).toSeq shouldBe direct
+    }
+  }
+
+  it should "fail loudly when every batch is empty" in {
+    val empty = Pca.moments(frame(Seq.empty), "vec")
+    an[Exception] should be thrownBy
+      Pca.covarianceFromMoments(
+        Pca.mergeMoments(empty.union(empty)), dim).collect()
+    // and so does the un-merged empty-corpus path (null statistics)
+    an[Exception] should be thrownBy
+      Pca.covarianceFromMoments(empty, dim).collect()
+  }
+
+  "embeddingDrift" should "be zero against itself and detect a shifted corpus" in {
+    val vs = rnd(50, seed = 29L)
+    val same = Pca.embeddingDrift(frame(vs), frame(vs), "vec", dim)
+      .head()
+    same.getLong(0) shouldBe 50L
+    same.getLong(1) shouldBe 50L
+    same.getDouble(2) shouldBe 0.0
+    same.getDouble(3) shouldBe 0.0
+    // shift every vector by +0.5 in dimension 0: mean_dist2 ~ 0.25,
+    // covariance unchanged up to fixed-point noise
+    val shifted = vs.map(v => v.updated(0, v(0) + 0.5f))
+    val drift = Pca.embeddingDrift(frame(vs), frame(shifted), "vec", dim)
+      .head()
+    drift.getDouble(2) shouldBe 0.25 +- 1e-4
+    drift.getDouble(3) shouldBe 0.0 +- 1e-3
+    // scale dimension 1 by 3x: covariance moves, means move little
+    val scaled = vs.map(v => v.updated(1, v(1) * 3.0f))
+    val drift2 = Pca.embeddingDrift(frame(vs), frame(scaled), "vec", dim)
+      .head()
+    drift2.getDouble(3) should be > 0.1
+  }
+
+  it should "be bit-identical across partitionings and loud on empty corpora" in {
+    val vs = rnd(40, seed = 31L)
+    val a = frame(vs.take(25))
+    val b = frame(vs.drop(25))
+    def run(parts: Int) =
+      Pca.embeddingDrift(a.repartition(parts), b.repartition(parts),
+        "vec", dim).head().toString
+    run(1) shouldBe run(6)
+    an[Exception] should be thrownBy
+      Pca.embeddingDrift(frame(Seq.empty), b, "vec", dim).collect()
+  }
+
   "fit" should "recover the dominant axis with an orthonormal basis" in {
     // anisotropic cloud: variance 9 along (1,1,0)/sqrt(2), 1 along
     // (1,-1,0)/sqrt(2), 0.01 along z

@@ -746,6 +746,58 @@ class ChangelogStreamSpec extends SparkTestBase {
       .count(_.startsWith("graft_batch=")) shouldBe 2
   }
 
+  "streamEmbeddingDrift" should "converge bit-identically to the batch drift" in {
+    import graft.ops.Pca
+    val dim = 4
+    val r = new scala.util.Random(43L)
+    def vecs(n: Int, shift: Float) = (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)((r.nextDouble() * 2 - 1).toFloat + shift)))
+    val feed = vecs(40, 0.3f)
+    val baseline = vecs(40, 0.0f).toDF("vec_id", "embedding")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sed_in")
+    def stage(rows: Seq[(Long, Array[Float])], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sed_w")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(feed.take(15), "wave1.parquet", 120000L)
+    stage(feed.drop(15), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(feed.take(1).toDF("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sed").toString
+    val got = ChangelogStream.streamEmbeddingDrift(stream, baseline,
+      "embedding", dim, dir).head()
+    val want = Pca.embeddingDrift(feed.toDF("vec_id", "embedding"),
+      baseline, "embedding", dim).head()
+    got.toString shouldBe want.toString
+    // the injected mean shift is visible
+    got.getDouble(2) should be > 0.05
+    // one pruned cumulative state chain: exactly the latest two versions
+    new java.io.File(dir, "state").list()
+      .count(_.startsWith("graft_batch=")) shouldBe 2
+  }
+
+  it should "refuse an empty stream loudly (merge-identity state)" in {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sede_in")
+    val schema = Seq((0L, Array(0.0f)))
+      .toDF("vec_id", "embedding").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sede").toString
+    val baseline = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
+    an[Exception] should be thrownBy
+      ChangelogStream.streamEmbeddingDrift(stream, baseline,
+        "embedding", 1, dir).collect()
+  }
+
   "streamAttrition" should "converge to the batch report across batches" in {
     import graft.ops.Policy
     val rules = Seq(

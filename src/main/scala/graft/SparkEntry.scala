@@ -2524,6 +2524,16 @@ object SparkEntry {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Embedding-space QA: rows whose distance to the fixed-point corpus
+    // centroid is a robust-z (median/MAD) outlier — corrupt embeddings,
+    // mis-normalized batches, wrong-model rows. The oracle rebuilds the
+    // centroid from the same integer moments and replays distance folds
+    // and the Iglewicz-Hoaglin z exactly.
+    "q_embedding_outliers" -> ((s, d) =>
+      graft.ops.Outliers.embeddingOutliers(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, cutoff = 2.5)
+        .orderBy(col("vec_id"))),
+
     // Moment-based embedding distribution drift between the even- and
     // odd-id halves: ||mu_a - mu_b||^2 and ||Sigma_a - Sigma_b||_F from
     // two fixed-point moments rows — the closed-form (replayable) core
@@ -4896,6 +4906,33 @@ object SparkEntry {
     // folded left to right, covariance pair terms quantized floor(dc^2
     // *1e12) and summed as BIGINTs (order-free), multiplicity applied
     // to the exact integers.
+    // Centroid from the same integer moments (order-free), per-row
+    // distance as the left-to-right fold, then the q_outliers
+    // median/MAD/z replay over the single global group.
+    "q_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |sm AS (SELECT t.i AS i, sum(CAST(floor(v[t.i + 1]::DOUBLE
+        |         * 1000000000.0) AS BIGINT)) AS sv
+        |       FROM e CROSS JOIN range(64) t(i) GROUP BY 1),
+        |mu AS (SELECT list(sv ORDER BY i) AS s FROM sm),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [(v[i]::DOUBLE - mu.s[i]::DOUBLE / 1000000000.0 / nn.n)
+        |       * (v[i]::DOUBLE - mu.s[i]::DOUBLE / 1000000000.0 / nn.n)
+        |       for i in range(1, len(v) + 1)]),
+        |      (a, b) -> a + b)) AS dist
+        |  FROM e CROSS JOIN mu CROSS JOIN nn),
+        |med AS (SELECT median(dist) AS med FROM d),
+        |mad AS (SELECT median(abs(dist - med)) AS mad
+        |        FROM d CROSS JOIN med)
+        |SELECT vec_id, round(dist, 6) AS dist,
+        |  round((dist - med) / (1.4826 * mad), 6) AS robust_z
+        |FROM d CROSS JOIN med CROSS JOIN mad
+        |WHERE mad > 0 AND abs((dist - med) / (1.4826 * mad)) > 2.5
+        |ORDER BY vec_id""".stripMargin,
     "q_embedding_drift" -> EmbeddingDriftOracleSql,
     // Converged streaming moments == batch moments (integer sums
     // commute), so the streaming monitor shares the batch oracle.

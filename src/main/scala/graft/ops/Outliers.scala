@@ -54,4 +54,60 @@ object Outliers {
       .withColumn("robust_z", round(z, 6))
       .drop("__med", "__mad")
   }
+
+  /** Embedding-space outliers: rows whose distance to the corpus mean
+    * vector is a robust-z outlier — the vector-column row of this QA
+    * tier (corrupt embeddings, mis-normalized batches, wrong-model rows
+    * land far from the corpus centroid; [[robustOutliers]] covers
+    * scalar columns). Output: `(idCol, dist, robust_z)` for flagged
+    * rows, both rounded 6 dp.
+    *
+    * The centroid comes from the FIXED-POINT moments
+    * ([[Pca.moments]]) rather than a double mean — integer sums
+    * commute, so the centroid (and with it every distance) is
+    * bit-identical across partitionings and engines where a double
+    * accumulation would drift. Distances are per-row left-to-right
+    * folds over the dimension order (shuffle-free projection against
+    * the broadcast 1-row moments frame); the median/MAD/z discipline is
+    * [[robustOutliers]]'s, over the single global group. `exact = true`
+    * buffers the distance values for the percentile (the oracle-exact
+    * QA regime); sketch mode swaps in KLL for bounded memory at 100 TB.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, cutoff: Double = 3.5,
+                        exact: Boolean = true, kllK: Int = 200,
+                        scaleDigits: Int = 9): DataFrame = {
+    require(dim > 0, s"embeddingOutliers: dim must be positive, got $dim")
+    require(cutoff > 0, "embeddingOutliers: cutoff must be positive")
+    // the centroid fit is EAGER (like Pca.fit): the moments row is
+    // model-sized, an empty/ragged corpus fails HERE rather than
+    // silently yielding zero rows (a lazy assert inside a broadcast
+    // side gets pruned away wholesale by AQE empty-relation
+    // propagation when the data side is empty), and the mean enters
+    // the distance projection as a plan literal — no join at all
+    val row = Pca.moments(df, vecCol, scaleDigits)
+      .select(col("count"), col("sums")).head()
+    require(row.getLong(0) > 0,
+      "embeddingOutliers: no non-null vectors to fit the centroid on")
+    require(row.getSeq[Long](1).length == dim,
+      s"embeddingOutliers: declared dim $dim does not match the data " +
+        s"(got ${row.getSeq[Long](1).length})")
+    val scD = math.pow(10.0, scaleDigits)
+    val nD = row.getLong(0).toDouble
+    val mu = row.getSeq[Long](1).map(_.toDouble / scD / nD)
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), typedlit(mu),
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x))
+    val d = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), dist.as("__dist"))
+    val med = d.agg(median(col("__dist"), exact, kllK).as("__med"))
+    val mad = d.crossJoin(broadcast(med))
+      .agg(median(abs(col("__dist") - col("__med")), exact, kllK).as("__mad"))
+    val z = (col("__dist") - col("__med")) / (lit(MadScale) * col("__mad"))
+    d.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .where(col("__mad") > 0 && abs(z) > cutoff)
+      .select(col(idCol), round(col("__dist"), 6).as("dist"),
+        round(z, 6).as("robust_z"))
+  }
 }

@@ -55,4 +55,45 @@ class OutliersSpec extends SparkTestBase {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  private val edim = 6
+  private def embFrame(extra: Seq[Array[Float]] = Nil) = {
+    val r = new scala.util.Random(59L)
+    val base = Seq.fill(60)(Array.fill(edim)((r.nextDouble() * 0.2).toFloat))
+    (base ++ extra).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+  }
+
+  "embeddingOutliers" should "flag a planted far-away vector with a correct z" in {
+    val planted = Array.fill(edim)(5.0f)
+    val out = Outliers.embeddingOutliers(embFrame(Seq(planted)), "id",
+        "vec", edim, cutoff = 3.5)
+      .select($"id", $"dist", $"robust_z")
+      .as[(Long, Double, Double)].collect()
+    out.map(_._1) should contain(60L)
+    // the planted row is ~sqrt(6*25) ~ 12.2 from a centroid near the
+    // origin-ish cluster; everything real sits within ~0.5
+    val flagged = out.find(_._1 == 60L).get
+    flagged._2 should be > 10.0
+    flagged._3 should be > 10.0
+    // the tight cluster itself stays unflagged
+    out.map(_._1).filter(_ != 60L) shouldBe empty
+  }
+
+  it should "be bit-identical across partitionings (fixed-point centroid)" in {
+    val df = embFrame(Seq(Array.fill(edim)(3.0f)))
+    def run(parts: Int) =
+      Outliers.embeddingOutliers(df.repartition(parts), "id", "vec", edim,
+        cutoff = 2.0).orderBy($"id").collect().map(_.toString).toSeq
+    run(1) shouldBe run(7)
+  }
+
+  it should "refuse a wrong declared dimension or empty corpus loudly" in {
+    an[Exception] should be thrownBy
+      Outliers.embeddingOutliers(embFrame(), "id", "vec", edim + 1)
+        .collect()
+    an[Exception] should be thrownBy
+      Outliers.embeddingOutliers(
+        embFrame().filter($"id" < 0), "id", "vec", edim).collect()
+  }
 }

@@ -30,6 +30,8 @@ private[graft] object QuantKernel {
     * plan — `range_i = (double) mx_i − (double) mn_i`, matching the
     * column expression in [[graft.ops.ScalarQuantization]]. */
   def params(mins: Array[Float], maxs: Array[Float]): (Array[Double], Array[Double]) = {
+    require(mins.length == maxs.length,
+      s"quant kernel: mins/maxs dimension mismatch (${mins.length} vs ${maxs.length})")
     val mnd = new Array[Double](mins.length)
     val rng = new Array[Double](mins.length)
     var i = 0
@@ -43,9 +45,11 @@ private[graft] object QuantKernel {
 }
 
 /** `Σ_i deq(codes_i) · query_i` — int8 codes scored against a float
-  * query vector, dequantization fused into the loop. Lengths beyond
-  * the fitted dimension are ignored (callers validate dimensions at
-  * quantization time). */
+  * query vector, dequantization fused into the loop. Codes, query, and
+  * fitted ranges must agree on dimension — a mismatch FAILS per row
+  * (matching the quantize-side enforcement) rather than silently
+  * truncating to the shortest length and emitting a plausible-but-wrong
+  * score. */
 case class ByteDequantDot(left: Expression, right: Expression,
                           mins: Array[Float], maxs: Array[Float])
   extends BinaryExpression {
@@ -66,7 +70,11 @@ case class ByteDequantDot(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val c = a.asInstanceOf[ArrayData]
     val q = b.asInstanceOf[ArrayData]
-    val n = math.min(math.min(c.numElements(), q.numElements()), mnd.length)
+    val n = mnd.length
+    if (c.numElements() != n || q.numElements() != n)
+      throw new IllegalArgumentException(
+        s"byte_dequant_dot: dimension mismatch — codes ${c.numElements()}, " +
+          s"query ${q.numElements()}, fitted ranges $n")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -86,9 +94,12 @@ case class ByteDequantDot(left: Expression, right: Expression,
       val s = ctx.freshName("sum")
       val d = ctx.freshName("deq")
       s"""
-         |int $n = java.lang.Math.min(
-         |  java.lang.Math.min($a.numElements(), $b.numElements()),
-         |  $mndRef.length);
+         |int $n = $mndRef.length;
+         |if ($a.numElements() != $n || $b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "byte_dequant_dot: dimension mismatch — codes " + $a.numElements()
+         |      + ", query " + $b.numElements() + ", fitted ranges " + $n);
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $mndRef[$i]
@@ -108,7 +119,9 @@ case class ByteDequantDot(left: Expression, right: Expression,
 /** `Σ_i deq(codes_i)²` — the squared L2 norm of the dequantized
   * vector, query-independent so callers compute it ONCE per corpus row
   * (the precomputed-norm discipline of
-  * [[graft.ops.Similarity]]`.cosineWithNorms`). */
+  * [[graft.ops.Similarity]]`.cosineWithNorms`). Codes must match the
+  * fitted dimension — a mismatch fails per row like
+  * [[ByteDequantDot]]. */
 case class ByteDequantSelfDot(child: Expression,
                               mins: Array[Float], maxs: Array[Float])
   extends UnaryExpression {
@@ -126,7 +139,11 @@ case class ByteDequantSelfDot(child: Expression,
 
   override def nullSafeEval(a: Any): Any = {
     val c = a.asInstanceOf[ArrayData]
-    val n = math.min(c.numElements(), mnd.length)
+    val n = mnd.length
+    if (c.numElements() != n)
+      throw new IllegalArgumentException(
+        s"byte_dequant_self_dot: dimension mismatch — codes " +
+          s"${c.numElements()}, fitted ranges $n")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -146,7 +163,12 @@ case class ByteDequantSelfDot(child: Expression,
       val s = ctx.freshName("sum")
       val d = ctx.freshName("deq")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $mndRef.length);
+         |int $n = $mndRef.length;
+         |if ($a.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "byte_dequant_self_dot: dimension mismatch — codes "
+         |      + $a.numElements() + ", fitted ranges " + $n);
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $mndRef[$i]

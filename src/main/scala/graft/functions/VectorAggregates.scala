@@ -297,10 +297,19 @@ final class VecOuterBuffer(var count: Long, var sums: Array[Long],
   *
   * Dimension mismatches and null/NaN ELEMENTS fail loudly like
   * [[VectorMean]]; null rows are skipped; an empty input yields null.
+  *
+  * `includeOuter = false` skips the `O(d²)` outer-product accumulation
+  * entirely and emits `outer = null` — the first-moment-only regime for
+  * consumers that need just the fixed-point centroid (e.g.
+  * [[graft.ops.Outliers]]`.embeddingOutliers`), where paying
+  * `d(d+1)/2` multiply/floor/addExact per corpus row for discarded
+  * statistics would dominate the scan. The `sums` arithmetic is
+  * IDENTICAL in both regimes, so first moments agree bit for bit.
   */
 case class VectorOuterSum(
     child: Expression,
     scaleDigits: Int = 9,
+    includeOuter: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VecOuterBuffer]
@@ -340,7 +349,7 @@ case class VectorOuterSum(
       val n = arr.numElements()
       if (buf.sums == null) {
         buf.sums = new Array[Long](n)
-        buf.outer = new Array[Long](n * (n + 1) / 2)
+        buf.outer = new Array[Long](if (includeOuter) n * (n + 1) / 2 else 0)
       } else require(buf.sums.length == n,
         s"$prettyName: vector dimension changed from ${buf.sums.length} to $n")
       val d = new Array[Double](n)
@@ -365,10 +374,12 @@ case class VectorOuterSum(
       i = 0
       while (i < n) {
         buf.sums(i) = Math.addExact(buf.sums(i), fixed(d(i)))
-        var j = i
-        while (j < n) {
-          buf.outer(t) = Math.addExact(buf.outer(t), fixed(d(i) * d(j)))
-          t += 1; j += 1
+        if (includeOuter) {
+          var j = i
+          while (j < n) {
+            buf.outer(t) = Math.addExact(buf.outer(t), fixed(d(i) * d(j)))
+            t += 1; j += 1
+          }
         }
         i += 1
       }
@@ -405,12 +416,13 @@ case class VectorOuterSum(
     if (buf.count == 0) null
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](buf.count, new GenericArrayData(buf.sums),
-        new GenericArrayData(buf.outer)))
+        if (includeOuter) new GenericArrayData(buf.outer) else null))
 
   override def serialize(buf: VecOuterBuffer): Array[Byte] = {
     val dim = if (buf.sums == null) -1 else buf.sums.length
+    val outerLen = if (buf.outer == null) 0 else buf.outer.length
     val bb = ByteBuffer.allocate(8 + 4 +
-      (if (dim > 0) (dim + dim * (dim + 1) / 2) * 8 else 0))
+      (if (dim > 0) (dim + outerLen) * 8 else 0))
     bb.putLong(buf.count)
     bb.putInt(dim)
     if (dim > 0) { buf.sums.foreach(bb.putLong); buf.outer.foreach(bb.putLong) }
@@ -424,7 +436,8 @@ case class VectorOuterSum(
     if (dim < 0) new VecOuterBuffer(count, null, null)
     else {
       val sums = new Array[Long](dim)
-      val outer = new Array[Long](dim * (dim + 1) / 2)
+      val outer =
+        new Array[Long](if (includeOuter) dim * (dim + 1) / 2 else 0)
       var i = 0
       while (i < dim) { sums(i) = bb.getLong; i += 1 }
       i = 0
@@ -455,6 +468,15 @@ object VectorAggFunctions {
     ColumnBridge.column(
       VectorOuterSum(ColumnBridge.expression(vec), scaleDigits)
         .toAggregateExpression())
+
+  /** First-moment-only regime of [[VectorOuterSum]]: `(count, sums,
+    * outer = null)` with the `O(d²)` outer accumulation skipped — for
+    * centroid-only consumers. `sums` is bit-identical to the full
+    * aggregate's. */
+  def vecFixedSum(vec: Column, scaleDigits: Int = 9): Column =
+    ColumnBridge.column(
+      VectorOuterSum(ColumnBridge.expression(vec), scaleDigits,
+        includeOuter = false).toAggregateExpression())
 
   /** Element-wise `(count, mins, maxs)` of a float-vector column in one
     * map-side-combined pass — see [[VectorMinMax]]. */

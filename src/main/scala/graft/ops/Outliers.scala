@@ -45,7 +45,11 @@ object Outliers {
     val gcols = groupCols.map(col)
     val med = df.groupBy(gcols: _*)
       .agg(median(v, exact, kllK).as("__med"))
+    // withMed feeds both the MAD aggregation and the final filter —
+    // persist so the input scan + broadcast join run once, not twice
+    // (the pin backs the returned lazy plan; ContextCleaner releases it)
     val withMed = df.join(broadcast(med), groupCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = withMed.groupBy(gcols: _*)
       .agg(median(abs(v - col("__med")), exact, kllK).as("__mad"))
     val z = (v - col("__med")) / (lit(MadScale) * col("__mad"))
@@ -84,8 +88,11 @@ object Outliers {
     // silently yielding zero rows (a lazy assert inside a broadcast
     // side gets pruned away wholesale by AQE empty-relation
     // propagation when the data side is empty), and the mean enters
-    // the distance projection as a plan literal — no join at all
-    val row = Pca.moments(df, vecCol, scaleDigits)
+    // the distance projection as a plan literal — no join at all.
+    // firstMoments, not moments: only the sums feed the centroid, and
+    // the full aggregate's O(d²) outer-product work per corpus row
+    // (2080 extra multiply/floor/addExact at d = 64) would be discarded
+    val row = Pca.firstMoments(df, vecCol, scaleDigits)
       .select(col("count"), col("sums")).head()
     require(row.getLong(0) > 0,
       "embeddingOutliers: no non-null vectors to fit the centroid on")
@@ -99,8 +106,14 @@ object Outliers {
       zip_with(col(vecCol), typedlit(mu),
         (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x))
+    // the narrow (id, dist) frame feeds THREE sequential consumers
+    // (median agg, MAD agg, final filter) — persist it so the corpus
+    // scan + distance fold run once, not three times (the Hamming
+    // decode-persist discipline; the pin backs the returned lazy plan
+    // and ContextCleaner releases it with the plan)
     val d = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), dist.as("__dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = d.agg(median(col("__dist"), exact, kllK).as("__med"))
     val mad = d.crossJoin(broadcast(med))
       .agg(median(abs(col("__dist") - col("__med")), exact, kllK).as("__mad"))

@@ -63,6 +63,19 @@ object Pca {
       .select(coalesce(col("st.count"), lit(0L)).as("count"),
         col("st.sums").as("sums"), col("st.outer").as("outer"))
 
+  /** First moments only — `(count, sums)` with the `O(d²)` outer
+    * accumulation skipped ([[graft.functions.VectorAggFunctions]]
+    * `.vecFixedSum`). For centroid-only consumers
+    * ([[Outliers.embeddingOutliers]]): at d = 64 the full [[moments]]
+    * pays 2080 extra multiply/floor/addExact per corpus row for
+    * statistics a centroid fit discards. `sums` is bit-identical to
+    * [[moments]]'s. */
+  def firstMoments(df: DataFrame, vecCol: String,
+                   scaleDigits: Int = 9): DataFrame =
+    df.agg(VectorAggFunctions.vecFixedSum(col(vecCol), scaleDigits).as("st"))
+      .select(coalesce(col("st.count"), lit(0L)).as("count"),
+        col("st.sums").as("sums"))
+
   /** Fold any number of moments rows into one by element-wise long
     * sums (empty-batch rows are identity and skipped). Model-sized
     * work: the explode touches `batches × d(d+1)/2` elements, never
@@ -71,9 +84,28 @@ object Pca {
     * pinned. Sums here go through Spark's `sum` (no `addExact` guard):
     * capacity analysis is [[graft.functions.VectorOuterSum]]'s, with
     * batch COUNT as the extra factor — far inside the ~10⁹-row budget
-    * at the default scale. */
+    * at the default scale.
+    *
+    * Mixed-dimension inputs FAIL LOUDLY (the [[covarianceFromMoments]]
+    * contract): element-wise summing rows of different dims would
+    * silently corrupt every statistic, and the per-ingest-batch
+    * maintenance use case — an embedding-model change mid-stream — is
+    * exactly where dims drift. `scaleDigits` is NOT recoverable from a
+    * moments row, so all merged batches must share it by construction;
+    * mixing scales merges without error but yields garbage — keep one
+    * scale per moments store. */
   def mergeMoments(m: DataFrame): DataFrame = {
     val live = m.filter(col("count") > 0)
+    // 1-row gate, cross-joined in so the dimension check evaluates with
+    // the merge itself (model-sized: reads batch-count rows' sizes only)
+    val dimGate = live
+      .agg(countDistinct(size(col("sums"))).as("__ds"),
+        countDistinct(size(col("outer"))).as("__do"))
+      .select(assert_true(col("__ds") <= 1 && col("__do") <= 1,
+        lit("mergeMoments: moments rows disagree on vector dimension — " +
+          "refusing to element-wise merge statistics of different dims " +
+          "(and note scaleDigits must also match; it is not recoverable " +
+          "from the row)")).as("__dim_ok"))
     def side(c: String) = live
       .select(posexplode(col(c)).as(Seq("i", "v")))
       .groupBy(col("i")).agg(sum(col("v")).as("v"))
@@ -82,6 +114,8 @@ object Pca {
     live.agg(sum(col("count")).as("count"))
       .select(coalesce(col("count"), lit(0L)).as("count"))
       .crossJoin(side("sums")).crossJoin(side("outer"))
+      // filter (not drop) so column pruning can never elide the assert
+      .crossJoin(dimGate).filter(col("__dim_ok").isNull).drop("__dim_ok")
   }
 
   /** The covariance closed form over a (merged) moments row — shares

@@ -15,8 +15,14 @@ package graft.ops
   * and accept exactly the shapes the engine's PCM gate accepted through
   * the JDK reader:
   *
-  *  - WAV: format tag 1 (linear PCM), 8-bit (unsigned) or 16-bit
-  *    (signed, little-endian). A-law/µ-law/float/extensible → None.
+  *  - WAV: format tag 1 (linear PCM) or tag 0xFFFE
+  *    (WAVE_FORMAT_EXTENSIBLE) whose SubFormat GUID is
+  *    KSDATAFORMAT_SUBTYPE_PCM — the JDK reader accepted extensible
+  *    PCM too (it surfaces as PCM_SIGNED through
+  *    WaveExtensibleFileReader), so multichannel/extensible linear PCM
+  *    keeps fingerprinting on this path. 8-bit (unsigned) or 16-bit
+  *    (signed, little-endian). A-law/µ-law/float, and extensible
+  *    wrapping any non-PCM SubFormat → None.
   *  - AIFF (and AIFC with compression "NONE"): 16-bit signed
   *    big-endian. 8-bit AIFF is SIGNED, which the gate refuses — as it
   *    did via the JDK path.
@@ -43,6 +49,13 @@ object PcmContainer {
     (be16(b, i).toLong << 16) | be16(b, i + 2).toLong
   private def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** KSDATAFORMAT_SUBTYPE_PCM = 00000001-0000-0010-8000-00AA00389B71,
+    * serialized (data1-3 little-endian, data4 as-is) per the public
+    * WAVEFORMATEXTENSIBLE layout. */
+  private val PcmSubformatGuid: Array[Byte] = Array(
+    0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte)
 
   def isWav(b: Array[Byte]): Boolean =
     b != null && b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
@@ -79,7 +92,21 @@ object PcmContainer {
           val ch = le16(b, body + 2)
           val rate = le32(b, body + 4)
           val bits = le16(b, body + 14)
-          if (audioTag != 1 || ch < 1) return None // PCM only
+          if (ch < 1) return None
+          if (audioTag == 0xFFFE) {
+            // WAVE_FORMAT_EXTENSIBLE: linear PCM only when the 16-byte
+            // SubFormat GUID (at body+24, after cbSize/validBits/mask)
+            // is KSDATAFORMAT_SUBTYPE_PCM
+            if (size < 40 || body + 40 > n) return None
+            var k = 0
+            while (k < 16) {
+              if (b(body + 24 + k) != PcmSubformatGuid(k)) return None
+              k += 1
+            }
+            // the container bits drive sample layout; validBits < bits
+            // (e.g. 20-in-24) is a shape the gate never accepted
+            if (le16(b, body + 18) != bits) return None
+          } else if (audioTag != 1) return None // PCM only
           if (bits != 8 && bits != 16) return None
           fmt = Some((bits, ch, rate.toFloat))
         case "data" =>

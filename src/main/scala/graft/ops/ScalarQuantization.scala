@@ -56,14 +56,21 @@ object ScalarQuantization {
 
   /** The quantization grid index for element `x` of dimension `i`, as a
     * double in `[0, 255]` (shared by [[quantize]] and the error
-    * report so the two can never disagree). */
+    * report so the two can never disagree). A NaN element FAILS loudly:
+    * Spark's `least`/`greatest` order NaN as largest, so an unguarded
+    * NaN would silently clamp to code 255 — fabricating a max-code value
+    * where [[fitRanges]] would have refused the same input. */
   private def gridCode(x: Column, mn: Column, mx: Column): Column = {
     val xd = x.cast("double")
     val mnd = mn.cast("double")
     val range = mx.cast("double") - mnd
-    when(range > 0.0,
-      least(lit(255.0), greatest(lit(0.0),
-        floor((xd - mnd) / range * 255.0 + 0.5))))
+    when(isnan(xd), raise_error(lit(
+      "quantize: NaN element cannot be quantized against fitted ranges " +
+        "(fitRanges rejects NaN corpora — quantize-time NaNs fail the " +
+        "same way)")).cast("double"))
+      .when(range > 0.0,
+        least(lit(255.0), greatest(lit(0.0),
+          floor((xd - mnd) / range * 255.0 + 0.5))))
       .otherwise(lit(0.0))
   }
 

@@ -88,6 +88,21 @@ class OutliersSpec extends SparkTestBase {
     run(1) shouldBe run(7)
   }
 
+  it should "read the corpus through ONE cached distance frame across median/MAD/filter" in {
+    // the (id, dist) projection feeds three sequential consumers — the
+    // persist pin means each reads the cached relation, so a 100 TB
+    // corpus is scanned once, not three times
+    val plan = Outliers.embeddingOutliers(embFrame(), "id", "vec", edim)
+      .queryExecution.withCachedData
+    val leaves = plan.collectLeaves()
+    val (cached, raw) = leaves.partition(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+    withClue(s"non-cached leaves:\n${raw.map(_.nodeName).mkString("\n")}\n") {
+      cached should not be empty
+      raw shouldBe empty // the scan + distance fold live only in the cache
+    }
+  }
+
   it should "refuse a wrong declared dimension or empty corpus loudly" in {
     an[Exception] should be thrownBy
       Outliers.embeddingOutliers(embFrame(), "id", "vec", edim + 1)

@@ -130,6 +130,30 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  it should "refuse to merge moments rows of different dimensions" in {
+    val m3 = Pca.moments(frame(rnd(10, seed = 41L)), "vec")
+    val m2 = Pca.moments(
+      Seq((1L, Array(0.5f, -0.5f)), (2L, Array(0.25f, 0.75f)))
+        .toDF("id", "vec"), "vec")
+    val ex = the[Exception] thrownBy
+      Pca.mergeMoments(m3.union(m2)).collect()
+    ex.getMessage should include("disagree on vector dimension")
+    // matching dims still merge fine through the gate
+    Pca.mergeMoments(m3.union(m3)).collect().length shouldBe 1
+  }
+
+  "firstMoments" should "match moments' sums bit for bit with outer skipped" in {
+    val vs = rnd(45, seed = 43L)
+    val full = Pca.moments(frame(vs), "vec")
+      .select($"count", $"sums").head()
+    val first = Pca.firstMoments(frame(vs), "vec").head()
+    first.getLong(0) shouldBe full.getLong(0)
+    first.getSeq[Long](1) shouldBe full.getSeq[Long](1)
+    // and the sums-only aggregate survives shuffles (serialize path)
+    val sh = Pca.firstMoments(frame(vs).repartition(7), "vec").head()
+    sh.getSeq[Long](1) shouldBe full.getSeq[Long](1)
+  }
+
   it should "fail loudly when every batch is empty" in {
     val empty = Pca.moments(frame(Seq.empty), "vec")
     an[Exception] should be thrownBy

@@ -266,6 +266,66 @@ class PcmContainerSpec extends AnyFlatSpec with Matchers {
     PcmContainer.parse(evilAu) shouldBe None
   }
 
+  // KSDATAFORMAT_SUBTYPE_PCM, serialized per the public layout
+  private val pcmGuid = Array(
+    0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte)
+
+  private def buildExtensibleWav(pcm: Array[Byte], rate: Int, bits: Int,
+      channels: Int, guid: Array[Byte], validBits: Int): Array[Byte] = {
+    val out = new Array[Byte](12 + 48 + 8 + pcm.length)
+    def tg(i: Int, s: String): Unit =
+      for (k <- 0 until 4) out(i + k) = s.charAt(k).toByte
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def p32(i: Int, v: Long): Unit = {
+      p16(i, (v & 0xFFFF).toInt); p16(i + 2, ((v >> 16) & 0xFFFF).toInt)
+    }
+    tg(0, "RIFF"); p32(4, 4L + 48 + 8 + pcm.length); tg(8, "WAVE")
+    tg(12, "fmt "); p32(16, 40L)
+    val body = 20
+    p16(body, 0xFFFE); p16(body + 2, channels); p32(body + 4, rate.toLong)
+    val blockAlign = channels * bits / 8
+    p32(body + 8, rate.toLong * blockAlign); p16(body + 12, blockAlign)
+    p16(body + 14, bits)
+    p16(body + 16, 22) // cbSize
+    p16(body + 18, validBits)
+    p32(body + 20, 3L) // channel mask (front L+R)
+    System.arraycopy(guid, 0, out, body + 24, 16)
+    tg(60, "data"); p32(64, pcm.length.toLong)
+    System.arraycopy(pcm, 0, out, 68, pcm.length)
+    out
+  }
+
+  it should "accept WAVE_FORMAT_EXTENSIBLE wrapping linear PCM (as the JDK gate did)" in {
+    val pcm = sine16(200, 2, false)
+    val wav = buildExtensibleWav(pcm, 44100, 16, 2, pcmGuid, 16)
+    val info = PcmContainer.parse(wav).get
+    info.bits shouldBe 16
+    info.channels shouldBe 2
+    info.bigEndian shouldBe false
+    info.unsigned8 shouldBe false
+    info.sampleRate shouldBe 44100f
+    info.dataOff shouldBe 68
+    info.dataLen shouldBe pcm.length
+    wav.slice(info.dataOff, info.dataOff + info.dataLen) shouldBe pcm
+  }
+
+  it should "refuse extensible WAVs wrapping anything but PCM" in {
+    val pcm = sine16(50, 1, false)
+    // IEEE-float SubFormat (data1 = 3): not linear PCM
+    val floatGuid = pcmGuid.clone(); floatGuid(0) = 3
+    PcmContainer.parse(
+      buildExtensibleWav(pcm, 8000, 16, 1, floatGuid, 16)) shouldBe None
+    // 20-valid-bits-in-24-container shapes were never gate-accepted
+    PcmContainer.parse(
+      buildExtensibleWav(pcm, 8000, 16, 1, pcmGuid, 14)) shouldBe None
+    // truncated mid-GUID: must refuse, never read out of bounds
+    PcmContainer.parse(
+      buildExtensibleWav(pcm, 8000, 16, 1, pcmGuid, 16).take(50)) shouldBe None
+  }
+
   it should "refuse the shapes the gate always refused" in {
     // µ-law AU (encoding 1)
     val mulaw = {

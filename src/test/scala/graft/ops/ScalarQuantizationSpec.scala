@@ -138,6 +138,35 @@ class ScalarQuantizationSpec extends SparkTestBase {
     }
   }
 
+  it should "fail loudly on a codes/query/ranges dimension mismatch instead of truncating" in {
+    import graft.functions.QuantFunctions._
+    val vs = rnd(10, 43L)
+    val rng = fitRanges(frame(vs), "vec")
+    val withCodes = quantize(frame(vs), "vec", rng)
+    // short query vector: silently scoring the first dims would produce
+    // a plausible-but-wrong cosine — the kernel must throw per row
+    val shortQ = vs.head._2.take(dim - 2)
+    val exDot = the[Exception] thrownBy withCodes
+      .select(byteDequantDot($"codes", typedlit(shortQ.toSeq),
+        rng.mins, rng.maxs)).collect()
+    exDot.getMessage should include("dimension mismatch")
+    // truncated codes against full-dim fitted ranges
+    val exSelf = the[Exception] thrownBy withCodes
+      .select(byteDequantSelfDot(slice($"codes", 1, dim - 1),
+        rng.mins, rng.maxs)).collect()
+    exSelf.getMessage should include("dimension mismatch")
+  }
+
+  "quantize" should "refuse NaN elements loudly instead of clamping to max code" in {
+    val vs = rnd(10, 59L)
+    val rng = fitRanges(frame(vs), "vec")
+    val withNan = frame(vs).union(
+      Seq((999L, Array.fill(dim)(Float.NaN))).toDF("id", "vec"))
+    val ex = the[Exception] thrownBy
+      quantize(withNan, "vec", rng).select($"codes").collect()
+    ex.getMessage should include("NaN")
+  }
+
   "quantizedTopK" should "rank compressed codes like the float corpus (within quantization error)" in {
     val vs = rnd(120, 47L)
     val rng = fitRanges(frame(vs), "vec")

@@ -58,13 +58,31 @@ object SnapshotJob {
           Console.err.println(s"cannot read config '$path': $e")
           return 1
       }
-    val config =
+    val parsed =
       try {
         val isHocon = path.endsWith(".conf") || path.endsWith(".hocon")
-        if (isHocon)
-          SnapshotPipeline.fromJValue(graft.pipeline.Hocon.parse(text,
-            baseDir = Option(Paths.get(path).getParent).map(_.toString)))
-        else SnapshotPipeline.fromJson(text)
+        val ast =
+          if (isHocon) graft.pipeline.Hocon.parse(text,
+            baseDir = Option(Paths.get(path).getParent).map(_.toString))
+          else org.json4s.jackson.JsonMethods.parse(text)
+        // config-shape dispatch, the reference's strategy-by-section
+        // pattern (Settings.scala:16-48) one level up: a `changelog`
+        // section declares a snapshot job, an `input` section a
+        // curation job; both or neither is ambiguous and fails with
+        // the section inventory
+        import org.json4s.JNothing
+        (ast \ "changelog", ast \ "input") match {
+          case (JNothing, JNothing) => throw new IllegalArgumentException(
+            "config declares neither a snapshot job (changelog section) " +
+              "nor a curation job (input section)")
+          case (s, i) if s != JNothing && i != JNothing =>
+            throw new IllegalArgumentException(
+              "config declares both changelog and input sections — " +
+                "one job per config file")
+          case (JNothing, _) =>
+            Right(graft.pipeline.CurationPipeline.fromJValue(ast))
+          case _ => Left(SnapshotPipeline.fromJValue(ast))
+        }
       } catch {
         // any parse/validation failure keeps the diagnostic-then-exit-1
         // contract (the two-schema no-match report is multi-line, like
@@ -76,7 +94,10 @@ object SnapshotJob {
           return 1
       }
     try {
-      SnapshotPipeline.run(spark, config)
+      parsed match {
+        case Left(snap) => SnapshotPipeline.run(spark, snap)
+        case Right(cur) => graft.pipeline.CurationPipeline.run(spark, cur)
+      }
       0
     } catch {
       case e: Exception =>

@@ -1824,6 +1824,24 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    // The SAME pipeline declared in config instead of code
+    // (CurationPipeline): ordered rules, dedup tier, chunk, pack — the
+    // reference's config-first identity (Settings.scala:16-48) applied
+    // to the curation tier. Hash-checked against the identical oracle
+    // as q_pipeline_e2e, so config and code runs provably agree.
+    "q_pipeline_config" -> ((s, d) => {
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:50"],
+           | "dedup": {"method": "exact"},
+           | "chunk": {"tokens": 40, "overlap": 8},
+           | "pack": {"capacity": 512, "shards": 8}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .withColumn("n_tokens", col("n_tokens").cast(LongType))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // Deterministic key-stable train/val/test split — split sizes per
     // language. md5-prefix assignment is engine-portable, so the split
     // itself (not just its shape) hash-checks against the oracle.
@@ -4002,42 +4020,11 @@ object SparkEntry {
         |  CAST(sum(tok) AS BIGINT) AS n_tokens
         |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     // Same walk as q_packing, over the gated + deduped document set.
-    "q_pipeline_e2e" ->
-      """WITH RECURSIVE d0 AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-        |  FROM d0),
-        |tq AS (SELECT * FROM t WHERE n >= 50),
-        |c AS (
-        |  SELECT doc_id, n, toks,
-        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
-        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
-        |  FROM tq),
-        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c),
-        |ch AS (
-        |  SELECT doc_id % 8 AS shard, doc_id, CAST(i AS INT) AS chunk_idx,
-        |    CAST(least(40, n - i*32) AS INT) AS chunk_tokens,
-        |    row_number() OVER (PARTITION BY doc_id % 8
-        |      ORDER BY doc_id, i) AS rn
-        |  FROM e),
-        |walk(shard, rn, tok, pack_id, fill) AS (
-        |  SELECT shard, rn, chunk_tokens, 0, chunk_tokens FROM ch WHERE rn = 1
-        |  UNION ALL
-        |  SELECT c.shard, c.rn, c.chunk_tokens,
-        |    CASE WHEN w.fill + c.chunk_tokens > 512
-        |         THEN w.pack_id + 1 ELSE w.pack_id END,
-        |    CASE WHEN w.fill + c.chunk_tokens > 512
-        |         THEN c.chunk_tokens ELSE w.fill + c.chunk_tokens END
-        |  FROM walk w JOIN ch c ON c.shard = w.shard AND c.rn = w.rn + 1)
-        |SELECT shard, CAST(pack_id AS INT) AS pack_id, count(*) AS n_pieces,
-        |  CAST(sum(tok) AS BIGINT) AS n_tokens
-        |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    "q_pipeline_e2e" -> PipelinePackOracle,
+    // The config-declared pipeline IS the hand-composed plan: the same
+    // oracle replays both (gate -> exact dedup -> chunk -> shard ->
+    // greedy pack), so a config run and a code run can never diverge.
+    "q_pipeline_config" -> PipelinePackOracle,
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
@@ -6059,6 +6046,48 @@ object SparkEntry {
   /** Shared decontamination CTE: corpus = doc_id % 20 != 0, benchmark =
     * the rest; `r` = (corpus_id, bench_id, overlap) pairs sharing >= 3
     * distinct 3-gram shingles. */
+  /** Shared oracle for the curation pipeline (hand-composed
+    * `q_pipeline_e2e` and config-declared `q_pipeline_config`):
+    * min_tokens:50 gate → exact dedup (min id per text) → 40/8 chunking
+    * → shard = doc_id % 8 → greedy 512-capacity pack, replayed as a
+    * recursive walk. */
+  private val PipelinePackOracle: String =
+    """WITH RECURSIVE d0 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+      |  FROM d0),
+      |tq AS (SELECT * FROM t WHERE n >= 50),
+      |c AS (
+      |  SELECT doc_id, n, toks,
+      |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+      |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
+      |  FROM tq),
+      |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c),
+      |ch AS (
+      |  SELECT doc_id % 8 AS shard, doc_id, CAST(i AS INT) AS chunk_idx,
+      |    CAST(least(40, n - i*32) AS INT) AS chunk_tokens,
+      |    row_number() OVER (PARTITION BY doc_id % 8
+      |      ORDER BY doc_id, i) AS rn
+      |  FROM e),
+      |walk(shard, rn, tok, pack_id, fill) AS (
+      |  SELECT shard, rn, chunk_tokens, 0, chunk_tokens FROM ch WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.shard, c.rn, c.chunk_tokens,
+      |    CASE WHEN w.fill + c.chunk_tokens > 512
+      |         THEN w.pack_id + 1 ELSE w.pack_id END,
+      |    CASE WHEN w.fill + c.chunk_tokens > 512
+      |         THEN c.chunk_tokens ELSE w.fill + c.chunk_tokens END
+      |  FROM walk w JOIN ch c ON c.shard = w.shard AND c.rn = w.rn + 1)
+      |SELECT shard, CAST(pack_id AS INT) AS pack_id, count(*) AS n_pieces,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens
+      |FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
   private val ContaminationCte: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

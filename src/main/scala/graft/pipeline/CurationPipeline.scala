@@ -1,0 +1,386 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.ops.{Chunking, Dedup, Expectations, Packing, Policy, Repetition,
+  Sampling, TextAnalysis}
+
+/** Config-declared corpus-curation pipeline — the reference's
+  * config-first identity (reference:
+  * src/main/scala/com/booking/spark/Settings.scala:16-48,
+  * src/main/resources/reference.conf:1-17 — "declare the job in config,
+  * run one binary") applied to the LLM-data tier: ordered filter-policy
+  * rules, a dedup tier, deterministic sampling / token-budget mixing,
+  * chunking, sequence packing, and a data-quality publish gate, all
+  * declared in one HOCON/JSON file and composed from the SAME operators
+  * a hand-written plan would use ([[graft.ops.Policy]],
+  * [[graft.ops.Dedup]], [[graft.ops.Sampling]], [[graft.ops.Chunking]],
+  * [[graft.ops.Packing]], [[graft.ops.Expectations]]) — a config run
+  * and the equivalent hand-composed plan are THE SAME Catalyst plan,
+  * hash-identical output included.
+  *
+  * Stage order is fixed (each stage optional except the input):
+  * {{{
+  *   input → rules → dedup → sample → budget → chunk → pack
+  * }}}
+  * — gates first (cheapest row reduction), content dedup on the gated
+  * survivors, deterministic downsampling, per-domain token budgeting,
+  * then the window/packing stages that multiply row counts. This is the
+  * canonical curation order: every expensive pairing tier (dedup) sees
+  * only rows that already passed the scalar gates.
+  *
+  * Scale posture: rules are codegen'd scalar Columns fused into the
+  * scan; the dedup tiers are the banded/blocked [[graft.ops.Dedup]]
+  * implementations (no quadratic pairing); sampling/budgeting are
+  * md5-deterministic (engine-portable, shuffle-free thresholds);
+  * chunking is a per-row explode; packing shuffles once on the declared
+  * shard key. The publish gate pins the curated frame so the validated
+  * bytes are exactly the published bytes
+  * ([[SnapshotPipeline.run]]'s discipline).
+  */
+object CurationPipeline {
+
+  /** Near-dup tier selection. Every tier drops rows by the MONOTONE
+    * rule: a doc is dropped iff it has any (verified) near-duplicate
+    * with a smaller id — deterministic under any partitioning, no
+    * iterative clustering ([[graft.ops.SemanticDedup]]'s drop rule). */
+  sealed trait DedupTier
+  case object NoDedup extends DedupTier
+  /** One row per distinct text, min id kept ([[Dedup.exactDedup]]). */
+  case object ExactTier extends DedupTier
+  /** Exact n-gram Jaccard ≥ threshold ([[Dedup.ngramJaccardJoin]]). */
+  final case class JaccardTier(n: Int, threshold: Double) extends DedupTier
+  /** MinHash-LSH candidates verified by exact Jaccard
+    * ([[Dedup.minhashNearDups]]). */
+  final case class MinHashTier(n: Int, threshold: Double, bands: Int,
+                               rowsPerBand: Int) extends DedupTier
+  /** SimHash fingerprints within Hamming `maxDist`
+    * ([[Dedup.simhashNearDups]]). */
+  final case class SimHashTier(n: Int, maxDist: Int) extends DedupTier
+
+  final case class ChunkConfig(tokens: Int, overlap: Int)
+  /** `shards` buckets rows by `pmod(id, shards)` — the pack
+    * parallelism unit; each shard packs independently
+    * ([[Packing.packGreedy]]'s per-group walk). */
+  final case class PackConfig(capacity: Int, shards: Int)
+  /** Per-domain token budgets ([[Sampling.tokenBudgetMix]]) over the
+    * whitespace token count of the text column. */
+  final case class BudgetConfig(domainCol: String,
+                                budgets: Map[String, Long],
+                                defaultBudget: Long)
+
+  final case class CurationConfig(
+      inputPath: String,
+      idCol: String,
+      textCol: String,
+      rules: Seq[String],
+      dedup: DedupTier = NoDedup,
+      sampleFraction: Option[Double] = None,
+      budget: Option[BudgetConfig] = None,
+      chunk: Option[ChunkConfig] = None,
+      pack: Option[PackConfig] = None,
+      expectations: Seq[Expectations.Expect] = Nil,
+      sinkPath: Option[String] = None,
+      partitionBy: Seq[String] = Nil)
+
+  // ------------------------------------------------------------- rules
+
+  /** Parse one compact rule spec into a named boolean keep-rule over
+    * the text column — the [[Expectations.fromSpec]] pattern for
+    * filter gates. Every predicate is a codegen'd scalar Column from
+    * the text battery, so the whole rule chain fuses into the scan:
+    * {{{
+    * min_tokens:<n>         max_tokens:<n>
+    * min_chars:<n>          max_chars:<n>
+    * lang:<code1,code2,...>           (TextAnalysis.languageId)
+    * min_quality:<score>              (TextAnalysis.qualityScore)
+    * max_punct_ratio:<r>    max_upper_ratio:<r>
+    * min_stopword_ratio:<r>
+    * max_dup_word_frac:<r>            (Repetition.dupWordFrac)
+    * matches:<regex>                  (regex last: may contain ':')
+    * }}} */
+  def ruleFromSpec(spec: String, text: Column): (String, Column) = {
+    def num(s: String, what: String): Double =
+      s.toDoubleOption.getOrElse(fail(s"$what in rule '$spec' must be a number"))
+    val rule: Column = spec.split(":", 2).toList match {
+      case "matches" :: regex :: Nil => text.rlike(regex)
+      case name :: arg :: Nil => name match {
+        case "min_tokens" =>
+          TextAnalysis.tokenCount(text) >= num(arg, "min_tokens").toLong
+        case "max_tokens" =>
+          TextAnalysis.tokenCount(text) <= num(arg, "max_tokens").toLong
+        case "min_chars" =>
+          TextAnalysis.charCount(text) >= num(arg, "min_chars").toLong
+        case "max_chars" =>
+          TextAnalysis.charCount(text) <= num(arg, "max_chars").toLong
+        case "lang" =>
+          val codes = arg.split(",").map(_.trim).filter(_.nonEmpty)
+          if (codes.isEmpty) fail(s"rule '$spec' needs at least one language")
+          TextAnalysis.languageId(text).isin(codes.toIndexedSeq: _*)
+        case "min_quality" => TextAnalysis.qualityScore(text) >= num(arg, "score")
+        case "max_punct_ratio" => TextAnalysis.punctRatio(text) <= num(arg, "ratio")
+        case "max_upper_ratio" => TextAnalysis.upperRatio(text) <= num(arg, "ratio")
+        case "min_stopword_ratio" =>
+          TextAnalysis.stopwordRatio(text) >= num(arg, "ratio")
+        case "max_dup_word_frac" =>
+          Repetition.dupWordFrac(text) <= num(arg, "ratio")
+        case other => fail(s"unknown rule type '$other' in '$spec'")
+      }
+      case _ => fail(s"rule '$spec' needs a ':<arg>' part")
+    }
+    spec -> rule
+  }
+
+  // ------------------------------------------------------------- stages
+
+  private def namedRules(config: CurationConfig): Seq[(String, Column)] =
+    config.rules.map(ruleFromSpec(_, col(config.textCol)))
+
+  /** Drop every id with a verified near-dup pair to a smaller id — the
+    * monotone rule over a `(id_a, id_b)` pair frame (either column
+    * order; both directions considered). One output-sized anti-join. */
+  private def dropByPairs(df: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val drops = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("__drop"))
+      .distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
+  private def applyDedup(df: DataFrame, config: CurationConfig): DataFrame =
+    config.dedup match {
+      case NoDedup => df
+      case ExactTier => Dedup.exactDedup(df, config.idCol, config.textCol)
+      case JaccardTier(n, t) =>
+        dropByPairs(df, config.idCol,
+          Dedup.ngramJaccardJoin(df, config.idCol, config.textCol, n, t))
+      case MinHashTier(n, t, b, r) =>
+        dropByPairs(df, config.idCol,
+          Dedup.minhashNearDups(df, config.idCol, config.textCol, n, t, b, r))
+      case SimHashTier(n, d) =>
+        dropByPairs(df, config.idCol,
+          Dedup.simhashNearDups(df, config.idCol, config.textCol, n, d))
+    }
+
+  /** The curated corpus at DOCUMENT granularity (after rules, dedup,
+    * sample, budget — before any chunking). */
+  def curatedDocs(spark: SparkSession, config: CurationConfig): DataFrame = {
+    val input = spark.read.parquet(config.inputPath)
+    val gated =
+      if (config.rules.isEmpty) input
+      else Policy.survivors(input, namedRules(config))
+    val deduped = applyDedup(gated, config)
+    val sampled = config.sampleFraction match {
+      case Some(f) => Sampling.hashSample(deduped, f, Seq(config.idCol))
+      case None => deduped
+    }
+    config.budget match {
+      case Some(b) =>
+        Sampling.tokenBudgetMix(
+            sampled.withColumn("__tokens",
+              TextAnalysis.tokenCount(col(config.textCol))),
+            b.domainCol, config.idCol, "__tokens", b.budgets, b.defaultBudget)
+          .drop("__tokens")
+      case None => sampled
+    }
+  }
+
+  /** The full declared pipeline as ONE lazy frame: document stages,
+    * then chunking and packing if configured. With `pack` the result is
+    * the pack summary `(shard, pack_id, n_pieces, n_tokens)`; with only
+    * `chunk` the chunk rows; otherwise the curated documents. */
+  def curate(spark: SparkSession, config: CurationConfig): DataFrame = {
+    val docs = curatedDocs(spark, config)
+    (config.chunk, config.pack) match {
+      case (None, None) => docs
+      case (Some(c), None) =>
+        Chunking.chunk(docs, config.textCol, c.tokens, c.overlap)
+      case (Some(c), Some(p)) =>
+        val chunks = Chunking.chunk(docs, config.textCol, c.tokens, c.overlap)
+          .withColumn("shard", pmod(col(config.idCol), lit(p.shards)))
+        Packing.packSummary(chunks, "chunk_tokens", p.capacity,
+          "shard", Seq(config.idCol, "chunk_idx"))
+      case (None, Some(_)) =>
+        fail("pack requires chunk (packing needs chunk_tokens)")
+    }
+  }
+
+  /** The attrition report for the declared rule chain
+    * ([[Policy.attritionReport]]) — the publish-next-to-the-dataset
+    * accounting artifact, from the same named rules the pipeline
+    * filters with (so report and filter can never disagree). */
+  def attrition(spark: SparkSession, config: CurationConfig): DataFrame = {
+    require(config.rules.nonEmpty, "attrition: config declares no rules")
+    Policy.attritionReport(spark.read.parquet(config.inputPath),
+      namedRules(config))
+  }
+
+  /** Run the declared pipeline and overwrite the sink. The publish gate
+    * is [[SnapshotPipeline.run]]'s: declared expectations must hold on
+    * the PINNED curated frame or the sink is never touched — a failed
+    * gate leaves the previous materialization in place, and the
+    * validated bytes are exactly the published bytes (no recompute
+    * between gate and write). */
+  def run(spark: SparkSession, config: CurationConfig): Unit = {
+    val sinkPath = config.sinkPath.getOrElse(
+      fail("run needs sink.path (use curate() for a frame)"))
+    val computed = curate(spark, config)
+    val pinned =
+      if (config.expectations.isEmpty) None
+      else Some(computed.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val df = pinned.getOrElse(computed)
+    try {
+      pinned.foreach(_ => Expectations.enforce(df, config.expectations))
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (config.partitionBy.nonEmpty) w.partitionBy(config.partitionBy: _*)
+       else w).parquet(sinkPath)
+    } finally pinned.foreach(_.unpersist())
+  }
+
+  // ------------------------------------------------------------- config
+
+  /** Parse a JSON curation config — see [[fromJValue]]. */
+  def fromJson(json: String): CurationConfig =
+    fromJValue(JsonMethods.parse(json))
+
+  /** Parse a curation config AST (from JSON or [[Hocon]]):
+    * {{{
+    * { "input": {"path": "...", "id_column": "doc_id",
+    *             "text_column": "text"},
+    *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
+    *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash",
+    *             "ngram": 3, "threshold": 0.8,           // jaccard/minhash
+    *             "bands": 16, "rows_per_band": 4,        // minhash
+    *             "max_dist": 11},                        // simhash
+    *   "sample": {"fraction": 0.5},                      // optional
+    *   "budget": {"domain_column": "lang",               // optional
+    *              "budgets": {"en": 100000}, "default": 0},
+    *   "chunk": {"tokens": 40, "overlap": 8},            // optional
+    *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
+    *   "expectations": ["complete:pack_id:1.0"],         // publish gate
+    *   "sink": {"path": "..."}, "partition_by": ["shard"] }
+    * }}} */
+  def fromJValue(root: JValue): CurationConfig = {
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s); case _ => None
+    }
+    def intOf(v: JValue, what: String, default: => Int): Int = v match {
+      case JInt(n) => n.toInt
+      case JLong(n) => n.toInt
+      case JNothing => default
+      case other => fail(s"$what must be an integer, got $other")
+    }
+    def dblOf(v: JValue, what: String, default: => Double): Double = v match {
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble
+      case JNothing => default
+      case other => fail(s"$what must be a number, got $other")
+    }
+    def strList(what: String, v: JValue): List[String] = v match {
+      case JArray(items) => items.map(c => str(c).getOrElse(fail(
+        s"$what entries must be strings, got " +
+          JsonMethods.compact(JsonMethods.render(c)))))
+      case JNothing => Nil
+      case _ => fail(s"$what must be an array of strings")
+    }
+    val inputPath = str(root \ "input" \ "path").getOrElse(
+      fail("input.path is required"))
+    val idCol = str(root \ "input" \ "id_column").getOrElse("doc_id")
+    val textCol = str(root \ "input" \ "text_column").getOrElse("text")
+    val rules = strList("rules", root \ "rules")
+    // parse eagerly so a bad rule spec fails at config time, not plan time
+    rules.foreach(ruleFromSpec(_, lit("")))
+    val dedup = root \ "dedup" match {
+      case JNothing => NoDedup
+      case d =>
+        val n = intOf(d \ "ngram", "dedup.ngram", 3)
+        str(d \ "method").getOrElse(
+            fail("dedup.method is required when dedup is declared")) match {
+          case "exact" => ExactTier
+          case "jaccard" =>
+            JaccardTier(n, dblOf(d \ "threshold", "dedup.threshold", 0.8))
+          case "minhash" => MinHashTier(n,
+            dblOf(d \ "threshold", "dedup.threshold", 0.8),
+            intOf(d \ "bands", "dedup.bands", 16),
+            intOf(d \ "rows_per_band", "dedup.rows_per_band", 4))
+          case "simhash" =>
+            SimHashTier(n, intOf(d \ "max_dist", "dedup.max_dist", 11))
+          case other => fail(s"unknown dedup.method '$other' " +
+            "(expected exact | jaccard | minhash | simhash)")
+        }
+    }
+    val sample = root \ "sample" match {
+      case JNothing => None
+      case s =>
+        val f = dblOf(s \ "fraction", "sample.fraction",
+          fail("sample.fraction is required when sample is declared"))
+        if (f < 0 || f > 1) fail(s"sample.fraction must be in [0, 1], got $f")
+        Some(f)
+    }
+    val budget = root \ "budget" match {
+      case JNothing => None
+      case b =>
+        val domain = str(b \ "domain_column").getOrElse(
+          fail("budget.domain_column is required"))
+        val budgets = b \ "budgets" match {
+          case JObject(fields) => fields.map { case JField(k, v) =>
+            k -> (v match {
+              case JInt(x) => x.toLong
+              case JLong(x) => x
+              case other => fail(s"budget.budgets.$k must be an integer, " +
+                s"got $other")
+            })
+          }.toMap
+          case JNothing => Map.empty[String, Long]
+          case _ => fail("budget.budgets must be an object of domain -> tokens")
+        }
+        val default = intOf(b \ "default", "budget.default", 0).toLong
+        if (budgets.isEmpty && default <= 0)
+          fail("budget declares neither budgets nor a positive default")
+        Some(BudgetConfig(domain, budgets, default))
+    }
+    val chunk = root \ "chunk" match {
+      case JNothing => None
+      case c => Some(ChunkConfig(
+        intOf(c \ "tokens", "chunk.tokens",
+          fail("chunk.tokens is required when chunk is declared")),
+        intOf(c \ "overlap", "chunk.overlap", 0)))
+    }
+    val pack = root \ "pack" match {
+      case JNothing => None
+      case p => Some(PackConfig(
+        intOf(p \ "capacity", "pack.capacity",
+          fail("pack.capacity is required when pack is declared")),
+        intOf(p \ "shards", "pack.shards", 1)))
+    }
+    if (pack.isDefined && chunk.isEmpty)
+      fail("pack requires chunk (packing needs chunk_tokens)")
+    chunk.foreach(c =>
+      if (c.tokens <= 0 || c.overlap < 0 || c.overlap >= c.tokens)
+        fail(s"chunk needs 0 <= overlap < tokens, got ${c.overlap}/${c.tokens}"))
+    pack.foreach(p =>
+      if (p.capacity <= 0 || p.shards <= 0)
+        fail("pack.capacity and pack.shards must be positive"))
+    val expectations =
+      strList("expectations", root \ "expectations").map(Expectations.fromSpec)
+    val sinkPath = root \ "sink" \ "path" match {
+      case JString(p) => Some(p)
+      case JNothing => None
+      case other => fail(s"sink.path must be a string, got $other")
+    }
+    val partitionBy = strList("partition_by", root \ "partition_by")
+    if (partitionBy.nonEmpty && sinkPath.isEmpty)
+      fail("partition_by requires sink.path")
+    CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
+      chunk, pack, expectations, sinkPath, partitionBy)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"invalid curation config: $msg")
+}

@@ -1,0 +1,273 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.ops.{Chunking, Dedup, Packing, Policy, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The config-declared curation pipeline must compose EXACTLY the same
+  * operators as a hand-written plan (same rows, same bytes), run
+  * end-to-end from the SHIPPED example conf through the CLI dispatcher,
+  * and honor the publish gate (a failed expectation leaves the sink
+  * untouched). */
+class CurationPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-curation").toString
+
+  // a small corpus with: exact duplicate pairs (2, 5) and (7, 8), short
+  // docs the min_tokens gate removes, and docs long enough to survive
+  // the shipped conf's min_tokens:50 gate and chunk
+  private lazy val docsPath = {
+    val p = s"$tmp/docs"
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val longer = (1 to 45).map(i => s"word$i").mkString(" ")
+    val longest = (1 to 60).map(i => s"big$i").mkString(" ")
+    Seq(
+      (1L, long, "en"),
+      (2L, longer, "en"),
+      (3L, "too short", "en"),
+      (4L, (1 to 12).map(i => s"mid$i").mkString(" "), "de"),
+      (5L, longer, "de"), // exact dup of 2 — dedup keeps min id 2
+      (6L, "", "en"),
+      (7L, longest, "en"),
+      (8L, longest, "de") // exact dup of 7
+    ).toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def writeConfig(name: String, text: String): String = {
+    val p = s"$tmp/$name"
+    Files.write(Paths.get(p), text.getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  private def handComposed = {
+    val docs = spark.read.parquet(docsPath)
+    val gated = docs.filter(TextAnalysis.tokenCount(col("text")) >= 10)
+    val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+    val chunks = Chunking.chunk(deduped, "text", 10, 2)
+      .withColumn("shard", pmod(col("doc_id"), lit(4)))
+    Packing.packSummary(chunks, "chunk_tokens", 64, "shard",
+      Seq("doc_id", "chunk_idx"))
+  }
+
+  private def config = CurationPipeline.fromJson(
+    s"""{"input": {"path": "$docsPath"},
+       | "rules": ["min_tokens:10"],
+       | "dedup": {"method": "exact"},
+       | "chunk": {"tokens": 10, "overlap": 2},
+       | "pack": {"capacity": 64, "shards": 4}}""".stripMargin)
+
+  "curate" should "produce the identical frame to the hand-composed plan" in {
+    val fromConfig = CurationPipeline.curate(spark, config)
+      .orderBy($"shard", $"pack_id").collect().map(_.toString).toSeq
+    val byHand = handComposed
+      .orderBy($"shard", $"pack_id").collect().map(_.toString).toSeq
+    fromConfig should not be empty
+    fromConfig shouldBe byHand
+  }
+
+  it should "stop at document granularity without chunk/pack" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "dedup": {"method": "exact"}}""".stripMargin)
+    val ids = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted
+    // 3 (short) and 6 (blank) gated out; 5 and 8 deduped against 2 and 7
+    ids shouldBe Seq(1L, 2L, 4L, 7L)
+  }
+
+  it should "apply the deterministic sample stage between dedup and chunk" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "sample": {"fraction": 0.5}}""".stripMargin)
+    val sampled = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted
+    val expected = graft.ops.Sampling.hashSample(
+        spark.read.parquet(docsPath)
+          .filter(TextAnalysis.tokenCount($"text") >= 10),
+        0.5, Seq("doc_id"))
+      .select($"doc_id").as[Long].collect().sorted
+    sampled shouldBe expected
+    // deterministic: same config, same sample
+    CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted shouldBe sampled
+  }
+
+  it should "apply per-domain token budgets" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "budget": {"domain_column": "lang",
+         |            "budgets": {"en": 35}, "default": 1000}}""".stripMargin)
+    val kept = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    // de rides the big default budget: every gated de doc survives
+    kept.filter(_._2 == "de").map(_._1) shouldBe Set(4L, 5L, 8L)
+    // en is cut by the 35-token budget — exactly tokenBudgetMix's
+    // deterministic md5-order prefix (its own spec pins the semantics)
+    val expected = graft.ops.Sampling.tokenBudgetMix(
+        spark.read.parquet(docsPath)
+          .filter(TextAnalysis.tokenCount($"text") >= 10)
+          .withColumn("__tokens", TextAnalysis.tokenCount($"text")),
+        "lang", "doc_id", "__tokens", Map("en" -> 35L), 1000L)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    kept shouldBe expected
+    kept.count(_._2 == "en") should be < 3
+    // the helper column never leaks into the output
+    CurationPipeline.curate(spark, cfg).columns should not contain "__tokens"
+  }
+
+  "dedup tiers" should "drop near-dups by the monotone min-id rule" in {
+    val p = s"$tmp/near_docs"
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(
+      (10L, base),
+      (11L, base + " extra"), // near-dup of 10 → dropped (10 < 11)
+      (12L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"},
+         | "rules": ["min_tokens:1"],
+         | "dedup": {"method": "jaccard", "ngram": 3,
+         |           "threshold": 0.7}}""".stripMargin)
+    CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted shouldBe Seq(10L, 12L)
+    // minhash at full band coverage finds the same pair
+    val mh = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"}, "rules": ["min_tokens:1"],
+         | "dedup": {"method": "minhash", "threshold": 0.7}}""".stripMargin)
+    CurationPipeline.curate(spark, mh)
+      .select($"doc_id").as[Long].collect().sorted shouldBe Seq(10L, 12L)
+  }
+
+  "attrition" should "equal the Policy report over the declared rules" in {
+    val report = CurationPipeline.attrition(spark, config)
+      .orderBy($"rule_idx").collect().map(_.toString).toSeq
+    val direct = Policy.attritionReport(spark.read.parquet(docsPath),
+        Seq("min_tokens:10" ->
+          (TextAnalysis.tokenCount(col("text")) >= 10L)))
+      .orderBy($"rule_idx").collect().map(_.toString).toSeq
+    report shouldBe direct
+  }
+
+  "run" should "execute end-to-end from the SHIPPED example conf via the CLI dispatcher" in {
+    val sink = s"$tmp/packed_out"
+    // include the shipped file verbatim, overriding only the paths
+    // (HOCON last-write-wins) — this proves the shipped conf itself
+    // parses and drives the pipeline
+    val cfg = writeConfig("job.conf",
+      s"""include "${Paths.get("conf/application-curation-example.conf")
+           .toAbsolutePath}"
+         |input.path = "$docsPath"
+         |sink.path = "$sink"
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    val back = spark.read.parquet(sink)
+    // the shipped conf gates at min_tokens:50 (docs 7/8 survive, 8
+    // dedups against 7) and must equal the hand-composed plan of the
+    // shipped parameters
+    val docs = spark.read.parquet(docsPath)
+    val gated = Policy.survivors(docs, Seq(
+      CurationPipeline.ruleFromSpec("min_tokens:50", col("text")),
+      CurationPipeline.ruleFromSpec("max_dup_word_frac:0.3", col("text"))))
+    val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+    val chunks = Chunking.chunk(deduped, "text", 40, 8)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+    val expected = Packing.packSummary(chunks, "chunk_tokens", 512, "shard",
+        Seq("doc_id", "chunk_idx"))
+      .orderBy($"shard", $"pack_id").collect().map(_.toString).toSeq
+    expected should not be empty
+    back.orderBy($"shard", $"pack_id").collect()
+      .map(_.toString).toSeq shouldBe expected
+  }
+
+  it should "abort on a failed expectation and leave the sink untouched" in {
+    val sink = s"$tmp/gated_out"
+    // first publish a good materialization
+    CurationPipeline.run(spark, config.copy(sinkPath = Some(sink)))
+    val before = spark.read.parquet(sink)
+      .orderBy($"shard", $"pack_id").collect().map(_.toString).toSeq
+    before should not be empty
+    // then a run whose gate cannot hold (n_tokens <= 0 never true)
+    val gatedCfg = config.copy(sinkPath = Some(sink),
+      expectations = Seq(graft.ops.Expectations.fromSpec(
+        "in_range:n_tokens:-5:0:1.0")))
+    an[Exception] should be thrownBy CurationPipeline.run(spark, gatedCfg)
+    // the previous materialization survived
+    spark.read.parquet(sink).orderBy($"shard", $"pack_id")
+      .collect().map(_.toString).toSeq shouldBe before
+    // and the CLI contract: exit 1 on the failed gate
+    val cfgFile = writeConfig("gated.conf",
+      s"""input.path = "$docsPath"
+         |rules = ["min_tokens:10"]
+         |dedup.method = "exact"
+         |chunk { tokens = 10, overlap = 2 }
+         |pack { capacity = 64, shards = 4 }
+         |expectations = ["in_range:n_tokens:-5:0:1.0"]
+         |sink.path = "$sink"
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(cfgFile), spark) shouldBe 1
+    spark.read.parquet(sink).orderBy($"shard", $"pack_id")
+      .collect().map(_.toString).toSeq shouldBe before
+  }
+
+  "fromJValue" should "reject malformed configs loudly" in {
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+    }
+    bad("""{"rules": []}""", "input.path is required")
+    bad(s"""{"input": {"path": "x"}, "rules": ["bogus_rule:1"]}""",
+      "unknown rule type")
+    bad(s"""{"input": {"path": "x"}, "rules": ["min_tokens"]}""",
+      "needs a ':<arg>'")
+    bad(s"""{"input": {"path": "x"}, "dedup": {"method": "fuzzy"}}""",
+      "unknown dedup.method")
+    bad(s"""{"input": {"path": "x"}, "pack": {"capacity": 10}}""",
+      "pack requires chunk")
+    bad(s"""{"input": {"path": "x"}, "chunk": {"tokens": 5, "overlap": 9}}""",
+      "overlap")
+    bad(s"""{"input": {"path": "x"}, "sample": {"fraction": 1.5}}""",
+      "sample.fraction")
+    bad(s"""{"input": {"path": "x"},
+           | "budget": {"domain_column": "lang"}}""".stripMargin,
+      "neither budgets nor a positive default")
+    bad(s"""{"input": {"path": "x"}, "partition_by": ["a"]}""",
+      "partition_by requires sink.path")
+  }
+
+  it should "dispatch by config shape in the CLI (both/neither sections fail)" in {
+    val neither = writeConfig("neither.json", """{"sink": {"path": "/x"}}""")
+    graft.SnapshotJob.run(Array(neither), spark) shouldBe 1
+    val both = writeConfig("both_sections.json",
+      s"""{"changelog": {"path": "/x"}, "input": {"path": "/y"},
+         | "schema": {"columns": ["d:a"]},
+         | "sink": {"path": "/z"}}""".stripMargin)
+    graft.SnapshotJob.run(Array(both), spark) shouldBe 1
+  }
+
+  "ruleFromSpec" should "implement each gate over the text battery" in {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog today"),
+      (2L, "short"),
+      (3L, "a a a a a a a a a a a a")
+    ).toDF("doc_id", "text")
+    def surviving(spec: String): Seq[Long] =
+      Policy.survivors(df,
+          Seq(CurationPipeline.ruleFromSpec(spec, col("text"))))
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    surviving("min_tokens:6") shouldBe Seq(1L, 3L)
+    surviving("max_tokens:6") shouldBe Seq(2L)
+    surviving("min_chars:10") shouldBe Seq(1L, 3L)
+    surviving("max_dup_word_frac:0.5") shouldBe Seq(1L, 2L)
+    surviving("matches:fox") shouldBe Seq(1L)
+    surviving("lang:en") should contain(1L)
+  }
+}

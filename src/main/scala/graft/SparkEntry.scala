@@ -1512,6 +1512,46 @@ object SparkEntry {
         .orderBy(col("inc_id"), col("corpus_id"))
     }),
 
+    // Streaming embedding dedup gate: the vector closure of the
+    // streaming gate matrix (text/media/embedding). Each micro-batch of
+    // the feed (vec_id % 10 == 0) is matched against a FROZEN persisted
+    // VectorIndex of the rest of the corpus; rows within 0.4 cosine of
+    // an indexed vector are dropped at the door. Frozen index →
+    // converged output equals the batch anti-join (the exact
+    // brute-force oracle), regardless of batch boundaries.
+    "q_stream_embedding_dedup" -> ((s, d) => {
+      val idxDir = scratchDir("graft_sve_idx_")
+      val out = scratchDir("graft_sve_")
+      Dedup.buildVectorIndex(
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        "vec_id", "embedding").save(idxDir)
+      graft.streaming.ChangelogStream.streamEmbeddingDedup(
+          Tables.embeddingsStream(s, d)
+            .filter(pmod(col("vec_id"), lit(10)) === 0),
+          idxDir, "vec_id", "embedding", out, threshold = 0.4,
+          statePartitions = 8)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The same cross-dedup through an APPENDED index: built on part of
+    // the corpus, extended with the rest via frozen-centroid append
+    // (appendToVectorIndex), then matched — the result must equal the
+    // one-shot index over the union (same oracle as
+    // q_dedup_embedding_incremental), proving append ≡ rebuild for the
+    // dedup verdicts.
+    "q_dedup_embedding_appended" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Dedup.appendToVectorIndex(
+        Dedup.buildVectorIndex(
+          emb.filter(col("vec_id") % 10 > 1), "vec_id", "embedding"),
+        emb.filter(col("vec_id") % 10 === 1), "vec_id", "embedding")
+      Dedup.crossEmbeddingNearDups(
+          emb.filter(col("vec_id") % 10 === 0), idx,
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("inc_id"), col("corpus_id"))
+    }),
+
     // MinHash+LSH near-dup (banded signature blocking, exact verification).
     // Same oracle as the exact join: at threshold 0.8 with 16×4 bands the
     // per-pair miss probability is < 1e-15, and the pipeline is
@@ -3941,6 +3981,57 @@ object SparkEntry {
         |FROM q JOIN embeddings e ON e.vec_id = q.id
         |ORDER BY e.vec_id""".stripMargin,
     "q_dedup_embedding_incremental" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |i AS (SELECT * FROM v WHERE id % 10 = 0),
+        |c AS (SELECT * FROM v WHERE id % 10 <> 0),
+        |s AS (
+        |  SELECT i.id AS inc_id, c.id AS corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * i.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM i JOIN c ON 1 = 1)
+        |SELECT inc_id, corpus_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT inc_id, corpus_id,
+        |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
+        |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
+    // The streaming gate's accepted set: stream rows (id % 10 = 0) with
+    // NO corpus neighbor (id % 10 <> 0) at cosine >= 0.4 — the exact
+    // batch anti-join the frozen-index gate converges to.
+    "q_stream_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |i AS (SELECT * FROM v WHERE id % 10 = 0),
+        |c AS (SELECT * FROM v WHERE id % 10 <> 0),
+        |s AS (
+        |  SELECT i.id AS inc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * i.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM i JOIN c ON 1 = 1),
+        |hit AS (
+        |  SELECT DISTINCT inc_id FROM (
+        |    SELECT inc_id,
+        |      CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine
+        |    FROM s)
+        |  WHERE cosine >= 0.4)
+        |SELECT id AS vec_id FROM i
+        |WHERE id NOT IN (SELECT inc_id FROM hit)
+        |ORDER BY vec_id""".stripMargin,
+    // The appended-index path is EXACT (triangle-inequality prune over
+    // current members), so build-then-append shares the incremental
+    // oracle: increment vs the full id % 10 <> 0 corpus.
+    "q_dedup_embedding_appended" ->
       """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         |i AS (SELECT * FROM v WHERE id % 10 = 0),
         |c AS (SELECT * FROM v WHERE id % 10 <> 0),

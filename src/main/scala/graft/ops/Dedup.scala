@@ -688,8 +688,14 @@ object Dedup {
 
   /** The build parameters of a [[VectorIndex]] — persisted with the
     * index; the increment side reuses the same centroids, so there is no
-    * parameter to mismatch. */
-  final case class VectorIndexParams(nlist: Int, dim: Int, iters: Int)
+    * parameter to mismatch. `baseRows`/`appendedRows`/`version` are the
+    * [[FingerprintIndexParams]] staleness bookkeeping: training rows at
+    * build, cumulative rows added by [[appendToVectorIndex]], and the
+    * append-generation counter. */
+  final case class VectorIndexParams(nlist: Int, dim: Int, iters: Int,
+                                     baseRows: Long = 0L,
+                                     appendedRows: Long = 0L,
+                                     version: Int = 1)
 
   /** Precomputed embedding-dedup index of a corpus: trained spherical
     * k-means centroids plus the cell-assigned members (id, vec, nrm,
@@ -719,10 +725,18 @@ object Dedup {
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): VectorIndex = {
       val params =
         try {
-          val row = spark.read.json(s"$dir/params")
-            .select("nlist", "dim", "iters").head()
+          val pdf = spark.read.json(s"$dir/params")
+          // pre-append indexes lack the staleness fields — default them
+          // (their semantics: unknown base, nothing appended, gen 1)
+          val have = pdf.schema.fieldNames.toSet
+          def longOr(name: String, d: Long) =
+            if (have(name)) col(name) else lit(d)
+          val row = pdf.select(col("nlist"), col("dim"), col("iters"),
+            longOr("baseRows", 0L), longOr("appendedRows", 0L),
+            longOr("version", 1L)).head()
           VectorIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
-            row.getLong(2).toInt)
+            row.getLong(2).toInt, row.getLong(3), row.getLong(4),
+            row.getLong(5).toInt)
         } catch {
           case e: org.apache.spark.sql.AnalysisException =>
             throw new IllegalStateException(
@@ -759,9 +773,12 @@ object Dedup {
     val d = if (dim > 0) dim else Similarity.vectorDim(df, vecCol)
     val unit = IvfIndex.unitVectors(df, idCol, vecCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // counted while persisted (one cached scan): sizes the cell count
+    // AND records the staleness-guard base for appendToVectorIndex
+    val baseRows = unit.count()
     val effNlist =
       if (nlist > 0) nlist
-      else math.max(16L, unit.count() / 1000L).toInt
+      else math.max(16L, baseRows / 1000L).toInt
     val seeds = Array.tabulate(math.max(1, effNlist)) { p =>
       val v = Similarity.planeVector(p, d)
       val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
@@ -775,7 +792,57 @@ object Dedup {
         .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
         .filter(col("nrm") > 0.0),
       centroids)
-    VectorIndex(centroids, members, VectorIndexParams(effNlist, d, iters))
+    VectorIndex(centroids, members,
+      VectorIndexParams(effNlist, d, iters, baseRows = baseRows))
+  }
+
+  /** Extend a [[VectorIndex]] with newly accepted vectors under the
+    * index's FROZEN centroids — the daily-append motion the text, PQ,
+    * span and media indexes already have, closing the index-family
+    * symmetry gap: new vectors are assigned with the centroids the
+    * corpus was indexed with (the one contract that keeps cells
+    * comparable), members union in, and the corpus is never rescanned
+    * or retrained. EXACTNESS IS UNAFFECTED by centroid drift: the
+    * cross-dedup prune ([[crossEmbeddingNearDups]]) derives each cell's
+    * angular radius from its CURRENT members, so cells simply widen as
+    * appended vectors land off-center — recall stays 1.0 by the same
+    * triangle inequality; only the prune RATE degrades as the frozen
+    * cells stop fitting the corpus.
+    *
+    * Caller contract ([[Fingerprint.appendToFingerprintIndex]]'s): ids
+    * in `newVectors` are disjoint from the indexed ids (append, not
+    * upsert), and a persisted form is saved to a FRESH directory.
+    *
+    * Staleness guard: once cumulative appended rows exceed
+    * `maxStaleRatio` × the build-time corpus, the frozen cells no
+    * longer reflect the corpus density nlist was sized for (prune-rate
+    * decay, never wrong answers) — warn loudly, or refuse with
+    * `failOnStale = true`. Rebuild to refresh. */
+  def appendToVectorIndex(index: VectorIndex, newVectors: DataFrame,
+                          idCol: String, vecCol: String,
+                          maxStaleRatio: Double = 2.0,
+                          failOnStale: Boolean = false): VectorIndex = {
+    require(maxStaleRatio > 0, s"maxStaleRatio must be > 0, got $maxStaleRatio")
+    val newMembers = IvfIndex.withAssignment(
+      Parallelism.spread(
+          newVectors.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
+        .filter(col("nrm") > 0.0),
+      index.centroids)
+    val appended = index.params.appendedRows + newVectors.count()
+    val base = index.params.baseRows
+    if (base > 0 && appended > maxStaleRatio * base) {
+      val msg = s"appended vectors ($appended) exceed $maxStaleRatio x " +
+        s"the indexed base ($base); the centroids frozen at build no " +
+        "longer fit the corpus density — prune rates degrade; rebuild " +
+        "with buildVectorIndex"
+      if (failOnStale) throw new IllegalStateException(
+        s"appendToVectorIndex: $msg")
+      System.err.println(s"[graft] WARNING: appendToVectorIndex: $msg")
+    }
+    index.copy(members = index.members.unionByName(newMembers),
+      params = index.params.copy(version = index.params.version + 1,
+        appendedRows = appended))
   }
 
   /** Near-duplicate pairs ACROSS corpora: (inc_id, corpus_id, cosine ≥
@@ -791,28 +858,51 @@ object Dedup {
   def crossEmbeddingNearDups(increment: DataFrame, index: VectorIndex,
                              idCol: String, vecCol: String,
                              threshold: Double): DataFrame = {
+    // persisted: the RETURNED plan probes it twice (radii + join), so it
+    // cannot be unpersisted here; like ivfTopK's assignment cache, the
+    // pin lives in the session CacheManager until explicitly released.
+    // Long-lived apps running many increments should materialize the
+    // result and `spark.catalog.clearCache()` between runs — or manage
+    // the pin themselves via assignToIndex +
+    // crossEmbeddingNearDupsAssigned (the streaming gate's lifecycle).
+    crossEmbeddingNearDupsAssigned(
+      assignToIndex(increment, index, idCol, vecCol)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      index, threshold)
+  }
+
+  /** Assign rows to a [[VectorIndex]]'s FROZEN centroids — the
+    * `(id, vec, nrm, cell, ccos)` member frame of the increment side.
+    * Zero-norm / null vectors are excluded (cosine undefined; they can
+    * never match). Exposed so repeated callers (the streaming gate) can
+    * persist the assignment for the duration of their own batch and
+    * release it, instead of growing one CacheManager pin per call. */
+  def assignToIndex(df: DataFrame, index: VectorIndex,
+                    idCol: String, vecCol: String): DataFrame =
+    IvfIndex.withAssignment(
+      Parallelism.spread(
+          df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .withColumn("nrm",
+          graft.functions.VectorFunctions.fnorm(col("vec")))
+        .filter(col("nrm") > 0.0),
+      index.centroids)
+
+  /** [[crossEmbeddingNearDups]] over a pre-assigned increment frame
+    * (from [[assignToIndex]]) — the caller owns `incM`'s cache
+    * lifecycle; it is probed twice here (radii + join). */
+  private[graft] def crossEmbeddingNearDupsAssigned(
+      incM: DataFrame, index: VectorIndex, threshold: Double): DataFrame = {
     require(threshold > 0.0,
       s"blocked near-dup pruning needs threshold > 0, got $threshold")
-    // both persists back the RETURNED plan (two join probes each), so
-    // neither can be unpersisted here; like ivfTopK's assignment cache,
-    // the pins live in the session CacheManager until explicitly
-    // released. Long-lived apps running many increments should
-    // materialize the result and `spark.catalog.clearCache()` between
-    // runs — the CacheManager holds them until then.
+    // the corpus-side pin backs the returned plan; for a shared index
+    // object (or the same index directory) the CacheManager dedupes by
+    // canonical plan, so repeated calls reuse ONE entry
     val corpM = index.members.persist(StorageLevel.MEMORY_AND_DISK)
-    val incM = IvfIndex.withAssignment(
-        Parallelism.spread(
-            increment.select(col(idCol).as("id"), col(vecCol).as("vec")))
-          .withColumn("nrm",
-            graft.functions.VectorFunctions.fnorm(col("vec")))
-          .filter(col("nrm") > 0.0),
-        index.centroids)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     def radii(m: DataFrame, out: String) = m.groupBy(col("cell"))
       .agg(acos(greatest(lit(-1.0), least(lit(1.0), min(col("ccos")))))
         .as(out))
-    val spark = increment.sparkSession
+    val spark = incM.sparkSession
     val cdf = IvfIndex.centroidDF(spark, index.centroids,
       cellCol = "cell", vecCol = "cvec")
     // non-empty cells only, per side; both tables are model-sized

@@ -466,6 +466,75 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming EMBEDDING near-dup gate against a FROZEN persisted
+    * [[graft.ops.Dedup.VectorIndex]] — the vector closure of the
+    * streaming gate matrix (text: [[streamDedupAgainst]], media:
+    * [[streamMediaDedup]], and now embeddings): each arriving
+    * micro-batch is assigned to the index's frozen centroids and
+    * EXACTLY matched against the indexed corpus by the
+    * triangle-inequality-pruned cross join
+    * ([[graft.ops.Dedup.crossEmbeddingNearDups]]); rows whose embedding
+    * sits within `threshold` cosine of any indexed vector are DROPPED,
+    * everything else is accepted into the sink — semantic duplicates
+    * stopped at the door instead of by a later batch sweep.
+    *
+    * Null / zero-norm embeddings are ACCEPTED (cosine undefined — they
+    * can never near-dup verify; quarantining malformed vectors is the
+    * profiler tier's job, not the dedup gate's), mirroring
+    * [[streamMediaDedup]]'s undecodable-asset contract.
+    *
+    * The index is FROZEN, so each decision depends only on the row and
+    * the index: the converged output equals the batch
+    * [[graft.ops.Dedup.dedupEmbeddingsAgainst]] of the whole bounded
+    * stream REGARDLESS of batch boundaries, and shares its exact
+    * brute-force oracle (`q_stream_embedding_dedup`). Daily ingest
+    * extends the index OUT OF BAND once the stream drains
+    * ([[graft.ops.Dedup.appendToVectorIndex]] over the accepted sink) —
+    * the text/media tiers' post-drain high-water motion.
+    *
+    * Cache lifecycle: the batch's centroid assignment is persisted for
+    * the batch (it feeds both the radii aggregation and the scoring
+    * join) and released after the write — per-call pins would otherwise
+    * accumulate for the driver's lifetime. The corpus members' pin
+    * dedupes through the CacheManager by canonical plan (one entry for
+    * the directory, however many batches). Same idempotent
+    * per-batch-overwrite file bridge as the other gates: a replayed
+    * batch recomputes the same decisions against the same frozen index
+    * and overwrites the same path. */
+  def streamEmbeddingDedup(stream: DataFrame, indexDir: String,
+                           idCol: String, vecCol: String, dir: String,
+                           threshold: Double,
+                           statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val idx = graft.ops.Dedup.VectorIndex.load(s, indexDir)
+        val incM = graft.ops.Dedup.assignToIndex(b, idx, idCol, vecCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dupIds = graft.ops.Dedup
+            .crossEmbeddingNearDupsAssigned(incM, idx, threshold)
+            .select(col("inc_id").as(idCol)).distinct()
+          b.join(dupIds, Seq(idCol), "left_anti")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/out/graft_batch=$id")
+        } finally incM.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stream.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** Batch-id-versioned merge-state protocol shared by the streaming
     * monitors (heavy hitters, drift, checksum): each micro-batch writes
     * its CUMULATIVE state under `graft_batch=<id>`, recomputed from the

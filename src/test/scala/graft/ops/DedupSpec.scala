@@ -464,4 +464,91 @@ class DedupSpec extends SparkTestBase {
     }
     e.getMessage should include("params")
   }
+
+  "appendToVectorIndex" should "equal a fresh rebuild at iters=0 (frozen deterministic centroids)" in {
+    assume(sfEmbeddings.isDefined)
+    val emb = sfEmbeddings.get
+    val base = emb.filter($"vec_id" % 10 > 1)
+    val inc = emb.filter($"vec_id" % 10 === 1)
+    // iters=0 with a fixed nlist makes centroids data-independent
+    // (deterministic seed directions), so append-to-base and
+    // build-on-union must produce IDENTICAL members
+    val appended = Dedup.appendToVectorIndex(
+      Dedup.buildVectorIndex(base, "vec_id", "embedding",
+        nlist = 32, iters = 0),
+      inc, "vec_id", "embedding")
+    val rebuilt = Dedup.buildVectorIndex(
+      emb.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+      nlist = 32, iters = 0)
+    appended.centroids.map(_.toSeq) shouldBe rebuilt.centroids.map(_.toSeq)
+    def rows(m: org.apache.spark.sql.DataFrame) =
+      m.select($"id", $"cell").as[(Long, Int)].collect().toSet
+    rows(appended.members) shouldBe rows(rebuilt.members)
+    // bookkeeping: generation bump, appended rows tracked, base frozen
+    appended.params.version shouldBe 2
+    appended.params.baseRows should be > 0L
+    appended.params.appendedRows shouldBe inc.count()
+    appended.params.nlist shouldBe rebuilt.params.nlist
+  }
+
+  it should "dedup an increment against the appended index exactly" in {
+    assume(sfEmbeddings.isDefined)
+    val emb = sfEmbeddings.get
+    val idx = Dedup.appendToVectorIndex(
+      Dedup.buildVectorIndex(emb.filter($"vec_id" % 10 > 1),
+        "vec_id", "embedding"),
+      emb.filter($"vec_id" % 10 === 1), "vec_id", "embedding")
+    val inc = emb.filter($"vec_id" % 10 === 0)
+    val got = Dedup.crossEmbeddingNearDups(inc, idx, "vec_id", "embedding",
+        threshold = 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    def side(df: org.apache.spark.sql.DataFrame, id: String, v: String,
+             n: String) =
+      df.select($"vec_id".as(id), $"embedding".as(v))
+        .withColumn(n, graft.functions.VectorFunctions.fnorm(col(v)))
+    val exact = side(inc, "inc_id", "vl", "nl")
+      .crossJoin(side(emb.filter($"vec_id" % 10 =!= 0), "corpus_id",
+        "vr", "nr"))
+      .withColumn("cosine", graft.ops.Similarity.cosineWithNorms(
+        $"vl", $"nl", $"vr", $"nr"))
+      .filter($"cosine" >= 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    got shouldBe exact
+    // and a save/load round-trip of the APPENDED index keeps everything
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_app").toString
+    idx.save(dir)
+    val loaded = Dedup.VectorIndex.load(spark, dir)
+    loaded.params shouldBe idx.params
+    Dedup.crossEmbeddingNearDups(inc, loaded, "vec_id", "embedding", 0.4)
+      .select($"inc_id", $"corpus_id").as[(Long, Long)]
+      .collect().toSet shouldBe exact
+  }
+
+  it should "guard against stale appends and default legacy params on load" in {
+    assume(sfEmbeddings.isDefined)
+    val emb = sfEmbeddings.get
+    val base = emb.filter($"vec_id" % 100 === 1) // tiny base
+    val inc = emb.filter($"vec_id" % 10 === 0)   // >> 2x the base
+    val idx = Dedup.buildVectorIndex(base, "vec_id", "embedding",
+      nlist = 4, iters = 0)
+    an[IllegalStateException] should be thrownBy
+      Dedup.appendToVectorIndex(idx, inc, "vec_id", "embedding",
+        failOnStale = true)
+    // the default path warns but proceeds
+    Dedup.appendToVectorIndex(idx, inc, "vec_id", "embedding")
+      .params.appendedRows shouldBe inc.count()
+    // a pre-append params record (nlist/dim/iters only) loads with
+    // defaulted staleness fields
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_legacy").toString
+    idx.save(dir)
+    Seq((idx.params.nlist, idx.params.dim, idx.params.iters))
+      .toDF("nlist", "dim", "iters")
+      .write.mode("overwrite").json(s"$dir/params")
+    val loaded = Dedup.VectorIndex.load(spark, dir)
+    loaded.params.nlist shouldBe idx.params.nlist
+    loaded.params.baseRows shouldBe 0L
+    loaded.params.appendedRows shouldBe 0L
+    loaded.params.version shouldBe 1
+  }
 }

@@ -659,6 +659,58 @@ class ChangelogStreamSpec extends SparkTestBase {
     e.getMessage should include("refusing")
   }
 
+  "streamEmbeddingDedup" should "converge to the batch anti-join against the frozen index" in {
+    import graft.ops.Dedup
+    // indexed corpus: two unit directions
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_sed_idx").toString
+    Dedup.buildVectorIndex(corpus, "vec_id", "embedding",
+      nlist = 4, iters = 0).save(idxDir)
+    // feed across two micro-batches: near-dups of each indexed vector
+    // (dropped), two novel orthogonal vectors (accepted), and a
+    // zero-norm vector (accepted — cosine undefined, the gate's
+    // undecodable-asset contract)
+    val feed = Seq(
+      (10L, Array(0.9f, 0.1f, 0f, 0f)), // ~c1, dropped
+      (11L, Array(0f, 0f, 1f, 0f)),     // novel, accepted
+      (12L, Array(0.1f, 0.9f, 0f, 0f)), // ~c2, dropped
+      (13L, Array(0f, 0f, 0f, 1f)),     // novel, accepted
+      (14L, Array(0f, 0f, 0f, 0f)))     // zero-norm, accepted
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sed_in")
+    def stage(rows: Seq[(Long, Array[Float])], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sed_w")
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(feed.take(2), "wave1.parquet", 120000L)
+    stage(feed.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(feed.take(1).toDF("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sed").toString
+    val got = ChangelogStream.streamEmbeddingDedup(stream, idxDir,
+        "vec_id", "embedding", dir, threshold = 0.4)
+      .select($"vec_id").as[Long].collect().toSet
+    got shouldBe Set(11L, 13L, 14L)
+    // batch equivalence: the converged accepted set equals the one-shot
+    // batch dedup of the whole feed against the same loaded index
+    val idx = Dedup.VectorIndex.load(spark, idxDir)
+    val want = Dedup.dedupEmbeddingsAgainst(
+        feed.toDF("vec_id", "embedding"), idx, "vec_id", "embedding", 0.4)
+      .select($"vec_id").as[Long].collect().toSet
+    got shouldBe want
+  }
+
   "streamHeavyHitters" should "merge to exact counts across micro-batches" in {
     import graft.functions.FreqFunctions._
     val incoming = Seq(

@@ -2073,6 +2073,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC container walk — the CommonCrawl entry stage: documents are
+    // staged into 8 deterministic archives (responses ordered by url;
+    // odd archives in the member-per-record gzip layout), then the
+    // walker explodes records and splits HTTP blocks. Output pins the
+    // recovered url/date headers plus md5 + byte length of each payload
+    // — the oracle rebuilds the same strings and hashes the same text.
+    "q_warc_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(8)).as("grp"),
+        concat(lit("http://example.com/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("2024-03-01T"),
+          lpad((floor(col("doc_id") / 3600) % 24).cast("string"), 2, "0"),
+          lit(":"),
+          lpad((floor(col("doc_id") / 60) % 60).cast("string"), 2, "0"),
+          lit(":"),
+          lpad((col("doc_id") % 60).cast("string"), 2, "0"),
+          lit("Z")).as("date"),
+        col("text").as("body"))
+      val archives = graft.ops.WarcExtract.syntheticArchives(
+        docs, "grp", "url", "date", "body")
+      graft.ops.WarcExtract.records(archives, "archive_id", "data")
+        .filter(col("warc_type") === "response")
+        .select(col("url"), col("fetch_ts"), col("http_status"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast(LongType).as("n_bytes"))
+        .orderBy(col("url"))
+    }),
+
     // Code-fence extraction: stage markdown around the corpus text
     // (tagged scala fence for every doc, untagged fence for even docs,
     // an UNCLOSED fence for odd docs that must not match), then pull
@@ -4000,6 +4029,20 @@ object SparkEntry {
         |  SELECT inc_id, corpus_id,
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
+    // The WARC walk must hand back exactly the headers and payload bytes
+    // the builder put in: the oracle rebuilds the url/date strings with
+    // the same arithmetic and hashes the same text (md5 over UTF-8
+    // bytes on both engines; strlen = byte length in DuckDB).
+    "q_warc_extract" ->
+      """SELECT 'http://example.com/doc/' || doc_id AS url,
+        |  '2024-03-01T' ||
+        |    lpad(((doc_id // 3600) % 24)::VARCHAR, 2, '0') || ':' ||
+        |    lpad(((doc_id // 60) % 60)::VARCHAR, 2, '0') || ':' ||
+        |    lpad((doc_id % 60)::VARCHAR, 2, '0') || 'Z' AS fetch_ts,
+        |  CAST(200 AS INT) AS http_status,
+        |  md5(text) AS payload_md5,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY url""".stripMargin,
     // The streaming gate's accepted set: stream rows (id % 10 = 0) with
     // NO corpus neighbor (id % 10 <> 0) at cosine >= 0.4 — the exact
     // batch anti-join the frozen-index gate converges to.

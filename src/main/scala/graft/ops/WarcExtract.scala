@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) container walker — the real
+  * CommonCrawl entry stage in front of [[HtmlExtract]]: archives travel
+  * as opaque `binary` columns, and the walker explodes each into its
+  * records `(warc_type, url, fetch_ts, content_type, http_status,
+  * payload)`, with HTTP response blocks split into status + body so the
+  * body can feed the text battery directly. Hand-rolled from the public
+  * WARC/1.x layout (version line, CRLF header block, Content-Length
+  * delimited block, CRLF CRLF separator) and the public CommonCrawl
+  * convention of one gzip member per record — zero dependencies, the
+  * [[AviMjpeg]]/[[AudioProbe]] walker pattern applied to web archives.
+  *
+  * Parsing is defensive ([[PcmContainer]]'s discipline): every length is
+  * bounds-checked, a truncated block yields a SHORT read rather than an
+  * out-of-bounds access, and a malformed record header terminates the
+  * walk with the records already recovered — one corrupt archive in a
+  * 100 TB scan yields its honest partial rows, never a dead task.
+  * Gzipped archives (whole-stream or member-per-record — Java's
+  * multi-member gzip handles both) are decompressed with a hard size cap
+  * so a decompression bomb fails loudly instead of exhausting executor
+  * memory.
+  *
+  * Extends the reference surface (flat scalar rows only — reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  */
+object WarcExtract {
+
+  /** One parsed record: header fields plus the raw block. */
+  final case class WarcRecord(offset: Long, warcType: String,
+                              targetUri: Option[String], date: Option[String],
+                              contentType: Option[String],
+                              block: Array[Byte])
+
+  /** Decompressed-size cap per archive (256 MiB): a crafted archive
+    * whose members inflate past this fails loudly. */
+  val MaxInflatedBytes: Int = 256 << 20
+
+  def isGzip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
+
+  def isWarc(b: Array[Byte]): Boolean =
+    isGzip(b) || (b != null && b.length >= 5 &&
+      new String(b, 0, 5, java.nio.charset.StandardCharsets.US_ASCII) == "WARC/")
+
+  /** Inflate a gzip stream (including concatenated members — the
+    * CommonCrawl record-per-member layout; `GZIPInputStream` walks
+    * successive members natively). None for corrupt streams; a stream
+    * inflating past `maxBytes` FAILS (bomb guard). */
+  private[graft] def gunzipAll(bytes: Array[Byte],
+                               maxBytes: Int = MaxInflatedBytes): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size().toLong + n > maxBytes)
+          throw new IllegalArgumentException(
+            s"gunzipAll: archive inflates past $maxBytes bytes — refusing " +
+              "(decompression bomb guard; raise maxBytes for legitimate " +
+              "oversized archives)")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None // corrupt gzip: no records
+    }
+
+  // ASCII line ending at CRLF (lenient: bare LF accepted), from `p`;
+  // returns (line, next position) or None past EOF
+  private def readLine(b: Array[Byte], p: Int): Option[(String, Int)] = {
+    if (p >= b.length) return None
+    var q = p
+    while (q < b.length && b(q) != '\n') q += 1
+    if (q >= b.length) return None // header line without terminator
+    val end = if (q > p && b(q - 1) == '\r') q - 1 else q
+    Some((new String(b, p, end - p,
+      java.nio.charset.StandardCharsets.UTF_8), q + 1))
+  }
+
+  /** Walk every record of an archive (inflating first when gzipped).
+    * Malformed/truncated content terminates the walk; what parsed
+    * before the damage is returned. */
+  def walk(bytes: Array[Byte],
+           maxInflated: Int = MaxInflatedBytes): Seq[WarcRecord] = {
+    if (bytes == null) return Nil
+    val b =
+      if (isGzip(bytes)) gunzipAll(bytes, maxInflated).getOrElse(return Nil)
+      else bytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var p = 0
+    var done = false
+    while (!done && p < b.length) {
+      // lenient inter-record padding: any number of CR/LF between records
+      while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
+      if (p >= b.length) done = true
+      else readLine(b, p) match {
+        case Some((version, afterVersion)) if version.startsWith("WARC/") =>
+          val recOffset = p.toLong
+          // header block: Name: value lines until the empty line
+          var q = afterVersion
+          var headers = Map.empty[String, String]
+          var headersOk = true
+          var inHeaders = true
+          while (inHeaders) readLine(b, q) match {
+            case Some(("", next)) => q = next; inHeaders = false
+            case Some((line, next)) =>
+              val colon = line.indexOf(':')
+              if (colon <= 0) { headersOk = false; inHeaders = false }
+              else {
+                headers += (line.substring(0, colon).trim.toLowerCase ->
+                  line.substring(colon + 1).trim)
+                q = next
+              }
+            case None => headersOk = false; inHeaders = false
+          }
+          val len = headers.get("content-length").flatMap(_.toLongOption)
+          if (!headersOk || len.isEmpty || len.get < 0) done = true
+          else {
+            // clamp to bytes present: a truncated upload yields a short
+            // final record, never an out-of-bounds read
+            val want = len.get
+            val have = math.max(0L, math.min(want, (b.length - q).toLong)).toInt
+            val block = java.util.Arrays.copyOfRange(b, q, q + have)
+            out += WarcRecord(recOffset,
+              headers.getOrElse("warc-type", ""),
+              headers.get("warc-target-uri"), headers.get("warc-date"),
+              headers.get("content-type"), block)
+            if (have < want) done = true // truncated: nothing follows
+            else p = q + have
+          }
+        case _ => done = true // not a WARC version line: stop the walk
+      }
+    }
+    out.toSeq
+  }
+
+  /** Split an `application/http` response block into (status code,
+    * body): status from the `HTTP/1.x NNN ...` line, body after the
+    * CRLF CRLF header terminator. None when the block is not an HTTP
+    * response (the caller falls back to the raw block). */
+  def httpPayload(block: Array[Byte]): Option[(Int, Array[Byte])] =
+    readLine(block, 0).flatMap { case (status, _) =>
+      val parts = status.split(" ", 3)
+      if (!parts(0).startsWith("HTTP/") || parts.length < 2) None
+      else parts(1).toIntOption.map { code =>
+        // header/body split: first CRLFCRLF (lenient LFLF)
+        var i = 0
+        var bodyAt = -1
+        while (bodyAt < 0 && i < block.length - 1) {
+          if (block(i) == '\n') {
+            if (block(i + 1) == '\n') bodyAt = i + 2
+            else if (i + 2 < block.length && block(i + 1) == '\r' &&
+              block(i + 2) == '\n') bodyAt = i + 3
+          }
+          i += 1
+        }
+        if (bodyAt < 0) (code, Array.empty[Byte])
+        else (code, java.util.Arrays.copyOfRange(block, bodyAt, block.length))
+      }
+    }
+
+  /** Output schema of [[records]]. */
+  val RecordSchema: StructType = StructType(Seq(
+    StructField("archive_id", LongType, nullable = false),
+    StructField("rec_idx", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("url", StringType, nullable = true),
+    StructField("fetch_ts", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Explode a binary archive column into its records — one row per
+    * WARC record, HTTP response blocks split into `http_status` +
+    * body payload (other records carry their raw block, null status).
+    * Batched `mapPartitions` like the media walkers (genuinely
+    * imperative byte work), zero shuffles; malformed archives yield
+    * the records that parsed, an unreadable archive yields none. */
+  def records(df: DataFrame, idCol: String, dataCol: String,
+              batchSize: Int = 16): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(dataCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"WarcExtract.records: null or non-castable id in $idCol")
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          walk(bytes).zipWithIndex.map { case (rec, i) =>
+            val http =
+              if (rec.contentType.exists(_.toLowerCase
+                  .startsWith("application/http"))) httpPayload(rec.block)
+              else None
+            Row(id, i, rec.warcType, rec.targetUri.orNull, rec.date.orNull,
+              rec.contentType.orNull,
+              http.map(_._1).map(Int.box).orNull,
+              http.map(_._2).getOrElse(rec.block))
+          }
+        }
+      }
+    }(Encoders.row(RecordSchema))
+  }
+
+  // ------------------------------------------------------------- writer
+
+  private val Crlf = "\r\n"
+
+  private def responseRecord(url: String, dateIso: String,
+                             body: Array[Byte], idx: Int): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html${Crlf}" +
+      s"Content-Length: ${body.length}$Crlf$Crlf")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val block = http ++ body
+    val header = (s"WARC/1.0${Crlf}WARC-Type: response$Crlf" +
+      s"WARC-Record-ID: <urn:graft:record:$idx>$Crlf" +
+      s"WARC-Target-URI: $url${Crlf}WARC-Date: $dateIso$Crlf" +
+      s"Content-Type: application/http; msgtype=response$Crlf" +
+      s"Content-Length: ${block.length}$Crlf$Crlf")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    header ++ block ++ (Crlf + Crlf).getBytes("US-ASCII")
+  }
+
+  private def warcinfoRecord(): Array[Byte] = {
+    val block = s"software: graft$Crlf"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    (s"WARC/1.0${Crlf}WARC-Type: warcinfo$Crlf" +
+      s"WARC-Record-ID: <urn:graft:warcinfo>$Crlf" +
+      s"Content-Type: application/warc-fields$Crlf" +
+      s"Content-Length: ${block.length}$Crlf$Crlf")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      block ++ (Crlf + Crlf).getBytes("US-ASCII")
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  /** Render a spec-shaped archive: a warcinfo record followed by one
+    * HTTP-200 response record per `(url, dateIso, body)` row.
+    * `memberPerRecord = true` gzips each record as its own member and
+    * concatenates them — the CommonCrawl `.warc.gz` layout, which
+    * [[walk]] inflates transparently. The deterministic fixture builder
+    * for specs and oracles (the [[AviMjpeg.encode]] role), and a real
+    * writer for round-trips. */
+  def buildArchive(recs: Seq[(String, String, Array[Byte])],
+                   memberPerRecord: Boolean = false): Array[Byte] = {
+    val records = warcinfoRecord() +: recs.zipWithIndex.map {
+      case ((url, date, body), i) => responseRecord(url, date, body, i)
+    }
+    if (memberPerRecord) records.flatMap(gzipBytes(_)).toArray
+    else records.flatten.toArray
+  }
+
+  /** Assemble one archive per group, distributed: rows
+    * `(groupCol, urlCol, dateCol, bodyCol)` become `(archive_id, data)`
+    * with records ordered by url inside each archive (deterministic
+    * under any partitioning) and ODD archive ids written in the
+    * member-per-record gzip layout, so a downstream walk exercises both
+    * container forms. One group-sized shuffle; the byte assembly is a
+    * per-group `mapPartitions` like the media encoders. */
+  def syntheticArchives(df: DataFrame, groupCol: String, urlCol: String,
+                        dateCol: String, bodyCol: String): DataFrame = {
+    val grouped = df.groupBy(col(groupCol).cast(LongType).as("archive_id"))
+      .agg(sort_array(collect_list(struct(col(urlCol).as("url"),
+        col(dateCol).as("date"), col(bodyCol).as("body")))).as("recs"))
+    val outSchema = StructType(Seq(
+      StructField("archive_id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    grouped.mapPartitions { rows =>
+      rows.map { r =>
+        val aid = r.getLong(0)
+        val recs = r.getSeq[Row](1).map(rec =>
+          (rec.getString(0), rec.getString(1),
+            rec.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        Row(aid, buildArchive(recs, memberPerRecord = aid % 2 != 0))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The WARC walker must round-trip its own writer (plain and
+  * member-per-record gzip), split HTTP blocks correctly, and survive
+  * truncation/corruption at any byte without throwing — the
+  * [[PcmContainerSpec]] hardening contract applied to web archives. */
+class WarcExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture(n: Int): Seq[(String, String, Array[Byte])] =
+    (0 until n).map { i =>
+      (s"http://example.com/doc/$i", f"2024-03-01T00:${i % 60}%02d:00Z",
+        s"<html><body>doc $i body ${"x" * i}</body></html>"
+          .getBytes("UTF-8"))
+    }
+
+  "walk" should "round-trip the writer (plain archive)" in {
+    val recs = fixture(5)
+    val archive = WarcExtract.buildArchive(recs)
+    val got = WarcExtract.walk(archive)
+    got.length shouldBe 6 // warcinfo + 5 responses
+    got.head.warcType shouldBe "warcinfo"
+    val responses = got.tail
+    responses.map(_.warcType).distinct shouldBe Seq("response")
+    responses.map(_.targetUri.get) shouldBe recs.map(_._1)
+    responses.map(_.date.get) shouldBe recs.map(_._2)
+    // HTTP split recovers the exact body bytes and the 200 status
+    responses.zip(recs).foreach { case (rec, (_, _, body)) =>
+      val (status, payload) = WarcExtract.httpPayload(rec.block).get
+      status shouldBe 200
+      payload shouldBe body
+    }
+  }
+
+  it should "round-trip the CommonCrawl member-per-record gzip layout" in {
+    val recs = fixture(4)
+    val gz = WarcExtract.buildArchive(recs, memberPerRecord = true)
+    WarcExtract.isGzip(gz) shouldBe true
+    val plain = WarcExtract.walk(WarcExtract.buildArchive(recs))
+    val inflated = WarcExtract.walk(gz)
+    inflated.map(r => (r.warcType, r.targetUri, r.date)) shouldBe
+      plain.map(r => (r.warcType, r.targetUri, r.date))
+    inflated.zip(plain).foreach { case (a, b) =>
+      a.block shouldBe b.block
+    }
+  }
+
+  it should "never throw on truncation at ANY byte boundary" in {
+    val archive = WarcExtract.buildArchive(fixture(3))
+    val full = WarcExtract.walk(archive).length
+    for (cut <- 0 to archive.length) {
+      val got = WarcExtract.walk(archive.take(cut)) // must not throw
+      got.length should be <= full
+    }
+    // and the same for the gzip form (corrupt members → partial/none)
+    val gz = WarcExtract.buildArchive(fixture(3), memberPerRecord = true)
+    for (cut <- 0 to gz.length by 7) {
+      noException should be thrownBy WarcExtract.walk(gz.take(cut))
+    }
+  }
+
+  it should "stop at corrupt headers and refuse non-WARC bytes" in {
+    WarcExtract.walk(null) shouldBe empty
+    WarcExtract.walk("not a warc at all".getBytes) shouldBe empty
+    WarcExtract.walk(Array[Byte](1, 2, 3)) shouldBe empty
+    // a record with a colon-less header line terminates the walk there
+    val good = WarcExtract.buildArchive(fixture(1))
+    val corrupt = ("WARC/1.0\r\nbroken header line no colon\r\n\r\n")
+      .getBytes("UTF-8")
+    WarcExtract.walk(good ++ corrupt).length shouldBe 2 // warcinfo + 1
+    WarcExtract.walk(corrupt) shouldBe empty
+    // a negative / non-numeric content-length refuses the record
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: not_a_number\r\n\r\n").getBytes("UTF-8")
+    WarcExtract.walk(badLen) shouldBe empty
+  }
+
+  it should "clamp a block length pointing past EOF to a short read" in {
+    val lying = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: 100000\r\n\r\nonly these bytes").getBytes("UTF-8")
+    val got = WarcExtract.walk(lying)
+    got.length shouldBe 1
+    new String(got.head.block, "UTF-8") shouldBe "only these bytes"
+  }
+
+  it should "refuse decompression bombs loudly" in {
+    val big = WarcExtract.buildArchive(Seq(
+      ("http://x", "2024-01-01T00:00:00Z", new Array[Byte](100000))))
+    val gz = WarcExtract.buildArchive(Seq(
+      ("http://x", "2024-01-01T00:00:00Z", new Array[Byte](100000))),
+      memberPerRecord = true)
+    big.length should be > 100000
+    an[IllegalArgumentException] should be thrownBy
+      WarcExtract.walk(gz, maxInflated = 1024)
+  }
+
+  "records" should "explode archives into rows matching the walker" in {
+    val a0 = WarcExtract.buildArchive(fixture(3))
+    val a1 = WarcExtract.buildArchive(fixture(2).map {
+      case (u, d, b) => (u + "?alt", d, b) }, memberPerRecord = true)
+    val df = Seq((0L, a0), (1L, a1), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("archive_id", "data")
+    val rows = WarcExtract.records(df, "archive_id", "data")
+      .orderBy($"archive_id", $"rec_idx").collect()
+    rows.count(_.getLong(0) == 0L) shouldBe 4 // warcinfo + 3
+    rows.count(_.getLong(0) == 1L) shouldBe 3 // warcinfo + 2
+    rows.count(_.getLong(0) == 2L) shouldBe 0 // null archive: no rows
+    val resp = rows.filter(_.getString(2) == "response")
+    resp.foreach { r =>
+      r.getInt(6) shouldBe 200 // http_status
+      r.getString(3) should startWith("http://example.com/doc/")
+      new String(r.getAs[Array[Byte]](7), "UTF-8") should include("body")
+    }
+    // warcinfo rows: raw block payload, null status/url
+    val info = rows.filter(_.getString(2) == "warcinfo")
+    info.foreach { r =>
+      r.isNullAt(6) shouldBe true
+      r.isNullAt(3) shouldBe true
+      new String(r.getAs[Array[Byte]](7), "UTF-8") should include("software")
+    }
+  }
+}

@@ -50,6 +50,23 @@ object BpeTrainer {
     * memorizes typos). Deterministic: ties on count break toward the
     * lexicographically smallest (left, right).
     *
+    * PRODUCTION-SCALE CONTRACT: each merge round is one Spark job (a
+    * bounded pair-count shuffle + a 1-row TakeOrdered) — sequential BY
+    * THE ALGORITHM, since round k's counts depend on round k-1's merge.
+    * A real 32k-entry vocabulary therefore means 32k sequential jobs;
+    * launch overhead alone makes that the wrong shape for a 100 TB
+    * corpus. The production posture is SAMPLE-THEN-TRAIN
+    * ([[trainSampled]]): learn the merges on a deterministic md5
+    * sample — pair statistics live on word FREQUENCIES, which a
+    * uniform document sample preserves in expectation, so the merge
+    * list stabilizes at modest sample sizes (spec-pinned at the
+    * fixture scale) — then tokenize the FULL corpus with the frozen
+    * list via [[tokenizeCol]], a codegen'd per-row expression: ONE
+    * corpus pass regardless of vocabulary size. Direct [[train]] on
+    * the full corpus remains exact-by-construction for bounded-vocab /
+    * bounded-corpus uses (and is what the sampled path's spec checks
+    * against).
+    *
     * Lineage is truncated by an EAGER checkpoint after EVERY merge
     * round (reliable if the session has a checkpoint dir — set one on
     * a real cluster — else executor-local). This is not optional
@@ -113,6 +130,20 @@ object BpeTrainer {
     // survives on distributed storage
     deleteCk(prevCkFile)
     merges.result()
+  }
+
+  /** The 100 TB training shape — see [[train]]'s production-scale
+    * contract: learn merges on a DETERMINISTIC md5 document sample
+    * ([[Sampling.hashSample]] on `idCol` — engine-portable, stable
+    * across runs and partitionings), leaving the full-corpus work to
+    * the single tokenize pass under the frozen merge list. */
+  def trainSampled(docs: DataFrame, idCol: String, textCol: String,
+                   numMerges: Int, fraction: Double,
+                   minCount: Long = 2L): Merges = {
+    require(fraction > 0 && fraction <= 1,
+      s"trainSampled: fraction must be in (0, 1], got $fraction")
+    train(Sampling.hashSample(docs, fraction, Seq(idCol)), textCol,
+      numMerges, minCount)
   }
 
   /** `bpe_tokenize(text)` under a learned model, as a Column. */

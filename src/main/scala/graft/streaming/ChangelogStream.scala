@@ -282,22 +282,30 @@ object ChangelogStream {
     * rejected) — covered by spec, like the other order-dependent
     * streaming tiers.
     *
-    * Cost shape of `appendAccepted`: every micro-batch re-reads ALL
-    * prior accepted batches from the sink and re-shingles them into the
-    * composed index — O(batches²) sink reads over the stream's life.
-    * Deliberate for the bounded AvailableNow replays this API serves
-    * (correct after ANY crash, no cross-batch driver state to lose); a
-    * long-lived high-batch-count deployment should instead accumulate
-    * the accepted-rows index incrementally in memory across
-    * `foreachBatch` calls and rebuild from the sink only on restart —
-    * an optimization that changes no verdicts, only when shingling
-    * happens. */
+    * Cost shape of `appendAccepted`: the accepted-rows index is
+    * ACCUMULATED IN MEMORY across `foreachBatch` calls — batch `id`
+    * composes the base index with the persisted accepted frames of the
+    * batches this run already processed, plus a one-time hydration read
+    * of the sink for batches from PREVIOUS runs (the restart/recovery
+    * path, which keeps the replay-idempotence story above). Per-batch
+    * sink I/O is therefore CONSTANT — one read-back of the batch's own
+    * directory — instead of the O(batches²) full-sink re-reads of the
+    * naive form (spec-pinned via [[DedupStreamMetrics]]). Shingling of
+    * cached accepted rows is recomputed per batch (a projection over
+    * cached data, no I/O); the per-batch caches are released when the
+    * stream drains. */
   def streamDedupAgainst(stream: DataFrame, indexDir: String,
                          idCol: String, textCol: String, dir: String,
                          threshold: Double = 0.8,
                          appendAccepted: Boolean = false,
                          statePartitions: Int = 0): DataFrame = {
     val spark = stream.sparkSession
+    // in-memory accumulator (closure state — dies with this run, which
+    // is exactly the restart contract: a fresh run re-hydrates from the
+    // sink). `composedUpTo` = highest batch id folded into `accepted`.
+    var acceptedFrames = List.empty[DataFrame] // persisted, newest first
+    var composedUpTo = -1L
+    var hydrated = false
     val q = withStatePartitions(stream, statePartitions).writeStream
       .option("checkpointLocation", s"$dir/_checkpoints")
       .outputMode(OutputMode.Append())
@@ -306,19 +314,48 @@ object ChangelogStream {
         val base = graft.ops.Dedup.TextIndex.load(s, indexDir)
         val outRoot = new org.apache.hadoop.fs.Path(s"$dir/out")
         val fs = outRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (appendAccepted && (!hydrated || id <= composedUpTo)) {
+          // restart hydration (or a defensive rebuild on out-of-order
+          // re-delivery): fold the PREVIOUS runs' accepted batches from
+          // the sink, once — never this batch's own rows
+          acceptedFrames.foreach(_.unpersist())
+          acceptedFrames =
+            if (!fs.exists(outRoot)) Nil
+            else {
+              DedupStreamMetrics.fullSinkReads.incrementAndGet()
+              List(s.read.parquet(s"$dir/out")
+                .filter(col("graft_batch") < id).drop("graft_batch")
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            }
+          hydrated = true
+          composedUpTo = id - 1
+        }
         val idx =
-          if (!appendAccepted || !fs.exists(outRoot)) base
-          else graft.ops.Dedup.appendToTextIndex(base,
-            s.read.parquet(s"$dir/out")
-              .filter(col("graft_batch") < id).drop("graft_batch"),
-            idCol, textCol)
+          if (!appendAccepted || acceptedFrames.isEmpty) base
+          else acceptedFrames.reverse.foldLeft(base)((ix, acc) =>
+            graft.ops.Dedup.appendToTextIndex(ix, acc, idCol, textCol))
         graft.ops.Dedup.dedupAgainst(b, idx, idCol, textCol, threshold)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$dir/out/graft_batch=$id")
+        if (appendAccepted) {
+          // fold this batch's accepted rows for LATER batches: one
+          // read-back of the single directory just written (constant
+          // per-batch sink I/O), pinned so later batches never touch
+          // the sink for it again
+          acceptedFrames = s.read.parquet(s"$dir/out/graft_batch=$id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) ::
+            acceptedFrames
+          DedupStreamMetrics.perBatchReads.incrementAndGet()
+          composedUpTo = id
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the bounded run is over: release the per-batch accumulator pins
+    // (the post-drain index append below reads the SINK, not the cache)
+    acceptedFrames.foreach(_.unpersist())
+    acceptedFrames = Nil
     val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
     val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (appendAccepted && f.exists(outPath)) {
@@ -533,6 +570,19 @@ object ChangelogStream {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         stream.schema)
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
+  /** Test-visible I/O counters for [[streamDedupAgainst]]'s
+    * `appendAccepted` accumulator: `fullSinkReads` counts whole-sink
+    * hydration scans (exactly one per run start against a non-empty
+    * sink — the restart path), `perBatchReads` counts single-batch-dir
+    * read-backs (one per processed batch). The spec pins that per-batch
+    * sink I/O stays CONSTANT as batch count grows — the O(batches²)
+    * full-sink re-read shape cannot silently return. */
+  private[graft] object DedupStreamMetrics {
+    val fullSinkReads = new java.util.concurrent.atomic.AtomicLong
+    val perBatchReads = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { fullSinkReads.set(0L); perBatchReads.set(0L) }
   }
 
   /** Batch-id-versioned merge-state protocol shared by the streaming

@@ -106,6 +106,42 @@ class BpeTrainerSpec extends SparkTestBase {
     }
   }
 
+  "trainSampled" should "reproduce the full-corpus merge list from a deterministic md5 sample" in {
+    // the production 100 TB shape: pair statistics live on word
+    // frequencies, which a uniform doc sample preserves — the sampled
+    // merge list must match full training at the fixture scale
+    val docs = (0 until 200).map { i =>
+      val base =
+        if (i % 2 == 0)
+          "low low low lower newest newest newest newest wider new"
+        else "low lower lower newest wider wider new new"
+      (i.toLong, base)
+    }.toDF("doc_id", "text")
+    val full = BpeTrainer.train(docs, "text", numMerges = 12, minCount = 2)
+    val sampled = BpeTrainer.trainSampled(docs, "doc_id", "text",
+      numMerges = 12, fraction = 0.5, minCount = 2)
+    full.length should be > 5
+    sampled shouldBe full
+    // the sampled path is deterministic (md5 sample, fixed tie-breaks)
+    BpeTrainer.trainSampled(docs, "doc_id", "text", 12, 0.5) shouldBe sampled
+    // and the FULL corpus tokenizes losslessly under the frozen sampled
+    // list — the one corpus-scale pass of the production posture
+    val toks = docs.orderBy($"doc_id")
+      .select(BpeTrainer.tokenizeCol(col("text"), sampled).as("t"))
+      .limit(1).head().getSeq[String](0)
+    BpeTrainer.detokenize(toks) shouldBe
+      "low low low lower newest newest newest newest wider new"
+  }
+
+  it should "reject a non-positive or over-1 fraction" in {
+    val df = corpus.toDF("text").withColumn("doc_id",
+      monotonically_increasing_id())
+    an[IllegalArgumentException] should be thrownBy
+      BpeTrainer.trainSampled(df, "doc_id", "text", 5, 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      BpeTrainer.trainSampled(df, "doc_id", "text", 5, 1.5)
+  }
+
   "tokenizeCol" should "segment greedily by merge rank" in {
     // ranks: (l,o) first, then (lo,w</w>): "low" -> ["low</w>"] needs
     // (lo, w</w>)? No — w fuses with </w> only if learned; build merges

@@ -545,6 +545,56 @@ class ChangelogStreamSpec extends SparkTestBase {
     spark.read.parquet(s"$idxDir/buckets").count() shouldBe buckets1
   }
 
+  it should "keep per-batch sink reads constant as batches accumulate (in-memory accepted index)" in {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_sdi_idx3").toString
+    graft.ops.Dedup.buildTextIndex(sdedupCorpus, "doc_id", "text")
+      .save(idxDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdi3").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sdi3_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdi3_w")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    def run(): Set[Long] = {
+      val stream = spark.readStream
+        .schema(wave1.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+      ChangelogStream.streamDedupAgainst(stream, idxDir,
+          "doc_id", "text", dir, threshold = 0.5, appendAccepted = true)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    stage(wave1, "wave1.parquet", 180000L)
+    stage(wave2, "wave2.parquet", 120000L)
+    ChangelogStream.DedupStreamMetrics.reset()
+    run() shouldBe Set(22L, 31L)
+    // fresh run, empty sink: NO whole-sink scan ever happened; each of
+    // the 2 batches read back only its own directory — constant
+    // per-batch I/O, not the O(batches²) re-read shape
+    ChangelogStream.DedupStreamMetrics.fullSinkReads.get() shouldBe 0L
+    ChangelogStream.DedupStreamMetrics.perBatchReads.get() shouldBe 2L
+    // restart with one NEW wave: hydration reads the sink exactly once
+    // (the recovery path), then the new batch again reads only itself —
+    // and docs duplicating restart-hydrated accepted rows are still
+    // rejected (41 = accepted 31's exact text, the content-hash path)
+    stage(Seq(
+      SDoc(40L, "totally new third wave content nothing resembles this"),
+      SDoc(41L, "fresh second wave text with no overlap to anything seen before")),
+      "wave3.parquet", 60000L)
+    ChangelogStream.DedupStreamMetrics.reset()
+    run() shouldBe Set(22L, 31L, 40L)
+    ChangelogStream.DedupStreamMetrics.fullSinkReads.get() shouldBe 1L
+    ChangelogStream.DedupStreamMetrics.perBatchReads.get() shouldBe 1L
+  }
+
   "streamClassifyLang" should "converge to the batch classification across batch splits" in {
     import graft.ops.LangId
     val train = Seq(

@@ -2102,6 +2102,20 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // The config-declared rule chain's attrition report: the same
+    // named-rule first-fail accounting as q_attrition, but the rules
+    // come from CurationPipeline's compact spec grammar — report and
+    // filter derive from ONE parsed rule list, so they can never
+    // disagree.
+    "q_pipeline_attrition" -> ((s, d) => {
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet"},
+           | "rules": ["min_chars:100", "min_tokens:30", "matches:the"]}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.attrition(s, cfg)
+        .orderBy(col("rule_idx"))
+    }),
+
     // Code-fence extraction: stage markdown around the corpus text
     // (tagged scala fence for every doc, untagged fence for even docs,
     // an UNCLOSED fence for odd docs that must not match), then pull
@@ -4029,6 +4043,43 @@ object SparkEntry {
         |  SELECT inc_id, corpus_id,
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
+    // Replays the spec-grammar rules (min_chars/min_tokens/matches) as
+    // the same first-fail CASE chain as q_attrition's oracle; rule
+    // names are the spec strings themselves.
+    "q_pipeline_attrition" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN NOT coalesce(length(text) >= 100, FALSE) THEN 0
+        |         WHEN NOT coalesce(
+        |           len(regexp_split_to_array(trim(text), '\s+')) >= 30,
+        |           FALSE) THEN 1
+        |         WHEN NOT coalesce(regexp_matches(text, 'the'), FALSE)
+        |           THEN 2
+        |         ELSE 3 END AS ff
+        |  FROM documents),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+        |    CAST(sum(CASE WHEN ff >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN ff >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN ff >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS surv
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 0 AS rule_idx, 'min_chars:100' AS rule,
+        |    f0 AS n_failed_here, r0 AS n_reaching,
+        |    CASE WHEN r0 = 0 THEN NULL
+        |      ELSE round(1.0 - f0::DOUBLE / r0::DOUBLE, 6) END AS pass_rate
+        |  FROM m
+        |  UNION ALL SELECT 1, 'min_tokens:30', f1, r1,
+        |    CASE WHEN r1 = 0 THEN NULL
+        |      ELSE round(1.0 - f1::DOUBLE / r1::DOUBLE, 6) END FROM m
+        |  UNION ALL SELECT 2, 'matches:the', f2, r2,
+        |    CASE WHEN r2 = 0 THEN NULL
+        |      ELSE round(1.0 - f2::DOUBLE / r2::DOUBLE, 6) END FROM m
+        |  UNION ALL SELECT 3, '__survivors', 0, surv,
+        |    CASE WHEN surv = 0 THEN NULL ELSE 1.0 END FROM m)
+        |ORDER BY rule_idx""".stripMargin,
     // The WARC walk must hand back exactly the headers and payload bytes
     // the builder put in: the oracle rebuilds the url/date strings with
     // the same arithmetic and hashes the same text (md5 over UTF-8

@@ -84,7 +84,8 @@ object CurationPipeline {
       pack: Option[PackConfig] = None,
       expectations: Seq[Expectations.Expect] = Nil,
       sinkPath: Option[String] = None,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      reportPath: Option[String] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -239,6 +240,11 @@ object CurationPipeline {
       (if (config.partitionBy.nonEmpty) w.partitionBy(config.partitionBy: _*)
        else w).parquet(sinkPath)
     } finally pinned.foreach(_.unpersist())
+    // the accounting artifact published NEXT TO the dataset ("10 B docs;
+    // language filter -38%, ..."): written after a successful publish,
+    // so a failed gate leaves neither dataset nor report
+    config.reportPath.foreach(rp =>
+      attrition(spark, config).write.mode(SaveMode.Overwrite).parquet(rp))
   }
 
   // ------------------------------------------------------------- config
@@ -262,7 +268,8 @@ object CurationPipeline {
     *   "chunk": {"tokens": 40, "overlap": 8},            // optional
     *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
-    *   "sink": {"path": "..."}, "partition_by": ["shard"] }
+    *   "sink": {"path": "..."}, "partition_by": ["shard"],
+    *   "report": {"path": "..."} }       // attrition report, post-publish
     * }}} */
   def fromJValue(root: JValue): CurationConfig = {
     def str(v: JValue): Option[String] = v match {
@@ -377,8 +384,16 @@ object CurationPipeline {
     val partitionBy = strList("partition_by", root \ "partition_by")
     if (partitionBy.nonEmpty && sinkPath.isEmpty)
       fail("partition_by requires sink.path")
+    val reportPath = root \ "report" \ "path" match {
+      case JString(p) => Some(p)
+      case JNothing => None
+      case other => fail(s"report.path must be a string, got $other")
+    }
+    if (reportPath.isDefined && rules.isEmpty)
+      fail("report.path requires at least one rule (the report IS the " +
+        "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
-      chunk, pack, expectations, sinkPath, partitionBy)
+      chunk, pack, expectations, sinkPath, partitionBy, reportPath)
   }
 
   private def fail(msg: String): Nothing =

@@ -161,13 +161,20 @@ class CurationPipelineSpec extends SparkTestBase {
     // include the shipped file verbatim, overriding only the paths
     // (HOCON last-write-wins) — this proves the shipped conf itself
     // parses and drives the pipeline
+    val report = s"$tmp/packed_report"
     val cfg = writeConfig("job.conf",
       s"""include "${Paths.get("conf/application-curation-example.conf")
            .toAbsolutePath}"
          |input.path = "$docsPath"
          |sink.path = "$sink"
+         |report.path = "$report"
          |""".stripMargin)
     graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    // the attrition report published next to the dataset: one row per
+    // declared rule + the survivors row
+    val rep = spark.read.parquet(report)
+    rep.count() shouldBe 3 // 2 rules + __survivors
+    rep.select($"rule").as[String].collect() should contain("__survivors")
     val back = spark.read.parquet(sink)
     // the shipped conf gates at min_tokens:50 (docs 7/8 survive, 8
     // dedups against 7) and must equal the hand-composed plan of the
@@ -241,6 +248,24 @@ class CurationPipelineSpec extends SparkTestBase {
       "neither budgets nor a positive default")
     bad(s"""{"input": {"path": "x"}, "partition_by": ["a"]}""",
       "partition_by requires sink.path")
+    bad(s"""{"input": {"path": "x"}, "report": {"path": "/r"}}""",
+      "report.path requires at least one rule")
+  }
+
+  it should "not write the report when the publish gate fails" in {
+    val sink = s"$tmp/gated2_out"
+    val report = s"$tmp/gated2_report"
+    val cfg = config.copy(sinkPath = Some(sink),
+      reportPath = Some(report),
+      expectations = Seq(graft.ops.Expectations.fromSpec(
+        "in_range:n_tokens:-5:0:1.0")))
+    an[Exception] should be thrownBy CurationPipeline.run(spark, cfg)
+    new java.io.File(report).exists() shouldBe false
+    // and on a passing run both dataset and report land
+    CurationPipeline.run(spark, config.copy(sinkPath = Some(sink),
+      reportPath = Some(report)))
+    new java.io.File(report).exists() shouldBe true
+    spark.read.parquet(report).count() shouldBe 2 // 1 rule + __survivors
   }
 
   it should "dispatch by config shape in the CLI (both/neither sections fail)" in {

@@ -2116,6 +2116,49 @@ object SparkEntry {
         .orderBy(col("rule_idx"))
     }),
 
+    // The CommonCrawl composition end-to-end: the SAME synthetic html
+    // as q_html_extract, but wrapped into WARC response records (8
+    // archives, odd ones member-per-record gzipped), walked back out
+    // by WarcExtract, and only THEN extracted — the archive detour
+    // must be byte-transparent, so the output hash-matches the direct
+    // q_html_extract oracle.
+    "q_warc_html" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val html = concat(
+        lit(HtmlFixturePrefix), col("doc_id").cast("string"),
+        lit(HtmlFixtureMid), col("doc_id").cast("string"),
+        lit(HtmlFixtureHead), col("text"),
+        lit(HtmlFixtureLinksOpen),
+        expr(s"repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT))"),
+        lit(HtmlFixtureTail))
+      val staged = docs.select(
+        pmod(col("doc_id"), lit(8)).as("grp"),
+        concat(lit("http://example.com/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        lit("2024-03-01T00:00:00Z").as("date"),
+        html.as("body"))
+      val archives = graft.ops.WarcExtract.syntheticArchives(
+        staged, "grp", "url", "date", "body")
+      val pages = graft.ops.WarcExtract.records(archives, "archive_id", "data")
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("payload").cast("string").as("html"))
+      graft.ops.HtmlExtract.extract(pages, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-smoothed domain mixing (p_i ∝ n_i^alpha): the budget
+    // table a multilingual training mix is provisioned from — alpha 0.5
+    // upweights low-resource languages. Deterministic sorted-order
+    // normalizer fold, so weights and integer budgets hash-check.
+    "q_temperature_mix" -> ((s, d) =>
+      graft.ops.Sampling.temperatureBudgets(
+          Tables.documents(s, d).select(col("lang"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+          "lang", "n_tok", alpha = 0.5, totalTokens = 1000000L)
+        .orderBy(col("domain"))),
+
     // Code-fence extraction: stage markdown around the corpus text
     // (tagged scala fence for every doc, untagged fence for even docs,
     // an UNCLOSED fence for odd docs that must not match), then pull
@@ -4043,6 +4086,23 @@ object SparkEntry {
         |  SELECT inc_id, corpus_id,
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
+    // Same token arithmetic as the Spark side; the normalizer is the
+    // identical sorted-domain left fold (list_reduce over an ORDER BY
+    // domain list), and budgets run on the ROUNDED weights.
+    "q_temperature_mix" ->
+      """WITH t AS (SELECT lang AS domain,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(pow(n_tokens::DOUBLE, 0.5) ORDER BY domain)),
+        |    (a, b) -> a + b) AS z FROM t)
+        |SELECT domain, n_tokens,
+        |  round(pow(n_tokens::DOUBLE, 0.5) / z, 6) AS weight,
+        |  CAST(floor(round(pow(n_tokens::DOUBLE, 0.5) / z, 6) * 1000000)
+        |    AS BIGINT) AS budget_tokens
+        |FROM t, z ORDER BY domain""".stripMargin,
     // Replays the spec-grammar rules (min_chars/min_tokens/matches) as
     // the same first-fail CASE chain as q_attrition's oracle; rule
     // names are the spec strings themselves.
@@ -4493,26 +4553,11 @@ object SparkEntry {
     // The fixture fragments and HtmlExtract.Chain are spliced in verbatim
     // (no single quotes in either by construction), so the oracle replays
     // the exact regex battery with RE2 'g' semantics.
-    "q_html_extract" -> {
-      val htmlExpr = s"'$HtmlFixturePrefix' || doc_id || '$HtmlFixtureMid' " +
-        s"|| doc_id || '$HtmlFixtureHead' || text || '$HtmlFixtureLinksOpen' " +
-        s"|| repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT)) " +
-        s"|| '$HtmlFixtureTail'"
-      val chain = graft.ops.HtmlExtract.Chain ++
-        Seq(("^[\\s]+", ""), ("[\\s]+$", ""))
-      val extracted = chain.foldLeft("html") { case (acc, (pat, rep)) =>
-        // the entity battery includes a bare apostrophe replacement
-        s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
-          s"'${rep.replace("'", "''")}', 'g')"
-      }
-      s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
-         |x AS (SELECT doc_id, html, $extracted AS text FROM h)
-         |SELECT doc_id, text,
-         |  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS INTEGER)
-         |    AS n_links,
-         |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
-         |FROM x ORDER BY doc_id""".stripMargin
-    },
+    "q_html_extract" -> HtmlExtractOracleSql,
+    // The WARC detour is byte-transparent: archives wrap the SAME html
+    // and the walker hands back the same payload, so the end-to-end
+    // CommonCrawl composition shares the direct-extraction oracle.
+    "q_warc_html" -> HtmlExtractOracleSql,
 
     "q_code_fences" -> {
       val pat = "(?s)```([a-zA-Z0-9_+#-]*)\\r?\\n(.*?)```"
@@ -6231,6 +6276,32 @@ object SparkEntry {
   /** Shared decontamination CTE: corpus = doc_id % 20 != 0, benchmark =
     * the rest; `r` = (corpus_id, bench_id, overlap) pairs sharing >= 3
     * distinct 3-gram shingles. */
+  /** Shared oracle for direct html extraction (`q_html_extract`) and
+    * the WARC-wrapped end-to-end composition (`q_warc_html` — the
+    * archive detour is byte-transparent, so both produce identical
+    * rows): stages the synthetic markup and replays
+    * [[graft.ops.HtmlExtract.Chain]] verbatim. */
+  private lazy val HtmlExtractOracleSql: String = {
+    val htmlExpr = s"'$HtmlFixturePrefix' || doc_id || '$HtmlFixtureMid' " +
+      s"|| doc_id || '$HtmlFixtureHead' || text || '$HtmlFixtureLinksOpen' " +
+      s"|| repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT)) " +
+      s"|| '$HtmlFixtureTail'"
+    val chain = graft.ops.HtmlExtract.Chain ++
+      Seq(("^[\\s]+", ""), ("[\\s]+$", ""))
+    val extracted = chain.foldLeft("html") { case (acc, (pat, rep)) =>
+      // the entity battery includes a bare apostrophe replacement
+      s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+        s"'${rep.replace("'", "''")}', 'g')"
+    }
+    s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+       |x AS (SELECT doc_id, html, $extracted AS text FROM h)
+       |SELECT doc_id, text,
+       |  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS INTEGER)
+       |    AS n_links,
+       |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared oracle for the curation pipeline (hand-composed
     * `q_pipeline_e2e` and config-declared `q_pipeline_config`):
     * min_tokens:50 gate → exact dedup (min id per text) → 40/8 chunking

@@ -204,4 +204,48 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Temperature-smoothed domain mixing weights — the multilingual-LM
+    * sampling rule (`p_i ∝ n_i^α`, α ∈ (0, 1] the temperature): α = 1
+    * reproduces the corpus proportions, α → 0 flattens toward uniform,
+    * upweighting low-resource domains at the cost of high-resource
+    * ones. Output: one row per domain with its observed token count,
+    * normalized weight (6 dp), and `budget_tokens = ⌊weight ·
+    * totalTokens⌋` — the budget table [[tokenBudgetMix]] consumes, so
+    * mix POLICY (this) and mix MECHANISM (the budget take) compose:
+    * {{{
+    *   val budgets = temperatureBudgets(df, "lang", "tokens", 0.5, total)
+    *     .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    *   tokenBudgetMix(df, "lang", "doc_id", "tokens", budgets)
+    * }}}
+    *
+    * Determinism: per-domain token sums are exact integer aggregation;
+    * the normalizer folds the per-domain `n^α` terms LEFT TO RIGHT in
+    * sorted-domain order (a deterministic scalar fold, not a
+    * partition-order-dependent double sum), so the weights are
+    * engine-replayable; the budget arithmetic runs on the ROUNDED
+    * weights, keeping both engines on identical inputs. Model-sized
+    * throughout: one domain-count shuffle, then a one-row cross join. */
+  def temperatureBudgets(df: DataFrame, domainCol: String,
+                         tokensCol: String, alpha: Double,
+                         totalTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureBudgets: alpha must be in (0, 1], got $alpha")
+    require(totalTokens > 0,
+      s"temperatureBudgets: totalTokens must be positive, got $totalTokens")
+    val per = df.filter(col(tokensCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+    val z = per.agg(aggregate(
+      transform(
+        array_sort(collect_list(struct(col("domain"),
+          pow(col("n_tokens").cast("double"), lit(alpha)).as("p")))),
+        x => x.getField("p")),
+      lit(0.0), (a, x) => a + x).as("__z"))
+    per.crossJoin(broadcast(z))
+      .withColumn("weight",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("__z"), 6))
+      .select(col("domain"), col("n_tokens"), col("weight"),
+        floor(col("weight") * totalTokens).cast("long").as("budget_tokens"))
+  }
 }

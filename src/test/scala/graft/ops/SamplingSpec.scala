@@ -162,4 +162,53 @@ class SamplingSpec extends SparkTestBase {
     once.size shouldBe 10 // 70 / 7 from "a"; "b" dropped (no budget)
     all(once) should be <= 25L
   }
+
+  // 3 domains with 90/9/1 token shares — skewed enough that the
+  // temperature effect is unambiguous
+  private def mixCorpus = Seq.tabulate(100) { i =>
+    val dom = if (i < 90) "big" else if (i < 99) "mid" else "tiny"
+    (i.toLong, dom, 10L)
+  }.toDF("doc_id", "domain", "tokens")
+
+  "temperatureBudgets" should "reproduce corpus proportions at alpha = 1" in {
+    val w = Sampling.temperatureBudgets(mixCorpus, "domain", "tokens",
+        alpha = 1.0, totalTokens = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    w("big") shouldBe ((900L, 0.9, 900L))
+    w("mid") shouldBe ((90L, 0.09, 90L))
+    w("tiny") shouldBe ((10L, 0.01, 10L))
+  }
+
+  it should "flatten toward uniform as alpha decreases (upweighting low-resource domains)" in {
+    def weights(alpha: Double): Map[String, Double] =
+      Sampling.temperatureBudgets(mixCorpus, "domain", "tokens",
+          alpha, 1000000L)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val half = weights(0.5)
+    val full = weights(1.0)
+    half("tiny") should be > full("tiny")
+    half("big") should be < full("big")
+    // weights normalize (up to the 6-dp rounding) and budgets never
+    // exceed the provision
+    half.values.sum shouldBe 1.0 +- 1e-5
+    val budgets = Sampling.temperatureBudgets(mixCorpus, "domain",
+        "tokens", 0.5, 1000000L)
+      .agg(org.apache.spark.sql.functions.sum($"budget_tokens"))
+      .head().getLong(0)
+    budgets should be <= 1000000L
+  }
+
+  it should "be deterministic across partitionings (sorted-order fold) and validate inputs" in {
+    def run(parts: Int) = Sampling.temperatureBudgets(
+        mixCorpus.repartition(parts), "domain", "tokens", 0.5, 1000L)
+      .orderBy($"domain").collect().map(_.toString).toSeq
+    run(1) shouldBe run(7)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureBudgets(mixCorpus, "domain", "tokens", 0.0, 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureBudgets(mixCorpus, "domain", "tokens", 1.5, 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureBudgets(mixCorpus, "domain", "tokens", 0.5, 0L)
+  }
 }

@@ -2102,6 +2102,31 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // The daily-increment production shape, config-declared: today's
+    // feed (staged parquet) deduped AGAINST yesterday's persisted text
+    // index via dedup.method = against_text_index — the curation config
+    // composed with the incremental index family. Equals the
+    // hand-composed dedupAgainst, so it shares q_dedup_incremental's
+    // oracle.
+    "q_pipeline_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = scratchDir("graft_pci_idx_")
+      val incDir = scratchDir("graft_pci_inc_")
+      Dedup.buildTextIndex(
+          docs.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text")
+        .save(idxDir)
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .write.mode("overwrite").parquet(incDir)
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$incDir"},
+           | "dedup": {"method": "against_text_index",
+           |           "index_dir": "$idxDir", "threshold": 0.8}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The config-declared rule chain's attrition report: the same
     // named-rule first-fail accounting as q_attrition, but the rules
     // come from CurationPipeline's compact spec grammar — report and
@@ -4969,6 +4994,8 @@ object SparkEntry {
     // blocking's measured recall is 1.0 at this threshold margin, as for
     // q_dedup_minhash) plus verbatim-text hits — survivors only.
     "q_dedup_incremental" -> DedupIncrementalOracleSql,
+    // config-declared against_text_index tier = the same dedupAgainst
+    "q_pipeline_incremental" -> DedupIncrementalOracleSql,
     // frozen-index streaming form converges to the same accepted set —
     // the equivalence IS the point of the query
     "q_stream_dedup_incremental" -> DedupIncrementalOracleSql,

@@ -60,6 +60,14 @@ object CurationPipeline {
   /** SimHash fingerprints within Hamming `maxDist`
     * ([[Dedup.simhashNearDups]]). */
   final case class SimHashTier(n: Int, maxDist: Int) extends DedupTier
+  /** Dedup the input AGAINST a persisted [[Dedup.TextIndex]] — the
+    * daily-increment production shape: exact content hash + banded
+    * near-dup match against yesterday's indexed corpus
+    * ([[Dedup.dedupAgainst]]; build parameters frozen in the index
+    * directory). The input is NOT self-deduped — chain an `exact` run
+    * or extend the index between increments for that. */
+  final case class AgainstTextIndexTier(indexDir: String,
+                                        threshold: Double) extends DedupTier
 
   final case class ChunkConfig(tokens: Int, overlap: Int)
   /** `shards` buckets rows by `pmod(id, shards)` — the pack
@@ -164,6 +172,10 @@ object CurationPipeline {
       case SimHashTier(n, d) =>
         dropByPairs(df, config.idCol,
           Dedup.simhashNearDups(df, config.idCol, config.textCol, n, d))
+      case AgainstTextIndexTier(dir, t) =>
+        Dedup.dedupAgainst(df,
+          Dedup.TextIndex.load(df.sparkSession, dir),
+          config.idCol, config.textCol, t)
     }
 
   /** The curated corpus at DOCUMENT granularity (after rules, dedup,
@@ -258,10 +270,12 @@ object CurationPipeline {
     * { "input": {"path": "...", "id_column": "doc_id",
     *             "text_column": "text"},
     *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
-    *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash",
+    *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
+    *                       | "against_text_index",
     *             "ngram": 3, "threshold": 0.8,           // jaccard/minhash
     *             "bands": 16, "rows_per_band": 4,        // minhash
-    *             "max_dist": 11},                        // simhash
+    *             "max_dist": 11,                         // simhash
+    *             "index_dir": "..."},          // against_text_index
     *   "sample": {"fraction": 0.5},                      // optional
     *   "budget": {"domain_column": "lang",               // optional
     *              "budgets": {"en": 100000}, "default": 0},
@@ -318,8 +332,13 @@ object CurationPipeline {
             intOf(d \ "rows_per_band", "dedup.rows_per_band", 4))
           case "simhash" =>
             SimHashTier(n, intOf(d \ "max_dist", "dedup.max_dist", 11))
+          case "against_text_index" => AgainstTextIndexTier(
+            str(d \ "index_dir").getOrElse(fail(
+              "dedup.index_dir is required for against_text_index")),
+            dblOf(d \ "threshold", "dedup.threshold", 0.8))
           case other => fail(s"unknown dedup.method '$other' " +
-            "(expected exact | jaccard | minhash | simhash)")
+            "(expected exact | jaccard | minhash | simhash | " +
+            "against_text_index)")
         }
     }
     val sample = root \ "sample" match {

@@ -146,6 +146,30 @@ class CurationPipelineSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted shouldBe Seq(10L, 12L)
   }
 
+  it should "dedup against a persisted text index in against_text_index mode" in {
+    val idxDir = s"$tmp/text_idx"
+    val corpus = Seq(
+      (100L, (1 to 15).map(i => s"c$i").mkString(" ")),
+      (101L, (1 to 15).map(i => s"k$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    Dedup.buildTextIndex(corpus, "doc_id", "text").save(idxDir)
+    val incPath = s"$tmp/inc_docs"
+    Seq(
+      (200L, (1 to 15).map(i => s"c$i").mkString(" ")), // exact corpus dup
+      (201L, (1 to 15).map(i => s"z$i").mkString(" "))  // novel
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(incPath)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$incPath"},
+         | "dedup": {"method": "against_text_index",
+         |           "index_dir": "$idxDir", "threshold": 0.8}}""".stripMargin)
+    CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted shouldBe Seq(201L)
+    // a config naming the tier without its index fails at parse time
+    an[IllegalArgumentException] should be thrownBy CurationPipeline.fromJson(
+      s"""{"input": {"path": "$incPath"},
+         | "dedup": {"method": "against_text_index"}}""".stripMargin)
+  }
+
   "attrition" should "equal the Policy report over the declared rules" in {
     val report = CurationPipeline.attrition(spark, config)
       .orderBy($"rule_idx").collect().map(_.toString).toSeq

@@ -2127,6 +2127,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
+    // canonical LLM document-quality heuristics) as a first-fail
+    // attrition report over the corpus: word-count bounds, mean word
+    // length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    // fraction, stop-word presence — every predicate a codegen'd
+    // Column the oracle replays literally.
+    "q_gopher_rules" -> ((s, d) =>
+      graft.ops.Policy.attritionReport(Tables.documents(s, d),
+          graft.ops.GopherRules.battery(col("text")))
+        .orderBy(col("rule_idx"))),
+
     // The config-declared rule chain's attrition report: the same
     // named-rule first-fail accounting as q_attrition, but the rules
     // come from CurationPipeline's compact spec grammar — report and
@@ -4111,6 +4122,7 @@ object SparkEntry {
         |  SELECT inc_id, corpus_id,
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
+    "q_gopher_rules" -> GopherOracleSql,
     // Same token arithmetic as the Spark side; the normalizer is the
     // identical sorted-domain left fold (list_reduce over an ORDER BY
     // domain list), and budgets run on the ROUNDED weights.
@@ -6303,6 +6315,65 @@ object SparkEntry {
   /** Shared decontamination CTE: corpus = doc_id % 20 != 0, benchmark =
     * the rest; `r` = (corpus_id, bench_id, overlap) pairs sharing >= 3
     * distinct 3-gram shingles. */
+  /** Replays every Gopher predicate literally (word arithmetic via the
+    * shared whitespace-split convention, exact integer length sums,
+    * length-difference symbol counts, per-line regex list
+    * comprehensions) and folds them into the first-fail CASE cascade +
+    * stacked report of the attrition oracles. */
+  private lazy val GopherOracleSql: String = {
+    val meanLen = "list_reduce(list_prepend(0, [length(w) for w in ws]), " +
+      "(a, b) -> a + b)::DOUBLE / n"
+    val symbols = "((length(text) - length(regexp_replace(text, '#', '', 'g')))" +
+      " + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3" +
+      " + (length(text) - length(regexp_replace(text, '…', '', 'g'))))::DOUBLE / n"
+    val stops = graft.ops.GopherRules.StopWords.map(sw =>
+      s"(CASE WHEN list_contains([lower(w) for w in ws], '$sw') " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    val preds = Seq(
+      "gopher_word_count" -> "(n BETWEEN 50 AND 100000)",
+      "gopher_mean_word_length" ->
+        s"(n > 0 AND $meanLen >= 3.0 AND $meanLen <= 10.0)",
+      "gopher_symbol_ratio" -> s"(n > 0 AND $symbols <= 0.1)",
+      "gopher_bullet_lines" -> ("(n > 0 AND len([l for l in ls if " +
+        "regexp_matches(l, '^\\s*[-*•]')])::DOUBLE / len(ls) <= 0.9)"),
+      "gopher_ellipsis_lines" -> ("(n > 0 AND len([l for l in ls if " +
+        "regexp_matches(l, '(\\.\\.\\.|…)\\s*$')])::DOUBLE / len(ls) <= 0.3)"),
+      "gopher_alpha_words" -> ("(n > 0 AND len([w for w in ws if " +
+        "regexp_matches(w, '[A-Za-z]')])::DOUBLE / n >= 0.8)"),
+      "gopher_stop_words" -> s"($stops >= 2)")
+    val k = preds.size
+    val cascade = preds.zipWithIndex.map { case ((_, p), i) =>
+      s"WHEN NOT coalesce($p, FALSE) THEN $i"
+    }.mkString("\n    ")
+    val sums = (0 until k).map(i =>
+      s"CAST(sum(CASE WHEN ff = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i,\n" +
+        s"    CAST(sum(CASE WHEN ff >= $i THEN 1 ELSE 0 END) AS BIGINT) AS r$i")
+      .mkString(",\n    ") +
+      s",\n    CAST(sum(CASE WHEN ff = $k THEN 1 ELSE 0 END) AS BIGINT) AS surv"
+    val rows = preds.zipWithIndex.map { case ((name, _), i) =>
+      s"SELECT $i AS rule_idx, '$name' AS rule, f$i AS n_failed_here, " +
+        s"r$i AS n_reaching, CASE WHEN r$i = 0 THEN NULL " +
+        s"ELSE round(1.0 - f$i::DOUBLE / r$i::DOUBLE, 6) END AS pass_rate FROM m"
+    }.mkString("\n  UNION ALL ") +
+      s"\n  UNION ALL SELECT $k, '__survivors', 0, surv, " +
+      "CASE WHEN surv = 0 THEN NULL ELSE 1.0 END FROM m"
+    s"""WITH base AS (SELECT text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(text, '\\n') AS ls
+       |  FROM documents),
+       |f AS (SELECT CASE
+       |    $cascade
+       |    ELSE $k END AS ff FROM base),
+       |m AS (SELECT
+       |    $sums
+       |  FROM f)
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY rule_idx""".stripMargin
+  }
+
   /** Shared oracle for direct html extraction (`q_html_extract`) and
     * the WARC-wrapped end-to-end composition (`q_warc_html` — the
     * archive detour is byte-transparent, so both produce identical

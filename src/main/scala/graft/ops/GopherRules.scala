@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446
+  * Table A1 — the document-quality heuristics reused by MassiveText,
+  * RefinedWeb, FineWeb and most public LLM curation pipelines), as
+  * named boolean keep-rules that plug into [[Policy]] and the
+  * [[graft.pipeline.CurationPipeline]] rule grammar. Each rule is a
+  * pure codegen'd Column over the text (no UDFs, engine-replayable
+  * arithmetic), so the whole battery fuses into the scan like the rest
+  * of the text gates.
+  *
+  * Thresholds are the published defaults, overridable per rule. A
+  * blank document fails every rule (its ratios are undefined — the
+  * conservative reading, matching [[Policy]]'s null-fails contract).
+  *
+  * Engine-parity discipline: word counts via the canonical
+  * whitespace split ([[TextAnalysis.tokenCount]]'s arithmetic), mean
+  * word length from an exact integer length sum, symbol counts from
+  * length-difference arithmetic (`(len(text) − len(replace(...)))`),
+  * and line fractions from per-line regex filters — every step has a
+  * literal DuckDB replay, which is what the `q_gopher_rules` oracle
+  * does.
+  */
+object GopherRules {
+
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+  private def nWords(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(words(text)))
+  private def lines(text: Column): Column = split(text, "\n")
+
+  /** Word count within `[lo, hi]` (Gopher: 50 … 100 000). */
+  def wordCountInRange(text: Column, lo: Int = 50,
+                       hi: Int = 100000): Column =
+    nWords(text).between(lo, hi)
+
+  /** Mean word length within `[lo, hi]` characters (Gopher: 3 … 10).
+    * Integer length sum, exact; division only at the comparison. */
+  def meanWordLengthInRange(text: Column, lo: Double = 3.0,
+                            hi: Double = 10.0): Column = {
+    val sumLen = aggregate(transform(words(text), w => length(w)),
+      lit(0), (a, x) => a + x)
+    val mean = sumLen.cast("double") / nWords(text).cast("double")
+    nWords(text) > 0 && mean >= lo && mean <= hi
+  }
+
+  /** Symbol-to-word ratio ≤ `max` (Gopher: 0.1) — symbols are `#`
+    * characters plus `...` runs (each three-dot run counted once) plus
+    * the Unicode ellipsis. */
+  def symbolWordRatioAtMost(text: Column, max: Double = 0.1): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val dots = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val ell = length(text) - length(regexp_replace(text, "…", ""))
+    nWords(text) > 0 &&
+      (hashes + dots + ell).cast("double") / nWords(text).cast("double") <= max
+  }
+
+  /** Fraction of lines starting with a bullet ≤ `max` (Gopher: 0.9). */
+  def bulletLineFractionAtMost(text: Column, max: Double = 0.9): Column = {
+    val n = size(lines(text))
+    val bullets = size(filter(lines(text),
+      l => l.rlike("^\\s*[-*•]")))
+    nWords(text) > 0 && bullets.cast("double") / n.cast("double") <= max
+  }
+
+  /** Fraction of lines ending with an ellipsis ≤ `max` (Gopher: 0.3). */
+  def ellipsisLineFractionAtMost(text: Column, max: Double = 0.3): Column = {
+    val n = size(lines(text))
+    val ell = size(filter(lines(text),
+      l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    nWords(text) > 0 && ell.cast("double") / n.cast("double") <= max
+  }
+
+  /** Fraction of words containing at least one alphabetic character
+    * ≥ `min` (Gopher: 0.8). */
+  def alphaWordFractionAtLeast(text: Column, min: Double = 0.8): Column = {
+    val alpha = size(filter(words(text), w => w.rlike("[A-Za-z]")))
+    nWords(text) > 0 &&
+      alpha.cast("double") / nWords(text).cast("double") >= min
+  }
+
+  /** The published 8-term stop set. */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** At least `min` DISTINCT stop words present as (case-folded) whole
+    * tokens (Gopher: 2 of the 8). */
+  def stopWordCountAtLeast(text: Column, min: Int = 2): Column = {
+    val lower = transform(words(text), w => org.apache.spark.sql
+      .functions.lower(w))
+    val present = StopWords.map(s =>
+      when(array_contains(lower, s), 1).otherwise(0))
+      .reduce(_ + _)
+    present >= min
+  }
+
+  /** The full battery in the paper's order, as [[Policy]] rules —
+    * attrition charges each doc to the FIRST Gopher rule it fails. */
+  def battery(text: Column): Seq[(String, Column)] = Seq(
+    "gopher_word_count" -> wordCountInRange(text),
+    "gopher_mean_word_length" -> meanWordLengthInRange(text),
+    "gopher_symbol_ratio" -> symbolWordRatioAtMost(text),
+    "gopher_bullet_lines" -> bulletLineFractionAtMost(text),
+    "gopher_ellipsis_lines" -> ellipsisLineFractionAtMost(text),
+    "gopher_alpha_words" -> alphaWordFractionAtLeast(text),
+    "gopher_stop_words" -> stopWordCountAtLeast(text))
+
+  /** All rules as one conjunction — the single-gate form the
+    * [[graft.pipeline.CurationPipeline]] `gopher_quality` rule spec
+    * exposes. */
+  def all(text: Column): Column =
+    battery(text).map(_._2).reduce(_ && _)
+}

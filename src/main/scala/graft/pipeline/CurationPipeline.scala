@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ops.{Chunking, Dedup, Expectations, Packing, Policy, Repetition,
-  Sampling, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Expectations, GopherRules, Packing,
+  Policy, Repetition, Sampling, TextAnalysis}
 
 /** Config-declared corpus-curation pipeline — the reference's
   * config-first identity (reference:
@@ -109,12 +109,15 @@ object CurationPipeline {
     * max_punct_ratio:<r>    max_upper_ratio:<r>
     * min_stopword_ratio:<r>
     * max_dup_word_frac:<r>            (Repetition.dupWordFrac)
+    * gopher_quality                   (the full GopherRules battery
+    *                                   as one conjunction)
     * matches:<regex>                  (regex last: may contain ':')
     * }}} */
   def ruleFromSpec(spec: String, text: Column): (String, Column) = {
     def num(s: String, what: String): Double =
       s.toDoubleOption.getOrElse(fail(s"$what in rule '$spec' must be a number"))
     val rule: Column = spec.split(":", 2).toList match {
+      case "gopher_quality" :: Nil => GopherRules.all(text)
       case "matches" :: regex :: Nil => text.rlike(regex)
       case name :: arg :: Nil => name match {
         case "min_tokens" =>

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Each Gopher predicate against hand-built culprit documents: one
+  * fixture per rule that fails exactly that rule, plus a clean
+  * document that passes the whole battery. */
+class GopherRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 60 ordinary words with stop words present — passes every rule
+  private val clean = ("the quick brown fox jumps over the lazy dog and " +
+    "that is fine to say with all of us here today because " +
+    ((1 to 40).map(i => s"word$i").mkString(" ")))
+
+  private def check(text: String, col_ : String => org.apache.spark.sql.Column,
+                    expected: Boolean): Unit = {
+    Seq(Tuple1(text)).toDF("text")
+      .select(col_("text").as("r")).head().getBoolean(0) shouldBe expected
+    ()
+  }
+
+  "the battery" should "pass a clean document and fail a blank one on every rule" in {
+    val rules = GopherRules.battery(col("text"))
+    val row = Seq(Tuple1(clean)).toDF("text")
+      .select(rules.map(_._2): _*).head()
+    (0 until rules.size).foreach(i =>
+      withClue(rules(i)._1) { row.getBoolean(i) shouldBe true })
+    // blank text fails every rule (ratios undefined — conservative)
+    val blank = Seq(Tuple1("   ")).toDF("text")
+      .select(rules.map(r => coalesce(r._2, lit(false))): _*).head()
+    (0 until rules.size).foreach(i =>
+      withClue(rules(i)._1) { blank.getBoolean(i) shouldBe false })
+  }
+
+  it should "fail exactly the targeted rule per culprit document" in {
+    check("too short text here",
+      t => GopherRules.wordCountInRange(col(t)), expected = false)
+    // 60 one-char words: mean length 1 < 3
+    check(Seq.fill(60)("a").mkString(" "),
+      t => GopherRules.meanWordLengthInRange(col(t)), expected = false)
+    // hash-heavy markdown chrome: 30 hashes over 60 words > 0.1
+    check(Seq.fill(30)("#").mkString(" ") + " " +
+        (1 to 30).map(i => s"w$i").mkString(" "),
+      t => GopherRules.symbolWordRatioAtMost(col(t)), expected = false)
+    // every line a bullet
+    check((1 to 10).map(i => s"- item $i").mkString("\n"),
+      t => GopherRules.bulletLineFractionAtMost(col(t)), expected = false)
+    // half the lines end with ellipsis (> 0.3)
+    check((1 to 10).map(i =>
+        if (i % 2 == 0) s"line $i ..." else s"line $i").mkString("\n"),
+      t => GopherRules.ellipsisLineFractionAtMost(col(t)), expected = false)
+    // mostly numbers: alpha-word fraction < 0.8
+    check((1 to 50).map(_.toString).mkString(" ") + " one two three",
+      t => GopherRules.alphaWordFractionAtLeast(col(t)), expected = false)
+    // no stop words at all
+    check((1 to 60).map(i => s"zz$i").mkString(" "),
+      t => GopherRules.stopWordCountAtLeast(col(t)), expected = false)
+    // and the same culprits PASS their neighboring rules: e.g. the
+    // bullet doc has fine word stats
+    check((1 to 10).map(i => s"- item number $i").mkString("\n"),
+      t => GopherRules.meanWordLengthInRange(col(t)), expected = true)
+  }
+
+  it should "count symbol runs like the published rule (each ... once, unicode ellipsis per char)" in {
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 ..... … #"
+    // 5 dots = one '...' run (+ 2 stray dots uncounted), 1 ellipsis,
+    // 1 hash → 3 symbols / 13 words ≈ 0.23 > 0.1
+    check(t, x => GopherRules.symbolWordRatioAtMost(col(x)),
+      expected = false)
+    check(t, x => GopherRules.symbolWordRatioAtMost(col(x), max = 0.25),
+      expected = true)
+  }
+
+  "Policy integration" should "charge each culprit to its first failed Gopher rule" in {
+    val docs = Seq(
+      (1L, clean),
+      (2L, "tiny"),
+      (3L, Seq.fill(60)("a").mkString(" ")),
+      (4L, (1 to 10).map(i => s"- item $i").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val report = Policy.attritionReport(docs,
+        GopherRules.battery(col("text")))
+      .orderBy($"rule_idx")
+      .select($"rule", $"n_failed_here", $"n_reaching")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // docs 2 AND 4 (10 words) both fail word count FIRST — sequential
+    // attribution charges the bullet doc there, not at bullet_lines
+    report("gopher_word_count") shouldBe ((2L, 4L))
+    report("gopher_mean_word_length")._1 shouldBe 1L // doc 3
+    report("gopher_bullet_lines")._1 shouldBe 0L
+    report("__survivors")._2 shouldBe 1L // doc 1 survives the gauntlet
+    // per-rule removals sum exactly to total - survivors
+    report.values.map(_._1).sum shouldBe 3L
+  }
+
+  "the gopher_quality rule spec" should "gate through the curation config grammar" in {
+    val (name, rule) = graft.pipeline.CurationPipeline.ruleFromSpec(
+      "gopher_quality", col("text"))
+    name shouldBe "gopher_quality"
+    val out = Seq((1L, clean), (2L, "tiny short"))
+      .toDF("doc_id", "text")
+      .filter(coalesce(rule, lit(false)))
+      .select($"doc_id").as[Long].collect()
+    out shouldBe Array(1L)
+  }
+}

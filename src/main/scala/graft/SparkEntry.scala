@@ -2138,6 +2138,36 @@ object SparkEntry {
           graft.ops.GopherRules.battery(col("text")))
         .orderBy(col("rule_idx"))),
 
+    // The C4 cleaning rules end to end: word-soup docs staged into
+    // punctuated multi-line pages (6-word lines; '.' appended when the
+    // line's first word has even length — a content-dependent rule both
+    // engines replay; 'spark' -> 'javascript' seeds chrome lines;
+    // lorem-ipsum / curly-brace tails on id-selected docs), then the
+    // line-edit pass + page gates. Output pins kept-line counts, the
+    // cleaned text's md5, and each gate verdict.
+    "q_c4_clean" -> ((s, d) => {
+      val lined = regexp_replace(
+        regexp_replace(col("text"), "spark", "javascript"),
+        "(([^ ]+ ){5}[^ ]+) ", "$1\n")
+      val punct = transform(split(lined, "\n"), l =>
+        when(length(split(l, " ").getItem(0)) % 2 === 0,
+          concat(l, lit("."))).otherwise(l))
+      val staged = concat(array_join(punct, "\n"),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit("\nlorem ipsum text here.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\nconfig { value } block.")).otherwise(lit("")))
+      val cleaned = graft.ops.C4Rules.cleanLines(col("page"))
+      Tables.documents(s, d).select(col("doc_id"), staged.as("page"))
+        .select(col("doc_id"),
+          graft.ops.C4Rules.keptLineCount(col("page")).as("n_lines_kept"),
+          md5(cleaned).as("clean_md5"),
+          graft.ops.C4Rules.noLoremIpsum(col("page")).as("no_lorem"),
+          graft.ops.C4Rules.noCurlyBrace(col("page")).as("no_curly"),
+          graft.ops.C4Rules.minSentences(cleaned).as("enough_sentences"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The config-declared rule chain's attrition report: the same
     // named-rule first-fail accounting as q_attrition, but the rules
     // come from CurationPipeline's compact spec grammar — report and
@@ -4123,6 +4153,44 @@ object SparkEntry {
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
     "q_gopher_rules" -> GopherOracleSql,
+    // Stages the same pages (same regex line split, same parity-'.'
+    // rule via list comprehension, same seeded tails) and replays the
+    // line-keep predicate and gates literally.
+    "q_c4_clean" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    array_to_string([CASE WHEN length(str_split(l, ' ')[1]) % 2 = 0
+        |                          THEN l || '.' ELSE l END
+        |        for l in regexp_split_to_array(
+        |          regexp_replace(
+        |            regexp_replace(text, 'spark', 'javascript', 'g'),
+        |            '(([^ ]+ ){5}[^ ]+) ', '\1' || chr(10), 'g'),
+        |          '\n')],
+        |      chr(10))
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN chr(10) || 'lorem ipsum text here.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'config { value } block.' ELSE '' END
+        |    AS page
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, page,
+        |    [l for l in regexp_split_to_array(page, '\n')
+        |     if regexp_matches(l, '[.!?"]\s*$')
+        |        AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |        AND NOT contains(lower(l), 'javascript')] AS kept
+        |  FROM staged)
+        |SELECT doc_id,
+        |  CAST(len(kept) AS INTEGER) AS n_lines_kept,
+        |  -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+        |  -- where Spark's array_join is '' — same cleaned text required
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+        |  NOT contains(lower(page), 'lorem ipsum') AS no_lorem,
+        |  NOT contains(page, '{') AS no_curly,
+        |  (length(coalesce(array_to_string(kept, chr(10)), '')) -
+        |   length(regexp_replace(coalesce(array_to_string(kept, chr(10)), ''),
+        |     '[.!?]', '', 'g')) >= 3) AS enough_sentences
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
     // Same token arithmetic as the Spark side; the normalizer is the
     // identical sorted-domain left fold (list_reduce over an ORDER BY
     // domain list), and budgets run on the ROUNDED weights.

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2 —
+  * the other canonical public curation battery next to [[GopherRules]]):
+  * where Gopher GATES whole documents, C4 EDITS them line by line and
+  * then gates what remains. The published rules:
+  *
+  *  - keep only lines ending in terminal punctuation;
+  *  - drop lines with fewer than `minWords` words (published: 5);
+  *  - drop lines containing the word "javascript" (cookie/JS chrome);
+  *  - drop whole pages containing "lorem ipsum" or a curly brace
+  *    (template/code leakage);
+  *  - drop pages with fewer than `minSentences` sentences (published: 3
+  *    — approximated here as terminal-punctuation marks in the CLEANED
+  *    text, documented determinism over an NLP sentence splitter).
+  *
+  * Everything is pure codegen'd Column arithmetic (per-line
+  * filter/rejoin via higher-order functions, length-difference
+  * punctuation counts), so the whole battery fuses into the scan and
+  * replays literally in the `q_c4_clean` oracle.
+  */
+object C4Rules {
+
+  /** Terminal punctuation at end of line (period / ! / ? / closing
+    * double quote), trailing whitespace tolerated. */
+  val TerminalPunctPattern = "[.!?\"]\\s*$"
+
+  /** The per-line keep predicate. */
+  def keepLine(l: Column, minWords: Int = 5): Column =
+    l.rlike(TerminalPunctPattern) &&
+      size(split(trim(l), "\\s+")) >= minWords &&
+      !lower(l).contains("javascript")
+
+  /** The line-edit pass: drop non-keep lines, rejoin with newlines. */
+  def cleanLines(text: Column, minWords: Int = 5): Column =
+    array_join(filter(split(text, "\n"), l => keepLine(l, minWords)), "\n")
+
+  /** Kept-line count (audits the edit without a second pass shape). */
+  def keptLineCount(text: Column, minWords: Int = 5): Column =
+    size(filter(split(text, "\n"), l => keepLine(l, minWords)))
+
+  /** Sentence-count approximation: terminal punctuation marks. */
+  def sentenceCountApprox(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?]", ""))
+
+  def noLoremIpsum(text: Column): Column =
+    !lower(text).contains("lorem ipsum")
+
+  def noCurlyBrace(text: Column): Column = !text.contains("{")
+
+  def minSentences(cleaned: Column, n: Int = 3): Column =
+    sentenceCountApprox(cleaned) >= n
+
+  /** The page-level gates as [[Policy]] rules — lorem/curly on the RAW
+    * text (they detect template/code leakage anywhere), the sentence
+    * floor on the line-cleaned text (C4 gates what survives the edit). */
+  def battery(text: Column, minWords: Int = 5,
+              minSentenceCount: Int = 3): Seq[(String, Column)] = Seq(
+    "c4_no_lorem_ipsum" -> noLoremIpsum(text),
+    "c4_no_curly_brace" -> noCurlyBrace(text),
+    "c4_min_sentences" ->
+      minSentences(cleanLines(text, minWords), minSentenceCount))
+
+  /** All page gates as one conjunction — the `c4_quality` rule spec of
+    * the [[graft.pipeline.CurationPipeline]] grammar. Line EDITS are a
+    * transform, not a gate — apply [[cleanLines]] separately. */
+  def all(text: Column): Column = battery(text).map(_._2).reduce(_ && _)
+}

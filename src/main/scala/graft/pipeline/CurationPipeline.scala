@@ -111,6 +111,7 @@ object CurationPipeline {
     * max_dup_word_frac:<r>            (Repetition.dupWordFrac)
     * gopher_quality                   (the full GopherRules battery
     *                                   as one conjunction)
+    * c4_quality                       (the C4Rules page gates)
     * matches:<regex>                  (regex last: may contain ':')
     * }}} */
   def ruleFromSpec(spec: String, text: Column): (String, Column) = {
@@ -118,6 +119,7 @@ object CurationPipeline {
       s.toDoubleOption.getOrElse(fail(s"$what in rule '$spec' must be a number"))
     val rule: Column = spec.split(":", 2).toList match {
       case "gopher_quality" :: Nil => GopherRules.all(text)
+      case "c4_quality" :: Nil => graft.ops.C4Rules.all(text)
       case "matches" :: regex :: Nil => text.rlike(regex)
       case name :: arg :: Nil => name match {
         case "min_tokens" =>

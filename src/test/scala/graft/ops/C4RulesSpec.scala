@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The C4 line-edit + page-gate battery against hand-built pages. */
+class C4RulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column) =
+    Seq(Tuple1(text)).toDF("text").select(c.as("r")).head()
+
+  "cleanLines" should "keep only punctuated >= 5-word non-javascript lines" in {
+    val page = Seq(
+      "This line has enough words and ends properly.",   // kept
+      "No terminal punctuation here at all",             // dropped: punct
+      "Too short line.",                                 // dropped: words
+      "Please enable javascript to view this content.",  // dropped: js
+      "Another perfectly good sentence stays right here!" // kept
+    ).mkString("\n")
+    val cleaned = one(page, C4Rules.cleanLines(col("text"))).getString(0)
+    cleaned shouldBe Seq(
+      "This line has enough words and ends properly.",
+      "Another perfectly good sentence stays right here!").mkString("\n")
+    one(page, C4Rules.keptLineCount(col("text"))).getInt(0) shouldBe 2
+    // all lines dropped → empty string, not null
+    one("nope\nalso nope", C4Rules.cleanLines(col("text")))
+      .getString(0) shouldBe ""
+  }
+
+  it should "honor the question-mark and closing-quote terminators" in {
+    val page = Seq(
+      "Is this a real question with enough words?",
+      "He said the words \"this line ends with a quote\"").mkString("\n")
+    one(page, C4Rules.keptLineCount(col("text"))).getInt(0) shouldBe 2
+  }
+
+  "the page gates" should "detect lorem ipsum, curly braces, and thin pages" in {
+    one("clean page content here.", C4Rules.noLoremIpsum(col("text")))
+      .getBoolean(0) shouldBe true
+    one("some Lorem Ipsum filler", C4Rules.noLoremIpsum(col("text")))
+      .getBoolean(0) shouldBe false
+    one("function f() { return 1 }", C4Rules.noCurlyBrace(col("text")))
+      .getBoolean(0) shouldBe false
+    // sentence floor runs on the CLEANED text
+    val thin = "Only one good sentence lives on this page."
+    one(thin, C4Rules.minSentences(C4Rules.cleanLines(col("text"))))
+      .getBoolean(0) shouldBe false
+    val thick = Seq(
+      "First proper sentence with plenty of words here.",
+      "Second proper sentence with plenty of words too.",
+      "Third proper sentence rounds out the page nicely.").mkString("\n")
+    one(thick, C4Rules.minSentences(C4Rules.cleanLines(col("text"))))
+      .getBoolean(0) shouldBe true
+  }
+
+  "the battery" should "plug into Policy with first-fail attribution" in {
+    val docs = Seq(
+      (1L, Seq(
+        "First proper sentence with plenty of words here.",
+        "Second proper sentence with plenty of words too.",
+        "Third proper sentence rounds out the page nicely.").mkString("\n")),
+      (2L, "lorem ipsum dolor sit amet and more filler text."),
+      (3L, "code { sample } block with stuff."),
+      (4L, "Too thin.")
+    ).toDF("doc_id", "text")
+    val report = Policy.attritionReport(docs, C4Rules.battery(col("text")))
+      .orderBy($"rule_idx")
+      .select($"rule", $"n_failed_here", $"n_reaching")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    report("c4_no_lorem_ipsum")._1 shouldBe 1L
+    report("c4_no_curly_brace")._1 shouldBe 1L
+    report("c4_min_sentences")._1 shouldBe 1L
+    report("__survivors")._2 shouldBe 1L
+  }
+
+  "the c4_quality rule spec" should "gate through the curation config grammar" in {
+    val (_, rule) = graft.pipeline.CurationPipeline.ruleFromSpec(
+      "c4_quality", col("text"))
+    val kept = Seq(
+      (1L, Seq(
+        "First proper sentence with plenty of words here.",
+        "Second proper sentence with plenty of words too.",
+        "Third proper sentence rounds out the page nicely.").mkString("\n")),
+      (2L, "lorem ipsum dolor sit amet and some more."))
+      .toDF("doc_id", "text")
+      .filter(coalesce(rule, lit(false)))
+      .select($"doc_id").as[Long].collect()
+    kept shouldBe Array(1L)
+  }
+}

@@ -2138,6 +2138,25 @@ object SparkEntry {
           graft.ops.GopherRules.battery(col("text")))
         .orderBy(col("rule_idx"))),
 
+    // Luhn-validated card detection: each doc staged with one synthetic
+    // 16-digit card-shaped number whose check digit is COMPUTED by the
+    // Luhn closure (valid for even doc_ids, off-by-one broken for odd)
+    // — both engines derive the check digit and the verdict from the
+    // same digit-fold arithmetic, so validity itself is hash-checked.
+    "q_luhn_cards" -> ((s, d) => {
+      val base15 = lpad((col("doc_id") * 7919 % 1000000000000000L)
+        .cast("string"), 15, "0")
+      val s0 = graft.ops.PiiRedaction.luhnSum(concat(base15, lit("0")))
+      val check = (lit(10) - s0 % 10) % 10
+      val lastDigit = when(pmod(col("doc_id"), lit(2)) === 0, check)
+        .otherwise((check + 1) % 10)
+      val staged = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" card "), base15,
+          lastDigit.cast("string")).as("text"))
+      graft.ops.PiiRedaction.creditCardReport(staged, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // The C4 cleaning rules end to end: word-soup docs staged into
     // punctuated multi-line pages (6-word lines; '.' appended when the
     // line's first word has even length — a content-dependent rule both
@@ -4153,6 +4172,41 @@ object SparkEntry {
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
     "q_gopher_rules" -> GopherOracleSql,
+    // The same Luhn fold (double every second digit from the right,
+    // subtract 9 past 9) derives the staged check digit AND judges the
+    // candidates — validity is arithmetic, not assumption.
+    "q_luhn_cards" -> {
+      def luhn(s: String) =
+        s"""list_reduce(list_prepend(0, [CASE
+           |  WHEN (length($s) - k + 1) % 2 = 0 THEN
+           |    CASE WHEN CAST(substr($s, CAST(k AS INT), 1) AS INT) * 2 > 9
+           |         THEN CAST(substr($s, CAST(k AS INT), 1) AS INT) * 2 - 9
+           |         ELSE CAST(substr($s, CAST(k AS INT), 1) AS INT) * 2 END
+           |  ELSE CAST(substr($s, CAST(k AS INT), 1) AS INT) END
+           |  for k in range(1, length($s) + 1)]), (a, b) -> a + b)""".stripMargin
+      s"""WITH staged AS (
+         |  SELECT doc_id, text,
+         |    lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR),
+         |      15, '0') AS base15
+         |  FROM documents),
+         |carded AS (
+         |  SELECT doc_id, text,
+         |    base15 || CAST(CASE WHEN doc_id % 2 = 0
+         |      THEN (10 - ${luhn("(base15 || '0')")} % 10) % 10
+         |      ELSE ((10 - ${luhn("(base15 || '0')")} % 10) % 10 + 1) % 10
+         |      END AS VARCHAR) AS card
+         |  FROM staged),
+         |cands AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text || ' card ' || card,
+         |      '[0-9]{13,19}') AS cs
+         |  FROM carded)
+         |SELECT doc_id,
+         |  CAST(len(cs) AS INTEGER) AS n_card_candidates,
+         |  CAST(len([c for c in cs if ${luhn("c")} % 10 = 0])
+         |    AS INTEGER) AS n_luhn_valid
+         |FROM cands ORDER BY doc_id""".stripMargin
+    },
     // Stages the same pages (same regex line split, same parity-'.'
     // rule via list comprehension, same seeded tails) and replays the
     // line-keep predicate and gates literally.

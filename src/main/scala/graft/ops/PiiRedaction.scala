@@ -34,6 +34,44 @@ object PiiRedaction {
   /** Bare digit runs of 9+ — account/SSN/card-shaped. Applied last. */
   val DigitRunPattern = "[0-9]{9,}"
 
+  /** Payment-card-shaped digit runs (ISO/IEC 7812 lengths 13-19). */
+  val CardPattern = "[0-9]{13,19}"
+
+  /** The Luhn (mod-10) checksum of a contiguous digit string, as pure
+    * Column arithmetic: fold over positions, doubling every second
+    * digit FROM THE RIGHT (subtracting 9 when the double exceeds 9).
+    * Codegen'd higher-order fold — no UDF — and replayable digit for
+    * digit by the oracle. */
+  def luhnSum(digits: Column): Column = {
+    val n = length(digits)
+    aggregate(sequence(lit(1), n), lit(0), (acc, k) => {
+      val d = digits.substr(k, lit(1)).cast("int")
+      val doubled = d * 2
+      acc + when(((n - k + 1) % 2) === 0,
+        when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+    })
+  }
+
+  /** True iff the digit string passes the Luhn check — the validation
+    * that separates a real card number from a random digit run, cutting
+    * the false-positive rate of length-based detection by 10× (only 1
+    * in 10 random runs checksum correctly). */
+  def luhnValid(digits: Column): Column =
+    length(digits) > 0 && luhnSum(digits) % 10 === 0
+
+  /** Card-number audit per document: candidate card-shaped runs and how
+    * many Luhn-validate — the high-stakes PII class reported separately
+    * from the generic digit-run masking (a validated hit is a
+    * must-quarantine signal, not just a redaction). Shuffle-free
+    * per-row projection. */
+  def creditCardReport(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    df.select(col(idCol),
+      size(cands).as("n_card_candidates"),
+      size(filter(cands, c => luhnValid(c))).as("n_luhn_valid"))
+  }
+
   def redactEmails(text: Column): Column =
     regexp_replace(text, EmailPattern, "[EMAIL]")
 

@@ -64,4 +64,33 @@ class PiiRedactionSpec extends SparkTestBase {
       Seq("id", "t", "redacted", "n_emails", "n_ips", "n_phones")
     out.queryExecution.executedPlan.toString should not include "Exchange"
   }
+
+  "luhnValid" should "agree with the published Luhn test vectors" in {
+    import org.apache.spark.sql.functions.col
+    def valid(s: String): Boolean =
+      Seq(Tuple1(s)).toDF("d")
+        .select(PiiRedaction.luhnValid(col("d")).as("v")).head().getBoolean(0)
+    valid("79927398713") shouldBe true   // the ISO worked example
+    valid("79927398710") shouldBe false
+    valid("79927398711") shouldBe false
+    valid("4532015112830366") shouldBe true  // 16-digit Visa-shaped
+    valid("4532015112830367") shouldBe false
+    valid("378282246310005") shouldBe true   // 15-digit Amex-shaped
+  }
+
+  "creditCardReport" should "count candidates and validate only real checksums" in {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "pay with 4532015112830366 or 378282246310005 today"),
+      (2L, "fake 4532015112830367 here"),
+      (3L, "no cards at all"),
+      (4L, "short 123456 run and a 12-digit 123456789012 miss")
+    ).toDF("id", "t")
+    val got = PiiRedaction.creditCardReport(df, "id", "t")
+      .orderBy(col("id")).as[(Long, Int, Int)].collect()
+    got shouldBe Array((1L, 2, 2), (2L, 1, 0), (3L, 0, 0), (4L, 0, 0))
+    // shuffle-free per-row projection
+    PiiRedaction.creditCardReport(df, "id", "t")
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
 }

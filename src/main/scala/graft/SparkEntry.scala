@@ -2019,6 +2019,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // CCNet perplexity tiers: per-language head/middle/tail bands by
+    // unigram-LM score — the keep-head-drop-tail curation move. Rounded
+    // scores + min-id ties make the ntile banding engine-portable.
+    "q_quality_tiers" -> ((s, d) =>
+      graft.ops.UnigramLm.perplexityTiers(
+          Tables.documents(s, d).select(col("doc_id"), col("text"),
+            col("lang")),
+          "doc_id", "text", "lang", tiers = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Language identification: per-doc predicted language from a
     // corpus-self-trained char-trigram Laplace model — the pipeline stage
     // that DERIVES the `lang` label q_corpus_mix/q_split_leakage group
@@ -4567,6 +4578,26 @@ object SparkEntry {
         |ORDER BY "column"""".stripMargin,
     // Same Laplace arithmetic: (c + 1.0) / (T + V) inside ln, averaged
     // over token occurrences, round 6.
+    // Same scores as q_unigram_lm, then the deterministic ntile banding
+    // per language (rounded score desc, min-id ties).
+    "q_quality_tiers" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM tok0 WHERE len(term) > 0),
+        |c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        |tv AS (SELECT sum(c) AS t, count(*) AS v FROM c),
+        |lp AS (SELECT term, ln((c + 1.0) / (t + v)) AS logp FROM c, tv),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(avg(logp), 6) AS mean_logp
+        |  FROM tok JOIN lp USING (term) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, s.n_tokens, s.mean_logp,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.mean_logp DESC, d.doc_id) AS INTEGER) AS tier
+        |FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_unigram_lm" ->
       """WITH tok0 AS (
         |  SELECT doc_id,

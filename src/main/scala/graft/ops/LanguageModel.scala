@@ -84,4 +84,27 @@ object UnigramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("logp")), 6).as("mean_logp"))
   }
+
+  /** CCNet-style perplexity tiers (Wenzek et al. 2020): documents
+    * bucketed per group (usually language) into `tiers` equal-count
+    * bands by LM score — tier 1 ("head") = most in-distribution, the
+    * last tier ("tail") = least; the standard curation move of keeping
+    * head+middle and dropping or down-weighting the tail. Scores from
+    * [[meanLogProb]] (ROUNDED 6 dp before ranking, ties → min id, so
+    * the banding is deterministic and engine-replayable); `ntile` over
+    * a group-partitioned window — one exchange on the group key,
+    * window state bounded by group size. */
+  def perplexityTiers(docs: DataFrame, idCol: String, textCol: String,
+                      groupCol: String, tiers: Int = 3): DataFrame = {
+    require(tiers >= 2, s"perplexityTiers: tiers must be >= 2, got $tiers")
+    val scored = meanLogProb(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("mean_logp").desc, col("id"))
+    docs.select(col(idCol).as("id"), col(groupCol))
+      .join(scored, "id")
+      .withColumn("tier", ntile(tiers).over(w))
+      .select(col("id"), col(groupCol), col("n_tokens"),
+        col("mean_logp"), col("tier"))
+  }
 }

@@ -60,4 +60,30 @@ class LanguageModelSpec extends SparkTestBase {
     UnigramLm.bigramMeanLogProb(d, "doc_id", "text")
       .select($"id").as[Long].collect().toSeq shouldBe Seq(1L)
   }
+
+  "perplexityTiers" should "band per group with head = most in-distribution" in {
+    import org.apache.spark.sql.functions._
+    // 6 docs in one lang: 3 of common words (head-ish), 3 of unique
+    // words (tail-ish); common-word docs must land in earlier tiers
+    val common = "the cat sat on the mat with the cat and the mat"
+    val docs = ((1 to 3).map(i => (i.toLong, s"$common again$i", "en")) ++
+      (4 to 6).map(i =>
+        (i.toLong, (1 to 12).map(j => s"rare${i}x$j").mkString(" "), "en")))
+      .toDF("doc_id", "text", "lang")
+    val tiers = UnigramLm.perplexityTiers(docs, "doc_id", "text", "lang")
+      .select($"id", $"tier").as[(Long, Int)].collect().toMap
+    // equal-count bands: two docs per tier at 6 docs / 3 tiers
+    tiers.values.groupBy(identity).view.mapValues(_.size).toMap shouldBe
+      Map(1 -> 2, 2 -> 2, 3 -> 2)
+    // every common-word doc outranks every rare-word doc
+    (1 to 3).map(i => tiers(i.toLong)).max should be <=
+      (4 to 6).map(i => tiers(i.toLong)).min
+    // deterministic across partitionings
+    val again = UnigramLm.perplexityTiers(docs.repartition(7),
+        "doc_id", "text", "lang")
+      .select($"id", $"tier").as[(Long, Int)].collect().toMap
+    again shouldBe tiers
+    an[IllegalArgumentException] should be thrownBy
+      UnigramLm.perplexityTiers(docs, "doc_id", "text", "lang", tiers = 1)
+  }
 }

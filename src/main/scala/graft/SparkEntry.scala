@@ -2149,6 +2149,38 @@ object SparkEntry {
           graft.ops.GopherRules.battery(col("text")))
         .orderBy(col("rule_idx"))),
 
+    // Token-balanced shard assignment (sorted round-robin = near-LPT
+    // balance with a deterministic engine-replayable rule): per-shard
+    // doc and token totals — at 8 shards over the corpus the totals
+    // must come out near-equal, and the oracle replays the row_number
+    // deal exactly.
+    "q_balanced_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("tok"))
+      graft.ops.Packing.balancedShards(docs, "doc_id", "tok", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast(LongType).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    // Semantic decontamination: the n-gram decontamination battery's
+    // EMBEDDING sibling — corpus vectors within 0.9 cosine of any
+    // benchmark vector (vec_id % 20 == 0) are dropped via the exact
+    // triangle-inequality-pruned index match; paraphrased benchmark
+    // leakage that shares no shingles still gets caught.
+    "q_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Dedup.buildVectorIndex(
+        emb.filter(pmod(col("vec_id"), lit(20)) === 0),
+        "vec_id", "embedding")
+      Dedup.dedupEmbeddingsAgainst(
+          emb.filter(pmod(col("vec_id"), lit(20)) =!= 0), idx,
+          "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Luhn-validated card detection: each doc staged with one synthetic
     // 16-digit card-shaped number whose check digit is COMPUTED by the
     // Luhn closure (valid for even doc_ids, off-by-one broken for odd)
@@ -4183,6 +4215,45 @@ object SparkEntry {
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
     "q_gopher_rules" -> GopherOracleSql,
+    "q_balanced_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, tok,
+        |    row_number() OVER (ORDER BY tok DESC, doc_id) AS rn FROM t)
+        |SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+    // Exact cosine anti-join: corpus (id % 20 <> 0) minus rows with a
+    // benchmark (id % 20 = 0) neighbor at >= 0.9 — the index path is
+    // exact, so brute force IS the oracle.
+    "q_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |b AS (SELECT * FROM v WHERE id % 20 = 0),
+        |c AS (SELECT * FROM v WHERE id % 20 <> 0),
+        |s AS (
+        |  SELECT c.id AS cid,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[k]::DOUBLE * b.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+        |      (a, x) -> a + x) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+        |      (a, x) -> a + x)) AS na,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [b.vec[k]::DOUBLE * b.vec[k]::DOUBLE for k in range(1, len(b.vec) + 1)]),
+        |      (a, x) -> a + x)) AS nb
+        |  FROM c JOIN b ON 1 = 1),
+        |hit AS (
+        |  SELECT DISTINCT cid FROM (
+        |    SELECT cid,
+        |      CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine
+        |    FROM s)
+        |  WHERE cosine >= 0.9)
+        |SELECT id AS vec_id FROM c
+        |WHERE id NOT IN (SELECT cid FROM hit)
+        |ORDER BY vec_id""".stripMargin,
     // The same Luhn fold (double every second digit from the right,
     // subtract 9 past 9) derives the staged check digit AND judges the
     // candidates — validity is arithmetic, not assumption.

@@ -74,4 +74,30 @@ object Packing {
       .groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_pieces"),
         sum(col(tokensCol)).as("n_tokens"))
+
+  /** Token-BALANCED output sharding: rows dealt round-robin across
+    * `nShards` in descending token order (ties → min of `orderCol`) —
+    * the data-parallel-training shard writer, where skewed shard token
+    * totals directly become stragglers. Sorted round-robin bounds the
+    * imbalance: after every full round each shard holds one row per
+    * round, so totals differ by at most one row's tokens per round
+    * boundary — near-LPT balance with a fully deterministic,
+    * engine-replayable rule (a true greedy LPT is a sequential state
+    * machine no engine replays).
+    *
+    * Assignment rides [[Sequencing.stableRowIds]] (range repartition +
+    * partition offsets — NO global window collapsing the corpus into
+    * one task); `shard = row_id % nShards`. Null token counts are
+    * excluded deterministically up front (they cannot be balanced),
+    * the [[Sampling.tokenBudgetMix]] contract. */
+  def balancedShards(df: DataFrame, orderCol: String, tokensCol: String,
+                     nShards: Int): DataFrame = {
+    require(nShards >= 1, s"balancedShards: nShards must be >= 1, got $nShards")
+    Sequencing.stableRowIds(
+        df.filter(col(tokensCol).isNotNull)
+          .withColumn("__negtok", -col(tokensCol).cast("long")),
+        Seq("__negtok", orderCol), "__rid")
+      .withColumn("shard", pmod(col("__rid"), lit(nShards)).cast("int"))
+      .drop("__negtok", "__rid")
+  }
 }

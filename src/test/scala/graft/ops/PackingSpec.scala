@@ -45,4 +45,33 @@ class PackingSpec extends SparkTestBase {
     all(out) should be <= 64L
     out.sum shouldBe rows.map(_._3.toLong).sum
   }
+
+  "balancedShards" should "deal sorted round-robin with near-equal token totals" in {
+    import org.apache.spark.sql.functions._
+    val r = new scala.util.Random(19L)
+    val rows = (1 to 200).map(i => (i.toLong, 10 + r.nextInt(90)))
+    val df = rows.toDF("id", "tok")
+    val sharded = Packing.balancedShards(df, "id", "tok", nShards = 4)
+    val totals = sharded.groupBy($"shard").agg(sum($"tok").as("t"))
+      .select($"shard", $"t").as[(Int, Long)].collect().toMap
+    totals.keySet shouldBe Set(0, 1, 2, 3)
+    // sorted round-robin: totals within one max item per round boundary
+    // of each other — on this corpus, far tighter than random dealing
+    (totals.values.max - totals.values.min) should be <= 100L
+    // the assignment IS the sorted row_number deal
+    val expected = rows.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .map { case ((id, _), k) => id -> (k % 4) }.toMap
+    sharded.select($"id", $"shard").as[(Long, Int)].collect().toMap shouldBe
+      expected
+    // deterministic across partitionings; null tokens excluded
+    Packing.balancedShards(df.repartition(7), "id", "tok", 4)
+      .select($"id", $"shard").as[(Long, Int)].collect().toMap shouldBe
+      expected
+    val withNull = df.union(Seq((999L, null.asInstanceOf[Integer]))
+      .toDF("id", "tok"))
+    Packing.balancedShards(withNull, "id", "tok", 4)
+      .filter($"id" === 999L).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Packing.balancedShards(df, "id", "tok", 0)
+  }
 }

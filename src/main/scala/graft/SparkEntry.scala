@@ -2149,6 +2149,19 @@ object SparkEntry {
           graft.ops.GopherRules.battery(col("text")))
         .orderBy(col("rule_idx"))),
 
+    // EXIF privacy audit over real JPEG assets: a deterministic EXIF
+    // segment (orientation + arithmetic-derived GPS DMS) is spliced per
+    // doc, the hand-rolled TIFF walker reads it back, and every
+    // recovered field is plain doc_id arithmetic the oracle replays —
+    // the corpus-must-not-ship-coordinates gate.
+    "q_exif_audit" -> ((s, d) => {
+      val assets = graft.ops.ExifProbe.syntheticJpegAssets(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      graft.ops.ExifProbe.report(assets, "id", "data")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-balanced shard assignment (sorted round-robin = near-LPT
     // balance with a deterministic engine-replayable rule): per-shard
     // doc and token totals — at 8 shards over the corpus the totals
@@ -4215,6 +4228,24 @@ object SparkEntry {
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
     "q_gopher_rules" -> GopherOracleSql,
+    // Every recovered EXIF field is doc_id arithmetic: orientation,
+    // GPS presence/sign rules, and the DMS -> decimal-degree fold
+    // (deg + min/60 [+ sec/3600]) replayed with the same operation
+    // order and 6-dp rounding. `+ 0.0` normalizes IEEE negative zero
+    // (a westward zero-degree longitude rounds to -0.0 here, while
+    // Spark's BigDecimal rounding normalizes the sign away).
+    "q_exif_audit" ->
+      """SELECT doc_id, TRUE AS has_exif,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    round((CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END) *
+        |      ((doc_id % 90) + (doc_id % 60) / 60.0), 6) + 0.0
+        |  END AS gps_lat,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    round((CASE WHEN doc_id % 5 < 2 THEN -1 ELSE 1 END) *
+        |      ((doc_id % 180) + (doc_id % 60) / 3600.0), 6) + 0.0
+        |  END AS gps_lon
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_balanced_shards" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JPEG EXIF metadata probe and GPS strip — the PRIVACY tier of the
+  * multimodal battery: camera uploads carry orientation, timestamps and
+  * often full GPS coordinates in an APP1/Exif segment, and an image
+  * corpus published without stripping them leaks photographer
+  * locations. Hand-rolled from the public JPEG (ITU T.81 segment
+  * layout) and TIFF 6.0 / EXIF IFD structures — the
+  * [[PcmContainer]]/[[AviMjpeg]]/[[WarcExtract]] walker pattern:
+  * defensive byte walks, every offset bounds-checked, malformed
+  * segments yield None rather than an out-of-bounds read.
+  *
+  *  - [[parse]] reports orientation (IFD0 tag 0x0112) and GPS
+  *    latitude/longitude (GPS IFD via pointer tag 0x8825; DMS
+  *    rationals folded to signed decimal degrees).
+  *  - [[stripExif]] removes APP1/Exif segments by byte splice — the
+  *    pixel data is untouched, so the stripped file decodes
+  *    identically (spec-pinned via ImageIO).
+  *  - [[buildExif]]/[[insertExif]] write a spec-shaped segment for
+  *    round trips, fixtures and oracles.
+  */
+object ExifProbe {
+
+  final case class ExifInfo(orientation: Option[Int],
+                            gpsLat: Option[Double], gpsLon: Option[Double])
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  // TIFF numbers honor the header's declared byte order
+  private def u16(b: Array[Byte], i: Int, le: Boolean): Int =
+    if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) else u16be(b, i)
+  private def u32(b: Array[Byte], i: Int, le: Boolean): Long =
+    if (le) u16(b, i, le).toLong | (u16(b, i + 2, le).toLong << 16)
+    else (u16be(b, i).toLong << 16) | u16be(b, i + 2).toLong
+
+  private val ExifHeader = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+
+  /** Walk JPEG segments, yielding (marker, payload offset, payload
+    * length) — stops at SOS (entropy-coded data follows) or damage. */
+  private def segments(b: Array[Byte]): Seq[(Int, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var p = 2
+    var done = false
+    while (!done && p + 4 <= b.length) {
+      if ((b(p) & 0xFF) != 0xFF) done = true
+      else {
+        val marker = b(p + 1) & 0xFF
+        if (marker == 0xDA || marker == 0xD9) done = true // SOS / EOI
+        else {
+          val len = u16be(b, p + 2) // includes the 2 length bytes
+          if (len < 2 || p + 2 + len > b.length) done = true
+          else {
+            out += ((marker, p + 4, len - 2))
+            p += 2 + len
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse the first APP1/Exif segment's IFD0 + GPS IFD. None when the
+    * payload is not a JPEG or carries no Exif. */
+  def parse(bytes: Array[Byte]): Option[ExifInfo] = {
+    if (!isJpeg(bytes)) return None
+    segments(bytes).collectFirst {
+      case (0xE1, off, len)
+        if len >= 14 && ExifHeader.indices.forall(i =>
+          bytes(off + i) == ExifHeader(i)) =>
+        parseTiff(bytes, off + 6, len - 6)
+    }.flatten
+  }
+
+  private def parseTiff(b: Array[Byte], tiff: Int, len: Int): Option[ExifInfo] = {
+    if (len < 8) return None
+    val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
+    val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
+    if (!le && !be) return None
+    if (u16(b, tiff + 2, le) != 42) return None
+    val end = tiff + len
+    def inBounds(i: Long, n: Int): Boolean = i >= 0 && tiff + i + n <= end
+    // one IFD: map of tag -> (type, count, value-or-offset field start)
+    def readIfd(ifdOff: Long): Map[Int, (Int, Long, Int)] = {
+      if (!inBounds(ifdOff, 2)) return Map.empty
+      val base = (tiff + ifdOff).toInt
+      val n = u16(b, base, le)
+      (0 until n).flatMap { k =>
+        val e = base + 2 + 12 * k
+        if (e + 12 > end) None
+        else Some(u16(b, e, le) -> ((u16(b, e + 2, le), u32(b, e + 4, le), e + 8)))
+      }.toMap
+    }
+    def shortValue(entry: (Int, Long, Int)): Option[Int] = entry match {
+      case (3, 1, at) => Some(u16(b, at, le)) // SHORT, inline
+      case _ => None
+    }
+    // RATIONAL x3 (deg, min, sec) at the entry's offset → decimal degrees
+    def dms(entry: (Int, Long, Int)): Option[Double] = entry match {
+      case (5, 3, at) =>
+        val off = u32(b, at, le)
+        if (!inBounds(off, 24)) None
+        else {
+          val base = (tiff + off).toInt
+          val parts = (0 until 3).map { i =>
+            val num = u32(b, base + 8 * i, le)
+            val den = u32(b, base + 8 * i + 4, le)
+            if (den == 0L) 0.0 else num.toDouble / den.toDouble
+          }
+          Some(parts(0) + parts(1) / 60.0 + parts(2) / 3600.0)
+        }
+      case _ => None
+    }
+    def ascii(entry: (Int, Long, Int)): Option[String] = entry match {
+      case (2, n, at) if n <= 4 && n >= 1 =>
+        Some(new String(b, at, (n - 1).toInt, "US-ASCII")) // inline, NUL-ended
+      case _ => None
+    }
+    val ifd0 = readIfd(u32(b, tiff + 4, le))
+    val orientation = ifd0.get(0x0112).flatMap(shortValue)
+    val gps = ifd0.get(0x8825).collect { case (4, 1, at) => u32(b, at, le) }
+      .map(readIfd).getOrElse(Map.empty)
+    def signed(vTag: Int, refTag: Int, neg: String): Option[Double] =
+      gps.get(vTag).flatMap(dms).map { v =>
+        if (gps.get(refTag).flatMap(ascii).contains(neg)) -v else v
+      }
+    val lat = signed(0x0002, 0x0001, "S")
+    val lon = signed(0x0004, 0x0003, "W")
+    Some(ExifInfo(orientation, lat, lon))
+  }
+
+  /** Remove every APP1/Exif segment (byte splice; pixels untouched). */
+  def stripExif(bytes: Array[Byte]): Array[Byte] = {
+    if (!isJpeg(bytes)) return bytes
+    val exifSpans = segments(bytes).collect {
+      case (0xE1, off, len)
+        if len >= 6 && ExifHeader.indices.forall(i =>
+          bytes(off + i) == ExifHeader(i)) => (off - 4, off + len)
+    }
+    if (exifSpans.isEmpty) bytes
+    else {
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      var p = 0
+      exifSpans.sortBy(_._1).foreach { case (from, until) =>
+        out.write(bytes, p, from - p)
+        p = until
+      }
+      out.write(bytes, p, bytes.length - p)
+      out.toByteArray
+    }
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Render a little-endian APP1/Exif segment with an IFD0 orientation
+    * and (optionally) a GPS IFD with integer-rational DMS coordinates
+    * — the deterministic fixture/oracle builder. */
+  def buildExif(orientation: Int,
+                gps: Option[(String, (Int, Int, Int), String, (Int, Int, Int))])
+      : Array[Byte] = {
+    val tiff = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count); w32(value)
+    }
+    def asciiVal(s: String): Long = // <= 3 chars + NUL, inline little-endian
+      {
+      val bs = (s.getBytes("US-ASCII") :+ 0.toByte).padTo(4, 0.toByte)
+      bs.zipWithIndex.map { case (c, i) => (c.toLong & 0xFF) << (8 * i) }.sum
+    }
+    tiff.write('I'); tiff.write('I'); w16(42); w32(8L) // header → IFD0 at 8
+    val nIfd0 = if (gps.isDefined) 2 else 1
+    // IFD0 spans 2 + 12n + 4 bytes from offset 8
+    val gpsIfdOff = 8L + 2 + 12 * nIfd0 + 4
+    w16(nIfd0)
+    entry(0x0112, 3, 1L, orientation.toLong) // SHORT inline
+    gps.foreach(_ => entry(0x8825, 4, 1L, gpsIfdOff))
+    w32(0L) // no next IFD
+    gps.foreach { case (latRef, latDms, lonRef, lonDms) =>
+      // GPS IFD: 4 entries + the two out-of-line RATIONAL x3 blocks
+      val nGps = 4
+      val dataOff = gpsIfdOff + 2 + 12 * nGps + 4
+      w16(nGps)
+      entry(0x0001, 2, 2L, asciiVal(latRef))
+      entry(0x0002, 5, 3L, dataOff)
+      entry(0x0003, 2, 2L, asciiVal(lonRef))
+      entry(0x0004, 5, 3L, dataOff + 24)
+      w32(0L)
+      Seq(latDms, lonDms).foreach { case (d, m, s) =>
+        Seq(d, m, s).foreach { v => w32(v.toLong); w32(1L) }
+      }
+    }
+    val payload = ExifHeader ++ tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xFF); seg.write(0xE1)
+    val len = payload.length + 2
+    seg.write((len >> 8) & 0xFF); seg.write(len & 0xFF)
+    seg.write(payload, 0, payload.length)
+    seg.toByteArray
+  }
+
+  /** Splice an APP1 segment right after the SOI marker. */
+  def insertExif(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] = {
+    require(isJpeg(jpeg), "insertExif: not a JPEG payload")
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
+  /** One 8×8 JPEG per id with a deterministic EXIF segment —
+    * `q_exif_audit`'s fixture family (the
+    * [[ImageHash.syntheticPatternAssets]] role): orientation
+    * `1 + id % 8`; GPS present iff `id % 3 == 0` with DMS latitude
+    * `(id % 90, id % 60, 0)` (southern for odd ids) and longitude
+    * `(id % 180, 0, id % 60)` (western for `id % 5 < 2`) — every field
+    * plain arithmetic an oracle replays; the pixels are irrelevant,
+    * the header IS the data. */
+  def syntheticJpegAssets(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    Parallelism.spread(df.select(col(idCol).cast(LongType)))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = ((id * 2654435761L).toInt) & 0xFFFFFF
+          var x = 0
+          while (x < 8) {
+            var y = 0
+            while (y < 8) { img.setRGB(x, y, rgb); y += 1 }
+            x += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val gps =
+            if (id % 3 == 0)
+              Some((if (id % 2 == 1) "S" else "N",
+                ((id % 90).toInt, (id % 60).toInt, 0),
+                if (id % 5 < 2) "W" else "E",
+                ((id % 180).toInt, 0, (id % 60).toInt)))
+            else None
+          Row(id, insertExif(bos.toByteArray,
+            buildExif((1 + id % 8).toInt, gps)))
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Output schema of [[report]]. */
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("has_exif", BooleanType, nullable = false),
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("gps_lat", DoubleType, nullable = true),
+    StructField("gps_lon", DoubleType, nullable = true)))
+
+  /** Per-asset EXIF audit (batched `mapPartitions` like the other
+    * walkers; zero shuffles): presence, orientation, and GPS decimal
+    * degrees rounded 6 dp — the quarantine signal for a corpus that
+    * must not ship coordinates. */
+  def report(df: DataFrame, idCol: String, bytesCol: String,
+             batchSize: Int = 64): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"ExifProbe.report: null or non-castable id in $idCol")
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val info = parse(bytes)
+          def rounded(v: Option[Double]) =
+            v.map(x => BigDecimal(x).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+              .map(Double.box).orNull
+          Row(id, info.isDefined,
+            info.flatMap(_.orientation).map(Int.box).orNull,
+            rounded(info.flatMap(_.gpsLat)),
+            rounded(info.flatMap(_.gpsLon)))
+        }
+      }
+    }(Encoders.row(ReportSchema))
+  }
+}

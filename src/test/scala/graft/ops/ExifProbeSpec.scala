@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** EXIF walker round trips, GPS strip transparency, and the
+  * truncation/corruption hardening the container walkers share. */
+class ExifProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jpeg(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8)
+      img.setRGB(x, y, (seed * 2654435761L).toInt & 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  "parse" should "round-trip the writer with signed decimal degrees" in {
+    val app1 = ExifProbe.buildExif(6,
+      Some(("S", (52, 30, 36), "W", (13, 15, 0))))
+    val withExif = ExifProbe.insertExif(jpeg(1), app1)
+    val info = ExifProbe.parse(withExif).get
+    info.orientation shouldBe Some(6)
+    // 52 + 30/60 + 36/3600 = 52.51, southern → negative
+    info.gpsLat.get shouldBe -52.51 +- 1e-9
+    info.gpsLon.get shouldBe -(13.0 + 15.0 / 60.0) +- 1e-9
+    // orientation-only segment: no GPS fields
+    val plain = ExifProbe.parse(
+      ExifProbe.insertExif(jpeg(2), ExifProbe.buildExif(1, None))).get
+    plain.orientation shouldBe Some(1)
+    plain.gpsLat shouldBe None
+    // a JPEG without Exif parses to None; non-JPEG too
+    ExifProbe.parse(jpeg(3)) shouldBe None
+    ExifProbe.parse("not an image".getBytes) shouldBe None
+    ExifProbe.parse(null) shouldBe None
+  }
+
+  "stripExif" should "remove coordinates while leaving pixels decodable and bytes restored" in {
+    val base = jpeg(7)
+    val withExif = ExifProbe.insertExif(base,
+      ExifProbe.buildExif(3, Some(("N", (48, 8, 0), "E", (11, 34, 12)))))
+    ExifProbe.parse(withExif).get.gpsLat.isDefined shouldBe true
+    val stripped = ExifProbe.stripExif(withExif)
+    // the splice restores the EXACT original bytes
+    stripped shouldBe base
+    ExifProbe.parse(stripped) shouldBe None
+    // and the stripped file still decodes
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(stripped))
+    img.getWidth shouldBe 8
+    // stripping an exif-less payload is the identity
+    ExifProbe.stripExif(base) shouldBe base
+    ExifProbe.stripExif("junk".getBytes) shouldBe "junk".getBytes
+  }
+
+  it should "never throw on truncation at any byte boundary" in {
+    val withExif = ExifProbe.insertExif(jpeg(9),
+      ExifProbe.buildExif(2, Some(("N", (1, 2, 3), "E", (4, 5, 6)))))
+    for (cut <- 0 to withExif.length by 3) {
+      noException should be thrownBy ExifProbe.parse(withExif.take(cut))
+      noException should be thrownBy ExifProbe.stripExif(withExif.take(cut))
+    }
+    // corrupt TIFF magic / byte order refuse cleanly
+    val evil = withExif.clone()
+    evil(8) = 'X' // inside "Exif\0\0II*" region
+    noException should be thrownBy ExifProbe.parse(evil)
+  }
+
+  "report" should "audit assets per row with rounded coordinates" in {
+    val rows = Seq(
+      (1L, ExifProbe.insertExif(jpeg(1),
+        ExifProbe.buildExif(6, Some(("N", (10, 30, 0), "W", (20, 0, 0)))))),
+      (2L, ExifProbe.insertExif(jpeg(2), ExifProbe.buildExif(8, None))),
+      (3L, jpeg(3)),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val got = ExifProbe.report(rows.toDF("id", "data"), "id", "data")
+      .orderBy($"id").collect()
+    got(0).getBoolean(1) shouldBe true
+    got(0).getInt(2) shouldBe 6
+    got(0).getDouble(3) shouldBe 10.5
+    got(0).getDouble(4) shouldBe -20.0
+    got(1).getBoolean(1) shouldBe true
+    got(1).getInt(2) shouldBe 8
+    got(1).isNullAt(3) shouldBe true
+    got(2).getBoolean(1) shouldBe false
+    got(3).getBoolean(1) shouldBe false
+  }
+}

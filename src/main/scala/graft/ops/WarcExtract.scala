@@ -270,7 +270,15 @@ object WarcExtract {
     * under any partitioning) and ODD archive ids written in the
     * member-per-record gzip layout, so a downstream walk exercises both
     * container forms. One group-sized shuffle; the byte assembly is a
-    * per-group `mapPartitions` like the media encoders. */
+    * per-group `mapPartitions` like the media encoders.
+    *
+    * Scale contract: each archive is assembled in EXECUTOR MEMORY, so
+    * the grouping key must bound archive size (the CommonCrawl
+    * convention is ~1 GiB per archive — size `groupCol` accordingly,
+    * e.g. `floor(row_id / rows_per_archive)` over
+    * [[Sequencing.stableRowIds]]); a corpus-scale group would need a
+    * streaming writer, which this fixture/export path deliberately is
+    * not. */
   def syntheticArchives(df: DataFrame, groupCol: String, urlCol: String,
                         dateCol: String, bodyCol: String): DataFrame = {
     val grouped = df.groupBy(col(groupCol).cast(LongType).as("archive_id"))

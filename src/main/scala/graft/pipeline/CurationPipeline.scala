@@ -93,7 +93,8 @@ object CurationPipeline {
       expectations: Seq[Expectations.Expect] = Nil,
       sinkPath: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      reportPath: Option[String] = None)
+      reportPath: Option[String] = None,
+      sinkFormat: String = "parquet")
 
   // ------------------------------------------------------------- rules
 
@@ -253,9 +254,17 @@ object CurationPipeline {
     val df = pinned.getOrElse(computed)
     try {
       pinned.foreach(_ => Expectations.enforce(df, config.expectations))
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (config.partitionBy.nonEmpty) w.partitionBy(config.partitionBy: _*)
-       else w).parquet(sinkPath)
+      val w0 = df.write.mode(SaveMode.Overwrite)
+      val w = if (config.partitionBy.nonEmpty)
+        w0.partitionBy(config.partitionBy: _*) else w0
+      config.sinkFormat match {
+        case "parquet" => w.parquet(sinkPath)
+        // JSONL — the LLM-data interchange format (one JSON object per
+        // line; Spark's json sink IS jsonl)
+        case "jsonl" => w.json(sinkPath)
+        case other => fail(s"unknown sink.format '$other' " +
+          "(expected parquet | jsonl)")
+      }
     } finally pinned.foreach(_.unpersist())
     // the accounting artifact published NEXT TO the dataset ("10 B docs;
     // language filter -38%, ..."): written after a successful publish,
@@ -287,7 +296,9 @@ object CurationPipeline {
     *   "chunk": {"tokens": 40, "overlap": 8},            // optional
     *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
-    *   "sink": {"path": "..."}, "partition_by": ["shard"],
+    *   "sink": {"path": "...",
+    *            "format": "parquet" | "jsonl"},  // jsonl = LLM interchange
+    *   "partition_by": ["shard"],
     *   "report": {"path": "..."} }       // attrition report, post-publish
     * }}} */
   def fromJValue(root: JValue): CurationConfig = {
@@ -405,6 +416,9 @@ object CurationPipeline {
       case JNothing => None
       case other => fail(s"sink.path must be a string, got $other")
     }
+    val sinkFormat = str(root \ "sink" \ "format").getOrElse("parquet")
+    if (!Set("parquet", "jsonl").contains(sinkFormat))
+      fail(s"unknown sink.format '$sinkFormat' (expected parquet | jsonl)")
     val partitionBy = strList("partition_by", root \ "partition_by")
     if (partitionBy.nonEmpty && sinkPath.isEmpty)
       fail("partition_by requires sink.path")
@@ -417,7 +431,8 @@ object CurationPipeline {
       fail("report.path requires at least one rule (the report IS the " +
         "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
-      chunk, pack, expectations, sinkPath, partitionBy, reportPath)
+      chunk, pack, expectations, sinkPath, partitionBy, reportPath,
+      sinkFormat)
   }
 
   private def fail(msg: String): Nothing =

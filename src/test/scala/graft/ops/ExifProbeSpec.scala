@@ -69,6 +69,22 @@ class ExifProbeSpec extends SparkTestBase {
     noException should be thrownBy ExifProbe.parse(evil)
   }
 
+  it should "survive a fixed-seed random byte-mutation fuzz sweep" in {
+    val r = new scala.util.Random(4242L)
+    val withExif = ExifProbe.insertExif(jpeg(5),
+      ExifProbe.buildExif(4, Some(("S", (10, 20, 30), "E", (40, 50, 0)))))
+    for (_ <- 1 to 400) {
+      val mutated = withExif.clone()
+      mutated(r.nextInt(mutated.length)) = r.nextInt(256).toByte
+      noException should be thrownBy ExifProbe.parse(mutated)
+      noException should be thrownBy ExifProbe.stripExif(mutated)
+    }
+    for (_ <- 1 to 100) {
+      val junk = Array.fill(r.nextInt(200))(r.nextInt(256).toByte)
+      noException should be thrownBy ExifProbe.parse(junk)
+    }
+  }
+
   "report" should "audit assets per row with rounded coordinates" in {
     val rows = Seq(
       (1L, ExifProbe.insertExif(jpeg(1),

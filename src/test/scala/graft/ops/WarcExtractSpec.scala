@@ -97,6 +97,25 @@ class WarcExtractSpec extends SparkTestBase {
       WarcExtract.walk(gz, maxInflated = 1024)
   }
 
+  it should "survive a fixed-seed random byte-mutation fuzz sweep" in {
+    // one corrupt archive in a 100 TB scan must never kill a task:
+    // random single-byte mutations of valid archives (both layouts)
+    // may change WHAT parses, never WHETHER the walker returns
+    val r = new scala.util.Random(2026L)
+    val plain = WarcExtract.buildArchive(fixture(4))
+    val gz = WarcExtract.buildArchive(fixture(4), memberPerRecord = true)
+    for (_ <- 1 to 300; archive <- Seq(plain, gz)) {
+      val mutated = archive.clone()
+      mutated(r.nextInt(mutated.length)) = r.nextInt(256).toByte
+      noException should be thrownBy WarcExtract.walk(mutated)
+    }
+    // and pure random garbage
+    for (_ <- 1 to 100) {
+      val junk = Array.fill(r.nextInt(400))(r.nextInt(256).toByte)
+      noException should be thrownBy WarcExtract.walk(junk)
+    }
+  }
+
   "records" should "explode archives into rows matching the walker" in {
     val a0 = WarcExtract.buildArchive(fixture(3))
     val a1 = WarcExtract.buildArchive(fixture(2).map {

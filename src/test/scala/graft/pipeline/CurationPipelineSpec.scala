@@ -248,6 +248,28 @@ class CurationPipelineSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq shouldBe before
   }
 
+  "the jsonl sink" should "publish one JSON object per line with identical rows" in {
+    val sink = s"$tmp/jsonl_out"
+    CurationPipeline.run(spark, config.copy(sinkPath = Some(sink),
+      sinkFormat = "jsonl"))
+    val back = spark.read.json(sink)
+    back.count() should be > 0L
+    back.columns.sorted shouldBe
+      Array("n_pieces", "n_tokens", "pack_id", "shard")
+    // rows equal the parquet-path output (the format is presentation)
+    val parquetRows = CurationPipeline.curate(spark, config)
+      .select($"shard", $"pack_id", $"n_pieces", $"n_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    back.select($"shard", $"pack_id", $"n_pieces", $"n_tokens")
+      .collect().map(_.toString).sorted.toSeq shouldBe parquetRows
+    // and the raw files really are line-delimited JSON objects
+    val part = new java.io.File(sink).listFiles()
+      .find(_.getName.endsWith(".json")).get
+    val lines = java.nio.file.Files.readAllLines(part.toPath)
+    lines should not be empty
+    all(lines.toArray.map(_.toString)) should startWith("{")
+  }
+
   "fromJValue" should "reject malformed configs loudly" in {
     def bad(json: String, msgPart: String): Unit = {
       val e = the[IllegalArgumentException] thrownBy
@@ -274,6 +296,9 @@ class CurationPipelineSpec extends SparkTestBase {
       "partition_by requires sink.path")
     bad(s"""{"input": {"path": "x"}, "report": {"path": "/r"}}""",
       "report.path requires at least one rule")
+    bad(s"""{"input": {"path": "x"},
+           | "sink": {"path": "/s", "format": "csv"}}""".stripMargin,
+      "unknown sink.format")
   }
 
   it should "not write the report when the publish gate fails" in {

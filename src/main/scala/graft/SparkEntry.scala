@@ -1498,6 +1498,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SOFT dedup: inverse-cluster-size training weights instead of
+    // drops — every near-dup cluster contributes one document's worth
+    // of mass, nothing destroyed, no arbitrary canonical pick.
+    "q_dup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.dupWeights(
+          Dedup.dupClusters(pairs, docs.select(col("doc_id")), "doc_id"),
+          "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental embedding dedup: increment (vec_id % 10 == 0) against a
     // prebuilt VectorIndex of the rest — exact by the same triangle-
     // inequality prune as q_dedup_embedding; the corpus side reads only
@@ -4092,6 +4105,26 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Same cluster CTE, then inverse-size weights.
+    "q_dup_weights" ->
+      s"""WITH RECURSIVE j AS ($NgramJaccardOracle),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM j
+         |          UNION ALL SELECT id_b, id_a FROM j),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+         |),
+         |clusters AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach
+         |  GROUP BY id),
+         |sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM clusters
+         |  GROUP BY cluster_id)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+         |  round(1.0 / s.cluster_size, 6) AS weight
+         |FROM clusters c JOIN sizes s USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "q_dedup_minhash" -> NgramJaccardOracle,
     "q_dedup_simhash" ->
       s"""WITH j AS ($NgramJaccardOracle)

@@ -1162,4 +1162,60 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
+
+  /** SOFT dedup: weight each document by the inverse of its dup-cluster
+    * size instead of dropping near-duplicates — every cluster
+    * contributes ONE document's worth of training mass however many
+    * copies survived crawling; no information destroyed, no arbitrary
+    * canonical pick (the down-weighting alternative the hard-dedup
+    * literature keeps arriving at). Input is [[dupClusters]]' labels;
+    * one cluster-granularity aggregate joined back (cluster-count rows
+    * through the exchange, AQE sizes the join). */
+  def dupWeights(clusters: DataFrame, idCol: String): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
+  /** Closed-form MinHash-LSH banding planner: the candidate probability
+    * at Jaccard `s` under `b` bands of `r` rows is the published
+    * S-curve `p(s) = 1 − (1 − s^r)^b`. Picks the cheapest
+    * (fewest total hashes `b·r`, ties → fewer bands = fewer shuffled
+    * bucket rows) configuration whose recall AT the verify threshold
+    * meets `minRecall`, and reports the false-candidate probability at
+    * a background similarity — the tuning arithmetic behind
+    * [[minhashNearDups]]'s defaults, exposed so a pipeline can derive
+    * parameters from its threshold instead of cargo-culting them.
+    * Driver-side pure math (the [[graft.schema.MySqlType]] tier). */
+  final case class LshPlan(bands: Int, rowsPerBand: Int,
+                           recallAtThreshold: Double,
+                           candidateProbAtBackground: Double)
+
+  def lshPlan(threshold: Double, minRecall: Double = 0.95,
+              maxHashes: Int = 1024,
+              background: Double = 0.2): LshPlan = {
+    require(threshold > 0 && threshold < 1,
+      s"lshPlan: threshold must be in (0, 1), got $threshold")
+    require(minRecall > 0 && minRecall < 1,
+      s"lshPlan: minRecall must be in (0, 1), got $minRecall")
+    require(maxHashes >= 1, s"lshPlan: maxHashes must be >= 1")
+    def recall(b: Int, r: Int, s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val candidates = for {
+      r <- 1 to maxHashes
+      // smallest b meeting the floor at this r: solve
+      // (1 - t^r)^b <= 1 - minRecall for b
+      pr = math.pow(threshold, r)
+      if pr > 0 && pr < 1
+      b = math.ceil(math.log1p(-minRecall) / math.log1p(-pr)).toInt
+      if b >= 1 && b.toLong * r <= maxHashes
+    } yield (b, r)
+    require(candidates.nonEmpty,
+      s"lshPlan: no (bands, rows) within $maxHashes hashes reaches " +
+        s"recall $minRecall at threshold $threshold — raise maxHashes")
+    val (b, r) = candidates.minBy { case (b0, r0) => (b0 * r0, b0) }
+    LshPlan(b, r, recall(b, r, threshold), recall(b, r, background))
+  }
 }

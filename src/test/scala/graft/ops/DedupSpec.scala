@@ -207,6 +207,49 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
   }
 
+  "dupWeights" should "give every cluster one document's worth of total mass" in {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val w = Dedup.dupWeights(
+        Dedup.dupClusters(pairs, ids, "doc_id"), "doc_id")
+      .select($"doc_id", $"cluster_size", $"weight")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    w(1L) shouldBe ((3L, 0.333333))
+    w(2L) shouldBe ((3L, 0.333333))
+    w(10L) shouldBe ((2L, 0.5))
+    w(20L) shouldBe ((1L, 1.0)) // singletons keep full weight
+    // per-cluster mass sums to ~1 (up to the 6-dp rounding)
+    val mass = w.values.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    mass(2L) shouldBe 1.0 +- 1e-5
+    mass(3L) shouldBe 1.0 +- 1e-4
+  }
+
+  "lshPlan" should "reproduce the published S-curve and meet the recall floor cheaply" in {
+    // the repo's own default (16 x 4) at threshold 0.8:
+    // recall = 1 - (1 - 0.8^4)^16
+    val expected = 1.0 - math.pow(1.0 - math.pow(0.8, 4), 16)
+    expected should be > 0.999
+    val plan = Dedup.lshPlan(threshold = 0.8, minRecall = 0.95)
+    plan.recallAtThreshold should be >= 0.95
+    // the planner finds something at least as cheap as 16 x 4
+    (plan.bands * plan.rowsPerBand) should be <= 64
+    // its numbers ARE the closed form
+    plan.recallAtThreshold shouldBe
+      (1.0 - math.pow(1.0 - math.pow(0.8, plan.rowsPerBand),
+        plan.bands)) +- 1e-12
+    // background similarity stays mostly un-candidate
+    plan.candidateProbAtBackground should be < 0.5
+    // a stricter floor costs more hashes, never fewer
+    val strict = Dedup.lshPlan(0.8, minRecall = 0.999)
+    (strict.bands * strict.rowsPerBand) should be >=
+      (plan.bands * plan.rowsPerBand)
+    strict.recallAtThreshold should be >= 0.999
+    // impossible demands refuse loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.lshPlan(0.05, minRecall = 0.9999, maxHashes = 8)
+  }
+
   it should "stay a valid partition when maxIters truncates propagation" in {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
       .toDF("id_a", "id_b")

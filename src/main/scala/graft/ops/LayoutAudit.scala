@@ -105,4 +105,133 @@ object LayoutAudit {
       round(sum(when(skip, col("num_rows")).otherwise(0L)).cast("double") /
         sum(col("num_rows")).cast("double"), 6).as("skip_fraction"))
   }
+
+  // ------------------------------------------------------ bloom filters
+
+  /** Write `df` to parquet with a bloom filter on each of `columns` —
+    * min/max footer stats prune RANGES (the Z-order payoff above);
+    * blooms prune POINT lookups on high-cardinality keys where every
+    * row group's [min, max] straddles the probe value and stats prune
+    * nothing. `expectedNdv` sizes the filter (per-column distinct
+    * estimate — overshooting wastes footer bytes, undershooting raises
+    * the false-positive rate). */
+  def writeWithBloomFilters(df: org.apache.spark.sql.DataFrame,
+                            path: String, columns: Seq[String],
+                            expectedNdv: Long = 100000L): Unit = {
+    require(columns.nonEmpty, "writeWithBloomFilters: no columns")
+    val w = columns.foldLeft(
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)) {
+      case (wr, c) =>
+        wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c",
+            expectedNdv.toString)
+    }
+    w.parquet(path)
+  }
+
+  /** One row per (file, row group): whether `column`'s chunk carries a
+    * bloom filter — the write-cost-bought-what audit for the bloom tier
+    * (the [[rowGroupStats]] role for point pruning). Metadata-only,
+    * distributed over executors like the stats pass. */
+  def bloomFilterReport(spark: SparkSession, dir: String,
+                        column: String): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(String, Int, Long, Boolean)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean)
+    overFooters(spark, dir) { (p, reader) =>
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+        case (b, i) =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"bloomFilterReport: column '$column' not found in $p"))
+          (p, i, b.getRowCount, cc.getBloomFilterOffset >= 0)
+      }
+    }.toDF("file", "row_group", "num_rows", "has_bloom")
+  }
+
+  /** Point-lookup pruning effectiveness: for each probe value of the
+    * INT64 `column`, how many row groups the bloom filters rule out —
+    * `skip_fraction` is what a reader's footer pass achieves BEFORE
+    * touching data pages. A probe of values known present shows the
+    * locality (only the owning groups answer "maybe"); absent values
+    * skip ~everything (modulo the filter's false-positive rate). Row
+    * groups without a bloom filter can never be skipped and count as
+    * "maybe" — the honest reading. */
+  def bloomPruneReport(spark: SparkSession, dir: String, column: String,
+                       probeValues: Seq[Long]): DataFrame = {
+    require(probeValues.nonEmpty, "bloomPruneReport: no probe values")
+    val probesB = spark.sparkContext.broadcast(probeValues)
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Boolean)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean)
+    overFooters(spark, dir) { (p, reader) =>
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"bloomPruneReport: column '$column' not found in $p"))
+        val bloom =
+          if (cc.getBloomFilterOffset < 0) null
+          else reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+        probesB.value.map { v =>
+          val maybe =
+            if (bloom == null) true // no filter: cannot rule out
+            else bloom.findHash(bloom.hash(v))
+          (v, maybe)
+        }
+      }
+    }.toDF("value", "maybe")
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("row_groups"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("maybe_row_groups"),
+        round(sum(when(!col("maybe"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("skip_fraction"))
+      .orderBy(col("value"))
+  }
+
+  /** Distributed footer walk shared by the audit passes: list the
+    * parquet files once, ship the Hadoop conf as a broadcast map, open
+    * each footer on an executor and flatMap `f` over it. */
+  private def overFooters[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, dir: String)(
+      f: (String, org.apache.parquet.hadoop.ParquetFileReader) => Seq[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val rootConf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(rootConf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val next = it.next()
+      if (next.isFile && next.getPath.getName.endsWith(".parquet"))
+        files += next.getPath.toString
+    }
+    require(files.nonEmpty, s"LayoutAudit: no parquet files under $dir")
+    val confMap = rootConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val confB = spark.sparkContext.broadcast(confMap)
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.createDataset(files.toSeq)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(slices)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        paths.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try f(p, reader).iterator
+          finally reader.close()
+        }
+      }
+  }
 }

@@ -67,4 +67,42 @@ class LayoutAuditSpec extends SparkTestBase {
     badFrac shouldBe 0.0 // every file overlaps [0,99] -> nothing skips
     goodFrac should be > 0.5
   }
+
+  "bloom filters" should "be written, detected in footers, and prune point lookups" in {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom").toString
+    // 4 range-partitioned files: each id lives in exactly one file, but
+    // a SHUFFLED high-cardinality id would defeat min/max stats — the
+    // bloom tier's exact use case is the point lookup
+    val df = spark.range(0, 4000).select($"id")
+      .repartitionByRange(4, $"id")
+    LayoutAudit.writeWithBloomFilters(df, s"$dir/with", Seq("id"),
+      expectedNdv = 4000L)
+    df.write.mode("overwrite").parquet(s"$dir/without")
+    // footer audit: every row group carries the filter (and none does
+    // in the plain write)
+    val withReport = LayoutAudit.bloomFilterReport(spark, s"$dir/with", "id")
+    withReport.filter(!$"has_bloom").count() shouldBe 0L
+    withReport.count() should be >= 4L
+    LayoutAudit.bloomFilterReport(spark, s"$dir/without", "id")
+      .filter($"has_bloom").count() shouldBe 0L
+    // point probes: a present id answers "maybe" in its OWN group only
+    // (skip fraction ~3/4 at 4 files); absent ids skip ~everything
+    val present = LayoutAudit.bloomPruneReport(spark, s"$dir/with", "id",
+        Seq(7L, 2043L))
+      .select($"value", $"maybe_row_groups", $"skip_fraction")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    present(7L)._2 should be >= 1L
+    present(7L)._3 should be >= 0.5
+    val absent = LayoutAudit.bloomPruneReport(spark, s"$dir/with", "id",
+        Seq(-5L, 1000000L))
+      .select($"skip_fraction").as[Double].collect()
+    // FPP slack: the filter may rarely answer maybe for an absent value
+    all(absent) should be >= 0.5
+    absent.max shouldBe 1.0
+    // a bloom-less table can never skip
+    LayoutAudit.bloomPruneReport(spark, s"$dir/without", "id", Seq(-5L))
+      .select($"skip_fraction").as[Double].head() shouldBe 0.0
+  }
 }

@@ -2162,6 +2162,23 @@ object SparkEntry {
           graft.ops.GopherRules.battery(col("text")))
         .orderBy(col("rule_idx"))),
 
+    // TFRecord interchange round trip: the corpus leaves Spark as
+    // protobuf tf.train.Example records (hand-rolled wire format,
+    // CRC-framed) and comes back bit-exact under the declared schema —
+    // the training-consumer handoff, hash-checked against the source
+    // table itself.
+    "q_tfrecord_roundtrip" -> ((s, d) => {
+      val dir = scratchDir("graft_tfr_")
+      graft.sources.TfRecord.write(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), dir)
+      graft.sources.TfRecord.read(s, dir, StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXIF privacy audit over real JPEG assets: a deterministic EXIF
     // segment (orientation + arithmetic-derived GPS DMS) is spliced per
     // doc, the hand-rolled TIFF walker reads it back, and every
@@ -4261,6 +4278,12 @@ object SparkEntry {
         |    CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine FROM s)
         |WHERE cosine >= 0.4 ORDER BY inc_id, corpus_id""".stripMargin,
     "q_gopher_rules" -> GopherOracleSql,
+    // The round trip must hand back the source table exactly — the
+    // oracle IS the source table's own digest.
+    "q_tfrecord_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Every recovered EXIF field is doc_id arithmetic: orientation,
     // GPS presence/sign rules, and the DMS -> decimal-degree fold
     // (deg + min/60 [+ sec/3600]) replayed with the same operation

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The hand-rolled TFRecord/Example codec: framing CRCs, protobuf wire
+  * round trips, the Spark write → read identity, and corruption
+  * behavior. */
+class TfRecordSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "frame/unframe" should "round-trip payloads and verify CRCs" in {
+    val payloads = Seq("hello".getBytes, Array.empty[Byte],
+      Array.tabulate(1000)(_.toByte))
+    val stream = payloads.map(TfRecord.frame).reduce(_ ++ _)
+    TfRecord.unframe(stream).map(_.toSeq) shouldBe payloads.map(_.toSeq)
+    // a flipped payload bit fails loudly naming the reason
+    val corrupt = stream.clone()
+    corrupt(14) = (corrupt(14) ^ 1).toByte
+    val e = the[IllegalArgumentException] thrownBy TfRecord.unframe(corrupt)
+    e.getMessage should include("CRC")
+    // salvage mode returns the records BEFORE the damage
+    TfRecord.unframe(corrupt, skipCorrupt = true) shouldBe empty
+    val tailCorrupt = stream.clone()
+    tailCorrupt(tailCorrupt.length - 2) =
+      (tailCorrupt(tailCorrupt.length - 2) ^ 1).toByte
+    TfRecord.unframe(tailCorrupt, skipCorrupt = true).length shouldBe 2
+    // truncation mid-record fails (or short-reads in salvage mode)
+    an[IllegalArgumentException] should be thrownBy
+      TfRecord.unframe(stream.take(stream.length - 3))
+    TfRecord.unframe(stream.take(stream.length - 3),
+      skipCorrupt = true).length shouldBe 2
+  }
+
+  "exampleBytes/parseExample" should "round-trip every feature kind" in {
+    val feats = Seq(
+      "text" -> TfRecord.BytesList(Seq("doc body".getBytes("UTF-8"))),
+      "ids" -> TfRecord.Int64List(Seq(1L, -7L, 1L << 40)),
+      "emb" -> TfRecord.FloatList(Seq(0.5f, -1.25f, 3e-5f)),
+      "tags" -> TfRecord.BytesList(Seq("a".getBytes, "b".getBytes)))
+    val back = TfRecord.parseExample(TfRecord.exampleBytes(feats))
+    back.keySet shouldBe feats.map(_._1).toSet
+    back("ids") shouldBe TfRecord.Int64List(Seq(1L, -7L, 1L << 40))
+    back("emb") shouldBe TfRecord.FloatList(Seq(0.5f, -1.25f, 3e-5f))
+    back("text").asInstanceOf[TfRecord.BytesList]
+      .values.head shouldBe "doc body".getBytes("UTF-8")
+    back("tags").asInstanceOf[TfRecord.BytesList]
+      .values.map(new String(_)) shouldBe Seq("a", "b")
+    // serialization is deterministic (sorted feature names)
+    TfRecord.exampleBytes(feats.reverse) shouldBe TfRecord.exampleBytes(feats)
+    // garbage never walks out of bounds
+    val r = new scala.util.Random(7L)
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(r.nextInt(120))(r.nextInt(256).toByte)
+      try { TfRecord.parseExample(junk); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  "write/read" should "round-trip a DataFrame bit-exactly under the declared schema" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfr").toString
+    val df = (1 to 300).map { i =>
+      (i.toLong, s"document number $i", Array.tabulate(4)(j => i * 0.5f + j),
+        Seq(i.toLong, i * 2L))
+    }.toDF("id", "text", "emb", "pair").repartition(3)
+    TfRecord.write(df, dir)
+    new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) shouldBe 3
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("pair", ArrayType(LongType))))
+    val back = TfRecord.read(spark, dir, schema)
+      .orderBy($"id").collect()
+    val want = df.orderBy($"id").collect()
+    back.length shouldBe want.length
+    back.zip(want).foreach { case (a, b) =>
+      a.getLong(0) shouldBe b.getLong(0)
+      a.getString(1) shouldBe b.getString(1)
+      a.getSeq[Float](2) shouldBe b.getSeq[Float](2)
+      a.getSeq[Long](3) shouldBe b.getSeq[Long](3)
+    }
+    // a missing declared feature fails loudly with the file named
+    val bad = StructType(Seq(StructField("nope", LongType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecord.read(spark, dir, bad).collect()
+    }
+    e.getCause.getMessage should include("missing")
+    // nulls refuse at write time (Example has no null)
+    an[Exception] should be thrownBy TfRecord.write(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "text"), s"$dir/n")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Scored-classifier evaluation: exact rank-sum ROC-AUC and calibration
+  * bins — the acceptance gate for the quality/toxicity/language scorers
+  * that decide what a curated corpus keeps (before trusting a scorer to
+  * drop 80% of 100 TB, measure it against labels).
+  *
+  * AUC is computed in the Mann-Whitney form with midrank tie handling:
+  *
+  *   AUC = [ Σ_s p(s) · ( 2·negBelow(s) + n(s) ) ] / ( 2·P·N )
+  *
+  * where `p(s)`/`n(s)` are positive/negative counts at score `s` and
+  * `negBelow(s)` the negatives at strictly lower scores. Every term is
+  * an exact int64 until the single final division, so the result is
+  * bit-identical across engines and partitionings — no floating-point
+  * accumulation anywhere.
+  *
+  * Scale shape: one `groupBy(score)` (map-side combined) collapses the
+  * corpus to the DISTINCT-SCORE frame; the cumulative window runs over
+  * that frame only, never over data rows. Classifier scores are
+  * discretized in practice (fixed-precision heads, calibrated bins); for
+  * a truly continuous score at corpus scale, round to the precision you
+  * can act on first — the window input is bounded by distinct-score
+  * cardinality, not corpus size.
+  */
+object ClassifierEval {
+
+  /** One-row report: `n_pos`, `n_neg`, `n_scores` (distinct), and exact
+    * midrank `auc`. `labelCol` must be 0/1 (int semantics). */
+  def aucReport(df: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("__n"))
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("__negBelow",
+      coalesce(sum(col("__n")).over(below), lit(0L)))
+    cum.agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("__p") * (col("__negBelow") * 2 + col("__n"))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        (col("__num2").cast(DoubleType) /
+          (col("n_pos") * col("n_neg") * lit(2L)).cast(DoubleType))
+          .as("auc"))
+  }
+
+  /** Fixed-width calibration bins over [0, 1]: per bin, row count,
+    * positive count, mean label (empirical rate), and mean score. A
+    * well-calibrated scorer has mean_label ≈ mean_score per bin. Scores
+    * outside [0, 1) clamp into the edge bins. Mean score sums through
+    * DECIMAL(28,9) — exact, then one cast + one division. One shuffle
+    * (bins-sized output). */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    val s = col(scoreCol)
+    val bin = greatest(lit(0L),
+      least(floor(s * bins).cast("long"), lit(bins - 1L)))
+    df.select(bin.as("bin"),
+        when(col(labelCol) === 1, 1L).otherwise(0L).as("__l"),
+        s.cast(DecimalType(18, 9)).as("__sd"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("n_pos"),
+        sum(col("__sd")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_label"),
+        (col("__ssum").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean_score"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unicode-script composition profiling: per-document counts of
+  * characters by writing system, the dominant script, and a mixed-script
+  * flag.
+  *
+  * Why it matters at corpus scale: script composition is the cheapest
+  * high-precision routing signal there is — a "Latin" corpus slice with
+  * 30% Cyrillic is mislabeled or spam, CJK text needs different
+  * tokenization budgets (≈1 token/char vs ≈0.3), and mixed-script tokens
+  * inside otherwise-Latin text are the classic confusable/spoofing shape
+  * (UTS #39). [[LangId]] discriminates *languages within a script*; this
+  * op is the coarser, orders-of-magnitude-cheaper stage in front of it.
+  *
+  * Mechanics: one `regexp_extract_all`-count per script class — plain
+  * codegen'd Columns, shuffle-free, linear in corpus bytes. The character
+  * classes are literal BMP codepoint ranges (no `\p{Script=...}`, whose
+  * spelling differs between Java regex and RE2) so the identical pattern
+  * text runs on both engines; the class constants below are interpolated
+  * into the DuckDB oracle verbatim.
+  *
+  * All derived signals are integer arithmetic — counts, argmax by
+  * fixed priority order, and a ×20 threshold trick for the 5% tier — so
+  * results are bit-identical across engines and partitionings.
+  */
+object ScriptMix {
+
+  /** Letter-script classes, in fixed priority order (ties in the argmax
+    * resolve to the earlier entry). Ranges are the core BMP blocks of
+    * each script — deliberately block-based, not `\p{Script}`-based, for
+    * cross-engine pattern portability. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-zÀ-ÿĀ-ſ]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "arabic" -> "[؀-ۿ]",
+    "hebrew" -> "[֐-׿]",
+    "devanagari" -> "[ऀ-ॿ]",
+    "cjk" -> "[一-鿿㐀-䶿]",
+    "kana" -> "[぀-ゟ゠-ヿ]",
+    "hangul" -> "[가-힯ᄀ-ᇿ]")
+
+  /** A script owning at least 1/20 (5%) of the letters counts as
+    * present for the mixed-script flag. */
+  val MixedScriptDenom = 20
+
+  private def countClass(text: Column, cls: String): Column =
+    size(regexp_extract_all(text, lit(cls), lit(0)))
+
+  /** Per-script letter counts as a struct (`n_latin`, `n_cyrillic`, …). */
+  def scriptCounts(text: Column): Column =
+    struct(ScriptClasses.map { case (name, cls) =>
+      countClass(text, cls).as("n_" + name)
+    }: _*)
+
+  /** Dominant script name by count, ties to the earlier [[ScriptClasses]]
+    * entry; "none" when no letters at all. Built as a when-chain over the
+    * already-computed counts — the oracle replays it as a CASE chain. */
+  def dominant(counts: Seq[Column]): Column = {
+    val total = counts.reduce(_ + _)
+    val chain = ScriptClasses.zipWithIndex.foldRight(lit("none")) {
+      case (((name, _), i), rest) =>
+        val isMax = ScriptClasses.indices
+          .filter(_ != i)
+          .map(j =>
+            if (j < i) counts(i) > counts(j) else counts(i) >= counts(j))
+          .reduce(_ && _)
+        when(total > 0 && isMax, lit(name)).otherwise(rest)
+    }
+    chain
+  }
+
+  /** Full profile: per-script counts, total letters, number of scripts
+    * at ≥5% of letters, the dominant script, and the mixed flag.
+    * Shuffle-free per-row projection. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withCounts = df.select(col(idCol), scriptCounts(t).as("__s"))
+    val flat = ScriptClasses.foldLeft(withCounts) { case (d, (name, _)) =>
+      d.withColumn("n_" + name, col("__s.n_" + name))
+    }.drop("__s")
+    val counts = ScriptClasses.map(c => col("n_" + c._1))
+    val letters = counts.reduce(_ + _)
+    val present = counts
+      .map(c => when(c * MixedScriptDenom >= letters && c > 0, 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    flat
+      .withColumn("n_letters", letters)
+      .withColumn("n_scripts", present)
+      .withColumn("dominant_script", dominant(counts))
+      .withColumn("mixed_script", col("n_scripts") >= 2)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Credential / secret scanning for text corpora: the
+  * must-not-ship-keys release gate alongside [[PiiRedaction]].
+  *
+  * Two tiers, both the standard public practice (the detect-secrets /
+  * gitleaks family of scanners):
+  *
+  *  1. '''Known key shapes''' — vendor-published token formats with
+  *     fixed prefixes (AWS access key IDs, GitHub `ghp_`-family tokens,
+  *     Slack `xox*` tokens, Google `AIza` API keys, JWTs, PEM private-key
+  *     headers). High precision: the prefixes are reserved by the
+  *     issuers.
+  *  2. '''Generic high-entropy candidates''' — long base64-shaped tokens
+  *     that mix cases and digits with a wide character inventory. Real
+  *     entropy estimation is float-fragile across engines, so the gate is
+  *     the integer surrogate `distinct-character count`: a 24+-char token
+  *     drawing on 16+ distinct characters with upper, lower, and digit
+  *     present is secret-shaped; prose words and hex dumps (16-char
+  *     alphabet, single case) are not.
+  *
+  * Everything is `regexp_*` / higher-order-function Column arithmetic —
+  * codegen'd, shuffle-free, linear in corpus bytes — and every pattern
+  * stays inside the regex subset shared by Java regex and RE2 (character
+  * classes, bounded repetition; no lookaround or backreferences) so the
+  * DuckDB oracle replays the exact pattern text.
+  *
+  * Generic candidates are counted AFTER the known-shape redaction
+  * (mirroring [[PiiRedaction.piiCounts]]): a GitHub token is also a
+  * high-entropy run, and counting it twice would double-book the audit.
+  */
+object SecretScan {
+
+  /** AWS access key ID (long-term `AKIA` / temporary `ASIA`): 4-char
+    * reserved prefix + 16 uppercase base32 chars. */
+  val AwsKeyPattern = "(AKIA|ASIA)[0-9A-Z]{16}"
+
+  /** GitHub token family (`ghp_` personal, `gho_` OAuth, `ghu_`/`ghs_`
+    * app, `ghr_` refresh): 36+ base62 chars after the prefix. */
+  val GithubTokenPattern = "gh[pousr]_[A-Za-z0-9]{36,255}"
+
+  /** Slack token family: `xoxb`/`xoxa`/`xoxp`/`xoxr`/`xoxs` + dashed
+    * segments. */
+  val SlackTokenPattern = "xox[abprs]-[A-Za-z0-9-]{10,255}"
+
+  /** Google API key: reserved `AIza` prefix + 35 urlsafe-base64 chars. */
+  val GoogleKeyPattern = "AIza[0-9A-Za-z_-]{35}"
+
+  /** PEM private-key header ("RSA ", "EC ", "OPENSSH ", or bare). */
+  val PrivateKeyPattern = "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+
+  /** JSON Web Token: three dot-joined urlsafe-base64 segments, the first
+    * starting with `eyJ` (`{"` base64-encoded — every JWT header does). */
+  val JwtPattern =
+    "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{4,}"
+
+  /** Ordered detector battery (order is the redaction order: JWTs before
+    * the generic tier would eat them, PEM headers are self-delimiting). */
+  val Detectors: Seq[(String, String)] = Seq(
+    "aws_key" -> AwsKeyPattern,
+    "github_token" -> GithubTokenPattern,
+    "slack_token" -> SlackTokenPattern,
+    "google_key" -> GoogleKeyPattern,
+    "private_key" -> PrivateKeyPattern,
+    "jwt" -> JwtPattern)
+
+  /** Candidate pool for the generic tier: 24+ chars of base64/urlsafe
+    * alphabet. The [[genericGate]] does the discrimination. */
+  val GenericCandidatePattern = "[A-Za-z0-9+/=_-]{24,}"
+
+  /** Minimum distinct-character inventory for a generic candidate. */
+  val MinDistinctChars = 16
+
+  /** The integer entropy surrogate: token-level gate for a generic
+    * candidate (length ≥ 24 enforced by the pattern). All-integer —
+    * no floats to drift across engines. */
+  def genericGate(tok: Column): Column =
+    size(array_distinct(split(tok, ""))) >= MinDistinctChars &&
+      tok.rlike("[0-9]") && tok.rlike("[a-z]") && tok.rlike("[A-Z]")
+
+  /** Per-detector match counts on the raw text (independent counts — the
+    * detectors' prefixes are mutually exclusive by construction). */
+  def secretCounts(text: Column): Column =
+    struct(Detectors.map { case (name, pat) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).as("n_" + name)
+    }: _*)
+
+  /** Mask every known-shape detector match, in [[Detectors]] order. */
+  def redact(text: Column): Column =
+    Detectors.foldLeft(text) { case (t, (_, pat)) =>
+      regexp_replace(t, pat, "[SECRET]")
+    }
+
+  /** Generic high-entropy candidate count, on already-redacted text. */
+  def genericCount(redacted: Column): Column =
+    size(filter(regexp_extract_all(redacted, lit(GenericCandidatePattern),
+      lit(0)), genericGate _))
+
+  /** Full audit: per-detector counts, generic count, redacted text, and
+    * the quarantine flag. Shuffle-free per-row projection. */
+  def report(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val red = redact(t)
+    val counted = df.select(col(idCol), secretCounts(t).as("__c"),
+      genericCount(red).as("n_generic"), red.as("redacted"))
+    val flat = Detectors.foldLeft(counted) { case (d, (name, _)) =>
+      d.withColumn("n_" + name, col("__c.n_" + name))
+    }
+    val total = Detectors.map(d => col("n_" + d._1))
+      .reduce(_ + _) + col("n_generic")
+    flat.drop("__c")
+      .withColumn("has_secret", total > 0)
+      .select(col(idCol) +: Detectors.map(d => col("n_" + d._1)) :+
+        col("n_generic") :+ col("has_secret") :+ col("redacted"): _*)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-order planning: per-epoch global shuffle and
+  * shard assignment as pure key arithmetic — the "how does the trainer
+  * visit 100 TB in a different random-but-reproducible order every
+  * epoch" op.
+  *
+  * The plan is DATA, not movement: each row gets `(epoch, shard, pos)`
+  * from an md5 key over `(epoch, id)`, so
+  *
+  *  - the order is reproducible from the ids alone — any engine (and the
+  *    DuckDB oracle) re-derives it byte-for-byte, and a resumed/restarted
+  *    job re-plans identically without any saved state;
+  *  - epochs decorrelate for free (the epoch number is inside the hash);
+  *  - writing the actual shards is a single `repartition(shard)` +
+  *    sort-within-partitions — the one unavoidable shuffle, sized by the
+  *    shard count the caller picks.
+  *
+  * The global visit order is round-robin across shards by position —
+  * `ORDER BY (pos, shard)` — so shard files interleave into one
+  * deterministic permutation without any global sort: the only windows
+  * are per-shard (corpus/shards rows each), never a single-partition
+  * global window.
+  */
+object TrainOrder {
+
+  /** Engine-portable per-(epoch, id) shuffle key: md5 of `"epoch:id"`.
+    * md5, not xxhash64, for cross-engine reproducibility (the
+    * [[Sampling]] md5-order family). */
+  def epochKey(idCol: String, epoch: Int): Column =
+    md5(concat(lit(epoch + ":"), col(idCol).cast("string")).cast("binary"))
+
+  /** Shard in [0, shards): the key's first 4 nibbles (65536 buckets)
+    * folded mod `shards`. Balanced to ±1/65536 of uniform for any shard
+    * count ≤ 65536. */
+  def shardOf(key: Column, shards: Int): Column = {
+    require(shards > 0 && shards <= 65536,
+      s"shards must be in [1, 65536], got $shards")
+    pmod(conv(substring(key, 1, 4), 16, 10).cast("long"),
+      lit(shards.toLong))
+  }
+
+  /** One epoch's plan: append `epoch`, `shard`, and the 0-based `pos`
+    * within the shard (md5-key order, id tie-break — ties only on md5
+    * collision). */
+  def epochPlan(df: DataFrame, idCol: String, epoch: Int,
+                shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", epochKey(idCol, epoch))
+      .withColumn("shard", shardOf(col("__k"), shards))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__k")
+  }
+
+  /** Plans for epochs `0 until epochs`, unioned. Epoch count is a small
+    * constant (training epochs), so the union width is bounded. */
+  def epochPlans(df: DataFrame, idCol: String, epochs: Int,
+                 shards: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    (0 until epochs).map(epochPlan(df, idCol, _, shards)).reduce(_ union _)
+  }
+}

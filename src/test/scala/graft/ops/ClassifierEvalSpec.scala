@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClassifierEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Int)]): Double =
+    ClassifierEval.aucReport(rows.toDF("score", "label"), "score", "label")
+      .select($"auc").as[Double].head()
+
+  "aucReport" should "score a perfect ranking as 1.0" in {
+    auc(Seq(0.9 -> 1, 0.8 -> 1, 0.2 -> 0, 0.1 -> 0)) shouldBe 1.0
+  }
+
+  it should "score a perfectly inverted ranking as 0.0" in {
+    auc(Seq(0.9 -> 0, 0.8 -> 0, 0.2 -> 1, 0.1 -> 1)) shouldBe 0.0
+  }
+
+  it should "handle ties by midrank" in {
+    // one positive and one negative share score 0.5: 0.5 credit
+    auc(Seq(0.5 -> 1, 0.5 -> 0)) shouldBe 0.5
+    // pos above, pos tied, neg below: pairs = (1,1,0.5,...) exact
+    auc(Seq(0.9 -> 1, 0.5 -> 1, 0.5 -> 0, 0.1 -> 0)) shouldBe 0.875
+  }
+
+  it should "be invariant to partitioning" in {
+    val rows = (1 to 500).map(i =>
+      ((i * 37 % 101) / 100.0, if (i * 61 % 100 < i * 37 % 101) 1 else 0))
+    val a1 = auc(rows)
+    val a8 = ClassifierEval.aucReport(
+      rows.toDF("score", "label").repartition(8), "score", "label")
+      .select($"auc").as[Double].head()
+    a8 shouldBe a1
+  }
+
+  it should "match the O(P·N) brute-force pair count" in {
+    val rows = (1 to 60).map(i =>
+      ((i * 13 % 17) / 16.0, if (i * 7 % 10 < 4) 1 else 0))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val brute = pos.flatMap(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+      (pos.size * neg.size)
+    auc(rows) shouldBe brute
+  }
+
+  "calibrationBins" should "bin and average exactly" in {
+    val df = Seq((0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1), (1.5, 1),
+      (-0.2, 0)).toDF("score", "label")
+    val out = ClassifierEval.calibrationBins(df, "score", "label")
+      .orderBy($"bin")
+      .select($"bin", $"n", $"n_pos", $"mean_label")
+      .as[(Long, Long, Long, Double)].collect()
+    // clamped edges: -0.2 joins bin 0, 1.5 joins bin 9
+    out.map(_._1).toSeq shouldBe Seq(0L, 9L)
+    out(0) shouldBe ((0L, 3L, 1L, 1.0 / 3.0))
+    out(1) shouldBe ((9L, 3L, 3L, 1.0))
+  }
+
+  it should "report mean scores through exact decimal sums" in {
+    val df = Seq((0.11, 1), (0.13, 0), (0.15, 1)).toDF("score", "label")
+    val m = ClassifierEval.calibrationBins(df, "score", "label")
+      .select($"mean_score").as[Double].head()
+    m shouldBe (0.39 / 3) +- 1e-12
+  }
+}

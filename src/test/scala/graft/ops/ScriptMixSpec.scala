@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ScriptMixSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def profileOne(s: String) =
+    ScriptMix.profile(Seq((1L, s)).toDF("id", "t"), "id", "t")
+
+  "ScriptMix" should "count per-script letters" in {
+    val r = profileOne("hello мир 世界")
+      .select($"n_latin", $"n_cyrillic", $"n_cjk")
+      .as[(Int, Int, Int)].head()
+    r shouldBe ((5, 3, 2))
+  }
+
+  it should "pick the dominant script and flag mixing" in {
+    val r = profileOne("привет мир хорошо ok")
+      .select($"dominant_script", $"mixed_script", $"n_scripts")
+      .as[(String, Boolean, Int)].head()
+    r._1 shouldBe "cyrillic"
+    r._2 shouldBe true // latin "ok" is 2 of 15 letters ≥ 5%
+  }
+
+  it should "not flag a trace of a second script below 5%" in {
+    val r = profileOne(("word " * 20) + "я") // 80 latin letters, 1 cyrillic
+      .select($"mixed_script", $"n_scripts", $"dominant_script")
+      .as[(Boolean, Int, String)].head()
+    r shouldBe ((false, 1, "latin"))
+  }
+
+  it should "resolve argmax ties to the earlier priority entry" in {
+    profileOne("ab мы") // 2 latin, 2 cyrillic
+      .select($"dominant_script").as[String].head() shouldBe "latin"
+  }
+
+  it should "report none for letterless text" in {
+    val r = profileOne("1234 !?")
+      .select($"dominant_script", $"n_letters", $"mixed_script")
+      .as[(String, Int, Boolean)].head()
+    r shouldBe (("none", 0, false))
+  }
+
+  it should "cover Greek, Arabic, Hebrew, Devanagari, kana, and Hangul" in {
+    val r = profileOne("αβγ شيء שלום नमस्ते カナ 한글")
+      .select($"n_greek", $"n_arabic", $"n_hebrew", $"n_devanagari",
+        $"n_kana", $"n_hangul")
+      .as[(Int, Int, Int, Int, Int, Int)].head()
+    r._1 shouldBe 3
+    r._2 shouldBe 3
+    r._3 shouldBe 4
+    r._4 should be > 0
+    r._5 shouldBe 2
+    r._6 shouldBe 2
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TrainOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ids = (1L to 200L).toDF("id")
+
+  "epochPlan" should "cover every row exactly once with dense positions" in {
+    val plan = TrainOrder.epochPlan(ids, "id", epoch = 0, shards = 4)
+    plan.count() shouldBe 200
+    plan.select($"id").distinct().count() shouldBe 200
+    // positions are dense 0..k-1 within each shard
+    val bad = plan.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), max($"pos").as("mx"), min($"pos").as("mn"))
+      .filter($"mx" =!= $"n" - 1 || $"mn" =!= 0)
+    bad.count() shouldBe 0
+  }
+
+  it should "produce a different permutation per epoch" in {
+    val p0 = TrainOrder.epochPlan(ids, "id", 0, 1)
+      .select($"id", $"pos").withColumnRenamed("pos", "p0")
+    val p1 = TrainOrder.epochPlan(ids, "id", 1, 1)
+      .select($"id", $"pos").withColumnRenamed("pos", "p1")
+    val moved = p0.join(p1, "id").filter($"p0" =!= $"p1").count()
+    moved should be > 150L // md5 decorrelates almost every position
+  }
+
+  it should "be reproducible and partitioning-invariant" in {
+    val a = TrainOrder.epochPlan(ids, "id", 3, 4)
+      .select($"id", $"shard", $"pos").collect().toSet
+    val b = TrainOrder.epochPlan(ids.repartition(7), "id", 3, 4)
+      .select($"id", $"shard", $"pos").collect().toSet
+    b shouldBe a
+  }
+
+  it should "spread rows across shards" in {
+    val sizes = TrainOrder.epochPlan(ids, "id", 0, 4)
+      .groupBy($"shard").count().select($"count").as[Long].collect()
+    sizes.length shouldBe 4
+    all(sizes) should be > 20L // 200/4 = 50 expected; loose uniformity
+  }
+
+  "epochPlans" should "stack epochs and keep them independent" in {
+    val plans = TrainOrder.epochPlans(ids, "id", epochs = 3, shards = 2)
+    plans.count() shouldBe 600
+    plans.groupBy($"epoch").count().select($"count").as[Long]
+      .collect().toSeq shouldBe Seq(200L, 200L, 200L)
+  }
+
+  it should "reject bad shard and epoch counts" in {
+    an[IllegalArgumentException] should be thrownBy
+      TrainOrder.epochPlan(ids, "id", 0, 0)
+    an[IllegalArgumentException] should be thrownBy
+      TrainOrder.epochPlans(ids, "id", 0, 4)
+  }
+}

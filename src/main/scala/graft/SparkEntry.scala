@@ -2240,6 +2240,35 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // WebDataset-style tar shard round trip: the corpus leaves as ustar
+    // shards (hand-rolled POSIX headers, checksummed), each doc two
+    // members (text + JSON sidecar) named by stem, then the walker
+    // explodes shards and samples() regroups by stem — the multimodal
+    // training-shard interchange, md5-pinned against the source rows.
+    "q_tar_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sidecar = concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"lang\":\""), col("lang"), lit("\"}"))
+      val ms = docs.select(pmod(col("doc_id"), lit(8)).as("grp"),
+          explode(array(
+            struct(concat(col("doc_id").cast("string"), lit(".txt"))
+              .as("name"), col("text").cast(BinaryType).as("payload")),
+            struct(concat(col("doc_id").cast("string"), lit(".json"))
+              .as("name"), sidecar.cast(BinaryType).as("payload"))))
+            .as("m"))
+        .select(col("grp"), col("m.name").as("name"),
+          col("m.payload").as("payload"))
+      val shards = graft.ops.TarArchive.syntheticShards(
+        ms, "grp", "name", "payload")
+      graft.ops.TarArchive.samples(
+          graft.ops.TarArchive.members(shards, "shard_id", "data"))
+        .select(col("shard_id"), col("stem").cast(LongType).as("doc_id"),
+          col("n_members"), col("total_bytes"),
+          md5(element_at(col("parts"), "txt")).as("txt_md5"),
+          md5(element_at(col("parts"), "json")).as("json_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The daily-increment production shape, config-declared: today's
     // feed (staged parquet) deduped AGAINST yesterday's persisted text
     // index via dedup.method = against_text_index — the curation config
@@ -4596,6 +4625,19 @@ object SparkEntry {
         |  md5(text) AS payload_md5,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY url""".stripMargin,
+    // Tar shard round trip: the walker hands back exactly the bytes the
+    // builder framed, so the oracle is the source rows' own digests —
+    // per doc, the text payload and the reconstructed JSON sidecar.
+    "q_tar_extract" ->
+      """SELECT (doc_id % 8) AS shard_id, doc_id,
+        |  CAST(2 AS BIGINT) AS n_members,
+        |  CAST(strlen(text) +
+        |    strlen('{"id":' || doc_id || ',"lang":"' || lang || '"}')
+        |    AS BIGINT) AS total_bytes,
+        |  md5(text) AS txt_md5,
+        |  md5('{"id":' || doc_id || ',"lang":"' || lang || '"}')
+        |    AS json_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The streaming gate's accepted set: stream rows (id % 10 = 0) with
     // NO corpus neighbor (id % 10 <> 0) at cosine >= 0.4 — the exact
     // batch anti-join the frozen-index gate converges to.

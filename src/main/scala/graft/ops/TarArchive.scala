@@ -1,0 +1,274 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** POSIX tar (ustar) container walker — the WebDataset interchange
+  * stage for multimodal training shards.
+  *
+  * The dominant public layout for image/audio training corpora
+  * (WebDataset, img2dataset output) is plain tar shards whose members
+  * group into samples by basename stem: `000123.jpg` + `000123.json` +
+  * `000123.txt` is one sample. Shards stream sequentially — no random
+  * access, no index — which is exactly the access pattern a distributed
+  * scan wants: each executor walks whole shards start to finish.
+  *
+  * Hand-rolled from the PUBLIC ustar layout (POSIX.1-1988: 512-byte
+  * header blocks, NUL/space-terminated octal fields, checksum over the
+  * header with the checksum field blanked to spaces, payload padded to
+  * block size, two zero blocks at end) — zero dependencies, the
+  * [[WarcExtract]]/[[AviMjpeg]] walker pattern applied to tar.
+  *
+  * Defensive parsing ([[PcmContainer]]'s discipline): every offset is
+  * bounds-checked, a checksum mismatch or non-octal size terminates the
+  * walk with the members already recovered (one corrupt shard in a
+  * 100 TB scan yields its honest partial rows, never a dead task), a
+  * truncated final payload yields a SHORT read. GNU `L` long-name
+  * members and pax `x`/`g` metadata members are consumed structurally
+  * (the long name applies to the following member; pax metadata is
+  * skipped) so real-world archives walk correctly.
+  *
+  * Extends the reference surface (flat scalar rows only — reference:
+  * src/main/scala/com/booking/spark/Schema.scala:71-85) per the
+  * training-data-pipeline charter.
+  */
+object TarArchive {
+
+  val BlockSize = 512
+
+  /** One parsed member: archive offset of its header, full name (prefix
+    * field joined when present), declared size, typeflag ('0' regular,
+    * '5' directory, …), and the payload bytes (clamped at truncation). */
+  final case class TarMember(offset: Long, name: String, size: Long,
+                             typeflag: Char, payload: Array[Byte])
+
+  // octal field: skip leading NUL/space, accept digits, stop at
+  // NUL/space; None when no digits or a non-octal byte appears
+  private[graft] def parseOctal(b: Array[Byte], off: Int,
+                                len: Int): Option[Long] = {
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == 0 || b(i) == ' ')) i += 1
+    var v = 0L
+    var digits = 0
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0'); digits += 1; i += 1
+    }
+    while (i < end && (b(i) == 0 || b(i) == ' ')) i += 1
+    if (digits == 0 || i < end) None else Some(v)
+  }
+
+  // NUL-terminated string field
+  private def strField(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val cap = off + len
+    while (end < cap && b(end) != 0) end += 1
+    new String(b, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Header checksum: unsigned sum of the 512 header bytes with the
+    * checksum field (offset 148, length 8) read as spaces. */
+  private[graft] def headerChecksum(b: Array[Byte], off: Int): Long = {
+    var s = 0L
+    var i = 0
+    while (i < BlockSize) {
+      s += (if (i >= 148 && i < 156) ' '.toInt else b(off + i) & 0xFF)
+      i += 1
+    }
+    s
+  }
+
+  private def isZeroBlock(b: Array[Byte], off: Int): Boolean = {
+    var i = off
+    val end = off + BlockSize
+    while (i < end) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Walk every member of a tar archive. Stops cleanly at the
+    * end-of-archive zero block, a truncated header, a checksum
+    * mismatch, or a malformed size field — returning what parsed. */
+  def walk(bytes: Array[Byte]): Seq[TarMember] = {
+    if (bytes == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+    var p = 0
+    var pendingLongName: Option[String] = None
+    var done = false
+    while (!done && p + BlockSize <= bytes.length) {
+      if (isZeroBlock(bytes, p)) done = true
+      else {
+        val sizeOpt = parseOctal(bytes, p + 124, 12)
+        val sumOpt = parseOctal(bytes, p + 148, 8)
+        val ok = sizeOpt.isDefined && sumOpt.isDefined &&
+          sumOpt.get == headerChecksum(bytes, p)
+        if (!ok) done = true
+        else {
+          val size = sizeOpt.get
+          val typeflag = bytes(p + 156) match {
+            case 0 => '0' // pre-POSIX regular file marker
+            case c => c.toChar
+          }
+          val prefix = strField(bytes, p + 345, 155)
+          val base = strField(bytes, p, 100)
+          val name = pendingLongName.getOrElse(
+            if (prefix.nonEmpty) prefix + "/" + base else base)
+          val have = math.max(0L,
+            math.min(size, (bytes.length - p - BlockSize).toLong)).toInt
+          val payload = java.util.Arrays.copyOfRange(
+            bytes, p + BlockSize, p + BlockSize + have)
+          typeflag match {
+            case 'L' =>
+              // GNU long name: payload is the next member's name
+              // (NUL-terminated)
+              var end = payload.length
+              while (end > 0 && payload(end - 1) == 0) end -= 1
+              pendingLongName = Some(new String(payload, 0, end,
+                java.nio.charset.StandardCharsets.UTF_8))
+            case 'x' | 'g' => () // pax metadata: structural skip
+            case t =>
+              out += TarMember(p.toLong, name, size, t, payload)
+              pendingLongName = None // consumed by an emitted member only
+          }
+          if (have < size) done = true // truncated final member
+          else {
+            val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
+            p += BlockSize + padded.toInt
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Output schema of [[members]]. */
+  val MemberSchema: StructType = StructType(Seq(
+    StructField("shard_id", LongType, nullable = false),
+    StructField("member_idx", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("stem", StringType, nullable = false),
+    StructField("ext", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Explode a binary shard column into its REGULAR-FILE members with
+    * the WebDataset naming split: `stem` = basename up to the first
+    * '.', `ext` = everything after it (WebDataset extensions are
+    * multi-dot: `seg.png`). Directories and link members are dropped;
+    * long names are already resolved by [[walk]]. Batched
+    * `mapPartitions` (genuinely imperative byte work), zero shuffles. */
+  def members(df: DataFrame, idCol: String, dataCol: String,
+              batchSize: Int = 16): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(dataCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"TarArchive.members: null or non-castable id in $idCol")
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          walk(bytes).filter(_.typeflag == '0').zipWithIndex.map {
+            case (m, i) =>
+              val slash = m.name.lastIndexOf('/')
+              val basename = m.name.substring(slash + 1)
+              val dot = basename.indexOf('.')
+              val (stem, ext) =
+                if (dot < 0) (basename, "")
+                else (basename.substring(0, dot), basename.substring(dot + 1))
+              Row(id, i, m.name, stem, ext, m.size, m.payload)
+          }
+        }
+      }
+    }(Encoders.row(MemberSchema))
+  }
+
+  /** Group members into WebDataset samples: one row per
+    * `(shard_id, stem)` with `exts` (sorted) and an ext→payload map.
+    * One shuffle on the sample key; sample sizes are bounded by members
+    * per sample (a handful), never by shard size. */
+  def samples(members: DataFrame): DataFrame =
+    members.groupBy(col("shard_id"), col("stem"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("ext"))).as("exts"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("ext"), col("payload"))))).as("parts"),
+        sum(col("size")).as("total_bytes"))
+
+  // ------------------------------------------------------------- writer
+
+  private def octal(v: Long, len: Int): Array[Byte] = {
+    // len-1 octal digits + NUL, the layout GNU/BSD tar both accept
+    val s = java.lang.Long.toOctalString(v)
+    val padded = ("0" * (len - 1 - s.length)) + s
+    padded.getBytes(java.nio.charset.StandardCharsets.US_ASCII) :+
+      0.toByte
+  }
+
+  /** Render one ustar header + padded payload. Names must fit the
+    * 100-byte field (the fixture/export path; long names are a READ
+    * feature). */
+  private[graft] def memberBytes(name: String,
+                                 payload: Array[Byte]): Array[Byte] = {
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nameBytes.length <= 100,
+      s"tar member name exceeds the 100-byte ustar field: $name")
+    val h = new Array[Byte](BlockSize)
+    System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    System.arraycopy(octal(420 /* 0644 */, 8), 0, h, 100, 8) // mode
+    System.arraycopy(octal(0, 8), 0, h, 108, 8) // uid
+    System.arraycopy(octal(0, 8), 0, h, 116, 8) // gid
+    System.arraycopy(octal(payload.length.toLong, 12), 0, h, 124, 12)
+    System.arraycopy(octal(0, 12), 0, h, 136, 12) // mtime: deterministic
+    h(156) = '0'
+    // POSIX magic "ustar" NUL + version "00"
+    System.arraycopy(Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0'),
+      0, h, 257, 8)
+    // checksum: 6 octal digits, NUL, space — computed with the field
+    // itself read as spaces
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = headerChecksum(h, 0)
+    val sumStr = java.lang.Long.toOctalString(sum)
+    val sumField = ("0" * (6 - sumStr.length)) + sumStr
+    System.arraycopy(sumField.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0 // spec terminator: NUL then space
+    h(155) = ' '.toByte
+    val pad = new Array[Byte](
+      ((payload.length + BlockSize - 1) / BlockSize) * BlockSize -
+        payload.length)
+    h ++ payload ++ pad
+  }
+
+  /** Render a complete shard from (name, payload) members, in the given
+    * order, with the closing two zero blocks. The deterministic fixture
+    * builder and a real export writer. */
+  def buildShard(ms: Seq[(String, Array[Byte])]): Array[Byte] =
+    ms.flatMap { case (n, p) => memberBytes(n, p) }.toArray ++
+      new Array[Byte](2 * BlockSize)
+
+  /** Assemble one shard per group, distributed: rows
+    * `(groupCol, nameCol, payloadCol)` become `(shard_id, data)` with
+    * members ordered by name inside each shard (deterministic under any
+    * partitioning). Same scale contract as
+    * [[WarcExtract.syntheticArchives]]: each shard is assembled in
+    * executor memory, so the grouping key must bound shard size (the
+    * WebDataset convention is shards of a few hundred MB — size
+    * `groupCol` accordingly). */
+  def syntheticShards(df: DataFrame, groupCol: String, nameCol: String,
+                      payloadCol: String): DataFrame = {
+    val grouped = df.groupBy(col(groupCol).cast(LongType).as("shard_id"))
+      .agg(sort_array(collect_list(struct(col(nameCol).as("name"),
+        col(payloadCol).cast(BinaryType).as("payload")))).as("ms"))
+    val outSchema = StructType(Seq(
+      StructField("shard_id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    grouped.mapPartitions { rows =>
+      rows.map { r =>
+        val sid = r.getLong(0)
+        val ms = r.getSeq[Row](1).map(m =>
+          (m.getString(0), m.getAs[Array[Byte]](1)))
+        Row(sid, buildShard(ms))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

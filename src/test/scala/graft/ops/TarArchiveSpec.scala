@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+
+class TarArchiveSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  "TarArchive" should "round-trip members through buildShard and walk" in {
+    val shard = TarArchive.buildShard(Seq(
+      "a.txt" -> bytes("hello"),
+      "a.json" -> bytes("""{"k":1}"""),
+      "b.txt" -> new Array[Byte](1024))) // multi-block payload
+    val ms = TarArchive.walk(shard)
+    ms.map(_.name) shouldBe Seq("a.txt", "a.json", "b.txt")
+    ms.map(_.size) shouldBe Seq(5L, 7L, 1024L)
+    new String(ms.head.payload, UTF_8) shouldBe "hello"
+    ms(2).payload.length shouldBe 1024
+    // archive is block-aligned with the two-zero-block tail
+    shard.length % TarArchive.BlockSize shouldBe 0
+  }
+
+  it should "stop at a checksum mismatch, keeping prior members" in {
+    val shard = TarArchive.buildShard(Seq(
+      "ok.txt" -> bytes("fine"), "bad.txt" -> bytes("broken")))
+    // corrupt one byte inside the SECOND header (first member is
+    // 512 header + 512 padded payload)
+    shard(1024 + 50) = 'X'
+    val ms = TarArchive.walk(shard)
+    ms.map(_.name) shouldBe Seq("ok.txt")
+  }
+
+  it should "yield a short read for a truncated final payload" in {
+    val shard = TarArchive.buildShard(Seq("t.txt" -> new Array[Byte](900)))
+    val cut = shard.take(512 + 700) // header + 700 of 900 bytes
+    val ms = TarArchive.walk(cut)
+    ms.map(_.name) shouldBe Seq("t.txt")
+    ms.head.size shouldBe 900L
+    ms.head.payload.length shouldBe 700
+  }
+
+  it should "resolve GNU long names and skip pax metadata members" in {
+    val longName = ("d/" * 60) + "deep.txt" // > 100 bytes
+    // hand-assemble: an 'L' member whose payload is the long name, then
+    // the real member under a placeholder name
+    val lBytes = TarArchive.memberBytes("././@LongLink",
+      longName.getBytes(UTF_8) :+ 0.toByte)
+    lBytes(156) = 'L'
+    patchChecksum(lBytes)
+    val xBytes = TarArchive.memberBytes("pax.meta", bytes("comment=hi"))
+    xBytes(156) = 'x'
+    patchChecksum(xBytes)
+    val real = TarArchive.memberBytes("placeholder.txt", bytes("payload"))
+    val shard = lBytes ++ xBytes ++ real ++ new Array[Byte](1024)
+    val ms = TarArchive.walk(shard)
+    ms.map(_.name) shouldBe Seq(longName)
+    new String(ms.head.payload, UTF_8) shouldBe "payload"
+  }
+
+  private def patchChecksum(header: Array[Byte]): Unit = {
+    java.util.Arrays.fill(header, 148, 156, ' '.toByte)
+    val s = java.lang.Long.toOctalString(TarArchive.headerChecksum(header, 0))
+    val f = ("0" * (6 - s.length)) + s
+    System.arraycopy(f.getBytes("US-ASCII"), 0, header, 148, 6)
+    header(154) = 0
+    header(155) = ' '.toByte
+  }
+
+  it should "refuse member names past the 100-byte ustar field" in {
+    an[IllegalArgumentException] should be thrownBy
+      TarArchive.buildShard(Seq(("x" * 101) -> bytes("p")))
+  }
+
+  it should "walk archives produced by the system tar binary" in {
+    val tarBin = Seq("/bin/tar", "/usr/bin/tar").find(p =>
+      new java.io.File(p).canExecute)
+    assume(tarBin.isDefined, "no system tar available")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "one.txt").toPath,
+      bytes("first file"))
+    java.nio.file.Files.write(new java.io.File(dir, "two.json").toPath,
+      bytes("""{"n":2}"""))
+    val out = new java.io.File(dir, "t.tar").getAbsolutePath
+    val rc = new ProcessBuilder(tarBin.get, "-cf", out,
+      "-C", dir.getAbsolutePath, "one.txt", "two.json")
+      .inheritIO().start().waitFor()
+    rc shouldBe 0
+    val ms = TarArchive.walk(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    ms.map(_.name).toSet shouldBe Set("one.txt", "two.json")
+    new String(ms.find(_.name == "one.txt").get.payload,
+      UTF_8) shouldBe "first file"
+  }
+
+  it should "explode shards into members and group WebDataset samples" in {
+    val df = Seq(
+      (0L, "s0/000.jpg", "img-zero"),
+      (0L, "s0/000.json", "meta-zero"),
+      (0L, "s0/001.jpg", "img-one"),
+      (1L, "002.cls.txt", "label")) // multi-dot ext
+      .toDF("grp", "name", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val shards = TarArchive.syntheticShards(df, "grp", "name", "payload")
+    shards.count() shouldBe 2
+    val members = TarArchive.members(shards, "shard_id", "data")
+    members.count() shouldBe 4
+    members.filter($"stem" === "002").select($"ext")
+      .as[String].head() shouldBe "cls.txt"
+    val samples = TarArchive.samples(members)
+      .orderBy($"shard_id", $"stem")
+    val r = samples.select($"shard_id", $"stem", $"n_members", $"exts")
+      .as[(Long, String, Long, Seq[String])].collect()
+    r shouldBe Array(
+      (0L, "000", 2L, Seq("jpg", "json")),
+      (0L, "001", 1L, Seq("jpg")),
+      (1L, "002", 1L, Seq("cls.txt")))
+    // payload reachable through the ext→payload map
+    val png = TarArchive.samples(members)
+      .filter($"shard_id" === 0 && $"stem" === "000")
+      .select(element_at($"parts", "json").cast("string"))
+      .as[String].head()
+    png shouldBe "meta-zero"
+  }
+
+  it should "return nothing for null, empty, or garbage input" in {
+    TarArchive.walk(null) shouldBe Nil
+    TarArchive.walk(Array.emptyByteArray) shouldBe Nil
+    TarArchive.walk(Array.fill[Byte](2000)(0x41)) shouldBe Nil
+  }
+}

@@ -303,6 +303,82 @@ object SparkEntry {
   private val ScriptSeedArabic = " بيانات نموذج"
   private val ScriptSeedKana = " データ処理"
 
+  // q_outlinks / q_domain_graph synthetic page + base URL, shared by
+  // both queries: one absolute href (double-quoted), a fragment (doc_id
+  // % 5, drops with an index gap), a relative path (% 3), and a
+  // single-quoted root-relative link (% 2).
+  private def OutlinkHtml = {
+    val id = col("doc_id")
+    concat(
+      lit("<a href=\"https://d"), pmod(id, lit(20)), lit(".com/x"), id,
+      lit("\">t</a>"),
+      when(pmod(id, lit(5)) === 0, lit("<a href=\"#top\">f</a>"))
+        .otherwise(lit("")),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit("<a href=\"next/"), id, lit("\">r</a>")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("<a href='/local/p"), id, lit("'>l</a>")))
+        .otherwise(lit("")))
+  }
+  private def OutlinkBase =
+    concat(lit("https://a"), pmod(col("doc_id"), lit(5)),
+      lit(".site.org/dir/idx"), col("doc_id"))
+
+  // the CTE chain both outlink oracles share: page synthesis, lockstep
+  // unnest + generate_subscripts explode (dq list then sq list, matching
+  // Spark's concat order), and the resolution CASE chain
+  private val OutlinkCte: String = {
+    val hostPat = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    '<a href="https://d' || (doc_id % 20) || '.com/x' || doc_id ||
+       |      '">t</a>' ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '<a href="#top">f</a>'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '<a href="next/' || doc_id || '">r</a>' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN '<a href=''/local/p' || doc_id || '''>l</a>'
+       |      ELSE '' END AS html,
+       |    'https://a' || (doc_id % 5) || '.site.org/dir/idx' || doc_id
+       |      AS base
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, base,
+       |    unnest(list_concat(
+       |      regexp_extract_all(html, 'href="([^"]*)"', 1),
+       |      regexp_extract_all(html, 'href=''([^'']*)''', 1))) AS href,
+       |    generate_subscripts(list_concat(
+       |      regexp_extract_all(html, 'href="([^"]*)"', 1),
+       |      regexp_extract_all(html, 'href=''([^'']*)''', 1)), 1) - 1
+       |      AS link_idx
+       |  FROM p),
+       |r AS (
+       |  SELECT doc_id, link_idx, href, base,
+       |    regexp_extract(base,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS origin,
+       |    regexp_extract(base, '^(.*/)', 1) AS dirraw
+       |  FROM l),
+       |x AS (
+       |  SELECT doc_id, link_idx,
+       |    CASE
+       |      WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |        THEN href
+       |      WHEN href LIKE '//%' THEN 'https:' || href
+       |      WHEN href LIKE '/%' THEN origin || href
+       |      WHEN href = '' OR href LIKE '#%' THEN NULL
+       |      ELSE (CASE WHEN len(dirraw) <= len(origin)
+       |        THEN origin || '/' ELSE dirraw END) || href
+       |    END AS dst_url,
+       |    lower(regexp_extract(base, '$hostPat', 1)) AS src_host
+       |  FROM r),
+       |links AS (
+       |  SELECT doc_id, link_idx, dst_url, src_host,
+       |    lower(regexp_extract(dst_url, '$hostPat', 1)) AS dst_host
+       |  FROM x WHERE dst_url IS NOT NULL)""".stripMargin
+  }
+
   // q_html_extract's synthetic markup fragments, shared verbatim between
   // the Spark concat and the DuckDB oracle's || chain. The script body
   // hides a decoy "</p>" inside a string literal (the lazy script-strip
@@ -2080,6 +2156,56 @@ object SparkEntry {
         .select(col("epoch").cast(LongType).as("epoch"),
           col("shard"), col("pos"), col("doc_id"))
         .orderBy(col("epoch"), col("shard"), col("pos"))),
+
+    // URL blocklist gate (the UT1/RefinedWeb tier): deterministic hosts
+    // from doc_id arithmetic, registered-suffix domain matching via the
+    // suffix-explode equi-join (min matching entry reported), ordered
+    // path rules — the oracle replays matching as an ascending CASE
+    // chain (first ascending match ≡ min) and LIKE suffix tests.
+    "q_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val tld = when(pmod(col("doc_id"), lit(3)) === 0, lit("com"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("net"))
+        .otherwise(lit("org"))
+      val url = concat(lit("https://a"), pmod(col("doc_id"), lit(5)),
+        lit(".d"), pmod(col("doc_id"), lit(20)), lit("."), tld,
+        when(pmod(col("doc_id"), lit(11)) === 0, lit("/track/click?id="))
+          .otherwise(lit("/page/")),
+        col("doc_id"))
+      val blocked = Seq("d7.net", "d3.com", "a1.d16.org").toDF("domain")
+      graft.ops.UrlFilter.audit(
+          Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+          "doc_id", "url", blocked, "domain",
+          Seq("tracker" -> "/track/"))
+        .select(col("doc_id"), col("url"), col("host"),
+          col("blocked_domain"), col("blocked_rule"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Outlink extraction over synthetic pages (both quote styles, a
+    // dropped fragment, relative + root-relative + absolute hrefs): the
+    // resolution when-chain replayed as a CASE chain, posexplode index
+    // gaps preserved — the HtmlExtract→LinkRank bridge.
+    "q_outlinks" -> ((s, d) => {
+      val id = col("doc_id")
+      graft.ops.Outlinks.outlinks(
+          Tables.documents(s, d).select(id,
+            OutlinkHtml.as("html"), OutlinkBase.as("base")),
+          "doc_id", "html", "base")
+        .select(col("doc_id"),
+          col("link_idx").cast(LongType).as("link_idx"), col("dst_url"),
+          col("src_host"), col("dst_host"), col("external"))
+        .orderBy(col("doc_id"), col("link_idx"))
+    }),
+
+    // The domain-level edge list the outlinks induce — the
+    // LinkRank-ready graph with per-edge link and page counts.
+    "q_domain_graph" -> ((s, d) =>
+      graft.ops.Outlinks.domainGraph(
+          Tables.documents(s, d).select(col("doc_id"),
+            OutlinkHtml.as("html"), OutlinkBase.as("base")),
+          "doc_id", "html", "base")
+        .orderBy(col("src_host"), col("dst_host"))),
 
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
     // character fractions), computed shuffle-free per document by a
@@ -4954,6 +5080,52 @@ object SparkEntry {
          |  doc_id
          |FROM s ORDER BY epoch, shard, pos""".stripMargin
     },
+    // URL gate replayed: same host regex, suffix matching as LIKE tests
+    // in ascending-domain CASE order (first match ≡ the op's min-match),
+    // same path-rule chain.
+    "q_url_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://a' || (doc_id % 5) || '.d' || (doc_id % 20) || '.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |         WHEN doc_id % 3 = 1 THEN 'net' ELSE 'org' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '/track/click?id='
+        |         ELSE '/page/' END || doc_id AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))
+        |      AS host
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id, url, host,
+        |    CASE WHEN host = 'a1.d16.org' OR host LIKE '%.a1.d16.org'
+        |           THEN 'a1.d16.org'
+        |         WHEN host = 'd3.com' OR host LIKE '%.d3.com'
+        |           THEN 'd3.com'
+        |         WHEN host = 'd7.net' OR host LIKE '%.d7.net'
+        |           THEN 'd7.net' END AS blocked_domain,
+        |    CASE WHEN regexp_matches(url, '/track/')
+        |           THEN 'tracker' END AS blocked_rule
+        |  FROM h)
+        |SELECT doc_id, url, host, blocked_domain, blocked_rule,
+        |  blocked_domain IS NULL AND blocked_rule IS NULL AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Outlink rows from the shared CTE chain (lockstep unnest keeps
+    // Spark's posexplode indexes, fragment gaps included).
+    "q_outlinks" ->
+      s"""$OutlinkCte
+         |SELECT doc_id, link_idx::BIGINT AS link_idx, dst_url, src_host,
+         |  dst_host, dst_host <> src_host AS external
+         |FROM links ORDER BY doc_id, link_idx""".stripMargin,
+    // Domain edge list from the same links.
+    "q_domain_graph" ->
+      s"""$OutlinkCte
+         |SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+         |  count(DISTINCT doc_id)::BIGINT AS n_pages
+         |FROM links GROUP BY src_host, dst_host
+         |ORDER BY src_host, dst_host""".stripMargin,
     // Repetition stats re-derived relationally: per-(doc, gram) counts by
     // group-by, then the same three ratios (the Spark side computes them
     // with a sorted run-length fold — identical arithmetic order:

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlink extraction and the domain link graph — the stage between
+  * [[HtmlExtract]] (text) and [[LinkRank]] (graph): crawled pages carry
+  * their citation structure in `href` attributes, and the domain-level
+  * edge list they induce is what link-authority scoring, seed expansion,
+  * and spam-neighborhood analysis consume.
+  *
+  * Extraction is `regexp_extract_all` over both quote styles plus a
+  * URL-resolution when-chain (absolute kept, scheme-relative `//` gets
+  * `https:`, root-relative gets the base origin, fragments drop,
+  * anything else joins the base directory — no dot-segment
+  * normalization, which curation-grade graphs don't need and an oracle
+  * should not hide). Everything stays codegen'd Columns in the shared
+  * Java-regex∩RE2 subset; per-document work is linear in page bytes,
+  * shuffle-free until the explicit graph aggregate.
+  */
+object Outlinks {
+
+  val DoubleQuotedHref = "href=\"([^\"]*)\""
+  val SingleQuotedHref = "href='([^']*)'"
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Raw href values, double-quoted then single-quoted, document order
+    * within each style. */
+  def rawHrefs(html: Column): Column =
+    concat(
+      regexp_extract_all(html, lit(DoubleQuotedHref), lit(1)),
+      regexp_extract_all(html, lit(SingleQuotedHref), lit(1)))
+
+  /** Resolve an href against a base URL: absolute → itself;
+    * `//host/...` → `https:` + it; `/path` → base origin + it;
+    * empty / `#fragment` → null (no link); `rel/path` → base directory
+    * + it. */
+  def resolve(href: Column, baseUrl: Column): Column = {
+    val origin = regexp_extract(baseUrl, s"^($SchemePrefix[^/]*)", 1)
+    // base directory: greedy up-to-last-slash; when the base has no path
+    // (the last slash is the scheme's), fall back to origin + "/"
+    val dirRaw = regexp_extract(baseUrl, "^(.*/)", 1)
+    val dir = when(length(dirRaw) <= length(origin),
+      concat(origin, lit("/"))).otherwise(dirRaw)
+    when(href.rlike(SchemePrefix), href)
+      .when(href.startsWith("//"), concat(lit("https:"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .when(href === "" || href.startsWith("#"), lit(null))
+      .otherwise(concat(dir, href))
+  }
+
+  /** One row per resolved outlink: `(id, link_idx, dst_url, dst_host,
+    * external)`. Fragments/empty hrefs are dropped; `external` compares
+    * against the base URL's host. */
+  def outlinks(df: DataFrame, idCol: String, htmlCol: String,
+               baseUrlCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol), col(baseUrlCol).as("__base"),
+        posexplode(rawHrefs(col(htmlCol))).as(Seq("link_idx", "__href")))
+    exploded
+      .withColumn("dst_url", resolve(col("__href"), col("__base")))
+      .filter(col("dst_url").isNotNull)
+      .withColumn("src_host", UrlFilter.hostOf(col("__base")))
+      .withColumn("dst_host", UrlFilter.hostOf(col("dst_url")))
+      .withColumn("external", col("dst_host") =!= col("src_host"))
+      .drop("__base", "__href")
+  }
+
+  /** The domain-level edge list: `(src_host, dst_host, n_links,
+    * n_pages)` — the [[LinkRank]]-ready graph. One shuffle on the edge
+    * key. */
+  def domainGraph(df: DataFrame, idCol: String, htmlCol: String,
+                  baseUrlCol: String): DataFrame =
+    outlinks(df, idCol, htmlCol, baseUrlCol)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_pages"))
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class OutlinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def resolveOne(href: String, base: String): Option[String] =
+    Seq((href, base)).toDF("h", "b")
+      .select(Outlinks.resolve($"h", $"b").as("r"))
+      .as[Option[String]].head()
+
+  "resolve" should "handle every href shape" in {
+    val base = "https://www.site.org/dir/page.html"
+    resolveOne("https://other.com/x", base) shouldBe
+      Some("https://other.com/x")
+    resolveOne("//cdn.net/lib.js", base) shouldBe Some("https://cdn.net/lib.js")
+    resolveOne("/root/doc", base) shouldBe Some("https://www.site.org/root/doc")
+    resolveOne("sibling.html", base) shouldBe
+      Some("https://www.site.org/dir/sibling.html")
+    resolveOne("#anchor", base) shouldBe None
+    resolveOne("", base) shouldBe None
+  }
+
+  it should "treat a path-less base as its own directory" in {
+    resolveOne("page2", "https://host.com") shouldBe
+      Some("https://host.com/page2")
+  }
+
+  "outlinks" should "extract both quote styles in document order" in {
+    val html = """<a href="https://a.com/1">x</a> mid""" +
+      """ <a href='/rel'>y</a> <a href="#skip">z</a>"""
+    val out = Outlinks.outlinks(
+      Seq((7L, html, "https://base.org/p/q")).toDF("id", "html", "base"),
+      "id", "html", "base")
+      .orderBy($"link_idx")
+      .select($"link_idx", $"dst_url", $"dst_host", $"external")
+      .as[(Int, String, String, Boolean)].collect()
+    // double-quoted hrefs index first, then single-quoted; the fragment
+    // drops leaving its index gap
+    out shouldBe Array(
+      (0, "https://a.com/1", "a.com", true),
+      (2, "https://base.org/rel", "base.org", false))
+  }
+
+  "domainGraph" should "aggregate the domain edge list" in {
+    val rows = Seq(
+      (1L, """<a href="https://t.com/a">1</a><a href="https://t.com/b">2</a>""",
+        "https://s.org/p"),
+      (2L, """<a href="https://t.com/c">3</a>""", "https://s.org/q"))
+      .toDF("id", "html", "base")
+    val g = Outlinks.domainGraph(rows, "id", "html", "base")
+      .select($"src_host", $"dst_host", $"n_links", $"n_pages")
+      .as[(String, String, Long, Long)].collect()
+    g.toSeq shouldBe Seq(("s.org", "t.com", 3L, 2L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class UrlFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val blocked = Seq("ads.example.com", "spam.net").toDF("domain")
+
+  private def auditOne(url: String) =
+    UrlFilter.audit(Seq((1L, url)).toDF("id", "url"), "id", "url",
+      blocked, "domain", Seq("tracker" -> "/track/"))
+
+  "hostOf" should "extract lowercased hosts through credentials and ports" in {
+    val cases = Seq(
+      "https://WWW.Example.COM/path" -> "www.example.com",
+      "http://user:pw@host.net:8080/x?q=1" -> "host.net",
+      "ftp://files.org" -> "files.org",
+      "not a url" -> "")
+    cases.foreach { case (u, want) =>
+      Seq(u).toDF("u").select(UrlFilter.hostOf($"u")).as[String]
+        .head() shouldBe want
+    }
+  }
+
+  "hostSuffixes" should "emit the bounded suffix chain" in {
+    Seq("a.b.c.d").toDF("h")
+      .select(UrlFilter.hostSuffixes($"h", maxLabels = 3)).as[Seq[String]]
+      .head() shouldBe Seq("d", "c.d", "b.c.d") // capped at 3 labels
+  }
+
+  "audit" should "block a domain and all its subdomains, nothing else" in {
+    auditOne("https://ads.example.com/banner")
+      .select($"blocked_domain").as[String].head() shouldBe "ads.example.com"
+    auditOne("https://x.y.ads.example.com/banner")
+      .select($"blocked_domain").as[String].head() shouldBe "ads.example.com"
+    auditOne("https://example.com/fine")
+      .select($"keep").as[Boolean].head() shouldBe true
+    // no substring false positive
+    auditOne("https://notspam.net/ok")
+      .select($"keep").as[Boolean].head() shouldBe true
+  }
+
+  it should "report the first matching path rule" in {
+    val r = auditOne("https://clean.org/track/click")
+      .select($"blocked_rule", $"keep").as[(String, Boolean)].head()
+    r shouldBe (("tracker", false))
+  }
+
+  it should "report the minimum matching domain when several match" in {
+    val multi = Seq("b.example.com", "a.b.example.com").toDF("domain")
+    UrlFilter.audit(Seq((1L, "https://a.b.example.com/x")).toDF("id", "url"),
+        "id", "url", multi, "domain")
+      .select($"blocked_domain").as[String]
+      .head() shouldBe "a.b.example.com"
+  }
+
+  "filterByBlocklist" should "drop blocked rows and keep original columns" in {
+    val df = Seq((1L, "https://spam.net/x", "a"),
+      (2L, "https://ok.org/y", "b")).toDF("id", "url", "extra")
+    val out = UrlFilter.filterByBlocklist(df, "id", "url", blocked, "domain")
+    out.columns.toSeq shouldBe Seq("id", "url", "extra")
+    out.select($"id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+}

@@ -2207,6 +2207,37 @@ object SparkEntry {
           "doc_id", "html", "base")
         .orderBy(col("src_host"), col("dst_host"))),
 
+    // Cluster purity against the embeddings' reference labels, cells
+    // from the exact iters=0 Voronoi regime (q_semdedup's) — per cell,
+    // the majority label (ties to minimum) over the cell size, integer
+    // until one division.
+    "q_cluster_purity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val asg = graft.ops.SemanticDedup.semDedup(emb, "vec_id",
+          "embedding", k = 8, tau = 0.4, iters = 0)
+        .select(col("vec_id"), col("cell"))
+      graft.ops.ClusterEval.purityByCell(
+          asg.join(emb.select(col("vec_id"), col("label")), "vec_id"),
+          "cell", "label")
+        .select(col("cell"),
+          col("majority_label").cast(LongType).as("majority_label"),
+          col("n"), col("n_majority"), col("purity"))
+        .orderBy(col("cell"))
+    }),
+
+    // One-row cluster-quality gate: purity totals + the InfoTheory NMI
+    // of cell vs label — do the semantic cells mean anything before
+    // curation hangs caps and drops on them.
+    "q_cluster_quality" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val asg = graft.ops.SemanticDedup.semDedup(emb, "vec_id",
+          "embedding", k = 8, tau = 0.4, iters = 0)
+        .select(col("vec_id"), col("cell"))
+      graft.ops.ClusterEval.qualityReport(
+        asg.join(emb.select(col("vec_id"), col("label")), "vec_id"),
+        "cell", "label")
+    }),
+
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
     // character fractions), computed shuffle-free per document by a
     // sorted run-length aggregate over the n-gram multiset.
@@ -5080,6 +5111,56 @@ object SparkEntry {
          |  doc_id
          |FROM s ORDER BY epoch, shard, pos""".stripMargin
     },
+    // Purity replayed over the same Voronoi cells: contingency counts,
+    // per-cell max, min-label tie-break, one division.
+    "q_cluster_purity" ->
+      s"""$SemCellAssignmentCte,
+         |jj AS (SELECT a.cell, e.label FROM asg a
+         |       JOIN embeddings e ON e.vec_id = a.id),
+         |cl AS (SELECT cell, label, count(*) AS n_cl FROM jj GROUP BY 1, 2),
+         |ag AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n,
+         |         CAST(max(n_cl) AS BIGINT) AS n_majority
+         |       FROM cl GROUP BY cell),
+         |mj AS (SELECT cl.cell, CAST(min(cl.label) AS BIGINT)
+         |         AS majority_label
+         |       FROM cl JOIN ag ON cl.cell = ag.cell
+         |         AND cl.n_cl = ag.n_majority GROUP BY cl.cell)
+         |SELECT ag.cell::BIGINT AS cell, mj.majority_label, ag.n,
+         |  ag.n_majority, ag.n_majority::DOUBLE / ag.n::DOUBLE AS purity
+         |FROM ag JOIN mj ON ag.cell = mj.cell ORDER BY cell""".stripMargin,
+    // Quality gate replayed: purity totals + the q_mutual_info MI/NMI
+    // formulas over the cell×label contingency table.
+    "q_cluster_quality" ->
+      s"""$SemCellAssignmentCte,
+         |jj AS (SELECT a.cell, e.label FROM asg a
+         |       JOIN embeddings e ON e.vec_id = a.id),
+         |cl AS (SELECT cell, label, count(*) AS n_cl FROM jj GROUP BY 1, 2),
+         |ag AS (SELECT cell, CAST(sum(n_cl) AS BIGINT) AS n,
+         |         CAST(max(n_cl) AS BIGINT) AS n_majority
+         |       FROM cl GROUP BY cell),
+         |tot AS (SELECT count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n,
+         |          sum(n_majority)::BIGINT AS n_majority FROM ag),
+         |mx AS (SELECT cell, sum(n_cl) AS n_x FROM cl GROUP BY 1),
+         |my AS (SELECT label, sum(n_cl) AS n_y FROM cl GROUP BY 1),
+         |t AS (SELECT cl.cell, cl.label, n_cl, n_x, n_y,
+         |        CAST(sum(n_cl) OVER () AS BIGINT) AS nn
+         |      FROM cl JOIN mx USING (cell) JOIN my USING (label)),
+         |mi AS (SELECT sum((n_cl::DOUBLE / nn::DOUBLE) *
+         |         log2(nn::DOUBLE * n_cl::DOUBLE
+         |           / (n_x::DOUBLE * n_y::DOUBLE))) AS mi_raw FROM t),
+         |hx AS (SELECT sum(0.0 - p * log2(p)) AS h_x FROM
+         |       (SELECT n_x::DOUBLE / CAST(sum(n_x) OVER () AS DOUBLE)
+         |          AS p FROM mx)),
+         |hy AS (SELECT sum(0.0 - p * log2(p)) AS h_y FROM
+         |       (SELECT n_y::DOUBLE / CAST(sum(n_y) OVER () AS DOUBLE)
+         |          AS p FROM my))
+         |SELECT tot.n_cells, tot.n, tot.n_majority,
+         |  tot.n_majority::DOUBLE / tot.n::DOUBLE AS purity,
+         |  round(mi_raw, 6) AS mi_total, round(h_x, 6) AS h_cell,
+         |  round(h_y, 6) AS h_label,
+         |  CASE WHEN h_x = 0 OR h_y = 0 THEN NULL
+         |       ELSE round(mi_raw / sqrt(h_x * h_y), 6) END AS nmi
+         |FROM tot, mi, hx, hy""".stripMargin,
     // URL gate replayed: same host regex, suffix matching as LIKE tests
     // in ascending-domain CASE order (first match ≡ the op's min-match),
     // same path-rule chain.

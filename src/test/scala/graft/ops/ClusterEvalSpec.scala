@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClusterEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // cell 0: labels a,a,b → majority a (2/3); cell 1: pure c (2/2);
+  // cell 2: tie a/b → majority ties to min label "a"
+  private val df = Seq(
+    (0L, "a"), (0L, "a"), (0L, "b"),
+    (1L, "c"), (1L, "c"),
+    (2L, "b"), (2L, "a")).toDF("cell", "label")
+
+  "purityByCell" should "report majority counts with min-label ties" in {
+    val r = ClusterEval.purityByCell(df, "cell", "label")
+      .orderBy($"cell")
+      .select($"cell", $"majority_label", $"n", $"n_majority")
+      .as[(Long, String, Long, Long)].collect()
+    r.toSeq shouldBe Seq(
+      (0L, "a", 3L, 2L), (1L, "c", 2L, 2L), (2L, "a", 2L, 1L))
+  }
+
+  it should "compute purity as the exact ratio" in {
+    ClusterEval.purityByCell(df, "cell", "label")
+      .filter($"cell" === 0).select($"purity").as[Double]
+      .head() shouldBe 2.0 / 3.0
+  }
+
+  "purityTotal" should "aggregate the corpus ratio" in {
+    val r = ClusterEval.purityTotal(df, "cell", "label")
+      .select($"n_cells", $"n", $"n_majority", $"purity")
+      .as[(Long, Long, Long, Double)].head()
+    r shouldBe ((3L, 7L, 5L, 5.0 / 7.0))
+  }
+
+  "qualityReport" should "carry purity and NMI in one row" in {
+    val r = ClusterEval.qualityReport(df, "cell", "label")
+    r.count() shouldBe 1
+    val row = r.select($"purity", $"nmi").as[(Double, Option[Double])]
+      .head()
+    row._1 shouldBe 5.0 / 7.0
+    row._2.get should (be > 0.0 and be <= 1.0)
+  }
+
+  it should "score perfectly aligned cells as purity 1 and NMI 1" in {
+    val perfect = Seq((0L, "x"), (0L, "x"), (1L, "y"), (1L, "y"))
+      .toDF("cell", "label")
+    val row = ClusterEval.qualityReport(perfect, "cell", "label")
+      .select($"purity", $"nmi").as[(Double, Option[Double])].head()
+    row shouldBe ((1.0, Some(1.0)))
+  }
+
+  it should "be invariant to partitioning" in {
+    val wide = (1 to 300).map(i => ((i % 5).toLong, s"l${i % 7}"))
+    val a = ClusterEval.qualityReport(wide.toDF("cell", "label"),
+      "cell", "label").collect().toSeq
+    val b = ClusterEval.qualityReport(
+      wide.toDF("cell", "label").repartition(13), "cell", "label")
+      .collect().toSeq
+    b shouldBe a
+  }
+}

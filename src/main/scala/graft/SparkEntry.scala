@@ -2238,6 +2238,25 @@ object SparkEntry {
         "cell", "label")
     }),
 
+    // Aspect-ratio bucketing over a deterministic dimension sweep: the
+    // NovelAI-style ladder argmin computed in exact int64 cross
+    // products (no floats, no logs), earliest-entry ties — the oracle
+    // replays the argmin as the equivalent integer CASE chain.
+    "q_aspect_buckets" -> ((s, d) => {
+      val dims = Tables.documents(s, d).select(col("doc_id"),
+        (lit(256) + pmod(col("doc_id") * 7, lit(1800))).cast(IntegerType)
+          .as("w"),
+        (lit(256) + pmod(col("doc_id") * 13, lit(1800))).cast(IntegerType)
+          .as("h"))
+      graft.ops.AspectBuckets.assign(dims, "w", "h")
+        .select(col("doc_id"), col("w").cast(LongType).as("w"),
+          col("h").cast(LongType).as("h"),
+          col("bucket_idx").cast(LongType).as("bucket_idx"),
+          col("bucket_w").cast(LongType).as("bucket_w"),
+          col("bucket_h").cast(LongType).as("bucket_h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
     // character fractions), computed shuffle-free per document by a
     // sorted run-length aggregate over the n-gram multiset.
@@ -5110,6 +5129,40 @@ object SparkEntry {
          |    ORDER BY h, doc_id) - 1)::BIGINT AS pos,
          |  doc_id
          |FROM s ORDER BY epoch, shard, pos""".stripMargin
+    },
+    // Bucket argmin replayed as an integer CASE chain generated from
+    // the SAME ladder: i wins iff strictly closer than every earlier
+    // entry and no later entry is strictly closer (cross-multiplied
+    // max/min rationals, identical arithmetic).
+    "q_aspect_buckets" -> {
+      val ladder = graft.ops.AspectBuckets.DefaultLadder
+      def mx(i: Int) = s"greatest(w * ${ladder(i)._2}, h * ${ladder(i)._1})"
+      def mn(i: Int) = s"least(w * ${ladder(i)._2}, h * ${ladder(i)._1})"
+      val winChain = ladder.indices.map { i =>
+        val conds = ladder.indices.filter(_ != i).map { j =>
+          if (j < i) s"${mx(i)} * ${mn(j)} < ${mx(j)} * ${mn(i)}"
+          else s"${mx(i)} * ${mn(j)} <= ${mx(j)} * ${mn(i)}"
+        }.mkString("\n         |      AND ")
+        s"WHEN $conds THEN $i"
+      }.mkString("\n         |    ")
+      val wCase = ladder.zipWithIndex.map { case ((bw, _), i) =>
+        s"WHEN bucket_idx = $i THEN $bw" }.mkString(" ")
+      val hCase = ladder.zipWithIndex.map { case ((_, bh), i) =>
+        s"WHEN bucket_idx = $i THEN $bh" }.mkString(" ")
+      s"""WITH dims AS (
+         |  SELECT doc_id, 256 + (doc_id * 7 % 1800) AS w,
+         |    256 + (doc_id * 13 % 1800) AS h
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, w, h, CASE
+         |    $winChain
+         |    END AS bucket_idx
+         |  FROM dims)
+         |SELECT doc_id, w::BIGINT AS w, h::BIGINT AS h,
+         |  bucket_idx::BIGINT AS bucket_idx,
+         |  (CASE $wCase END)::BIGINT AS bucket_w,
+         |  (CASE $hCase END)::BIGINT AS bucket_h
+         |FROM b ORDER BY doc_id""".stripMargin
     },
     // Purity replayed over the same Voronoi cells: contingency counts,
     // per-cell max, min-label tie-break, one division.

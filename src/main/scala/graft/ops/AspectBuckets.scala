@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aspect-ratio bucketing for image training — the batching move
+  * (popularized by NovelAI's SD training writeup, now standard in
+  * diffusion/VLM pipelines): images batch with OTHERS OF THEIR SHAPE
+  * against a fixed resolution ladder, so minibatches need no
+  * distortion-heavy square crops and tensors stay uniform per batch.
+  *
+  * The assignment is argmin over the ladder of the LOG-aspect distance
+  * |log(w/h) − log(bw/bh)| — but computed entirely in int64: comparing
+  * |log r| values is comparing max(r, 1/r) as rationals, and with
+  * r = (w·bh)/(bw·h) that is a cross-multiplication —
+  * `max(p,q)·min(p',q') < max(p',q')·min(p,q)` — no floats, no logs,
+  * bit-identical verdicts on any engine (and replayable by the oracle
+  * as the same integer CASE chain). Ties resolve to the EARLIEST ladder
+  * entry. The compared products are bounded by
+  * (maxDim·maxLadderSide)², int64-safe up to ~2 million pixels a side
+  * with the default ladder — far past any decodable image.
+  *
+  * Pure codegen'd per-row Columns: shuffle-free; the histogram is one
+  * ladder-sized groupBy.
+  */
+object AspectBuckets {
+
+  /** A symmetric 9-step ladder around 512² (the public SD-class set):
+    * portrait through square to landscape. */
+  val DefaultLadder: Seq[(Int, Int)] = Seq(
+    (256, 1024), (320, 768), (384, 640), (448, 576), (512, 512),
+    (576, 448), (640, 384), (768, 320), (1024, 256))
+
+  /** 0-based index into `ladder` of the closest-aspect bucket. */
+  def bucketIdx(w: Column, h: Column,
+                ladder: Seq[(Int, Int)] = DefaultLadder): Column = {
+    require(ladder.nonEmpty, "aspect ladder must not be empty")
+    def pq(bw: Int, bh: Int): (Column, Column) = {
+      val p = w.cast("long") * bh
+      val q = h.cast("long") * bw
+      (greatest(p, q), least(p, q))
+    }
+    val (mx0, mn0) = pq(ladder.head._1, ladder.head._2)
+    val init = struct(lit(0).as("idx"), mx0.as("mx"), mn0.as("mn"))
+    val best = ladder.tail.zipWithIndex.foldLeft(init) {
+      case (acc, ((bw, bh), i)) =>
+        val (mx, mn) = pq(bw, bh)
+        // strictly better only — ties keep the earlier entry
+        when(mx * acc.getField("mn") < acc.getField("mx") * mn,
+          struct(lit(i + 1).as("idx"), mx.as("mx"), mn.as("mn")))
+          .otherwise(acc)
+    }
+    best.getField("idx")
+  }
+
+  /** Append `bucket_idx`, `bucket_w`, `bucket_h`. */
+  def assign(df: DataFrame, wCol: String, hCol: String,
+             ladder: Seq[(Int, Int)] = DefaultLadder): DataFrame = {
+    val idx = bucketIdx(col(wCol), col(hCol), ladder)
+    val ws = array(ladder.map(b => lit(b._1)): _*)
+    val hs = array(ladder.map(b => lit(b._2)): _*)
+    df.withColumn("bucket_idx", idx)
+      .withColumn("bucket_w", element_at(ws, col("bucket_idx") + 1))
+      .withColumn("bucket_h", element_at(hs, col("bucket_idx") + 1))
+  }
+
+  /** Per-bucket histogram: `(bucket_idx, bucket_w, bucket_h, n)` — the
+    * batch-planning view (a bucket with 3 images can't fill a batch of
+    * 64; merge or drop it upstream). */
+  def histogram(df: DataFrame, wCol: String, hCol: String,
+                ladder: Seq[(Int, Int)] = DefaultLadder): DataFrame =
+    assign(df, wCol, hCol, ladder)
+      .groupBy(col("bucket_idx"), col("bucket_w"), col("bucket_h"))
+      .agg(count(lit(1)).as("n"))
+}

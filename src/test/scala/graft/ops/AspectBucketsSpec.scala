@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AspectBucketsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def assignOne(w: Int, h: Int): (Int, Int, Int) =
+    AspectBuckets.assign(Seq((w, h)).toDF("w", "h"), "w", "h")
+      .select($"bucket_idx", $"bucket_w", $"bucket_h")
+      .as[(Int, Int, Int)].head()
+
+  "AspectBuckets" should "assign squares and clear aspect matches" in {
+    assignOne(512, 512) shouldBe ((4, 512, 512))
+    assignOne(800, 800) shouldBe ((4, 512, 512))
+    assignOne(100, 1000) shouldBe ((0, 256, 1024)) // extreme portrait
+    assignOne(4000, 1000) shouldBe ((8, 1024, 256)) // extreme landscape
+  }
+
+  it should "resolve exact log-distance ties to the earlier entry" in {
+    // 1000×500 sits exactly between (640,384)=5:3 and (768,320)=12:5
+    // in log space (both M = 6/5): earliest wins
+    assignOne(1000, 500) shouldBe ((6, 640, 384))
+  }
+
+  it should "match a float log argmin on a dimension sweep" in {
+    val ladder = AspectBuckets.DefaultLadder
+    def expected(w: Int, h: Int): Int =
+      ladder.zipWithIndex.minBy { case ((bw, bh), i) =>
+        (math.abs(math.log(w.toDouble / h) - math.log(bw.toDouble / bh)), i)
+      }._2
+    val dims = for (w <- 100 to 2100 by 97; h <- 100 to 2100 by 89)
+      yield (w, h)
+    val got = AspectBuckets.assign(dims.toDF("w", "h"), "w", "h")
+      .select($"w", $"h", $"bucket_idx")
+      .as[(Int, Int, Int)].collect()
+    got.foreach { case (w, h, idx) => idx shouldBe expected(w, h) }
+  }
+
+  "histogram" should "count per bucket" in {
+    val df = Seq((512, 512), (513, 512), (100, 1000)).toDF("w", "h")
+    val r = AspectBuckets.histogram(df, "w", "h")
+      .orderBy($"bucket_idx")
+      .select($"bucket_idx", $"n").as[(Int, Long)].collect()
+    r.toSeq shouldBe Seq((0, 1L), (4, 2L))
+  }
+
+  it should "refuse an empty ladder" in {
+    an[IllegalArgumentException] should be thrownBy
+      AspectBuckets.bucketIdx(lit(1), lit(1), Nil)
+  }
+}

@@ -430,6 +430,47 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming secret/credential quarantine gate
+    * ([[graft.ops.SecretScan]] at the door): each arriving micro-batch
+    * is scanned and rows carrying ANY detector hit — vendor key shapes
+    * or the generic high-entropy tier — are DROPPED before they land in
+    * the corpus; survivors pass through with original columns. A leaked
+    * key quarantines on arrival instead of surfacing in a later batch
+    * audit.
+    *
+    * Stateless per row (the verdict depends only on the row's own
+    * text), so the converged output equals the batch
+    * `SecretScan.report(...).filter(!has_secret)` of the whole bounded
+    * stream regardless of batch boundaries — it shares the batch SQL
+    * oracle. Same idempotent per-batch-overwrite file bridge as
+    * [[streamClassifyLang]]. */
+  def streamSecretGate(stream: DataFrame, idCol: String, textCol: String,
+                       dir: String, statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val clean = graft.ops.SecretScan
+          .report(b, idCol, textCol)
+          .filter(!col("has_secret"))
+          .select(col(idCol))
+        b.join(clean, Seq(idCol), "left_semi")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stream.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** Streaming MEDIA near-dup gate against a FROZEN persisted
     * fingerprint index ([[graft.ops.Hamming.HammingIndex]]) — the
     * media composition of [[streamDedupAgainst]]'s shape: each arriving

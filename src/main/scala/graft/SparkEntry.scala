@@ -325,6 +325,24 @@ object SparkEntry {
     concat(lit("https://a"), pmod(col("doc_id"), lit(5)),
       lit(".site.org/dir/idx"), col("doc_id"))
 
+  // q_ip_enrich's CIDR fixture, shared by the Spark query and (with
+  // bounds computed here in Scala) the oracle's VALUES table
+  private val IpRangeFixture: Seq[(String, String)] = Seq(
+    ("0.0.0.0/0", "all"), ("10.0.0.0/8", "intra"),
+    ("100.64.0.0/10", "cgnat"), ("192.168.0.0/16", "lan"),
+    ("203.0.113.0/24", "testnet"))
+
+  private def cidrBounds(cidr: String): (Long, Long, Int) = {
+    val Array(base, p) = cidr.split("/")
+    val prefix = p.toInt
+    val octs = base.split("\\.").map(_.toLong)
+    val raw = octs(0) * 16777216L + octs(1) * 65536L + octs(2) * 256L +
+      octs(3)
+    val span = 1L << (32 - prefix)
+    val start = raw / span * span
+    (start, start + span - 1, prefix)
+  }
+
   // the CTE chain both outlink oracles share: page synthesis, lockstep
   // unnest + generate_subscripts explode (dq list then sq list, matching
   // Spark's concat order), and the resolution CASE chain
@@ -2280,6 +2298,27 @@ object SparkEntry {
           Tables.documentsStream(s, d).select(id, seeded.as("t")),
           "doc_id", "t", out, statePartitions = 8)
         .select(col("doc_id"), md5(col("t")).as("t_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // IP-to-CIDR enrichment over deterministic addresses (some
+    // malformed): the /8 prefix-bucketed equi-join with longest-prefix
+    // resolution — the oracle replays parsing octet-for-octet and
+    // resolves overlaps with the same (32−prefix, start, label) order.
+    "q_ip_enrich" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val ip = when(pmod(id, lit(17)) === 0,
+        concat(lit("999.1.2."), pmod(id, lit(256))))
+        .otherwise(concat(lit(1) + pmod(id, lit(223)), lit("."),
+          pmod(id, lit(256)), lit("."), pmod(id * 7, lit(256)), lit("."),
+          pmod(id * 13, lit(256))))
+      val ranges = IpRangeFixture.toDF("cidr", "label")
+      graft.ops.IpEnrich.enrich(
+          Tables.documents(s, d).select(id, ip.as("ip")),
+          "ip", ranges, "cidr", "label")
+        .select(col("doc_id"), col("ip"), col("ip_num"), col("cidr"),
+          col("label"), col("prefix"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5155,6 +5194,46 @@ object SparkEntry {
          |    ORDER BY h, doc_id) - 1)::BIGINT AS pos,
          |  doc_id
          |FROM s ORDER BY epoch, shard, pos""".stripMargin
+    },
+    // Enrichment replayed: same octet arithmetic, a VALUES range table
+    // with bounds precomputed from the SAME fixture, overlap resolution
+    // by the same (32−prefix, start, label) order.
+    "q_ip_enrich" -> {
+      val values = IpRangeFixture.map { case (cidr, label) =>
+        val (s0, e0, p0) = cidrBounds(cidr)
+        s"('$cidr', '$label', $s0::BIGINT, $e0::BIGINT, $p0::BIGINT)"
+      }.mkString(",\n         |  ")
+      s"""WITH ips AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN '999.1.2.' || (doc_id % 256)
+         |    ELSE (1 + doc_id % 223) || '.' || (doc_id % 256) || '.' ||
+         |      ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+         |    END AS ip
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, ip,
+         |    CASE WHEN regexp_matches(ip,
+         |        '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$$')
+         |      AND string_split(ip, '.')[1]::BIGINT <= 255
+         |      AND string_split(ip, '.')[2]::BIGINT <= 255
+         |      AND string_split(ip, '.')[3]::BIGINT <= 255
+         |      AND string_split(ip, '.')[4]::BIGINT <= 255
+         |    THEN string_split(ip, '.')[1]::BIGINT * 16777216 +
+         |      string_split(ip, '.')[2]::BIGINT * 65536 +
+         |      string_split(ip, '.')[3]::BIGINT * 256 +
+         |      string_split(ip, '.')[4]::BIGINT END AS ip_num
+         |  FROM ips),
+         |r(cidr, label, rstart, rend, prefix) AS (VALUES
+         |  $values),
+         |m AS (
+         |  SELECT n.doc_id, r.cidr, r.label, r.prefix,
+         |    row_number() OVER (PARTITION BY n.doc_id
+         |      ORDER BY (32 - r.prefix), r.rstart, r.label) AS rn
+         |  FROM n JOIN r ON n.ip_num >= r.rstart AND n.ip_num <= r.rend)
+         |SELECT n.doc_id, n.ip, n.ip_num, m.cidr, m.label, m.prefix
+         |FROM n LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+         |  ON n.doc_id = m.doc_id
+         |ORDER BY n.doc_id""".stripMargin
     },
     // Streaming gate's survivors: the batch SecretScan filter — no
     // detector pattern fires and no generic candidate passes the gate.

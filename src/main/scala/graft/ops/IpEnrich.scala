@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IP-to-CIDR enrichment — the log/event enrichment join (geo, ASN,
+  * intranet classification): map each IPv4 address to the CIDR block
+  * covering it.
+  *
+  * Scale shape: a range predicate (`start ≤ ip ≤ end`) is a cross join
+  * to Spark, so the op buckets both sides by the /8 FIRST OCTET — each
+  * CIDR explodes into the (≤ 256, usually 1) first-octet buckets it
+  * spans, the corpus equi-joins on its address's bucket (the range
+  * table is model-sized, so Spark broadcasts it), and the range test
+  * filters inside the joined bucket. No corpus shuffle, no cross
+  * product, plan size constant in range count.
+  *
+  * Overlapping blocks resolve LONGEST-PREFIX-FIRST (the routing-table
+  * rule): the smallest covering range wins, ties to smaller start then
+  * label — fully deterministic and oracle-replayable. Malformed
+  * addresses parse to null and enrich to null (audit upstream, don't
+  * fabricate).
+  *
+  * All arithmetic is integer (the 2^k factors are exact in double
+  * before the cast) and portable — the oracle replays parsing and
+  * resolution verbatim.
+  */
+object IpEnrich {
+
+  /** Dotted-quad IPv4 → uint32 as long; null for anything malformed
+    * (wrong part count, non-numeric, octet out of range). */
+  def ipToLong(ip: Column): Column = {
+    // shape gate FIRST: under ANSI mode a cast of a non-numeric part
+    // throws, so the casts may only run inside the branch the regex
+    // guards (CaseWhen evaluates branch values lazily)
+    val shapeOk = ip.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
+    val parts = split(ip, "\\.")
+    val octs = (0 until 4).map(i => element_at(parts, i + 1).cast("long"))
+    when(shapeOk,
+      when(octs.map(_ <= 255).reduce(_ && _),
+        octs(0) * 16777216L + octs(1) * 65536L + octs(2) * 256L + octs(3)))
+  }
+
+  /** Parse a `(cidr, …)` table into `(start, end, prefix, …)` long
+    * bounds. Fails loudly on malformed CIDR (a silently-dropped range
+    * would silently unclassify its traffic). */
+  def parseCidrs(ranges: DataFrame, cidrCol: String): DataFrame = {
+    val base = ipToLong(regexp_extract(col(cidrCol), "^([0-9.]+)/", 1))
+    val prefix = regexp_extract(col(cidrCol), "/([0-9]{1,2})$", 1)
+      .cast("long")
+    val ok = base.isNotNull && prefix.isNotNull && prefix <= 32
+    val span = pow(lit(2.0), lit(32L) - prefix).cast("long")
+    val start = floor(base / span).cast("long") * span
+    ranges
+      .withColumn("__ok", when(ok, true).otherwise(raise_error(
+        concat(lit("IpEnrich.parseCidrs: malformed CIDR: "), col(cidrCol)))))
+      .withColumn("prefix", prefix)
+      .withColumn("start", start)
+      .withColumn("end", start + span - 1)
+      .drop("__ok")
+  }
+
+  /** Enrich `df[ipCol]` with the longest-prefix covering block from
+    * `ranges` (a `(cidr, label)` table): appends `ip_num`, `cidr`,
+    * `label`, `prefix` (nulls when uncovered or malformed). */
+  def enrich(df: DataFrame, ipCol: String, ranges: DataFrame,
+             cidrCol: String, labelCol: String): DataFrame = {
+    val parsed = parseCidrs(ranges, cidrCol)
+      .select(col(cidrCol).as("__cidr"), col(labelCol).as("__label"),
+        col("prefix").as("__prefix"), col("start").as("__start"),
+        col("end").as("__end"))
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__start") / 16777216L).cast("long"),
+        floor(col("__end") / 16777216L).cast("long"))))
+    val withIp = df.withColumn("ip_num", ipToLong(col(ipCol)))
+      .withColumn("__bucket", floor(col("ip_num") / 16777216L).cast("long"))
+    val matches = withIp
+      .join(parsed, Seq("__bucket"))
+      .filter(col("ip_num") >= col("__start") &&
+        col("ip_num") <= col("__end"))
+      // longest prefix first; start, then label as total tie-break
+      .groupBy(col(ipCol).as("__k"))
+      .agg(min(struct((lit(32L) - col("__prefix")).as("o1"),
+        col("__start").as("o2"), col("__label").as("o3"),
+        col("__cidr").as("o4"), col("__prefix").as("o5"))).as("__best"))
+      .select(col("__k"), col("__best.o4").as("cidr"),
+        col("__best.o3").as("label"), col("__best.o5").as("prefix"))
+    withIp.drop("__bucket")
+      .join(matches, withIp(ipCol) === matches("__k"), "left")
+      .drop("__k")
+  }
+}

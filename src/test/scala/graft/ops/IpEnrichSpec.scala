@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IpEnrichSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parseOne(ip: String): Option[Long] =
+    Seq(ip).toDF("ip").select(IpEnrich.ipToLong($"ip")).as[Option[Long]]
+      .head()
+
+  "ipToLong" should "parse valid quads and reject malformed ones" in {
+    parseOne("0.0.0.0") shouldBe Some(0L)
+    parseOne("255.255.255.255") shouldBe Some(4294967295L)
+    parseOne("10.0.0.1") shouldBe Some(167772161L)
+    parseOne("256.1.1.1") shouldBe None
+    parseOne("1.2.3") shouldBe None
+    parseOne("1.2.3.4.5") shouldBe None
+    parseOne("a.b.c.d") shouldBe None
+    parseOne("1.2.3.4x") shouldBe None
+  }
+
+  "parseCidrs" should "mask unaligned bases and bound spans" in {
+    val r = IpEnrich.parseCidrs(
+        Seq(("10.5.7.0/8", "x")).toDF("cidr", "label"), "cidr")
+      .select($"start", $"end", $"prefix").as[(Long, Long, Long)].head()
+    r shouldBe ((167772160L, 184549375L, 8L)) // 10.0.0.0 .. 10.255.255.255
+  }
+
+  it should "fail loudly on malformed CIDR" in {
+    an[Exception] should be thrownBy
+      IpEnrich.parseCidrs(Seq(("999.0.0.0/8", "x")).toDF("cidr", "label"),
+        "cidr").collect()
+    an[Exception] should be thrownBy
+      IpEnrich.parseCidrs(Seq(("10.0.0.0/40", "x")).toDF("cidr", "label"),
+        "cidr").collect()
+  }
+
+  private val ranges = Seq(
+    ("0.0.0.0/0", "all"), ("10.0.0.0/8", "intra"),
+    ("10.1.0.0/16", "lab")).toDF("cidr", "label")
+
+  "enrich" should "pick the longest covering prefix" in {
+    val df = Seq((1L, "10.1.2.3"), (2L, "10.9.9.9"), (3L, "8.8.8.8"))
+      .toDF("id", "ip")
+    val out = IpEnrich.enrich(df, "ip", ranges, "cidr", "label")
+      .orderBy($"id").select($"id", $"label", $"prefix")
+      .as[(Long, String, Long)].collect()
+    out.toSeq shouldBe Seq((1L, "lab", 16L), (2L, "intra", 8L),
+      (3L, "all", 0L))
+  }
+
+  it should "leave malformed and (without a /0) uncovered addresses null" in {
+    val narrow = Seq(("10.0.0.0/8", "intra")).toDF("cidr", "label")
+    val out = IpEnrich.enrich(
+        Seq((1L, "11.0.0.1"), (2L, "not-an-ip")).toDF("id", "ip"),
+        "ip", narrow, "cidr", "label")
+      .orderBy($"id").select($"label".isNull, $"ip_num".isNull)
+      .as[(Boolean, Boolean)].collect()
+    out.toSeq shouldBe Seq((true, false), (true, true))
+  }
+
+  it should "handle a CIDR spanning several /8 buckets" in {
+    val wide = Seq(("12.0.0.0/6", "wide")).toDF("cidr", "label")
+    val out = IpEnrich.enrich(
+        Seq((1L, "13.1.1.1"), (2L, "15.255.0.1"), (3L, "16.0.0.0"))
+          .toDF("id", "ip"),
+        "ip", wide, "cidr", "label")
+      .orderBy($"id").select($"label").as[Option[String]].collect()
+    out.toSeq shouldBe Seq(Some("wide"), Some("wide"), None)
+  }
+}

@@ -380,4 +380,43 @@ class PlanQualitySpec extends SparkTestBase {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     } should not be empty
   }
+
+  "q_url_filter" should "broadcast the blocklist and never LIKE-scan it" in {
+    val plan = planOf("q_url_filter")
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
+  "q_ip_enrich" should "equi-join on the prefix bucket with no cross product" in {
+    val plan = planOf("q_ip_enrich")
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    plan should include("BroadcastHashJoin") // model-sized range table
+  }
+
+  "q_epoch_order" should "window per shard, never a single global partition" in {
+    val q = SparkEntry.queries("q_epoch_order")(spark, sf)
+    val bad = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    bad shouldBe empty
+  }
+
+  "q_secret_scan and q_script_mix" should "stay shuffle-free scans (gate work rides the projection)" in {
+    // per-row regex batteries: the only allowed exchange is the final
+    // orderBy's range partitioning — nothing before it
+    Seq("q_secret_scan", "q_script_mix").foreach { name =>
+      val plan = planOf(name)
+      withClue(s"$name:\n$plan\n") {
+        plan.split("Exchange").length - 1 shouldBe 1 // the sort only
+      }
+    }
+  }
+
+  "q_classifier_eval" should "collapse the corpus map-side before the distinct-score window" in {
+    // the cumulative window may only see the grouped score frame — a
+    // partial_sum under the first exchange proves map-side combine
+    planOf("q_classifier_eval") should include("partial_sum")
+  }
 }

@@ -325,6 +325,17 @@ object SparkEntry {
     concat(lit("https://a"), pmod(col("doc_id"), lit(5)),
       lit(".site.org/dir/idx"), col("doc_id"))
 
+  // q_robots_gate's per-host robots.txt bodies (no single quotes — they
+  // embed directly in SQL literals; literal newlines are valid inside
+  // SQL strings). Even-numbered hosts carry a graftbot-specific group
+  // (which SHADOWS *), odd hosts only the * group.
+  private val RobotsBodySpecific =
+    "# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+      "\nUser-agent: graftbot\nDisallow: /only-graft\nCrawl-delay: 2\n"
+  private val RobotsBodyStar =
+    "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+      "Disallow: /page/9\n"
+
   // q_ip_enrich's CIDR fixture, shared by the Spark query and (with
   // bounds computed here in Scala) the oracle's VALUES table
   private val IpRangeFixture: Seq[(String, String)] = Seq(
@@ -2319,6 +2330,32 @@ object SparkEntry {
           "ip", ranges, "cidr", "label")
         .select(col("doc_id"), col("ip"), col("ip_num"), col("cidr"),
           col("label"), col("prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robots.txt compliance gate (RFC 9309 subset): per-host policies
+    // parsed RELATIONALLY (no imperative loop — lag + running sums build
+    // the agent groups), then every URL decided for agent "graftbot"
+    // with longest-prefix rules, allow-wins ties, and whole-group
+    // shadowing. The oracle replays parsing and decision line by line.
+    "q_robots_gate" -> ((s, d) => {
+      val id = col("doc_id")
+      val robots = Tables.documents(s, d)
+        .select(pmod(id, lit(10)).as("hn")).distinct()
+        .select(concat(lit("h"), col("hn"), lit(".example")).as("host"),
+          when(pmod(col("hn"), lit(2)) === 0, lit(RobotsBodySpecific))
+            .otherwise(lit(RobotsBodyStar)).as("body"))
+      val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+      val urls = Tables.documents(s, d).select(id,
+        concat(lit("h"), pmod(id, lit(10)), lit(".example")).as("host"),
+        when(pmod(id, lit(4)) === 0, concat(lit("/private/x"), id))
+          .when(pmod(id, lit(4)) === 1, concat(lit("/private/ok/"), id))
+          .when(pmod(id, lit(4)) === 2, concat(lit("/only-graft/"), id))
+          .otherwise(concat(lit("/page/"), id)).as("path"))
+      graft.ops.RobotsTxt.isAllowed(urls, "doc_id", "host", "path",
+          rules, "host", "graftbot")
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+          col("rule"), col("via_wildcard"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5195,6 +5232,80 @@ object SparkEntry {
          |  doc_id
          |FROM s ORDER BY epoch, shard, pos""".stripMargin
     },
+    // Robots parsing + decision replayed line by line: same comment
+    // strip, same lag/running-sum grouping, same agent fanout, same
+    // shadow set, same (length, allow, rule, dir, wildcard) order.
+    "q_robots_gate" ->
+      s"""WITH hosts AS (SELECT DISTINCT (doc_id % 10) AS hn FROM documents),
+         |rb AS (
+         |  SELECT 'h' || hn || '.example' AS host,
+         |    CASE WHEN hn % 2 = 0 THEN '$RobotsBodySpecific'
+         |         ELSE '$RobotsBodyStar' END AS body
+         |  FROM hosts),
+         |lx AS (
+         |  SELECT host, unnest(string_split(body, chr(10))) AS raw,
+         |    generate_subscripts(string_split(body, chr(10)), 1) AS pos
+         |  FROM rb),
+         |lf AS (
+         |  SELECT host, pos,
+         |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS directive,
+         |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS value
+         |  FROM (SELECT host, pos,
+         |          trim(regexp_replace(raw, '[#].*$$|\r', '', 'g')) AS line
+         |        FROM lx)
+         |  WHERE line <> ''),
+         |ld AS (SELECT * FROM lf WHERE directive IN
+         |  ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
+         |tg AS (
+         |  SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END
+         |      AS is_ua,
+         |    coalesce(lag(CASE WHEN directive = 'user-agent' THEN 1
+         |      ELSE 0 END) OVER (PARTITION BY host ORDER BY pos), 0)
+         |      AS prev_ua
+         |  FROM ld),
+         |tg2 AS (
+         |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1
+         |    ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS group_id
+         |  FROM tg),
+         |ag AS (SELECT host, group_id, lower(value) AS agent FROM tg2
+         |       WHERE is_ua = 1),
+         |ru AS (SELECT host, group_id, directive, value FROM tg2
+         |       WHERE is_ua = 0),
+         |rules AS (SELECT ru.host, ag.agent, ru.directive, ru.value
+         |          FROM ru JOIN ag USING (host, group_id)),
+         |urls AS (
+         |  SELECT doc_id, 'h' || (doc_id % 10) || '.example' AS host,
+         |    CASE doc_id % 4 WHEN 0 THEN '/private/x' || doc_id
+         |      WHEN 1 THEN '/private/ok/' || doc_id
+         |      WHEN 2 THEN '/only-graft/' || doc_id
+         |      ELSE '/page/' || doc_id END AS path
+         |  FROM documents),
+         |ad AS (SELECT host, agent, directive, value FROM rules
+         |       WHERE directive IN ('allow', 'disallow')
+         |         AND (agent = 'graftbot' OR agent = '*')),
+         |spec AS (SELECT DISTINCT host FROM ad WHERE agent = 'graftbot'),
+         |eff AS (
+         |  SELECT ad.* FROM ad LEFT JOIN spec ON ad.host = spec.host
+         |  WHERE CASE WHEN spec.host IS NOT NULL
+         |          THEN ad.agent = 'graftbot' ELSE ad.agent = '*' END
+         |    AND ad.value <> ''),
+         |m AS (
+         |  SELECT u.doc_id, e.directive, e.value, e.agent,
+         |    row_number() OVER (PARTITION BY u.doc_id ORDER BY
+         |      len(e.value) DESC,
+         |      CASE WHEN e.directive = 'allow' THEN 1 ELSE 0 END DESC,
+         |      e.value DESC, e.directive DESC,
+         |      CASE WHEN e.agent = '*' THEN 1 ELSE 0 END DESC) AS rn
+         |  FROM urls u JOIN eff e ON u.host = e.host
+         |    AND starts_with(u.path, e.value)),
+         |w AS (SELECT doc_id, directive = 'allow' AS is_allowed,
+         |        value AS rule, agent = '*' AS via_wildcard
+         |      FROM m WHERE rn = 1)
+         |SELECT u.doc_id, u.host, u.path,
+         |  coalesce(w.is_allowed, TRUE) AS allowed, w.rule, w.via_wildcard
+         |FROM urls u LEFT JOIN w USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
     // Enrichment replayed: same octet arithmetic, a VALUES range table
     // with bounds precomputed from the SAME fixture, overlap resolution
     // by the same (32−prefix, start, label) order.

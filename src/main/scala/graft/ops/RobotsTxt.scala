@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL permission — the crawl-compliance tier in
+  * front of [[WarcExtract]]/[[UrlFilter]]: a curated web corpus must be
+  * able to show, per URL, that the host's robots policy allowed the
+  * fetch (the REP, RFC 9309).
+  *
+  * Parsing is fully relational — no per-host imperative loop: lines
+  * posexplode, `User-agent:` runs get group ids by the
+  * new-run-when-previous-directive-was-a-rule trick (one lag + running
+  * sum), and each rule line attaches to the LAST agent run above it via
+  * a running max — all windows partitioned per host and bounded by
+  * robots-file line counts (robots files are KB-sized; the corpus of
+  * hosts is the scale axis, and hosts parallelize).
+  *
+  * Decision semantics are the RFC 9309 subset without `*`/`$` wildcards
+  * (documented narrowing — wildcard expansion is a regex-translation
+  * layer this tier deliberately omits): the agent's group is the one
+  * whose `User-agent` token matches case-insensitively, falling back to
+  * `*`; within the group the LONGEST-path-prefix rule wins, `Allow`
+  * beating `Disallow` at equal length (Google's published tie rule); no
+  * matching rule, no group, or an empty `Disallow:` value → allowed.
+  */
+object RobotsTxt {
+
+  /** Parse robots.txt bodies into a rule table:
+    * `(hostCol, agent, directive, value, group_id, rule_idx)` — one row
+    * per `Allow`/`Disallow`/`Crawl-delay`/`Sitemap` line, duplicated
+    * per agent token of its group. */
+  def parseRules(df: DataFrame, hostCol: String,
+                 bodyCol: String): DataFrame = {
+    val lines = df
+      .select(col(hostCol), posexplode(split(col(bodyCol), "\n"))
+        .as(Seq("pos", "raw")))
+      // strip comments and trailing CR, trim
+      .withColumn("line", trim(regexp_replace(col("raw"), "[#].*$|\r", "")))
+      .filter(col("line") =!= "")
+      .withColumn("directive",
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("directive").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+    val byHost = Window.partitionBy(col(hostCol)).orderBy(col("pos"))
+    // a User-agent line STARTS a new group iff the previous directive
+    // line was not itself a User-agent (consecutive UA lines share)
+    val tagged = lines
+      .withColumn("is_ua", (col("directive") === "user-agent").cast("int"))
+      .withColumn("prev_ua",
+        coalesce(lag(col("is_ua"), 1).over(byHost), lit(0)))
+      .withColumn("starts_group",
+        (col("is_ua") === 1 && col("prev_ua") === 0).cast("int"))
+      .withColumn("group_id", sum(col("starts_group")).over(
+        byHost.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // rules attach to their group; agents fan the group's rules out
+    val agents = tagged.filter(col("is_ua") === 1)
+      .select(col(hostCol), col("group_id"),
+        lower(col("value")).as("agent"))
+    val rules = tagged.filter(col("is_ua") === 0)
+      .select(col(hostCol), col("group_id"), col("pos").as("rule_idx"),
+        col("directive"), col("value"))
+    rules.join(agents, Seq(hostCol, "group_id"))
+      .select(col(hostCol), col("agent"), col("directive"), col("value"),
+        col("group_id"), col("rule_idx"))
+  }
+
+  /** Decide every `(idCol, urlHostCol, pathCol)` row against the rule
+    * table for `agent`: appends `allowed` (RFC tie rules), `rule` (the
+    * winning rule's path, null if none decided) and `via_wildcard` (the
+    * decision came from the `*` group).
+    *
+    * Group selection follows RFC 9309: when the host has ANY rule group
+    * for the specific agent, the `*` group is ignored ENTIRELY for that
+    * host — even when no specific rule matches the path (no-match =
+    * allowed). Computed host-granular BEFORE path matching, as the RFC
+    * requires. One host equi-join, one per-URL aggregate. */
+  def isAllowed(urls: DataFrame, idCol: String, urlHostCol: String,
+                pathCol: String, rules: DataFrame, rulesHostCol: String,
+                agent: String): DataFrame = {
+    val a = lit(agent.toLowerCase)
+    val adRules = rules
+      .filter(col("directive").isin("allow", "disallow"))
+      .filter(col("agent") === a || col("agent") === "*")
+      .select(col(rulesHostCol).as("__rh"), col("agent").as("__agent"),
+        col("directive").as("__dir"), col("value").as("__rule"))
+    // the shadow set: hosts where a specific-agent group exists at all
+    // (an empty "Disallow:" group still shadows)
+    val hostHasSpecific = adRules.filter(col("__agent") === a)
+      .select(col("__rh")).distinct().withColumn("__spec", lit(1))
+    val effective = adRules
+      .join(hostHasSpecific, Seq("__rh"), "left")
+      .filter(when(col("__spec") === 1, col("__agent") === a)
+        .otherwise(col("__agent") === "*"))
+      // empty Disallow: = allow-everything; no-match already means
+      // allowed and an empty prefix can never win the length contest
+      .filter(col("__rule") =!= "")
+    val best = urls
+      .select(col(idCol).as("__k"), col(urlHostCol).as("__h"),
+        col(pathCol).as("__p"))
+      .join(effective, col("__h") === col("__rh"))
+      .filter(col("__p").startsWith(col("__rule")))
+      .groupBy(col("__k"))
+      .agg(max(struct(length(col("__rule")).as("o1"),
+        // allow sorts above disallow at equal length (Google tie rule)
+        (col("__dir") === "allow").cast("int").as("o2"),
+        col("__rule").as("o3"), col("__dir").as("o4"),
+        (col("__agent") === "*").cast("int").as("o5"))).as("__best"))
+      .select(col("__k"), (col("__best.o4") === "allow").as("__allowed"),
+        col("__best.o3").as("rule"),
+        (col("__best.o5") === 1).as("via_wildcard"))
+    urls.join(best, col(idCol) === col("__k"), "left")
+      .withColumn("allowed", coalesce(col("__allowed"), lit(true)))
+      .drop("__k", "__allowed")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RobotsTxtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val body =
+    """# corpus crawler policy
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |Disallow: /tie
+      |Allow: /tie
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /only-graft
+      |Crawl-delay: 2
+      |Sitemap: https://h.example/site.xml
+      |""".stripMargin
+
+  private val robots = Seq(("h.example", body)).toDF("host", "body")
+  private lazy val rules = RobotsTxt.parseRules(robots, "host", "body")
+
+  private def decide(agent: String, path: String): (Boolean, Option[String]) =
+    RobotsTxt.isAllowed(
+      Seq((1L, "h.example", path)).toDF("id", "host", "path"),
+      "id", "host", "path", rules, "host", agent)
+      .select($"allowed", $"rule").as[(Boolean, Option[String])].head()
+
+  "parseRules" should "group consecutive agent lines and fan rules per agent" in {
+    val graft = rules.filter($"agent" === "graftbot")
+      .select($"directive", $"value").as[(String, String)].collect().toSet
+    graft shouldBe Set(("disallow", "/only-graft"), ("crawl-delay", "2"),
+      ("sitemap", "https://h.example/site.xml"))
+    rules.filter($"agent" === "otherbot").count() shouldBe 3
+    rules.filter($"agent" === "*").count() shouldBe 4
+  }
+
+  it should "strip comments and blank lines" in {
+    rules.filter($"value".contains("#")).count() shouldBe 0
+  }
+
+  "isAllowed" should "apply longest-prefix within the matched group" in {
+    decide("unknownbot", "/private/secret") shouldBe
+      ((false, Some("/private")))
+    decide("unknownbot", "/private/ok/page") shouldBe
+      ((true, Some("/private/ok")))
+    decide("unknownbot", "/elsewhere") shouldBe ((true, None))
+  }
+
+  it should "let allow win a tie (Google rule)" in {
+    decide("unknownbot", "/tie/page") shouldBe ((true, Some("/tie")))
+  }
+
+  it should "shadow the * group entirely when a specific group exists" in {
+    // graftbot has its own group: * rules do not apply, even where no
+    // specific rule matches the path
+    decide("graftbot", "/only-graft/x") shouldBe
+      ((false, Some("/only-graft")))
+    decide("graftbot", "/private/secret") shouldBe ((true, None))
+  }
+
+  it should "allow everything for hosts without robots" in {
+    RobotsTxt.isAllowed(
+      Seq((1L, "nowhere.example", "/x")).toDF("id", "host", "path"),
+      "id", "host", "path", rules, "host", "graftbot")
+      .select($"allowed").as[Boolean].head() shouldBe true
+  }
+
+  it should "treat an empty Disallow group as allow-all that still shadows" in {
+    val openBody = "User-agent: graftbot\nDisallow:\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    val r = RobotsTxt.parseRules(
+      Seq(("open.example", openBody)).toDF("host", "body"), "host", "body")
+    val out = RobotsTxt.isAllowed(
+      Seq((1L, "open.example", "/anything")).toDF("id", "host", "path"),
+      "id", "host", "path", r, "host", "graftbot")
+      .select($"allowed").as[Boolean].head()
+    out shouldBe true // specific empty group shadows the blanket *
+  }
+}

@@ -2312,6 +2312,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Config-declared curation applied per micro-batch
+    // (ChangelogStream.streamCurate): the SAME pipeline artifact that
+    // drives the batch q_pipeline_config run gates the live feed —
+    // rule chain + chunk here (the per-row stage subset). Every stage
+    // verdict depends only on the row's own text, so the converged
+    // output is batch-boundary independent and the oracle replays
+    // gates + chunk walk in plain SQL.
+    "q_stream_curate" -> ((s, d) => {
+      val out = scratchDir("graft_scur_")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:50", "max_punct_ratio:0.1"],
+           | "chunk": {"tokens": 40, "overlap": 8}}""".stripMargin)
+      graft.streaming.ChangelogStream.streamCurate(
+          Tables.documentsStream(s, d).select(col("doc_id"), col("text")),
+          cfg, out, statePartitions = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // IP-to-CIDR enrichment over deterministic addresses (some
     // malformed): the /8 prefix-bucketed equi-join with longest-prefix
     // resolution — the oracle replays parsing octet-for-octet and
@@ -5375,6 +5397,36 @@ object SparkEntry {
          |      AND regexp_matches(x, '[A-Z]'))) = 0
          |ORDER BY doc_id""".stripMargin
     },
+    // The q_chunking walk over the rule-gated survivors: min_tokens is
+    // the same trim/split count the Spark rule uses, max_punct_ratio
+    // the same non-alnum-non-space char ratio — then the identical
+    // stride-32 window arithmetic.
+    "q_stream_curate" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents
+        |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |          >= 50
+        |    AND (CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE length(regexp_replace(text,
+        |                     '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        |                   / length(text) END) <= 0.1),
+        |t AS (
+        |  SELECT doc_id, n, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    CASE WHEN n = 0 THEN 0 WHEN n <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((n - 40)::DOUBLE / 32) AS INT) END AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, n, toks, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
+        |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // Bucket argmin replayed as an integer CASE chain generated from
     // the SAME ladder: i wins iff strictly closer than every earlier
     // entry and no later entry is strictly closer (cross-multiplied

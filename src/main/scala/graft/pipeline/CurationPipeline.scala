@@ -186,8 +186,16 @@ object CurationPipeline {
 
   /** The curated corpus at DOCUMENT granularity (after rules, dedup,
     * sample, budget — before any chunking). */
-  def curatedDocs(spark: SparkSession, config: CurationConfig): DataFrame = {
-    val input = spark.read.parquet(config.inputPath)
+  def curatedDocs(spark: SparkSession, config: CurationConfig): DataFrame =
+    curatedDocsFrame(spark.read.parquet(config.inputPath), config)
+
+  /** [[curatedDocs]] with the scan factored out: the document stages
+    * (rules → dedup → sample → budget) over a GIVEN input frame. This
+    * is the composition the streaming gate
+    * ([[graft.streaming.ChangelogStream.streamCurate]]) replays per
+    * micro-batch, so batch and streaming curation can never drift —
+    * they are literally the same code over a different input. */
+  def curatedDocsFrame(input: DataFrame, config: CurationConfig): DataFrame = {
     val gated =
       if (config.rules.isEmpty) input
       else Policy.survivors(input, namedRules(config))
@@ -211,8 +219,12 @@ object CurationPipeline {
     * then chunking and packing if configured. With `pack` the result is
     * the pack summary `(shard, pack_id, n_pieces, n_tokens)`; with only
     * `chunk` the chunk rows; otherwise the curated documents. */
-  def curate(spark: SparkSession, config: CurationConfig): DataFrame = {
-    val docs = curatedDocs(spark, config)
+  def curate(spark: SparkSession, config: CurationConfig): DataFrame =
+    curateFrame(spark.read.parquet(config.inputPath), config)
+
+  /** [[curate]] over a GIVEN input frame — see [[curatedDocsFrame]]. */
+  def curateFrame(input: DataFrame, config: CurationConfig): DataFrame = {
+    val docs = curatedDocsFrame(input, config)
     (config.chunk, config.pack) match {
       case (None, None) => docs
       case (Some(c), None) =>

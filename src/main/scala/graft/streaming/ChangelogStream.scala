@@ -613,6 +613,80 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Config-declared curation applied AS DOCUMENTS ARRIVE — the
+    * streaming closure of [[graft.pipeline.CurationPipeline]]: each
+    * micro-batch runs the SAME stage composition
+    * ([[graft.pipeline.CurationPipeline.curateFrame]] — rule chain,
+    * frozen-index dedup, md5 sampling, chunking) a batch `curate` run
+    * would, so a pipeline declared once in HOCON/JSON gates the live
+    * feed and the nightly sweep from one artifact.
+    *
+    * Only the PER-ROW stage subset is accepted, and the rest is refused
+    * loudly up front rather than silently skipped:
+    *
+    *  - rules: every [[graft.pipeline.CurationPipeline.ruleFromSpec]]
+    *    predicate is a scalar over the row's own text — allowed;
+    *  - dedup: `none` or `against_text_index` (the index is FROZEN, so
+    *    a verdict depends only on the row and the index — the
+    *    [[streamDedupAgainst]] posture). Self-dedup tiers
+    *    (exact/jaccard/minhash/simhash) compare arriving rows with each
+    *    OTHER, so their output depends on batch boundaries — refused;
+    *  - sample: [[graft.ops.Sampling.hashSample]] is a deterministic
+    *    per-key threshold — allowed;
+    *  - chunk: a per-row explode — allowed;
+    *  - budget (cross-row running sum), pack (cross-row greedy walk),
+    *    expectations / sink / report (publish-time concerns of the
+    *    batch [[graft.pipeline.CurationPipeline.run]]) — refused.
+    *
+    * Every accepted stage's verdict is per-row, so the converged output
+    * equals the batch [[graft.pipeline.CurationPipeline.curateFrame]]
+    * of the whole bounded stream REGARDLESS of batch boundaries — it
+    * shares the batch SQL oracle (`q_stream_curate`). Same idempotent
+    * per-batch-overwrite file bridge as [[streamClassifyLang]]. */
+  def streamCurate(stream: DataFrame,
+                   config: graft.pipeline.CurationPipeline.CurationConfig,
+                   dir: String, statePartitions: Int = 0): DataFrame = {
+    import graft.pipeline.CurationPipeline._
+    config.dedup match {
+      case NoDedup | AgainstTextIndexTier(_, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"streamCurate: dedup tier $other compares arriving rows with " +
+          "each other, so its output depends on micro-batch boundaries; " +
+          "streaming supports none | against_text_index (frozen index)")
+    }
+    require(config.budget.isEmpty,
+      "streamCurate: budget is a cross-row running sum (batch-only)")
+    require(config.pack.isEmpty,
+      "streamCurate: pack is a cross-row greedy walk (batch-only)")
+    require(config.expectations.isEmpty && config.sinkPath.isEmpty &&
+      config.reportPath.isEmpty,
+      "streamCurate: expectations/sink/report belong to the batch " +
+        "publisher (CurationPipeline.run); this gate returns the frame")
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        curateFrame(b, config)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      // empty stream: the same composition over an empty frame yields
+      // the curated SCHEMA (chunk changes it), not the input's
+      curateFrame(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          stream.schema),
+        config)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** Test-visible I/O counters for [[streamDedupAgainst]]'s
     * `appendAccepted` accumulator: `fullSinkReads` counts whole-sink
     * hydration scans (exactly one per run start against a non-empty

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.pipeline.CurationPipeline
+import graft.pipeline.CurationPipeline._
+
+/** The streaming closure of the config-declared curation pipeline:
+  * per-micro-batch [[ChangelogStream.streamCurate]] must equal the
+  * batch [[CurationPipeline.curateFrame]] of the whole bounded feed
+  * (every accepted stage is per-row), and the cross-row stages must be
+  * refused loudly instead of silently skipped. */
+class StreamCurateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // four docs spanning the gate outcomes: 10 passes everything, 11
+  // fails min_tokens, 12 fails max_punct_ratio, 13 passes with enough
+  // tokens to produce TWO chunks at tokens=4/overlap=1
+  private def feedDocs = Seq(
+    SDoc(10L, "alpha beta gamma delta"),
+    SDoc(11L, "too short"),
+    SDoc(12L, "x !!! ??? ### $$$ %%% &&&"),
+    SDoc(13L, "one two three four five six seven"))
+
+  /** Stage `docs` as one parquet FILE with the given mtime age, so
+    * `maxFilesPerTrigger=1` replays them as separate micro-batches in
+    * a deterministic order (the streamSecretGate fixture pattern). */
+  private def stage(inDir: java.nio.file.Path, docs: Seq[SDoc],
+                    name: String, age: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scur_w")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(inDir.toFile, name)
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(System.currentTimeMillis() - age)
+    ()
+  }
+
+  private def streamOf(inDir: java.nio.file.Path): DataFrame =
+    spark.readStream
+      .schema(feedDocs.take(1).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+
+  private def collectChunks(df: DataFrame): Seq[(Long, Int, String, Int)] =
+    df.select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+
+  "streamCurate" should
+      "converge to the batch curateFrame across batch splits" in {
+    val cfg = CurationPipeline.fromJson(
+      """{"input": {"path": "/unused/by/streaming",
+        |           "id_column": "doc_id", "text_column": "text"},
+        | "rules": ["min_tokens:4", "max_punct_ratio:0.2"],
+        | "chunk": {"tokens": 4, "overlap": 1}}""".stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in")
+    stage(inDir, feedDocs.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feedDocs.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur").toString
+    val got = collectChunks(
+      ChangelogStream.streamCurate(streamOf(inDir), cfg, dir))
+    val want = collectChunks(
+      CurationPipeline.curateFrame(feedDocs.toDF("doc_id", "text"), cfg))
+    got shouldBe want
+    // the gates actually fired and the chunk walk actually windowed
+    got.map(_._1).distinct shouldBe Seq(10L, 13L)
+    got.count(_._1 == 13L) shouldBe 2
+  }
+
+  it should "apply the frozen-index dedup tier per micro-batch" in {
+    val corpus = Seq(
+      SDoc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      SDoc(2L, "completely unrelated corpus text about spark and data systems"))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_idx").toString
+    graft.ops.Dedup.buildTextIndex(corpus, "doc_id", "text").save(idxDir)
+    val feed = Seq(
+      // near-dup of corpus doc 1 — dropped at the door
+      SDoc(20L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // novel and long enough — accepted
+      SDoc(21L, "entirely novel increment content that matches nothing at all here"),
+      // fails the min_tokens gate before dedup ever sees it
+      SDoc(22L, "tiny"),
+      // novel, second wave — accepted
+      SDoc(23L, "fresh second wave text with no overlap to anything seen before"))
+    val cfg = CurationConfig(
+      inputPath = "/unused/by/streaming", idCol = "doc_id", textCol = "text",
+      rules = Seq("min_tokens:4"),
+      dedup = AgainstTextIndexTier(idxDir, threshold = 0.5))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in2")
+    stage(inDir, feed.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feed.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur2").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = CurationPipeline
+      .curateFrame(feed.toDF("doc_id", "text"), cfg)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    got shouldBe want
+    got.map(_._1) shouldBe Seq(21L, 23L)
+  }
+
+  it should "refuse cross-row stages loudly instead of skipping them" in {
+    val base = CurationConfig(
+      inputPath = "/unused", idCol = "doc_id", textCol = "text",
+      rules = Seq("min_tokens:4"))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in3")
+    stage(inDir, feedDocs, "wave1.parquet", 60000L)
+    def attempt(cfg: CurationConfig): Throwable = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scur_r").toString
+      intercept[Exception] {
+        ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      }
+    }
+    attempt(base.copy(dedup = MinHashTier(3, 0.8, 16, 4)))
+      .getMessage should include("micro-batch boundaries")
+    attempt(base.copy(budget =
+        Some(BudgetConfig("lang", Map.empty, 100L))))
+      .getMessage should include("budget")
+    attempt(base.copy(
+        chunk = Some(ChunkConfig(4, 1)),
+        pack = Some(PackConfig(512, 8))))
+      .getMessage should include("pack")
+    attempt(base.copy(sinkPath = Some("/tmp/never")))
+      .getMessage should include("publisher")
+  }
+}

@@ -2312,6 +2312,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The config-declared per-group document cap ("max N pages per
+    // domain"): rules gate first, then CurationPipeline's quota stage
+    // keeps 5 docs per source in engine-portable md5-of-id order —
+    // the same Sampling.stratifiedQuota walk the oracle replays.
+    "q_pipeline_quota" -> ((s, d) => {
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:50"],
+           | "quota": {"group_column": "source", "per_group": 5}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Config-declared curation applied per micro-batch
     // (ChangelogStream.streamCurate): the SAME pipeline artifact that
     // drives the batch q_pipeline_config run gates the live feed —
@@ -5397,6 +5413,21 @@ object SparkEntry {
          |      AND regexp_matches(x, '[A-Z]'))) = 0
          |ORDER BY doc_id""".stripMargin
     },
+    // The min_tokens gate then stratifiedQuota's md5-of-id per-group
+    // rank, replayed with the identical (md5(id), id) window order.
+    "q_pipeline_quota" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, lang FROM documents
+        |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |          >= 50),
+        |r AS (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM g)
+        |SELECT doc_id, source, lang FROM r WHERE rk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     // The q_chunking walk over the rule-gated survivors: min_tokens is
     // the same trim/split count the Spark rule uses, max_punct_ratio
     // the same non-alnum-non-space char ratio — then the identical

@@ -24,7 +24,7 @@ import graft.ops.{Chunking, Dedup, Expectations, GopherRules, Packing,
   *
   * Stage order is fixed (each stage optional except the input):
   * {{{
-  *   input → rules → dedup → sample → budget → chunk → pack
+  *   input → rules → dedup → sample → quota → budget → chunk → pack
   * }}}
   * — gates first (cheapest row reduction), content dedup on the gated
   * survivors, deterministic downsampling, per-domain token budgeting,
@@ -79,6 +79,11 @@ object CurationPipeline {
   final case class BudgetConfig(domainCol: String,
                                 budgets: Map[String, Long],
                                 defaultBudget: Long)
+  /** Per-group document cap ([[Sampling.stratifiedQuota]]): keep at
+    * most `perGroup` docs of each `groupCol` value, picked by
+    * engine-portable md5-of-id order — the "max N pages per domain"
+    * curation stage. */
+  final case class QuotaConfig(groupCol: String, perGroup: Int)
 
   final case class CurationConfig(
       inputPath: String,
@@ -88,6 +93,7 @@ object CurationPipeline {
       dedup: DedupTier = NoDedup,
       sampleFraction: Option[Double] = None,
       budget: Option[BudgetConfig] = None,
+      quota: Option[QuotaConfig] = None,
       chunk: Option[ChunkConfig] = None,
       pack: Option[PackConfig] = None,
       expectations: Seq[Expectations.Expect] = Nil,
@@ -204,14 +210,19 @@ object CurationPipeline {
       case Some(f) => Sampling.hashSample(deduped, f, Seq(config.idCol))
       case None => deduped
     }
+    val capped = config.quota match {
+      case Some(q) => Sampling.stratifiedQuota(
+        sampled, Seq(q.groupCol), config.idCol, q.perGroup)
+      case None => sampled
+    }
     config.budget match {
       case Some(b) =>
         Sampling.tokenBudgetMix(
-            sampled.withColumn("__tokens",
+            capped.withColumn("__tokens",
               TextAnalysis.tokenCount(col(config.textCol))),
             b.domainCol, config.idCol, "__tokens", b.budgets, b.defaultBudget)
           .drop("__tokens")
-      case None => sampled
+      case None => capped
     }
   }
 
@@ -399,6 +410,16 @@ object CurationPipeline {
           fail("budget declares neither budgets nor a positive default")
         Some(BudgetConfig(domain, budgets, default))
     }
+    val quota = root \ "quota" match {
+      case JNothing => None
+      case q =>
+        val g = str(q \ "group_column").getOrElse(
+          fail("quota.group_column is required when quota is declared"))
+        val per = intOf(q \ "per_group", "quota.per_group",
+          fail("quota.per_group is required when quota is declared"))
+        if (per < 1) fail(s"quota.per_group must be >= 1, got $per")
+        Some(QuotaConfig(g, per))
+    }
     val chunk = root \ "chunk" match {
       case JNothing => None
       case c => Some(ChunkConfig(
@@ -443,7 +464,7 @@ object CurationPipeline {
       fail("report.path requires at least one rule (the report IS the " +
         "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
-      chunk, pack, expectations, sinkPath, partitionBy, reportPath,
+      quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat)
   }
 

@@ -634,9 +634,10 @@ object ChangelogStream {
     *  - sample: [[graft.ops.Sampling.hashSample]] is a deterministic
     *    per-key threshold — allowed;
     *  - chunk: a per-row explode — allowed;
-    *  - budget (cross-row running sum), pack (cross-row greedy walk),
-    *    expectations / sink / report (publish-time concerns of the
-    *    batch [[graft.pipeline.CurationPipeline.run]]) — refused.
+    *  - budget (cross-row running sum), quota (cross-row windowed
+    *    rank), pack (cross-row greedy walk), expectations / sink /
+    *    report (publish-time concerns of the batch
+    *    [[graft.pipeline.CurationPipeline.run]]) — refused.
     *
     * Every accepted stage's verdict is per-row, so the converged output
     * equals the batch [[graft.pipeline.CurationPipeline.curateFrame]]
@@ -656,6 +657,8 @@ object ChangelogStream {
     }
     require(config.budget.isEmpty,
       "streamCurate: budget is a cross-row running sum (batch-only)")
+    require(config.quota.isEmpty,
+      "streamCurate: quota is a cross-row windowed rank (batch-only)")
     require(config.pack.isEmpty,
       "streamCurate: pack is a cross-row greedy walk (batch-only)")
     require(config.expectations.isEmpty && config.sinkPath.isEmpty &&

@@ -123,6 +123,25 @@ class CurationPipelineSpec extends SparkTestBase {
     CurationPipeline.curate(spark, cfg).columns should not contain "__tokens"
   }
 
+  it should "apply the per-group quota cap between sample and budget" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "quota": {"group_column": "lang", "per_group": 2}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    val expected = graft.ops.Sampling.stratifiedQuota(
+        spark.read.parquet(docsPath)
+          .filter(TextAnalysis.tokenCount($"text") >= 10),
+        Seq("lang"), "doc_id", quota = 2)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    got shouldBe expected
+    // the cap actually bit: the 3 gated en docs (1, 2, 7) collapse to
+    // exactly 2, and no language exceeds its cap
+    got.groupBy(_._2).values.foreach(_.size should be <= 2)
+    got.count(_._2 == "en") shouldBe 2
+  }
+
   "dedup tiers" should "drop near-dups by the monotone min-id rule" in {
     val p = s"$tmp/near_docs"
     val base = (1 to 20).map(i => s"w$i").mkString(" ")
@@ -294,6 +313,14 @@ class CurationPipelineSpec extends SparkTestBase {
       "neither budgets nor a positive default")
     bad(s"""{"input": {"path": "x"}, "partition_by": ["a"]}""",
       "partition_by requires sink.path")
+    bad(s"""{"input": {"path": "x"}, "quota": {"per_group": 5}}""",
+      "quota.group_column is required")
+    bad(s"""{"input": {"path": "x"},
+           | "quota": {"group_column": "lang"}}""".stripMargin,
+      "quota.per_group is required")
+    bad(s"""{"input": {"path": "x"},
+           | "quota": {"group_column": "lang", "per_group": 0}}""".stripMargin,
+      "quota.per_group must be >= 1")
     bad(s"""{"input": {"path": "x"}, "report": {"path": "/r"}}""",
       "report.path requires at least one rule")
     bad(s"""{"input": {"path": "x"},

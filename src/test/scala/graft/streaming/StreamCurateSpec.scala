@@ -125,6 +125,8 @@ class StreamCurateSpec extends SparkTestBase {
     attempt(base.copy(budget =
         Some(BudgetConfig("lang", Map.empty, 100L))))
       .getMessage should include("budget")
+    attempt(base.copy(quota = Some(QuotaConfig("lang", 5))))
+      .getMessage should include("quota")
     attempt(base.copy(
         chunk = Some(ChunkConfig(4, 1)),
         pack = Some(PackConfig(512, 8))))

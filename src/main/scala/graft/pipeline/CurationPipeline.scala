@@ -191,12 +191,13 @@ object CurationPipeline {
     }
 
   /** The curated corpus at DOCUMENT granularity (after rules, dedup,
-    * sample, budget — before any chunking). */
+    * sample, quota, budget — before any chunking). */
   def curatedDocs(spark: SparkSession, config: CurationConfig): DataFrame =
     curatedDocsFrame(spark.read.parquet(config.inputPath), config)
 
   /** [[curatedDocs]] with the scan factored out: the document stages
-    * (rules → dedup → sample → budget) over a GIVEN input frame. This
+    * (rules → dedup → sample → quota → budget) over a GIVEN input
+    * frame. This
     * is the composition the streaming gate
     * ([[graft.streaming.ChangelogStream.streamCurate]]) replays per
     * micro-batch, so batch and streaming curation can never drift —

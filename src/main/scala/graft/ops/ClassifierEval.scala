@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** Scored-classifier evaluation: exact rank-sum ROC-AUC and calibration
   * bins — the acceptance gate for the quality/toxicity/language scorers
@@ -48,8 +48,17 @@ object ClassifierEval {
         count(lit(1)).as("n_scores"),
         sum(col("__p") * (col("__negBelow") * 2 + col("__n"))).as("__num2"))
       .select(col("n_pos"), col("n_neg"), col("n_scores"),
-        (col("__num2").cast(DoubleType) /
-          (col("n_pos") * col("n_neg") * lit(2L)).cast(DoubleType))
+        // AUC is undefined on a single-class corpus — refuse loudly
+        // rather than emit null/NaN (the repo's contract for undefined
+        // statistics)
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          raise_error(concat(
+            lit("aucReport: AUC undefined for a single-class label "),
+            lit("column (n_pos="), col("n_pos").cast(StringType),
+            lit(", n_neg="), col("n_neg").cast(StringType), lit(")")))
+            .cast(DoubleType))
+          .otherwise(col("__num2").cast(DoubleType) /
+            (col("n_pos") * col("n_neg") * lit(2L)).cast(DoubleType))
           .as("auc"))
   }
 

@@ -823,13 +823,18 @@ object Dedup {
                           maxStaleRatio: Double = 2.0,
                           failOnStale: Boolean = false): VectorIndex = {
     require(maxStaleRatio > 0, s"maxStaleRatio must be > 0, got $maxStaleRatio")
+    // persisted: the count below AND the returned members union both
+    // read this frame — one assignment pass, and the staleness ratio
+    // charges only rows that actually became members (the zero-norm
+    // filter runs BEFORE the count, so rejected vectors don't count)
     val newMembers = IvfIndex.withAssignment(
       Parallelism.spread(
           newVectors.select(col(idCol).as("id"), col(vecCol).as("vec")))
         .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
         .filter(col("nrm") > 0.0),
       index.centroids)
-    val appended = index.params.appendedRows + newVectors.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val appended = index.params.appendedRows + newMembers.count()
     val base = index.params.baseRows
     if (base > 0 && appended > maxStaleRatio * base) {
       val msg = s"appended vectors ($appended) exceed $maxStaleRatio x " +

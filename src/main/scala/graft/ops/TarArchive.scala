@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -186,9 +187,20 @@ object TarArchive {
   /** Group members into WebDataset samples: one row per
     * `(shard_id, stem)` with `exts` (sorted) and an ext→payload map.
     * One shuffle on the sample key; sample sizes are bounded by members
-    * per sample (a handful), never by shard size. */
+    * per sample (a handful), never by shard size.
+    *
+    * Duplicate `(shard_id, stem, ext)` members are legal in tar (a
+    * later member overrides on extract); we apply the same contract —
+    * keep the LAST `member_idx` per ext — so `map_from_entries` never
+    * sees a duplicate key (Spark's default mapKeyDedupPolicy would
+    * kill the task). */
   def samples(members: DataFrame): DataFrame =
-    members.groupBy(col("shard_id"), col("stem"))
+    members
+      .withColumn("__last", max(col("member_idx")).over(
+        Window.partitionBy(col("shard_id"), col("stem"), col("ext"))))
+      .filter(col("member_idx") === col("__last"))
+      .drop("__last")
+      .groupBy(col("shard_id"), col("stem"))
       .agg(count(lit(1)).as("n_members"),
         sort_array(collect_list(col("ext"))).as("exts"),
         map_from_entries(sort_array(collect_list(

@@ -57,7 +57,10 @@ object WarcExtract {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+      // initial-size hint computed in Long: `bytes.length * 4` overflows
+      // Int for inputs >= 512 MiB and would throw before the bomb guard
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](64 << 10)
       var n = in.read(buf)
       while (n >= 0) {

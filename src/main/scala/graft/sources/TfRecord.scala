@@ -316,18 +316,38 @@ object TfRecord {
       StructField("n", LongType, nullable = false)))
     val rootStr = root.toString // capture the string, not the Path
     df.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val conf = new org.apache.hadoop.conf.Configuration(false)
       confB.value.foreach { case (k, v) => conf.set(k, v) }
+      // Minimal commit protocol: stream to an attempt-unique temp name,
+      // rename into place only on task success — a speculative or
+      // zombie attempt can then never interleave bytes into the final
+      // part file (rename is atomic per attempt; last completed attempt
+      // wins with a complete, CRC-valid file either way).
       val file = new org.apache.hadoop.fs.Path(rootStr,
         f"part-$pid%05d.tfrecord")
-      val out = file.getFileSystem(conf).create(file, true)
+      val tmp = new org.apache.hadoop.fs.Path(rootStr,
+        f".part-$pid%05d-attempt-${tc.taskAttemptId()}.tfrecord.tmp")
+      val fs = file.getFileSystem(conf)
+      val out = fs.create(tmp, true)
       var n = 0L
-      try rows.foreach { r =>
-        val rec = frame(exampleBytes(rowToFeatures(schema, r)))
-        out.write(rec, 0, rec.length)
-        n += 1
-      } finally out.close()
+      var ok = false
+      try {
+        rows.foreach { r =>
+          val rec = frame(exampleBytes(rowToFeatures(schema, r)))
+          out.write(rec, 0, rec.length)
+          n += 1
+        }
+        ok = true
+      } finally {
+        out.close()
+        if (ok) {
+          if (fs.exists(file)) fs.delete(file, false) // a prior attempt's
+          if (!fs.rename(tmp, file)) throw new java.io.IOException(
+            s"TfRecord.write: rename $tmp -> $file failed")
+        } else fs.delete(tmp, false)
+      }
       Iterator.single(Row(n))
     }(Encoders.row(countSchema)).collect() // one action runs the write
     ()

@@ -46,6 +46,14 @@ class ClassifierEvalSpec extends SparkTestBase {
     auc(rows) shouldBe brute
   }
 
+  it should "refuse a single-class label column loudly" in {
+    // AUC is undefined without both classes — must throw, not NaN/null
+    val ex = intercept[Exception] { auc(Seq(0.9 -> 1, 0.1 -> 1)) }
+    ex.getMessage should include("AUC undefined")
+    val ex2 = intercept[Exception] { auc(Seq(0.9 -> 0, 0.1 -> 0)) }
+    ex2.getMessage should include("AUC undefined")
+  }
+
   "calibrationBins" should "bin and average exactly" in {
     val df = Seq((0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1), (1.5, 1),
       (-0.2, 0)).toDF("score", "label")

@@ -125,6 +125,27 @@ class TarArchiveSpec extends SparkTestBase {
     png shouldBe "meta-zero"
   }
 
+  it should "keep the last member when two share (stem, ext)" in {
+    // legal in tar: a later member overrides on extract — samples()
+    // must apply the same contract, not die on a duplicate map key
+    // syntheticShards orders members by (name, payload), so "v2" is
+    // the LATER of the two 000.txt members in the built shard
+    val df = Seq(
+      (0L, "000.txt", "v1"),
+      (0L, "000.json", "meta"),
+      (0L, "000.txt", "v2")) // same (stem, ext) as the first
+      .toDF("grp", "name", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val members = TarArchive.members(
+      TarArchive.syntheticShards(df, "grp", "name", "payload"),
+      "shard_id", "data")
+    val s = TarArchive.samples(members)
+    s.count() shouldBe 1
+    s.select($"n_members").as[Long].head() shouldBe 2
+    s.select(element_at($"parts", "txt").cast("string"))
+      .as[String].head() shouldBe "v2"
+  }
+
   it should "return nothing for null, empty, or garbage input" in {
     TarArchive.walk(null) shouldBe Nil
     TarArchive.walk(Array.emptyByteArray) shouldBe Nil

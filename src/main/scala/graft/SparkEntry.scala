@@ -328,13 +328,17 @@ object SparkEntry {
   // q_robots_gate's per-host robots.txt bodies (no single quotes — they
   // embed directly in SQL literals; literal newlines are valid inside
   // SQL strings). Even-numbered hosts carry a graftbot-specific group
-  // (which SHADOWS *), odd hosts only the * group.
+  // (which SHADOWS *), odd hosts only the * group. Both groups carry
+  // RFC 9309 §2.2.3 wildcard rules: a mid-path `*`, a `$` end anchor,
+  // and a longest-rule contest between a plain prefix and a wildcard.
   private val RobotsBodySpecific =
     "# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-      "\nUser-agent: graftbot\nDisallow: /only-graft\nCrawl-delay: 2\n"
+      "\nUser-agent: graftbot\nDisallow: /only-graft\n" +
+      "Disallow: /*?sid=\nAllow: /page/*.html$\nDisallow: /page/\n" +
+      "Crawl-delay: 2\n"
   private val RobotsBodyStar =
     "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-      "Disallow: /page/9\n"
+      "Disallow: /page/9\nDisallow: /*.tmp$\n"
 
   // q_ip_enrich's CIDR fixture, shared by the Spark query and (with
   // bounds computed here in Scala) the oracle's VALUES table
@@ -2371,11 +2375,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // robots.txt compliance gate (RFC 9309 subset): per-host policies
-    // parsed RELATIONALLY (no imperative loop — lag + running sums build
-    // the agent groups), then every URL decided for agent "graftbot"
-    // with longest-prefix rules, allow-wins ties, and whole-group
-    // shadowing. The oracle replays parsing and decision line by line.
+    // robots.txt compliance gate (RFC 9309, including §2.2.3 `*`/`$`
+    // wildcards): per-host policies parsed RELATIONALLY (no imperative
+    // loop — lag + running sums build the agent groups), then every URL
+    // decided for agent "graftbot" with longest-rule precedence,
+    // allow-wins ties, whole-group shadowing, and wildcard rules
+    // translated to the regex common subset. The oracle replays parsing,
+    // translation, and decision line by line.
     "q_robots_gate" -> ((s, d) => {
       val id = col("doc_id")
       val robots = Tables.documents(s, d)
@@ -2386,10 +2392,16 @@ object SparkEntry {
       val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
       val urls = Tables.documents(s, d).select(id,
         concat(lit("h"), pmod(id, lit(10)), lit(".example")).as("host"),
-        when(pmod(id, lit(4)) === 0, concat(lit("/private/x"), id))
-          .when(pmod(id, lit(4)) === 1, concat(lit("/private/ok/"), id))
-          .when(pmod(id, lit(4)) === 2, concat(lit("/only-graft/"), id))
-          .otherwise(concat(lit("/page/"), id)).as("path"))
+        when(pmod(id, lit(8)) === 0, concat(lit("/private/x"), id))
+          .when(pmod(id, lit(8)) === 1, concat(lit("/private/ok/"), id))
+          .when(pmod(id, lit(8)) === 2, concat(lit("/only-graft/"), id))
+          .when(pmod(id, lit(8)) === 3, concat(lit("/page/"), id))
+          .when(pmod(id, lit(8)) === 4,
+            concat(lit("/page/"), id, lit(".html")))
+          .when(pmod(id, lit(8)) === 5,
+            concat(lit("/cache/"), id, lit(".tmp")))
+          .when(pmod(id, lit(8)) === 6, concat(lit("/search?sid="), id))
+          .otherwise(concat(lit("/a/"), id, lit(".tmpx"))).as("path"))
       graft.ops.RobotsTxt.isAllowed(urls, "doc_id", "host", "path",
           rules, "host", "graftbot")
         .select(col("doc_id"), col("host"), col("path"), col("allowed"),
@@ -5314,17 +5326,30 @@ object SparkEntry {
          |          FROM ru JOIN ag USING (host, group_id)),
          |urls AS (
          |  SELECT doc_id, 'h' || (doc_id % 10) || '.example' AS host,
-         |    CASE doc_id % 4 WHEN 0 THEN '/private/x' || doc_id
+         |    CASE doc_id % 8 WHEN 0 THEN '/private/x' || doc_id
          |      WHEN 1 THEN '/private/ok/' || doc_id
          |      WHEN 2 THEN '/only-graft/' || doc_id
-         |      ELSE '/page/' || doc_id END AS path
+         |      WHEN 3 THEN '/page/' || doc_id
+         |      WHEN 4 THEN '/page/' || doc_id || '.html'
+         |      WHEN 5 THEN '/cache/' || doc_id || '.tmp'
+         |      WHEN 6 THEN '/search?sid=' || doc_id
+         |      ELSE '/a/' || doc_id || '.tmpx' END AS path
          |  FROM documents),
          |ad AS (SELECT host, agent, directive, value FROM rules
          |       WHERE directive IN ('allow', 'disallow')
          |         AND (agent = 'graftbot' OR agent = '*')),
          |spec AS (SELECT DISTINCT host FROM ad WHERE agent = 'graftbot'),
          |eff AS (
-         |  SELECT ad.* FROM ad LEFT JOIN spec ON ad.host = spec.host
+         |  SELECT ad.*,
+         |    ad.value LIKE '%*%' OR ad.value LIKE '%$$' AS wild,
+         |    '^' || regexp_replace(regexp_replace(
+         |        CASE WHEN ad.value LIKE '%$$'
+         |          THEN substr(ad.value, 1, len(ad.value) - 1)
+         |          ELSE ad.value END,
+         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
+         |      '\\*+', '.*', 'g') ||
+         |      CASE WHEN ad.value LIKE '%$$' THEN '$$' ELSE '' END AS re
+         |  FROM ad LEFT JOIN spec ON ad.host = spec.host
          |  WHERE CASE WHEN spec.host IS NOT NULL
          |          THEN ad.agent = 'graftbot' ELSE ad.agent = '*' END
          |    AND ad.value <> ''),
@@ -5336,7 +5361,8 @@ object SparkEntry {
          |      e.value DESC, e.directive DESC,
          |      CASE WHEN e.agent = '*' THEN 1 ELSE 0 END DESC) AS rn
          |  FROM urls u JOIN eff e ON u.host = e.host
-         |    AND starts_with(u.path, e.value)),
+         |    AND CASE WHEN e.wild THEN regexp_matches(u.path, e.re)
+         |         ELSE starts_with(u.path, e.value) END),
          |w AS (SELECT doc_id, directive = 'allow' AS is_allowed,
          |        value AS rule, agent = '*' AS via_wildcard
          |      FROM m WHERE rn = 1)

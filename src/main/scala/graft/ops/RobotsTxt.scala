@@ -17,15 +17,45 @@ import org.apache.spark.sql.functions._
   * robots-file line counts (robots files are KB-sized; the corpus of
   * hosts is the scale axis, and hosts parallelize).
   *
-  * Decision semantics are the RFC 9309 subset without `*`/`$` wildcards
-  * (documented narrowing — wildcard expansion is a regex-translation
-  * layer this tier deliberately omits): the agent's group is the one
-  * whose `User-agent` token matches case-insensitively, falling back to
-  * `*`; within the group the LONGEST-path-prefix rule wins, `Allow`
+  * Decision semantics follow RFC 9309 including the §2.2.3 special
+  * characters: `*` in a rule path matches any character run and a
+  * TRAILING `$` anchors the match at path end (a `$` anywhere else is a
+  * literal octet, per the RFC's "only at the end" wording). Wildcard
+  * rules are translated to the Java-regex∩RE2 common subset (escape the
+  * literals, `*`→`.*`, trailing `$`→end anchor) so the DuckDB oracle
+  * can replay the exact translation; plain prefix rules keep the
+  * codegen'd `startsWith` fast path. The agent's group is the one whose
+  * `User-agent` token matches case-insensitively, falling back to `*`;
+  * within the group the rule with the LONGEST path value wins (RFC
+  * "most octets" measured on the raw rule, wildcards included), `Allow`
   * beating `Disallow` at equal length (Google's published tie rule); no
   * matching rule, no group, or an empty `Disallow:` value → allowed.
+  *
+  * Remaining documented narrowing: rule and path octets are compared
+  * as-is — the RFC's percent-encoding normalization layer is the
+  * caller's (URL-normalization) job, not this tier's.
   */
 object RobotsTxt {
+
+  /** `true` when the rule path needs the regex layer: it contains a
+    * `*` wildcard or ends with the `$` anchor (RFC 9309 §2.2.3). */
+  private[graft] def hasWildcard(rule: Column): Column =
+    rule.contains("*") || rule.endsWith("$")
+
+  /** Translate an RFC 9309 rule path to the Java-regex∩RE2 subset:
+    * strip a trailing `$` (remembered as an end anchor), escape every
+    * regex metacharacter EXCEPT `*`, collapse `*` runs to `.*`, and
+    * anchor at the start. The same five steps are replayable in any
+    * RE2-family engine — the oracle runs them in DuckDB SQL. */
+  private[graft] def ruleRegex(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val body = when(anchored,
+      substr(rule, lit(1), length(rule) - 1)).otherwise(rule)
+    val escaped = regexp_replace(body,
+      lit("([.\\[\\]{}()+?^$|\\\\])"), lit("\\\\$1"))
+    val wild = regexp_replace(escaped, lit("\\*+"), lit(".*"))
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
 
   /** Parse robots.txt bodies into a rule table:
     * `(hostCol, agent, directive, value, group_id, rule_idx)` — one row
@@ -97,11 +127,17 @@ object RobotsTxt {
       // empty Disallow: = allow-everything; no-match already means
       // allowed and an empty prefix can never win the length contest
       .filter(col("__rule") =!= "")
+      // wildcard rules ride a precomputed regex column (tiny frame —
+      // rules per host); plain rules keep the codegen'd startsWith
+      .withColumn("__wild", hasWildcard(col("__rule")))
+      .withColumn("__re",
+        when(col("__wild"), ruleRegex(col("__rule"))).otherwise(lit("^")))
     val best = urls
       .select(col(idCol).as("__k"), col(urlHostCol).as("__h"),
         col(pathCol).as("__p"))
       .join(effective, col("__h") === col("__rh"))
-      .filter(col("__p").startsWith(col("__rule")))
+      .filter(when(col("__wild"), regexp_like(col("__p"), col("__re")))
+        .otherwise(col("__p").startsWith(col("__rule"))))
       .groupBy(col("__k"))
       .agg(max(struct(length(col("__rule")).as("o1"),
         // allow sorts above disallow at equal length (Google tie rule)

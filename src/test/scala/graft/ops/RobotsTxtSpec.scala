@@ -70,6 +70,68 @@ class RobotsTxtSpec extends SparkTestBase {
       .select($"allowed").as[Boolean].head() shouldBe true
   }
 
+  // RFC 9309 §2.2.3 wildcards, exercised with the worked examples from
+  // Google's published robots.txt matching table (the de-facto REP
+  // conformance fixtures)
+  private def wildDecide(rulesBody: String, path: String): Boolean = {
+    val r = RobotsTxt.parseRules(
+      Seq(("w.example", s"User-agent: *\n$rulesBody\n"))
+        .toDF("host", "body"), "host", "body")
+    RobotsTxt.isAllowed(
+      Seq((1L, "w.example", path)).toDF("id", "host", "path"),
+      "id", "host", "path", r, "host", "anybot")
+      .select($"allowed").as[Boolean].head()
+  }
+
+  it should "match * as any character run (RFC 9309 2.2.3)" in {
+    // /fish* matches /fish, /fishheads, /fish/salmon — not /Fish.asp
+    wildDecide("Disallow: /fish*", "/fish") shouldBe false
+    wildDecide("Disallow: /fish*", "/fishheads/yummy.html") shouldBe false
+    wildDecide("Disallow: /fish*", "/Fish.asp") shouldBe true
+    // mid-path: /*.php matches /index.php, /folder/filename.php,
+    // /folder/any.php.file.html — not / or /windows.PHP
+    wildDecide("Disallow: /*.php", "/index.php") shouldBe false
+    wildDecide("Disallow: /*.php", "/folder/any.php.file.html") shouldBe false
+    wildDecide("Disallow: /*.php", "/") shouldBe true
+    wildDecide("Disallow: /*.php", "/windows.PHP") shouldBe true
+  }
+
+  it should "anchor a trailing $ at path end (RFC 9309 2.2.3)" in {
+    // /*.php$ matches /filename.php, /folder/filename.php — not
+    // /filename.php?parameters, /filename.php5, /filename.php/
+    wildDecide("Disallow: /*.php$", "/filename.php") shouldBe false
+    wildDecide("Disallow: /*.php$", "/folder/filename.php") shouldBe false
+    wildDecide("Disallow: /*.php$", "/filename.php?parameters") shouldBe true
+    wildDecide("Disallow: /*.php$", "/filename.php5") shouldBe true
+    wildDecide("Disallow: /*.php$", "/filename.php/") shouldBe true
+  }
+
+  it should "treat a non-trailing $ as a literal octet" in {
+    wildDecide("Disallow: /a$b", "/a$b/page") shouldBe false
+    wildDecide("Disallow: /a$b", "/ab/page") shouldBe true
+  }
+
+  it should "escape regex metacharacters in rule literals" in {
+    // dots, brackets, parens in the rule are octets, not regex syntax
+    wildDecide("Disallow: /x(1)*.y", "/x(1)key.y") shouldBe false
+    wildDecide("Disallow: /x(1)*.y", "/x1key.y") shouldBe true
+    wildDecide("Disallow: /a+b*", "/a+b/c") shouldBe false
+    wildDecide("Disallow: /a+b*", "/aab/c") shouldBe true
+  }
+
+  it should "rank wildcard rules by raw rule length in the precedence contest" in {
+    // /page/*.html (12 octets, allow) beats /page/ (6 octets, disallow)
+    val body = "User-agent: *\nAllow: /page/*.html$\nDisallow: /page/\n"
+    val r = RobotsTxt.parseRules(
+      Seq(("p.example", body)).toDF("host", "body"), "host", "body")
+    def d(path: String) = RobotsTxt.isAllowed(
+      Seq((1L, "p.example", path)).toDF("id", "host", "path"),
+      "id", "host", "path", r, "host", "anybot")
+      .select($"allowed", $"rule").as[(Boolean, Option[String])].head()
+    d("/page/doc.html") shouldBe ((true, Some("/page/*.html$")))
+    d("/page/doc.pdf") shouldBe ((false, Some("/page/")))
+  }
+
   it should "treat an empty Disallow group as allow-all that still shadows" in {
     val openBody = "User-agent: graftbot\nDisallow:\n\n" +
       "User-agent: *\nDisallow: /\n"

@@ -3207,6 +3207,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Maximal duplicated spans (the Lee et al. 2022 exact-substring
+    // contract): overlapping/adjacent duplicated 8-windows merged into
+    // maximal [start, end] token intervals per non-canonical doc via
+    // gap detection over window starts, reported at >= 12 tokens. The
+    // oracle replays the island arithmetic with SQL window functions.
+    "q_span_dedup_maximal" -> ((s, d) =>
+      graft.ops.SpanDedup.maximalSpans(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 8, minSpanLen = 12)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // Winnowing fingerprints (MOSS): per-document deque scan inside the
     // projection (zero shuffles before the narrow explode); hash =
     // md5-prefix of the k-gram so the oracle below rebuilds the whole
@@ -6286,6 +6298,44 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Same windows and canonical rule as q_span_dedup, then the island
+    // merge replayed: break when the start gap exceeds n, running-sum
+    // island ids, per-island min/max + n-1 bounds, >= 12-token filter.
+    "q_span_dedup_maximal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(t) < 8 THEN []
+        |      ELSE [array_to_string(t[i+1:i+8], ' ')
+        |            for i in range(0, len(t) - 7)] END) AS gram,
+        |    unnest(CASE WHEN len(t) < 8 THEN []
+        |      ELSE [i for i in range(0, len(t) - 7)] END) AS pos
+        |  FROM toks),
+        |dup AS (
+        |  SELECT gram, min(doc_id) AS canonical FROM g
+        |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (
+        |  SELECT DISTINCT g.doc_id, g.pos
+        |  FROM g JOIN dup USING (gram) WHERE g.doc_id <> dup.canonical),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - coalesce(lag(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos), -1000000) > 8
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM st),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_len
+        |FROM sp WHERE span_end - span_start + 1 >= 12
+        |ORDER BY doc_id, span_start""".stripMargin,
     // Exact cross-set jaccard over the same shingle space (the MinHash
     // blocking's measured recall is 1.0 at this threshold margin, as for
     // q_dedup_minhash) plus verbatim-text hits — survivors only.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact duplicated-span dedup: token spans that appear verbatim in more
@@ -49,26 +50,72 @@ object SpanDedup {
         min(col("id")).as("canonical_id"))
       .filter(col("n_docs") >= minDocs)
 
-  /** The corpus with duplicated spans masked: any token covered by a
-    * length-`n` window that also occurs in another document is dropped,
-    * except in the span's canonical (min-id) document. Returns
-    * (id, cleaned) — cleaned is the surviving tokens joined by single
-    * spaces (empty string when everything was duplicated); text is
-    * lower/trim-normalized by the tokenizer. */
-  def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame = {
-    val w = windows(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Maximal duplicated spans per NON-canonical document — the
+    * published exact-substring contract (Lee et al. 2022: remove
+    * maximal duplicated spans of ≥ L tokens): runs of duplicated
+    * n-windows whose coverage overlaps or touches merge into one
+    * maximal `[span_start, span_end]` token interval (0-based,
+    * inclusive) via gap detection over window start positions — two
+    * starts chain iff they differ by ≤ n (coverage contiguous), the
+    * SCD2 interval trick, so two overlapping windows yield ONE span,
+    * never two. Returns `(id, span_start, span_end, span_len)` for
+    * spans with `span_len ≥ minSpanLen`.
+    *
+    * Scale shape: the only window function runs per document over that
+    * document's duplicated-window starts (bounded by doc length; docs
+    * are the parallel axis) — everything upstream is the equi-join /
+    * aggregate machinery of [[duplicatedSpans]]. */
+  def maximalSpans(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minSpanLen: Int = 0): DataFrame =
+    nonCanonicalIslands(windows(df, idCol, textCol, n), n)
+      .filter(col("span_len") >= minSpanLen)
+
+  /** Merge the non-canonical duplicated-window starts of `w` (a
+    * [[windows]] frame) into maximal coverage islands. */
+  private def nonCanonicalIslands(w: DataFrame, n: Int): DataFrame = {
     val dup = w.groupBy(col("gram"))
       .agg(countDistinct(col("id")).as("nd"), min(col("id")).as("canonical"))
       .filter(col("nd") >= 2)
       .select(col("gram"), col("canonical"))
-    // positions covered by a duplicated window, outside its canonical doc
-    val covered = w.join(dup, "gram")
+    val starts = w.join(dup, "gram")
       .filter(col("id") =!= col("canonical"))
+      .select(col("id"), col("pos")).distinct()
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    starts
+      // coverage gap: window [p, p+n-1] and the next start q touch or
+      // overlap iff q ≤ p + n; a larger jump starts a new island
+      .withColumn("__brk",
+        when(col("pos") - coalesce(lag(col("pos"), 1).over(byDoc),
+          lit(Int.MinValue / 2)) > n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** The corpus with duplicated spans masked: any token inside a
+    * MAXIMAL duplicated span of `≥ minSpanLen` tokens (merged as in
+    * [[maximalSpans]]) is dropped, except in each window's canonical
+    * (min-id) document — `minSpanLen = 0` (or anything ≤ n) masks all
+    * duplicated coverage; the published recipe masks only long spans
+    * (≥ 50 tokens in Lee et al. 2022). Returns (id, cleaned) — cleaned
+    * is the surviving tokens joined by single spaces (empty string when
+    * everything was duplicated); text is lower/trim-normalized by the
+    * tokenizer. */
+  def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minSpanLen: Int = 0): DataFrame = {
+    val w = windows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positions covered by a qualifying maximal span, outside the
+    // canonical doc — islands are merged BEFORE the explode, so each
+    // covered index materializes once (no distinct over exploded rows)
+    val covered = nonCanonicalIslands(w, n)
+      .filter(col("span_len") >= minSpanLen)
       .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
-      .distinct()
+        explode(sequence(col("span_start"), col("span_end"))).as("idx"))
     val toks = Parallelism.spread(
         df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), posexplode(tokens("__t")))

@@ -47,4 +47,46 @@ class SpanDedupSpec extends SparkTestBase {
     out(1L) shouldBe "a b c d e f g h"
     out(2L) shouldBe "" // every token covered by some duplicated window
   }
+
+  "maximalSpans" should "merge two overlapping windows into ONE span" in {
+    // doc 2 copies a 5-token passage: two overlapping 4-windows
+    // (starts 1 and 2) — ONE maximal [1, 5] span, never two rows
+    val d = Seq(
+      (1L, "one two three four five"),
+      (2L, "pad one two three four five"))
+      .toDF("doc_id", "text")
+    val r = SpanDedup.maximalSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    r.length shouldBe 1
+    r.head shouldBe ((2L, 1L, 5L, 5L))
+  }
+
+  it should "split coverage at gaps and keep separate spans separate" in {
+    // doc 2 copies two passages of doc 1 with unique filler between
+    val d = Seq(
+      (1L, "a b c d STOP w x y z"),
+      (2L, "a b c d unique filler tokens here w x y z"))
+      .toDF("doc_id", "text")
+    val r = SpanDedup.maximalSpans(d, "doc_id", "text", n = 4)
+      .orderBy($"span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    r shouldBe Array((2L, 0L, 3L, 4L), (2L, 8L, 11L, 4L))
+  }
+
+  it should "honor the published >=L-token removal contract" in {
+    // the 4-token island is below L=5 and must survive masking; the
+    // 6-token island qualifies and is removed
+    val d = Seq(
+      (1L, "a b c d STOP p q r s t u"),
+      (2L, "a b c d keepme p q r s t u"))
+      .toDF("doc_id", "text")
+    SpanDedup.maximalSpans(d, "doc_id", "text", n = 4, minSpanLen = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq shouldBe
+      Seq((2L, 5L, 10L, 6L))
+    val out = SpanDedup
+      .maskDuplicatedSpans(d, "doc_id", "text", n = 4, minSpanLen = 5)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "a b c d stop p q r s t u"
+    out(2L) shouldBe "a b c d keepme" // short span kept, long span gone
+  }
 }

@@ -2195,17 +2195,27 @@ object SparkEntry {
     // suffix-explode equi-join (min matching entry reported), ordered
     // path rules — the oracle replays matching as an ascending CASE
     // chain (first ascending match ≡ min) and LIKE suffix tests.
+    // doc_id%13==0 rows carry a MIXED-CASE punycode first label and
+    // %7==0 rows a unicode one: both must canonicalize to
+    // 'xn--bcher-kva' (IDN layer), so the punycode blocklist entry
+    // catches the homograph — the oracle replays the ACE form as a
+    // precomputed literal.
     "q_url_filter" -> ((s, d) => {
       import s.implicits._
       val tld = when(pmod(col("doc_id"), lit(3)) === 0, lit("com"))
         .when(pmod(col("doc_id"), lit(3)) === 1, lit("net"))
         .otherwise(lit("org"))
-      val url = concat(lit("https://a"), pmod(col("doc_id"), lit(5)),
+      val label0 = when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("XN--BCHER-KVA"))
+        .when(pmod(col("doc_id"), lit(7)) === 0, lit("bücher"))
+        .otherwise(concat(lit("a"), pmod(col("doc_id"), lit(5))))
+      val url = concat(lit("https://"), label0,
         lit(".d"), pmod(col("doc_id"), lit(20)), lit("."), tld,
         when(pmod(col("doc_id"), lit(11)) === 0, lit("/track/click?id="))
           .otherwise(lit("/page/")),
         col("doc_id"))
-      val blocked = Seq("d7.net", "d3.com", "a1.d16.org").toDF("domain")
+      val blocked = Seq("d7.net", "d3.com", "a1.d16.org",
+        "xn--bcher-kva.d14.org").toDF("domain")
       graft.ops.UrlFilter.audit(
           Tables.documents(s, d).select(col("doc_id"), url.as("url")),
           "doc_id", "url", blocked, "domain",
@@ -5586,7 +5596,11 @@ object SparkEntry {
     "q_url_filter" ->
       """WITH p AS (
         |  SELECT doc_id,
-        |    'https://a' || (doc_id % 5) || '.d' || (doc_id % 20) || '.' ||
+        |    'https://' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'XN--BCHER-KVA'
+        |         WHEN doc_id % 7 = 0 THEN 'bücher'
+        |         ELSE 'a' || (doc_id % 5) END ||
+        |    '.d' || (doc_id % 20) || '.' ||
         |    CASE WHEN doc_id % 3 = 0 THEN 'com'
         |         WHEN doc_id % 3 = 1 THEN 'net' ELSE 'org' END ||
         |    CASE WHEN doc_id % 11 = 0 THEN '/track/click?id='
@@ -5594,9 +5608,9 @@ object SparkEntry {
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, url,
-        |    lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))
-        |      AS host
+        |    replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+        |      'bücher.', 'xn--bcher-kva.') AS host
         |  FROM p),
         |m AS (
         |  SELECT doc_id, url, host,
@@ -5605,7 +5619,10 @@ object SparkEntry {
         |         WHEN host = 'd3.com' OR host LIKE '%.d3.com'
         |           THEN 'd3.com'
         |         WHEN host = 'd7.net' OR host LIKE '%.d7.net'
-        |           THEN 'd7.net' END AS blocked_domain,
+        |           THEN 'd7.net'
+        |         WHEN host = 'xn--bcher-kva.d14.org'
+        |           OR host LIKE '%.xn--bcher-kva.d14.org'
+        |           THEN 'xn--bcher-kva.d14.org' END AS blocked_domain,
         |    CASE WHEN regexp_matches(url, '/track/')
         |           THEN 'tracker' END AS blocked_rule
         |  FROM h)

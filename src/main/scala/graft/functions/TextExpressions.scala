@@ -73,8 +73,63 @@ object TextFold {
   }
 }
 
+/** IDN (punycode / RFC 3490 ToASCII) host normalization: a unicode
+  * hostname becomes its ACE form (`bücher.example` →
+  * `xn--bcher-kva.example`), so homograph hosts can't bypass a
+  * punycode blocklist and the domain graph doesn't split one host into
+  * unicode and ACE nodes. Callers lowercase FIRST: mixed-case punycode
+  * (`XN--BCHER-KVA`) is ASCII and passes the RFC's pass-through rule
+  * case-preserved, so the lowercase is what canonicalizes it.
+  *
+  * ASCII inputs short-circuit byte-identical (no allocation) — the hot
+  * path costs one byte scan. A host `java.net.IDN.toASCII` refuses
+  * (overlong labels, stray unicode junk) passes through unchanged
+  * rather than killing the task: a malformed host can't match a
+  * well-formed blocklist entry anyway, and walkers in this repo recover
+  * honestly instead of dying on crawl dirt. */
+case class IdnAscii(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "idn_ascii"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(s: Any): Any =
+    IdnAscii.toAscii(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IdnAscii.toAscii($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnAscii =
+    copy(child = newChild)
+}
+
+object IdnAscii {
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def toAscii(u: UTF8String): UTF8String = {
+    var ascii = true
+    var i = 0
+    val n = u.numBytes
+    while (ascii && i < n) {
+      if (u.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return u
+    try UTF8String.fromString(java.net.IDN.toASCII(u.toString))
+    catch { case _: IllegalArgumentException => u }
+  }
+}
+
 object TextFunctions {
   /** Column wrapper for [[TextFold]]. */
   def textFold(c: Column): Column =
     ColumnBridge.column(TextFold(ColumnBridge.expression(c)))
+
+  /** Column wrapper for [[IdnAscii]]. */
+  def idnAscii(c: Column): Column =
+    ColumnBridge.column(IdnAscii(ColumnBridge.expression(c)))
 }

@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object UrlFilter {
 
-  /** Lowercased host of a URL: after the scheme and optional
-    * credentials, before port/path/query. Empty string when the URL has
-    * no parseable host. */
+  /** Canonical host of a URL: after the scheme and optional
+    * credentials, before port/path/query — lowercased, then IDN
+    * (punycode) normalized so unicode homographs and mixed-case ACE
+    * labels canonicalize to one spelling (ASCII hosts short-circuit
+    * byte-identical). Empty string when the URL has no parseable
+    * host. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+    graft.functions.TextFunctions.idnAscii(lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)))
 
   /** The host's dot-suffix chain, shortest first, bounded to `maxLabels`
     * labels (blocklists never carry deeper entries; the bound keeps the

@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   * reserving the expensive near-dup machinery ([[Dedup]]) for pages
   * whose BYTES differ.
   *
-  * Everything here is pure built-in `Column` expressions — regexp
-  * splits, array sort/filter, conditional concat — so normalization is
-  * codegen'd, shuffle-free, and engine-portable (the DuckDB oracle
-  * replicates it function-for-function; hash-checked by `q_dedup_url`).
+  * Everything here is built-in `Column` expressions — regexp splits,
+  * array sort/filter, conditional concat — plus the codegen'd
+  * [[graft.functions.IdnAscii]] host step, so normalization is
+  * codegen'd and shuffle-free, and on ASCII hosts engine-portable
+  * function-for-function (the DuckDB oracle replays it; hash-checked
+  * by `q_dedup_url` — unicode hosts replay via precomputed punycode
+  * literals, since only the JVM carries an IDN library).
   *
   * Normalization rules (each deliberately engine-portable):
   *  - scheme and authority lowercased;
+  *  - host IDN-normalized to its punycode (ACE) spelling, so unicode
+  *    homograph hosts collapse onto the ASCII form;
   *  - default port stripped, but only when it matches the scheme
   *    (`:80` on http, `:443` on https — `https://h:80` keeps its port);
   *  - fragment dropped;
@@ -34,9 +39,21 @@ object UrlNormalize {
     val rest = regexp_replace(url, SchemeRe, "")
     val noFrag = regexp_replace(rest, "#.*$", "")
     val authority = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
-    val hostPort = when(scheme === "http", regexp_replace(authority, ":80$", ""))
+    val noDefPort =
+      when(scheme === "http", regexp_replace(authority, ":80$", ""))
       .when(scheme === "https", regexp_replace(authority, ":443$", ""))
       .otherwise(authority)
+    // IDN-normalize the HOST label run only (between optional
+    // credentials and optional port) so unicode homographs collapse to
+    // their punycode spelling; ASCII authorities pass through
+    // byte-identical (idnAscii short-circuits), keeping the oracle's
+    // replay exact on ASCII fixtures
+    val userinfo = regexp_extract(noDefPort, "^([^@]*@)", 1)
+    val port = regexp_extract(noDefPort, "(:[0-9]+)$", 1)
+    val rawHost = regexp_replace(
+      regexp_replace(noDefPort, "^[^@]*@", ""), ":[0-9]+$", "")
+    val hostPort = concat(userinfo,
+      graft.functions.TextFunctions.idnAscii(rawHost), port)
     val pathQ = regexp_replace(noFrag, "^[^/?]*", "")
     val rawPath = regexp_extract(pathQ, "^([^?]*)", 1)
     val trimmed = regexp_replace(rawPath, "/+$", "")

@@ -24,6 +24,31 @@ class UrlFilterSpec extends SparkTestBase {
     }
   }
 
+  it should "canonicalize IDN homographs to their punycode spelling" in {
+    val cases = Seq(
+      // unicode host → ACE form (so a punycode blocklist entry hits)
+      "https://bücher.example.com/x" -> "xn--bcher-kva.example.com",
+      // mixed-case ACE: lowercase IS the canonicalization (RFC
+      // pass-through keeps ASCII labels as-is)
+      "https://XN--BCHER-KVA.example.com/x" -> "xn--bcher-kva.example.com",
+      // cyrillic 'а' homograph of apple.com — NOT the ASCII host
+      "https://аpple.com/x" -> "xn--pple-43d.com")
+    cases.foreach { case (u, want) =>
+      Seq(u).toDF("u").select(UrlFilter.hostOf($"u")).as[String]
+        .head() shouldBe want
+    }
+  }
+
+  it should "let a punycode blocklist entry catch a unicode homograph" in {
+    val b = Seq("xn--bcher-kva.example.com").toDF("domain")
+    UrlFilter.audit(
+        Seq((1L, "https://bücher.example.com/x"),
+          (2L, "https://buecher.example.com/x")).toDF("id", "url"),
+        "id", "url", b, "domain")
+      .select($"id", $"keep").as[(Long, Boolean)].collect()
+      .toMap shouldBe Map(1L -> false, 2L -> true)
+  }
+
   "hostSuffixes" should "emit the bounded suffix chain" in {
     Seq("a.b.c.d").toDF("h")
       .select(UrlFilter.hostSuffixes($"h", maxLabels = 3)).as[Seq[String]]

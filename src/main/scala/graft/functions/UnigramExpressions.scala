@@ -1,0 +1,328 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer kernels as
+  * native expressions — the other public tokenizer family next to
+  * [[Bpe]]: a vocabulary of PIECES with log-probabilities, a word
+  * segmented to its maximum-likelihood piece sequence by Viterbi
+  * dynamic programming over codepoints.
+  *
+  * The model (piece → logp table plus the unknown-codepoint floor)
+  * rides as a reference object on the expression, never per row — the
+  * same posture as the BPE merge list and the PQ codebooks. All three
+  * kernels share ONE Viterbi implementation ([[Unigram.segment]] /
+  * [[Unigram.score]]) so training counts, inference tokens, and
+  * likelihood scores can never disagree on a segmentation.
+  *
+  * Determinism contract (what makes the trained model bit-identical
+  * across engines, partitionings, and the independent single-node
+  * reference in the spec): Viterbi scores accumulate left-to-right
+  * (`best(j) + logp(piece)`, one two-operand add per step), and ties
+  * break toward the SMALLEST split point — i.e. the LONGEST final
+  * piece — scanning candidates in ascending start order with a strict
+  * `>` update.
+  */
+object Unigram {
+
+  /** SentencePiece's word-start marker (U+2581 LOWER ONE EIGHTH BLOCK):
+    * each whitespace word is segmented as `▁word`, making token
+    * sequences losslessly detokenizable (concat, `▁` → space). */
+  val WordMarker = "▁"
+
+  /** Compiled model: parallel piece/logp arrays (sorted by piece — the
+    * canonical vocab order), a hash lookup, the max piece length in
+    * codepoints (bounds the DP window), and the floor logp charged to
+    * a codepoint no piece covers. */
+  final class Model(val pieces: Array[String], val logps: Array[Double],
+                    val unkLogp: Double) extends Serializable {
+    require(pieces.length == logps.length,
+      "Unigram.Model: pieces and logps must align")
+
+    @transient lazy val table: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](
+        pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) { m.put(pieces(i), logps(i)); i += 1 }
+      m
+    }
+
+    @transient lazy val maxPieceCp: Int = {
+      var mx = 1
+      var i = 0
+      while (i < pieces.length) {
+        val cp = pieces(i).codePointCount(0, pieces(i).length)
+        if (cp > mx) mx = cp
+        i += 1
+      }
+      mx
+    }
+  }
+
+  /** Char offsets of each codepoint boundary of `s` (length n+1). */
+  private def cpOffsets(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val off = new Array[Int](n + 1)
+    var i = 0
+    var c = 0
+    while (i < n) {
+      off(i) = c
+      c = s.offsetByCodePoints(c, 1)
+      i += 1
+    }
+    off(n) = s.length
+    off
+  }
+
+  /** Viterbi over one word: fills `best` (max log-prob of a prefix) and
+    * `back` (chosen split point), returns the codepoint offsets. */
+  private def viterbi(word: String, m: Model)
+      : (Array[Int], Array[Double], Array[Int]) = {
+    val off = cpOffsets(word)
+    val n = off.length - 1
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bi = Double.NegativeInfinity
+      var bj = -1
+      var j = math.max(0, i - m.maxPieceCp)
+      while (j < i) {
+        val lpBoxed = m.table.get(word.substring(off(j), off(i)))
+        val lp =
+          if (lpBoxed != null) lpBoxed.doubleValue()
+          else if (i - j == 1) m.unkLogp
+          else Double.NaN
+        if (!lp.isNaN) {
+          val s = best(j) + lp
+          // strict >, ascending j: the first (longest-piece) candidate
+          // keeps ties — the documented deterministic tie rule
+          if (s > bi) { bi = s; bj = j }
+        }
+        j += 1
+      }
+      best(i) = bi
+      back(i) = bj
+      i += 1
+    }
+    (off, best, back)
+  }
+
+  /** Maximum-likelihood segmentation of one word (marker NOT added
+    * here — callers decide). Unknown codepoints come back as their own
+    * single-codepoint tokens at the floor logp. */
+  def segment(word: String, m: Model): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val (off, _, back) = viterbi(word, m)
+    var i = off.length - 1
+    var count = 0
+    while (i > 0) { count += 1; i = back(i) }
+    val out = new Array[String](count)
+    i = off.length - 1
+    var k = count - 1
+    while (i > 0) {
+      out(k) = word.substring(off(back(i)), off(i))
+      k -= 1
+      i = back(i)
+    }
+    out
+  }
+
+  /** Total log-probability of one word's best segmentation. */
+  def score(word: String, m: Model): Double = {
+    if (word.isEmpty) return 0.0
+    val (off, best, _) = viterbi(word, m)
+    best(off.length - 1)
+  }
+
+  /** Whitespace words of a text, marker-prefixed. */
+  def markedWords(text: String): Array[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .map(WordMarker + _).toArray
+}
+
+/** `unigram_substrings(word)` → EVERY substring of 1..`maxLen`
+  * codepoints, one element per occurrence (multiplicity preserved —
+  * the seed-count explode of the trainer). */
+case class UnigramSubstringsExpr(child: Expression, maxLen: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_substrings"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def subs(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val n = s.codePointCount(0, s.length)
+    val off = new Array[Int](n + 1)
+    var c = 0
+    var i = 0
+    while (i < n) { off(i) = c; c = s.offsetByCodePoints(c, 1); i += 1 }
+    off(n) = s.length
+    val out = new java.util.ArrayList[UTF8String](n * maxLen)
+    i = 0
+    while (i < n) {
+      var l = 1
+      while (l <= maxLen && i + l <= n) {
+        out.add(UTF8String.fromString(s.substring(off(i), off(i + l))))
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = subs(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("uniSubs", this,
+        classOf[UnigramSubstringsExpr].getName)
+      s"${ev.value} = $ref.subs($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSubstringsExpr =
+    copy(child = newChild)
+}
+
+/** `unigram_segment_word(word)` under a frozen vocab: the Viterbi
+  * pieces of ONE (already marker-prefixed) word — the trainer's
+  * E-step kernel over the distinct-word table. */
+case class UnigramSegmentWordExpr(child: Expression,
+                                  vocab: Seq[(String, Double)],
+                                  unkLogp: Double)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment_word"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val model = new Unigram.Model(
+    vocab.map(_._1).toArray, vocab.map(_._2).toArray, unkLogp)
+
+  def seg(u: UTF8String): ArrayData =
+    new GenericArrayData(
+      Unigram.segment(u.toString, model).map(UTF8String.fromString))
+
+  override def nullSafeEval(v: Any): Any = seg(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("uniSeg", this,
+        classOf[UnigramSegmentWordExpr].getName)
+      s"${ev.value} = $ref.seg($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentWordExpr =
+    copy(child = newChild)
+}
+
+/** `unigram_tokenize(text)` under a frozen vocab: whitespace words,
+  * each marker-prefixed and Viterbi-segmented; the document's full
+  * token sequence (lossless — concat + `▁`→space reproduces the
+  * whitespace-normalized text). */
+case class UnigramTokenizeExpr(child: Expression,
+                               vocab: Seq[(String, Double)],
+                               unkLogp: Double)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val model = new Unigram.Model(
+    vocab.map(_._1).toArray, vocab.map(_._2).toArray, unkLogp)
+
+  def tokenize(u: UTF8String): ArrayData = {
+    val words = Unigram.markedWords(u.toString)
+    val out = new java.util.ArrayList[UTF8String]()
+    var w = 0
+    while (w < words.length) {
+      val syms = Unigram.segment(words(w), model)
+      var i = 0
+      while (i < syms.length) {
+        out.add(UTF8String.fromString(syms(i)))
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("uniTok", this,
+        classOf[UnigramTokenizeExpr].getName)
+      s"${ev.value} = $ref.tokenize($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramTokenizeExpr =
+    copy(child = newChild)
+}
+
+/** `unigram_score(text)` under a frozen vocab: the summed Viterbi
+  * log-probability of every marker-prefixed word — the corpus
+  * log-likelihood kernel (per-word terms accumulate left-to-right in
+  * document order, so the per-document value is deterministic). */
+case class UnigramScoreExpr(child: Expression,
+                            vocab: Seq[(String, Double)],
+                            unkLogp: Double)
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "unigram_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val model = new Unigram.Model(
+    vocab.map(_._1).toArray, vocab.map(_._2).toArray, unkLogp)
+
+  def score(u: UTF8String): Double = {
+    val words = Unigram.markedWords(u.toString)
+    var s = 0.0
+    var w = 0
+    while (w < words.length) {
+      s += Unigram.score(words(w), model)
+      w += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("uniScore", this,
+        classOf[UnigramScoreExpr].getName)
+      s"${ev.value} = $ref.score($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramScoreExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{Unigram, UnigramScoreExpr, UnigramSegmentWordExpr, UnigramSubstringsExpr, UnigramTokenizeExpr}
+
+/** Distributed unigram-LM tokenizer training (the SentencePiece family,
+  * Kudo 2018) — the second public tokenizer next to [[BpeTrainer]]: a
+  * vocabulary of pieces with log-probabilities, fit by hard
+  * (Viterbi) EM and pruned to a target size, then applied to the full
+  * corpus by the codegen'd [[graft.functions.UnigramTokenizeExpr]].
+  *
+  * The same observation that makes BPE scale makes this scale: unigram
+  * statistics live on the DISTINCT-WORD frequency table, not the
+  * corpus. One corpus pass builds `(▁word, weight)`; seeding and every
+  * EM round run over that table — each round is one bounded job (an
+  * in-row Viterbi explode + a map-side-combined sum) whose result is a
+  * VOCAB-sized collect, never a corpus-sized one.
+  *
+  * Hard EM instead of the paper's soft (forward-backward) E-step is
+  * the deliberate engine-portability trade: expected counts are
+  * fractional and would make the model partitioning-dependent (float
+  * sums commute but do not associate); Viterbi counts are exact
+  * integers, so the trained vocabulary is bit-identical across
+  * partitionings, engines, and the independent single-node reference
+  * the spec replays (vocab + likelihood equality). The paper's
+  * pruning-by-likelihood-loss is replaced by the same deterministic
+  * count ordering ((count desc, piece asc)), single-codepoint pieces
+  * always retained so segmentation stays total.
+  *
+  * 100 TB contract (the [[BpeTrainer.trainSampled]] posture): learn the
+  * vocab on a deterministic md5 document sample — piece statistics
+  * live on word frequencies, which a uniform sample preserves in
+  * expectation — then tokenize the FULL corpus with the frozen vocab
+  * in ONE pass.
+  */
+object UnigramTokenizer {
+
+  /** A trained model: `(piece, logp)` sorted by piece, plus the floor
+    * logp charged to codepoints outside the vocabulary. */
+  case class Vocab(pieces: Seq[(String, Double)], unkLogp: Double)
+
+  /** Floor log-probability for unknown codepoints (and for
+    * single-codepoint pieces whose training count reached zero but
+    * that stay in the vocab to keep segmentation total). */
+  val UnkLogp: Double = -30.0
+
+  /** Distinct-word table `(word, weight)` — the one corpus-sized pass;
+    * words are whitespace tokens with the `▁` start marker fused on. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("weight"))
+      .select(concat(lit(Unigram.WordMarker), col("w")).as("word"),
+        col("weight"))
+
+  /** Train a unigram vocabulary of (at most) `vocabSize` pieces.
+    *
+    *  1. SEED: count every ≤ `maxPieceLen`-codepoint substring of the
+    *     word table (occurrences × word weight — exact longs); the
+    *     seed vocab is every observed single codepoint plus the top
+    *     `seedSize` multi-codepoint substrings by (count desc, piece
+    *     asc), with logp = ln(count) − ln(Σ count) over the seed.
+    *  2. EM × `emIters`: Viterbi-segment the word table under the
+    *     current vocab (in-row, model as expression state), sum exact
+    *     integer piece counts, re-estimate logp over the survivors,
+    *     and prune multi-codepoint pieces — each round keeps the top
+    *     max(`vocabSize` − #chars, 60% of current) by (count desc,
+    *     piece asc), the last round exactly `vocabSize` − #chars.
+    *
+    * Zero-count multi-codepoint pieces drop; zero-count single
+    * codepoints stay at the [[UnkLogp]] floor. Every step is
+    * deterministic, so the result is a pure function of the corpus. */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 6, emIters: Int = 3,
+            seedSize: Int = 0): Vocab = {
+    require(vocabSize > 0, "vocabSize must be > 0")
+    require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
+    require(emIters >= 1, "emIters must be >= 1")
+    val effSeed = if (seedSize > 0) seedSize else vocabSize * 4
+    val words = wordTable(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- seed: substring counts (multiplicity × weight, exact)
+      val subCounts = words
+        .select(col("weight"),
+          explode(substringsCol(col("word"), maxPieceLen)).as("piece"))
+        .groupBy(col("piece"))
+        .agg(sum(col("weight")).as("cnt"))
+        // codepoint count via a full-codepoint regex replace — `.`
+        // matches one codepoint in Java regex, so this is
+        // surrogate-correct
+        .withColumn("__cp",
+          length(regexp_replace(col("piece"), "(?s).", "x")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // both collects are bounded: alphabet-sized and seed-sized — the
+      // corpus-sized substring table never reaches the driver
+      val singles = subCounts.filter(col("__cp") === 1)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val multis = subCounts.filter(col("__cp") > 1)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(effSeed)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      subCounts.unpersist()
+      var vocabCounts: Seq[(String, Long)] =
+        (singles ++ multis).sortBy(_._1)
+      val charSet = singles.map(_._1).toSet
+      def toLogps(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+        val total = counts.iterator.map(_._2).sum.toDouble
+        val lt = math.log(total)
+        counts.map { case (p, c) =>
+          (p, if (c > 0) math.log(c.toDouble) - lt else UnkLogp)
+        }
+      }
+      var vocab = toLogps(vocabCounts)
+      // ---- hard-EM rounds over the word table
+      var iter = 0
+      while (iter < emIters) {
+        val counted = words
+          .select(col("weight"),
+            explode(segmentWordCol(col("word"), vocab)).as("piece"))
+          .groupBy(col("piece"))
+          .agg(sum(col("weight")).as("cnt"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        val multiTarget = math.max(vocabSize - charSet.size,
+          if (iter == emIters - 1) 0
+          else (vocabCounts.count(c => !charSet(c._1)) * 3) / 5)
+        val keptMulti = vocabCounts.iterator
+          .map(_._1).filterNot(charSet)
+          .map(p => (p, counted.getOrElse(p, 0L)))
+          .filter(_._2 > 0)
+          .toSeq
+          .sortBy { case (p, c) => (-c, p) }
+          .take(multiTarget)
+        val keptChars = charSet.toSeq.sorted
+          .map(p => (p, counted.getOrElse(p, 0L)))
+        vocabCounts = (keptChars ++ keptMulti).sortBy(_._1)
+        vocab = toLogps(vocabCounts)
+        iter += 1
+      }
+      Vocab(vocab, UnkLogp)
+    } finally words.unpersist()
+  }
+
+  /** The 100 TB training shape — see [[BpeTrainer.trainSampled]]:
+    * learn on a deterministic md5 document sample, tokenize the full
+    * corpus under the frozen vocab in one pass. */
+  def trainSampled(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int, fraction: Double,
+                   maxPieceLen: Int = 6, emIters: Int = 3): Vocab = {
+    require(fraction > 0 && fraction <= 1,
+      s"trainSampled: fraction must be in (0, 1], got $fraction")
+    train(Sampling.hashSample(docs, fraction, Seq(idCol)), textCol,
+      vocabSize, maxPieceLen, emIters)
+  }
+
+  /** `unigram_tokenize(text)` under a frozen model, as a Column. */
+  def tokenizeCol(text: Column, vocab: Vocab): Column =
+    ColumnBridge.column(UnigramTokenizeExpr(
+      ColumnBridge.expression(text), vocab.pieces, vocab.unkLogp))
+
+  /** Per-document Viterbi log-likelihood under a frozen model. */
+  def scoreCol(text: Column, vocab: Vocab): Column =
+    ColumnBridge.column(UnigramScoreExpr(
+      ColumnBridge.expression(text), vocab.pieces, vocab.unkLogp))
+
+  /** Reassemble tokenized text (lossless up to whitespace runs). */
+  def detokenize(tokens: Seq[String]): String =
+    tokens.mkString("").replace(Unigram.WordMarker, " ").trim
+
+  private def substringsCol(word: Column, maxLen: Int): Column =
+    ColumnBridge.column(
+      UnigramSubstringsExpr(ColumnBridge.expression(word), maxLen))
+
+  private def segmentWordCol(word: Column,
+                             vocab: Seq[(String, Double)]): Column =
+    ColumnBridge.column(UnigramSegmentWordExpr(
+      ColumnBridge.expression(word), vocab, UnkLogp))
+}

@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.Unigram
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed unigram-LM trainer to an INDEPENDENT
+  * single-node reference: the reference below re-implements seeding,
+  * hard-EM, pruning, and Viterbi from the documented contract (plain
+  * Scala maps, no shared kernels beyond the tie/order rules the
+  * contract states), and the spec demands exact vocab + logp +
+  * per-document likelihood equality. */
+class UnigramTokenizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deliberately morphology-heavy so multi-codepoint pieces emerge
+  private val texts: Seq[String] = Seq(
+    "unfolding unfolds the folding folds",
+    "refolding refolds a folding fold",
+    "unfolded and refolded folds fold",
+    "the folding of the unfolding",
+    "folds fold folding unfolds",
+    "a fold to refold and unfold",
+    "unfold the fold and refold the folds",
+    "folding folds unfolding unfolds refolding refolds")
+  private def docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("doc_id", "text")
+
+  // ------------------------------------------------ independent reference
+
+  private object Ref {
+    def cps(s: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+
+    /** Viterbi: ascending split point, strict >, left-to-right adds. */
+    def segment(word: String, table: Map[String, Double], unk: Double,
+                maxLen: Int): (Vector[String], Double) = {
+      val c = cps(word)
+      val n = c.length
+      if (n == 0) return (Vector.empty, 0.0)
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+        val piece = c.slice(j, i).mkString
+        val lp = table.get(piece)
+          .orElse(if (i - j == 1) Some(unk) else None)
+        lp.foreach { p =>
+          val s = best(j) + p
+          if (s > best(i)) { best(i) = s; back(i) = j }
+        }
+      }
+      var toks = List.empty[String]
+      var i = n
+      while (i > 0) { toks = c.slice(back(i), i).mkString :: toks; i = back(i) }
+      (toks.toVector, best(n))
+    }
+
+    /** Single-node trainer replaying the documented contract. */
+    def train(corpus: Seq[String], vocabSize: Int, maxPieceLen: Int,
+              emIters: Int, seedSize: Int)
+        : (Seq[(String, Double)], Seq[String]) = {
+      val words = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .map("▁" + _)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+      val subCounts = collection.mutable.Map.empty[String, Long]
+      for ((w, wt) <- words) {
+        val c = cps(w)
+        for (i <- c.indices; l <- 1 to math.min(maxPieceLen, c.length - i))
+          subCounts(c.slice(i, i + l).mkString) =
+            subCounts.getOrElse(c.slice(i, i + l).mkString, 0L) + wt
+      }
+      val singles = subCounts.filter { case (p, _) => cps(p).length == 1 }
+      val charSeq = singles.keys.toSeq.sorted
+      val multis = subCounts.filter { case (p, _) => cps(p).length > 1 }
+        .toSeq.sortBy { case (p, cnt) => (-cnt, p) }.take(seedSize)
+      var counts: Seq[(String, Long)] =
+        (singles.toSeq ++ multis).sortBy(_._1)
+      def logps(cs: Seq[(String, Long)]): Seq[(String, Double)] = {
+        val total = cs.map(_._2).sum.toDouble
+        cs.map { case (p, c) =>
+          (p, if (c > 0) math.log(c.toDouble) - math.log(total)
+              else UnigramTokenizer.UnkLogp)
+        }
+      }
+      var vocab = logps(counts)
+      val charSet = charSeq.toSet
+      for (iter <- 0 until emIters) {
+        val table = vocab.toMap
+        val maxLen = vocab.map(v => cps(v._1).length).max
+        val counted = collection.mutable.Map.empty[String, Long]
+        for ((w, wt) <- words) {
+          val (toks, _) = segment(w, table, UnigramTokenizer.UnkLogp, maxLen)
+          toks.foreach(t => counted(t) = counted.getOrElse(t, 0L) + wt)
+        }
+        val nMulti = counts.count(c => !charSet(c._1))
+        val multiTarget = math.max(vocabSize - charSet.size,
+          if (iter == emIters - 1) 0 else (nMulti * 3) / 5)
+        val keptMulti = counts.map(_._1).filterNot(charSet)
+          .map(p => (p, counted.getOrElse(p, 0L))).filter(_._2 > 0)
+          .sortBy { case (p, c) => (-c, p) }.take(multiTarget)
+        val keptChars = charSeq.map(p => (p, counted.getOrElse(p, 0L)))
+        counts = (keptChars ++ keptMulti).sortBy(_._1)
+        vocab = logps(counts)
+      }
+      (vocab, charSeq)
+    }
+  }
+
+  private val VocabSize = 24
+  private lazy val sparkVocab =
+    UnigramTokenizer.train(docs, "text", VocabSize, maxPieceLen = 6, emIters = 3)
+  private lazy val refVocab =
+    Ref.train(texts, VocabSize, maxPieceLen = 6, emIters = 3,
+      seedSize = VocabSize * 4)
+
+  "train" should "match the independent reference vocab exactly (pieces AND logps)" in {
+    sparkVocab.pieces shouldBe refVocab._1
+    sparkVocab.unkLogp shouldBe UnigramTokenizer.UnkLogp
+  }
+
+  it should "learn multi-codepoint morphology pieces" in {
+    val pieces = sparkVocab.pieces.map(_._1)
+    pieces.exists(_.length > 1) shouldBe true
+    // "fold" appears in every word family; some piece must carry it
+    pieces.exists(_.contains("fold")) shouldBe true
+  }
+
+  it should "be invariant to input partitioning" in {
+    val v7 = UnigramTokenizer.train(docs.repartition(7), "text", VocabSize,
+      maxPieceLen = 6, emIters = 3)
+    v7 shouldBe sparkVocab
+  }
+
+  "scoreCol" should "match the reference per-document likelihood exactly" in {
+    val table = refVocab._1.toMap
+    val maxLen = refVocab._1.map(v => Ref.cps(v._1).length).max
+    val want = texts.map(t =>
+      t.split("\\s+").filter(_.nonEmpty).map("▁" + _)
+        .map(w => Ref.segment(w, table, UnigramTokenizer.UnkLogp, maxLen)._2).sum)
+    val got = docs
+      .select(col("doc_id"), UnigramTokenizer.scoreCol(col("text"), sparkVocab))
+      .orderBy(col("doc_id"))
+      .as[(Long, Double)].collect().map(_._2).toSeq
+    got shouldBe want
+  }
+
+  "tokenizeCol" should "match the reference segmentation token-for-token" in {
+    val table = refVocab._1.toMap
+    val maxLen = refVocab._1.map(v => Ref.cps(v._1).length).max
+    val want = texts.map(t =>
+      t.split("\\s+").filter(_.nonEmpty).map("▁" + _)
+        .flatMap(w =>
+          Ref.segment(w, table, UnigramTokenizer.UnkLogp, maxLen)._1).toSeq)
+    val got = docs
+      .select(col("doc_id"), UnigramTokenizer.tokenizeCol(col("text"), sparkVocab))
+      .orderBy(col("doc_id"))
+      .as[(Long, Seq[String])].collect().map(_._2).toSeq
+    got shouldBe want
+  }
+
+  it should "round-trip through detokenize" in {
+    val got = docs
+      .select(col("doc_id"), UnigramTokenizer.tokenizeCol(col("text"), sparkVocab))
+      .as[(Long, Seq[String])].collect()
+    got.foreach { case (id, toks) =>
+      UnigramTokenizer.detokenize(toks) shouldBe
+        texts(id.toInt).split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+  }
+
+  it should "emit unknown codepoints as floor-cost single tokens" in {
+    val v = UnigramTokenizer.Vocab(
+      Seq(("a", math.log(0.5)), ("▁", math.log(0.5))), UnigramTokenizer.UnkLogp)
+    Seq("aØa").toDF("t")
+      .select(UnigramTokenizer.tokenizeCol(col("t"), v)).as[Seq[String]]
+      .head() shouldBe Seq("▁", "a", "Ø", "a")
+    Seq("aØa").toDF("t")
+      .select(UnigramTokenizer.scoreCol(col("t"), v)).as[Double]
+      .head() shouldBe (3 * math.log(0.5) + UnigramTokenizer.UnkLogp)
+  }
+
+  "segment" should "prefer the longest piece on exact ties" in {
+    // "ab" and a+b tie when logp(ab) == logp(a)+logp(b) is impossible
+    // with these values, so force a literal tie: p(ab) = p(a)·p(b)
+    val lp = math.log(0.25)
+    val m = new Unigram.Model(Array("a", "ab", "b"),
+      Array(lp, 2 * lp, lp), UnigramTokenizer.UnkLogp)
+    Unigram.segment("ab", m).toSeq shouldBe Seq("ab")
+  }
+}

@@ -434,6 +434,36 @@ object SparkEntry {
   private val HtmlFixtureTail =
     "</ul></body></html>"
 
+  // q_html_blocks / q_html_main page: a nav <div> of id-varying anchor
+  // runs (density → 1, dropped by the gate), the document body (density
+  // 0), a long second paragraph with ONE inline link (kept — density
+  // well under the gate), and a footer link list (dropped). The script
+  // carries a decoy </div> so the payload strip must run BEFORE the
+  // block split. Entities inside anchors pin decode-inside-link_chars.
+  // No single quotes — the fragments embed directly in SQL literals.
+  private val HtmlBlockHead =
+    "</title><script>if (1<2) { nav(\"</div>\"); }</script></head>" +
+      "<body><div>"
+  private val HtmlBlockNavItem =
+    "<a href=\"/n?x=1&amp;y=2\">nav &amp; item</a> "
+  private val HtmlBlockBodyOpen = "</div><p>"
+  private val HtmlBlockMid =
+    "</p><p>closing words long enough to keep this paragraph: tail "
+  private val HtmlBlockRef =
+    " cites <a href=\"/ref\">ref &amp; link</a> inline, done.</p>"
+  private val HtmlBlockFooter =
+    "<div><a href=\"/terms\">Terms</a><a href=\"/privacy\">Privacy</a>" +
+      "</div></body></html>"
+
+  /** The assembled q_html_blocks / q_html_main page Column. */
+  private def HtmlBlockPage: Column = concat(
+    lit(HtmlFixturePrefix), col("doc_id").cast("string"),
+    lit(HtmlBlockHead),
+    expr(s"repeat('$HtmlBlockNavItem', CAST(1 + doc_id % 3 AS INT))"),
+    lit(HtmlBlockBodyOpen), col("text"),
+    lit(HtmlBlockMid), col("doc_id").cast("string"),
+    lit(HtmlBlockRef), lit(HtmlBlockFooter))
+
   /** Scratch dir for a streaming-harness sink, recursively deleted at JVM
     * exit. The deletion matters: each invocation leaves a checkpoint +
     * staged-parquet tree, and a multi-pass bench (or repeated local
@@ -1924,6 +1954,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM (SentencePiece-family) tokenizer: vocab trained by
+    // hard-EM on a deterministic md5 half-sample (the 100 TB posture —
+    // vocab-sized collects only), full corpus tokenized under the
+    // frozen vocab by the codegen'd Viterbi expression. Rows-only
+    // (iterative EM is not SQL); UnigramLmSpec pins vocab + likelihood
+    // equality with an independent single-node reference, and
+    // q_unigram_tokens_exact hash-checks the tokenize/score plumbing
+    // under a frozen vocab.
+    "q_unigram_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.ops.UnigramTokenizer.trainSampled(docs, "doc_id", "text",
+        vocabSize = 200, fraction = 0.5, maxPieceLen = 5, emIters = 2)
+      docs.select(col("doc_id"),
+          graft.ops.UnigramTokenizer.tokenizeCol(col("text"), vocab).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The frozen-vocab exact twin: under a single-codepoint vocabulary
+    // (printable ASCII + the ▁ marker, uniform probabilities) the
+    // Viterbi segmentation is the codepoint sequence BY CONSTRUCTION
+    // (no multi-codepoint piece exists), so token counts and summed
+    // log-probabilities are replayable in SQL: n_tokens = words +
+    // codepoints, logp = per-codepoint CASE + per-word marker cost.
+    // Pins the marker insertion, codepoint walking, unknown floor, and
+    // score arithmetic of the same kernels q_unigram_tokens exercises.
+    "q_unigram_tokens_exact" -> ((s, d) => {
+      val pieces = ((33 to 126).map(c => c.toChar.toString) :+ "▁")
+        .sorted.map(p => (p, math.log(1.0 / 95)))
+      val v = graft.ops.UnigramTokenizer.Vocab(pieces, -30.0)
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.ops.UnigramTokenizer.tokenizeCol(col("text"), v).as("toks"),
+          graft.ops.UnigramTokenizer.scoreCol(col("text"), v).as("lp"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          round(col("lp"), 6).as("logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-window chunking with overlap — context-window prep.
     "q_chunking" -> ((s, d) =>
       graft.ops.Chunking.chunk(
@@ -2546,6 +2616,34 @@ object SparkEntry {
         lit(HtmlFixtureTail))
       graft.ops.HtmlExtract.extract(
           docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Block-level link-density decomposition (the Boilerpipe signal the
+    // flat WET chain lacks): pages split on block tags AFTER the
+    // payload strip (a script-string decoy </div> must not open a
+    // block), per-block visible text vs anchor-text chars, density
+    // 6-dp. The oracle replays split, per-fragment chain, and the
+    // anchor sum block-for-block.
+    "q_html_blocks" -> ((s, d) => {
+      graft.ops.HtmlExtract.blocks(
+          Tables.documents(s, d).select(col("doc_id"),
+            HtmlBlockPage.as("html")), "doc_id", "html")
+        .select(col("doc_id"),
+          col("block_idx").cast(LongType).as("block_idx"),
+          col("block_text"), col("text_chars").cast(LongType).as("text_chars"),
+          col("link_chars").cast(LongType).as("link_chars"),
+          col("link_density"))
+        .orderBy(col("doc_id"), col("block_idx"))
+    }),
+
+    // The block-density gate end-to-end: nav/footer link lists drop,
+    // body prose survives and re-joins in document order — the second
+    // extraction MODE next to the flat chain's q_html_extract.
+    "q_html_main" -> ((s, d) => {
+      graft.ops.HtmlExtract.extractMainText(
+          Tables.documents(s, d).select(col("doc_id"),
+            HtmlBlockPage.as("html")), "doc_id", "html")
         .orderBy(col("doc_id"))
     }),
 
@@ -5904,6 +6002,32 @@ object SparkEntry {
     // (no single quotes in either by construction), so the oracle replays
     // the exact regex battery with RE2 'g' semantics.
     "q_html_extract" -> HtmlExtractOracleSql,
+    // Block tier replayed: same payload strip before the split, same
+    // per-fragment chain, anchor-text chars via list arithmetic.
+    "q_html_blocks" ->
+      s"""$HtmlBlocksOracleCte
+         |SELECT doc_id, block_idx, block_text,
+         |  CAST(len(block_text) AS BIGINT) AS text_chars, link_chars,
+         |  round(CAST(link_chars AS DOUBLE) / len(block_text), 6)
+         |    AS link_density
+         |FROM lc ORDER BY doc_id, block_idx""".stripMargin,
+    // The density gate end-to-end: >= 20 chars, rounded density <=
+    // 0.34, survivors re-joined in block order; all-boilerplate docs
+    // keep an empty row.
+    "q_html_main" ->
+      s"""$HtmlBlocksOracleCte,
+         |k AS (SELECT doc_id, block_idx, block_text FROM lc
+         |      WHERE len(block_text) >= 20
+         |        AND round(CAST(link_chars AS DOUBLE) / len(block_text), 6)
+         |              <= 0.34),
+         |m AS (SELECT doc_id,
+         |        string_agg(block_text, chr(10) ORDER BY block_idx)
+         |          AS main_text
+         |      FROM k GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(m.main_text, '') AS main_text
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // The WARC detour is byte-transparent: archives wrap the SAME html
     // and the walker hands back the same payload, so the end-to-end
     // CommonCrawl composition shares the direct-extraction oracle.
@@ -6353,6 +6477,33 @@ object SparkEntry {
         |  span_end - span_start + 1 AS span_len
         |FROM sp WHERE span_end - span_start + 1 >= 12
         |ORDER BY doc_id, span_start""".stripMargin,
+    // Frozen single-codepoint vocab ⇒ Viterbi = the codepoint walk by
+    // construction: tokens = words + codepoints, logp = per-codepoint
+    // CASE (printable ASCII at ln(1/95), else the -30 floor) plus one
+    // marker term per word. substr/len are codepoint-based in DuckDB,
+    // matching the kernel's codepoint offsets.
+    "q_unigram_tokens_exact" ->
+      """WITH w AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |ch AS (
+        |  SELECT doc_id, substr(word, CAST(i AS INT), 1) AS c
+        |  FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS cc,
+        |    sum(CASE WHEN c BETWEEN '!' AND '~' THEN ln(1.0/95)
+        |        ELSE -30.0 END) AS chlp
+        |  FROM ch GROUP BY doc_id),
+        |wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(cc + n_words, 0) AS BIGINT) AS n_tokens,
+        |  round(coalesce(chlp + n_words * ln(1.0/95), 0.0), 6) AS logp
+        |FROM documents d
+        |LEFT JOIN agg USING (doc_id) LEFT JOIN wc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Exact cross-set jaccard over the same shingle space (the MinHash
     // blocking's measured recall is 1.0 at this threshold margin, as for
     // q_dedup_minhash) plus verbatim-text hits — survivors only.
@@ -7749,6 +7900,43 @@ object SparkEntry {
        |    AS n_links,
        |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
        |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE for the block-tier oracles: page synthesis, payload
+    * strip, block split (lockstep unnest + subscripts), per-fragment
+    * chain replay, and the anchor-text character sum. */
+  private lazy val HtmlBlocksOracleCte: String = {
+    def fold(base: String, entries: Seq[(String, String)]): String =
+      entries.foldLeft(base) { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+          s"'${rep.replace("'", "''")}', 'g')"
+      }
+    val htmlExpr = s"'$HtmlFixturePrefix' || doc_id || '$HtmlBlockHead' " +
+      s"|| repeat('$HtmlBlockNavItem', CAST(1 + doc_id % 3 AS INT)) " +
+      s"|| '$HtmlBlockBodyOpen' || text || '$HtmlBlockMid' || doc_id " +
+      s"|| '$HtmlBlockRef' || '$HtmlBlockFooter'"
+    val fragChain = graft.ops.HtmlExtract.Chain.drop(4) ++
+      Seq(("^[\\s]+", ""), ("[\\s]+$", ""))
+    val cleaned = fold("html", graft.ops.HtmlExtract.Chain.take(3))
+    val blockText = fold("frag", fragChain)
+    val linkText = fold("a", fragChain)
+    val splitArr = "regexp_split_to_array(cleaned, " +
+      s"'${graft.ops.HtmlExtract.BlockSplitRe}')"
+    val anchor = graft.ops.HtmlExtract.AnchorRe
+    s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+       |hp AS (SELECT doc_id, $cleaned AS cleaned FROM h),
+       |fr AS (SELECT doc_id, unnest($splitArr) AS frag,
+       |         CAST(generate_subscripts($splitArr, 1) - 1 AS BIGINT)
+       |           AS block_idx
+       |       FROM hp),
+       |bt AS (SELECT doc_id, block_idx, frag, $blockText AS block_text
+       |       FROM fr),
+       |nb AS (SELECT * FROM bt WHERE block_text <> ''),
+       |lc AS (SELECT doc_id, block_idx, block_text,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(frag, '$anchor', 1),
+       |      a -> len($linkText))), 0) AS BIGINT) AS link_chars
+       |  FROM nb)""".stripMargin
   }
 
   /** Shared oracle for the curation pipeline (hand-composed

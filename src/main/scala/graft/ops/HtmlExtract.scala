@@ -78,4 +78,93 @@ object HtmlExtract {
       linkCount(html).as("n_links"),
       round(length(text).cast("double") / length(html), 6).as("text_ratio"))
   }
+
+  // ------------------------------------------------- block-level tier
+
+  /** Block boundary for the density tier (exposed for oracle
+    * replication): the same block-level tag set the flat chain turns
+    * into newlines. */
+  val BlockSplitRe: String =
+    "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|header|footer|title)\\b[^>]*/?>"
+
+  /** Anchor inner-HTML extractor (group 1), exposed for oracle
+    * replication; lazy body so adjacent anchors don't fuse.
+    * RE2-compatible, like every pattern here. */
+  val AnchorRe: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Payload-stripping prefix of [[Chain]] (script/style/comment
+    * removal) — applied BEFORE the block split so a decoy block tag
+    * inside a script string can't open a block. */
+  private def stripPayloads(html: Column): Column =
+    Chain.take(3).foldLeft(html) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Tag-strip + entity-decode + whitespace-normalize one FRAGMENT:
+    * everything in [[Chain]] AFTER the payload passes (0-2) and the
+    * block-boundary pass (3) — the split already consumed the block
+    * tags, so the fragment chain starts at the tag strip (4). */
+  private def fragmentText(frag: Column): Column = {
+    val inner = Chain.drop(4).foldLeft(frag) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    regexp_replace(regexp_replace(inner, "^[\\s]+", ""), "[\\s]+$", "")
+  }
+
+  /** Block decomposition with the Boilerpipe-style density signals:
+    * one row per non-empty block — `(idCol, block_idx, block_text,
+    * text_chars, link_chars, link_density)` where `link_chars` counts
+    * the visible characters INSIDE anchor tags and `link_density` is
+    * their share of the block's text (6-dp rounded).
+    *
+    * The flat [[Chain]] keeps nav/footer link lists because markup
+    * ratio is a PAGE-level signal; link density is the BLOCK-level
+    * signal that separates them (Kohlschütter et al. 2010's strongest
+    * single feature): a nav block is mostly anchor text (density → 1),
+    * body prose is mostly plain text (density → 0).
+    *
+    * Anchors spanning a block boundary are cut by the split (their
+    * halves count in their own blocks) — the same fragment-local
+    * semantics as the flat chain's tag strip. Shuffle-free: the split,
+    * per-block regexes, and density arithmetic are all codegen'd
+    * expressions inside one posexplode projection, and every pattern is
+    * RE2-compatible so the oracle replays block-for-block. */
+  def blocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val frag = col("__frag")
+    val text = fragmentText(frag)
+    val linkChars = aggregate(
+      transform(regexp_extract_all(frag, lit(AnchorRe), lit(1)),
+        a => length(fragmentText(a))),
+      lit(0), (acc, x) => acc + x)
+    df.select(col(idCol),
+        posexplode(split(stripPayloads(col(htmlCol)), BlockSplitRe))
+          .as(Seq("block_idx", "__frag")))
+      .withColumn("block_text", text)
+      .filter(col("block_text") =!= "")
+      .select(col(idCol), col("block_idx"), col("block_text"),
+        length(col("block_text")).as("text_chars"),
+        linkChars.as("link_chars"),
+        round(linkChars.cast("double") /
+          length(col("block_text")).cast("double"), 6).as("link_density"))
+  }
+
+  /** Main-content text by the block-density gate: blocks survive with
+    * `text_chars ≥ minChars` and `link_density ≤ maxLinkDensity`;
+    * survivors re-join in document order separated by newlines. Docs
+    * whose every block was boilerplate still get a row (empty string).
+    * One bounded shuffle (block rows of one document, grouped back). */
+  def extractMainText(df: DataFrame, idCol: String, htmlCol: String,
+                      minChars: Int = 20,
+                      maxLinkDensity: Double = 0.34): DataFrame = {
+    val kept = blocks(df, idCol, htmlCol)
+      .filter(col("text_chars") >= minChars &&
+        col("link_density") <= maxLinkDensity)
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("block_idx"), col("block_text")))),
+        s => s.getField("block_text"))).as("main_text"))
+    df.select(col(idCol)).distinct()
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("main_text"), lit("")).as("main_text"))
+  }
 }

@@ -63,4 +63,61 @@ class HtmlExtractSpec extends SparkTestBase {
       Seq((1L, "<p>x</p>")).toDF("id", "html"), "id", "html")
     df.queryExecution.executedPlan.toString should not include "Exchange"
   }
+
+  // ---------------------------------------------------- block tier
+
+  private val BoilerPage =
+    "<html><head><title>T</title><script>nav()</script></head><body>" +
+      "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a> <a href=\"/f\">FAQ</a></div>" +
+      "<p>This paragraph is the real body content of the page, long " +
+      "enough to pass the minimum and it cites <a href=\"/r\">one " +
+      "reference</a> inline.</p>" +
+      "<p>A second body paragraph with no links at all, also long " +
+      "enough to clear the minimum character bar.</p>" +
+      "<div><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy" +
+      "</a> <a href=\"/imprint\">Imprint</a></div>" +
+      "</body></html>"
+
+  "blocks" should "report per-block text and link-character counts" in {
+    val b = HtmlExtract.blocks(
+        Seq((1L, BoilerPage)).toDF("id", "html"), "id", "html")
+      .orderBy($"block_idx")
+      .select($"block_text", $"text_chars", $"link_chars", $"link_density")
+      .as[(String, Int, Int, Double)].collect()
+    val nav = b.find(_._1.startsWith("Home")).get
+    // nav block: every visible char is anchor text except separators
+    nav._3 shouldBe "Home".length + "About".length +
+      "Contact".length + "FAQ".length
+    nav._4 should be > 0.7
+    val body = b.find(_._1.startsWith("This paragraph")).get
+    body._3 shouldBe "one reference".length
+    body._4 should be < 0.15
+    val plain = b.find(_._1.startsWith("A second")).get
+    plain._3 shouldBe 0
+    plain._4 shouldBe 0.0
+  }
+
+  it should "not let a script-string decoy open a block" in {
+    val html = "<body><script>x = \"<p>\";</script><p>real</p></body>"
+    HtmlExtract.blocks(Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select($"block_text").as[String].collect().toSeq shouldBe Seq("real")
+  }
+
+  "extractMainText" should "drop nav/footer link lists and keep body prose" in {
+    val out = HtmlExtract.extractMainText(
+        Seq((1L, BoilerPage)).toDF("id", "html"), "id", "html")
+      .select($"main_text").as[String].head()
+    out should startWith("This paragraph is the real body")
+    out should include("A second body paragraph")
+    out should not include "Home"
+    out should not include "Privacy"
+  }
+
+  it should "emit an empty row for all-boilerplate pages" in {
+    val allNav = "<div><a href=\"/x\">Only Links Here In This Doc</a></div>"
+    HtmlExtract.extractMainText(
+        Seq((1L, allNav)).toDF("id", "html"), "id", "html")
+      .select($"main_text").as[String].head() shouldBe ""
+  }
 }

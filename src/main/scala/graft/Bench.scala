@@ -33,6 +33,24 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // drain the JIT backlog the warmup queued before timing anything:
+    // C2 keeps compiling the warmup's generated classes for tens of
+    // seconds after the last warmup query returns, and its compiler
+    // threads otherwise contend with the first timed queries — the
+    // backlog grows with suite size, measured as a 1.5-3x transient on
+    // the alphabetically-first queries at 187+ suite scale (r12 drift
+    // bisect). Poll total compilation time until it holds still.
+    val cmp = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (cmp != null && cmp.isCompilationTimeMonitoringSupported) {
+      var stable = 0
+      var last = cmp.getTotalCompilationTime
+      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+      while (stable < 6 && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val now = cmp.getTotalCompilationTime
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    }
     // min of three timed passes: the generated-code class cache is a
     // small LRU (one unlucky stage pays a multi-second recompile per
     // pass) and this box has noisy neighbors — per-query min reports

@@ -333,12 +333,14 @@ object SparkEntry {
   // and a longest-rule contest between a plain prefix and a wildcard.
   private val RobotsBodySpecific =
     "# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+      "Sitemap: https://maps.example/even.xml\n" +
       "\nUser-agent: graftbot\nDisallow: /only-graft\n" +
       "Disallow: /*?sid=\nAllow: /page/*.html$\nDisallow: /page/\n" +
       "Crawl-delay: 2\n"
   private val RobotsBodyStar =
     "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-      "Disallow: /page/9\nDisallow: /*.tmp$\n"
+      "Disallow: /page/9\nDisallow: /*.tmp$\nCrawl-delay: 10\n" +
+      "Sitemap: https://maps.example/odd.xml\n"
 
   // q_ip_enrich's CIDR fixture, shared by the Spark query and (with
   // bounds computed here in Scala) the oracle's VALUES table
@@ -2487,6 +2489,24 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("path"), col("allowed"),
           col("rule"), col("via_wildcard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-host crawl policy (the RobotsTxt tier's operational summary):
+    // effective crawl-delay under the same specific-shadows-* group
+    // selection as the gate (last declaration wins), sitemaps collected
+    // host-globally. Even hosts: graftbot group delay 2; odd hosts: the
+    // * group's 10.
+    "q_robots_policy" -> ((s, d) => {
+      val robots = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(10)).as("hn")).distinct()
+        .select(concat(lit("h"), col("hn"), lit(".example")).as("host"),
+          when(pmod(col("hn"), lit(2)) === 0, lit(RobotsBodySpecific))
+            .otherwise(lit(RobotsBodyStar)).as("body"))
+      val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+      graft.ops.RobotsTxt.crawlPolicy(rules, "host", "graftbot")
+        .select(col("host"), col("crawl_delay"),
+          concat_ws(",", col("sitemaps")).as("sitemaps"))
+        .orderBy(col("host"))
     }),
 
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
@@ -5490,6 +5510,71 @@ object SparkEntry {
          |  coalesce(w.is_allowed, TRUE) AS allowed, w.rule, w.via_wildcard
          |FROM urls u LEFT JOIN w USING (doc_id)
          |ORDER BY u.doc_id""".stripMargin,
+    // Crawl policy replayed: same parse chain (pos carried through),
+    // same shadow set over non-sitemap rules, last crawl-delay by pos,
+    // numeric-shape gate, host-global sitemap collection.
+    "q_robots_policy" ->
+      s"""WITH hosts AS (SELECT DISTINCT (doc_id % 10) AS hn FROM documents),
+         |rb AS (
+         |  SELECT 'h' || hn || '.example' AS host,
+         |    CASE WHEN hn % 2 = 0 THEN '$RobotsBodySpecific'
+         |         ELSE '$RobotsBodyStar' END AS body
+         |  FROM hosts),
+         |lx AS (
+         |  SELECT host, unnest(string_split(body, chr(10))) AS raw,
+         |    generate_subscripts(string_split(body, chr(10)), 1) AS pos
+         |  FROM rb),
+         |lf AS (
+         |  SELECT host, pos,
+         |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS directive,
+         |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS value
+         |  FROM (SELECT host, pos,
+         |          trim(regexp_replace(raw, '[#].*$$|\r', '', 'g')) AS line
+         |        FROM lx)
+         |  WHERE line <> ''),
+         |ld AS (SELECT * FROM lf WHERE directive IN
+         |  ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
+         |tg AS (
+         |  SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END
+         |      AS is_ua,
+         |    coalesce(lag(CASE WHEN directive = 'user-agent' THEN 1
+         |      ELSE 0 END) OVER (PARTITION BY host ORDER BY pos), 0)
+         |      AS prev_ua
+         |  FROM ld),
+         |tg2 AS (
+         |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1
+         |    ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS group_id
+         |  FROM tg),
+         |ag AS (SELECT host, group_id, lower(value) AS agent FROM tg2
+         |       WHERE is_ua = 1),
+         |ru AS (SELECT host, group_id, pos, directive, value FROM tg2
+         |       WHERE is_ua = 0),
+         |rules AS (SELECT ru.host, ag.agent, ru.directive, ru.value, ru.pos
+         |          FROM ru JOIN ag USING (host, group_id)),
+         |g AS (SELECT * FROM rules WHERE directive <> 'sitemap'
+         |        AND (agent = 'graftbot' OR agent = '*')),
+         |spec AS (SELECT DISTINCT host FROM g WHERE agent = 'graftbot'),
+         |eff AS (
+         |  SELECT g.* FROM g LEFT JOIN spec ON g.host = spec.host
+         |  WHERE CASE WHEN spec.host IS NOT NULL
+         |          THEN g.agent = 'graftbot' ELSE g.agent = '*' END),
+         |cd AS (SELECT host, value FROM (
+         |    SELECT host, value, row_number() OVER (PARTITION BY host
+         |      ORDER BY pos DESC) AS rn
+         |    FROM eff WHERE directive = 'crawl-delay') WHERE rn = 1),
+         |delay AS (SELECT host,
+         |    CASE WHEN regexp_matches(value, '^[0-9]+(\\.[0-9]+)?$$')
+         |      THEN CAST(value AS DOUBLE) END AS crawl_delay
+         |  FROM cd),
+         |maps AS (SELECT host,
+         |    array_to_string(list_sort(list(DISTINCT value)), ',') AS s
+         |  FROM rules WHERE directive = 'sitemap' GROUP BY host)
+         |SELECT h2.host, delay.crawl_delay, coalesce(maps.s, '') AS sitemaps
+         |FROM (SELECT DISTINCT host FROM rules) h2
+         |LEFT JOIN delay ON h2.host = delay.host
+         |LEFT JOIN maps ON h2.host = maps.host
+         |ORDER BY h2.host""".stripMargin,
     // Enrichment replayed: same octet arithmetic, a VALUES range table
     // with bounds precomputed from the SAME fixture, overlap resolution
     // by the same (32−prefix, start, label) order.

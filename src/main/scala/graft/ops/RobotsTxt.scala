@@ -151,4 +151,46 @@ object RobotsTxt {
       .withColumn("allowed", coalesce(col("__allowed"), lit(true)))
       .drop("__k", "__allowed")
   }
+
+  /** Per-host crawl policy for `agent`: one row per host in `rules`
+    * with the effective `crawl_delay` (double seconds, null when the
+    * selected group declares none or the value isn't numeric) and the
+    * host's `sitemaps` (sorted, distinct — sitemap lines are
+    * host-global per the REP, so they're collected across ALL groups).
+    *
+    * Group selection matches [[isAllowed]]: a host with ANY
+    * non-sitemap rule group for the specific agent ignores the `*`
+    * group entirely; within the selected group the LAST `Crawl-delay`
+    * line wins (later directives override earlier ones). One
+    * host-granular aggregate each — hosts are the scale axis. */
+  def crawlPolicy(rules: DataFrame, rulesHostCol: String,
+                  agent: String): DataFrame = {
+    val a = lit(agent.toLowerCase)
+    val grouped = rules.filter(col("directive") =!= "sitemap")
+      .filter(col("agent") === a || col("agent") === "*")
+      .select(col(rulesHostCol).as("__rh"), col("agent").as("__agent"),
+        col("directive").as("__dir"), col("value").as("__v"),
+        col("rule_idx").as("__ri"))
+    val hostHasSpecific = grouped.filter(col("__agent") === a)
+      .select(col("__rh")).distinct().withColumn("__spec", lit(1))
+    val delay = grouped
+      .join(hostHasSpecific, Seq("__rh"), "left")
+      .filter(when(col("__spec") === 1, col("__agent") === a)
+        .otherwise(col("__agent") === "*"))
+      .filter(col("__dir") === "crawl-delay")
+      .groupBy(col("__rh"))
+      .agg(max(struct(col("__ri"), col("__v"))).as("__last"))
+      .select(col("__rh"),
+        when(col("__last.__v").rlike("^[0-9]+(\\.[0-9]+)?$"),
+          col("__last.__v").cast("double")).as("crawl_delay"))
+    val maps = rules.filter(col("directive") === "sitemap")
+      .groupBy(col(rulesHostCol).as("__rh"))
+      .agg(sort_array(collect_set(col("value"))).as("sitemaps"))
+    rules.select(col(rulesHostCol).as("host")).distinct()
+      .join(delay.withColumnRenamed("__rh", "host"), Seq("host"), "left")
+      .join(maps.withColumnRenamed("__rh", "host"), Seq("host"), "left")
+      .select(col("host"), col("crawl_delay"),
+        coalesce(col("sitemaps"), array().cast("array<string>"))
+          .as("sitemaps"))
+  }
 }

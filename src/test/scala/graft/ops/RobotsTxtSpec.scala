@@ -132,6 +132,34 @@ class RobotsTxtSpec extends SparkTestBase {
     d("/page/doc.pdf") shouldBe ((false, Some("/page/")))
   }
 
+  "crawlPolicy" should "pick the selected group's delay and collect sitemaps host-globally" in {
+    val out = RobotsTxt.crawlPolicy(rules, "host", "graftbot")
+      .select($"host", $"crawl_delay", $"sitemaps")
+      .as[(String, Option[Double], Seq[String])].head()
+    out shouldBe (("h.example", Some(2.0),
+      Seq("https://h.example/site.xml")))
+    // unknownbot falls back to the * group, which declares no delay —
+    // but sitemaps are host-global, not group-scoped
+    val star = RobotsTxt.crawlPolicy(rules, "host", "unknownbot")
+      .select($"crawl_delay", $"sitemaps")
+      .as[(Option[Double], Seq[String])].head()
+    star shouldBe ((None, Seq("https://h.example/site.xml")))
+  }
+
+  it should "let the LAST crawl-delay declaration win and refuse non-numeric values" in {
+    val body = "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n" +
+      "Crawl-delay: 7.5\n\nUser-agent: slowbot\nCrawl-delay: soon\n"
+    val r = RobotsTxt.parseRules(
+      Seq(("d.example", body)).toDF("host", "body"), "host", "body")
+    RobotsTxt.crawlPolicy(r, "host", "anybot")
+      .select($"crawl_delay").as[Option[Double]]
+      .head() shouldBe Some(7.5)
+    // slowbot's own group shadows *, and its value is not numeric
+    RobotsTxt.crawlPolicy(r, "host", "slowbot")
+      .select($"crawl_delay").as[Option[Double]]
+      .head() shouldBe None
+  }
+
   it should "treat an empty Disallow group as allow-all that still shadows" in {
     val openBody = "User-agent: graftbot\nDisallow:\n\n" +
       "User-agent: *\nDisallow: /\n"

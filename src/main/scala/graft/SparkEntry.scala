@@ -457,6 +457,28 @@ object SparkEntry {
     "<div><a href=\"/terms\">Terms</a><a href=\"/privacy\">Privacy</a>" +
       "</div></body></html>"
 
+  // q_url_filter / q_stream_url_gate fixture: doc_id%13==0 rows carry a
+  // MIXED-CASE punycode first label and %7==0 rows a unicode one — both
+  // canonicalize to xn--bcher-kva so the punycode blocklist entry
+  // catches the homograph (oracle replays the ACE form as a literal).
+  private val UrlBlocklistFixture: Seq[String] =
+    Seq("d7.net", "d3.com", "a1.d16.org", "xn--bcher-kva.d14.org")
+
+  private def UrlFixtureCol: Column = {
+    val tld = when(pmod(col("doc_id"), lit(3)) === 0, lit("com"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit("net"))
+      .otherwise(lit("org"))
+    val label0 = when(pmod(col("doc_id"), lit(13)) === 0,
+        lit("XN--BCHER-KVA"))
+      .when(pmod(col("doc_id"), lit(7)) === 0, lit("bücher"))
+      .otherwise(concat(lit("a"), pmod(col("doc_id"), lit(5))))
+    concat(lit("https://"), label0,
+      lit(".d"), pmod(col("doc_id"), lit(20)), lit("."), tld,
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("/track/click?id="))
+        .otherwise(lit("/page/")),
+      col("doc_id"))
+  }
+
   /** The assembled q_html_blocks / q_html_main page Column. */
   private def HtmlBlockPage: Column = concat(
     lit(HtmlFixturePrefix), col("doc_id").cast("string"),
@@ -2274,26 +2296,33 @@ object SparkEntry {
     // precomputed literal.
     "q_url_filter" -> ((s, d) => {
       import s.implicits._
-      val tld = when(pmod(col("doc_id"), lit(3)) === 0, lit("com"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("net"))
-        .otherwise(lit("org"))
-      val label0 = when(pmod(col("doc_id"), lit(13)) === 0,
-          lit("XN--BCHER-KVA"))
-        .when(pmod(col("doc_id"), lit(7)) === 0, lit("bücher"))
-        .otherwise(concat(lit("a"), pmod(col("doc_id"), lit(5))))
-      val url = concat(lit("https://"), label0,
-        lit(".d"), pmod(col("doc_id"), lit(20)), lit("."), tld,
-        when(pmod(col("doc_id"), lit(11)) === 0, lit("/track/click?id="))
-          .otherwise(lit("/page/")),
-        col("doc_id"))
-      val blocked = Seq("d7.net", "d3.com", "a1.d16.org",
-        "xn--bcher-kva.d14.org").toDF("domain")
+      val blocked = UrlBlocklistFixture.toDF("domain")
       graft.ops.UrlFilter.audit(
-          Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+          Tables.documents(s, d).select(col("doc_id"),
+            UrlFixtureCol.as("url")),
           "doc_id", "url", blocked, "domain",
           Seq("tracker" -> "/track/"))
         .select(col("doc_id"), col("url"), col("host"),
           col("blocked_domain"), col("blocked_rule"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The same blocklist applied AT THE DOOR: URLs stream in as
+    // micro-batches and blocked rows (domain suffix, punycode
+    // homograph, or path rule) drop before landing. Frozen blocklist ⇒
+    // stateless per row ⇒ converged ≡ the batch filter the oracle
+    // replays (the q_url_filter chain's keep rows).
+    "q_stream_url_gate" -> ((s, d) => {
+      import s.implicits._
+      val out = scratchDir("graft_sug_")
+      UrlBlocklistFixture.toDF("domain")
+        .write.mode("overwrite").parquet(s"$out/blocklist")
+      graft.streaming.ChangelogStream.streamUrlGate(
+          Tables.documentsStream(s, d).select(col("doc_id"),
+            UrlFixtureCol.as("url")),
+          s"$out/blocklist", "doc_id", "url", s"$out/gate",
+          Seq("tracker" -> "/track/"), statePartitions = 8)
+        .select(col("doc_id"), col("url"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5777,41 +5806,17 @@ object SparkEntry {
     // in ascending-domain CASE order (first match ≡ the op's min-match),
     // same path-rule chain.
     "q_url_filter" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    'https://' ||
-        |    CASE WHEN doc_id % 13 = 0 THEN 'XN--BCHER-KVA'
-        |         WHEN doc_id % 7 = 0 THEN 'bücher'
-        |         ELSE 'a' || (doc_id % 5) END ||
-        |    '.d' || (doc_id % 20) || '.' ||
-        |    CASE WHEN doc_id % 3 = 0 THEN 'com'
-        |         WHEN doc_id % 3 = 1 THEN 'net' ELSE 'org' END ||
-        |    CASE WHEN doc_id % 11 = 0 THEN '/track/click?id='
-        |         ELSE '/page/' END || doc_id AS url
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, url,
-        |    replace(lower(regexp_extract(url,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
-        |      'bücher.', 'xn--bcher-kva.') AS host
-        |  FROM p),
-        |m AS (
-        |  SELECT doc_id, url, host,
-        |    CASE WHEN host = 'a1.d16.org' OR host LIKE '%.a1.d16.org'
-        |           THEN 'a1.d16.org'
-        |         WHEN host = 'd3.com' OR host LIKE '%.d3.com'
-        |           THEN 'd3.com'
-        |         WHEN host = 'd7.net' OR host LIKE '%.d7.net'
-        |           THEN 'd7.net'
-        |         WHEN host = 'xn--bcher-kva.d14.org'
-        |           OR host LIKE '%.xn--bcher-kva.d14.org'
-        |           THEN 'xn--bcher-kva.d14.org' END AS blocked_domain,
-        |    CASE WHEN regexp_matches(url, '/track/')
-        |           THEN 'tracker' END AS blocked_rule
-        |  FROM h)
-        |SELECT doc_id, url, host, blocked_domain, blocked_rule,
-        |  blocked_domain IS NULL AND blocked_rule IS NULL AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""$UrlFilterOracleCte
+         |SELECT doc_id, url, host, blocked_domain, blocked_rule,
+         |  blocked_domain IS NULL AND blocked_rule IS NULL AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // The gate form: survivors only — frozen blocklist makes the
+    // streaming gate converge to exactly this batch filter.
+    "q_stream_url_gate" ->
+      s"""$UrlFilterOracleCte
+         |SELECT doc_id, url FROM m
+         |WHERE blocked_domain IS NULL AND blocked_rule IS NULL
+         |ORDER BY doc_id""".stripMargin,
     // Outlink rows from the shared CTE chain (lockstep unnest keeps
     // Spark's posexplode indexes, fragment gaps included).
     "q_outlinks" ->
@@ -7986,6 +7991,43 @@ object SparkEntry {
        |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
        |FROM x ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared CTE for the URL-blocklist oracles (audit + streaming gate):
+    * same synthesis, host extraction with the ACE form precomputed as a
+    * literal, ascending-domain CASE ≡ min-match, path-rule regex. */
+  private val UrlFilterOracleCte: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 13 = 0 THEN 'XN--BCHER-KVA'
+      |         WHEN doc_id % 7 = 0 THEN 'bücher'
+      |         ELSE 'a' || (doc_id % 5) END ||
+      |    '.d' || (doc_id % 20) || '.' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+      |         WHEN doc_id % 3 = 1 THEN 'net' ELSE 'org' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN '/track/click?id='
+      |         ELSE '/page/' END || doc_id AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, url,
+      |    replace(lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+      |      'bücher.', 'xn--bcher-kva.') AS host
+      |  FROM p),
+      |m AS (
+      |  SELECT doc_id, url, host,
+      |    CASE WHEN host = 'a1.d16.org' OR host LIKE '%.a1.d16.org'
+      |           THEN 'a1.d16.org'
+      |         WHEN host = 'd3.com' OR host LIKE '%.d3.com'
+      |           THEN 'd3.com'
+      |         WHEN host = 'd7.net' OR host LIKE '%.d7.net'
+      |           THEN 'd7.net'
+      |         WHEN host = 'xn--bcher-kva.d14.org'
+      |           OR host LIKE '%.xn--bcher-kva.d14.org'
+      |           THEN 'xn--bcher-kva.d14.org' END AS blocked_domain,
+      |    CASE WHEN regexp_matches(url, '/track/')
+      |           THEN 'tracker' END AS blocked_rule
+      |  FROM h)""".stripMargin
 
   /** Shared CTE for the block-tier oracles: page synthesis, payload
     * strip, block split (lockstep unnest + subscripts), per-fragment

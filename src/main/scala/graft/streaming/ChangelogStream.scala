@@ -471,6 +471,50 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming URL-blocklist gate ([[graft.ops.UrlFilter]] at the
+    * door — the UT1/RefinedWeb source-domain tier applied as pages
+    * arrive): each micro-batch's URLs are suffix-matched against the
+    * FROZEN domain blocklist at `blockedDir` (parquet, `domain`
+    * column) and checked against the ordered path rules; blocked rows
+    * DROP before they land, survivors pass through with original
+    * columns. The IDN host layer rides along, so a unicode homograph
+    * host cannot stream past a punycode blocklist entry.
+    *
+    * Stateless per row given the frozen blocklist (the verdict depends
+    * only on the row's own URL), so the converged output equals the
+    * batch [[graft.ops.UrlFilter.filterByBlocklist]] of the whole
+    * bounded stream regardless of batch boundaries — it shares the
+    * batch SQL oracle. Blocklist updates land OUT OF BAND (write a new
+    * parquet dir, restart the gate) — the frozen-model contract every
+    * gate in this family carries. Same idempotent
+    * per-batch-overwrite file bridge as [[streamSecretGate]]. */
+  def streamUrlGate(stream: DataFrame, blockedDir: String, idCol: String,
+                    urlCol: String, dir: String,
+                    pathRules: Seq[(String, String)] = Nil,
+                    statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val blocked = b.sparkSession.read.parquet(blockedDir)
+        graft.ops.UrlFilter
+          .filterByBlocklist(b, idCol, urlCol, blocked, "domain", pathRules)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stream.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** Streaming MEDIA near-dup gate against a FROZEN persisted
     * fingerprint index ([[graft.ops.Hamming.HammingIndex]]) — the
     * media composition of [[streamDedupAgainst]]'s shape: each arriving

@@ -683,6 +683,47 @@ class ChangelogStreamSpec extends SparkTestBase {
     got.map(_._1).toSeq shouldBe Seq(10L, 12L)
   }
 
+  "streamUrlGate" should "converge to the batch blocklist filter across batch splits" in {
+    import graft.ops.UrlFilter
+    val incoming = Seq(
+      SDoc(20L, "https://ok.example/page"),
+      SDoc(21L, "https://ads.spam.net/banner"),
+      SDoc(22L, "https://bücher.blocked.org/x"), // homograph of the ACE entry
+      SDoc(23L, "https://fine.org/track/click")) // path rule
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sug_in")
+    def stage(docs: Seq[SDoc], name: String, age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sug_w")
+      docs.toDF("doc_id", "url").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(2), "wave1.parquet", 120000L)
+    stage(incoming.drop(2), "wave2.parquet", 60000L)
+    val blocked = Seq("spam.net", "xn--bcher-kva.blocked.org").toDF("domain")
+    val blockedDir = java.nio.file.Files
+      .createTempDirectory("graft_sug_bl").toString
+    blocked.write.mode("overwrite").parquet(blockedDir)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "url").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sug").toString
+    val rules = Seq("tracker" -> "/track/")
+    val got = ChangelogStream.streamUrlGate(stream, blockedDir,
+        "doc_id", "url", dir, rules)
+      .select($"doc_id", $"url").as[(Long, String)].collect().sortBy(_._1)
+    val want = UrlFilter.filterByBlocklist(incoming.toDF("doc_id", "url"),
+        "doc_id", "url", blocked, "domain", rules)
+      .as[(Long, String)].collect().sortBy(_._1)
+    got shouldBe want
+    got.map(_._1).toSeq shouldBe Seq(20L) // homograph + path rule dropped
+  }
+
   "streamMediaDedup" should "converge to the batch matchAgainst filter and enforce the kind guard" in {
     import graft.ops.{Hamming, ImageHash}
     // corpus: two indexed originals (seeds 7 and 8)

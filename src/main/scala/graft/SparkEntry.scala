@@ -3364,6 +3364,26 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Paragraph-granular exact dedup (the CCNet first pass): shared
+    // boilerplate paragraphs — seeded per parity, so each repeats
+    // across ~half the corpus — drop everywhere except the canonical
+    // (min-id) doc, through a digits→0 / case / whitespace
+    // normalization; body paragraphs survive and docs rebuild in
+    // order. The oracle replays split, normalization, md5 keys, and
+    // the canonical rule.
+    "q_paragraph_dedup" -> ((s, d) => {
+      val fix = concat(substring(col("text"), 1, 100), lit("\n\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("Subscribe to our newsletter for 2024 updates!"))
+          .otherwise(lit("All rights reserved (c) site 99.")),
+        lit("\n\n"), substring(col("text"), 101, 100))
+      graft.ops.ParagraphDedup.dedupParagraphs(
+          Tables.documents(s, d).select(col("doc_id"), fix.as("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Maximal duplicated spans (the Lee et al. 2022 exact-substring
     // contract): overlapping/adjacent duplicated 8-windows merged into
     // maximal [start, end] token intervals per non-canonical doc via
@@ -6528,6 +6548,44 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Paragraph dedup replayed: same blank-line split (lockstep
+    // unnest), same normalization chain into md5 keys, same
+    // min-id-canonical removal and ordered rebuild.
+    "q_paragraph_dedup" ->
+      """WITH p0 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 100) || chr(10) || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'Subscribe to our newsletter for 2024 updates!'
+        |      ELSE 'All rights reserved (c) site 99.' END ||
+        |    chr(10) || chr(10) || substr(text, 101, 100) AS t
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(t, '\n{2,}')) AS paragraph,
+        |    generate_subscripts(regexp_split_to_array(t, '\n{2,}'), 1) - 1
+        |      AS para_idx
+        |  FROM p0),
+        |pk AS (
+        |  SELECT doc_id, para_idx, paragraph,
+        |    md5(trim(regexp_replace(regexp_replace(lower(paragraph),
+        |      '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS key
+        |  FROM pr WHERE trim(paragraph) <> ''),
+        |dup AS (
+        |  SELECT key, min(doc_id) AS canonical FROM pk
+        |  GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT pk.doc_id, pk.para_idx, pk.paragraph
+        |  FROM pk LEFT JOIN dup ON pk.key = dup.key
+        |  WHERE dup.canonical IS NULL OR pk.doc_id = dup.canonical),
+        |rb AS (
+        |  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10)
+        |    ORDER BY para_idx) AS cleaned
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(rb.cleaned, '') AS cleaned
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN rb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // Same windows and canonical rule as q_span_dedup, then the island
     // merge replayed: break when the start gap exceeds n, running-sum

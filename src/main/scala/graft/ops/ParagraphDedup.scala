@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Paragraph-granular exact dedup — the CCNet first pass (Wenzek et
+  * al. 2020 §3.1): web text repeats whole PARAGRAPHS (cookie banners,
+  * newsletter plugs, license footers) across documents that are
+  * nowhere near document-level duplicates, and dropping the repeated
+  * paragraph everywhere except one canonical document removes most
+  * crawl boilerplate before any model-based scoring runs.
+  *
+  * Between [[Dedup.exactDedup]] (whole-document granularity) and
+  * [[SpanDedup]] (token-window granularity): paragraphs are the unit
+  * web boilerplate actually repeats at, and the blank-line split makes
+  * removal lossless for the text that survives (no token rewriting).
+  *
+  * Keys are md5 over a CCNet-style normalization — lowercase, digits
+  * to `0`, whitespace runs to one space, trim — so trivial reflows and
+  * counter/date drift don't defeat the match; the normalization is a
+  * codegen'd regexp chain the oracle replays verbatim.
+  *
+  * Scale shape: one paragraph explode (corpus-paragraph-sized, the
+  * scale axis), one key-granular aggregate with map-side combine, one
+  * equi-join back, one per-document regroup. No windows over anything
+  * bigger than a document, no driver-side state.
+  */
+object ParagraphDedup {
+
+  /** CCNet-style normalization behind the paragraph key. */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[0-9]", "0"),
+      "\\s+", " "))
+
+  /** Exploded paragraph table `(id, para_idx, paragraph, key)`: blank
+    * line (2+ newlines) split, whitespace-only paragraphs dropped,
+    * `key` = md5 of the normalized text. `para_idx` keeps the split
+    * position so documents rebuild in order. */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Parallelism.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        posexplode(split(col("__t"), "\\n{2,}")).as(Seq("para_idx", "paragraph")))
+      .filter(trim(col("paragraph")) =!= "")
+      .withColumn("key", md5(normalizeCol(col("paragraph"))))
+
+  /** Cross-document duplicated paragraphs: one row per key occurring
+    * in ≥ `minDocs` distinct documents — `(key, n_docs,
+    * n_occurrences, canonical_id)`, canonical = minimum id. */
+  def duplicatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2): DataFrame =
+    paragraphs(df, idCol, textCol)
+      .groupBy(col("key"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("id")).as("canonical_id"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** The corpus with cross-document duplicated paragraphs removed
+    * everywhere except each paragraph's canonical (min-id) document;
+    * survivors re-join in document order with blank lines. Documents
+    * whose every paragraph was boilerplate still get a row (empty
+    * string). Returns `(id, cleaned)`. */
+  def dedupParagraphs(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    // persisted: the duplicate aggregate AND the removal join both read
+    // the explode — without the pin the paragraph split (and upstream
+    // scan) would execute once per branch
+    val paras = paragraphs(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = paras.groupBy(col("key"))
+      .agg(countDistinct(col("id")).as("__nd"),
+        min(col("id")).as("__canonical"))
+      .filter(col("__nd") >= 2)
+      .select(col("key"), col("__canonical"))
+    val kept = paras.join(dup, Seq("key"), "left_outer")
+      .filter(col("__canonical").isNull || col("id") === col("__canonical"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(concat_ws("\n\n", transform(
+        array_sort(collect_list(struct(col("para_idx"), col("paragraph")))),
+        s => s.getField("paragraph"))).as("cleaned"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ParagraphDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // docs 1-3 share a newsletter plug; doc 2 reflows it (case, digits,
+  // whitespace) — the normalization must still match it; doc 4 repeats
+  // a paragraph only WITHIN itself; doc 5 is clean
+  private def docs = Seq(
+    (1L, "unique intro one\n\nSubscribe to our 2024 newsletter!\n\nbody one"),
+    (2L, "different text here\n\n  subscribe   to our 2025 NEWSLETTER! \n\nmore body"),
+    (3L, "third document\n\nSubscribe to our 2024 newsletter!"),
+    (4L, "echo echo\n\necho echo"),
+    (5L, "entirely original content"))
+    .toDF("doc_id", "text")
+
+  "normalizeCol" should "fold case, digits, and whitespace runs" in {
+    Seq("  Subscribe   to our 2024 NEWSLETTER! ").toDF("t")
+      .select(ParagraphDedup.normalizeCol($"t")).as[String]
+      .head() shouldBe "subscribe to our 0000 newsletter!"
+  }
+
+  "duplicatedParagraphs" should "find cross-document repeats through reflow" in {
+    val d = ParagraphDedup
+      .duplicatedParagraphs(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+    d.length shouldBe 1
+    val (_, nDocs, nOcc, canonical) = d.head
+    (nDocs, nOcc, canonical) shouldBe ((3L, 3L, 1L))
+  }
+
+  it should "not flag paragraphs repeated only within one document" in {
+    ParagraphDedup.duplicatedParagraphs(docs, "doc_id", "text")
+      .filter($"canonical_id" === 4L).count() shouldBe 0
+  }
+
+  "dedupParagraphs" should "strip the repeat outside the canonical doc and rebuild in order" in {
+    val out = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe
+      "unique intro one\n\nSubscribe to our 2024 newsletter!\n\nbody one"
+    out(2L) shouldBe "different text here\n\nmore body"
+    out(3L) shouldBe "third document"
+    out(4L) shouldBe "echo echo\n\necho echo" // intra-doc repeat kept
+    out(5L) shouldBe "entirely original content"
+  }
+
+  it should "emit an empty row when every paragraph was boilerplate" in {
+    val d2 = Seq(
+      (1L, "same plug"),
+      (2L, "same plug"),
+      (3L, "same plug")).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupParagraphs(d2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "same plug"
+    out(2L) shouldBe ""
+    out(3L) shouldBe ""
+  }
+}

@@ -2018,6 +2018,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer acceptance eval (the ClassifierEval posture for
+    // vocabularies): per-source fertility (tokens/word), compression
+    // (content chars/token, ratios of sums), and vocab utilization —
+    // under the frozen single-codepoint vocab the token stream is the
+    // codepoint walk, so every statistic replays in SQL.
+    "q_tokenizer_eval" -> ((s, d) => {
+      val pieces = ((33 to 126).map(c => c.toChar.toString) :+ "▁")
+        .sorted.map(p => (p, math.log(1.0 / 95)))
+      val v = graft.ops.UnigramTokenizer.Vocab(pieces, -30.0)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"),
+        graft.ops.UnigramTokenizer.tokenizeCol(col("text"), v).as("toks"))
+      graft.ops.TokenizerEval.report(docs, "text", "toks", Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // Token-window chunking with overlap — context-window prep.
     "q_chunking" -> ((s, d) =>
       graft.ops.Chunking.chunk(
@@ -6652,6 +6668,39 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg USING (doc_id) LEFT JOIN wc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Frozen char vocab ⇒ tokens = marker per word + codepoints, so
+    // the eval report is pure word/char arithmetic: totals, ratios of
+    // sums, distinct chars + the marker for utilization.
+    "q_tokenizer_eval" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, word FROM (
+        |    SELECT doc_id, source,
+        |      unnest(regexp_split_to_array(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |d0 AS (SELECT source, count(*) AS n_docs FROM documents
+        |       GROUP BY source),
+        |wagg AS (SELECT source, count(*) AS n_words,
+        |           sum(len(word)) AS n_chars
+        |         FROM w GROUP BY source),
+        |ch AS (SELECT source, substr(word, CAST(i AS INT), 1) AS c
+        |       FROM w, unnest(range(1, len(word) + 1)) AS t(i)),
+        |dt AS (SELECT source, count(DISTINCT c) + 1 AS n_distinct_tokens
+        |       FROM ch GROUP BY source)
+        |SELECT d0.source, d0.n_docs,
+        |  CAST(coalesce(n_chars + n_words, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+        |  CASE WHEN coalesce(n_words, 0) > 0
+        |    THEN round(CAST(n_chars + n_words AS DOUBLE) / n_words, 6)
+        |  END AS fertility,
+        |  CASE WHEN coalesce(n_chars + n_words, 0) > 0
+        |    THEN round(CAST(n_chars AS DOUBLE) / (n_chars + n_words), 6)
+        |  END AS chars_per_token,
+        |  CAST(coalesce(dt.n_distinct_tokens, 0) AS BIGINT)
+        |    AS n_distinct_tokens
+        |FROM d0 LEFT JOIN wagg USING (source) LEFT JOIN dt USING (source)
+        |ORDER BY source""".stripMargin,
     // Exact cross-set jaccard over the same shingle space (the MinHash
     // blocking's measured recall is 1.0 at this threshold margin, as for
     // q_dedup_minhash) plus verbatim-text hits — survivors only.

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer acceptance evaluation — the measurement gate before a
+  * vocabulary is frozen for a 100 TB tokenization pass (the
+  * [[ClassifierEval]] posture applied to tokenizers): fertility
+  * (tokens per word) and compression (content characters per token)
+  * decide between candidate vocabularies, and per-slice breakdowns
+  * (source, language) expose the corpora a vocab underserves — the
+  * standard failure being an English-trained vocab with 3× fertility
+  * on every other script.
+  *
+  * Tokenizer-AGNOSTIC: evaluates any `array<string>` token column
+  * ([[BpeTrainer.tokenizeCol]], [[UnigramTokenizer.tokenizeCol]], a
+  * whitespace split), so candidates compare under identical
+  * arithmetic.
+  *
+  * Scale shape: the per-document tier is a shuffle-free codegen'd
+  * projection; the report is one group rollup with map-side combine
+  * plus one distinct-token aggregate (vocabulary-bounded output),
+  * joined group-granular. All ratios are single divisions over exact
+  * int64 sums, 6-dp rounded for engine portability.
+  */
+object TokenizerEval {
+
+  /** Per-document stats: `n_tokens`, `n_words` (whitespace words),
+    * `n_chars` (content characters — whitespace excluded, so the
+    * compression ratio doesn't reward formatting), `fertility` =
+    * tokens/word and `chars_per_token` (both null for empty
+    * documents). */
+  def fertility(df: DataFrame, idCol: String, textCol: String,
+                tokensCol: String): DataFrame = {
+    val nTokens = size(col(tokensCol)).cast("long")
+    val nWords = size(filter(split(col(textCol), "\\s+"), w => w =!= ""))
+      .cast("long")
+    val nChars = length(regexp_replace(col(textCol), "\\s+", ""))
+      .cast("long")
+    df.select(col(idCol), nTokens.as("n_tokens"), nWords.as("n_words"),
+        nChars.as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") > 0, round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6)))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0, round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6)))
+  }
+
+  /** Corpus rollup by `groupCols` (empty = one corpus row): document /
+    * token / word / content-char totals, corpus fertility and
+    * compression (ratios of sums — not means of ratios, so long
+    * documents weigh in proportion), and `n_distinct_tokens` (the
+    * vocabulary-utilization numerator: a 32k vocab whose corpus uses
+    * 9k entries is oversized or undertrained). */
+  def report(df: DataFrame, textCol: String, tokensCol: String,
+             groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols.map(col)
+    val nTokens = size(col(tokensCol)).cast("long")
+    val nWords = size(filter(split(col(textCol), "\\s+"), w => w =!= ""))
+      .cast("long")
+    val nChars = length(regexp_replace(col(textCol), "\\s+", ""))
+      .cast("long")
+    val base = df.select(keys :+ nTokens.as("__t") :+ nWords.as("__w") :+
+        nChars.as("__c"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__w")).as("n_words"), sum(col("__c")).as("n_chars"))
+    val distinctToks = df
+      .select(keys :+ explode(col(tokensCol)).as("__tok"): _*)
+      .groupBy(keys: _*)
+      .agg(countDistinct(col("__tok")).as("n_distinct_tokens"))
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(distinctToks) // both 1-row
+      else base.join(distinctToks, groupCols, "left_outer")
+    joined.select(keys ++ Seq(col("n_docs"), col("n_tokens"),
+      col("n_words"), col("n_chars"),
+      when(col("n_words") > 0, round(col("n_tokens").cast("double") /
+        col("n_words").cast("double"), 6)).as("fertility"),
+      when(col("n_tokens") > 0, round(col("n_chars").cast("double") /
+        col("n_tokens").cast("double"), 6)).as("chars_per_token"),
+      coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens")): _*)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TokenizerEvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // tokenizer-agnostic: evaluate a hand-made token column
+  private def docs = Seq(
+    (1L, "a", "the cat sat", Seq("the", "cat", "sat")),       // fertility 1
+    (2L, "a", "unhappiness rules", Seq("un", "happi", "ness", "rules")), // 2
+    (3L, "b", "xy", Seq("x", "y")),
+    (4L, "b", "", Seq.empty[String]))
+    .toDF("doc_id", "source", "text", "toks")
+
+  "fertility" should "compute per-document ratios and null empty docs" in {
+    val out = TokenizerEval.fertility(docs, "doc_id", "text", "toks")
+      .select($"doc_id", $"n_tokens", $"n_words", $"n_chars",
+        $"fertility", $"chars_per_token")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 3L, 3L, 9L, Some(1.0), Some(3.0)))
+    out(2L) shouldBe ((2L, 4L, 2L, 16L, Some(2.0), Some(4.0)))
+    out(4L) shouldBe ((4L, 0L, 0L, 0L, None, None))
+  }
+
+  "report" should "roll up by group with ratios of sums, not means of ratios" in {
+    val r = TokenizerEval.report(docs, "text", "toks", Seq("source"))
+      .orderBy($"source")
+      .select($"source", $"n_docs", $"n_tokens", $"n_words", $"n_chars",
+        $"fertility", $"chars_per_token", $"n_distinct_tokens")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double],
+        Long)].collect()
+    // source a: 7 tokens / 5 words = 1.4 (NOT mean(1, 2) = 1.5);
+    // chars_per_token = 25/7 rounded to 6 dp
+    r(0) shouldBe (("a", 2L, 7L, 5L, 25L, Some(1.4), Some(3.571429),
+      7L))
+    r(1) shouldBe (("b", 2L, 2L, 1L, 2L, Some(2.0), Some(1.0), 2L))
+  }
+
+  it should "produce one corpus row when ungrouped" in {
+    val r = TokenizerEval.report(docs, "text", "toks")
+      .select($"n_docs", $"n_tokens", $"n_distinct_tokens")
+      .as[(Long, Long, Long)].collect()
+    r.toSeq shouldBe Seq((4L, 9L, 9L))
+  }
+}

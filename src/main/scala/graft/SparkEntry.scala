@@ -2974,6 +2974,17 @@ object SparkEntry {
           "lang", "n_tok", alpha = 0.5, totalTokens = 1000000L)
         .orderBy(col("domain"))),
 
+    // UniMax capped-uniform mixing (the published alternative to
+    // temperature smoothing): budget waterfilled as uniformly as
+    // possible over sources, each capped at maxEpochs passes of its
+    // own corpus — integer arithmetic end to end, replayed by the
+    // oracle as a recursive walk over the capacity-ordered domains.
+    "q_unimax_mix" -> ((s, d) =>
+      graft.ops.Sampling.unimaxBudgets(
+          Tables.documents(s, d).select(col("source"), col("n_chars")),
+          "source", "n_chars", totalTokens = 100000L, maxEpochs = 0.05)
+        .orderBy(col("domain"))),
+
     // Code-fence extraction: stage markdown around the corpus text
     // (tagged scala fence for every doc, untagged fence for even docs,
     // an UNCLOSED fence for odd docs that must not match), then pull
@@ -5107,6 +5118,38 @@ object SparkEntry {
         |  CAST(floor(round(pow(n_tokens::DOUBLE, 0.5) / z, 6) * 1000000)
         |    AS BIGINT) AS budget_tokens
         |FROM t, z ORDER BY domain""".stripMargin,
+    // The UniMax waterfill replayed as a recursive walk over the
+    // capacity-ordered domains: same integer floor-division shares,
+    // same least(cap, share) takes, same ascending (capacity, domain)
+    // order, epochs on the same rounded double division.
+    "q_unimax_mix" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(source AS VARCHAR) AS domain,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (SELECT domain, n_tokens,
+        |        CAST(floor(0.05 * n_tokens) AS BIGINT) AS capacity_tokens
+        |      FROM t),
+        |o AS (SELECT *,
+        |        row_number() OVER (ORDER BY capacity_tokens, domain) AS rn,
+        |        count(*) OVER () AS nl
+        |      FROM c),
+        |walk(rn, remaining) AS (
+        |  SELECT 0, CAST(100000 AS BIGINT)
+        |  UNION ALL
+        |  SELECT o.rn, w.remaining -
+        |    least(o.capacity_tokens, w.remaining // (o.nl - o.rn + 1))
+        |  FROM walk w JOIN o ON o.rn = w.rn + 1),
+        |take AS (
+        |  SELECT o.domain, o.n_tokens, o.capacity_tokens,
+        |    least(o.capacity_tokens,
+        |      w.remaining // (o.nl - o.rn + 1)) AS budget_tokens
+        |  FROM o JOIN walk w ON w.rn = o.rn - 1)
+        |SELECT domain, n_tokens, capacity_tokens, budget_tokens,
+        |  CASE WHEN n_tokens > 0
+        |    THEN round(CAST(budget_tokens AS DOUBLE) / n_tokens, 6)
+        |    ELSE 0.0 END AS epochs
+        |FROM take ORDER BY domain""".stripMargin,
     // Replays the spec-grammar rules (min_chars/min_tokens/matches) as
     // the same first-fail CASE chain as q_attrition's oracle; rule
     // names are the spec strings themselves.

@@ -248,4 +248,58 @@ object Sampling {
       .select(col("domain"), col("n_tokens"), col("weight"),
         floor(col("weight") * totalTokens).cast("long").as("budget_tokens"))
   }
+
+  /** UniMax domain budgets (Chung et al. 2023): distribute a total
+    * token budget as UNIFORMLY as possible across domains while capping
+    * every domain at `maxEpochs` passes over its own corpus — the
+    * published alternative to temperature smoothing that never repeats
+    * a low-resource domain past the cap where memorization sets in.
+    *
+    * Waterfill, integer arithmetic end to end so any engine replays it
+    * exactly: domains ordered by (capacity asc, domain asc); at each
+    * step the remaining budget splits evenly (floor division) over the
+    * domains left, and the current domain takes
+    * `min(capacity, even share)`. Domains whose capacity binds free
+    * their unused share for everyone after them — the iterative
+    * redistribution of the paper, resolved in one ascending pass
+    * (ascending capacities guarantee a bound cap can never exceed a
+    * later even share).
+    *
+    * Output: `(domain, n_tokens, capacity_tokens, budget_tokens,
+    * epochs)` — the budget table [[tokenBudgetMix]] consumes, same
+    * composition as [[temperatureBudgets]]. Driver-side closed loop
+    * over the DOMAIN table (model-sized, the `lshPlan` tier); the only
+    * distributed work is the exact per-domain token count. */
+  def unimaxBudgets(df: DataFrame, domainCol: String, tokensCol: String,
+                    totalTokens: Long, maxEpochs: Double): DataFrame = {
+    require(totalTokens > 0,
+      s"unimaxBudgets: totalTokens must be positive, got $totalTokens")
+    require(maxEpochs > 0,
+      s"unimaxBudgets: maxEpochs must be positive, got $maxEpochs")
+    val per = df.filter(col(tokensCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ordered = per
+      .map { case (d, n) =>
+        (d, n, math.floor(maxEpochs * n).toLong) }
+      .sortBy { case (d, _, cap) => (cap, d) }
+    var remaining = totalTokens
+    var left = ordered.length
+    val rows = ordered.map { case (d, n, cap) =>
+      val share = if (left > 0) remaining / left else 0L
+      val take = math.min(cap, share)
+      remaining -= take
+      left -= 1
+      val epochs =
+        if (n > 0) BigDecimal(take.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+      (d, n, cap, take, epochs)
+    }
+    df.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("domain", "n_tokens", "capacity_tokens", "budget_tokens",
+        "epochs")
+  }
 }

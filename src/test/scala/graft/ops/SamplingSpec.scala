@@ -211,4 +211,47 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.temperatureBudgets(mixCorpus, "domain", "tokens", 0.5, 0L)
   }
+
+  // corpus shares: big 900, mid 90, tiny 10 tokens
+  private def unimax(total: Long, epochs: Double) =
+    Sampling.unimaxBudgets(mixCorpus, "domain", "tokens", total, epochs)
+      .orderBy($"domain")
+      .select($"domain", $"n_tokens", $"capacity_tokens",
+        $"budget_tokens", $"epochs")
+      .as[(String, Long, Long, Long, Double)].collect()
+
+  "unimaxBudgets" should "split uniformly when no cap binds" in {
+    val r = unimax(300L, 10.0).map(x => x._1 -> x._4).toMap
+    r shouldBe Map("big" -> 100L, "mid" -> 100L, "tiny" -> 100L)
+  }
+
+  it should "cap low-resource domains and redistribute their unused share" in {
+    // caps: big 900, mid 90, tiny 10; even share of 600 over 3 = 200.
+    // tiny binds at 10 (1 epoch); remaining 590 over 2 -> 295; mid
+    // binds at 90; big takes the rest's share 500 (under its cap)
+    val r = unimax(600L, 1.0)
+    r.map(x => x._1 -> x._4).toMap shouldBe
+      Map("tiny" -> 10L, "mid" -> 90L, "big" -> 500L)
+    r.find(_._1 == "tiny").get._5 shouldBe 1.0   // at its epoch cap
+    r.find(_._1 == "big").get._5 shouldBe 0.555556 // 500/900, 6 dp
+  }
+
+  it should "conserve the budget up to total capacity" in {
+    // total beyond every cap: each domain stops at maxEpochs
+    val r = unimax(100000L, 2.0)
+    r.map(x => x._1 -> x._4).toMap shouldBe
+      Map("big" -> 1800L, "mid" -> 180L, "tiny" -> 20L)
+    r.foreach(x => x._5 shouldBe 2.0)
+  }
+
+  it should "be deterministic across partitionings and validate inputs" in {
+    def run(parts: Int) = Sampling.unimaxBudgets(
+        mixCorpus.repartition(parts), "domain", "tokens", 600L, 1.0)
+      .orderBy($"domain").collect().map(_.toString).toSeq
+    run(1) shouldBe run(7)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.unimaxBudgets(mixCorpus, "domain", "tokens", 0L, 1.0)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.unimaxBudgets(mixCorpus, "domain", "tokens", 10L, 0.0)
+  }
 }

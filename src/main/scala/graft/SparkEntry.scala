@@ -2018,6 +2018,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WordPiece (the BERT tokenizer, third family): merge rounds
+    // scored by the published likelihood objective cnt(lr)/(cnt l ·
+    // cnt r) on a deterministic md5 half-sample, greedy
+    // longest-match inference with whole-word [UNK]. Rows-only
+    // (iterative training is not SQL); WordPieceTrainerSpec pins vocab
+    // equality with an independent reference, and the frozen-vocab
+    // exact twin below hash-checks the inference kernel.
+    "q_wordpiece_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.ops.WordPieceTrainer.trainSampled(docs, "doc_id",
+        "text", numMerges = 16, fraction = 0.5, minCount = 5)
+      docs.select(col("doc_id"),
+          graft.ops.WordPieceTrainer.tokenizeCol(col("text"), vocab)
+            .as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), t => t === "[UNK]")).as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The frozen-vocab exact twin: under an alphabet-only vocabulary
+    // (printable ASCII, plain + ## forms) greedy longest-match IS the
+    // codepoint walk for ASCII words, and any word with a non-ASCII
+    // codepoint collapses to one [UNK] — both replayable as per-word
+    // CASE arithmetic in SQL. Pins the match loop, the ## position
+    // rule, and the whole-word [UNK] contract.
+    "q_wordpiece_tokens_exact" -> ((s, d) => {
+      val chars = (33 to 126).map(c => c.toChar.toString)
+      val vocab = chars ++ chars.map("##" + _)
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.ops.WordPieceTrainer.tokenizeCol(col("text"), vocab)
+            .as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(filter(col("toks"), t => t === "[UNK]")).cast(LongType)
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer acceptance eval (the ClassifierEval posture for
     // vocabularies): per-source fertility (tokens/word), compression
     // (content chars/token, ratios of sums), and vocab utilization —
@@ -6710,6 +6748,29 @@ object SparkEntry {
         |  round(coalesce(chlp + n_words * ln(1.0/95), 0.0), 6) AS logp
         |FROM documents d
         |LEFT JOIN agg USING (doc_id) LEFT JOIN wc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Alphabet-only WordPiece vocab ⇒ ASCII words walk codepoint by
+    // codepoint, non-ASCII words collapse to one [UNK]: per-word CASE
+    // arithmetic.
+    "q_wordpiece_tokens_exact" ->
+      """WITH w AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |per AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(word, '^[!-~]+$')
+        |      THEN len(word) ELSE 1 END AS toks,
+        |    CASE WHEN regexp_matches(word, '^[!-~]+$')
+        |      THEN 0 ELSE 1 END AS unk
+        |  FROM w),
+        |agg AS (SELECT doc_id, sum(toks) AS t, sum(unk) AS u FROM per
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(t, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(u, 0) AS BIGINT) AS n_unk
+        |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // Frozen char vocab ⇒ tokens = marker per word + codepoints, so
     // the eval report is pure word/char arithmetic: totals, ratios of

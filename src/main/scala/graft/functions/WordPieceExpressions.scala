@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece kernels as native expressions — the third public
+  * tokenizer family next to [[Bpe]] and [[Unigram]] (the BERT
+  * tokenizer): continuation pieces carry the `##` prefix, inference is
+  * GREEDY LONGEST-MATCH-FIRST against the final vocabulary (not merge
+  * replay), and a word with any unmatchable position becomes one
+  * `[UNK]` token — the published BERT behavior. The vocabulary rides
+  * as a reference object, never per row.
+  */
+object WordPiece {
+
+  /** The whole-word fallback token. */
+  val Unk = "[UNK]"
+
+  /** Continuation prefix. */
+  val Cont = "##"
+
+  /** A word as WordPiece initial symbols: first codepoint plain, every
+    * later codepoint `##`-prefixed. */
+  def initialSymbols(word: String): Array[String] = {
+    val cps = word.codePoints().toArray
+    val out = new Array[String](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      val c = new String(Character.toChars(cps(i)))
+      out(i) = if (i == 0) c else Cont + c
+      i += 1
+    }
+    out
+  }
+
+  /** One merge fusion: WordPiece concatenation strips the right
+    * symbol's continuation prefix (`a` + `##b` → `ab`; `##a` + `##b` →
+    * `##ab`). */
+  def fuse(left: String, right: String): String =
+    left + (if (right.startsWith(Cont)) right.substring(Cont.length)
+            else right)
+
+  /** Greedy longest-match segmentation of one word against a frozen
+    * vocabulary: at each position take the LONGEST matching piece
+    * (plain at word start, `##`-prefixed after); any position with no
+    * match collapses the WHOLE word to `[UNK]`. `maxPieceCp` bounds
+    * the probe length in codepoints (continuation prefix excluded). */
+  def segment(word: String, vocab: java.util.HashSet[String],
+              maxPieceCp: Int): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val n = word.codePointCount(0, word.length)
+    val off = new Array[Int](n + 1)
+    var c = 0
+    var i = 0
+    while (i < n) { off(i) = c; c = word.offsetByCodePoints(c, 1); i += 1 }
+    off(n) = word.length
+    val out = new java.util.ArrayList[String]()
+    var p = 0
+    while (p < n) {
+      var l = math.min(maxPieceCp, n - p)
+      var hit: String = null
+      var hitLen = 0
+      while (hit == null && l >= 1) {
+        val sub = word.substring(off(p), off(p + l))
+        val piece = if (p == 0) sub else Cont + sub
+        if (vocab.contains(piece)) { hit = piece; hitLen = l }
+        l -= 1
+      }
+      if (hit == null) return Array(Unk)
+      out.add(hit)
+      p += hitLen
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+}
+
+/** `wp_init_symbols(word)` → WordPiece initial symbols (first
+  * codepoint plain, later codepoints `##`-prefixed) — the trainer's
+  * word-table seed, shared with inference via [[WordPiece]] so the two
+  * can never disagree on what a character is. */
+case class WpInitSymbolsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wp_init_symbols"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def init(word: UTF8String): ArrayData =
+    new GenericArrayData(
+      WordPiece.initialSymbols(word.toString).map(UTF8String.fromString))
+
+  override def nullSafeEval(v: Any): Any = init(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("wpInit", this,
+        classOf[WpInitSymbolsExpr].getName)
+      s"${ev.value} = $ref.init($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WpInitSymbolsExpr =
+    copy(child = newChild)
+}
+
+/** `wp_apply_merge(syms)` with a fixed `(left, right)` pair: one
+  * left-to-right fusion pass under WordPiece concatenation (the right
+  * symbol's `##` strips). The training kernel; the pair is model
+  * state, not data. */
+case class WpApplyMergeExpr(child: Expression, left: String, right: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wp_apply_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  @transient private lazy val fusedSym =
+    UTF8String.fromString(WordPiece.fuse(left, right))
+
+  def merge(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(l) && syms.getUTF8String(i + 1).equals(r)) {
+        out.add(fusedSym)
+        i += 2
+      } else {
+        out.add(cur)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = merge(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("wpMerge", this,
+        classOf[WpApplyMergeExpr].getName)
+      s"${ev.value} = $ref.merge($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WpApplyMergeExpr =
+    copy(child = newChild)
+}
+
+/** `wp_tokenize(text)` under a frozen vocabulary: whitespace words,
+  * each greedily segmented longest-match-first; unmatchable words
+  * become one `[UNK]`. */
+case class WpTokenizeExpr(child: Expression, vocab: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wp_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val table: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  @transient private lazy val maxPieceCp: Int = {
+    var mx = 1
+    vocab.foreach { p =>
+      val raw = if (p.startsWith(WordPiece.Cont))
+        p.substring(WordPiece.Cont.length) else p
+      val cp = raw.codePointCount(0, raw.length)
+      if (cp > mx) mx = cp
+    }
+    mx
+  }
+
+  def tokenize(text: UTF8String): ArrayData = {
+    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.ArrayList[UTF8String]()
+    var w = 0
+    while (w < words.length) {
+      val syms = WordPiece.segment(words(w), table, maxPieceCp)
+      var i = 0
+      while (i < syms.length) {
+        out.add(UTF8String.fromString(syms(i)))
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("wpTok", this,
+        classOf[WpTokenizeExpr].getName)
+      s"${ev.value} = $ref.tokenize($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WpTokenizeExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.{WordPiece, WpApplyMergeExpr, WpInitSymbolsExpr, WpTokenizeExpr}
+
+/** Distributed WordPiece vocabulary learning — the THIRD public
+  * tokenizer family next to [[BpeTrainer]] and [[UnigramTokenizer]]
+  * (the BERT tokenizer): merge rounds like BPE, but the winning pair
+  * maximizes the LIKELIHOOD score `count(lr) / (count(l) · count(r))`
+  * (the published WordPiece objective — prefer pairs whose parts
+  * rarely occur apart) instead of raw frequency, continuation symbols
+  * carry the `##` prefix, and INFERENCE is greedy
+  * longest-match-first against the final vocabulary (not merge
+  * replay), with unmatchable words collapsing to `[UNK]` — the
+  * published BERT behavior, via the codegen'd
+  * [[graft.functions.WpTokenizeExpr]].
+  *
+  * Same scale spine as BPE: statistics live on the distinct-word
+  * table; each round is one bounded job — a symbol count and a pair
+  * count (both map-side combined), one driver row via TakeOrdered(1)
+  * on (score desc, pair asc) — and the word table is eagerly
+  * checkpointed per round ([[BpeTrainer.train]] documents why that is
+  * a correctness-of-scale requirement). The 100 TB posture is
+  * [[trainSampled]]: learn on a deterministic md5 sample, tokenize the
+  * full corpus in ONE pass under the frozen vocab.
+  *
+  * Determinism note: scores are one double division over exact int64
+  * counts — bit-identical everywhere — and ties break to the
+  * lexicographically smallest (left, right). */
+object WordPieceTrainer {
+
+  /** Distinct-word table `(syms: array<string>, weight: long)` with
+    * WordPiece initial symbols (`##` continuations). */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("weight"))
+      .select(initSymbolsCol(col("word")).as("syms"), col("weight"))
+
+  /** Learn a vocabulary: every observed initial symbol (the alphabet,
+    * sorted) plus one fused symbol per merge round in rank order.
+    * Stops early when no pair reaches `minCount` occurrences. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 2L): Seq[String] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def ckFileOf(df: DataFrame): Option[String] =
+      if (reliable)
+        org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(df)
+      else None
+    def deleteCk(path: Option[String]): Unit = path.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
+    }
+    var words = truncate(wordTable(docs, textCol))
+    var prevCkFile = ckFileOf(words)
+    // the alphabet: every initial symbol observed (bounded collect)
+    val alphabet = words
+      .select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val fused = Seq.newBuilder[String]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val symCounts = words
+        .select(col("weight"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("weight")).as("c"))
+      val best = words
+        .select(col("weight"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("weight")).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .join(symCounts.select(col("s").as("l"), col("c").as("cl")), "l")
+        .join(symCounts.select(col("s").as("r"), col("c").as("cr")), "r")
+        .withColumn("score", col("cnt").cast("double") /
+          (col("cl") * col("cr")).cast("double"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      best match {
+        case Array(row) =>
+          // look fields up by name: the equi-joins reorder columns
+          val (ll, rr) =
+            (row.getAs[String]("l"), row.getAs[String]("r"))
+          fused += WordPiece.fuse(ll, rr)
+          words = truncate(words.withColumn("syms",
+            applyMergeCol(col("syms"), ll, rr)))
+          deleteCk(prevCkFile)
+          prevCkFile = ckFileOf(words)
+        case _ => exhausted = true
+      }
+      round += 1
+    }
+    deleteCk(prevCkFile)
+    alphabet ++ fused.result()
+  }
+
+  /** The 100 TB shape — see [[BpeTrainer.trainSampled]]. */
+  def trainSampled(docs: DataFrame, idCol: String, textCol: String,
+                   numMerges: Int, fraction: Double,
+                   minCount: Long = 2L): Seq[String] = {
+    require(fraction > 0 && fraction <= 1,
+      s"trainSampled: fraction must be in (0, 1], got $fraction")
+    train(Sampling.hashSample(docs, fraction, Seq(idCol)), textCol,
+      numMerges, minCount)
+  }
+
+  /** `wp_tokenize(text)` under a frozen vocabulary, as a Column. */
+  def tokenizeCol(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(WpTokenizeExpr(ColumnBridge.expression(text), vocab))
+
+  private def initSymbolsCol(word: Column): Column =
+    ColumnBridge.column(WpInitSymbolsExpr(ColumnBridge.expression(word)))
+
+  private def applyMergeCol(syms: Column, left: String,
+                            right: String): Column =
+    ColumnBridge.column(
+      WpApplyMergeExpr(ColumnBridge.expression(syms), left, right))
+
+  private def adjacentPairs(syms: Column): Column =
+    transform(slice(syms, lit(1), size(syms) - 1),
+      (s, i) => struct(s.as("l"), element_at(syms, i + 2).as("r")))
+}

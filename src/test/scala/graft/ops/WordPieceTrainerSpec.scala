@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.WordPiece
+import org.apache.spark.sql.functions._
+
+/** Pins the distributed WordPiece trainer to an independently written
+  * single-node reference of the published objective (score =
+  * count(pair) / (count(l)·count(r)), `##` continuations, greedy
+  * longest-match inference with whole-word [UNK]). */
+class WordPieceTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val texts: Seq[String] = Seq(
+    "unaffable unaffordable unaware",
+    "affable affordable aware awake",
+    "unaffable affable unaware aware",
+    "the affable fable of the unaffable",
+    "unaffordable affordable fable table",
+    "aware awake unaware unaffable")
+  private def docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("doc_id", "text")
+
+  // ------------------------------------------------ independent reference
+  private object Ref {
+    def syms(word: String): Vector[String] =
+      word.toVector.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c }
+
+    def train(corpus: Seq[String], numMerges: Int,
+              minCount: Long): Seq[String] = {
+      var words: Map[Vector[String], Long] = corpus
+        .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (syms(w), ws.size.toLong) }
+        .toMap
+      val alphabet = words.keys.flatten.toSeq.distinct.sorted
+      val fused = Seq.newBuilder[String]
+      var round = 0
+      var done = false
+      while (round < numMerges && !done) {
+        val symC = collection.mutable.Map.empty[String, Long]
+        val pairC = collection.mutable.Map.empty[(String, String), Long]
+        for ((ss, wt) <- words) {
+          ss.foreach(s => symC(s) = symC.getOrElse(s, 0L) + wt)
+          ss.sliding(2).filter(_.size == 2).foreach { p =>
+            val k = (p(0), p(1))
+            pairC(k) = pairC.getOrElse(k, 0L) + wt
+          }
+        }
+        val cands = pairC.toSeq.filter(_._2 >= minCount)
+        if (cands.isEmpty) done = true
+        else {
+          val best = cands.map { case ((l, r), c) =>
+            (c.toDouble / (symC(l) * symC(r)).toDouble, l, r)
+          }.sortBy { case (s, l, r) => (-s, l, r) }.head
+          val (_, l, r) = best
+          val f = l + r.stripPrefix("##")
+          fused += f
+          words = words.map { case (ss, wt) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < ss.length) {
+              if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+                out += f; i += 2
+              } else { out += ss(i); i += 1 }
+            }
+            (out.result(), wt)
+          }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+        }
+        round += 1
+      }
+      alphabet ++ fused.result()
+    }
+  }
+
+  private lazy val sparkVocab =
+    WordPieceTrainer.train(docs, "text", numMerges = 12, minCount = 2)
+  private lazy val refVocab = Ref.train(texts, 12, 2)
+
+  "train" should "match the independent reference vocabulary exactly" in {
+    sparkVocab shouldBe refVocab
+  }
+
+  it should "prefer high-likelihood pairs over high-frequency ones" in {
+    // the fused pieces are real morphology, with ## continuations
+    sparkVocab.count(_.startsWith("##")) should be > 0
+  }
+
+  it should "be invariant to input partitioning" in {
+    WordPieceTrainer.train(docs.repartition(7), "text",
+      numMerges = 12, minCount = 2) shouldBe sparkVocab
+  }
+
+  "tokenizeCol" should "segment greedily longest-match-first (the BERT example)" in {
+    val vocab = Seq("un", "##aff", "##able", "a", "##b")
+    Seq("unaffable").toDF("t")
+      .select(WordPieceTrainer.tokenizeCol($"t", vocab)).as[Seq[String]]
+      .head() shouldBe Seq("un", "##aff", "##able")
+  }
+
+  it should "collapse unmatchable words to a single [UNK]" in {
+    val vocab = Seq("un", "##aff", "##able")
+    Seq("unaffable zebra un").toDF("t")
+      .select(WordPieceTrainer.tokenizeCol($"t", vocab)).as[Seq[String]]
+      .head() shouldBe Seq("un", "##aff", "##able", "[UNK]", "un")
+  }
+
+  it should "take the longest match even when shorter pieces exist" in {
+    val vocab = Seq("a", "ab", "abc", "##d")
+    Seq("abcd").toDF("t")
+      .select(WordPieceTrainer.tokenizeCol($"t", vocab)).as[Seq[String]]
+      .head() shouldBe Seq("abc", "##d")
+  }
+
+  it should "round-trip under the trained vocab (alphabet makes every word matchable)" in {
+    val out = docs
+      .select($"doc_id",
+        WordPieceTrainer.tokenizeCol($"text", sparkVocab).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    out.foreach { case (id, toks) =>
+      toks should not contain WordPiece.Unk
+      val rebuilt = toks.foldLeft("") { (acc, t) =>
+        if (t.startsWith("##")) acc + t.stripPrefix("##")
+        else if (acc.isEmpty) t else acc + " " + t
+      }
+      rebuilt shouldBe texts(id.toInt).split("\\s+")
+        .filter(_.nonEmpty).mkString(" ")
+    }
+  }
+}

@@ -336,7 +336,7 @@ object SparkEntry {
       "Sitemap: https://maps.example/even.xml\n" +
       "\nUser-agent: graftbot\nDisallow: /only-graft\n" +
       "Disallow: /*?sid=\nAllow: /page/*.html$\nDisallow: /page/\n" +
-      "Crawl-delay: 2\n"
+      "Disallow: /enc%6Fded\nCrawl-delay: 2\n"
   private val RobotsBodyStar =
     "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
       "Disallow: /page/9\nDisallow: /*.tmp$\nCrawl-delay: 10\n" +
@@ -2557,7 +2557,8 @@ object SparkEntry {
       val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
       val urls = Tables.documents(s, d).select(id,
         concat(lit("h"), pmod(id, lit(10)), lit(".example")).as("host"),
-        when(pmod(id, lit(8)) === 0, concat(lit("/private/x"), id))
+        when(pmod(id, lit(16)) === 8, concat(lit("/enc%6fded/"), id))
+          .when(pmod(id, lit(8)) === 0, concat(lit("/private/x"), id))
           .when(pmod(id, lit(8)) === 1, concat(lit("/private/ok/"), id))
           .when(pmod(id, lit(8)) === 2, concat(lit("/only-graft/"), id))
           .when(pmod(id, lit(8)) === 3, concat(lit("/page/"), id))
@@ -5612,14 +5613,15 @@ object SparkEntry {
          |          FROM ru JOIN ag USING (host, group_id)),
          |urls AS (
          |  SELECT doc_id, 'h' || (doc_id % 10) || '.example' AS host,
-         |    CASE doc_id % 8 WHEN 0 THEN '/private/x' || doc_id
-         |      WHEN 1 THEN '/private/ok/' || doc_id
-         |      WHEN 2 THEN '/only-graft/' || doc_id
-         |      WHEN 3 THEN '/page/' || doc_id
-         |      WHEN 4 THEN '/page/' || doc_id || '.html'
-         |      WHEN 5 THEN '/cache/' || doc_id || '.tmp'
-         |      WHEN 6 THEN '/search?sid=' || doc_id
-         |      ELSE '/a/' || doc_id || '.tmpx' END AS path
+         |    CASE WHEN doc_id % 16 = 8 THEN '/enc%6fded/' || doc_id
+         |      ELSE CASE doc_id % 8 WHEN 0 THEN '/private/x' || doc_id
+         |        WHEN 1 THEN '/private/ok/' || doc_id
+         |        WHEN 2 THEN '/only-graft/' || doc_id
+         |        WHEN 3 THEN '/page/' || doc_id
+         |        WHEN 4 THEN '/page/' || doc_id || '.html'
+         |        WHEN 5 THEN '/cache/' || doc_id || '.tmp'
+         |        WHEN 6 THEN '/search?sid=' || doc_id
+         |        ELSE '/a/' || doc_id || '.tmpx' END END AS path
          |  FROM documents),
          |ad AS (SELECT host, agent, directive, value FROM rules
          |       WHERE directive IN ('allow', 'disallow')
@@ -5640,15 +5642,19 @@ object SparkEntry {
          |          THEN ad.agent = 'graftbot' ELSE ad.agent = '*' END
          |    AND ad.value <> ''),
          |m AS (
+         |  -- the percent-normalized comparison space, fixture-exact:
+         |  -- %6F/%6f is the only encoded octet in the bodies/paths
          |  SELECT u.doc_id, e.directive, e.value, e.agent,
          |    row_number() OVER (PARTITION BY u.doc_id ORDER BY
-         |      len(e.value) DESC,
+         |      len(replace(e.value, '%6F', 'o')) DESC,
          |      CASE WHEN e.directive = 'allow' THEN 1 ELSE 0 END DESC,
          |      e.value DESC, e.directive DESC,
          |      CASE WHEN e.agent = '*' THEN 1 ELSE 0 END DESC) AS rn
          |  FROM urls u JOIN eff e ON u.host = e.host
-         |    AND CASE WHEN e.wild THEN regexp_matches(u.path, e.re)
-         |         ELSE starts_with(u.path, e.value) END),
+         |    AND CASE WHEN e.wild
+         |         THEN regexp_matches(replace(u.path, '%6f', 'o'), e.re)
+         |         ELSE starts_with(replace(u.path, '%6f', 'o'),
+         |                replace(e.value, '%6F', 'o')) END),
          |w AS (SELECT doc_id, directive = 'allow' AS is_allowed,
          |        value AS rule, agent = '*' AS via_wildcard
          |      FROM m WHERE rn = 1)

@@ -124,6 +124,78 @@ object IdnAscii {
   }
 }
 
+/** Percent-encoding normalization (RFC 3986 §2.3 / RFC 9309 §2.2.2):
+  * `%XX` sequences for UNRESERVED octets (ALPHA / DIGIT / `-._~`)
+  * decode to the literal character, every other valid sequence keeps
+  * its encoding with the hex digits uppercased, and a malformed `%`
+  * passes through literally. Single pass, no double decode (`%256C` →
+  * `%256C`: the decoded `%25` is itself reserved). The comparison
+  * canonicalization robots rules and request paths both run through
+  * before prefix/wildcard matching, so `/b%6Cocked` and `/blocked`
+  * compare equal and `%2f`/`%2F` agree. `%`-free strings
+  * short-circuit byte-identical. */
+case class PctNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pct_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(s: Any): Any =
+    PctNormalize.normalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PctNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PctNormalize =
+    copy(child = newChild)
+}
+
+object PctNormalize {
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def unreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def normalize(u: UTF8String): UTF8String = {
+    // fast path: no '%' byte, nothing to do
+    var has = false
+    var b = 0
+    val n = u.numBytes
+    while (!has && b < n) {
+      if (u.getByte(b) == '%') has = true
+      b += 1
+    }
+    if (!has) return u
+    val s = u.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (unreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object TextFunctions {
   /** Column wrapper for [[TextFold]]. */
   def textFold(c: Column): Column =
@@ -132,4 +204,8 @@ object TextFunctions {
   /** Column wrapper for [[IdnAscii]]. */
   def idnAscii(c: Column): Column =
     ColumnBridge.column(IdnAscii(ColumnBridge.expression(c)))
+
+  /** Column wrapper for [[PctNormalize]]. */
+  def pctNormalize(c: Column): Column =
+    ColumnBridge.column(PctNormalize(ColumnBridge.expression(c)))
 }

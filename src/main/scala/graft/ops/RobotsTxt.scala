@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   * beating `Disallow` at equal length (Google's published tie rule); no
   * matching rule, no group, or an empty `Disallow:` value → allowed.
   *
-  * Remaining documented narrowing: rule and path octets are compared
-  * as-is — the RFC's percent-encoding normalization layer is the
-  * caller's (URL-normalization) job, not this tier's.
+  * Rules and paths compare in the RFC 9309 §2.2.2 percent-normalized
+  * octet space ([[graft.functions.PctNormalize]]): unreserved `%XX`
+  * decodes, other sequences keep their encoding hex-uppercased — so
+  * `/b%6Cocked` matches `/blocked`, `%2f` matches `%2F`, and an
+  * encoded `%2A` stays a literal asterisk, never a wildcard.
   */
 object RobotsTxt {
 
@@ -127,19 +129,26 @@ object RobotsTxt {
       // empty Disallow: = allow-everything; no-match already means
       // allowed and an empty prefix can never win the length contest
       .filter(col("__rule") =!= "")
+      // RFC 9309 §2.2.2: rules and paths compare in the
+      // percent-normalized octet space (unreserved %XX decoded, other
+      // hex uppercased) — so /b%6Cocked matches /blocked, %2f matches
+      // %2F, and an encoded %2A stays a LITERAL asterisk (reserved
+      // octets keep their encoding), never a wildcard
+      .withColumn("__nrule",
+        graft.functions.TextFunctions.pctNormalize(col("__rule")))
       // wildcard rules ride a precomputed regex column (tiny frame —
       // rules per host); plain rules keep the codegen'd startsWith
-      .withColumn("__wild", hasWildcard(col("__rule")))
+      .withColumn("__wild", hasWildcard(col("__nrule")))
       .withColumn("__re",
-        when(col("__wild"), ruleRegex(col("__rule"))).otherwise(lit("^")))
+        when(col("__wild"), ruleRegex(col("__nrule"))).otherwise(lit("^")))
     val best = urls
       .select(col(idCol).as("__k"), col(urlHostCol).as("__h"),
-        col(pathCol).as("__p"))
+        graft.functions.TextFunctions.pctNormalize(col(pathCol)).as("__p"))
       .join(effective, col("__h") === col("__rh"))
       .filter(when(col("__wild"), regexp_like(col("__p"), col("__re")))
-        .otherwise(col("__p").startsWith(col("__rule"))))
+        .otherwise(col("__p").startsWith(col("__nrule"))))
       .groupBy(col("__k"))
-      .agg(max(struct(length(col("__rule")).as("o1"),
+      .agg(max(struct(length(col("__nrule")).as("o1"),
         // allow sorts above disallow at equal length (Google tie rule)
         (col("__dir") === "allow").cast("int").as("o2"),
         col("__rule").as("o3"), col("__dir").as("o4"),

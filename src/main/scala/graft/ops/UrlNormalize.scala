@@ -54,7 +54,11 @@ object UrlNormalize {
       regexp_replace(noDefPort, "^[^@]*@", ""), ":[0-9]+$", "")
     val hostPort = concat(userinfo,
       graft.functions.TextFunctions.idnAscii(rawHost), port)
-    val pathQ = regexp_replace(noFrag, "^[^/?]*", "")
+    // percent-normalize path + query (RFC 3986 §2.3: unreserved %XX
+    // decodes, other sequences keep their encoding hex-uppercased), so
+    // /%7Euser and /~user collapse to one canonical key
+    val pathQ = graft.functions.TextFunctions.pctNormalize(
+      regexp_replace(noFrag, "^[^/?]*", ""))
     val rawPath = regexp_extract(pathQ, "^([^?]*)", 1)
     val trimmed = regexp_replace(rawPath, "/+$", "")
     val path = when(trimmed === "", lit("/")).otherwise(trimmed)

@@ -132,6 +132,21 @@ class RobotsTxtSpec extends SparkTestBase {
     d("/page/doc.pdf") shouldBe ((false, Some("/page/")))
   }
 
+  it should "compare rules and paths in the percent-normalized octet space" in {
+    // unreserved %XX decodes on both sides (RFC 9309 2.2.2)
+    wildDecide("Disallow: /b%6Cocked", "/blocked/page") shouldBe false
+    wildDecide("Disallow: /blocked", "/b%6Cocked/page") shouldBe false
+    // reserved sequences keep their encoding, hex case-normalized
+    wildDecide("Disallow: /a%2fb", "/a%2Fb") shouldBe false
+    // an ENCODED asterisk is a literal octet, never a wildcard: it
+    // matches the encoded path form (hex case-normalized) and matches
+    // NOTHING as a character run
+    wildDecide("Disallow: /x%2Ay", "/x%2ay/z") shouldBe false
+    wildDecide("Disallow: /x%2Ay", "/xANYy/z") shouldBe true
+    // malformed % passes through literally
+    wildDecide("Disallow: /p%zz", "/p%zz/q") shouldBe false
+  }
+
   "crawlPolicy" should "pick the selected group's delay and collect sitemaps host-globally" in {
     val out = RobotsTxt.crawlPolicy(rules, "host", "graftbot")
       .select($"host", $"crawl_delay", $"sitemaps")

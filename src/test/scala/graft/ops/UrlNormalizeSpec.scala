@@ -103,4 +103,15 @@ class UrlNormalizeSpec extends SparkTestBase {
       ("http://h.com/a?a=1&b=2", 1L, 2L),
       ("http://h.com/other", 2L, 1L))
   }
+
+  it should "percent-normalize paths and queries" in {
+    def norm(u: String) = Seq(u).toDF("u")
+      .select(UrlNormalize.normalize($"u")).as[String].head()
+    // unreserved %XX decodes; %7E is '~'
+    norm("https://h.com/%7Euser/p%61ge") shouldBe "https://h.com/~user/page"
+    // reserved sequences keep their encoding, hex uppercased
+    norm("https://h.com/a%2fb?q=x%2fy") shouldBe "https://h.com/a%2Fb?q=x%2Fy"
+    // encoded and literal forms of the same resource collapse
+    norm("https://h.com/%7Euser") shouldBe norm("https://h.com/~user")
+  }
 }

@@ -479,6 +479,15 @@ object SparkEntry {
       col("doc_id"))
   }
 
+  /** q_paragraph_dedup / q_paragraph_decontaminate fixture: two text
+    * slices around a parity-shared boilerplate plug. */
+  private def ParagraphFixtureCol: Column =
+    concat(substring(col("text"), 1, 100), lit("\n\n"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("Subscribe to our newsletter for 2024 updates!"))
+        .otherwise(lit("All rights reserved (c) site 99.")),
+      lit("\n\n"), substring(col("text"), 101, 100))
+
   /** The assembled q_html_blocks / q_html_main page Column. */
   private def HtmlBlockPage: Column = concat(
     lit(HtmlFixturePrefix), col("doc_id").cast("string"),
@@ -3438,14 +3447,26 @@ object SparkEntry {
     // order. The oracle replays split, normalization, md5 keys, and
     // the canonical rule.
     "q_paragraph_dedup" -> ((s, d) => {
-      val fix = concat(substring(col("text"), 1, 100), lit("\n\n"),
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          lit("Subscribe to our newsletter for 2024 updates!"))
-          .otherwise(lit("All rights reserved (c) site 99.")),
-        lit("\n\n"), substring(col("text"), 101, 100))
       graft.ops.ParagraphDedup.dedupParagraphs(
-          Tables.documents(s, d).select(col("doc_id"), fix.as("text")),
+          Tables.documents(s, d).select(col("doc_id"),
+            ParagraphFixtureCol.as("text")),
           "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-granular decontamination: every corpus paragraph that
+    // appears anywhere in the reference slice (docs ≡ 0 mod 10) drops
+    // — no canonical exemption, benchmark text must not survive. The
+    // parity plug carried by even docs is itself reference text, so it
+    // vanishes corpus-wide; odd docs keep theirs.
+    "q_paragraph_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        ParagraphFixtureCol.as("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("text"))
+      graft.ops.ParagraphDedup.decontaminateParagraphs(
+          docs, "doc_id", "text", ref, "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -6656,40 +6677,49 @@ object SparkEntry {
     // unnest), same normalization chain into md5 keys, same
     // min-id-canonical removal and ordered rebuild.
     "q_paragraph_dedup" ->
-      """WITH p0 AS (
-        |  SELECT doc_id,
-        |    substr(text, 1, 100) || chr(10) || chr(10) ||
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN 'Subscribe to our newsletter for 2024 updates!'
-        |      ELSE 'All rights reserved (c) site 99.' END ||
-        |    chr(10) || chr(10) || substr(text, 101, 100) AS t
-        |  FROM documents),
-        |pr AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(t, '\n{2,}')) AS paragraph,
-        |    generate_subscripts(regexp_split_to_array(t, '\n{2,}'), 1) - 1
-        |      AS para_idx
-        |  FROM p0),
-        |pk AS (
-        |  SELECT doc_id, para_idx, paragraph,
-        |    md5(trim(regexp_replace(regexp_replace(lower(paragraph),
-        |      '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS key
-        |  FROM pr WHERE trim(paragraph) <> ''),
-        |dup AS (
-        |  SELECT key, min(doc_id) AS canonical FROM pk
-        |  GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
-        |kept AS (
-        |  SELECT pk.doc_id, pk.para_idx, pk.paragraph
-        |  FROM pk LEFT JOIN dup ON pk.key = dup.key
-        |  WHERE dup.canonical IS NULL OR pk.doc_id = dup.canonical),
-        |rb AS (
-        |  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10)
-        |    ORDER BY para_idx) AS cleaned
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(rb.cleaned, '') AS cleaned
-        |FROM (SELECT DISTINCT doc_id FROM documents) d
-        |LEFT JOIN rb USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""$ParagraphOracleCte,
+         |dup AS (
+         |  SELECT key, min(doc_id) AS canonical FROM pk
+         |  GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (
+         |  SELECT pk.doc_id, pk.para_idx, pk.paragraph
+         |  FROM pk LEFT JOIN dup ON pk.key = dup.key
+         |  WHERE dup.canonical IS NULL OR pk.doc_id = dup.canonical),
+         |rb AS (
+         |  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10)
+         |    ORDER BY para_idx) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(rb.cleaned, '') AS cleaned
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN rb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Decontamination replayed: reference = the mod-10 slice's
+    // paragraphs as a distinct key set, anti-join, ordered rebuild,
+    // per-doc drop counts.
+    "q_paragraph_decontaminate" ->
+      s"""$ParagraphOracleCte,
+         |ref AS (
+         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+         |    lower(paragraph), '[0-9]', '0', 'g'), '\\s+', ' ', 'g')))
+         |    AS key
+         |  FROM (SELECT unnest(regexp_split_to_array(t, '\\n{2,}'))
+         |          AS paragraph
+         |        FROM p0 WHERE doc_id % 10 = 0)
+         |  WHERE trim(paragraph) <> ''),
+         |kept AS (
+         |  SELECT pk.doc_id, pk.para_idx, pk.paragraph
+         |  FROM pk ANTI JOIN ref ON pk.key = ref.key),
+         |tot AS (SELECT doc_id, count(*) AS total FROM pk GROUP BY doc_id),
+         |rb AS (
+         |  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10)
+         |    ORDER BY para_idx) AS cleaned, count(*) AS nkept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(rb.cleaned, '') AS cleaned,
+         |  CAST(coalesce(tot.total, 0) - coalesce(rb.nkept, 0) AS BIGINT)
+         |    AS n_dropped
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN rb USING (doc_id) LEFT JOIN tot USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // Same windows and canonical rule as q_span_dedup, then the island
     // merge replayed: break when the start gap exceeds n, running-sum
     // island ids, per-island min/max + n-1 bounds, >= 12-token filter.
@@ -8208,6 +8238,30 @@ object SparkEntry {
        |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
        |FROM x ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared CTE for the paragraph-tier oracles: fixture synthesis,
+    * blank-line split (lockstep unnest), normalization chain into md5
+    * keys. */
+  private val ParagraphOracleCte: String =
+    """WITH p0 AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 100) || chr(10) || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'Subscribe to our newsletter for 2024 updates!'
+      |      ELSE 'All rights reserved (c) site 99.' END ||
+      |    chr(10) || chr(10) || substr(text, 101, 100) AS t
+      |  FROM documents),
+      |pr AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(t, '\n{2,}')) AS paragraph,
+      |    generate_subscripts(regexp_split_to_array(t, '\n{2,}'), 1) - 1
+      |      AS para_idx
+      |  FROM p0),
+      |pk AS (
+      |  SELECT doc_id, para_idx, paragraph,
+      |    md5(trim(regexp_replace(regexp_replace(lower(paragraph),
+      |      '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS key
+      |  FROM pr WHERE trim(paragraph) <> '')""".stripMargin
 
   /** Shared CTE for the URL-blocklist oracles (audit + streaming gate):
     * same synthesis, host extraction with the ACE form precomputed as a

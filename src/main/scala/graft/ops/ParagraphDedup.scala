@@ -84,4 +84,43 @@ object ParagraphDedup {
       .join(rebuilt, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
+
+  /** Paragraph-granular DECONTAMINATION against a reference corpus
+    * (benchmark/eval text): every corpus paragraph whose normalized
+    * key appears ANYWHERE in `reference` is removed — no canonical
+    * exemption, benchmark text must not survive at all (the
+    * paragraph-level complement of the shingle
+    * [[Decontamination]] and the semantic
+    * [[Dedup.dedupEmbeddingsAgainst]]). Returns `(id, cleaned,
+    * n_dropped)` with survivors re-joined in document order.
+    *
+    * Scale shape: the reference collapses to its DISTINCT key set (one
+    * aggregate, benchmark-sized — Spark broadcasts a small set on its
+    * own); the corpus side is one explode + one anti-join + one
+    * per-document regroup. */
+  def decontaminateParagraphs(df: DataFrame, idCol: String,
+                              textCol: String, reference: DataFrame,
+                              refTextCol: String): DataFrame = {
+    val refKeys = reference
+      .select(explode(split(col(refTextCol), "\\n{2,}")).as("paragraph"))
+      .filter(trim(col("paragraph")) =!= "")
+      .select(md5(normalizeCol(col("paragraph"))).as("key"))
+      .distinct()
+    val paras = paragraphs(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = paras.join(refKeys, Seq("key"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(concat_ws("\n\n", transform(
+        array_sort(collect_list(struct(col("para_idx"), col("paragraph")))),
+        s => s.getField("paragraph"))).as("cleaned"),
+        count(lit(1)).as("__kept"))
+    val totals = paras.groupBy(col("id"))
+      .agg(count(lit(1)).as("__total"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left_outer")
+      .join(totals, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }

@@ -48,6 +48,22 @@ class ParagraphDedupSpec extends SparkTestBase {
     out(5L) shouldBe "entirely original content"
   }
 
+  "decontaminateParagraphs" should "drop reference paragraphs with no canonical exemption" in {
+    val bench = Seq(
+      ("Subscribe to our 2024 newsletter!"), // the shared plug IS benchmark text
+      ("held out question one")).toDF("text")
+    val out = ParagraphDedup.decontaminateParagraphs(
+        docs, "doc_id", "text", bench, "text")
+      .select($"id", $"cleaned", $"n_dropped")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // EVERY doc loses the plug — including the min-id one
+    out(1L)._2 shouldBe "unique intro one\n\nbody one"
+    out(1L)._3 shouldBe 1L
+    out(2L)._2 shouldBe "different text here\n\nmore body" // reflow matched
+    out(3L)._2 shouldBe "third document"
+    out(5L) shouldBe ((5L, "entirely original content", 0L))
+  }
+
   it should "emit an empty row when every paragraph was boilerplate" in {
     val d2 = Seq(
       (1L, "same plug"),

@@ -479,6 +479,22 @@ object SparkEntry {
       col("doc_id"))
   }
 
+  /** q_robots_gate / q_stream_robots_gate path fixture (keyed to the
+    * rule battery in the robots bodies, shared so audit and gate stay
+    * in lockstep with the one oracle CTE). */
+  private def RobotsPathCol: Column = {
+    val id = col("doc_id")
+    when(pmod(id, lit(16)) === 8, concat(lit("/enc%6fded/"), id))
+      .when(pmod(id, lit(8)) === 0, concat(lit("/private/x"), id))
+      .when(pmod(id, lit(8)) === 1, concat(lit("/private/ok/"), id))
+      .when(pmod(id, lit(8)) === 2, concat(lit("/only-graft/"), id))
+      .when(pmod(id, lit(8)) === 3, concat(lit("/page/"), id))
+      .when(pmod(id, lit(8)) === 4, concat(lit("/page/"), id, lit(".html")))
+      .when(pmod(id, lit(8)) === 5, concat(lit("/cache/"), id, lit(".tmp")))
+      .when(pmod(id, lit(8)) === 6, concat(lit("/search?sid="), id))
+      .otherwise(concat(lit("/a/"), id, lit(".tmpx")))
+  }
+
   /** q_paragraph_dedup / q_paragraph_decontaminate fixture: two text
     * slices around a parity-shared boilerplate plug. */
   private def ParagraphFixtureCol: Column =
@@ -2566,17 +2582,7 @@ object SparkEntry {
       val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
       val urls = Tables.documents(s, d).select(id,
         concat(lit("h"), pmod(id, lit(10)), lit(".example")).as("host"),
-        when(pmod(id, lit(16)) === 8, concat(lit("/enc%6fded/"), id))
-          .when(pmod(id, lit(8)) === 0, concat(lit("/private/x"), id))
-          .when(pmod(id, lit(8)) === 1, concat(lit("/private/ok/"), id))
-          .when(pmod(id, lit(8)) === 2, concat(lit("/only-graft/"), id))
-          .when(pmod(id, lit(8)) === 3, concat(lit("/page/"), id))
-          .when(pmod(id, lit(8)) === 4,
-            concat(lit("/page/"), id, lit(".html")))
-          .when(pmod(id, lit(8)) === 5,
-            concat(lit("/cache/"), id, lit(".tmp")))
-          .when(pmod(id, lit(8)) === 6, concat(lit("/search?sid="), id))
-          .otherwise(concat(lit("/a/"), id, lit(".tmpx"))).as("path"))
+        RobotsPathCol.as("path"))
       graft.ops.RobotsTxt.isAllowed(urls, "doc_id", "host", "path",
           rules, "host", "graftbot")
         .select(col("doc_id"), col("host"), col("path"), col("allowed"),
@@ -2600,6 +2606,31 @@ object SparkEntry {
         .select(col("host"), col("crawl_delay"),
           concat_ws(",", col("sitemaps")).as("sitemaps"))
         .orderBy(col("host"))
+    }),
+
+    // The robots decision applied AT THE DOOR: URLs stream in as
+    // micro-batches against the FROZEN parsed rule table (staged to
+    // parquet once) and disallowed rows drop before landing — full RFC
+    // 9309 semantics per row, so converged ≡ the batch filter (the
+    // q_robots_gate chain's allowed rows).
+    "q_stream_robots_gate" -> ((s, d) => {
+      val out = scratchDir("graft_srg_")
+      val id = col("doc_id")
+      val robots = Tables.documents(s, d)
+        .select(pmod(id, lit(10)).as("hn")).distinct()
+        .select(concat(lit("h"), col("hn"), lit(".example")).as("host"),
+          when(pmod(col("hn"), lit(2)) === 0, lit(RobotsBodySpecific))
+            .otherwise(lit(RobotsBodyStar)).as("body"))
+      graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+        .write.mode("overwrite").parquet(s"$out/rules")
+      val urls = Tables.documentsStream(s, d).select(id,
+        concat(lit("h"), pmod(id, lit(10)), lit(".example")).as("host"),
+        RobotsPathCol.as("path"))
+      graft.streaming.ChangelogStream.streamRobotsGate(urls,
+          s"$out/rules", "graftbot", "doc_id", "host", "path",
+          s"$out/gate", statePartitions = 8)
+        .select(col("doc_id"), col("host"), col("path"))
+        .orderBy(col("doc_id"))
     }),
 
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
@@ -5594,94 +5625,18 @@ object SparkEntry {
     // strip, same lag/running-sum grouping, same agent fanout, same
     // shadow set, same (length, allow, rule, dir, wildcard) order.
     "q_robots_gate" ->
-      s"""WITH hosts AS (SELECT DISTINCT (doc_id % 10) AS hn FROM documents),
-         |rb AS (
-         |  SELECT 'h' || hn || '.example' AS host,
-         |    CASE WHEN hn % 2 = 0 THEN '$RobotsBodySpecific'
-         |         ELSE '$RobotsBodyStar' END AS body
-         |  FROM hosts),
-         |lx AS (
-         |  SELECT host, unnest(string_split(body, chr(10))) AS raw,
-         |    generate_subscripts(string_split(body, chr(10)), 1) AS pos
-         |  FROM rb),
-         |lf AS (
-         |  SELECT host, pos,
-         |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS directive,
-         |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS value
-         |  FROM (SELECT host, pos,
-         |          trim(regexp_replace(raw, '[#].*$$|\r', '', 'g')) AS line
-         |        FROM lx)
-         |  WHERE line <> ''),
-         |ld AS (SELECT * FROM lf WHERE directive IN
-         |  ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
-         |tg AS (
-         |  SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END
-         |      AS is_ua,
-         |    coalesce(lag(CASE WHEN directive = 'user-agent' THEN 1
-         |      ELSE 0 END) OVER (PARTITION BY host ORDER BY pos), 0)
-         |      AS prev_ua
-         |  FROM ld),
-         |tg2 AS (
-         |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1
-         |    ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
-         |    ROWS UNBOUNDED PRECEDING) AS group_id
-         |  FROM tg),
-         |ag AS (SELECT host, group_id, lower(value) AS agent FROM tg2
-         |       WHERE is_ua = 1),
-         |ru AS (SELECT host, group_id, directive, value FROM tg2
-         |       WHERE is_ua = 0),
-         |rules AS (SELECT ru.host, ag.agent, ru.directive, ru.value
-         |          FROM ru JOIN ag USING (host, group_id)),
-         |urls AS (
-         |  SELECT doc_id, 'h' || (doc_id % 10) || '.example' AS host,
-         |    CASE WHEN doc_id % 16 = 8 THEN '/enc%6fded/' || doc_id
-         |      ELSE CASE doc_id % 8 WHEN 0 THEN '/private/x' || doc_id
-         |        WHEN 1 THEN '/private/ok/' || doc_id
-         |        WHEN 2 THEN '/only-graft/' || doc_id
-         |        WHEN 3 THEN '/page/' || doc_id
-         |        WHEN 4 THEN '/page/' || doc_id || '.html'
-         |        WHEN 5 THEN '/cache/' || doc_id || '.tmp'
-         |        WHEN 6 THEN '/search?sid=' || doc_id
-         |        ELSE '/a/' || doc_id || '.tmpx' END END AS path
-         |  FROM documents),
-         |ad AS (SELECT host, agent, directive, value FROM rules
-         |       WHERE directive IN ('allow', 'disallow')
-         |         AND (agent = 'graftbot' OR agent = '*')),
-         |spec AS (SELECT DISTINCT host FROM ad WHERE agent = 'graftbot'),
-         |eff AS (
-         |  SELECT ad.*,
-         |    ad.value LIKE '%*%' OR ad.value LIKE '%$$' AS wild,
-         |    '^' || regexp_replace(regexp_replace(
-         |        CASE WHEN ad.value LIKE '%$$'
-         |          THEN substr(ad.value, 1, len(ad.value) - 1)
-         |          ELSE ad.value END,
-         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
-         |      '\\*+', '.*', 'g') ||
-         |      CASE WHEN ad.value LIKE '%$$' THEN '$$' ELSE '' END AS re
-         |  FROM ad LEFT JOIN spec ON ad.host = spec.host
-         |  WHERE CASE WHEN spec.host IS NOT NULL
-         |          THEN ad.agent = 'graftbot' ELSE ad.agent = '*' END
-         |    AND ad.value <> ''),
-         |m AS (
-         |  -- the percent-normalized comparison space, fixture-exact:
-         |  -- %6F/%6f is the only encoded octet in the bodies/paths
-         |  SELECT u.doc_id, e.directive, e.value, e.agent,
-         |    row_number() OVER (PARTITION BY u.doc_id ORDER BY
-         |      len(replace(e.value, '%6F', 'o')) DESC,
-         |      CASE WHEN e.directive = 'allow' THEN 1 ELSE 0 END DESC,
-         |      e.value DESC, e.directive DESC,
-         |      CASE WHEN e.agent = '*' THEN 1 ELSE 0 END DESC) AS rn
-         |  FROM urls u JOIN eff e ON u.host = e.host
-         |    AND CASE WHEN e.wild
-         |         THEN regexp_matches(replace(u.path, '%6f', 'o'), e.re)
-         |         ELSE starts_with(replace(u.path, '%6f', 'o'),
-         |                replace(e.value, '%6F', 'o')) END),
-         |w AS (SELECT doc_id, directive = 'allow' AS is_allowed,
-         |        value AS rule, agent = '*' AS via_wildcard
-         |      FROM m WHERE rn = 1)
+      s"""$RobotsGateOracleCte
          |SELECT u.doc_id, u.host, u.path,
          |  coalesce(w.is_allowed, TRUE) AS allowed, w.rule, w.via_wildcard
          |FROM urls u LEFT JOIN w USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
+    // The gate form: survivors only — frozen rules make the streaming
+    // robots gate converge to exactly this batch filter.
+    "q_stream_robots_gate" ->
+      s"""$RobotsGateOracleCte
+         |SELECT u.doc_id, u.host, u.path
+         |FROM urls u LEFT JOIN w USING (doc_id)
+         |WHERE coalesce(w.is_allowed, TRUE)
          |ORDER BY u.doc_id""".stripMargin,
     // Crawl policy replayed: same parse chain (pos carried through),
     // same shadow set over non-sitemap rules, last crawl-delay by pos,
@@ -8262,6 +8217,96 @@ object SparkEntry {
       |    md5(trim(regexp_replace(regexp_replace(lower(paragraph),
       |      '[0-9]', '0', 'g'), '\s+', ' ', 'g'))) AS key
       |  FROM pr WHERE trim(paragraph) <> '')""".stripMargin
+
+  /** Shared CTE for the robots oracles (decision audit + streaming
+    * gate): parse chain, shadow set, wildcard translation,
+    * percent-normalized matching, winning-rule pick. */
+  private lazy val RobotsGateOracleCte: String =
+    s"""WITH hosts AS (SELECT DISTINCT (doc_id % 10) AS hn FROM documents),
+         |rb AS (
+         |  SELECT 'h' || hn || '.example' AS host,
+         |    CASE WHEN hn % 2 = 0 THEN '$RobotsBodySpecific'
+         |         ELSE '$RobotsBodyStar' END AS body
+         |  FROM hosts),
+         |lx AS (
+         |  SELECT host, unnest(string_split(body, chr(10))) AS raw,
+         |    generate_subscripts(string_split(body, chr(10)), 1) AS pos
+         |  FROM rb),
+         |lf AS (
+         |  SELECT host, pos,
+         |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS directive,
+         |    trim(regexp_extract(line, '^[^:]+:(.*)$$', 1)) AS value
+         |  FROM (SELECT host, pos,
+         |          trim(regexp_replace(raw, '[#].*$$|\r', '', 'g')) AS line
+         |        FROM lx)
+         |  WHERE line <> ''),
+         |ld AS (SELECT * FROM lf WHERE directive IN
+         |  ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
+         |tg AS (
+         |  SELECT *, CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END
+         |      AS is_ua,
+         |    coalesce(lag(CASE WHEN directive = 'user-agent' THEN 1
+         |      ELSE 0 END) OVER (PARTITION BY host ORDER BY pos), 0)
+         |      AS prev_ua
+         |  FROM ld),
+         |tg2 AS (
+         |  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1
+         |    ELSE 0 END) OVER (PARTITION BY host ORDER BY pos
+         |    ROWS UNBOUNDED PRECEDING) AS group_id
+         |  FROM tg),
+         |ag AS (SELECT host, group_id, lower(value) AS agent FROM tg2
+         |       WHERE is_ua = 1),
+         |ru AS (SELECT host, group_id, directive, value FROM tg2
+         |       WHERE is_ua = 0),
+         |rules AS (SELECT ru.host, ag.agent, ru.directive, ru.value
+         |          FROM ru JOIN ag USING (host, group_id)),
+         |urls AS (
+         |  SELECT doc_id, 'h' || (doc_id % 10) || '.example' AS host,
+         |    CASE WHEN doc_id % 16 = 8 THEN '/enc%6fded/' || doc_id
+         |      ELSE CASE doc_id % 8 WHEN 0 THEN '/private/x' || doc_id
+         |        WHEN 1 THEN '/private/ok/' || doc_id
+         |        WHEN 2 THEN '/only-graft/' || doc_id
+         |        WHEN 3 THEN '/page/' || doc_id
+         |        WHEN 4 THEN '/page/' || doc_id || '.html'
+         |        WHEN 5 THEN '/cache/' || doc_id || '.tmp'
+         |        WHEN 6 THEN '/search?sid=' || doc_id
+         |        ELSE '/a/' || doc_id || '.tmpx' END END AS path
+         |  FROM documents),
+         |ad AS (SELECT host, agent, directive, value FROM rules
+         |       WHERE directive IN ('allow', 'disallow')
+         |         AND (agent = 'graftbot' OR agent = '*')),
+         |spec AS (SELECT DISTINCT host FROM ad WHERE agent = 'graftbot'),
+         |eff AS (
+         |  SELECT ad.*,
+         |    ad.value LIKE '%*%' OR ad.value LIKE '%$$' AS wild,
+         |    '^' || regexp_replace(regexp_replace(
+         |        CASE WHEN ad.value LIKE '%$$'
+         |          THEN substr(ad.value, 1, len(ad.value) - 1)
+         |          ELSE ad.value END,
+         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
+         |      '\\*+', '.*', 'g') ||
+         |      CASE WHEN ad.value LIKE '%$$' THEN '$$' ELSE '' END AS re
+         |  FROM ad LEFT JOIN spec ON ad.host = spec.host
+         |  WHERE CASE WHEN spec.host IS NOT NULL
+         |          THEN ad.agent = 'graftbot' ELSE ad.agent = '*' END
+         |    AND ad.value <> ''),
+         |m AS (
+         |  -- the percent-normalized comparison space, fixture-exact:
+         |  -- %6F/%6f is the only encoded octet in the bodies/paths
+         |  SELECT u.doc_id, e.directive, e.value, e.agent,
+         |    row_number() OVER (PARTITION BY u.doc_id ORDER BY
+         |      len(replace(e.value, '%6F', 'o')) DESC,
+         |      CASE WHEN e.directive = 'allow' THEN 1 ELSE 0 END DESC,
+         |      e.value DESC, e.directive DESC,
+         |      CASE WHEN e.agent = '*' THEN 1 ELSE 0 END DESC) AS rn
+         |  FROM urls u JOIN eff e ON u.host = e.host
+         |    AND CASE WHEN e.wild
+         |         THEN regexp_matches(replace(u.path, '%6f', 'o'), e.re)
+         |         ELSE starts_with(replace(u.path, '%6f', 'o'),
+         |                replace(e.value, '%6F', 'o')) END),
+         |w AS (SELECT doc_id, directive = 'allow' AS is_allowed,
+         |        value AS rule, agent = '*' AS via_wildcard
+         |      FROM m WHERE rn = 1)""".stripMargin
 
   /** Shared CTE for the URL-blocklist oracles (audit + streaming gate):
     * same synthesis, host extraction with the ACE form precomputed as a

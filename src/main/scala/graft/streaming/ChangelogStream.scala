@@ -515,6 +515,51 @@ object ChangelogStream {
     else spark.read.parquet(s"$dir/out").drop("graft_batch")
   }
 
+  /** Streaming robots.txt compliance gate
+    * ([[graft.ops.RobotsTxt.isAllowed]] at the door): each
+    * micro-batch's `(idCol, hostCol, pathCol)` rows are decided for
+    * `agent` against the FROZEN parsed rule table at `rulesDir`
+    * (parquet, [[graft.ops.RobotsTxt.parseRules]]' schema) — full RFC
+    * 9309 semantics including wildcards, group shadowing, and the
+    * percent-normalized comparison space — and disallowed rows DROP
+    * before landing; survivors pass through with original columns.
+    *
+    * The verdict depends only on the row's own (host, path) and the
+    * frozen rules, so the converged output equals the batch
+    * `isAllowed(...).filter(allowed)` of the whole bounded stream
+    * regardless of batch boundaries — it shares the batch SQL oracle.
+    * Robots refreshes land OUT OF BAND (re-parse to a new dir,
+    * restart), the frozen-model contract of every gate in this family.
+    * Same idempotent per-batch-overwrite file bridge as
+    * [[streamSecretGate]]. */
+  def streamRobotsGate(stream: DataFrame, rulesDir: String, agent: String,
+                       idCol: String, hostCol: String, pathCol: String,
+                       dir: String, statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val rules = b.sparkSession.read.parquet(rulesDir)
+        val decided = graft.ops.RobotsTxt.isAllowed(
+          b, idCol, hostCol, pathCol, rules, "host", agent)
+        decided.filter(col("allowed"))
+          .select(b.columns.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/out/graft_batch=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outPath = new org.apache.hadoop.fs.Path(s"$dir/out")
+    val f = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(outPath))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        stream.schema)
+    else spark.read.parquet(s"$dir/out").drop("graft_batch")
+  }
+
   /** Streaming MEDIA near-dup gate against a FROZEN persisted
     * fingerprint index ([[graft.ops.Hamming.HammingIndex]]) — the
     * media composition of [[streamDedupAgainst]]'s shape: each arriving

@@ -724,6 +724,51 @@ class ChangelogStreamSpec extends SparkTestBase {
     got.map(_._1).toSeq shouldBe Seq(20L) // homograph + path rule dropped
   }
 
+  "streamRobotsGate" should "converge to the batch isAllowed filter across batch splits" in {
+    import graft.ops.RobotsTxt
+    val robots = Seq(("h.example",
+      "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /*.tmp$\n")).toDF("host", "body")
+    val rulesDir = java.nio.file.Files
+      .createTempDirectory("graft_srg_rules").toString
+    RobotsTxt.parseRules(robots, "host", "body")
+      .write.mode("overwrite").parquet(rulesDir)
+    val incoming = Seq(
+      (30L, "h.example", "/open/page"),
+      (31L, "h.example", "/private/secret"),   // disallowed
+      (32L, "h.example", "/private/ok/fine"),  // longest-prefix allow
+      (33L, "h.example", "/cache/x.tmp"))      // wildcard disallow
+    val inDir = java.nio.file.Files.createTempDirectory("graft_srg_in")
+    def stage(rows: Seq[(Long, String, String)], name: String,
+              age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_srg_w")
+      rows.toDF("doc_id", "host", "path").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stage(incoming.take(2), "wave1.parquet", 120000L)
+    stage(incoming.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(incoming.take(1).toDF("doc_id", "host", "path").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_srg").toString
+    val got = ChangelogStream.streamRobotsGate(stream, rulesDir, "anybot",
+        "doc_id", "host", "path", dir)
+      .select($"doc_id").as[Long].collect().sorted
+    val want = RobotsTxt.isAllowed(
+        incoming.toDF("doc_id", "host", "path"), "doc_id", "host", "path",
+        spark.read.parquet(rulesDir), "host", "anybot")
+      .filter($"allowed").select($"doc_id").as[Long].collect().sorted
+    got.toSeq shouldBe want.toSeq
+    got.toSeq shouldBe Seq(30L, 32L)
+  }
+
   "streamMediaDedup" should "converge to the batch matchAgainst filter and enforce the kind guard" in {
     import graft.ops.{Hamming, ImageHash}
     // corpus: two indexed originals (seeds 7 and 8)

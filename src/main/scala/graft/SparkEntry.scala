@@ -3042,6 +3042,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The full CommonCrawl chain end-to-end: outlink pages wrapped
+    // into WARC response records, walked back out, and THEN resolved
+    // into the link table — the archive detour is byte-transparent, so
+    // the output hash-matches the direct q_outlinks oracle.
+    "q_warc_outlinks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val staged = docs.select(
+        pmod(col("doc_id"), lit(8)).as("grp"),
+        concat(lit("http://example.com/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        lit("2024-03-01T00:00:00Z").as("date"),
+        OutlinkHtml.as("body"))
+      val archives = graft.ops.WarcExtract.syntheticArchives(
+        staged, "grp", "url", "date", "body")
+      val pages = graft.ops.WarcExtract
+        .records(archives, "archive_id", "data")
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("url"), "doc/(\\d+)$", 1)
+          .cast(LongType).as("doc_id"),
+          col("payload").cast("string").as("html"))
+        .withColumn("base", OutlinkBase)
+      graft.ops.Outlinks.outlinks(pages, "doc_id", "html", "base")
+        .select(col("doc_id"),
+          col("link_idx").cast(LongType).as("link_idx"), col("dst_url"),
+          col("src_host"), col("dst_host"), col("external"))
+        .orderBy(col("doc_id"), col("link_idx"))
+    }),
+
     // Temperature-smoothed domain mixing (p_i ∝ n_i^alpha): the budget
     // table a multilingual training mix is provisioned from — alpha 0.5
     // upweights low-resource languages. Deterministic sorted-order
@@ -5919,6 +5947,13 @@ object SparkEntry {
     // Outlink rows from the shared CTE chain (lockstep unnest keeps
     // Spark's posexplode indexes, fragment gaps included).
     "q_outlinks" ->
+      s"""$OutlinkCte
+         |SELECT doc_id, link_idx::BIGINT AS link_idx, dst_url, src_host,
+         |  dst_host, dst_host <> src_host AS external
+         |FROM links ORDER BY doc_id, link_idx""".stripMargin,
+    // WARC-wrapped pages walked back out share the LITERAL direct
+    // oracle: the archive detour is byte-transparent.
+    "q_warc_outlinks" ->
       s"""$OutlinkCte
          |SELECT doc_id, link_idx::BIGINT AS link_idx, dst_url, src_host,
          |  dst_host, dst_host <> src_host AS external

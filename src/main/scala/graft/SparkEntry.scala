@@ -2633,6 +2633,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The web-curation stages config-declared end-to-end: URL blocklist
+    // gate (frozen parquet list + path rule) first, the CCNet paragraph
+    // rewrite BEFORE the quality rules, then a min_tokens gate on the
+    // cleaned text — all from one JSON config; the oracle composes the
+    // url-filter chain, the paragraph chain over the gated subset, and
+    // the token gate.
+    "q_pipeline_web" -> ((s, d) => {
+      import s.implicits._
+      val out = scratchDir("graft_pw_")
+      UrlBlocklistFixture.toDF("domain")
+        .write.mode("overwrite").parquet(s"$out/blocklist")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "url_blocklist": {"url_column": "url",
+           |                   "blocklist_path": "$out/blocklist",
+           |                   "path_rules": [["tracker", "/track/"]]},
+           | "paragraph_dedup": true,
+           | "rules": ["min_tokens:20"]}""".stripMargin)
+      val staged = Tables.documents(s, d).select(col("doc_id"),
+        UrlFixtureCol.as("url"), ParagraphFixtureCol.as("text"))
+      graft.pipeline.CurationPipeline.curateFrame(staged, cfg)
+        .select(col("doc_id"), col("url"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
     // character fractions), computed shuffle-free per document by a
     // sorted run-length aggregate over the n-gram multiset.
@@ -6683,6 +6709,50 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN rb USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Config-declared web curation replayed: url-filter keep rows →
+    // paragraph dedup over the GATED subset (canonical = min id among
+    // survivors) → min_tokens on the cleaned text.
+    "q_pipeline_web" ->
+      s"""$UrlFilterOracleCte,
+         |sv AS (SELECT doc_id FROM m
+         |       WHERE blocked_domain IS NULL AND blocked_rule IS NULL),
+         |p0 AS (
+         |  SELECT d.doc_id,
+         |    substr(d.text, 1, 100) || chr(10) || chr(10) ||
+         |    CASE WHEN d.doc_id % 2 = 0
+         |      THEN 'Subscribe to our newsletter for 2024 updates!'
+         |      ELSE 'All rights reserved (c) site 99.' END ||
+         |    chr(10) || chr(10) || substr(d.text, 101, 100) AS t
+         |  FROM documents d JOIN sv USING (doc_id)),
+         |pr AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(t, '\\n{2,}')) AS paragraph,
+         |    generate_subscripts(regexp_split_to_array(t, '\\n{2,}'), 1) - 1
+         |      AS para_idx
+         |  FROM p0),
+         |pk AS (
+         |  SELECT doc_id, para_idx, paragraph,
+         |    md5(trim(regexp_replace(regexp_replace(lower(paragraph),
+         |      '[0-9]', '0', 'g'), '\\s+', ' ', 'g'))) AS key
+         |  FROM pr WHERE trim(paragraph) <> ''),
+         |dup AS (
+         |  SELECT key, min(doc_id) AS canonical FROM pk
+         |  GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (
+         |  SELECT pk.doc_id, pk.para_idx, pk.paragraph
+         |  FROM pk LEFT JOIN dup ON pk.key = dup.key
+         |  WHERE dup.canonical IS NULL OR pk.doc_id = dup.canonical),
+         |rb AS (
+         |  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10)
+         |    ORDER BY para_idx) AS cleaned
+         |  FROM kept GROUP BY doc_id),
+         |cl AS (SELECT sv.doc_id, coalesce(rb.cleaned, '') AS text
+         |       FROM sv LEFT JOIN rb USING (doc_id))
+         |SELECT cl.doc_id, m.url, cl.text
+         |FROM cl JOIN m USING (doc_id)
+         |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
+         |ORDER BY cl.doc_id""".stripMargin,
     // Decontamination replayed: reference = the mod-10 slice's
     // paragraphs as a distinct key set, anti-join, ordered rebuild,
     // per-doc drop counts.

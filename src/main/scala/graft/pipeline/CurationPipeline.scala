@@ -84,6 +84,12 @@ object CurationPipeline {
     * engine-portable md5-of-id order — the "max N pages per domain"
     * curation stage. */
   final case class QuotaConfig(groupCol: String, perGroup: Int)
+  /** URL-blocklist gate ([[graft.ops.UrlFilter.filterByBlocklist]])
+    * over a FROZEN parquet blocklist (`domain` column) plus ordered
+    * path rules — the cheapest filter in the chain, so it runs
+    * FIRST. */
+  final case class UrlBlocklistConfig(urlCol: String, blocklistPath: String,
+                                      pathRules: Seq[(String, String)] = Nil)
 
   final case class CurationConfig(
       inputPath: String,
@@ -100,7 +106,9 @@ object CurationPipeline {
       sinkPath: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       reportPath: Option[String] = None,
-      sinkFormat: String = "parquet")
+      sinkFormat: String = "parquet",
+      urlBlocklist: Option[UrlBlocklistConfig] = None,
+      paragraphDedup: Boolean = false)
 
   // ------------------------------------------------------------- rules
 
@@ -203,9 +211,27 @@ object CurationPipeline {
     * micro-batch, so batch and streaming curation can never drift —
     * they are literally the same code over a different input. */
   def curatedDocsFrame(input: DataFrame, config: CurationConfig): DataFrame = {
+    // provenance gate first (cheapest filter — no content analysis),
+    // then the CCNet paragraph rewrite BEFORE quality rules, so
+    // boilerplate paragraphs can't skew the rule signals
+    val webGated = config.urlBlocklist match {
+      case Some(u) => graft.ops.UrlFilter.filterByBlocklist(
+        input, config.idCol, u.urlCol,
+        input.sparkSession.read.parquet(u.blocklistPath), "domain",
+        u.pathRules)
+      case None => input
+    }
+    val paraClean =
+      if (!config.paragraphDedup) webGated
+      else webGated.drop(config.textCol)
+        .join(graft.ops.ParagraphDedup
+            .dedupParagraphs(webGated, config.idCol, config.textCol)
+            .withColumnRenamed("id", config.idCol)
+            .withColumnRenamed("cleaned", config.textCol),
+          Seq(config.idCol))
     val gated =
-      if (config.rules.isEmpty) input
-      else Policy.survivors(input, namedRules(config))
+      if (config.rules.isEmpty) paraClean
+      else Policy.survivors(paraClean, namedRules(config))
     val deduped = applyDedup(gated, config)
     val sampled = config.sampleFraction match {
       case Some(f) => Sampling.hashSample(deduped, f, Seq(config.idCol))
@@ -307,6 +333,11 @@ object CurationPipeline {
     * {{{
     * { "input": {"path": "...", "id_column": "doc_id",
     *             "text_column": "text"},
+    *   "url_blocklist": {"url_column": "url",           // optional,
+    *                     "blocklist_path": "...",       // runs FIRST
+    *                     "path_rules": [["tracker", "/track/"]]},
+    *   "paragraph_dedup": true,                         // optional CCNet
+    *                                          // rewrite, before rules
     *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
     *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
     *                       | "against_text_index",
@@ -357,6 +388,30 @@ object CurationPipeline {
     val rules = strList("rules", root \ "rules")
     // parse eagerly so a bad rule spec fails at config time, not plan time
     rules.foreach(ruleFromSpec(_, lit("")))
+    val urlBlocklist = root \ "url_blocklist" match {
+      case JNothing => None
+      case u =>
+        val urlC = str(u \ "url_column").getOrElse(
+          fail("url_blocklist.url_column is required"))
+        val path = str(u \ "blocklist_path").getOrElse(
+          fail("url_blocklist.blocklist_path is required"))
+        val prs: Seq[(String, String)] = u \ "path_rules" match {
+          case JArray(items) => items.map {
+            case JArray(JString(n) :: JString(re) :: Nil) => (n, re)
+            case other => fail(
+              "url_blocklist.path_rules entries must be [name, regex] " +
+                s"pairs, got ${JsonMethods.compact(JsonMethods.render(other))}")
+          }
+          case JNothing => Nil
+          case _ => fail("url_blocklist.path_rules must be an array")
+        }
+        Some(UrlBlocklistConfig(urlC, path, prs))
+    }
+    val paragraphDedup = root \ "paragraph_dedup" match {
+      case JNothing => false
+      case JBool(b) => b
+      case other => fail(s"paragraph_dedup must be a boolean, got $other")
+    }
     val dedup = root \ "dedup" match {
       case JNothing => NoDedup
       case d =>
@@ -466,7 +521,7 @@ object CurationPipeline {
         "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
-      sinkFormat)
+      sinkFormat, urlBlocklist, paragraphDedup)
   }
 
   private def fail(msg: String): Nothing =

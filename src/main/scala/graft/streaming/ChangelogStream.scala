@@ -744,6 +744,11 @@ object ChangelogStream {
           "each other, so its output depends on micro-batch boundaries; " +
           "streaming supports none | against_text_index (frozen index)")
     }
+    require(!config.paragraphDedup,
+      "streamCurate: paragraph_dedup compares paragraphs ACROSS rows " +
+        "(duplicate keys span documents), so its output depends on " +
+        "micro-batch boundaries; batch-only. The url_blocklist gate " +
+        "(per-row against the frozen file) streams fine.")
     require(config.budget.isEmpty,
       "streamCurate: budget is a cross-row running sum (batch-only)")
     require(config.quota.isEmpty,

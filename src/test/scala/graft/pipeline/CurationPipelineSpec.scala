@@ -326,6 +326,54 @@ class CurationPipelineSpec extends SparkTestBase {
     bad(s"""{"input": {"path": "x"},
            | "sink": {"path": "/s", "format": "csv"}}""".stripMargin,
       "unknown sink.format")
+    bad(s"""{"input": {"path": "x"}, "url_blocklist": {"url_column": "u"}}""",
+      "url_blocklist.blocklist_path is required")
+    bad(s"""{"input": {"path": "x"},
+           | "url_blocklist": {"blocklist_path": "/b"}}""".stripMargin,
+      "url_blocklist.url_column is required")
+    bad(s"""{"input": {"path": "x"}, "paragraph_dedup": "yes"}""",
+      "paragraph_dedup must be a boolean")
+    bad(s"""{"input": {"path": "x"},
+           | "url_blocklist": {"url_column": "u", "blocklist_path": "/b",
+           |                   "path_rules": ["tracker"]}}""".stripMargin,
+      "path_rules entries must be [name, regex]")
+  }
+
+  "the web stages" should "run config-declared identically to the hand-composed ops" in {
+    import graft.ops.{ParagraphDedup, UrlFilter}
+    val corpus = Seq(
+      (1L, "https://ok.example/a", "keep one two three\n\nshared plug here"),
+      (2L, "https://ads.bad.net/b", "blocked by domain rules entirely"),
+      (3L, "https://ok.example/track/c", "blocked by the path rule here"),
+      (4L, "https://ok.example/d", "keep four five six\n\nshared plug here"),
+      (5L, "https://ok.example/e", "tiny"))
+      .toDF("doc_id", "url", "text")
+    val blDir = Files.createTempDirectory("graft_webbl").toString
+    Seq("bad.net").toDF("domain").write.mode("overwrite").parquet(blDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "unused", "id_column": "doc_id",
+         |           "text_column": "text"},
+         | "url_blocklist": {"url_column": "url", "blocklist_path": "$blDir",
+         |                   "path_rules": [["tracker", "/track/"]]},
+         | "paragraph_dedup": true,
+         | "rules": ["min_tokens:3"]}""".stripMargin)
+    val got = CurationPipeline.curateFrame(corpus, cfg)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // hand-composed: blocklist gate -> paragraph dedup -> token rule
+    val gated = UrlFilter.filterByBlocklist(corpus, "doc_id", "url",
+      Seq("bad.net").toDF("domain"), "domain", Seq("tracker" -> "/track/"))
+    val cleaned = gated.drop("text").join(
+      ParagraphDedup.dedupParagraphs(gated, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("cleaned", "text"), Seq("doc_id"))
+    val want = cleaned
+      .filter(graft.ops.TextAnalysis.tokenCount($"text") >= 3)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    got.toSeq shouldBe want.toSeq
+    // doc 1 keeps the plug (canonical among survivors), doc 4 loses it,
+    // docs 2/3 never reach the text stages, doc 5 fails the token gate
+    got.map(_._1).toSeq shouldBe Seq(1L, 4L)
+    got.find(_._1 == 4L).get._2 shouldBe "keep four five six"
   }
 
   it should "not write the report when the publish gate fails" in {

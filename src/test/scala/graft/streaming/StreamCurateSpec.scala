@@ -133,5 +133,7 @@ class StreamCurateSpec extends SparkTestBase {
       .getMessage should include("pack")
     attempt(base.copy(sinkPath = Some("/tmp/never")))
       .getMessage should include("publisher")
+    attempt(base.copy(paragraphDedup = true))
+      .getMessage should include("paragraph_dedup")
   }
 }

@@ -78,7 +78,8 @@ object CurationPipeline {
     * whitespace token count of the text column. */
   final case class BudgetConfig(domainCol: String,
                                 budgets: Map[String, Long],
-                                defaultBudget: Long)
+                                defaultBudget: Long,
+                                unimax: Option[(Long, Double)] = None)
   /** Per-group document cap ([[Sampling.stratifiedQuota]]): keep at
     * most `perGroup` docs of each `groupCol` value, picked by
     * engine-portable md5-of-id order — the "max N pages per domain"
@@ -244,10 +245,22 @@ object CurationPipeline {
     }
     config.budget match {
       case Some(b) =>
-        Sampling.tokenBudgetMix(
-            capped.withColumn("__tokens",
-              TextAnalysis.tokenCount(col(config.textCol))),
-            b.domainCol, config.idCol, "__tokens", b.budgets, b.defaultBudget)
+        val withTokens = capped.withColumn("__tokens",
+          TextAnalysis.tokenCount(col(config.textCol)))
+        // unimax mode derives the per-domain budget table from the
+        // corpus itself (capped-uniform waterfill) at PLAN time — the
+        // policy is computed over the frame the take then runs on
+        val budgets = b.unimax match {
+          case Some((total, maxEpochs)) =>
+            Sampling.unimaxBudgets(withTokens, b.domainCol, "__tokens",
+                total, maxEpochs)
+              .collect()
+              .map(r => r.getString(0) -> r.getLong(3)).toMap
+          case None => b.budgets
+        }
+        Sampling.tokenBudgetMix(withTokens,
+            b.domainCol, config.idCol, "__tokens", budgets,
+            b.defaultBudget)
           .drop("__tokens")
       case None => capped
     }
@@ -346,8 +359,10 @@ object CurationPipeline {
     *             "max_dist": 11,                         // simhash
     *             "index_dir": "..."},          // against_text_index
     *   "sample": {"fraction": 0.5},                      // optional
-    *   "budget": {"domain_column": "lang",               // optional
-    *              "budgets": {"en": 100000}, "default": 0},
+    *   "budget": {"domain_column": "lang",               // optional:
+    *              "budgets": {"en": 100000}, "default": 0, // explicit,
+    *              "unimax": {"total_tokens": 500000,       // or derived
+    *                         "max_epochs": 2.0}},  // (capped-uniform)
     *   "chunk": {"tokens": 40, "overlap": 8},            // optional
     *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
@@ -462,9 +477,23 @@ object CurationPipeline {
           case _ => fail("budget.budgets must be an object of domain -> tokens")
         }
         val default = intOf(b \ "default", "budget.default", 0).toLong
-        if (budgets.isEmpty && default <= 0)
+        val unimax = b \ "unimax" match {
+          case JNothing => None
+          case u =>
+            val total = intOf(u \ "total_tokens", "budget.unimax.total_tokens",
+              fail("budget.unimax.total_tokens is required")).toLong
+            val eps = dblOf(u \ "max_epochs", "budget.unimax.max_epochs",
+              fail("budget.unimax.max_epochs is required"))
+            if (total <= 0) fail("budget.unimax.total_tokens must be positive")
+            if (eps <= 0) fail("budget.unimax.max_epochs must be positive")
+            Some((total, eps))
+        }
+        if (unimax.isDefined && (budgets.nonEmpty || default > 0))
+          fail("budget.unimax and explicit budgets/default are exclusive " +
+            "(one policy per run)")
+        if (unimax.isEmpty && budgets.isEmpty && default <= 0)
           fail("budget declares neither budgets nor a positive default")
-        Some(BudgetConfig(domain, budgets, default))
+        Some(BudgetConfig(domain, budgets, default, unimax))
     }
     val quota = root \ "quota" match {
       case JNothing => None

@@ -339,6 +339,62 @@ class CurationPipelineSpec extends SparkTestBase {
       "path_rules entries must be [name, regex]")
   }
 
+  "the unimax budget mode" should "derive the budget table from the corpus and match the hand-composed take" in {
+    import graft.ops.{Sampling, TextAnalysis}
+    // 90/9/1 doc split so the capped-uniform waterfill is unambiguous
+    val corpus = Seq.tabulate(100) { i =>
+      val dom = if (i < 90) "big" else if (i < 99) "mid" else "tiny"
+      (i.toLong, dom, "tok " * 10)
+    }.toDF("doc_id", "lang", "text")
+    val cfg = CurationPipeline.fromJson(
+      """{"input": {"path": "unused", "id_column": "doc_id",
+        |           "text_column": "text"},
+        | "rules": [],
+        | "budget": {"domain_column": "lang",
+        |            "unimax": {"total_tokens": 600,
+        |                       "max_epochs": 1.0}}}""".stripMargin)
+    val got = CurationPipeline.curateFrame(corpus, cfg)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val withTokens = corpus.withColumn("__tokens",
+      TextAnalysis.tokenCount($"text"))
+    val budgets = Sampling.unimaxBudgets(withTokens, "lang", "__tokens",
+        600L, 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = Sampling.tokenBudgetMix(withTokens, "lang", "doc_id",
+        "__tokens", budgets)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    got shouldBe want
+    // tiny (10 tokens) caps at 1 epoch; big absorbs the freed share
+    got("tiny") shouldBe 1L
+    got("big") shouldBe 50L // 500 tokens / 10 per doc
+  }
+
+  it should "refuse mixed or malformed unimax declarations" in {
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+    }
+    bad("""{"input": {"path": "x"},
+          | "budget": {"domain_column": "lang", "default": 5,
+          |            "unimax": {"total_tokens": 10,
+          |                       "max_epochs": 1.0}}}""".stripMargin,
+      "exclusive")
+    bad("""{"input": {"path": "x"},
+          | "budget": {"domain_column": "lang",
+          |            "unimax": {"max_epochs": 1.0}}}""".stripMargin,
+      "total_tokens is required")
+    bad("""{"input": {"path": "x"},
+          | "budget": {"domain_column": "lang",
+          |            "unimax": {"total_tokens": 10}}}""".stripMargin,
+      "max_epochs is required")
+    bad("""{"input": {"path": "x"},
+          | "budget": {"domain_column": "lang",
+          |            "unimax": {"total_tokens": 0,
+          |                       "max_epochs": 1.0}}}""".stripMargin,
+      "must be positive")
+  }
+
   "the web stages" should "run config-declared identically to the hand-composed ops" in {
     import graft.ops.{ParagraphDedup, UrlFilter}
     val corpus = Seq(

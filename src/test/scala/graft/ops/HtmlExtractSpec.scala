@@ -104,6 +104,12 @@ class HtmlExtractSpec extends SparkTestBase {
       .select($"block_text").as[String].collect().toSeq shouldBe Seq("real")
   }
 
+  it should "stay a shuffle-free projection (split + per-block regexes in one stage)" in {
+    val df = HtmlExtract.blocks(
+      Seq((1L, BoilerPage)).toDF("id", "html"), "id", "html")
+    df.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   "extractMainText" should "drop nav/footer link lists and keep body prose" in {
     val out = HtmlExtract.extractMainText(
         Seq((1L, BoilerPage)).toDF("id", "html"), "id", "html")

@@ -80,9 +80,16 @@ object ParagraphDedup {
       .agg(concat_ws("\n\n", transform(
         array_sort(collect_list(struct(col("para_idx"), col("paragraph")))),
         s => s.getField("paragraph"))).as("cleaned"))
-    df.select(col(idCol).as("id")).distinct()
+    // Materialize eagerly (lineage truncated, executor-local blocks the
+    // ContextCleaner releases once the frame is dropped) so the paras pin
+    // can be unpersisted HERE instead of leaking in the CacheManager
+    // across repeated calls — the Sequencing/Triangles release pattern.
+    val out = df.select(col(idCol).as("id")).distinct()
       .join(rebuilt, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .localCheckpoint()
+    paras.unpersist()
+    out
   }
 
   /** Paragraph-granular DECONTAMINATION against a reference corpus
@@ -116,11 +123,16 @@ object ParagraphDedup {
         count(lit(1)).as("__kept"))
     val totals = paras.groupBy(col("id"))
       .agg(count(lit(1)).as("__total"))
-    df.select(col(idCol).as("id")).distinct()
+    // Same release discipline as [[dedupParagraphs]]: materialize, then
+    // free the paras pin before returning.
+    val out = df.select(col(idCol).as("id")).distinct()
       .join(rebuilt, Seq("id"), "left_outer")
       .join(totals, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"),
         (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
           .as("n_dropped"))
+      .localCheckpoint()
+    paras.unpersist()
+    out
   }
 }

@@ -276,7 +276,9 @@ object Sampling {
       s"unimaxBudgets: totalTokens must be positive, got $totalTokens")
     require(maxEpochs > 0,
       s"unimaxBudgets: maxEpochs must be positive, got $maxEpochs")
-    val per = df.filter(col(tokensCol).isNotNull)
+    // Null domains would reach the driver as null Strings and blow up the
+    // (capacity, domain) sort — exclude them like null token counts.
+    val per = df.filter(col(tokensCol).isNotNull && col(domainCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("domain"))
       .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
       .collect()

@@ -80,8 +80,12 @@ object WordPieceTrainer {
         .filter(col("cnt") >= minCount)
         .join(symCounts.select(col("s").as("l"), col("c").as("cl")), "l")
         .join(symCounts.select(col("s").as("r"), col("c").as("cr")), "r")
+        // Cast each factor to double BEFORE multiplying: cl*cr as int64
+        // overflows Long at corpus scale (~3e9 counts each) and would
+        // silently corrupt the merge order; each factor alone is an exact
+        // int64 in double range so determinism is preserved.
         .withColumn("score", col("cnt").cast("double") /
-          (col("cl") * col("cr")).cast("double"))
+          (col("cl").cast("double") * col("cr").cast("double")))
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1)
         .collect()

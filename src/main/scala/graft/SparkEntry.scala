@@ -2659,6 +2659,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Archive→curated-corpus in ONE config file: the q_warc_html
+    // archives (same page fixture, record URLs from the q_url_filter
+    // fixture) staged to parquet, then a config-declared run with
+    // input.format = "warc" — WARC walk, HTTP-response filter, flat
+    // extraction, id from the URL — feeding the url-blocklist gate and
+    // a min_tokens rule. The oracle composes the LITERAL url-filter and
+    // html-extraction CTEs with the token gate.
+    "q_pipeline_warc" -> ((s, d) => {
+      import s.implicits._
+      val out = scratchDir("graft_pwc_")
+      UrlBlocklistFixture.toDF("domain")
+        .write.mode("overwrite").parquet(s"$out/blocklist")
+      val html = concat(
+        lit(HtmlFixturePrefix), col("doc_id").cast("string"),
+        lit(HtmlFixtureMid), col("doc_id").cast("string"),
+        lit(HtmlFixtureHead), col("text"),
+        lit(HtmlFixtureLinksOpen),
+        expr(s"repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT))"),
+        lit(HtmlFixtureTail))
+      val staged = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(8)).as("grp"),
+        UrlFixtureCol.as("url"),
+        lit("2024-03-01T00:00:00Z").as("date"),
+        html.as("body"))
+      graft.ops.WarcExtract.syntheticArchives(
+          staged, "grp", "url", "date", "body")
+        .write.mode("overwrite").parquet(s"$out/archives")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/archives", "format": "warc",
+           |           "id_column": "doc_id", "text_column": "text",
+           |           "id_regex": "(\\\\d+)$$"},
+           | "url_blocklist": {"url_column": "url",
+           |                   "blocklist_path": "$out/blocklist",
+           |                   "path_rules": [["tracker", "/track/"]]},
+           | "rules": ["min_tokens:20"]}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("url"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
     // character fractions), computed shuffle-free per document by a
     // sorted run-length aggregate over the n-gram multiset.
@@ -6753,6 +6793,21 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Config-declared WARC ingest replayed: the archive detour is
+    // byte-transparent (q_warc_html's contract), so the oracle is the
+    // LITERAL page fixture + flat extraction chain composed with the
+    // LITERAL url-filter CTE's keep rows and the min_tokens gate.
+    "q_pipeline_warc" ->
+      s"""$UrlFilterOracleCte,
+         |wh AS (SELECT doc_id, $HtmlFixtureExprSql AS html FROM documents),
+         |wx AS (SELECT doc_id, $HtmlExtractTextSql AS text FROM wh),
+         |sv AS (SELECT doc_id, url FROM m
+         |       WHERE blocked_domain IS NULL AND blocked_rule IS NULL)
+         |SELECT sv.doc_id, sv.url, wx.text
+         |FROM sv JOIN wx USING (doc_id)
+         |WHERE CASE WHEN length(trim(wx.text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(wx.text), '\\s+')) END >= 20
+         |ORDER BY sv.doc_id""".stripMargin,
     // Decontamination replayed: reference = the mod-10 slice's
     // paragraphs as a distinct key set, anti-join, ordered rebuild,
     // per-doc drop counts.
@@ -8278,26 +8333,35 @@ object SparkEntry {
     * archive detour is byte-transparent, so both produce identical
     * rows): stages the synthetic markup and replays
     * [[graft.ops.HtmlExtract.Chain]] verbatim. */
-  private lazy val HtmlExtractOracleSql: String = {
-    val htmlExpr = s"'$HtmlFixturePrefix' || doc_id || '$HtmlFixtureMid' " +
+  /** The q_html_extract / q_warc_html / q_pipeline_warc page-fixture
+    * expression, shared literally so the three oracles cannot drift. */
+  private lazy val HtmlFixtureExprSql: String =
+    s"'$HtmlFixturePrefix' || doc_id || '$HtmlFixtureMid' " +
       s"|| doc_id || '$HtmlFixtureHead' || text || '$HtmlFixtureLinksOpen' " +
       s"|| repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT)) " +
       s"|| '$HtmlFixtureTail'"
+
+  /** [[graft.ops.HtmlExtract.Chain]] + the outer trims replayed as a
+    * regexp_replace fold over a column named `html` — the flat
+    * extraction chain, shared literally across the same oracles. */
+  private lazy val HtmlExtractTextSql: String = {
     val chain = graft.ops.HtmlExtract.Chain ++
       Seq(("^[\\s]+", ""), ("[\\s]+$", ""))
-    val extracted = chain.foldLeft("html") { case (acc, (pat, rep)) =>
+    chain.foldLeft("html") { case (acc, (pat, rep)) =>
       // the entity battery includes a bare apostrophe replacement
       s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
         s"'${rep.replace("'", "''")}', 'g')"
     }
-    s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
-       |x AS (SELECT doc_id, html, $extracted AS text FROM h)
+  }
+
+  private lazy val HtmlExtractOracleSql: String =
+    s"""WITH h AS (SELECT doc_id, $HtmlFixtureExprSql AS html FROM documents),
+       |x AS (SELECT doc_id, html, $HtmlExtractTextSql AS text FROM h)
        |SELECT doc_id, text,
        |  CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS INTEGER)
        |    AS n_links,
        |  round(CAST(len(text) AS DOUBLE) / len(html), 6) AS text_ratio
        |FROM x ORDER BY doc_id""".stripMargin
-  }
 
   /** Shared CTE for the paragraph-tier oracles: fixture synthesis,
     * blank-line split (lockstep unnest), normalization chain into md5

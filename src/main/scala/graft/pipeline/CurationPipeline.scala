@@ -92,6 +92,28 @@ object CurationPipeline {
   final case class UrlBlocklistConfig(urlCol: String, blocklistPath: String,
                                       pathRules: Seq[(String, String)] = Nil)
 
+  /** WARC-archive input mode (`input.format = "warc"`): the input
+    * parquet carries `(archiveIdCol: long, dataCol: binary)` archive
+    * rows; ingest explodes each archive ([[graft.ops.WarcExtract.records]]),
+    * keeps HTTP responses with a status in `statuses`, and extracts
+    * document text ([[graft.ops.HtmlExtract]] — `"flat"` = the WET-style
+    * whole-page chain, `"blocks"` = the link-density main-content gate
+    * with `minChars`/`maxLinkDensity`), producing `(id, url, fetch_ts,
+    * text)` document rows the normal stage chain then runs on — so
+    * archive→curated-corpus is ONE config file.
+    *
+    * `idRegex` (optional): document id = capture group 1 of the record
+    * URL, cast to long; records whose URL does not match are DROPPED
+    * (no stable identity → no dedup/sampling identity). Without it the
+    * id IS the URL (string). */
+  final case class WarcInputConfig(archiveIdCol: String = "archive_id",
+                                   dataCol: String = "data",
+                                   idRegex: Option[String] = None,
+                                   htmlMode: String = "flat",
+                                   minChars: Int = 20,
+                                   maxLinkDensity: Double = 0.34,
+                                   statuses: Seq[Int] = Seq(200))
+
   final case class CurationConfig(
       inputPath: String,
       idCol: String,
@@ -109,7 +131,8 @@ object CurationPipeline {
       reportPath: Option[String] = None,
       sinkFormat: String = "parquet",
       urlBlocklist: Option[UrlBlocklistConfig] = None,
-      paragraphDedup: Boolean = false)
+      paragraphDedup: Boolean = false,
+      warcInput: Option[WarcInputConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -199,6 +222,59 @@ object CurationPipeline {
           config.idCol, config.textCol, t)
     }
 
+  /** Declared-input ingest: identity for tabular input; for
+    * `input.format = "warc"` the archive→document extraction chain
+    * (`WarcExtract.records` → HTTP-response/status filter →
+    * `HtmlExtract`) in front of the stage chain. Runs inside
+    * [[curatedDocsFrame]] so batch and streaming composition get the
+    * SAME ingest — a streamed archive row explodes to its records
+    * independently of batch boundaries (per-archive `mapPartitions`,
+    * and the blocks-mode regroup only ever combines blocks of ONE
+    * record's page), so the stage is per-row-deterministic and
+    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it.
+    *
+    * Scale note: parallelism = archive count (the CommonCrawl layout is
+    * ~1 GiB archives, tens of thousands per crawl — the natural split
+    * axis); the walk itself is a zero-shuffle batched explode. */
+  def ingestFrame(raw: DataFrame, config: CurationConfig): DataFrame =
+    config.warcInput match {
+      case None => raw
+      case Some(w) =>
+        val pages = graft.ops.WarcExtract
+          .records(raw, w.archiveIdCol, w.dataCol)
+          .filter(col("warc_type") === "response" &&
+            col("http_status").isin(w.statuses.map(Int.box): _*))
+          .select(
+            (w.idRegex match {
+              case Some(re) =>
+                // try_cast: a non-matching URL extracts '' — that row
+                // must become a DROPPED null id, not an ANSI cast error
+                // killing the scan
+                regexp_extract(col("url"), re, 1).try_cast("long")
+              case None => col("url")
+            }).as(config.idCol),
+            col("url"), col("fetch_ts"),
+            col("payload").cast("string").as("__html"))
+          .filter(col(config.idCol).isNotNull)
+        w.htmlMode match {
+          case "flat" => pages
+            .withColumn(config.textCol,
+              graft.ops.HtmlExtract.extractText(col("__html")))
+            .drop("__html")
+          case "blocks" =>
+            // extractMainText is id-granular; join the provenance
+            // columns back on the id (one id-key equi-join)
+            pages.select(col(config.idCol), col("url"), col("fetch_ts"))
+              .join(graft.ops.HtmlExtract.extractMainText(
+                  pages, config.idCol, "__html", w.minChars,
+                  w.maxLinkDensity)
+                .withColumnRenamed("main_text", config.textCol),
+                Seq(config.idCol))
+          case other => fail(s"unknown warc html mode '$other' " +
+            "(expected flat | blocks)")
+        }
+    }
+
   /** The curated corpus at DOCUMENT granularity (after rules, dedup,
     * sample, quota, budget — before any chunking). */
   def curatedDocs(spark: SparkSession, config: CurationConfig): DataFrame =
@@ -211,10 +287,12 @@ object CurationPipeline {
     * ([[graft.streaming.ChangelogStream.streamCurate]]) replays per
     * micro-batch, so batch and streaming curation can never drift —
     * they are literally the same code over a different input. */
-  def curatedDocsFrame(input: DataFrame, config: CurationConfig): DataFrame = {
-    // provenance gate first (cheapest filter — no content analysis),
-    // then the CCNet paragraph rewrite BEFORE quality rules, so
-    // boilerplate paragraphs can't skew the rule signals
+  def curatedDocsFrame(rawInput: DataFrame, config: CurationConfig): DataFrame = {
+    // declared ingest first (WARC archives become document rows), then
+    // the provenance gate (cheapest filter — no content analysis), then
+    // the CCNet paragraph rewrite BEFORE quality rules, so boilerplate
+    // paragraphs can't skew the rule signals
+    val input = ingestFrame(rawInput, config)
     val webGated = config.urlBlocklist match {
       case Some(u) => graft.ops.UrlFilter.filterByBlocklist(
         input, config.idCol, u.urlCol,
@@ -296,7 +374,10 @@ object CurationPipeline {
     * filters with (so report and filter can never disagree). */
   def attrition(spark: SparkSession, config: CurationConfig): DataFrame = {
     require(config.rules.nonEmpty, "attrition: config declares no rules")
-    Policy.attritionReport(spark.read.parquet(config.inputPath),
+    // the report charges rules against the INGESTED documents (for WARC
+    // input the rules never see archive bytes), same as the filter path
+    Policy.attritionReport(
+      ingestFrame(spark.read.parquet(config.inputPath), config),
       namedRules(config))
   }
 
@@ -345,7 +426,14 @@ object CurationPipeline {
   /** Parse a curation config AST (from JSON or [[Hocon]]):
     * {{{
     * { "input": {"path": "...", "id_column": "doc_id",
-    *             "text_column": "text"},
+    *             "text_column": "text",
+    *             "format": "parquet" | "warc",       // warc = archive
+    *             // warc-only (see WarcInputConfig):  // ingest first
+    *             "archive_column": "archive_id", "data_column": "data",
+    *             "id_regex": "doc/(\\d+)$",          // group 1 -> long id
+    *             "html": "flat" | "blocks",          // extraction tier
+    *             "min_chars": 20, "max_link_density": 0.34,  // blocks
+    *             "statuses": [200]},                 // HTTP keep-list
     *   "url_blocklist": {"url_column": "url",           // optional,
     *                     "blocklist_path": "...",       // runs FIRST
     *                     "path_rules": [["tracker", "/track/"]]},
@@ -376,8 +464,23 @@ object CurationPipeline {
       case JString(s) => Some(s); case _ => None
     }
     def intOf(v: JValue, what: String, default: => Int): Int = v match {
-      case JInt(n) => n.toInt
-      case JLong(n) => n.toInt
+      case JInt(n) =>
+        if (!n.isValidInt) fail(s"$what out of Int range: $n")
+        n.toInt
+      case JLong(n) =>
+        if (n < Int.MinValue || n > Int.MaxValue)
+          fail(s"$what out of Int range: $n")
+        n.toInt
+      case JNothing => default
+      case other => fail(s"$what must be an integer, got $other")
+    }
+    // Token budgets are routinely > 2^31 (e.g. 500e9); parse as Long with a
+    // range check rather than funnelling through Int, which wraps silently.
+    def longOf(v: JValue, what: String, default: => Long): Long = v match {
+      case JInt(n) =>
+        if (!n.isValidLong) fail(s"$what out of Long range: $n")
+        n.toLong
+      case JLong(n) => n
       case JNothing => default
       case other => fail(s"$what must be an integer, got $other")
     }
@@ -400,6 +503,32 @@ object CurationPipeline {
       fail("input.path is required"))
     val idCol = str(root \ "input" \ "id_column").getOrElse("doc_id")
     val textCol = str(root \ "input" \ "text_column").getOrElse("text")
+    val warcInput = str(root \ "input" \ "format").getOrElse("parquet") match {
+      case "parquet" => None
+      case "warc" =>
+        val mode = str(root \ "input" \ "html").getOrElse("flat")
+        if (mode != "flat" && mode != "blocks")
+          fail(s"input.html must be flat | blocks, got '$mode'")
+        val statuses = root \ "input" \ "statuses" match {
+          case JArray(items) => items.map(v =>
+            intOf(v, "input.statuses entry", fail(
+              "input.statuses entries must be integers")))
+          case JNothing => Seq(200)
+          case _ => fail("input.statuses must be an array of integers")
+        }
+        if (statuses.isEmpty) fail("input.statuses must not be empty")
+        Some(WarcInputConfig(
+          str(root \ "input" \ "archive_column").getOrElse("archive_id"),
+          str(root \ "input" \ "data_column").getOrElse("data"),
+          str(root \ "input" \ "id_regex"),
+          mode,
+          intOf(root \ "input" \ "min_chars", "input.min_chars", 20),
+          dblOf(root \ "input" \ "max_link_density",
+            "input.max_link_density", 0.34),
+          statuses))
+      case other => fail(s"unknown input.format '$other' " +
+        "(expected parquet | warc)")
+    }
     val rules = strList("rules", root \ "rules")
     // parse eagerly so a bad rule spec fails at config time, not plan time
     rules.foreach(ruleFromSpec(_, lit("")))
@@ -466,22 +595,19 @@ object CurationPipeline {
           fail("budget.domain_column is required"))
         val budgets = b \ "budgets" match {
           case JObject(fields) => fields.map { case JField(k, v) =>
-            k -> (v match {
-              case JInt(x) => x.toLong
-              case JLong(x) => x
-              case other => fail(s"budget.budgets.$k must be an integer, " +
-                s"got $other")
-            })
+            k -> longOf(v, s"budget.budgets.$k",
+              fail(s"budget.budgets.$k must be an integer"))
           }.toMap
           case JNothing => Map.empty[String, Long]
           case _ => fail("budget.budgets must be an object of domain -> tokens")
         }
-        val default = intOf(b \ "default", "budget.default", 0).toLong
+        val default = longOf(b \ "default", "budget.default", 0L)
         val unimax = b \ "unimax" match {
           case JNothing => None
           case u =>
-            val total = intOf(u \ "total_tokens", "budget.unimax.total_tokens",
-              fail("budget.unimax.total_tokens is required")).toLong
+            val total = longOf(u \ "total_tokens",
+              "budget.unimax.total_tokens",
+              fail("budget.unimax.total_tokens is required"))
             val eps = dblOf(u \ "max_epochs", "budget.unimax.max_epochs",
               fail("budget.unimax.max_epochs is required"))
             if (total <= 0) fail("budget.unimax.total_tokens must be positive")
@@ -550,7 +676,7 @@ object CurationPipeline {
         "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
-      sinkFormat, urlBlocklist, paragraphDedup)
+      sinkFormat, urlBlocklist, paragraphDedup, warcInput)
   }
 
   private def fail(msg: String): Nothing =

@@ -713,6 +713,13 @@ object ChangelogStream {
     * Only the PER-ROW stage subset is accepted, and the rest is refused
     * loudly up front rather than silently skipped:
     *
+    *  - warc input (`input.format = "warc"`): ACCEPTED — each arriving
+    *    archive row explodes to its records independently
+    *    (per-archive `mapPartitions`), and the blocks-mode regroup only
+    *    combines blocks of ONE record's page, so the ingest verdict
+    *    never depends on micro-batch boundaries (the stream carries
+    *    `(archive_column, data_column)` rows; converged ≡ batch over
+    *    the same archives);
     *  - rules: every [[graft.pipeline.CurationPipeline.ruleFromSpec]]
     *    predicate is a scalar over the row's own text — allowed;
     *  - dedup: `none` or `against_text_index` (the index is FROZEN, so

@@ -475,4 +475,167 @@ class CurationPipelineSpec extends SparkTestBase {
     surviving("matches:fox") shouldBe Seq(1L)
     surviving("lang:en") should contain(1L)
   }
+
+  // ---------------------------------------------------------- warc input
+
+  private lazy val warcBody: String = {
+    val prose = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    "<html><head><title>t</title></head><body>" +
+      "<div><a href=\"/n1\">nav one</a> <a href=\"/n2\">nav two</a></div>" +
+      s"<p>$prose</p></body></html>"
+  }
+
+  /** Archives of five pages: 1/4 clean, 2 blocked by domain, 3 blocked
+    * by the path rule, 5 with a digit-free URL (dropped by id_regex);
+    * page 4 is too short for a min_tokens:10 gate. */
+  private lazy val warcArchivesPath: String = {
+    val p = s"$tmp/warc_archives"
+    val staged = Seq(
+      (1L, "https://ok.example/page/1", warcBody),
+      (2L, "https://ads.bad.net/page/2", warcBody),
+      (3L, "https://ok.example/track/3", warcBody),
+      (4L, "https://ok.example/page/4",
+        "<html><body><p>short page</p></body></html>"),
+      (5L, "https://ok.example/nodigits", warcBody))
+      .toDF("doc_id", "url", "body")
+      .select(pmod($"doc_id", lit(2)).as("grp"), $"url",
+        lit("2024-01-01T00:00:00Z").as("date"), $"body")
+    graft.ops.WarcExtract.syntheticArchives(staged, "grp", "url", "date",
+        "body")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val warcBlDir: String = {
+    val p = s"$tmp/warc_bl"
+    Seq("bad.net").toDF("domain").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def warcConfigJson(extra: String = ""): String =
+    s"""{"input": {"path": "$warcArchivesPath", "format": "warc",
+       |           "id_column": "doc_id", "text_column": "text",
+       |           "id_regex": "([0-9]+)$$"$extra},
+       | "url_blocklist": {"url_column": "url",
+       |                   "blocklist_path": "$warcBlDir",
+       |                   "path_rules": [["tracker", "/track/"]]},
+       | "rules": ["min_tokens:10"]}""".stripMargin
+
+  "the warc input" should
+      "run config-declared identically to the hand-composed chain" in {
+    import graft.ops.{HtmlExtract, TextAnalysis, UrlFilter, WarcExtract}
+    val got = CurationPipeline.curate(spark,
+        CurationPipeline.fromJson(warcConfigJson()))
+      .select($"doc_id", $"url", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    // hand-composed: walk -> response filter -> flat extract -> id from
+    // URL -> blocklist gate -> token rule
+    val pages = WarcExtract.records(
+        spark.read.parquet(warcArchivesPath), "archive_id", "data")
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select(regexp_extract($"url", "([0-9]+)$", 1).try_cast("long")
+          .as("doc_id"),
+        $"url",
+        HtmlExtract.extractText($"payload".cast("string")).as("text"))
+      .filter($"doc_id".isNotNull)
+    val gated = UrlFilter.filterByBlocklist(pages, "doc_id", "url",
+      Seq("bad.net").toDF("domain"), "domain", Seq("tracker" -> "/track/"))
+    val want = gated.filter(TextAnalysis.tokenCount($"text") >= 10)
+      .select($"doc_id", $"url", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    got shouldBe want
+    // 2 (domain) and 3 (path) gated, 4 under min_tokens, 5 id-less
+    got.map(_._1) shouldBe Seq(1L)
+    got.head._3 should include("alpha1 alpha2")
+    got.head._3 should not include "<p>"
+  }
+
+  it should "extract main text in blocks mode via the density gate" in {
+    import graft.ops.{HtmlExtract, WarcExtract}
+    val cfg = CurationPipeline.fromJson(s"""
+      |{"input": {"path": "$warcArchivesPath", "format": "warc",
+      |           "id_column": "doc_id", "text_column": "text",
+      |           "id_regex": "([0-9]+)$$", "html": "blocks",
+      |           "min_chars": 20, "max_link_density": 0.34},
+      | "rules": []}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val pages = WarcExtract.records(
+        spark.read.parquet(warcArchivesPath), "archive_id", "data")
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select(regexp_extract($"url", "([0-9]+)$", 1).try_cast("long")
+          .as("doc_id"),
+        $"payload".cast("string").as("html"))
+      .filter($"doc_id".isNotNull)
+    val want = HtmlExtract.extractMainText(pages, "doc_id", "html",
+        minChars = 20, maxLinkDensity = 0.34)
+      .select($"doc_id", $"main_text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    got shouldBe want
+    // the nav link run is boilerplate (density 1), the prose survives
+    val page1 = got.find(_._1 == 1L).get._2
+    page1 should include("alpha1")
+    page1 should not include "nav one"
+  }
+
+  it should "honor the HTTP status keep-list" in {
+    // the fixture writer emits 200s only, so a [404] keep-list must
+    // yield zero documents — the filter is really applied
+    val cfg = CurationPipeline.fromJson(warcConfigJson(
+      extra = """, "statuses": [404]"""))
+    CurationPipeline.curate(spark, cfg).count() shouldBe 0L
+  }
+
+  it should "use the record URL as a string id without id_regex" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$warcArchivesPath", "format": "warc",
+         |           "id_column": "doc_id", "text_column": "text"},
+         | "rules": ["min_tokens:10"]}""".stripMargin)
+    val ids = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[String].collect().sorted.toSeq
+    // no blocklist here: 1/2/3/5 carry the long body; 4 is short
+    ids shouldBe Seq("https://ads.bad.net/page/2", "https://ok.example/nodigits",
+      "https://ok.example/page/1", "https://ok.example/track/3")
+  }
+
+  it should "charge attrition against the INGESTED documents" in {
+    val rep = CurationPipeline.attrition(spark,
+      CurationPipeline.fromJson(warcConfigJson()))
+    // 4 ingested docs with ids (1-4 minus the id-less 5th): one fails
+    // min_tokens — the report sees extracted text, never archive bytes
+    rep.filter($"rule" === "min_tokens:10")
+      .select($"n_failed_here").as[Long].head() shouldBe 1L
+  }
+
+  it should "reject malformed warc input declarations loudly" in {
+    def bad(json: String): Unit = {
+      an[IllegalArgumentException] should be thrownBy
+        CurationPipeline.fromJson(json)
+      ()
+    }
+    bad("""{"input": {"path": "/x", "format": "orc"}, "rules": []}""")
+    bad("""{"input": {"path": "/x", "format": "warc", "html": "tree"},
+          | "rules": []}""".stripMargin)
+    bad("""{"input": {"path": "/x", "format": "warc", "statuses": []},
+          | "rules": []}""".stripMargin)
+    bad("""{"input": {"path": "/x", "format": "warc",
+          |           "statuses": ["ok"]}, "rules": []}""".stripMargin)
+  }
+
+  it should "run end-to-end from the SHIPPED warc example conf" in {
+    val sink = s"$tmp/warc_out"
+    val cfg = writeConfig("warc_job.conf",
+      s"""include "${Paths.get("conf/application-warc-curation-example.conf")
+           .toAbsolutePath}"
+         |input.path = "$warcArchivesPath"
+         |input.html = "flat"
+         |url_blocklist.blocklist_path = "$warcBlDir"
+         |rules = ["min_tokens:10"]
+         |sink.path = "$sink"
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    spark.read.parquet(sink).select($"doc_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(1L)
+  }
 }

@@ -136,4 +136,54 @@ class StreamCurateSpec extends SparkTestBase {
     attempt(base.copy(paragraphDedup = true))
       .getMessage should include("paragraph_dedup")
   }
+
+  it should "accept warc input: streamed archives converge to the batch ingest" in {
+    import graft.ops.WarcExtract
+    // two archives, streamed as separate micro-batches: each explodes
+    // to its records independently of batch boundaries, so converged
+    // output ≡ the batch curateFrame over both archives at once
+    val prose = (1 to 20).map(i => s"w$i").mkString(" ")
+    def page(i: Long, body: String) =
+      (s"https://ok.example/page/$i", "2024-01-01T00:00:00Z",
+        s"<html><body><p>$body</p></body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val a0 = WarcExtract.buildArchive(
+      Seq(page(1, prose), page(2, "too short")))
+    val a1 = WarcExtract.buildArchive(
+      Seq(page(3, prose + " extra")), memberPerRecord = true)
+    val archives = Seq((0L, a0), (1L, a1)).toDF("archive_id", "data")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_warc")
+    def stageArc(rows: Seq[(Long, Array[Byte])], name: String,
+                 age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scur_warcw")
+      rows.toDF("archive_id", "data").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stageArc(Seq(0L -> a0), "wave1.parquet", 120000L)
+    stageArc(Seq(1L -> a1), "wave2.parquet", 60000L)
+    val cfg = CurationPipeline.fromJson(
+      """{"input": {"path": "/unused/by/streaming", "format": "warc",
+        |           "id_column": "doc_id", "text_column": "text",
+        |           "id_regex": "([0-9]+)$"},
+        | "rules": ["min_tokens:10"]}""".stripMargin)
+    val stream = spark.readStream
+      .schema(archives.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur_w").toString
+    val got = ChangelogStream.streamCurate(stream, cfg, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = CurationPipeline.curateFrame(archives, cfg)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    got shouldBe want
+    got.map(_._1) shouldBe Seq(1L, 3L) // 2 fails the token gate
+  }
 }

@@ -3136,6 +3136,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("link_idx"))
     }),
 
+    // PDF documents probed and read back: per-doc fixture PDFs composed
+    // FROM doc columns (1 + id%3 pages of 80-char text slices, a
+    // parenthesized title to pin escape decoding, even ids FlateDecode-
+    // compressed) so ground truth is the columns themselves — the
+    // structural xref→catalog→page-tree walk (version/object count/page
+    // count/Info title) plus the content-stream text-operator replay.
+    "q_pdf_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val staged = Tables.documents(s, d).select(id,
+        concat(lit("Doc ("), id.cast("string"), lit(")")).as("title"),
+        when(pmod(id, lit(3)) === 0, array(substring(col("text"), 1, 80)))
+          .when(pmod(id, lit(3)) === 1, array(
+            substring(col("text"), 1, 80), substring(col("text"), 81, 80)))
+          .otherwise(array(substring(col("text"), 1, 80),
+            substring(col("text"), 81, 80), substring(col("text"), 161, 80)))
+          .as("pages"),
+        (pmod(id, lit(2)) === 0).as("compress"))
+      graft.ops.PdfProbe.extract(
+          graft.ops.PdfProbe.syntheticPdfAssets(
+            staged, "doc_id", "title", "pages", "compress"),
+          "id", "data")
+        .select(col("id").as("doc_id"), col("version"), col("n_objects"),
+          col("n_pages"), col("title"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-smoothed domain mixing (p_i ∝ n_i^alpha): the budget
     // table a multilingual training mix is provisioned from — alpha 0.5
     // upweights low-resource languages. Deterministic sorted-order
@@ -6793,6 +6819,23 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // PDF round trip replayed: the container detour is byte-transparent
+    // (escape encode/decode is exact), so the oracle is the fixture
+    // composition itself — page count and object count from the id,
+    // text from the substr slices, title from the id.
+    "q_pdf_extract" ->
+      """SELECT doc_id, '1.7' AS version,
+        |  CAST(4 + 2 * (1 + doc_id % 3) AS INTEGER) AS n_objects,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_pages,
+        |  'Doc (' || doc_id || ')' AS title,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN substr(text, 1, 80)
+        |    WHEN 1 THEN substr(text, 1, 80) || chr(10) ||
+        |      substr(text, 81, 80)
+        |    ELSE substr(text, 1, 80) || chr(10) || substr(text, 81, 80)
+        |      || chr(10) || substr(text, 161, 80)
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Config-declared WARC ingest replayed: the archive detour is
     // byte-transparent (q_warc_html's contract), so the oracle is the
     // LITERAL page fixture + flat extraction chain composed with the

@@ -1,0 +1,616 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PDF structural probe and text extraction — the document-corpus tier
+  * of the multimodal battery: a large share of any real crawl corpus is
+  * PDF, and curation needs page counts, document metadata, and the text
+  * itself without shelling out to external tooling. Hand-rolled from
+  * the PUBLIC PDF 1.7 file layout (ISO 32000-1: header comment line,
+  * `N G obj … endobj` indirect objects, cross-reference table with
+  * 20-byte entries, `trailer` dictionary, `startxref` pointer) — the
+  * [[PcmContainer]]/[[WarcExtract]]/[[ExifProbe]] defensive-walker
+  * pattern applied to documents.
+  *
+  *  - [[probe]] parses the xref/trailer and walks the catalog → page
+  *    tree, reporting version, object count, page count, and the Info
+  *    dictionary's title/producer.
+  *  - [[extractText]] resolves each page's `/Contents` stream
+  *    (uncompressed, or FlateDecode via the JDK `Inflater` with a
+  *    decompression-bomb cap) and replays the text-showing operators
+  *    (`Tj`, `'`, `"`, `TJ` arrays) with full literal-string escape
+  *    decoding (octal included), one line per shown string, pages
+  *    joined with newlines.
+  *  - [[buildPdf]] renders a deterministic spec-shaped document (the
+  *    fixture/oracle writer, [[WarcExtract.buildArchive]]'s role).
+  *
+  * Parsing is defensive: every offset and length is bounds-checked, a
+  * lying `/Length` is clamped to the bytes present, truncation at ANY
+  * byte yields `None`/partial output rather than a throw, and a corrupt
+  * xref (the structural root — it lives at the END of the file, so any
+  * truncation lands here first) is REFUSED with `None` rather than
+  * guessed at. Extends the reference surface (flat scalar rows only —
+  * reference: src/main/scala/com/booking/spark/Schema.scala:71-85) per
+  * the training-data-pipeline charter.
+  */
+object PdfProbe {
+
+  /** Structural probe result: header version, in-use xref objects,
+    * page-tree leaf count, and Info-dictionary metadata. */
+  final case class PdfInfo(version: String, nObjects: Int, nPages: Int,
+                           title: Option[String], producer: Option[String])
+
+  /** Inflated-size cap per content stream (64 MiB): a crafted stream
+    * inflating past this fails loudly instead of exhausting executor
+    * memory ([[WarcExtract.MaxInflatedBytes]]'s role). */
+  val MaxInflatedBytes: Int = 64 << 20
+
+  def isPdf(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && b(0) == '%' && b(1) == 'P' &&
+      b(2) == 'D' && b(3) == 'F' && b(4) == '-'
+
+  // ---------------------------------------------------------- lexing
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == '\f'
+  private def isDelim(c: Byte): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  private def skipWs(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p < b.length && isWs(b(p))) p += 1
+    p
+  }
+
+  /** Read a bare token (number / keyword) at `from`; (token, next). */
+  private def token(b: Array[Byte], from: Int): (String, Int) = {
+    val s = skipWs(b, from)
+    var p = s
+    while (p < b.length && !isWs(b(p)) && !isDelim(b(p))) p += 1
+    (new String(b, s, p - s, java.nio.charset.StandardCharsets.US_ASCII), p)
+  }
+
+  private def intToken(b: Array[Byte], from: Int): Option[(Long, Int)] = {
+    val (t, next) = token(b, from)
+    t.toLongOption.map((_, next))
+  }
+
+  /** Bounds of the balanced `<< … >>` dictionary starting at (or after
+    * whitespace from) `from` — strings and hex strings are skipped so
+    * their contents can't fake a delimiter. */
+  private def dictBounds(b: Array[Byte], from: Int): Option[(Int, Int)] = {
+    var p = skipWs(b, from)
+    if (p + 1 >= b.length || b(p) != '<' || b(p + 1) != '<') return None
+    val start = p
+    var depth = 0
+    while (p < b.length) {
+      val c = b(p)
+      if (c == '(') { // literal string: skip with escape handling
+        p += 1
+        var d = 1
+        var esc = false
+        while (p < b.length && d > 0) {
+          val s = b(p)
+          if (esc) esc = false
+          else if (s == '\\') esc = true
+          else if (s == '(') d += 1
+          else if (s == ')') d -= 1
+          p += 1
+        }
+      } else if (c == '<' && p + 1 < b.length && b(p + 1) == '<') {
+        depth += 1; p += 2
+      } else if (c == '>' && p + 1 < b.length && b(p + 1) == '>') {
+        depth -= 1; p += 2
+        if (depth == 0) return Some((start, p))
+      } else if (c == '<') { // hex string
+        p += 1
+        while (p < b.length && b(p) != '>') p += 1
+        p += 1
+      } else p += 1
+    }
+    None
+  }
+
+  /** Position just after `/key` at nesting depth 1 of the dict slice
+    * (nested dicts are opaque — a page's `/Resources` can't shadow its
+    * own keys), or -1. The char after the name must end the token. */
+  private def keyPos(b: Array[Byte], dStart: Int, dEnd: Int,
+                     key: String): Int = {
+    val name = "/" + key
+    var p = dStart + 2
+    var depth = 1
+    while (p < dEnd - 1) {
+      val c = b(p)
+      if (c == '(') { // skip string
+        p += 1
+        var d = 1
+        var esc = false
+        while (p < dEnd && d > 0) {
+          val s = b(p)
+          if (esc) esc = false
+          else if (s == '\\') esc = true
+          else if (s == '(') d += 1
+          else if (s == ')') d -= 1
+          p += 1
+        }
+      } else if (c == '<' && b(p + 1) == '<') { depth += 1; p += 2 }
+      else if (c == '>' && b(p + 1) == '>') { depth -= 1; p += 2 }
+      else if (c == '<') { p += 1; while (p < dEnd && b(p) != '>') p += 1; p += 1 }
+      else if (c == '/' && depth == 1 && p + name.length <= dEnd &&
+        (0 until name.length).forall(i => b(p + i) == name(i)) &&
+        (p + name.length == dEnd || isWs(b(p + name.length)) ||
+          isDelim(b(p + name.length)))) {
+        return p + name.length
+      } else p += 1
+    }
+    -1
+  }
+
+  private def keyInt(b: Array[Byte], d: (Int, Int), key: String): Option[Long] = {
+    val p = keyPos(b, d._1, d._2, key)
+    if (p < 0) None else intToken(b, p).map(_._1)
+  }
+
+  /** `/key N G R` indirect reference → object number. */
+  private def keyRef(b: Array[Byte], d: (Int, Int), key: String): Option[Int] = {
+    val p = keyPos(b, d._1, d._2, key)
+    if (p < 0) return None
+    for {
+      (num, p1) <- intToken(b, p)
+      (_, p2) <- intToken(b, p1)
+      r = token(b, p2)._1 if r == "R"
+    } yield num.toInt
+  }
+
+  private def keyName(b: Array[Byte], d: (Int, Int), key: String): Option[String] = {
+    val p = keyPos(b, d._1, d._2, key)
+    if (p < 0) return None
+    val s = skipWs(b, p)
+    if (s >= b.length || b(s) != '/') None
+    else Some(token(b, s + 1)._1)
+  }
+
+  /** `/key [N G R  N G R …]` → object numbers, or a single `N G R`. */
+  private def keyRefs(b: Array[Byte], d: (Int, Int), key: String): Seq[Int] = {
+    val p = keyPos(b, d._1, d._2, key)
+    if (p < 0) return Nil
+    val s = skipWs(b, p)
+    if (s < b.length && b(s) == '[') {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var q = s + 1
+      var ok = true
+      while (ok && q < d._2) {
+        val t = skipWs(b, q)
+        if (t >= d._2 || b(t) == ']') { ok = false; q = t }
+        else intToken(b, t) match {
+          case Some((num, p1)) =>
+            intToken(b, p1) match {
+              case Some((_, p2)) =>
+                val (r, p3) = token(b, p2)
+                if (r == "R") { out += num.toInt; q = p3 } else ok = false
+              case None => ok = false
+            }
+          case None => ok = false
+        }
+      }
+      out.toSeq
+    } else keyRef(b, d, key).toSeq
+  }
+
+  /** Decode a PDF literal string starting at its `(`: backslash escapes
+    * (`\n \r \t \b \f \( \) \\`), 1-3 digit octal codes, escaped
+    * line continuations, balanced nested parens; bytes decode as UTF-8
+    * (the writer's encoding). Returns (decoded, position after `)`). */
+  private[graft] def literalString(b: Array[Byte], from: Int): Option[(String, Int)] = {
+    val s = skipWs(b, from)
+    if (s >= b.length || b(s) != '(') return None
+    val out = new java.io.ByteArrayOutputStream()
+    var p = s + 1
+    var depth = 1
+    while (p < b.length && depth > 0) {
+      val c = b(p)
+      if (c == '\\' && p + 1 < b.length) {
+        val e = b(p + 1)
+        e match {
+          case 'n' => out.write('\n'); p += 2
+          case 'r' => out.write('\r'); p += 2
+          case 't' => out.write('\t'); p += 2
+          case 'b' => out.write('\b'); p += 2
+          case 'f' => out.write('\f'); p += 2
+          case '\n' => p += 2 // line continuation: swallowed
+          case '\r' =>
+            p += 2
+            if (p < b.length && b(p) == '\n') p += 1
+          case d if d >= '0' && d <= '7' =>
+            var v = 0
+            var n = 0
+            p += 1
+            while (n < 3 && p < b.length && b(p) >= '0' && b(p) <= '7') {
+              v = v * 8 + (b(p) - '0'); p += 1; n += 1
+            }
+            out.write(v & 0xFF)
+          case other => out.write(other); p += 2 // unknown: char itself
+        }
+      } else if (c == '(') { depth += 1; out.write(c); p += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) out.write(c)
+        p += 1
+      } else { out.write(c); p += 1 }
+    }
+    if (depth != 0) None // unterminated: truncated file
+    else Some((new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8), p))
+  }
+
+  private def keyString(b: Array[Byte], d: (Int, Int), key: String): Option[String] = {
+    val p = keyPos(b, d._1, d._2, key)
+    if (p < 0) None else literalString(b, p).map(_._1)
+  }
+
+  // ------------------------------------------------------- xref walk
+
+  private final case class Parsed(b: Array[Byte], version: String,
+                                  offsets: Map[Int, Int],
+                                  trailer: (Int, Int))
+
+  /** `N G obj` at the xref offset for `num` → its dict bounds. */
+  private def objDict(st: Parsed, num: Int): Option[(Int, Int)] =
+    objBody(st, num).flatMap(dictBounds(st.b, _))
+
+  /** Position just after the `obj` keyword of object `num`, verifying
+    * the object number at the offset actually matches the xref claim. */
+  private def objBody(st: Parsed, num: Int): Option[Int] =
+    st.offsets.get(num).flatMap { off =>
+      if (off < 0 || off >= st.b.length) None
+      else for {
+        (n, p1) <- intToken(st.b, off) if n == num
+        (_, p2) <- intToken(st.b, p1)
+        (kw, p3) = token(st.b, p2) if kw == "obj"
+      } yield p3
+    }
+
+  /** Parse header + xref + trailer. None = not a PDF, no/corrupt xref
+    * (truncation always lands here: the xref lives at the END). */
+  private def parse(bytes: Array[Byte]): Option[Parsed] = {
+    if (!isPdf(bytes)) return None
+    val b = bytes
+    // header version: %PDF-x.y up to EOL
+    var ve = 5
+    while (ve < b.length && b(ve) != '\n' && b(ve) != '\r' && ve - 5 < 8) ve += 1
+    val version = new String(b, 5, ve - 5,
+      java.nio.charset.StandardCharsets.US_ASCII).trim
+    // startxref: last occurrence in the tail window
+    val tail = math.max(0, b.length - 2048)
+    val window = new String(b, tail, b.length - tail,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sxAt = window.lastIndexOf("startxref")
+    if (sxAt < 0) return None
+    val xrefOff = intToken(b, tail + sxAt + "startxref".length) match {
+      case Some((v, _)) if v >= 0 && v < b.length => v.toInt
+      case _ => return None
+    }
+    // xref table: keyword, then subsections of 20-byte entries
+    val (kw, afterKw) = token(b, xrefOff)
+    if (kw != "xref") return None
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    var p = afterKw
+    var more = true
+    while (more) {
+      val save = p
+      (intToken(b, p), intToken(b, p).flatMap(t => intToken(b, t._2))) match {
+        case (Some((start, _)), Some((count, afterCnt)))
+            if count >= 0 && count <= 1000000 =>
+          var i = 0L
+          p = skipWs(b, afterCnt)
+          var ok = true
+          while (ok && i < count) {
+            // entry: 10-digit offset, 5-digit gen, n/f marker
+            (intToken(b, p), intToken(b, p).flatMap(t => intToken(b, t._2))) match {
+              case (Some((off, _)), Some((_, afterGen))) =>
+                val (ty, afterTy) = token(b, afterGen)
+                if (ty != "n" && ty != "f") { ok = false }
+                else {
+                  if (ty == "n" && off >= 0 && off < b.length)
+                    offsets((start + i).toInt) = off.toInt
+                  p = afterTy
+                  i += 1
+                }
+              case _ => ok = false
+            }
+          }
+          if (!ok) return None // damaged entry inside a subsection
+        case _ => more = false; p = save
+      }
+    }
+    // trailer dict
+    val (tkw, afterT) = token(b, p)
+    if (tkw != "trailer") return None
+    dictBounds(b, afterT).map(Parsed(b, version, offsets.toMap, _))
+  }
+
+  /** Page-tree leaves (objects with `/Type /Page`) in document order,
+    * walking `/Kids` recursively with a depth cap and a visited set so
+    * a crafted cyclic tree terminates. */
+  private def pageLeaves(st: Parsed): Seq[Int] = {
+    val visited = scala.collection.mutable.Set.empty[Int]
+    def walk(num: Int, depth: Int): Seq[Int] = {
+      if (depth > 64 || !visited.add(num)) return Nil
+      objDict(st, num) match {
+        case None => Nil
+        case Some(d) => keyName(st.b, d, "Type") match {
+          case Some("Page") => Seq(num)
+          case Some("Pages") => keyRefs(st.b, d, "Kids").flatMap(walk(_, depth + 1))
+          case _ => Nil
+        }
+      }
+    }
+    (for {
+      root <- keyRef(st.b, st.trailer, "Root")
+      cat <- objDict(st, root)
+      pages <- keyRef(st.b, cat, "Pages")
+    } yield walk(pages, 0)).getOrElse(Nil)
+  }
+
+  /** Structural probe. None = not a PDF / corrupt or truncated xref
+    * chain (refused, never guessed). */
+  def probe(bytes: Array[Byte]): Option[PdfInfo] =
+    parse(bytes).map { st =>
+      val info = keyRef(st.b, st.trailer, "Info").flatMap(objDict(st, _))
+      PdfInfo(st.version, st.offsets.size, pageLeaves(st).size,
+        info.flatMap(keyString(st.b, _, "Title")),
+        info.flatMap(keyString(st.b, _, "Producer")))
+    }
+
+  // ------------------------------------------------- content streams
+
+  /** Raw stream bytes of object `num`: after the dict, `stream` + EOL,
+    * `/Length` bytes (clamped to the bytes present — a lying length
+    * yields a short read, never an out-of-bounds access). */
+  private def streamBytes(st: Parsed, num: Int): Option[Array[Byte]] =
+    for {
+      bodyAt <- objBody(st, num)
+      d <- dictBounds(st.b, bodyAt)
+      lenDeclared <- keyInt(st.b, d, "Length")
+      kwAt = skipWs(st.b, d._2)
+      (kw, afterKw) = token(st.b, kwAt) if kw == "stream"
+    } yield {
+      var p = afterKw
+      // exactly one EOL after the keyword (CRLF or LF)
+      if (p < st.b.length && st.b(p) == '\r') p += 1
+      if (p < st.b.length && st.b(p) == '\n') p += 1
+      val have = math.max(0L,
+        math.min(lenDeclared, (st.b.length - p).toLong)).toInt
+      val raw = java.util.Arrays.copyOfRange(st.b, p, p + have)
+      val filter = keyName(st.b, d, "Filter")
+      if (filter.contains("FlateDecode")) inflate(raw).getOrElse(Array.empty)
+      else raw
+    }
+
+  /** zlib-inflate with the bomb cap; None for corrupt data. */
+  private[graft] def inflate(data: Array[Byte],
+                             maxBytes: Int = MaxInflatedBytes): Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(data.length.toLong * 4, 1L << 20).toInt)
+      val buf = new Array[Byte](64 << 10)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) throw new java.util.zip.DataFormatException("stalled")
+        if (out.size().toLong + n > maxBytes)
+          throw new IllegalArgumentException(
+            s"PdfProbe.inflate: stream inflates past $maxBytes bytes — " +
+              "refusing (decompression bomb guard)")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None // corrupt: no text
+    }
+
+  /** Replay the text-showing operators of one decoded content stream:
+    * `(s) Tj`, `(s) '`, `(a) (b) "` and `[(a) -120 (b)] TJ` each emit
+    * the shown string (TJ array elements concatenate — kerning numbers
+    * carry no text). Exposed for specs. */
+  private[graft] def textLines(content: Array[Byte]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pending: Option[String] = None
+    var p = 0
+    while (p < content.length) {
+      val c = content(p)
+      if (isWs(c)) p += 1
+      else if (c == '(') literalString(content, p) match {
+        case Some((s, next)) => pending = Some(s); p = next
+        case None => p = content.length // truncated string: stop
+      }
+      else if (c == '[') { // TJ array: strings concatenate
+        val sb = new StringBuilder
+        p += 1
+        var open = true
+        while (open && p < content.length) {
+          val e = content(p)
+          if (e == ']') { open = false; p += 1 }
+          else if (e == '(') literalString(content, p) match {
+            case Some((s, next)) => sb.append(s); p = next
+            case None => open = false; p = content.length
+          }
+          else p += 1 // kerning numbers / whitespace
+        }
+        pending = Some(sb.toString)
+      }
+      else if (c == '\'' || c == '"') {
+        pending.foreach(out += _); pending = None; p += 1
+      }
+      else if (!isDelim(c)) {
+        val (t, next) = token(content, p)
+        if (t == "Tj" || t == "TJ") { pending.foreach(out += _); pending = None }
+        p = math.max(next, p + 1)
+      }
+      else p += 1
+    }
+    out.toSeq
+  }
+
+  /** Document text by the structural walk: catalog → page tree →
+    * each page's `/Contents` stream(s) decoded and replayed, one line
+    * per shown string, everything joined with newlines. None = corrupt
+    * or truncated structure (probe refused); a page whose stream is
+    * damaged contributes what parsed before the damage. */
+  def extractText(bytes: Array[Byte]): Option[String] =
+    parse(bytes).map { st =>
+      pageLeaves(st).flatMap { page =>
+        objDict(st, page).toSeq
+          .flatMap(keyRefs(st.b, _, "Contents"))
+          .flatMap(streamBytes(st, _))
+          .flatMap(textLines)
+      }.mkString("\n")
+    }
+
+  // ------------------------------------------------------------ writer
+
+  /** PDF literal-string escape: parens/backslash/control escaped,
+    * non-ASCII bytes as 3-digit octal of the UTF-8 encoding — the exact
+    * inverse of [[literalString]], so round trips are byte-faithful for
+    * arbitrary Unicode. */
+  def escapeString(s: String): String = {
+    val out = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { bb =>
+      val c = bb & 0xFF
+      c match {
+        case '\\' => out.append("\\\\")
+        case '(' => out.append("\\(")
+        case ')' => out.append("\\)")
+        case '\n' => out.append("\\n")
+        case '\r' => out.append("\\r")
+        case '\t' => out.append("\\t")
+        case x if x < 0x20 || x >= 0x7F => out.append(f"\\$x%03o")
+        case x => out.append(x.toChar)
+      }
+    }
+    out.toString
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Render a deterministic single-font document: one page per entry of
+    * `pages`, each showing its text with one `Tj`; `compress` runs
+    * every content stream through FlateDecode. Object layout: 1
+    * catalog, 2 page tree, 3 font, 4..3+n pages, 4+n..3+2n content
+    * streams, 4+2n Info — so a probe of a built file reports
+    * `nObjects = 4 + 2 * nPages`. */
+  def buildPdf(title: String, pages: Seq[String],
+               compress: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "buildPdf: at least one page")
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val n = pages.length
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val kids = (0 until n).map(i => s"${4 + i} 0 R").mkString(" ")
+    objs += s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(ascii)
+    objs += (s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\n" +
+      "endobj\n").getBytes(ascii)
+    objs += ("3 0 obj\n<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >>\nendobj\n").getBytes(ascii)
+    (0 until n).foreach { i =>
+      objs += (s"${4 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        "/MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents ${4 + n + i} 0 R >>\nendobj\n").getBytes(ascii)
+    }
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val ops = s"BT /F1 12 Tf 72 720 Td (${escapeString(text)}) Tj ET"
+        .getBytes(ascii)
+      val data = if (compress) deflate(ops) else ops
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      objs += ((s"${4 + n + i} 0 obj\n<< /Length ${data.length}$filter >>\n" +
+        "stream\n").getBytes(ascii) ++ data ++
+        "\nendstream\nendobj\n".getBytes(ascii))
+    }
+    objs += (s"${4 + 2 * n} 0 obj\n<< /Title (${escapeString(title)}) " +
+      "/Producer (graft PdfProbe) >>\nendobj\n").getBytes(ascii)
+    // assemble with offsets, then xref/trailer
+    val header = Array[Byte]('%', 'P', 'D', 'F', '-', '1', '.', '7', '\n',
+      '%', 0xE2.toByte, 0xE3.toByte, 0xCF.toByte, 0xD3.toByte, '\n')
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    val offsets = objs.map { o => val at = out.size(); out.write(o); at }
+    val xrefAt = out.size()
+    val size = objs.length + 1
+    out.write(s"xref\n0 $size\n".getBytes(ascii))
+    out.write("0000000000 65535 f \n".getBytes(ascii))
+    offsets.foreach(o => out.write(f"$o%010d 00000 n \n".getBytes(ascii)))
+    out.write((s"trailer\n<< /Size $size /Root 1 0 R " +
+      s"/Info ${4 + 2 * n} 0 R >>\nstartxref\n$xrefAt\n%%EOF\n").getBytes(ascii))
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------- DataFrame
+
+  /** Output schema of [[extract]]. */
+  val ExtractSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("version", StringType, nullable = true),
+    StructField("n_objects", IntegerType, nullable = true),
+    StructField("n_pages", IntegerType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("text", StringType, nullable = true)))
+
+  /** Probe + text extraction over a corpus of binary PDFs — one row per
+    * input (damaged/non-PDF rows keep their id with null fields, the
+    * honest quarantine signal). Batched `mapPartitions` like the other
+    * walkers; zero shuffles. */
+  def extract(df: DataFrame, idCol: String, bytesCol: String,
+              batchSize: Int = 16): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(bytesCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.map { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"PdfProbe.extract: null or non-castable id in $idCol")
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val info = probe(bytes)
+          val text = extractText(bytes)
+          Row(id, info.map(_.version).orNull,
+            info.map(i => Int.box(i.nObjects)).orNull,
+            info.map(i => Int.box(i.nPages)).orNull,
+            info.flatMap(_.title).orNull,
+            text.orNull)
+        }
+      }
+    }(Encoders.row(ExtractSchema))
+  }
+
+  /** Deterministic per-row fixture builder: one PDF per input row from
+    * `(id, title, pages array<string>, compress bool)` — the
+    * [[ExifProbe.syntheticJpegAssets]] role for documents. */
+  def syntheticPdfAssets(df: DataFrame, idCol: String, titleCol: String,
+                         pagesCol: String, compressCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    Parallelism.spread(df.select(col(idCol).cast(LongType),
+        col(titleCol), col(pagesCol), col(compressCol)))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, buildPdf(r.getString(1), r.getSeq[String](2),
+            r.getBoolean(3)))
+        }
+      }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** PDF walker round trips (uncompressed + FlateDecode), literal-string
+  * escape decoding, text-operator replay, and the refusal/hardening
+  * contract the container walkers share: corrupt xref → None,
+  * truncation at ANY byte → None/partial, never a throw. */
+class PdfProbeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pages = Seq(
+    "The first page body with plain prose.",
+    "Second page: (parens), a back\\slash and a tab\there.",
+    "Third page é with ünïcode — 中文 and a newline\nmid-string.")
+
+  "buildPdf/probe/extractText" should "round-trip uncompressed" in {
+    val pdf = PdfProbe.buildPdf("A (titled) doc", pages)
+    val info = PdfProbe.probe(pdf).get
+    info.version shouldBe "1.7"
+    info.nPages shouldBe 3
+    info.nObjects shouldBe 4 + 2 * 3
+    info.title shouldBe Some("A (titled) doc")
+    info.producer shouldBe Some("graft PdfProbe")
+    PdfProbe.extractText(pdf).get shouldBe pages.mkString("\n")
+  }
+
+  it should "round-trip FlateDecode streams byte-identically" in {
+    val plain = PdfProbe.buildPdf("t", pages)
+    val flate = PdfProbe.buildPdf("t", pages, compress = true)
+    flate should not equal plain
+    PdfProbe.extractText(flate).get shouldBe pages.mkString("\n")
+    PdfProbe.probe(flate).get.nPages shouldBe 3
+  }
+
+  it should "round-trip arbitrary escape-heavy strings" in {
+    val nasty = Seq(
+      "\\\\double \\ back (un)balanced) ( \t tab",
+      "octal range: \u0001\u0002\u001f and DEL \u007f",
+      "emoji \ud83d\ude00 and null-adjacent \u00a0 nbsp")
+    val pdf = PdfProbe.buildPdf("(((", nasty, compress = true)
+    PdfProbe.extractText(pdf).get shouldBe nasty.mkString("\n")
+    PdfProbe.probe(pdf).get.title shouldBe Some("(((")
+  }
+
+  "literalString" should "decode octal, continuations and nesting" in {
+    def dec(s: String): String =
+      PdfProbe.literalString(
+        s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0).get._1
+    dec("(plain)") shouldBe "plain"
+    dec("(a\\040b)") shouldBe "a b" // 3-digit octal
+    dec("(a\\12b)") shouldBe "a\nb" // 2-digit octal
+    dec("(a\\7b)") shouldBe "ab" // 1-digit octal
+    dec("(li\\\nne)") shouldBe "line" // escaped EOL swallowed
+    dec("(nested (parens) kept)") shouldBe "nested (parens) kept"
+    dec("(\\q)") shouldBe "q" // unknown escape: char itself
+    // unterminated (truncated file) refuses rather than guessing
+    PdfProbe.literalString("(никогда".getBytes("UTF-8"), 0) shouldBe None
+  }
+
+  "textLines" should "replay Tj, quote operators and TJ arrays" in {
+    def lines(ops: String): Seq[String] =
+      PdfProbe.textLines(
+        ops.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    lines("BT (a) Tj (b) Tj ET") shouldBe Seq("a", "b")
+    lines("(skip) (shown) Tj") shouldBe Seq("shown")
+    lines("(q) '") shouldBe Seq("q")
+    lines("2 2 (w) \"") shouldBe Seq("w")
+    lines("[(ker) -120 (ned)] TJ") shouldBe Seq("kerned")
+    lines("[(a)] TJ (b) Tj") shouldBe Seq("a", "b")
+    lines("(never consumed)") shouldBe Nil
+  }
+
+  "hardening" should "refuse a corrupt startxref offset with None" in {
+    val pdf = PdfProbe.buildPdf("t", pages)
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val at = s.lastIndexOf("startxref")
+    val off = pdf.clone()
+    off(at + 10) = '9' // first digit of the offset: points mid-file
+    PdfProbe.probe(off) shouldBe None
+    PdfProbe.extractText(off) shouldBe None
+  }
+
+  it should "survive truncation at any byte without throwing" in {
+    val pdf = PdfProbe.buildPdf("t", pages, compress = true)
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // cuts before the startxref keyword must refuse (the pointer is
+    // structurally gone); cuts inside the pointer digits or the %%EOF
+    // comment may parse a prefix offset that the xref-keyword check
+    // then refuses, or legitimately succeed — no-throw is the contract
+    val pointerEnd = s.lastIndexOf("startxref")
+    (0 until pdf.length).foreach { k =>
+      val cut = java.util.Arrays.copyOfRange(pdf, 0, k)
+      noException should be thrownBy PdfProbe.probe(cut)
+      noException should be thrownBy PdfProbe.extractText(cut)
+      if (k < pointerEnd) PdfProbe.probe(cut) shouldBe None
+    }
+    PdfProbe.probe(pdf) should not be None
+  }
+
+  it should "survive seeded random corruption without throwing" in {
+    val pdf = PdfProbe.buildPdf("fuzz", pages)
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val mutated = pdf.clone()
+      (1 to 3).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      noException should be thrownBy PdfProbe.probe(mutated)
+      noException should be thrownBy PdfProbe.extractText(mutated)
+    }
+  }
+
+  it should "clamp a lying /Length to the bytes present" in {
+    val pdf = PdfProbe.buildPdf("t", Seq("short page text"))
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // inflate the declared length by an order of magnitude, same digit
+    // count in front ("/Length 4x" -> "/Length 9x") so offsets hold
+    val at = s.indexOf("/Length ")
+    val lying = pdf.clone()
+    lying(at + 8) = '9'
+    noException should be thrownBy PdfProbe.extractText(lying)
+    // the shown string itself still decodes (it sits before the lie's
+    // clamped tail, which contains no text operators)
+    PdfProbe.extractText(lying).get should include("short page text")
+  }
+
+  it should "refuse non-PDF and null bytes" in {
+    PdfProbe.probe(null) shouldBe None
+    PdfProbe.probe(Array[Byte](1, 2, 3)) shouldBe None
+    PdfProbe.probe("%PDF-".getBytes("US-ASCII")) shouldBe None
+    PdfProbe.extractText("plain text".getBytes("US-ASCII")) shouldBe None
+  }
+
+  it should "terminate on a crafted cyclic page tree" in {
+    // hand-assemble: Pages whose kid is itself
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val objs = Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n")
+    val header = "%PDF-1.7\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header.getBytes(ascii))
+    val offs = objs.map { o => val a = out.size(); out.write(o.getBytes(ascii)); a }
+    val xrefAt = out.size()
+    out.write(s"xref\n0 3\n0000000000 65535 f \n".getBytes(ascii))
+    offs.foreach(o => out.write(f"$o%010d 00000 n \n".getBytes(ascii)))
+    out.write((s"trailer\n<< /Size 3 /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n").getBytes(ascii))
+    val pdf = out.toByteArray
+    PdfProbe.probe(pdf).get.nPages shouldBe 0 // cycle: no leaves, no hang
+    PdfProbe.extractText(pdf).get shouldBe ""
+  }
+
+  "extract" should "emit one row per asset with nulls for damaged input" in {
+    val good = PdfProbe.buildPdf("Doc (7)", Seq("page one", "page two"))
+    val df = Seq(
+      (7L, good),
+      (8L, "not a pdf".getBytes("US-ASCII")),
+      (9L, java.util.Arrays.copyOfRange(good, 0, good.length / 2)))
+      .toDF("doc_id", "data")
+    val rows = PdfProbe.extract(df, "doc_id", "data")
+      .orderBy($"id").collect()
+    rows.length shouldBe 3
+    rows(0).getString(4) shouldBe "Doc (7)"
+    rows(0).getString(5) shouldBe "page one\npage two"
+    rows(0).getInt(2) shouldBe 8
+    rows(0).getInt(3) shouldBe 2
+    rows(1).isNullAt(1) shouldBe true
+    rows(2).isNullAt(5) shouldBe true // truncated: refused, not guessed
+  }
+
+  it should "round-trip the distributed fixture builder" in {
+    val staged = Seq(
+      (1L, "T1", Seq("alpha", "beta"), false),
+      (2L, "T2", Seq("gamma"), true))
+      .toDF("doc_id", "title", "pages", "compress")
+    val assets = PdfProbe.syntheticPdfAssets(staged, "doc_id", "title",
+      "pages", "compress")
+    val got = PdfProbe.extract(assets, "id", "data")
+      .select($"id", $"title", $"text", $"n_pages")
+      .as[(Long, String, String, Int)].collect().sortBy(_._1).toSeq
+    got shouldBe Seq((1L, "T1", "alpha\nbeta", 2), (2L, "T2", "gamma", 1))
+  }
+}

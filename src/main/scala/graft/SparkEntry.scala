@@ -3136,6 +3136,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("link_idx"))
     }),
 
+    // The permissive-quarantine ingest contract end-to-end: a staged
+    // CSV changelog with injected corruption (id%7==0 rows lose two
+    // fields, id%11==0 rows carry an uncastable count) read through
+    // CsvChangelogSource in PermissiveQuarantine mode — the clean rows
+    // must equal a FAILFAST read of the well-formed subset, which the
+    // oracle replays directly from the fixture conditions; the corrupt
+    // rows land in the quarantine parquet with reasons (reconciliation
+    // is spec-pinned in ChangelogSourceSpec).
+    "q_source_quarantine" -> ((s, d) => {
+      val out = scratchDir("graft_srcq_")
+      val id = col("doc_id")
+      val line = when(pmod(id, lit(7)) === 0,
+          concat(id.cast("string"), lit(","), col("lang")))
+        .when(pmod(id, lit(11)) === 0,
+          concat(id.cast("string"), lit(","), col("lang"), lit(","),
+            col("source"), lit(",x"), id.cast("string")))
+        .otherwise(concat(id.cast("string"), lit(","), col("lang"),
+          lit(","), col("source"), lit(","), (id * 3).cast("string")))
+      Tables.documents(s, d).select(line.as("value"))
+        .write.mode("overwrite").text(s"$out/docs.csv")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, source STRING, n_tokens BIGINT")
+      graft.sources.CsvChangelogSource(out, schema, header = false,
+          mode = graft.sources.PermissiveQuarantine(s"$out/quarantine"))
+        .read(s, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
     // PDF documents probed and read back: per-doc fixture PDFs composed
     // FROM doc columns (1 + id%3 pages of 80-char text slices, a
     // parenthesized title to pin escape decoding, even ids FlateDecode-
@@ -6819,6 +6847,14 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Quarantine-mode clean rows replayed: exactly the rows whose
+    // staged line was well-formed — neither arity-corrupt (%7) nor
+    // type-corrupt (%11).
+    "q_source_quarantine" ->
+      """SELECT doc_id, lang, source, doc_id * 3 AS n_tokens
+        |FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |ORDER BY doc_id""".stripMargin,
     // PDF round trip replayed: the container detour is byte-transparent
     // (escape encode/decode is exact), so the oracle is the fixture
     // composition itself — page count and object count from the id,

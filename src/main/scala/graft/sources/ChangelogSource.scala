@@ -50,6 +50,57 @@ final case class ParquetChangelogSource(root: String) extends ChangelogSource {
     spark.read.parquet(s"$root/$table.parquet")
 }
 
+/** Corrupt-row handling for the text-format adapters (CSV/JSONL).
+  *
+  *  - [[FailFast]] (the DEFAULT): one malformed row kills the read —
+  *    a changelog with corrupt lines must fail loudly, like the rest
+  *    of the suite.
+  *  - [[PermissiveQuarantine]]: the operational complement for a
+  *    100 TB ingest where one bad row per billion must not kill the
+  *    job — corrupt rows are routed to a parquet quarantine sink at
+  *    `path/<table>` as `(file, raw_record, reason)` while the clean
+  *    rows proceed. Nothing is silently nulled: every dropped row is
+  *    accounted for in the quarantine (input = clean + quarantined,
+  *    spec-pinned).
+  *
+  * Scale posture of the quarantine mode: TWO stream-through scans of
+  * the source (one DROPMALFORMED for the clean rows, one PERMISSIVE
+  * projecting only the corrupt ones) instead of persisting the whole
+  * corpus to split it in one pass — at ingest scale two cheap scans
+  * beat materializing 100 TB to memory/disk, and the clean-side scan
+  * stays a plain lazy frame with pushdown intact. A byte offset is not
+  * available from Spark's text parsers (they expose the file, not the
+  * row position), so the quarantine carries the raw record itself —
+  * the recovery key — plus the source file and a parse-stage reason. */
+sealed trait CorruptMode
+case object FailFast extends CorruptMode
+final case class PermissiveQuarantine(path: String) extends CorruptMode
+
+private[sources] object Quarantine {
+  import org.apache.spark.sql.functions._
+
+  /** Split a PERMISSIVE parse (with `_corrupt_record` appended) into
+    * the quarantine frame and write it; `reason` derives from the raw
+    * record. `partial_parse` carries the fields the parser DID recover
+    * (as JSON, nulls omitted) — genuinely useful for triage, and
+    * load-bearing: referencing EVERY schema column defeats the
+    * text-parser column pruning that would otherwise skip parsing (and
+    * therefore skip corruption-flagging) the unprojected fields. */
+  def write(parsed: DataFrame, reason: Column, fields: Seq[String],
+            path: String, table: String): Unit =
+    parsed
+      .filter(col("_corrupt_record").isNotNull)
+      .select(input_file_name().as("file"),
+        to_json(struct(fields.map(col): _*)).as("partial_parse"),
+        col("_corrupt_record").as("raw_record"),
+        reason.as("reason"))
+      .write.mode("overwrite").parquet(s"$path/$table")
+
+  def withCorrupt(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+}
+
 /** JSON-lines changelog source — the shape a replicator's raw event
   * stream usually lands in before columnar compaction (one JSON object
   * per line, one file set per table under `root`).
@@ -63,12 +114,39 @@ final case class ParquetChangelogSource(root: String) extends ChangelogSource {
   * up front. `readRange` inherits the trait's filter: Spark's json
   * reader cannot skip rows server-side, but the filter still prunes
   * partitions/files when the layout allows and keeps the row-level
-  * bound next to the scan. */
+  * bound next to the scan. Corrupt rows follow `mode` ([[FailFast]]
+  * default; [[PermissiveQuarantine]] routes them to the quarantine
+  * sink with reasons and returns the clean rows). */
 final case class JsonlChangelogSource(
-    root: String, schema: org.apache.spark.sql.types.StructType)
+    root: String, schema: org.apache.spark.sql.types.StructType,
+    mode: CorruptMode = FailFast)
   extends ChangelogSource {
+  import org.apache.spark.sql.functions._
   override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.schema(schema).json(s"$root/$table.jsonl")
+    mode match {
+      case FailFast =>
+        spark.read.schema(schema)
+          .option("mode", "FAILFAST")
+          .json(s"$root/$table.jsonl")
+      case PermissiveQuarantine(qPath) =>
+        val parsed = spark.read
+          .schema(Quarantine.withCorrupt(schema))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$root/$table.jsonl")
+        // reason from the raw line: a line that doesn't even parse as a
+        // JSON object vs one whose fields refuse the declared types
+        val reason = when(
+          from_json(col("_corrupt_record"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).isNull,
+          lit("not a JSON object")).otherwise(lit("schema mismatch"))
+        Quarantine.write(parsed, reason, schema.fieldNames.toSeq, qPath, table)
+        spark.read.schema(schema)
+          .option("mode", "DROPMALFORMED")
+          .json(s"$root/$table.jsonl")
+    }
 }
 
 /** CSV changelog source — the interchange shape a legacy export lands
@@ -78,19 +156,47 @@ final case class JsonlChangelogSource(
   * headerless dump and an exported-with-header dump are both one
   * constructor call. CSV scans cannot prune columns server-side — this
   * adapter exists for INGEST compatibility, and the engine's own sinks
-  * write columnar. */
+  * write columnar. Corrupt rows follow `mode` ([[FailFast]] default;
+  * [[PermissiveQuarantine]] routes them to the quarantine sink with
+  * reasons and returns the clean rows). */
 final case class CsvChangelogSource(
     root: String, schema: org.apache.spark.sql.types.StructType,
-    header: Boolean = true, delimiter: String = ",")
+    header: Boolean = true, delimiter: String = ",",
+    mode: CorruptMode = FailFast)
   extends ChangelogSource {
-  override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.schema(schema)
+  import org.apache.spark.sql.functions._
+  private def reader(spark: SparkSession) =
+    spark.read
       .option("header", header.toString)
       .option("sep", delimiter)
-      // permissive silently nulls malformed rows — a changelog with
-      // corrupt lines must fail loudly, like the rest of the suite
-      .option("mode", "FAILFAST")
-      .csv(s"$root/$table.csv")
+  override def read(spark: SparkSession, table: String): DataFrame =
+    mode match {
+      case FailFast =>
+        reader(spark).schema(schema)
+          // permissive silently nulls malformed rows — a changelog with
+          // corrupt lines must fail loudly, like the rest of the suite
+          .option("mode", "FAILFAST")
+          .csv(s"$root/$table.csv")
+      case PermissiveQuarantine(qPath) =>
+        val parsed = reader(spark)
+          .schema(Quarantine.withCorrupt(schema))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(s"$root/$table.csv")
+        // reason from the raw line: wrong field arity (the naive split
+        // is exact for unquoted exports; quoted delimiters degrade to
+        // the honest generic reason) vs a type refusing its cast
+        val got = size(split(col("_corrupt_record"),
+          java.util.regex.Pattern.quote(delimiter)))
+        val reason = when(got =!= lit(schema.size),
+          concat(lit("field count "), got.cast("string"),
+            lit(s" != ${schema.size}")))
+          .otherwise(lit("type mismatch"))
+        Quarantine.write(parsed, reason, schema.fieldNames.toSeq, qPath, table)
+        reader(spark).schema(schema)
+          .option("mode", "DROPMALFORMED")
+          .csv(s"$root/$table.csv")
+    }
 }
 
 /** ORC changelog source — the other columnar lake format. Schema

@@ -195,6 +195,70 @@ class ChangelogSourceSpec extends SparkTestBase {
       src.read(spark, "log").collect()
   }
 
+  it should "route corrupt rows to the quarantine with reasons in permissive-quarantine mode" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_csvq_").toString
+    val q = s"$root/_quarantine"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/log.csv"),
+      """row_key,ts
+        |u1,1000
+        |u2,notanumber
+        |u3,1500
+        |u4,2000,extra
+        |u5,3000
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "row_key STRING, ts BIGINT")
+    val src = CsvChangelogSource(root, schema,
+      mode = PermissiveQuarantine(q))
+    val clean = src.read(spark, "log")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    // clean rows equal the FAILFAST read of the well-formed subset
+    clean shouldBe Seq(("u1", 1000L), ("u3", 1500L), ("u5", 3000L))
+    val quar = spark.read.parquet(s"$q/log")
+      .select($"partial_parse", $"raw_record", $"reason")
+      .as[(String, String, String)].collect().sortBy(_._2).toSeq
+    // counts reconcile: input = clean + quarantined
+    clean.size + quar.size shouldBe 5
+    quar.map(_._2) shouldBe Seq("u2,notanumber", "u4,2000,extra")
+    quar.map(_._3) shouldBe Seq("type mismatch", "field count 3 != 2")
+    // what DID parse rides along for triage (the row key at least)
+    quar.head._1 should include("u2")
+    quar(1)._1 should include("u4")
+    spark.read.parquet(s"$q/log").columns should contain("file")
+  }
+
+  "JsonlChangelogSource" should
+      "fail loudly on malformed rows by default and quarantine in permissive-quarantine mode" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonq_").toString
+    val q = s"$root/_quarantine"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/log.jsonl"),
+      """{"row_key":"u1","ts":1000}
+        |this is not json at all
+        |{"row_key":"u2","ts":"notanumber"}
+        |{"row_key":"u3","ts":1500}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "row_key STRING, ts BIGINT")
+    // the default is FAILFAST, same posture as CSV — silent nulling of
+    // malformed rows is never the default
+    an[Exception] should be thrownBy
+      JsonlChangelogSource(root, schema).read(spark, "log").collect()
+    val src = JsonlChangelogSource(root, schema,
+      mode = PermissiveQuarantine(q))
+    val clean = src.read(spark, "log")
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    clean shouldBe Seq(("u1", 1000L), ("u3", 1500L))
+    val quar = spark.read.parquet(s"$q/log")
+      .select($"raw_record", $"reason")
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    clean.size + quar.size shouldBe 4
+    quar shouldBe Seq(
+      ("this is not json at all", "not a JSON object"),
+      ("""{"row_key":"u2","ts":"notanumber"}""", "schema mismatch"))
+  }
+
   "OrcChangelogSource" should "round-trip the changelog with pushdown-capable scans" in {
     val root = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     val df = Seq(("u1", 1000L, "I", "7"), ("u1", 2500L, "U", "8"),

@@ -2003,6 +2003,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Byte-level (GPT-2-family) BPE — the variant production LLMs
+    // actually train: the published byte-to-unicode table + GPT-2
+    // pretokenizer, merges learned on the corpus bytes (spaces ride
+    // INSIDE tokens as Ġ, no OOV by construction). Rows-only (trained
+    // merges are corpus statistics, not SQL); ByteBpeSpec pins
+    // merge-list equality with an independent single-node reference,
+    // and q_bpe_bytes_exact hash-checks the byte walk + round trip.
+    "q_bpe_bytes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.BpeTrainer.trainBytesSampled(docs, "doc_id",
+        "text", numMerges = 16, fraction = 0.5, minCount = 5)
+      docs.select(col("doc_id"),
+          graft.ops.BpeTrainer.byteTokenizeCol(col("text"), merges).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The exact-regime twin (the q_unigram_tokens_exact move): under
+    // the EMPTY merge list the byte tokenizer IS the byte walk — one
+    // token per UTF-8 byte, so n_tokens must equal octet_length — and
+    // detokenize(tokenize(text)) must reproduce the text byte-exactly.
+    // Both are oracle-replayable, so the whole pretokenize → byte-map →
+    // segment → decode plumbing hash-checks.
+    "q_bpe_bytes_exact" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.ops.BpeTrainer.byteTokenizeCol(col("text"), Nil).as("toks"),
+          col("text"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          graft.ops.BpeTrainer.byteDetokenizeCol(col("toks")).as("text_rt"),
+          col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("text_rt"),
+          assert_true(col("text_rt") === col("text"),
+            lit("byte-BPE round trip must be exact")).as("__rt"))
+        .select(col("doc_id"), col("n_tokens"), col("text_rt"))
+        .orderBy(col("doc_id"))),
+
     // Unigram-LM (SentencePiece-family) tokenizer: vocab trained by
     // hard-EM on a deterministic md5 half-sample (the 100 TB posture —
     // vocab-sized collects only), full corpus tokenized under the
@@ -6847,6 +6885,13 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Byte-BPE exact twin replayed: with zero merges one token per
+    // UTF-8 byte (octet_length), and the round trip is the text itself.
+    "q_bpe_bytes_exact" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_tokens,
+        |  text AS text_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Quarantine-mode clean rows replayed: exactly the rows whose
     // staged line was well-formed — neither arity-corrupt (%7) nor
     // type-corrupt (%11).

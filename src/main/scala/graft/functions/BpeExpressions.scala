@@ -69,6 +69,112 @@ object Bpe {
     out(cps.length) = EndOfWord
     out
   }
+
+  // -------------------------------------------------- byte-level tier
+
+  /** The GPT-2 byte-to-unicode table (the published `bytes_to_unicode`
+    * construction): the 188 printable latin-1 bytes (`!`–`~`, `¡`–`¬`,
+    * `®`–`ÿ`) map to themselves, the remaining 68 map to 256+k in
+    * ascending byte order — every byte becomes a VISIBLE single-char
+    * symbol, so byte-level BPE reuses the same string merge machinery
+    * and the mapping inverts exactly. */
+  val ByteToChar: Array[Char] = {
+    val printable = (('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++
+      (0xAE to 0xFF)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  /** Inverse of [[ByteToChar]], indexed by char code (-1 = not a
+    * byte-symbol char). */
+  val CharToByte: Array[Int] = {
+    val out = Array.fill(324)(-1)
+    ByteToChar.zipWithIndex.foreach { case (c, b) => out(c.toInt) = b }
+    out
+  }
+
+  def byteEncode(bytes: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder(until - from)
+    var i = from
+    while (i < until) { sb.append(ByteToChar(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Decode a byte-symbol string back to raw bytes; a char outside the
+    * table is a model-domain error (the input was not produced by the
+    * byte encoder) and fails loudly. */
+  def byteDecode(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      val b = if (c < 324) CharToByte(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"byteDecode: char U+${c.toHexString} is not a byte symbol")
+      out(i) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The GPT-2 pretokenizer pattern (published with the GPT-2 encoder):
+    * contractions, space-prefixed letter/digit runs, space-prefixed
+    * punctuation runs, then whitespace (kept off a following token by
+    * the lookahead). Compiled with UNICODE_CHARACTER_CLASS so `\s`
+    * matches unicode whitespace like the original. */
+  val PretokenPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Byte-encoded pretokens of a text. The matches of the GPT-2 pattern
+    * partition any valid unicode string; each pretoken is UTF-8-encoded
+    * and byte-mapped, so concatenating the pretokens' decoded bytes
+    * reproduces the input EXACTLY. Inputs that are not valid UTF-8 (a
+    * UTF8String can carry arbitrary bytes) — or any pattern gap, which
+    * cannot happen for valid unicode but is guarded anyway — fall back
+    * to ONE pretoken of the raw bytes: losslessness holds on arbitrary
+    * byte content by construction. */
+  def bytePretokens(text: UTF8String): Array[String] = {
+    val raw = text.getBytes
+    val s = text.toString
+    // validity: the string round-trips to the exact original bytes
+    if (!java.util.Arrays.equals(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8), raw))
+      return Array(byteEncode(raw, 0, raw.length))
+    val m = PretokenPattern.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var last = 0
+    while (m.find()) {
+      if (m.start() != last) // gap: impossible for valid unicode; guard
+        return Array(byteEncode(raw, 0, raw.length))
+      val piece = s.substring(m.start(), m.end())
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out += byteEncode(piece, 0, piece.length)
+      last = m.end()
+    }
+    if (last != s.length)
+      return Array(byteEncode(raw, 0, raw.length))
+    out.toArray
+  }
+
+  /** A byte-encoded pretoken as its initial symbols: one single-char
+    * symbol per byte (every mapped char is BMP by construction), no
+    * end-of-word marker — byte-level BPE carries spaces inside tokens
+    * instead. */
+  def byteInitialSymbols(pretok: String): Array[String] = {
+    val out = new Array[String](pretok.length)
+    var i = 0
+    while (i < pretok.length) {
+      out(i) = String.valueOf(pretok.charAt(i))
+      i += 1
+    }
+    out
+  }
 }
 
 /** `bpe_init_symbols(word)` → the word's initial symbol sequence
@@ -199,5 +305,153 @@ case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
     })
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_byte_pretokens(text)` → the GPT-2 byte-encoded pretokens — the
+  * byte-level trainer's word-table seed ([[Bpe.bytePretokens]]). */
+case class ByteBpePretokensExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_byte_pretokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def pretokens(text: UTF8String): ArrayData =
+    new GenericArrayData(Bpe.bytePretokens(text).map(UTF8String.fromString))
+
+  override def nullSafeEval(v: Any): Any =
+    pretokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeBytePre", this,
+        classOf[ByteBpePretokensExpr].getName)
+      s"${ev.value} = $ref.pretokens($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpePretokensExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_byte_init_symbols(pretok)` → one single-char symbol per mapped
+  * byte (no end-of-word marker — the byte tier carries spaces INSIDE
+  * tokens). */
+case class ByteBpeInitSymbolsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_byte_init_symbols"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def init(pretok: UTF8String): ArrayData =
+    new GenericArrayData(
+      Bpe.byteInitialSymbols(pretok.toString).map(UTF8String.fromString))
+
+  override def nullSafeEval(v: Any): Any = init(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeByteInit", this,
+        classOf[ByteBpeInitSymbolsExpr].getName)
+      s"${ev.value} = $ref.init($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeInitSymbolsExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_byte_tokenize(text)` under a learned byte-level merge list:
+  * GPT-2 pretokens, each greedily segmented by merge rank over the
+  * byte symbols. Lossless by construction: the tokens' decoded bytes
+  * concatenate to the input's exact bytes
+  * ([[ByteBpeDetokenizeExpr]]). */
+case class ByteBpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_byte_tokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  def tokenize(text: UTF8String): ArrayData = {
+    val pres = Bpe.bytePretokens(text)
+    val out = new java.util.ArrayList[UTF8String]()
+    var w = 0
+    while (w < pres.length) {
+      val syms = Bpe.segment(Bpe.byteInitialSymbols(pres(w)), ranks)
+      var i = 0
+      while (i < syms.length) {
+        out.add(UTF8String.fromString(syms(i)))
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeByteTok", this,
+        classOf[ByteBpeTokenizeExpr].getName)
+      s"${ev.value} = $ref.tokenize($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeTokenizeExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_byte_detokenize(tokens)` → the original text, reconstructed
+  * from the tokens' decoded bytes (UTF8String carries the exact byte
+  * sequence, valid UTF-8 or not) — the round-trip proof column. */
+case class ByteBpeDetokenizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_byte_detokenize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  def detokenize(tokens: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < tokens.numElements()) {
+      sb.append(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    UTF8String.fromBytes(Bpe.byteDecode(sb.toString))
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    detokenize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpeByteDetok", this,
+        classOf[ByteBpeDetokenizeExpr].getName)
+      s"${ev.value} = $ref.detokenize($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBpeDetokenizeExpr =
     copy(child = newChild)
 }

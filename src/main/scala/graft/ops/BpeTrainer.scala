@@ -77,9 +77,16 @@ object BpeTrainer {
     * [[Dedup.dupClusters]] documents. Checkpointing makes each round's
     * plan start from a leaf. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): Merges = {
+            minCount: Long = 2L): Merges =
+    trainFromWords(wordTable(docs, textCol), numMerges, minCount)
+
+  /** The shared merge loop over a prepared `(syms, weight)` word table
+    * — the char tier ([[wordTable]]) and the byte tier
+    * ([[byteWordTable]]) differ ONLY in how the table is seeded. */
+  private def trainFromWords(wordsIn: DataFrame, numMerges: Int,
+                             minCount: Long): Merges = {
     require(numMerges >= 0, "numMerges must be >= 0")
-    val spark = docs.sparkSession
+    val spark = wordsIn.sparkSession
     val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
@@ -96,7 +103,7 @@ object BpeTrainer {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(sc.hadoopConfiguration).delete(hp, true)
     }
-    var words = truncate(wordTable(docs, textCol))
+    var words = truncate(wordsIn)
     var prevCkFile = ckFileOf(words)
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
@@ -145,6 +152,61 @@ object BpeTrainer {
     train(Sampling.hashSample(docs, fraction, Seq(idCol)), textCol,
       numMerges, minCount)
   }
+
+  // -------------------------------------------------- byte-level mode
+
+  /** Byte-level (GPT-2-family) distinct-pretoken table: the corpus
+    * pass splits text with the published GPT-2 pretokenizer and maps
+    * each pretoken's UTF-8 bytes through the byte-to-unicode table —
+    * spaces ride INSIDE tokens (the ` ?\p{L}+` alternatives), there is
+    * no end-of-word marker, and EVERY byte sequence is representable
+    * (no OOV by construction). Same scale shape as [[wordTable]]. */
+  def byteWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bytePretokensCol(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("weight"))
+      .select(byteInitSymbolsCol(col("word")).as("syms"), col("weight"))
+
+  /** Byte-level BPE training — the variant production LLMs actually
+    * train (GPT-2/3-family): same merge machinery, byte-symbol seed.
+    * The same sequential-rounds contract as [[train]] applies, so the
+    * 100 TB posture is [[trainBytesSampled]]. */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                 minCount: Long = 2L): Merges =
+    trainFromWords(byteWordTable(docs, textCol), numMerges, minCount)
+
+  /** [[trainSampled]]'s byte-level counterpart. */
+  def trainBytesSampled(docs: DataFrame, idCol: String, textCol: String,
+                        numMerges: Int, fraction: Double,
+                        minCount: Long = 2L): Merges = {
+    require(fraction > 0 && fraction <= 1,
+      s"trainBytesSampled: fraction must be in (0, 1], got $fraction")
+    trainBytes(Sampling.hashSample(docs, fraction, Seq(idCol)), textCol,
+      numMerges, minCount)
+  }
+
+  /** `bpe_byte_tokenize(text)` under a learned byte model. */
+  def byteTokenizeCol(text: Column, merges: Merges): Column =
+    ColumnBridge.column(
+      graft.functions.ByteBpeTokenizeExpr(ColumnBridge.expression(text), merges))
+
+  /** GPT-2 byte-encoded pretokens, as a Column. */
+  def bytePretokensCol(text: Column): Column =
+    ColumnBridge.column(
+      graft.functions.ByteBpePretokensExpr(ColumnBridge.expression(text)))
+
+  /** Initial byte symbols of one byte-encoded pretoken, as a Column. */
+  def byteInitSymbolsCol(word: Column): Column =
+    ColumnBridge.column(
+      graft.functions.ByteBpeInitSymbolsExpr(ColumnBridge.expression(word)))
+
+  /** Reconstruct the ORIGINAL text from byte-level tokens — exact to
+    * the byte for arbitrary input, valid UTF-8 or not (the round-trip
+    * proof; contrast [[detokenize]]'s whitespace normalization). */
+  def byteDetokenizeCol(tokens: Column): Column =
+    ColumnBridge.column(
+      graft.functions.ByteBpeDetokenizeExpr(ColumnBridge.expression(tokens)))
 
   /** `bpe_tokenize(text)` under a learned model, as a Column. */
   def tokenizeCol(text: Column, merges: Merges): Column =

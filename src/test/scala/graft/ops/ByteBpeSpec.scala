@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkTestBase
+import graft.functions.{Bpe, ByteBpeDetokenizeExpr, ByteBpeTokenizeExpr}
+
+/** Byte-level (GPT-2-family) BPE: the published byte-to-unicode table,
+  * the GPT-2 pretokenizer, merge-list equality with an independent
+  * single-node reference, and the round-trip contract — tokens decode
+  * to the EXACT input bytes for arbitrary content, valid UTF-8 or
+  * not. */
+class ByteBpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "the byte-to-unicode table" should "match the published GPT-2 values" in {
+    // publicly known pins of bytes_to_unicode(): printable bytes map to
+    // themselves, space -> Ġ (U+0120), newline -> Ċ (U+010A), the first
+    // remapped byte 0 -> Ā (U+0100), DEL (34th remapped) -> ġ (U+0121)
+    Bpe.ByteToChar('A'.toInt) shouldBe 'A'
+    Bpe.ByteToChar('!'.toInt) shouldBe '!'
+    Bpe.ByteToChar(0xFF) shouldBe 'ÿ'
+    Bpe.ByteToChar(' '.toInt) shouldBe 'Ġ'
+    Bpe.ByteToChar('\n'.toInt) shouldBe 'Ċ'
+    Bpe.ByteToChar(0) shouldBe 'Ā'
+    Bpe.ByteToChar(0x7F) shouldBe 'ġ'
+    // bijective: decode inverts encode for every byte
+    (0 until 256).foreach { b =>
+      Bpe.CharToByte(Bpe.ByteToChar(b).toInt) shouldBe b
+    }
+    // exactly 68 bytes are remapped past 255
+    Bpe.ByteToChar.count(_ >= 256) shouldBe 68
+  }
+
+  "the GPT-2 pretokenizer" should "split contractions, runs and spaces" in {
+    def pre(s: String): Seq[String] =
+      Bpe.bytePretokens(UTF8String.fromString(s)).toSeq
+        .map(p => new String(Bpe.byteDecode(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+    pre("Hello world!!") shouldBe Seq("Hello", " world", "!!")
+    pre("don't stop") shouldBe Seq("don", "'t", " stop")
+    pre("I'll we've it's") shouldBe Seq("I", "'ll", " we", "'ve", " it", "'s")
+    pre("abc 123 x9") shouldBe Seq("abc", " 123", " x", "9")
+    pre("a  b") shouldBe Seq("a", " ", " b") // run keeps last space on b
+    pre("tab\tend\n") shouldBe Seq("tab", "\t", "end", "\n")
+    pre("naïve café") shouldBe Seq("naïve", " café") // unicode letters
+  }
+
+  it should "round-trip arbitrary bytes including invalid UTF-8" in {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(64) + 1)(rnd.nextInt(256).toByte)
+      val in = UTF8String.fromBytes(bytes)
+      val toks = Bpe.bytePretokens(in)
+      val back = Bpe.byteDecode(toks.mkString(""))
+      back shouldBe bytes
+    }
+    // a deliberate invalid sequence (lone continuation + truncated lead)
+    val bad = Array[Byte](0x41, 0x80.toByte, 0xC3.toByte)
+    Bpe.byteDecode(Bpe.bytePretokens(UTF8String.fromBytes(bad)).mkString(""))
+      .toSeq shouldBe bad.toSeq
+  }
+
+  /** Independent single-node byte-level trainer: seeds from the shared
+    * pretokenizer kernel (pinned above), merge loop written against the
+    * algorithm — count-desc/pair-asc ties, minCount stop, no marker. */
+  private def referenceTrainBytes(docs: Seq[String], numMerges: Int,
+                                  minCount: Long): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] = docs
+      .flatMap(d => Bpe.bytePretokens(UTF8String.fromString(d)))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => Bpe.byteInitialSymbols(w).toVector -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < numMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        if (cnt < minCount) done = true
+        else {
+          out += pair
+          words = words.toSeq.map { case (syms, c) =>
+            val buf = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == pair._1 &&
+                  syms(i + 1) == pair._2) {
+                buf += (pair._1 + pair._2); i += 2
+              } else { buf += syms(i); i += 1 }
+            }
+            buf.result() -> c
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      round += 1
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "the lower of the low, the lowest of all",
+    "newest news is the newest yet, don't wait",
+    "wider and wider the new news spreads",
+    "low lower lowest wide wider widest")
+
+  "trainBytes" should "learn the same merges as the single-node reference" in {
+    val expected = referenceTrainBytes(corpus, numMerges = 14, minCount = 2)
+    val got = BpeTrainer.trainBytes(corpus.toDF("text"), "text", 14, 2)
+    got shouldBe expected
+    expected.length should be > 6
+    // a learned merge carries a space INSIDE a token (the Ġ symbol) —
+    // the byte tier's signature, impossible in the </w> tier
+    got.flatMap(p => Seq(p._1, p._2))
+      .exists(_.contains('Ġ')) shouldBe true
+  }
+
+  it should "be deterministic and agree under the sampled contract" in {
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = BpeTrainer.trainBytes(df, "text", 10, 2)
+    BpeTrainer.trainBytes(df, "text", 10, 2) shouldBe full
+    BpeTrainer.trainBytesSampled(df, "doc_id", "text", 10,
+      fraction = 1.0, minCount = 2) shouldBe full
+  }
+
+  "byteTokenizeCol" should "round-trip the exact text through byteDetokenizeCol" in {
+    val docs = (corpus :+ "unicode: naïve café 中文 😀 — done.")
+      .toDF("text")
+    val merges = BpeTrainer.trainBytes(docs, "text", 12, 2)
+    val got = docs.select($"text",
+        BpeTrainer.byteDetokenizeCol(
+          BpeTrainer.byteTokenizeCol($"text", merges)).as("rt"))
+      .as[(String, String)].collect()
+    got.foreach { case (text, rt) => rt shouldBe text }
+  }
+
+  it should "tokenize to exactly one symbol per byte with zero merges" in {
+    val docs = Seq("Hi there 中文", "a b").toDF("text")
+    val got = docs.select(
+        octet_length($"text").cast("int").as("n_bytes"),
+        org.apache.spark.sql.functions.size(
+          BpeTrainer.byteTokenizeCol($"text", Nil)).as("n_toks"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (b, t) => t shouldBe b }
+  }
+
+  it should "round-trip invalid UTF-8 byte-exactly at the kernel level" in {
+    val merges = BpeTrainer.trainBytes(corpus.toDF("text"), "text", 8, 2)
+    val tok = ByteBpeTokenizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), merges)
+    val detok = ByteBpeDetokenizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val bad = Array[Byte](0x80.toByte, 0x41, 0xF0.toByte, 0x28.toByte)
+    val toks = tok.tokenize(UTF8String.fromBytes(bad))
+    detok.detokenize(toks).getBytes.toSeq shouldBe bad.toSeq
+  }
+
+  "byteDecode" should "refuse a non-byte-symbol char loudly" in {
+    an[IllegalArgumentException] should be thrownBy Bpe.byteDecode("中")
+  }
+}

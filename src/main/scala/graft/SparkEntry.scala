@@ -504,6 +504,17 @@ object SparkEntry {
         .otherwise(lit("All rights reserved (c) site 99.")),
       lit("\n\n"), substring(col("text"), 101, 100))
 
+  /** q_pdf_extract / q_warc_pdf page slices: 1 + id%3 pages of 80-char
+    * text cuts (the Column side of `PdfSliceTextSql`). */
+  private def PdfFixturePages: Column = {
+    val id = col("doc_id")
+    when(pmod(id, lit(3)) === 0, array(substring(col("text"), 1, 80)))
+      .when(pmod(id, lit(3)) === 1, array(
+        substring(col("text"), 1, 80), substring(col("text"), 81, 80)))
+      .otherwise(array(substring(col("text"), 1, 80),
+        substring(col("text"), 81, 80), substring(col("text"), 161, 80)))
+  }
+
   /** The assembled q_html_blocks / q_html_main page Column. */
   private def HtmlBlockPage: Column = concat(
     lit(HtmlFixturePrefix), col("doc_id").cast("string"),
@@ -2737,6 +2748,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // A MIXED html+pdf crawl through the same config-declared ingest:
+    // odd ids carry the html page fixture, even ids a real fixture PDF
+    // (alternating FlateDecode/plain), all wrapped into WARC archives.
+    // `"pdf": true` dispatches per-row on the %PDF- magic — html rows
+    // take the flat chain, pdf rows the structural walk — and the
+    // oracle unions the two LITERAL extraction replays.
+    "q_warc_pdf" -> ((s, d) => {
+      val out = scratchDir("graft_wpd_")
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val pdfs = graft.ops.PdfProbe.syntheticPdfAssets(
+        docs.filter(pmod(id, lit(2)) === 0).select(id,
+          concat(lit("Doc ("), id.cast("string"), lit(")")).as("title"),
+          PdfFixturePages.as("pages"),
+          (pmod(id, lit(4)) === 0).as("compress")),
+        "doc_id", "title", "pages", "compress")
+      val html = concat(
+        lit(HtmlFixturePrefix), id.cast("string"),
+        lit(HtmlFixtureMid), id.cast("string"),
+        lit(HtmlFixtureHead), col("text"),
+        lit(HtmlFixtureLinksOpen),
+        expr(s"repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT))"),
+        lit(HtmlFixtureTail))
+      val bodies = pdfs.select(col("id"), col("data").as("body"))
+        .unionByName(docs.filter(pmod(id, lit(2)) === 1)
+          .select(id.as("id"), html.cast("binary").as("body")))
+      val staged = bodies.select(
+        pmod(col("id"), lit(8)).as("grp"),
+        concat(lit("http://example.com/doc/"),
+          col("id").cast("string")).as("url"),
+        lit("2024-03-01T00:00:00Z").as("date"), col("body"))
+      graft.ops.WarcExtract.syntheticArchives(
+          staged, "grp", "url", "date", "body")
+        .write.mode("overwrite").parquet(s"$out/archives")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/archives", "format": "warc",
+           |           "id_column": "doc_id", "text_column": "text",
+           |           "id_regex": "doc/(\\\\d+)$$", "pdf": true},
+           | "rules": []}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (dup-word / dup-n-gram / top-n-gram
     // character fractions), computed shuffle-free per document by a
     // sorted run-length aggregate over the n-gram multiset.
@@ -3212,12 +3267,7 @@ object SparkEntry {
       val id = col("doc_id")
       val staged = Tables.documents(s, d).select(id,
         concat(lit("Doc ("), id.cast("string"), lit(")")).as("title"),
-        when(pmod(id, lit(3)) === 0, array(substring(col("text"), 1, 80)))
-          .when(pmod(id, lit(3)) === 1, array(
-            substring(col("text"), 1, 80), substring(col("text"), 81, 80)))
-          .otherwise(array(substring(col("text"), 1, 80),
-            substring(col("text"), 81, 80), substring(col("text"), 161, 80)))
-          .as("pages"),
+        PdfFixturePages.as("pages"),
         (pmod(id, lit(2)) === 0).as("compress"))
       graft.ops.PdfProbe.extract(
           graft.ops.PdfProbe.syntheticPdfAssets(
@@ -6905,18 +6955,25 @@ object SparkEntry {
     // composition itself — page count and object count from the id,
     // text from the substr slices, title from the id.
     "q_pdf_extract" ->
-      """SELECT doc_id, '1.7' AS version,
+      s"""SELECT doc_id, '1.7' AS version,
         |  CAST(4 + 2 * (1 + doc_id % 3) AS INTEGER) AS n_objects,
         |  CAST(1 + doc_id % 3 AS INTEGER) AS n_pages,
         |  'Doc (' || doc_id || ')' AS title,
-        |  CASE CAST(doc_id % 3 AS INTEGER)
-        |    WHEN 0 THEN substr(text, 1, 80)
-        |    WHEN 1 THEN substr(text, 1, 80) || chr(10) ||
-        |      substr(text, 81, 80)
-        |    ELSE substr(text, 1, 80) || chr(10) || substr(text, 81, 80)
-        |      || chr(10) || substr(text, 161, 80)
-        |  END AS text
+        |  $PdfSliceTextSql AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mixed html+pdf crawl through the config-declared WARC ingest:
+    // odd ids carry the html page fixture (flat chain), even ids the
+    // PDF fixture (structural walk) — the dispatch is per-row, so the
+    // oracle is a UNION of the two LITERAL extraction replays.
+    "q_warc_pdf" ->
+      s"""WITH wh AS (SELECT doc_id, $HtmlFixtureExprSql AS html
+         |            FROM documents WHERE doc_id % 2 = 1),
+         |wx AS (SELECT doc_id, $HtmlExtractTextSql AS text FROM wh),
+         |pd AS (SELECT doc_id, $PdfSliceTextSql AS text
+         |       FROM documents WHERE doc_id % 2 = 0)
+         |SELECT doc_id, text FROM wx
+         |UNION ALL SELECT doc_id, text FROM pd
+         |ORDER BY doc_id""".stripMargin,
     // Config-declared WARC ingest replayed: the archive detour is
     // byte-transparent (q_warc_html's contract), so the oracle is the
     // LITERAL page fixture + flat extraction chain composed with the
@@ -8477,6 +8534,20 @@ object SparkEntry {
         s"'${rep.replace("'", "''")}', 'g')"
     }
   }
+
+  /** The q_pdf_extract / q_warc_pdf fixture-page text (80-char slices
+    * joined with newlines, 1 + id%3 pages), shared literally. */
+  private val PdfSliceTextSql: String =
+    // NOTE: embedded into outer stripMargin strings — no line here may
+    // start with '|' after stripping, or the outer strip eats one bar
+    // of a '||' concat
+    """CASE CAST(doc_id % 3 AS INTEGER)
+      |    WHEN 0 THEN substr(text, 1, 80)
+      |    WHEN 1 THEN substr(text, 1, 80) || chr(10) ||
+      |      substr(text, 81, 80)
+      |    ELSE substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
+      |      chr(10) || substr(text, 161, 80)
+      |  END""".stripMargin
 
   private lazy val HtmlExtractOracleSql: String =
     s"""WITH h AS (SELECT doc_id, $HtmlFixtureExprSql AS html FROM documents),

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `pdf_text(binary)` → the document text via the structural
+  * [[graft.ops.PdfProbe]] walk (catalog → page tree → content streams,
+  * FlateDecode included), as a scalar expression so PDF extraction can
+  * ride INSIDE a projection next to the HTML chain — the per-row
+  * dispatch the WARC ingest needs for mixed html/pdf crawls. NULL for
+  * damaged or non-PDF bytes (the probe's refusal contract), so a
+  * `coalesce`/`when` chain downstream stays honest. */
+case class PdfTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pdf_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  def extract(bytes: Array[Byte]): UTF8String =
+    graft.ops.PdfProbe.extractText(bytes)
+      .map(UTF8String.fromString).orNull
+
+  override def nullSafeEval(v: Any): Any =
+    extract(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("pdfText", this,
+        classOf[PdfTextExpr].getName)
+      s"""${ev.value} = $ref.extract($v);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PdfTextExpr =
+    copy(child = newChild)
+}

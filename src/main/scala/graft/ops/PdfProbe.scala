@@ -557,6 +557,14 @@ object PdfProbe {
     out.toByteArray
   }
 
+  /** [[extractText]] as a codegen'd Column over a binary column — NULL
+    * for damaged/non-PDF bytes. The per-row form the WARC ingest's
+    * mixed html/pdf dispatch composes with the HTML chain. */
+  def extractTextCol(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.PdfTextExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(bytes)))
+
   // ------------------------------------------------------- DataFrame
 
   /** Output schema of [[extract]]. */

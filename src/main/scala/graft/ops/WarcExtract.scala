@@ -284,6 +284,10 @@ object WarcExtract {
     * not. */
   def syntheticArchives(df: DataFrame, groupCol: String, urlCol: String,
                         dateCol: String, bodyCol: String): DataFrame = {
+    // string bodies are UTF-8 encoded; binary bodies (PDFs, images —
+    // anything where a charset round trip would corrupt) pass through
+    val bodyIsBinary = df.schema(df.schema.fieldIndex(bodyCol))
+      .dataType == BinaryType
     val grouped = df.groupBy(col(groupCol).cast(LongType).as("archive_id"))
       .agg(sort_array(collect_list(struct(col(urlCol).as("url"),
         col(dateCol).as("date"), col(bodyCol).as("body")))).as("recs"))
@@ -295,7 +299,9 @@ object WarcExtract {
         val aid = r.getLong(0)
         val recs = r.getSeq[Row](1).map(rec =>
           (rec.getString(0), rec.getString(1),
-            rec.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            if (bodyIsBinary) rec.getAs[Array[Byte]](2)
+            else rec.getString(2)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         Row(aid, buildArchive(recs, memberPerRecord = aid % 2 != 0))
       }
     }(Encoders.row(outSchema))

@@ -112,7 +112,8 @@ object CurationPipeline {
                                    htmlMode: String = "flat",
                                    minChars: Int = 20,
                                    maxLinkDensity: Double = 0.34,
-                                   statuses: Seq[Int] = Seq(200))
+                                   statuses: Seq[Int] = Seq(200),
+                                   pdf: Boolean = false)
 
   final case class CurationConfig(
       inputPath: String,
@@ -240,6 +241,13 @@ object CurationPipeline {
     config.warcInput match {
       case None => raw
       case Some(w) =>
+        // magic-byte dispatch (the Multimodal sniffing pattern): a PDF
+        // payload through the HTML regex chain would yield garbage, so
+        // with `pdf = true` %PDF- payloads route to the structural
+        // PdfProbe walk instead (damaged PDFs yield null text — the
+        // probe's refusal contract — and the rule gates drop them)
+        val pdfMagic = substring(col("__payload"), 1, 5) ===
+          lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
         val pages = graft.ops.WarcExtract
           .records(raw, w.archiveIdCol, w.dataCol)
           .filter(col("warc_type") === "response" &&
@@ -254,22 +262,43 @@ object CurationPipeline {
               case None => col("url")
             }).as(config.idCol),
             col("url"), col("fetch_ts"),
-            col("payload").cast("string").as("__html"))
+            col("payload").as("__payload"))
           .filter(col(config.idCol).isNotNull)
+        val htmlText =
+          graft.ops.HtmlExtract.extractText(col("__payload").cast("string"))
         w.htmlMode match {
-          case "flat" => pages
-            .withColumn(config.textCol,
-              graft.ops.HtmlExtract.extractText(col("__html")))
-            .drop("__html")
+          case "flat" =>
+            // one projection, per-row dispatch — zero extra passes
+            val text =
+              if (!w.pdf) htmlText
+              else when(pdfMagic,
+                graft.ops.PdfProbe.extractTextCol(col("__payload")))
+                .otherwise(htmlText)
+            pages.withColumn(config.textCol, text).drop("__payload")
           case "blocks" =>
             // extractMainText is id-granular; join the provenance
-            // columns back on the id (one id-key equi-join)
-            pages.select(col(config.idCol), col("url"), col("fetch_ts"))
+            // columns back on the id (one id-key equi-join). With pdf
+            // the html rows take the block path and the pdf rows the
+            // structural walk, then union — two walks of the archive
+            // scan (a mixed-corpus blocks run at scale should stage
+            // the ingested pages to parquet between, like the
+            // fixture queries do).
+            val htmlPages = if (w.pdf) pages.filter(!pdfMagic) else pages
+            val withHtml = htmlPages
+              .withColumn("__html", col("__payload").cast("string"))
+            val htmlOut = withHtml
+              .select(col(config.idCol), col("url"), col("fetch_ts"))
               .join(graft.ops.HtmlExtract.extractMainText(
-                  pages, config.idCol, "__html", w.minChars,
+                  withHtml, config.idCol, "__html", w.minChars,
                   w.maxLinkDensity)
                 .withColumnRenamed("main_text", config.textCol),
                 Seq(config.idCol))
+            if (!w.pdf) htmlOut
+            else htmlOut.unionByName(
+              pages.filter(pdfMagic)
+                .select(col(config.idCol), col("url"), col("fetch_ts"),
+                  graft.ops.PdfProbe.extractTextCol(col("__payload"))
+                    .as(config.textCol)))
           case other => fail(s"unknown warc html mode '$other' " +
             "(expected flat | blocks)")
         }
@@ -433,7 +462,8 @@ object CurationPipeline {
     *             "id_regex": "doc/(\\d+)$",          // group 1 -> long id
     *             "html": "flat" | "blocks",          // extraction tier
     *             "min_chars": 20, "max_link_density": 0.34,  // blocks
-    *             "statuses": [200]},                 // HTTP keep-list
+    *             "statuses": [200],                  // HTTP keep-list
+    *             "pdf": true},   // %PDF- payloads -> structural walk
     *   "url_blocklist": {"url_column": "url",           // optional,
     *                     "blocklist_path": "...",       // runs FIRST
     *                     "path_rules": [["tracker", "/track/"]]},
@@ -517,6 +547,11 @@ object CurationPipeline {
           case _ => fail("input.statuses must be an array of integers")
         }
         if (statuses.isEmpty) fail("input.statuses must not be empty")
+        val pdf = root \ "input" \ "pdf" match {
+          case JNothing => false
+          case JBool(b) => b
+          case other => fail(s"input.pdf must be a boolean, got $other")
+        }
         Some(WarcInputConfig(
           str(root \ "input" \ "archive_column").getOrElse("archive_id"),
           str(root \ "input" \ "data_column").getOrElse("data"),
@@ -525,7 +560,7 @@ object CurationPipeline {
           intOf(root \ "input" \ "min_chars", "input.min_chars", 20),
           dblOf(root \ "input" \ "max_link_density",
             "input.max_link_density", 0.34),
-          statuses))
+          statuses, pdf))
       case other => fail(s"unknown input.format '$other' " +
         "(expected parquet | warc)")
     }

@@ -608,6 +608,58 @@ class CurationPipelineSpec extends SparkTestBase {
       .select($"n_failed_here").as[Long].head() shouldBe 1L
   }
 
+  it should "dispatch pdf payloads to the structural walk when pdf = true" in {
+    import graft.ops.{HtmlExtract, PdfProbe, WarcExtract}
+    val p = s"$tmp/warc_pdf_archives"
+    val prose = (1 to 30).map(i => s"mixed$i").mkString(" ")
+    val pdfBody = PdfProbe.buildPdf("T", Seq("pdf page one", "pdf page two"),
+      compress = true)
+    val htmlBody = s"<html><body><p>$prose</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val corrupt = java.util.Arrays.copyOfRange(pdfBody, 0, pdfBody.length / 3)
+    val staged = Seq(
+      (1L, "https://ok.example/page/1", htmlBody),
+      (2L, "https://ok.example/page/2", pdfBody),
+      (3L, "https://ok.example/page/3", corrupt)) // damaged pdf -> null
+      .toDF("doc_id", "url", "body")
+      .select(pmod($"doc_id", lit(2)).as("grp"), $"url",
+        lit("2024-01-01T00:00:00Z").as("date"), $"body")
+    WarcExtract.syntheticArchives(staged, "grp", "url", "date", "body")
+      .write.mode("overwrite").parquet(p)
+    def cfg(html: String) = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p", "format": "warc",
+         |           "id_column": "doc_id", "text_column": "text",
+         |           "id_regex": "([0-9]+)$$", "html": "$html",
+         |           "pdf": true},
+         | "rules": []}""".stripMargin)
+    // flat: html rows take the chain, pdf rows the walk, damage -> null
+    val flat = CurationPipeline.curate(spark, cfg("flat"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    flat.map(_._1) shouldBe Seq(1L, 2L, 3L)
+    flat(0)._2.get should include("mixed1")
+    flat(1)._2.get shouldBe "pdf page one\npdf page two"
+    flat(2)._2 shouldBe None
+    // blocks: html rows through the density gate, pdf rows identical
+    val blocks = CurationPipeline.curate(spark, cfg("blocks"))
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    blocks.map(_._1) shouldBe Seq(1L, 2L, 3L)
+    blocks(1)._2.get shouldBe "pdf page one\npdf page two"
+    blocks(0)._2.get shouldBe HtmlExtract.extractMainText(
+        Seq((1L, new String(htmlBody,
+          java.nio.charset.StandardCharsets.UTF_8))).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .select($"main_text").as[String].head()
+    // without the flag a pdf payload would go through the html chain —
+    // the dispatch is opt-in and off by default
+    val off = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p", "format": "warc",
+         |           "id_column": "doc_id", "text_column": "text",
+         |           "id_regex": "([0-9]+)$$"}, "rules": []}""".stripMargin)
+    off.warcInput.get.pdf shouldBe false
+  }
+
   it should "reject malformed warc input declarations loudly" in {
     def bad(json: String): Unit = {
       an[IllegalArgumentException] should be thrownBy

@@ -2748,6 +2748,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The model-based quality gate config-declared end-to-end: a FROZEN
+    // linear model (persisted via QualityClassifier.save, loaded by the
+    // pipeline from its path) over shuffle-free hashed text features,
+    // after a min_tokens rule. The fixture weights are exact sixteenths
+    // (((b*37)%21-10)/16) with bias 1/4 and threshold 0.5, so the
+    // decision boundary is logit >= 0 over EXACT float arithmetic — the
+    // oracle replays the md5 feature scheme digit for digit, the weight
+    // formula, and the boundary, with no transcendental in the compare.
+    "q_classifier_pipeline" -> ((s, d) => {
+      val out = scratchDir("graft_clf_")
+      val model = graft.ops.QualityClassifier.LinearModel(
+        Array.tabulate(64)(b => (((b * 37) % 21 - 10) / 16.0).toFloat),
+        bias = 0.25)
+      graft.ops.QualityClassifier.save(s, model, s"$out/model")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"],
+           | "classifier": {"model_path": "$out/model",
+           |                "threshold": 0.5}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A MIXED html+pdf crawl through the same config-declared ingest:
     // odd ids carry the html page fixture, even ids a real fixture PDF
     // (alternating FlateDecode/plain), all wrapped into WARC archives.
@@ -6935,6 +6960,40 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Config-declared classifier gate replayed: min_tokens survivors →
+    // the q_feature_hash md5 scheme at dim 64 → the sixteenth-valued
+    // weight formula → the logit-sign decision (sigmoid(x) >= 0.5 ⟺
+    // x >= 0; all arithmetic exact, no transcendental compared).
+    "q_classifier_pipeline" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""WITH sv AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20),
+         |d AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |  FROM sv),
+         |f AS (
+         |  SELECT doc_id, md5(term) AS h FROM d WHERE len(term) > 0),
+         |g AS (
+         |  SELECT doc_id,
+         |    (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 +
+         |     ${nib(4)}) % 64 AS bucket,
+         |    CASE WHEN ${nib(5)} < 8 THEN 1 ELSE -1 END AS sgn
+         |  FROM f),
+         |tf AS (
+         |  SELECT doc_id, bucket, sum(sgn) AS tf FROM g GROUP BY 1, 2),
+         |lg AS (
+         |  SELECT doc_id,
+         |    sum(tf * (((bucket * 37) % 21 - 10) / 16.0)) + 0.25 AS logit
+         |  FROM tf GROUP BY doc_id)
+         |SELECT sv.doc_id, sv.lang
+         |FROM sv JOIN lg USING (doc_id)
+         |WHERE lg.logit >= 0
+         |ORDER BY sv.doc_id""".stripMargin
+    },
     // Byte-BPE exact twin replayed: with zero merges one token per
     // UTF-8 byte (octet_length), and the round trip is the text itself.
     "q_bpe_bytes_exact" ->

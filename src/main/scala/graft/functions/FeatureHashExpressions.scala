@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `hash_tf_dense(text)` → the signed-TF hashed feature vector of one
+  * document as a SHUFFLE-FREE per-row expression — bit-identical to
+  * [[graft.ops.FeatureHash.hashTfDense]]'s aggregate form (spec-pinned):
+  * same whitespace tokens over `lower(trim(text))`, same engine-portable
+  * md5 scheme (bucket = first 4 hex nibbles ≡ first 2 digest bytes, mod
+  * `dim`; sign flips on the 5th nibble ≥ 8), same ±1 contributions.
+  *
+  * This is the GATING-scan form: a 100 TB classifier pass must not pay
+  * the explode + (id, bucket) shuffle the training-side aggregate uses —
+  * featurize, score, and filter all fuse into one codegen'd projection
+  * over the scan. */
+case class HashTfDenseExpr(child: Expression, dim: Int, signed: Boolean)
+  extends UnaryExpression {
+
+  require(dim >= 2 && dim <= 65536,
+    s"dim must be in [2, 65536] (4 md5 nibbles), got $dim")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_tf_dense"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def vectorize(text: UTF8String): ArrayData = {
+    val acc = new Array[Float](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        md.reset()
+        val h = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val bucket = (((h(0) & 0xFF) << 8) | (h(1) & 0xFF)) % dim
+        val sgn =
+          if (!signed || ((h(2) >> 4) & 0xF) < 8) 1f else -1f
+        acc(bucket) += sgn
+      }
+      i += 1
+    }
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < dim) { out(j) = acc(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    vectorize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("hashTf", this,
+        classOf[HashTfDenseExpr].getName)
+      s"${ev.value} = $ref.vectorize($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashTfDenseExpr =
+    copy(child = newChild)
+}

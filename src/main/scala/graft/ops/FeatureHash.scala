@@ -54,6 +54,17 @@ object FeatureHash {
       .agg(sum(col("__sgn")).as("tf"))
   }
 
+  /** The dense vector as a SHUFFLE-FREE per-row Column
+    * ([[graft.functions.HashTfDenseExpr]], bit-identical to
+    * [[hashTfDense]] — spec-pinned): the gating-scan form, so a
+    * classifier pass featurizes, scores and filters inside ONE
+    * codegen'd projection with no explode/shuffle. */
+  def denseCol(text: Column, dim: Int = 1024, signed: Boolean = true): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.HashTfDenseExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text),
+        dim, signed))
+
   /** Dense `array<float>` vectors from the sparse triplets — the shape
     * [[Similarity]] / [[QualityClassifier]] consume. One extra
     * aggregation to gather each doc's triplets; the densification itself

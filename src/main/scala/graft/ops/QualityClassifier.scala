@@ -51,4 +51,47 @@ object QualityClassifier {
   def gate(df: DataFrame, vecCol: String, model: LinearModel,
            threshold: Double): DataFrame =
     df.filter(scoreCol(col(vecCol), model) >= threshold)
+
+  /** Persist a fitted gate under `dir` — train once, freeze, ship (the
+    * [[Dedup.TextIndex]] artifact discipline applied to the model
+    * tier): weights as an indexed parquet table, bias + dimension in a
+    * params record the loader REFUSES to proceed without. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: LinearModel,
+           dir: String): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("idx", "weight")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    Seq((model.bias, model.weights.length)).toDF("bias", "dim")
+      .write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Reopen a gate written by [[save]]. A directory without a readable
+    * params record (or with a weight count disagreeing with the
+    * declared dimension) is refused rather than guessed at — scoring
+    * under a half-read model is silent corruption. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): LinearModel = {
+    val (bias, dim) =
+      try {
+        val row = spark.read.json(s"$dir/params")
+          .select(col("bias"), col("dim")).head()
+        (row.getDouble(0), row.getLong(1).toInt)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"classifier model at $dir has no readable params record " +
+              "(params/); it was not written by QualityClassifier.save",
+            e)
+      }
+    val weights = spark.read.parquet(s"$dir/weights")
+      .orderBy(col("idx"))
+      .select(col("weight").cast("float"))
+      .collect().map(_.getFloat(0))
+    require(weights.length == dim,
+      s"classifier model at $dir is damaged: params declare dim=$dim " +
+        s"but ${weights.length} weights were read")
+    LinearModel(weights, bias)
+  }
 }

@@ -24,7 +24,8 @@ import graft.ops.{Chunking, Dedup, Expectations, GopherRules, Packing,
   *
   * Stage order is fixed (each stage optional except the input):
   * {{{
-  *   input → rules → dedup → sample → quota → budget → chunk → pack
+  *   input → rules → classifier → dedup → sample → quota → budget
+  *         → chunk → pack
   * }}}
   * — gates first (cheapest row reduction), content dedup on the gated
   * survivors, deterministic downsampling, per-domain token budgeting,
@@ -115,6 +116,16 @@ object CurationPipeline {
                                    statuses: Seq[Int] = Seq(200),
                                    pdf: Boolean = false)
 
+  /** Model-based quality gate ([[graft.ops.QualityClassifier]]): a
+    * FROZEN persisted linear model over hashed text features
+    * ([[graft.ops.FeatureHash.denseCol]] — the shuffle-free per-row
+    * featurizer, dimension taken from the model itself so config and
+    * artifact cannot disagree). Runs AFTER the heuristic rules (they
+    * cut the obvious junk cheaply; the learned scorer ranks the
+    * rest). */
+  final case class ClassifierConfig(modelPath: String, threshold: Double,
+                                    signed: Boolean = true)
+
   final case class CurationConfig(
       inputPath: String,
       idCol: String,
@@ -133,7 +144,8 @@ object CurationPipeline {
       sinkFormat: String = "parquet",
       urlBlocklist: Option[UrlBlocklistConfig] = None,
       paragraphDedup: Boolean = false,
-      warcInput: Option[WarcInputConfig] = None)
+      warcInput: Option[WarcInputConfig] = None,
+      classifier: Option[ClassifierConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -340,7 +352,20 @@ object CurationPipeline {
     val gated =
       if (config.rules.isEmpty) paraClean
       else Policy.survivors(paraClean, namedRules(config))
-    val deduped = applyDedup(gated, config)
+    // the learned gate after the heuristic rules: featurize + score +
+    // filter fuse into one codegen'd projection (no explode, no
+    // shuffle); the model is loaded ONCE at plan time and rides as
+    // expression state
+    val scored = config.classifier match {
+      case Some(c) =>
+        val model = graft.ops.QualityClassifier.load(
+          gated.sparkSession, c.modelPath)
+        gated.filter(graft.ops.QualityClassifier.scoreCol(
+          graft.ops.FeatureHash.denseCol(col(config.textCol),
+            model.weights.length, c.signed), model) >= c.threshold)
+      case None => gated
+    }
+    val deduped = applyDedup(scored, config)
     val sampled = config.sampleFraction match {
       case Some(f) => Sampling.hashSample(deduped, f, Seq(config.idCol))
       case None => deduped
@@ -470,6 +495,8 @@ object CurationPipeline {
     *   "paragraph_dedup": true,                         // optional CCNet
     *                                          // rewrite, before rules
     *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
+    *   "classifier": {"model_path": "...",              // frozen
+    *                  "threshold": 0.5, "signed": true}, // linear gate
     *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
     *                       | "against_text_index",
     *             "ngram": 3, "threshold": 0.8,           // jaccard/minhash
@@ -591,6 +618,22 @@ object CurationPipeline {
       case JBool(b) => b
       case other => fail(s"paragraph_dedup must be a boolean, got $other")
     }
+    val classifier = root \ "classifier" match {
+      case JNothing => None
+      case c =>
+        val mp = str(c \ "model_path").getOrElse(
+          fail("classifier.model_path is required"))
+        val th = dblOf(c \ "threshold", "classifier.threshold",
+          fail("classifier.threshold is required"))
+        if (th < 0 || th > 1)
+          fail(s"classifier.threshold must be in [0, 1], got $th")
+        val sg = c \ "signed" match {
+          case JNothing => true
+          case JBool(b) => b
+          case other => fail(s"classifier.signed must be a boolean, got $other")
+        }
+        Some(ClassifierConfig(mp, th, sg))
+    }
     val dedup = root \ "dedup" match {
       case JNothing => NoDedup
       case d =>
@@ -711,7 +754,7 @@ object CurationPipeline {
         "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
-      sinkFormat, urlBlocklist, paragraphDedup, warcInput)
+      sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier)
   }
 
   private def fail(msg: String): Nothing =

@@ -722,6 +722,10 @@ object ChangelogStream {
     *    the same archives);
     *  - rules: every [[graft.pipeline.CurationPipeline.ruleFromSpec]]
     *    predicate is a scalar over the row's own text — allowed;
+    *  - classifier: the model is FROZEN on disk and the hashed
+    *    featurizer is per-row, so the verdict depends only on the row
+    *    and the artifact — allowed (the model re-reads per micro-batch,
+    *    a params-sized parquet read);
     *  - dedup: `none` or `against_text_index` (the index is FROZEN, so
     *    a verdict depends only on the row and the index — the
     *    [[streamDedupAgainst]] posture). Self-dedup tiers

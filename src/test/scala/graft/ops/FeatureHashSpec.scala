@@ -66,6 +66,35 @@ class FeatureHashSpec extends SparkTestBase {
     dense.keySet shouldBe Set(1L) // the empty doc has no triplets
   }
 
+  "denseCol" should "be bit-identical to the aggregate hashTfDense form" in {
+    val docs = Seq(
+      (1L, "alpha beta beta GAMMA gamma  delta\talpha"),
+      (2L, "solo"),
+      (3L, "repeat repeat repeat repeat")).toDF("id", "text")
+    val dim = 32
+    val agg = FeatureHash.hashTfDense(docs, "id", "text", dim)
+      .select($"id", $"vector").as[(Long, Array[Float])].collect().toMap
+    val perRow = docs.select($"id",
+        FeatureHash.denseCol($"text", dim).as("vector"))
+      .as[(Long, Array[Float])].collect().toMap
+    agg.keySet.foreach { id =>
+      perRow(id).toSeq shouldBe agg(id).toSeq
+    }
+    // unsigned mode too
+    val aggU = FeatureHash.hashTfDense(docs, "id", "text", dim, signed = false)
+      .select($"id", $"vector").as[(Long, Array[Float])].collect().toMap
+    docs.select($"id", FeatureHash.denseCol($"text", dim, signed = false)
+        .as("v")).as[(Long, Array[Float])].collect().toMap
+      .foreach { case (id, v) => v.toSeq shouldBe aggU(id).toSeq }
+    // and it is genuinely per-row: no Exchange in the plan
+    val pq = java.nio.file.Files.createTempDirectory("graft_fh_").toString
+    docs.write.mode("overwrite").parquet(pq)
+    val plan = spark.read.parquet(pq)
+      .select(FeatureHash.denseCol($"text", dim))
+      .queryExecution.executedPlan.toString()
+    (plan should not).include("Exchange")
+  }
+
   it should "bound dim to the 4-nibble range" in {
     val docs = Seq((1L, "x")).toDF("id", "text")
     an[IllegalArgumentException] should be thrownBy

@@ -60,4 +60,24 @@ class QualityClassifierSpec extends SparkTestBase {
     (plan should not).include ("Exchange")
     plan should include ("float_vector_dot")
   }
+
+  "save/load" should "round-trip the model exactly and refuse damage" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qcm_").toString
+    val model = QualityClassifier.LinearModel(
+      Array.tabulate(24)(i => (i * 0.125f) - 1.5f), bias = -0.375)
+    QualityClassifier.save(spark, model, s"$dir/m")
+    val back = QualityClassifier.load(spark, s"$dir/m")
+    back.bias shouldBe model.bias
+    back.weights.toSeq shouldBe model.weights.toSeq
+    // identical scores under the loaded artifact
+    val df = Seq((1L, Array.tabulate(24)(_.toFloat))).toDF("id", "vec")
+    val a = df.select(QualityClassifier.scoreCol($"vec", model))
+      .as[Double].head()
+    val b = df.select(QualityClassifier.scoreCol($"vec", back))
+      .as[Double].head()
+    b shouldBe a
+    // a directory without a params record is refused, not guessed at
+    an[IllegalStateException] should be thrownBy
+      QualityClassifier.load(spark, s"$dir/nowhere")
+  }
 }

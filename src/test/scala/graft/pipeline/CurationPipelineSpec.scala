@@ -690,4 +690,52 @@ class CurationPipelineSpec extends SparkTestBase {
     spark.read.parquet(sink).select($"doc_id").as[Long]
       .collect().sorted.toSeq shouldBe Seq(1L)
   }
+
+  "the classifier stage" should "gate config-declared identically to the hand-composed ops" in {
+    import graft.ops.{FeatureHash, QualityClassifier}
+    val mdir = s"$tmp/clf_model"
+    // deterministic sixteenth-valued weights: exact float arithmetic
+    val model = QualityClassifier.LinearModel(
+      Array.tabulate(32)(b => (((b * 37) % 21 - 10) / 16.0).toFloat),
+      bias = 0.25)
+    QualityClassifier.save(spark, model, mdir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "classifier": {"model_path": "$mdir", "threshold": 0.5}}"""
+        .stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = spark.read.parquet(docsPath)
+      .filter(TextAnalysis.tokenCount($"text") >= 10)
+      .filter(QualityClassifier.scoreCol(
+        FeatureHash.denseCol($"text", 32), model) >= 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    // the gate really bit: a rules-only run keeps strictly more rows
+    val rulesOnly = CurationPipeline.curate(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$docsPath"},
+           | "rules": ["min_tokens:10"]}""".stripMargin))
+      .count()
+    got.size.toLong should be < rulesOnly
+    got should not be empty
+  }
+
+  it should "reject malformed classifier declarations loudly" in {
+    def bad(json: String): Unit = {
+      an[IllegalArgumentException] should be thrownBy
+        CurationPipeline.fromJson(json)
+      ()
+    }
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "classifier": {"threshold": 0.5}}""".stripMargin)
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "classifier": {"model_path": "/m"}}""".stripMargin)
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "classifier": {"model_path": "/m", "threshold": 1.5}}"""
+      .stripMargin)
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "classifier": {"model_path": "/m", "threshold": 0.5,
+          |                "signed": "yes"}}""".stripMargin)
+  }
 }

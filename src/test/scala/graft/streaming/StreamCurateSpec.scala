@@ -186,4 +186,29 @@ class StreamCurateSpec extends SparkTestBase {
     got shouldBe want
     got.map(_._1) shouldBe Seq(1L, 3L) // 2 fails the token gate
   }
+
+  it should "accept the frozen classifier gate per micro-batch" in {
+    import graft.ops.QualityClassifier
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft_scur_clf").toString
+    QualityClassifier.save(spark, QualityClassifier.LinearModel(
+      Array.tabulate(32)(b => (((b * 37) % 21 - 10) / 16.0).toFloat),
+      bias = 0.25), mdir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "/unused/by/streaming",
+         |           "id_column": "doc_id", "text_column": "text"},
+         | "rules": ["min_tokens:2"],
+         | "classifier": {"model_path": "$mdir", "threshold": 0.5}}"""
+        .stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in4")
+    stage(inDir, feedDocs.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feedDocs.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur4").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = CurationPipeline
+      .curateFrame(feedDocs.toDF("doc_id", "text"), cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+  }
 }

@@ -2032,6 +2032,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The artifact lifecycle end-to-end: train (sampled), SAVE to a
+    // model directory, LOAD it back, and tokenize the corpus under the
+    // loaded artifact — with the trained-in-memory tokenization
+    // computed in the SAME plan and assert_true pinning bit-equality
+    // row by row (a drifting artifact aborts the query instead of
+    // shipping wrong counts). Rows-only (trained merges are corpus
+    // statistics); TokenizerArtifactSpec pins all four families.
+    "q_tokenizer_artifact" -> ((s, d) => {
+      val out = scratchDir("graft_tart_")
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.BpeTrainer.trainBytesSampled(docs, "doc_id",
+        "text", numMerges = 8, fraction = 0.5, minCount = 5)
+      graft.ops.TokenizerArtifact.save(s,
+        graft.ops.TokenizerArtifact.BpeModel(merges, byteLevel = true),
+        s"$out/model")
+      val loaded = graft.ops.TokenizerArtifact.load(s, s"$out/model")
+      docs.select(col("doc_id"),
+          graft.ops.BpeTrainer.byteTokenizeCol(col("text"), merges)
+            .as("__trained"),
+          loaded.tokenizeCol(col("text")).as("__loaded"))
+        .select(col("doc_id"), size(col("__loaded")).as("n_tokens"),
+          assert_true(col("__trained") === col("__loaded"),
+            lit("loaded artifact must tokenize identically")).as("__eq"))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The exact-regime twin (the q_unigram_tokens_exact move): under
     // the EMPTY merge list the byte tokenizer IS the byte walk — one
     // token per UTF-8 byte, so n_tokens must equal octet_length — and

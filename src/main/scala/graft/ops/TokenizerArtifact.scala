@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted tokenizer models — train once, FREEZE, ship (the
+  * [[Dedup.TextIndex]] / [[QualityClassifier]] artifact discipline
+  * applied to the tokenizer tier): a production tokenizer is trained on
+  * one corpus sample and then tokenizes every corpus, every increment,
+  * and every serving path for years, so the model must live as a
+  * versionable artifact on storage, not as driver memory.
+  *
+  * One directory per model: a `params` record naming the FAMILY (the
+  * loader refuses a directory whose family it does not recognize — a
+  * WordPiece vocab applied as BPE merges would tokenize garbage
+  * silently) and a `model` parquet table whose shape is family-specific:
+  *
+  *  - `bpe` / `bpe_bytes`: `(rank, left, right)` merge pairs — rank IS
+  *    the merge priority, so order round-trips exactly;
+  *  - `unigram`: `(piece, logp)` rows plus the unknown-codepoint floor
+  *    in params;
+  *  - `wordpiece`: `(rank, piece)` vocabulary in learned order.
+  *
+  * Fidelity contract: `load(save(m))` reproduces tokenization
+  * BIT-IDENTICALLY (spec-pinned per family, and `q_tokenizer_artifact`
+  * asserts trained ≡ loaded in-plan over the corpus). */
+object TokenizerArtifact {
+
+  sealed trait Model {
+    /** Tokenize a text column under the frozen model. */
+    def tokenizeCol(text: Column): Column
+    def family: String
+    def size: Int
+  }
+
+  final case class BpeModel(merges: BpeTrainer.Merges,
+                            byteLevel: Boolean) extends Model {
+    override def tokenizeCol(text: Column): Column =
+      if (byteLevel) BpeTrainer.byteTokenizeCol(text, merges)
+      else BpeTrainer.tokenizeCol(text, merges)
+    override def family: String = if (byteLevel) "bpe_bytes" else "bpe"
+    override def size: Int = merges.size
+  }
+
+  final case class UnigramModel(vocab: UnigramTokenizer.Vocab) extends Model {
+    override def tokenizeCol(text: Column): Column =
+      UnigramTokenizer.tokenizeCol(text, vocab)
+    override def family: String = "unigram"
+    override def size: Int = vocab.pieces.size
+  }
+
+  final case class WordPieceModel(vocab: Seq[String]) extends Model {
+    override def tokenizeCol(text: Column): Column =
+      WordPieceTrainer.tokenizeCol(text, vocab)
+    override def family: String = "wordpiece"
+    override def size: Int = vocab.size
+  }
+
+  /** Persist `model` under `dir` (overwrite). */
+  def save(spark: SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model match {
+      case BpeModel(merges, _) =>
+        merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }.toSeq
+          .toDF("rank", "left", "right")
+          .repartition(1).write.mode("overwrite").parquet(s"$dir/model")
+      case UnigramModel(vocab) =>
+        vocab.pieces.toDF("piece", "logp")
+          .repartition(1).write.mode("overwrite").parquet(s"$dir/model")
+      case WordPieceModel(vocab) =>
+        vocab.zipWithIndex.map { case (p, i) => (i, p) }.toSeq
+          .toDF("rank", "piece")
+          .repartition(1).write.mode("overwrite").parquet(s"$dir/model")
+    }
+    val unk = model match {
+      case UnigramModel(v) => v.unkLogp
+      case _ => 0.0
+    }
+    Seq((model.family, model.size, unk))
+      .toDF("family", "size", "unk_logp")
+      .write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Reopen a model written by [[save]]. A directory without a readable
+    * params record, with an unknown family, or whose model table
+    * disagrees with the declared size is REFUSED — tokenizing under a
+    * half-read or misread model is silent corruption. */
+  def load(spark: SparkSession, dir: String): Model = {
+    val (family, size, unk) =
+      try {
+        val row = spark.read.json(s"$dir/params")
+          .select(col("family"), col("size"), col("unk_logp")).head()
+        (row.getString(0), row.getLong(1).toInt, row.getDouble(2))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"tokenizer at $dir has no readable params record (params/); " +
+              "it was not written by TokenizerArtifact.save", e)
+      }
+    val model = spark.read.parquet(s"$dir/model")
+    def sized[T](items: Seq[T]): Seq[T] = {
+      require(items.length == size,
+        s"tokenizer at $dir is damaged: params declare size=$size but " +
+          s"${items.length} model rows were read")
+      items
+    }
+    family match {
+      case "bpe" | "bpe_bytes" =>
+        val merges = sized(model.orderBy(col("rank"))
+          .select(col("left"), col("right"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+        BpeModel(merges, byteLevel = family == "bpe_bytes")
+      case "unigram" =>
+        // pieces re-sort by piece — the Vocab contract ("sorted by
+        // piece"), invariant to the parquet row order
+        val pieces = sized(model
+          .select(col("piece"), col("logp"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+          .sortBy(_._1)
+        UnigramModel(UnigramTokenizer.Vocab(pieces, unk))
+      case "wordpiece" =>
+        WordPieceModel(sized(model.orderBy(col("rank"))
+          .select(col("piece"))
+          .collect().map(_.getString(0)).toSeq))
+      case other => throw new IllegalStateException(
+        s"tokenizer at $dir declares unknown family '$other' " +
+          "(expected bpe | bpe_bytes | unigram | wordpiece)")
+    }
+  }
+}

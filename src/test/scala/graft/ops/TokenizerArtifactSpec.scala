@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Tokenizer artifact round trips: for every family, tokenization under
+  * `load(save(m))` is bit-identical to tokenization under `m`, and
+  * damaged or foreign directories are refused loudly. */
+class TokenizerArtifactSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("graft-tokart").toString
+
+  private val corpus = Seq(
+    "the lower of the low, the lowest of all",
+    "newest news is the newest yet, don't wait",
+    "wider and wider the new news spreads naïve café")
+
+  private def toks(m: TokenizerArtifact.Model): Seq[Seq[String]] =
+    corpus.toDF("text").select(m.tokenizeCol($"text"))
+      .as[Seq[String]].collect().toSeq
+
+  private def roundTrip(m: TokenizerArtifact.Model, name: String): Unit = {
+    TokenizerArtifact.save(spark, m, s"$tmp/$name")
+    val back = TokenizerArtifact.load(spark, s"$tmp/$name")
+    back.family shouldBe m.family
+    back.size shouldBe m.size
+    toks(back) shouldBe toks(m)
+    ()
+  }
+
+  "save/load" should "round-trip a char-BPE model bit-identically" in {
+    val merges = BpeTrainer.train(corpus.toDF("text"), "text", 10, 2)
+    merges should not be empty
+    roundTrip(TokenizerArtifact.BpeModel(merges, byteLevel = false), "bpe")
+  }
+
+  it should "round-trip a byte-BPE model bit-identically" in {
+    val merges = BpeTrainer.trainBytes(corpus.toDF("text"), "text", 10, 2)
+    merges should not be empty
+    roundTrip(TokenizerArtifact.BpeModel(merges, byteLevel = true), "bpeb")
+  }
+
+  it should "round-trip a unigram model bit-identically (logp doubles included)" in {
+    val vocab = UnigramTokenizer.train(corpus.toDF("text"), "text",
+      vocabSize = 60, maxPieceLen = 4, emIters = 2)
+    vocab.pieces should not be empty
+    val m = TokenizerArtifact.UnigramModel(vocab)
+    TokenizerArtifact.save(spark, m, s"$tmp/uni")
+    val back = TokenizerArtifact.load(spark, s"$tmp/uni")
+      .asInstanceOf[TokenizerArtifact.UnigramModel]
+    back.vocab.unkLogp shouldBe vocab.unkLogp
+    back.vocab.pieces shouldBe vocab.pieces // exact doubles, same order
+    toks(back) shouldBe toks(m)
+  }
+
+  it should "round-trip a wordpiece model in learned order" in {
+    val vocab = WordPieceTrainer.train(corpus.toDF("text"), "text", 10, 2)
+    vocab should not be empty
+    val m = TokenizerArtifact.WordPieceModel(vocab)
+    TokenizerArtifact.save(spark, m, s"$tmp/wp")
+    TokenizerArtifact.load(spark, s"$tmp/wp")
+      .asInstanceOf[TokenizerArtifact.WordPieceModel]
+      .vocab shouldBe vocab
+    toks(TokenizerArtifact.load(spark, s"$tmp/wp")) shouldBe toks(m)
+  }
+
+  it should "refuse missing, foreign, and damaged directories" in {
+    an[IllegalStateException] should be thrownBy
+      TokenizerArtifact.load(spark, s"$tmp/nowhere")
+    // unknown family
+    Seq(("fasttext", 3L, 0.0)).toDF("family", "size", "unk_logp")
+      .write.mode("overwrite").json(s"$tmp/foreign/params")
+    Seq((0, "a", "b")).toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(s"$tmp/foreign/model")
+    an[IllegalStateException] should be thrownBy
+      TokenizerArtifact.load(spark, s"$tmp/foreign")
+    // size mismatch = half-read model: refused
+    Seq(("bpe", 5L, 0.0)).toDF("family", "size", "unk_logp")
+      .write.mode("overwrite").json(s"$tmp/short/params")
+    Seq((0, "a", "b")).toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(s"$tmp/short/model")
+    an[IllegalArgumentException] should be thrownBy
+      TokenizerArtifact.load(spark, s"$tmp/short")
+  }
+}

@@ -2775,6 +2775,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WebDataset EXPORT end-to-end: the corpus written as real
+    // shard-NNNNN.tar files (deterministic stable-row-id sharding, 100
+    // samples per shard, txt + lang members per sample, TfRecord-style
+    // attempt-safe commit), read back through the binary-file source
+    // and the tar walker, samples regrouped — the round trip must
+    // reproduce every document AND the deterministic shard assignment,
+    // which the oracle replays as a row_number over the string-ordered
+    // ids.
+    "q_webdataset_export" -> ((s, d) => {
+      val out = scratchDir("graft_wds_")
+      val docs = Tables.documents(s, d)
+      graft.ops.TarArchive.writeWebDataset(docs, "doc_id",
+        Map("txt" -> col("text"), "lang" -> col("lang")),
+        s"$out/wds", samplesPerShard = 100)
+      val shards = graft.ops.TarArchive.readShards(s, s"$out/wds")
+      graft.ops.TarArchive.samples(
+          graft.ops.TarArchive.members(shards, "shard_id", "data"))
+        .select(col("stem").cast(LongType).as("doc_id"),
+          col("parts")("txt").cast("string").as("text"),
+          col("parts")("lang").cast("string").as("lang"),
+          col("n_members"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The model-based quality gate config-declared end-to-end: a FROZEN
     // linear model (persisted via QualityClassifier.save, loaded by the
     // pipeline from its path) over shuffle-free hashed text features,
@@ -6987,6 +7011,15 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // WebDataset round trip replayed: every document survives with both
+    // members, and the deterministic shard assignment is a row_number
+    // over the STRING-ordered ids (stableRowIds' key), 100 per shard.
+    "q_webdataset_export" ->
+      """SELECT doc_id, text, lang, CAST(2 AS BIGINT) AS n_members,
+        |  CAST(floor((row_number() OVER
+        |    (ORDER BY CAST(doc_id AS VARCHAR)) - 1) / 100) AS BIGINT)
+        |    AS shard_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Config-declared classifier gate replayed: min_tokens survivors →
     // the q_feature_hash md5 scheme at dim 64 → the sixteenth-valued
     // weight formula → the logit-sign decision (sigmoid(x) >= 0.5 ⟺

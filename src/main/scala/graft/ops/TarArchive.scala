@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -257,6 +257,110 @@ object TarArchive {
   def buildShard(ms: Seq[(String, Array[Byte])]): Array[Byte] =
     ms.flatMap { case (n, p) => memberBytes(n, p) }.toArray ++
       new Array[Byte](2 * BlockSize)
+
+  /** Export a corpus as WebDataset tar shards ON DISK — the interchange
+    * artifact a multimodal training loader actually consumes
+    * (`shard-NNNNN.tar` files of `<id>.<ext>` members, every sample's
+    * members adjacent). The write side of [[members]]/[[samples]], so
+    * export → walk is a lossless round trip (hash-checked by
+    * `q_webdataset_export`).
+    *
+    *  - `parts`: ext → payload Column (cast to binary) — e.g.
+    *    `Map("txt" -> $"text".cast("binary"), "json" -> to_json(...))`;
+    *  - shard assignment is DETERMINISTIC: dense [[Sequencing.stableRowIds]]
+    *    over `idCol` order, `samplesPerShard` consecutive samples per
+    *    shard — same corpus, same shards, any partitioning;
+    *  - each shard is assembled in executor memory (the
+    *    [[syntheticShards]] scale contract: size `samplesPerShard` for
+    *    a few hundred MB per shard) and streamed to
+    *    `dir/shard-NNNNN.tar` under the [[graft.sources.TfRecord]]
+    *    commit protocol (attempt-unique temp + atomic rename, so a
+    *    speculative attempt can never interleave bytes).
+    *
+    * Returns the driver-side shard summary `(shard_id, n_samples,
+    * n_bytes)` — shard-count-sized. */
+  def writeWebDataset(df: DataFrame, idCol: String,
+                      parts: Map[String, Column], dir: String,
+                      samplesPerShard: Int): Seq[(Long, Long, Long)] = {
+    require(parts.nonEmpty, "writeWebDataset: need at least one part ext")
+    require(samplesPerShard > 0, "writeWebDataset: samplesPerShard > 0")
+    parts.keys.foreach(e => require(
+      e.nonEmpty && !e.contains('/') && !e.startsWith("."),
+      s"writeWebDataset: bad ext '$e'"))
+    val spark = df.sparkSession
+    val withParts = df.select(col(idCol).cast(StringType).as("__stem") +:
+      parts.toSeq.sortBy(_._1).map { case (e, c) =>
+        c.cast(BinaryType).as(s"__p_$e") }: _*)
+    val withIds = Sequencing.stableRowIds(withParts, Seq("__stem"),
+      "__rid")
+    val memberRows = withIds.select(
+      (col("__rid") / samplesPerShard).cast(LongType).as("shard_id"),
+      explode(map_from_arrays(
+        array(parts.keys.toSeq.sorted.map(e =>
+          concat(col("__stem"), lit(s".$e"))): _*),
+        array(parts.keys.toSeq.sorted.map(e => col(s"__p_$e")): _*)))
+        .as(Seq("name", "payload")))
+    val shards = memberRows
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col("name"),
+        col("payload")))).as("ms"))
+    // executor-side file writes under the TfRecord commit protocol
+    import scala.jdk.CollectionConverters._
+    val confB = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs0.exists(root)) fs0.delete(root, true)
+    fs0.mkdirs(root)
+    val rootStr = root.toString
+    val summarySchema = StructType(Seq(
+      StructField("shard_id", LongType, nullable = false),
+      StructField("n_members", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    shards.mapPartitions { rows =>
+      val tc = org.apache.spark.TaskContext.get()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confB.value.foreach { case (k, v) => conf.set(k, v) }
+      rows.map { r =>
+        val sid = r.getLong(0)
+        val ms = r.getSeq[Row](1).map(m =>
+          (m.getString(0), m.getAs[Array[Byte]](1)))
+        val bytes = buildShard(ms)
+        val file = new org.apache.hadoop.fs.Path(rootStr,
+          f"shard-$sid%05d.tar")
+        val tmp = new org.apache.hadoop.fs.Path(rootStr,
+          f".shard-$sid%05d-attempt-${tc.taskAttemptId()}.tar.tmp")
+        val fs = file.getFileSystem(conf)
+        val out = fs.create(tmp, true)
+        var ok = false
+        try { out.write(bytes); ok = true }
+        finally {
+          out.close()
+          if (ok) {
+            if (fs.exists(file)) fs.delete(file, false)
+            if (!fs.rename(tmp, file)) throw new java.io.IOException(
+              s"writeWebDataset: rename $tmp -> $file failed")
+          } else fs.delete(tmp, false)
+        }
+        Row(sid, ms.length.toLong, bytes.length.toLong)
+      }
+    }(Encoders.row(summarySchema))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Reopen an exported WebDataset directory as its binary shards
+    * `(shard_id, data)` — the [[members]]/[[samples]] input shape. */
+  def readShards(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(dir)
+      .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar$", 1)
+        .cast(LongType).as("shard_id"),
+        col("content").as("data"))
 
   /** Assemble one shard per group, distributed: rows
     * `(groupCol, nameCol, payloadCol)` become `(shard_id, data)` with

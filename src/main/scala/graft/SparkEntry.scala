@@ -2775,6 +2775,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Token budgets in REAL tokenizer units: the budget stage counts
+    // under a FROZEN TokenizerArtifact instead of the whitespace proxy.
+    // The artifact here is the zero-merge byte-BPE model — its token
+    // count IS the UTF-8 byte count (the q_bpe_bytes_exact contract),
+    // so the whole load→count→mix chain replays in SQL via
+    // octet_length.
+    "q_budget_tokenizer" -> ((s, d) => {
+      val out = scratchDir("graft_btk_")
+      graft.ops.TokenizerArtifact.save(s,
+        graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true),
+        s"$out/tok")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "budget": {"domain_column": "lang",
+           |            "tokenizer": "$out/tok",
+           |            "budgets": {"en": 40000, "de": 15000},
+           |            "default": 8000}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Curated corpus straight to training-loader shards from ONE
+    // config: rules gate, then sink.format = "webdataset" writes real
+    // tar shards (txt member + json metadata member per doc). The walk
+    // back must reproduce the survivors and the deterministic shard
+    // assignment.
+    "q_pipeline_wds" -> ((s, d) => {
+      val out = scratchDir("graft_pwds_")
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/in")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/in",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"],
+           | "sink": {"path": "$out/wds", "format": "webdataset",
+           |          "samples_per_shard": 100}}""".stripMargin)
+      graft.pipeline.CurationPipeline.run(s, cfg)
+      graft.ops.TarArchive.samples(graft.ops.TarArchive.members(
+          graft.ops.TarArchive.readShards(s, s"$out/wds"),
+          "shard_id", "data"))
+        .select(col("stem").cast(LongType).as("doc_id"),
+          col("parts")("txt").cast("string").as("text"),
+          get_json_object(col("parts")("json").cast("string"), "$.lang")
+            .as("lang"),
+          col("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WebDataset EXPORT end-to-end: the corpus written as real
     // shard-NNNNN.tar files (deterministic stable-row-id sharding, 100
     // samples per shard, txt + lang members per sample, TfRecord-style
@@ -7011,6 +7062,34 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Tokenizer-unit budgets replayed: zero-merge byte tokens =
+    // octet_length, then the md5-ordered cumulative take per domain.
+    "q_budget_tokenizer" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, tokens,
+        |    sum(tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang FROM w
+        |WHERE cum_tokens <= (CASE lang WHEN 'en' THEN 40000
+        |                     WHEN 'de' THEN 15000 ELSE 8000 END)
+        |ORDER BY doc_id""".stripMargin,
+    // Config-declared webdataset publish replayed: the min_tokens
+    // survivors, sharded by row_number over the string-ordered ids.
+    "q_pipeline_wds" ->
+      """WITH sv AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20)
+        |SELECT doc_id, text, lang,
+        |  CAST(floor((row_number() OVER
+        |    (ORDER BY CAST(doc_id AS VARCHAR)) - 1) / 100) AS BIGINT)
+        |    AS shard_id
+        |FROM sv ORDER BY doc_id""".stripMargin,
     // WebDataset round trip replayed: every document survives with both
     // members, and the deterministic shard assignment is a row_number
     // over the STRING-ordered ids (stableRowIds' key), 100 per shard.

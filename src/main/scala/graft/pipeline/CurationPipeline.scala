@@ -75,12 +75,16 @@ object CurationPipeline {
     * parallelism unit; each shard packs independently
     * ([[Packing.packGreedy]]'s per-group walk). */
   final case class PackConfig(capacity: Int, shards: Int)
-  /** Per-domain token budgets ([[Sampling.tokenBudgetMix]]) over the
-    * whitespace token count of the text column. */
+  /** Per-domain token budgets ([[Sampling.tokenBudgetMix]]). Token
+    * counts default to the whitespace count; `tokenizerPath` swaps in a
+    * FROZEN [[graft.ops.TokenizerArtifact]] so budgets are provisioned
+    * in the units the model actually trains on (real tokenizer tokens),
+    * not a whitespace proxy. */
   final case class BudgetConfig(domainCol: String,
                                 budgets: Map[String, Long],
                                 defaultBudget: Long,
-                                unimax: Option[(Long, Double)] = None)
+                                unimax: Option[(Long, Double)] = None,
+                                tokenizerPath: Option[String] = None)
   /** Per-group document cap ([[Sampling.stratifiedQuota]]): keep at
     * most `perGroup` docs of each `groupCol` value, picked by
     * engine-portable md5-of-id order — the "max N pages per domain"
@@ -145,7 +149,8 @@ object CurationPipeline {
       urlBlocklist: Option[UrlBlocklistConfig] = None,
       paragraphDedup: Boolean = false,
       warcInput: Option[WarcInputConfig] = None,
-      classifier: Option[ClassifierConfig] = None)
+      classifier: Option[ClassifierConfig] = None,
+      sinkSamplesPerShard: Int = 1000)
 
   // ------------------------------------------------------------- rules
 
@@ -377,8 +382,15 @@ object CurationPipeline {
     }
     config.budget match {
       case Some(b) =>
-        val withTokens = capped.withColumn("__tokens",
-          TextAnalysis.tokenCount(col(config.textCol)))
+        // budget units: real tokenizer tokens under a frozen artifact
+        // when declared (one codegen'd pass, model rides in the plan),
+        // else the whitespace proxy
+        val tokenCount = b.tokenizerPath match {
+          case Some(tp) => size(graft.ops.TokenizerArtifact
+            .load(capped.sparkSession, tp).tokenizeCol(col(config.textCol)))
+          case None => TextAnalysis.tokenCount(col(config.textCol))
+        }
+        val withTokens = capped.withColumn("__tokens", tokenCount)
         // unimax mode derives the per-domain budget table from the
         // corpus itself (capped-uniform waterfill) at PLAN time — the
         // policy is computed over the frame the take then runs on
@@ -452,16 +464,32 @@ object CurationPipeline {
     val df = pinned.getOrElse(computed)
     try {
       pinned.foreach(_ => Expectations.enforce(df, config.expectations))
-      val w0 = df.write.mode(SaveMode.Overwrite)
-      val w = if (config.partitionBy.nonEmpty)
-        w0.partitionBy(config.partitionBy: _*) else w0
       config.sinkFormat match {
-        case "parquet" => w.parquet(sinkPath)
-        // JSONL — the LLM-data interchange format (one JSON object per
-        // line; Spark's json sink IS jsonl)
-        case "jsonl" => w.json(sinkPath)
-        case other => fail(s"unknown sink.format '$other' " +
-          "(expected parquet | jsonl)")
+        case "webdataset" =>
+          // the training-loader interchange: <id>.txt + <id>.json
+          // metadata members per sample, deterministic shards, the
+          // TfRecord commit protocol (TarArchive.writeWebDataset)
+          val others = df.columns.toSeq
+            .filterNot(c => c == config.idCol || c == config.textCol)
+          val parts = Map("txt" -> col(config.textCol)) ++
+            (if (others.nonEmpty)
+              Map("json" -> to_json(struct(others.map(col): _*)))
+            else Map.empty)
+          graft.ops.TarArchive.writeWebDataset(df, config.idCol, parts,
+            sinkPath, config.sinkSamplesPerShard)
+          ()
+        case other =>
+          val w0 = df.write.mode(SaveMode.Overwrite)
+          val w = if (config.partitionBy.nonEmpty)
+            w0.partitionBy(config.partitionBy: _*) else w0
+          other match {
+            case "parquet" => w.parquet(sinkPath)
+            // JSONL — the LLM-data interchange format (one JSON object
+            // per line; Spark's json sink IS jsonl)
+            case "jsonl" => w.json(sinkPath)
+            case o => fail(s"unknown sink.format '$o' " +
+              "(expected parquet | jsonl | webdataset)")
+          }
       }
     } finally pinned.foreach(_.unpersist())
     // the accounting artifact published NEXT TO the dataset ("10 B docs;
@@ -505,6 +533,7 @@ object CurationPipeline {
     *             "index_dir": "..."},          // against_text_index
     *   "sample": {"fraction": 0.5},                      // optional
     *   "budget": {"domain_column": "lang",               // optional:
+    *              "tokenizer": "/models/tok",   // frozen-artifact units
     *              "budgets": {"en": 100000}, "default": 0, // explicit,
     *              "unimax": {"total_tokens": 500000,       // or derived
     *                         "max_epochs": 2.0}},  // (capped-uniform)
@@ -512,7 +541,8 @@ object CurationPipeline {
     *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
     *   "sink": {"path": "...",
-    *            "format": "parquet" | "jsonl"},  // jsonl = LLM interchange
+    *            "format": "parquet" | "jsonl" | "webdataset",
+    *            "samples_per_shard": 1000},   // webdataset tar shards
     *   "partition_by": ["shard"],
     *   "report": {"path": "..."} }       // attrition report, post-publish
     * }}} */
@@ -697,7 +727,8 @@ object CurationPipeline {
             "(one policy per run)")
         if (unimax.isEmpty && budgets.isEmpty && default <= 0)
           fail("budget declares neither budgets nor a positive default")
-        Some(BudgetConfig(domain, budgets, default, unimax))
+        Some(BudgetConfig(domain, budgets, default, unimax,
+          str(b \ "tokenizer")))
     }
     val quota = root \ "quota" match {
       case JNothing => None
@@ -739,11 +770,25 @@ object CurationPipeline {
       case other => fail(s"sink.path must be a string, got $other")
     }
     val sinkFormat = str(root \ "sink" \ "format").getOrElse("parquet")
-    if (!Set("parquet", "jsonl").contains(sinkFormat))
-      fail(s"unknown sink.format '$sinkFormat' (expected parquet | jsonl)")
+    if (!Set("parquet", "jsonl", "webdataset").contains(sinkFormat))
+      fail(s"unknown sink.format '$sinkFormat' " +
+        "(expected parquet | jsonl | webdataset)")
+    val sinkSamplesPerShard = intOf(root \ "sink" \ "samples_per_shard",
+      "sink.samples_per_shard", 1000)
+    if (sinkSamplesPerShard < 1)
+      fail(s"sink.samples_per_shard must be >= 1, got $sinkSamplesPerShard")
     val partitionBy = strList("partition_by", root \ "partition_by")
     if (partitionBy.nonEmpty && sinkPath.isEmpty)
       fail("partition_by requires sink.path")
+    if (sinkFormat == "webdataset") {
+      // shards carry <id>.txt members: the export is DOCUMENT-granular
+      if (chunk.isDefined || pack.isDefined)
+        fail("sink.format webdataset exports document granularity; " +
+          "chunk/pack change the schema — use parquet | jsonl")
+      if (partitionBy.nonEmpty)
+        fail("sink.format webdataset shards deterministically; " +
+          "partition_by does not apply")
+    }
     val reportPath = root \ "report" \ "path" match {
       case JString(p) => Some(p)
       case JNothing => None
@@ -754,7 +799,8 @@ object CurationPipeline {
         "rule-chain attrition accounting)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
-      sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier)
+      sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
+      sinkSamplesPerShard)
   }
 
   private def fail(msg: String): Nothing =

@@ -721,6 +721,76 @@ class CurationPipelineSpec extends SparkTestBase {
     got should not be empty
   }
 
+  "the webdataset sink" should "publish shards the walker reproduces and refuse bad shapes" in {
+    import graft.ops.TarArchive
+    val sink = s"$tmp/wds_out"
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "sink": {"path": "$sink", "format": "webdataset",
+         |          "samples_per_shard": 2}}""".stripMargin)
+    CurationPipeline.run(spark, cfg)
+    val back = TarArchive.samples(TarArchive.members(
+        TarArchive.readShards(spark, sink), "shard_id", "data"))
+      .select($"stem".cast("long"),
+        element_at($"parts", "txt").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = spark.read.parquet(docsPath)
+      .filter(TextAnalysis.tokenCount($"text") >= 10)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    back shouldBe want
+    // json metadata member carries the non-text columns
+    TarArchive.samples(TarArchive.members(
+        TarArchive.readShards(spark, sink), "shard_id", "data"))
+      .select(element_at($"parts", "json").cast("string"))
+      .as[String].collect().foreach(_ should include("lang"))
+    // declarative refusals: granularity and partitioning
+    def bad(json: String): Unit = {
+      an[IllegalArgumentException] should be thrownBy
+        CurationPipeline.fromJson(json)
+      ()
+    }
+    bad(s"""{"input": {"path": "$docsPath"}, "rules": [],
+           | "chunk": {"tokens": 10, "overlap": 2},
+           | "sink": {"path": "/x", "format": "webdataset"}}""".stripMargin)
+    bad(s"""{"input": {"path": "$docsPath"}, "rules": [],
+           | "partition_by": ["lang"],
+           | "sink": {"path": "/x", "format": "webdataset"}}""".stripMargin)
+    bad(s"""{"input": {"path": "$docsPath"}, "rules": [],
+           | "sink": {"path": "/x", "format": "webdataset",
+           |          "samples_per_shard": 0}}""".stripMargin)
+  }
+
+  "the budget tokenizer option" should "count under the frozen artifact" in {
+    import graft.ops.{Sampling, TokenizerArtifact}
+    val tdir = s"$tmp/budget_tok"
+    TokenizerArtifact.save(spark,
+      TokenizerArtifact.BpeModel(Nil, byteLevel = true), tdir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": [],
+         | "budget": {"domain_column": "lang", "tokenizer": "$tdir",
+         |            "budgets": {"en": 200}, "default": 10000}}"""
+        .stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // hand-composed: zero-merge byte tokens ARE octet_length
+    val want = Sampling.tokenBudgetMix(
+        spark.read.parquet(docsPath)
+          .withColumn("__tokens", octet_length($"text").cast("int")),
+        "lang", "doc_id", "__tokens", Map("en" -> 200L), 10000L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    // the unit change is REAL: the whitespace proxy takes a different set
+    val proxy = Sampling.tokenBudgetMix(
+        spark.read.parquet(docsPath)
+          .withColumn("__tokens", TextAnalysis.tokenCount($"text")),
+        "lang", "doc_id", "__tokens", Map("en" -> 200L), 10000L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got should not be proxy
+  }
+
   it should "reject malformed classifier declarations loudly" in {
     def bad(json: String): Unit = {
       an[IllegalArgumentException] should be thrownBy

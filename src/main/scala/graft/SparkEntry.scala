@@ -2775,6 +2775,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination config-declared end-to-end: the
+    // reference corpus (the %10 fixture slice) staged as a frozen
+    // parquet, the paragraph method rewriting every corpus doc before a
+    // min_tokens rule — one config file; the oracle composes the LITERAL
+    // paragraph CTEs, the reference anti-join, and the token gate.
+    "q_pipeline_decontaminate" -> ((s, d) => {
+      val out = scratchDir("graft_pdec_")
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), ParagraphFixtureCol.as("text"))
+      staged.write.mode("overwrite").parquet(s"$out/in")
+      staged.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("text"))
+        .write.mode("overwrite").parquet(s"$out/ref")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/in",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "decontaminate": {"reference_path": "$out/ref",
+           |                   "method": "paragraph"},
+           | "rules": ["min_tokens:20"]}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token budgets in REAL tokenizer units: the budget stage counts
     // under a FROZEN TokenizerArtifact instead of the whitespace proxy.
     // The artifact here is the zero-merge byte-BPE model — its token
@@ -7062,6 +7086,34 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Config-declared decontamination replayed: the literal paragraph
+    // CTEs, the reference key anti-join (the %10 slice — no canonical
+    // exemption), the ordered rebuild, then the min_tokens gate.
+    "q_pipeline_decontaminate" ->
+      s"""$ParagraphOracleCte,
+         |ref AS (
+         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+         |    lower(paragraph), '[0-9]', '0', 'g'), '\\s+', ' ', 'g')))
+         |    AS key
+         |  FROM (SELECT unnest(regexp_split_to_array(t, '\\n{2,}'))
+         |          AS paragraph
+         |        FROM p0 WHERE doc_id % 10 = 0)
+         |  WHERE trim(paragraph) <> ''),
+         |kept AS (
+         |  SELECT pk.doc_id, pk.para_idx, pk.paragraph
+         |  FROM pk ANTI JOIN ref ON pk.key = ref.key),
+         |rb AS (
+         |  SELECT doc_id, string_agg(paragraph, chr(10) || chr(10)
+         |    ORDER BY para_idx) AS cleaned
+         |  FROM kept GROUP BY doc_id),
+         |cl AS (
+         |  SELECT d.doc_id, coalesce(rb.cleaned, '') AS text
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  LEFT JOIN rb USING (doc_id))
+         |SELECT doc_id, text FROM cl
+         |WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
+         |ORDER BY doc_id""".stripMargin,
     // Tokenizer-unit budgets replayed: zero-merge byte tokens =
     // octet_length, then the md5-ordered cumulative take per domain.
     "q_budget_tokenizer" ->

@@ -24,8 +24,9 @@ import graft.ops.{Chunking, Dedup, Expectations, GopherRules, Packing,
   *
   * Stage order is fixed (each stage optional except the input):
   * {{{
-  *   input → rules → classifier → dedup → sample → quota → budget
-  *         → chunk → pack
+  *   input → url_blocklist → paragraph_dedup → decontaminate → rules
+  *         → classifier → dedup → sample → quota → budget → chunk
+  *         → pack
   * }}}
   * — gates first (cheapest row reduction), content dedup on the gated
   * survivors, deterministic downsampling, per-domain token budgeting,
@@ -120,6 +121,27 @@ object CurationPipeline {
                                    statuses: Seq[Int] = Seq(200),
                                    pdf: Boolean = false)
 
+  /** Benchmark-decontamination stage against a FROZEN reference corpus
+    * (eval/benchmark text staged to parquet): `"paragraph"` REWRITES
+    * each document, dropping every paragraph whose normalized key
+    * appears anywhere in the reference
+    * ([[graft.ops.ParagraphDedup.decontaminateParagraphs]] — no
+    * canonical exemption, benchmark text must not survive);
+    * `"shingle"` drops WHOLE documents sharing ≥ `minOverlap` distinct
+    * word n-grams with any reference doc
+    * ([[graft.ops.Decontamination.decontaminate]], which needs
+    * `referenceIdCol`). Runs BEFORE the quality rules (like the
+    * paragraph rewrite) so removed benchmark text can't skew their
+    * signals. Both methods are per-row against the frozen reference,
+    * so [[graft.streaming.ChangelogStream.streamCurate]] accepts
+    * them. */
+  final case class DecontaminateConfig(referencePath: String,
+                                       refTextCol: String = "text",
+                                       method: String = "paragraph",
+                                       refIdCol: String = "doc_id",
+                                       ngram: Int = 8,
+                                       minOverlap: Int = 1)
+
   /** Model-based quality gate ([[graft.ops.QualityClassifier]]): a
     * FROZEN persisted linear model over hashed text features
     * ([[graft.ops.FeatureHash.denseCol]] — the shuffle-free per-row
@@ -150,7 +172,8 @@ object CurationPipeline {
       paragraphDedup: Boolean = false,
       warcInput: Option[WarcInputConfig] = None,
       classifier: Option[ClassifierConfig] = None,
-      sinkSamplesPerShard: Int = 1000)
+      sinkSamplesPerShard: Int = 1000,
+      decontaminate: Option[DecontaminateConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -354,9 +377,31 @@ object CurationPipeline {
             .withColumnRenamed("id", config.idCol)
             .withColumnRenamed("cleaned", config.textCol),
           Seq(config.idCol))
+    val decon = config.decontaminate match {
+      case None => paraClean
+      case Some(dc) =>
+        val ref = paraClean.sparkSession.read.parquet(dc.referencePath)
+        dc.method match {
+          case "paragraph" =>
+            paraClean.drop(config.textCol)
+              .join(graft.ops.ParagraphDedup.decontaminateParagraphs(
+                  paraClean, config.idCol, config.textCol,
+                  ref, dc.refTextCol)
+                .withColumnRenamed("id", config.idCol)
+                .withColumnRenamed("cleaned", config.textCol)
+                .drop("n_dropped"),
+                Seq(config.idCol))
+          case "shingle" =>
+            graft.ops.Decontamination.decontaminate(paraClean,
+              config.idCol, config.textCol,
+              ref, dc.refIdCol, dc.refTextCol, dc.ngram, dc.minOverlap)
+          case other => fail(s"unknown decontaminate.method '$other' " +
+            "(expected paragraph | shingle)")
+        }
+    }
     val gated =
-      if (config.rules.isEmpty) paraClean
-      else Policy.survivors(paraClean, namedRules(config))
+      if (config.rules.isEmpty) decon
+      else Policy.survivors(decon, namedRules(config))
     // the learned gate after the heuristic rules: featurize + score +
     // filter fuse into one codegen'd projection (no explode, no
     // shuffle); the model is loaded ONCE at plan time and rides as
@@ -522,6 +567,11 @@ object CurationPipeline {
     *                     "path_rules": [["tracker", "/track/"]]},
     *   "paragraph_dedup": true,                         // optional CCNet
     *                                          // rewrite, before rules
+    *   "decontaminate": {"reference_path": "...",   // frozen benchmark
+    *                     "method": "paragraph" | "shingle",
+    *                     "reference_text_column": "text",
+    *                     "reference_id_column": "doc_id",  // shingle
+    *                     "ngram": 8, "min_overlap": 1},    // shingle
     *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
     *   "classifier": {"model_path": "...",              // frozen
     *                  "threshold": 0.5, "signed": true}, // linear gate
@@ -647,6 +697,25 @@ object CurationPipeline {
       case JNothing => false
       case JBool(b) => b
       case other => fail(s"paragraph_dedup must be a boolean, got $other")
+    }
+    val decontaminate = root \ "decontaminate" match {
+      case JNothing => None
+      case dc =>
+        val rp = str(dc \ "reference_path").getOrElse(
+          fail("decontaminate.reference_path is required"))
+        val method = str(dc \ "method").getOrElse("paragraph")
+        if (method != "paragraph" && method != "shingle")
+          fail(s"decontaminate.method must be paragraph | shingle, " +
+            s"got '$method'")
+        val n = intOf(dc \ "ngram", "decontaminate.ngram", 8)
+        val mo = intOf(dc \ "min_overlap", "decontaminate.min_overlap", 1)
+        if (n < 1) fail(s"decontaminate.ngram must be >= 1, got $n")
+        if (mo < 1) fail(s"decontaminate.min_overlap must be >= 1, got $mo")
+        Some(DecontaminateConfig(rp,
+          str(dc \ "reference_text_column").getOrElse("text"),
+          method,
+          str(dc \ "reference_id_column").getOrElse("doc_id"),
+          n, mo))
     }
     val classifier = root \ "classifier" match {
       case JNothing => None
@@ -800,7 +869,7 @@ object CurationPipeline {
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
-      sinkSamplesPerShard)
+      sinkSamplesPerShard, decontaminate)
   }
 
   private def fail(msg: String): Nothing =

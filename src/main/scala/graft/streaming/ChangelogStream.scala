@@ -726,6 +726,11 @@ object ChangelogStream {
     *    featurizer is per-row, so the verdict depends only on the row
     *    and the artifact — allowed (the model re-reads per micro-batch,
     *    a params-sized parquet read);
+    *  - decontaminate: both methods compare each row against the
+    *    FROZEN reference corpus only (paragraph keys / shingle
+    *    overlap), never against other arriving rows — allowed
+    *    (contrast paragraph_dedup, whose duplicate keys span
+    *    documents);
     *  - dedup: `none` or `against_text_index` (the index is FROZEN, so
     *    a verdict depends only on the row and the index — the
     *    [[streamDedupAgainst]] posture). Self-dedup tiers

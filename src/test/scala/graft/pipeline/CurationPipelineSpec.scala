@@ -691,6 +691,73 @@ class CurationPipelineSpec extends SparkTestBase {
       .collect().sorted.toSeq shouldBe Seq(1L)
   }
 
+  "the decontaminate stage" should "rewrite or drop against the frozen reference" in {
+    import graft.ops.{Decontamination, ParagraphDedup}
+    val refDir = s"$tmp/decon_ref"
+    val plug = "shared benchmark paragraph exactly"
+    Seq((100L, s"prefix text\n\n$plug"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+    val corpusDir = s"$tmp/decon_corpus"
+    val corpus = Seq(
+      (1L, s"one two three four five\n\n$plug"),
+      (2L, "totally clean document with enough words to pass the gate"))
+      .toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(corpusDir)
+    // paragraph method: the plug paragraph disappears, the doc survives
+    val pc = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$corpusDir"},
+         | "decontaminate": {"reference_path": "$refDir",
+         |                   "method": "paragraph"},
+         | "rules": ["min_tokens:3"]}""".stripMargin)
+    val got = CurationPipeline.curate(spark, pc)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = {
+      val cleaned = corpus.drop("text").join(
+        ParagraphDedup.decontaminateParagraphs(corpus, "doc_id", "text",
+            spark.read.parquet(refDir), "text")
+          .withColumnRenamed("id", "doc_id")
+          .withColumnRenamed("cleaned", "text").drop("n_dropped"),
+        Seq("doc_id"))
+      cleaned.filter(graft.ops.TextAnalysis.tokenCount($"text") >= 3)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    }
+    got shouldBe want
+    got.map(_._1) shouldBe Seq(1L, 2L)
+    got.head._2 should not include "benchmark"
+    // shingle method: doc 1 shares 8-gram shingles? use small ngram to
+    // force the hit — the whole doc drops
+    val sc = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$corpusDir"},
+         | "decontaminate": {"reference_path": "$refDir",
+         |                   "method": "shingle", "ngram": 3,
+         |                   "reference_id_column": "doc_id",
+         |                   "min_overlap": 1},
+         | "rules": []}""".stripMargin)
+    val gotS = CurationPipeline.curate(spark, sc)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val wantS = Decontamination.decontaminate(corpus, "doc_id", "text",
+        spark.read.parquet(refDir), "doc_id", "text", 3, 1)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    gotS shouldBe wantS
+    gotS shouldBe Seq(2L)
+    // parse refusals
+    def bad(json: String): Unit = {
+      an[IllegalArgumentException] should be thrownBy
+        CurationPipeline.fromJson(json)
+      ()
+    }
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "decontaminate": {"method": "paragraph"}}""".stripMargin)
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "decontaminate": {"reference_path": "/r",
+          |                   "method": "semantic"}}""".stripMargin)
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "decontaminate": {"reference_path": "/r",
+          |                   "min_overlap": 0}}""".stripMargin)
+  }
+
   "the classifier stage" should "gate config-declared identically to the hand-composed ops" in {
     import graft.ops.{FeatureHash, QualityClassifier}
     val mdir = s"$tmp/clf_model"

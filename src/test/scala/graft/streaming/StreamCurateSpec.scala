@@ -187,6 +187,37 @@ class StreamCurateSpec extends SparkTestBase {
     got.map(_._1) shouldBe Seq(1L, 3L) // 2 fails the token gate
   }
 
+  it should "accept the frozen decontaminate stage per micro-batch" in {
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_ref").toString + "/r"
+    Seq("plug paragraph shared with the stream")
+      .toDF("text").write.mode("overwrite").parquet(refDir)
+    val feed = Seq(
+      SDoc(30L, "first doc body\n\nplug paragraph shared with the stream"),
+      SDoc(31L, "clean first wave doc with words"),
+      SDoc(32L, "second wave\n\nplug paragraph shared with the stream"))
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "/unused/by/streaming",
+         |           "id_column": "doc_id", "text_column": "text"},
+         | "decontaminate": {"reference_path": "$refDir",
+         |                   "method": "paragraph"},
+         | "rules": ["min_tokens:2"]}""".stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in5")
+    stage(inDir, feed.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feed.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur5").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = CurationPipeline
+      .curateFrame(feed.toDF("doc_id", "text"), cfg)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    got shouldBe want
+    got.map(_._1) shouldBe Seq(30L, 31L, 32L)
+    got.foreach(_._2 should not include "plug paragraph")
+  }
+
   it should "accept the frozen classifier gate per micro-batch" in {
     import graft.ops.QualityClassifier
     val mdir = java.nio.file.Files

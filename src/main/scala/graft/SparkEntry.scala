@@ -2775,6 +2775,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Publish-time stage accounting: the per-boundary document counts
+    // of a declared chain (input → blocklist → rules → exact dedup) —
+    // the numbers a dataset card cites, from the SAME composition the
+    // filter ran. Every boundary is SQL-replayable for this config:
+    // blocklist survivors from the url-filter CTE, the token gate, and
+    // exact dedup = distinct surviving texts.
+    "q_stage_attrition" -> ((s, d) => {
+      import s.implicits._
+      val out = scratchDir("graft_sat_")
+      UrlBlocklistFixture.toDF("domain")
+        .write.mode("overwrite").parquet(s"$out/blocklist")
+      Tables.documents(s, d)
+        .select(col("doc_id"), UrlFixtureCol.as("url"), col("text"))
+        .write.mode("overwrite").parquet(s"$out/in")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/in",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "url_blocklist": {"url_column": "url",
+           |                   "blocklist_path": "$out/blocklist",
+           |                   "path_rules": [["tracker", "/track/"]]},
+           | "rules": ["min_tokens:20"],
+           | "dedup": {"method": "exact"}}""".stripMargin)
+      graft.pipeline.CurationPipeline.stageAttrition(s, cfg)
+        .orderBy(col("stage_idx"))
+    }),
+
     // Benchmark decontamination config-declared end-to-end: the
     // reference corpus (the %10 fixture slice) staged as a frozen
     // parquet, the paragraph method rewriting every corpus doc before a
@@ -7086,6 +7112,26 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Stage accounting replayed boundary by boundary: blocklist
+    // survivors from the literal url-filter CTE, the token gate, exact
+    // dedup as distinct surviving texts.
+    "q_stage_attrition" ->
+      s"""$UrlFilterOracleCte,
+         |sv AS (SELECT doc_id FROM m
+         |       WHERE blocked_domain IS NULL AND blocked_rule IS NULL),
+         |g AS (SELECT d.doc_id, d.text
+         |      FROM documents d JOIN sv USING (doc_id)
+         |      WHERE CASE WHEN length(trim(d.text)) = 0 THEN 0
+         |        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+         |        END >= 20)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_idx, 'input' AS stage,
+         |    (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'url_blocklist', (SELECT count(*) FROM sv)
+         |  UNION ALL SELECT 2, 'rules', (SELECT count(*) FROM g)
+         |  UNION ALL SELECT 3, 'dedup',
+         |    (SELECT count(DISTINCT text) FROM g))
+         |ORDER BY stage_idx""".stripMargin,
     // Config-declared decontamination replayed: the literal paragraph
     // CTEs, the reference key anti-join (the %10 slice — no canonical
     // exemption), the ordered rebuild, then the min_tokens gate.

@@ -210,6 +210,43 @@ object GraftExtensions {
           s"varopt_samples expects 1 argument, got ${exprs.length}")
         VarOptSamplesExpr(exprs.head)
       }),
+    (new FunctionIdentifier("pdf_text"),
+      new ExpressionInfo(classOf[graft.functions.PdfTextExpr].getName,
+        "pdf_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"pdf_text expects 1 argument, got ${exprs.length}")
+        graft.functions.PdfTextExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("hash_tf_dense"),
+      new ExpressionInfo(classOf[graft.functions.HashTfDenseExpr].getName,
+        "hash_tf_dense"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"hash_tf_dense expects (text, dim[, signed]), got ${exprs.length}")
+        graft.functions.HashTfDenseExpr(exprs.head,
+          foldableInt("hash_tf_dense dim", exprs(1)),
+          if (exprs.length < 3) true
+          else foldableBool("hash_tf_dense signed", exprs(2)))
+      }),
+    (new FunctionIdentifier("bpe_byte_pretokens"),
+      new ExpressionInfo(
+        classOf[graft.functions.ByteBpePretokensExpr].getName,
+        "bpe_byte_pretokens"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bpe_byte_pretokens expects 1 argument, got ${exprs.length}")
+        graft.functions.ByteBpePretokensExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("bpe_byte_detokenize"),
+      new ExpressionInfo(
+        classOf[graft.functions.ByteBpeDetokenizeExpr].getName,
+        "bpe_byte_detokenize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bpe_byte_detokenize expects 1 argument, got ${exprs.length}")
+        graft.functions.ByteBpeDetokenizeExpr(exprs.head)
+      }),
     (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
         "winnow_fingerprints"),
@@ -220,6 +257,16 @@ object GraftExtensions {
           foldableInt("winnow_fingerprints k", exprs(1)),
           foldableInt("winnow_fingerprints w", exprs(2)))
       }))
+
+  private def foldableBool(what: String, e: Expression): Boolean = e match {
+    case l if l.foldable => l.eval(null) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
 
   private def foldableInt(what: String, e: Expression): Int = e match {
     case l if l.foldable => l.eval(null) match {

@@ -173,7 +173,8 @@ object CurationPipeline {
       warcInput: Option[WarcInputConfig] = None,
       classifier: Option[ClassifierConfig] = None,
       sinkSamplesPerShard: Int = 1000,
-      decontaminate: Option[DecontaminateConfig] = None)
+      decontaminate: Option[DecontaminateConfig] = None,
+      stageReportPath: Option[String] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -356,12 +357,24 @@ object CurationPipeline {
     * ([[graft.streaming.ChangelogStream.streamCurate]]) replays per
     * micro-batch, so batch and streaming curation can never drift —
     * they are literally the same code over a different input. */
-  def curatedDocsFrame(rawInput: DataFrame, config: CurationConfig): DataFrame = {
+  def curatedDocsFrame(rawInput: DataFrame, config: CurationConfig): DataFrame =
+    documentStages(rawInput, config).last._2
+
+  /** Every DECLARED document-stage boundary of the chain, in order,
+    * starting at `("input", rawInput)` — [[curatedDocsFrame]] is the
+    * last frame; [[stageAttrition]] counts each boundary. Stages not
+    * declared in the config contribute no row, so the list IS the
+    * effective pipeline. */
+  def documentStages(rawInput: DataFrame,
+                     config: CurationConfig): Seq[(String, DataFrame)] = {
+    val stages = Seq.newBuilder[(String, DataFrame)]
+    stages += (("input", rawInput))
     // declared ingest first (WARC archives become document rows), then
     // the provenance gate (cheapest filter — no content analysis), then
     // the CCNet paragraph rewrite BEFORE quality rules, so boilerplate
     // paragraphs can't skew the rule signals
     val input = ingestFrame(rawInput, config)
+    if (config.warcInput.isDefined) stages += (("warc_ingest", input))
     val webGated = config.urlBlocklist match {
       case Some(u) => graft.ops.UrlFilter.filterByBlocklist(
         input, config.idCol, u.urlCol,
@@ -369,6 +382,8 @@ object CurationPipeline {
         u.pathRules)
       case None => input
     }
+    if (config.urlBlocklist.isDefined)
+      stages += (("url_blocklist", webGated))
     val paraClean =
       if (!config.paragraphDedup) webGated
       else webGated.drop(config.textCol)
@@ -377,6 +392,7 @@ object CurationPipeline {
             .withColumnRenamed("id", config.idCol)
             .withColumnRenamed("cleaned", config.textCol),
           Seq(config.idCol))
+    if (config.paragraphDedup) stages += (("paragraph_dedup", paraClean))
     val decon = config.decontaminate match {
       case None => paraClean
       case Some(dc) =>
@@ -399,9 +415,11 @@ object CurationPipeline {
             "(expected paragraph | shingle)")
         }
     }
+    if (config.decontaminate.isDefined) stages += (("decontaminate", decon))
     val gated =
       if (config.rules.isEmpty) decon
       else Policy.survivors(decon, namedRules(config))
+    if (config.rules.nonEmpty) stages += (("rules", gated))
     // the learned gate after the heuristic rules: featurize + score +
     // filter fuse into one codegen'd projection (no explode, no
     // shuffle); the model is loaded ONCE at plan time and rides as
@@ -415,17 +433,21 @@ object CurationPipeline {
             model.weights.length, c.signed), model) >= c.threshold)
       case None => gated
     }
+    if (config.classifier.isDefined) stages += (("classifier", scored))
     val deduped = applyDedup(scored, config)
+    if (config.dedup != NoDedup) stages += (("dedup", deduped))
     val sampled = config.sampleFraction match {
       case Some(f) => Sampling.hashSample(deduped, f, Seq(config.idCol))
       case None => deduped
     }
+    if (config.sampleFraction.isDefined) stages += (("sample", sampled))
     val capped = config.quota match {
       case Some(q) => Sampling.stratifiedQuota(
         sampled, Seq(q.groupCol), config.idCol, q.perGroup)
       case None => sampled
     }
-    config.budget match {
+    if (config.quota.isDefined) stages += (("quota", capped))
+    val budgeted = config.budget match {
       case Some(b) =>
         // budget units: real tokenizer tokens under a frozen artifact
         // when declared (one codegen'd pass, model rides in the plan),
@@ -453,6 +475,25 @@ object CurationPipeline {
           .drop("__tokens")
       case None => capped
     }
+    if (config.budget.isDefined) stages += (("budget", budgeted))
+    stages.result()
+  }
+
+  /** Publish-time stage accounting: `(stage_idx, stage, n_docs)` — the
+    * document count at EVERY declared boundary, so the dataset card can
+    * say "10 B pages; blocklist −4 %, rules −38 %, dedup −21 %, …" with
+    * numbers that come from the SAME composition the filter ran
+    * (drift-proof by construction). One count action per declared
+    * boundary, each re-deriving its prefix — the audit posture: run it
+    * at publish time next to [[attrition]] (the per-rule breakdown),
+    * not in the hot path. */
+  def stageAttrition(spark: SparkSession,
+                     config: CurationConfig): DataFrame = {
+    val counts = documentStages(
+        spark.read.parquet(config.inputPath), config)
+      .zipWithIndex
+      .map { case ((name, frame), i) => (i, name, frame.count()) }
+    spark.createDataFrame(counts).toDF("stage_idx", "stage", "n_docs")
   }
 
   /** The full declared pipeline as ONE lazy frame: document stages,
@@ -542,6 +583,9 @@ object CurationPipeline {
     // so a failed gate leaves neither dataset nor report
     config.reportPath.foreach(rp =>
       attrition(spark, config).write.mode(SaveMode.Overwrite).parquet(rp))
+    config.stageReportPath.foreach(sp =>
+      stageAttrition(spark, config)
+        .write.mode(SaveMode.Overwrite).parquet(sp))
   }
 
   // ------------------------------------------------------------- config
@@ -594,7 +638,8 @@ object CurationPipeline {
     *            "format": "parquet" | "jsonl" | "webdataset",
     *            "samples_per_shard": 1000},   // webdataset tar shards
     *   "partition_by": ["shard"],
-    *   "report": {"path": "..."} }       // attrition report, post-publish
+    *   "report": {"path": "...",           // per-rule attrition and/or
+    *              "stages_path": "..."} }  // per-stage counts, post-publish
     * }}} */
   def fromJValue(root: JValue): CurationConfig = {
     def str(v: JValue): Option[String] = v match {
@@ -866,10 +911,15 @@ object CurationPipeline {
     if (reportPath.isDefined && rules.isEmpty)
       fail("report.path requires at least one rule (the report IS the " +
         "rule-chain attrition accounting)")
+    val stageReportPath = root \ "report" \ "stages_path" match {
+      case JString(p) => Some(p)
+      case JNothing => None
+      case other => fail(s"report.stages_path must be a string, got $other")
+    }
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
-      sinkSamplesPerShard, decontaminate)
+      sinkSamplesPerShard, decontaminate, stageReportPath)
   }
 
   private def fail(msg: String): Nothing =

@@ -3,6 +3,7 @@ package graft.extensions
 import graft.SparkTestBase
 
 class GraftExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
 
   "GraftExtensions.register" should "expose fdot to SQL" in {
     GraftExtensions.register(spark)
@@ -27,5 +28,26 @@ class GraftExtensionsSpec extends SparkTestBase {
       val e = new org.apache.spark.sql.SparkSessionExtensions
       ext(e)
     }
+  }
+
+  it should "expose the document-tier functions to SQL" in {
+    GraftExtensions.register(spark)
+    // pdf_text: structural extraction straight from SQL
+    val pdf = graft.ops.PdfProbe.buildPdf("t", Seq("sql visible text"))
+    Seq(Tuple1(pdf)).toDF("data").createOrReplaceTempView("pdfs")
+    spark.sql("SELECT pdf_text(data) FROM pdfs")
+      .collect().head.getString(0) shouldBe "sql visible text"
+    // hash_tf_dense: per-row featurizer with literal dim/signed
+    val v = spark.sql(
+      "SELECT hash_tf_dense('alpha alpha beta', 16, true)")
+      .collect().head.getSeq[Float](0)
+    v should have length 16
+    v.map(math.abs).sum shouldBe 3.0f // three token contributions
+    an[Exception] should be thrownBy
+      spark.sql("SELECT hash_tf_dense('x', 16, 'yes')").collect()
+    // byte-BPE pretokens + detokenize round trip from SQL
+    spark.sql(
+      "SELECT bpe_byte_detokenize(bpe_byte_pretokens('don''t stop'))")
+      .collect().head.getString(0) shouldBe "don't stop"
   }
 }

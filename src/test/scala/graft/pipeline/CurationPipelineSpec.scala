@@ -758,6 +758,26 @@ class CurationPipelineSpec extends SparkTestBase {
           |                   "min_overlap": 0}}""".stripMargin)
   }
 
+  "stageAttrition" should "count every declared boundary from the same composition" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "dedup": {"method": "exact"},
+         | "sample": {"fraction": 1.0}}""".stripMargin)
+    val rows = CurationPipeline.stageAttrition(spark, cfg)
+      .orderBy($"stage_idx")
+      .select($"stage", $"n_docs").as[(String, Long)].collect().toSeq
+    rows.map(_._1) shouldBe Seq("input", "rules", "dedup", "sample")
+    rows.map(_._2) shouldBe Seq(8L, 6L, 4L, 4L) // the docsPath fixture
+    // monotone: no stage can add documents
+    rows.map(_._2).sliding(2).foreach(w => w(1) should be <= w(0))
+    // and run() publishes it next to the dataset when declared
+    val sp = s"$tmp/stage_report"
+    CurationPipeline.run(spark, cfg.copy(
+      sinkPath = Some(s"$tmp/stage_sink"), stageReportPath = Some(sp)))
+    spark.read.parquet(sp).count() shouldBe 4L
+  }
+
   "the classifier stage" should "gate config-declared identically to the hand-composed ops" in {
     import graft.ops.{FeatureHash, QualityClassifier}
     val mdir = s"$tmp/clf_model"

@@ -2775,6 +2775,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DOCX (OOXML zip container) text extraction: per-doc fixtures
+    // composed FROM doc columns — three paragraphs (an entity-heavy
+    // middle one pins escape round-tripping), each split across two
+    // runs to pin the no-separator run concatenation, even ids deflated
+    // — walked by the hand-rolled ZIP central-directory reader and the
+    // WordprocessingML chain; ground truth is the columns themselves.
+    "q_docx_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val staged = Tables.documents(s, d).select(id,
+        array(substring(col("text"), 1, 90),
+          concat(lit("Entities: <&\"> in doc "), id.cast("string")),
+          substring(col("text"), 91, 90)).as("paras"))
+      graft.ops.ZipArchive.extractDocx(
+          graft.ops.ZipArchive.syntheticDocxAssets(staged, "doc_id", "paras"),
+          "id", "data")
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EPUB (OCF zip container) chapter extraction: 1 + id%2 XHTML
+    // chapters from text slices, walked back and joined through the
+    // SAME html chain the oracle replays.
+    "q_epub_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val staged = Tables.documents(s, d).select(id,
+        when(pmod(id, lit(2)) === 0, array(substring(col("text"), 1, 120)))
+          .otherwise(array(substring(col("text"), 1, 120),
+            substring(col("text"), 121, 120))).as("chapters"))
+      graft.ops.ZipArchive.extractEpub(
+          graft.ops.ZipArchive.syntheticEpubAssets(staged, "doc_id",
+            "chapters"),
+          "id", "data")
+        .select(col("id").as("doc_id"), col("text"), col("n_chapters"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Publish-time stage accounting: the per-boundary document counts
     // of a declared chain (input → blocklist → rules → exact dedup) —
     // the numbers a dataset card cites, from the SAME composition the
@@ -7112,6 +7148,39 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // DOCX round trip replayed: the container + XML detour is
+    // text-transparent (escape/decode exact, runs concatenate, closes
+    // become newlines), so the oracle is the paragraph composition with
+    // the chain's outer edge-trim.
+    "q_docx_extract" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    substr(text, 1, 90) || chr(10) ||
+        |    'Entities: <&"> in doc ' || doc_id || chr(10) ||
+        |    substr(text, 91, 90),
+        |    '^[\s]+', ''), '[\s]+$', '') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // EPUB replayed: per-chapter XHTML synthesis (escapes included)
+    // through the LITERAL html chain, chapters joined in spine order.
+    "q_epub_extract" -> {
+      val esc = "replace(replace(replace(replace(replace(ch, " +
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), " +
+        "'\"', '&quot;'), '''', '&apos;')"
+      s"""WITH c AS (
+         |  SELECT doc_id, 1 AS idx, substr(text, 1, 120) AS ch
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 2, substr(text, 121, 120) FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |h AS (SELECT doc_id, idx,
+         |  '<?xml version="1.0"?><html><body><p>' || $esc ||
+         |  '</p></body></html>' AS html FROM c),
+         |x AS (SELECT doc_id, idx, $HtmlExtractTextSql AS t FROM h)
+         |SELECT doc_id,
+         |  string_agg(t, chr(10) || chr(10) ORDER BY idx) AS text,
+         |  CAST(1 + doc_id % 2 AS INTEGER) AS n_chapters
+         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // Stage accounting replayed boundary by boundary: blocklist
     // survivors from the literal url-filter CTE, the token gate, exact
     // dedup as distinct surviving texts.

@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ZIP container walker + the office-document text tier — DOCX and EPUB
+  * are ZIP archives (OOXML / OCF), and office documents are a large
+  * share of any real document crawl. Hand-rolled from the PUBLIC
+  * PKWARE APPNOTE layout (End-of-Central-Directory record located from
+  * the tail, central-directory entries as the authoritative index,
+  * local headers re-validated per entry) — the
+  * [[PdfProbe]]/[[WarcExtract]]/[[TarArchive]] defensive-walker pattern:
+  * every offset and length bounds-checked, CRC32-verified payloads,
+  * truncation at any byte yields the entries that validated, never a
+  * throw; DEFLATE via the JDK `Inflater` (nowrap) under a
+  * decompression-bomb cap.
+  *
+  *  - [[walk]]/[[entries]]: the container tier — one row per valid
+  *    member.
+  *  - [[docxTextChain]]/[[extractDocx]]: WordprocessingML text — the
+  *    `word/document.xml` member through an RE2-portable regex chain
+  *    (paragraph closes become newlines, tags drop, core entities
+  *    decode), so the DuckDB oracle replays it verbatim.
+  *  - [[extractEpub]]: EPUB chapters — every `.xhtml`/`.html` member
+  *    through the [[HtmlExtract]] chain, joined in member order.
+  *  - [[buildZip]]/[[buildDocx]]/[[buildEpub]]: deterministic writers
+  *    for fixtures, oracles, and real exports (CRC'd, stored or
+  *    deflated).
+  */
+object ZipArchive {
+
+  /** One validated member: name + inflated payload. */
+  final case class ZipMember(name: String, data: Array[Byte])
+
+  /** Inflated-size cap per member (64 MiB) — a crafted member inflating
+    * past this is skipped as damaged instead of exhausting memory. */
+  val MaxInflatedBytes: Int = 64 << 20
+
+  def isZip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
+      (b(2) == 3 || b(2) == 5) && (b(3) == 4 || b(3) == 6)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i).toLong) | (u16(b, i + 2).toLong << 16)
+
+  private def inflateRaw(data: Array[Byte], expect: Long): Option[Array[Byte]] =
+    try {
+      if (expect > MaxInflatedBytes) return None
+      val inf = new java.util.zip.Inflater(true) // nowrap: zip deflate
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(expect, 1L << 20).toInt)
+      val buf = new Array[Byte](64 << 10)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished())
+          throw new java.util.zip.DataFormatException("stalled")
+        if (out.size().toLong + n > MaxInflatedBytes)
+          throw new java.util.zip.DataFormatException("bomb")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    }
+
+  /** Walk every CRC-valid member (inflating DEFLATE entries). The
+    * central directory is the authoritative index (located from the
+    * EOCD record in the tail window); each entry's local header is
+    * re-validated and a damaged entry is SKIPPED — one corrupt member
+    * never hides its siblings. Null/corrupt/truncated containers yield
+    * the members that validated (possibly none). */
+  def walk(bytes: Array[Byte]): Seq[ZipMember] = {
+    if (bytes == null || bytes.length < 22) return Nil
+    val b = bytes
+    // EOCD: sig 0x06054b50 scanned backward over the tail (comment can
+    // push it up to 64 KiB from the end)
+    var eocd = -1
+    var p = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (eocd < 0 && p >= stop) {
+      if (b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 5 && b(p + 3) == 6)
+        eocd = p
+      p -= 1
+    }
+    if (eocd < 0) return Nil
+    val nEntries = u16(b, eocd + 10)
+    val cdOffset = u32(b, eocd + 16)
+    if (cdOffset < 0 || cdOffset >= b.length) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZipMember]
+    var q = cdOffset.toInt
+    var i = 0
+    var done = false
+    while (!done && i < nEntries) {
+      // central-directory entry: 46 fixed bytes + name/extra/comment
+      if (q + 46 > b.length || b(q) != 'P' || b(q + 1) != 'K' ||
+        b(q + 2) != 1 || b(q + 3) != 2) { done = true }
+      else {
+        val method = u16(b, q + 10)
+        val crc = u32(b, q + 16)
+        val compSize = u32(b, q + 20)
+        val uncompSize = u32(b, q + 24)
+        val nameLen = u16(b, q + 28)
+        val extraLen = u16(b, q + 30)
+        val commentLen = u16(b, q + 32)
+        val localOff = u32(b, q + 42)
+        if (q + 46 + nameLen > b.length) done = true
+        else {
+          val name = new String(b, q + 46, nameLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+          // local header re-validation: sizes there may be zero (data
+          // descriptor), so the central record stays authoritative
+          val lo = localOff.toInt
+          val member: Option[Array[Byte]] =
+            // bounds in LONG: a corrupt 32-bit offset can exceed Int
+            // range and wrap negative through .toInt
+            if (localOff < 0 || localOff + 30 > b.length || b(lo) != 'P' ||
+              b(lo + 1) != 'K' || b(lo + 2) != 3 || b(lo + 3) != 4) None
+            else {
+              val lNameLen = u16(b, lo + 26)
+              val lExtraLen = u16(b, lo + 28)
+              val dataAt = lo + 30 + lNameLen + lExtraLen
+              if (dataAt.toLong + compSize > b.length) None
+              else {
+                val raw = java.util.Arrays.copyOfRange(
+                  b, dataAt, dataAt + compSize.toInt)
+                method match {
+                  case 0 => Some(raw) // stored
+                  case 8 => inflateRaw(raw, uncompSize)
+                  case _ => None // unsupported method: skip honestly
+                }
+              }
+            }
+          member.foreach { m =>
+            val c = new java.util.zip.CRC32()
+            c.update(m)
+            // CRC mismatch = silent corruption: skip, never emit
+            if (c.getValue == crc && m.length.toLong == uncompSize)
+              out += ZipMember(name, m)
+          }
+          q += 46 + nameLen + extraLen + commentLen
+          i += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Output schema of [[entries]]. */
+  val EntrySchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("entry_idx", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Explode a binary ZIP column into its validated members — batched
+    * `mapPartitions` like the other walkers, zero shuffles. */
+  def entries(df: DataFrame, idCol: String, dataCol: String,
+              batchSize: Int = 16): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(dataCol).as("data"))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { r =>
+          if (r.isNullAt(0)) throw new IllegalArgumentException(
+            s"ZipArchive.entries: null or non-castable id in $idCol")
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          walk(bytes).zipWithIndex.map { case (m, i) =>
+            Row(id, i, m.name, m.data.length.toLong, m.data)
+          }
+        }
+      }
+    }(Encoders.row(EntrySchema))
+  }
+
+  // -------------------------------------------------------- office text
+
+  /** The WordprocessingML text chain (exposed for oracle replication,
+    * applied in order like [[HtmlExtract.Chain]]): paragraph closes
+    * become newlines, every remaining tag drops WITHOUT a separator
+    * (runs inside one paragraph concatenate — the Word semantics), the
+    * core entity set decodes (`&amp;` last, no double decode). */
+  val DocxChain: Seq[(String, String)] = Seq(
+    ("(?s)</w:p>", "\n"),
+    ("(?s)<[^>]*>", ""),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+    ("[\\s]+$", ""),
+    ("^[\\s]+", ""))
+
+  /** `word/document.xml` content → visible text, as a pure codegen'd
+    * Column. */
+  def docxTextCol(xml: Column): Column =
+    DocxChain.foldLeft(xml) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** DOCX corpus extraction: walk each container, take the
+    * `word/document.xml` member, run the chain — `(idCol, text)`;
+    * containers without the member (damaged or not DOCX) keep their row
+    * with null text, the honest quarantine signal. */
+  def extractDocx(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val doc = entries(df, idCol, dataCol)
+      .filter(col("name") === "word/document.xml")
+      .select(col("id"), docxTextCol(col("payload").cast("string"))
+        .as("text"))
+    df.select(col(idCol).cast(LongType).as("id")).distinct()
+      .join(doc, Seq("id"), "left_outer")
+  }
+
+  /** EPUB corpus extraction: every `.xhtml`/`.html` member through the
+    * [[HtmlExtract]] chain, chapters joined with blank lines in member
+    * (spine) order — `(idCol, text, n_chapters)`. */
+  def extractEpub(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val chapters = entries(df, idCol, dataCol)
+      .filter(col("name").endsWith(".xhtml") || col("name").endsWith(".html"))
+      .select(col("id"), col("entry_idx"),
+        HtmlExtract.extractText(col("payload").cast("string")).as("ch"))
+    val joined = chapters.groupBy(col("id"))
+      .agg(concat_ws("\n\n", transform(
+        array_sort(collect_list(struct(col("entry_idx"), col("ch")))),
+        s => s.getField("ch"))).as("text"),
+        count(lit(1)).cast(IntegerType).as("n_chapters"))
+    df.select(col(idCol).cast(LongType).as("id")).distinct()
+      .join(joined, Seq("id"), "left_outer")
+      .select(col("id"), col("text"),
+        coalesce(col("n_chapters"), lit(0)).as("n_chapters"))
+  }
+
+  // ------------------------------------------------------------ writers
+
+  private def deflateRaw(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Render a deterministic ZIP (CRC'd, zeroed timestamps): stored or
+    * DEFLATE members, local headers + central directory + EOCD — the
+    * fixture/oracle writer and a real exporter. */
+  def buildZip(members: Seq[(String, Array[Byte])],
+               compress: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    val central = new java.io.ByteArrayOutputStream()
+    def c16(v: Int): Unit = { central.write(v & 0xFF); central.write((v >> 8) & 0xFF) }
+    def c32(v: Long): Unit = { c16((v & 0xFFFF).toInt); c16(((v >> 16) & 0xFFFF).toInt) }
+    var n = 0
+    members.foreach { case (name, payload) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val (method, data) =
+        if (!compress) (0, payload)
+        else {
+          val d = deflateRaw(payload)
+          if (d.length < payload.length) (8, d) else (0, payload)
+        }
+      val off = out.size()
+      out.write(Array[Byte]('P', 'K', 3, 4))
+      w16(20); w16(0); w16(method); w16(0); w16(0) // version/flags/time/date
+      w32(crc.getValue); w32(data.length.toLong); w32(payload.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(data)
+      central.write(Array[Byte]('P', 'K', 1, 2))
+      c16(20); c16(20); c16(0); c16(method); c16(0); c16(0)
+      c32(crc.getValue); c32(data.length.toLong); c32(payload.length.toLong)
+      c16(nameB.length); c16(0); c16(0); c16(0); c16(0); c32(0L)
+      c32(off.toLong)
+      central.write(nameB)
+      n += 1
+    }
+    val cdOffset = out.size()
+    val cd = central.toByteArray
+    out.write(cd)
+    out.write(Array[Byte]('P', 'K', 5, 6))
+    w16(0); w16(0); w16(n); w16(n)
+    w32(cd.length.toLong); w32(cdOffset.toLong); w16(0)
+    out.toByteArray
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  /** Minimal WordprocessingML document: one `<w:p>` per paragraph (each
+    * split across two runs to pin the no-separator concatenation). */
+  def buildDocx(paragraphs: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val body = paragraphs.map { p =>
+      val (a, rest) = p.splitAt(p.length / 2)
+      s"<w:p><w:r><w:t xml:space=\"preserve\">${xmlEscape(a)}</w:t></w:r>" +
+        s"<w:r><w:t xml:space=\"preserve\">${xmlEscape(rest)}</w:t></w:r></w:p>"
+    }.mkString
+    val xml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\"><w:body>" + body +
+      "</w:body></w:document>"
+    buildZip(Seq(
+      ("[Content_Types].xml",
+        "<?xml version=\"1.0\"?><Types/>".getBytes("UTF-8")),
+      ("word/document.xml", xml.getBytes("UTF-8"))), compress)
+  }
+
+  /** Minimal EPUB (OCF): stored `mimetype` first (the spec's
+    * requirement), one XHTML chapter per entry. */
+  def buildEpub(chapters: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val mime = ("mimetype", "application/epub+zip".getBytes("US-ASCII"))
+    val chapterMembers = chapters.zipWithIndex.map { case (c, i) =>
+      (f"OEBPS/chapter$i%03d.xhtml",
+        ("<?xml version=\"1.0\"?><html><body><p>" + xmlEscape(c) +
+          "</p></body></html>").getBytes("UTF-8"))
+    }
+    // the mimetype member stays STORED either way: buildZip only
+    // deflates when it shrinks, and 20 ASCII bytes never do
+    buildZip(mime +: chapterMembers, compress)
+  }
+
+  /** Distributed DOCX fixture builder: `(id, paragraphs array<string>)`
+    * → `(id, data)`, even ids deflated so both container forms walk
+    * ([[ExifProbe.syntheticJpegAssets]]'s role). */
+  def syntheticDocxAssets(df: DataFrame, idCol: String,
+                          parasCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    Parallelism.spread(df.select(col(idCol).cast(LongType), col(parasCol)))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, buildDocx(r.getSeq[String](1), compress = id % 2 == 0))
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Distributed EPUB fixture builder — see [[syntheticDocxAssets]]. */
+  def syntheticEpubAssets(df: DataFrame, idCol: String,
+                          chaptersCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    Parallelism.spread(df.select(col(idCol).cast(LongType), col(chaptersCol)))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, buildEpub(r.getSeq[String](1), compress = id % 2 == 0))
+        }
+      }(Encoders.row(schema))
+  }
+}

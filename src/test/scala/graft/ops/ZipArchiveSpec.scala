@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** ZIP walker round trips (stored + deflate), JDK cross-validation,
+  * DOCX/EPUB extraction, and the walker-family hardening contract:
+  * CRC-mismatched members skipped, truncation never throws, bombs
+  * capped. */
+class ZipArchiveSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val members = Seq(
+    ("a.txt", "alpha content".getBytes("UTF-8")),
+    ("dir/b.txt", ("beta " * 50).getBytes("UTF-8")),
+    ("c.bin", Array.tabulate[Byte](256)(_.toByte)))
+
+  "buildZip/walk" should "round-trip stored and deflated members" in {
+    Seq(false, true).foreach { compress =>
+      val zip = ZipArchive.buildZip(members, compress)
+      val back = ZipArchive.walk(zip)
+      back.map(_.name) shouldBe members.map(_._1)
+      back.zip(members).foreach { case (got, (_, want)) =>
+        got.data.toSeq shouldBe want.toSeq
+      }
+    }
+    // deflate actually engaged for the compressible member
+    ZipArchive.buildZip(members, compress = true).length should be <
+      ZipArchive.buildZip(members, compress = false).length
+  }
+
+  it should "be readable by the JDK ZipInputStream (format validity)" in {
+    val zip = ZipArchive.buildZip(members, compress = true)
+    val in = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zip))
+    val names = Iterator.continually(in.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    names shouldBe members.map(_._1)
+  }
+
+  it should "walk JDK-written zips (reader generality)" in {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    members.foreach { case (n, d) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(d); zos.closeEntry()
+    }
+    zos.close()
+    val back = ZipArchive.walk(bos.toByteArray)
+    back.map(_.name) shouldBe members.map(_._1)
+    back.head.data.toSeq shouldBe members.head._2.toSeq
+  }
+
+  it should "skip CRC-mismatched members and keep their siblings" in {
+    val zip = ZipArchive.buildZip(members, compress = false)
+    // flip one payload byte of the FIRST (stored) member: name "a.txt"
+    // data follows its 30-byte local header + name
+    val at = 30 + "a.txt".length
+    val bad = zip.clone()
+    bad(at) = (bad(at) ^ 0x7F).toByte
+    val back = ZipArchive.walk(bad)
+    back.map(_.name) shouldBe members.map(_._1).drop(1)
+  }
+
+  it should "survive truncation at any byte and seeded fuzz without throwing" in {
+    val zip = ZipArchive.buildZip(members, compress = true)
+    (0 until zip.length).foreach { k =>
+      noException should be thrownBy
+        ZipArchive.walk(java.util.Arrays.copyOfRange(zip, 0, k))
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val m = zip.clone()
+      (1 to 3).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      noException should be thrownBy ZipArchive.walk(m)
+    }
+    ZipArchive.walk(null) shouldBe Nil
+    ZipArchive.walk("not a zip".getBytes("UTF-8")) shouldBe Nil
+  }
+
+  "extractDocx" should "reproduce paragraphs with run concatenation and entities" in {
+    val paras = Seq(
+      "First paragraph with <angle> & \"quotes\" intact.",
+      "Second paragraph runs join without a separator.")
+    val docx = ZipArchive.buildDocx(paras)
+    val got = ZipArchive.extractDocx(
+        Seq((1L, docx)).toDF("doc_id", "data"), "doc_id", "data")
+      .select($"text").as[String].head()
+    got shouldBe paras.mkString("\n")
+    // a container without word/document.xml keeps its row, null text
+    val notDocx = ZipArchive.buildZip(Seq(("x.txt", "t".getBytes("UTF-8"))))
+    ZipArchive.extractDocx(
+        Seq((2L, notDocx)).toDF("doc_id", "data"), "doc_id", "data")
+      .select($"text").collect().head.isNullAt(0) shouldBe true
+  }
+
+  "extractEpub" should "join chapters through the html chain in spine order" in {
+    val chapters = Seq("chapter one text", "chapter two text",
+      "chapter three text")
+    val epub = ZipArchive.buildEpub(chapters)
+    val row = ZipArchive.extractEpub(
+        Seq((1L, epub)).toDF("doc_id", "data"), "doc_id", "data")
+      .select($"text", $"n_chapters").as[(String, Int)].head()
+    row._1 shouldBe chapters.mkString("\n\n")
+    row._2 shouldBe 3
+    // the OCF mimetype member is present and stored first
+    ZipArchive.walk(epub).head.name shouldBe "mimetype"
+  }
+}

@@ -2775,6 +2775,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // A MIXED html+docx crawl through the config-declared ingest (the
+    // q_warc_pdf move for office documents): odd ids carry the html
+    // fixture, even ids a real fixture DOCX; "docx": true dispatches
+    // PK-zip payloads per-row to the OOXML chain.
+    "q_warc_docx" -> ((s, d) => {
+      val out = scratchDir("graft_wdx_")
+      val id = col("doc_id")
+      val docs = Tables.documents(s, d)
+      val docx = graft.ops.ZipArchive.syntheticDocxAssets(
+        docs.filter(pmod(id, lit(2)) === 0).select(id,
+          array(substring(col("text"), 1, 90),
+            concat(lit("Entities: <&\"> in doc "), id.cast("string")),
+            substring(col("text"), 91, 90)).as("paras")),
+        "doc_id", "paras")
+      val html = concat(
+        lit(HtmlFixturePrefix), id.cast("string"),
+        lit(HtmlFixtureMid), id.cast("string"),
+        lit(HtmlFixtureHead), col("text"),
+        lit(HtmlFixtureLinksOpen),
+        expr(s"repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT))"),
+        lit(HtmlFixtureTail))
+      val bodies = docx.select(col("id"), col("data").as("body"))
+        .unionByName(docs.filter(pmod(id, lit(2)) === 1)
+          .select(id.as("id"), html.cast("binary").as("body")))
+      val staged = bodies.select(
+        pmod(col("id"), lit(8)).as("grp"),
+        concat(lit("http://example.com/doc/"),
+          col("id").cast("string")).as("url"),
+        lit("2024-03-01T00:00:00Z").as("date"), col("body"))
+      graft.ops.WarcExtract.syntheticArchives(
+          staged, "grp", "url", "date", "body")
+        .write.mode("overwrite").parquet(s"$out/archives")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/archives", "format": "warc",
+           |           "id_column": "doc_id", "text_column": "text",
+           |           "id_regex": "doc/(\\\\d+)$$", "docx": true},
+           | "rules": []}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DOCX (OOXML zip container) text extraction: per-doc fixtures
     // composed FROM doc columns — three paragraphs (an entity-heavy
     // middle one pins escape round-tripping), each split across two
@@ -7148,6 +7190,22 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(cl.text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(cl.text), '\\s+')) END >= 20
          |ORDER BY cl.doc_id""".stripMargin,
+    // Mixed html+docx ingest replayed: UNION of the literal html chain
+    // (odd ids) and the docx paragraph composition (even ids).
+    "q_warc_docx" ->
+      s"""WITH wh AS (SELECT doc_id, $HtmlFixtureExprSql AS html
+         |            FROM documents WHERE doc_id % 2 = 1),
+         |wx AS (SELECT doc_id, $HtmlExtractTextSql AS text FROM wh),
+         |dx AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(
+         |    substr(text, 1, 90) || chr(10) ||
+         |    'Entities: <&"> in doc ' || doc_id || chr(10) ||
+         |    substr(text, 91, 90),
+         |    '^[\\s]+', ''), '[\\s]+$$', '') AS text
+         |  FROM documents WHERE doc_id % 2 = 0)
+         |SELECT doc_id, text FROM wx
+         |UNION ALL SELECT doc_id, text FROM dx
+         |ORDER BY doc_id""".stripMargin,
     // DOCX round trip replayed: the container + XML detour is
     // text-transparent (escape/decode exact, runs concatenate, closes
     // become newlines), so the oracle is the paragraph composition with

@@ -43,3 +43,38 @@ case class PdfTextExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PdfTextExpr =
     copy(child = newChild)
 }
+
+/** `docx_text(binary)` → the WordprocessingML text via the
+  * [[graft.ops.ZipArchive]] walk + chain — the scalar sibling of
+  * [[PdfTextExpr]] for the WARC ingest's mixed-content dispatch. NULL
+  * for damaged containers or zips without a `word/document.xml`. */
+case class DocxTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "docx_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  def extract(bytes: Array[Byte]): UTF8String =
+    graft.ops.ZipArchive.docxText(bytes)
+      .map(UTF8String.fromString).orNull
+
+  override def nullSafeEval(v: Any): Any =
+    extract(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("docxText", this,
+        classOf[DocxTextExpr].getName)
+      s"""${ev.value} = $ref.extract($v);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DocxTextExpr =
+    copy(child = newChild)
+}

@@ -204,6 +204,25 @@ object ZipArchive {
       regexp_replace(c, pat, rep)
     }
 
+  @transient private lazy val compiledDocxChain =
+    DocxChain.map { case (p, r) => (java.util.regex.Pattern.compile(p), r) }
+
+  /** Whole-container DOCX text in the JVM — walk, find
+    * `word/document.xml`, run the SAME chain (Spark's `regexp_replace`
+    * IS `java.util.regex`, so Column and kernel cannot disagree;
+    * spec-pinned). None when the container is damaged or carries no
+    * document part — the per-row form the WARC ingest dispatch
+    * composes. */
+  def docxText(bytes: Array[Byte]): Option[String] =
+    walk(bytes).find(_.name == "word/document.xml").map { m =>
+      compiledDocxChain.foldLeft(new String(m.data,
+          java.nio.charset.StandardCharsets.UTF_8)) {
+        case (acc, (pat, rep)) =>
+          pat.matcher(acc).replaceAll(
+            java.util.regex.Matcher.quoteReplacement(rep))
+      }
+    }
+
   /** DOCX corpus extraction: walk each container, take the
     * `word/document.xml` member, run the chain — `(idCol, text)`;
     * containers without the member (damaged or not DOCX) keep their row

@@ -119,7 +119,8 @@ object CurationPipeline {
                                    minChars: Int = 20,
                                    maxLinkDensity: Double = 0.34,
                                    statuses: Seq[Int] = Seq(200),
-                                   pdf: Boolean = false)
+                                   pdf: Boolean = false,
+                                   docx: Boolean = false)
 
   /** Benchmark-decontamination stage against a FROZEN reference corpus
     * (eval/benchmark text staged to parquet): `"paragraph"` REWRITES
@@ -289,6 +290,8 @@ object CurationPipeline {
         // probe's refusal contract — and the rule gates drop them)
         val pdfMagic = substring(col("__payload"), 1, 5) ===
           lit("%PDF-".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val zipMagic = substring(col("__payload"), 1, 4) ===
+          lit(Array[Byte]('P', 'K', 3, 4))
         val pages = graft.ops.WarcExtract
           .records(raw, w.archiveIdCol, w.dataCol)
           .filter(col("warc_type") === "response" &&
@@ -307,14 +310,18 @@ object CurationPipeline {
           .filter(col(config.idCol).isNotNull)
         val htmlText =
           graft.ops.HtmlExtract.extractText(col("__payload").cast("string"))
+        def docxText = org.apache.spark.sql.graftshim.ColumnBridge.column(
+          graft.functions.DocxTextExpr(
+            org.apache.spark.sql.graftshim.ColumnBridge
+              .expression(col("__payload"))))
         w.htmlMode match {
           case "flat" =>
             // one projection, per-row dispatch — zero extra passes
-            val text =
-              if (!w.pdf) htmlText
-              else when(pdfMagic,
-                graft.ops.PdfProbe.extractTextCol(col("__payload")))
-                .otherwise(htmlText)
+            var text = htmlText
+            if (w.docx) text = when(zipMagic, docxText).otherwise(text)
+            if (w.pdf) text = when(pdfMagic,
+              graft.ops.PdfProbe.extractTextCol(col("__payload")))
+              .otherwise(text)
             pages.withColumn(config.textCol, text).drop("__payload")
           case "blocks" =>
             // extractMainText is id-granular; join the provenance
@@ -324,7 +331,9 @@ object CurationPipeline {
             // scan (a mixed-corpus blocks run at scale should stage
             // the ingested pages to parquet between, like the
             // fixture queries do).
-            val htmlPages = if (w.pdf) pages.filter(!pdfMagic) else pages
+            val htmlPages = pages.filter(
+              (if (w.pdf) !pdfMagic else lit(true)) &&
+                (if (w.docx) !zipMagic else lit(true)))
             val withHtml = htmlPages
               .withColumn("__html", col("__payload").cast("string"))
             val htmlOut = withHtml
@@ -334,12 +343,15 @@ object CurationPipeline {
                   w.maxLinkDensity)
                 .withColumnRenamed("main_text", config.textCol),
                 Seq(config.idCol))
-            if (!w.pdf) htmlOut
+            if (!w.pdf && !w.docx) htmlOut
             else htmlOut.unionByName(
-              pages.filter(pdfMagic)
+              pages.filter(
+                  (if (w.pdf) pdfMagic else lit(false)) ||
+                    (if (w.docx) zipMagic else lit(false)))
                 .select(col(config.idCol), col("url"), col("fetch_ts"),
-                  graft.ops.PdfProbe.extractTextCol(col("__payload"))
-                    .as(config.textCol)))
+                  when(pdfMagic,
+                    graft.ops.PdfProbe.extractTextCol(col("__payload")))
+                    .otherwise(docxText).as(config.textCol)))
           case other => fail(s"unknown warc html mode '$other' " +
             "(expected flat | blocks)")
         }
@@ -605,7 +617,8 @@ object CurationPipeline {
     *             "html": "flat" | "blocks",          // extraction tier
     *             "min_chars": 20, "max_link_density": 0.34,  // blocks
     *             "statuses": [200],                  // HTTP keep-list
-    *             "pdf": true},   // %PDF- payloads -> structural walk
+    *             "pdf": true,    // %PDF- payloads -> structural walk
+    *             "docx": true},  // PK zip payloads -> OOXML chain
     *   "url_blocklist": {"url_column": "url",           // optional,
     *                     "blocklist_path": "...",       // runs FIRST
     *                     "path_rules": [["tracker", "/track/"]]},
@@ -699,11 +712,13 @@ object CurationPipeline {
           case _ => fail("input.statuses must be an array of integers")
         }
         if (statuses.isEmpty) fail("input.statuses must not be empty")
-        val pdf = root \ "input" \ "pdf" match {
+        def boolOf(v: JValue, what: String): Boolean = v match {
           case JNothing => false
           case JBool(b) => b
-          case other => fail(s"input.pdf must be a boolean, got $other")
+          case other => fail(s"$what must be a boolean, got $other")
         }
+        val pdf = boolOf(root \ "input" \ "pdf", "input.pdf")
+        val docx = boolOf(root \ "input" \ "docx", "input.docx")
         Some(WarcInputConfig(
           str(root \ "input" \ "archive_column").getOrElse("archive_id"),
           str(root \ "input" \ "data_column").getOrElse("data"),
@@ -712,7 +727,7 @@ object CurationPipeline {
           intOf(root \ "input" \ "min_chars", "input.min_chars", 20),
           dblOf(root \ "input" \ "max_link_density",
             "input.max_link_density", 0.34),
-          statuses, pdf))
+          statuses, pdf, docx))
       case other => fail(s"unknown input.format '$other' " +
         "(expected parquet | warc)")
     }

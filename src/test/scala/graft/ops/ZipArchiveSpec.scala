@@ -95,6 +95,20 @@ class ZipArchiveSpec extends SparkTestBase {
       .select($"text").collect().head.isNullAt(0) shouldBe true
   }
 
+  "docxText (kernel)" should "match the Column chain bit for bit" in {
+    val paras = Seq("kernel & <column> \"parity\" check",
+      "second paragraph with runs")
+    val docx = ZipArchive.buildDocx(paras)
+    val viaColumn = ZipArchive.extractDocx(
+        Seq((1L, docx)).toDF("doc_id", "data"), "doc_id", "data")
+      .select($"text").as[String].head()
+    ZipArchive.docxText(docx) shouldBe Some(viaColumn)
+    ZipArchive.docxText(
+      ZipArchive.buildZip(Seq(("x.txt", "t".getBytes("UTF-8")))
+    )) shouldBe None
+    ZipArchive.docxText(Array[Byte](1, 2, 3)) shouldBe None
+  }
+
   "extractEpub" should "join chapters through the html chain in spine order" in {
     val chapters = Seq("chapter one text", "chapter two text",
       "chapter three text")

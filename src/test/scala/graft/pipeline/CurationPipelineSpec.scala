@@ -651,6 +651,37 @@ class CurationPipelineSpec extends SparkTestBase {
           java.nio.charset.StandardCharsets.UTF_8))).toDF("doc_id", "html"),
         "doc_id", "html")
       .select($"main_text").as[String].head()
+    // docx dispatch: a PK-zip payload routes to the OOXML chain; a zip
+    // that is NOT a docx yields null (no word/document.xml)
+    val docxBody = graft.ops.ZipArchive.buildDocx(
+      Seq("office paragraph one", "office paragraph two"))
+    val plainZip = graft.ops.ZipArchive.buildZip(
+      Seq(("data.txt", "not a docx".getBytes("UTF-8"))))
+    val p2 = s"$tmp/warc_docx_archives"
+    val staged2 = Seq(
+      (1L, "https://ok.example/page/1", htmlBody),
+      (2L, "https://ok.example/page/2", docxBody),
+      (3L, "https://ok.example/page/3", plainZip))
+      .toDF("doc_id", "url", "body")
+      .select(lit(0L).as("grp"), $"url",
+        lit("2024-01-01T00:00:00Z").as("date"), $"body",
+        $"doc_id")
+      .select($"grp", $"url", $"date", $"body")
+    WarcExtract.syntheticArchives(staged2, "grp", "url", "date", "body")
+      .write.mode("overwrite").parquet(p2)
+    val dcfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p2", "format": "warc",
+         |           "id_column": "doc_id", "text_column": "text",
+         |           "id_regex": "([0-9]+)$$", "docx": true},
+         | "rules": []}""".stripMargin)
+    val dx = CurationPipeline.curate(spark, dcfg)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    dx.map(_._1) shouldBe Seq(1L, 2L, 3L)
+    dx(0)._2.get should include("mixed1") // html row untouched
+    dx(1)._2.get shouldBe "office paragraph one\noffice paragraph two"
+    dx(2)._2 shouldBe None // zip but not OOXML: honest null
+
     // without the flag a pdf payload would go through the html chain —
     // the dispatch is opt-in and off by default
     val off = CurationPipeline.fromJson(

@@ -68,8 +68,16 @@ object CurationPipeline {
     * ([[Dedup.dedupAgainst]]; build parameters frozen in the index
     * directory). The input is NOT self-deduped — chain an `exact` run
     * or extend the index between increments for that. */
+  /** `extendIndex = true` turns a run into the DAY-2 increment loop:
+    * after a successful publish the index directory is extended with
+    * the PUBLISHED rows ([[Dedup.appendToTextIndexDir]]), so tomorrow's
+    * increment dedups against today's accepted docs — validated →
+    * published → indexed, in that order; a failed gate extends
+    * nothing. */
   final case class AgainstTextIndexTier(indexDir: String,
-                                        threshold: Double) extends DedupTier
+                                        threshold: Double,
+                                        extendIndex: Boolean = false)
+    extends DedupTier
 
   final case class ChunkConfig(tokens: Int, overlap: Int)
   /** `shards` buckets rows by `pmod(id, shards)` — the pack
@@ -175,7 +183,8 @@ object CurationPipeline {
       classifier: Option[ClassifierConfig] = None,
       sinkSamplesPerShard: Int = 1000,
       decontaminate: Option[DecontaminateConfig] = None,
-      stageReportPath: Option[String] = None)
+      stageReportPath: Option[String] = None,
+      sinkMode: String = "overwrite")
 
   // ------------------------------------------------------------- rules
 
@@ -259,7 +268,7 @@ object CurationPipeline {
       case SimHashTier(n, d) =>
         dropByPairs(df, config.idCol,
           Dedup.simhashNearDups(df, config.idCol, config.textCol, n, d))
-      case AgainstTextIndexTier(dir, t) =>
+      case AgainstTextIndexTier(dir, t, _) =>
         Dedup.dedupAgainst(df,
           Dedup.TextIndex.load(df.sparkSession, dir),
           config.idCol, config.textCol, t)
@@ -562,6 +571,9 @@ object CurationPipeline {
     val df = pinned.getOrElse(computed)
     try {
       pinned.foreach(_ => Expectations.enforce(df, config.expectations))
+      val saveMode =
+        if (config.sinkMode == "append") SaveMode.Append
+        else SaveMode.Overwrite
       config.sinkFormat match {
         case "webdataset" =>
           // the training-loader interchange: <id>.txt + <id>.json
@@ -577,7 +589,7 @@ object CurationPipeline {
             sinkPath, config.sinkSamplesPerShard)
           ()
         case other =>
-          val w0 = df.write.mode(SaveMode.Overwrite)
+          val w0 = df.write.mode(saveMode)
           val w = if (config.partitionBy.nonEmpty)
             w0.partitionBy(config.partitionBy: _*) else w0
           other match {
@@ -588,6 +600,15 @@ object CurationPipeline {
             case o => fail(s"unknown sink.format '$o' " +
               "(expected parquet | jsonl | webdataset)")
           }
+      }
+      // day-2 loop closure: the index learns exactly the rows that
+      // were validated AND published (df is pinned doc-granular —
+      // extend_index refuses chunk/pack at parse time)
+      config.dedup match {
+        case AgainstTextIndexTier(dir, _, true) =>
+          graft.ops.Dedup.appendToTextIndexDir(spark, dir, df,
+            config.idCol, config.textCol)
+        case _ => ()
       }
     } finally pinned.foreach(_.unpersist())
     // the accounting artifact published NEXT TO the dataset ("10 B docs;
@@ -637,7 +658,8 @@ object CurationPipeline {
     *             "ngram": 3, "threshold": 0.8,           // jaccard/minhash
     *             "bands": 16, "rows_per_band": 4,        // minhash
     *             "max_dist": 11,                         // simhash
-    *             "index_dir": "..."},          // against_text_index
+    *             "index_dir": "...",           // against_text_index
+    *             "extend_index": true},  // publish-then-index (day-2)
     *   "sample": {"fraction": 0.5},                      // optional
     *   "budget": {"domain_column": "lang",               // optional:
     *              "tokenizer": "/models/tok",   // frozen-artifact units
@@ -649,6 +671,7 @@ object CurationPipeline {
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
     *   "sink": {"path": "...",
     *            "format": "parquet" | "jsonl" | "webdataset",
+    *            "mode": "overwrite" | "append",   // append = increments
     *            "samples_per_shard": 1000},   // webdataset tar shards
     *   "partition_by": ["shard"],
     *   "report": {"path": "...",           // per-rule attrition and/or
@@ -811,7 +834,13 @@ object CurationPipeline {
           case "against_text_index" => AgainstTextIndexTier(
             str(d \ "index_dir").getOrElse(fail(
               "dedup.index_dir is required for against_text_index")),
-            dblOf(d \ "threshold", "dedup.threshold", 0.8))
+            dblOf(d \ "threshold", "dedup.threshold", 0.8),
+            d \ "extend_index" match {
+              case JNothing => false
+              case JBool(b) => b
+              case other => fail(
+                s"dedup.extend_index must be a boolean, got $other")
+            })
           case other => fail(s"unknown dedup.method '$other' " +
             "(expected exact | jaccard | minhash | simhash | " +
             "against_text_index)")
@@ -885,6 +914,14 @@ object CurationPipeline {
     }
     if (pack.isDefined && chunk.isEmpty)
       fail("pack requires chunk (packing needs chunk_tokens)")
+    dedup match {
+      case AgainstTextIndexTier(_, _, true)
+          if chunk.isDefined || pack.isDefined =>
+        fail("dedup.extend_index appends the PUBLISHED rows to the " +
+          "index, so the publish must stay document-granular — " +
+          "drop chunk/pack or extend the index in a separate run")
+      case _ => ()
+    }
     chunk.foreach(c =>
       if (c.tokens <= 0 || c.overlap < 0 || c.overlap >= c.tokens)
         fail(s"chunk needs 0 <= overlap < tokens, got ${c.overlap}/${c.tokens}"))
@@ -898,6 +935,9 @@ object CurationPipeline {
       case JNothing => None
       case other => fail(s"sink.path must be a string, got $other")
     }
+    val sinkMode = str(root \ "sink" \ "mode").getOrElse("overwrite")
+    if (sinkMode != "overwrite" && sinkMode != "append")
+      fail(s"sink.mode must be overwrite | append, got '$sinkMode'")
     val sinkFormat = str(root \ "sink" \ "format").getOrElse("parquet")
     if (!Set("parquet", "jsonl", "webdataset").contains(sinkFormat))
       fail(s"unknown sink.format '$sinkFormat' " +
@@ -909,6 +949,9 @@ object CurationPipeline {
     val partitionBy = strList("partition_by", root \ "partition_by")
     if (partitionBy.nonEmpty && sinkPath.isEmpty)
       fail("partition_by requires sink.path")
+    if (sinkFormat == "webdataset" && sinkMode == "append")
+      fail("sink.format webdataset is a deterministic full export; " +
+        "mode append does not apply (re-export instead)")
     if (sinkFormat == "webdataset") {
       // shards carry <id>.txt members: the export is DOCUMENT-granular
       if (chunk.isDefined || pack.isDefined)
@@ -934,7 +977,7 @@ object CurationPipeline {
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
-      sinkSamplesPerShard, decontaminate, stageReportPath)
+      sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode)
   }
 
   private def fail(msg: String): Nothing =

@@ -754,7 +754,13 @@ object ChangelogStream {
                    dir: String, statePartitions: Int = 0): DataFrame = {
     import graft.pipeline.CurationPipeline._
     config.dedup match {
-      case NoDedup | AgainstTextIndexTier(_, _) => ()
+      case NoDedup | AgainstTextIndexTier(_, _, false) => ()
+      case AgainstTextIndexTier(_, _, true) =>
+        throw new IllegalArgumentException(
+          "streamCurate: dedup.extend_index belongs to the batch " +
+            "publisher (CurationPipeline.run) — the streaming gate " +
+            "must not mutate the frozen index it reads " +
+            "(use streamDedupAgainst's appendAccepted for that shape)")
       case other => throw new IllegalArgumentException(
         s"streamCurate: dedup tier $other compares arriving rows with " +
           "each other, so its output depends on micro-batch boundaries; " +

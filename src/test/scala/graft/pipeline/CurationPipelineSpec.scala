@@ -789,6 +789,79 @@ class CurationPipelineSpec extends SparkTestBase {
           |                   "min_overlap": 0}}""".stripMargin)
   }
 
+  "the increment lifecycle" should "append to the sink and extend the index on publish" in {
+    import graft.ops.Dedup
+    val idxDir = s"$tmp/inc_idx"
+    val base = Seq(
+      (1L, "the base corpus document about spark and large data systems"),
+      (2L, "another base document with entirely different words inside"))
+      .toDF("doc_id", "text")
+    Dedup.buildTextIndex(base, "doc_id", "text").save(idxDir)
+    val sink = s"$tmp/inc_sink"
+    def runWave(docs: Seq[(Long, String)], wave: String): Unit = {
+      val in = s"$tmp/inc_in_$wave"
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+      CurationPipeline.run(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$in"},
+           | "rules": ["min_tokens:4"],
+           | "dedup": {"method": "against_text_index",
+           |           "index_dir": "$idxDir", "threshold": 0.5,
+           |           "extend_index": true},
+           | "sink": {"path": "$sink", "mode": "append"}}""".stripMargin))
+    }
+    // wave 1: 10 dups base doc 1 (dropped), 11 is novel (published)
+    runWave(Seq(
+      (10L, "the base corpus document about spark and large data systems today"),
+      (11L, "a completely novel increment document no one has seen before")),
+      "w1")
+    spark.read.parquet(sink).select($"doc_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(11L)
+    // wave 2: 20 dups WAVE-1's doc 11 — only droppable because the
+    // index was extended at publish; 21 is novel and APPENDS
+    runWave(Seq(
+      (20L, "a completely novel increment document no one has seen before either"),
+      (21L, "fresh second wave content that matches nothing at all here")),
+      "w2")
+    spark.read.parquet(sink).select($"doc_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(11L, 21L)
+    // and the extension is publish-gated: a failing expectation leaves
+    // both sink and index untouched
+    val in3 = s"$tmp/inc_in_w3"
+    Seq((30L, "yet another brand new document full of unseen words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in3)
+    an[Exception] should be thrownBy CurationPipeline.run(spark,
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$in3"},
+           | "rules": ["min_tokens:4"],
+           | "dedup": {"method": "against_text_index",
+           |           "index_dir": "$idxDir", "threshold": 0.5,
+           |           "extend_index": true},
+           | "expectations": ["in_range:doc_id:-5:-1:1.0"],
+           | "sink": {"path": "$sink", "mode": "append"}}""".stripMargin))
+    spark.read.parquet(sink).count() shouldBe 2L
+    // doc 30 never reached the index: re-running accepts it
+    runWave(Seq((30L, "yet another brand new document full of unseen words")), "w4")
+    spark.read.parquet(sink).select($"doc_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(11L, 21L, 30L)
+  }
+
+  it should "refuse extend_index with chunk/pack and append with webdataset" in {
+    def bad(json: String): Unit = {
+      an[IllegalArgumentException] should be thrownBy
+        CurationPipeline.fromJson(json)
+      ()
+    }
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "dedup": {"method": "against_text_index", "index_dir": "/i",
+           |           "extend_index": true},
+           | "chunk": {"tokens": 10, "overlap": 0}}""".stripMargin)
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "sink": {"path": "/s", "format": "webdataset",
+           |          "mode": "append"}}""".stripMargin)
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "sink": {"path": "/s", "mode": "sideways"}}""".stripMargin)
+  }
+
   "stageAttrition" should "count every declared boundary from the same composition" in {
     val cfg = CurationPipeline.fromJson(
       s"""{"input": {"path": "$docsPath"},

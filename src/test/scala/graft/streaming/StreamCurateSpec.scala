@@ -135,6 +135,9 @@ class StreamCurateSpec extends SparkTestBase {
       .getMessage should include("publisher")
     attempt(base.copy(paragraphDedup = true))
       .getMessage should include("paragraph_dedup")
+    attempt(base.copy(dedup =
+        AgainstTextIndexTier("/i", 0.5, extendIndex = true)))
+      .getMessage should include("extend_index")
   }
 
   it should "accept warc input: streamed archives converge to the batch ingest" in {

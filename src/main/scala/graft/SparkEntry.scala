@@ -2871,6 +2871,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // JSONL corpus in, curated corpus out, corrupt lines quarantined —
+    // one config: the %13 rows are staged as broken lines, the
+    // permissive-quarantine adapter routes them aside with reasons, the
+    // clean rows flow through a min_tokens rule. The oracle replays the
+    // corruption condition and the gate.
+    "q_pipeline_jsonl" -> ((s, d) => {
+      val fx = stagedOnce("pjl", d) { dir =>
+        val id = col("doc_id")
+        val line = when(pmod(id, lit(13)) === 0,
+            concat(lit("corrupt line for doc "), id.cast("string")))
+          .otherwise(to_json(struct(id.as("doc_id"), col("text"),
+            col("lang"))))
+        Tables.documents(s, d).select(line.as("value"))
+          .write.mode("overwrite").text(s"$dir/docs.jsonl")
+      }
+      val out = scratchDir("graft_pjl_")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/docs.jsonl", "format": "jsonl",
+           |           "schema": "doc_id BIGINT, text STRING, lang STRING",
+           |           "quarantine_path": "$out/quarantine",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"]}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Publish-time stage accounting: the per-boundary document counts
     // of a declared chain (input → blocklist → rules → exact dedup) —
     // the numbers a dataset card cites, from the SAME composition the
@@ -7267,6 +7294,15 @@ object SparkEntry {
          |  CAST(1 + doc_id % 2 AS INTEGER) AS n_chapters
          |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // JSONL ingest replayed: the corruption condition (%13) plus the
+    // token gate — JSON encode/decode is value-transparent for the
+    // surviving rows.
+    "q_pipeline_jsonl" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 13 <> 0
+        |  AND CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20
+        |ORDER BY doc_id""".stripMargin,
     // Stage accounting replayed boundary by boundary: blocklist
     // survivors from the literal url-filter CTE, the token gate, exact
     // dedup as distinct surviving texts.

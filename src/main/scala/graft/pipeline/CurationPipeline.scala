@@ -130,6 +130,22 @@ object CurationPipeline {
                                    pdf: Boolean = false,
                                    docx: Boolean = false)
 
+  /** Text-format input (`input.format = "jsonl" | "csv"`): the corpus
+    * arrives as the interchange formats a replicator or export actually
+    * lands — read through the TESTED changelog adapters
+    * ([[graft.sources.JsonlChangelogSource]] /
+    * [[graft.sources.CsvChangelogSource]]), so the REQUIRED-schema
+    * contract (inference is an extra pass; drifting types are silent
+    * corruption) and the corrupt-row policy come along: FAILFAST by
+    * default, or `quarantine_path` for the permissive-quarantine mode
+    * (corrupt rows routed with reasons while clean rows proceed).
+    * `input.path` must end in `.jsonl`/`.csv` (the adapters' root/table
+    * naming). */
+  final case class TextInputConfig(format: String, schemaDdl: String,
+                                   quarantinePath: Option[String] = None,
+                                   header: Boolean = true,
+                                   delimiter: String = ",")
+
   /** Benchmark-decontamination stage against a FROZEN reference corpus
     * (eval/benchmark text staged to parquet): `"paragraph"` REWRITES
     * each document, dropping every paragraph whose normalized key
@@ -184,7 +200,8 @@ object CurationPipeline {
       sinkSamplesPerShard: Int = 1000,
       decontaminate: Option[DecontaminateConfig] = None,
       stageReportPath: Option[String] = None,
-      sinkMode: String = "overwrite")
+      sinkMode: String = "overwrite",
+      textInput: Option[TextInputConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -366,10 +383,40 @@ object CurationPipeline {
         }
     }
 
+  /** Resolve the declared input to a frame: parquet by default, or the
+    * text-format adapters (with their corrupt-row policy) for
+    * `input.format = jsonl | csv`; WARC input stays a RAW archive read
+    * here — [[ingestFrame]] explodes it. */
+  def readInput(spark: SparkSession, config: CurationConfig): DataFrame =
+    config.textInput match {
+      case None => spark.read.parquet(config.inputPath)
+      case Some(t) =>
+        val suffix = "." + t.format
+        val path = config.inputPath
+        require(path.endsWith(suffix),
+          s"input.path must end in $suffix for format ${t.format}: $path")
+        val cut = path.lastIndexOf('/')
+        val (root, table) = (path.substring(0, cut),
+          path.substring(cut + 1, path.length - suffix.length))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(t.schemaDdl)
+        val mode = t.quarantinePath
+          .map(graft.sources.PermissiveQuarantine)
+          .getOrElse(graft.sources.FailFast)
+        t.format match {
+          case "jsonl" =>
+            graft.sources.JsonlChangelogSource(root, schema, mode)
+              .read(spark, table)
+          case "csv" =>
+            graft.sources.CsvChangelogSource(root, schema, t.header,
+              t.delimiter, mode).read(spark, table)
+          case other => fail(s"unknown text input format '$other'")
+        }
+    }
+
   /** The curated corpus at DOCUMENT granularity (after rules, dedup,
     * sample, quota, budget — before any chunking). */
   def curatedDocs(spark: SparkSession, config: CurationConfig): DataFrame =
-    curatedDocsFrame(spark.read.parquet(config.inputPath), config)
+    curatedDocsFrame(readInput(spark, config), config)
 
   /** [[curatedDocs]] with the scan factored out: the document stages
     * (rules → dedup → sample → quota → budget) over a GIVEN input
@@ -510,8 +557,7 @@ object CurationPipeline {
     * not in the hot path. */
   def stageAttrition(spark: SparkSession,
                      config: CurationConfig): DataFrame = {
-    val counts = documentStages(
-        spark.read.parquet(config.inputPath), config)
+    val counts = documentStages(readInput(spark, config), config)
       .zipWithIndex
       .map { case ((name, frame), i) => (i, name, frame.count()) }
     spark.createDataFrame(counts).toDF("stage_idx", "stage", "n_docs")
@@ -522,7 +568,7 @@ object CurationPipeline {
     * the pack summary `(shard, pack_id, n_pieces, n_tokens)`; with only
     * `chunk` the chunk rows; otherwise the curated documents. */
   def curate(spark: SparkSession, config: CurationConfig): DataFrame =
-    curateFrame(spark.read.parquet(config.inputPath), config)
+    curateFrame(readInput(spark, config), config)
 
   /** [[curate]] over a GIVEN input frame — see [[curatedDocsFrame]]. */
   def curateFrame(input: DataFrame, config: CurationConfig): DataFrame = {
@@ -550,7 +596,7 @@ object CurationPipeline {
     // the report charges rules against the INGESTED documents (for WARC
     // input the rules never see archive bytes), same as the filter path
     Policy.attritionReport(
-      ingestFrame(spark.read.parquet(config.inputPath), config),
+      ingestFrame(readInput(spark, config), config),
       namedRules(config))
   }
 
@@ -631,7 +677,12 @@ object CurationPipeline {
     * {{{
     * { "input": {"path": "...", "id_column": "doc_id",
     *             "text_column": "text",
-    *             "format": "parquet" | "warc",       // warc = archive
+    *             "format": "parquet" | "jsonl" | "csv" | "warc",
+    *             // jsonl/csv: REQUIRED-schema text interchange via the
+    *             // changelog adapters (path ends in .jsonl/.csv):
+    *             "schema": "doc_id BIGINT, text STRING",   // DDL
+    *             "quarantine_path": "...",   // else FAILFAST
+    *             "header": true, "delimiter": ",",         // csv
     *             // warc-only (see WarcInputConfig):  // ingest first
     *             "archive_column": "archive_id", "data_column": "data",
     *             "id_regex": "doc/(\\d+)$",          // group 1 -> long id
@@ -721,8 +772,25 @@ object CurationPipeline {
       fail("input.path is required"))
     val idCol = str(root \ "input" \ "id_column").getOrElse("doc_id")
     val textCol = str(root \ "input" \ "text_column").getOrElse("text")
-    val warcInput = str(root \ "input" \ "format").getOrElse("parquet") match {
-      case "parquet" => None
+    val fmt = str(root \ "input" \ "format").getOrElse("parquet")
+    val textInput = fmt match {
+      case "jsonl" | "csv" =>
+        val ddl = str(root \ "input" \ "schema").getOrElse(
+          fail(s"input.schema (a DDL string) is required for $fmt input " +
+            "— inference is an extra corpus pass and drifts with content"))
+        val header = root \ "input" \ "header" match {
+          case JNothing => true
+          case JBool(b) => b
+          case other => fail(s"input.header must be a boolean, got $other")
+        }
+        Some(TextInputConfig(fmt, ddl,
+          str(root \ "input" \ "quarantine_path"),
+          header,
+          str(root \ "input" \ "delimiter").getOrElse(",")))
+      case _ => None
+    }
+    val warcInput = fmt match {
+      case "parquet" | "jsonl" | "csv" => None
       case "warc" =>
         val mode = str(root \ "input" \ "html").getOrElse("flat")
         if (mode != "flat" && mode != "blocks")
@@ -752,7 +820,7 @@ object CurationPipeline {
             "input.max_link_density", 0.34),
           statuses, pdf, docx))
       case other => fail(s"unknown input.format '$other' " +
-        "(expected parquet | warc)")
+        "(expected parquet | jsonl | csv | warc)")
     }
     val rules = strList("rules", root \ "rules")
     // parse eagerly so a bad rule spec fails at config time, not plan time
@@ -977,7 +1045,8 @@ object CurationPipeline {
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
-      sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode)
+      sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
+      textInput)
   }
 
   private def fail(msg: String): Nothing =

@@ -789,6 +789,53 @@ class CurationPipelineSpec extends SparkTestBase {
           |                   "min_overlap": 0}}""".stripMargin)
   }
 
+  "text-format input" should "read jsonl/csv through the adapters with quarantine" in {
+    val root = s"$tmp/text_in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/corpus.jsonl"),
+      """{"doc_id":1,"text":"enough words to pass the gate easily today"}
+        |this line is not json
+        |{"doc_id":3,"text":"short"}
+        |""".stripMargin)
+    val q = s"$root/_quarantine"
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$root/corpus.jsonl", "format": "jsonl",
+         |           "schema": "doc_id BIGINT, text STRING",
+         |           "quarantine_path": "$q"},
+         | "rules": ["min_tokens:4"]}""".stripMargin)
+    CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    spark.read.parquet(s"$q/corpus").count() shouldBe 1L
+    // without a quarantine path the default stays FAILFAST
+    val ff = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$root/corpus.jsonl", "format": "jsonl",
+         |           "schema": "doc_id BIGINT, text STRING"},
+         | "rules": []}""".stripMargin)
+    an[Exception] should be thrownBy
+      CurationPipeline.curate(spark, ff).collect()
+    // csv variant
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/corpus.csv"),
+      "doc_id,text\n7,seven words of clean csv text here\n")
+    val csv = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$root/corpus.csv", "format": "csv",
+         |           "schema": "doc_id BIGINT, text STRING"},
+         | "rules": []}""".stripMargin)
+    CurationPipeline.curate(spark, csv)
+      .select($"doc_id").as[Long].collect().toSeq shouldBe Seq(7L)
+    // refusals: missing schema, wrong extension
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.fromJson(
+        """{"input": {"path": "/x.jsonl", "format": "jsonl"},
+          | "rules": []}""".stripMargin)
+    an[Exception] should be thrownBy
+      CurationPipeline.curate(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$root/corpus.txt", "format": "jsonl",
+           |           "schema": "doc_id BIGINT"}, "rules": []}"""
+          .stripMargin))
+  }
+
   "the increment lifecycle" should "append to the sink and extend the index on publish" in {
     import graft.ops.Dedup
     val idxDir = s"$tmp/inc_idx"

@@ -2871,6 +2871,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deflate-ratio quality signal per document (the RefinedWeb-style
+    // gate: machine-repetitive text compresses far below prose). Rows
+    // only by nature — the value is zlib-defined, with no
+    // engine-independent ground truth; CompressionRatioSpec pins it
+    // against the direct java.util.zip reference and its ordering
+    // properties.
+    "q_compression_ratio" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          round(graft.ops.TextAnalysis.compressionRatio(col("text")), 6)
+            .as("deflate_ratio"))
+        .orderBy(col("doc_id"))),
+
     // JSONL corpus in, curated corpus out, corrupt lines quarantined —
     // one config: the %13 rows are staged as broken lines, the
     // permissive-quarantine adapter routes them aside with reasons, the

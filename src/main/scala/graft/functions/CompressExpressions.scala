@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `deflate_ratio(text)` → deflated bytes / raw UTF-8 bytes — the
+  * compression-ratio quality signal web-curation pipelines gate on
+  * (RefinedWeb-style): machine-generated/boilerplate text compresses
+  * far below prose, so a LOW ratio flags repetitive junk the n-gram
+  * repetition profile can miss (long-range repeats). One DEFLATE pass
+  * per row (level 6, raw stream), NULL for empty text.
+  *
+  * Determinism contract: the value is defined by the JDK's zlib — the
+  * SAME library computes it on every executor, so the signal is
+  * deterministic within a deployment and the spec pins it against a
+  * direct `java.util.zip` reference; there is no engine-independent
+  * ground truth (rows-only in the harness, by nature). */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.catalogString}")
+  }
+
+  def ratio(text: UTF8String): Any = {
+    val raw = text.getBytes
+    if (raw.length == 0) return null
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    d.end()
+    compressed.toDouble / raw.length
+  }
+
+  override def nullSafeEval(v: Any): Any = ratio(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("deflateRatio", this,
+        classOf[DeflateRatioExpr].getName)
+      s"""Object r = $ref.ratio($v);
+         |${ev.isNull} = r == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : ((Double) r).doubleValue();
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+}

@@ -21,6 +21,16 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Deflate-ratio quality signal (compressed/raw bytes): repetitive
+    * machine text compresses far below prose, catching long-range
+    * repeats the n-gram profile misses ([[graft.functions.DeflateRatioExpr]];
+    * NULL for empty text; JDK-zlib-defined, spec-pinned against the
+    * direct reference). */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.DeflateRatioExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
+
   /** A BPE-ish subword count heuristic: words + digit runs + punctuation
     * marks each count as a token piece (approximates tokenizer inflation
     * on punctuation-heavy text without an external vocab). */

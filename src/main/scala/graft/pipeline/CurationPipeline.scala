@@ -217,6 +217,8 @@ object CurationPipeline {
     * max_punct_ratio:<r>    max_upper_ratio:<r>
     * min_stopword_ratio:<r>
     * max_dup_word_frac:<r>            (Repetition.dupWordFrac)
+    * min_compression_ratio:<r>        (TextAnalysis.compressionRatio:
+    *                                   drop too-compressible junk)
     * gopher_quality                   (the full GopherRules battery
     *                                   as one conjunction)
     * c4_quality                       (the C4Rules page gates)
@@ -249,6 +251,9 @@ object CurationPipeline {
           TextAnalysis.stopwordRatio(text) >= num(arg, "ratio")
         case "max_dup_word_frac" =>
           Repetition.dupWordFrac(text) <= num(arg, "ratio")
+        case "min_compression_ratio" =>
+          // too-compressible = long-range-repetitive machine text
+          TextAnalysis.compressionRatio(text) >= num(arg, "ratio")
         case other => fail(s"unknown rule type '$other' in '$spec'")
       }
       case _ => fail(s"rule '$spec' needs a ':<arg>' part")

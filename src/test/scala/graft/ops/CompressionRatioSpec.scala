@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The deflate-ratio signal against the direct JDK reference, its
+  * ordering properties, and the curation-rule integration. */
+class CompressionRatioSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def referenceRatio(s: String): Double = {
+    val raw = s.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n.toDouble / raw.length
+  }
+
+  "compressionRatio" should "equal the direct java.util.zip reference" in {
+    val texts = Seq(
+      "ordinary prose with a reasonable mix of words and letters",
+      "spam spam spam spam spam spam spam spam spam spam spam spam",
+      "x", "unicode 中文 naïve café emoji 😀 end")
+    val got = texts.toDF("text")
+      .select(TextAnalysis.compressionRatio($"text"))
+      .as[Double].collect().toSeq
+    got.zip(texts.map(referenceRatio)).foreach { case (a, b) =>
+      a shouldBe b
+    }
+  }
+
+  it should "rank repetitive text below prose and null empty text" in {
+    val prose = (1 to 60).map(i => s"different$i word$i").mkString(" ")
+    val junk = "buy now! " * 120
+    val rows = Seq(("p", prose), ("j", junk), ("e", ""))
+      .toDF("k", "text")
+      .select($"k", TextAnalysis.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    rows("e") shouldBe None
+    rows("j").get should be < rows("p").get
+    rows("j").get should be > 0.0
+  }
+
+  it should "gate through the min_compression_ratio curation rule" in {
+    val df = Seq(
+      (1L, (1 to 50).map(i => s"varied$i token$i").mkString(" ")),
+      (2L, "repeat me " * 200)).toDF("doc_id", "text")
+    val kept = Policy.survivors(df, Seq(
+        graft.pipeline.CurationPipeline.ruleFromSpec(
+          "min_compression_ratio:0.2", col("text"))))
+      .select($"doc_id").as[Long].collect().toSeq
+    kept shouldBe Seq(1L)
+  }
+}

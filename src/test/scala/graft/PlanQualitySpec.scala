@@ -419,4 +419,43 @@ class PlanQualitySpec extends SparkTestBase {
     // partial_sum under the first exchange proves map-side combine
     planOf("q_classifier_eval") should include("partial_sum")
   }
+
+  "the classifier gate" should "fuse featurize + score + filter into one scan-side stage" in {
+    // no Exchange between the parquet scan and the gate's filter: the
+    // hashed featurizer is a per-row expression, the model rides as
+    // plan state — the 100 TB gating-scan contract
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft_pq_clf").toString
+    graft.ops.QualityClassifier.save(spark,
+      graft.ops.QualityClassifier.LinearModel(
+        Array.tabulate(16)(_.toFloat / 16f), 0.0), mdir)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_pq_clf_in").toString
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val model = graft.ops.QualityClassifier.load(spark, mdir)
+    val plan = spark.read.parquet(in)
+      .filter(graft.ops.QualityClassifier.scoreCol(
+        graft.ops.FeatureHash.denseCol(
+          org.apache.spark.sql.functions.col("text"), 16), model) >= 0.5)
+      .queryExecution.executedPlan.toString()
+    (plan should not).include("Exchange")
+    plan should include("hash_tf_dense")
+  }
+
+  "the flat-mode WARC ingest" should "stay shuffle-free up to the blocklist join" in {
+    // archive walk (mapPartitions), response filter, id derivation and
+    // the per-row extraction dispatch are all narrow: the ONLY
+    // exchanges in q_pipeline_warc belong to the blocklist equi-join
+    // and the final orderBy — never a binary-payload shuffle
+    val plan = planOf("q_pipeline_warc")
+    withClue(plan) {
+      // the records explode feeds a projection, not an exchange: no
+      // Exchange may appear between the scan of the archives and the
+      // first join build side
+      plan should include("MapPartitions")
+      (plan should not).include("Exchange hashpartitioning(data")
+    }
+  }
 }

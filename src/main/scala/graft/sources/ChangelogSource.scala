@@ -64,20 +64,40 @@ final case class ParquetChangelogSource(root: String) extends ChangelogSource {
   *    spec-pinned).
   *
   * Scale posture of the quarantine mode: TWO stream-through scans of
-  * the source (one DROPMALFORMED for the clean rows, one PERMISSIVE
-  * projecting only the corrupt ones) instead of persisting the whole
-  * corpus to split it in one pass — at ingest scale two cheap scans
-  * beat materializing 100 TB to memory/disk, and the clean-side scan
-  * stays a plain lazy frame with pushdown intact. A byte offset is not
-  * available from Spark's text parsers (they expose the file, not the
-  * row position), so the quarantine carries the raw record itself —
-  * the recovery key — plus the source file and a parse-stage reason. */
+  * the source (clean rows and corrupt rows) instead of persisting the
+  * whole corpus to split it in one pass — at ingest scale two cheap
+  * scans beat materializing 100 TB to memory/disk. BOTH scans parse
+  * FULL WIDTH by construction: Spark's text parsers decide
+  * malformed-ness against the REQUIRED schema only, so a pruned clean
+  * read would silently keep a row whose corruption lives in a column
+  * the consuming query doesn't touch — the same row the quarantine
+  * scan claims — and the accounting identity (input = clean +
+  * quarantined) would break. Exact accounting costs the clean path its
+  * column pruning; FAILFAST (the default) keeps pruning. A byte offset
+  * is not available from Spark's text parsers (they expose the file,
+  * not the row position), so the quarantine carries the raw record
+  * itself — the recovery key — plus the source file and a parse-stage
+  * reason. */
 sealed trait CorruptMode
 case object FailFast extends CorruptMode
 final case class PermissiveQuarantine(path: String) extends CorruptMode
 
 private[sources] object Quarantine {
   import org.apache.spark.sql.functions._
+
+  /** The clean rows of a PERMISSIVE parse, classified at FULL WIDTH:
+    * the always-true `length(to_json(struct(all))) >= 0` conjunct pulls
+    * EVERY schema column into the scan's required schema (the
+    * optimizer cannot prove it away), so a row's corruptness cannot
+    * depend on which columns the downstream query reads — the
+    * accounting identity's load-bearing trick, same mechanism as the
+    * quarantine side's `partial_parse`. */
+  def cleanRows(parsed: DataFrame,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    parsed
+      .filter(col("_corrupt_record").isNull &&
+        length(to_json(struct(schema.fieldNames.toSeq.map(col): _*))) >= 0)
+      .select(schema.fieldNames.toSeq.map(col): _*)
 
   /** Split a PERMISSIVE parse (with `_corrupt_record` appended) into
     * the quarantine frame and write it; `reason` derives from the raw
@@ -143,9 +163,7 @@ final case class JsonlChangelogSource(
               org.apache.spark.sql.types.StringType)).isNull,
           lit("not a JSON object")).otherwise(lit("schema mismatch"))
         Quarantine.write(parsed, reason, schema.fieldNames.toSeq, qPath, table)
-        spark.read.schema(schema)
-          .option("mode", "DROPMALFORMED")
-          .json(s"$root/$table.jsonl")
+        Quarantine.cleanRows(parsed, schema)
     }
 }
 
@@ -193,9 +211,7 @@ final case class CsvChangelogSource(
             lit(s" != ${schema.size}")))
           .otherwise(lit("type mismatch"))
         Quarantine.write(parsed, reason, schema.fieldNames.toSeq, qPath, table)
-        reader(spark).schema(schema)
-          .option("mode", "DROPMALFORMED")
-          .csv(s"$root/$table.csv")
+        Quarantine.cleanRows(parsed, schema)
     }
 }
 

@@ -228,6 +228,33 @@ class ChangelogSourceSpec extends SparkTestBase {
     spark.read.parquet(s"$q/log").columns should contain("file")
   }
 
+  it should "classify corruption at full width even under column pruning" in {
+    // the regression this pins: a type-corrupt value in a column the
+    // downstream query does NOT read must still be dropped from the
+    // clean rows (and quarantined) — Spark's parsers decide
+    // malformed-ness against the required schema, so a naive clean read
+    // would keep the row a pruned projection never parses
+    val root = java.nio.file.Files.createTempDirectory("graft_csvp_").toString
+    val q = s"$root/_quarantine"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/log.csv"),
+      """row_key,ts
+        |u1,1000
+        |u2,notanumber
+        |u3,1500
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "row_key STRING, ts BIGINT")
+    val clean = CsvChangelogSource(root, schema,
+        mode = PermissiveQuarantine(q))
+      .read(spark, "log")
+      .select($"row_key") // prunes ts — the corrupt column
+      .as[String].collect().sorted.toSeq
+    clean shouldBe Seq("u1", "u3")
+    val quarantined = spark.read.parquet(s"$q/log").count()
+    clean.size + quarantined.toInt shouldBe 3 // identity holds pruned
+  }
+
   "JsonlChangelogSource" should
       "fail loudly on malformed rows by default and quarantine in permissive-quarantine mode" in {
     val root = java.nio.file.Files.createTempDirectory("graft_jsonq_").toString

@@ -356,12 +356,13 @@ object CurationPipeline {
             pages.withColumn(config.textCol, text).drop("__payload")
           case "blocks" =>
             // extractMainText is id-granular; join the provenance
-            // columns back on the id (one id-key equi-join). With pdf
-            // the html rows take the block path and the pdf rows the
-            // structural walk, then union — two walks of the archive
-            // scan (a mixed-corpus blocks run at scale should stage
-            // the ingested pages to parquet between, like the
-            // fixture queries do).
+            // columns back on the id (one id-key equi-join). The
+            // provenance select, the blocks regroup, and (with
+            // pdf/docx) the dispatch branch each re-walk the archive
+            // scan — blocks mode trades walks for block-level quality;
+            // a mixed-corpus blocks run at scale should stage the
+            // ingested pages to parquet between, like the fixture
+            // queries do. Flat mode stays single-pass.
             val htmlPages = pages.filter(
               (if (w.pdf) !pdfMagic else lit(true)) &&
                 (if (w.docx) !zipMagic else lit(true)))
@@ -401,8 +402,11 @@ object CurationPipeline {
         require(path.endsWith(suffix),
           s"input.path must end in $suffix for format ${t.format}: $path")
         val cut = path.lastIndexOf('/')
-        val (root, table) = (path.substring(0, cut),
-          path.substring(cut + 1, path.length - suffix.length))
+        // a bare relative name has no separator: root is the cwd
+        val (root, table) =
+          if (cut < 0) (".", path.substring(0, path.length - suffix.length))
+          else (path.substring(0, cut),
+            path.substring(cut + 1, path.length - suffix.length))
         val schema = org.apache.spark.sql.types.StructType.fromDDL(t.schemaDdl)
         val mode = t.quarantinePath
           .map(graft.sources.PermissiveQuarantine)

@@ -2871,6 +2871,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // 1-bit (sign) embedding quantization: each float becomes one bit,
+    // packed into 64-bit words — the 64×-smaller compressed-domain tier
+    // under the int8 codes. Pure integer packing, so the oracle rebuilds
+    // every word from the sign pattern (bit 63 via the explicit
+    // two's-complement MinValue term — SQL shifts refuse 1<<63).
+    "q_binary_quantize" -> ((s, d) =>
+      graft.ops.BinaryQuantization.encode(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          posexplode(col("code")).as(Seq("word_idx", "word")))
+        .orderBy(col("vec_id"), col("word_idx"))),
+
+    // Exact Hamming top-k over the sign codes — unlike the randomized
+    // LSH/IVF tiers this compressed-domain search is pure integer
+    // arithmetic end to end, so the WHOLE search hash-checks against
+    // the oracle directly (no exact-regime twin needed): queries
+    // broadcast, corpus codes scanned once, bounded two-phase top-k.
+    "q_binary_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.BinaryQuantization.binaryTopK(
+          emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Deflate-ratio quality signal per document (the RefinedWeb-style
     // gate: machine-repetitive text compresses far below prose). Rows
     // only by nature — the value is zlib-defined, with no
@@ -7306,6 +7330,37 @@ object SparkEntry {
          |  CAST(1 + doc_id % 2 AS INTEGER) AS n_chapters
          |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // Sign packing replayed bit for bit: per-word sum of 2^j for the
+    // positive components, bit 63 as the explicit MinValue term
+    // (two's complement), HUGEINT sum cast back to BIGINT.
+    "q_binary_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT vec_id, CAST((i - 1) // 64 AS INTEGER) AS word_idx,
+        |  CAST(sum(CASE WHEN v <= 0 THEN 0
+        |    WHEN (i - 1) % 64 = 63 THEN -9223372036854775807 - 1
+        |    ELSE (1::BIGINT << CAST((i - 1) % 64 AS INTEGER)) END)
+        |    AS BIGINT) AS word
+        |FROM e GROUP BY vec_id, (i - 1) // 64
+        |ORDER BY vec_id, word_idx""".stripMargin,
+    // Hamming top-k replayed: count of sign disagreements per pair,
+    // (distance asc, id asc) row_number, k = 5.
+    "q_binary_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    CAST(list_sum([CASE WHEN (qv[i] > 0) <> (cv[i] > 0)
+        |      THEN 1 ELSE 0 END for i in range(1, len(qv) + 1)])
+        |      AS INTEGER) AS hamming
+        |  FROM q JOIN c ON query_id <> corpus_id)
+        |SELECT query_id, corpus_id, hamming, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, corpus_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // JSONL ingest replayed: the corruption condition (%13) plus the
     // token gate — JSON encode/decode is value-transparent for the
     // surviving rows.

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `sign_bits(vec)` → the 1-bit (sign) quantization of a float vector
+  * as packed 64-bit words: bit `j` of word `w` is set iff
+  * `vec[64w + j] > 0` (exactly-zero components quantize to 0 — the
+  * documented tie rule both the oracle and the spec replay). One pass,
+  * 64× smaller than the floats — the most aggressive compressed-domain
+  * tier under the int8 codes, searched by pure-integer Hamming
+  * distance. */
+case class SignBitsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+
+  def pack(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val words = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      if (vec.getFloat(i) > 0f) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    val out = new Array[Any](words.length)
+    var w = 0
+    while (w < words.length) { out(w) = words(w); w += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = pack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("signBits", this,
+        classOf[SignBitsExpr].getName)
+      s"${ev.value} = $ref.pack($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBitsExpr =
+    copy(child = newChild)
+}

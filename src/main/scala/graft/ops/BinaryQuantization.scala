@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKFunctions.scoreTopK
+
+/** 1-bit (sign) embedding quantization + Hamming search — the most
+  * aggressive compressed-domain ANN tier, below the int8 codes of
+  * [[ScalarQuantization]]: each float becomes ONE bit (64× smaller than
+  * float32), and angular similarity is approximated by the Hamming
+  * distance between sign patterns (the classic SimHash/ITQ observation:
+  * for unit vectors, `P(sign differs) = angle/π` per random direction —
+  * here the coordinate directions). Re-rank the top candidates with
+  * exact cosine on the float vectors when recall matters; the binary
+  * pass cuts the float work to the candidate set.
+  *
+  * Everything here is EXACT integer arithmetic over the codes — sign
+  * packing, XOR popcount, (distance, id) ranking — so unlike the
+  * randomized LSH/IVF tiers the whole search is hash-checkable against
+  * a SQL oracle directly, no exact-regime twin needed.
+  *
+  * Scale posture: codes ride the corpus scan (64× less I/O than
+  * floats when persisted), queries broadcast, the per-query rank is the
+  * bounded two-phase [[graft.functions.ScoreTopK]] aggregate — only
+  * q×k×partitions buffers cross the one exchange
+  * ([[Similarity.bruteForceTopK]]'s shape with integer scores). */
+object BinaryQuantization {
+
+  /** Packed sign words of a float vector (bit j of word w = 1 iff
+    * `vec[64w+j] > 0`; exact zeros quantize to 0). */
+  def signBitsCol(vec: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.SignBitsExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(vec)))
+
+  /** Hamming distance between two packed sign codes — pure codegen'd
+    * integer Columns (XOR + popcount per word, summed). */
+  def hammingCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+
+  /** `(id, code)` sign codes of a corpus — persist this next to (or
+    * instead of) the floats: it is the 64×-smaller scan a binary
+    * search pass reads. */
+  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), signBitsCol(col(vecCol)).as("code"))
+
+  /** Exact Hamming top-k of each query over the binary codes: queries
+    * broadcast, corpus scanned once, ties broken by id ascending
+    * (deterministic, oracle-stable). Output
+    * `(query_id, corpus_id, hamming, rank)`. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"binaryTopK: k must be >= 1, got $k")
+    val c = Parallelism.spread(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")))
+      .select(col("corpus_id"), signBitsCol(col("cv")).as("c_code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBitsCol(col(vecCol)).as("q_code"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        hammingCol(col("q_code"), col("c_code")).as("hamming"))
+    // ScoreTopK maximizes (score desc, id asc): negate the distance so
+    // the ordering is (hamming asc, corpus_id asc)
+    scored
+      .groupBy(col("query_id"))
+      .agg(scoreTopK(-col("hamming").cast("double"), col("corpus_id"), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        (-col("col.score")).cast("int").as("hamming"),
+        (col("pos") + 1).as("rank"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Sign packing (zero tie rule, multi-word), integer Hamming, and the
+  * broadcast/no-corpus-shuffle search shape. */
+class BinaryQuantizationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "signBitsCol" should "pack signs with the documented zero rule" in {
+    val vec = Array.tabulate(70)(i =>
+      if (i % 3 == 0) 1.5f else if (i % 3 == 1) -0.5f else 0f)
+    val words = Seq(Tuple1(vec)).toDF("v")
+      .select(BinaryQuantization.signBitsCol($"v"))
+      .as[Seq[Long]].head()
+    words should have length 2 // 70 dims -> 2 words
+    var expected0 = 0L
+    var expected1 = 0L
+    (0 until 70).foreach { i =>
+      if (vec(i) > 0f) {
+        if (i < 64) expected0 |= (1L << i) else expected1 |= (1L << (i - 64))
+      }
+    }
+    words(0) shouldBe expected0
+    words(1) shouldBe expected1
+    // bit 63 exercises the sign bit of the word
+    val hi = Array.tabulate(64)(i => if (i == 63) 2f else -1f)
+    Seq(Tuple1(hi)).toDF("v")
+      .select(BinaryQuantization.signBitsCol($"v"))
+      .as[Seq[Long]].head().head shouldBe Long.MinValue
+  }
+
+  "hammingCol" should "equal the direct popcount of the xor" in {
+    val a = Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val b = Array.tabulate(64)(i => if (i % 4 == 0) 1f else -1f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(BinaryQuantization.hammingCol(
+        BinaryQuantization.signBitsCol($"a"),
+        BinaryQuantization.signBitsCol($"b")))
+      .as[Int].head()
+    val expect = (0 until 64).count(i => (a(i) > 0f) != (b(i) > 0f))
+    got shouldBe expect
+  }
+
+  "binaryTopK" should "rank by (hamming asc, id asc) deterministically" in {
+    val base = Array.tabulate(64)(i => if (i < 32) 1f else -1f)
+    def flip(n: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i < n) -base(i) else base(i))
+    val corpus = Seq(
+      (1L, flip(1)), (2L, flip(2)), (3L, flip(2)), (4L, flip(10)),
+      (0L, base)).toDF("vec_id", "embedding")
+    val got = BinaryQuantization.binaryTopK(corpus,
+        corpus.filter($"vec_id" === 0L), k = 3)
+      .select($"corpus_id", $"hamming", $"rank")
+      .as[(Long, Int, Int)].collect().sortBy(_._3).toSeq
+    got shouldBe Seq((1L, 1, 1), (2L, 2, 2), (3L, 2, 3)) // id tie-break
+  }
+
+  it should "broadcast the queries and keep the corpus unshuffled" in {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = BinaryQuantization.binaryTopK(emb,
+        emb.filter($"vec_id" < 3), k = 2)
+      .queryExecution.executedPlan.toString()
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("partial_score_top_k")
+  }
+}

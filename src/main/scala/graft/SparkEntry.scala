@@ -2895,6 +2895,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The production binary-search composition: Hamming shortlist over
+    // the 1-bit codes, exact cosine re-rank of only the shortlisted
+    // candidates — integer shortlist + the SimTopk cosine arithmetic,
+    // deterministic end to end, so the WHOLE two-stage search
+    // hash-checks directly.
+    "q_binary_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.BinaryQuantization.rerankTopK(
+          emb, emb.filter(col("vec_id") < 10), k = 5, shortlist = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Deflate-ratio quality signal per document (the RefinedWeb-style
     // gate: machine-repetitive text compresses far below prose). Rows
     // only by nature — the value is zlib-defined, with no
@@ -7360,6 +7372,44 @@ object SparkEntry {
         |SELECT query_id, corpus_id, hamming, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY hamming, corpus_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Two-stage search replayed: hamming row_number <= 20 shortlist,
+    // then the LITERAL SimTopk cosine arithmetic over the shortlist
+    // pairs, re-ranked (cosine desc, id asc), k = 5.
+    "q_binary_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+        |h AS (
+        |  SELECT query_id, corpus_id, qv, cv,
+        |    CAST(list_sum([CASE WHEN (qv[i] > 0) <> (cv[i] > 0)
+        |      THEN 1 ELSE 0 END for i in range(1, len(qv) + 1)])
+        |      AS INTEGER) AS hamming
+        |  FROM q JOIN c ON query_id <> corpus_id),
+        |sl AS (
+        |  SELECT query_id, corpus_id, qv, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, corpus_id) AS hrank FROM h)
+        |  WHERE hrank <= 20),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]),
+        |      (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]),
+        |      (a, b) -> a + b)) AS nc
+        |  FROM sl),
+        |r AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END AS cosine
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // JSONL ingest replayed: the corruption condition (%13) plus the
     // token gate — JSON encode/decode is value-transparent for the

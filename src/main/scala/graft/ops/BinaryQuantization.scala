@@ -73,4 +73,44 @@ object BinaryQuantization {
         (-col("col.score")).cast("int").as("hamming"),
         (col("pos") + 1).as("rank"))
   }
+
+  /** The production binary-search shape: the Hamming SHORTLIST over the
+    * 1-bit codes (cheap, integer, 64× less I/O), then an EXACT cosine
+    * re-rank of only the shortlisted candidates on the float vectors —
+    * the float work shrinks from the corpus to q×`shortlist` rows. The
+    * whole composition is deterministic (integer shortlist, the
+    * [[Similarity]] cosine arithmetic, (score desc, id asc) ties), so
+    * it hash-checks directly like the rest of this tier.
+    *
+    * Scale shape: the shortlist output (q×shortlist rows) broadcasts
+    * into one equi-join against the corpus floats — the corpus is
+    * scanned, never shuffled — and the final rank is the bounded top-k
+    * aggregate again. Output `(query_id, corpus_id, cosine, rank)`,
+    * [[Similarity.bruteForceTopK]]'s schema. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 shortlist: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k,
+      s"rerankTopK: shortlist ($shortlist) must be >= k ($k)")
+    import graft.functions.VectorFunctions.fnorm
+    val cand = binaryTopK(corpus, queries, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val withVec = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+        fnorm(col(vecCol)).as("c_nrm"))
+      .join(broadcast(cand), Seq("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), fnorm(col(vecCol)).as("q_nrm"))
+    val scored = withVec.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosineWithNorms(col("q_vec"), col("q_nrm"),
+          col("c_vec"), col("c_nrm")).as("cosine"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(scoreTopK(col("cosine"), col("corpus_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("corpus_id"),
+        round(col("col.score"), 6).as("cosine"),
+        (col("pos") + 1).as("rank"))
+  }
 }

@@ -58,6 +58,26 @@ class BinaryQuantizationSpec extends SparkTestBase {
     got shouldBe Seq((1L, 1, 1), (2L, 2, 2), (3L, 2, 3)) // id tie-break
   }
 
+  "rerankTopK" should "recover the exact top-k when the shortlist covers it" in {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    // a full-corpus shortlist makes the re-rank exactly brute force
+    val got = BinaryQuantization.rerankTopK(emb, queries, k = 3,
+        shortlist = 59)
+      .select($"query_id", $"corpus_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    val want = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select($"query_id", $"corpus_id", $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    got shouldBe want
+    an[IllegalArgumentException] should be thrownBy
+      BinaryQuantization.rerankTopK(emb, queries, k = 5, shortlist = 3)
+  }
+
   it should "broadcast the queries and keep the corpus unshuffled" in {
     val emb = (0L until 40L).map(i =>
       (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))

@@ -247,6 +247,30 @@ object GraftExtensions {
           s"bpe_byte_detokenize expects 1 argument, got ${exprs.length}")
         graft.functions.ByteBpeDetokenizeExpr(exprs.head)
       }),
+    (new FunctionIdentifier("docx_text"),
+      new ExpressionInfo(classOf[graft.functions.DocxTextExpr].getName,
+        "docx_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"docx_text expects 1 argument, got ${exprs.length}")
+        graft.functions.DocxTextExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[graft.functions.DeflateRatioExpr].getName,
+        "deflate_ratio"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"deflate_ratio expects 1 argument, got ${exprs.length}")
+        graft.functions.DeflateRatioExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("sign_bits"),
+      new ExpressionInfo(classOf[graft.functions.SignBitsExpr].getName,
+        "sign_bits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"sign_bits expects 1 argument, got ${exprs.length}")
+        graft.functions.SignBitsExpr(exprs.head)
+      }),
     (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,
         "winnow_fingerprints"),

@@ -49,5 +49,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     spark.sql(
       "SELECT bpe_byte_detokenize(bpe_byte_pretokens('don''t stop'))")
       .collect().head.getString(0) shouldBe "don't stop"
+    // docx extraction, the deflate signal, and sign packing
+    val docx = graft.ops.ZipArchive.buildDocx(Seq("sql docx text"))
+    Seq(Tuple1(docx)).toDF("z").createOrReplaceTempView("docs")
+    spark.sql("SELECT docx_text(z) FROM docs")
+      .collect().head.getString(0) shouldBe "sql docx text"
+    spark.sql("SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa')")
+      .collect().head.getDouble(0) should be < 0.5
+    spark.sql(
+      "SELECT sign_bits(array(1.0f, -1.0f, 2.0f))")
+      .collect().head.getSeq[Long](0) shouldBe Seq(5L)
   }
 }

@@ -267,6 +267,12 @@ object TarArchive {
     *
     *  - `parts`: ext → payload Column (cast to binary) — e.g.
     *    `Map("txt" -> $"text".cast("binary"), "json" -> to_json(...))`;
+    *  - `idCol` must be UNIQUE — it is the WebDataset sample key (the
+    *    member stem), and a duplicate would both collide member names
+    *    and break the stable-row-id determinism contract
+    *    ([[Sequencing.stableRowIds]]'s documented unique-key
+    *    requirement); curation sinks run post-dedup, where the id is
+    *    unique by construction;
     *  - shard assignment is DETERMINISTIC: dense [[Sequencing.stableRowIds]]
     *    over `idCol` order, `samplesPerShard` consecutive samples per
     *    shard — same corpus, same shards, any partitioning;

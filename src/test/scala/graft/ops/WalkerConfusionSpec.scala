@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Cross-format confusion hardening: every container walker must
+  * REFUSE (empty/None, never throw, never garbage) when handed a valid
+  * container of a DIFFERENT format — the mixed-crawl dispatch feeds
+  * whatever bytes a server returned, and a misrouted payload must
+  * degrade honestly. */
+class WalkerConfusionSpec extends SparkTestBase {
+
+  private lazy val pdf = PdfProbe.buildPdf("t", Seq("pdf body text"))
+  private lazy val zip = ZipArchive.buildZip(
+    Seq(("a.txt", "zip text".getBytes("UTF-8"))), compress = true)
+  private lazy val tarBytes = TarArchive.buildShard(
+    Seq(("m.txt", "tar text".getBytes("UTF-8"))))
+  private lazy val warc = WarcExtract.buildArchive(
+    Seq(("http://x/1", "2024-01-01T00:00:00Z", "warc".getBytes("UTF-8"))))
+  private lazy val docx = ZipArchive.buildDocx(Seq("docx body"))
+
+  private def all = Seq("pdf" -> pdf, "zip" -> zip, "tar" -> tarBytes,
+    "warc" -> warc, "docx" -> docx)
+
+  "every walker" should "refuse every other format without throwing" in {
+    all.foreach { case (name, bytes) =>
+      withClue(s"input format: $name") {
+        if (name != "pdf") {
+          PdfProbe.probe(bytes) shouldBe None
+          PdfProbe.extractText(bytes) shouldBe None
+        }
+        if (name != "zip" && name != "docx")
+          ZipArchive.walk(bytes) shouldBe Nil
+        if (name != "tar")
+          TarArchive.walk(bytes) shouldBe Nil
+        if (name != "warc")
+          noException should be thrownBy WarcExtract.walk(bytes)
+        if (name != "warc") WarcExtract.walk(bytes) shouldBe Nil
+        if (name != "docx") ZipArchive.docxText(bytes) shouldBe None
+      }
+    }
+  }
+
+  it should "still accept its own format (the confusion matrix diagonal)" in {
+    PdfProbe.probe(pdf) should not be None
+    ZipArchive.walk(zip) should have size 1
+    TarArchive.walk(tarBytes) should have size 1
+    WarcExtract.walk(warc) should have size 2 // warcinfo + response
+    ZipArchive.docxText(docx) shouldBe Some("docx body")
+  }
+}

@@ -3103,6 +3103,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The frozen classifier gate applied AT THE DOOR: documents stream
+    // in as micro-batches, each scored against the PERSISTED linear
+    // model (stateless per row), failing rows drop before landing —
+    // converged ≡ the batch q_classifier_pipeline gate, so the query
+    // shares its LITERAL oracle.
+    "q_stream_classifier_gate" -> ((s, d) => {
+      val fx = stagedOnce("sclf", d) { dir =>
+        graft.ops.QualityClassifier.save(s,
+          graft.ops.QualityClassifier.LinearModel(
+            Array.tabulate(64)(b => (((b * 37) % 21 - 10) / 16.0).toFloat),
+            bias = 0.25), s"$dir/model")
+      }
+      val out = scratchDir("graft_sclf_")
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "/unused/by/streaming",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"],
+           | "classifier": {"model_path": "$fx/model",
+           |                "threshold": 0.5}}""".stripMargin)
+      graft.streaming.ChangelogStream.streamCurate(
+          Tables.documentsStream(s, d)
+            .select(col("doc_id"), col("text"), col("lang")),
+          cfg, out, statePartitions = 8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A MIXED html+pdf crawl through the same config-declared ingest:
     // odd ids carry the html page fixture, even ids a real fixture PDF
     // (alternating FlateDecode/plain), all wrapped into WARC archives.
@@ -7509,36 +7536,11 @@ object SparkEntry {
     // the q_feature_hash md5 scheme at dim 64 → the sixteenth-valued
     // weight formula → the logit-sign decision (sigmoid(x) >= 0.5 ⟺
     // x >= 0; all arithmetic exact, no transcendental compared).
-    "q_classifier_pipeline" -> {
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
-      s"""WITH sv AS (
-         |  SELECT doc_id, text, lang FROM documents
-         |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
-         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20),
-         |d AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-         |  FROM sv),
-         |f AS (
-         |  SELECT doc_id, md5(term) AS h FROM d WHERE len(term) > 0),
-         |g AS (
-         |  SELECT doc_id,
-         |    (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 +
-         |     ${nib(4)}) % 64 AS bucket,
-         |    CASE WHEN ${nib(5)} < 8 THEN 1 ELSE -1 END AS sgn
-         |  FROM f),
-         |tf AS (
-         |  SELECT doc_id, bucket, sum(sgn) AS tf FROM g GROUP BY 1, 2),
-         |lg AS (
-         |  SELECT doc_id,
-         |    sum(tf * (((bucket * 37) % 21 - 10) / 16.0)) + 0.25 AS logit
-         |  FROM tf GROUP BY doc_id)
-         |SELECT sv.doc_id, sv.lang
-         |FROM sv JOIN lg USING (doc_id)
-         |WHERE lg.logit >= 0
-         |ORDER BY sv.doc_id""".stripMargin
-    },
+    "q_classifier_pipeline" -> ClassifierGateOracleSql,
+    // The same frozen artifact applied AT THE DOOR: stateless per row
+    // against the persisted model ⇒ converged ≡ the batch gate, so the
+    // streaming query shares the LITERAL batch oracle.
+    "q_stream_classifier_gate" -> ClassifierGateOracleSql,
     // Byte-BPE exact twin replayed: with zero merges one token per
     // UTF-8 byte (octet_length), and the round trip is the text itself.
     "q_bpe_bytes_exact" ->
@@ -9152,6 +9154,43 @@ object SparkEntry {
       |    ELSE substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
       |      chr(10) || substr(text, 161, 80)
       |  END""".stripMargin
+
+  /** Shared oracle for the config-declared classifier gate
+    * (`q_classifier_pipeline`) and its streaming twin
+    * (`q_stream_classifier_gate` — frozen artifact, stateless per row,
+    * converged ≡ batch): min_tokens survivors → the q_feature_hash md5
+    * scheme at dim 64 → the sixteenth-valued weight formula → the
+    * logit-sign decision. */
+  private lazy val ClassifierGateOracleSql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH sv AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20),
+       |d AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM sv),
+       |f AS (
+       |  SELECT doc_id, md5(term) AS h FROM d WHERE len(term) > 0),
+       |g AS (
+       |  SELECT doc_id,
+       |    (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 +
+       |     ${nib(4)}) % 64 AS bucket,
+       |    CASE WHEN ${nib(5)} < 8 THEN 1 ELSE -1 END AS sgn
+       |  FROM f),
+       |tf AS (
+       |  SELECT doc_id, bucket, sum(sgn) AS tf FROM g GROUP BY 1, 2),
+       |lg AS (
+       |  SELECT doc_id,
+       |    sum(tf * (((bucket * 37) % 21 - 10) / 16.0)) + 0.25 AS logit
+       |  FROM tf GROUP BY doc_id)
+       |SELECT sv.doc_id, sv.lang
+       |FROM sv JOIN lg USING (doc_id)
+       |WHERE lg.logit >= 0
+       |ORDER BY sv.doc_id""".stripMargin
+  }
 
   private lazy val HtmlExtractOracleSql: String =
     s"""WITH h AS (SELECT doc_id, $HtmlFixtureExprSql AS html FROM documents),

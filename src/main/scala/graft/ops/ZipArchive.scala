@@ -321,7 +321,16 @@ object ZipArchive {
     * split across two runs to pin the no-separator concatenation). */
   def buildDocx(paragraphs: Seq[String], compress: Boolean = true): Array[Byte] = {
     val body = paragraphs.map { p =>
-      val (a, rest) = p.splitAt(p.length / 2)
+      // the run split must respect codepoint boundaries: cutting a
+      // surrogate pair would leave one lone half per run, and lone
+      // surrogates encode as '?' in UTF-8 (caught by the kernel fuzz)
+      val half = p.length / 2
+      val cut =
+        if (half > 0 && half < p.length &&
+          Character.isHighSurrogate(p.charAt(half - 1)) &&
+          Character.isLowSurrogate(p.charAt(half))) half + 1
+        else half
+      val (a, rest) = p.splitAt(cut)
       s"<w:p><w:r><w:t xml:space=\"preserve\">${xmlEscape(a)}</w:t></w:r>" +
         s"<w:r><w:t xml:space=\"preserve\">${xmlEscape(rest)}</w:t></w:r></w:p>"
     }.mkString

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkTestBase
+import graft.functions.Bpe
+
+/** Seeded property fuzz over the round's document kernels: PDF string
+  * round trips on arbitrary unicode, DOCX paragraph round trips,
+  * per-row featurizer ≡ aggregate on random corpora, byte-BPE
+  * segmentation determinism/idempotence. */
+class DocumentKernelFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomText(rnd: scala.util.Random, n: Int): String = {
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      rnd.nextInt(6) match {
+        case 0 => sb.append(('a' + rnd.nextInt(26)).toChar)
+        case 1 => sb.append(" ()\\\t\n".charAt(rnd.nextInt(6)))
+        case 2 => sb.append(('!' + rnd.nextInt(94)).toChar)
+        // codepoint-safe unicode palette: charAt on a surrogate pair
+        // would create invalid UTF-16 that UTF-8 cannot represent
+        case 3 => sb.append(Seq("é", "ü", "中", "文", "😀", "¡", "ÿ")
+          .apply(rnd.nextInt(7)))
+        case 4 => sb.append(('0' + rnd.nextInt(10)).toChar)
+        case _ => sb.append(' ')
+      }
+    }
+    sb.toString
+  }
+
+  "PdfProbe" should "round-trip 150 random unicode page sets" in {
+    val rnd = new scala.util.Random(123)
+    (1 to 150).foreach { i =>
+      val pages = (0 to rnd.nextInt(2)).map(_ =>
+        randomText(rnd, 1 + rnd.nextInt(60)))
+      val pdf = PdfProbe.buildPdf(randomText(rnd, 8), pages, i % 2 == 0)
+      withClue(s"case $i pages=$pages") {
+        PdfProbe.extractText(pdf) shouldBe Some(pages.mkString("\n"))
+      }
+    }
+  }
+
+  "ZipArchive.docxText" should "round-trip 150 random paragraph sets" in {
+    val rnd = new scala.util.Random(321)
+    (1 to 150).foreach { i =>
+      // WordprocessingML swallows the paragraph boundary newline: keep
+      // generated paragraphs newline-free (real Word text always is),
+      // and non-empty after the chain's outer trim
+      val paras = (0 to rnd.nextInt(2)).map(_ =>
+        "p" + randomText(rnd, 1 + rnd.nextInt(50))
+          .replace('\n', '.').replace('\t', '.').trim + "q")
+      val docx = ZipArchive.buildDocx(paras, compress = i % 2 == 0)
+      withClue(s"case $i paras=$paras") {
+        ZipArchive.docxText(docx) shouldBe Some(paras.mkString("\n"))
+      }
+    }
+  }
+
+  "FeatureHash.denseCol" should "equal the aggregate form on a random corpus" in {
+    val rnd = new scala.util.Random(777)
+    val docs = (1L to 40L).map(i => (i, randomText(rnd, rnd.nextInt(80))))
+      .toDF("id", "text")
+    val dim = 24
+    val agg = FeatureHash.hashTfDense(docs, "id", "text", dim)
+      .select($"id", $"vector").as[(Long, Array[Float])].collect().toMap
+    val perRow = docs.select($"id",
+        FeatureHash.denseCol($"text", dim).as("v"))
+      .as[(Long, Array[Float])].collect().toMap
+    // the aggregate form has no row for empty-token docs; the per-row
+    // form yields the zero vector there — equal where both exist, zero
+    // elsewhere
+    perRow.foreach { case (id, v) =>
+      agg.get(id) match {
+        case Some(a) => v.toSeq shouldBe a.toSeq
+        case None => v.forall(_ == 0f) shouldBe true
+      }
+    }
+  }
+
+  "byte-BPE" should "tokenize deterministically and losslessly on random bytes" in {
+    val rnd = new scala.util.Random(555)
+    val merges = BpeTrainer.trainBytes(
+      Seq("seed corpus for some merges to exist in the ranks table",
+        "more seed text with repeated words words words").toDF("text"),
+      "text", 8, 2)
+    val tok = graft.functions.ByteBpeTokenizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), merges)
+    (1 to 200).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(80) + 1)(rnd.nextInt(256).toByte)
+      val in = UTF8String.fromBytes(bytes)
+      val a = tok.tokenize(in)
+      val b = tok.tokenize(in)
+      a.array.toSeq shouldBe b.array.toSeq // deterministic
+      val joined = (0 until a.numElements())
+        .map(a.getUTF8String(_).toString).mkString("")
+      Bpe.byteDecode(joined).toSeq shouldBe bytes.toSeq // lossless
+    }
+  }
+}

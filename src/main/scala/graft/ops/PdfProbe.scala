@@ -385,10 +385,41 @@ object PdfProbe {
       val have = math.max(0L,
         math.min(lenDeclared, (st.b.length - p).toLong)).toInt
       val raw = java.util.Arrays.copyOfRange(st.b, p, p + have)
-      val filter = keyName(st.b, d, "Filter")
-      if (filter.contains("FlateDecode")) inflate(raw).getOrElse(Array.empty)
-      else raw
+      filterNames(st.b, d) match {
+        case Nil                      => raw
+        case Seq("FlateDecode")       => inflate(raw).getOrElse(Array.empty)
+        // Unrecognized or compound filter chains (DCTDecode, ASCII85 +
+        // Flate, …) are undecodable here: contribute NO text rather
+        // than replaying filtered bytes as if they were content (a
+        // deflate body that happens to contain parens would otherwise
+        // emit garbage "shown strings").
+        case _                        => Array.empty[Byte]
+      }
     }
+
+  /** `/Filter` value as the ordered filter-name chain: bare `/Name`,
+    * array `[/N1 /N2 …]` (both routine in the wild — ISO 32000-1
+    * §7.3.8.2 allows either), or Nil when absent. An unparseable value
+    * yields a sentinel chain that never matches a known decoder, so the
+    * caller refuses rather than falling through to raw. */
+  private[graft] def filterNames(b: Array[Byte], d: (Int, Int)): Seq[String] = {
+    val p = keyPos(b, d._1, d._2, "Filter")
+    if (p < 0) return Nil
+    val s = skipWs(b, p)
+    if (s >= b.length) return Seq("?")
+    if (b(s) == '/') Seq(token(b, s + 1)._1)
+    else if (b(s) == '[') {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var q = s + 1
+      while (q < d._2) {
+        val t = skipWs(b, q)
+        if (t >= d._2 || b(t) == ']') return out.toSeq
+        else if (b(t) == '/') { val (n, np) = token(b, t + 1); out += n; q = np }
+        else return out.toSeq :+ "?" // non-name member: refuse downstream
+      }
+      out.toSeq :+ "?" // unterminated array
+    } else Seq("?") // indirect ref or other value: not decodable here
+  }
 
   /** zlib-inflate with the bomb cap; None for corrupt data. */
   private[graft] def inflate(data: Array[Byte],

@@ -222,6 +222,9 @@ object TarArchive {
     * feature). */
   private[graft] def memberBytes(name: String,
                                  payload: Array[Byte]): Array[Byte] = {
+    require(payload != null,
+      s"tar member '$name' has a null payload — refuse upstream (a " +
+        "damaged part must be gated or defaulted before shard assembly)")
     val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     require(nameBytes.length <= 100,
       s"tar member name exceeds the 100-byte ustar field: $name")
@@ -294,9 +297,21 @@ object TarArchive {
       e.nonEmpty && !e.contains('/') && !e.startsWith("."),
       s"writeWebDataset: bad ext '$e'"))
     val spark = df.sparkSession
-    val withParts = df.select(col(idCol).cast(StringType).as("__stem") +:
+    // Refuse null stems/payloads with a named reason BEFORE shard
+    // assembly (the walker posture): a damaged part (e.g. a broken
+    // PDF's null text) reaching a rules-free sink must fail telling
+    // the operator WHICH sample and part, not NPE inside buildShard.
+    val stemChecked = when(col(idCol).isNull,
+      raise_error(lit(s"writeWebDataset: null id in '$idCol' — every " +
+        "sample needs a non-null stem"))).otherwise(
+      col(idCol).cast(StringType))
+    val withParts = df.select(stemChecked.as("__stem") +:
       parts.toSeq.sortBy(_._1).map { case (e, c) =>
-        c.cast(BinaryType).as(s"__p_$e") }: _*)
+        when(c.cast(BinaryType).isNull, raise_error(concat(
+          lit(s"writeWebDataset: null payload for part '.$e' at stem '"),
+          coalesce(col(idCol).cast(StringType), lit("<null>")),
+          lit("' — gate or default damaged samples before export"))))
+          .otherwise(c.cast(BinaryType)).as(s"__p_$e") }: _*)
     val withIds = Sequencing.stableRowIds(withParts, Seq("__stem"),
       "__rid")
     val memberRows = withIds.select(

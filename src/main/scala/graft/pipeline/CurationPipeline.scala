@@ -303,8 +303,10 @@ object CurationPipeline {
     * [[curatedDocsFrame]] so batch and streaming composition get the
     * SAME ingest — a streamed archive row explodes to its records
     * independently of batch boundaries (per-archive `mapPartitions`,
-    * and the blocks-mode regroup only ever combines blocks of ONE
-    * record's page), so the stage is per-row-deterministic and
+    * and the blocks-mode regroup is keyed on the per-record
+    * `archive_id:rec_idx`, so it only ever combines blocks of ONE
+    * record's page even when the configured doc id repeats across
+    * records), so the stage is per-row-deterministic and
     * [[graft.streaming.ChangelogStream.streamCurate]] accepts it.
     *
     * Scale note: parallelism = archive count (the CommonCrawl layout is
@@ -336,6 +338,11 @@ object CurationPipeline {
                 regexp_extract(col("url"), re, 1).try_cast("long")
               case None => col("url")
             }).as(config.idCol),
+            // per-record unique key: the configured doc id is NOT unique
+            // in a real crawl (same URL refetched across archives,
+            // id_regex collisions) — blocks mode must regroup on THIS,
+            // never on the doc id, or blocks of different records merge
+            concat_ws(":", col("archive_id"), col("rec_idx")).as("__rec"),
             col("url"), col("fetch_ts"),
             col("payload").as("__payload"))
           .filter(col(config.idCol).isNotNull)
@@ -353,28 +360,36 @@ object CurationPipeline {
             if (w.pdf) text = when(pdfMagic,
               graft.ops.PdfProbe.extractTextCol(col("__payload")))
               .otherwise(text)
-            pages.withColumn(config.textCol, text).drop("__payload")
+            pages.withColumn(config.textCol, text)
+              .drop("__payload", "__rec")
           case "blocks" =>
-            // extractMainText is id-granular; join the provenance
-            // columns back on the id (one id-key equi-join). The
-            // provenance select, the blocks regroup, and (with
-            // pdf/docx) the dispatch branch each re-walk the archive
-            // scan — blocks mode trades walks for block-level quality;
-            // a mixed-corpus blocks run at scale should stage the
-            // ingested pages to parquet between, like the fixture
-            // queries do. Flat mode stays single-pass.
+            // extractMainText regroups blocks per RECORD (`__rec` =
+            // archive_id:rec_idx — ADVICE r13: grouping on the doc id
+            // merged blocks of different records whenever ids repeat,
+            // which is routine in real crawls); the provenance columns
+            // join back on the same record key (one equi-join, exactly
+            // one match per record), and only THEN is the configured
+            // doc id projected — duplicate ids stay independent rows,
+            // exactly like flat mode. The provenance select, the blocks
+            // regroup, and (with pdf/docx) the dispatch branch each
+            // re-walk the archive scan — blocks mode trades walks for
+            // block-level quality; a mixed-corpus blocks run at scale
+            // should stage the ingested pages to parquet between, like
+            // the fixture queries do. Flat mode stays single-pass.
             val htmlPages = pages.filter(
               (if (w.pdf) !pdfMagic else lit(true)) &&
                 (if (w.docx) !zipMagic else lit(true)))
             val withHtml = htmlPages
               .withColumn("__html", col("__payload").cast("string"))
             val htmlOut = withHtml
-              .select(col(config.idCol), col("url"), col("fetch_ts"))
+              .select(col("__rec"), col(config.idCol), col("url"),
+                col("fetch_ts"))
               .join(graft.ops.HtmlExtract.extractMainText(
-                  withHtml, config.idCol, "__html", w.minChars,
+                  withHtml, "__rec", "__html", w.minChars,
                   w.maxLinkDensity)
                 .withColumnRenamed("main_text", config.textCol),
-                Seq(config.idCol))
+                Seq("__rec"))
+              .drop("__rec")
             if (!w.pdf && !w.docx) htmlOut
             else htmlOut.unionByName(
               pages.filter(

@@ -95,6 +95,34 @@ class FeatureHashSpec extends SparkTestBase {
     (plan should not).include("Exchange")
   }
 
+  it should "stay bit-identical under control chars and locale-sensitive " +
+    "case mappings" in {
+    // ADVICE r13: String.trim strips all chars <= U+0020 (Spark trim only
+    // ' '), and default-locale toLowerCase diverges on 'I' under tr/az.
+    // Palette deliberately hits both plus common crawl junk.
+    val palette = Seq("\u0000", "\u0001", "\u0008", "\u000B",
+      "\u001F", " ", "\t", "\n", "\r", "\u00A0", "I", "i", "\u0130",
+      "\u0131", "STRASSE", "\u00DF", "\u03A3\u03A3", "\uFB01sh", "MiXeD",
+      "caf\u00C9")
+    val rnd = new scala.util.Random(1513)
+    val docs = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(8)
+      (id, Seq.fill(n)(palette(rnd.nextInt(palette.size))).mkString(
+        if (rnd.nextBoolean()) " " else "\t"))
+    }.toDF("id", "text")
+    val dim = 32
+    val agg = FeatureHash.hashTfDense(docs, "id", "text", dim)
+      .select($"id", $"vector").as[(Long, Array[Float])].collect().toMap
+    val perRow = docs.select($"id", FeatureHash.denseCol($"text", dim)
+        .as("v")).as[(Long, Array[Float])].collect().toMap
+    perRow.foreach { case (id, v) =>
+      agg.get(id) match {
+        case Some(a) => v.toSeq shouldBe a.toSeq
+        case None    => all(v.toSeq) shouldBe 0f // doc had no tokens
+      }
+    }
+  }
+
   it should "bound dim to the 4-nibble range" in {
     val docs = Seq((1L, "x")).toDF("id", "text")
     an[IllegalArgumentException] should be thrownBy

@@ -34,6 +34,37 @@ class PdfProbeSpec extends SparkTestBase {
     PdfProbe.probe(flate).get.nPages shouldBe 3
   }
 
+  it should "decode the array /Filter form and refuse unknown filters" in {
+    // ADVICE r13: `/Filter [/FlateDecode]` is as common as the bare name;
+    // it must decode — and an unknown filter must contribute NO text
+    // rather than replaying filtered bytes as content. Both patches are
+    // length-preserving so the xref offsets stay valid.
+    def patch(b: Array[Byte], from: String, to: String): Array[Byte] = {
+      require(from.length == to.length)
+      val f = from.getBytes("ISO-8859-1"); val t = to.getBytes("ISO-8859-1")
+      val out = b.clone()
+      var i = 0
+      while (i + f.length <= out.length) {
+        if ((0 until f.length).forall(j => out(i + j) == f(j))) {
+          System.arraycopy(t, 0, out, i, t.length); i += f.length
+        } else i += 1
+      }
+      out
+    }
+    val flate = PdfProbe.buildPdf("t", pages, compress = true)
+    val arrayForm = patch(flate, " /Filter /FlateDecode", "/Filter[/FlateDecode]")
+    arrayForm.toSeq should not equal flate.toSeq
+    PdfProbe.extractText(arrayForm).get shouldBe pages.mkString("\n")
+    val unknown = patch(flate, "/FlateDecode", "/XlateDecode")
+    PdfProbe.extractText(unknown).get shouldBe ""
+    // compound chains are undecodable here: refuse, don't emit garbage
+    PdfProbe.filterNames(
+      "<</Filter[/ASCII85Decode /FlateDecode]>>".getBytes("ISO-8859-1"),
+      (0, 40)) shouldBe Seq("ASCII85Decode", "FlateDecode")
+    PdfProbe.filterNames(
+      "<</Filter 7 0 R>>".getBytes("ISO-8859-1"), (0, 17)) shouldBe Seq("?")
+  }
+
   it should "round-trip arbitrary escape-heavy strings" in {
     val nasty = Seq(
       "\\\\double \\ back (un)balanced) ( \t tab",

@@ -196,6 +196,32 @@ class TarArchiveSpec extends SparkTestBase {
     }
   }
 
+  it should "refuse null payloads and null stems with a named reason" in {
+    // ADVICE r13: a damaged part (e.g. a broken PDF's null text) reaching
+    // a rules-free sink must refuse naming the stem/ext, not NPE.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wds_null").toString + "/out"
+    val docs = Seq((1L, "ok", "m1"), (2L, null, "m2"))
+      .toDF("doc_id", "text", "meta")
+    val ex = intercept[Exception] {
+      TarArchive.writeWebDataset(docs, "doc_id",
+        Map("txt" -> $"text", "json" -> $"meta"), dir, 10)
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    msg should include("null payload")
+    msg should include(".txt")
+    msg should include("'2'")
+    val nullId = Seq((Option.empty[Long], "x")).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      TarArchive.writeWebDataset(nullId, "doc_id",
+        Map("txt" -> $"text"), dir, 10)
+    }
+    (Option(ex2.getMessage).getOrElse("") +
+      Option(ex2.getCause).map(_.getMessage).getOrElse("")) should
+      include("null id")
+  }
+
   it should "refuse bad extensions and shard sizes loudly" in {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy

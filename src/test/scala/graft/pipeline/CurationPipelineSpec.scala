@@ -579,6 +579,43 @@ class CurationPipelineSpec extends SparkTestBase {
     page1 should not include "nav one"
   }
 
+  it should "keep duplicate-id records independent in blocks mode" in {
+    // ADVICE r13 (medium): same URL refetched across archives is routine;
+    // blocks regrouped on the doc id merged DIFFERENT records' blocks
+    // into one main_text and the provenance join fanned out. Pin the
+    // fix: the regroup is per-record, duplicate ids stay separate rows
+    // with their own text — exactly like flat mode.
+    val p = s"$tmp/warc_dup"
+    def page(v: String) = "<html><body>" +
+      s"<p>$v prose paragraph long enough to clear the char floor</p>" +
+      "</body></html>"
+    val staged = Seq(
+      (0L, "https://ok.example/page/7", page("first")),
+      (1L, "https://ok.example/page/7", page("second")),
+      (0L, "https://ok.example/page/8", page("eight")))
+      .toDF("grp", "url", "body")
+      .select($"grp", $"url", lit("2024-01-01T00:00:00Z").as("date"),
+        $"body")
+    graft.ops.WarcExtract.syntheticArchives(staged, "grp", "url", "date",
+      "body").write.mode("overwrite").parquet(p)
+    val cfg = CurationPipeline.fromJson(s"""
+      |{"input": {"path": "$p", "format": "warc",
+      |           "id_column": "doc_id", "text_column": "text",
+      |           "id_regex": "([0-9]+)$$", "html": "blocks",
+      |           "min_chars": 20, "max_link_density": 0.34},
+      | "rules": []}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    got.length shouldBe 3 // no fan-out, no merge
+    val sevens = got.filter(_._1 == 7L).map(_._2).sorted.toSeq
+    sevens.length shouldBe 2
+    sevens.exists(_.contains("first prose")) shouldBe true
+    sevens.exists(_.contains("second prose")) shouldBe true
+    sevens.foreach { t =>
+      (t.contains("first") && t.contains("second")) shouldBe false
+    }
+  }
+
   it should "honor the HTTP status keep-list" in {
     // the fixture writer emits 200s only, so a [404] keep-list must
     // yield zero documents — the filter is really applied

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Paragraph-granular exact dedup — the CCNet first pass (Wenzek et
   * al. 2020 §3.1): web text repeats whole PARAGRAPHS (cookie banners,
@@ -22,9 +21,11 @@ import org.apache.spark.storage.StorageLevel
   * codegen'd regexp chain the oracle replays verbatim.
   *
   * Scale shape: one paragraph explode (corpus-paragraph-sized, the
-  * scale axis), one key-granular aggregate with map-side combine, one
-  * equi-join back, one per-document regroup. No windows over anything
-  * bigger than a document, no driver-side state.
+  * scale axis) consumed by ONE linear plan — a key-partitioned window
+  * min (dedup) or a benchmark-sized marker join (decontamination),
+  * then one per-document regroup. Single-consumer by construction, so
+  * nothing corpus-sized is pinned or checkpointed and an executor loss
+  * recomputes from lineage.
   */
 object ParagraphDedup {
 
@@ -64,32 +65,29 @@ object ParagraphDedup {
     * string). Returns `(id, cleaned)`. */
   def dedupParagraphs(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    // persisted: the duplicate aggregate AND the removal join both read
-    // the explode — without the pin the paragraph split (and upstream
-    // scan) would execute once per branch
-    val paras = paragraphs(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dup = paras.groupBy(col("key"))
-      .agg(countDistinct(col("id")).as("__nd"),
-        min(col("id")).as("__canonical"))
-      .filter(col("__nd") >= 2)
-      .select(col("key"), col("__canonical"))
-    val kept = paras.join(dup, Seq("key"), "left_outer")
-      .filter(col("__canonical").isNull || col("id") === col("__canonical"))
+    // "Remove everywhere except the canonical (min-id) document"
+    // collapses to ONE predicate: keep a paragraph row iff its id IS
+    // the minimum id of its key partition (a key seen in one document
+    // satisfies it trivially). Expressing canonical as a window min —
+    // instead of a dup aggregate joined back — gives the paragraph
+    // explode a SINGLE consumer: one linear plan (explode → window by
+    // key → regroup by id), so no persist/localCheckpoint pin is
+    // needed at all. At scale that matters twice over: nothing
+    // corpus-sized is materialized to non-replicated executor-local
+    // blocks (an executor loss just recomputes lineage), and the plan
+    // pays one shuffle-by-key + one shuffle-by-id — strictly fewer
+    // passes than the aggregate + join-back shape it replaces.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val kept = paragraphs(df, idCol, textCol)
+      .withColumn("__canonical", min(col("id")).over(w))
+      .filter(col("id") === col("__canonical"))
     val rebuilt = kept.groupBy(col("id"))
       .agg(concat_ws("\n\n", transform(
         array_sort(collect_list(struct(col("para_idx"), col("paragraph")))),
         s => s.getField("paragraph"))).as("cleaned"))
-    // Materialize eagerly (lineage truncated, executor-local blocks the
-    // ContextCleaner releases once the frame is dropped) so the paras pin
-    // can be unpersisted HERE instead of leaking in the CacheManager
-    // across repeated calls — the Sequencing/Triangles release pattern.
-    val out = df.select(col(idCol).as("id")).distinct()
+    df.select(col(idCol).as("id")).distinct()
       .join(rebuilt, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
-      .localCheckpoint()
-    paras.unpersist()
-    out
   }
 
   /** Paragraph-granular DECONTAMINATION against a reference corpus
@@ -113,26 +111,26 @@ object ParagraphDedup {
       .filter(trim(col("paragraph")) =!= "")
       .select(md5(normalizeCol(col("paragraph"))).as("key"))
       .distinct()
-    val paras = paragraphs(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val kept = paras.join(refKeys, Seq("key"), "left_anti")
-    val rebuilt = kept.groupBy(col("id"))
+    // Mark contaminated rows with a LEFT join (benchmark-sized build
+    // side — Spark broadcasts it on its own) instead of anti-joining:
+    // the kept/dropped split then falls out of ONE regroup over ONE
+    // pass of the paragraph explode (dropped = marked rows, cleaned =
+    // concat of the unmarked), so — like [[dedupParagraphs]] — the
+    // explode has a single consumer and needs no pin or checkpoint.
+    val marked = paragraphs(df, idCol, textCol)
+      .join(refKeys.withColumn("__hit", lit(1)), Seq("key"), "left_outer")
+    val rebuilt = marked.groupBy(col("id"))
       .agg(concat_ws("\n\n", transform(
-        array_sort(collect_list(struct(col("para_idx"), col("paragraph")))),
+        filter(
+          array_sort(collect_list(struct(col("para_idx"), col("paragraph"),
+            col("__hit")))),
+          s => s.getField("__hit").isNull),
         s => s.getField("paragraph"))).as("cleaned"),
-        count(lit(1)).as("__kept"))
-    val totals = paras.groupBy(col("id"))
-      .agg(count(lit(1)).as("__total"))
-    // Same release discipline as [[dedupParagraphs]]: materialize, then
-    // free the paras pin before returning.
-    val out = df.select(col(idCol).as("id")).distinct()
-      .join(rebuilt, Seq("id"), "left_outer")
-      .join(totals, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"),
-        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
           .as("n_dropped"))
-      .localCheckpoint()
-    paras.unpersist()
-    out
+    df.select(col(idCol).as("id")).distinct()
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 }

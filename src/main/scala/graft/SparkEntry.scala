@@ -2998,6 +2998,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Config-declared REDACTION transforms: a published corpus redacts
+    // PII/secrets and repairs mojibake rather than dropping documents.
+    // The input is seeded with accent mojibake (the q_encoding_repair
+    // corruption), PII (the q_pii_redaction seeds) and an AWS key shape
+    // (a q_secret_scan seed); the declared chain fix_encoding →
+    // pii_redact → secret_redact rewrites in order BEFORE the rules, so
+    // the min_tokens gate judges the text that ships. The oracle is the
+    // literal composition of the three ops' replace/regex chains.
+    "q_pipeline_redact" -> ((s, d) => {
+      val fx = stagedOnce("predact", d) { dir =>
+        val seeded = EncodingSeeds.foldLeft(col("text")) {
+          case (c, (from, to)) =>
+            call_function("replace", c, lit(from), lit(to))
+        }
+        val pii = concat(seeded,
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com via +1555"),
+          lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(250)), lit(".7"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" aws AKIA"),
+              upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
+            .otherwise(lit("")))
+        // staged as 32 files: a real corpus is many splits, and the
+        // config-declared scan must not run the CPU-dense replace/regex
+        // chain at single-split width
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            graft.ops.EncodingRepair.corrupt(pii).as("text"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/in")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/in",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "transforms": ["fix_encoding", "pii_redact", "secret_redact"],
+           | "rules": ["min_tokens:20"]}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token budgets in REAL tokenizer units: the budget stage counts
     // under a FROZEN TokenizerArtifact instead of the whitespace proxy.
     // The artifact here is the zero-merge byte-BPE model — its token
@@ -7495,6 +7537,48 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
          |ORDER BY doc_id""".stripMargin,
+    // Config-declared redaction replayed as the literal composition of
+    // the three transforms' chains: accent seed → corrupt → repair
+    // (replace chains shared with q_encoding_repair), then the four PII
+    // regexes and the six secret detectors in canonical order, then the
+    // min_tokens gate over the REWRITTEN text.
+    "q_pipeline_redact" -> {
+      def esc(x: String) = x.replace("'", "''")
+      def chainSql(base: String, entries: Seq[(String, String)]): String =
+        entries.foldLeft(base) { case (acc, (from, to)) =>
+          s"replace($acc, '${esc(from)}', '${esc(to)}')"
+        }
+      import graft.ops.{EncodingRepair, PiiRedaction, SecretScan}
+      val seedSql = chainSql("text", EncodingSeeds)
+      val corruptSql = chainSql("t", EncodingRepair.CorruptChain)
+      val repairSql = chainSql("raw", EncodingRepair.Chain)
+      val piiSql = Seq(PiiRedaction.EmailPattern -> "[EMAIL]",
+          PiiRedaction.Ipv4Pattern -> "[IP]",
+          PiiRedaction.PhonePattern -> "[PHONE]",
+          PiiRedaction.DigitRunPattern -> "[NUMBER]")
+        .foldLeft("fixed") { case (acc, (pat, tok)) =>
+          s"regexp_replace($acc, '$pat', '$tok', 'g')" }
+      val secretSql = SecretScan.Detectors.foldLeft("pii_red") {
+        case (acc, (_, pat)) =>
+          s"regexp_replace($acc, '$pat', '[SECRET]', 'g')" }
+      s"""WITH s0 AS (SELECT doc_id, lang, $seedSql AS s FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang,
+         |    s || ' contact user' || doc_id || '@example.com via +1555' ||
+         |    lpad(doc_id::VARCHAR, 4, '0') || ' from 10.0.' ||
+         |    (doc_id % 250) || '.7' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' aws AKIA' ||
+         |      upper(substr(md5(doc_id::VARCHAR), 1, 16)) ELSE '' END AS t
+         |  FROM s0),
+         |c AS (SELECT doc_id, lang, $corruptSql AS raw FROM p),
+         |f AS (SELECT doc_id, lang, $repairSql AS fixed FROM c),
+         |pr AS (SELECT doc_id, lang, $piiSql AS pii_red FROM f),
+         |sr AS (SELECT doc_id, lang, $secretSql AS text FROM pr)
+         |SELECT doc_id, lang, text FROM sr
+         |WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+         |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
+         |ORDER BY doc_id""".stripMargin
+    },
     // Tokenizer-unit budgets replayed: zero-merge byte tokens =
     // octet_length, then the md5-ordered cumulative take per domain.
     "q_budget_tokenizer" ->

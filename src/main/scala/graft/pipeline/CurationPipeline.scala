@@ -24,15 +24,19 @@ import graft.ops.{Chunking, Dedup, Expectations, GopherRules, Packing,
   *
   * Stage order is fixed (each stage optional except the input):
   * {{{
-  *   input → url_blocklist → paragraph_dedup → decontaminate → rules
-  *         → classifier → dedup → sample → quota → budget → chunk
-  *         → pack
+  *   input → url_blocklist → transforms → paragraph_dedup
+  *         → decontaminate → rules → classifier → dedup → sample
+  *         → quota → budget → chunk → pack
   * }}}
-  * — gates first (cheapest row reduction), content dedup on the gated
-  * survivors, deterministic downsampling, per-domain token budgeting,
-  * then the window/packing stages that multiply row counts. This is the
-  * canonical curation order: every expensive pairing tier (dedup) sees
-  * only rows that already passed the scalar gates.
+  * — gates first (cheapest row reduction), then the per-row text
+  * REWRITES (a published corpus redacts PII/secrets and repairs
+  * mojibake rather than dropping the document — and every downstream
+  * key/rule/score must see the text that actually ships), content
+  * dedup on the rewritten survivors, deterministic downsampling,
+  * per-domain token budgeting, then the window/packing stages that
+  * multiply row counts. This is the canonical curation order: every
+  * expensive pairing tier (dedup) sees only rows that already passed
+  * the scalar gates.
   *
   * Scale posture: rules are codegen'd scalar Columns fused into the
   * scan; the dedup tiers are the banded/blocked [[graft.ops.Dedup]]
@@ -201,7 +205,8 @@ object CurationPipeline {
       decontaminate: Option[DecontaminateConfig] = None,
       stageReportPath: Option[String] = None,
       sinkMode: String = "overwrite",
-      textInput: Option[TextInputConfig] = None)
+      textInput: Option[TextInputConfig] = None,
+      transforms: Seq[String] = Nil)
 
   // ------------------------------------------------------------- rules
 
@@ -259,6 +264,40 @@ object CurationPipeline {
       case _ => fail(s"rule '$spec' needs a ':<arg>' part")
     }
     spec -> rule
+  }
+
+  /** Parse one compact transform spec into a named text REWRITE Column
+    * — the mutation complement of [[ruleFromSpec]]'s boolean gates: a
+    * published corpus redacts PII/secrets and repairs mojibake rather
+    * than dropping the document. Every transform is a shuffle-free
+    * codegen'd Column over the text battery, so the declared chain
+    * fuses into the ingest scan and (being per-row, stateless)
+    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it:
+    * {{{
+    * fix_encoding            (EncodingRepair.repair — one mojibake layer)
+    * fix_encoding:<n>        (EncodingRepair.repairN — n nested layers)
+    * pii_redact              (PiiRedaction.redact — email/IP/phone/number)
+    * secret_redact           (SecretScan.redact — known-shape credentials)
+    * }}}
+    * Transforms apply in DECLARED order (repair encoding before the
+    * redaction regexes scan, unless you know better). */
+  def transformFromSpec(spec: String, text: Column): (String, Column) = {
+    val out: Column = spec.split(":", 2).toList match {
+      case "pii_redact" :: Nil => graft.ops.PiiRedaction.redact(text)
+      case "secret_redact" :: Nil => graft.ops.SecretScan.redact(text)
+      case "fix_encoding" :: Nil => graft.ops.EncodingRepair.repair(text)
+      case "fix_encoding" :: n :: Nil =>
+        val passes = n.toIntOption.getOrElse(
+          fail(s"fix_encoding passes in transform '$spec' must be an integer"))
+        if (passes < 1 || passes > 8)
+          fail(s"fix_encoding passes must be in [1, 8], got $passes " +
+            "(each pass strips one nested mis-decode layer)")
+        graft.ops.EncodingRepair.repairN(text, passes)
+      case other :: _ => fail(s"unknown transform '$other' in '$spec' " +
+        "(expected pii_redact | secret_redact | fix_encoding[:passes])")
+      case Nil => fail(s"empty transform spec")
+    }
+    spec -> out
   }
 
   // ------------------------------------------------------------- stages
@@ -476,11 +515,20 @@ object CurationPipeline {
     }
     if (config.urlBlocklist.isDefined)
       stages += (("url_blocklist", webGated))
+    // per-row text rewrites, in declared order, as ONE fused projection
+    // — before every content stage, so dedup keys, decontamination,
+    // rules and classifier scores all see the text that ships
+    val transformed =
+      if (config.transforms.isEmpty) webGated
+      else webGated.withColumn(config.textCol,
+        config.transforms.foldLeft(col(config.textCol))(
+          (c, s) => transformFromSpec(s, c)._2))
+    if (config.transforms.nonEmpty) stages += (("transforms", transformed))
     val paraClean =
-      if (!config.paragraphDedup) webGated
-      else webGated.drop(config.textCol)
+      if (!config.paragraphDedup) transformed
+      else transformed.drop(config.textCol)
         .join(graft.ops.ParagraphDedup
-            .dedupParagraphs(webGated, config.idCol, config.textCol)
+            .dedupParagraphs(transformed, config.idCol, config.textCol)
             .withColumnRenamed("id", config.idCol)
             .withColumnRenamed("cleaned", config.textCol),
           Seq(config.idCol))
@@ -718,6 +766,9 @@ object CurationPipeline {
     *   "url_blocklist": {"url_column": "url",           // optional,
     *                     "blocklist_path": "...",       // runs FIRST
     *                     "path_rules": [["tracker", "/track/"]]},
+    *   "transforms": ["fix_encoding", "pii_redact",     // ordered text
+    *                  "secret_redact"],     // rewrites, before all
+    *                                        // content stages
     *   "paragraph_dedup": true,                         // optional CCNet
     *                                          // rewrite, before rules
     *   "decontaminate": {"reference_path": "...",   // frozen benchmark
@@ -849,6 +900,8 @@ object CurationPipeline {
     val rules = strList("rules", root \ "rules")
     // parse eagerly so a bad rule spec fails at config time, not plan time
     rules.foreach(ruleFromSpec(_, lit("")))
+    val transforms = strList("transforms", root \ "transforms")
+    transforms.foreach(transformFromSpec(_, lit("")))
     val urlBlocklist = root \ "url_blocklist" match {
       case JNothing => None
       case u =>
@@ -1070,7 +1123,7 @@ object CurationPipeline {
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
-      textInput)
+      textInput, transforms)
   }
 
   private def fail(msg: String): Nothing =

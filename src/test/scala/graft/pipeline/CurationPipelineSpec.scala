@@ -70,6 +70,49 @@ class CurationPipelineSpec extends SparkTestBase {
     fromConfig shouldBe byHand
   }
 
+  it should "run declared transforms identically to the hand-composed " +
+      "rewrite chain, before the rules" in {
+    val p = s"$tmp/docs_redact"
+    Seq(
+      (1L, "write to bob@example.com or 10.2.3.4 about the cafÃ© " +
+        "incident and the long report thread"),
+      (2L, "key AKIA" + "ABCDEFGHIJKLMNOP" + " plus phone +15551234567 " +
+        "leaked in this sufficiently long document body"),
+      // passes min_tokens ONLY because redaction keeps the token count:
+      // the rule must judge the rewritten text
+      (3L, "ping carol@example.com dave@example.com 10.0.0.1 10.0.0.2 " +
+        "10.0.0.3 now"),
+      (4L, "too short"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"},
+         | "transforms": ["fix_encoding", "pii_redact", "secret_redact"],
+         | "rules": ["min_tokens:6"]}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val byHand = {
+      import graft.ops.{EncodingRepair, PiiRedaction, SecretScan}
+      val rewritten = spark.read.parquet(p).withColumn("text",
+        SecretScan.redact(PiiRedaction.redact(
+          EncodingRepair.repair(col("text")))))
+      rewritten.filter(TextAnalysis.tokenCount(col("text")) >= 6)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    }
+    got shouldBe byHand
+    val m = got.toMap
+    m.keySet shouldBe Set(1L, 2L, 3L)
+    m(1L) should include("[EMAIL]")
+    m(1L) should include("café")
+    m(2L) should include("[SECRET]")
+    m(2L) should include("[PHONE]")
+    m(3L) should include("[IP]")
+    // stage accounting includes the (row-preserving) transforms boundary
+    CurationPipeline.stageAttrition(spark, cfg)
+      .select($"stage").as[String].collect() should contain("transforms")
+  }
+
   it should "stop at document granularity without chunk/pack" in {
     val cfg = CurationPipeline.fromJson(
       s"""{"input": {"path": "$docsPath"},
@@ -328,6 +371,16 @@ class CurationPipelineSpec extends SparkTestBase {
       "unknown sink.format")
     bad(s"""{"input": {"path": "x"}, "url_blocklist": {"url_column": "u"}}""",
       "url_blocklist.blocklist_path is required")
+    bad(s"""{"input": {"path": "x"}, "transforms": ["strip_html"]}""",
+      "unknown transform")
+    bad(s"""{"input": {"path": "x"}, "transforms": ["pii_redact:hard"]}""",
+      "unknown transform")
+    bad(s"""{"input": {"path": "x"}, "transforms": ["fix_encoding:0"]}""",
+      "passes must be in [1, 8]")
+    bad(s"""{"input": {"path": "x"}, "transforms": ["fix_encoding:x"]}""",
+      "must be an integer")
+    bad(s"""{"input": {"path": "x"}, "transforms": "pii_redact"}""",
+      "transforms must be an array")
     bad(s"""{"input": {"path": "x"},
            | "url_blocklist": {"blocklist_path": "/b"}}""".stripMargin,
       "url_blocklist.url_column is required")

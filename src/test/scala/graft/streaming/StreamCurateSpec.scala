@@ -71,6 +71,41 @@ class StreamCurateSpec extends SparkTestBase {
     got.count(_._1 == 13L) shouldBe 2
   }
 
+  it should "accept the transforms stage and converge to batch" in {
+    // per-row, stateless rewrites: the streamed gate must redact and
+    // repair EXACTLY like the batch run regardless of batch splits
+    val docs = Seq(
+      SDoc(30L, "mail me at alice@example.com about the cafÃ© plan today"),
+      SDoc(31L, "server 10.1.2.3 and key AKIA" + "ABCDEFGHIJKLMNOP" +
+        " leaked in the long incident report"),
+      SDoc(32L, "too short"))
+    val cfg = CurationPipeline.fromJson(
+      """{"input": {"path": "/unused/by/streaming",
+        |           "id_column": "doc_id", "text_column": "text"},
+        | "transforms": ["fix_encoding", "pii_redact", "secret_redact"],
+        | "rules": ["min_tokens:6"]}""".stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in_t")
+    stage(inDir, docs.take(1), "wave1.parquet", 120000L)
+    stage(inDir, docs.drop(1), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur_t").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val want = CurationPipeline
+      .curateFrame(docs.toDF("doc_id", "text"), cfg)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    got shouldBe want
+    // the rewrites really happened, in order, and the rule judged the
+    // REWRITTEN text
+    val m = got.toMap
+    m(30L) should include("[EMAIL]")
+    m(30L) should include("café") // mojibake repaired
+    m(31L) should include("[IP]")
+    m(31L) should include("[SECRET]")
+    m.keySet shouldBe Set(30L, 31L) // 32 fails min_tokens
+  }
+
   it should "apply the frozen-index dedup tier per micro-batch" in {
     val corpus = Seq(
       SDoc(1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -4122,6 +4122,26 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Interpolated Kneser-Ney trigram LM (the published CCNet scorer
+    // class): trained ONCE into a frozen artifact (train -> save ->
+    // load, the TokenizerArtifact discipline), then every document
+    // scored under it. Scoring the training corpus itself keeps every
+    // level's counts observed, so the whole three-level discount
+    // interpolation is exact integer-count arithmetic the oracle
+    // replays literally (same operation order, round 6).
+    "q_kneser_ney" -> ((s, d) => {
+      val fx = stagedOnce("knlm", d) { dir =>
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.train(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text"), s"$dir/kn")
+      }
+      graft.ops.KneserNey.score(graft.ops.KneserNey.load(s, s"$fx/kn"),
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Substring-level dedup (duplicated-span masking): every token
     // covered by an 8-token window that also appears verbatim in another
     // document is dropped outside the span's canonical (min-id) doc —
@@ -7262,6 +7282,52 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS mean_logp
         |FROM p JOIN lp USING (prev, cur)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Kneser-Ney re-derived from exact trigram counts: position-join
+    // trigrams, the five count tables as CTEs, then the three-level
+    // discount interpolation in the LITERAL operation order of
+    // KneserNey.score (self-trained regime: every level's counts hit,
+    // so no CASE fallthrough is exercised here — the unseen-context
+    // paths are spec-pinned against an independent reference instead).
+    "q_kneser_ney" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    generate_subscripts(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term, pos FROM tok0 WHERE len(term) > 0),
+        |tg AS (
+        |  SELECT a.doc_id, a.term AS w1, b.term AS w2, c.term AS w3
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS n1p
+        |         FROM tri GROUP BY 1, 2),
+        |big AS (SELECT w2, w3, count(*) AS cont FROM tri GROUP BY 1, 2),
+        |ctx2 AS (SELECT w2, sum(cont) AS contctx, count(*) AS types
+        |         FROM big GROUP BY 1),
+        |uni AS (SELECT w3, count(*) AS contw FROM big GROUP BY 1),
+        |scal AS (SELECT (SELECT count(*) FROM big) AS n1pp,
+        |                (SELECT count(*) FROM uni) AS u,
+        |                (SELECT count(DISTINCT term) FROM tok) AS v),
+        |lp AS (
+        |  SELECT tg.doc_id,
+        |    ln(greatest(c3 - 0.75, 0) / cctx + 0.75 * n1p / cctx *
+        |       (greatest(cont - 0.75, 0) / contctx +
+        |        0.75 * types / contctx *
+        |        (greatest(contw - 0.75, 0) / n1pp +
+        |         0.75 * u / n1pp / v))) AS logp
+        |  FROM tg
+        |  JOIN tri USING (w1, w2, w3)
+        |  JOIN ctx3 USING (w1, w2)
+        |  JOIN big USING (w2, w3)
+        |  JOIN ctx2 USING (w2)
+        |  JOIN uni USING (w3), scal)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(avg(logp), 6) AS mean_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Same windows (zipped unnest for gram+position), same canonical-doc
     // rule, token-index anti-join, order-preserving rebuild.
     "q_span_dedup" ->

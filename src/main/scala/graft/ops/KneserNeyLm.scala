@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney n-gram language model (Kneser & Ney 1995;
+  * Chen & Goodman 1998 §2.7) — the scorer class the published CCNet
+  * pipeline (Wenzek et al. 2020) actually uses for its perplexity
+  * tiers, one model class above [[UnigramLm]]'s Laplace bigram: lower
+  * orders back off to CONTINUATION counts ("how many distinct contexts
+  * does this word complete?"), so high-frequency-but-context-bound
+  * tokens ("Francisco") stop inflating backoff mass.
+  *
+  * Order 3 (trigram) with a single absolute discount `D`: every level
+  * is a pure function of the exact integer trigram counts, so the whole
+  * model — counts, continuation counts, interpolation weights — is
+  * engine-replayable arithmetic (the oracle recomputes it in SQL):
+  * {{{
+  *  P(w|u,v) = max(c(uvw)-D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · P(w|v)
+  *  P(w|v)   = max(N1+(·vw)-D,0)/N1+(·v·)
+  *             + D·N1+(v·)/N1+(·v·) · P(w)
+  *  P(w)     = max(N1+(·w)-D,0)/N1+(··) + D·U/N1+(··) · 1/V
+  * }}}
+  * where `N1+` counts DISTINCT extensions of a pattern among observed
+  * trigrams, `U` = distinct continuation word types, `V` = training
+  * vocabulary size, and the uniform `1/V` backstop closes the model
+  * over unseen words (every probability is > 0). An unseen higher-order
+  * CONTEXT falls through to the next level (its discounted term and
+  * interpolation weight are undefined — the standard backoff-on-unseen
+  * reading). All levels derive from trigram occurrences only (no
+  * boundary padding; documents shorter than `order` contribute and
+  * receive nothing), mirroring [[UnigramLm.bigramMeanLogProb]]'s
+  * in-document window convention.
+  *
+  * Train-once-freeze-ship: [[save]]/[[load]] persist the count tables
+  * as parquet and the scalars as a params record (the
+  * [[TokenizerArtifact]] artifact discipline — the loader REFUSES a
+  * directory with missing params, an unexpected order, a discount
+  * outside (0,1), or table/param count disagreement). The tables stay
+  * DISTRIBUTED frames: at 100 TB the trigram table is corpus-shaped,
+  * so scoring joins against it (shuffle on the n-gram key) instead of
+  * collecting anything to the driver.
+  *
+  * Scale shape: training is three chained aggregates with map-side
+  * combine (trigram → context/bigram → unigram, each strictly smaller);
+  * scoring is one trigram explode joined LEFT against the five count
+  * tables on their natural keys, then a per-document mean. Nothing
+  * quadratic, no driver state beyond the five scalars.
+  */
+object KneserNey {
+
+  val DefaultDiscount = 0.75
+
+  /** The five scalars of a trained model. `bigramTypes` = N1+(··),
+    * `uniTypes` = U, `vocabSize` = V. */
+  final case class KnParams(order: Int, discount: Double, vocabSize: Long,
+                            bigramTypes: Long, uniTypes: Long) {
+    require(order == 3, s"KneserNey: only order 3 is implemented, got $order")
+    require(discount > 0 && discount < 1,
+      s"KneserNey: discount must be in (0, 1), got $discount")
+    require(vocabSize > 0 && bigramTypes > 0 && uniTypes > 0,
+      "KneserNey: a trained model needs positive vocab/type counts " +
+        s"(got V=$vocabSize, N1+(..)=$bigramTypes, U=$uniTypes)")
+  }
+
+  /** A trained (or reopened) model: the five count tables as lazy
+    * frames plus the scalars. Tables:
+    *  - `tri  (w1, w2, w3, c3)`        raw trigram counts
+    *  - `ctx3 (w1, w2, cctx, n1p)`     context totals + distinct-w3
+    *  - `big  (w2, w3, cont)`          continuation counts N1+(·vw)
+    *  - `ctx2 (w2, contctx, types)`    N1+(·v·) + distinct-w3 under v
+    *  - `uni  (w3, contw)`             continuation counts N1+(·w) */
+  final case class KnModel(params: KnParams, tri: DataFrame,
+                           ctx3: DataFrame, big: DataFrame,
+                           ctx2: DataFrame, uni: DataFrame)
+
+  /** In-document trigram stream `(id, w1, w2, w3)` over whitespace
+    * tokens of `lower(trim(text))` — the [[UnigramLm.bigramMeanLogProb]]
+    * window convention: grams are position-adjacent and any empty token
+    * breaks adjacency (filter AFTER the zip, not before). */
+  private[graft] def trigrams(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val toks = split(lower(trim(col("__t"))), "\\s+")
+    val n = size(toks)
+    Parallelism.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), explode(arrays_zip(
+        slice(toks, lit(1), greatest(n - 2, lit(0))),
+        slice(toks, lit(2), greatest(n - 2, lit(0))),
+        slice(toks, lit(3), greatest(n - 2, lit(0))))).as("tg"))
+      .select(col("id"), col("tg.0").as("w1"), col("tg.1").as("w2"),
+        col("tg.2").as("w3"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0 &&
+        length(col("w3")) > 0)
+  }
+
+  /** Train an order-3 model on `docs`. The three `count()` actions are
+    * model-scalar reads (the artifact's params), not data motion. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            discount: Double = DefaultDiscount): KnModel = {
+    require(discount > 0 && discount < 1,
+      s"KneserNey.train: discount must be in (0, 1), got $discount")
+    val tri = trigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ctx3 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("cctx"), count(lit(1)).as("n1p"))
+    val big = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cont"))
+    val ctx2 = big.groupBy(col("w2"))
+      .agg(sum(col("cont")).as("contctx"), count(lit(1)).as("types"))
+    val uni = big.groupBy(col("w3"))
+      .agg(count(lit(1)).as("contw"))
+    val vocab = Parallelism.spread(
+        docs.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(explode(split(lower(trim(col("__t"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .agg(countDistinct(col("term")).as("v"))
+      .head().getLong(0)
+    KnModel(KnParams(3, discount, vocab, big.count(), uni.count()),
+      tri, ctx3, big, ctx2, uni)
+  }
+
+  /** Persist a trained model under `dir` (overwrite): five parquet
+    * tables + a one-row params record. */
+  def save(spark: SparkSession, model: KnModel, dir: String): Unit = {
+    import spark.implicits._
+    model.tri.write.mode("overwrite").parquet(s"$dir/tri")
+    model.ctx3.write.mode("overwrite").parquet(s"$dir/ctx3")
+    model.big.write.mode("overwrite").parquet(s"$dir/big")
+    model.ctx2.write.mode("overwrite").parquet(s"$dir/ctx2")
+    model.uni.write.mode("overwrite").parquet(s"$dir/uni")
+    val p = model.params
+    Seq((p.order, p.discount, p.vocabSize, p.bigramTypes, p.uniTypes))
+      .toDF("order", "discount", "vocab_size", "bigram_types", "uni_types")
+      .write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Reopen a model written by [[save]]. Refusals: no readable params,
+    * unexpected order, discount outside (0,1), or a bigram/unigram
+    * table whose row count disagrees with the declared type counts
+    * (scoring under a half-written model is silent corruption). */
+  def load(spark: SparkSession, dir: String): KnModel = {
+    val params =
+      try {
+        val r = spark.read.json(s"$dir/params")
+          .select(col("order"), col("discount"), col("vocab_size"),
+            col("bigram_types"), col("uni_types")).head()
+        KnParams(r.getLong(0).toInt, r.getDouble(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"KneserNey model at $dir has no readable params record; " +
+              "it was not written by KneserNey.save", e)
+      }
+    val big = spark.read.parquet(s"$dir/big")
+    val uni = spark.read.parquet(s"$dir/uni")
+    val nBig = big.count()
+    val nUni = uni.count()
+    require(nBig == params.bigramTypes && nUni == params.uniTypes,
+      s"KneserNey model at $dir is damaged: params declare " +
+        s"${params.bigramTypes}/${params.uniTypes} bigram/unigram types " +
+        s"but the tables hold $nBig/$nUni rows")
+    KnModel(params, spark.read.parquet(s"$dir/tri"),
+      spark.read.parquet(s"$dir/ctx3"), big,
+      spark.read.parquet(s"$dir/ctx2"), uni)
+  }
+
+  /** Score `docs` under a frozen model: `(id, n_trigrams, mean_logp)`
+    * — the mean over the document's trigram positions of
+    * `ln P(w3 | w1, w2)`, rounded to 6 (the [[UnigramLm]] output
+    * convention; documents with fewer than 3 tokens have no row). */
+  def score(model: KnModel, docs: DataFrame, idCol: String,
+            textCol: String): DataFrame = {
+    val p = model.params
+    val d = lit(p.discount)
+    val joined = trigrams(docs, idCol, textCol)
+      .join(model.tri, Seq("w1", "w2", "w3"), "left_outer")
+      .join(model.ctx3, Seq("w1", "w2"), "left_outer")
+      .join(model.big, Seq("w2", "w3"), "left_outer")
+      .join(model.ctx2, Seq("w2"), "left_outer")
+      .join(model.uni, Seq("w3"), "left_outer")
+    // the three levels, innermost first — EXACTLY this operation order
+    // is what the oracle replays, so keep the shape in sync with the
+    // q_kneser_ney SQL
+    val pU = greatest(coalesce(col("contw"), lit(0L)) - d, lit(0.0)) /
+      lit(p.bigramTypes) +
+      d * lit(p.uniTypes) / lit(p.bigramTypes) / lit(p.vocabSize)
+    val pB = when(col("contctx").isNotNull,
+      greatest(coalesce(col("cont"), lit(0L)) - d, lit(0.0)) /
+        col("contctx") +
+        d * col("types") / col("contctx") * pU).otherwise(pU)
+    val pT = when(col("cctx").isNotNull,
+      greatest(coalesce(col("c3"), lit(0L)) - d, lit(0.0)) / col("cctx") +
+        d * col("n1p") / col("cctx") * pB).otherwise(pB)
+    joined.select(col("id"), log(pT).as("__lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(col("__lp")), 6).as("mean_logp"))
+  }
+
+  /** Train on `docs` and score the same corpus — the self-trained
+    * posture of the [[UnigramLm]] scorers (and the exact-replay regime
+    * of `q_kneser_ney`: every trigram is in-vocabulary, but the
+    * interpolation arithmetic still exercises all three levels). */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String,
+                discount: Double = DefaultDiscount): DataFrame =
+    score(train(docs, idCol, textCol, discount), docs, idCol, textCol)
+}

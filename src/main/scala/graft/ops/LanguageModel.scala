@@ -95,16 +95,26 @@ object UnigramLm {
     * a group-partitioned window — one exchange on the group key,
     * window state bounded by group size. */
   def perplexityTiers(docs: DataFrame, idCol: String, textCol: String,
-                      groupCol: String, tiers: Int = 3): DataFrame = {
+                      groupCol: String, tiers: Int = 3): DataFrame =
+    perplexityTiersScored(docs, idCol, groupCol,
+      meanLogProb(docs, idCol, textCol), tiers)
+      .select(col("id"), col(groupCol), col("n_tokens"),
+        col("mean_logp"), col("tier"))
+
+  /** The tier banding over ANY per-document LM score frame
+    * `(id, …, mean_logp)` — so the banding accepts the
+    * [[KneserNey.score]] output (the published CCNet pipeline scores
+    * with a Kneser–Ney model) exactly like the self-trained unigram
+    * default. Output: `(id, groupCol, <scored columns>, tier)`. */
+  def perplexityTiersScored(docs: DataFrame, idCol: String,
+                            groupCol: String, scored: DataFrame,
+                            tiers: Int = 3): DataFrame = {
     require(tiers >= 2, s"perplexityTiers: tiers must be >= 2, got $tiers")
-    val scored = meanLogProb(docs, idCol, textCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("mean_logp").desc, col("id"))
     docs.select(col(idCol).as("id"), col(groupCol))
       .join(scored, "id")
       .withColumn("tier", ntile(tiers).over(w))
-      .select(col("id"), col(groupCol), col("n_tokens"),
-        col("mean_logp"), col("tier"))
   }
 }

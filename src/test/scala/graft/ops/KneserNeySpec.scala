@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[KneserNey]] against an independent single-node reference: the
+  * same three-level interpolated-discount formula computed with plain
+  * Scala maps over the same trigram windows — unseen trigram / context
+  * / word fallthrough included, which the hash-green `q_kneser_ney`
+  * (self-trained, everything observed) cannot exercise. */
+class KneserNeySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val D = 0.75
+
+  /** Independent reference scorer (maps + loops, no Spark). */
+  private def refScore(train: Seq[String],
+                       score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val tgs = train.flatMap(t => toks(t).sliding(3).filter(_.size == 3)
+      .map(s => (s(0), s(1), s(2))))
+    val c3 = tgs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cctx = c3.groupBy { case ((u, v, _), _) => (u, v) }
+      .map { case (k, m) => k -> m.values.sum }
+    val n1p = c3.groupBy { case ((u, v, _), _) => (u, v) }
+      .map { case (k, m) => k -> m.size }
+    val cont = c3.keys.toSeq.map { case (_, v, w) => (v, w) }
+      .groupBy(identity).map { case (k, g) => k -> g.size }
+    val contctx = cont.groupBy(_._1._1)
+      .map { case (v, m) => v -> m.values.sum }
+    val types = cont.groupBy(_._1._1).map { case (v, m) => v -> m.size }
+    val contw = cont.keys.groupBy(_._2).map { case (w, g) => w -> g.size }
+    val n1pp = cont.size.toDouble
+    val u = contw.size.toDouble
+    val v = train.flatMap(toks).distinct.size.toDouble
+    def pU(w: String): Double =
+      math.max(contw.getOrElse(w, 0) - D, 0.0) / n1pp + D * u / n1pp / v
+    def pB(v2: String, w: String): Double = contctx.get(v2) match {
+      case Some(cc) =>
+        math.max(cont.getOrElse((v2, w), 0) - D, 0.0) / cc +
+          D * types(v2) / cc * pU(w)
+      case None => pU(w)
+    }
+    def pT(u2: String, v2: String, w: String): Double =
+      cctx.get((u2, v2)) match {
+        case Some(cc) =>
+          math.max(c3.getOrElse((u2, v2, w), 0) - D, 0.0) / cc +
+            D * n1p((u2, v2)) / cc * pB(v2, w)
+        case None => pB(v2, w)
+      }
+    score.flatMap { case (id, t) =>
+      val g = toks(t).sliding(3).filter(_.size == 3).toSeq
+      if (g.isEmpty) None
+      else Some(id -> (g.size.toLong,
+        g.map(s => math.log(pT(s(0), s(1), s(2)))).sum / g.size))
+    }.toMap
+  }
+
+  private val trainCorpus = Seq(
+    "the cat sat on the mat",
+    "the cat ate the fish",
+    "the dog sat on the rug",
+    "a cat and a dog sat together on the mat",
+    "fish and chips on the side")
+
+  private def opScores(scoreDocs: Seq[(Long, String)],
+                       model: KneserNey.KnModel): Map[Long, (Long, Double)] =
+    KneserNey.score(model, scoreDocs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  "KneserNey" should "match the independent reference on the training corpus" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val model = KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val got = opScores(docs, model)
+    val want = refScore(trainCorpus, docs)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (id, (n, lp)) =>
+      n shouldBe want(id)._1
+      lp shouldBe (BigDecimal(want(id)._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6)
+    }
+  }
+
+  it should "back off through unseen trigrams, contexts and words" in {
+    val model = KneserNey.train(
+      trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val unseen = Seq(
+      (100L, "the cat sat on a rug"),        // unseen trigrams, seen contexts
+      (101L, "zebra quark sat on the mat"),  // unseen words AND contexts
+      (102L, "fish and chips on the mat"),   // mixed
+      (103L, "xx yy zz"))                    // fully out-of-vocabulary
+    val got = opScores(unseen, model)
+    val want = refScore(trainCorpus, unseen)
+    got.keySet shouldBe want.keySet
+    got.foreach { case (id, (n, lp)) =>
+      n shouldBe want(id)._1
+      lp shouldBe (want(id)._2 +- 1e-6)
+    }
+    // every probability strictly positive (finite log), even full-OOV
+    got.values.foreach(_._2 should be > Double.NegativeInfinity)
+  }
+
+  it should "define proper conditionals: each level sums to 1 over the vocab" in {
+    val model = KneserNey.train(
+      trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // reference probabilities via scoring single-trigram docs would be
+    // indirect; recompute with the reference maps and sum analytically
+    val vocab = trainCorpus.flatMap(
+      _.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)).distinct
+    def probOf(u: String, v: String, w: String): Double = {
+      val m = refScore(trainCorpus, Seq((0L, s"$u $v $w")))
+      math.exp(m(0L)._2)
+    }
+    for ((u, v) <- Seq(("the", "cat"), ("sat", "on"), ("zz", "the"))) {
+      val s = vocab.map(w => probOf(u, v, w)).sum
+      s shouldBe (1.0 +- 1e-9)
+    }
+    model.params.vocabSize shouldBe vocab.size.toLong
+  }
+
+  it should "round-trip through save/load and refuse damaged artifacts" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val model = KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kn_spec").toString + "/kn"
+    KneserNey.save(spark, model, dir)
+    val loaded = KneserNey.load(spark, dir)
+    loaded.params shouldBe model.params
+    opScores(docs, loaded) shouldBe opScores(docs, model)
+    // refusals: no params record; damaged table vs declared counts
+    an[IllegalStateException] should be thrownBy
+      KneserNey.load(spark, dir + "_nowhere")
+    val damaged = java.nio.file.Files
+      .createTempDirectory("graft_kn_dmg").toString + "/kn"
+    KneserNey.save(spark, model, damaged)
+    model.big.limit(1).write.mode("overwrite").parquet(s"$damaged/big")
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.load(spark, damaged)
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text",
+        discount = 1.5)
+  }
+
+  it should "skip sub-trigram documents and feed perplexityTiersScored" in {
+    val docs = (trainCorpus.zipWithIndex.map {
+      case (t, i) => (i.toLong, t, if (i % 2 == 0) "en" else "de")
+    } ++ Seq((50L, "two tokens", "en"), (51L, "", "de")))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val model = KneserNey.train(df, "doc_id", "text")
+    val scored = KneserNey.score(model, df, "doc_id", "text")
+    scored.select($"id").as[Long].collect().toSet shouldBe
+      Set(0L, 1L, 2L, 3L, 4L) // 50/51 have no trigrams
+    val tiers = UnigramLm.perplexityTiersScored(df, "doc_id", "lang",
+      scored, tiers = 2)
+    tiers.columns should contain allOf ("id", "lang", "mean_logp", "tier")
+    tiers.select($"tier").as[Int].collect().toSet shouldBe Set(1, 2)
+  }
+}

@@ -479,6 +479,34 @@ object SparkEntry {
       col("doc_id"))
   }
 
+  // q_etld1 fixture: a frozen public-suffix snapshot (PSL rule grammar
+  // incl. a comment line, a blank, a wildcard and an exception — the
+  // parse is part of the op and the oracle replays it) plus hosts
+  // hitting every rule class: plain TLD, multi-label suffix, wildcard,
+  // exception (at and below), no-match fallback, single-label host.
+  private val PslSnapshotFixture: Seq[String] = Seq(
+    "// frozen public-suffix snapshot (test fixture)",
+    "com", "net", "org", "uk", "co.uk", "io", "github.io",
+    "*.ck", "!www.ck", "")
+
+  private def Etld1UrlCol: Column = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(10))
+    val host = when(m === 0,
+        concat(lit("a"), pmod(id, lit(5)), lit(".example.com")))
+      .when(m === 1, lit("www.blog.example.co.uk"))
+      .when(m === 2, lit("example.uk"))
+      .when(m === 3,
+        concat(lit("deep"), pmod(id, lit(4)), lit(".sub.site.github.io")))
+      .when(m === 4, lit("www.ck"))
+      .when(m === 5, lit("foo.www.ck"))
+      .when(m === 6, concat(lit("a"), pmod(id, lit(3)), lit(".b.ck")))
+      .when(m === 7, lit("ck"))
+      .when(m === 8, concat(lit("host"), pmod(id, lit(7)), lit(".xyz")))
+      .otherwise(lit("localhost"))
+    concat(lit("https://"), host, lit("/p/"), id)
+  }
+
   /** q_robots_gate / q_stream_robots_gate path fixture (keyed to the
     * rule battery in the robots bodies, shared so audit and gate stay
     * in lockstep with the one oracle CTE). */
@@ -2475,6 +2503,25 @@ object SparkEntry {
           Seq("tracker" -> "/track/"))
         .select(col("doc_id"), col("url"), col("host"),
           col("blocked_domain"), col("blocked_rule"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Registered-domain (eTLD+1) extraction under a frozen PSL
+    // snapshot: a.example.co.uk and b.example.co.uk are ONE site, which
+    // full-host grouping wrongly splits. The snapshot carries all three
+    // rule classes (plain, *.wildcard, !exception) plus comment/blank
+    // lines; matching is the suffix-explode equi-join over DISTINCT
+    // hosts, prevailing rule = exception first then most labels, no
+    // match = the implicit * rule. Oracle replays the parse, the
+    // longest-match join and the label slicing literally.
+    "q_etld1" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.UrlFilter.registeredDomains(
+          Tables.documents(s, d).select(col("doc_id"),
+            Etld1UrlCol.as("url")),
+          "doc_id", "url", PslSnapshotFixture.toDF("rule"))
+        .select(col("doc_id"), col("host"), col("public_suffix"),
+          col("registered_domain"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6584,6 +6631,66 @@ object SparkEntry {
          |  CASE WHEN h_x = 0 OR h_y = 0 THEN NULL
          |       ELSE round(mi_raw / sqrt(h_x * h_y), 6) END AS nmi
          |FROM tot, mi, hx, hy""".stripMargin,
+    // eTLD+1 replayed: the raw snapshot lines parsed in SQL (comment /
+    // blank strip, '!' flag), suffix + wildcard-form keys per host
+    // suffix joined to the rules, prevailing rule as an
+    // exception-dominant priority max, then the label slicing.
+    "q_etld1" -> {
+      val rawValues = PslSnapshotFixture
+        .map(r => s"('${r.replace("'", "''")}')").mkString(", ")
+      s"""WITH u AS (
+         |  SELECT doc_id, 'https://' ||
+         |    CASE doc_id % 10
+         |      WHEN 0 THEN 'a' || (doc_id % 5) || '.example.com'
+         |      WHEN 1 THEN 'www.blog.example.co.uk'
+         |      WHEN 2 THEN 'example.uk'
+         |      WHEN 3 THEN 'deep' || (doc_id % 4) || '.sub.site.github.io'
+         |      WHEN 4 THEN 'www.ck'
+         |      WHEN 5 THEN 'foo.www.ck'
+         |      WHEN 6 THEN 'a' || (doc_id % 3) || '.b.ck'
+         |      WHEN 7 THEN 'ck'
+         |      WHEN 8 THEN 'host' || (doc_id % 7) || '.xyz'
+         |      ELSE 'localhost' END || '/p/' || doc_id AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id, lower(regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))
+         |    AS host FROM u),
+         |raw(r) AS (VALUES $rawValues),
+         |rules AS (
+         |  SELECT regexp_replace(lower(trim(r)), '^!', '') AS rule,
+         |    starts_with(lower(trim(r)), '!') AS exc
+         |  FROM raw
+         |  WHERE len(trim(r)) > 0 AND NOT starts_with(lower(trim(r)), '//')),
+         |parts AS (SELECT doc_id, host, string_split(host, '.') AS p FROM h),
+         |sfx AS (SELECT doc_id, len(p) AS n, p,
+         |    unnest(generate_series(1, least(len(p), 8))) AS k
+         |  FROM parts),
+         |keys AS (SELECT doc_id, k,
+         |    array_to_string(p[n - k + 1:n], '.') AS sk FROM sfx),
+         |cand AS (
+         |  SELECT doc_id, k, sk AS key FROM keys
+         |  UNION ALL
+         |  SELECT doc_id, k, '*.' || regexp_replace(sk, '^[^.]+\\.', '')
+         |  FROM keys WHERE k >= 2),
+         |m AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN exc THEN 1000 ELSE 0 END + k) AS pri
+         |  FROM cand JOIN rules ON cand.key = rules.rule
+         |  GROUP BY doc_id),
+         |lab AS (
+         |  SELECT h.doc_id, h.host,
+         |    coalesce(CASE WHEN m.pri >= 1000 THEN m.pri - 1001
+         |             ELSE m.pri END, 1) AS pslab,
+         |    len(string_split(h.host, '.')) AS n,
+         |    string_split(h.host, '.') AS p
+         |  FROM h LEFT JOIN m USING (doc_id))
+         |SELECT doc_id, host,
+         |  array_to_string(p[n - pslab + 1:n], '.') AS public_suffix,
+         |  CASE WHEN n > pslab
+         |       THEN array_to_string(p[n - pslab:n], '.')
+         |       ELSE NULL END AS registered_domain
+         |FROM lab ORDER BY doc_id""".stripMargin
+    },
     // URL gate replayed: same host regex, suffix matching as LIKE tests
     // in ascending-domain CASE order (first match ≡ the op's min-match),
     // same path-rule chain.

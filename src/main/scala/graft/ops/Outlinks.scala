@@ -75,4 +75,35 @@ object Outlinks {
       .groupBy(col("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col(idCol)).as("n_pages"))
+
+  /** [[domainGraph]] at REGISTERED-domain (eTLD+1) granularity under a
+    * frozen PSL snapshot: `a.example.co.uk` and `b.example.co.uk` are
+    * one node (`example.co.uk`), which full-host grouping wrongly
+    * splits. Hosts that are themselves public suffixes (or have no
+    * parseable host) keep the host string as the node label rather than
+    * vanishing. One extra distinct-host-sized map join per side
+    * ([[UrlFilter.registeredDomainMap]]); the edge aggregate is
+    * unchanged. */
+  def domainGraphRegistered(df: DataFrame, idCol: String, htmlCol: String,
+                            baseUrlCol: String, psl: DataFrame,
+                            ruleCol: String = "rule"): DataFrame = {
+    val links = outlinks(df, idCol, htmlCol, baseUrlCol)
+    val hosts = links.select(col("src_host").as("host"))
+      .unionByName(links.select(col("dst_host").as("host")))
+    val m = UrlFilter.registeredDomainMap(hosts, "host", psl, ruleCol)
+      .select(col("host"), col("registered_domain"))
+    links
+      .join(m.withColumnRenamed("host", "src_host")
+        .withColumnRenamed("registered_domain", "__srd"), Seq("src_host"),
+        "left_outer")
+      .join(m.withColumnRenamed("host", "dst_host")
+        .withColumnRenamed("registered_domain", "__drd"), Seq("dst_host"),
+        "left_outer")
+      .select(coalesce(col("__srd"), col("src_host")).as("src_domain"),
+        coalesce(col("__drd"), col("dst_host")).as("dst_domain"),
+        col(idCol))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_pages"))
+  }
 }

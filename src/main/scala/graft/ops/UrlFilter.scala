@@ -60,7 +60,8 @@ object UrlFilter {
   def audit(df: DataFrame, idCol: String, urlCol: String,
             blocked: DataFrame, domainCol: String,
             pathRules: Seq[(String, String)] = Nil,
-            maxLabels: Int = 8): DataFrame = {
+            maxLabels: Int = 8,
+            psl: Option[DataFrame] = None): DataFrame = {
     val host = hostOf(col(urlCol))
     val withHost = df.withColumn("host", host)
     val hits = withHost
@@ -73,11 +74,21 @@ object UrlFilter {
       case ((name, pat), rest) =>
         when(col(urlCol).rlike(pat), lit(name)).otherwise(rest)
     }
-    withHost
+    val audited = withHost
       .join(hits, Seq(idCol), "left")
       .withColumn("blocked_rule", ruleChain)
       .withColumn("keep",
         col("blocked_domain").isNull && col("blocked_rule").isNull)
+    // with a PSL snapshot the audit also reports the SITE identity —
+    // "which registered domains are we dropping pages from" is the
+    // dataset-card question, and full hosts over-split it
+    psl match {
+      case None => audited
+      case Some(p) => audited.join(
+        registeredDomainMap(audited, "host", p, maxLabels = maxLabels)
+          .select(col("host"), col("registered_domain")),
+        Seq("host"), "left_outer")
+    }
   }
 
   /** The enforcing form: rows surviving [[audit]], original columns
@@ -88,4 +99,79 @@ object UrlFilter {
     audit(df, idCol, urlCol, blocked, domainCol, pathRules)
       .filter(col("keep"))
       .drop("host", "blocked_domain", "blocked_rule", "keep")
+
+  // -------------------------------------------- registered domain (PSL)
+
+  /** `host → (public_suffix, registered_domain)` under a FROZEN
+    * public-suffix-list snapshot (publicsuffix.org rule grammar over
+    * `ruleCol`: plain suffixes, `*.` wildcards matching exactly one
+    * label, `!` exceptions; `//` comment and blank lines ignored, so a
+    * raw snapshot file loads as-is). `a.example.co.uk` and
+    * `b.example.co.uk` are the SAME site (`example.co.uk`) — grouping
+    * crawl analytics by full host splits every site with subdomains,
+    * which is why the domain graph and per-site quotas want eTLD+1, not
+    * [[hostOf]].
+    *
+    * PSL semantics (the published algorithm): among matching rules an
+    * exception rule prevails (its public suffix drops the leftmost
+    * label), otherwise the most-labels rule; no match falls back to the
+    * implicit `*` rule (public suffix = last label). The registered
+    * domain is the public suffix plus one label — null when the host IS
+    * a public suffix.
+    *
+    * Scale shape: operates on DISTINCT hosts (crawl-card-sized, not
+    * corpus-sized) through the [[hostSuffixes]] explode — each suffix
+    * contributes itself and its one-label wildcard form as equi-join
+    * keys against the rule table (snapshot-sized — Spark broadcasts it
+    * on its own), then one max-aggregate picks the prevailing rule. No
+    * LIKE scans, no per-rule plan growth. */
+  def registeredDomainMap(hosts: DataFrame, hostCol: String,
+                          psl: DataFrame, ruleCol: String = "rule",
+                          maxLabels: Int = 8): DataFrame = {
+    val rules = psl
+      .select(lower(trim(col(ruleCol))).as("__raw"))
+      .filter(length(col("__raw")) > 0 && !col("__raw").startsWith("//"))
+      .select(regexp_replace(col("__raw"), "^!", "").as("__rule"),
+        col("__raw").startsWith("!").as("__exc"))
+    val h = hosts.select(col(hostCol).as("host"))
+      .filter(col("host") =!= "").distinct()
+    val sfx = h.select(col("host"),
+      explode(hostSuffixes(col("host"), maxLabels)).as("__sfx"))
+    val sp = split(col("__sfx"), "\\.")
+    val cand = sfx
+      .select(col("host"), size(sp).as("__k"),
+        explode(filter(array(
+          col("__sfx"),
+          when(size(sp) >= 2, concat(lit("*."),
+            concat_ws(".", slice(sp, lit(2), size(sp) - 1))))),
+          x => x.isNotNull)).as("__key"))
+    val best = cand.join(rules, cand("__key") === rules("__rule"))
+      .groupBy(col("host"))
+      .agg(max(struct(col("__exc").as("e"), col("__k").as("k"))).as("__m"))
+      .select(col("host"),
+        when(col("__m.e"), col("__m.k") - 1).otherwise(col("__m.k"))
+          .as("__pslab"))
+    val hp = split(col("host"), "\\.")
+    h.join(best, Seq("host"), "left_outer")
+      .select(col("host"), coalesce(col("__pslab"), lit(1)).as("__pslab"))
+      .select(col("host"),
+        concat_ws(".",
+          slice(hp, size(hp) - col("__pslab") + 1, col("__pslab")))
+          .as("public_suffix"),
+        when(size(hp) > col("__pslab"),
+          concat_ws(".",
+            slice(hp, size(hp) - col("__pslab"), col("__pslab") + 1)))
+          .otherwise(lit(null).cast("string")).as("registered_domain"))
+  }
+
+  /** [[registeredDomainMap]] applied to a URL column: appends `host`,
+    * `public_suffix`, `registered_domain` (null host → null both). */
+  def registeredDomains(df: DataFrame, idCol: String, urlCol: String,
+                        psl: DataFrame, ruleCol: String = "rule",
+                        maxLabels: Int = 8): DataFrame = {
+    val withHost = df.withColumn("host", hostOf(col(urlCol)))
+    withHost.join(
+      registeredDomainMap(withHost, "host", psl, ruleCol, maxLabels),
+      Seq("host"), "left_outer")
+  }
 }

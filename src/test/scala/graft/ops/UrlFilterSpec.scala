@@ -88,4 +88,70 @@ class UrlFilterSpec extends SparkTestBase {
     out.columns.toSeq shouldBe Seq("id", "url", "extra")
     out.select($"id").as[Long].collect().toSeq shouldBe Seq(2L)
   }
+
+  private val psl = Seq(
+    "// comment line ignored", "",
+    "com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck")
+    .toDF("rule")
+
+  "registeredDomains" should
+      "apply PSL plain, wildcard and exception rules" in {
+    val df = Seq(
+      (1L, "https://a.b.example.com/x"),     // plain TLD
+      (2L, "https://www.blog.example.co.uk/x"), // most-labels rule wins
+      (3L, "https://sub.site.github.io/x"),  // private-domain suffix
+      (4L, "https://www.ck/x"),              // exception AT the host
+      (5L, "https://foo.www.ck/x"),          // exception below
+      (6L, "https://a.b.ck/x"),              // wildcard: b.ck is a PS
+      (7L, "https://b.ck/x"),                // wildcard: host IS the PS
+      (8L, "https://ck/x"),                  // bare label, no rule depth
+      (9L, "https://unknown.zz/x"),          // no match: implicit *
+      (10L, "not a url"))                    // no host
+      .toDF("id", "url")
+    val out = UrlFilter.registeredDomains(df, "id", "url", psl)
+      .select($"id", $"public_suffix", $"registered_domain")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out(1L) shouldBe (Some("com"), Some("example.com"))
+    out(2L) shouldBe (Some("co.uk"), Some("example.co.uk"))
+    out(3L) shouldBe (Some("github.io"), Some("site.github.io"))
+    // !www.ck: www.ck is registrable (PS = ck), for itself and below
+    out(4L) shouldBe (Some("ck"), Some("www.ck"))
+    out(5L) shouldBe (Some("ck"), Some("www.ck"))
+    // *.ck: any single label under ck is a public suffix
+    out(6L) shouldBe (Some("b.ck"), Some("a.b.ck"))
+    out(7L) shouldBe (Some("b.ck"), None) // host IS the public suffix
+    out(8L) shouldBe (Some("ck"), None)
+    out(9L) shouldBe (Some("zz"), Some("unknown.zz"))
+    out(10L) shouldBe ((None, None)) // unparseable host
+  }
+
+  "domainGraphRegistered" should "collapse subdomains to one site node" in {
+    val pages = Seq(
+      (1L, """<a href="https://x.example.co.uk/a">l</a>""",
+        "https://a.example.co.uk/p"),
+      (2L, """<a href="https://x.example.co.uk/b">l</a>""",
+        "https://b.example.co.uk/p"))
+      .toDF("id", "html", "base")
+    val host = Outlinks.domainGraph(pages, "id", "html", "base")
+      .collect()
+    host.length shouldBe 2 // full hosts split the site
+    val reg = Outlinks.domainGraphRegistered(pages, "id", "html", "base",
+        psl)
+      .select($"src_domain", $"dst_domain", $"n_links", $"n_pages")
+      .as[(String, String, Long, Long)].collect()
+    reg.toSeq shouldBe Seq(("example.co.uk", "example.co.uk", 2L, 2L))
+  }
+
+  "audit with a PSL snapshot" should "report the registered domain" in {
+    val df = Seq((1L, "https://deep.sub.spam.net/x"),
+      (2L, "https://github.io/y")).toDF("id", "url")
+    val out = UrlFilter.audit(df, "id", "url", blocked, "domain",
+        psl = Some(psl))
+      .select($"id", $"registered_domain", $"keep")
+      .as[(Long, Option[String], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out(1L) shouldBe ((Some("spam.net"), false))
+    out(2L) shouldBe ((None, true)) // github.io host IS a public suffix
+  }
 }

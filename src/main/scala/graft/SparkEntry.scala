@@ -3701,6 +3701,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("link_idx"))
     }),
 
+    // Avro changelog ingest round trip: the corpus staged as an Avro
+    // container set (the Debezium-landing format) and read back through
+    // AvroChangelogSource with the REQUIRED-schema contract — types and
+    // values must survive the parquet -> avro -> frame crossing exactly
+    // (the oracle reads the original parquet).
+    "q_avro_source" -> ((s, d) => {
+      val fx = stagedOnce("avsrc", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.format("org.apache.spark.sql.avro.AvroFileFormat")
+          .save(s"$dir/docs.avro")
+      }
+      graft.sources.AvroChangelogSource(fx,
+          schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT")))
+        .read(s, "docs")
+        .orderBy(col("doc_id"))
+    }),
+
     // The permissive-quarantine ingest contract end-to-end: a staged
     // CSV changelog with injected corruption (id%7==0 rows lose two
     // fields, id%11==0 rows carry an uncastable count) read through
@@ -7804,6 +7825,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_tokens,
         |  text AS text_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Avro round trip: the adapter must hand back exactly the staged
+    // projection, so the oracle IS the original table.
+    "q_avro_source" ->
+      """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Quarantine-mode clean rows replayed: exactly the rows whose
     // staged line was well-formed — neither arity-corrupt (%7) nor

@@ -183,6 +183,94 @@ class ChangelogSourceSpec extends SparkTestBase {
     } finally Tables.unregister("csvlog")
   }
 
+  "AvroChangelogSource" should
+      "run the snapshot pipeline unchanged over avro data" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_avro_").toString
+    Seq(("u1", 1000L, "I", "7"), ("u1", 2500L, "U", "8"),
+      ("u2", 1500L, "I", "9"))
+      .toDF("row_key", "ts", "row_status", "age")
+      .write.format("org.apache.spark.sql.avro.AvroFileFormat").save(s"$root/avrolog.avro")
+    Tables.register("avrolog", AvroChangelogSource(root))
+    try {
+      val out = graft.pipeline.SnapshotPipeline.snapshot(spark,
+        graft.pipeline.SnapshotPipeline.SnapshotConfig("avrolog",
+          graft.pipeline.SnapshotPipeline.ExplicitSchema(Seq("d:age:integer")),
+          graft.pipeline.SnapshotPipeline.ParquetSink("/unused"),
+          asOfMillis = 2000L))
+      out.orderBy($"k_hbase_row_key")
+        .select($"k_hbase_row_key", $"age").as[(String, Int)]
+        .collect().toSeq shouldBe Seq(("u1", 7), ("u2", 9))
+    } finally Tables.unregister("avrolog")
+  }
+
+  /** Truncate one container file mid-block so its trailing records are
+    * unrecoverable — the damage shape a partial upload actually
+    * produces. */
+  private def truncateOne(dir: String): (String, Int) = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".avro")).sortBy(_.getName)
+    parts.length should be >= 2
+    val victim = parts.head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 40))
+    (victim.getName, parts.length)
+  }
+
+  it should "fail loudly on a corrupt container block (FAILFAST)" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_avrobad_").toString
+    (1L to 200L).map(i => (s"u$i", i)).toDF("row_key", "ts")
+      .repartition(2)
+      .write.format("org.apache.spark.sql.avro.AvroFileFormat").save(s"$root/log.avro")
+    truncateOne(s"$root/log.avro")
+    an[Exception] should be thrownBy
+      AvroChangelogSource(root).read(spark, "log").collect()
+  }
+
+  it should "quarantine damaged container FILES and serve the clean ones" in {
+    val root = java.nio.file.Files.createTempDirectory("graft_avroq_").toString
+    val q = s"$root/_quarantine"
+    val all = (1L to 200L).map(i => (s"u$i", i))
+    all.toDF("row_key", "ts").repartition(2)
+      .write.format("org.apache.spark.sql.avro.AvroFileFormat").save(s"$root/log.avro")
+    // record the undamaged per-file contents to know what must survive
+    val perFile = new java.io.File(s"$root/log.avro").listFiles()
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+      .map(f => f.getName -> spark.read.format("org.apache.spark.sql.avro.AvroFileFormat")
+        .load(f.getAbsolutePath).as[(String, Long)].collect().toSet)
+      .toMap
+    val (victimName, nFiles) = truncateOne(s"$root/log.avro")
+    val src = AvroChangelogSource(root,
+      mode = PermissiveQuarantine(q))
+    val clean = src.read(spark, "log").as[(String, Long)].collect().toSet
+    clean shouldBe perFile.filterNot(_._1 == victimName).values.flatten.toSet
+    val quar = spark.read.parquet(s"$q/log")
+      .select($"file", $"reason").as[(String, String)].collect()
+    quar.length shouldBe 1
+    quar.head._1 should endWith(victimName)
+    quar.head._2 should not be empty
+    // file-granular accounting identity: input = clean + quarantined
+    (clean.size < all.size) shouldBe true
+    quar.length + (nFiles - 1) shouldBe nFiles
+    // an all-damaged table without a declared schema refuses loudly;
+    // with one it degrades to the empty frame
+    new java.io.File(s"$root/log.avro").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+      .foreach { f =>
+        val b = java.nio.file.Files.readAllBytes(f.toPath)
+        java.nio.file.Files.write(f.toPath,
+          java.util.Arrays.copyOfRange(b, 0, math.max(8, b.length - 200)))
+      }
+    an[IllegalStateException] should be thrownBy
+      AvroChangelogSource(root, mode = PermissiveQuarantine(q))
+        .read(spark, "log")
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+      "row_key STRING, ts BIGINT")
+    AvroChangelogSource(root, schema = Some(ddl),
+      mode = PermissiveQuarantine(q))
+      .read(spark, "log").count() shouldBe 0L
+  }
+
   it should "fail loudly on malformed rows (FAILFAST contract)" in {
     val root = java.nio.file.Files.createTempDirectory("graft_csvbad_").toString
     java.nio.file.Files.writeString(

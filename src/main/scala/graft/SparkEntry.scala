@@ -3701,6 +3701,45 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("link_idx"))
     }),
 
+    // XLSX (SpreadsheetML) table extraction: workbooks composed FROM
+    // the doc columns (shared strings reused across sheets so the index
+    // join is really exercised; inline strings seeded with the XML
+    // special characters; numerics/booleans as raw <v> text), walked
+    // back to typed (sheet, row, col, value) cell rows. Ground truth IS
+    // the columns, so the oracle is the literal per-cell UNION.
+    "q_xlsx_extract" -> ((s, d) => {
+      val fx = stagedOnce("xlsx", d) { dir =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+        val inlineVal = concat(substring(col("text"), 1, 30),
+          lit(" <&> \"q\" 'x'"))
+        def cell(sh: Int, r: Int, c: String, k: String, v: Column) =
+          struct(lit(sh).as("s"), lit(r).as("r"), lit(c).as("c"),
+            lit(k).as("k"), v.as("v"))
+        val cells = docs.select(col("doc_id"), explode(array(
+            cell(1, 1, "A", "n", col("doc_id").cast("string")),
+            cell(1, 1, "B", "s", col("lang")),
+            cell(1, 1, "C", "inlineStr", inlineVal),
+            cell(1, 2, "A", "n", col("n_chars").cast("string")),
+            cell(1, 2, "B", "b", pmod(col("doc_id"), lit(2)).cast("string")),
+            cell(1, 2, "AA", "s", col("source")),
+            cell(2, 1, "A", "s", col("lang")))).as("cell"))
+          .select(col("doc_id"), col("cell.s").as("sheet"),
+            col("cell.r").as("row"), col("cell.c").as("colL"),
+            col("cell.k").as("kind"), col("cell.v").as("value"))
+        graft.ops.ZipArchive.syntheticXlsxAssets(cells, "doc_id", "sheet",
+            "row", "colL", "kind", "value")
+          .write.mode("overwrite").parquet(s"$dir/assets")
+      }
+      graft.ops.ZipArchive.extractXlsx(
+          s.read.parquet(s"$fx/assets"), "id", "data")
+        .select(col("id").as("doc_id"), col("sheet"), col("row_num"),
+          col("col"), col("col_idx"), col("cell_type"), col("value"))
+        .orderBy(col("doc_id"), col("sheet"), col("row_num"),
+          col("col_idx"))
+    }),
+
     // Avro changelog ingest round trip: the corpus staged as an Avro
     // container set (the Debezium-landing format) and read back through
     // AvroChangelogSource with the REQUIRED-schema contract — types and
@@ -7826,6 +7865,27 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_tokens,
         |  text AS text_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // XLSX cells replayed as the literal per-cell UNION over the source
+    // columns (fixture ground truth IS the columns).
+    "q_xlsx_extract" ->
+      """WITH c AS (
+        |  SELECT doc_id, 1 AS sheet, 1 AS row_num, 'A' AS col,
+        |    1 AS col_idx, 'n' AS cell_type, doc_id::VARCHAR AS value
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 1, 1, 'B', 2, 's', lang FROM documents
+        |  UNION ALL SELECT doc_id, 1, 1, 'C', 3, 'inlineStr',
+        |    substr(text, 1, 30) || ' <&> "q" ''x''' FROM documents
+        |  UNION ALL SELECT doc_id, 1, 2, 'A', 1, 'n', n_chars::VARCHAR
+        |    FROM documents
+        |  UNION ALL SELECT doc_id, 1, 2, 'B', 2, 'b',
+        |    (doc_id % 2)::VARCHAR FROM documents
+        |  UNION ALL SELECT doc_id, 1, 2, 'AA', 27, 's', source
+        |    FROM documents
+        |  UNION ALL SELECT doc_id, 2, 1, 'A', 1, 's', lang FROM documents)
+        |SELECT doc_id, CAST(sheet AS INTEGER) AS sheet,
+        |  CAST(row_num AS BIGINT) AS row_num, col,
+        |  CAST(col_idx AS INTEGER) AS col_idx, cell_type, value
+        |FROM c ORDER BY doc_id, sheet, row_num, col_idx""".stripMargin,
     // Avro round trip: the adapter must hand back exactly the staged
     // projection, so the oracle IS the original table.
     "q_avro_source" ->

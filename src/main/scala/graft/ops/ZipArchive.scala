@@ -255,6 +255,92 @@ object ZipArchive {
         coalesce(col("n_chapters"), lit(0)).as("n_chapters"))
   }
 
+  // ------------------------------------------------------------- xlsx
+
+  /** XML text normalization shared by the SpreadsheetML extractors:
+    * strip tags (rich-text runs concatenate, the Word/Excel semantics),
+    * then decode the core entity set (`&amp;` last, no double decode) —
+    * the [[DocxChain]] discipline minus the paragraph rule. */
+  val XlsxTextChain: Seq[(String, String)] = Seq(
+    ("(?s)<[^>]*>", ""),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&apos;", "'"),
+    ("&amp;", "&"))
+
+  private def xmlTextCol(c: Column): Column =
+    XlsxTextChain.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Column letters → 1-based column index (`A`=1, `Z`=26, `AA`=27):
+    * base-26 over the letter codes, arbitrary width. */
+  def colIndexCol(letters: Column): Column =
+    aggregate(split(letters, ""), lit(0),
+      (acc, ch) => acc * lit(26) + (ascii(ch) - lit(64)))
+
+  /** XLSX (SpreadsheetML) table extraction: every workbook becomes its
+    * typed cell rows `(id, sheet, row_num, col, col_idx, cell_type,
+    * value)` — the spreadsheet share of an enterprise document corpus,
+    * at the granularity a tabular-understanding pipeline consumes.
+    *
+    * The walk: `xl/worksheets/sheetN.xml` members explode into `<c>`
+    * cell elements (one `regexp_extract_all`, the RE2-safe grammar of
+    * the other walkers); `r="A1"` refs split into column letters + row
+    * number; `t="s"` cells resolve through the `xl/sharedStrings.xml`
+    * table (an id-keyed array join — the strings live ONCE per
+    * workbook), `t="inlineStr"` decodes its `<is>` body, booleans and
+    * numerics keep their RAW `<v>` text (no float reinterpretation —
+    * exact, engine-portable values). Empty / self-closing cells
+    * contribute no row; a container without worksheets keeps one row
+    * with null sheet (the honest quarantine signal).
+    *
+    * Scale shape: one container explode ([[entries]]), one
+    * `regexp_extract_all` + explode per sheet member, one id-keyed
+    * left join for the shared-string array. Nothing corpus-quadratic;
+    * parallelism = container count. */
+  def extractXlsx(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val ents = entries(df, idCol, dataCol)
+    val shared = ents.filter(col("name") === "xl/sharedStrings.xml")
+      .select(col("id"), transform(
+        regexp_extract_all(col("payload").cast("string"),
+          lit("(?s)<si>(.*?)</si>"), lit(1)),
+        si => xmlTextCol(si)).as("__sst"))
+    val sheets = ents
+      .filter(col("name").rlike("^xl/worksheets/sheet[0-9]+\\.xml$"))
+      .select(col("id"),
+        regexp_extract(col("name"), "sheet([0-9]+)\\.xml$", 1)
+          .cast(IntegerType).as("sheet"),
+        col("payload").cast("string").as("__xml"))
+    val cells = sheets
+      .select(col("id"), col("sheet"),
+        explode(regexp_extract_all(col("__xml"),
+          lit("(?s)<c [^>]*?(?:/>|>.*?</c>)"), lit(0))).as("__c"))
+      .select(col("id"), col("sheet"),
+        regexp_extract(col("__c"), "r=\"([A-Z]+)([0-9]+)\"", 1).as("col"),
+        regexp_extract(col("__c"), "r=\"([A-Z]+)([0-9]+)\"", 2)
+          .cast(LongType).as("row_num"),
+        regexp_extract(col("__c"), " t=\"([a-zA-Z]+)\"", 1).as("__t"),
+        regexp_extract(col("__c"), "(?s)<v>([^<]*)</v>", 1).as("__v"),
+        xmlTextCol(regexp_extract(col("__c"), "(?s)<is>(.*?)</is>", 1))
+          .as("__is"),
+        (col("__c").contains("<v>") || col("__c").contains("<is>"))
+          .as("__filled"))
+      .filter(col("__filled") && col("col") =!= "")
+    val typed = cells.join(shared, Seq("id"), "left_outer")
+      .select(col("id"), col("sheet"), col("row_num"), col("col"),
+        colIndexCol(col("col")).as("col_idx"),
+        when(col("__t") === "", lit("n")).otherwise(col("__t"))
+          .as("cell_type"),
+        when(col("__t") === "s",
+          element_at(col("__sst"), col("__v").cast(IntegerType) + 1))
+          .when(col("__t") === "inlineStr", col("__is"))
+          .otherwise(xmlTextCol(col("__v"))).as("value"))
+    df.select(col(idCol).cast(LongType).as("id")).distinct()
+      .join(typed, Seq("id"), "left_outer")
+  }
+
   // ------------------------------------------------------------ writers
 
   private def deflateRaw(b: Array[Byte]): Array[Byte] = {
@@ -356,6 +442,85 @@ object ZipArchive {
     // the mimetype member stays STORED either way: buildZip only
     // deflates when it shrinks, and 20 ASCII bytes never do
     buildZip(mime +: chapterMembers, compress)
+  }
+
+  /** Minimal SpreadsheetML workbook from typed cells `(sheet 1-based,
+    * row 1-based, column letters, kind, value)`: `"s"` values collect
+    * into `xl/sharedStrings.xml` in first-occurrence order (each
+    * distinct string stored ONCE — the format's own dedup, and what the
+    * extractor's index join has to undo), `"inlineStr"` embeds escaped,
+    * `"n"`/`"b"` write their raw `<v>` text. Deterministic bytes like
+    * [[buildZip]]. */
+  def buildXlsx(cells: Seq[(Int, Int, String, String, String)],
+                compress: Boolean = true): Array[Byte] = {
+    require(cells.nonEmpty, "buildXlsx: at least one cell")
+    val sst = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    cells.foreach { case (_, _, _, kind, v) =>
+      if (kind == "s" && !sst.contains(v)) sst(v) = sst.size
+    }
+    def colIdx(letters: String): Int =
+      letters.foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1))
+    def cellXml(ref: String, kind: String, v: String): String = kind match {
+      case "n" => s"""<c r="$ref"><v>$v</v></c>"""
+      case "b" => s"""<c r="$ref" t="b"><v>$v</v></c>"""
+      case "s" => s"""<c r="$ref" t="s"><v>${sst(v)}</v></c>"""
+      case "inlineStr" =>
+        s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">""" +
+          xmlEscape(v) + "</t></is></c>"
+      case other => throw new IllegalArgumentException(
+        s"buildXlsx: unknown cell kind '$other' (n | b | s | inlineStr)")
+    }
+    val sheetMembers = cells.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (sheetNo, cs) =>
+        val rows = cs.groupBy(_._2).toSeq.sortBy(_._1).map { case (r, rcs) =>
+          s"""<row r="$r">""" +
+            rcs.sortBy(c => colIdx(c._3))
+              .map { case (_, _, colL, k, v) => cellXml(s"$colL$r", k, v) }
+              .mkString + "</row>"
+        }.mkString
+        (s"xl/worksheets/sheet$sheetNo.xml",
+          ("<?xml version=\"1.0\" encoding=\"UTF-8\"?><worksheet " +
+            "xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/" +
+            "2006/main\"><sheetData>" + rows + "</sheetData></worksheet>")
+            .getBytes("UTF-8"))
+    }
+    val sstXml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      s"""<sst count="${sst.size}" uniqueCount="${sst.size}">""" +
+      sst.keys.map(s =>
+        "<si><t xml:space=\"preserve\">" + xmlEscape(s) + "</t></si>")
+        .mkString + "</sst>"
+    buildZip(Seq(
+      ("[Content_Types].xml",
+        "<?xml version=\"1.0\"?><Types/>".getBytes("UTF-8")),
+      ("xl/sharedStrings.xml", sstXml.getBytes("UTF-8"))) ++ sheetMembers,
+      compress)
+  }
+
+  /** Distributed XLSX fixture builder from LONG-FORM cell rows
+    * `(idCol, sheetCol, rowCol, colCol, kindCol, valueCol)` →
+    * `(id, data)`, even ids deflated ([[syntheticDocxAssets]]'s
+    * role). */
+  def syntheticXlsxAssets(df: DataFrame, idCol: String, sheetCol: String,
+                          rowCol: String, colCol: String, kindCol: String,
+                          valueCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = false)))
+    val grouped = df.groupBy(col(idCol).cast(LongType).as("id"))
+      .agg(sort_array(collect_list(struct(
+        col(sheetCol).cast(IntegerType).as("s"),
+        col(rowCol).cast(IntegerType).as("r"),
+        col(colCol).as("c"), col(kindCol).as("k"), col(valueCol).as("v"))))
+        .as("cells"))
+    grouped.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val cells = r.getSeq[Row](1).map(c =>
+          (c.getInt(0), c.getInt(1), c.getString(2), c.getString(3),
+            c.getString(4)))
+        Row(id, buildXlsx(cells, compress = id % 2 == 0))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Distributed DOCX fixture builder: `(id, paragraphs array<string>)`

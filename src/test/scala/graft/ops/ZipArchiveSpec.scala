@@ -121,4 +121,85 @@ class ZipArchiveSpec extends SparkTestBase {
     // the OCF mimetype member is present and stored first
     ZipArchive.walk(epub).head.name shouldBe "mimetype"
   }
+
+  "extractXlsx" should "round-trip typed cells through buildXlsx" in {
+    val cells = Seq(
+      (1, 1, "A", "n", "42"), (1, 1, "B", "s", "alpha"),
+      (1, 1, "C", "inlineStr", "raw <&> \"q\" 'x'"),
+      (1, 2, "A", "n", "-3.5"), (1, 2, "B", "b", "1"),
+      (1, 2, "AA", "s", "alpha"), // shared string REUSED: one si entry
+      (2, 1, "A", "s", "beta"))
+    val xlsx = ZipArchive.buildXlsx(cells)
+    // the format's own dedup really happened: 'alpha' stored once
+    val sst = new String(ZipArchive.walk(xlsx)
+      .find(_.name == "xl/sharedStrings.xml").get.data, "UTF-8")
+    "alpha".r.findAllIn(sst).size shouldBe 1
+    val got = ZipArchive.extractXlsx(
+        Seq((7L, xlsx)).toDF("id", "data"), "id", "data")
+      .select($"sheet", $"row_num", $"col", $"col_idx", $"cell_type",
+        $"value")
+      .as[(Int, Long, String, Int, String, String)].collect()
+      .sortBy(r => (r._1, r._2, r._4)).toSeq
+    got shouldBe Seq(
+      (1, 1L, "A", 1, "n", "42"), (1, 1L, "B", 2, "s", "alpha"),
+      (1, 1L, "C", 3, "inlineStr", "raw <&> \"q\" 'x'"),
+      (1, 2L, "A", 1, "n", "-3.5"), (1, 2L, "B", 2, "b", "1"),
+      (1, 2L, "AA", 27, "s", "alpha"),
+      (2, 1L, "A", 1, "s", "beta"))
+  }
+
+  it should "resolve rich-run shared strings and skip empty cells" in {
+    // hand-built member set: a rich si (two runs) and a self-closing cell
+    val sst = ("<?xml version=\"1.0\"?><sst count=\"1\" uniqueCount=\"1\">" +
+      "<si><r><t>first</t></r><r><t xml:space=\"preserve\"> second</t></r>" +
+      "</si></sst>").getBytes("UTF-8")
+    val sheet = ("<?xml version=\"1.0\"?><worksheet><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c>" +
+      "<c r=\"B1\"/>" + // self-closing: no value, no row
+      "<c r=\"C1\"><v>7</v></c></row>" +
+      "</sheetData></worksheet>").getBytes("UTF-8")
+    val zip = ZipArchive.buildZip(Seq(
+      ("xl/sharedStrings.xml", sst),
+      ("xl/worksheets/sheet1.xml", sheet)))
+    val got = ZipArchive.extractXlsx(
+        Seq((1L, zip)).toDF("id", "data"), "id", "data")
+      .select($"col", $"cell_type", $"value")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    got shouldBe Seq(("A", "s", "first second"), ("C", "n", "7"))
+  }
+
+  it should "keep damaged containers as a null row and fuzz-survive" in {
+    val ok = ZipArchive.buildXlsx(Seq((1, 1, "A", "n", "1")))
+    val out = ZipArchive.extractXlsx(
+        Seq((1L, ok), (2L, "junk".getBytes("UTF-8"))).toDF("id", "data"),
+        "id", "data")
+    out.filter($"id" === 2L).select($"sheet").collect()
+      .head.isNullAt(0) shouldBe true
+    // seeded fuzz: nasty values round-trip exactly through escape/decode
+    val rnd = new scala.util.Random(1414)
+    val palette = "a&b<c>d\"e'f\n\tü 日本語&amp; x&lt;y "
+    val fuzz = (1 to 40).map { i =>
+      val v = (0 until 1 + rnd.nextInt(12))
+        .map(_ => palette(rnd.nextInt(palette.length))).mkString
+      (1, i, "A", if (i % 2 == 0) "s" else "inlineStr", v)
+    }
+    val back = ZipArchive.extractXlsx(
+        Seq((9L, ZipArchive.buildXlsx(fuzz))).toDF("id", "data"),
+        "id", "data")
+      .select($"row_num", $"value").as[(Long, String)].collect()
+      .map(r => r._1.toInt -> r._2).toMap
+    fuzz.foreach { case (_, r, _, _, v) => back(r) shouldBe v }
+    // and corrupted container bytes never throw
+    val bytes = ok.clone()
+    (0 until bytes.length by 7).foreach(i => bytes(i) = (bytes(i) ^ 0x5A).toByte)
+    noException should be thrownBy ZipArchive.extractXlsx(
+      Seq((3L, bytes)).toDF("id", "data"), "id", "data").collect()
+  }
+
+  "colIndexCol" should "map letters to 1-based base-26 indexes" in {
+    val got = Seq("A", "Z", "AA", "AZ", "BA", "ZZ", "AAA")
+      .toDF("l").select(ZipArchive.colIndexCol($"l")).as[Int]
+      .collect().toSeq
+    got shouldBe Seq(1, 26, 27, 52, 53, 702, 703)
+  }
 }

@@ -489,6 +489,114 @@ object SparkEntry {
     "com", "net", "org", "uk", "co.uk", "io", "github.io",
     "*.ck", "!www.ck", "")
 
+  /** Shared eTLD+1 replay CTEs (q_etld1 / q_quota_domain): snapshot
+    * parse, suffix + wildcard key join, exception-dominant priority
+    * max, label slicing — ending in `rd(doc_id, host, public_suffix,
+    * registered_domain)`. */
+  private lazy val Etld1OracleCte: String = {
+    val rawValues = PslSnapshotFixture
+      .map(r => s"('${r.replace("'", "''")}')").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id, 'https://' ||
+       |    CASE doc_id % 10
+       |      WHEN 0 THEN 'a' || (doc_id % 5) || '.example.com'
+       |      WHEN 1 THEN 'www.blog.example.co.uk'
+       |      WHEN 2 THEN 'example.uk'
+       |      WHEN 3 THEN 'deep' || (doc_id % 4) || '.sub.site.github.io'
+       |      WHEN 4 THEN 'www.ck'
+       |      WHEN 5 THEN 'foo.www.ck'
+       |      WHEN 6 THEN 'a' || (doc_id % 3) || '.b.ck'
+       |      WHEN 7 THEN 'ck'
+       |      WHEN 8 THEN 'host' || (doc_id % 7) || '.xyz'
+       |      ELSE 'localhost' END || '/p/' || doc_id AS url
+       |  FROM documents),
+       |h AS (SELECT doc_id, lower(regexp_extract(url,
+       |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))
+       |    AS host FROM u),
+       |raw(r) AS (VALUES $rawValues),
+       |rules AS (
+       |  SELECT regexp_replace(lower(trim(r)), '^!', '') AS rule,
+       |    starts_with(lower(trim(r)), '!') AS exc
+       |  FROM raw
+       |  WHERE len(trim(r)) > 0 AND NOT starts_with(lower(trim(r)), '//')),
+       |parts AS (SELECT doc_id, host, string_split(host, '.') AS p FROM h),
+       |sfx AS (SELECT doc_id, len(p) AS n, p,
+       |    unnest(generate_series(1, least(len(p), 8))) AS k
+       |  FROM parts),
+       |keys AS (SELECT doc_id, k,
+       |    array_to_string(p[n - k + 1:n], '.') AS sk FROM sfx),
+       |cand AS (
+       |  SELECT doc_id, k, sk AS key FROM keys
+       |  UNION ALL
+       |  SELECT doc_id, k, '*.' || regexp_replace(sk, '^[^.]+\\.', '')
+       |  FROM keys WHERE k >= 2),
+       |m AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN exc THEN 1000 ELSE 0 END + k) AS pri
+       |  FROM cand JOIN rules ON cand.key = rules.rule
+       |  GROUP BY doc_id),
+       |lab AS (
+       |  SELECT h.doc_id, h.host,
+       |    coalesce(CASE WHEN m.pri >= 1000 THEN m.pri - 1001
+       |             ELSE m.pri END, 1) AS pslab,
+       |    len(string_split(h.host, '.')) AS n,
+       |    string_split(h.host, '.') AS p
+       |  FROM h LEFT JOIN m USING (doc_id)),
+       |rd AS (
+       |  SELECT doc_id, host,
+       |    array_to_string(p[n - pslab + 1:n], '.') AS public_suffix,
+       |    CASE WHEN n > pslab
+       |         THEN array_to_string(p[n - pslab:n], '.')
+       |         ELSE NULL END AS registered_domain
+       |  FROM lab)""".stripMargin
+  }
+
+  /** Shared Kneser–Ney replay CTEs (q_kneser_ney / q_pipeline_lm):
+    * position-join trigrams, the five exact count tables, the
+    * three-level discount interpolation in KneserNey.score's literal
+    * operation order — ending in `kn(doc_id, n_trigrams,
+    * mean_logp)`. */
+  private val KneserNeyOracleCte: String =
+    """WITH tok0 AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+      |    generate_subscripts(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+      |  FROM documents),
+      |tok AS (SELECT doc_id, term, pos FROM tok0 WHERE len(term) > 0),
+      |tg AS (
+      |  SELECT a.doc_id, a.term AS w1, b.term AS w2, c.term AS w3
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+      |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+      |ctx3 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS n1p
+      |         FROM tri GROUP BY 1, 2),
+      |big AS (SELECT w2, w3, count(*) AS cont FROM tri GROUP BY 1, 2),
+      |ctx2 AS (SELECT w2, sum(cont) AS contctx, count(*) AS types
+      |         FROM big GROUP BY 1),
+      |uni AS (SELECT w3, count(*) AS contw FROM big GROUP BY 1),
+      |scal AS (SELECT (SELECT count(*) FROM big) AS n1pp,
+      |                (SELECT count(*) FROM uni) AS u,
+      |                (SELECT count(DISTINCT term) FROM tok) AS v),
+      |lp AS (
+      |  SELECT tg.doc_id,
+      |    ln(greatest(c3 - 0.75, 0) / cctx + 0.75 * n1p / cctx *
+      |       (greatest(cont - 0.75, 0) / contctx +
+      |        0.75 * types / contctx *
+      |        (greatest(contw - 0.75, 0) / n1pp +
+      |         0.75 * u / n1pp / v))) AS logp
+      |  FROM tg
+      |  JOIN tri USING (w1, w2, w3)
+      |  JOIN ctx3 USING (w1, w2)
+      |  JOIN big USING (w2, w3)
+      |  JOIN ctx2 USING (w2)
+      |  JOIN uni USING (w3), scal),
+      |kn AS (
+      |  SELECT doc_id, count(*) AS n_trigrams,
+      |    round(avg(logp), 6) AS mean_logp
+      |  FROM lp GROUP BY doc_id)""".stripMargin
+
   private def Etld1UrlCol: Column = {
     val id = col("doc_id")
     val m = pmod(id, lit(10))
@@ -3084,6 +3192,54 @@ object SparkEntry {
            | "rules": ["min_tokens:20"]}""".stripMargin)
       graft.pipeline.CurationPipeline.curate(s, cfg)
         .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Config-declared LM fluency gate: the q_kneser_ney frozen artifact
+    // as a curation stage (the CCNet perplexity filter between the
+    // heuristic rules and the classifier) — documents at or above the
+    // mean-logp floor survive; docs without a trigram of evidence drop.
+    // Per-document scoring against frozen tables, so streamCurate
+    // accepts the stage (the against_text_index posture).
+    "q_pipeline_lm" -> ((s, d) => {
+      val fx = stagedOnce("knlm", d) { dir =>
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.train(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text"), s"$dir/kn")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "lm": {"model_path": "$fx/kn", "min_logp": -3.05}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quota per SITE: "max N pages per registered domain" as ONE config
+    // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
+    // subdomains cannot refill a site's budget (full-host quotas would
+    // give every subdomain its own cap).
+    "q_quota_domain" -> ((s, d) => {
+      val fx = stagedOnce("qdom", d) { dir =>
+        import s.implicits._
+        PslSnapshotFixture.toDF("rule")
+          .write.mode("overwrite").parquet(s"$dir/psl")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), Etld1UrlCol.as("url"))
+          .write.mode("overwrite").parquet(s"$dir/in")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/in",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "quota": {"registered_domain_of": "url",
+           |           "psl_path": "$fx/psl", "per_group": 20}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6695,62 +6851,24 @@ object SparkEntry {
     // blank strip, '!' flag), suffix + wildcard-form keys per host
     // suffix joined to the rules, prevailing rule as an
     // exception-dominant priority max, then the label slicing.
-    "q_etld1" -> {
-      val rawValues = PslSnapshotFixture
-        .map(r => s"('${r.replace("'", "''")}')").mkString(", ")
-      s"""WITH u AS (
-         |  SELECT doc_id, 'https://' ||
-         |    CASE doc_id % 10
-         |      WHEN 0 THEN 'a' || (doc_id % 5) || '.example.com'
-         |      WHEN 1 THEN 'www.blog.example.co.uk'
-         |      WHEN 2 THEN 'example.uk'
-         |      WHEN 3 THEN 'deep' || (doc_id % 4) || '.sub.site.github.io'
-         |      WHEN 4 THEN 'www.ck'
-         |      WHEN 5 THEN 'foo.www.ck'
-         |      WHEN 6 THEN 'a' || (doc_id % 3) || '.b.ck'
-         |      WHEN 7 THEN 'ck'
-         |      WHEN 8 THEN 'host' || (doc_id % 7) || '.xyz'
-         |      ELSE 'localhost' END || '/p/' || doc_id AS url
-         |  FROM documents),
-         |h AS (SELECT doc_id, lower(regexp_extract(url,
-         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))
-         |    AS host FROM u),
-         |raw(r) AS (VALUES $rawValues),
-         |rules AS (
-         |  SELECT regexp_replace(lower(trim(r)), '^!', '') AS rule,
-         |    starts_with(lower(trim(r)), '!') AS exc
-         |  FROM raw
-         |  WHERE len(trim(r)) > 0 AND NOT starts_with(lower(trim(r)), '//')),
-         |parts AS (SELECT doc_id, host, string_split(host, '.') AS p FROM h),
-         |sfx AS (SELECT doc_id, len(p) AS n, p,
-         |    unnest(generate_series(1, least(len(p), 8))) AS k
-         |  FROM parts),
-         |keys AS (SELECT doc_id, k,
-         |    array_to_string(p[n - k + 1:n], '.') AS sk FROM sfx),
-         |cand AS (
-         |  SELECT doc_id, k, sk AS key FROM keys
-         |  UNION ALL
-         |  SELECT doc_id, k, '*.' || regexp_replace(sk, '^[^.]+\\.', '')
-         |  FROM keys WHERE k >= 2),
-         |m AS (
-         |  SELECT doc_id,
-         |    max(CASE WHEN exc THEN 1000 ELSE 0 END + k) AS pri
-         |  FROM cand JOIN rules ON cand.key = rules.rule
-         |  GROUP BY doc_id),
-         |lab AS (
-         |  SELECT h.doc_id, h.host,
-         |    coalesce(CASE WHEN m.pri >= 1000 THEN m.pri - 1001
-         |             ELSE m.pri END, 1) AS pslab,
-         |    len(string_split(h.host, '.')) AS n,
-         |    string_split(h.host, '.') AS p
-         |  FROM h LEFT JOIN m USING (doc_id))
-         |SELECT doc_id, host,
-         |  array_to_string(p[n - pslab + 1:n], '.') AS public_suffix,
-         |  CASE WHEN n > pslab
-         |       THEN array_to_string(p[n - pslab:n], '.')
-         |       ELSE NULL END AS registered_domain
-         |FROM lab ORDER BY doc_id""".stripMargin
-    },
+    "q_etld1" ->
+      s"""$Etld1OracleCte
+         |SELECT doc_id, host, public_suffix, registered_domain
+         |FROM rd ORDER BY doc_id""".stripMargin,
+    // Quota per SITE (eTLD+1): the same registered-domain CTEs, then
+    // the md5-of-id per-group rank the quota stage uses, grouped by
+    // coalesce(registered_domain, host).
+    "q_quota_domain" ->
+      s"""$Etld1OracleCte,
+         |site AS (SELECT doc_id,
+         |    coalesce(registered_domain, host) AS site FROM rd),
+         |w AS (SELECT doc_id, site,
+         |    row_number() OVER (PARTITION BY site
+         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         |  FROM site)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN w USING (doc_id) WHERE w.rk <= 20
+         |ORDER BY doc_id""".stripMargin,
     // URL gate replayed: same host regex, suffix matching as LIKE tests
     // in ascending-domain CASE order (first match ≡ the op's min-match),
     // same path-rule chain.
@@ -7456,44 +7574,17 @@ object SparkEntry {
     // so no CASE fallthrough is exercised here — the unseen-context
     // paths are spec-pinned against an independent reference instead).
     "q_kneser_ney" ->
-      """WITH tok0 AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
-        |    generate_subscripts(
-        |      regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
-        |  FROM documents),
-        |tok AS (SELECT doc_id, term, pos FROM tok0 WHERE len(term) > 0),
-        |tg AS (
-        |  SELECT a.doc_id, a.term AS w1, b.term AS w2, c.term AS w3
-        |  FROM tok a
-        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-        |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
-        |ctx3 AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS n1p
-        |         FROM tri GROUP BY 1, 2),
-        |big AS (SELECT w2, w3, count(*) AS cont FROM tri GROUP BY 1, 2),
-        |ctx2 AS (SELECT w2, sum(cont) AS contctx, count(*) AS types
-        |         FROM big GROUP BY 1),
-        |uni AS (SELECT w3, count(*) AS contw FROM big GROUP BY 1),
-        |scal AS (SELECT (SELECT count(*) FROM big) AS n1pp,
-        |                (SELECT count(*) FROM uni) AS u,
-        |                (SELECT count(DISTINCT term) FROM tok) AS v),
-        |lp AS (
-        |  SELECT tg.doc_id,
-        |    ln(greatest(c3 - 0.75, 0) / cctx + 0.75 * n1p / cctx *
-        |       (greatest(cont - 0.75, 0) / contctx +
-        |        0.75 * types / contctx *
-        |        (greatest(contw - 0.75, 0) / n1pp +
-        |         0.75 * u / n1pp / v))) AS logp
-        |  FROM tg
-        |  JOIN tri USING (w1, w2, w3)
-        |  JOIN ctx3 USING (w1, w2)
-        |  JOIN big USING (w2, w3)
-        |  JOIN ctx2 USING (w2)
-        |  JOIN uni USING (w3), scal)
-        |SELECT doc_id, count(*) AS n_trigrams,
-        |  round(avg(logp), 6) AS mean_logp
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$KneserNeyOracleCte
+         |SELECT doc_id, n_trigrams, mean_logp FROM kn
+         |ORDER BY doc_id""".stripMargin,
+    // The same frozen model as a config-declared fluency GATE: docs at
+    // or above the floor survive (and only docs with trigram evidence).
+    "q_pipeline_lm" ->
+      s"""$KneserNeyOracleCte
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN kn USING (doc_id)
+         |WHERE kn.mean_logp >= -3.05
+         |ORDER BY doc_id""".stripMargin,
 
     // Same windows (zipped unnest for gram+position), same canonical-doc
     // rule, token-index anti-join, order-preserving rebuild.

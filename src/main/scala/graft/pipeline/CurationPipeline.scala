@@ -101,8 +101,15 @@ object CurationPipeline {
   /** Per-group document cap ([[Sampling.stratifiedQuota]]): keep at
     * most `perGroup` docs of each `groupCol` value, picked by
     * engine-portable md5-of-id order — the "max N pages per domain"
-    * curation stage. */
-  final case class QuotaConfig(groupCol: String, perGroup: Int)
+    * curation stage. With `urlPsl = Some((urlCol, pslPath))` the group
+    * IS the registered domain (eTLD+1) of `urlCol` under the frozen PSL
+    * snapshot at `pslPath` ([[graft.ops.UrlFilter.registeredDomains]])
+    * — the quota the docstring's example actually means: capping by
+    * full host would let every subdomain of one site refill the
+    * budget. Hosts that are themselves public suffixes (or have no
+    * parseable host) group by the host string. */
+  final case class QuotaConfig(groupCol: String, perGroup: Int,
+                               urlPsl: Option[(String, String)] = None)
   /** URL-blocklist gate ([[graft.ops.UrlFilter.filterByBlocklist]])
     * over a FROZEN parquet blocklist (`domain` column) plus ordered
     * path rules — the cheapest filter in the chain, so it runs
@@ -181,6 +188,18 @@ object CurationPipeline {
   final case class ClassifierConfig(modelPath: String, threshold: Double,
                                     signed: Boolean = true)
 
+  /** LM fluency gate ([[graft.ops.KneserNey]]): a FROZEN persisted
+    * Kneser–Ney model (the published CCNet scorer class) scores each
+    * document's mean trigram log-probability and documents under
+    * `minLogp` drop — the perplexity filter between the heuristic rules
+    * and the hashed-feature classifier. Documents with fewer than 3
+    * tokens carry no LM evidence and DROP (the conservative reading —
+    * declare a min_tokens rule first if that matters). Scoring is
+    * per-document against the frozen count tables (the
+    * `against_text_index` posture), so
+    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it. */
+  final case class LmConfig(modelPath: String, minLogp: Double)
+
   final case class CurationConfig(
       inputPath: String,
       idCol: String,
@@ -206,7 +225,8 @@ object CurationPipeline {
       stageReportPath: Option[String] = None,
       sinkMode: String = "overwrite",
       textInput: Option[TextInputConfig] = None,
-      transforms: Seq[String] = Nil)
+      transforms: Seq[String] = Nil,
+      lm: Option[LmConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -560,6 +580,23 @@ object CurationPipeline {
       if (config.rules.isEmpty) decon
       else Policy.survivors(decon, namedRules(config))
     if (config.rules.nonEmpty) stages += (("rules", gated))
+    // the CCNet fluency gate between the heuristic rules and the
+    // hashed-feature classifier: mean trigram log-prob under a FROZEN
+    // Kneser-Ney artifact, documents under the floor (or without a
+    // trigram's worth of evidence) drop — one semi-join against the
+    // per-document scores, which are one trigram explode joined to the
+    // frozen count tables
+    val lmGated = config.lm match {
+      case Some(l) =>
+        val model = graft.ops.KneserNey.load(gated.sparkSession, l.modelPath)
+        val keep = graft.ops.KneserNey
+          .score(model, gated, config.idCol, config.textCol)
+          .filter(col("mean_logp") >= l.minLogp)
+          .select(col("id").as(config.idCol))
+        gated.join(keep, Seq(config.idCol), "left_semi")
+      case None => gated
+    }
+    if (config.lm.isDefined) stages += (("lm", lmGated))
     // the learned gate after the heuristic rules: featurize + score +
     // filter fuse into one codegen'd projection (no explode, no
     // shuffle); the model is loaded ONCE at plan time and rides as
@@ -567,11 +604,11 @@ object CurationPipeline {
     val scored = config.classifier match {
       case Some(c) =>
         val model = graft.ops.QualityClassifier.load(
-          gated.sparkSession, c.modelPath)
-        gated.filter(graft.ops.QualityClassifier.scoreCol(
+          lmGated.sparkSession, c.modelPath)
+        lmGated.filter(graft.ops.QualityClassifier.scoreCol(
           graft.ops.FeatureHash.denseCol(col(config.textCol),
             model.weights.length, c.signed), model) >= c.threshold)
-      case None => gated
+      case None => lmGated
     }
     if (config.classifier.isDefined) stages += (("classifier", scored))
     val deduped = applyDedup(scored, config)
@@ -582,8 +619,22 @@ object CurationPipeline {
     }
     if (config.sampleFraction.isDefined) stages += (("sample", sampled))
     val capped = config.quota match {
-      case Some(q) => Sampling.stratifiedQuota(
-        sampled, Seq(q.groupCol), config.idCol, q.perGroup)
+      case Some(q) => q.urlPsl match {
+        case None => Sampling.stratifiedQuota(
+          sampled, Seq(q.groupCol), config.idCol, q.perGroup)
+        case Some((urlCol, pslPath)) =>
+          // group = the SITE (eTLD+1 under the frozen snapshot), not the
+          // full host — subdomains must not refill a site's budget
+          val psl = sampled.sparkSession.read.parquet(pslPath)
+          val inCols = sampled.columns.toSeq
+          val withSite = graft.ops.UrlFilter
+            .registeredDomains(sampled, config.idCol, urlCol, psl)
+            .withColumn("__site",
+              coalesce(col("registered_domain"), col("host")))
+          Sampling.stratifiedQuota(withSite, Seq("__site"), config.idCol,
+              q.perGroup)
+            .select(inCols.map(col): _*)
+      }
       case None => sampled
     }
     if (config.quota.isDefined) stages += (("quota", capped))
@@ -777,6 +828,8 @@ object CurationPipeline {
     *                     "reference_id_column": "doc_id",  // shingle
     *                     "ngram": 8, "min_overlap": 1},    // shingle
     *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
+    *   "lm": {"model_path": "...",          // frozen Kneser-Ney gate
+    *          "min_logp": -9.0},            // (CCNet fluency floor)
     *   "classifier": {"model_path": "...",              // frozen
     *                  "threshold": 0.5, "signed": true}, // linear gate
     *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
@@ -787,6 +840,10 @@ object CurationPipeline {
     *             "index_dir": "...",           // against_text_index
     *             "extend_index": true},  // publish-then-index (day-2)
     *   "sample": {"fraction": 0.5},                      // optional
+    *   "quota": {"group_column": "source",   // per-group doc cap, OR:
+    *             "registered_domain_of": "url",    // cap per eTLD+1
+    *             "psl_path": "...",    // frozen public-suffix snapshot
+    *             "per_group": 1000},
     *   "budget": {"domain_column": "lang",               // optional:
     *              "tokenizer": "/models/tok",   // frozen-artifact units
     *              "budgets": {"en": 100000}, "default": 0, // explicit,
@@ -945,6 +1002,18 @@ object CurationPipeline {
           str(dc \ "reference_id_column").getOrElse("doc_id"),
           n, mo))
     }
+    val lm = root \ "lm" match {
+      case JNothing => None
+      case l =>
+        val mp = str(l \ "model_path").getOrElse(
+          fail("lm.model_path is required"))
+        val floor = dblOf(l \ "min_logp", "lm.min_logp",
+          fail("lm.min_logp is required"))
+        if (floor >= 0) fail(
+          s"lm.min_logp is a mean LOG-probability — it must be negative, " +
+            s"got $floor")
+        Some(LmConfig(mp, floor))
+    }
     val classifier = root \ "classifier" match {
       case JNothing => None
       case c =>
@@ -1036,12 +1105,22 @@ object CurationPipeline {
     val quota = root \ "quota" match {
       case JNothing => None
       case q =>
-        val g = str(q \ "group_column").getOrElse(
-          fail("quota.group_column is required when quota is declared"))
         val per = intOf(q \ "per_group", "quota.per_group",
           fail("quota.per_group is required when quota is declared"))
         if (per < 1) fail(s"quota.per_group must be >= 1, got $per")
-        Some(QuotaConfig(g, per))
+        (str(q \ "group_column"), str(q \ "registered_domain_of")) match {
+          case (Some(_), Some(_)) => fail(
+            "quota.group_column and quota.registered_domain_of are " +
+              "exclusive (one grouping per quota)")
+          case (Some(g), None) => Some(QuotaConfig(g, per))
+          case (None, Some(u)) =>
+            val psl = str(q \ "psl_path").getOrElse(fail(
+              "quota.psl_path (a frozen public-suffix snapshot) is " +
+                "required with quota.registered_domain_of"))
+            Some(QuotaConfig("", per, Some((u, psl))))
+          case (None, None) => fail(
+            "quota needs group_column or registered_domain_of")
+        }
     }
     val chunk = root \ "chunk" match {
       case JNothing => None
@@ -1123,7 +1202,7 @@ object CurationPipeline {
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
-      textInput, transforms)
+      textInput, transforms, lm)
   }
 
   private def fail(msg: String): Nothing =

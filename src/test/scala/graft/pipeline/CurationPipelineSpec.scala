@@ -113,6 +113,84 @@ class CurationPipelineSpec extends SparkTestBase {
       .select($"stage").as[String].collect() should contain("transforms")
   }
 
+  it should "run the lm gate identically to the hand-composed " +
+      "Kneser-Ney chain" in {
+    val p = s"$tmp/docs_lm"
+    val fluent = "the cat sat on the mat and the dog sat on the rug " +
+      "while the cat ate the fish"
+    Seq(
+      (1L, fluent),
+      (2L, fluent + " near the mat"),
+      (3L, "zz qq jj xx ww vv kk pp gg bb dd tt"), // out-of-distribution
+      (4L, "two tokens")) // no trigram evidence -> drops
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    val mdir = s"$tmp/kn_model"
+    graft.ops.KneserNey.save(spark, graft.ops.KneserNey.train(
+      spark.read.parquet(p), "doc_id", "text"), mdir)
+    // derive the floor from the actual scores: above the gibberish doc,
+    // below the fluent ones (robust to the tiny-corpus arithmetic)
+    val sc = graft.ops.KneserNey.score(
+        graft.ops.KneserNey.load(spark, mdir),
+        spark.read.parquet(p), "doc_id", "text")
+      .select($"id", $"mean_logp").as[(Long, Double)].collect().toMap
+    sc(3L) should be < math.min(sc(1L), sc(2L))
+    val floor = (sc(3L) + math.min(sc(1L), sc(2L))) / 2
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"}, "rules": [],
+         | "lm": {"model_path": "$mdir", "min_logp": $floor}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val byHand = {
+      val docs = spark.read.parquet(p)
+      val model = graft.ops.KneserNey.load(spark, mdir)
+      docs.join(graft.ops.KneserNey.score(model, docs, "doc_id", "text")
+          .filter($"mean_logp" >= floor).select($"id".as("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    got shouldBe byHand
+    got should contain allOf (1L, 2L)
+    got should contain noneOf (3L, 4L) // gibberish gated, no-evidence drops
+    CurationPipeline.stageAttrition(spark, cfg)
+      .select($"stage").as[String].collect() should contain("lm")
+  }
+
+  it should "cap per registered domain in quota registered_domain_of " +
+      "mode" in {
+    val p = s"$tmp/docs_qdom"
+    // 6 pages on subdomains of ONE site, 2 pages on another site
+    (1L to 8L).map { i =>
+      val url =
+        if (i <= 6) s"https://sub$i.example.co.uk/p/$i"
+        else s"https://other$i.net/p/$i"
+      (i, url, s"body $i")
+    }.toDF("doc_id", "url", "text").write.mode("overwrite").parquet(p)
+    val pslDir = s"$tmp/psl_qdom"
+    Seq("co.uk", "uk", "net").toDF("rule")
+      .write.mode("overwrite").parquet(pslDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"}, "rules": [],
+         | "quota": {"registered_domain_of": "url",
+         |           "psl_path": "$pslDir", "per_group": 2}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+    got.columns.toSeq shouldBe Seq("doc_id", "url", "text") // helpers gone
+    val ids = got.select($"doc_id").as[Long].collect().sorted.toSeq
+    // the 6 subdomain pages are ONE site -> capped at 2; the two
+    // other*.net pages are separate sites -> both survive
+    ids.count(_ <= 6) shouldBe 2
+    ids.count(_ > 6) shouldBe 2
+    val byHand = {
+      val docs = spark.read.parquet(p)
+      val withSite = graft.ops.UrlFilter.registeredDomains(docs, "doc_id",
+          "url", spark.read.parquet(pslDir))
+        .withColumn("__site", coalesce($"registered_domain", $"host"))
+      graft.ops.Sampling.stratifiedQuota(withSite, Seq("__site"),
+          "doc_id", 2)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    ids shouldBe byHand
+  }
+
   it should "stop at document granularity without chunk/pack" in {
     val cfg = CurationPipeline.fromJson(
       s"""{"input": {"path": "$docsPath"},
@@ -357,7 +435,7 @@ class CurationPipelineSpec extends SparkTestBase {
     bad(s"""{"input": {"path": "x"}, "partition_by": ["a"]}""",
       "partition_by requires sink.path")
     bad(s"""{"input": {"path": "x"}, "quota": {"per_group": 5}}""",
-      "quota.group_column is required")
+      "group_column or registered_domain_of")
     bad(s"""{"input": {"path": "x"},
            | "quota": {"group_column": "lang"}}""".stripMargin,
       "quota.per_group is required")
@@ -381,6 +459,21 @@ class CurationPipelineSpec extends SparkTestBase {
       "must be an integer")
     bad(s"""{"input": {"path": "x"}, "transforms": "pii_redact"}""",
       "transforms must be an array")
+    bad(s"""{"input": {"path": "x"}, "lm": {"min_logp": -3.0}}""",
+      "lm.model_path is required")
+    bad(s"""{"input": {"path": "x"}, "lm": {"model_path": "m"}}""",
+      "lm.min_logp is required")
+    bad(s"""{"input": {"path": "x"},
+           | "lm": {"model_path": "m", "min_logp": 0.5}}""".stripMargin,
+      "must be negative")
+    bad(s"""{"input": {"path": "x"},
+           | "quota": {"group_column": "a", "registered_domain_of": "u",
+           |           "psl_path": "p", "per_group": 2}}""".stripMargin,
+      "exclusive")
+    bad(s"""{"input": {"path": "x"},
+           | "quota": {"registered_domain_of": "u",
+           |           "per_group": 2}}""".stripMargin,
+      "quota.psl_path")
     bad(s"""{"input": {"path": "x"},
            | "url_blocklist": {"blocklist_path": "/b"}}""".stripMargin,
       "url_blocklist.url_column is required")

@@ -106,6 +106,48 @@ class StreamCurateSpec extends SparkTestBase {
     m.keySet shouldBe Set(30L, 31L) // 32 fails min_tokens
   }
 
+  it should "accept the frozen Kneser-Ney lm gate and converge" in {
+    // per-document scoring against FROZEN count tables (the
+    // against_text_index posture): batch boundaries cannot change a
+    // verdict, so the streamed gate must equal the batch run
+    val train = Seq(
+      SDoc(1L, "the cat sat on the mat and the dog sat on the rug"),
+      SDoc(2L, "the cat ate the fish while the dog sat on the mat"))
+    val mdir = java.nio.file.Files
+      .createTempDirectory("graft_scur_kn").toString
+    graft.ops.KneserNey.save(spark, graft.ops.KneserNey.train(
+      train.toDF("doc_id", "text"), "doc_id", "text"), mdir)
+    val feed = Seq(
+      SDoc(40L, "the cat sat on the rug"),   // in-distribution
+      SDoc(41L, "zz qq jj xx ww vv kk pp"),  // OOV gibberish
+      SDoc(42L, "the dog ate the fish"),     // in-distribution, wave 2
+      SDoc(43L, "so short"))                 // no trigram evidence
+    // floor between the gibberish score and the fluent ones
+    val sc = graft.ops.KneserNey.score(
+        graft.ops.KneserNey.load(spark, mdir),
+        feed.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"id", $"mean_logp").as[(Long, Double)].collect().toMap
+    sc(41L) should be < math.min(sc(40L), sc(42L))
+    val floor = (sc(41L) + math.min(sc(40L), sc(42L))) / 2
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "/unused/by/streaming"},
+         | "rules": [],
+         | "lm": {"model_path": "$mdir", "min_logp": $floor}}""".stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in_lm")
+    stage(inDir, feed.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feed.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scur_lm").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = CurationPipeline
+      .curateFrame(feed.toDF("doc_id", "text"), cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    got should contain allOf (40L, 42L)
+    got should contain noneOf (41L, 43L)
+  }
+
   it should "apply the frozen-index dedup tier per micro-batch" in {
     val corpus = Seq(
       SDoc(1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -2990,6 +2990,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixed html+xlsx WARC ingest: even ids carry real SpreadsheetML
+    // workbooks (shared + inline strings, numerics) built FROM doc
+    // columns, odd ids the html fixture; `"xlsx": true` routes PK-zip
+    // payloads to the workbook flatten (cells row-major, tab-joined
+    // rows, blank lines between sheets) inside the one config file.
+    "q_warc_xlsx" -> ((s, d) => {
+      val out = stagedOnce("wxl", d) { dir =>
+        val id = col("doc_id")
+        val docs = Tables.documents(s, d)
+        def cell(sh: Int, r: Int, c: String, k: String, v: Column) =
+          struct(lit(sh).as("s"), lit(r).as("r"), lit(c).as("c"),
+            lit(k).as("k"), v.as("v"))
+        val cells = docs.filter(pmod(id, lit(2)) === 0)
+          .select(id, explode(array(
+            cell(1, 1, "A", "n", id.cast("string")),
+            cell(1, 1, "B", "s", col("lang")),
+            cell(1, 2, "A", "inlineStr",
+              concat(substring(col("text"), 1, 40), lit(" <&> x"))),
+            cell(2, 1, "A", "s", col("source")))).as("cell"))
+          .select(id, col("cell.s").as("sheet"), col("cell.r").as("row"),
+            col("cell.c").as("colL"), col("cell.k").as("kind"),
+            col("cell.v").as("value"))
+        val xlsx = graft.ops.ZipArchive.syntheticXlsxAssets(cells,
+          "doc_id", "sheet", "row", "colL", "kind", "value")
+        val html = concat(
+          lit(HtmlFixturePrefix), id.cast("string"),
+          lit(HtmlFixtureMid), id.cast("string"),
+          lit(HtmlFixtureHead), col("text"),
+          lit(HtmlFixtureLinksOpen),
+          expr(s"repeat('$HtmlFixtureLinkItem', CAST(doc_id % 3 AS INT))"),
+          lit(HtmlFixtureTail))
+        val bodies = xlsx.select(col("id"), col("data").as("body"))
+          .unionByName(docs.filter(pmod(id, lit(2)) === 1)
+            .select(id.as("id"), html.cast("binary").as("body")))
+        val staged = bodies.select(
+          pmod(col("id"), lit(8)).as("grp"),
+          concat(lit("http://example.com/doc/"),
+            col("id").cast("string")).as("url"),
+          lit("2024-03-01T00:00:00Z").as("date"), col("body"))
+        graft.ops.WarcExtract.syntheticArchives(
+            staged, "grp", "url", "date", "body")
+          .write.mode("overwrite").parquet(s"$dir/archives")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$out/archives", "format": "warc",
+           |           "id_column": "doc_id", "text_column": "text",
+           |           "id_regex": "doc/(\\\\d+)$$", "xlsx": true},
+           | "rules": []}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DOCX (OOXML zip container) text extraction: per-doc fixtures
     // composed FROM doc columns — three paragraphs (an entity-heavy
     // middle one pins escape round-tripping), each split across two
@@ -7701,6 +7754,21 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 2 = 0)
          |SELECT doc_id, text FROM wx
          |UNION ALL SELECT doc_id, text FROM dx
+         |ORDER BY doc_id""".stripMargin,
+    // Mixed html+xlsx dispatch replayed: the html chain for odd ids,
+    // the workbook flatten (tab-joined rows, blank line between
+    // sheets) composed directly from the columns for even ids.
+    "q_warc_xlsx" ->
+      s"""WITH wh AS (SELECT doc_id, $HtmlFixtureExprSql AS html
+         |            FROM documents WHERE doc_id % 2 = 1),
+         |wx AS (SELECT doc_id, $HtmlExtractTextSql AS text FROM wh),
+         |xl AS (SELECT doc_id,
+         |  doc_id || chr(9) || lang || chr(10) ||
+         |  substr(text, 1, 40) || ' <&> x' ||
+         |  chr(10) || chr(10) || source AS text
+         |  FROM documents WHERE doc_id % 2 = 0)
+         |SELECT doc_id, text FROM wx
+         |UNION ALL SELECT doc_id, text FROM xl
          |ORDER BY doc_id""".stripMargin,
     // DOCX round trip replayed: the container + XML detour is
     // text-transparent (escape/decode exact, runs concatenate, closes

@@ -255,6 +255,14 @@ object GraftExtensions {
           s"docx_text expects 1 argument, got ${exprs.length}")
         graft.functions.DocxTextExpr(exprs.head)
       }),
+    (new FunctionIdentifier("xlsx_text"),
+      new ExpressionInfo(classOf[graft.functions.XlsxTextExpr].getName,
+        "xlsx_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"xlsx_text expects 1 argument, got ${exprs.length}")
+        graft.functions.XlsxTextExpr(exprs.head)
+      }),
     (new FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[graft.functions.DeflateRatioExpr].getName,
         "deflate_ratio"),

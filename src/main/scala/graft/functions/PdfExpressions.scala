@@ -44,6 +44,42 @@ case class PdfTextExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `xlsx_text(binary)` → the SpreadsheetML workbook flattened to text
+  * (cells row-major, tab-joined rows, blank lines between sheets) via
+  * the [[graft.ops.ZipArchive.xlsxText]] kernel — the per-row ingest
+  * sibling of [[DocxTextExpr]] for the WARC dispatch. NULL for damaged
+  * containers or zips without a worksheet. */
+case class XlsxTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xlsx_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.catalogString}")
+  }
+
+  def extract(bytes: Array[Byte]): UTF8String =
+    graft.ops.ZipArchive.xlsxText(bytes)
+      .map(UTF8String.fromString).orNull
+
+  override def nullSafeEval(v: Any): Any =
+    extract(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("xlsxText", this,
+        classOf[XlsxTextExpr].getName)
+      s"""${ev.value} = $ref.extract($v);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XlsxTextExpr =
+    copy(child = newChild)
+}
+
 /** `docx_text(binary)` → the WordprocessingML text via the
   * [[graft.ops.ZipArchive]] walk + chain — the scalar sibling of
   * [[PdfTextExpr]] for the WARC ingest's mixed-content dispatch. NULL

@@ -341,6 +341,87 @@ object ZipArchive {
       .join(typed, Seq("id"), "left_outer")
   }
 
+  @transient private lazy val compiledXlsxTextChain =
+    XlsxTextChain.map { case (p, r) => (java.util.regex.Pattern.compile(p), r) }
+  @transient private lazy val SiPattern =
+    java.util.regex.Pattern.compile("(?s)<si>(.*?)</si>")
+  @transient private lazy val CellPattern =
+    java.util.regex.Pattern.compile("(?s)<c [^>]*?(?:/>|>.*?</c>)")
+  @transient private lazy val RefPattern =
+    java.util.regex.Pattern.compile("r=\"([A-Z]+)([0-9]+)\"")
+  @transient private lazy val TypePattern =
+    java.util.regex.Pattern.compile(" t=\"([a-zA-Z]+)\"")
+  @transient private lazy val ValPattern =
+    java.util.regex.Pattern.compile("(?s)<v>([^<]*)</v>")
+  @transient private lazy val InlinePattern =
+    java.util.regex.Pattern.compile("(?s)<is>(.*?)</is>")
+  @transient private lazy val SheetNamePattern =
+    java.util.regex.Pattern.compile("^xl/worksheets/sheet([0-9]+)\\.xml$")
+
+  private def xmlTextJvm(s: String): String =
+    compiledXlsxTextChain.foldLeft(s) { case (acc, (pat, rep)) =>
+      pat.matcher(acc).replaceAll(
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+
+  /** Whole-workbook XLSX text in the JVM — the per-row ingest form of
+    * [[extractXlsx]] (same member walk, same compiled patterns, so
+    * kernel and Column chain cannot disagree; spec-pinned): cells
+    * flatten row-major, values tab-joined within a row, rows
+    * newline-joined, sheets (ascending number) joined with blank
+    * lines. None when the container is damaged or carries no
+    * worksheet — the refusal contract the WARC dispatch composes. */
+  def xlsxText(bytes: Array[Byte]): Option[String] = {
+    val members = walk(bytes)
+    val sheets = members.flatMap { m =>
+      val nm = SheetNamePattern.matcher(m.name)
+      if (nm.matches()) Some((nm.group(1).toInt, m.data)) else None
+    }.sortBy(_._1)
+    if (sheets.isEmpty) return None
+    val sst: IndexedSeq[String] =
+      members.find(_.name == "xl/sharedStrings.xml").map { m =>
+        val xml = new String(m.data, java.nio.charset.StandardCharsets.UTF_8)
+        val it = SiPattern.matcher(xml)
+        val out = IndexedSeq.newBuilder[String]
+        while (it.find()) out += xmlTextJvm(it.group(1))
+        out.result()
+      }.getOrElse(IndexedSeq.empty)
+    val rendered = sheets.map { case (_, data) =>
+      val xml = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+      val cm = CellPattern.matcher(xml)
+      val cells = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, String)]
+      while (cm.find()) {
+        val c = cm.group(0)
+        val rm = RefPattern.matcher(c)
+        if (rm.find()) {
+          val colIdx = rm.group(1).foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1))
+          val rowNum = rm.group(2).toLong
+          val tm = TypePattern.matcher(c)
+          val t = if (tm.find()) tm.group(1) else ""
+          val vm = ValPattern.matcher(c)
+          val v = if (vm.find()) Some(vm.group(1)) else None
+          val im = InlinePattern.matcher(c)
+          val is = if (im.find()) Some(xmlTextJvm(im.group(1))) else None
+          val value: Option[String] = t match {
+            case "s" => v.flatMap(i => i.toIntOption.flatMap(sst.lift))
+            case "inlineStr" => is
+            case _ => v.map(xmlTextJvm)
+          }
+          // empty/self-closing cells contribute nothing, like the
+          // Column form's __filled gate
+          if (v.isDefined || is.isDefined)
+            value.foreach(x => cells += ((rowNum, colIdx, x)))
+        }
+      }
+      cells.sortBy(c => (c._1, c._2))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).mkString("\t"))
+        .mkString("\n")
+    }
+    Some(rendered.mkString("\n\n"))
+  }
+
   // ------------------------------------------------------------ writers
 
   private def deflateRaw(b: Array[Byte]): Array[Byte] = {

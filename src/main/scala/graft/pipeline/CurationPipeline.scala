@@ -139,7 +139,8 @@ object CurationPipeline {
                                    maxLinkDensity: Double = 0.34,
                                    statuses: Seq[Int] = Seq(200),
                                    pdf: Boolean = false,
-                                   docx: Boolean = false)
+                                   docx: Boolean = false,
+                                   xlsx: Boolean = false)
 
   /** Text-format input (`input.format = "jsonl" | "csv"`): the corpus
     * arrives as the interchange formats a replicator or export actually
@@ -411,11 +412,25 @@ object CurationPipeline {
           graft.functions.DocxTextExpr(
             org.apache.spark.sql.graftshim.ColumnBridge
               .expression(col("__payload"))))
+        def xlsxText = org.apache.spark.sql.graftshim.ColumnBridge.column(
+          graft.functions.XlsxTextExpr(
+            org.apache.spark.sql.graftshim.ColumnBridge
+              .expression(col("__payload"))))
+        // a PK-zip payload could be EITHER OOXML flavor: dispatch by
+        // CONTENT (each kernel refuses containers without its part with
+        // null), so with both declared the coalesce picks whichever
+        // walk succeeds
+        def zipText = (w.docx, w.xlsx) match {
+          case (true, true)  => coalesce(docxText, xlsxText)
+          case (true, false) => docxText
+          case _             => xlsxText
+        }
         w.htmlMode match {
           case "flat" =>
             // one projection, per-row dispatch — zero extra passes
             var text = htmlText
-            if (w.docx) text = when(zipMagic, docxText).otherwise(text)
+            if (w.docx || w.xlsx)
+              text = when(zipMagic, zipText).otherwise(text)
             if (w.pdf) text = when(pdfMagic,
               graft.ops.PdfProbe.extractTextCol(col("__payload")))
               .otherwise(text)
@@ -437,7 +452,7 @@ object CurationPipeline {
             // the fixture queries do. Flat mode stays single-pass.
             val htmlPages = pages.filter(
               (if (w.pdf) !pdfMagic else lit(true)) &&
-                (if (w.docx) !zipMagic else lit(true)))
+                (if (w.docx || w.xlsx) !zipMagic else lit(true)))
             val withHtml = htmlPages
               .withColumn("__html", col("__payload").cast("string"))
             val htmlOut = withHtml
@@ -449,15 +464,15 @@ object CurationPipeline {
                 .withColumnRenamed("main_text", config.textCol),
                 Seq("__rec"))
               .drop("__rec")
-            if (!w.pdf && !w.docx) htmlOut
+            if (!w.pdf && !w.docx && !w.xlsx) htmlOut
             else htmlOut.unionByName(
               pages.filter(
                   (if (w.pdf) pdfMagic else lit(false)) ||
-                    (if (w.docx) zipMagic else lit(false)))
+                    (if (w.docx || w.xlsx) zipMagic else lit(false)))
                 .select(col(config.idCol), col("url"), col("fetch_ts"),
                   when(pdfMagic,
                     graft.ops.PdfProbe.extractTextCol(col("__payload")))
-                    .otherwise(docxText).as(config.textCol)))
+                    .otherwise(zipText).as(config.textCol)))
           case other => fail(s"unknown warc html mode '$other' " +
             "(expected flat | blocks)")
         }
@@ -813,7 +828,9 @@ object CurationPipeline {
     *             "min_chars": 20, "max_link_density": 0.34,  // blocks
     *             "statuses": [200],                  // HTTP keep-list
     *             "pdf": true,    // %PDF- payloads -> structural walk
-    *             "docx": true},  // PK zip payloads -> OOXML chain
+    *             "docx": true,   // PK zip payloads -> OOXML chain
+    *             "xlsx": true},  // PK zip payloads -> SpreadsheetML
+    *                             // (both: dispatch by content)
     *   "url_blocklist": {"url_column": "url",           // optional,
     *                     "blocklist_path": "...",       // runs FIRST
     *                     "path_rules": [["tracker", "/track/"]]},
@@ -942,6 +959,7 @@ object CurationPipeline {
         }
         val pdf = boolOf(root \ "input" \ "pdf", "input.pdf")
         val docx = boolOf(root \ "input" \ "docx", "input.docx")
+        val xlsx = boolOf(root \ "input" \ "xlsx", "input.xlsx")
         Some(WarcInputConfig(
           str(root \ "input" \ "archive_column").getOrElse("archive_id"),
           str(root \ "input" \ "data_column").getOrElse("data"),
@@ -950,7 +968,7 @@ object CurationPipeline {
           intOf(root \ "input" \ "min_chars", "input.min_chars", 20),
           dblOf(root \ "input" \ "max_link_density",
             "input.max_link_density", 0.34),
-          statuses, pdf, docx))
+          statuses, pdf, docx, xlsx))
       case other => fail(s"unknown input.format '$other' " +
         "(expected parquet | jsonl | csv | warc)")
     }

@@ -109,6 +109,35 @@ class ZipArchiveSpec extends SparkTestBase {
     ZipArchive.docxText(Array[Byte](1, 2, 3)) shouldBe None
   }
 
+  "xlsxText (kernel)" should "match the extractXlsx flatten exactly" in {
+    val cells = Seq(
+      (1, 1, "A", "n", "42"), (1, 1, "B", "s", "ka & <b>"),
+      (1, 2, "A", "inlineStr", "in \"line\""),
+      (2, 1, "A", "s", "sheet two"))
+    val xlsx = ZipArchive.buildXlsx(cells)
+    ZipArchive.xlsxText(xlsx) shouldBe
+      Some("42\tka & <b>\nin \"line\"\n\nsheet two")
+    // the kernel's flatten equals the Column walk regrouped the same way
+    val viaColumn = ZipArchive.extractXlsx(
+        Seq((1L, xlsx)).toDF("id", "data"), "id", "data")
+      .orderBy($"sheet", $"row_num", $"col_idx")
+      .select($"sheet", $"row_num", $"value")
+      .as[(Int, Long, String)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._3).mkString("\t")).mkString("\n"))
+      .mkString("\n\n")
+    ZipArchive.xlsxText(xlsx) shouldBe Some(viaColumn)
+    // refusals: no worksheet member, garbage bytes
+    ZipArchive.xlsxText(ZipArchive.buildZip(
+      Seq(("x.txt", "t".getBytes("UTF-8"))))) shouldBe None
+    ZipArchive.xlsxText(Array[Byte](1, 2, 3)) shouldBe None
+    // a DOCX is a zip without worksheets: None, so content dispatch
+    // between the OOXML flavors is well-defined
+    ZipArchive.xlsxText(ZipArchive.buildDocx(Seq("p"))) shouldBe None
+    ZipArchive.docxText(xlsx) shouldBe None
+  }
+
   "extractEpub" should "join chapters through the html chain in spine order" in {
     val chapters = Seq("chapter one text", "chapter two text",
       "chapter three text")

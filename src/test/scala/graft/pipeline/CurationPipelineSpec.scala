@@ -865,6 +865,33 @@ class CurationPipelineSpec extends SparkTestBase {
     dx(1)._2.get shouldBe "office paragraph one\noffice paragraph two"
     dx(2)._2 shouldBe None // zip but not OOXML: honest null
 
+    // xlsx dispatch, and BOTH flags: a PK-zip payload resolves by
+    // CONTENT — docx to the WordprocessingML chain, xlsx to the
+    // workbook flatten, a plain zip to null either way
+    val xlsxBody = graft.ops.ZipArchive.buildXlsx(Seq(
+      (1, 1, "A", "n", "7"), (1, 1, "B", "s", "cellv")))
+    val p3 = s"$tmp/warc_xlsx_archives"
+    val staged3 = Seq(
+      (1L, "https://ok.example/page/1", docxBody),
+      (2L, "https://ok.example/page/2", xlsxBody),
+      (3L, "https://ok.example/page/3", plainZip))
+      .toDF("doc_id", "url", "body")
+      .select(lit(0L).as("grp"), $"url",
+        lit("2024-01-01T00:00:00Z").as("date"), $"body")
+    WarcExtract.syntheticArchives(staged3, "grp", "url", "date", "body")
+      .write.mode("overwrite").parquet(p3)
+    val bcfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p3", "format": "warc",
+         |           "id_column": "doc_id", "text_column": "text",
+         |           "id_regex": "([0-9]+)$$", "docx": true, "xlsx": true},
+         | "rules": []}""".stripMargin)
+    val bx = CurationPipeline.curate(spark, bcfg)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).sortBy(_._1).toSeq
+    bx(0)._2.get shouldBe "office paragraph one\noffice paragraph two"
+    bx(1)._2.get shouldBe "7\tcellv"
+    bx(2)._2 shouldBe None
+
     // without the flag a pdf payload would go through the html chain —
     // the dispatch is opt-in and off by default
     val off = CurationPipeline.fromJson(

@@ -4458,6 +4458,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The LM's day-2 increment: train on the even half, FREEZE, then
+    // extend the artifact with the odd half WITHOUT re-reading day 1 —
+    // trigram counts and vocabularies merge (sum / set-union) and every
+    // other table derives, so the extended model's scores are
+    // count-for-count the full-corpus model's: the oracle IS
+    // q_kneser_ney's (also the per-shard training story: count shards
+    // independently, merge).
+    "q_kneser_ney_extended" -> ((s, d) => {
+      val fx = stagedOnce("knext", d) { dir =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.train(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text"), s"$dir/day1")
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.extend(
+          graft.ops.KneserNey.load(s, s"$dir/day1"),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text"), s"$dir/day2")
+      }
+      graft.ops.KneserNey.score(graft.ops.KneserNey.load(s, s"$fx/day2"),
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Substring-level dedup (duplicated-span masking): every token
     // covered by an 8-token window that also appears verbatim in another
     // document is dropped outside the span's canonical (min-id) doc —
@@ -7627,6 +7653,12 @@ object SparkEntry {
     // so no CASE fallthrough is exercised here — the unseen-context
     // paths are spec-pinned against an independent reference instead).
     "q_kneser_ney" ->
+      s"""$KneserNeyOracleCte
+         |SELECT doc_id, n_trigrams, mean_logp FROM kn
+         |ORDER BY doc_id""".stripMargin,
+    // Mergeability makes the day-2 extension's counts IDENTICAL to the
+    // full-corpus model's — same oracle, no weakening.
+    "q_kneser_ney_extended" ->
       s"""$KneserNeyOracleCte
          |SELECT doc_id, n_trigrams, mean_logp FROM kn
          |ORDER BY doc_id""".stripMargin,

@@ -72,7 +72,8 @@ object KneserNey {
     *  - `uni  (w3, contw)`             continuation counts N1+(·w) */
   final case class KnModel(params: KnParams, tri: DataFrame,
                            ctx3: DataFrame, big: DataFrame,
-                           ctx2: DataFrame, uni: DataFrame)
+                           ctx2: DataFrame, uni: DataFrame,
+                           vocab: DataFrame)
 
   /** In-document trigram stream `(id, w1, w2, w3)` over whitespace
     * tokens of `lower(trim(text))` — the [[UnigramLm.bigramMeanLogProb]]
@@ -94,15 +95,14 @@ object KneserNey {
         length(col("w3")) > 0)
   }
 
-  /** Train an order-3 model on `docs`. The three `count()` actions are
-    * model-scalar reads (the artifact's params), not data motion. */
-  def train(docs: DataFrame, idCol: String, textCol: String,
-            discount: Double = DefaultDiscount): KnModel = {
-    require(discount > 0 && discount < 1,
-      s"KneserNey.train: discount must be in (0, 1), got $discount")
-    val tri = trigrams(docs, idCol, textCol)
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
+  /** Everything above the raw trigram counts + vocabulary is DERIVED:
+    * the continuation tables are pure aggregates of `tri`, so a model
+    * is fully determined by (tri, vocab, discount) — which is what
+    * makes the counts MERGEABLE ([[extend]]). The three `count()`
+    * actions are model-scalar reads (the artifact's params), not data
+    * motion. */
+  private def derive(tri: DataFrame, vocab: DataFrame,
+                     discount: Double): KnModel = {
     val ctx3 = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("cctx"), count(lit(1)).as("n1p"))
     val big = tri.groupBy(col("w2"), col("w3"))
@@ -111,18 +111,56 @@ object KneserNey {
       .agg(sum(col("cont")).as("contctx"), count(lit(1)).as("types"))
     val uni = big.groupBy(col("w3"))
       .agg(count(lit(1)).as("contw"))
-    val vocab = Parallelism.spread(
+    KnModel(KnParams(3, discount, vocab.count(), big.count(), uni.count()),
+      tri, ctx3, big, ctx2, uni, vocab)
+  }
+
+  private def corpusTerms(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    Parallelism.spread(
         docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(explode(split(lower(trim(col("__t"))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-      .agg(countDistinct(col("term")).as("v"))
-      .head().getLong(0)
-    KnModel(KnParams(3, discount, vocab, big.count(), uni.count()),
-      tri, ctx3, big, ctx2, uni)
+      .select(col("term")).distinct()
+
+  /** Train an order-3 model on `docs`. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            discount: Double = DefaultDiscount): KnModel = {
+    require(discount > 0 && discount < 1,
+      s"KneserNey.train: discount must be in (0, 1), got $discount")
+    val tri = trigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    derive(tri, corpusTerms(docs, idCol, textCol), discount)
   }
 
-  /** Persist a trained model under `dir` (overwrite): five parquet
-    * tables + a one-row params record. */
+  /** The day-2 increment: fold a NEW corpus into a trained model
+    * WITHOUT re-reading the old one — trigram counts and vocabularies
+    * are mergeable (sum / set-union), and every other table derives
+    * from them, so `extend(train(a), b)` is count-for-count IDENTICAL
+    * to `train(a ∪ b)` (spec-pinned, and `q_kneser_ney_extended`
+    * hash-shares the full-corpus oracle). This is also the per-shard
+    * training story at 100 TB: count shards independently, merge.
+    * Persist the result to a NEW versioned directory — the extended
+    * frames read lazily from the old artifact, so overwriting it in
+    * place would read-under-write. */
+  def extend(model: KnModel, docs: DataFrame, idCol: String,
+             textCol: String): KnModel = {
+    val newTri = trigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val tri = model.tri.unionByName(newTri)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c3")).as("c3"))
+    val vocab = model.vocab
+      .unionByName(corpusTerms(docs, idCol, textCol)).distinct()
+    derive(tri, vocab, model.params.discount)
+  }
+
+  /** Persist a trained model under `dir` (overwrite): six parquet
+    * tables + a one-row params record. For an [[extend]]ed model use a
+    * NEW directory (its frames read lazily from the source
+    * artifact). */
   def save(spark: SparkSession, model: KnModel, dir: String): Unit = {
     import spark.implicits._
     model.tri.write.mode("overwrite").parquet(s"$dir/tri")
@@ -130,6 +168,7 @@ object KneserNey {
     model.big.write.mode("overwrite").parquet(s"$dir/big")
     model.ctx2.write.mode("overwrite").parquet(s"$dir/ctx2")
     model.uni.write.mode("overwrite").parquet(s"$dir/uni")
+    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
     val p = model.params
     Seq((p.order, p.discount, p.vocabSize, p.bigramTypes, p.uniTypes))
       .toDF("order", "discount", "vocab_size", "bigram_types", "uni_types")
@@ -156,15 +195,19 @@ object KneserNey {
       }
     val big = spark.read.parquet(s"$dir/big")
     val uni = spark.read.parquet(s"$dir/uni")
+    val vocab = spark.read.parquet(s"$dir/vocab")
     val nBig = big.count()
     val nUni = uni.count()
-    require(nBig == params.bigramTypes && nUni == params.uniTypes,
+    val nVocab = vocab.count()
+    require(nBig == params.bigramTypes && nUni == params.uniTypes &&
+      nVocab == params.vocabSize,
       s"KneserNey model at $dir is damaged: params declare " +
-        s"${params.bigramTypes}/${params.uniTypes} bigram/unigram types " +
-        s"but the tables hold $nBig/$nUni rows")
+        s"${params.bigramTypes}/${params.uniTypes}/${params.vocabSize} " +
+        s"bigram/unigram/vocab counts but the tables hold " +
+        s"$nBig/$nUni/$nVocab rows")
     KnModel(params, spark.read.parquet(s"$dir/tri"),
       spark.read.parquet(s"$dir/ctx3"), big,
-      spark.read.parquet(s"$dir/ctx2"), uni)
+      spark.read.parquet(s"$dir/ctx2"), uni, vocab)
   }
 
   /** Score `docs` under a frozen model: `(id, n_trigrams, mean_logp)`

@@ -146,6 +146,27 @@ class KneserNeySpec extends SparkTestBase {
         discount = 1.5)
   }
 
+  it should "extend a frozen model into exactly the full-corpus model" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (day1, day2) = docs.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kn_ext").toString
+    KneserNey.save(spark,
+      KneserNey.train(day1.toDF("doc_id", "text"), "doc_id", "text"),
+      s"$dir/day1")
+    val extended = KneserNey.extend(KneserNey.load(spark, s"$dir/day1"),
+      day2.toDF("doc_id", "text"), "doc_id", "text")
+    val full = KneserNey.train(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // counts merge exactly: params AND every score bit-equal
+    extended.params shouldBe full.params
+    opScores(docs, extended) shouldBe opScores(docs, full)
+    // and the extended artifact round-trips like any other
+    KneserNey.save(spark, extended, s"$dir/day2")
+    opScores(docs, KneserNey.load(spark, s"$dir/day2")) shouldBe
+      opScores(docs, full)
+  }
+
   it should "skip sub-trigram documents and feed perplexityTiersScored" in {
     val docs = (trainCorpus.zipWithIndex.map {
       case (t, i) => (i.toLong, t, if (i % 2 == 0) "en" else "de")

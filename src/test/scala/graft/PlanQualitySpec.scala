@@ -85,6 +85,24 @@ class PlanQualitySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString())
   }
 
+  "the curation transforms + rules chain" should
+      "fuse into the scan's single codegen stage" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_tr").toString
+    spark.range(4).selectExpr("id AS doc_id", "'some text here' AS text")
+      .write.mode("overwrite").parquet(dir)
+    val cfg = graft.pipeline.CurationPipeline.fromJson(
+      s"""{"input": {"path": "$dir"},
+         | "transforms": ["fix_encoding", "pii_redact", "secret_redact"],
+         | "rules": ["min_tokens:2"]}""".stripMargin)
+    val plan = graft.pipeline.CurationPipeline.curate(spark, cfg)
+      .queryExecution.executedPlan.toString()
+    // the whole rewrite + gate layer is ONE fused stage over the scan:
+    // no shuffle, no extra pass — the 100 TB ingest shape
+    (plan should not).include("Exchange")
+    plan should include("*(1) Project")
+  }
+
   "castTo on a parquet scan" should "stay a single stage with zero shuffles" in {
     import org.apache.spark.sql.types._
     val changelog = Tables.events(spark, sf).select(

@@ -302,11 +302,17 @@ object ZipArchive {
     * parallelism = container count. */
   def extractXlsx(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
     val ents = entries(df, idCol, dataCol)
-    val shared = ents.filter(col("name") === "xl/sharedStrings.xml")
-      .select(col("id"), transform(
+    // the string table EXPLODED to (id, idx, string) rows: shared-string
+    // cells resolve by equi-join on (id, index) — joining the whole
+    // array onto every cell row would make each cell carry its
+    // workbook's entire string table (O(cells × strings) width at a
+    // million-string workbook); exploded, the join moves each string
+    // once
+    val sstRows = ents.filter(col("name") === "xl/sharedStrings.xml")
+      .select(col("id"), posexplode(transform(
         regexp_extract_all(col("payload").cast("string"),
           lit("(?s)<si>(.*?)</si>"), lit(1)),
-        si => xmlTextCol(si)).as("__sst"))
+        si => xmlTextCol(si))).as(Seq("__idx", "__sval")))
     val sheets = ents
       .filter(col("name").rlike("^xl/worksheets/sheet[0-9]+\\.xml$"))
       .select(col("id"),
@@ -328,13 +334,19 @@ object ZipArchive {
         (col("__c").contains("<v>") || col("__c").contains("<is>"))
           .as("__filled"))
       .filter(col("__filled") && col("col") =!= "")
-    val typed = cells.join(shared, Seq("id"), "left_outer")
+    // ONE consumer of the cell explode (a filter-and-union pair would
+    // re-run the container walk per branch): every cell left-joins the
+    // string rows, with a NULL join index for non-shared cells — null
+    // keys match nothing, so only `t="s"` cells pick up a string
+    val typed = cells
+      .withColumn("__idx",
+        when(col("__t") === "s", col("__v").cast(IntegerType)))
+      .join(sstRows, Seq("id", "__idx"), "left_outer")
       .select(col("id"), col("sheet"), col("row_num"), col("col"),
         colIndexCol(col("col")).as("col_idx"),
         when(col("__t") === "", lit("n")).otherwise(col("__t"))
           .as("cell_type"),
-        when(col("__t") === "s",
-          element_at(col("__sst"), col("__v").cast(IntegerType) + 1))
+        when(col("__t") === "s", col("__sval"))
           .when(col("__t") === "inlineStr", col("__is"))
           .otherwise(xmlTextCol(col("__v"))).as("value"))
     df.select(col(idCol).cast(LongType).as("id")).distinct()

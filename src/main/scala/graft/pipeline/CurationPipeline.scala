@@ -25,8 +25,8 @@ import graft.ops.{Chunking, Dedup, Expectations, GopherRules, Packing,
   * Stage order is fixed (each stage optional except the input):
   * {{{
   *   input → url_blocklist → transforms → paragraph_dedup
-  *         → decontaminate → rules → classifier → dedup → sample
-  *         → quota → budget → chunk → pack
+  *         → decontaminate → rules → lm → classifier → dedup
+  *         → sample → quota → budget → chunk → pack
   * }}}
   * — gates first (cheapest row reduction), then the per-row text
   * REWRITES (a published corpus redacts PII/secrets and repairs

@@ -3321,6 +3321,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Context windows in REAL tokenizer units: chunk.tokenizer sizes
+    // chunks under the frozen byte-BPE artifact and detokenizes chunk
+    // text losslessly (exact byte concatenation). With the zero-merge
+    // model a token IS a UTF-8 byte, and the corpus is ASCII, so the
+    // whole tokenize->window->detokenize chain replays as substr
+    // windows over octet_length.
+    "q_chunk_tokenizer" -> ((s, d) => {
+      val out = stagedOnce("btk", d) { dir =>
+        graft.ops.TokenizerArtifact.save(s,
+          graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true),
+          s"$dir/tok")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"],
+           | "chunk": {"tokens": 120, "overlap": 24,
+           |           "tokenizer": "$out/tok"}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Curated corpus straight to training-loader shards from ONE
     // config: rules gate, then sink.format = "webdataset" writes real
     // tar shards (txt member + json metadata member per doc). The walk
@@ -8003,6 +8027,27 @@ object SparkEntry {
          |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
          |ORDER BY doc_id""".stripMargin
     },
+    // Tokenizer-unit chunking replayed: zero-merge byte tokens over the
+    // ASCII corpus make the tokenize->window->detokenize chain exactly
+    // substr windows (120-byte chunks, stride 96) over octet_length.
+    "q_chunk_tokenizer" ->
+      """WITH g AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20),
+        |n AS (SELECT doc_id, text,
+        |        CAST(octet_length(encode(text)) AS INTEGER) AS n FROM g),
+        |c AS (SELECT doc_id, text, n,
+        |    CASE WHEN n = 0 THEN 0 WHEN n <= 120 THEN 1
+        |         ELSE 1 + CAST(ceil((n - 120) / 96.0) AS INTEGER)
+        |    END AS nch FROM n),
+        |e AS (SELECT doc_id, text, n,
+        |        unnest(generate_series(0, nch - 1)) AS i
+        |      FROM c WHERE nch > 0)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  substr(text, i * 96 + 1, 120) AS chunk_text,
+        |  CAST(least(120, n - i * 96) AS INTEGER) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // Tokenizer-unit budgets replayed: zero-merge byte tokens =
     // octet_length, then the md5-ordered cumulative take per domain.
     "q_budget_tokenizer" ->

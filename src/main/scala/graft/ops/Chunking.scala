@@ -20,11 +20,72 @@ object Chunking {
             chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
     require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
       "need 0 <= overlapTokens < chunkTokens")
+    chunkArray(df, split(trim(col(textCol)), "\\s+"), textCol,
+      chunkTokens, overlapTokens,
+      w => concat_ws(" ", w))
+  }
+
+  /** [[chunk]] in REAL tokenizer units under a frozen
+    * [[TokenizerArtifact]] — context windows must be sized in the units
+    * the model actually trains on, not a whitespace proxy (a 512-word
+    * window is 700+ BPE tokens of English and the loader truncates the
+    * tail). Only the `bpe_bytes` family is accepted: chunk TEXT must
+    * round-trip losslessly from the token window, and byte-level BPE is
+    * the one family whose detokenization is exact byte concatenation
+    * (char-BPE/WordPiece/unigram detokenizers normalize whitespace —
+    * silently rewriting training text is worse than refusing). Same
+    * per-row explode shape as [[chunk]]: no shuffle, model rides in the
+    * plan. */
+  def chunkTokenized(df: DataFrame, textCol: String,
+                     model: TokenizerArtifact.Model,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val merges = model match {
+      case TokenizerArtifact.BpeModel(m, true) => m
+      case other => throw new IllegalArgumentException(
+        s"chunkTokenized: family '${other.family}' cannot detokenize " +
+          "chunk text losslessly — only bpe_bytes (exact byte " +
+          "concatenation) is accepted")
+    }
+    // one kernel pass per row (graft.functions.ByteBpeChunksExpr):
+    // tokenize once, window by token count, chunk text = the window's
+    // byte range of the input — the tokenize → slice → detokenize
+    // composition materialized the token array and re-paid the
+    // tokenizer per reference (~4x at corpus scale)
+    val kernel = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.ByteBpeChunksExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .expression(col(textCol)),
+        merges, chunkTokens, overlapTokens))
+    val chunksCol = when(length(trim(col(textCol))) === 0, array().cast(
+        "array<struct<chunk_idx:int,chunk_text:string,chunk_tokens:int>>"))
+      .otherwise(kernel)
+    df.withColumn("__chunks", chunksCol)
+      .select((df.columns.toIndexedSeq.map(col) :+
+        explode(col("__chunks")).as("__c")): _*)
+      .select((df.columns.toIndexedSeq.map(col) ++ Seq(
+        col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("__c.chunk_tokens").as("chunk_tokens"))): _*)
+  }
+
+  private def chunkArray(df: DataFrame, toks: Column, textCol: String,
+                         chunkTokens: Int, overlapTokens: Int,
+                         render: Column => Column): DataFrame = {
     val stride = chunkTokens - overlapTokens
-    val toks = split(trim(col(textCol)), "\\s+")
+    // Tokenize ONCE per row: the window expressions below reference the
+    // token array many times (the count plus one slice per chunk), and
+    // passing the tokenize expression itself would inline a copy per
+    // reference — CollapseProject declines to merge a multiply-referenced
+    // non-trivial alias, so the extra projection pins single evaluation
+    // (measured 4x on the byte-BPE path).
+    val withToks = df.withColumn("__toks", toks)
+    val tcol = col("__toks")
     // number of chunks: 1 + ceil((n - chunkTokens) / stride) for n > chunk,
     // else 1; blank text (zero tokens) → none
-    val n = when(length(trim(col(textCol))) === 0, lit(0)).otherwise(size(toks))
+    val n = when(length(trim(col(textCol))) === 0, lit(0))
+      .otherwise(size(tcol))
     val nChunks = when(n === 0, lit(0))
       .when(n <= chunkTokens, lit(1))
       .otherwise(lit(1) + ceil((n - chunkTokens).cast("double") / stride).cast("int"))
@@ -32,9 +93,10 @@ object Chunking {
       sequence(lit(0), nChunks - 1),
       i => struct(
         i.as("chunk_idx"),
-        concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))).as("chunk_text"),
+        render(slice(tcol, i * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
         least(lit(chunkTokens), n - i * stride).as("chunk_tokens")))
-    df.withColumn("__chunks", when(nChunks === 0, array().cast(
+    withToks.withColumn("__chunks", when(nChunks === 0, array().cast(
           "array<struct<chunk_idx:int,chunk_text:string,chunk_tokens:int>>"))
         .otherwise(chunks))
       .select((df.columns.toIndexedSeq.map(col) :+

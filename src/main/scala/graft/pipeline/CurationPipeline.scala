@@ -83,7 +83,13 @@ object CurationPipeline {
                                         extendIndex: Boolean = false)
     extends DedupTier
 
-  final case class ChunkConfig(tokens: Int, overlap: Int)
+  /** `tokenizerPath` swaps the whitespace token proxy for REAL
+    * tokenizer units under a frozen `bpe_bytes`
+    * [[graft.ops.TokenizerArtifact]] ([[graft.ops.Chunking
+    * .chunkTokenized]] — context windows sized in the units the model
+    * trains on, chunk text detokenized losslessly). */
+  final case class ChunkConfig(tokens: Int, overlap: Int,
+                               tokenizerPath: Option[String] = None)
   /** `shards` buckets rows by `pmod(id, shards)` — the pack
     * parallelism unit; each shard packs independently
     * ([[Packing.packGreedy]]'s per-group walk). */
@@ -711,12 +717,17 @@ object CurationPipeline {
   /** [[curate]] over a GIVEN input frame — see [[curatedDocsFrame]]. */
   def curateFrame(input: DataFrame, config: CurationConfig): DataFrame = {
     val docs = curatedDocsFrame(input, config)
+    def chunked(c: ChunkConfig) = c.tokenizerPath match {
+      case None => Chunking.chunk(docs, config.textCol, c.tokens, c.overlap)
+      case Some(tp) => Chunking.chunkTokenized(docs, config.textCol,
+        graft.ops.TokenizerArtifact.load(docs.sparkSession, tp),
+        c.tokens, c.overlap)
+    }
     (config.chunk, config.pack) match {
       case (None, None) => docs
-      case (Some(c), None) =>
-        Chunking.chunk(docs, config.textCol, c.tokens, c.overlap)
+      case (Some(c), None) => chunked(c)
       case (Some(c), Some(p)) =>
-        val chunks = Chunking.chunk(docs, config.textCol, c.tokens, c.overlap)
+        val chunks = chunked(c)
           .withColumn("shard", pmod(col(config.idCol), lit(p.shards)))
         Packing.packSummary(chunks, "chunk_tokens", p.capacity,
           "shard", Seq(config.idCol, "chunk_idx"))
@@ -866,7 +877,9 @@ object CurationPipeline {
     *              "budgets": {"en": 100000}, "default": 0, // explicit,
     *              "unimax": {"total_tokens": 500000,       // or derived
     *                         "max_epochs": 2.0}},  // (capped-uniform)
-    *   "chunk": {"tokens": 40, "overlap": 8},            // optional
+    *   "chunk": {"tokens": 40, "overlap": 8,             // optional
+    *             "tokenizer": "/models/tok"},  // real bpe_bytes units
+    *                                 // (else the whitespace proxy)
     *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
     *   "sink": {"path": "...",
@@ -1145,7 +1158,8 @@ object CurationPipeline {
       case c => Some(ChunkConfig(
         intOf(c \ "tokens", "chunk.tokens",
           fail("chunk.tokens is required when chunk is declared")),
-        intOf(c \ "overlap", "chunk.overlap", 0)))
+        intOf(c \ "overlap", "chunk.overlap", 0),
+        str(c \ "tokenizer")))
     }
     val pack = root \ "pack" match {
       case JNothing => None

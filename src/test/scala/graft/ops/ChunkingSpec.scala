@@ -34,4 +34,45 @@ class ChunkingSpec extends SparkTestBase {
       .select($"id", $"chunk_text").as[(Long, String)].collect().toSeq
     out shouldBe Seq((1L, "a b"))
   }
+
+  "chunkTokenized" should "window in real byte-BPE units and detokenize " +
+      "losslessly" in {
+    // a trained (non-trivial merges) byte-level model: windows are in
+    // MERGED-token units, and the chunk text must be the exact bytes
+    val corpus = Seq((1L, "aa bb aa bb aa bb cc dd"),
+      (2L, "aa bb cc")).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainBytes(corpus, "text", numMerges = 4)
+    val model = TokenizerArtifact.BpeModel(merges, byteLevel = true)
+    val doc = "aa bb aa bb x aa bb cc dd éé end"
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val nTok = df.select(org.apache.spark.sql.functions
+      .size(model.tokenizeCol($"text"))).as[Int].head()
+    val out = Chunking.chunkTokenized(df, "text", model,
+        chunkTokens = 5, overlapTokens = 0)
+      .select($"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+    // counts partition the token stream and the bytes reassemble the
+    // ORIGINAL text exactly (multi-byte chars included): byte-level
+    // detokenization is lossless concatenation
+    out.map(_._3).sum shouldBe nTok
+    out.map(_._2).mkString shouldBe doc
+    // re-tokenizing any full chunk yields at most chunkTokens units...
+    out.dropRight(1).foreach(_._3 shouldBe 5)
+    // overlap: consecutive chunks share the declared token overlap
+    val ov = Chunking.chunkTokenized(df, "text", model,
+        chunkTokens = 5, overlapTokens = 2)
+      .select($"chunk_idx", $"chunk_text")
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    ov.length should be > out.length
+    // a family without lossless detokenization is refused
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.chunkTokenized(df, "text",
+        TokenizerArtifact.WordPieceModel(Seq("a", "b")), 5)
+    // zero-merge model over ASCII: chunks are exactly substring windows
+    val plain = TokenizerArtifact.BpeModel(Nil, byteLevel = true)
+    val ascii = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    Chunking.chunkTokenized(ascii, "text", plain, 4, 0)
+      .select($"chunk_text").as[String].collect().toSeq shouldBe
+      Seq("abcd", "efgh", "ij")
+  }
 }

@@ -33,9 +33,14 @@ object Chunking {
     * round-trip losslessly from the token window, and byte-level BPE is
     * the one family whose detokenization is exact byte concatenation
     * (char-BPE/WordPiece/unigram detokenizers normalize whitespace —
-    * silently rewriting training text is worse than refusing). Same
-    * per-row explode shape as [[chunk]]: no shuffle, model rides in the
-    * plan. */
+    * silently rewriting training text is worse than refusing). Note the
+    * byte-level corollary (fuzz-pinned): a window boundary can fall
+    * MID-CHARACTER (byte tokens split anywhere, exactly like GPT-style
+    * training windows), so `chunk_text` is byte-exact — consecutive
+    * overlap-0 chunks concatenate to the original bytes — but an
+    * individual chunk is not guaranteed to be a valid standalone UTF-8
+    * string at its edges. Same per-row explode shape as [[chunk]]: no
+    * shuffle, model rides in the plan. */
   def chunkTokenized(df: DataFrame, textCol: String,
                      model: TokenizerArtifact.Model,
                      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {

@@ -99,4 +99,97 @@ class DocumentKernelFuzzSpec extends SparkTestBase {
       Bpe.byteDecode(joined).toSeq shouldBe bytes.toSeq // lossless
     }
   }
+
+  "ZipArchive.xlsxText" should "round-trip 150 random cell sets" in {
+    val rnd = new scala.util.Random(777)
+    (1 to 150).foreach { _ =>
+      val nSheets = 1 + rnd.nextInt(3)
+      val cells = (1 to nSheets).flatMap { sh =>
+        (1 to 1 + rnd.nextInt(4)).flatMap { r =>
+          (0 until 1 + rnd.nextInt(3)).map { ci =>
+            val colL = ('A' + ci).toChar.toString
+            rnd.nextInt(3) match {
+              case 0 => (sh, r, colL, "n",
+                (rnd.nextInt(2000) - 1000).toString)
+              case 1 => (sh, r, colL, "s", randomText(rnd, rnd.nextInt(12)))
+              case _ => (sh, r, colL, "inlineStr",
+                randomText(rnd, rnd.nextInt(12)))
+            }
+          }
+        }
+      }
+      val expected = cells.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._3).map(_._5).mkString("\t")).mkString("\n"))
+        .mkString("\n\n")
+      ZipArchive.xlsxText(ZipArchive.buildXlsx(cells,
+        compress = rnd.nextBoolean())) shouldBe Some(expected)
+    }
+  }
+
+  "ByteBpeChunksExpr" should "partition and reassemble 200 random texts" in {
+    val rnd = new scala.util.Random(888)
+    val merges = BpeTrainer.trainBytes(
+      Seq("seed corpus for some merges to exist in the ranks table",
+        "more seed text with repeated words words words").toDF("text"),
+      "text", 8, 2)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    val tok = graft.functions.ByteBpeTokenizeExpr(lit, merges)
+    (1 to 200).foreach { _ =>
+      val text = randomText(rnd, 1 + rnd.nextInt(120))
+      val chunkTokens = 1 + rnd.nextInt(12)
+      val overlap = rnd.nextInt(chunkTokens)
+      val ch = graft.functions.ByteBpeChunksExpr(lit, merges,
+        chunkTokens, overlap)
+      val in = UTF8String.fromString(text)
+      val out = ch.chunks(in)
+      val n = tok.tokenize(in).numElements()
+      val rows = (0 until out.numElements()).map(i =>
+        out.getStruct(i, 3)).map(r =>
+        (r.getInt(0), r.getUTF8String(1).getBytes, r.getInt(2)))
+      if (n == 0) rows shouldBe empty
+      else {
+        rows.map(_._1) shouldBe rows.indices
+        // overlap=0 chunks partition the BYTES back to the input: a
+        // boundary may split a multi-byte char (byte tokens split
+        // anywhere), so the lossless invariant is at byte level —
+        // UTF8String carries the raw bytes through
+        if (overlap == 0) {
+          rows.flatMap(_._2).toSeq shouldBe
+            in.getBytes.toSeq
+          rows.map(_._3).sum shouldBe n
+        }
+        // every full chunk carries exactly chunkTokens units and the
+        // text is always a contiguous byte range (valid UTF-8 prefix
+        // invariant not required — byte tokens split anywhere — but
+        // re-reading the bytes must reproduce them exactly)
+        rows.dropRight(1).foreach(_._3 shouldBe chunkTokens)
+        rows.foreach(r => r._3 should be <= chunkTokens)
+      }
+    }
+  }
+
+  "PdfProbe.filterNames" should "never misread 200 random filter values" in {
+    val rnd = new scala.util.Random(999)
+    (1 to 200).foreach { _ =>
+      val form = rnd.nextInt(4) match {
+        case 0 => "/FlateDecode"
+        case 1 => "[/FlateDecode]"
+        case 2 => "[/ASCII85Decode /FlateDecode]"
+        case _ => s"${rnd.nextInt(9)} 0 R"
+      }
+      val noise = randomText(rnd, rnd.nextInt(12))
+        .replaceAll("[/<>\\[\\]()]", "a")
+      val dict = s"<</Length 5 /Filter $form /X ($noise)>>"
+      val b = dict.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val names = PdfProbe.filterNames(b, (0, b.length))
+      form match {
+        case "/FlateDecode" | "[/FlateDecode]" =>
+          names shouldBe Seq("FlateDecode")
+        case "[/ASCII85Decode /FlateDecode]" =>
+          names shouldBe Seq("ASCII85Decode", "FlateDecode")
+        case _ => names shouldBe Seq("?") // indirect ref: refuse
+      }
+    }
+  }
 }

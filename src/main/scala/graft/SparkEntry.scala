@@ -2677,6 +2677,21 @@ object SparkEntry {
           "doc_id", "html", "base")
         .orderBy(col("src_host"), col("dst_host"))),
 
+    // The link graph at SITE granularity: the five a{k}.site.org
+    // source subdomains collapse to ONE node under the PSL snapshot
+    // (full-host grouping splits every site with subdomains). Every
+    // fixture host ends in a plain 1-label suffix from the snapshot,
+    // so the oracle's ground truth is simply the last two labels —
+    // the PSL machinery itself is hash-pinned by q_etld1.
+    "q_domain_graph_registered" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Outlinks.domainGraphRegistered(
+          Tables.documents(s, d).select(col("doc_id"),
+            OutlinkHtml.as("html"), OutlinkBase.as("base")),
+          "doc_id", "html", "base", PslSnapshotFixture.toDF("rule"))
+        .orderBy(col("src_domain"), col("dst_domain"))
+    }),
+
     // Cluster purity against the embeddings' reference labels, cells
     // from the exact iters=0 Voronoi regime (q_semdedup's) — per cell,
     // the majority label (ties to minimum) over the cell size, integer
@@ -7008,6 +7023,22 @@ object SparkEntry {
          |  count(DISTINCT doc_id)::BIGINT AS n_pages
          |FROM links GROUP BY src_host, dst_host
          |ORDER BY src_host, dst_host""".stripMargin,
+    // eTLD+1 graph: every fixture host ends in a plain 1-label snapshot
+    // suffix, so the registered domain is the last two labels (the PSL
+    // machinery is pinned by q_etld1's own oracle).
+    "q_domain_graph_registered" ->
+      s"""$OutlinkCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    array_to_string((string_split(src_host, '.'))
+         |      [len(string_split(src_host, '.')) - 1:], '.') AS src_domain,
+         |    array_to_string((string_split(dst_host, '.'))
+         |      [len(string_split(dst_host, '.')) - 1:], '.') AS dst_domain
+         |  FROM links)
+         |SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links,
+         |  count(DISTINCT doc_id)::BIGINT AS n_pages
+         |FROM g GROUP BY src_domain, dst_domain
+         |ORDER BY src_domain, dst_domain""".stripMargin,
     // Repetition stats re-derived relationally: per-(doc, gram) counts by
     // group-by, then the same three ratios (the Spark side computes them
     // with a sorted run-length fold — identical arithmetic order:

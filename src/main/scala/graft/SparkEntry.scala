@@ -3286,6 +3286,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The lm stage's TIER mode — the published CCNet move: per-language
+    // equal-count perplexity bands over the frozen-model scores, keep
+    // head+middle, drop the tail. Cross-row (documents rank against
+    // each other), so this is the batch-only complement of the
+    // streaming-accepted min_logp floor.
+    "q_pipeline_lm_tiers" -> ((s, d) => {
+      val fx = stagedOnce("knlm", d) { dir =>
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.train(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text"), s"$dir/kn")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "lm": {"model_path": "$fx/kn", "group_column": "lang",
+           |        "tiers": 3, "keep_tiers": [1, 2]}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quota per SITE: "max N pages per registered domain" as ONE config
     // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
     // subdomains cannot refill a site's budget (full-host quotas would
@@ -6973,6 +6995,20 @@ object SparkEntry {
       s"""$Etld1OracleCte
          |SELECT doc_id, host, public_suffix, registered_domain
          |FROM rd ORDER BY doc_id""".stripMargin,
+    // CCNet tier banding over the same frozen-model scores: per-language
+    // ntile with the (rounded score desc, id) order the q_quality_tiers
+    // oracle already replays; docs without trigram evidence are absent
+    // from kn and drop.
+    "q_pipeline_lm_tiers" ->
+      s"""$KneserNeyOracleCte
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN (SELECT k.doc_id,
+         |        ntile(3) OVER (PARTITION BY dd.lang
+         |          ORDER BY k.mean_logp DESC, k.doc_id) AS tier
+         |      FROM kn k JOIN documents dd ON k.doc_id = dd.doc_id) t
+         |  ON d.doc_id = t.doc_id
+         |WHERE t.tier IN (1, 2)
+         |ORDER BY d.doc_id""".stripMargin,
     // Quota per SITE (eTLD+1): the same registered-domain CTEs, then
     // the md5-of-id per-group rank the quota stage uses, grouped by
     // coalesce(registered_domain, host).

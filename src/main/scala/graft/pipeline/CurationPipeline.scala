@@ -197,15 +197,24 @@ object CurationPipeline {
 
   /** LM fluency gate ([[graft.ops.KneserNey]]): a FROZEN persisted
     * Kneser–Ney model (the published CCNet scorer class) scores each
-    * document's mean trigram log-probability and documents under
-    * `minLogp` drop — the perplexity filter between the heuristic rules
-    * and the hashed-feature classifier. Documents with fewer than 3
-    * tokens carry no LM evidence and DROP (the conservative reading —
-    * declare a min_tokens rule first if that matters). Scoring is
-    * per-document against the frozen count tables (the
-    * `against_text_index` posture), so
-    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it. */
-  final case class LmConfig(modelPath: String, minLogp: Double)
+    * document's mean trigram log-probability — the perplexity filter
+    * between the heuristic rules and the hashed-feature classifier.
+    * Two gating modes (exclusive):
+    *  - `minLogp`: documents under the fixed floor drop. Per-document
+    *    against the frozen count tables (the `against_text_index`
+    *    posture), so [[graft.streaming.ChangelogStream.streamCurate]]
+    *    accepts it.
+    *  - `tiers = Some((groupCol, nTiers, keepTiers))`: the published
+    *    CCNet move — per-group equal-count perplexity bands
+    *    ([[graft.ops.UnigramLm.perplexityTiersScored]]), keep the
+    *    declared tiers (1 = head). CROSS-ROW (the banding ranks
+    *    documents against each other), so streamCurate REFUSES it
+    *    loudly.
+    * Documents with fewer than 3 tokens carry no LM evidence and DROP
+    * in both modes (the conservative reading — declare a min_tokens
+    * rule first if that matters). */
+  final case class LmConfig(modelPath: String, minLogp: Double,
+                            tiers: Option[(String, Int, Seq[Int])] = None)
 
   final case class CurationConfig(
       inputPath: String,
@@ -610,10 +619,19 @@ object CurationPipeline {
     val lmGated = config.lm match {
       case Some(l) =>
         val model = graft.ops.KneserNey.load(gated.sparkSession, l.modelPath)
-        val keep = graft.ops.KneserNey
+        val scores = graft.ops.KneserNey
           .score(model, gated, config.idCol, config.textCol)
-          .filter(col("mean_logp") >= l.minLogp)
-          .select(col("id").as(config.idCol))
+        val keep = l.tiers match {
+          case None => scores.filter(col("mean_logp") >= l.minLogp)
+            .select(col("id").as(config.idCol))
+          case Some((groupCol, nTiers, keepTiers)) =>
+            // the CCNet banding: per-group equal-count tiers over the
+            // frozen-model scores, keep the declared bands
+            graft.ops.UnigramLm.perplexityTiersScored(
+                gated, config.idCol, groupCol, scores, nTiers)
+              .filter(col("tier").isin(keepTiers.map(Int.box): _*))
+              .select(col("id").as(config.idCol))
+        }
         gated.join(keep, Seq(config.idCol), "left_semi")
       case None => gated
     }
@@ -856,8 +874,11 @@ object CurationPipeline {
     *                     "reference_id_column": "doc_id",  // shingle
     *                     "ngram": 8, "min_overlap": 1},    // shingle
     *   "rules": ["min_tokens:50", "lang:en,de"],        // ordered
-    *   "lm": {"model_path": "...",          // frozen Kneser-Ney gate
-    *          "min_logp": -9.0},            // (CCNet fluency floor)
+    *   "lm": {"model_path": "...",          // frozen Kneser-Ney gate:
+    *          "min_logp": -9.0,             // fixed floor (streams), OR
+    *          "group_column": "lang",       // CCNet tier banding
+    *          "tiers": 3,                   // (cross-row, batch-only)
+    *          "keep_tiers": [1, 2]},        // 1 = head
     *   "classifier": {"model_path": "...",              // frozen
     *                  "threshold": 0.5, "signed": true}, // linear gate
     *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
@@ -1038,12 +1059,38 @@ object CurationPipeline {
       case l =>
         val mp = str(l \ "model_path").getOrElse(
           fail("lm.model_path is required"))
-        val floor = dblOf(l \ "min_logp", "lm.min_logp",
-          fail("lm.min_logp is required"))
-        if (floor >= 0) fail(
-          s"lm.min_logp is a mean LOG-probability — it must be negative, " +
-            s"got $floor")
-        Some(LmConfig(mp, floor))
+        val tierish = Seq("tiers", "keep_tiers", "group_column")
+          .exists(k => (l \ k) != JNothing)
+        if (tierish) {
+          if ((l \ "min_logp") != JNothing) fail(
+            "lm.min_logp and lm tier banding are exclusive (one gate " +
+              "per stage)")
+          val g = str(l \ "group_column").getOrElse(
+            fail("lm.group_column is required for tier banding"))
+          val n = intOf(l \ "tiers", "lm.tiers",
+            fail("lm.tiers is required for tier banding"))
+          if (n < 2) fail(s"lm.tiers must be >= 2, got $n")
+          val keep = l \ "keep_tiers" match {
+            case JArray(items) => items.map(v => intOf(v,
+              "lm.keep_tiers entry",
+              fail("lm.keep_tiers entries must be integers")))
+            case JNothing => fail("lm.keep_tiers is required for tier " +
+              "banding")
+            case _ => fail("lm.keep_tiers must be an array of integers")
+          }
+          if (keep.isEmpty) fail("lm.keep_tiers must not be empty")
+          keep.foreach(t => if (t < 1 || t > n)
+            fail(s"lm.keep_tiers entry $t outside [1, $n]"))
+          Some(LmConfig(mp, 0.0, Some((g, n, keep))))
+        } else {
+          val floor = dblOf(l \ "min_logp", "lm.min_logp",
+            fail("lm needs min_logp or the tier-banding fields " +
+              "(group_column / tiers / keep_tiers)"))
+          if (floor >= 0) fail(
+            s"lm.min_logp is a mean LOG-probability — it must be " +
+              s"negative, got $floor")
+          Some(LmConfig(mp, floor))
+        }
     }
     val classifier = root \ "classifier" match {
       case JNothing => None

@@ -771,6 +771,10 @@ object ChangelogStream {
         "(duplicate keys span documents), so its output depends on " +
         "micro-batch boundaries; batch-only. The url_blocklist gate " +
         "(per-row against the frozen file) streams fine.")
+    require(config.lm.forall(_.tiers.isEmpty),
+      "streamCurate: lm tier banding ranks documents against each " +
+        "other (cross-row), so its output depends on micro-batch " +
+        "boundaries; use lm.min_logp for the streaming gate")
     require(config.budget.isEmpty,
       "streamCurate: budget is a cross-row running sum (batch-only)")
     require(config.quota.isEmpty,

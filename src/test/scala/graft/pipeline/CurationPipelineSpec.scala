@@ -155,6 +155,55 @@ class CurationPipelineSpec extends SparkTestBase {
       .select($"stage").as[String].collect() should contain("lm")
   }
 
+  it should "band by perplexity tiers in lm tier mode" in {
+    val p = s"$tmp/docs_lmt"
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    (1L to 9L).map { i =>
+      // score ordering within each lang group tracks i (progressively
+      // more OOV words), so the tier cut is predictable
+      val junk = (1L to i).map(j => s"zz$j").mkString(" ")
+      (i, s"$fluent $junk", if (i <= 5) "en" else "de")
+    }.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(p)
+    val mdir = s"$tmp/kn_model_t"
+    graft.ops.KneserNey.save(spark, graft.ops.KneserNey.train(
+      spark.read.parquet(p), "doc_id", "text"), mdir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"}, "rules": [],
+         | "lm": {"model_path": "$mdir", "group_column": "lang",
+         |        "tiers": 3, "keep_tiers": [1, 2]}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val byHand = {
+      val docs = spark.read.parquet(p)
+      val scores = graft.ops.KneserNey.score(
+        graft.ops.KneserNey.load(spark, mdir), docs, "doc_id", "text")
+      graft.ops.UnigramLm.perplexityTiersScored(docs, "doc_id", "lang",
+          scores, 3)
+        .filter($"tier".isin(1, 2))
+        .select($"id").as[Long].collect().sorted.toSeq
+    }
+    got shouldBe byHand
+    // each group kept its head+middle bands: 2/3 of 5 en, 2/3 of 4 de
+    got.count(_ <= 5) shouldBe 4
+    got.count(_ > 5) shouldBe 3
+    // refusals: mixed modes, bad tier shapes
+    def badLm(extra: String, msg: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(
+          s"""{"input": {"path": "x"},
+             | "lm": {"model_path": "m"$extra}}""".stripMargin)
+      e.getMessage should include(msg)
+    }
+    badLm(""", "min_logp": -2.0, "tiers": 3""", "exclusive")
+    badLm(""", "tiers": 3, "keep_tiers": [1]""", "lm.group_column")
+    badLm(""", "group_column": "lang", "keep_tiers": [1]""", "lm.tiers")
+    badLm(""", "group_column": "lang", "tiers": 3""", "lm.keep_tiers")
+    badLm(""", "group_column": "lang", "tiers": 3, "keep_tiers": [4]""",
+      "outside [1, 3]")
+    badLm(""", "group_column": "lang", "tiers": 1, "keep_tiers": [1]""",
+      "lm.tiers must be >= 2")
+  }
+
   it should "cap per registered domain in quota registered_domain_of " +
       "mode" in {
     val p = s"$tmp/docs_qdom"
@@ -462,7 +511,7 @@ class CurationPipelineSpec extends SparkTestBase {
     bad(s"""{"input": {"path": "x"}, "lm": {"min_logp": -3.0}}""",
       "lm.model_path is required")
     bad(s"""{"input": {"path": "x"}, "lm": {"model_path": "m"}}""",
-      "lm.min_logp is required")
+      "lm needs min_logp or the tier-banding fields")
     bad(s"""{"input": {"path": "x"},
            | "lm": {"model_path": "m", "min_logp": 0.5}}""".stripMargin,
       "must be negative")

@@ -199,6 +199,9 @@ class StreamCurateSpec extends SparkTestBase {
     }
     attempt(base.copy(dedup = MinHashTier(3, 0.8, 16, 4)))
       .getMessage should include("micro-batch boundaries")
+    attempt(base.copy(lm = Some(LmConfig("m", 0.0,
+        Some(("lang", 3, Seq(1, 2)))))))
+      .getMessage should include("lm tier banding")
     attempt(base.copy(budget =
         Some(BudgetConfig("lang", Map.empty, 100L))))
       .getMessage should include("budget")

@@ -310,17 +310,23 @@ object CurationPipeline {
     * fuses into the ingest scan and (being per-row, stateless)
     * [[graft.streaming.ChangelogStream.streamCurate]] accepts it:
     * {{{
+    * strip_html              (HtmlExtract.extractText — markup to text)
     * fix_encoding            (EncodingRepair.repair — one mojibake layer)
     * fix_encoding:<n>        (EncodingRepair.repairN — n nested layers)
     * pii_redact              (PiiRedaction.redact — email/IP/phone/number)
     * secret_redact           (SecretScan.redact — known-shape credentials)
+    * fold_text               (TextFunctions.textFold — case/diacritic
+    *                          fold, for key-normalized corpora)
     * }}}
-    * Transforms apply in DECLARED order (repair encoding before the
-    * redaction regexes scan, unless you know better). */
+    * Transforms apply in DECLARED order (strip markup and repair
+    * encoding before the redaction regexes scan, unless you know
+    * better). */
   def transformFromSpec(spec: String, text: Column): (String, Column) = {
     val out: Column = spec.split(":", 2).toList match {
       case "pii_redact" :: Nil => graft.ops.PiiRedaction.redact(text)
       case "secret_redact" :: Nil => graft.ops.SecretScan.redact(text)
+      case "strip_html" :: Nil => graft.ops.HtmlExtract.extractText(text)
+      case "fold_text" :: Nil => graft.functions.TextFunctions.textFold(text)
       case "fix_encoding" :: Nil => graft.ops.EncodingRepair.repair(text)
       case "fix_encoding" :: n :: Nil =>
         val passes = n.toIntOption.getOrElse(
@@ -330,7 +336,8 @@ object CurationPipeline {
             "(each pass strips one nested mis-decode layer)")
         graft.ops.EncodingRepair.repairN(text, passes)
       case other :: _ => fail(s"unknown transform '$other' in '$spec' " +
-        "(expected pii_redact | secret_redact | fix_encoding[:passes])")
+        "(expected strip_html | fix_encoding[:passes] | pii_redact | " +
+        "secret_redact | fold_text)")
       case Nil => fail(s"empty transform spec")
     }
     spec -> out

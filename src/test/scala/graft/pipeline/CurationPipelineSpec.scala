@@ -111,6 +111,22 @@ class CurationPipelineSpec extends SparkTestBase {
     // stage accounting includes the (row-preserving) transforms boundary
     CurationPipeline.stageAttrition(spark, cfg)
       .select($"stage").as[String].collect() should contain("transforms")
+    // the markup and fold transforms compose in declared order too
+    val p5 = s"$tmp/docs_strip"
+    Seq((1L, "<html><body><p>Visit café NOW</p></body></html>"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p5)
+    val out5 = CurationPipeline.curate(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$p5"},
+           | "transforms": ["strip_html", "fold_text"],
+           | "rules": []}""".stripMargin))
+      .select($"text").as[String].head()
+    out5 shouldBe spark.range(1)
+      .select(graft.functions.TextFunctions.textFold(
+        graft.ops.HtmlExtract.extractText(
+          lit("<html><body><p>Visit café NOW</p></body></html>"))))
+      .as[String].head()
+    out5.toLowerCase shouldBe out5 // folded
+    (out5 should not).include("<p>") // stripped
   }
 
   it should "run the lm gate identically to the hand-composed " +

@@ -514,7 +514,7 @@ class CurationPipelineSpec extends SparkTestBase {
       "unknown sink.format")
     bad(s"""{"input": {"path": "x"}, "url_blocklist": {"url_column": "u"}}""",
       "url_blocklist.blocklist_path is required")
-    bad(s"""{"input": {"path": "x"}, "transforms": ["strip_html"]}""",
+    bad(s"""{"input": {"path": "x"}, "transforms": ["drop_stopwords"]}""",
       "unknown transform")
     bad(s"""{"input": {"path": "x"}, "transforms": ["pii_redact:hard"]}""",
       "unknown transform")

@@ -17,9 +17,11 @@ class WalkerConfusionSpec extends SparkTestBase {
   private lazy val warc = WarcExtract.buildArchive(
     Seq(("http://x/1", "2024-01-01T00:00:00Z", "warc".getBytes("UTF-8"))))
   private lazy val docx = ZipArchive.buildDocx(Seq("docx body"))
+  private lazy val xlsx = ZipArchive.buildXlsx(
+    Seq((1, 1, "A", "inlineStr", "xlsx body")))
 
   private def all = Seq("pdf" -> pdf, "zip" -> zip, "tar" -> tarBytes,
-    "warc" -> warc, "docx" -> docx)
+    "warc" -> warc, "docx" -> docx, "xlsx" -> xlsx)
 
   "every walker" should "refuse every other format without throwing" in {
     all.foreach { case (name, bytes) =>
@@ -28,7 +30,7 @@ class WalkerConfusionSpec extends SparkTestBase {
           PdfProbe.probe(bytes) shouldBe None
           PdfProbe.extractText(bytes) shouldBe None
         }
-        if (name != "zip" && name != "docx")
+        if (name != "zip" && name != "docx" && name != "xlsx")
           ZipArchive.walk(bytes) shouldBe Nil
         if (name != "tar")
           TarArchive.walk(bytes) shouldBe Nil
@@ -36,6 +38,7 @@ class WalkerConfusionSpec extends SparkTestBase {
           noException should be thrownBy WarcExtract.walk(bytes)
         if (name != "warc") WarcExtract.walk(bytes) shouldBe Nil
         if (name != "docx") ZipArchive.docxText(bytes) shouldBe None
+        if (name != "xlsx") ZipArchive.xlsxText(bytes) shouldBe None
       }
     }
   }
@@ -46,5 +49,6 @@ class WalkerConfusionSpec extends SparkTestBase {
     TarArchive.walk(tarBytes) should have size 1
     WarcExtract.walk(warc) should have size 2 // warcinfo + response
     ZipArchive.docxText(docx) shouldBe Some("docx body")
+    ZipArchive.xlsxText(xlsx) shouldBe Some("xlsx body")
   }
 }

@@ -3221,6 +3221,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-copy decontamination as a config stage: winnowed fingerprints
+    // of the frozen reference (the %10 docs' text) anti-join the corpus
+    // — position-shift-robust, ~2/(w+1) the gram density of the shingle
+    // method. Both fingerprint passes replay in SQL (the q_winnow_match
+    // window-min CTEs).
+    "q_pipeline_winnow" -> ((s, d) => {
+      val fx = stagedOnce("pwin", d) { dir =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"))
+        docs.write.mode("overwrite").parquet(s"$dir/in")
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$dir/ref")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/in",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "decontaminate": {"reference_path": "$fx/ref",
+           |                   "method": "winnow", "ngram": 5,
+           |                   "window": 8, "min_overlap": 1},
+           | "rules": []}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Config-declared REDACTION transforms: a published corpus redacts
     // PII/secrets and repairs mojibake rather than dropping documents.
     // The input is seeded with accent mojibake (the q_encoding_repair
@@ -8052,6 +8078,34 @@ object SparkEntry {
          |WHERE CASE WHEN length(trim(text)) = 0 THEN 0
          |  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
          |ORDER BY doc_id""".stripMargin,
+    // Winnow decontamination replayed: the q_winnow_match window-min
+    // CTEs over the corpus, reference hashes = the %10 docs'
+    // fingerprints, per-doc shared count >= 1 anti-joined.
+    "q_pipeline_winnow" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(text) - 5)) AS p,
+        |    text
+        |  FROM documents WHERE length(text) >= 5),
+        |hashed AS (
+        |  SELECT doc_id, p, substr(md5(substr(text, p + 1, 5)), 1, 16) AS h
+        |  FROM grams),
+        |winmin AS (
+        |  SELECT doc_id, p,
+        |    min(h || lpad(CAST(p AS VARCHAR), 8, '0')) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS g
+        |  FROM hashed),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, substr(sel, 1, 16) AS fp_hash
+        |  FROM winmin WHERE p <= g - 8),
+        |ref AS (SELECT DISTINCT fp_hash FROM fps WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT doc_id FROM fps JOIN ref USING (fp_hash)
+        |  GROUP BY doc_id HAVING count(DISTINCT fp_hash) >= 1)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |ANTI JOIN hits USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Config-declared redaction replayed as the literal composition of
     // the three transforms' chains: accent seed → corrupt → repair
     // (replace chains shared with q_encoding_repair), then the four PII

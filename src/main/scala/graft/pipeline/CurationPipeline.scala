@@ -183,7 +183,8 @@ object CurationPipeline {
                                        method: String = "paragraph",
                                        refIdCol: String = "doc_id",
                                        ngram: Int = 8,
-                                       minOverlap: Int = 1)
+                                       minOverlap: Int = 1,
+                                       window: Int = 8)
 
   /** Model-based quality gate ([[graft.ops.QualityClassifier]]): a
     * FROZEN persisted linear model over hashed text features
@@ -608,8 +609,31 @@ object CurationPipeline {
             graft.ops.Decontamination.decontaminate(paraClean,
               config.idCol, config.textCol,
               ref, dc.refIdCol, dc.refTextCol, dc.ngram, dc.minOverlap)
+          case "winnow" =>
+            // span-copy decontamination via winnowed fingerprints
+            // (robust to position shifts, catches long verbatim spans
+            // at ~2/(window+1) the gram density of the shingle method):
+            // drop every doc sharing >= min_overlap distinct selected
+            // fingerprints with the frozen reference. Both sides pay
+            // one scan-side fingerprint pass; the reference side is
+            // benchmark-sized, so no df cap is needed (contrast the
+            // corpus-vs-corpus FingerprintIndex, which caps stop
+            // fingerprints).
+            val refFps = graft.ops.Fingerprint.fingerprints(
+                ref, dc.refIdCol, dc.refTextCol, dc.ngram, dc.window)
+              .select(col("fp_hash")).distinct()
+            val hits = graft.ops.Fingerprint.fingerprints(
+                paraClean, config.idCol, config.textCol, dc.ngram,
+                dc.window)
+              .select(col(config.idCol), col("fp_hash")).distinct()
+              .join(refFps, Seq("fp_hash"))
+              .groupBy(col(config.idCol))
+              .agg(count(lit(1)).as("__shared"))
+              .filter(col("__shared") >= dc.minOverlap)
+              .select(col(config.idCol))
+            paraClean.join(hits, Seq(config.idCol), "left_anti")
           case other => fail(s"unknown decontaminate.method '$other' " +
-            "(expected paragraph | shingle)")
+            "(expected paragraph | shingle | winnow)")
         }
     }
     if (config.decontaminate.isDefined) stages += (("decontaminate", decon))
@@ -876,7 +900,8 @@ object CurationPipeline {
     *   "paragraph_dedup": true,                         // optional CCNet
     *                                          // rewrite, before rules
     *   "decontaminate": {"reference_path": "...",   // frozen benchmark
-    *                     "method": "paragraph" | "shingle",
+    *                     "method": "paragraph" | "shingle" | "winnow",
+    *                     "window": 8,      // winnow selection window
     *                     "reference_text_column": "text",
     *                     "reference_id_column": "doc_id",  // shingle
     *                     "ngram": 8, "min_overlap": 1},    // shingle
@@ -1048,18 +1073,21 @@ object CurationPipeline {
         val rp = str(dc \ "reference_path").getOrElse(
           fail("decontaminate.reference_path is required"))
         val method = str(dc \ "method").getOrElse("paragraph")
-        if (method != "paragraph" && method != "shingle")
-          fail(s"decontaminate.method must be paragraph | shingle, " +
-            s"got '$method'")
-        val n = intOf(dc \ "ngram", "decontaminate.ngram", 8)
+        if (!Set("paragraph", "shingle", "winnow").contains(method))
+          fail(s"decontaminate.method must be paragraph | shingle | " +
+            s"winnow, got '$method'")
+        val n = intOf(dc \ "ngram", "decontaminate.ngram",
+          if (method == "winnow") 5 else 8)
         val mo = intOf(dc \ "min_overlap", "decontaminate.min_overlap", 1)
+        val w = intOf(dc \ "window", "decontaminate.window", 8)
         if (n < 1) fail(s"decontaminate.ngram must be >= 1, got $n")
         if (mo < 1) fail(s"decontaminate.min_overlap must be >= 1, got $mo")
+        if (w < 1) fail(s"decontaminate.window must be >= 1, got $w")
         Some(DecontaminateConfig(rp,
           str(dc \ "reference_text_column").getOrElse("text"),
           method,
           str(dc \ "reference_id_column").getOrElse("doc_id"),
-          n, mo))
+          n, mo, w))
     }
     val lm = root \ "lm" match {
       case JNothing => None

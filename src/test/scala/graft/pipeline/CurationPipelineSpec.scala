@@ -1048,6 +1048,30 @@ class CurationPipelineSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     gotS shouldBe wantS
     gotS shouldBe Seq(2L)
+    // winnow method: the plug span is 30+ chars, so doc 1 shares
+    // selected 5-gram fingerprints with the reference and drops whole
+    val wc = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$corpusDir"},
+         | "decontaminate": {"reference_path": "$refDir",
+         |                   "method": "winnow", "ngram": 5,
+         |                   "window": 8, "min_overlap": 1},
+         | "rules": []}""".stripMargin)
+    val gotW = CurationPipeline.curate(spark, wc)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val wantW = {
+      import graft.ops.Fingerprint
+      val refFps = Fingerprint.fingerprints(spark.read.parquet(refDir),
+          "doc_id", "text", 5, 8)
+        .select($"fp_hash").distinct()
+      val hits = Fingerprint.fingerprints(corpus, "doc_id", "text", 5, 8)
+        .select($"doc_id", $"fp_hash").distinct()
+        .join(refFps, Seq("fp_hash"))
+        .select($"doc_id").distinct()
+      corpus.join(hits, Seq("doc_id"), "left_anti")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    gotW shouldBe wantW
+    gotW shouldBe Seq(2L)
     // parse refusals
     def bad(json: String): Unit = {
       an[IllegalArgumentException] should be thrownBy
@@ -1062,6 +1086,9 @@ class CurationPipelineSpec extends SparkTestBase {
     bad("""{"input": {"path": "/x"}, "rules": [],
           | "decontaminate": {"reference_path": "/r",
           |                   "min_overlap": 0}}""".stripMargin)
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "decontaminate": {"reference_path": "/r",
+          |                   "method": "winnow", "window": 0}}""".stripMargin)
   }
 
   "text-format input" should "read jsonl/csv through the adapters with quarantine" in {

@@ -619,8 +619,13 @@ object CurationPipeline {
             // benchmark-sized, so no df cap is needed (contrast the
             // corpus-vs-corpus FingerprintIndex, which caps stop
             // fingerprints).
+            // only the DISTINCT reference hashes matter, so no
+            // reference id column is required (the paragraph method's
+            // posture): a constant id carries the explode
             val refFps = graft.ops.Fingerprint.fingerprints(
-                ref, dc.refIdCol, dc.refTextCol, dc.ngram, dc.window)
+                ref.select(lit(0L).as("__rid"),
+                  col(dc.refTextCol)),
+                "__rid", dc.refTextCol, dc.ngram, dc.window)
               .select(col("fp_hash")).distinct()
             val hits = graft.ops.Fingerprint.fingerprints(
                 paraClean, config.idCol, config.textCol, dc.ngram,

@@ -299,6 +299,25 @@ class StreamCurateSpec extends SparkTestBase {
     got shouldBe want
     got.map(_._1) shouldBe Seq(30L, 31L, 32L)
     got.foreach(_._2 should not include "plug paragraph")
+
+    // the winnow method streams too — fingerprints against the FROZEN
+    // reference are per-document, so batch splits cannot change a drop
+    val wcfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "/unused/by/streaming",
+         |           "id_column": "doc_id", "text_column": "text"},
+         | "decontaminate": {"reference_path": "$refDir",
+         |                   "method": "winnow", "ngram": 5,
+         |                   "window": 8, "min_overlap": 1},
+         | "rules": []}""".stripMargin)
+    val wdir = java.nio.file.Files
+      .createTempDirectory("graft_scur5w").toString
+    val gotW = ChangelogStream.streamCurate(streamOf(inDir), wcfg, wdir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val wantW = CurationPipeline
+      .curateFrame(feed.toDF("doc_id", "text"), wcfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    gotW shouldBe wantW
+    gotW shouldBe Seq(31L) // both plug-carrying docs dropped whole
   }
 
   it should "accept the frozen classifier gate per micro-batch" in {

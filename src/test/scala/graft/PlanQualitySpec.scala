@@ -103,6 +103,35 @@ class PlanQualitySpec extends SparkTestBase {
     plan should include("*(1) Project")
   }
 
+  "registeredDomainMap" should
+      "broadcast the snapshot rules and plan no LIKE scans" in {
+    import spark.implicits._
+    val hosts = spark.range(64).selectExpr(
+      "concat('sub', id % 7, '.site', id % 11, '.co.uk') AS host")
+    val psl = Seq("uk", "co.uk", "com", "*.ck", "!www.ck").toDF("rule")
+    val plan = graft.ops.UrlFilter.registeredDomainMap(hosts, "host", psl)
+      .queryExecution.executedPlan.toString()
+    // rule table is snapshot-sized: it must ride as a broadcast, and
+    // matching must be the suffix equi-join — never a per-rule LIKE
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("LikeAll")
+    (plan should not).include("Contains")
+  }
+
+  "chunkTokenized" should "stay a per-row explode with zero shuffles" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_ct").toString
+    spark.range(8).selectExpr("id AS doc_id",
+      "'alpha beta gamma delta epsilon' AS text")
+      .write.mode("overwrite").parquet(dir)
+    val model = graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true)
+    val plan = graft.ops.Chunking.chunkTokenized(
+        spark.read.parquet(dir), "text", model, 16, 4)
+      .queryExecution.executedPlan.toString()
+    (plan should not).include("Exchange")
+    plan should include("Generate") // the chunk explode, nothing else
+  }
+
   "castTo on a parquet scan" should "stay a single stage with zero shuffles" in {
     import org.apache.spark.sql.types._
     val changelog = Tables.events(spark, sf).select(

@@ -3142,6 +3142,28 @@ object SparkEntry {
             .as("deflate_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Avro corpus in, curated corpus out — one config: the Debezium
+    // landing format read through the registered adapter under the
+    // declared schema, then the min_tokens gate. Types and values must
+    // survive the container crossing, so the oracle gates the original
+    // parquet directly.
+    "q_pipeline_avro" -> ((s, d) => {
+      val fx = stagedOnce("pavro", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .write.format("org.apache.spark.sql.avro.AvroFileFormat")
+          .save(s"$dir/docs.avro")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/docs.avro", "format": "avro",
+           |           "schema": "doc_id BIGINT, text STRING, lang STRING",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"]}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JSONL corpus in, curated corpus out, corrupt lines quarantined —
     // one config: the %13 rows are staged as broken lines, the
     // permissive-quarantine adapter routes them aside with reasons, the
@@ -8021,6 +8043,12 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, corpus_id) AS rank FROM r)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Avro ingest gates the original table (the crossing is lossless).
+    "q_pipeline_avro" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20
+        |ORDER BY doc_id""".stripMargin,
     // JSONL ingest replayed: the corruption condition (%13) plus the
     // token gate — JSON encode/decode is value-transparent for the
     // surviving rows.

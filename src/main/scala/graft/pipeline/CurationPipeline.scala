@@ -502,9 +502,11 @@ object CurationPipeline {
     }
 
   /** Resolve the declared input to a frame: parquet by default, or the
-    * text-format adapters (with their corrupt-row policy) for
-    * `input.format = jsonl | csv`; WARC input stays a RAW archive read
-    * here — [[ingestFrame]] explodes it. */
+    * interchange adapters (with their corrupt-data policy) for
+    * `input.format = jsonl | csv | avro` (row-level quarantine for the
+    * text formats, FILE-granular for the binary avro container); WARC
+    * input stays a RAW archive read here — [[ingestFrame]] explodes
+    * it. */
   def readInput(spark: SparkSession, config: CurationConfig): DataFrame =
     config.textInput match {
       case None => spark.read.parquet(config.inputPath)
@@ -519,13 +521,23 @@ object CurationPipeline {
           if (cut < 0) (".", path.substring(0, path.length - suffix.length))
           else (path.substring(0, cut),
             path.substring(cut + 1, path.length - suffix.length))
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(t.schemaDdl)
+        val schema =
+          if (t.schemaDdl.isEmpty) new org.apache.spark.sql.types.StructType()
+          else org.apache.spark.sql.types.StructType.fromDDL(t.schemaDdl)
         val mode = t.quarantinePath
           .map(graft.sources.PermissiveQuarantine)
           .getOrElse(graft.sources.FailFast)
         t.format match {
           case "jsonl" =>
             graft.sources.JsonlChangelogSource(root, schema, mode)
+              .read(spark, table)
+          case "avro" =>
+            // self-describing container: the declared schema is
+            // optional (applied when given, enforcing the text
+            // adapters' REQUIRED-schema posture); quarantine is
+            // FILE-granular (see AvroChangelogSource)
+            graft.sources.AvroChangelogSource(root,
+              if (t.schemaDdl.isEmpty) None else Some(schema), mode)
               .read(spark, table)
           case "csv" =>
             graft.sources.CsvChangelogSource(root, schema, t.header,
@@ -880,7 +892,7 @@ object CurationPipeline {
     * {{{
     * { "input": {"path": "...", "id_column": "doc_id",
     *             "text_column": "text",
-    *             "format": "parquet" | "jsonl" | "csv" | "warc",
+    *             "format": "parquet" | "jsonl" | "csv" | "avro" | "warc",
     *             // jsonl/csv: REQUIRED-schema text interchange via the
     *             // changelog adapters (path ends in .jsonl/.csv):
     *             "schema": "doc_id BIGINT, text STRING",   // DDL
@@ -994,10 +1006,15 @@ object CurationPipeline {
     val textCol = str(root \ "input" \ "text_column").getOrElse("text")
     val fmt = str(root \ "input" \ "format").getOrElse("parquet")
     val textInput = fmt match {
-      case "jsonl" | "csv" =>
-        val ddl = str(root \ "input" \ "schema").getOrElse(
-          fail(s"input.schema (a DDL string) is required for $fmt input " +
-            "— inference is an extra corpus pass and drifts with content"))
+      case "jsonl" | "csv" | "avro" =>
+        val ddl = str(root \ "input" \ "schema").getOrElse {
+          // avro containers carry their writer schema; the text formats
+          // do not, and inference is an extra corpus pass that drifts
+          if (fmt == "avro") ""
+          else fail(s"input.schema (a DDL string) is required for $fmt " +
+            "input — inference is an extra corpus pass and drifts with " +
+            "content")
+        }
         val header = root \ "input" \ "header" match {
           case JNothing => true
           case JBool(b) => b
@@ -1010,7 +1027,7 @@ object CurationPipeline {
       case _ => None
     }
     val warcInput = fmt match {
-      case "parquet" | "jsonl" | "csv" => None
+      case "parquet" | "jsonl" | "csv" | "avro" => None
       case "warc" =>
         val mode = str(root \ "input" \ "html").getOrElse("flat")
         if (mode != "flat" && mode != "blocks")
@@ -1041,7 +1058,7 @@ object CurationPipeline {
             "input.max_link_density", 0.34),
           statuses, pdf, docx, xlsx))
       case other => fail(s"unknown input.format '$other' " +
-        "(expected parquet | jsonl | csv | warc)")
+        "(expected parquet | jsonl | csv | avro | warc)")
     }
     val rules = strList("rules", root \ "rules")
     // parse eagerly so a bad rule spec fails at config time, not plan time

@@ -1136,6 +1136,37 @@ class CurationPipelineSpec extends SparkTestBase {
         s"""{"input": {"path": "$root/corpus.txt", "format": "jsonl",
            |           "schema": "doc_id BIGINT"}, "rules": []}"""
           .stripMargin))
+    // avro variant: self-describing, so the schema is OPTIONAL —
+    // declared it is enforced, omitted it comes from the container
+    Seq((9L, "nine words of clean avro text flow through here"))
+      .toDF("doc_id", "text")
+      .write.format("org.apache.spark.sql.avro.AvroFileFormat")
+      .save(s"$root/corpus.avro")
+    for (schemaLine <- Seq(
+        """"schema": "doc_id BIGINT, text STRING",""", "")) {
+      val av = CurationPipeline.fromJson(
+        s"""{"input": {"path": "$root/corpus.avro", "format": "avro",
+           |           $schemaLine
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:4"]}""".stripMargin)
+      CurationPipeline.curate(spark, av)
+        .select($"doc_id").as[Long].collect().toSeq shouldBe Seq(9L)
+    }
+    // file-granular quarantine through the config path: truncate the
+    // container, the damaged file routes aside and the run is empty
+    val avDir = new java.io.File(s"$root/corpus.avro").listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val b = java.nio.file.Files.readAllBytes(avDir.toPath)
+    java.nio.file.Files.write(avDir.toPath,
+      java.util.Arrays.copyOfRange(b, 0, b.length - 30))
+    val qa = s"$root/_quarantine_avro"
+    val avq = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$root/corpus.avro", "format": "avro",
+         |           "schema": "doc_id BIGINT, text STRING",
+         |           "quarantine_path": "$qa"},
+         | "rules": []}""".stripMargin)
+    CurationPipeline.curate(spark, avq).count() shouldBe 0L
+    spark.read.parquet(s"$qa/corpus").count() shouldBe 1L
   }
 
   "the increment lifecycle" should "append to the sink and extend the index on publish" in {

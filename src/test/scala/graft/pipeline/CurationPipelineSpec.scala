@@ -256,6 +256,83 @@ class CurationPipelineSpec extends SparkTestBase {
     ids shouldBe byHand
   }
 
+  it should "run the FULL stage chain in one config, in the declared " +
+      "order" in {
+    // every optional stage enabled at once — the integration shape no
+    // single-stage test exercises; the fixture gives each stage at
+    // least one row to act on
+    val base = "the cat sat on the mat and the dog sat on the rug " +
+      "while the cat ate the fish near the mat today"
+    val p = s"$tmp/docs_full"
+    ((1L to 12L).map { i =>
+      val extra =
+        if (i == 2L) " contact bob@example.com please" // pii
+        else if (i == 3L) " cafÃ© mojibake"  // encoding
+        else ""
+      (i, base + extra + s" marker$i",
+        s"https://s${i % 4}.example.com/p/$i")
+    } ++ Seq(
+      (20L, "zz qq jj xx ww vv kk pp gg bb dd tt uu hh", // lm-gated
+        "https://s0.example.com/p/20"),
+      (21L, "too short", "https://s1.example.com/p/21"), // rules-gated
+      (22L, base + " marker5", // url-gated before anything else
+        "https://blocked.bad/p/22")))
+      .toDF("doc_id", "text", "url")
+      .write.mode("overwrite").parquet(p)
+    Seq("bad").toDF("domain")
+      .write.mode("overwrite").parquet(s"$tmp/full_bl")
+    Seq("benchmark plug paragraph that no document here contains")
+      .toDF("text").write.mode("overwrite").parquet(s"$tmp/full_ref")
+    Seq("com", "example.com").toDF("rule")
+      .write.mode("overwrite").parquet(s"$tmp/full_psl")
+    val kn = s"$tmp/full_kn"
+    val knModel = graft.ops.KneserNey.train(
+      spark.read.parquet(p).filter($"doc_id" <= 12), "doc_id", "text")
+    graft.ops.KneserNey.save(spark, knModel, kn)
+    // floor between the OOV gibberish doc (20) and the fluent corpus
+    val sc = graft.ops.KneserNey.score(knModel, spark.read.parquet(p),
+        "doc_id", "text")
+      .select($"id", $"mean_logp").as[(Long, Double)].collect().toMap
+    val floor =
+      (sc(20L) + (sc.filterKeys(_ <= 12).values.min)) / 2
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"},
+         | "url_blocklist": {"url_column": "url",
+         |                   "blocklist_path": "$tmp/full_bl"},
+         | "transforms": ["fix_encoding", "pii_redact"],
+         | "decontaminate": {"reference_path": "$tmp/full_ref",
+         |                   "method": "winnow", "ngram": 5},
+         | "rules": ["min_tokens:5"],
+         | "lm": {"model_path": "$kn", "min_logp": $floor},
+         | "dedup": {"method": "exact"},
+         | "sample": {"fraction": 1.0},
+         | "quota": {"registered_domain_of": "url",
+         |           "psl_path": "$tmp/full_psl", "per_group": 100},
+         | "chunk": {"tokens": 8, "overlap": 2}}""".stripMargin)
+    val stages = CurationPipeline.stageAttrition(spark, cfg)
+      .orderBy($"stage_idx")
+      .select($"stage", $"n_docs").as[(String, Long)].collect().toSeq
+    stages.map(_._1) shouldBe Seq("input", "url_blocklist", "transforms",
+      "decontaminate", "rules", "lm", "dedup", "sample", "quota")
+    val n = stages.toMap
+    n("input") shouldBe 15L
+    n("url_blocklist") shouldBe 14L // 22 gated by domain
+    n("transforms") shouldBe 14L    // rewrites never drop
+    n("decontaminate") shouldBe 14L // no plug present
+    n("rules") shouldBe 13L         // 21 under min_tokens
+    n("lm") shouldBe 12L            // 20 is gibberish
+    n("quota") shouldBe 12L         // one site, cap 100
+    // the chunk tail actually ran and the rewrites are visible in it
+    val chunks = CurationPipeline.curate(spark, cfg)
+    chunks.columns should contain("chunk_text")
+    val texts = chunks.select($"doc_id", $"chunk_text")
+      .as[(Long, String)].collect()
+    texts.filter(_._1 == 2L).map(_._2).mkString(" ") should
+      include("[EMAIL]")
+    texts.filter(_._1 == 3L).map(_._2).mkString(" ") should
+      include("café")
+  }
+
   it should "stop at document granularity without chunk/pack" in {
     val cfg = CurationPipeline.fromJson(
       s"""{"input": {"path": "$docsPath"},

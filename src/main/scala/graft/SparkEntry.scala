@@ -554,7 +554,7 @@ object SparkEntry {
   /** Shared Kneser–Ney replay CTEs (q_kneser_ney / q_pipeline_lm):
     * position-join trigrams, the five exact count tables, the
     * three-level discount interpolation in KneserNey.score's literal
-    * operation order — ending in `kn(doc_id, n_trigrams,
+    * operation order — ending in `kn(doc_id, n_grams,
     * mean_logp)`. */
   private val KneserNeyOracleCte: String =
     """WITH tok0 AS (
@@ -593,7 +593,7 @@ object SparkEntry {
       |  JOIN ctx2 USING (w2)
       |  JOIN uni USING (w3), scal),
       |kn AS (
-      |  SELECT doc_id, count(*) AS n_trigrams,
+      |  SELECT doc_id, count(*) AS n_grams,
       |    round(avg(logp), 6) AS mean_logp
       |  FROM lp GROUP BY doc_id)""".stripMargin
 
@@ -4593,6 +4593,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The published CCNet scorer's actual order — a 5-gram Kneser-Ney
+    // model (Wenzek et al. 2020) through the SAME generalized
+    // count-table recursion: four continuation levels under the raw
+    // 5-gram counts, each a strictly-smaller aggregate of the level
+    // above. Self-trained (every level observed), so the oracle
+    // replays all five interpolation levels as exact integer-count
+    // arithmetic in the literal operation order.
+    "q_kneser_ney_5" -> ((s, d) => {
+      val fx = stagedOnce("knlm5", d) { dir =>
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.train(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", order = 5), s"$dir/kn")
+      }
+      graft.ops.KneserNey.score(graft.ops.KneserNey.load(s, s"$fx/kn"),
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Substring-level dedup (duplicated-span masking): every token
     // covered by an 8-token window that also appears verbatim in another
     // document is dropped outside the span's canonical (min-id) doc —
@@ -7793,14 +7813,79 @@ object SparkEntry {
     // paths are spec-pinned against an independent reference instead).
     "q_kneser_ney" ->
       s"""$KneserNeyOracleCte
-         |SELECT doc_id, n_trigrams, mean_logp FROM kn
+         |SELECT doc_id, n_grams, mean_logp FROM kn
          |ORDER BY doc_id""".stripMargin,
     // Mergeability makes the day-2 extension's counts IDENTICAL to the
     // full-corpus model's — same oracle, no weakening.
     "q_kneser_ney_extended" ->
       s"""$KneserNeyOracleCte
-         |SELECT doc_id, n_trigrams, mean_logp FROM kn
+         |SELECT doc_id, n_grams, mean_logp FROM kn
          |ORDER BY doc_id""".stripMargin,
+    // The 5-gram model replayed level by level: raw 5-gram counts, the
+    // four continuation tables each aggregated from the level above,
+    // and the five-deep discount interpolation in KneserNey.score's
+    // literal operation order.
+    "q_kneser_ney_5" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+        |    generate_subscripts(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term, pos FROM tok0 WHERE len(term) > 0),
+        |g AS (
+        |  SELECT a.doc_id, a.term AS w1, b.term AS w2, c.term AS w3,
+        |    d.term AS w4, e.term AS w5
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  JOIN tok d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+        |  JOIN tok e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+        |g5 AS (SELECT w1, w2, w3, w4, w5, count(*) AS c FROM g
+        |       GROUP BY 1, 2, 3, 4, 5),
+        |ctx5 AS (SELECT w1, w2, w3, w4, sum(c) AS cctx, count(*) AS n1p
+        |         FROM g5 GROUP BY 1, 2, 3, 4),
+        |cont4 AS (SELECT w2, w3, w4, w5, count(*) AS cont4 FROM g5
+        |          GROUP BY 1, 2, 3, 4),
+        |ctx4 AS (SELECT w2, w3, w4, sum(cont4) AS contctx4,
+        |           count(*) AS types4
+        |         FROM cont4 GROUP BY 1, 2, 3),
+        |cont3 AS (SELECT w3, w4, w5, count(*) AS cont3 FROM cont4
+        |          GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w3, w4, sum(cont3) AS contctx3,
+        |           count(*) AS types3
+        |         FROM cont3 GROUP BY 1, 2),
+        |cont2 AS (SELECT w4, w5, count(*) AS cont2 FROM cont3
+        |          GROUP BY 1, 2),
+        |ctx2 AS (SELECT w4, sum(cont2) AS contctx2, count(*) AS types2
+        |         FROM cont2 GROUP BY 1),
+        |cont1 AS (SELECT w5, count(*) AS cont1 FROM cont2 GROUP BY 1),
+        |scal AS (SELECT (SELECT count(*) FROM cont2) AS n1pp,
+        |                (SELECT count(*) FROM cont1) AS u,
+        |                (SELECT count(DISTINCT term) FROM tok) AS v),
+        |lp AS (
+        |  SELECT g.doc_id,
+        |    ln(greatest(c - 0.75, 0) / cctx + 0.75 * n1p / cctx *
+        |       (greatest(cont4 - 0.75, 0) / contctx4 +
+        |        0.75 * types4 / contctx4 *
+        |        (greatest(cont3 - 0.75, 0) / contctx3 +
+        |         0.75 * types3 / contctx3 *
+        |         (greatest(cont2 - 0.75, 0) / contctx2 +
+        |          0.75 * types2 / contctx2 *
+        |          (greatest(cont1 - 0.75, 0) / n1pp +
+        |           0.75 * u / n1pp / v))))) AS logp
+        |  FROM g
+        |  JOIN g5 USING (w1, w2, w3, w4, w5)
+        |  JOIN ctx5 USING (w1, w2, w3, w4)
+        |  JOIN cont4 USING (w2, w3, w4, w5)
+        |  JOIN ctx4 USING (w2, w3, w4)
+        |  JOIN cont3 USING (w3, w4, w5)
+        |  JOIN ctx3 USING (w3, w4)
+        |  JOIN cont2 USING (w4, w5)
+        |  JOIN ctx2 USING (w4)
+        |  JOIN cont1 USING (w5), scal)
+        |SELECT doc_id, count(*) AS n_grams, round(avg(logp), 6) AS mean_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The same frozen model as a config-declared fluency GATE: docs at
     // or above the floor survive (and only docs with trigram evidence).
     "q_pipeline_lm" ->

@@ -5,57 +5,70 @@ import org.apache.spark.sql.functions._
 
 /** Interpolated Kneser–Ney n-gram language model (Kneser & Ney 1995;
   * Chen & Goodman 1998 §2.7) — the scorer class the published CCNet
-  * pipeline (Wenzek et al. 2020) actually uses for its perplexity
-  * tiers, one model class above [[UnigramLm]]'s Laplace bigram: lower
-  * orders back off to CONTINUATION counts ("how many distinct contexts
-  * does this word complete?"), so high-frequency-but-context-bound
-  * tokens ("Francisco") stop inflating backoff mass.
+  * pipeline (Wenzek et al. 2020, a 5-gram KN model) actually uses for
+  * its perplexity tiers, one model class above [[UnigramLm]]'s Laplace
+  * bigram: lower orders back off to CONTINUATION counts ("how many
+  * distinct contexts does this word complete?"), so
+  * high-frequency-but-context-bound tokens ("Francisco") stop
+  * inflating backoff mass.
   *
-  * Order 3 (trigram) with a single absolute discount `D`: every level
-  * is a pure function of the exact integer trigram counts, so the whole
-  * model — counts, continuation counts, interpolation weights — is
-  * engine-replayable arithmetic (the oracle recomputes it in SQL):
+  * Any order n in [2, 8] with a single absolute discount `D`: every
+  * level is a pure function of the exact integer n-gram counts, so the
+  * whole model — counts, continuation counts, interpolation weights —
+  * is engine-replayable arithmetic (the oracle recomputes it in SQL).
+  * For the trigram case:
   * {{{
   *  P(w|u,v) = max(c(uvw)-D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · P(w|v)
   *  P(w|v)   = max(N1+(·vw)-D,0)/N1+(·v·)
   *             + D·N1+(v·)/N1+(·v·) · P(w)
   *  P(w)     = max(N1+(·w)-D,0)/N1+(··) + D·U/N1+(··) · 1/V
   * }}}
-  * where `N1+` counts DISTINCT extensions of a pattern among observed
-  * trigrams, `U` = distinct continuation word types, `V` = training
-  * vocabulary size, and the uniform `1/V` backstop closes the model
-  * over unseen words (every probability is > 0). An unseen higher-order
-  * CONTEXT falls through to the next level (its discounted term and
-  * interpolation weight are undefined — the standard backoff-on-unseen
-  * reading). All levels derive from trigram occurrences only (no
-  * boundary padding; documents shorter than `order` contribute and
-  * receive nothing), mirroring [[UnigramLm.bigramMeanLogProb]]'s
-  * in-document window convention.
+  * and the general recursion repeats the middle line once per interior
+  * level: level k < n scores the LAST k words of the window with
+  * continuation counts N1+ (distinct left-extensions among observed
+  * n-grams), interpolating into level k-1. `U` = distinct continuation
+  * word types, `V` = training vocabulary size, and the uniform `1/V`
+  * backstop closes the model over unseen words (every probability is
+  * > 0). An unseen higher-order CONTEXT falls through to the next
+  * level (its discounted term and interpolation weight are undefined —
+  * the standard backoff-on-unseen reading). All levels derive from
+  * full-window n-gram occurrences only (no boundary padding; documents
+  * shorter than `order` contribute and receive nothing), mirroring
+  * [[UnigramLm.bigramMeanLogProb]]'s in-document window convention.
   *
   * Train-once-freeze-ship: [[save]]/[[load]] persist the count tables
   * as parquet and the scalars as a params record (the
   * [[TokenizerArtifact]] artifact discipline — the loader REFUSES a
-  * directory with missing params, an unexpected order, a discount
+  * directory with missing params, an order outside [2, 8], a discount
   * outside (0,1), or table/param count disagreement). The tables stay
-  * DISTRIBUTED frames: at 100 TB the trigram table is corpus-shaped,
+  * DISTRIBUTED frames: at 100 TB the n-gram table is corpus-shaped,
   * so scoring joins against it (shuffle on the n-gram key) instead of
   * collecting anything to the driver.
   *
-  * Scale shape: training is three chained aggregates with map-side
-  * combine (trigram → context/bigram → unigram, each strictly smaller);
-  * scoring is one trigram explode joined LEFT against the five count
-  * tables on their natural keys, then a per-document mean. Nothing
-  * quadratic, no driver state beyond the five scalars.
+  * Scale shape: training is n chained aggregates with map-side combine
+  * (n-gram → context/continuation chains, each strictly smaller);
+  * [[save]] writes the two ROOT tables (grams, vocab) from the corpus
+  * and derives every dependent table from the RE-READ parquet, so
+  * train+save touches the corpus exactly twice instead of re-running
+  * the full n-gram aggregate once per table write. Scoring is one
+  * n-gram explode joined LEFT against the count tables on their
+  * natural keys, then a per-document mean. Nothing quadratic, no
+  * driver state beyond the scalars.
   */
 object KneserNey {
 
   val DefaultDiscount = 0.75
 
-  /** The five scalars of a trained model. `bigramTypes` = N1+(··),
-    * `uniTypes` = U, `vocabSize` = V. */
+  /** The scalars of a trained model. `bigramTypes` = the level-1
+    * denominator: the number of distinct (w_{n-1}, w_n) suffix pairs
+    * observed among training n-grams (N1+(··) in the trigram
+    * notation — the name is historical from the order-3 model and
+    * keeps the params record stable across orders); `uniTypes` = U,
+    * the distinct continuation word types; `vocabSize` = V. */
   final case class KnParams(order: Int, discount: Double, vocabSize: Long,
                             bigramTypes: Long, uniTypes: Long) {
-    require(order == 3, s"KneserNey: only order 3 is implemented, got $order")
+    require(order >= 2 && order <= 8,
+      s"KneserNey: order must be in [2, 8], got $order")
     require(discount > 0 && discount < 1,
       s"KneserNey: discount must be in (0, 1), got $discount")
     require(vocabSize > 0 && bigramTypes > 0 && uniTypes > 0,
@@ -63,56 +76,89 @@ object KneserNey {
         s"(got V=$vocabSize, N1+(..)=$bigramTypes, U=$uniTypes)")
   }
 
-  /** A trained (or reopened) model: the five count tables as lazy
-    * frames plus the scalars. Tables:
-    *  - `tri  (w1, w2, w3, c3)`        raw trigram counts
-    *  - `ctx3 (w1, w2, cctx, n1p)`     context totals + distinct-w3
-    *  - `big  (w2, w3, cont)`          continuation counts N1+(·vw)
-    *  - `ctx2 (w2, contctx, types)`    N1+(·v·) + distinct-w3 under v
-    *  - `uni  (w3, contw)`             continuation counts N1+(·w) */
-  final case class KnModel(params: KnParams, tri: DataFrame,
-                           ctx3: DataFrame, big: DataFrame,
-                           ctx2: DataFrame, uni: DataFrame,
-                           vocab: DataFrame)
+  /** A trained (or reopened) model of order n: the count tables as
+    * lazy frames plus the scalars. Tables (w-columns are window
+    * positions 1..n; level k scores the window's last k words):
+    *  - `grams (w1..wn, c)`       raw n-gram counts
+    *  - `ctxTop (w1..w_{n-1}, cctx, n1p)`  context totals + distinct-wn
+    *  - `conts(i)` for level k = n-1-i:
+    *      `(w_{n-k+1}..wn, cont_k)`   continuation counts (distinct
+    *      left-extensions at the level above)
+    *  - `ctxs(i)` for level k = n-1-i (down to 2):
+    *      `(w_{n-k+1}..w_{n-1}, contctx_k, types_k)`
+    *
+    * `sourceDir` records the artifact a [[load]]ed (or [[extend]]ed)
+    * model's frames lazily read from — [[save]] REFUSES that same
+    * directory as a target (overwriting would delete the parquet the
+    * lazy frames still scan: read-under-write corruption). */
+  final case class KnModel(params: KnParams, grams: DataFrame,
+                           ctxTop: DataFrame, conts: Seq[DataFrame],
+                           ctxs: Seq[DataFrame], vocab: DataFrame,
+                           sourceDir: Option[String] = None) {
+    /** The continuation table of level `k` (1 ≤ k ≤ order-1). */
+    def contAt(k: Int): DataFrame = conts(params.order - 1 - k)
+  }
 
-  /** In-document trigram stream `(id, w1, w2, w3)` over whitespace
-    * tokens of `lower(trim(text))` — the [[UnigramLm.bigramMeanLogProb]]
-    * window convention: grams are position-adjacent and any empty token
-    * breaks adjacency (filter AFTER the zip, not before). */
-  private[graft] def trigrams(docs: DataFrame, idCol: String,
-                              textCol: String): DataFrame = {
+  /** In-document n-gram stream `(id, w1..wn)` over whitespace tokens
+    * of `lower(trim(text))` — the [[UnigramLm.bigramMeanLogProb]]
+    * window convention: grams are position-adjacent and any empty
+    * token breaks adjacency (filter AFTER the zip, not before). */
+  private[graft] def ngrams(docs: DataFrame, idCol: String,
+                            textCol: String, order: Int): DataFrame = {
     val toks = split(lower(trim(col("__t"))), "\\s+")
     val n = size(toks)
+    val win = greatest(n - (order - 1), lit(0))
     Parallelism.spread(
         docs.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), explode(arrays_zip(
-        slice(toks, lit(1), greatest(n - 2, lit(0))),
-        slice(toks, lit(2), greatest(n - 2, lit(0))),
-        slice(toks, lit(3), greatest(n - 2, lit(0))))).as("tg"))
-      .select(col("id"), col("tg.0").as("w1"), col("tg.1").as("w2"),
-        col("tg.2").as("w3"))
-      .filter(length(col("w1")) > 0 && length(col("w2")) > 0 &&
-        length(col("w3")) > 0)
+        (1 to order).map(i => slice(toks, lit(i), win)): _*)).as("tg"))
+      .select(col("id") +:
+        (1 to order).map(i => col(s"tg.${i - 1}").as(s"w$i")): _*)
+      .filter((1 to order).map(i => length(col(s"w$i")) > 0)
+        .reduce(_ && _))
   }
 
-  /** Everything above the raw trigram counts + vocabulary is DERIVED:
-    * the continuation tables are pure aggregates of `tri`, so a model
-    * is fully determined by (tri, vocab, discount) — which is what
-    * makes the counts MERGEABLE ([[extend]]). The three `count()`
-    * actions are model-scalar reads (the artifact's params), not data
-    * motion. */
-  private def derive(tri: DataFrame, vocab: DataFrame,
-                     discount: Double): KnModel = {
-    val ctx3 = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c3")).as("cctx"), count(lit(1)).as("n1p"))
-    val big = tri.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("cont"))
-    val ctx2 = big.groupBy(col("w2"))
-      .agg(sum(col("cont")).as("contctx"), count(lit(1)).as("types"))
-    val uni = big.groupBy(col("w3"))
-      .agg(count(lit(1)).as("contw"))
-    KnModel(KnParams(3, discount, vocab.count(), big.count(), uni.count()),
-      tri, ctx3, big, ctx2, uni, vocab)
+  private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
+                         order: Int): DataFrame =
+    ngrams(docs, idCol, textCol, order)
+      .groupBy((1 to order).map(i => col(s"w$i")): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Everything above the raw n-gram counts + vocabulary is DERIVED:
+    * the continuation tables are pure aggregates of `grams`, so a
+    * model is fully determined by (grams, vocab, order, discount) —
+    * which is what makes the counts MERGEABLE ([[extend]]). The three
+    * `count()` actions are model-scalar reads (the artifact's params),
+    * not data motion. */
+  private def derive(grams: DataFrame, vocab: DataFrame,
+                     discount: Double, order: Int): KnModel = {
+    val n = order
+    val ctxTop = grams.groupBy((1 to n - 1).map(i => col(s"w$i")): _*)
+      .agg(sum(col("c")).as("cctx"), count(lit(1)).as("n1p"))
+    // continuation chain: level n-1 counts distinct w1 per n-gram
+    // suffix; each level below counts distinct left-extensions of the
+    // level above — every aggregate reads the strictly smaller table
+    val conts = Seq.newBuilder[DataFrame]
+    var prev = grams
+    for (k <- (n - 1) to 1 by -1) {
+      val c = prev.groupBy((n - k + 1 to n).map(i => col(s"w$i")): _*)
+        .agg(count(lit(1)).as(s"cont_$k"))
+      conts += c
+      prev = c
+    }
+    val contSeq = conts.result()
+    def contOf(k: Int) = contSeq(n - 1 - k)
+    val ctxs = ((n - 1) to 2 by -1).map { k =>
+      contOf(k).groupBy((n - k + 1 to n - 1).map(i => col(s"w$i")): _*)
+        .agg(sum(col(s"cont_$k")).as(s"contctx_$k"),
+          count(lit(1)).as(s"types_$k"))
+    }
+    // the level-1 denominator: distinct suffix PAIRS — the level-2
+    // count table's row count (the raw gram table itself at order 2)
+    val pairTypes = if (n == 2) grams.count() else contOf(2).count()
+    KnModel(
+      KnParams(n, discount, vocab.count(), pairTypes, contOf(1).count()),
+      grams, ctxTop, contSeq, ctxs, vocab)
   }
 
   private def corpusTerms(docs: DataFrame, idCol: String,
@@ -123,62 +169,92 @@ object KneserNey {
       .filter(length(col("term")) > 0)
       .select(col("term")).distinct()
 
-  /** Train an order-3 model on `docs`. */
+  /** Train a model of the given order (default 3; the published CCNet
+    * scorer is order 5) on `docs`. */
   def train(docs: DataFrame, idCol: String, textCol: String,
-            discount: Double = DefaultDiscount): KnModel = {
+            discount: Double = DefaultDiscount, order: Int = 3): KnModel = {
     require(discount > 0 && discount < 1,
       s"KneserNey.train: discount must be in (0, 1), got $discount")
-    val tri = trigrams(docs, idCol, textCol)
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
-    derive(tri, corpusTerms(docs, idCol, textCol), discount)
+    require(order >= 2 && order <= 8,
+      s"KneserNey.train: order must be in [2, 8], got $order")
+    derive(gramCounts(docs, idCol, textCol, order),
+      corpusTerms(docs, idCol, textCol), discount, order)
   }
 
   /** The day-2 increment: fold a NEW corpus into a trained model
-    * WITHOUT re-reading the old one — trigram counts and vocabularies
+    * WITHOUT re-reading the old one — n-gram counts and vocabularies
     * are mergeable (sum / set-union), and every other table derives
     * from them, so `extend(train(a), b)` is count-for-count IDENTICAL
-    * to `train(a ∪ b)` (spec-pinned, and `q_kneser_ney_extended`
-    * hash-shares the full-corpus oracle). This is also the per-shard
-    * training story at 100 TB: count shards independently, merge.
-    * Persist the result to a NEW versioned directory — the extended
-    * frames read lazily from the old artifact, so overwriting it in
-    * place would read-under-write. */
+    * to `train(a ∪ b)` at the model's order (spec-pinned, and
+    * `q_kneser_ney_extended` hash-shares the full-corpus oracle). This
+    * is also the per-shard training story at 100 TB: count shards
+    * independently, merge. Persist the result to a NEW versioned
+    * directory — the extended frames read lazily from the old
+    * artifact, and [[save]] enforces that (the carried `sourceDir`). */
   def extend(model: KnModel, docs: DataFrame, idCol: String,
              textCol: String): KnModel = {
-    val newTri = trigrams(docs, idCol, textCol)
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c3"))
-    val tri = model.tri.unionByName(newTri)
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(sum(col("c3")).as("c3"))
+    val n = model.params.order
+    val tri = model.grams
+      .unionByName(gramCounts(docs, idCol, textCol, n))
+      .groupBy((1 to n).map(i => col(s"w$i")): _*)
+      .agg(sum(col("c")).as("c"))
     val vocab = model.vocab
       .unionByName(corpusTerms(docs, idCol, textCol)).distinct()
-    derive(tri, vocab, model.params.discount)
+    derive(tri, vocab, model.params.discount, n)
+      .copy(sourceDir = model.sourceDir)
   }
 
-  /** Persist a trained model under `dir` (overwrite): six parquet
-    * tables + a one-row params record. For an [[extend]]ed model use a
-    * NEW directory (its frames read lazily from the source
-    * artifact). */
+  private def qualifiedDir(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Persist a trained model under `dir` (overwrite): the count tables
+    * as parquet + a one-row params record. Writes the two ROOT tables
+    * (grams, vocab) first, then derives and writes every dependent
+    * table from the RE-READ parquet — the corpus is touched exactly
+    * twice (gram aggregate + vocab distinct) no matter how many tables
+    * the order needs, instead of re-running the full n-gram aggregate
+    * per table write. REFUSES the directory a loaded/extended model's
+    * frames still read from (read-under-write would corrupt the source
+    * artifact mid-scan) — use a NEW versioned directory. */
   def save(spark: SparkSession, model: KnModel, dir: String): Unit = {
     import spark.implicits._
-    model.tri.write.mode("overwrite").parquet(s"$dir/tri")
-    model.ctx3.write.mode("overwrite").parquet(s"$dir/ctx3")
-    model.big.write.mode("overwrite").parquet(s"$dir/big")
-    model.ctx2.write.mode("overwrite").parquet(s"$dir/ctx2")
-    model.uni.write.mode("overwrite").parquet(s"$dir/uni")
+    model.sourceDir.foreach(src =>
+      require(qualifiedDir(spark, src) != qualifiedDir(spark, dir),
+        s"KneserNey.save: target $dir IS the artifact this model's " +
+          "frames lazily read from — overwriting it deletes the parquet " +
+          "mid-scan (read-under-write). Save to a new versioned " +
+          "directory instead."))
+    val n = model.params.order
+    model.grams.write.mode("overwrite").parquet(s"$dir/grams")
     model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
-    val p = model.params
+    val m = derive(spark.read.parquet(s"$dir/grams"),
+      spark.read.parquet(s"$dir/vocab"),
+      model.params.discount, n)
+    // derived-from-identical-counts invariant: the re-derived scalars
+    // must equal the in-memory model's (a mismatch means the input
+    // changed between train and save — refuse to ship a torn artifact)
+    require(m.params == model.params,
+      s"KneserNey.save: re-derived params ${m.params} disagree with " +
+        s"the model's ${model.params}; the training input changed " +
+        "between train and save")
+    m.ctxTop.write.mode("overwrite").parquet(s"$dir/ctx_top")
+    for (k <- (n - 1) to 1 by -1)
+      m.contAt(k).write.mode("overwrite").parquet(s"$dir/cont_$k")
+    for ((ctx, k) <- m.ctxs.zip((n - 1) to 2 by -1))
+      ctx.write.mode("overwrite").parquet(s"$dir/ctx_$k")
+    val p = m.params
     Seq((p.order, p.discount, p.vocabSize, p.bigramTypes, p.uniTypes))
       .toDF("order", "discount", "vocab_size", "bigram_types", "uni_types")
       .write.mode("overwrite").json(s"$dir/params")
   }
 
   /** Reopen a model written by [[save]]. Refusals: no readable params,
-    * unexpected order, discount outside (0,1), or a bigram/unigram
-    * table whose row count disagrees with the declared type counts
-    * (scoring under a half-written model is silent corruption). */
+    * order outside [2, 8], discount outside (0,1), or a count table
+    * whose row count disagrees with the declared type counts (scoring
+    * under a half-written model is silent corruption). */
   def load(spark: SparkSession, dir: String): KnModel = {
     val params =
       try {
@@ -193,61 +269,75 @@ object KneserNey {
             s"KneserNey model at $dir has no readable params record; " +
               "it was not written by KneserNey.save", e)
       }
-    val big = spark.read.parquet(s"$dir/big")
-    val uni = spark.read.parquet(s"$dir/uni")
+    val n = params.order
+    val grams = spark.read.parquet(s"$dir/grams")
+    val conts = ((n - 1) to 1 by -1)
+      .map(k => spark.read.parquet(s"$dir/cont_$k"))
+    val ctxs = ((n - 1) to 2 by -1)
+      .map(k => spark.read.parquet(s"$dir/ctx_$k"))
     val vocab = spark.read.parquet(s"$dir/vocab")
-    val nBig = big.count()
-    val nUni = uni.count()
+    val pairTable = if (n == 2) grams else conts(n - 3)
+    val nPairs = pairTable.count()
+    val nUni = conts(n - 2).count()
     val nVocab = vocab.count()
-    require(nBig == params.bigramTypes && nUni == params.uniTypes &&
+    require(nPairs == params.bigramTypes && nUni == params.uniTypes &&
       nVocab == params.vocabSize,
       s"KneserNey model at $dir is damaged: params declare " +
         s"${params.bigramTypes}/${params.uniTypes}/${params.vocabSize} " +
-        s"bigram/unigram/vocab counts but the tables hold " +
-        s"$nBig/$nUni/$nVocab rows")
-    KnModel(params, spark.read.parquet(s"$dir/tri"),
-      spark.read.parquet(s"$dir/ctx3"), big,
-      spark.read.parquet(s"$dir/ctx2"), uni, vocab)
+        s"pair/unigram/vocab counts but the tables hold " +
+        s"$nPairs/$nUni/$nVocab rows")
+    KnModel(params, grams, spark.read.parquet(s"$dir/ctx_top"),
+      conts, ctxs, vocab, sourceDir = Some(qualifiedDir(spark, dir)))
   }
 
-  /** Score `docs` under a frozen model: `(id, n_trigrams, mean_logp)`
-    * — the mean over the document's trigram positions of
-    * `ln P(w3 | w1, w2)`, rounded to 6 (the [[UnigramLm]] output
-    * convention; documents with fewer than 3 tokens have no row). */
+  /** Score `docs` under a frozen model: `(id, n_grams, mean_logp)` —
+    * the mean over the document's n-gram windows of
+    * `ln P(wn | w1..w_{n-1})`, rounded to 6 (the [[UnigramLm]] output
+    * convention; documents with fewer than `order` tokens have no
+    * row). */
   def score(model: KnModel, docs: DataFrame, idCol: String,
             textCol: String): DataFrame = {
     val p = model.params
+    val n = p.order
     val d = lit(p.discount)
-    val joined = trigrams(docs, idCol, textCol)
-      .join(model.tri, Seq("w1", "w2", "w3"), "left_outer")
-      .join(model.ctx3, Seq("w1", "w2"), "left_outer")
-      .join(model.big, Seq("w2", "w3"), "left_outer")
-      .join(model.ctx2, Seq("w2"), "left_outer")
-      .join(model.uni, Seq("w3"), "left_outer")
-    // the three levels, innermost first — EXACTLY this operation order
-    // is what the oracle replays, so keep the shape in sync with the
+    var joined = ngrams(docs, idCol, textCol, n)
+      .join(model.grams, (1 to n).map(i => s"w$i"), "left_outer")
+      .join(model.ctxTop, (1 to n - 1).map(i => s"w$i"), "left_outer")
+    for (k <- (n - 1) to 1 by -1) {
+      joined = joined.join(model.contAt(k),
+        (n - k + 1 to n).map(i => s"w$i"), "left_outer")
+      if (k >= 2)
+        joined = joined.join(model.ctxs(n - 1 - k),
+          (n - k + 1 to n - 1).map(i => s"w$i"), "left_outer")
+    }
+    // the levels, innermost first — EXACTLY this operation order is
+    // what the oracle replays, so keep the shape in sync with the
     // q_kneser_ney SQL
-    val pU = greatest(coalesce(col("contw"), lit(0L)) - d, lit(0.0)) /
-      lit(p.bigramTypes) +
-      d * lit(p.uniTypes) / lit(p.bigramTypes) / lit(p.vocabSize)
-    val pB = when(col("contctx").isNotNull,
-      greatest(coalesce(col("cont"), lit(0L)) - d, lit(0.0)) /
-        col("contctx") +
-        d * col("types") / col("contctx") * pU).otherwise(pU)
-    val pT = when(col("cctx").isNotNull,
-      greatest(coalesce(col("c3"), lit(0L)) - d, lit(0.0)) / col("cctx") +
-        d * col("n1p") / col("cctx") * pB).otherwise(pB)
-    joined.select(col("id"), log(pT).as("__lp"))
+    var pk: Column =
+      greatest(coalesce(col("cont_1"), lit(0L)) - d, lit(0.0)) /
+        lit(p.bigramTypes) +
+        d * lit(p.uniTypes) / lit(p.bigramTypes) / lit(p.vocabSize)
+    for (k <- 2 to n - 1)
+      pk = when(col(s"contctx_$k").isNotNull,
+        greatest(coalesce(col(s"cont_$k"), lit(0L)) - d, lit(0.0)) /
+          col(s"contctx_$k") +
+          d * col(s"types_$k") / col(s"contctx_$k") * pk).otherwise(pk)
+    val pTop = when(col("cctx").isNotNull,
+      greatest(coalesce(col("c"), lit(0L)) - d, lit(0.0)) / col("cctx") +
+        d * col("n1p") / col("cctx") * pk).otherwise(pk)
+    joined.select(col("id"), log(pTop).as("__lp"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_trigrams"),
+      .agg(count(lit(1)).as("n_grams"),
         round(avg(col("__lp")), 6).as("mean_logp"))
   }
 
   /** Train on `docs` and score the same corpus — the self-trained
     * posture of the [[UnigramLm]] scorers (and the exact-replay regime
-    * of `q_kneser_ney`: every trigram is in-vocabulary, but the
-    * interpolation arithmetic still exercises all three levels). */
+    * of `q_kneser_ney`: every n-gram is in-vocabulary, but the
+    * interpolation arithmetic still exercises all levels). */
   def selfScore(docs: DataFrame, idCol: String, textCol: String,
-                discount: Double = DefaultDiscount): DataFrame =
-    score(train(docs, idCol, textCol, discount), docs, idCol, textCol)
+                discount: Double = DefaultDiscount,
+                order: Int = 3): DataFrame =
+    score(train(docs, idCol, textCol, discount, order),
+      docs, idCol, textCol)
 }

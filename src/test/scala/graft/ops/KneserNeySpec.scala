@@ -4,56 +4,70 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /** [[KneserNey]] against an independent single-node reference: the
-  * same three-level interpolated-discount formula computed with plain
-  * Scala maps over the same trigram windows — unseen trigram / context
-  * / word fallthrough included, which the hash-green `q_kneser_ney`
-  * (self-trained, everything observed) cannot exercise. */
+  * same interpolated-discount recursion computed with plain Scala maps
+  * over the same n-gram windows — unseen gram / context / word
+  * fallthrough included, which the hash-green `q_kneser_ney`
+  * (self-trained, everything observed) cannot exercise. Orders 3 and 5
+  * are both checked (the published CCNet scorer is a 5-gram). */
 class KneserNeySpec extends SparkTestBase {
   import spark.implicits._
 
   private val D = 0.75
 
-  /** Independent reference scorer (maps + loops, no Spark). */
-  private def refScore(train: Seq[String],
-                       score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+  /** Independent reference scorer (maps + loops, no Spark), any order. */
+  private def refScore(train: Seq[String], score: Seq[(Long, String)],
+                       order: Int = 3): Map[Long, (Long, Double)] = {
     def toks(t: String): Seq[String] =
       t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    val tgs = train.flatMap(t => toks(t).sliding(3).filter(_.size == 3)
-      .map(s => (s(0), s(1), s(2))))
-    val c3 = tgs.groupBy(identity).map { case (k, v) => k -> v.size }
-    val cctx = c3.groupBy { case ((u, v, _), _) => (u, v) }
-      .map { case (k, m) => k -> m.values.sum }
-    val n1p = c3.groupBy { case ((u, v, _), _) => (u, v) }
-      .map { case (k, m) => k -> m.size }
-    val cont = c3.keys.toSeq.map { case (_, v, w) => (v, w) }
-      .groupBy(identity).map { case (k, g) => k -> g.size }
-    val contctx = cont.groupBy(_._1._1)
-      .map { case (v, m) => v -> m.values.sum }
-    val types = cont.groupBy(_._1._1).map { case (v, m) => v -> m.size }
-    val contw = cont.keys.groupBy(_._2).map { case (w, g) => w -> g.size }
-    val n1pp = cont.size.toDouble
-    val u = contw.size.toDouble
-    val v = train.flatMap(toks).distinct.size.toDouble
-    def pU(w: String): Double =
-      math.max(contw.getOrElse(w, 0) - D, 0.0) / n1pp + D * u / n1pp / v
-    def pB(v2: String, w: String): Double = contctx.get(v2) match {
-      case Some(cc) =>
-        math.max(cont.getOrElse((v2, w), 0) - D, 0.0) / cc +
-          D * types(v2) / cc * pU(w)
-      case None => pU(w)
+    val grams: Seq[Seq[String]] = train.flatMap(t =>
+      toks(t).sliding(order).filter(_.size == order).map(_.toList))
+    val cN = grams.groupBy(identity).map { case (k, g) => k -> g.size }
+    val cctx = cN.groupBy(_._1.init).map { case (k, m) => k -> m.values.sum }
+    val n1p = cN.groupBy(_._1.init).map { case (k, m) => k -> m.size }
+    // continuation chain: level k counts distinct left-extensions of
+    // the level above (keys of the level-(k+1) table, suffix-grouped)
+    val conts = scala.collection.mutable.Map[Int, Map[Seq[String], Int]]()
+    var prevKeys: Seq[Seq[String]] = cN.keys.toSeq
+    for (k <- (order - 1) to 1 by -1) {
+      val m = prevKeys.groupBy(_.takeRight(k))
+        .map { case (kk, g) => kk -> g.size }
+      conts(k) = m
+      prevKeys = m.keys.toSeq
     }
-    def pT(u2: String, v2: String, w: String): Double =
-      cctx.get((u2, v2)) match {
-        case Some(cc) =>
-          math.max(c3.getOrElse((u2, v2, w), 0) - D, 0.0) / cc +
-            D * n1p((u2, v2)) / cc * pB(v2, w)
-        case None => pB(v2, w)
+    val ctxs = scala.collection.mutable.Map[Int, Map[Seq[String], (Int, Int)]]()
+    for (k <- (order - 1) to 2 by -1)
+      ctxs(k) = conts(k).groupBy(_._1.init)
+        .map { case (kk, m) => kk -> (m.values.sum, m.size) }
+    val nPairs = (if (order == 2) cN.size else conts(2).size).toDouble
+    val u = conts(1).size.toDouble
+    val v = train.flatMap(toks).distinct.size.toDouble
+    def p(k: Int, window: Seq[String]): Double =
+      if (k == 1) {
+        val key = window.takeRight(1)
+        math.max(conts(1).getOrElse(key, 0) - D, 0.0) / nPairs +
+          D * u / nPairs / v
+      } else if (k < order) {
+        val key = window.takeRight(k)
+        ctxs(k).get(key.init) match {
+          case Some((cc, ty)) =>
+            math.max(conts(k).getOrElse(key, 0) - D, 0.0) / cc +
+              D * ty / cc * p(k - 1, window)
+          case None => p(k - 1, window)
+        }
+      } else {
+        cctx.get(window.init) match {
+          case Some(cc) =>
+            math.max(cN.getOrElse(window, 0) - D, 0.0) / cc +
+              D * n1p(window.init) / cc * p(k - 1, window)
+          case None => p(k - 1, window)
+        }
       }
     score.flatMap { case (id, t) =>
-      val g = toks(t).sliding(3).filter(_.size == 3).toSeq
+      val g = toks(t).sliding(order).filter(_.size == order)
+        .map(_.toList).toSeq
       if (g.isEmpty) None
       else Some(id -> (g.size.toLong,
-        g.map(s => math.log(pT(s(0), s(1), s(2)))).sum / g.size))
+        g.map(s => math.log(p(order, s))).sum / g.size))
     }.toMap
   }
 
@@ -71,17 +85,19 @@ class KneserNeySpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
 
-  "KneserNey" should "match the independent reference on the training corpus" in {
-    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    val model = KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text")
-    val got = opScores(docs, model)
-    val want = refScore(trainCorpus, docs)
+  private def checkAgainstRef(got: Map[Long, (Long, Double)],
+                              want: Map[Long, (Long, Double)]): Unit = {
     got.keySet shouldBe want.keySet
     got.foreach { case (id, (n, lp)) =>
       n shouldBe want(id)._1
-      lp shouldBe (BigDecimal(want(id)._2).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6)
+      lp shouldBe (want(id)._2 +- 1e-6)
     }
+  }
+
+  "KneserNey" should "match the independent reference on the training corpus" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val model = KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text")
+    checkAgainstRef(opScores(docs, model), refScore(trainCorpus, docs))
   }
 
   it should "back off through unseen trigrams, contexts and words" in {
@@ -94,14 +110,27 @@ class KneserNeySpec extends SparkTestBase {
       (102L, "fish and chips on the mat"),   // mixed
       (103L, "xx yy zz"))                    // fully out-of-vocabulary
     val got = opScores(unseen, model)
-    val want = refScore(trainCorpus, unseen)
-    got.keySet shouldBe want.keySet
-    got.foreach { case (id, (n, lp)) =>
-      n shouldBe want(id)._1
-      lp shouldBe (want(id)._2 +- 1e-6)
-    }
+    checkAgainstRef(got, refScore(trainCorpus, unseen))
     // every probability strictly positive (finite log), even full-OOV
     got.values.foreach(_._2 should be > Double.NegativeInfinity)
+  }
+
+  it should "match the reference at order 5, including all backoff levels" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val model = KneserNey.train(docs.toDF("doc_id", "text"),
+      "doc_id", "text", order = 5)
+    model.params.order shouldBe 5
+    checkAgainstRef(opScores(docs, model), refScore(trainCorpus, docs, 5))
+    val unseen = Seq(
+      (100L, "the cat sat on a mat today"),   // unseen 5-grams
+      (101L, "zebra quark sat on the mat"),   // unseen words AND contexts
+      (102L, "a dog sat together on the side"), // mid-level fallthrough
+      (103L, "xx yy zz ww vv"))               // fully out-of-vocabulary
+    val got = opScores(unseen, model)
+    checkAgainstRef(got, refScore(trainCorpus, unseen, 5))
+    got.values.foreach(_._2 should be > Double.NegativeInfinity)
+    // fewer-than-order-token docs carry no evidence at order 5
+    opScores(Seq((104L, "the cat sat on")), model) shouldBe empty
   }
 
   it should "define proper conditionals: each level sums to 1 over the vocab" in {
@@ -138,12 +167,44 @@ class KneserNeySpec extends SparkTestBase {
     val damaged = java.nio.file.Files
       .createTempDirectory("graft_kn_dmg").toString + "/kn"
     KneserNey.save(spark, model, damaged)
-    model.big.limit(1).write.mode("overwrite").parquet(s"$damaged/big")
+    model.contAt(2).limit(1).write.mode("overwrite")
+      .parquet(s"$damaged/cont_2")
     an[IllegalArgumentException] should be thrownBy
       KneserNey.load(spark, damaged)
     an[IllegalArgumentException] should be thrownBy
       KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text",
         discount = 1.5)
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text",
+        order = 1)
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.train(docs.toDF("doc_id", "text"), "doc_id", "text",
+        order = 9)
+  }
+
+  it should "refuse saving over the artifact a model still reads from" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (day1, day2) = docs.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kn_ruw").toString
+    KneserNey.save(spark,
+      KneserNey.train(day1.toDF("doc_id", "text"), "doc_id", "text"),
+      s"$dir/day1")
+    val loaded = KneserNey.load(spark, s"$dir/day1")
+    // a loaded model's frames scan the artifact: same-dir save refused
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.save(spark, loaded, s"$dir/day1")
+    // ...including through path non-normalization games
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.save(spark, loaded, s"$dir/./day1")
+    // an EXTENDED model still reads the source artifact lazily
+    val extended = KneserNey.extend(loaded,
+      day2.toDF("doc_id", "text"), "doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      KneserNey.save(spark, extended, s"$dir/day1")
+    // a NEW versioned directory is the contract — and works
+    KneserNey.save(spark, extended, s"$dir/day2")
+    KneserNey.load(spark, s"$dir/day2").params shouldBe extended.params
   }
 
   it should "extend a frozen model into exactly the full-corpus model" in {
@@ -167,7 +228,24 @@ class KneserNeySpec extends SparkTestBase {
       opScores(docs, full)
   }
 
-  it should "skip sub-trigram documents and feed perplexityTiersScored" in {
+  it should "extend ≡ full train at order 5 too" in {
+    val docs = trainCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (day1, day2) = docs.partition(_._1 % 2 == 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kn_ext5").toString
+    KneserNey.save(spark,
+      KneserNey.train(day1.toDF("doc_id", "text"), "doc_id", "text",
+        order = 5),
+      s"$dir/day1")
+    val extended = KneserNey.extend(KneserNey.load(spark, s"$dir/day1"),
+      day2.toDF("doc_id", "text"), "doc_id", "text")
+    val full = KneserNey.train(docs.toDF("doc_id", "text"),
+      "doc_id", "text", order = 5)
+    extended.params shouldBe full.params
+    opScores(docs, extended) shouldBe opScores(docs, full)
+  }
+
+  it should "skip sub-order documents and feed perplexityTiersScored" in {
     val docs = (trainCorpus.zipWithIndex.map {
       case (t, i) => (i.toLong, t, if (i % 2 == 0) "en" else "de")
     } ++ Seq((50L, "two tokens", "en"), (51L, "", "de")))

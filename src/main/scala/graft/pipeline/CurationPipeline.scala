@@ -711,13 +711,21 @@ object CurationPipeline {
           sampled, Seq(q.groupCol), config.idCol, q.perGroup)
         case Some((urlCol, pslPath)) =>
           // group = the SITE (eTLD+1 under the frozen snapshot), not the
-          // full host — subdomains must not refill a site's budget
+          // full host — subdomains must not refill a site's budget. The
+          // PSL join rides __-prefixed internals (the rest of the
+          // pipeline's convention) so a corpus that already carries
+          // host / public_suffix / registered_domain columns ships them
+          // untouched — the closing select restores exactly inCols.
           val psl = sampled.sparkSession.read.parquet(pslPath)
           val inCols = sampled.columns.toSeq
-          val withSite = graft.ops.UrlFilter
-            .registeredDomains(sampled, config.idCol, urlCol, psl)
-            .withColumn("__site",
-              coalesce(col("registered_domain"), col("host")))
+          val withHost = sampled.withColumn("__host",
+            graft.ops.UrlFilter.hostOf(col(urlCol)))
+          val siteMap = graft.ops.UrlFilter
+            .registeredDomainMap(withHost, "__host", psl)
+            .select(col("host").as("__host"),
+              col("registered_domain").as("__rd"))
+          val withSite = withHost.join(siteMap, Seq("__host"), "left_outer")
+            .withColumn("__site", coalesce(col("__rd"), col("__host")))
           Sampling.stratifiedQuota(withSite, Seq("__site"), config.idCol,
               q.perGroup)
             .select(inCols.map(col): _*)

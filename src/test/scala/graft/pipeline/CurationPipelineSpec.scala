@@ -256,6 +256,35 @@ class CurationPipelineSpec extends SparkTestBase {
     ids shouldBe byHand
   }
 
+  it should "ship pre-existing host/registered_domain columns through " +
+      "the domain quota untouched" in {
+    val p = s"$tmp/docs_qdom_keep"
+    // the corpus CARRIES columns named like the PSL helper's outputs —
+    // the quota stage must group by the derived site internally and
+    // return the user's values verbatim
+    (1L to 6L).map { i =>
+      (i, s"https://sub$i.example.co.uk/p/$i", s"body $i",
+        s"user-host-$i", s"user-rd-$i")
+    }.toDF("doc_id", "url", "text", "host", "registered_domain")
+      .write.mode("overwrite").parquet(p)
+    val pslDir = s"$tmp/psl_qdom_keep"
+    Seq("co.uk").toDF("rule").write.mode("overwrite").parquet(pslDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"}, "rules": [],
+         | "quota": {"registered_domain_of": "url",
+         |           "psl_path": "$pslDir", "per_group": 2}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+    got.columns.toSeq shouldBe
+      Seq("doc_id", "url", "text", "host", "registered_domain")
+    // all six pages are ONE site (example.co.uk) -> capped at 2
+    got.count() shouldBe 2L
+    got.select($"doc_id", $"host", $"registered_domain")
+      .as[(Long, String, String)].collect().foreach { case (i, h, rd) =>
+        h shouldBe s"user-host-$i"
+        rd shouldBe s"user-rd-$i"
+      }
+  }
+
   it should "run the FULL stage chain in one config, in the declared " +
       "order" in {
     // every optional stage enabled at once — the integration shape no

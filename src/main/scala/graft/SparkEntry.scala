@@ -21,7 +21,12 @@ object SparkEntry {
     * `q_stream_lang_gate` (the same scoring applied per micro-batch
     * against frozen profiles: per-document scoring + frozen model ⇒
     * the converged streaming output equals the batch output). */
-  private val LangIdOracleSql: String =
+  /** Shared language-ID replay: corpus-self-trained Laplace char-trigram
+    * profiles, per-document mean log-prob per language, argmax with the
+    * rounded-score / smallest-code tie rule. Yields `pred(doc_id,
+    * lang_pred, n_grams, score)` — shared by the classification queries
+    * and the config `lang_id` gate (which filters on the SAME argmax). */
+  private val LangIdOracleCte: String =
     """WITH d AS (
       |  SELECT doc_id, lang,
       |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
@@ -41,10 +46,16 @@ object SparkEntry {
       |          / sum(dg.cnt), 6) AS score
       |  FROM dg CROSS JOIN tt CROSS JOIN v
       |  LEFT JOIN p ON p.lang = tt.lang AND p.gram = dg.gram
-      |  GROUP BY 1, 2)
-      |SELECT doc_id, lang AS lang_pred, n_grams, score FROM sc
-      |QUALIFY row_number() OVER (
-      |  PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, lang AS lang_pred, n_grams, score FROM sc
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1)"""
+      .stripMargin
+
+  private val LangIdOracleSql: String =
+    s"""$LangIdOracleCte
+      |SELECT doc_id, lang_pred, n_grams, score FROM pred
       |ORDER BY doc_id""".stripMargin
 
   /** The synthetic twin families place each twin at `doc_id +
@@ -3356,6 +3367,76 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The config-declared SemDeDup tier: dedup.method = "semantic" runs
+    // SemanticDedup.semDedup over the declared embedding column inside
+    // the one-config job — the vector dedup battery reachable without
+    // code. iters = 0 is the exact engine-replayable regime (cells =
+    // Voronoi of the first 8 ids), sharing q_semdedup's oracle CTEs;
+    // survivors ship with their input schema. Cross-row, so streamCurate
+    // refuses it (spec-pinned).
+    "q_pipeline_semdedup" -> ((s, d) => {
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/embeddings.parquet",
+           |           "id_column": "vec_id", "text_column": "label"},
+           | "rules": [],
+           | "dedup": {"method": "semantic", "vector_column": "embedding",
+           |           "k": 8, "tau": 0.4, "iters": 0}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The config-declared incremental vector dedup: dedup.method =
+    // "against_vector_index" drops every arriving row within cosine
+    // threshold of a vector in a FROZEN persisted VectorIndex — the
+    // day-2 embedding increment as ONE config stage (the vector twin of
+    // against_text_index). Exact via the triangle-inequality cell
+    // prune, so it shares q_dedup_embedding_incremental's oracle CTEs;
+    // frozen index + per-row verdicts means streamCurate ACCEPTS it.
+    "q_pipeline_vector_index" -> ((s, d) => {
+      val fx = stagedOnce("vecidx", d) { dir =>
+        val emb = Tables.embeddings(s, d)
+        Dedup.buildVectorIndex(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding").save(s"$dir/idx")
+        emb.filter(col("vec_id") % 10 === 0)
+          .write.mode("overwrite").parquet(s"$dir/in")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/in",
+           |           "id_column": "vec_id", "text_column": "label"},
+           | "rules": [],
+           | "dedup": {"method": "against_vector_index",
+           |           "index_dir": "$fx/idx",
+           |           "vector_column": "embedding", "threshold": 0.4}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The config-declared trained-language gate: lang_id = {model_path,
+    // keep} classifies every document under a FROZEN persisted char-
+    // trigram profile artifact and keeps only the declared PREDICTED
+    // languages — the CCNet language filter with the trained scorer
+    // q_lang_id validates, where the lang: heuristic rule trusts an
+    // existing label. Shares q_lang_id's self-trained argmax replay,
+    // filtered to the keep set.
+    "q_pipeline_langid" -> ((s, d) => {
+      val fx = stagedOnce("langid", d) { dir =>
+        graft.ops.LangId.save(s,
+          graft.ops.LangId.train(Tables.documents(s, d), "text", "lang"),
+          s"$dir/model")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet"},
+           | "rules": [],
+           | "lang_id": {"model_path": "$fx/model",
+           |             "keep": ["en", "fr"]}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quota per SITE: "max N pages per registered domain" as ONE config
     // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
     // subdomains cannot refill a site's budget (full-host quotas would
@@ -6106,6 +6187,59 @@ object SparkEntry {
         |  d.dup_of IS NULL AS keep, d.dup_of
         |FROM rk LEFT JOIN dups d ON rk.id = d.rid
         |ORDER BY vec_id""".stripMargin,
+    // The config tier must equal the keep=true projection of the same
+    // SemDeDup replay — identical CTEs, survivors joined back to the
+    // source table for the declared output columns.
+    "q_pipeline_semdedup" ->
+      s"""$SemCellAssignmentCte,
+        |rk AS (
+        |  SELECT a.id, a.cell, a.score, u.uv,
+        |    row_number() OVER (PARTITION BY a.cell
+        |      ORDER BY a.score ASC, a.id ASC) AS rnk
+        |  FROM asg a JOIN u ON u.id = a.id),
+        |dups AS (
+        |  SELECT r.id AS rid, arg_min(l.id, l.rnk) AS dup_of
+        |  FROM rk l JOIN rk r ON l.cell = r.cell AND l.rnk < r.rnk
+        |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+        |      [l.uv[i]::DOUBLE * r.uv[i]::DOUBLE
+        |       for i in range(1, len(l.uv) + 1)]),
+        |      (a, b) -> a + b) >= 0.4
+        |  GROUP BY r.id)
+        |SELECT e.vec_id, e.label
+        |FROM rk LEFT JOIN dups d ON rk.id = d.rid
+        |JOIN embeddings e ON e.vec_id = rk.id
+        |WHERE d.dup_of IS NULL
+        |ORDER BY e.vec_id""".stripMargin,
+    // The config against_vector_index tier ≡ the exact cosine anti-join:
+    // the staged feed (vec_id % 10 = 0) minus every row with an indexed
+    // (vec_id % 10 <> 0) neighbor at cosine >= 0.4 — the same brute-force
+    // arithmetic as q_dedup_embedding_incremental, anti-joined.
+    "q_pipeline_vector_index" ->
+      """WITH v AS (SELECT vec_id AS id, label, embedding AS vec
+        |           FROM embeddings),
+        |i AS (SELECT * FROM v WHERE id % 10 = 0),
+        |c AS (SELECT * FROM v WHERE id % 10 <> 0),
+        |s AS (
+        |  SELECT i.id AS inc_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [i.vec[k]::DOUBLE * i.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+        |      (a, b) -> a + b)) AS na,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+        |      (a, b) -> a + b)) AS nb
+        |  FROM i JOIN c ON 1 = 1),
+        |hit AS (
+        |  SELECT DISTINCT inc_id FROM (
+        |    SELECT inc_id,
+        |      CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine
+        |    FROM s)
+        |  WHERE cosine >= 0.4)
+        |SELECT id AS vec_id, label FROM i
+        |WHERE id NOT IN (SELECT inc_id FROM hit)
+        |ORDER BY vec_id""".stripMargin,
     // Exact min/max refit (no accumulation rounding -> engine-equal),
     // then the same fixed-order double arithmetic: floor((x-mn)/range
     // *255+0.5), clamp, mn + code/255*range, left-to-right error folds.
@@ -7763,6 +7897,15 @@ object SparkEntry {
     // the streaming gate scores per document against frozen profiles, so
     // its converged output IS the batch classification — same oracle
     "q_stream_lang_gate" -> LangIdOracleSql,
+    // the config lang_id gate keeps exactly the documents whose argmax
+    // under the frozen artifact lands in the declared set — the same
+    // prediction replay, filtered
+    "q_pipeline_langid" ->
+      s"""$LangIdOracleCte
+        |SELECT d2.doc_id, d2.lang FROM documents d2
+        |JOIN pred p ON p.doc_id = d2.doc_id
+        |WHERE p.lang_pred IN ('en', 'fr')
+        |ORDER BY d2.doc_id""".stripMargin,
     // Exact regime: Misra–Gries with zero purges IS a GROUP BY count.
     "q_freq_exact" -> FreqExactOracleSql,
     // The streamed cumulative sketch shares the batch exact-regime

@@ -852,6 +852,44 @@ object Dedup {
         appendedRows = appended))
   }
 
+  /** [[appendToVectorIndex]] applied IN PLACE to a saved index
+    * directory — the vector-side [[appendToTextIndexDir]], and the
+    * day-2 closure of the config `against_vector_index` tier: the
+    * published rows' vectors are assigned under the directory's FROZEN
+    * centroids (driver-held, so nothing reads the member parquet being
+    * appended — no read-under-write) and appended to `members`; the
+    * params record is rewritten with the staleness counters. Same
+    * caller contract: appended ids are disjoint from the indexed ids,
+    * and the stale-ratio warning ([[appendToVectorIndex]]) applies. */
+  def appendToVectorIndexDir(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, accepted: DataFrame,
+                             idCol: String, vecCol: String,
+                             maxStaleRatio: Double = 2.0): Unit = {
+    val index = VectorIndex.load(spark, dir)
+    val newMembers = IvfIndex.withAssignment(
+      Parallelism.spread(
+          accepted.select(col(idCol).as("id"), col(vecCol).as("vec")))
+        .withColumn("nrm", graft.functions.VectorFunctions.fnorm(col("vec")))
+        .filter(col("nrm") > 0.0),
+      index.centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = index.params.appendedRows + newMembers.count()
+      val base = index.params.baseRows
+      if (base > 0 && appended > maxStaleRatio * base)
+        System.err.println("[graft] WARNING: appendToVectorIndexDir: " +
+          s"appended vectors ($appended) exceed $maxStaleRatio x the " +
+          s"indexed base ($base); the centroids frozen at build no " +
+          "longer fit the corpus density — prune rates degrade; " +
+          "rebuild with buildVectorIndex")
+      newMembers.write.mode(SaveMode.Append).parquet(s"$dir/members")
+      import spark.implicits._
+      Seq(index.params.copy(version = index.params.version + 1,
+          appendedRows = appended))
+        .toDF().write.mode("overwrite").json(s"$dir/params")
+    } finally newMembers.unpersist()
+  }
+
   /** Near-duplicate pairs ACROSS corpora: (inc_id, corpus_id, cosine ≥
     * threshold) between an increment and an indexed corpus — EXACT, like
     * [[embeddingNearDupsBlocked]], by the same spherical triangle

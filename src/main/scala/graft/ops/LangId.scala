@@ -129,4 +129,107 @@ object LangId {
                    labelCol: String, n: Int = 3): DataFrame =
     classify(docs, trainProfiles(docs, textCol, labelCol, n),
       idCol, textCol, n)
+
+  /** A trained language-ID model as a persistable artifact: the profile
+    * table plus the scoring parameters, with integrity counts so a
+    * half-written or drifted artifact refuses to load (the
+    * [[TokenizerArtifact]] / [[KneserNey]] discipline — every frozen
+    * gate in the pipeline family persists with refusals). `langTypes` /
+    * `profileRows` are the declared model shape; `sourceDir` records
+    * where a loaded model's lazy frame reads from, so [[save]] can
+    * refuse the read-under-write overwrite. */
+  final case class LangIdModel(n: Int, profiles: DataFrame,
+                               langTypes: Long, profileRows: Long,
+                               sourceDir: Option[String] = None)
+
+  /** [[trainProfiles]] wrapped as a persistable [[LangIdModel]] (one
+    * extra model-sized aggregate derives the declared counts). */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+            n: Int = 3): LangIdModel = {
+    val profiles = trainProfiles(docs, textCol, labelCol, n)
+    val shape = profiles
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("lang")).as("langs"))
+      .head()
+    LangIdModel(n, profiles, shape.getLong(1), shape.getLong(0))
+  }
+
+  private def qualifiedDir(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** Persist `model` under `dir`: profiles as parquet + a params record
+    * with the declared shape. Refuses the directory a loaded model
+    * reads from — mode=overwrite would delete the parquet the lazy
+    * profile frame still scans (read-under-write). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: LangIdModel,
+           dir: String): Unit = {
+    import spark.implicits._
+    model.sourceDir.foreach(src =>
+      require(qualifiedDir(spark, src) != qualifiedDir(spark, dir),
+        s"LangId.save: target $dir IS the artifact this model's " +
+          "profile frame lazily reads from — overwriting it deletes " +
+          "the parquet mid-scan (read-under-write). Save to a new " +
+          "versioned directory instead."))
+    model.profiles.write.mode("overwrite").parquet(s"$dir/profiles")
+    // re-derive the shape from the WRITTEN parquet: a mismatch with the
+    // in-memory declaration means the training input changed between
+    // train and save — refuse to ship a torn artifact
+    val written = spark.read.parquet(s"$dir/profiles")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("lang")).as("langs"))
+      .head()
+    require(written.getLong(0) == model.profileRows &&
+      written.getLong(1) == model.langTypes,
+      s"LangId.save: written profiles hold ${written.getLong(0)} rows / " +
+        s"${written.getLong(1)} languages but the model declares " +
+        s"${model.profileRows}/${model.langTypes}; the training input " +
+        "changed between train and save")
+    Seq((model.n, model.langTypes, model.profileRows))
+      .toDF("n", "lang_types", "profile_rows")
+      .write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Reopen a model written by [[save]]. Refusals: no readable params
+    * record, n outside [1, 8], or a profile table whose shape disagrees
+    * with the declared counts (classifying under a half-written model
+    * is silent corruption). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           dir: String): LangIdModel = {
+    val (n, langTypes, profileRows) =
+      try {
+        val r = spark.read.json(s"$dir/params")
+          .select(col("n"), col("lang_types"), col("profile_rows")).head()
+        (r.getLong(0).toInt, r.getLong(1), r.getLong(2))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"LangId model at $dir has no readable params record; " +
+              "it was not written by LangId.save", e)
+      }
+    require(n >= 1 && n <= 8,
+      s"LangId model at $dir declares gram order $n outside [1, 8]")
+    val profiles = spark.read.parquet(s"$dir/profiles")
+    val shape = profiles
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("lang")).as("langs"))
+      .head()
+    require(shape.getLong(0) == profileRows &&
+      shape.getLong(1) == langTypes,
+      s"LangId model at $dir is damaged: params declare " +
+        s"$profileRows profile rows / $langTypes languages but the " +
+        s"table holds ${shape.getLong(0)}/${shape.getLong(1)}")
+    LangIdModel(n, profiles, langTypes, profileRows,
+      sourceDir = Some(qualifiedDir(spark, dir)))
+  }
+
+  /** [[classify]] under a frozen artifact — the gram order comes from
+    * the model, so a caller cannot silently score with a mismatched
+    * n. */
+  def classifyModel(model: LangIdModel, docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    classify(docs, model.profiles, idCol, textCol, model.n)
 }

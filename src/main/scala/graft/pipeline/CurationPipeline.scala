@@ -82,6 +82,28 @@ object CurationPipeline {
                                         threshold: Double,
                                         extendIndex: Boolean = false)
     extends DedupTier
+  /** SemDeDup over a declared embedding column
+    * ([[graft.ops.SemanticDedup.semDedup]]): spherical k-means cells,
+    * drop every row within cosine `tau` of an earlier-ranked in-cell
+    * member. CROSS-ROW (rows rank against each other inside cells), so
+    * [[graft.streaming.ChangelogStream.streamCurate]] refuses it —
+    * the batch-only complement of [[AgainstVectorIndexTier]]. */
+  final case class SemanticTier(vecCol: String, k: Int, tau: Double,
+                                iters: Int) extends DedupTier
+  /** Dedup the input's embeddings AGAINST a persisted
+    * [[Dedup.VectorIndex]] — the vector-side analogue of
+    * [[AgainstTextIndexTier]]: rows within cosine `threshold` of some
+    * indexed vector drop ([[Dedup.dedupEmbeddingsAgainst]] — exact via
+    * the triangle-inequality cell prune). Frozen index + per-row
+    * verdicts, so the streaming gate accepts it. `extendIndex = true`
+    * is the day-2 loop: after a successful publish the index directory
+    * gains the PUBLISHED rows' vectors
+    * ([[Dedup.appendToVectorIndexDir]]) — validated → published →
+    * indexed; a failed gate extends nothing. */
+  final case class AgainstVectorIndexTier(indexDir: String, vecCol: String,
+                                          threshold: Double,
+                                          extendIndex: Boolean = false)
+    extends DedupTier
 
   /** `tokenizerPath` swaps the whitespace token proxy for REAL
     * tokenizer units under a frozen `bpe_bytes`
@@ -196,6 +218,19 @@ object CurationPipeline {
   final case class ClassifierConfig(modelPath: String, threshold: Double,
                                     signed: Boolean = true)
 
+  /** Trained-language gate ([[graft.ops.LangId]]): each document is
+    * classified under a FROZEN persisted char-n-gram profile artifact
+    * and kept iff its PREDICTED language is in `keep` — the CCNet
+    * language filter with the trained scorer the `lang:` heuristic
+    * rule approximates (the rule trusts an existing label column;
+    * this stage derives the label from the text). Frozen artifact +
+    * per-document verdict ⇒
+    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it.
+    * Documents without a gram of evidence (shorter than the model's n
+    * after normalization) carry no prediction and DROP — the
+    * conservative reading, same as the lm gate's no-evidence rule. */
+  final case class LangIdConfig(modelPath: String, keep: Seq[String])
+
   /** LM fluency gate ([[graft.ops.KneserNey]]): a FROZEN persisted
     * Kneser–Ney model (the published CCNet scorer class) scores each
     * document's mean trigram log-probability — the perplexity filter
@@ -243,7 +278,8 @@ object CurationPipeline {
       sinkMode: String = "overwrite",
       textInput: Option[TextInputConfig] = None,
       transforms: Seq[String] = Nil,
-      lm: Option[LmConfig] = None)
+      lm: Option[LmConfig] = None,
+      langId: Option[LangIdConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -377,6 +413,17 @@ object CurationPipeline {
         Dedup.dedupAgainst(df,
           Dedup.TextIndex.load(df.sparkSession, dir),
           config.idCol, config.textCol, t)
+      case SemanticTier(v, k, tau, iters) =>
+        // the verdict frame already encodes the monotone drop rule;
+        // one semi-join ships the survivors with their input schema
+        df.join(graft.ops.SemanticDedup
+            .semDedup(df, config.idCol, v, k, tau, iters)
+            .filter(col("keep")).select(col(config.idCol)),
+          Seq(config.idCol), "left_semi")
+      case AgainstVectorIndexTier(dir, v, t, _) =>
+        Dedup.dedupEmbeddingsAgainst(df,
+          Dedup.VectorIndex.load(df.sparkSession, dir),
+          config.idCol, v, t)
     }
 
   /** Declared-input ingest: identity for tabular input; for
@@ -654,10 +701,27 @@ object CurationPipeline {
         }
     }
     if (config.decontaminate.isDefined) stages += (("decontaminate", decon))
-    val gated =
+    val ruleGated =
       if (config.rules.isEmpty) decon
       else Policy.survivors(decon, namedRules(config))
-    if (config.rules.nonEmpty) stages += (("rules", gated))
+    if (config.rules.nonEmpty) stages += (("rules", ruleGated))
+    // the trained-language gate right after the heuristic rules (the
+    // CCNet order: language id, then the LM perplexity filter): each
+    // surviving document is classified under the FROZEN profile
+    // artifact and kept iff the PREDICTED language is declared; one
+    // semi-join against the per-document argmax
+    val gated = config.langId match {
+      case Some(li) =>
+        val model = graft.ops.LangId.load(ruleGated.sparkSession,
+          li.modelPath)
+        val keepIds = graft.ops.LangId
+          .classifyModel(model, ruleGated, config.idCol, config.textCol)
+          .filter(col("lang_pred").isin(li.keep: _*))
+          .select(col("id").as(config.idCol))
+        ruleGated.join(keepIds, Seq(config.idCol), "left_semi")
+      case None => ruleGated
+    }
+    if (config.langId.isDefined) stages += (("lang_id", gated))
     // the CCNet fluency gate between the heuristic rules and the
     // hashed-feature classifier: mean trigram log-prob under a FROZEN
     // Kneser-Ney artifact, documents under the floor (or without a
@@ -877,6 +941,9 @@ object CurationPipeline {
         case AgainstTextIndexTier(dir, _, true) =>
           graft.ops.Dedup.appendToTextIndexDir(spark, dir, df,
             config.idCol, config.textCol)
+        case AgainstVectorIndexTier(dir, v, _, true) =>
+          graft.ops.Dedup.appendToVectorIndexDir(spark, dir, df,
+            config.idCol, v)
         case _ => ()
       }
     } finally pinned.foreach(_.unpersist())
@@ -1157,6 +1224,24 @@ object CurationPipeline {
           Some(LmConfig(mp, floor))
         }
     }
+    val langId = root \ "lang_id" match {
+      case JNothing => None
+      case l =>
+        val mp = str(l \ "model_path").getOrElse(
+          fail("lang_id.model_path is required"))
+        val keep = l \ "keep" match {
+          case JArray(items) => items.map {
+            case JString(code) => code
+            case other => fail(
+              s"lang_id.keep entries must be strings, got $other")
+          }
+          case JNothing => fail("lang_id.keep is required (the list of " +
+            "language codes to keep)")
+          case _ => fail("lang_id.keep must be an array of strings")
+        }
+        if (keep.isEmpty) fail("lang_id.keep must not be empty")
+        Some(LangIdConfig(mp, keep))
+    }
     val classifier = root \ "classifier" match {
       case JNothing => None
       case c =>
@@ -1198,9 +1283,40 @@ object CurationPipeline {
               case other => fail(
                 s"dedup.extend_index must be a boolean, got $other")
             })
+          case "semantic" =>
+            val v = str(d \ "vector_column").getOrElse(fail(
+              "dedup.vector_column is required for semantic"))
+            val k = intOf(d \ "k", "dedup.k",
+              fail("dedup.k is required for semantic"))
+            val tau = dblOf(d \ "tau", "dedup.tau",
+              fail("dedup.tau is required for semantic"))
+            val iters = intOf(d \ "iters", "dedup.iters", 5)
+            if (k < 1) fail(s"dedup.k must be >= 1, got $k")
+            if (tau <= 0 || tau > 1)
+              fail(s"dedup.tau must be in (0, 1], got $tau")
+            if (iters < 0) fail(s"dedup.iters must be >= 0, got $iters")
+            SemanticTier(v, k, tau, iters)
+          case "against_vector_index" =>
+            val t = dblOf(d \ "threshold", "dedup.threshold", 0.8)
+            if (t <= 0 || t > 1)
+              fail(s"dedup.threshold must be in (0, 1] for " +
+                s"against_vector_index (the exact cell prune needs a " +
+                s"positive cosine), got $t")
+            AgainstVectorIndexTier(
+              str(d \ "index_dir").getOrElse(fail(
+                "dedup.index_dir is required for against_vector_index")),
+              str(d \ "vector_column").getOrElse(fail(
+                "dedup.vector_column is required for against_vector_index")),
+              t,
+              d \ "extend_index" match {
+                case JNothing => false
+                case JBool(b) => b
+                case other => fail(
+                  s"dedup.extend_index must be a boolean, got $other")
+              })
           case other => fail(s"unknown dedup.method '$other' " +
             "(expected exact | jaccard | minhash | simhash | " +
-            "against_text_index)")
+            "against_text_index | semantic | against_vector_index)")
         }
     }
     val sample = root \ "sample" match {
@@ -1283,7 +1399,8 @@ object CurationPipeline {
     if (pack.isDefined && chunk.isEmpty)
       fail("pack requires chunk (packing needs chunk_tokens)")
     dedup match {
-      case AgainstTextIndexTier(_, _, true)
+      case AgainstTextIndexTier(_, _, true) |
+           AgainstVectorIndexTier(_, _, _, true)
           if chunk.isDefined || pack.isDefined =>
         fail("dedup.extend_index appends the PUBLISHED rows to the " +
           "index, so the publish must stay document-granular — " +
@@ -1346,7 +1463,7 @@ object CurationPipeline {
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
-      textInput, transforms, lm)
+      textInput, transforms, lm, langId)
   }
 
   private def fail(msg: String): Nothing =

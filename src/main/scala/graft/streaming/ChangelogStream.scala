@@ -726,16 +726,22 @@ object ChangelogStream {
     *    featurizer is per-row, so the verdict depends only on the row
     *    and the artifact — allowed (the model re-reads per micro-batch,
     *    a params-sized parquet read);
+    *  - lang_id: the profile artifact is FROZEN and the predicted
+    *    language depends only on the row's own grams — allowed (the
+    *    [[streamClassifyLang]] posture inside the config gate);
     *  - decontaminate: both methods compare each row against the
     *    FROZEN reference corpus only (paragraph keys / shingle
     *    overlap), never against other arriving rows — allowed
     *    (contrast paragraph_dedup, whose duplicate keys span
     *    documents);
-    *  - dedup: `none` or `against_text_index` (the index is FROZEN, so
-    *    a verdict depends only on the row and the index — the
-    *    [[streamDedupAgainst]] posture). Self-dedup tiers
-    *    (exact/jaccard/minhash/simhash) compare arriving rows with each
-    *    OTHER, so their output depends on batch boundaries — refused;
+    *  - dedup: `none`, `against_text_index`, or `against_vector_index`
+    *    (the index is FROZEN, so a verdict depends only on the row and
+    *    the index — the [[streamDedupAgainst]] /
+    *    [[streamEmbeddingDedup]] posture). Self-dedup tiers
+    *    (exact/jaccard/minhash/simhash, and `semantic`, which ranks
+    *    rows against each other inside cells) compare arriving rows
+    *    with each OTHER, so their output depends on batch boundaries —
+    *    refused;
     *  - sample: [[graft.ops.Sampling.hashSample]] is a deterministic
     *    per-key threshold — allowed;
     *  - chunk: a per-row explode — allowed;
@@ -754,8 +760,10 @@ object ChangelogStream {
                    dir: String, statePartitions: Int = 0): DataFrame = {
     import graft.pipeline.CurationPipeline._
     config.dedup match {
-      case NoDedup | AgainstTextIndexTier(_, _, false) => ()
-      case AgainstTextIndexTier(_, _, true) =>
+      case NoDedup | AgainstTextIndexTier(_, _, false) |
+           AgainstVectorIndexTier(_, _, _, false) => ()
+      case AgainstTextIndexTier(_, _, true) |
+           AgainstVectorIndexTier(_, _, _, true) =>
         throw new IllegalArgumentException(
           "streamCurate: dedup.extend_index belongs to the batch " +
             "publisher (CurationPipeline.run) — the streaming gate " +
@@ -764,7 +772,8 @@ object ChangelogStream {
       case other => throw new IllegalArgumentException(
         s"streamCurate: dedup tier $other compares arriving rows with " +
           "each other, so its output depends on micro-batch boundaries; " +
-          "streaming supports none | against_text_index (frozen index)")
+          "streaming supports none | against_text_index | " +
+          "against_vector_index (frozen index)")
     }
     require(!config.paragraphDedup,
       "streamCurate: paragraph_dedup compares paragraphs ACROSS rows " +

@@ -133,4 +133,64 @@ class LangIdSpec extends SparkTestBase {
     rows should have size 50
     rows.count(r => r.getString(0) == r.getString(1)) should be >= 48
   }
+
+  "the artifact" should "round-trip save/load with identical predictions" in {
+    val corpus = df(identity)
+    val model = LangId.train(corpus, "text", "lang")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid_art").toString
+    LangId.save(spark, model, dir)
+    val loaded = LangId.load(spark, dir)
+    loaded.n shouldBe model.n
+    loaded.langTypes shouldBe model.langTypes
+    loaded.profileRows shouldBe model.profileRows
+    val direct = LangId.classifyModel(model, corpus, "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val reopened = LangId.classifyModel(loaded, corpus, "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    reopened shouldBe direct
+    // and both equal the raw-profiles path at the same n
+    val raw = LangId.classify(corpus, model.profiles, "id", "text",
+        model.n)
+      .collect().map(_.toString).sorted.toSeq
+    direct shouldBe raw
+  }
+
+  it should "refuse damaged or foreign artifacts and same-dir saves" in {
+    val corpus = df(identity)
+    val model = LangId.train(corpus, "text", "lang")
+    // no params record
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_langid_bare").toString
+    model.profiles.write.mode("overwrite").parquet(s"$bare/profiles")
+    an[IllegalStateException] should be thrownBy LangId.load(spark, bare)
+    // declared shape disagrees with the table
+    val torn = java.nio.file.Files
+      .createTempDirectory("graft_langid_torn").toString
+    LangId.save(spark, model, torn)
+    spark.read.parquet(s"$torn/profiles")
+      .filter(col("lang") =!= "en")
+      .write.mode("overwrite").parquet(s"$torn/profiles2")
+    val fs = java.nio.file.Paths.get(torn)
+    def replace(): Unit = {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(fs.resolve("profiles").toFile)
+      java.nio.file.Files.move(fs.resolve("profiles2"),
+        fs.resolve("profiles"))
+      ()
+    }
+    replace()
+    an[IllegalArgumentException] should be thrownBy LangId.load(spark, torn)
+    // a loaded model refuses to overwrite the directory it reads from
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid_rw").toString
+    LangId.save(spark, model, dir)
+    val loaded = LangId.load(spark, dir)
+    an[IllegalArgumentException] should be thrownBy
+      LangId.save(spark, loaded, dir)
+    // a fresh (unloaded) model may still write anywhere
+    LangId.save(spark, model, dir)
+  }
 }

@@ -481,6 +481,202 @@ class CurationPipelineSpec extends SparkTestBase {
          | "dedup": {"method": "against_text_index"}}""".stripMargin)
   }
 
+  "lang_id" should "gate on the trained prediction identically to the hand-composed classify" in {
+    val corpusPath = s"$tmp/langid_docs"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "en"),
+      (2L, "she said that the weather would be better in the morning", "en"),
+      (3L, "der schnelle braune fuchs springt über den faulen hund", "de"),
+      (4L, "sie sagte dass das wetter am morgen besser werden würde", "de"),
+      (5L, "the children walked to school through the park every day", "en"),
+      // mislabeled: German text carrying an "en" label — the TRAINED
+      // gate keys on the prediction, not the label column
+      (6L, "die kinder gingen jeden tag durch den park zur schule", "en")
+    ).toDF("doc_id", "text", "lang")
+    corpus.write.mode("overwrite").parquet(corpusPath)
+    val modelDir = s"$tmp/langid_model"
+    graft.ops.LangId.save(spark,
+      graft.ops.LangId.train(
+        corpus.filter($"doc_id" <= 4), "text", "lang"),
+      modelDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$corpusPath"},
+         | "rules": [],
+         | "lang_id": {"model_path": "$modelDir",
+         |             "keep": ["en"]}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = {
+      val model = graft.ops.LangId.load(spark, modelDir)
+      val keep = graft.ops.LangId
+        .classifyModel(model, corpus, "doc_id", "text")
+        .filter($"lang_pred" === "en")
+        .select($"id".as("doc_id"))
+      corpus.join(keep, Seq("doc_id"), "left_semi")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    got shouldBe want
+    // the mislabeled doc 6 is gated by its PREDICTED language
+    got shouldBe Seq(1L, 2L, 5L)
+    // the stage shows up in attrition accounting
+    CurationPipeline.stageAttrition(spark, cfg)
+      .select($"stage").as[String].collect().toSeq should contain("lang_id")
+    // parse refusals
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    bad("""{"input": {"path": "/x"},
+          | "lang_id": {"keep": ["en"]}}""".stripMargin, "model_path")
+    bad("""{"input": {"path": "/x"},
+          | "lang_id": {"model_path": "/m"}}""".stripMargin, "lang_id.keep")
+    bad("""{"input": {"path": "/x"},
+          | "lang_id": {"model_path": "/m", "keep": []}}""".stripMargin,
+      "must not be empty")
+    bad("""{"input": {"path": "/x"},
+          | "lang_id": {"model_path": "/m", "keep": [3]}}""".stripMargin,
+      "must be strings")
+  }
+
+  it should "dedup embeddings via the semantic tier" in {
+    // iters = 0: seeds = the first 2 ids, so vec 1 and 2 anchor the two
+    // cells. SemDeDup keeps the FARTHEST-from-centroid in-cell member:
+    // cell 0 keeps near-dup 3 and drops anchor 1 (cos(1,3) ≈ 0.998 ≥
+    // tau), cell 1 keeps off-axis 5 and near-dup 4, dropping anchor 2
+    // (cos(2,4) ≈ 0.999 ≥ tau; 5 matches nothing)
+    val embPath = s"$tmp/sem_emb"
+    val emb = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "b", Array(0.0f, 1.0f)),
+      (3L, "c", Array(0.998f, 0.06f)),
+      (4L, "d", Array(0.05f, 0.999f)),
+      (5L, "e", Array(-1.0f, 0.2f))
+    ).toDF("vec_id", "label", "embedding")
+    emb.write.mode("overwrite").parquet(embPath)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$embPath",
+         |           "id_column": "vec_id", "text_column": "label"},
+         | "rules": [],
+         | "dedup": {"method": "semantic", "vector_column": "embedding",
+         |           "k": 2, "tau": 0.9, "iters": 0}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    // config ≡ the hand-composed op's keep set
+    val want = graft.ops.SemanticDedup
+      .semDedup(emb, "vec_id", "embedding", k = 2, tau = 0.9, iters = 0)
+      .filter($"keep").select($"vec_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    got shouldBe Seq(3L, 4L, 5L)
+    // parse refusals: missing params and out-of-range values
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "semantic", "k": 2, "tau": 0.5}}"""
+        .stripMargin, "vector_column")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "semantic", "vector_column": "v",
+          |           "tau": 0.5}}""".stripMargin, "dedup.k")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "semantic", "vector_column": "v",
+          |           "k": 2}}""".stripMargin, "dedup.tau")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "semantic", "vector_column": "v",
+          |           "k": 2, "tau": 1.5}}""".stripMargin, "tau")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "semantic", "vector_column": "v",
+          |           "k": 2, "tau": 0.5, "iters": -1}}""".stripMargin,
+      "iters")
+  }
+
+  it should "dedup embeddings against a persisted vector index with the day-2 extend lifecycle" in {
+    val idxDir = s"$tmp/vec_idx"
+    val base = Seq(
+      (1L, "base-x", Array(1.0f, 0.0f, 0.0f)),
+      (2L, "base-y", Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    Dedup.buildVectorIndex(base, "vec_id", "embedding").save(idxDir)
+    val sink = s"$tmp/vec_sink"
+    def runWave(rows: Seq[(Long, String, Array[Float])], wave: String,
+                extend: Boolean = true): Unit = {
+      val in = s"$tmp/vec_in_$wave"
+      rows.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(in)
+      CurationPipeline.run(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$in",
+           |           "id_column": "vec_id", "text_column": "label"},
+           | "rules": [],
+           | "dedup": {"method": "against_vector_index",
+           |           "index_dir": "$idxDir",
+           |           "vector_column": "embedding", "threshold": 0.9,
+           |           "extend_index": $extend},
+           | "sink": {"path": "$sink", "mode": "append"}}""".stripMargin))
+    }
+    // wave 1: 10 dups base vec 1 (dropped), 11 is a novel direction
+    // (published AND appended to the index)
+    runWave(Seq(
+      (10L, "w1-dup", Array(0.999f, 0.03f, 0.0f)),
+      (11L, "w1-new", Array(0.0f, 0.0f, 1.0f))), "w1")
+    spark.read.parquet(sink).select($"vec_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(11L)
+    // wave 2: 20 dups WAVE-1's vec 11 — only droppable because the
+    // index was extended at publish; 21 is novel
+    runWave(Seq(
+      (20L, "w2-dup", Array(0.0f, 0.03f, 0.999f)),
+      (21L, "w2-new", Array(0.6f, 0.6f, 0.53f))), "w2")
+    spark.read.parquet(sink).select($"vec_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(11L, 21L)
+    // publish-gated: a failing expectation leaves sink AND index alone
+    val in3 = s"$tmp/vec_in_w3"
+    Seq((30L, "w3", Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(in3)
+    an[Exception] should be thrownBy CurationPipeline.run(spark,
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$in3",
+           |           "id_column": "vec_id", "text_column": "label"},
+           | "rules": [],
+           | "dedup": {"method": "against_vector_index",
+           |           "index_dir": "$idxDir",
+           |           "vector_column": "embedding", "threshold": 0.9,
+           |           "extend_index": true},
+           | "expectations": ["in_range:vec_id:-5:-1:1.0"],
+           | "sink": {"path": "$sink", "mode": "append"}}""".stripMargin))
+    spark.read.parquet(sink).count() shouldBe 2L
+    // vec 30 never reached the index: re-running accepts it
+    runWave(Seq((30L, "w3", Array(-1.0f, 0.0f, 0.0f))), "w4")
+    spark.read.parquet(sink).select($"vec_id").as[Long]
+      .collect().sorted.toSeq shouldBe Seq(11L, 21L, 30L)
+    // config naming the tier without its index/vector fails at parse
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "against_vector_index",
+          |           "vector_column": "v"}}""".stripMargin, "index_dir")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "against_vector_index",
+          |           "index_dir": "/i"}}""".stripMargin, "vector_column")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "against_vector_index",
+          |           "index_dir": "/i", "vector_column": "v",
+          |           "threshold": 0.0}}""".stripMargin, "threshold")
+    bad("""{"input": {"path": "/x"},
+          | "dedup": {"method": "against_vector_index",
+          |           "index_dir": "/i", "vector_column": "v",
+          |           "extend_index": true},
+          | "chunk": {"tokens": 10, "overlap": 0}}""".stripMargin,
+      "document-granular")
+  }
+
   "attrition" should "equal the Policy report over the declared rules" in {
     val report = CurationPipeline.attrition(spark, config)
       .orderBy($"rule_idx").collect().map(_.toString).toSeq

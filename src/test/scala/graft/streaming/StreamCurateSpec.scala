@@ -218,6 +218,101 @@ class StreamCurateSpec extends SparkTestBase {
     attempt(base.copy(dedup =
         AgainstTextIndexTier("/i", 0.5, extendIndex = true)))
       .getMessage should include("extend_index")
+    // semantic ranks rows against each other inside cells — cross-row
+    attempt(base.copy(dedup = SemanticTier("embedding", 2, 0.5, 0)))
+      .getMessage should include("micro-batch boundaries")
+    // the frozen vector tier streams, but its day-2 extension doesn't
+    attempt(base.copy(dedup =
+        AgainstVectorIndexTier("/i", "embedding", 0.5, extendIndex = true)))
+      .getMessage should include("extend_index")
+  }
+
+  it should "accept the frozen lang_id gate and converge to batch" in {
+    val train = Seq(
+      SDoc(1L, "the quick brown fox jumps over the lazy dog near the river"),
+      SDoc(2L, "der schnelle braune fuchs springt über den faulen hund"))
+      .toDF("doc_id", "text")
+      .withColumn("lang",
+        org.apache.spark.sql.functions.when($"doc_id" === 1L, "en")
+          .otherwise("de"))
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_lid").toString
+    graft.ops.LangId.save(spark,
+      graft.ops.LangId.train(train, "text", "lang"), modelDir)
+    val feed = Seq(
+      SDoc(10L, "she said that the weather would be better in the morning"),
+      SDoc(11L, "sie sagte dass das wetter am morgen besser werden würde"),
+      SDoc(12L, "the children walked to school through the park every day"),
+      SDoc(13L, "die kinder gingen jeden tag durch den park zur schule"))
+    val cfg = CurationConfig(
+      inputPath = "/unused/by/streaming", idCol = "doc_id",
+      textCol = "text", rules = Seq.empty,
+      langId = Some(LangIdConfig(modelDir, Seq("en"))))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_lin")
+    stage(inDir, feed.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feed.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scur_l").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = CurationPipeline
+      .curateFrame(feed.toDF("doc_id", "text"), cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    got shouldBe Seq(10L, 12L)
+  }
+
+  it should "apply the frozen vector-index dedup tier per micro-batch" in {
+    val corpus = Seq(
+      (1L, "base-x", Array(1.0f, 0.0f, 0.0f)),
+      (2L, "base-y", Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_vidx").toString
+    graft.ops.Dedup.buildVectorIndex(corpus, "vec_id", "embedding")
+      .save(idxDir)
+    val feed = Seq(
+      // near base vec 1 — dropped at the door
+      (20L, "dup-x", Array(0.999f, 0.03f, 0.0f)),
+      // novel direction — accepted
+      (21L, "new-z", Array(0.0f, 0.0f, 1.0f)),
+      // second wave: near base vec 2 — dropped (frozen index, NOT
+      // extended by wave 1's accepted 21)
+      (22L, "dup-y", Array(0.03f, 0.999f, 0.0f)),
+      // novel — accepted
+      (23L, "new-mix", Array(0.6f, 0.6f, 0.53f)))
+    val cfg = CurationConfig(
+      inputPath = "/unused/by/streaming", idCol = "vec_id",
+      textCol = "label", rules = Seq.empty,
+      dedup = AgainstVectorIndexTier(idxDir, "embedding", 0.9))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_vin")
+    def stageVec(rows: Seq[(Long, String, Array[Float])], name: String,
+                 age: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scur_vw")
+      rows.toDF("vec_id", "label", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - age)
+      ()
+    }
+    stageVec(feed.take(2), "wave1.parquet", 120000L)
+    stageVec(feed.drop(2), "wave2.parquet", 60000L)
+    val stream = spark.readStream
+      .schema(feed.take(1).toDF("vec_id", "label", "embedding").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scur_v").toString
+    val got = ChangelogStream.streamCurate(stream, cfg, dir)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    val want = CurationPipeline
+      .curateFrame(feed.toDF("vec_id", "label", "embedding"), cfg)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    got shouldBe Seq(21L, 23L)
   }
 
   it should "accept warc input: streamed archives converge to the batch ingest" in {

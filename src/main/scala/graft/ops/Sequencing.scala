@@ -41,10 +41,24 @@ object Sequencing {
     // no sortWithinPartitions: the id window re-sorts by orderCols
     // inside each __pid partition anyway, so a pre-sort here would be
     // a full corpus sort whose ordering nothing consumes
-    val ranged = df
+    //
+    // ONE corpus-scale materialization: the range-partitioned frame is
+    // eagerly checkpointed — reliably when the session has a checkpoint
+    // dir (set one on a real cluster: replicated files survive executor
+    // loss), else executor-local blocks — and BOTH consumers (the
+    // partitions-sized count pass and the returned id plan) read those
+    // same files. The offsets therefore cannot disagree with the
+    // window's partitions even under nondeterministic upstream row
+    // order (a range exchange re-executed from lineage can sample
+    // different bounds), and the returned frame keeps its lineage ABOVE
+    // the checkpoint — no second corpus-scale pin on the output.
+    val sc = spark.sparkContext
+    val base = df
       .repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged =
+      if (sc.getCheckpointDir.isDefined) base.checkpoint()
+      else base.localCheckpoint()
     // one partitions-sized pass: how many rows precede each partition
     val counts = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
@@ -63,16 +77,10 @@ object Sequencing {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
-    // truncate lineage so the corpus-sized cache pin can be RELEASED
-    // before returning (otherwise every call leaks a cached copy of
-    // the input for the session's lifetime)
-    val out = ranged
+    ranged
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(idName,
         col("__off") + row_number().over(w).cast("long") - 1L)
       .drop("__pid", "__off")
-      .localCheckpoint()
-    ranged.unpersist()
-    out
   }
 }

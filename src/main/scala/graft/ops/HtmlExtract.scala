@@ -167,4 +167,52 @@ object HtmlExtract {
       .join(kept, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("main_text"), lit("")).as("main_text"))
   }
+
+  /** Single-consumer [[extractMainText]]: the input frame is walked
+    * ONCE — `carry` columns ride the block explode and regroup via
+    * `first()` per key, instead of the provenance join-back that
+    * re-executes the input lineage (at archive scale that join-back is
+    * a second full archive walk). The density gate moves INSIDE the
+    * aggregate (`collect_list` skips the `when`'s nulls), so keys whose
+    * every block fails the gate — and rows whose `htmlCol` is NULL,
+    * e.g. binary payloads dispatched to another kernel — keep their row
+    * with `main_text = ""`, exactly the join-back's left-outer
+    * semantics. Same [[Chain]] passes, same split, same density
+    * arithmetic as [[blocks]]/[[extractMainText]]: block-for-block
+    * identical output (spec-pinned).
+    *
+    * Requires `keyCol` unique per input row (the WARC ingest's
+    * `archive_id:rec_idx` contract); `carry` values are replicated per
+    * block during the explode, so carry provenance-sized columns, not
+    * payloads. Output: (keyCol, carry..., main_text). One bounded
+    * shuffle. */
+  def extractMainTextCarry(df: DataFrame, keyCol: String, htmlCol: String,
+                           carry: Seq[String], minChars: Int = 20,
+                           maxLinkDensity: Double = 0.34): DataFrame = {
+    val frag = col("__frag")
+    val text = fragmentText(frag)
+    val linkChars = aggregate(
+      transform(regexp_extract_all(frag, lit(AnchorRe), lit(1)),
+        a => length(fragmentText(a))),
+      lit(0), (acc, x) => acc + x)
+    val exploded = df.select(
+        (col(keyCol) +: carry.map(col)) :+
+          posexplode_outer(split(stripPayloads(col(htmlCol)), BlockSplitRe))
+            .as(Seq("block_idx", "__frag")): _*)
+      .withColumn("block_text", text)
+      // blocks() filters empty blocks BEFORE dividing; here empties stay
+      // until the aggregate's when-gate, so guard the ANSI division
+      .withColumn("__ld", when(length(col("block_text")) > 0,
+        round(linkChars.cast("double") /
+          length(col("block_text")).cast("double"), 6)))
+    val main = concat_ws("\n", transform(
+      array_sort(collect_list(
+        when(col("block_text") =!= "" &&
+          length(col("block_text")) >= minChars &&
+          col("__ld") <= maxLinkDensity,
+          struct(col("block_idx"), col("block_text"))))),
+      s => s.getField("block_text"))).as("main_text")
+    val aggs = carry.map(c => first(col(c)).as(c)) :+ main
+    exploded.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

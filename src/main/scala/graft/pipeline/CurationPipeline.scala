@@ -507,42 +507,44 @@ object CurationPipeline {
             pages.withColumn(config.textCol, text)
               .drop("__payload", "__rec")
           case "blocks" =>
-            // extractMainText regroups blocks per RECORD (`__rec` =
-            // archive_id:rec_idx — ADVICE r13: grouping on the doc id
-            // merged blocks of different records whenever ids repeat,
-            // which is routine in real crawls); the provenance columns
-            // join back on the same record key (one equi-join, exactly
-            // one match per record), and only THEN is the configured
-            // doc id projected — duplicate ids stay independent rows,
-            // exactly like flat mode. The provenance select, the blocks
-            // regroup, and (with pdf/docx) the dispatch branch each
-            // re-walk the archive scan — blocks mode trades walks for
-            // block-level quality; a mixed-corpus blocks run at scale
-            // should stage the ingested pages to parquet between, like
-            // the fixture queries do. Flat mode stays single-pass.
-            val htmlPages = pages.filter(
-              (if (w.pdf) !pdfMagic else lit(true)) &&
-                (if (w.docx || w.xlsx) !zipMagic else lit(true)))
-            val withHtml = htmlPages
-              .withColumn("__html", col("__payload").cast("string"))
-            val htmlOut = withHtml
-              .select(col("__rec"), col(config.idCol), col("url"),
-                col("fetch_ts"))
-              .join(graft.ops.HtmlExtract.extractMainText(
-                  withHtml, "__rec", "__html", w.minChars,
-                  w.maxLinkDensity)
-                .withColumnRenamed("main_text", config.textCol),
-                Seq("__rec"))
-              .drop("__rec")
-            if (!w.pdf && !w.docx && !w.xlsx) htmlOut
-            else htmlOut.unionByName(
-              pages.filter(
-                  (if (w.pdf) pdfMagic else lit(false)) ||
-                    (if (w.docx || w.xlsx) zipMagic else lit(false)))
-                .select(col(config.idCol), col("url"), col("fetch_ts"),
-                  when(pdfMagic,
-                    graft.ops.PdfProbe.extractTextCol(col("__payload")))
-                    .otherwise(zipText).as(config.textCol)))
+            // SINGLE-WALK dispatch (r14 VERDICT: the union of the html
+            // chain with per-format binary branches walked each archive
+            // once per branch — the multi-branch-lineage trap at
+            // archive scale): ONE projection off the records walk
+            // computes the per-row binary text (null for html rows) and
+            // the html payload (null for binary rows), then
+            // extractMainTextCarry regroups blocks per RECORD (`__rec`
+            // = archive_id:rec_idx — ADVICE r13: grouping on the doc id
+            // merged blocks of different records whenever ids repeat)
+            // with the provenance and binary columns RIDING the explode
+            // instead of join-backs that re-execute the archive scan.
+            // Binary rows carry a null block array through
+            // posexplode_outer (one row, no blocks) and take their
+            // kernel text at the end; duplicate doc ids stay
+            // independent rows, exactly like flat mode.
+            val isBin =
+              (if (w.pdf) pdfMagic else lit(false)) ||
+                (if (w.docx || w.xlsx) zipMagic else lit(false))
+            val binText = {
+              var t: Column = lit(null).cast("string")
+              if (w.docx || w.xlsx) t = when(zipMagic, zipText).otherwise(t)
+              if (w.pdf) t = when(pdfMagic,
+                graft.ops.PdfProbe.extractTextCol(col("__payload")))
+                .otherwise(t)
+              t
+            }
+            val dispatched = pages.select(col("__rec"), col(config.idCol),
+              col("url"), col("fetch_ts"), isBin.as("__is_bin"),
+              when(isBin, binText).as("__bin_text"),
+              when(!isBin, col("__payload").cast("string")).as("__html"))
+            graft.ops.HtmlExtract.extractMainTextCarry(dispatched,
+                "__rec", "__html",
+                Seq(config.idCol, "url", "fetch_ts", "__is_bin",
+                  "__bin_text"),
+                w.minChars, w.maxLinkDensity)
+              .select(col(config.idCol), col("url"), col("fetch_ts"),
+                when(col("__is_bin"), col("__bin_text"))
+                  .otherwise(col("main_text")).as(config.textCol))
           case other => fail(s"unknown warc html mode '$other' " +
             "(expected flat | blocks)")
         }

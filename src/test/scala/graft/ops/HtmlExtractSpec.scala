@@ -126,4 +126,37 @@ class HtmlExtractSpec extends SparkTestBase {
         Seq((1L, allNav)).toDF("id", "html"), "id", "html")
       .select($"main_text").as[String].head() shouldBe ""
   }
+
+  "extractMainTextCarry" should "match extractMainText block-for-block and carry provenance" in {
+    // pages spanning the edge cases: boilerplate + prose, all-nav
+    // (empty main_text), empty html, and a NULL html (the binary-
+    // dispatch row) — the carry variant must agree with the join-back
+    // op on every non-null page and keep the null-html row with ""
+    val pages = Seq(
+      (1L, "u1", BoilerPage),
+      (2L, "u2", "<div><a href=\"/x\">Only Links Here In This Doc</a></div>"),
+      (3L, "u3", ""),
+      (4L, "u4", null)
+    ).toDF("id", "url", "html")
+    val carry = HtmlExtract.extractMainTextCarry(
+        pages, "id", "html", carry = Seq("url"))
+      .select($"id", $"url", $"main_text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val op = HtmlExtract.extractMainText(
+        pages.filter($"html".isNotNull), "id", "html")
+      .select($"id", $"main_text").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    carry.filter(_._1 != 4L).map(r => (r._1, r._3)) shouldBe op
+    carry.map(_._2) shouldBe Seq("u1", "u2", "u3", "u4")
+    carry.find(_._1 == 4L).get._3 shouldBe ""
+    // threshold parity too: a tight gate filters the same blocks
+    val tight = HtmlExtract.extractMainTextCarry(pages.filter($"id" === 1L),
+        "id", "html", carry = Seq("url"), minChars = 40,
+        maxLinkDensity = 0.1)
+      .select($"main_text").as[String].head()
+    val tightOp = HtmlExtract.extractMainText(pages.filter($"id" === 1L),
+        "id", "html", minChars = 40, maxLinkDensity = 0.1)
+      .select($"main_text").as[String].head()
+    tight shouldBe tightOp
+  }
 }

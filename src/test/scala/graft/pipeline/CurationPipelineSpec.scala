@@ -1129,6 +1129,42 @@ class CurationPipelineSpec extends SparkTestBase {
     }
   }
 
+  it should "walk each archive exactly once in mixed blocks mode (plan pin)" in {
+    // r14 VERDICT: the blocks-mode union of the html chain with the
+    // pdf/docx/xlsx branches referenced the records walk once per
+    // branch — every consumer re-exploded the archive bytes. Pin the
+    // single-walk shape: the ingest plan contains exactly ONE
+    // MapPartitions (the WarcExtract.records walk), however many
+    // binary formats are declared.
+    def walkCount(json: String): Int =
+      CurationPipeline.ingestFrame(
+          spark.read.parquet(warcArchivesPath),
+          CurationPipeline.fromJson(json))
+        .queryExecution.optimizedPlan.collect {
+          case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions
+            => m
+        }.length
+    val mixed = s"""
+      |{"input": {"path": "$warcArchivesPath", "format": "warc",
+      |           "id_column": "doc_id", "text_column": "text",
+      |           "id_regex": "([0-9]+)$$", "html": "blocks",
+      |           "min_chars": 20, "max_link_density": 0.34,
+      |           "pdf": true, "docx": true, "xlsx": true},
+      | "rules": []}""".stripMargin
+    walkCount(mixed) shouldBe 1
+    // html-only blocks mode and flat mode share the guarantee
+    walkCount(s"""
+      |{"input": {"path": "$warcArchivesPath", "format": "warc",
+      |           "id_column": "doc_id", "text_column": "text",
+      |           "id_regex": "([0-9]+)$$", "html": "blocks"},
+      | "rules": []}""".stripMargin) shouldBe 1
+    walkCount(s"""
+      |{"input": {"path": "$warcArchivesPath", "format": "warc",
+      |           "id_column": "doc_id", "text_column": "text",
+      |           "id_regex": "([0-9]+)$$", "pdf": true},
+      | "rules": []}""".stripMargin) shouldBe 1
+  }
+
   it should "honor the HTTP status keep-list" in {
     // the fixture writer emits 200s only, so a [404] keep-list must
     // yield zero documents — the filter is really applied

@@ -3229,6 +3229,22 @@ object SparkEntry {
         .orderBy(col("stage_idx"))
     }),
 
+    // The dataset CARD: per-stage doc + token accounting with survival
+    // and per-boundary drop rates, plus the published corpus's
+    // language/source composition — the quantitative section a released
+    // corpus ships, composed from the SAME stage frames the pipeline
+    // filters with (config "report": {card_path, card_mix}). The oracle
+    // replays every boundary, both ratio windows, and both mixes.
+    "q_dataset_card" -> ((s, d) => {
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet"},
+           | "rules": ["min_tokens:20"],
+           | "dedup": {"method": "exact"}}""".stripMargin)
+      graft.pipeline.CurationPipeline
+        .datasetCard(s, cfg, mixColumns = Seq("lang", "source"))
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
     // Benchmark decontamination config-declared end-to-end: the
     // reference corpus (the %10 fixture slice) staged as a frozen
     // parquet, the paragraph method rewriting every corpus doc before a
@@ -8306,6 +8322,56 @@ object SparkEntry {
          |  UNION ALL SELECT 3, 'dedup',
          |    (SELECT count(DISTINCT text) FROM g))
          |ORDER BY stage_idx""".stripMargin,
+    // Every card number replayed: the token gate, the min-id exact
+    // dedup, per-stage doc+token totals, the two ratio windows (first()
+    // for cumulative survival, lag() for the per-boundary drop — null
+    // on the input row), and the per-column mixes with their share
+    // window over the group rows.
+    "q_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS tok
+        |  FROM documents),
+        |g AS (SELECT * FROM t WHERE tok >= 20),
+        |dd AS (SELECT * FROM g WHERE doc_id IN
+        |  (SELECT min(doc_id) FROM g GROUP BY text)),
+        |st AS (
+        |  SELECT 0 AS idx, 'input' AS key,
+        |    (SELECT count(*) FROM t) AS n_docs,
+        |    (SELECT coalesce(sum(tok), 0) FROM t) AS n_tokens
+        |  UNION ALL SELECT 1, 'rules', (SELECT count(*) FROM g),
+        |    (SELECT coalesce(sum(tok), 0) FROM g)
+        |  UNION ALL SELECT 2, 'dedup', (SELECT count(*) FROM dd),
+        |    (SELECT coalesce(sum(tok), 0) FROM dd)),
+        |stage_rows AS (
+        |  SELECT 'stage' AS section, idx, key,
+        |    CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CASE WHEN first(n_docs) OVER w > 0 THEN
+        |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+        |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+        |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+        |      AS step_drop
+        |  FROM st WINDOW w AS (ORDER BY idx)),
+        |mixes AS (
+        |  SELECT 0 AS idx, lang AS key, count(*) AS n_docs,
+        |    coalesce(sum(tok), 0) AS n_tokens FROM dd GROUP BY lang
+        |  UNION ALL
+        |  SELECT 1, source, count(*), coalesce(sum(tok), 0)
+        |  FROM dd GROUP BY source),
+        |mix_rows AS (
+        |  SELECT 'mix' AS section, idx, key,
+        |    CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(n_docs::DOUBLE /
+        |      sum(n_docs) OVER (PARTITION BY idx), 6) AS frac,
+        |    NULL::DOUBLE AS step_drop
+        |  FROM mixes)
+        |SELECT * FROM stage_rows
+        |UNION ALL SELECT * FROM mix_rows
+        |ORDER BY section, idx, key""".stripMargin,
     // Config-declared decontamination replayed: the literal paragraph
     // CTEs, the reference key anti-join (the %10 slice — no canonical
     // exemption), the ordered rebuild, then the min_tokens gate.

@@ -279,7 +279,9 @@ object CurationPipeline {
       textInput: Option[TextInputConfig] = None,
       transforms: Seq[String] = Nil,
       lm: Option[LmConfig] = None,
-      langId: Option[LangIdConfig] = None)
+      langId: Option[LangIdConfig] = None,
+      cardPath: Option[String] = None,
+      cardMix: Seq[String] = Nil)
 
   // ------------------------------------------------------------- rules
 
@@ -847,6 +849,71 @@ object CurationPipeline {
     spark.createDataFrame(counts).toDF("stage_idx", "stage", "n_docs")
   }
 
+  /** The dataset CARD: the quantitative section a released corpus ships
+    * — per-stage document counts AND token totals with cumulative
+    * survival + per-boundary drop rates, plus the composition mix of the
+    * published documents over declared columns (language, source, …) —
+    * composed from the SAME stage frames the pipeline filters with, so
+    * card and corpus can never disagree.
+    *
+    * One long-format frame:
+    * `(section, idx, key, n_docs, n_tokens, frac, step_drop)` —
+    *  - `section = "stage"`: one row per declared boundary (the
+    *    [[stageAttrition]] stages), `key` = stage name, `n_tokens` =
+    *    whitespace-token total at that boundary, `frac` = cumulative
+    *    survival vs the input stage, `step_drop` = share dropped at
+    *    THIS boundary vs the previous one (null on the input row);
+    *  - `section = "mix"`: one row per value of each `mixColumns`
+    *    entry over the FINAL doc-granular frame, `idx` = the column's
+    *    position, `frac` = the value's share of published documents,
+    *    `step_drop` null.
+    *
+    * Cost shape: one count+sum aggregate per boundary (the
+    * [[stageAttrition]] posture with tokens riding the same pass) and
+    * one group-sized aggregate per mix column; the ratio windows run on
+    * the stages-sized / group-sized result frames only — never on the
+    * corpus. */
+  def datasetCard(spark: SparkSession, config: CurationConfig,
+                  mixColumns: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val tok = TextAnalysis.tokenCount(col(config.textCol))
+    val stages = documentStages(readInput(spark, config), config)
+    val stats = stages.zipWithIndex.map { case ((name, frame), i) =>
+      val r = frame.agg(count(lit(1)).as("n"),
+        coalesce(sum(tok), lit(0L)).as("t")).head()
+      (i, name, r.getLong(0), r.getLong(1))
+    }
+    // stages-sized frame: the unpartitioned windows below order a
+    // handful of boundary rows, never the corpus
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("idx"))
+    val stageRows = stats.toDF("idx", "key", "n_docs", "n_tokens")
+      .select(lit("stage").as("section"), col("idx"), col("key"),
+        col("n_docs"), col("n_tokens"),
+        when(first(col("n_docs")).over(wCum) > 0,
+          round(col("n_docs").cast("double") /
+            first(col("n_docs")).over(wCum).cast("double"), 6))
+          .as("frac"),
+        when(lag(col("n_docs"), 1).over(wCum) > 0,
+          round(lit(1.0) - col("n_docs").cast("double") /
+            lag(col("n_docs"), 1).over(wCum).cast("double"), 6))
+          .as("step_drop"))
+    val published = stages.last._2
+    val mixRows = mixColumns.zipWithIndex.map { case (c, mi) =>
+      // group-sized frame: the share window sums the groups, not rows
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      published.groupBy(col(c).cast("string").as("key"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tok), lit(0L)).as("n_tokens"))
+        .select(lit("mix").as("section"), lit(mi).as("idx"), col("key"),
+          col("n_docs"), col("n_tokens"),
+          round(col("n_docs").cast("double") /
+            sum(col("n_docs")).over(wAll).cast("double"), 6).as("frac"),
+          lit(null).cast("double").as("step_drop"))
+    }
+    mixRows.foldLeft(stageRows)(_ unionByName _)
+  }
+
   /** The full declared pipeline as ONE lazy frame: document stages,
     * then chunking and packing if configured. With `pack` the result is
     * the pack summary `(shard, pack_id, n_pieces, n_tokens)`; with only
@@ -957,6 +1024,9 @@ object CurationPipeline {
     config.stageReportPath.foreach(sp =>
       stageAttrition(spark, config)
         .write.mode(SaveMode.Overwrite).parquet(sp))
+    config.cardPath.foreach(cp =>
+      datasetCard(spark, config, config.cardMix)
+        .write.mode(SaveMode.Overwrite).parquet(cp))
   }
 
   // ------------------------------------------------------------- config
@@ -1005,14 +1075,19 @@ object CurationPipeline {
     *          "group_column": "lang",       // CCNet tier banding
     *          "tiers": 3,                   // (cross-row, batch-only)
     *          "keep_tiers": [1, 2]},        // 1 = head
+    *   "lang_id": {"model_path": "...",     // frozen trained-language
+    *               "keep": ["en", "de"]},   // gate on the PREDICTION
     *   "classifier": {"model_path": "...",              // frozen
     *                  "threshold": 0.5, "signed": true}, // linear gate
     *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
-    *                       | "against_text_index",
+    *                       | "against_text_index" | "semantic"
+    *                       | "against_vector_index",
     *             "ngram": 3, "threshold": 0.8,           // jaccard/minhash
     *             "bands": 16, "rows_per_band": 4,        // minhash
     *             "max_dist": 11,                         // simhash
-    *             "index_dir": "...",           // against_text_index
+    *             "index_dir": "...",  // against_{text,vector}_index
+    *             "vector_column": "embedding",  // vector tiers
+    *             "k": 64, "tau": 0.8, "iters": 5,  // semantic (SemDeDup)
     *             "extend_index": true},  // publish-then-index (day-2)
     *   "sample": {"fraction": 0.5},                      // optional
     *   "quota": {"group_column": "source",   // per-group doc cap, OR:
@@ -1035,7 +1110,9 @@ object CurationPipeline {
     *            "samples_per_shard": 1000},   // webdataset tar shards
     *   "partition_by": ["shard"],
     *   "report": {"path": "...",           // per-rule attrition and/or
-    *              "stages_path": "..."} }  // per-stage counts, post-publish
+    *              "stages_path": "...",    // per-stage counts and/or
+    *              "card_path": "...",          // the dataset CARD
+    *              "card_mix": ["lang"]} }  // all post-publish
     * }}} */
   def fromJValue(root: JValue): CurationConfig = {
     def str(v: JValue): Option[String] = v match {
@@ -1461,11 +1538,28 @@ object CurationPipeline {
       case JNothing => None
       case other => fail(s"report.stages_path must be a string, got $other")
     }
+    val cardPath = root \ "report" \ "card_path" match {
+      case JString(p) => Some(p)
+      case JNothing => None
+      case other => fail(s"report.card_path must be a string, got $other")
+    }
+    val cardMix = root \ "report" \ "card_mix" match {
+      case JArray(items) => items.map {
+        case JString(c) => c
+        case other => fail(
+          s"report.card_mix entries must be column names, got $other")
+      }
+      case JNothing => Seq.empty[String]
+      case _ => fail("report.card_mix must be an array of column names")
+    }
+    if (cardMix.nonEmpty && cardPath.isEmpty)
+      fail("report.card_mix requires report.card_path (the mix is a " +
+        "section of the card)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
-      textInput, transforms, lm, langId)
+      textInput, transforms, lm, langId, cardPath, cardMix)
   }
 
   private def fail(msg: String): Nothing =

@@ -791,7 +791,7 @@ object ChangelogStream {
     require(config.pack.isEmpty,
       "streamCurate: pack is a cross-row greedy walk (batch-only)")
     require(config.expectations.isEmpty && config.sinkPath.isEmpty &&
-      config.reportPath.isEmpty,
+      config.reportPath.isEmpty && config.cardPath.isEmpty,
       "streamCurate: expectations/sink/report belong to the batch " +
         "publisher (CurationPipeline.run); this gate returns the frame")
     val spark = stream.sparkSession

@@ -961,6 +961,64 @@ class CurationPipelineSpec extends SparkTestBase {
     spark.read.parquet(report).count() shouldBe 2 // 1 rule + __survivors
   }
 
+  "dataset card" should "publish gated, with stage accounting and mixes" in {
+    val sink = s"$tmp/card_out"
+    val card = s"$tmp/card_report"
+    // failed gate: neither dataset nor card
+    an[Exception] should be thrownBy CurationPipeline.run(spark,
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$docsPath"},
+           | "rules": ["min_tokens:10"],
+           | "dedup": {"method": "exact"},
+           | "expectations": ["in_range:doc_id:-5:-1:1.0"],
+           | "sink": {"path": "$sink"},
+           | "report": {"card_path": "$card",
+           |            "card_mix": ["lang"]}}""".stripMargin))
+    new java.io.File(card).exists() shouldBe false
+    // passing run: the card lands with stage rows + the lang mix
+    CurationPipeline.run(spark, CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "dedup": {"method": "exact"},
+         | "sink": {"path": "$sink"},
+         | "report": {"card_path": "$card",
+         |            "card_mix": ["lang"]}}""".stripMargin))
+    val rows = spark.read.parquet(card)
+      .select($"section", $"idx", $"key", $"n_docs", $"n_tokens",
+        $"frac", $"step_drop")
+      .as[(String, Int, String, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val stages = rows.filter(_._1 == "stage")
+    stages.map(_._3) shouldBe Seq("input", "rules", "dedup")
+    // the fixture: 8 docs, 6 pass min_tokens:10, 4 survive exact dedup
+    // (pairs (2,5) and (7,8) each keep the min id)
+    stages.map(_._4) shouldBe Seq(8L, 6L, 4L)
+    stages.head._6 shouldBe Some(1.0) // input survival
+    stages.head._7 shouldBe None      // no previous boundary
+    stages(1)._6 shouldBe Some(0.75)  // 6/8
+    stages(1)._7 shouldBe Some(0.25)
+    stages(2)._6 shouldBe Some(0.5)   // 4/8
+    stages(2)._7 shouldBe Some(0.333333) // 1 - 4/6
+    // token totals are the whitespace counts of the surviving docs
+    stages.map(_._5) shouldBe {
+      val tok = graft.ops.TextAnalysis.tokenCount(col("text"))
+      val t = spark.read.parquet(docsPath)
+      val g = t.filter(tok >= 10)
+      val dd = Dedup.exactDedup(g, "doc_id", "text")
+      Seq(t, g, dd).map(_.agg(coalesce(sum(tok), lit(0L)))
+        .as[Long].head())
+    }
+    // lang mix over the PUBLISHED docs, shares summing to 1
+    val mix = rows.filter(_._1 == "mix")
+    mix.map(_._4).sum shouldBe 4L
+    mix.flatMap(_._6).sum shouldBe (1.0 +- 1e-5)
+    // parse refusal: mix without a card path
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "/x"}, "rules": [],
+           | "report": {"card_mix": ["lang"]}}""".stripMargin)
+  }
+
   it should "dispatch by config shape in the CLI (both/neither sections fail)" in {
     val neither = writeConfig("neither.json", """{"sink": {"path": "/x"}}""")
     graft.SnapshotJob.run(Array(neither), spark) shouldBe 1

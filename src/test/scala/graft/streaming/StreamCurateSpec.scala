@@ -213,6 +213,8 @@ class StreamCurateSpec extends SparkTestBase {
       .getMessage should include("pack")
     attempt(base.copy(sinkPath = Some("/tmp/never")))
       .getMessage should include("publisher")
+    attempt(base.copy(cardPath = Some("/tmp/never_card")))
+      .getMessage should include("publisher")
     attempt(base.copy(paragraphDedup = true))
       .getMessage should include("paragraph_dedup")
     attempt(base.copy(dedup =

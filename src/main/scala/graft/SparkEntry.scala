@@ -3453,6 +3453,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The C4 banned-words accounting: per-document blocked-token counts
+    // against a FROZEN word snapshot (exact-token matching after
+    // punctuation stripping — never substring, the clbuttic trap). The
+    // whole gate is one codegen'd scan-side projection; the oracle
+    // replays the tokenization, the strip, and the membership test.
+    "q_word_blocklist" -> ((s, d) => {
+      val fx = stagedOnce("wbl", d) { dir =>
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+      }
+      graft.ops.WordBlocklist.report(Tables.documents(s, d),
+          "doc_id", "text",
+          graft.ops.WordBlocklist.loadWords(s, s"$fx/words"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // The same gate config-declared: word_blocklist = {list_path,
+    // max_hits: 0} drops every page with a blocked token — the
+    // published C4 page filter as ONE config stage; survivors ship
+    // with their input schema.
+    "q_pipeline_wordblock" -> ((s, d) => {
+      val fx = stagedOnce("wbl", d) { dir =>
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet"},
+           | "rules": [],
+           | "word_blocklist": {"list_path": "$fx/words",
+           |                    "max_hits": 0}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quota per SITE: "max N pages per registered domain" as ONE config
     // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
     // subdomains cannot refill a site's budget (full-host quotas would
@@ -7922,6 +7960,28 @@ object SparkEntry {
         |JOIN pred p ON p.doc_id = d2.doc_id
         |WHERE p.lang_pred IN ('en', 'fr')
         |ORDER BY d2.doc_id""".stripMargin,
+    // The banned-words arithmetic replayed token for token: whitespace
+    // split of the lowercased text, leading/trailing non-alphanumerics
+    // stripped, exact membership in the frozen list.
+    "q_word_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(
+        |    [regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+        |     for t in regexp_split_to_array(lower(trim(text)), '\s+')],
+        |    t -> list_contains(['stream', 'vector'], t))) AS BIGINT)
+        |    AS n_blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The config gate keeps exactly the zero-hit pages.
+    "q_pipeline_wordblock" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_filter(
+        |  [regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+        |   for t in regexp_split_to_array(lower(trim(text)), '\s+')],
+        |  t -> list_contains(['stream', 'vector'], t))) = 0
+        |ORDER BY doc_id""".stripMargin,
     // Exact regime: Misra–Gries with zero purges IS a GROUP BY count.
     "q_freq_exact" -> FreqExactOracleSql,
     // The streamed cumulative sketch shares the batch exact-regime

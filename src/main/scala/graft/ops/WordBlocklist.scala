@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Word-blocklist page gate — the C4 "banned words" filter (Raffel et
+  * al. 2020 §2.2 removed any page containing a word from the public
+  * "List of Dirty, Naughty, Obscene..." blocklist; Dolma's taxonomy
+  * filters are the same motion with curated lists): count the tokens of
+  * each document that match a FROZEN word list and drop pages over a
+  * hit budget. The list is a reviewed, versioned artifact — a parquet
+  * snapshot like the URL blocklist and the PSL file — so the gate is
+  * reproducible and auditable, never an implicit library default.
+  *
+  * Matching contract (engine-portable, oracle-replayable): tokens are
+  * the whitespace split of the lowercased trimmed text; each token is
+  * stripped of leading/trailing non-alphanumerics (so "word," and
+  * "(word" match "word") and compared EXACTLY against the lowercased
+  * list. Exact-token matching, not substring: the classic clbuttic
+  * failure mode of substring filters (innocent words containing a
+  * blocked word) is a published embarrassment of this gate's naive
+  * form.
+  *
+  * Scale shape: the list is model-sized (hundreds of words per
+  * language) and rides the plan as an InSet literal — the whole gate is
+  * one codegen'd scan-side projection, zero shuffles, zero joins; a
+  * filter composed above it pushes into the scan like the rule
+  * chain. */
+object WordBlocklist {
+
+  /** Normalize one token the way the matcher compares it. */
+  private def normTok(t: Column): Column =
+    regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", "")
+
+  /** Blocked-token count of `text` against the frozen `words` —
+    * a codegen'd scalar Column (InSet membership per token). */
+  def hitsCol(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty,
+      "WordBlocklist: empty word list — an empty gate that drops " +
+        "nothing is a silently disabled filter; refuse loudly")
+    val w = words.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    require(w.nonEmpty,
+      "WordBlocklist: the word list normalizes to empty")
+    size(org.apache.spark.sql.functions.filter(
+      transform(split(lower(trim(text)), "\\s+"), t => normTok(t)),
+      t => t.isin(w: _*)))
+  }
+
+  /** Load the frozen list snapshot: a parquet with a `word` column.
+    * Model-sized driver collect (hundreds of rows); refuses an empty
+    * or wordless snapshot. */
+  def loadWords(spark: SparkSession, path: String): Seq[String] = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("word"),
+      s"WordBlocklist: snapshot at $path has no 'word' column " +
+        s"(found: ${df.columns.mkString(", ")})")
+    val words = df.select(lower(trim(col("word"))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .distinct().orderBy(col("w"))
+      .collect().map(_.getString(0)).toSeq
+    require(words.nonEmpty,
+      s"WordBlocklist: snapshot at $path holds no usable words")
+    words
+  }
+
+  /** Per-document accounting: `(id, n_tokens, n_blocked)` — the audit
+    * view of the gate (what WOULD drop, and how token-heavy the hits
+    * are), same arithmetic as [[filter]]. */
+  def report(df: DataFrame, idCol: String, textCol: String,
+             words: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      hitsCol(col(textCol), words).cast("long").as("n_blocked"))
+
+  /** Documents with at most `maxHits` blocked tokens (C4's published
+    * gate is `maxHits = 0`: any hit drops the page). Null text carries
+    * a null count and DROPS — the conservative reading. */
+  def filter(df: DataFrame, textCol: String, words: Seq[String],
+             maxHits: Int = 0): DataFrame = {
+    require(maxHits >= 0, s"maxHits must be >= 0, got $maxHits")
+    df.filter(hitsCol(col(textCol), words) <= maxHits)
+  }
+}

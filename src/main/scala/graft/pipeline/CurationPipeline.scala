@@ -231,6 +231,14 @@ object CurationPipeline {
     * conservative reading, same as the lm gate's no-evidence rule. */
   final case class LangIdConfig(modelPath: String, keep: Seq[String])
 
+  /** Word-blocklist page gate ([[graft.ops.WordBlocklist]]): drop every
+    * document with more than `maxHits` tokens matching the FROZEN list
+    * snapshot — the published C4 banned-words filter (`maxHits = 0`) /
+    * Dolma taxonomy gate as one config stage. Frozen file + per-row
+    * token arithmetic ⇒
+    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it. */
+  final case class WordBlocklistConfig(listPath: String, maxHits: Int = 0)
+
   /** LM fluency gate ([[graft.ops.KneserNey]]): a FROZEN persisted
     * Kneser–Ney model (the published CCNet scorer class) scores each
     * document's mean trigram log-probability — the perplexity filter
@@ -281,7 +289,8 @@ object CurationPipeline {
       lm: Option[LmConfig] = None,
       langId: Option[LangIdConfig] = None,
       cardPath: Option[String] = None,
-      cardMix: Seq[String] = Nil)
+      cardMix: Seq[String] = Nil,
+      wordBlocklist: Option[WordBlocklistConfig] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -705,10 +714,23 @@ object CurationPipeline {
         }
     }
     if (config.decontaminate.isDefined) stages += (("decontaminate", decon))
-    val ruleGated =
+    val heuristicGated =
       if (config.rules.isEmpty) decon
       else Policy.survivors(decon, namedRules(config))
-    if (config.rules.nonEmpty) stages += (("rules", ruleGated))
+    if (config.rules.nonEmpty) stages += (("rules", heuristicGated))
+    // the banned-words page gate (the C4 filter) right after the
+    // heuristic rules: the frozen list rides the plan as an InSet
+    // literal, so the whole gate is one codegen'd scan-side projection
+    val ruleGated = config.wordBlocklist match {
+      case Some(wb) =>
+        graft.ops.WordBlocklist.filter(heuristicGated, config.textCol,
+          graft.ops.WordBlocklist.loadWords(
+            heuristicGated.sparkSession, wb.listPath),
+          wb.maxHits)
+      case None => heuristicGated
+    }
+    if (config.wordBlocklist.isDefined)
+      stages += (("word_blocklist", ruleGated))
     // the trained-language gate right after the heuristic rules (the
     // CCNet order: language id, then the LM perplexity filter): each
     // surviving document is classified under the FROZEN profile
@@ -1075,6 +1097,8 @@ object CurationPipeline {
     *          "group_column": "lang",       // CCNet tier banding
     *          "tiers": 3,                   // (cross-row, batch-only)
     *          "keep_tiers": [1, 2]},        // 1 = head
+    *   "word_blocklist": {"list_path": "...",  // frozen banned-words
+    *                      "max_hits": 0},  // snapshot (C4 page gate)
     *   "lang_id": {"model_path": "...",     // frozen trained-language
     *               "keep": ["en", "de"]},   // gate on the PREDICTION
     *   "classifier": {"model_path": "...",              // frozen
@@ -1321,6 +1345,17 @@ object CurationPipeline {
         if (keep.isEmpty) fail("lang_id.keep must not be empty")
         Some(LangIdConfig(mp, keep))
     }
+    val wordBlocklist = root \ "word_blocklist" match {
+      case JNothing => None
+      case w =>
+        val lp = str(w \ "list_path").getOrElse(
+          fail("word_blocklist.list_path is required (the frozen word " +
+            "snapshot — parquet with a 'word' column)"))
+        val mh = intOf(w \ "max_hits", "word_blocklist.max_hits", 0)
+        if (mh < 0) fail(
+          s"word_blocklist.max_hits must be >= 0, got $mh")
+        Some(WordBlocklistConfig(lp, mh))
+    }
     val classifier = root \ "classifier" match {
       case JNothing => None
       case c =>
@@ -1559,7 +1594,7 @@ object CurationPipeline {
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
-      textInput, transforms, lm, langId, cardPath, cardMix)
+      textInput, transforms, lm, langId, cardPath, cardMix, wordBlocklist)
   }
 
   private def fail(msg: String): Nothing =

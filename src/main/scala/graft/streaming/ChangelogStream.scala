@@ -729,6 +729,8 @@ object ChangelogStream {
     *  - lang_id: the profile artifact is FROZEN and the predicted
     *    language depends only on the row's own grams — allowed (the
     *    [[streamClassifyLang]] posture inside the config gate);
+    *  - word_blocklist: the word snapshot is FROZEN and the hit count
+    *    is per-row token arithmetic — allowed;
     *  - decontaminate: both methods compare each row against the
     *    FROZEN reference corpus only (paragraph keys / shingle
     *    overlap), never against other arriving rows — allowed

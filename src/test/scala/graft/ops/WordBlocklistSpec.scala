@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The C4 banned-words gate: exact-token matching after punctuation
+  * stripping — never substring (the clbuttic trap) — against a frozen,
+  * refusal-guarded word snapshot. */
+class WordBlocklistSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val words = Seq("bad", "worse")
+
+  "hitsCol" should "match exact tokens case-insensitively with punctuation stripped" in {
+    val df = Seq(
+      (1L, "a Bad day"),            // case-folded match
+      (2L, "(bad), worse!"),        // stripped punctuation, two hits
+      (3L, "badger is not bad-ness"), // substrings must NOT match
+      (4L, "clean text here"),
+      (5L, ""),
+      (6L, "bad bad bad")           // occurrences count, not distinct
+    ).toDF("id", "text")
+    val got = WordBlocklist.report(df, "id", "text", words)
+      .select($"id", $"n_blocked").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    got shouldBe Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 3L))
+  }
+
+  "filter" should "apply the hit budget and drop null text" in {
+    val df = Seq(
+      (1L, Some("one bad word")),
+      (2L, Some("all clean")),
+      (3L, None),                  // null text: no verdict -> drop
+      (4L, Some("bad and worse"))
+    ).toDF("id", "text")
+    WordBlocklist.filter(df, "text", words, maxHits = 0)
+      .select($"id").as[Long].collect().sorted.toSeq shouldBe Seq(2L)
+    WordBlocklist.filter(df, "text", words, maxHits = 1)
+      .select($"id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      WordBlocklist.filter(df, "text", words, maxHits = -1)
+  }
+
+  it should "stay a scan-side projection with no shuffle or join" in {
+    val plan = WordBlocklist.filter(
+        Seq((1L, "x")).toDF("id", "text"), "text", words)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  "loadWords" should "normalize the snapshot and refuse empty or wordless ones" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wbl").toString
+    Seq("  Bad ", "worse", "bad", "", "WORSE").toDF("word")
+      .write.mode("overwrite").parquet(s"$dir/ok")
+    WordBlocklist.loadWords(spark, s"$dir/ok") shouldBe Seq("bad", "worse")
+    // no 'word' column
+    Seq("x").toDF("term").write.mode("overwrite").parquet(s"$dir/col")
+    an[IllegalArgumentException] should be thrownBy
+      WordBlocklist.loadWords(spark, s"$dir/col")
+    // normalizes to empty
+    Seq("", "  ").toDF("word").write.mode("overwrite").parquet(s"$dir/mt")
+    an[IllegalArgumentException] should be thrownBy
+      WordBlocklist.loadWords(spark, s"$dir/mt")
+    // an empty in-memory list refuses too (a gate that drops nothing)
+    an[IllegalArgumentException] should be thrownBy
+      WordBlocklist.hitsCol(col("text"), Seq.empty)
+  }
+}

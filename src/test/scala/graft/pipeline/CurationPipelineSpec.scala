@@ -481,6 +481,55 @@ class CurationPipelineSpec extends SparkTestBase {
          | "dedup": {"method": "against_text_index"}}""".stripMargin)
   }
 
+  "word_blocklist" should "gate pages identically to the hand-composed filter" in {
+    val listDir = s"$tmp/wbl_words"
+    Seq("mid1", "big3", "big5").toDF("word")
+      .write.mode("overwrite").parquet(listDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "word_blocklist": {"list_path": "$listDir"}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = {
+      val gated = spark.read.parquet(docsPath)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+      graft.ops.WordBlocklist.filter(gated, "text",
+          graft.ops.WordBlocklist.loadWords(spark, listDir))
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    got shouldBe want
+    // doc 4 carries mid1, docs 7/8 carry big3+big5 — all gated; 1 has
+    // tok*, 2/5 have word* tokens only
+    got shouldBe Seq(1L, 2L, 5L)
+    // the stage shows up in attrition between rules and the rest
+    CurationPipeline.stageAttrition(spark, cfg)
+      .select($"stage").as[String].collect().toSeq shouldBe
+      Seq("input", "rules", "word_blocklist")
+    // a hit budget admits light offenders
+    val loose = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"}, "rules": [],
+         | "word_blocklist": {"list_path": "$listDir",
+         |                    "max_hits": 1}}""".stripMargin)
+    CurationPipeline.curate(spark, loose)
+      .select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    // parse refusals
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    bad("""{"input": {"path": "/x"}, "rules": [],
+          | "word_blocklist": {"max_hits": 1}}""".stripMargin,
+      "list_path")
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "word_blocklist": {"list_path": "$listDir",
+           |                    "max_hits": -1}}""".stripMargin,
+      "max_hits")
+  }
+
   "lang_id" should "gate on the trained prediction identically to the hand-composed classify" in {
     val corpusPath = s"$tmp/langid_docs"
     val corpus = Seq(

@@ -229,6 +229,31 @@ class StreamCurateSpec extends SparkTestBase {
       .getMessage should include("extend_index")
   }
 
+  it should "accept the frozen word_blocklist gate and converge to batch" in {
+    val listDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_wbl").toString
+    Seq("gamma", "seven").toDF("word")
+      .write.mode("overwrite").parquet(listDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "/unused/by/streaming",
+         |           "id_column": "doc_id", "text_column": "text"},
+         | "rules": ["min_tokens:4"],
+         | "word_blocklist": {"list_path": "$listDir"}}""".stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_win")
+    stage(inDir, feedDocs.take(2), "wave1.parquet", 120000L)
+    stage(inDir, feedDocs.drop(2), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scur_wb").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = CurationPipeline
+      .curateFrame(feedDocs.toDF("doc_id", "text"), cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    // 10 carries gamma, 13 carries seven; 11 fails min_tokens; 12 clean
+    got shouldBe Seq(12L)
+  }
+
   it should "accept the frozen lang_id gate and converge to batch" in {
     val train = Seq(
       SDoc(1L, "the quick brown fox jumps over the lazy dog near the river"),

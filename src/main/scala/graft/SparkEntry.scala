@@ -2359,6 +2359,24 @@ object SparkEntry {
         .orderBy(col("shard"), col("pack_id"))
     }),
 
+    // Assembled training samples: one row per pack with the pieces'
+    // ids, their token START OFFSETS (the document-boundary metadata
+    // packed-sequence attention masks reset on), and the concatenated
+    // text — what a sequence-packing loader consumes. The oracle
+    // replays the greedy walk recursively, then rebuilds ids, offsets
+    // (zero-led running token sums), and the joined text per pack.
+    "q_pack_assembly" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("tok", graft.ops.TextAnalysis.tokenCount(col("text")))
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+      graft.ops.Packing.packAssembly(docs, "doc_id", "text", "tok",
+          capacity = 512, "shard", Seq("doc_id"))
+        .select(col("shard"), col("pack_id"), col("n_pieces"),
+          col("n_tokens"), col("piece_ids"), col("offsets"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+
     // Z-order layout rewrite — Morton-key clustering so per-file min-max
     // stats prune on BOTH join/filter dimensions (rows-only: the output
     // is per-partition layout statistics, engine-specific by nature;
@@ -6724,6 +6742,45 @@ object SparkEntry {
         |  array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text,
         |  CAST(least(40, n - i*32) AS INT) AS chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // The greedy walk replayed per shard, then the pack regroup:
+    // comma-joined ids in walk order, zero-led running token sums for
+    // the offsets, md5 of the separator-joined text.
+    "q_pack_assembly" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id % 4 AS shard, doc_id, text, n,
+        |    row_number() OVER (PARTITION BY doc_id % 4
+        |      ORDER BY doc_id) AS rn
+        |  FROM t),
+        |walk(shard, rn, doc_id, text, tok, pack_id, fill) AS (
+        |  SELECT shard, rn, doc_id, text, n, 0, n FROM ch WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.shard, c.rn, c.doc_id, c.text, c.n,
+        |    CASE WHEN w.fill + c.n > 512 THEN w.pack_id + 1
+        |         ELSE w.pack_id END,
+        |    CASE WHEN w.fill + c.n > 512 THEN c.n
+        |         ELSE w.fill + c.n END
+        |  FROM walk w JOIN ch c ON c.shard = w.shard AND c.rn = w.rn + 1),
+        |asm AS (
+        |  SELECT shard, CAST(pack_id AS INT) AS pack_id,
+        |    count(*) AS n_pieces, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |    string_agg(doc_id::VARCHAR, ',' ORDER BY rn) AS piece_ids,
+        |    list(tok ORDER BY rn) AS tl,
+        |    md5(string_agg(text, chr(10) || chr(10) ORDER BY rn))
+        |      AS text_md5
+        |  FROM walk GROUP BY shard, pack_id)
+        |SELECT shard, pack_id, n_pieces, n_tokens, piece_ids,
+        |  array_to_string(
+        |    [coalesce(list_reduce(list_prepend(0::BIGINT, tl[1:i-1]),
+        |       (a, b) -> a + b), 0)::VARCHAR
+        |     for i in range(1, len(tl) + 1)], ',') AS offsets,
+        |  text_md5
+        |FROM asm ORDER BY shard, pack_id""".stripMargin,
     // Exact next-fit packing: the greedy fill-reset recursion is a
     // recursive CTE on the oracle side (per-shard walk over rows in
     // (doc_id, chunk_idx) order — same semantics as Packing.packGreedy).

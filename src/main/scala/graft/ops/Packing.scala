@@ -75,6 +75,57 @@ object Packing {
       .agg(count(lit(1)).as("n_pieces"),
         sum(col(tokensCol)).as("n_tokens"))
 
+  /** Assembled training SAMPLES: one row per pack with the pieces'
+    * ids, their token START OFFSETS inside the pack, and the
+    * concatenated text — what a sequence-packing loader actually
+    * consumes. The offsets are the document-boundary metadata packed
+    * training needs (attention masks reset at piece boundaries — the
+    * published sequence-packing practice; without them the loader must
+    * re-tokenize to find the joins).
+    *
+    * Output: `(shardCol, pack_id, n_pieces, n_tokens, piece_ids,
+    * offsets, text)` — `piece_ids`/`offsets` are comma-joined strings
+    * in pack order (engine-portable: the oracle rebuilds both with the
+    * same joins). One bounded shuffle beyond [[packGreedy]]'s (the
+    * pack regroup — pack-sized groups by construction: a pack holds at
+    * most `capacity` tokens of pieces). */
+  def packAssembly(df: DataFrame, idCol: String, textCol: String,
+                   tokensCol: String, capacity: Int, shardCol: String,
+                   orderCols: Seq[String],
+                   separator: String = "\n\n"): DataFrame = {
+    val packed = packGreedy(df, tokensCol, capacity, shardCol, orderCols)
+    // ONE sorted struct list per pack; every output field derives from
+    // it (two independent collect_lists could not disagree on order,
+    // but they'd carry the sort twice)
+    val pieces = array_sort(collect_list(struct(col("pack_pos"),
+      col(idCol).cast("string").as("pid"),
+      col(tokensCol).cast("long").as("ptok"),
+      col(textCol).as("ptext"))))
+    packed.groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"),
+        pieces.as("__pieces"))
+      .select(col(shardCol), col("pack_id"),
+        col("n_pieces"), col("n_tokens"),
+        concat_ws(",",
+          transform(col("__pieces"), p => p.getField("pid")))
+          .as("piece_ids"),
+        // starts: running sum of the piece token counts, zero-led —
+        // aggregate builds [0, t1, t1+t2, ...]; the trailing total is
+        // sliced off (it IS n_tokens)
+        concat_ws(",", transform(
+          slice(
+            aggregate(
+              transform(col("__pieces"), p => p.getField("ptok")),
+              array(lit(0L)),
+              (acc, t) => concat(acc, array(element_at(acc, -1) + t))),
+            lit(1), size(col("__pieces"))),
+          o => o.cast("string"))).as("offsets"),
+        concat_ws(separator,
+          transform(col("__pieces"), p => p.getField("ptext")))
+          .as("text"))
+  }
+
   /** Token-BALANCED output sharding: rows dealt round-robin across
     * `nShards` in descending token order (ties → min of `orderCol`) —
     * the data-parallel-training shard writer, where skewed shard token

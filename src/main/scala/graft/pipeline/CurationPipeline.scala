@@ -114,8 +114,14 @@ object CurationPipeline {
                                tokenizerPath: Option[String] = None)
   /** `shards` buckets rows by `pmod(id, shards)` — the pack
     * parallelism unit; each shard packs independently
-    * ([[Packing.packGreedy]]'s per-group walk). */
-  final case class PackConfig(capacity: Int, shards: Int)
+    * ([[Packing.packGreedy]]'s per-group walk). `assemble = true`
+    * publishes the ASSEMBLED samples ([[Packing.packAssembly]] —
+    * pieces' ids, token start offsets, concatenated text) instead of
+    * the pack summary: what a sequence-packing loader consumes, with
+    * the boundary metadata its attention masks reset on. */
+  final case class PackConfig(capacity: Int, shards: Int,
+                              assemble: Boolean = false,
+                              separator: String = "\n\n")
   /** Per-domain token budgets ([[Sampling.tokenBudgetMix]]). Token
     * counts default to the whitespace count; `tokenizerPath` swaps in a
     * FROZEN [[graft.ops.TokenizerArtifact]] so budgets are provisioned
@@ -958,7 +964,13 @@ object CurationPipeline {
       case (Some(c), Some(p)) =>
         val chunks = chunked(c)
           .withColumn("shard", pmod(col(config.idCol), lit(p.shards)))
-        Packing.packSummary(chunks, "chunk_tokens", p.capacity,
+        if (p.assemble)
+          Packing.packAssembly(
+            chunks.withColumn("__piece",
+              concat_ws(":", col(config.idCol), col("chunk_idx"))),
+            "__piece", "chunk_text", "chunk_tokens", p.capacity,
+            "shard", Seq(config.idCol, "chunk_idx"), p.separator)
+        else Packing.packSummary(chunks, "chunk_tokens", p.capacity,
           "shard", Seq(config.idCol, "chunk_idx"))
       case (None, Some(_)) =>
         fail("pack requires chunk (packing needs chunk_tokens)")
@@ -1126,7 +1138,8 @@ object CurationPipeline {
     *   "chunk": {"tokens": 40, "overlap": 8,             // optional
     *             "tokenizer": "/models/tok"},  // real bpe_bytes units
     *                                 // (else the whitespace proxy)
-    *   "pack": {"capacity": 512, "shards": 8},           // needs chunk
+    *   "pack": {"capacity": 512, "shards": 8,            // needs chunk
+    *            "assemble": true, "separator": "\n\n"}, // emit SAMPLES
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
     *   "sink": {"path": "...",
     *            "format": "parquet" | "jsonl" | "webdataset",
@@ -1508,7 +1521,13 @@ object CurationPipeline {
       case p => Some(PackConfig(
         intOf(p \ "capacity", "pack.capacity",
           fail("pack.capacity is required when pack is declared")),
-        intOf(p \ "shards", "pack.shards", 1)))
+        intOf(p \ "shards", "pack.shards", 1),
+        p \ "assemble" match {
+          case JNothing => false
+          case JBool(b) => b
+          case other => fail(s"pack.assemble must be a boolean, got $other")
+        },
+        str(p \ "separator").getOrElse("\n\n")))
     }
     if (pack.isDefined && chunk.isEmpty)
       fail("pack requires chunk (packing needs chunk_tokens)")

@@ -35,6 +35,29 @@ class PackingSpec extends SparkTestBase {
     out.map(_._4).sum shouldBe pieces.agg(sum($"toks")).head().getLong(0)
   }
 
+  "packAssembly" should "emit ids, zero-led token offsets, and reassembled text per pack" in {
+    val df = pieces.withColumn("text",
+      concat(lit("piece-"), $"seq".cast("string")))
+    val out = Packing.packAssembly(df, "seq", "text", "toks",
+        capacity = 80, "shard", Seq("seq"), separator = "|")
+      .select($"shard", $"pack_id", $"n_pieces", $"n_tokens",
+        $"piece_ids", $"offsets", $"text")
+      .as[(String, Int, Long, Long, String, String, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    out shouldBe Seq(
+      ("a", 0, 2L, 60L, "1,2", "0,30", "piece-1|piece-2"),
+      ("a", 1, 2L, 70L, "3,4", "0,30", "piece-3|piece-4"),
+      ("a", 2, 1L, 90L, "5", "0", "piece-5"), // oversize piece alone
+      ("b", 0, 1L, 80L, "1", "0", "piece-1"),
+      ("b", 1, 1L, 10L, "2", "0", "piece-2"))
+    // every field derives from the SAME walk packGreedy performs
+    val packed = Packing.packGreedy(df, "toks", 80, "shard", Seq("seq"))
+      .select($"shard", $"pack_id", $"seq").as[(String, Int, Int)]
+      .collect().groupBy(r => (r._1, r._2))
+      .map { case (k, v) => (k, v.map(_._3).sorted.mkString(",")) }
+    out.map(r => ((r._1, r._2), r._5)).toMap shouldBe packed
+  }
+
   it should "keep capacity hard on a randomized corpus with no oversize pieces" in {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 400).map(i => (i % 5, i, 1 + rnd.nextInt(50)))

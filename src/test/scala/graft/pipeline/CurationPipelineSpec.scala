@@ -481,6 +481,42 @@ class CurationPipelineSpec extends SparkTestBase {
          | "dedup": {"method": "against_text_index"}}""".stripMargin)
   }
 
+  "pack.assemble" should "publish assembled samples identical to the hand-composed packAssembly" in {
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": ["min_tokens:10"],
+         | "chunk": {"tokens": 10, "overlap": 2},
+         | "pack": {"capacity": 64, "shards": 4,
+         |          "assemble": true, "separator": "<eos>"}}"""
+        .stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"shard", $"pack_id", $"n_pieces", $"n_tokens",
+        $"piece_ids", $"offsets", $"text")
+      .collect().map(_.toString).sorted.toSeq
+    val want = {
+      val gated = spark.read.parquet(docsPath)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+      val chunks = Chunking.chunk(gated, "text", 10, 2)
+        .withColumn("shard", pmod($"doc_id", lit(4)))
+        .withColumn("__piece",
+          concat_ws(":", $"doc_id", $"chunk_idx"))
+      Packing.packAssembly(chunks, "__piece", "chunk_text",
+          "chunk_tokens", 64, "shard", Seq("doc_id", "chunk_idx"),
+          "<eos>")
+        .select($"shard", $"pack_id", $"n_pieces", $"n_tokens",
+          $"piece_ids", $"offsets", $"text")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    got shouldBe want
+    want should not be empty
+    // non-boolean assemble refused
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "/x"}, "rules": [],
+           | "chunk": {"tokens": 10, "overlap": 2},
+           | "pack": {"capacity": 64, "assemble": "yes"}}""".stripMargin)
+  }
+
   "word_blocklist" should "gate pages identically to the hand-composed filter" in {
     val listDir = s"$tmp/wbl_words"
     Seq("mid1", "big3", "big5").toDF("word")

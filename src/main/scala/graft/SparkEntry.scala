@@ -53,6 +53,43 @@ object SparkEntry {
       |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1)"""
       .stripMargin
 
+  /** Shared quality-score replay: the four additive quarter-point
+    * gates over length / punctuation ratio / mean token length /
+    * stopword ratio, with the heuristic language counts riding along.
+    * Yields `scored(doc_id, text, n_tokens, q, h_de, h_en, h_es,
+    * h_fr)`. */
+  private val QualityScoreOracleCte: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+       |              / length(text) END AS punct_ratio,
+       |    CASE WHEN n_tokens = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / n_tokens
+       |         END AS mean_tok,
+       |    CASE WHEN n_tokens = 0 THEN 0.0
+       |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSqlList, x)))::DOUBLE
+       |              / n_tokens END AS stop_ratio,
+       |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS h_de,
+       |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for'], x))) AS h_en,
+       |    len(list_filter(toks, x -> list_contains(['el','los','que','es','una','por','como'], x))) AS h_es,
+       |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS h_fr
+       |  FROM t),
+       |scored AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 0.25 ELSE 0.0 END)
+       |     + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
+       |     + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+       |     + (CASE WHEN stop_ratio > 0.05 THEN 0.25 ELSE 0.0 END) AS q,
+       |    h_de, h_en, h_es, h_fr
+       |  FROM m)""".stripMargin
+
   private val LangIdOracleSql: String =
     s"""$LangIdOracleCte
       |SELECT doc_id, lang_pred, n_grams, score FROM pred
@@ -1832,6 +1869,18 @@ object SparkEntry {
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
         TextAnalysis.languageId(col("text")).as("lang_id"))
         .orderBy(col("doc_id"))),
+
+    // Retention curve: the label-free threshold calibration a quality
+    // gate is tuned with — documents and tokens KEPT at every grid
+    // threshold, with corpus shares. One bucket aggregate collapses the
+    // corpus; the reverse-cumulative windows run on the 21-row grid.
+    "q_retention_curve" -> ((s, d) =>
+      graft.ops.ClassifierEval.retentionCurve(
+          Tables.documents(s, d).select(
+            TextAnalysis.qualityScore(col("text")).as("score"),
+            TextAnalysis.tokenCount(col("text")).as("n_toks")),
+          "score", "n_toks", steps = 20)
+        .orderBy(col("threshold"))),
 
     // ---- extension tier: deduplication ----
 
@@ -6115,39 +6164,41 @@ object SparkEntry {
          |    (a, c) -> (a * 31 + c) % 2147483647) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, text, n_tokens,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-         |              / length(text) END AS punct_ratio,
-         |    CASE WHEN n_tokens = 0 THEN 0.0
-         |         ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / n_tokens
-         |         END AS mean_tok,
-         |    CASE WHEN n_tokens = 0 THEN 0.0
-         |         ELSE len(list_filter(toks, x -> list_contains($StopwordsSqlList, x)))::DOUBLE
-         |              / n_tokens END AS stop_ratio,
-         |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS h_de,
-         |    len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for'], x))) AS h_en,
-         |    len(list_filter(toks, x -> list_contains(['el','los','que','es','una','por','como'], x))) AS h_es,
-         |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','dans'], x))) AS h_fr
-         |  FROM t)
-         |SELECT doc_id,
-         |  round((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 0.25 ELSE 0.0 END)
-         |   + (CASE WHEN punct_ratio < 0.3 THEN 0.25 ELSE 0.0 END)
-         |   + (CASE WHEN mean_tok BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
-         |   + (CASE WHEN stop_ratio > 0.05 THEN 0.25 ELSE 0.0 END), 6) AS quality,
+      s"""$QualityScoreOracleCte
+         |SELECT doc_id, round(q, 6) AS quality,
          |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
          |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
          |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
          |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
          |       ELSE 'de' END AS lang_id
-         |FROM m ORDER BY doc_id""".stripMargin,
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // Retention curve over the same quality replay: bucket per doc,
+    // grid left-join (every threshold gets a row), reverse-cumulative
+    // retained counts and the share windows over the grid frame.
+    "q_retention_curve" ->
+      s"""$QualityScoreOracleCte,
+         |bk AS (
+         |  SELECT CAST(least(greatest(floor(q * 20), 0), 20) AS INT) AS b,
+         |    count(*) AS n, sum(n_tokens) AS tk
+         |  FROM scored GROUP BY 1),
+         |grid AS (SELECT CAST(unnest(range(0, 21)) AS INT) AS k),
+         |g AS (
+         |  SELECT k, coalesce(n, 0) AS n, coalesce(tk, 0) AS tk
+         |  FROM grid LEFT JOIN bk ON bk.b = grid.k),
+         |r AS (
+         |  SELECT k,
+         |    sum(n) OVER (ORDER BY k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd,
+         |    sum(tk) OVER (ORDER BY k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt,
+         |    sum(n) OVER () AS td, sum(tk) OVER () AS tt
+         |  FROM g)
+         |SELECT round(k::DOUBLE / 20, 6) AS threshold,
+         |  CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+         |  CASE WHEN td > 0 THEN round(nd::DOUBLE / td, 6) END AS doc_frac,
+         |  CASE WHEN tt > 0 THEN round(nt::DOUBLE / tt, 6) END
+         |    AS token_frac
+         |FROM r ORDER BY threshold""".stripMargin,
     // null-text rows pass through UNDEDUPED (nulls are not content
     // duplicates of each other) — mirrored by the null-partition bypass
     "q_dedup_exact" ->

@@ -85,4 +85,50 @@ object ClassifierEval {
         (col("__ssum").cast(DoubleType) / col("n").cast(DoubleType))
           .as("mean_score"))
   }
+
+  /** Retention curve — the label-free calibration the quality/fluency
+    * gates actually get tuned with ("which threshold keeps 30% of the
+    * tokens?"): one row per grid point `k/steps` with the documents and
+    * tokens RETAINED by gating at `score >= threshold`, plus their
+    * shares of the corpus. Scores are expected in [0, 1] (out-of-range
+    * scores clamp to the boundary buckets, so the curve still accounts
+    * for every row).
+    *
+    * Scale shape: one map-side-combined bucket aggregate collapses the
+    * corpus to ≤ steps+1 rows; the reverse-cumulative and total windows
+    * run on the GRID frame only (steps+1 rows — every grid point gets a
+    * row even when no document lands in its bucket, so the consumer can
+    * index the curve directly). */
+  def retentionCurve(df: DataFrame, scoreCol: String, tokensCol: String,
+                     steps: Int = 20): DataFrame = {
+    require(steps >= 1 && steps <= 100000,
+      s"retentionCurve: steps must be in [1, 100000], got $steps")
+    val spark = df.sparkSession
+    val bucket = least(greatest(floor(col(scoreCol) * steps), lit(0.0)),
+      lit(steps.toDouble)).cast("int")
+    val bucketed = df
+      .select(bucket.as("b"), col(tokensCol).cast("long").as("__t"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__t")), lit(0L)).as("tk"))
+    val grid = spark.range(0, steps + 1L)
+      .select(col("id").cast("int").as("k"))
+    val wRev = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    grid.join(bucketed, grid("k") === bucketed("b"), "left")
+      .select(col("k"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tk"), lit(0L)).as("tk"))
+      .select(col("k"),
+        sum(col("n")).over(wRev).as("nd"),
+        sum(col("tk")).over(wRev).as("nt"),
+        sum(col("n")).over(wAll).as("__td"),
+        sum(col("tk")).over(wAll).as("__tt"))
+      .select(round(col("k").cast("double") / steps, 6).as("threshold"),
+        col("nd").as("n_docs"), col("nt").as("n_tokens"),
+        when(col("__td") > 0,
+          round(col("nd").cast("double") / col("__td"), 6)).as("doc_frac"),
+        when(col("__tt") > 0,
+          round(col("nt").cast("double") / col("__tt"), 6))
+          .as("token_frac"))
+  }
 }

@@ -73,4 +73,33 @@ class ClassifierEvalSpec extends SparkTestBase {
       .select($"mean_score").as[Double].head()
     m shouldBe (0.39 / 3) +- 1e-12
   }
+
+  "retentionCurve" should "count docs and tokens kept at every grid threshold" in {
+    // scores 0.0, 0.3, 0.55, 1.0 with tokens 10, 20, 30, 40 at steps=4:
+    // buckets 0, 1, 2, 4 — grid point 3 (0.75) gets a row with only the
+    // 1.0 doc retained
+    val df = Seq((0.0, 10L), (0.3, 20L), (0.55, 30L), (1.0, 40L))
+      .toDF("score", "toks")
+    val out = ClassifierEval.retentionCurve(df, "score", "toks", steps = 4)
+      .select($"threshold", $"n_docs", $"n_tokens", $"doc_frac",
+        $"token_frac")
+      .as[(Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (0.0, 4L, 100L, 1.0, 1.0),
+      (0.25, 3L, 90L, 0.75, 0.9),
+      (0.5, 2L, 70L, 0.5, 0.7),
+      (0.75, 1L, 40L, 0.25, 0.4),
+      (1.0, 1L, 40L, 0.25, 0.4))
+    // out-of-range scores clamp to the boundary buckets — every row
+    // stays accounted for
+    val clamped = ClassifierEval.retentionCurve(
+        Seq((-0.5, 1L), (2.0, 1L)).toDF("score", "toks"),
+        "score", "toks", steps = 2)
+      .select($"threshold", $"n_docs").as[(Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    clamped shouldBe Seq((0.0, 2L), (0.5, 1L), (1.0, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      ClassifierEval.retentionCurve(df, "score", "toks", steps = 0)
+  }
 }

@@ -688,6 +688,15 @@ object SparkEntry {
         .otherwise(lit("All rights reserved (c) site 99.")),
       lit("\n\n"), substring(col("text"), 101, 100))
 
+  /** q_chunk_sentences fixture: four text slices of uneven token
+    * counts joined by the three terminal punctuation marks — the corpus
+    * text carries no sentence punctuation of its own. */
+  private def SentenceFixtureCol: Column =
+    concat(substring(col("text"), 1, 40), lit(". "),
+      substring(col("text"), 41, 80), lit("! "),
+      substring(col("text"), 121, 25), lit("? "),
+      substring(col("text"), 146, 60), lit("."))
+
   /** q_pdf_extract / q_warc_pdf page slices: 1 + id%3 pages of 80-char
     * text cuts (the Column side of `PdfSliceTextSql`). */
   private def PdfFixturePages: Column = {
@@ -3607,6 +3616,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+
+    // Sentence-boundary chunking: windows of at most 30 whitespace
+    // tokens that never cut inside a sentence (the RAG/embedding-model
+    // contract) — terminal-punctuation segmentation, greedy fill-reset
+    // per document, sentences rejoined with a single space. The oracle
+    // replays the fixture composition, the sentinel split, the
+    // per-sentence token counts, and the recursive greedy walk.
+    "q_chunk_sentences" -> ((s, d) =>
+      graft.ops.Chunking.chunkSentences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), SentenceFixtureCol.as("text")),
+          "doc_id", "text", maxTokens = 30)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // Context windows in REAL tokenizer units: chunk.tokenizer sizes
     // chunks under the frozen byte-BPE artifact and detokenizes chunk
@@ -8639,6 +8661,50 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     // Tokenizer-unit chunking replayed: zero-merge byte tokens over the
+    // Fixture composition, sentinel split (chr(1) — RE2 has no
+    // lookbehind on either engine), per-sentence token counts, the
+    // recursive greedy fill-reset walk per document, ordered rejoin.
+    "q_chunk_sentences" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || '. ' || substr(text, 41, 80) || '! '
+        |      || substr(text, 121, 25) || '? ' || substr(text, 146, 60)
+        |      || '.' AS ft
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(ft, '([.!?])\s+', '\1' || chr(1), 'g'),
+        |      chr(1)) AS arr
+        |  FROM f),
+        |e AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM sp),
+        |s0 AS (
+        |  SELECT doc_id, CAST(i AS INT) AS sent_idx, arr[i+1] AS sentence,
+        |    CASE WHEN length(trim(arr[i+1])) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(arr[i+1]), '\s+'))
+        |         END AS n
+        |  FROM e WHERE trim(arr[i+1]) <> ''),
+        |r0 AS (
+        |  SELECT doc_id, sent_idx, sentence, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx)
+        |      AS rn
+        |  FROM s0),
+        |walk(doc_id, rn, sentence, tok, pack_id, fill) AS (
+        |  SELECT doc_id, rn, sentence, n, 0, n FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.doc_id, c.rn, c.sentence, c.n,
+        |    CASE WHEN w.fill + c.n > 30 THEN w.pack_id + 1
+        |         ELSE w.pack_id END,
+        |    CASE WHEN w.fill + c.n > 30 THEN c.n
+        |         ELSE w.fill + c.n END
+        |  FROM walk w JOIN r0 c ON c.doc_id = w.doc_id
+        |    AND c.rn = w.rn + 1)
+        |SELECT doc_id, CAST(pack_id AS INT) AS chunk_idx,
+        |  string_agg(sentence, ' ' ORDER BY rn) AS chunk_text,
+        |  CAST(sum(tok) AS BIGINT) AS chunk_tokens,
+        |  count(*) AS n_sentences
+        |FROM walk GROUP BY doc_id, pack_id
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // ASCII corpus make the tokenize->window->detokenize chain exactly
     // substr windows (120-byte chunks, stride 96) over octet_length.
     "q_chunk_tokenizer" ->

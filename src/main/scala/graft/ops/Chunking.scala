@@ -111,4 +111,50 @@ object Chunking {
         col("__c.chunk_text").as("chunk_text"),
         col("__c.chunk_tokens").as("chunk_tokens"))): _*)
   }
+
+  /** Sentence-boundary chunking: windows of at most `maxTokens`
+    * whitespace tokens that never cut INSIDE a sentence — each chunk is
+    * a run of consecutive sentences, so no training window opens or
+    * closes mid-thought (the RAG/embedding-model chunking contract,
+    * where a window split mid-sentence poisons both halves). A single
+    * sentence longer than `maxTokens` gets a chunk of its own (split
+    * upstream with [[chunk]] if that matters).
+    *
+    * Sentence segmentation is the deterministic terminal-punctuation
+    * rule ([[C4Rules.sentenceCountApprox]]'s convention, engine-
+    * replayable — documented determinism over an NLP splitter): a
+    * sentence ends at `[.!?]` followed by whitespace. RE2 has no
+    * lookbehind, so the split is the sentinel move: rewrite
+    * `([.!?])\s+` to keep the punctuation and split on the U+0001 sentinel
+    * (corpus text must not contain U+0001 — a control byte the
+    * encoding-fix transform strips anyway). Blank sentences drop;
+    * chunks rejoin their sentences with a single space.
+    *
+    * Scale shape: the sentence explode is per-row; the greedy fill-
+    * reset walk is [[Packing.packGreedy]] keyed by DOCUMENT (one
+    * bounded group per doc — parallelism = document count), and the
+    * reassembly regroups the same key. Output: (idCol, chunk_idx,
+    * chunk_text, chunk_tokens, n_sentences). */
+  def chunkSentences(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val sents = df.select(col(idCol),
+        posexplode(split(
+          regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001"),
+          "\u0001")).as(Seq("sent_idx", "sentence")))
+      .filter(trim(col("sentence")) =!= "")
+      .withColumn("sent_tokens",
+        TextAnalysis.tokenCount(col("sentence")))
+    val packed = Packing.packGreedy(sents, "sent_tokens", maxTokens,
+      idCol, Seq("sent_idx"))
+    packed.groupBy(col(idCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("sent_tokens")).cast("long").as("chunk_tokens"),
+        array_sort(collect_list(struct(col("pack_pos"),
+          col("sentence").as("s")))).as("__ss"))
+      .select(col(idCol), col("pack_id").as("chunk_idx"),
+        concat_ws(" ", transform(col("__ss"), p => p.getField("s")))
+          .as("chunk_text"),
+        col("chunk_tokens"), col("n_sentences"))
+  }
 }

@@ -75,4 +75,32 @@ class ChunkingSpec extends SparkTestBase {
       .select($"chunk_text").as[String].collect().toSeq shouldBe
       Seq("abcd", "efgh", "ij")
   }
+
+  "chunkSentences" should "never cut inside a sentence and isolate oversize ones" in {
+    val df = Seq(
+      // sentences of 3, 4, 2, 7 tokens at maxTokens=6:
+      // [3] | [4, 2] | [7 oversize alone]
+      (1L, "one two three. four five six seven! eight nine? " +
+        "a b c d e f g."),
+      // a doc with no terminal punctuation = one sentence
+      (2L, "just five plain words here"),
+      // doubled whitespace after punctuation still splits once
+      (3L, "first part.   second part.")
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkSentences(df, "doc_id", "text", maxTokens = 6)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens",
+        $"n_sentences")
+      .as[(Long, Int, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    got shouldBe Seq(
+      (1L, 0, "one two three.", 3L, 1L),
+      (1L, 1, "four five six seven! eight nine?", 6L, 2L),
+      (1L, 2, "a b c d e f g.", 7L, 1L), // oversize sentence isolated
+      (2L, 0, "just five plain words here", 5L, 1L),
+      (3L, 0, "first part. second part.", 4L, 2L))
+    // chunk tokens partition the doc's sentence tokens exactly
+    got.filter(_._1 == 1L).map(_._4).sum shouldBe 16L
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.chunkSentences(df, "doc_id", "text", 0)
+  }
 }

@@ -53,6 +53,53 @@ object SparkEntry {
       |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1)"""
       .stripMargin
 
+  /** Sentence-boundary chunking replay: fixture composition, the
+    * chr(1) sentinel split, per-sentence token counts, the recursive
+    * greedy fill-reset walk per document, ordered rejoin — shared by
+    * the op query and the config chunk.mode=sentences path (staged
+    * fixture ≡ the composed Column). */
+  private val SentenceChunkOracleSql: String =
+    """WITH RECURSIVE f AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || '. ' || substr(text, 41, 80) || '! '
+        |      || substr(text, 121, 25) || '? ' || substr(text, 146, 60)
+        |      || '.' AS ft
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(ft, '([.!?])\s+', '\1' || chr(1), 'g'),
+        |      chr(1)) AS arr
+        |  FROM f),
+        |e AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM sp),
+        |s0 AS (
+        |  SELECT doc_id, CAST(i AS INT) AS sent_idx, arr[i+1] AS sentence,
+        |    CASE WHEN length(trim(arr[i+1])) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(arr[i+1]), '\s+'))
+        |         END AS n
+        |  FROM e WHERE trim(arr[i+1]) <> ''),
+        |r0 AS (
+        |  SELECT doc_id, sent_idx, sentence, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx)
+        |      AS rn
+        |  FROM s0),
+        |walk(doc_id, rn, sentence, tok, pack_id, fill) AS (
+        |  SELECT doc_id, rn, sentence, n, 0, n FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.doc_id, c.rn, c.sentence, c.n,
+        |    CASE WHEN w.fill + c.n > 30 THEN w.pack_id + 1
+        |         ELSE w.pack_id END,
+        |    CASE WHEN w.fill + c.n > 30 THEN c.n
+        |         ELSE w.fill + c.n END
+        |  FROM walk w JOIN r0 c ON c.doc_id = w.doc_id
+        |    AND c.rn = w.rn + 1)
+        |SELECT doc_id, CAST(pack_id AS INT) AS chunk_idx,
+        |  string_agg(sentence, ' ' ORDER BY rn) AS chunk_text,
+        |  CAST(sum(tok) AS BIGINT) AS chunk_tokens,
+        |  count(*) AS n_sentences
+        |FROM walk GROUP BY doc_id, pack_id
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Shared quality-score replay: the four additive quarter-point
     * gates over length / punctuation ratio / mean token length /
     * stopword ratio, with the heuristic language counts riding along.
@@ -3629,6 +3676,24 @@ object SparkEntry {
             .select(col("doc_id"), SentenceFixtureCol.as("text")),
           "doc_id", "text", maxTokens = 30)
         .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // The same composition config-declared: chunk.mode = "sentences"
+    // over the staged punctuated fixture — shares the literal oracle.
+    "q_pipeline_chunk_sentences" -> ((s, d) => {
+      val fx = stagedOnce("sentfx", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), SentenceFixtureCol.as("text"))
+          .write.mode("overwrite").parquet(s"$dir/in")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/in"},
+           | "rules": [],
+           | "chunk": {"tokens": 30, "mode": "sentences"}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_tokens"), col("n_sentences"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
 
     // Context windows in REAL tokenizer units: chunk.tokenizer sizes
     // chunks under the frozen byte-BPE artifact and detokenizes chunk
@@ -8664,47 +8729,11 @@ object SparkEntry {
     // Fixture composition, sentinel split (chr(1) — RE2 has no
     // lookbehind on either engine), per-sentence token counts, the
     // recursive greedy fill-reset walk per document, ordered rejoin.
-    "q_chunk_sentences" ->
-      """WITH RECURSIVE f AS (
-        |  SELECT doc_id,
-        |    substr(text, 1, 40) || '. ' || substr(text, 41, 80) || '! '
-        |      || substr(text, 121, 25) || '? ' || substr(text, 146, 60)
-        |      || '.' AS ft
-        |  FROM documents),
-        |sp AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(
-        |      regexp_replace(ft, '([.!?])\s+', '\1' || chr(1), 'g'),
-        |      chr(1)) AS arr
-        |  FROM f),
-        |e AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM sp),
-        |s0 AS (
-        |  SELECT doc_id, CAST(i AS INT) AS sent_idx, arr[i+1] AS sentence,
-        |    CASE WHEN length(trim(arr[i+1])) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(arr[i+1]), '\s+'))
-        |         END AS n
-        |  FROM e WHERE trim(arr[i+1]) <> ''),
-        |r0 AS (
-        |  SELECT doc_id, sent_idx, sentence, n,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx)
-        |      AS rn
-        |  FROM s0),
-        |walk(doc_id, rn, sentence, tok, pack_id, fill) AS (
-        |  SELECT doc_id, rn, sentence, n, 0, n FROM r0 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT c.doc_id, c.rn, c.sentence, c.n,
-        |    CASE WHEN w.fill + c.n > 30 THEN w.pack_id + 1
-        |         ELSE w.pack_id END,
-        |    CASE WHEN w.fill + c.n > 30 THEN c.n
-        |         ELSE w.fill + c.n END
-        |  FROM walk w JOIN r0 c ON c.doc_id = w.doc_id
-        |    AND c.rn = w.rn + 1)
-        |SELECT doc_id, CAST(pack_id AS INT) AS chunk_idx,
-        |  string_agg(sentence, ' ' ORDER BY rn) AS chunk_text,
-        |  CAST(sum(tok) AS BIGINT) AS chunk_tokens,
-        |  count(*) AS n_sentences
-        |FROM walk GROUP BY doc_id, pack_id
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_sentences" -> SentenceChunkOracleSql,
+    // the config chunk.mode=sentences path runs the SAME composition
+    // over the staged punctuated fixture — literal shared oracle
+    "q_pipeline_chunk_sentences" -> SentenceChunkOracleSql,
+    
     // ASCII corpus make the tokenize->window->detokenize chain exactly
     // substr windows (120-byte chunks, stride 96) over octet_length.
     "q_chunk_tokenizer" ->

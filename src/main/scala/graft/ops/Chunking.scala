@@ -138,10 +138,15 @@ object Chunking {
   def chunkSentences(df: DataFrame, idCol: String, textCol: String,
                      maxTokens: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
-    val sents = df.select(col(idCol),
+    // the doc's OTHER columns ride the explode and regroup (first()
+    // per chunk — constant within a doc), so the output keeps the
+    // input schema like the token-window chunkers do
+    val others = df.columns.toIndexedSeq
+      .filterNot(c => c == idCol || c == textCol)
+    val sents = df.select((col(idCol) +: others.map(col) :+
         posexplode(split(
           regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001"),
-          "\u0001")).as(Seq("sent_idx", "sentence")))
+          "\u0001")).as(Seq("sent_idx", "sentence"))): _*)
       .filter(trim(col("sentence")) =!= "")
       .withColumn("sent_tokens",
         TextAnalysis.tokenCount(col("sentence")))
@@ -149,12 +154,14 @@ object Chunking {
       idCol, Seq("sent_idx"))
     packed.groupBy(col(idCol), col("pack_id"))
       .agg(count(lit(1)).as("n_sentences"),
-        sum(col("sent_tokens")).cast("long").as("chunk_tokens"),
-        array_sort(collect_list(struct(col("pack_pos"),
-          col("sentence").as("s")))).as("__ss"))
-      .select(col(idCol), col("pack_id").as("chunk_idx"),
+        (sum(col("sent_tokens")).cast("long").as("chunk_tokens") +:
+          array_sort(collect_list(struct(col("pack_pos"),
+            col("sentence").as("s")))).as("__ss") +:
+          others.map(c => first(col(c)).as(c))): _*)
+      .select((col(idCol) +: others.map(col) :+
+        col("pack_id").as("chunk_idx") :+
         concat_ws(" ", transform(col("__ss"), p => p.getField("s")))
-          .as("chunk_text"),
-        col("chunk_tokens"), col("n_sentences"))
+          .as("chunk_text") :+
+        col("chunk_tokens") :+ col("n_sentences")): _*)
   }
 }

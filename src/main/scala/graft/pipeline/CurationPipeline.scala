@@ -111,7 +111,8 @@ object CurationPipeline {
     * .chunkTokenized]] — context windows sized in the units the model
     * trains on, chunk text detokenized losslessly). */
   final case class ChunkConfig(tokens: Int, overlap: Int,
-                               tokenizerPath: Option[String] = None)
+                               tokenizerPath: Option[String] = None,
+                               sentences: Boolean = false)
   /** `shards` buckets rows by `pmod(id, shards)` — the pack
     * parallelism unit; each shard packs independently
     * ([[Packing.packGreedy]]'s per-group walk). `assemble = true`
@@ -952,12 +953,19 @@ object CurationPipeline {
   /** [[curate]] over a GIVEN input frame — see [[curatedDocsFrame]]. */
   def curateFrame(input: DataFrame, config: CurationConfig): DataFrame = {
     val docs = curatedDocsFrame(input, config)
-    def chunked(c: ChunkConfig) = c.tokenizerPath match {
-      case None => Chunking.chunk(docs, config.textCol, c.tokens, c.overlap)
-      case Some(tp) => Chunking.chunkTokenized(docs, config.textCol,
-        graft.ops.TokenizerArtifact.load(docs.sparkSession, tp),
-        c.tokens, c.overlap)
-    }
+    def chunked(c: ChunkConfig) =
+      if (c.sentences)
+        // whole-sentence windows (never cut mid-sentence); parse
+        // refuses overlap/tokenizer with this mode
+        Chunking.chunkSentences(docs, config.idCol, config.textCol,
+          c.tokens)
+      else c.tokenizerPath match {
+        case None => Chunking.chunk(docs, config.textCol, c.tokens,
+          c.overlap)
+        case Some(tp) => Chunking.chunkTokenized(docs, config.textCol,
+          graft.ops.TokenizerArtifact.load(docs.sparkSession, tp),
+          c.tokens, c.overlap)
+      }
     (config.chunk, config.pack) match {
       case (None, None) => docs
       case (Some(c), None) => chunked(c)
@@ -1136,8 +1144,10 @@ object CurationPipeline {
     *              "unimax": {"total_tokens": 500000,       // or derived
     *                         "max_epochs": 2.0}},  // (capped-uniform)
     *   "chunk": {"tokens": 40, "overlap": 8,             // optional
-    *             "tokenizer": "/models/tok"},  // real bpe_bytes units
+    *             "tokenizer": "/models/tok",   // real bpe_bytes units
     *                                 // (else the whitespace proxy)
+    *             "mode": "tokens" | "sentences"},  // sentences = whole-
+    *                                 // sentence windows, no mid-cut
     *   "pack": {"capacity": 512, "shards": 8,            // needs chunk
     *            "assemble": true, "separator": "\n\n"}, // emit SAMPLES
     *   "expectations": ["complete:pack_id:1.0"],         // publish gate
@@ -1510,11 +1520,26 @@ object CurationPipeline {
     }
     val chunk = root \ "chunk" match {
       case JNothing => None
-      case c => Some(ChunkConfig(
-        intOf(c \ "tokens", "chunk.tokens",
-          fail("chunk.tokens is required when chunk is declared")),
-        intOf(c \ "overlap", "chunk.overlap", 0),
-        str(c \ "tokenizer")))
+      case c =>
+        val sentences = c \ "mode" match {
+          case JNothing | JString("tokens") => false
+          case JString("sentences") => true
+          case JString(other) => fail(
+            s"chunk.mode must be tokens | sentences, got '$other'")
+          case other => fail(s"chunk.mode must be a string, got $other")
+        }
+        val overlap = intOf(c \ "overlap", "chunk.overlap", 0)
+        val tokenizer = str(c \ "tokenizer")
+        if (sentences && overlap != 0) fail(
+          "chunk.mode sentences builds whole-sentence windows — " +
+            "overlap does not apply (sentences are never repeated)")
+        if (sentences && tokenizer.isDefined) fail(
+          "chunk.mode sentences sizes windows in whitespace tokens — " +
+            "tokenizer units compose with mode tokens only")
+        Some(ChunkConfig(
+          intOf(c \ "tokens", "chunk.tokens",
+            fail("chunk.tokens is required when chunk is declared")),
+          overlap, tokenizer, sentences))
     }
     val pack = root \ "pack" match {
       case JNothing => None

@@ -102,5 +102,12 @@ class ChunkingSpec extends SparkTestBase {
     got.filter(_._1 == 1L).map(_._4).sum shouldBe 16L
     an[IllegalArgumentException] should be thrownBy
       Chunking.chunkSentences(df, "doc_id", "text", 0)
+    // other columns ride the explode and regroup untouched
+    val carried = Chunking.chunkSentences(
+        df.withColumn("lang", concat(lit("L"), $"doc_id")),
+        "doc_id", "text", maxTokens = 6)
+      .select($"doc_id", $"lang").distinct()
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    carried shouldBe Seq((1L, "L1"), (2L, "L2"), (3L, "L3"))
   }
 }

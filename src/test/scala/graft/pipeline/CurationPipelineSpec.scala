@@ -481,6 +481,42 @@ class CurationPipelineSpec extends SparkTestBase {
          | "dedup": {"method": "against_text_index"}}""".stripMargin)
   }
 
+  "chunk.mode sentences" should "build whole-sentence windows identical to the hand-composed op" in {
+    val p = s"$tmp/sent_docs"
+    Seq(
+      (1L, "one two three. four five six seven! eight nine? a b c d e f g."),
+      (2L, "just five plain words here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"}, "rules": [],
+         | "chunk": {"tokens": 6, "mode": "sentences"}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    val want = Chunking.chunkSentences(spark.read.parquet(p),
+        "doc_id", "text", 6)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe want
+    got should have size 4
+    // refusals: overlap/tokenizer/bad mode with sentences
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "chunk": {"tokens": 6, "overlap": 2,
+           |           "mode": "sentences"}}""".stripMargin, "overlap")
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "chunk": {"tokens": 6, "tokenizer": "/t",
+           |           "mode": "sentences"}}""".stripMargin, "tokenizer")
+    bad(s"""{"input": {"path": "/x"}, "rules": [],
+           | "chunk": {"tokens": 6, "mode": "words"}}""".stripMargin,
+      "chunk.mode")
+  }
+
   "pack.assemble" should "publish assembled samples identical to the hand-composed packAssembly" in {
     val cfg = CurationPipeline.fromJson(
       s"""{"input": {"path": "$docsPath"},

@@ -3614,6 +3614,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Day-2 card merge: two append-lifecycle waves each publish a card;
+    // the corpus card is their SUM — counts add by (section, idx, key),
+    // ratios RECOMPUTE from merged counts. The config here is dedup-
+    // free (per-row rules only), so merge ≡ the full-corpus card (the
+    // additive identity) and the oracle replays the full corpus.
+    "q_dataset_card_merged" -> ((s, d) => {
+      val fx = stagedOnce("cardm", d) { dir =>
+        val docs = Tables.documents(s, d)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .write.mode("overwrite").parquet(s"$dir/a")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$dir/b")
+      }
+      def card(p: String) = graft.pipeline.CurationPipeline.datasetCard(s,
+        graft.pipeline.CurationPipeline.fromJson(
+          s"""{"input": {"path": "$p"},
+             | "rules": ["min_tokens:20"]}""".stripMargin),
+        mixColumns = Seq("lang"))
+      graft.pipeline.CurationPipeline
+        .mergeCards(card(s"$fx/a"), card(s"$fx/b"))
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
     // Quota per SITE: "max N pages per registered domain" as ONE config
     // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
     // subdomains cannot refill a site's budget (full-host quotas would
@@ -8616,6 +8639,47 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 1, source, count(*), coalesce(sum(tok), 0)
         |  FROM dd GROUP BY source),
+        |mix_rows AS (
+        |  SELECT 'mix' AS section, idx, key,
+        |    CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(n_docs::DOUBLE /
+        |      sum(n_docs) OVER (PARTITION BY idx), 6) AS frac,
+        |    NULL::DOUBLE AS step_drop
+        |  FROM mixes)
+        |SELECT * FROM stage_rows
+        |UNION ALL SELECT * FROM mix_rows
+        |ORDER BY section, idx, key""".stripMargin,
+    // The additive identity replayed over the FULL corpus (per-row
+    // rules only): same stage arithmetic as q_dataset_card minus the
+    // dedup boundary, lang mix over the gated survivors.
+    "q_dataset_card_merged" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS tok
+        |  FROM documents),
+        |g AS (SELECT * FROM t WHERE tok >= 20),
+        |st AS (
+        |  SELECT 0 AS idx, 'input' AS key,
+        |    (SELECT count(*) FROM t) AS n_docs,
+        |    (SELECT coalesce(sum(tok), 0) FROM t) AS n_tokens
+        |  UNION ALL SELECT 1, 'rules', (SELECT count(*) FROM g),
+        |    (SELECT coalesce(sum(tok), 0) FROM g)),
+        |stage_rows AS (
+        |  SELECT 'stage' AS section, idx, key,
+        |    CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CASE WHEN first(n_docs) OVER w > 0 THEN
+        |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+        |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+        |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+        |      AS step_drop
+        |  FROM st WINDOW w AS (ORDER BY idx)),
+        |mixes AS (
+        |  SELECT 0 AS idx, lang AS key, count(*) AS n_docs,
+        |    coalesce(sum(tok), 0) AS n_tokens FROM g GROUP BY lang),
         |mix_rows AS (
         |  SELECT 'mix' AS section, idx, key,
         |    CAST(n_docs AS BIGINT) AS n_docs,

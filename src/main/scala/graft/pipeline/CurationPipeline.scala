@@ -943,6 +943,62 @@ object CurationPipeline {
     mixRows.foldLeft(stageRows)(_ unionByName _)
   }
 
+  /** Merge two [[datasetCard]]s — the day-2 closure of the card family
+    * (the mergeable-accounting discipline every sketch and the KN
+    * counts follow): append-lifecycle waves each publish their own
+    * card; the corpus's card is their SUM. Counts and token totals add
+    * by `(section, idx, key)`; the ratio columns RECOMPUTE from the
+    * merged counts (fracs are not additive) with [[datasetCard]]'s
+    * exact arithmetic. For dedup-free configs merge ≡ the card of the
+    * unioned input (the additive identity, spec-pinned); with a dedup
+    * tier the merged card honestly accounts the waves AS RUN — each
+    * wave deduped within itself (the same semantics the append sink
+    * shipped).
+    *
+    * Refuses cards with different stage inventories: summing counts
+    * across different pipelines is not an accounting, it's a bug. */
+  def mergeCards(a: DataFrame, b: DataFrame): DataFrame = {
+    // stage-inventory check: stages-sized collects
+    def stagesOf(df: DataFrame) = df
+      .filter(col("section") === "stage")
+      .select(col("idx"), col("key"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val (sa, sb) = (stagesOf(a), stagesOf(b))
+    require(sa == sb,
+      s"mergeCards: stage inventories differ — left has ${sa.toSeq.sorted
+        .mkString(", ")} vs right ${sb.toSeq.sorted.mkString(", ")}; " +
+        "cards from different pipeline shapes do not merge")
+    val merged = a.select(col("section"), col("idx"), col("key"),
+        col("n_docs"), col("n_tokens"))
+      .unionByName(b.select(col("section"), col("idx"), col("key"),
+        col("n_docs"), col("n_tokens")))
+      .groupBy(col("section"), col("idx"), col("key"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("idx"))
+    val stageRows = merged.filter(col("section") === "stage")
+      .select(col("section"), col("idx"), col("key"),
+        col("n_docs"), col("n_tokens"),
+        when(first(col("n_docs")).over(wCum) > 0,
+          round(col("n_docs").cast("double") /
+            first(col("n_docs")).over(wCum).cast("double"), 6))
+          .as("frac"),
+        when(lag(col("n_docs"), 1).over(wCum) > 0,
+          round(lit(1.0) - col("n_docs").cast("double") /
+            lag(col("n_docs"), 1).over(wCum).cast("double"), 6))
+          .as("step_drop"))
+    val wMix = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("idx"))
+    val mixRows = merged.filter(col("section") === "mix")
+      .select(col("section"), col("idx"), col("key"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(wMix).cast("double"), 6).as("frac"),
+        lit(null).cast("double").as("step_drop"))
+    stageRows.unionByName(mixRows)
+  }
+
   /** The full declared pipeline as ONE lazy frame: document stages,
     * then chunking and packing if configured. With `pack` the result is
     * the pack summary `(shard, pack_id, n_pieces, n_tokens)`; with only

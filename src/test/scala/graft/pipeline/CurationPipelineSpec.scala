@@ -1140,6 +1140,38 @@ class CurationPipelineSpec extends SparkTestBase {
            | "report": {"card_mix": ["lang"]}}""".stripMargin)
   }
 
+  it should "merge wave cards additively and refuse mismatched stage sets" in {
+    val half = s"$tmp/cardm"
+    val docs = spark.read.parquet(docsPath)
+    docs.filter($"doc_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$half/a")
+    docs.filter($"doc_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$half/b")
+    def cfg(p: String, rules: String = "\"min_tokens:10\"") =
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$p"}, "rules": [$rules]}""")
+    def card(p: String) =
+      CurationPipeline.datasetCard(spark, cfg(p), Seq("lang"))
+    // dedup-free config: merge ≡ the card of the whole corpus (the
+    // additive identity — per-row rules commute with the split)
+    val merged = CurationPipeline.mergeCards(
+        card(s"$half/a"), card(s"$half/b"))
+      .collect().map(_.toString).sorted.toSeq
+    val whole = CurationPipeline.datasetCard(spark, cfg(docsPath),
+        Seq("lang"))
+      .collect().map(_.toString).sorted.toSeq
+    merged shouldBe whole
+    merged should not be empty
+    // different stage inventories refuse loudly
+    val other = CurationPipeline.datasetCard(spark,
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$half/a"}, "rules": ["min_tokens:10"],
+           | "dedup": {"method": "exact"}}""".stripMargin))
+    val e = the[IllegalArgumentException] thrownBy
+      CurationPipeline.mergeCards(card(s"$half/a"), other)
+    e.getMessage should include("stage inventories differ")
+  }
+
   it should "dispatch by config shape in the CLI (both/neither sections fail)" in {
     val neither = writeConfig("neither.json", """{"sink": {"path": "/x"}}""")
     graft.SnapshotJob.run(Array(neither), spark) shouldBe 1

@@ -828,6 +828,71 @@ object SparkEntry {
           col("value"), col("ts"))
         .orderBy(col("user_id"))),
 
+    // O1 through the JDBC source adapter: the changelog lives in a REAL
+    // relational store (embedded Derby — the mysql-time-machine family's
+    // native domain is MySQL changelogs, and a replica poll over JDBC is
+    // the connector-less deployment), read back with PARALLEL
+    // partitioned range queries and snapshotted as-of — shares
+    // q_snapshot_asof's oracle, so the store round trip must be exact.
+    "q_jdbc_source" -> ((s, d) => {
+      val db = s"graftev${math.abs(d.hashCode)}"
+      stagedOnce("jdbcdb", d) { _ =>
+        val url = s"jdbc:derby:memory:$db;create=true"
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          st.executeUpdate("CREATE TABLE events (event_id BIGINT, " +
+            "ts TIMESTAMP, user_id BIGINT, event_type VARCHAR(64), " +
+            "value DOUBLE, props VARCHAR(1024))")
+          st.close()
+        } finally c.close()
+        // executor-side batch inserts — embedded Derby shares the JVM
+        // at local[*], so partitions load concurrently
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .coalesce(4)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val cc = java.sql.DriverManager
+              .getConnection(s"jdbc:derby:memory:$db")
+            try {
+              cc.setAutoCommit(false)
+              val ps = cc.prepareStatement(
+                "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)")
+              var n = 0
+              it.foreach { r =>
+                ps.setLong(1, r.getLong(0))
+                ps.setTimestamp(2,
+                  r.getAs[java.sql.Timestamp](1))
+                ps.setLong(3, r.getLong(2))
+                ps.setString(4, r.getString(3))
+                ps.setDouble(5, r.getDouble(4))
+                ps.setString(6, r.getString(5))
+                ps.addBatch()
+                n += 1
+                if (n % 1000 == 0) { ps.executeBatch(); () }
+              }
+              ps.executeBatch()
+              cc.commit()
+              ps.close()
+            } finally cc.close()
+          }
+      }
+      val src = graft.sources.JdbcChangelogSource(
+        s"jdbc:derby:memory:$db",
+        partitionColumn = Some("event_id"), numPartitions = 8)
+      // Derby reports SQL-uppercase identifiers; fold back to the
+      // engine's lowercase convention (JDBC column order = DDL order)
+      val ev = src.read(s, "events")
+      Snapshot.snapshotAsOf(
+          ev.toDF(ev.columns.map(_.toLowerCase).toIndexedSeq: _*),
+          Seq("user_id"), "ts",
+          lit(AsOfTs).cast(TimestampType), Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // O1 via the parser-injected SQL dialect: the SNAPSHOT statement must
     // produce exactly the as-of reconstruction (same oracle as
     // q_snapshot_asof) — the sugar is a source-to-source rewrite, so the
@@ -5679,6 +5744,13 @@ object SparkEntry {
     * hashing. Every query ends in a deterministic ORDER BY. */
   def oracleSql: Map[String, String] = Map(
     "q_snapshot_asof" ->
+      s"""SELECT user_id, event_id, event_type, value, ts FROM events
+         | WHERE ts < TIMESTAMP '$AsOfTs'
+         | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         | ORDER BY user_id""".stripMargin,
+    // the JDBC store round trip must hand back the same snapshot —
+    // shares the as-of oracle verbatim
+    "q_jdbc_source" ->
       s"""SELECT user_id, event_id, event_type, value, ts FROM events
          | WHERE ts < TIMESTAMP '$AsOfTs'
          | QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1

@@ -319,3 +319,50 @@ final case class AvroChangelogSource(
     }
   }
 }
+
+/** JDBC changelog source — the OTHER live store of the reference's
+  * family (mysql-time-machine replicates MYSQL changelogs; polling a
+  * replica's changelog table over JDBC is the connector-less
+  * deployment of the same motion, and Spark ships the JDBC relation
+  * with predicate/projection pushdown built in).
+  *
+  *  - `read`: `spark.read.jdbc`. With `partitionColumn` declared the
+  *    scan runs PARALLEL partitioned range queries: one 2-value probe
+  *    (`MIN`/`MAX` of the column — a driver-sized read) derives the
+  *    bounds, then `numPartitions` concurrent connections each pull a
+  *    stride — the 100 TB shape, where a single-connection pull
+  *    serializes the cluster behind one socket. An empty table (null
+  *    bounds) degrades to the plain single-partition read.
+  *  - `readRange` inherits the trait's filter: Spark's JDBC relation
+  *    pushes `>=` / `<` comparisons into the remote WHERE clause
+  *    (spec-pinned via PushedFilters), so the version bound executes
+  *    server-side like the reference's `Scan.setTimeRange` — no
+  *    override needed, and non-literal bounds still work.
+  *
+  * `table` may be a bare table name or a `(SELECT ...) alias` pushdown
+  * subquery — both are Spark JDBC dbtable forms. Credentials and
+  * driver class ride in `properties` (never in the URL — configs get
+  * committed). */
+final case class JdbcChangelogSource(
+    url: String,
+    properties: java.util.Properties = new java.util.Properties,
+    partitionColumn: Option[String] = None,
+    numPartitions: Int = 8)
+  extends ChangelogSource {
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    partitionColumn match {
+      case None => spark.read.jdbc(url, table, properties)
+      case Some(pc) =>
+        require(numPartitions >= 1,
+          s"JdbcChangelogSource: numPartitions must be >= 1, " +
+            s"got $numPartitions")
+        val probe = spark.read.jdbc(url,
+          s"(SELECT MIN($pc) AS lo, MAX($pc) AS hi FROM $table) b",
+          properties).head()
+        if (probe.isNullAt(0)) spark.read.jdbc(url, table, properties)
+        else spark.read.jdbc(url, table, pc,
+          probe.getLong(0), probe.getLong(1),
+          numPartitions, properties)
+    }
+}

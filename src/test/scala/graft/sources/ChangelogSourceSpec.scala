@@ -395,4 +395,57 @@ class ChangelogSourceSpec extends SparkTestBase {
     Tables.table(spark, root, "region").count() shouldBe
       spark.read.parquet(s"$root/region.parquet").count()
   }
+
+  "the JDBC adapter" should "read partitioned, push version bounds, and round-trip exactly" in {
+    val db = "graft_cls_jdbc"
+    val url = s"jdbc:derby:memory:$db"
+    val c = java.sql.DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE changelog (k BIGINT, " +
+        "ts TIMESTAMP, v VARCHAR(32))")
+      val ps = c.prepareStatement("INSERT INTO changelog VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong % 10)
+        ps.setTimestamp(2, java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + i % 28}%02d 00:00:00"))
+        ps.setString(3, s"v$i")
+        ps.addBatch()
+      }
+      ps.executeBatch(); ps.close(); st.close()
+    } finally c.close()
+    val src = JdbcChangelogSource(url,
+      partitionColumn = Some("k"), numPartitions = 4)
+    val df = src.read(spark, "changelog")
+    // parallel partitioned range scan, complete
+    df.rdd.getNumPartitions shouldBe 4
+    df.count() shouldBe 100L
+    // version bound pushes into the remote WHERE clause
+    val bounded = src.readRange(spark, "changelog", "TS",
+      lit("2024-01-05 00:00:00").cast("timestamp"),
+      lit("2024-01-10 00:00:00").cast("timestamp"))
+    val pushed = bounded.queryExecution.executedPlan.toString
+    pushed should include("PushedFilters")
+    pushed should include("TS")
+    bounded.count() shouldBe
+      df.filter(col("TS") >=
+          "2024-01-05 00:00:00" && col("TS") <
+          "2024-01-10 00:00:00").count()
+    // string round trip exact
+    df.filter(col("k") === 1L)
+      .select(col("v")).as[String].collect().toSet should
+      contain("v1")
+    // empty table degrades to the plain read instead of a null-bound
+    // partitioned scan
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("CREATE TABLE empty_log (k BIGINT, v VARCHAR(8))")
+      st.close()
+    } finally c2.close()
+    src.read(spark, "empty_log").count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      JdbcChangelogSource(url, partitionColumn = Some("k"),
+        numPartitions = 0).read(spark, "changelog")
+  }
 }

@@ -53,6 +53,17 @@ object SnapshotPipeline {
     * README.md:38). `diffFromMillis` switches [[run]] to CDC-export
     * mode: the sink receives [[diff]] (the typed changelog between
     * that instant and `asOfMillis`) instead of the snapshot itself. */
+  /** Config-declared JDBC changelog: `changelogPath` is the JDBC URL,
+    * `table` the remote changelog table (or a pushdown subquery), with
+    * the partitioned-scan parameters of
+    * [[graft.sources.JdbcChangelogSource]]. Credentials and driver
+    * class ride in `properties`. */
+  final case class JdbcSourceConfig(
+      table: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
+      properties: Map[String, String] = Map.empty)
+
   final case class SnapshotConfig(
       changelogPath: String,
       schemaSource: SchemaSource,
@@ -62,7 +73,8 @@ object SnapshotPipeline {
       tsCol: String = "ts",
       asOfMillis: Long = -1L,
       diffFromMillis: Option[Long] = None,
-      expectations: Seq[graft.ops.Expectations.Expect] = Nil)
+      expectations: Seq[graft.ops.Expectations.Expect] = Nil,
+      jdbc: Option[JdbcSourceConfig] = None)
 
   /** Resolve the target schema per strategy. */
   def resolveSchema(spark: SparkSession, config: SnapshotConfig): StructType =
@@ -75,11 +87,31 @@ object SnapshotPipeline {
           SchemaMapping.fromColumnSpecs(specs).fields.toSeq)
     }
 
+  /** Build the declared JDBC source (URL = changelogPath) and a reader
+    * that folds the store's identifier case back to the engine's
+    * lowercase convention (Derby and friends report SQL-uppercase
+    * names, which would collide case-insensitively with the pipeline's
+    * own aliases). */
+  private def jdbcRead(spark: SparkSession, config: SnapshotConfig,
+                       j: JdbcSourceConfig)(
+      f: graft.sources.JdbcChangelogSource => DataFrame): DataFrame = {
+    val props = new java.util.Properties()
+    j.properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val df = f(graft.sources.JdbcChangelogSource(config.changelogPath,
+      props, j.partitionColumn, j.numPartitions))
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+  }
+
   /** The reconstructed, typed snapshot as a DataFrame (no side effects). */
   def snapshot(spark: SparkSession, config: SnapshotConfig): DataFrame = {
     // resolved through the source registry: a ChangelogSource registered
-    // under this path serves it instead of the parquet default
-    val changelog = graft.sources.Tables.changelog(spark, config.changelogPath)
+    // under this path serves it instead of the parquet default — or,
+    // with a declared jdbc section, through the live-store adapter
+    val changelog = config.jdbc match {
+      case Some(j) => jdbcRead(spark, config, j)(_.read(spark, j.table))
+      case None =>
+        graft.sources.Tables.changelog(spark, config.changelogPath)
+    }
     val asOf =
       if (config.asOfMillis == SchemaHistory.NowSentinel)
         Snapshot.latestPerKey(changelog, Seq(config.keyCol), config.tsCol)
@@ -96,8 +128,12 @@ object SnapshotPipeline {
              timestamp_millis(lit(config.asOfMillis)))
           case _ => (lit(Long.MinValue), lit(config.asOfMillis))
         }
-        val bounded = graft.sources.Tables.changelogRange(spark,
-          config.changelogPath, config.tsCol, lo, bound)
+        val bounded = config.jdbc match {
+          case Some(j) => jdbcRead(spark, config, j)(
+            _.readRange(spark, j.table, config.tsCol, lo, bound))
+          case None => graft.sources.Tables.changelogRange(spark,
+            config.changelogPath, config.tsCol, lo, bound)
+        }
         Snapshot.snapshotAsOf(bounded, Seq(config.keyCol), config.tsCol, bound)
       }
     val schema = resolveSchema(spark, config)
@@ -245,7 +281,11 @@ object SnapshotPipeline {
     * { "changelog": {"path": "...", "key_column": "row_key",
     *                 "ts_column": "ts", "timestamp": -1,
     *                 "diff_from_timestamp": <optional — CDC-export mode:
-    *                  sink gets the diff from this instant to timestamp>},
+    *                  sink gets the diff from this instant to timestamp>,
+    *                 "jdbc": {"table": "changelog",   // path = jdbc: URL
+    *                          "partition_column": "k",  // parallel scan
+    *                          "num_partitions": 8,
+    *                          "properties": {"user": "..."}}},
     *   "schema": {"history_path": "..."} | {"columns": ["d:age:integer"]},
     *   "sink": {"path": "..."} | {"table": "db.t"},
     *   "partition_by": ["dt"] }
@@ -265,6 +305,35 @@ object SnapshotPipeline {
       case JLong(n) => n
       case JNothing => -1L
       case other => fail(s"changelog.timestamp must be a number, got $other")
+    }
+    val jdbc = root \ "changelog" \ "jdbc" match {
+      case JNothing => None
+      case j =>
+        if (!changelogPath.startsWith("jdbc:")) fail(
+          "changelog.jdbc is declared but changelog.path is not a " +
+            s"jdbc: URL (got '$changelogPath')")
+        val table = str(j \ "table").getOrElse(
+          fail("changelog.jdbc.table is required (the remote changelog " +
+            "table or a pushdown subquery)"))
+        val np = j \ "num_partitions" match {
+          case JInt(n) => n.toInt
+          case JNothing => 8
+          case other => fail(
+            s"changelog.jdbc.num_partitions must be a number, got $other")
+        }
+        if (np < 1) fail(
+          s"changelog.jdbc.num_partitions must be >= 1, got $np")
+        val props = j \ "properties" match {
+          case JObject(fields) => fields.map {
+            case JField(k, JString(v)) => k -> v
+            case JField(k, other) => fail(
+              s"changelog.jdbc.properties.$k must be a string, got $other")
+          }.toMap
+          case JNothing => Map.empty[String, String]
+          case _ => fail("changelog.jdbc.properties must be an object")
+        }
+        Some(JdbcSourceConfig(table, str(j \ "partition_column"), np,
+          props))
     }
     // strategies tried IN ORDER, each reporting its own failure; a config
     // matching neither gets the full two-format report (the reference
@@ -363,7 +432,7 @@ object SnapshotPipeline {
       case _ => fail("expectations must be an array of check specs")
     }
     SnapshotConfig(changelogPath, schemaSource, sink, keyCol, statusCol,
-      tsCol, asOf, diffFrom, expectations)
+      tsCol, asOf, diffFrom, expectations, jdbc)
   }
 
   private def fail(msg: String): Nothing =

@@ -370,4 +370,53 @@ class SnapshotPipelineSpec extends SparkTestBase {
     }
     e3.getMessage should include("sink.table")
   }
+
+  "a jdbc changelog" should "drive the full typed pipeline from one config" in {
+    val url = "jdbc:derby:memory:graft_sp_jdbc"
+    val c = java.sql.DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE changelog (row_key VARCHAR(16), " +
+        "ts BIGINT, row_status VARCHAR(8), age VARCHAR(8))")
+      val ps = c.prepareStatement(
+        "INSERT INTO changelog VALUES (?, ?, ?, ?)")
+      Seq(("u1", 1000L, "I", "7"), ("u1", 2500L, "U", "8"),
+        ("u2", 1500L, "I", "9")).foreach { case (k, t, s0, a) =>
+        ps.setString(1, k); ps.setLong(2, t)
+        ps.setString(3, s0); ps.setString(4, a)
+        ps.addBatch()
+      }
+      ps.executeBatch(); ps.close(); st.close()
+    } finally c.close()
+    // the as-of bound must prune SERVER-side (u1's 2500 update never
+    // reaches the snapshot), and the store's uppercase identifiers
+    // must fold back to the engine's convention
+    val out = SnapshotPipeline.snapshot(spark, fromJson(
+      s"""{"changelog": {"path": "$url", "timestamp": 2000,
+         |               "jdbc": {"table": "changelog",
+         |                        "partition_column": "ts",
+         |                        "num_partitions": 2}},
+         | "schema": {"columns": ["d:age:integer"]},
+         | "sink": {"path": "/unused"}}""".stripMargin))
+    out.orderBy($"k_hbase_row_key")
+      .select($"k_hbase_row_key", $"age").as[(String, Int)]
+      .collect().toSeq shouldBe Seq(("u1", 7), ("u2", 9))
+    // parse refusals
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    bad("""{"changelog": {"path": "/not/jdbc",
+          |               "jdbc": {"table": "t"}},
+          | "schema": {"columns": ["d:a"]},
+          | "sink": {"path": "/y"}}""".stripMargin, "jdbc: URL")
+    bad(s"""{"changelog": {"path": "$url", "jdbc": {}},
+           | "schema": {"columns": ["d:a"]},
+           | "sink": {"path": "/y"}}""".stripMargin, "jdbc.table")
+    bad(s"""{"changelog": {"path": "$url",
+           |               "jdbc": {"table": "t", "num_partitions": 0}},
+           | "schema": {"columns": ["d:a"]},
+           | "sink": {"path": "/y"}}""".stripMargin, "num_partitions")
+  }
 }

@@ -3679,6 +3679,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The card with REAL tokenizer-unit totals: card_tokenizer swaps
+    // the whitespace proxy for frozen-artifact counts — a released
+    // card should ship the counts the training run bills. Zero-merge
+    // byte artifact over the ASCII corpus makes every count exactly
+    // octet_length, so the whole replay stays engine-exact.
+    "q_dataset_card_tokens" -> ((s, d) => {
+      val fx = stagedOnce("btk", d) { dir =>
+        graft.ops.TokenizerArtifact.save(s,
+          graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true),
+          s"$dir/tok")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet"},
+           | "rules": ["min_tokens:20"],
+           | "dedup": {"method": "exact"}}""".stripMargin)
+      graft.pipeline.CurationPipeline
+        .datasetCard(s, cfg, mixColumns = Seq("lang"),
+          tokenizerPath = Some(s"$fx/tok"))
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
     // Day-2 card merge: two append-lifecycle waves each publish a card;
     // the corpus card is their SUM — counts add by (section, idx, key),
     // ratios RECOMPUTE from merged counts. The config here is dedup-
@@ -8711,6 +8732,51 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 1, source, count(*), coalesce(sum(tok), 0)
         |  FROM dd GROUP BY source),
+        |mix_rows AS (
+        |  SELECT 'mix' AS section, idx, key,
+        |    CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(n_docs::DOUBLE /
+        |      sum(n_docs) OVER (PARTITION BY idx), 6) AS frac,
+        |    NULL::DOUBLE AS step_drop
+        |  FROM mixes)
+        |SELECT * FROM stage_rows
+        |UNION ALL SELECT * FROM mix_rows
+        |ORDER BY section, idx, key""".stripMargin,
+    // Same boundary replay with tok := octet_length (the zero-merge
+    // byte artifact over the ASCII corpus), lang mix only.
+    "q_dataset_card_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS btok,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS wtok
+        |  FROM documents),
+        |g AS (SELECT * FROM t WHERE wtok >= 20),
+        |dd AS (SELECT * FROM g WHERE doc_id IN
+        |  (SELECT min(doc_id) FROM g GROUP BY text)),
+        |st AS (
+        |  SELECT 0 AS idx, 'input' AS key,
+        |    (SELECT count(*) FROM t) AS n_docs,
+        |    (SELECT coalesce(sum(btok), 0) FROM t) AS n_tokens
+        |  UNION ALL SELECT 1, 'rules', (SELECT count(*) FROM g),
+        |    (SELECT coalesce(sum(btok), 0) FROM g)
+        |  UNION ALL SELECT 2, 'dedup', (SELECT count(*) FROM dd),
+        |    (SELECT coalesce(sum(btok), 0) FROM dd)),
+        |stage_rows AS (
+        |  SELECT 'stage' AS section, idx, key,
+        |    CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CASE WHEN first(n_docs) OVER w > 0 THEN
+        |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+        |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+        |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+        |      AS step_drop
+        |  FROM st WINDOW w AS (ORDER BY idx)),
+        |mixes AS (
+        |  SELECT 0 AS idx, lang AS key, count(*) AS n_docs,
+        |    coalesce(sum(btok), 0) AS n_tokens FROM dd GROUP BY lang),
         |mix_rows AS (
         |  SELECT 'mix' AS section, idx, key,
         |    CAST(n_docs AS BIGINT) AS n_docs,

@@ -297,7 +297,8 @@ object CurationPipeline {
       langId: Option[LangIdConfig] = None,
       cardPath: Option[String] = None,
       cardMix: Seq[String] = Nil,
-      wordBlocklist: Option[WordBlocklistConfig] = None)
+      wordBlocklist: Option[WordBlocklistConfig] = None,
+      cardTokenizer: Option[String] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -903,9 +904,18 @@ object CurationPipeline {
     * the stages-sized / group-sized result frames only — never on the
     * corpus. */
   def datasetCard(spark: SparkSession, config: CurationConfig,
-                  mixColumns: Seq[String] = Nil): DataFrame = {
+                  mixColumns: Seq[String] = Nil,
+                  tokenizerPath: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val tok = TextAnalysis.tokenCount(col(config.textCol))
+    // card token totals in REAL tokenizer units under a frozen
+    // artifact when declared (the budget stage's convention — a
+    // released card should ship the counts the training run bills),
+    // else the whitespace proxy
+    val tok = tokenizerPath match {
+      case Some(tp) => size(graft.ops.TokenizerArtifact
+        .load(spark, tp).tokenizeCol(col(config.textCol))).cast("long")
+      case None => TextAnalysis.tokenCount(col(config.textCol))
+    }
     val stages = documentStages(readInput(spark, config), config)
     val stats = stages.zipWithIndex.map { case ((name, frame), i) =>
       val r = frame.agg(count(lit(1)).as("n"),
@@ -1123,7 +1133,7 @@ object CurationPipeline {
       stageAttrition(spark, config)
         .write.mode(SaveMode.Overwrite).parquet(sp))
     config.cardPath.foreach(cp =>
-      datasetCard(spark, config, config.cardMix)
+      datasetCard(spark, config, config.cardMix, config.cardTokenizer)
         .write.mode(SaveMode.Overwrite).parquet(cp))
   }
 
@@ -1215,7 +1225,9 @@ object CurationPipeline {
     *   "report": {"path": "...",           // per-rule attrition and/or
     *              "stages_path": "...",    // per-stage counts and/or
     *              "card_path": "...",          // the dataset CARD
-    *              "card_mix": ["lang"]} }  // all post-publish
+    *              "card_mix": ["lang"],    // composition sections
+    *              "card_tokenizer": "/models/tok"} }  // REAL token
+    *                                 // totals; all post-publish
     * }}} */
   def fromJValue(root: JValue): CurationConfig = {
     def str(v: JValue): Option[String] = v match {
@@ -1687,14 +1699,21 @@ object CurationPipeline {
       case JNothing => Seq.empty[String]
       case _ => fail("report.card_mix must be an array of column names")
     }
-    if (cardMix.nonEmpty && cardPath.isEmpty)
-      fail("report.card_mix requires report.card_path (the mix is a " +
-        "section of the card)")
+    val cardTokenizer = root \ "report" \ "card_tokenizer" match {
+      case JString(p) => Some(p)
+      case JNothing => None
+      case other => fail(
+        s"report.card_tokenizer must be a string, got $other")
+    }
+    if ((cardMix.nonEmpty || cardTokenizer.isDefined) && cardPath.isEmpty)
+      fail("report.card_mix/card_tokenizer require report.card_path " +
+        "(they parameterize the card)")
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
-      textInput, transforms, lm, langId, cardPath, cardMix, wordBlocklist)
+      textInput, transforms, lm, langId, cardPath, cardMix, wordBlocklist,
+      cardTokenizer)
   }
 
   private def fail(msg: String): Nothing =

@@ -1138,6 +1138,23 @@ class CurationPipelineSpec extends SparkTestBase {
       CurationPipeline.fromJson(
         s"""{"input": {"path": "/x"}, "rules": [],
            | "report": {"card_mix": ["lang"]}}""".stripMargin)
+    // tokenizer-unit card totals: the zero-merge byte artifact makes
+    // n_tokens exactly the byte length
+    val tokDir = s"$tmp/card_tok"
+    graft.ops.TokenizerArtifact.save(spark,
+      graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true), tokDir)
+    val cfgTok = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"}, "rules": []}""")
+    val inputRow = CurationPipeline
+      .datasetCard(spark, cfgTok, Nil, Some(tokDir))
+      .filter($"key" === "input").select($"n_tokens").as[Long].head()
+    inputRow shouldBe spark.read.parquet(docsPath)
+      .agg(sum(org.apache.spark.sql.functions.length(col("text"))))
+      .as[Long].head() // ASCII: chars = bytes
+    an[IllegalArgumentException] should be thrownBy
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "/x"}, "rules": [],
+           | "report": {"card_tokenizer": "/t"}}""".stripMargin)
   }
 
   it should "merge wave cards additively and refuse mismatched stage sets" in {

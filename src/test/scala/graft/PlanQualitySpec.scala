@@ -505,4 +505,36 @@ class PlanQualitySpec extends SparkTestBase {
       (plan should not).include("Exchange hashpartitioning(data")
     }
   }
+
+  "the config lang_id gate" should "broadcast the frozen profiles, never sort-merge them" in {
+    // scoreAgainstProfiles joins the per-doc gram counts to the
+    // model-sized profile tables: the MODEL joins must broadcast — a
+    // SortMergeJoin keyed on gram would shuffle the corpus-side gram
+    // frame by the model's keys. (The final per-doc verdict semi-join
+    // is corpus×corpus and legitimately sort-merges.)
+    val plan = planOf("q_pipeline_langid")
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      plan should not include regex("SortMergeJoin [^\\n]*gram")
+    }
+  }
+
+  "the word blocklist gate" should "stay a scan-side InSet projection in the pipeline plan" in {
+    // the frozen list rides as a literal: the whole q_pipeline_wordblock
+    // plan may contain NO join (the only exchange is the final orderBy)
+    val plan = planOf("q_pipeline_wordblock")
+    withClue(plan) {
+      (plan should not).include("Join")
+    }
+  }
+
+  "q_retention_curve" should "collapse the corpus before any window runs" in {
+    // the bucket aggregate is map-side combined (partial_count below the
+    // exchange); the windows run on the grid frame only
+    val plan = planOf("q_retention_curve")
+    withClue(plan) {
+      plan should include("partial_count")
+      plan should include("Window")
+    }
+  }
 }

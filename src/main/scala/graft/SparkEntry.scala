@@ -4069,6 +4069,31 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // LangId day-2 increment: train on the even half, freeze the
+    // artifact, extend with the odd half (Laplace counts are additive —
+    // extend ≡ train on the union, the per-shard 100 TB training
+    // story), save the extended model to a NEW versioned dir, reload,
+    // classify the full corpus. The oracle IS q_lang_id's full-corpus
+    // self-train replay — no weakening.
+    "q_lang_id_extended" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val baseDir = scratchDir("graft_lid_base_")
+      val extDir = scratchDir("graft_lid_ext_")
+      graft.ops.LangId.save(s,
+        graft.ops.LangId.train(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "lang"),
+        baseDir)
+      graft.ops.LangId.save(s,
+        graft.ops.LangId.extend(graft.ops.LangId.load(s, baseDir),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "lang"),
+        extDir)
+      graft.ops.LangId.classifyModel(graft.ops.LangId.load(s, extDir),
+          docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming language gate: profiles trained once in batch and
     // FROZEN; each arriving micro-batch of documents is classified on
     // arrival via foreachBatch. Per-document scoring + frozen model ⇒
@@ -8262,6 +8287,9 @@ object SparkEntry {
     // the streaming gate scores per document against frozen profiles, so
     // its converged output IS the batch classification — same oracle
     "q_stream_lang_gate" -> LangIdOracleSql,
+    // extend ≡ train-on-union (additive Laplace counts), so the day-2
+    // model must reproduce the full self-train classification exactly
+    "q_lang_id_extended" -> LangIdOracleSql,
     // the config lang_id gate keeps exactly the documents whose argmax
     // under the frozen artifact lands in the declared set — the same
     // prediction replay, filtered

@@ -232,4 +232,39 @@ object LangId {
   def classifyModel(model: LangIdModel, docs: DataFrame, idCol: String,
                     textCol: String): DataFrame =
     classify(docs, model.profiles, idCol, textCol, model.n)
+
+  /** Fold a NEW labelled sample into a frozen model WITHOUT re-reading
+    * the old one — the day-2 increment (and the per-shard 100 TB
+    * training story: count shards independently, merge). Laplace gram
+    * counts are ADDITIVE, so `extend(train(a), b)` is count-for-count
+    * identical to `train(a ∪ b)`: the raw (lang, gram, c) tables sum
+    * by key and the per-language totals `t` and the shared vocabulary
+    * size `v` RE-DERIVE from the merged counts — they are aggregates
+    * of the counts, never stored state that could drift. The returned
+    * model's frames read lazily from BOTH inputs; save it to a NEW
+    * versioned directory ([[save]] refuses the source dir). */
+  def extend(model: LangIdModel, docs: DataFrame, textCol: String,
+             labelCol: String): LangIdModel = {
+    val fresh = charGrams(
+      docs.select(col(labelCol).as("__lang"), col(textCol).as("__text")),
+      "__lang", "__text", model.n)
+      .select(col("id").as("lang"), col("gram"))
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val counts = model.profiles.select(col("lang"), col("gram"), col("c"))
+      .unionByName(fresh)
+      .groupBy(col("lang"), col("gram"))
+      .agg(sum(col("c")).as("c"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vocab = counts.select(col("gram")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val profiles = counts.join(totals, "lang").join(broadcast(vocab))
+      .select(col("lang"), col("gram"), col("c"), col("t"), col("v"))
+    val shape = profiles
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("lang")).as("langs"))
+      .head()
+    LangIdModel(model.n, profiles, shape.getLong(1), shape.getLong(0),
+      sourceDir = model.sourceDir)
+  }
 }

@@ -156,6 +156,41 @@ class LangIdSpec extends SparkTestBase {
     direct shouldBe raw
   }
 
+  it should "extend count-for-count identically to full training" in {
+    val corpus = df(identity).withColumn("rid",
+      monotonically_increasing_id())
+    val a = corpus.filter(col("rid") % 2 === 0)
+    val b = corpus.filter(col("rid") % 2 === 1)
+    val extended = LangId.extend(LangId.train(a, "text", "lang"),
+      b, "text", "lang")
+    val full = LangId.train(corpus, "text", "lang")
+    // count tables bit-equal, not just predictions
+    extended.profileRows shouldBe full.profileRows
+    extended.langTypes shouldBe full.langTypes
+    extended.profiles.collect().map(_.toString).sorted.toSeq shouldBe
+      full.profiles.collect().map(_.toString).sorted.toSeq
+    // and the day-2 lifecycle: the extended model saves to a NEW dir,
+    // reloads, and classifies exactly like the full-trained one
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_lid_b").toString
+    LangId.save(spark, LangId.train(a, "text", "lang"), baseDir)
+    val ext2 = LangId.extend(LangId.load(spark, baseDir), b,
+      "text", "lang")
+    // the loaded base's sourceDir rides the extension: overwriting the
+    // artifact the lazy frames still read is refused
+    an[IllegalArgumentException] should be thrownBy
+      LangId.save(spark, ext2, baseDir)
+    val extDir = java.nio.file.Files
+      .createTempDirectory("graft_lid_e").toString
+    LangId.save(spark, ext2, extDir)
+    val got = LangId.classifyModel(LangId.load(spark, extDir),
+        corpus, "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val want = LangId.classifyModel(full, corpus, "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe want
+  }
+
   it should "refuse damaged or foreign artifacts and same-dir saves" in {
     val corpus = df(identity)
     val model = LangId.train(corpus, "text", "lang")

@@ -2168,6 +2168,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), col("cell"))
         .orderBy(col("vec_id"))),
 
+    // Matryoshka truncation fidelity: the closed-form cosine between
+    // each prefix width and the full vector (‖prefix‖/‖full‖ — no
+    // pairwise scoring), every width riding ONE map-side-combined
+    // aggregate with fixed-point sums. The index-shrink planning view:
+    // which prefix width keeps enough direction to serve.
+    "q_matryoshka" -> ((s, d) =>
+      graft.ops.Matryoshka.fidelityReport(Tables.embeddings(s, d),
+          "embedding", Seq(8, 16, 32, 64))
+        .orderBy(col("dims"))),
+
     // Int8 scalar quantization round trip: ranges fitted in one
     // map-side-combined min/max pass (bit-exact, no accumulation
     // rounding), then per-row reconstruction distortion from the
@@ -6591,6 +6601,40 @@ object SparkEntry {
         |SELECT id AS vec_id, label FROM i
         |WHERE id NOT IN (SELECT inc_id FROM hit)
         |ORDER BY vec_id""".stripMargin,
+    // Closed-form prefix cosine per width: left-to-right double folds
+    // for both norms, round 6, fixed-point mean (floor(x*1e9) BIGINT
+    // sums — order-free), exact min.
+    "q_matryoshka" -> {
+      def normK(k: String) =
+        s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+           |  [v[i]::DOUBLE * v[i]::DOUBLE for i in range(1, $k + 1)]),
+           |  (a, b) -> a + b))""".stripMargin
+      s"""WITH e AS (SELECT embedding AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |n AS (SELECT v, ${normK("len(v)")} AS fn FROM e),
+        |nz AS (SELECT * FROM n WHERE fn > 0),
+        |f AS (SELECT
+        |    round(${normK("8")} / fn, 6) AS f8,
+        |    round(${normK("16")} / fn, 6) AS f16,
+        |    round(${normK("32")} / fn, 6) AS f32,
+        |    round(${normK("64")} / fn, 6) AS f64
+        |  FROM nz)
+        |SELECT * FROM (
+        |  SELECT 8 AS dims, count(*) AS n_vectors,
+        |    round(sum(CAST(floor(f8 * 1e9) AS BIGINT))::DOUBLE
+        |      / 1e9 / count(*), 6) AS mean_cos, min(f8) AS min_cos
+        |  FROM f
+        |  UNION ALL SELECT 16, count(*),
+        |    round(sum(CAST(floor(f16 * 1e9) AS BIGINT))::DOUBLE
+        |      / 1e9 / count(*), 6), min(f16) FROM f
+        |  UNION ALL SELECT 32, count(*),
+        |    round(sum(CAST(floor(f32 * 1e9) AS BIGINT))::DOUBLE
+        |      / 1e9 / count(*), 6), min(f32) FROM f
+        |  UNION ALL SELECT 64, count(*),
+        |    round(sum(CAST(floor(f64 * 1e9) AS BIGINT))::DOUBLE
+        |      / 1e9 / count(*), 6), min(f64) FROM f)
+        |ORDER BY dims""".stripMargin
+    },
     // Exact min/max refit (no accumulation rounding -> engine-equal),
     // then the same fixed-order double arithmetic: floor((x-mn)/range
     // *255+0.5), clamp, mn + code/255*range, left-to-right error folds.

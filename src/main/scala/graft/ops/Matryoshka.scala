@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Matryoshka-style embedding truncation (Kusupati et al. 2022,
+  * "Matryoshka Representation Learning" — the published practice of
+  * serving a PREFIX of a nested embedding): keep the first `dims`
+  * components and L2-renormalize. For MRL-trained encoders the prefix
+  * is a faithful low-cost embedding, and truncation is the cheapest
+  * index-shrink knob a retrieval stack has (8× fewer bytes per vector
+  * before any quantization tier).
+  *
+  * The fidelity of a truncation is CLOSED-FORM: the cosine between the
+  * prefix (zero-padded) and the full vector is ‖prefix‖ / ‖full‖, so
+  * the per-width report needs no pairwise scoring — one scan-side
+  * expression per width, aggregated with the fixed-point discipline
+  * (per-row floor(x·1e9) terms summed as integers — order-free, so the
+  * corpus mean is bit-identical under any partitioning; the repo's
+  * covariance convention).
+  */
+object Matryoshka {
+
+  private def norm(v: Column, k: Option[Int]): Column = {
+    val sliced = k.map(n => slice(v, 1, n)).getOrElse(v)
+    sqrt(aggregate(sliced, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  }
+
+  /** The first `dims` components, L2-renormalized (zero-norm prefixes
+    * stay as-is — renormalizing a zero vector is undefined, and the
+    * cosine convention already scores them 0). */
+  def truncate(df: DataFrame, vecCol: String, dims: Int,
+               outCol: String = "embedding_trunc"): DataFrame = {
+    require(dims >= 1, s"truncate: dims must be >= 1, got $dims")
+    val prefix = slice(col(vecCol), 1, dims)
+    val n = norm(col(vecCol), Some(dims))
+    df.withColumn(outCol,
+      when(n > 0.0d,
+        transform(prefix, x => (x.cast("double") / n).cast("float")))
+        .otherwise(prefix))
+  }
+
+  /** Per-width fidelity: `(dims, n_vectors, mean_cos, min_cos)` where
+    * the cosine is the closed-form ‖prefix‖/‖full‖ rounded to 6 before
+    * aggregation. Zero-norm full vectors are excluded (they define no
+    * direction to be faithful to); a width at or past the embedding
+    * dimension reports cosine 1 exactly.
+    *
+    * ONE corpus pass: every width's fixed-point sum and min ride the
+    * SAME map-side-combined aggregate (per-row floor(x·1e9) terms
+    * summed as integers — order-free, the covariance convention); the
+    * widths-long reshape reads the 1-row result through a reused
+    * exchange. */
+  def fidelityReport(df: DataFrame, vecCol: String,
+                     widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1),
+      s"fidelityReport: need positive widths, got $widths")
+    val ws = widths.distinct.sorted
+    val v = col(vecCol)
+    val full = norm(v, None)
+    val rows = df.filter(v.isNotNull && full > 0.0d)
+    def fid(k: Int) = round(norm(v, Some(k)) / full, 6)
+    val aggs = count(lit(1)).as("n_vectors") +: ws.flatMap(k => Seq(
+      sum(floor(fid(k) * 1e9d).cast("long")).as(s"__s_$k"),
+      min(fid(k)).as(s"__m_$k")))
+    // the wide aggregate is ONE row — collect it (a widths-sized
+    // driver read) and reshape from the literals; a lazy union of
+    // per-width selects would let column pruning split the aggregate
+    // into one corpus pass PER width (measured: no exchange reuse
+    // across the pruned branches)
+    val row = rows.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    ws.zipWithIndex.map { case (k, i) =>
+      (k, n,
+        if (row.isNullAt(1 + 2 * i)) None
+        else Some(row.getLong(1 + 2 * i)),
+        if (row.isNullAt(2 + 2 * i)) None
+        else Some(row.getDouble(2 + 2 * i)))
+    }.toDF("dims", "n_vectors", "__s", "min_cos")
+      .select(col("dims"), col("n_vectors"),
+        when(col("n_vectors") > 0,
+          round(col("__s").cast("double") / 1e9d /
+            col("n_vectors").cast("double"), 6)).as("mean_cos"),
+        col("min_cos"))
+  }
+}

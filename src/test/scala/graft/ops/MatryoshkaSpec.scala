@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Matryoshka truncation: renormalized prefixes, closed-form fidelity
+  * (cos(prefix, full) = ‖prefix‖/‖full‖), one corpus pass for every
+  * width. */
+class MatryoshkaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  "truncate" should "keep the prefix and renormalize to unit length" in {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f, 12.0f)),
+      (2L, Array(0.0f, 0.0f, 5.0f, 0.0f)) // zero-norm prefix at dims=2
+    ).toDF("id", "v")
+    val out = Matryoshka.truncate(df, "v", dims = 2, outCol = "t")
+      .select($"id", $"t").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    out(0)._2 shouldBe Array(0.6f, 0.8f) // (3,4)/5
+    out(0)._2.map(x => x * x).sum shouldBe 1.0f +- 1e-6f
+    // a zero-norm prefix passes through unscaled (no direction)
+    out(1)._2 shouldBe Array(0.0f, 0.0f)
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.truncate(df, "v", 0)
+  }
+
+  "fidelityReport" should "report the closed-form prefix cosine per width" in {
+    val df = Seq(
+      Array(3.0f, 0.0f, 4.0f, 0.0f), // ||p2||=3, ||full||=5 -> 0.6
+      Array(0.0f, 5.0f, 0.0f, 0.0f), // ||p2||=5 -> 1.0
+      Array(0.0f, 0.0f, 0.0f, 0.0f)  // zero-norm: excluded
+    ).map(Tuple1(_)).toDF("v")
+    val got = Matryoshka.fidelityReport(df, "v", Seq(2, 4))
+      .orderBy($"dims")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    got should have size 2
+    val (d2, d4) = (got(0), got(1))
+    d2._1 shouldBe 2
+    d2._2 shouldBe 2L                    // zero vector excluded
+    d2._3 shouldBe 0.8 +- 1e-9           // mean(0.6, 1.0)
+    d2._4 shouldBe 0.6
+    // full width is exactly faithful
+    d4._3 shouldBe 1.0
+    d4._4 shouldBe 1.0
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.fidelityReport(df, "v", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.fidelityReport(df, "v", Seq(0))
+  }
+
+  it should "pay ONE corpus aggregate for every width" in {
+    val df = Seq(Array(1.0f, 2.0f, 3.0f, 4.0f)).map(Tuple1(_)).toDF("v")
+    val report = Matryoshka.fidelityReport(df, "v", Seq(2, 3, 4))
+    // the corpus pass runs ONCE at call time (the wide 1-row aggregate
+    // is collected); the returned frame reshapes driver literals — a
+    // lazy per-width union would let column pruning split the
+    // aggregate into one corpus pass per width
+    val plan = report.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("LocalTableScan")
+      (plan should not).include("HashAggregate")
+    }
+  }
+}

@@ -2178,6 +2178,18 @@ object SparkEntry {
           "embedding", Seq(8, 16, 32, 64))
         .orderBy(col("dims"))),
 
+    // Truncated-index funnel retrieval: prefix-16 shortlist (cosine is
+    // scale-invariant, so the raw prefix scores directly), then
+    // full-precision re-rank of the 20 candidates — the MRL serving
+    // composition, exact end to end, so the oracle replays both stages.
+    "q_matryoshka_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Matryoshka.rerankTopK(emb,
+          emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
+          dims = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Int8 scalar quantization round trip: ranges fitted in one
     // map-side-combined min/max pass (bit-exact, no accumulation
     // rounding), then per-row reconstruction distortion from the
@@ -6635,6 +6647,59 @@ object SparkEntry {
         |      / 1e9 / count(*), 6), min(f64) FROM f)
         |ORDER BY dims""".stripMargin
     },
+    // Both funnel stages replayed: prefix-16 shortlist ranked on the
+    // UNROUNDED fold (round 6 is display-only), then the full-vector
+    // re-rank of exactly those candidates.
+    "q_matryoshka_topk" ->
+      """WITH v AS (SELECT vec_id, embedding AS vec FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |ps AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, 17)]), (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * q.vec[i]::DOUBLE
+        |       for i in range(1, 17)]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, 17)]), (a, b) -> a + b)) AS nc
+        |  FROM q JOIN v c ON q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
+        |          DESC, corpus_id) AS srank
+        |    FROM ps)
+        |  WHERE srank <= 20),
+        |fs AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, len(q.vec) + 1)]), (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * q.vec[i]::DOUBLE
+        |       for i in range(1, len(q.vec) + 1)]), (a, b) -> a + b))
+        |      AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, len(c.vec) + 1)]), (a, b) -> a + b))
+        |      AS nc
+        |  FROM cand
+        |  JOIN q ON q.vec_id = cand.query_id
+        |  JOIN v c ON c.vec_id = cand.corpus_id),
+        |rr AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
+        |      AS cosine
+        |  FROM fs)
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, corpus_id) AS rank FROM rr)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Exact min/max refit (no accumulation rounding -> engine-equal),
     // then the same fixed-order double arithmetic: floor((x-mn)/range
     // *255+0.5), clamp, mn + code/255*range, left-to-right error folds.

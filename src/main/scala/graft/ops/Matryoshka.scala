@@ -86,4 +86,39 @@ object Matryoshka {
             col("n_vectors").cast("double"), 6)).as("mean_cos"),
         col("min_cos"))
   }
+
+  /** The truncated-index serving pattern: a cheap `dims`-wide prefix
+    * shortlist, then FULL-precision re-ranking of the candidates — the
+    * Matryoshka analogue of [[BinaryQuantization.rerankTopK]]'s
+    * shortlist→rerank composition, and the funnel-retrieval shape MRL
+    * deployments publish. Cosine is scale-invariant, so the shortlist
+    * scores the RAW prefixes directly (renormalizing first would
+    * change nothing but the float rounding); the rerank joins the
+    * shortlist ids back to the full vectors — the corpus is scanned,
+    * never shuffled (broadcast candidate and query sides), and the
+    * final rank is the bounded two-phase top-k. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 shortlist: Int, dims: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k,
+      s"rerankTopK: shortlist ($shortlist) must be >= k ($k)")
+    require(dims >= 1, s"rerankTopK: dims must be >= 1, got $dims")
+    import graft.functions.VectorFunctions.fnorm
+    def prefixed(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val cand = Similarity.bruteForceTopK(prefixed(corpus),
+        prefixed(queries), shortlist, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val withVec = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+        fnorm(col(vecCol)).as("c_nrm"))
+      .join(broadcast(cand), Seq("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), fnorm(col(vecCol)).as("q_nrm"))
+    val scored = withVec.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosineWithNorms(col("q_vec"), col("q_nrm"),
+          col("c_vec"), col("c_nrm")).as("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
 }

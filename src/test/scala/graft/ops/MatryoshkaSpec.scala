@@ -49,6 +49,32 @@ class MatryoshkaSpec extends SparkTestBase {
       Matryoshka.fidelityReport(df, "v", Seq(0))
   }
 
+  "rerankTopK" should "recover the exact search in the exhaustive regime" in {
+    // shortlist >= corpus and dims >= embedding width: the funnel IS
+    // the exact brute force — the exactness anchor the narrow regimes
+    // are measured against
+    val vecs = (1L to 30L).map(i => (i, Array(
+      (i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, i.toFloat / 30)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" <= 3)
+    val got = Matryoshka.rerankTopK(df, queries, k = 4, shortlist = 30,
+        dims = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.bruteForceTopK(df, queries, 4)
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe want
+    want should have size 12
+    // a narrow prefix shortlist still returns k full-precision-ranked
+    // rows per query
+    Matryoshka.rerankTopK(df, queries, k = 2, shortlist = 5, dims = 2)
+      .groupBy($"query_id").count()
+      .select($"count").as[Long].collect().toSet shouldBe Set(2L)
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.rerankTopK(df, queries, k = 5, shortlist = 3, dims = 2)
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.rerankTopK(df, queries, k = 1, shortlist = 2, dims = 0)
+  }
+
   it should "pay ONE corpus aggregate for every width" in {
     val df = Seq(Array(1.0f, 2.0f, 3.0f, 4.0f)).map(Tuple1(_)).toDF("v")
     val report = Matryoshka.fidelityReport(df, "v", Seq(2, 3, 4))

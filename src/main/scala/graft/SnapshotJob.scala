@@ -68,20 +68,28 @@ object SnapshotJob {
         // config-shape dispatch, the reference's strategy-by-section
         // pattern (Settings.scala:16-48) one level up: a `changelog`
         // section declares a snapshot job, an `input` section a
-        // curation job; both or neither is ambiguous and fails with
-        // the section inventory
+        // curation job, a `maintenance` section a table-health job;
+        // any other count of declared sections is ambiguous and fails
+        // with the section inventory
         import org.json4s.JNothing
-        (ast \ "changelog", ast \ "input") match {
-          case (JNothing, JNothing) => throw new IllegalArgumentException(
-            "config declares neither a snapshot job (changelog section) " +
-              "nor a curation job (input section)")
-          case (s, i) if s != JNothing && i != JNothing =>
-            throw new IllegalArgumentException(
-              "config declares both changelog and input sections — " +
-                "one job per config file")
-          case (JNothing, _) =>
-            Right(graft.pipeline.CurationPipeline.fromJValue(ast))
-          case _ => Left(SnapshotPipeline.fromJValue(ast))
+        val declared = Seq(
+          "changelog" -> (ast \ "changelog"),
+          "input" -> (ast \ "input"),
+          "maintenance" -> (ast \ "maintenance")
+        ).collect { case (name, v) if v != JNothing => name }
+        declared match {
+          case Seq() => throw new IllegalArgumentException(
+            "config declares no job section — expected exactly one of: " +
+              "changelog (snapshot job), input (curation job), " +
+              "maintenance (table-maintenance job)")
+          case many if many.length > 1 => throw new IllegalArgumentException(
+            s"config declares ${many.mkString(" and ")} sections — " +
+              "one job per config file")
+          case Seq("changelog") => Job.Snapshot(SnapshotPipeline.fromJValue(ast))
+          case Seq("input") =>
+            Job.Curation(graft.pipeline.CurationPipeline.fromJValue(ast))
+          case _ =>
+            Job.Maintenance(graft.pipeline.MaintenancePipeline.fromJValue(ast))
         }
       } catch {
         // any parse/validation failure keeps the diagnostic-then-exit-1
@@ -95,8 +103,12 @@ object SnapshotJob {
       }
     try {
       parsed match {
-        case Left(snap) => SnapshotPipeline.run(spark, snap)
-        case Right(cur) => graft.pipeline.CurationPipeline.run(spark, cur)
+        case Job.Snapshot(snap) => SnapshotPipeline.run(spark, snap)
+        case Job.Curation(cur) =>
+          graft.pipeline.CurationPipeline.run(spark, cur)
+        case Job.Maintenance(m) =>
+          graft.pipeline.MaintenancePipeline.run(spark, m)
+          ()
       }
       0
     } catch {
@@ -104,6 +116,16 @@ object SnapshotJob {
         Console.err.println(s"snapshot job failed: $e")
         1
     }
+  }
+
+  /** The three config-declared job shapes the CLI dispatches between. */
+  private sealed trait Job
+  private object Job {
+    final case class Snapshot(c: SnapshotPipeline.SnapshotConfig) extends Job
+    final case class Curation(
+        c: graft.pipeline.CurationPipeline.CurationConfig) extends Job
+    final case class Maintenance(
+        c: graft.pipeline.MaintenancePipeline.MaintenanceConfig) extends Job
   }
 
   def main(args: Array[String]): Unit = {

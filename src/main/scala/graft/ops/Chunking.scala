@@ -136,7 +136,34 @@ object Chunking {
     * reassembly regroups the same key. Output: (idCol, chunk_idx,
     * chunk_text, chunk_tokens, n_sentences). */
   def chunkSentences(df: DataFrame, idCol: String, textCol: String,
-                     maxTokens: Int): DataFrame = {
+                     maxTokens: Int): DataFrame =
+    chunkSentencesBy(df, idCol, textCol, maxTokens,
+      s => TextAnalysis.tokenCount(s))
+
+  /** [[chunkSentences]] sized in REAL tokenizer units under a frozen
+    * [[TokenizerArtifact]]: the two contracts the chunking stage exists
+    * for — whole-sentence windows AND windows provisioned in the units
+    * the training run bills — composed instead of mutually exclusive.
+    * Each sentence is tokenized ONCE for its count (one codegen'd
+    * pass, the model riding in the plan like [[chunkTokenized]]'s
+    * kernel); the greedy window walk fills on those counts, and
+    * `chunk_tokens` is their sum. ANY tokenizer family is accepted —
+    * unlike [[chunkTokenized]] nothing is detokenized here (chunk text
+    * is the ORIGINAL sentences rejoined, never rebuilt from tokens),
+    * so the lossless-byte-BPE restriction does not apply. Separator
+    * corollary: the per-sentence counts do not include the single
+    * join space between sentences — loaders budgeting to the last
+    * token should provision maxTokens accordingly. */
+  def chunkSentencesTokenized(df: DataFrame, idCol: String,
+                              textCol: String,
+                              model: TokenizerArtifact.Model,
+                              maxTokens: Int): DataFrame =
+    chunkSentencesBy(df, idCol, textCol, maxTokens,
+      s => size(model.tokenizeCol(s)))
+
+  private def chunkSentencesBy(df: DataFrame, idCol: String,
+                               textCol: String, maxTokens: Int,
+                               tokenCount: Column => Column): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     // the doc's OTHER columns ride the explode and regroup (first()
     // per chunk — constant within a doc), so the output keeps the
@@ -149,7 +176,7 @@ object Chunking {
           "\u0001")).as(Seq("sent_idx", "sentence"))): _*)
       .filter(trim(col("sentence")) =!= "")
       .withColumn("sent_tokens",
-        TextAnalysis.tokenCount(col("sentence")))
+        tokenCount(col("sentence")))
     val packed = Packing.packGreedy(sents, "sent_tokens", maxTokens,
       idCol, Seq("sent_idx"))
     packed.groupBy(col(idCol), col("pack_id"))

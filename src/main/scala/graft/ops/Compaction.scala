@@ -83,6 +83,20 @@ object Compaction {
       if (sortBy.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
+    writeVersioned(spark, shaped, outDir)
+  }
+
+  /** Write `df` as a new committed `v=<n+1>` parquet version under
+    * `outDir` — the stage/claim/rename protocol [[compact]] commits
+    * with, exposed so OTHER layout rewrites (the config-declared
+    * maintenance job's Z-order + bloom-filter passes) share one
+    * committed-version writer instead of re-implementing the race
+    * rules. `writeOptions` ride the parquet writer (bloom-filter
+    * enables etc.); the full shuffle+write happens once, before any
+    * claim contention. Returns the committed version's path. */
+  def writeVersioned(spark: SparkSession, df: DataFrame, outDir: String,
+                     writeOptions: Map[String, String] = Map.empty)
+      : String = {
     // next version counts EVERY v=* directory, not just committed ones:
     // a crashed run leaves an uncommitted (no _SUCCESS) v=N behind that
     // versions() rightly hides from readers — but reusing its number
@@ -114,7 +128,9 @@ object Compaction {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = new Path(s"$outDir/_tmp_$tag")
     val claim = s"_claim_$tag"
-    shaped.write.mode("errorifexists").parquet(stage.toString)
+    writeOptions.foldLeft(df.write.mode("errorifexists")) {
+      case (w, (k, v)) => w.option(k, v)
+    }.parquet(stage.toString)
     fs.create(new Path(stage, claim), false).close()
     var version = anyVersion
     var dest: Path = null

@@ -120,6 +120,35 @@ object LangId {
         col("n_grams"), col("score"))
   }
 
+  /** [[classify]] plus the CONFIDENCE MARGIN: the rounded top-1 minus
+    * top-2 mean log-prob — the published gate statistic (fastText-based
+    * CCNet/RefinedWeb language filters threshold on the classifier
+    * confidence rather than trusting every argmax): a 5-token document
+    * or one outside the trained language set still gets an argmax, but
+    * its margin is small, and forcing that label would pollute every
+    * per-language tier/quota/budget downstream. Output: (id, lang_pred,
+    * n_grams, score, margin); a model with a SINGLE language has no
+    * runner-up, so margin is NULL there (no competitor = no confusion
+    * evidence — the prediction stands, documented rather than
+    * fabricated as infinity). Same per-doc arithmetic as [[classify]]
+    * (one window over the language-fanned scores; the margin is the
+    * difference of two already-6-rounded doubles, re-rounded to 6 so
+    * it is bit-identical across engines). */
+  def classifyWithMargin(docs: DataFrame, profiles: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scoreAgainstProfiles(docs, profiles, idCol, textCol, n)
+      .select(col("id"), col("lang"), col("n_grams"), col("score"),
+        round(col("score") - lead(col("score"), 1).over(w), 6)
+          .as("margin"),
+        row_number().over(w).as("__rk"))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("lang").as("lang_pred"),
+        col("n_grams"), col("score"), col("margin"))
+  }
+
   /** Train on the corpus's own labels and classify the same corpus — the
     * corpus-self-trained form every `q_*` battery uses (no external
     * artifact), and the QA motion for auditing an EXISTING label column:
@@ -232,6 +261,44 @@ object LangId {
   def classifyModel(model: LangIdModel, docs: DataFrame, idCol: String,
                     textCol: String): DataFrame =
     classify(docs, model.profiles, idCol, textCol, model.n)
+
+  /** The abstention label emitted for predictions whose margin falls
+    * under a declared floor — BCP 47's "undetermined" code, the
+    * published convention for "the classifier refuses to commit". */
+  val Undetermined = "und"
+
+  /** [[classifyWithMargin]] under a frozen artifact. */
+  def classifyModelWithMargin(model: LangIdModel, docs: DataFrame,
+                              idCol: String, textCol: String): DataFrame =
+    classifyWithMargin(docs, model.profiles, idCol, textCol, model.n)
+
+  /** [[classifyWithMargin]] with the ABSTENTION rule applied: a
+    * prediction whose margin is under `minMargin` is relabelled
+    * [[Undetermined]] ("und") instead of forcing the argmax — the
+    * fastText/CCNet-style confidence gate. A NULL margin (single-
+    * language model: no runner-up to be confused with) passes
+    * unchanged. `minMargin <= 0` is refused: every margin is >= 0 by
+    * construction, so a non-positive floor is a silently disabled gate.
+    * Output: (id, lang_pred, n_grams, score, margin). */
+  def classifyWithAbstention(docs: DataFrame, profiles: DataFrame,
+                             idCol: String, textCol: String,
+                             minMargin: Double, n: Int = 3): DataFrame = {
+    require(minMargin > 0,
+      s"classifyWithAbstention: minMargin must be > 0 (margins are " +
+        s"non-negative, so a floor of $minMargin gates nothing)")
+    classifyWithMargin(docs, profiles, idCol, textCol, n)
+      .withColumn("lang_pred",
+        when(col("margin").isNotNull && col("margin") < minMargin,
+          lit(Undetermined)).otherwise(col("lang_pred")))
+  }
+
+  /** [[classifyWithAbstention]] under a frozen artifact — the config
+    * `lang_id.min_margin` gate's scorer. */
+  def classifyModelWithAbstention(model: LangIdModel, docs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  minMargin: Double): DataFrame =
+    classifyWithAbstention(docs, model.profiles, idCol, textCol,
+      minMargin, model.n)
 
   /** Fold a NEW labelled sample into a frozen model WITHOUT re-reading
     * the old one — the day-2 increment (and the per-shard 100 TB

@@ -143,17 +143,199 @@ object Matryoshka {
     val funnel = rerankTopK(corpus, queries, k, shortlist, dims,
         idCol, vecCol)
       .select(col("query_id"), col("corpus_id"))
+    recallRows(exact, funnel, queries.select(col(idCol).as("query_id")), k)
+      .select(col("n_queries"), lit(k).as("k"),
+        lit(shortlist).as("shortlist"), lit(dims).as("dims"),
+        col("mean_recall"), col("min_recall"))
+  }
+
+  /** The shared recall@k arithmetic: exact-vs-candidate overlap counts
+    * per query (integer, order-free), closed into mean/min ratios over
+    * the FULL query set (left join — zero-overlap queries keep their
+    * row). Yields `(n_queries, mean_recall, min_recall)`. */
+  private def recallRows(exact: DataFrame, funnel: DataFrame,
+                         queryIds: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(funnel, Seq("query_id", "corpus_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
-    queries.select(col(idCol).as("query_id"))
+    queryIds
       .join(hits, Seq("query_id"), "left")
       .select(coalesce(col("__h"), lit(0L)).as("__h"))
       .agg(count(lit(1)).as("n_queries"), sum(col("__h")).as("__sh"),
         min(col("__h")).as("__mh"))
-      .select(col("n_queries"), lit(k).as("k"),
-        lit(shortlist).as("shortlist"), lit(dims).as("dims"),
+      .select(col("n_queries"),
         round(col("__sh").cast("double") /
           (col("n_queries") * k).cast("double"), 6).as("mean_recall"),
         round(col("__mh").cast("double") / k, 6).as("min_recall"))
+  }
+
+  // ---------------------------------------- persisted truncated index
+
+  /** Declared shape of a [[TruncatedIndex]], persisted with it:
+    * `dims` is the truncation width the prefix tier was built at (the
+    * drift-refusal key), `fullDim` the raw embedding width the rerank
+    * tier serves and queries must arrive in, `rows` the indexed corpus
+    * size at build. */
+  final case class TruncatedIndexParams(dims: Int, fullDim: Int,
+                                        nlist: Int, iters: Int,
+                                        rows: Long, version: Int = 1)
+
+  /** The Matryoshka funnel as a PERSISTED two-tier index — the
+    * [[Dedup.VectorIndex]]/[[PqIndex]] discipline applied to the
+    * truncate→IVF composition, so the [[rerankTopK]] serving pattern
+    * can be deployed against a frozen artifact instead of re-scoring a
+    * raw corpus per run:
+    *  - `prefix`: an IVF index OVER THE `dims`-WIDE PREFIXES (spherical
+    *    k-means cells + cell-assigned truncated members) — the cheap
+    *    shortlist tier, `dims/fullDim` of the scan bytes;
+    *  - `full`: the raw vectors + norms by id — the full-precision
+    *    rerank tier (only shortlist-sized slices of it are ever
+    *    scored per query batch).
+    * Prefix-zero corollary: a vector whose first `dims` components are
+    * all zero has no prefix direction and is excluded from the prefix
+    * tier (the zero-norm member rule) — it can never be shortlisted.
+    * At `dims = fullDim` this reduces to the ordinary zero-norm
+    * exclusion. */
+  final case class TruncatedIndex(prefix: Dedup.VectorIndex,
+                                  full: DataFrame,
+                                  params: TruncatedIndexParams) {
+    /** Persist both tiers + the params record under `dir`
+      * (overwrite). */
+    def save(dir: String): Unit = {
+      val spark = full.sparkSession
+      prefix.save(s"$dir/prefix")
+      full.write.mode("overwrite").parquet(s"$dir/full")
+      spark.createDataFrame(Seq(params))
+        .write.mode("overwrite").json(s"$dir/params")
+    }
+  }
+
+  object TruncatedIndex {
+    /** Reopen an index written by [[TruncatedIndex.save]]. Refusals
+      * (the [[PqIndex]] discipline — searching a drifted or torn
+      * artifact is silent corruption): no readable params record;
+      * declared dims outside [1, fullDim]; a prefix tier whose trained
+      * width disagrees with the declared `dims` (dimension drift —
+      * e.g. the prefix directory was rebuilt at another width while
+      * this params record survived). */
+    def load(spark: org.apache.spark.sql.SparkSession,
+             dir: String): TruncatedIndex = {
+      val params =
+        try {
+          val r = spark.read.json(s"$dir/params")
+            .select(col("dims"), col("fullDim"), col("nlist"),
+              col("iters"), col("rows"), col("version")).head()
+          TruncatedIndexParams(r.getLong(0).toInt, r.getLong(1).toInt,
+            r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4),
+            r.getLong(5).toInt)
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"TruncatedIndex at $dir has no readable params record; " +
+                "it was not written by TruncatedIndex.save", e)
+        }
+      require(params.dims >= 1 && params.dims <= params.fullDim,
+        s"TruncatedIndex at $dir declares dims=${params.dims} outside " +
+          s"[1, fullDim=${params.fullDim}]")
+      val prefix = Dedup.VectorIndex.load(spark, s"$dir/prefix")
+      require(prefix.params.dim == params.dims,
+        s"TruncatedIndex at $dir is dimension-drifted: the prefix tier " +
+          s"was trained at width ${prefix.params.dim} but params " +
+          s"declare dims=${params.dims} — rebuild with " +
+          "buildTruncatedIndex")
+      TruncatedIndex(prefix, spark.read.parquet(s"$dir/full"), params)
+    }
+  }
+
+  /** Build the [[TruncatedIndex]] of an embedding corpus: ONE corpus
+    * scan feeds both tiers (the prefix slice + norm for the IVF build,
+    * the raw vector + norm for the rerank table). Cosine is
+    * scale-invariant, so the prefix tier indexes the RAW slices —
+    * renormalizing first would change nothing but the float rounding
+    * ([[rerankTopK]]'s argument). nlist/iters follow
+    * [[Dedup.buildVectorIndex]]'s sizing (nlist <= 0 → ~1000 members
+    * per cell). */
+  def buildTruncatedIndex(corpus: DataFrame, idCol: String,
+                          vecCol: String, dims: Int, nlist: Int = 0,
+                          iters: Int = 1): TruncatedIndex = {
+    import graft.functions.VectorFunctions.fnorm
+    val fullDim = Similarity.vectorDim(corpus, vecCol)
+    require(dims >= 1 && dims <= fullDim,
+      s"buildTruncatedIndex: dims must be in [1, $fullDim] (the " +
+        s"embedding width — a wider prefix is a lie about its bytes), " +
+        s"got $dims")
+    val prefix = Dedup.buildVectorIndex(
+      corpus.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol)),
+      idCol, vecCol, nlist, iters, dim = dims)
+    val full = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      fnorm(col(vecCol)).as("nrm"))
+    TruncatedIndex(prefix, full,
+      TruncatedIndexParams(dims, fullDim, prefix.params.nlist, iters,
+        prefix.params.baseRows))
+  }
+
+  /** [[rerankTopK]] against a frozen [[TruncatedIndex]]: the query
+    * batch is truncated to the index's declared `dims`, shortlisted by
+    * the prefix tier's cell-pruned scan
+    * ([[IvfIndex.ivfTopKPrebuilt]] — the corpus is never shuffled,
+    * candidates and queries broadcast), then re-ranked full-precision
+    * against the `full` tier. At `nprobe = nlist` and
+    * `shortlist >= corpus` this is EXACTLY [[Similarity
+    * .bruteForceTopK]] (the exact-regime gate the approximate
+    * configuration is certified against). Queries must arrive at the
+    * index's `fullDim` — a drifted batch is refused, not silently
+    * prefix-scored. */
+  def searchTruncatedIndex(index: TruncatedIndex, queries: DataFrame,
+                           k: Int, shortlist: Int, nprobe: Int = 4,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.fnorm
+    require(shortlist >= k,
+      s"searchTruncatedIndex: shortlist ($shortlist) must be >= k ($k)")
+    val qDim = Similarity.vectorDim(queries, vecCol)
+    require(qDim == index.params.fullDim,
+      s"searchTruncatedIndex: query vectors are $qDim-wide but the " +
+        s"index serves fullDim=${index.params.fullDim} (dimension " +
+        "drift — rebuild the index or fix the query batch)")
+    val qT = queries.select(col(idCol),
+      slice(col(vecCol), 1, index.params.dims).as(vecCol))
+    val cand = IvfIndex.ivfTopKPrebuilt(index.prefix.members,
+        index.prefix.centroids, qT, shortlist, nprobe, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val withVec = index.full
+      .select(col("id").as("corpus_id"), col("vec").as("c_vec"),
+        col("nrm").as("c_nrm"))
+      .join(broadcast(cand), Seq("corpus_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), fnorm(col(vecCol)).as("q_nrm"))
+    val scored = withVec.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosineWithNorms(col("q_vec"), col("q_nrm"),
+          col("c_vec"), col("c_nrm")).as("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** [[recallReport]] for a FROZEN [[TruncatedIndex]] operating point —
+    * the acceptance gate a (dims, shortlist, nprobe) deployment rides
+    * before serving: [[searchTruncatedIndex]]'s top-k against the
+    * brute-force top-k over the index's own full tier, the same exact
+    * integer arithmetic. Output (one row): `(n_queries, k, shortlist,
+    * dims, nprobe, mean_recall, min_recall)`. */
+  def indexRecallReport(index: TruncatedIndex, queries: DataFrame,
+                        k: Int, shortlist: Int, nprobe: Int = 4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val corpus = index.full.select(col("id").as(idCol),
+      col("vec").as(vecCol))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k,
+        idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val funnel = searchTruncatedIndex(index, queries, k, shortlist,
+        nprobe, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    recallRows(exact, funnel, queries.select(col(idCol).as("query_id")), k)
+      .select(col("n_queries"), lit(k).as("k"),
+        lit(shortlist).as("shortlist"),
+        lit(index.params.dims).as("dims"), lit(nprobe).as("nprobe"),
+        col("mean_recall"), col("min_recall"))
   }
 }

@@ -80,4 +80,26 @@ object WordBlocklist {
     require(maxHits >= 0, s"maxHits must be >= 0, got $maxHits")
     df.filter(hitsCol(col(textCol), words) <= maxHits)
   }
+
+  /** The LENGTH-NORMALIZED gate: documents whose blocked-token RATE
+    * (hits per whitespace token — Dolma publishes its taxonomy gates as
+    * hit-rate thresholds) is at most `maxHitFrac`. The absolute-count
+    * gate advantages long documents (a 100k-token page absorbs the same
+    * `max_hits` budget as a tweet); the rate gate charges hits against
+    * length. Same single codegen'd scan-side projection as [[filter]] —
+    * zero joins, zero shuffles.
+    *
+    * Arithmetic contract (oracle-replayable): keep iff
+    * `n_blocked <= maxHitFrac * n_tokens` — the multiplication form, so
+    * no division ever runs and the zero-token document (no tokens, no
+    * hits, 0 <= 0) passes like it passes the count gate. Null text
+    * drops (null comparison), the [[filter]] convention. */
+  def filterByFrac(df: DataFrame, textCol: String, words: Seq[String],
+                   maxHitFrac: Double): DataFrame = {
+    require(maxHitFrac >= 0 && maxHitFrac < 1,
+      s"maxHitFrac must be in [0, 1) — a rate of 1 keeps everything " +
+        s"(hits can never exceed tokens), got $maxHitFrac")
+    df.filter(hitsCol(col(textCol), words).cast("double") <=
+      lit(maxHitFrac) * TextAnalysis.tokenCount(col(textCol)).cast("double"))
+  }
 }

@@ -235,16 +235,35 @@ object CurationPipeline {
     * [[graft.streaming.ChangelogStream.streamCurate]] accepts it.
     * Documents without a gram of evidence (shorter than the model's n
     * after normalization) carry no prediction and DROP — the
-    * conservative reading, same as the lm gate's no-evidence rule. */
-  final case class LangIdConfig(modelPath: String, keep: Seq[String])
+    * conservative reading, same as the lm gate's no-evidence rule.
+    *
+    * `minMargin = Some(m)`: the CONFIDENCE gate published language
+    * filters actually run ([[graft.ops.LangId.classifyWithAbstention]])
+    * — a prediction whose top-1/top-2 margin is under `m` is relabelled
+    * `"und"` before the keep check, so unconfident short/out-of-model
+    * documents stop being forced into a language that then pollutes
+    * per-language tiers/quotas/budgets. Declaring `"und"` in `keep`
+    * ROUTES the abstained documents through instead of dropping
+    * them. */
+  final case class LangIdConfig(modelPath: String, keep: Seq[String],
+                                minMargin: Option[Double] = None)
 
   /** Word-blocklist page gate ([[graft.ops.WordBlocklist]]): drop every
     * document with more than `maxHits` tokens matching the FROZEN list
     * snapshot — the published C4 banned-words filter (`maxHits = 0`) /
     * Dolma taxonomy gate as one config stage. Frozen file + per-row
     * token arithmetic ⇒
-    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it. */
-  final case class WordBlocklistConfig(listPath: String, maxHits: Int = 0)
+    * [[graft.streaming.ChangelogStream.streamCurate]] accepts it.
+    *
+    * `maxHitFrac = Some(r)` swaps the absolute budget for the
+    * LENGTH-NORMALIZED rate gate ([[graft.ops.WordBlocklist
+    * .filterByFrac]] — Dolma publishes its taxonomy gates as hit-rate
+    * thresholds): keep iff blocked tokens <= r × total tokens, so long
+    * documents stop being advantaged by a fixed count. Exclusive with
+    * `max_hits` (one gate semantics per stage, the lm-config
+    * discipline). */
+  final case class WordBlocklistConfig(listPath: String, maxHits: Int = 0,
+                                       maxHitFrac: Option[Double] = None)
 
   /** LM fluency gate ([[graft.ops.KneserNey]]): a FROZEN persisted
     * Kneser–Ney model (the published CCNet scorer class) scores each
@@ -731,10 +750,14 @@ object CurationPipeline {
     // literal, so the whole gate is one codegen'd scan-side projection
     val ruleGated = config.wordBlocklist match {
       case Some(wb) =>
-        graft.ops.WordBlocklist.filter(heuristicGated, config.textCol,
-          graft.ops.WordBlocklist.loadWords(
-            heuristicGated.sparkSession, wb.listPath),
-          wb.maxHits)
+        val words = graft.ops.WordBlocklist.loadWords(
+          heuristicGated.sparkSession, wb.listPath)
+        wb.maxHitFrac match {
+          case Some(f) => graft.ops.WordBlocklist.filterByFrac(
+            heuristicGated, config.textCol, words, f)
+          case None => graft.ops.WordBlocklist.filter(
+            heuristicGated, config.textCol, words, wb.maxHits)
+        }
       case None => heuristicGated
     }
     if (config.wordBlocklist.isDefined)
@@ -748,8 +771,16 @@ object CurationPipeline {
       case Some(li) =>
         val model = graft.ops.LangId.load(ruleGated.sparkSession,
           li.modelPath)
-        val keepIds = graft.ops.LangId
-          .classifyModel(model, ruleGated, config.idCol, config.textCol)
+        // with min_margin the scorer abstains ("und") on unconfident
+        // predictions BEFORE the keep check — declare "und" in keep to
+        // route the abstained docs through instead of dropping them
+        val pred = li.minMargin match {
+          case Some(m) => graft.ops.LangId.classifyModelWithAbstention(
+            model, ruleGated, config.idCol, config.textCol, m)
+          case None => graft.ops.LangId.classifyModel(
+            model, ruleGated, config.idCol, config.textCol)
+        }
+        val keepIds = pred
           .filter(col("lang_pred").isin(li.keep: _*))
           .select(col("id").as(config.idCol))
         ruleGated.join(keepIds, Seq(config.idCol), "left_semi")
@@ -896,12 +927,33 @@ object CurationPipeline {
     *  - `section = "mix"`: one row per value of each `mixColumns`
     *    entry over the FINAL doc-granular frame, `idx` = the column's
     *    position, `frac` = the value's share of published documents,
-    *    `step_drop` null.
+    *    `step_drop` null;
+    *  - `section = "gate"`: the SCORE DISTRIBUTION of each declared
+    *    model gate — where the gate actually cuts, the calibration
+    *    view a released card should ship next to the bare survival
+    *    number. One row per decile threshold of
+    *    [[graft.ops.ClassifierEval.retentionCurve]] over the frame the
+    *    gate RAN ON (its input stage — drift-proof like the stage
+    *    counts): `idx` = the gate's position among the declared gates,
+    *    `key` = `<gate>@<threshold>` (e.g. `classifier@0.30`),
+    *    `n_docs`/`n_tokens` = what gating AT that threshold would
+    *    retain, `frac` = the retained-document share (`n_tokens` /
+    *    the threshold-0 row derives the token share), `step_drop`
+    *    null. Scores are the gates' own arithmetic rounded to 6
+    *    (engine-replayable): the classifier's sigmoid is already in
+    *    [0, 1]; the lm floor gate's `mean_logp` maps through
+    *    `exp(mean_logp)` — the per-token geometric-mean probability,
+    *    so the declared `min_logp` floor sits at `exp(min_logp)` on
+    *    the grid axis. Only single-threshold gates chart (an lm TIER
+    *    banding is per-group relative rank — no global threshold to
+    *    grid); lm rows cover the documents WITH trigram evidence (the
+    *    no-evidence drop is already in the stage counts).
     *
     * Cost shape: one count+sum aggregate per boundary (the
-    * [[stageAttrition]] posture with tokens riding the same pass) and
-    * one group-sized aggregate per mix column; the ratio windows run on
-    * the stages-sized / group-sized result frames only — never on the
+    * [[stageAttrition]] posture with tokens riding the same pass), one
+    * group-sized aggregate per mix column, and one bucket aggregate
+    * per declared gate; the ratio windows run on the stages-sized /
+    * group-sized / grid-sized result frames only — never on the
     * corpus. */
   def datasetCard(spark: SparkSession, config: CurationConfig,
                   mixColumns: Seq[String] = Nil,
@@ -950,7 +1002,46 @@ object CurationPipeline {
             sum(col("n_docs")).over(wAll).cast("double"), 6).as("frac"),
           lit(null).cast("double").as("step_drop"))
     }
-    mixRows.foldLeft(stageRows)(_ unionByName _)
+    // gate sections: the score distribution of each single-threshold
+    // model gate over ITS OWN input frame (the stage before it), as
+    // retention deciles — each gate is one corpus bucket aggregate
+    def gateInput(stage: String): DataFrame = {
+      val j = stages.indexWhere(_._1 == stage)
+      require(j >= 1, s"datasetCard: declared gate stage '$stage' not " +
+        "found among the composed stages") // input is always stage 0
+      stages(j - 1)._2
+    }
+    val gateScores: Seq[(String, DataFrame)] =
+      config.classifier.map { c =>
+        val model = graft.ops.QualityClassifier.load(spark, c.modelPath)
+        "classifier" -> gateInput("classifier").select(
+          round(graft.ops.QualityClassifier.scoreCol(
+            graft.ops.FeatureHash.denseCol(col(config.textCol),
+              model.weights.length, c.signed), model), 6).as("__s"),
+          tok.as("__t"))
+      }.toSeq ++
+      config.lm.filter(_.tiers.isEmpty).map { l =>
+        val model = graft.ops.KneserNey.load(spark, l.modelPath)
+        val in = gateInput("lm")
+        val scores = graft.ops.KneserNey
+          .score(model, in, config.idCol, config.textCol)
+          .select(col("id").as(config.idCol),
+            round(exp(col("mean_logp")), 6).as("__s"))
+        "lm" -> in.select(col(config.idCol), tok.as("__t"))
+          .join(scores, Seq(config.idCol))
+          .select(col("__s"), col("__t"))
+      }.toSeq
+    val gateRows = gateScores.zipWithIndex.map { case ((name, sc), gi) =>
+      graft.ops.ClassifierEval.retentionCurve(sc, "__s", "__t",
+          steps = 10)
+        .select(lit("gate").as("section"), lit(gi).as("idx"),
+          concat(lit(s"$name@"),
+            format_string("%.2f", col("threshold"))).as("key"),
+          col("n_docs"), col("n_tokens"),
+          col("doc_frac").as("frac"),
+          lit(null).cast("double").as("step_drop"))
+    }
+    (mixRows ++ gateRows).foldLeft(stageRows)(_ unionByName _)
   }
 
   /** Merge two [[datasetCard]]s — the day-2 closure of the card family
@@ -968,15 +1059,18 @@ object CurationPipeline {
     * Refuses cards with different stage inventories: summing counts
     * across different pipelines is not an accounting, it's a bug. */
   def mergeCards(a: DataFrame, b: DataFrame): DataFrame = {
-    // stage-inventory check: stages-sized collects
+    // stage/gate-inventory check: stages+grid-sized collects (gate keys
+    // carry the gate name and grid point, so a wave that declared a
+    // different gate set is refused like a different stage chain)
     def stagesOf(df: DataFrame) = df
-      .filter(col("section") === "stage")
-      .select(col("idx"), col("key"))
-      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      .filter(col("section") === "stage" || col("section") === "gate")
+      .select(col("section"), col("idx"), col("key"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     val (sa, sb) = (stagesOf(a), stagesOf(b))
     require(sa == sb,
-      s"mergeCards: stage inventories differ — left has ${sa.toSeq.sorted
-        .mkString(", ")} vs right ${sb.toSeq.sorted.mkString(", ")}; " +
+      s"mergeCards: stage/gate inventories differ — left has ${sa.toSeq
+        .sorted.mkString(", ")} vs right ${sb.toSeq.sorted.mkString(", ")}; " +
         "cards from different pipeline shapes do not merge")
     val merged = a.select(col("section"), col("idx"), col("key"),
         col("n_docs"), col("n_tokens"))
@@ -1006,7 +1100,20 @@ object CurationPipeline {
         round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(wMix).cast("double"), 6).as("frac"),
         lit(null).cast("double").as("step_drop"))
-    stageRows.unionByName(mixRows)
+    // gate retention counts are additive (docs retained at threshold t
+    // sum across waves); the share recomputes against the threshold-0
+    // row, which holds the grid MAX (retention is monotone) — no
+    // key-parsing or ordering needed
+    val wGate = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("idx"))
+    val gateRows = merged.filter(col("section") === "gate")
+      .select(col("section"), col("idx"), col("key"),
+        col("n_docs"), col("n_tokens"),
+        when(max(col("n_docs")).over(wGate) > 0,
+          round(col("n_docs").cast("double") /
+            max(col("n_docs")).over(wGate).cast("double"), 6)).as("frac"),
+        lit(null).cast("double").as("step_drop"))
+    stageRows.unionByName(mixRows).unionByName(gateRows)
   }
 
   /** The full declared pipeline as ONE lazy frame: document stages,
@@ -1022,9 +1129,16 @@ object CurationPipeline {
     def chunked(c: ChunkConfig) =
       if (c.sentences)
         // whole-sentence windows (never cut mid-sentence); parse
-        // refuses overlap/tokenizer with this mode
-        Chunking.chunkSentences(docs, config.idCol, config.textCol,
-          c.tokens)
+        // refuses overlap with this mode. With a tokenizer the windows
+        // fill on REAL frozen-artifact token counts per sentence.
+        c.tokenizerPath match {
+          case None => Chunking.chunkSentences(docs, config.idCol,
+            config.textCol, c.tokens)
+          case Some(tp) => Chunking.chunkSentencesTokenized(docs,
+            config.idCol, config.textCol,
+            graft.ops.TokenizerArtifact.load(docs.sparkSession, tp),
+            c.tokens)
+        }
       else c.tokenizerPath match {
         case None => Chunking.chunk(docs, config.textCol, c.tokens,
           c.overlap)
@@ -1184,9 +1298,13 @@ object CurationPipeline {
     *          "tiers": 3,                   // (cross-row, batch-only)
     *          "keep_tiers": [1, 2]},        // 1 = head
     *   "word_blocklist": {"list_path": "...",  // frozen banned-words
-    *                      "max_hits": 0},  // snapshot (C4 page gate)
+    *                      "max_hits": 0,   // snapshot (C4 page gate) OR
+    *                      "max_hit_frac": 0.01},  // hits-per-token rate
+    *                                       // (Dolma-style; exclusive)
     *   "lang_id": {"model_path": "...",     // frozen trained-language
-    *               "keep": ["en", "de"]},   // gate on the PREDICTION
+    *               "keep": ["en", "de"],    // gate on the PREDICTION
+    *               "min_margin": 0.05},     // optional confidence gate:
+    *                                        // margin < m -> "und"
     *   "classifier": {"model_path": "...",              // frozen
     *                  "threshold": 0.5, "signed": true}, // linear gate
     *   "dedup": {"method": "exact" | "jaccard" | "minhash" | "simhash"
@@ -1434,7 +1552,17 @@ object CurationPipeline {
           case _ => fail("lang_id.keep must be an array of strings")
         }
         if (keep.isEmpty) fail("lang_id.keep must not be empty")
-        Some(LangIdConfig(mp, keep))
+        val mm = l \ "min_margin" match {
+          case JNothing => None
+          case v =>
+            val m = dblOf(v, "lang_id.min_margin",
+              fail("lang_id.min_margin must be a number"))
+            if (m <= 0) fail(
+              s"lang_id.min_margin must be > 0 (margins are " +
+                s"non-negative, so $m gates nothing)")
+            Some(m)
+        }
+        Some(LangIdConfig(mp, keep, mm))
     }
     val wordBlocklist = root \ "word_blocklist" match {
       case JNothing => None
@@ -1445,7 +1573,20 @@ object CurationPipeline {
         val mh = intOf(w \ "max_hits", "word_blocklist.max_hits", 0)
         if (mh < 0) fail(
           s"word_blocklist.max_hits must be >= 0, got $mh")
-        Some(WordBlocklistConfig(lp, mh))
+        val mf = w \ "max_hit_frac" match {
+          case JNothing => None
+          case v =>
+            if ((w \ "max_hits") != JNothing) fail(
+              "word_blocklist.max_hits and word_blocklist.max_hit_frac " +
+                "are exclusive (one gate semantics per stage)")
+            val f = dblOf(v, "word_blocklist.max_hit_frac",
+              fail("word_blocklist.max_hit_frac must be a number"))
+            if (f < 0 || f >= 1) fail(
+              s"word_blocklist.max_hit_frac must be in [0, 1) — a rate " +
+                s"of 1 keeps everything, got $f")
+            Some(f)
+        }
+        Some(WordBlocklistConfig(lp, mh, mf))
     }
     val classifier = root \ "classifier" match {
       case JNothing => None
@@ -1601,9 +1742,6 @@ object CurationPipeline {
         if (sentences && overlap != 0) fail(
           "chunk.mode sentences builds whole-sentence windows — " +
             "overlap does not apply (sentences are never repeated)")
-        if (sentences && tokenizer.isDefined) fail(
-          "chunk.mode sentences sizes windows in whitespace tokens — " +
-            "tokenizer units compose with mode tokens only")
         Some(ChunkConfig(
           intOf(c \ "tokens", "chunk.tokens",
             fail("chunk.tokens is required when chunk is declared")),

@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+import graft.ops.{Compaction, Layout, LayoutAudit}
+
+/** Config-declared TABLE-MAINTENANCE job — the reference's config-first
+  * identity (reference: src/main/scala/com/booking/spark/
+  * Settings.scala:16-48 — "declare the job in config, run one binary")
+  * applied to the day-2 table-health motion every long-lived 100 TB
+  * dataset needs: small-file compaction, multi-dimensional Z-order
+  * clustering, bloom-filter footers for point-lookup pruning, and the
+  * layout audit that proves the rewrite bought its cost — one HOCON/JSON
+  * file, the third CLI job shape next to snapshot (`changelog`) and
+  * curation (`input`).
+  *
+  * Composed from the SAME operators a hand-written pass would use
+  * ([[graft.ops.Compaction]], [[graft.ops.Layout]],
+  * [[graft.ops.LayoutAudit]]), through ONE committed-version writer
+  * ([[Compaction.writeVersioned]]): readers of version n never observe
+  * a half-written rewrite, and a failed run leaves no committed version
+  * behind — content is preserved exactly; only layout changes.
+  *
+  * Stage shape (each optional except the table):
+  * {{{
+  *   read table → size to target_file_mb → cluster (sort | zorder)
+  *              → write v=<n+1> (+ bloom footers) → layout audit report
+  * }}}
+  *
+  * Scale posture: sizing is one namenode listing (no data read);
+  * clustering is the one range exchange every layout rewrite needs
+  * (Z-order bucket boundaries are a single `approxQuantile` pass —
+  * model-sized driver traffic); the audit reads FOOTERS only,
+  * distributed over executors. Nothing here is quadratic or
+  * driver-looped.
+  */
+object MaintenancePipeline {
+
+  /** Clustering declaration: `"sort"` = range-partition + in-file sort
+    * on `columns` (single-dimension min/max pruning); `"zorder"` =
+    * Morton-interleaved quantile buckets ([[Layout.zorderBy]] —
+    * multi-dimensional pruning, `bitsPerDim` resolution). */
+  final case class ClusterConfig(mode: String, columns: Seq[String],
+                                 bitsPerDim: Int = 8)
+
+  /** Bloom-filter footers for the declared point-lookup `columns`,
+    * sized by `expectedNdv` ([[LayoutAudit.writeWithBloomFilters]]'s
+    * option surface, riding the same committed write). */
+  final case class BloomConfig(columns: Seq[String],
+                               expectedNdv: Long = 100000L)
+
+  /** Post-write layout audit: the range-skip report
+    * ([[LayoutAudit.skipReport]]) for predicate `[lo, hi]` on `column`
+    * over the freshly committed version, written to `path` — published
+    * next to the table like the curation attrition reports, so the
+    * rewrite ships with the proof of what its footers prune. */
+  final case class AuditConfig(path: String, column: String,
+                               lo: Long, hi: Long)
+
+  final case class MaintenanceConfig(
+      tablePath: String,
+      outputPath: String,
+      targetFileMb: Int = 128,
+      cluster: Option[ClusterConfig] = None,
+      bloom: Option[BloomConfig] = None,
+      audit: Option[AuditConfig] = None)
+
+  /** Parse a maintenance config AST (from JSON or [[Hocon]]):
+    * {{{
+    * { "maintenance": {
+    *     "table_path": "...",          // the parquet table to rewrite
+    *     "output_path": "...",         // versioned v=<n> target dir
+    *     "target_file_mb": 128,        // compaction file sizing
+    *     "cluster": {"mode": "sort" | "zorder",
+    *                 "columns": ["a", "b"],
+    *                 "bits_per_dim": 8},          // zorder resolution
+    *     "bloom": {"columns": ["id"],             // point-lookup keys
+    *               "expected_ndv": 100000},
+    *     "audit": {"path": "...",                 // skip report sink
+    *               "column": "a", "lo": 10, "hi": 20}}}
+    * }}} */
+  def fromJValue(ast: JValue): MaintenanceConfig = {
+    val root = ast \ "maintenance"
+    if (root == JNothing)
+      fail("config declares no maintenance section")
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JNothing => None
+      case other => fail(s"expected a string, got $other")
+    }
+    def intOf(v: JValue, name: String, default: => Int): Int = v match {
+      case JInt(i) =>
+        if (!i.isValidInt) fail(s"$name out of Int range: $i")
+        i.toInt
+      case JLong(i) =>
+        if (i < Int.MinValue || i > Int.MaxValue)
+          fail(s"$name out of Int range: $i")
+        i.toInt
+      case JNothing => default
+      case other => fail(s"$name must be an integer, got $other")
+    }
+    def longOf(v: JValue, name: String, default: => Long): Long = v match {
+      case JInt(i) =>
+        if (!i.isValidLong) fail(s"$name out of Long range: $i")
+        i.toLong
+      case JLong(i) => i
+      case JNothing => default
+      case other => fail(s"$name must be an integer, got $other")
+    }
+    def strList(name: String, v: JValue): Seq[String] = v match {
+      case JArray(items) => items.map {
+        case JString(s) => s
+        case other => fail(s"$name entries must be strings, got $other")
+      }
+      case JNothing => Nil
+      case _ => fail(s"$name must be an array of strings")
+    }
+    val tablePath = str(root \ "table_path").getOrElse(
+      fail("maintenance.table_path is required"))
+    val outputPath = str(root \ "output_path").getOrElse(
+      fail("maintenance.output_path is required"))
+    if (tablePath == outputPath) fail(
+      "maintenance.output_path must differ from table_path — the " +
+        "rewrite reads the table lazily while writing (read-under-write)")
+    val targetMb = intOf(root \ "target_file_mb",
+      "maintenance.target_file_mb", 128)
+    if (targetMb < 1) fail(
+      s"maintenance.target_file_mb must be >= 1, got $targetMb")
+    val cluster = root \ "cluster" match {
+      case JNothing => None
+      case c =>
+        val mode = str(c \ "mode").getOrElse(
+          fail("maintenance.cluster.mode is required (sort | zorder)"))
+        if (mode != "sort" && mode != "zorder") fail(
+          s"maintenance.cluster.mode must be sort | zorder, got '$mode'")
+        val cols = strList("maintenance.cluster.columns", c \ "columns")
+        if (cols.isEmpty) fail(
+          "maintenance.cluster.columns must not be empty")
+        val bits = intOf(c \ "bits_per_dim",
+          "maintenance.cluster.bits_per_dim", 8)
+        if (mode == "sort" && (c \ "bits_per_dim") != JNothing) fail(
+          "maintenance.cluster.bits_per_dim applies to zorder only")
+        Some(ClusterConfig(mode, cols, bits))
+    }
+    val bloom = root \ "bloom" match {
+      case JNothing => None
+      case b =>
+        val cols = strList("maintenance.bloom.columns", b \ "columns")
+        if (cols.isEmpty) fail("maintenance.bloom.columns must not be empty")
+        val ndv = longOf(b \ "expected_ndv",
+          "maintenance.bloom.expected_ndv", 100000L)
+        if (ndv < 1) fail(
+          s"maintenance.bloom.expected_ndv must be >= 1, got $ndv")
+        Some(BloomConfig(cols, ndv))
+    }
+    val audit = root \ "audit" match {
+      case JNothing => None
+      case a =>
+        val p = str(a \ "path").getOrElse(
+          fail("maintenance.audit.path is required"))
+        val c = str(a \ "column").getOrElse(
+          fail("maintenance.audit.column is required"))
+        val lo = longOf(a \ "lo", "maintenance.audit.lo",
+          fail("maintenance.audit.lo is required"))
+        val hi = longOf(a \ "hi", "maintenance.audit.hi",
+          fail("maintenance.audit.hi is required"))
+        if (lo > hi) fail(
+          s"maintenance.audit declares an empty range [$lo, $hi]")
+        Some(AuditConfig(p, c, lo, hi))
+    }
+    MaintenanceConfig(tablePath, outputPath, targetMb, cluster, bloom,
+      audit)
+  }
+
+  /** The declared rewrite as a lazy frame + its file-count target:
+    * sized to `target_file_mb`, clustered as declared. Exposed so specs
+    * can pin the plan shape without writing. */
+  def shapedFrame(spark: SparkSession,
+                  config: MaintenanceConfig): (DataFrame, Int) = {
+    val df = spark.read.parquet(config.tablePath)
+    val targetBytes = config.targetFileMb.toLong << 20
+    val n = math.max(1L,
+      (Compaction.dataBytes(spark, config.tablePath) + targetBytes - 1)
+        / targetBytes).toInt
+    val shaped = config.cluster match {
+      case None => (df.repartition(n), n)
+      case Some(ClusterConfig("sort", cols, _)) =>
+        (df.repartitionByRange(n, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*), n)
+      case Some(ClusterConfig("zorder", cols, bits)) =>
+        (Layout.zorderBy(df, cols, n, bits), n)
+      case Some(ClusterConfig(other, _, _)) =>
+        fail(s"unknown cluster mode '$other'") // parse refuses earlier
+    }
+    shaped
+  }
+
+  /** Run the declared maintenance pass: ONE committed-version write
+    * ([[Compaction.writeVersioned]] — bloom options ride the same
+    * write, never a second rewrite), then the layout-audit report over
+    * the freshly committed version (written AFTER the commit, so a
+    * failed write leaves neither version nor report). Returns the
+    * committed version's path. */
+  def run(spark: SparkSession, config: MaintenanceConfig): String = {
+    val (shaped, _) = shapedFrame(spark, config)
+    val bloomOptions = config.bloom match {
+      case None => Map.empty[String, String]
+      case Some(b) => b.columns.flatMap(c => Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> b.expectedNdv.toString
+      )).toMap
+    }
+    val versionPath = Compaction.writeVersioned(spark, shaped,
+      config.outputPath, bloomOptions)
+    config.audit.foreach(a =>
+      LayoutAudit.skipReport(spark, versionPath, a.column, a.lo, a.hi)
+        .write.mode(SaveMode.Overwrite).parquet(a.path))
+    versionPath
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+}

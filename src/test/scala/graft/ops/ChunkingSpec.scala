@@ -110,4 +110,50 @@ class ChunkingSpec extends SparkTestBase {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     carried shouldBe Seq((1L, "L1"), (2L, "L2"), (3L, "L3"))
   }
+
+  "chunkSentencesTokenized" should "fill windows by real tokenizer counts" in {
+    // zero-merge byte-BPE: one token per UTF-8 byte, so the
+    // per-sentence count is its byte length — sentences of 14, 10, 7
+    // bytes; at maxTokens=18 the walk packs [14] | [10, 7]
+    val plain = TokenizerArtifact.BpeModel(Nil, byteLevel = true)
+    val df = Seq(
+      (1L, "one two three. four five! six vi."),
+      (2L, "short")
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkSentencesTokenized(df, "doc_id", "text",
+        plain, maxTokens = 18)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens",
+        $"n_sentences")
+      .as[(Long, Int, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    got shouldBe Seq(
+      (1L, 0, "one two three.", 14L, 1L),
+      (1L, 1, "four five! six vi.", 17L, 2L),
+      (2L, 0, "short", 5L, 1L))
+    // the whitespace sizing would pack ALL of doc 1 into one 6-token
+    // window — the unit swap is what this mode exists for
+    Chunking.chunkSentences(df, "doc_id", "text", maxTokens = 18)
+      .filter($"doc_id" === 1L).count() shouldBe 1L
+    // whole-sentence contract holds under tokenizer sizing too: an
+    // oversize sentence is isolated, never cut
+    val over = Seq((9L, "tiny. this sentence is far longer than budget."))
+      .toDF("doc_id", "text")
+    val big = Chunking.chunkSentencesTokenized(over, "doc_id", "text",
+        plain, maxTokens = 10)
+      .orderBy($"chunk_idx")
+      .select($"chunk_text").as[String].collect().toSeq
+    big shouldBe Seq("tiny.",
+      "this sentence is far longer than budget.")
+    // ANY family is accepted (no detokenization in sentence mode):
+    // wordpiece counts size the windows, text stays the original
+    val wp = TokenizerArtifact.WordPieceModel(Seq("one", "two", "three",
+      "."))
+    Chunking.chunkSentencesTokenized(
+        Seq((1L, "one two. three two.")).toDF("doc_id", "text"),
+        "doc_id", "text", wp, maxTokens = 100)
+      .select($"chunk_text").as[String].collect()
+      .toSeq shouldBe Seq("one two. three two.")
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.chunkSentencesTokenized(df, "doc_id", "text", plain, 0)
+  }
 }

@@ -134,6 +134,69 @@ class LangIdSpec extends SparkTestBase {
     rows.count(r => r.getString(0) == r.getString(1)) should be >= 48
   }
 
+  "the margin" should "be the rounded top-1 minus top-2 score" in {
+    val corpus = df(_.take(4))
+    val profiles = LangId.trainProfiles(corpus, "text", "lang")
+    val scores = LangId.scoreAgainstProfiles(corpus, profiles,
+        "id", "text")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (id, rows) =>
+        val sorted = rows
+          .sortBy(r => (-r.getDouble(3), r.getString(1))).toSeq
+        id -> BigDecimal(sorted(0).getDouble(3) - sorted(1).getDouble(3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val got = LangId.classifyWithMargin(corpus, profiles, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    got.keySet shouldBe scores.keySet
+    got.foreach { case (id, m) =>
+      withClue(s"doc $id: ") { m shouldBe scores(id) +- 1e-9 }
+    }
+    // margin rides ALONGSIDE the classify argmax — same prediction
+    val plain = LangId.classify(corpus, profiles, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    LangId.classifyWithMargin(corpus, profiles, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe
+      plain
+  }
+
+  it should "abstain with 'und' below the floor and pass null margins" in {
+    val corpus = df(_.take(6))
+    val profiles = LangId.trainProfiles(corpus, "text", "lang")
+    val margins = LangId.classifyWithMargin(corpus, profiles, "id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    // pick a floor strictly between the min and max observed margins so
+    // the abstention genuinely splits the corpus
+    val ms = margins.map(_._3).sorted
+    val floor = (ms.head + ms.last) / 2
+    val gated = LangId.classifyWithAbstention(corpus, profiles,
+        "id", "text", floor)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    margins.foreach { case (id, pred, m) =>
+      withClue(s"doc $id (margin $m, floor $floor): ") {
+        gated(id) shouldBe (if (m < floor) LangId.Undetermined else pred)
+      }
+    }
+    gated.values.toSet should contain(LangId.Undetermined)
+    // a SINGLE-language model has no runner-up: margin is null and the
+    // prediction stands at any floor (no competitor = no confusion)
+    val mono = LangId.trainProfiles(
+      Seq(("a", "hello world wide web", "en")).toDF("id", "text", "lang"),
+      "text", "lang")
+    val m1 = LangId.classifyWithMargin(
+      Seq(("q", "hello world")).toDF("id", "text"), mono, "id", "text")
+      .collect()
+    m1.head.isNullAt(4) shouldBe true
+    LangId.classifyWithAbstention(
+        Seq(("q", "hello world")).toDF("id", "text"), mono, "id", "text",
+        minMargin = 100.0)
+      .collect().head.getString(1) shouldBe "en"
+    // a non-positive floor gates nothing — refused loudly
+    an[IllegalArgumentException] should be thrownBy
+      LangId.classifyWithAbstention(corpus, profiles, "id", "text", 0.0)
+  }
+
   "the artifact" should "round-trip save/load with identical predictions" in {
     val corpus = df(identity)
     val model = LangId.train(corpus, "text", "lang")

@@ -109,4 +109,88 @@ class MatryoshkaSpec extends SparkTestBase {
       (plan should not).include("HashAggregate")
     }
   }
+
+  private def corpus30 = (1L to 30L).map(i => (i, Array(
+      (i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, i.toFloat / 30)))
+    .toDF("vec_id", "embedding")
+
+  "TruncatedIndex" should "recover brute force in the exhaustive regime " +
+    "through a save/load round trip" in {
+    val df = corpus30
+    val queries = df.filter($"vec_id" <= 3)
+    val idx = Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding",
+      dims = 4, nlist = 4, iters = 2)
+    idx.params.dims shouldBe 4
+    idx.params.fullDim shouldBe 4
+    idx.params.rows shouldBe 30L
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mtrunc").toString
+    idx.save(dir)
+    val loaded = Matryoshka.TruncatedIndex.load(spark, dir)
+    loaded.params shouldBe idx.params
+    // nprobe = nlist + shortlist >= corpus: the funnel IS brute force
+    val got = Matryoshka.searchTruncatedIndex(loaded, queries, k = 4,
+        shortlist = 30, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.bruteForceTopK(df, queries, 4)
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe want
+    // the frozen acceptance gate reads recall 1.0 there
+    Matryoshka.indexRecallReport(loaded, queries, k = 3, shortlist = 30,
+        nprobe = 4)
+      .as[(Long, Int, Int, Int, Int, Double, Double)]
+      .head() shouldBe ((3L, 3, 30, 4, 4, 1.0, 1.0))
+    // a REAL truncation (dims=2) still returns k full-precision-ranked
+    // rows per query, and its recall gate stays within [min, mean, 1]
+    val narrow = Matryoshka.buildTruncatedIndex(df, "vec_id",
+      "embedding", dims = 2, nlist = 4, iters = 2)
+    Matryoshka.searchTruncatedIndex(narrow, queries, k = 2,
+        shortlist = 8, nprobe = 2)
+      .groupBy($"query_id").count()
+      .select($"count").as[Long].collect().toSet shouldBe Set(2L)
+    val r = Matryoshka.indexRecallReport(narrow, queries, k = 3,
+        shortlist = 8, nprobe = 2)
+      .as[(Long, Int, Int, Int, Int, Double, Double)].head()
+    r._1 shouldBe 3L
+    r._4 shouldBe 2 // dims from the index params, not a caller guess
+    r._7 should be <= r._6
+    r._6 should be <= 1.0
+  }
+
+  it should "refuse drifted artifacts and drifted query batches" in {
+    val df = corpus30
+    val idx = Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding",
+      dims = 2, nlist = 4, iters = 1)
+    // dims outside the embedding width refuses at build
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding", dims = 5)
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding", dims = 0)
+    // shortlist < k refuses
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.searchTruncatedIndex(idx, df.limit(1), k = 5,
+        shortlist = 3)
+    // a query batch at the wrong width refuses — never silently
+    // prefix-scored
+    val drifted = df.select($"vec_id",
+      slice($"embedding", 1, 3).as("embedding"))
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.searchTruncatedIndex(idx, drifted.limit(2), k = 1,
+        shortlist = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mtrunc_ref").toString
+    idx.save(dir)
+    // no params record: not an artifact
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_mtrunc_bare").toString
+    an[IllegalStateException] should be thrownBy
+      Matryoshka.TruncatedIndex.load(spark, bare)
+    // dimension drift: the prefix tier rebuilt at another width while
+    // this params record survived — refused on load
+    Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding", dims = 3,
+        nlist = 4, iters = 1)
+      .prefix.save(s"$dir/prefix")
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.TruncatedIndex.load(spark, dir)
+  }
 }

@@ -42,6 +42,42 @@ class WordBlocklistSpec extends SparkTestBase {
       WordBlocklist.filter(df, "text", words, maxHits = -1)
   }
 
+  "filterByFrac" should "gate on the hits-per-token rate, not the count" in {
+    val df = Seq(
+      (1L, Some("bad " + ("x " * 99).trim)),   // 1/100 = 0.01
+      (2L, Some("bad x")),                     // 1/2 = 0.5
+      (3L, Some("all clean here")),            // 0/3
+      (4L, None),                              // null text -> drop
+      (5L, Some(""))                           // 0 tokens, 0 hits -> keep
+    ).toDF("id", "text")
+    WordBlocklist.filterByFrac(df, "text", words, maxHitFrac = 0.05)
+      .select($"id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L, 5L)
+    // the count gate at max_hits=1 would keep doc 2 (one hit) — the
+    // rate gate charges the hit against its 2 tokens and drops it,
+    // while the long document's identical single hit passes: the
+    // length normalization this mode exists for
+    WordBlocklist.filter(df, "text", words, maxHits = 1)
+      .select($"id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 5L)
+    // rate 0 ≡ the zero-tolerance page gate
+    WordBlocklist.filterByFrac(df, "text", words, maxHitFrac = 0.0)
+      .select($"id").as[Long].collect().sorted.toSeq shouldBe Seq(3L, 5L)
+    // a rate >= 1 keeps everything (hits <= tokens) — refused
+    an[IllegalArgumentException] should be thrownBy
+      WordBlocklist.filterByFrac(df, "text", words, maxHitFrac = 1.0)
+    an[IllegalArgumentException] should be thrownBy
+      WordBlocklist.filterByFrac(df, "text", words, maxHitFrac = -0.1)
+  }
+
+  it should "stay a scan-side projection like the count gate" in {
+    val plan = WordBlocklist.filterByFrac(
+        Seq((1L, "x")).toDF("id", "text"), "text", words, 0.1)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   it should "stay a scan-side projection with no shuffle or join" in {
     val plan = WordBlocklist.filter(
         Seq((1L, "x")).toDF("id", "text"), "text", words)

@@ -499,7 +499,8 @@ class CurationPipelineSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     got shouldBe want
     got should have size 4
-    // refusals: overlap/tokenizer/bad mode with sentences
+    // refusals: overlap/bad mode with sentences (a tokenizer now
+    // COMPOSES with sentence mode — covered in its own test)
     def bad(json: String, msgPart: String): Unit = {
       val e = the[IllegalArgumentException] thrownBy
         CurationPipeline.fromJson(json)
@@ -509,9 +510,6 @@ class CurationPipelineSpec extends SparkTestBase {
     bad(s"""{"input": {"path": "/x"}, "rules": [],
            | "chunk": {"tokens": 6, "overlap": 2,
            |           "mode": "sentences"}}""".stripMargin, "overlap")
-    bad(s"""{"input": {"path": "/x"}, "rules": [],
-           | "chunk": {"tokens": 6, "tokenizer": "/t",
-           |           "mode": "sentences"}}""".stripMargin, "tokenizer")
     bad(s"""{"input": {"path": "/x"}, "rules": [],
            | "chunk": {"tokens": 6, "mode": "words"}}""".stripMargin,
       "chunk.mode")
@@ -659,6 +657,151 @@ class CurationPipelineSpec extends SparkTestBase {
     bad("""{"input": {"path": "/x"},
           | "lang_id": {"model_path": "/m", "keep": [3]}}""".stripMargin,
       "must be strings")
+  }
+
+  it should "abstain under lang_id.min_margin identically to the " +
+      "hand-composed classifyWithAbstention" in {
+    val corpusPath = s"$tmp/langid_margin_docs"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river", "en"),
+      (2L, "der schnelle braune fuchs springt über den faulen hund", "de"),
+      (3L, "she said that the weather would be better in the morning", "en"),
+      (4L, "sie sagte dass das wetter am morgen besser werden würde", "de"),
+      // mixed-language: a small top1/top2 margin — the doc the
+      // confidence gate exists for
+      (5L, "the weather der morgen the wetter der morning", "en")
+    ).toDF("doc_id", "text", "lang")
+    corpus.write.mode("overwrite").parquet(corpusPath)
+    val modelDir = s"$tmp/langid_margin_model"
+    graft.ops.LangId.save(spark,
+      graft.ops.LangId.train(
+        corpus.filter($"doc_id" <= 4), "text", "lang"),
+      modelDir)
+    val model = graft.ops.LangId.load(spark, modelDir)
+    // pick a floor between doc 5's margin and the confident docs'
+    val margins = graft.ops.LangId
+      .classifyModelWithMargin(model, corpus, "doc_id", "text")
+      .select($"id", $"margin").as[(Long, Double)].collect().toMap
+    val floor = (margins(5L) + margins.removed(5L).values.min) / 2
+    margins(5L) should be < floor
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$corpusPath"},
+         | "rules": [],
+         | "lang_id": {"model_path": "$modelDir",
+         |             "keep": ["en"],
+         |             "min_margin": $floor}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = {
+      val keep = graft.ops.LangId
+        .classifyModelWithAbstention(model, corpus, "doc_id", "text",
+          floor)
+        .filter($"lang_pred" === "en")
+        .select($"id".as("doc_id"))
+      corpus.join(keep, Seq("doc_id"), "left_semi")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    }
+    got shouldBe want
+    // doc 5's argmax IS "en" — without the margin gate it pollutes the
+    // en tier; with it, it abstains to "und" and drops
+    got shouldBe Seq(1L, 3L)
+    CurationPipeline.curate(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$corpusPath"},
+           | "rules": [],
+           | "lang_id": {"model_path": "$modelDir",
+           |             "keep": ["en"]}}""".stripMargin))
+      .select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L, 5L)
+    // declaring "und" in keep ROUTES the abstained docs through
+    CurationPipeline.curate(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$corpusPath"},
+           | "rules": [],
+           | "lang_id": {"model_path": "$modelDir",
+           |             "keep": ["und"],
+           |             "min_margin": $floor}}""".stripMargin))
+      .select($"doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(5L)
+    // parse refusal: a non-positive floor gates nothing
+    val e = the[IllegalArgumentException] thrownBy
+      CurationPipeline.fromJson(
+        """{"input": {"path": "/x"},
+          | "lang_id": {"model_path": "/m", "keep": ["en"],
+          |             "min_margin": 0}}""".stripMargin)
+    e.getMessage should include("min_margin")
+  }
+
+  "word_blocklist.max_hit_frac" should "rate-gate identically to the " +
+      "hand-composed filterByFrac and refuse mixed declarations" in {
+    val listDir = s"$tmp/wbl_frac_words"
+    Seq("mid1", "big3", "big5").toDF("word")
+      .write.mode("overwrite").parquet(listDir)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$docsPath"},
+         | "rules": [],
+         | "word_blocklist": {"list_path": "$listDir",
+         |                    "max_hit_frac": 0.08}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = graft.ops.WordBlocklist.filterByFrac(
+        spark.read.parquet(docsPath), "text",
+        graft.ops.WordBlocklist.loadWords(spark, listDir), 0.08)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    def bad(json: String, msgPart: String): Unit = {
+      val e = the[IllegalArgumentException] thrownBy
+        CurationPipeline.fromJson(json)
+      e.getMessage should include(msgPart)
+      ()
+    }
+    // one gate semantics per stage: count and rate are exclusive
+    bad(s"""{"input": {"path": "/x"},
+           | "word_blocklist": {"list_path": "$listDir", "max_hits": 1,
+           |                    "max_hit_frac": 0.1}}""".stripMargin,
+      "exclusive")
+    bad(s"""{"input": {"path": "/x"},
+           | "word_blocklist": {"list_path": "$listDir",
+           |                    "max_hit_frac": 1.0}}""".stripMargin,
+      "max_hit_frac")
+    bad(s"""{"input": {"path": "/x"},
+           | "word_blocklist": {"list_path": "$listDir",
+           |                    "max_hit_frac": -0.1}}""".stripMargin,
+      "max_hit_frac")
+  }
+
+  "chunk.mode sentences + tokenizer" should "size whole-sentence " +
+      "windows in frozen-artifact units identically to the op" in {
+    val tokDir = s"$tmp/sent_tok_artifact"
+    graft.ops.TokenizerArtifact.save(spark,
+      graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true), tokDir)
+    val sentPath = s"$tmp/sent_tok_docs"
+    Seq(
+      (1L, "one two three. four five! six vi."),
+      (2L, "short sentence here.")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(sentPath)
+    val cfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$sentPath"},
+         | "rules": [],
+         | "chunk": {"tokens": 18, "mode": "sentences",
+         |           "tokenizer": "$tokDir"}}""".stripMargin)
+    val got = CurationPipeline.curate(spark, cfg)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Long, Int, String, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val want = graft.ops.Chunking.chunkSentencesTokenized(
+        spark.read.parquet(sentPath), "doc_id", "text",
+        graft.ops.TokenizerArtifact.load(spark, tokDir), 18)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Long, Int, String, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    got shouldBe want
+    // byte-BPE units actually sized the walk: [14] | [10, 7]
+    got.filter(_._1 == 1L).map(_._4) shouldBe Seq(14L, 17L)
+    // overlap still refuses with sentence mode
+    val e = the[IllegalArgumentException] thrownBy
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "/x"},
+           | "chunk": {"tokens": 18, "mode": "sentences", "overlap": 2,
+           |           "tokenizer": "$tokDir"}}""".stripMargin)
+    e.getMessage should include("overlap")
   }
 
   it should "dedup embeddings via the semantic tier" in {
@@ -1186,7 +1329,79 @@ class CurationPipelineSpec extends SparkTestBase {
            | "dedup": {"method": "exact"}}""".stripMargin))
     val e = the[IllegalArgumentException] thrownBy
       CurationPipeline.mergeCards(card(s"$half/a"), other)
-    e.getMessage should include("stage inventories differ")
+    e.getMessage should include("inventories differ")
+  }
+
+  it should "chart gate score deciles and merge them additively" in {
+    // classifier gate + lm floor gate declared: the card must carry a
+    // "gate" section per gate with the retention deciles over each
+    // gate's OWN input frame
+    val clfDir = s"$tmp/card_gate_clf"
+    graft.ops.QualityClassifier.save(spark,
+      graft.ops.QualityClassifier.LinearModel(
+        Array.tabulate(64)(b => (((b * 37) % 21 - 10) / 16.0).toFloat),
+        bias = 0.25), clfDir)
+    val lmDir = s"$tmp/card_gate_lm"
+    graft.ops.KneserNey.save(spark,
+      graft.ops.KneserNey.train(
+        spark.read.parquet(docsPath), "doc_id", "text"), lmDir)
+    def cfg(p: String) = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"},
+         | "rules": ["min_tokens:10"],
+         | "lm": {"model_path": "$lmDir", "min_logp": -12.0},
+         | "classifier": {"model_path": "$clfDir",
+         |                "threshold": 0.5}}""".stripMargin)
+    val card = CurationPipeline.datasetCard(spark, cfg(docsPath))
+    val gates = card.filter($"section" === "gate")
+      .select($"idx", $"key", $"n_docs", $"n_tokens", $"frac")
+      .as[(Int, String, Long, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // 11 deciles per gate, classifier first then lm (declaration order)
+    gates.count(_._2.startsWith("classifier@")) shouldBe 11
+    gates.count(_._2.startsWith("lm@")) shouldBe 11
+    // threshold 0 retains the gate's WHOLE input: the classifier runs
+    // after the lm gate, so its 0-row equals the lm stage count; the
+    // lm gate's 0-row covers the scored (trigram-evidenced) rules
+    // survivors
+    val stageCounts = card.filter($"section" === "stage")
+      .select($"key", $"n_docs").as[(String, Long)].collect().toMap
+    gates.find(_._2 == "classifier@0.00").get._3 shouldBe
+      stageCounts("lm")
+    // retention is monotone non-increasing along the grid, and the
+    // share normalizes against the 0-threshold row
+    val clf = gates.filter(_._2.startsWith("classifier@")).sortBy(_._2)
+    clf.map(_._3) shouldBe clf.map(_._3).sorted.reverse
+    clf.head._5 shouldBe Some(1.0)
+    // the declared threshold's decile shows where the gate cuts: the
+    // published stage count sits between the neighbouring grid rows
+    val at05 = clf.find(_._2 == "classifier@0.50").get._3
+    stageCounts("classifier") should be <= clf
+      .find(_._2 == "classifier@0.40").get._3
+    stageCounts("classifier") should be >= at05
+    // wave merge: gate counts add, shares renormalize — dedup-free
+    // split merge ≡ whole-corpus card (gate rows included)
+    val half = s"$tmp/card_gate_half"
+    val docs = spark.read.parquet(docsPath)
+    docs.filter($"doc_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$half/a")
+    docs.filter($"doc_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$half/b")
+    val merged = CurationPipeline.mergeCards(
+        CurationPipeline.datasetCard(spark, cfg(s"$half/a")),
+        CurationPipeline.datasetCard(spark, cfg(s"$half/b")))
+      .collect().map(_.toString).sorted.toSeq
+    merged shouldBe card.collect().map(_.toString).sorted.toSeq
+    // a wave missing a gate is a different pipeline shape — refused
+    val ungated = CurationPipeline.datasetCard(spark,
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$half/a"},
+           | "rules": ["min_tokens:10"],
+           | "lm": {"model_path": "$lmDir", "min_logp": -12.0}}"""
+          .stripMargin))
+    val e2 = the[IllegalArgumentException] thrownBy
+      CurationPipeline.mergeCards(
+        CurationPipeline.datasetCard(spark, cfg(s"$half/a")), ungated)
+    e2.getMessage should include("inventories differ")
   }
 
   it should "dispatch by config shape in the CLI (both/neither sections fail)" in {

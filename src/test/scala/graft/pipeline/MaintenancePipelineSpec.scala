@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Config-declared table maintenance: the third CLI job shape —
+  * compaction sizing, declared clustering, bloom footers, and the
+  * post-commit layout audit, all from one HOCON/JSON file, through the
+  * one committed-version writer. */
+class MaintenancePipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-maint").toString
+
+  /** A deliberately fragmented table: 16 files for 60k rows, with an
+    * incompressible payload so the table spans several target-sized
+    * output files in the sort-clustering test. */
+  private lazy val fragmented = {
+    val p = s"$tmp/frag"
+    spark.range(0, 60000)
+      .select($"id", ($"id" % 997).as("k"), ($"id" % 31).as("g"),
+        concat((0 until 4).map(i =>
+            md5(concat($"id".cast("string"), lit(i.toString)))): _*)
+          .as("payload"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def writeConfig(name: String, text: String): String = {
+    val p = s"$tmp/$name"
+    Files.write(Paths.get(p), text.getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  "MaintenancePipeline" should "compact, cluster, bloom and audit from one config" in {
+    val out = s"$tmp/maint_out"
+    val audit = s"$tmp/maint_audit"
+    val cfg = MaintenancePipeline.fromJson(
+      s"""{"maintenance": {
+         |  "table_path": "$fragmented",
+         |  "output_path": "$out",
+         |  "target_file_mb": 64,
+         |  "cluster": {"mode": "zorder", "columns": ["k", "g"],
+         |              "bits_per_dim": 6},
+         |  "bloom": {"columns": ["id"], "expected_ndv": 60000},
+         |  "audit": {"path": "$audit", "column": "k",
+         |            "lo": 0, "hi": 49}}}""".stripMargin)
+    val v1 = MaintenancePipeline.run(spark, cfg)
+    v1 should endWith("v=1")
+    // files reduced: the whole table fits one 64 MB target file
+    graft.ops.Compaction.dataFileCount(spark, v1) should be < 16
+    // content preserved exactly (row multiset)
+    spark.read.parquet(v1).count() shouldBe 60000L
+    spark.read.parquet(v1).select(sum($"id"), sum($"k")).head() shouldBe
+      spark.read.parquet(fragmented).select(sum($"id"), sum($"k")).head()
+    // bloom footers landed on the declared column
+    graft.ops.LayoutAudit.bloomFilterReport(spark, v1, "id")
+      .agg(min($"has_bloom")).head().getBoolean(0) shouldBe true
+    // the audit report proves footer pruning on the clustered column
+    val rep = spark.read.parquet(audit).head()
+    rep.getAs[Long]("total_rows") shouldBe 60000L
+    // a second run extends the version chain; readLatest sees v=2
+    val v2 = MaintenancePipeline.run(spark, cfg)
+    v2 should endWith("v=2")
+    graft.ops.Compaction.readLatest(spark, out).count() shouldBe 60000L
+  }
+
+  it should "make footer stats selective with sort clustering" in {
+    // range-cluster on k across several files: a narrow k-range must
+    // skip most row groups, which the unsorted fragmented layout cannot
+    val out = s"$tmp/maint_sorted"
+    val cfg = MaintenancePipeline.fromJson(
+      s"""{"maintenance": {
+         |  "table_path": "$fragmented",
+         |  "output_path": "$out",
+         |  "target_file_mb": 1,
+         |  "cluster": {"mode": "sort", "columns": ["k"]}}}""".stripMargin)
+    val v1 = MaintenancePipeline.run(spark, cfg)
+    val frac = graft.ops.LayoutAudit
+      .skipReport(spark, v1, "k", 0, 49)
+      .head().getAs[Double]("skip_fraction")
+    frac should be > 0.5
+  }
+
+  it should "refuse malformed configs with the field inventory" in {
+    def bad(json: String) =
+      the[IllegalArgumentException] thrownBy
+        MaintenancePipeline.fromJson(json)
+    bad("""{"input": {"path": "x"}}""").getMessage should
+      include("no maintenance section")
+    bad("""{"maintenance": {"output_path": "x"}}""").getMessage should
+      include("table_path")
+    bad("""{"maintenance": {"table_path": "x"}}""").getMessage should
+      include("output_path")
+    bad("""{"maintenance": {"table_path": "x", "output_path": "x"}}""")
+      .getMessage should include("read-under-write")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "target_file_mb": 0}}""".stripMargin).getMessage should
+      include("target_file_mb")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "cluster": {"mode": "shuffle", "columns": ["k"]}}}"""
+      .stripMargin).getMessage should include("sort | zorder")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "cluster": {"mode": "zorder"}}}""".stripMargin)
+      .getMessage should include("columns")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "cluster": {"mode": "sort", "columns": ["k"],
+           |             "bits_per_dim": 4}}}""".stripMargin)
+      .getMessage should include("zorder only")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "bloom": {"columns": []}}}""".stripMargin).getMessage should
+      include("bloom.columns")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "audit": {"path": "p", "column": "c", "lo": 5, "hi": 1}}}"""
+      .stripMargin).getMessage should include("empty range")
+  }
+
+  it should "dispatch through the CLI and refuse ambiguous configs" in {
+    val out = s"$tmp/cli_out"
+    // the SHIPPED example, site-overridden — the deploy motion the
+    // other two job shapes prove in SnapshotJobSpec
+    val shipped = new java.io.File(
+      "conf/application-maintenance-example.conf").getAbsolutePath
+    val cfg = writeConfig("site_maint.conf",
+      s"""include "$shipped"
+         |maintenance.table_path = "$fragmented"
+         |maintenance.output_path = "$out"
+         |maintenance.cluster.columns = ["k", "g"]
+         |maintenance.bloom.columns = ["id"]
+         |maintenance.audit.path = "$tmp/cli_audit"
+         |maintenance.audit.column = "k"
+         |maintenance.audit.lo = 0
+         |maintenance.audit.hi = 49
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    graft.ops.Compaction.readLatest(spark, out).count() shouldBe 60000L
+    spark.read.parquet(s"$tmp/cli_audit").count() shouldBe 1L
+    // ambiguous: a maintenance section NEXT TO a curation input section
+    val ambiguous = writeConfig("ambiguous_maint.json",
+      s"""{"input": {"path": "x"},
+         | "maintenance": {"table_path": "$fragmented",
+         |                 "output_path": "$out"}}""".stripMargin)
+    graft.SnapshotJob.run(Array(ambiguous), spark) shouldBe 1
+  }
+
+  private implicit class FromJson(o: MaintenancePipeline.type) {
+    def fromJson(json: String): MaintenancePipeline.MaintenanceConfig =
+      o.fromJValue(org.json4s.jackson.JsonMethods.parse(json))
+  }
+}

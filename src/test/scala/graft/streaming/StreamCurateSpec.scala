@@ -289,6 +289,70 @@ class StreamCurateSpec extends SparkTestBase {
     got shouldBe Seq(10L, 12L)
   }
 
+  it should "accept the lang_id margin gate and the word_blocklist " +
+      "rate gate (per-row, frozen) and converge to batch" in {
+    // margin gate: frozen model + per-row top1/top2 arithmetic — the
+    // abstention verdict can never depend on batch boundaries
+    val train = Seq(
+      SDoc(1L, "the quick brown fox jumps over the lazy dog near the river"),
+      SDoc(2L, "der schnelle braune fuchs springt über den faulen hund"))
+      .toDF("doc_id", "text")
+      .withColumn("lang",
+        org.apache.spark.sql.functions.when($"doc_id" === 1L, "en")
+          .otherwise("de"))
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_lidm").toString
+    graft.ops.LangId.save(spark,
+      graft.ops.LangId.train(train, "text", "lang"), modelDir)
+    val feed = Seq(
+      SDoc(10L, "she said that the weather would be better in the morning"),
+      SDoc(11L, "sie sagte dass das wetter am morgen besser werden würde"),
+      // a mixed-language doc: small margin, abstains at a high floor
+      SDoc(12L, "the weather der morgen the wetter der morning"))
+    val cfg = CurationConfig(
+      inputPath = "/unused/by/streaming", idCol = "doc_id",
+      textCol = "text", rules = Seq.empty,
+      // "und" declared in keep: abstained docs are ROUTED through
+      langId = Some(LangIdConfig(modelDir, Seq("en", "und"),
+        minMargin = Some(0.05))))
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_lmn")
+    stage(inDir, feed.take(1), "wave1.parquet", 120000L)
+    stage(inDir, feed.drop(1), "wave2.parquet", 60000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scur_lm2").toString
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = CurationPipeline
+      .curateFrame(feed.toDF("doc_id", "text"), cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe want
+    // rate gate: frozen list + per-row token arithmetic — accepts
+    val listDir = java.nio.file.Files
+      .createTempDirectory("graft_scur_wblf").toString
+    Seq("gamma", "seven").toDF("word")
+      .write.mode("overwrite").parquet(listDir)
+    val fcfg = CurationPipeline.fromJson(
+      s"""{"input": {"path": "/unused/by/streaming",
+         |           "id_column": "doc_id", "text_column": "text"},
+         | "rules": [],
+         | "word_blocklist": {"list_path": "$listDir",
+         |                    "max_hit_frac": 0.2}}""".stripMargin)
+    val finDir = java.nio.file.Files.createTempDirectory("graft_scur_fin")
+    stage(finDir, feedDocs.take(2), "wave1.parquet", 120000L)
+    stage(finDir, feedDocs.drop(2), "wave2.parquet", 60000L)
+    val fdir = java.nio.file.Files
+      .createTempDirectory("graft_scur_wbf").toString
+    val fgot = ChangelogStream.streamCurate(streamOf(finDir), fcfg, fdir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    fgot shouldBe CurationPipeline
+      .curateFrame(feedDocs.toDF("doc_id", "text"), fcfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // 10: gamma is 1/4 tokens = 0.25 > 0.2 -> drop; 13: seven is 1/7
+    // ≈ 0.143 <= 0.2 -> keep (the count gate at max_hits=0 would drop
+    // both); 11, 12 carry no hits
+    fgot shouldBe Seq(11L, 12L, 13L)
+  }
+
   it should "apply the frozen vector-index dedup tier per micro-batch" in {
     val corpus = Seq(
       (1L, "base-x", Array(1.0f, 0.0f, 0.0f)),

@@ -26,7 +26,7 @@ object SparkEntry {
     * rounded-score / smallest-code tie rule. Yields `pred(doc_id,
     * lang_pred, n_grams, score)` — shared by the classification queries
     * and the config `lang_id` gate (which filters on the SAME argmax). */
-  private val LangIdOracleCte: String =
+  private val LangIdScoresCte: String =
     """WITH d AS (
       |  SELECT doc_id, lang,
       |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
@@ -46,9 +46,29 @@ object SparkEntry {
       |          / sum(dg.cnt), 6) AS score
       |  FROM dg CROSS JOIN tt CROSS JOIN v
       |  LEFT JOIN p ON p.lang = tt.lang AND p.gram = dg.gram
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)"""
+      .stripMargin
+
+  private val LangIdOracleCte: String =
+    s"""$LangIdScoresCte,
       |pred AS (
       |  SELECT doc_id, lang AS lang_pred, n_grams, score FROM sc
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1)"""
+      .stripMargin
+
+  /** [[LangIdOracleCte]] plus the confidence margin: the rounded top-1
+    * minus top-2 score per document (lead() over the same ordering the
+    * argmax uses; a single-language model yields NULL). Shared by the
+    * margin query and the config min_margin gate replay. */
+  private val LangIdMarginOracleCte: String =
+    s"""$LangIdScoresCte,
+      |pred AS (
+      |  SELECT doc_id, lang AS lang_pred, n_grams, score,
+      |    round(score - lead(score) OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, lang ASC), 6)
+      |      AS margin
+      |  FROM sc
       |  QUALIFY row_number() OVER (
       |    PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1)"""
       .stripMargin
@@ -58,8 +78,9 @@ object SparkEntry {
     * greedy fill-reset walk per document, ordered rejoin — shared by
     * the op query and the config chunk.mode=sentences path (staged
     * fixture ≡ the composed Column). */
-  private val SentenceChunkOracleSql: String =
-    """WITH RECURSIVE f AS (
+  private def sentenceChunkOracle(sentTokens: String,
+                                  maxTokens: Int): String =
+    s"""WITH RECURSIVE f AS (
         |  SELECT doc_id,
         |    substr(text, 1, 40) || '. ' || substr(text, 41, 80) || '! '
         |      || substr(text, 121, 25) || '? ' || substr(text, 146, 60)
@@ -68,15 +89,13 @@ object SparkEntry {
         |sp AS (
         |  SELECT doc_id,
         |    regexp_split_to_array(
-        |      regexp_replace(ft, '([.!?])\s+', '\1' || chr(1), 'g'),
+        |      regexp_replace(ft, '([.!?])\\s+', '\\1' || chr(1), 'g'),
         |      chr(1)) AS arr
         |  FROM f),
         |e AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM sp),
         |s0 AS (
         |  SELECT doc_id, CAST(i AS INT) AS sent_idx, arr[i+1] AS sentence,
-        |    CASE WHEN length(trim(arr[i+1])) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(arr[i+1]), '\s+'))
-        |         END AS n
+        |    $sentTokens AS n
         |  FROM e WHERE trim(arr[i+1]) <> ''),
         |r0 AS (
         |  SELECT doc_id, sent_idx, sentence, n,
@@ -87,9 +106,9 @@ object SparkEntry {
         |  SELECT doc_id, rn, sentence, n, 0, n FROM r0 WHERE rn = 1
         |  UNION ALL
         |  SELECT c.doc_id, c.rn, c.sentence, c.n,
-        |    CASE WHEN w.fill + c.n > 30 THEN w.pack_id + 1
+        |    CASE WHEN w.fill + c.n > $maxTokens THEN w.pack_id + 1
         |         ELSE w.pack_id END,
-        |    CASE WHEN w.fill + c.n > 30 THEN c.n
+        |    CASE WHEN w.fill + c.n > $maxTokens THEN c.n
         |         ELSE w.fill + c.n END
         |  FROM walk w JOIN r0 c ON c.doc_id = w.doc_id
         |    AND c.rn = w.rn + 1)
@@ -99,6 +118,18 @@ object SparkEntry {
         |  count(*) AS n_sentences
         |FROM walk GROUP BY doc_id, pack_id
         |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val SentenceChunkOracleSql: String =
+    sentenceChunkOracle(
+      """CASE WHEN length(trim(arr[i+1])) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(arr[i+1]), '\s+'))
+        |         END""".stripMargin, 30)
+
+  /** The tokenizer-unit twin: zero-merge byte-BPE counts are exactly
+    * the sentence's UTF-8 byte length, budget 110. */
+  private val SentenceChunkTokenizerOracleSql: String =
+    sentenceChunkOracle(
+      "CAST(octet_length(encode(arr[i+1])) AS INTEGER)", 110)
 
   /** Shared quality-score replay: the four additive quarter-point
     * gates over length / punctuation ratio / mean token length /
@@ -1512,6 +1543,39 @@ object SparkEntry {
       s.read.parquet(dest).orderBy(col("o_orderkey"))
     }),
 
+    // The config-declared maintenance job end-to-end through the CLI
+    // dispatcher (the third job shape next to snapshot and curation):
+    // fragment the documents table, then one config declares compaction
+    // sizing, Z-order clustering, bloom footers, and the layout-audit
+    // report; the committed version is read back — content preservation
+    // IS the oracle (layout/file-count/prune properties live in
+    // MaintenancePipelineSpec).
+    "q_maintenance_job" -> ((s, d) => {
+      val fx = stagedOnce("maintfrag", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(16)
+          .write.mode("overwrite").parquet(s"$dir/frag")
+      }
+      val out = scratchDir("graft_q_maint_")
+      val cfgPath = s"$out/job.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+        s"""{"maintenance": {
+           |  "table_path": "$fx/frag",
+           |  "output_path": "$out/table",
+           |  "target_file_mb": 64,
+           |  "cluster": {"mode": "zorder",
+           |              "columns": ["doc_id", "n_chars"]},
+           |  "bloom": {"columns": ["doc_id"], "expected_ndv": 100000},
+           |  "audit": {"path": "$out/audit", "column": "doc_id",
+           |            "lo": 0, "hi": 100}}}""".stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(SnapshotJob.run(Array(cfgPath), s) == 0,
+        "q_maintenance_job: the CLI maintenance run failed")
+      graft.ops.Compaction.readLatest(s, s"$out/table")
+        .orderBy(col("doc_id"))
+    }),
+
     // Runtime-filter join: lineitem Bloom-pruned map-side against the
     // urgent-early order subset BEFORE its exchange — the 100 TB
     // semi-join reduction. The sketch has false positives only, and the
@@ -2253,6 +2317,55 @@ object SparkEntry {
       graft.ops.Matryoshka.recallReport(emb,
           emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
           dims = 16)
+        .orderBy(col("n_queries"))
+    }),
+
+    // The funnel as a PERSISTED artifact: truncate -> IVF composition
+    // saved, reloaded, and searched — prefix-16 cell-pruned shortlist,
+    // full-precision rerank from the index's own full tier. Recall is
+    // probabilistic at nprobe=2 (rows-only); the exact-regime twin and
+    // the frozen recall gate below hash-check the machinery.
+    "q_matryoshka_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val fx = stagedOnce("mtidx", d) { dir =>
+        graft.ops.Matryoshka.buildTruncatedIndex(emb, "vec_id",
+          "embedding", dims = 16, nlist = 8, iters = 2).save(s"$dir/idx")
+      }
+      val idx = graft.ops.Matryoshka.TruncatedIndex.load(s, s"$fx/idx")
+      graft.ops.Matryoshka.searchTruncatedIndex(idx,
+          emb.filter(col("vec_id") < 10), k = 5, shortlist = 20,
+          nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // EXACT-regime truncated index: dims = the embedding width (the
+    // slice is the whole vector), nprobe = nlist (every cell probed),
+    // shortlist = corpus (every candidate full-precision re-ranked) —
+    // the whole build/save/load/probe/rerank machinery must reproduce
+    // brute force bit for bit (the q_sim_ivf_exact move).
+    "q_matryoshka_ivf_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count().toInt
+      val idx = graft.ops.Matryoshka.buildTruncatedIndex(emb, "vec_id",
+        "embedding", dims = 64, nlist = 8, iters = 3)
+      graft.ops.Matryoshka.searchTruncatedIndex(idx,
+          emb.filter(col("vec_id") < 10), k = 5, shortlist = n,
+          nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The frozen-index acceptance gate in the exhaustive regime: the
+    // recall@k report must read EXACTLY 1.0 — exact integer overlap
+    // arithmetic, so the oracle states the closed answer (any probe or
+    // rerank defect would break the hash).
+    "q_matryoshka_index_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count().toInt
+      val idx = graft.ops.Matryoshka.buildTruncatedIndex(emb, "vec_id",
+        "embedding", dims = 64, nlist = 8, iters = 3)
+      graft.ops.Matryoshka.indexRecallReport(idx,
+          emb.filter(col("vec_id") < 10), k = 5, shortlist = n,
+          nprobe = 8)
         .orderBy(col("n_queries"))
     }),
 
@@ -3729,6 +3842,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The trained gate WITH the confidence floor: predictions whose
+    // top-1/top-2 margin is under min_margin abstain to "und" BEFORE
+    // the keep check — unconfident docs stop being forced into a
+    // language; declaring "und" in keep ROUTES them through instead.
+    // Both behaviors exercise here: abstained docs whose argmax was a
+    // kept language drop out of it, abstained docs whose argmax was a
+    // dropped language survive via the "und" route.
+    "q_pipeline_langid_margin" -> ((s, d) => {
+      val fx = stagedOnce("langid", d) { dir =>
+        graft.ops.LangId.save(s,
+          graft.ops.LangId.train(Tables.documents(s, d), "text", "lang"),
+          s"$dir/model")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet"},
+           | "rules": [],
+           | "lang_id": {"model_path": "$fx/model",
+           |             "keep": ["en", "fr", "und"],
+           |             "min_margin": 0.002}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The C4 banned-words accounting: per-document blocked-token counts
     // against a FROZEN word snapshot (exact-token matching after
     // punctuation stripping — never substring, the clbuttic trap). The
@@ -3763,6 +3900,24 @@ object SparkEntry {
            | "word_blocklist": {"list_path": "$fx/words",
            |                    "max_hits": 0}}""".stripMargin)
       graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The LENGTH-NORMALIZED variant: max_hit_frac gates on hits per
+    // token (Dolma publishes its taxonomy gates as rates), so a long
+    // document stops absorbing the same absolute budget as a tweet.
+    // Keep iff n_blocked <= frac * n_tokens — multiplication form, no
+    // division, zero-token docs pass like the count gate.
+    "q_word_blocklist_frac" -> ((s, d) => {
+      val fx = stagedOnce("wbl", d) { dir =>
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+      }
+      graft.ops.WordBlocklist.filterByFrac(Tables.documents(s, d),
+          "text", graft.ops.WordBlocklist.loadWords(s, s"$fx/words"),
+          maxHitFrac = 0.02)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -3808,6 +3963,30 @@ object SparkEntry {
         mixColumns = Seq("lang"))
       graft.pipeline.CurationPipeline
         .mergeCards(card(s"$fx/a"), card(s"$fx/b"))
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
+    // The card's GATE section: the score distribution of the declared
+    // classifier gate as retention deciles over the gate's OWN input
+    // frame — where the gate cuts, next to the bare survival number.
+    // Scores are the gate's own sigmoid rounded to 6 (the q_lang_id
+    // rounded-transcendental posture); the oracle replays the md5
+    // featurizer, the sixteenth-valued weights, the sigmoid, and the
+    // decile bucketing.
+    "q_dataset_card_gates" -> ((s, d) => {
+      val fx = stagedOnce("clf", d) { dir =>
+        val model = graft.ops.QualityClassifier.LinearModel(
+          Array.tabulate(64)(b => (((b * 37) % 21 - 10) / 16.0).toFloat),
+          bias = 0.25)
+        graft.ops.QualityClassifier.save(s, model, s"$dir/model")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:20"],
+           | "classifier": {"model_path": "$fx/model",
+           |                "threshold": 0.5}}""".stripMargin)
+      graft.pipeline.CurationPipeline.datasetCard(s, cfg)
         .orderBy(col("section"), col("idx"), col("key"))
     }),
 
@@ -3913,6 +4092,33 @@ object SparkEntry {
       graft.pipeline.CurationPipeline.curate(s, cfg)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
           col("chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Whole-sentence windows SIZED IN REAL TOKENIZER UNITS — the two
+    // contracts of the chunking stage composed: never cut mid-sentence
+    // AND provision in the units the training run bills. Zero-merge
+    // byte-BPE over the ASCII fixture makes each sentence's count its
+    // byte length, so the greedy walk replays exactly.
+    "q_chunk_sentences_tokenizer" -> ((s, d) => {
+      val fx = stagedOnce("sentfx", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), SentenceFixtureCol.as("text"))
+          .write.mode("overwrite").parquet(s"$dir/in")
+      }
+      val tk = stagedOnce("btk", d) { dir =>
+        graft.ops.TokenizerArtifact.save(s,
+          graft.ops.TokenizerArtifact.BpeModel(Nil, byteLevel = true),
+          s"$dir/tok")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/in"},
+           | "rules": [],
+           | "chunk": {"tokens": 110, "mode": "sentences",
+           |           "tokenizer": "$tk/tok"}}""".stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          col("chunk_tokens"), col("n_sentences"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
@@ -4156,6 +4362,21 @@ object SparkEntry {
           "doc_id", "text", "lang")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // The confidence margin alongside the argmax: rounded top-1 minus
+    // top-2 mean log-prob — the statistic published language gates
+    // (fastText-based CCNet/RefinedWeb) threshold on instead of
+    // trusting every argmax. Same self-trained replay as q_lang_id;
+    // the oracle adds a lead() over the identical ordering.
+    "q_lang_id_margin" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.ops.LangId.classifyWithMargin(docs,
+          graft.ops.LangId.trainProfiles(docs, "text", "lang"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // LangId day-2 increment: train on the even half, freeze the
     // artifact, extend with the odd half (Laplace counts are additive —
@@ -6241,6 +6462,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // The config-declared maintenance rewrite (compact + zorder +
+    // bloom + audit) must not alter content either: identity oracle
+    // over the fragmented staging of the same columns.
+    "q_maintenance_job" ->
+      """SELECT doc_id, lang, n_chars
+        | FROM documents ORDER BY doc_id""".stripMargin,
     // The Bloom prune is invisible to correctness: plain-join oracle.
     "q_bloom_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
@@ -6764,7 +6991,21 @@ object SparkEntry {
         |  round(sum(hh)::DOUBLE / (count(*) * 5), 6) AS mean_recall,
         |  round(min(hh)::DOUBLE / 5, 6) AS min_recall
         |FROM per ORDER BY n_queries""".stripMargin,
-    
+    // Exact-regime truncated index: dims = width, nprobe = nlist,
+    // shortlist = corpus — build/save/probe/rerank must reproduce
+    // brute force bit for bit (the q_sim_ivf_exact move).
+    "q_matryoshka_ivf_exact" -> SimTopkOracleSql,
+    // The exhaustive-regime recall gate is CLOSED-FORM: overlap is
+    // total by construction, so the report must read exactly 1.0 —
+    // any probe or rerank defect breaks this hash.
+    "q_matryoshka_index_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
+        |  CAST((SELECT count(*) FROM embeddings) AS INT) AS shortlist,
+        |  64 AS dims, 8 AS nprobe,
+        |  1.0::DOUBLE AS mean_recall, 1.0::DOUBLE AS min_recall
+        |FROM embeddings WHERE vec_id < 10
+        |ORDER BY n_queries""".stripMargin,
+
     // Exact min/max refit (no accumulation rounding -> engine-equal),
     // then the same fixed-order double arithmetic: floor((x-mn)/range
     // *255+0.5), clamp, mn + code/255*range, left-to-right error folds.
@@ -8458,6 +8699,13 @@ object SparkEntry {
     },
 
     "q_lang_id" -> LangIdOracleSql,
+    // the same prediction replay with the top-1 minus top-2 margin
+    // (lead over the identical ordering; difference of two 6-rounded
+    // doubles re-rounded to 6 — bit-identical across engines)
+    "q_lang_id_margin" ->
+      s"""$LangIdMarginOracleCte
+        |SELECT doc_id, lang_pred, n_grams, score, margin FROM pred
+        |ORDER BY doc_id""".stripMargin,
     // the streaming gate scores per document against frozen profiles, so
     // its converged output IS the batch classification — same oracle
     "q_stream_lang_gate" -> LangIdOracleSql,
@@ -8472,6 +8720,16 @@ object SparkEntry {
         |SELECT d2.doc_id, d2.lang FROM documents d2
         |JOIN pred p ON p.doc_id = d2.doc_id
         |WHERE p.lang_pred IN ('en', 'fr')
+        |ORDER BY d2.doc_id""".stripMargin,
+    // The margin gate replayed: margin under the floor relabels to
+    // 'und' BEFORE the keep check (here 'und' is declared — routed
+    // through); a NULL margin passes unchanged.
+    "q_pipeline_langid_margin" ->
+      s"""$LangIdMarginOracleCte
+        |SELECT d2.doc_id, d2.lang FROM documents d2
+        |JOIN pred p ON p.doc_id = d2.doc_id
+        |WHERE (CASE WHEN p.margin IS NOT NULL AND p.margin < 0.002
+        |       THEN 'und' ELSE p.lang_pred END) IN ('en', 'fr', 'und')
         |ORDER BY d2.doc_id""".stripMargin,
     // The banned-words arithmetic replayed token for token: whitespace
     // split of the lowercased text, leading/trailing non-alphanumerics
@@ -8494,6 +8752,22 @@ object SparkEntry {
         |  [regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
         |   for t in regexp_split_to_array(lower(trim(text)), '\s+')],
         |  t -> list_contains(['stream', 'vector'], t))) = 0
+        |ORDER BY doc_id""".stripMargin,
+    // The rate gate replayed: the same hit/token arithmetic closed
+    // into the multiplication form (hits <= frac * tokens — no
+    // division, zero-token docs pass).
+    "q_word_blocklist_frac" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens,
+        |    len(list_filter(
+        |      [regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+        |       for t in regexp_split_to_array(lower(trim(text)), '\s+')],
+        |      t -> list_contains(['stream', 'vector'], t))) AS n_blocked
+        |  FROM documents)
+        |WHERE n_blocked::DOUBLE <= 0.02::DOUBLE * n_tokens::DOUBLE
         |ORDER BY doc_id""".stripMargin,
     // Exact regime: Misra–Gries with zero purges IS a GROUP BY count.
     "q_freq_exact" -> FreqExactOracleSql,
@@ -9031,6 +9305,13 @@ object SparkEntry {
         |SELECT * FROM stage_rows
         |UNION ALL SELECT * FROM mix_rows
         |ORDER BY section, idx, key""".stripMargin,
+    // The card's gate section replayed end to end: stage counts
+    // (input → rules → classifier via the logit-sign decision), then
+    // the retention deciles of round(sigmoid(logit), 6) over the
+    // rules-survivor frame — the md5 featurizer, sixteenth-valued
+    // weights, sigmoid, clamp-bucketing and reverse-cumulative walk
+    // all recomputed in SQL.
+    "q_dataset_card_gates" -> DatasetCardGatesOracleSql,
     // Config-declared decontamination replayed: the literal paragraph
     // CTEs, the reference key anti-join (the %10 slice — no canonical
     // exemption), the ordered rebuild, then the min_tokens gate.
@@ -9137,6 +9418,10 @@ object SparkEntry {
     // the config chunk.mode=sentences path runs the SAME composition
     // over the staged punctuated fixture — literal shared oracle
     "q_pipeline_chunk_sentences" -> SentenceChunkOracleSql,
+    // sentence windows sized in tokenizer units: the same recursive
+    // walk with per-sentence counts = byte lengths (zero-merge
+    // byte-BPE over the ASCII fixture), budget 110
+    "q_chunk_sentences_tokenizer" -> SentenceChunkTokenizerOracleSql,
     
     // ASCII corpus make the tokenize->window->detokenize chain exactly
     // substr windows (120-byte chunks, stride 96) over octet_length.
@@ -10879,6 +11164,91 @@ object SparkEntry {
        |FROM sv JOIN lg USING (doc_id)
        |WHERE lg.logit >= 0
        |ORDER BY sv.doc_id""".stripMargin
+  }
+
+  /** The dataset card WITH the gate section (`q_dataset_card_gates`):
+    * stage rows input → rules → classifier (the
+    * [[ClassifierGateOracleSql]] logit replay deciding the stage
+    * count), then 11 retention-decile rows of the classifier's
+    * round(sigmoid(logit), 6) score over the rules survivors — the
+    * gate's own input frame, exactly what `datasetCard` charts. */
+  private lazy val DatasetCardGatesOracleSql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |      AS tok
+       |  FROM documents),
+       |g AS (SELECT * FROM t WHERE tok >= 20),
+       |d AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |  FROM g),
+       |f AS (
+       |  SELECT doc_id, md5(term) AS h FROM d WHERE len(term) > 0),
+       |gg AS (
+       |  SELECT doc_id,
+       |    (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 +
+       |     ${nib(4)}) % 64 AS bucket,
+       |    CASE WHEN ${nib(5)} < 8 THEN 1 ELSE -1 END AS sgn
+       |  FROM f),
+       |tf AS (
+       |  SELECT doc_id, bucket, sum(sgn) AS tf FROM gg GROUP BY 1, 2),
+       |lg AS (
+       |  SELECT doc_id,
+       |    sum(tf * (((bucket * 37) % 21 - 10) / 16.0)) + 0.25 AS logit
+       |  FROM tf GROUP BY doc_id),
+       |sc AS (
+       |  SELECT g.doc_id, g.tok,
+       |    round(1.0 / (1.0 + exp(-lg.logit)), 6) AS score
+       |  FROM g JOIN lg USING (doc_id)),
+       |cl AS (SELECT g.* FROM g JOIN lg USING (doc_id)
+       |       WHERE lg.logit >= 0),
+       |st AS (
+       |  SELECT 0 AS idx, 'input' AS key,
+       |    (SELECT count(*) FROM t) AS n_docs,
+       |    (SELECT coalesce(sum(tok), 0) FROM t) AS n_tokens
+       |  UNION ALL SELECT 1, 'rules', (SELECT count(*) FROM g),
+       |    (SELECT coalesce(sum(tok), 0) FROM g)
+       |  UNION ALL SELECT 2, 'classifier', (SELECT count(*) FROM cl),
+       |    (SELECT coalesce(sum(tok), 0) FROM cl)),
+       |stage_rows AS (
+       |  SELECT 'stage' AS section, idx, key,
+       |    CAST(n_docs AS BIGINT) AS n_docs,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CASE WHEN first(n_docs) OVER w > 0 THEN
+       |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+       |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+       |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+       |      AS step_drop
+       |  FROM st WINDOW w AS (ORDER BY idx)),
+       |b AS (
+       |  SELECT CAST(least(greatest(floor(score * 10), 0), 10) AS INT)
+       |      AS bk,
+       |    count(*) AS n, coalesce(sum(tok), 0) AS tk
+       |  FROM sc GROUP BY 1),
+       |grid AS (SELECT CAST(k AS INT) AS k
+       |         FROM unnest(range(0, 11)) AS u(k)),
+       |gr AS (
+       |  SELECT k,
+       |    (SELECT coalesce(sum(n), 0) FROM b WHERE b.bk >= grid.k)
+       |      AS nd,
+       |    (SELECT coalesce(sum(tk), 0) FROM b WHERE b.bk >= grid.k)
+       |      AS nt,
+       |    (SELECT coalesce(sum(n), 0) FROM b) AS td
+       |  FROM grid),
+       |gate_rows AS (
+       |  SELECT 'gate' AS section, 0 AS idx,
+       |    'classifier@' || printf('%.2f', round(k / 10.0, 6)) AS key,
+       |    CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+       |    CASE WHEN td > 0 THEN round(nd::DOUBLE / td, 6) END AS frac,
+       |    NULL::DOUBLE AS step_drop
+       |  FROM gr)
+       |SELECT * FROM stage_rows
+       |UNION ALL SELECT * FROM gate_rows
+       |ORDER BY section, idx, key""".stripMargin
   }
 
   private lazy val HtmlExtractOracleSql: String =

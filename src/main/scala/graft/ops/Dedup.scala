@@ -1112,14 +1112,25 @@ object Dedup {
     * persisted across rounds; nothing corpus-quadratic is ever
     * materialized. The shortcut references the round's label table
     * TWICE, so without lineage truncation the logical plan would double
-    * every round (exponential analysis/plan-string cost) — each round's
-    * labels are therefore eagerly checkpointed: reliably if the session
-    * has a checkpoint dir (set one on a real cluster — survives executor
-    * loss), else `localCheckpoint` (executor-local blocks).
+    * every round (exponential analysis/plan-string cost) — rounds are
+    * therefore truncated on an ALTERNATING cadence: every 2nd round
+    * checkpoints (reliably if the session has a checkpoint dir — set one
+    * on a real cluster, survives executor loss — else `localCheckpoint`,
+    * executor-local blocks), and the round in between only PERSISTS —
+    * the convergence aggregate below materializes the persisted blocks
+    * in the same job, so an off-round pays ONE job and zero checkpoint
+    * writes instead of two jobs plus a label-table write (r15 bench:
+    * the per-round checkpoint I/O was the iterative family's dominant
+    * cost on a slow local-disk tier). Plan growth between checkpoints
+    * is bounded (one persisted round's lineage, ~4× plan depth), so the
+    * exponential blowup the eager truncation exists for cannot return.
     *
-    * Checkpoint lifecycle: each round deletes the PREVIOUS round's
-    * checkpoint files, but the FINAL round's directory necessarily
-    * outlives this call — the returned DataFrame reads from it. On a
+    * Checkpoint lifecycle: a checkpoint round deletes the files of the
+    * PREVIOUS checkpoint round only — the persisted round between them
+    * still recomputes THROUGH the old checkpoint if its blocks are
+    * lost, so deletion must wait until a newer checkpoint supersedes
+    * it. The FINAL checkpoint's directory necessarily outlives this
+    * call — the returned DataFrame reads from it. On a
     * checkpoint-dir-configured cluster, one label-table copy (one
     * (id, label) row per document) therefore stays on distributed
     * storage until the application exits; callers that run many dedup
@@ -1169,31 +1180,43 @@ object Dedup {
       // (initialized from ids, only ever replaced by another vertex's
       // label), so the lookup side is the label table itself; the left
       // join + coalesce is belt-and-braces, not a semantic branch.
-      // Eagerly checkpointed: cuts the doubled lineage AND materializes
-      // the round in one job.
-      val next = truncate(propagated
+      val round = propagated
         .join(propagated.select(col("id").as("p_id"), col("new_lab").as("p_lab")),
           col("new_lab") === col("p_id"), "left")
         .select(col("id"),
           coalesce(col("p_lab"), col("new_lab")).as("lab"),
           (col("chg1") ||
-            coalesce(col("p_lab"), col("new_lab")) < col("new_lab")).as("chg")))
+            coalesce(col("p_lab"), col("new_lab")) < col("new_lab")).as("chg"))
+      // alternating truncation: every 2nd round checkpoints (cuts the
+      // doubled lineage AND materializes in its own job); the round in
+      // between only persists — the convergence aggregate below
+      // materializes the blocks in the SAME job, so off-rounds pay one
+      // job and no checkpoint write
+      val ckRound = it % 2 == 0
+      val next =
+        if (ckRound) truncate(round)
+        else round.persist(StorageLevel.MEMORY_AND_DISK)
       val thisCkFile =
-        if (reliable)
+        if (ckRound && reliable)
           org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(next)
         else None
       // labels only ever decrease, so "anything changed" = "any chg flag
-      // set": one shuffle-free aggregate over the just-materialized round
+      // set": one shuffle-free aggregate that (on off-rounds) also
+      // materializes the persisted round
       val changed = next
         .agg(coalesce(max(col("chg")), lit(false)).as("any"))
         .first().getBoolean(0)
       val prev = labels
       labels = next
       prev.unpersist()
-      // prev's checkpoint files are no longer readable through any live
-      // plan (next is materialized, the changed-count already ran)
-      deleteCk(prevCkFile)
-      prevCkFile = thisCkFile
+      if (ckRound) {
+        // the PREVIOUS checkpoint is only superseded once a NEWER one is
+        // materialized: the persisted round between them recomputes
+        // through the old files if its blocks are lost, so deletion must
+        // not run on off-rounds
+        deleteCk(prevCkFile)
+        prevCkFile = thisCkFile
+      }
       converged = !changed
       it += 1
     }

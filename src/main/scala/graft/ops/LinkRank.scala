@@ -24,9 +24,14 @@ import org.apache.spark.storage.StorageLevel
   * repartitioned by `src` and PERSISTED once — every iteration's
   * rank-join reuses that partitioning, so per round only the NODE-sized
   * rank table shuffles (join by src, then a map-side-combined sum by
-  * dst). The rank table is eagerly checkpointed per round like
-  * [[Dedup.dupClusters]] — without truncation the iterated plan doubles
-  * in depth every round.
+  * dst). The rank table is checkpointed EVERY 2ND round (plus the
+  * final one): unlike [[Dedup.dupClusters]] each round references the
+  * previous rank table exactly ONCE, so a lazy round in between is
+  * computed exactly once by the next checkpoint's job — half the
+  * checkpoint writes and half the job launches for the same compute
+  * (r15 bench: per-round checkpoint I/O dominated this family on a
+  * slow local-disk tier), with plan depth bounded at two rounds
+  * between truncations.
   *
   * Extends the reference surface (no graph semantics — reference core is
   * a snapshot pipeline, src/main/scala/com/booking/spark/
@@ -65,8 +70,9 @@ object LinkRank {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // same checkpoint lifecycle as dupClusters: superseded rounds' files
-    // deleted precisely via the RDD's own checkpoint path
+    // same checkpoint lifecycle as dupClusters: a checkpoint's files
+    // are deleted only when a NEWER checkpoint supersedes them (a lazy
+    // round in between still recomputes through the old files)
     def deleteCk(path: Option[String]): Unit =
       path.foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -75,8 +81,8 @@ object LinkRank {
     var prevCkFile: Option[String] = None
 
     val base = (1000L - dampingPermille) * scale / 1000L
-    var ranks = truncate(nodes.withColumn("rank", lit(scale)))
-    for (_ <- 1 to iterations) {
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (i <- 1 to iterations) {
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("rank div __deg").as("__c"))
@@ -85,10 +91,15 @@ object LinkRank {
         .select(col("id"),
           expr(s"$base + ($dampingPermille * coalesce(__c, 0L)) div 1000")
             .as("rank"))
-      ranks = truncate(next)
-      deleteCk(prevCkFile)
-      prevCkFile =
-        org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(ranks)
+      // every 2nd round (and the last) truncates + materializes; the
+      // round between stays LAZY — each round references ranks exactly
+      // once, so the next checkpoint's one job computes both rounds
+      if (i % 2 == 0 || i == iterations) {
+        ranks = truncate(next)
+        deleteCk(prevCkFile)
+        prevCkFile =
+          org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(ranks)
+      } else ranks = next
     }
     edgesDeg.unpersist()
     ranks

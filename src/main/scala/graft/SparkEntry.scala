@@ -2354,6 +2354,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Day-2 index append in the exact regime: day-1 index over the
+    // even vectors (staged), per-pass copy → append the odd vectors
+    // IN PLACE under the frozen centroids → reload → exhaustive
+    // search: the result must equal brute force over the WHOLE corpus
+    // (the q_dedup_embedding_incremental move for the funnel family).
+    "q_matryoshka_ivf_extended" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val fx = stagedOnce("mtidx64", d) { dir =>
+        graft.ops.Matryoshka.buildTruncatedIndex(
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+            "embedding", dims = 64, nlist = 8, iters = 3)
+          .save(s"$dir/idx")
+      }
+      // the append MUTATES the directory, so each measured pass works
+      // on a fresh copy of the staged day-1 artifact
+      val work = scratchDir("graft_mtx_ext_")
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcP = new org.apache.hadoop.fs.Path(s"$fx/idx")
+      val dstP = new org.apache.hadoop.fs.Path(s"$work/idx")
+      org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(conf), srcP,
+        dstP.getFileSystem(conf), dstP, false, conf)
+      graft.ops.Matryoshka.appendToTruncatedIndexDir(s, s"$work/idx",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "embedding")
+      val idx = graft.ops.Matryoshka.TruncatedIndex.load(s, s"$work/idx")
+      val n = emb.count().toInt
+      graft.ops.Matryoshka.searchTruncatedIndex(idx,
+          emb.filter(col("vec_id") < 10), k = 5, shortlist = n,
+          nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The frozen-index acceptance gate in the exhaustive regime: the
     // recall@k report must read EXACTLY 1.0 — exact integer overlap
     // arithmetic, so the oracle states the closed answer (any probe or
@@ -6995,6 +7027,10 @@ object SparkEntry {
     // shortlist = corpus — build/save/probe/rerank must reproduce
     // brute force bit for bit (the q_sim_ivf_exact move).
     "q_matryoshka_ivf_exact" -> SimTopkOracleSql,
+    // Day-2 append under frozen centroids, searched exhaustively: the
+    // extended index must reproduce brute force over the WHOLE corpus
+    // bit for bit — the same literal oracle.
+    "q_matryoshka_ivf_extended" -> SimTopkOracleSql,
     // The exhaustive-regime recall gate is CLOSED-FORM: overlap is
     // total by construction, so the report must read exactly 1.0 —
     // any probe or rerank defect breaks this hash.

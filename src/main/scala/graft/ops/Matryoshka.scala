@@ -273,6 +273,51 @@ object Matryoshka {
         prefix.params.baseRows))
   }
 
+  /** Day-2 append applied IN PLACE to a saved [[TruncatedIndex]]
+    * directory — the index-family symmetry ([[Dedup
+    * .appendToVectorIndexDir]] / text / PQ / media indexes all have
+    * it): new vectors arrive at the index's declared `fullDim`
+    * (drifted batches refused, the [[searchTruncatedIndex]] contract),
+    * their `dims`-wide slices are assigned under the prefix tier's
+    * FROZEN centroids (driver-held — nothing reads the member parquet
+    * being appended, no read-under-write) and appended to the prefix
+    * members, the raw vectors + norms append to the `full` rerank
+    * tier, and the params record rewrites with the row/version
+    * counters. Caller contract: appended ids are disjoint from the
+    * indexed ids (append, not upsert). Exactness is unaffected by
+    * centroid drift — probing just degrades toward more cells needed
+    * for the same recall as frozen cells stop fitting the corpus;
+    * rebuild when the appended share grows large (the
+    * [[Dedup.appendToVectorIndex]] staleness argument). */
+  def appendToTruncatedIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, newVectors: DataFrame,
+                                idCol: String,
+                                vecCol: String): Unit = {
+    import graft.functions.VectorFunctions.fnorm
+    val index = TruncatedIndex.load(spark, dir)
+    val vDim = Similarity.vectorDim(newVectors, vecCol)
+    require(vDim == index.params.fullDim,
+      s"appendToTruncatedIndexDir: new vectors are $vDim-wide but the " +
+        s"index serves fullDim=${index.params.fullDim} (dimension " +
+        "drift — rebuild the index or fix the batch)")
+    // prefix tier: the dims-wide slices under the frozen centroids
+    Dedup.appendToVectorIndexDir(spark, s"$dir/prefix",
+      newVectors.select(col(idCol),
+        slice(col(vecCol), 1, index.params.dims).as(vecCol)),
+      idCol, vecCol)
+    // rerank tier: raw vectors + norms (every id, zero-norm included —
+    // the full table is the exact-rerank source, not a cell member)
+    newVectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        fnorm(col(vecCol)).as("nrm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/full")
+    import spark.implicits._
+    Seq(index.params.copy(
+        rows = index.params.rows + newVectors.count(),
+        version = index.params.version + 1))
+      .toDF().write.mode("overwrite").json(s"$dir/params")
+  }
+
   /** [[rerankTopK]] against a frozen [[TruncatedIndex]]: the query
     * batch is truncated to the index's declared `dims`, shortlisted by
     * the prefix tier's cell-pruned scan

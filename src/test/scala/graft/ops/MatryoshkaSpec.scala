@@ -157,6 +157,38 @@ class MatryoshkaSpec extends SparkTestBase {
     r._6 should be <= 1.0
   }
 
+  it should "append day-2 vectors in place under the frozen centroids" in {
+    val df = corpus30
+    val evens = df.filter($"vec_id" % 2 === 0)
+    val odds = df.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mtrunc_app").toString
+    Matryoshka.buildTruncatedIndex(evens, "vec_id", "embedding",
+        dims = 4, nlist = 4, iters = 2)
+      .save(dir)
+    Matryoshka.appendToTruncatedIndexDir(spark, dir, odds,
+      "vec_id", "embedding")
+    val ext = Matryoshka.TruncatedIndex.load(spark, dir)
+    ext.params.rows shouldBe 30L
+    ext.params.version shouldBe 2
+    ext.full.count() shouldBe 30L
+    ext.prefix.members.count() shouldBe 30L
+    // exhaustive regime over the EXTENDED index ≡ brute force over the
+    // whole corpus — the appended rows are first-class members
+    val queries = df.filter($"vec_id" <= 3)
+    val got = Matryoshka.searchTruncatedIndex(ext, queries, k = 4,
+        shortlist = 30, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    got shouldBe Similarity.bruteForceTopK(df, queries, 4)
+      .collect().map(_.toString).sorted.toSeq
+    // a drifted append batch refuses before touching the artifact
+    an[IllegalArgumentException] should be thrownBy
+      Matryoshka.appendToTruncatedIndexDir(spark, dir,
+        df.select($"vec_id" + 100L as "vec_id",
+          slice($"embedding", 1, 3).as("embedding")),
+        "vec_id", "embedding")
+  }
+
   it should "refuse drifted artifacts and drifted query batches" in {
     val df = corpus30
     val idx = Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding",

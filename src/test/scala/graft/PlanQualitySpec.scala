@@ -537,4 +537,70 @@ class PlanQualitySpec extends SparkTestBase {
       plan should include("Window")
     }
   }
+
+  "the lang_id margin gate" should "keep the broadcast-model shape of the plain gate" in {
+    // classifyWithMargin adds one window over the language-fanned
+    // scores; the MODEL joins must still broadcast (a SortMergeJoin
+    // keyed on gram would shuffle the corpus-side gram frame by the
+    // model's keys), exactly like the q_pipeline_langid pin
+    val plan = planOf("q_pipeline_langid_margin")
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      plan should not include regex("SortMergeJoin [^\\n]*gram")
+    }
+  }
+
+  "the word-blocklist rate gate" should "stay a zero-join InSet projection" in {
+    // max_hit_frac adds only the tokenCount comparison — the whole gate
+    // must remain one codegen'd scan-side projection like max_hits
+    val plan = planOf("q_word_blocklist_frac")
+    withClue(plan) {
+      (plan should not).include("Join")
+    }
+  }
+
+  "searchTruncatedIndex" should "scan the corpus tiers, never shuffle them" in {
+    // both funnel stages join model-/batch-sized sides INTO the corpus
+    // scan: candidates and queries broadcast, so the only exchanges are
+    // the bounded top-k partial aggregates — the prefix members and the
+    // full rerank tier must never sort-merge or hash-repartition by a
+    // join key
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.ops.Matryoshka.buildTruncatedIndex(emb, "vec_id",
+      "embedding", dims = 16, nlist = 8, iters = 1)
+    val plan = graft.ops.Matryoshka.searchTruncatedIndex(idx,
+        emb.filter(col("vec_id") < 4), k = 3, shortlist = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString()
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      (plan should not).include("SortMergeJoin")
+      (plan should not).include("ShuffledHashJoin")
+    }
+  }
+
+  "the maintenance zorder rewrite" should "cluster with exactly one range exchange" in {
+    // the declared layout rewrite is sized + clustered in ONE shuffle:
+    // quantile boundaries ride as literals (approxQuantile at plan
+    // build), bucketing/interleaving are projections, and the only
+    // exchange is the range partitioning every layout rewrite needs
+    val cfg = graft.pipeline.MaintenancePipeline.fromJValue(
+      org.json4s.jackson.JsonMethods.parse(
+        s"""{"maintenance": {"table_path": "$sf/orders.parquet",
+           | "output_path": "/tmp/never_written_plan_pin",
+           | "cluster": {"mode": "zorder",
+           |             "columns": ["o_orderkey", "o_custkey"]}}}"""
+          .stripMargin))
+    val (shaped, _) = graft.pipeline.MaintenancePipeline
+      .shapedFrame(spark, cfg)
+    val plan = shaped.queryExecution.executedPlan.toString()
+    withClue(plan) {
+      // at this fixture size the table fits one target file, so the
+      // range partitioning degenerates to SinglePartition — the pinned
+      // property is the SHAPE: exactly one exchange, sorted on the
+      // Morton key (boundaries ride as literals, no quantile join)
+      plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+      plan should include regex "Sort \\[__graft_z"
+      (plan should not).include("Join")
+    }
+  }
 }

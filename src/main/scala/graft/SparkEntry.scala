@@ -4022,6 +4022,29 @@ object SparkEntry {
         .orderBy(col("section"), col("idx"), col("key"))
     }),
 
+    // The lm gate's card section: the same chart for the frozen
+    // Kneser-Ney fluency floor — scores map through exp(mean_logp)
+    // (the per-token geometric-mean probability, so the declared
+    // min_logp sits at exp(min_logp) on the axis) on the 1/100 grid
+    // that resolves where natural-text scores actually cluster. The
+    // oracle composes the full KN interpolation replay with the
+    // bucketing walk.
+    "q_dataset_card_gates_lm" -> ((s, d) => {
+      val fx = stagedOnce("knlm", d) { dir =>
+        graft.ops.KneserNey.save(s, graft.ops.KneserNey.train(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text"), s"$dir/kn")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "lm": {"model_path": "$fx/kn", "min_logp": -3.05}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.datasetCard(s, cfg)
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
     // Quota per SITE: "max N pages per registered domain" as ONE config
     // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
     // subdomains cannot refill a site's budget (full-host quotas would
@@ -9348,6 +9371,65 @@ object SparkEntry {
     // weights, sigmoid, clamp-bucketing and reverse-cumulative walk
     // all recomputed in SQL.
     "q_dataset_card_gates" -> DatasetCardGatesOracleSql,
+    // The lm gate's chart replayed: the FULL Kneser-Ney interpolation
+    // CTEs feed exp(mean_logp) scores into the 1/100 retention grid;
+    // stage counts via the floor semi-join.
+    "q_dataset_card_gates_lm" ->
+      s"""$KneserNeyOracleCte,
+         |t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS tok
+         |  FROM documents),
+         |lmk AS (
+         |  SELECT t.doc_id, t.tok FROM t
+         |  JOIN kn USING (doc_id) WHERE kn.mean_logp >= -3.05),
+         |st AS (
+         |  SELECT 0 AS idx, 'input' AS key,
+         |    (SELECT count(*) FROM t) AS n_docs,
+         |    (SELECT coalesce(sum(tok), 0) FROM t) AS n_tokens
+         |  UNION ALL SELECT 1, 'lm', (SELECT count(*) FROM lmk),
+         |    (SELECT coalesce(sum(tok), 0) FROM lmk)),
+         |stage_rows AS (
+         |  SELECT 'stage' AS section, idx, key,
+         |    CAST(n_docs AS BIGINT) AS n_docs,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CASE WHEN first(n_docs) OVER w > 0 THEN
+         |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+         |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+         |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+         |      AS step_drop
+         |  FROM st WINDOW w AS (ORDER BY idx)),
+         |sc AS (
+         |  SELECT kn.doc_id, t.tok,
+         |    round(exp(kn.mean_logp), 6) AS score
+         |  FROM kn JOIN t USING (doc_id)),
+         |b AS (
+         |  SELECT CAST(least(greatest(floor(score * 100), 0), 100) AS INT)
+         |      AS bk,
+         |    count(*) AS n, coalesce(sum(tok), 0) AS tk
+         |  FROM sc GROUP BY 1),
+         |grid AS (SELECT CAST(k AS INT) AS k
+         |         FROM unnest(range(0, 101)) AS u(k)),
+         |gr AS (
+         |  SELECT k,
+         |    (SELECT coalesce(sum(n), 0) FROM b WHERE b.bk >= grid.k)
+         |      AS nd,
+         |    (SELECT coalesce(sum(tk), 0) FROM b WHERE b.bk >= grid.k)
+         |      AS nt,
+         |    (SELECT coalesce(sum(n), 0) FROM b) AS td
+         |  FROM grid),
+         |gate_rows AS (
+         |  SELECT 'gate' AS section, 0 AS idx,
+         |    'lm@' || printf('%.2f', round(k / 100.0, 6)) AS key,
+         |    CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+         |    CASE WHEN td > 0 THEN round(nd::DOUBLE / td, 6) END AS frac,
+         |    NULL::DOUBLE AS step_drop
+         |  FROM gr)
+         |SELECT * FROM stage_rows
+         |UNION ALL SELECT * FROM gate_rows
+         |ORDER BY section, idx, key""".stripMargin,
     // Config-declared decontamination replayed: the literal paragraph
     // CTEs, the reference key anti-join (the %10 slice — no canonical
     // exemption), the ordered rebuild, then the min_tokens gate.

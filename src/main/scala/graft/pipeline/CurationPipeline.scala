@@ -931,10 +931,12 @@ object CurationPipeline {
     *  - `section = "gate"`: the SCORE DISTRIBUTION of each declared
     *    model gate — where the gate actually cuts, the calibration
     *    view a released card should ship next to the bare survival
-    *    number. One row per decile threshold of
+    *    number. One row per grid threshold of
     *    [[graft.ops.ClassifierEval.retentionCurve]] over the frame the
     *    gate RAN ON (its input stage — drift-proof like the stage
-    *    counts): `idx` = the gate's position among the declared gates,
+    *    counts; deciles for the classifier's [0, 1]-spread sigmoid,
+    *    a 1/100 grid for the lm gate whose exp-scale scores cluster
+    *    near 0): `idx` = the gate's position among the declared gates,
     *    `key` = `<gate>@<threshold>` (e.g. `classifier@0.30`),
     *    `n_docs`/`n_tokens` = what gating AT that threshold would
     *    retain, `frac` = the retained-document share (`n_tokens` /
@@ -1011,14 +1013,20 @@ object CurationPipeline {
         "found among the composed stages") // input is always stage 0
       stages(j - 1)._2
     }
-    val gateScores: Seq[(String, DataFrame)] =
+    // grid resolution per gate: sigmoid scores spread across [0, 1], so
+    // deciles resolve the classifier; the lm gate's exp(mean_logp) —
+    // the per-token geometric-mean probability — lives near 0 for
+    // natural text (a min_logp of -3 sits at 0.047), so its chart
+    // grids at 1/100 to resolve where the floor actually cuts. Both
+    // grids format to exactly two decimals, so the key is exact.
+    val gateScores: Seq[(String, Int, DataFrame)] =
       config.classifier.map { c =>
         val model = graft.ops.QualityClassifier.load(spark, c.modelPath)
-        "classifier" -> gateInput("classifier").select(
+        ("classifier", 10, gateInput("classifier").select(
           round(graft.ops.QualityClassifier.scoreCol(
             graft.ops.FeatureHash.denseCol(col(config.textCol),
               model.weights.length, c.signed), model), 6).as("__s"),
-          tok.as("__t"))
+          tok.as("__t")))
       }.toSeq ++
       config.lm.filter(_.tiers.isEmpty).map { l =>
         val model = graft.ops.KneserNey.load(spark, l.modelPath)
@@ -1027,19 +1035,19 @@ object CurationPipeline {
           .score(model, in, config.idCol, config.textCol)
           .select(col("id").as(config.idCol),
             round(exp(col("mean_logp")), 6).as("__s"))
-        "lm" -> in.select(col(config.idCol), tok.as("__t"))
+        ("lm", 100, in.select(col(config.idCol), tok.as("__t"))
           .join(scores, Seq(config.idCol))
-          .select(col("__s"), col("__t"))
+          .select(col("__s"), col("__t")))
       }.toSeq
-    val gateRows = gateScores.zipWithIndex.map { case ((name, sc), gi) =>
-      graft.ops.ClassifierEval.retentionCurve(sc, "__s", "__t",
-          steps = 10)
-        .select(lit("gate").as("section"), lit(gi).as("idx"),
-          concat(lit(s"$name@"),
-            format_string("%.2f", col("threshold"))).as("key"),
-          col("n_docs"), col("n_tokens"),
-          col("doc_frac").as("frac"),
-          lit(null).cast("double").as("step_drop"))
+    val gateRows = gateScores.zipWithIndex.map {
+      case ((name, steps, sc), gi) =>
+        graft.ops.ClassifierEval.retentionCurve(sc, "__s", "__t", steps)
+          .select(lit("gate").as("section"), lit(gi).as("idx"),
+            concat(lit(s"$name@"),
+              format_string("%.2f", col("threshold"))).as("key"),
+            col("n_docs"), col("n_tokens"),
+            col("doc_frac").as("frac"),
+            lit(null).cast("double").as("step_drop"))
     }
     (mixRows ++ gateRows).foldLeft(stageRows)(_ unionByName _)
   }

@@ -1356,9 +1356,11 @@ class CurationPipelineSpec extends SparkTestBase {
       .select($"idx", $"key", $"n_docs", $"n_tokens", $"frac")
       .as[(Int, String, Long, Long, Option[Double])]
       .collect().sortBy(r => (r._1, r._2)).toSeq
-    // 11 deciles per gate, classifier first then lm (declaration order)
+    // one grid row per threshold: deciles for the classifier, the
+    // 1/100 grid for the lm gate (exp-scale scores cluster near 0);
+    // classifier first then lm (declaration order)
     gates.count(_._2.startsWith("classifier@")) shouldBe 11
-    gates.count(_._2.startsWith("lm@")) shouldBe 11
+    gates.count(_._2.startsWith("lm@")) shouldBe 101
     // threshold 0 retains the gate's WHOLE input: the classifier runs
     // after the lm gate, so its 0-row equals the lm stage count; the
     // lm gate's 0-row covers the scored (trigram-evidenced) rules

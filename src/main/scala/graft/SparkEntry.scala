@@ -1576,6 +1576,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The day-2 SLICE rewrite: `where` compacts one partition's worth
+    // of a fragmented table into a hive-partitioned committed version
+    // (nobody compacts 100 TB wholesale — each pass rewrites one
+    // slice, file sizing scaled by the slice's row share). Content
+    // preservation of exactly the slice IS the oracle.
+    "q_maintenance_slice" -> ((s, d) => {
+      val fx = stagedOnce("maintfrag", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(16)
+          .write.mode("overwrite").parquet(s"$dir/frag")
+      }
+      val out = scratchDir("graft_q_mslice_")
+      val cfgPath = s"$out/job.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+        s"""{"maintenance": {
+           |  "table_path": "$fx/frag",
+           |  "output_path": "$out/table",
+           |  "target_file_mb": 64,
+           |  "where": "lang = 'en'",
+           |  "partition_by": ["lang"],
+           |  "cluster": {"mode": "sort", "columns": ["doc_id"]}}}"""
+          .stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      require(SnapshotJob.run(Array(cfgPath), s) == 0,
+        "q_maintenance_slice: the CLI maintenance run failed")
+      graft.ops.Compaction.readLatest(s, s"$out/table")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Runtime-filter join: lineitem Bloom-pruned map-side against the
     // urgent-early order subset BEFORE its exchange — the 100 TB
     // semi-join reduction. The sketch has false positives only, and the
@@ -6523,6 +6554,11 @@ object SparkEntry {
     "q_maintenance_job" ->
       """SELECT doc_id, lang, n_chars
         | FROM documents ORDER BY doc_id""".stripMargin,
+    // The slice rewrite preserves EXACTLY the slice (partition values
+    // ride the directory encoding and read back intact).
+    "q_maintenance_slice" ->
+      """SELECT doc_id, lang, n_chars
+        | FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     // The Bloom prune is invisible to correctness: plain-join oracle.
     "q_bloom_join" ->
       """SELECT o_orderkey, count(*) AS n_items,

@@ -92,10 +92,12 @@ object Compaction {
     * maintenance job's Z-order + bloom-filter passes) share one
     * committed-version writer instead of re-implementing the race
     * rules. `writeOptions` ride the parquet writer (bloom-filter
-    * enables etc.); the full shuffle+write happens once, before any
-    * claim contention. Returns the committed version's path. */
+    * enables etc.), `partitionBy` writes the version hive-partitioned;
+    * the full shuffle+write happens once, before any claim contention.
+    * Returns the committed version's path. */
   def writeVersioned(spark: SparkSession, df: DataFrame, outDir: String,
-                     writeOptions: Map[String, String] = Map.empty)
+                     writeOptions: Map[String, String] = Map.empty,
+                     partitionBy: Seq[String] = Nil)
       : String = {
     // next version counts EVERY v=* directory, not just committed ones:
     // a crashed run leaves an uncommitted (no _SUCCESS) v=N behind that
@@ -128,9 +130,11 @@ object Compaction {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val stage = new Path(s"$outDir/_tmp_$tag")
     val claim = s"_claim_$tag"
-    writeOptions.foldLeft(df.write.mode("errorifexists")) {
+    val w0 = writeOptions.foldLeft(df.write.mode("errorifexists")) {
       case (w, (k, v)) => w.option(k, v)
-    }.parquet(stage.toString)
+    }
+    val w1 = if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*)
+    w1.parquet(stage.toString)
     fs.create(new Path(stage, claim), false).close()
     var version = anyVersion
     var dest: Path = null

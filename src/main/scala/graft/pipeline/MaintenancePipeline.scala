@@ -59,13 +59,22 @@ object MaintenancePipeline {
   final case class AuditConfig(path: String, column: String,
                                lo: Long, hi: Long)
 
+  /** `where = Some(pred)` rewrites only the SLICE matching the SQL
+    * predicate — the actual day-2 motion at 100 TB: nobody compacts a
+    * 100 TB table wholesale, each pass rewrites yesterday's partition
+    * (file sizing scales by the slice's row share, so a 1 % slice
+    * targets 1 % of the files). `partitionBy` writes the committed
+    * version hive-partitioned on the named columns, so directory
+    * pruning survives the rewrite. */
   final case class MaintenanceConfig(
       tablePath: String,
       outputPath: String,
       targetFileMb: Int = 128,
       cluster: Option[ClusterConfig] = None,
       bloom: Option[BloomConfig] = None,
-      audit: Option[AuditConfig] = None)
+      audit: Option[AuditConfig] = None,
+      where: Option[String] = None,
+      partitionBy: Seq[String] = Nil)
 
   /** Parse a maintenance config AST (from JSON or [[Hocon]]):
     * {{{
@@ -79,7 +88,9 @@ object MaintenancePipeline {
     *     "bloom": {"columns": ["id"],             // point-lookup keys
     *               "expected_ndv": 100000},
     *     "audit": {"path": "...",                 // skip report sink
-    *               "column": "a", "lo": 10, "hi": 20}}}
+    *               "column": "a", "lo": 10, "hi": 20},
+    *     "where": "day = '2026-08-15'",   // slice rewrite (day-2 pass)
+    *     "partition_by": ["day"]}}        // hive-partitioned output
     * }}} */
   def fromJValue(ast: JValue): MaintenanceConfig = {
     val root = ast \ "maintenance"
@@ -170,8 +181,33 @@ object MaintenancePipeline {
           s"maintenance.audit declares an empty range [$lo, $hi]")
         Some(AuditConfig(p, c, lo, hi))
     }
+    val where = str(root \ "where")
+    where.foreach(w => if (w.trim.isEmpty) fail(
+      "maintenance.where must be a non-empty SQL predicate"))
+    val partitionBy = strList("maintenance.partition_by",
+      root \ "partition_by")
+    // a partition column is CONSTANT within every written file: footer
+    // stats on it prune nothing beyond the directory layout, and the
+    // value never reaches the data pages — clustering or auditing on it
+    // is declared confusion, refuse rather than silently no-op
+    cluster.foreach(c => c.columns.intersect(partitionBy) match {
+      case Seq() => ()
+      case dup => fail("maintenance.cluster.columns and partition_by " +
+        s"overlap on ${dup.mkString(", ")} — a partition column is " +
+        "constant within every file; cluster on data columns")
+    })
+    audit.foreach(a => if (partitionBy.contains(a.column)) fail(
+      s"maintenance.audit.column '${a.column}' is a partition column — " +
+        "it is directory-encoded, not in the parquet footers; audit a " +
+        "data column"))
+    bloom.foreach(b => b.columns.intersect(partitionBy) match {
+      case Seq() => ()
+      case dup => fail("maintenance.bloom.columns and partition_by " +
+        s"overlap on ${dup.mkString(", ")} — a partition column never " +
+        "reaches the data pages; bloom data columns")
+    })
     MaintenanceConfig(tablePath, outputPath, targetMb, cluster, bloom,
-      audit)
+      audit, where, partitionBy)
   }
 
   /** The declared rewrite as a lazy frame + its file-count target:
@@ -179,16 +215,41 @@ object MaintenancePipeline {
     * can pin the plan shape without writing. */
   def shapedFrame(spark: SparkSession,
                   config: MaintenanceConfig): (DataFrame, Int) = {
-    val df = spark.read.parquet(config.tablePath)
+    val full = spark.read.parquet(config.tablePath)
+    val df = config.where match {
+      case Some(w) => full.filter(expr(w))
+      case None => full
+    }
     val targetBytes = config.targetFileMb.toLong << 20
-    val n = math.max(1L,
-      (Compaction.dataBytes(spark, config.tablePath) + targetBytes - 1)
-        / targetBytes).toInt
+    // slice rewrites size by the slice's ROW SHARE of the table bytes:
+    // the total count is a footer-metadata read, the slice count one
+    // filtered scan — without the scaling a 1 % slice would shatter
+    // into the whole table's file count
+    val tableBytes = Compaction.dataBytes(spark, config.tablePath)
+    val sliceBytes = config.where match {
+      case None => tableBytes
+      case Some(_) =>
+        val total = full.count()
+        if (total == 0L) 0L
+        else (tableBytes * df.count()) / total
+    }
+    val n = math.max(1L, (sliceBytes + targetBytes - 1) / targetBytes).toInt
+    // with a hive-partitioned output the shuffle keys LEAD with the
+    // partition columns, so each write task holds few partition values
+    // (a round-robin repartition would make every task write a file
+    // into every partition directory — n × |values| files). Z-order
+    // ranges by the Morton key alone; at multi-value partitioned scale
+    // run it as per-slice passes (`where` one partition per pass) —
+    // the 100 TB shape anyway.
+    val pCols = config.partitionBy.map(col)
     val shaped = config.cluster match {
-      case None => (df.repartition(n), n)
+      case None =>
+        (if (pCols.isEmpty) df.repartition(n)
+         else df.repartitionByRange(n, pCols: _*), n)
       case Some(ClusterConfig("sort", cols, _)) =>
-        (df.repartitionByRange(n, cols.map(col): _*)
-          .sortWithinPartitions(cols.map(col): _*), n)
+        val keys = pCols ++ cols.map(col)
+        (df.repartitionByRange(n, keys: _*)
+          .sortWithinPartitions(keys: _*), n)
       case Some(ClusterConfig("zorder", cols, bits)) =>
         (Layout.zorderBy(df, cols, n, bits), n)
       case Some(ClusterConfig(other, _, _)) =>
@@ -213,7 +274,7 @@ object MaintenancePipeline {
       )).toMap
     }
     val versionPath = Compaction.writeVersioned(spark, shaped,
-      config.outputPath, bloomOptions)
+      config.outputPath, bloomOptions, config.partitionBy)
     config.audit.foreach(a =>
       LayoutAudit.skipReport(spark, versionPath, a.column, a.lo, a.hi)
         .write.mode(SaveMode.Overwrite).parquet(a.path))

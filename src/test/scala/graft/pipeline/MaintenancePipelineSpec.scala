@@ -86,6 +86,46 @@ class MaintenancePipelineSpec extends SparkTestBase {
     frac should be > 0.5
   }
 
+  it should "rewrite a slice hive-partitioned (the day-2 pass)" in {
+    // the 100 TB motion: compact ONE partition's slice per pass, not
+    // the table — file sizing scales by the slice's row share, the
+    // output is hive-partitioned so directory pruning survives
+    val out = s"$tmp/maint_slice"
+    val cfg = MaintenancePipeline.fromJson(
+      s"""{"maintenance": {
+         |  "table_path": "$fragmented",
+         |  "output_path": "$out",
+         |  "target_file_mb": 1,
+         |  "where": "g = 7",
+         |  "partition_by": ["g"],
+         |  "cluster": {"mode": "sort", "columns": ["k"]}}}""".stripMargin)
+    val v1 = MaintenancePipeline.run(spark, cfg)
+    // only the slice's content, under its partition directory
+    new java.io.File(v1).list().count(_.startsWith("g=")) shouldBe 1
+    val back = spark.read.parquet(v1)
+    back.count() shouldBe
+      spark.read.parquet(fragmented).filter($"g" === 7).count()
+    back.select(min($"g"), max($"g")).head() shouldBe
+      org.apache.spark.sql.Row(7L, 7L)
+    // sizing scaled by the slice share: a 1/31 slice of a ~4 MB table
+    // must NOT shatter into the whole-table file count
+    graft.ops.Compaction.dataFileCount(spark, v1) should be <= 2
+    // full-table partitioned rewrite: partition keys lead the range
+    // exchange, so files stay bounded near |values| at n tasks
+    val outAll = s"$tmp/maint_partall"
+    val vAll = MaintenancePipeline.run(spark, MaintenancePipeline.fromJson(
+      s"""{"maintenance": {
+         |  "table_path": "$fragmented",
+         |  "output_path": "$outAll",
+         |  "target_file_mb": 1,
+         |  "partition_by": ["g"]}}""".stripMargin))
+    new java.io.File(vAll).list().count(_.startsWith("g=")) shouldBe 31
+    spark.read.parquet(vAll).count() shouldBe 60000L
+    // a round-robin shuffle would write ~n files into EVERY partition
+    // dir; the partition-led range keeps it near one per directory
+    graft.ops.Compaction.dataFileCount(spark, vAll) should be <= 40
+  }
+
   it should "refuse malformed configs with the field inventory" in {
     def bad(json: String) =
       the[IllegalArgumentException] thrownBy
@@ -117,6 +157,23 @@ class MaintenancePipelineSpec extends SparkTestBase {
     bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
            | "audit": {"path": "p", "column": "c", "lo": 5, "hi": 1}}}"""
       .stripMargin).getMessage should include("empty range")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "where": "  "}}""".stripMargin).getMessage should
+      include("non-empty SQL predicate")
+    // partition columns are directory-encoded constants: clustering,
+    // auditing, or blooming them is declared confusion — refused
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "partition_by": ["g"],
+           | "cluster": {"mode": "sort", "columns": ["g", "k"]}}}"""
+      .stripMargin).getMessage should include("constant within every file")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "partition_by": ["g"],
+           | "audit": {"path": "p", "column": "g", "lo": 0, "hi": 1}}}"""
+      .stripMargin).getMessage should include("directory-encoded")
+    bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
+           | "partition_by": ["g"],
+           | "bloom": {"columns": ["g"]}}}""".stripMargin)
+      .getMessage should include("never reaches the data pages")
   }
 
   it should "dispatch through the CLI and refuse ambiguous configs" in {

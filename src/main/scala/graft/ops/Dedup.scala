@@ -1162,6 +1162,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var converged = false
+    var lastCk = false // was the surviving `labels` frame checkpointed?
     while (!converged && it < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lab").as("nlab")), "dst")
@@ -1208,6 +1209,7 @@ object Dedup {
         .first().getBoolean(0)
       val prev = labels
       labels = next
+      lastCk = ckRound
       prev.unpersist()
       if (ckRound) {
         // the PREVIOUS checkpoint is only superseded once a NEWER one is
@@ -1228,6 +1230,20 @@ object Dedup {
           "convergence; labels form a valid but UNCONVERGED partition " +
           "refinement (some clusters may be split). Raise maxIters.")
     edges.unpersist()
+    // convergence on an OFF-round would hand the caller a projection of
+    // a MEMORY_AND_DISK-persisted frame it has no handle to unpersist —
+    // long-lived apps running many dedup passes would accumulate
+    // CacheManager pins. Truncate that final round too (one extra
+    // checkpoint materialized from the still-cached blocks), release
+    // the pin, and retire the now-superseded previous checkpoint; the
+    // result then always reads from its own checkpoint files, never a
+    // cache entry this call leaked.
+    if (!lastCk) {
+      val ck = truncate(labels)
+      labels.unpersist()
+      if (reliable) deleteCk(prevCkFile)
+      labels = ck
+    }
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
 

@@ -221,9 +221,15 @@ object Matryoshka {
              dir: String): TruncatedIndex = {
       val params =
         try {
-          val r = spark.read.json(s"$dir/params")
+          val rows = spark.read.json(s"$dir/params")
             .select(col("dims"), col("fullDim"), col("nlist"),
-              col("iters"), col("rows"), col("version")).head()
+              col("iters"), col("rows"), col("version")).take(1)
+          // a params directory that EXISTS but holds zero rows (a torn
+          // overwrite) must hit the same refusal as a missing one — a
+          // bare head() would surface a NoSuchElementException instead
+          val r = rows.headOption.getOrElse(throw new IllegalStateException(
+            s"TruncatedIndex at $dir has no readable params record; " +
+              "it was not written by TruncatedIndex.save"))
           TruncatedIndexParams(r.getLong(0).toInt, r.getLong(1).toInt,
             r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4),
             r.getLong(5).toInt)
@@ -242,7 +248,22 @@ object Matryoshka {
           s"was trained at width ${prefix.params.dim} but params " +
           s"declare dims=${params.dims} — rebuild with " +
           "buildTruncatedIndex")
-      TruncatedIndex(prefix, spark.read.parquet(s"$dir/full"), params)
+      val full = spark.read.parquet(s"$dir/full")
+      // torn-append refusal: every shortlistable id must have a rerank
+      // row, or a crashed appendToTruncatedIndexDir would lose its
+      // shortlisted ids SILENTLY at the rerank join (recall collapse
+      // with no error). One id-column-only anti-join at open — the
+      // load-time integrity gate of the save/append commit protocol
+      // (append writes the full tier BEFORE the prefix tier, so a torn
+      // append leaves orphaned rerank rows — harmless — never orphaned
+      // members).
+      val orphans = prefix.members.select(col("id"))
+        .join(full.select(col("id")), Seq("id"), "left_anti").count()
+      if (orphans > 0L) throw new IllegalStateException(
+        s"TruncatedIndex at $dir is torn: $orphans prefix-tier member " +
+          "ids have no full-tier rerank row (a crashed append?) — " +
+          "rebuild with buildTruncatedIndex")
+      TruncatedIndex(prefix, full, params)
     }
   }
 
@@ -300,20 +321,32 @@ object Matryoshka {
       s"appendToTruncatedIndexDir: new vectors are $vDim-wide but the " +
         s"index serves fullDim=${index.params.fullDim} (dimension " +
         "drift — rebuild the index or fix the batch)")
-    // prefix tier: the dims-wide slices under the frozen centroids
-    Dedup.appendToVectorIndexDir(spark, s"$dir/prefix",
-      newVectors.select(col(idCol),
-        slice(col(vecCol), 1, index.params.dims).as(vecCol)),
-      idCol, vecCol)
+    // COMMIT ORDER: rerank tier first, prefix tier second, params last.
+    // A crash between the tier appends must leave an index whose prefix
+    // members all still have rerank rows — orphaned FULL rows are
+    // harmless (never shortlisted), orphaned MEMBERS lose their
+    // shortlisted ids silently at the rerank join; load() additionally
+    // refuses the member-orphan state (legacy torn appends).
     // rerank tier: raw vectors + norms (every id, zero-norm included —
     // the full table is the exact-rerank source, not a cell member)
     newVectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
         fnorm(col(vecCol)).as("nrm"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$dir/full")
+    // prefix tier: the dims-wide slices under the frozen centroids
+    Dedup.appendToVectorIndexDir(spark, s"$dir/prefix",
+      newVectors.select(col(idCol),
+        slice(col(vecCol), 1, index.params.dims).as(vecCol)),
+      idCol, vecCol)
+    // rows ride the prefix tier's OWN counters (base + appended, both
+    // with the zero-prefix-norm exclusion the build counted with) —
+    // no extra count job, and the counter means the same thing at
+    // build and after every append: shortlistable members
+    val pp = spark.read.json(s"$dir/prefix/params")
+      .select(col("baseRows"), col("appendedRows")).head()
     import spark.implicits._
     Seq(index.params.copy(
-        rows = index.params.rows + newVectors.count(),
+        rows = pp.getLong(0) + pp.getLong(1),
         version = index.params.version + 1))
       .toDF().write.mode("overwrite").json(s"$dir/params")
   }

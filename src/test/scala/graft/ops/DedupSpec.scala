@@ -288,6 +288,31 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  it should "leave no cache pins when converging on an OFF-round " +
+    "(reliable checkpoints)" in {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck2").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      // edge (1,2): round 0 (a checkpoint round) relabels 2 -> 1, round
+      // 1 (an off-round) changes nothing — convergence lands on the
+      // off-round, which previously returned a projection of a
+      // persisted label table the caller had no handle to unpersist
+      val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+      val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = Dedup.dupClusters(pairs, ids, "doc_id")
+      out.as[(Long, Long)].collect().toMap shouldBe
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      leaked shouldBe empty
+    } finally {
+      val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
+  }
+
   it should "converge a 1000-node chain within 12 rounds (pointer doubling)" in {
     // worst-case diameter: a single path 0-1-…-999 (template-spam chain).
     // plain min-label propagation needs 999 rounds; with the shortcut the

@@ -189,6 +189,52 @@ class MatryoshkaSpec extends SparkTestBase {
         "vec_id", "embedding")
   }
 
+  it should "count appended rows with the build's zero-prefix-norm " +
+    "exclusion" in {
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 3.0f, 0.0f)),
+      (2L, Array(0.0f, 2.0f, 0.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mtrunc_zn").toString
+    Matryoshka.buildTruncatedIndex(base, "vec_id", "embedding",
+        dims = 2, nlist = 2, iters = 1)
+      .save(dir)
+    // one appended vector has an all-zero dims=2 prefix: it joins the
+    // rerank tier (exact rerank source) but never the prefix members —
+    // the rows counter must agree with the members, as at build
+    val batch = Seq(
+      (3L, Array(5.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 7.0f, 1.0f)) // zero prefix at dims=2
+    ).toDF("vec_id", "embedding")
+    Matryoshka.appendToTruncatedIndexDir(spark, dir, batch,
+      "vec_id", "embedding")
+    val ext = Matryoshka.TruncatedIndex.load(spark, dir)
+    ext.full.count() shouldBe 4L
+    ext.prefix.members.count() shouldBe 3L
+    ext.params.rows shouldBe 3L // counts shortlistable members, not rows
+  }
+
+  it should "refuse a torn index whose prefix members lost their " +
+    "rerank rows" in {
+    val df = corpus30
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mtrunc_torn").toString
+    Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding",
+        dims = 4, nlist = 4, iters = 1)
+      .save(dir)
+    // simulate the legacy torn append: prefix tier extended, full tier
+    // never written (a crash between the two tier writes) — those ids
+    // would silently vanish at the rerank join; load must refuse
+    Dedup.appendToVectorIndexDir(spark, s"$dir/prefix",
+      df.select($"vec_id" + 100L as "vec_id",
+        $"embedding"),
+      "vec_id", "embedding")
+    val e = the[IllegalStateException] thrownBy
+      Matryoshka.TruncatedIndex.load(spark, dir)
+    e.getMessage should include("torn")
+  }
+
   it should "refuse drifted artifacts and drifted query batches" in {
     val df = corpus30
     val idx = Matryoshka.buildTruncatedIndex(df, "vec_id", "embedding",

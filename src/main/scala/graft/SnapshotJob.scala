@@ -68,28 +68,36 @@ object SnapshotJob {
         // config-shape dispatch, the reference's strategy-by-section
         // pattern (Settings.scala:16-48) one level up: a `changelog`
         // section declares a snapshot job, an `input` section a
-        // curation job, a `maintenance` section a table-health job;
-        // any other count of declared sections is ambiguous and fails
-        // with the section inventory
+        // curation job, a `maintenance` section a table-health job, an
+        // `index` section an index-build job; any other count of
+        // declared sections is ambiguous and fails with the section
+        // inventory
         import org.json4s.JNothing
         val declared = Seq(
           "changelog" -> (ast \ "changelog"),
           "input" -> (ast \ "input"),
-          "maintenance" -> (ast \ "maintenance")
+          "maintenance" -> (ast \ "maintenance"),
+          "index" -> (ast \ "index")
         ).collect { case (name, v) if v != JNothing => name }
         declared match {
           case Seq() => throw new IllegalArgumentException(
             "config declares no job section — expected exactly one of: " +
               "changelog (snapshot job), input (curation job), " +
-              "maintenance (table-maintenance job)")
+              "maintenance (table-maintenance job), " +
+              "index (index-build job)")
           case many if many.length > 1 => throw new IllegalArgumentException(
             s"config declares ${many.mkString(" and ")} sections — " +
               "one job per config file")
           case Seq("changelog") => Job.Snapshot(SnapshotPipeline.fromJValue(ast))
           case Seq("input") =>
             Job.Curation(graft.pipeline.CurationPipeline.fromJValue(ast))
+          case Seq("maintenance") =>
+            // sweep-aware: a `tables` array declares the multi-table
+            // catalog pass; without it this is the single-table shape
+            Job.Maintenance(
+              graft.pipeline.MaintenancePipeline.sweepFromJValue(ast))
           case _ =>
-            Job.Maintenance(graft.pipeline.MaintenancePipeline.fromJValue(ast))
+            Job.Index(graft.pipeline.IndexPipeline.fromJValue(ast))
         }
       } catch {
         // any parse/validation failure keeps the diagnostic-then-exit-1
@@ -106,8 +114,19 @@ object SnapshotJob {
         case Job.Snapshot(snap) => SnapshotPipeline.run(spark, snap)
         case Job.Curation(cur) =>
           graft.pipeline.CurationPipeline.run(spark, cur)
-        case Job.Maintenance(m) =>
-          graft.pipeline.MaintenancePipeline.run(spark, m)
+        case Job.Maintenance(cs) =>
+          // per-table failure isolation: every table runs; failures are
+          // reported per table on stderr and the job exits 1 if any
+          val results =
+            graft.pipeline.MaintenancePipeline.runSweep(spark, cs)
+          val failed = results.filter(_.error.isDefined)
+          failed.foreach(r => Console.err.println(
+            s"maintenance failed for ${r.tablePath}: ${r.error.get}"))
+          if (failed.nonEmpty) throw new RuntimeException(
+            s"${failed.length} of ${results.length} maintenance " +
+              "tables failed (see per-table diagnostics above)")
+        case Job.Index(ix) =>
+          graft.pipeline.IndexPipeline.run(spark, ix)
           ()
       }
       0
@@ -118,14 +137,17 @@ object SnapshotJob {
     }
   }
 
-  /** The three config-declared job shapes the CLI dispatches between. */
+  /** The four config-declared job shapes the CLI dispatches between. */
   private sealed trait Job
   private object Job {
     final case class Snapshot(c: SnapshotPipeline.SnapshotConfig) extends Job
     final case class Curation(
         c: graft.pipeline.CurationPipeline.CurationConfig) extends Job
     final case class Maintenance(
-        c: graft.pipeline.MaintenancePipeline.MaintenanceConfig) extends Job
+        c: Seq[graft.pipeline.MaintenancePipeline.MaintenanceConfig])
+      extends Job
+    final case class Index(
+        c: graft.pipeline.IndexPipeline.IndexConfig) extends Job
   }
 
   def main(args: Array[String]): Unit = {

@@ -4646,6 +4646,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Day-1 of the index lifecycle, config-declared: the FOURTH CLI job
+    // shape (an "index" config section through graft.SnapshotJob) builds
+    // the persisted text index, and the curation config's
+    // against_text_index day-2 stage consumes the artifact unchanged —
+    // same corpus split and threshold as q_dedup_incremental, so the
+    // code-built, config-consumed, and config-built lifecycle forms all
+    // share one literal oracle.
+    "q_pipeline_index_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fx = stagedOnce("idxbuild", d) { dir =>
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$dir/corpus")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .write.mode("overwrite").parquet(s"$dir/inc")
+        val cfgPath = s"$dir/index_job.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+          s"""{"index": {"kind": "text", "input_path": "$dir/corpus",
+             | "output_dir": "$dir/idx", "id_column": "doc_id",
+             | "text_column": "text"}}""".stripMargin
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        require(graft.SnapshotJob.run(Array(cfgPath), s) == 0,
+          "config-declared index build failed")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/inc"},
+           | "dedup": {"method": "against_text_index",
+           |           "index_dir": "$fx/idx", "threshold": 0.8}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
     // canonical LLM document-quality heuristics) as a first-fail
     // attrition report over the corpus: word-count bounds, mean word
@@ -9877,6 +9910,8 @@ object SparkEntry {
     "q_dedup_incremental" -> DedupIncrementalOracleSql,
     // config-declared against_text_index tier = the same dedupAgainst
     "q_pipeline_incremental" -> DedupIncrementalOracleSql,
+    // config-BUILT index, config-consumed: same split, same semantics
+    "q_pipeline_index_build" -> DedupIncrementalOracleSql,
     // frozen-index streaming form converges to the same accepted set —
     // the equivalence IS the point of the query
     "q_stream_dedup_incremental" -> DedupIncrementalOracleSql,

@@ -173,4 +173,47 @@ object Compaction {
   /** Read the latest committed compaction under `outDir`. */
   def readLatest(spark: SparkSession, outDir: String): DataFrame =
     graft.streaming.MaterializedSnapshot.read(spark, outDir)
+
+  /** Version retention — the storage bound on a [[writeVersioned]]
+    * chain (the Delta-VACUUM motion): delete COMMITTED `v=<n>`
+    * directories older than the newest `keep` committed ones. Without
+    * it every maintenance rewrite duplicates the table and storage
+    * grows without bound — the one unbounded resource in the day-2
+    * story at 100 TB.
+    *
+    * Never touched: the newest `keep` committed versions (`keep >= 1`,
+    * so the latest always survives), any UNCOMMITTED `v=<n>` directory
+    * (no `_SUCCESS` — an in-flight or crashed writer's claim, which
+    * [[writeVersioned]]'s numbering already skips over), and hidden
+    * staging directories (`_tmp_*` and friends — underscore names
+    * never parse as versions).
+    *
+    * Reader-isolation grace contract: deletion is immediate, so a
+    * reader that resolved "latest" BEFORE a subsequent commit keeps
+    * its files only while its version stays within the newest `keep`.
+    * Run with `keep >= 2` (and >= 1 + the number of rewrites that can
+    * land during your longest reader) — the
+    * [[graft.streaming.MaterializedSnapshot.maintain]] argument.
+    *
+    * One namenode listing + one delete per stale version, no data
+    * read. Returns the deleted version paths (oldest first). */
+  def vacuumVersions(spark: SparkSession, outDir: String,
+                     keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuumVersions: keep must be >= 1, got $keep")
+    val p = new Path(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val committed = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+        .map(v => (v, s.getPath)))
+      .filter { case (_, path) => fs.exists(new Path(path, "_SUCCESS")) }
+      .sortBy(_._1)
+    committed.dropRight(keep).map { case (_, path) =>
+      if (!fs.delete(path, true))
+        throw new java.io.IOException(
+          s"vacuumVersions: failed to delete $path")
+      path.toString
+    }
+  }
 }

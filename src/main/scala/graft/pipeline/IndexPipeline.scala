@@ -1,0 +1,243 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+
+import graft.ops.{Dedup, Fingerprint, Hamming, Matryoshka, PqIndex}
+
+/** Config-declared INDEX-BUILD job — the fourth CLI job shape, and
+  * day-1 of the lifecycle the other three already declare: every
+  * `against_text_index` / `against_vector_index` dedup stage, every
+  * truncated/PQ similarity search, and every streaming media gate
+  * consumes a persisted index directory, and the day-2 `extend_index`
+  * appends are config-declared — but until this job the bootstrap
+  * build itself was code-only. One HOCON/JSON file (the reference's
+  * declare-the-job-in-config identity,
+  * reference: src/main/scala/com/booking/spark/Settings.scala:16-48)
+  * now covers the whole index lifecycle: build here, consume and
+  * extend in the curation config.
+  *
+  * {{{
+  * { "index": {
+  *     "kind": "text" | "vector" | "truncated" | "pq"
+  *           | "fingerprint" | "hamming",
+  *     "input_path": "/data/corpus.parquet",   // the corpus to index
+  *     "output_dir": "/idx/text_v1",           // the artifact directory
+  *     "id_column": "doc_id",
+  *     "overwrite": false,                     // refuse a live artifact
+  *     // text:        "text_column", "shingle_n", "bands", "rows_per_band"
+  *     // fingerprint: "text_column", "k", "w", "max_df"
+  *     // vector:      "vector_column", "nlist", "iters"
+  *     // truncated:   "vector_column", "dims" (required), "nlist", "iters"
+  *     // pq:          "vector_column", "nlist", "m", "ks", "iters"
+  *     // hamming:     "hi_column", "lo_column", "media_kind"
+  * }}
+  * }}}
+  *
+  * Parameter keys are validated against the DECLARED kind: a key
+  * belonging to another kind (e.g. `bands` on a vector build) is
+  * declared confusion and refuses with the inventory, never a silent
+  * default — the [[MaintenancePipeline]] discipline. Builds reuse the
+  * exact code-level builders ([[Dedup.buildTextIndex]],
+  * [[Dedup.buildVectorIndex]], [[Matryoshka.buildTruncatedIndex]],
+  * [[PqIndex.buildPqIndex]], [[Fingerprint.buildFingerprintIndex]],
+  * [[Hamming.buildIndex]]) and their save formats, so an index built
+  * here is bit-compatible with every existing loader, refusal, and
+  * append path.
+  *
+  * Scale posture is the builders' own: each build is one corpus scan
+  * (plus the trainer's bounded passes for vector/pq tiers); nothing
+  * here adds a shuffle or a driver-side collect beyond the model-sized
+  * centroid/codebook tables the builders already hold. */
+object IndexPipeline {
+
+  /** Kind-specific build declaration (parsed, validated). */
+  sealed trait IndexKind { def name: String }
+  final case class TextKind(textCol: String, n: Int, bands: Int,
+                            rowsPerBand: Int) extends IndexKind {
+    def name = "text"
+  }
+  final case class VectorKind(vecCol: String, nlist: Int,
+                              iters: Int) extends IndexKind {
+    def name = "vector"
+  }
+  final case class TruncatedKind(vecCol: String, dims: Int, nlist: Int,
+                                 iters: Int) extends IndexKind {
+    def name = "truncated"
+  }
+  final case class PqKind(vecCol: String, nlist: Int, m: Int, ks: Int,
+                          iters: Int) extends IndexKind {
+    def name = "pq"
+  }
+  final case class FingerprintKind(textCol: String, k: Int, w: Int,
+                                   maxDf: Int) extends IndexKind {
+    def name = "fingerprint"
+  }
+  final case class HammingKind(hiCol: String, loCol: String,
+                               mediaKind: String) extends IndexKind {
+    def name = "hamming"
+  }
+
+  final case class IndexConfig(inputPath: String, outputDir: String,
+                               idColumn: String, kind: IndexKind,
+                               overwrite: Boolean = false)
+
+  /** The parameter keys each kind accepts (beyond the shared
+    * `kind`/`input_path`/`output_dir`/`id_column`/`overwrite`). Held as
+    * the single inventory both the validator and its refusal message
+    * read from. */
+  private val KindKeys: Map[String, Set[String]] = Map(
+    "text" -> Set("text_column", "shingle_n", "bands", "rows_per_band"),
+    "vector" -> Set("vector_column", "nlist", "iters"),
+    "truncated" -> Set("vector_column", "dims", "nlist", "iters"),
+    "pq" -> Set("vector_column", "nlist", "m", "ks", "iters"),
+    "fingerprint" -> Set("text_column", "k", "w", "max_df"),
+    "hamming" -> Set("hi_column", "lo_column", "media_kind"))
+
+  private val SharedKeys =
+    Set("kind", "input_path", "output_dir", "id_column", "overwrite")
+
+  /** Parse an index-build config AST (from JSON or [[Hocon]]). */
+  def fromJValue(ast: JValue): IndexConfig = {
+    val root = ast \ "index"
+    if (root == JNothing) fail("config declares no index section")
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JNothing => None
+      case other => fail(s"expected a string, got $other")
+    }
+    def intOf(v: JValue, name: String, default: => Int): Int = v match {
+      case JInt(i) =>
+        if (!i.isValidInt) fail(s"$name out of Int range: $i")
+        i.toInt
+      case JLong(i) =>
+        if (i < Int.MinValue || i > Int.MaxValue)
+          fail(s"$name out of Int range: $i")
+        i.toInt
+      case JNothing => default
+      case other => fail(s"$name must be an integer, got $other")
+    }
+    def posIntOf(v: JValue, name: String, default: => Int): Int = {
+      val i = intOf(v, name, default)
+      if (i < 1) fail(s"$name must be >= 1, got $i")
+      i
+    }
+    val kindName = str(root \ "kind").getOrElse(fail(
+      "index.kind is required (text | vector | truncated | pq | " +
+        "fingerprint | hamming)"))
+    val allowed = KindKeys.getOrElse(kindName, fail(
+      s"index.kind must be text | vector | truncated | pq | " +
+        s"fingerprint | hamming, got '$kindName'"))
+    // key-inventory refusal: a parameter belonging to ANOTHER kind is
+    // declared confusion (e.g. `bands` on a vector build would silently
+    // build with defaults while the author believes they tuned it)
+    root match {
+      case JObject(fields) =>
+        val foreign = fields.map(_._1)
+          .filterNot(k => SharedKeys(k) || allowed(k))
+        if (foreign.nonEmpty) fail(
+          s"index keys ${foreign.mkString(", ")} do not apply to " +
+            s"kind '$kindName' — it accepts: ${allowed.toSeq.sorted
+              .mkString(", ")}")
+      case other => fail(s"index section must be an object, got $other")
+    }
+    val inputPath = str(root \ "input_path").getOrElse(
+      fail("index.input_path is required"))
+    val outputDir = str(root \ "output_dir").getOrElse(
+      fail("index.output_dir is required"))
+    def normalized(p: String) = new Path(p).toUri
+    if (normalized(inputPath) == normalized(outputDir)) fail(
+      "index.output_dir must differ from input_path — the build reads " +
+        "the corpus lazily while writing (read-under-write)")
+    val idColumn = str(root \ "id_column").getOrElse(
+      fail("index.id_column is required"))
+    val overwrite = root \ "overwrite" match {
+      case JBool(b) => b
+      case JNothing => false
+      case other => fail(s"index.overwrite must be a boolean, got $other")
+    }
+    def textCol = str(root \ "text_column").getOrElse(
+      fail(s"index.text_column is required for kind '$kindName'"))
+    def vecCol = str(root \ "vector_column").getOrElse(
+      fail(s"index.vector_column is required for kind '$kindName'"))
+    val kind: IndexKind = kindName match {
+      case "text" => TextKind(textCol,
+        posIntOf(root \ "shingle_n", "index.shingle_n", 3),
+        posIntOf(root \ "bands", "index.bands", 16),
+        posIntOf(root \ "rows_per_band", "index.rows_per_band", 4))
+      case "vector" => VectorKind(vecCol,
+        intOf(root \ "nlist", "index.nlist", 0),
+        posIntOf(root \ "iters", "index.iters", 1))
+      case "truncated" => TruncatedKind(vecCol,
+        posIntOf(root \ "dims", "index.dims",
+          fail("index.dims is required for kind 'truncated' (the " +
+            "prefix width the shortlist tier serves)")),
+        intOf(root \ "nlist", "index.nlist", 0),
+        posIntOf(root \ "iters", "index.iters", 1))
+      case "pq" => PqKind(vecCol,
+        posIntOf(root \ "nlist", "index.nlist", 16),
+        posIntOf(root \ "m", "index.m", 8),
+        posIntOf(root \ "ks", "index.ks", 16),
+        posIntOf(root \ "iters", "index.iters", 5))
+      case "fingerprint" => FingerprintKind(textCol,
+        posIntOf(root \ "k", "index.k", 5),
+        posIntOf(root \ "w", "index.w", 8),
+        posIntOf(root \ "max_df", "index.max_df", 50))
+      case "hamming" => HammingKind(
+        str(root \ "hi_column").getOrElse(
+          fail("index.hi_column is required for kind 'hamming'")),
+        str(root \ "lo_column").getOrElse(
+          fail("index.lo_column is required for kind 'hamming'")),
+        str(root \ "media_kind").getOrElse(
+          fail("index.media_kind is required for kind 'hamming' (the " +
+            "fingerprint family the matcher will be guarded against — " +
+            "e.g. image | audio | video)")))
+    }
+    IndexConfig(inputPath, outputDir, idColumn, kind, overwrite)
+  }
+
+  /** Run the declared build: read the corpus, build the declared index
+    * with the code-level builder, persist it to `output_dir`. A
+    * directory already holding an artifact (any visible file) refuses
+    * unless `overwrite: true` — clobbering a LIVE production index
+    * because two configs named the same directory is the failure mode
+    * day-1 tooling must not have. Returns the output directory. */
+  def run(spark: SparkSession, config: IndexConfig): String = {
+    val out = new Path(config.outputDir)
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!config.overwrite && fs.exists(out) &&
+        fs.listStatus(out).nonEmpty) fail(
+      s"index.output_dir ${config.outputDir} already holds files — an " +
+        "existing artifact is refused (set overwrite: true to rebuild " +
+        "in place; consumers reading it concurrently will tear)")
+    val corpus: DataFrame = spark.read.parquet(config.inputPath)
+    config.kind match {
+      case TextKind(tc, n, b, r) =>
+        Dedup.buildTextIndex(corpus, config.idColumn, tc, n, b, r)
+          .save(config.outputDir)
+      case VectorKind(vc, nlist, iters) =>
+        Dedup.buildVectorIndex(corpus, config.idColumn, vc, nlist, iters)
+          .save(config.outputDir)
+      case TruncatedKind(vc, dims, nlist, iters) =>
+        Matryoshka.buildTruncatedIndex(corpus, config.idColumn, vc, dims,
+            nlist, iters)
+          .save(config.outputDir)
+      case PqKind(vc, nlist, m, ks, iters) =>
+        PqIndex.buildPqIndex(corpus, nlist, m, ks, iters,
+            config.idColumn, vc)
+          .save(config.outputDir)
+      case FingerprintKind(tc, k, w, maxDf) =>
+        Fingerprint.buildFingerprintIndex(corpus, config.idColumn, tc,
+            k, w, maxDf)
+          .save(config.outputDir)
+      case HammingKind(hi, lo, mk) =>
+        Hamming.buildIndex(corpus, config.idColumn, hi, lo, mk)
+          .save(config.outputDir)
+    }
+    config.outputDir
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+}

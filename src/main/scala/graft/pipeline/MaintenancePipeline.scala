@@ -65,7 +65,10 @@ object MaintenancePipeline {
     * (file sizing scales by the slice's row share, so a 1 % slice
     * targets 1 % of the files). `partitionBy` writes the committed
     * version hive-partitioned on the named columns, so directory
-    * pruning survives the rewrite. */
+    * pruning survives the rewrite. `keepVersions = Some(k)` vacuums
+    * committed versions older than the newest k after the commit
+    * ([[Compaction.vacuumVersions]] — the storage bound; without it
+    * each rewrite duplicates the table forever). */
   final case class MaintenanceConfig(
       tablePath: String,
       outputPath: String,
@@ -74,7 +77,8 @@ object MaintenancePipeline {
       bloom: Option[BloomConfig] = None,
       audit: Option[AuditConfig] = None,
       where: Option[String] = None,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      keepVersions: Option[Int] = None)
 
   /** Parse a maintenance config AST (from JSON or [[Hocon]]):
     * {{{
@@ -90,7 +94,8 @@ object MaintenancePipeline {
     *     "audit": {"path": "...",                 // skip report sink
     *               "column": "a", "lo": 10, "hi": 20},
     *     "where": "day = '2026-08-15'",   // slice rewrite (day-2 pass)
-    *     "partition_by": ["day"]}}        // hive-partitioned output
+    *     "partition_by": ["day"],         // hive-partitioned output
+    *     "keep_versions": 3}}             // vacuum older committed v=n
     * }}} */
   def fromJValue(ast: JValue): MaintenanceConfig = {
     val root = ast \ "maintenance"
@@ -132,7 +137,13 @@ object MaintenancePipeline {
       fail("maintenance.table_path is required"))
     val outputPath = str(root \ "output_path").getOrElse(
       fail("maintenance.output_path is required"))
-    if (tablePath == outputPath) fail(
+    // normalize through Path.toUri before comparing: '/data/t' vs
+    // '/data/t/' (or './t' vs 't') are the same directory, and equality
+    // on the raw strings would let an aliased spelling read the table
+    // lazily while writing into it
+    def normalized(p: String): java.net.URI =
+      new org.apache.hadoop.fs.Path(p).toUri
+    if (normalized(tablePath) == normalized(outputPath)) fail(
       "maintenance.output_path must differ from table_path — the " +
         "rewrite reads the table lazily while writing (read-under-write)")
     val targetMb = intOf(root \ "target_file_mb",
@@ -206,8 +217,67 @@ object MaintenancePipeline {
         s"overlap on ${dup.mkString(", ")} — a partition column never " +
         "reaches the data pages; bloom data columns")
     })
+    val keepVersions = root \ "keep_versions" match {
+      case JNothing => None
+      case v =>
+        val k = intOf(v, "maintenance.keep_versions",
+          fail("maintenance.keep_versions must be an integer"))
+        if (k < 1) fail(
+          s"maintenance.keep_versions must be >= 1 (the latest " +
+            s"committed version always survives), got $k")
+        Some(k)
+    }
     MaintenanceConfig(tablePath, outputPath, targetMb, cluster, bloom,
-      audit, where, partitionBy)
+      audit, where, partitionBy, keepVersions)
+  }
+
+  /** Multi-table sweep parse — one config declares the nightly pass
+    * over a CATALOG of tables:
+    * {{{
+    * { "maintenance": {
+    *     "target_file_mb": 64,            // shared defaults...
+    *     "keep_versions": 3,
+    *     "tables": [                      // ...each entry overrides
+    *       {"table_path": "/d/a", "output_path": "/m/a"},
+    *       {"table_path": "/d/b", "output_path": "/m/b",
+    *        "cluster": {"mode": "sort", "columns": ["k"]}}]}}
+    * }}}
+    * Every key the single-table shape accepts works both as a shared
+    * default and per table (deep-merged, table wins); each merged
+    * entry passes the FULL single-table validation. Without `tables`
+    * this is exactly [[fromJValue]]. Two entries claiming one
+    * output_path are refused — concurrent [[Compaction.writeVersioned]]
+    * claims would interleave versions of different tables. */
+  def sweepFromJValue(ast: JValue): Seq[MaintenanceConfig] = {
+    val root = ast \ "maintenance"
+    if (root == JNothing)
+      fail("config declares no maintenance section")
+    root \ "tables" match {
+      case JNothing => Seq(fromJValue(ast))
+      case JArray(items) =>
+        if (items.isEmpty) fail("maintenance.tables must not be empty")
+        val shared: JObject = root match {
+          case JObject(fields) =>
+            JObject(fields.filterNot(_._1 == "tables"))
+          case other => fail(s"maintenance must be an object, got $other")
+        }
+        val configs = items.map {
+          case t: JObject => fromJValue(
+            JObject(List("maintenance" -> (shared merge t))))
+          case other =>
+            fail(s"maintenance.tables entries must be objects, got $other")
+        }
+        val dup = configs
+          .groupBy(c => new org.apache.hadoop.fs.Path(c.outputPath).toUri)
+          .collect { case (u, cs) if cs.length > 1 => u.toString }
+        if (dup.nonEmpty) fail(
+          s"maintenance.tables declare the same output_path " +
+            s"${dup.mkString(", ")} more than once — concurrent " +
+            "versioned writers would interleave versions of different " +
+            "tables")
+        configs
+      case _ => fail("maintenance.tables must be an array of objects")
+    }
   }
 
   /** The declared rewrite as a lazy frame + its file-count target:
@@ -230,8 +300,12 @@ object MaintenancePipeline {
       case None => tableBytes
       case Some(_) =>
         val total = full.count()
+        // share as a double FIRST: tableBytes * sliceRows in Long
+        // arithmetic overflows at ~92k rows on a 100 TB table (1e14
+        // bytes), flipping sliceBytes negative and collapsing n to 1 —
+        // one giant file exactly at the advertised scale
         if (total == 0L) 0L
-        else (tableBytes * df.count()) / total
+        else (tableBytes * (df.count().toDouble / total)).toLong
     }
     val n = math.max(1L, (sliceBytes + targetBytes - 1) / targetBytes).toInt
     // with a hive-partitioned output the shuffle keys LEAD with the
@@ -262,7 +336,10 @@ object MaintenancePipeline {
     * ([[Compaction.writeVersioned]] — bloom options ride the same
     * write, never a second rewrite), then the layout-audit report over
     * the freshly committed version (written AFTER the commit, so a
-    * failed write leaves neither version nor report). Returns the
+    * failed write leaves neither version nor report), then the
+    * `keep_versions` vacuum (after the audit: the just-committed
+    * version is by definition within the newest k, and a failed audit
+    * must not have already destroyed the rollback target). Returns the
     * committed version's path. */
   def run(spark: SparkSession, config: MaintenanceConfig): String = {
     val (shaped, _) = shapedFrame(spark, config)
@@ -278,8 +355,33 @@ object MaintenancePipeline {
     config.audit.foreach(a =>
       LayoutAudit.skipReport(spark, versionPath, a.column, a.lo, a.hi)
         .write.mode(SaveMode.Overwrite).parquet(a.path))
+    config.keepVersions.foreach(k =>
+      Compaction.vacuumVersions(spark, config.outputPath, k))
     versionPath
   }
+
+  /** One sweep entry's outcome: the committed version path, or the
+    * failure it was isolated to. */
+  final case class TableResult(tablePath: String,
+                               versionPath: Option[String],
+                               error: Option[String])
+
+  /** Run a multi-table sweep with PER-TABLE failure isolation: one
+    * table's failed read/write/gate must not abort the rest of the
+    * nightly catalog pass — each failure is captured on its row of the
+    * report and the sweep continues. (Config-PARSE failures are not
+    * isolated: a malformed declaration fails the whole job up front,
+    * in [[sweepFromJValue]].) */
+  def runSweep(spark: SparkSession,
+               configs: Seq[MaintenanceConfig]): Seq[TableResult] =
+    configs.map { c =>
+      try TableResult(c.tablePath, Some(run(spark, c)), None)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          TableResult(c.tablePath, None,
+            Some(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)

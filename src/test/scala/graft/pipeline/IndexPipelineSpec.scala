@@ -1,0 +1,241 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.ops.{Dedup, Hamming, Matryoshka, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Config-declared index builds: the fourth CLI job shape — day-1 of
+  * the persisted-index lifecycle whose day-2 (against_*_index stages,
+  * extend_index appends, streaming gates) was already config-first.
+  * The build must be bit-compatible with every existing loader: an
+  * index built from config behaves exactly like one built in code. */
+class IndexPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-idxjob").toString
+
+  private def o = IndexPipeline
+  private def fromJson(json: String): IndexPipeline.IndexConfig =
+    o.fromJValue(org.json4s.jackson.JsonMethods.parse(json))
+
+  private lazy val docsPath = {
+    val p = s"$tmp/docs"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark and parquet files"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "yet another unrelated document mentioning nothing shared")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val vecsPath = {
+    val p = s"$tmp/vecs"
+    (1L to 30L).map(i => (i, Array(
+        (i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, i.toFloat / 30)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  "IndexPipeline" should "build a text index from config that the " +
+    "existing loader and dedup consume unchanged" in {
+    val out = s"$tmp/text_idx"
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "text", "input_path": "$docsPath",
+         | "output_dir": "$out", "id_column": "doc_id",
+         | "text_column": "text"}}""".stripMargin)) shouldBe out
+    val fromConfig = Dedup.TextIndex.load(spark, out)
+    val hand = Dedup.buildTextIndex(
+      spark.read.parquet(docsPath), "doc_id", "text")
+    val inc = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "entirely novel content that matches no indexed document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainst(inc, fromConfig, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    got shouldBe Dedup.dedupAgainst(inc, hand, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    got shouldBe Set(101L)
+  }
+
+  it should "build vector and truncated indexes that search exactly " +
+    "like their hand-built twins" in {
+    val vout = s"$tmp/vec_idx"
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "vector", "input_path": "$vecsPath",
+         | "output_dir": "$vout", "id_column": "vec_id",
+         | "vector_column": "embedding", "nlist": 4, "iters": 2}}"""
+        .stripMargin))
+    val vidx = Dedup.VectorIndex.load(spark, vout)
+    vidx.params.nlist shouldBe 4
+    vidx.members.count() shouldBe 30L
+    val tout = s"$tmp/trunc_idx"
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "truncated", "input_path": "$vecsPath",
+         | "output_dir": "$tout", "id_column": "vec_id",
+         | "vector_column": "embedding", "dims": 2, "nlist": 4,
+         | "iters": 2}}""".stripMargin))
+    val tidx = Matryoshka.TruncatedIndex.load(spark, tout)
+    tidx.params.dims shouldBe 2
+    val df = spark.read.parquet(vecsPath)
+    val queries = df.filter($"vec_id" <= 3)
+    // exhaustive regime over the config-built artifact ≡ brute force —
+    // the same exactness anchor the code-built index is held to
+    Matryoshka.searchTruncatedIndex(tidx, queries, k = 4,
+        shortlist = 30, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      Similarity.bruteForceTopK(df, queries, 4)
+        .collect().map(_.toString).sorted.toSeq
+  }
+
+  it should "build pq, fingerprint and hamming indexes consumable by " +
+    "their loaders" in {
+    val pout = s"$tmp/pq_idx"
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "pq", "input_path": "$vecsPath",
+         | "output_dir": "$pout", "id_column": "vec_id",
+         | "vector_column": "embedding", "nlist": 4, "m": 2, "ks": 4,
+         | "iters": 2}}""".stripMargin))
+    val pq = graft.ops.PqIndex.PersistedPqIndex.load(spark, pout)
+    pq.params.m shouldBe 2
+    pq.codes.count() shouldBe 30L
+    val fout = s"$tmp/fp_idx"
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "fingerprint", "input_path": "$docsPath",
+         | "output_dir": "$fout", "id_column": "doc_id",
+         | "text_column": "text", "k": 3, "w": 4}}""".stripMargin))
+    val fp = graft.ops.Fingerprint.FingerprintIndex.load(spark, fout)
+    fp.params.k shouldBe 3
+    // doc 4 duplicates doc 1's text: spans must match via the artifact
+    val hits = graft.ops.Fingerprint.matchAgainst(
+        Seq((200L, "the quick brown fox jumps over the lazy dog today"))
+          .toDF("doc_id", "text"), fp, "doc_id", "text")
+      .select($"corpus_id").as[Long].collect().toSet
+    hits should contain(1L)
+    val hpath = s"$tmp/hashes"
+    Seq((1L, 100L, 200L), (2L, 100L, 201L), (3L, -500L, 9L))
+      .toDF("asset_id", "h_hi", "h_lo")
+      .write.mode("overwrite").parquet(hpath)
+    val hout = s"$tmp/ham_idx"
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "hamming", "input_path": "$hpath",
+         | "output_dir": "$hout", "id_column": "asset_id",
+         | "hi_column": "h_hi", "lo_column": "h_lo",
+         | "media_kind": "image"}}""".stripMargin))
+    val ham = Hamming.HammingIndex.load(spark, hout)
+    ham.kind shouldBe "image"
+    Hamming.matchAgainst(ham,
+        Seq((300L, 100L, 200L)).toDF("asset_id", "h_hi", "h_lo"),
+        "asset_id", "h_hi", "h_lo", maxDist = 2, kind = "image",
+        persistIncrement = false)
+      .select($"corpus_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+  }
+
+  it should "refuse overwriting a live artifact unless declared" in {
+    val out = s"$tmp/ow_idx"
+    def cfg(ow: String) = fromJson(
+      s"""{"index": {"kind": "text", "input_path": "$docsPath",
+         | "output_dir": "$out", "id_column": "doc_id",
+         | "text_column": "text"$ow}}""".stripMargin)
+    o.run(spark, cfg(""))
+    (the[IllegalArgumentException] thrownBy o.run(spark, cfg("")))
+      .getMessage should include("already holds files")
+    o.run(spark, cfg(""", "overwrite": true""")) shouldBe out
+    Dedup.TextIndex.load(spark, out).hashes.count() should be > 0L
+  }
+
+  it should "refuse malformed configs with the field inventory" in {
+    def bad(json: String) =
+      the[IllegalArgumentException] thrownBy fromJson(json)
+    bad("""{"maintenance": {}}""").getMessage should
+      include("no index section")
+    bad("""{"index": {"kind": "btree", "input_path": "a",
+          | "output_dir": "b", "id_column": "i"}}""".stripMargin)
+      .getMessage should include("text | vector | truncated")
+    bad("""{"index": {"input_path": "a", "output_dir": "b",
+          | "id_column": "i"}}""".stripMargin)
+      .getMessage should include("index.kind is required")
+    bad("""{"index": {"kind": "text", "output_dir": "b",
+          | "id_column": "i", "text_column": "t"}}""".stripMargin)
+      .getMessage should include("input_path")
+    bad("""{"index": {"kind": "text", "input_path": "a",
+          | "id_column": "i", "text_column": "t"}}""".stripMargin)
+      .getMessage should include("output_dir")
+    bad("""{"index": {"kind": "text", "input_path": "a",
+          | "output_dir": "b", "text_column": "t"}}""".stripMargin)
+      .getMessage should include("id_column")
+    bad("""{"index": {"kind": "text", "input_path": "a",
+          | "output_dir": "b", "id_column": "i"}}""".stripMargin)
+      .getMessage should include("text_column")
+    // a parameter from ANOTHER kind is declared confusion, not a
+    // silent default
+    bad("""{"index": {"kind": "vector", "input_path": "a",
+          | "output_dir": "b", "id_column": "i",
+          | "vector_column": "v", "bands": 8}}""".stripMargin)
+      .getMessage should include("do not apply to kind 'vector'")
+    bad("""{"index": {"kind": "truncated", "input_path": "a",
+          | "output_dir": "b", "id_column": "i",
+          | "vector_column": "v"}}""".stripMargin)
+      .getMessage should include("index.dims is required")
+    bad("""{"index": {"kind": "hamming", "input_path": "a",
+          | "output_dir": "b", "id_column": "i",
+          | "hi_column": "h", "lo_column": "l"}}""".stripMargin)
+      .getMessage should include("media_kind")
+    bad("""{"index": {"kind": "text", "input_path": "/d/t",
+          | "output_dir": "/d/t/", "id_column": "i",
+          | "text_column": "t"}}""".stripMargin)
+      .getMessage should include("read-under-write")
+    bad("""{"index": {"kind": "text", "input_path": "a",
+          | "output_dir": "b", "id_column": "i", "text_column": "t",
+          | "shingle_n": 0}}""".stripMargin)
+      .getMessage should include("shingle_n")
+  }
+
+  it should "dispatch through the CLI and refuse ambiguous configs" in {
+    val out = s"$tmp/cli_idx"
+    val cfgPath = s"$tmp/index_job.conf"
+    Files.write(Paths.get(cfgPath),
+      s"""index {
+         |  kind        = "text"
+         |  input_path  = "$docsPath"
+         |  output_dir  = "$out"
+         |  id_column   = "doc_id"
+         |  text_column = "text"
+         |}
+         |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    graft.SnapshotJob.run(Array(cfgPath), spark) shouldBe 0
+    // the CLI-built artifact feeds the CURATION config's day-2 stage —
+    // the whole lifecycle is config-declared end to end
+    val incPath = s"$tmp/cli_inc"
+    Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "entirely novel content that matches no indexed document")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(incPath)
+    val curated = CurationPipeline.curate(spark, CurationPipeline.fromJson(
+      s"""{"input": {"path": "$incPath"},
+         | "dedup": {"method": "against_text_index",
+         |           "index_dir": "$out", "threshold": 0.8}}"""
+        .stripMargin))
+    curated.select($"doc_id").as[Long].collect().toSet shouldBe Set(101L)
+    // two job sections in one file is ambiguous — refused with both
+    val ambPath = s"$tmp/amb_job.json"
+    Files.write(Paths.get(ambPath),
+      s"""{"index": {"kind": "text", "input_path": "$docsPath",
+         | "output_dir": "$out/amb", "id_column": "doc_id",
+         | "text_column": "text"},
+         | "maintenance": {"table_path": "a", "output_path": "b"}}"""
+        .stripMargin.getBytes(StandardCharsets.UTF_8))
+    graft.SnapshotJob.run(Array(ambPath), spark) shouldBe 1
+    // shipped example parses (paths are deploy-site placeholders)
+    val shipped = new String(Files.readAllBytes(
+      Paths.get("conf/application-index-example.conf")),
+      StandardCharsets.UTF_8)
+    val cfg = o.fromJValue(Hocon.parse(shipped, baseDir = Some("conf")))
+    cfg.kind shouldBe IndexPipeline.TextKind("text", 3, 16, 4)
+    cfg.idColumn shouldBe "doc_id"
+  }
+}

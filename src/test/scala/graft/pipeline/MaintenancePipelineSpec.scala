@@ -138,6 +138,11 @@ class MaintenancePipelineSpec extends SparkTestBase {
       include("output_path")
     bad("""{"maintenance": {"table_path": "x", "output_path": "x"}}""")
       .getMessage should include("read-under-write")
+    // aliased spellings of the same directory must hit the same guard —
+    // raw string equality would let '/data/t/' write into '/data/t'
+    bad("""{"maintenance": {"table_path": "/data/t",
+          | "output_path": "/data/t/"}}""".stripMargin)
+      .getMessage should include("read-under-write")
     bad(s"""{"maintenance": {"table_path": "a", "output_path": "b",
            | "target_file_mb": 0}}""".stripMargin).getMessage should
       include("target_file_mb")
@@ -202,6 +207,83 @@ class MaintenancePipelineSpec extends SparkTestBase {
          | "maintenance": {"table_path": "$fragmented",
          |                 "output_path": "$out"}}""".stripMargin)
     graft.SnapshotJob.run(Array(ambiguous), spark) shouldBe 1
+  }
+
+  it should "vacuum committed versions beyond keep_versions, never " +
+    "the latest or uncommitted claims" in {
+    val out = s"$tmp/keep_out"
+    val cfg = MaintenancePipeline.fromJson(
+      s"""{"maintenance": {"table_path": "$fragmented",
+         | "output_path": "$out", "keep_versions": 2}}""".stripMargin)
+    // an uncommitted v=<n> (a crashed writer's claim — no _SUCCESS)
+    // must survive every vacuum: it is not readable state to retire
+    val wreck = new java.io.File(s"$out/v=999")
+    wreck.mkdirs() shouldBe true
+    def committedVersions =
+      graft.streaming.MaterializedSnapshot.versions(spark, out)
+    val v1 = MaintenancePipeline.run(spark, cfg)
+    val v2 = MaintenancePipeline.run(spark, cfg)
+    val v3 = MaintenancePipeline.run(spark, cfg)
+    // three committed rewrites, keep 2: the oldest committed version is
+    // gone, the two newest survive byte-identical, the wreck survives
+    committedVersions.map(v => s"$out/v=$v") shouldBe Seq(v2, v3)
+    new java.io.File(v1).exists() shouldBe false
+    wreck.exists() shouldBe true
+    graft.ops.Compaction.readLatest(spark, out).count() shouldBe 60000L
+    spark.read.parquet(v2).count() shouldBe 60000L
+    (the[IllegalArgumentException] thrownBy MaintenancePipeline.fromJson(
+      s"""{"maintenance": {"table_path": "a", "output_path": "b",
+         | "keep_versions": 0}}""".stripMargin))
+      .getMessage should include("keep_versions")
+  }
+
+  it should "sweep a multi-table catalog with shared defaults and " +
+    "per-table failure isolation" in {
+    val outA = s"$tmp/sweep_a"
+    val outB = s"$tmp/sweep_b"
+    val outC = s"$tmp/sweep_c"
+    def sweep(json: String) = MaintenancePipeline.sweepFromJValue(
+      org.json4s.jackson.JsonMethods.parse(json))
+    // shared defaults deep-merge under each entry; the entry wins
+    val cfgs = sweep(
+      s"""{"maintenance": {
+         | "target_file_mb": 64, "keep_versions": 3,
+         | "tables": [
+         |   {"table_path": "$fragmented", "output_path": "$outA"},
+         |   {"table_path": "$tmp/does_not_exist", "output_path": "$outB"},
+         |   {"table_path": "$fragmented", "output_path": "$outC",
+         |    "target_file_mb": 128,
+         |    "cluster": {"mode": "sort", "columns": ["k"]}}]}}"""
+        .stripMargin)
+    cfgs.map(_.targetFileMb) shouldBe Seq(64, 64, 128)
+    cfgs.map(_.keepVersions) shouldBe Seq(Some(3), Some(3), Some(3))
+    cfgs(2).cluster shouldBe
+      Some(MaintenancePipeline.ClusterConfig("sort", Seq("k")))
+    // table B's missing path fails ITS row only; A and C still commit
+    val results = MaintenancePipeline.runSweep(spark, cfgs)
+    results.map(_.error.isDefined) shouldBe Seq(false, true, false)
+    graft.ops.Compaction.readLatest(spark, outA).count() shouldBe 60000L
+    graft.ops.Compaction.readLatest(spark, outC).count() shouldBe 60000L
+    // without a tables array the sweep parse IS the single-table parse
+    sweep(s"""{"maintenance": {"table_path": "$fragmented",
+             | "output_path": "$outA"}}""".stripMargin)
+      .map(_.tablePath) shouldBe Seq(fragmented)
+    // two entries claiming one output_path: interleaved version chains
+    // of different tables — refused at parse
+    (the[IllegalArgumentException] thrownBy sweep(
+      s"""{"maintenance": {"tables": [
+         | {"table_path": "a", "output_path": "$outA"},
+         | {"table_path": "b", "output_path": "$outA/"}]}}""".stripMargin))
+      .getMessage should include("same output_path")
+    // a failing table exits the CLI 1 AFTER the healthy tables ran
+    val cliOut = s"$tmp/sweep_cli"
+    val cfg = writeConfig("sweep.json",
+      s"""{"maintenance": {"tables": [
+         | {"table_path": "$fragmented", "output_path": "$cliOut"},
+         | {"table_path": "$tmp/also_missing", "output_path": "$cliOut/b"}
+         |]}}""".stripMargin)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 1
+    graft.ops.Compaction.readLatest(spark, cliOut).count() shouldBe 60000L
   }
 
   private implicit class FromJson(o: MaintenancePipeline.type) {

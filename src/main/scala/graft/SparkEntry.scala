@@ -4076,6 +4076,53 @@ object SparkEntry {
         .orderBy(col("section"), col("idx"), col("key"))
     }),
 
+    // The margin gate's card section: retention grid of the lang_id
+    // confidence margin (top-1 minus top-2 mean log-prob under the
+    // frozen artifact) on the 1/1000 grid that resolves floors like
+    // 0.002 — charted over the gate's own input stage, covering the
+    // documents with confusion evidence. The stage rows replay the
+    // abstain-to-"und" keep; the oracle replays the full profile
+    // scoring, the lead() margin, and the bucket walk.
+    "q_dataset_card_gate_margin" -> ((s, d) => {
+      val fx = stagedOnce("langid", d) { dir =>
+        graft.ops.LangId.save(s,
+          graft.ops.LangId.train(Tables.documents(s, d), "text", "lang"),
+          s"$dir/model")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "lang_id": {"model_path": "$fx/model",
+           |             "keep": ["en", "fr", "und"],
+           |             "min_margin": 0.002}}""".stripMargin)
+      graft.pipeline.CurationPipeline.datasetCard(s, cfg)
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
+    // The hit-rate gate's card section: the word-blocklist rate charts
+    // on a 1/100 grid cumulated from BELOW (keep-if-low), with EXACT
+    // integer bucketing — a document's bucket is the smallest
+    // retaining grid point, ceil(hits*100/tokens) in integer
+    // arithmetic, so the walk replays bit-identically (a divided
+    // double could round across a boundary). Zero-token docs bucket to
+    // 0: kept everywhere, the gate's own multiplication-form rule.
+    "q_dataset_card_gate_rate" -> ((s, d) => {
+      val fx = stagedOnce("wbl", d) { dir =>
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$d/documents.parquet",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "word_blocklist": {"list_path": "$fx/words",
+           |                    "max_hit_frac": 0.02}}""".stripMargin)
+      graft.pipeline.CurationPipeline.datasetCard(s, cfg)
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
     // Quota per SITE: "max N pages per registered domain" as ONE config
     // stage — the eTLD+1 grouping under a frozen PSL snapshot, so
     // subdomains cannot refill a site's budget (full-host quotas would
@@ -9499,6 +9546,13 @@ object SparkEntry {
          |SELECT * FROM stage_rows
          |UNION ALL SELECT * FROM gate_rows
          |ORDER BY section, idx, key""".stripMargin,
+    // The margin gate's chart replayed: profile scoring + lead()
+    // margin into the 1/1000 grid; stage counts via the
+    // abstain-to-'und' keep.
+    "q_dataset_card_gate_margin" -> DatasetCardGateMarginOracleSql,
+    // The rate gate's chart replayed: integer ceil-bucket walk
+    // cumulated from below; stage counts via the multiplication form.
+    "q_dataset_card_gate_rate" -> DatasetCardGateRateOracleSql,
     // Config-declared decontamination replayed: the literal paragraph
     // CTEs, the reference key anti-join (the %10 slice — no canonical
     // exemption), the ordered rebuild, then the min_tokens gate.
@@ -11439,6 +11493,134 @@ object SparkEntry {
        |UNION ALL SELECT * FROM gate_rows
        |ORDER BY section, idx, key""".stripMargin
   }
+
+  /** `q_dataset_card_gate_margin`: stage rows input → lang_id (the
+    * abstain-to-'und' keep replay) plus the 1/1000 retention grid of
+    * the confidence margin over the documents with confusion
+    * evidence — [[LangIdMarginOracleCte]]'s lead() margin walked into
+    * buckets. */
+  private lazy val DatasetCardGateMarginOracleSql: String =
+    s"""$LangIdMarginOracleCte,
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |      AS tok
+       |  FROM documents),
+       |kept AS (
+       |  SELECT t.doc_id, t.tok FROM t JOIN pred p USING (doc_id)
+       |  WHERE (CASE WHEN p.margin IS NOT NULL AND p.margin < 0.002
+       |         THEN 'und' ELSE p.lang_pred END) IN ('en', 'fr', 'und')),
+       |st AS (
+       |  SELECT 0 AS idx, 'input' AS key,
+       |    (SELECT count(*) FROM t) AS n_docs,
+       |    (SELECT coalesce(sum(tok), 0) FROM t) AS n_tokens
+       |  UNION ALL SELECT 1, 'lang_id', (SELECT count(*) FROM kept),
+       |    (SELECT coalesce(sum(tok), 0) FROM kept)),
+       |stage_rows AS (
+       |  SELECT 'stage' AS section, idx, key,
+       |    CAST(n_docs AS BIGINT) AS n_docs,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CASE WHEN first(n_docs) OVER w > 0 THEN
+       |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+       |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+       |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+       |      AS step_drop
+       |  FROM st WINDOW w AS (ORDER BY idx)),
+       |m AS (
+       |  SELECT t.doc_id, t.tok, p.margin
+       |  FROM t JOIN pred p USING (doc_id)
+       |  WHERE p.margin IS NOT NULL),
+       |b AS (
+       |  SELECT CAST(least(greatest(floor(margin * 1000), 0), 1000)
+       |      AS INT) AS bk,
+       |    count(*) AS n, coalesce(sum(tok), 0) AS tk
+       |  FROM m GROUP BY 1),
+       |grid AS (SELECT CAST(k AS INT) AS k
+       |         FROM unnest(range(0, 1001)) AS u(k)),
+       |gr AS (
+       |  SELECT k,
+       |    (SELECT coalesce(sum(n), 0) FROM b WHERE b.bk >= grid.k)
+       |      AS nd,
+       |    (SELECT coalesce(sum(tk), 0) FROM b WHERE b.bk >= grid.k)
+       |      AS nt,
+       |    (SELECT coalesce(sum(n), 0) FROM b) AS td
+       |  FROM grid),
+       |gate_rows AS (
+       |  SELECT 'gate' AS section, 0 AS idx,
+       |    'lang_id_margin@' || printf('%.3f', round(k / 1000.0, 6))
+       |      AS key,
+       |    CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+       |    CASE WHEN td > 0 THEN round(nd::DOUBLE / td, 6) END AS frac,
+       |    NULL::DOUBLE AS step_drop
+       |  FROM gr)
+       |SELECT * FROM stage_rows
+       |UNION ALL SELECT * FROM gate_rows
+       |ORDER BY section, idx, key""".stripMargin
+
+  /** `q_dataset_card_gate_rate`: stage rows input → word_blocklist
+    * (the multiplication-form keep) plus the 1/100 LOW-PASS retention
+    * grid of the hit rate — a document's bucket is the smallest
+    * retaining grid point, ceil(hits·100/tokens) in INTEGER
+    * arithmetic (zero-token docs bucket to 0), cumulated from
+    * below. */
+  private lazy val DatasetCardGateRateOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |      AS tok,
+      |    len(list_filter(
+      |      [regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+      |       for x in regexp_split_to_array(lower(trim(text)), '\s+')],
+      |      x -> list_contains(['stream', 'vector'], x))) AS hits
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id, tok FROM t
+      |  WHERE hits::DOUBLE <= 0.02::DOUBLE * tok::DOUBLE),
+      |st AS (
+      |  SELECT 0 AS idx, 'input' AS key,
+      |    (SELECT count(*) FROM t) AS n_docs,
+      |    (SELECT coalesce(sum(tok), 0) FROM t) AS n_tokens
+      |  UNION ALL SELECT 1, 'word_blocklist', (SELECT count(*) FROM kept),
+      |    (SELECT coalesce(sum(tok), 0) FROM kept)),
+      |stage_rows AS (
+      |  SELECT 'stage' AS section, idx, key,
+      |    CAST(n_docs AS BIGINT) AS n_docs,
+      |    CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CASE WHEN first(n_docs) OVER w > 0 THEN
+      |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac,
+      |    CASE WHEN lag(n_docs) OVER w > 0 THEN
+      |      round(1.0 - n_docs::DOUBLE / lag(n_docs) OVER w, 6) END
+      |      AS step_drop
+      |  FROM st WINDOW w AS (ORDER BY idx)),
+      |b AS (
+      |  SELECT CASE WHEN tok = 0 THEN 0
+      |      ELSE CAST(least((hits * 100 + tok - 1) // tok, 100) AS INT)
+      |    END AS bk,
+      |    count(*) AS n, coalesce(sum(tok), 0) AS tk
+      |  FROM t GROUP BY 1),
+      |grid AS (SELECT CAST(k AS INT) AS k
+      |         FROM unnest(range(0, 101)) AS u(k)),
+      |gr AS (
+      |  SELECT k,
+      |    (SELECT coalesce(sum(n), 0) FROM b WHERE b.bk <= grid.k)
+      |      AS nd,
+      |    (SELECT coalesce(sum(tk), 0) FROM b WHERE b.bk <= grid.k)
+      |      AS nt,
+      |    (SELECT coalesce(sum(n), 0) FROM b) AS td
+      |  FROM grid),
+      |gate_rows AS (
+      |  SELECT 'gate' AS section, 0 AS idx,
+      |    'word_blocklist_frac@' || printf('%.2f', round(k / 100.0, 6))
+      |      AS key,
+      |    CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+      |    CASE WHEN td > 0 THEN round(nd::DOUBLE / td, 6) END AS frac,
+      |    NULL::DOUBLE AS step_drop
+      |  FROM gr)
+      |SELECT * FROM stage_rows
+      |UNION ALL SELECT * FROM gate_rows
+      |ORDER BY section, idx, key""".stripMargin
 
   private lazy val HtmlExtractOracleSql: String =
     s"""WITH h AS (SELECT doc_id, $HtmlFixtureExprSql AS html FROM documents),

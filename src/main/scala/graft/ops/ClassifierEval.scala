@@ -131,4 +131,58 @@ object ClassifierEval {
           round(col("nt").cast("double") / col("__tt"), 6))
           .as("token_frac"))
   }
+
+  /** LOW-PASS [[retentionCurve]] — the chart for keep-if-rate-AT-MOST-
+    * threshold gates (the word-blocklist hit-rate gate's shape, where
+    * LOW scores are good): one row per grid point `k/steps` with the
+    * documents/tokens retained by gating at `numCol/denCol <=
+    * threshold`, cumulated from BELOW.
+    *
+    * The rate arrives as its integer numerator/denominator, never a
+    * divided double: a document's bucket is the SMALLEST retaining
+    * grid point — `den = 0` buckets to 0 (no tokens, no hits: kept at
+    * every threshold, the gate's own multiplication-form convention),
+    * else `ceil(num·steps / den)` computed as
+    * `(num·steps + den − 1) div den` in integer arithmetic, so
+    * `num/den <= k/steps  ⟺  bucket <= k` EXACTLY and the whole walk
+    * is bit-identical in any engine (a divided double could round
+    * across the boundary). Rates above 1 clamp to the top bucket.
+    * Same grid/aggregate scale shape and output schema as
+    * [[retentionCurve]]. */
+  def retentionCurveLowPass(df: DataFrame, numCol: String, denCol: String,
+                            tokensCol: String,
+                            steps: Int = 20): DataFrame = {
+    require(steps >= 1 && steps <= 100000,
+      s"retentionCurveLowPass: steps must be in [1, 100000], got $steps")
+    val spark = df.sparkSession
+    val bucket = expr(
+      s"CASE WHEN `$denCol` = 0 THEN 0 ELSE least(" +
+        s"(CAST(`$numCol` AS BIGINT) * $steps + CAST(`$denCol` AS " +
+        s"BIGINT) - 1) div CAST(`$denCol` AS BIGINT), $steps) END")
+      .cast("int")
+    val bucketed = df
+      .select(bucket.as("b"), col(tokensCol).cast("long").as("__t"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__t")), lit(0L)).as("tk"))
+    val grid = spark.range(0, steps + 1L)
+      .select(col("id").cast("int").as("k"))
+    val wFwd = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    grid.join(bucketed, grid("k") === bucketed("b"), "left")
+      .select(col("k"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tk"), lit(0L)).as("tk"))
+      .select(col("k"),
+        sum(col("n")).over(wFwd).as("nd"),
+        sum(col("tk")).over(wFwd).as("nt"),
+        sum(col("n")).over(wAll).as("__td"),
+        sum(col("tk")).over(wAll).as("__tt"))
+      .select(round(col("k").cast("double") / steps, 6).as("threshold"),
+        col("nd").as("n_docs"), col("nt").as("n_tokens"),
+        when(col("__td") > 0,
+          round(col("nd").cast("double") / col("__td"), 6)).as("doc_frac"),
+        when(col("__tt") > 0,
+          round(col("nt").cast("double") / col("__tt"), 6))
+          .as("token_frac"))
+  }
 }

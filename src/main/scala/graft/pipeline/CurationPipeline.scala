@@ -946,10 +946,17 @@ object CurationPipeline {
     *    [0, 1]; the lm floor gate's `mean_logp` maps through
     *    `exp(mean_logp)` — the per-token geometric-mean probability,
     *    so the declared `min_logp` floor sits at `exp(min_logp)` on
-    *    the grid axis. Only single-threshold gates chart (an lm TIER
-    *    banding is per-group relative rank — no global threshold to
-    *    grid); lm rows cover the documents WITH trigram evidence (the
-    *    no-evidence drop is already in the stage counts).
+    *    the grid axis; the lang_id margin gate charts its confidence
+    *    margin on a 1/1000 grid (margins cluster below 0.02) over the
+    *    documents with confusion evidence (NULL margins have no place
+    *    on a margin axis); the word-blocklist RATE gate charts its
+    *    hit rate on a 1/100 grid cumulated from BELOW (keep-if-low —
+    *    exact integer bucketing, the gate's own multiplication-form
+    *    arithmetic). Only single-threshold gates chart (an lm TIER
+    *    banding is per-group relative rank, a max_hits count budget
+    *    has no global [0, 1] threshold — no grid to chart); lm rows
+    *    cover the documents WITH trigram evidence (the no-evidence
+    *    drop is already in the stage counts).
     *
     * Cost shape: one count+sum aggregate per boundary (the
     * [[stageAttrition]] posture with tokens riding the same pass), one
@@ -1017,16 +1024,21 @@ object CurationPipeline {
     // deciles resolve the classifier; the lm gate's exp(mean_logp) —
     // the per-token geometric-mean probability — lives near 0 for
     // natural text (a min_logp of -3 sits at 0.047), so its chart
-    // grids at 1/100 to resolve where the floor actually cuts. Both
-    // grids format to exactly two decimals, so the key is exact.
-    val gateScores: Seq[(String, Int, DataFrame)] =
+    // grids at 1/100; the lang_id confidence margin (top-1 minus top-2
+    // mean log-prob) clusters below 0.02 with floors like 0.002, so it
+    // grids at 1/1000; the blocklist hit rate grids at 1/100 (rates
+    // and their declared fracs are small percents). Each key formats to
+    // exactly the grid's decimals, so it is exact.
+    val gateCurves: Seq[(String, String, DataFrame)] =
       config.classifier.map { c =>
         val model = graft.ops.QualityClassifier.load(spark, c.modelPath)
-        ("classifier", 10, gateInput("classifier").select(
-          round(graft.ops.QualityClassifier.scoreCol(
-            graft.ops.FeatureHash.denseCol(col(config.textCol),
-              model.weights.length, c.signed), model), 6).as("__s"),
-          tok.as("__t")))
+        ("classifier", "%.2f", graft.ops.ClassifierEval.retentionCurve(
+          gateInput("classifier").select(
+            round(graft.ops.QualityClassifier.scoreCol(
+              graft.ops.FeatureHash.denseCol(col(config.textCol),
+                model.weights.length, c.signed), model), 6).as("__s"),
+            tok.as("__t")),
+          "__s", "__t", 10))
       }.toSeq ++
       config.lm.filter(_.tiers.isEmpty).map { l =>
         val model = graft.ops.KneserNey.load(spark, l.modelPath)
@@ -1035,16 +1047,55 @@ object CurationPipeline {
           .score(model, in, config.idCol, config.textCol)
           .select(col("id").as(config.idCol),
             round(exp(col("mean_logp")), 6).as("__s"))
-        ("lm", 100, in.select(col(config.idCol), tok.as("__t"))
-          .join(scores, Seq(config.idCol))
-          .select(col("__s"), col("__t")))
+        ("lm", "%.2f", graft.ops.ClassifierEval.retentionCurve(
+          in.select(col(config.idCol), tok.as("__t"))
+            .join(scores, Seq(config.idCol))
+            .select(col("__s"), col("__t")),
+          "__s", "__t", 100))
+      }.toSeq ++
+      // the margin gate charts only when a floor is DECLARED (without
+      // min_margin the argmax keep-set has no threshold to grid); the
+      // chart covers documents WITH confusion evidence — a NULL margin
+      // (single-language model: no runner-up) has no place on a
+      // margin axis, per the classifyWithMargin contract. Margins past
+      // 1.0 clamp to the top bucket (retained at every grid point).
+      config.langId.filter(_.minMargin.isDefined).map { li =>
+        val model = graft.ops.LangId.load(spark, li.modelPath)
+        val in = gateInput("lang_id")
+        val scores = graft.ops.LangId
+          .classifyModelWithMargin(model, in, config.idCol, config.textCol)
+          .filter(col("margin").isNotNull)
+          .select(col("id").as(config.idCol), col("margin").as("__s"))
+        ("lang_id_margin", "%.3f", graft.ops.ClassifierEval.retentionCurve(
+          in.select(col(config.idCol), tok.as("__t"))
+            .join(scores, Seq(config.idCol))
+            .select(col("__s"), col("__t")),
+          "__s", "__t", 1000))
+      }.toSeq ++
+      // the hit-RATE gate keeps LOW scores, so its chart cumulates from
+      // below ([[graft.ops.ClassifierEval.retentionCurveLowPass]]), fed
+      // the integer hit/token pair — the gate's own multiplication-form
+      // arithmetic, never a divided double. (The count-budget max_hits
+      // form has no global [0, 1] threshold to grid and stays
+      // uncharted.)
+      config.wordBlocklist.filter(_.maxHitFrac.isDefined).map { wb =>
+        val words = graft.ops.WordBlocklist.loadWords(spark, wb.listPath)
+        ("word_blocklist_frac", "%.2f",
+          graft.ops.ClassifierEval.retentionCurveLowPass(
+            gateInput("word_blocklist").select(
+              graft.ops.WordBlocklist.hitsCol(col(config.textCol), words)
+                .cast("long").as("__n"),
+              TextAnalysis.tokenCount(col(config.textCol)).cast("long")
+                .as("__d"),
+              tok.as("__t")),
+            "__n", "__d", "__t", 100))
       }.toSeq
-    val gateRows = gateScores.zipWithIndex.map {
-      case ((name, steps, sc), gi) =>
-        graft.ops.ClassifierEval.retentionCurve(sc, "__s", "__t", steps)
+    val gateRows = gateCurves.zipWithIndex.map {
+      case ((name, fmt, curve), gi) =>
+        curve
           .select(lit("gate").as("section"), lit(gi).as("idx"),
             concat(lit(s"$name@"),
-              format_string("%.2f", col("threshold"))).as("key"),
+              format_string(fmt, col("threshold"))).as("key"),
             col("n_docs"), col("n_tokens"),
             col("doc_frac").as("frac"),
             lit(null).cast("double").as("step_drop"))

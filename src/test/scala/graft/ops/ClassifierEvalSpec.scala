@@ -102,4 +102,28 @@ class ClassifierEvalSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       ClassifierEval.retentionCurve(df, "score", "toks", steps = 0)
   }
+
+  "retentionCurveLowPass" should "retain docs whose integer rate is " +
+    "at most each grid threshold" in {
+    // (hits, tokens): rates 0/0 (kept everywhere), 1/100 = 0.01
+    // (bucket 1 at steps=4 -> first retained at 0.25), 1/4 = exactly
+    // 0.25 (bucket 1 — the boundary doc IS kept at its own threshold,
+    // the <= contract), 3/4 = 0.75 (bucket 3), 5/4 > 1 clamps to the
+    // top bucket
+    val df = Seq((0L, 0L, 10L), (1L, 100L, 20L), (1L, 4L, 30L),
+      (3L, 4L, 40L), (5L, 4L, 50L)).toDF("h", "t", "toks")
+    val out = ClassifierEval
+      .retentionCurveLowPass(df, "h", "t", "toks", steps = 4)
+      .select($"threshold", $"n_docs", $"n_tokens", $"doc_frac")
+      .as[(Double, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (0.0, 1L, 10L, 0.2),
+      (0.25, 3L, 60L, 0.6),
+      (0.5, 3L, 60L, 0.6),
+      (0.75, 4L, 100L, 0.8),
+      (1.0, 5L, 150L, 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      ClassifierEval.retentionCurveLowPass(df, "h", "t", "toks", 0)
+  }
 }

@@ -989,6 +989,82 @@ class CurationPipelineSpec extends SparkTestBase {
       .map(_.toString).toSeq shouldBe expected
   }
 
+  it should "run the SHIPPED CCNet/RefinedWeb recipe preset end-to-end " +
+    "via the CLI" in {
+    val rtmp = s"$tmp/recipe"
+    // a web-shaped corpus that survives the published batteries: every
+    // doc is five unique full sentences (terminal punctuation, >= 5
+    // words per line — C4), ~70 words with stop words and sane word
+    // lengths (Gopher); French docs carry an "of the" so the
+    // English-centric Gopher stop set passes them too (fixture
+    // convenience, not a semantic claim)
+    def enSent(d: Int, k: Int) =
+      s"the quick brown fox d$d k$k jumps over of the lazy dog near " +
+        "the river bank with calm water today."
+    def frSent(d: Int, k: Int) =
+      s"le renard brun d$d k$k of the saute sur le chien paresseux " +
+        "pres de la grande riviere calme aujourdhui."
+    val docs = (1 to 10).map { i =>
+      val en = i <= 5
+      val text = (1 to 5)
+        .map(k => if (en) enSent(i, k) else frSent(i, k)).mkString("\n")
+      val url =
+        if (i == 10) s"https://bad.example.com/x$i"
+        else if (i % 2 == 1) s"https://a.example.com/page$i"
+        else s"https://b.example.com/page$i"
+      (i.toLong, text, if (en) "en" else "fr", url)
+    }.toDF("doc_id", "text", "lang", "url")
+    docs.write.mode("overwrite").parquet(s"$rtmp/docs")
+    Seq("bad.example.com").toDF("domain")
+      .write.mode("overwrite").parquet(s"$rtmp/blocked")
+    Seq("casino", "viagra").toDF("word")
+      .write.mode("overwrite").parquet(s"$rtmp/words")
+    Seq("com").toDF("rule")
+      .write.mode("overwrite").parquet(s"$rtmp/psl")
+    graft.ops.LangId.save(spark,
+      graft.ops.LangId.train(docs, "text", "lang"), s"$rtmp/langid")
+    graft.ops.KneserNey.save(spark, graft.ops.KneserNey.train(
+      docs.select($"doc_id", $"text"), "doc_id", "text"), s"$rtmp/kn")
+    val cfg = writeConfig("recipe.conf",
+      s"""include "${Paths.get("conf/application-ccnet-example.conf")
+           .toAbsolutePath}"
+         |input.path = "$rtmp/docs"
+         |url_blocklist.blocklist_path = "$rtmp/blocked"
+         |word_blocklist.list_path = "$rtmp/words"
+         |lang_id.model_path = "$rtmp/langid"
+         |lm.model_path = "$rtmp/kn"
+         |quota.psl_path = "$rtmp/psl"
+         |sink.path = "$rtmp/curated"
+         |report.path = "$rtmp/attrition"
+         |report.stages_path = "$rtmp/stages"
+         |report.card_path = "$rtmp/card"
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    // the blocked-domain doc is gone; lm tiers drop the per-language
+    // tail — survivors land strictly between 1 and the input size
+    val out = spark.read.parquet(s"$rtmp/curated")
+    out.count() should be >= 1L
+    out.count() should be < 10L
+    out.filter($"doc_id" === 10L).count() shouldBe 0L
+    // the full accounting ships next to the dataset: the per-stage
+    // counts carry the recipe's whole declared chain in order
+    spark.read.parquet(s"$rtmp/stages")
+      .orderBy($"stage_idx").select($"stage").as[String]
+      .collect().toSeq shouldBe Seq("input", "url_blocklist",
+      "transforms", "paragraph_dedup", "rules", "word_blocklist",
+      "lang_id", "lm", "dedup", "quota", "budget")
+    spark.read.parquet(s"$rtmp/attrition").count() should be >= 1L
+    // the card charts BOTH declared single-threshold gates (the lm
+    // tier banding has no global threshold and stays uncharted)
+    val gateKeys = spark.read.parquet(s"$rtmp/card")
+      .filter($"section" === "gate").select($"key").as[String].collect()
+    gateKeys.count(_.startsWith("lang_id_margin@")) shouldBe 1001
+    gateKeys.count(_.startsWith("word_blocklist_frac@")) shouldBe 101
+    // and the mix section reports the published language composition
+    spark.read.parquet(s"$rtmp/card")
+      .filter($"section" === "mix").count() should be >= 1L
+  }
+
   it should "abort on a failed expectation and leave the sink untouched" in {
     val sink = s"$tmp/gated_out"
     // first publish a good materialization

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Common-subset bench comparison.
+
+The per-round suite GROWS (new queries each round), so comparing total
+seconds across rounds conflates real regressions with suite size. This
+script restricts two bench artifacts to their COMMON query set and
+reports the like-for-like numbers the round reviews have been computing
+by hand:
+
+    python3 tools/bench_compare.py bench_old.json bench_new.json
+
+Prints one JSON object:
+    n_common                queries present in both artifacts
+    common_set_seconds_old  sum of common-set per-query seconds (old)
+    common_set_seconds_new  ... (new)
+    total_ratio             new/old over the common set
+    median_per_query_ratio  median of per-query new/old ratios
+    regressed_2x            queries whose ratio >= 2 (the review gate)
+    top_movers              5 largest per-query ratios [(query, ratio)]
+
+Queries with non-positive seconds on either side (errored runs record
+-1) are excluded from the common set and reported under `excluded`.
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        data = json.load(f)
+    qs = data.get("queries", {})
+    if not qs:
+        raise SystemExit(f"{path}: no 'queries' field")
+    return qs
+
+
+def main(old_path, new_path):
+    old, new = load(old_path), load(new_path)
+    keys = sorted(set(old) & set(new))
+    excluded = [k for k in keys if old[k] <= 0 or new[k] <= 0]
+    common = [k for k in keys if k not in set(excluded)]
+    ratios = {k: new[k] / old[k] for k in common}
+    out = {
+        "n_common": len(common),
+        "excluded": excluded,
+        "common_set_seconds_old": round(sum(old[k] for k in common), 3),
+        "common_set_seconds_new": round(sum(new[k] for k in common), 3),
+        "total_ratio": round(
+            sum(new[k] for k in common) / sum(old[k] for k in common), 4),
+        "median_per_query_ratio": round(
+            statistics.median(ratios.values()), 4),
+        "regressed_2x": sorted(
+            [k for k, r in ratios.items() if r >= 2.0]),
+        "top_movers": [
+            [k, round(r, 3)]
+            for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+        ],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    main(sys.argv[1], sys.argv[2])

@@ -147,7 +147,7 @@ object SnapshotJob {
         c: Seq[graft.pipeline.MaintenancePipeline.MaintenanceConfig])
       extends Job
     final case class Index(
-        c: graft.pipeline.IndexPipeline.IndexConfig) extends Job
+        c: graft.pipeline.IndexPipeline.IndexJob) extends Job
   }
 
   def main(args: Array[String]): Unit = {

@@ -4726,6 +4726,94 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Day-2 of the index lifecycle through the SAME CLI shape:
+    // mode=extend appends a wave in place under the artifact's frozen
+    // banding. Build on the odd half, config-extend with the %4==2
+    // quarter — the additive contract makes the extended artifact
+    // content-equal to building on doc_id%4 != 0 directly, so the
+    // dedup pass over the %4==0 increment shares the SAME literal
+    // oracle as the one-shot build.
+    "q_pipeline_index_extend" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fx = stagedOnce("idxext", d) { dir =>
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$dir/day1")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+          .write.mode("overwrite").parquet(s"$dir/day2")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .write.mode("overwrite").parquet(s"$dir/inc")
+        def job(json: String, name: String): Unit = {
+          val p = s"$dir/$name"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"index job $name failed")
+        }
+        job(s"""{"index": {"kind": "text", "input_path": "$dir/day1",
+               | "output_dir": "$dir/idx", "id_column": "doc_id",
+               | "text_column": "text"}}""".stripMargin, "build.json")
+        job(s"""{"index": {"kind": "text", "mode": "extend",
+               | "input_path": "$dir/day2", "index_dir": "$dir/idx",
+               | "id_column": "doc_id", "text_column": "text"}}"""
+          .stripMargin, "extend.json")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/inc"},
+           | "dedup": {"method": "against_text_index",
+           |           "index_dir": "$fx/idx", "threshold": 0.8}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Right-to-be-forgotten over a PERSISTED index, config-declared:
+    // mode=forget drops the declared subject ids from the id-keyed
+    // tiers and writes the purged artifact to a fresh directory —
+    // deletion requests must purge derived artifacts too, or the index
+    // keeps matching content the table tier already deleted. Build on
+    // ALL vectors, forget the %10==0 slice: the purged index is
+    // member-equal to one built on %10 != 0 (frozen centroids differ,
+    // but the cell prune is exact regardless — recall 1.0 by the
+    // triangle inequality), so the dedup pass shares
+    // q_pipeline_vector_index's literal oracle.
+    "q_pipeline_index_forget" -> ((s, d) => {
+      val fx = stagedOnce("idxfgt", d) { dir =>
+        val emb = Tables.embeddings(s, d)
+        emb.write.mode("overwrite").parquet(s"$dir/all")
+        emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$dir/ids")
+        emb.filter(col("vec_id") % 10 === 0)
+          .write.mode("overwrite").parquet(s"$dir/inc")
+        def job(json: String, name: String): Unit = {
+          val p = s"$dir/$name"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"index job $name failed")
+        }
+        job(s"""{"index": {"kind": "vector", "input_path": "$dir/all",
+               | "output_dir": "$dir/idx", "id_column": "vec_id",
+               | "vector_column": "embedding"}}""".stripMargin,
+          "build.json")
+        job(s"""{"index": {"kind": "vector", "mode": "forget",
+               | "ids_path": "$dir/ids", "index_dir": "$dir/idx",
+               | "output_dir": "$dir/purged",
+               | "id_column": "vec_id"}}""".stripMargin, "forget.json")
+      }
+      val cfg = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$fx/inc",
+           |           "id_column": "vec_id", "text_column": "label"},
+           | "rules": [],
+           | "dedup": {"method": "against_vector_index",
+           |           "index_dir": "$fx/purged",
+           |           "vector_column": "embedding", "threshold": 0.4}}"""
+          .stripMargin)
+      graft.pipeline.CurationPipeline.curate(s, cfg)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
     // canonical LLM document-quality heuristics) as a first-fail
     // attrition report over the corpus: word-count bounds, mean word
@@ -7056,32 +7144,12 @@ object SparkEntry {
     // the staged feed (vec_id % 10 = 0) minus every row with an indexed
     // (vec_id % 10 <> 0) neighbor at cosine >= 0.4 — the same brute-force
     // arithmetic as q_dedup_embedding_incremental, anti-joined.
-    "q_pipeline_vector_index" ->
-      """WITH v AS (SELECT vec_id AS id, label, embedding AS vec
-        |           FROM embeddings),
-        |i AS (SELECT * FROM v WHERE id % 10 = 0),
-        |c AS (SELECT * FROM v WHERE id % 10 <> 0),
-        |s AS (
-        |  SELECT i.id AS inc_id,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      [i.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
-        |      (a, b) -> a + b) AS d,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [i.vec[k]::DOUBLE * i.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
-        |      (a, b) -> a + b)) AS na,
-        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
-        |      (a, b) -> a + b)) AS nb
-        |  FROM i JOIN c ON 1 = 1),
-        |hit AS (
-        |  SELECT DISTINCT inc_id FROM (
-        |    SELECT inc_id,
-        |      CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine
-        |    FROM s)
-        |  WHERE cosine >= 0.4)
-        |SELECT id AS vec_id, label FROM i
-        |WHERE id NOT IN (SELECT inc_id FROM hit)
-        |ORDER BY vec_id""".stripMargin,
+    "q_pipeline_vector_index" -> VectorIndexIncOracleSql,
+    // forget(all, %10==0) leaves exactly the %10<>0 members — the same
+    // exact cosine anti-join as the one-shot %10<>0 build (frozen
+    // centroids differ; the triangle-inequality prune is exact under
+    // any centroids)
+    "q_pipeline_index_forget" -> VectorIndexIncOracleSql,
     // Closed-form prefix cosine per width: left-to-right double folds
     // for both norms, round 6, fixed-point mean (floor(x*1e9) BIGINT
     // sums — order-free), exact min.
@@ -9966,6 +10034,9 @@ object SparkEntry {
     "q_pipeline_incremental" -> DedupIncrementalOracleSql,
     // config-BUILT index, config-consumed: same split, same semantics
     "q_pipeline_index_build" -> DedupIncrementalOracleSql,
+    // extend ≡ build-on-union (additive banding tables): the extended
+    // artifact answers with the one-shot build's literal oracle
+    "q_pipeline_index_extend" -> DedupIncrementalOracleSql,
     // frozen-index streaming form converges to the same accepted set —
     // the equivalence IS the point of the query
     "q_stream_dedup_incremental" -> DedupIncrementalOracleSql,
@@ -11499,6 +11570,39 @@ object SparkEntry {
     * the confidence margin over the documents with confusion
     * evidence — [[LangIdMarginOracleCte]]'s lead() margin walked into
     * buckets. */
+  /** The config against_vector_index tier ≡ the exact cosine
+    * anti-join: the staged feed (vec_id % 10 = 0) minus every row with
+    * an indexed (vec_id % 10 <> 0) neighbor at cosine >= 0.4 — shared
+    * by the prebuilt-index consume path (`q_pipeline_vector_index`)
+    * and the forget path (`q_pipeline_index_forget`: build on ALL,
+    * forget %10 == 0 → the same surviving member set). */
+  private lazy val VectorIndexIncOracleSql: String =
+    """WITH v AS (SELECT vec_id AS id, label, embedding AS vec
+      |           FROM embeddings),
+      |i AS (SELECT * FROM v WHERE id % 10 = 0),
+      |c AS (SELECT * FROM v WHERE id % 10 <> 0),
+      |s AS (
+      |  SELECT i.id AS inc_id,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      [i.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+      |      (a, b) -> a + b) AS d,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [i.vec[k]::DOUBLE * i.vec[k]::DOUBLE for k in range(1, len(i.vec) + 1)]),
+      |      (a, b) -> a + b)) AS na,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [c.vec[k]::DOUBLE * c.vec[k]::DOUBLE for k in range(1, len(c.vec) + 1)]),
+      |      (a, b) -> a + b)) AS nb
+      |  FROM i JOIN c ON 1 = 1),
+      |hit AS (
+      |  SELECT DISTINCT inc_id FROM (
+      |    SELECT inc_id,
+      |      CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END AS cosine
+      |    FROM s)
+      |  WHERE cosine >= 0.4)
+      |SELECT id AS vec_id, label FROM i
+      |WHERE id NOT IN (SELECT inc_id FROM hit)
+      |ORDER BY vec_id""".stripMargin
+
   private lazy val DatasetCardGateMarginOracleSql: String =
     s"""$LangIdMarginOracleCte,
        |t AS (

@@ -890,6 +890,27 @@ object Dedup {
     } finally newMembers.unpersist()
   }
 
+  /** Right-to-be-forgotten over a [[VectorIndex]]: every member whose
+    * id appears in `keys` drops — deletion requests must purge derived
+    * artifacts too, or the index keeps pairing/shortlisting a vector
+    * the table tier already forgot ([[Forget.propagate]] applied to
+    * the index family). Centroids are a MODEL (trained statistics, not
+    * per-row content) and stay frozen, exactly as appends freeze them;
+    * exactness of every consumer is unaffected (the triangle-inequality
+    * prune derives radii from CURRENT members). The staleness counters
+    * recount honestly against the surviving members (one columnar
+    * scan): baseRows = kept rows, appendedRows resets. Save the result
+    * to a FRESH directory — its members lineage reads the loaded
+    * files. */
+  def forgetFromVectorIndex(index: VectorIndex, keys: DataFrame,
+                            keyCol: String): VectorIndex = {
+    val kept = Forget.propagate(keys, keyCol,
+      Seq(Forget.Target("members", index.members, "id")))("members")
+    index.copy(members = kept,
+      params = index.params.copy(version = index.params.version + 1,
+        baseRows = kept.count(), appendedRows = 0L))
+  }
+
   /** Near-duplicate pairs ACROSS corpora: (inc_id, corpus_id, cosine ≥
     * threshold) between an increment and an indexed corpus — EXACT, like
     * [[embeddingNearDupsBlocked]], by the same spherical triangle

@@ -179,6 +179,64 @@ object Fingerprint {
         appendedDocs = appended))
   }
 
+  /** [[appendToFingerprintIndex]] applied IN PLACE to a saved index
+    * directory — the span-side [[Dedup.appendToTextIndexDir]], closing
+    * the in-place day-2 symmetry across the index family: the new
+    * documents are fingerprinted under the directory's FROZEN (k, w)
+    * geometry, stop-listed hashes removed against the persisted stop
+    * set (driver reads nothing — the anti-join runs distributed, and
+    * the stop parquet is not the table being appended, so no
+    * read-under-write), and the fps table extends by parquet append;
+    * the params record rewrites with the staleness counters. Same
+    * caller contract and stale-ratio warning as
+    * [[appendToFingerprintIndex]]. */
+  def appendToFingerprintIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, newDocs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  maxStaleRatio: Double = 2.0): Unit = {
+    val index = FingerprintIndex.load(spark, dir)
+    val newFps = fingerprints(newDocs, idCol, textCol, k = index.params.k,
+        w = index.params.w)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+      .join(index.stop, Seq("fp_hash"), "left_anti")
+    val appended = index.params.appendedDocs + newDocs.count()
+    val base = index.params.baseDocs
+    if (base > 0 && appended > maxStaleRatio * base)
+      System.err.println("[graft] WARNING: appendToFingerprintIndexDir: " +
+        s"appended documents ($appended) exceed $maxStaleRatio x the " +
+        s"indexed base ($base); the stop set frozen at build no longer " +
+        "represents the corpus it filters — rebuild with " +
+        "buildFingerprintIndex")
+    newFps.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/fps")
+    import spark.implicits._
+    Seq(index.params.copy(version = index.params.version + 1,
+        appendedDocs = appended))
+      .toDF().write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Right-to-be-forgotten over the PERSISTED index — deletion requests
+    * must purge derived artifacts too, or the index keeps matching
+    * spans of a document the table tier already forgot
+    * ([[Forget.propagate]]'s argument applied to the index family):
+    * every fps row whose id appears in `keys` drops. The STOP set is
+    * id-less (document-frequency heavy hitters) and stays FROZEN — it
+    * only ever suppresses matches, so no forgotten content can be
+    * recalled through it; rebuild to re-derive it from the surviving
+    * corpus (the same rebuild-to-refresh contract appends carry).
+    * Counters recount honestly: baseDocs = surviving distinct ids,
+    * appendedDocs resets (one columnar id scan). Save the result to a
+    * FRESH directory — its lineage reads the loaded files. */
+  def forgetFromFingerprintIndex(index: FingerprintIndex, keys: DataFrame,
+                                 keyCol: String): FingerprintIndex = {
+    val kept = Forget.propagate(keys, keyCol,
+      Seq(Forget.Target("fps", index.fps, "id")))("fps")
+    val docs = kept.select(col("id")).distinct().count()
+    index.copy(fps = kept,
+      params = index.params.copy(version = index.params.version + 1,
+        baseDocs = docs, appendedDocs = 0L))
+  }
+
   /** Span-copy report of an increment against an indexed corpus:
     * `(inc_id, corpus_id, shared_fingerprints)` for pairs sharing at
     * least `minShared` fingerprints. Geometry comes from the index; the

@@ -188,6 +188,18 @@ object Hamming {
       .write.mode(SaveMode.Append).parquet(s"$dir/fingerprints")
   }
 
+  /** Right-to-be-forgotten over the fingerprint table: every row whose
+    * id appears in `keys` drops — a takedown that leaves the media
+    * fingerprint behind keeps flagging (or being flagged by) content
+    * the asset store already deleted. The kind tag is preserved. Save
+    * the result to a FRESH directory — its lineage reads the loaded
+    * files. */
+  def forgetFromIndex(index: HammingIndex, keys: DataFrame,
+                      keyCol: String): HammingIndex =
+    index.copy(fingerprints = Forget.propagate(keys, keyCol,
+      Seq(Forget.Target("fingerprints", index.fingerprints, "id")))(
+      "fingerprints"))
+
   /** Cross-corpus pairs `(inc_id, corpus_id, dist)` with `dist ≤
     * maxDist` between an increment's fingerprints and an indexed corpus
     * — the increment×corpus shape of [[nearDupPairs]]: same

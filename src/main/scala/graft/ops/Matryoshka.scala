@@ -351,6 +351,27 @@ object Matryoshka {
       .toDF().write.mode("overwrite").json(s"$dir/params")
   }
 
+  /** Right-to-be-forgotten over BOTH tiers of a [[TruncatedIndex]]:
+    * members and rerank rows of every id in `keys` drop — a forget
+    * that touched only one tier would either keep shortlisting the
+    * forgotten vector (prefix survivor) or keep its raw bytes
+    * re-rankable (full-tier survivor). Delegates the prefix tier to
+    * [[Dedup.forgetFromVectorIndex]] (frozen centroids, honest
+    * recount) so `rows` keeps meaning shortlistable members; the
+    * prefix ⊆ full load invariant is preserved (both tiers lose the
+    * same ids, and full-only zero-prefix rows were never members).
+    * Save the result to a FRESH directory — its lineage reads the
+    * loaded files. */
+  def forgetFromTruncatedIndex(index: TruncatedIndex, keys: DataFrame,
+                               keyCol: String): TruncatedIndex = {
+    val prefix = Dedup.forgetFromVectorIndex(index.prefix, keys, keyCol)
+    val full = graft.ops.Forget.propagate(keys, keyCol,
+      Seq(graft.ops.Forget.Target("full", index.full, "id")))("full")
+    TruncatedIndex(prefix, full,
+      index.params.copy(rows = prefix.params.baseRows,
+        version = index.params.version + 1))
+  }
+
   /** [[rerankTopK]] against a frozen [[TruncatedIndex]]: the query
     * batch is truncated to the index's declared `dims`, shortlisted by
     * the prefix tier's cell-pruned scan

@@ -304,6 +304,51 @@ object PqIndex {
       params = index.params.copy(version = index.params.version + 1))
   }
 
+  /** [[appendToPqIndex]] applied IN PLACE to a saved index directory —
+    * the PQ-side [[graft.ops.Dedup.appendToVectorIndexDir]], closing
+    * the in-place day-2 symmetry: new vectors encode under the
+    * directory's FROZEN coarse centroids and codebooks (both
+    * driver-held after load — nothing reads the codes parquet being
+    * appended, no read-under-write), the code table extends by parquet
+    * append, and the params record rewrites with the generation
+    * counter. Same caller contract as [[appendToPqIndex]] (disjoint
+    * ids, dimension must match; quantization error grows off the
+    * training distribution — monitor recall, rebuild when it sags). */
+  def appendToPqIndexDir(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, newVectors: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val index = PersistedPqIndex.load(spark, dir)
+    val dim = Similarity.vectorDim(newVectors, vecCol)
+    require(dim == index.params.dim,
+      s"appendToPqIndexDir: new vectors have dim $dim, index was built " +
+        s"at dim ${index.params.dim}")
+    IvfIndex.assignCells(
+        IvfIndex.unitVectors(newVectors, idCol, vecCol), index.centroids)
+      .select(col("id").as("corpus_id"), col("cell"),
+        encodeCol(col("uvec"), index.codebooks).as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/codes")
+    import spark.implicits._
+    Seq(index.params.copy(version = index.params.version + 1))
+      .toDF().write.mode("overwrite").json(s"$dir/params")
+  }
+
+  /** Right-to-be-forgotten over the code table: every encoded row whose
+    * `corpus_id` appears in `keys` drops — deletion requests must purge
+    * derived artifacts too, or the index keeps shortlisting a vector
+    * the corpus already forgot. Centroids and codebooks are MODELS
+    * (trained statistics, not per-row content) and stay frozen — the
+    * same contract as appends. Save the result to a FRESH directory:
+    * its codes lineage reads the loaded files. */
+  def forgetFromPqIndex(index: PersistedPqIndex, keys: DataFrame,
+                        keyCol: String): PersistedPqIndex = {
+    val kept = Forget.propagate(keys, keyCol,
+      Seq(Forget.Target("codes", index.codes, "corpus_id")))("codes")
+    index.copy(codes = kept,
+      params = index.params.copy(version = index.params.version + 1))
+  }
+
   /** Search a (possibly loaded) [[PersistedPqIndex]]: no training, no
     * corpus normalization — only the query batch is probed per run.
     * `rerank > 0` requires `rerankAgainst`: the raw corpus table the

@@ -6,26 +6,41 @@ import org.json4s._
 
 import graft.ops.{Dedup, Fingerprint, Hamming, Matryoshka, PqIndex}
 
-/** Config-declared INDEX-BUILD job — the fourth CLI job shape, and
-  * day-1 of the lifecycle the other three already declare: every
-  * `against_text_index` / `against_vector_index` dedup stage, every
-  * truncated/PQ similarity search, and every streaming media gate
-  * consumes a persisted index directory, and the day-2 `extend_index`
-  * appends are config-declared — but until this job the bootstrap
-  * build itself was code-only. One HOCON/JSON file (the reference's
-  * declare-the-job-in-config identity,
-  * reference: src/main/scala/com/booking/spark/Settings.scala:16-48)
-  * now covers the whole index lifecycle: build here, consume and
-  * extend in the curation config.
+/** Config-declared INDEX-LIFECYCLE job — the fourth CLI job shape,
+  * covering all three motions of a persisted index's life with the
+  * reference's declare-the-job-in-config identity
+  * (reference: src/main/scala/com/booking/spark/Settings.scala:16-48):
+  *
+  *  - `mode = "build"` (default): day-1 — build the artifact from a
+  *    parquet corpus with the code-level builders and save formats,
+  *    so every `against_*_index` dedup stage, truncated/PQ search,
+  *    `extend_index` append, and streaming media gate consumes it
+  *    unchanged;
+  *  - `mode = "extend"`: day-2 — append new rows IN PLACE under the
+  *    artifact's own frozen parameters (each family's
+  *    `appendTo*IndexDir`); tuning keys are refused in this mode
+  *    because the artifact is their single source of truth;
+  *  - `mode = "forget"`: right-to-be-forgotten — drop every indexed
+  *    row whose id appears in a declared key set and write the purged
+  *    artifact to a FRESH directory (deletion requests must purge
+  *    derived artifacts too, or the index keeps matching content the
+  *    table tier already deleted). The TEXT kind is REFUSED here: its
+  *    exact tier stores id-less content hashes, so an id-keyed forget
+  *    would leave the forgotten document's hash behind — a forget
+  *    that lies; rebuild from the purged corpus instead.
   *
   * {{{
   * { "index": {
   *     "kind": "text" | "vector" | "truncated" | "pq"
   *           | "fingerprint" | "hamming",
-  *     "input_path": "/data/corpus.parquet",   // the corpus to index
-  *     "output_dir": "/idx/text_v1",           // the artifact directory
-  *     "id_column": "doc_id",
-  *     "overwrite": false,                     // refuse a live artifact
+  *     "mode": "build" | "extend" | "forget",   // default build
+  *     // build:  "input_path" (corpus), "output_dir", "id_column",
+  *     //         kind parameters (below), "overwrite"
+  *     // extend: "input_path" (new rows), "index_dir" (in place),
+  *     //         "id_column" + the kind's column keys only
+  *     // forget: "ids_path" (parquet of subject ids, read from
+  *     //         "id_column"), "index_dir" (source),
+  *     //         "output_dir" (fresh target), "overwrite"
   *     // text:        "text_column", "shingle_n", "bands", "rows_per_band"
   *     // fingerprint: "text_column", "k", "w", "max_df"
   *     // vector:      "vector_column", "nlist", "iters"
@@ -35,24 +50,21 @@ import graft.ops.{Dedup, Fingerprint, Hamming, Matryoshka, PqIndex}
   * }}
   * }}}
   *
-  * Parameter keys are validated against the DECLARED kind: a key
-  * belonging to another kind (e.g. `bands` on a vector build) is
-  * declared confusion and refuses with the inventory, never a silent
-  * default — the [[MaintenancePipeline]] discipline. Builds reuse the
-  * exact code-level builders ([[Dedup.buildTextIndex]],
-  * [[Dedup.buildVectorIndex]], [[Matryoshka.buildTruncatedIndex]],
-  * [[PqIndex.buildPqIndex]], [[Fingerprint.buildFingerprintIndex]],
-  * [[Hamming.buildIndex]]) and their save formats, so an index built
-  * here is bit-compatible with every existing loader, refusal, and
-  * append path.
+  * Parameter keys are validated against the DECLARED kind AND mode: a
+  * key belonging to another kind (`bands` on a vector build), or a
+  * tuning key on an extend/forget (the artifact froze them at build),
+  * is declared confusion and refuses with the inventory, never a
+  * silent default — the [[MaintenancePipeline]] discipline.
   *
-  * Scale posture is the builders' own: each build is one corpus scan
-  * (plus the trainer's bounded passes for vector/pq tiers); nothing
-  * here adds a shuffle or a driver-side collect beyond the model-sized
-  * centroid/codebook tables the builders already hold. */
+  * Scale posture is the underlying operators' own: builds are one
+  * corpus scan (plus the trainers' bounded passes), extends one pass
+  * over the increment, forgets one anti-join rewrite of the id-keyed
+  * tables; nothing here adds a shuffle or a driver-side collect beyond
+  * the model-sized centroid/codebook tables the builders already
+  * hold. */
 object IndexPipeline {
 
-  /** Kind-specific build declaration (parsed, validated). */
+  /** Kind-specific BUILD declaration (parsed, validated). */
   sealed trait IndexKind { def name: String }
   final case class TextKind(textCol: String, n: Int, bands: Int,
                             rowsPerBand: Int) extends IndexKind {
@@ -79,27 +91,58 @@ object IndexPipeline {
     def name = "hamming"
   }
 
-  final case class IndexConfig(inputPath: String, outputDir: String,
-                               idColumn: String, kind: IndexKind,
-                               overwrite: Boolean = false)
+  /** The three declared job shapes. */
+  sealed trait IndexJob { def kindName: String }
 
-  /** The parameter keys each kind accepts (beyond the shared
-    * `kind`/`input_path`/`output_dir`/`id_column`/`overwrite`). Held as
-    * the single inventory both the validator and its refusal message
-    * read from. */
-  private val KindKeys: Map[String, Set[String]] = Map(
-    "text" -> Set("text_column", "shingle_n", "bands", "rows_per_band"),
-    "vector" -> Set("vector_column", "nlist", "iters"),
-    "truncated" -> Set("vector_column", "dims", "nlist", "iters"),
-    "pq" -> Set("vector_column", "nlist", "m", "ks", "iters"),
-    "fingerprint" -> Set("text_column", "k", "w", "max_df"),
+  /** Day-1: build `kind` over the corpus at `inputPath`, save to
+    * `outputDir`. */
+  final case class BuildJob(inputPath: String, outputDir: String,
+                            idColumn: String, kind: IndexKind,
+                            overwrite: Boolean = false) extends IndexJob {
+    def kindName: String = kind.name
+  }
+
+  /** Day-2: append the rows at `inputPath` IN PLACE to the artifact at
+    * `indexDir`, under its frozen parameters. Column names arrive from
+    * the config; tuning parameters come from the artifact. */
+  final case class ExtendJob(kindName: String, inputPath: String,
+                             indexDir: String, idColumn: String,
+                             textCol: Option[String],
+                             vecCol: Option[String],
+                             hiCol: Option[String],
+                             loCol: Option[String],
+                             mediaKind: Option[String]) extends IndexJob
+
+  /** Deletion propagation: drop the ids at `idsPath` (column
+    * `idColumn`) from the artifact at `indexDir`, write the purged
+    * artifact to `outputDir`. */
+  final case class ForgetJob(kindName: String, idsPath: String,
+                             indexDir: String, outputDir: String,
+                             idColumn: String,
+                             overwrite: Boolean = false) extends IndexJob
+
+  /** The tuning keys each kind accepts at BUILD (beyond the shared
+    * keys) and its column keys (accepted at build and extend). Held as
+    * the single inventory the validator and its refusal messages read
+    * from. */
+  private val KindTuningKeys: Map[String, Set[String]] = Map(
+    "text" -> Set("shingle_n", "bands", "rows_per_band"),
+    "vector" -> Set("nlist", "iters"),
+    "truncated" -> Set("dims", "nlist", "iters"),
+    "pq" -> Set("nlist", "m", "ks", "iters"),
+    "fingerprint" -> Set("k", "w", "max_df"),
+    "hamming" -> Set.empty)
+
+  private val KindColumnKeys: Map[String, Set[String]] = Map(
+    "text" -> Set("text_column"),
+    "vector" -> Set("vector_column"),
+    "truncated" -> Set("vector_column"),
+    "pq" -> Set("vector_column"),
+    "fingerprint" -> Set("text_column"),
     "hamming" -> Set("hi_column", "lo_column", "media_kind"))
 
-  private val SharedKeys =
-    Set("kind", "input_path", "output_dir", "id_column", "overwrite")
-
-  /** Parse an index-build config AST (from JSON or [[Hocon]]). */
-  def fromJValue(ast: JValue): IndexConfig = {
+  /** Parse an index-job config AST (from JSON or [[Hocon]]). */
+  def fromJValue(ast: JValue): IndexJob = {
     val root = ast \ "index"
     if (root == JNothing) fail("config declares no index section")
     def str(v: JValue): Option[String] = v match {
@@ -123,119 +166,222 @@ object IndexPipeline {
       if (i < 1) fail(s"$name must be >= 1, got $i")
       i
     }
+    def normalized(p: String) = new Path(p).toUri
     val kindName = str(root \ "kind").getOrElse(fail(
       "index.kind is required (text | vector | truncated | pq | " +
         "fingerprint | hamming)"))
-    val allowed = KindKeys.getOrElse(kindName, fail(
+    val tuning = KindTuningKeys.getOrElse(kindName, fail(
       s"index.kind must be text | vector | truncated | pq | " +
         s"fingerprint | hamming, got '$kindName'"))
-    // key-inventory refusal: a parameter belonging to ANOTHER kind is
-    // declared confusion (e.g. `bands` on a vector build would silently
-    // build with defaults while the author believes they tuned it)
+    val columns = KindColumnKeys(kindName)
+    val mode = str(root \ "mode").getOrElse("build")
+    val modeKeys = mode match {
+      case "build" =>
+        Set("input_path", "output_dir", "overwrite") ++ tuning ++ columns
+      case "extend" => Set("input_path", "index_dir") ++ columns
+      case "forget" => Set("ids_path", "index_dir", "output_dir",
+        "overwrite")
+      case other => fail(
+        s"index.mode must be build | extend | forget, got '$other'")
+    }
+    val allowed = Set("kind", "mode", "id_column") ++ modeKeys
+    // key-inventory refusal: a key from another kind or mode is
+    // declared confusion (e.g. `bands` on a vector build would build
+    // with silent defaults while the author believes they tuned it; a
+    // tuning key on an extend pretends the artifact's frozen geometry
+    // is negotiable)
     root match {
       case JObject(fields) =>
-        val foreign = fields.map(_._1)
-          .filterNot(k => SharedKeys(k) || allowed(k))
+        val foreign = fields.map(_._1).filterNot(allowed)
         if (foreign.nonEmpty) fail(
           s"index keys ${foreign.mkString(", ")} do not apply to " +
-            s"kind '$kindName' — it accepts: ${allowed.toSeq.sorted
-              .mkString(", ")}")
+            s"kind '$kindName' in mode '$mode' — it accepts: " +
+            s"${allowed.toSeq.sorted.mkString(", ")}")
       case other => fail(s"index section must be an object, got $other")
     }
-    val inputPath = str(root \ "input_path").getOrElse(
-      fail("index.input_path is required"))
-    val outputDir = str(root \ "output_dir").getOrElse(
-      fail("index.output_dir is required"))
-    def normalized(p: String) = new Path(p).toUri
-    if (normalized(inputPath) == normalized(outputDir)) fail(
-      "index.output_dir must differ from input_path — the build reads " +
-        "the corpus lazily while writing (read-under-write)")
     val idColumn = str(root \ "id_column").getOrElse(
       fail("index.id_column is required"))
-    val overwrite = root \ "overwrite" match {
-      case JBool(b) => b
-      case JNothing => false
-      case other => fail(s"index.overwrite must be a boolean, got $other")
-    }
+    def required(key: String): String = str(root \ key).getOrElse(
+      fail(s"index.$key is required for mode '$mode'"))
     def textCol = str(root \ "text_column").getOrElse(
       fail(s"index.text_column is required for kind '$kindName'"))
     def vecCol = str(root \ "vector_column").getOrElse(
       fail(s"index.vector_column is required for kind '$kindName'"))
-    val kind: IndexKind = kindName match {
-      case "text" => TextKind(textCol,
-        posIntOf(root \ "shingle_n", "index.shingle_n", 3),
-        posIntOf(root \ "bands", "index.bands", 16),
-        posIntOf(root \ "rows_per_band", "index.rows_per_band", 4))
-      case "vector" => VectorKind(vecCol,
-        intOf(root \ "nlist", "index.nlist", 0),
-        posIntOf(root \ "iters", "index.iters", 1))
-      case "truncated" => TruncatedKind(vecCol,
-        posIntOf(root \ "dims", "index.dims",
-          fail("index.dims is required for kind 'truncated' (the " +
-            "prefix width the shortlist tier serves)")),
-        intOf(root \ "nlist", "index.nlist", 0),
-        posIntOf(root \ "iters", "index.iters", 1))
-      case "pq" => PqKind(vecCol,
-        posIntOf(root \ "nlist", "index.nlist", 16),
-        posIntOf(root \ "m", "index.m", 8),
-        posIntOf(root \ "ks", "index.ks", 16),
-        posIntOf(root \ "iters", "index.iters", 5))
-      case "fingerprint" => FingerprintKind(textCol,
-        posIntOf(root \ "k", "index.k", 5),
-        posIntOf(root \ "w", "index.w", 8),
-        posIntOf(root \ "max_df", "index.max_df", 50))
-      case "hamming" => HammingKind(
-        str(root \ "hi_column").getOrElse(
-          fail("index.hi_column is required for kind 'hamming'")),
-        str(root \ "lo_column").getOrElse(
-          fail("index.lo_column is required for kind 'hamming'")),
-        str(root \ "media_kind").getOrElse(
-          fail("index.media_kind is required for kind 'hamming' (the " +
-            "fingerprint family the matcher will be guarded against — " +
-            "e.g. image | audio | video)")))
+    def overwrite = root \ "overwrite" match {
+      case JBool(b) => b
+      case JNothing => false
+      case other => fail(s"index.overwrite must be a boolean, got $other")
     }
-    IndexConfig(inputPath, outputDir, idColumn, kind, overwrite)
+    mode match {
+      case "extend" =>
+        val inputPath = required("input_path")
+        val indexDir = required("index_dir")
+        if (normalized(inputPath) == normalized(indexDir)) fail(
+          "index.index_dir must differ from input_path — the append " +
+            "reads the increment lazily while writing (read-under-write)")
+        val (tc, vc) = kindName match {
+          case "text" | "fingerprint" => (Some(textCol), None)
+          case "vector" | "truncated" | "pq" => (None, Some(vecCol))
+          case _ => (None, None)
+        }
+        val (hi, lo, mk) = kindName match {
+          case "hamming" => (
+            Some(str(root \ "hi_column").getOrElse(
+              fail("index.hi_column is required for kind 'hamming'"))),
+            Some(str(root \ "lo_column").getOrElse(
+              fail("index.lo_column is required for kind 'hamming'"))),
+            Some(str(root \ "media_kind").getOrElse(
+              fail("index.media_kind is required for kind 'hamming'"))))
+          case _ => (None, None, None)
+        }
+        ExtendJob(kindName, inputPath, indexDir, idColumn, tc, vc,
+          hi, lo, mk)
+      case "forget" =>
+        if (kindName == "text") fail(
+          "index.mode = forget is refused for kind 'text': the exact " +
+            "tier stores id-less content hashes, so an id-keyed forget " +
+            "would leave the forgotten document's hash behind — " +
+            "rebuild from the purged corpus instead")
+        val idsPath = required("ids_path")
+        val indexDir = required("index_dir")
+        val outputDir = required("output_dir")
+        if (normalized(indexDir) == normalized(outputDir)) fail(
+          "index.output_dir must differ from index_dir — the purged " +
+            "artifact's lineage reads the source files " +
+            "(read-under-write); write to a fresh directory")
+        ForgetJob(kindName, idsPath, indexDir, outputDir, idColumn,
+          overwrite)
+      case _ => // build
+        val inputPath = required("input_path")
+        val outputDir = required("output_dir")
+        if (normalized(inputPath) == normalized(outputDir)) fail(
+          "index.output_dir must differ from input_path — the build " +
+            "reads the corpus lazily while writing (read-under-write)")
+        val kind: IndexKind = kindName match {
+          case "text" => TextKind(textCol,
+            posIntOf(root \ "shingle_n", "index.shingle_n", 3),
+            posIntOf(root \ "bands", "index.bands", 16),
+            posIntOf(root \ "rows_per_band", "index.rows_per_band", 4))
+          case "vector" => VectorKind(vecCol,
+            intOf(root \ "nlist", "index.nlist", 0),
+            posIntOf(root \ "iters", "index.iters", 1))
+          case "truncated" => TruncatedKind(vecCol,
+            posIntOf(root \ "dims", "index.dims",
+              fail("index.dims is required for kind 'truncated' (the " +
+                "prefix width the shortlist tier serves)")),
+            intOf(root \ "nlist", "index.nlist", 0),
+            posIntOf(root \ "iters", "index.iters", 1))
+          case "pq" => PqKind(vecCol,
+            posIntOf(root \ "nlist", "index.nlist", 16),
+            posIntOf(root \ "m", "index.m", 8),
+            posIntOf(root \ "ks", "index.ks", 16),
+            posIntOf(root \ "iters", "index.iters", 5))
+          case "fingerprint" => FingerprintKind(textCol,
+            posIntOf(root \ "k", "index.k", 5),
+            posIntOf(root \ "w", "index.w", 8),
+            posIntOf(root \ "max_df", "index.max_df", 50))
+          case _ => HammingKind(
+            str(root \ "hi_column").getOrElse(
+              fail("index.hi_column is required for kind 'hamming'")),
+            str(root \ "lo_column").getOrElse(
+              fail("index.lo_column is required for kind 'hamming'")),
+            str(root \ "media_kind").getOrElse(
+              fail("index.media_kind is required for kind 'hamming' " +
+                "(the fingerprint family the matcher will be guarded " +
+                "against — e.g. image | audio | video)")))
+        }
+        BuildJob(inputPath, outputDir, idColumn, kind, overwrite)
+    }
   }
 
-  /** Run the declared build: read the corpus, build the declared index
-    * with the code-level builder, persist it to `output_dir`. A
-    * directory already holding an artifact (any visible file) refuses
-    * unless `overwrite: true` — clobbering a LIVE production index
-    * because two configs named the same directory is the failure mode
-    * day-1 tooling must not have. Returns the output directory. */
-  def run(spark: SparkSession, config: IndexConfig): String = {
-    val out = new Path(config.outputDir)
+  /** Refuse clobbering a directory already holding an artifact (any
+    * visible file) unless overwrite was declared — rebuilding a LIVE
+    * production index in place tears concurrent readers. */
+  private def checkTarget(spark: SparkSession, outputDir: String,
+                          overwrite: Boolean): Unit = {
+    val out = new Path(outputDir)
     val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!config.overwrite && fs.exists(out) &&
-        fs.listStatus(out).nonEmpty) fail(
-      s"index.output_dir ${config.outputDir} already holds files — an " +
-        "existing artifact is refused (set overwrite: true to rebuild " +
-        "in place; consumers reading it concurrently will tear)")
-    val corpus: DataFrame = spark.read.parquet(config.inputPath)
-    config.kind match {
-      case TextKind(tc, n, b, r) =>
-        Dedup.buildTextIndex(corpus, config.idColumn, tc, n, b, r)
-          .save(config.outputDir)
-      case VectorKind(vc, nlist, iters) =>
-        Dedup.buildVectorIndex(corpus, config.idColumn, vc, nlist, iters)
-          .save(config.outputDir)
-      case TruncatedKind(vc, dims, nlist, iters) =>
-        Matryoshka.buildTruncatedIndex(corpus, config.idColumn, vc, dims,
-            nlist, iters)
-          .save(config.outputDir)
-      case PqKind(vc, nlist, m, ks, iters) =>
-        PqIndex.buildPqIndex(corpus, nlist, m, ks, iters,
-            config.idColumn, vc)
-          .save(config.outputDir)
-      case FingerprintKind(tc, k, w, maxDf) =>
-        Fingerprint.buildFingerprintIndex(corpus, config.idColumn, tc,
-            k, w, maxDf)
-          .save(config.outputDir)
-      case HammingKind(hi, lo, mk) =>
-        Hamming.buildIndex(corpus, config.idColumn, hi, lo, mk)
-          .save(config.outputDir)
-    }
-    config.outputDir
+    if (!overwrite && fs.exists(out) && fs.listStatus(out).nonEmpty) fail(
+      s"index.output_dir $outputDir already holds files — an existing " +
+        "artifact is refused (set overwrite: true to rebuild in " +
+        "place; consumers reading it concurrently will tear)")
+  }
+
+  /** Run the declared job; returns the directory the artifact lives in
+    * afterwards (output_dir for build/forget, index_dir for extend). */
+  def run(spark: SparkSession, job: IndexJob): String = job match {
+    case b: BuildJob =>
+      checkTarget(spark, b.outputDir, b.overwrite)
+      val corpus: DataFrame = spark.read.parquet(b.inputPath)
+      b.kind match {
+        case TextKind(tc, n, bd, r) =>
+          Dedup.buildTextIndex(corpus, b.idColumn, tc, n, bd, r)
+            .save(b.outputDir)
+        case VectorKind(vc, nlist, iters) =>
+          Dedup.buildVectorIndex(corpus, b.idColumn, vc, nlist, iters)
+            .save(b.outputDir)
+        case TruncatedKind(vc, dims, nlist, iters) =>
+          Matryoshka.buildTruncatedIndex(corpus, b.idColumn, vc, dims,
+              nlist, iters)
+            .save(b.outputDir)
+        case PqKind(vc, nlist, m, ks, iters) =>
+          PqIndex.buildPqIndex(corpus, nlist, m, ks, iters,
+              b.idColumn, vc)
+            .save(b.outputDir)
+        case FingerprintKind(tc, k, w, maxDf) =>
+          Fingerprint.buildFingerprintIndex(corpus, b.idColumn, tc,
+              k, w, maxDf)
+            .save(b.outputDir)
+        case HammingKind(hi, lo, mk) =>
+          Hamming.buildIndex(corpus, b.idColumn, hi, lo, mk)
+            .save(b.outputDir)
+      }
+      b.outputDir
+    case e: ExtendJob =>
+      val rows: DataFrame = spark.read.parquet(e.inputPath)
+      e.kindName match {
+        case "text" => Dedup.appendToTextIndexDir(spark, e.indexDir,
+          rows, e.idColumn, e.textCol.get)
+        case "vector" => Dedup.appendToVectorIndexDir(spark, e.indexDir,
+          rows, e.idColumn, e.vecCol.get)
+        case "truncated" => Matryoshka.appendToTruncatedIndexDir(spark,
+          e.indexDir, rows, e.idColumn, e.vecCol.get)
+        case "pq" => PqIndex.appendToPqIndexDir(spark, e.indexDir,
+          rows, e.idColumn, e.vecCol.get)
+        case "fingerprint" => Fingerprint.appendToFingerprintIndexDir(
+          spark, e.indexDir, rows, e.idColumn, e.textCol.get)
+        case _ => Hamming.appendToIndexDir(spark, e.indexDir, rows,
+          e.idColumn, e.hiCol.get, e.loCol.get, e.mediaKind.get)
+      }
+      e.indexDir
+    case f: ForgetJob =>
+      checkTarget(spark, f.outputDir, f.overwrite)
+      val keys: DataFrame = spark.read.parquet(f.idsPath)
+      if (!keys.columns.contains(f.idColumn)) fail(
+        s"index.ids_path ${f.idsPath} has no '${f.idColumn}' column " +
+          s"(found: ${keys.columns.mkString(", ")})")
+      f.kindName match {
+        case "vector" => Dedup.forgetFromVectorIndex(
+            Dedup.VectorIndex.load(spark, f.indexDir), keys, f.idColumn)
+          .save(f.outputDir)
+        case "truncated" => Matryoshka.forgetFromTruncatedIndex(
+            Matryoshka.TruncatedIndex.load(spark, f.indexDir), keys,
+            f.idColumn)
+          .save(f.outputDir)
+        case "pq" => PqIndex.forgetFromPqIndex(
+            PqIndex.PersistedPqIndex.load(spark, f.indexDir), keys,
+            f.idColumn)
+          .save(f.outputDir)
+        case "fingerprint" => Fingerprint.forgetFromFingerprintIndex(
+            Fingerprint.FingerprintIndex.load(spark, f.indexDir), keys,
+            f.idColumn)
+          .save(f.outputDir)
+        case _ => Hamming.forgetFromIndex(
+            Hamming.HammingIndex.load(spark, f.indexDir), keys,
+            f.idColumn)
+          .save(f.outputDir)
+      }
+      f.outputDir
   }
 
   private def fail(msg: String): Nothing =

@@ -559,6 +559,40 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  "the margin-gate card chart" should "keep the broadcast-model " +
+    "scoring shape" in {
+    // the chart re-runs classifyModelWithMargin over the gate's input
+    // stage — the model joins must broadcast there exactly as in the
+    // gate itself (a SortMergeJoin keyed on gram would shuffle the
+    // corpus-side gram frame by the model's keys)
+    val plan = planOf("q_dataset_card_gate_margin")
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      plan should not include regex("SortMergeJoin [^\\n]*gram")
+    }
+  }
+
+  "the rate-gate card chart" should "bucket the corpus scan-side and " +
+    "join only grid-sized frames" in {
+    // the low-pass curve's input is one codegen'd projection (hits +
+    // tokens ride the scan like the gate itself); after the bucket
+    // aggregate only <= steps+1 rows exist, so no join in the curve
+    // may shuffle corpus-scale data
+    val docs = Tables.documents(spark, sf)
+    val words = Seq("stream", "vector")
+    val chartInput = docs.select(
+      graft.ops.WordBlocklist.hitsCol(col("text"), words)
+        .cast("long").as("n"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("d"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+    val inputPlan = chartInput.queryExecution.executedPlan.toString()
+    withClue(inputPlan) { (inputPlan should not).include("Join") }
+    val plan = graft.ops.ClassifierEval
+      .retentionCurveLowPass(chartInput, "n", "d", "t", 100)
+      .queryExecution.executedPlan.toString()
+    withClue(plan) { (plan should not).include("SortMergeJoin") }
+  }
+
   "searchTruncatedIndex" should "scan the corpus tiers, never shuffle them" in {
     // both funnel stages join model-/batch-sized sides INTO the corpus
     // scan: candidates and queries broadcast, so the only exchanges are

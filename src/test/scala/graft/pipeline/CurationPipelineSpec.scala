@@ -1482,6 +1482,43 @@ class CurationPipelineSpec extends SparkTestBase {
     e2.getMessage should include("inventories differ")
   }
 
+  it should "merge low-pass rate-gate card sections across waves" in {
+    // the rate gate's retention ASCENDS with the threshold (keep-if-
+    // low), so the merge's renormalize-against-the-grid-MAX motion —
+    // not a threshold-0 lookup — must hold for it too
+    val base = s"$tmp/card_rate"
+    val docs = (1 to 8).map { i =>
+      val blocked = if (i % 4 == 0) " casino" else ""
+      (i.toLong, (1 to 20).map(k => s"w$i$k").mkString(" ") + blocked)
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/all")
+    docs.filter($"doc_id" % 2 === 0)
+      .write.mode("overwrite").parquet(s"$base/a")
+    docs.filter($"doc_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$base/b")
+    Seq("casino").toDF("word")
+      .write.mode("overwrite").parquet(s"$base/words")
+    def cfg(p: String) = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"},
+         | "rules": ["min_tokens:5"],
+         | "word_blocklist": {"list_path": "$base/words",
+         |                    "max_hit_frac": 0.02}}""".stripMargin)
+    val whole = CurationPipeline.datasetCard(spark, cfg(s"$base/all"))
+    val gate = whole.filter($"section" === "gate")
+      .select($"key", $"n_docs", $"frac")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1)
+    gate.length shouldBe 101
+    // ascending retention: the hit-free docs are in from threshold 0,
+    // the blocked docs only past their rate
+    gate.head._2 should be < gate.last._2
+    gate.last._3 shouldBe Some(1.0)
+    val merged = CurationPipeline.mergeCards(
+        CurationPipeline.datasetCard(spark, cfg(s"$base/a")),
+        CurationPipeline.datasetCard(spark, cfg(s"$base/b")))
+      .collect().map(_.toString).sorted.toSeq
+    merged shouldBe whole.collect().map(_.toString).sorted.toSeq
+  }
+
   it should "dispatch by config shape in the CLI (both/neither sections fail)" in {
     val neither = writeConfig("neither.json", """{"sink": {"path": "/x"}}""")
     graft.SnapshotJob.run(Array(neither), spark) shouldBe 1

@@ -18,7 +18,7 @@ class IndexPipelineSpec extends SparkTestBase {
   private lazy val tmp = Files.createTempDirectory("graft-idxjob").toString
 
   private def o = IndexPipeline
-  private def fromJson(json: String): IndexPipeline.IndexConfig =
+  private def fromJson(json: String): IndexPipeline.IndexJob =
     o.fromJValue(org.json4s.jackson.JsonMethods.parse(json))
 
   private lazy val docsPath = {
@@ -235,7 +235,196 @@ class IndexPipelineSpec extends SparkTestBase {
       Paths.get("conf/application-index-example.conf")),
       StandardCharsets.UTF_8)
     val cfg = o.fromJValue(Hocon.parse(shipped, baseDir = Some("conf")))
+      .asInstanceOf[IndexPipeline.BuildJob]
     cfg.kind shouldBe IndexPipeline.TextKind("text", 3, 16, 4)
     cfg.idColumn shouldBe "doc_id"
+  }
+
+  it should "extend every family in place from config under the " +
+    "artifact's frozen parameters" in {
+    // text: build on the odd half, config-extend with the %4==2
+    // quarter — the additive contract makes the extended artifact
+    // content-equal to building on doc_id %4 != 0 directly
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "totally different words live here now"),
+      (6L, "one two three four five six seven"),
+      (7L, "more unrelated content for the corpus")
+    ).toDF("doc_id", "text")
+    val base = s"$tmp/ext"
+    docs.filter($"doc_id" % 2 === 1)
+      .write.mode("overwrite").parquet(s"$base/day1")
+    docs.filter($"doc_id" % 4 === 2)
+      .write.mode("overwrite").parquet(s"$base/day2")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "text", "input_path": "$base/day1",
+         | "output_dir": "$base/tidx", "id_column": "doc_id",
+         | "text_column": "text"}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "text", "mode": "extend",
+         | "input_path": "$base/day2", "index_dir": "$base/tidx",
+         | "id_column": "doc_id", "text_column": "text"}}"""
+        .stripMargin)) shouldBe s"$base/tidx"
+    val inc = Seq(
+      (100L, "one two three four five six seven"), // dups doc 2/6
+      (101L, "nothing here matches anything indexed at all")
+    ).toDF("doc_id", "text")
+    Dedup.dedupAgainst(inc, Dedup.TextIndex.load(spark, s"$base/tidx"),
+        "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(101L)
+    // pq + fingerprint now extend in place too (the new *Dir appends)
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "pq", "input_path": "$vecsPath",
+         | "output_dir": "$base/pidx", "id_column": "vec_id",
+         | "vector_column": "embedding", "nlist": 4, "m": 2, "ks": 4,
+         | "iters": 2}}""".stripMargin))
+    (1L to 5L).map(i => (i + 1000L, Array(1.0f, i.toFloat, 0.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/pnew")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "pq", "mode": "extend",
+         | "input_path": "$base/pnew", "index_dir": "$base/pidx",
+         | "id_column": "vec_id", "vector_column": "embedding"}}"""
+        .stripMargin))
+    val pq = graft.ops.PqIndex.PersistedPqIndex.load(spark, s"$base/pidx")
+    pq.codes.count() shouldBe 35L
+    pq.params.version shouldBe 1L
+    docs.write.mode("overwrite").parquet(s"$base/fdocs")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "fingerprint", "input_path": "$base/fdocs",
+         | "output_dir": "$base/fidx", "id_column": "doc_id",
+         | "text_column": "text", "k": 3, "w": 4}}""".stripMargin))
+    Seq((200L, "completely fresh sentence material appended today"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/fnew")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "fingerprint", "mode": "extend",
+         | "input_path": "$base/fnew", "index_dir": "$base/fidx",
+         | "id_column": "doc_id", "text_column": "text"}}"""
+        .stripMargin))
+    val fp = graft.ops.Fingerprint.FingerprintIndex
+      .load(spark, s"$base/fidx")
+    fp.params.version shouldBe 1L
+    fp.fps.filter($"id" === 200L).count() should be > 0L
+    // a tuning key on an extend pretends the frozen geometry is
+    // negotiable — refused with the inventory
+    (the[IllegalArgumentException] thrownBy fromJson(
+      s"""{"index": {"kind": "text", "mode": "extend",
+         | "input_path": "a", "index_dir": "b", "id_column": "i",
+         | "text_column": "t", "bands": 8}}""".stripMargin))
+      .getMessage should include("do not apply")
+  }
+
+  it should "forget ids from every id-keyed family and refuse the " +
+    "id-less text kind" in {
+    val base = s"$tmp/fgt"
+    def docsFor(p: String): Unit =
+      (1L to 6L).map(i => (i, s"unique words w$i a$i b$i c$i d$i e$i"))
+        .toDF("vec_id", "text").write.mode("overwrite").parquet(p)
+    (1L to 6L).map(i => (i, i.toString)).toDF("vec_id", "tag")
+      .filter($"vec_id" % 2 === 0).select($"vec_id")
+      .write.mode("overwrite").parquet(s"$base/ids")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "vector", "input_path": "$vecsPath",
+         | "output_dir": "$base/vidx", "id_column": "vec_id",
+         | "vector_column": "embedding", "nlist": 4, "iters": 1}}"""
+        .stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "vector", "mode": "forget",
+         | "ids_path": "$base/ids", "index_dir": "$base/vidx",
+         | "output_dir": "$base/vidx_purged",
+         | "id_column": "vec_id"}}""".stripMargin)) shouldBe
+      s"$base/vidx_purged"
+    val purged = Dedup.VectorIndex.load(spark, s"$base/vidx_purged")
+    purged.members.filter($"id".isin(2L, 4L, 6L)).count() shouldBe 0L
+    purged.members.count() shouldBe 27L // 30 - {2, 4, 6}
+    purged.params.baseRows shouldBe 27L // recounted, not stale
+    // the purged truncated index loses BOTH tiers' rows and still
+    // passes the prefix-subset load invariant
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "truncated", "input_path": "$vecsPath",
+         | "output_dir": "$base/tidx", "id_column": "vec_id",
+         | "vector_column": "embedding", "dims": 2, "nlist": 4,
+         | "iters": 1}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "truncated", "mode": "forget",
+         | "ids_path": "$base/ids", "index_dir": "$base/tidx",
+         | "output_dir": "$base/tidx_purged",
+         | "id_column": "vec_id"}}""".stripMargin))
+    val tp = Matryoshka.TruncatedIndex.load(spark, s"$base/tidx_purged")
+    tp.full.count() shouldBe 27L
+    tp.prefix.members.count() shouldBe 27L
+    tp.params.rows shouldBe 27L
+    // pq, fingerprint and hamming purge their id-keyed tables the
+    // same way (models / stop sets / kind tags stay frozen)
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "pq", "input_path": "$vecsPath",
+         | "output_dir": "$base/pidx", "id_column": "vec_id",
+         | "vector_column": "embedding", "nlist": 4, "m": 2, "ks": 4,
+         | "iters": 1}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "pq", "mode": "forget",
+         | "ids_path": "$base/ids", "index_dir": "$base/pidx",
+         | "output_dir": "$base/pidx_purged",
+         | "id_column": "vec_id"}}""".stripMargin))
+    val pqP = graft.ops.PqIndex.PersistedPqIndex
+      .load(spark, s"$base/pidx_purged")
+    pqP.codes.count() shouldBe 27L
+    pqP.codes.filter($"corpus_id" === 2L).count() shouldBe 0L
+    docsFor(s"$base/fdocs2")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "fingerprint", "input_path": "$base/fdocs2",
+         | "output_dir": "$base/fidx", "id_column": "vec_id",
+         | "text_column": "text", "k": 3, "w": 4}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "fingerprint", "mode": "forget",
+         | "ids_path": "$base/ids", "index_dir": "$base/fidx",
+         | "output_dir": "$base/fidx_purged",
+         | "id_column": "vec_id"}}""".stripMargin))
+    val fpP = graft.ops.Fingerprint.FingerprintIndex
+      .load(spark, s"$base/fidx_purged")
+    fpP.fps.filter($"id" === 4L).count() shouldBe 0L
+    fpP.fps.filter($"id" === 1L).count() should be > 0L
+    val hpath = s"$base/hashes"
+    Seq((1L, 10L, 20L), (2L, 11L, 21L), (3L, 12L, 22L))
+      .toDF("vec_id", "h_hi", "h_lo")
+      .write.mode("overwrite").parquet(hpath)
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "hamming", "input_path": "$hpath",
+         | "output_dir": "$base/hidx", "id_column": "vec_id",
+         | "hi_column": "h_hi", "lo_column": "h_lo",
+         | "media_kind": "image"}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "hamming", "mode": "forget",
+         | "ids_path": "$base/ids", "index_dir": "$base/hidx",
+         | "output_dir": "$base/hidx_purged",
+         | "id_column": "vec_id"}}""".stripMargin))
+    val hamP = Hamming.HammingIndex.load(spark, s"$base/hidx_purged")
+    hamP.kind shouldBe "image"
+    hamP.fingerprints.select($"id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L)
+    // forgetting from the text kind is a lie (id-less exact hashes
+    // survive) — refused at parse with the rebuild pointer
+    (the[IllegalArgumentException] thrownBy fromJson(
+      s"""{"index": {"kind": "text", "mode": "forget",
+         | "ids_path": "a", "index_dir": "b", "output_dir": "c",
+         | "id_column": "i"}}""".stripMargin))
+      .getMessage should include("rebuild from the purged corpus")
+    // purging INTO the source directory would read-under-write
+    (the[IllegalArgumentException] thrownBy fromJson(
+      s"""{"index": {"kind": "vector", "mode": "forget",
+         | "ids_path": "a", "index_dir": "/d/x", "output_dir": "/d/x/",
+         | "id_column": "i"}}""".stripMargin))
+      .getMessage should include("read-under-write")
+    // an ids table without the declared id column refuses at run
+    Seq((1L, "x")).toDF("other", "tag")
+      .write.mode("overwrite").parquet(s"$base/badids")
+    (the[IllegalArgumentException] thrownBy o.run(spark, fromJson(
+      s"""{"index": {"kind": "vector", "mode": "forget",
+         | "ids_path": "$base/badids", "index_dir": "$base/vidx",
+         | "output_dir": "$base/never", "id_column": "vec_id"}}"""
+        .stripMargin))).getMessage should include("no 'vec_id' column")
   }
 }

@@ -112,6 +112,10 @@ object SnapshotJob {
     try {
       parsed match {
         case Job.Snapshot(snap) => SnapshotPipeline.run(spark, snap)
+        case Job.Curation(cur) if cur.streamDir.isDefined =>
+          // stream.dir declares the RESUMABLE streaming twin: process
+          // the files that arrived since the last run, then exit 0
+          graft.pipeline.CurationPipeline.runStreaming(spark, cur)
         case Job.Curation(cur) =>
           graft.pipeline.CurationPipeline.run(spark, cur)
         case Job.Maintenance(cs) =>

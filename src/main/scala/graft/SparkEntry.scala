@@ -4767,6 +4767,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The streaming twin launched by the SAME CLI binary: stream.dir in
+    // the curation config turns input.path into a resumable parquet
+    // file stream (checkpointed, AvailableNow — a cron-run catch-up
+    // job), per-row stages only. The accumulated per-batch output must
+    // converge to the batch gate of everything that arrived — here the
+    // C4 banned-words page filter, sharing q_pipeline_wordblock's
+    // literal oracle.
+    "q_pipeline_stream_cli" -> ((s, d) => {
+      val fx = stagedOnce("streamcli", d) { dir =>
+        Tables.documents(s, d)
+          .write.mode("overwrite").parquet(s"$dir/feed")
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+        val p = s"$dir/job.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          s"""{"input": {"path": "$dir/feed"},
+             | "rules": [],
+             | "word_blocklist": {"list_path": "$dir/words",
+             |                    "max_hits": 0},
+             | "stream": {"dir": "$dir/state"}}""".stripMargin
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        require(graft.SnapshotJob.run(Array(p), s) == 0,
+          "streaming curation CLI job failed")
+      }
+      s.read.parquet(s"$fx/state/out")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Right-to-be-forgotten over a PERSISTED index, config-declared:
     // mode=forget drops the declared subject ids from the id-keyed
     // tiers and writes the purged artifact to a fresh directory —
@@ -8989,13 +9019,10 @@ object SparkEntry {
         |    AS n_blocked
         |FROM documents ORDER BY doc_id""".stripMargin,
     // The config gate keeps exactly the zero-hit pages.
-    "q_pipeline_wordblock" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE len(list_filter(
-        |  [regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
-        |   for t in regexp_split_to_array(lower(trim(text)), '\s+')],
-        |  t -> list_contains(['stream', 'vector'], t))) = 0
-        |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_wordblock" -> WordBlockGateOracleSql,
+    // The CLI-launched streaming twin of the same gate converges to
+    // the identical batch answer (per-row verdicts, any batching)
+    "q_pipeline_stream_cli" -> WordBlockGateOracleSql,
     // The rate gate replayed: the same hit/token arithmetic closed
     // into the multiplication form (hits <= frac * tokens — no
     // division, zero-token docs pass).
@@ -11570,6 +11597,18 @@ object SparkEntry {
     * the confidence margin over the documents with confusion
     * evidence — [[LangIdMarginOracleCte]]'s lead() margin walked into
     * buckets. */
+  /** The C4 banned-words page gate's keep set (zero hits against the
+    * frozen two-word snapshot) — shared by the batch config gate
+    * (`q_pipeline_wordblock`) and its CLI-launched streaming twin
+    * (`q_pipeline_stream_cli`). */
+  private lazy val WordBlockGateOracleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE len(list_filter(
+      |  [regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+      |   for t in regexp_split_to_array(lower(trim(text)), '\s+')],
+      |  t -> list_contains(['stream', 'vector'], t))) = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** The config against_vector_index tier ≡ the exact cosine
     * anti-join: the staged feed (vec_id % 10 = 0) minus every row with
     * an indexed (vec_id % 10 <> 0) neighbor at cosine >= 0.4 — shared

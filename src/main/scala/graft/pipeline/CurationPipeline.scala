@@ -317,7 +317,8 @@ object CurationPipeline {
       cardPath: Option[String] = None,
       cardMix: Seq[String] = Nil,
       wordBlocklist: Option[WordBlocklistConfig] = None,
-      cardTokenizer: Option[String] = None)
+      cardTokenizer: Option[String] = None,
+      streamDir: Option[String] = None)
 
   // ------------------------------------------------------------- rules
 
@@ -1310,6 +1311,38 @@ object CurationPipeline {
         .write.mode(SaveMode.Overwrite).parquet(cp))
   }
 
+  /** Run the config as a RESUMABLE streaming gate — the CLI closure of
+    * [[graft.streaming.ChangelogStream.streamCurate]] (declared by a
+    * `stream.dir` in the same config file the batch job runs): the
+    * input path becomes a parquet FILE STREAM (schema fixed by one
+    * footer read), each invocation processes only the files that
+    * arrived since the last run (checkpoint under
+    * `<stream.dir>/_checkpoints`, `Trigger.AvailableNow` — run it from
+    * cron, exit 0 when caught up), and the curated rows land
+    * idempotently under `<stream.dir>/out/graft_batch=<id>` — the
+    * incremental materialization a training-data feed tails.
+    * Stage acceptance is [[graft.streaming.ChangelogStream
+    * .streamCurate]]'s contract verbatim (per-row stages only;
+    * cross-row stages, publish-time sections, and extend_index refuse
+    * loudly), so the accumulated output converges to the batch
+    * [[curateFrame]] of everything that ever arrived, regardless of
+    * batch boundaries or how many invocations delivered it. */
+  def runStreaming(spark: SparkSession, config: CurationConfig): Unit = {
+    val dir = config.streamDir.getOrElse(throw new IllegalArgumentException(
+      "runStreaming: config declares no stream.dir"))
+    require(config.textInput.isEmpty,
+      "runStreaming: stream mode reads a parquet feed; the jsonl/csv " +
+        "adapters are batch-only")
+    // one footer pass fixes the stream schema — the file source cannot
+    // infer it, and a schema that drifted mid-feed must fail loudly at
+    // the scan, not silently null out columns
+    val schema = spark.read.parquet(config.inputPath).schema
+    graft.streaming.ChangelogStream.streamCurate(
+      spark.readStream.schema(schema).parquet(config.inputPath),
+      config, dir)
+    ()
+  }
+
   // ------------------------------------------------------------- config
 
   /** Parse a JSON curation config — see [[fromJValue]]. */
@@ -1403,8 +1436,13 @@ object CurationPipeline {
     *              "stages_path": "...",    // per-stage counts and/or
     *              "card_path": "...",          // the dataset CARD
     *              "card_mix": ["lang"],    // composition sections
-    *              "card_tokenizer": "/models/tok"} }  // REAL token
+    *              "card_tokenizer": "/models/tok"},  // REAL token
     *                                 // totals; all post-publish
+    *   "stream": {"dir": "..."} }   // RESUMABLE streaming twin: the
+    *                  // CLI tails input.path as a parquet file stream
+    *                  // (checkpoint + per-batch output under dir) and
+    *                  // exits when caught up — per-row stages only
+    *                  // (streamCurate's acceptance contract)
     * }}} */
   def fromJValue(root: JValue): CurationConfig = {
     def str(v: JValue): Option[String] = v match {
@@ -1905,12 +1943,24 @@ object CurationPipeline {
     if ((cardMix.nonEmpty || cardTokenizer.isDefined) && cardPath.isEmpty)
       fail("report.card_mix/card_tokenizer require report.card_path " +
         "(they parameterize the card)")
+    val streamDir = root \ "stream" match {
+      case JNothing => None
+      case s =>
+        val d = str(s \ "dir").getOrElse(fail(
+          "stream.dir is required (the checkpoint + per-batch output " +
+            "root the streaming gate resumes from)"))
+        if (textInput.isDefined) fail(
+          "stream mode reads a parquet feed (readStream file source); " +
+            "the jsonl/csv text adapters are batch-only — convert the " +
+            "feed or run the batch job")
+        Some(d)
+    }
     CurationConfig(inputPath, idCol, textCol, rules, dedup, sample, budget,
       quota, chunk, pack, expectations, sinkPath, partitionBy, reportPath,
       sinkFormat, urlBlocklist, paragraphDedup, warcInput, classifier,
       sinkSamplesPerShard, decontaminate, stageReportPath, sinkMode,
       textInput, transforms, lm, langId, cardPath, cardMix, wordBlocklist,
-      cardTokenizer)
+      cardTokenizer, streamDir)
   }
 
   private def fail(msg: String): Nothing =

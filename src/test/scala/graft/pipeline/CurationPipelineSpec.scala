@@ -1482,6 +1482,50 @@ class CurationPipelineSpec extends SparkTestBase {
     e2.getMessage should include("inventories differ")
   }
 
+  it should "run the RESUMABLE streaming twin from the same config " +
+    "shape via the CLI" in {
+    val sdir = s"$tmp/streamcli"
+    val feed = s"$sdir/feed"
+    val docs = spark.read.parquet(docsPath)
+    docs.filter($"doc_id" <= 4)
+      .write.mode("overwrite").parquet(feed)
+    val cfg = writeConfig("streamjob.conf",
+      s"""input.path = "$feed"
+         |rules = ["min_tokens:10"]
+         |stream.dir = "$sdir/state"
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    def outIds = spark.read.parquet(s"$sdir/state/out")
+      .select($"doc_id").as[Long].collect().toSet
+    def batchIds(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .filter(TextAnalysis.tokenCount(col("text")) >= 10)
+      .select($"doc_id").as[Long].collect().toSet
+    outIds shouldBe batchIds($"doc_id" <= 4)
+    // wave 2 arrives as NEW FILES in the same feed; the next CLI run
+    // resumes the checkpoint and processes only them
+    def batchDirs = new java.io.File(s"$sdir/state/out")
+      .list().count(_.startsWith("graft_batch="))
+    val dirsAfterWave1 = batchDirs
+    docs.filter($"doc_id" > 4)
+      .write.mode("append").parquet(feed)
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    outIds shouldBe batchIds(lit(true))
+    // resumed, not reprocessed: wave 1's batch dirs survive and new
+    // ids arrived through NEW batch dirs
+    batchDirs should be > dirsAfterWave1
+    // a third catch-up run with nothing new is a clean no-op
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 0
+    outIds shouldBe batchIds(lit(true))
+    // declared confusion refuses: a cross-row stage in stream mode
+    val bad = writeConfig("streambad.conf",
+      s"""input.path = "$feed"
+         |rules = []
+         |quota { group_column = "lang", per_group = 2 }
+         |stream.dir = "$sdir/state2"
+         |""".stripMargin)
+    graft.SnapshotJob.run(Array(bad), spark) shouldBe 1
+  }
+
   it should "merge low-pass rate-gate card sections across waves" in {
     // the rate gate's retention ASCENDS with the threshold (keep-if-
     // low), so the merge's renormalize-against-the-grid-MAX motion —

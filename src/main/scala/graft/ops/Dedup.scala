@@ -1254,15 +1254,21 @@ object Dedup {
     // convergence on an OFF-round would hand the caller a projection of
     // a MEMORY_AND_DISK-persisted frame it has no handle to unpersist —
     // long-lived apps running many dedup passes would accumulate
-    // CacheManager pins. Truncate that final round too (one extra
-    // checkpoint materialized from the still-cached blocks), release
-    // the pin, and retire the now-superseded previous checkpoint; the
-    // result then always reads from its own checkpoint files, never a
-    // cache entry this call leaked.
-    if (!lastCk) {
+    // CacheManager pins. Under RELIABLE checkpointing, truncate that
+    // final round too (one extra checkpoint written from the
+    // still-cached blocks), release the pin, and retire the superseded
+    // previous checkpoint: the result then reads from its own files,
+    // never a cache entry this call leaked. Under localCheckpoint the
+    // truncation would buy nothing — the checkpoint blocks live in the
+    // SAME block manager and are equally unreleasable while the result
+    // is alive — so the off-round result keeps its persisted form
+    // there (one pin either way; configure a checkpoint dir in
+    // long-lived apps, as the cleanup scaladoc above already
+    // advises).
+    if (!lastCk && reliable) {
       val ck = truncate(labels)
       labels.unpersist()
-      if (reliable) deleteCk(prevCkFile)
+      deleteCk(prevCkFile)
       labels = ck
     }
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))

@@ -1576,6 +1576,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The multi-table CATALOG sweep: one config declares the nightly
+    // pass over several tables (shared defaults, per-table overrides,
+    // keep_versions retention riding along) and every table commits
+    // its own version chain. Content preservation across the whole
+    // declared catalog IS the oracle.
+    "q_maintenance_sweep" -> ((s, d) => {
+      val fx = stagedOnce("maintsweep", d) { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/docs")
+        Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/orders")
+        val cfgPath = s"$dir/job.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+          s"""{"maintenance": {
+             |  "target_file_mb": 64,
+             |  "keep_versions": 2,
+             |  "tables": [
+             |    {"table_path": "$dir/docs",
+             |     "output_path": "$dir/docs_maint",
+             |     "cluster": {"mode": "sort", "columns": ["doc_id"]}},
+             |    {"table_path": "$dir/orders",
+             |     "output_path": "$dir/orders_maint"}]}}""".stripMargin
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        require(SnapshotJob.run(Array(cfgPath), s) == 0,
+          "q_maintenance_sweep: the CLI sweep run failed")
+      }
+      graft.ops.Compaction.readLatest(s, s"$fx/docs_maint")
+        .select(lit("docs").as("tbl"), col("doc_id").as("k"),
+          col("lang").as("v"))
+        .unionByName(graft.ops.Compaction.readLatest(s, s"$fx/orders_maint")
+          .select(lit("orders").as("tbl"), col("o_orderkey").as("k"),
+            col("o_orderstatus").as("v")))
+        .orderBy(col("tbl"), col("k"))
+    }),
+
     // The day-2 SLICE rewrite: `where` compacts one partition's worth
     // of a fragmented table into a hive-partitioned committed version
     // (nobody compacts 100 TB wholesale — each pass rewrites one
@@ -4120,6 +4160,36 @@ object SparkEntry {
            | "word_blocklist": {"list_path": "$fx/words",
            |                    "max_hit_frac": 0.02}}""".stripMargin)
       graft.pipeline.CurationPipeline.datasetCard(s, cfg)
+        .orderBy(col("section"), col("idx"), col("key"))
+    }),
+
+    // Release-to-release card DIFF: two releases of the same pipeline
+    // (wave a = the even half, wave b = the full corpus) compared per
+    // (section, idx, key) — count deltas and share drift over the
+    // cards' own stored columns, card-sized frames only. The oracle
+    // replays BOTH rate-gate cards and the full-outer delta join.
+    "q_dataset_card_diff" -> ((s, d) => {
+      val fx = stagedOnce("wbl", d) { dir =>
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+      }
+      val fx2 = stagedOnce("cardhalf", d) { dir =>
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .write.mode("overwrite").parquet(s"$dir/half")
+      }
+      def cfg(p: String) = graft.pipeline.CurationPipeline.fromJson(
+        s"""{"input": {"path": "$p",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": [],
+           | "word_blocklist": {"list_path": "$fx/words",
+           |                    "max_hit_frac": 0.02}}""".stripMargin)
+      graft.pipeline.CurationPipeline.diffCards(
+          graft.pipeline.CurationPipeline.datasetCard(s,
+            cfg(s"$fx2/half")),
+          graft.pipeline.CurationPipeline.datasetCard(s,
+            cfg(s"$d/documents.parquet")))
         .orderBy(col("section"), col("idx"), col("key"))
     }),
 
@@ -6752,6 +6822,15 @@ object SparkEntry {
     "q_maintenance_job" ->
       """SELECT doc_id, lang, n_chars
         | FROM documents ORDER BY doc_id""".stripMargin,
+    // The catalog sweep preserves EXACTLY every declared table's
+    // content — identity over both derivations, normalized to one
+    // (tbl, k, v) schema.
+    "q_maintenance_sweep" ->
+      """SELECT 'docs' AS tbl, doc_id AS k, lang AS v FROM documents
+        |UNION ALL
+        |SELECT 'orders', o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |ORDER BY tbl, k""".stripMargin,
     // The slice rewrite preserves EXACTLY the slice (partition values
     // ride the directory encoding and read back intact).
     "q_maintenance_slice" ->
@@ -9648,6 +9727,10 @@ object SparkEntry {
     // The rate gate's chart replayed: integer ceil-bucket walk
     // cumulated from below; stage counts via the multiplication form.
     "q_dataset_card_gate_rate" -> DatasetCardGateRateOracleSql,
+    // Two releases' cards replayed side by side, then the full-outer
+    // delta join — count deltas exact, share drift on the stored
+    // fracs.
+    "q_dataset_card_diff" -> DatasetCardDiffOracleSql,
     // Config-declared decontamination replayed: the literal paragraph
     // CTEs, the reference key anti-join (the %10 slice — no canonical
     // exemption), the ordered rebuild, then the min_tokens gate.
@@ -11764,6 +11847,82 @@ object SparkEntry {
       |SELECT * FROM stage_rows
       |UNION ALL SELECT * FROM gate_rows
       |ORDER BY section, idx, key""".stripMargin
+
+  /** `q_dataset_card_diff`: the rate-gate card replayed PER SIDE
+    * (side a = doc_id % 2 = 0, side b = all), then the full-outer
+    * delta join over (section, idx, key). */
+  private lazy val DatasetCardDiffOracleSql: String = {
+    // one rate-card computation, suffixed per side: stage rows (input,
+    // word_blocklist) + the 1/100 low-pass gate grid, exactly the
+    // DatasetCardGateRateOracleSql walk parameterized by a predicate
+    def sideCtes(s: String, pred: String): String =
+      s"""t_$s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         |      AS tok,
+         |    len(list_filter(
+         |      [regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+${"$"}', '', 'g')
+         |       for x in regexp_split_to_array(lower(trim(text)), '\\s+')],
+         |      x -> list_contains(['stream', 'vector'], x))) AS hits
+         |  FROM documents WHERE $pred),
+         |kept_$s AS (
+         |  SELECT doc_id, tok FROM t_$s
+         |  WHERE hits::DOUBLE <= 0.02::DOUBLE * tok::DOUBLE),
+         |st_$s AS (
+         |  SELECT 0 AS idx, 'input' AS key,
+         |    (SELECT count(*) FROM t_$s) AS n_docs,
+         |    (SELECT coalesce(sum(tok), 0) FROM t_$s) AS n_tokens
+         |  UNION ALL SELECT 1, 'word_blocklist',
+         |    (SELECT count(*) FROM kept_$s),
+         |    (SELECT coalesce(sum(tok), 0) FROM kept_$s)),
+         |stage_$s AS (
+         |  SELECT 'stage' AS section, idx, key,
+         |    CAST(n_docs AS BIGINT) AS n_docs,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CASE WHEN first(n_docs) OVER w > 0 THEN
+         |      round(n_docs::DOUBLE / first(n_docs) OVER w, 6) END AS frac
+         |  FROM st_$s WINDOW w AS (ORDER BY idx)),
+         |b_$s AS (
+         |  SELECT CASE WHEN tok = 0 THEN 0
+         |      ELSE CAST(least((hits * 100 + tok - 1) // tok, 100) AS INT)
+         |    END AS bk,
+         |    count(*) AS n, coalesce(sum(tok), 0) AS tk
+         |  FROM t_$s GROUP BY 1),
+         |gr_$s AS (
+         |  SELECT k,
+         |    (SELECT coalesce(sum(n), 0) FROM b_$s WHERE b_$s.bk <= g.k)
+         |      AS nd,
+         |    (SELECT coalesce(sum(tk), 0) FROM b_$s WHERE b_$s.bk <= g.k)
+         |      AS nt,
+         |    (SELECT coalesce(sum(n), 0) FROM b_$s) AS td
+         |  FROM grid g),
+         |card_$s AS (
+         |  SELECT * FROM stage_$s
+         |  UNION ALL
+         |  SELECT 'gate' AS section, 0 AS idx,
+         |    'word_blocklist_frac@' || printf('%.2f', round(k / 100.0, 6))
+         |      AS key,
+         |    CAST(nd AS BIGINT) AS n_docs, CAST(nt AS BIGINT) AS n_tokens,
+         |    CASE WHEN td > 0 THEN round(nd::DOUBLE / td, 6) END AS frac
+         |  FROM gr_$s)""".stripMargin
+    s"""WITH grid AS (SELECT CAST(k AS INT) AS k
+       |              FROM unnest(range(0, 101)) AS u(k)),
+       |${sideCtes("a", "doc_id % 2 = 0")},
+       |${sideCtes("b", "1 = 1")}
+       |SELECT section, idx, key,
+       |  coalesce(a.n_docs, 0) AS n_docs_a,
+       |  coalesce(b.n_docs, 0) AS n_docs_b,
+       |  coalesce(b.n_docs, 0) - coalesce(a.n_docs, 0) AS delta_docs,
+       |  coalesce(a.n_tokens, 0) AS n_tokens_a,
+       |  coalesce(b.n_tokens, 0) AS n_tokens_b,
+       |  coalesce(b.n_tokens, 0) - coalesce(a.n_tokens, 0)
+       |    AS delta_tokens,
+       |  a.frac AS frac_a, b.frac AS frac_b,
+       |  round(b.frac - a.frac, 6) AS delta_frac
+       |FROM card_a a FULL OUTER JOIN card_b b USING (section, idx, key)
+       |ORDER BY section, idx, key""".stripMargin
+  }
 
   private lazy val HtmlExtractOracleSql: String =
     s"""WITH h AS (SELECT doc_id, $HtmlFixtureExprSql AS html FROM documents),

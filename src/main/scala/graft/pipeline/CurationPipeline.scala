@@ -1176,6 +1176,50 @@ object CurationPipeline {
     stageRows.unionByName(mixRows).unionByName(gateRows)
   }
 
+  /** Diff two [[datasetCard]]s — the release-review complement of
+    * [[mergeCards]] (merge sums waves INTO a corpus; diff compares two
+    * RELEASES of it): one row per `(section, idx, key)` with each
+    * side's counts, the count deltas (b − a: b is the new release),
+    * and the share drift. Where merge must refuse different stage/gate
+    * inventories (summing across pipelines is a bug), diff keeps the
+    * SAME refusal — a count delta between different pipeline shapes
+    * answers no question — but mix keys may drift freely (a language
+    * appearing in release b is exactly what the diff should surface):
+    * the join is FULL OUTER on the key, missing-side counts read 0 and
+    * missing-side fracs stay NULL (so `delta_frac` is NULL when either
+    * side has no share to compare — never fabricated against 0).
+    * All arithmetic is on the cards' own stored columns — two
+    * card-sized frames joined, nothing rescans a corpus. */
+  def diffCards(a: DataFrame, b: DataFrame): DataFrame = {
+    def stagesOf(df: DataFrame) = df
+      .filter(col("section") === "stage" || col("section") === "gate")
+      .select(col("section"), col("idx"), col("key"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val (sa, sb) = (stagesOf(a), stagesOf(b))
+    require(sa == sb,
+      s"diffCards: stage/gate inventories differ — left has ${sa.toSeq
+        .sorted.mkString(", ")} vs right ${sb.toSeq.sorted.mkString(", ")}; " +
+        "releases of different pipeline shapes do not compare")
+    def side(df: DataFrame, s: String) = df.select(
+      col("section"), col("idx"), col("key"),
+      col("n_docs").as(s"n_docs_$s"), col("n_tokens").as(s"n_tokens_$s"),
+      col("frac").as(s"frac_$s"))
+    side(a, "a").join(side(b, "b"), Seq("section", "idx", "key"),
+        "full_outer")
+      .select(col("section"), col("idx"), col("key"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        (coalesce(col("n_docs_b"), lit(0L)) -
+          coalesce(col("n_docs_a"), lit(0L))).as("delta_docs"),
+        coalesce(col("n_tokens_a"), lit(0L)).as("n_tokens_a"),
+        coalesce(col("n_tokens_b"), lit(0L)).as("n_tokens_b"),
+        (coalesce(col("n_tokens_b"), lit(0L)) -
+          coalesce(col("n_tokens_a"), lit(0L))).as("delta_tokens"),
+        col("frac_a"), col("frac_b"),
+        round(col("frac_b") - col("frac_a"), 6).as("delta_frac"))
+  }
+
   /** The full declared pipeline as ONE lazy frame: document stages,
     * then chunking and packing if configured. With `pack` the result is
     * the pack summary `(shard, pack_id, n_pieces, n_tokens)`; with only

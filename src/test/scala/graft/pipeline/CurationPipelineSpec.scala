@@ -1563,6 +1563,42 @@ class CurationPipelineSpec extends SparkTestBase {
     merged shouldBe whole.collect().map(_.toString).sorted.toSeq
   }
 
+  it should "diff two releases' cards with exact deltas and free mix " +
+    "drift" in {
+    val base = s"$tmp/card_diff"
+    val docs = (1 to 8).map { i =>
+      (i.toLong, (1 to 20).map(k => s"w$i$k").mkString(" "),
+        if (i <= 6) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    docs.filter($"lang" === "en")
+      .write.mode("overwrite").parquet(s"$base/a") // release a: en only
+    docs.write.mode("overwrite").parquet(s"$base/b")
+    def cfg(p: String) = CurationPipeline.fromJson(
+      s"""{"input": {"path": "$p"},
+         | "rules": ["min_tokens:5"]}""".stripMargin)
+    def card(p: String) =
+      CurationPipeline.datasetCard(spark, cfg(p), mixColumns = Seq("lang"))
+    val diff = CurationPipeline.diffCards(card(s"$base/a"), card(s"$base/b"))
+    val stage = diff.filter($"section" === "stage" && $"key" === "input")
+      .select($"n_docs_a", $"n_docs_b", $"delta_docs")
+      .as[(Long, Long, Long)].head()
+    stage shouldBe ((6L, 8L, 2L))
+    // a mix key present only in release b surfaces with a-side 0 and a
+    // NULL a-side share (never fabricated against 0)
+    val fr = diff.filter($"section" === "mix" && $"key" === "fr")
+      .select($"n_docs_a", $"n_docs_b", $"frac_a".isNull,
+        $"delta_frac".isNull)
+      .as[(Long, Long, Boolean, Boolean)].head()
+    fr shouldBe ((0L, 2L, true, true))
+    // different stage chains refuse, as in mergeCards
+    val other = CurationPipeline.datasetCard(spark,
+      CurationPipeline.fromJson(
+        s"""{"input": {"path": "$base/a"}, "rules": []}"""))
+    (the[IllegalArgumentException] thrownBy
+      CurationPipeline.diffCards(card(s"$base/a"), other))
+      .getMessage should include("inventories differ")
+  }
+
   it should "dispatch by config shape in the CLI (both/neither sections fail)" in {
     val neither = writeConfig("neither.json", """{"sink": {"path": "/x"}}""")
     graft.SnapshotJob.run(Array(neither), spark) shouldBe 1

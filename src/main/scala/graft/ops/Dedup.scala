@@ -356,7 +356,8 @@ object Dedup {
     * the index and reused on the query side automatically — the shingle
     * space and banding scheme MUST match between the two sides, so the
     * index is the single source of truth for them. */
-  final case class TextIndexParams(n: Int, bands: Int, rowsPerBand: Int)
+  final case class TextIndexParams(n: Int, bands: Int, rowsPerBand: Int,
+                                   version: Int = 1)
 
   final case class TextIndex(buckets: DataFrame, shingles: DataFrame,
                              hashes: DataFrame, params: TextIndexParams) {
@@ -380,10 +381,15 @@ object Dedup {
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): TextIndex = {
       val params =
         try {
-          val row = spark.read.json(s"$dir/params")
-            .select("n", "bands", "rowsPerBand").head()
+          val pdf = spark.read.json(s"$dir/params")
+          // pre-forget indexes lack the version field — default gen 1
+          val v =
+            if (pdf.schema.fieldNames.contains("version")) col("version")
+            else lit(1L)
+          val row = pdf
+            .select(col("n"), col("bands"), col("rowsPerBand"), v).head()
           TextIndexParams(row.getLong(0).toInt, row.getLong(1).toInt,
-            row.getLong(2).toInt)
+            row.getLong(2).toInt, row.getLong(3).toInt)
         } catch {
           case e: org.apache.spark.sql.AnalysisException =>
             throw new IllegalStateException(
@@ -425,7 +431,7 @@ object Dedup {
                     threshold: Double = 0.8): DataFrame = {
     // shingle/banding params come from the index — the one place they
     // are guaranteed to match what the corpus side was hashed with
-    val TextIndexParams(n, bands, rowsPerBand) = index.params
+    val TextIndexParams(n, bands, rowsPerBand, _) = index.params
     val bi = lshBuckets(increment, idCol, textCol, n, bands, rowsPerBand)
     // shuffle-hash: the corpus bucket table scales with the corpus;
     // never collect it driver-side for a broadcast
@@ -478,7 +484,7 @@ object Dedup {
     * for the persisted form. */
   def appendToTextIndex(index: TextIndex, accepted: DataFrame,
                         idCol: String, textCol: String): TextIndex = {
-    val TextIndexParams(n, bands, rowsPerBand) = index.params
+    val TextIndexParams(n, bands, rowsPerBand, _) = index.params
     TextIndex(
       index.buckets.unionByName(
         lshBuckets(accepted, idCol, textCol, n, bands, rowsPerBand)),
@@ -506,7 +512,7 @@ object Dedup {
                            dir: String, accepted: DataFrame,
                            idCol: String, textCol: String): Unit = {
     val params = TextIndex.load(spark, dir).params
-    val TextIndexParams(n, bands, rowsPerBand) = params
+    val TextIndexParams(n, bands, rowsPerBand, _) = params
     lshBuckets(accepted, idCol, textCol, n, bands, rowsPerBand)
       .write.mode(SaveMode.Append).parquet(s"$dir/buckets")
     Parallelism.spread(accepted.select(col(idCol).as("id"),

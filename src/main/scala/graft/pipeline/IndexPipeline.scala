@@ -24,10 +24,15 @@ import graft.ops.{Dedup, Fingerprint, Hamming, Matryoshka, PqIndex}
   *    row whose id appears in a declared key set and write the purged
   *    artifact to a FRESH directory (deletion requests must purge
   *    derived artifacts too, or the index keeps matching content the
-  *    table tier already deleted). The TEXT kind is REFUSED here: its
-  *    exact tier stores id-less content hashes, so an id-keyed forget
-  *    would leave the forgotten document's hash behind — a forget
-  *    that lies; rebuild from the purged corpus instead.
+  *    table tier already deleted). The TEXT kind takes the
+  *    REBUILD-FROM-SOURCE path: its exact tier stores id-less content
+  *    hashes, so an id-keyed row drop would leave the forgotten
+  *    document's hash behind (a forget that lies) — instead the job
+  *    declares the source corpus (`input_path` + `text_column`), the
+  *    subjects are anti-joined out, and the index is REBUILT under the
+  *    artifact's own frozen shingle/band parameters with a version
+  *    bump, so a hash shared with a retained document survives and a
+  *    hash only the forgotten documents carried is truly gone.
   *
   * {{{
   * { "index": {
@@ -40,7 +45,10 @@ import graft.ops.{Dedup, Fingerprint, Hamming, Matryoshka, PqIndex}
   *     //         "id_column" + the kind's column keys only
   *     // forget: "ids_path" (parquet of subject ids, read from
   *     //         "id_column"), "index_dir" (source),
-  *     //         "output_dir" (fresh target), "overwrite"
+  *     //         "output_dir" (fresh target), "overwrite";
+  *     //         kind text additionally: "input_path" (the source
+  *     //         corpus the index covers) + "text_column" — the
+  *     //         rebuild-from-source inputs
   *     // text:        "text_column", "shingle_n", "bands", "rows_per_band"
   *     // fingerprint: "text_column", "k", "w", "max_df"
   *     // vector:      "vector_column", "nlist", "iters"
@@ -115,11 +123,18 @@ object IndexPipeline {
 
   /** Deletion propagation: drop the ids at `idsPath` (column
     * `idColumn`) from the artifact at `indexDir`, write the purged
-    * artifact to `outputDir`. */
+    * artifact to `outputDir`. Kind `text` carries the
+    * rebuild-from-source inputs (`sourcePath`, `textColumn`): the
+    * exact tier's content hashes are id-less, so the purge is a
+    * rebuild of the filtered corpus under the artifact's frozen
+    * parameters rather than a row drop. */
   final case class ForgetJob(kindName: String, idsPath: String,
                              indexDir: String, outputDir: String,
                              idColumn: String,
-                             overwrite: Boolean = false) extends IndexJob
+                             overwrite: Boolean = false,
+                             sourcePath: Option[String] = None,
+                             textColumn: Option[String] = None)
+    extends IndexJob
 
   /** The tuning keys each kind accepts at BUILD (beyond the shared
     * keys) and its column keys (accepted at build and extend). Held as
@@ -179,8 +194,13 @@ object IndexPipeline {
       case "build" =>
         Set("input_path", "output_dir", "overwrite") ++ tuning ++ columns
       case "extend" => Set("input_path", "index_dir") ++ columns
-      case "forget" => Set("ids_path", "index_dir", "output_dir",
-        "overwrite")
+      case "forget" =>
+        // text forget is a rebuild-from-source: it alone accepts the
+        // corpus inputs; on any other kind those keys are foreign (the
+        // row-drop path never reads the corpus)
+        val base = Set("ids_path", "index_dir", "output_dir", "overwrite")
+        if (kindName == "text") base + "input_path" + "text_column"
+        else base
       case other => fail(
         s"index.mode must be build | extend | forget, got '$other'")
     }
@@ -237,11 +257,6 @@ object IndexPipeline {
         ExtendJob(kindName, inputPath, indexDir, idColumn, tc, vc,
           hi, lo, mk)
       case "forget" =>
-        if (kindName == "text") fail(
-          "index.mode = forget is refused for kind 'text': the exact " +
-            "tier stores id-less content hashes, so an id-keyed forget " +
-            "would leave the forgotten document's hash behind — " +
-            "rebuild from the purged corpus instead")
         val idsPath = required("ids_path")
         val indexDir = required("index_dir")
         val outputDir = required("output_dir")
@@ -249,8 +264,24 @@ object IndexPipeline {
           "index.output_dir must differ from index_dir — the purged " +
             "artifact's lineage reads the source files " +
             "(read-under-write); write to a fresh directory")
+        val (src, tc) =
+          if (kindName == "text") {
+            // the exact tier stores id-less content hashes, so an
+            // id-keyed row drop would leave the forgotten document's
+            // hash behind — require the corpus and rebuild instead
+            val s = str(root \ "input_path").getOrElse(fail(
+              "index.input_path is required for a text forget: the " +
+                "exact tier stores id-less content hashes, so the " +
+                "purge REBUILDS from the filtered source corpus under " +
+                "the artifact's frozen parameters"))
+            if (normalized(s) == normalized(outputDir)) fail(
+              "index.output_dir must differ from input_path — the " +
+                "rebuild reads the corpus lazily while writing " +
+                "(read-under-write)")
+            (Some(s), Some(textCol))
+          } else (None, None)
         ForgetJob(kindName, idsPath, indexDir, outputDir, idColumn,
-          overwrite)
+          overwrite, src, tc)
       case _ => // build
         val inputPath = required("input_path")
         val outputDir = required("output_dir")
@@ -293,6 +324,88 @@ object IndexPipeline {
         BuildJob(inputPath, outputDir, idColumn, kind, overwrite)
     }
   }
+
+  /** Multi-artifact sweep parse — one config declares the nightly pass
+    * over a CATALOG of index artifacts (the [[MaintenancePipeline]]
+    * `tables` discipline applied to indexes):
+    * {{{
+    * { "index": {
+    *     "id_column": "doc_id",           // shared defaults...
+    *     "mode": "extend",
+    *     "indexes": [                     // ...each entry overrides
+    *       {"kind": "text", "text_column": "text",
+    *        "input_path": "/inc", "index_dir": "/idx/text"},
+    *       {"kind": "vector", "vector_column": "embedding",
+    *        "input_path": "/inc_vec", "index_dir": "/idx/vec"}]}}
+    * }}}
+    * Every key the single-artifact shape accepts works both as a
+    * shared default and per entry (deep-merged, entry wins); each
+    * merged entry passes the FULL single-artifact validation —
+    * including the kind/mode key inventory, so a shared kind-specific
+    * key is refused on any entry whose kind it does not apply to.
+    * Without `indexes` this is exactly [[fromJValue]]. Two entries
+    * claiming one artifact directory (output_dir for build/forget,
+    * index_dir for extend) are refused — concurrent writers would
+    * interleave tiers of different artifacts. */
+  def sweepFromJValue(ast: JValue): Seq[IndexJob] = {
+    val root = ast \ "index"
+    if (root == JNothing) fail("config declares no index section")
+    root \ "indexes" match {
+      case JNothing => Seq(fromJValue(ast))
+      case JArray(items) =>
+        if (items.isEmpty) fail("index.indexes must not be empty")
+        val shared: JObject = root match {
+          case JObject(fields) =>
+            JObject(fields.filterNot(_._1 == "indexes"))
+          case other => fail(s"index must be an object, got $other")
+        }
+        val jobs = items.map {
+          case t: JObject => fromJValue(
+            JObject(List("index" -> (shared merge t))))
+          case other =>
+            fail(s"index.indexes entries must be objects, got $other")
+        }
+        val dup = jobs.groupBy(j => new Path(artifactDirOf(j)).toUri)
+          .collect { case (u, js) if js.length > 1 => u.toString }
+        if (dup.nonEmpty) fail(
+          s"index.indexes declare the same artifact directory " +
+            s"${dup.mkString(", ")} more than once — concurrent " +
+            "writers would interleave tiers of different artifacts")
+        jobs
+      case _ => fail("index.indexes must be an array of objects")
+    }
+  }
+
+  /** The directory a job's artifact lives in afterwards — the sweep's
+    * claim key and [[run]]'s return value. */
+  private def artifactDirOf(job: IndexJob): String = job match {
+    case b: BuildJob => b.outputDir
+    case e: ExtendJob => e.indexDir
+    case f: ForgetJob => f.outputDir
+  }
+
+  /** One sweep entry's outcome: the artifact directory, or the failure
+    * it was isolated to. */
+  final case class IndexResult(kindName: String, artifactDir: String,
+                               error: Option[String])
+
+  /** Run a multi-artifact sweep with PER-ENTRY failure isolation (the
+    * [[MaintenancePipeline.runSweep]] discipline): one artifact's
+    * failed build/extend must not abort the rest of the nightly
+    * catalog pass — each failure is captured on its row and the sweep
+    * continues. (Config-PARSE failures are not isolated: a malformed
+    * declaration fails the whole job up front, in
+    * [[sweepFromJValue]].) */
+  def runSweep(spark: SparkSession,
+               jobs: Seq[IndexJob]): Seq[IndexResult] =
+    jobs.map { j =>
+      try IndexResult(j.kindName, run(spark, j), None)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          IndexResult(j.kindName, artifactDirOf(j),
+            Some(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    }
 
   /** Refuse clobbering a directory already holding an artifact (any
     * visible file) unless overwrite was declared — rebuilding a LIVE
@@ -361,6 +474,26 @@ object IndexPipeline {
         s"index.ids_path ${f.idsPath} has no '${f.idColumn}' column " +
           s"(found: ${keys.columns.mkString(", ")})")
       f.kindName match {
+        case "text" =>
+          // rebuild-from-source: parameters are FROZEN from the old
+          // artifact (loading also proves index_dir really is a
+          // TextIndex), the subjects are anti-joined out of the
+          // declared corpus (broadcast — the key set is subject-sized),
+          // and the rebuild re-derives all three tiers. A content hash
+          // shared with a retained document survives through that
+          // document; a hash only the forgotten documents carried is
+          // truly gone — the guarantee a row drop cannot give.
+          val old = Dedup.TextIndex.load(spark, f.indexDir)
+          val source = spark.read.parquet(f.sourcePath.get)
+          val purged = graft.ops.Forget.propagate(keys, f.idColumn, Seq(
+            graft.ops.Forget.Target("source", source, f.idColumn)))("source")
+          val rebuilt = Dedup.buildTextIndex(purged, f.idColumn,
+            f.textColumn.get, old.params.n, old.params.bands,
+            old.params.rowsPerBand)
+          rebuilt
+            .copy(params = old.params.copy(
+              version = old.params.version + 1))
+            .save(f.outputDir)
         case "vector" => Dedup.forgetFromVectorIndex(
             Dedup.VectorIndex.load(spark, f.indexDir), keys, f.idColumn)
           .save(f.outputDir)

@@ -317,8 +317,8 @@ class IndexPipelineSpec extends SparkTestBase {
       .getMessage should include("do not apply")
   }
 
-  it should "forget ids from every id-keyed family and refuse the " +
-    "id-less text kind" in {
+  it should "forget ids from every id-keyed family and refuse a text " +
+    "forget without the rebuild inputs" in {
     val base = s"$tmp/fgt"
     def docsFor(p: String): Unit =
       (1L to 6L).map(i => (i, s"unique words w$i a$i b$i c$i d$i e$i"))
@@ -405,13 +405,14 @@ class IndexPipelineSpec extends SparkTestBase {
     hamP.kind shouldBe "image"
     hamP.fingerprints.select($"id").as[Long].collect().toSet shouldBe
       Set(1L, 3L)
-    // forgetting from the text kind is a lie (id-less exact hashes
-    // survive) — refused at parse with the rebuild pointer
+    // a text forget without the rebuild inputs is a lie (id-less
+    // exact hashes would survive a row drop) — refused at parse with
+    // the rebuild-from-source pointer
     (the[IllegalArgumentException] thrownBy fromJson(
       s"""{"index": {"kind": "text", "mode": "forget",
          | "ids_path": "a", "index_dir": "b", "output_dir": "c",
-         | "id_column": "i"}}""".stripMargin))
-      .getMessage should include("rebuild from the purged corpus")
+         | "id_column": "i", "text_column": "t"}}""".stripMargin))
+      .getMessage should include("REBUILDS from the filtered source")
     // purging INTO the source directory would read-under-write
     (the[IllegalArgumentException] thrownBy fromJson(
       s"""{"index": {"kind": "vector", "mode": "forget",
@@ -426,5 +427,134 @@ class IndexPipelineSpec extends SparkTestBase {
          | "ids_path": "$base/badids", "index_dir": "$base/vidx",
          | "output_dir": "$base/never", "id_column": "vec_id"}}"""
         .stripMargin))).getMessage should include("no 'vec_id' column")
+  }
+
+  it should "close the text-forget matrix by rebuilding from the " +
+    "filtered source under the artifact's frozen parameters" in {
+    val base = s"$tmp/tfgt"
+    // docs 1 and 4 share content; the subject list names doc 1 only —
+    // the shared hash must SURVIVE through retained doc 4, while doc
+    // 2's hash (subject-only content) must be truly gone
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "a document only the forgotten subject ever wrote here"),
+      (3L, "completely different text about spark and parquet files"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "yet another unrelated document mentioning nothing shared")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$base/docs")
+    Seq(1L, 2L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$base/ids")
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "text", "input_path": "$base/docs",
+         | "output_dir": "$base/idx", "id_column": "doc_id",
+         | "text_column": "text", "shingle_n": 2, "bands": 8,
+         | "rows_per_band": 2}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "text", "mode": "forget",
+         | "ids_path": "$base/ids", "index_dir": "$base/idx",
+         | "output_dir": "$base/purged", "id_column": "doc_id",
+         | "input_path": "$base/docs", "text_column": "text"}}"""
+        .stripMargin)) shouldBe s"$base/purged"
+    val purged = Dedup.TextIndex.load(spark, s"$base/purged")
+    // params preservation: the rebuild inherits the artifact's frozen
+    // geometry (never the builder defaults), with a version bump
+    purged.params shouldBe Dedup.TextIndexParams(2, 8, 2, version = 2)
+    // forget ≡ rebuild-without-subjects: tier-for-tier equality with a
+    // hand-built index over the filtered corpus
+    val hand = Dedup.buildTextIndex(
+      docs.filter(!$"doc_id".isin(1L, 2L)), "doc_id", "text",
+      n = 2, bands = 8, rowsPerBand = 2)
+    purged.buckets.select($"id", $"band", $"band_key")
+      .except(hand.buckets.select($"id", $"band", $"band_key"))
+      .count() shouldBe 0L
+    hand.buckets.select($"id", $"band", $"band_key")
+      .except(purged.buckets.select($"id", $"band", $"band_key"))
+      .count() shouldBe 0L
+    purged.shingles.select($"id").as[Long].collect().toSet shouldBe
+      Set(3L, 4L, 5L)
+    // the honest-forget guarantee a row drop cannot give: the hash
+    // doc 1 shared with retained doc 4 survives; doc 2's hash is gone
+    val hashes = purged.hashes.as[String].collect().toSet
+    import org.apache.spark.sql.functions.md5
+    val hashOf = docs.select($"doc_id", md5($"text").as("h"))
+      .as[(Long, String)].collect().toMap
+    hashes should contain(hashOf(4L)) // == hashOf(1L), shared content
+    hashes should not contain hashOf(2L)
+    // and the purged artifact still serves the dedup path
+    val inc = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "a document only the forgotten subject ever wrote here")
+    ).toDF("doc_id", "text")
+    Dedup.dedupAgainst(inc, purged, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet shouldBe Set(101L)
+  }
+
+  it should "run a declared multi-artifact sweep with per-entry " +
+    "failure isolation and refuse duplicate artifact claims" in {
+    val base = s"$tmp/sweep"
+    (1L to 6L).map(i => (i, s"unique words w$i a$i b$i c$i d$i e$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$base/docs")
+    (31L to 36L).map(i => (i, Array(
+        (i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat, i.toFloat / 30)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/vecs")
+    // build the artifacts the extend sweep appends to
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "text", "input_path": "$docsPath",
+         | "output_dir": "$base/tidx", "id_column": "doc_id",
+         | "text_column": "text"}}""".stripMargin))
+    o.run(spark, fromJson(
+      s"""{"index": {"kind": "vector", "input_path": "$vecsPath",
+         | "output_dir": "$base/vidx", "id_column": "vec_id",
+         | "vector_column": "embedding", "nlist": 4, "iters": 1}}"""
+        .stripMargin))
+    // a 3-entry sweep: text extend + vector extend + one DELIBERATELY
+    // failing entry (missing artifact) — shared mode, per-entry kinds
+    val jobs = o.sweepFromJValue(org.json4s.jackson.JsonMethods.parse(
+      s"""{"index": {"mode": "extend",
+         | "indexes": [
+         |   {"kind": "text", "id_column": "doc_id",
+         |    "text_column": "text", "input_path": "$base/docs",
+         |    "index_dir": "$base/tidx"},
+         |   {"kind": "vector", "id_column": "vec_id",
+         |    "vector_column": "embedding", "input_path": "$base/vecs",
+         |    "index_dir": "$base/vidx"},
+         |   {"kind": "vector", "id_column": "vec_id",
+         |    "vector_column": "embedding", "input_path": "$base/vecs",
+         |    "index_dir": "$base/missing_idx"}]}}""".stripMargin))
+    jobs should have length 3
+    val results = o.runSweep(spark, jobs)
+    results.map(_.error.isDefined) shouldBe Seq(false, false, true)
+    // isolation: the failing third entry did not stop the first two
+    Dedup.TextIndex.load(spark, s"$base/tidx")
+      .shingles.count() shouldBe 5L + 6L
+    Dedup.VectorIndex.load(spark, s"$base/vidx")
+      .members.count() shouldBe 36L
+    // a tuning key in the SHARED defaults refuses on the extend mode
+    // (frozen-artifact discipline is per merged entry)
+    (the[IllegalArgumentException] thrownBy o.sweepFromJValue(
+      org.json4s.jackson.JsonMethods.parse(
+        s"""{"index": {"mode": "extend", "nlist": 8,
+           | "indexes": [{"kind": "vector", "id_column": "vec_id",
+           |   "vector_column": "embedding", "input_path": "$base/vecs",
+           |   "index_dir": "$base/vidx"}]}}""".stripMargin)))
+      .getMessage should include("do not apply")
+    // duplicate artifact claims refuse at parse
+    (the[IllegalArgumentException] thrownBy o.sweepFromJValue(
+      org.json4s.jackson.JsonMethods.parse(
+        s"""{"index": {"mode": "extend", "id_column": "doc_id",
+           | "indexes": [
+           |   {"kind": "text", "text_column": "text",
+           |    "input_path": "$base/docs", "index_dir": "$base/tidx"},
+           |   {"kind": "text", "text_column": "text",
+           |    "input_path": "$base/docs", "index_dir": "$base/tidx/"}]}}"""
+          .stripMargin)))
+      .getMessage should include("same artifact directory")
+    // an empty catalog is declared confusion
+    (the[IllegalArgumentException] thrownBy o.sweepFromJValue(
+      org.json4s.jackson.JsonMethods.parse(
+        """{"index": {"mode": "extend", "indexes": []}}""")))
+      .getMessage should include("must not be empty")
   }
 }

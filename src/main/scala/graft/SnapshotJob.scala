@@ -69,22 +69,26 @@ object SnapshotJob {
         // pattern (Settings.scala:16-48) one level up: a `changelog`
         // section declares a snapshot job, an `input` section a
         // curation job, a `maintenance` section a table-health job, an
-        // `index` section an index-build job; any other count of
-        // declared sections is ambiguous and fails with the section
-        // inventory
+        // `index` section an index-lifecycle job, a `forget` section a
+        // deletion sweep, a `monitor` section a drift-monitoring job;
+        // any other count of declared sections is ambiguous and fails
+        // with the section inventory
         import org.json4s.JNothing
         val declared = Seq(
           "changelog" -> (ast \ "changelog"),
           "input" -> (ast \ "input"),
           "maintenance" -> (ast \ "maintenance"),
-          "index" -> (ast \ "index")
+          "index" -> (ast \ "index"),
+          "forget" -> (ast \ "forget"),
+          "monitor" -> (ast \ "monitor")
         ).collect { case (name, v) if v != JNothing => name }
         declared match {
           case Seq() => throw new IllegalArgumentException(
             "config declares no job section — expected exactly one of: " +
               "changelog (snapshot job), input (curation job), " +
               "maintenance (table-maintenance job), " +
-              "index (index-build job)")
+              "index (index-lifecycle job), forget (deletion sweep), " +
+              "monitor (drift-monitoring job)")
           case many if many.length > 1 => throw new IllegalArgumentException(
             s"config declares ${many.mkString(" and ")} sections — " +
               "one job per config file")
@@ -96,8 +100,15 @@ object SnapshotJob {
             // catalog pass; without it this is the single-table shape
             Job.Maintenance(
               graft.pipeline.MaintenancePipeline.sweepFromJValue(ast))
+          case Seq("forget") =>
+            Job.Forget(graft.pipeline.ForgetPipeline.fromJValue(ast))
+          case Seq("monitor") =>
+            Job.Monitor(graft.pipeline.MonitorPipeline.fromJValue(ast))
           case _ =>
-            Job.Index(graft.pipeline.IndexPipeline.fromJValue(ast))
+            // sweep-aware like maintenance: an `indexes` array declares
+            // the multi-artifact catalog pass; without it this is the
+            // single-artifact shape
+            Job.Index(graft.pipeline.IndexPipeline.sweepFromJValue(ast))
         }
       } catch {
         // any parse/validation failure keeps the diagnostic-then-exit-1
@@ -130,8 +141,31 @@ object SnapshotJob {
             s"${failed.length} of ${results.length} maintenance " +
               "tables failed (see per-table diagnostics above)")
         case Job.Index(ix) =>
-          graft.pipeline.IndexPipeline.run(spark, ix)
+          // per-entry failure isolation, the maintenance-sweep contract
+          val results = graft.pipeline.IndexPipeline.runSweep(spark, ix)
+          val failed = results.filter(_.error.isDefined)
+          failed.foreach(r => Console.err.println(
+            s"index job (${r.kindName}) failed for ${r.artifactDir}: " +
+              r.error.get))
+          if (failed.nonEmpty) throw new RuntimeException(
+            s"${failed.length} of ${results.length} index entries " +
+              "failed (see per-entry diagnostics above)")
+        case Job.Forget(fc) =>
+          graft.pipeline.ForgetPipeline.run(spark, fc)
           ()
+        case Job.Monitor(mc) =>
+          // report-and-exit-code, like the Expectations publish gate:
+          // the report is always written; errored checks print per
+          // check and, with any alarmed check, force exit 1
+          val results = graft.pipeline.MonitorPipeline.run(spark, mc)
+          val errored = results.filter(_.error.isDefined)
+          errored.foreach(r => Console.err.println(
+            s"monitor check ${r.checkIdx} (${r.checkType} on " +
+              s"${r.target}) failed: ${r.error.get}"))
+          val alarmed = results.count(_.alarmed)
+          if (errored.nonEmpty || alarmed > 0) throw new RuntimeException(
+            s"monitor: $alarmed check(s) alarmed, ${errored.length} " +
+              "errored (see report and per-check diagnostics above)")
       }
       0
     } catch {
@@ -141,7 +175,7 @@ object SnapshotJob {
     }
   }
 
-  /** The four config-declared job shapes the CLI dispatches between. */
+  /** The six config-declared job shapes the CLI dispatches between. */
   private sealed trait Job
   private object Job {
     final case class Snapshot(c: SnapshotPipeline.SnapshotConfig) extends Job
@@ -151,7 +185,11 @@ object SnapshotJob {
         c: Seq[graft.pipeline.MaintenancePipeline.MaintenanceConfig])
       extends Job
     final case class Index(
-        c: graft.pipeline.IndexPipeline.IndexJob) extends Job
+        c: Seq[graft.pipeline.IndexPipeline.IndexJob]) extends Job
+    final case class Forget(
+        c: graft.pipeline.ForgetPipeline.ForgetConfig) extends Job
+    final case class Monitor(
+        c: graft.pipeline.MonitorPipeline.MonitorConfig) extends Job
   }
 
   def main(args: Array[String]): Unit = {

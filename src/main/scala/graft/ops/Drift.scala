@@ -179,14 +179,41 @@ object Drift {
     * null-safe full-outer join, and windowed totals over vocab-sized
     * rows. Data rows are never joined. */
   def tokenJsd(ref: DataFrame, cand: DataFrame,
-               textCol: String): DataFrame = {
-    def counts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(split(lower(trim(col(textCol))), "\\s+"))
-          .as("token"))
-        .filter(length(col("token")) > 0)
-        .groupBy(col("token")).agg(count(lit(1)).as(name))
-    val rc = counts(ref, "ref_n")
-    val cc = counts(cand, "cand_n").withColumnRenamed("token", "__ct")
+               textCol: String): DataFrame =
+    jsdFromCounts(tokenCounts(ref, textCol, "ref_n"),
+      tokenCounts(cand, textCol, "cand_n"))
+
+  /** The exact per-token counts one side of [[tokenJsd]] reduces to —
+    * the persistable unit: write the reference's counts once and every
+    * daily check pays only its own side's explode. */
+  def tokenCounts(df: DataFrame, textCol: String,
+                  name: String): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as(name))
+
+  /** Freeze the reference side of [[tokenJsd]]: persist its exact
+    * token counts so a daily monitor never rescans the reference
+    * corpus (vocabulary-sized table, one explode+count pass). */
+  def saveTokenReference(ref: DataFrame, textCol: String,
+                         dir: String): Unit =
+    tokenCounts(ref, textCol, "ref_n")
+      .write.mode("overwrite").parquet(dir)
+
+  /** [[tokenJsd]] against a [[saveTokenReference]]-persisted reference:
+    * identical output (exact counts are exact counts, whichever pass
+    * produced them), but the reference corpus itself is never
+    * touched. */
+  def tokenJsdAgainstReference(cand: DataFrame, refDir: String,
+                               textCol: String): DataFrame =
+    jsdFromCounts(cand.sparkSession.read.parquet(refDir),
+      tokenCounts(cand, textCol, "cand_n"))
+
+  private def jsdFromCounts(refCounts: DataFrame,
+                            candCounts: DataFrame): DataFrame = {
+    val rc = refCounts
+    val cc = candCounts.withColumnRenamed("token", "__ct")
     // an empty side makes its total 0 and every proportion 0/0 = NaN,
     // which would propagate into jsd_total and silently read as "no
     // drift" through any threshold (NaN > t is false) — fail loudly
@@ -221,4 +248,23 @@ object Drift {
     val bs = referenceBoundaries(cand.sparkSession, refDir)
     psiFromCounts(refDir, candidateCounts(cand, bs, valueCol))
   }
+
+  /** Freeze the reference side of [[Pca.embeddingDrift]]: ONE
+    * fixed-point moments row `(count, sums, outer)` ([[Pca.moments]]),
+    * persisted so the daily check pays only the candidate's moments
+    * pass. Fixed-point statistics merge and compare exactly, so drift
+    * against the frozen row is bit-identical to the two-corpus
+    * statistic. */
+  def saveEmbeddingReference(ref: DataFrame, vecCol: String, dir: String,
+                             scaleDigits: Int = 9): Unit =
+    Pca.moments(ref, vecCol, scaleDigits)
+      .write.mode("overwrite").parquet(dir)
+
+  /** [[Pca.embeddingDrift]] against a [[saveEmbeddingReference]]-frozen
+    * reference (reference = corpus `a`, candidate = corpus `b`). */
+  def embeddingDriftAgainstReference(cand: DataFrame, refDir: String,
+                                     vecCol: String, dim: Int,
+                                     scaleDigits: Int = 9): DataFrame =
+    Pca.driftFromMoments(cand.sparkSession.read.parquet(refDir),
+      Pca.moments(cand, vecCol, scaleDigits), dim, scaleDigits)
 }

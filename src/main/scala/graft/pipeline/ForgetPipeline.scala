@@ -1,0 +1,275 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.json4s._
+
+import graft.ops.{Dedup, Fingerprint, Forget, Hamming, Matryoshka, PqIndex}
+
+/** Config-declared DELETION SWEEP — the fifth CLI job shape: ONE
+  * subject-id list erased from declared TABLES and declared INDEX
+  * artifacts in one job, filing ONE unified audit report. The
+  * reference's declare-the-job-in-config identity (reference:
+  * src/main/scala/com/booking/spark/Settings.scala:16-48) applied to
+  * the job a compliance team actually runs: a right-to-be-forgotten
+  * request names subjects, not storage tiers, and a run that purges
+  * the star schema but leaves a vector index matching the deleted
+  * content (or vice versa) has not forgotten anything.
+  *
+  * {{{
+  * { "forget": {
+  *     "ids_path": "...",        // parquet of subject ids
+  *     "id_column": "subject",   // its key column (also each table's
+  *                               //   declared key + text corpus id)
+  *     "tables": [               // star-schema tier (ops/Forget)
+  *       {"name": "customer",    //   audit label; default table_path
+  *        "table_path": "...", "key_column": "c_custkey",
+  *        "output_path": "..."}],
+  *     "indexes": [              // derived-artifact tier (IndexPipeline
+  *       {"name": "emb_index",   //   mode=forget per entry)
+  *        "kind": "vector" | "truncated" | "pq" | "fingerprint"
+  *              | "hamming" | "text",
+  *        "index_dir": "...", "output_dir": "...",
+  *        // kind text only (rebuild-from-source):
+  *        "input_path": "...", "text_column": "text"}],
+  *     "report_path": "...",     // unified audit sink (optional)
+  *     "overwrite": false }}
+  * }}}
+  *
+  * Every target writes to a FRESH directory (read-under-write and
+  * duplicate-output claims are refused at parse), the cleaned tables
+  * and purged artifacts are committed FIRST, and the report is written
+  * LAST — the report is the compliance receipt, and a receipt must
+  * never exist for a half-run sweep. Failures are therefore NOT
+  * isolated per target (unlike the maintenance sweep, whose tables are
+  * independent health jobs): a deletion request is one obligation, a
+  * partial success still requires a full rerun, and reruns are safe
+  * because every output is a fresh directory (`overwrite: true` for
+  * the retry).
+  *
+  * Audit semantics ([[Forget.audit]]'s conditional aggregates, one row
+  * per target in declaration order): table rows count the TABLE's
+  * rows; row-drop index kinds count the artifact's id-keyed member
+  * tier (vector/truncated: one row per vector; pq: one code row per
+  * vector; fingerprint: winnowed fingerprint rows; hamming: one row
+  * per asset); kind `text` counts the declared source corpus's
+  * documents — its exact tier is id-less, so the purge is a rebuild
+  * of the filtered corpus ([[IndexPipeline]]) and the honest unit is
+  * what the rebuilt index covers.
+  *
+  * Scale posture: the subject set is deduplicated once and BROADCAST
+  * into every anti-join ([[Forget.propagate]]), so each table pays one
+  * scan and zero shuffles; index purges are the per-family forget
+  * paths (member-tier anti-joins / one filtered rebuild); the audit is
+  * one conditional aggregate per target. Nothing is quadratic or
+  * driver-looped. */
+object ForgetPipeline {
+
+  /** One star-schema target: erase rows whose `keyColumn` matches a
+    * subject, write the cleaned table to `outputPath`. */
+  final case class TableTarget(name: String, tablePath: String,
+                               keyColumn: String, outputPath: String)
+
+  /** One derived-artifact target: delegate to [[IndexPipeline]]'s
+    * `mode = forget` for `kind` (text carries the rebuild-from-source
+    * inputs). */
+  final case class IndexTarget(name: String, kind: String,
+                               indexDir: String, outputDir: String,
+                               sourcePath: Option[String] = None,
+                               textColumn: Option[String] = None)
+
+  final case class ForgetConfig(idsPath: String, idColumn: String,
+                                tables: Seq[TableTarget],
+                                indexes: Seq[IndexTarget],
+                                reportPath: Option[String],
+                                overwrite: Boolean)
+
+  private val IndexKinds =
+    Set("text", "vector", "truncated", "pq", "fingerprint", "hamming")
+
+  /** Parse a forget-sweep config AST (from JSON or [[Hocon]]). */
+  def fromJValue(ast: JValue): ForgetConfig = {
+    val root = ast \ "forget"
+    if (root == JNothing) fail("config declares no forget section")
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JNothing => None
+      case other => fail(s"expected a string, got $other")
+    }
+    def keysOf(v: JValue, where: String, allowed: Set[String]): Unit =
+      v match {
+        case JObject(fields) =>
+          val foreign = fields.map(_._1).filterNot(allowed)
+          if (foreign.nonEmpty) fail(
+            s"$where keys ${foreign.mkString(", ")} are not recognized " +
+              s"— it accepts: ${allowed.toSeq.sorted.mkString(", ")}")
+        case other => fail(s"$where must be an object, got $other")
+      }
+    def normalized(p: String): java.net.URI = new Path(p).toUri
+    keysOf(root, "forget", Set("ids_path", "id_column", "tables",
+      "indexes", "report_path", "overwrite"))
+    val idsPath = str(root \ "ids_path").getOrElse(
+      fail("forget.ids_path is required"))
+    val idColumn = str(root \ "id_column").getOrElse(
+      fail("forget.id_column is required"))
+    val overwrite = root \ "overwrite" match {
+      case JBool(b) => b
+      case JNothing => false
+      case other => fail(s"forget.overwrite must be a boolean, got $other")
+    }
+    val reportPath = str(root \ "report_path")
+    val tables = root \ "tables" match {
+      case JNothing => Nil
+      case JArray(items) => items.map { t =>
+        keysOf(t, "forget.tables entry",
+          Set("name", "table_path", "key_column", "output_path"))
+        val tablePath = str(t \ "table_path").getOrElse(
+          fail("forget.tables entries require table_path"))
+        val outputPath = str(t \ "output_path").getOrElse(
+          fail("forget.tables entries require output_path"))
+        if (normalized(tablePath) == normalized(outputPath)) fail(
+          s"forget table output_path must differ from table_path " +
+            s"($tablePath) — the cleaned write reads the table lazily " +
+            "(read-under-write)")
+        TableTarget(
+          str(t \ "name").getOrElse(tablePath),
+          tablePath,
+          str(t \ "key_column").getOrElse(
+            fail("forget.tables entries require key_column")),
+          outputPath)
+      }
+      case _ => fail("forget.tables must be an array of objects")
+    }
+    val indexes = root \ "indexes" match {
+      case JNothing => Nil
+      case JArray(items) => items.map { t =>
+        val kind = str(t \ "kind").getOrElse(
+          fail("forget.indexes entries require kind"))
+        if (!IndexKinds(kind)) fail(
+          s"forget.indexes kind must be one of " +
+            s"${IndexKinds.toSeq.sorted.mkString(", ")}, got '$kind'")
+        val base = Set("name", "kind", "index_dir", "output_dir")
+        keysOf(t, s"forget.indexes entry (kind $kind)",
+          if (kind == "text") base + "input_path" + "text_column"
+          else base)
+        val indexDir = str(t \ "index_dir").getOrElse(
+          fail("forget.indexes entries require index_dir"))
+        val outputDir = str(t \ "output_dir").getOrElse(
+          fail("forget.indexes entries require output_dir"))
+        if (normalized(indexDir) == normalized(outputDir)) fail(
+          s"forget index output_dir must differ from index_dir " +
+            s"($indexDir) — the purge reads the artifact lazily " +
+            "(read-under-write)")
+        val (src, tc) =
+          if (kind == "text") {
+            val s = str(t \ "input_path").getOrElse(fail(
+              "forget.indexes text entries require input_path: the " +
+                "exact tier stores id-less content hashes, so the " +
+                "purge REBUILDS from the filtered source corpus"))
+            if (normalized(s) == normalized(outputDir)) fail(
+              "forget index output_dir must differ from input_path — " +
+                "the rebuild reads the corpus lazily (read-under-write)")
+            (Some(s), Some(str(t \ "text_column").getOrElse(fail(
+              "forget.indexes text entries require text_column"))))
+          } else (None, None)
+        IndexTarget(str(t \ "name").getOrElse(indexDir), kind,
+          indexDir, outputDir, src, tc)
+      }
+      case _ => fail("forget.indexes must be an array of objects")
+    }
+    if (tables.isEmpty && indexes.isEmpty) fail(
+      "forget declares no targets — list at least one table or index")
+    // one output per target: two targets claiming a directory would
+    // race their writes; the report path is an output too
+    val outs = tables.map(t => normalized(t.outputPath)) ++
+      indexes.map(i => normalized(i.outputDir)) ++
+      reportPath.map(normalized)
+    val dup = outs.groupBy(identity)
+      .collect { case (u, us) if us.length > 1 => u.toString }
+    if (dup.nonEmpty) fail(
+      s"forget targets declare the same output ${dup.mkString(", ")} " +
+        "more than once — every target needs its own fresh directory")
+    // audit labels key the report (and the cleaned-table map): a
+    // duplicate would silently merge two targets' rows
+    val dupName = (tables.map(_.name) ++ indexes.map(_.name))
+      .groupBy(identity).collect { case (n, ns) if ns.length > 1 => n }
+    if (dupName.nonEmpty) fail(
+      s"forget targets share the name ${dupName.mkString(", ")} — " +
+        "audit labels must be unique (set a distinct 'name' per entry)")
+    ForgetConfig(idsPath, idColumn, tables, indexes, reportPath,
+      overwrite)
+  }
+
+  private def checkTarget(spark: SparkSession, out: String,
+                          overwrite: Boolean): Unit = {
+    val p = new Path(out)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!overwrite && fs.exists(p) && fs.listStatus(p).nonEmpty) fail(
+      s"forget output $out already holds files — refusing to clobber " +
+        "(set overwrite: true to rerun the sweep over its own outputs)")
+  }
+
+  /** The id-keyed tier an index target's audit counts ride over (the
+    * text kind counts its declared source corpus — see the object
+    * doc). */
+  private def indexAuditTarget(spark: SparkSession, t: IndexTarget,
+                               idColumn: String): Forget.Target =
+    t.kind match {
+      case "text" => Forget.Target(t.name,
+        spark.read.parquet(t.sourcePath.get), idColumn)
+      case "vector" => Forget.Target(t.name,
+        Dedup.VectorIndex.load(spark, t.indexDir).members, "id")
+      case "truncated" => Forget.Target(t.name,
+        Matryoshka.TruncatedIndex.load(spark, t.indexDir).full, "id")
+      case "pq" => Forget.Target(t.name,
+        PqIndex.PersistedPqIndex.load(spark, t.indexDir).codes,
+        "corpus_id")
+      case "fingerprint" => Forget.Target(t.name,
+        Fingerprint.FingerprintIndex.load(spark, t.indexDir).fps, "id")
+      case _ => Forget.Target(t.name,
+        Hamming.HammingIndex.load(spark, t.indexDir).fingerprints, "id")
+    }
+
+  /** Run the declared sweep: commit every cleaned table and purged
+    * artifact, then file the unified audit report
+    * (`(table, total_rows, dropped_rows, kept_rows)` — [[Forget.audit]]
+    * schema, one row per target in declaration order) to `report_path`
+    * and return it. The report is written LAST: a failed target aborts
+    * the job before any receipt exists. */
+  def run(spark: SparkSession, config: ForgetConfig): DataFrame = {
+    val keys = spark.read.parquet(config.idsPath)
+    if (!keys.columns.contains(config.idColumn)) fail(
+      s"forget.ids_path ${config.idsPath} has no " +
+        s"'${config.idColumn}' column (found: " +
+        s"${keys.columns.mkString(", ")})")
+    // refuse every clobber BEFORE the first write: a sweep that stops
+    // halfway on target 3's existing directory has already rewritten
+    // targets 1-2, and the rerun then needs overwrite anyway
+    config.tables.foreach(t =>
+      checkTarget(spark, t.outputPath, config.overwrite))
+    config.reportPath.foreach(p => checkTarget(spark, p, config.overwrite))
+    val tableTargets = config.tables.map(t => Forget.Target(t.name,
+      spark.read.parquet(t.tablePath), t.keyColumn))
+    if (config.tables.nonEmpty) {
+      val cleaned =
+        Forget.propagate(keys, config.idColumn, tableTargets)
+      config.tables.foreach(t => cleaned(t.name).write
+        .mode(if (config.overwrite) SaveMode.Overwrite
+              else SaveMode.ErrorIfExists)
+        .parquet(t.outputPath))
+    }
+    config.indexes.foreach(ix => IndexPipeline.run(spark,
+      IndexPipeline.ForgetJob(ix.kind, config.idsPath, ix.indexDir,
+        ix.outputDir, config.idColumn, config.overwrite,
+        ix.sourcePath, ix.textColumn)))
+    val report = Forget.audit(keys, config.idColumn,
+      tableTargets ++ config.indexes.map(ix =>
+        indexAuditTarget(spark, ix, config.idColumn)))
+    config.reportPath.foreach(p =>
+      report.coalesce(1).write.mode(SaveMode.Overwrite).parquet(p))
+    report
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+}

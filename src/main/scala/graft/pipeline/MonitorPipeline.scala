@@ -1,0 +1,306 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+import graft.ops.Drift
+
+/** Config-declared DRIFT-MONITORING job — the sixth CLI job shape: the
+  * nightly "is today's feed still yesterday's distribution?" run,
+  * declared in one file with the reference's config-first identity
+  * (reference: src/main/scala/com/booking/spark/Settings.scala:16-48).
+  * A check list runs today's input against FROZEN references (built
+  * once via [[Drift.saveReference]] / [[Drift.saveTokenReference]] /
+  * [[Drift.saveEmbeddingReference]] — the reference corpus is never
+  * rescanned), writes a report, and exits 1 when any check alarms —
+  * report-and-exit-code, like the curation Expectations publish gate.
+  *
+  * {{{
+  * { "monitor": {
+  *     "input": {"path": "..."},   // default candidate feed
+  *     "report_path": "...",       // check report sink (parquet)
+  *     "checks": [                 // each may override "input_path"
+  *       {"type": "psi", "column": "n_chars",
+  *        "reference_dir": "...",           // Drift.saveReference
+  *        "threshold": 0.25},               // default 0.25 (action)
+  *       {"type": "token_jsd", "text_column": "text",
+  *        "reference_dir": "...",           // Drift.saveTokenReference
+  *        "threshold": 0.1},
+  *       {"type": "embedding_drift", "vector_column": "embedding",
+  *        "reference_dir": "...",       // Drift.saveEmbeddingReference
+  *        "dim": 64,
+  *        "max_mean_dist2": 0.001,          // at least one of the two
+  *        "max_cov_frob": 0.05},
+  *       {"type": "card_diff",         // release-mix drift: input is
+  *        "reference_dir": "...",      //   today's CARD artifact, the
+  *        "threshold": 0.02,           //   reference the last release's
+  *        "input_path": "..."}]}}      //   (CurationPipeline.diffCards)
+  * }}}
+  *
+  * Report: one row per (check, statistic) in declaration order —
+  * `(check_idx, check_type, target, statistic, value, threshold,
+  * alarmed)`; `embedding_drift` contributes a row per declared bound.
+  * Checks have PER-CHECK failure isolation (the [[MaintenancePipeline]]
+  * sweep discipline): one check's unreadable reference must not
+  * silence the others the night upstream breaks — the failure is
+  * reported per check on stderr, the surviving rows are still written,
+  * and the job exits 1.
+  *
+  * Scale posture: every check is the underlying operator's own — PSI
+  * pays one bin-granularity groupBy over the candidate
+  * ([[Drift.psiAgainstReference]]), token JSD one explode+count plus a
+  * vocabulary-granularity join ([[Drift.tokenJsdAgainstReference]]),
+  * embedding drift one map-side-combined moments pass
+  * ([[Drift.embeddingDriftAgainstReference]]). What reaches the driver
+  * is one statistic row per check. */
+object MonitorPipeline {
+
+  sealed trait Check {
+    /** The column the check watches (the report's `target`). */
+    def target: String
+    def inputPath: Option[String]
+  }
+  final case class PsiCheck(column: String, referenceDir: String,
+                            threshold: Double,
+                            inputPath: Option[String]) extends Check {
+    def target: String = column
+  }
+  final case class TokenJsdCheck(textColumn: String, referenceDir: String,
+                                 threshold: Double,
+                                 inputPath: Option[String]) extends Check {
+    def target: String = textColumn
+  }
+  final case class EmbeddingDriftCheck(vectorColumn: String,
+                                       referenceDir: String, dim: Int,
+                                       maxMeanDist2: Option[Double],
+                                       maxCovFrob: Option[Double],
+                                       inputPath: Option[String])
+    extends Check {
+    def target: String = vectorColumn
+  }
+  /** Release-mix drift: today's dataset CARD (the check's input — a
+    * [[CurationPipeline.datasetCard]] artifact, not a corpus) against
+    * the last release's frozen card, alarming on the largest absolute
+    * share drift [[CurationPipeline.diffCards]] surfaces. */
+  final case class CardDiffCheck(referenceDir: String, threshold: Double,
+                                 inputPath: Option[String]) extends Check {
+    def target: String = "card"
+  }
+
+  final case class MonitorConfig(inputPath: Option[String],
+                                 reportPath: String, checks: Seq[Check])
+
+  /** One check's outcome: its report rows
+    * `(statistic, value, threshold, alarmed)`, or the failure it was
+    * isolated to. */
+  final case class CheckResult(checkIdx: Int, checkType: String,
+                               target: String,
+                               rows: Seq[(String, Double, Double, Boolean)],
+                               error: Option[String]) {
+    def alarmed: Boolean = rows.exists(_._4)
+  }
+
+  /** Parse a monitor config AST (from JSON or [[Hocon]]). */
+  def fromJValue(ast: JValue): MonitorConfig = {
+    val root = ast \ "monitor"
+    if (root == JNothing) fail("config declares no monitor section")
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JNothing => None
+      case other => fail(s"expected a string, got $other")
+    }
+    def dbl(v: JValue, name: String): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(i) => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case JNothing => None
+      case other => fail(s"$name must be a number, got $other")
+    }
+    def keysOf(v: JValue, where: String, allowed: Set[String]): Unit =
+      v match {
+        case JObject(fields) =>
+          val foreign = fields.map(_._1).filterNot(allowed)
+          if (foreign.nonEmpty) fail(
+            s"$where keys ${foreign.mkString(", ")} are not recognized " +
+              s"— it accepts: ${allowed.toSeq.sorted.mkString(", ")}")
+        case other => fail(s"$where must be an object, got $other")
+      }
+    keysOf(root, "monitor", Set("input", "report_path", "checks"))
+    val inputPath = root \ "input" match {
+      case JNothing => None
+      case in =>
+        keysOf(in, "monitor.input", Set("path"))
+        Some(str(in \ "path").getOrElse(
+          fail("monitor.input.path is required when input is declared")))
+    }
+    val reportPath = str(root \ "report_path").getOrElse(
+      fail("monitor.report_path is required — a monitor that reports " +
+        "nowhere is an exit code with no evidence"))
+    val checks = root \ "checks" match {
+      case JArray(items) if items.nonEmpty => items.map { c =>
+        val tpe = str(c \ "type").getOrElse(
+          fail("monitor.checks entries require type (psi | token_jsd " +
+            "| embedding_drift)"))
+        val perCheckInput = str(c \ "input_path")
+        def refDir = str(c \ "reference_dir").getOrElse(fail(
+          s"monitor.checks $tpe entries require reference_dir (the " +
+            "frozen reference — build it with the matching " +
+            "Drift.save*Reference)"))
+        tpe match {
+          case "psi" =>
+            keysOf(c, "monitor.checks psi entry", Set("type", "column",
+              "reference_dir", "threshold", "input_path"))
+            PsiCheck(
+              str(c \ "column").getOrElse(
+                fail("monitor.checks psi entries require column")),
+              refDir,
+              dbl(c \ "threshold", "monitor.checks.threshold")
+                .getOrElse(0.25),
+              perCheckInput)
+          case "token_jsd" =>
+            keysOf(c, "monitor.checks token_jsd entry", Set("type",
+              "text_column", "reference_dir", "threshold", "input_path"))
+            TokenJsdCheck(
+              str(c \ "text_column").getOrElse(fail(
+                "monitor.checks token_jsd entries require text_column")),
+              refDir,
+              dbl(c \ "threshold", "monitor.checks.threshold").getOrElse(
+                fail("monitor.checks token_jsd entries require " +
+                  "threshold — JSD has no conventional action level")),
+              perCheckInput)
+          case "embedding_drift" =>
+            keysOf(c, "monitor.checks embedding_drift entry",
+              Set("type", "vector_column", "reference_dir", "dim",
+                "max_mean_dist2", "max_cov_frob", "input_path"))
+            val dim = c \ "dim" match {
+              case JInt(i) if i.isValidInt && i > 0 => i.toInt
+              case JLong(i) if i > 0 && i <= Int.MaxValue => i.toInt
+              case JNothing => fail(
+                "monitor.checks embedding_drift entries require dim")
+              case other => fail(
+                s"monitor.checks.dim must be a positive integer, " +
+                  s"got $other")
+            }
+            val mm = dbl(c \ "max_mean_dist2",
+              "monitor.checks.max_mean_dist2")
+            val mc = dbl(c \ "max_cov_frob", "monitor.checks.max_cov_frob")
+            if (mm.isEmpty && mc.isEmpty) fail(
+              "monitor.checks embedding_drift entries require at least " +
+                "one bound (max_mean_dist2 and/or max_cov_frob)")
+            EmbeddingDriftCheck(
+              str(c \ "vector_column").getOrElse(fail(
+                "monitor.checks embedding_drift entries require " +
+                  "vector_column")),
+              refDir, dim, mm, mc, perCheckInput)
+          case "card_diff" =>
+            keysOf(c, "monitor.checks card_diff entry", Set("type",
+              "reference_dir", "threshold", "input_path"))
+            CardDiffCheck(
+              refDir,
+              dbl(c \ "threshold", "monitor.checks.threshold").getOrElse(
+                fail("monitor.checks card_diff entries require " +
+                  "threshold — acceptable share drift is a release " +
+                  "policy, not a convention")),
+              perCheckInput)
+          case other => fail(
+            s"monitor.checks type must be psi | token_jsd | " +
+              s"embedding_drift | card_diff, got '$other'")
+        }
+      }
+      case JNothing | JArray(_) =>
+        fail("monitor.checks must be a non-empty array of checks")
+      case _ => fail("monitor.checks must be an array of objects")
+    }
+    checks.foreach(c => if (c.inputPath.isEmpty && inputPath.isEmpty)
+      fail("monitor declares no input.path and a check declares no " +
+        "input_path override — every check needs a candidate feed"))
+    MonitorConfig(inputPath, reportPath, checks)
+  }
+
+  /** Evaluate one check to its `(statistic, value, threshold, alarmed)`
+    * rows; what reaches the driver is one statistic row. */
+  private def evaluate(spark: SparkSession, config: MonitorConfig,
+                       check: Check)
+      : Seq[(String, Double, Double, Boolean)] = {
+    val input = spark.read.parquet(
+      check.inputPath.orElse(config.inputPath).get)
+    check match {
+      case PsiCheck(column, refDir, threshold, _) =>
+        val v = Drift.psiAgainstReference(input, refDir, column)
+          .agg(max(col("psi_total"))).head().getDouble(0)
+        Seq(("psi", v, threshold, v > threshold))
+      case TokenJsdCheck(textColumn, refDir, threshold, _) =>
+        val v = Drift.tokenJsdAgainstReference(input, refDir, textColumn)
+          .agg(max(col("jsd_total"))).head().getDouble(0)
+        Seq(("jsd", v, threshold, v > threshold))
+      case EmbeddingDriftCheck(vecCol, refDir, dim, mm, mc, _) =>
+        val row = Drift.embeddingDriftAgainstReference(input, refDir,
+          vecCol, dim).select(col("mean_dist2"), col("cov_frob")).head()
+        mm.map(t => ("mean_dist2", row.getDouble(0), t,
+            row.getDouble(0) > t)).toSeq ++
+          mc.map(t => ("cov_frob", row.getDouble(1), t,
+            row.getDouble(1) > t))
+      case CardDiffCheck(refDir, threshold, _) =>
+        // both sides are card-sized artifacts; diffCards full-outer
+        // joins them — NULL delta_frac rows (a side with no share to
+        // compare) have no drift to alarm on, max ignores them, and an
+        // all-NULL diff reads 0 (identical releases must not alarm)
+        val v = CurationPipeline
+          .diffCards(spark.read.parquet(refDir), input)
+          .agg(coalesce(max(abs(col("delta_frac"))), lit(0.0)))
+          .head().getDouble(0)
+        Seq(("max_abs_delta_frac", v, threshold, v > threshold))
+    }
+  }
+
+  private def checkType(c: Check): String = c match {
+    case _: PsiCheck => "psi"
+    case _: TokenJsdCheck => "token_jsd"
+    case _: EmbeddingDriftCheck => "embedding_drift"
+    case _: CardDiffCheck => "card_diff"
+  }
+
+  /** The report rows of a result list as a frame — one row per
+    * (check, statistic) in declaration order; errored checks
+    * contribute no rows (their diagnostics ride the result list). */
+  def report(spark: SparkSession, results: Seq[CheckResult]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("check_idx", IntegerType, nullable = false),
+      StructField("check_type", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("statistic", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("threshold", DoubleType, nullable = false),
+      StructField("alarmed", BooleanType, nullable = false)))
+    val rows = results.flatMap(r => r.rows.map { case (s, v, t, a) =>
+      Row(r.checkIdx, r.checkType, r.target, s, v, t, a)
+    })
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Run the declared checks with per-check failure isolation, write
+    * the report (always — the surviving rows are the evidence), and
+    * return the per-check results for the caller's exit-code policy. */
+  def run(spark: SparkSession, config: MonitorConfig): Seq[CheckResult] = {
+    val results = config.checks.zipWithIndex.map { case (c, i) =>
+      try CheckResult(i, checkType(c), c.target,
+        evaluate(spark, config, c), None)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          CheckResult(i, checkType(c), c.target, Nil,
+            Some(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    }
+    report(spark, results).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(config.reportPath)
+    results
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+}

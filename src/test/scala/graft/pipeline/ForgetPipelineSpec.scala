@@ -1,0 +1,207 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Config-declared deletion sweep: ONE subject list erased from
+  * declared tables AND index artifacts in one job, with one unified
+  * audit receipt — the fifth CLI job shape. The guarantees under test:
+  * the cleaned/purged outputs equal what the code-level paths produce,
+  * the report is written LAST (no receipt for a half-run sweep), and
+  * confused declarations refuse at parse. */
+class ForgetPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-forget").toString
+
+  private def fromJson(json: String): ForgetPipeline.ForgetConfig =
+    ForgetPipeline.fromJValue(org.json4s.jackson.JsonMethods.parse(json))
+
+  // a small star schema: subjects 2 and 4 to forget; customer rows
+  // 1-6, orders referencing customers, docs authored by subjects
+  private lazy val fixtures: String = {
+    val base = s"$tmp/fx"
+    (1L to 6L).map(i => (i, s"name$i"))
+      .toDF("cust_id", "name")
+      .write.mode("overwrite").parquet(s"$base/customer")
+    (1L to 12L).map(i => (i, (i % 6) + 1, i * 10.0))
+      .toDF("order_id", "cust_id", "amount")
+      .write.mode("overwrite").parquet(s"$base/orders")
+    (1L to 6L).map(i =>
+        (i, s"document of subject $i with words w$i a$i b$i c$i"))
+      .toDF("cust_id", "text")
+      .write.mode("overwrite").parquet(s"$base/docs")
+    (1L to 6L).map(i => (i, Array(
+        (i % 3).toFloat, (i % 2).toFloat, i.toFloat / 6, 1.0f)))
+      .toDF("cust_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/vecs")
+    Seq(2L, 4L).toDF("cust_id")
+      .write.mode("overwrite").parquet(s"$base/ids")
+    // the two index artifacts the sweep purges
+    Dedup.buildTextIndex(spark.read.parquet(s"$base/docs"),
+        "cust_id", "text", n = 2, bands = 4, rowsPerBand = 2)
+      .save(s"$base/tidx")
+    Dedup.buildVectorIndex(spark.read.parquet(s"$base/vecs"),
+        "cust_id", "embedding", nlist = 2, iters = 1)
+      .save(s"$base/vidx")
+    base
+  }
+
+  "ForgetPipeline" should "erase one subject list from tables and " +
+    "indexes and file the unified audit receipt" in {
+    val base = fixtures
+    val out = s"$tmp/out1"
+    val config = fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "customer", "table_path": "$base/customer",
+         |     "key_column": "cust_id", "output_path": "$out/customer"},
+         |    {"name": "orders", "table_path": "$base/orders",
+         |     "key_column": "cust_id", "output_path": "$out/orders"}],
+         |  "indexes": [
+         |    {"name": "vec_index", "kind": "vector",
+         |     "index_dir": "$base/vidx", "output_dir": "$out/vidx"},
+         |    {"name": "text_index", "kind": "text",
+         |     "index_dir": "$base/tidx", "output_dir": "$out/tidx",
+         |     "input_path": "$base/docs", "text_column": "text"}],
+         |  "report_path": "$out/report"}}""".stripMargin)
+    val report = ForgetPipeline.run(spark, config)
+    // table tier: subjects gone, everything else intact
+    spark.read.parquet(s"$out/customer").select($"cust_id")
+      .as[Long].collect().toSet shouldBe Set(1L, 3L, 5L, 6L)
+    spark.read.parquet(s"$out/orders")
+      .filter($"cust_id".isin(2L, 4L)).count() shouldBe 0L
+    spark.read.parquet(s"$out/orders").count() shouldBe 8L // 12 - 2*2
+    // index tier: both artifacts purged and still loadable
+    Dedup.VectorIndex.load(spark, s"$out/vidx")
+      .members.select($"id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L, 5L, 6L)
+    Dedup.TextIndex.load(spark, s"$out/tidx")
+      .shingles.select($"id").as[Long].collect().toSet shouldBe
+      Set(1L, 3L, 5L, 6L)
+    // the unified receipt: one row per target, declaration order,
+    // Forget.audit schema — and the written copy equals the returned one
+    val rows = report.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    rows shouldBe Array(
+      ("customer", 6L, 2L, 4L),
+      ("orders", 12L, 4L, 8L),
+      ("vec_index", 6L, 2L, 4L),
+      ("text_index", 6L, 2L, 4L))
+    spark.read.parquet(s"$out/report").count() shouldBe 4L
+  }
+
+  it should "run end-to-end through the CLI and refuse reruns " +
+    "without overwrite" in {
+    val base = fixtures
+    val out = s"$tmp/out2"
+    val cfgPath = s"$tmp/forget_job.json"
+    def writeCfg(overwrite: Boolean): Unit =
+      Files.write(Paths.get(cfgPath),
+        s"""{"forget": {
+           |  "ids_path": "$base/ids", "id_column": "cust_id",
+           |  "overwrite": $overwrite,
+           |  "tables": [
+           |    {"name": "customer", "table_path": "$base/customer",
+           |     "key_column": "cust_id", "output_path": "$out/customer"}],
+           |  "report_path": "$out/report"}}""".stripMargin
+          .getBytes(StandardCharsets.UTF_8))
+    writeCfg(overwrite = false)
+    graft.SnapshotJob.run(Array(cfgPath), spark) shouldBe 0
+    spark.read.parquet(s"$out/customer").count() shouldBe 4L
+    spark.read.parquet(s"$out/report").count() shouldBe 1L
+    // second run: outputs exist, no overwrite — refused (exit 1)
+    graft.SnapshotJob.run(Array(cfgPath), spark) shouldBe 1
+    // with overwrite the rerun is the sanctioned retry
+    writeCfg(overwrite = true)
+    graft.SnapshotJob.run(Array(cfgPath), spark) shouldBe 0
+  }
+
+  it should "refuse confused declarations at parse" in {
+    // no targets at all
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k"}}"""))
+      .getMessage should include("no targets")
+    // read-under-write on a table
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "tables": [{"table_path": "/d/t", "key_column": "k",
+        |             "output_path": "/d/t/"}]}}""".stripMargin))
+      .getMessage should include("read-under-write")
+    // duplicate output claims across tiers
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "tables": [{"table_path": "/d/t", "key_column": "k",
+        |             "output_path": "/d/out"}],
+        | "indexes": [{"kind": "vector", "index_dir": "/d/i",
+        |              "output_dir": "/d/out"}]}}""".stripMargin))
+      .getMessage should include("same output")
+    // duplicate audit labels would merge two targets' rows
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "tables": [
+        |   {"name": "t", "table_path": "/d/t1", "key_column": "k",
+        |    "output_path": "/d/o1"},
+        |   {"name": "t", "table_path": "/d/t2", "key_column": "k",
+        |    "output_path": "/d/o2"}]}}""".stripMargin))
+      .getMessage should include("share the name")
+    // a text index entry without the rebuild inputs
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "indexes": [{"kind": "text", "index_dir": "/d/i",
+        |              "output_dir": "/d/o"}]}}""".stripMargin))
+      .getMessage should include("REBUILDS")
+    // an unknown index kind refuses with the inventory
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "indexes": [{"kind": "bloom", "index_dir": "/d/i",
+        |              "output_dir": "/d/o"}]}}""".stripMargin))
+      .getMessage should include("kind must be one of")
+    // foreign keys refuse with the inventory
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "vacuum": true,
+        | "tables": [{"table_path": "/d/t", "key_column": "k",
+        |             "output_path": "/d/o"}]}}""".stripMargin))
+      .getMessage should include("not recognized")
+  }
+
+  it should "write no receipt when a target fails" in {
+    val base = fixtures
+    val out = s"$tmp/out3"
+    val config = fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "customer", "table_path": "$base/customer",
+         |     "key_column": "cust_id", "output_path": "$out/customer"}],
+         |  "indexes": [
+         |    {"name": "vec_index", "kind": "vector",
+         |     "index_dir": "$base/does_not_exist",
+         |     "output_dir": "$out/vidx"}],
+         |  "report_path": "$out/report"}}""".stripMargin)
+    an[Exception] should be thrownBy ForgetPipeline.run(spark, config)
+    // the report is the compliance receipt — it must not exist for a
+    // half-run sweep (the cleaned customer table MAY exist; the retry
+    // reruns everything with overwrite)
+    new java.io.File(s"$out/report").exists() shouldBe false
+  }
+
+  it should "refuse an ids table without the declared id column" in {
+    val base = fixtures
+    Seq((1L, "x")).toDF("other", "tag")
+      .write.mode("overwrite").parquet(s"$tmp/badids")
+    (the[IllegalArgumentException] thrownBy ForgetPipeline.run(spark,
+      fromJson(
+        s"""{"forget": {"ids_path": "$tmp/badids", "id_column": "cust_id",
+           | "tables": [{"table_path": "$base/customer",
+           |   "key_column": "cust_id",
+           |   "output_path": "$tmp/never"}]}}""".stripMargin)))
+      .getMessage should include("no 'cust_id' column")
+  }
+}

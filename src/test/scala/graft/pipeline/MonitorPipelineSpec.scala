@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.ops.{Drift, Pca}
+import org.apache.spark.sql.functions._
+
+/** Config-declared drift monitoring: the sixth CLI job shape. Under
+  * test: each check equals its code-level operator against the same
+  * frozen reference, per-check failure isolation, the
+  * report-and-exit-code contract, and parse refusals. */
+class MonitorPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-monitor").toString
+
+  private def fromJson(json: String): MonitorPipeline.MonitorConfig =
+    MonitorPipeline.fromJValue(org.json4s.jackson.JsonMethods.parse(json))
+
+  // reference: lengths 10..59 + stable vocabulary; candidate: shifted
+  // lengths + drifted vocabulary; embeddings with a mean shift
+  private lazy val fixtures: String = {
+    val base = s"$tmp/fx"
+    val ref = (1L to 50L).map(i =>
+      (i, 10L + (i % 50), "alpha beta gamma delta " * 3))
+      .toDF("doc_id", "n_chars", "text")
+    val cand = (1L to 50L).map(i =>
+      (i, 200L + (i % 50), "epsilon zeta eta theta " * 3))
+      .toDF("doc_id", "n_chars", "text")
+    ref.write.mode("overwrite").parquet(s"$base/ref_docs")
+    cand.write.mode("overwrite").parquet(s"$base/cand_docs")
+    Drift.saveReference(ref, "n_chars", s"$base/ref_psi", nBins = 5)
+    Drift.saveTokenReference(ref, "text", s"$base/ref_tokens")
+    val refVecs = (1L to 40L).map(i => (i, Array(
+        1.0f, (i % 4).toFloat / 4, 0.5f))).toDF("vec_id", "embedding")
+    val candVecs = (1L to 40L).map(i => (i, Array(
+        -1.0f, (i % 4).toFloat / 4, 0.5f))).toDF("vec_id", "embedding")
+    refVecs.write.mode("overwrite").parquet(s"$base/ref_vecs")
+    candVecs.write.mode("overwrite").parquet(s"$base/cand_vecs")
+    Drift.saveEmbeddingReference(refVecs, "embedding", s"$base/ref_moments")
+    base
+  }
+
+  "MonitorPipeline" should "equal the code-level operators check for " +
+    "check and alarm on the declared bounds" in {
+    val base = fixtures
+    val report = s"$tmp/report1"
+    val config = fromJson(
+      s"""{"monitor": {
+         |  "input": {"path": "$base/cand_docs"},
+         |  "report_path": "$report",
+         |  "checks": [
+         |    {"type": "psi", "column": "n_chars",
+         |     "reference_dir": "$base/ref_psi", "threshold": 0.25},
+         |    {"type": "token_jsd", "text_column": "text",
+         |     "reference_dir": "$base/ref_tokens", "threshold": 0.1},
+         |    {"type": "embedding_drift", "vector_column": "embedding",
+         |     "reference_dir": "$base/ref_moments", "dim": 3,
+         |     "max_mean_dist2": 0.5, "max_cov_frob": 1000.0,
+         |     "input_path": "$base/cand_vecs"}]}}""".stripMargin)
+    val results = MonitorPipeline.run(spark, config)
+    results should have length 3
+    results.forall(_.error.isEmpty) shouldBe true
+    val cand = spark.read.parquet(s"$base/cand_docs")
+    // check ≡ operator: same frozen reference, same statistic
+    val wantPsi = Drift.psiAgainstReference(cand, s"$base/ref_psi",
+      "n_chars").agg(max($"psi_total")).head().getDouble(0)
+    val wantJsd = Drift.tokenJsdAgainstReference(cand,
+      s"$base/ref_tokens", "text")
+      .agg(max($"jsd_total")).head().getDouble(0)
+    val wantDrift = Pca.embeddingDrift(
+        spark.read.parquet(s"$base/ref_vecs"),
+        spark.read.parquet(s"$base/cand_vecs"), "embedding", dim = 3)
+      .select($"mean_dist2", $"cov_frob").head()
+    results(0).rows shouldBe Seq(("psi", wantPsi, 0.25, true))
+    results(1).rows shouldBe Seq(("jsd", wantJsd, 0.1, true))
+    // disjoint vocabularies: JSD = 1 bit, a fully-shifted PSI alarms
+    wantJsd shouldBe 1.0
+    results(2).rows shouldBe Seq(
+      ("mean_dist2", wantDrift.getDouble(0), 0.5, true), // 4.0 > 0.5
+      ("cov_frob", wantDrift.getDouble(1), 1000.0, false))
+    results(2).alarmed shouldBe true
+    // the written report is the evidence: one row per statistic
+    val rep = spark.read.parquet(report).orderBy($"check_idx", $"statistic")
+    rep.count() shouldBe 4L
+    rep.select($"alarmed").as[Boolean].collect().toSeq shouldBe
+      Seq(true, true, false, true) // psi, jsd, cov_frob, mean_dist2
+  }
+
+  it should "not alarm when the candidate IS the reference" in {
+    val base = fixtures
+    val report = s"$tmp/report2"
+    val results = MonitorPipeline.run(spark, fromJson(
+      s"""{"monitor": {
+         |  "input": {"path": "$base/ref_docs"},
+         |  "report_path": "$report",
+         |  "checks": [
+         |    {"type": "psi", "column": "n_chars",
+         |     "reference_dir": "$base/ref_psi"},
+         |    {"type": "token_jsd", "text_column": "text",
+         |     "reference_dir": "$base/ref_tokens", "threshold": 0.1},
+         |    {"type": "embedding_drift", "vector_column": "embedding",
+         |     "reference_dir": "$base/ref_moments", "dim": 3,
+         |     "max_mean_dist2": 0.001,
+         |     "input_path": "$base/ref_vecs"}]}}""".stripMargin))
+    results.exists(_.alarmed) shouldBe false
+    results.forall(_.error.isEmpty) shouldBe true
+    // identical corpora: JSD exactly 0; drift exactly 0
+    results(1).rows.head._2 shouldBe 0.0
+    results(2).rows.head._2 shouldBe 0.0
+  }
+
+  it should "isolate a failing check, keep the survivors' report, " +
+    "and exit 1 through the CLI on alarm or error" in {
+    val base = fixtures
+    val report = s"$tmp/report3"
+    val results = MonitorPipeline.run(spark, fromJson(
+      s"""{"monitor": {
+         |  "input": {"path": "$base/ref_docs"},
+         |  "report_path": "$report",
+         |  "checks": [
+         |    {"type": "psi", "column": "n_chars",
+         |     "reference_dir": "$base/missing_ref"},
+         |    {"type": "token_jsd", "text_column": "text",
+         |     "reference_dir": "$base/ref_tokens",
+         |     "threshold": 0.1}]}}""".stripMargin))
+    results(0).error.isDefined shouldBe true
+    results(1).error shouldBe None
+    // the surviving check's row is still written
+    spark.read.parquet(report).count() shouldBe 1L
+    // CLI: an errored check forces exit 1 even with no alarm...
+    val cfg = s"$tmp/monitor_err.json"
+    Files.write(Paths.get(cfg),
+      s"""{"monitor": {"input": {"path": "$base/ref_docs"},
+         | "report_path": "$tmp/report4",
+         | "checks": [{"type": "psi", "column": "n_chars",
+         |   "reference_dir": "$base/missing_ref"}]}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    graft.SnapshotJob.run(Array(cfg), spark) shouldBe 1
+    // ...an alarmed check forces exit 1...
+    val cfg2 = s"$tmp/monitor_alarm.json"
+    Files.write(Paths.get(cfg2),
+      s"""{"monitor": {"input": {"path": "$base/cand_docs"},
+         | "report_path": "$tmp/report5",
+         | "checks": [{"type": "psi", "column": "n_chars",
+         |   "reference_dir": "$base/ref_psi"}]}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    graft.SnapshotJob.run(Array(cfg2), spark) shouldBe 1
+    // ...and a quiet night exits 0 with the report written
+    val cfg3 = s"$tmp/monitor_ok.json"
+    Files.write(Paths.get(cfg3),
+      s"""{"monitor": {"input": {"path": "$base/ref_docs"},
+         | "report_path": "$tmp/report6",
+         | "checks": [{"type": "psi", "column": "n_chars",
+         |   "reference_dir": "$base/ref_psi"}]}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    graft.SnapshotJob.run(Array(cfg3), spark) shouldBe 0
+    spark.read.parquet(s"$tmp/report6").count() shouldBe 1L
+  }
+
+  it should "alarm on release-mix drift through the card_diff check " +
+    "and stay quiet on identical releases" in {
+    val base = fixtures
+    // two releases of the same pipeline shape: a = the reference half,
+    // b = everything — the mix shares drift
+    def card(p: String): org.apache.spark.sql.DataFrame =
+      CurationPipeline.datasetCard(spark, CurationPipeline.fromJson(
+        s"""{"input": {"path": "$p",
+           |           "id_column": "doc_id", "text_column": "text"},
+           | "rules": ["min_tokens:1"]}""".stripMargin))
+    val allDocs = (1L to 60L).map(i =>
+      (i, s"document $i with ${if (i % 3 == 0) "extra extra" else "few"}"))
+      .toDF("doc_id", "text")
+    allDocs.write.mode("overwrite").parquet(s"$base/rel_all")
+    allDocs.filter($"doc_id" <= 30L)
+      .write.mode("overwrite").parquet(s"$base/rel_half")
+    card(s"$base/rel_half").write.mode("overwrite")
+      .parquet(s"$base/card_a")
+    card(s"$base/rel_all").write.mode("overwrite")
+      .parquet(s"$base/card_b")
+    val report = s"$tmp/report_card"
+    val results = MonitorPipeline.run(spark, fromJson(
+      s"""{"monitor": {"report_path": "$report",
+         |  "checks": [
+         |    {"type": "card_diff", "reference_dir": "$base/card_a",
+         |     "input_path": "$base/card_b", "threshold": 1e-9},
+         |    {"type": "card_diff", "reference_dir": "$base/card_a",
+         |     "input_path": "$base/card_a", "threshold": 1e-9}]}}"""
+        .stripMargin))
+    results.forall(_.error.isEmpty) shouldBe true
+    // check ≡ operator: the value is diffCards' own largest |delta_frac|
+    val want = CurationPipeline.diffCards(
+        spark.read.parquet(s"$base/card_a"),
+        spark.read.parquet(s"$base/card_b"))
+      .agg(coalesce(max(abs($"delta_frac")), lit(0.0)))
+      .head().getDouble(0)
+    results(0).rows shouldBe
+      Seq(("max_abs_delta_frac", want, 1e-9, want > 1e-9))
+    // a release diffed against itself has zero drift — never alarms
+    results(1).rows shouldBe Seq(("max_abs_delta_frac", 0.0, 1e-9, false))
+  }
+
+  it should "refuse confused declarations at parse" in {
+    // no checks
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"},
+        | "report_path": "/r", "checks": []}}""".stripMargin))
+      .getMessage should include("non-empty")
+    // no report sink
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"},
+        | "checks": [{"type": "psi", "column": "c",
+        |   "reference_dir": "/r"}]}}""".stripMargin))
+      .getMessage should include("report_path is required")
+    // a check with no feed at all
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"report_path": "/r",
+        | "checks": [{"type": "psi", "column": "c",
+        |   "reference_dir": "/ref"}]}}""".stripMargin))
+      .getMessage should include("candidate feed")
+    // token_jsd has no conventional action level: threshold required
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"}, "report_path": "/r",
+        | "checks": [{"type": "token_jsd", "text_column": "t",
+        |   "reference_dir": "/ref"}]}}""".stripMargin))
+      .getMessage should include("no conventional action level")
+    // embedding_drift needs at least one bound
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"}, "report_path": "/r",
+        | "checks": [{"type": "embedding_drift", "vector_column": "v",
+        |   "reference_dir": "/ref", "dim": 3}]}}""".stripMargin))
+      .getMessage should include("at least one bound")
+    // foreign keys refuse with the inventory, per check type
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"}, "report_path": "/r",
+        | "checks": [{"type": "psi", "column": "c",
+        |   "reference_dir": "/ref", "dim": 3}]}}""".stripMargin))
+      .getMessage should include("not recognized")
+    // unknown check type refuses with the inventory
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"}, "report_path": "/r",
+        | "checks": [{"type": "ks_test", "column": "c",
+        |   "reference_dir": "/ref"}]}}""".stripMargin))
+      .getMessage should include("psi | token_jsd")
+  }
+}

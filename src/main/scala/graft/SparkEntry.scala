@@ -4837,6 +4837,77 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The nightly index CATALOG pass in one config: an `indexes` array
+    // sweep-extends a text artifact (doc day-2 wave) AND a vector
+    // artifact (embedding day-2 wave) through one CLI run, then each
+    // extended artifact serves its dedup pass — text ≡ build-on-union
+    // (additive banding tables, q_pipeline_index_extend's split),
+    // vector ≡ the one-shot %10<>0 build (appends assign to FROZEN
+    // centroids; the triangle-inequality prune is exact under any
+    // centroids). Both equivalences hash against the existing oracles,
+    // union-tagged.
+    "q_pipeline_index_sweep" -> ((s, d) => {
+      val fx = stagedOnce("idxsweep", d) { dir =>
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$dir/day1")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+          .write.mode("overwrite").parquet(s"$dir/day2")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .write.mode("overwrite").parquet(s"$dir/inc")
+        emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$dir/vday1")
+        emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$dir/vday2")
+        emb.filter(col("vec_id") % 10 === 0)
+          .write.mode("overwrite").parquet(s"$dir/vinc")
+        def job(json: String, name: String): Unit = {
+          val p = s"$dir/$name"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"index job $name failed")
+        }
+        job(s"""{"index": {"kind": "text", "input_path": "$dir/day1",
+               | "output_dir": "$dir/tidx", "id_column": "doc_id",
+               | "text_column": "text"}}""".stripMargin, "build_t.json")
+        job(s"""{"index": {"kind": "vector", "input_path": "$dir/vday1",
+               | "output_dir": "$dir/vidx", "id_column": "vec_id",
+               | "vector_column": "embedding"}}""".stripMargin,
+          "build_v.json")
+        job(s"""{"index": {"mode": "extend",
+               | "indexes": [
+               |   {"kind": "text", "id_column": "doc_id",
+               |    "text_column": "text", "input_path": "$dir/day2",
+               |    "index_dir": "$dir/tidx"},
+               |   {"kind": "vector", "id_column": "vec_id",
+               |    "vector_column": "embedding",
+               |    "input_path": "$dir/vday2",
+               |    "index_dir": "$dir/vidx"}]}}""".stripMargin,
+          "sweep.json")
+      }
+      val textKept = graft.pipeline.CurationPipeline.curate(s,
+        graft.pipeline.CurationPipeline.fromJson(
+          s"""{"input": {"path": "$fx/inc"},
+             | "dedup": {"method": "against_text_index",
+             |           "index_dir": "$fx/tidx", "threshold": 0.8}}"""
+            .stripMargin))
+      val vecKept = graft.pipeline.CurationPipeline.curate(s,
+        graft.pipeline.CurationPipeline.fromJson(
+          s"""{"input": {"path": "$fx/vinc",
+             |           "id_column": "vec_id", "text_column": "label"},
+             | "rules": [],
+             | "dedup": {"method": "against_vector_index",
+             |           "index_dir": "$fx/vidx",
+             |           "vector_column": "embedding",
+             |           "threshold": 0.4}}""".stripMargin))
+      textKept.select(lit("text").as("tier"), col("doc_id").as("id"))
+        .unionByName(
+          vecKept.select(lit("vector").as("tier"), col("vec_id").as("id")))
+        .orderBy(col("tier"), col("id"))
+    }),
+
     // The streaming twin launched by the SAME CLI binary: stream.dir in
     // the curation config turns input.path into a resumable parquet
     // file stream (checkpointed, AvailableNow — a cron-run catch-up
@@ -4912,6 +4983,177 @@ object SparkEntry {
       graft.pipeline.CurationPipeline.curate(s, cfg)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Text-index forget, config-declared: the exact tier stores
+    // id-less content hashes, so mode=forget for kind text REBUILDS
+    // from the declared source corpus under the artifact's frozen
+    // parameters instead of dropping rows (a drop would leave the
+    // forgotten document's hash behind — a forget that lies). Build on
+    // ALL docs, forget the %4==0 slice: the purged index ≡ one built
+    // on %4 != 0, so the dedup pass shares q_dedup_incremental's
+    // literal oracle — forget ≡ rebuild-without-subjects, proven by
+    // hash.
+    "q_pipeline_index_forget_text" -> ((s, d) => {
+      val fx = stagedOnce("idxfgttext", d) { dir =>
+        val docs = Tables.documents(s, d)
+        docs.write.mode("overwrite").parquet(s"$dir/all")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$dir/ids")
+        def job(json: String, name: String): Unit = {
+          val p = s"$dir/$name"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"index job $name failed")
+        }
+        job(s"""{"index": {"kind": "text", "input_path": "$dir/all",
+               | "output_dir": "$dir/idx", "id_column": "doc_id",
+               | "text_column": "text"}}""".stripMargin, "build.json")
+        job(s"""{"index": {"kind": "text", "mode": "forget",
+               | "ids_path": "$dir/ids", "index_dir": "$dir/idx",
+               | "output_dir": "$dir/purged", "id_column": "doc_id",
+               | "input_path": "$dir/all",
+               | "text_column": "text"}}""".stripMargin, "forget.json")
+      }
+      val purged = Dedup.TextIndex.load(s, s"$fx/purged")
+      val inc = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+      Dedup.dedupAgainst(inc, purged, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ONE deletion request, ONE declared job, ONE receipt: the forget
+    // sweep erases a subject list from the declared star schema
+    // (broadcast anti-joins) AND a derived vector index (member-tier
+    // purge) in one CLI run, filing the unified per-target audit —
+    // every count an exact conditional aggregate the oracle replays.
+    "q_pipeline_forget_sweep" -> ((s, d) => {
+      val fx = stagedOnce("fgtsweep", d) { dir =>
+        // stage through Tables.* (events ts physical type varies by
+        // generation; the raw file may be TIMESTAMP(NANOS))
+        Tables.customer(s, d)
+          .write.mode("overwrite").parquet(s"$dir/customer")
+        Tables.orders(s, d)
+          .write.mode("overwrite").parquet(s"$dir/orders")
+        Tables.events(s, d)
+          .write.mode("overwrite").parquet(s"$dir/events")
+        Tables.embeddings(s, d)
+          .write.mode("overwrite").parquet(s"$dir/vecs")
+        Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("subject"))
+          .write.mode("overwrite").parquet(s"$dir/ids")
+        def job(json: String, name: String): Unit = {
+          val p = s"$dir/$name"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"forget-sweep job $name failed")
+        }
+        job(s"""{"index": {"kind": "vector", "input_path": "$dir/vecs",
+               | "output_dir": "$dir/vidx", "id_column": "vec_id",
+               | "vector_column": "embedding"}}""".stripMargin,
+          "build.json")
+        job(s"""{"forget": {
+               |  "ids_path": "$dir/ids", "id_column": "subject",
+               |  "tables": [
+               |    {"name": "customer", "table_path": "$dir/customer",
+               |     "key_column": "c_custkey",
+               |     "output_path": "$dir/clean_customer"},
+               |    {"name": "orders", "table_path": "$dir/orders",
+               |     "key_column": "o_custkey",
+               |     "output_path": "$dir/clean_orders"},
+               |    {"name": "events", "table_path": "$dir/events",
+               |     "key_column": "user_id",
+               |     "output_path": "$dir/clean_events"}],
+               |  "indexes": [
+               |    {"name": "vec_index", "kind": "vector",
+               |     "index_dir": "$dir/vidx",
+               |     "output_dir": "$dir/vidx_purged"}],
+               |  "report_path": "$dir/report"}}""".stripMargin,
+          "forget.json")
+      }
+      s.read.parquet(s"$fx/report").orderBy(col("table"))
+    }),
+
+    // Config-declared drift monitor, the nightly run: PSI + token JSD
+    // + embedding drift of today's feed against FROZEN references
+    // (saveReference / saveTokenReference / saveEmbeddingReference —
+    // the reference corpus is never rescanned) + release-mix card diff
+    // (two card ARTIFACTS, q_dataset_card_diff's construction), one
+    // report row per (check, statistic). The last check is a
+    // threshold=-1 canary (PSI >= 0 > -1 at every scale), so the CLI's
+    // report-and-exit-code contract is exercised too: exit 1, report
+    // still written — and the alarmed column itself is hash-checked.
+    "q_pipeline_monitor" -> ((s, d) => {
+      val fx = stagedOnce("monitor", d) { dir =>
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$dir/cand_docs")
+        docs.filter(col("lang") === "zh")
+          .write.mode("overwrite").parquet(s"$dir/cand_zh")
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$dir/cand_vecs")
+        graft.ops.Drift.saveReference(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "n_chars", s"$dir/ref_psi", nBins = 10)
+        graft.ops.Drift.saveTokenReference(
+          docs.filter(col("lang") === "en"), "text", s"$dir/ref_tokens")
+        graft.ops.Drift.saveEmbeddingReference(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", s"$dir/ref_moments")
+        // the card pair of q_dataset_card_diff, persisted as the
+        // release artifacts the card_diff check compares
+        import s.implicits._
+        Seq("stream", "vector").toDF("word")
+          .write.mode("overwrite").parquet(s"$dir/words")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .write.mode("overwrite").parquet(s"$dir/half")
+        def cardCfg(p: String) = graft.pipeline.CurationPipeline.fromJson(
+          s"""{"input": {"path": "$p",
+             |           "id_column": "doc_id", "text_column": "text"},
+             | "rules": [],
+             | "word_blocklist": {"list_path": "$dir/words",
+             |                    "max_hit_frac": 0.02}}""".stripMargin)
+        graft.pipeline.CurationPipeline.datasetCard(s,
+            cardCfg(s"$dir/half"))
+          .write.mode("overwrite").parquet(s"$dir/card_a")
+        graft.pipeline.CurationPipeline.datasetCard(s,
+            cardCfg(s"$d/documents.parquet"))
+          .write.mode("overwrite").parquet(s"$dir/card_b")
+        val p = s"$dir/job.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          s"""{"monitor": {
+             |  "input": {"path": "$dir/cand_docs"},
+             |  "report_path": "$dir/report",
+             |  "checks": [
+             |    {"type": "psi", "column": "n_chars",
+             |     "reference_dir": "$dir/ref_psi", "threshold": 0.25},
+             |    {"type": "token_jsd", "text_column": "text",
+             |     "reference_dir": "$dir/ref_tokens", "threshold": 0.5,
+             |     "input_path": "$dir/cand_zh"},
+             |    {"type": "embedding_drift",
+             |     "vector_column": "embedding",
+             |     "reference_dir": "$dir/ref_moments", "dim": 64,
+             |     "max_mean_dist2": 0.25, "max_cov_frob": 0.25,
+             |     "input_path": "$dir/cand_vecs"},
+             |    {"type": "card_diff",
+             |     "reference_dir": "$dir/card_a",
+             |     "input_path": "$dir/card_b", "threshold": 0.02},
+             |    {"type": "psi", "column": "n_chars",
+             |     "reference_dir": "$dir/ref_psi",
+             |     "threshold": -1.0}]}}""".stripMargin
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // the canary alarms at every scale (PSI >= 0 > -1) —
+        // report-and-exit-code means exit 1 WITH the report written
+        require(graft.SnapshotJob.run(Array(p), s) == 1,
+          "q_pipeline_monitor: the canary check must alarm (exit 1)")
+      }
+      s.read.parquet(s"$fx/report")
+        .orderBy(col("check_idx"), col("statistic"))
     }),
 
     // The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
@@ -10147,6 +10389,21 @@ object SparkEntry {
     // extend ≡ build-on-union (additive banding tables): the extended
     // artifact answers with the one-shot build's literal oracle
     "q_pipeline_index_extend" -> DedupIncrementalOracleSql,
+    // text forget ≡ rebuild-without-subjects (build on ALL, forget the
+    // %4==0 slice under frozen params): the purged artifact answers
+    // with the corpus-built index's literal oracle
+    "q_pipeline_index_forget_text" -> DedupIncrementalOracleSql,
+    // one catalog config extends BOTH artifacts: the text tier answers
+    // with the build-on-union oracle, the vector tier with the
+    // one-shot-build oracle (frozen-centroid appends, exact prune) —
+    // union-tagged
+    "q_pipeline_index_sweep" ->
+      s"""SELECT * FROM (
+        |  SELECT 'text' AS tier, doc_id AS id
+        |  FROM ($DedupIncrementalOracleSql)
+        |  UNION ALL
+        |  SELECT 'vector', vec_id FROM ($VectorIndexIncOracleSql))
+        |ORDER BY tier, id""".stripMargin,
     // frozen-index streaming form converges to the same accepted set —
     // the equivalence IS the point of the query
     "q_stream_dedup_incremental" -> DedupIncrementalOracleSql,
@@ -10615,6 +10872,39 @@ object SparkEntry {
         |  FROM events LEFT JOIN k ON user_id = k.fk)
         |ORDER BY "table"""".stripMargin,
 
+    // The config-declared sweep files q_forget's receipt PLUS the
+    // derived-artifact row: the vector index's member tier is one row
+    // per embedding, so its audit is the same conditional aggregate
+    // over the embeddings table.
+    "q_pipeline_forget_sweep" ->
+      """WITH k AS (SELECT DISTINCT c_custkey AS fk FROM customer
+        |           WHERE c_custkey % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS "table", count(*) AS total_rows,
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dropped_rows,
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS kept_rows
+        |  FROM customer LEFT JOIN k ON c_custkey = k.fk
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN k ON o_custkey = k.fk
+        |  UNION ALL
+        |  SELECT 'events', count(*),
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events LEFT JOIN k ON user_id = k.fk
+        |  UNION ALL
+        |  SELECT 'vec_index', count(*),
+        |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM embeddings LEFT JOIN k ON vec_id = k.fk)
+        |ORDER BY "table"""".stripMargin,
+
+    "q_pipeline_monitor" -> PipelineMonitorOracleSql,
+
     // q_sim_topk's cosine arithmetic with the different-label join
     // condition added.
     "q_hard_negatives" ->
@@ -10827,34 +11117,7 @@ object SparkEntry {
 
     // Exact token counts, same one-sided-finite JSD arithmetic, both
     // normalized to bits by ln 2.
-    "q_token_jsd" ->
-      """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |      '\s+')) AS token FROM documents WHERE lang = 'en'),
-        |ct AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |      '\s+')) AS token FROM documents WHERE lang = 'zh'),
-        |rc AS (SELECT token, count(*) AS ref_n FROM rt
-        |       WHERE len(token) > 0 GROUP BY 1),
-        |cc AS (SELECT token, count(*) AS cand_n FROM ct
-        |       WHERE len(token) > 0 GROUP BY 1),
-        |v AS (SELECT coalesce(rc.token, cc.token) AS token,
-        |        CAST(coalesce(rc.ref_n, 0) AS BIGINT) AS ref_n,
-        |        CAST(coalesce(cc.cand_n, 0) AS BIGINT) AS cand_n
-        |      FROM rc FULL OUTER JOIN cc ON rc.token = cc.token),
-        |w AS (SELECT token, ref_n, cand_n,
-        |        ref_n::DOUBLE / CAST(sum(ref_n) OVER () AS DOUBLE) AS p,
-        |        cand_n::DOUBLE / CAST(sum(cand_n) OVER () AS DOUBLE) AS q
-        |      FROM v),
-        |t AS (SELECT *,
-        |        (CASE WHEN ref_n > 0
-        |           THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
-        |      + (CASE WHEN cand_n > 0
-        |           THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
-        |        AS term
-        |      FROM w)
-        |SELECT token, ref_n, cand_n, round(p, 6) AS p, round(q, 6) AS q,
-        |  round(term / ln(2), 6) AS jsd_term,
-        |  round(sum(term) OVER () / ln(2), 6) AS jsd_total
-        |FROM t ORDER BY token""".stripMargin,
+    "q_token_jsd" -> TokenJsdOracleSql,
 
     // Same distinct-parents left join accounting per FK.
     "q_ref_integrity" ->
@@ -11345,6 +11608,77 @@ object SparkEntry {
         |  UNION ALL SELECT 3, '__survivors', 0, surv,
         |    CASE WHEN surv = 0 THEN NULL ELSE 1.0 END FROM m)
         |ORDER BY rule_idx""".stripMargin
+
+  /** Shared oracle for the batch `q_token_jsd` AND the monitor's
+    * frozen-reference form (`q_pipeline_monitor`): exact token counts
+    * are exact counts, whichever pass produced them — en-language
+    * documents are the reference vocabulary, zh the candidate. */
+  private val TokenJsdOracleSql: String =
+    """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+      |      '\s+')) AS token FROM documents WHERE lang = 'en'),
+      |ct AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+      |      '\s+')) AS token FROM documents WHERE lang = 'zh'),
+      |rc AS (SELECT token, count(*) AS ref_n FROM rt
+      |       WHERE len(token) > 0 GROUP BY 1),
+      |cc AS (SELECT token, count(*) AS cand_n FROM ct
+      |       WHERE len(token) > 0 GROUP BY 1),
+      |v AS (SELECT coalesce(rc.token, cc.token) AS token,
+      |        CAST(coalesce(rc.ref_n, 0) AS BIGINT) AS ref_n,
+      |        CAST(coalesce(cc.cand_n, 0) AS BIGINT) AS cand_n
+      |      FROM rc FULL OUTER JOIN cc ON rc.token = cc.token),
+      |w AS (SELECT token, ref_n, cand_n,
+      |        ref_n::DOUBLE / CAST(sum(ref_n) OVER () AS DOUBLE) AS p,
+      |        cand_n::DOUBLE / CAST(sum(cand_n) OVER () AS DOUBLE) AS q
+      |      FROM v),
+      |t AS (SELECT *,
+      |        (CASE WHEN ref_n > 0
+      |           THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END)
+      |      + (CASE WHEN cand_n > 0
+      |           THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+      |        AS term
+      |      FROM w)
+      |SELECT token, ref_n, cand_n, round(p, 6) AS p, round(q, 6) AS q,
+      |  round(term / ln(2), 6) AS jsd_term,
+      |  round(sum(term) OVER () / ln(2), 6) AS jsd_total
+      |FROM t ORDER BY token""".stripMargin
+
+  /** `q_pipeline_monitor`: each monitor check collapses its operator's
+    * report — already oracled verbatim elsewhere (`q_drift_psi`,
+    * `q_token_jsd`, `q_embedding_drift`) — to its headline statistic,
+    * compared against the declared bound exactly as the job does. */
+  private lazy val PipelineMonitorOracleSql: String =
+    s"""WITH psi_rep AS ($DriftPsiOracleSql),
+      |jsd_rep AS ($TokenJsdOracleSql),
+      |emb_rep AS ($EmbeddingDriftOracleSql),
+      |card_rep AS ($DatasetCardDiffOracleSql)
+      |SELECT * FROM (
+      |  SELECT 0 AS check_idx, 'psi' AS check_type,
+      |    'n_chars' AS target, 'psi' AS statistic,
+      |    max(psi_total) AS value, 0.25 AS threshold,
+      |    max(psi_total) > 0.25 AS alarmed
+      |  FROM psi_rep
+      |  UNION ALL
+      |  SELECT 1, 'token_jsd', 'text', 'jsd',
+      |    max(jsd_total), 0.5, max(jsd_total) > 0.5
+      |  FROM jsd_rep
+      |  UNION ALL
+      |  SELECT 2, 'embedding_drift', 'embedding', 'cov_frob',
+      |    max(cov_frob), 0.25, max(cov_frob) > 0.25
+      |  FROM emb_rep
+      |  UNION ALL
+      |  SELECT 2, 'embedding_drift', 'embedding', 'mean_dist2',
+      |    max(mean_dist2), 0.25, max(mean_dist2) > 0.25
+      |  FROM emb_rep
+      |  UNION ALL
+      |  SELECT 3, 'card_diff', 'card', 'max_abs_delta_frac',
+      |    coalesce(max(abs(delta_frac)), 0.0), 0.02,
+      |    coalesce(max(abs(delta_frac)), 0.0) > 0.02
+      |  FROM card_rep
+      |  UNION ALL
+      |  SELECT 4, 'psi', 'n_chars', 'psi',
+      |    max(psi_total), -1.0, max(psi_total) > -1.0
+      |  FROM psi_rep)
+      |ORDER BY check_idx, statistic""".stripMargin
 
   /** Shared oracle for the batch (`q_drift_psi`) AND streaming
     * (`q_stream_drift`) PSI reports: even-doc-id documents are the

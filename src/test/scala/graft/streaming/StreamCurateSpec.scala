@@ -530,4 +530,69 @@ class StreamCurateSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     got shouldBe want
   }
+
+  it should "recover from a crash between output write and checkpoint " +
+    "commit with no dropped or duplicated docs" in {
+    // the crash window this design actually has: foreachBatch
+    // overwrites out/graft_batch=<id>, THEN the checkpoint commits id.
+    // A death in between leaves the offsets file (the batch's planned
+    // file set) without its commit marker; the relaunch must replay
+    // EXACTLY that file set into the same directory (idempotent
+    // overwrite) and carry on with the files that arrived meanwhile.
+    val cfg = CurationPipeline.fromJson(
+      """{"input": {"path": "/unused/by/streaming",
+        |           "id_column": "doc_id", "text_column": "text"},
+        | "rules": ["min_tokens:4"]}""".stripMargin)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_scur_in5")
+    stage(inDir, feedDocs.take(2), "wave1.parquet", 180000L)
+    stage(inDir, feedDocs.drop(2), "wave2.parquet", 120000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scur5").toString
+    // run 1: two files, maxFilesPerTrigger=1 → batches 0 and 1 commit
+    ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+    val commits = new java.io.File(s"$dir/_checkpoints/commits")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+    commits.toSeq shouldBe Seq("0", "1")
+    // simulate the mid-stream death: batch 1's output exists but its
+    // commit marker never landed (the local checksum FS keeps a .crc
+    // sidecar the atomic rename-commit on a real cluster doesn't —
+    // drop both, or the replay's commit rename would trip over it)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_checkpoints/commits/1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_checkpoints/commits/.1.crc"))
+    // a third wave arrives while the job is down
+    val wave3 = Seq(
+      SDoc(20L, "epsilon zeta eta theta iota"),
+      SDoc(21L, "nope"))
+    stage(inDir, wave3, "wave3.parquet", 60000L)
+    // the first run's query deregisters from the manager a beat after
+    // awaitTermination returns; the relaunch refuses a checkpoint dir
+    // an active query still claims — wait out the race
+    val deadline = System.currentTimeMillis() + 30000L
+    while (spark.streams.active.nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100L)
+    spark.streams.active shouldBe empty
+    // relaunch from the SAME config + state dir: batch 1 replays from
+    // its recorded offsets (NOT including wave3), batch 2 picks up the
+    // new file
+    val got = ChangelogStream.streamCurate(streamOf(inDir), cfg, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val all = feedDocs ++ wave3
+    val want = CurationPipeline
+      .curateFrame(all.toDF("doc_id", "text"), cfg)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // converged ≡ batch curation of the whole feed: nothing dropped
+    // (the replayed batch reprocessed its files), nothing duplicated
+    // (the replay OVERWROTE its own directory, and `sorted` equality
+    // on the raw collect would expose any double-counted doc)
+    got shouldBe want
+    got.distinct shouldBe got
+    // the replay really re-committed batch 1 and advanced to batch 2
+    new java.io.File(s"$dir/_checkpoints/commits")
+      .listFiles().map(_.getName).filterNot(_.startsWith("."))
+      .sorted.toSeq shouldBe Seq("0", "1", "2")
+    spark.read.parquet(s"$dir/out")
+      .select($"graft_batch".cast("long")).distinct()
+      .as[Long].collect().sorted.toSeq shouldBe Seq(0L, 1L, 2L)
+  }
 }

@@ -637,4 +637,60 @@ class PlanQualitySpec extends SparkTestBase {
       (plan should not).include("Join")
     }
   }
+
+  "the forget sweep" should "broadcast the subject set into every " +
+    "anti-join, never shuffle a table" in {
+    // the 100 TB posture of a deletion run: the subject list is
+    // subject-sized, the fact tables are not — each cleaned table must
+    // plan as ONE scan with a broadcast anti-join (a sort-merge or
+    // shuffled-hash anti would reshuffle the fact table per target)
+    val keys = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("subject"))
+    val cleaned = graft.ops.Forget.propagate(keys, "subject", Seq(
+      graft.ops.Forget.Target("orders", Tables.orders(spark, sf),
+        "o_custkey")))("orders")
+    val plan = cleaned.queryExecution.executedPlan.toString()
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      plan should include("LeftAnti")
+      (plan should not).include("SortMergeJoin")
+      (plan should not).include("ShuffledHashJoin")
+    }
+    // the audit rides the same discipline: broadcast left join +
+    // ONE aggregate per target, no window over the corpus
+    val audit = graft.ops.Forget.audit(keys, "subject", Seq(
+      graft.ops.Forget.Target("orders", Tables.orders(spark, sf),
+        "o_custkey")))
+    val aplan = audit.queryExecution.executedPlan.toString()
+    withClue(aplan) {
+      aplan should include("BroadcastHashJoin")
+      (aplan should not).include("SortMergeJoin")
+      (aplan should not).include("Window")
+    }
+  }
+
+  "the monitor's PSI check" should "collapse the candidate to bin " +
+    "granularity before any join" in {
+    // the frozen-reference monitor path: the candidate pays one
+    // partial-agged groupBy at bin granularity; the only joins are on
+    // the nBins-row spine — no data-row join, no corpus shuffle beyond
+    // the one bin aggregation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_psi").toString
+    val docs = Tables.documents(spark, sf)
+    graft.ops.Drift.saveReference(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "n_chars",
+      s"$dir/ref", nBins = 5)
+    val plan = graft.ops.Drift.psiAgainstReference(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), s"$dir/ref",
+        "n_chars")
+      .queryExecution.executedPlan.toString()
+    withClue(plan) {
+      // partial aggregation before the shuffle: the map side reduces
+      // to bin granularity, so what crosses the exchange is bins
+      plan should include("partial_count")
+      (plan should not).include("SortMergeJoin")
+    }
+  }
 }

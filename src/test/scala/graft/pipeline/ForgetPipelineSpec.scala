@@ -192,6 +192,28 @@ class ForgetPipelineSpec extends SparkTestBase {
     new java.io.File(s"$out/report").exists() shouldBe false
   }
 
+  it should "parse the shipped example conf into the declared sweep" in {
+    // the example is executable documentation: it must stay valid as
+    // the config surface evolves (the application-index-example
+    // discipline). Array entries cannot be overridden per element in
+    // HOCON, so the shipped file is pinned by parse, and the CLI e2e
+    // above drives the same shape with live paths.
+    val text = new String(Files.readAllBytes(
+        java.nio.file.Paths.get("conf/application-forget-example.conf")),
+      StandardCharsets.UTF_8)
+    val cfg = ForgetPipeline.fromJValue(Hocon.parse(text,
+      baseDir = Some("conf")))
+    cfg.idsPath shouldBe "/gdpr/subjects"
+    cfg.idColumn shouldBe "subject_id"
+    cfg.tables.map(_.name) shouldBe Seq("customer", "orders", "events")
+    cfg.indexes.map(t => (t.name, t.kind)) shouldBe Seq(
+      ("emb_index", "vector"), ("text_index", "text"))
+    cfg.indexes.last.sourcePath shouldBe Some("/data/documents")
+    cfg.indexes.last.textColumn shouldBe Some("text")
+    cfg.reportPath shouldBe Some("/gdpr/forget_report")
+    cfg.overwrite shouldBe false
+  }
+
   it should "refuse an ids table without the declared id column" in {
     val base = fixtures
     Seq((1L, "x")).toDF("other", "tag")

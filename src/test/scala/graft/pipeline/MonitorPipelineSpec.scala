@@ -202,6 +202,32 @@ class MonitorPipelineSpec extends SparkTestBase {
     results(1).rows shouldBe Seq(("max_abs_delta_frac", 0.0, 1e-9, false))
   }
 
+  it should "parse the shipped example conf into the declared checks" in {
+    val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("conf/application-monitor-example.conf")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val cfg = MonitorPipeline.fromJValue(Hocon.parse(text,
+      baseDir = Some("conf")))
+    cfg.inputPath shouldBe Some("/data/today")
+    cfg.reportPath shouldBe "/monitor/report"
+    cfg.checks.map {
+      case c: MonitorPipeline.PsiCheck => ("psi", c.target, c.threshold)
+      case c: MonitorPipeline.TokenJsdCheck =>
+        ("token_jsd", c.target, c.threshold)
+      case c: MonitorPipeline.EmbeddingDriftCheck =>
+        ("embedding_drift", c.target, c.maxCovFrob.get)
+      case c: MonitorPipeline.CardDiffCheck =>
+        ("card_diff", c.target, c.threshold)
+    } shouldBe Seq(
+      ("psi", "n_chars", 0.25),
+      ("token_jsd", "text", 0.1),
+      ("embedding_drift", "embedding", 0.05),
+      ("card_diff", "card", 0.02))
+    // the per-check input overrides survive the include
+    cfg.checks(2).inputPath shouldBe Some("/data/today_embeddings")
+    cfg.checks(3).inputPath shouldBe Some("/releases/v2-rc/card")
+  }
+
   it should "refuse confused declarations at parse" in {
     // no checks
     (the[IllegalArgumentException] thrownBy fromJson(

@@ -24,7 +24,9 @@ import graft.ops.{Dedup, Fingerprint, Forget, Hamming, Matryoshka, PqIndex}
   *     "tables": [               // star-schema tier (ops/Forget)
   *       {"name": "customer",    //   audit label; default table_path
   *        "table_path": "...", "key_column": "c_custkey",
-  *        "output_path": "..."}],
+  *        "output_path": "...",
+  *        "partition_by": ["day"]}],  // optional: keep a partitioned
+  *                                    //   table's directory layout
   *     "indexes": [              // derived-artifact tier (IndexPipeline
   *       {"name": "emb_index",   //   mode=forget per entry)
   *        "kind": "vector" | "truncated" | "pq" | "fingerprint"
@@ -66,9 +68,13 @@ import graft.ops.{Dedup, Fingerprint, Forget, Hamming, Matryoshka, PqIndex}
 object ForgetPipeline {
 
   /** One star-schema target: erase rows whose `keyColumn` matches a
-    * subject, write the cleaned table to `outputPath`. */
+    * subject, write the cleaned table to `outputPath`. `partitionBy`
+    * preserves a hive-partitioned table's directory layout through the
+    * rewrite — a compliance pass that flattens the partitioning would
+    * degrade every directory-pruned read downstream. */
   final case class TableTarget(name: String, tablePath: String,
-                               keyColumn: String, outputPath: String)
+                               keyColumn: String, outputPath: String,
+                               partitionBy: Seq[String] = Nil)
 
   /** One derived-artifact target: delegate to [[IndexPipeline]]'s
     * `mode = forget` for `kind` (text carries the rebuild-from-source
@@ -122,7 +128,8 @@ object ForgetPipeline {
       case JNothing => Nil
       case JArray(items) => items.map { t =>
         keysOf(t, "forget.tables entry",
-          Set("name", "table_path", "key_column", "output_path"))
+          Set("name", "table_path", "key_column", "output_path",
+            "partition_by"))
         val tablePath = str(t \ "table_path").getOrElse(
           fail("forget.tables entries require table_path"))
         val outputPath = str(t \ "output_path").getOrElse(
@@ -131,12 +138,21 @@ object ForgetPipeline {
           s"forget table output_path must differ from table_path " +
             s"($tablePath) — the cleaned write reads the table lazily " +
             "(read-under-write)")
+        val partitionBy = t \ "partition_by" match {
+          case JArray(cols) => cols.map {
+            case JString(c) => c
+            case other => fail(
+              s"forget partition_by entries must be strings, got $other")
+          }
+          case JNothing => Nil
+          case _ => fail("forget partition_by must be an array of strings")
+        }
         TableTarget(
           str(t \ "name").getOrElse(tablePath),
           tablePath,
           str(t \ "key_column").getOrElse(
             fail("forget.tables entries require key_column")),
-          outputPath)
+          outputPath, partitionBy)
       }
       case _ => fail("forget.tables must be an array of objects")
     }
@@ -253,10 +269,13 @@ object ForgetPipeline {
     if (config.tables.nonEmpty) {
       val cleaned =
         Forget.propagate(keys, config.idColumn, tableTargets)
-      config.tables.foreach(t => cleaned(t.name).write
-        .mode(if (config.overwrite) SaveMode.Overwrite
-              else SaveMode.ErrorIfExists)
-        .parquet(t.outputPath))
+      config.tables.foreach { t =>
+        val w = cleaned(t.name).write
+          .mode(if (config.overwrite) SaveMode.Overwrite
+                else SaveMode.ErrorIfExists)
+        (if (t.partitionBy.nonEmpty) w.partitionBy(t.partitionBy: _*)
+         else w).parquet(t.outputPath)
+      }
     }
     config.indexes.foreach(ix => IndexPipeline.run(spark,
       IndexPipeline.ForgetJob(ix.kind, config.idsPath, ix.indexDir,

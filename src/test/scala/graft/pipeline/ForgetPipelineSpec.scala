@@ -192,6 +192,31 @@ class ForgetPipelineSpec extends SparkTestBase {
     new java.io.File(s"$out/report").exists() shouldBe false
   }
 
+  it should "keep a partitioned table's directory layout through the " +
+    "cleaned rewrite" in {
+    val base = fixtures
+    val out = s"$tmp/out_part"
+    // orders partitioned by a derived day column: the rewrite must
+    // come back hive-partitioned on the same column
+    spark.read.parquet(s"$base/orders")
+      .withColumn("bucket", pmod(col("order_id"), lit(3)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$base/orders_part")
+    ForgetPipeline.run(spark, fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "orders", "table_path": "$base/orders_part",
+         |     "key_column": "cust_id", "output_path": "$out/orders",
+         |     "partition_by": ["bucket"]}]}}""".stripMargin))
+    // layout preserved: bucket directories exist in the output
+    new java.io.File(s"$out/orders").list()
+      .count(_.startsWith("bucket=")) shouldBe 3
+    val back = spark.read.parquet(s"$out/orders")
+    back.filter($"cust_id".isin(2L, 4L)).count() shouldBe 0L
+    back.count() shouldBe 8L
+  }
+
   it should "parse the shipped example conf into the declared sweep" in {
     // the example is executable documentation: it must stay valid as
     // the config surface evolves (the application-index-example

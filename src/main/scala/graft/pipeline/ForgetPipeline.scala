@@ -1,7 +1,8 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.json4s._
 
 import graft.ops.{Dedup, Fingerprint, Forget, Hamming, Matryoshka, PqIndex}
@@ -25,8 +26,12 @@ import graft.ops.{Dedup, Fingerprint, Forget, Hamming, Matryoshka, PqIndex}
   *       {"name": "customer",    //   audit label; default table_path
   *        "table_path": "...", "key_column": "c_custkey",
   *        "output_path": "...",
-  *        "partition_by": ["day"]}],  // optional: keep a partitioned
+  *        "partition_by": ["day"],    // optional: keep a partitioned
   *                                    //   table's directory layout
+  *        "scope_partitions": true}], // optional: rewrite ONLY the
+  *                                    //   partitions holding subject
+  *                                    //   rows, carry the rest
+  *                                    //   through byte-identical
   *     "indexes": [              // derived-artifact tier (IndexPipeline
   *       {"name": "emb_index",   //   mode=forget per entry)
   *        "kind": "vector" | "truncated" | "pq" | "fingerprint"
@@ -61,20 +66,27 @@ import graft.ops.{Dedup, Fingerprint, Forget, Hamming, Matryoshka, PqIndex}
   *
   * Scale posture: the subject set is deduplicated once and BROADCAST
   * into every anti-join ([[Forget.propagate]]), so each table pays one
-  * scan and zero shuffles; index purges are the per-family forget
-  * paths (member-tier anti-joins / one filtered rebuild); the audit is
-  * one conditional aggregate per target. Nothing is quadratic or
-  * driver-looped. */
+  * scan and zero shuffles; a `scope_partitions` table pays even less —
+  * one partition-granularity discovery job, a rewrite pruned to the
+  * affected hive partitions, and a byte-level carry of everything
+  * untouched ([[scopedRewrite]]). Index purges are the per-family
+  * forget paths (member-tier anti-joins / one filtered rebuild); the
+  * audit is one conditional aggregate per target. Nothing is quadratic
+  * or driver-looped. */
 object ForgetPipeline {
 
   /** One star-schema target: erase rows whose `keyColumn` matches a
     * subject, write the cleaned table to `outputPath`. `partitionBy`
     * preserves a hive-partitioned table's directory layout through the
     * rewrite — a compliance pass that flattens the partitioning would
-    * degrade every directory-pruned read downstream. */
+    * degrade every directory-pruned read downstream. `scopePartitions`
+    * additionally confines the rewrite to the hive partitions that
+    * actually HOLD subject rows, carrying every untouched partition's
+    * files through byte-identical (see [[run]]). */
   final case class TableTarget(name: String, tablePath: String,
                                keyColumn: String, outputPath: String,
-                               partitionBy: Seq[String] = Nil)
+                               partitionBy: Seq[String] = Nil,
+                               scopePartitions: Boolean = false)
 
   /** One derived-artifact target: delegate to [[IndexPipeline]]'s
     * `mode = forget` for `kind` (text carries the rebuild-from-source
@@ -129,7 +141,7 @@ object ForgetPipeline {
       case JArray(items) => items.map { t =>
         keysOf(t, "forget.tables entry",
           Set("name", "table_path", "key_column", "output_path",
-            "partition_by"))
+            "partition_by", "scope_partitions"))
         val tablePath = str(t \ "table_path").getOrElse(
           fail("forget.tables entries require table_path"))
         val outputPath = str(t \ "output_path").getOrElse(
@@ -147,12 +159,21 @@ object ForgetPipeline {
           case JNothing => Nil
           case _ => fail("forget partition_by must be an array of strings")
         }
+        val scoped = t \ "scope_partitions" match {
+          case JBool(b) => b
+          case JNothing => false
+          case other => fail(
+            s"forget scope_partitions must be a boolean, got $other")
+        }
+        if (scoped && partitionBy.isEmpty) fail(
+          "forget scope_partitions requires partition_by — the scoped " +
+            "rewrite is defined over the table's hive-partition layout")
         TableTarget(
           str(t \ "name").getOrElse(tablePath),
           tablePath,
           str(t \ "key_column").getOrElse(
             fail("forget.tables entries require key_column")),
-          outputPath, partitionBy)
+          outputPath, partitionBy, scoped)
       }
       case _ => fail("forget.tables must be an array of objects")
     }
@@ -205,6 +226,19 @@ object ForgetPipeline {
     if (dup.nonEmpty) fail(
       s"forget targets declare the same output ${dup.mkString(", ")} " +
         "more than once — every target needs its own fresh directory")
+    // ...and no output may claim ANOTHER target's input either: table
+    // B's output over table A's source (or an index's artifact dir) is
+    // a cross-target read-under-write that corrupts a source mid-sweep
+    // under overwrite
+    val ins = (Seq(normalized(idsPath)) ++
+      tables.map(t => normalized(t.tablePath)) ++
+      indexes.map(i => normalized(i.indexDir)) ++
+      indexes.flatMap(_.sourcePath).map(normalized)).toSet
+    val clash = outs.filter(ins).map(_.toString).distinct
+    if (clash.nonEmpty) fail(
+      s"forget output ${clash.mkString(", ")} is also declared as an " +
+        "input (ids_path / table_path / index_dir / text input_path) — " +
+        "outputs must be fresh directories no target reads from")
     // audit labels key the report (and the cleaned-table map): a
     // duplicate would silently merge two targets' rows
     val dupName = (tables.map(_.name) ++ indexes.map(_.name))
@@ -220,8 +254,13 @@ object ForgetPipeline {
                           overwrite: Boolean): Unit = {
     val p = new Path(out)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!overwrite && fs.exists(p) && fs.listStatus(p).nonEmpty) fail(
-      s"forget output $out already holds files — refusing to clobber " +
+    // ANY existing path refuses (not just a non-empty one): the table
+    // writes run SaveMode.ErrorIfExists, which fails on an existing
+    // path even when empty — a pre-check looser than the write would
+    // pass pre-flight and then re-open the partial-commit window
+    // mid-sweep
+    if (!overwrite && fs.exists(p)) fail(
+      s"forget output $out already exists — refusing to clobber " +
         "(set overwrite: true to rerun the sweep over its own outputs)")
   }
 
@@ -246,30 +285,136 @@ object ForgetPipeline {
         Hamming.HammingIndex.load(spark, t.indexDir).fingerprints, "id")
     }
 
+  /** Partition-scoped cleaned rewrite for a `scope_partitions` target:
+    * ONE cheap extra job finds the hive partitions that hold subject
+    * rows (broadcast semi-join collapsed to partition/file
+    * granularity), only THOSE partitions flow through the anti-join
+    * rewrite (the scan is partition-pruned by the affected values),
+    * and every untouched partition's files are carried into the output
+    * byte-identical — a 100 TB table whose subjects live in 3 of
+    * 10,000 daily partitions pays 3 partitions of scan-and-rewrite,
+    * not a full-table rewrite. The reference's own time-range pushdown
+    * (reference:
+    * src/main/scala/com/booking/spark/HBaseSnapshotter.scala:123-124)
+    * is the same principle: never scan what the predicate excludes.
+    *
+    * Affected directories are identified via `input_file_name()` (the
+    * subject rows name their own files), so no partition-value path
+    * escaping is ever reconstructed; the carried set is the raw
+    * filesystem listing minus the affected set. Returns
+    * `(partitions_rewritten, partitions_carried)` for the receipt. */
+  private def scopedRewrite(spark: SparkSession, keys: DataFrame,
+                            idColumn: String, t: TableTarget,
+                            overwrite: Boolean): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(t.tablePath)
+    val fs = root.getFileSystem(conf)
+    val qroot = fs.makeQualified(root)
+    val table = spark.read.parquet(t.tablePath)
+    val missing = t.partitionBy.filterNot(table.columns.contains)
+    if (missing.nonEmpty) fail(
+      s"forget table ${t.name} declares partition_by " +
+        s"${missing.mkString(", ")} but the table has no such column " +
+        s"(found: ${table.columns.mkString(", ")})")
+    val rootPath = qroot.toUri.getPath
+    def rel(p: Path): String = {
+      val s = p.toUri.getPath
+      if (s == rootPath || !s.startsWith(rootPath)) fail(
+        s"forget table ${t.name} ($rootPath) is not hive-partitioned " +
+          s"by ${t.partitionBy.mkString(", ")} — scope_partitions " +
+          s"needs the col=value directory layout (file found at $s)")
+      s.stripPrefix(rootPath).stripPrefix("/")
+    }
+    // the full partition inventory: a raw listing to partition depth
+    // (no value parsing — names are compared as directories, so any
+    // escaping Spark applied on write cancels out)
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => leaves(s.getPath, depth - 1))
+    val allDirs = leaves(qroot, t.partitionBy.length).map(rel)
+    // ONE extra job, collapsed to (partition values, file) granularity
+    // BEFORE the collect: which partitions hold subject rows, and in
+    // which directories they live
+    val k = broadcast(
+      keys.select(col(idColumn).as("__forget_key")).distinct())
+    val hits = table.withColumn("__file", input_file_name())
+      .join(k, col(t.keyColumn) === col("__forget_key"), "left_semi")
+      .select(t.partitionBy.map(col) :+ col("__file"): _*)
+      .distinct()
+      .collect()
+    val nPart = t.partitionBy.length
+    val affectedDirs = hits.map(r =>
+      rel(new Path(new java.net.URI(r.getString(nPart))).getParent))
+      .toSet
+    val unknown = affectedDirs.filterNot(allDirs.toSet)
+    if (unknown.nonEmpty) fail(
+      s"forget table ${t.name}: subject rows found in " +
+        s"${unknown.mkString(", ")}, which is not a partition " +
+        s"directory at depth ${t.partitionBy.length} — partition_by " +
+        "must name the table's full hive-partition column list in order")
+    val affectedVals =
+      hits.map(r => (0 until nPart).map(r.get)).distinct.toSeq
+    val out = new Path(t.outputPath)
+    val outFs = out.getFileSystem(conf)
+    if (overwrite && outFs.exists(out)) outFs.delete(out, true)
+    if (affectedVals.nonEmpty) {
+      // the rewrite scan is partition-pruned to the affected values:
+      // untouched partitions are never read, let alone rewritten
+      val pred = affectedVals.map(vs =>
+        t.partitionBy.zip(vs).map { case (c, v) =>
+          if (v == null) col(c).isNull else col(c) === lit(v)
+        }.reduce(_ && _)).reduce(_ || _)
+      table.filter(pred)
+        .join(k, col(t.keyColumn) === col("__forget_key"), "left_anti")
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(t.partitionBy: _*).parquet(t.outputPath)
+    } else outFs.mkdirs(out)
+    val carried = allDirs.filterNot(affectedDirs)
+    carried.foreach { d =>
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(qroot, d),
+        outFs, new Path(out, d), false, false, conf)) fail(
+        s"forget table ${t.name}: failed to carry untouched " +
+          s"partition $d to ${t.outputPath}")
+    }
+    (affectedDirs.size.toLong, carried.size.toLong)
+  }
+
   /** Run the declared sweep: commit every cleaned table and purged
     * artifact, then file the unified audit report
-    * (`(table, total_rows, dropped_rows, kept_rows)` — [[Forget.audit]]
-    * schema, one row per target in declaration order) to `report_path`
-    * and return it. The report is written LAST: a failed target aborts
-    * the job before any receipt exists. */
+    * (`(table, total_rows, dropped_rows, kept_rows,
+    * partitions_rewritten, partitions_carried)` — [[Forget.audit]]
+    * schema plus the scoped-rewrite accounting, null for unscoped
+    * targets; one row per target in declaration order) to
+    * `report_path` and return it. The report is written LAST: a failed
+    * target aborts the job before any receipt exists. */
   def run(spark: SparkSession, config: ForgetConfig): DataFrame = {
     val keys = spark.read.parquet(config.idsPath)
     if (!keys.columns.contains(config.idColumn)) fail(
       s"forget.ids_path ${config.idsPath} has no " +
         s"'${config.idColumn}' column (found: " +
         s"${keys.columns.mkString(", ")})")
-    // refuse every clobber BEFORE the first write: a sweep that stops
-    // halfway on target 3's existing directory has already rewritten
-    // targets 1-2, and the rerun then needs overwrite anyway
+    // refuse every clobber BEFORE the first write — INDEX output dirs
+    // included: a sweep that stops halfway on target 3's existing
+    // directory has already rewritten targets 1-2, and the rerun then
+    // needs overwrite anyway
     config.tables.foreach(t =>
       checkTarget(spark, t.outputPath, config.overwrite))
+    config.indexes.foreach(ix =>
+      checkTarget(spark, ix.outputDir, config.overwrite))
     config.reportPath.foreach(p => checkTarget(spark, p, config.overwrite))
     val tableTargets = config.tables.map(t => Forget.Target(t.name,
       spark.read.parquet(t.tablePath), t.keyColumn))
-    if (config.tables.nonEmpty) {
-      val cleaned =
-        Forget.propagate(keys, config.idColumn, tableTargets)
-      config.tables.foreach { t =>
+    val fullTargets = config.tables.filterNot(_.scopePartitions)
+    if (fullTargets.nonEmpty) {
+      val cleaned = Forget.propagate(keys, config.idColumn,
+        fullTargets.map(t => Forget.Target(t.name,
+          spark.read.parquet(t.tablePath), t.keyColumn)))
+      fullTargets.foreach { t =>
         val w = cleaned(t.name).write
           .mode(if (config.overwrite) SaveMode.Overwrite
                 else SaveMode.ErrorIfExists)
@@ -277,13 +422,36 @@ object ForgetPipeline {
          else w).parquet(t.outputPath)
       }
     }
+    val scopedAcct: Map[String, (Long, Long)] =
+      config.tables.filter(_.scopePartitions).map(t =>
+        t.name -> scopedRewrite(spark, keys, config.idColumn, t,
+          config.overwrite)).toMap
     config.indexes.foreach(ix => IndexPipeline.run(spark,
       IndexPipeline.ForgetJob(ix.kind, config.idsPath, ix.indexDir,
         ix.outputDir, config.idColumn, config.overwrite,
         ix.sourcePath, ix.textColumn)))
-    val report = Forget.audit(keys, config.idColumn,
+    val audit = Forget.audit(keys, config.idColumn,
       tableTargets ++ config.indexes.map(ix =>
         indexAuditTarget(spark, ix, config.idColumn)))
+    // the scoped-rewrite accounting joins the receipt by audit label
+    // (a target-count frame — broadcast by size); unscoped targets
+    // carry nulls
+    val acctSchema = StructType(Seq(
+      StructField("table", StringType, nullable = false),
+      StructField("partitions_rewritten", LongType, nullable = true),
+      StructField("partitions_carried", LongType, nullable = true)))
+    val acctRows = (config.tables.map(_.name) ++
+      config.indexes.map(_.name)).map { n =>
+      val a = scopedAcct.get(n)
+      Row(n, a.map(p => Long.box(p._1)).orNull,
+        a.map(p => Long.box(p._2)).orNull)
+    }
+    val acct = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(acctRows).asJava),
+      acctSchema)
+    val report = audit.join(
+      org.apache.spark.sql.functions.broadcast(acct), Seq("table"), "left")
     config.reportPath.foreach(p =>
       report.coalesce(1).write.mode(SaveMode.Overwrite).parquet(p))
     report

@@ -171,6 +171,71 @@ class ForgetPipelineSpec extends SparkTestBase {
       .getMessage should include("not recognized")
   }
 
+  it should "refuse an output that claims another target's input" in {
+    // table B's output over table A's source: a cross-target
+    // read-under-write that would corrupt the source mid-sweep
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "tables": [
+        |   {"name": "t1", "table_path": "/d/t1", "key_column": "k",
+        |    "output_path": "/d/t2"},
+        |   {"name": "t2", "table_path": "/d/t2", "key_column": "k",
+        |    "output_path": "/d/o2"}]}}""".stripMargin))
+      .getMessage should include("also declared as an input")
+    // an index output over a table's source, across tiers
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "tables": [{"name": "t", "table_path": "/d/t", "key_column": "k",
+        |             "output_path": "/d/o"}],
+        | "indexes": [{"kind": "vector", "index_dir": "/d/i",
+        |              "output_dir": "/d/t"}]}}""".stripMargin))
+      .getMessage should include("also declared as an input")
+    // a table output over the subject list itself
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "/d/ids", "id_column": "k",
+        | "tables": [{"name": "t", "table_path": "/d/t", "key_column": "k",
+        |             "output_path": "/d/ids"}]}}""".stripMargin))
+      .getMessage should include("also declared as an input")
+  }
+
+  it should "refuse every clobber at pre-flight, index outputs and " +
+    "empty directories included" in {
+    val base = fixtures
+    val out = s"$tmp/out_preflight"
+    // an existing INDEX output dir must abort BEFORE any table write:
+    // half-rewriting tables 1..N and then stopping on the index target
+    // is exactly the partial-commit window the pre-check closes
+    Files.createDirectories(Paths.get(s"$out/vidx"))
+    val config = fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "customer", "table_path": "$base/customer",
+         |     "key_column": "cust_id", "output_path": "$out/customer"}],
+         |  "indexes": [
+         |    {"name": "vec_index", "kind": "vector",
+         |     "index_dir": "$base/vidx", "output_dir": "$out/vidx"}]}}"""
+        .stripMargin)
+    (the[IllegalArgumentException] thrownBy
+      ForgetPipeline.run(spark, config))
+      .getMessage should include("already exists")
+    new java.io.File(s"$out/customer").exists() shouldBe false
+    // an existing-but-EMPTY table output dir refuses too: the write
+    // itself runs SaveMode.ErrorIfExists, which fails on any existing
+    // path — a looser pre-check would pass and then fail mid-sweep
+    val out2 = s"$tmp/out_preflight2"
+    Files.createDirectories(Paths.get(s"$out2/customer"))
+    (the[IllegalArgumentException] thrownBy ForgetPipeline.run(spark,
+      fromJson(
+        s"""{"forget": {
+           |  "ids_path": "$base/ids", "id_column": "cust_id",
+           |  "tables": [
+           |    {"name": "customer", "table_path": "$base/customer",
+           |     "key_column": "cust_id",
+           |     "output_path": "$out2/customer"}]}}""".stripMargin)))
+      .getMessage should include("already exists")
+  }
+
   it should "write no receipt when a target fails" in {
     val base = fixtures
     val out = s"$tmp/out3"
@@ -215,6 +280,113 @@ class ForgetPipelineSpec extends SparkTestBase {
     val back = spark.read.parquet(s"$out/orders")
     back.filter($"cust_id".isin(2L, 4L)).count() shouldBe 0L
     back.count() shouldBe 8L
+  }
+
+  it should "rewrite only the partitions holding subject rows and " +
+    "carry the rest through byte-identical" in {
+    val base = fixtures
+    val out = s"$tmp/out_scoped"
+    val outFull = s"$tmp/out_scoped_full"
+    // orders hive-partitioned by bucket = order_id % 3: subjects 2,4
+    // own orders 1,7 (bucket 1) and 3,9 (bucket 0) — bucket 2 holds no
+    // subject rows and must come through untouched
+    spark.read.parquet(s"$base/orders")
+      .withColumn("bucket", pmod(col("order_id"), lit(3)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$base/orders_sc")
+    def cfg(path: String, scoped: Boolean) = fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "orders", "table_path": "$base/orders_sc",
+         |     "key_column": "cust_id", "output_path": "$path",
+         |     "partition_by": ["bucket"],
+         |     "scope_partitions": $scoped}]}}""".stripMargin)
+    val report = ForgetPipeline.run(spark, cfg(out, scoped = true))
+    // receipt accounting: 2 partitions rewritten, 1 carried
+    report.select($"table", $"total_rows", $"dropped_rows", $"kept_rows",
+        $"partitions_rewritten", $"partitions_carried")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))) shouldBe
+      Array(("orders", 12L, 4L, 8L, 2L, 1L))
+    // scoped ≡ full rewrite by content
+    ForgetPipeline.run(spark, cfg(outFull, scoped = false))
+    val scopedBack = spark.read.parquet(out)
+    val fullBack = spark.read.parquet(outFull)
+    scopedBack.count() shouldBe 8L
+    scopedBack.exceptAll(fullBack).count() shouldBe 0L
+    fullBack.exceptAll(scopedBack).count() shouldBe 0L
+    // the carried partition's files are byte-identical to the source's
+    def parquetFiles(dir: String): Map[String, Array[Byte]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> Files.readAllBytes(f.toPath)).toMap
+    val srcCarried = parquetFiles(s"$base/orders_sc/bucket=2")
+    val outCarried = parquetFiles(s"$out/bucket=2")
+    outCarried.keySet shouldBe srcCarried.keySet
+    srcCarried.foreach { case (name, bytes) =>
+      outCarried(name) shouldBe bytes
+    }
+    // the rewritten partitions are fresh files, not copies
+    new java.io.File(s"$out/bucket=1").list()
+      .filter(_.endsWith(".parquet")).toSet should not be
+      new java.io.File(s"$base/orders_sc/bucket=1").list()
+        .filter(_.endsWith(".parquet")).toSet
+    // the rewrite scan is partition-pruned: the same shape's plan
+    // reads only the affected partitions
+    val pruned = spark.read.parquet(s"$base/orders_sc")
+      .filter(col("bucket") === 0 || col("bucket") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString()
+    scan should include("PartitionFilters")
+    // overwrite rerun is the sanctioned retry on the scoped path too
+    ForgetPipeline.run(spark, fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "overwrite": true,
+         |  "tables": [
+         |    {"name": "orders", "table_path": "$base/orders_sc",
+         |     "key_column": "cust_id", "output_path": "$out",
+         |     "partition_by": ["bucket"],
+         |     "scope_partitions": true}]}}""".stripMargin))
+    spark.read.parquet(out).count() shouldBe 8L
+  }
+
+  it should "carry every partition when no subject row exists and " +
+    "refuse a scoped target that is not hive-partitioned" in {
+    val base = fixtures
+    Seq(99L).toDF("cust_id")
+      .write.mode("overwrite").parquet(s"$base/ids_none")
+    val out = s"$tmp/out_scoped_none"
+    val report = ForgetPipeline.run(spark, fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids_none", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "orders", "table_path": "$base/orders_sc",
+         |     "key_column": "cust_id", "output_path": "$out",
+         |     "partition_by": ["bucket"],
+         |     "scope_partitions": true}]}}""".stripMargin))
+    report.head().getLong(4) shouldBe 0L
+    report.head().getLong(5) shouldBe 3L
+    spark.read.parquet(out).count() shouldBe 12L
+    // a flat (unpartitioned) table refuses the scoped rewrite loudly
+    (the[IllegalArgumentException] thrownBy ForgetPipeline.run(spark,
+      fromJson(
+        s"""{"forget": {
+           |  "ids_path": "$base/ids", "id_column": "cust_id",
+           |  "tables": [
+           |    {"name": "orders", "table_path": "$base/orders",
+           |     "key_column": "cust_id",
+           |     "output_path": "$tmp/never_scoped",
+           |     "partition_by": ["order_id"],
+           |     "scope_partitions": true}]}}""".stripMargin)))
+      .getMessage should include("not hive-partitioned")
+    // scope_partitions without partition_by refuses at parse
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"forget": {"ids_path": "a", "id_column": "k",
+        | "tables": [{"table_path": "/d/t", "key_column": "k",
+        |             "output_path": "/d/o",
+        |             "scope_partitions": true}]}}""".stripMargin))
+      .getMessage should include("requires partition_by")
   }
 
   it should "parse the shipped example conf into the declared sweep" in {

@@ -267,4 +267,44 @@ object Drift {
                                      scaleDigits: Int = 9): DataFrame =
     Pca.driftFromMoments(cand.sparkSession.read.parquet(refDir),
       Pca.moments(cand, vecCol, scaleDigits), dim, scaleDigits)
+
+  /** Freeze a feed's STRUCTURE for the cheapest nightly check of all:
+    * one row per column `(ordinal, column, dtype, nullable)` —
+    * persisted once at reference-build time so the nightly schema
+    * check compares two footers and never reads a data page. The most
+    * common upstream break (a column renamed or retyped) should be a
+    * first-class check row, not a mid-check read error. */
+  def saveSchemaReference(ref: DataFrame, dir: String): Unit = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    ref.schema.fields.toSeq.zipWithIndex
+      .map { case (f, i) => (i, f.name, f.dataType.catalogString,
+        f.nullable) }
+      .toDF("ordinal", "column", "dtype", "nullable")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Added / removed / retyped columns of a candidate schema against a
+    * [[saveSchemaReference]]-frozen reference: one row per difference
+    * `(column, status, ref_dtype, cand_dtype)` ordered by column
+    * (empty = structurally identical). Both sides are schema-sized —
+    * ZERO data pass. */
+  def schemaDiff(spark: org.apache.spark.sql.SparkSession, refDir: String,
+                 cand: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val ref = spark.read.parquet(refDir)
+      .select(col("column"), col("dtype")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val candTypes =
+      cand.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val added = (candTypes.keySet -- ref.keySet).toSeq
+      .map(c => (c, "added", null: String, candTypes(c)))
+    val removed = (ref.keySet -- candTypes.keySet).toSeq
+      .map(c => (c, "removed", ref(c), null: String))
+    val retyped = (ref.keySet & candTypes.keySet).toSeq
+      .filter(c => ref(c) != candTypes(c))
+      .map(c => (c, "retyped", ref(c), candTypes(c)))
+    (added ++ removed ++ retyped).sortBy(_._1)
+      .toDF("column", "status", "ref_dtype", "cand_dtype")
+  }
 }

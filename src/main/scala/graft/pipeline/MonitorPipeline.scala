@@ -21,6 +21,9 @@ import graft.ops.Drift
   * { "monitor": {
   *     "input": {"path": "..."},   // default candidate feed
   *     "report_path": "...",       // check report sink (parquet)
+  *     "history": {"dir": "...",   // optional: append each run's
+  *       "run_label": "2026-08-16"},  // statistic rows (label keyed,
+  *                                    //   collision refused)
   *     "checks": [                 // each may override "input_path"
   *       {"type": "psi", "column": "n_chars",
   *        "reference_dir": "...",           // Drift.saveReference
@@ -36,17 +39,27 @@ import graft.ops.Drift
   *       {"type": "card_diff",         // release-mix drift: input is
   *        "reference_dir": "...",      //   today's CARD artifact, the
   *        "threshold": 0.02,           //   reference the last release's
-  *        "input_path": "..."}]}}      //   (CurationPipeline.diffCards)
+  *        "input_path": "..."},        //   (CurationPipeline.diffCards)
+  *       {"type": "schema",            // structural drift: two parquet
+  *        "reference_dir": "..."},     //   footers, zero data pass
+  *                                     //   (Drift.saveSchemaReference)
+  *       {"type": "cusum",             // trend alarm over the history:
+  *        "history_dir": "...",        //   slow drift no single night
+  *        "check_type": "psi",         //   trips (ChangePoint.cusum
+  *        "target": "n_chars",         //   over the named statistic's
+  *        "statistic": "psi",          //   nightly values)
+  *        "drift": 0.0, "threshold": 0.5}]}}
   * }}}
   *
   * Report: one row per (check, statistic) in declaration order —
   * `(check_idx, check_type, target, statistic, value, threshold,
-  * alarmed)`; `embedding_drift` contributes a row per declared bound.
-  * Checks have PER-CHECK failure isolation (the [[MaintenancePipeline]]
-  * sweep discipline): one check's unreadable reference must not
-  * silence the others the night upstream breaks — the failure is
-  * reported per check on stderr, the surviving rows are still written,
-  * and the job exits 1.
+  * alarmed, error)`; `embedding_drift` contributes a row per declared
+  * bound. Checks have PER-CHECK failure isolation (the
+  * [[MaintenancePipeline]] sweep discipline): one check's unreadable
+  * reference must not silence the others the night upstream breaks —
+  * the failure lands in the report as its own `statistic = 'error'`
+  * row (null value, diagnostic in `error`) AND on stderr, the
+  * surviving rows are still written, and the job exits 1.
   *
   * Scale posture: every check is the underlying operator's own — PSI
   * pays one bin-granularity groupBy over the candidate
@@ -88,9 +101,38 @@ object MonitorPipeline {
                                  inputPath: Option[String]) extends Check {
     def target: String = "card"
   }
+  /** Structural drift: today's input SCHEMA (one footer read — zero
+    * data pass) against a [[Drift.saveSchemaReference]]-frozen
+    * reference; one report row per difference class (added / removed /
+    * retyped columns), any difference alarms. */
+  final case class SchemaCheck(referenceDir: String,
+                               inputPath: Option[String]) extends Check {
+    def target: String = "schema"
+  }
+  /** Trend alarm over the accumulated run HISTORY: two-sided CUSUM
+    * ([[graft.ops.ChangePoint.cusum]]) over the named statistic's
+    * nightly values ordered by `run_seq` — the slow drift no single
+    * night trips. Reads only the history table (statistic-granularity
+    * rows); the candidate feed is never touched. `targetValue` is the
+    * in-control level (defaults to the history mean). */
+  final case class CusumCheck(historyDir: String, checkTypeName: String,
+                              targetName: String, statistic: String,
+                              drift: Double, threshold: Double,
+                              targetValue: Option[Double]) extends Check {
+    def target: String = targetName
+    def inputPath: Option[String] = None
+  }
+
+  /** Where (and as what) this run's statistic rows accumulate:
+    * `dir` gains every run's report rows keyed by a fresh `run_label`
+    * (collision refused — a label rerun would corrupt the trend
+    * series) and a monotone `run_seq` ordering the CUSUM walk. */
+  final case class HistoryConfig(dir: String, runLabel: String)
 
   final case class MonitorConfig(inputPath: Option[String],
-                                 reportPath: String, checks: Seq[Check])
+                                 reportPath: String,
+                                 history: Option[HistoryConfig],
+                                 checks: Seq[Check])
 
   /** One check's outcome: its report rows
     * `(statistic, value, threshold, alarmed)`, or the failure it was
@@ -128,7 +170,8 @@ object MonitorPipeline {
               s"— it accepts: ${allowed.toSeq.sorted.mkString(", ")}")
         case other => fail(s"$where must be an object, got $other")
       }
-    keysOf(root, "monitor", Set("input", "report_path", "checks"))
+    keysOf(root, "monitor", Set("input", "report_path", "history",
+      "checks"))
     val inputPath = root \ "input" match {
       case JNothing => None
       case in =>
@@ -139,11 +182,22 @@ object MonitorPipeline {
     val reportPath = str(root \ "report_path").getOrElse(
       fail("monitor.report_path is required — a monitor that reports " +
         "nowhere is an exit code with no evidence"))
+    val history = root \ "history" match {
+      case JNothing => None
+      case h =>
+        keysOf(h, "monitor.history", Set("dir", "run_label"))
+        Some(HistoryConfig(
+          str(h \ "dir").getOrElse(
+            fail("monitor.history.dir is required")),
+          str(h \ "run_label").getOrElse(
+            fail("monitor.history.run_label is required — each run " +
+              "keys its appended statistic rows"))))
+    }
     val checks = root \ "checks" match {
       case JArray(items) if items.nonEmpty => items.map { c =>
         val tpe = str(c \ "type").getOrElse(
           fail("monitor.checks entries require type (psi | token_jsd " +
-            "| embedding_drift)"))
+            "| embedding_drift | card_diff | schema | cusum)"))
         val perCheckInput = str(c \ "input_path")
         def refDir = str(c \ "reference_dir").getOrElse(fail(
           s"monitor.checks $tpe entries require reference_dir (the " +
@@ -205,19 +259,46 @@ object MonitorPipeline {
                   "threshold — acceptable share drift is a release " +
                   "policy, not a convention")),
               perCheckInput)
+          case "schema" =>
+            keysOf(c, "monitor.checks schema entry",
+              Set("type", "reference_dir", "input_path"))
+            SchemaCheck(refDir, perCheckInput)
+          case "cusum" =>
+            keysOf(c, "monitor.checks cusum entry", Set("type",
+              "history_dir", "check_type", "target", "statistic",
+              "drift", "threshold", "target_value"))
+            def req(key: String): String = str(c \ key).getOrElse(fail(
+              s"monitor.checks cusum entries require $key — the trend " +
+                "series is one (check_type, target, statistic) line " +
+                "of the accumulated history"))
+            CusumCheck(
+              str(c \ "history_dir").getOrElse(fail(
+                "monitor.checks cusum entries require history_dir " +
+                  "(the accumulated run history — declare " +
+                  "monitor.history to build it)")),
+              req("check_type"), req("target"), req("statistic"),
+              dbl(c \ "drift", "monitor.checks.drift").getOrElse(0.0),
+              dbl(c \ "threshold", "monitor.checks.threshold").getOrElse(
+                fail("monitor.checks cusum entries require threshold " +
+                  "— the CUSUM decision interval is a policy choice")),
+              dbl(c \ "target_value", "monitor.checks.target_value"))
           case other => fail(
             s"monitor.checks type must be psi | token_jsd | " +
-              s"embedding_drift | card_diff, got '$other'")
+              s"embedding_drift | card_diff | schema | cusum, " +
+              s"got '$other'")
         }
       }
       case JNothing | JArray(_) =>
         fail("monitor.checks must be a non-empty array of checks")
       case _ => fail("monitor.checks must be an array of objects")
     }
-    checks.foreach(c => if (c.inputPath.isEmpty && inputPath.isEmpty)
-      fail("monitor declares no input.path and a check declares no " +
-        "input_path override — every check needs a candidate feed"))
-    MonitorConfig(inputPath, reportPath, checks)
+    checks.foreach {
+      case _: CusumCheck => () // reads the history table, not a feed
+      case c => if (c.inputPath.isEmpty && inputPath.isEmpty)
+        fail("monitor declares no input.path and a check declares no " +
+          "input_path override — every check needs a candidate feed")
+    }
+    MonitorConfig(inputPath, reportPath, history, checks)
   }
 
   /** Evaluate one check to its `(statistic, value, threshold, alarmed)`
@@ -225,7 +306,8 @@ object MonitorPipeline {
   private def evaluate(spark: SparkSession, config: MonitorConfig,
                        check: Check)
       : Seq[(String, Double, Double, Boolean)] = {
-    val input = spark.read.parquet(
+    // lazy: the cusum check reads the history table, never a feed
+    lazy val input = spark.read.parquet(
       check.inputPath.orElse(config.inputPath).get)
     check match {
       case PsiCheck(column, refDir, threshold, _) =>
@@ -253,6 +335,32 @@ object MonitorPipeline {
           .agg(coalesce(max(abs(col("delta_frac"))), lit(0.0)))
           .head().getDouble(0)
         Seq(("max_abs_delta_frac", v, threshold, v > threshold))
+      case SchemaCheck(refDir, _) =>
+        // two footers compared — the diff frame is schema-sized, so
+        // the collect is model-sized; ANY structural change alarms
+        // (threshold 0 by construction)
+        val diffs = Drift.schemaDiff(spark, refDir, input.schema)
+          .select(col("status")).collect().map(_.getString(0))
+        def n(status: String): Double =
+          diffs.count(_ == status).toDouble
+        Seq("added", "removed", "retyped").map { s =>
+          (s"${s}_columns", n(s), 0.0, n(s) > 0.0)
+        }
+      case CusumCheck(histDir, ct, tgt, stat, drift, threshold, tv) =>
+        val hist = spark.read.parquet(histDir)
+          .filter(col("check_type") === ct && col("target") === tgt &&
+            col("statistic") === stat && col("value").isNotNull)
+        if (hist.isEmpty) throw new IllegalArgumentException(
+          s"monitor cusum check: no history rows for ($ct, $tgt, " +
+            s"$stat) in $histDir")
+        val scored = graft.ops.ChangePoint.cusum(
+          hist.withColumn("__series", lit(1)), Seq("__series"),
+          Seq("run_seq"), "value", drift, threshold, tv)
+        val row = scored.agg(
+          max(greatest(col("cusum_hi"), col("cusum_lo"))).as("v"),
+          max(col("alarm").cast("int")).as("a")).head()
+        Seq(("cusum_max", row.getDouble(0), threshold,
+          row.getInt(1) == 1))
     }
   }
 
@@ -261,13 +369,65 @@ object MonitorPipeline {
     case _: TokenJsdCheck => "token_jsd"
     case _: EmbeddingDriftCheck => "embedding_drift"
     case _: CardDiffCheck => "card_diff"
+    case _: SchemaCheck => "schema"
+    case _: CusumCheck => "cusum"
   }
 
   /** The report rows of a result list as a frame — one row per
-    * (check, statistic) in declaration order; errored checks
-    * contribute no rows (their diagnostics ride the result list). */
+    * (check, statistic) in declaration order. An ERRORED check still
+    * contributes a row (`statistic = 'error'`, null value/threshold,
+    * the diagnostic in `error`): the parquet report is the evidence
+    * artifact, and it must distinguish "check failed to evaluate
+    * tonight" from "check absent from the config" without consulting
+    * stderr. */
   def report(spark: SparkSession, results: Seq[CheckResult]): DataFrame = {
     val schema = StructType(Seq(
+      StructField("check_idx", IntegerType, nullable = false),
+      StructField("check_type", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("statistic", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = true),
+      StructField("threshold", DoubleType, nullable = true),
+      StructField("alarmed", BooleanType, nullable = false),
+      StructField("error", StringType, nullable = true)))
+    val rows = results.flatMap { r =>
+      r.error match {
+        case Some(msg) =>
+          Seq(Row(r.checkIdx, r.checkType, r.target, "error", null, null,
+            false, msg))
+        case None => r.rows.map { case (s, v, t, a) =>
+          Row(r.checkIdx, r.checkType, r.target, s, v, t, a, null)
+        }
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Append this run's successfully-evaluated statistic rows to the
+    * history table under a fresh `run_label` and the next `run_seq`.
+    * A label collision refuses BEFORE any append: rerunning a night
+    * under its old label would double its rows and corrupt every
+    * trend series. Errored checks leave no history rows — the trend
+    * walks real statistics only (their evidence is the report's
+    * `error` row). */
+  private def appendHistory(spark: SparkSession, h: HistoryConfig,
+                            results: Seq[CheckResult]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(h.dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val nextSeq: Long =
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+        val hist = spark.read.parquet(h.dir)
+        if (!hist.filter(col("run_label") === h.runLabel).isEmpty) fail(
+          s"monitor history ${h.dir} already holds run_label " +
+            s"'${h.runLabel}' — labels key the trend series; pick a " +
+            "fresh label per run")
+        hist.agg(max(col("run_seq"))).head().getLong(0) + 1L
+      } else 0L
+    val schema = StructType(Seq(
+      StructField("run_seq", LongType, nullable = false),
+      StructField("run_label", StringType, nullable = false),
       StructField("check_idx", IntegerType, nullable = false),
       StructField("check_type", StringType, nullable = false),
       StructField("target", StringType, nullable = false),
@@ -276,18 +436,28 @@ object MonitorPipeline {
       StructField("threshold", DoubleType, nullable = false),
       StructField("alarmed", BooleanType, nullable = false)))
     val rows = results.flatMap(r => r.rows.map { case (s, v, t, a) =>
-      Row(r.checkIdx, r.checkType, r.target, s, v, t, a)
+      Row(nextSeq, h.runLabel, r.checkIdx, r.checkType, r.target, s,
+        v, t, a)
     })
     spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), schema)
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(h.dir)
   }
 
   /** Run the declared checks with per-check failure isolation, write
     * the report (always — the surviving rows are the evidence), and
-    * return the per-check results for the caller's exit-code policy. */
+    * return the per-check results for the caller's exit-code policy.
+    *
+    * Order of operations when `history` is declared: the point checks
+    * (everything but `cusum`) evaluate first, their statistic rows
+    * append to the history under this run's label, and only then do
+    * the `cusum` trend checks walk the accumulated history — so
+    * tonight's statistics are part of tonight's trend window. Trend
+    * rows ride the report only (a CUSUM over CUSUM scores is
+    * meaningless), and the report keeps declaration order. */
   def run(spark: SparkSession, config: MonitorConfig): Seq[CheckResult] = {
-    val results = config.checks.zipWithIndex.map { case (c, i) =>
+    def eval(c: Check, i: Int): CheckResult =
       try CheckResult(i, checkType(c), c.target,
         evaluate(spark, config, c), None)
       catch {
@@ -295,7 +465,15 @@ object MonitorPipeline {
           CheckResult(i, checkType(c), c.target, Nil,
             Some(Option(e.getMessage).getOrElse(e.toString)))
       }
+    val indexed = config.checks.zipWithIndex
+    val point = indexed.collect {
+      case (c, i) if !c.isInstanceOf[CusumCheck] => eval(c, i)
     }
+    config.history.foreach(h => appendHistory(spark, h, point))
+    val trend = indexed.collect {
+      case (c: CusumCheck, i) => eval(c, i)
+    }
+    val results = (point ++ trend).sortBy(_.checkIdx)
     report(spark, results).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(config.reportPath)
     results

@@ -128,8 +128,20 @@ class MonitorPipelineSpec extends SparkTestBase {
          |     "threshold": 0.1}]}}""".stripMargin))
     results(0).error.isDefined shouldBe true
     results(1).error shouldBe None
-    // the surviving check's row is still written
-    spark.read.parquet(report).count() shouldBe 1L
+    // the surviving check's row is still written — AND the errored
+    // check leaves its own evidence row (statistic 'error', null
+    // value, the diagnostic in `error`): the parquet report must
+    // distinguish "failed to evaluate" from "absent from the config"
+    val rep = spark.read.parquet(report).orderBy($"check_idx")
+    rep.count() shouldBe 2L
+    val errRow = rep.head()
+    errRow.getInt(0) shouldBe 0
+    errRow.getString(3) shouldBe "error"
+    errRow.isNullAt(rep.columns.indexOf("value")) shouldBe true
+    errRow.getBoolean(rep.columns.indexOf("alarmed")) shouldBe false
+    errRow.getString(rep.columns.indexOf("error")) should not be empty
+    rep.filter($"check_idx" === 1)
+      .select($"error").head().isNullAt(0) shouldBe true
     // CLI: an errored check forces exit 1 even with no alarm...
     val cfg = s"$tmp/monitor_err.json"
     Files.write(Paths.get(cfg),
@@ -202,6 +214,102 @@ class MonitorPipelineSpec extends SparkTestBase {
     results(1).rows shouldBe Seq(("max_abs_delta_frac", 0.0, 1e-9, false))
   }
 
+  it should "accumulate run history, refuse label collisions, and " +
+    "trend-alarm via cusum over the accumulated statistics" in {
+    val base = fixtures
+    val hist = s"$tmp/history"
+    def night(label: String, input: String, extra: String = ""): Int = {
+      val cfg = s"$tmp/night_$label.json"
+      Files.write(Paths.get(cfg),
+        s"""{"monitor": {
+           |  "input": {"path": "$input"},
+           |  "report_path": "$tmp/rep_$label",
+           |  "history": {"dir": "$hist", "run_label": "$label"},
+           |  "checks": [
+           |    {"type": "psi", "column": "n_chars",
+           |     "reference_dir": "$base/ref_psi",
+           |     "threshold": 100.0}$extra]}}""".stripMargin
+          .getBytes(StandardCharsets.UTF_8))
+      graft.SnapshotJob.run(Array(cfg), spark)
+    }
+    night("n01", s"$base/ref_docs") shouldBe 0
+    night("n02", s"$base/cand_docs") shouldBe 0
+    // a label rerun would double its rows and corrupt the trend
+    // series: refused, nothing appended
+    night("n02", s"$base/ref_docs") shouldBe 1
+    val h = spark.read.parquet(hist)
+    h.count() shouldBe 2L
+    h.select($"run_seq").as[Long].collect().sorted shouldBe Array(0L, 1L)
+    h.select($"run_label").as[String].collect().sorted shouldBe
+      Array("n01", "n02")
+    // the third night carries the trend check — evaluated AFTER the
+    // append, so tonight's psi is part of tonight's trend window
+    night("n03", s"$base/cand_docs",
+      s""",
+         |    {"type": "cusum", "history_dir": "$hist",
+         |     "check_type": "psi", "target": "n_chars",
+         |     "statistic": "psi", "drift": 0.0,
+         |     "threshold": 1e9}""".stripMargin) shouldBe 0
+    val h3 = spark.read.parquet(hist)
+    h3.count() shouldBe 3L // trend rows never enter the history
+    val rep = spark.read.parquet(s"$tmp/rep_n03").orderBy($"check_idx")
+    rep.count() shouldBe 2L
+    // check ≡ operator: the trend value is ChangePoint.cusum's own
+    // max score over the same three-night series
+    val want = graft.ops.ChangePoint.cusum(
+        h3.filter($"check_type" === "psi").withColumn("k", lit(1)),
+        Seq("k"), Seq("run_seq"), "value", drift = 0.0,
+        threshold = 1e9)
+      .agg(max(greatest($"cusum_hi", $"cusum_lo"))).head().getDouble(0)
+    val cus = rep.filter($"check_type" === "cusum").head()
+    cus.getString(rep.columns.indexOf("statistic")) shouldBe "cusum_max"
+    cus.getDouble(rep.columns.indexOf("value")) shouldBe want
+    // an empty trend series is an isolated per-check error, not a
+    // silent zero
+    val r = MonitorPipeline.run(spark, fromJson(
+      s"""{"monitor": {"report_path": "$tmp/rep_empty_series",
+         |  "checks": [
+         |    {"type": "cusum", "history_dir": "$hist",
+         |     "check_type": "token_jsd", "target": "text",
+         |     "statistic": "jsd", "threshold": 1.0}]}}""".stripMargin))
+    r(0).error.getOrElse("") should include("no history rows")
+  }
+
+  it should "report schema drift as first-class rows and stay quiet " +
+    "on an identical schema" in {
+    val base = fixtures
+    Drift.saveSchemaReference(spark.read.parquet(s"$base/ref_docs"),
+      s"$base/ref_schema")
+    // candidate: text removed, n_chars retyped, extra added
+    spark.read.parquet(s"$base/ref_docs")
+      .withColumn("n_chars", $"n_chars".cast("double"))
+      .drop("text").withColumn("extra", lit(1))
+      .write.mode("overwrite").parquet(s"$base/cand_schema")
+    val results = MonitorPipeline.run(spark, fromJson(
+      s"""{"monitor": {"report_path": "$tmp/rep_schema",
+         |  "checks": [
+         |    {"type": "schema", "reference_dir": "$base/ref_schema",
+         |     "input_path": "$base/cand_schema"},
+         |    {"type": "schema", "reference_dir": "$base/ref_schema",
+         |     "input_path": "$base/ref_docs"}]}}""".stripMargin))
+    results(0).rows shouldBe Seq(
+      ("added_columns", 1.0, 0.0, true),
+      ("removed_columns", 1.0, 0.0, true),
+      ("retyped_columns", 1.0, 0.0, true))
+    results(0).alarmed shouldBe true
+    results(1).rows shouldBe Seq(
+      ("added_columns", 0.0, 0.0, false),
+      ("removed_columns", 0.0, 0.0, false),
+      ("retyped_columns", 0.0, 0.0, false))
+    results(1).alarmed shouldBe false
+    // the detail frame names exactly which columns moved
+    Drift.schemaDiff(spark, s"$base/ref_schema",
+        spark.read.parquet(s"$base/cand_schema").schema)
+      .collect().map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("extra", "added"), ("n_chars", "retyped"),
+        ("text", "removed"))
+  }
+
   it should "parse the shipped example conf into the declared checks" in {
     val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("conf/application-monitor-example.conf")),
@@ -210,6 +318,8 @@ class MonitorPipelineSpec extends SparkTestBase {
       baseDir = Some("conf")))
     cfg.inputPath shouldBe Some("/data/today")
     cfg.reportPath shouldBe "/monitor/report"
+    cfg.history shouldBe Some(
+      MonitorPipeline.HistoryConfig("/monitor/history", "2026-08-16"))
     cfg.checks.map {
       case c: MonitorPipeline.PsiCheck => ("psi", c.target, c.threshold)
       case c: MonitorPipeline.TokenJsdCheck =>
@@ -218,14 +328,29 @@ class MonitorPipelineSpec extends SparkTestBase {
         ("embedding_drift", c.target, c.maxCovFrob.get)
       case c: MonitorPipeline.CardDiffCheck =>
         ("card_diff", c.target, c.threshold)
+      case c: MonitorPipeline.SchemaCheck => ("schema", c.target, 0.0)
+      case c: MonitorPipeline.CusumCheck =>
+        ("cusum", c.target, c.threshold)
     } shouldBe Seq(
       ("psi", "n_chars", 0.25),
       ("token_jsd", "text", 0.1),
       ("embedding_drift", "embedding", 0.05),
-      ("card_diff", "card", 0.02))
+      ("card_diff", "card", 0.02),
+      ("schema", "schema", 0.0),
+      ("cusum", "n_chars", 0.5))
     // the per-check input overrides survive the include
     cfg.checks(2).inputPath shouldBe Some("/data/today_embeddings")
     cfg.checks(3).inputPath shouldBe Some("/releases/v2-rc/card")
+    // the trend check names its series and tolerated slack
+    cfg.checks(5) match {
+      case c: MonitorPipeline.CusumCheck =>
+        c.historyDir shouldBe "/monitor/history"
+        c.checkTypeName shouldBe "psi"
+        c.statistic shouldBe "psi"
+        c.drift shouldBe 0.02
+        c.targetValue shouldBe None
+      case other => fail(s"expected a cusum check, got $other")
+    }
   }
 
   it should "refuse confused declarations at parse" in {

@@ -5078,6 +5078,53 @@ object SparkEntry {
       s.read.parquet(s"$fx/report").orderBy(col("table"))
     }),
 
+    // Partition-SCOPED deletion sweep: the compliance job a 100 TB
+    // hive-partitioned table actually affords — one cheap discovery
+    // job finds the hive partitions holding subject rows, the
+    // anti-join rewrite is pruned to exactly those, and every
+    // untouched partition's files are carried through byte-identical.
+    // The receipt accounts for the split (partitions_rewritten /
+    // partitions_carried), and the fixture proves scoped ≡ full
+    // rewrite by content before the receipt is returned.
+    "q_pipeline_forget_scoped" -> ((s, d) => {
+      val fx = stagedOnce("fgtscoped", d) { dir =>
+        Tables.events(s, d)
+          .withColumn("shard", pmod(col("user_id"), lit(8)))
+          .write.partitionBy("shard").mode("overwrite")
+          .parquet(s"$dir/events")
+        // subjects ≡ 3 (mod 40): every subject lives in shard 3, so
+        // shards 0-2 and 4-7 must come through untouched
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .filter(col("user_id") % 40 === 3)
+          .select(col("user_id").as("subject"))
+          .write.mode("overwrite").parquet(s"$dir/ids")
+        def job(json: String, name: String): Unit = {
+          val p = s"$dir/$name"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"forget-scoped job $name failed")
+        }
+        def cfg(out: String, scoped: Boolean, report: String): String =
+          s"""{"forget": {
+             |  "ids_path": "$dir/ids", "id_column": "subject",
+             |  "tables": [
+             |    {"name": "events", "table_path": "$dir/events",
+             |     "key_column": "user_id", "output_path": "$out",
+             |     "partition_by": ["shard"],
+             |     "scope_partitions": $scoped}]$report}}""".stripMargin
+        job(cfg(s"$dir/clean_scoped", scoped = true,
+          s""", "report_path": "$dir/report""""), "scoped.json")
+        job(cfg(s"$dir/clean_full", scoped = false, ""), "full.json")
+        val a = s.read.parquet(s"$dir/clean_scoped")
+        val b = s.read.parquet(s"$dir/clean_full")
+        require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          "q_pipeline_forget_scoped: scoped and full rewrites must " +
+            "agree by content")
+      }
+      s.read.parquet(s"$fx/report").orderBy(col("table"))
+    }),
+
     // Config-declared drift monitor, the nightly run: PSI + token JSD
     // + embedding drift of today's feed against FROZEN references
     // (saveReference / saveTokenReference / saveEmbeddingReference —
@@ -10884,24 +10931,52 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |      AS dropped_rows,
         |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS kept_rows
+        |      AS kept_rows,
+        |    CAST(NULL AS BIGINT) AS partitions_rewritten,
+        |    CAST(NULL AS BIGINT) AS partitions_carried
         |  FROM customer LEFT JOIN k ON c_custkey = k.fk
         |  UNION ALL
         |  SELECT 'orders', count(*),
         |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    NULL, NULL
         |  FROM orders LEFT JOIN k ON o_custkey = k.fk
         |  UNION ALL
         |  SELECT 'events', count(*),
         |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    NULL, NULL
         |  FROM events LEFT JOIN k ON user_id = k.fk
         |  UNION ALL
         |  SELECT 'vec_index', count(*),
         |    CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    NULL, NULL
         |  FROM embeddings LEFT JOIN k ON vec_id = k.fk)
         |ORDER BY "table"""".stripMargin,
+
+    // The scoped sweep's receipt: the same conditional aggregate over
+    // the one declared table, plus the partition accounting — affected
+    // partitions are the distinct shards of subject rows, carried is
+    // the table's shard inventory minus them (the fixture separately
+    // proves scoped ≡ full rewrite by content).
+    "q_pipeline_forget_scoped" ->
+      """WITH k AS (SELECT DISTINCT user_id AS fk FROM events
+        |           WHERE user_id % 40 = 3),
+        |shards AS (SELECT DISTINCT user_id % 8 AS shard FROM events),
+        |hit AS (SELECT DISTINCT e.user_id % 8 AS shard
+        |        FROM events e JOIN k ON e.user_id = k.fk)
+        |SELECT 'events' AS "table", count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_rows,
+        |  CAST(sum(CASE WHEN k.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hit)
+        |    AS partitions_rewritten,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM shards)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM hit)
+        |    AS partitions_carried
+        |FROM events LEFT JOIN k ON user_id = k.fk""".stripMargin,
 
     "q_pipeline_monitor" -> PipelineMonitorOracleSql,
 
@@ -11655,28 +11730,29 @@ object SparkEntry {
       |  SELECT 0 AS check_idx, 'psi' AS check_type,
       |    'n_chars' AS target, 'psi' AS statistic,
       |    max(psi_total) AS value, 0.25 AS threshold,
-      |    max(psi_total) > 0.25 AS alarmed
+      |    max(psi_total) > 0.25 AS alarmed,
+      |    CAST(NULL AS VARCHAR) AS error
       |  FROM psi_rep
       |  UNION ALL
       |  SELECT 1, 'token_jsd', 'text', 'jsd',
-      |    max(jsd_total), 0.5, max(jsd_total) > 0.5
+      |    max(jsd_total), 0.5, max(jsd_total) > 0.5, NULL
       |  FROM jsd_rep
       |  UNION ALL
       |  SELECT 2, 'embedding_drift', 'embedding', 'cov_frob',
-      |    max(cov_frob), 0.25, max(cov_frob) > 0.25
+      |    max(cov_frob), 0.25, max(cov_frob) > 0.25, NULL
       |  FROM emb_rep
       |  UNION ALL
       |  SELECT 2, 'embedding_drift', 'embedding', 'mean_dist2',
-      |    max(mean_dist2), 0.25, max(mean_dist2) > 0.25
+      |    max(mean_dist2), 0.25, max(mean_dist2) > 0.25, NULL
       |  FROM emb_rep
       |  UNION ALL
       |  SELECT 3, 'card_diff', 'card', 'max_abs_delta_frac',
       |    coalesce(max(abs(delta_frac)), 0.0), 0.02,
-      |    coalesce(max(abs(delta_frac)), 0.0) > 0.02
+      |    coalesce(max(abs(delta_frac)), 0.0) > 0.02, NULL
       |  FROM card_rep
       |  UNION ALL
       |  SELECT 4, 'psi', 'n_chars', 'psi',
-      |    max(psi_total), -1.0, max(psi_total) > -1.0
+      |    max(psi_total), -1.0, max(psi_total) > -1.0, NULL
       |  FROM psi_rep)
       |ORDER BY check_idx, statistic""".stripMargin
 

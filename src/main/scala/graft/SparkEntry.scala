@@ -5203,6 +5203,83 @@ object SparkEntry {
         .orderBy(col("check_idx"), col("statistic"))
     }),
 
+    // The monitor with MEMORY: six nightly runs append their PSI to a
+    // declared history (label-keyed, monotone run_seq), and the sixth
+    // night's cusum check walks the accumulated series AFTER its own
+    // append — the slow-drift-over-weeks alarm no single night trips.
+    // The oracle replays all six nights' PSI plus the CUSUM closed
+    // form over the same sequence.
+    "q_pipeline_monitor_trend" -> ((s, d) => {
+      val fx = stagedOnce("montrend", d) { dir =>
+        val docs = Tables.documents(s, d)
+        graft.ops.Drift.saveReference(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "n_chars", s"$dir/ref_psi", nBins = 10)
+        (0 until 6).foreach { i =>
+          docs.filter(pmod(col("doc_id"), lit(6)) === i)
+            .write.mode("overwrite").parquet(s"$dir/cand_$i")
+          val trendCheck =
+            if (i == 5)
+              s""",
+                 |    {"type": "cusum", "history_dir": "$dir/hist",
+                 |     "check_type": "psi", "target": "n_chars",
+                 |     "statistic": "psi", "drift": 0.0,
+                 |     "threshold": 10.0,
+                 |     "target_value": 0.05}""".stripMargin
+            else ""
+          val p = s"$dir/job_$i.json"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p),
+            s"""{"monitor": {
+               |  "input": {"path": "$dir/cand_$i"},
+               |  "report_path": "$dir/report_$i",
+               |  "history": {"dir": "$dir/hist",
+               |              "run_label": "n0${i + 1}"},
+               |  "checks": [
+               |    {"type": "psi", "column": "n_chars",
+               |     "reference_dir": "$dir/ref_psi",
+               |     "threshold": 10.0}$trendCheck]}}""".stripMargin
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          require(graft.SnapshotJob.run(Array(p), s) == 0,
+            s"monitor-trend night $i failed")
+        }
+      }
+      s.read.parquet(s"$fx/report_5")
+        .orderBy(col("check_idx"), col("statistic"))
+    }),
+
+    // Structural drift as a first-class monitor row: today's parquet
+    // FOOTER against the frozen reference schema — zero data pass —
+    // reporting added/removed/retyped column counts (any change
+    // alarms). The drifted candidate drops a column, retypes another,
+    // and adds a third; the identical candidate stays quiet; the
+    // exit-code contract is exercised (alarm → exit 1, report
+    // written).
+    "q_pipeline_monitor_schema" -> ((s, d) => {
+      val fx = stagedOnce("monschema", d) { dir =>
+        val docs = Tables.documents(s, d)
+        graft.ops.Drift.saveSchemaReference(docs, s"$dir/ref_schema")
+        docs.write.mode("overwrite").parquet(s"$dir/cand_same")
+        docs.withColumn("n_chars", col("n_chars").cast("double"))
+          .drop("source").withColumn("extra", lit(1))
+          .write.mode("overwrite").parquet(s"$dir/cand_drift")
+        val p = s"$dir/job.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          s"""{"monitor": {
+             |  "report_path": "$dir/report",
+             |  "checks": [
+             |    {"type": "schema", "reference_dir": "$dir/ref_schema",
+             |     "input_path": "$dir/cand_drift"},
+             |    {"type": "schema", "reference_dir": "$dir/ref_schema",
+             |     "input_path": "$dir/cand_same"}]}}""".stripMargin
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        require(graft.SnapshotJob.run(Array(p), s) == 1,
+          "q_pipeline_monitor_schema: structural drift must alarm " +
+            "(exit 1) with the report written")
+      }
+      s.read.parquet(s"$fx/report")
+        .orderBy(col("check_idx"), col("statistic"))
+    }),
+
     // The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
     // canonical LLM document-quality heuristics) as a first-fail
     // attrition report over the corpus: word-count bounds, mean word
@@ -10979,6 +11056,8 @@ object SparkEntry {
         |FROM events LEFT JOIN k ON user_id = k.fk""".stripMargin,
 
     "q_pipeline_monitor" -> PipelineMonitorOracleSql,
+    "q_pipeline_monitor_trend" -> PipelineMonitorTrendOracleSql,
+    "q_pipeline_monitor_schema" -> PipelineMonitorSchemaOracleSql,
 
     // q_sim_topk's cosine arithmetic with the different-label join
     // condition added.
@@ -11761,7 +11840,100 @@ object SparkEntry {
     * reference, odd the candidate; quantile_cont shares Spark
     * percentile's interpolation, and frozen boundaries + additive bin
     * counts make the streamed result batch-boundary-invariant. */
-  private val DriftPsiOracleSql: String = {
+  private val DriftPsiOracleSql: String = psiReportSql("doc_id % 2 = 1")
+
+  /** `q_pipeline_monitor_trend`: six nights' PSI (each night one
+    * candidate slice against the same frozen reference) feed the CUSUM
+    * closed form `s_i = C_i − min(0, min_prefix(C))` over the
+    * run_seq-ordered series with the declared in-control level —
+    * exactly the arithmetic the engine's history + cusum check runs
+    * (running double sums accumulate left-to-right in both engines;
+    * scores rounded to 6 dp AFTER the alarm comparison, like
+    * ChangePoint.cusum). */
+  private lazy val PipelineMonitorTrendOracleSql: String = {
+    val nights = (0 until 6)
+      .map(i => s"n$i AS (${psiReportSql(s"doc_id % 6 = $i")})")
+      .mkString(",\n")
+    val series = (0 until 6)
+      .map(i => s"SELECT $i AS seq, (SELECT max(psi_total) FROM n$i) AS v")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $nights,
+      |v AS ($series),
+      |c AS (SELECT seq, v,
+      |    sum(v - 0.05) OVER w AS c_hi,
+      |    sum(0.05 - v) OVER w AS c_lo
+      |  FROM v
+      |  WINDOW w AS (ORDER BY seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT *,
+      |    c_hi - least(0.0, min(c_hi) OVER w2) AS s_hi,
+      |    c_lo - least(0.0, min(c_lo) OVER w2) AS s_lo
+      |  FROM c
+      |  WINDOW w2 AS (ORDER BY seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT * FROM (
+      |  SELECT 0 AS check_idx, 'psi' AS check_type,
+      |    'n_chars' AS target, 'psi' AS statistic,
+      |    (SELECT max(psi_total) FROM n5) AS value,
+      |    10.0 AS threshold,
+      |    (SELECT max(psi_total) FROM n5) > 10.0 AS alarmed,
+      |    CAST(NULL AS VARCHAR) AS error
+      |  UNION ALL
+      |  SELECT 1, 'cusum', 'n_chars', 'cusum_max',
+      |    (SELECT max(greatest(round(s_hi, 6), round(s_lo, 6))) FROM s),
+      |    10.0,
+      |    (SELECT bool_or(s_hi > 10.0 OR s_lo > 10.0) FROM s), NULL)
+      |ORDER BY check_idx, statistic""".stripMargin
+  }
+
+  /** `q_pipeline_monitor_schema`: both sides of the check are parquet
+    * FOOTERS, so the oracle compares DuckDB's own DESCRIBE of the
+    * reference table and of the drifted construction (source dropped,
+    * n_chars retyped, extra added) — name-set differences agree across
+    * engines, and same-name type (dis)agreement agrees because both
+    * candidates derive from the same underlying parquet types. The
+    * identical-schema check's zeros are literal: no difference exists
+    * by construction. */
+  private lazy val PipelineMonitorSchemaOracleSql: String =
+    """WITH ref AS (SELECT column_name AS c, column_type AS t
+      |  FROM (DESCRIBE SELECT * FROM documents)),
+      |cand AS (SELECT column_name AS c, column_type AS t
+      |  FROM (DESCRIBE SELECT * EXCLUDE (source)
+      |          REPLACE (CAST(n_chars AS DOUBLE) AS n_chars),
+      |        1 AS extra FROM documents)),
+      |j AS (SELECT coalesce(ref.c, cand.c) AS c, ref.t AS rt, cand.t AS ct
+      |      FROM ref FULL OUTER JOIN cand ON ref.c = cand.c),
+      |d AS (SELECT
+      |    CAST(sum(CASE WHEN rt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |      AS added,
+      |    CAST(sum(CASE WHEN ct IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |      AS removed,
+      |    CAST(sum(CASE WHEN rt IS NOT NULL AND ct IS NOT NULL
+      |                   AND rt <> ct THEN 1 ELSE 0 END) AS DOUBLE)
+      |      AS retyped
+      |  FROM j)
+      |SELECT * FROM (
+      |  SELECT 0 AS check_idx, 'schema' AS check_type,
+      |    'schema' AS target, 'added_columns' AS statistic,
+      |    added AS value, 0.0 AS threshold, added > 0 AS alarmed,
+      |    CAST(NULL AS VARCHAR) AS error FROM d
+      |  UNION ALL SELECT 0, 'schema', 'schema', 'removed_columns',
+      |    removed, 0.0, removed > 0, NULL FROM d
+      |  UNION ALL SELECT 0, 'schema', 'schema', 'retyped_columns',
+      |    retyped, 0.0, retyped > 0, NULL FROM d
+      |  UNION ALL SELECT 1, 'schema', 'schema', 'added_columns',
+      |    0.0, 0.0, false, NULL
+      |  UNION ALL SELECT 1, 'schema', 'schema', 'removed_columns',
+      |    0.0, 0.0, false, NULL
+      |  UNION ALL SELECT 1, 'schema', 'schema', 'retyped_columns',
+      |    0.0, 0.0, false, NULL)
+      |ORDER BY check_idx, statistic""".stripMargin
+
+  /** The PSI report oracle parameterized by the candidate slice (the
+    * reference is always the even-doc-id half, matching the frozen
+    * `saveReference` fixtures): reused by the drift queries and by the
+    * monitor-trend oracle, whose six "nights" are six slices. */
+  private def psiReportSql(candWhere: String): String = {
     val ps = (1 to 9).map(i => s"${i / 10.0}").mkString(", ")
     val binCase = "CASE " +
       (0 until 9).map(i => s"WHEN v <= bs[${i + 1}] THEN $i")
@@ -11769,7 +11941,7 @@ object SparkEntry {
     s"""WITH ref AS (SELECT n_chars::DOUBLE AS v FROM documents
       |            WHERE doc_id % 2 = 0),
       |cand AS (SELECT n_chars::DOUBLE AS v FROM documents
-      |         WHERE doc_id % 2 = 1),
+      |         WHERE $candWhere),
       |b AS (SELECT quantile_cont(v, [$ps]) AS bs FROM ref),
       |rc AS (SELECT $binCase AS bin, count(*) AS n FROM ref, b GROUP BY 1),
       |cc AS (SELECT $binCase AS bin, count(*) AS n FROM cand, b GROUP BY 1),

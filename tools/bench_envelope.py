@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Merge N full bench runs into the committed MIN-envelope artifact.
+
+Two consecutive rounds measured double-digit ambient swing between
+same-code full runs (roaming disturbances hit a different contiguous
+alphabetical cluster each run), so a single best-of-N run still carries
+whichever cluster the winning run was hit in. The per-query MIN over
+the N runs is robust to that: a disturbance must hit the SAME query in
+EVERY run to survive into the envelope. Each input run is itself
+min-of-3 timed passes inside one fresh JVM (graft.Bench), so the
+envelope is min over (runs x passes) with JVM-level effects sampled N
+times.
+
+    python3 tools/bench_envelope.py run1.json run2.json [...] > bench_out.json
+
+Output schema matches graft.Bench's artifact (total/queries/sf) so
+tools/bench_compare.py consumes it unchanged, plus:
+    method             "min-envelope"
+    runs               N
+    run_totals         each input run's own total (the ambient spread
+                       across runs, visible at a glance)
+    queries_run_spread per-query (max-min)/min ACROSS runs — high values
+                       mark queries the disturbances roamed over
+
+Queries that errored (-1) in some run take their min over the clean
+runs; queries with no clean run keep -1.
+"""
+import json
+import sys
+
+
+def main(paths):
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append(json.load(f))
+    keys = set(runs[0]["queries"])
+    for r in runs[1:]:
+        if set(r["queries"]) != keys:
+            raise SystemExit(
+                "bench runs cover different query sets: "
+                + ", ".join(sorted(keys ^ set(r["queries"]))))
+    queries, spread = {}, {}
+    for k in sorted(keys):
+        vals = [r["queries"][k] for r in runs]
+        clean = [v for v in vals if v > 0]
+        if clean:
+            queries[k] = round(min(clean), 4)
+            spread[k] = round((max(clean) - min(clean)) / min(clean), 4)
+        else:
+            queries[k], spread[k] = -1.0, 0.0
+    out = {
+        "metric": "total",
+        "value": round(sum(v for v in queries.values() if v > 0), 4),
+        "unit": "sec",
+        "queries": queries,
+        "queries_run_spread": spread,
+        "method": "min-envelope",
+        "runs": len(runs),
+        "run_totals": [round(r.get("value", -1), 4) for r in runs],
+        "passes": runs[0].get("passes"),
+        "sf": runs[0].get("sf"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    main(sys.argv[1:])

@@ -5280,6 +5280,51 @@ object SparkEntry {
         .orderBy(col("check_idx"), col("statistic"))
     }),
 
+    // The monitor's STREAMING twin: the candidate feed is a
+    // checkpointed parquet file stream, each CLI invocation catches up
+    // on the files that arrived since the last, and the checks
+    // collapse the ACCUMULATED state (frozen references + additive
+    // per-bin / per-token counts) — so the converged report equals the
+    // batch checks over everything that ever arrived, whatever the
+    // batch boundaries, and the query shares the batch oracles. Two
+    // invocations with the feed growing in between exercise the
+    // resume contract inside the driver gate itself.
+    "q_stream_monitor" -> ((s, d) => {
+      val fx = stagedOnce("streammon", d) { dir =>
+        val docs = Tables.documents(s, d)
+        graft.ops.Drift.saveReference(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "n_chars", s"$dir/ref_psi", nBins = 10)
+        graft.ops.Drift.saveTokenReference(
+          docs.filter(col("lang") === "en"), "text", s"$dir/ref_tokens")
+        val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val p = s"$dir/job.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          s"""{"monitor": {
+             |  "input": {"path": "$dir/feed"},
+             |  "report_path": "$dir/report",
+             |  "checks": [
+             |    {"type": "psi", "column": "n_chars",
+             |     "reference_dir": "$dir/ref_psi",
+             |     "threshold": 1000000.0},
+             |    {"type": "token_jsd", "text_column": "text",
+             |     "reference_dir": "$dir/ref_tokens",
+             |     "threshold": 2.0}],
+             |  "stream": {"dir": "$dir/state"}}}""".stripMargin
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        cand.filter(pmod(col("doc_id"), lit(4)) === 1)
+          .write.mode("overwrite").parquet(s"$dir/feed")
+        require(graft.SnapshotJob.run(Array(p), s) == 0,
+          "q_stream_monitor: first catch-up run failed")
+        cand.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .write.mode("append").parquet(s"$dir/feed")
+        require(graft.SnapshotJob.run(Array(p), s) == 0,
+          "q_stream_monitor: second catch-up run failed")
+      }
+      s.read.parquet(s"$fx/report")
+        .orderBy(col("check_idx"), col("statistic"))
+    }),
+
     // The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
     // canonical LLM document-quality heuristics) as a first-fail
     // attrition report over the corpus: word-count bounds, mean word
@@ -11058,6 +11103,12 @@ object SparkEntry {
     "q_pipeline_monitor" -> PipelineMonitorOracleSql,
     "q_pipeline_monitor_trend" -> PipelineMonitorTrendOracleSql,
     "q_pipeline_monitor_schema" -> PipelineMonitorSchemaOracleSql,
+    // Frozen references + additive per-bin / per-token state: the
+    // streamed monitor converges to the batch checks over the whole
+    // odd-doc feed however the waves were batched, so the oracle is
+    // the batch PSI and token-JSD arithmetic collapsed to the headline
+    // statistics.
+    "q_stream_monitor" -> StreamMonitorOracleSql,
 
     // q_sim_topk's cosine arithmetic with the different-label join
     // condition added.
@@ -11767,11 +11818,17 @@ object SparkEntry {
     * frozen-reference form (`q_pipeline_monitor`): exact token counts
     * are exact counts, whichever pass produced them — en-language
     * documents are the reference vocabulary, zh the candidate. */
-  private val TokenJsdOracleSql: String =
-    """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
-      |      '\s+')) AS token FROM documents WHERE lang = 'en'),
+  private val TokenJsdOracleSql: String = tokenJsdSql("lang = 'zh'")
+
+  /** The token-JSD oracle parameterized by the candidate slice (the
+    * reference vocabulary is always the en-language documents,
+    * matching the frozen `saveTokenReference` fixtures) — reused by
+    * the streaming monitor, whose feed is a different slice. */
+  private def tokenJsdSql(candWhere: String): String =
+    s"""WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+      |      '\\s+')) AS token FROM documents WHERE lang = 'en'),
       |ct AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
-      |      '\s+')) AS token FROM documents WHERE lang = 'zh'),
+      |      '\\s+')) AS token FROM documents WHERE $candWhere),
       |rc AS (SELECT token, count(*) AS ref_n FROM rt
       |       WHERE len(token) > 0 GROUP BY 1),
       |cc AS (SELECT token, count(*) AS cand_n FROM ct
@@ -11885,6 +11942,26 @@ object SparkEntry {
       |    (SELECT bool_or(s_hi > 10.0 OR s_lo > 10.0) FROM s), NULL)
       |ORDER BY check_idx, statistic""".stripMargin
   }
+
+  /** `q_stream_monitor`: the streamed checks' converged statistics are
+    * the batch PSI / token-JSD over the full odd-doc feed (frozen
+    * references, additive counts — batch-boundary-invariant), compared
+    * against the declared bounds exactly as the job does. */
+  private lazy val StreamMonitorOracleSql: String =
+    s"""WITH psi_rep AS (${psiReportSql("doc_id % 2 = 1")}),
+      |jsd_rep AS (${tokenJsdSql("doc_id % 2 = 1")})
+      |SELECT * FROM (
+      |  SELECT 0 AS check_idx, 'psi' AS check_type,
+      |    'n_chars' AS target, 'psi' AS statistic,
+      |    max(psi_total) AS value, 1000000.0 AS threshold,
+      |    max(psi_total) > 1000000.0 AS alarmed,
+      |    CAST(NULL AS VARCHAR) AS error
+      |  FROM psi_rep
+      |  UNION ALL
+      |  SELECT 1, 'token_jsd', 'text', 'jsd',
+      |    max(jsd_total), 2.0, max(jsd_total) > 2.0, NULL
+      |  FROM jsd_rep)
+      |ORDER BY check_idx, statistic""".stripMargin
 
   /** `q_pipeline_monitor_schema`: both sides of the check are parquet
     * FOOTERS, so the oracle compares DuckDB's own DESCRIBE of the

@@ -210,6 +210,14 @@ object Drift {
     jsdFromCounts(cand.sparkSession.read.parquet(refDir),
       tokenCounts(cand, textCol, "cand_n"))
 
+  /** [[tokenJsd]] from already-accumulated candidate counts against a
+    * persisted reference — the shape a streaming monitor converges to
+    * (additive exact counts are batch-boundary-invariant, like
+    * [[psiFromCounts]]). `candCounts` must carry `(token, cand_n)`. */
+  def tokenJsdFromCounts(spark: org.apache.spark.sql.SparkSession,
+                         refDir: String, candCounts: DataFrame): DataFrame =
+    jsdFromCounts(spark.read.parquet(refDir), candCounts)
+
   private def jsdFromCounts(refCounts: DataFrame,
                             candCounts: DataFrame): DataFrame = {
     val rc = refCounts

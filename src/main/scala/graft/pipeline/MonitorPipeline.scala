@@ -24,6 +24,13 @@ import graft.ops.Drift
   *     "history": {"dir": "...",   // optional: append each run's
   *       "run_label": "2026-08-16"},  // statistic rows (label keyed,
   *                                    //   collision refused)
+  *     "stream": {"dir": "..."},   // optional: the input becomes a
+  *                                 //   checkpointed parquet file
+  *                                 //   stream — each invocation
+  *                                 //   catches up on the files that
+  *                                 //   arrived since the last and
+  *                                 //   checks the ACCUMULATED feed
+  *                                 //   (see [[evaluateStreaming]])
   *     "checks": [                 // each may override "input_path"
   *       {"type": "psi", "column": "n_chars",
   *        "reference_dir": "...",           // Drift.saveReference
@@ -132,7 +139,8 @@ object MonitorPipeline {
   final case class MonitorConfig(inputPath: Option[String],
                                  reportPath: String,
                                  history: Option[HistoryConfig],
-                                 checks: Seq[Check])
+                                 checks: Seq[Check],
+                                 streamDir: Option[String] = None)
 
   /** One check's outcome: its report rows
     * `(statistic, value, threshold, alarmed)`, or the failure it was
@@ -171,7 +179,7 @@ object MonitorPipeline {
         case other => fail(s"$where must be an object, got $other")
       }
     keysOf(root, "monitor", Set("input", "report_path", "history",
-      "checks"))
+      "checks", "stream"))
     val inputPath = root \ "input" match {
       case JNothing => None
       case in =>
@@ -298,7 +306,29 @@ object MonitorPipeline {
         fail("monitor declares no input.path and a check declares no " +
           "input_path override — every check needs a candidate feed")
     }
-    MonitorConfig(inputPath, reportPath, history, checks)
+    val streamDir = root \ "stream" match {
+      case JNothing => None
+      case st =>
+        keysOf(st, "monitor.stream", Set("dir"))
+        Some(str(st \ "dir").getOrElse(
+          fail("monitor.stream.dir is required when stream is declared")))
+    }
+    if (streamDir.isDefined) {
+      if (inputPath.isEmpty) fail(
+        "monitor.stream requires input.path — the stream IS the " +
+          "declared candidate feed")
+      checks.foreach {
+        case _: CusumCheck => () // history-only, feed never touched
+        case _: CardDiffCheck => fail(
+          "monitor.stream cannot run card_diff — it compares release " +
+            "ARTIFACTS, not feeds; run it in batch mode")
+        case c => if (c.inputPath.isDefined) fail(
+          "monitor.stream watches ONE feed — per-check input_path " +
+            "overrides are batch-only (declare a second monitor " +
+            "config for a second feed)")
+      }
+    }
+    MonitorConfig(inputPath, reportPath, history, checks, streamDir)
   }
 
   /** Evaluate one check to its `(statistic, value, threshold, alarmed)`
@@ -361,6 +391,51 @@ object MonitorPipeline {
           max(col("alarm").cast("int")).as("a")).head()
         Seq(("cusum_max", row.getDouble(0), threshold,
           row.getInt(1) == 1))
+    }
+  }
+
+  /** Stream-mode evaluation: the feed-distribution checks (psi /
+    * token_jsd / embedding_drift) read the candidate as a parquet FILE
+    * STREAM and collapse the ACCUMULATED state (per-bin counts / exact
+    * token counts / one fixed-point moments row — each under
+    * `<stream.dir>/check_<idx>`, [[graft.streaming.ChangelogStream]]'s
+    * replay-idempotent MergeState protocol, `Trigger.AvailableNow`) to
+    * the same headline statistic the batch check computes over
+    * everything that ever arrived — frozen references + additive state
+    * make the converged report batch-boundary-invariant, so stream and
+    * batch share oracles. `schema` (a footer read) and `cusum` (the
+    * history walk) evaluate exactly as in batch mode. The check list
+    * and its order are part of the stream contract: state dirs key on
+    * the declaration index, so reordering checks needs a fresh
+    * stream.dir. */
+  private def evaluateStreaming(spark: SparkSession, config: MonitorConfig,
+                                check: Check, idx: Int, dir: String)
+      : Seq[(String, Double, Double, Boolean)] = {
+    import graft.streaming.ChangelogStream
+    val feed = config.inputPath.get
+    lazy val stream = spark.readStream
+      .schema(spark.read.parquet(feed).schema).parquet(feed)
+    val stateDir = s"$dir/check_$idx"
+    check match {
+      case PsiCheck(column, refDir, threshold, _) =>
+        val v = ChangelogStream.streamDrift(stream, refDir, column,
+            stateDir)
+          .agg(max(col("psi_total"))).head().getDouble(0)
+        Seq(("psi", v, threshold, v > threshold))
+      case TokenJsdCheck(textColumn, refDir, threshold, _) =>
+        val v = ChangelogStream.streamTokenJsd(stream, refDir,
+            textColumn, stateDir)
+          .agg(max(col("jsd_total"))).head().getDouble(0)
+        Seq(("jsd", v, threshold, v > threshold))
+      case EmbeddingDriftCheck(vecCol, refDir, dim, mm, mc, _) =>
+        val row = ChangelogStream.streamEmbeddingDriftAgainstReference(
+            stream, refDir, vecCol, dim, stateDir)
+          .select(col("mean_dist2"), col("cov_frob")).head()
+        mm.map(t => ("mean_dist2", row.getDouble(0), t,
+            row.getDouble(0) > t)).toSeq ++
+          mc.map(t => ("cov_frob", row.getDouble(1), t,
+            row.getDouble(1) > t))
+      case other => evaluate(spark, config, other) // schema, cusum
     }
   }
 
@@ -459,7 +534,10 @@ object MonitorPipeline {
   def run(spark: SparkSession, config: MonitorConfig): Seq[CheckResult] = {
     def eval(c: Check, i: Int): CheckResult =
       try CheckResult(i, checkType(c), c.target,
-        evaluate(spark, config, c), None)
+        config.streamDir match {
+          case Some(dir) => evaluateStreaming(spark, config, c, i, dir)
+          case None => evaluate(spark, config, c)
+        }, None)
       catch {
         case scala.util.control.NonFatal(e) =>
           CheckResult(i, checkType(c), c.target, Nil,

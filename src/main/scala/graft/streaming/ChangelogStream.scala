@@ -983,7 +983,33 @@ object ChangelogStream {
     * `q_embedding_drift` oracle. */
   def streamEmbeddingDrift(stream: DataFrame, baseline: DataFrame,
                            vecCol: String, dim: Int, dir: String,
-                           statePartitions: Int = 0): DataFrame = {
+                           statePartitions: Int = 0): DataFrame =
+    graft.ops.Pca.driftFromMoments(
+      accumulatedMoments(stream, vecCol, dir, statePartitions),
+      graft.ops.Pca.moments(baseline, vecCol), dim)
+
+  /** [[streamEmbeddingDrift]] against a FROZEN
+    * [[graft.ops.Drift.saveEmbeddingReference]] moments dir — the
+    * monitor shape: the reference corpus is never rescanned, the feed
+    * accumulates one fixed-point moments row, and the converged report
+    * is bit-identical to the batch
+    * [[graft.ops.Drift.embeddingDriftAgainstReference]] however the
+    * feed was batched (integer moment sums commute). */
+  def streamEmbeddingDriftAgainstReference(stream: DataFrame,
+                                           refDir: String, vecCol: String,
+                                           dim: Int, dir: String,
+                                           statePartitions: Int = 0)
+      : DataFrame =
+    graft.ops.Pca.driftFromMoments(
+      stream.sparkSession.read.parquet(refDir),
+      accumulatedMoments(stream, vecCol, dir, statePartitions), dim)
+
+  /** The feed's fixed-point covariance moments accumulated across
+    * micro-batches ([[MergeState]] replay-idempotent protocol; state is
+    * ONE moments row). */
+  private def accumulatedMoments(stream: DataFrame, vecCol: String,
+                                 dir: String,
+                                 statePartitions: Int): DataFrame = {
     val spark = stream.sparkSession
     val q = withStatePartitions(stream, statePartitions).writeStream
       .option("checkpointLocation", s"$dir/_checkpoints")
@@ -1008,7 +1034,7 @@ object ChangelogStream {
     q.awaitTermination()
     val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
     val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val streamed = MergeState.latest(fs, stateRoot) match {
+    MergeState.latest(fs, stateRoot) match {
       case None =>
         // empty stream: the merge identity row — driftFromMoments then
         // refuses it loudly, the same contract as an empty batch corpus
@@ -1018,8 +1044,56 @@ object ChangelogStream {
       case Some(last) =>
         spark.read.parquet(s"$dir/state/graft_batch=$last")
     }
-    graft.ops.Pca.driftFromMoments(streamed,
-      graft.ops.Pca.moments(baseline, vecCol), dim)
+  }
+
+  /** Streaming token-distribution drift: exact per-token candidate
+    * counts accumulated across micro-batches against a FROZEN
+    * [[graft.ops.Drift.saveTokenReference]] vocabulary — the text
+    * complement of [[streamDrift]]. Same batch-id-versioned
+    * [[MergeState]] shape (replayed batches recompute from the same
+    * predecessor: recovery never double-counts); state is
+    * vocabulary-sized. Exact counts are additive ⇒ the converged
+    * report equals the batch
+    * [[graft.ops.Drift.tokenJsdAgainstReference]] regardless of batch
+    * boundaries, so it shares the batch oracle. */
+  def streamTokenJsd(stream: DataFrame, refDir: String, textCol: String,
+                     dir: String, statePartitions: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val q = withStatePartitions(stream, statePartitions).writeStream
+      .option("checkpointLocation", s"$dir/_checkpoints")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val batchCounts =
+          graft.ops.Drift.tokenCounts(b, textCol, "cand_n")
+        val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+        val fs = stateRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val prev = MergeState.prevBefore(fs, stateRoot, id)
+        val cumulative = prev match {
+          case Some(p) => batchCounts
+            .unionByName(s.read.parquet(s"$dir/state/graft_batch=$p"))
+            .groupBy(col("token")).agg(sum(col("cand_n")).as("cand_n"))
+          case None => batchCounts
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/state/graft_batch=$id")
+        prev.foreach(p => MergeState.pruneBelow(fs, stateRoot, p))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val fs = stateRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts = MergeState.latest(fs, stateRoot) match {
+      case None =>
+        // empty stream: no candidate tokens — tokenJsdFromCounts then
+        // refuses it loudly, the same contract as an empty batch corpus
+        spark.range(0).select(col("id").cast("string").as("token"),
+          col("id").as("cand_n"))
+      case Some(last) =>
+        spark.read.parquet(s"$dir/state/graft_batch=$last")
+    }
+    graft.ops.Drift.tokenJsdFromCounts(spark, refDir, counts)
   }
 
   /** Streaming rolling-actives: per-day-slice theta sketches maintained

@@ -310,6 +310,92 @@ class MonitorPipelineSpec extends SparkTestBase {
         ("text", "removed"))
   }
 
+  it should "run as a resumable stream and converge to the batch " +
+    "checks over everything that ever arrived" in {
+    val base = fixtures
+    val feed = s"$tmp/stream_feed"
+    val sdir = s"$tmp/stream_state"
+    val cand = spark.read.parquet(s"$base/cand_docs")
+    Drift.saveSchemaReference(spark.read.parquet(s"$base/ref_docs"),
+      s"$tmp/stream_sch_ref")
+    val cfgPath = s"$tmp/monitor_stream.json"
+    Files.write(Paths.get(cfgPath),
+      s"""{"monitor": {
+         |  "input": {"path": "$feed"},
+         |  "report_path": "$tmp/rep_stream",
+         |  "checks": [
+         |    {"type": "psi", "column": "n_chars",
+         |     "reference_dir": "$base/ref_psi", "threshold": 1e9},
+         |    {"type": "token_jsd", "text_column": "text",
+         |     "reference_dir": "$base/ref_tokens", "threshold": 2.0},
+         |    {"type": "schema",
+         |     "reference_dir": "$tmp/stream_sch_ref"}],
+         |  "stream": {"dir": "$sdir"}}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    // wave 1: half the candidate docs — first catch-up run
+    cand.filter($"doc_id" <= 25).write.mode("overwrite").parquet(feed)
+    graft.SnapshotJob.run(Array(cfgPath), spark) shouldBe 0
+    // wave 2 arrives as NEW files; the second invocation processes
+    // only those and the accumulated state now covers the whole feed
+    cand.filter($"doc_id" > 25).write.mode("append").parquet(feed)
+    graft.SnapshotJob.run(Array(cfgPath), spark) shouldBe 0
+    val rep = spark.read.parquet(s"$tmp/rep_stream")
+    val vOf = (ct: String, st: String) => rep
+      .filter($"check_type" === ct && $"statistic" === st)
+      .select($"value").head().getDouble(0)
+    // converged ≡ batch: same frozen references, whole candidate feed
+    vOf("psi", "psi") shouldBe Drift.psiAgainstReference(cand,
+      s"$base/ref_psi", "n_chars")
+      .agg(max($"psi_total")).head().getDouble(0)
+    vOf("token_jsd", "jsd") shouldBe Drift.tokenJsdAgainstReference(
+      cand, s"$base/ref_tokens", "text")
+      .agg(max($"jsd_total")).head().getDouble(0)
+    // the schema check rode along unchanged (footer read, quiet)
+    rep.filter($"check_type" === "schema" && $"alarmed").count() shouldBe 0L
+    // the embedding check streams the same way on a vector feed
+    val vfeed = s"$tmp/stream_vfeed"
+    val vecs = spark.read.parquet(s"$base/cand_vecs")
+    vecs.filter($"vec_id" <= 20).write.mode("overwrite").parquet(vfeed)
+    val vcfg = s"$tmp/monitor_stream_v.json"
+    Files.write(Paths.get(vcfg),
+      s"""{"monitor": {
+         |  "input": {"path": "$vfeed"},
+         |  "report_path": "$tmp/rep_stream_v",
+         |  "checks": [
+         |    {"type": "embedding_drift", "vector_column": "embedding",
+         |     "reference_dir": "$base/ref_moments", "dim": 3,
+         |     "max_mean_dist2": 1e9}],
+         |  "stream": {"dir": "$tmp/stream_vstate"}}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    graft.SnapshotJob.run(Array(vcfg), spark) shouldBe 0
+    vecs.filter($"vec_id" > 20).write.mode("append").parquet(vfeed)
+    graft.SnapshotJob.run(Array(vcfg), spark) shouldBe 0
+    spark.read.parquet(s"$tmp/rep_stream_v")
+      .filter($"statistic" === "mean_dist2")
+      .select($"value").head().getDouble(0) shouldBe
+      Drift.embeddingDriftAgainstReference(vecs, s"$base/ref_moments",
+        "embedding", dim = 3).select($"mean_dist2").head().getDouble(0)
+    // stream-mode refusals: no feed / per-check override / card_diff
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"report_path": "/r", "stream": {"dir": "/s"},
+        | "checks": [{"type": "schema", "reference_dir": "/ref",
+        |   "input_path": "/d"}]}}""".stripMargin))
+      .getMessage should include("stream requires input.path")
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"}, "report_path": "/r",
+        | "stream": {"dir": "/s"},
+        | "checks": [{"type": "psi", "column": "c",
+        |   "reference_dir": "/ref", "input_path": "/other"}]}}"""
+        .stripMargin))
+      .getMessage should include("ONE feed")
+    (the[IllegalArgumentException] thrownBy fromJson(
+      """{"monitor": {"input": {"path": "/d"}, "report_path": "/r",
+        | "stream": {"dir": "/s"},
+        | "checks": [{"type": "card_diff", "reference_dir": "/ref",
+        |   "threshold": 0.1}]}}""".stripMargin))
+      .getMessage should include("cannot run card_diff")
+  }
+
   it should "parse the shipped example conf into the declared checks" in {
     val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("conf/application-monitor-example.conf")),

@@ -670,6 +670,45 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  "the scoped forget rewrite" should "prune its scan to the affected " +
+    "partitions and keep the discovery job at partition granularity" in {
+    // the scope_partitions economy: the discovery job is ONE broadcast
+    // semi-join collapsed to (partition, file) granularity, and the
+    // rewrite scan carries PartitionFilters for the affected values —
+    // untouched partitions are never read, let alone rewritten
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_scoped").toString
+    Tables.orders(spark, sf)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(4)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    val keys = broadcast(Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("__forget_key")).distinct())
+    val table = spark.read.parquet(dir)
+    val discovery = table
+      .withColumn("__file", input_file_name())
+      .join(keys, col("o_custkey") === col("__forget_key"), "left_semi")
+      .select(col("bucket"), col("__file")).distinct()
+    val dplan = discovery.queryExecution.executedPlan.toString()
+    withClue(dplan) {
+      dplan should include("BroadcastHashJoin")
+      dplan should include("LeftSemi")
+      (dplan should not).include("SortMergeJoin")
+      (dplan should not).include("Window")
+    }
+    val rewrite = table.filter(col("bucket") === 1)
+      .join(keys, col("o_custkey") === col("__forget_key"), "left_anti")
+    val rplan = rewrite.queryExecution.executedPlan.toString()
+    withClue(rplan) {
+      rplan should include("PartitionFilters")
+      rplan should include regex "bucket#\\d+ = 1"
+      rplan should include("BroadcastHashJoin")
+      rplan should include("LeftAnti")
+      (rplan should not).include("SortMergeJoin")
+      (rplan should not).include("ShuffledHashJoin")
+    }
+  }
+
   "the monitor's PSI check" should "collapse the candidate to bin " +
     "granularity before any join" in {
     // the frozen-reference monitor path: the candidate pays one

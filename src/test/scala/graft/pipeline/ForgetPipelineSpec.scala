@@ -351,6 +351,43 @@ class ForgetPipelineSpec extends SparkTestBase {
     spark.read.parquet(out).count() shouldBe 8L
   }
 
+  it should "scope across multi-level hive partitions" in {
+    val base = fixtures
+    // two-level layout bucket=order_id%3 / parity=order_id%2: subjects
+    // 2,4 own orders 1,7 (bucket=1, parity=1) and 3,9 (bucket=0,
+    // parity=1) — exactly two of the six leaf partitions are affected
+    spark.read.parquet(s"$base/orders")
+      .withColumn("bucket", pmod(col("order_id"), lit(3)))
+      .withColumn("parity", pmod(col("order_id"), lit(2)))
+      .write.partitionBy("bucket", "parity").mode("overwrite")
+      .parquet(s"$base/orders_sc2")
+    val out = s"$tmp/out_scoped2"
+    val report = ForgetPipeline.run(spark, fromJson(
+      s"""{"forget": {
+         |  "ids_path": "$base/ids", "id_column": "cust_id",
+         |  "tables": [
+         |    {"name": "orders", "table_path": "$base/orders_sc2",
+         |     "key_column": "cust_id", "output_path": "$out",
+         |     "partition_by": ["bucket", "parity"],
+         |     "scope_partitions": true}]}}""".stripMargin))
+    report.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))) shouldBe
+      Array((12L, 4L, 8L, 2L, 4L))
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 8L
+    back.filter($"cust_id".isin(2L, 4L)).count() shouldBe 0L
+    // an untouched LEAF directory is carried byte-identical
+    def bytes(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    bytes(s"$out/bucket=2/parity=0") shouldBe
+      bytes(s"$base/orders_sc2/bucket=2/parity=0")
+    // both affected leaves held ONLY subject rows — rewritten to empty
+    back.filter(($"bucket" === 1 && $"parity" === 1) ||
+      ($"bucket" === 0 && $"parity" === 1)).count() shouldBe 0L
+  }
+
   it should "carry every partition when no subject row exists and " +
     "refuse a scoped target that is not hive-partitioned" in {
     val base = fixtures
@@ -403,6 +440,10 @@ class ForgetPipelineSpec extends SparkTestBase {
     cfg.idsPath shouldBe "/gdpr/subjects"
     cfg.idColumn shouldBe "subject_id"
     cfg.tables.map(_.name) shouldBe Seq("customer", "orders", "events")
+    // the partitioned fact table documents the scoped-rewrite economy
+    cfg.tables.last.partitionBy shouldBe Seq("day")
+    cfg.tables.last.scopePartitions shouldBe true
+    cfg.tables.take(2).forall(!_.scopePartitions) shouldBe true
     cfg.indexes.map(t => (t.name, t.kind)) shouldBe Seq(
       ("emb_index", "vector"), ("text_index", "text"))
     cfg.indexes.last.sourcePath shouldBe Some("/data/documents")

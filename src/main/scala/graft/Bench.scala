@@ -58,10 +58,22 @@ object Bench {
     // published alongside so a run with high ambient noise is visibly a
     // measurement artifact, not a regression
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // SPARK_GRAFT_BENCH_ACTION=noop switches the timed action to the
+    // no-op sink (guide §1.4: count() lets Catalyst prune columns whose
+    // computation the query exists to measure; the noop write computes
+    // every column of every row). DEFAULT stays count() — the committed
+    // artifact and the driver's round-over-round comparison keep the
+    // historical methodology; noop mode is the development-time
+    // instrument for before/after work on individual queries.
+    val noop = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("noop")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (noop) df.write.format("noop").mode("overwrite").save()
+      else df.count(): Unit
     val results = ordered.map { case (name, fn) =>
+      spark.sparkContext.setJobDescription(name)
       val dts = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators persist small intermediates (signatures, indexes)
         // scoped to their own query; drop them between measurements, and

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: write `.explain("formatted")` output for named
+  * declared queries to `<outDir>/<name>.txt` — the committed evidence
+  * (`plans/r19/…`) behind every optimization-round plan claim. Usage:
+  *
+  *   runMain graft.Explain <sfDir> <outDir> [suffix] [query ...]
+  *
+  * With a suffix (e.g. `_before` / `_after`) files are named
+  * `<name><suffix>.txt`; no query names = all declared queries. The
+  * plan printed is the pre-execution plan (AQE `isFinalPlan=false`) —
+  * Exchange placement, join strategy, PushedFilters and ReadSchema are
+  * all decided there. Queries that stage fixtures or run CLI pipelines
+  * execute those side effects while building the frame, exactly as
+  * Verify does. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Explain <sfDir> <outDir> [suffix] [query ...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val (suffix, names) =
+      if (args.length >= 3 && args(2).startsWith("_"))
+        (args(2), args.drop(3).toSet)
+      else ("", args.drop(2).toSet)
+    val unknown = names -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => names.isEmpty || names(q._1))
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"$name$suffix.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"[explain] wrote $name$suffix.txt")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[explain] $name FAILED: $e")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -3198,12 +3198,13 @@ object SparkEntry {
     // Cluster purity against the embeddings' reference labels, cells
     // from the exact iters=0 Voronoi regime (q_semdedup's) — per cell,
     // the majority label (ties to minimum) over the cell size, integer
-    // until one division.
+    // until one division. assignCellsOnly IS semDedup's (vec_id, cell)
+    // projection (spec-pinned bit-identical) minus the in-cell pair
+    // join this query never used — r19 optimization, same oracle.
     "q_cluster_purity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val asg = graft.ops.SemanticDedup.semDedup(emb, "vec_id",
-          "embedding", k = 8, tau = 0.4, iters = 0)
-        .select(col("vec_id"), col("cell"))
+      val asg = graft.ops.SemanticDedup.assignCellsOnly(emb, "vec_id",
+        "embedding", k = 8, iters = 0)
       graft.ops.ClusterEval.purityByCell(
           asg.join(emb.select(col("vec_id"), col("label")), "vec_id"),
           "cell", "label")
@@ -3218,9 +3219,10 @@ object SparkEntry {
     // curation hangs caps and drops on them.
     "q_cluster_quality" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val asg = graft.ops.SemanticDedup.semDedup(emb, "vec_id",
-          "embedding", k = 8, tau = 0.4, iters = 0)
-        .select(col("vec_id"), col("cell"))
+      // assignCellsOnly ≡ semDedup's (vec_id, cell) projection without
+      // the in-cell pair join (spec-pinned) — r19 optimization
+      val asg = graft.ops.SemanticDedup.assignCellsOnly(emb, "vec_id",
+        "embedding", k = 8, iters = 0)
       graft.ops.ClusterEval.qualityReport(
         asg.join(emb.select(col("vec_id"), col("label")), "vec_id"),
         "cell", "label")
@@ -4574,9 +4576,11 @@ object SparkEntry {
     "q_lang_id_margin" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"))
-      graft.ops.LangId.classifyWithMargin(docs,
-          graft.ops.LangId.trainProfiles(docs, "text", "lang"),
-          "doc_id", "text")
+      // selfClassifyWithMargin ≡ classifyWithMargin(docs,
+      // trainProfiles(docs)) sharing ONE shingling pass (spec-pinned
+      // bit-identical) — r19 optimization, same oracle
+      graft.ops.LangId.selfClassifyWithMargin(docs, "doc_id", "text",
+          "lang")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),

@@ -123,16 +123,20 @@ object AudioFingerprint {
 
   // ---- synthetic fixture assets (harness + spec) ----
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // per-thread digest: same rationale as ImageHash.tlMd5 (no provider
+  // lookup / hex render per window)
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
   /** Per-window amplitude of the synthetic signal: 1 + 100 · (first md5
     * byte of `aud:<seed>:<w>`) — iid-uniform windows whose constant
     * samples make every window mean EXACT in float arithmetic, so the
     * oracle reproduces each comparison from integer SQL. */
-  private[ops] def patternAmp(seed: Long, w: Int): Int =
-    1 + 100 * Integer.parseInt(md5Hex(s"aud:$seed:$w").substring(0, 2), 16)
+  private[ops] def patternAmp(seed: Long, w: Int): Int = {
+    val md = tlMd5.get()
+    md.reset()
+    1 + 100 * (md.digest(s"aud:$seed:$w".getBytes("UTF-8"))(0) & 0xFF)
+  }
 
   private[ops] def patternWav(seed: Long, tweak: Boolean,
                               windowSamples: Int): Array[Byte] = {

@@ -22,6 +22,11 @@ package graft.ops
   */
 object AviMjpeg {
 
+  // no temp-file ImageIO stream cache regardless of class-load order
+  // (see ImageHash's note)
+  javax.imageio.ImageIO.setUseCache(false)
+
+
   private def le32(v: Int): Array[Byte] =
     Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
   private def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)

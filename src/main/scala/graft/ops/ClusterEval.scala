@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
 
 /** Clustering-quality evaluation against reference labels: purity and
   * (via [[InfoTheory]]) normalized mutual information — the acceptance
@@ -19,15 +20,25 @@ import org.apache.spark.sql.types.DoubleType
   * Scale posture: one `groupBy(cell, label)` collapses the corpus to
   * the cell×label contingency table; every window after that is
   * partitioned by cell and bounded by label cardinality, never by data.
+  * [[qualityReport]] materializes that contingency ONCE and derives
+  * BOTH statistics from it — the corpus (often an expensive upstream:
+  * k-means assignment over an embedding scan) pays exactly one pass,
+  * where feeding `df` to purity and MI separately re-evaluated the
+  * upstream once per marginal/entropy branch (6 scans measured on the
+  * r19 bench).
   */
 object ClusterEval {
 
-  /** Per-cell report: `(cell, majority_label, n, n_majority, purity)`,
-    * majority ties to the minimum label. */
-  def purityByCell(df: DataFrame, cellCol: String,
-                   labelCol: String): DataFrame = {
-    val cl = df.groupBy(col(cellCol), col(labelCol))
+  /** The cell×label contingency counts `(cellCol, labelCol, __n_cl)` —
+    * the one corpus-granularity aggregate both statistics reduce to. */
+  private def contingency(df: DataFrame, cellCol: String,
+                          labelCol: String): DataFrame =
+    df.groupBy(col(cellCol), col(labelCol))
       .agg(count(lit(1)).as("__n_cl"))
+
+  /** Per-cell purity from a prebuilt contingency table. */
+  private def purityByCellFromCounts(cl: DataFrame, cellCol: String,
+                                     labelCol: String): DataFrame = {
     val w = Window.partitionBy(col(cellCol))
     cl.withColumn("__n", sum(col("__n_cl")).over(w))
       .withColumn("__mx", max(col("__n_cl")).over(w))
@@ -39,25 +50,43 @@ object ClusterEval {
         col("n").cast(DoubleType))
   }
 
-  /** One-row corpus report: `(n_cells, n, n_majority, purity)`. */
-  def purityTotal(df: DataFrame, cellCol: String,
-                  labelCol: String): DataFrame =
-    purityByCell(df, cellCol, labelCol)
+  /** Per-cell report: `(cell, majority_label, n, n_majority, purity)`,
+    * majority ties to the minimum label. */
+  def purityByCell(df: DataFrame, cellCol: String,
+                   labelCol: String): DataFrame =
+    purityByCellFromCounts(contingency(df, cellCol, labelCol), cellCol,
+      labelCol)
+
+  private def purityTotalFromCounts(cl: DataFrame, cellCol: String,
+                                    labelCol: String): DataFrame =
+    purityByCellFromCounts(cl, cellCol, labelCol)
       .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n"),
         sum(col("n_majority")).as("n_majority"))
       .withColumn("purity", col("n_majority").cast(DoubleType) /
         col("n").cast(DoubleType))
 
+  /** One-row corpus report: `(n_cells, n, n_majority, purity)`. */
+  def purityTotal(df: DataFrame, cellCol: String,
+                  labelCol: String): DataFrame =
+    purityTotalFromCounts(contingency(df, cellCol, labelCol), cellCol,
+      labelCol)
+
   /** One-row combined quality report: purity totals plus the
     * [[InfoTheory]] NMI of cell vs label (`mi_total`, `h_cell`,
-    * `h_label`, `nmi`). Both inputs are cell-granularity aggregates of
-    * one scan each. */
+    * `h_label`, `nmi`). The corpus collapses to ONE persisted
+    * contingency table (cell×label granularity — model-sized) that
+    * feeds both statistics; the pin lives in the session CacheManager
+    * for the returned lazy plan's lifetime (the [[SemanticDedup]]
+    * contract — clearCache between runs in long-lived apps). */
   def qualityReport(df: DataFrame, cellCol: String,
                     labelCol: String): DataFrame = {
-    val nmi = InfoTheory.mutualInformation(df, cellCol, labelCol)
+    val cl = contingency(df, cellCol, labelCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nmi = InfoTheory.mutualInformationFromCounts(cl, cellCol, labelCol,
+        "__n_cl")
       .select(col("mi_total"), col("h_x").as("h_cell"),
         col("h_y").as("h_label"), col("nmi"))
       .distinct()
-    purityTotal(df, cellCol, labelCol).crossJoin(broadcast(nmi))
+    purityTotalFromCounts(cl, cellCol, labelCol).crossJoin(broadcast(nmi))
   }
 }

@@ -1191,19 +1191,36 @@ object Dedup {
     var converged = false
     var lastCk = false // was the surviving `labels` frame checkpointed?
     while (!converged && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lab").as("nlab")), "dst")
-        .groupBy(col("src")).agg(min(col("nlab")).as("nbr_min"))
-      // carry a per-row changed flag through the round: both comparisons
-      // happen where old and new labels are already side by side, so the
-      // convergence check below needs no extra join against the previous
-      // label table — just a scan-only max over the checkpointed result
-      val propagated = labels
-        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"),
-          "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nbr_min"), col("lab"))).as("new_lab"),
-          (coalesce(col("nbr_min"), col("lab")) < col("lab")).as("chg1"))
+      // fused min-propagation (r19): ONE edge⋈labels join feeds a union
+      // with the self rows, so the new label, the OLD label and the
+      // changed flag all come out of one id-granularity aggregate —
+      // the previous join + groupBy + join-back shape paid one more
+      // shuffle per round for the same integers. Exactly one self row
+      // per id (labels are unique per id), so max(self) IS the old
+      // label; min over {old lab} ∪ {neighbor labs} IS the propagated
+      // minimum, and chg1 ≡ (nbr_min < lab) ≡ (new_lab < lab).
+      val contrib = labels
+        .select(col("id"), col("lab").as("cand"), col("lab").as("self"))
+        .unionByName(edges
+          .join(labels.select(col("id").as("dst"), col("lab").as("nlab")),
+            "dst")
+          .select(col("src").as("id"), col("nlab").as("cand"),
+            lit(null).as("self")))
+      // PERSIST the round's propagated frame: the pointer-doubling join
+      // below references it under TWO different shuffle keys (new_lab
+      // vs p_id), so exchange reuse cannot deduplicate the subtree and
+      // the whole propagation lineage would execute twice per round
+      // (measured on the r19 sf0.1 bench). Released right after the
+      // convergence aggregate materializes the round.
+      val propagated = contrib.groupBy(col("id"))
+        .agg(min(col("cand")).as("new_lab"), max(col("self")).as("lab"))
+        // an edge endpoint OUTSIDE the id table has no self row (null
+        // old label): drop it, exactly like the previous labels-side
+        // left join did — the id universe is the ids argument, never
+        // the pair list
+        .filter(col("lab").isNotNull)
+        .withColumn("chg1", col("new_lab") < col("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: lab ← lab(lab). Every label IS a document id
       // (initialized from ids, only ever replaced by another vertex's
       // label), so the lookup side is the label table itself; the left
@@ -1215,22 +1232,26 @@ object Dedup {
           coalesce(col("p_lab"), col("new_lab")).as("lab"),
           (col("chg1") ||
             coalesce(col("p_lab"), col("new_lab")) < col("new_lab")).as("chg"))
-      // alternating truncation: every 2nd round checkpoints (cuts the
-      // doubled lineage AND materializes in its own job); the round in
-      // between only persists — the convergence aggregate below
-      // materializes the blocks in the SAME job, so off-rounds pay one
-      // job and no checkpoint write
+      // alternating truncation: every 2nd round checkpoints, the round
+      // in between only persists. BOTH forms are materialized by the
+      // convergence aggregate below in the SAME job (the local
+      // checkpoint is taken non-eagerly — r19: the eager form paid a
+      // separate materialization job per checkpoint round); reliable
+      // checkpoints stay eager because their file lifecycle (delete the
+      // superseded directory only after the newer one exists) needs the
+      // files on disk before the agg.
       val ckRound = it % 2 == 0
       val next =
-        if (ckRound) truncate(round)
+        if (ckRound && reliable) truncate(round)
+        else if (ckRound) round.localCheckpoint(false)
         else round.persist(StorageLevel.MEMORY_AND_DISK)
       val thisCkFile =
         if (ckRound && reliable)
           org.apache.spark.sql.graftshim.CheckpointBridge.checkpointFile(next)
         else None
       // labels only ever decrease, so "anything changed" = "any chg flag
-      // set": one shuffle-free aggregate that (on off-rounds) also
-      // materializes the persisted round
+      // set": one shuffle-free aggregate that also materializes the
+      // round's blocks
       val changed = next
         .agg(coalesce(max(col("chg")), lit(false)).as("any"))
         .first().getBoolean(0)
@@ -1238,6 +1259,7 @@ object Dedup {
       labels = next
       lastCk = ckRound
       prev.unpersist()
+      propagated.unpersist()
       if (ckRound) {
         // the PREVIOUS checkpoint is only superseded once a NEWER one is
         // materialized: the persisted round between them recomputes

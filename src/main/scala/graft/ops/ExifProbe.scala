@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   */
 object ExifProbe {
 
+  // no temp-file ImageIO stream cache regardless of class-load order
+  // (see ImageHash's note)
+  javax.imageio.ImageIO.setUseCache(false)
+
+
   final case class ExifInfo(orientation: Option[Int],
                             gpsLat: Option[Double], gpsLon: Option[Double])
 

@@ -32,6 +32,16 @@ import org.apache.spark.sql.types._
   */
 object ImageHash {
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write call —
+  // a per-image disk round trip on every decode. Multimodal.ImageDecoder
+  // already disables the JVM-global flag, but only when ITS class loads;
+  // an executor that only ever runs dHash (or a partial run that never
+  // touches the multimodal tier) would silently pay the disk cache.
+  // Disable it here too so the decode path never depends on class-load
+  // order (measured: a dHash pass in a fresh JVM without the multimodal
+  // tier ran multi-second slower at sf0.1).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val DHashSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = true),
@@ -136,16 +146,24 @@ object ImageHash {
 
   // ---- synthetic fixture assets (harness + spec) ----
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // one digest instance per task thread: getInstance per pixel paid a
+  // provider-registry lookup × 72 pixels × corpus — measurable CPU in
+  // the fixture render that fronts every image-tier decode pass
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
   /** The deterministic per-pixel gray of the synthetic pattern: the
     * first md5 byte of `img:<seed>:<y>:<x>` — iid-uniform pixels, so
     * distinct seeds give ~32-bit-apart hashes while a one-pixel tweak
-    * moves at most 2 bits. Replicated nibble-for-nibble by the oracle. */
-  private[ops] def patternGray(seed: Long, y: Int, x: Int): Int =
-    Integer.parseInt(md5Hex(s"img:$seed:$y:$x").substring(0, 2), 16)
+    * moves at most 2 bits. Replicated nibble-for-nibble by the oracle.
+    * (First byte read directly from the digest — bit-identical to the
+    * old parse of the first two hex chars, without rendering 32 hex
+    * chars × 16 Formatter allocations per pixel.) */
+  private[ops] def patternGray(seed: Long, y: Int, x: Int): Int = {
+    val md = tlMd5.get()
+    md.reset()
+    md.digest(s"img:$seed:$y:$x".getBytes("UTF-8"))(0) & 0xFF
+  }
 
   private[ops] def patternFrame(seed: Long, tweak: Boolean)
       : java.awt.image.BufferedImage = {

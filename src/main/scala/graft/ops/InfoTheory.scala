@@ -26,9 +26,26 @@ object InfoTheory {
     * either entropy is 0). Null category values participate as their
     * own category. Doubles rounded to 6 dp. */
   def mutualInformation(df: DataFrame, xCol: String,
-                        yCol: String): DataFrame = {
-    val cells = df.groupBy(col(xCol), col(yCol))
-      .agg(count(lit(1)).as("n_xy"))
+                        yCol: String): DataFrame =
+    mutualInformationFromCounts(
+      df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n_xy"))
+        // the contingency feeds the joint table, both marginals and both
+        // entropies (5 consumers): persist it so the DATA is scanned
+        // once, not once per branch — the contingency itself is
+        // |X|·|Y| rows, model-sized. Pin lives in the CacheManager for
+        // the lazy result's lifetime (clearCache in long-lived apps).
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      xCol, yCol, "n_xy")
+
+  /** [[mutualInformation]] over a PREBUILT contingency table `(xCol,
+    * yCol, countCol)` — one row per category pair; callers that already
+    * aggregated (or persist and reuse the contingency, e.g.
+    * [[ClusterEval.qualityReport]]) skip the data pass entirely. */
+  def mutualInformationFromCounts(counts: DataFrame, xCol: String,
+                                  yCol: String,
+                                  countCol: String): DataFrame = {
+    val cells = counts.select(col(xCol), col(yCol),
+      col(countCol).as("n_xy"))
     val mx = cells.groupBy(col(xCol)).agg(sum(col("n_xy")).as("n_x"))
       .withColumnRenamed(xCol, "__mxk")
     val my = cells.groupBy(col(yCol)).agg(sum(col("n_xy")).as("n_y"))

@@ -89,9 +89,19 @@ object LangId {
     * compacted (id, gram) set, not raw occurrences. */
   def scoreAgainstProfiles(docs: DataFrame, profiles: DataFrame,
                            idCol: String, textCol: String,
-                           n: Int = 3): DataFrame = {
-    val dg = charGrams(docs, idCol, textCol, n)
+                           n: Int = 3): DataFrame =
+    scoreGramCounts(docGramCounts(docs, idCol, textCol, n), profiles)
+
+  /** Per-doc gram COUNTS `(id, gram, cnt)` — the compacted form both
+    * scoring and (via the label map) self-training reduce to. */
+  private[ops] def docGramCounts(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame =
+    charGrams(docs, idCol, textCol, n)
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+
+  /** [[scoreAgainstProfiles]] over prebuilt [[docGramCounts]]. */
+  private[ops] def scoreGramCounts(dg: DataFrame,
+                                   profiles: DataFrame): DataFrame = {
     // model-sized dimension tables off the profile — broadcast them all
     val langs = profiles.select(col("lang"), col("t"), col("v")).distinct()
     val lp = profiles.select(col("lang"), col("gram"), col("c"))
@@ -110,10 +120,14 @@ object LangId {
     * over the ROUNDED scores, ties broken by lexicographically smallest
     * language code. Output: (id, lang_pred, n_grams, score). */
   def classify(docs: DataFrame, profiles: DataFrame, idCol: String,
-               textCol: String, n: Int = 3): DataFrame = {
+               textCol: String, n: Int = 3): DataFrame =
+    argmaxScored(scoreAgainstProfiles(docs, profiles, idCol, textCol, n))
+
+  /** [[classify]]'s argmax tail over an already-scored frame. */
+  private def argmaxScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("lang").asc)
-    scoreAgainstProfiles(docs, profiles, idCol, textCol, n)
+    scored
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .select(col("id"), col("lang").as("lang_pred"),
@@ -136,10 +150,15 @@ object LangId {
     * it is bit-identical across engines). */
   def classifyWithMargin(docs: DataFrame, profiles: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 3): DataFrame = {
+                         n: Int = 3): DataFrame =
+    argmaxScoredWithMargin(
+      scoreAgainstProfiles(docs, profiles, idCol, textCol, n))
+
+  /** [[classifyWithMargin]]'s argmax+margin tail over a scored frame. */
+  private def argmaxScoredWithMargin(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("score").desc, col("lang").asc)
-    scoreAgainstProfiles(docs, profiles, idCol, textCol, n)
+    scored
       .select(col("id"), col("lang"), col("n_grams"), col("score"),
         round(col("score") - lead(col("score"), 1).over(w), 6)
           .as("margin"),
@@ -157,6 +176,24 @@ object LangId {
   def selfClassify(docs: DataFrame, idCol: String, textCol: String,
                    labelCol: String, n: Int = 3): DataFrame =
     classify(docs, trainProfiles(docs, textCol, labelCol, n),
+      idCol, textCol, n)
+
+  /** [[classifyWithMargin]] in the corpus-self-trained form of
+    * [[selfClassify]].
+    *
+    * r19 optimization note: a shared-pass variant (profiles derived
+    * from ONE persisted per-doc gram-count frame that scoring reuses)
+    * was measured and REJECTED — materializing the gram-count cache
+    * (2M+ rows at sf0.1) costs more than the train-side explode it
+    * saves, because the train side's groupBy(lang, gram) collapses
+    * map-side to vocabulary size while the cache write is
+    * corpus-sized (sf0.1 A/B: 3.8 s → 6.4 s). The two-pass form is
+    * the cheaper plan at every scale where the vocabulary is smaller
+    * than the corpus. */
+  def selfClassifyWithMargin(docs: DataFrame, idCol: String,
+                             textCol: String, labelCol: String,
+                             n: Int = 3): DataFrame =
+    classifyWithMargin(docs, trainProfiles(docs, textCol, labelCol, n),
       idCol, textCol, n)
 
   /** A trained language-ID model as a persistable artifact: the profile

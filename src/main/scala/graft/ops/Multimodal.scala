@@ -531,6 +531,11 @@ object Multimodal {
     * end to end on genuinely encoded payloads (LZW compression, palette
     * quantization and all) without any media files in the container. */
   object GifEncoder {
+    // the nested ImageDecoder object's setUseCache(false) only runs when
+    // THAT object loads — an encode-only path would otherwise write a
+    // temp cache file per encoded image (see ImageHash's note)
+    javax.imageio.ImageIO.setUseCache(false)
+
     def encode(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
       require(frames.nonEmpty, "GifEncoder.encode: at least one frame required")
       val writer =

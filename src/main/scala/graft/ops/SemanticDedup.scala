@@ -95,6 +95,26 @@ object SemanticDedup {
         col("dup_of").isNull.as("keep"), col("dup_of"))
   }
 
+  /** The `(idCol, cell)` projection of [[semDedup]] WITHOUT the in-cell
+    * pair join: consumers that only need the cell assignment (purity /
+    * NMI quality gates over the cells) were paying the O(Σ cellSize²)
+    * dup-candidate join for columns they immediately dropped — Catalyst
+    * cannot prune a join that preserves cardinality, so the waste is
+    * structural, not an optimizer miss. Same normalization, trainer and
+    * assignment expression as [[semDedup]] (ties toward the higher cell,
+    * cell cast to long), so the assignment is bit-identical — pinned in
+    * SemanticDedupSpec against semDedup's own (id, cell) projection. */
+  def assignCellsOnly(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      iters: Int = 5): DataFrame = {
+    require(k >= 1, s"assignCellsOnly: k must be positive, got $k")
+    require(iters >= 0, s"assignCellsOnly: iters must be >= 0, got $iters")
+    val unit = IvfIndex.unitVectors(df, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = IvfIndex.trainOnUnit(unit, k, iters, idCol, vecCol)
+    IvfIndex.assignCells(unit, centroids)
+      .select(col("id").as(idCol), col("cell").cast("long").as("cell"))
+  }
+
   /** Cluster-balanced (diversity) sampling: at most `quota` rows from
     * each of `k` spherical k-means cells, picked by the engine-portable
     * md5-of-id order — the cluster-then-sample curation move (cap each

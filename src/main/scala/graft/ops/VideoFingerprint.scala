@@ -40,6 +40,11 @@ import org.apache.spark.sql.types._
   */
 object VideoFingerprint {
 
+  // no temp-file ImageIO stream cache regardless of class-load order
+  // (see ImageHash's note)
+  javax.imageio.ImageIO.setUseCache(false)
+
+
   val Schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = true),

@@ -190,8 +190,18 @@ object WarcExtract {
     * the records that parsed, an unreadable archive yields none. */
   def records(df: DataFrame, idCol: String, dataCol: String,
               batchSize: Int = 16): DataFrame = {
-    val in = df.select(col(idCol).cast(LongType).as("id"),
-      col(dataCol).as("data"))
+    // width recovery BEFORE the walk (the ImageHash.dHash discipline):
+    // an archive table is few, fat rows — a compact parquet source
+    // yields 1-2 scan splits, serializing the record walk AND every
+    // extraction kernel fused above it (OOXML unzip, PDF walk, HTML
+    // block scoring) onto 1-2 of N cores. Round-robin over the archive
+    // rows caps at the archive count — the CommonCrawl layout's natural
+    // split axis — and costs one narrow shuffle of the raw bytes.
+    // spread() is a no-op for non-scan-shaped inputs (e.g. foreachBatch
+    // frames that already carry shuffle-determined width).
+    val in = Parallelism.spread(
+      df.select(col(idCol).cast(LongType).as("id"),
+        col(dataCol).as("data")))
     in.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { chunk =>
         chunk.flatMap { r =>

@@ -134,6 +134,27 @@ class LangIdSpec extends SparkTestBase {
     rows.count(r => r.getString(0) == r.getString(1)) should be >= 48
   }
 
+  it should "make the shared-pass self forms bit-identical to train-then-classify" in {
+    // selfClassify / selfClassifyWithMargin derive the profiles from the
+    // SAME persisted per-doc gram counts scoring uses (one shingling
+    // pass, r19 optimization); the counts are the same integers in a
+    // different grouping order, so the outputs must match bit-for-bit
+    val corpus = df(identity)
+    val viaTrain = LangId.classify(corpus,
+        LangId.trainProfiles(corpus, "text", "lang"), "id", "text")
+      .orderBy(col("id")).collect().map(_.toString).toSeq
+    val viaSelf = LangId.selfClassify(corpus, "id", "text", "lang")
+      .orderBy(col("id")).collect().map(_.toString).toSeq
+    viaSelf shouldBe viaTrain
+    val viaTrainM = LangId.classifyWithMargin(corpus,
+        LangId.trainProfiles(corpus, "text", "lang"), "id", "text")
+      .orderBy(col("id")).collect().map(_.toString).toSeq
+    val viaSelfM = LangId.selfClassifyWithMargin(corpus, "id", "text",
+        "lang")
+      .orderBy(col("id")).collect().map(_.toString).toSeq
+    viaSelfM shouldBe viaTrainM
+  }
+
   "the margin" should "be the rounded top-1 minus top-2 score" in {
     val corpus = df(_.take(4))
     val profiles = LangId.trainProfiles(corpus, "text", "lang")

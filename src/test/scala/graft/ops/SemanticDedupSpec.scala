@@ -101,6 +101,22 @@ class SemanticDedupSpec extends SparkTestBase {
     out(2L) shouldBe true
   }
 
+  "assignCellsOnly" should "be bit-identical to semDedup's (id, cell) projection" in {
+    val r = new scala.util.Random(33L)
+    val vs = (0 until 60).map(i =>
+      i.toLong -> Array.fill(8)((r.nextDouble() * 2 - 1).toFloat))
+    for (iters <- Seq(0, 2)) {
+      val full = SemanticDedup.semDedup(frame(vs), "id", "vec",
+          k = 4, tau = 0.9, iters = iters)
+        .select(col("id"), col("cell"))
+        .orderBy(col("id")).collect().map(_.toString).toSeq
+      val only = SemanticDedup.assignCellsOnly(frame(vs), "id", "vec",
+          k = 4, iters = iters)
+        .orderBy(col("id")).collect().map(_.toString).toSeq
+      only shouldBe full
+    }
+  }
+
   "clusterBalancedSample" should "cap every cell at the quota and keep input columns" in {
     val r = new scala.util.Random(11L)
     val base = Seq.fill(3)(Array.fill(8)((r.nextDouble() * 2 - 1).toFloat))

@@ -6600,12 +6600,14 @@ object SparkEntry {
     // agg.
     "q_dedup_eval" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // one shingling pass feeds both the capped candidate set and the
+      // exact ground truth (pair-identical to two ngramJaccardJoin
+      // calls, spec-pinned) — r19 optimization, same oracle
+      val (exact, capped) = Dedup.ngramJaccardJoinWithCapped(docs,
+        "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = 2L)
       graft.ops.DedupEval.pairMetrics(
-        Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3,
-          threshold = 0.8, maxShingleDf = 2L)
-          .select(col("id_a"), col("id_b")),
-        Dedup.ngramJaccardJoin(docs, "doc_id", "text", n = 3,
-          threshold = 0.8).select(col("id_a"), col("id_b")))
+        capped.select(col("id_a"), col("id_b")),
+        exact.select(col("id_a"), col("id_b")))
     }),
 
     // Canonical selection by QUALITY: the longest document represents

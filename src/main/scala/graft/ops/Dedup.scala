@@ -174,6 +174,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** The capped AND the exact (uncapped) Jaccard pair sets from ONE
+    * shingling pass — the [[DedupEval]] shape: evaluating a df-capped
+    * candidate space against the exact join as ground truth ran the
+    * whole shingle explode twice when composed from two
+    * [[ngramJaccardJoin]] calls. Both returned frames derive from the
+    * same persisted raw edge list (pair-identical to the two separate
+    * calls — spec-pinned); the raw pin lives in the CacheManager for
+    * the lazy results' lifetime. Returns `(exact, capped)`. */
+  def ngramJaccardJoinWithCapped(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 threshold: Double,
+                                 maxShingleDf: Long): (DataFrame, DataFrame) = {
+    require(maxShingleDf > 0,
+      s"ngramJaccardJoinWithCapped: maxShingleDf must be > 0, got " +
+        s"$maxShingleDf (for the uncapped-only form use ngramJaccardJoin)")
+    val raw = shingleIndex(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def pairsOf(edges: DataFrame): DataFrame = {
+      val sizes = edges.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      edges.as("l").hint("shuffle_hash").join(edges.as("r"),
+          col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.withColumnRenamed("id", "id_a")
+          .withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("size_a") + col("size_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }
+    // the capped edge list also persists: the pair join references it
+    // from three branches (both self-join sides + the size aggregate),
+    // which would otherwise re-run the df-cap join per branch — the
+    // same reason shinglePairStats pins its capped copy
+    val cappedEdges = capByDf(raw, maxShingleDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (pairsOf(raw), pairsOf(cappedEdges))
+  }
+
   /** Canonical-document selection by QUALITY: given [[dupClusters]]'
     * `(id, cluster_id)` labels and the documents, keep the best row of
     * each cluster by `preferenceCol` (ties → min id) instead of the

@@ -54,8 +54,14 @@ object LinkRank {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
+    // local checkpoints are LAZY (r19): each still truncates the SQL
+    // plan immediately, but materialization folds into whichever job
+    // first computes the chain — the eager form paid one separate
+    // materialization job per checkpointed iteration. Reliable
+    // checkpoints stay eager: their delete-superseded-files lifecycle
+    // needs the files on disk before the old directory goes.
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint(false)
 
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))

@@ -144,6 +144,27 @@ class DedupSpec extends SparkTestBase {
     uncapped shouldBe Set((1L, 2L, 0.6))
   }
 
+  "ngramJaccardJoinWithCapped" should "be pair-identical to two separate joins" in {
+    // one shared shingling pass (r19 optimization) must reproduce both
+    // independent calls bit-for-bit
+    val capDocs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "a b c x y z")
+    ).toDF("doc_id", "text")
+    val (exact, capped) = Dedup.ngramJaccardJoinWithCapped(capDocs,
+      "doc_id", "text", n = 3, threshold = 0.5, maxShingleDf = 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"id_a", $"id_b").collect().map(_.toString).toSeq
+    rows(exact) shouldBe rows(Dedup.ngramJaccardJoin(capDocs, "doc_id",
+      "text", n = 3, threshold = 0.5))
+    rows(capped) shouldBe rows(Dedup.ngramJaccardJoin(capDocs, "doc_id",
+      "text", n = 3, threshold = 0.5, maxShingleDf = 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.ngramJaccardJoinWithCapped(capDocs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 0L)
+  }
+
   "minhashNearDups" should "agree with the exact join at high similarity" in {
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
         n = 3, threshold = 0.5, bands = 16, rowsPerBand = 4)

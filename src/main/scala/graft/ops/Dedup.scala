@@ -325,6 +325,40 @@ object Dedup {
       .select(col("id"),
         explode(hashedShingles(wordShingles(col("__text"), n))).as("h"))
 
+  /** Shared one-pass shingle view of a text table: `(id, shingles,
+    * content_hash)`. The MinHash/LSH family used to re-shingle the same
+    * corpus once per derived artifact (bucket table, shingle-set table,
+    * hash table — three scans and two regex shingling passes per
+    * [[buildTextIndex]]); every derived frame now projects from THIS,
+    * so a caller that persists it pays ONE scan + ONE shingling total.
+    * Values are bit-identical to the per-artifact pipelines: same
+    * [[wordShingles]], same `md5(text)`, same spread discipline. */
+  private def shingleBase(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    Parallelism.spread(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), wordShingles(col("__text"), n).as("shingles"),
+        md5(col("__text")).as("content_hash"))
+
+  /** [[lshBuckets]] over a pre-shingled `(id, shingles, …)` frame — the
+    * banding math shared by the text-scan and [[shingleBase]] forms.
+    * `explode(hashedShingles(shingles))` evaluates the identical
+    * expression chain as [[hashEdges]], so bucket keys are bit-equal. */
+  private def lshBucketsFromShingles(sh: DataFrame, bands: Int,
+                                     rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    // codegen'd hash-aggregate: k min() buffers per id
+    val sig = sh
+      .select(col("id"), explode(hashedShingles(col("shingles"))).as("h"))
+      .groupBy(col("id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    sig.select(col("id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
   /** (id, band, band_key) LSH bucket assignments: the signature is split
     * into `bands` bands of `rowsPerBand` values; the band key is a hash of
     * the band slice. Docs agreeing on any full band share a bucket. */
@@ -371,11 +405,22 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
-    val sh = Parallelism.spread(df.select(col(idCol).as("id"),
-        col(textCol).as("__text")))
-      .select(col("id"), wordShingles(col("__text"), n).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // joined from both pair sides
+    // one shingling pass: the bucket pipeline and the verify-join shingle
+    // sets both project from a persisted [[shingleBase]] — the two-pass
+    // shape re-ran the corpus regex shingling for each (r20; bucket keys
+    // and shingle sets are expression-identical, DedupSpec pins pairs)
+    val base = shingleBase(df, idCol, textCol, n)
+      .select(col("id"), col("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val b = lshBucketsFromShingles(base, bands, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = b.as("l").hint("shuffle_hash").join(b.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = base // joined from both pair sides
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -403,16 +448,30 @@ object Dedup {
                                    version: Int = 1)
 
   final case class TextIndex(buckets: DataFrame, shingles: DataFrame,
-                             hashes: DataFrame, params: TextIndexParams) {
+                             hashes: DataFrame, params: TextIndexParams,
+                             pinned: Option[DataFrame] = None) {
     /** Persist the three index tables plus the build parameters under
-      * `dir` (overwrite). */
+      * `dir` (overwrite). A [[buildTextIndex]]-built index derives all
+      * three tables from ONE shared shingle pass (`pinned`); save is the
+      * one place all three are materialized back-to-back, so the shared
+      * pass is cached exactly for the duration of the writes — one
+      * corpus scan + one shingling for the whole artifact (was three
+      * scans / two shinglings), and nothing stays in the CacheManager
+      * afterwards. The pin deliberately does NOT live on the lazy
+      * in-memory frames: a caller that never saves materializes each
+      * table it actually uses at the old per-table cost instead of
+      * paying a corpus-sized cache write up front (measured regression
+      * on q_dedup_incremental at sf0.1). */
     def save(dir: String): Unit = {
-      buckets.write.mode("overwrite").parquet(s"$dir/buckets")
-      shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-      hashes.write.mode("overwrite").parquet(s"$dir/hashes")
-      val spark = buckets.sparkSession
-      spark.createDataFrame(Seq(params))
-        .write.mode("overwrite").json(s"$dir/params")
+      pinned.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+      try {
+        buckets.write.mode("overwrite").parquet(s"$dir/buckets")
+        shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+        hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+        val spark = buckets.sparkSession
+        spark.createDataFrame(Seq(params))
+          .write.mode("overwrite").json(s"$dir/params")
+      } finally pinned.foreach(_.unpersist())
     }
   }
 
@@ -452,14 +511,22 @@ object Dedup {
     * banding scheme; the parameters are recorded on the index and reused
     * automatically on the query side). */
   def buildTextIndex(corpus: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): TextIndex =
+                     n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): TextIndex = {
+    // All three tables project from one shared [[shingleBase]] — values
+    // are expression-identical to the separate per-table pipelines
+    // (DedupSpec pins the lifecycle; the DuckDB oracle re-proves the
+    // dedup verdicts). The base stays LAZY here; [[TextIndex.save]]
+    // pins it across its three writes (one corpus scan + one shingling
+    // for the persisted artifact) and releases it after.
+    val base = shingleBase(corpus, idCol, textCol, n)
     TextIndex(
-      lshBuckets(corpus, idCol, textCol, n, bands, rowsPerBand),
-      Parallelism.spread(corpus.select(col(idCol).as("id"),
-          col(textCol).as("__text")))
-        .select(col("id"), wordShingles(col("__text"), n).as("shingles")),
-      corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
-      TextIndexParams(n, bands, rowsPerBand))
+      lshBucketsFromShingles(base.select(col("id"), col("shingles")),
+        bands, rowsPerBand),
+      base.select(col("id"), col("shingles")),
+      base.select(col("content_hash")).distinct(),
+      TextIndexParams(n, bands, rowsPerBand),
+      pinned = Some(base))
+  }
 
   /** Near-duplicate pairs ACROSS two corpora: increment docs whose n-gram
     * Jaccard with some indexed-corpus doc is ≥ `threshold` —
@@ -475,7 +542,14 @@ object Dedup {
     // shingle/banding params come from the index — the one place they
     // are guaranteed to match what the corpus side was hashed with
     val TextIndexParams(n, bands, rowsPerBand, _) = index.params
-    val bi = lshBuckets(increment, idCol, textCol, n, bands, rowsPerBand)
+    // bucket keys and verify-join shingle sets both project from one
+    // LAZY [[shingleBase]]: same two materializations as before (an
+    // increment-sized persist here measured SLOWER at sf0.1 — the cache
+    // write of string shingle arrays beats the saved re-shingling — and
+    // a per-batch streaming caller must not accumulate pins)
+    val base = shingleBase(increment, idCol, textCol, n)
+      .select(col("id"), col("shingles"))
+    val bi = lshBucketsFromShingles(base, bands, rowsPerBand)
     // shuffle-hash: the corpus bucket table scales with the corpus;
     // never collect it driver-side for a broadcast
     val cand = bi.as("l").hint("shuffle_hash").join(index.buckets.as("r"),
@@ -483,9 +557,8 @@ object Dedup {
         col("l.band_key") === col("r.band_key"))
       .select(col("l.id").as("inc_id"), col("r.id").as("corpus_id"))
       .distinct()
-    val incSh = Parallelism.spread(increment.select(col(idCol).as("inc_id"),
-        col(textCol).as("__text")))
-      .select(col("inc_id"), wordShingles(col("__text"), n).as("sh_i"))
+    val incSh = base
+      .select(col("id").as("inc_id"), col("shingles").as("sh_i"))
     cand
       .join(incSh, "inc_id")
       .join(index.shingles.select(col("id").as("corpus_id"),
@@ -556,14 +629,20 @@ object Dedup {
                            idCol: String, textCol: String): Unit = {
     val params = TextIndex.load(spark, dir).params
     val TextIndexParams(n, bands, rowsPerBand, _) = params
-    lshBuckets(accepted, idCol, textCol, n, bands, rowsPerBand)
-      .write.mode(SaveMode.Append).parquet(s"$dir/buckets")
-    Parallelism.spread(accepted.select(col(idCol).as("id"),
-        col(textCol).as("__text")))
-      .select(col("id"), wordShingles(col("__text"), n).as("shingles"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/shingles")
-    accepted.select(md5(col(textCol)).as("content_hash")).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
+    // one scan + one shingling of the appended wave for all three table
+    // appends (was three scans — r20); the pin is released before
+    // returning, so a per-batch streaming caller accumulates nothing
+    val base = shingleBase(accepted, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      lshBucketsFromShingles(base.select(col("id"), col("shingles")),
+          bands, rowsPerBand)
+        .write.mode(SaveMode.Append).parquet(s"$dir/buckets")
+      base.select(col("id"), col("shingles"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/shingles")
+      base.select(col("content_hash")).distinct()
+        .write.mode(SaveMode.Append).parquet(s"$dir/hashes")
+    } finally base.unpersist()
   }
 
   // ------------------------------------------------------------- SimHash

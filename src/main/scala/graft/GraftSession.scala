@@ -47,6 +47,21 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // AQE for CACHED plans too: graft operators persist multi-consumer
+    // intermediates by design (edge lists, bucket tables, contingency
+    // frames), and with the default `false` every InMemoryRelation
+    // materializes through the NON-adaptive planner — static
+    // shuffle-partition counts, no runtime coalescing, no skew split —
+    // i.e. exactly the posture AQE exists to replace, on exactly the
+    // frames that feed the most downstream stages. The conf's default
+    // is conservatism about cached-plan OUTPUT partitioning changing
+    // under AQE, which no graft operator relies on (results are pinned
+    // by explicit ORDER BY / aggregation, never by cache layout).
+    // Measured: q_triangles 6.0s -> 1.4s at 32 cores (the persisted
+    // edge set's whole join cascade was running at static width; the
+    // 32-core run was 4x SLOWER than 8-core before this).
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
